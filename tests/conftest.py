@@ -1,0 +1,49 @@
+"""Shared pytest fixtures. Ray is initialised ONCE per session."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="session")
+def ray_session():
+    import ray
+    from ray.data import DataContext
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=4,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+    yield
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def fixtures_dir(tmp_path_factory):
+    """Deterministic synthetic spatial fixtures (FIXTURES.md), written once."""
+    from tests.fixtures import write_all_fixtures
+
+    out = tmp_path_factory.mktemp("spatial_fixtures")
+    write_all_fixtures(str(out))
+    return str(out)
+
+
+SF_DIR = "/root/testdata/sf0.001"
+SF_DIR_MED = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR
+
+
+@pytest.fixture(scope="session")
+def sf_dir_med():
+    return SF_DIR_MED

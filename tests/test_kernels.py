@@ -1,0 +1,343 @@
+"""Unit tests of the pure-NumPy geo/text/hash kernels (no Ray needed)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tiff_to_geojson_csv_json_format_converter_ray.functions import (
+    affine,
+    cells,
+    crs,
+    geometry,
+    hashing,
+    knn,
+    match,
+    text,
+)
+
+
+class TestAffine:
+    def test_pixel_center(self):
+        t = (0.01, 0.0, 77.0, 0.0, -0.01, 29.0)
+        x, y = affine.pixel_to_world(t, np.array([0]), np.array([0]))
+        assert x[0] == pytest.approx(77.005)
+        assert y[0] == pytest.approx(28.995)
+
+    def test_roundtrip(self):
+        t = (0.01, 0.002, 77.0, -0.001, -0.01, 29.0)  # with rotation terms
+        rows = np.arange(0, 50, 7).astype(float)
+        cols = np.arange(0, 50, 7).astype(float)
+        x, y = affine.pixel_to_world(t, rows, cols, offset=0.0)
+        r2, c2 = affine.world_to_pixel(t, x, y)
+        np.testing.assert_allclose(r2, rows, atol=1e-9)
+        np.testing.assert_allclose(c2, cols, atol=1e-9)
+
+    def test_grid_bounds(self):
+        t = (0.01, 0.0, 77.0, 0.0, -0.01, 29.0)
+        minx, miny, maxx, maxy = affine.grid_bounds(t, 256, 256)
+        assert (minx, maxy) == (77.0, 29.0)
+        assert maxx == pytest.approx(79.56)
+        assert miny == pytest.approx(26.44)
+
+
+class TestCRS:
+    def test_webmercator_roundtrip(self):
+        lon = np.array([77.2, -122.4, 0.0])
+        lat = np.array([28.6, 37.7, 0.0])
+        x, y = crs.webmercator_forward(lon, lat)
+        lon2, lat2 = crs.webmercator_inverse(x, y)
+        np.testing.assert_allclose(lon2, lon, atol=1e-9)
+        np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+    def test_webmercator_known_point(self):
+        # Known EPSG:3857 value for (lon=1, lat=0): x = R * pi/180
+        x, y = crs.webmercator_forward(np.array([1.0]), np.array([0.0]))
+        assert x[0] == pytest.approx(111319.49079327358, rel=1e-12)
+        assert y[0] == pytest.approx(0.0, abs=1e-9)
+
+    def test_utm_known_point(self):
+        # UTM zone 43N around 77.5E: central meridian 75E.  A point on the
+        # central meridian maps to easting 500000 exactly.
+        e, n = crs.utm_forward(np.array([75.0]), np.array([28.0]), zone=43)
+        assert e[0] == pytest.approx(500000.0, abs=1e-6)
+        # northing ~ meridian arc * k0 -- sanity range for 28N
+        assert 3.09e6 < n[0] < 3.11e6
+
+    def test_utm_roundtrip(self):
+        rng = np.random.RandomState(0)
+        lon = 75.0 + rng.rand(100) * 5.0  # inside zone 43
+        lat = -60.0 + rng.rand(100) * 120.0
+        e, n = crs.utm_forward(lon, lat, zone=43)
+        lon2, lat2 = crs.utm_inverse(e, n, zone=43)
+        np.testing.assert_allclose(lon2, lon, atol=1e-9)
+        np.testing.assert_allclose(lat2, lat, atol=1e-9)
+
+    def test_transformer_utm_to_wgs84(self):
+        t = crs.Transformer("EPSG:32643", "EPSG:4326")
+        lon, lat = t.transform(np.array([500000.0]), np.array([3100000.0]))
+        assert lon[0] == pytest.approx(75.0, abs=1e-8)
+        assert 27.0 < lat[0] < 29.0
+
+    def test_transformer_identity(self):
+        t = crs.Transformer("EPSG:4326", "EPSG:4326")
+        lon, lat = t.transform(np.array([77.0]), np.array([28.0]))
+        assert (lon[0], lat[0]) == (77.0, 28.0)
+
+
+class TestCells:
+    def test_pack_unpack(self):
+        lon = np.array([77.2, -179.99, 179.99, 0.0])
+        lat = np.array([28.6, -89.99, 89.99, 0.0])
+        for res in (7, 8, 9):
+            c = cells.cell_of(lon, lat, res)
+            r, iy, ix = cells.unpack(c)
+            assert (r == res).all()
+            s = cells.cell_size(res)
+            np.testing.assert_array_equal(
+                ix, np.floor((lon + 180.0) / s).astype(np.int64)
+            )
+
+    def test_parent_child(self):
+        lon = np.array([77.2345])
+        lat = np.array([28.6789])
+        c9 = cells.cell_of(lon, lat, 9)
+        c8 = cells.cell_of(lon, lat, 8)
+        c7 = cells.cell_of(lon, lat, 7)
+        np.testing.assert_array_equal(cells.parent(c9), c8)
+        np.testing.assert_array_equal(cells.parent(c9, 7), c7)
+
+    def test_bounds_contain_point(self):
+        c = cells.cell_of(np.array([77.2]), np.array([28.6]), 8)
+        minlon, minlat, maxlon, maxlat = cells.cell_bounds(int(c[0]))
+        assert minlon <= 77.2 < maxlon
+        assert minlat <= 28.6 < maxlat
+
+    def test_oracle_sql_matches_numpy(self):
+        import duckdb
+
+        rng = np.random.RandomState(1)
+        lon = -180.0 + rng.rand(5000) * 360.0
+        lat = -90.0 + rng.rand(5000) * 180.0
+        for res in (7, 9):
+            expected = cells.cell_of(lon, lat, res)
+            con = duckdb.connect()
+            con.register("pts", __import__("pyarrow").table({"lon": lon, "lat": lat}))
+            got = con.execute(
+                f"SELECT {cells.oracle_sql_expr('lon', 'lat', res)} AS c FROM pts"
+            ).fetchnumpy()["c"]
+            np.testing.assert_array_equal(got, expected)
+
+
+class TestGeometry:
+    def test_pip_square(self):
+        sq = geometry.bbox_polygon(0.0, 0.0, 1.0, 1.0)
+        lon = np.array([0.5, 1.5, -0.1, 0.99, 0.0001])
+        lat = np.array([0.5, 0.5, 0.5, 0.01, 0.9999])
+        np.testing.assert_array_equal(
+            sq.contains(lon, lat), [True, False, False, True, True]
+        )
+
+    def test_pip_hole(self):
+        outer = [[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]]
+        hole = [[1, 1], [3, 1], [3, 3], [1, 3], [1, 1]]
+        p = geometry.Polygon("h", [outer, hole])
+        lon = np.array([0.5, 2.0, 3.5])
+        lat = np.array([0.5, 2.0, 3.5])
+        np.testing.assert_array_equal(p.contains(lon, lat), [True, False, True])
+
+    def test_pip_concave(self):
+        l_ring = [[0, 0], [3, 0], [3, 1], [1, 1], [1, 3], [0, 3], [0, 0]]
+        p = geometry.Polygon("l", [l_ring])
+        lon = np.array([0.5, 2.0, 2.0])
+        lat = np.array([2.0, 0.5, 2.0])
+        np.testing.assert_array_equal(p.contains(lon, lat), [True, True, False])
+
+    def test_pip_matches_matplotlib_free_oracle(self):
+        # random convex polygon: PIP must equal the half-plane test
+        rng = np.random.RandomState(7)
+        ang = np.sort(rng.rand(8) * 2 * np.pi)
+        ring = np.stack([np.cos(ang), np.sin(ang)], axis=1)
+        p = geometry.Polygon("c", [np.vstack([ring, ring[:1]])])
+        pts = rng.rand(2000, 2) * 2.4 - 1.2
+        got = p.contains(pts[:, 0], pts[:, 1])
+        # half-plane oracle (ccw ring)
+        ok = np.ones(len(pts), dtype=bool)
+        for i in range(len(ring)):
+            a, b = ring[i], ring[(i + 1) % len(ring)]
+            cross = (b[0] - a[0]) * (pts[:, 1] - a[1]) - (b[1] - a[1]) * (
+                pts[:, 0] - a[0]
+            )
+            ok &= cross > 0
+        # ignore points within eps of an edge (boundary convention)
+        near_edge = np.zeros(len(pts), dtype=bool)
+        for i in range(len(ring)):
+            a, b = ring[i], ring[(i + 1) % len(ring)]
+            d = np.abs(
+                (b[0] - a[0]) * (pts[:, 1] - a[1])
+                - (b[1] - a[1]) * (pts[:, 0] - a[0])
+            ) / np.hypot(b[0] - a[0], b[1] - a[1])
+            near_edge |= d < 1e-9
+        np.testing.assert_array_equal(got[~near_edge], ok[~near_edge])
+
+    def test_bbox_intersects(self):
+        boxes = np.array([[0, 0, 1, 1], [2, 2, 3, 3], [0.5, 0.5, 2.5, 2.5]])
+        np.testing.assert_array_equal(
+            geometry.bbox_intersects(boxes, 0.9, 0.9, 1.1, 1.1),
+            [True, False, True],
+        )
+
+    def test_strtree_vs_brute(self):
+        rng = np.random.RandomState(3)
+        lo = rng.rand(500, 2) * 10
+        boxes = np.hstack([lo, lo + rng.rand(500, 2)])
+        tree = geometry.STRtree(boxes)
+        for _ in range(20):
+            q = rng.rand(4) * 10
+            qb = [min(q[0], q[2]), min(q[1], q[3]), max(q[0], q[2]), max(q[1], q[3])]
+            got = np.sort(tree.query(*qb))
+            want = np.sort(np.nonzero(geometry.bbox_intersects(boxes, *qb))[0])
+            np.testing.assert_array_equal(got, want)
+
+    def test_parse_geojson_forms(self):
+        poly = {"type": "Polygon", "coordinates": [[[0, 0], [1, 0], [1, 1], [0, 0]]]}
+        feat = {"type": "Feature", "geometry": poly}
+        fc = {"type": "FeatureCollection", "features": [feat]}
+        canvas = [poly, [0, 0, 1, 1]]
+        for g in (poly, feat, fc, canvas):
+            ps = geometry.parse_geojson(g)
+            assert len(ps) == 1 and ps[0].bbox == (0.0, 0.0, 1.0, 1.0)
+
+    def test_buffer_grows(self):
+        sq = geometry.bbox_polygon(0.0, 0.0, 1.0, 1.0)
+        buf = geometry.buffer_polygon(sq, 0.1)
+        # point just outside the original square is inside the buffer
+        assert not sq.contains(np.array([1.05]), np.array([0.5]))[0]
+        assert buf.contains(np.array([1.05]), np.array([0.5]))[0]
+
+    def test_union_bag(self):
+        a = geometry.bbox_polygon(0, 0, 1, 1, "a")
+        b = geometry.bbox_polygon(2, 0, 3, 1, "b")
+        u = geometry.union_bag([a, b])
+        lon = np.array([0.5, 2.5, 1.5])
+        lat = np.array([0.5, 0.5, 0.5])
+        np.testing.assert_array_equal(u.contains(lon, lat), [True, True, False])
+
+
+class TestKNN:
+    def test_grid_matches_brute(self):
+        rng = np.random.RandomState(5)
+        lon = rng.rand(3000) * 2 + 77
+        lat = rng.rand(3000) * 2 + 27
+        idx = knn.KNNIndex(lon, lat)
+        qlon = rng.rand(50) * 2 + 77
+        qlat = rng.rand(50) * 2 + 27
+        gi, gd = idx.query(qlon, qlat, k=3)
+        bi, bd = idx.query_brute(qlon, qlat, k=3)
+        np.testing.assert_allclose(gd, bd, atol=1e-12)
+        np.testing.assert_array_equal(gi, bi)
+
+    def test_k1_exact(self):
+        lon = np.array([0.0, 1.0, 2.0])
+        lat = np.array([0.0, 0.0, 0.0])
+        idx = knn.KNNIndex(lon, lat, payload=np.array([10.0, 20.0, 30.0]))
+        gi, _ = idx.query(np.array([1.2]), np.array([0.1]))
+        assert idx.payload[gi[0, 0]] == 20.0
+
+
+class TestHashing:
+    def test_rolling_equals_direct(self):
+        t = "the quick brown fox jumps"
+        h = hashing.char_shingle_hashes(t, k=5)
+        assert len(h) == len(t.encode()) - 4
+        # shifted recompute of one shingle matches
+        h2 = hashing.char_shingle_hashes(t[3:8], k=5)
+        assert h[3] == h2[0]
+
+    def test_minhash_similarity(self):
+        mh = hashing.MinHasher(num_perm=128)
+        a = hashing.char_shingle_hashes("the quick brown fox jumps over the lazy dog")
+        b = hashing.char_shingle_hashes("the quick brown fox jumps over the lazy cat")
+        c = hashing.char_shingle_hashes("completely different text with no overlap at all")
+        sa, sb, sc = mh.signature(a), mh.signature(b), mh.signature(c)
+        sim_ab = (sa == sb).mean()
+        sim_ac = (sa == sc).mean()
+        true_ab = hashing.jaccard(a, b)
+        assert abs(sim_ab - true_ab) < 0.15
+        assert sim_ab > 0.5 > sim_ac
+
+    def test_band_keys_identical_docs_collide(self):
+        mh = hashing.MinHasher(num_perm=64)
+        h = hashing.char_shingle_hashes("some document text here")
+        k1 = mh.band_keys(mh.signature(h), bands=8)
+        k2 = mh.band_keys(mh.signature(h.copy()), bands=8)
+        np.testing.assert_array_equal(k1, k2)
+
+    def test_simhash_near(self):
+        ta = hashing.fnv1a_array("the quick brown fox jumps over lazy dog".split())
+        tb = hashing.fnv1a_array("the quick brown fox jumps over lazy cat".split())
+        tc = hashing.fnv1a_array("totally unrelated words appear in this one".split())
+        d_ab = hashing.hamming64(
+            np.array([hashing.simhash(ta)]), np.array([hashing.simhash(tb)])
+        )[0]
+        d_ac = hashing.hamming64(
+            np.array([hashing.simhash(ta)]), np.array([hashing.simhash(tc)])
+        )[0]
+        assert d_ab < d_ac
+
+    def test_winnow_deterministic(self):
+        f1 = hashing.winnow_fingerprint("a reasonably long document body " * 5)
+        f2 = hashing.winnow_fingerprint("a reasonably long document body " * 5)
+        np.testing.assert_array_equal(f1, f2)
+
+
+class TestText:
+    def test_extract_roundtrip(self):
+        from tiff_to_geojson_csv_json_format_converter_ray.sources.synthetic import gen_pages
+
+        t = gen_pages(300)
+        htmls = t["html"].to_pylist()
+        golden = t["text"].to_pylist()
+        for h, g in zip(htmls, golden):
+            assert text.extract_text(h) == g  # byte-identical invariant
+
+    def test_extract_geo(self):
+        h = b'<html><body><p>x</p><span class="geo">28.600000,77.200000</span></body></html>'
+        assert text.extract_geo(h) == (28.6, 77.2)
+        assert text.extract_geo(b"<html><body><p>x</p></body></html>") is None
+
+    def test_lang_id(self):
+        assert text.detect_language("the cat is on the mat and it is happy") == "en"
+        assert text.detect_language("der hund ist nicht auf der matte und die katze") == "de"
+        assert text.detect_language("तेज भूरी लोमड़ी कूदती है") == "hi"
+        assert text.detect_language("zxcv qwer asdf") == "zz"
+
+    def test_token_count(self):
+        assert text.token_count("a b  c") == 3
+        assert text.token_count("hello, world!", mode="bpe") >= 3
+
+    def test_quality_features(self):
+        f = text.quality_features("The quick brown fox jumps over the lazy dog.")
+        assert f["n_tokens"] == 9.0
+        assert 0.0 < f["quality"] <= 1.0
+        assert text.quality_features("")["quality"] == 0.0
+
+
+class TestMatch:
+    """Goldens = the scenario expectations of test_dynamic_patterns.py:20-51."""
+
+    def test_scenarios(self):
+        cases = [
+            ("delhi_elevation", ["delhi_mosaic", "mumbai_data", "bangalore_slope"], "delhi_mosaic"),
+            ("mumbai_satellite", ["mumbai_landsat_mosaic", "delhi_elevation", "chennai_aerial"], "mumbai_landsat_mosaic"),
+            ("slope_analysis", ["gradient_mosaic", "elevation_dem", "aspect_data"], "gradient_mosaic"),
+            ("bangalore_roads", ["bengaluru_transportation_mosaic", "delhi_data", "mumbai_info"], "bengaluru_transportation_mosaic"),
+            ("unknown_layer", ["some_mosaic", "other_composite", "random_data"], "some_mosaic"),
+            ("nonexistent_layer", ["completely_different", "totally_unrelated", "nothing_matches"], None),
+        ]
+        for requested, available, expected in cases:
+            assert match.find_layer_by_patterns(requested, available) == expected
+
+    def test_case_sensitivity_flag(self):
+        cfg = dict(match.DEFAULT_CONFIG)
+        assert match.find_layer_by_patterns("DELHI_ELEVATION", ["DELHI_MOSAIC"], cfg) == "DELHI_MOSAIC"

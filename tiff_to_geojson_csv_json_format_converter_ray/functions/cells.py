@@ -1,0 +1,113 @@
+"""Frozen hierarchical cell index (H3-role), pure NumPy and SQL-expressible.
+
+BASELINE.json's north rule requires deterministic tile/cell assignments
+at H3-like resolutions 7-9.  With no ``h3`` library in the environment,
+the engine freezes its own spec (FROZEN -- changing any constant breaks
+the golden cell-assignment fixtures):
+
+    cell_size(r)  = 360 / 2**(r + 8)        degrees   (r in [0, 15])
+    ix            = floor((lon + 180) / cell_size(r)) clipped to [0, 2**(r+8) - 1]
+    iy            = floor((lat +  90) / cell_size(r)) clipped to [0, 2**(r+7) - 1]
+    cell_id       = (r << 56) | (iy << 28) | ix       int64
+
+Resolution 7 gives ~0.011 deg (~1.2 km) cells -- the scale of H3 res 7;
+res 9 ~300 m.  Parent/child: the res r-1 parent halves ix and iy, so a
+cell's parent is ``pack(r-1, iy >> 1, ix >> 1)``.
+
+The whole spec uses only floor/shift arithmetic so a DuckDB oracle can
+reproduce assignments exactly (see __ray_entry__.oracle_sql).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MAX_RES = 15
+
+
+def cell_size(res: int) -> float:
+    if not 0 <= res <= MAX_RES:
+        raise ValueError(f"resolution out of range: {res}")
+    return 360.0 / float(2 ** (res + 8))
+
+
+def pack(res: int, iy: np.ndarray, ix: np.ndarray) -> np.ndarray:
+    return (
+        (np.int64(res) << np.int64(56))
+        | (iy.astype(np.int64) << np.int64(28))
+        | ix.astype(np.int64)
+    )
+
+
+def cell_of(lon: np.ndarray, lat: np.ndarray, res: int) -> np.ndarray:
+    """Vectorized (lon, lat) degrees -> int64 cell id at ``res``."""
+    s = cell_size(res)
+    ix = np.floor((np.asarray(lon, np.float64) + 180.0) / s).astype(np.int64)
+    iy = np.floor((np.asarray(lat, np.float64) + 90.0) / s).astype(np.int64)
+    np.clip(ix, 0, 2 ** (res + 8) - 1, out=ix)
+    np.clip(iy, 0, 2 ** (res + 7) - 1, out=iy)
+    return pack(res, iy, ix)
+
+
+def unpack(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """int64 cell id -> (res, iy, ix)."""
+    cell = np.asarray(cell, np.int64)
+    res = (cell >> np.int64(56)) & np.int64(0xFF)
+    iy = (cell >> np.int64(28)) & np.int64((1 << 28) - 1)
+    ix = cell & np.int64((1 << 28) - 1)
+    return res, iy, ix
+
+
+def parent(cell: np.ndarray, parent_res: int | None = None) -> np.ndarray:
+    """Parent cell id (one level up by default)."""
+    res, iy, ix = unpack(cell)
+    target = res - 1 if parent_res is None else np.full_like(res, parent_res)
+    if np.any(target < 0) or np.any(target > res):
+        raise ValueError("invalid parent resolution")
+    shift = (res - target).astype(np.int64)
+    return pack_arr(target, iy >> shift, ix >> shift)
+
+
+def pack_arr(res: np.ndarray, iy: np.ndarray, ix: np.ndarray) -> np.ndarray:
+    return (
+        (res.astype(np.int64) << np.int64(56))
+        | (iy.astype(np.int64) << np.int64(28))
+        | ix.astype(np.int64)
+    )
+
+
+def cell_bounds(cell: int) -> tuple[float, float, float, float]:
+    """(minlon, minlat, maxlon, maxlat) of one cell."""
+    res, iy, ix = unpack(np.asarray([cell]))
+    s = cell_size(int(res[0]))
+    minlon = float(ix[0]) * s - 180.0
+    minlat = float(iy[0]) * s - 90.0
+    return minlon, minlat, minlon + s, minlat + s
+
+
+def cells_for_bbox(
+    minlon: float, minlat: float, maxlon: float, maxlat: float, res: int
+) -> np.ndarray:
+    """All cell ids at ``res`` intersecting a bbox (for bbox semi-joins)."""
+    s = cell_size(res)
+    ix0 = max(0, int(np.floor((minlon + 180.0) / s)))
+    ix1 = min(2 ** (res + 8) - 1, int(np.floor((maxlon + 180.0) / s)))
+    iy0 = max(0, int(np.floor((minlat + 90.0) / s)))
+    iy1 = min(2 ** (res + 7) - 1, int(np.floor((maxlat + 90.0) / s)))
+    ixs, iys = np.meshgrid(
+        np.arange(ix0, ix1 + 1, dtype=np.int64),
+        np.arange(iy0, iy1 + 1, dtype=np.int64),
+    )
+    return pack(res, iys.ravel(), ixs.ravel())
+
+
+def oracle_sql_expr(lon_col: str, lat_col: str, res: int) -> str:
+    """DuckDB SQL expression computing the identical cell id (oracle parity)."""
+    s = repr(cell_size(res))
+    nx = 2 ** (res + 8) - 1
+    ny = 2 ** (res + 7) - 1
+    return (
+        f"((CAST({res} AS BIGINT) << 56)"
+        f" | (LEAST(GREATEST(CAST(FLOOR(({lat_col} + 90.0) / {s}) AS BIGINT), 0), {ny}) << 28)"
+        f" | LEAST(GREATEST(CAST(FLOOR(({lon_col} + 180.0) / {s}) AS BIGINT), 0), {nx}))"
+    )

@@ -1,0 +1,201 @@
+"""CRS conversions implemented from published formulas, pure NumPy.
+
+Replaces the reference's use of ``pyproj.Transformer.from_crs(src,
+'EPSG:4326', always_xy=True)`` (completePixleOutput.py:59-62) for the
+CRS families the reference actually touches:
+
+- ``EPSG:4326``  geographic WGS84 (identity)
+- ``EPSG:3857``  spherical Web-Mercator
+- ``EPSG:326zz`` / ``EPSG:327zz`` WGS84 UTM north/south zones
+  (e.g. EPSG:32643, cf. test2.py:1095)
+
+UTM uses the Karney/Krueger transverse-Mercator series to n^6
+(accuracy well below 1 mm inside a zone); coefficients from
+C. F. F. Karney, "Transverse Mercator with an accuracy of a few
+nanometers", J. Geodesy 85 (2011) -- public formulas.
+
+All functions are vectorized ``float64 -> float64`` with always_xy
+(lon, lat) ordering, like the reference's transformer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+WGS84_A = 6378137.0
+WGS84_F = 1.0 / 298.257223563
+_E2 = WGS84_F * (2.0 - WGS84_F)
+_E = np.sqrt(_E2)
+_N = WGS84_F / (2.0 - WGS84_F)
+
+# Rectifying radius A = a/(1+n) * (1 + n^2/4 + n^4/64 + n^6/256)
+_A_RECT = WGS84_A / (1.0 + _N) * (1.0 + _N**2 / 4.0 + _N**4 / 64.0 + _N**6 / 256.0)
+
+_ALPHA = np.array(
+    [
+        _N / 2 - 2 * _N**2 / 3 + 5 * _N**3 / 16 + 41 * _N**4 / 180
+        - 127 * _N**5 / 288 + 7891 * _N**6 / 37800,
+        13 * _N**2 / 48 - 3 * _N**3 / 5 + 557 * _N**4 / 1440
+        + 281 * _N**5 / 630 - 1983433 * _N**6 / 1935360,
+        61 * _N**3 / 240 - 103 * _N**4 / 140 + 15061 * _N**5 / 26880
+        + 167603 * _N**6 / 181440,
+        49561 * _N**4 / 161280 - 179 * _N**5 / 168 + 6601661 * _N**6 / 7257600,
+        34729 * _N**5 / 80640 - 3418889 * _N**6 / 1995840,
+        212378941 * _N**6 / 319334400,
+    ]
+)
+
+_BETA = np.array(
+    [
+        _N / 2 - 2 * _N**2 / 3 + 37 * _N**3 / 96 - _N**4 / 360
+        - 81 * _N**5 / 512 + 96199 * _N**6 / 604800,
+        _N**2 / 48 + _N**3 / 15 - 437 * _N**4 / 1440 + 46 * _N**5 / 105
+        - 1118711 * _N**6 / 3870720,
+        17 * _N**3 / 480 - 37 * _N**4 / 840 - 209 * _N**5 / 4480
+        + 5569 * _N**6 / 90720,
+        4397 * _N**4 / 161280 - 11 * _N**5 / 504 - 830251 * _N**6 / 7257600,
+        4583 * _N**5 / 161280 - 108847 * _N**6 / 3991680,
+        20648693 * _N**6 / 638668800,
+    ]
+)
+
+_UTM_K0 = 0.9996
+_UTM_FE = 500000.0
+_UTM_FN_SOUTH = 10000000.0
+
+_WEBMERC_R = 6378137.0  # spherical radius of EPSG:3857
+
+
+def utm_forward(
+    lon_deg: np.ndarray, lat_deg: np.ndarray, zone: int, south: bool = False
+) -> tuple[np.ndarray, np.ndarray]:
+    """(lon, lat) degrees -> UTM (easting, northing) meters."""
+    lon0 = np.deg2rad(zone * 6.0 - 183.0)
+    lam = np.deg2rad(np.asarray(lon_deg, dtype=np.float64)) - lon0
+    phi = np.deg2rad(np.asarray(lat_deg, dtype=np.float64))
+
+    sphi = np.sin(phi)
+    # conformal latitude tau'
+    t = np.sinh(np.arctanh(sphi) - _E * np.arctanh(_E * sphi))
+    xi_p = np.arctan2(t, np.cos(lam))
+    eta_p = np.arcsinh(np.sin(lam) / np.hypot(t, np.cos(lam)))
+
+    xi = xi_p.copy()
+    eta = eta_p.copy()
+    for j in range(6):
+        k = 2.0 * (j + 1)
+        xi += _ALPHA[j] * np.sin(k * xi_p) * np.cosh(k * eta_p)
+        eta += _ALPHA[j] * np.cos(k * xi_p) * np.sinh(k * eta_p)
+
+    easting = _UTM_FE + _UTM_K0 * _A_RECT * eta
+    northing = _UTM_K0 * _A_RECT * xi
+    if south:
+        northing = northing + _UTM_FN_SOUTH
+    return easting, northing
+
+
+def utm_inverse(
+    easting: np.ndarray, northing: np.ndarray, zone: int, south: bool = False
+) -> tuple[np.ndarray, np.ndarray]:
+    """UTM (easting, northing) meters -> (lon, lat) degrees."""
+    e = np.asarray(easting, dtype=np.float64)
+    n = np.asarray(northing, dtype=np.float64)
+    if south:
+        n = n - _UTM_FN_SOUTH
+    xi = n / (_UTM_K0 * _A_RECT)
+    eta = (e - _UTM_FE) / (_UTM_K0 * _A_RECT)
+
+    xi_p = xi.copy()
+    eta_p = eta.copy()
+    for j in range(6):
+        k = 2.0 * (j + 1)
+        xi_p -= _BETA[j] * np.sin(k * xi) * np.cosh(k * eta)
+        eta_p -= _BETA[j] * np.cos(k * xi) * np.sinh(k * eta)
+
+    tau_p = np.sin(xi_p) / np.hypot(np.sinh(eta_p), np.cos(xi_p))
+    lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+
+    # Newton-solve tau from tau' (Karney 2011 eq. 19-21), vectorized.
+    tau = tau_p.copy()
+    for _ in range(6):
+        sig = np.sinh(_E * np.arctanh(_E * tau / np.hypot(1.0, tau)))
+        f_tau = tau * np.hypot(1.0, sig) - sig * np.hypot(1.0, tau) - tau_p
+        d_tau = (
+            (np.hypot(1.0, sig) * np.hypot(1.0, tau) - sig * tau)
+            * (1.0 - _E2)
+            * np.hypot(1.0, tau)
+            / (1.0 + (1.0 - _E2) * tau * tau)
+        )
+        tau = tau - f_tau / d_tau
+
+    phi = np.arctan(tau)
+    lon0 = zone * 6.0 - 183.0
+    return np.rad2deg(lam) + lon0, np.rad2deg(phi)
+
+
+def webmercator_forward(
+    lon_deg: np.ndarray, lat_deg: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    lon = np.asarray(lon_deg, dtype=np.float64)
+    lat = np.asarray(lat_deg, dtype=np.float64)
+    x = _WEBMERC_R * np.deg2rad(lon)
+    y = _WEBMERC_R * np.log(np.tan(np.pi / 4.0 + np.deg2rad(lat) / 2.0))
+    return x, y
+
+
+def webmercator_inverse(
+    x: np.ndarray, y: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    lon = np.rad2deg(x / _WEBMERC_R)
+    lat = np.rad2deg(2.0 * np.arctan(np.exp(y / _WEBMERC_R)) - np.pi / 2.0)
+    return lon, lat
+
+
+def _parse_crs(crs: str) -> tuple[str, int, bool]:
+    """-> (kind, zone, south); kind in {'geographic', 'webmercator', 'utm'}."""
+    code = crs.strip().upper()
+    if not code.startswith("EPSG:"):
+        raise ValueError(f"unsupported CRS: {crs!r}")
+    num = int(code[5:])
+    if num == 4326:
+        return "geographic", 0, False
+    if num == 3857:
+        return "webmercator", 0, False
+    if 32601 <= num <= 32660:
+        return "utm", num - 32600, False
+    if 32701 <= num <= 32760:
+        return "utm", num - 32700, True
+    raise ValueError(f"unsupported CRS: {crs!r}")
+
+
+class Transformer:
+    """Vectorized coordinate transformer, always (x, y) = (lon-ish, lat-ish).
+
+    Mirrors the reference's one-transformer-per-file pattern
+    (completePixleOutput.py:59, SURVEY ST1): construct once (per actor),
+    call ``transform`` per batch.
+    """
+
+    def __init__(self, src_crs: str, dst_crs: str = "EPSG:4326"):
+        self.src = _parse_crs(src_crs)
+        self.dst = _parse_crs(dst_crs)
+
+    def transform(
+        self, xs: np.ndarray, ys: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        kind, zone, south = self.src
+        if kind == "geographic":
+            lon, lat = np.asarray(xs, np.float64), np.asarray(ys, np.float64)
+        elif kind == "webmercator":
+            lon, lat = webmercator_inverse(xs, ys)
+        else:
+            lon, lat = utm_inverse(xs, ys, zone, south)
+
+        kind, zone, south = self.dst
+        if kind == "geographic":
+            return lon, lat
+        if kind == "webmercator":
+            return webmercator_forward(lon, lat)
+        return utm_forward(lon, lat, zone, south)

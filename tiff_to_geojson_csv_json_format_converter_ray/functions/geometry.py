@@ -1,0 +1,251 @@
+"""Vector-geometry kernels: bbox, point-in-polygon, STRtree, buffer, union.
+
+From-scratch NumPy replacements for the reference's shapely /
+rasterio.mask / turf usage:
+
+- bbox construction + rectangle-overlap semi-join
+  (test2.py:96-105, completePixleOutput.py:422-427, slope.js:389-392)
+- polygon mask / clip = bbox crop + point-in-polygon test
+  (rasterio.mask.mask at test2.py:1272, get_raster_stats_clean.py:148)
+- geometry buffer(0.001) (test2.py:275-278)
+- multi-feature union (slope.js:404-427) -- kept as a *bag* of rings,
+  which is exactly what even-odd PIP over all rings computes
+- GeoJSON parsing of the 4 accepted shapes (test2.py:250-272)
+
+PIP uses even-odd ray casting, vectorized over points per ring; holes
+and MultiPolygon parts fall out of the even-odd rule.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+# ---------------------------------------------------------------- polygons
+@dataclass
+class Polygon:
+    """One polygon: shell + holes (even-odd), with precomputed bbox."""
+
+    polygon_id: str
+    rings: list[np.ndarray]  # each (n, 2) float64 [lon, lat], closed or open
+    bbox: tuple[float, float, float, float] = field(default=None)  # type: ignore[assignment]
+
+    def __post_init__(self) -> None:
+        self.rings = [np.asarray(r, dtype=np.float64).reshape(-1, 2) for r in self.rings]
+        if self.bbox is None:
+            shell = np.vstack(self.rings)
+            self.bbox = (
+                float(shell[:, 0].min()),
+                float(shell[:, 1].min()),
+                float(shell[:, 0].max()),
+                float(shell[:, 1].max()),
+            )
+
+    def contains(self, lon: np.ndarray, lat: np.ndarray) -> np.ndarray:
+        """Vectorized even-odd PIP over all rings; bbox pre-filter included."""
+        lon = np.asarray(lon, dtype=np.float64)
+        lat = np.asarray(lat, dtype=np.float64)
+        minx, miny, maxx, maxy = self.bbox
+        cand = (lon >= minx) & (lon <= maxx) & (lat >= miny) & (lat <= maxy)
+        out = np.zeros(lon.shape, dtype=bool)
+        if not cand.any():
+            return out
+        cl, ca = lon[cand], lat[cand]
+        inside = np.zeros(cl.shape, dtype=bool)
+        for ring in self.rings:
+            x, y = ring[:, 0], ring[:, 1]
+            x2, y2 = np.roll(x, -1), np.roll(y, -1)
+            for j in range(len(x)):
+                x1j, y1j, x2j, y2j = x[j], y[j], x2[j], y2[j]
+                if y1j == y2j:
+                    continue
+                crosses = ((y1j > ca) != (y2j > ca)) & (
+                    cl < (x2j - x1j) * (ca - y1j) / (y2j - y1j) + x1j
+                )
+                inside ^= crosses
+        out[cand] = inside
+        return out
+
+
+def parse_geojson(geom: dict | list | str) -> list[Polygon]:
+    """Accept the reference's 4 geometry shapes (test2.py:250-272):
+    FeatureCollection (first feature), Feature, bare geometry, and the
+    nonstandard Canvas ``[geometry, bounds]`` list."""
+    import json
+
+    if isinstance(geom, str):
+        geom = json.loads(geom)
+    if isinstance(geom, list):  # Canvas format [geometry, bounds]
+        geom = geom[0]
+    if geom.get("type") == "FeatureCollection":
+        geom = geom["features"][0]["geometry"]
+    elif geom.get("type") == "Feature":
+        geom = geom["geometry"]
+
+    gtype = geom["type"]
+    coords = geom["coordinates"]
+    if gtype == "Polygon":
+        return [Polygon("p0", [np.asarray(r) for r in coords])]
+    if gtype == "MultiPolygon":
+        return [
+            Polygon(f"p{i}", [np.asarray(r) for r in part])
+            for i, part in enumerate(coords)
+        ]
+    raise ValueError(f"unsupported geometry type: {gtype}")
+
+
+def bbox_polygon(
+    minx: float, miny: float, maxx: float, maxy: float, polygon_id: str = "bbox"
+) -> Polygon:
+    """Closed 5-point ring from a bbox (test2.py:96-105 semantics)."""
+    ring = np.array(
+        [[minx, miny], [maxx, miny], [maxx, maxy], [minx, maxy], [minx, miny]]
+    )
+    return Polygon(polygon_id, [ring], bbox=(minx, miny, maxx, maxy))
+
+
+def buffer_polygon(poly: Polygon, dist: float) -> Polygon:
+    """Approximate outward buffer: dilate each shell vertex along its
+    angle-bisector normal by ``dist`` (documented approximation of
+    shapely ``buffer`` at test2.py:275-278; adequate for the pruning /
+    inclusive-clip role the reference uses it for)."""
+    new_rings = []
+    for k, ring in enumerate(poly.rings):
+        pts = ring
+        if np.all(pts[0] == pts[-1]):
+            pts = pts[:-1]
+        prev = np.roll(pts, 1, axis=0)
+        nxt = np.roll(pts, -1, axis=0)
+        e1 = pts - prev
+        e2 = nxt - pts
+        n1 = np.stack([e1[:, 1], -e1[:, 0]], axis=1)
+        n2 = np.stack([e2[:, 1], -e2[:, 0]], axis=1)
+        for n in (n1, n2):
+            norm = np.linalg.norm(n, axis=1, keepdims=True)
+            norm[norm == 0] = 1.0
+            n /= norm
+        bis = n1 + n2
+        norm = np.linalg.norm(bis, axis=1, keepdims=True)
+        norm[norm == 0] = 1.0
+        bis /= norm
+        # Right-hand edge normal (e.y, -e.x) points outward on CCW rings.
+        # Shell (ring 0) grows outward; holes shrink (offset inward).
+        sign = -1.0 if _ring_is_cw(pts) else 1.0
+        if k > 0:
+            sign = -sign
+        moved = pts + sign * dist * bis
+        new_rings.append(np.vstack([moved, moved[:1]]))
+    return Polygon(poly.polygon_id, new_rings)
+
+
+def _ring_is_cw(pts: np.ndarray) -> bool:
+    x, y = pts[:, 0], pts[:, 1]
+    return float(np.sum((np.roll(x, -1) - x) * (np.roll(y, -1) + y))) > 0.0
+
+
+def union_bag(polys: list[Polygon], polygon_id: str = "union") -> Polygon:
+    """Union as an even-odd ring bag: a point is inside the union iff it
+    is inside any part (exact for non-overlapping parts -- the slope.js
+    reduce-union use case of adjacent admin features)."""
+    rings: list[np.ndarray] = []
+    for p in polys:
+        rings.extend(p.rings)
+    boxes = np.array([p.bbox for p in polys])
+    bbox = (
+        float(boxes[:, 0].min()),
+        float(boxes[:, 1].min()),
+        float(boxes[:, 2].max()),
+        float(boxes[:, 3].max()),
+    )
+    return Polygon(polygon_id, rings, bbox=bbox)
+
+
+def bbox_intersects(
+    boxes: np.ndarray, minx: float, miny: float, maxx: float, maxy: float
+) -> np.ndarray:
+    """Vectorized rectangle-overlap test; ``boxes`` is (n, 4) minx,miny,maxx,maxy.
+
+    Same predicate as the catalog lookup (completePixleOutput.py:422-427)
+    and the file semi-join (test2.py:95-107)."""
+    boxes = np.asarray(boxes, dtype=np.float64).reshape(-1, 4)
+    return ~(
+        (boxes[:, 2] < minx)
+        | (boxes[:, 0] > maxx)
+        | (boxes[:, 3] < miny)
+        | (boxes[:, 1] > maxy)
+    )
+
+
+# ---------------------------------------------------------------- STRtree
+class STRtree:
+    """Packed Sort-Tile-Recursive R-tree over bboxes (pure NumPy).
+
+    Built once per actor (SURVEY ST5); queries return candidate indexes
+    for a query point or bbox.  For the small polygon side tables the
+    reference uses, this is mostly a bbox grid -- but it stays O(log n)
+    for large catalogs (manifest pruning at 100 TB scale).
+    """
+
+    def __init__(self, boxes: np.ndarray, leaf_size: int = 8):
+        boxes = np.asarray(boxes, dtype=np.float64).reshape(-1, 4)
+        self.n = len(boxes)
+        self.boxes = boxes
+        if self.n == 0:
+            self.order = np.empty(0, dtype=np.int64)
+            self.leaf_starts = np.empty(0, dtype=np.int64)
+            self.leaf_boxes = np.empty((0, 4))
+            return
+        cx = (boxes[:, 0] + boxes[:, 2]) / 2.0
+        cy = (boxes[:, 1] + boxes[:, 3]) / 2.0
+        # STR packing: sort by cx, slice into vertical strips, sort each by cy.
+        n_leaves = int(np.ceil(self.n / leaf_size))
+        n_strips = int(np.ceil(np.sqrt(n_leaves)))
+        strip_cap = n_strips * leaf_size
+        by_x = np.argsort(cx, kind="stable")
+        order_parts = []
+        for s in range(0, self.n, strip_cap):
+            strip = by_x[s : s + strip_cap]
+            order_parts.append(strip[np.argsort(cy[strip], kind="stable")])
+        self.order = np.concatenate(order_parts)
+        self.leaf_starts = np.arange(0, self.n, leaf_size, dtype=np.int64)
+        lb = []
+        for st in self.leaf_starts:
+            idx = self.order[st : st + leaf_size]
+            b = boxes[idx]
+            lb.append([b[:, 0].min(), b[:, 1].min(), b[:, 2].max(), b[:, 3].max()])
+        self.leaf_boxes = np.asarray(lb)
+        self.leaf_size = leaf_size
+
+    def query(
+        self, minx: float, miny: float, maxx: float, maxy: float
+    ) -> np.ndarray:
+        """Indexes of stored boxes intersecting the query bbox."""
+        if self.n == 0:
+            return np.empty(0, dtype=np.int64)
+        hit_leaves = np.nonzero(
+            bbox_intersects(self.leaf_boxes, minx, miny, maxx, maxy)
+        )[0]
+        if len(hit_leaves) == 0:
+            return np.empty(0, dtype=np.int64)
+        cand_idx = np.concatenate(
+            [
+                self.order[self.leaf_starts[h] : self.leaf_starts[h] + self.leaf_size]
+                for h in hit_leaves
+            ]
+        )
+        mask = bbox_intersects(self.boxes[cand_idx], minx, miny, maxx, maxy)
+        return cand_idx[mask]
+
+    def query_points(self, lon: np.ndarray, lat: np.ndarray) -> list[np.ndarray]:
+        """Per-stored-box boolean masks of points falling in each box --
+        vectorized over points (boxes are the small side)."""
+        lon = np.asarray(lon, dtype=np.float64)
+        lat = np.asarray(lat, dtype=np.float64)
+        out = []
+        for b in self.boxes:
+            out.append(
+                (lon >= b[0]) & (lon <= b[2]) & (lat >= b[1]) & (lat <= b[3])
+            )
+        return out

@@ -1,0 +1,152 @@
+"""Deterministic hashing kernels for dedup families, pure NumPy.
+
+Implements the standard published constructions (Broder's MinHash,
+Charikar's SimHash, Rabin-Karp rolling hashes, winnowing fingerprints)
+used by the engine's large-scale dedup operators.  All arithmetic is
+mod 2**64 via natural uint64 wraparound, so signatures are bit-stable
+across runs, partitions and machines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+_ROLL_BASE = np.uint64(1099511628211)
+
+
+def fnv1a_bytes(data: bytes) -> int:
+    """Scalar FNV-1a 64-bit (stable across processes, unlike hash())."""
+    h = _FNV_OFFSET
+    for b in data:
+        h = np.uint64((int(h) ^ b) * int(_FNV_PRIME) & 0xFFFFFFFFFFFFFFFF)
+    return int(h)
+
+
+def fnv1a_array(strings: list[str] | np.ndarray) -> np.ndarray:
+    """FNV-1a over each utf-8 string -> uint64 array."""
+    return np.fromiter(
+        (fnv1a_bytes(s.encode("utf-8")) for s in strings),
+        dtype=np.uint64,
+        count=len(strings),
+    )
+
+
+def char_shingle_hashes(text: str, k: int = 5) -> np.ndarray:
+    """Vectorized Rabin-Karp rolling hashes of all k-char shingles.
+
+    uint64 polynomial hash with natural wraparound; O(n) via the
+    rolling update h' = (h - b0 * B^(k-1)) * B + b_new.
+    """
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    n = len(data)
+    if n < k:
+        if n == 0:
+            return np.empty(0, dtype=np.uint64)
+        k = n
+    with np.errstate(over="ignore"):
+        powers = np.empty(k, dtype=np.uint64)
+        powers[0] = np.uint64(1)
+        for i in range(1, k):
+            powers[i] = powers[i - 1] * _ROLL_BASE
+        # h_i = sum_j data[i+j] * B^(k-1-j); computed via correlation
+        n_sh = n - k + 1
+        out = np.zeros(n_sh, dtype=np.uint64)
+        for j in range(k):
+            out += data[j : j + n_sh] * powers[k - 1 - j]
+    return out
+
+
+def word_ngram_hashes(tokens: list[str], n: int = 3) -> np.ndarray:
+    """Hashes of word n-grams (joined by \\x1f) -> uint64 array."""
+    if len(tokens) < n:
+        grams = [" ".join(tokens)] if tokens else []
+    else:
+        grams = ["\x1f".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
+    return fnv1a_array(grams)
+
+
+class MinHasher:
+    """Broder MinHash with ``num_perm`` universal-hash permutations
+    h_j(x) = a_j * x + b_j (mod 2**64); seeded, frozen."""
+
+    def __init__(self, num_perm: int = 64, seed: int = 42):
+        rng = np.random.RandomState(seed)
+        # odd multipliers for bijectivity mod 2^64
+        self.a = (
+            rng.randint(1, 2**62, size=num_perm).astype(np.uint64) * np.uint64(2)
+            + np.uint64(1)
+        )
+        self.b = rng.randint(0, 2**62, size=num_perm).astype(np.uint64)
+        self.num_perm = num_perm
+
+    def signature(self, hashes: np.ndarray) -> np.ndarray:
+        """(m,) uint64 element hashes -> (num_perm,) uint64 signature."""
+        if len(hashes) == 0:
+            return np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            m = hashes[:, None] * self.a[None, :] + self.b[None, :]
+        return m.min(axis=0)
+
+    def band_keys(self, sig: np.ndarray, bands: int) -> np.ndarray:
+        """Split signature into ``bands`` bands; hash each band -> uint64.
+        Equal band key => LSH bucket candidate pair."""
+        rows = self.num_perm // bands
+        sig = sig[: bands * rows].reshape(bands, rows)
+        with np.errstate(over="ignore"):
+            keys = np.full(bands, _FNV_OFFSET, dtype=np.uint64)
+            for r in range(rows):
+                keys = (keys ^ sig[:, r]) * _FNV_PRIME
+        # mix in the band index so identical bands in different slots differ
+        return keys ^ (np.arange(bands, dtype=np.uint64) << np.uint64(56))
+
+
+def simhash(token_hashes: np.ndarray, weights: np.ndarray | None = None) -> int:
+    """Charikar 64-bit SimHash of a weighted token-hash bag."""
+    if len(token_hashes) == 0:
+        return 0
+    if weights is None:
+        weights = np.ones(len(token_hashes))
+    bits = (
+        (token_hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+        & np.uint64(1)
+    ).astype(np.float64)
+    acc = ((bits * 2.0 - 1.0) * weights[:, None]).sum(axis=0)
+    out = np.uint64(0)
+    for i in range(64):
+        if acc[i] > 0:
+            out |= np.uint64(1) << np.uint64(i)
+    return int(out)
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized Hamming distance between uint64 arrays."""
+    x = np.bitwise_xor(np.asarray(a, np.uint64), np.asarray(b, np.uint64))
+    cnt = np.zeros(x.shape, dtype=np.int64)
+    for _ in range(64):
+        cnt += (x & np.uint64(1)).astype(np.int64)
+        x = x >> np.uint64(1)
+    return cnt
+
+
+def jaccard(hashes_a: np.ndarray, hashes_b: np.ndarray) -> float:
+    """Exact Jaccard similarity of two hash sets."""
+    sa = np.unique(hashes_a)
+    sb = np.unique(hashes_b)
+    if len(sa) == 0 and len(sb) == 0:
+        return 1.0
+    inter = len(np.intersect1d(sa, sb, assume_unique=True))
+    return inter / float(len(sa) + len(sb) - inter)
+
+
+def winnow_fingerprint(text: str, k: int = 8, window: int = 16) -> np.ndarray:
+    """Winnowing (Schleimer et al. 2003): min shingle hash per sliding
+    window -> compact document fingerprint set."""
+    h = char_shingle_hashes(text, k)
+    if len(h) == 0:
+        return h
+    if len(h) <= window:
+        return np.unique(h.min(keepdims=True))
+    sw = np.lib.stride_tricks.sliding_window_view(h, window)
+    return np.unique(sw.min(axis=1))

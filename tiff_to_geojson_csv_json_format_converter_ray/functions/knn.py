@@ -1,0 +1,118 @@
+"""Nearest-neighbor lookup kernels (reference J4), pure NumPy.
+
+The reference ships a linear-scan k=1 elevation lookup in its emitted
+frontend JS (``getElevation`` reduce over all points; recovered from
+``tiff_processor_enhanced.pyc`` strings, SURVEY par.2.6 J4).  The engine
+keeps that exact semantic (Euclidean argmin in coordinate space) but
+provides two execution paths:
+
+- ``query_brute``  -- exact chunked-vectorized scan (the oracle path)
+- ``query``        -- grid-bucketed search: points are hashed into cells
+  of width ``cell``; a query inspects expanding rings of cells until the
+  best distance is provably correct.  Built once per actor
+  (SURVEY ST5); this is the 100-TB path where each actor holds one
+  spatial partition's points.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class KNNIndex:
+    def __init__(self, lon: np.ndarray, lat: np.ndarray, payload: np.ndarray | None = None, cell: float | None = None):
+        self.lon = np.asarray(lon, dtype=np.float64)
+        self.lat = np.asarray(lat, dtype=np.float64)
+        self.payload = payload if payload is None else np.asarray(payload)
+        self.n = len(self.lon)
+        if self.n == 0:
+            raise ValueError("empty KNN index")
+        if cell is None:
+            # ~sqrt(n) buckets per axis over the data extent
+            span = max(
+                self.lon.max() - self.lon.min(), self.lat.max() - self.lat.min(), 1e-12
+            )
+            cell = span / max(1.0, np.sqrt(self.n))
+        self.cell = float(cell)
+        self.x0 = float(self.lon.min())
+        self.y0 = float(self.lat.min())
+        ix = np.floor((self.lon - self.x0) / self.cell).astype(np.int64)
+        iy = np.floor((self.lat - self.y0) / self.cell).astype(np.int64)
+        self.nx = int(ix.max()) + 1
+        self.ny = int(iy.max()) + 1
+        key = iy * self.nx + ix
+        order = np.argsort(key, kind="stable")
+        self.order = order
+        sorted_key = key[order]
+        # CSR-style bucket offsets
+        self.bucket_starts = np.searchsorted(
+            sorted_key, np.arange(self.nx * self.ny + 1)
+        )
+
+    def _bucket_members(self, bx: int, by: int) -> np.ndarray:
+        if bx < 0 or by < 0 or bx >= self.nx or by >= self.ny:
+            return np.empty(0, dtype=np.int64)
+        b = by * self.nx + bx
+        return self.order[self.bucket_starts[b] : self.bucket_starts[b + 1]]
+
+    def query(self, qlon: np.ndarray, qlat: np.ndarray, k: int = 1) -> tuple[np.ndarray, np.ndarray]:
+        """-> (indices (nq, k), distances (nq, k)); exact."""
+        qlon = np.atleast_1d(np.asarray(qlon, dtype=np.float64))
+        qlat = np.atleast_1d(np.asarray(qlat, dtype=np.float64))
+        nq = len(qlon)
+        idx_out = np.full((nq, k), -1, dtype=np.int64)
+        dist_out = np.full((nq, k), np.inf)
+        max_ring = max(self.nx, self.ny)
+        for qi in range(nq):
+            qx, qy = qlon[qi], qlat[qi]
+            bx = int(np.floor((qx - self.x0) / self.cell))
+            by = int(np.floor((qy - self.y0) / self.cell))
+            best_d: np.ndarray = np.empty(0)
+            best_i: np.ndarray = np.empty(0, dtype=np.int64)
+            for ring in range(max_ring + 1):
+                members = []
+                if ring == 0:
+                    members.append(self._bucket_members(bx, by))
+                else:
+                    for dx in range(-ring, ring + 1):
+                        members.append(self._bucket_members(bx + dx, by - ring))
+                        members.append(self._bucket_members(bx + dx, by + ring))
+                    for dy in range(-ring + 1, ring):
+                        members.append(self._bucket_members(bx - ring, by + dy))
+                        members.append(self._bucket_members(bx + ring, by + dy))
+                cand = np.concatenate(members) if members else np.empty(0, np.int64)
+                if len(cand):
+                    d = np.hypot(self.lon[cand] - qx, self.lat[cand] - qy)
+                    all_d = np.concatenate([best_d, d])
+                    all_i = np.concatenate([best_i, cand])
+                    top = np.argsort(all_d, kind="stable")[:k]
+                    best_d, best_i = all_d[top], all_i[top]
+                # Stop once k found and no closer point can exist beyond
+                # the scanned ring shell.
+                if len(best_d) >= k and best_d[k - 1] <= ring * self.cell:
+                    break
+            m = len(best_i)
+            idx_out[qi, :m] = best_i
+            dist_out[qi, :m] = best_d
+        return idx_out, dist_out
+
+    def query_brute(self, qlon: np.ndarray, qlat: np.ndarray, k: int = 1, chunk: int = 256) -> tuple[np.ndarray, np.ndarray]:
+        """Exact chunked linear scan -- the reference's JS semantics."""
+        qlon = np.atleast_1d(np.asarray(qlon, dtype=np.float64))
+        qlat = np.atleast_1d(np.asarray(qlat, dtype=np.float64))
+        nq = len(qlon)
+        idx_out = np.empty((nq, k), dtype=np.int64)
+        dist_out = np.empty((nq, k))
+        for s in range(0, nq, chunk):
+            ql = qlon[s : s + chunk, None]
+            qa = qlat[s : s + chunk, None]
+            d = np.hypot(self.lon[None, :] - ql, self.lat[None, :] - qa)
+            if k == 1:
+                ii = np.argmin(d, axis=1)[:, None]
+            else:
+                ii = np.argpartition(d, kth=min(k, self.n) - 1, axis=1)[:, :k]
+                row = np.arange(len(ii))[:, None]
+                ii = ii[row, np.argsort(d[row, ii], axis=1, kind="stable")]
+            idx_out[s : s + chunk] = ii
+            dist_out[s : s + chunk] = d[np.arange(len(ii))[:, None], ii]
+        return idx_out, dist_out

@@ -1,0 +1,158 @@
+"""Text kernels: HTML extraction, geo-span parsing, lang-ID, quality,
+tokenization, fingerprints.
+
+The extraction stage implements the per-row invariant mandated by
+BASELINE.json input_hint: for every page row, ``extract_text(html)``
+must reproduce the stored ``text`` column byte-identically per url.
+All functions are deterministic pure functions of their inputs
+(no wall-clock, no RNG), so any partitioning yields identical output.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+
+import numpy as np
+
+# Compiled once at import; actor-pool stages reuse them per worker.
+_P_RE = re.compile(r"<p(?:\s[^>]*)?>(.*?)</p>", re.DOTALL | re.IGNORECASE)
+_GEO_RE = re.compile(
+    r'<span\s+class="geo">\s*(-?\d+(?:\.\d+)?)\s*,\s*(-?\d+(?:\.\d+)?)\s*</span>',
+    re.IGNORECASE,
+)
+_TAG_RE = re.compile(r"<[^>]+>")
+_WS_RE = re.compile(r"\s+")
+# BPE-ish pre-tokenizer (GPT-2-style pattern, ASCII classes only --
+# environment has no regex module with \p support)
+_BPE_RE = re.compile(
+    r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-zÀ-ɏऀ-ॿ]+| ?[0-9]+| ?[^\sA-Za-z0-9À-ɏऀ-ॿ]+|\s+"
+)
+
+_STOPWORDS = {
+    "en": frozenset(
+        "the of and to in a is that for it as with on be are this was at by an".split()
+    ),
+    "de": frozenset(
+        "der die das und ist von zu mit den nicht ein eine auf im des sich".split()
+    ),
+    "fr": frozenset(
+        "le la les de des et un une est dans que pour sur avec ne pas au du".split()
+    ),
+}
+
+
+def extract_text(html_bytes: bytes | str) -> str:
+    """Deterministic HTML -> text: concatenate the contents of all
+    ``<p>`` elements (joined by "\\n"), strip nested tags, unescape
+    entities, collapse inner whitespace.  This is the engine's T14
+    extractor; byte-identical per url by construction."""
+    if isinstance(html_bytes, bytes):
+        doc = html_bytes.decode("utf-8", errors="replace")
+    else:
+        doc = html_bytes
+    parts = []
+    for m in _P_RE.finditer(doc):
+        inner = _TAG_RE.sub("", m.group(1))
+        inner = _html.unescape(inner)
+        parts.append(_WS_RE.sub(" ", inner).strip())
+    return "\n".join(parts)
+
+
+def extract_geo(html_bytes: bytes | str) -> tuple[float, float] | None:
+    """Parse the ``<span class="geo">lat,lon</span>`` microformat ->
+    (lat, lon) or None (the geocoder input for the pages pipeline)."""
+    if isinstance(html_bytes, bytes):
+        doc = html_bytes.decode("utf-8", errors="replace")
+    else:
+        doc = html_bytes
+    m = _GEO_RE.search(doc)
+    if m is None:
+        return None
+    return float(m.group(1)), float(m.group(2))
+
+
+def whitespace_tokens(text: str) -> list[str]:
+    """Whitespace tokenizer -- semantics = str.split() (no empty tokens)."""
+    return text.split()
+
+
+def bpe_ish_tokens(text: str) -> list[str]:
+    """GPT-2-style pre-tokenization (public regex pattern); used for
+    token counting of training-data budgets."""
+    return _BPE_RE.findall(text)
+
+
+def token_count(text: str, mode: str = "whitespace") -> int:
+    if mode == "whitespace":
+        return len(text.split())
+    if mode == "bpe":
+        return len(_BPE_RE.findall(text))
+    raise ValueError(f"unknown token mode: {mode}")
+
+
+def detect_language(text: str) -> str:
+    """Deterministic n-gram/stopword language heuristic.
+
+    devanagari-dominant -> 'hi'; else best stopword-hit ratio among
+    en/de/fr; 'zz' when nothing matches."""
+    if not text:
+        return "zz"
+    n_dev = sum(1 for ch in text if "ऀ" <= ch <= "ॿ")
+    alpha = sum(1 for ch in text if ch.isalpha())
+    if alpha > 0 and n_dev / alpha > 0.3:
+        return "hi"
+    toks = [t.lower() for t in text.split()]
+    if not toks:
+        return "zz"
+    best_lang, best_hits = "zz", 0
+    for lang, sw in _STOPWORDS.items():
+        hits = sum(1 for t in toks if t in sw)
+        if hits > best_hits:
+            best_lang, best_hits = lang, hits
+    if best_hits * 20 < len(toks):  # <5% stopwords -> unknown
+        return "zz"
+    return best_lang
+
+
+def quality_features(text: str) -> dict[str, float]:
+    """Deterministic quality-scoring features (Gopher/C4-style heuristics,
+    public recipes): length, mean word length, punctuation/digit/upper
+    ratios, stopword ratio, repetition ratio."""
+    n_chars = len(text)
+    toks = text.split()
+    n_tokens = len(toks)
+    if n_chars == 0:
+        return {
+            "n_chars": 0.0, "n_tokens": 0.0, "mean_word_len": 0.0,
+            "punct_ratio": 0.0, "digit_ratio": 0.0, "upper_ratio": 0.0,
+            "stopword_ratio": 0.0, "unique_token_ratio": 0.0, "quality": 0.0,
+        }
+    n_punct = sum(1 for ch in text if ch in ".,;:!?\"'()-")
+    n_digit = sum(1 for ch in text if ch.isdigit())
+    n_upper = sum(1 for ch in text if ch.isupper())
+    low = [t.lower() for t in toks]
+    sw = _STOPWORDS["en"]
+    n_sw = sum(1 for t in low if t in sw)
+    uniq = len(set(low)) / n_tokens if n_tokens else 0.0
+    mwl = (sum(len(t) for t in toks) / n_tokens) if n_tokens else 0.0
+    feats = {
+        "n_chars": float(n_chars),
+        "n_tokens": float(n_tokens),
+        "mean_word_len": mwl,
+        "punct_ratio": n_punct / n_chars,
+        "digit_ratio": n_digit / n_chars,
+        "upper_ratio": n_upper / n_chars,
+        "stopword_ratio": (n_sw / n_tokens) if n_tokens else 0.0,
+        "unique_token_ratio": uniq,
+    }
+    # simple monotone score in [0, 1]
+    score = 1.0
+    if n_tokens < 5:
+        score *= 0.2
+    if mwl < 2.0 or mwl > 12.0:
+        score *= 0.5
+    score *= 1.0 - min(feats["digit_ratio"] * 2.0, 0.5)
+    score *= 0.5 + 0.5 * min(uniq * 1.5, 1.0)
+    feats["quality"] = score
+    return feats
