@@ -1,0 +1,340 @@
+"""End-to-end pipeline tests against numpy oracles (FIXTURES.md F5).
+
+The oracle recomputes the reference chain (meshgrid -> affine ->
+reproject -> round -> filter -> sample) directly in NumPy from the
+tile fixture, independent of the Ray pipeline's partitioning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tiff_to_geojson_csv_json_format_converter_ray.functions import crs as _crs
+from tiff_to_geojson_csv_json_format_converter_ray.functions.geometry import Polygon
+from tiff_to_geojson_csv_json_format_converter_ray.schema import NODATA_F32
+
+
+def _oracle_points(tiles: pa.Table, src: str, round_out=True, reproject=True):
+    """Reference-chain oracle: full point table of one src (band 1)."""
+    sel = tiles.filter(
+        pa.compute.and_(
+            pa.compute.equal(tiles["src"], src), pa.compute.equal(tiles["band"], 1)
+        )
+    )
+    lon_all, lat_all, z_all, pix_all = [], [], [], []
+    master_w = max(
+        co + w
+        for co, w in zip(sel["col_off"].to_pylist(), sel["width"].to_pylist())
+    )
+    for i in range(sel.num_rows):
+        h, w = sel["height"][i].as_py(), sel["width"][i].as_py()
+        t = sel["transform"][i].as_py()
+        rows, cols = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        gr = rows.ravel() + sel["row_off"][i].as_py()
+        gc = cols.ravel() + sel["col_off"][i].as_py()
+        x = t[2] + t[0] * (gc + 0.5) + t[1] * (gr + 0.5)
+        y = t[5] + t[3] * (gc + 0.5) + t[4] * (gr + 0.5)
+        x = x.astype(np.float32).astype(np.float64)
+        y = y.astype(np.float32).astype(np.float64)
+        if reproject:
+            tr = _crs.Transformer(sel["crs"][i].as_py(), "EPSG:4326")
+            lon, lat = tr.transform(x, y)
+        else:
+            lon, lat = x, y
+        z = np.asarray(sel["values"][i].as_py(), dtype=np.float32).astype(np.float64)
+        if round_out:
+            nd = 6 if reproject else 2
+            lon, lat, z = np.round(lon, nd), np.round(lat, nd), np.round(z, 2)
+        lon_all.append(lon)
+        lat_all.append(lat)
+        z_all.append(z)
+        pix_all.append(gr.astype(np.int64) * master_w + gc.astype(np.int64))
+    return (
+        np.concatenate(lon_all),
+        np.concatenate(lat_all),
+        np.concatenate(z_all),
+        np.concatenate(pix_all),
+    )
+
+
+@pytest.fixture(scope="module")
+def tiles_table(fixtures_dir):
+    return pq.read_table(os.path.join(fixtures_dir, "tiles.parquet"))
+
+
+@pytest.fixture(scope="module")
+def polygons_table(fixtures_dir):
+    return pq.read_table(os.path.join(fixtures_dir, "polygons.parquet"))
+
+
+@pytest.fixture(scope="module")
+def tiles_path(fixtures_dir):
+    return os.path.join(fixtures_dir, "tiles.parquet")
+
+
+class TestConvert:
+    def test_full_extract_counts_and_values(self, ray_session, tiles_path, tiles_table):
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.convert import (
+            extract_points, read_tiles, tiles_metadata,
+        )
+
+        meta = tiles_metadata(tiles_path)
+        meta = meta.filter(pa.compute.equal(meta["band"], 1))
+        pts = extract_points(read_tiles(tiles_path, band=1), meta, mode="full")
+        got = pts.to_pandas().sort_values(["src", "pix"]).reset_index(drop=True)
+
+        # row count per src == H*W (completePixleOutput.py:41-55)
+        counts = got.groupby("src").size().to_dict()
+        assert counts["master_4326"] == 256 * 256
+        assert counts["allnodata"] == 32 * 32
+        assert counts["utm43n"] == 64 * 64
+
+        # value parity vs the reference-chain oracle
+        for src in ("master_4326", "utm43n"):
+            lon, lat, z, pix = _oracle_points(tiles_table, src)
+            order = np.argsort(pix, kind="stable")
+            sub = got[got["src"] == src]
+            np.testing.assert_array_equal(sub["pix"].to_numpy(), pix[order])
+            np.testing.assert_array_equal(sub["lon"].to_numpy(), lon[order])
+            np.testing.assert_array_equal(sub["lat"].to_numpy(), lat[order])
+            np.testing.assert_array_equal(sub["z"].to_numpy(), z[order])
+
+    def test_valid_mode_filters(self, ray_session, tiles_path, tiles_table):
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.convert import (
+            extract_points, read_tiles, tiles_metadata,
+        )
+
+        meta = tiles_metadata(tiles_path)
+        meta = meta.filter(pa.compute.equal(meta["band"], 1))
+        pts = extract_points(read_tiles(tiles_path, band=1), meta, mode="valid")
+        got = pts.to_pandas()
+        lon, lat, z, pix = _oracle_points(tiles_table, "master_4326")
+        want_n = int((z > -1e30).sum())  # willOnlyStoreValidPoints.py:66
+        assert (got["src"] == "master_4326").sum() == want_n
+        assert (got["src"] == "allnodata").sum() == 0  # early-exit src
+        assert (got["z"] > -1e30).all()
+
+    def test_sample_mode_stride(self, ray_session, tiles_path, tiles_table):
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.convert import (
+            extract_points, read_tiles, tiles_metadata,
+        )
+
+        meta = tiles_metadata(tiles_path)
+        meta = meta.filter(pa.compute.equal(meta["band"], 1))
+        pts = extract_points(
+            read_tiles(tiles_path, band=1), meta, mode="sample", max_points=10_000
+        )
+        got = pts.to_pandas()
+        sub = got[got["src"] == "master_4326"].sort_values("pix")
+        total = 256 * 256
+        rate = total // 10_000  # doesSamples.py:74-77
+        want_idx = np.arange(0, total, rate)
+        np.testing.assert_array_equal(sub["pix"].to_numpy(), want_idx)
+        # small srcs sampled at rate 1
+        assert (got["src"] == "utm43n").sum() == 64 * 64
+
+    def test_convert_writes_sinks_and_catalog(self, ray_session, tiles_path, tmp_path):
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.convert import convert
+
+        res = convert(tiles_path, str(tmp_path / "out"), mode="sample")
+        assert res["total_points"] > 0
+        cat = json.loads((tmp_path / "out" / "elevation_catalog.json").read_text())
+        assert cat["total_files"] == 5
+        by_src = {f["source_tiff"]: f for f in cat["files"]}
+        assert not by_src["allnodata"]["has_valid_data"]  # min==max proxy
+        assert by_src["master_4326"]["has_valid_data"]
+        # sorted by source name (completePixleOutput.py:372)
+        names = [f["source_tiff"] for f in cat["files"]]
+        assert names == sorted(names)
+        # geojson files parse and are FeatureCollections
+        gj_dir = tmp_path / "out" / "geojson"
+        files = list(gj_dir.glob("*.geojson"))
+        assert files
+        doc = json.loads(files[0].read_text())
+        assert doc["type"] == "FeatureCollection"
+        assert doc["crs"]["properties"]["name"] == "EPSG:4326"
+        assert len(doc["features"]) == doc["metadata"]["geojson_points"]
+
+    def test_compress_mode_native_crs(self, ray_session, tiles_path, tiles_table):
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.convert import (
+            extract_points, read_tiles, tiles_metadata,
+        )
+
+        meta = tiles_metadata(tiles_path)
+        meta = meta.filter(pa.compute.equal(meta["band"], 1))
+        pts = extract_points(read_tiles(tiles_path, band=1), meta, mode="compress")
+        got = pts.to_pandas()
+        sub = got[got["src"] == "utm43n"]
+        # native CRS: UTM easting ~5e5, rounded to 2 dp (thiswillcompress.py:59-61)
+        assert sub["lon"].between(499000, 503000).all()
+        lon, lat, z, pix = _oracle_points(
+            tiles_table, "utm43n", round_out=True, reproject=False
+        )
+        order = np.argsort(pix, kind="stable")
+        sub = sub.sort_values("pix")
+        np.testing.assert_array_equal(sub["lon"].to_numpy(), lon[order])
+
+
+class TestAnalyze:
+    def test_analysis_records(self, ray_session, tiles_path, tiles_table):
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.analyze import (
+            analyze, master_report,
+        )
+
+        a = analyze(tiles_path).to_pandas().set_index("src")
+        lon, lat, z, pix = _oracle_points(
+            tiles_table, "master_4326", round_out=False
+        )
+        valid = z > -1e30
+        r = a.loc["master_4326"]
+        assert r["total_pixels"] == 256 * 256
+        assert r["valid_pixels"] == int(valid.sum())
+        assert r["valid_percentage"] == pytest.approx(100.0 * valid.mean())
+        assert r["data_sparsity"] == ("sparse" if valid.mean() < 0.1 else "dense")
+        assert r["min_elevation"] == pytest.approx(z[valid].min())
+        assert r["min_longitude"] == pytest.approx(lon[valid].min())
+        ana = a.loc["allnodata"]
+        assert not ana["has_valid_data"] and ana["valid_pixels"] == 0
+        report = master_report(analyze(tiles_path))
+        assert "Files with valid data: 4" in report
+
+    def test_combine_extremes_a4(self):
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.stats import (
+            combine_extremes,
+        )
+
+        t = pa.table({"min": [1.0, 3.0], "max": [5.0, 9.0], "count": [10, 20]})
+        got = combine_extremes(t)
+        pooled = np.array([1.0, 3.0, 5.0, 9.0])
+        assert got["min"] == 1.0 and got["max"] == 9.0
+        assert got["mean"] == pytest.approx(pooled.mean())
+        assert got["std"] == pytest.approx(pooled.std())
+        assert got["count"] == 30
+
+
+class TestZonal:
+    def test_zonal_vs_numpy_oracle(self, ray_session, tiles_path, tiles_table, polygons_table):
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.zonal import zonal_stats
+
+        got = zonal_stats(tiles_path, polygons_table).to_pandas()
+        lon, lat, z, _ = _oracle_points(tiles_table, "master_4326", round_out=False)
+        valid = z != NODATA_F32
+        for i in range(polygons_table.num_rows):
+            pid = polygons_table["polygon_id"][i].as_py()
+            rings = [np.asarray(r) for r in polygons_table["rings"][i].as_py()]
+            poly = Polygon(pid, rings)
+            m = poly.contains(lon, lat) & valid
+            row = got[(got["polygon_id"] == pid) & (got["band"] == 1)].iloc[0]
+            if m.sum() == 0:
+                assert row["count"] == 0 and np.isnan(row["mean"])
+            else:
+                assert row["count"] == int(m.sum()), pid
+                assert row["min"] == pytest.approx(z[m].min())
+                assert row["max"] == pytest.approx(z[m].max())
+                assert row["mean"] == pytest.approx(z[m].mean())
+                assert row["std"] == pytest.approx(z[m].std())  # ddof=0
+
+    def test_zonal_null_sentinel_outside(self, ray_session, tiles_path, polygons_table):
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.zonal import zonal_stats
+
+        got = zonal_stats(tiles_path, polygons_table).to_pandas()
+        out = got[got["polygon_id"] == "adm_outside"]
+        assert (out["count"] == 0).all()  # test2.py:1381-1388 "Null" record
+
+
+class TestPages:
+    def test_flagship_counts(self, ray_session, fixtures_dir, polygons_table):
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.pages import (
+            pages_flagship,
+        )
+        from tiff_to_geojson_csv_json_format_converter_ray.functions import cells, text
+
+        pages_path = os.path.join(fixtures_dir, "pages.parquet")
+        out = pages_flagship(pages_path, polygons=polygons_table, res=8)
+
+        tbl = pq.read_table(pages_path)
+        # oracle: lang histogram
+        import collections
+
+        want_lang = collections.Counter(tbl["lang"].to_pylist())
+        got_lang = {
+            r["lang"]: r["count"] for r in out["lang_counts"].to_pylist()
+        }
+        assert got_lang == dict(want_lang)
+
+        # oracle: geo extraction + cells + PIP
+        geos = [text.extract_geo(h) for h in tbl["html"].to_pylist()]
+        lat = np.array([g[0] for g in geos if g])
+        lon = np.array([g[1] for g in geos if g])
+        want_cells = collections.Counter(cells.cell_of(lon, lat, 8).tolist())
+        got_cells = {
+            r["cell_8"]: r["count"] for r in out["cell_counts"].to_pylist()
+        }
+        assert got_cells == dict(want_cells)
+
+        want_poly: dict[str, int] = {}
+        for i in range(polygons_table.num_rows):
+            pid = polygons_table["polygon_id"][i].as_py()
+            rings = [np.asarray(r) for r in polygons_table["rings"][i].as_py()]
+            n = int(Polygon(pid, rings).contains(lon, lat).sum())
+            if n:
+                want_poly[pid] = n
+        got_poly = {
+            r["polygon_id"]: r["count"] for r in out["polygon_counts"].to_pylist()
+        }
+        assert got_poly == want_poly
+
+    def test_invariant_enforced(self, ray_session, fixtures_dir):
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.extract import PageExtract
+
+        tbl = pq.read_table(os.path.join(fixtures_dir, "pages.parquet")).slice(0, 20)
+        # corrupt one golden text -> stage must raise
+        texts = tbl["text"].to_pylist()
+        texts[3] = texts[3] + "CORRUPTED"
+        bad = tbl.set_column(
+            tbl.column_names.index("text"), "text", pa.array(texts)
+        )
+        ds = ray.data.from_arrow(bad)
+        with pytest.raises(Exception, match="invariant"):
+            ds.map_batches(
+                PageExtract(check_invariant=True), batch_format="pyarrow"
+            ).materialize()
+
+
+class TestShuffle:
+    def test_salted_count_matches_plain(self, ray_session, fixtures_dir):
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.pages import (
+            geocode_pages, read_pages,
+        )
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
+            partial_count, salted_groupby_count,
+        )
+        import pyarrow.compute as pc
+
+        pages_path = os.path.join(fixtures_dir, "pages.parquet")
+        geo = geocode_pages(read_pages(pages_path), check_invariant=False)
+        geo = geo.map_batches(
+            lambda b: b.filter(pc.equal(b["has_geo"], True)),
+            batch_format="pyarrow",
+        )
+        # cell_7 has urban hot cells (80% of points in 5 clusters)
+        plain = {
+            r["cell_7"]: r["count"]
+            for r in partial_count(geo, ["cell_7"]).to_pylist()
+        }
+        # salted path: no 'pix' col on pages -> positional salt
+        salted = {
+            r["cell_7"]: r["count"]
+            for r in salted_groupby_count(geo, "cell_7", salt_k=4).to_pylist()
+        }
+        assert salted == plain
+        # skew sanity: hottest cell is >10x median
+        counts = np.array(sorted(plain.values()))
+        assert counts[-1] > 10 * np.median(counts)

@@ -1,0 +1,185 @@
+"""The converter pipelines -- Ray-Data re-expression of the reference's
+four extractor scripts (SURVEY par.3.1):
+
+- mode='full'     completePixleOutput.py: ALL pixels, WGS84, 6/2 dp,
+                  GeoJSON sink
+- mode='valid'    willOnlyStoreValidPoints.py: threshold NoData filter
+                  before output
+- mode='sample'   doesSamples.py: stride sampling to <=100k points/src,
+                  CSV+JSON+GeoJSON sinks
+- mode='compress' thiswillcompress.py: native CRS, 2 dp, gzip CSV /
+                  NPZ / gzip JSON / grid sinks
+
+Execution shape: read tile parquet (column-pruned) -> TilePivot
+map_batches (the controlled explode) -> vectorized filter/sample ->
+distributed sinks + catalog.  Nothing materializes the point table on
+the driver; catalogs/bounds come from partial/final aggregates.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pyarrow as pa
+import ray.data
+
+from ..sinks import CSVSink, GeoJSONSink, JSONSink, NPZSink, run_sink
+from ..stages.extract import TilePivot, master_widths_of
+from ..stages.sampling import StrideSampler, sample_rate_for
+from ..stages.stats import grouped_minmax, grouped_stats
+from ..stages.transform import ValidityFilter
+
+TILE_META_COLS = ["tile_id", "src", "band", "row_off", "col_off", "height", "width"]
+
+
+def read_tiles(path: str, band: int | None = 1) -> ray.data.Dataset:
+    """Tile source (S1/S2): parquet of tile rows; band pruned at read."""
+    if band is None:
+        return ray.data.read_parquet(path)
+    import pyarrow.dataset  # noqa: F401  (expression pushdown)
+    import pyarrow.compute as pc
+
+    return ray.data.read_parquet(path, filter=(pc.field("band") == band))
+
+
+def tiles_metadata(path: str) -> pa.Table:
+    """Driver-side tiny read of tile geometry columns only (pruned)."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(path, columns=TILE_META_COLS)
+
+
+def extract_points(
+    tiles: ray.data.Dataset,
+    meta: pa.Table,
+    mode: str = "full",
+    max_points: int = 100_000,
+    cell_resolutions: tuple[int, ...] = (),
+) -> ray.data.Dataset:
+    """tiles -> point table Dataset under the reference mode semantics."""
+    widths = master_widths_of(meta)
+    reproject = mode != "compress"
+    pivot = TilePivot(
+        round_output=True,
+        reproject=reproject,
+        with_cells=cell_resolutions,
+        master_widths=widths,
+    )
+    pts = tiles.map_batches(pivot, batch_format="pyarrow")
+    if mode in ("valid",):
+        pts = pts.map_batches(ValidityFilter("threshold"), batch_format="pyarrow")
+    if mode == "sample":
+        import pyarrow.compute as pc
+
+        t = meta
+        n = pc.multiply(t["height"], t["width"])
+        totals = (
+            t.append_column("n", n)
+            .group_by("src")
+            .aggregate([("n", "sum")])
+        )
+        rates = {
+            s: sample_rate_for(int(v), max_points)
+            for s, v in zip(
+                totals["src"].to_pylist(), totals["n_sum"].to_pylist()
+            )
+        }
+        pts = pts.map_batches(StrideSampler(rates), batch_format="pyarrow")
+    return pts
+
+
+def build_catalog(points: ray.data.Dataset, meta: pa.Table) -> dict:
+    """Master catalog (K9, completePixleOutput.py:292-377): per-src
+    bounds + has_valid_data + overall bounds, sorted by source name.
+    Computed with one distributed partial/final pass."""
+    bounds = grouped_minmax(points, ["src"], ["lon", "lat", "z"])
+    files = []
+    ob = {
+        "min_x": float("inf"), "max_x": float("-inf"),
+        "min_y": float("inf"), "max_y": float("-inf"),
+        "min_z": float("inf"), "max_z": float("-inf"),
+    }
+    rows = bounds.to_pylist()
+    for r in sorted(rows, key=lambda r: r["src"]):
+        b = {
+            "min_longitude": r["min_lon"], "max_longitude": r["max_lon"],
+            "min_latitude": r["min_lat"], "max_latitude": r["max_lat"],
+            "min_elevation": r["min_z"], "max_elevation": r["max_z"],
+        }
+        ob["min_x"] = min(ob["min_x"], b["min_longitude"])
+        ob["max_x"] = max(ob["max_x"], b["max_longitude"])
+        ob["min_y"] = min(ob["min_y"], b["min_latitude"])
+        ob["max_y"] = max(ob["max_y"], b["max_latitude"])
+        ob["min_z"] = min(ob["min_z"], b["min_elevation"])
+        ob["max_z"] = max(ob["max_z"], b["max_elevation"])
+        files.append(
+            {
+                "source_tiff": r["src"],
+                "bounds_wgs84": b,
+                # reference proxy: all-NoData files collapse min==max
+                # (completePixleOutput.py:355)
+                "has_valid_data": b["min_elevation"] != b["max_elevation"],
+            }
+        )
+    return {
+        "type": "elevation_catalog",
+        "total_files": len(files),
+        "overall_bounds": ob,
+        "files": files,
+    }
+
+
+def convert(
+    tiles_path: str,
+    out_dir: str,
+    mode: str = "full",
+    formats: tuple[str, ...] | None = None,
+) -> dict:
+    """Full converter run: extract -> sinks -> catalog; returns summary
+    {mode, formats, total_points, catalog_path, manifests}."""
+    if formats is None:
+        formats = {
+            "full": ("geojson",),
+            "valid": ("geojson",),
+            "sample": ("csv", "json", "geojson"),
+            "compress": ("csv_gz", "npz", "json_gz"),
+        }[mode]
+
+    meta = tiles_metadata(tiles_path)
+    meta = meta.filter(pa.compute.equal(meta["band"], 1))
+    tiles = read_tiles(tiles_path, band=1)
+    pts = extract_points(tiles, meta, mode=mode)
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    manifests: dict[str, pa.Table] = {}
+    sink_map = {
+        "geojson": GeoJSONSink(str(out / "geojson")),
+        "csv": CSVSink(str(out / "csv"), wgs84=True),
+        "csv_gz": CSVSink(str(out / "csv"), wgs84=False, compression="gzip"),
+        "json": JSONSink(str(out / "json")),
+        "json_gz": JSONSink(str(out / "json"), compression="gzip"),
+        "npz": NPZSink(str(out / "npz")),
+        "parquet": None,
+    }
+    total_points = None
+    for fmt in formats:
+        if fmt == "parquet":
+            pts.write_parquet(str(out / "parquet"))
+            continue
+        manifests[fmt] = run_sink(pts, sink_map[fmt])
+        total_points = int(
+            pa.compute.sum(manifests[fmt]["row_count"]).as_py() or 0
+        )
+
+    catalog = build_catalog(pts, meta)
+    catalog_path = out / "elevation_catalog.json"
+    catalog_path.write_text(json.dumps(catalog, indent=2))
+    return {
+        "mode": mode,
+        "formats": list(formats),
+        "total_points": total_points,
+        "catalog_path": str(catalog_path),
+        "manifests": {k: v.to_pylist() for k, v in manifests.items()},
+    }

@@ -1,0 +1,247 @@
+"""Sinks (reference K1-K9), distributed and resumable.
+
+Each format sink is a ``map_batches`` stage that writes ONE file per
+block inside the task and emits a tiny manifest row (path, rows,
+bounds, partition key) instead of the data -- consuming the manifest
+dataset both materializes the writes and yields the lineage/checkpoint
+records (K9's catalog generalized; see state/checkpoint.py).  Output is
+therefore partitioned (many files, never one giant file) and a resumed
+run can skip finished partitions.
+
+Format parity pinned to the reference:
+- GeoJSON: FeatureCollection of Point [lon, lat, z] with crs + metadata
+  block, compact separators (completePixleOutput.py:94-128).
+- CSV: longitude,latitude,elevation at %.6f (doesSamples.py:95-103);
+  gzip x,y,z at %.2f (thiswillcompress.py:64-73).
+- JSON: {metadata:{...bounds...}, data:{longitude:[...],...}} compact,
+  optionally gzip (doesSamples.py:106-139, thiswillcompress.py:91-116).
+- NPZ: np.savez_compressed(x, y, z, metadata) (thiswillcompress.py:76-88).
+- Grid: the inverse of extraction -- {transform, nodata, width, height,
+  elevation_grid} (thiswillcompress.py:118-138).
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import uuid
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+
+
+def _manifest_row(path: str, batch: pa.Table, key: str) -> pa.Table:
+    lon = batch["lon"].to_numpy(zero_copy_only=False) if "lon" in batch.column_names else np.array([np.nan])
+    lat = batch["lat"].to_numpy(zero_copy_only=False) if "lat" in batch.column_names else np.array([np.nan])
+    return pa.table(
+        {
+            "output_path": [path],
+            "row_count": [batch.num_rows],
+            "partition_key": [key],
+            "min_lon": [float(np.nanmin(lon)) if len(lon) else np.nan],
+            "max_lon": [float(np.nanmax(lon)) if len(lon) else np.nan],
+            "min_lat": [float(np.nanmin(lat)) if len(lat) else np.nan],
+            "max_lat": [float(np.nanmax(lat)) if len(lat) else np.nan],
+        }
+    )
+
+
+def _part_name(batch: pa.Table) -> str:
+    if "src" in batch.column_names and batch.num_rows:
+        return str(batch["src"][0].as_py())
+    return "part"
+
+
+class GeoJSONSink:
+    """One FeatureCollection .geojson file per block (K1)."""
+
+    def __init__(self, out_dir: str, source_label: str = "engine"):
+        self.out_dir = out_dir
+        self.source_label = source_label
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        Path(self.out_dir).mkdir(parents=True, exist_ok=True)
+        key = _part_name(batch)
+        path = os.path.join(self.out_dir, f"{key}_{uuid.uuid4().hex[:8]}.geojson")
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        z = batch["z"].to_numpy(zero_copy_only=False)
+        features = [
+            {
+                "type": "Feature",
+                "geometry": {
+                    "type": "Point",
+                    "coordinates": [float(a), float(b), float(c)],
+                },
+            }
+            for a, b, c in zip(lon, lat, z)
+        ]
+        doc = {
+            "type": "FeatureCollection",
+            "crs": {"type": "name", "properties": {"name": "EPSG:4326"}},
+            "metadata": {
+                "source_file": key,
+                "coordinate_system": "EPSG:4326 (WGS84)",
+                "total_original_points": batch.num_rows,
+                "geojson_points": len(features),
+                "note": "Coordinates: [longitude, latitude, elevation]",
+            },
+            "features": features,
+        }
+        with open(path, "w") as f:
+            json.dump(doc, f, separators=(",", ":"))
+        return _manifest_row(path, batch, key)
+
+
+class CSVSink:
+    """Plain or gzip CSV per block (K2/K3)."""
+
+    def __init__(self, out_dir: str, wgs84: bool = True, compression: str | None = None):
+        self.out_dir = out_dir
+        self.wgs84 = wgs84  # True: longitude,latitude,elevation %.6f; False: x,y,z %.2f
+        self.compression = compression
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        Path(self.out_dir).mkdir(parents=True, exist_ok=True)
+        key = _part_name(batch)
+        ext = ".csv.gz" if self.compression == "gzip" else ".csv"
+        path = os.path.join(self.out_dir, f"{key}_{uuid.uuid4().hex[:8]}{ext}")
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        z = batch["z"].to_numpy(zero_copy_only=False)
+        if self.wgs84:
+            header = "longitude,latitude,elevation"
+            fmt = "%.6f"
+        else:
+            header = "x,y,z"
+            fmt = "%.2f"
+        lines = [header]
+        for a, b, c in zip(lon, lat, z):
+            lines.append(f"{fmt % a},{fmt % b},{fmt % c}")
+        data = ("\n".join(lines) + "\n").encode()
+        if self.compression == "gzip":
+            with gzip.open(path, "wb") as f:
+                f.write(data)
+        else:
+            with open(path, "wb") as f:
+                f.write(data)
+        return _manifest_row(path, batch, key)
+
+
+class JSONSink:
+    """Column-array JSON with metadata header (K4), optionally gzip (K5)."""
+
+    def __init__(self, out_dir: str, compression: str | None = None,
+                 extra_metadata: dict | None = None):
+        self.out_dir = out_dir
+        self.compression = compression
+        self.extra_metadata = extra_metadata or {}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        Path(self.out_dir).mkdir(parents=True, exist_ok=True)
+        key = _part_name(batch)
+        ext = ".json.gz" if self.compression == "gzip" else ".json"
+        path = os.path.join(self.out_dir, f"{key}_{uuid.uuid4().hex[:8]}{ext}")
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        z = batch["z"].to_numpy(zero_copy_only=False)
+        doc = {
+            "metadata": {
+                "source_file": key,
+                "output_crs": "EPSG:4326",
+                "frontend_points": int(len(lon)),
+                "bounds": {
+                    "min_longitude": float(lon.min()) if len(lon) else None,
+                    "max_longitude": float(lon.max()) if len(lon) else None,
+                    "min_latitude": float(lat.min()) if len(lat) else None,
+                    "max_latitude": float(lat.max()) if len(lat) else None,
+                    "min_elevation": float(z.min()) if len(z) else None,
+                    "max_elevation": float(z.max()) if len(z) else None,
+                },
+                **self.extra_metadata,
+            },
+            "data": {
+                "longitude": lon.tolist(),
+                "latitude": lat.tolist(),
+                "elevation": z.tolist(),
+            },
+        }
+        payload = json.dumps(doc, separators=(",", ":")).encode()
+        if self.compression == "gzip":
+            with gzip.open(path, "wb") as f:
+                f.write(payload)
+        else:
+            with open(path, "wb") as f:
+                f.write(payload)
+        return _manifest_row(path, batch, key)
+
+
+class NPZSink:
+    """Compressed binary columns (K6)."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        Path(self.out_dir).mkdir(parents=True, exist_ok=True)
+        key = _part_name(batch)
+        path = os.path.join(self.out_dir, f"{key}_{uuid.uuid4().hex[:8]}.npz")
+        np.savez_compressed(
+            path,
+            x=batch["lon"].to_numpy(zero_copy_only=False),
+            y=batch["lat"].to_numpy(zero_copy_only=False),
+            z=batch["z"].to_numpy(zero_copy_only=False),
+            metadata=np.array([json.dumps({"source_file": key})]),
+        )
+        return _manifest_row(path, batch, key)
+
+
+def regrid_points(
+    points: pa.Table, transform: list[float], height: int, width: int,
+    nodata: float, src: str = "grid",
+) -> dict:
+    """Grid ("ultra-compact") writer payload (K7): scatter points back
+    to the raster grid via the inverse affine -- the exact inverse of
+    extraction (thiswillcompress.py:118-138)."""
+    from .functions.affine import world_to_pixel
+
+    lon = points["lon"].to_numpy(zero_copy_only=False)
+    lat = points["lat"].to_numpy(zero_copy_only=False)
+    z = points["z"].to_numpy(zero_copy_only=False)
+    row, col = world_to_pixel(transform, lon, lat)
+    r = np.floor(row).astype(np.int64)
+    c = np.floor(col).astype(np.int64)
+    ok = (r >= 0) & (r < height) & (c >= 0) & (c < width)
+    grid = np.full((height, width), nodata, dtype=np.float64)
+    grid[r[ok], c[ok]] = z[ok]
+    return {
+        "meta": {
+            "file": src,
+            "width": width,
+            "height": height,
+            "transform": [float(t) for t in transform],
+            "nodata": float(nodata),
+        },
+        "elevation_grid": grid.tolist(),
+    }
+
+
+def run_sink(ds, sink) -> pa.Table:
+    """Execute a sink stage and return the combined manifest table.
+    This consumes the stream (writes happen inside tasks); only the
+    tiny manifest is collected on the driver."""
+    manifest_ds = ds.map_batches(sink, batch_format="pyarrow")
+    tables = [
+        t
+        for t in manifest_ds.iter_batches(batch_format="pyarrow", batch_size=None)
+        if t.num_rows
+    ]
+    tables = [t if isinstance(t, pa.Table) else pa.Table.from_batches([t]) for t in tables]
+    if not tables:
+        return pa.table(
+            {"output_path": [], "row_count": [], "partition_key": [],
+             "min_lon": [], "max_lon": [], "min_lat": [], "max_lat": []}
+        )
+    return pa.concat_tables(tables, promote_options="default")

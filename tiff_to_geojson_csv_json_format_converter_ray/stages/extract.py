@@ -1,0 +1,241 @@
+"""Extraction stages: tile->point pivot (T1/T2/T3/T5) and pages
+html->text+geo extraction (T14).
+
+All are vectorized ``map_batches`` callables over Arrow batches
+(``batch_format='pyarrow'``): the pivot replicates the reference's
+meshgrid+flatten+affine+reproject chain (completePixleOutput.py:41-68)
+and the extractor preserves the byte-identical-text-per-url invariant
+(BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions import affine as _affine
+from ..functions import cells as _cells
+from ..functions import crs as _crs
+from ..functions import text as _text
+from ..schema import POINT_SCHEMA
+
+# one tile row can explode into height*width point rows (controlled
+# flat_map, SURVEY T1); outputs are chunked so blocks stay bounded.
+DEFAULT_CHUNK_ROWS = 262_144
+
+
+class TilePivot:
+    """Pixel->point pivot: one tile row in, H*W point rows out.
+
+    Reference semantics (completePixleOutput.py:41-68):
+      meshgrid(rows, cols, indexing='ij') -> flatten -> affine xy at
+      pixel centers -> reproject src CRS -> WGS84 -> round lon/lat to
+      6 dp and z to 2 dp.
+
+    Stateful pieces (the per-CRS transformer, ST1) are cached per actor
+    in ``self._transformers`` -- pass this class to ``map_batches``
+    with ``concurrency=N`` to run it as an actor pool.
+
+    Parameters
+    ----------
+    round_output : replicate the reference rounding (6 dp lon/lat, 2 dp z).
+    reproject    : convert to WGS84 (False = stay in native CRS, the
+                   thiswillcompress.py:54-61 variant, rounded to 2 dp).
+    with_cells   : also emit the frozen cell id at these resolutions.
+    chunk_rows   : max rows per yielded output block.
+    master_widths: {src: master raster width} for the flat pixel index
+                   ``pix = global_row * width + global_col``; computed
+                   driver-side from tile metadata (tiny) so ``pix`` is
+                   identical under any partitioning of the tiles.
+    """
+
+    def __init__(
+        self,
+        round_output: bool = True,
+        reproject: bool = True,
+        with_cells: tuple[int, ...] = (),
+        chunk_rows: int = DEFAULT_CHUNK_ROWS,
+        master_widths: dict[str, int] | None = None,
+    ):
+        self.round_output = round_output
+        self.reproject = reproject
+        self.with_cells = tuple(with_cells)
+        self.chunk_rows = chunk_rows
+        self.master_widths = master_widths or {}
+        self._transformers: dict[str, _crs.Transformer] = {}
+
+    def _transformer(self, crs: str) -> _crs.Transformer:
+        t = self._transformers.get(crs)
+        if t is None:
+            t = _crs.Transformer(crs, "EPSG:4326")
+            self._transformers[crs] = t
+        return t
+
+    def __call__(self, batch: pa.Table) -> Iterator[pa.Table]:
+        out_cols: dict[str, list[np.ndarray]] = {
+            k: [] for k in ("lon", "lat", "z", "band", "src", "pix", "nodata")
+        }
+        cell_cols: dict[int, list[np.ndarray]] = {r: [] for r in self.with_cells}
+        pending = 0
+
+        srcs = batch["src"].to_pylist()
+        bands = batch["band"].to_numpy(zero_copy_only=False)
+        row_offs = batch["row_off"].to_numpy(zero_copy_only=False)
+        col_offs = batch["col_off"].to_numpy(zero_copy_only=False)
+        heights = batch["height"].to_numpy(zero_copy_only=False)
+        widths = batch["width"].to_numpy(zero_copy_only=False)
+        transforms = batch["transform"].to_pylist()
+        crss = batch["crs"].to_pylist()
+        nodatas = batch["nodata"].to_numpy(zero_copy_only=False)
+        values_col = batch["values"]
+
+        def flush() -> pa.Table:
+            nonlocal pending
+            tbl_cols = {
+                "lon": np.concatenate(out_cols["lon"]),
+                "lat": np.concatenate(out_cols["lat"]),
+                "z": np.concatenate(out_cols["z"]),
+                "band": pa.array(
+                    np.concatenate(out_cols["band"]), type=pa.int32()
+                ),
+                "src": pa.array(np.concatenate(out_cols["src"])),
+                "pix": np.concatenate(out_cols["pix"]),
+                "nodata": np.concatenate(out_cols["nodata"]),
+            }
+            for r in self.with_cells:
+                tbl_cols[f"cell_{r}"] = np.concatenate(cell_cols[r])
+            for k in out_cols:
+                out_cols[k].clear()
+            for r in self.with_cells:
+                cell_cols[r].clear()
+            pending = 0
+            return pa.table(tbl_cols)
+
+        for i in range(batch.num_rows):
+            h, w = int(heights[i]), int(widths[i])
+            rows, cols = np.meshgrid(
+                np.arange(h, dtype=np.float64),
+                np.arange(w, dtype=np.float64),
+                indexing="ij",
+            )
+            g_rows = rows.ravel() + float(row_offs[i])
+            g_cols = cols.ravel() + float(col_offs[i])
+            x, y = _affine.pixel_to_world(transforms[i], g_rows, g_cols)
+            # float32 cast mirrors completePixleOutput.py:50-52 exactly
+            x = x.astype(np.float32)
+            y = y.astype(np.float32)
+            z = np.asarray(
+                values_col[i].values.to_numpy(zero_copy_only=False),
+                dtype=np.float32,
+            )
+            if self.reproject:
+                lon, lat = self._transformer(crss[i]).transform(
+                    x.astype(np.float64), y.astype(np.float64)
+                )
+            else:
+                lon, lat = x.astype(np.float64), y.astype(np.float64)
+            zf = z.astype(np.float64)
+            if self.round_output:
+                if self.reproject:
+                    lon = np.round(lon, 6)  # completePixleOutput.py:66
+                    lat = np.round(lat, 6)
+                else:
+                    lon = np.round(lon, 2)  # thiswillcompress.py:59-60
+                    lat = np.round(lat, 2)
+                zf = np.round(zf, 2)  # :68
+            # flat pixel index in the source raster (row-major flatten
+            # order, the reference's sampling key, doesSamples.py:84)
+            master_w = self.master_widths.get(srcs[i], int(col_offs[i]) + w)
+            pix = (g_rows.astype(np.int64) * master_w + g_cols.astype(np.int64))
+
+            out_cols["lon"].append(lon)
+            out_cols["lat"].append(lat)
+            out_cols["z"].append(zf)
+            out_cols["band"].append(np.full(h * w, bands[i], dtype=np.int32))
+            out_cols["src"].append(np.full(h * w, srcs[i], dtype=object))
+            out_cols["pix"].append(pix)
+            out_cols["nodata"].append(np.full(h * w, float(nodatas[i])))
+            for r in self.with_cells:
+                cell_cols[r].append(_cells.cell_of(lon, lat, r))
+            pending += h * w
+            if pending >= self.chunk_rows:
+                yield flush()
+        if pending:
+            yield flush()
+        elif batch.num_rows == 0:
+            # keep the output schema stable even for empty input blocks
+            yield self._empty_table()
+
+    def _empty_table(self) -> pa.Table:
+        cols: dict = {
+            "lon": pa.array([], pa.float64()),
+            "lat": pa.array([], pa.float64()),
+            "z": pa.array([], pa.float64()),
+            "band": pa.array([], pa.int32()),
+            "src": pa.array([], pa.string()),
+            "pix": pa.array([], pa.int64()),
+            "nodata": pa.array([], pa.float64()),
+        }
+        for r in self.with_cells:
+            cols[f"cell_{r}"] = pa.array([], pa.int64())
+        return pa.table(cols)
+
+
+def master_widths_of(tiles_meta: pa.Table) -> dict[str, int]:
+    """Driver-side tiny aggregate: {src: max(col_off + width)} -- the
+    master raster width feeding TilePivot's flat pixel index."""
+    import pyarrow.compute as pc
+
+    t = tiles_meta.select(["src", "col_off", "width"])
+    ends = pc.add(t["col_off"], t["width"])
+    t = t.set_column(1, "end", ends).group_by("src").aggregate([("end", "max")])
+    return dict(zip(t["src"].to_pylist(), t["end_max"].to_pylist()))
+
+
+class PageExtract:
+    """Pages stage (T14): html -> (text_extracted, lat, lon, has_geo).
+
+    Stateless and deterministic; regexes are compiled at module import
+    (once per worker process).  ``check_invariant`` raises if the
+    extracted text differs from the stored golden ``text`` column --
+    the BASELINE.json per-row invariant, enforced in-pipeline.
+    """
+
+    def __init__(self, check_invariant: bool = False):
+        self.check_invariant = check_invariant
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        htmls = batch["html"].to_pylist()
+        texts = [_text.extract_text(h) for h in htmls]
+        if self.check_invariant and "text" in batch.column_names:
+            golden = batch["text"].to_pylist()
+            for u, t, g in zip(batch["url"].to_pylist(), texts, golden):
+                if t != g:
+                    raise ValueError(
+                        f"extract_text invariant violated for url={u!r}"
+                    )
+        geos = [_text.extract_geo(h) for h in htmls]
+        lat = np.array([g[0] if g else np.nan for g in geos])
+        lon = np.array([g[1] if g else np.nan for g in geos])
+        out = batch.drop_columns(["html"])
+        out = out.append_column("text_extracted", pa.array(texts))
+        out = out.append_column("lat", pa.array(lat))
+        out = out.append_column("lon", pa.array(lon))
+        out = out.append_column("has_geo", pa.array([g is not None for g in geos]))
+        return out
+
+
+def add_cells(batch: pa.Table, resolutions: tuple[int, ...] = (7, 8, 9),
+              lon_col: str = "lon", lat_col: str = "lat") -> pa.Table:
+    """Append frozen cell ids at the given resolutions (geocode stage)."""
+    lon = batch[lon_col].to_numpy(zero_copy_only=False)
+    lat = batch[lat_col].to_numpy(zero_copy_only=False)
+    ok = np.isfinite(lon) & np.isfinite(lat)
+    for r in resolutions:
+        c = np.full(len(lon), -1, dtype=np.int64)
+        if ok.any():
+            c[ok] = _cells.cell_of(lon[ok], lat[ok], r)
+        batch = batch.append_column(f"cell_{r}", pa.array(c))
+    return batch

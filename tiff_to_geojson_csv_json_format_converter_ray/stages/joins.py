@@ -1,0 +1,217 @@
+"""Spatial joins: bbox semi-join (J1/J2), point-in-polygon join (J3),
+kNN lookup (J4) -- the engine's wide/stateful stages.
+
+Broadcast pattern: the polygon / point side table is small relative to
+the stream, so it is ``ray.put`` once and each actor deserializes it
+ONCE in ``__init__`` (never per batch).  Pass these classes to
+``map_batches(Cls, fn_constructor_kwargs=..., concurrency=N)``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.geometry import Polygon, STRtree, bbox_intersects
+from ..functions.knn import KNNIndex
+
+
+def polygons_from_table(tbl: pa.Table) -> list[Polygon]:
+    out = []
+    for i in range(tbl.num_rows):
+        rings = [np.asarray(r, dtype=np.float64) for r in tbl["rings"][i].as_py()]
+        out.append(
+            Polygon(
+                tbl["polygon_id"][i].as_py(),
+                rings,
+                bbox=(
+                    tbl["minx"][i].as_py(),
+                    tbl["miny"][i].as_py(),
+                    tbl["maxx"][i].as_py(),
+                    tbl["maxy"][i].as_py(),
+                ),
+            )
+        )
+    return out
+
+
+def _resolve(ref_or_obj):
+    """Accept a ray ObjectRef (broadcast) or a plain object (tests)."""
+    try:
+        import ray
+
+        if isinstance(ref_or_obj, ray.ObjectRef):
+            return ray.get(ref_or_obj)
+    except ImportError:  # pragma: no cover
+        pass
+    return ref_or_obj
+
+
+class BboxSemiJoin:
+    """Tile/file pruning join (test2.py:93-110): keep stream rows whose
+    bbox intersects ANY polygon bbox.  Row bbox comes either from
+    explicit columns or from the tile transform + dims."""
+
+    def __init__(self, polygons, from_transform: bool = False):
+        tbl = _resolve(polygons)
+        self.boxes = np.stack(
+            [
+                tbl["minx"].to_numpy(zero_copy_only=False),
+                tbl["miny"].to_numpy(zero_copy_only=False),
+                tbl["maxx"].to_numpy(zero_copy_only=False),
+                tbl["maxy"].to_numpy(zero_copy_only=False),
+            ],
+            axis=1,
+        )
+        self.from_transform = from_transform
+
+    def _row_boxes(self, batch: pa.Table) -> np.ndarray:
+        if not self.from_transform:
+            return np.stack(
+                [
+                    batch["minx"].to_numpy(zero_copy_only=False),
+                    batch["miny"].to_numpy(zero_copy_only=False),
+                    batch["maxx"].to_numpy(zero_copy_only=False),
+                    batch["maxy"].to_numpy(zero_copy_only=False),
+                ],
+                axis=1,
+            )
+        from ..functions.affine import pixel_to_world
+
+        n = batch.num_rows
+        boxes = np.empty((n, 4))
+        tr = batch["transform"].to_pylist()
+        ro = batch["row_off"].to_numpy(zero_copy_only=False)
+        co = batch["col_off"].to_numpy(zero_copy_only=False)
+        hs = batch["height"].to_numpy(zero_copy_only=False)
+        ws = batch["width"].to_numpy(zero_copy_only=False)
+        for i in range(n):
+            rows = np.array([float(ro[i]), float(ro[i]) + float(hs[i])])
+            cols = np.array([float(co[i]), float(co[i]) + float(ws[i])])
+            xs, ys = pixel_to_world(
+                tr[i], np.repeat(rows, 2), np.tile(cols, 2), offset=0.0
+            )
+            boxes[i] = (xs.min(), ys.min(), xs.max(), ys.max())
+        return boxes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        row_boxes = self._row_boxes(batch)
+        keep = np.zeros(batch.num_rows, dtype=bool)
+        for pb in self.boxes:
+            keep |= bbox_intersects(row_boxes, pb[0], pb[1], pb[2], pb[3])
+            if keep.all():
+                break
+        return batch.filter(pa.array(keep))
+
+
+class PIPJoiner:
+    """Point-in-polygon inner join (the clip, J3): emits one output row
+    per (point, containing polygon) pair -- a point inside two
+    overlapping polygons matches both (rasterio.mask per-polygon
+    semantics, test2.py:1272).
+
+    Actor state: Polygon list + STRtree over their bboxes, built once
+    per actor from the broadcast polygon table.
+
+    mode='join' appends polygon_id; mode='filter' keeps points in any
+    polygon (clip); mode='anti' keeps points in none.
+    """
+
+    def __init__(self, polygons, lon_col: str = "lon", lat_col: str = "lat",
+                 mode: str = "join"):
+        tbl = _resolve(polygons)
+        self.polys = polygons_from_table(tbl)
+        self.tree = STRtree(np.array([p.bbox for p in self.polys]))
+        self.lon_col = lon_col
+        self.lat_col = lat_col
+        if mode not in ("join", "filter", "anti"):
+            raise ValueError(f"unknown PIP mode: {mode}")
+        self.mode = mode
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch[self.lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[self.lat_col].to_numpy(zero_copy_only=False)
+        n = len(lon)
+        if n == 0:
+            hits = []
+        else:
+            # candidate polygons for this batch: bbox of the batch
+            cand = self.tree.query(
+                float(np.nanmin(lon)) if n else 0.0,
+                float(np.nanmin(lat)) if n else 0.0,
+                float(np.nanmax(lon)) if n else 0.0,
+                float(np.nanmax(lat)) if n else 0.0,
+            )
+            hits = [(pi, self.polys[pi].contains(lon, lat)) for pi in cand]
+
+        if self.mode == "join":
+            parts = []
+            for pi, mask in hits:
+                if mask.any():
+                    sub = batch.filter(pa.array(mask))
+                    parts.append(
+                        sub.append_column(
+                            "polygon_id",
+                            pa.array([self.polys[pi].polygon_id] * sub.num_rows),
+                        )
+                    )
+            if not parts:
+                return batch.slice(0, 0).append_column(
+                    "polygon_id", pa.array([], type=pa.string())
+                )
+            return pa.concat_tables(parts)
+
+        any_mask = np.zeros(n, dtype=bool)
+        for _, mask in hits:
+            any_mask |= mask
+        if self.mode == "anti":
+            any_mask = ~any_mask
+        return batch.filter(pa.array(any_mask))
+
+
+class KNNLookup:
+    """kNN lookup stage (J4): each actor builds a KNNIndex over the
+    broadcast reference-point table once, then answers batched queries
+    -- the distributed form of the reference's getElevation linear
+    scan (SURVEY par.2.6 J4)."""
+
+    def __init__(self, ref_points, k: int = 1,
+                 lon_col: str = "lon", lat_col: str = "lat",
+                 ref_lon: str = "lon", ref_lat: str = "lat",
+                 payload_cols: tuple[str, ...] = ("z",)):
+        tbl = _resolve(ref_points)
+        self.index = KNNIndex(
+            tbl[ref_lon].to_numpy(zero_copy_only=False),
+            tbl[ref_lat].to_numpy(zero_copy_only=False),
+        )
+        self.payloads = {
+            c: tbl[c].to_numpy(zero_copy_only=False) for c in payload_cols
+        }
+        self.k = k
+        self.lon_col = lon_col
+        self.lat_col = lat_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch[self.lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[self.lat_col].to_numpy(zero_copy_only=False)
+        idx, dist = self.index.query(lon, lat, k=self.k)
+        if self.k == 1:
+            for c, arr in self.payloads.items():
+                batch = batch.append_column(f"nn_{c}", pa.array(arr[idx[:, 0]]))
+            batch = batch.append_column("nn_dist", pa.array(dist[:, 0]))
+            return batch
+        # k > 1: emit list columns
+        for c, arr in self.payloads.items():
+            batch = batch.append_column(
+                f"nn_{c}", pa.array(arr[idx].tolist())
+            )
+        batch = batch.append_column("nn_dist", pa.array(dist.tolist()))
+        return batch
+
+
+def broadcast_table(tbl: pa.Table):
+    """``ray.put`` a small side table once; returns the ObjectRef to
+    hand to the stage constructors (read per actor, never per batch)."""
+    import ray
+
+    return ray.put(tbl)

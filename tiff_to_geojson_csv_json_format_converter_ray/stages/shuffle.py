@@ -1,0 +1,106 @@
+"""Wide-operation helpers: combiner-style counting and explicit
+hot-key salting (BASELINE.json north_star: "groupby-on-H3-cell with
+explicit salting of hot cells (urban skew)").
+
+Three tiers, cheapest first:
+
+1. ``partial_count``   -- combiner inside map_batches + tiny final
+   combine.  No shuffle of raw rows at all; the default for counts and
+   algebraic aggregates (SURVEY par.4 "pre-aggregate inside
+   map_batches").
+2. ``salted_groupby``  -- when per-group processing genuinely needs the
+   rows co-located (map_groups): append ``salt = pix mod k`` ONLY for
+   hot keys (from a cheap pre-count), groupby (key, salt), combine the
+   per-salt partials.  Bounds any partition's share of a hot key by
+   1/k.
+3. ``ds.sort / repartition`` -- full range partitioning, last resort.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+
+def partial_count(ds: ray.data.Dataset, keys: list[str]) -> pa.Table:
+    """Distributed count-by-key via per-batch combiners; returns the
+    small final table {keys..., count} on the driver."""
+
+    def combiner(batch: pa.Table) -> pa.Table:
+        out = (
+            batch.select(keys)
+            .append_column("_one", pa.array(np.ones(batch.num_rows, np.int64)))
+            .group_by(keys)
+            .aggregate([("_one", "sum")])
+        )
+        return out.rename_columns(keys + ["count"])
+
+    parts = []
+    for t in ds.map_batches(combiner, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        if t.num_rows:
+            parts.append(t if isinstance(t, pa.Table) else pa.Table.from_batches([t]))
+    if not parts:
+        return pa.table({k: [] for k in keys} | {"count": []})
+    allp = pa.concat_tables(parts, promote_options="default")
+    out = allp.group_by(keys).aggregate([("count", "sum")])
+    return out.rename_columns(keys + ["count"])
+
+
+def detect_hot_keys(
+    counts: pa.Table, key: str, factor: float = 10.0
+) -> set:
+    """Keys whose count exceeds ``factor`` x the median count."""
+    c = counts["count"].to_numpy(zero_copy_only=False).astype(np.float64)
+    if len(c) == 0:
+        return set()
+    med = max(float(np.median(c)), 1.0)
+    hot = counts.filter(pa.array(c > factor * med))
+    return set(hot[key].to_pylist())
+
+
+class SaltStage:
+    """Append a ``_salt`` column: 0 for cold keys, hash(row) mod k for
+    hot keys -- so a downstream groupby((key, _salt)) splits each hot
+    key across k reducers."""
+
+    def __init__(self, key: str, hot_keys: set, k: int = 8,
+                 row_hash_col: str | None = None):
+        self.key = key
+        self.hot = hot_keys
+        self.k = k
+        self.row_hash_col = row_hash_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch[self.key].to_pylist()
+        hot_mask = np.fromiter(
+            (kk in self.hot for kk in keys), dtype=bool, count=len(keys)
+        )
+        if self.row_hash_col and self.row_hash_col in batch.column_names:
+            h = batch[self.row_hash_col].to_numpy(zero_copy_only=False)
+            salt = (h % self.k).astype(np.int64)
+        else:
+            salt = np.arange(batch.num_rows, dtype=np.int64) % self.k
+        salt = np.where(hot_mask, salt, 0)
+        return batch.append_column("_salt", pa.array(salt))
+
+
+def salted_groupby_count(
+    ds: ray.data.Dataset, key: str, salt_k: int = 8, hot_factor: float = 10.0
+) -> pa.Table:
+    """Demonstration of tier 2 on a real shuffle: pre-count (combiner),
+    detect hot keys, salt, ``ds.groupby([key, _salt]).count()``, then
+    combine the per-salt counts."""
+    pre = partial_count(ds, [key])
+    hot = detect_hot_keys(pre, key, hot_factor)
+    salted = ds.map_batches(
+        SaltStage(key, hot, salt_k, row_hash_col="pix"),
+        batch_format="pyarrow",
+    )
+    grouped = salted.groupby([key, "_salt"]).count()
+    parts = grouped.to_pandas()  # (n_keys x salt_k) rows -- small
+    out = parts.groupby(key, as_index=False)["count()"].sum()
+    out = out.rename(columns={"count()": "count"})
+    return pa.Table.from_pandas(out, preserve_index=False)
