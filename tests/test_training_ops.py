@@ -1,0 +1,280 @@
+"""Tests for the training-data operators: dedup families, ANN,
+text analysis, multimodal plumbing."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _docs_ds(rows):
+    import ray.data
+
+    return ray.data.from_arrow(pa.Table.from_pylist(rows))
+
+
+NEAR_DUP_CORPUS = [
+    {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog in the park today"},
+    {"doc_id": 2, "text": "the quick brown fox jumps over the lazy dog in the park today"},  # exact dup of 1
+    {"doc_id": 3, "text": "the quick brown fox jumps over the lazy cat in the park today"},  # near dup of 1
+    {"doc_id": 4, "text": "completely different content about database engines and queries"},
+    {"doc_id": 5, "text": "another unrelated piece of text mentioning mountains and rivers"},
+    {"doc_id": 6, "text": "the quick brown fox jumps over the lazy dog in the park yesterday"},  # near dup of 1
+]
+
+
+class TestExactDedup:
+    def test_on_pages_url_dups(self, ray_session, fixtures_dir):
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.dedup import (
+            exact_dedup_representatives,
+        )
+
+        tbl = pq.read_table(os.path.join(fixtures_dir, "pages.parquet"))
+        tbl = tbl.append_column("doc_id", pa.array(np.arange(tbl.num_rows)))
+        ds = ray.data.from_arrow(tbl.select(["url", "doc_id"]))
+        reps = exact_dedup_representatives(ds, "url", "doc_id")
+        n_distinct = len(set(tbl["url"].to_pylist()))
+        assert reps.num_rows == n_distinct
+        # representative is the min id per url (duckdb oracle)
+        import duckdb
+
+        con = duckdb.connect()
+        con.register("pages", tbl)
+        want = con.execute(
+            "SELECT min(doc_id) FROM pages GROUP BY url ORDER BY 1"
+        ).fetchnumpy()["min(doc_id)"]
+        got = np.sort(reps["doc_id"].to_numpy())
+        np.testing.assert_array_equal(got, np.sort(want))
+
+    def test_exact_dedup_stream(self, ray_session):
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.dedup import exact_dedup
+
+        ds = _docs_ds(NEAR_DUP_CORPUS)
+        out = exact_dedup(ds, "text", "doc_id").to_pandas()
+        assert sorted(out["doc_id"]) == [1, 3, 4, 5, 6]  # doc 2 removed
+
+
+class TestMinHash:
+    def test_lsh_finds_near_dups(self, ray_session):
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.dedup import (
+            minhash_lsh_dedup,
+        )
+
+        out = minhash_lsh_dedup(
+            _docs_ds(NEAR_DUP_CORPUS), sim_threshold=0.6
+        ).to_pandas()
+        clustered = set(out["doc_id"])
+        assert {1, 2, 3, 6} <= clustered
+        assert 4 not in clustered and 5 not in clustered
+        # min-id representative
+        reps = set(out["cluster_rep"])
+        assert reps == {1}
+
+    def test_finds_planted_neardups_in_documents(self, ray_session, sf_dir):
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.functions import hashing as H
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.dedup import (
+            minhash_lsh_dedup,
+        )
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        out = minhash_lsh_dedup(ds, sim_threshold=0.9).to_pandas()
+        # the sf corpus plants near-duplicate pairs; all flagged pairs
+        # must be true near-dups under exact char-shingle jaccard
+        assert len(out) > 0
+        tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+        texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+        for _, r in out.iterrows():
+            if r["doc_id"] == r["cluster_rep"]:
+                continue
+            j = H.jaccard(
+                H.char_shingle_hashes(texts[r["doc_id"]]),
+                H.char_shingle_hashes(texts[r["cluster_rep"]]),
+            )
+            assert j >= 0.8, (r["doc_id"], r["cluster_rep"], j)
+
+
+class TestSimHash:
+    def test_simhash_clusters(self, ray_session):
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.dedup import (
+            simhash_dedup,
+        )
+
+        out = simhash_dedup(_docs_ds(NEAR_DUP_CORPUS), max_hamming=6).to_pandas()
+        clustered = set(out["doc_id"])
+        assert {1, 2} <= clustered  # exact dups have identical simhash
+        assert 4 not in clustered and 5 not in clustered
+
+
+class TestJaccard:
+    def test_verify_pairs(self, ray_session):
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.dedup import (
+            jaccard_verify_pairs,
+        )
+
+        out = jaccard_verify_pairs(
+            _docs_ds(NEAR_DUP_CORPUS), [(1, 2), (1, 3), (1, 4)], threshold=0.5
+        ).to_pandas().set_index(["a", "b"])
+        assert out.loc[(1, 2), "jaccard"] == 1.0
+        assert out.loc[(1, 2), "is_dup"]
+        assert 0.5 <= out.loc[(1, 3), "jaccard"] < 1.0
+        assert out.loc[(1, 4), "jaccard"] < 0.1
+        assert not out.loc[(1, 4), "is_dup"]
+
+
+class TestEmbeddingNearDup:
+    def test_constructed_neardups(self, ray_session):
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.dedup import (
+            embedding_neardup,
+        )
+
+        rng = np.random.RandomState(0)
+        base = rng.normal(size=(20, 32))
+        rows = []
+        for i, v in enumerate(base):
+            rows.append({"vec_id": i, "embedding": v.tolist()})
+        # two near-dup pairs: 100+0, 101+5 (tiny perturbation)
+        rows.append({"vec_id": 100, "embedding": (base[0] + 0.001).tolist()})
+        rows.append({"vec_id": 101, "embedding": (base[5] - 0.001).tolist()})
+        out = embedding_neardup(
+            ray.data.from_arrow(pa.Table.from_pylist(rows)), threshold=0.999
+        ).to_pandas()
+        got = set(map(tuple, out[["a", "b"]].to_numpy()))
+        assert (0, 100) in got and (5, 101) in got
+        assert len(got) == 2
+
+    def test_on_sf_embeddings_no_neardups(self, ray_session, sf_dir):
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.dedup import (
+            embedding_neardup,
+        )
+
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        out = embedding_neardup(ds, threshold=0.99)
+        assert out.num_rows == 0
+
+
+class TestANN:
+    def test_brute_topk_vs_numpy(self, ray_session, sf_dir):
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.ann import brute_topk
+
+        tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        vecs = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+        ids = tbl["vec_id"].to_numpy()
+        queries = vecs[[3, 77]]  # use rows as queries
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        got = brute_topk(ds, queries, k=5).to_pandas()
+
+        unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        qu = unit[[3, 77]]
+        scores = unit @ qu.T
+        for qi in range(2):
+            order = np.lexsort((ids, -scores[:, qi]))[:5]
+            sub = got[got["query_id"] == qi].sort_values("rank")
+            np.testing.assert_array_equal(sub["vec_id"].to_numpy(), ids[order])
+            np.testing.assert_allclose(
+                sub["score"].to_numpy(), scores[order, qi], atol=1e-12
+            )
+            assert sub.iloc[0]["vec_id"] == ids[[3, 77][qi]]  # self is top-1
+
+    def test_ivf_recall(self, ray_session, sf_dir):
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.ann import (
+            brute_topk, ivf_topk,
+        )
+
+        tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        vecs = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+        queries = vecs[[10, 200]]
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        exact = brute_topk(ds, queries, k=10).to_pandas()
+        approx = ivf_topk(ds, queries, k=10, n_lists=8, nprobe=4).to_pandas()
+        recalls = []
+        for qi in range(2):
+            e = set(exact[exact["query_id"] == qi]["vec_id"])
+            a = set(approx[approx["query_id"] == qi]["vec_id"])
+            recalls.append(len(e & a) / len(e))
+        assert np.mean(recalls) >= 0.6  # probing half the lists
+
+
+class TestTextAnnotate:
+    def test_columns_match_direct(self, ray_session, sf_dir):
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.functions import text as T
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+            TextAnnotate,
+        )
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        out = (
+            ds.map_batches(TextAnnotate(), batch_format="pyarrow")
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        tbl = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+        texts = tbl["text"].to_pylist()
+        want_tokens = [len(t.split()) for t in texts]
+        np.testing.assert_array_equal(out["n_tokens_ws"].to_numpy(), want_tokens)
+        assert out["lang_id"].iloc[0] == T.detect_language(texts[0])
+        q0 = T.quality_features(texts[0])
+        assert out["quality"].iloc[0] == pytest.approx(q0["quality"])
+        # fingerprints deterministic: re-run equals
+        out2 = (
+            ds.map_batches(TextAnnotate(features=("fingerprint",)), batch_format="pyarrow")
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        np.testing.assert_array_equal(
+            out["simhash64"].to_numpy(), out2["simhash64"].to_numpy()
+        )
+
+
+class TestMultimodal:
+    def test_fake_decode_plumbing(self, ray_session):
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.multimodal import (
+            MediaDecode, gen_media,
+        )
+
+        ds = ray.data.from_arrow(gen_media(32))
+        out = ds.map_batches(
+            MediaDecode,
+            fn_constructor_kwargs={"decoder": "fake"},
+            concurrency=2,
+            batch_size=8,
+            batch_format="pyarrow",
+        ).to_pandas()
+        assert len(out) == 32
+        assert "payload" not in out.columns
+        assert (out["pixel_mean"] >= 0).all() and (out["pixel_mean"] <= 255).all()
+        assert all(len(t) == 64 for t in out["thumbnail"])  # 8x8 thumbs
+        # determinism across runs
+        out2 = (
+            ray.data.from_arrow(gen_media(32))
+            .map_batches(MediaDecode(decoder="fake"), batch_format="pyarrow")
+            .to_pandas()
+        )
+        np.testing.assert_allclose(
+            out.sort_values("media_id")["pixel_mean"].to_numpy(),
+            out2.sort_values("media_id")["pixel_mean"].to_numpy(),
+        )
+
+    def test_real_decoder_raises(self):
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.multimodal import (
+            MediaDecode, gen_media,
+        )
+
+        dec = MediaDecode(decoder="real")
+        with pytest.raises(NotImplementedError):
+            dec(gen_media(2))

@@ -1,0 +1,113 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media payloads are opaque ``binary`` columns with typed metadata
+(media_type, width/height or sample_rate, codec).  Decode /
+feature-extract / resize / frame-sample run as actor-pool
+``map_batches`` stages with small batches (payloads are large).
+
+The decode kernels themselves are STUBBED: the image/audio libraries
+are not in this container, so ``decoder='real'`` raises
+NotImplementedError, while ``decoder='fake'`` runs a deterministic
+seeded fake (hash-derived pixels) that keeps the Ray-side plumbing --
+schema, batch sizing, actor signature, output layout -- real and
+testable.  Swapping in a real codec touches ONLY ``_decode_real``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("media_type", pa.string()),   # image/png, audio/wav, video/mp4...
+        ("payload", pa.binary()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("sample_rate", pa.int32()),
+    ]
+)
+
+
+def _decode_real(payload: bytes, media_type: str) -> np.ndarray:
+    raise NotImplementedError(
+        "media codecs are not available in this environment; "
+        "use decoder='fake' for plumbing tests or plug a codec in here"
+    )
+
+
+def _decode_fake(payload: bytes, media_type: str, h: int, w: int) -> np.ndarray:
+    """Deterministic fake decode: pixels derived from a rolling hash of
+    the payload -- stable across runs and partitions."""
+    seed = int(np.frombuffer(
+        payload[:8].ljust(8, b"\0"), dtype=np.uint64
+    )[0] & np.uint64(0x7FFFFFFF))
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(max(h, 1), max(w, 1), 3), dtype=np.uint8)
+
+
+class MediaDecode:
+    """Actor-pool decode stage: binary payload -> dense array + stats.
+
+    Use small ``batch_size`` (payloads are MBs) and ``concurrency=N``.
+    Emits decoded summary columns (never the full pixel tensor into the
+    table -- downstream feature stages consume the array in-process).
+    """
+
+    def __init__(self, decoder: str = "fake", thumbnail: int = 8):
+        if decoder not in ("fake", "real"):
+            raise ValueError("decoder must be 'fake' or 'real'")
+        self.decoder = decoder
+        self.thumbnail = thumbnail
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        types = batch["media_type"].to_pylist()
+        hs = batch["height"].to_numpy(zero_copy_only=False)
+        ws = batch["width"].to_numpy(zero_copy_only=False)
+        means, stds, thumbs = [], [], []
+        for p, t, h, w in zip(payloads, types, hs, ws):
+            if self.decoder == "real":
+                arr = _decode_real(p, t)
+            else:
+                arr = _decode_fake(p, t, int(h), int(w))
+            means.append(float(arr.mean()))
+            stds.append(float(arr.std()))
+            # resize stub: block-mean thumbnail (deterministic)
+            th = self.thumbnail
+            ah, aw = arr.shape[0], arr.shape[1]
+            ys = (np.arange(th) * ah) // th
+            xs = (np.arange(th) * aw) // th
+            thumbs.append(arr[ys][:, xs].mean(axis=2).astype(np.uint8).ravel().tolist())
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("pixel_mean", pa.array(means))
+        out = out.append_column("pixel_std", pa.array(stds))
+        out = out.append_column(
+            "thumbnail", pa.array(thumbs, pa.list_(pa.uint8()))
+        )
+        return out
+
+
+def gen_media(n: int = 64, seed: int = 42) -> pa.Table:
+    """Deterministic synthetic media table for plumbing tests."""
+    rng = np.random.RandomState(seed)
+    ids, types, payloads, ws, hs, srs = [], [], [], [], [], []
+    for i in range(n):
+        ids.append(f"m{i}")
+        kind = ["image/png", "audio/wav", "video/mp4"][i % 3]
+        types.append(kind)
+        payloads.append(rng.bytes(rng.randint(64, 512)))
+        ws.append(int(rng.randint(8, 64)))
+        hs.append(int(rng.randint(8, 64)))
+        srs.append(16000 if kind.startswith("audio") else 0)
+    return pa.table(
+        {
+            "media_id": ids, "media_type": types,
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array(ws, pa.int32()),
+            "height": pa.array(hs, pa.int32()),
+            "sample_rate": pa.array(srs, pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
