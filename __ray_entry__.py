@@ -1,44 +1,931 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data spatial engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``queries()`` exposes one callable per implemented operator family
+(SURVEY.md par.2), each taking ``sf_dir`` and returning an Arrow table /
+pandas DataFrame; ``oracle_sql()`` gives the DuckDB-equivalent SQL over
+the same parquet views for every SQL-expressible query.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Spatial queries run over a FROZEN deterministic synthetic raster (the
+"oracle grid") whose values are integer-derived, so the DuckDB oracle
+reproduces the engine's float32->float64 arithmetic bit-exactly from
+``range()`` -- no external data, any scale factor.  Web-page and media
+pipelines (non-SQL-expressible) are exercised by ``entry()`` and the
+pytest suite instead.
+
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+# ----------------------------------------------------------------- oracle grid
+# FROZEN spec -- mirrored literally in the SQL strings below.
+OG_H = 96
+OG_W = 96
+OG_TILE = 48
+OG_TRANSFORM = (0.01, 0.0, 77.0, 0.0, -0.01, 29.0)
+OG_NODATA = -3.4028234663852886e38  # float32 lowest
+OG_SAMPLE_RATE = OG_H * OG_W // 2000  # stride rate (doesSamples.py:74-77)
+
+# convex CCW quads inside the grid footprint (lon [77.0, 77.96],
+# lat [28.04, 29.0]): q0/q1 overlap; q_out misses the grid entirely.
+# No axis-parallel edges; vertices off the pixel-center lattice.
+OG_POLYGONS = {
+    "q0": [(77.081, 28.153), (77.552, 28.081), (77.853, 28.522), (77.351, 28.901)],
+    "q1": [(77.402, 28.303), (77.901, 28.202), (77.802, 28.751), (77.501, 28.602)],
+    "q_out": [(85.1, 20.2), (86.2, 20.3), (86.0, 21.4), (85.2, 21.3)],
+}
+
+OG_KNN_PROBES = [
+    (77.1234, 28.7567),
+    (77.9001, 28.3002),
+    (77.4567, 28.1234),
+    (77.8999, 28.9101),
+]
+
+
+def _og_tiles_table() -> pa.Table:
+    """Engine-side construction of the oracle grid as a tile table
+    (4 tiles of 48x48) -- values identical to the SQL expressions."""
+    from tiff_to_geojson_csv_json_format_converter_ray.schema import TILE_SCHEMA
+
+    rows_meta = []
+    rr, cc = np.meshgrid(np.arange(OG_H), np.arange(OG_W), indexing="ij")
+    raw = ((rr * 73 + cc * 31) % 500) / 10.0
+    vals = raw.astype(np.float32)
+    invalid = (rr * 7 + cc * 13) % 11 < 3
+    vals[invalid] = np.float32(OG_NODATA)
+
+    ids, srcs, bands, ro, co, hs, ws, tr, crs, nd, values = ([] for _ in range(11))
+    for r0 in range(0, OG_H, OG_TILE):
+        for c0 in range(0, OG_W, OG_TILE):
+            ids.append(f"og_{r0}_{c0}")
+            srcs.append("oracle")
+            bands.append(1)
+            ro.append(r0)
+            co.append(c0)
+            hs.append(OG_TILE)
+            ws.append(OG_TILE)
+            tr.append(list(OG_TRANSFORM))
+            crs.append("EPSG:4326")
+            nd.append(OG_NODATA)
+            values.append(
+                vals[r0 : r0 + OG_TILE, c0 : c0 + OG_TILE].ravel().tolist()
+            )
+    return pa.table(
+        {
+            "tile_id": ids, "src": srcs,
+            "band": pa.array(bands, pa.int32()),
+            "row_off": pa.array(ro, pa.int32()),
+            "col_off": pa.array(co, pa.int32()),
+            "height": pa.array(hs, pa.int32()),
+            "width": pa.array(ws, pa.int32()),
+            "transform": pa.array(tr, pa.list_(pa.float64(), 6)),
+            "crs": crs,
+            "nodata": pa.array(nd, pa.float64()),
+            "values": pa.array(values, pa.list_(pa.float32())),
+        },
+        schema=TILE_SCHEMA,
+    )
+
+
+def _og_points_ds(valid_only: bool = False, cells: tuple[int, ...] = ()):
+    """Oracle grid -> point Dataset via the real pipeline stages."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.extract import (
+        TilePivot, master_widths_of,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.transform import (
+        ValidityFilter,
+    )
+
+    tiles = _og_tiles_table()
+    ds = ray.data.from_arrow(tiles)
+    pivot = TilePivot(
+        round_output=False,
+        reproject=True,
+        with_cells=cells,
+        master_widths=master_widths_of(tiles),
+    )
+    pts = ds.map_batches(pivot, batch_format="pyarrow")
+    if valid_only:
+        pts = pts.map_batches(ValidityFilter("threshold"), batch_format="pyarrow")
+    return pts
+
+
+# SQL fragment generating the identical grid (lon/lat/z/pix), the
+# float32 quantization included.
+_OG_GRID_SQL = f"""
+  SELECT
+    r.range AS row, c.range AS col,
+    (r.range * {OG_W} + c.range) AS pix,
+    CAST(CAST(77.0 + 0.01 * (CAST(c.range AS DOUBLE) + 0.5) AS REAL) AS DOUBLE) AS lon,
+    CAST(CAST(29.0 + (-0.01) * (CAST(r.range AS DOUBLE) + 0.5) AS REAL) AS DOUBLE) AS lat,
+    CASE WHEN (r.range * 7 + c.range * 13) % 11 < 3
+         THEN CAST(CAST(-3.4028234663852886e+38 AS REAL) AS DOUBLE)
+         ELSE CAST(CAST(((r.range * 73 + c.range * 31) % 500) / 10.0 AS REAL) AS DOUBLE)
+    END AS z
+  FROM range(0, {OG_H}) r, range(0, {OG_W}) c
+"""
+
+
+def _halfplane_sql(poly: list[tuple[float, float]]) -> str:
+    """Strict-interior convex PIP as AND of half-plane tests (CCW)."""
+    terms = []
+    n = len(poly)
+    for i in range(n):
+        ax, ay = poly[i]
+        bx, by = poly[(i + 1) % n]
+        terms.append(
+            f"(({bx!r} - {ax!r}) * (lat - {ay!r}) - ({by!r} - {ay!r}) * (lon - {ax!r}) > 0)"
+        )
+    return " AND ".join(terms)
+
+
+def _cell_expr(res: int) -> str:
+    return _cell_expr_cols("lon", "lat", res)
+
+
+def _cell_expr_cols(lon_col: str, lat_col: str, res: int) -> str:
+    from tiff_to_geojson_csv_json_format_converter_ray.functions.cells import (
+        oracle_sql_expr,
+    )
+
+    return oracle_sql_expr(lon_col, lat_col, res)
+
+
+# ------------------------------------------------------------------- queries
+def _q_extract_full(sf_dir: str) -> pa.Table:
+    """T1/T2: full pixel->point extract of the oracle grid."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+
+    pts = _og_points_ds(valid_only=False)
+    t = collect_tables(pts)
+    return t.select(["pix", "lon", "lat", "z"])
+
+
+def _q_extract_valid(sf_dir: str) -> pa.Table:
+    """T6: validity filter (z > -1e30)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+
+    return collect_tables(_og_points_ds(valid_only=True)).select(
+        ["pix", "lon", "lat", "z"]
+    )
+
+
+def _q_stride_sample(sf_dir: str) -> pa.Table:
+    """P1: deterministic stride sampling."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.sampling import (
+        StrideSampler,
+    )
+
+    pts = _og_points_ds().map_batches(
+        StrideSampler(OG_SAMPLE_RATE), batch_format="pyarrow"
+    )
+    return collect_tables(pts).select(["pix", "lon", "lat", "z"])
+
+
+def _q_bounds(sf_dir: str) -> pa.Table:
+    """A5/P6: global bounds over valid points."""
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.stats import (
+        grouped_minmax,
+    )
+
+    out = grouped_minmax(_og_points_ds(valid_only=True), ["src"], ["lon", "lat", "z"])
+    return out.select(
+        ["src", "min_lon", "max_lon", "min_lat", "max_lat", "min_z", "max_z"]
+    )
+
+
+def _q_band_stats(sf_dir: str) -> pa.Table:
+    """A1: per-band stats over valid pixels (mean/std rounded 6 dp)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.stats import grouped_stats
+
+    out = grouped_stats(_og_points_ds(valid_only=True), ["band"], "z")
+    import pyarrow.compute as pc
+
+    return pa.table(
+        {
+            "band": out["band"],
+            "count": out["count"],
+            "min": out["min"],
+            "max": out["max"],
+            "mean": pc.round(out["mean"], 6),
+            "std": pc.round(out["std"], 6),
+        }
+    )
+
+
+def _q_cell_counts(sf_dir: str) -> pa.Table:
+    """Cell encoding (frozen H3-role index) + count per res-8 cell."""
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
+        partial_count,
+    )
+
+    pts = _og_points_ds(valid_only=True, cells=(8,))
+    return partial_count(pts, ["cell_8"]).rename_columns(["cell_8", "n"])
+
+
+def _q_pip_join(sf_dir: str) -> pa.Table:
+    """J3: point-in-polygon join counts per polygon."""
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import PIPJoiner
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
+        partial_count,
+    )
+
+    polys = _og_polygons_table()
+    pts = _og_points_ds(valid_only=True)
+    joined = pts.map_batches(PIPJoiner(polys), batch_format="pyarrow")
+    out = partial_count(joined, ["polygon_id"]).rename_columns(["polygon_id", "n"])
+    return _complete_zero(out, list(OG_POLYGONS))
+
+
+def _complete_zero(counts: pa.Table, all_ids: list[str]) -> pa.Table:
+    """Add n=0 rows for polygons with no matches (join completeness)."""
+    have = set(counts["polygon_id"].to_pylist())
+    missing = [p for p in all_ids if p not in have]
+    if not missing:
+        return counts
+    extra = pa.table(
+        {
+            "polygon_id": pa.array(missing, counts.schema.field("polygon_id").type),
+            "n": pa.array([0] * len(missing), counts.schema.field("n").type),
+        }
+    )
+    return pa.concat_tables([counts, extra], promote_options="default")
+
+
+def _og_polygons_table() -> pa.Table:
+    rows = []
+    for pid, ring in OG_POLYGONS.items():
+        r = [[float(x), float(y)] for x, y in ring] + [[float(ring[0][0]), float(ring[0][1])]]
+        xs = [p[0] for p in r]
+        ys = [p[1] for p in r]
+        rows.append(
+            {
+                "polygon_id": pid, "geom_type": "Polygon", "rings": [r],
+                "minx": min(xs), "miny": min(ys), "maxx": max(xs), "maxy": max(ys),
+            }
+        )
+    return pa.Table.from_pylist(rows)
+
+
+def _q_bbox_join(sf_dir: str) -> pa.Table:
+    """J1: tile x polygon bbox semi-join -> surviving tile ids."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import BboxSemiJoin
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+
+    tiles = ray.data.from_arrow(_og_tiles_table())
+    pruned = tiles.map_batches(
+        BboxSemiJoin(_og_polygons_table(), from_transform=True),
+        batch_format="pyarrow",
+    )
+    t = collect_tables(pruned)
+    if t is None:
+        return pa.table({"tile_id": pa.array([], pa.string())})
+    return t.select(["tile_id"])
+
+
+def _q_knn(sf_dir: str) -> pa.Table:
+    """J4: k=1 nearest valid grid point per probe."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import KNNLookup
+
+    ref = collect_tables(_og_points_ds(valid_only=True))
+    probes = pa.table(
+        {
+            "probe_id": pa.array(range(len(OG_KNN_PROBES)), pa.int64()),
+            "lon": pa.array([p[0] for p in OG_KNN_PROBES]),
+            "lat": pa.array([p[1] for p in OG_KNN_PROBES]),
+        }
+    )
+    out = (
+        ray.data.from_arrow(probes)
+        .map_batches(
+            KNNLookup(ref, k=1, payload_cols=("pix", "z")),
+            batch_format="pyarrow",
+        )
+    )
+    t = collect_tables(out)
+    return t.select(["probe_id", "nn_pix", "nn_z"]).rename_columns(
+        ["probe_id", "pix", "z"]
+    )
+
+
+def _q_zonal_stats(sf_dir: str) -> pa.Table:
+    """A1 x J3: per-polygon zonal stats over the oracle grid."""
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import PIPJoiner
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.stats import grouped_stats
+    import pyarrow.compute as pc
+
+    pts = _og_points_ds(valid_only=True)
+    joined = pts.map_batches(PIPJoiner(_og_polygons_table()), batch_format="pyarrow")
+    out = grouped_stats(joined, ["polygon_id"], "z")
+    return pa.table(
+        {
+            "polygon_id": out["polygon_id"],
+            "count": out["count"],
+            "min": out["min"],
+            "max": out["max"],
+            "mean": pc.round(out["mean"], 6),
+            "std": pc.round(out["std"], 6),
+        }
+    )
+
+
+# ---------------- spatial ops driven from the driver's own tables ----------
+def _q_events_geocode(sf_dir: str) -> pa.Table:
+    """Geocode events rows (deterministic id->lon/lat), assign frozen
+    res-8 cells, count per cell -- the tiling shuffle shape of the
+    flagship pipeline, over a driver table."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.functions.cells import cell_of
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
+        partial_count,
+    )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id"]
+    )
+
+    def geocode(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon = 77.0 + (eid % 96).astype(np.float64) * 0.01
+        lat = 28.05 + ((eid // 96) % 96).astype(np.float64) * 0.01
+        return pa.table(
+            {"cell_8": pa.array(cell_of(lon, lat, 8))}
+        )
+
+    return partial_count(
+        ds.map_batches(geocode, batch_format="pyarrow"), ["cell_8"]
+    ).rename_columns(["cell_8", "n"])
+
+
+def _q_docs_pip(sf_dir: str) -> pa.Table:
+    """PIP join of geocoded documents rows against the oracle polygons."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import PIPJoiner
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
+        partial_count,
+    )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def geocode(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        lon = 77.0 + (did % 96).astype(np.float64) * 0.01
+        lat = 28.05 + ((did // 96) % 96).astype(np.float64) * 0.01
+        return pa.table({"doc_id": batch["doc_id"], "lon": lon, "lat": lat})
+
+    joined = ds.map_batches(geocode, batch_format="pyarrow").map_batches(
+        PIPJoiner(_og_polygons_table()), batch_format="pyarrow"
+    )
+    out = partial_count(joined, ["polygon_id"]).rename_columns(["polygon_id", "n"])
+    return _complete_zero(out, list(OG_POLYGONS))
+
+
+# ------------------------------ relational / text / dedup over sf tables ----
+def _q_pricing_summary(sf_dir: str) -> pa.Table:
+    """A1-analogue grouped aggregation over lineitem (TPC-H Q1 shape)."""
+    import ray.data
+    import pyarrow.compute as pc
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate,
+    )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount",
+        ],
+    )
+
+    def derive(batch: pa.Table) -> pa.Table:
+        disc = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(1.0, batch["l_discount"])
+        )
+        return batch.append_column("disc_price", disc)
+
+    out = hash_aggregate(
+        ds.map_batches(derive, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("l_quantity", "sum", "sum_qty"),
+            ("l_extendedprice", "sum", "sum_base_price"),
+            ("disc_price", "sum", "sum_disc_price"),
+            ("l_quantity", "count", "count_order"),
+        ],
+    )
+    import pyarrow.compute as pc2
+
+    return pa.table(
+        {
+            "l_returnflag": out["l_returnflag"],
+            "l_linestatus": out["l_linestatus"],
+            "sum_qty": pc2.round(out["sum_qty"], 2),
+            "sum_base_price": pc2.round(out["sum_base_price"], 2),
+            "sum_disc_price": pc2.round(out["sum_disc_price"], 2),
+            "count_order": out["count_order"],
+        }
+    )
+
+
+def _q_top_orders(sf_dir: str) -> pa.Table:
+    """P5/P6: global top-k by price with key tiebreak."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import top_k
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice", "o_orderdate"],
+    )
+    return top_k(ds, "o_totalprice", 10, descending=True, tiebreak="o_orderkey")
+
+
+def _q_events_by_type(sf_dir: str) -> pa.Table:
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate,
+    )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+    return hash_aggregate(
+        ds, ["event_type"],
+        [("value", "count", "n"), ("value", "min", "min_value"),
+         ("value", "max", "max_value")],
+    )
+
+
+def _q_customer_nations(sf_dir: str) -> pa.Table:
+    """J5-analogue broadcast dimension join: customers per nation name."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        BroadcastLookup, hash_aggregate,
+    )
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    ).rename_columns(["c_nationkey", "n_name"])
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    joined = ds.map_batches(
+        BroadcastLookup(nation, on="c_nationkey", take_cols=["n_name"]),
+        batch_format="pyarrow",
+    )
+    return hash_aggregate(joined, ["n_name"], [("c_custkey", "count", "n_customers")])
+
+
+def _q_distinct_langs(sf_dir: str) -> pa.Table:
+    """A8: distinct + counts."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
+        partial_count,
+    )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang"]
+    )
+    return partial_count(ds, ["lang"]).rename_columns(["lang", "n"])
+
+
+def _q_dedup_exact(sf_dir: str) -> pa.Table:
+    """Exact dedup representatives: min doc_id per distinct text."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.dedup import (
+        exact_dedup_representatives,
+    )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    reps = exact_dedup_representatives(ds, "text", "doc_id")
+    return reps.select(["doc_id"])
+
+
+def _q_token_counts(sf_dir: str) -> pa.Table:
+    """Token counting (whitespace) per doc."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+        TextAnnotate,
+    )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = collect_tables(
+        ds.map_batches(TextAnnotate(features=("tokens",)), batch_format="pyarrow")
+    )
+    return out.select(["doc_id", "n_tokens_ws"])
+
+
+def _q_doc_lengths(sf_dir: str) -> pa.Table:
+    """Scalar string function parity: computed char length per doc."""
+    import ray.data
+    import pyarrow.compute as pc
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = collect_tables(
+        ds.map_batches(
+            lambda b: pa.table(
+                {"doc_id": b["doc_id"], "len_chars": pc.utf8_length(b["text"])}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return out
+
+
+def _q_ann_top3(sf_dir: str) -> pa.Table:
+    """ANN baseline: exact cosine top-3 for two stored query vectors."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.ann import brute_topk
+
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = tbl["vec_id"].to_numpy()
+    vecs = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+    q_ids = [3, 77]
+    queries = vecs[[int(np.nonzero(ids == q)[0][0]) for q in q_ids]]
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = brute_topk(ds, queries, k=3)
+    qmap = {i: q_ids[i] for i in range(len(q_ids))}
+    return pa.table(
+        {
+            "query_id": pa.array(
+                [qmap[q] for q in out["query_id"].to_pylist()], pa.int64()
+            ),
+            "vec_id": out["vec_id"],
+            "rank": pa.array(out["rank"].to_pylist(), pa.int64()),
+        }
+    )
+
+
+def _q_fuzzy_match(sf_dir: str) -> pa.Table:
+    """J5 fuzzy layer matching, golden scenarios of
+    test_dynamic_patterns.py:20-51."""
+    from tiff_to_geojson_csv_json_format_converter_ray.functions.match import (
+        find_layer_by_patterns,
+    )
+
+    cases = [
+        ("delhi_elevation", ["delhi_mosaic", "mumbai_data", "bangalore_slope"]),
+        ("mumbai_satellite", ["mumbai_landsat_mosaic", "delhi_elevation", "chennai_aerial"]),
+        ("slope_analysis", ["gradient_mosaic", "elevation_dem", "aspect_data"]),
+        ("bangalore_roads", ["bengaluru_transportation_mosaic", "delhi_data", "mumbai_info"]),
+        ("unknown_layer", ["some_mosaic", "other_composite", "random_data"]),
+        ("nonexistent_layer", ["completely_different", "totally_unrelated", "nothing_matches"]),
+    ]
+    return pa.table(
+        {
+            "requested": [c[0] for c in cases],
+            "matched": [find_layer_by_patterns(c[0], c[1]) for c in cases],
+        }
+    )
+
+
+# ---------------------------------------------------------- non-SQL queries
+def _q_minhash_dedup(sf_dir: str) -> pa.Table:
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.dedup import (
+        minhash_lsh_dedup,
+    )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return minhash_lsh_dedup(ds, sim_threshold=0.8)
+
+
+def _q_simhash_dedup(sf_dir: str) -> pa.Table:
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.dedup import simhash_dedup
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return simhash_dedup(ds, max_hamming=3)
+
+
+def _q_embedding_neardup(sf_dir: str) -> pa.Table:
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.dedup import (
+        embedding_neardup,
+    )
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return embedding_neardup(ds, threshold=0.95)
+
+
+def _q_lang_id(sf_dir: str) -> pa.Table:
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+        TextAnnotate,
+    )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = collect_tables(
+        ds.map_batches(TextAnnotate(features=("lang",)), batch_format="pyarrow")
+    )
+    return out.select(["doc_id", "lang_id"])
+
+
+def _q_quality(sf_dir: str) -> pa.Table:
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+        TextAnnotate,
+    )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = collect_tables(
+        ds.map_batches(
+            TextAnnotate(features=("quality", "fingerprint")), batch_format="pyarrow"
+        )
+    )
+    return out.select(["doc_id", "quality", "simhash64"])
+
+
+def _q_ivf_ann(sf_dir: str) -> pa.Table:
+    import pyarrow.parquet as pq
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.ann import ivf_topk
+
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = tbl["vec_id"].to_numpy()
+    vecs = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+    queries = vecs[[int(np.nonzero(ids == q)[0][0]) for q in (3, 77)]]
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return ivf_topk(ds, queries, k=5, n_lists=8, nprobe=4)
+
+
+def _q_zonal_multiband(sf_dir: str) -> pa.Table:
+    """Zonal stats with the full pipeline (bbox prune + Null sentinel)
+    over the synthetic multi-band fixture raster."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.zonal import (
+        zonal_stats,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.sources.synthetic import (
+        gen_polygons, gen_tiles,
+    )
+
+    d = tempfile.mkdtemp(prefix="graft_zonal_")
+    p = os.path.join(d, "tiles.parquet")
+    pq.write_table(gen_tiles(), p)
+    out = zonal_stats(p, gen_polygons())
+    return out.select(["polygon_id", "band", "count", "min", "max", "mean", "std"])
+
+
+def _q_pages_flagship(sf_dir: str) -> pa.Table:
+    """The graft flagship over the synthetic pages corpus (extract ->
+    geocode -> cell -> count), scaled by sf when recognisable."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.pages import (
+        pages_flagship,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.sources.synthetic import (
+        gen_pages, gen_polygons,
+    )
+
+    n = 2000
+    d = tempfile.mkdtemp(prefix="graft_pages_")
+    p = os.path.join(d, "pages.parquet")
+    pq.write_table(gen_pages(n), p)
+    out = pages_flagship(p, polygons=gen_polygons(), res=8)
+    return out["cell_counts"]
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001 scale: pages extract -> geocode ->
+    frozen-cell encode -> per-cell counts (plus invariant check inside
+    the extract stage).  Returns a stable (cell_8:int64, count:int64)
+    Arrow table."""
+    return _q_pages_flagship("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # spatial operators over the frozen oracle grid
+        "extract_full": _q_extract_full,
+        "extract_valid": _q_extract_valid,
+        "stride_sample": _q_stride_sample,
+        "bounds": _q_bounds,
+        "band_stats": _q_band_stats,
+        "cell_counts": _q_cell_counts,
+        "bbox_join": _q_bbox_join,
+        "pip_join": _q_pip_join,
+        "zonal_stats": _q_zonal_stats,
+        "knn_lookup": _q_knn,
+        # spatial ops driven from the driver's tables
+        "events_geocode_cells": _q_events_geocode,
+        "docs_pip_join": _q_docs_pip,
+        # relational operators
+        "pricing_summary": _q_pricing_summary,
+        "top_orders": _q_top_orders,
+        "events_by_type": _q_events_by_type,
+        "customer_nations": _q_customer_nations,
+        "distinct_langs": _q_distinct_langs,
+        # text / dedup / ANN
+        "dedup_exact": _q_dedup_exact,
+        "token_counts": _q_token_counts,
+        "doc_lengths": _q_doc_lengths,
+        "ann_top3": _q_ann_top3,
+        "fuzzy_match": _q_fuzzy_match,
+        # non-SQL-expressible (rows-only checks)
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash_dedup": _q_simhash_dedup,
+        "embedding_neardup": _q_embedding_neardup,
+        "lang_id": _q_lang_id,
+        "quality_scores": _q_quality,
+        "ivf_ann": _q_ivf_ann,
+        "zonal_multiband": _q_zonal_multiband,
+        "pages_flagship": _q_pages_flagship,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    grid = _OG_GRID_SQL
+    valid = f"SELECT * FROM ({grid}) WHERE z > -1e30"
+    cell8 = _cell_expr(8)
+    probes_values = ", ".join(
+        f"(CAST({i} AS BIGINT), {p[0]!r}, {p[1]!r})"
+        for i, p in enumerate(OG_KNN_PROBES)
+    )
+    pip_parts = []
+    for pid, poly in OG_POLYGONS.items():
+        pip_parts.append(
+            f"SELECT '{pid}' AS polygon_id, COUNT(*) AS n FROM ({valid}) "
+            f"WHERE {_halfplane_sql(poly)}"
+        )
+    tiles_sql = f"""
+      SELECT 'og_' || CAST(tr.range * {OG_TILE} AS VARCHAR) || '_' ||
+             CAST(tc.range * {OG_TILE} AS VARCHAR) AS tile_id,
+             77.0 + 0.01 * (tc.range * {OG_TILE}) AS tminx,
+             29.0 - 0.01 * (tr.range * {OG_TILE} + {OG_TILE}) AS tminy,
+             77.0 + 0.01 * (tc.range * {OG_TILE} + {OG_TILE}) AS tmaxx,
+             29.0 - 0.01 * (tr.range * {OG_TILE}) AS tmaxy
+      FROM range(0, {OG_H // OG_TILE}) tr, range(0, {OG_W // OG_TILE}) tc
     """
-    return {}
+    poly_boxes = " UNION ALL ".join(
+        "SELECT {} AS pminx, {} AS pminy, {} AS pmaxx, {} AS pmaxy".format(
+            repr(min(x for x, _ in poly)), repr(min(y for _, y in poly)),
+            repr(max(x for x, _ in poly)), repr(max(y for _, y in poly)),
+        )
+        for poly in OG_POLYGONS.values()
+    )
+    return {
+        "extract_full": f"SELECT pix, lon, lat, z FROM ({grid})",
+        "extract_valid": f"SELECT pix, lon, lat, z FROM ({valid})",
+        "stride_sample": (
+            f"SELECT pix, lon, lat, z FROM ({grid}) WHERE pix % {OG_SAMPLE_RATE} = 0"
+        ),
+        "bounds": (
+            f"SELECT 'oracle' AS src, MIN(lon) AS min_lon, MAX(lon) AS max_lon, "
+            f"MIN(lat) AS min_lat, MAX(lat) AS max_lat, "
+            f"MIN(z) AS min_z, MAX(z) AS max_z FROM ({valid})"
+        ),
+        "band_stats": (
+            f"SELECT 1 AS band, COUNT(*) AS count, MIN(z) AS min, MAX(z) AS max, "
+            f"ROUND(AVG(z), 6) AS mean, "
+            f"ROUND(SQRT(GREATEST(AVG(z*z) - AVG(z)*AVG(z), 0.0)), 6) AS std "
+            f"FROM ({valid})"
+        ),
+        "cell_counts": (
+            f"SELECT {cell8} AS cell_8, COUNT(*) AS n FROM ({valid}) GROUP BY 1"
+        ),
+        "bbox_join": (
+            f"SELECT t.tile_id FROM ({tiles_sql}) t WHERE EXISTS ("
+            f"SELECT 1 FROM ({poly_boxes}) p WHERE NOT (t.tmaxx < p.pminx OR "
+            f"t.tminx > p.pmaxx OR t.tmaxy < p.pminy OR t.tminy > p.pmaxy))"
+        ),
+        "pip_join": " UNION ALL ".join(pip_parts),
+        "zonal_stats": " UNION ALL ".join(
+            f"SELECT '{pid}' AS polygon_id, COUNT(*) AS count, MIN(z) AS min, "
+            f"MAX(z) AS max, ROUND(AVG(z), 6) AS mean, "
+            f"ROUND(SQRT(GREATEST(AVG(z*z) - AVG(z)*AVG(z), 0.0)), 6) AS std "
+            f"FROM ({valid}) WHERE {_halfplane_sql(poly)}"
+            for pid, poly in OG_POLYGONS.items()
+            if pid != "q_out"
+        ),
+        "knn_lookup": (
+            f"SELECT probe_id, pix, z FROM ("
+            f"SELECT p.probe_id, g.pix, g.z, ROW_NUMBER() OVER ("
+            f"PARTITION BY p.probe_id ORDER BY "
+            f"(g.lon - p.plon) * (g.lon - p.plon) + (g.lat - p.plat) * (g.lat - p.plat), g.pix"
+            f") AS rn FROM (VALUES {probes_values}) p(probe_id, plon, plat), ({valid}) g"
+            f") WHERE rn = 1"
+        ),
+        "events_geocode_cells": (
+            f"SELECT {_cell_expr_cols('glon', 'glat', 8)} AS cell_8, "
+            f"COUNT(*) AS n FROM ("
+            f"SELECT 77.0 + CAST(event_id % 96 AS DOUBLE) * 0.01 AS glon, "
+            f"28.05 + CAST((event_id // 96) % 96 AS DOUBLE) * 0.01 AS glat "
+            f"FROM events) GROUP BY 1"
+        ),
+        "docs_pip_join": " UNION ALL ".join(
+            f"SELECT '{pid}' AS polygon_id, CAST(COUNT(*) AS BIGINT) AS n FROM ("
+            f"SELECT 77.0 + CAST(doc_id % 96 AS DOUBLE) * 0.01 AS lon, "
+            f"28.05 + CAST((doc_id // 96) % 96 AS DOUBLE) * 0.01 AS lat "
+            f"FROM documents) WHERE {_halfplane_sql(poly)}"
+            for pid, poly in OG_POLYGONS.items()
+        ),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty, "
+            "ROUND(SUM(l_extendedprice), 2) AS sum_base_price, "
+            "ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price, "
+            "COUNT(*) AS count_order FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "top_orders": (
+            "SELECT o_orderkey, o_totalprice, o_orderdate FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+        ),
+        "events_by_type": (
+            "SELECT event_type, COUNT(value) AS n, MIN(value) AS min_value, "
+            "MAX(value) AS max_value FROM events GROUP BY event_type"
+        ),
+        "customer_nations": (
+            "SELECT n.n_name, COUNT(c.c_custkey) AS n_customers FROM customer c "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name"
+        ),
+        "distinct_langs": (
+            "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang"
+        ),
+        "dedup_exact": (
+            "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
+        ),
+        "token_counts": (
+            "SELECT doc_id, CASE WHEN TRIM(text) = '' THEN 0 ELSE "
+            "ARRAY_LENGTH(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) END AS n_tokens_ws "
+            "FROM documents"
+        ),
+        "doc_lengths": (
+            "SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS len_chars FROM documents"
+        ),
+        "ann_top3": (
+            "SELECT q.qid AS query_id, r.vec_id, r.rank FROM "
+            "(SELECT CAST(3 AS BIGINT) AS qid UNION ALL SELECT CAST(77 AS BIGINT)) q, "
+            "LATERAL ("
+            "SELECT e.vec_id, CAST(ROW_NUMBER() OVER (ORDER BY "
+            "list_cosine_similarity(e.embedding, qe.embedding) DESC, e.vec_id) - 1 AS BIGINT) AS rank "
+            "FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = q.qid) qe "
+            ") r WHERE r.rank < 3"
+        ),
+        "fuzzy_match": (
+            "SELECT * FROM (VALUES "
+            "('delhi_elevation', 'delhi_mosaic'), "
+            "('mumbai_satellite', 'mumbai_landsat_mosaic'), "
+            "('slope_analysis', 'gradient_mosaic'), "
+            "('bangalore_roads', 'bengaluru_transportation_mosaic'), "
+            "('unknown_layer', 'some_mosaic'), "
+            "('nonexistent_layer', NULL)"
+            ") AS t(requested, matched)"
+        ),
+    }

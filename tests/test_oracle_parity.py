@@ -1,0 +1,121 @@
+"""Replicates the driver's correctness gate locally: every query in
+``__ray_entry__.queries()`` that has an ``oracle_sql()`` entry is run
+at sf0.01 and compared against DuckDB (row count + schema + value
+equality on name-sorted columns / row-sorted values)."""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.01"
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _duckdb_con():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    return con
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+def _to_df(result) -> pd.DataFrame:
+    import pyarrow as pa
+
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    if isinstance(result, pd.DataFrame):
+        return result
+    return result.to_pandas()  # ray Dataset
+
+
+@pytest.fixture(scope="module")
+def entry_mod(ray_session):
+    import __ray_entry__
+
+    return __ray_entry__
+
+
+def _compare(name, got_df, want_df):
+    assert len(got_df) == len(want_df), (
+        f"{name}: row count {len(got_df)} != oracle {len(want_df)}"
+    )
+    g = _norm(got_df)
+    w = _norm(want_df)
+    assert list(g.columns) == list(w.columns), (
+        f"{name}: columns {list(g.columns)} != {list(w.columns)}"
+    )
+    for c in g.columns:
+        if np.issubdtype(g[c].dtype, np.floating) or np.issubdtype(
+            w[c].dtype, np.floating
+        ):
+            gv = g[c].to_numpy(dtype=np.float64)
+            wv = w[c].to_numpy(dtype=np.float64)
+            both_nan = np.isnan(gv) & np.isnan(wv)
+            assert ((gv == wv) | both_nan).all(), (
+                f"{name}.{c}: max diff "
+                f"{np.nanmax(np.abs(gv - wv))}"
+            )
+        else:
+            assert g[c].equals(w[c]), f"{name}.{c} mismatch"
+
+
+def test_all_oracled_queries(entry_mod):
+    qs = entry_mod.queries()
+    sqls = entry_mod.oracle_sql()
+    missing = set(sqls) - set(qs)
+    assert not missing, f"oracle_sql keys without queries: {missing}"
+    con = _duckdb_con()
+    failures = []
+    for name, sql in sorted(sqls.items()):
+        try:
+            got = _to_df(qs[name](SF))
+            want = con.execute(sql).fetchdf()
+            _compare(name, got, want)
+        except AssertionError as e:
+            failures.append(str(e))
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: {type(e).__name__}: {e}")
+    assert not failures, "\n".join(failures)
+
+
+def test_rows_only_queries_run(entry_mod):
+    """Queries without SQL oracles must at least run and return rows>=0
+    with a stable schema (the driver's weaker check)."""
+    qs = entry_mod.queries()
+    sqls = entry_mod.oracle_sql()
+    for name in sorted(set(qs) - set(sqls)):
+        out = _to_df(qs[name](SF))
+        assert out is not None, name
+        assert len(out.columns) > 0, name
+
+
+def test_entry_smoke(entry_mod):
+    out = _to_df(entry_mod.entry())
+    assert len(out) > 0
+    assert set(out.columns) == {"cell_8", "count"}

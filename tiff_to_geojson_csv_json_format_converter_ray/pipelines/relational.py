@@ -1,0 +1,117 @@
+"""Generic relational operators over Ray Datasets: hash aggregation
+(partial/final), top-k, distinct, broadcast joins.
+
+These back the engine's catalog of DuckDB-oracled queries: every
+aggregate is algebraic (sum/count/min/max + derived mean), computed as
+per-batch Arrow partials combined over a tiny intermediate -- the
+scalable alternative to a full ``groupby`` shuffle for bounded group
+cardinality.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+_PARTIAL_OP = {"sum": "sum", "count": "count", "min": "min", "max": "max"}
+_COMBINE_OP = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+
+def collect_tables(ds: ray.data.Dataset) -> pa.Table | None:
+    """Gather a (small!) dataset to one Arrow table on the driver."""
+    parts = [
+        t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+        for t in ds.iter_batches(batch_format="pyarrow", batch_size=None)
+        if t.num_rows
+    ]
+    if not parts:
+        return None
+    return pa.concat_tables(parts, promote_options="default")
+
+
+def hash_aggregate(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    aggs: list[tuple[str, str, str]],
+) -> pa.Table:
+    """Partial/final grouped aggregation.
+
+    ``aggs``: (value_col, op, out_name) with op in sum|count|min|max.
+    Returns the final table {keys..., out_names...} on the driver
+    (intermediate bounded by n_blocks x n_groups).
+    """
+    part_names = [f"_p{i}" for i in range(len(aggs))]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(keys)
+        spec = []
+        for (col, op, _), pn in zip(aggs, part_names):
+            t = t.append_column(pn, batch[col])
+            spec.append((pn, _PARTIAL_OP[op]))
+        out = t.group_by(keys).aggregate(spec)
+        return out.rename_columns(keys + part_names)
+
+    parts = collect_tables(ds.map_batches(partial, batch_format="pyarrow"))
+    if parts is None:
+        return pa.table({k: [] for k in keys})
+    spec = [
+        (pn, _COMBINE_OP[op]) for (_, op, _), pn in zip(aggs, part_names)
+    ]
+    out = parts.group_by(keys).aggregate(spec)
+    return out.rename_columns(keys + [name for _, _, name in aggs])
+
+
+def top_k(
+    ds: ray.data.Dataset, key: str, k: int, descending: bool = True,
+    tiebreak: str | None = None,
+) -> pa.Table:
+    """Global top-k via per-batch partial top-k + driver combine --
+    avoids a full distributed sort for small k."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= k:
+            return batch
+        keys = [(key, "descending" if descending else "ascending")]
+        if tiebreak:
+            keys.append((tiebreak, "ascending"))
+        idx = pc.sort_indices(batch, sort_keys=keys)[:k]
+        return batch.take(idx)
+
+    allp = collect_tables(ds.map_batches(partial, batch_format="pyarrow"))
+    if allp is None:
+        return allp
+    keys = [(key, "descending" if descending else "ascending")]
+    if tiebreak:
+        keys.append((tiebreak, "ascending"))
+    idx = pc.sort_indices(allp, sort_keys=keys)[: min(k, allp.num_rows)]
+    return allp.take(idx)
+
+
+def distinct(ds: ray.data.Dataset, cols: list[str]) -> pa.Table:
+    """Distinct tuples via per-batch unique + final unique."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.select(cols).group_by(cols).aggregate([])
+
+    allp = collect_tables(ds.map_batches(partial, batch_format="pyarrow"))
+    if allp is None:
+        return pa.table({c: [] for c in cols})
+    return allp.group_by(cols).aggregate([])
+
+
+class BroadcastLookup:
+    """Map-side join against a small dimension table (the engine's
+    replacement for a shuffle join): dim is broadcast once, each task
+    appends the looked-up columns via a vectorized Arrow join."""
+
+    def __init__(self, dim, on: str, take_cols: list[str]):
+        from ..stages.joins import _resolve
+
+        self.dim = _resolve(dim).select([on] + take_cols)
+        self.on = on
+        self.take_cols = take_cols
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return batch.join(self.dim, keys=self.on, join_type="left outer")

@@ -37,12 +37,17 @@ def partial_count(ds: ray.data.Dataset, keys: list[str]) -> pa.Table:
         return out.rename_columns(keys + ["count"])
 
     parts = []
+    schema = None
     for t in ds.map_batches(combiner, batch_format="pyarrow").iter_batches(
         batch_format="pyarrow", batch_size=None
     ):
+        t = t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+        schema = t.schema
         if t.num_rows:
-            parts.append(t if isinstance(t, pa.Table) else pa.Table.from_batches([t]))
+            parts.append(t)
     if not parts:
+        if schema is not None:
+            return schema.empty_table()
         return pa.table({k: [] for k in keys} | {"count": []})
     allp = pa.concat_tables(parts, promote_options="default")
     out = allp.group_by(keys).aggregate([("count", "sum")])
