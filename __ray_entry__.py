@@ -114,9 +114,9 @@ def _og_points_ds(valid_only: bool = False, cells: tuple[int, ...] = ()):
         with_cells=cells,
         master_widths=master_widths_of(tiles),
     )
-    pts = ds.map_batches(pivot, batch_format="pyarrow")
+    pts = ds.map_batches(pivot, batch_format="pyarrow", batch_size=None)
     if valid_only:
-        pts = pts.map_batches(ValidityFilter("threshold"), batch_format="pyarrow")
+        pts = pts.map_batches(ValidityFilter("threshold"), batch_format="pyarrow", batch_size=None)
     return pts
 
 
@@ -194,7 +194,7 @@ def _q_stride_sample(sf_dir: str) -> pa.Table:
     )
 
     pts = _og_points_ds().map_batches(
-        StrideSampler(OG_SAMPLE_RATE), batch_format="pyarrow"
+        StrideSampler(OG_SAMPLE_RATE), batch_format="pyarrow", batch_size=None
     )
     return collect_tables(pts).select(["pix", "lon", "lat", "z"])
 
@@ -249,7 +249,7 @@ def _q_pip_join(sf_dir: str) -> pa.Table:
 
     polys = _og_polygons_table()
     pts = _og_points_ds(valid_only=True)
-    joined = pts.map_batches(PIPJoiner(polys), batch_format="pyarrow")
+    joined = pts.map_batches(PIPJoiner(polys), batch_format="pyarrow", batch_size=None)
     out = partial_count(joined, ["polygon_id"]).rename_columns(["polygon_id", "n"])
     return _complete_zero(out, list(OG_POLYGONS))
 
@@ -295,7 +295,7 @@ def _q_bbox_join(sf_dir: str) -> pa.Table:
     tiles = ray.data.from_arrow(_og_tiles_table())
     pruned = tiles.map_batches(
         BboxSemiJoin(_og_polygons_table(), from_transform=True),
-        batch_format="pyarrow",
+        batch_format="pyarrow", batch_size=None,
     )
     t = collect_tables(pruned)
     if t is None:
@@ -323,7 +323,7 @@ def _q_knn(sf_dir: str) -> pa.Table:
         ray.data.from_arrow(probes)
         .map_batches(
             KNNLookup(ref, k=1, payload_cols=("pix", "z")),
-            batch_format="pyarrow",
+            batch_format="pyarrow", batch_size=None,
         )
     )
     t = collect_tables(out)
@@ -339,7 +339,7 @@ def _q_zonal_stats(sf_dir: str) -> pa.Table:
     import pyarrow.compute as pc
 
     pts = _og_points_ds(valid_only=True)
-    joined = pts.map_batches(PIPJoiner(_og_polygons_table()), batch_format="pyarrow")
+    joined = pts.map_batches(PIPJoiner(_og_polygons_table()), batch_format="pyarrow", batch_size=None)
     out = grouped_stats(joined, ["polygon_id"], "z")
     return pa.table(
         {
@@ -377,7 +377,7 @@ def _q_events_geocode(sf_dir: str) -> pa.Table:
         )
 
     return partial_count(
-        ds.map_batches(geocode, batch_format="pyarrow"), ["cell_8"]
+        ds.map_batches(geocode, batch_format="pyarrow", batch_size=None), ["cell_8"]
     ).rename_columns(["cell_8", "n"])
 
 
@@ -399,8 +399,8 @@ def _q_docs_pip(sf_dir: str) -> pa.Table:
         lat = 28.05 + ((did // 96) % 96).astype(np.float64) * 0.01
         return pa.table({"doc_id": batch["doc_id"], "lon": lon, "lat": lat})
 
-    joined = ds.map_batches(geocode, batch_format="pyarrow").map_batches(
-        PIPJoiner(_og_polygons_table()), batch_format="pyarrow"
+    joined = ds.map_batches(geocode, batch_format="pyarrow", batch_size=None).map_batches(
+        PIPJoiner(_og_polygons_table()), batch_format="pyarrow", batch_size=None
     )
     out = partial_count(joined, ["polygon_id"]).rename_columns(["polygon_id", "n"])
     return _complete_zero(out, list(OG_POLYGONS))
@@ -430,7 +430,7 @@ def _q_pricing_summary(sf_dir: str) -> pa.Table:
         return batch.append_column("disc_price", disc)
 
     out = hash_aggregate(
-        ds.map_batches(derive, batch_format="pyarrow"),
+        ds.map_batches(derive, batch_format="pyarrow", batch_size=None),
         ["l_returnflag", "l_linestatus"],
         [
             ("l_quantity", "sum", "sum_qty"),
@@ -497,7 +497,7 @@ def _q_customer_nations(sf_dir: str) -> pa.Table:
     )
     joined = ds.map_batches(
         BroadcastLookup(nation, on="c_nationkey", take_cols=["n_name"]),
-        batch_format="pyarrow",
+        batch_format="pyarrow", batch_size=None,
     )
     return hash_aggregate(joined, ["n_name"], [("c_custkey", "count", "n_customers")])
 
@@ -543,7 +543,7 @@ def _q_token_counts(sf_dir: str) -> pa.Table:
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     out = collect_tables(
-        ds.map_batches(TextAnnotate(features=("tokens",)), batch_format="pyarrow")
+        ds.map_batches(TextAnnotate(features=("tokens",)), batch_format="pyarrow", batch_size=None)
     )
     return out.select(["doc_id", "n_tokens_ws"])
 
@@ -564,7 +564,7 @@ def _q_doc_lengths(sf_dir: str) -> pa.Table:
             lambda b: pa.table(
                 {"doc_id": b["doc_id"], "len_chars": pc.utf8_length(b["text"])}
             ),
-            batch_format="pyarrow",
+            batch_format="pyarrow", batch_size=None,
         )
     )
     return out
@@ -664,7 +664,7 @@ def _q_lang_id(sf_dir: str) -> pa.Table:
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     out = collect_tables(
-        ds.map_batches(TextAnnotate(features=("lang",)), batch_format="pyarrow")
+        ds.map_batches(TextAnnotate(features=("lang",)), batch_format="pyarrow", batch_size=None)
     )
     return out.select(["doc_id", "lang_id"])
 
@@ -683,7 +683,7 @@ def _q_quality(sf_dir: str) -> pa.Table:
     )
     out = collect_tables(
         ds.map_batches(
-            TextAnnotate(features=("quality", "fingerprint")), batch_format="pyarrow"
+            TextAnnotate(features=("quality", "fingerprint")), batch_format="pyarrow", batch_size=None
         )
     )
     return out.select(["doc_id", "quality", "simhash64"])

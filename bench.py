@@ -1,0 +1,349 @@
+#!/usr/bin/env python
+"""Benchmark driver for the Ray-Data spatial engine.
+
+Headline job (the BASELINE.json metric): pixel-extract + cell/PIP
+tile-join throughput (rows/sec) -- synthetic raster -> TilePivot ->
+validity filter -> frozen cell encode (res 7/8/9) -> PIP join against
+the admin polygon side table -> per-cell counts.  Plus the pages leg
+(extract -> geocode -> cell -> counts) and a set of per-query timings
+over $GRAFT_SF_DIR.
+
+Usage:
+  python bench.py                # one JSON line on stdout
+  python bench.py --scaling      # run headline at 8 and 32 cpus in
+                                 # fresh processes; report efficiency
+  python bench.py --headline-only  # internal (used by --scaling)
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     RAY_GRAFT_CPUS (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CACHE = Path(os.environ.get("GRAFT_BENCH_CACHE", "/tmp/graft_bench_cache"))
+
+
+def _sf() -> float:
+    name = Path(SF_DIR).name
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def _init_ray(num_cpus: int) -> None:
+    import logging
+
+    import ray
+    from ray.data import DataContext
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+
+
+def bench_tiles_table(grid: int, tile: int = 128):
+    """Vectorized synthetic raster: fixed footprint [77,79.56]x[26.44,29]
+    regardless of grid size (pixel size shrinks as the grid grows)."""
+    import pyarrow as pa
+
+    from tiff_to_geojson_csv_json_format_converter_ray.schema import (
+        NODATA_F32, TILE_SCHEMA,
+    )
+
+    utm = os.environ.get("GRAFT_BENCH_CRS", "utm") == "utm"
+    if utm:
+        # UTM raster: every pixel pays a real Karney reprojection in the
+        # pivot -- the representative (and compute-dense) workload
+        # scene easting 700000..920000, northing 2980000..3200000 in
+        # zone 43N -> WGS84 footprint ~ lon [77.0, 79.3] x lat [26.9,
+        # 28.9], overlapping the gen_polygons() side table
+        a = 220000.0 / grid
+        transform = [a, 0.0, 700000.0, 0.0, -a, 3200000.0]
+        crs_s = "EPSG:32643"
+    else:
+        a = 2.56 / grid
+        transform = [a, 0.0, 77.0, 0.0, -a, 29.0]
+        crs_s = "EPSG:4326"
+    rr, cc = np.meshgrid(np.arange(grid), np.arange(grid), indexing="ij")
+    lon = 77.0 + 2.56 / grid * (cc + 0.5)
+    lat = 29.0 - 2.56 / grid * (rr + 0.5)
+    z = (100.0 + 50.0 * np.sin(lon) * np.cos(lat)).astype(np.float32)
+    z[(rr * 7 + cc * 13) % 11 < 2] = np.float32(NODATA_F32)
+
+    ids, ro, co, vals = [], [], [], []
+    for r0 in range(0, grid, tile):
+        for c0 in range(0, grid, tile):
+            ids.append(f"g_{r0}_{c0}")
+            ro.append(r0)
+            co.append(c0)
+            vals.append(np.ascontiguousarray(z[r0 : r0 + tile, c0 : c0 + tile]).ravel())
+    n = len(ids)
+    flat = np.concatenate(vals)
+    offsets = np.arange(0, (n + 1) * tile * tile, tile * tile, dtype=np.int32)
+    values_arr = pa.ListArray.from_arrays(
+        pa.array(offsets), pa.array(flat, pa.float32())
+    )
+    return pa.table(
+        {
+            "tile_id": ids,
+            "src": ["bench"] * n,
+            "band": pa.array([1] * n, pa.int32()),
+            "row_off": pa.array(ro, pa.int32()),
+            "col_off": pa.array(co, pa.int32()),
+            "height": pa.array([tile] * n, pa.int32()),
+            "width": pa.array([tile] * n, pa.int32()),
+            "transform": pa.array([transform] * n, pa.list_(pa.float64(), 6)),
+            "crs": [crs_s] * n,
+            "nodata": pa.array([float(NODATA_F32)] * n, pa.float64()),
+            "values": values_arr,
+        },
+        schema=TILE_SCHEMA,
+    )
+
+
+def _pages_path(n: int) -> str:
+    """Cached deterministic pages corpus (generation excluded from timing)."""
+    import pyarrow.parquet as pq
+
+    from tiff_to_geojson_csv_json_format_converter_ray.sources.synthetic import (
+        gen_pages,
+    )
+
+    CACHE.mkdir(parents=True, exist_ok=True)
+    d = CACHE / f"pages_{n}"
+    if not (d / "_DONE").exists():
+        d.mkdir(parents=True, exist_ok=True)
+        pages = gen_pages(n)
+        shard = max(1, n // 8)
+        for i in range(0, n, shard):
+            pq.write_table(pages.slice(i, shard), d / f"shard_{i:08d}.parquet")
+        (d / "_DONE").write_text("ok")
+    return str(d)
+
+
+def run_headline(num_cpus: int) -> dict:
+    """Pixel-extract + tile-join: returns {rows, seconds, rows_per_sec}."""
+    import ray.data
+
+    from tiff_to_geojson_csv_json_format_converter_ray.sources.synthetic import (
+        gen_polygons,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.extract import (
+        TilePivot, master_widths_of,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import (
+        PIPJoiner, broadcast_table,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
+        partial_count,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.transform import (
+        ValidityFilter,
+    )
+
+    sf = _sf()
+    grid = int(round(np.sqrt(10_500_000 * sf) / 128)) * 128  # ~1024 at sf0.1
+    grid = max(grid, 256)
+    if "GRAFT_GRID" in os.environ:
+        grid = int(os.environ["GRAFT_GRID"])
+    polys = broadcast_table(gen_polygons())
+
+    def build_and_run(g: int, tiles=None):
+        if tiles is None:
+            tiles = bench_tiles_table(g)
+        # pre-split driver-side (zero-copy slices) -> one block per
+        # slice, no repartition stage at all
+        n_blocks = min(tiles.num_rows, num_cpus * 4)
+        step = max(1, tiles.num_rows // n_blocks)
+        slices = [
+            tiles.slice(i, step) for i in range(0, tiles.num_rows, step)
+        ]
+        ds = ray.data.from_arrow(slices)
+        pivot = TilePivot(
+            round_output=True, reproject=True, with_cells=(7, 8, 9),
+            master_widths=master_widths_of(tiles),
+        )
+        pts = ds.map_batches(pivot, batch_format="pyarrow", batch_size=None)
+        pts = pts.map_batches(
+            ValidityFilter("threshold"), batch_format="pyarrow", batch_size=None
+        )
+        # function-style PIP: the polygon side is tiny (12 polys), so a
+        # broadcast closure beats an actor pool (actor processes pay
+        # import cold-start per execution; reserve pools for stages
+        # with genuinely expensive state, e.g. KNN indexes)
+        joined = pts.map_batches(
+            PIPJoiner(polys), batch_format="pyarrow", batch_size=None
+        )
+        return partial_count(joined, ["cell_8"])
+
+    # warmup: one full untimed pass spins up ALL worker processes +
+    # imports (steady-state is the regime a 100 TB run lives in;
+    # cold-start is amortized there); then time several passes and take
+    # the MIN (the sandbox shares a noisy host -- min is the best
+    # estimator of the machine-limited time)
+    main_tiles = bench_tiles_table(grid)  # generation excluded from timing
+    build_and_run(grid, tiles=main_tiles)
+    rows = grid * grid
+    repeats = int(os.environ.get("GRAFT_REPEATS", "3"))
+    times = []
+    cells = None
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        cells = build_and_run(grid, tiles=main_tiles)
+        times.append(time.perf_counter() - t0)
+    elapsed = min(times)
+    assert cells.num_rows > 0
+    return {
+        "rows": rows,
+        "seconds": elapsed,
+        "all_seconds": [round(t, 3) for t in times],
+        "rows_per_sec": rows / elapsed,
+        "grid": grid,
+        "out_cells": cells.num_rows,
+    }
+
+
+def run_pages_leg(num_cpus: int) -> dict:
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.pages import (
+        pages_flagship,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.sources.synthetic import (
+        gen_polygons,
+    )
+
+    sf = _sf()
+    n = max(2000, int(2_000_000 * sf))  # 200k pages at sf0.1
+    path = _pages_path(n)
+    t0 = time.perf_counter()
+    out = pages_flagship(path, polygons=gen_polygons(), res=8,
+                         concurrency=max(2, num_cpus // 4))
+    elapsed = time.perf_counter() - t0
+    return {
+        "rows": n,
+        "seconds": elapsed,
+        "rows_per_sec": n / elapsed,
+        "cells": out["cell_counts"].num_rows,
+    }
+
+
+QUERY_SUBSET = [
+    "extract_full", "cell_counts", "pip_join", "zonal_stats", "knn_lookup",
+    "events_geocode_cells", "pricing_summary", "top_orders",
+    "customer_nations", "dedup_exact", "token_counts", "ann_top3",
+]
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    sys.path.insert(0, str(Path(__file__).parent))
+    import __ray_entry__ as entry
+
+    qs = entry.queries()
+    out = {}
+    for name in QUERY_SUBSET:
+        t0 = time.perf_counter()
+        res = qs[name](sf_dir)
+        # force materialization for Dataset results
+        if hasattr(res, "materialize"):
+            res = res.materialize()
+        out[name] = round(time.perf_counter() - t0, 4)
+    return out
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        lo = int(os.environ.get("GRAFT_SCALE_N", "1"))
+        hi = 4 * lo
+        results = {}
+        for cpus in (lo, hi):
+            env = dict(os.environ)
+            env["RAY_GRAFT_CPUS"] = str(cpus)
+            # larger fixed grid so per-row compute dominates fixed costs
+            env.setdefault("GRAFT_GRID", "4096")
+            env.setdefault("GRAFT_REPEATS", "2")
+            proc = subprocess.run(
+                [sys.executable, __file__, "--headline-only"],
+                capture_output=True, text=True, env=env, check=True,
+            )
+            line = proc.stdout.strip().splitlines()[-1]
+            results[cpus] = json.loads(line)
+        r_lo = results[lo]["rows_per_sec"]
+        r_hi = results[hi]["rows_per_sec"]
+        eff = (r_hi / r_lo) / (hi / lo)
+        print(
+            json.dumps(
+                {
+                    "metric": f"pixel-extract+tile-join scaling {lo}->{hi} cpus",
+                    f"rows_per_sec_{lo}": round(r_lo, 1),
+                    f"rows_per_sec_{hi}": round(r_hi, 1),
+                    f"seconds_{lo}": round(results[lo]["seconds"], 3),
+                    f"seconds_{hi}": round(results[hi]["seconds"], 3),
+                    "all_seconds_lo": results[lo]["all_seconds"],
+                    "all_seconds_hi": results[hi]["all_seconds"],
+                    "scaling_efficiency": round(eff, 3),
+                    "sf": _sf(),
+                    "unit": "rows/sec",
+                    "caveat": (
+                        "single-node sandbox: logical-CPU levels in fresh "
+                        "processes on a shared host; min-of-repeats timing"
+                    ),
+                }
+            )
+        )
+        return
+
+    _init_ray(NUM_CPUS)
+    try:
+        headline = run_headline(NUM_CPUS)
+        if "--headline-only" in sys.argv:
+            print(json.dumps({"num_cpus": NUM_CPUS, **headline}))
+            return
+        pages = run_pages_leg(NUM_CPUS)
+        queries = run_queries(SF_DIR)
+        total = headline["seconds"] + pages["seconds"] + sum(queries.values())
+        print(
+            json.dumps(
+                {
+                    "metric": "end-to-end pixel-extract + tile-join + pages + query suite",
+                    "value": round(total, 3),
+                    "unit": "sec",
+                    "queries": queries,
+                    "sf": _sf(),
+                    "num_cpus": NUM_CPUS,
+                    "headline_rows_per_sec": round(headline["rows_per_sec"], 1),
+                    "headline_rows": headline["rows"],
+                    "headline_seconds": round(headline["seconds"], 3),
+                    "pages_rows_per_sec": round(pages["rows_per_sec"], 1),
+                    "pages_rows": pages["rows"],
+                    "pages_seconds": round(pages["seconds"], 3),
+                }
+            )
+        )
+    finally:
+        import ray
+
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,112 @@
+"""Kill-and-resume tests (FIXTURES.md F5: 'kill mid-run -> completed
+cells not recomputed; final outputs identical')."""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tiff_to_geojson_csv_json_format_converter_ray.sources.synthetic import gen_pages
+from tiff_to_geojson_csv_json_format_converter_ray.stages.extract import (
+    PageExtract, add_cells,
+)
+from tiff_to_geojson_csv_json_format_converter_ray.state.checkpoint import (
+    ManifestStore, run_resumable,
+)
+
+
+def _write_shards(dir_: Path, n_shards: int = 6, rows_per: int = 120):
+    dir_.mkdir(parents=True, exist_ok=True)
+    pages = gen_pages(n_shards * rows_per)
+    for i in range(n_shards):
+        pq.write_table(
+            pages.slice(i * rows_per, rows_per), dir_ / f"shard{i}.parquet"
+        )
+
+
+STAGES = [PageExtract(check_invariant=True), lambda t: add_cells(t, (8,))]
+
+
+class TestResume:
+    def test_clean_run_manifests(self, ray_session, tmp_path):
+        _write_shards(tmp_path / "in")
+        res = run_resumable(
+            str(tmp_path / "in"), str(tmp_path / "out"),
+            str(tmp_path / "manifest"), STAGES,
+        )
+        assert len(res["processed_now"]) == 6
+        assert res["completed_before"] == []
+        m = res["manifest"]
+        assert len(m) == 6
+        for row in m.values():
+            assert row["row_count"] == 120
+            assert row["cell_min"] is not None
+            assert Path(row["output_path"]).exists()
+            assert row["input_blocks"][0].endswith(".parquet")
+
+    def test_kill_then_resume_skips_completed(self, ray_session, tmp_path):
+        _write_shards(tmp_path / "in")
+        # first run crashes on shard 4 (after others may have completed)
+        with pytest.raises(Exception):
+            run_resumable(
+                str(tmp_path / "in"), str(tmp_path / "out"),
+                str(tmp_path / "manifest"), STAGES,
+                fail_on={"shard4_00004"},
+            )
+        store = ManifestStore(str(tmp_path / "manifest"))
+        done_after_crash = set(store.completed())
+        assert "shard4_00004" not in done_after_crash
+
+        # capture mtimes of completed fragments
+        mtimes = {
+            pid: os.path.getmtime(row["output_path"])
+            for pid, row in store.completed().items()
+        }
+
+        # resume: completes the rest without touching finished fragments
+        res = run_resumable(
+            str(tmp_path / "in"), str(tmp_path / "out"),
+            str(tmp_path / "manifest"), STAGES,
+        )
+        assert set(res["completed_before"]) == done_after_crash
+        assert set(res["processed_now"]) == (
+            {f"shard{i}_{i:05d}" for i in range(6)} - done_after_crash
+        )
+        for pid, old_mtime in mtimes.items():
+            assert os.path.getmtime(store.completed()[pid]["output_path"]) == old_mtime
+
+        # final outputs identical to an uninterrupted run
+        clean = tmp_path / "clean"
+        run_resumable(
+            str(tmp_path / "in"), str(clean / "out"),
+            str(clean / "manifest"), STAGES,
+        )
+        got = pq.read_table(str(tmp_path / "out")).to_pandas()
+        want = pq.read_table(str(clean / "out")).to_pandas()
+        cols = sorted(got.columns)
+        got = got[cols].sort_values(cols, kind="stable").reset_index(drop=True)
+        want = want[cols].sort_values(cols, kind="stable").reset_index(drop=True)
+        assert got.equals(want)
+
+    def test_rerun_noop(self, ray_session, tmp_path):
+        _write_shards(tmp_path / "in", n_shards=3)
+        run_resumable(
+            str(tmp_path / "in"), str(tmp_path / "out"),
+            str(tmp_path / "manifest"), STAGES,
+        )
+        res2 = run_resumable(
+            str(tmp_path / "in"), str(tmp_path / "out"),
+            str(tmp_path / "manifest"), STAGES,
+        )
+        assert res2["processed_now"] == []
+        assert len(res2["completed_before"]) == 3
+
+    def test_torn_manifest_ignored(self, tmp_path):
+        store = ManifestStore(str(tmp_path / "m"))
+        store.record({"partition_id": "ok", "row_count": 1})
+        (tmp_path / "m" / f"bad{'' }.manifest.json").write_text("{truncated")
+        assert set(store.completed()) == {"ok"}

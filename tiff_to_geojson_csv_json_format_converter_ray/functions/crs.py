@@ -65,6 +65,37 @@ _UTM_FN_SOUTH = 10000000.0
 
 _WEBMERC_R = 6378137.0  # spherical radius of EPSG:3857
 
+# Series inversion of the conformal latitude chi -> geodetic phi
+# (Snyder 1987 eq. 3-5, extended to e^8): phi = chi + sum d_2j sin(2j chi)
+_E4 = _E2 * _E2
+_E6 = _E4 * _E2
+_E8 = _E6 * _E2
+_D_CHI = np.array(
+    [
+        _E2 / 2 + 5 * _E4 / 24 + _E6 / 12 + 13 * _E8 / 360,
+        7 * _E4 / 48 + 29 * _E6 / 240 + 811 * _E8 / 11520,
+        7 * _E6 / 120 + 81 * _E8 / 1120,
+        4279 * _E8 / 161280,
+    ]
+)
+
+
+def _tm_series(xi, eta, coefs):
+    """sum_j coefs[j]*sin(2j xi)*cosh(2j eta) and
+    sum_j coefs[j]*cos(2j xi)*sinh(2j eta), via angle-addition
+    recurrences -- 4 transcendentals total instead of 4 per term."""
+    s, c = np.sin(2.0 * xi), np.cos(2.0 * xi)
+    sh, ch = np.sinh(2.0 * eta), np.cosh(2.0 * eta)
+    S, C, SH, CH = s, c, sh, ch
+    acc_xi = coefs[0] * S * CH
+    acc_eta = coefs[0] * C * SH
+    for j in range(1, len(coefs)):
+        S, C = S * c + C * s, C * c - S * s
+        SH, CH = SH * ch + CH * sh, CH * ch + SH * sh
+        acc_xi += coefs[j] * S * CH
+        acc_eta += coefs[j] * C * SH
+    return acc_xi, acc_eta
+
 
 def utm_forward(
     lon_deg: np.ndarray, lat_deg: np.ndarray, zone: int, south: bool = False
@@ -80,12 +111,9 @@ def utm_forward(
     xi_p = np.arctan2(t, np.cos(lam))
     eta_p = np.arcsinh(np.sin(lam) / np.hypot(t, np.cos(lam)))
 
-    xi = xi_p.copy()
-    eta = eta_p.copy()
-    for j in range(6):
-        k = 2.0 * (j + 1)
-        xi += _ALPHA[j] * np.sin(k * xi_p) * np.cosh(k * eta_p)
-        eta += _ALPHA[j] * np.cos(k * xi_p) * np.sinh(k * eta_p)
+    d_xi, d_eta = _tm_series(xi_p, eta_p, _ALPHA)
+    xi = xi_p + d_xi
+    eta = eta_p + d_eta
 
     easting = _UTM_FE + _UTM_K0 * _A_RECT * eta
     northing = _UTM_K0 * _A_RECT * xi
@@ -105,30 +133,29 @@ def utm_inverse(
     xi = n / (_UTM_K0 * _A_RECT)
     eta = (e - _UTM_FE) / (_UTM_K0 * _A_RECT)
 
-    xi_p = xi.copy()
-    eta_p = eta.copy()
-    for j in range(6):
-        k = 2.0 * (j + 1)
-        xi_p -= _BETA[j] * np.sin(k * xi) * np.cosh(k * eta)
-        eta_p -= _BETA[j] * np.cos(k * xi) * np.sinh(k * eta)
+    d_xi, d_eta = _tm_series(xi, eta, _BETA)
+    xi_p = xi - d_xi
+    eta_p = eta - d_eta
 
-    tau_p = np.sin(xi_p) / np.hypot(np.sinh(eta_p), np.cos(xi_p))
-    lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+    sinh_eta = np.sinh(eta_p)
+    cos_xi = np.cos(xi_p)
+    tau_p = np.sin(xi_p) / np.hypot(sinh_eta, cos_xi)
+    lam = np.arctan2(sinh_eta, cos_xi)
 
-    # Newton-solve tau from tau' (Karney 2011 eq. 19-21), vectorized.
-    tau = tau_p.copy()
-    for _ in range(6):
-        sig = np.sinh(_E * np.arctanh(_E * tau / np.hypot(1.0, tau)))
-        f_tau = tau * np.hypot(1.0, sig) - sig * np.hypot(1.0, tau) - tau_p
-        d_tau = (
-            (np.hypot(1.0, sig) * np.hypot(1.0, tau) - sig * tau)
-            * (1.0 - _E2)
-            * np.hypot(1.0, tau)
-            / (1.0 + (1.0 - _E2) * tau * tau)
-        )
-        tau = tau - f_tau / d_tau
+    # conformal -> geodetic latitude by the classical sin(2j chi)
+    # series (no Newton loop); sin/cos of chi come from tau'
+    # algebraically, so the only transcendental is the arctan.
+    chi = np.arctan(tau_p)
+    inv_h = 1.0 / np.hypot(1.0, tau_p)
+    sin_chi = tau_p * inv_h
+    cos_chi = inv_h
+    s2, c2 = 2.0 * sin_chi * cos_chi, 1.0 - 2.0 * sin_chi * sin_chi
+    S, C = s2, c2
+    phi = chi + _D_CHI[0] * S
+    for j in range(1, len(_D_CHI)):
+        S, C = S * c2 + C * s2, C * c2 - S * s2
+        phi = phi + _D_CHI[j] * S
 
-    phi = np.arctan(tau)
     lon0 = zone * 6.0 - 183.0
     return np.rad2deg(lam) + lon0, np.rad2deg(phi)
 

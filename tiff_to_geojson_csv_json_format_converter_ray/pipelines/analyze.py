@@ -33,8 +33,8 @@ def analyze(tiles_path: str) -> pa.Table:
         reproject=True,
         master_widths=master_widths_of(meta),
     )
-    pts = tiles.map_batches(pivot, batch_format="pyarrow")
-    valid = pts.map_batches(ValidityFilter("threshold"), batch_format="pyarrow")
+    pts = tiles.map_batches(pivot, batch_format="pyarrow", batch_size=None)
+    valid = pts.map_batches(ValidityFilter("threshold"), batch_format="pyarrow", batch_size=None)
 
     # total pixels per src from tile geometry (tiny, driver-side)
     n = pc.multiply(meta["height"], meta["width"])

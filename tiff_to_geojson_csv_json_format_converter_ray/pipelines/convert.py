@@ -66,9 +66,9 @@ def extract_points(
         with_cells=cell_resolutions,
         master_widths=widths,
     )
-    pts = tiles.map_batches(pivot, batch_format="pyarrow")
+    pts = tiles.map_batches(pivot, batch_format="pyarrow", batch_size=None)
     if mode in ("valid",):
-        pts = pts.map_batches(ValidityFilter("threshold"), batch_format="pyarrow")
+        pts = pts.map_batches(ValidityFilter("threshold"), batch_format="pyarrow", batch_size=None)
     if mode == "sample":
         import pyarrow.compute as pc
 
@@ -85,7 +85,7 @@ def extract_points(
                 totals["src"].to_pylist(), totals["n_sum"].to_pylist()
             )
         }
-        pts = pts.map_batches(StrideSampler(rates), batch_format="pyarrow")
+        pts = pts.map_batches(StrideSampler(rates), batch_format="pyarrow", batch_size=None)
     return pts
 
 

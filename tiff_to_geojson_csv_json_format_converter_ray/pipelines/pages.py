@@ -34,10 +34,10 @@ def geocode_pages(
     """pages -> geocoded point rows (rows without a geo span keep
     cell = -1; drop with a filter if not wanted)."""
     ds = pages.map_batches(
-        PageExtract(check_invariant=check_invariant), batch_format="pyarrow"
+        PageExtract(check_invariant=check_invariant), batch_format="pyarrow", batch_size=None
     )
     return ds.map_batches(
-        lambda b: add_cells(b, resolutions), batch_format="pyarrow"
+        lambda b: add_cells(b, resolutions), batch_format="pyarrow", batch_size=None
     )
 
 
@@ -51,7 +51,7 @@ def pages_flagship(
     {cell_counts, lang_counts, polygon_counts?}."""
     geo = geocode_pages(read_pages(pages_path))
     geo_only = geo.map_batches(
-        lambda b: b.filter(pc.equal(b["has_geo"], True)), batch_format="pyarrow"
+        lambda b: b.filter(pc.equal(b["has_geo"], True)), batch_format="pyarrow", batch_size=None
     )
 
     out: dict[str, pa.Table] = {}

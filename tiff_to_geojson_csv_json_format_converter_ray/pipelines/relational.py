@@ -53,7 +53,7 @@ def hash_aggregate(
         out = t.group_by(keys).aggregate(spec)
         return out.rename_columns(keys + part_names)
 
-    parts = collect_tables(ds.map_batches(partial, batch_format="pyarrow"))
+    parts = collect_tables(ds.map_batches(partial, batch_format="pyarrow", batch_size=None))
     if parts is None:
         return pa.table({k: [] for k in keys})
     spec = [
@@ -79,7 +79,7 @@ def top_k(
         idx = pc.sort_indices(batch, sort_keys=keys)[:k]
         return batch.take(idx)
 
-    allp = collect_tables(ds.map_batches(partial, batch_format="pyarrow"))
+    allp = collect_tables(ds.map_batches(partial, batch_format="pyarrow", batch_size=None))
     if allp is None:
         return allp
     keys = [(key, "descending" if descending else "ascending")]
@@ -95,7 +95,7 @@ def distinct(ds: ray.data.Dataset, cols: list[str]) -> pa.Table:
     def partial(batch: pa.Table) -> pa.Table:
         return batch.select(cols).group_by(cols).aggregate([])
 
-    allp = collect_tables(ds.map_batches(partial, batch_format="pyarrow"))
+    allp = collect_tables(ds.map_batches(partial, batch_format="pyarrow", batch_size=None))
     if allp is None:
         return pa.table({c: [] for c in cols})
     return allp.group_by(cols).aggregate([])

@@ -71,7 +71,7 @@ def zonal_stats(
     # J1: prune tiles whose footprint misses every polygon bbox
     pruned = tiles.map_batches(
         BboxSemiJoin(polys_ref, from_transform=True),
-        batch_format="pyarrow",
+        batch_format="pyarrow", batch_size=None,
         zero_copy_batch=True,
     )
     # pivot without rounding: the reference computes statistics on raw
@@ -79,11 +79,11 @@ def zonal_stats(
     pivot = TilePivot(
         round_output=False, reproject=True, master_widths=master_widths_of(meta)
     )
-    pts = pruned.map_batches(pivot, batch_format="pyarrow")
+    pts = pruned.map_batches(pivot, batch_format="pyarrow", batch_size=None)
     # J3: the clip -- actor pool holding the polygon STRtree
     joined = pts.map_batches(
         PIPJoiner(polys_ref) if concurrency is None else PIPJoiner,
-        batch_format="pyarrow",
+        batch_format="pyarrow", batch_size=None,
         **(
             {}
             if concurrency is None
@@ -95,10 +95,10 @@ def zonal_stats(
     )
     if rescale is not None:
         joined = joined.map_batches(
-            Uint8Rescale(rescale[0], rescale[1]), batch_format="pyarrow"
+            Uint8Rescale(rescale[0], rescale[1]), batch_format="pyarrow", batch_size=None
         )
     valid = joined.map_batches(
-        ValidityFilter(mask_strategy, nodata=nodata), batch_format="pyarrow"
+        ValidityFilter(mask_strategy, nodata=nodata), batch_format="pyarrow", batch_size=None
     )
     stats = grouped_stats(valid, ["polygon_id", "band"], "z")
 

@@ -232,7 +232,7 @@ def run_sink(ds, sink) -> pa.Table:
     """Execute a sink stage and return the combined manifest table.
     This consumes the stream (writes happen inside tasks); only the
     tiny manifest is collected on the driver."""
-    manifest_ds = ds.map_batches(sink, batch_format="pyarrow")
+    manifest_ds = ds.map_batches(sink, batch_format="pyarrow", batch_size=None)
     tables = [
         t
         for t in manifest_ds.iter_batches(batch_format="pyarrow", batch_size=None)

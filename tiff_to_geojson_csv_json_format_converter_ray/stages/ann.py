@@ -69,7 +69,7 @@ def brute_topk(
     stage = BruteTopK(queries, k, vec_col, id_col)
     parts = [
         t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
-        for t in ds.map_batches(stage, batch_format="pyarrow").iter_batches(
+        for t in ds.map_batches(stage, batch_format="pyarrow", batch_size=None).iter_batches(
             batch_format="pyarrow", batch_size=None
         )
         if t.num_rows
@@ -168,7 +168,7 @@ def ivf_topk(
 
     parts = [
         t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
-        for t in ds.map_batches(Stage, concurrency=2, batch_format="pyarrow").iter_batches(
+        for t in ds.map_batches(Stage, concurrency=2, batch_format="pyarrow", batch_size=None).iter_batches(
             batch_format="pyarrow", batch_size=None
         )
         if t.num_rows

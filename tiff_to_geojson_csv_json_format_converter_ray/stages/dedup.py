@@ -48,7 +48,7 @@ def exact_dedup_representatives(
     partials.  Returns {content_hash, doc_id(min)} -- the exact-dup
     representative set (hash-partition + per-group first, SURVEY 2.9)."""
 
-    hashed = ds.map_batches(ExactKeyStage(key_col), batch_format="pyarrow")
+    hashed = ds.map_batches(ExactKeyStage(key_col), batch_format="pyarrow", batch_size=None)
 
     def partial(batch: pa.Table) -> pa.Table:
         t = batch.select(["content_hash", id_col])
@@ -56,7 +56,7 @@ def exact_dedup_representatives(
         return out.rename_columns(["content_hash", id_col])
 
     parts = []
-    for t in hashed.map_batches(partial, batch_format="pyarrow").iter_batches(
+    for t in hashed.map_batches(partial, batch_format="pyarrow", batch_size=None).iter_batches(
         batch_format="pyarrow", batch_size=None
     ):
         if t.num_rows:
@@ -79,7 +79,7 @@ def exact_dedup(
         mask = np.fromiter((i in winner_ids for i in ids), bool, len(ids))
         return batch.filter(pa.array(mask))
 
-    return ds.map_batches(keep, batch_format="pyarrow")
+    return ds.map_batches(keep, batch_format="pyarrow", batch_size=None)
 
 
 # ---------------------------------------------------------------- minhash
@@ -170,7 +170,7 @@ def minhash_lsh_dedup(
     clusters.  Returns {doc_id, cluster_rep} for every doc that has a
     near-duplicate (cluster_rep = min doc id of its cluster)."""
     stage = MinHashStage(text_col, id_col, num_perm, bands, shingle_k)
-    sig_ds = ds.map_batches(stage, batch_format="pyarrow")
+    sig_ds = ds.map_batches(stage, batch_format="pyarrow", batch_size=None)
     sig_tbl = pa.concat_tables(
         [
             t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
@@ -230,7 +230,7 @@ def simhash_dedup(
     16-bit sub-bands (any pair within hamming<=3 shares at least one
     band by pigeonhole when distance <=3 over 4 bands); verify with the
     exact Hamming distance.  Returns {doc_id, cluster_rep}."""
-    sig_ds = ds.map_batches(SimHashStage(text_col, id_col), batch_format="pyarrow")
+    sig_ds = ds.map_batches(SimHashStage(text_col, id_col), batch_format="pyarrow", batch_size=None)
     t = pa.concat_tables(
         [
             b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
@@ -302,7 +302,7 @@ def jaccard_verify_pairs(
         return batch.filter(pa.array(mask)).select([id_col, text_col])
 
     texts: dict[int, str] = {}
-    for t in ds.map_batches(pick, batch_format="pyarrow").iter_batches(
+    for t in ds.map_batches(pick, batch_format="pyarrow", batch_size=None).iter_batches(
         batch_format="pyarrow", batch_size=None
     ):
         for i, tx in zip(t[id_col].to_pylist(), t[text_col].to_pylist()):
@@ -357,7 +357,7 @@ def embedding_neardup(
     t = pa.concat_tables(
         [
             b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
-            for b in ds.map_batches(stage, batch_format="pyarrow").iter_batches(
+            for b in ds.map_batches(stage, batch_format="pyarrow", batch_size=None).iter_batches(
                 batch_format="pyarrow", batch_size=None
             )
             if b.num_rows

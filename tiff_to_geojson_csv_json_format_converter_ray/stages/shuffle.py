@@ -38,7 +38,7 @@ def partial_count(ds: ray.data.Dataset, keys: list[str]) -> pa.Table:
 
     parts = []
     schema = None
-    for t in ds.map_batches(combiner, batch_format="pyarrow").iter_batches(
+    for t in ds.map_batches(combiner, batch_format="pyarrow", batch_size=None).iter_batches(
         batch_format="pyarrow", batch_size=None
     ):
         t = t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
@@ -102,7 +102,7 @@ def salted_groupby_count(
     hot = detect_hot_keys(pre, key, hot_factor)
     salted = ds.map_batches(
         SaltStage(key, hot, salt_k, row_hash_col="pix"),
-        batch_format="pyarrow",
+        batch_format="pyarrow", batch_size=None,
     )
     grouped = salted.groupby([key, "_salt"]).count()
     parts = grouped.to_pandas()  # (n_keys x salt_k) rows -- small

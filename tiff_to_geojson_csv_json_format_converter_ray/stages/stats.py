@@ -90,7 +90,7 @@ def grouped_stats(
     """
     partial = ds.map_batches(
         lambda b: partial_stats_batch(b, keys, value_col),
-        batch_format="pyarrow",
+        batch_format="pyarrow", batch_size=None,
     )
     parts = pa.concat_tables(
         [pa.Table.from_pydict(d) if isinstance(d, dict) else d
@@ -121,7 +121,7 @@ def grouped_minmax(
         )
 
     parts = pa.concat_tables(
-        list(_iter_tables(ds.map_batches(partial, batch_format="pyarrow"))),
+        list(_iter_tables(ds.map_batches(partial, batch_format="pyarrow", batch_size=None))),
         promote_options="default",
     )
     aggs = [(f"min_{c}", "min") for c in cols] + [(f"max_{c}", "max") for c in cols]
