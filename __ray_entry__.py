@@ -216,7 +216,7 @@ def _q_band_stats(sf_dir: str) -> pa.Table:
     from tiff_to_geojson_csv_json_format_converter_ray.stages.stats import grouped_stats
 
     out = grouped_stats(_og_points_ds(valid_only=True), ["band"], "z")
-    import pyarrow.compute as pc
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import round_like_sql
 
     return pa.table(
         {
@@ -224,8 +224,8 @@ def _q_band_stats(sf_dir: str) -> pa.Table:
             "count": out["count"],
             "min": out["min"],
             "max": out["max"],
-            "mean": pc.round(out["mean"], 6),
-            "std": pc.round(out["std"], 6),
+            "mean": round_like_sql(out["mean"], 6),
+            "std": round_like_sql(out["std"], 6),
         }
     )
 
@@ -336,7 +336,7 @@ def _q_zonal_stats(sf_dir: str) -> pa.Table:
     """A1 x J3: per-polygon zonal stats over the oracle grid."""
     from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import PIPJoiner
     from tiff_to_geojson_csv_json_format_converter_ray.stages.stats import grouped_stats
-    import pyarrow.compute as pc
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import round_like_sql
 
     pts = _og_points_ds(valid_only=True)
     joined = pts.map_batches(PIPJoiner(_og_polygons_table()), batch_format="pyarrow", batch_size=None)
@@ -347,8 +347,8 @@ def _q_zonal_stats(sf_dir: str) -> pa.Table:
             "count": out["count"],
             "min": out["min"],
             "max": out["max"],
-            "mean": pc.round(out["mean"], 6),
-            "std": pc.round(out["std"], 6),
+            "mean": round_like_sql(out["mean"], 6),
+            "std": round_like_sql(out["std"], 6),
         }
     )
 
@@ -439,15 +439,15 @@ def _q_pricing_summary(sf_dir: str) -> pa.Table:
             ("l_quantity", "count", "count_order"),
         ],
     )
-    import pyarrow.compute as pc2
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import round_like_sql
 
     return pa.table(
         {
             "l_returnflag": out["l_returnflag"],
             "l_linestatus": out["l_linestatus"],
-            "sum_qty": pc2.round(out["sum_qty"], 2),
-            "sum_base_price": pc2.round(out["sum_base_price"], 2),
-            "sum_disc_price": pc2.round(out["sum_disc_price"], 2),
+            "sum_qty": round_like_sql(out["sum_qty"], 2),
+            "sum_base_price": round_like_sql(out["sum_base_price"], 2),
+            "sum_disc_price": round_like_sql(out["sum_disc_price"], 2),
             "count_order": out["count_order"],
         }
     )
@@ -618,6 +618,151 @@ def _q_fuzzy_match(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_events_windowed(sf_dir: str) -> pa.Table:
+    """Tumbling-window (1 h) aggregate over the events stream."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.window import (
+        add_tumbling_window,
+    )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "value"]
+    )
+
+    def win(batch: pa.Table) -> pa.Table:
+        out = add_tumbling_window(batch, "ts", 3600)
+        return pa.table(
+            {
+                "window_start": out["window_start"].cast(pa.int64()),
+                "value": out["value"],
+            }
+        )
+
+    out = hash_aggregate(
+        ds.map_batches(win, batch_format="pyarrow", batch_size=None),
+        ["window_start"],
+        [("value", "count", "n"), ("value", "min", "min_value"),
+         ("value", "max", "max_value"), ("value", "sum", "sum_value")],
+    )
+    return pa.table(
+        {
+            "window_start": out["window_start"],
+            "n": out["n"],
+            "min_value": out["min_value"],
+            "max_value": out["max_value"],
+            "sum_value": round_like_sql(out["sum_value"], 4),
+        }
+    )
+
+
+def _q_parts_by_brand(sf_dir: str) -> pa.Table:
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate,
+    )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_brand", "p_retailprice", "p_size"],
+    )
+    return hash_aggregate(
+        ds, ["p_brand"],
+        [("p_retailprice", "count", "n"),
+         ("p_retailprice", "min", "min_price"),
+         ("p_retailprice", "max", "max_price"),
+         ("p_size", "max", "max_size")],
+    )
+
+
+def _q_supplier_by_nation(sf_dir: str) -> pa.Table:
+    import pyarrow.parquet as pq
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        BroadcastLookup, hash_aggregate,
+    )
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    ).rename_columns(["s_nationkey", "n_name"])
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey", "s_acctbal"],
+    )
+    joined = ds.map_batches(
+        BroadcastLookup(nation, on="s_nationkey", take_cols=["n_name"]),
+        batch_format="pyarrow", batch_size=None,
+    )
+    return hash_aggregate(
+        joined, ["n_name"],
+        [("s_suppkey", "count", "n_suppliers"),
+         ("s_acctbal", "min", "min_acctbal"),
+         ("s_acctbal", "max", "max_acctbal")],
+    )
+
+
+def _q_docs_by_source(sf_dir: str) -> pa.Table:
+    """Grouped count + exact integer sum (lineage-style union stats)."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate,
+    )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "n_chars"]
+    )
+    return hash_aggregate(
+        ds, ["source"],
+        [("n_chars", "count", "n_docs"), ("n_chars", "sum", "total_chars")],
+    )
+
+
+def _q_stride_secondary(sf_dir: str) -> pa.Table:
+    """P2: the GeoJSON second-level cap (doesSamples.py:145-150) --
+    stride over the already-sampled sequence ordered by pix."""
+    import pyarrow.compute as pc
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.sampling import (
+        secondary_stride_indices,
+    )
+
+    sampled = _q_stride_sample(sf_dir)
+    idx = pc.sort_indices(sampled, sort_keys=[("pix", "ascending")])
+    sampled = sampled.take(idx)
+    keep = secondary_stride_indices(sampled.num_rows, max_points=500)
+    return sampled.take(pa.array(keep))
+
+
+def _q_knn_top3(sf_dir: str) -> pa.Table:
+    """J4 with k=3: flattened (probe_id, rank, pix) rows."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import KNNLookup
+
+    ref = collect_tables(_og_points_ds(valid_only=True))
+    probes = pa.table(
+        {
+            "probe_id": pa.array(range(len(OG_KNN_PROBES)), pa.int64()),
+            "lon": pa.array([p[0] for p in OG_KNN_PROBES]),
+            "lat": pa.array([p[1] for p in OG_KNN_PROBES]),
+        }
+    )
+    out = collect_tables(
+        ray.data.from_arrow(probes).map_batches(
+            KNNLookup(ref, k=3, payload_cols=("pix",)),
+            batch_format="pyarrow", batch_size=None,
+        )
+    )
+    rows = []
+    for pid, pix3 in zip(out["probe_id"].to_pylist(), out["nn_pix"].to_pylist()):
+        for rank, px in enumerate(pix3):
+            rows.append({"probe_id": pid, "rank": rank, "pix": px})
+    return pa.Table.from_pylist(rows)
+
+
 # ---------------------------------------------------------- non-SQL queries
 def _q_minhash_dedup(sf_dir: str) -> pa.Table:
     import ray.data
@@ -722,6 +867,51 @@ def _q_zonal_multiband(sf_dir: str) -> pa.Table:
     return out.select(["polygon_id", "band", "count", "min", "max", "mean", "std"])
 
 
+def _q_media_decode(sf_dir: str) -> pa.Table:
+    """Multimodal plumbing: binary media -> actor-pool fake decode."""
+    import ray.data
+    import pyarrow.compute as pc
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.multimodal import (
+        MediaDecode, gen_media,
+    )
+
+    ds = ray.data.from_arrow(gen_media(96))
+    out = collect_tables(
+        ds.map_batches(
+            MediaDecode(decoder="fake"), batch_format="pyarrow", batch_size=None
+        )
+    )
+    return pa.table(
+        {
+            "media_id": out["media_id"],
+            "pixel_mean": pc.round(out["pixel_mean"], 6),
+            "pixel_std": pc.round(out["pixel_std"], 6),
+        }
+    )
+
+
+def _q_jaccard_pairs(sf_dir: str) -> pa.Table:
+    """Exact n-gram-Jaccard verification of MinHash candidate pairs."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.dedup import (
+        jaccard_verify_pairs, minhash_lsh_dedup,
+    )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    clusters = minhash_lsh_dedup(ds, sim_threshold=0.8)
+    pairs = [
+        (int(r["cluster_rep"]), int(r["doc_id"]))
+        for r in clusters.to_pylist()
+        if r["doc_id"] != r["cluster_rep"]
+    ][:20]
+    return jaccard_verify_pairs(ds, pairs, threshold=0.8)
+
+
 def _q_pages_flagship(sf_dir: str) -> pa.Table:
     """The graft flagship over the synthetic pages corpus (extract ->
     geocode -> cell -> count), scaled by sf when recognisable."""
@@ -764,6 +954,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pip_join": _q_pip_join,
         "zonal_stats": _q_zonal_stats,
         "knn_lookup": _q_knn,
+        "knn_top3": _q_knn_top3,
+        "stride_secondary": _q_stride_secondary,
         # spatial ops driven from the driver's tables
         "events_geocode_cells": _q_events_geocode,
         "docs_pip_join": _q_docs_pip,
@@ -771,7 +963,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing_summary,
         "top_orders": _q_top_orders,
         "events_by_type": _q_events_by_type,
+        "events_windowed": _q_events_windowed,
         "customer_nations": _q_customer_nations,
+        "supplier_by_nation": _q_supplier_by_nation,
+        "parts_by_brand": _q_parts_by_brand,
+        "docs_by_source": _q_docs_by_source,
         "distinct_langs": _q_distinct_langs,
         # text / dedup / ANN
         "dedup_exact": _q_dedup_exact,
@@ -788,6 +984,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_ann": _q_ivf_ann,
         "zonal_multiband": _q_zonal_multiband,
         "pages_flagship": _q_pages_flagship,
+        "media_decode": _q_media_decode,
+        "jaccard_pairs": _q_jaccard_pairs,
     }
 
 
@@ -890,6 +1088,42 @@ def oracle_sql() -> dict[str, str]:
         "events_by_type": (
             "SELECT event_type, COUNT(value) AS n, MIN(value) AS min_value, "
             "MAX(value) AS max_value FROM events GROUP BY event_type"
+        ),
+        "events_windowed": (
+            "SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start, "
+            "COUNT(value) AS n, MIN(value) AS min_value, MAX(value) AS max_value, "
+            "ROUND(SUM(value), 4) AS sum_value FROM events GROUP BY 1"
+        ),
+        "supplier_by_nation": (
+            "SELECT n.n_name, COUNT(s.s_suppkey) AS n_suppliers, "
+            "MIN(s.s_acctbal) AS min_acctbal, MAX(s.s_acctbal) AS max_acctbal "
+            "FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey "
+            "GROUP BY n.n_name"
+        ),
+        "parts_by_brand": (
+            "SELECT p_brand, COUNT(p_retailprice) AS n, "
+            "MIN(p_retailprice) AS min_price, MAX(p_retailprice) AS max_price, "
+            "MAX(p_size) AS max_size FROM part GROUP BY p_brand"
+        ),
+        "docs_by_source": (
+            "SELECT source, COUNT(n_chars) AS n_docs, SUM(n_chars) AS total_chars "
+            "FROM documents GROUP BY source"
+        ),
+        "stride_secondary": (
+            f"SELECT pix, lon, lat, z FROM ("
+            f"SELECT *, ROW_NUMBER() OVER (ORDER BY pix) - 1 AS i FROM ("
+            f"SELECT pix, lon, lat, z FROM ({grid}) "
+            f"WHERE pix % {OG_SAMPLE_RATE} = 0)) "
+            f"WHERE i % ((SELECT COUNT(*) FROM ({grid}) "
+            f"WHERE pix % {OG_SAMPLE_RATE} = 0) // 500) = 0"
+        ),
+        "knn_top3": (
+            f"SELECT probe_id, rn - 1 AS rank, pix FROM ("
+            f"SELECT p.probe_id, g.pix, ROW_NUMBER() OVER ("
+            f"PARTITION BY p.probe_id ORDER BY "
+            f"(g.lon - p.plon) * (g.lon - p.plon) + (g.lat - p.plat) * (g.lat - p.plat), g.pix"
+            f") AS rn FROM (VALUES {probes_values}) p(probe_id, plon, plat), ({valid}) g"
+            f") WHERE rn <= 3"
         ),
         "customer_nations": (
             "SELECT n.n_name, COUNT(c.c_custkey) AS n_customers FROM customer c "

@@ -1,0 +1,160 @@
+"""Tests for the remaining stages: windows, regrid (K7), coord-swap
+repair (T10), uint8 rescale (T12), GeoJSON cap (P2), A3 combine."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from tiff_to_geojson_csv_json_format_converter_ray.stages.window import (
+    add_hopping_windows, add_session_key, add_tumbling_window,
+)
+from tiff_to_geojson_csv_json_format_converter_ray.stages.transform import (
+    CoordSwapRepair, Uint8Rescale, rescale_uint8, looks_like_swapped,
+)
+from tiff_to_geojson_csv_json_format_converter_ray.sinks import regrid_points
+
+
+def _events(n=100):
+    base = np.datetime64("2025-07-01T00:00:00", "us")
+    ts = base + np.arange(n).astype("timedelta64[m]") * 7  # every 7 min
+    return pa.table(
+        {
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(np.arange(n) % 5),
+            "value": pa.array(np.arange(n, dtype=np.float64)),
+        }
+    )
+
+
+class TestWindows:
+    def test_tumbling_matches_duckdb(self):
+        import duckdb
+
+        t = _events(200)
+        out = add_tumbling_window(t, "ts", 3600)
+        con = duckdb.connect()
+        con.register("e", t)
+        want = con.execute(
+            "SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS w FROM e"
+        ).fetchnumpy()["w"]
+        got = out["window_start"].cast(pa.int64()).to_numpy()
+        np.testing.assert_array_equal(got, want)
+
+    def test_hopping_covers(self):
+        t = _events(50)
+        out = add_hopping_windows(t, "ts", width_s=3600, hop_s=1800)
+        # every event appears in exactly width/hop = 2 windows
+        assert out.num_rows == 2 * t.num_rows
+        ts = out["ts"].cast(pa.int64()).to_numpy()
+        ws = out["window_start"].cast(pa.int64()).to_numpy()
+        w_us = 3600 * 1_000_000
+        assert ((ts >= ws) & (ts < ws + w_us)).all()
+
+    def test_session_gap(self):
+        base = np.datetime64("2025-07-01T00:00:00", "us")
+        ts = base + np.array([0, 60, 120, 4000, 4100], dtype="timedelta64[s]")
+        t = pa.table(
+            {
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array([1, 1, 1, 1, 1]),
+            }
+        )
+        out = add_session_key(t, gap_s=1800)
+        sess = out["session_id"].to_numpy()
+        assert list(sess) == [0, 0, 0, 1, 1]  # 4000s gap splits
+
+    def test_session_per_key(self):
+        base = np.datetime64("2025-07-01T00:00:00", "us")
+        ts = base + np.array([0, 10, 0, 10], dtype="timedelta64[s]")
+        t = pa.table(
+            {
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array([1, 1, 2, 2]),
+            }
+        )
+        out = add_session_key(t, gap_s=1800)
+        by_user = {}
+        for u, s in zip(out["user_id"].to_pylist(), out["session_id"].to_pylist()):
+            by_user.setdefault(u, set()).add(s)
+        assert len(by_user[1]) == 1 and len(by_user[2]) == 1
+        assert by_user[1] != by_user[2]
+
+
+class TestTransforms:
+    def test_rescale_uint8(self):
+        z = np.array([0.0, 127.5, 255.0])
+        out = rescale_uint8(z, 100.0, 300.0)
+        np.testing.assert_allclose(out, [100.0, 200.0, 300.0])
+
+    def test_uint8_rescale_stage(self):
+        t = pa.table({"z": pa.array([0.0, 255.0])})
+        out = Uint8Rescale(10.0, 20.0)(t)
+        np.testing.assert_allclose(out["z"].to_numpy(), [10.0, 20.0])
+
+    def test_swap_heuristic(self):
+        # x in [20,35] (lat-like), y in [70,85] (lon-like) -> swapped
+        assert looks_like_swapped(25.0, 75.0, 30.0, 80.0)
+        assert not looks_like_swapped(75.0, 25.0, 80.0, 30.0)
+
+    def test_coord_swap_repair_stage(self):
+        t = pa.table(
+            {"lon": pa.array([28.0, 29.0]), "lat": pa.array([77.0, 78.0])}
+        )
+        out = CoordSwapRepair()(t)
+        np.testing.assert_array_equal(out["lon"].to_numpy(), [77.0, 78.0])
+        np.testing.assert_array_equal(out["lat"].to_numpy(), [28.0, 29.0])
+        # already-correct coords untouched
+        out2 = CoordSwapRepair()(out)
+        assert out2["lon"].to_numpy()[0] == 77.0
+
+
+class TestRegrid:
+    def test_roundtrip_extraction_inverse(self):
+        """K7: points scattered back to the grid reproduce the raster
+        (thiswillcompress.py:118-138 inverse)."""
+        transform = [0.01, 0.0, 77.0, 0.0, -0.01, 29.0]
+        h = w = 16
+        rr, cc = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        lon = 77.0 + 0.01 * (cc.ravel() + 0.5)
+        lat = 29.0 - 0.01 * (rr.ravel() + 0.5)
+        z = (rr * w + cc).ravel().astype(np.float64)
+        pts = pa.table({"lon": lon, "lat": lat, "z": z})
+        doc = regrid_points(pts, transform, h, w, nodata=-9999.0)
+        grid = np.asarray(doc["elevation_grid"])
+        np.testing.assert_array_equal(grid, (rr * w + cc).astype(np.float64))
+        assert doc["meta"]["transform"] == transform
+
+    def test_out_of_grid_points_dropped(self):
+        transform = [0.01, 0.0, 77.0, 0.0, -0.01, 29.0]
+        pts = pa.table(
+            {"lon": pa.array([50.0]), "lat": pa.array([10.0]), "z": pa.array([5.0])}
+        )
+        doc = regrid_points(pts, transform, 4, 4, nodata=-1.0)
+        assert (np.asarray(doc["elevation_grid"]) == -1.0).all()
+
+
+class TestGeoJSONCap:
+    def test_secondary_cap(self, tmp_path):
+        import json
+
+        from tiff_to_geojson_csv_json_format_converter_ray.sinks import GeoJSONSink
+
+        n = 25_000
+        t = pa.table(
+            {
+                "lon": pa.array(np.linspace(77, 78, n)),
+                "lat": pa.array(np.linspace(28, 29, n)),
+                "z": pa.array(np.arange(n, dtype=np.float64)),
+                "src": pa.array(["s"] * n),
+            }
+        )
+        sink = GeoJSONSink(str(tmp_path), max_points=10_000)
+        manifest = sink(t)
+        path = manifest["output_path"][0].as_py()
+        doc = json.loads(open(path).read())
+        # stride = 25000 // 10000 = 2 -> 12500 points (reference arith)
+        assert len(doc["features"]) == 12_500
+        zs = [f["geometry"]["coordinates"][2] for f in doc["features"][:5]]
+        assert zs == [0.0, 2.0, 4.0, 6.0, 8.0]

@@ -55,11 +55,16 @@ def _part_name(batch: pa.Table) -> str:
 
 
 class GeoJSONSink:
-    """One FeatureCollection .geojson file per block (K1)."""
+    """One FeatureCollection .geojson file per block (K1).
 
-    def __init__(self, out_dir: str, source_label: str = "engine"):
+    ``max_points`` applies the reference's second-level GeoJSON cap
+    (10,000 points via a second stride, doesSamples.py:145-150)."""
+
+    def __init__(self, out_dir: str, source_label: str = "engine",
+                 max_points: int | None = None):
         self.out_dir = out_dir
         self.source_label = source_label
+        self.max_points = max_points
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         Path(self.out_dir).mkdir(parents=True, exist_ok=True)
@@ -68,6 +73,11 @@ class GeoJSONSink:
         lon = batch["lon"].to_numpy(zero_copy_only=False)
         lat = batch["lat"].to_numpy(zero_copy_only=False)
         z = batch["z"].to_numpy(zero_copy_only=False)
+        if self.max_points is not None:
+            from .stages.sampling import secondary_stride_indices
+
+            keep = secondary_stride_indices(len(lon), self.max_points)
+            lon, lat, z = lon[keep], lat[keep], z[keep]
         features = [
             {
                 "type": "Feature",
