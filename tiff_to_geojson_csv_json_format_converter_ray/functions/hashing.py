@@ -58,6 +58,51 @@ def char_shingle_hashes(text: str, k: int = 5) -> np.ndarray:
     return out
 
 
+def char_shingle_hashes_batch(
+    texts: list[str], k: int = 5
+) -> tuple[np.ndarray, np.ndarray]:
+    """Rolling k-shingle hashes for MANY texts in one vectorized pass:
+    texts are concatenated, hashed once, and shingles crossing document
+    boundaries are dropped.  Returns (hashes_concat, boundaries) where
+    ``boundaries`` has n+1 offsets into ``hashes_concat``.
+
+    Exactly equivalent to calling :func:`char_shingle_hashes` per text
+    for texts of length >= k; shorter texts fall back to the per-text
+    path (their effective k shrinks)."""
+    enc = [t.encode("utf-8") for t in texts]
+    lens = np.array([len(b) for b in enc], dtype=np.int64)
+    short = lens < k
+    blob = b"".join(enc)
+    data = np.frombuffer(blob, dtype=np.uint8).astype(np.uint64)
+    n = len(data)
+    out_parts: list[np.ndarray] = []
+    boundaries = np.zeros(len(texts) + 1, dtype=np.int64)
+    if n >= k:
+        with np.errstate(over="ignore"):
+            powers = np.empty(k, dtype=np.uint64)
+            powers[0] = np.uint64(1)
+            for i in range(1, k):
+                powers[i] = powers[i - 1] * _ROLL_BASE
+            n_sh = n - k + 1
+            all_h = np.zeros(n_sh, dtype=np.uint64)
+            for j in range(k):
+                all_h += data[j : j + n_sh] * powers[k - 1 - j]
+    else:
+        all_h = np.zeros(0, dtype=np.uint64)
+    starts = np.r_[0, np.cumsum(lens)][:-1]
+    for i, (st, ln) in enumerate(zip(starts, lens)):
+        if short[i]:
+            h = char_shingle_hashes(texts[i], k)
+        else:
+            h = all_h[st : st + ln - k + 1]
+        out_parts.append(h)
+        boundaries[i + 1] = boundaries[i] + len(h)
+    return (
+        np.concatenate(out_parts) if out_parts else np.zeros(0, np.uint64),
+        boundaries,
+    )
+
+
 def word_ngram_hashes(tokens: list[str], n: int = 3) -> np.ndarray:
     """Hashes of word n-grams (joined by \\x1f) -> uint64 array."""
     if len(tokens) < n:
@@ -88,6 +133,50 @@ class MinHasher:
         with np.errstate(over="ignore"):
             m = hashes[:, None] * self.a[None, :] + self.b[None, :]
         return m.min(axis=0)
+
+    def signatures_concat(
+        self, hashes: np.ndarray, boundaries: np.ndarray, chunk: int = 200_000
+    ) -> np.ndarray:
+        """Batched signatures: ``hashes`` is the concatenation of all
+        docs' element hashes, ``boundaries`` the (n_docs+1,) offsets.
+        One (chunked) permute + ``minimum.reduceat`` per doc -- the
+        vectorized form of calling :meth:`signature` per doc."""
+        n_docs = len(boundaries) - 1
+        out = np.full(
+            (n_docs, self.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64
+        )
+        starts = boundaries[:-1]
+        ends = boundaries[1:]
+        # process docs in groups whose total shingle count <= chunk
+        d0 = 0
+        while d0 < n_docs:
+            d1 = d0
+            while d1 < n_docs and ends[d1] - starts[d0] <= chunk:
+                d1 += 1
+            d1 = max(d1, d0 + 1)
+            lo, hi = starts[d0], ends[d1 - 1]
+            if hi > lo:
+                with np.errstate(over="ignore"):
+                    m = hashes[lo:hi, None] * self.a[None, :] + self.b[None, :]
+                nonempty = ends[d0:d1] > starts[d0:d1]
+                red_at = (starts[d0:d1] - lo)[nonempty]
+                if len(red_at):
+                    red = np.minimum.reduceat(m, red_at, axis=0)
+                    out[np.arange(d0, d1)[nonempty]] = red
+            d0 = d1
+        return out
+
+    def band_keys_batch(self, sigs: np.ndarray, bands: int) -> np.ndarray:
+        """(n, num_perm) signatures -> (n, bands) band keys, vectorized;
+        identical values to per-row :meth:`band_keys`."""
+        n = sigs.shape[0]
+        rows = self.num_perm // bands
+        s = sigs[:, : bands * rows].reshape(n, bands, rows)
+        with np.errstate(over="ignore"):
+            keys = np.full((n, bands), _FNV_OFFSET, dtype=np.uint64)
+            for r in range(rows):
+                keys = (keys ^ s[:, :, r]) * _FNV_PRIME
+        return keys ^ (np.arange(bands, dtype=np.uint64)[None, :] << np.uint64(56))
 
     def band_keys(self, sig: np.ndarray, bands: int) -> np.ndarray:
         """Split signature into ``bands`` bands; hash each band -> uint64.

@@ -29,6 +29,14 @@ _BPE_RE = re.compile(
     r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-zÀ-ɏऀ-ॿ]+| ?[0-9]+| ?[^\sA-Za-z0-9À-ɏऀ-ॿ]+|\s+"
 )
 
+# frozen character classes for quality features (compiled once;
+# C-speed scans instead of per-char Python loops)
+_PUNCT_RE = re.compile(r"[.,;:!?\"'()\-]")
+_DIGIT_RE = re.compile(r"[0-9]")
+_UPPER_RE = re.compile(r"[A-ZÀ-ÖØ-Þ]")
+_DEVANAGARI_RE = re.compile(r"[ऀ-ॿ]")
+_ALPHA_RE = re.compile(r"[^\W\d_]", re.UNICODE)
+
 _STOPWORDS = {
     "en": frozenset(
         "the of and to in a is that for it as with on be are this was at by an".split()
@@ -98,8 +106,8 @@ def detect_language(text: str) -> str:
     en/de/fr; 'zz' when nothing matches."""
     if not text:
         return "zz"
-    n_dev = sum(1 for ch in text if "ऀ" <= ch <= "ॿ")
-    alpha = sum(1 for ch in text if ch.isalpha())
+    n_dev = len(_DEVANAGARI_RE.findall(text))
+    alpha = len(_ALPHA_RE.findall(text))
     if alpha > 0 and n_dev / alpha > 0.3:
         return "hi"
     toks = [t.lower() for t in text.split()]
@@ -128,9 +136,9 @@ def quality_features(text: str) -> dict[str, float]:
             "punct_ratio": 0.0, "digit_ratio": 0.0, "upper_ratio": 0.0,
             "stopword_ratio": 0.0, "unique_token_ratio": 0.0, "quality": 0.0,
         }
-    n_punct = sum(1 for ch in text if ch in ".,;:!?\"'()-")
-    n_digit = sum(1 for ch in text if ch.isdigit())
-    n_upper = sum(1 for ch in text if ch.isupper())
+    n_punct = len(_PUNCT_RE.findall(text))
+    n_digit = len(_DIGIT_RE.findall(text))
+    n_upper = len(_UPPER_RE.findall(text))
     low = [t.lower() for t in toks]
     sw = _STOPWORDS["en"]
     n_sw = sum(1 for t in low if t in sw)

@@ -96,15 +96,11 @@ class MinHashStage:
         self.shingle_k = shingle_k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
+        texts = [t or "" for t in batch[self.text_col].to_pylist()]
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
-        n = len(texts)
-        sigs = np.empty((n, self.mh.num_perm), dtype=np.uint64)
-        keys = np.empty((n, self.bands), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            sig = self.mh.signature(H.char_shingle_hashes(t or "", self.shingle_k))
-            sigs[i] = sig
-            keys[i] = self.mh.band_keys(sig, self.bands)
+        hashes, boundaries = H.char_shingle_hashes_batch(texts, self.shingle_k)
+        sigs = self.mh.signatures_concat(hashes, boundaries)
+        keys = self.mh.band_keys_batch(sigs, self.bands)
         cols = {self.id_col: pa.array(ids)}
         for b in range(self.bands):
             cols[f"band_{b}"] = pa.array(keys[:, b].view(np.int64))

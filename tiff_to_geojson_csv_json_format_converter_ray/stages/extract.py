@@ -208,7 +208,12 @@ class PageExtract:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         htmls = batch["html"].to_pylist()
-        texts = [_text.extract_text(h) for h in htmls]
+        # decode each page once; extract_text/extract_geo accept str
+        docs = [
+            h.decode("utf-8", errors="replace") if isinstance(h, bytes) else h
+            for h in htmls
+        ]
+        texts = [_text.extract_text(d) for d in docs]
         if self.check_invariant and "text" in batch.column_names:
             golden = batch["text"].to_pylist()
             for u, t, g in zip(batch["url"].to_pylist(), texts, golden):
@@ -216,7 +221,7 @@ class PageExtract:
                     raise ValueError(
                         f"extract_text invariant violated for url={u!r}"
                     )
-        geos = [_text.extract_geo(h) for h in htmls]
+        geos = [_text.extract_geo(d) for d in docs]
         lat = np.array([g[0] if g else np.nan for g in geos])
         lon = np.array([g[1] if g else np.nan for g in geos])
         out = batch.drop_columns(["html"])
