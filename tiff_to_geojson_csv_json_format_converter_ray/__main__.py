@@ -1,0 +1,127 @@
+"""CLI: every pipeline a reference user runs today, on Ray Data.
+
+    python -m tiff_to_geojson_csv_json_format_converter_ray convert \
+        --tiles tiles.parquet --out out/ --mode sample
+    ... analyze --tiles tiles.parquet
+    ... zonal --tiles tiles.parquet --polygons polys.parquet [--buffer 0.001]
+    ... pages --pages pages_dir/ --out out/ [--polygons polys.parquet]
+    ... resume --input shards_dir/ --out out/ --manifest m/   (checkpointed)
+    ... match --requested delhi_elevation --available a,b,c
+
+Replaces the reference's script entry points (completePixleOutput.py,
+willOnlyStoreValidPoints.py, doesSamples.py, thiswillcompress.py,
+test.py, the zonal endpoint and layer_pattern_manager.py CLI).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="tiff_to_geojson_csv_json_format_converter_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("convert", help="raster tiles -> point sinks + catalog")
+    c.add_argument("--tiles", required=True)
+    c.add_argument("--out", required=True)
+    c.add_argument("--mode", default="full",
+                   choices=["full", "valid", "sample", "compress"])
+
+    a = sub.add_parser("analyze", help="per-source metadata + master report")
+    a.add_argument("--tiles", required=True)
+
+    z = sub.add_parser("zonal", help="per-polygon zonal statistics")
+    z.add_argument("--tiles", required=True)
+    z.add_argument("--polygons", required=True)
+    z.add_argument("--mask", default="ne_nodata")
+    z.add_argument("--buffer", type=float, default=0.0)
+
+    g = sub.add_parser("pages", help="pages extract -> geocode -> cells -> counts")
+    g.add_argument("--pages", required=True)
+    g.add_argument("--polygons", default=None)
+    g.add_argument("--res", type=int, default=8)
+
+    r = sub.add_parser("resume", help="checkpointed shard run (kill-safe)")
+    r.add_argument("--input", required=True)
+    r.add_argument("--out", required=True)
+    r.add_argument("--manifest", required=True)
+
+    m = sub.add_parser("match", help="fuzzy layer-name matching")
+    m.add_argument("--requested", required=True)
+    m.add_argument("--available", required=True, help="comma-separated")
+    m.add_argument("--config", default=None)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "match":  # driver-side, no Ray needed
+        from .functions.match import find_layer_by_patterns, load_config
+
+        out = find_layer_by_patterns(
+            args.requested, args.available.split(","), load_config(args.config)
+        )
+        print(json.dumps({"requested": args.requested, "matched": out}))
+        return 0
+
+    from .context import init_local_ray
+
+    init_local_ray(args.num_cpus)
+    try:
+        if args.cmd == "convert":
+            from .pipelines.convert import convert
+
+            res = convert(args.tiles, args.out, mode=args.mode)
+            res.pop("manifests", None)
+            print(json.dumps(res))
+        elif args.cmd == "analyze":
+            from .pipelines.analyze import analyze, master_report
+
+            t = analyze(args.tiles)
+            print(master_report(t))
+        elif args.cmd == "zonal":
+            import pyarrow.parquet as pq
+
+            from .pipelines.zonal import zonal_stats
+
+            out = zonal_stats(
+                args.tiles, pq.read_table(args.polygons),
+                mask_strategy=args.mask, buffer=args.buffer,
+            )
+            print(json.dumps(out.to_pylist(), default=str))
+        elif args.cmd == "pages":
+            import pyarrow.parquet as pq
+
+            from .pipelines.pages import pages_flagship
+
+            polys = pq.read_table(args.polygons) if args.polygons else None
+            out = pages_flagship(args.pages, polygons=polys, res=args.res)
+            print(
+                json.dumps(
+                    {k: v.num_rows for k, v in out.items()}
+                    | {"top_cells": sorted(
+                        out["cell_counts"].to_pylist(),
+                        key=lambda r: -r["count"])[:5]}
+                )
+            )
+        elif args.cmd == "resume":
+            from .stages.extract import PageExtract, add_cells
+            from .state.checkpoint import run_resumable
+
+            res = run_resumable(
+                args.input, args.out, args.manifest,
+                [PageExtract(check_invariant=False), lambda t: add_cells(t, (8,))],
+            )
+            res.pop("manifest", None)
+            print(json.dumps(res))
+    finally:
+        import ray
+
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
