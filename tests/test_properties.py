@@ -1,0 +1,138 @@
+"""Property tests (SURVEY par.5c): invariants that must hold under ANY
+partitioning or parameter draw -- the guarantees the 100 TB regime
+depends on."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings, strategies as st
+
+from tiff_to_geojson_csv_json_format_converter_ray.functions import cells
+from tiff_to_geojson_csv_json_format_converter_ray.stages.sampling import (
+    StrideSampler, sample_rate_for,
+)
+from tiff_to_geojson_csv_json_format_converter_ray.stages.stats import (
+    combine_partials, finalize_stats, partial_stats_batch,
+)
+from tiff_to_geojson_csv_json_format_converter_ray.stages.transform import (
+    ValidityFilter,
+)
+
+
+def _points(n, seed):
+    rng = np.random.RandomState(seed)
+    z = rng.rand(n) * 100
+    z[rng.rand(n) < 0.2] = -3.4028234663852886e38
+    return pa.table(
+        {
+            "src": pa.array(rng.choice(["a", "b", "c"], size=n)),
+            "band": pa.array(rng.choice([1, 2], size=n).astype(np.int32)),
+            "z": pa.array(z),
+            "pix": pa.array(np.arange(n)),
+        }
+    )
+
+
+class TestPartitionInvariance:
+    @settings(max_examples=25, deadline=None)
+    @given(n=st.integers(10, 500), seed=st.integers(0, 99),
+           cuts=st.lists(st.integers(1, 499), max_size=4))
+    def test_stats_partial_final_equals_single_pass(self, n, seed, cuts):
+        """A1 partial/final == single-pass regardless of block splits."""
+        t = _points(n, seed)
+        keys = ["src", "band"]
+        whole = combine_partials(partial_stats_batch(t, keys), keys)
+
+        offsets = sorted({c % n for c in cuts} | {0, n})
+        parts = [
+            partial_stats_batch(t.slice(a, b - a), keys)
+            for a, b in zip(offsets[:-1], offsets[1:])
+            if b > a
+        ]
+        split = combine_partials(
+            pa.concat_tables(parts, promote_options="default"), keys
+        )
+
+        def norm(x):
+            return (
+                x.to_pandas()
+                .sort_values(keys)
+                .reset_index(drop=True)
+                .round(9)
+            )
+
+        assert norm(finalize_stats(whole)).equals(norm(finalize_stats(split)))
+
+    @settings(max_examples=25, deadline=None)
+    @given(n=st.integers(10, 500), seed=st.integers(0, 99), cut=st.integers(1, 499))
+    def test_filter_commutes_with_split(self, n, seed, cut):
+        t = _points(n, seed)
+        vf = ValidityFilter("threshold")
+        whole = vf(t)
+        c = cut % n or 1
+        split = pa.concat_tables([vf(t.slice(0, c)), vf(t.slice(c))])
+        assert whole.equals(split)
+
+    @settings(max_examples=25, deadline=None)
+    @given(n=st.integers(1, 2000), rate=st.integers(1, 50), cut=st.integers(1, 1999))
+    def test_stride_split_invariant(self, n, rate, cut):
+        """pix%%rate sampling picks the same set under any split --
+        equals the reference's arange(0, n, rate)."""
+        t = pa.table(
+            {"pix": pa.array(np.arange(n)), "src": pa.array(["s"] * n)}
+        )
+        s = StrideSampler(rate)
+        whole = s(t)["pix"].to_numpy()
+        c = cut % n or 1
+        split = pa.concat_tables([s(t.slice(0, c)), s(t.slice(c))])["pix"].to_numpy()
+        np.testing.assert_array_equal(whole, split)
+        np.testing.assert_array_equal(whole, np.arange(0, n, rate))
+
+    @settings(max_examples=50, deadline=None)
+    @given(total=st.integers(1, 10_000_000), cap=st.integers(1, 200_000))
+    def test_sample_rate_reference_arith(self, total, cap):
+        r = sample_rate_for(total, cap)
+        assert r >= 1
+        if total > cap:
+            assert r == total // cap  # doesSamples.py:74-77
+
+
+class TestCellProperties:
+    @settings(max_examples=50, deadline=None)
+    @given(
+        lon=st.floats(-179.999, 179.999), lat=st.floats(-89.999, 89.999),
+        res=st.integers(1, 12),
+    )
+    def test_point_in_own_cell_bounds(self, lon, lat, res):
+        c = cells.cell_of(np.array([lon]), np.array([lat]), res)
+        minlon, minlat, maxlon, maxlat = cells.cell_bounds(int(c[0]))
+        # 1e-13 tolerance: (lon+180) quantizes at ulp(180) ~ 2.8e-14, so
+        # points within half an ulp of a boundary land on its right cell
+        assert minlon - 1e-13 <= lon < maxlon + 1e-13
+        assert minlat - 1e-13 <= lat < maxlat + 1e-13
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        lon=st.floats(-179.999, 179.999), lat=st.floats(-89.999, 89.999),
+        res=st.integers(1, 12),
+    )
+    def test_parent_contains_child(self, lon, lat, res):
+        child = cells.cell_of(np.array([lon]), np.array([lat]), res)
+        parent_direct = cells.cell_of(np.array([lon]), np.array([lat]), res - 1)
+        np.testing.assert_array_equal(cells.parent(child), parent_direct)
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        minlon=st.floats(-170, 160), minlat=st.floats(-80, 70),
+        dlon=st.floats(0.001, 5.0), dlat=st.floats(0.001, 5.0),
+        res=st.integers(4, 9),
+    )
+    def test_bbox_cells_cover_contained_points(self, minlon, minlat, dlon, dlat, res):
+        maxlon, maxlat = minlon + dlon, minlat + dlat
+        cover = set(cells.cells_for_bbox(minlon, minlat, maxlon, maxlat, res).tolist())
+        rng = np.random.RandomState(0)
+        lons = minlon + rng.rand(50) * dlon
+        lats = minlat + rng.rand(50) * dlat
+        pts = cells.cell_of(lons, lats, res)
+        assert set(pts.tolist()) <= cover
