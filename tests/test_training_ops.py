@@ -59,6 +59,48 @@ class TestExactDedup:
         assert sorted(out["doc_id"]) == [1, 3, 4, 5, 6]  # doc 2 removed
 
 
+class TestShuffledVariants:
+    """High-cardinality shuffle-tier alternatives to the combiner paths."""
+
+    def test_shuffled_count_matches_partial(self, ray_session, sf_dir):
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
+            partial_count, shuffled_count,
+        )
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["lang"]
+        )
+        want = {
+            r["lang"]: r["count"] for r in partial_count(ds, ["lang"]).to_pylist()
+        }
+        got = {
+            r["lang"]: r["count()"]
+            for r in shuffled_count(ds, "lang").to_pandas().to_dict("records")
+        }
+        assert got == want
+
+    def test_shuffled_dedup_first_matches_exact(self, ray_session, fixtures_dir):
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.dedup import (
+            exact_dedup_representatives,
+        )
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
+            shuffled_dedup_first,
+        )
+
+        tbl = pq.read_table(os.path.join(fixtures_dir, "pages.parquet"))
+        tbl = tbl.append_column("doc_id", pa.array(np.arange(tbl.num_rows)))
+        ds = ray.data.from_arrow(tbl.select(["url", "doc_id"]))
+        want = set(
+            exact_dedup_representatives(ds, "url", "doc_id")["doc_id"].to_pylist()
+        )
+        got = set(
+            shuffled_dedup_first(ds, "url", "doc_id").to_pandas()["doc_id"]
+        )
+        assert got == want
+
+
 class TestMinHash:
     def test_lsh_finds_near_dups(self, ray_session):
         from tiff_to_geojson_csv_json_format_converter_ray.stages.dedup import (

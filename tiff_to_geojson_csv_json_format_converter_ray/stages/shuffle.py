@@ -92,6 +92,30 @@ class SaltStage:
         return batch.append_column("_salt", pa.array(salt))
 
 
+def shuffled_count(ds: ray.data.Dataset, key: str) -> ray.data.Dataset:
+    """High-cardinality tier: a true ``ds.groupby(key).count()`` shuffle
+    returning a DATASET (stays distributed).  Use when the group count
+    itself is too large for a driver-side combine (e.g. res-9 cells over
+    10^12 rows); ``partial_count`` is the cheaper default otherwise."""
+    return ds.groupby(key).count()
+
+
+def shuffled_dedup_first(
+    ds: ray.data.Dataset, key: str, order_col: str
+) -> ray.data.Dataset:
+    """High-cardinality exact dedup: hash-partition on ``key`` via
+    ``groupby`` and keep the min-``order_col`` row per group -- the
+    shuffle-tier alternative to dedup.exact_dedup's broadcast winner
+    set (which requires the distinct-key count to fit on the driver)."""
+    import pyarrow.compute as pc
+
+    def first(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[(order_col, "ascending")])
+        return group.take(idx[:1])
+
+    return ds.groupby(key).map_groups(first, batch_format="pyarrow")
+
+
 def salted_groupby_count(
     ds: ray.data.Dataset, key: str, salt_k: int = 8, hot_factor: float = 10.0
 ) -> pa.Table:
