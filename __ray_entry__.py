@@ -658,6 +658,50 @@ def _q_events_windowed(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_cell_counts_salted(sf_dir: str) -> pa.Table:
+    """Same result as cell_counts, computed through the REAL shuffle
+    path with explicit hot-cell salting (groupby (cell, salt) + final
+    combine) -- the skew-handling tier of the north rule."""
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
+        salted_groupby_count,
+    )
+
+    pts = _og_points_ds(valid_only=True, cells=(8,))
+    out = salted_groupby_count(pts, "cell_8", salt_k=4, hot_factor=5.0)
+    return out.rename_columns(["cell_8", "n"])
+
+
+def _q_events_sessions(sf_dir: str) -> pa.Table:
+    """Session windows (30 min gap) per user over the events stream:
+    groupby(user) co-locates each key, the session kernel runs per
+    group (stages/window.py::add_session_key)."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.window import (
+        add_session_key,
+    )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+
+    def sessions(group: pa.Table) -> pa.Table:
+        out = add_session_key(group, gap_s=1800)
+        n = len(set(out["session_id"].to_pylist()))
+        return pa.table(
+            {
+                "user_id": pa.array([group["user_id"][0].as_py()], pa.int64()),
+                "n_sessions": pa.array([n], pa.int64()),
+            }
+        )
+
+    res = ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+
+    return collect_tables(res)
+
+
 def _q_parts_by_brand(sf_dir: str) -> pa.Table:
     import ray.data
     from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
@@ -950,6 +994,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bounds": _q_bounds,
         "band_stats": _q_band_stats,
         "cell_counts": _q_cell_counts,
+        "cell_counts_salted": _q_cell_counts_salted,
         "bbox_join": _q_bbox_join,
         "pip_join": _q_pip_join,
         "zonal_stats": _q_zonal_stats,
@@ -964,6 +1009,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": _q_top_orders,
         "events_by_type": _q_events_by_type,
         "events_windowed": _q_events_windowed,
+        "events_sessions": _q_events_sessions,
         "customer_nations": _q_customer_nations,
         "supplier_by_nation": _q_supplier_by_nation,
         "parts_by_brand": _q_parts_by_brand,
@@ -1039,6 +1085,9 @@ def oracle_sql() -> dict[str, str]:
         "cell_counts": (
             f"SELECT {cell8} AS cell_8, COUNT(*) AS n FROM ({valid}) GROUP BY 1"
         ),
+        "cell_counts_salted": (
+            f"SELECT {cell8} AS cell_8, COUNT(*) AS n FROM ({valid}) GROUP BY 1"
+        ),
         "bbox_join": (
             f"SELECT t.tile_id FROM ({tiles_sql}) t WHERE EXISTS ("
             f"SELECT 1 FROM ({poly_boxes}) p WHERE NOT (t.tmaxx < p.pminx OR "
@@ -1093,6 +1142,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start, "
             "COUNT(value) AS n, MIN(value) AS min_value, MAX(value) AS max_value, "
             "ROUND(SUM(value), 4) AS sum_value FROM events GROUP BY 1"
+        ),
+        "events_sessions": (
+            "SELECT user_id, CAST(SUM(CASE WHEN prev IS NULL OR "
+            "epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_sessions FROM (SELECT user_id, ts, "
+            "LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events) "
+            "GROUP BY user_id"
         ),
         "supplier_by_nation": (
             "SELECT n.n_name, COUNT(s.s_suppkey) AS n_suppliers, "
