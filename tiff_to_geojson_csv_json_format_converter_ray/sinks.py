@@ -78,30 +78,30 @@ class GeoJSONSink:
 
             keep = secondary_stride_indices(len(lon), self.max_points)
             lon, lat, z = lon[keep], lat[keep], z[keep]
-        features = [
-            {
-                "type": "Feature",
-                "geometry": {
-                    "type": "Point",
-                    "coordinates": [float(a), float(b), float(c)],
-                },
-            }
-            for a, b, c in zip(lon, lat, z)
-        ]
-        doc = {
+        # direct string build: byte-identical to json.dump of the
+        # nested Feature dicts with separators=(',',':') -- json uses
+        # float.__repr__, so repr() here reproduces it exactly --
+        # without allocating 3 dicts + 1 list per point
+        features = ",".join(
+            '{"type":"Feature","geometry":{"type":"Point","coordinates":'
+            f"[{a!r},{b!r},{c!r}]}}}}"
+            for a, b, c in zip(lon.tolist(), lat.tolist(), z.tolist())
+        )
+        header = {
             "type": "FeatureCollection",
             "crs": {"type": "name", "properties": {"name": "EPSG:4326"}},
             "metadata": {
                 "source_file": key,
                 "coordinate_system": "EPSG:4326 (WGS84)",
                 "total_original_points": batch.num_rows,
-                "geojson_points": len(features),
+                "geojson_points": int(len(lon)),
                 "note": "Coordinates: [longitude, latitude, elevation]",
             },
-            "features": features,
         }
+        head = json.dumps(header, separators=(",", ":"))
+        doc = head[:-1] + ',"features":[' + features + "]}"
         with open(path, "w") as f:
-            json.dump(doc, f, separators=(",", ":"))
+            f.write(doc)
         return _manifest_row(path, batch, key)
 
 
