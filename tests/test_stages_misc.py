@@ -135,6 +135,55 @@ class TestRegrid:
         assert (np.asarray(doc["elevation_grid"]) == -1.0).all()
 
 
+class TestPIPModes:
+    def test_filter_and_anti_partition_points(self):
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import (
+            PIPJoiner,
+        )
+
+        polys = pa.Table.from_pylist(
+            [
+                {
+                    "polygon_id": "sq",
+                    "geom_type": "Polygon",
+                    "rings": [[[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0], [0.0, 0.0]]],
+                    "minx": 0.0, "miny": 0.0, "maxx": 1.0, "maxy": 1.0,
+                }
+            ]
+        )
+        rng = np.random.RandomState(0)
+        pts = pa.table(
+            {"lon": pa.array(rng.rand(500) * 2), "lat": pa.array(rng.rand(500) * 2)}
+        )
+        inside = PIPJoiner(polys, mode="filter")(pts)
+        outside = PIPJoiner(polys, mode="anti")(pts)
+        assert inside.num_rows + outside.num_rows == 500
+        assert (inside["lon"].to_numpy() <= 1.0).all()
+        joined = PIPJoiner(polys, mode="join")(pts)
+        assert joined.num_rows == inside.num_rows
+
+    def test_bbox_semijoin_explicit_cols(self):
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import (
+            BboxSemiJoin,
+        )
+
+        polys = pa.table(
+            {"polygon_id": ["p"], "minx": [0.0], "miny": [0.0],
+             "maxx": [1.0], "maxy": [1.0]}
+        )
+        rows = pa.table(
+            {
+                "id": pa.array([1, 2, 3]),
+                "minx": pa.array([0.5, 5.0, -2.0]),
+                "miny": pa.array([0.5, 5.0, -2.0]),
+                "maxx": pa.array([1.5, 6.0, -1.5]),
+                "maxy": pa.array([1.5, 6.0, -1.5]),
+            }
+        )
+        out = BboxSemiJoin(polys)(rows)
+        assert out["id"].to_pylist() == [1]
+
+
 class TestGeoJSONCap:
     def test_secondary_cap(self, tmp_path):
         import json

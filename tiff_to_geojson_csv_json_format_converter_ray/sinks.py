@@ -121,22 +121,23 @@ class CSVSink:
         lon = batch["lon"].to_numpy(zero_copy_only=False)
         lat = batch["lat"].to_numpy(zero_copy_only=False)
         z = batch["z"].to_numpy(zero_copy_only=False)
+        import pandas as pd
+
+        # pandas to_csv with float_format reproduces the reference's
+        # writers byte-for-byte (doesSamples.py:101 '%.6f',
+        # thiswillcompress.py:70 '%.2f' + gzip)
         if self.wgs84:
-            header = "longitude,latitude,elevation"
+            df = pd.DataFrame(
+                {"longitude": lon, "latitude": lat, "elevation": z}
+            )
             fmt = "%.6f"
         else:
-            header = "x,y,z"
+            df = pd.DataFrame({"x": lon, "y": lat, "z": z})
             fmt = "%.2f"
-        lines = [header]
-        for a, b, c in zip(lon, lat, z):
-            lines.append(f"{fmt % a},{fmt % b},{fmt % c}")
-        data = ("\n".join(lines) + "\n").encode()
-        if self.compression == "gzip":
-            with gzip.open(path, "wb") as f:
-                f.write(data)
-        else:
-            with open(path, "wb") as f:
-                f.write(data)
+        df.to_csv(
+            path, index=False, float_format=fmt,
+            compression="gzip" if self.compression == "gzip" else None,
+        )
         return _manifest_row(path, batch, key)
 
 
