@@ -240,6 +240,44 @@ class TestZonal:
                 assert row["mean"] == pytest.approx(z[m].mean())
                 assert row["std"] == pytest.approx(z[m].std())  # ddof=0
 
+    def test_center_fallback_rescues_allzero(self, ray_session, tiles_path):
+        """test2.py:1335-1357: zeros-are-nodata polygon gets a Null row
+        normally; with center_fallback the central 10% window is
+        sampled mask-free."""
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.zonal import (
+            zonal_stats,
+        )
+
+        # isolated raster: ONLY the all-zeros-with-nodata-0 tile
+        full = pq.read_table(tiles_path)
+        zero_only = full.filter(
+            pa.compute.equal(full["src"], "allzero_nd0")
+        )
+        import tempfile
+
+        zdir = tempfile.mkdtemp(prefix="zonal_fb_")
+        ztiles = os.path.join(zdir, "tiles.parquet")
+        pq.write_table(zero_only, ztiles)
+
+        # polygon inside the allzero_nd0 tile footprint (nodata=0)
+        ring = [[77.05, 28.75], [77.25, 28.75], [77.25, 28.93],
+                [77.05, 28.93], [77.05, 28.75]]
+        polys = pa.Table.from_pylist(
+            [{"polygon_id": "zero_poly", "geom_type": "Polygon",
+              "rings": [ring], "minx": 77.05, "miny": 28.75,
+              "maxx": 77.25, "maxy": 28.93}]
+        )
+        tiles_path = ztiles
+        plain = zonal_stats(tiles_path, polys).to_pandas()
+        zp = plain[plain["polygon_id"] == "zero_poly"]
+        # the allzero band-1 clip is all nodata(0) -> Null row exists
+        assert (zp["count"] == 0).any()
+
+        fb = zonal_stats(tiles_path, polys, center_fallback=True).to_pandas()
+        zf = fb[(fb["polygon_id"] == "zero_poly") & fb["from_center_fallback"]]
+        assert len(zf) > 0
+        assert (zf["count"] > 0).all()
+
     def test_zonal_null_sentinel_outside(self, ray_session, tiles_path, polygons_table):
         from tiff_to_geojson_csv_json_format_converter_ray.pipelines.zonal import zonal_stats
 

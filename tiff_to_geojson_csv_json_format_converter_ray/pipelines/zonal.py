@@ -56,11 +56,19 @@ def zonal_stats(
     buffer: float = 0.0,
     rescale: tuple[float, float] | None = None,
     concurrency: int | None = None,
+    center_fallback: bool = False,
 ) -> pa.Table:
     """-> one row per (polygon_id, band): min/max/mean/std/count (+nulls
     when a polygon clips no valid pixels -- including polygons whose
     bbox misses the raster entirely, the no-overlap path of
-    test2.py:1237-1260)."""
+    test2.py:1237-1260).
+
+    ``center_fallback`` replays the reference's last-resort ladder rung
+    (test2.py:1335-1357): for polygons with a Null record, compute
+    stats over ALL pixels (mask ignored) in the central 10%% of the
+    polygon's bbox clip -- made an explicit opt-in instead of
+    exception-driven control flow.  Rows gained this way carry
+    ``from_center_fallback = true``."""
     if buffer > 0.0:
         polygons = _buffered(polygons, buffer)
 
@@ -101,12 +109,24 @@ def zonal_stats(
         ValidityFilter(mask_strategy, nodata=nodata), batch_format="pyarrow", batch_size=None
     )
     stats = grouped_stats(valid, ["polygon_id", "band"], "z")
+    canonical = pa.schema(
+        [("polygon_id", pa.string()), ("band", pa.int32()),
+         ("count", pa.int64()), ("sum", pa.float64()),
+         ("sumsq", pa.float64()), ("min", pa.float64()),
+         ("max", pa.float64()), ("mean", pa.float64()),
+         ("std", pa.float64())]
+    )
+    if stats.num_rows == 0:
+        stats = canonical.empty_table()
+    else:
+        stats = stats.select(canonical.names).cast(canonical)
 
-    # "Null" sentinel rows for polygons with no valid clipped pixels
+    # "Null" sentinel rows for polygons with no valid clipped pixels;
+    # bands come from the tile metadata (not just the observed groups)
     have = set(
         zip(stats["polygon_id"].to_pylist(), stats["band"].to_pylist())
     )
-    bands = sorted(set(b for _, b in have)) or [1]
+    bands = sorted(set(meta["band"].to_pylist())) or [1]
     missing = []
     for pid in polygons["polygon_id"].to_pylist():
         for b in bands:
@@ -123,7 +143,74 @@ def zonal_stats(
             [stats, pa.Table.from_pylist(missing, schema=stats.schema)],
             promote_options="default",
         )
+    stats = stats.append_column(
+        "from_center_fallback",
+        pa.array([False] * stats.num_rows),
+    )
+
+    if center_fallback and missing:
+        stats = _apply_center_fallback(stats, pts, polygons, missing)
+
     order = pc.sort_indices(
         stats, sort_keys=[("polygon_id", "ascending"), ("band", "ascending")]
     )
     return stats.take(order)
+
+
+def _apply_center_fallback(
+    stats: pa.Table, pts, polygons: pa.Table, missing: list[dict]
+) -> pa.Table:
+    """Replace Null rows with center-10%%-window stats where possible."""
+    boxes = {
+        polygons["polygon_id"][i].as_py(): (
+            polygons["minx"][i].as_py(), polygons["miny"][i].as_py(),
+            polygons["maxx"][i].as_py(), polygons["maxy"][i].as_py(),
+        )
+        for i in range(polygons.num_rows)
+    }
+    centers = {}
+    for m in missing:
+        minx, miny, maxx, maxy = boxes[m["polygon_id"]]
+        cx, cy = (minx + maxx) / 2.0, (miny + maxy) / 2.0
+        hw, hh = (maxx - minx) * 0.05, (maxy - miny) * 0.05  # central 10%
+        centers[m["polygon_id"]] = (cx - hw, cy - hh, cx + hw, cy + hh)
+
+    def center_pick(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        parts = []
+        for pid, (a, b, c, d) in centers.items():
+            mask = (lon >= a) & (lon <= c) & (lat >= b) & (lat <= d)
+            if mask.any():
+                sub = batch.filter(pa.array(mask))
+                parts.append(
+                    sub.append_column(
+                        "polygon_id", pa.array([pid] * sub.num_rows)
+                    )
+                )
+        if not parts:
+            return batch.slice(0, 0).append_column(
+                "polygon_id", pa.array([], pa.string())
+            )
+        return pa.concat_tables(parts)
+
+    fb_pts = pts.map_batches(center_pick, batch_format="pyarrow", batch_size=None)
+    fb = grouped_stats(fb_pts, ["polygon_id", "band"], "z")
+    if fb.num_rows == 0:
+        return stats
+    fb = fb.append_column("from_center_fallback", pa.array([True] * fb.num_rows))
+    fb_keys = set(zip(fb["polygon_id"].to_pylist(), fb["band"].to_pylist()))
+    keep = [
+        not (pid, b) in fb_keys or cnt > 0
+        for pid, b, cnt in zip(
+            stats["polygon_id"].to_pylist(),
+            stats["band"].to_pylist(),
+            stats["count"].to_pylist(),
+        )
+    ]
+    kept = stats.filter(pa.array(keep))
+    return pa.concat_tables(
+        [kept, fb.select(kept.column_names)], promote_options="default"
+    )

@@ -92,12 +92,34 @@ def grouped_stats(
         lambda b: partial_stats_batch(b, keys, value_col),
         batch_format="pyarrow", batch_size=None,
     )
-    parts = pa.concat_tables(
-        [pa.Table.from_pydict(d) if isinstance(d, dict) else d
-         for d in _iter_tables(partial)],
-        promote_options="default",
-    )
+    tables, schema = _collect_with_schema(partial)
+    if not tables:
+        # every input row filtered out: empty result with the partial
+        # schema (string-typed keys if Ray elided all empty blocks --
+        # callers needing exact key types should handle num_rows == 0)
+        if schema is None:
+            schema = pa.schema(
+                [(k, pa.string()) for k in keys]
+                + [("n", pa.int64()), ("s", pa.float64()),
+                   ("s2", pa.float64()), ("mn", pa.float64()),
+                   ("mx", pa.float64())]
+            )
+        parts = schema.empty_table()
+    else:
+        parts = pa.concat_tables(tables, promote_options="default")
     return finalize_stats(combine_partials(parts, keys))
+
+
+def _collect_with_schema(ds):
+    tables = []
+    schema = None
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        if t.num_columns:
+            schema = t.schema
+        if t.num_rows:
+            tables.append(t)
+    return tables, schema
 
 
 def _iter_tables(ds):

@@ -95,6 +95,26 @@ class Uint8Rescale:
         return batch.set_column(i, self.z_col, pa.array(out))
 
 
+def detect_wms_degraded(dtype: str, nodata: float | None) -> dict:
+    """The reference's WMS-degradation heuristic (test2.py:1024-1060):
+    uint8 data with nodata 0 came from a styled WMS render and 'may be
+    scaled 0-255'; pairs with Uint8Rescale when the original range is
+    known."""
+    degraded = str(dtype) == "uint8" and (nodata == 0.0 or nodata is None)
+    return {
+        "wms_degraded": degraded,
+        "warning": "Values may be WMS-scaled (0-255)" if degraded else None,
+        "suggested_mask": "permissive_uint8" if degraded else "ne_nodata",
+    }
+
+
+def looks_like_binary_mask(values: np.ndarray) -> bool:
+    """Binary-mask diagnostic (get_raster_stats_enhanced.py:221-234):
+    <=3 unique values, all within {0, 255} (+nodata)."""
+    u = np.unique(values[np.isfinite(values)])
+    return len(u) <= 3 and bool(np.isin(u, [0.0, 255.0]).all())
+
+
 def looks_like_swapped(
     minx: float, miny: float, maxx: float, maxy: float,
     lat_range: tuple[float, float] = (20.0, 35.0),
