@@ -56,7 +56,6 @@ def _og_tiles_table() -> pa.Table:
     (4 tiles of 48x48) -- values identical to the SQL expressions."""
     from tiff_to_geojson_csv_json_format_converter_ray.schema import TILE_SCHEMA
 
-    rows_meta = []
     rr, cc = np.meshgrid(np.arange(OG_H), np.arange(OG_W), indexing="ij")
     raw = ((rr * 73 + cc * 31) % 500) / 10.0
     vals = raw.astype(np.float32)

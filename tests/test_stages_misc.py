@@ -184,6 +184,52 @@ class TestPIPModes:
         assert out["id"].to_pylist() == [1]
 
 
+class TestGeoJSONBytes:
+    def test_writer_matches_reference_json_dump(self, tmp_path):
+        """The fast string-builder must stay byte-identical to
+        json.dump of nested Feature dicts with compact separators
+        (completePixleOutput.py:94-128 output format)."""
+        import json
+
+        from tiff_to_geojson_csv_json_format_converter_ray.sinks import GeoJSONSink
+
+        rng = np.random.RandomState(1)
+        n = 500
+        t = pa.table(
+            {
+                "lon": pa.array(np.round(77 + rng.rand(n) * 2, 6)),
+                "lat": pa.array(np.round(27 + rng.rand(n) * 2, 6)),
+                "z": pa.array(np.round(rng.rand(n) * 100, 2)),
+                "src": pa.array(["s"] * n),
+            }
+        )
+        m = GeoJSONSink(str(tmp_path))(t)
+        got = open(m["output_path"][0].as_py()).read()
+        feats = [
+            {"type": "Feature", "geometry": {"type": "Point",
+             "coordinates": [float(a), float(b), float(c)]}}
+            for a, b, c in zip(
+                t["lon"].to_numpy(), t["lat"].to_numpy(), t["z"].to_numpy()
+            )
+        ]
+        want = json.dumps(
+            {
+                "type": "FeatureCollection",
+                "crs": {"type": "name", "properties": {"name": "EPSG:4326"}},
+                "metadata": {
+                    "source_file": "s",
+                    "coordinate_system": "EPSG:4326 (WGS84)",
+                    "total_original_points": n,
+                    "geojson_points": n,
+                    "note": "Coordinates: [longitude, latitude, elevation]",
+                },
+                "features": feats,
+            },
+            separators=(",", ":"),
+        )
+        assert got == want
+
+
 class TestGeoJSONCap:
     def test_secondary_cap(self, tmp_path):
         import json
