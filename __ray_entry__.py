@@ -910,6 +910,38 @@ def _q_zonal_multiband(sf_dir: str) -> pa.Table:
     return out.select(["polygon_id", "band", "count", "min", "max", "mean", "std"])
 
 
+def _q_reservoir_sample(sf_dir: str) -> pa.Table:
+    """Deterministic bottom-k uniform sample of orders (the
+    distributed reservoir-sampling stand-in; PAPERS.md motif)."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
+        bottomk_sample,
+    )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice"],
+    )
+    return bottomk_sample(ds, "o_orderkey", k=20, seed=7)
+
+
+def _q_approx_distinct(sf_dir: str) -> pa.Table:
+    """HyperLogLog distinct estimates (rows-only; accuracy asserted in
+    pytest against exact counts)."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
+        approx_distinct,
+    )
+
+    rows = []
+    for col in ("lang", "source", "text"):
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=[col]
+        )
+        rows.append({"column": col, "estimate": round(approx_distinct(ds, col), 1)})
+    return pa.Table.from_pylist(rows)
+
+
 def _q_media_decode(sf_dir: str) -> pa.Table:
     """Multimodal plumbing: binary media -> actor-pool fake decode."""
     import ray.data
@@ -1014,6 +1046,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_by_brand": _q_parts_by_brand,
         "docs_by_source": _q_docs_by_source,
         "distinct_langs": _q_distinct_langs,
+        "reservoir_sample": _q_reservoir_sample,
         # text / dedup / ANN
         "dedup_exact": _q_dedup_exact,
         "token_counts": _q_token_counts,
@@ -1029,6 +1062,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_ann": _q_ivf_ann,
         "zonal_multiband": _q_zonal_multiband,
         "pages_flagship": _q_pages_flagship,
+        "approx_distinct": _q_approx_distinct,
         "media_decode": _q_media_decode,
         "jaccard_pairs": _q_jaccard_pairs,
     }
@@ -1186,6 +1220,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "distinct_langs": (
             "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang"
+        ),
+        "reservoir_sample": (
+            "SELECT o_orderkey, o_totalprice FROM orders ORDER BY "
+            + __import__("tiff_to_geojson_csv_json_format_converter_ray.functions.sketch",
+                         fromlist=["mix32_sql"]).mix32_sql("o_orderkey", 7)
+            + ", o_orderkey LIMIT 20"
         ),
         "dedup_exact": (
             "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"

@@ -1,0 +1,88 @@
+"""Tests for the sketch/sampling operators (HLL, bottom-k sampling)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from tiff_to_geojson_csv_json_format_converter_ray.functions import hashing as H
+from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
+    HyperLogLog, mix32, mix32_sql,
+)
+
+
+class TestHLL:
+    def test_accuracy(self):
+        hll = HyperLogLog(p=12)
+        n = 20_000
+        hll.add_hashes(H.fnv1a_array([f"item-{i}" for i in range(n)]))
+        est = hll.estimate()
+        assert abs(est - n) / n < 0.05  # ~1.04/sqrt(4096) = 1.6% std err
+
+    def test_merge_equals_union(self):
+        a, b, u = HyperLogLog(12), HyperLogLog(12), HyperLogLog(12)
+        ha = H.fnv1a_array([f"a{i}" for i in range(5000)])
+        hb = H.fnv1a_array([f"b{i}" for i in range(5000)])
+        a.add_hashes(ha)
+        b.add_hashes(hb)
+        u.add_hashes(np.concatenate([ha, hb]))
+        merged = a.merge(b)
+        np.testing.assert_array_equal(merged.registers, u.registers)
+
+    def test_duplicates_dont_inflate(self):
+        hll = HyperLogLog(12)
+        h = H.fnv1a_array(["x", "y", "z"] * 1000)
+        hll.add_hashes(h)
+        assert hll.estimate() < 10
+
+
+class TestMix32:
+    def test_matches_duckdb(self):
+        import duckdb
+
+        keys = np.arange(0, 50_000, 7, dtype=np.int64)
+        mine = mix32(keys, seed=7)
+        con = duckdb.connect()
+        con.register("t", pa.table({"k": keys}))
+        got = con.execute(
+            f"SELECT {mix32_sql('k', 7)} AS h FROM t"
+        ).fetchnumpy()["h"]
+        np.testing.assert_array_equal(got.astype(np.int64), mine)
+
+    def test_uniformity_rough(self):
+        h = mix32(np.arange(100_000, dtype=np.int64))
+        # buckets roughly uniform (chi-square-ish sanity)
+        counts = np.bincount((h // (2**32 // 16)).astype(int), minlength=16)[:16]
+        assert counts.min() > 100_000 / 16 * 0.9
+
+
+class TestBottomK:
+    def test_partition_invariant(self, ray_session):
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
+            bottomk_sample,
+        )
+
+        t = pa.table({"k": pa.array(np.arange(5000, dtype=np.int64))})
+        one = ray.data.from_arrow(t)
+        many = ray.data.from_arrow([t.slice(i, 500) for i in range(0, 5000, 500)])
+        s1 = bottomk_sample(one, "k", 25, seed=3)["k"].to_pylist()
+        s2 = bottomk_sample(many, "k", 25, seed=3)["k"].to_pylist()
+        assert s1 == s2
+        # equals the direct definition
+        h = mix32(np.arange(5000, dtype=np.int64), 3)
+        want = np.arange(5000)[np.lexsort((np.arange(5000), h))][:25]
+        assert sorted(s1) == sorted(want.tolist())
+
+    def test_seed_changes_sample(self, ray_session):
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
+            bottomk_sample,
+        )
+
+        ds = ray.data.from_arrow(
+            pa.table({"k": pa.array(np.arange(2000, dtype=np.int64))})
+        )
+        a = bottomk_sample(ds, "k", 20, seed=1)["k"].to_pylist()
+        b = bottomk_sample(ds, "k", 20, seed=2)["k"].to_pylist()
+        assert a != b

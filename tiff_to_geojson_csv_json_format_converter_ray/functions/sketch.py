@@ -1,0 +1,99 @@
+"""Mergeable sketches + deterministic distributed sampling.
+
+Motivated by the retrieved sampling/sketching literature (PAPERS.md:
+reservoir sampling over joins, sketch+sample group-by estimates):
+
+- :class:`HyperLogLog` -- Flajolet et al. 2007 with the standard bias
+  correction; registers merge by elementwise max, so per-batch partial
+  sketches combine exactly (any partitioning -> identical estimate).
+- :func:`mix32` / :func:`mix32_sql` -- a 32-bit multiplicative-xor
+  integer mix built ONLY from ops that stay inside int64 (so DuckDB
+  reproduces it bit-exactly: no wrapping-multiply needed).  Bottom-k
+  rows by ``mix32(key ^ seed)`` is a uniform deterministic sample that
+  is partitioning-independent and mergeable (keep the k smallest) --
+  the distributed, deterministic stand-in for reservoir sampling.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_M32 = np.int64(4294967296)  # 2^32
+
+
+def mix32(x: np.ndarray, seed: int = 0) -> np.ndarray:
+    """int64 keys -> int64 in [0, 2^32): Knuth multiplicative step +
+    xorshift finalizers; every intermediate fits in int64."""
+    v = (np.asarray(x, np.int64) + np.int64(seed)) % _M32
+    v = (v * np.int64(2654435761)) % _M32
+    v = ((v ^ (v >> np.int64(16))) * np.int64(73244475)) % _M32
+    v = ((v ^ (v >> np.int64(16))) * np.int64(73244475)) % _M32
+    return v ^ (v >> np.int64(16))
+
+
+def mix32_sql(col: str, seed: int = 0) -> str:
+    """DuckDB expression computing mix32 identically (BIGINT-safe)."""
+    v0 = f"((({col}) + {seed}) % 4294967296)"
+    v1 = f"(({v0} * 2654435761) % 4294967296)"
+    v2 = f"(((xor({v1}, {v1} >> 16)) * 73244475) % 4294967296)"
+    v3 = f"(((xor({v2}, {v2} >> 16)) * 73244475) % 4294967296)"
+    return f"xor({v3}, {v3} >> 16)"
+
+
+def _fmix64(h: np.ndarray) -> np.ndarray:
+    """MurmurHash3 64-bit finalizer: FNV's high bits are weak, so mix
+    before taking register indexes from the top bits."""
+    with np.errstate(over="ignore"):
+        h = h ^ (h >> np.uint64(33))
+        h = h * np.uint64(0xFF51AFD7ED558CCD)
+        h = h ^ (h >> np.uint64(33))
+        h = h * np.uint64(0xC4CEB9FE1A85EC53)
+        h = h ^ (h >> np.uint64(33))
+    return h
+
+
+class HyperLogLog:
+    """Standard HLL with 2^p registers over 64-bit hashes."""
+
+    def __init__(self, p: int = 12):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+        if p == 12:
+            self.alpha = 0.7213 / (1.0 + 1.079 / self.m)
+        elif p >= 7:
+            self.alpha = 0.7213 / (1.0 + 1.079 / self.m)
+        else:
+            self.alpha = 0.673
+
+    def add_hashes(self, hashes: np.ndarray) -> None:
+        h = _fmix64(np.asarray(hashes, np.uint64))
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = h << np.uint64(self.p)
+        # rho = position of the leftmost 1-bit in the remaining 64-p bits
+        rho = np.zeros(len(h), dtype=np.uint8)
+        remaining = rest.copy()
+        found = np.zeros(len(h), dtype=bool)
+        for bit in range(64 - self.p):
+            top = (remaining >> np.uint64(63)) & np.uint64(1)
+            newly = (~found) & (top == 1)
+            rho[newly] = bit + 1
+            found |= newly
+            remaining = remaining << np.uint64(1)
+        rho[~found] = 64 - self.p + 1
+        np.maximum.at(self.registers, idx, rho)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        assert other.p == self.p
+        out = HyperLogLog(self.p)
+        out.registers = np.maximum(self.registers, other.registers)
+        return out
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        est = self.alpha * m * m / np.sum(2.0 ** (-self.registers.astype(np.float64)))
+        if est <= 2.5 * m:
+            zeros = int((self.registers == 0).sum())
+            if zeros:
+                est = m * np.log(m / zeros)  # linear counting
+        return float(est)

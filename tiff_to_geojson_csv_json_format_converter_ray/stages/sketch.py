@@ -1,0 +1,74 @@
+"""Sketch/sampling stages on the combiner pattern: per-batch partial
+sketches, tiny driver merge -- no shuffle of raw rows."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..functions import hashing as H
+from ..functions.sketch import HyperLogLog, mix32
+
+
+def approx_distinct(
+    ds: ray.data.Dataset, col: str, p: int = 12
+) -> float:
+    """Mergeable HyperLogLog distinct-count estimate of a column."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hll = HyperLogLog(p)
+        vals = batch[col].to_pylist()
+        if vals:
+            hll.add_hashes(H.fnv1a_array([str(v) for v in vals]))
+        return pa.table(
+            {"registers": pa.array([hll.registers.tobytes()], pa.binary())}
+        )
+
+    merged = HyperLogLog(p)
+    for t in ds.map_batches(partial, batch_format="pyarrow", batch_size=None).iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        for buf in t["registers"].to_pylist():
+            other = HyperLogLog(p)
+            other.registers = np.frombuffer(buf, dtype=np.uint8).copy()
+            merged = merged.merge(other)
+    return merged.estimate()
+
+
+def bottomk_sample(
+    ds: ray.data.Dataset, key_col: str, k: int, seed: int = 0
+) -> pa.Table:
+    """Deterministic uniform sample: the k rows with the smallest
+    ``mix32(key + seed)``.  Partitioning-independent (per-batch top-k
+    partials merge exactly); ties broken by key.  The reservoir-
+    sampling stand-in whose hash a SQL oracle reproduces bit-exactly
+    (functions/sketch.py::mix32_sql)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = mix32(keys, seed)
+        out = batch.append_column("_h", pa.array(h))
+        if out.num_rows <= k:
+            return out
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(
+            out, sort_keys=[("_h", "ascending"), (key_col, "ascending")]
+        )[:k]
+        return out.take(idx)
+
+    parts = []
+    for t in ds.map_batches(partial, batch_format="pyarrow", batch_size=None).iter_batches(
+        batch_format="pyarrow", batch_size=None
+    ):
+        tt = t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+        if tt.num_rows:
+            parts.append(tt)
+    allp = pa.concat_tables(parts, promote_options="default")
+    import pyarrow.compute as pc
+
+    idx = pc.sort_indices(
+        allp, sort_keys=[("_h", "ascending"), (key_col, "ascending")]
+    )[: min(k, allp.num_rows)]
+    return allp.take(idx).drop_columns(["_h"])
