@@ -161,6 +161,27 @@ class TestConvert:
         assert doc["crs"]["properties"]["name"] == "EPSG:4326"
         assert len(doc["features"]) == doc["metadata"]["geojson_points"]
 
+    def test_combined_csv(self, ray_session, tiles_path, tmp_path):
+        """S3 + K-union: re-ingest per-source CSVs, union with a
+        source_file lineage column (completePixleOutput.py:252-282)."""
+        import pandas as pd
+
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.convert import (
+            combine_csv_outputs, convert,
+        )
+
+        convert(tiles_path, str(tmp_path / "out"), mode="sample", formats=("csv",))
+        n = combine_csv_outputs(
+            str(tmp_path / "out" / "csv"), str(tmp_path / "combined.csv")
+        )
+        df = pd.read_csv(tmp_path / "combined.csv")
+        assert len(df) == n > 0
+        assert "source_file" in df.columns
+        assert set(df.columns) == {
+            "longitude", "latitude", "elevation", "source_file"
+        }
+        assert df["source_file"].nunique() >= 4
+
     def test_compress_mode_native_crs(self, ray_session, tiles_path, tiles_table):
         from tiff_to_geojson_csv_json_format_converter_ray.pipelines.convert import (
             extract_points, read_tiles, tiles_metadata,

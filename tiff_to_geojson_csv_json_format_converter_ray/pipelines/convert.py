@@ -89,6 +89,46 @@ def extract_points(
     return pts
 
 
+def combine_csv_outputs(csv_dir: str, out_path: str) -> int:
+    """The reference's combined-file step (create_combined_file,
+    completePixleOutput.py:252-282): re-ingest the per-source CSV
+    outputs (S3), union them with a ``source_file`` lineage column
+    derived from the file name, and write one combined CSV.  Returns
+    the combined row count."""
+    import ray.data as rd
+
+    files = sorted(str(p) for p in Path(csv_dir).glob("*.csv"))
+    if not files:
+        return 0
+    parts = []
+    for f in files:
+        ds = rd.read_csv(f)
+        src = Path(f).stem.rsplit("_", 1)[0]
+        parts.append(
+            ds.map_batches(
+                lambda b, s=src: b.append_column(
+                    "source_file", pa.array([s] * b.num_rows)
+                ),
+                batch_format="pyarrow", batch_size=None,
+            )
+        )
+    combined = parts[0]
+    for p in parts[1:]:
+        combined = combined.union(p)
+    tbl = pa.concat_tables(
+        [
+            t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+            for t in combined.iter_batches(batch_format="pyarrow", batch_size=None)
+            if t.num_rows
+        ],
+        promote_options="default",
+    )
+    import pandas as pd
+
+    tbl.to_pandas().to_csv(out_path, index=False)
+    return tbl.num_rows
+
+
 def build_catalog(points: ray.data.Dataset, meta: pa.Table) -> dict:
     """Master catalog (K9, completePixleOutput.py:292-377): per-src
     bounds + has_valid_data + overall bounds, sorted by source name.

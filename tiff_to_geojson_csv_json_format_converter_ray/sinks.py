@@ -48,6 +48,26 @@ def _manifest_row(path: str, batch: pa.Table, key: str) -> pa.Table:
     )
 
 
+
+def _split_by_src(batch: pa.Table):
+    """One output file per (block, src): the reference writes per-source
+    files, so lineage via file name stays exact even when a block mixes
+    sources."""
+    if "src" not in batch.column_names or batch.num_rows == 0:
+        yield _part_name(batch), batch
+        return
+    srcs = batch["src"].to_pylist()
+    uniq = sorted(set(srcs))
+    if len(uniq) == 1:
+        yield uniq[0], batch
+        return
+    import numpy as np
+
+    arr = np.asarray(srcs, dtype=object)
+    for s in uniq:
+        yield s, batch.filter(pa.array(arr == s))
+
+
 def _part_name(batch: pa.Table) -> str:
     if "src" in batch.column_names and batch.num_rows:
         return str(batch["src"][0].as_py())
@@ -67,8 +87,13 @@ class GeoJSONSink:
         self.max_points = max_points
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = [
+            self._write_one(key, sub) for key, sub in _split_by_src(batch)
+        ]
+        return pa.concat_tables(rows, promote_options="default")
+
+    def _write_one(self, key: str, batch: pa.Table) -> pa.Table:
         Path(self.out_dir).mkdir(parents=True, exist_ok=True)
-        key = _part_name(batch)
         path = os.path.join(self.out_dir, f"{key}_{uuid.uuid4().hex[:8]}.geojson")
         lon = batch["lon"].to_numpy(zero_copy_only=False)
         lat = batch["lat"].to_numpy(zero_copy_only=False)
@@ -114,8 +139,13 @@ class CSVSink:
         self.compression = compression
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = [
+            self._write_one(key, sub) for key, sub in _split_by_src(batch)
+        ]
+        return pa.concat_tables(rows, promote_options="default")
+
+    def _write_one(self, key: str, batch: pa.Table) -> pa.Table:
         Path(self.out_dir).mkdir(parents=True, exist_ok=True)
-        key = _part_name(batch)
         ext = ".csv.gz" if self.compression == "gzip" else ".csv"
         path = os.path.join(self.out_dir, f"{key}_{uuid.uuid4().hex[:8]}{ext}")
         lon = batch["lon"].to_numpy(zero_copy_only=False)
@@ -151,8 +181,13 @@ class JSONSink:
         self.extra_metadata = extra_metadata or {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = [
+            self._write_one(key, sub) for key, sub in _split_by_src(batch)
+        ]
+        return pa.concat_tables(rows, promote_options="default")
+
+    def _write_one(self, key: str, batch: pa.Table) -> pa.Table:
         Path(self.out_dir).mkdir(parents=True, exist_ok=True)
-        key = _part_name(batch)
         ext = ".json.gz" if self.compression == "gzip" else ".json"
         path = os.path.join(self.out_dir, f"{key}_{uuid.uuid4().hex[:8]}{ext}")
         lon = batch["lon"].to_numpy(zero_copy_only=False)
@@ -196,8 +231,13 @@ class NPZSink:
         self.out_dir = out_dir
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = [
+            self._write_one(key, sub) for key, sub in _split_by_src(batch)
+        ]
+        return pa.concat_tables(rows, promote_options="default")
+
+    def _write_one(self, key: str, batch: pa.Table) -> pa.Table:
         Path(self.out_dir).mkdir(parents=True, exist_ok=True)
-        key = _part_name(batch)
         path = os.path.join(self.out_dir, f"{key}_{uuid.uuid4().hex[:8]}.npz")
         np.savez_compressed(
             path,
