@@ -910,6 +910,38 @@ def _q_zonal_multiband(sf_dir: str) -> pa.Table:
     return out.select(["polygon_id", "band", "count", "min", "max", "mean", "std"])
 
 
+
+def _q_asof_join(sf_dir: str) -> pa.Table:
+    """As-of join: each event gets the latest order date <= its ts
+    (broadcast sorted side + vectorized binary search)."""
+    import pyarrow.parquet as pq
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import AsofLookup
+
+    dates = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderdate"]
+    )["o_orderdate"].cast(pa.int64())
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "ts"]
+    )
+    out = collect_tables(
+        ds.map_batches(
+            AsofLookup(pa.table({"k": dates}), ts_col="ts", out_col="asof_date_us"),
+            batch_format="pyarrow", batch_size=None,
+        )
+    )
+    return pa.table(
+        {
+            "event_id": out["event_id"],
+            "ts_us": out["ts"].cast(pa.int64()),
+            "asof_date_us": out["asof_date_us"],
+        }
+    )
+
+
 def _q_reservoir_sample(sf_dir: str) -> pa.Table:
     """Deterministic bottom-k uniform sample of orders (the
     distributed reservoir-sampling stand-in; PAPERS.md motif)."""
@@ -1047,6 +1079,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_by_source": _q_docs_by_source,
         "distinct_langs": _q_distinct_langs,
         "reservoir_sample": _q_reservoir_sample,
+        "asof_join": _q_asof_join,
         # text / dedup / ANN
         "dedup_exact": _q_dedup_exact,
         "token_counts": _q_token_counts,
@@ -1220,6 +1253,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "distinct_langs": (
             "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang"
+        ),
+        "asof_join": (
+            "SELECT e.event_id, epoch_us(e.ts) AS ts_us, "
+            "(SELECT MAX(epoch_us(o.o_orderdate)) FROM orders o "
+            "WHERE epoch_us(o.o_orderdate) <= epoch_us(e.ts)) AS asof_date_us "
+            "FROM events e"
         ),
         "reservoir_sample": (
             "SELECT o_orderkey, o_totalprice FROM orders ORDER BY "

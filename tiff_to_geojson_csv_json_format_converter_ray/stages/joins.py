@@ -209,6 +209,33 @@ class KNNLookup:
         return batch
 
 
+class AsofLookup:
+    """As-of (most-recent-at-or-before) join against a small sorted
+    side: for each stream row's ``ts`` attach the greatest side key
+    <= ts (binary search per batch, vectorized).  The side is the
+    broadcast dimension -- the Ray-Data-native form of an as-of join
+    when one side is small; for two big sides, range-partition both on
+    time and apply this kernel per partition."""
+
+    def __init__(self, side_keys, ts_col: str = "ts", out_col: str = "asof_key"):
+        keys = _resolve(side_keys)
+        if isinstance(keys, pa.Table):
+            keys = keys.column(0).to_numpy(zero_copy_only=False)
+        self.side = np.sort(np.unique(np.asarray(keys, np.int64)))
+        self.ts_col = ts_col
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ts = batch[self.ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(self.side, ts, side="right") - 1
+        vals = np.where(idx >= 0, self.side[np.maximum(idx, 0)], 0)
+        arr = pa.array(
+            [int(v) if i >= 0 else None for v, i in zip(vals, idx)],
+            pa.int64(),
+        )
+        return batch.append_column(self.out_col, arr)
+
+
 def broadcast_table(tbl: pa.Table):
     """``ray.put`` a small side table once; returns the ObjectRef to
     hand to the stage constructors (read per actor, never per batch)."""
