@@ -942,6 +942,45 @@ def _q_asof_join(sf_dir: str) -> pa.Table:
     )
 
 
+
+def _q_top_docs_per_lang(sf_dir: str) -> pa.Table:
+    """Per-group top-k (windowed ROW_NUMBER shape, no shuffle)."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        grouped_top_k,
+    )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    return grouped_top_k(
+        ds, "lang", "n_chars", k=3, descending=True, tiebreak="doc_id"
+    )
+
+
+def _q_quantiles(sf_dir: str) -> pa.Table:
+    """Approximate quantiles of l_extendedprice via the mergeable
+    histogram sketch (rows-only; accuracy asserted in pytest)."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
+        quantile_histogram,
+    )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_extendedprice"]
+    )
+    h = quantile_histogram(ds, "l_extendedprice", bins=512)
+    return pa.table(
+        {
+            "q": pa.array([0.25, 0.5, 0.75, 0.95]),
+            "estimate": pa.array(
+                [round(h.quantile(q), 2) for q in (0.25, 0.5, 0.75, 0.95)]
+            ),
+        }
+    )
+
+
 def _q_reservoir_sample(sf_dir: str) -> pa.Table:
     """Deterministic bottom-k uniform sample of orders (the
     distributed reservoir-sampling stand-in; PAPERS.md motif)."""
@@ -1080,6 +1119,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_langs": _q_distinct_langs,
         "reservoir_sample": _q_reservoir_sample,
         "asof_join": _q_asof_join,
+        "top_docs_per_lang": _q_top_docs_per_lang,
+        "quantiles": _q_quantiles,
         # text / dedup / ANN
         "dedup_exact": _q_dedup_exact,
         "token_counts": _q_token_counts,
@@ -1253,6 +1294,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "distinct_langs": (
             "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang"
+        ),
+        "top_docs_per_lang": (
+            "SELECT doc_id, lang, n_chars, CAST(rn - 1 AS BIGINT) AS rank FROM ("
+            "SELECT doc_id, lang, n_chars, ROW_NUMBER() OVER ("
+            "PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn "
+            "FROM documents) WHERE rn <= 3"
         ),
         "asof_join": (
             "SELECT e.event_id, epoch_us(e.ts) AS ts_us, "

@@ -56,6 +56,66 @@ class TestMix32:
         assert counts.min() > 100_000 / 16 * 0.9
 
 
+class TestQuantileHistogram:
+    def test_accuracy_vs_numpy(self, ray_session):
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
+            quantile_histogram,
+        )
+
+        rng = np.random.RandomState(0)
+        v = rng.lognormal(3.0, 1.0, size=50_000)
+        t = pa.table({"x": pa.array(v)})
+        ds = ray.data.from_arrow([t.slice(i, 5000) for i in range(0, 50_000, 5000)])
+        h = quantile_histogram(ds, "x", bins=512)
+        for q in (0.25, 0.5, 0.75, 0.95):
+            exact = np.percentile(v, q * 100)
+            est = h.quantile(q)
+            assert abs(est - exact) / exact < 0.05, (q, est, exact)
+
+    def test_partition_invariant(self, ray_session):
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
+            quantile_histogram,
+        )
+
+        v = np.random.RandomState(1).rand(10_000) * 100
+        t = pa.table({"x": pa.array(v)})
+        a = quantile_histogram(ray.data.from_arrow(t), "x", bins=64, lo=0.0, hi=100.0)
+        b = quantile_histogram(
+            ray.data.from_arrow([t.slice(0, 3000), t.slice(3000)]),
+            "x", bins=64, lo=0.0, hi=100.0,
+        )
+        np.testing.assert_array_equal(a.counts, b.counts)
+
+
+class TestGroupedTopK:
+    def test_matches_window_function(self, ray_session, sf_dir):
+        import duckdb
+        import os
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+            grouped_top_k,
+        )
+
+        path = os.path.join(sf_dir, "documents.parquet")
+        ds = ray.data.read_parquet(path, columns=["doc_id", "lang", "n_chars"])
+        got = (
+            grouped_top_k(ds, "lang", "n_chars", 3, tiebreak="doc_id")
+            .to_pandas()
+            .sort_values(["lang", "rank"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        want = con.execute(
+            f"SELECT doc_id, lang, n_chars, rn - 1 AS rank FROM ("
+            f"SELECT doc_id, lang, n_chars, ROW_NUMBER() OVER ("
+            f"PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn "
+            f"FROM read_parquet('{path}')) WHERE rn <= 3 ORDER BY lang, rank"
+        ).fetchdf()
+        assert got["doc_id"].tolist() == want["doc_id"].tolist()
+
+
 class TestBottomK:
     def test_partition_invariant(self, ray_session):
         import ray.data

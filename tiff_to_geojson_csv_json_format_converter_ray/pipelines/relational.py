@@ -107,6 +107,46 @@ def top_k(
     return allp.take(idx)
 
 
+def grouped_top_k(
+    ds: ray.data.Dataset, group_col: str, order_col: str, k: int,
+    descending: bool = True, tiebreak: str | None = None,
+) -> pa.Table:
+    """Per-group top-k (the windowed ROW_NUMBER <= k shape): per-batch
+    partial top-k per group, tiny driver combine -- no shuffle."""
+    keys = [(order_col, "descending" if descending else "ascending")]
+    if tiebreak:
+        keys.append((tiebreak, "ascending"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(batch, sort_keys=[(group_col, "ascending")] + keys)
+        t = batch.take(idx)
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        ends = np.r_[starts[1:], len(g)]
+        keep = np.concatenate(
+            [np.arange(s, min(s + k, e)) for s, e in zip(starts, ends)]
+        ) if len(g) else np.array([], dtype=np.int64)
+        return t.take(pa.array(keep))
+
+    allp = collect_tables(ds.map_batches(partial, batch_format="pyarrow", batch_size=None))
+    if allp is None:
+        return allp
+    # final: same per-group head over the combined partials
+    idx = pc.sort_indices(allp, sort_keys=[(group_col, "ascending")] + keys)
+    t = allp.take(idx)
+    g = t[group_col].to_numpy(zero_copy_only=False)
+    starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+    ends = np.r_[starts[1:], len(g)]
+    keep = np.concatenate(
+        [np.arange(s, min(s + k, e)) for s, e in zip(starts, ends)]
+    )
+    out = t.take(pa.array(keep))
+    ranks = np.concatenate(
+        [np.arange(min(k, e - s)) for s, e in zip(starts, ends)]
+    )
+    return out.append_column("rank", pa.array(ranks.astype(np.int64)))
+
+
 def distinct(ds: ray.data.Dataset, cols: list[str]) -> pa.Table:
     """Distinct tuples via per-batch unique + final unique."""
 
