@@ -299,6 +299,52 @@ class TestZonal:
         assert len(zf) > 0
         assert (zf["count"] > 0).all()
 
+    def test_zonal_buffer_grows_counts(self, ray_session, tiles_path, polygons_table):
+        """T8 end-to-end: buffered polygons clip at least as many
+        pixels (test2.py:275-278 inclusive-clip role)."""
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.zonal import (
+            zonal_stats,
+        )
+
+        plain = zonal_stats(tiles_path, polygons_table).to_pandas()
+        buffered = zonal_stats(tiles_path, polygons_table, buffer=0.05).to_pandas()
+        p = plain[plain["band"] == 1].set_index("polygon_id")["count"]
+        b = buffered[buffered["band"] == 1].set_index("polygon_id")["count"]
+        assert (b.loc[p.index] >= p).all()
+        assert (b.loc[p.index] > p).any()
+
+    def test_zonal_rescale_uint8(self, ray_session, tiles_path, polygons_table):
+        """T12 end-to-end: rescale maps stats into the original range."""
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.zonal import (
+            zonal_stats,
+        )
+
+        plain = zonal_stats(tiles_path, polygons_table).to_pandas()
+        rescaled = zonal_stats(
+            tiles_path, polygons_table, rescale=(1000.0, 2000.0)
+        ).to_pandas()
+        p = plain[(plain["polygon_id"] == "adm_0") & (plain["band"] == 1)].iloc[0]
+        r = rescaled[(rescaled["polygon_id"] == "adm_0") & (rescaled["band"] == 1)].iloc[0]
+        # v/255*(max-min)+min applied before stats
+        assert r["mean"] == pytest.approx(p["mean"] / 255.0 * 1000.0 + 1000.0, rel=1e-9)
+        assert r["count"] == p["count"]
+
+    def test_pages_actor_pool_path(self, ray_session, fixtures_dir, polygons_table):
+        """PIP as an actor pool (concurrency=2) gives identical counts
+        to the function-closure path."""
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.pages import (
+            pages_flagship,
+        )
+
+        pages_path = os.path.join(fixtures_dir, "pages.parquet")
+        fn_path = pages_flagship(pages_path, polygons=polygons_table, res=8)
+        actor_path = pages_flagship(
+            pages_path, polygons=polygons_table, res=8, concurrency=2
+        )
+        a = sorted(fn_path["polygon_counts"].to_pylist(), key=lambda r: r["polygon_id"])
+        b = sorted(actor_path["polygon_counts"].to_pylist(), key=lambda r: r["polygon_id"])
+        assert a == b
+
     def test_zonal_null_sentinel_outside(self, ray_session, tiles_path, polygons_table):
         from tiff_to_geojson_csv_json_format_converter_ray.pipelines.zonal import zonal_stats
 

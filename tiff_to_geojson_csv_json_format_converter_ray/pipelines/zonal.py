@@ -101,13 +101,15 @@ def zonal_stats(
             }
         ),
     )
-    if rescale is not None:
-        joined = joined.map_batches(
-            Uint8Rescale(rescale[0], rescale[1]), batch_format="pyarrow", batch_size=None
-        )
+    # mask FIRST, then rescale -- the reference scales only the already
+    # masked valid_data (test2.py:1473-1484)
     valid = joined.map_batches(
         ValidityFilter(mask_strategy, nodata=nodata), batch_format="pyarrow", batch_size=None
     )
+    if rescale is not None:
+        valid = valid.map_batches(
+            Uint8Rescale(rescale[0], rescale[1]), batch_format="pyarrow", batch_size=None
+        )
     stats = grouped_stats(valid, ["polygon_id", "band"], "z")
     canonical = pa.schema(
         [("polygon_id", pa.string()), ("band", pa.int32()),
