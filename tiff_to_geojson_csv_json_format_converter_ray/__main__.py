@@ -36,9 +36,13 @@ def main(argv: list[str] | None = None) -> int:
 
     z = sub.add_parser("zonal", help="per-polygon zonal statistics")
     z.add_argument("--tiles", required=True)
-    z.add_argument("--polygons", required=True)
+    z.add_argument("--polygons", help="polygon parquet side table")
+    z.add_argument("--geojson",
+                   help="GeoJSON file (FeatureCollection/Feature/geometry/"
+                        "Canvas -- the reference's 4 accepted forms)")
     z.add_argument("--mask", default="ne_nodata")
     z.add_argument("--buffer", type=float, default=0.0)
+    z.add_argument("--center-fallback", action="store_true")
 
     g = sub.add_parser("pages", help="pages extract -> geocode -> cells -> counts")
     g.add_argument("--pages", required=True)
@@ -82,13 +86,37 @@ def main(argv: list[str] | None = None) -> int:
             t = analyze(args.tiles)
             print(master_report(t))
         elif args.cmd == "zonal":
+            import pyarrow as pa
             import pyarrow.parquet as pq
 
             from .pipelines.zonal import zonal_stats
 
+            if args.geojson:
+                from pathlib import Path
+
+                from .functions.geometry import parse_geojson
+
+                polys = parse_geojson(Path(args.geojson).read_text())
+                rows = []
+                for p in polys:
+                    rows.append(
+                        {
+                            "polygon_id": p.polygon_id,
+                            "geom_type": "Polygon",
+                            "rings": [r.tolist() for r in p.rings],
+                            "minx": p.bbox[0], "miny": p.bbox[1],
+                            "maxx": p.bbox[2], "maxy": p.bbox[3],
+                        }
+                    )
+                polygons = pa.Table.from_pylist(rows)
+            elif args.polygons:
+                polygons = pq.read_table(args.polygons)
+            else:
+                p.error("zonal requires --polygons or --geojson")
             out = zonal_stats(
-                args.tiles, pq.read_table(args.polygons),
+                args.tiles, polygons,
                 mask_strategy=args.mask, buffer=args.buffer,
+                center_fallback=args.center_fallback,
             )
             print(json.dumps(out.to_pylist(), default=str))
         elif args.cmd == "pages":
