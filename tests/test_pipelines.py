@@ -161,6 +161,33 @@ class TestConvert:
         assert doc["crs"]["properties"]["name"] == "EPSG:4326"
         assert len(doc["features"]) == doc["metadata"]["geojson_points"]
 
+    def test_explicit_sample_rate_and_records_json(self, ray_session, tiles_path, tmp_path):
+        """The recovered tiff_processor_enhanced knobs: fixed every-Nth
+        stride + records-orient JSON."""
+        import json
+
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.convert import (
+            extract_points, read_tiles, tiles_metadata,
+        )
+        from tiff_to_geojson_csv_json_format_converter_ray.sinks import (
+            JSONSink, run_sink,
+        )
+
+        meta = tiles_metadata(tiles_path)
+        meta = meta.filter(pa.compute.equal(meta["band"], 1))
+        pts = extract_points(
+            read_tiles(tiles_path, band=1), meta, mode="full", sample_rate=10
+        )
+        got = pts.to_pandas()
+        sub = got[got["src"] == "master_4326"]
+        np.testing.assert_array_equal(
+            np.sort(sub["pix"].to_numpy()), np.arange(0, 256 * 256, 10)
+        )
+        manifest = run_sink(pts, JSONSink(str(tmp_path / "jr"), records=True))
+        doc = json.loads(open(manifest["output_path"][0].as_py()).read())
+        assert isinstance(doc["data"], list)
+        assert set(doc["data"][0]) == {"longitude", "latitude", "elevation"}
+
     def test_combined_csv(self, ray_session, tiles_path, tmp_path):
         """S3 + K-union: re-ingest per-source CSVs, union with a
         source_file lineage column (completePixleOutput.py:252-282)."""

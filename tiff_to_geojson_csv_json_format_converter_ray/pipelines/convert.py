@@ -56,8 +56,13 @@ def extract_points(
     mode: str = "full",
     max_points: int = 100_000,
     cell_resolutions: tuple[int, ...] = (),
+    sample_rate: int | None = None,
 ) -> ray.data.Dataset:
-    """tiles -> point table Dataset under the reference mode semantics."""
+    """tiles -> point table Dataset under the reference mode semantics.
+
+    ``sample_rate`` overrides the computed per-src rate with a fixed
+    every-Nth-pixel stride (the user-facing knob of the recovered
+    ``tiff_processor_enhanced`` module, SURVEY par.0)."""
     widths = master_widths_of(meta)
     reproject = mode != "compress"
     pivot = TilePivot(
@@ -69,7 +74,11 @@ def extract_points(
     pts = tiles.map_batches(pivot, batch_format="pyarrow", batch_size=None)
     if mode in ("valid",):
         pts = pts.map_batches(ValidityFilter("threshold"), batch_format="pyarrow", batch_size=None)
-    if mode == "sample":
+    if sample_rate is not None and sample_rate > 1:
+        pts = pts.map_batches(
+            StrideSampler(int(sample_rate)), batch_format="pyarrow", batch_size=None
+        )
+    elif mode == "sample":
         import pyarrow.compute as pc
 
         t = meta
@@ -199,6 +208,7 @@ def convert(
         "csv": CSVSink(str(out / "csv"), wgs84=True),
         "csv_gz": CSVSink(str(out / "csv"), wgs84=False, compression="gzip"),
         "json": JSONSink(str(out / "json")),
+        "json_records": JSONSink(str(out / "json"), records=True),
         "json_gz": JSONSink(str(out / "json"), compression="gzip"),
         "npz": NPZSink(str(out / "npz")),
         "parquet": None,

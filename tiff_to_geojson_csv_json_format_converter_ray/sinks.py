@@ -172,13 +172,17 @@ class CSVSink:
 
 
 class JSONSink:
-    """Column-array JSON with metadata header (K4), optionally gzip (K5)."""
+    """Column-array JSON with metadata header (K4), optionally gzip
+    (K5).  ``records=True`` writes the row-records orient instead
+    ([{longitude, latitude, elevation}, ...]) -- the variant of the
+    recovered ``tiff_processor_enhanced`` module (SURVEY par.0)."""
 
     def __init__(self, out_dir: str, compression: str | None = None,
-                 extra_metadata: dict | None = None):
+                 extra_metadata: dict | None = None, records: bool = False):
         self.out_dir = out_dir
         self.compression = compression
         self.extra_metadata = extra_metadata or {}
+        self.records = records
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = [
@@ -208,11 +212,18 @@ class JSONSink:
                 },
                 **self.extra_metadata,
             },
-            "data": {
-                "longitude": lon.tolist(),
-                "latitude": lat.tolist(),
-                "elevation": z.tolist(),
-            },
+            "data": (
+                [
+                    {"longitude": a, "latitude": b, "elevation": c}
+                    for a, b, c in zip(lon.tolist(), lat.tolist(), z.tolist())
+                ]
+                if self.records
+                else {
+                    "longitude": lon.tolist(),
+                    "latitude": lat.tolist(),
+                    "elevation": z.tolist(),
+                }
+            ),
         }
         payload = json.dumps(doc, separators=(",", ":")).encode()
         if self.compression == "gzip":
