@@ -20,3 +20,27 @@ the caller (driver / bench / test fixture).
 """
 
 __version__ = "0.1.0"
+
+_API = {
+    "convert": ("pipelines.convert", "convert"),
+    "extract_points": ("pipelines.convert", "extract_points"),
+    "build_catalog": ("pipelines.convert", "build_catalog"),
+    "analyze": ("pipelines.analyze", "analyze"),
+    "master_report": ("pipelines.analyze", "master_report"),
+    "zonal_stats": ("pipelines.zonal", "zonal_stats"),
+    "pages_flagship": ("pipelines.pages", "pages_flagship"),
+    "geocode_pages": ("pipelines.pages", "geocode_pages"),
+    "run_resumable": ("state.checkpoint", "run_resumable"),
+    "find_layer_by_patterns": ("functions.match", "find_layer_by_patterns"),
+}
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import <pkg>` light -- no Ray import
+    until a pipeline is actually used)."""
+    if name in _API:
+        import importlib
+
+        mod, attr = _API[name]
+        return getattr(importlib.import_module(f".{mod}", __name__), attr)
+    raise AttributeError(name)
