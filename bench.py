@@ -279,6 +279,62 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     return out
 
 
+def run_reference_style(grid: int, out_dir: str) -> dict:
+    """Faithful single-process re-enactment of the reference's
+    completePixleOutput.py flow on the same raster: sequential per-tile
+    loop, meshgrid -> affine -> reproject -> round, then the per-point
+    Python feature-dict loop + json.dump GeoJSON (its dominant cost;
+    rasterio/pyproj replaced by our kernels, which only HELPS the
+    reference's number)."""
+    import json as _json
+    from pathlib import Path
+
+    from tiff_to_geojson_csv_json_format_converter_ray.functions.affine import (
+        pixel_to_world,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.functions.crs import (
+        Transformer,
+    )
+
+    tiles = bench_tiles_table(grid)
+    Path(out_dir).mkdir(parents=True, exist_ok=True)
+    t0 = time.perf_counter()
+    total = 0
+    for i in range(tiles.num_rows):  # sequential, like the reference
+        h = tiles["height"][i].as_py()
+        w = tiles["width"][i].as_py()
+        tr = tiles["transform"][i].as_py()
+        rows, cols = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        gr = rows.ravel() + tiles["row_off"][i].as_py()
+        gc = cols.ravel() + tiles["col_off"][i].as_py()
+        x, y = pixel_to_world(tr, gr, gc)
+        x = x.astype(np.float32)
+        y = y.astype(np.float32)
+        z = np.asarray(tiles["values"][i].as_py(), dtype=np.float32)
+        t = Transformer(tiles["crs"][i].as_py(), "EPSG:4326")
+        lon, lat = t.transform(x.astype(np.float64), y.astype(np.float64))
+        lon = np.round(lon, 6)
+        lat = np.round(lat, 6)
+        zr = np.round(z.astype(np.float64), 2)
+        features = []
+        for a, b, c in zip(lon, lat, zr):  # the reference's python loop
+            features.append(
+                {
+                    "type": "Feature",
+                    "geometry": {
+                        "type": "Point",
+                        "coordinates": [float(a), float(b), float(c)],
+                    },
+                }
+            )
+        doc = {"type": "FeatureCollection", "features": features}
+        with open(os.path.join(out_dir, f"ref_{i}.geojson"), "w") as f:
+            _json.dump(doc, f, separators=(",", ":"))
+        total += h * w
+    el = time.perf_counter() - t0
+    return {"rows": total, "seconds": el, "rows_per_sec": total / el}
+
+
 def main() -> None:
     if "--scaling" in sys.argv:
         lo = int(os.environ.get("GRAFT_SCALE_N", "1"))
@@ -319,6 +375,65 @@ def main() -> None:
                 }
             )
         )
+        return
+
+    if "--reference-compare" in sys.argv:
+        import tempfile
+
+        from tiff_to_geojson_csv_json_format_converter_ray.sinks import GeoJSONSink
+        from tiff_to_geojson_csv_json_format_converter_ray.sources.synthetic import (
+            gen_polygons,
+        )
+
+        grid = int(os.environ.get("GRAFT_GRID", "512"))
+        ref = run_reference_style(grid, tempfile.mkdtemp(prefix="refstyle_"))
+        _init_ray(NUM_CPUS)
+        try:
+            # engine: same raster -> full extract -> GeoJSON sink
+            import ray.data
+
+            from tiff_to_geojson_csv_json_format_converter_ray.sinks import run_sink
+            from tiff_to_geojson_csv_json_format_converter_ray.stages.extract import (
+                TilePivot, master_widths_of,
+            )
+
+            tiles = bench_tiles_table(grid)
+            out_dir = tempfile.mkdtemp(prefix="engstyle_")
+
+            def run_engine():
+                step = max(1, tiles.num_rows // (NUM_CPUS * 4))
+                slices = [tiles.slice(i, step) for i in range(0, tiles.num_rows, step)]
+                ds = ray.data.from_arrow(slices)
+                pts = ds.map_batches(
+                    TilePivot(round_output=True, reproject=True,
+                              master_widths=master_widths_of(tiles)),
+                    batch_format="pyarrow", batch_size=None,
+                )
+                return run_sink(pts, GeoJSONSink(out_dir))
+
+            run_engine()  # warm
+            t0 = time.perf_counter()
+            m = run_engine()
+            el = time.perf_counter() - t0
+            rows = grid * grid
+            print(
+                json.dumps(
+                    {
+                        "metric": "reference-style vs engine GeoJSON conversion",
+                        "rows": rows,
+                        "reference_seconds": round(ref["seconds"], 3),
+                        "reference_rows_per_sec": round(ref["rows_per_sec"], 1),
+                        "engine_seconds": round(el, 3),
+                        "engine_rows_per_sec": round(rows / el, 1),
+                        "speedup": round(ref["seconds"] / el, 2),
+                        "num_cpus": NUM_CPUS,
+                    }
+                )
+            )
+        finally:
+            import ray
+
+            ray.shutdown()
         return
 
     _init_ray(NUM_CPUS)
