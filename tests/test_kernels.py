@@ -245,6 +245,66 @@ class TestKNN:
         assert idx.payload[gi[0, 0]] == 20.0
 
 
+class TestBallTree:
+    def test_matches_brute_on_clustered(self):
+        from tiff_to_geojson_csv_json_format_converter_ray.functions.knn import (
+            BallTree,
+        )
+
+        rng = np.random.RandomState(5)
+        lon = np.concatenate([77.2 + rng.randn(2000) * 0.01, 77 + rng.rand(1000) * 2])
+        lat = np.concatenate([28.6 + rng.randn(2000) * 0.01, 27 + rng.rand(1000) * 2])
+        bt = BallTree(lon, lat)
+        idx = knn.KNNIndex(lon, lat)
+        qlon, qlat = rng.rand(30) * 2 + 77, rng.rand(30) * 2 + 27
+        ti, td = bt.query(qlon, qlat, k=3)
+        bi, bd = idx.query_brute(qlon, qlat, k=3)
+        np.testing.assert_allclose(td, bd, atol=1e-12)
+        np.testing.assert_array_equal(np.sort(ti, 1), np.sort(bi, 1))
+
+    def test_single_leaf(self):
+        from tiff_to_geojson_csv_json_format_converter_ray.functions.knn import (
+            BallTree,
+        )
+
+        bt = BallTree(np.array([1.0, 2.0]), np.array([0.0, 0.0]))
+        i, d = bt.query(np.array([1.9]), np.array([0.0]))
+        assert i[0, 0] == 1
+
+
+class TestZOrder:
+    def test_same_grid_as_cells(self):
+        rng = np.random.RandomState(2)
+        lon = -180 + rng.rand(500) * 360
+        lat = -90 + rng.rand(500) * 180
+        for res in (7, 9):
+            z = cells.zorder_of(lon, lat, res)
+            c = cells.cell_of(lon, lat, res)
+            _, iy, ix = cells.unpack(c)
+            # de-interleave and compare
+            dx = np.zeros(len(z), dtype=np.int64)
+            dy = np.zeros(len(z), dtype=np.int64)
+            body = z & ((np.int64(1) << np.int64(56)) - 1)
+            for b in range(res + 8):
+                dx |= ((body >> np.int64(2 * b)) & 1) << np.int64(b)
+                dy |= ((body >> np.int64(2 * b + 1)) & 1) << np.int64(b)
+            np.testing.assert_array_equal(dx, ix)
+            np.testing.assert_array_equal(dy, iy)
+
+    def test_locality(self):
+        # points in a tight box share long z-prefixes: the id RANGE of
+        # the box is far smaller than the global id space
+        rng = np.random.RandomState(3)
+        lon = 77.0 + rng.rand(200) * 0.02
+        lat = 28.0 + rng.rand(200) * 0.02
+        z = cells.zorder_of(lon, lat, 9)
+        span = int(z.max() - z.min())
+        world = cells.zorder_of(
+            np.array([-179.9, 179.9]), np.array([-89.9, 89.9]), 9
+        )
+        assert span < int(world[1] - world[0]) / 1e6
+
+
 class TestHashing:
     def test_rolling_equals_direct(self):
         t = "the quick brown fox jumps"

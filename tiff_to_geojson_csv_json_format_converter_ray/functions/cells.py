@@ -101,6 +101,28 @@ def cells_for_bbox(
     return pack(res, iys.ravel(), ixs.ravel())
 
 
+def zorder_of(lon: np.ndarray, lat: np.ndarray, res: int) -> np.ndarray:
+    """S2-style space-filling variant: same frozen (ix, iy) grid, but
+    the id interleaves the bits (Morton/Z-order), so numerically
+    adjacent ids are spatially adjacent -- the property S2 keys provide
+    for range-partitioned locality.  Use as a SORT/partition key;
+    ``cell_of`` remains the equality/groupby key."""
+    s = cell_size(res)
+    ix = np.clip(
+        np.floor((np.asarray(lon, np.float64) + 180.0) / s).astype(np.int64),
+        0, 2 ** (res + 8) - 1,
+    )
+    iy = np.clip(
+        np.floor((np.asarray(lat, np.float64) + 90.0) / s).astype(np.int64),
+        0, 2 ** (res + 7) - 1,
+    )
+    z = np.zeros(len(ix), dtype=np.int64)
+    for b in range(res + 8):
+        z |= ((ix >> np.int64(b)) & np.int64(1)) << np.int64(2 * b)
+        z |= ((iy >> np.int64(b)) & np.int64(1)) << np.int64(2 * b + 1)
+    return (np.int64(res) << np.int64(56)) | z
+
+
 def oracle_sql_expr(lon_col: str, lat_col: str, res: int) -> str:
     """DuckDB SQL expression computing the identical cell id (oracle parity)."""
     s = repr(cell_size(res))

@@ -96,7 +96,109 @@ class KNNIndex:
             dist_out[qi, :m] = best_d
         return idx_out, dist_out
 
-    def query_brute(self, qlon: np.ndarray, qlat: np.ndarray, k: int = 1, chunk: int = 256) -> tuple[np.ndarray, np.ndarray]:
+class BallTree:
+    """Pure-NumPy ball tree (median-split on the wider axis; leaves hold
+    index slices into pre-permuted coordinate arrays).  Exact kNN via
+    best-first traversal with ball-distance pruning -- the
+    clustered-data alternative to the grid-bucketed index (queries on
+    heavily skewed point sets don't degrade with empty cells)."""
+
+    def __init__(self, lon: np.ndarray, lat: np.ndarray, leaf_size: int = 32):
+        self.lon = np.asarray(lon, np.float64)
+        self.lat = np.asarray(lat, np.float64)
+        n = len(self.lon)
+        if n == 0:
+            raise ValueError("empty ball tree")
+        self.leaf_size = leaf_size
+        self.order = np.arange(n, dtype=np.int64)
+        # preallocate node arrays (at most 2n/leaf_size * 4 nodes)
+        cap = max(4 * (n // leaf_size + 2), 8)
+        self.centers = np.zeros((cap, 2))
+        self.radii = np.zeros(cap)
+        self.lefts = np.full(cap, -1, dtype=np.int64)
+        self.rights = np.full(cap, -1, dtype=np.int64)
+        self.starts = np.zeros(cap, dtype=np.int64)
+        self.ends = np.zeros(cap, dtype=np.int64)
+        self._n_nodes = 0
+        self._build(0, n)
+
+    def _new_node(self, s: int, e: int) -> int:
+        i = self._n_nodes
+        self._n_nodes += 1
+        if i >= len(self.radii):  # grow
+            grow = len(self.radii)
+            self.centers = np.vstack([self.centers, np.zeros((grow, 2))])
+            self.radii = np.r_[self.radii, np.zeros(grow)]
+            self.lefts = np.r_[self.lefts, np.full(grow, -1, dtype=np.int64)]
+            self.rights = np.r_[self.rights, np.full(grow, -1, dtype=np.int64)]
+            self.starts = np.r_[self.starts, np.zeros(grow, dtype=np.int64)]
+            self.ends = np.r_[self.ends, np.zeros(grow, dtype=np.int64)]
+        idx = self.order[s:e]
+        cx = self.lon[idx].mean()
+        cy = self.lat[idx].mean()
+        self.centers[i] = (cx, cy)
+        self.radii[i] = np.hypot(self.lon[idx] - cx, self.lat[idx] - cy).max()
+        self.starts[i] = s
+        self.ends[i] = e
+        return i
+
+    def _build(self, s: int, e: int) -> int:
+        node = self._new_node(s, e)
+        if e - s <= self.leaf_size:
+            return node
+        idx = self.order[s:e]
+        span_x = self.lon[idx].max() - self.lon[idx].min()
+        span_y = self.lat[idx].max() - self.lat[idx].min()
+        vals = self.lon[idx] if span_x >= span_y else self.lat[idx]
+        mid = (e - s) // 2
+        part = np.argpartition(vals, mid)
+        self.order[s:e] = idx[part]
+        self.lefts[node] = self._build(s, s + mid)
+        self.rights[node] = self._build(s + mid, e)
+        return node
+
+    def query(self, qlon: np.ndarray, qlat: np.ndarray, k: int = 1) -> tuple[np.ndarray, np.ndarray]:
+        qlon = np.atleast_1d(np.asarray(qlon, np.float64))
+        qlat = np.atleast_1d(np.asarray(qlat, np.float64))
+        nq = len(qlon)
+        idx_out = np.full((nq, k), -1, dtype=np.int64)
+        dist_out = np.full((nq, k), np.inf)
+        for qi in range(nq):
+            qx, qy = qlon[qi], qlat[qi]
+            best_d = np.full(k, np.inf)
+            best_i = np.full(k, -1, dtype=np.int64)
+            stack = [0]
+            while stack:
+                node = stack.pop()
+                lower = max(
+                    0.0,
+                    np.hypot(qx - self.centers[node, 0], qy - self.centers[node, 1])
+                    - self.radii[node],
+                )
+                if lower >= best_d[k - 1]:
+                    continue
+                if self.lefts[node] < 0:  # leaf
+                    members = self.order[self.starts[node] : self.ends[node]]
+                    d = np.hypot(self.lon[members] - qx, self.lat[members] - qy)
+                    all_d = np.concatenate([best_d, d])
+                    all_i = np.concatenate([best_i, members])
+                    top = np.argsort(all_d, kind="stable")[:k]
+                    best_d, best_i = all_d[top], all_i[top]
+                else:
+                    l, r = self.lefts[node], self.rights[node]
+                    dl = np.hypot(qx - self.centers[l, 0], qy - self.centers[l, 1])
+                    dr = np.hypot(qx - self.centers[r, 0], qy - self.centers[r, 1])
+                    # visit nearer child first (push farther first)
+                    if dl <= dr:
+                        stack.extend([r, l])
+                    else:
+                        stack.extend([l, r])
+            idx_out[qi] = best_i
+            dist_out[qi] = best_d
+        return idx_out, dist_out
+
+
+def _query_brute(self, qlon: np.ndarray, qlat: np.ndarray, k: int = 1, chunk: int = 256) -> tuple[np.ndarray, np.ndarray]:
         """Exact chunked linear scan -- the reference's JS semantics."""
         qlon = np.atleast_1d(np.asarray(qlon, dtype=np.float64))
         qlat = np.atleast_1d(np.asarray(qlat, dtype=np.float64))
@@ -116,3 +218,7 @@ class KNNIndex:
             idx_out[s : s + chunk] = ii
             dist_out[s : s + chunk] = d[np.arange(len(ii))[:, None], ii]
         return idx_out, dist_out
+
+
+# exact linear-scan oracle path, attached as a method
+KNNIndex.query_brute = _query_brute

@@ -178,12 +178,19 @@ class KNNLookup:
     def __init__(self, ref_points, k: int = 1,
                  lon_col: str = "lon", lat_col: str = "lat",
                  ref_lon: str = "lon", ref_lat: str = "lat",
-                 payload_cols: tuple[str, ...] = ("z",)):
+                 payload_cols: tuple[str, ...] = ("z",),
+                 backend: str = "grid"):
+        from ..functions.knn import BallTree
+
         tbl = _resolve(ref_points)
-        self.index = KNNIndex(
-            tbl[ref_lon].to_numpy(zero_copy_only=False),
-            tbl[ref_lat].to_numpy(zero_copy_only=False),
-        )
+        lon = tbl[ref_lon].to_numpy(zero_copy_only=False)
+        lat = tbl[ref_lat].to_numpy(zero_copy_only=False)
+        if backend == "grid":
+            self.index = KNNIndex(lon, lat)
+        elif backend == "balltree":
+            self.index = BallTree(lon, lat)
+        else:
+            raise ValueError(f"unknown kNN backend: {backend}")
         self.payloads = {
             c: tbl[c].to_numpy(zero_copy_only=False) for c in payload_cols
         }
