@@ -331,6 +331,35 @@ def _q_knn(sf_dir: str) -> pa.Table:
     )
 
 
+
+def _q_knn_balltree(sf_dir: str) -> pa.Table:
+    """J4 via the ball-tree backend -- must equal the grid backend
+    (and the SQL oracle) exactly."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import KNNLookup
+
+    ref = collect_tables(_og_points_ds(valid_only=True))
+    probes = pa.table(
+        {
+            "probe_id": pa.array(range(len(OG_KNN_PROBES)), pa.int64()),
+            "lon": pa.array([p[0] for p in OG_KNN_PROBES]),
+            "lat": pa.array([p[1] for p in OG_KNN_PROBES]),
+        }
+    )
+    out = collect_tables(
+        ray.data.from_arrow(probes).map_batches(
+            KNNLookup(ref, k=1, payload_cols=("pix", "z"), backend="balltree"),
+            batch_format="pyarrow", batch_size=None,
+        )
+    )
+    return out.select(["probe_id", "nn_pix", "nn_z"]).rename_columns(
+        ["probe_id", "pix", "z"]
+    )
+
+
 def _q_zonal_stats(sf_dir: str) -> pa.Table:
     """A1 x J3: per-polygon zonal stats over the oracle grid."""
     from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import PIPJoiner
@@ -1102,6 +1131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonal_stats": _q_zonal_stats,
         "knn_lookup": _q_knn,
         "knn_top3": _q_knn_top3,
+        "knn_balltree": _q_knn_balltree,
         "stride_secondary": _q_stride_secondary,
         # spatial ops driven from the driver's tables
         "events_geocode_cells": _q_events_geocode,
@@ -1210,6 +1240,14 @@ def oracle_sql() -> dict[str, str]:
             if pid != "q_out"
         ),
         "knn_lookup": (
+            f"SELECT probe_id, pix, z FROM ("
+            f"SELECT p.probe_id, g.pix, g.z, ROW_NUMBER() OVER ("
+            f"PARTITION BY p.probe_id ORDER BY "
+            f"(g.lon - p.plon) * (g.lon - p.plon) + (g.lat - p.plat) * (g.lat - p.plat), g.pix"
+            f") AS rn FROM (VALUES {probes_values}) p(probe_id, plon, plat), ({valid}) g"
+            f") WHERE rn = 1"
+        ),
+        "knn_balltree": (
             f"SELECT probe_id, pix, z FROM ("
             f"SELECT p.probe_id, g.pix, g.z, ROW_NUMBER() OVER ("
             f"PARTITION BY p.probe_id ORDER BY "
