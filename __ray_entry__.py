@@ -1042,6 +1042,28 @@ def _q_approx_distinct(sf_dir: str) -> pa.Table:
     return pa.Table.from_pylist(rows)
 
 
+
+def _q_text_cleaning(sf_dir: str) -> pa.Table:
+    """C4-style line cleaning over documents (rows-only; determinism
+    and rules tested in pytest)."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import TextClean
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = collect_tables(
+        ds.map_batches(
+            TextClean(require_terminal_punct=False), batch_format="pyarrow",
+            batch_size=None,
+        )
+    )
+    return out.select(["doc_id", "n_lines_kept"])
+
+
 def _q_media_decode(sf_dir: str) -> pa.Table:
     """Multimodal plumbing: binary media -> actor-pool fake decode."""
     import ray.data
@@ -1163,6 +1185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": _q_embedding_neardup,
         "lang_id": _q_lang_id,
         "quality_scores": _q_quality,
+        "text_cleaning": _q_text_cleaning,
         "ivf_ann": _q_ivf_ann,
         "zonal_multiband": _q_zonal_multiband,
         "pages_flagship": _q_pages_flagship,

@@ -282,6 +282,42 @@ class TestTextAnnotate:
         )
 
 
+class TestTextClean:
+    def test_rules(self):
+        from tiff_to_geojson_csv_json_format_converter_ray.functions.text import (
+            clean_text,
+        )
+
+        doc = (
+            "Short line\n"
+            "This is a proper sentence with punctuation.\n"
+            "This is a proper sentence with punctuation.\n"  # dup
+            "another good line without the final mark\n"
+            "OK.\n"
+        )
+        out = clean_text(doc)
+        assert out == "This is a proper sentence with punctuation."
+        out2 = clean_text(doc, require_terminal_punct=False)
+        assert "without the final mark" in out2
+        assert out2.count("proper sentence") == 1  # deduped
+
+    def test_stage(self, ray_session, sf_dir):
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+            TextClean,
+        )
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        out = ds.map_batches(
+            TextClean(require_terminal_punct=False),
+            batch_format="pyarrow", batch_size=None,
+        ).to_pandas()
+        assert "text_clean" in out.columns
+        assert (out["n_lines_kept"] >= 0).all()
+
+
 class TestMultimodal:
     def test_fake_decode_plumbing(self, ray_session):
         import ray.data

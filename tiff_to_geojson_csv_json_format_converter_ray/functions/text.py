@@ -123,6 +123,35 @@ def detect_language(text: str) -> str:
     return best_lang
 
 
+def clean_text(
+    text: str,
+    min_words_per_line: int = 3,
+    require_terminal_punct: bool = True,
+    dedupe_lines: bool = True,
+) -> str:
+    """C4-style line-level cleaning (public recipe: Raffel et al. 2020):
+    keep lines with >= ``min_words_per_line`` words and terminal
+    punctuation; drop exact duplicate lines within the document.
+    Deterministic pure function."""
+    seen: set[str] = set()
+    out: list[str] = []
+    for line in text.split("\n"):
+        stripped = line.strip()
+        if not stripped:
+            continue
+        if len(stripped.split()) < min_words_per_line:
+            continue
+        if require_terminal_punct and stripped[-1] not in ".!?\"'":
+            continue
+        if dedupe_lines:
+            key = stripped.lower()
+            if key in seen:
+                continue
+            seen.add(key)
+        out.append(stripped)
+    return "\n".join(out)
+
+
 def quality_features(text: str) -> dict[str, float]:
     """Deterministic quality-scoring features (Gopher/C4-style heuristics,
     public recipes): length, mean word length, punctuation/digit/upper

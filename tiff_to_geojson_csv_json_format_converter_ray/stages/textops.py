@@ -12,6 +12,35 @@ from ..functions import hashing as H
 from ..functions import text as T
 
 
+class TextClean:
+    """C4-style line-level cleaning stage: appends ``text_clean`` and
+    ``n_lines_kept`` (deterministic; config frozen per stage)."""
+
+    def __init__(self, text_col: str = "text", min_words_per_line: int = 3,
+                 require_terminal_punct: bool = True, dedupe_lines: bool = True):
+        self.text_col = text_col
+        self.kw = dict(
+            min_words_per_line=min_words_per_line,
+            require_terminal_punct=require_terminal_punct,
+            dedupe_lines=dedupe_lines,
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = [t or "" for t in batch[self.text_col].to_pylist()]
+        cleaned = [T.clean_text(t, **self.kw) for t in texts]
+        batch = batch.append_column("text_clean", pa.array(cleaned))
+        batch = batch.append_column(
+            "n_lines_kept",
+            pa.array(
+                np.fromiter(
+                    (len(c.split("\n")) if c else 0 for c in cleaned),
+                    np.int64, len(cleaned),
+                )
+            ),
+        )
+        return batch
+
+
 class TextAnnotate:
     """Append lang_id / token counts / quality / fingerprint columns.
 
