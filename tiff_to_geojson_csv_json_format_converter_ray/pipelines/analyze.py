@@ -11,10 +11,8 @@ only (unrounded, test.py:56-77), has_valid_data, data_sparsity
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-import ray.data
 
 from ..stages.extract import TilePivot, master_widths_of
 from ..stages.stats import grouped_minmax, grouped_stats

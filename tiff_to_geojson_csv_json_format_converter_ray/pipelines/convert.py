@@ -27,7 +27,7 @@ import ray.data
 from ..sinks import CSVSink, GeoJSONSink, JSONSink, NPZSink, run_sink
 from ..stages.extract import TilePivot, master_widths_of
 from ..stages.sampling import StrideSampler, sample_rate_for
-from ..stages.stats import grouped_minmax, grouped_stats
+from ..stages.stats import grouped_minmax
 from ..stages.transform import ValidityFilter
 
 TILE_META_COLS = ["tile_id", "src", "band", "row_off", "col_off", "height", "width"]

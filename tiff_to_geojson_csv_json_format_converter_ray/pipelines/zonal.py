@@ -22,7 +22,7 @@ import ray.data
 
 from ..stages.extract import TilePivot, master_widths_of
 from ..stages.joins import BboxSemiJoin, PIPJoiner, broadcast_table
-from ..stages.stats import finalize_stats, grouped_stats
+from ..stages.stats import grouped_stats
 from ..stages.transform import Uint8Rescale, ValidityFilter
 from ..functions.geometry import Polygon, buffer_polygon
 from .convert import read_tiles, tiles_metadata

@@ -19,7 +19,6 @@ from ..functions import affine as _affine
 from ..functions import cells as _cells
 from ..functions import crs as _crs
 from ..functions import text as _text
-from ..schema import POINT_SCHEMA
 
 # one tile row can explode into height*width point rows (controlled
 # flat_map, SURVEY T1); outputs are chunked so blocks stay bounded.

@@ -28,7 +28,6 @@ completePixleOutput.py:309-321); this makes it a contract.
 from __future__ import annotations
 
 import json
-import os
 import uuid
 from pathlib import Path
 
