@@ -80,6 +80,27 @@ class TestShuffledVariants:
         }
         assert got == want
 
+    def test_distributed_combine_matches_driver(self, ray_session, sf_dir):
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+            hash_aggregate,
+        )
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+        )
+        aggs = [("value", "count", "n"), ("value", "min", "min_v"),
+                ("value", "max", "max_v")]
+        a = (
+            hash_aggregate(ds, ["event_type"], aggs)
+            .to_pandas().sort_values("event_type").reset_index(drop=True)
+        )
+        b = (
+            hash_aggregate(ds, ["event_type"], aggs, distributed_combine=True)
+            .to_pandas().sort_values("event_type").reset_index(drop=True)
+        )[list(a.columns)]
+        assert a.equals(b)
+
     def test_shuffled_dedup_first_matches_exact(self, ray_session, fixtures_dir):
         import ray.data
         from tiff_to_geojson_csv_json_format_converter_ray.stages.dedup import (

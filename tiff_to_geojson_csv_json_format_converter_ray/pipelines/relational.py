@@ -53,12 +53,15 @@ def hash_aggregate(
     ds: ray.data.Dataset,
     keys: list[str],
     aggs: list[tuple[str, str, str]],
-) -> pa.Table:
+    distributed_combine: bool = False,
+) -> pa.Table | ray.data.Dataset:
     """Partial/final grouped aggregation.
 
     ``aggs``: (value_col, op, out_name) with op in sum|count|min|max.
-    Returns the final table {keys..., out_names...} on the driver
-    (intermediate bounded by n_blocks x n_groups).
+    Default: tiny driver combine (intermediate bounded by n_blocks x
+    n_groups).  ``distributed_combine=True`` routes the partials
+    through a ``ds.groupby`` shuffle instead and returns a DATASET --
+    the tree-reduce tier for group counts that exceed driver memory.
     """
     part_names = [f"_p{i}" for i in range(len(aggs))]
 
@@ -71,7 +74,19 @@ def hash_aggregate(
         out = t.group_by(keys).aggregate(spec)
         return out.rename_columns(keys + part_names)
 
-    parts = collect_tables(ds.map_batches(partial, batch_format="pyarrow", batch_size=None))
+    partials_ds = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+
+    if distributed_combine:
+        import ray.data.aggregate as agg
+
+        spec = []
+        for (_, op, name), pn in zip(aggs, part_names):
+            cls = {"sum": agg.Sum, "count": agg.Sum, "min": agg.Min,
+                   "max": agg.Max}[op]
+            spec.append(cls(pn, alias_name=name))
+        return partials_ds.groupby(keys).aggregate(*spec)
+
+    parts = collect_tables(partials_ds)
     if parts is None:
         return pa.table({k: [] for k in keys})
     spec = [
