@@ -164,6 +164,44 @@ class TestMinHash:
             assert j >= 0.8, (r["doc_id"], r["cluster_rep"], j)
 
 
+class TestLabelPropagation:
+    def test_matches_union_find(self, ray_session):
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.dedup import (
+            _UnionFind, label_propagation_clusters,
+        )
+
+        rng = np.random.RandomState(0)
+        # random graph: 60 nodes, 50 edges -> several components + chains
+        pairs = [
+            (int(a), int(b))
+            for a, b in rng.randint(0, 60, size=(50, 2))
+            if a != b
+        ]
+        out = label_propagation_clusters(pairs)
+        got = sorted(zip(out["doc_id"].to_pylist(), out["cluster_rep"].to_pylist()))
+        uf = _UnionFind()
+        for x, y in pairs:
+            uf.union(x, y)
+        nodes = {i for p in pairs for i in p}
+        clusters: dict = {}
+        for n in nodes:
+            clusters.setdefault(uf.find(n), []).append(n)
+        want = sorted(
+            (n, rep)
+            for rep, members in clusters.items()
+            if len(members) > 1
+            for n in members
+        )
+        assert got == want
+
+    def test_empty(self, ray_session):
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.dedup import (
+            label_propagation_clusters,
+        )
+
+        assert label_propagation_clusters([]).num_rows == 0
+
+
 class TestSimHash:
     def test_simhash_clusters(self, ray_session):
         from tiff_to_geojson_csv_json_format_converter_ray.stages.dedup import (

@@ -132,6 +132,86 @@ def _pairs_from_buckets(
     return pairs
 
 
+def label_propagation_clusters(
+    pairs: list[tuple[int, int]] | pa.Table,
+    num_partitions: int = 8,
+    max_iters: int = 50,
+) -> pa.Table:
+    """Distributed connected components over a candidate-pair edge list:
+    iterative min-label propagation, each round ONE hash join (labels
+    onto edges) + ONE groupby-min -- both Ray Data shuffles, nothing
+    driver-sized.  Converges in O(component diameter) rounds.  The
+    scale tier of the dedup clustering (driver union-find is the small
+    tier).  Returns {doc_id, cluster_rep} for nodes in non-singleton
+    components, identical to the union-find output."""
+    import ray.data
+
+    if isinstance(pairs, pa.Table):
+        edge_list = list(
+            zip(pairs["a"].to_pylist(), pairs["b"].to_pylist())
+        )
+    else:
+        edge_list = list(pairs)
+    if not edge_list:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "cluster_rep": pa.array([], pa.int64())}
+        )
+    a = np.array([e[0] for e in edge_list], dtype=np.int64)
+    b = np.array([e[1] for e in edge_list], dtype=np.int64)
+    nodes = np.unique(np.concatenate([a, b]))
+    # symmetric edges + self-loops keep every node's own label in play
+    src = np.concatenate([a, b, nodes])
+    dst = np.concatenate([b, a, nodes])
+    edges = ray.data.from_arrow(pa.table({"src": src, "dst": dst}))
+    labels = ray.data.from_arrow(
+        pa.table({"node": nodes, "label": nodes})
+    )
+    prev_sum = None
+    for _ in range(max_iters):
+        msgs = edges.join(
+            labels, join_type="inner", num_partitions=num_partitions,
+            on=("src",), right_on=("node",),
+        )
+        new_labels = (
+            msgs.groupby("dst")
+            .min("label")
+            .map_batches(
+                lambda t: t.rename_columns(["node", "label"]),
+                batch_format="pyarrow", batch_size=None,
+            )
+        )
+        tbl = pa.concat_tables(
+            [
+                t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+                for t in new_labels.iter_batches(
+                    batch_format="pyarrow", batch_size=None
+                )
+                if t.num_rows
+            ]
+        )
+        s = int(tbl["label"].to_numpy().sum())
+        labels = ray.data.from_arrow(tbl)
+        if s == prev_sum:
+            break
+        prev_sum = s
+    final = tbl
+    node = final["node"].to_numpy(zero_copy_only=False)
+    lab = final["label"].to_numpy(zero_copy_only=False)
+    # non-singleton components only
+    import collections
+
+    sizes = collections.Counter(lab.tolist())
+    keep = np.fromiter((sizes[l] > 1 for l in lab), bool, len(lab))
+    order = np.argsort(node[keep], kind="stable")
+    return pa.table(
+        {
+            "doc_id": pa.array(node[keep][order]),
+            "cluster_rep": pa.array(lab[keep][order]),
+        }
+    )
+
+
 class _UnionFind:
     def __init__(self):
         self.parent: dict = {}
