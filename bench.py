@@ -131,7 +131,7 @@ def _pages_path(n: int) -> str:
     )
 
     CACHE.mkdir(parents=True, exist_ok=True)
-    d = CACHE / f"pages_{n}_v2"
+    d = CACHE / f"pages_{n}_v3"
     if not (d / "_DONE").exists():
         d.mkdir(parents=True, exist_ok=True)
         pages = gen_pages(n)

@@ -211,45 +211,71 @@ def gen_pages(n: int = 2000, seed: int = SEED) -> pa.Table:
     """Pages table (F1): urls (~1% dups), fixed-epoch timestamps,
     deterministic html embedding the golden text and a geo span; 80% of
     coordinates in 5 urban hot clusters (100x+ cell skew), 20% uniform;
-    ~5% rows without a geo span."""
+    ~5% rows without a geo span.  All randomness pre-drawn as arrays
+    (vectorized; only string assembly loops)."""
     rng = np.random.RandomState(seed)
     epoch = np.datetime64("2025-07-01T00:00:00", "us")
 
-    urls, ts, htmls, texts, langs = [], [], [], [], []
-    lang_choices = np.array(["en", "hi", "de", "fr", "zz"])
-    lang_p = np.array([0.70, 0.10, 0.05, 0.05, 0.10])
+    # pre-drawn decision arrays (one RandomState, fixed call order)
+    dup = np.r_[False, rng.rand(n - 1) < 0.01] if n > 1 else np.array([False])
+    dup_src = rng.randint(0, np.maximum(np.arange(n), 1))
+    hosts = rng.randint(0, max(2, n // 20), size=n)
+    langs_arr = rng.choice(
+        np.array(["en", "hi", "de", "fr", "zz"]), size=n,
+        p=[0.70, 0.10, 0.05, 0.05, 0.10],
+    )
+    n_words = rng.randint(8, 60, size=n)
+    word_idx = rng.randint(0, 1 << 30, size=(n, 60))
+    has_geo = rng.rand(n) >= 0.05
+    urban = rng.rand(n) < 0.8
+    center_i = rng.randint(0, len(URBAN_CENTERS), size=n)
+    centers = np.asarray(URBAN_CENTERS)
+    lon = np.where(
+        urban,
+        centers[center_i, 0] + rng.normal(0.0, 0.02, size=n),
+        77.0 + rng.rand(n) * 2.56,
+    )
+    lat = np.where(
+        urban,
+        centers[center_i, 1] + rng.normal(0.0, 0.02, size=n),
+        26.44 + rng.rand(n) * 2.56,
+    )
+    offs = rng.randint(0, 86400 * 30, size=n)
+    ts_arr = epoch + offs.astype("timedelta64[s]").astype("timedelta64[us]")
 
+    pools = {k: {"en": _WORDS_EN, "de": _WORDS_DE, "fr": _WORDS_FR,
+                 "hi": _WORDS_HI}.get(k, _WORDS_EN)
+             for k in ("en", "hi", "de", "fr", "zz")}
+
+    urls: list[str] = []
+    ts: list = []
+    htmls: list[bytes] = []
+    texts: list[str] = []
+    langs: list[str] = []
     for i in range(n):
-        if i > 0 and rng.rand() < 0.01:  # duplicate url (and payload)
-            j = rng.randint(0, i)
+        if dup[i] and i > 0:
+            j = int(dup_src[i]) % i
             urls.append(urls[j])
             ts.append(ts[j])
             htmls.append(htmls[j])
             texts.append(texts[j])
             langs.append(langs[j])
             continue
-        host = rng.randint(0, max(2, n // 20))
-        url = f"https://host{host}.example/page{i}"
-        lang = str(rng.choice(lang_choices, p=lang_p))
-        text = _gen_text(rng, lang, int(rng.randint(8, 60)))
-        has_geo = rng.rand() >= 0.05
-        if has_geo:
-            if rng.rand() < 0.8:
-                clon, clat = URBAN_CENTERS[rng.randint(0, len(URBAN_CENTERS))]
-                lon = clon + rng.normal(0.0, 0.02)
-                lat = clat + rng.normal(0.0, 0.02)
-            else:
-                lon = 77.0 + rng.rand() * 2.56
-                lat = 26.44 + rng.rand() * 2.56
-            geo = f'<span class="geo">{lat:.6f},{lon:.6f}</span>'
-        else:
-            geo = ""
+        lang = str(langs_arr[i])
+        pool = pools[lang]
+        k = len(pool)
+        text = " ".join(pool[w % k] for w in word_idx[i, : n_words[i]])
+        geo = (
+            f'<span class="geo">{lat[i]:.6f},{lon[i]:.6f}</span>'
+            if has_geo[i]
+            else ""
+        )
         page = (
             f"<html><head><title>T{i}</title></head><body>"
             f"<p>{_html.escape(text)}</p>{geo}</body></html>"
         )
-        urls.append(url)
-        ts.append(epoch + np.timedelta64(int(rng.randint(0, 86400 * 30)), "s"))
+        urls.append(f"https://host{hosts[i]}.example/page{i}")
+        ts.append(ts_arr[i])
         htmls.append(page.encode("utf-8"))
         texts.append(text)
         langs.append(lang)
