@@ -82,6 +82,71 @@ class TestWindows:
         assert by_user[1] != by_user[2]
 
 
+class TestStreamingWindow:
+    def _batch(self, secs, vals):
+        base = np.datetime64("2025-07-01T00:00:00", "us")
+        ts = base + np.array(secs, dtype="timedelta64[s]")
+        return pa.table(
+            {"ts": pa.array(ts, pa.timestamp("us")),
+             "value": pa.array(np.asarray(vals, dtype=np.float64))}
+        )
+
+    def test_emit_on_watermark_and_late_policy(self):
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.window import (
+            StreamingTumblingAggregator,
+        )
+
+        agg = StreamingTumblingAggregator(width_s=60, allowed_lateness_s=30)
+        # window [0,60) gets 2 events; nothing closes yet
+        out1 = agg(self._batch([10, 50], [1.0, 2.0]))
+        assert out1.num_rows == 0
+        # event at 150s -> watermark 120 -> window [0,60) closes
+        out2 = agg(self._batch([150], [5.0]))
+        assert out2.num_rows == 1
+        r = out2.to_pylist()[0]
+        assert r["n"] == 2 and r["sum"] == 3.0 and r["min"] == 1.0
+        # late-but-allowed event (ts=125 >= watermark 120) accepted into [120,180)
+        agg(self._batch([125], [7.0]))
+        assert agg.late_dropped == 0
+        # too-late event (ts=100 < watermark 120) dropped + counted
+        agg(self._batch([100], [9.0]))
+        assert agg.late_dropped == 1
+        # flush emits the open windows [120,180)
+        fl = agg.flush().to_pylist()
+        base_us = int(
+            np.datetime64("2025-07-01T00:00:00", "us").astype("int64")
+        )
+        assert {r["window_start"] for r in fl} == {base_us + 120_000_000}
+        assert fl[0]["n"] == 2  # events at 150s and 125s; 100s was dropped
+
+    def test_flush_matches_batch_aggregate_when_no_late(self):
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.window import (
+            StreamingTumblingAggregator, add_tumbling_window,
+        )
+
+        rng = np.random.RandomState(0)
+        secs = np.sort(rng.randint(0, 4000, size=300))
+        vals = rng.rand(300)
+        agg = StreamingTumblingAggregator(width_s=600, allowed_lateness_s=4000)
+        emitted = []
+        for i in range(0, 300, 50):
+            emitted.append(agg(self._batch(secs[i:i+50], vals[i:i+50])))
+        emitted.append(agg.flush())
+        got = pa.concat_tables([t for t in emitted if t.num_rows]).to_pandas()
+        got = got.sort_values("window_start").reset_index(drop=True)
+
+        whole = add_tumbling_window(self._batch(secs, vals), "ts", 600)
+        want = (
+            whole.to_pandas()
+            .assign(ws=lambda d: d["window_start"].astype("int64"))
+            .groupby("ws")["value"]
+            .agg(["count", "sum", "min", "max"])
+            .reset_index()
+        )
+        assert got["n"].tolist() == want["count"].tolist()
+        np.testing.assert_allclose(got["sum"].to_numpy(), want["sum"].to_numpy())
+
+
 class TestTransforms:
     def test_rescale_uint8(self):
         z = np.array([0.0, 127.5, 255.0])

@@ -68,6 +68,75 @@ def add_hopping_windows(
     return pa.concat_tables(parts)
 
 
+class StreamingTumblingAggregator:
+    """Stateful streaming tumbling-window aggregate with a watermark.
+
+    Incremental extension beyond the reference's strictly-batch model:
+    the actor accumulates per-window partials (count/sum/min/max) as
+    micro-batches arrive in stream order, advances the watermark to
+    ``max_event_ts - allowed_lateness``, and EMITS a window's final row
+    once the watermark passes its end.  Events later than the watermark
+    are counted in ``late_dropped`` (the explicit late-data policy).
+
+    Use as a ``map_batches`` ACTOR with concurrency=1 per key range --
+    parallelism comes from partitioning the stream by key upstream
+    (each actor owns a shard of the key space), not from reordering one
+    stream.  Call :meth:`flush` at end-of-stream for the open windows.
+    """
+
+    def __init__(self, width_s: int = 3600, allowed_lateness_s: int = 0,
+                 ts_col: str = "ts", value_col: str = "value"):
+        self.width = np.int64(width_s) * np.int64(1_000_000)
+        self.lateness = np.int64(allowed_lateness_s) * np.int64(1_000_000)
+        self.ts_col = ts_col
+        self.value_col = value_col
+        self.state: dict[int, list] = {}  # start -> [n, sum, min, max]
+        self.max_ts = np.int64(-(2**62))
+        self.late_dropped = 0
+
+    def _emit(self, starts: list[int]) -> pa.Table:
+        rows = []
+        for s in sorted(starts):
+            n, sm, mn, mx = self.state.pop(s)
+            rows.append(
+                {"window_start": int(s), "n": int(n), "sum": float(sm),
+                 "min": float(mn), "max": float(mx)}
+            )
+        if not rows:
+            return pa.table(
+                {"window_start": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64()),
+                 "sum": pa.array([], pa.float64()),
+                 "min": pa.array([], pa.float64()),
+                 "max": pa.array([], pa.float64())}
+            )
+        return pa.Table.from_pylist(rows)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ts = batch[self.ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = batch[self.value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        watermark = self.max_ts - self.lateness
+        ok = ts >= watermark  # not later than the current watermark
+        self.late_dropped += int((~ok).sum())
+        ts, v = ts[ok], v[ok]
+        if len(ts):
+            starts = (ts // self.width) * self.width
+            for s in np.unique(starts):
+                m = starts == s
+                st = self.state.setdefault(int(s), [0, 0.0, np.inf, -np.inf])
+                st[0] += int(m.sum())
+                st[1] += float(v[m].sum())
+                st[2] = min(st[2], float(v[m].min()))
+                st[3] = max(st[3], float(v[m].max()))
+            self.max_ts = max(self.max_ts, np.int64(ts.max()))
+        watermark = self.max_ts - self.lateness
+        closed = [s for s in self.state if s + int(self.width) <= watermark]
+        return self._emit(closed)
+
+    def flush(self) -> pa.Table:
+        return self._emit(list(self.state))
+
+
 def add_session_key(
     table: pa.Table,
     ts_col: str = "ts",
