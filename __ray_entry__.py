@@ -730,6 +730,39 @@ def _q_events_sessions(sf_dir: str) -> pa.Table:
     return collect_tables(res)
 
 
+
+def _q_events_hopping(sf_dir: str) -> pa.Table:
+    """Hopping windows (1 h width, 30 min hop): each event counted in
+    both covering windows."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.window import (
+        add_hopping_windows,
+    )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "value"]
+    )
+
+    def win(batch: pa.Table) -> pa.Table:
+        out = add_hopping_windows(batch, "ts", width_s=3600, hop_s=1800)
+        return pa.table(
+            {
+                "window_start": out["window_start"].cast(pa.int64()),
+                "value": out["value"],
+            }
+        )
+
+    return hash_aggregate(
+        ds.map_batches(win, batch_format="pyarrow", batch_size=None),
+        ["window_start"],
+        [("value", "count", "n"), ("value", "min", "min_value"),
+         ("value", "max", "max_value")],
+    )
+
+
 def _q_parts_by_brand(sf_dir: str) -> pa.Table:
     import ray.data
     from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
@@ -1163,6 +1196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders": _q_top_orders,
         "events_by_type": _q_events_by_type,
         "events_windowed": _q_events_windowed,
+        "events_hopping": _q_events_hopping,
         "events_sessions": _q_events_sessions,
         "customer_nations": _q_customer_nations,
         "supplier_by_nation": _q_supplier_by_nation,
@@ -1310,6 +1344,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start, "
             "COUNT(value) AS n, MIN(value) AS min_value, MAX(value) AS max_value, "
             "ROUND(SUM(value), 4) AS sum_value FROM events GROUP BY 1"
+        ),
+        "events_hopping": (
+            "SELECT window_start, COUNT(value) AS n, MIN(value) AS min_value, "
+            "MAX(value) AS max_value FROM ("
+            "SELECT (epoch_us(ts) // 1800000000) * 1800000000 AS window_start, value FROM events "
+            "UNION ALL "
+            "SELECT (epoch_us(ts) // 1800000000) * 1800000000 - 1800000000 AS window_start, value "
+            "FROM events WHERE epoch_us(ts) < (epoch_us(ts) // 1800000000) * 1800000000 + 1800000000"
+            ") GROUP BY window_start"
         ),
         "events_sessions": (
             "SELECT user_id, CAST(SUM(CASE WHEN prev IS NULL OR "
