@@ -440,6 +440,42 @@ class TestPages:
             ).materialize()
 
 
+class TestRelationalUtils:
+    def test_distinct_matches_duckdb(self, ray_session, sf_dir):
+        import duckdb
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+            distinct,
+        )
+
+        path = os.path.join(sf_dir, "documents.parquet")
+        ds = ray.data.read_parquet(path, columns=["lang", "source"])
+        got = distinct(ds, ["lang", "source"]).to_pandas()
+        got = got.sort_values(["lang", "source"]).reset_index(drop=True)
+        want = (
+            duckdb.connect()
+            .execute(
+                f"SELECT DISTINCT lang, source FROM read_parquet('{path}') "
+                "ORDER BY lang, source"
+            )
+            .fetchdf()
+        )
+        assert got.equals(want)
+
+    def test_strtree_query_points(self):
+        from tiff_to_geojson_csv_json_format_converter_ray.functions.geometry import (
+            STRtree,
+        )
+
+        boxes = np.array([[0, 0, 1, 1], [2, 2, 3, 3]])
+        tree = STRtree(boxes)
+        lon = np.array([0.5, 2.5, 5.0])
+        lat = np.array([0.5, 2.5, 5.0])
+        masks = tree.query_points(lon, lat)
+        np.testing.assert_array_equal(masks[0], [True, False, False])
+        np.testing.assert_array_equal(masks[1], [False, True, False])
+
+
 class TestShuffle:
     def test_salted_count_matches_plain(self, ray_session, fixtures_dir):
         from tiff_to_geojson_csv_json_format_converter_ray.pipelines.pages import (
