@@ -25,12 +25,33 @@ def fnv1a_bytes(data: bytes) -> int:
 
 
 def fnv1a_array(strings: list[str] | np.ndarray) -> np.ndarray:
-    """FNV-1a over each utf-8 string -> uint64 array."""
-    return np.fromiter(
-        (fnv1a_bytes(s.encode("utf-8")) for s in strings),
-        dtype=np.uint64,
-        count=len(strings),
-    )
+    """FNV-1a over each utf-8 string -> uint64 array.
+
+    Vectorized: strings are packed into a padded byte matrix and the
+    per-byte FNV recurrence runs over max-length columns (masked), so
+    cost scales with max(len) vectorized steps, not total bytes in
+    Python.  Bit-identical to :func:`fnv1a_bytes` per string."""
+    n = len(strings)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    enc = [s.encode("utf-8") for s in strings]
+    lens = np.fromiter((len(b) for b in enc), np.int64, n)
+    total = int(lens.sum())
+    if total == 0:
+        return np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    flat = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    starts = np.r_[0, np.cumsum(lens)][:-1]
+    rows = np.repeat(np.arange(n), lens)
+    cols = np.arange(total) - np.repeat(starts, lens)
+    maxlen = int(lens.max())
+    m = np.zeros((n, maxlen), dtype=np.uint8)
+    m[rows, cols] = flat
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            active = lens > j
+            h[active] = (h[active] ^ m[active, j].astype(np.uint64)) * _FNV_PRIME
+    return h
 
 
 def char_shingle_hashes(text: str, k: int = 5) -> np.ndarray:
@@ -189,6 +210,45 @@ class MinHasher:
                 keys = (keys ^ sig[:, r]) * _FNV_PRIME
         # mix in the band index so identical bands in different slots differ
         return keys ^ (np.arange(bands, dtype=np.uint64) << np.uint64(56))
+
+
+def simhash_batch(
+    token_hashes: np.ndarray, boundaries: np.ndarray, chunk: int = 200_000
+) -> np.ndarray:
+    """SimHash for MANY documents: ``token_hashes`` is the concatenation
+    of all docs' token hashes, ``boundaries`` the (n_docs+1,) offsets.
+    Identical values to calling :func:`simhash` per doc (unit weights).
+    Chunked bit-matrix + ``add.reduceat``."""
+    n_docs = len(boundaries) - 1
+    out = np.zeros(n_docs, dtype=np.uint64)
+    starts = boundaries[:-1]
+    ends = boundaries[1:]
+    d0 = 0
+    bit_idx = np.arange(64, dtype=np.uint64)[None, :]
+    while d0 < n_docs:
+        d1 = d0
+        while d1 < n_docs and ends[d1] - starts[d0] <= chunk:
+            d1 += 1
+        d1 = max(d1, d0 + 1)
+        lo, hi = starts[d0], ends[d1 - 1]
+        if hi > lo:
+            # LSB-first bit expansion via unpackbits (no 64 shifts)
+            bits = np.unpackbits(
+                token_hashes[lo:hi].view(np.uint8).reshape(-1, 8),
+                axis=1, bitorder="little",
+            ).astype(np.int32)
+            nonempty = ends[d0:d1] > starts[d0:d1]
+            red_at = (starts[d0:d1] - lo)[nonempty]
+            if len(red_at):
+                ones = np.add.reduceat(bits, red_at, axis=0)  # (docs, 64)
+                counts = (ends[d0:d1] - starts[d0:d1])[nonempty][:, None]
+                # majority of +1/-1 == ones > tokens/2
+                words = (2 * ones > counts).astype(np.uint64) << bit_idx
+                out[np.arange(d0, d1)[nonempty]] = words.sum(
+                    axis=1, dtype=np.uint64
+                )
+        d0 = d1
+    return out
 
 
 def simhash(token_hashes: np.ndarray, weights: np.ndarray | None = None) -> int:

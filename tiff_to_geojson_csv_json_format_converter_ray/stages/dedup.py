@@ -289,10 +289,11 @@ class SimHashStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
         ids = batch[self.id_col]
-        out = np.empty(len(texts), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            toks = (t or "").split()
-            out[i] = H.simhash(H.fnv1a_array(toks)) if toks else 0
+        toks = [(t or "").split() for t in texts]
+        flat = [w for d in toks for w in d]
+        hashes = H.fnv1a_array(flat)
+        bounds = np.r_[0, np.cumsum([len(d) for d in toks])].astype(np.int64)
+        out = H.simhash_batch(hashes, bounds)
         return pa.table({self.id_col: ids, "simhash": pa.array(out.view(np.int64))})
 
 

@@ -85,11 +85,12 @@ class TextAnnotate:
                     name, pa.array(np.array([f[name] for f in feats]))
                 )
         if "fingerprint" in self.features:
-            sims = np.empty(n, dtype=np.uint64)
+            toks = [t.split() for t in texts]
+            flat = [w for d in toks for w in d]
+            bounds = np.r_[0, np.cumsum([len(d) for d in toks])].astype(np.int64)
+            sims = H.simhash_batch(H.fnv1a_array(flat), bounds)
             wins = np.empty(n, dtype=np.uint64)
             for i, t in enumerate(texts):
-                toks = t.split()
-                sims[i] = H.simhash(H.fnv1a_array(toks)) if toks else 0
                 fp = H.winnow_fingerprint(t)
                 wins[i] = fp.min() if len(fp) else 0
             batch = batch.append_column("simhash64", pa.array(sims.view(np.int64)))
