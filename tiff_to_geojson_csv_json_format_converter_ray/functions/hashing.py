@@ -270,13 +270,13 @@ def simhash(token_hashes: np.ndarray, weights: np.ndarray | None = None) -> int:
 
 
 def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Vectorized Hamming distance between uint64 arrays."""
+    """Vectorized Hamming distance between uint64 arrays (popcount of
+    xor via byte-wise unpackbits -- no per-bit loop)."""
     x = np.bitwise_xor(np.asarray(a, np.uint64), np.asarray(b, np.uint64))
-    cnt = np.zeros(x.shape, dtype=np.int64)
-    for _ in range(64):
-        cnt += (x & np.uint64(1)).astype(np.int64)
-        x = x >> np.uint64(1)
-    return cnt
+    flat = np.atleast_1d(x).ravel()
+    bits = np.unpackbits(flat.view(np.uint8).reshape(len(flat), 8), axis=1)
+    out = bits.sum(axis=1).astype(np.int64).reshape(np.shape(x))
+    return out if np.ndim(x) else np.int64(out)
 
 
 def jaccard(hashes_a: np.ndarray, hashes_b: np.ndarray) -> float:
