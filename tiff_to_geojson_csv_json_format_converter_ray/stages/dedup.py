@@ -104,7 +104,10 @@ class MinHashStage:
         cols = {self.id_col: pa.array(ids)}
         for b in range(self.bands):
             cols[f"band_{b}"] = pa.array(keys[:, b].view(np.int64))
-        cols["sig"] = pa.array(sigs.view(np.int64).tolist())
+        cols["sig"] = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.ascontiguousarray(sigs).view(np.int64).ravel()),
+            self.mh.num_perm,
+        )
         return pa.table(cols)
 
 
@@ -259,7 +262,14 @@ def minhash_lsh_dedup(
     pairs = _pairs_from_buckets(sig_tbl, band_cols, id_col)
 
     ids = sig_tbl[id_col].to_numpy(zero_copy_only=False)
-    sigs = np.asarray(sig_tbl["sig"].to_pylist(), dtype=np.int64).view(np.uint64)
+    sig_col = sig_tbl["sig"].combine_chunks()
+    sigs = (
+        sig_col.flatten()
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+        .view(np.uint64)
+        .reshape(sig_tbl.num_rows, -1)
+    )
     pos = {int(i): k for k, i in enumerate(ids)}
     uf = _UnionFind()
     for a, b in pairs:
