@@ -21,6 +21,28 @@ def _unit(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def list_col_to_matrix(col) -> np.ndarray:
+    """list<float> column -> (n, d) float64 matrix via the flat value
+    buffer (no per-row Python lists).  Falls back to to_pylist for
+    ragged rows."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, 0))
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    if flat.size % n == 0:
+        d = flat.size // n
+        offsets = (
+            col.offsets.to_numpy(zero_copy_only=False)
+            if hasattr(col, "offsets")
+            else None
+        )
+        if offsets is None or (np.diff(offsets) == d).all():
+            return flat.reshape(n, d)
+    return np.asarray(col.to_pylist(), dtype=np.float64)
+
+
 class BruteTopK:
     """map_batches stage: batch embeddings x broadcast queries ->
     per-batch top-k partial rows {query_id, vec_id, score}."""
@@ -33,7 +55,7 @@ class BruteTopK:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        vecs = np.asarray(batch[self.vec_col].to_pylist(), dtype=np.float64)
+        vecs = list_col_to_matrix(batch[self.vec_col])
         ids = batch[self.id_col].to_numpy(zero_copy_only=False)
         if len(vecs) == 0:
             return pa.table(
@@ -139,7 +161,7 @@ def ivf_topk(
             self.inner = BruteTopK(queries, k, vec_col, id_col)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            vecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+            vecs = list_col_to_matrix(batch[vec_col])
             if len(vecs) == 0:
                 return self.inner(batch)
             lists = self.index.assign(vecs)
@@ -151,9 +173,7 @@ def ivf_topk(
             out = self.inner(sub)
             # drop (query, row) hits whose list wasn't probed by that query
             if out.num_rows:
-                sub_lists = self.index.assign(
-                    np.asarray(sub[vec_col].to_pylist(), np.float64)
-                )
+                sub_lists = self.index.assign(list_col_to_matrix(sub[vec_col]))
                 id_to_list = dict(
                     zip(sub[id_col].to_pylist(), map(int, sub_lists))
                 )

@@ -425,7 +425,9 @@ def embedding_neardup(
     planes = rng.normal(size=(n_planes, dim))
 
     def stage(batch: pa.Table) -> pa.Table:
-        vecs = np.asarray(batch[vec_col].to_pylist(), dtype=np.float64)
+        from .ann import list_col_to_matrix
+
+        vecs = list_col_to_matrix(batch[vec_col])
         norms = np.linalg.norm(vecs, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         unit = vecs / norms
