@@ -138,11 +138,29 @@ def combine_csv_outputs(csv_dir: str, out_path: str) -> int:
     return tbl.num_rows
 
 
+def build_catalog_from_manifest(manifest: pa.Table) -> dict:
+    """Catalog from a sink's manifest rows (per-partition bounds already
+    recorded) -- no extra pass over the point table."""
+    agg = (
+        manifest.group_by("partition_key")
+        .aggregate([("min_lon", "min"), ("max_lon", "max"),
+                    ("min_lat", "min"), ("max_lat", "max"),
+                    ("min_z", "min"), ("max_z", "max")])
+        .rename_columns(["src", "min_lon", "max_lon", "min_lat",
+                         "max_lat", "min_z", "max_z"])
+    )
+    return _catalog_from_bounds(agg)
+
+
 def build_catalog(points: ray.data.Dataset, meta: pa.Table) -> dict:
     """Master catalog (K9, completePixleOutput.py:292-377): per-src
     bounds + has_valid_data + overall bounds, sorted by source name.
     Computed with one distributed partial/final pass."""
     bounds = grouped_minmax(points, ["src"], ["lon", "lat", "z"])
+    return _catalog_from_bounds(bounds)
+
+
+def _catalog_from_bounds(bounds: pa.Table) -> dict:
     files = []
     ob = {
         "min_x": float("inf"), "max_x": float("-inf"),
@@ -223,7 +241,12 @@ def convert(
             pa.compute.sum(manifests[fmt]["row_count"]).as_py() or 0
         )
 
-    catalog = build_catalog(pts, meta)
+    if manifests:
+        # bounds already recorded per written file -- no extra pass
+        first = next(iter(manifests.values()))
+        catalog = build_catalog_from_manifest(first)
+    else:
+        catalog = build_catalog(pts, meta)
     catalog_path = out / "elevation_catalog.json"
     catalog_path.write_text(json.dumps(catalog, indent=2))
     return {

@@ -33,17 +33,23 @@ import pyarrow as pa
 
 
 def _manifest_row(path: str, batch: pa.Table, key: str) -> pa.Table:
-    lon = batch["lon"].to_numpy(zero_copy_only=False) if "lon" in batch.column_names else np.array([np.nan])
-    lat = batch["lat"].to_numpy(zero_copy_only=False) if "lat" in batch.column_names else np.array([np.nan])
+    def col(name):
+        if name in batch.column_names and batch.num_rows:
+            return batch[name].to_numpy(zero_copy_only=False)
+        return np.array([np.nan])
+
+    lon, lat, z = col("lon"), col("lat"), col("z")
     return pa.table(
         {
             "output_path": [path],
             "row_count": [batch.num_rows],
             "partition_key": [key],
-            "min_lon": [float(np.nanmin(lon)) if len(lon) else np.nan],
-            "max_lon": [float(np.nanmax(lon)) if len(lon) else np.nan],
-            "min_lat": [float(np.nanmin(lat)) if len(lat) else np.nan],
-            "max_lat": [float(np.nanmax(lat)) if len(lat) else np.nan],
+            "min_lon": [float(np.nanmin(lon))],
+            "max_lon": [float(np.nanmax(lon))],
+            "min_lat": [float(np.nanmin(lat))],
+            "max_lat": [float(np.nanmax(lat))],
+            "min_z": [float(np.nanmin(z))],
+            "max_z": [float(np.nanmax(z))],
         }
     )
 
@@ -304,6 +310,7 @@ def run_sink(ds, sink) -> pa.Table:
     if not tables:
         return pa.table(
             {"output_path": [], "row_count": [], "partition_key": [],
-             "min_lon": [], "max_lon": [], "min_lat": [], "max_lat": []}
+             "min_lon": [], "max_lon": [], "min_lat": [], "max_lat": [],
+             "min_z": [], "max_z": []}
         )
     return pa.concat_tables(tables, promote_options="default")
