@@ -232,13 +232,21 @@ def convert(
         "parquet": None,
     }
     total_points = None
-    for fmt in formats:
-        if fmt == "parquet":
-            pts.write_parquet(str(out / "parquet"))
-            continue
-        manifests[fmt] = run_sink(pts, sink_map[fmt])
+    file_formats = [f for f in formats if f != "parquet"]
+    if "parquet" in formats:
+        pts.write_parquet(str(out / "parquet"))
+    if file_formats:
+        from ..sinks import MultiSink
+
+        combined = run_sink(
+            pts, MultiSink({f: sink_map[f] for f in file_formats})
+        )
+        for fmt in file_formats:
+            manifests[fmt] = combined.filter(
+                pa.compute.equal(combined["format"], fmt)
+            ).drop_columns(["format"])
         total_points = int(
-            pa.compute.sum(manifests[fmt]["row_count"]).as_py() or 0
+            pa.compute.sum(manifests[file_formats[0]]["row_count"]).as_py() or 0
         )
 
     if manifests:

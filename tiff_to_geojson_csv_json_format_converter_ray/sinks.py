@@ -296,6 +296,23 @@ def regrid_points(
     }
 
 
+class MultiSink:
+    """Write ALL requested formats in one pass over the stream: each
+    batch goes through every member sink; manifest rows gain a
+    ``format`` column.  One pipeline execution instead of one per
+    format."""
+
+    def __init__(self, sinks: dict):
+        self.sinks = sinks
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs = []
+        for name, sink in self.sinks.items():
+            m = sink(batch)
+            outs.append(m.append_column("format", pa.array([name] * m.num_rows)))
+        return pa.concat_tables(outs, promote_options="default")
+
+
 def run_sink(ds, sink) -> pa.Table:
     """Execute a sink stage and return the combined manifest table.
     This consumes the stream (writes happen inside tasks); only the
