@@ -15,7 +15,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..stages.extract import TilePivot, master_widths_of
-from ..stages.stats import grouped_minmax, grouped_stats
+from ..stages.stats import grouped_stats_and_minmax
 from ..stages.transform import ValidityFilter
 from .convert import read_tiles, tiles_metadata
 
@@ -49,10 +49,9 @@ def analyze(tiles_path: str) -> pa.Table:
         w[1] = max(w[1], r["row_off"] + r["height"])
 
     # valid-pixel stats + bounds per src -- one distributed pass each
-    vstats = grouped_stats(valid, ["src"], "z")
-    vbounds = grouped_minmax(valid, ["src"], ["lon", "lat"])
-    vb = {r["src"]: r for r in vbounds.to_pylist()}
-    vs = {r["src"]: r for r in vstats.to_pylist()}
+    combined = grouped_stats_and_minmax(valid, ["src"], "z", ["lon", "lat"])
+    vb = {r["src"]: r for r in combined.to_pylist()}
+    vs = vb
 
     rows = []
     for src in sorted(total_map):

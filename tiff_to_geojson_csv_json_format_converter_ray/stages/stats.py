@@ -128,6 +128,54 @@ def _iter_tables(ds):
             yield b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
 
 
+def grouped_stats_and_minmax(
+    ds, keys: list[str], value_col: str, minmax_cols: list[str]
+) -> pa.Table:
+    """One-pass combination of :func:`grouped_stats` on ``value_col``
+    and :func:`grouped_minmax` on ``minmax_cols`` (a single partial
+    per batch instead of two pipeline executions)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            cols = {k: pa.array([], batch.schema.field(k).type) for k in keys}
+            cols |= {"n": pa.array([], pa.int64()),
+                     "s": pa.array([], pa.float64()),
+                     "s2": pa.array([], pa.float64()),
+                     "mn": pa.array([], pa.float64()),
+                     "mx": pa.array([], pa.float64())}
+            for c in minmax_cols:
+                cols[f"min_{c}"] = pa.array([], pa.float64())
+                cols[f"max_{c}"] = pa.array([], pa.float64())
+            return pa.table(cols)
+        v = batch[value_col]
+        t = batch.select(keys + minmax_cols)
+        t = t.append_column("_v", v).append_column("_v2", pc.multiply(v, v))
+        aggs = [("_v", "count"), ("_v", "sum"), ("_v2", "sum"),
+                ("_v", "min"), ("_v", "max")]
+        aggs += [(c, "min") for c in minmax_cols]
+        aggs += [(c, "max") for c in minmax_cols]
+        out = t.group_by(keys).aggregate(aggs)
+        names = keys + ["n", "s", "s2", "mn", "mx"]
+        names += [f"min_{c}" for c in minmax_cols]
+        names += [f"max_{c}" for c in minmax_cols]
+        return out.rename_columns(names)
+
+    tables, schema = _collect_with_schema(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    )
+    if not tables:
+        return (schema or pa.schema([])).empty_table()
+    parts = pa.concat_tables(tables, promote_options="default")
+    aggs = [("n", "sum"), ("s", "sum"), ("s2", "sum"), ("mn", "min"), ("mx", "max")]
+    aggs += [(f"min_{c}", "min") for c in minmax_cols]
+    aggs += [(f"max_{c}", "max") for c in minmax_cols]
+    out = parts.group_by(keys).aggregate(aggs)
+    names = keys + ["count", "sum", "sumsq", "min", "max"]
+    names += [f"min_{c}" for c in minmax_cols]
+    names += [f"max_{c}" for c in minmax_cols]
+    return finalize_stats(out.rename_columns(names))
+
+
 def grouped_minmax(
     ds, keys: list[str], cols: list[str]
 ) -> pa.Table:
