@@ -26,6 +26,34 @@ def test_cell_assignments_frozen():
         )
 
 
+def test_sink_format_bytes_frozen(tmp_path):
+    """Output formats are part of the parity contract: the GeoJSON and
+    CSV writers must keep producing byte-identical files for a fixed
+    input (reference formats, completePixleOutput.py:94-128 /
+    doesSamples.py:95-103)."""
+    import pyarrow as pa
+
+    from tiff_to_geojson_csv_json_format_converter_ray.sinks import (
+        CSVSink, GeoJSONSink,
+    )
+
+    t = pa.table(
+        {
+            "lon": pa.array([77.123456, 77.2, 78.000001]),
+            "lat": pa.array([28.5, 28.654321, 27.0]),
+            "z": pa.array([12.34, -5.0, 100.0]),
+            "src": pa.array(["golden"] * 3),
+        }
+    )
+    g = GeoJSONSink(str(tmp_path))(t)
+    c = CSVSink(str(tmp_path), wgs84=True)(t)
+    gdir = Path(__file__).parent / "goldens"
+    got_g = open(g["output_path"][0].as_py()).read()
+    got_c = open(c["output_path"][0].as_py()).read()
+    assert got_g == (gdir / "golden.geojson").read_text()
+    assert got_c == (gdir / "golden.csv").read_text()
+
+
 def test_cell_size_constants_frozen():
     # the spec constants themselves
     assert cells.cell_size(7) == 360.0 / 2**15
