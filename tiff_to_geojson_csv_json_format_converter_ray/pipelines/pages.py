@@ -48,27 +48,93 @@ def pages_flagship(
     concurrency: int | None = None,
 ) -> dict[str, pa.Table]:
     """End-to-end: returns small aggregate tables
-    {cell_counts, lang_counts, polygon_counts?}."""
+    {cell_counts, lang_counts, polygon_counts?}.
+
+    All three aggregates come from ONE pass over the stream: each batch
+    emits tagged partial-count rows (lang / cell / polygon); the tiny
+    tagged partials are combined driver-side per tag."""
     geo = geocode_pages(read_pages(pages_path))
-    geo_only = geo.map_batches(
-        lambda b: b.filter(pc.equal(b["has_geo"], True)), batch_format="pyarrow", batch_size=None
+    ref = broadcast_table(polygons) if polygons is not None else None
+    cell_col = f"cell_{res}"
+
+    class TaggedPartials:
+        def __init__(self, polygons_ref=None):
+            self.pip = (
+                PIPJoiner(polygons_ref) if polygons_ref is not None else None
+            )
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            outs = []
+
+            def count_of(tbl: pa.Table, col: str, tag: str):
+                if tbl.num_rows == 0:
+                    return
+                t = (
+                    tbl.select([col])
+                    .append_column(
+                        "_one", pa.array(np.ones(tbl.num_rows, np.int64))
+                    )
+                    .group_by([col])
+                    .aggregate([("_one", "sum")])
+                )
+                outs.append(
+                    pa.table(
+                        {
+                            "tag": pa.array([tag] * t.num_rows),
+                            "key": t[col].cast(pa.string()),
+                            "n": t["_one_sum"],
+                        }
+                    )
+                )
+
+            count_of(batch, "lang", "lang")
+            geo_rows = batch.filter(pc.equal(batch["has_geo"], True))
+            count_of(geo_rows, cell_col, "cell")
+            if self.pip is not None:
+                count_of(self.pip(geo_rows), "polygon_id", "polygon")
+            if not outs:
+                return pa.table(
+                    {"tag": pa.array([], pa.string()),
+                     "key": pa.array([], pa.string()),
+                     "n": pa.array([], pa.int64())}
+                )
+            return pa.concat_tables(outs)
+
+    kwargs: dict = {"batch_format": "pyarrow", "batch_size": None}
+    if concurrency is None:
+        tagged = geo.map_batches(TaggedPartials(ref), **kwargs)
+    else:
+        tagged = geo.map_batches(
+            TaggedPartials,
+            fn_constructor_kwargs={"polygons_ref": ref},
+            concurrency=concurrency,
+            **kwargs,
+        )
+    parts = [
+        t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+        for t in tagged.iter_batches(batch_format="pyarrow", batch_size=None)
+        if t.num_rows
+    ]
+    allp = pa.concat_tables(parts, promote_options="default")
+    combined = (
+        allp.group_by(["tag", "key"]).aggregate([("n", "sum")])
+        .rename_columns(["tag", "key", "count"])
     )
 
-    out: dict[str, pa.Table] = {}
-    out["lang_counts"] = partial_count(geo, ["lang"])
-    out["cell_counts"] = partial_count(geo_only, [f"cell_{res}"])
+    def split(tag: str, key_name: str, key_type=pa.string()) -> pa.Table:
+        sub = combined.filter(pc.equal(combined["tag"], tag))
+        return pa.table(
+            {
+                key_name: sub["key"].cast(key_type).combine_chunks(),
+                "count": sub["count"].combine_chunks(),
+            }
+        )
 
+    out: dict[str, pa.Table] = {}
+    out["lang_counts"] = split("lang", "lang")
+    out["cell_counts"] = split("cell", cell_col, pa.int64())
     if polygons is not None:
-        ref = broadcast_table(polygons)
-        kwargs: dict = {"batch_format": "pyarrow"}
-        if concurrency is None:
-            joined = geo_only.map_batches(PIPJoiner(ref), **kwargs)
-        else:
-            joined = geo_only.map_batches(
-                PIPJoiner,
-                fn_constructor_kwargs={"polygons": ref},
-                concurrency=concurrency,
-                **kwargs,
-            )
-        out["polygon_counts"] = partial_count(joined, ["polygon_id"])
+        out["polygon_counts"] = split("polygon", "polygon_id")
     return out
