@@ -98,6 +98,59 @@ class TestPartitionInvariance:
             assert r == total // cap  # doesSamples.py:74-77
 
 
+class TestTilingInvariance:
+    def test_retiling_preserves_extraction(self):
+        """The same raster tiled at ANY tile size yields the identical
+        point set (lon/lat/z/pix) -- the tiling layer is purely a
+        partitioning choice (north-rule tile-assignment contract)."""
+        import pyarrow as pa
+
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.extract import (
+            TilePivot, master_widths_of,
+        )
+
+        H = W = 48
+        rng = np.random.RandomState(0)
+        master = rng.rand(H, W).astype(np.float32) * 100
+        transform = [0.01, 0.0, 77.0, 0.0, -0.01, 29.0]
+
+        def tiles_at(ts: int) -> pa.Table:
+            rows = []
+            for r0 in range(0, H, ts):
+                for c0 in range(0, W, ts):
+                    rows.append(
+                        {
+                            "tile_id": f"t{r0}_{c0}", "src": "m", "band": 1,
+                            "row_off": r0, "col_off": c0,
+                            "height": min(ts, H - r0), "width": min(ts, W - c0),
+                            "transform": transform, "crs": "EPSG:4326",
+                            "nodata": -9999.0,
+                            "values": master[
+                                r0 : r0 + ts, c0 : c0 + ts
+                            ].ravel().tolist(),
+                        }
+                    )
+            return pa.Table.from_pylist(rows)
+
+        results = {}
+        for ts in (48, 24, 16, 8):
+            t = tiles_at(ts)
+            pivot = TilePivot(
+                round_output=True, reproject=True,
+                master_widths=master_widths_of(t),
+            )
+            out = pa.concat_tables(list(pivot(t)))
+            idx = np.argsort(out["pix"].to_numpy(), kind="stable")
+            results[ts] = {
+                c: out[c].to_numpy(zero_copy_only=False)[idx]
+                for c in ("pix", "lon", "lat", "z")
+            }
+        base = results[48]
+        for ts in (24, 16, 8):
+            for c in ("pix", "lon", "lat", "z"):
+                np.testing.assert_array_equal(results[ts][c], base[c], err_msg=f"{ts}/{c}")
+
+
 class TestCellProperties:
     @settings(max_examples=50, deadline=None)
     @given(
