@@ -335,6 +335,45 @@ def run_reference_style(grid: int, out_dir: str) -> dict:
     return {"rows": total, "seconds": el, "rows_per_sec": total / el}
 
 
+def run_stage_stats(num_cpus: int) -> dict:
+    """Per-operator Ray Data stats of the pages extract pipeline
+    (--stats): wall and UDF time per fused operator."""
+    import re as _re
+
+    import pyarrow.compute as pc
+
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.pages import (
+        geocode_pages, read_pages,
+    )
+
+    sf = _sf()
+    n = max(2000, int(2_000_000 * sf))
+    path = _pages_path(n)
+    geo = geocode_pages(read_pages(path)).map_batches(
+        lambda b: b.filter(pc.equal(b["has_geo"], True)),
+        batch_format="pyarrow", batch_size=None,
+    )
+    m = geo.materialize()
+    text = m.stats()
+    ops = []
+    for block in text.split("Operator ")[1:]:
+        header = block.splitlines()[0]
+        if not header[:1].isdigit():
+            continue  # skip the "Operator throughput:" section
+        wall = _re.search(r"in ([0-9.]+)s", header)
+        udf = _re.search(r"UDF time:.*?([0-9.]+)s total", block)
+        rows = _re.search(r"Output num rows per block:.*?([0-9]+) total", block)
+        ops.append(
+            {
+                "operator": header.split(":")[0].strip(),
+                "wall_s": float(wall.group(1)) if wall else None,
+                "udf_total_s": float(udf.group(1)) if udf else None,
+                "rows_out": int(rows.group(1)) if rows else None,
+            }
+        )
+    return {"rows": n, "operators": ops}
+
+
 def main() -> None:
     if "--scaling" in sys.argv:
         lo = int(os.environ.get("GRAFT_SCALE_N", "1"))
@@ -375,6 +414,19 @@ def main() -> None:
                 }
             )
         )
+        return
+
+    if "--stats" in sys.argv:
+        _init_ray(NUM_CPUS)
+        try:
+            print(json.dumps(
+                {"metric": "pages pipeline per-operator stats",
+                 **run_stage_stats(NUM_CPUS), "num_cpus": NUM_CPUS}
+            ))
+        finally:
+            import ray
+
+            ray.shutdown()
         return
 
     if "--reference-compare" in sys.argv:
