@@ -361,13 +361,16 @@ def run_stage_stats(num_cpus: int) -> dict:
         if not header[:1].isdigit():
             continue  # skip the "Operator throughput:" section
         wall = _re.search(r"in ([0-9.]+)s", header)
-        udf = _re.search(r"UDF time:.*?([0-9.]+)s total", block)
+        udf = _re.search(r"UDF time:.*?([0-9.]+)(m?)s total", block)
         rows = _re.search(r"Output num rows per block:.*?([0-9]+) total", block)
+        udf_s = None
+        if udf:
+            udf_s = float(udf.group(1)) * (0.001 if udf.group(2) == "m" else 1.0)
         ops.append(
             {
                 "operator": header.split(":")[0].strip(),
                 "wall_s": float(wall.group(1)) if wall else None,
-                "udf_total_s": float(udf.group(1)) if udf else None,
+                "udf_total_s": udf_s,
                 "rows_out": int(rows.group(1)) if rows else None,
             }
         )
