@@ -422,6 +422,25 @@ class TestPages:
         }
         assert got_poly == want_poly
 
+    def test_flagship_url_dedup(self, ray_session, fixtures_dir, polygons_table):
+        """dedup_urls drops the ~1%% duplicate-url rows before counting."""
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.pages import (
+            pages_flagship,
+        )
+
+        pages_path = os.path.join(fixtures_dir, "pages.parquet")
+        tbl = pq.read_table(pages_path)
+        n_rows = tbl.num_rows
+        n_urls = len(set(tbl["url"].to_pylist()))
+        assert n_urls < n_rows  # fixture plants dups
+
+        plain = pages_flagship(pages_path)
+        deduped = pages_flagship(pages_path, dedup_urls=True)
+        total_plain = sum(r["count"] for r in plain["lang_counts"].to_pylist())
+        total_dedup = sum(r["count"] for r in deduped["lang_counts"].to_pylist())
+        assert total_plain == n_rows
+        assert total_dedup == n_urls
+
     def test_invariant_enforced(self, ray_session, fixtures_dir):
         import ray.data
         from tiff_to_geojson_csv_json_format_converter_ray.stages.extract import PageExtract

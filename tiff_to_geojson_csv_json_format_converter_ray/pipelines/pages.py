@@ -46,14 +46,25 @@ def pages_flagship(
     polygons: pa.Table | None = None,
     res: int = 8,
     concurrency: int | None = None,
+    dedup_urls: bool = False,
 ) -> dict[str, pa.Table]:
     """End-to-end: returns small aggregate tables
     {cell_counts, lang_counts, polygon_counts?}.
 
     All three aggregates come from ONE pass over the stream: each batch
     emits tagged partial-count rows (lang / cell / polygon); the tiny
-    tagged partials are combined driver-side per tag."""
-    geo = geocode_pages(read_pages(pages_path))
+    tagged partials are combined driver-side per tag.
+
+    ``dedup_urls=True`` drops duplicate-url rows first (exact dedup on
+    the url hash; Common-Crawl corpora re-crawl urls)."""
+    pages = read_pages(pages_path)
+    if dedup_urls:
+        from ..stages.shuffle import shuffled_dedup_first
+
+        # one row per url (earliest capture; exact-tie duplicates are
+        # identical rows, so per-group-first is deterministic)
+        pages = shuffled_dedup_first(pages, "url", "warc_ts")
+    geo = geocode_pages(pages)
     ref = broadcast_table(polygons) if polygons is not None else None
     cell_col = f"cell_{res}"
 
