@@ -1373,7 +1373,8 @@ def oracle_sql() -> dict[str, str]:
             "MAX(p_size) AS max_size FROM part GROUP BY p_brand"
         ),
         "docs_by_source": (
-            "SELECT source, COUNT(n_chars) AS n_docs, SUM(n_chars) AS total_chars "
+            "SELECT source, COUNT(n_chars) AS n_docs, "
+            "CAST(SUM(n_chars) AS BIGINT) AS total_chars "
             "FROM documents GROUP BY source"
         ),
         "stride_secondary": (

@@ -3,6 +3,7 @@ cells not recomputed; final outputs identical')."""
 
 from __future__ import annotations
 
+import hashlib
 import os
 from pathlib import Path
 
@@ -31,6 +32,12 @@ def _write_shards(dir_: Path, n_shards: int = 6, rows_per: int = 120):
 STAGES = [PageExtract(check_invariant=True), lambda t: add_cells(t, (8,))]
 
 
+def _sid(filename: str) -> str:
+    """Path-derived shard id (mirrors checkpoint.enumerate_shards)."""
+    stem = Path(filename).stem
+    return f"{stem}_{hashlib.sha1(filename.encode()).hexdigest()[:8]}"
+
+
 class TestResume:
     def test_clean_run_manifests(self, ray_session, tmp_path):
         _write_shards(tmp_path / "in")
@@ -55,11 +62,11 @@ class TestResume:
             run_resumable(
                 str(tmp_path / "in"), str(tmp_path / "out"),
                 str(tmp_path / "manifest"), STAGES,
-                fail_on={"shard4_00004"},
+                fail_on={_sid("shard4.parquet")},
             )
         store = ManifestStore(str(tmp_path / "manifest"))
         done_after_crash = set(store.completed())
-        assert "shard4_00004" not in done_after_crash
+        assert _sid("shard4.parquet") not in done_after_crash
 
         # capture mtimes of completed fragments
         mtimes = {
@@ -74,7 +81,7 @@ class TestResume:
         )
         assert set(res["completed_before"]) == done_after_crash
         assert set(res["processed_now"]) == (
-            {f"shard{i}_{i:05d}" for i in range(6)} - done_after_crash
+            {_sid(f"shard{i}.parquet") for i in range(6)} - done_after_crash
         )
         for pid, old_mtime in mtimes.items():
             assert os.path.getmtime(store.completed()[pid]["output_path"]) == old_mtime
@@ -104,6 +111,37 @@ class TestResume:
         )
         assert res2["processed_now"] == []
         assert len(res2["completed_before"]) == 3
+
+    def test_ids_stable_when_files_added(self, ray_session, tmp_path):
+        """ADVICE r1: adding a file between a kill and a resume must not
+        shift the ids of already-completed shards (path-derived ids,
+        not enumeration order)."""
+        from tiff_to_geojson_csv_json_format_converter_ray.sources.synthetic import (
+            gen_pages,
+        )
+
+        _write_shards(tmp_path / "in", n_shards=3)
+        run_resumable(
+            str(tmp_path / "in"), str(tmp_path / "out"),
+            str(tmp_path / "manifest"), STAGES,
+        )
+        store = ManifestStore(str(tmp_path / "manifest"))
+        mtimes = {
+            pid: os.path.getmtime(row["output_path"])
+            for pid, row in store.completed().items()
+        }
+        # new file that sorts FIRST — would have shifted every ordinal id
+        pq.write_table(gen_pages(50), tmp_path / "in" / "aaa_late.parquet")
+        res = run_resumable(
+            str(tmp_path / "in"), str(tmp_path / "out"),
+            str(tmp_path / "manifest"), STAGES,
+        )
+        assert res["processed_now"] == [_sid("aaa_late.parquet")]
+        for pid, old in mtimes.items():
+            assert os.path.getmtime(store.completed()[pid]["output_path"]) == old
+        # exactly one output fragment per input file, no duplicates
+        frags = sorted(p.name for p in (tmp_path / "out").glob("*.parquet"))
+        assert len(frags) == 4
 
     def test_torn_manifest_ignored(self, tmp_path):
         store = ManifestStore(str(tmp_path / "m"))

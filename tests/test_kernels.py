@@ -244,6 +244,23 @@ class TestKNN:
         gi, _ = idx.query(np.array([1.2]), np.array([0.1]))
         assert idx.payload[gi[0, 0]] == 20.0
 
+    def test_query_far_outside_extent(self):
+        """ADVICE r1: a query point whose bucket is further outside the
+        grid than max(nx, ny) rings must still find its true neighbor
+        (the old ring cap returned -1)."""
+        rng = np.random.RandomState(11)
+        lon = rng.rand(500) * 0.5 + 77  # tight extent -> many rings away
+        lat = rng.rand(500) * 0.5 + 28
+        idx = knn.KNNIndex(lon, lat)
+        # queries far outside the extent in every direction
+        qlon = np.array([77.25, 90.0, 60.0, 77.25, 95.0])
+        qlat = np.array([50.0, 28.25, 5.0, -40.0, 80.0])
+        gi, gd = idx.query(qlon, qlat, k=1)
+        bi, bd = idx.query_brute(qlon, qlat, k=1)
+        assert (gi >= 0).all()
+        np.testing.assert_array_equal(gi, bi)
+        np.testing.assert_allclose(gd, bd, atol=1e-12)
+
 
 class TestBallTree:
     def test_matches_brute_on_clustered(self):

@@ -40,7 +40,18 @@ class TestMix32:
     def test_matches_duckdb(self):
         import duckdb
 
-        keys = np.arange(0, 50_000, 7, dtype=np.int64)
+        keys = np.concatenate([
+            np.arange(0, 50_000, 7, dtype=np.int64),
+            # realistic hashed-key magnitudes: low-32-bits > ~3.47e9
+            # overflowed the old single-multiply SQL form, and negative
+            # keys hit the %-sign-convention divergence (ADVICE r1)
+            np.array(
+                [3_470_000_000, 4_000_000_000, 4_294_967_295,
+                 4_294_967_296, 10**12, 2**40 + 17, 2**62,
+                 -1, -42, -4_000_000_000, -(2**40)],
+                dtype=np.int64,
+            ),
+        ])
         mine = mix32(keys, seed=7)
         con = duckdb.connect()
         con.register("t", pa.table({"k": keys}))

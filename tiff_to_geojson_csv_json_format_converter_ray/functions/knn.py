@@ -62,11 +62,19 @@ class KNNIndex:
         nq = len(qlon)
         idx_out = np.full((nq, k), -1, dtype=np.int64)
         dist_out = np.full((nq, k), np.inf)
-        max_ring = max(self.nx, self.ny)
         for qi in range(nq):
             qx, qy = qlon[qi], qlat[qi]
             bx = int(np.floor((qx - self.x0) / self.cell))
             by = int(np.floor((qy - self.y0) / self.cell))
+            # Rings centered on the query bucket must be able to reach
+            # EVERY grid bucket, even when (bx, by) lies outside the
+            # grid (query beyond the index extent): the bound is the
+            # Chebyshev distance to the farthest grid corner, not
+            # max(nx, ny).
+            max_ring = max(
+                max(abs(bx), abs(bx - (self.nx - 1))),
+                max(abs(by), abs(by - (self.ny - 1))),
+            ) + 1
             best_d: np.ndarray = np.empty(0)
             best_i: np.ndarray = np.empty(0, dtype=np.int64)
             for ring in range(max_ring + 1):

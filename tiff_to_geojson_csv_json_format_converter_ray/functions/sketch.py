@@ -23,18 +23,33 @@ _M32 = np.int64(4294967296)  # 2^32
 
 def mix32(x: np.ndarray, seed: int = 0) -> np.ndarray:
     """int64 keys -> int64 in [0, 2^32): Knuth multiplicative step +
-    xorshift finalizers; every intermediate fits in int64."""
-    v = (np.asarray(x, np.int64) + np.int64(seed)) % _M32
-    v = (v * np.int64(2654435761)) % _M32
+    xorshift finalizers; every intermediate fits in int64.
+
+    The first multiply (v < 2^32 times 2654435761) would exceed int64,
+    so it is split into 16-bit halves:
+    ``v*C mod 2^32 = ((v_hi*C mod 2^16) << 16) + v_lo*C  (mod 2^32)``
+    with every partial < 2^48.  Negative keys are masked to their low
+    32 bits up front (two's-complement ``& 0xFFFFFFFF``), which both
+    NumPy and DuckDB compute identically -- unlike ``%``, whose sign
+    convention differs (floored vs truncated)."""
+    v = (np.asarray(x, np.int64) + np.int64(seed)) & np.int64(0xFFFFFFFF)
+    hi = ((v >> np.int64(16)) * np.int64(2654435761)) & np.int64(0xFFFF)
+    lo = (v & np.int64(0xFFFF)) * np.int64(2654435761)
+    v = ((hi << np.int64(16)) + lo) & np.int64(0xFFFFFFFF)
     v = ((v ^ (v >> np.int64(16))) * np.int64(73244475)) % _M32
     v = ((v ^ (v >> np.int64(16))) * np.int64(73244475)) % _M32
     return v ^ (v >> np.int64(16))
 
 
 def mix32_sql(col: str, seed: int = 0) -> str:
-    """DuckDB expression computing mix32 identically (BIGINT-safe)."""
-    v0 = f"((({col}) + {seed}) % 4294967296)"
-    v1 = f"(({v0} * 2654435761) % 4294967296)"
+    """DuckDB expression computing mix32 identically (BIGINT-safe: the
+    first multiply is split into 16-bit halves exactly like
+    :func:`mix32`, and the key is masked with ``& 4294967295`` so
+    negative keys agree bit-for-bit with NumPy)."""
+    v0 = f"(((({col}) + {seed}) & 4294967295))"
+    hi = f"((({v0} >> 16) * 2654435761) & 65535)"
+    lo = f"(({v0} & 65535) * 2654435761)"
+    v1 = f"(((({hi} << 16) + {lo})) & 4294967295)"
     v2 = f"(((xor({v1}, {v1} >> 16)) * 73244475) % 4294967296)"
     v3 = f"(((xor({v2}, {v2} >> 16)) * 73244475) % 4294967296)"
     return f"xor({v3}, {v3} >> 16)"

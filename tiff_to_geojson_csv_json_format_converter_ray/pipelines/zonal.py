@@ -151,7 +151,10 @@ def zonal_stats(
     )
 
     if center_fallback and missing:
-        stats = _apply_center_fallback(stats, pts, polygons, missing)
+        stats = _apply_center_fallback(
+            stats, pts, polygons, missing,
+            mask_strategy=mask_strategy, nodata=nodata, rescale=rescale,
+        )
 
     order = pc.sort_indices(
         stats, sort_keys=[("polygon_id", "ascending"), ("band", "ascending")]
@@ -160,9 +163,16 @@ def zonal_stats(
 
 
 def _apply_center_fallback(
-    stats: pa.Table, pts, polygons: pa.Table, missing: list[dict]
+    stats: pa.Table, pts, polygons: pa.Table, missing: list[dict],
+    mask_strategy: str = "ne_nodata", nodata: float | None = None,
+    rescale: tuple[float, float] | None = None,
 ) -> pa.Table:
-    """Replace Null rows with center-10%%-window stats where possible."""
+    """Replace Null rows with center-10%%-window stats where possible.
+
+    The reference's ladder (test2.py:1335-1357, 1392+) abandons ONLY the
+    polygon clip at this rung -- the nodata validity mask (and the uint8
+    de-scale) still apply to the center-window pixels, and only the
+    (polygon, band) pairs that actually came up Null are replaced."""
     boxes = {
         polygons["polygon_id"][i].as_py(): (
             polygons["minx"][i].as_py(), polygons["miny"][i].as_py(),
@@ -199,17 +209,37 @@ def _apply_center_fallback(
         return pa.concat_tables(parts)
 
     fb_pts = pts.map_batches(center_pick, batch_format="pyarrow", batch_size=None)
+    # nodata mask (and de-scale) still apply at this rung
+    fb_pts = fb_pts.map_batches(
+        ValidityFilter(mask_strategy, nodata=nodata),
+        batch_format="pyarrow", batch_size=None,
+    )
+    if rescale is not None:
+        fb_pts = fb_pts.map_batches(
+            Uint8Rescale(rescale[0], rescale[1]),
+            batch_format="pyarrow", batch_size=None,
+        )
     fb = grouped_stats(fb_pts, ["polygon_id", "band"], "z")
+    if fb.num_rows == 0:
+        return stats
+    # only replace the (polygon_id, band) pairs that were actually Null:
+    # center_pick windows cover every band, so fb may contain pairs the
+    # main pass already resolved
+    miss_keys = {(m["polygon_id"], m["band"]) for m in missing}
+    fb_mask = [
+        (pid, b) in miss_keys
+        for pid, b in zip(fb["polygon_id"].to_pylist(), fb["band"].to_pylist())
+    ]
+    fb = fb.filter(pa.array(fb_mask))
     if fb.num_rows == 0:
         return stats
     fb = fb.append_column("from_center_fallback", pa.array([True] * fb.num_rows))
     fb_keys = set(zip(fb["polygon_id"].to_pylist(), fb["band"].to_pylist()))
     keep = [
-        not (pid, b) in fb_keys or cnt > 0
-        for pid, b, cnt in zip(
+        (pid, b) not in fb_keys
+        for pid, b in zip(
             stats["polygon_id"].to_pylist(),
             stats["band"].to_pylist(),
-            stats["count"].to_pylist(),
         )
     ]
     kept = stats.filter(pa.array(keep))

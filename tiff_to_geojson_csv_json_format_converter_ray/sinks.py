@@ -23,6 +23,7 @@ Format parity pinned to the reference:
 from __future__ import annotations
 
 import gzip
+import hashlib
 import json
 import os
 import uuid
@@ -30,6 +31,29 @@ from pathlib import Path
 
 import numpy as np
 import pyarrow as pa
+
+
+def _block_tag(batch: pa.Table) -> str:
+    """Deterministic per-block file tag: a content hash over the point
+    columns.  A Ray task retry (or a re-run into the same out_dir)
+    reproduces the SAME name and idempotently overwrites, instead of
+    leaving uuid4 orphans that a later directory glob would union in as
+    duplicate rows (ADVICE r1; mirrors checkpoint._atomic_write_parquet's
+    deterministic naming)."""
+    h = hashlib.sha1()
+    h.update(str(batch.num_rows).encode())
+    for c in ("pix", "lon", "lat", "z"):
+        if c in batch.column_names and batch.num_rows:
+            h.update(batch[c].to_numpy(zero_copy_only=False).tobytes())
+    return h.hexdigest()[:12]
+
+
+def _atomic_bytes(path: str, payload: bytes) -> None:
+    """Write-then-rename so a killed task never leaves a torn file."""
+    tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "wb") as f:
+        f.write(payload)
+    os.replace(tmp, path)
 
 
 def _manifest_row(path: str, batch: pa.Table, key: str) -> pa.Table:
@@ -100,7 +124,7 @@ class GeoJSONSink:
 
     def _write_one(self, key: str, batch: pa.Table) -> pa.Table:
         Path(self.out_dir).mkdir(parents=True, exist_ok=True)
-        path = os.path.join(self.out_dir, f"{key}_{uuid.uuid4().hex[:8]}.geojson")
+        path = os.path.join(self.out_dir, f"{key}_{_block_tag(batch)}.geojson")
         lon = batch["lon"].to_numpy(zero_copy_only=False)
         lat = batch["lat"].to_numpy(zero_copy_only=False)
         z = batch["z"].to_numpy(zero_copy_only=False)
@@ -131,8 +155,7 @@ class GeoJSONSink:
         }
         head = json.dumps(header, separators=(",", ":"))
         doc = head[:-1] + ',"features":[' + features + "]}"
-        with open(path, "w") as f:
-            f.write(doc)
+        _atomic_bytes(path, doc.encode())
         return _manifest_row(path, batch, key)
 
 
@@ -153,7 +176,7 @@ class CSVSink:
     def _write_one(self, key: str, batch: pa.Table) -> pa.Table:
         Path(self.out_dir).mkdir(parents=True, exist_ok=True)
         ext = ".csv.gz" if self.compression == "gzip" else ".csv"
-        path = os.path.join(self.out_dir, f"{key}_{uuid.uuid4().hex[:8]}{ext}")
+        path = os.path.join(self.out_dir, f"{key}_{_block_tag(batch)}{ext}")
         lon = batch["lon"].to_numpy(zero_copy_only=False)
         lat = batch["lat"].to_numpy(zero_copy_only=False)
         z = batch["z"].to_numpy(zero_copy_only=False)
@@ -170,10 +193,12 @@ class CSVSink:
         else:
             df = pd.DataFrame({"x": lon, "y": lat, "z": z})
             fmt = "%.2f"
+        tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp"
         df.to_csv(
-            path, index=False, float_format=fmt,
+            tmp, index=False, float_format=fmt,
             compression="gzip" if self.compression == "gzip" else None,
         )
+        os.replace(tmp, path)
         return _manifest_row(path, batch, key)
 
 
@@ -199,7 +224,7 @@ class JSONSink:
     def _write_one(self, key: str, batch: pa.Table) -> pa.Table:
         Path(self.out_dir).mkdir(parents=True, exist_ok=True)
         ext = ".json.gz" if self.compression == "gzip" else ".json"
-        path = os.path.join(self.out_dir, f"{key}_{uuid.uuid4().hex[:8]}{ext}")
+        path = os.path.join(self.out_dir, f"{key}_{_block_tag(batch)}{ext}")
         lon = batch["lon"].to_numpy(zero_copy_only=False)
         lat = batch["lat"].to_numpy(zero_copy_only=False)
         z = batch["z"].to_numpy(zero_copy_only=False)
@@ -233,11 +258,9 @@ class JSONSink:
         }
         payload = json.dumps(doc, separators=(",", ":")).encode()
         if self.compression == "gzip":
-            with gzip.open(path, "wb") as f:
-                f.write(payload)
-        else:
-            with open(path, "wb") as f:
-                f.write(payload)
+            # mtime=0 keeps the gzip bytes deterministic across retries
+            payload = gzip.compress(payload, mtime=0)
+        _atomic_bytes(path, payload)
         return _manifest_row(path, batch, key)
 
 
@@ -255,14 +278,16 @@ class NPZSink:
 
     def _write_one(self, key: str, batch: pa.Table) -> pa.Table:
         Path(self.out_dir).mkdir(parents=True, exist_ok=True)
-        path = os.path.join(self.out_dir, f"{key}_{uuid.uuid4().hex[:8]}.npz")
+        path = os.path.join(self.out_dir, f"{key}_{_block_tag(batch)}.npz")
+        tmp = f"{path}.{uuid.uuid4().hex[:8]}.tmp.npz"
         np.savez_compressed(
-            path,
+            tmp,
             x=batch["lon"].to_numpy(zero_copy_only=False),
             y=batch["lat"].to_numpy(zero_copy_only=False),
             z=batch["z"].to_numpy(zero_copy_only=False),
             metadata=np.array([json.dumps({"source_file": key})]),
         )
+        os.replace(tmp, path)
         return _manifest_row(path, batch, key)
 
 

@@ -202,17 +202,38 @@ class KNNLookup:
         lon = batch[self.lon_col].to_numpy(zero_copy_only=False)
         lat = batch[self.lat_col].to_numpy(zero_copy_only=False)
         idx, dist = self.index.query(lon, lat, k=self.k)
+        # idx == -1 means "no neighbor found" (cannot occur for a
+        # non-empty index after the ring-bound fix, but a negative
+        # index would silently gather the LAST payload row -- emit
+        # null instead of a wrong join value).
+        missing = idx < 0
+        safe_idx = np.where(missing, 0, idx)
         if self.k == 1:
             for c, arr in self.payloads.items():
-                batch = batch.append_column(f"nn_{c}", pa.array(arr[idx[:, 0]]))
-            batch = batch.append_column("nn_dist", pa.array(dist[:, 0]))
-            return batch
-        # k > 1: emit list columns
-        for c, arr in self.payloads.items():
+                batch = batch.append_column(
+                    f"nn_{c}",
+                    pa.array(arr[safe_idx[:, 0]], mask=missing[:, 0]),
+                )
             batch = batch.append_column(
-                f"nn_{c}", pa.array(arr[idx].tolist())
+                "nn_dist", pa.array(dist[:, 0], mask=missing[:, 0])
             )
-        batch = batch.append_column("nn_dist", pa.array(dist.tolist()))
+            return batch
+        # k > 1: emit list columns (None for missing slots)
+        for c, arr in self.payloads.items():
+            vals = arr[safe_idx].tolist()
+            if missing.any():
+                vals = [
+                    [None if m else v for v, m in zip(row, mrow)]
+                    for row, mrow in zip(vals, missing)
+                ]
+            batch = batch.append_column(f"nn_{c}", pa.array(vals))
+        dvals = dist.tolist()
+        if missing.any():
+            dvals = [
+                [None if m else v for v, m in zip(row, mrow)]
+                for row, mrow in zip(dvals, missing)
+            ]
+        batch = batch.append_column("nn_dist", pa.array(dvals))
         return batch
 
 

@@ -128,12 +128,25 @@ class ShardProcessor:
 
 
 def enumerate_shards(input_path: str) -> list[dict]:
-    """Shard descriptors for a parquet file or directory of files."""
+    """Shard descriptors for a parquet file or directory of files.
+
+    shard_id derives from the file path ALONE (stem + short hash of the
+    name), never from enumeration order: if files are added to or
+    removed from the input directory between a kill and a resume, ids
+    of the unchanged files must not shift, or completed-shard filtering
+    would recompute them into second output fragments (ADVICE r1)."""
+    import hashlib
+
     p = Path(input_path)
     files = sorted(p.glob("*.parquet")) if p.is_dir() else [p]
     return [
-        {"shard_id": f"{f.stem}_{i:05d}", "path": str(f)}
-        for i, f in enumerate(files)
+        {
+            "shard_id": (
+                f"{f.stem}_{hashlib.sha1(f.name.encode()).hexdigest()[:8]}"
+            ),
+            "path": str(f),
+        }
+        for f in files
     ]
 
 
