@@ -357,6 +357,50 @@ class TestANN:
             recalls.append(len(e & a) / len(e))
         assert np.mean(recalls) >= 0.6  # probing half the lists
 
+    def test_ivf_prunes_partitions_at_read(self, ray_session, sf_dir, tmp_path):
+        """VERDICT r1 item 4: IVF must save I/O, not just compute --
+        the index is list_id-partitioned parquet and a search reads
+        ONLY the probed partition dirs."""
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.ann import (
+            build_ivf_index, ivf_search, probed_partition_dirs,
+        )
+
+        tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        vecs = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+        queries = vecs[[10]]
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        idx_dir = str(tmp_path / "ivf")
+        build_ivf_index(ds, idx_dir, n_lists=8)
+        all_parts = sorted(
+            p for p in os.listdir(os.path.join(idx_dir, "lists"))
+            if p.startswith("list_id=")
+        )
+        assert len(all_parts) > 2  # corpus actually spreads over lists
+        probe, dirs = probed_partition_dirs(idx_dir, queries, nprobe=2)
+        assert len(dirs) == 2 < len(all_parts)  # strict subset read
+        read_parts = {os.path.basename(d) for d in dirs}
+        assert read_parts == {f"list_id={j}" for j in probe.ravel()}
+
+        # the search over only those partitions still finds the query
+        # itself as top-1 (it lives in its own nearest list)
+        out = ivf_search(idx_dir, queries, k=5, nprobe=2).to_pandas()
+        top1 = out[(out["query_id"] == 0) & (out["rank"] == 0)]
+        assert top1["vec_id"].iloc[0] == tbl["vec_id"][10].as_py()
+
+    def test_ivf_train_sample_is_deterministic_bottomk(self, ray_session, sf_dir):
+        """Centroids must come from the bottom-k sample, identical
+        regardless of input partitioning (no ds.take head bias)."""
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.ann import train_ivf
+
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        one = ray.data.read_parquet(path)
+        many = ray.data.read_parquet(path).repartition(7)
+        c1 = train_ivf(one, n_lists=8, train_sample=256).centroids
+        c2 = train_ivf(many, n_lists=8, train_sample=256).centroids
+        np.testing.assert_allclose(c1, c2, atol=0)
+
 
 class TestTextAnnotate:
     def test_columns_match_direct(self, ray_session, sf_dir):

@@ -4,9 +4,11 @@ Baseline: exact brute-force cosine top-k -- per batch, one dense
 matmul of the batch's embeddings against the broadcast query matrix,
 with per-batch top-k partials combined driver-side (the partials are
 (n_blocks x n_queries x k) rows, tiny).  Scale path: IVF -- seeded
-k-means centroids (Lloyd on a sample), searchers probe only the
-``nprobe`` nearest inverted lists.
-"""
+k-means centroids (Lloyd over the deterministic bottom-k sample),
+vectors written ONCE as list_id-partitioned parquet
+(:func:`build_ivf_index`), searches read ONLY the probed partitions
+(:func:`ivf_search`) -- IVF prunes I/O, not just compute
+(VERDICT r1 item 4)."""
 
 from __future__ import annotations
 
@@ -45,14 +47,22 @@ def list_col_to_matrix(col) -> np.ndarray:
 
 class BruteTopK:
     """map_batches stage: batch embeddings x broadcast queries ->
-    per-batch top-k partial rows {query_id, vec_id, score}."""
+    per-batch top-k partial rows {query_id, vec_id, score}.
+
+    ``allowed`` (optional, (nq, n_lists) bool) masks rows whose
+    ``list_col`` value a query did not probe -- the vectorized
+    per-query IVF filter (scores set to -inf, dropped after top-k)."""
 
     def __init__(self, queries: np.ndarray, k: int = 10,
-                 vec_col: str = "embedding", id_col: str = "vec_id"):
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 allowed: np.ndarray | None = None,
+                 list_col: str = "list_id"):
         self.q = _unit(np.asarray(queries, dtype=np.float64))
         self.k = k
         self.vec_col = vec_col
         self.id_col = id_col
+        self.allowed = allowed
+        self.list_col = list_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         vecs = list_col_to_matrix(batch[self.vec_col])
@@ -64,14 +74,24 @@ class BruteTopK:
                  "score": pa.array([], pa.float64())}
             )
         scores = _unit(vecs) @ self.q.T  # (n, nq)
+        if self.allowed is not None:
+            # hive-recovered partition columns come back as string
+            lists = (
+                batch[self.list_col]
+                .cast(pa.int64())
+                .to_numpy(zero_copy_only=False)
+            )
+            scores = np.where(self.allowed[:, lists].T, scores, -np.inf)
         k = min(self.k, len(vecs))
         top = np.argpartition(-scores, kth=k - 1, axis=0)[:k]  # (k, nq)
         rows_q, rows_i, rows_s = [], [], []
         for qi in range(self.q.shape[0]):
             ti = top[:, qi]
-            rows_q.append(np.full(k, qi, dtype=np.int64))
-            rows_i.append(ids[ti])
-            rows_s.append(scores[ti, qi])
+            sc = scores[ti, qi]
+            ok = np.isfinite(sc)
+            rows_q.append(np.full(int(ok.sum()), qi, dtype=np.int64))
+            rows_i.append(ids[ti[ok]])
+            rows_s.append(sc[ok])
         return pa.table(
             {
                 "query_id": np.concatenate(rows_q),
@@ -96,22 +116,24 @@ def brute_topk(
         )
         if t.num_rows
     ]
+    return _combine_topk(parts, k, id_col)
+
+
+def _combine_topk(parts: list[pa.Table], k: int, id_col: str) -> pa.Table:
+    """Merge per-block top-k partials (tiny) into the final ranking;
+    ties broken by vec_id for determinism."""
     allp = pa.concat_tables(parts, promote_options="default")
     qid = allp["query_id"].to_numpy(zero_copy_only=False)
     vid = allp[id_col].to_numpy(zero_copy_only=False)
     sc = allp["score"].to_numpy(zero_copy_only=False)
     rows = []
-    for q in np.unique(qid):
-        m = qid == q
+    for qq in np.unique(qid):
+        m = qid == qq
         order = np.lexsort((vid[m], -sc[m]))[:k]
         for rank, j in enumerate(order):
             rows.append(
-                {
-                    "query_id": int(q),
-                    id_col: int(vid[m][j]),
-                    "score": float(sc[m][j]),
-                    "rank": rank,
-                }
+                {"query_id": int(qq), id_col: int(vid[m][j]),
+                 "score": float(sc[m][j]), "rank": rank}
             )
     return pa.Table.from_pylist(rows)
 
@@ -138,72 +160,135 @@ class IVFIndex:
     def assign(self, vecs: np.ndarray) -> np.ndarray:
         return np.argmax(_unit(np.asarray(vecs, np.float64)) @ self.centroids.T, axis=1)
 
+    @classmethod
+    def from_centroids(cls, centroids: np.ndarray) -> "IVFIndex":
+        obj = cls.__new__(cls)
+        obj.centroids = np.asarray(centroids, np.float64)
+        return obj
+
+
+def train_ivf(
+    ds: ray.data.Dataset, vec_col: str = "embedding", id_col: str = "vec_id",
+    n_lists: int = 16, train_sample: int = 2048, seed: int = 42,
+) -> IVFIndex:
+    """Centroids trained on the DETERMINISTIC bottom-k sample (uniform,
+    partitioning-independent) -- not ``ds.take``, whose head bias skews
+    centroids on sorted/clustered inputs (VERDICT r1 item 5)."""
+    from .sketch import bottomk_sample
+
+    sample_tbl = bottomk_sample(
+        ds.select_columns([id_col, vec_col]), id_col, train_sample, seed=seed
+    )
+    return IVFIndex(
+        list_col_to_matrix(sample_tbl[vec_col]), n_lists=n_lists, seed=seed
+    )
+
+
+def build_ivf_index(
+    ds: ray.data.Dataset, index_dir: str, vec_col: str = "embedding",
+    id_col: str = "vec_id", n_lists: int = 16, train_sample: int = 2048,
+    seed: int = 42,
+) -> IVFIndex:
+    """ONE pass over the corpus: assign every vector its list id and
+    write ``{index_dir}/lists/list_id=<j>/`` hive-partitioned parquet
+    (+ centroids.npy).  Searches then read only probed partitions --
+    the amortized-build / pruned-read IVF layout."""
+    import os
+
+    index = train_ivf(ds, vec_col, id_col, n_lists, train_sample, seed)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        lists = index.assign(list_col_to_matrix(batch[vec_col]))
+        return batch.append_column("list_id", pa.array(lists.astype(np.int64)))
+
+    os.makedirs(index_dir, exist_ok=True)
+    ds.map_batches(assign, batch_format="pyarrow", batch_size=None).write_parquet(
+        os.path.join(index_dir, "lists"), partition_cols=["list_id"]
+    )
+    np.save(os.path.join(index_dir, "centroids.npy"), index.centroids)
+    return index
+
+
+def probed_partition_dirs(
+    index_dir: str, queries: np.ndarray, nprobe: int
+) -> tuple[np.ndarray, list[str]]:
+    """-> (probe (nq, nprobe) list ids, the partition dirs a search
+    will read).  Exposed so tests can assert non-probed partitions are
+    NEVER touched."""
+    import os
+
+    centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+    q = _unit(np.asarray(queries, dtype=np.float64))
+    probe = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]
+    union = sorted(set(map(int, probe.ravel())))
+    dirs = [
+        d
+        for j in union
+        if os.path.isdir(d := os.path.join(index_dir, "lists", f"list_id={j}"))
+    ]
+    return probe, dirs
+
+
+def ivf_search(
+    index_dir: str, queries: np.ndarray, k: int = 10, nprobe: int = 4,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> pa.Table:
+    """Search a built IVF index: ONLY the probed ``list_id=`` partition
+    directories are passed to read_parquet (non-probed lists never
+    leave storage); per-query filtering is a vectorized probe-matrix
+    mask on the score matrix.  Same output shape as brute_topk."""
+    import os
+
+    centroids = np.load(os.path.join(index_dir, "centroids.npy"))
+    n_lists = len(centroids)
+    probe, dirs = probed_partition_dirs(index_dir, queries, nprobe)
+    if not dirs:
+        return pa.table(
+            {"query_id": pa.array([], pa.int64()),
+             id_col: pa.array([], pa.int64()),
+             "score": pa.array([], pa.float64()),
+             "rank": pa.array([], pa.int64())}
+        )
+    allowed = np.zeros((len(probe), n_lists), dtype=bool)
+    for qi, p in enumerate(probe):
+        allowed[qi, p] = True
+    import glob
+
+    files = sorted(
+        f for d in dirs for f in glob.glob(os.path.join(d, "*.parquet"))
+    )
+    ds = ray.data.read_parquet(files)
+    stage = BruteTopK(queries, k, vec_col, id_col, allowed=allowed)
+    parts = [
+        t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+        for t in ds.map_batches(
+            stage, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+        if t.num_rows
+    ]
+    if not parts:
+        return pa.table(
+            {"query_id": pa.array([], pa.int64()),
+             id_col: pa.array([], pa.int64()),
+             "score": pa.array([], pa.float64()),
+             "rank": pa.array([], pa.int64())}
+        )
+    return _combine_topk(parts, k, id_col)
+
 
 def ivf_topk(
     ds: ray.data.Dataset, queries: np.ndarray, k: int = 10, n_lists: int = 16,
     nprobe: int = 4, vec_col: str = "embedding", id_col: str = "vec_id",
     train_sample: int = 2048, seed: int = 42,
+    index_dir: str | None = None,
 ) -> pa.Table:
-    """IVF ANN: train centroids on a head sample, then scan only rows
-    whose list id is among each query's ``nprobe`` nearest lists.
-    Same output shape as brute_topk (approximate)."""
-    sample = np.asarray(
-        [r[vec_col] for r in ds.take(train_sample)], dtype=np.float64
-    )
-    index = IVFIndex(sample, n_lists=n_lists, seed=seed)
-    q = _unit(np.asarray(queries, dtype=np.float64))
-    probe = np.argsort(-(q @ index.centroids.T), axis=1)[:, :nprobe]  # (nq, nprobe)
-    probe_sets = [set(map(int, p)) for p in probe]
+    """One-shot IVF ANN: build the partitioned index (bottom-k-sampled
+    centroids, list_id-partitioned parquet), then search reading only
+    the probed partitions.  Pass ``index_dir`` to keep the index for
+    reuse; otherwise it is built in a temp dir (the build pass is
+    amortized across searches in real use)."""
+    import tempfile
 
-    class Stage:
-        def __init__(self):
-            self.index = index
-            self.inner = BruteTopK(queries, k, vec_col, id_col)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            vecs = list_col_to_matrix(batch[vec_col])
-            if len(vecs) == 0:
-                return self.inner(batch)
-            lists = self.index.assign(vecs)
-            # a row is scanned for the union of probed lists; per-query
-            # filtering happens in the score matrix by masking
-            union = set().union(*probe_sets)
-            mask = np.fromiter((int(l) in union for l in lists), bool, len(lists))
-            sub = batch.filter(pa.array(mask))
-            out = self.inner(sub)
-            # drop (query, row) hits whose list wasn't probed by that query
-            if out.num_rows:
-                sub_lists = self.index.assign(list_col_to_matrix(sub[vec_col]))
-                id_to_list = dict(
-                    zip(sub[id_col].to_pylist(), map(int, sub_lists))
-                )
-                qs = out["query_id"].to_numpy(zero_copy_only=False)
-                vs = out[id_col].to_numpy(zero_copy_only=False)
-                keep = np.fromiter(
-                    (id_to_list[v] in probe_sets[int(qq)] for qq, v in zip(qs, vs)),
-                    bool, len(qs),
-                )
-                out = out.filter(pa.array(keep))
-            return out
-
-    parts = [
-        t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
-        for t in ds.map_batches(Stage, concurrency=2, batch_format="pyarrow", batch_size=None).iter_batches(
-            batch_format="pyarrow", batch_size=None
-        )
-        if t.num_rows
-    ]
-    allp = pa.concat_tables(parts, promote_options="default")
-    qid = allp["query_id"].to_numpy(zero_copy_only=False)
-    vid = allp[id_col].to_numpy(zero_copy_only=False)
-    sc = allp["score"].to_numpy(zero_copy_only=False)
-    rows = []
-    for qq in np.unique(qid):
-        m = qid == qq
-        order = np.lexsort((vid[m], -sc[m]))[:k]
-        for rank, j in enumerate(order):
-            rows.append(
-                {"query_id": int(qq), id_col: int(vid[m][j]),
-                 "score": float(sc[m][j]), "rank": rank}
-            )
-    return pa.Table.from_pylist(rows)
+    d = index_dir or tempfile.mkdtemp(prefix="ivf_index_")
+    build_ivf_index(ds, d, vec_col, id_col, n_lists, train_sample, seed)
+    return ivf_search(d, queries, k, nprobe, vec_col, id_col)

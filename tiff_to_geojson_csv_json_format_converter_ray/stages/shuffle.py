@@ -74,15 +74,23 @@ class SaltStage:
     def __init__(self, key: str, hot_keys: set, k: int = 8,
                  row_hash_col: str | None = None):
         self.key = key
-        self.hot = hot_keys
+        # Arrow value-set for the vectorized pc.is_in hot test (the
+        # hot set is small -- built once per actor, applied per batch)
+        self.hot = pa.array(sorted(hot_keys)) if hot_keys else None
         self.k = k
         self.row_hash_col = row_hash_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        keys = batch[self.key].to_pylist()
-        hot_mask = np.fromiter(
-            (kk in self.hot for kk in keys), dtype=bool, count=len(keys)
-        )
+        import pyarrow.compute as pc
+
+        if self.hot is None:
+            hot_mask = np.zeros(batch.num_rows, dtype=bool)
+        else:
+            hot_mask = (
+                pc.is_in(batch[self.key], value_set=self.hot)
+                .to_numpy(zero_copy_only=False)
+                .astype(bool)
+            )
         if self.row_hash_col and self.row_hash_col in batch.column_names:
             h = batch[self.row_hash_col].to_numpy(zero_copy_only=False)
             salt = (h % self.k).astype(np.int64)
