@@ -206,28 +206,45 @@ class PageExtract:
         self.check_invariant = check_invariant
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        htmls = batch["html"].to_pylist()
-        # decode each page once; extract_text/extract_geo accept str
-        docs = [
-            h.decode("utf-8", errors="replace") if isinstance(h, bytes) else h
-            for h in htmls
-        ]
+        import pyarrow.compute as pc
+
+        html_col = batch["html"]
+        if pa.types.is_binary(html_col.type) or pa.types.is_large_binary(
+            html_col.type
+        ):
+            try:
+                # C-level utf-8 validation + decode in one pass
+                html_col = pc.cast(html_col, pa.string())
+                docs = html_col.to_pylist()
+            except pa.ArrowInvalid:
+                # invalid utf-8 somewhere: per-row lossy decode
+                docs = [
+                    h.decode("utf-8", errors="replace")
+                    for h in html_col.to_pylist()
+                ]
+                html_col = pa.array(docs)
+        else:
+            docs = html_col.to_pylist()
         texts = [_text.extract_text(d) for d in docs]
+        text_arr = pa.array(texts)
         if self.check_invariant and "text" in batch.column_names:
-            golden = batch["text"].to_pylist()
-            for u, t, g in zip(batch["url"].to_pylist(), texts, golden):
-                if t != g:
-                    raise ValueError(
-                        f"extract_text invariant violated for url={u!r}"
-                    )
-        geos = [_text.extract_geo(d) for d in docs]
-        lat = np.array([g[0] if g else np.nan for g in geos])
-        lon = np.array([g[1] if g else np.nan for g in geos])
+            # vectorized compare; the Python loop runs only on failure
+            # to name the offending url
+            eq = pc.equal(text_arr, batch["text"].combine_chunks())
+            if not bool(pc.min(eq).as_py() or False) or eq.null_count:
+                golden = batch["text"].to_pylist()
+                for u, t, g in zip(batch["url"].to_pylist(), texts, golden):
+                    if t != g:
+                        raise ValueError(
+                            f"extract_text invariant violated for url={u!r}"
+                        )
+        # one RE2 scan for the geo spans instead of per-row re.search
+        lat, lon, has = _text.extract_geo_batch(html_col)
         out = batch.drop_columns(["html"])
-        out = out.append_column("text_extracted", pa.array(texts))
+        out = out.append_column("text_extracted", text_arr)
         out = out.append_column("lat", pa.array(lat))
         out = out.append_column("lon", pa.array(lon))
-        out = out.append_column("has_geo", pa.array([g is not None for g in geos]))
+        out = out.append_column("has_geo", pa.array(has))
         return out
 
 
