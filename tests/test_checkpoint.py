@@ -148,3 +148,55 @@ class TestResume:
         store.record({"partition_id": "ok", "row_count": 1})
         (tmp_path / "m" / f"bad{'' }.manifest.json").write_text("{truncated")
         assert set(store.completed()) == {"ok"}
+
+
+class TestMarkerCommitMode:
+    """Rename-free object-store protocol (VERDICT r1 item 10): PUT data
+    object, PUT .ok marker strictly after; readers gate on the marker."""
+
+    def test_no_rename_ever_called(self, tmp_path, monkeypatch):
+        import pathlib
+
+        def forbid(self, *a, **k):  # simulated S3: rename does not exist
+            raise AssertionError(f"rename called on {self}")
+
+        monkeypatch.setattr(pathlib.Path, "rename", forbid)
+        store = ManifestStore(str(tmp_path / "m"), commit_mode="marker")
+        store.record({"partition_id": "p1", "row_count": 7})
+        assert store.completed()["p1"]["row_count"] == 7
+
+        import pyarrow as pa
+
+        from tiff_to_geojson_csv_json_format_converter_ray.state.checkpoint import (
+            _atomic_write_parquet,
+        )
+
+        out = tmp_path / "frag.parquet"
+        _atomic_write_parquet(pa.table({"x": [1, 2]}), out, "marker")
+        assert out.exists() and (tmp_path / "frag.parquet.ok").exists()
+
+    def test_data_without_marker_is_incomplete(self, tmp_path):
+        store = ManifestStore(str(tmp_path / "m"), commit_mode="marker")
+        store.record({"partition_id": "done", "row_count": 1})
+        # crash between the data PUT and the marker PUT
+        (tmp_path / "m" / "crashed.manifest.json").write_text(
+            '{"partition_id": "crashed", "row_count": 1}'
+        )
+        assert set(store.completed()) == {"done"}
+
+    def test_kill_and_resume_marker_mode(self, ray_session, tmp_path):
+        _write_shards(tmp_path / "in", n_shards=4)
+        with pytest.raises(Exception):
+            run_resumable(
+                str(tmp_path / "in"), str(tmp_path / "out"),
+                str(tmp_path / "manifest"), STAGES,
+                fail_on={_sid("shard2.parquet")}, commit_mode="marker",
+            )
+        res = run_resumable(
+            str(tmp_path / "in"), str(tmp_path / "out"),
+            str(tmp_path / "manifest"), STAGES, commit_mode="marker",
+        )
+        assert len(res["completed_before"]) + len(res["processed_now"]) == 4
+        assert len(res["manifest"]) == 4
+        for row in res["manifest"].values():
+            assert Path(row["output_path"] + ".ok").exists()

@@ -418,3 +418,49 @@ class TestMatch:
     def test_case_sensitivity_flag(self):
         cfg = dict(match.DEFAULT_CONFIG)
         assert match.find_layer_by_patterns("DELHI_ELEVATION", ["DELHI_MOSAIC"], cfg) == "DELHI_MOSAIC"
+
+    def test_pattern_config_mutation_roundtrip(self, tmp_path):
+        """layer_pattern_manager.py:57-114 semantics: add/remove/list/
+        fallback mutations persist through save/load."""
+        path = tmp_path / "cfg.json"
+        cfg = match.load_config(str(path))  # missing file -> default
+        match.add_pattern(cfg, "location_patterns", "goa", ["goa", "mosaic"])
+        match.add_fallback(cfg, "stitched")
+        match.save_config(cfg, path)
+
+        cfg2 = match.load_config(str(path))
+        assert cfg2["layer_pattern_config"]["location_patterns"]["goa"] == [
+            "goa", "mosaic",
+        ]
+        assert "stitched" in cfg2["fallback_patterns"]
+        assert match.find_layer_by_patterns(
+            "goa_dem", ["goa_tiles_2024", "x"], cfg2
+        ) == "goa_tiles_2024"
+        assert match.remove_pattern(cfg2, "location_patterns", "goa")
+        assert not match.remove_pattern(cfg2, "location_patterns", "goa")
+        assert match.remove_fallback(cfg2, "stitched")
+        assert not match.remove_fallback(cfg2, "stitched")
+        listed = match.list_patterns(cfg2, "location_patterns")
+        assert "goa" not in listed["categories"]["location_patterns"]
+        # load_config(None) hands out a COPY: mutating it never leaks
+        # into the module default
+        c = match.load_config(None)
+        match.add_pattern(c, "location_patterns", "leak", ["x"])
+        assert "leak" not in match.DEFAULT_CONFIG["layer_pattern_config"][
+            "location_patterns"
+        ]
+
+    def test_patterns_cli(self, tmp_path):
+        from tiff_to_geojson_csv_json_format_converter_ray.__main__ import main
+
+        cfg = str(tmp_path / "cfg.json")
+        assert main(["patterns", "--config", cfg, "add",
+                     "--category", "location_patterns", "--term", "goa",
+                     "--matches", "goa,mosaic"]) == 0
+        assert main(["patterns", "--config", cfg, "test",
+                     "--requested", "goa_dem",
+                     "--available", "goa_tiles,x"]) == 0
+        assert main(["patterns", "--config", cfg, "remove",
+                     "--category", "location_patterns", "--term", "goa"]) == 0
+        assert main(["patterns", "--config", cfg, "remove",
+                     "--category", "location_patterns", "--term", "goa"]) == 1

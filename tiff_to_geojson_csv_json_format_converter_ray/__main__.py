@@ -59,6 +59,27 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--available", required=True, help="comma-separated")
     m.add_argument("--config", default=None)
 
+    # pattern-config management (layer_pattern_manager.py:57-114 CLI)
+    pc = sub.add_parser("patterns", help="manage layer-pattern config")
+    pc.add_argument("--config", required=True, help="JSON config path")
+    psub = pc.add_subparsers(dest="pcmd", required=True)
+    pa_ = psub.add_parser("add", help="add category.term -> matches")
+    pa_.add_argument("--category", required=True)
+    pa_.add_argument("--term", required=True)
+    pa_.add_argument("--matches", required=True, help="comma-separated")
+    pr = psub.add_parser("remove", help="remove category.term")
+    pr.add_argument("--category", required=True)
+    pr.add_argument("--term", required=True)
+    pl = psub.add_parser("list", help="list patterns")
+    pl.add_argument("--category", default=None)
+    pt = psub.add_parser("test", help="dry-run a match against the config")
+    pt.add_argument("--requested", required=True)
+    pt.add_argument("--available", required=True, help="comma-separated")
+    pf = psub.add_parser("add-fallback")
+    pf.add_argument("--pattern", required=True)
+    pg = psub.add_parser("remove-fallback")
+    pg.add_argument("--pattern", required=True)
+
     args = p.parse_args(argv)
 
     if args.cmd == "match":  # driver-side, no Ray needed
@@ -68,6 +89,42 @@ def main(argv: list[str] | None = None) -> int:
             args.requested, args.available.split(","), load_config(args.config)
         )
         print(json.dumps({"requested": args.requested, "matched": out}))
+        return 0
+
+    if args.cmd == "patterns":  # driver-side, no Ray needed
+        from .functions import match as M
+
+        cfg = M.load_config(args.config)
+        if args.pcmd == "add":
+            M.add_pattern(cfg, args.category, args.term, args.matches.split(","))
+            M.save_config(cfg, args.config)
+            print(json.dumps({"added": f"{args.category}.{args.term}"}))
+        elif args.pcmd == "remove":
+            ok = M.remove_pattern(cfg, args.category, args.term)
+            if ok:
+                M.save_config(cfg, args.config)
+            print(json.dumps(
+                {"removed": f"{args.category}.{args.term}", "found": ok}
+            ))
+            return 0 if ok else 1
+        elif args.pcmd == "list":
+            print(json.dumps(M.list_patterns(cfg, args.category)))
+        elif args.pcmd == "test":
+            out = M.find_layer_by_patterns(
+                args.requested, args.available.split(","), cfg
+            )
+            print(json.dumps({"requested": args.requested, "matched": out}))
+        elif args.pcmd == "add-fallback":
+            M.add_fallback(cfg, args.pattern)
+            M.save_config(cfg, args.config)
+            print(json.dumps({"fallback_patterns": cfg["fallback_patterns"]}))
+        elif args.pcmd == "remove-fallback":
+            ok = M.remove_fallback(cfg, args.pattern)
+            if ok:
+                M.save_config(cfg, args.config)
+            print(json.dumps({"fallback_patterns": cfg["fallback_patterns"],
+                              "found": ok}))
+            return 0 if ok else 1
         return 0
 
     from .context import init_local_ray

@@ -79,8 +79,66 @@ DEFAULT_CONFIG: dict = {
 
 def load_config(path: str | Path | None = None) -> dict:
     if path is None:
-        return DEFAULT_CONFIG
-    return json.loads(Path(path).read_text())
+        # deep copy so mutation helpers never touch the module default
+        return json.loads(json.dumps(DEFAULT_CONFIG))
+    try:
+        return json.loads(Path(path).read_text())
+    except (FileNotFoundError, json.JSONDecodeError):
+        # reference behavior: fall back to a default config rather than
+        # erroring (layer_pattern_manager.py:22-29)
+        return json.loads(json.dumps(DEFAULT_CONFIG))
+
+
+def save_config(config: dict, path: str | Path) -> None:
+    Path(path).write_text(json.dumps(config, indent=2))
+
+
+def add_pattern(
+    config: dict, category: str, search_term: str, matches: list[str]
+) -> dict:
+    """Add/replace ``category.search_term -> matches``
+    (layer_pattern_manager.py:57-64)."""
+    config.setdefault("layer_pattern_config", {}).setdefault(category, {})[
+        search_term
+    ] = list(matches)
+    return config
+
+
+def remove_pattern(config: dict, category: str, search_term: str) -> bool:
+    """Remove a pattern; False when absent (manager:66-74)."""
+    try:
+        del config["layer_pattern_config"][category][search_term]
+        return True
+    except KeyError:
+        return False
+
+
+def add_fallback(config: dict, pattern: str) -> dict:
+    fb = config.setdefault("fallback_patterns", [])
+    if pattern not in fb:
+        fb.append(pattern)
+    return config
+
+
+def remove_fallback(config: dict, pattern: str) -> bool:
+    try:
+        config.setdefault("fallback_patterns", []).remove(pattern)
+        return True
+    except ValueError:
+        return False
+
+
+def list_patterns(config: dict, category: str | None = None) -> dict:
+    """Structured form of the manager's list output (manager:76-94):
+    {categories: {cat: {term: matches}}, fallback_patterns, case_sensitive}."""
+    cats = config.get("layer_pattern_config", {})
+    if category is not None:
+        cats = {category: cats.get(category, {})}
+    return {
+        "categories": cats,
+        "fallback_patterns": config.get("fallback_patterns", []),
+        "case_sensitive": config.get("case_sensitive", False),
+    }
 
 
 def find_layer_by_patterns(

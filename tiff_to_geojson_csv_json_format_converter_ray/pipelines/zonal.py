@@ -162,6 +162,47 @@ def zonal_stats(
     return stats.take(order)
 
 
+def zonal_stats_from_source(
+    source,
+    layer: str,
+    polygons: pa.Table,
+    buffer: float = 0.0,
+    rescale: tuple[float, float] | None = None,
+    **kwargs,
+) -> pa.Table:
+    """Zonal stats against a pluggable bbox-fetch source (the engine
+    analogue of the reference's GeoServer endpoint, test2.py:815-992):
+    ``source`` is a sources.fetch.SourceLadder or single fetcher; the
+    combined polygon bbox (buffered) is fetched as a tile table, and
+    when the winning rung returns styled uint8 (the WMS last resort)
+    the T12 de-scale is applied automatically."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    bbox = (
+        float(pc.min(polygons["minx"]).as_py()),
+        float(pc.min(polygons["miny"]).as_py()),
+        float(pc.max(polygons["maxx"]).as_py()),
+        float(pc.max(polygons["maxy"]).as_py()),
+    )
+    tiles = source.fetch(layer, bbox, buffer=buffer)
+    if rescale is None and getattr(source, "last_rung_is_uint8", False):
+        # styled 8-bit WMS output: de-scale to the layer's original
+        # range when the fetcher knows it (catalog metadata); without
+        # it the reference just warns and proceeds on 0-255
+        # (detect_wms_degraded, test2.py:1024-1060)
+        orig = getattr(source, "orig_range", None)
+        if orig is not None:
+            rescale = (float(orig[0]), float(orig[1]))
+    with tempfile.TemporaryDirectory(prefix="zonal_src_") as d:
+        path = f"{d}/tiles.parquet"
+        pq.write_table(tiles, path)
+        return zonal_stats(
+            path, polygons, buffer=buffer, rescale=rescale, **kwargs
+        )
+
+
 def _apply_center_fallback(
     stats: pa.Table, pts, polygons: pa.Table, missing: list[dict],
     mask_strategy: str = "ne_nodata", nodata: float | None = None,

@@ -36,18 +36,37 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 MANIFEST_SUFFIX = ".manifest.json"
+MARKER_SUFFIX = ".ok"
 
 
 class ManifestStore:
-    """Directory of one JSON manifest row per completed partition."""
+    """Directory of one JSON manifest row per completed partition.
 
-    def __init__(self, manifest_dir: str):
+    ``commit_mode`` picks the durability protocol:
+
+    - ``"rename"`` (default, POSIX): write tmp then rename -- a reader
+      never sees a torn file.
+    - ``"marker"`` (object stores: S3-style PUT is atomic per object
+      but RENAME does not exist): write the row object directly, then
+      PUT a zero-byte ``.ok`` marker strictly AFTER -- ``completed()``
+      only trusts rows whose marker exists, so a crash between the two
+      PUTs reads as incomplete, never as torn/half-committed.
+    """
+
+    def __init__(self, manifest_dir: str, commit_mode: str = "rename"):
+        if commit_mode not in ("rename", "marker"):
+            raise ValueError(f"unknown commit mode: {commit_mode}")
         self.dir = Path(manifest_dir)
         self.dir.mkdir(parents=True, exist_ok=True)
+        self.commit_mode = commit_mode
 
     def completed(self) -> dict[str, dict]:
         out = {}
         for p in sorted(self.dir.glob(f"*{MANIFEST_SUFFIX}")):
+            if self.commit_mode == "marker" and not p.with_name(
+                p.name + MARKER_SUFFIX
+            ).exists():
+                continue  # data object without its commit marker
             try:
                 row = json.loads(p.read_text())
                 out[row["partition_id"]] = row
@@ -57,9 +76,12 @@ class ManifestStore:
         return out
 
     def record(self, row: dict) -> None:
-        """Atomic append: write tmp then rename (POSIX rename is atomic)."""
         safe = row["partition_id"].replace("/", "_").replace(".", "_")
         final = self.dir / f"{safe}{MANIFEST_SUFFIX}"
+        if self.commit_mode == "marker":
+            final.write_text(json.dumps(row))
+            final.with_name(final.name + MARKER_SUFFIX).write_text("")
+            return
         tmp = self.dir / f".{safe}.{uuid.uuid4().hex[:8]}.tmp"
         tmp.write_text(json.dumps(row))
         tmp.rename(final)
@@ -69,7 +91,15 @@ class ManifestStore:
         return pa.Table.from_pylist(rows) if rows else pa.table({})
 
 
-def _atomic_write_parquet(table: pa.Table, path: Path) -> None:
+def _atomic_write_parquet(
+    table: pa.Table, path: Path, commit_mode: str = "rename"
+) -> None:
+    if commit_mode == "marker":
+        # object-store protocol: whole-object PUT (atomic per object),
+        # marker strictly after; consumers gate on the marker
+        pq.write_table(table, path)
+        path.with_name(path.name + MARKER_SUFFIX).write_text("")
+        return
     tmp = path.with_name(f".{path.name}.{uuid.uuid4().hex[:8]}.tmp")
     pq.write_table(table, tmp)
     tmp.rename(path)
@@ -81,13 +111,15 @@ class ShardProcessor:
 
     def __init__(self, stages: list, out_dir: str, manifest_dir: str,
                  columns: list[str] | None = None, cell_col: str = "cell_8",
-                 fail_on: set[str] | None = None):
+                 fail_on: set[str] | None = None,
+                 commit_mode: str = "rename"):
         self.stages = stages
         self.out_dir = Path(out_dir)
-        self.store = ManifestStore(manifest_dir)
+        self.store = ManifestStore(manifest_dir, commit_mode=commit_mode)
         self.columns = columns
         self.cell_col = cell_col
         self.fail_on = fail_on or set()  # test hook: simulate a crash
+        self.commit_mode = commit_mode
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         self.out_dir.mkdir(parents=True, exist_ok=True)
@@ -104,7 +136,7 @@ class ShardProcessor:
                 if not isinstance(table, pa.Table):
                     table = pa.concat_tables(list(table))
             out_path = self.out_dir / f"{shard_id}.parquet"
-            _atomic_write_parquet(table, out_path)
+            _atomic_write_parquet(table, out_path, self.commit_mode)
             cell_min = cell_max = None
             if self.cell_col in table.column_names and table.num_rows:
                 c = table[self.cell_col].to_numpy(zero_copy_only=False)
@@ -158,13 +190,16 @@ def run_resumable(
     columns: list[str] | None = None,
     fail_on: set[str] | None = None,
     concurrency: int | None = None,
+    commit_mode: str = "rename",
 ) -> dict:
     """Execute (or resume) a checkpointed run.  Returns
     {completed_before, processed_now, manifest} -- completed shards
-    are filtered out BEFORE the Dataset is built."""
+    are filtered out BEFORE the Dataset is built.  ``commit_mode=
+    "marker"`` is the rename-free object-store protocol (see
+    ManifestStore)."""
     import ray.data
 
-    store = ManifestStore(manifest_dir)
+    store = ManifestStore(manifest_dir, commit_mode=commit_mode)
     done = store.completed()
     shards = enumerate_shards(input_path)
     remaining = [s for s in shards if s["shard_id"] not in done]
@@ -176,7 +211,8 @@ def run_resumable(
     if remaining:
         ds = ray.data.from_items(remaining)
         proc = ShardProcessor(
-            stages, out_dir, manifest_dir, columns=columns, fail_on=fail_on
+            stages, out_dir, manifest_dir, columns=columns, fail_on=fail_on,
+            commit_mode=commit_mode,
         )
         kwargs: dict = {"batch_format": "pyarrow", "batch_size": 1}
         out = ds.map_batches(proc, **kwargs)
