@@ -1043,6 +1043,24 @@ def _q_quantiles(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_quantiles_exact(sf_dir: str) -> pa.Table:
+    """EXACT distributed quantiles (iterative histogram refinement;
+    DuckDB quantile_disc rank convention) -- the oracled scale tier of
+    the approximate sketch above."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
+        exact_quantiles,
+    )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_extendedprice"]
+    )
+    return exact_quantiles(
+        ds, "l_extendedprice", [0.25, 0.5, 0.75, 0.95], bins=256,
+        driver_cap=4096,
+    )
+
+
 def _q_reservoir_sample(sf_dir: str) -> pa.Table:
     """Deterministic bottom-k uniform sample of orders (the
     distributed reservoir-sampling stand-in; PAPERS.md motif)."""
@@ -1207,6 +1225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": _q_asof_join,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "quantiles": _q_quantiles,
+        "quantiles_exact": _q_quantiles_exact,
         # text / dedup / ANN
         "dedup_exact": _q_dedup_exact,
         "token_counts": _q_token_counts,
@@ -1376,6 +1395,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, COUNT(n_chars) AS n_docs, "
             "CAST(SUM(n_chars) AS BIGINT) AS total_chars "
             "FROM documents GROUP BY source"
+        ),
+        "quantiles_exact": (
+            " UNION ALL ".join(
+                f"SELECT CAST({q} AS DOUBLE) AS q, "
+                f"CAST(quantile_disc(l_extendedprice, {q}) AS DOUBLE) AS value "
+                "FROM lineitem"
+                for q in (0.25, 0.5, 0.75, 0.95)
+            )
         ),
         "stride_secondary": (
             f"SELECT pix, lon, lat, z FROM ("

@@ -67,6 +67,60 @@ class TestMix32:
         assert counts.min() > 100_000 / 16 * 0.9
 
 
+class TestExactQuantiles:
+    def test_matches_duckdb_quantile_disc(self, ray_session):
+        """Iterative-refinement selection == DuckDB quantile_disc
+        exactly, with driver_cap forcing multiple counting rounds."""
+        import duckdb
+        import ray.data
+
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
+            exact_quantiles,
+        )
+
+        rng = np.random.RandomState(3)
+        # lognormal + duplicates + negatives: skew, ties, sign changes
+        vals = np.concatenate([
+            rng.lognormal(3, 1.5, 20_000),
+            np.repeat([7.25, -1.5], 500),
+            -rng.rand(1_000) * 10,
+        ])
+        ds = ray.data.from_arrow(pa.table({"v": vals})).repartition(9)
+        qs = [0.01, 0.25, 0.5, 0.75, 0.95, 0.999]
+        got = exact_quantiles(ds, "v", qs, bins=32, driver_cap=300)
+        con = duckdb.connect()
+        con.register("t", pa.table({"v": vals}))
+        want = [
+            con.execute(f"SELECT quantile_disc(v, {q}) FROM t").fetchone()[0]
+            for q in qs
+        ]
+        assert got["value"].to_pylist() == [float(w) for w in want]
+
+    def test_nulls_and_nans_excluded(self, ray_session):
+        import ray.data
+
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
+            exact_quantiles,
+        )
+
+        ds = ray.data.from_arrow(
+            pa.table({"v": [1.0, None, float("nan"), 2.0, 3.0]})
+        )
+        got = exact_quantiles(ds, "v", [0.5])
+        assert got["value"][0].as_py() == 2.0
+
+    def test_all_equal_degenerate(self, ray_session):
+        import ray.data
+
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
+            exact_quantiles,
+        )
+
+        ds = ray.data.from_arrow(pa.table({"v": [5.0] * 2000}))
+        got = exact_quantiles(ds, "v", [0.5, 0.95], driver_cap=100)
+        assert got["value"].to_pylist() == [5.0, 5.0]
+
+
 class TestQuantileHistogram:
     def test_accuracy_vs_numpy(self, ray_session):
         import ray.data
