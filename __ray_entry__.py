@@ -409,6 +409,35 @@ def _q_events_geocode(sf_dir: str) -> pa.Table:
     ).rename_columns(["cell_8", "n"])
 
 
+def _q_s2_cells(sf_dir: str) -> pa.Table:
+    """TRUE spherical S2 cell assignment (functions/s2.py: face +
+    quadratic ST + Hilbert walk) at level 9 over geocoded events --
+    the geodesic alternative to the frozen flat grid.  Not
+    SQL-expressible (Hilbert curve); pinned-golden checked."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.functions.s2 import (
+        s2_cell_of,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
+        partial_count,
+    )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id"]
+    )
+
+    def geocode(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon = 77.0 + (eid % 96).astype(np.float64) * 0.01
+        lat = 28.05 + ((eid // 96) % 96).astype(np.float64) * 0.01
+        return pa.table({"s2_9": pa.array(s2_cell_of(lon, lat, 9))})
+
+    return partial_count(
+        ds.map_batches(geocode, batch_format="pyarrow", batch_size=None),
+        ["s2_9"],
+    ).rename_columns(["s2_9", "n"])
+
+
 def _q_docs_pip(sf_dir: str) -> pa.Table:
     """PIP join of geocoded documents rows against the oracle polygons."""
     import ray.data
@@ -1208,6 +1237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stride_secondary": _q_stride_secondary,
         # spatial ops driven from the driver's tables
         "events_geocode_cells": _q_events_geocode,
+        "s2_cells": _q_s2_cells,
         "docs_pip_join": _q_docs_pip,
         # relational operators
         "pricing_summary": _q_pricing_summary,

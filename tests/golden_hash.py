@@ -33,6 +33,7 @@ NO_ORACLE_QUERIES = [
     "approx_distinct",
     "media_decode",
     "jaccard_pairs",
+    "s2_cells",
 ]
 
 

@@ -262,6 +262,80 @@ class TestKNN:
         np.testing.assert_allclose(gd, bd, atol=1e-12)
 
 
+class TestS2:
+    """True spherical S2 cell ids vs an independent bit-by-bit scalar
+    Hilbert descent (no lookup tables) -- the vectorized table walk
+    must agree exactly."""
+
+    @staticmethod
+    def _scalar_leaf_id(lon: float, lat: float) -> np.int64:
+        from tiff_to_geojson_csv_json_format_converter_ray.functions import s2
+
+        x, y, z = s2._xyz_from_lonlat(np.array([lon]), np.array([lat]))
+        face, u, v = s2._face_uv(x, y, z)
+        i = int(s2._ij_from_st(s2._st_from_uv(u))[0])
+        j = int(s2._ij_from_st(s2._st_from_uv(v))[0])
+        f = int(face[0])
+        o = f & s2._SWAP_MASK
+        n = 0
+        for k in range(29, -1, -1):
+            ij = (((i >> k) & 1) << 1) | ((j >> k) & 1)
+            pos = int(np.where(s2._POS_TO_IJ[o] == ij)[0][0])
+            n = (n << 2) | pos
+            o ^= int(s2._POS_TO_ORIENTATION[pos])
+        return np.int64(
+            np.uint64(f) << np.uint64(61) | np.uint64(n) << np.uint64(1)
+            | np.uint64(1)
+        )
+
+    def test_vectorized_matches_scalar_oracle(self):
+        from tiff_to_geojson_csv_json_format_converter_ray.functions import s2
+
+        rng = np.random.RandomState(0)
+        lons = np.concatenate(
+            [rng.uniform(-180, 180, 150),
+             [0, 90, -90, 179.999, -179.999, 45]]
+        )
+        lats = np.concatenate(
+            [rng.uniform(-89.9, 89.9, 150), [0, 45, -45, 89.9, -89.9, 35.3]]
+        )
+        vec = s2.s2_cell_of(lons, lats, 30)
+        for k in range(len(lons)):
+            assert vec[k] == self._scalar_leaf_id(lons[k], lats[k]), (
+                lons[k], lats[k],
+            )
+
+    def test_parent_hierarchy(self):
+        from tiff_to_geojson_csv_json_format_converter_ray.functions import s2
+
+        rng = np.random.RandomState(1)
+        lons = rng.uniform(-180, 180, 300)
+        lats = rng.uniform(-89.9, 89.9, 300)
+        leaf = s2.s2_cell_of(lons, lats, 30)
+        for level in (7, 8, 9, 15):
+            direct = s2.s2_cell_of(lons, lats, level)
+            np.testing.assert_array_equal(direct, s2.s2_parent(leaf, level))
+            assert (s2.s2_level_of(direct) == level).all()
+
+    def test_all_faces_reached(self):
+        from tiff_to_geojson_csv_json_format_converter_ray.functions import s2
+
+        lons = np.array([0.0, 90.0, 0.0, 180.0, -90.0, 0.0])
+        lats = np.array([0.0, 0.0, 89.99, 0.0, 0.0, -89.99])
+        faces = (
+            s2.s2_cell_of(lons, lats, 30).view(np.uint64) >> np.uint64(61)
+        ).astype(int)
+        assert sorted(faces.tolist()) == [0, 1, 2, 3, 4, 5]
+
+    def test_locality(self):
+        from tiff_to_geojson_csv_json_format_converter_ray.functions import s2
+
+        a = s2.s2_cell_of(np.array([77.2]), np.array([28.6]), 9)
+        b = s2.s2_cell_of(np.array([77.2000001]), np.array([28.6000001]), 9)
+        far = s2.s2_cell_of(np.array([-120.0]), np.array([-40.0]), 9)
+        assert a[0] == b[0] != far[0]
+
+
 class TestBallTree:
     def test_matches_brute_on_clustered(self):
         from tiff_to_geojson_csv_json_format_converter_ray.functions.knn import (

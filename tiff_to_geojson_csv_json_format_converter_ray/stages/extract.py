@@ -249,14 +249,28 @@ class PageExtract:
 
 
 def add_cells(batch: pa.Table, resolutions: tuple[int, ...] = (7, 8, 9),
-              lon_col: str = "lon", lat_col: str = "lat") -> pa.Table:
-    """Append frozen cell ids at the given resolutions (geocode stage)."""
+              lon_col: str = "lon", lat_col: str = "lat",
+              scheme: str = "frozen") -> pa.Table:
+    """Append cell ids at the given resolutions (geocode stage).
+
+    ``scheme='frozen'`` (default) is the SQL-expressible flat grid the
+    oracles replay (functions/cells.py); ``scheme='s2'`` emits TRUE
+    spherical S2 cell ids (functions/s2.py) as ``s2_{level}`` columns
+    for geodesic locality partitioning."""
     lon = batch[lon_col].to_numpy(zero_copy_only=False)
     lat = batch[lat_col].to_numpy(zero_copy_only=False)
     ok = np.isfinite(lon) & np.isfinite(lat)
+    if scheme == "frozen":
+        fn, prefix = _cells.cell_of, "cell"
+    elif scheme == "s2":
+        from ..functions.s2 import s2_cell_of
+
+        fn, prefix = s2_cell_of, "s2"
+    else:
+        raise ValueError(f"unknown cell scheme: {scheme}")
     for r in resolutions:
         c = np.full(len(lon), -1, dtype=np.int64)
         if ok.any():
-            c[ok] = _cells.cell_of(lon[ok], lat[ok], r)
-        batch = batch.append_column(f"cell_{r}", pa.array(c))
+            c[ok] = fn(lon[ok], lat[ok], r)
+        batch = batch.append_column(f"{prefix}_{r}", pa.array(c))
     return batch
