@@ -50,6 +50,18 @@ OG_KNN_PROBES = [
     (77.8999, 28.9101),
 ]
 
+# probes FAR OUTSIDE the grid extent in every direction -- the regime
+# where round-1's ring-expansion cap silently returned the wrong
+# neighbor (ADVICE r1, functions/knn.py); oracled so the driver gate
+# pins the fix
+OG_KNN_OUTSIDE_PROBES = [
+    (90.0, 50.0),
+    (60.0, 5.0),
+    (77.25, -40.0),
+    (95.0, 80.0),
+    (-10.0, 28.0),
+]
+
 
 def _og_tiles_table() -> pa.Table:
     """Engine-side construction of the oracle grid as a tile table
@@ -330,6 +342,36 @@ def _q_knn(sf_dir: str) -> pa.Table:
         ["probe_id", "pix", "z"]
     )
 
+
+
+def _q_knn_outside(sf_dir: str) -> pa.Table:
+    """J4 with probes far outside the index extent (ADVICE r1 fix):
+    the grid index must still return the true nearest neighbor."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import KNNLookup
+
+    ref = collect_tables(_og_points_ds(valid_only=True))
+    probes = pa.table(
+        {
+            "probe_id": pa.array(range(len(OG_KNN_OUTSIDE_PROBES)), pa.int64()),
+            "lon": pa.array([p[0] for p in OG_KNN_OUTSIDE_PROBES]),
+            "lat": pa.array([p[1] for p in OG_KNN_OUTSIDE_PROBES]),
+        }
+    )
+    out = (
+        ray.data.from_arrow(probes)
+        .map_batches(
+            KNNLookup(ref, k=1, payload_cols=("pix", "z")),
+            batch_format="pyarrow", batch_size=None,
+        )
+    )
+    t = collect_tables(out)
+    return t.select(["probe_id", "nn_pix", "nn_z"]).rename_columns(
+        ["probe_id", "pix", "z"]
+    )
 
 
 def _q_knn_balltree(sf_dir: str) -> pa.Table:
@@ -1234,6 +1276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lookup": _q_knn,
         "knn_top3": _q_knn_top3,
         "knn_balltree": _q_knn_balltree,
+        "knn_outside": _q_knn_outside,
         "stride_secondary": _q_stride_secondary,
         # spatial ops driven from the driver's tables
         "events_geocode_cells": _q_events_geocode,
@@ -1285,6 +1328,10 @@ def oracle_sql() -> dict[str, str]:
     probes_values = ", ".join(
         f"(CAST({i} AS BIGINT), {p[0]!r}, {p[1]!r})"
         for i, p in enumerate(OG_KNN_PROBES)
+    )
+    outside_values = ", ".join(
+        f"(CAST({i} AS BIGINT), {p[0]!r}, {p[1]!r})"
+        for i, p in enumerate(OG_KNN_OUTSIDE_PROBES)
     )
     pip_parts = []
     for pid, poly in OG_POLYGONS.items():
@@ -1359,6 +1406,14 @@ def oracle_sql() -> dict[str, str]:
             f"PARTITION BY p.probe_id ORDER BY "
             f"(g.lon - p.plon) * (g.lon - p.plon) + (g.lat - p.plat) * (g.lat - p.plat), g.pix"
             f") AS rn FROM (VALUES {probes_values}) p(probe_id, plon, plat), ({valid}) g"
+            f") WHERE rn = 1"
+        ),
+        "knn_outside": (
+            f"SELECT probe_id, pix, z FROM ("
+            f"SELECT p.probe_id, g.pix, g.z, ROW_NUMBER() OVER ("
+            f"PARTITION BY p.probe_id ORDER BY "
+            f"(g.lon - p.plon) * (g.lon - p.plon) + (g.lat - p.plat) * (g.lat - p.plat), g.pix"
+            f") AS rn FROM (VALUES {outside_values}) p(probe_id, plon, plat), ({valid}) g"
             f") WHERE rn = 1"
         ),
         "events_geocode_cells": (
