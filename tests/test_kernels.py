@@ -42,6 +42,44 @@ class TestAffine:
 
 
 class TestCRS:
+    def test_lcc_snyder_worked_example(self):
+        """Snyder 1987 p. 296 (LCC 2SP, Clarke 1866): the published
+        worked example is the external oracle for the conic math."""
+        clarke = {"a": 6378206.4, "e2": 0.00676866}
+        p = dict(clarke, lat0=23.0, lon0=-96.0, sp1=33.0, sp2=45.0)
+        x, y = crs.lcc_forward(np.array([-75.0]), np.array([35.0]), p)
+        assert x[0] == pytest.approx(1894410.9, abs=0.5)
+        assert y[0] == pytest.approx(1564649.5, abs=0.5)
+        lon, lat = crs.lcc_inverse(x, y, p)
+        assert lon[0] == pytest.approx(-75.0, abs=1e-8)
+        assert lat[0] == pytest.approx(35.0, abs=1e-8)
+
+    def test_albers_snyder_worked_example(self):
+        """Snyder 1987 p. 292 (Albers equal-area, Clarke 1866)."""
+        clarke = {"a": 6378206.4, "e2": 0.00676866}
+        p = dict(clarke, lat0=23.0, lon0=-96.0, sp1=29.5, sp2=45.5)
+        x, y = crs.albers_forward(np.array([-75.0]), np.array([35.0]), p)
+        assert x[0] == pytest.approx(1885472.7, abs=0.5)
+        assert y[0] == pytest.approx(1535925.0, abs=0.5)
+        lon, lat = crs.albers_inverse(x, y, p)
+        assert lon[0] == pytest.approx(-75.0, abs=1e-7)
+        assert lat[0] == pytest.approx(35.0, abs=1e-7)
+
+    def test_conic_epsg_roundtrips(self):
+        """Registered GRS80 conic codes: Transformer round-trips to
+        sub-1e-8-degree (Lambert-93, Conus Albers, California Albers)."""
+        for code, (lon0, lat0) in [
+            ("EPSG:2154", (2.35, 48.85)),
+            ("EPSG:5070", (-84.4, 33.7)),
+            ("EPSG:3310", (-118.2, 34.05)),
+        ]:
+            fwd = crs.Transformer("EPSG:4326", code)
+            inv = crs.Transformer(code, "EPSG:4326")
+            x, y = fwd.transform(np.array([lon0]), np.array([lat0]))
+            lon, lat = inv.transform(x, y)
+            assert lon[0] == pytest.approx(lon0, abs=1e-8)
+            assert lat[0] == pytest.approx(lat0, abs=1e-8)
+
     def test_webmercator_roundtrip(self):
         lon = np.array([77.2, -122.4, 0.0])
         lat = np.array([28.6, 37.7, 0.0])

@@ -180,6 +180,171 @@ def webmercator_inverse(
     return lon, lat
 
 
+# ------------------------------------------------------------------ conic
+# Lambert Conformal Conic (2SP) and Albers Equal-Area, ellipsoidal,
+# from Snyder 1987 "Map Projections: A Working Manual" eqs 15-1..15-11
+# and 14-1..14-11 (public formulas; worked examples pp. 296/292 are the
+# test oracles).  Parameterized by ellipsoid so NAD83/GRS80 codes and
+# Snyder's Clarke-1866 examples both work.
+
+GRS80_A = 6378137.0
+GRS80_F = 1.0 / 298.257222101
+
+
+def _conic_consts(p: dict) -> dict:
+    a = p["a"]
+    e2 = p.get("e2", p["f"] * (2.0 - p["f"]) if "f" in p else None)
+    return {"a": a, "e2": e2, "e": np.sqrt(e2)}
+
+
+def _m(phi, e2):
+    s = np.sin(phi)
+    return np.cos(phi) / np.sqrt(1.0 - e2 * s * s)
+
+
+def _t(phi, e):
+    s = np.sin(phi)
+    return np.tan(np.pi / 4.0 - phi / 2.0) / (
+        ((1.0 - e * s) / (1.0 + e * s)) ** (e / 2.0)
+    )
+
+
+def lcc_forward(lon_deg, lat_deg, p: dict):
+    """(lon, lat) deg -> LCC-2SP (x, y) m (Snyder 15-1..15-4)."""
+    c = _conic_consts(p)
+    a, e2, e = c["a"], c["e2"], c["e"]
+    phi0, lam0 = np.deg2rad(p["lat0"]), np.deg2rad(p["lon0"])
+    phi1, phi2 = np.deg2rad(p["sp1"]), np.deg2rad(p["sp2"])
+    m1, m2 = _m(phi1, e2), _m(phi2, e2)
+    t0, t1, t2 = _t(phi0, e), _t(phi1, e), _t(phi2, e)
+    n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
+    F = m1 / (n * t1**n)
+    rho0 = a * F * t0**n
+    phi = np.deg2rad(np.asarray(lat_deg, np.float64))
+    lam = np.deg2rad(np.asarray(lon_deg, np.float64))
+    rho = a * F * _t(phi, e) ** n
+    th = n * (lam - lam0)
+    return (
+        p.get("fe", 0.0) + rho * np.sin(th),
+        p.get("fn", 0.0) + rho0 - rho * np.cos(th),
+    )
+
+
+def lcc_inverse(x, y, p: dict):
+    """LCC-2SP (x, y) m -> (lon, lat) deg (Snyder 15-5..15-11 with the
+    chi-series inversion instead of the iterative eq 7-9)."""
+    c = _conic_consts(p)
+    a, e2, e = c["a"], c["e2"], c["e"]
+    phi0, lam0 = np.deg2rad(p["lat0"]), np.deg2rad(p["lon0"])
+    phi1, phi2 = np.deg2rad(p["sp1"]), np.deg2rad(p["sp2"])
+    m1, m2 = _m(phi1, e2), _m(phi2, e2)
+    t0, t1, t2 = _t(phi0, e), _t(phi1, e), _t(phi2, e)
+    n = (np.log(m1) - np.log(m2)) / (np.log(t1) - np.log(t2))
+    F = m1 / (n * t1**n)
+    rho0 = a * F * t0**n
+    xr = np.asarray(x, np.float64) - p.get("fe", 0.0)
+    yr = rho0 - (np.asarray(y, np.float64) - p.get("fn", 0.0))
+    rho = np.sign(n) * np.hypot(xr, yr)
+    th = np.arctan2(np.sign(n) * xr, np.sign(n) * yr)
+    t = (rho / (a * F)) ** (1.0 / n)
+    chi = np.pi / 2.0 - 2.0 * np.arctan(t)
+    # chi -> phi by the same sin(2j chi) series as the TM inverse, but
+    # with THIS ellipsoid's eccentricity
+    e4, e6, e8 = e2 * e2, e2**3, e2**4
+    d = (
+        e2 / 2 + 5 * e4 / 24 + e6 / 12 + 13 * e8 / 360,
+        7 * e4 / 48 + 29 * e6 / 240 + 811 * e8 / 11520,
+        7 * e6 / 120 + 81 * e8 / 1120,
+        4279 * e8 / 161280,
+    )
+    phi = chi
+    for j, dj in enumerate(d, start=1):
+        phi = phi + dj * np.sin(2.0 * j * chi)
+    return np.rad2deg(th / n + lam0), np.rad2deg(phi)
+
+
+def _q(phi, e, e2):
+    s = np.sin(phi)
+    return (1.0 - e2) * (
+        s / (1.0 - e2 * s * s)
+        - (1.0 / (2.0 * e)) * np.log((1.0 - e * s) / (1.0 + e * s))
+    )
+
+
+def albers_forward(lon_deg, lat_deg, p: dict):
+    """(lon, lat) deg -> Albers equal-area (x, y) m (Snyder 14-1..14-5)."""
+    c = _conic_consts(p)
+    a, e2, e = c["a"], c["e2"], c["e"]
+    phi0, lam0 = np.deg2rad(p["lat0"]), np.deg2rad(p["lon0"])
+    phi1, phi2 = np.deg2rad(p["sp1"]), np.deg2rad(p["sp2"])
+    m1, m2 = _m(phi1, e2), _m(phi2, e2)
+    q0, q1, q2 = _q(phi0, e, e2), _q(phi1, e, e2), _q(phi2, e, e2)
+    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    C = m1 * m1 + n * q1
+    rho0 = a * np.sqrt(C - n * q0) / n
+    phi = np.deg2rad(np.asarray(lat_deg, np.float64))
+    lam = np.deg2rad(np.asarray(lon_deg, np.float64))
+    rho = a * np.sqrt(C - n * _q(phi, e, e2)) / n
+    th = n * (lam - lam0)
+    return (
+        p.get("fe", 0.0) + rho * np.sin(th),
+        p.get("fn", 0.0) + rho0 - rho * np.cos(th),
+    )
+
+
+def albers_inverse(x, y, p: dict):
+    """Albers (x, y) m -> (lon, lat) deg (Snyder 14-6..14-11 +
+    authalic-latitude series 3-18)."""
+    c = _conic_consts(p)
+    a, e2, e = c["a"], c["e2"], c["e"]
+    phi0, lam0 = np.deg2rad(p["lat0"]), np.deg2rad(p["lon0"])
+    phi1, phi2 = np.deg2rad(p["sp1"]), np.deg2rad(p["sp2"])
+    m1, m2 = _m(phi1, e2), _m(phi2, e2)
+    q0, q1, q2 = _q(phi0, e, e2), _q(phi1, e, e2), _q(phi2, e, e2)
+    n = (m1 * m1 - m2 * m2) / (q2 - q1)
+    C = m1 * m1 + n * q1
+    rho0 = a * np.sqrt(C - n * q0) / n
+    xr = np.asarray(x, np.float64) - p.get("fe", 0.0)
+    yr = rho0 - (np.asarray(y, np.float64) - p.get("fn", 0.0))
+    rho = np.hypot(xr, yr)
+    th = np.arctan2(xr, yr) if n >= 0 else np.arctan2(-xr, -yr)
+    q = (C - (rho * n / a) ** 2) / n
+    q_p = _q(np.pi / 2.0, e, e2)
+    beta = np.arcsin(np.clip(q / q_p, -1.0, 1.0))
+    e4, e6 = e2 * e2, e2**3
+    phi = (
+        beta
+        + (e2 / 3 + 31 * e4 / 180 + 517 * e6 / 5040) * np.sin(2 * beta)
+        + (23 * e4 / 360 + 251 * e6 / 3780) * np.sin(4 * beta)
+        + (761 * e6 / 45360) * np.sin(6 * beta)
+    )
+    # the e^6-truncated series leaves ~1e-8 deg; two Newton steps on
+    # q(phi) = q (Snyder eq. 3-16) take it to machine precision
+    for _ in range(2):
+        s = np.sin(phi)
+        one = 1.0 - e2 * s * s
+        phi = phi + one * one / (2.0 * np.cos(phi) * (1.0 - e2)) * (
+            q - _q(phi, e, e2)
+        )
+    return np.rad2deg(th / n + lam0), np.rad2deg(phi)
+
+
+# conic EPSG registry (GRS80 codes a reference user would hit)
+_CONIC_CRS: dict[int, tuple[str, dict]] = {
+    # RGF93 / Lambert-93 (France)
+    2154: ("lcc", {"a": GRS80_A, "f": GRS80_F, "lat0": 46.5, "lon0": 3.0,
+                   "sp1": 49.0, "sp2": 44.0, "fe": 700000.0, "fn": 6600000.0}),
+    # NAD83 / Conus Albers
+    5070: ("albers", {"a": GRS80_A, "f": GRS80_F, "lat0": 23.0,
+                      "lon0": -96.0, "sp1": 29.5, "sp2": 45.5,
+                      "fe": 0.0, "fn": 0.0}),
+    # NAD83 / California Albers
+    3310: ("albers", {"a": GRS80_A, "f": GRS80_F, "lat0": 0.0,
+                      "lon0": -120.0, "sp1": 34.0, "sp2": 40.5,
+                      "fe": 0.0, "fn": -4000000.0}),
+}
+
+
 def _parse_crs(crs: str) -> tuple[str, int, bool]:
     """-> (kind, zone, south); kind in {'geographic', 'webmercator', 'utm'}."""
     code = crs.strip().upper()
@@ -194,6 +359,8 @@ def _parse_crs(crs: str) -> tuple[str, int, bool]:
         return "utm", num - 32600, False
     if 32701 <= num <= 32760:
         return "utm", num - 32700, True
+    if num in _CONIC_CRS:
+        return _CONIC_CRS[num][0], num, False
     raise ValueError(f"unsupported CRS: {crs!r}")
 
 
@@ -217,6 +384,10 @@ class Transformer:
             lon, lat = np.asarray(xs, np.float64), np.asarray(ys, np.float64)
         elif kind == "webmercator":
             lon, lat = webmercator_inverse(xs, ys)
+        elif kind == "lcc":
+            lon, lat = lcc_inverse(xs, ys, _CONIC_CRS[zone][1])
+        elif kind == "albers":
+            lon, lat = albers_inverse(xs, ys, _CONIC_CRS[zone][1])
         else:
             lon, lat = utm_inverse(xs, ys, zone, south)
 
@@ -225,4 +396,8 @@ class Transformer:
             return lon, lat
         if kind == "webmercator":
             return webmercator_forward(lon, lat)
+        if kind == "lcc":
+            return lcc_forward(lon, lat, _CONIC_CRS[zone][1])
+        if kind == "albers":
+            return albers_forward(lon, lat, _CONIC_CRS[zone][1])
         return utm_forward(lon, lat, zone, south)
