@@ -1114,6 +1114,22 @@ def _q_quantiles(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_stratified_sample(sf_dir: str) -> pa.Table:
+    """Deterministic per-group (per-lang) bottom-k sample -- the
+    stratified form of reservoir_sample; combiner pattern, no shuffle,
+    SQL-reproducible via ROW_NUMBER over mix32_sql."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
+        stratified_bottomk,
+    )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "doc_id"]
+    )
+    out = stratified_bottomk(ds, "lang", "doc_id", k=3, seed=11)
+    return out.select(["lang", "doc_id"])
+
+
 def _q_quantiles_exact(sf_dir: str) -> pa.Table:
     """EXACT distributed quantiles (iterative histogram refinement;
     DuckDB quantile_disc rank convention) -- the oracled scale tier of
@@ -1299,6 +1315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_lang": _q_top_docs_per_lang,
         "quantiles": _q_quantiles,
         "quantiles_exact": _q_quantiles_exact,
+        "stratified_sample": _q_stratified_sample,
         # text / dedup / ANN
         "dedup_exact": _q_dedup_exact,
         "token_counts": _q_token_counts,
@@ -1529,6 +1546,14 @@ def oracle_sql() -> dict[str, str]:
             + __import__("tiff_to_geojson_csv_json_format_converter_ray.functions.sketch",
                          fromlist=["mix32_sql"]).mix32_sql("o_orderkey", 7)
             + ", o_orderkey LIMIT 20"
+        ),
+        "stratified_sample": (
+            "SELECT lang, doc_id FROM ("
+            "SELECT lang, doc_id, ROW_NUMBER() OVER ("
+            "PARTITION BY lang ORDER BY "
+            + __import__("tiff_to_geojson_csv_json_format_converter_ray.functions.sketch",
+                         fromlist=["mix32_sql"]).mix32_sql("doc_id", 11)
+            + ", doc_id) AS rn FROM documents) WHERE rn <= 3"
         ),
         "dedup_exact": (
             "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"

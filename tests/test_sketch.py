@@ -121,6 +121,54 @@ class TestExactQuantiles:
         assert got["value"].to_pylist() == [5.0, 5.0]
 
 
+class TestStratifiedBottomK:
+    def test_matches_sql_window_and_partition_invariant(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
+            mix32_sql,
+        )
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
+            stratified_bottomk,
+        )
+
+        rng = np.random.RandomState(5)
+        t = pa.table(
+            {
+                "g": pa.array(rng.choice(["a", "b", "c", "d"], 5000)),
+                "k": pa.array(np.arange(5000, dtype=np.int64)),
+            }
+        )
+        one = ray.data.from_arrow(t)
+        many = ray.data.from_arrow([t.slice(i, 250) for i in range(0, 5000, 250)])
+        s1 = stratified_bottomk(one, "g", "k", 5, seed=11)
+        s2 = stratified_bottomk(many, "g", "k", 5, seed=11)
+        a = sorted(zip(s1["g"].to_pylist(), s1["k"].to_pylist()))
+        b = sorted(zip(s2["g"].to_pylist(), s2["k"].to_pylist()))
+        assert a == b and len(a) == 20  # 4 groups x 5
+
+        con = duckdb.connect()
+        con.register("t", t)
+        want = con.execute(
+            "SELECT g, k FROM (SELECT g, k, ROW_NUMBER() OVER ("
+            f"PARTITION BY g ORDER BY {mix32_sql('k', 11)}, k) AS rn FROM t) "
+            "WHERE rn <= 5 ORDER BY g, k"
+        ).fetchall()
+        assert a == [(g, k) for g, k in want]
+
+    def test_small_groups_keep_all_rows(self, ray_session):
+        import ray.data
+
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
+            stratified_bottomk,
+        )
+
+        t = pa.table({"g": ["x", "x", "y"], "k": [1, 2, 3]})
+        out = stratified_bottomk(ray.data.from_arrow(t), "g", "k", 10)
+        assert out.num_rows == 3
+
+
 class TestQuantileHistogram:
     def test_accuracy_vs_numpy(self, ray_session):
         import ray.data

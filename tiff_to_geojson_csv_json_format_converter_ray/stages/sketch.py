@@ -204,6 +204,44 @@ def exact_quantiles(
     )
 
 
+def stratified_bottomk(
+    ds: ray.data.Dataset, group_col: str, key_col: str, k: int, seed: int = 0
+) -> pa.Table:
+    """Deterministic per-group uniform sample: the k rows with the
+    smallest ``mix32(key + seed)`` WITHIN each group (the stratified
+    form of :func:`bottomk_sample`).  Combiner pattern -- each batch
+    keeps at most k rows per group it contains, the tiny partials
+    merge driver-side -- so no shuffle of raw rows; partitioning-
+    independent and SQL-reproducible (ROW_NUMBER over mix32_sql)."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = mix32(keys, seed)
+        out = batch.append_column("_h", pa.array(h))
+        idx = pc.sort_indices(
+            out,
+            sort_keys=[(group_col, "ascending"), ("_h", "ascending"),
+                       (key_col, "ascending")],
+        )
+        out = out.take(idx)
+        g = out[group_col].to_numpy(zero_copy_only=False)
+        # rank within group on the sorted table: positions since the
+        # group started (vectorized run-length ranks)
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        rank = np.arange(len(g)) - np.repeat(starts, np.diff(np.r_[starts, len(g)]))
+        return out.filter(pa.array(rank < k))
+
+    allp = _collect_tables(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    )
+    if allp.num_rows == 0:
+        return allp
+    # final combine over the (n_groups x k x n_blocks)-bounded partials
+    final = partial(allp.drop_columns(["_h"]))
+    return final.drop_columns(["_h"])
+
+
 def _collect_tables(ds: ray.data.Dataset) -> pa.Table:
     parts = [
         t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
