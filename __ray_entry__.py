@@ -265,6 +265,24 @@ def _q_pip_join(sf_dir: str) -> pa.Table:
     return _complete_zero(out, list(OG_POLYGONS))
 
 
+def _q_pip_join_sharded(sf_dir: str) -> pa.Table:
+    """J3 scale tier: cell-sharded PIP join (groupby-cell co-location,
+    NO polygon broadcast) -- must hash-match the broadcast pip_join
+    oracle exactly."""
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import (
+        sharded_pip_join,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
+        partial_count,
+    )
+
+    polys = _og_polygons_table()
+    pts = _og_points_ds(valid_only=True)
+    joined = sharded_pip_join(pts, polys, res=7)
+    out = partial_count(joined, ["polygon_id"]).rename_columns(["polygon_id", "n"])
+    return _complete_zero(out, list(OG_POLYGONS))
+
+
 def _complete_zero(counts: pa.Table, all_ids: list[str]) -> pa.Table:
     """Add n=0 rows for polygons with no matches (join completeness)."""
     have = set(counts["polygon_id"].to_pylist())
@@ -1288,6 +1306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_counts_salted": _q_cell_counts_salted,
         "bbox_join": _q_bbox_join,
         "pip_join": _q_pip_join,
+        "pip_join_sharded": _q_pip_join_sharded,
         "zonal_stats": _q_zonal_stats,
         "knn_lookup": _q_knn,
         "knn_top3": _q_knn_top3,
@@ -1401,6 +1420,8 @@ def oracle_sql() -> dict[str, str]:
             f"t.tminx > p.pmaxx OR t.tmaxy < p.pminy OR t.tminy > p.pmaxy))"
         ),
         "pip_join": " UNION ALL ".join(pip_parts),
+        # the sharded tier must produce the IDENTICAL result
+        "pip_join_sharded": " UNION ALL ".join(pip_parts),
         "zonal_stats": " UNION ALL ".join(
             f"SELECT '{pid}' AS polygon_id, COUNT(*) AS count, MIN(z) AS min, "
             f"MAX(z) AS max, ROUND(AVG(z), 6) AS mean, "

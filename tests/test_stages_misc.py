@@ -249,6 +249,83 @@ class TestPIPModes:
         assert out["id"].to_pylist() == [1]
 
 
+class TestShardedPIPJoin:
+    def _polys(self):
+        rows = []
+        # two OVERLAPPING squares (a point inside both must match both)
+        for pid, (x0, y0, x1, y1) in [
+            ("a", (0.0, 0.0, 1.0, 1.0)),
+            ("b", (0.5, 0.5, 1.5, 1.5)),
+            ("c", (5.0, 5.0, 6.0, 6.0)),
+        ]:
+            rows.append(
+                {
+                    "polygon_id": pid, "geom_type": "Polygon",
+                    "rings": [[[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]],
+                    "minx": x0, "miny": y0, "maxx": x1, "maxy": y1,
+                }
+            )
+        return pa.Table.from_pylist(rows)
+
+    def test_matches_broadcast_tier_exactly(self, ray_session):
+        """The no-broadcast scale tier must emit the identical
+        (point, polygon) pair set as PIPJoiner, including multi-match
+        points in overlapping polygons."""
+        import ray.data
+
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import (
+            PIPJoiner, sharded_pip_join,
+        )
+
+        polys = self._polys()
+        rng = np.random.RandomState(3)
+        pts = pa.table(
+            {
+                "lon": pa.array(rng.rand(4000) * 2),
+                "lat": pa.array(rng.rand(4000) * 2),
+                "pix": pa.array(np.arange(4000)),
+            }
+        )
+        b = PIPJoiner(polys)(pts)
+        s_parts = [
+            t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+            for t in sharded_pip_join(
+                ray.data.from_arrow(pts), polys, res=7
+            ).iter_batches(batch_format="pyarrow", batch_size=None)
+            if t.num_rows
+        ]
+        s = pa.concat_tables(s_parts)
+        bb = sorted(zip(b["pix"].to_pylist(), b["polygon_id"].to_pylist()))
+        ss = sorted(zip(s["pix"].to_pylist(), s["polygon_id"].to_pylist()))
+        assert bb == ss and len(bb) > 0
+        # multi-match present in the fixture (overlap region populated)
+        from collections import Counter
+
+        assert max(Counter(p for p, _ in bb).values()) == 2
+
+    def test_covering_contains_every_point_cell(self):
+        """bbox covering uses the same clipped floor formula as
+        cell_of, so any point inside the polygon shares a cell with a
+        polygon replica."""
+        from tiff_to_geojson_csv_json_format_converter_ray.functions import cells as C
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import (
+            polygon_cell_covering,
+        )
+
+        polys = self._polys()
+        cov = polygon_cell_covering(polys, 7)
+        cov_a = {
+            c for c, p in zip(cov["_cell"].to_pylist(),
+                              cov["polygon_id"].to_pylist())
+            if p == "a"
+        }
+        rng = np.random.RandomState(1)
+        lon = rng.rand(2000)
+        lat = rng.rand(2000)
+        cells = C.cell_of(lon, lat, 7)
+        assert set(cells.tolist()) <= cov_a
+
+
 class TestGeoJSONBytes:
     def test_writer_matches_reference_json_dump(self, tmp_path):
         """The fast string-builder must stay byte-identical to

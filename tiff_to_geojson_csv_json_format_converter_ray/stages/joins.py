@@ -237,6 +237,161 @@ class KNNLookup:
         return batch
 
 
+def polygon_cell_covering(polygons: pa.Table, res: int) -> pa.Table:
+    """One row per (cell, polygon): every res-``res`` cell whose grid
+    rectangle intersects the polygon's bbox.  Uses the SAME clipped
+    floor formula as ``cells.cell_of``, so a point inside the polygon
+    is GUARANTEED to land in one of the covering cells."""
+    import json
+
+    from ..functions import cells as C
+
+    s = C.cell_size(res)
+    nx_max = 2 ** (res + 8) - 1
+    ny_max = 2 ** (res + 7) - 1
+    out_cells, out_rows = [], []
+    for i in range(polygons.num_rows):
+        minx = polygons["minx"][i].as_py()
+        miny = polygons["miny"][i].as_py()
+        maxx = polygons["maxx"][i].as_py()
+        maxy = polygons["maxy"][i].as_py()
+        ix_lo = int(np.clip(np.floor((minx + 180.0) / s), 0, nx_max))
+        ix_hi = int(np.clip(np.floor((maxx + 180.0) / s), 0, nx_max))
+        iy_lo = int(np.clip(np.floor((miny + 90.0) / s), 0, ny_max))
+        iy_hi = int(np.clip(np.floor((maxy + 90.0) / s), 0, ny_max))
+        iy, ix = np.meshgrid(
+            np.arange(iy_lo, iy_hi + 1), np.arange(ix_lo, ix_hi + 1),
+            indexing="ij",
+        )
+        cells = C.pack(res, iy.ravel(), ix.ravel())
+        out_cells.append(cells)
+        out_rows.append(
+            {
+                "polygon_id": polygons["polygon_id"][i].as_py(),
+                "rings_json": json.dumps(
+                    [list(map(list, r)) for r in polygons["rings"][i].as_py()]
+                ),
+                "n_cells": len(cells),
+            }
+        )
+    reps = np.concatenate(out_cells) if out_cells else np.array([], np.int64)
+    ids = np.repeat(
+        np.arange(len(out_rows), dtype=np.int64),
+        [r["n_cells"] for r in out_rows],
+    )
+    return pa.table(
+        {
+            "_cell": pa.array(reps),
+            "polygon_id": pa.array([out_rows[j]["polygon_id"] for j in ids]),
+            "rings_json": pa.array([out_rows[j]["rings_json"] for j in ids]),
+        }
+    )
+
+
+def sharded_pip_join(
+    points_ds,
+    polygons: pa.Table,
+    res: int = 7,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+):
+    """Scale-tier point-in-polygon join: NO broadcast of the polygon
+    side.  Points are keyed by their res-``res`` cell; polygons are
+    replicated to the cells covering their bbox; one
+    ``groupby(_cell).map_groups`` co-locates each cell's points with
+    exactly the polygons that can contain them, and an in-group PIP
+    emits (point row + polygon_id) pairs.
+
+    Identical output to the broadcast ``PIPJoiner(mode='join')``
+    (each point lives in exactly ONE cell, so no duplicate pairs) --
+    use this tier when the polygon table is too large for `ray.put`
+    (e.g. millions of admin polygons); the broadcast tier wins when
+    polygons fit in object-store memory.  Hot cells (urban skew)
+    bound the group size; pre-salt with a finer ``res`` if one cell's
+    points exceed worker memory.
+    """
+    import json
+
+    import ray.data
+
+    from ..functions import cells as C
+    from ..functions.geometry import Polygon
+
+    point_schema: pa.Schema = points_ds.schema().base_schema
+    point_cols = list(point_schema.names)
+    poly_cells = polygon_cell_covering(polygons, res)
+
+    def tag_points(batch: pa.Table) -> pa.Table:
+        lon = batch[lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[lat_col].to_numpy(zero_copy_only=False)
+        batch = batch.append_column("_cell", pa.array(C.cell_of(lon, lat, res)))
+        batch = batch.append_column(
+            "polygon_id", pa.array([None] * batch.num_rows, pa.string())
+        )
+        return batch.append_column(
+            "rings_json", pa.array([None] * batch.num_rows, pa.string())
+        )
+
+    def tag_polys(batch: pa.Table) -> pa.Table:
+        for c in point_cols:
+            batch = batch.append_column(
+                c, pa.nulls(batch.num_rows, point_schema.field(c).type)
+            )
+        return batch.select(
+            ["_cell", "polygon_id", "rings_json"] + point_cols
+        )
+
+    pts_tagged = points_ds.map_batches(
+        tag_points, batch_format="pyarrow", batch_size=None
+    ).map_batches(
+        lambda b: b.select(["_cell", "polygon_id", "rings_json"] + point_cols),
+        batch_format="pyarrow", batch_size=None,
+    )
+    polys_tagged = ray.data.from_arrow(poly_cells).map_batches(
+        tag_polys, batch_format="pyarrow", batch_size=None
+    )
+    unioned = pts_tagged.union(polys_tagged)
+
+    empty_schema = pa.schema(
+        list(point_schema) + [pa.field("polygon_id", pa.string())]
+    )
+
+    def group_pip(group: pa.Table) -> pa.Table:
+        is_poly = pa.compute.is_valid(group["rings_json"])
+        polys = group.filter(is_poly)
+        pts = group.filter(pa.compute.invert(is_poly))
+        if polys.num_rows == 0 or pts.num_rows == 0:
+            return empty_schema.empty_table()
+        lon = pts[lon_col].to_numpy(zero_copy_only=False)
+        lat = pts[lat_col].to_numpy(zero_copy_only=False)
+        parts = []
+        for j in range(polys.num_rows):
+            rings = [
+                np.asarray(r, np.float64)
+                for r in json.loads(polys["rings_json"][j].as_py())
+            ]
+            mask = Polygon(
+                polys["polygon_id"][j].as_py(), rings
+            ).contains(lon, lat)
+            if mask.any():
+                sub = pts.filter(pa.array(mask)).select(point_cols)
+                parts.append(
+                    sub.append_column(
+                        "polygon_id",
+                        pa.array(
+                            [polys["polygon_id"][j].as_py()] * sub.num_rows
+                        ),
+                    )
+                )
+        if not parts:
+            return empty_schema.empty_table()
+        return pa.concat_tables(parts).cast(empty_schema)
+
+    return unioned.groupby("_cell").map_groups(
+        group_pip, batch_format="pyarrow"
+    )
+
+
 class AsofLookup:
     """As-of (most-recent-at-or-before) join against a small sorted
     side: for each stream row's ``ts`` attach the greatest side key
