@@ -712,6 +712,19 @@ def _q_ann_top3(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_knn_join(sf_dir: str) -> pa.Table:
+    """Exact cosine kNN SELF-join: top-3 neighbors for EVERY vector
+    (similarity search over the whole corpus, one broadcast + one
+    pass)."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.ann import (
+        knn_self_join,
+    )
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return knn_self_join(ds, k=3)
+
+
 def _q_fuzzy_match(sf_dir: str) -> pa.Table:
     """J5 fuzzy layer matching, golden scenarios of
     test_dynamic_patterns.py:20-51."""
@@ -1340,6 +1353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _q_token_counts,
         "doc_lengths": _q_doc_lengths,
         "ann_top3": _q_ann_top3,
+        "knn_join": _q_knn_join,
         "fuzzy_match": _q_fuzzy_match,
         # non-SQL-expressible (rows-only checks)
         "minhash_dedup": _q_minhash_dedup,
@@ -1595,6 +1609,15 @@ def oracle_sql() -> dict[str, str]:
             "list_cosine_similarity(e.embedding, qe.embedding) DESC, e.vec_id) - 1 AS BIGINT) AS rank "
             "FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = q.qid) qe "
             ") r WHERE r.rank < 3"
+        ),
+        "knn_join": (
+            "SELECT a, b, rank FROM ("
+            "SELECT x.vec_id AS a, y.vec_id AS b, "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY "
+            "list_cosine_similarity(x.embedding, y.embedding) DESC, "
+            "y.vec_id) - 1 AS BIGINT) AS rank "
+            "FROM embeddings x, embeddings y WHERE x.vec_id <> y.vec_id"
+            ") WHERE rank < 3"
         ),
         "fuzzy_match": (
             "SELECT * FROM (VALUES "

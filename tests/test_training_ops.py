@@ -388,6 +388,33 @@ class TestANN:
         top1 = out[(out["query_id"] == 0) & (out["rank"] == 0)]
         assert top1["vec_id"].iloc[0] == tbl["vec_id"][10].as_py()
 
+    def test_knn_self_join_vs_numpy(self, ray_session, sf_dir):
+        """Exact kNN self-join == per-row numpy argsort with the same
+        (score desc, id asc) tie order, under repartitioning."""
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.ann import (
+            knn_self_join,
+        )
+
+        tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        ids = tbl["vec_id"].to_numpy()
+        vecs = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+        unit = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        scores = unit @ unit.T
+        np.fill_diagonal(scores, -np.inf)
+        want = []
+        for i in range(len(ids)):
+            order = np.lexsort((ids, -scores[i]))[:3]
+            for rank, j in enumerate(order):
+                want.append((int(ids[i]), int(ids[j]), rank))
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet")
+        ).repartition(7)
+        out = knn_self_join(ds, k=3)
+        got = list(zip(out["a"].to_pylist(), out["b"].to_pylist(),
+                       out["rank"].to_pylist()))
+        assert sorted(got) == sorted(want)
+
     def test_ivf_train_sample_is_deterministic_bottomk(self, ray_session, sf_dir):
         """Centroids must come from the bottom-k sample, identical
         regardless of input partitioning (no ds.take head bias)."""

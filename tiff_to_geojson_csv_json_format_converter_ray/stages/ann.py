@@ -138,6 +138,102 @@ def _combine_topk(parts: list[pa.Table], k: int, id_col: str) -> pa.Table:
     return pa.Table.from_pylist(rows)
 
 
+class KNNJoinStage:
+    """map_batches stage for the exact kNN SELF-join: the full
+    reference vector table is broadcast ONCE (`ray.put`; read per
+    actor in __init__), each batch matmuls its rows against it and
+    emits final top-k rows for its own queries -- no second combine
+    needed, since every batch sees the complete reference side."""
+
+    def __init__(self, ref, k: int = 3, id_col: str = "vec_id",
+                 vec_col: str = "embedding"):
+        from .joins import _resolve
+
+        tbl = _resolve(ref)
+        self.ref_ids = tbl[id_col].to_numpy(zero_copy_only=False)
+        self.ref_units = _unit(list_col_to_matrix(tbl[vec_col]))
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        units = _unit(list_col_to_matrix(batch[self.vec_col]))
+        if len(ids) == 0:
+            return pa.table(
+                {"a": pa.array([], pa.int64()),
+                 "b": pa.array([], pa.int64()),
+                 "rank": pa.array([], pa.int64())}
+            )
+        scores = units @ self.ref_units.T  # (n, N)
+        # exclude self-matches by id (vectorized membership)
+        self_mask = ids[:, None] == self.ref_ids[None, :]
+        scores = np.where(self_mask, -np.inf, scores)
+        k = min(self.k, scores.shape[1] - 1)
+        top = np.argpartition(-scores, kth=k - 1, axis=1)[:, :k]  # (n, k)
+        rows = np.arange(len(ids))[:, None]
+        top_scores = scores[rows, top]
+        top_ids = self.ref_ids[top]
+        # final per-row order: score desc, neighbor id asc (ties)
+        order = np.lexsort(
+            (top_ids, -top_scores), axis=1
+        )
+        top_ids = np.take_along_axis(top_ids, order, axis=1)
+        return pa.table(
+            {
+                "a": np.repeat(ids, k).astype(np.int64),
+                "b": top_ids.ravel().astype(np.int64),
+                "rank": np.tile(np.arange(k, dtype=np.int64), len(ids)),
+            }
+        )
+
+
+def knn_self_join(
+    ds: ray.data.Dataset, k: int = 3, id_col: str = "vec_id",
+    vec_col: str = "embedding", concurrency: int | None = None,
+) -> pa.Table:
+    """Exact cosine kNN self-join: top-k neighbors for EVERY vector
+    (similarity-search over the whole corpus).  The reference side is
+    the corpus itself, broadcast once; each batch's output is final.
+    For corpora whose vector table exceeds broadcast capacity, the
+    LSH-bucketed group scheme of ``dedup.embedding_neardup`` is the
+    scale path (approximate)."""
+    import ray
+
+    tbl = _collect(ds)
+    ref = ray.put(tbl)
+    kwargs: dict = {"batch_format": "pyarrow", "batch_size": None}
+    if concurrency is None:
+        stage_ds = ds.map_batches(
+            KNNJoinStage(ref, k, id_col, vec_col), **kwargs
+        )
+    else:
+        stage_ds = ds.map_batches(
+            KNNJoinStage,
+            fn_constructor_kwargs={
+                "ref": ref, "k": k, "id_col": id_col, "vec_col": vec_col,
+            },
+            concurrency=concurrency,
+            **kwargs,
+        )
+    out = _collect(stage_ds)
+    import pyarrow.compute as pc
+
+    order = pc.sort_indices(
+        out, sort_keys=[("a", "ascending"), ("rank", "ascending")]
+    )
+    return out.take(order)
+
+
+def _collect(ds: ray.data.Dataset) -> pa.Table:
+    parts = [
+        t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+        for t in ds.iter_batches(batch_format="pyarrow", batch_size=None)
+        if t.num_rows
+    ]
+    return pa.concat_tables(parts, promote_options="default")
+
+
 class IVFIndex:
     """Seeded Lloyd k-means over a sample -> centroids; ``assign``
     gives each vector its nearest-centroid list id (the partitioning
