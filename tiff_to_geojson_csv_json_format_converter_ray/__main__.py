@@ -54,6 +54,16 @@ def main(argv: list[str] | None = None) -> int:
     r.add_argument("--out", required=True)
     r.add_argument("--manifest", required=True)
 
+    d = sub.add_parser("dedup", help="document dedup over a parquet corpus")
+    d.add_argument("--docs", required=True, help="documents parquet (doc_id, text)")
+    d.add_argument("--method", default="exact",
+                   choices=["exact", "minhash", "simhash"])
+    d.add_argument("--threshold", type=float, default=0.8,
+                   help="minhash signature-similarity threshold")
+    d.add_argument("--max-hamming", type=int, default=3)
+    d.add_argument("--out", default=None,
+                   help="write {doc_id, cluster_rep} parquet here")
+
     m = sub.add_parser("match", help="fuzzy layer-name matching")
     m.add_argument("--requested", required=True)
     m.add_argument("--available", required=True, help="comma-separated")
@@ -191,6 +201,38 @@ def main(argv: list[str] | None = None) -> int:
                         key=lambda r: -r["count"])[:5]}
                 )
             )
+        elif args.cmd == "dedup":
+            import pyarrow.parquet as pq
+            import ray.data
+
+            from .stages import dedup as D
+
+            ds = ray.data.read_parquet(args.docs)
+            if args.method == "exact":
+                reps = D.exact_dedup_representatives(ds, "text", "doc_id")
+                n_total = ds.count()
+                print(json.dumps(
+                    {"method": "exact", "rows": n_total,
+                     "distinct": reps.num_rows,
+                     "duplicates_removed": n_total - reps.num_rows}
+                ))
+                out_tbl = reps
+            elif args.method == "minhash":
+                out_tbl = D.minhash_lsh_dedup(
+                    ds, sim_threshold=args.threshold
+                )
+                print(json.dumps(
+                    {"method": "minhash", "near_dup_docs": out_tbl.num_rows,
+                     "clusters": len(set(out_tbl["cluster_rep"].to_pylist()))}
+                ))
+            else:
+                out_tbl = D.simhash_dedup(ds, max_hamming=args.max_hamming)
+                print(json.dumps(
+                    {"method": "simhash", "near_dup_docs": out_tbl.num_rows,
+                     "clusters": len(set(out_tbl["cluster_rep"].to_pylist()))}
+                ))
+            if args.out:
+                pq.write_table(out_tbl, args.out)
         elif args.cmd == "resume":
             from .stages.extract import PageExtract, add_cells
             from .state.checkpoint import run_resumable
