@@ -206,35 +206,36 @@ def label_propagation_clusters(
     labels = ray.data.from_arrow(
         pa.table({"node": nodes, "label": nodes})
     )
+    # per-round state stays in the OBJECT STORE (materialize);
+    # the driver only reads the scalar label-sum to test convergence
     prev_sum = None
     for _ in range(max_iters):
         msgs = edges.join(
             labels, join_type="inner", num_partitions=num_partitions,
             on=("src",), right_on=("node",),
         )
-        new_labels = (
+        labels = (
             msgs.groupby("dst")
             .min("label")
             .map_batches(
-                lambda t: t.rename_columns(["node", "label"]),
+                # name-explicit (not positional) so every block carries
+                # exactly (node, label) for the next round's join
+                lambda t: pa.table(
+                    {"node": t["dst"], "label": t["min(label)"]}
+                ),
                 batch_format="pyarrow", batch_size=None,
             )
+            # normalize block layout: hash-aggregate output blocks feed
+            # Ray's join operator incorrectly (ArrowInvalid on the key
+            # FieldRef); a repartition of the small label table fixes it
+            .repartition(num_partitions)
+            .materialize()
         )
-        tbl = pa.concat_tables(
-            [
-                t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
-                for t in new_labels.iter_batches(
-                    batch_format="pyarrow", batch_size=None
-                )
-                if t.num_rows
-            ]
-        )
-        s = int(tbl["label"].to_numpy().sum())
-        labels = ray.data.from_arrow(tbl)
+        s = int(labels.sum("label"))
         if s == prev_sum:
             break
         prev_sum = s
-    final = tbl
+    final = _collect(labels)
     node = final["node"].to_numpy(zero_copy_only=False)
     lab = final["label"].to_numpy(zero_copy_only=False)
     # non-singleton components only
