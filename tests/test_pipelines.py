@@ -570,3 +570,38 @@ class TestShuffle:
         # skew sanity: hottest cell is >10x median
         counts = np.array(sorted(plain.values()))
         assert counts[-1] > 10 * np.median(counts)
+
+    def test_salting_balances_100x_skewed_key(self):
+        """SURVEY §7.5: a 100x-skewed key must spread across reducers —
+        after SaltStage, the largest (key, _salt) partition holds
+        ~1/salt_k of the hot key, not all of it."""
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
+            SaltStage, detect_hot_keys,
+        )
+
+        k = 8
+        hot_n, cold_n = 100_000, 1_000
+        keys = np.r_[
+            np.zeros(hot_n, np.int64),
+            np.repeat(np.arange(1, 21, dtype=np.int64), cold_n // 20),
+        ]
+        batch = pa.table({"cell": keys, "pix": np.arange(len(keys))})
+        pre = (
+            batch.select(["cell"])
+            .append_column("_one", pa.array(np.ones(len(keys), np.int64)))
+            .group_by(["cell"]).aggregate([("_one", "sum")])
+            .rename_columns(["cell", "count"])
+        )
+        hot = detect_hot_keys(pre, "cell", factor=10.0)
+        assert hot == {0}
+        out = SaltStage("cell", hot, k=k, row_hash_col="pix")(batch)
+        sizes = (
+            out.select(["cell", "_salt"])
+            .append_column("_one", pa.array(np.ones(out.num_rows, np.int64)))
+            .group_by(["cell", "_salt"]).aggregate([("_one", "sum")])
+        )["_one_sum"].to_numpy()
+        # hot key split into k near-equal shares; bound = 2x ideal
+        assert sizes.max() <= 2 * hot_n / k
+        # cold keys untouched (all salt 0)
+        cold = out.filter(pa.compute.not_equal(out["cell"], 0))
+        assert set(cold["_salt"].to_pylist()) == {0}
