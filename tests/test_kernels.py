@@ -299,6 +299,44 @@ class TestKNN:
         np.testing.assert_array_equal(gi, bi)
         np.testing.assert_allclose(gd, bd, atol=1e-12)
 
+    def test_far_outside_is_not_quadratic_in_offset(self):
+        """The round-2 regression: a probe thousands of cell widths
+        outside the extent must NOT walk every empty ring one bucket at
+        a time (O(offset^2) Python work -- the sf0.01 correctness run
+        would take hours).  Bounded work: rings are clamped to the grid
+        rectangle and queries past the break-even fall back to the
+        exact linear scan, so 100 far probes finish in well under a
+        second and still match brute force exactly."""
+        import time
+
+        rng = np.random.RandomState(13)
+        lon = rng.rand(20000) * 0.5 + 77  # cell width ~0.0035
+        lat = rng.rand(20000) * 0.5 + 28
+        idx = knn.KNNIndex(lon, lat)
+        qlon = rng.uniform(-200, 300, 100)
+        qlat = rng.uniform(-100, 150, 100)
+        t0 = time.time()
+        gi, gd = idx.query(qlon, qlat, k=2)
+        elapsed = time.time() - t0
+        bi, bd = idx.query_brute(qlon, qlat, k=2)
+        np.testing.assert_array_equal(gi, bi)
+        np.testing.assert_allclose(gd, bd, atol=1e-12)
+        assert elapsed < 5.0, f"far-outside kNN took {elapsed:.1f}s"
+
+    def test_ring_clamp_fuzz_matches_brute(self):
+        """Clamped-perimeter ring walk: fuzz inside/near/far probes in
+        every direction against the exact scan."""
+        rng = np.random.RandomState(17)
+        lon = rng.rand(2000) * 3 - 1.5
+        lat = rng.rand(2000) * 0.2  # anisotropic extent
+        idx = knn.KNNIndex(lon, lat)
+        qlon = rng.uniform(-6, 6, 300)
+        qlat = rng.uniform(-3, 3, 300)
+        gi, gd = idx.query(qlon, qlat, k=3)
+        bi, bd = idx.query_brute(qlon, qlat, k=3)
+        np.testing.assert_array_equal(gi, bi)
+        np.testing.assert_allclose(gd, bd, atol=1e-12)
+
 
 class TestS2:
     """True spherical S2 cell ids vs an independent bit-by-bit scalar

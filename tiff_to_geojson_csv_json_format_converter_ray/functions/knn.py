@@ -66,28 +66,61 @@ class KNNIndex:
             qx, qy = qlon[qi], qlat[qi]
             bx = int(np.floor((qx - self.x0) / self.cell))
             by = int(np.floor((qy - self.y0) / self.cell))
+            # First ring that can touch the grid at all: the Chebyshev
+            # bucket distance from (bx, by) to the grid rectangle
+            # (0 when the query bucket is inside the grid).  Rings
+            # smaller than this are entirely empty -- skip them.
+            ring0 = max(
+                0, -bx, bx - (self.nx - 1), -by, by - (self.ny - 1)
+            )
+            # A query this far outside the extent would walk ~0.4*ring0
+            # clamped rings of up to (nx+ny) buckets each before the
+            # stop bound fires; past this break-even the exact linear
+            # scan is cheaper AND O(n)-bounded (the round-1 advisory's
+            # far-outside regime: never quadratic in the offset).
+            if ring0 * (self.nx + self.ny) > 2 * self.n:
+                ii, dd = self.query_brute(
+                    np.array([qx]), np.array([qy]), k=k
+                )
+                m = min(k, self.n)
+                idx_out[qi, :m] = ii[0, :m]
+                dist_out[qi, :m] = dd[0, :m]
+                continue
             # Rings centered on the query bucket must be able to reach
             # EVERY grid bucket, even when (bx, by) lies outside the
-            # grid (query beyond the index extent): the bound is the
-            # Chebyshev distance to the farthest grid corner, not
-            # max(nx, ny).
+            # grid: the bound is the Chebyshev distance to the farthest
+            # grid corner, not max(nx, ny).
             max_ring = max(
                 max(abs(bx), abs(bx - (self.nx - 1))),
                 max(abs(by), abs(by - (self.ny - 1))),
             ) + 1
             best_d: np.ndarray = np.empty(0)
             best_i: np.ndarray = np.empty(0, dtype=np.int64)
-            for ring in range(max_ring + 1):
+            for ring in range(ring0, max_ring + 1):
                 members = []
                 if ring == 0:
                     members.append(self._bucket_members(bx, by))
                 else:
-                    for dx in range(-ring, ring + 1):
-                        members.append(self._bucket_members(bx + dx, by - ring))
-                        members.append(self._bucket_members(bx + dx, by + ring))
-                    for dy in range(-ring + 1, ring):
-                        members.append(self._bucket_members(bx - ring, by + dy))
-                        members.append(self._bucket_members(bx + ring, by + dy))
+                    # perimeter clamped to the grid rectangle: buckets
+                    # outside [0, nx) x [0, ny) are never visited, so a
+                    # ring's cost is bounded by the grid perimeter even
+                    # for queries far outside the extent
+                    xlo = max(bx - ring, 0)
+                    xhi = min(bx + ring, self.nx - 1)
+                    if by - ring >= 0:
+                        for xx in range(xlo, xhi + 1):
+                            members.append(self._bucket_members(xx, by - ring))
+                    if by + ring <= self.ny - 1:
+                        for xx in range(xlo, xhi + 1):
+                            members.append(self._bucket_members(xx, by + ring))
+                    ylo = max(by - ring + 1, 0)
+                    yhi = min(by + ring - 1, self.ny - 1)
+                    if bx - ring >= 0:
+                        for yy in range(ylo, yhi + 1):
+                            members.append(self._bucket_members(bx - ring, yy))
+                    if bx + ring <= self.nx - 1:
+                        for yy in range(ylo, yhi + 1):
+                            members.append(self._bucket_members(bx + ring, yy))
                 cand = np.concatenate(members) if members else np.empty(0, np.int64)
                 if len(cand):
                     d = np.hypot(self.lon[cand] - qx, self.lat[cand] - qy)
