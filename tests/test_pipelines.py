@@ -198,8 +198,10 @@ class TestConvert:
         )
 
         convert(tiles_path, str(tmp_path / "out"), mode="sample", formats=("csv",))
+        # explicit scratch_dir exercises the cluster-visible-path mode
         n = combine_csv_outputs(
-            str(tmp_path / "out" / "csv"), str(tmp_path / "combined.csv")
+            str(tmp_path / "out" / "csv"), str(tmp_path / "combined.csv"),
+            scratch_dir=str(tmp_path / "scratch"),
         )
         df = pd.read_csv(tmp_path / "combined.csv")
         assert len(df) == n > 0

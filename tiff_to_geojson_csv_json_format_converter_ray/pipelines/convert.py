@@ -99,7 +99,10 @@ def extract_points(
 
 
 def combine_csv_outputs(
-    csv_dir: str, out_path: str, manifest: pa.Table | None = None
+    csv_dir: str,
+    out_path: str,
+    manifest: pa.Table | None = None,
+    scratch_dir: str | None = None,
 ) -> int:
     """The reference's combined-file step (create_combined_file,
     completePixleOutput.py:252-282): re-ingest the per-source CSV
@@ -113,7 +116,12 @@ def combine_csv_outputs(
     The driver never holds the point rows (VERDICT r1 par."What's
     wrong" 3).  When the sink's ``manifest`` table is given, the input
     list comes from its ``output_path`` column instead of a directory
-    glob, so stale files in ``csv_dir`` can't leak in."""
+    glob, so stale files in ``csv_dir`` can't leak in.
+
+    ``scratch_dir``: where fragment files are written.  Defaults to a
+    driver-local tempdir (fine single-node); on a multi-node cluster
+    pass a cluster-visible path (NFS / fuse mount) so fragment tasks on
+    other nodes and the driver's concat see the same files."""
     import shutil
     import tempfile
 
@@ -128,7 +136,11 @@ def combine_csv_outputs(
     if not files:
         return 0
 
-    frag_dir = Path(tempfile.mkdtemp(prefix="combine_csv_"))
+    if scratch_dir is not None:
+        frag_dir = Path(scratch_dir)
+        frag_dir.mkdir(parents=True, exist_ok=True)
+    else:
+        frag_dir = Path(tempfile.mkdtemp(prefix="combine_csv_"))
 
     def write_fragment(batch: pa.Table) -> pa.Table:
         import pandas as pd
