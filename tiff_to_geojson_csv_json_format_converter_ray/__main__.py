@@ -198,7 +198,8 @@ def main(argv: list[str] | None = None) -> int:
                     {k: v.num_rows for k, v in out.items()}
                     | {"top_cells": sorted(
                         out["cell_counts"].to_pylist(),
-                        key=lambda r: -r["count"])[:5]}
+                        key=lambda r: (-r["count"], r[f"cell_{args.res}"]),
+                    )[:5]}
                 )
             )
         elif args.cmd == "dedup":

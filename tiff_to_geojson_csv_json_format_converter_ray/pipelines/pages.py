@@ -23,7 +23,9 @@ PAGES_READ_COLS = ["url", "warc_ts", "html", "text", "lang"]
 
 
 def read_pages(path: str, columns: list[str] | None = None) -> ray.data.Dataset:
-    return ray.data.read_parquet(path, columns=columns or PAGES_READ_COLS)
+    from ..sources.reader import read_parquet_auto
+
+    return read_parquet_auto(path, columns=columns or PAGES_READ_COLS)
 
 
 def geocode_pages(

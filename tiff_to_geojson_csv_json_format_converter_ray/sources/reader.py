@@ -1,0 +1,87 @@
+"""Size-aware Parquet reader.
+
+``ray.data.read_parquet`` picks its block count from estimated cluster
+parallelism (roughly 2 tasks per CPU), which over-splits small inputs:
+a 37 MB corpus becomes 64 tiny read tasks whose per-task overhead
+dwarfs the decode work.  At the other end, a 100 TB corpus needs block
+count driven by BYTES (so each block lands near
+``DataContext.target_max_block_size``), not by CPU count.
+
+:func:`read_parquet_auto` sizes ``override_num_blocks`` from the
+on-disk footprint:
+
+    size_blocks = ceil(disk_bytes * expansion / target_max_block_size)
+    blocks      = max(size_blocks, min(cpus, 4 * size_blocks))
+
+- Large inputs: ``size_blocks`` dominates -> blocks of ~target size,
+  thousands of tasks on a real cluster, streaming as usual.
+- Small inputs: task count is bounded at 4 small blocks per
+  size-block (parallelism without drowning in per-task overhead),
+  never more than the CPU count.
+
+``expansion`` is the decoded-Arrow / on-disk ratio (snappy + dict
+encoding on text compresses ~4x; pass a measured value for other
+schemas).  Column pruning happens before decode, so pass ``columns``
+exactly as with ``ray.data.read_parquet``.
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+
+import ray
+import ray.data
+
+
+def _disk_bytes(path) -> int:
+    """Total on-disk parquet bytes under ``path`` (file, dir, or list).
+    Driver-side stat calls only -- no data is read.  Returns 0 for
+    non-local paths (object stores); callers fall back to Ray's own
+    estimate there."""
+    total = 0
+    paths = path if isinstance(path, (list, tuple)) else [path]
+    for p in paths:
+        try:
+            pp = Path(p)
+            if pp.is_file():
+                total += pp.stat().st_size
+            elif pp.is_dir():
+                total += sum(
+                    f.stat().st_size for f in pp.rglob("*.parquet")
+                )
+        except OSError:
+            return 0
+    return total
+
+
+def auto_num_blocks(disk_bytes: int, expansion: float = 4.0) -> int | None:
+    """Block count for a given on-disk size; None = let Ray decide."""
+    if disk_bytes <= 0:
+        return None
+    ctx = ray.data.DataContext.get_current()
+    target = getattr(ctx, "target_max_block_size", None) or (128 << 20)
+    size_blocks = max(1, math.ceil(disk_bytes * expansion / target))
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 0)) or 8
+    except Exception:
+        cpus = 8
+    return max(size_blocks, min(cpus, 4 * size_blocks))
+
+
+def read_parquet_auto(
+    path,
+    *,
+    columns: list[str] | None = None,
+    expansion: float = 4.0,
+    **kwargs,
+) -> ray.data.Dataset:
+    """``ray.data.read_parquet`` with a size-derived block count.
+
+    Any explicit ``override_num_blocks`` in ``kwargs`` wins; non-local
+    paths (s3:// etc.) keep Ray's default planning."""
+    if "override_num_blocks" not in kwargs:
+        nb = auto_num_blocks(_disk_bytes(path), expansion)
+        if nb is not None:
+            kwargs["override_num_blocks"] = nb
+    return ray.data.read_parquet(path, columns=columns, **kwargs)
