@@ -122,6 +122,39 @@ class TestCRS:
         lon, lat = t.transform(np.array([77.0]), np.array([28.0]))
         assert (lon[0], lat[0]) == (77.0, 28.0)
 
+    def test_utm_inverse_grid_matches_pointwise(self):
+        """Separable grid path == pointwise Karney inverse to well below
+        the engine's 6-dp output rounding (machine-precision identities
+        + Taylor-of-small-correction, see crs.utm_inverse_grid)."""
+        rng = np.random.RandomState(7)
+        for zone, south in [(43, False), (33, False), (19, True)]:
+            e = np.sort(rng.uniform(167000, 833000, 129))
+            n = np.sort(rng.uniform(1_100_000, 9_300_000, 97))
+            lon_g, lat_g = crs.utm_inverse_grid(e, n, zone, south)
+            ee = np.broadcast_to(e[None, :], (97, 129)).ravel()
+            nn = np.broadcast_to(n[:, None], (97, 129)).ravel()
+            lon_p, lat_p = crs.utm_inverse(ee, nn, zone, south)
+            assert np.abs(lon_g - lon_p).max() < 1e-11
+            assert np.abs(lat_g - lat_p).max() < 1e-11
+            assert np.array_equal(np.round(lon_g, 6), np.round(lon_p, 6))
+            assert np.array_equal(np.round(lat_g, 6), np.round(lat_p, 6))
+
+    def test_transform_grid_fallback_and_separable(self):
+        x = np.linspace(300000.0, 700000.0, 33)
+        y = np.linspace(3_000_000.0, 3_400_000.0, 17)
+        for src in ["EPSG:32643", "EPSG:3857", "EPSG:2154"]:
+            t = crs.Transformer(src, "EPSG:4326")
+            if src == "EPSG:3857":
+                xs, ys = x, np.linspace(2_000_000.0, 4_000_000.0, 17)
+            else:
+                xs, ys = x, y
+            lon_g, lat_g = t.transform_grid(xs, ys)
+            xx = np.broadcast_to(xs[None, :], (17, 33)).ravel()
+            yy = np.broadcast_to(ys[:, None], (17, 33)).ravel()
+            lon_p, lat_p = t.transform(xx, yy)
+            np.testing.assert_allclose(lon_g, lon_p, atol=1e-11)
+            np.testing.assert_allclose(lat_g, lat_p, atol=1e-11)
+
 
 class TestCells:
     def test_pack_unpack(self):

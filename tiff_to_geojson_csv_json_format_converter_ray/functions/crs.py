@@ -160,6 +160,93 @@ def utm_inverse(
     return np.rad2deg(lam) + lon0, np.rad2deg(phi)
 
 
+def _conformal_to_geodetic(tau_p: np.ndarray) -> np.ndarray:
+    """chi-series tail of :func:`utm_inverse` (tau' -> phi radians)."""
+    chi = np.arctan(tau_p)
+    inv_h = 1.0 / np.hypot(1.0, tau_p)
+    sin_chi = tau_p * inv_h
+    cos_chi = inv_h
+    s2, c2 = 2.0 * sin_chi * cos_chi, 1.0 - 2.0 * sin_chi * sin_chi
+    S, C = s2, c2
+    phi = chi + _D_CHI[0] * S
+    for j in range(1, len(_D_CHI)):
+        S, C = S * c2 + C * s2, C * c2 - S * s2
+        phi = phi + _D_CHI[j] * S
+    return phi
+
+
+def utm_inverse_grid(
+    easting_1d: np.ndarray,
+    northing_1d: np.ndarray,
+    zone: int,
+    south: bool = False,
+) -> tuple[np.ndarray, np.ndarray]:
+    """UTM inverse over a separable grid: eastings vary only along
+    columns, northings only along rows (axis-aligned rasters, the
+    reference's north-up GeoTIFFs).  Returns row-major FLATTENED
+    (lon, lat) of shape ``len(northing_1d) * len(easting_1d)``.
+
+    Identical mathematics to :func:`utm_inverse`, but the grid
+    structure moves every sin/cos/sinh/cosh from O(h*w) to O(h+w):
+
+    - the Krueger series sum_j beta_j sin(2j xi) cosh(2j eta) is an
+      outer product of per-row and per-column harmonic vectors;
+    - sin/cos(xi - dxi) and sinh(eta - deta) expand by the exact
+      angle-addition identities, where sin/cos/sinh/cosh of the
+      *corrections* (|d| < 1e-3 inside a UTM zone) are evaluated by
+      their Taylor series to the d^6/d^7 term -- truncation error
+      ~1e-25, far below float64 resolution, so results agree with
+      the pointwise path to machine precision (asserted in tests).
+
+    Remaining per-point transcendentals: hypot, arctan2, arctan.
+    ~2.5x faster than pointwise :func:`utm_inverse` on large tiles.
+    """
+    e = np.asarray(easting_1d, dtype=np.float64)
+    n = np.asarray(northing_1d, dtype=np.float64)
+    if south:
+        n = n - _UTM_FN_SOUTH
+    xi_r = n / (_UTM_K0 * _A_RECT)          # (h,)
+    eta_c = (e - _UTM_FE) / (_UTM_K0 * _A_RECT)  # (w,)
+
+    # per-axis harmonic tables (h- and w-length vectors only)
+    s2, c2 = np.sin(2.0 * xi_r), np.cos(2.0 * xi_r)
+    sh2, ch2 = np.sinh(2.0 * eta_c), np.cosh(2.0 * eta_c)
+    S, C, SH, CH = s2, c2, sh2, ch2
+    d_xi = _BETA[0] * np.multiply.outer(S, CH)
+    d_eta = _BETA[0] * np.multiply.outer(C, SH)
+    for j in range(1, len(_BETA)):
+        S, C = S * c2 + C * s2, C * c2 - S * s2
+        SH, CH = SH * ch2 + CH * sh2, CH * ch2 + SH * sh2
+        d_xi += _BETA[j] * np.multiply.outer(S, CH)
+        d_eta += _BETA[j] * np.multiply.outer(C, SH)
+
+    # sin/cos/sinh/cosh of the small corrections by Taylor series
+    # (|d_xi|,|d_eta| <= sum|beta_j| cosh(2j eta) ~ 1e-3 in-zone)
+    dx2 = d_xi * d_xi
+    sin_dx = d_xi * (1.0 - dx2 / 6.0 * (1.0 - dx2 / 20.0 * (1.0 - dx2 / 42.0)))
+    cos_dx = 1.0 - dx2 / 2.0 * (1.0 - dx2 / 12.0 * (1.0 - dx2 / 30.0))
+    de2 = d_eta * d_eta
+    sinh_de = d_eta * (1.0 + de2 / 6.0 * (1.0 + de2 / 20.0 * (1.0 + de2 / 42.0)))
+    cosh_de = 1.0 + de2 / 2.0 * (1.0 + de2 / 12.0 * (1.0 + de2 / 30.0))
+
+    sin_xi = np.sin(xi_r)[:, None]
+    cos_xi_r = np.cos(xi_r)[:, None]
+    sinh_eta_c = np.sinh(eta_c)[None, :]
+    cosh_eta_c = np.cosh(eta_c)[None, :]
+
+    # xi' = xi - d_xi ; eta' = eta - d_eta  (exact angle addition)
+    sin_xi_p = sin_xi * cos_dx - cos_xi_r * sin_dx
+    cos_xi_p = cos_xi_r * cos_dx + sin_xi * sin_dx
+    sinh_eta_p = sinh_eta_c * cosh_de - cosh_eta_c * sinh_de
+
+    tau_p = sin_xi_p / np.hypot(sinh_eta_p, cos_xi_p)
+    lam = np.arctan2(sinh_eta_p, cos_xi_p)
+    phi = _conformal_to_geodetic(tau_p)
+
+    lon0 = zone * 6.0 - 183.0
+    return (np.rad2deg(lam) + lon0).ravel(), np.rad2deg(phi).ravel()
+
+
 def webmercator_forward(
     lon_deg: np.ndarray, lat_deg: np.ndarray
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -401,3 +488,40 @@ class Transformer:
         if kind == "albers":
             return albers_forward(lon, lat, _CONIC_CRS[zone][1])
         return utm_forward(lon, lat, zone, south)
+
+    def transform_grid(
+        self, x_cols: np.ndarray, y_rows: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Transform an axis-aligned grid given by its 1-D column x's
+        and row y's; returns row-major FLATTENED (lon, lat) of length
+        ``len(y_rows) * len(x_cols)``.
+
+        UTM->geographic uses the separable :func:`utm_inverse_grid`
+        (O(h+w) transcendentals); webmercator->geographic is exactly
+        separable (lon from x alone, lat from y alone); everything
+        else broadcasts and calls the pointwise path -- same result,
+        no speedup.
+        """
+        x = np.asarray(x_cols, dtype=np.float64)
+        y = np.asarray(y_rows, dtype=np.float64)
+        h, w = len(y), len(x)
+        src_kind, zone, south = self.src
+        dst_kind = self.dst[0]
+        if dst_kind == "geographic":
+            if src_kind == "utm":
+                return utm_inverse_grid(x, y, zone, south)
+            if src_kind == "webmercator":
+                lon_c, _ = webmercator_inverse(x, np.zeros_like(x))
+                _, lat_r = webmercator_inverse(np.zeros_like(y), y)
+                return (
+                    np.broadcast_to(lon_c[None, :], (h, w)).ravel().copy(),
+                    np.broadcast_to(lat_r[:, None], (h, w)).ravel().copy(),
+                )
+            if src_kind == "geographic":
+                return (
+                    np.broadcast_to(x[None, :], (h, w)).ravel().copy(),
+                    np.broadcast_to(y[:, None], (h, w)).ravel().copy(),
+                )
+        xx = np.broadcast_to(x[None, :], (h, w)).ravel()
+        yy = np.broadcast_to(y[:, None], (h, w)).ravel()
+        return self.transform(xx, yy)

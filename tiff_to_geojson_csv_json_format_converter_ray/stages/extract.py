@@ -127,27 +127,53 @@ class TilePivot:
 
         for i in range(batch.num_rows):
             h, w = int(heights[i]), int(widths[i])
-            rows, cols = np.meshgrid(
-                np.arange(h, dtype=np.float64),
-                np.arange(w, dtype=np.float64),
-                indexing="ij",
-            )
-            g_rows = rows.ravel() + float(row_offs[i])
-            g_cols = cols.ravel() + float(col_offs[i])
-            x, y = _affine.pixel_to_world(transforms[i], g_rows, g_cols)
-            # float32 cast mirrors completePixleOutput.py:50-52 exactly
-            x = x.astype(np.float32)
-            y = y.astype(np.float32)
+            ta, tb, tc, td, te, tf = (float(t) for t in transforms[i])
             z = np.asarray(
                 values_col[i].values.to_numpy(zero_copy_only=False),
                 dtype=np.float32,
             )
-            if self.reproject:
-                lon, lat = self._transformer(crss[i]).transform(
-                    x.astype(np.float64), y.astype(np.float64)
-                )
+            if tb == 0.0 and td == 0.0:
+                # axis-aligned (north-up) tile: world x varies only by
+                # column, y only by row -> separable grid reprojection
+                # (crs.Transformer.transform_grid), O(h+w) instead of
+                # O(h*w) transcendentals for UTM/web-mercator sources.
+                row_1d = np.arange(h, dtype=np.float64) + float(row_offs[i])
+                col_1d = np.arange(w, dtype=np.float64) + float(col_offs[i])
+                # value- and sign-identical to the pointwise path's
+                # `c + a*col_c + b*row_c` with b == 0 (the `+ 0.0`
+                # mirrors its `+ 0.0*row_c` term, normalizing -0.0),
+                # then the same float32 cast (completePixleOutput.py:50-52)
+                x_col = ((tc + ta * (col_1d + 0.5)) + 0.0).astype(
+                    np.float32).astype(np.float64)
+                y_row = ((tf + te * (row_1d + 0.5)) + 0.0).astype(
+                    np.float32).astype(np.float64)
+                g_rows = np.broadcast_to(row_1d[:, None], (h, w)).ravel()
+                g_cols = np.broadcast_to(col_1d[None, :], (h, w)).ravel()
+                if self.reproject:
+                    lon, lat = self._transformer(crss[i]).transform_grid(
+                        x_col, y_row
+                    )
+                else:
+                    lon = np.broadcast_to(x_col[None, :], (h, w)).ravel().copy()
+                    lat = np.broadcast_to(y_row[:, None], (h, w)).ravel().copy()
             else:
-                lon, lat = x.astype(np.float64), y.astype(np.float64)
+                rows, cols = np.meshgrid(
+                    np.arange(h, dtype=np.float64),
+                    np.arange(w, dtype=np.float64),
+                    indexing="ij",
+                )
+                g_rows = rows.ravel() + float(row_offs[i])
+                g_cols = cols.ravel() + float(col_offs[i])
+                x, y = _affine.pixel_to_world(transforms[i], g_rows, g_cols)
+                # float32 cast mirrors completePixleOutput.py:50-52 exactly
+                x = x.astype(np.float32)
+                y = y.astype(np.float32)
+                if self.reproject:
+                    lon, lat = self._transformer(crss[i]).transform(
+                        x.astype(np.float64), y.astype(np.float64)
+                    )
+                else:
+                    lon, lat = x.astype(np.float64), y.astype(np.float64)
             zf = z.astype(np.float64)
             if self.round_output:
                 if self.reproject:
