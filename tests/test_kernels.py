@@ -178,6 +178,20 @@ class TestCells:
         np.testing.assert_array_equal(cells.parent(c9), c8)
         np.testing.assert_array_equal(cells.parent(c9, 7), c7)
 
+    def test_parent_matches_direct(self):
+        """Shift-derived coarse ids (TilePivot's one-pass cell encode)
+        == directly computed cell_of at every coarser resolution,
+        including the out-of-range clip path."""
+        rng = np.random.RandomState(1)
+        lon = rng.uniform(-185, 185, 50000)
+        lat = rng.uniform(-95, 95, 50000)
+        for finest in (9, 12):
+            base = cells.cell_of(lon, lat, finest)
+            for r in range(0, finest):
+                np.testing.assert_array_equal(
+                    cells.parent(base, r), cells.cell_of(lon, lat, r)
+                )
+
     def test_bounds_contain_point(self):
         c = cells.cell_of(np.array([77.2]), np.array([28.6]), 8)
         minlon, minlat, maxlon, maxlat = cells.cell_bounds(int(c[0]))

@@ -195,8 +195,25 @@ class TilePivot:
             src_runs.append((srcs[i], h * w))
             out_cols["pix"].append(pix)
             out_cols["nodata"].append(np.full(h * w, float(nodatas[i])))
-            for r in self.with_cells:
-                cell_cols[r].append(_cells.cell_of(lon, lat, r))
+            if self.with_cells:
+                # one floor/clip pass at the finest resolution; coarser
+                # ids are exact bit-shift parents (floor((x)/2^k) of the
+                # clipped index == the directly-computed coarse index,
+                # pinned by test_parent_matches_direct)
+                finest = max(self.with_cells)
+                base = _cells.cell_of(lon, lat, finest)
+                for r in self.with_cells:
+                    if r == finest:
+                        cell_cols[r].append(base)
+                    else:
+                        sh = np.int64(finest - r)
+                        iy = (base >> np.int64(28)) & np.int64((1 << 28) - 1)
+                        ix = base & np.int64((1 << 28) - 1)
+                        cell_cols[r].append(
+                            (np.int64(r) << np.int64(56))
+                            | ((iy >> sh) << np.int64(28))
+                            | (ix >> sh)
+                        )
             pending += h * w
             if pending >= self.chunk_rows:
                 yield flush()
