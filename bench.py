@@ -134,10 +134,38 @@ def _pages_path(n: int) -> str:
     d = CACHE / f"pages_{n}_v3"
     if not (d / "_DONE").exists():
         d.mkdir(parents=True, exist_ok=True)
-        pages = gen_pages(n)
-        shard = max(1, n // 32)
-        for i in range(0, n, shard):
-            pq.write_table(pages.slice(i, shard), d / f"shard_{i:08d}.parquet")
+        if n > 400_000:
+            # sf1-scale corpus: generate shards in parallel as Ray
+            # tasks, one deterministic seed per shard (dup pairs stay
+            # within a shard; corpus content is independent of the
+            # task schedule).
+            import ray
+
+            n_shards = 64
+            per = n // n_shards
+
+            @ray.remote
+            def _gen_shard(i: int, count: int, out: str) -> None:
+                from tiff_to_geojson_csv_json_format_converter_ray.sources.synthetic import (  # noqa: E501
+                    gen_pages as _gp,
+                )
+                pq.write_table(_gp(count, seed=10_000 + i), out)
+
+            ray.get([
+                _gen_shard.remote(
+                    i,
+                    per + (n - per * n_shards if i == n_shards - 1 else 0),
+                    str(d / f"shard_{i:08d}.parquet"),
+                )
+                for i in range(n_shards)
+            ])
+        else:
+            pages = gen_pages(n)
+            shard = max(1, n // 32)
+            for i in range(0, n, shard):
+                pq.write_table(
+                    pages.slice(i, shard), d / f"shard_{i:08d}.parquet"
+                )
         (d / "_DONE").write_text("ok")
     return str(d)
 
