@@ -404,6 +404,59 @@ def _q_knn_outside(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_within_radius(sf_dir: str) -> pa.Table:
+    """Distance-band join (range form of J4): every valid grid point
+    within 0.025 deg of each probe -- one row per (probe, point)."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import RadiusJoin
+
+    ref = collect_tables(_og_points_ds(valid_only=True))
+    probes = pa.table(
+        {
+            "probe_id": pa.array(range(len(OG_KNN_PROBES)), pa.int64()),
+            "lon": pa.array([p[0] for p in OG_KNN_PROBES]),
+            "lat": pa.array([p[1] for p in OG_KNN_PROBES]),
+        }
+    )
+    out = collect_tables(
+        ray.data.from_arrow(probes).map_batches(
+            RadiusJoin(ref, radius=0.025, payload_cols=("pix", "z")),
+            batch_format="pyarrow", batch_size=None,
+        )
+    )
+    return out.select(["probe_id", "nn_pix", "nn_z"]).rename_columns(
+        ["probe_id", "pix", "z"]
+    )
+
+
+def _q_downsample_raster(sf_dir: str) -> pa.Table:
+    """Raster pyramid step: re-aggregate the res-9 extract to res-5
+    cells (~16 points per cell on this grid; count/avg/min/max per
+    parent cell) via exact bit-shift parenthood + the
+    partial-aggregate combine."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        round_like_sql,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.stats import (
+        downsample_cells,
+    )
+
+    pts = _og_points_ds(valid_only=True, cells=(9,))
+    t = downsample_cells(pts, 5, from_col="cell_9", value_col="z")
+    return pa.table(
+        {
+            "cell_5": t["cell_5"],
+            "n": t["count"],
+            "avg_z": round_like_sql(t["mean"], 6),
+            "min_z": t["min"],
+            "max_z": t["max"],
+        }
+    )
+
+
 def _q_knn_balltree(sf_dir: str) -> pa.Table:
     """J4 via the ball-tree backend -- must equal the grid backend
     (and the SQL oracle) exactly."""
@@ -1337,6 +1390,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_top3": _q_knn_top3,
         "knn_balltree": _q_knn_balltree,
         "knn_outside": _q_knn_outside,
+        "within_radius": _q_within_radius,
+        "downsample_raster": _q_downsample_raster,
         "stride_secondary": _q_stride_secondary,
         # spatial ops driven from the driver's tables
         "events_geocode_cells": _q_events_geocode,
@@ -1479,6 +1534,19 @@ def oracle_sql() -> dict[str, str]:
             f"(g.lon - p.plon) * (g.lon - p.plon) + (g.lat - p.plat) * (g.lat - p.plat), g.pix"
             f") AS rn FROM (VALUES {outside_values}) p(probe_id, plon, plat), ({valid}) g"
             f") WHERE rn = 1"
+        ),
+        # distance-band join: 0.025 deg window, margins to the radius
+        # boundary are ~4e-4 on this grid, so <= on d vs d^2 agree
+        "within_radius": (
+            f"SELECT p.probe_id, g.pix, g.z "
+            f"FROM (VALUES {probes_values}) p(probe_id, plon, plat), ({valid}) g "
+            f"WHERE (g.lon - p.plon) * (g.lon - p.plon) "
+            f"+ (g.lat - p.plat) * (g.lat - p.plat) <= 0.025 * 0.025"
+        ),
+        "downsample_raster": (
+            f"SELECT {_cell_expr(5)} AS cell_5, COUNT(*) AS n, "
+            f"ROUND(AVG(z), 6) AS avg_z, MIN(z) AS min_z, MAX(z) AS max_z "
+            f"FROM ({valid}) GROUP BY 1"
         ),
         "events_geocode_cells": (
             f"SELECT {_cell_expr_cols('glon', 'glat', 8)} AS cell_8, "

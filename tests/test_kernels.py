@@ -322,6 +322,27 @@ class TestKNN:
         np.testing.assert_allclose(gd, bd, atol=1e-12)
         np.testing.assert_array_equal(gi, bi)
 
+    def test_query_radius_matches_brute(self):
+        rng = np.random.RandomState(11)
+        lon = rng.rand(2000) * 2 + 77
+        lat = rng.rand(2000) * 2 + 27
+        idx = knn.KNNIndex(lon, lat)
+        qlon = np.r_[rng.rand(30) * 2 + 77, 76.0, 80.5]  # incl. outside
+        qlat = np.r_[rng.rand(30) * 2 + 27, 26.0, 30.5]
+        r = 0.07
+        qi, ri, d = idx.query_radius(qlon, qlat, r)
+        # brute force reference
+        for q in range(len(qlon)):
+            bd = np.hypot(lon - qlon[q], lat - qlat[q])
+            want = np.flatnonzero(bd <= r)
+            got = ri[qi == q]
+            np.testing.assert_array_equal(np.sort(got), want)
+            np.testing.assert_allclose(
+                d[qi == q], bd[got], atol=0, rtol=0
+            )
+        # ordered by (query, ref index)
+        assert np.all(np.diff(qi) >= 0)
+
     def test_k1_exact(self):
         lon = np.array([0.0, 1.0, 2.0])
         lat = np.array([0.0, 0.0, 0.0])

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pytest
 
 from tiff_to_geojson_csv_json_format_converter_ray.stages.window import (
@@ -395,3 +396,87 @@ class TestGeoJSONCap:
         assert len(doc["features"]) == 12_500
         zs = [f["geometry"]["coordinates"][2] for f in doc["features"][:5]]
         assert zs == [0.0, 2.0, 4.0, 6.0, 8.0]
+
+
+class TestRadiusJoin:
+    def test_matches_brute_with_payload(self, ray_session):
+        import ray.data
+
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import (
+            RadiusJoin,
+        )
+
+        rng = np.random.RandomState(3)
+        n = 500
+        ref = pa.table({
+            "lon": rng.rand(n) * 1.0 + 77.0,
+            "lat": rng.rand(n) * 1.0 + 28.0,
+            "z": rng.rand(n) * 100.0,
+        })
+        probes = pa.table({
+            "probe_id": pa.array(range(4), pa.int64()),
+            "lon": pa.array([77.2, 77.8, 77.5, 76.5]),
+            "lat": pa.array([28.2, 28.8, 28.5, 27.5]),
+        })
+        r = 0.12
+        out = pa.concat_tables(
+            b for b in ray.data.from_arrow(probes).map_batches(
+                RadiusJoin(ref, radius=r, payload_cols=("z",)),
+                batch_format="pyarrow", batch_size=None,
+            ).iter_batches(batch_format="pyarrow")
+        )
+        rl = ref["lon"].to_numpy(); rt = ref["lat"].to_numpy()
+        zz = ref["z"].to_numpy()
+        for pid, plon, plat in zip(
+            probes["probe_id"].to_pylist(),
+            probes["lon"].to_pylist(), probes["lat"].to_pylist(),
+        ):
+            d = np.hypot(rl - plon, rt - plat)
+            want = np.sort(zz[d <= r])
+            got = np.sort(
+                out.filter(pc.equal(out["probe_id"], pid))["nn_z"].to_numpy()
+            )
+            np.testing.assert_array_equal(got, want)
+        # probe 3 is outside the extent: inner-join semantics
+        assert out.filter(pc.equal(out["probe_id"], 3)).num_rows == 0
+
+
+class TestDownsampleCells:
+    def test_equals_direct_reencode(self, ray_session):
+        import ray.data
+
+        from tiff_to_geojson_csv_json_format_converter_ray.functions import (
+            cells as C,
+        )
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.stats import (
+            downsample_cells,
+        )
+
+        rng = np.random.RandomState(9)
+        n = 20000
+        lon = rng.rand(n) * 0.5 + 77.0
+        lat = rng.rand(n) * 0.5 + 28.0
+        z = rng.rand(n) * 50.0
+        t = pa.table({
+            "cell_9": C.cell_of(lon, lat, 9), "z": z,
+        })
+        out = downsample_cells(
+            ray.data.from_arrow(t), 7, from_col="cell_9", value_col="z"
+        )
+        # direct: group by cell_of(lon, lat, 7) in numpy
+        c7 = C.cell_of(lon, lat, 7)
+        got = {
+            c: (cnt, mn, mx)
+            for c, cnt, mn, mx in zip(
+                out["cell_7"].to_pylist(), out["count"].to_pylist(),
+                out["min"].to_pylist(), out["max"].to_pylist(),
+            )
+        }
+        uniq = np.unique(c7)
+        assert len(got) == len(uniq)
+        for c in uniq:
+            m = c7 == c
+            cnt, mn, mx = got[int(c)]
+            assert cnt == m.sum()
+            assert mn == z[m].min()
+            assert mx == z[m].max()

@@ -137,6 +137,56 @@ class KNNIndex:
             dist_out[qi, :m] = best_d
         return idx_out, dist_out
 
+    def query_radius(
+        self, qlon: np.ndarray, qlat: np.ndarray, radius: float
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """All reference points within ``radius`` (planar) of each
+        query -> flattened (query_idx, ref_idx, dist), ordered by
+        (query_idx, ref_idx); exact.  Scans only the bucket window
+        covering the radius, clamped to the grid extent, so cost per
+        query is O(points inside the window), never O(n)."""
+        qlon = np.atleast_1d(np.asarray(qlon, dtype=np.float64))
+        qlat = np.atleast_1d(np.asarray(qlat, dtype=np.float64))
+        br = int(np.ceil(radius / self.cell))
+        out_q: list[np.ndarray] = []
+        out_i: list[np.ndarray] = []
+        out_d: list[np.ndarray] = []
+        for qi in range(len(qlon)):
+            qx, qy = qlon[qi], qlat[qi]
+            bx = int(np.floor((qx - self.x0) / self.cell))
+            by = int(np.floor((qy - self.y0) / self.cell))
+            xlo, xhi = max(bx - br, 0), min(bx + br, self.nx - 1)
+            ylo, yhi = max(by - br, 0), min(by + br, self.ny - 1)
+            if xlo > xhi or ylo > yhi:
+                continue
+            members = [
+                self.order[
+                    self.bucket_starts[yy * self.nx + xlo]:
+                    self.bucket_starts[yy * self.nx + xhi + 1]
+                ]
+                for yy in range(ylo, yhi + 1)
+            ]
+            cand = np.concatenate(members)
+            if not len(cand):
+                continue
+            d = np.hypot(self.lon[cand] - qx, self.lat[cand] - qy)
+            keep = d <= radius
+            if not keep.any():
+                continue
+            ci, cd = cand[keep], d[keep]
+            order = np.argsort(ci, kind="stable")
+            out_q.append(np.full(len(ci), qi, dtype=np.int64))
+            out_i.append(ci[order])
+            out_d.append(cd[order])
+        if not out_q:
+            z = np.empty(0, dtype=np.int64)
+            return z, z.copy(), np.empty(0)
+        return (
+            np.concatenate(out_q),
+            np.concatenate(out_i),
+            np.concatenate(out_d),
+        )
+
 class BallTree:
     """Pure-NumPy ball tree (median-split on the wider axis; leaves hold
     index slices into pre-permuted coordinate arrays).  Exact kNN via

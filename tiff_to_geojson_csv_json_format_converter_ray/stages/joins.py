@@ -237,6 +237,43 @@ class KNNLookup:
         return batch
 
 
+class RadiusJoin:
+    """Distance-band join (range form of J4): emit one output row per
+    (probe, reference point within ``radius``) pair -- the windowed
+    analogue of the reference's getElevation nearest lookup, for
+    "all stations within R" style queries.
+
+    Each actor builds the bucket-grid index over the broadcast
+    reference table once (``__init__``); per batch it scans only the
+    radius window of buckets per probe.  Output = probe columns
+    repeated per match + ``payload_cols`` + ``dist``; probes with no
+    match emit nothing (inner-join semantics)."""
+
+    def __init__(self, ref_points, radius: float,
+                 lon_col: str = "lon", lat_col: str = "lat",
+                 ref_lon: str = "lon", ref_lat: str = "lat",
+                 payload_cols: tuple[str, ...] = ("z",)):
+        tbl = _resolve(ref_points)
+        lon = tbl[ref_lon].to_numpy(zero_copy_only=False)
+        lat = tbl[ref_lat].to_numpy(zero_copy_only=False)
+        self.index = KNNIndex(lon, lat)
+        self.payloads = {
+            c: tbl[c].to_numpy(zero_copy_only=False) for c in payload_cols
+        }
+        self.radius = float(radius)
+        self.lon_col = lon_col
+        self.lat_col = lat_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lon = batch[self.lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[self.lat_col].to_numpy(zero_copy_only=False)
+        qi, ri, d = self.index.query_radius(lon, lat, self.radius)
+        out = batch.take(pa.array(qi))
+        for c, arr in self.payloads.items():
+            out = out.append_column(f"nn_{c}", pa.array(arr[ri]))
+        return out.append_column("dist", pa.array(d))
+
+
 def polygon_cell_covering(polygons: pa.Table, res: int) -> pa.Table:
     """One row per (cell, polygon): every res-``res`` cell whose grid
     rectangle intersects the polygon's bbox.  Uses the SAME clipped

@@ -227,3 +227,34 @@ def combine_extremes(per_file_stats: pa.Table) -> dict:
         "std": float(pooled.std()),
         "count": int(counts.sum()),
     }
+
+
+def downsample_cells(
+    ds, to_res: int, from_col: str = "cell_9", value_col: str = "z"
+) -> pa.Table:
+    """Raster pyramid step: re-aggregate pixel/point values one or more
+    cell levels up (count/sum/min/max/mean/std per parent cell) -- the
+    multi-resolution counterpart of the reference's regridding sink
+    (completePixleOutput.py:413-465 builds one fixed grid; this builds
+    the coarser level from any finer one).
+
+    Parent ids are exact bit-shift parents of ``from_col`` (see
+    functions/cells.py), so the result is identical to re-encoding the
+    raw coordinates at ``to_res``.  Partial-aggregate pattern: one map
+    pass emits per-batch per-cell partials; only the tiny partial
+    table is combined -- no shuffle of the input.
+    """
+    from ..functions import cells as _cells
+
+    out_col = f"cell_{to_res}"
+
+    def add_parent(batch: pa.Table) -> pa.Table:
+        base = batch[from_col].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            out_col, pa.array(_cells.parent(base, to_res))
+        )
+
+    with_parent = ds.map_batches(
+        add_parent, batch_format="pyarrow", batch_size=None
+    )
+    return grouped_stats(with_parent, [out_col], value_col)
