@@ -56,7 +56,14 @@ def _disk_bytes(path) -> int:
 
 
 def auto_num_blocks(disk_bytes: int, expansion: float = 4.0) -> int | None:
-    """Block count for a given on-disk size; None = let Ray decide."""
+    """Block count for a given on-disk size; None = let Ray decide.
+
+    Measured note (round 2): pushing mid-sized inputs to one block per
+    core (e.g. 28-32 blocks for a 110 MB corpus at 32 cpus) ran the
+    pages pipeline 4-8x SLOWER on this host than the 4-blocks-per-
+    size-block cap below (16 blocks) -- task-start overhead and
+    worker oversubscription dominate before per-core fan-out pays off.
+    At 100 TB ``size_blocks`` dominates and the cap is irrelevant."""
     if disk_bytes <= 0:
         return None
     ctx = ray.data.DataContext.get_current()
