@@ -432,6 +432,33 @@ def _q_within_radius(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_idw_probes(sf_dir: str) -> pa.Table:
+    """Inverse-distance-weighted interpolation at the probe points
+    (w = 1/d^2 over valid grid points within 0.025 deg)."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables, round_like_sql,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.stats import (
+        idw_interpolate,
+    )
+
+    ref = collect_tables(_og_points_ds(valid_only=True))
+    probes = pa.table(
+        {
+            "probe_id": pa.array(range(len(OG_KNN_PROBES)), pa.int64()),
+            "lon": pa.array([p[0] for p in OG_KNN_PROBES]),
+            "lat": pa.array([p[1] for p in OG_KNN_PROBES]),
+        }
+    )
+    out = idw_interpolate(
+        ray.data.from_arrow(probes), ref, radius=0.025, value_col="z"
+    )
+    return pa.table(
+        {"probe_id": out["probe_id"], "idw_z": round_like_sql(out["idw"], 6)}
+    )
+
+
 def _q_downsample_raster(sf_dir: str) -> pa.Table:
     """Raster pyramid step: re-aggregate the res-9 extract to res-5
     cells (~16 points per cell on this grid; count/avg/min/max per
@@ -1392,6 +1419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_outside": _q_knn_outside,
         "within_radius": _q_within_radius,
         "downsample_raster": _q_downsample_raster,
+        "idw_probes": _q_idw_probes,
         "stride_secondary": _q_stride_secondary,
         # spatial ops driven from the driver's tables
         "events_geocode_cells": _q_events_geocode,
@@ -1547,6 +1575,16 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT {_cell_expr(5)} AS cell_5, COUNT(*) AS n, "
             f"ROUND(AVG(z), 6) AS avg_z, MIN(z) AS min_z, MAX(z) AS max_z "
             f"FROM ({valid}) GROUP BY 1"
+        ),
+        "idw_probes": (
+            f"SELECT probe_id, ROUND(SUM(z / dd) / SUM(1.0 / dd), 6) AS idw_z "
+            f"FROM (SELECT p.probe_id, g.z, "
+            f"(g.lon - p.plon) * (g.lon - p.plon) "
+            f"+ (g.lat - p.plat) * (g.lat - p.plat) AS dd "
+            f"FROM (VALUES {probes_values}) p(probe_id, plon, plat), ({valid}) g "
+            f"WHERE (g.lon - p.plon) * (g.lon - p.plon) "
+            f"+ (g.lat - p.plat) * (g.lat - p.plat) <= 0.025 * 0.025"
+            f") GROUP BY probe_id"
         ),
         "events_geocode_cells": (
             f"SELECT {_cell_expr_cols('glon', 'glat', 8)} AS cell_8, "

@@ -480,3 +480,39 @@ class TestDownsampleCells:
             assert cnt == m.sum()
             assert mn == z[m].min()
             assert mx == z[m].max()
+
+
+class TestIDW:
+    def test_matches_brute_and_exact_hit(self, ray_session):
+        import ray.data
+
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.stats import (
+            idw_interpolate,
+        )
+
+        rng = np.random.RandomState(17)
+        n = 400
+        rl = rng.rand(n) + 77.0
+        rt = rng.rand(n) + 28.0
+        z = rng.rand(n) * 40.0
+        ref = pa.table({"lon": rl, "lat": rt, "z": z})
+        # probe 2 coincides exactly with reference point 5
+        probes = pa.table({
+            "probe_id": pa.array(range(3), pa.int64()),
+            "lon": pa.array([77.3, 77.7, float(rl[5])]),
+            "lat": pa.array([28.3, 28.7, float(rt[5])]),
+        })
+        r = 0.15
+        out = idw_interpolate(
+            ray.data.from_arrow(probes), ref, radius=r, value_col="z"
+        )
+        got = dict(zip(out["probe_id"].to_pylist(), out["idw"].to_pylist()))
+        for pid, plon, plat in [(0, 77.3, 28.3), (1, 77.7, 28.7)]:
+            d = np.hypot(rl - plon, rt - plat)
+            m = (d <= r) & (d > 0)
+            w = 1.0 / (d[m] * d[m])
+            np.testing.assert_allclose(
+                got[pid], np.sum(w * z[m]) / np.sum(w), rtol=1e-12
+            )
+        # exact hit returns the hit's value, not nan
+        assert got[2] == pytest.approx(float(z[5]), abs=0)

@@ -258,3 +258,68 @@ def downsample_cells(
         add_parent, batch_format="pyarrow", batch_size=None
     )
     return grouped_stats(with_parent, [out_col], value_col)
+
+
+def idw_interpolate(
+    probe_ds,
+    ref_table,
+    radius: float,
+    value_col: str = "z",
+    probe_keys: list[str] | None = None,
+    power: float = 2.0,
+):
+    """Inverse-distance-weighted interpolation: for each probe row,
+    sum(w * v) / sum(w) over reference points within ``radius``, with
+    w = 1/d^power -- the scattered-points -> value counterpart of the
+    grid regrid sink (reference K7), e.g. sensor readings -> arbitrary
+    query locations.
+
+    Built on the distance-band join (joins.RadiusJoin, actor-pool
+    bucket-grid index over the broadcast reference table) followed by
+    the partial/final weighted-sum combine -- streams at any probe
+    count.  Probes with NO reference point in range are absent from
+    the result (inner-join semantics).  A probe that coincides with
+    reference point(s) (d == 0, where 1/d^p is undefined) gets the
+    mean of its exact hits -- tracked by a separate hit-sum pair so
+    the combine stays algebraic under any partitioning.  Returns a
+    small Arrow table {probe_keys, idw}.
+    """
+    from ..pipelines.relational import hash_aggregate
+    from .joins import RadiusJoin
+
+    probe_keys = probe_keys or ["probe_id"]
+
+    joined = probe_ds.map_batches(
+        RadiusJoin(ref_table, radius=radius, payload_cols=(value_col,)),
+        batch_format="pyarrow", batch_size=None,
+    )
+
+    def add_weights(batch: pa.Table) -> pa.Table:
+        d = batch["dist"].to_numpy(zero_copy_only=False)
+        v = batch[f"nn_{value_col}"].to_numpy(zero_copy_only=False)
+        hit = d == 0.0
+        with np.errstate(divide="ignore"):
+            w = d ** (-power) if power != 2.0 else 1.0 / (d * d)
+        w = np.where(hit, 0.0, w)
+        t = batch.select(probe_keys)
+        t = t.append_column("_w", pa.array(w))
+        t = t.append_column("_wv", pa.array(w * v))
+        t = t.append_column("_hn", pa.array(hit.astype(np.float64)))
+        return t.append_column("_hv", pa.array(np.where(hit, v, 0.0)))
+
+    weighted = joined.map_batches(
+        add_weights, batch_format="pyarrow", batch_size=None
+    )
+    agg = hash_aggregate(
+        weighted, probe_keys,
+        [("_w", "sum", "sw"), ("_wv", "sum", "swv"),
+         ("_hn", "sum", "hn"), ("_hv", "sum", "hv")],
+    )
+    sw = agg["sw"].to_numpy(zero_copy_only=False)
+    swv = agg["swv"].to_numpy(zero_copy_only=False)
+    hn = agg["hn"].to_numpy(zero_copy_only=False)
+    hv = agg["hv"].to_numpy(zero_copy_only=False)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        idw = np.where(hn > 0, hv / np.maximum(hn, 1.0), swv / sw)
+    out = agg.select(probe_keys)
+    return out.append_column("idw", pa.array(idw))
