@@ -682,3 +682,73 @@ class TestMatch:
                      "--category", "location_patterns", "--term", "goa"]) == 0
         assert main(["patterns", "--config", cfg, "remove",
                      "--category", "location_patterns", "--term", "goa"]) == 1
+
+
+class TestClipArea:
+    def _poly(self, pts, pid="p"):
+        from tiff_to_geojson_csv_json_format_converter_ray.functions.geometry import (
+            Polygon,
+        )
+        return Polygon(pid, [np.asarray(pts, dtype=np.float64)])
+
+    def test_area_shoelace(self):
+        from tiff_to_geojson_csv_json_format_converter_ray.functions.geometry import (
+            Polygon, polygon_area,
+        )
+        sq = self._poly([(0, 0), (2, 0), (2, 2), (0, 2)])
+        assert polygon_area(sq) == pytest.approx(4.0)
+        # with a 1x1 hole
+        holed = Polygon("h", [
+            np.array([(0, 0), (2, 0), (2, 2), (0, 2)], dtype=float),
+            np.array([(0.5, 0.5), (1.5, 0.5), (1.5, 1.5), (0.5, 1.5)], dtype=float),
+        ])
+        assert polygon_area(holed) == pytest.approx(3.0)
+
+    def test_clip_rect_rect_exact(self):
+        from tiff_to_geojson_csv_json_format_converter_ray.functions.geometry import (
+            clip_polygon_convex, polygon_area,
+        )
+        a = self._poly([(0, 0), (4, 0), (4, 4), (0, 4)])
+        b = self._poly([(2, 2), (6, 2), (6, 6), (2, 6)])
+        got = clip_polygon_convex(a, b)
+        assert polygon_area(got) == pytest.approx(4.0)  # 2x2 overlap
+        # clockwise clip ring gives the same result (normalized)
+        b_cw = self._poly([(2, 2), (2, 6), (6, 6), (6, 2)])
+        assert polygon_area(clip_polygon_convex(a, b_cw)) == pytest.approx(4.0)
+
+    def test_disjoint_returns_none(self):
+        from tiff_to_geojson_csv_json_format_converter_ray.functions.geometry import (
+            clip_polygon_convex,
+        )
+        a = self._poly([(0, 0), (1, 0), (1, 1), (0, 1)])
+        b = self._poly([(5, 5), (6, 5), (6, 6), (5, 6)])
+        assert clip_polygon_convex(a, b) is None
+
+    def test_clip_area_matches_pip_grid_oracle(self):
+        """Clipped-polygon area == dense-grid measure of {in A and in B}
+        (free numerical oracle using the independent PIP kernel)."""
+        from tiff_to_geojson_csv_json_format_converter_ray.functions.geometry import (
+            clip_polygon_convex, polygon_area,
+        )
+        rng = np.random.RandomState(2)
+        for _ in range(5):
+            # random convex clip (sorted angles on a circle), random quad subject
+            ang = np.sort(rng.rand(6) * 2 * np.pi)
+            cx, cy = 0.5 + rng.rand() * 0.2, 0.5 + rng.rand() * 0.2
+            r0 = 0.25 + rng.rand() * 0.2
+            clip = self._poly(
+                np.c_[cx + r0 * np.cos(ang), cy + r0 * np.sin(ang)], "clip"
+            )
+            ang2 = np.sort(rng.rand(4) * 2 * np.pi)
+            subj = self._poly(
+                np.c_[0.5 + 0.4 * np.cos(ang2), 0.5 + 0.4 * np.sin(ang2)], "s"
+            )
+            got = clip_polygon_convex(subj, clip)
+            area = polygon_area(got) if got is not None else 0.0
+            g = np.linspace(0, 1, 401)
+            gx, gy = np.meshgrid(g, g)
+            gx, gy = gx.ravel(), gy.ravel()
+            want = (
+                (subj.contains(gx, gy) & clip.contains(gx, gy)).mean()
+            )  # fraction of the unit square
+            assert area == pytest.approx(want, abs=6e-3)

@@ -162,6 +162,71 @@ def union_bag(polys: list[Polygon], polygon_id: str = "union") -> Polygon:
     return Polygon(polygon_id, rings, bbox=bbox)
 
 
+def signed_ring_area(ring: np.ndarray) -> float:
+    """Shoelace signed area of one ring (positive = CCW); the closing
+    vertex may be present or absent."""
+    pts = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+    x, y = pts[:, 0], pts[:, 1]
+    return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+
+
+def polygon_area(poly: Polygon) -> float:
+    """Planar area in squared degrees: |shell| minus the hole rings
+    (ring 0 is the shell, as in parse_geojson / GeoJSON order)."""
+    areas = [abs(signed_ring_area(r)) for r in poly.rings]
+    return areas[0] - sum(areas[1:]) if areas else 0.0
+
+
+def clip_polygon_convex(
+    subject: Polygon, clip: Polygon, polygon_id: str | None = None
+) -> Polygon | None:
+    """Sutherland-Hodgman clip of ``subject`` against a CONVEX clip
+    polygon -- the engine-side form of the reference's Leaflet viewport
+    clipping (clip.js).  Every subject ring (shell and holes) is
+    clipped independently; a ring fully outside drops out; returns
+    None when nothing remains.  The clip polygon must be convex and is
+    taken from its shell ring only."""
+    cpts = np.asarray(clip.rings[0], dtype=np.float64).reshape(-1, 2)
+    if np.array_equal(cpts[0], cpts[-1]):
+        cpts = cpts[:-1]
+    if _ring_is_cw(cpts):
+        cpts = cpts[::-1]  # normalize CCW so "inside" = left of edge
+
+    def clip_ring(ring: np.ndarray) -> np.ndarray | None:
+        pts = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+        if len(pts) and np.array_equal(pts[0], pts[-1]):
+            pts = pts[:-1]
+        for e in range(len(cpts)):
+            ax, ay = cpts[e]
+            bx, by = cpts[(e + 1) % len(cpts)]
+            ex, ey = bx - ax, by - ay
+            out: list[tuple[float, float]] = []
+            n = len(pts)
+            if n == 0:
+                return None
+            for i in range(n):
+                cx, cy = pts[i]
+                px, py = pts[i - 1]
+                cur_in = ex * (cy - ay) - ey * (cx - ax) >= 0.0
+                prev_in = ex * (py - ay) - ey * (px - ax) >= 0.0
+                if cur_in != prev_in:
+                    # segment crosses the edge line: parametric intersect
+                    denom = ex * (cy - py) - ey * (cx - px)
+                    t = (ex * (ay - py) - ey * (ax - px)) / denom
+                    out.append((px + t * (cx - px), py + t * (cy - py)))
+                if cur_in:
+                    out.append((cx, cy))
+            pts = np.asarray(out, dtype=np.float64).reshape(-1, 2)
+        return pts if len(pts) >= 3 else None
+
+    rings = [r for r in (clip_ring(r) for r in subject.rings) if r is not None]
+    if not rings:
+        return None
+    return Polygon(
+        polygon_id or f"{subject.polygon_id}_clip", rings
+    )
+
+
 def bbox_intersects(
     boxes: np.ndarray, minx: float, miny: float, maxx: float, maxy: float
 ) -> np.ndarray:
