@@ -432,6 +432,33 @@ def _q_within_radius(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_focal_counts(sf_dir: str) -> pa.Table:
+    """Focal statistics: per-cell point counts smoothed by the 3x3
+    neighborhood mean (over cells present) -- count via the tier-2
+    combiner, focal window over the small aggregated table."""
+    import numpy as np
+    from tiff_to_geojson_csv_json_format_converter_ray.functions.cells import (
+        focal_mean,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        round_like_sql,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
+        partial_count,
+    )
+
+    pts = _og_points_ds(valid_only=True, cells=(8,))
+    counts = partial_count(pts, ["cell_8"]).rename_columns(["cell_8", "n"])
+    fm = focal_mean(
+        counts["cell_8"].to_numpy(zero_copy_only=False),
+        counts["n"].to_numpy(zero_copy_only=False).astype(np.float64),
+        k=1,
+    )
+    return pa.table(
+        {"cell_8": counts["cell_8"], "focal_n": round_like_sql(pa.array(fm), 6)}
+    )
+
+
 def _q_idw_probes(sf_dir: str) -> pa.Table:
     """Inverse-distance-weighted interpolation at the probe points
     (w = 1/d^2 over valid grid points within 0.025 deg)."""
@@ -1420,6 +1447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "within_radius": _q_within_radius,
         "downsample_raster": _q_downsample_raster,
         "idw_probes": _q_idw_probes,
+        "focal_counts": _q_focal_counts,
         "stride_secondary": _q_stride_secondary,
         # spatial ops driven from the driver's tables
         "events_geocode_cells": _q_events_geocode,
@@ -1467,6 +1495,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from tiff_to_geojson_csv_json_format_converter_ray.functions.cells import (
+        cell_size,
+    )
+
     grid = _OG_GRID_SQL
     valid = f"SELECT * FROM ({grid}) WHERE z > -1e30"
     cell8 = _cell_expr(8)
@@ -1575,6 +1607,18 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT {_cell_expr(5)} AS cell_5, COUNT(*) AS n, "
             f"ROUND(AVG(z), 6) AS avg_z, MIN(z) AS min_z, MAX(z) AS max_z "
             f"FROM ({valid}) GROUP BY 1"
+        ),
+        "focal_counts": (
+            # 3x3 focal mean over per-cell counts; ix/iy arithmetic
+            # mirrors functions/cells.py (res 8: s=360/2^16)
+            f"WITH c AS (SELECT "
+            f"LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / {cell_size(8)!r}) AS BIGINT), 0), {2**16 - 1}) AS ix, "
+            f"LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / {cell_size(8)!r}) AS BIGINT), 0), {2**15 - 1}) AS iy, "
+            f"COUNT(*) AS n FROM ({valid}) GROUP BY 1, 2) "
+            f"SELECT (CAST(8 AS BIGINT) << 56) | (a.iy << 28) | a.ix AS cell_8, "
+            f"ROUND(AVG(CAST(b.n AS DOUBLE)), 6) AS focal_n "
+            f"FROM c a JOIN c b ON b.ix BETWEEN a.ix - 1 AND a.ix + 1 "
+            f"AND b.iy BETWEEN a.iy - 1 AND a.iy + 1 GROUP BY 1"
         ),
         "idw_probes": (
             f"SELECT probe_id, ROUND(SUM(z / dd) / SUM(1.0 / dd), 6) AS idw_z "

@@ -752,3 +752,31 @@ class TestClipArea:
                 (subj.contains(gx, gy) & clip.contains(gx, gy)).mean()
             )  # fraction of the unit square
             assert area == pytest.approx(want, abs=6e-3)
+
+
+class TestFocalMean:
+    def test_matches_brute(self):
+        rng = np.random.RandomState(4)
+        lon = rng.uniform(77.0, 77.5, 3000)
+        lat = rng.uniform(28.0, 28.5, 3000)
+        ids, n = np.unique(cells.cell_of(lon, lat, 8), return_counts=True)
+        vals = n.astype(np.float64)
+        got = cells.focal_mean(ids, vals, k=1)
+        _, iy, ix = cells.unpack(ids)
+        for i in range(len(ids)):
+            near = (np.abs(ix - ix[i]) <= 1) & (np.abs(iy - iy[i]) <= 1)
+            assert got[i] == pytest.approx(vals[near].mean(), rel=1e-12)
+
+    def test_no_edge_wraparound(self):
+        """A cell at ix=0 must NOT pick up a same-row 'neighbor' at
+        ix=max (bit-packing alias of (iy-1, max))."""
+        res = 8
+        maxx = 2 ** (res + 8) - 1
+        ids = np.array([
+            cells.pack(res, np.array([5]), np.array([0]))[0],
+            cells.pack(res, np.array([4]), np.array([maxx]))[0],
+        ])
+        vals = np.array([10.0, 99.0])
+        got = cells.focal_mean(ids, vals, k=1)
+        assert got[0] == pytest.approx(10.0)  # alone in its window
+        assert got[1] == pytest.approx(99.0)

@@ -133,3 +133,42 @@ def oracle_sql_expr(lon_col: str, lat_col: str, res: int) -> str:
         f" | (LEAST(GREATEST(CAST(FLOOR(({lat_col} + 90.0) / {s}) AS BIGINT), 0), {ny}) << 28)"
         f" | LEAST(GREATEST(CAST(FLOOR(({lon_col} + 180.0) / {s}) AS BIGINT), 0), {nx}))"
     )
+
+
+def focal_mean(
+    cell_ids: np.ndarray, values: np.ndarray, k: int = 1
+) -> np.ndarray:
+    """Focal (moving-window) mean over a per-cell aggregate: for each
+    input cell, the mean of ``values`` across the cells PRESENT in its
+    (2k+1)^2 Chebyshev neighborhood (itself included) -- the raster
+    "focal statistics" op, applied to the already-aggregated cell
+    table, so its cost is O(cells * window), never O(points).
+
+    All ids must share one resolution.  Neighbors outside the global
+    grid extent are excluded (no wraparound: an ix of -1 would
+    otherwise alias row iy-1's last column through the bit packing).
+    """
+    cell_ids = np.asarray(cell_ids, np.int64)
+    values = np.asarray(values, np.float64)
+    res_arr, iy, ix = unpack(cell_ids)
+    res = int(res_arr[0])
+    maxx = 2 ** (res + 8) - 1
+    maxy = 2 ** (res + 7) - 1
+    key = (iy << np.int64(28)) | ix
+    order = np.argsort(key)
+    skey = key[order]
+    sval = values[order]
+    total = np.zeros(len(key))
+    cnt = np.zeros(len(key))
+    for dy in range(-k, k + 1):
+        ny = iy + dy
+        for dx in range(-k, k + 1):
+            nx = ix + dx
+            valid = (nx >= 0) & (nx <= maxx) & (ny >= 0) & (ny <= maxy)
+            nk = (ny << np.int64(28)) | nx
+            pos = np.searchsorted(skey, nk)
+            pos_c = np.clip(pos, 0, len(skey) - 1)
+            found = valid & (skey[pos_c] == nk)
+            total += np.where(found, sval[pos_c], 0.0)
+            cnt += found
+    return total / cnt
