@@ -588,6 +588,68 @@ def _q_events_geocode(sf_dir: str) -> pa.Table:
     ).rename_columns(["cell_8", "n"])
 
 
+def _q_track_lengths(sf_dir: str) -> pa.Table:
+    """Per-user track length: geocoded events ordered by (ts,
+    event_id) within each user, planar distance summed over
+    consecutive fixes -- an ordered per-key spatial window, routed
+    through the groupby shuffle + map_groups tier (co-location is
+    required for the ordering)."""
+    import ray.data
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+
+    def geocode(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon = 77.0 + (eid % 96).astype(np.float64) * 0.01
+        lat = 28.05 + ((eid // 96) % 96).astype(np.float64) * 0.01
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts": batch["ts"],
+                "event_id": batch["event_id"],
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+            }
+        )
+
+    geo = ds.map_batches(geocode, batch_format="pyarrow", batch_size=None)
+
+    def track(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        g = group.take(order)
+        lon = g["lon"].to_numpy(zero_copy_only=False)
+        lat = g["lat"].to_numpy(zero_copy_only=False)
+        d = np.hypot(np.diff(lon), np.diff(lat))
+        return pa.table(
+            {
+                "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
+                "track_len": pa.array([float(d.sum())]),
+            }
+        )
+
+    out = geo.groupby("user_id").map_groups(
+        track, batch_format="pyarrow"
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables, round_like_sql,
+    )
+
+    t = collect_tables(out)
+    return pa.table(
+        {
+            "user_id": t["user_id"],
+            "track_len": round_like_sql(t["track_len"], 6),
+        }
+    )
+
+
 def _q_s2_cells(sf_dir: str) -> pa.Table:
     """TRUE spherical S2 cell assignment (functions/s2.py: face +
     quadratic ST + Hilbert walk) at level 9 over geocoded events --
@@ -1452,6 +1514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # spatial ops driven from the driver's tables
         "events_geocode_cells": _q_events_geocode,
         "s2_cells": _q_s2_cells,
+        "track_lengths": _q_track_lengths,
         "docs_pip_join": _q_docs_pip,
         # relational operators
         "pricing_summary": _q_pricing_summary,
@@ -1636,6 +1699,18 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT 77.0 + CAST(event_id % 96 AS DOUBLE) * 0.01 AS glon, "
             f"28.05 + CAST((event_id // 96) % 96 AS DOUBLE) * 0.01 AS glat "
             f"FROM events) GROUP BY 1"
+        ),
+        "track_lengths": (
+            f"WITH g AS (SELECT user_id, ts, event_id, "
+            f"77.0 + CAST(event_id % 96 AS DOUBLE) * 0.01 AS lon, "
+            f"28.05 + CAST((event_id // 96) % 96 AS DOUBLE) * 0.01 AS lat "
+            f"FROM events), "
+            f"s AS (SELECT user_id, "
+            f"SQRT((lon - LAG(lon) OVER w) * (lon - LAG(lon) OVER w) "
+            f"+ (lat - LAG(lat) OVER w) * (lat - LAG(lat) OVER w)) AS step "
+            f"FROM g WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+            f"SELECT user_id, ROUND(COALESCE(SUM(step), 0.0), 6) AS track_len "
+            f"FROM s GROUP BY user_id"
         ),
         "docs_pip_join": " UNION ALL ".join(
             f"SELECT '{pid}' AS polygon_id, CAST(COUNT(*) AS BIGINT) AS n FROM ("
