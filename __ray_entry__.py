@@ -432,6 +432,69 @@ def _q_within_radius(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_bilinear_sample(sf_dir: str) -> pa.Table:
+    """Raster point sampling, bilinear: each probe's value is the
+    weighted mean of its 4 surrounding pixel centers.  The tiny
+    (pix -> probe, weight) stencil is built driver-side from the
+    affine transform, broadcast, and gathered from the streaming
+    point dataset by a partial-sum combine -- the raster stays
+    distributed, only the 16-row stencil moves."""
+    from tiff_to_geojson_csv_json_format_converter_ray.functions.affine import (
+        bilinear_weights,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    plon = np.array([p[0] for p in OG_KNN_PROBES])
+    plat = np.array([p[1] for p in OG_KNN_PROBES])
+    rows, cols, w = bilinear_weights(OG_TRANSFORM, plon, plat)
+    stencil_pix = (rows * OG_W + cols).ravel()
+    stencil_probe = np.repeat(np.arange(len(plon), dtype=np.int64), 4)
+    stencil_w = w.ravel()
+    order = np.argsort(stencil_pix, kind="stable")
+    spix, sprobe, sw = (
+        stencil_pix[order], stencil_probe[order], stencil_w[order]
+    )
+
+    pts = _og_points_ds(valid_only=False)
+
+    def gather(batch: pa.Table) -> pa.Table:
+        pix = batch["pix"].to_numpy(zero_copy_only=False)
+        z = batch["z"].to_numpy(zero_copy_only=False)
+        # candidate rows via one sorted lookup, then emit one row per
+        # matching STENCIL entry (handles probes sharing a pixel)
+        keep = np.flatnonzero(np.isin(pix, spix))
+        probes_out: list[np.ndarray] = []
+        wz_out: list[np.ndarray] = []
+        for i in keep:
+            m = spix == pix[i]
+            probes_out.append(sprobe[m])
+            wz_out.append(sw[m] * z[i])
+        if not probes_out:
+            return pa.table(
+                {"probe_id": pa.array([], pa.int64()),
+                 "wz": pa.array([], pa.float64())}
+            )
+        return pa.table(
+            {
+                "probe_id": pa.array(np.concatenate(probes_out)),
+                "wz": pa.array(np.concatenate(wz_out)),
+            }
+        )
+
+    agg = hash_aggregate(
+        pts.map_batches(gather, batch_format="pyarrow", batch_size=None),
+        ["probe_id"], [("wz", "sum", "bilinear_z")],
+    )
+    return pa.table(
+        {
+            "probe_id": agg["probe_id"],
+            "bilinear_z": round_like_sql(agg["bilinear_z"], 6),
+        }
+    )
+
+
 def _q_focal_counts(sf_dir: str) -> pa.Table:
     """Focal statistics: per-cell point counts smoothed by the 3x3
     neighborhood mean (over cells present) -- count via the tier-2
@@ -1510,6 +1573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "downsample_raster": _q_downsample_raster,
         "idw_probes": _q_idw_probes,
         "focal_counts": _q_focal_counts,
+        "bilinear_sample": _q_bilinear_sample,
         "stride_secondary": _q_stride_secondary,
         # spatial ops driven from the driver's tables
         "events_geocode_cells": _q_events_geocode,
@@ -1555,6 +1619,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": _q_media_decode,
         "jaccard_pairs": _q_jaccard_pairs,
     }
+
+
+def _bilinear_oracle_sql(grid: str) -> str:
+    """Mirror of _q_bilinear_sample: the identical driver-side stencil
+    (pix, weight per probe) joined against the full grid."""
+    from tiff_to_geojson_csv_json_format_converter_ray.functions.affine import (
+        bilinear_weights,
+    )
+
+    plon = np.array([p[0] for p in OG_KNN_PROBES])
+    plat = np.array([p[1] for p in OG_KNN_PROBES])
+    rows, cols, w = bilinear_weights(OG_TRANSFORM, plon, plat)
+    pix = rows * OG_W + cols
+    values = ", ".join(
+        f"(CAST({q} AS BIGINT), CAST({int(pix[q, j])} AS BIGINT), {w[q, j]!r})"
+        for q in range(len(plon))
+        for j in range(4)
+    )
+    return (
+        f"SELECT v.probe_id, ROUND(SUM(v.w * g.z), 6) AS bilinear_z "
+        f"FROM (VALUES {values}) v(probe_id, vpix, w) "
+        f"JOIN ({grid}) g ON g.pix = v.vpix GROUP BY v.probe_id"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1671,6 +1758,7 @@ def oracle_sql() -> dict[str, str]:
             f"ROUND(AVG(z), 6) AS avg_z, MIN(z) AS min_z, MAX(z) AS max_z "
             f"FROM ({valid}) GROUP BY 1"
         ),
+        "bilinear_sample": _bilinear_oracle_sql(grid),
         "focal_counts": (
             # 3x3 focal mean over per-cell counts; ix/iy arithmetic
             # mirrors functions/cells.py (res 8: s=360/2^16)

@@ -780,3 +780,43 @@ class TestFocalMean:
         got = cells.focal_mean(ids, vals, k=1)
         assert got[0] == pytest.approx(10.0)  # alone in its window
         assert got[1] == pytest.approx(99.0)
+
+
+class TestBilinear:
+    T = (0.01, 0.0, 77.0, 0.0, -0.01, 29.0)
+
+    def test_weights_sum_and_center_exact(self):
+        rng = np.random.RandomState(6)
+        lon = 77.0 + rng.rand(100) * 0.9
+        lat = 28.1 + rng.rand(100) * 0.8
+        rows, cols, w = affine.bilinear_weights(self.T, lon, lat)
+        np.testing.assert_allclose(w.sum(axis=1), 1.0, atol=1e-12)
+        # a probe exactly at a pixel center gets weight 1 on that pixel
+        r5, c5, w5 = affine.bilinear_weights(
+            self.T, np.array([77.0 + 0.01 * 11.5]), np.array([29.0 - 0.01 * 23.5])
+        )
+        i = int(np.argmax(w5[0]))
+        assert w5[0, i] == pytest.approx(1.0)
+        assert (rows.shape, cols.shape, w.shape) == ((100, 4), (100, 4), (100, 4))
+        assert r5[0, i] == 23 and c5[0, i] == 11
+
+    def test_reproduces_linear_surface(self):
+        """Bilinear interpolation is exact for z = a*lon + b*lat + c."""
+        rng = np.random.RandomState(8)
+        lon = 77.05 + rng.rand(50) * 0.8
+        lat = 28.15 + rng.rand(50) * 0.7
+        rows, cols, w = affine.bilinear_weights(self.T, lon, lat)
+        # pixel-center coordinates of each stencil corner
+        clon = 77.0 + 0.01 * (cols + 0.5)
+        clat = 29.0 - 0.01 * (rows + 0.5)
+        z = 3.0 * clon - 2.0 * clat + 1.0
+        got = (w * z).sum(axis=1)
+        want = 3.0 * lon - 2.0 * lat + 1.0
+        np.testing.assert_allclose(got, want, atol=1e-9)
+
+    def test_rejects_rotated_transform(self):
+        with pytest.raises(ValueError):
+            affine.bilinear_weights(
+                (0.01, 0.001, 77.0, 0.0, -0.01, 29.0),
+                np.array([77.1]), np.array([28.5]),
+            )

@@ -60,3 +60,32 @@ def grid_bounds(
     cols = np.array([0.0, float(width), 0.0, float(width)])
     x, y = pixel_to_world(transform, rows, cols, offset=0.0)
     return float(x.min()), float(y.min()), float(x.max()), float(y.max())
+
+
+def bilinear_weights(
+    transform: np.ndarray | list[float],
+    lon: np.ndarray,
+    lat: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Bilinear sampling stencil: for each world point, the 4
+    surrounding pixel-CENTER (rows, cols, weights), each (n, 4);
+    weights sum to 1.  Axis-aligned transforms only (b = d = 0) --
+    the standard raster point-sampling upgrade over nearest-neighbor
+    (the reference's getElevation reads the nearest pixel)."""
+    a, b, c, d, e, f = (float(t) for t in transform)
+    if b != 0.0 or d != 0.0:
+        raise ValueError("bilinear_weights requires an axis-aligned transform")
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    fc = (lon - c) / a - 0.5
+    fr = (lat - f) / e - 0.5
+    c0 = np.floor(fc)
+    r0 = np.floor(fr)
+    wx = fc - c0
+    wy = fr - r0
+    rows = np.stack([r0, r0, r0 + 1, r0 + 1], axis=1).astype(np.int64)
+    cols = np.stack([c0, c0 + 1, c0, c0 + 1], axis=1).astype(np.int64)
+    w = np.stack(
+        [(1 - wx) * (1 - wy), wx * (1 - wy), (1 - wx) * wy, wx * wy], axis=1
+    )
+    return rows, cols, w
