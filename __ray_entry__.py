@@ -863,6 +863,89 @@ def _q_customer_nations(sf_dir: str) -> pa.Table:
     return hash_aggregate(joined, ["n_name"], [("c_custkey", "count", "n_customers")])
 
 
+def _q_customer_regions(sf_dir: str) -> pa.Table:
+    """3-way broadcast join chain (customer -> nation -> region):
+    dimension tables pre-joined driver-side (tiny), one broadcast
+    lookup on the fact stream -- the star-schema shape."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        BroadcastLookup, hash_aggregate,
+    )
+
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_regionkey"],
+    )
+    region = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"),
+        columns=["r_regionkey", "r_name"],
+    )
+    # dim x dim join stays on the driver: |nation| = 25 rows
+    idx = pc.index_in(
+        nation["n_regionkey"],
+        value_set=region["r_regionkey"].combine_chunks(),
+    )
+    dim = pa.table(
+        {
+            "c_nationkey": nation["n_nationkey"],
+            "r_name": region["r_name"].take(idx),
+        }
+    )
+    ds = _read_pq(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    )
+    joined = ds.map_batches(
+        BroadcastLookup(dim, on="c_nationkey", take_cols=["r_name"]),
+        batch_format="pyarrow", batch_size=None,
+    )
+    return hash_aggregate(
+        joined, ["r_name"], [("c_custkey", "count", "n_customers")]
+    )
+
+
+def _q_customers_no_orders(sf_dir: str) -> pa.Table:
+    """Anti-join (TPC-H Q22 shape): customers with NO high-value order
+    (o_totalprice > 300000), counted per nation.  The distinct
+    order-customer key set is built by the tier-2 combiner and
+    broadcast into the filter -- at a key count beyond driver capacity
+    this routes through shuffled_dedup_first instead
+    (stages/shuffle.py)."""
+    import pyarrow.compute as pc
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
+        partial_count,
+    )
+
+    orders = _read_pq(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"],
+    ).map_batches(
+        lambda b: b.filter(pc.greater(b["o_totalprice"], 300000.0)).select(
+            ["o_custkey"]
+        ),
+        batch_format="pyarrow", batch_size=None,
+    )
+    have = partial_count(orders, ["o_custkey"])["o_custkey"].combine_chunks()
+
+    cust = _read_pq(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    )
+
+    def anti(batch: pa.Table) -> pa.Table:
+        keep = pc.invert(pc.is_in(batch["c_custkey"], value_set=have))
+        return batch.filter(keep)
+
+    return hash_aggregate(
+        cust.map_batches(anti, batch_format="pyarrow", batch_size=None),
+        ["c_nationkey"], [("c_custkey", "count", "n_customers")],
+    )
+
+
 def _q_distinct_langs(sf_dir: str) -> pa.Table:
     """A8: distinct + counts."""
     import ray.data
@@ -1588,6 +1671,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": _q_events_hopping,
         "events_sessions": _q_events_sessions,
         "customer_nations": _q_customer_nations,
+        "customer_regions": _q_customer_regions,
+        "customers_no_orders": _q_customers_no_orders,
         "supplier_by_nation": _q_supplier_by_nation,
         "parts_by_brand": _q_parts_by_brand,
         "docs_by_source": _q_docs_by_source,
@@ -1885,6 +1970,17 @@ def oracle_sql() -> dict[str, str]:
         "customer_nations": (
             "SELECT n.n_name, COUNT(c.c_custkey) AS n_customers FROM customer c "
             "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name"
+        ),
+        "customer_regions": (
+            "SELECT r.r_name, COUNT(c.c_custkey) AS n_customers "
+            "FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name"
+        ),
+        "customers_no_orders": (
+            "SELECT c_nationkey, COUNT(c_custkey) AS n_customers "
+            "FROM customer WHERE c_custkey NOT IN ("
+            "SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0) "
+            "GROUP BY c_nationkey"
         ),
         "distinct_langs": (
             "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang"
