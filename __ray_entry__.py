@@ -842,6 +842,45 @@ def _q_events_by_type(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_orders_monthly(sf_dir: str) -> pa.Table:
+    """Calendar-month bucketing (irregular window widths, unlike the
+    fixed-second tumbling windows): order count + revenue per month.
+    Month keys come from numpy datetime64[M] truncation inside
+    map_batches; tier-2 combine."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderdate", "o_totalprice"],
+    )
+
+    def month_key(batch: pa.Table) -> pa.Table:
+        ts = batch["o_orderdate"].to_numpy(zero_copy_only=False)
+        month = ts.astype("datetime64[M]").astype("datetime64[us]")
+        return pa.table(
+            {
+                "month": pa.array(month, pa.timestamp("us")),
+                "o_totalprice": batch["o_totalprice"],
+            }
+        )
+
+    agg = hash_aggregate(
+        ds.map_batches(month_key, batch_format="pyarrow", batch_size=None),
+        ["month"],
+        [("o_totalprice", "count", "n_orders"),
+         ("o_totalprice", "sum", "revenue")],
+    )
+    return pa.table(
+        {
+            "month": agg["month"],
+            "n_orders": agg["n_orders"],
+            "revenue": round_like_sql(agg["revenue"], 2),
+        }
+    )
+
+
 def _q_customer_nations(sf_dir: str) -> pa.Table:
     """J5-analogue broadcast dimension join: customers per nation name."""
     import pyarrow.parquet as pq
@@ -1672,6 +1711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessions": _q_events_sessions,
         "customer_nations": _q_customer_nations,
         "customer_regions": _q_customer_regions,
+        "orders_monthly": _q_orders_monthly,
         "customers_no_orders": _q_customers_no_orders,
         "supplier_by_nation": _q_supplier_by_nation,
         "parts_by_brand": _q_parts_by_brand,
@@ -1970,6 +2010,11 @@ def oracle_sql() -> dict[str, str]:
         "customer_nations": (
             "SELECT n.n_name, COUNT(c.c_custkey) AS n_customers FROM customer c "
             "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name"
+        ),
+        "orders_monthly": (
+            "SELECT date_trunc('month', o_orderdate) AS month, "
+            "COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS revenue "
+            "FROM orders GROUP BY 1"
         ),
         "customer_regions": (
             "SELECT r.r_name, COUNT(c.c_custkey) AS n_customers "
