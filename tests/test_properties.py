@@ -189,3 +189,53 @@ class TestCellProperties:
         lats = minlat + rng.rand(50) * dlat
         pts = cells.cell_of(lons, lats, res)
         assert set(pts.tolist()) <= cover
+
+
+class TestClipProperties:
+    @given(
+        st.integers(0, 10_000),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_clip_idempotent_and_bounded(self, seed):
+        """clip(clip(s, c), c) == clip(s, c) (same area) and
+        area(clip) <= min(area(s), area(c))."""
+        from tiff_to_geojson_csv_json_format_converter_ray.functions.geometry import (
+            Polygon, clip_polygon_convex, polygon_area,
+        )
+
+        rng = np.random.RandomState(seed)
+        ang = np.sort(rng.rand(5 + seed % 4) * 2 * np.pi)
+        clip = Polygon("c", [np.c_[
+            0.5 + (0.2 + rng.rand() * 0.3) * np.cos(ang),
+            0.5 + (0.2 + rng.rand() * 0.3) * np.sin(ang),
+        ]])
+        ang2 = np.sort(rng.rand(4) * 2 * np.pi)
+        subj = Polygon("s", [np.c_[
+            rng.rand() * 0.4 + 0.3 + 0.35 * np.cos(ang2),
+            rng.rand() * 0.4 + 0.3 + 0.35 * np.sin(ang2),
+        ]])
+        once = clip_polygon_convex(subj, clip)
+        if once is None:
+            return
+        a1 = polygon_area(once)
+        assert a1 <= polygon_area(subj) + 1e-9
+        assert a1 <= polygon_area(clip) + 1e-9
+        twice = clip_polygon_convex(once, clip)
+        a2 = polygon_area(twice) if twice is not None else 0.0
+        assert abs(a2 - a1) < 1e-9
+
+    @given(st.integers(0, 10_000))
+    @settings(max_examples=40, deadline=None)
+    def test_focal_mean_constant_field(self, seed):
+        """Focal mean of a constant field is that constant, any layout."""
+        from tiff_to_geojson_csv_json_format_converter_ray.functions import (
+            cells as C,
+        )
+
+        rng = np.random.RandomState(seed)
+        n = rng.randint(1, 200)
+        lon = rng.uniform(-170, 170, n)
+        lat = rng.uniform(-80, 80, n)
+        ids = np.unique(C.cell_of(lon, lat, 8))
+        got = C.focal_mean(ids, np.full(len(ids), 7.25), k=1)
+        np.testing.assert_allclose(got, 7.25, atol=1e-12)
