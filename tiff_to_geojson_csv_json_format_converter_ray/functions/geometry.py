@@ -210,10 +210,16 @@ def clip_polygon_convex(
                 cur_in = ex * (cy - ay) - ey * (cx - ax) >= 0.0
                 prev_in = ex * (py - ay) - ey * (px - ax) >= 0.0
                 if cur_in != prev_in:
-                    # segment crosses the edge line: parametric intersect
+                    # segment crosses the edge line: parametric intersect.
+                    # denom == 0 means the segment is (numerically)
+                    # parallel to / on the edge line and the "crossing"
+                    # is a rounding artifact -- the endpoint itself is
+                    # the intersection, and it is appended below when
+                    # inside; emitting 0/0 here would inject NaN points.
                     denom = ex * (cy - py) - ey * (cx - px)
-                    t = (ex * (ay - py) - ey * (ax - px)) / denom
-                    out.append((px + t * (cx - px), py + t * (cy - py)))
+                    if denom != 0.0:
+                        t = (ex * (ay - py) - ey * (ax - px)) / denom
+                        out.append((px + t * (cx - px), py + t * (cy - py)))
                 if cur_in:
                     out.append((cx, cy))
             pts = np.asarray(out, dtype=np.float64).reshape(-1, 2)
