@@ -1472,6 +1472,100 @@ def _q_asof_join(sf_dir: str) -> pa.Table:
     )
 
 
+_RANGE_JOIN_WINDOW_US = 45 * 60 * 1_000_000  # 45-minute windows
+
+
+def _q_range_join(sf_dir: str) -> pa.Table:
+    """Range (interval-overlap) join: every event whose id is divisible
+    by 97 opens a 45-minute window; each event joins to ALL windows
+    containing its instant (multi-match inner join).  The window side
+    is derived by a streaming filter then broadcast (small by
+    construction); the probe side streams through IntervalJoin's
+    sorted-start + max-length candidate kernel."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import (
+        IntervalJoin,
+        broadcast_table,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "ts"]
+    )
+
+    def derive_windows(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        keep = (eid % 97) == 0
+        t = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {
+                "interval_id": eid[keep],
+                "start_ts": t,
+                "end_ts": t + _RANGE_JOIN_WINDOW_US,
+            }
+        )
+
+    windows = collect_tables(
+        ds.map_batches(derive_windows, batch_format="pyarrow", batch_size=None)
+    )
+    out = collect_tables(
+        ds.map_batches(
+            IntervalJoin(broadcast_table(windows), ts_col="ts"),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    )
+    return pa.table(
+        {"event_id": out["event_id"], "interval_id": out["interval_id"]}
+    )
+
+
+def _q_bloom_semijoin(sf_dir: str) -> pa.Table:
+    """Semi-join lineitem against urgent orders' keys via a broadcast
+    Bloom prefilter + exact verify (runtime-filter pushdown: the bloom
+    bits go to every read task; the exact set only sees survivors)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import (
+        BloomSemiJoin,
+        broadcast_table,
+    )
+
+    orders = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+    )
+    urgent = orders.filter(
+        pc.equal(orders["o_orderpriority"], "1-URGENT")
+    ).select(["o_orderkey"])
+    ds = _read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_linenumber", "l_quantity"],
+    )
+    out = collect_tables(
+        ds.map_batches(
+            BloomSemiJoin(broadcast_table(urgent), on="l_orderkey"),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    )
+    if out is None:
+        out = pa.table(
+            {
+                "l_orderkey": pa.array([], pa.int64()),
+                "l_linenumber": pa.array([], pa.int64()),
+                "l_quantity": pa.array([], pa.float64()),
+            }
+        )
+    return out
+
+
 
 def _q_top_docs_per_lang(sf_dir: str) -> pa.Table:
     """Per-group top-k (windowed ROW_NUMBER shape, no shuffle)."""
@@ -1719,6 +1813,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_langs": _q_distinct_langs,
         "reservoir_sample": _q_reservoir_sample,
         "asof_join": _q_asof_join,
+        "range_join": _q_range_join,
+        "bloom_semijoin": _q_bloom_semijoin,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "quantiles": _q_quantiles,
         "quantiles_exact": _q_quantiles_exact,
@@ -2041,6 +2137,18 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT MAX(epoch_us(o.o_orderdate)) FROM orders o "
             "WHERE epoch_us(o.o_orderdate) <= epoch_us(e.ts)) AS asof_date_us "
             "FROM events e"
+        ),
+        "range_join": (
+            "SELECT e.event_id, i.interval_id FROM events e JOIN "
+            "(SELECT event_id AS interval_id, epoch_us(ts) AS s "
+            "FROM events WHERE event_id % 97 = 0) i "
+            "ON epoch_us(e.ts) >= i.s "
+            f"AND epoch_us(e.ts) < i.s + {_RANGE_JOIN_WINDOW_US}"
+        ),
+        "bloom_semijoin": (
+            "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+            "WHERE l_orderkey IN (SELECT o_orderkey FROM orders "
+            "WHERE o_orderpriority = '1-URGENT')"
         ),
         "reservoir_sample": (
             "SELECT o_orderkey, o_totalprice FROM orders ORDER BY "

@@ -516,3 +516,103 @@ class TestIDW:
             )
         # exact hit returns the hit's value, not nan
         assert got[2] == pytest.approx(float(z[5]), abs=0)
+
+
+class TestIntervalJoin:
+    """Range join kernel: brute-force parity + multi-match + empties."""
+
+    def _brute(self, ts, starts, ends, ids):
+        exp = set()
+        for i, t in enumerate(ts):
+            for j in range(len(starts)):
+                if starts[j] <= t < ends[j]:
+                    exp.add((i, int(ids[j])))
+        return exp
+
+    def test_matches_brute_force_overlapping(self):
+        import pyarrow as pa
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import (
+            IntervalJoin,
+        )
+
+        rng = np.random.RandomState(3)
+        starts = np.sort(rng.randint(0, 1000, 40)).astype(np.int64)
+        ends = starts + rng.randint(1, 150, 40).astype(np.int64)
+        ids = np.arange(40, dtype=np.int64) * 7
+        ij = IntervalJoin(
+            pa.table({"interval_id": ids, "start_ts": starts, "end_ts": ends})
+        )
+        ts = rng.randint(-100, 1200, 800).astype(np.int64)
+        out = ij(pa.table({"row": np.arange(800, dtype=np.int64), "ts": ts}))
+        got = set(zip(out["row"].to_pylist(), out["interval_id"].to_pylist()))
+        assert got == self._brute(ts, starts, ends, ids)
+        # multi-match: at least one probe inside >= 2 intervals exists
+        from collections import Counter
+
+        assert max(Counter(out["row"].to_pylist()).values()) >= 2
+
+    def test_no_match_empty_and_boundaries(self):
+        import pyarrow as pa
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import (
+            IntervalJoin,
+        )
+
+        ij = IntervalJoin(
+            pa.table(
+                {
+                    "interval_id": pa.array([5], pa.int64()),
+                    "start_ts": pa.array([10], pa.int64()),
+                    "end_ts": pa.array([20], pa.int64()),
+                }
+            )
+        )
+        out = ij(
+            pa.table({"row": pa.array([0, 1, 2, 3], pa.int64()),
+                      "ts": pa.array([9, 10, 19, 20], pa.int64())})
+        )
+        # half-open [start, end): 10 and 19 match, 9 and 20 don't
+        assert out["row"].to_pylist() == [1, 2]
+        assert out["interval_id"].to_pylist() == [5, 5]
+
+
+class TestBloomSemiJoin:
+    def test_no_false_negatives_and_prunes(self):
+        import pyarrow as pa
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import (
+            BloomFilter,
+            BloomSemiJoin,
+        )
+
+        rng = np.random.RandomState(11)
+        keys = rng.randint(0, 1 << 40, 4000).astype(np.int64)
+        bf = BloomFilter(keys)
+        assert bf.contains(keys).all()  # never a false negative
+        probe = rng.randint(0, 1 << 40, 50000).astype(np.int64)
+        truth = np.isin(probe, keys)
+        hits = bf.contains(probe)
+        assert hits[truth].all()
+        fp = (hits & ~truth).sum() / max((~truth).sum(), 1)
+        assert fp < 0.02  # 12 bits/key, 5 hashes
+
+        sj = BloomSemiJoin(pa.table({"k": keys[:500]}), on="v")
+        out = sj(pa.table({"v": probe}))
+        exp = np.isin(probe, np.unique(keys[:500]))
+        assert out["v"].to_pylist() == probe[exp].tolist()
+        # the bloom prefilter must have pruned the vast majority before
+        # the exact verify ever ran
+        assert sj.bloom_pass < 0.05 * sj.seen
+
+    def test_exact_off_is_superset(self):
+        import pyarrow as pa
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import (
+            BloomSemiJoin,
+        )
+
+        rng = np.random.RandomState(12)
+        keys = rng.randint(0, 1 << 30, 200).astype(np.int64)
+        probe = rng.randint(0, 1 << 30, 5000).astype(np.int64)
+        loose = BloomSemiJoin(pa.table({"k": keys}), on="v", exact=False)
+        tight = BloomSemiJoin(pa.table({"k": keys}), on="v", exact=True)
+        lset = set(loose(pa.table({"v": probe}))["v"].to_pylist())
+        tset = set(tight(pa.table({"v": probe}))["v"].to_pylist())
+        assert tset <= lset

@@ -456,6 +456,133 @@ class AsofLookup:
         return batch.append_column(self.out_col, arr)
 
 
+class IntervalJoin:
+    """Range (interval-overlap) join against a small broadcast side:
+    each stream row with instant ``ts`` emits one output row per side
+    interval with ``start <= ts < end`` (inner join, multi-match).
+
+    Vectorized candidate generation: intervals are sorted by start and
+    the maximum interval length is recorded, so the candidates for a
+    query instant ``t`` are exactly the sorted-start window
+    ``(searchsorted(starts, t - max_len), searchsorted(starts, t)]``;
+    the window is expanded with repeat/arange (no Python loop) and
+    filtered by ``end > t``.  For two BIG sides, range-partition both
+    on time (intervals replicated into every partition they overlap,
+    as sharded_pip_join replicates polygons into cells) and apply this
+    kernel per partition -- the max-length bound keeps the replication
+    factor at ``1 + max_len / partition_span``.
+    """
+
+    def __init__(
+        self,
+        intervals,
+        ts_col: str = "ts",
+        id_col: str = "interval_id",
+        start_col: str = "start_ts",
+        end_col: str = "end_ts",
+    ):
+        tbl = _resolve(intervals)
+        starts = tbl[start_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.argsort(starts, kind="stable")
+        self.starts = starts[order]
+        self.ends = (
+            tbl[end_col].cast(pa.int64()).to_numpy(zero_copy_only=False)[order]
+        )
+        self.ids = tbl[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)[order]
+        self.max_len = (
+            int((self.ends - self.starts).max()) if len(self.starts) else 0
+        )
+        self.ts_col = ts_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ts = batch[self.ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(self.starts, ts - self.max_len, side="left")
+        hi = np.searchsorted(self.starts, ts, side="right")
+        counts = hi - lo
+        row_idx = np.repeat(np.arange(len(ts)), counts)
+        # candidate interval index: lo[row] + offset within the window
+        offs = np.arange(int(counts.sum())) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        cand = np.repeat(lo, counts) + offs
+        keep = (self.ends[cand] > ts[row_idx]) & (self.starts[cand] <= ts[row_idx])
+        row_idx, cand = row_idx[keep], cand[keep]
+        out = batch.take(pa.array(row_idx, pa.int64()))
+        return out.append_column(
+            self.id_col, pa.array(self.ids[cand], pa.int64())
+        )
+
+
+class BloomFilter:
+    """Plain Bloom filter over int64 keys, built for broadcast semi-join
+    pushdown: at 100 TB the fact side is filtered by a few MB of bits
+    in every read task BEFORE any shuffle/join, instead of shipping the
+    full key set or shuffling unmatched rows.  ``k`` hash functions are
+    :func:`~..functions.sketch.mix32` with distinct seeds (vectorized);
+    false-positive rate ~ (1 - e^{-kn/m})^k.  May return false
+    positives, never false negatives -- compose with an exact
+    verification join on the survivors."""
+
+    def __init__(self, keys: np.ndarray, bits_per_key: int = 12, k: int = 5):
+        from ..functions.sketch import mix32
+
+        n = max(len(keys), 1)
+        self.m = 1 << int(np.ceil(np.log2(n * bits_per_key)))
+        self.k = k
+        self.words = np.zeros(self.m // 64, dtype=np.uint64)
+        keys = np.asarray(keys, np.int64)
+        for s in range(k):
+            h = mix32(keys, seed=0x9E37 + s * 0x85EB) & (self.m - 1)
+            np.bitwise_or.at(
+                self.words, h >> 6, np.uint64(1) << (h.astype(np.uint64) & np.uint64(63))
+            )
+
+    def contains(self, keys: np.ndarray) -> np.ndarray:
+        from ..functions.sketch import mix32
+
+        keys = np.asarray(keys, np.int64)
+        hit = np.ones(len(keys), dtype=bool)
+        for s in range(self.k):
+            h = mix32(keys, seed=0x9E37 + s * 0x85EB) & (self.m - 1)
+            bit = (self.words[h >> 6] >> (h.astype(np.uint64) & np.uint64(63))) & np.uint64(1)
+            hit &= bit.astype(bool)
+        return hit
+
+
+class BloomSemiJoin:
+    """Semi-join the stream against a small side's key set: Bloom
+    prefilter (tiny bitset, broadcast) then exact ``pc.is_in`` verify
+    against the sorted key array.  At sandbox scale both fit in the
+    broadcast; at 100 TB the bloom goes to EVERY read task (a few MB)
+    while the exact verify runs on the tiny surviving fraction -- the
+    standard runtime-filter pushdown.  Tracks prefilter pass-through
+    counts so tests can assert the bloom actually pruned."""
+
+    def __init__(self, side_keys, on: str, exact: bool = True):
+        keys = _resolve(side_keys)
+        if isinstance(keys, pa.Table):
+            keys = keys.column(0).to_numpy(zero_copy_only=False)
+        keys = np.unique(np.asarray(keys, np.int64))
+        self.bloom = BloomFilter(keys)
+        self.keys = keys if exact else None
+        self.on = on
+        self.seen = 0
+        self.bloom_pass = 0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vals = batch[self.on].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        mask = self.bloom.contains(vals)
+        self.seen += len(vals)
+        self.bloom_pass += int(mask.sum())
+        if self.keys is not None and mask.any():
+            idx = np.flatnonzero(mask)
+            exact = np.isin(vals[idx], self.keys, assume_unique=False)
+            mask = np.zeros(len(vals), dtype=bool)
+            mask[idx[exact]] = True
+        return batch.filter(pa.array(mask))
+
+
 def broadcast_table(tbl: pa.Table):
     """``ray.put`` a small side table once; returns the ObjectRef to
     hand to the stage constructors (read per actor, never per batch)."""
