@@ -1566,6 +1566,113 @@ def _q_bloom_semijoin(sf_dir: str) -> pa.Table:
     return out
 
 
+def _q_range_join_partitioned(sf_dir: str) -> pa.Table:
+    """Same range join as _q_range_join but through the big-big tier:
+    both sides shuffle on 30-minute time partitions (intervals
+    replicated into every partition they overlap), the candidate
+    kernel runs per group -- no broadcast of the interval side."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import (
+        partitioned_interval_join,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "ts"]
+    )
+
+    def derive_windows(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        keep = (eid % 97) == 0
+        t = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {
+                "interval_id": eid[keep],
+                "start_ts": t,
+                "end_ts": t + _RANGE_JOIN_WINDOW_US,
+            }
+        )
+
+    windows_ds = ds.map_batches(
+        derive_windows, batch_format="pyarrow", batch_size=None
+    )
+    joined = partitioned_interval_join(
+        ds, windows_ds, span_us=30 * 60 * 1_000_000, ts_col="ts"
+    )
+    out = collect_tables(joined)
+    if out is None:
+        return pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "interval_id": pa.array([], pa.int64()),
+            }
+        )
+    return pa.table(
+        {"event_id": out["event_id"], "interval_id": out["interval_id"]}
+    )
+
+
+def _q_token_frequencies(sf_dir: str) -> pa.Table:
+    """Global token frequencies over the documents corpus (the classic
+    webtext word-count): per-batch explode via RE2 ``\\s+`` split +
+    in-batch count (Arrow C kernels end-to-end), vocab-sized partials
+    combine driver-side, deterministic top-30 by (count desc, token)."""
+    import pyarrow.compute as pc
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+
+    ds = _read_pq(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(batch["text"], pattern=r"\s+")
+        )
+        toks = toks.filter(pc.not_equal(toks, ""))
+        t = pa.table({"token": toks})
+        out = t.group_by(["token"]).aggregate([("token", "count")])
+        return out.rename_columns(["token", "n"])
+
+    parts = collect_tables(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    )
+    merged = (
+        parts.group_by(["token"]).aggregate([("n", "sum")])
+        .rename_columns(["token", "n"])
+    )
+    idx = pc.sort_indices(
+        merged, sort_keys=[("n", "descending"), ("token", "ascending")]
+    )[:30]
+    out = merged.take(idx)
+    return pa.table({"token": out["token"], "n": out["n"].cast(pa.int64())})
+
+
+def _q_grouped_quantiles(sf_dir: str) -> pa.Table:
+    """Exact per-group quantiles (p25/p50/p95 of extendedprice per
+    returnflag) through one groupby shuffle + in-group selection."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
+        grouped_exact_quantiles,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_extendedprice"],
+    )
+    out = collect_tables(
+        grouped_exact_quantiles(
+            ds, "l_returnflag", "l_extendedprice", [0.25, 0.5, 0.95]
+        )
+    )
+    return out
+
+
 
 def _q_top_docs_per_lang(sf_dir: str) -> pa.Table:
     """Per-group top-k (windowed ROW_NUMBER shape, no shuffle)."""
@@ -1814,7 +1921,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reservoir_sample": _q_reservoir_sample,
         "asof_join": _q_asof_join,
         "range_join": _q_range_join,
+        "range_join_partitioned": _q_range_join_partitioned,
         "bloom_semijoin": _q_bloom_semijoin,
+        "token_frequencies": _q_token_frequencies,
+        "grouped_quantiles": _q_grouped_quantiles,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "quantiles": _q_quantiles,
         "quantiles_exact": _q_quantiles_exact,
@@ -2145,10 +2255,31 @@ def oracle_sql() -> dict[str, str]:
             "ON epoch_us(e.ts) >= i.s "
             f"AND epoch_us(e.ts) < i.s + {_RANGE_JOIN_WINDOW_US}"
         ),
+        "range_join_partitioned": (
+            "SELECT e.event_id, i.interval_id FROM events e JOIN "
+            "(SELECT event_id AS interval_id, epoch_us(ts) AS s "
+            "FROM events WHERE event_id % 97 = 0) i "
+            "ON epoch_us(e.ts) >= i.s "
+            f"AND epoch_us(e.ts) < i.s + {_RANGE_JOIN_WINDOW_US}"
+        ),
         "bloom_semijoin": (
             "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
             "WHERE l_orderkey IN (SELECT o_orderkey FROM orders "
             "WHERE o_orderpriority = '1-URGENT')"
+        ),
+        "token_frequencies": (
+            "SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM ("
+            "SELECT UNNEST(regexp_split_to_array(text, '\\s+')) AS token "
+            "FROM documents) WHERE token <> '' "
+            "GROUP BY token ORDER BY n DESC, token LIMIT 30"
+        ),
+        "grouped_quantiles": (
+            " UNION ALL ".join(
+                f"SELECT l_returnflag, CAST({q} AS DOUBLE) AS q, "
+                f"CAST(quantile_disc(l_extendedprice, {q}) AS DOUBLE) AS value "
+                "FROM lineitem GROUP BY l_returnflag"
+                for q in (0.25, 0.5, 0.95)
+            )
         ),
         "reservoir_sample": (
             "SELECT o_orderkey, o_totalprice FROM orders ORDER BY "

@@ -616,3 +616,72 @@ class TestBloomSemiJoin:
         lset = set(loose(pa.table({"v": probe}))["v"].to_pylist())
         tset = set(tight(pa.table({"v": probe}))["v"].to_pylist())
         assert tset <= lset
+
+
+class TestPartitionedIntervalJoin:
+    def test_matches_broadcast_tier_exactly(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import (
+            IntervalJoin,
+            partitioned_interval_join,
+        )
+
+        rng = np.random.RandomState(21)
+        starts = np.sort(rng.randint(0, 100_000, 60)).astype(np.int64)
+        ends = starts + rng.randint(1, 9_000, 60).astype(np.int64)
+        ids = np.arange(60, dtype=np.int64)
+        iv = pa.table({"interval_id": ids, "start_ts": starts, "end_ts": ends})
+        ts = rng.randint(-5_000, 110_000, 3000).astype(np.int64)
+        stream = pa.table(
+            {"row": np.arange(3000, dtype=np.int64), "ts": ts}
+        )
+
+        bc = IntervalJoin(iv)(stream)
+        want = sorted(zip(bc["row"].to_pylist(), bc["interval_id"].to_pylist()))
+
+        # span deliberately smaller than max interval length -> real
+        # replication across partitions, and negative-ts partitions
+        out = partitioned_interval_join(
+            ray.data.from_arrow(stream).repartition(7),
+            ray.data.from_arrow(iv).repartition(3),
+            span_us=4_000,
+        )
+        tbl = pa.concat_tables(
+            [b for b in out.iter_batches(batch_format="pyarrow", batch_size=None)
+             if b.num_rows]
+        )
+        got = sorted(zip(tbl["row"].to_pylist(), tbl["interval_id"].to_pylist()))
+        assert got == want
+
+
+class TestGroupedExactQuantiles:
+    def test_matches_numpy_disc_selection(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
+            grouped_exact_quantiles,
+        )
+
+        rng = np.random.RandomState(5)
+        g = rng.choice(list("abcd"), 5000)
+        v = np.round(rng.randn(5000) * 100, 3)
+        ds = ray.data.from_arrow(pa.table({"g": g, "v": v})).repartition(6)
+        qs = [0.25, 0.5, 0.95]
+        out = pa.concat_tables(
+            list(
+                grouped_exact_quantiles(ds, "g", "v", qs).iter_batches(
+                    batch_format="pyarrow", batch_size=None
+                )
+            )
+        ).to_pydict()
+        got = {
+            (k, q): val
+            for k, q, val in zip(out["g"], out["q"], out["value"])
+        }
+        for key in "abcd":
+            sv = np.sort(v[g == key])
+            n = len(sv)
+            for q in qs:
+                want = sv[min(max(int(np.ceil(q * n)) - 1, 0), n - 1)]
+                assert got[(key, q)] == want

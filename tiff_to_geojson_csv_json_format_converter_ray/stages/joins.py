@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.geometry import Polygon, STRtree, bbox_intersects
 from ..functions.knn import KNNIndex
@@ -512,6 +513,88 @@ class IntervalJoin:
         return out.append_column(
             self.id_col, pa.array(self.ids[cand], pa.int64())
         )
+
+
+def partitioned_interval_join(
+    stream,
+    intervals,
+    span_us: int,
+    ts_col: str = "ts",
+    id_col: str = "interval_id",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+):
+    """Big-big range join: the scale tier of :class:`IntervalJoin` for
+    when the interval side is too large to broadcast.  Both sides are
+    tagged with time partitions of width ``span_us``; each interval is
+    replicated into EVERY partition it overlaps (replication factor
+    ``1 + max_interval_len / span``, the bound stated on the broadcast
+    kernel), the union shuffles once on the partition key, and the
+    vectorized candidate kernel runs per group -- the same
+    cell-replication shape as :func:`sharded_pip_join` uses for
+    polygons.  Returns a Dataset of the stream columns + ``id_col``.
+    """
+    import ray.data
+
+    span = np.int64(span_us)
+    sch = stream.schema()  # ray.data.Schema wrapper: .names + pyarrow .types
+    stream_cols = list(sch.names)
+    stream_types = dict(zip(sch.names, sch.types))
+
+    def tag_stream(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        t = batch.append_column("_part", pa.array(ts // span, pa.int64()))
+        t = t.append_column("_iid", pa.nulls(len(ts), pa.int64()))
+        t = t.append_column("_istart", pa.nulls(len(ts), pa.int64()))
+        return t.append_column("_iend", pa.nulls(len(ts), pa.int64()))
+
+    def tag_intervals(batch: pa.Table) -> pa.Table:
+        s = batch[start_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        e = batch[end_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        iid = batch[id_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        p0 = s // span
+        p1 = np.maximum(e - 1, s) // span  # end exclusive
+        counts = (p1 - p0 + 1).astype(np.int64)
+        rep = np.repeat(np.arange(len(s)), counts)
+        offs = np.arange(int(counts.sum())) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        part = p0[rep] + offs
+        cols = {c: pa.nulls(len(rep), stream_types[c]) for c in stream_cols}
+        cols["_part"] = pa.array(part, pa.int64())
+        cols["_iid"] = pa.array(iid[rep], pa.int64())
+        cols["_istart"] = pa.array(s[rep], pa.int64())
+        cols["_iend"] = pa.array(e[rep], pa.int64())
+        return pa.table(cols)
+
+    tagged = stream.map_batches(
+        tag_stream, batch_format="pyarrow", batch_size=None
+    ).union(
+        intervals.map_batches(tag_intervals, batch_format="pyarrow", batch_size=None)
+    )
+
+    def join_group(group: pa.Table) -> pa.Table:
+        side_iv = group.filter(pc.is_valid(group["_iid"]))
+        side_st = group.filter(pc.is_null(group["_iid"]))
+        if side_iv.num_rows == 0 or side_st.num_rows == 0:
+            return pa.table(
+                {c: pa.array([], stream_types[c]) for c in stream_cols}
+                | {id_col: pa.array([], pa.int64())}
+            )
+        kern = IntervalJoin(
+            pa.table(
+                {
+                    id_col: side_iv["_iid"],
+                    start_col: side_iv["_istart"],
+                    end_col: side_iv["_iend"],
+                }
+            ),
+            ts_col=ts_col,
+            id_col=id_col,
+        )
+        return kern(side_st.select(stream_cols))
+
+    return tagged.groupby("_part").map_groups(join_group, batch_format="pyarrow")
 
 
 class BloomFilter:

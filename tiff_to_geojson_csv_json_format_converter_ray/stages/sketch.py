@@ -204,6 +204,35 @@ def exact_quantiles(
     )
 
 
+def grouped_exact_quantiles(
+    ds: ray.data.Dataset, key: str, col: str, qs: list[float]
+) -> ray.data.Dataset:
+    """EXACT per-group quantiles (``quantile_disc`` rank convention:
+    value at 0-based sorted index ``ceil(q*n) - 1``) via a single
+    ``groupby(key).map_groups`` shuffle -- the Ray-Data-native windowed
+    form of :func:`exact_quantiles`.  Each group sorts within one task,
+    so the assumption is groups fit a worker (true for bounded-
+    cardinality group values like flags/languages at any table size:
+    10^12 rows over k groups still means each task sees only its
+    group's column slice, and numpy sorts ~10^8 doubles/s).  For a
+    single giant group, fall back to :func:`exact_quantiles` on the
+    filtered Dataset, which never holds the group anywhere."""
+
+    def qfn(group: pa.Table) -> pa.Table:
+        v = np.sort(group[col].to_numpy(zero_copy_only=False))
+        n = len(v)
+        idx = [min(max(int(np.ceil(q * n)) - 1, 0), n - 1) for q in qs]
+        return pa.table(
+            {
+                key: pa.array([group[key][0].as_py()] * len(qs)),
+                "q": pa.array(list(qs), pa.float64()),
+                "value": pa.array([float(v[i]) for i in idx], pa.float64()),
+            }
+        )
+
+    return ds.groupby(key).map_groups(qfn, batch_format="pyarrow")
+
+
 def stratified_bottomk(
     ds: ray.data.Dataset, group_col: str, key_col: str, k: int, seed: int = 0
 ) -> pa.Table:
