@@ -1614,6 +1614,54 @@ def _q_range_join_partitioned(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_big_join_revenue(sf_dir: str) -> pa.Table:
+    """Big-big shuffle equi-join: lineitem x orders on orderkey through
+    Ray Data's hash join (both sides partition on the key -- neither is
+    broadcast), then the combiner-pattern aggregate on the joined
+    stream.  The relational complement of the broadcast star-schema
+    chain: at 100 TB this is the join shape where no side fits a task."""
+    import pyarrow.compute as pc
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate,
+    )
+
+    li = _read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    od = _read_pq(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+    )
+    joined = li.join(
+        od, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+        )
+        return pa.table(
+            {"o_orderpriority": batch["o_orderpriority"], "rev": rev}
+        )
+
+    out = hash_aggregate(
+        joined.map_batches(revenue, batch_format="pyarrow", batch_size=None),
+        ["o_orderpriority"],
+        [("rev", "sum", "revenue"), ("rev", "count", "n_items")],
+    )
+    return pa.table(
+        {
+            "o_orderpriority": out["o_orderpriority"],
+            "revenue": pc.round(out["revenue"], 2),
+            "n_items": out["n_items"].cast(pa.int64()),
+        }
+    )
+
+
 def _q_token_frequencies(sf_dir: str) -> pa.Table:
     """Global token frequencies over the documents corpus (the classic
     webtext word-count): per-batch explode via RE2 ``\\s+`` split +
@@ -1925,6 +1973,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semijoin": _q_bloom_semijoin,
         "token_frequencies": _q_token_frequencies,
         "grouped_quantiles": _q_grouped_quantiles,
+        "big_join_revenue": _q_big_join_revenue,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "quantiles": _q_quantiles,
         "quantiles_exact": _q_quantiles_exact,
@@ -2266,6 +2315,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
             "WHERE l_orderkey IN (SELECT o_orderkey FROM orders "
             "WHERE o_orderpriority = '1-URGENT')"
+        ),
+        "big_join_revenue": (
+            "SELECT o_orderpriority, "
+            "ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue, "
+            "CAST(COUNT(*) AS BIGINT) AS n_items "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY o_orderpriority"
         ),
         "token_frequencies": (
             "SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM ("
