@@ -289,6 +289,10 @@ QUERY_SUBSET = [
     "events_geocode_cells", "pricing_summary", "top_orders",
     "customer_nations", "dedup_exact", "token_counts", "ann_top3",
 ]
+# late-round-2 additions, timed via --extra-queries (kept OUT of the
+# default subset so the headline suite total stays comparable to
+# BASELINE.md's 12-query composition across rounds)
+EXTRA_QUERY_SUBSET = ["range_join", "big_join_revenue", "token_frequencies"]
 
 
 def run_queries(sf_dir: str) -> dict[str, float]:
@@ -547,6 +551,18 @@ def main() -> None:
         pages = run_pages_leg(NUM_CPUS)
     finally:
         ray.shutdown()
+    if "--extra-queries" in sys.argv:
+        _init_ray(NUM_CPUS)
+        try:
+            global QUERY_SUBSET
+            QUERY_SUBSET = EXTRA_QUERY_SUBSET
+            extra = run_queries(SF_DIR)
+            print(json.dumps({"metric": "late-round operator timings",
+                              "queries": extra, "sf": _sf(),
+                              "num_cpus": NUM_CPUS, "unit": "sec"}))
+            return
+        finally:
+            ray.shutdown()
     _init_ray(NUM_CPUS)
     try:
         queries = run_queries(SF_DIR)
