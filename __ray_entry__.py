@@ -1698,6 +1698,44 @@ def _q_token_frequencies(sf_dir: str) -> pa.Table:
     return pa.table({"token": out["token"], "n": out["n"].cast(pa.int64())})
 
 
+def _q_tfidf_scores(sf_dir: str) -> pa.Table:
+    """Two-phase TF-IDF: a global document-frequency pass (vocab-
+    bounded combiner) feeds a per-doc scoring pass through a broadcast
+    idf table -- global statistics flow through the object store, the
+    corpus itself never shuffles."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import (
+        broadcast_table,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+        TfIdfScore,
+        token_doc_frequencies,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    df_tbl = token_doc_frequencies(ds)
+    n_docs = ds.count()
+    idf = np.log(
+        n_docs / df_tbl["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+    )
+    idf_tbl = pa.table({"token": df_tbl["token"], "idf": idf})
+    out = collect_tables(
+        ds.map_batches(
+            TfIdfScore(broadcast_table(idf_tbl)),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    )
+    return pa.table(
+        {"doc_id": out["doc_id"], "tfidf": out["tfidf"]}
+    )
+
+
 def _q_grouped_quantiles(sf_dir: str) -> pa.Table:
     """Exact per-group quantiles (p25/p50/p95 of extendedprice per
     returnflag) through one groupby shuffle + in-group selection."""
@@ -1974,6 +2012,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_frequencies": _q_token_frequencies,
         "grouped_quantiles": _q_grouped_quantiles,
         "big_join_revenue": _q_big_join_revenue,
+        "tfidf_scores": _q_tfidf_scores,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "quantiles": _q_quantiles,
         "quantiles_exact": _q_quantiles_exact,
@@ -2328,6 +2367,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT UNNEST(regexp_split_to_array(text, '\\s+')) AS token "
             "FROM documents) WHERE token <> '' "
             "GROUP BY token ORDER BY n DESC, token LIMIT 30"
+        ),
+        "tfidf_scores": (
+            "WITH toks AS (SELECT doc_id, "
+            "UNNEST(regexp_split_to_array(text, '\\s+')) AS token "
+            "FROM documents), "
+            "tk AS (SELECT * FROM toks WHERE token <> ''), "
+            "df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tk "
+            "GROUP BY token), "
+            "n AS (SELECT COUNT(*) AS n_docs FROM documents), "
+            "tf AS (SELECT doc_id, token, COUNT(*) AS cnt FROM tk "
+            "GROUP BY doc_id, token), "
+            "len AS (SELECT doc_id, COUNT(*) AS n_toks FROM tk "
+            "GROUP BY doc_id) "
+            "SELECT tf.doc_id, "
+            "ROUND(SUM((tf.cnt / len.n_toks) * ln(n.n_docs / df.df)), 6) "
+            "AS tfidf "
+            "FROM tf JOIN df USING (token) JOIN len USING (doc_id) "
+            "CROSS JOIN n GROUP BY tf.doc_id"
         ),
         "grouped_quantiles": (
             " UNION ALL ".join(

@@ -685,3 +685,40 @@ class TestGroupedExactQuantiles:
             for q in qs:
                 want = sv[min(max(int(np.ceil(q * n)) - 1, 0), n - 1)]
                 assert got[(key, q)] == want
+
+
+class TestTfIdf:
+    def test_hand_example_and_zero_token_docs(self):
+        import pyarrow as pa
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+            TfIdfScore,
+            _explode_tokens,
+        )
+
+        # idf chosen by hand; doc 3 (whitespace only) must emit no row
+        idf = pa.table({"token": ["a", "b"], "idf": [0.5, 1.0]})
+        b = pa.table(
+            {"doc_id": pa.array([1, 2, 3], pa.int64()),
+             "text": ["a b a", "b", "   "]}
+        )
+        out = TfIdfScore(idf)(b).sort_by("doc_id").to_pydict()
+        assert out["doc_id"] == [1, 2]
+        # doc1: (2/3)*0.5 + (1/3)*1.0 = 0.666667 ; doc2: 1.0
+        assert out["tfidf"] == [0.666667, 1.0]
+
+    def test_doc_frequencies_batch_invariant(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+            token_doc_frequencies,
+        )
+
+        tbl = pa.table(
+            {"doc_id": pa.array(range(8), pa.int64()),
+             "text": ["a a b", "b c", "a", "c c c", "d", "a d", "", "b a"]}
+        )
+        want = {"a": 4, "b": 3, "c": 2, "d": 2}
+        for parts in (1, 4):
+            ds = ray.data.from_arrow(tbl).repartition(parts)
+            got = token_doc_frequencies(ds).to_pydict()
+            assert dict(zip(got["token"], got["df"])) == want

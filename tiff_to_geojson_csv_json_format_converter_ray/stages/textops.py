@@ -96,3 +96,96 @@ class TextAnnotate:
             batch = batch.append_column("simhash64", pa.array(sims.view(np.int64)))
             batch = batch.append_column("winnow_min", pa.array(wins.view(np.int64)))
         return batch
+
+
+# ------------------------------------------------------------------ TF-IDF
+def _explode_tokens(batch: pa.Table, text_col: str, doc_col: str) -> pa.Table:
+    """(doc, token) pairs via Arrow C kernels: RE2 \\s+ split, flatten
+    with list_parent_indices carrying the doc key -- no Python loop."""
+    import pyarrow.compute as pc
+
+    lists = pc.split_pattern_regex(batch[text_col], pattern=r"\s+")
+    toks = pc.list_flatten(lists)
+    parents = pc.list_parent_indices(lists)
+    did = batch[doc_col].take(parents)
+    t = pa.table({doc_col: did, "token": toks})
+    return t.filter(pc.not_equal(t["token"], ""))
+
+
+def token_doc_frequencies(
+    ds, text_col: str = "text", doc_col: str = "doc_id"
+):
+    """Pass 1 of TF-IDF: (token, document-frequency) over the corpus.
+    Per-batch distinct (doc, token) pairs collapse to token counts;
+    partials sum exactly because a document never spans batches (one
+    row per doc).  Driver combine is VOCAB-bounded, not corpus-bounded
+    -- the same justification as the word-count combiner; for an
+    unbounded vocab route the partials through
+    ``hash_aggregate(distributed_combine=True)`` instead."""
+    from ..pipelines.relational import collect_tables
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pairs = _explode_tokens(batch, text_col, doc_col).group_by(
+            [doc_col, "token"]
+        ).aggregate([])
+        out = pairs.group_by("token").aggregate([("token", "count")])
+        return out.rename_columns(["token", "df"])
+
+    parts = collect_tables(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    )
+    if parts is None:
+        return pa.table({"token": pa.array([], pa.string()),
+                         "df": pa.array([], pa.int64())})
+    return (
+        parts.group_by("token").aggregate([("df", "sum")])
+        .rename_columns(["token", "df"])
+    )
+
+
+class TfIdfScore:
+    """Pass 2 of TF-IDF: per-document score sum_t (tf_t * idf_t) with
+    tf_t = count(t in doc) / len(doc) and idf_t = ln(n_docs / df_t).
+    The idf table (vocab-sized) is the broadcast side -- the canonical
+    two-phase pattern: a global-statistics pass feeds a per-row scoring
+    pass through the object store, never through a shuffle of the
+    corpus.  Docs with zero tokens emit no row (matches the SQL
+    formulation).  In-batch joins/groupbys are Arrow C kernels."""
+
+    def __init__(self, idf_table, text_col: str = "text",
+                 doc_col: str = "doc_id", ndigits: int = 6):
+        from .joins import _resolve
+
+        self.idf = _resolve(idf_table)  # columns: token, idf
+        self.text_col = text_col
+        self.doc_col = doc_col
+        self.ndigits = ndigits
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..pipelines.relational import round_like_sql
+
+        t = _explode_tokens(batch, self.text_col, self.doc_col)
+        dc = self.doc_col
+        tf = (
+            t.group_by([dc, "token"]).aggregate([("token", "count")])
+            .rename_columns([dc, "token", "cnt"])
+        )
+        lens = (
+            t.group_by([dc]).aggregate([("token", "count")])
+            .rename_columns([dc, "n_toks"])
+        )
+        j = tf.join(self.idf, keys="token").join(lens, keys=dc)
+        score = (
+            j["cnt"].to_numpy(zero_copy_only=False)
+            / j["n_toks"].to_numpy(zero_copy_only=False)
+        ) * j["idf"].to_numpy(zero_copy_only=False)
+        per_doc = (
+            pa.table({dc: j[dc], "s": pa.array(score)})
+            .group_by(dc).aggregate([("s", "sum")])
+        )
+        return pa.table(
+            {
+                dc: per_doc[dc],
+                "tfidf": round_like_sql(per_doc["s_sum"], self.ndigits),
+            }
+        )
