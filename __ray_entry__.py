@@ -713,6 +713,114 @@ def _q_track_lengths(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_window_funcs(sf_dir: str) -> pa.Table:
+    """SQL window-function family (ROW_NUMBER, running SUM, LAG delta,
+    trailing moving AVG) per user ordered by (ts, event_id).  One keyed
+    groupby shuffle; exact-int cents arithmetic inside the per-group
+    kernel makes the running sums bit-reproducible vs DuckDB."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.window import (
+        keyed_window_functions,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    out = collect_tables(keyed_window_functions(ds))
+    return pa.table(
+        {
+            "user_id": out["user_id"],
+            "event_id": out["event_id"],
+            "rn": out["rn"],
+            "cum_cents": out["cum_cents"],
+            "delta_us": out["delta_us"],
+            "mov_avg3": out["mov_avg3"],
+        }
+    )
+
+
+def _q_pivot_events(sf_dir: str) -> pa.Table:
+    """Long->wide pivot: per-user count + value-cents sum per
+    event_type (COUNT/SUM FILTER shape).  Indicator columns + grouped
+    sum -- the pivot adds no shuffle beyond the aggregate's own."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        pivot_wide,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "value"],
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        x = v * 100.0
+        c = np.where(x < 0, -np.floor(-x + 0.5), np.floor(x + 0.5))
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_type": batch["event_type"],
+                "cents": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    prepared = ds.map_batches(to_cents, batch_format="pyarrow", batch_size=None)
+    out = pivot_wide(
+        prepared, "user_id", "event_type",
+        categories=["click", "error", "purchase", "signup", "view"],
+        value_col="cents",
+    )
+    cols = {"user_id": out["user_id"]}
+    for c in ["click", "error", "purchase", "signup", "view"]:
+        cols[f"n_{c}"] = out[f"n_{c}"].cast(pa.int64())
+        cols[f"sum_{c}"] = out[f"sum_{c}"].cast(pa.int64())
+    return pa.table(cols)
+
+
+def _q_rollup_pricing(sf_dir: str) -> pa.Table:
+    """GROUP BY ROLLUP(returnflag, linestatus): all prefix aggregation
+    levels from ONE scan -- coarser levels re-aggregate the finest
+    (group-bounded) table, never the raw rows."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        rollup_aggregate,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice"],
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        v = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        x = v.astype(np.float64) * 100.0
+        c = np.where(x < 0, -np.floor(-x + 0.5), np.floor(x + 0.5))
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "cents": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    prepared = ds.map_batches(to_cents, batch_format="pyarrow", batch_size=None)
+    out = rollup_aggregate(
+        prepared,
+        ["l_returnflag", "l_linestatus"],
+        [("cents", "count", "n"), ("cents", "sum", "sum_cents")],
+    )
+    return pa.table(
+        {
+            "l_returnflag": out["l_returnflag"],
+            "l_linestatus": out["l_linestatus"],
+            "n": out["n"].cast(pa.int64()),
+            "sum_cents": out["sum_cents"].cast(pa.int64()),
+        }
+    )
+
+
 def _q_s2_cells(sf_dir: str) -> pa.Table:
     """TRUE spherical S2 cell assignment (functions/s2.py: face +
     quadratic ST + Hilbert walk) at level 9 over geocoded events --
@@ -1988,6 +2096,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_geocode_cells": _q_events_geocode,
         "s2_cells": _q_s2_cells,
         "track_lengths": _q_track_lengths,
+        "window_funcs": _q_window_funcs,
+        "pivot_events": _q_pivot_events,
+        "rollup_pricing": _q_rollup_pricing,
         "docs_pip_join": _q_docs_pip,
         # relational operators
         "pricing_summary": _q_pricing_summary,
@@ -2206,6 +2317,44 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT 77.0 + CAST(event_id % 96 AS DOUBLE) * 0.01 AS glon, "
             f"28.05 + CAST((event_id // 96) % 96 AS DOUBLE) * 0.01 AS glat "
             f"FROM events) GROUP BY 1"
+        ),
+        "window_funcs": (
+            "WITH e AS (SELECT event_id, user_id, ts, "
+            "CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events) "
+            "SELECT user_id, event_id, "
+            "CAST(ROW_NUMBER() OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn, "
+            "CAST(SUM(cents) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "CURRENT ROW) AS BIGINT) AS cum_cents, "
+            "CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) "
+            "AS delta_us, "
+            "ROUND(AVG(cents) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND "
+            "CURRENT ROW) / 100.0, 6) AS mov_avg3 "
+            "FROM e"
+        ),
+        "rollup_pricing": (
+            "WITH l AS (SELECT l_returnflag, l_linestatus, "
+            "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents "
+            "FROM lineitem) "
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(cents) AS BIGINT) AS sum_cents "
+            "FROM l GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+        ),
+        "pivot_events": (
+            "WITH e AS (SELECT user_id, event_type, "
+            "CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events) "
+            "SELECT user_id, "
+            + ", ".join(
+                f"COUNT(*) FILTER (WHERE event_type = '{c}') AS n_{c}, "
+                f"COALESCE(SUM(cents) FILTER (WHERE event_type = '{c}'), 0) "
+                f"AS sum_{c}"
+                for c in ["click", "error", "purchase", "signup", "view"]
+            )
+            + " FROM e GROUP BY user_id"
         ),
         "track_lengths": (
             f"WITH g AS (SELECT user_id, ts, event_id, "

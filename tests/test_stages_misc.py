@@ -722,3 +722,129 @@ class TestTfIdf:
             ds = ray.data.from_arrow(tbl).repartition(parts)
             got = token_doc_frequencies(ds).to_pydict()
             assert dict(zip(got["token"], got["df"])) == want
+
+
+class TestKeyedWindowFunctions:
+    def test_kernel_hand_example(self):
+        import pyarrow as pa
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.window import (
+            keyed_window_kernel,
+        )
+
+        # one key, deliberately unsorted input; ts in us
+        g = pa.table(
+            {
+                "user_id": pa.array([7, 7, 7, 7], pa.int64()),
+                "event_id": pa.array([3, 1, 2, 4], pa.int64()),
+                "ts": pa.array([3_000_000, 1_000_000, 2_000_000, 4_000_000],
+                               pa.timestamp("us")),
+                "cents": pa.array([300, 100, 200, 400], pa.int64()),
+            }
+        )
+        out = keyed_window_kernel(g).to_pydict()
+        assert out["event_id"] == [1, 2, 3, 4]
+        assert out["rn"] == [1, 2, 3, 4]
+        assert out["cum_cents"] == [100, 300, 600, 1000]
+        assert out["delta_us"] == [None, 1_000_000, 1_000_000, 1_000_000]
+        # trailing 3-row avg of cents / 100
+        assert out["mov_avg3"] == [1.0, 1.5, 2.0, 3.0]
+
+    def test_partitioning_invariant(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.window import (
+            keyed_window_functions,
+        )
+
+        rng = np.random.default_rng(11)
+        n = 400
+        tbl = pa.table(
+            {
+                "event_id": pa.array(np.arange(n), pa.int64()),
+                "user_id": pa.array(rng.integers(0, 5, n), pa.int64()),
+                "ts": pa.array(rng.integers(0, 10**9, n), pa.timestamp("us")),
+                "value": pa.array(rng.uniform(-50, 50, n)),
+            }
+        )
+
+        def run(parts):
+            ds = ray.data.from_arrow(tbl).repartition(parts)
+            t = pa.concat_tables(
+                [b for b in keyed_window_functions(ds).iter_batches(
+                    batch_format="pyarrow", batch_size=None)]
+            )
+            return t.sort_by([("user_id", "ascending"), ("event_id", "ascending")])
+
+        a, b = run(1), run(7)
+        assert a.equals(b)
+        # spot-check: per-user rn is 1..count
+        d = a.to_pydict()
+        import collections
+        cnt = collections.Counter(d["user_id"])
+        last = {}
+        for u, rn in zip(d["user_id"], d["rn"]):
+            last[u] = max(last.get(u, 0), rn)
+        assert all(last[u] == c for u, c in cnt.items())
+
+
+class TestPivotRollup:
+    def test_pivot_counts_and_sums(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+            pivot_wide,
+        )
+
+        tbl = pa.table(
+            {
+                "k": pa.array([1, 1, 2, 2, 2], pa.int64()),
+                "cat": ["a", "b", "a", "a", "c"],
+                "v": pa.array([10, 20, 30, 40, 50], pa.int64()),
+            }
+        )
+        for parts in (1, 3):
+            ds = ray.data.from_arrow(tbl).repartition(parts)
+            out = pivot_wide(ds, "k", "cat", value_col="v")
+            d = {r["k"]: r for r in out.sort_by("k").to_pylist()}
+            assert d[1]["n_a"] == 1 and d[1]["sum_a"] == 10
+            assert d[1]["n_b"] == 1 and d[1]["sum_b"] == 20
+            assert d[1]["n_c"] == 0 and d[1]["sum_c"] == 0
+            assert d[2]["n_a"] == 2 and d[2]["sum_a"] == 70
+            assert d[2]["n_c"] == 1 and d[2]["sum_c"] == 50
+        # discovered categories == sorted distinct
+        assert [c for c in out.column_names if c.startswith("n_")] == [
+            "n_a", "n_b", "n_c"
+        ]
+
+    def test_rollup_levels(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+            rollup_aggregate,
+        )
+
+        tbl = pa.table(
+            {
+                "a": ["x", "x", "y"],
+                "b": ["p", "q", "p"],
+                "v": pa.array([1, 2, 4], pa.int64()),
+            }
+        )
+        ds = ray.data.from_arrow(tbl).repartition(2)
+        out = rollup_aggregate(
+            ds, ["a", "b"],
+            [("v", "count", "n"), ("v", "sum", "s"), ("v", "min", "mn"),
+             ("v", "max", "mx")],
+        )
+        rows = {
+            (r["a"], r["b"]): (r["n"], r["s"], r["mn"], r["mx"])
+            for r in out.to_pylist()
+        }
+        assert rows[("x", "p")] == (1, 1, 1, 1)
+        assert rows[("x", "q")] == (1, 2, 2, 2)
+        assert rows[("y", "p")] == (1, 4, 4, 4)
+        assert rows[("x", None)] == (2, 3, 1, 2)
+        assert rows[("y", None)] == (1, 4, 4, 4)
+        assert rows[(None, None)] == (3, 7, 1, 4)
+        assert len(rows) == 6

@@ -96,6 +96,110 @@ def hash_aggregate(
     return out.rename_columns(keys + [name for _, _, name in aggs])
 
 
+def pivot_wide(
+    ds: ray.data.Dataset,
+    key_col: str,
+    cat_col: str,
+    categories: list[str] | None = None,
+    value_col: str | None = None,
+    distributed_combine: bool = False,
+):
+    """Long->wide pivot: one output row per key, one count column per
+    category (plus a per-category value sum when ``value_col`` is
+    given) -- the SQL ``COUNT(*) FILTER (WHERE cat = c)`` shape.
+
+    Categories unknown up front are discovered with a tiny ``distinct``
+    pass (category cardinality is assumed column-bounded, as in any
+    pivot).  Each batch appends vectorized 0/1 indicator columns
+    (``pc.equal`` -> cast int64) and the whole thing reduces to a
+    grouped SUM via :func:`hash_aggregate` -- so the combiner pattern,
+    skew handling and the ``distributed_combine`` scale tier all reuse
+    as-is, and the pivot itself adds NO extra shuffle."""
+    if categories is None:
+        categories = sorted(
+            distinct(ds.select_columns([cat_col]), [cat_col])[cat_col]
+            .to_pylist()
+        )
+    cats = list(categories)
+
+    def indicators(batch: pa.Table) -> pa.Table:
+        cols = {key_col: batch[key_col]}
+        cat = batch[cat_col]
+        for c in cats:
+            ind = pc.cast(pc.equal(cat, c), pa.int64())
+            cols[f"n_{c}"] = ind
+            if value_col is not None:
+                v = batch[value_col]
+                # integer value columns stay int64 so the grouped sum
+                # is exact (order-independent) at any partitioning
+                mult = ind if pa.types.is_integer(v.type) else ind.cast(
+                    pa.float64()
+                )
+                cols[f"sum_{c}"] = pc.multiply(mult, v)
+        return pa.table(cols)
+
+    wide = ds.map_batches(indicators, batch_format="pyarrow", batch_size=None)
+    aggs = [(f"n_{c}", "sum", f"n_{c}") for c in cats]
+    if value_col is not None:
+        aggs += [(f"sum_{c}", "sum", f"sum_{c}") for c in cats]
+    return hash_aggregate(
+        wide, [key_col], aggs, distributed_combine=distributed_combine
+    )
+
+
+_ROLLUP_REOP = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+
+
+def rollup_aggregate(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    aggs: list[tuple[str, str, str]],
+    distributed_combine: bool = False,
+) -> pa.Table:
+    """GROUP BY ROLLUP(k1, .., kn): aggregates at every prefix level
+    (k1..kn), (k1..kn-1), .., () with NULLs in the rolled-up key
+    columns, SQL-style.
+
+    The INPUT is scanned exactly once -- the finest level comes from
+    :func:`hash_aggregate`; every coarser level re-aggregates the
+    previous level's (group-bounded, tiny) table with Arrow kernels,
+    which is sound because sum/count/min/max are all re-aggregable
+    partials.  At 100 TB the cost is one grouped aggregate; the rollup
+    ladder itself never touches raw rows."""
+    finest = hash_aggregate(
+        ds, keys, aggs, distributed_combine=distributed_combine
+    )
+    if not isinstance(finest, pa.Table):
+        finest = collect_tables(finest)
+    out_names = [name for _, _, name in aggs]
+    levels = [finest]
+    cur = finest
+    for i in range(len(keys) - 1, -1, -1):
+        sub = keys[:i]
+        reops = [(n, _ROLLUP_REOP[op]) for (_, op, _), n in zip(aggs, out_names)]
+        if sub:
+            t = cur.select(sub + out_names).group_by(sub).aggregate(reops)
+            t = t.rename_columns(sub + out_names)
+        else:
+            t = pa.table(
+                {
+                    n: pa.array(
+                        [getattr(pc, ro)(cur[n]).as_py()],
+                        cur.schema.field(n).type,
+                    )
+                    for n, ro in reops
+                }
+            )
+        # null-fill the rolled-up key columns to SQL ROLLUP shape
+        for k in keys[i:]:
+            t = t.append_column(
+                k, pa.nulls(t.num_rows, finest.schema.field(k).type)
+            )
+        levels.append(t.select(keys + out_names))
+        cur = t.select((sub if sub else []) + out_names) if sub else t
+    return pa.concat_tables([lv.select(keys + out_names) for lv in levels])
+
+
 def top_k(
     ds: ray.data.Dataset, key: str, k: int, descending: bool = True,
     tiebreak: str | None = None,

@@ -161,3 +161,103 @@ def add_session_key(
     starts = new_key | new_gap
     session = np.cumsum(starts) - 1
     return t.append_column(out_col, pa.array(session.astype(np.int64)))
+
+
+def keyed_window_kernel(
+    group: pa.Table,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    cents_col: str = "cents",
+    mov_n: int = 3,
+    ndigits: int = 6,
+) -> pa.Table:
+    """Ordered per-key window functions over ONE key's rows (run inside
+    ``groupby(key).map_groups`` -- the shuffle co-locates each key, this
+    kernel never sees more than one key's rows):
+
+    - ``rn``        ROW_NUMBER() ordered by (ts, id)
+    - ``cum_cents`` running SUM over an integer-cents column (int64
+      arithmetic, so the result is order-of-addition exact -- the trick
+      that makes a running float sum SQL-oracle-able)
+    - ``delta_us``  LAG difference of the timestamp in microseconds
+      (NULL for the key's first row)
+    - ``mov_avg{n}`` trailing moving average over the last ``mov_n``
+      rows, computed as exact-int sliding sum / frame length / 100,
+      rounded half-away like DuckDB ROUND
+
+    All vectorized: one sort + cumsum/shift per group, no Python loop.
+    """
+    from ..pipelines.relational import round_like_sql
+
+    order = pc.sort_indices(
+        group, sort_keys=[(ts_col, "ascending"), (id_col, "ascending")]
+    )
+    g = group.take(order)
+    n = g.num_rows
+    cents = g[cents_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = g[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+    rn = np.arange(1, n + 1, dtype=np.int64)
+    cum = np.cumsum(cents)
+    delta = np.empty(n, dtype=np.int64)
+    delta[1:] = ts[1:] - ts[:-1]
+    delta_arr = pa.array(delta, pa.int64(), mask=np.r_[True, np.zeros(n - 1, bool)])
+    # trailing frame [i-mov_n+1, i]: sliding sum via cumsum difference
+    padded = np.r_[np.int64(0), cum]
+    lo = np.maximum(rn - mov_n, 0)
+    frame_sum = cum - padded[lo]
+    frame_len = rn - lo
+    mov = (frame_sum.astype(np.float64) / frame_len.astype(np.float64)) / 100.0
+    return pa.table(
+        {
+            key_col: g[key_col],
+            id_col: g[id_col],
+            "rn": pa.array(rn),
+            "cum_cents": pa.array(cum),
+            "delta_us": delta_arr,
+            f"mov_avg{mov_n}": round_like_sql(mov, ndigits),
+        }
+    )
+
+
+def keyed_window_functions(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    mov_n: int = 3,
+):
+    """SQL window-function family (ROW_NUMBER / running SUM / LAG /
+    moving AVG) partitioned by ``key_col``, ordered by (ts, id).
+
+    One ``groupby(key)`` shuffle co-locates each key; the per-group
+    kernel is vectorized numpy.  The float value column is converted to
+    integer cents (DuckDB-identical half-away rounding) BEFORE the
+    shuffle so every accumulation is exact int64 -- running float sums
+    are otherwise not reproducible across partitionings.  At 100 TB the
+    only all-to-all is the one keyed shuffle; group state is one key's
+    rows (bounded by the heaviest key, same skew caveat as any
+    PARTITION BY)."""
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        x = v * 100.0
+        c = np.where(x < 0, -np.floor(-x + 0.5), np.floor(x + 0.5))
+        return pa.table(
+            {
+                key_col: batch[key_col],
+                id_col: batch[id_col],
+                ts_col: batch[ts_col],
+                "cents": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    prepared = ds.map_batches(to_cents, batch_format="pyarrow", batch_size=None)
+    return prepared.groupby(key_col).map_groups(
+        lambda g: keyed_window_kernel(
+            g, key_col=key_col, ts_col=ts_col, id_col=id_col, mov_n=mov_n
+        ),
+        batch_format="pyarrow",
+    )
