@@ -821,6 +821,86 @@ def _q_rollup_pricing(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_quantile_buckets(sf_dir: str) -> pa.Table:
+    """NTILE-by-value bucketing: exact global quartile boundaries
+    (iterative-histogram passes) broadcast into a per-row assign stage;
+    per-bucket count + cents sum.  Data never shuffles."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
+        quantile_bucket,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_extendedprice"]
+    )
+    bucketed = quantile_bucket(
+        ds, "l_extendedprice", qs=[0.25, 0.5, 0.75], bins=256,
+        driver_cap=4096,
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        x = batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        c = np.where(x < 0, -np.floor(-x + 0.5), np.floor(x + 0.5))
+        return pa.table(
+            {"bucket": batch["bucket"], "cents": pa.array(c.astype(np.int64))}
+        )
+
+    out = hash_aggregate(
+        bucketed.map_batches(to_cents, batch_format="pyarrow", batch_size=None),
+        ["bucket"],
+        [("cents", "count", "n"), ("cents", "sum", "sum_cents")],
+    )
+    return pa.table(
+        {
+            "bucket": out["bucket"].cast(pa.int64()),
+            "n": out["n"].cast(pa.int64()),
+            "sum_cents": out["sum_cents"].cast(pa.int64()),
+        }
+    )
+
+
+def _q_weighted_sample(sf_dir: str) -> pa.Table:
+    """Deterministic weighted sample w/o replacement (A-ES priorities
+    over the bit-reproducible mix32 hash); combiner-pattern top-k."""
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
+        weighted_bottomk,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice"],
+    )
+    out = weighted_bottomk(ds, "o_orderkey", "o_totalprice", k=25, seed=13)
+    return pa.table(
+        {"o_orderkey": out["o_orderkey"], "o_totalprice": out["o_totalprice"]}
+    )
+
+
+def _q_heavy_hitters(sf_dir: str) -> pa.Table:
+    """Misra-Gries heavy-hitter tokens over documents: per-block exact
+    count partials fold into a capacity-bounded driver summary.  At the
+    fixture's vocab the summary never decrements, so the counts are
+    exact and the SQL HAVING oracle pins them; the small-capacity
+    error bound is pytest-verified."""
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+        _explode_tokens,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
+        heavy_hitters,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    toks = ds.map_batches(
+        lambda b: _explode_tokens(b, "text", "doc_id"),
+        batch_format="pyarrow", batch_size=None,
+    )
+    return heavy_hitters(toks, "token", capacity=4096, min_count=50)
+
+
 def _q_s2_cells(sf_dir: str) -> pa.Table:
     """TRUE spherical S2 cell assignment (functions/s2.py: face +
     quadratic ST + Hilbert walk) at level 9 over geocoded events --
@@ -2099,6 +2179,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_funcs": _q_window_funcs,
         "pivot_events": _q_pivot_events,
         "rollup_pricing": _q_rollup_pricing,
+        "quantile_buckets": _q_quantile_buckets,
+        "weighted_sample": _q_weighted_sample,
+        "heavy_hitters": _q_heavy_hitters,
         "docs_pip_join": _q_docs_pip,
         # relational operators
         "pricing_summary": _q_pricing_summary,
@@ -2334,6 +2417,36 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND "
             "CURRENT ROW) / 100.0, 6) AS mov_avg3 "
             "FROM e"
+        ),
+        "quantile_buckets": (
+            "WITH b AS (SELECT "
+            "quantile_disc(l_extendedprice, 0.25) AS q1, "
+            "quantile_disc(l_extendedprice, 0.50) AS q2, "
+            "quantile_disc(l_extendedprice, 0.75) AS q3 FROM lineitem), "
+            "l AS (SELECT l_extendedprice AS v, "
+            "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents "
+            "FROM lineitem) "
+            "SELECT CAST(1 + CAST(v > b.q1 AS INTEGER) "
+            "+ CAST(v > b.q2 AS INTEGER) + CAST(v > b.q3 AS INTEGER) "
+            "AS BIGINT) AS bucket, "
+            "CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(cents) AS BIGINT) AS sum_cents "
+            "FROM l CROSS JOIN b GROUP BY bucket"
+        ),
+        "weighted_sample": (
+            "SELECT o_orderkey, o_totalprice FROM ("
+            "SELECT o_orderkey, o_totalprice, "
+            "POWER((CAST("
+            + __import__("tiff_to_geojson_csv_json_format_converter_ray.functions.sketch",
+                         fromlist=["mix32_sql"]).mix32_sql("o_orderkey", 13)
+            + " AS DOUBLE) + 1.0) / 4294967296.0, 1.0 / o_totalprice) "
+            "AS pri FROM orders) ORDER BY pri DESC, o_orderkey LIMIT 25"
+        ),
+        "heavy_hitters": (
+            "SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM "
+            "(SELECT UNNEST(regexp_split_to_array(text, '\\s+')) AS token "
+            "FROM documents) WHERE token <> '' "
+            "GROUP BY token HAVING COUNT(*) >= 50"
         ),
         "rollup_pricing": (
             "WITH l AS (SELECT l_returnflag, l_linestatus, "

@@ -259,3 +259,133 @@ class TestBottomK:
         a = bottomk_sample(ds, "k", 20, seed=1)["k"].to_pylist()
         b = bottomk_sample(ds, "k", 20, seed=2)["k"].to_pylist()
         assert a != b
+
+
+class TestMisraGries:
+    def test_exact_when_capacity_covers_vocab(self):
+        from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
+            MisraGries,
+        )
+
+        mg = MisraGries(10)
+        mg.merge_counts(["a", "b", "a"], [1, 1, 1])
+        mg.merge_counts(["a", "c"], [5, 2])
+        assert mg.counts == {"a": 7, "b": 1, "c": 2}
+        assert mg.total_decrement == 0
+
+    def test_undercount_bound(self):
+        import numpy as np
+        from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
+            MisraGries,
+        )
+
+        # zipf-ish stream, tiny capacity: est <= true <= est + n/(cap+1)
+        rng = np.random.default_rng(3)
+        items = [f"t{int(v)}" for v in rng.zipf(1.5, 5000) % 200]
+        true = {}
+        for t in items:
+            true[t] = true.get(t, 0) + 1
+        cap = 20
+        mg = MisraGries(cap)
+        for i in range(0, len(items), 137):  # uneven blocks
+            chunk = items[i:i + 137]
+            cnt = {}
+            for t in chunk:
+                cnt[t] = cnt.get(t, 0) + 1
+            mg.merge_counts(list(cnt), list(cnt.values()))
+        bound = len(items) / (cap + 1)
+        for t, est in mg.counts.items():
+            assert est <= true[t] <= est + mg.total_decrement
+        assert mg.total_decrement <= bound
+        # every item with true count > total_decrement must survive
+        for t, c in true.items():
+            if c > mg.total_decrement:
+                assert t in mg.counts
+
+    def test_heavy_hitters_stage_partition_invariant(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
+            heavy_hitters,
+        )
+
+        toks = ["x"] * 50 + ["y"] * 30 + ["z"] * 5 + ["w"] * 2
+        tbl = pa.table({"token": pa.array(toks, pa.string())})
+        for parts in (1, 4):
+            ds = ray.data.from_arrow(tbl).repartition(parts)
+            out = heavy_hitters(ds, "token", capacity=100, min_count=5)
+            assert out.to_pydict() == {"token": ["x", "y", "z"], "n": [50, 30, 5]}
+
+
+class TestQuantileBucket:
+    def test_partition_invariant_and_value_based(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
+            quantile_bucket,
+        )
+
+        rng = np.random.default_rng(5)
+        v = rng.normal(100.0, 25.0, 3000)
+        tbl = pa.table({"id": pa.array(np.arange(3000, dtype=np.int64)),
+                        "v": pa.array(v)})
+
+        def run(parts):
+            ds = ray.data.from_arrow(tbl).repartition(parts)
+            out = pa.concat_tables(list(
+                quantile_bucket(ds, "v", driver_cap=256).iter_batches(
+                    batch_format="pyarrow", batch_size=None)
+            ))
+            return dict(zip(out["id"].to_pylist(), out["bucket"].to_pylist()))
+
+        a, b = run(1), run(6)
+        assert a == b
+        # quartile buckets are within 1 element of n/4 each
+        import collections
+        sizes = collections.Counter(a.values())
+        assert set(sizes) == {1, 2, 3, 4}
+        for s in sizes.values():
+            assert abs(s - 750) <= 1
+
+    def test_equal_values_share_bucket(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
+            quantile_bucket,
+        )
+
+        tbl = pa.table({"v": pa.array([1.0] * 10 + [2.0] * 10)})
+        ds = ray.data.from_arrow(tbl).repartition(3)
+        out = pa.concat_tables(list(
+            quantile_bucket(ds, "v", qs=[0.5], driver_cap=8).iter_batches(
+                batch_format="pyarrow", batch_size=None)
+        ))
+        got = sorted(zip(out["v"].to_pylist(), out["bucket"].to_pylist()))
+        assert all(b == 1 for v, b in got if v == 1.0)
+        assert all(b == 2 for v, b in got if v == 2.0)
+
+
+class TestWeightedBottomK:
+    def test_partition_invariant_and_weight_biased(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
+            weighted_bottomk,
+        )
+
+        n = 4000
+        # half the keys carry 50x the weight
+        w = np.where(np.arange(n) < n // 2, 50.0, 1.0)
+        tbl = pa.table({"k": pa.array(np.arange(n, dtype=np.int64)),
+                        "w": pa.array(w)})
+
+        def run(parts):
+            ds = ray.data.from_arrow(tbl).repartition(parts)
+            return weighted_bottomk(ds, "k", "w", k=100, seed=3)["k"].to_pylist()
+
+        a, b = run(1), run(5)
+        assert a == b
+        heavy = sum(1 for k in a if k < n // 2)
+        assert heavy >= 90  # 50x weight dominates the sample

@@ -112,3 +112,36 @@ class HyperLogLog:
             if zeros:
                 est = m * np.log(m / zeros)  # linear counting
         return float(est)
+
+
+class MisraGries:
+    """Capacity-bounded frequency summary (Misra-Gries).  Holds at most
+    ``capacity`` (item, count) pairs; folding in an exact partial count
+    table adds the counts, then, if the summary overflows, subtracts
+    the (capacity+1)-th largest count from every entry and drops the
+    non-positive ones -- the summary-merge form whose error stays
+    <= n/(capacity+1) (Agarwal et al., "Mergeability of Summaries",
+    PODS'12).  Estimates never OVERcount; an item's true count exceeds
+    its stored count by at most the total decrement."""
+
+    def __init__(self, capacity: int):
+        if capacity < 1:
+            raise ValueError("capacity must be >= 1")
+        self.capacity = int(capacity)
+        self.counts: dict = {}
+        self.total_decrement = 0
+
+    def merge_counts(self, items, counts) -> None:
+        d = self.counts
+        for t, c in zip(items, counts):
+            d[t] = d.get(t, 0) + int(c)
+        if len(d) > self.capacity:
+            vals = sorted(d.values(), reverse=True)
+            sub = vals[self.capacity]
+            self.counts = {t: c - sub for t, c in d.items() if c > sub}
+            self.total_decrement += sub
+
+    def merge(self, other: "MisraGries") -> "MisraGries":
+        self.merge_counts(list(other.counts), list(other.counts.values()))
+        self.total_decrement += other.total_decrement
+        return self

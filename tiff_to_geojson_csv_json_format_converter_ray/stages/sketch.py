@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from ..functions import hashing as H
@@ -320,3 +321,108 @@ def bottomk_sample(
         allp, sort_keys=[("_h", "ascending"), (key_col, "ascending")]
     )[: min(k, allp.num_rows)]
     return allp.take(idx).drop_columns(["_h"])
+
+
+def quantile_bucket(
+    ds: ray.data.Dataset,
+    col: str,
+    qs: list[float] = (0.25, 0.5, 0.75),
+    bins: int = 256,
+    driver_cap: int = 65536,
+    out_col: str = "bucket",
+) -> ray.data.Dataset:
+    """Quantile (NTILE-by-value) bucketing, the canonical two-phase
+    shape: phase 1 computes EXACT global quantile boundaries
+    (:func:`exact_quantiles`, a few counting passes); phase 2 assigns
+    ``bucket = 1 + #(boundaries < v)`` per row, vectorized
+    ``np.searchsorted`` against the broadcast (tiny) boundary list.
+    Global statistics flow through the object store; the data itself
+    never shuffles.  Value-based (ties share a bucket), so the result
+    is partitioning-independent -- unlike positional NTILE."""
+    bt = exact_quantiles(ds, col, list(qs), bins=bins, driver_cap=driver_cap)
+    bounds = np.sort(np.asarray(bt["value"].to_pylist(), dtype=np.float64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.searchsorted(bounds, v, side="left") + 1
+        return batch.append_column(out_col, pa.array(b.astype(np.int64)))
+
+    return ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
+def weighted_bottomk(
+    ds: ray.data.Dataset,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 0,
+) -> pa.Table:
+    """Deterministic weighted sample without replacement (A-ES /
+    Efraimidis-Spirakis): priority ``u^(1/w)`` with ``u = (mix32(key) +
+    1) / 2^32``; keep the k largest priorities.  Per-batch top-k
+    partials merge exactly (combiner pattern, no shuffle), and the
+    priority is a pure function of (key, weight), so the selection is
+    partitioning-independent and SQL-reproducible via POWER over
+    mix32_sql."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = batch[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        u = (mix32(keys, seed).astype(np.float64) + 1.0) / 4294967296.0
+        pri = u ** (1.0 / w)
+        out = batch.append_column("_pri", pa.array(pri))
+        if out.num_rows <= k:
+            return out
+        idx = pc.sort_indices(
+            out, sort_keys=[("_pri", "descending"), (key_col, "ascending")]
+        )[:k]
+        return out.take(idx)
+
+    allp = _collect_tables(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    )
+    if allp.num_rows == 0:
+        return allp
+    idx = pc.sort_indices(
+        allp, sort_keys=[("_pri", "descending"), (key_col, "ascending")]
+    )[: min(k, allp.num_rows)]
+    return allp.take(idx).drop_columns(["_pri"])
+
+
+def heavy_hitters(
+    ds: ray.data.Dataset,
+    col: str,
+    capacity: int = 4096,
+    min_count: int = 1,
+) -> pa.Table:
+    """Misra-Gries heavy hitters over a (possibly unbounded-vocab)
+    column.  Per-block partials are exact in-block counts (Arrow
+    group_by, block-vocab bounded); the driver folds them one block at
+    a time into a CAPACITY-BOUNDED Misra-Gries summary -- so driver
+    memory is O(capacity) regardless of corpus vocab, the property the
+    plain word-count combiner lacks.  Returned counts UNDERCOUNT by at
+    most n/(capacity+1) (the classic MG guarantee, preserved under this
+    summary merge per Agarwal et al., "Mergeability of Summaries").
+    With ``capacity >= distinct(col)`` no decrement ever fires and the
+    result is exact -- the mode the SQL oracle pins."""
+    from ..functions.sketch import MisraGries
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([col]).group_by(col).aggregate([(col, "count")])
+        return t.rename_columns([col, "n"])
+
+    mg = MisraGries(capacity)
+    for t in ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        tt = t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+        if tt.num_rows:
+            mg.merge_counts(tt[col].to_pylist(), tt["n"].to_pylist())
+    items = [(t, c) for t, c in mg.counts.items() if c >= min_count]
+    items.sort(key=lambda x: (-x[1], x[0]))
+    return pa.table(
+        {
+            col: pa.array([t for t, _ in items], pa.string()),
+            "n": pa.array([c for _, c in items], pa.int64()),
+        }
+    )
