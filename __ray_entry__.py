@@ -901,6 +901,95 @@ def _q_heavy_hitters(sf_dir: str) -> pa.Table:
     return heavy_hitters(toks, "token", capacity=4096, min_count=50)
 
 
+def _q_props_extract(sf_dir: str) -> pa.Table:
+    """JSON metadata probe (webtext fast path): one vectorized RE2
+    extract pulls the integer field from the JSON props column; counts
+    per value via the grouped-sum combiner."""
+    from tiff_to_geojson_csv_json_format_converter_ray.functions.text import (
+        json_probe_int,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate,
+    )
+
+    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["props"])
+
+    def probe(batch: pa.Table) -> pa.Table:
+        k = json_probe_int(batch["props"], "k")
+        return pa.table({"k": k, "one": pa.nulls(len(k), pa.int64()).fill_null(1)})
+
+    out = hash_aggregate(
+        ds.map_batches(probe, batch_format="pyarrow", batch_size=None),
+        ["k"],
+        [("one", "sum", "n")],
+    )
+    return pa.table(
+        {"k": out["k"].cast(pa.int64()), "n": out["n"].cast(pa.int64())}
+    )
+
+
+def _q_funnel_steps(sf_dir: str) -> pa.Table:
+    """Ordered funnel (view -> click -> purchase): per-user deepest
+    step via one keyed shuffle; each user reduces to a single int
+    before the combine."""
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.window import (
+        funnel_counts,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "ts"],
+    )
+    return funnel_counts(ds, ["view", "click", "purchase"])
+
+
+def _q_string_agg_nations(sf_dir: str) -> pa.Table:
+    """Per-nation ordered STRING_AGG of customer names (the
+    collect-to-list aggregate shape)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        grouped_string_agg,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_nationkey", "c_name", "c_custkey"],
+    )
+    out = grouped_string_agg(ds, "c_nationkey", "c_name", "c_custkey")
+    return pa.table(
+        {"c_nationkey": out["c_nationkey"].cast(pa.int32()), "agg": out["agg"]}
+    )
+
+
+def _q_grouped_corr(sf_dir: str) -> pa.Table:
+    """Pearson corr(quantity, price-dollars) per returnflag from exact
+    int64 moment sums -- bit-reproducible at any partitioning, unlike
+    running-covariance corr."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        grouped_corr,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    def to_ints(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        qi = np.where(q < 0, -np.floor(-q + 0.5), np.floor(q + 0.5))
+        pi = np.where(p < 0, -np.floor(-p + 0.5), np.floor(p + 0.5))
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "qty": pa.array(qi.astype(np.int64)),
+                "dollars": pa.array(pi.astype(np.int64)),
+            }
+        )
+
+    prepared = ds.map_batches(to_ints, batch_format="pyarrow", batch_size=None)
+    return grouped_corr(prepared, "l_returnflag", "qty", "dollars")
+
+
 def _q_s2_cells(sf_dir: str) -> pa.Table:
     """TRUE spherical S2 cell assignment (functions/s2.py: face +
     quadratic ST + Hilbert walk) at level 9 over geocoded events --
@@ -2182,6 +2271,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_buckets": _q_quantile_buckets,
         "weighted_sample": _q_weighted_sample,
         "heavy_hitters": _q_heavy_hitters,
+        "props_extract": _q_props_extract,
+        "funnel_steps": _q_funnel_steps,
+        "string_agg_nations": _q_string_agg_nations,
+        "grouped_corr": _q_grouped_corr,
         "docs_pip_join": _q_docs_pip,
         # relational operators
         "pricing_summary": _q_pricing_summary,
@@ -2417,6 +2510,49 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND "
             "CURRENT ROW) / 100.0, 6) AS mov_avg3 "
             "FROM e"
+        ),
+        "props_extract": (
+            "SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY k"
+        ),
+        "funnel_steps": (
+            "WITH v AS (SELECT user_id, MIN(ts) AS t FROM events "
+            "WHERE event_type = 'view' GROUP BY user_id), "
+            "c AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e "
+            "JOIN v ON e.user_id = v.user_id AND e.ts > v.t "
+            "WHERE e.event_type = 'click' GROUP BY e.user_id), "
+            "p AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e "
+            "JOIN c ON e.user_id = c.user_id AND e.ts > c.t "
+            "WHERE e.event_type = 'purchase' GROUP BY e.user_id) "
+            "SELECT 'view' AS step, CAST((SELECT COUNT(*) FROM v) AS BIGINT) "
+            "AS n_reached "
+            "UNION ALL SELECT 'click', CAST((SELECT COUNT(*) FROM c) AS "
+            "BIGINT) "
+            "UNION ALL SELECT 'purchase', CAST((SELECT COUNT(*) FROM p) AS "
+            "BIGINT)"
+        ),
+        "string_agg_nations": (
+            "SELECT c_nationkey, "
+            "STRING_AGG(c_name, ',' ORDER BY c_custkey) AS agg "
+            "FROM customer GROUP BY c_nationkey"
+        ),
+        "grouped_corr": (
+            "WITH l AS (SELECT l_returnflag, "
+            "CAST(ROUND(l_quantity, 0) AS BIGINT) AS qty, "
+            "CAST(ROUND(l_extendedprice, 0) AS BIGINT) AS dollars "
+            "FROM lineitem), "
+            "m AS (SELECT l_returnflag, "
+            "CAST(COUNT(*) AS DOUBLE) AS n, "
+            "CAST(SUM(qty) AS DOUBLE) AS sx, "
+            "CAST(SUM(dollars) AS DOUBLE) AS sy, "
+            "CAST(SUM(qty * qty) AS DOUBLE) AS sxx, "
+            "CAST(SUM(dollars * dollars) AS DOUBLE) AS syy, "
+            "CAST(SUM(qty * dollars) AS DOUBLE) AS sxy FROM l "
+            "GROUP BY l_returnflag) "
+            "SELECT l_returnflag, "
+            "ROUND((n * sxy - sx * sy) / "
+            "(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) "
+            "AS corr FROM m"
         ),
         "quantile_buckets": (
             "WITH b AS (SELECT "

@@ -848,3 +848,111 @@ class TestPivotRollup:
         assert rows[("y", None)] == (1, 4, 4, 4)
         assert rows[(None, None)] == (3, 7, 1, 4)
         assert len(rows) == 6
+
+
+class TestJsonProbe:
+    def test_int_and_str_probe_edges(self):
+        import pyarrow as pa
+        from tiff_to_geojson_csv_json_format_converter_ray.functions.text import (
+            json_probe_int, json_probe_str,
+        )
+
+        col = pa.array(
+            ['{"k": 69}', '{"k": -3, "x": "y"}', '{}', None,
+             '{"k": "notint"}', '{ "k" :  7 }']
+        )
+        assert json_probe_int(col, "k").to_pylist() == [69, -3, None, None,
+                                                        None, 7]
+        assert json_probe_str(col, "x").to_pylist() == [None, "y", None,
+                                                        None, None, None]
+
+
+class TestFunnel:
+    def test_kernel_strict_order(self):
+        import pyarrow as pa
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.window import (
+            funnel_kernel,
+        )
+
+        def mk(types, ts):
+            return pa.table(
+                {"event_type": pa.array(types, pa.string()),
+                 "ts": pa.array(ts, pa.timestamp("us"))}
+            )
+
+        steps = ["view", "click", "purchase"]
+        # full funnel in order
+        g = mk(["view", "click", "purchase"], [1, 2, 3])
+        assert funnel_kernel(g, steps)["depth"].to_pylist() == [3]
+        # click before view does not count
+        g = mk(["click", "view"], [1, 2])
+        assert funnel_kernel(g, steps)["depth"].to_pylist() == [1]
+        # tie (same ts) must NOT advance (strict >)
+        g = mk(["view", "click"], [5, 5])
+        assert funnel_kernel(g, steps)["depth"].to_pylist() == [1]
+        # no step events at all
+        g = mk(["error"], [1])
+        assert funnel_kernel(g, steps)["depth"].to_pylist() == [0]
+
+    def test_counts_monotone(self, ray_session, sf_dir):
+        import os
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.window import (
+            funnel_counts,
+        )
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "event_type", "ts"],
+        )
+        out = funnel_counts(ds, ["view", "click", "purchase"]).to_pydict()
+        n = out["n_reached"]
+        assert out["step"] == ["view", "click", "purchase"]
+        assert n[0] >= n[1] >= n[2] >= 0
+
+
+class TestGroupedStringAggCorr:
+    def test_string_agg_ordered(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+            grouped_string_agg,
+        )
+
+        tbl = pa.table(
+            {"g": pa.array([1, 1, 2, 1], pa.int64()),
+             "name": ["b", "c", "z", "a"],
+             "ord": pa.array([2, 3, 1, 1], pa.int64())}
+        )
+        ds = ray.data.from_arrow(tbl).repartition(2)
+        out = grouped_string_agg(ds, "g", "name", "ord")
+        d = dict(zip(out["g"].to_pylist(), out["agg"].to_pylist()))
+        assert d == {1: "a,b,c", 2: "z"}
+
+    def test_grouped_corr_matches_numpy_and_partitioning(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+            grouped_corr,
+        )
+
+        rng = np.random.default_rng(9)
+        n = 2000
+        g = rng.integers(0, 3, n)
+        x = rng.integers(1, 100, n)
+        y = (2 * x + rng.integers(0, 50, n)).astype(np.int64)
+        tbl = pa.table({"g": pa.array(g.astype(np.int64)),
+                        "x": pa.array(x.astype(np.int64)), "y": pa.array(y)})
+
+        def run(parts):
+            ds = ray.data.from_arrow(tbl).repartition(parts)
+            out = grouped_corr(ds, "g", "x", "y")
+            return dict(zip(out["g"].to_pylist(), out["corr"].to_pylist()))
+
+        a, b = run(1), run(5)
+        assert a == b  # exact moments -> identical at any partitioning
+        for gv in (0, 1, 2):
+            m = g == gv
+            want = np.corrcoef(x[m], y[m])[0, 1]
+            assert abs(a[gv] - want) < 1e-6

@@ -229,3 +229,32 @@ def quality_features(text: str) -> dict[str, float]:
     score *= 0.5 + 0.5 * min(uniq * 1.5, 1.0)
     feats["quality"] = score
     return feats
+
+
+# ------------------------------------------------------- JSON field probe
+def json_probe_int(col, key: str):
+    """Vectorized single-field probe of a JSON string column: extracts
+    the integer value of top-level ``key`` with one RE2
+    ``pc.extract_regex`` pass -- the webtext fast path for metadata
+    columns where full JSON parsing per row would dominate the stage
+    (probe-then-parse: rows the probe misses can fall back to a real
+    parser).  Returns int64 with NULL where the key is absent /
+    non-integer."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    pat = '"' + key + '"\\s*:\\s*(?P<v>-?[0-9]+)'
+    st = pc.extract_regex(col, pattern=pat)
+    v = pc.struct_field(st, "v")
+    return pc.cast(v, pa.int64())
+
+
+def json_probe_str(col, key: str):
+    """String-valued sibling of :func:`json_probe_int`: extracts
+    ``"key": "value"`` (no escape handling -- documented probe
+    semantics; escaped strings need the fallback parser)."""
+    import pyarrow.compute as pc
+
+    pat = '"' + key + '"\\s*:\\s*"(?P<v>[^"\\\\]*)"'
+    st = pc.extract_regex(col, pattern=pat)
+    return pc.struct_field(st, "v")

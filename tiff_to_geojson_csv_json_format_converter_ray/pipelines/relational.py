@@ -292,3 +292,82 @@ class BroadcastLookup:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return batch.join(self.dim, keys=self.on, join_type="left outer")
+
+
+def grouped_string_agg(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    order_col: str,
+    sep: str = ",",
+) -> pa.Table:
+    """SQL ``STRING_AGG(value, sep ORDER BY order_col)`` per group (the
+    collect-to-list shape).  One keyed shuffle co-locates each group;
+    the per-group kernel is a sort + Arrow ``binary_join`` -- group
+    state is one group's rows, the same bound as any collect
+    aggregate."""
+
+    def kernel(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[(order_col, "ascending")])
+        g = group.take(idx)
+        joined = pc.binary_join(
+            pa.array([g[value_col].to_pylist()], pa.list_(pa.string())),
+            sep,
+        )
+        return pa.table({group_col: g[group_col].slice(0, 1), "agg": joined})
+
+    out = collect_tables(
+        ds.groupby(group_col).map_groups(kernel, batch_format="pyarrow")
+    )
+    if out is None:
+        return pa.table({group_col: [], "agg": pa.array([], pa.string())})
+    return out
+
+
+def grouped_corr(
+    ds: ray.data.Dataset,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    ndigits: int = 6,
+) -> pa.Table:
+    """Pearson correlation per group from EXACT integer moments: x and
+    y arrive as integer (cents) columns, the five sufficient statistics
+    (n, Sx, Sy, Sxx, Syy, Sxy) accumulate in int64 through the standard
+    combiner, and the final formula runs once per group in float64 --
+    so the result is bit-reproducible at any partitioning, unlike a
+    running-covariance implementation.  int64 bounds the usable range
+    to Sxy < 2^63 (~1e18; at web scale feed it pre-scaled units)."""
+
+    def moments(batch: pa.Table) -> pa.Table:
+        x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                group_col: batch[group_col],
+                "_n": pa.array(np.ones(len(x), np.int64)),
+                "_sx": pa.array(x),
+                "_sy": pa.array(y),
+                "_sxx": pa.array(x * x),
+                "_syy": pa.array(y * y),
+                "_sxy": pa.array(x * y),
+            }
+        )
+
+    m = hash_aggregate(
+        ds.map_batches(moments, batch_format="pyarrow", batch_size=None),
+        [group_col],
+        [(c, "sum", c) for c in ["_n", "_sx", "_sy", "_sxx", "_syy", "_sxy"]],
+    )
+    n = m["_n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    sx = m["_sx"].to_numpy(zero_copy_only=False).astype(np.float64)
+    sy = m["_sy"].to_numpy(zero_copy_only=False).astype(np.float64)
+    sxx = m["_sxx"].to_numpy(zero_copy_only=False).astype(np.float64)
+    syy = m["_syy"].to_numpy(zero_copy_only=False).astype(np.float64)
+    sxy = m["_sxy"].to_numpy(zero_copy_only=False).astype(np.float64)
+    corr = (n * sxy - sx * sy) / (
+        np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
+    )
+    return pa.table(
+        {group_col: m[group_col], "corr": round_like_sql(corr, ndigits)}
+    )

@@ -261,3 +261,61 @@ def keyed_window_functions(
         ),
         batch_format="pyarrow",
     )
+
+
+def funnel_kernel(
+    group: pa.Table,
+    steps: list[str],
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> pa.Table:
+    """Ordered-funnel progress for ONE key's events (run inside
+    ``groupby(key).map_groups``): step i is reached iff an event of
+    ``steps[i]`` occurs STRICTLY after the timestamp that reached step
+    i-1 (the SQL min-ts-chain formulation, so ties do not advance the
+    funnel).  Emits one row: the deepest step index reached (0 = none).
+    Vectorized: one min() per step over masked timestamps."""
+    ts = group[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    et = group[type_col].to_numpy(zero_copy_only=False)
+    t_prev = -np.inf
+    depth = 0
+    for i, s in enumerate(steps):
+        m = (et == s) & (ts > t_prev)
+        if not m.any():
+            break
+        t_prev = ts[m].min()
+        depth = i + 1
+    return pa.table({"depth": pa.array([depth], pa.int64())})
+
+
+def funnel_counts(
+    ds,
+    steps: list[str],
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> pa.Table:
+    """Funnel analysis: how many keys reached each step of the ordered
+    ``steps`` sequence.  One keyed shuffle co-locates each key's
+    events; the per-key kernel emits only its reached depth (one int),
+    so the combine is |keys| rows no matter how many events -- then a
+    tiny suffix-sum turns depth counts into step-reach counts."""
+    from ..pipelines.relational import collect_tables
+
+    depths = ds.groupby(key_col).map_groups(
+        lambda g: funnel_kernel(g, steps, type_col=type_col, ts_col=ts_col),
+        batch_format="pyarrow",
+    )
+    t = collect_tables(depths)
+    counts = np.zeros(len(steps) + 1, dtype=np.int64)
+    if t is not None:
+        d = t["depth"].to_numpy(zero_copy_only=False)
+        binc = np.bincount(d, minlength=len(steps) + 1)
+        counts[: len(binc)] = binc[: len(steps) + 1]
+    reached = np.cumsum(counts[::-1])[::-1]  # reached[i] = #keys depth >= i
+    return pa.table(
+        {
+            "step": pa.array(list(steps), pa.string()),
+            "n_reached": pa.array(reached[1:].astype(np.int64)),
+        }
+    )
