@@ -990,6 +990,69 @@ def _q_grouped_corr(sf_dir: str) -> pa.Table:
     return grouped_corr(prepared, "l_returnflag", "qty", "dollars")
 
 
+def _q_ngram_repetition(sf_dir: str) -> pa.Table:
+    """Gopher/C4 quality signal: within-doc duplicate trigram fraction,
+    vectorized entirely in Arrow kernels per batch."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+        ngram_repetition,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = collect_tables(
+        ds.map_batches(ngram_repetition, batch_format="pyarrow", batch_size=None)
+    )
+    return pa.table({"doc_id": out["doc_id"], "dup3": out["dup3"]})
+
+
+def _q_cms_counts(sf_dir: str) -> pa.Table:
+    """Count-min token frequencies: O(width*depth) driver state for
+    unbounded vocab.  At the fixture vocab the sketch is collision-free
+    (deterministic per seed+data), so the exact-count oracle pins it;
+    adversarial-width error bounds are pytest-verified."""
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
+        cms_counts,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+        _explode_tokens,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    toks = ds.map_batches(
+        lambda b: _explode_tokens(b, "text", "doc_id"),
+        batch_format="pyarrow", batch_size=None,
+    )
+    return cms_counts(toks, "token", width=4096, depth=4)
+
+
+def _q_distinct_users_by_type(sf_dir: str) -> pa.Table:
+    """Exact grouped COUNT(DISTINCT): per-batch distinct pairs combine
+    to a (types x users)-bounded intermediate, then a tiny count."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        distinct,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "user_id"],
+    )
+    pairs = distinct(ds, ["event_type", "user_id"])
+    out = (
+        pairs.group_by("event_type")
+        .aggregate([("user_id", "count")])
+        .rename_columns(["event_type", "n_users"])
+    )
+    return pa.table(
+        {"event_type": out["event_type"], "n_users": out["n_users"].cast(pa.int64())}
+    )
+
+
 def _q_s2_cells(sf_dir: str) -> pa.Table:
     """TRUE spherical S2 cell assignment (functions/s2.py: face +
     quadratic ST + Hilbert walk) at level 9 over geocoded events --
@@ -2275,6 +2338,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_steps": _q_funnel_steps,
         "string_agg_nations": _q_string_agg_nations,
         "grouped_corr": _q_grouped_corr,
+        "ngram_repetition": _q_ngram_repetition,
+        "cms_counts": _q_cms_counts,
+        "distinct_users_by_type": _q_distinct_users_by_type,
         "docs_pip_join": _q_docs_pip,
         # relational operators
         "pricing_summary": _q_pricing_summary,
@@ -2510,6 +2576,28 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND "
             "CURRENT ROW) / 100.0, 6) AS mov_avg3 "
             "FROM e"
+        ),
+        "ngram_repetition": (
+            "WITH arr AS (SELECT doc_id, "
+            "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') "
+            "AS a FROM documents), "
+            "tri AS (SELECT doc_id, UNNEST(list_transform("
+            "range(1, len(a) - 1), "
+            "i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS g "
+            "FROM arr WHERE len(a) >= 3) "
+            "SELECT doc_id, "
+            "ROUND(1.0 - CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*), 6) "
+            "AS dup3 FROM tri GROUP BY doc_id"
+        ),
+        "cms_counts": (
+            "SELECT token, CAST(COUNT(*) AS BIGINT) AS est_n FROM "
+            "(SELECT UNNEST(regexp_split_to_array(text, '\\s+')) AS token "
+            "FROM documents) WHERE token <> '' GROUP BY token"
+        ),
+        "distinct_users_by_type": (
+            "SELECT event_type, "
+            "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
+            "FROM events GROUP BY event_type"
         ),
         "props_extract": (
             "SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, "

@@ -389,3 +389,72 @@ class TestWeightedBottomK:
         assert a == b
         heavy = sum(1 for k in a if k < n // 2)
         assert heavy >= 90  # 50x weight dominates the sample
+
+
+class TestCountMinSketch:
+    def test_never_undercounts_and_bounds(self):
+        import numpy as np
+        from tiff_to_geojson_csv_json_format_converter_ray.functions.hashing import (
+            fnv1a_array,
+        )
+        from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
+            CountMinSketch,
+        )
+
+        rng = np.random.default_rng(7)
+        items = [f"k{int(v)}" for v in rng.zipf(1.3, 20000) % 1000]
+        true = {}
+        for t in items:
+            true[t] = true.get(t, 0) + 1
+        cms = CountMinSketch(width=64, depth=4)  # adversarially narrow
+        keys = list(true)
+        cms.update_hashed(
+            fnv1a_array(keys), np.array([true[k] for k in keys])
+        )
+        est = cms.query_hashed(fnv1a_array(keys))
+        n = len(items)
+        over = 0
+        for k, e in zip(keys, est):
+            assert e >= true[k]  # CMS never undercounts
+            if e > true[k] + 2 * n / 64:
+                over += 1
+        # the 2n/w bound holds for all but a 2^-depth fraction
+        assert over <= max(1, int(len(keys) * 2 ** -4 * 2))
+
+    def test_merge_equals_single_pass(self):
+        import numpy as np
+        from tiff_to_geojson_csv_json_format_converter_ray.functions.hashing import (
+            fnv1a_array,
+        )
+        from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
+            CountMinSketch,
+        )
+
+        a = CountMinSketch(256, 4)
+        b = CountMinSketch(256, 4)
+        whole = CountMinSketch(256, 4)
+        h1, c1 = fnv1a_array(["x", "y"]), np.array([3, 5])
+        h2, c2 = fnv1a_array(["y", "z"]), np.array([2, 7])
+        a.update_hashed(h1, c1)
+        b.update_hashed(h2, c2)
+        whole.update_hashed(np.r_[h1, h2], np.r_[c1, c2])
+        a.merge(b)
+        assert np.array_equal(a.reg, whole.reg)
+        assert a.total == whole.total == 17
+
+    def test_cms_stage_partition_invariant(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
+            cms_counts,
+        )
+
+        toks = ["a"] * 40 + ["b"] * 10 + ["c"] * 3
+        tbl = pa.table({"token": pa.array(toks, pa.string())})
+        for parts in (1, 4):
+            ds = ray.data.from_arrow(tbl).repartition(parts)
+            out = cms_counts(ds, "token", width=1024, depth=4)
+            assert dict(zip(out["token"].to_pylist(),
+                            out["est_n"].to_pylist())) == {
+                "a": 40, "b": 10, "c": 3
+            }

@@ -956,3 +956,36 @@ class TestGroupedStringAggCorr:
             m = g == gv
             want = np.corrcoef(x[m], y[m])[0, 1]
             assert abs(a[gv] - want) < 1e-6
+
+
+class TestNgramRepetition:
+    def test_hand_example_and_short_docs(self):
+        import pyarrow as pa
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+            ngram_repetition,
+        )
+
+        b = pa.table(
+            {"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+             "text": ["a b a b a  x", "p q", " a a a a ", ""]}
+        )
+        out = ngram_repetition(b).sort_by("doc_id").to_pydict()
+        # doc1: 4 trigrams, 3 distinct -> 0.25; doc2/4: <3 tokens -> no row
+        # doc3: 'a a a' x2 -> dup 0.5
+        assert out["doc_id"] == [1, 3]
+        assert out["dup3"] == [0.25, 0.5]
+
+    def test_no_cross_doc_trigrams(self):
+        import pyarrow as pa
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+            ngram_repetition,
+        )
+
+        # identical tails across adjacent docs must not form trigrams
+        b = pa.table(
+            {"doc_id": pa.array([1, 2], pa.int64()),
+             "text": ["x y", "z x y"]}
+        )
+        out = ngram_repetition(b).to_pydict()
+        assert out["doc_id"] == [2]  # doc1 has only 2 tokens
+        assert out["dup3"] == [0.0]

@@ -145,3 +145,57 @@ class MisraGries:
         self.merge_counts(list(other.counts), list(other.counts.values()))
         self.total_decrement += other.total_decrement
         return self
+
+
+class CountMinSketch:
+    """Mergeable count-min sketch: ``depth`` rows of ``width`` int64
+    counters; item row-indices come from fmix64 over an FNV-1a string
+    hash xor a per-row seed, so two sketches built with the same shape
+    merge by element-wise ADD (the register trick shared with
+    HyperLogLog).  Point estimates NEVER undercount; overcount is
+    <= 2n/width with probability 1 - 2^-depth per query (Cormode &
+    Muthukrishnan 2005)."""
+
+    _ROW_SEEDS = np.array(
+        [0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9,
+         0x27D4EB2F165667C5, 0x85EBCA77C2B2AE63, 0xFF51AFD7ED558CCD],
+        dtype=np.uint64,
+    )
+
+    def __init__(self, width: int = 4096, depth: int = 4):
+        if depth > len(self._ROW_SEEDS):
+            raise ValueError(f"depth <= {len(self._ROW_SEEDS)}")
+        self.width = int(width)
+        self.depth = int(depth)
+        self.reg = np.zeros((depth, width), dtype=np.int64)
+        self.total = 0
+
+    def _indices(self, hashes: np.ndarray) -> np.ndarray:
+        """(depth, n) column indices for pre-hashed items."""
+        h = hashes.view(np.uint64)
+        out = np.empty((self.depth, len(h)), dtype=np.int64)
+        for r in range(self.depth):
+            out[r] = (_fmix64(h ^ self._ROW_SEEDS[r]).view(np.uint64)
+                      % np.uint64(self.width)).astype(np.int64)
+        return out
+
+    def update_hashed(self, hashes: np.ndarray, counts: np.ndarray) -> None:
+        idx = self._indices(hashes)
+        c = np.asarray(counts, dtype=np.int64)
+        for r in range(self.depth):
+            np.add.at(self.reg[r], idx[r], c)
+        self.total += int(c.sum())
+
+    def query_hashed(self, hashes: np.ndarray) -> np.ndarray:
+        idx = self._indices(hashes)
+        est = self.reg[0][idx[0]]
+        for r in range(1, self.depth):
+            est = np.minimum(est, self.reg[r][idx[r]])
+        return est
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        if (other.width, other.depth) != (self.width, self.depth):
+            raise ValueError("shape mismatch")
+        self.reg += other.reg
+        self.total += other.total
+        return self

@@ -426,3 +426,56 @@ def heavy_hitters(
             "n": pa.array([c for _, c in items], pa.int64()),
         }
     )
+
+
+def cms_counts(
+    ds: ray.data.Dataset,
+    col: str,
+    width: int = 4096,
+    depth: int = 4,
+    min_est: int = 1,
+) -> pa.Table:
+    """Count-min frequency estimates for every distinct value of
+    ``col``.  Per-block exact count partials stream into ONE
+    (depth x width)-bounded driver sketch -- O(width*depth) driver
+    memory for unbounded vocab (the CMS counterpart of
+    :func:`heavy_hitters`); the query set comes from a distinct pass
+    (vocab-bounded by definition of "queryable items").  Estimates
+    never undercount; with ``width`` well above the distinct count the
+    sketch is collision-free in practice and the counts are exact --
+    the mode the SQL oracle pins (error bounds are pytest-verified at
+    adversarial widths)."""
+    from ..functions.hashing import fnv1a_array
+    from ..functions.sketch import CountMinSketch
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select([col]).group_by(col).aggregate([(col, "count")])
+        return t.rename_columns([col, "n"])
+
+    cms = CountMinSketch(width, depth)
+    vocab: set = set()
+    for t in ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        tt = t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+        if not tt.num_rows:
+            continue
+        items = tt[col].to_pylist()
+        cms.update_hashed(
+            fnv1a_array(items),
+            tt["n"].to_numpy(zero_copy_only=False),
+        )
+        vocab.update(items)
+    items = sorted(vocab)
+    if not items:
+        return pa.table(
+            {col: pa.array([], pa.string()), "est_n": pa.array([], pa.int64())}
+        )
+    est = cms.query_hashed(fnv1a_array(items))
+    keep = est >= min_est
+    return pa.table(
+        {
+            col: pa.array([i for i, k in zip(items, keep) if k], pa.string()),
+            "est_n": pa.array(est[keep]),
+        }
+    )

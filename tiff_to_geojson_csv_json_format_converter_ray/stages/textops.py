@@ -189,3 +189,60 @@ class TfIdfScore:
                 "tfidf": round_like_sql(per_doc["s_sum"], self.ndigits),
             }
         )
+
+
+def ngram_repetition(
+    batch: pa.Table,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    n: int = 3,
+    ndigits: int = 6,
+) -> pa.Table:
+    """Within-document duplicate n-gram fraction (the Gopher/C4 rep-
+    etition quality signal): ``1 - distinct_ngrams / total_ngrams``
+    per doc, over whitespace tokens.  Fully vectorized in-batch: one
+    explode, shifted-slice equality masks for doc boundaries,
+    ``binary_join_element_wise`` to materialize the n-gram strings,
+    then two Arrow group_bys.  Docs with fewer than n tokens emit no
+    row (matches the SQL formulation).  Per-batch is exact because a
+    document never spans batches."""
+    import pyarrow.compute as pc
+
+    t = _explode_tokens(batch, text_col, doc_col).combine_chunks()
+    m = t.num_rows
+    empty = pa.table(
+        {doc_col: pa.array([], batch[doc_col].type),
+         f"dup{n}": pa.array([], pa.float64())}
+    )
+    if m < n:
+        return empty
+    did = t[doc_col].to_numpy(zero_copy_only=False)
+    k = m - n + 1
+    same = np.ones(k, dtype=bool)
+    for j in range(1, n):
+        same &= did[j:j + k] == did[:k]
+    if not same.any():
+        return empty
+    toks = t["token"]
+    parts = [toks.slice(j, k) for j in range(n)]
+    tri = pc.binary_join_element_wise(*parts, " ")
+    rows = pa.table(
+        {doc_col: t[doc_col].slice(0, k), "g": tri}
+    ).filter(pa.array(same))
+    uniq = (
+        rows.group_by([doc_col, "g"]).aggregate([])
+        .group_by(doc_col).aggregate([(doc_col, "count")])
+        .rename_columns([doc_col, "uniq"])
+    )
+    total = (
+        rows.group_by(doc_col).aggregate([(doc_col, "count")])
+        .rename_columns([doc_col, "total"])
+    )
+    j = uniq.join(total, keys=doc_col)
+    from ..pipelines.relational import round_like_sql
+
+    ratio = 1.0 - (
+        j["uniq"].to_numpy(zero_copy_only=False).astype(np.float64)
+        / j["total"].to_numpy(zero_copy_only=False).astype(np.float64)
+    )
+    return pa.table({doc_col: j[doc_col], f"dup{n}": round_like_sql(ratio, ndigits)})
