@@ -1053,6 +1053,21 @@ def _q_distinct_users_by_type(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_kmeans_clusters(sf_dir: str) -> pa.Table:
+    """Distributed Lloyd k-means over the embedding corpus (curation
+    clustering).  Iterative, so no SQL oracle; partition-invariant by
+    int64-quantized accumulation, pinned-golden checked."""
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.ann import (
+        kmeans_cluster_counts,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    return kmeans_cluster_counts(ds, k=8, iters=4, seed=42)
+
+
 def _q_s2_cells(sf_dir: str) -> pa.Table:
     """TRUE spherical S2 cell assignment (functions/s2.py: face +
     quadratic ST + Hilbert walk) at level 9 over geocoded events --
@@ -2341,6 +2356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_repetition": _q_ngram_repetition,
         "cms_counts": _q_cms_counts,
         "distinct_users_by_type": _q_distinct_users_by_type,
+        "kmeans_clusters": _q_kmeans_clusters,
         "docs_pip_join": _q_docs_pip,
         # relational operators
         "pricing_summary": _q_pricing_summary,

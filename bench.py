@@ -292,7 +292,12 @@ QUERY_SUBSET = [
 # late-round-2 additions, timed via --extra-queries (kept OUT of the
 # default subset so the headline suite total stays comparable to
 # BASELINE.md's 12-query composition across rounds)
-EXTRA_QUERY_SUBSET = ["range_join", "big_join_revenue", "token_frequencies"]
+EXTRA_QUERY_SUBSET = [
+    "range_join", "big_join_revenue", "token_frequencies",
+    "tfidf_scores", "window_funcs", "pivot_events", "rollup_pricing",
+    "quantile_buckets", "weighted_sample", "heavy_hitters",
+    "funnel_steps", "grouped_corr", "ngram_repetition", "cms_counts",
+]
 
 
 def run_queries(sf_dir: str) -> dict[str, float]:

@@ -34,6 +34,7 @@ NO_ORACLE_QUERIES = [
     "media_decode",
     "jaccard_pairs",
     "s2_cells",
+    "kmeans_clusters",
 ]
 
 

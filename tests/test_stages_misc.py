@@ -989,3 +989,40 @@ class TestNgramRepetition:
         out = ngram_repetition(b).to_pydict()
         assert out["doc_id"] == [2]  # doc1 has only 2 tokens
         assert out["dup3"] == [0.0]
+
+
+class TestKMeans:
+    def test_partition_invariant_and_separates_blobs(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.ann import (
+            kmeans_cluster_counts, kmeans_fit,
+        )
+
+        # two well-separated unit-vector blobs in 8d
+        rng = np.random.default_rng(2)
+        n = 300
+        a = np.tile([1.0, 0, 0, 0, 0, 0, 0, 0], (n, 1)) + rng.normal(0, .05, (n, 8))
+        b = np.tile([0, 1.0, 0, 0, 0, 0, 0, 0], (n, 1)) + rng.normal(0, .05, (n, 8))
+        x = np.vstack([a, b])
+        tbl = pa.table(
+            {"vec_id": pa.array(np.arange(2 * n, dtype=np.int64)),
+             "embedding": pa.array([row.tolist() for row in x],
+                                   pa.list_(pa.float32()))}
+        )
+
+        def run(parts):
+            ds = ray.data.from_arrow(tbl).repartition(parts)
+            return kmeans_cluster_counts(ds, k=2, iters=4, seed=1).to_pydict()
+
+        r1, r5 = run(1), run(5)
+        assert r1 == r5  # int64-quantized sums -> partitioning-exact
+        assert sorted(r1["n"]) == [n, n]  # blobs recovered exactly
+
+        c = kmeans_fit(
+            ray.data.from_arrow(tbl), k=2, iters=4, seed=1
+        )
+        # centroids align with the blob axes
+        tops = {int(np.argmax(np.abs(row))) for row in c}
+        assert tops == {0, 1}

@@ -398,3 +398,103 @@ def ivf_topk(
     d = index_dir or tempfile.mkdtemp(prefix="ivf_index_")
     build_ivf_index(ds, d, vec_col, id_col, n_lists, train_sample, seed)
     return ivf_search(d, queries, k, nprobe, vec_col, id_col)
+
+
+def kmeans_fit(
+    ds: ray.data.Dataset,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 5,
+    seed: int = 42,
+    quant: int = 1_000_000,
+) -> np.ndarray:
+    """Distributed Lloyd k-means over the FULL corpus (embedding-
+    curation clustering), partition-invariant by construction:
+
+    - init centroids = the deterministic bottom-k sample (same
+      hash-order trick as train_ivf, so no head bias and no RNG state);
+    - each iteration is ONE map_batches pass emitting per-cluster
+      partial sums of the unit vectors QUANTIZED to int64 (``round(x *
+      quant)``) plus counts -- int64 addition is exact, so the combined
+      sums (and therefore the next centroids and the final result) are
+      identical at any partitioning / combine order, which float sums
+      cannot guarantee;
+    - the driver combine is k x d ints per block (kilobytes).
+
+    Centroids move through the object store as a broadcast each round;
+    the corpus never shuffles."""
+    from .sketch import bottomk_sample
+
+    init_tbl = bottomk_sample(
+        ds.select_columns([id_col, vec_col]), id_col, k, seed=seed
+    )
+    order = np.argsort(init_tbl[id_col].to_numpy(zero_copy_only=False))
+    c = _unit(list_col_to_matrix(init_tbl[vec_col])[order])
+    d = c.shape[1]
+
+    for _ in range(iters):
+        cref = ray.put(c)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            cc = ray.get(cref)
+            x = _unit(list_col_to_matrix(batch[vec_col]))
+            a = np.argmax(x @ cc.T, axis=1)
+            q = np.round(x * quant).astype(np.int64)
+            sums = np.zeros((len(cc), d), dtype=np.int64)
+            np.add.at(sums, a, q)
+            counts = np.bincount(a, minlength=len(cc)).astype(np.int64)
+            return pa.table(
+                {
+                    "sums": pa.array([sums.ravel().tolist()]),
+                    "counts": pa.array([counts.tolist()]),
+                }
+            )
+
+        tot = np.zeros((k, d), dtype=np.int64)
+        n = np.zeros(k, dtype=np.int64)
+        for t in ds.map_batches(
+            partial, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_format="pyarrow", batch_size=None):
+            tt = t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+            for s, cn in zip(tt["sums"].to_pylist(), tt["counts"].to_pylist()):
+                tot += np.asarray(s, np.int64).reshape(k, d)
+                n += np.asarray(cn, np.int64)
+        nz = n > 0
+        c = c.copy()
+        c[nz] = _unit(tot[nz].astype(np.float64) / (quant * n[nz])[:, None])
+    return c
+
+
+def kmeans_cluster_counts(
+    ds: ray.data.Dataset,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 5,
+    seed: int = 42,
+) -> pa.Table:
+    """Fit + one assignment pass; returns (cluster_id, n) -- the
+    curation-facing summary (cluster sizes for balance/pruning
+    decisions)."""
+    c = kmeans_fit(ds, vec_col, id_col, k=k, iters=iters, seed=seed)
+    cref = ray.put(c)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cc = ray.get(cref)
+        x = _unit(list_col_to_matrix(batch[vec_col]))
+        a = np.argmax(x @ cc.T, axis=1)
+        cnt = np.bincount(a, minlength=len(cc))
+        return pa.table(
+            {
+                "cluster_id": pa.array(np.arange(len(cc), dtype=np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    out = _collect(
+        ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+    )
+    agg = out.group_by("cluster_id").aggregate([("n", "sum")])
+    agg = agg.rename_columns(["cluster_id", "n"]).sort_by("cluster_id")
+    return agg
