@@ -1068,6 +1068,79 @@ def _q_kmeans_clusters(sf_dir: str) -> pa.Table:
     return kmeans_cluster_counts(ds, k=8, iters=4, seed=42)
 
 
+def _q_zscore_chars(sf_dir: str) -> pa.Table:
+    """Per-language z-score of document length: exact int64 moments ->
+    broadcast (group, mean, std) -> vectorized standardize join."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables, grouped_zscore,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "n_chars"],
+    )
+    out = collect_tables(grouped_zscore(ds, "lang", "n_chars"))
+    return pa.table({"doc_id": out["doc_id"], "z": out["z"]})
+
+
+def _q_hash_split(sf_dir: str) -> pa.Table:
+    """Deterministic 80/10/10 train/val/test split by mix32(doc_id);
+    per (lang, split) counts.  Membership is append-stable, unlike a
+    random split."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
+        hash_split,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    tagged = hash_split(ds, "doc_id", seed=17)
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": batch["lang"],
+                "split": batch["split"],
+                "one": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+
+    out = hash_aggregate(
+        tagged.map_batches(ones, batch_format="pyarrow", batch_size=None),
+        ["lang", "split"],
+        [("one", "sum", "n")],
+    )
+    return pa.table(
+        {"lang": out["lang"], "split": out["split"], "n": out["n"].cast(pa.int64())}
+    )
+
+
+def _q_intersect_users(sf_dir: str) -> pa.Table:
+    """Set INTERSECT: users who both clicked and purchased -- two
+    distinct passes, Arrow in-driver join of the (user-bounded) sets."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        distinct,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "user_id"],
+    )
+    clicked = distinct(
+        ds.filter(expr="event_type == 'click'").select_columns(["user_id"]),
+        ["user_id"],
+    )
+    bought = distinct(
+        ds.filter(expr="event_type == 'purchase'").select_columns(["user_id"]),
+        ["user_id"],
+    )
+    both = clicked.join(bought, keys="user_id")
+    return pa.table({"user_id": both["user_id"].cast(pa.int64())})
+
+
 def _q_s2_cells(sf_dir: str) -> pa.Table:
     """TRUE spherical S2 cell assignment (functions/s2.py: face +
     quadratic ST + Hilbert walk) at level 9 over geocoded events --
@@ -2357,6 +2430,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_counts": _q_cms_counts,
         "distinct_users_by_type": _q_distinct_users_by_type,
         "kmeans_clusters": _q_kmeans_clusters,
+        "zscore_chars": _q_zscore_chars,
+        "hash_split": _q_hash_split,
+        "intersect_users": _q_intersect_users,
         "docs_pip_join": _q_docs_pip,
         # relational operators
         "pricing_summary": _q_pricing_summary,
@@ -2592,6 +2668,30 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND "
             "CURRENT ROW) / 100.0, 6) AS mov_avg3 "
             "FROM e"
+        ),
+        "zscore_chars": (
+            "WITH m AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n, "
+            "CAST(SUM(n_chars) AS DOUBLE) AS sx, "
+            "CAST(SUM(n_chars * n_chars) AS DOUBLE) AS sxx "
+            "FROM documents GROUP BY lang) "
+            "SELECT doc_id, "
+            "ROUND((n_chars - sx / n) / "
+            "sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS z "
+            "FROM documents JOIN m USING (lang)"
+        ),
+        "hash_split": (
+            "SELECT lang, CASE WHEN b < 80 THEN 'train' "
+            "WHEN b < 90 THEN 'val' ELSE 'test' END AS split, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM "
+            "(SELECT lang, ("
+            + __import__("tiff_to_geojson_csv_json_format_converter_ray.functions.sketch",
+                         fromlist=["mix32_sql"]).mix32_sql("doc_id", 17)
+            + ") % 100 AS b FROM documents) GROUP BY lang, split"
+        ),
+        "intersect_users": (
+            "SELECT DISTINCT user_id FROM events WHERE event_type = 'click' "
+            "INTERSECT "
+            "SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'"
         ),
         "ngram_repetition": (
             "WITH arr AS (SELECT doc_id, "

@@ -371,3 +371,61 @@ def grouped_corr(
     return pa.table(
         {group_col: m[group_col], "corr": round_like_sql(corr, ndigits)}
     )
+
+
+def grouped_zscore(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    out_col: str = "z",
+    ndigits: int = 6,
+) -> ray.data.Dataset:
+    """Per-group z-score normalization (feature engineering's two-phase
+    shape): phase 1 aggregates exact int64 moment sums per group
+    (value must be integer-typed -- quantize floats upstream, cents
+    style); phase 2 broadcasts the tiny (group, mean, std) table and
+    standardizes each row in place.  Sample std (n-1).  Exact integer
+    moments make mean/std -- and every z -- bit-reproducible at any
+    partitioning."""
+
+    def moments(batch: pa.Table) -> pa.Table:
+        x = batch[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                group_col: batch[group_col],
+                "_n": pa.array(np.ones(len(x), np.int64)),
+                "_sx": pa.array(x),
+                "_sxx": pa.array(x * x),
+            }
+        )
+
+    m = hash_aggregate(
+        ds.map_batches(moments, batch_format="pyarrow", batch_size=None),
+        [group_col],
+        [(c, "sum", c) for c in ["_n", "_sx", "_sxx"]],
+    )
+    n = m["_n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    sx = m["_sx"].to_numpy(zero_copy_only=False).astype(np.float64)
+    sxx = m["_sxx"].to_numpy(zero_copy_only=False).astype(np.float64)
+    mean = sx / n
+    std = np.sqrt((sxx - sx * sx / n) / (n - 1))
+    stats = pa.table(
+        {group_col: m[group_col], "_mu": pa.array(mean), "_sd": pa.array(std)}
+    )
+    sref = ray.put(stats)
+
+    def standardize(batch: pa.Table) -> pa.Table:
+        st = ray.get(sref)
+        idx_col = "_row"
+        withe = batch.append_column(
+            idx_col, pa.array(np.arange(batch.num_rows, dtype=np.int64))
+        )
+        j = withe.join(st, keys=group_col).sort_by(idx_col)
+        x = j[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        mu = j["_mu"].to_numpy(zero_copy_only=False)
+        sd = j["_sd"].to_numpy(zero_copy_only=False)
+        return j.drop_columns([idx_col, "_mu", "_sd"]).append_column(
+            out_col, round_like_sql((x - mu) / sd, ndigits)
+        )
+
+    return ds.map_batches(standardize, batch_format="pyarrow", batch_size=None)

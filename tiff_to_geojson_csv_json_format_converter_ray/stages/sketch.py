@@ -479,3 +479,32 @@ def cms_counts(
             "est_n": pa.array(est[keep]),
         }
     )
+
+
+def hash_split(
+    ds: ray.data.Dataset,
+    key_col: str,
+    fractions: dict[str, int] | None = None,
+    seed: int = 0,
+    out_col: str = "split",
+) -> ray.data.Dataset:
+    """Deterministic train/val/test assignment: ``mix32(key) % 100``
+    lands each key in a named percent range (default 80/10/10).  A pure
+    function of the key, so membership is stable under reshuffles,
+    reruns and incremental appends -- the property random splits lack
+    -- and a SQL CASE over mix32_sql reproduces it bit-exactly."""
+    if fractions is None:
+        fractions = {"train": 80, "val": 10, "test": 10}
+    if sum(fractions.values()) != 100:
+        raise ValueError("fractions must sum to 100")
+    names = list(fractions)
+    edges = np.cumsum([fractions[s] for s in names])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = mix32(keys, seed) % np.int64(100)
+        which = np.searchsorted(edges, bucket, side="right")
+        lab = np.asarray(names, dtype=object)[which]
+        return batch.append_column(out_col, pa.array(lab, pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
