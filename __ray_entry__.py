@@ -1141,6 +1141,80 @@ def _q_intersect_users(sf_dir: str) -> pa.Table:
     return pa.table({"user_id": both["user_id"].cast(pa.int64())})
 
 
+def _q_bigram_counts(sf_dir: str) -> pa.Table:
+    """Global bigram LM counts, top 50: per-batch Arrow gram histogram
+    (combiner) -> distributed groupby combine -> partial top-k.  The
+    gram vocabulary never lands on the driver."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        top_k,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+        ngram_counts,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    counts = ngram_counts(ds, n=2)
+    t = top_k(counts, "n", 50, tiebreak="gram")
+    return pa.table({"gram": t["gram"], "n": t["n"].cast(pa.int64())})
+
+
+def _q_dup_passages(sf_dir: str) -> pa.Table:
+    """Duplicate-passage candidates: trigrams present in >= 2 distinct
+    documents (corpus boilerplate signal), top 50 by doc count.  The
+    distinct-doc counts come from per-batch distinct pairs (one row
+    per doc => exact partials) through the distributed combine."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        top_k,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+        shared_ngram_docs,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    nd = shared_ngram_docs(ds, n=3)
+
+    def at_least_two(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.greater_equal(batch["nd"], 2))
+
+    shared = nd.map_batches(
+        at_least_two, batch_format="pyarrow", batch_size=None
+    )
+    t = top_k(shared, "nd", 50, tiebreak="gram")
+    return pa.table({"gram": t["gram"], "nd": t["nd"].cast(pa.int64())})
+
+
+def _q_new_users_daily(sf_dir: str) -> pa.Table:
+    """Cohort growth: first-seen day per user (distributed MIN combine)
+    -> new-users-per-day + running total over the bounded day table."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        first_seen_daily,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    return first_seen_daily(ds, "user_id", "ts")
+
+
+def _q_mode_source(sf_dir: str) -> pa.Table:
+    """Per-language modal source (deterministic lexicographic
+    tie-break) -- one combiner-pattern count, bounded argmax."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        grouped_mode,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "source"]
+    )
+    return grouped_mode(ds, "lang", "source")
+
+
 def _q_s2_cells(sf_dir: str) -> pa.Table:
     """TRUE spherical S2 cell assignment (functions/s2.py: face +
     quadratic ST + Hilbert walk) at level 9 over geocoded events --
@@ -2433,6 +2507,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_chars": _q_zscore_chars,
         "hash_split": _q_hash_split,
         "intersect_users": _q_intersect_users,
+        "bigram_counts": _q_bigram_counts,
+        "dup_passages": _q_dup_passages,
+        "new_users_daily": _q_new_users_daily,
+        "mode_source": _q_mode_source,
         "docs_pip_join": _q_docs_pip,
         # relational operators
         "pricing_summary": _q_pricing_summary,
@@ -2692,6 +2770,41 @@ def oracle_sql() -> dict[str, str]:
             "SELECT DISTINCT user_id FROM events WHERE event_type = 'click' "
             "INTERSECT "
             "SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'"
+        ),
+        "bigram_counts": (
+            "WITH w AS (SELECT list_filter(string_split(text, ' '), "
+            "t -> t <> '') AS ws FROM documents), "
+            "g AS (SELECT ws[i] || ' ' || ws[i+1] AS gram FROM w, "
+            "LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i)) "
+            "SELECT gram, CAST(COUNT(*) AS BIGINT) AS n FROM g "
+            "GROUP BY gram ORDER BY n DESC, gram LIMIT 50"
+        ),
+        "dup_passages": (
+            "WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+            "t -> t <> '') AS ws FROM documents), "
+            "g AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] "
+            "AS gram FROM w, "
+            "LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS i)), "
+            "d AS (SELECT gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd "
+            "FROM g GROUP BY gram) "
+            "SELECT gram, nd FROM d WHERE nd >= 2 "
+            "ORDER BY nd DESC, gram LIMIT 50"
+        ),
+        "new_users_daily": (
+            "WITH f AS (SELECT user_id, MIN(ts) AS fts FROM events "
+            "GROUP BY user_id), "
+            "d AS (SELECT date_trunc('day', fts) AS day, "
+            "CAST(COUNT(*) AS BIGINT) AS new_keys FROM f GROUP BY day) "
+            "SELECT day, new_keys, "
+            "CAST(SUM(new_keys) OVER (ORDER BY day) AS BIGINT) AS cum_keys "
+            "FROM d"
+        ),
+        "mode_source": (
+            "SELECT lang, source AS mode, n FROM ("
+            "SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n, "
+            "ROW_NUMBER() OVER (PARTITION BY lang "
+            "ORDER BY COUNT(*) DESC, source) AS rn "
+            "FROM documents GROUP BY lang, source) WHERE rn = 1"
         ),
         "ngram_repetition": (
             "WITH arr AS (SELECT doc_id, "

@@ -559,3 +559,160 @@ class TestMultimodal:
         dec = MediaDecode(decoder="real")
         with pytest.raises(NotImplementedError):
             dec(gen_media(2))
+
+
+class TestCorpusNgrams:
+    """ngram_counts / shared_ngram_docs: gram construction never
+    crosses a document boundary and counts are partitioning-exact."""
+
+    def _docs(self):
+        import pyarrow as pa
+
+        return pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    ["a b c a b", "b c  a", "a b c"], pa.string()
+                ),
+            }
+        )
+
+    def test_bigram_counts_exact(self, ray_session):
+        import ray
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+            collect_tables,
+        )
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+            ngram_counts,
+        )
+
+        ds = ray.data.from_arrow(self._docs()).repartition(3)
+        t = collect_tables(ngram_counts(ds, n=2))
+        got = dict(
+            zip(t["gram"].to_pylist(), t["n"].to_pylist())
+        )
+        # doc1: ab bc ca ab; doc2: bc ca; doc3: ab bc
+        assert got == {"a b": 3, "b c": 3, "c a": 2}
+
+    def test_no_cross_doc_grams(self, ray_session):
+        import ray
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+            collect_tables,
+        )
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+            ngram_counts,
+        )
+
+        # last token of doc1 + first of doc2 would form "b b" only if
+        # grams leaked across the boundary
+        ds = ray.data.from_arrow(self._docs())
+        t = collect_tables(ngram_counts(ds, n=2))
+        assert "b b" not in set(t["gram"].to_pylist())
+
+    def test_shared_trigram_doc_counts(self, ray_session):
+        import ray
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+            collect_tables,
+        )
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+            shared_ngram_docs,
+        )
+
+        ds = ray.data.from_arrow(self._docs()).repartition(2)
+        t = collect_tables(shared_ngram_docs(ds, n=3))
+        got = dict(zip(t["gram"].to_pylist(), t["nd"].to_pylist()))
+        # "a b c" occurs twice in doc1 but counts once per doc
+        assert got["a b c"] == 2
+        assert got["b c a"] == 2  # docs 1 and 2
+        assert got["c a b"] == 1  # doc 1 only
+
+
+class TestCohortAndMode:
+    def test_first_seen_daily_cumsum(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+            first_seen_daily,
+        )
+
+        ts = np.array(
+            [
+                "2024-01-01T10:00", "2024-01-02T09:00",  # u1: first 01-01
+                "2024-01-02T08:00",                      # u2: first 01-02
+                "2024-01-01T23:59",                      # u3: first 01-01
+                "2024-01-03T00:00",                      # u4: first 01-03
+            ],
+            dtype="datetime64[us]",
+        )
+        t = pa.table(
+            {
+                "user_id": pa.array([1, 1, 2, 3, 4], pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+            }
+        )
+        out = first_seen_daily(
+            ray.data.from_arrow(t).repartition(3), "user_id", "ts"
+        )
+        assert out["new_keys"].to_pylist() == [2, 1, 1]
+        assert out["cum_keys"].to_pylist() == [2, 3, 4]
+
+    def test_grouped_mode_tiebreak(self, ray_session):
+        import pyarrow as pa
+        import ray
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+            grouped_mode,
+        )
+
+        t = pa.table(
+            {
+                "g": pa.array(["x", "x", "x", "x", "y"], pa.string()),
+                "v": pa.array(["b", "b", "a", "a", "z"], pa.string()),
+            }
+        )
+        out = grouped_mode(
+            ray.data.from_arrow(t).repartition(2), "g", "v"
+        )
+        rows = {
+            g: (m, n)
+            for g, m, n in zip(
+                out["g"].to_pylist(),
+                out["mode"].to_pylist(),
+                out["n"].to_pylist(),
+            )
+        }
+        # tie between a and b in group x -> lexicographically smallest
+        assert rows["x"] == ("a", 2)
+        assert rows["y"] == ("z", 1)
+
+
+class TestHashSplit:
+    def test_partitioning_invariant_and_fractions(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+            collect_tables,
+        )
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
+            hash_split,
+        )
+
+        t = pa.table({"k": pa.array(np.arange(5000), pa.int64())})
+
+        def run(nparts):
+            out = collect_tables(
+                hash_split(
+                    ray.data.from_arrow(t).repartition(nparts), "k", seed=7
+                )
+            )
+            return dict(zip(out["k"].to_pylist(), out["split"].to_pylist()))
+
+        a, b = run(1), run(8)
+        assert a == b  # pure function of the key
+        from collections import Counter
+
+        c = Counter(a.values())
+        assert abs(c["train"] / 5000 - 0.8) < 0.03
+        assert abs(c["val"] / 5000 - 0.1) < 0.02
+        assert abs(c["test"] / 5000 - 0.1) < 0.02

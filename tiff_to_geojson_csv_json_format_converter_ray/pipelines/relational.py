@@ -429,3 +429,89 @@ def grouped_zscore(
         )
 
     return ds.map_batches(standardize, batch_format="pyarrow", batch_size=None)
+
+
+def first_seen_daily(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+    day_col: str = "day",
+) -> pa.Table:
+    """Cohort growth: new entities per day plus the running total
+    (the 'first-seen' analytics shape).  Phase 1 computes global
+    MIN(ts) per key through the distributed groupby shuffle -- key
+    cardinality is corpus-scale, so no driver table of keys ever
+    exists.  Phase 2 buckets the (already tiny per key) firsts into
+    calendar days with a per-batch partial count, and the cumulative
+    sum runs on the bounded day table on the driver."""
+    firsts = hash_aggregate(
+        ds, [key_col], [(ts_col, "min", "_fts")], distributed_combine=True
+    )
+
+    def day_key(batch: pa.Table) -> pa.Table:
+        ts = batch["_fts"].to_numpy(zero_copy_only=False)
+        day = ts.astype("datetime64[D]").astype("datetime64[us]")
+        return pa.table(
+            {
+                day_col: pa.array(day, pa.timestamp("us")),
+                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+
+    daily = hash_aggregate(
+        firsts.map_batches(day_key, batch_format="pyarrow", batch_size=None),
+        [day_col],
+        [("_one", "sum", "new_keys")],
+    )
+    idx = pc.sort_indices(daily, sort_keys=[(day_col, "ascending")])
+    daily = daily.take(idx)
+    new = daily["new_keys"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table(
+        {
+            day_col: daily[day_col],
+            "new_keys": pa.array(new),
+            "cum_keys": pa.array(np.cumsum(new)),
+        }
+    )
+
+
+def grouped_mode(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    out_col: str = "mode",
+) -> pa.Table:
+    """Per-group mode (most frequent value, lexicographically-smallest
+    tie-break -- the deterministic ROW_NUMBER()-over-count SQL shape).
+    One combiner-pattern count over (group, value) pairs; the argmax
+    runs over the bounded (group x value) table."""
+    counts = hash_aggregate(
+        ds.map_batches(
+            lambda b: b.select([group_col, value_col]).append_column(
+                "_one", pa.array(np.ones(b.num_rows, np.int64))
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        ),
+        [group_col, value_col],
+        [("_one", "sum", "_n")],
+    )
+    idx = pc.sort_indices(
+        counts,
+        sort_keys=[
+            (group_col, "ascending"),
+            ("_n", "descending"),
+            (value_col, "ascending"),
+        ],
+    )
+    t = counts.take(idx)
+    g = t[group_col].to_numpy(zero_copy_only=False)
+    starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+    first = t.take(pa.array(starts))
+    return pa.table(
+        {
+            group_col: first[group_col],
+            out_col: first[value_col],
+            "n": first["_n"].cast(pa.int64()),
+        }
+    )

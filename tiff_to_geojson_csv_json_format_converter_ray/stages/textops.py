@@ -246,3 +246,105 @@ def ngram_repetition(
         / j["total"].to_numpy(zero_copy_only=False).astype(np.float64)
     )
     return pa.table({doc_col: j[doc_col], f"dup{n}": round_like_sql(ratio, ndigits)})
+
+
+# ------------------------------------------------------- corpus n-grams
+def _explode_ngrams(
+    batch: pa.Table, n: int, text_col: str, doc_col: str
+) -> pa.Table:
+    """(doc, gram) rows for every word-level n-gram: Arrow RE2 split,
+    flatten, then the slice trick -- n shifted views joined by one
+    ``binary_join_element_wise`` C call; a gram is kept only when all
+    n tokens share a document (boolean mask, no Python loop)."""
+    import pyarrow.compute as pc
+
+    t = _explode_tokens(batch, text_col, doc_col).combine_chunks()
+    m = t.num_rows
+    empty = pa.table(
+        {
+            doc_col: pa.array([], batch[doc_col].type),
+            "gram": pa.array([], pa.string()),
+        }
+    )
+    if m < n:
+        return empty
+    did = t[doc_col].to_numpy(zero_copy_only=False)
+    k = m - n + 1
+    same = np.ones(k, dtype=bool)
+    for j in range(1, n):
+        same &= did[j:j + k] == did[:k]
+    if not same.any():
+        return empty
+    toks = t["token"]
+    gram = pc.binary_join_element_wise(
+        *(toks.slice(j, k) for j in range(n)), " "
+    )
+    return pa.table(
+        {doc_col: t[doc_col].slice(0, k), "gram": gram}
+    ).filter(pa.array(same))
+
+
+def ngram_counts(
+    ds,
+    n: int = 2,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    distributed_combine: bool = True,
+):
+    """Global n-gram language-model counts over the corpus (the
+    classic count-based LM / corpus-statistics pass).  Per-batch Arrow
+    group_by collapses each batch to its local gram histogram (the
+    combiner), so only pre-aggregated partials enter the final
+    combine.  The gram vocabulary is corpus-scale at 100 TB, so the
+    default routes the combine through the distributed groupby
+    shuffle and returns a Dataset; flip ``distributed_combine=False``
+    for a driver-side table when the vocabulary is known-small."""
+    from ..pipelines.relational import hash_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = _explode_ngrams(batch, n, text_col, doc_col)
+        out = g.group_by("gram").aggregate([("gram", "count")])
+        return out.rename_columns(["gram", "cnt"])
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    )
+    return hash_aggregate(
+        partials,
+        ["gram"],
+        [("cnt", "sum", "n")],
+        distributed_combine=distributed_combine,
+    )
+
+
+def shared_ngram_docs(
+    ds,
+    n: int = 3,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    distributed_combine: bool = True,
+):
+    """Cross-document duplicate-passage detection: for every n-gram,
+    the number of DISTINCT documents containing it (grams in >= 2 docs
+    are boilerplate / copied-passage candidates -- the corpus-level
+    signal behind suffix-array dedup).  Per-batch distinct (doc, gram)
+    pairs collapse to per-gram doc counts; partials sum exactly
+    because a document never spans batches (one row per doc, the
+    token_doc_frequencies invariant).  Returns (gram, nd)."""
+    from ..pipelines.relational import hash_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = _explode_ngrams(batch, n, text_col, doc_col)
+        pairs = g.group_by([doc_col, "gram"]).aggregate([])
+        out = pairs.group_by("gram").aggregate([("gram", "count")])
+        return out.rename_columns(["gram", "cnt"])
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    )
+    return hash_aggregate(
+        partials,
+        ["gram"],
+        [("cnt", "sum", "nd")],
+        distributed_combine=distributed_combine,
+    )
