@@ -1215,6 +1215,49 @@ def _q_mode_source(sf_dir: str) -> pa.Table:
     return grouped_mode(ds, "lang", "source")
 
 
+def _q_pii_redact(sf_dir: str) -> pa.Table:
+    """PII scrubbing with a REAL oracle: a contact string is
+    constructed as a pure function of table columns on BOTH sides
+    (engine and SQL), then emails and digit-runs are redacted --
+    Arrow RE2 kernels vs DuckDB RE2, bit-identical replacements."""
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+        pii_redact,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars", "text"],
+    )
+
+    def build_and_redact(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        raw = pc.binary_join_element_wise(
+            "contact user",
+            batch["doc_id"].cast(pa.string()),
+            "@",
+            batch["source"],
+            ".com or +91",
+            batch["n_chars"].cast(pa.string()),
+            " ",
+            pc.utf8_slice_codeunits(batch["text"], 0, 40),
+            "",
+        )
+        t = pa.table({"doc_id": batch["doc_id"], "raw": raw})
+        out = pii_redact(t, text_col="raw")
+        return out.select(["doc_id", "n_email", "n_number", "redacted"])
+
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+
+    return collect_tables(
+        ds.map_batches(
+            build_and_redact, batch_format="pyarrow", batch_size=None
+        )
+    )
+
+
 def _q_s2_cells(sf_dir: str) -> pa.Table:
     """TRUE spherical S2 cell assignment (functions/s2.py: face +
     quadratic ST + Hilbert walk) at level 9 over geocoded events --
@@ -2511,6 +2554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_passages": _q_dup_passages,
         "new_users_daily": _q_new_users_daily,
         "mode_source": _q_mode_source,
+        "pii_redact": _q_pii_redact,
         "docs_pip_join": _q_docs_pip,
         # relational operators
         "pricing_summary": _q_pricing_summary,
@@ -2799,6 +2843,26 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(new_keys) OVER (ORDER BY day) AS BIGINT) AS cum_keys "
             "FROM d"
         ),
+        "pii_redact": (
+            lambda _ep=__import__(
+                "tiff_to_geojson_csv_json_format_converter_ray.stages.textops",
+                fromlist=["PII_PATTERNS"],
+            ).PII_PATTERNS: (
+                "WITH s AS (SELECT doc_id, 'contact user' || "
+                "CAST(doc_id AS VARCHAR) || '@' || source || '.com or +91' "
+                "|| CAST(n_chars AS VARCHAR) || ' ' || substr(text, 1, 40) "
+                "AS raw FROM documents) "
+                "SELECT doc_id, "
+                f"CAST(len(regexp_extract_all(raw, '{_ep[0][1]}')) AS BIGINT)"
+                " AS n_email, "
+                "CAST(len(regexp_extract_all(regexp_replace(raw, "
+                f"'{_ep[0][1]}', '{_ep[0][2]}', 'g'), '{_ep[1][1]}')) "
+                "AS BIGINT) AS n_number, "
+                f"regexp_replace(regexp_replace(raw, '{_ep[0][1]}', "
+                f"'{_ep[0][2]}', 'g'), '{_ep[1][1]}', '{_ep[1][2]}', 'g') "
+                "AS redacted FROM s"
+            )
+        )(),
         "mode_source": (
             "SELECT lang, source AS mode, n FROM ("
             "SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n, "

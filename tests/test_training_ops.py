@@ -716,3 +716,57 @@ class TestHashSplit:
         assert abs(c["train"] / 5000 - 0.8) < 0.03
         assert abs(c["val"] / 5000 - 0.1) < 0.02
         assert abs(c["test"] / 5000 - 0.1) < 0.02
+
+
+class TestPIIRedact:
+    def test_counts_and_order(self, ray_session):
+        import pyarrow as pa
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+            pii_redact,
+        )
+
+        t = pa.table(
+            {
+                "text": pa.array(
+                    [
+                        "a.b+c@d-e.co.uk then 1234 and 12",
+                        "nothing",
+                        "x@y.io x@y.io 999",
+                    ]
+                )
+            }
+        )
+        out = pii_redact(t)
+        assert out["redacted"].to_pylist() == [
+            "<EMAIL> then <NUM> and 12",
+            "nothing",
+            "<EMAIL> <EMAIL> <NUM>",
+        ]
+        assert out["n_email"].to_pylist() == [1, 0, 2]
+        assert out["n_number"].to_pylist() == [1, 0, 1]
+
+    def test_re2_parity_with_duckdb(self, ray_session):
+        """Arrow RE2 and DuckDB RE2 must redact byte-identically --
+        the property the pii_redact oracle depends on."""
+        import duckdb
+        import pyarrow as pa
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+            PII_PATTERNS, pii_redact,
+        )
+
+        rows = [
+            "edge a@b.c not-an-email@ @nope.com 007",
+            "many a1@b2.org,c3@d4.net;12345",
+            "unicode café@mail.fr ☃ 42000",
+            "dots a..b@x.io trailing. 1-800-555-0100",
+        ]
+        out = pii_redact(pa.table({"text": pa.array(rows)}))
+        con = duckdb.connect()
+        (_, epat, etok), (_, npat, ntok) = PII_PATTERNS
+        for raw, got in zip(rows, out["redacted"].to_pylist()):
+            want = con.execute(
+                "SELECT regexp_replace(regexp_replace(?, ?, ?, 'g'), "
+                "?, ?, 'g')",
+                [raw, epat, etok, npat, ntok],
+            ).fetchone()[0]
+            assert got == want, raw

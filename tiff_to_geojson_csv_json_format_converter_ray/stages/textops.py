@@ -348,3 +348,38 @@ def shared_ngram_docs(
         [("cnt", "sum", "nd")],
         distributed_combine=distributed_combine,
     )
+
+
+# ------------------------------------------------------- PII redaction
+#: public-recipe defaults: email, then long digit runs (phone/account
+#: numbers).  Email runs FIRST so its digits are not pre-mangled.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("number", r"\d{3,}", "<NUM>"),
+]
+
+
+def pii_redact(
+    batch: pa.Table,
+    text_col: str = "text",
+    patterns: list[tuple[str, str, str]] | None = None,
+    out_col: str = "redacted",
+) -> pa.Table:
+    """Vectorized PII scrubbing (the standard pre-training cleaning
+    pass): for each (name, regex, token) pattern, count matches and
+    replace them, entirely in Arrow RE2 C kernels
+    (``count_substring_regex`` + ``replace_substring_regex``) -- the
+    same regex engine DuckDB uses, so redactions are bit-reproducible
+    against a SQL oracle.  Patterns apply in order (email before
+    digit-runs, so addresses are not pre-mangled).  Appends
+    ``out_col`` plus one ``n_<name>`` count column per pattern."""
+    import pyarrow.compute as pc
+
+    if patterns is None:
+        patterns = PII_PATTERNS
+    s = batch[text_col]
+    for name, pat, token in patterns:
+        cnt = pc.count_substring_regex(s, pattern=pat)
+        batch = batch.append_column(f"n_{name}", cnt.cast(pa.int64()))
+        s = pc.replace_substring_regex(s, pattern=pat, replacement=token)
+    return batch.append_column(out_col, s)
