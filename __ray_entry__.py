@@ -1215,6 +1215,73 @@ def _q_mode_source(sf_dir: str) -> pa.Table:
     return grouped_mode(ds, "lang", "source")
 
 
+def _q_track_simplify(sf_dir: str) -> pa.Table:
+    """Per-user GPS-track Douglas-Peucker simplification: the ordered
+    per-key spatial window (groupby shuffle co-locates each user's
+    fixes, map_groups sorts and simplifies).  Recursive geometry ->
+    not SQL-expressible; pinned-golden checked.  Reference semantic
+    kin: the polyline handling in clip.js/slope.js (SURVEY S8/J6)."""
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+
+    def geocode(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon = 77.0 + (eid % 96).astype(np.float64) * 0.01
+        lat = 28.05 + ((eid // 96) % 96).astype(np.float64) * 0.01
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts": batch["ts"],
+                "event_id": batch["event_id"],
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+            }
+        )
+
+    geo = ds.map_batches(geocode, batch_format="pyarrow", batch_size=None)
+
+    def simplify(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from tiff_to_geojson_csv_json_format_converter_ray.functions.geometry import (
+            simplify_dp,
+        )
+
+        order = pc.sort_indices(
+            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        g = group.take(order)
+        lon = g["lon"].to_numpy(zero_copy_only=False)
+        lat = g["lat"].to_numpy(zero_copy_only=False)
+        keep = simplify_dp(lon, lat, tol=0.02)
+        d = np.hypot(np.diff(lon[keep]), np.diff(lat[keep]))
+        return pa.table(
+            {
+                "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
+                "n_raw": pa.array([len(lon)], pa.int64()),
+                "n_kept": pa.array([int(keep.sum())], pa.int64()),
+                "simplified_len": pa.array([float(d.sum())]),
+            }
+        )
+
+    out = geo.groupby("user_id").map_groups(simplify, batch_format="pyarrow")
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables, round_like_sql,
+    )
+
+    t = collect_tables(out)
+    return pa.table(
+        {
+            "user_id": t["user_id"],
+            "n_raw": t["n_raw"],
+            "n_kept": t["n_kept"],
+            "simplified_len": round_like_sql(t["simplified_len"], 6),
+        }
+    )
+
+
 def _q_pii_redact(sf_dir: str) -> pa.Table:
     """PII scrubbing with a REAL oracle: a contact string is
     constructed as a pure function of table columns on BOTH sides
@@ -2555,6 +2622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "new_users_daily": _q_new_users_daily,
         "mode_source": _q_mode_source,
         "pii_redact": _q_pii_redact,
+        "track_simplify": _q_track_simplify,
         "docs_pip_join": _q_docs_pip,
         # relational operators
         "pricing_summary": _q_pricing_summary,

@@ -35,6 +35,7 @@ NO_ORACLE_QUERIES = [
     "jaccard_pairs",
     "s2_cells",
     "kmeans_clusters",
+    "track_simplify",
 ]
 
 

@@ -820,3 +820,55 @@ class TestBilinear:
                 (0.01, 0.001, 77.0, 0.0, -0.01, 29.0),
                 np.array([77.1]), np.array([28.5]),
             )
+
+
+class TestSimplifyDP:
+    def test_spike_kept_line_dropped(self):
+        import numpy as np
+        from tiff_to_geojson_csv_json_format_converter_ray.functions.geometry import (
+            simplify_dp,
+        )
+
+        x = np.array([0, 1, 2, 3, 4, 5], float)
+        y = np.array([0, 0, 1.0, 0, 0, 0])
+        keep = simplify_dp(x, y, 2.0)
+        assert keep.tolist() == [True, False, False, False, False, True]
+        keep = simplify_dp(x, y, 0.5)
+        assert keep[2] and keep[0] and keep[-1]
+
+    def test_endpoints_and_degenerate(self):
+        import numpy as np
+        from tiff_to_geojson_csv_json_format_converter_ray.functions.geometry import (
+            simplify_dp,
+        )
+
+        assert simplify_dp(np.array([1.0]), np.array([2.0]), 0.1).tolist() == [True]
+        assert simplify_dp(
+            np.array([0.0, 3.0]), np.array([0.0, 0.0]), 0.1
+        ).tolist() == [True, True]
+        # closed loop: anchor == far point, falls back to point distance
+        keep = simplify_dp(
+            np.array([0.0, 0.0, 0.0]), np.array([0.0, 1.0, 0.0]), 0.5
+        )
+        assert keep.tolist() == [True, True, True]
+
+    def test_within_tolerance_property(self):
+        """Every dropped vertex lies within tol of the simplified
+        polyline's anchor chords (the DP guarantee)."""
+        import numpy as np
+        from tiff_to_geojson_csv_json_format_converter_ray.functions.geometry import (
+            simplify_dp,
+        )
+
+        rng = np.random.default_rng(11)
+        x = np.cumsum(rng.uniform(0.1, 1.0, 200))
+        y = np.cumsum(rng.normal(0, 0.3, 200))
+        tol = 0.4
+        keep = simplify_dp(x, y, tol)
+        kept = np.flatnonzero(keep)
+        for a, b in zip(kept[:-1], kept[1:]):
+            xs, ys = x[a + 1:b], y[a + 1:b]
+            dx, dy = x[b] - x[a], y[b] - y[a]
+            seg = np.hypot(dx, dy)
+            d = np.abs((xs - x[a]) * dy - (ys - y[a]) * dx) / seg
+            assert (d <= tol + 1e-12).all()

@@ -320,3 +320,41 @@ class STRtree:
                 (lon >= b[0]) & (lon <= b[2]) & (lat >= b[1]) & (lat <= b[3])
             )
         return out
+
+
+def simplify_dp(x: np.ndarray, y: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas-Peucker polyline simplification: boolean keep-mask over
+    the input vertices.  Iterative stack (no recursion-depth limit on
+    long GPS tracks); the perpendicular-distance scan inside each
+    segment is a vectorized numpy kernel.  Endpoints always kept.
+    Degenerate anchor==far segments fall back to point distance."""
+    n = len(x)
+    keep = np.zeros(n, dtype=bool)
+    if n == 0:
+        return keep
+    keep[0] = keep[n - 1] = True
+    if n <= 2:
+        return keep
+    stack = [(0, n - 1)]
+    while stack:
+        a, b = stack.pop()
+        if b - a < 2:
+            continue
+        xs = x[a + 1:b]
+        ys = y[a + 1:b]
+        dx = x[b] - x[a]
+        dy = y[b] - y[a]
+        seg2 = dx * dx + dy * dy
+        if seg2 == 0.0:
+            d = np.hypot(xs - x[a], ys - y[a])
+        else:
+            # |cross| / |seg| -- distance to the infinite line; DP uses
+            # the line through the anchors, the standard formulation
+            d = np.abs((xs - x[a]) * dy - (ys - y[a]) * dx) / np.sqrt(seg2)
+        i = int(np.argmax(d))
+        if d[i] > tol:
+            m = a + 1 + i
+            keep[m] = True
+            stack.append((a, m))
+            stack.append((m, b))
+    return keep
