@@ -1215,6 +1215,104 @@ def _q_mode_source(sf_dir: str) -> pa.Table:
     return grouped_mode(ds, "lang", "source")
 
 
+def _q_except_docs(sf_dir: str) -> pa.Table:
+    """Set EXCEPT: docs mentioning 'spark' but not 'vector' -- one scan
+    computes BOTH substring predicates with vectorized Arrow
+    ``match_substring`` (not two passes), then a left-anti join of the
+    (match-bounded) id sets."""
+    import pyarrow.compute as pc
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+
+    def tag(batch: pa.Table) -> pa.Table:
+        has_a = pc.match_substring(batch["text"], "spark")
+        has_b = pc.match_substring(batch["text"], "vector")
+        t = pa.table(
+            {"doc_id": batch["doc_id"], "has_a": has_a, "has_b": has_b}
+        )
+        return t.filter(pc.or_(has_a, has_b))  # non-matches never leave
+
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+
+    t = collect_tables(
+        ds.map_batches(tag, batch_format="pyarrow", batch_size=None)
+    )
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    a = ids[t["has_a"].to_numpy(zero_copy_only=False)]
+    b = ids[t["has_b"].to_numpy(zero_copy_only=False)]
+    keep = np.setdiff1d(a, b)  # sorted unique difference
+    return pa.table({"doc_id": pa.array(keep, pa.int64())})
+
+
+def _q_dow_histogram(sf_dir: str) -> pa.Table:
+    """Events per ISO day-of-week (1=Mon..7=Sun): vectorized epoch-day
+    arithmetic per batch, 7-row combiner aggregate."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate,
+    )
+
+    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+
+    def dow(batch: pa.Table) -> pa.Table:
+        days = (
+            batch["ts"].to_numpy(zero_copy_only=False)
+            .astype("datetime64[D]")
+            .view("int64")
+        )
+        isodow = (days + 3) % 7 + 1  # 1970-01-01 was a Thursday (=4)
+        return pa.table(
+            {
+                "isodow": pa.array(isodow),
+                "_one": pa.array(np.ones(len(days), np.int64)),
+            }
+        )
+
+    out = hash_aggregate(
+        ds.map_batches(dow, batch_format="pyarrow", batch_size=None),
+        ["isodow"],
+        [("_one", "sum", "n")],
+    )
+    return pa.table(
+        {"isodow": out["isodow"], "n": out["n"].cast(pa.int64())}
+    )
+
+
+def _q_lang_share(sf_dir: str) -> pa.Table:
+    """Ratio-to-report: per-language share of the corpus (grouped count
+    over a bounded key set + driver-side normalization)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang"]
+    )
+    out = hash_aggregate(
+        ds.map_batches(
+            lambda b: b.append_column(
+                "_one", pa.array(np.ones(b.num_rows, np.int64))
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        ),
+        ["lang"],
+        [("_one", "sum", "n")],
+    )
+    n = out["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    return pa.table(
+        {
+            "lang": out["lang"],
+            "n": out["n"].cast(pa.int64()),
+            "share": round_like_sql(n / n.sum(), 6),
+        }
+    )
+
+
 def _q_track_simplify(sf_dir: str) -> pa.Table:
     """Per-user GPS-track Douglas-Peucker simplification: the ordered
     per-key spatial window (groupby shuffle co-locates each user's
@@ -2623,6 +2721,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_source": _q_mode_source,
         "pii_redact": _q_pii_redact,
         "track_simplify": _q_track_simplify,
+        "except_docs": _q_except_docs,
+        "dow_histogram": _q_dow_histogram,
+        "lang_share": _q_lang_share,
         "docs_pip_join": _q_docs_pip,
         # relational operators
         "pricing_summary": _q_pricing_summary,
@@ -2937,6 +3038,20 @@ def oracle_sql() -> dict[str, str]:
             "ROW_NUMBER() OVER (PARTITION BY lang "
             "ORDER BY COUNT(*) DESC, source) AS rn "
             "FROM documents GROUP BY lang, source) WHERE rn = 1"
+        ),
+        "except_docs": (
+            "SELECT doc_id FROM documents WHERE contains(text, 'spark') "
+            "EXCEPT "
+            "SELECT doc_id FROM documents WHERE contains(text, 'vector')"
+        ),
+        "dow_histogram": (
+            "SELECT CAST(isodow(ts) AS BIGINT) AS isodow, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY isodow"
+        ),
+        "lang_share": (
+            "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, "
+            "ROUND(COUNT(*) / SUM(COUNT(*)) OVER (), 6) AS share "
+            "FROM documents GROUP BY lang"
         ),
         "ngram_repetition": (
             "WITH arr AS (SELECT doc_id, "
