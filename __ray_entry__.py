@@ -1215,6 +1215,27 @@ def _q_mode_source(sf_dir: str) -> pa.Table:
     return grouped_mode(ds, "lang", "source")
 
 
+def _q_pmi_bigrams(sf_dir: str) -> pa.Table:
+    """Top-50 collocations by PMI (min bigram count 5): two streaming
+    corpus aggregates (unigrams broadcast, bigrams distributed) + a
+    per-batch scoring join -- see stages/textops.py::pmi_bigrams."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        top_k,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+        pmi_bigrams,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    scored = pmi_bigrams(ds, min_count=5)
+    t = top_k(scored, "pmi", 50, tiebreak="gram")
+    return pa.table(
+        {"gram": t["gram"], "n": t["n"], "pmi": t["pmi"]}
+    )
+
+
 def _q_except_docs(sf_dir: str) -> pa.Table:
     """Set EXCEPT: docs mentioning 'spark' but not 'vector' -- one scan
     computes BOTH substring predicates with vectorized Arrow
@@ -2722,6 +2743,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": _q_pii_redact,
         "track_simplify": _q_track_simplify,
         "except_docs": _q_except_docs,
+        "pmi_bigrams": _q_pmi_bigrams,
         "dow_histogram": _q_dow_histogram,
         "lang_share": _q_lang_share,
         "docs_pip_join": _q_docs_pip,
@@ -3038,6 +3060,25 @@ def oracle_sql() -> dict[str, str]:
             "ROW_NUMBER() OVER (PARTITION BY lang "
             "ORDER BY COUNT(*) DESC, source) AS rn "
             "FROM documents GROUP BY lang, source) WHERE rn = 1"
+        ),
+        "pmi_bigrams": (
+            "WITH w AS (SELECT list_filter(string_split(text, ' '), "
+            "t -> t <> '') AS ws FROM documents), "
+            "uni AS (SELECT unnest(ws) AS tok FROM w), "
+            "u AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c "
+            "FROM uni GROUP BY tok), "
+            "nu AS (SELECT SUM(c) AS n1 FROM u), "
+            "big AS (SELECT ws[i] AS w1, ws[i+1] AS w2, "
+            "ws[i] || ' ' || ws[i+1] AS gram FROM w, "
+            "LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i)), "
+            "b AS (SELECT w1, w2, gram, CAST(COUNT(*) AS DOUBLE) AS cb "
+            "FROM big GROUP BY w1, w2, gram), "
+            "nb AS (SELECT SUM(cb) AS n2 FROM b) "
+            "SELECT gram, CAST(cb AS BIGINT) AS n, "
+            "ROUND(ln((cb / n2) / ((u1.c / n1) * (u2.c / n1))), 6) AS pmi "
+            "FROM b JOIN u u1 ON b.w1 = u1.tok "
+            "JOIN u u2 ON b.w2 = u2.tok, nb, nu "
+            "WHERE cb >= 5 ORDER BY pmi DESC, gram LIMIT 50"
         ),
         "except_docs": (
             "SELECT doc_id FROM documents WHERE contains(text, 'spark') "

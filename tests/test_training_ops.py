@@ -770,3 +770,46 @@ class TestPIIRedact:
                 [raw, epat, etok, npat, ntok],
             ).fetchone()[0]
             assert got == want, raw
+
+
+class TestPMI:
+    def test_planted_collocation(self, ray_session):
+        import math
+
+        import pyarrow as pa
+        import ray
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+            collect_tables,
+        )
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+            pmi_bigrams,
+        )
+
+        # "new york" always together; "a b" independent-ish
+        docs = ["new york a", "new york b", "a new york", "b a"] * 3
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), pa.int64()),
+                "text": pa.array(docs, pa.string()),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(3)
+        out = collect_tables(pmi_bigrams(ds, min_count=1))
+        got = {
+            g: (n, p)
+            for g, n, p in zip(
+                out["gram"].to_pylist(),
+                out["n"].to_pylist(),
+                out["pmi"].to_pylist(),
+            )
+        }
+        # hand-computed: 12 docs, tokens: new=12? no: "new york" in all
+        # but doc "b a"x3 -> new=9, york=9, bigram "new york"=9
+        n_uni = sum(len(d.split()) for d in docs)
+        n_big = sum(len(d.split()) - 1 for d in docs)
+        want = math.log((9 / n_big) / ((9 / n_uni) * (9 / n_uni)))
+        n, p = got["new york"]
+        assert n == 9
+        assert abs(p - round(want, 6)) < 1e-9
+        # the collocation scores strictly above every other bigram
+        assert all(p >= q for _, (_, q) in got.items())

@@ -383,3 +383,82 @@ def pii_redact(
         batch = batch.append_column(f"n_{name}", cnt.cast(pa.int64()))
         s = pc.replace_substring_regex(s, pattern=pat, replacement=token)
     return batch.append_column(out_col, s)
+
+
+def pmi_bigrams(
+    ds,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    min_count: int = 5,
+    ndigits: int = 6,
+):
+    """Collocation mining: pointwise mutual information per bigram,
+    PMI = ln( P(w1 w2) / (P(w1) P(w2)) ) with probabilities from the
+    corpus unigram/bigram counts -- the classic corpus-statistics pass
+    behind phrase detection.  Three-legged plan, all corpus passes
+    streaming: (1) unigram counts via the combiner pattern (vocab-
+    bounded driver table, the broadcast side); (2) bigram counts
+    through the distributed groupby combine, materialized ONCE in the
+    object store (the post-shuffle aggregate, never the corpus);
+    (3) a per-batch Arrow join of bigrams against the broadcast
+    unigram table scores PMI in place.  Returns a Dataset of
+    (gram, n, pmi) with n >= min_count."""
+    import pyarrow.compute as pc
+    import ray
+
+    from ..pipelines.relational import hash_aggregate, round_like_sql
+
+    def upartial(batch: pa.Table) -> pa.Table:
+        t = _explode_tokens(batch, text_col, doc_col)
+        out = t.group_by("token").aggregate([("token", "count")])
+        return out.rename_columns(["token", "c"])
+
+    uni = hash_aggregate(
+        ds.map_batches(upartial, batch_format="pyarrow", batch_size=None),
+        ["token"],
+        [("c", "sum", "c")],
+    )
+    n_uni = float(
+        uni["c"].to_numpy(zero_copy_only=False).astype(np.int64).sum()
+    )
+
+    bigrams = ngram_counts(
+        ds, n=2, text_col=text_col, doc_col=doc_col,
+        distributed_combine=True,
+    ).materialize()
+    n_big = float(bigrams.sum("n"))
+    uref = ray.put(uni)
+
+    def score(batch: pa.Table) -> pa.Table:
+        u = ray.get(uref)
+        batch = batch.filter(
+            pc.greater_equal(batch["n"], pa.scalar(min_count))
+        )
+        parts = pc.split_pattern(batch["gram"], " ")
+        t = pa.table(
+            {
+                "gram": batch["gram"],
+                "n": batch["n"],
+                "w1": pc.list_element(parts, 0),
+                "w2": pc.list_element(parts, 1),
+                "_row": pa.array(np.arange(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        j = (
+            t.join(u.rename_columns(["w1", "c1"]), keys="w1")
+            .join(u.rename_columns(["w2", "c2"]), keys="w2")
+            .sort_by("_row")
+        )
+        cb = j["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c1 = j["c1"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c2 = j["c2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pmi = np.log((cb / n_big) / ((c1 / n_uni) * (c2 / n_uni)))
+        return pa.table(
+            {
+                "gram": j["gram"],
+                "n": j["n"].cast(pa.int64()),
+                "pmi": round_like_sql(pmi, ndigits),
+            }
+        )
+
+    return bigrams.map_batches(score, batch_format="pyarrow", batch_size=None)
