@@ -2151,6 +2151,25 @@ def _q_ivf_ann(sf_dir: str) -> pa.Table:
     return ivf_topk(ds, queries, k=5, n_lists=8, nprobe=4)
 
 
+def _q_pq_ann(sf_dir: str) -> pa.Table:
+    """Product-quantization ANN (stages/ann.py::pq_ann): bottom-k-
+    seeded per-subspace Lloyd codebooks -> uint8 codes (32x smaller
+    than the vectors) -> ADC table-lookup search with exact re-rank of
+    the 8k-shortlist.  Iterative training -> not SQL-expressible;
+    pinned-golden checked (partition-invariant by int64 accumulation)."""
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.ann import pq_ann
+
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = tbl["vec_id"].to_numpy()
+    vecs = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+    queries = vecs[[int(np.nonzero(ids == q)[0][0]) for q in (3, 77)]]
+    ds = _read_pq(os.path.join(sf_dir, "embeddings.parquet"))
+    return pq_ann(ds, queries, k=5, m=8, ksub=32, iters=5, rerank=8)
+
+
 def _q_zonal_multiband(sf_dir: str) -> pa.Table:
     """Zonal stats with the full pipeline (bbox prune + Null sentinel)
     over the synthetic multi-band fixture raster."""
@@ -2790,6 +2809,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality,
         "text_cleaning": _q_text_cleaning,
         "ivf_ann": _q_ivf_ann,
+        "pq_ann": _q_pq_ann,
         "zonal_multiband": _q_zonal_multiband,
         "pages_flagship": _q_pages_flagship,
         "approx_distinct": _q_approx_distinct,

@@ -28,6 +28,7 @@ NO_ORACLE_QUERIES = [
     "quality_scores",
     "text_cleaning",
     "ivf_ann",
+    "pq_ann",
     "zonal_multiband",
     "pages_flagship",
     "approx_distinct",

@@ -451,6 +451,69 @@ class TestANN:
         np.testing.assert_allclose(c1, c2, atol=0)
 
 
+class TestPQ:
+    def _load(self, sf_dir):
+        tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        ids = tbl["vec_id"].to_numpy()
+        vecs = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+        return ids, vecs
+
+    def test_pq_rerank_matches_exact_l2(self, ray_session, sf_dir):
+        """ADC+R: codes shortlist, exact squared-L2 re-rank -> the
+        final top-k must equal the brute-force L2 ranking (recall 1.0
+        at rerank=8 on the sf fixture, verified before pinning)."""
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.ann import pq_ann
+
+        ids, vecs = self._load(sf_dir)
+        queries = vecs[[3, 77]]
+        ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        got = pq_ann(
+            ds, queries, k=5, m=8, ksub=32, iters=5, rerank=8
+        ).to_pandas()
+        for qi in range(2):
+            d2 = ((vecs - queries[qi]) ** 2).sum(axis=1)
+            order = np.lexsort((ids, d2))[:5]
+            sub = got[got["query_id"] == qi].sort_values("rank")
+            np.testing.assert_array_equal(sub["vec_id"].to_numpy(), ids[order])
+            np.testing.assert_allclose(
+                sub["score"].to_numpy(), -d2[order], atol=1e-9
+            )
+
+    def test_pq_train_partition_invariant(self, ray_session, sf_dir):
+        """Codebooks from int64-quantized accumulation must be
+        bit-identical at any partitioning (same contract as kmeans)."""
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.ann import pq_train
+
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        one = ray.data.read_parquet(path)
+        many = ray.data.read_parquet(path).repartition(7)
+        b1 = pq_train(one, m=8, ksub=16, iters=3)
+        b2 = pq_train(many, m=8, ksub=16, iters=3)
+        np.testing.assert_array_equal(b1, b2)
+
+    def test_pq_codes_schema_and_size(self, ray_session, sf_dir):
+        """Encode emits uint8 FixedSizeList[m] codes: m bytes per row
+        (32x smaller than 8 float64 subvectors) -- the persistable
+        index artifact at 100 TB."""
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.ann import (
+            pq_encode, pq_train,
+        )
+
+        path = os.path.join(sf_dir, "embeddings.parquet")
+        ds = ray.data.read_parquet(path)
+        books = pq_train(ds, m=8, ksub=16, iters=2)
+        codes = pq_encode(ds, books)
+        sch = codes.schema()
+        ftype = sch.base_schema.field("pq_code").type
+        assert pa.types.is_fixed_size_list(ftype)
+        assert ftype.list_size == 8
+        assert pa.types.is_uint8(ftype.value_type)
+        assert codes.count() == pq.read_table(path).num_rows
+
+
 class TestTextAnnotate:
     def test_columns_match_direct(self, ray_session, sf_dir):
         import ray.data

@@ -498,3 +498,223 @@ def kmeans_cluster_counts(
     agg = out.group_by("cluster_id").aggregate([("n", "sum")])
     agg = agg.rename_columns(["cluster_id", "n"]).sort_by("cluster_id")
     return agg
+
+
+# ---------------------------------------------------- product quantization
+def pq_train(
+    ds: ray.data.Dataset,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 4,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    quant: int = 1_000_000,
+) -> np.ndarray:
+    """Train product-quantization codebooks (Jegou et al. 2011, public
+    recipe): the d-dim space splits into ``m`` contiguous subspaces and
+    each learns ``ksub`` L2 codewords by Lloyd iterations.  Same
+    partition-exactness contract as :func:`kmeans_fit`: deterministic
+    bottom-k init (no head bias), per-iteration ONE map_batches pass
+    accumulating int64-quantized per-codeword sums for ALL subspaces
+    at once (exact integer addition => centroids identical at any
+    partitioning), k x d ints per block to the driver.  Returns
+    codebooks of shape (m, ksub, d // m)."""
+    from .sketch import bottomk_sample
+
+    init_tbl = bottomk_sample(
+        ds.select_columns([id_col, vec_col]), id_col, ksub, seed=seed
+    )
+    order = np.argsort(init_tbl[id_col].to_numpy(zero_copy_only=False))
+    sample = list_col_to_matrix(init_tbl[vec_col])[order]
+    d = sample.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    books = sample.reshape(ksub, m, dsub).transpose(1, 0, 2).copy()
+
+    for _ in range(iters):
+        bref = ray.put(books)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            bb = ray.get(bref)  # (m, ksub, dsub)
+            x = list_col_to_matrix(batch[vec_col]).reshape(-1, m, dsub)
+            q = np.round(x * quant).astype(np.int64)
+            sums = np.zeros((m, ksub, dsub), dtype=np.int64)
+            counts = np.zeros((m, ksub), dtype=np.int64)
+            for j in range(m):  # m is small (8); inner work is vectorized
+                # squared L2 via the expansion trick, one matmul
+                d2 = (
+                    (bb[j] ** 2).sum(axis=1)[None, :]
+                    - 2.0 * x[:, j, :] @ bb[j].T
+                )
+                a = np.argmin(d2, axis=1)
+                np.add.at(sums[j], a, q[:, j, :])
+                counts[j] += np.bincount(a, minlength=ksub)
+            return pa.table(
+                {
+                    "sums": pa.array([sums.ravel().tolist()]),
+                    "counts": pa.array([counts.ravel().tolist()]),
+                }
+            )
+
+        tot = np.zeros((m, ksub, dsub), dtype=np.int64)
+        n = np.zeros((m, ksub), dtype=np.int64)
+        for t in ds.map_batches(
+            partial, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_format="pyarrow", batch_size=None):
+            tt = t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+            for s, cn in zip(tt["sums"].to_pylist(), tt["counts"].to_pylist()):
+                tot += np.asarray(s, np.int64).reshape(m, ksub, dsub)
+                n += np.asarray(cn, np.int64).reshape(m, ksub)
+        nz = n > 0
+        books = books.copy()
+        books[nz] = tot[nz].astype(np.float64) / (quant * n[nz])[:, None]
+    return books
+
+
+def pq_encode(
+    ds: ray.data.Dataset,
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    keep_cols: tuple[str, ...] = (),
+) -> ray.data.Dataset:
+    """Encode every vector to m uint8 codeword ids (d floats -> m
+    bytes, a 32x compression at d=64/m=8): broadcast codebooks, one
+    vectorized argmin per subspace per batch.  Codes stay a
+    FixedSizeList(uint8, m) column -- Arrow-native end to end."""
+    m, ksub, dsub = codebooks.shape
+    bref = ray.put(codebooks)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        bb = ray.get(bref)
+        x = list_col_to_matrix(batch[vec_col]).reshape(-1, m, dsub)
+        codes = np.empty((x.shape[0], m), dtype=np.uint8)
+        for j in range(m):
+            d2 = (bb[j] ** 2).sum(axis=1)[None, :] - 2.0 * x[:, j, :] @ bb[j].T
+            codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+        cols = {
+            id_col: batch[id_col],
+            code_col: pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.ravel(), pa.uint8()), m
+            ),
+        }
+        for c in keep_cols:
+            cols[c] = batch[c]
+        return pa.table(cols)
+
+    return ds.map_batches(encode, batch_format="pyarrow", batch_size=None)
+
+
+def pq_topk(
+    codes: ray.data.Dataset,
+    codebooks: np.ndarray,
+    queries: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+    code_col: str = "pq_code",
+    rerank: int = 0,
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Asymmetric-distance (ADC) top-k over PQ codes: per query a
+    (m, ksub) distance table of squared L2 to every codeword, then a
+    per-batch table lookup + sum -- no float vectors are ever read at
+    search time, only the m-byte codes.  score = -approx squared L2
+    (descending), ties by id; same output contract as brute_topk.
+
+    ``rerank=R`` enables the standard ADC+R refinement (Jegou et al.):
+    the ADC pass keeps an R*k shortlist per (query, batch) and ONLY
+    those rows get an exact squared-L2 against the query -- the codes
+    prune, the exact metric ranks.  Requires ``vec_col`` present in
+    the codes dataset (pq_encode keep_cols)."""
+    m, ksub, dsub = codebooks.shape
+    q = np.asarray(queries, dtype=np.float64).reshape(len(queries), m, dsub)
+    # dtab[qi, j, c] = ||q_sub - codeword||^2
+    dtab = (
+        (codebooks ** 2).sum(axis=2)[None, :, :]
+        - 2.0 * np.einsum("qjd,jcd->qjc", q, codebooks)
+        + (q ** 2).sum(axis=2)[:, :, None]
+    )
+    dref = ray.put(dtab)
+
+    qfull = np.asarray(queries, dtype=np.float64)
+    qref = ray.put(qfull)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dt = ray.get(dref)  # (nq, m, ksub)
+        flat = batch[code_col].combine_chunks()
+        c = np.asarray(flat.flatten(), dtype=np.int64).reshape(-1, m)
+        n = c.shape[0]
+        x = (
+            list_col_to_matrix(batch[vec_col]) if rerank else None
+        )
+        qf = ray.get(qref) if rerank else None
+        rows = []
+        for qi in range(dt.shape[0]):
+            dist = dt[qi][np.arange(m)[None, :], c].sum(axis=1)
+            if rerank:
+                short = np.argsort(dist, kind="stable")[: rerank * k]
+                exact = ((x[short] - qf[qi]) ** 2).sum(axis=1)
+                top = short[np.argsort(exact, kind="stable")[:k]]
+                dist = np.empty_like(dist)
+                dist[top] = np.sort(exact, kind="stable")[:k]
+            else:
+                top = np.argsort(dist, kind="stable")[:k]
+            rows.append(
+                pa.table(
+                    {
+                        "query_id": pa.array(
+                            np.full(len(top), qi, np.int64)
+                        ),
+                        id_col: batch[id_col].take(pa.array(top)),
+                        "score": pa.array(-dist[top]),
+                    }
+                )
+            )
+        return pa.concat_tables(rows) if rows else pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                id_col: pa.array([], batch[id_col].type),
+                "score": pa.array([], pa.float64()),
+            }
+        )
+
+    parts = [
+        t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+        for t in codes.map_batches(
+            partial, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+        if t.num_rows
+    ]
+    return _combine_topk(parts, k, id_col)
+
+
+def pq_ann(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 4,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    rerank: int = 0,
+) -> pa.Table:
+    """Train -> encode -> ADC search, end to end.  The encode output is
+    the persistable artifact at scale (write the codes once, search
+    many times); here it streams straight into the search."""
+    books = pq_train(
+        ds, m=m, ksub=ksub, iters=iters, seed=seed,
+        vec_col=vec_col, id_col=id_col,
+    )
+    codes = pq_encode(
+        ds, books, vec_col=vec_col, id_col=id_col,
+        keep_cols=(vec_col,) if rerank else (),
+    )
+    return pq_topk(
+        codes, books, queries, k=k, id_col=id_col,
+        rerank=rerank, vec_col=vec_col,
+    )
