@@ -75,32 +75,40 @@ OG_KNN_OUTSIDE_PROBES = [
 ]
 
 
-def _og_tiles_table() -> pa.Table:
+def _og_tiles_table(sparse_invalid: bool = False, tile: int = OG_TILE) -> pa.Table:
     """Engine-side construction of the oracle grid as a tile table
-    (4 tiles of 48x48) -- values identical to the SQL expressions."""
+    (4 tiles of 48x48) -- values identical to the SQL expressions.
+
+    ``sparse_invalid`` switches to the slope fixture's nodata rule
+    ((r*5 + c*3) % 29 == 0, ~3.4%): the default rule's residues mod 11
+    cover EVERY 3x3 window, so no window is fully valid and focal
+    derivatives would be vacuously empty."""
     from tiff_to_geojson_csv_json_format_converter_ray.schema import TILE_SCHEMA
 
     rr, cc = np.meshgrid(np.arange(OG_H), np.arange(OG_W), indexing="ij")
     raw = ((rr * 73 + cc * 31) % 500) / 10.0
     vals = raw.astype(np.float32)
-    invalid = (rr * 7 + cc * 13) % 11 < 3
+    if sparse_invalid:
+        invalid = (rr * 5 + cc * 3) % 29 == 0
+    else:
+        invalid = (rr * 7 + cc * 13) % 11 < 3
     vals[invalid] = np.float32(OG_NODATA)
 
     ids, srcs, bands, ro, co, hs, ws, tr, crs, nd, values = ([] for _ in range(11))
-    for r0 in range(0, OG_H, OG_TILE):
-        for c0 in range(0, OG_W, OG_TILE):
+    for r0 in range(0, OG_H, tile):
+        for c0 in range(0, OG_W, tile):
             ids.append(f"og_{r0}_{c0}")
             srcs.append("oracle")
             bands.append(1)
             ro.append(r0)
             co.append(c0)
-            hs.append(OG_TILE)
-            ws.append(OG_TILE)
+            hs.append(tile)
+            ws.append(tile)
             tr.append(list(OG_TRANSFORM))
             crs.append("EPSG:4326")
             nd.append(OG_NODATA)
             values.append(
-                vals[r0 : r0 + OG_TILE, c0 : c0 + OG_TILE].ravel().tolist()
+                vals[r0 : r0 + tile, c0 : c0 + tile].ravel().tolist()
             )
     return pa.table(
         {
@@ -152,6 +160,18 @@ _OG_GRID_SQL = f"""
     CAST(CAST(77.0 + 0.01 * (CAST(c.range AS DOUBLE) + 0.5) AS REAL) AS DOUBLE) AS lon,
     CAST(CAST(29.0 + (-0.01) * (CAST(r.range AS DOUBLE) + 0.5) AS REAL) AS DOUBLE) AS lat,
     CASE WHEN (r.range * 7 + c.range * 13) % 11 < 3
+         THEN CAST(CAST(-3.4028234663852886e+38 AS REAL) AS DOUBLE)
+         ELSE CAST(CAST(((r.range * 73 + c.range * 31) % 500) / 10.0 AS REAL) AS DOUBLE)
+    END AS z
+  FROM range(0, {OG_H}) r, range(0, {OG_W}) c
+"""
+
+# the slope fixture's grid: same values, sparse nodata rule
+# (_og_tiles_table(sparse_invalid=True))
+_OG_SLOPE_GRID_SQL = f"""
+  SELECT
+    r.range AS row, c.range AS col,
+    CASE WHEN (r.range * 5 + c.range * 3) % 29 = 0
          THEN CAST(CAST(-3.4028234663852886e+38 AS REAL) AS DOUBLE)
          ELSE CAST(CAST(((r.range * 73 + c.range * 31) % 500) / 10.0 AS REAL) AS DOUBLE)
     END AS z
@@ -519,6 +539,31 @@ def _q_focal_counts(sf_dir: str) -> pa.Table:
     )
     return pa.table(
         {"cell_8": counts["cell_8"], "focal_n": round_like_sql(pa.array(fm), 6)}
+    )
+
+
+def _q_tile_slope(sf_dir: str) -> pa.Table:
+    """Horn 3x3 slope over the oracle raster via the distributed tile
+    halo-exchange operator (stages/raster.py): tiles swap 1-pixel
+    boundary strips through a groupby shuffle, the derivative runs
+    per-tile -- the engine analogue of the precomputed slope layer the
+    reference serves over WMS (slope.js:56-76)."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables, round_like_sql,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
+        tile_slope,
+    )
+
+    tiles = ray.data.from_arrow(_og_tiles_table(sparse_invalid=True, tile=24))
+    out = collect_tables(tile_slope(tiles))
+    return pa.table(
+        {
+            "row": out["row"],
+            "col": out["col"],
+            "slope_pct": round_like_sql(out["slope_pct"], 6),
+        }
     )
 
 
@@ -2732,6 +2777,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "downsample_raster": _q_downsample_raster,
         "idw_probes": _q_idw_probes,
         "focal_counts": _q_focal_counts,
+        "tile_slope": _q_tile_slope,
         "bilinear_sample": _q_bilinear_sample,
         "stride_secondary": _q_stride_secondary,
         # spatial ops driven from the driver's tables
@@ -2967,6 +3013,31 @@ def oracle_sql() -> dict[str, str]:
             f"ROUND(AVG(CAST(b.n AS DOUBLE)), 6) AS focal_n "
             f"FROM c a JOIN c b ON b.ix BETWEEN a.ix - 1 AND a.ix + 1 "
             f"AND b.iy BETWEEN a.iy - 1 AND a.iy + 1 GROUP BY 1"
+        ),
+        "tile_slope": (
+            # Horn 3x3 slope; every window value must exist (inner
+            # joins drop raster-edge pixels) and pass the validity
+            # threshold; arithmetic ordered exactly like horn_kernel
+            f"WITH g AS ({_OG_SLOPE_GRID_SQL}), w AS ("
+            f"SELECT e.row AS row, e.col AS col, "
+            f"n1.z AS za, n2.z AS zb, n3.z AS zc, n4.z AS zd, e.z AS ze, "
+            f"n6.z AS zf, n7.z AS zg, n8.z AS zh, n9.z AS zi "
+            f"FROM g e "
+            f"JOIN g n1 ON n1.row = e.row - 1 AND n1.col = e.col - 1 "
+            f"JOIN g n2 ON n2.row = e.row - 1 AND n2.col = e.col "
+            f"JOIN g n3 ON n3.row = e.row - 1 AND n3.col = e.col + 1 "
+            f"JOIN g n4 ON n4.row = e.row AND n4.col = e.col - 1 "
+            f"JOIN g n6 ON n6.row = e.row AND n6.col = e.col + 1 "
+            f"JOIN g n7 ON n7.row = e.row + 1 AND n7.col = e.col - 1 "
+            f"JOIN g n8 ON n8.row = e.row + 1 AND n8.col = e.col "
+            f"JOIN g n9 ON n9.row = e.row + 1 AND n9.col = e.col + 1) "
+            f"SELECT row, col, ROUND(100.0 * SQRT(p * p + q * q), 6) AS slope_pct "
+            f"FROM (SELECT row, col, "
+            f"((zc + 2.0 * zf + zi) - (za + 2.0 * zd + zg)) / (8.0 * 0.01) AS p, "
+            f"((zg + 2.0 * zh + zi) - (za + 2.0 * zb + zc)) / (8.0 * 0.01) AS q "
+            f"FROM w WHERE za > -1e30 AND zb > -1e30 AND zc > -1e30 "
+            f"AND zd > -1e30 AND ze > -1e30 AND zf > -1e30 "
+            f"AND zg > -1e30 AND zh > -1e30 AND zi > -1e30)"
         ),
         "idw_probes": (
             f"SELECT probe_id, ROUND(SUM(z / dd) / SUM(1.0 / dd), 6) AS idw_z "

@@ -1026,3 +1026,88 @@ class TestKMeans:
         # centroids align with the blob axes
         tops = {int(np.argmax(np.abs(row))) for row in c}
         assert tops == {0, 1}
+
+
+class TestTileSlope:
+    """Halo-exchange Horn focal operator (stages/raster.py)."""
+
+    def _whole_array_horn(self, vals, nodata_thresh=-1e30, res=0.01):
+        import numpy as np
+
+        h, w = vals.shape
+        pad = np.full((h + 2, w + 2), np.nan)
+        pad[1:-1, 1:-1] = vals.astype(np.float64)
+        za, zb, zc = pad[0:h, 0:w], pad[0:h, 1:w+1], pad[0:h, 2:w+2]
+        zd, ze, zf = pad[1:h+1, 0:w], pad[1:h+1, 1:w+1], pad[1:h+1, 2:w+2]
+        zg, zh, zi = pad[2:h+2, 0:w], pad[2:h+2, 1:w+1], pad[2:h+2, 2:w+2]
+        stack = np.stack([za, zb, zc, zd, ze, zf, zg, zh, zi])
+        valid = np.all(np.isfinite(stack) & (stack > nodata_thresh), axis=0)
+        p = ((zc + 2.0*zf + zi) - (za + 2.0*zd + zg)) / (8.0 * res)
+        q = ((zg + 2.0*zh + zi) - (za + 2.0*zb + zc)) / (8.0 * res)
+        slope = 100.0 * np.sqrt(p*p + q*q)
+        aspect = np.degrees(np.arctan2(q, -p))
+        rr, cc = np.nonzero(valid)
+        return {(int(r), int(c)): (slope[r, c], aspect[r, c]) for r, c in zip(rr, cc)}
+
+    def test_halo_exchange_matches_whole_array(self, ray_session):
+        """Distributed tiles (with strips crossing every interior
+        boundary) reproduce the single-array Horn result exactly,
+        slope AND aspect."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as entry
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
+            tile_slope,
+        )
+
+        tiles = entry._og_tiles_table(sparse_invalid=True, tile=24)
+        out_parts = [
+            b for b in tile_slope(ray.data.from_arrow(tiles)).iter_batches(
+                batch_format="pyarrow", batch_size=None)
+        ]
+        out = pa.concat_tables(
+            [t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+             for t in out_parts if t.num_rows]
+        )
+        got = {
+            (r, c): (s, a)
+            for r, c, s, a in zip(
+                out["row"].to_pylist(), out["col"].to_pylist(),
+                out["slope_pct"].to_pylist(), out["aspect_deg"].to_pylist())
+        }
+
+        # rebuild the full 96x96 array from the tile fixture
+        full = np.full((96, 96), np.nan, np.float32)
+        for i in range(tiles.num_rows):
+            r0 = tiles["row_off"][i].as_py()
+            c0 = tiles["col_off"][i].as_py()
+            hh = tiles["height"][i].as_py()
+            ww = tiles["width"][i].as_py()
+            full[r0:r0+hh, c0:c0+ww] = np.asarray(
+                tiles["values"][i].as_py(), np.float32).reshape(hh, ww)
+        want = self._whole_array_horn(full)
+
+        assert set(got) == set(want)
+        for k in want:
+            assert got[k][0] == want[k][0]  # slope bit-exact
+            assert got[k][1] == want[k][1]  # aspect bit-exact
+
+    def test_interior_pixels_need_halo(self, ray_session):
+        """Pixels on interior tile boundaries appear in the output --
+        i.e. the halo actually crossed the shuffle (a no-halo version
+        would drop rows 23,24,47,... entirely)."""
+        import ray.data
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as entry
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
+            tile_slope,
+        )
+
+        tiles = entry._og_tiles_table(sparse_invalid=True, tile=24)
+        out = tile_slope(ray.data.from_arrow(tiles)).to_pandas()
+        boundary_rows = out[out["row"].isin([23, 24, 47, 48, 71, 72])]
+        assert len(boundary_rows) > 100
