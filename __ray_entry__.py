@@ -1807,6 +1807,28 @@ def _q_token_counts(sf_dir: str) -> pa.Table:
     return out.select(["doc_id", "n_tokens_ws"])
 
 
+def _q_pack_sequences(sf_dir: str) -> pa.Table:
+    """Sequence packing: greedy fill of 2048-token bins per lang in
+    doc_id order (stages/textops.py::pack_sequences) -- the batch-
+    packing op a training pipeline runs before writing example
+    shards.  Oracle: DuckDB recursive CTE replaying the same greedy
+    scan."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+        pack_sequences,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "text"],
+    )
+    out = collect_tables(pack_sequences(ds, budget=2048))
+    return out.select(["doc_id", "lang", "n_tok", "bin_id"])
+
+
 def _q_doc_lengths(sf_dir: str) -> pa.Table:
     """Scalar string function parity: computed char length per doc."""
     import ray.data
@@ -2843,6 +2865,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text / dedup / ANN
         "dedup_exact": _q_dedup_exact,
         "token_counts": _q_token_counts,
+        "pack_sequences": _q_pack_sequences,
         "doc_lengths": _q_doc_lengths,
         "ann_top3": _q_ann_top3,
         "knn_join": _q_knn_join,
@@ -3509,6 +3532,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CASE WHEN TRIM(text) = '' THEN 0 ELSE "
             "ARRAY_LENGTH(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) END AS n_tokens_ws "
             "FROM documents"
+        ),
+        "pack_sequences": (
+            # greedy per-lang packing replayed as a linear recursion:
+            # row rn joins to rn+1, carrying (bin, acc)
+            "WITH RECURSIVE toks AS ("
+            "SELECT doc_id, lang, CASE WHEN TRIM(text) = '' THEN 0 ELSE "
+            "ARRAY_LENGTH(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) END AS n_tok, "
+            "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn "
+            "FROM documents), "
+            "rec AS ("
+            "SELECT lang, rn, doc_id, n_tok, CAST(0 AS BIGINT) AS bin_id, n_tok AS acc "
+            "FROM toks WHERE rn = 1 "
+            "UNION ALL "
+            "SELECT t.lang, t.rn, t.doc_id, t.n_tok, "
+            "CASE WHEN r.acc > 0 AND r.acc + t.n_tok > 2048 "
+            "THEN r.bin_id + 1 ELSE r.bin_id END, "
+            "CASE WHEN r.acc > 0 AND r.acc + t.n_tok > 2048 "
+            "THEN t.n_tok ELSE r.acc + t.n_tok END "
+            "FROM rec r JOIN toks t ON t.lang = r.lang AND t.rn = r.rn + 1) "
+            "SELECT doc_id, lang, n_tok, bin_id FROM rec"
         ),
         "doc_lengths": (
             "SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS len_chars FROM documents"

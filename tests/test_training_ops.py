@@ -876,3 +876,74 @@ class TestPMI:
         assert abs(p - round(want, 6)) < 1e-9
         # the collocation scores strictly above every other bigram
         assert all(p >= q for _, (_, q) in got.items())
+
+
+class TestPackSequences:
+    def _docs(self):
+        import pyarrow as pa
+
+        rows = []
+        # deterministic token counts: doc i has (i*7) % 60 + 1 tokens
+        for i in range(40):
+            lang = ["en", "de"][i % 2]
+            rows.append((i, lang, " ".join(["w"] * ((i * 7) % 60 + 1))))
+        return pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "lang": pa.array([r[1] for r in rows]),
+                "text": pa.array([r[2] for r in rows]),
+            }
+        )
+
+    def test_budget_respected_and_partition_invariant(self, ray_session):
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+            collect_tables,
+        )
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+            pack_sequences,
+        )
+
+        t = self._docs()
+        budget = 100
+
+        def run(parts):
+            ds = ray.data.from_arrow(t).repartition(parts)
+            out = collect_tables(pack_sequences(ds, budget=budget))
+            return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+        a, b = run(1), run(7)
+        assert a.equals(b)  # shuffle-width invariant
+
+        # no bin exceeds the budget (no doc here exceeds it alone)
+        sums = a.groupby(["lang", "bin_id"])["n_tok"].sum()
+        assert (sums <= budget).all()
+        # greedy tightness: adding the first doc of bin k+1 to bin k
+        # would overflow
+        for lang, grp in a.groupby("lang"):
+            grp = grp.sort_values("doc_id")
+            for k in sorted(grp.bin_id.unique())[:-1]:
+                first_next = grp[grp.bin_id == k + 1].iloc[0]["n_tok"]
+                assert sums[(lang, k)] + first_next > budget
+
+    def test_oversize_doc_gets_own_bin(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+            collect_tables,
+        )
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+            pack_sequences,
+        )
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "lang": pa.array(["en"] * 3),
+                "text": pa.array(["a b", " ".join(["x"] * 50), "c d e"]),
+            }
+        )
+        out = collect_tables(
+            pack_sequences(ray.data.from_arrow(t), budget=10)
+        ).to_pandas().sort_values("doc_id")
+        assert list(out.bin_id) == [0, 1, 2]

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions import hashing as H
 from ..functions import text as T
@@ -462,3 +463,78 @@ def pmi_bigrams(
         )
 
     return bigrams.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+def greedy_pack_kernel(
+    group: pa.Table,
+    budget: int,
+    key_col: str = "lang",
+    order_col: str = "doc_id",
+    tok_col: str = "n_tok",
+) -> pa.Table:
+    """Greedy sequence packing for ONE key's docs (run inside
+    ``groupby(key).map_groups``): docs ordered by ``order_col`` fill
+    bins of at most ``budget`` tokens; a doc that would overflow the
+    open bin starts a new one (a doc longer than the budget occupies a
+    bin alone).  The scan is inherently prefix-dependent -- the one
+    order-dependent loop in the packing path, O(group) ints, same cost
+    class as the reference-shape session kernel.  At corpus scale
+    packing applies per (key, shard) partition independently, which is
+    how training pipelines shard packing anyway."""
+    idx = pc.sort_indices(group, sort_keys=[(order_col, "ascending")])
+    g = group.take(idx)
+    toks = g[tok_col].to_numpy(zero_copy_only=False)
+    bins = np.empty(len(toks), np.int64)
+    b, acc = 0, 0
+    for i, t in enumerate(toks):
+        t = int(t)
+        if acc and acc + t > budget:
+            b += 1
+            acc = t
+        else:
+            acc += t
+        bins[i] = b
+    return pa.table(
+        {
+            order_col: g[order_col],
+            key_col: g[key_col],
+            tok_col: g[tok_col],
+            "bin_id": pa.array(bins),
+        }
+    )
+
+
+def pack_sequences(
+    ds,
+    budget: int,
+    key_col: str = "lang",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Sequence packing over a document Dataset: count whitespace
+    tokens per doc (vectorized map_batches), shuffle by ``key_col``,
+    greedy-pack each group in deterministic ``order_col`` order.
+    Returns (order_col, key_col, n_tok, bin_id) -- the assignment used
+    to build fixed-budget training rows."""
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        n = len(texts)
+        toks = np.fromiter(
+            (len((t or "").split()) for t in texts), np.int64, n
+        )
+        return pa.table(
+            {
+                order_col: batch[order_col],
+                key_col: batch[key_col],
+                "n_tok": pa.array(toks),
+            }
+        )
+
+    counted = ds.map_batches(count_tokens, batch_format="pyarrow", batch_size=None)
+    return counted.groupby(key_col).map_groups(
+        lambda g: greedy_pack_kernel(
+            g, budget, key_col=key_col, order_col=order_col
+        ),
+        batch_format="pyarrow",
+    )
