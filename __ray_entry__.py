@@ -1829,6 +1829,110 @@ def _q_pack_sequences(sf_dir: str) -> pa.Table:
     return out.select(["doc_id", "lang", "n_tok", "bin_id"])
 
 
+def _q_contamination(sf_dir: str) -> pa.Table:
+    """Benchmark decontamination: per non-benchmark doc, the count of
+    distinct 5-grams shared with the broadcast benchmark slice
+    (doc_id % 97 == 0 plays the eval suite).  Build-set pass +
+    actor-pool scan; oracle recomputes via list-comprehension n-grams
+    and a join."""
+    import ray
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+        ContaminationTag, benchmark_ngram_set,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def is_bench(col):
+        return pa.array(col.to_numpy(zero_copy_only=False) % 97 == 0)
+
+    def not_bench(col):
+        return pa.array(col.to_numpy(zero_copy_only=False) % 97 != 0)
+
+    bench = benchmark_ngram_set(ds, n=5, pred=is_bench)
+    ref = ray.put(bench)
+    out = collect_tables(
+        ds.map_batches(
+            ContaminationTag,
+            fn_constructor_kwargs={
+                "bench_ref": ref, "n": 5, "exclude_pred": not_bench,
+            },
+            concurrency=2,
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    )
+    return out.select(["doc_id", "n_contam"])
+
+
+def _q_retention_matrix(sf_dir: str) -> pa.Table:
+    """Cohort retention: distinct users active k days after their
+    first-seen day, per cohort day."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        cohort_retention,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    return cohort_retention(ds, "user_id", "ts")
+
+
+def _q_decayed_counts(sf_dir: str) -> pa.Table:
+    """Exponentially time-decayed event counts per type (half-life
+    1 day, horizon 40): weights carried as int64 powers of two so the
+    distributed sum is exact and partitioning-invariant."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        decayed_counts,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts"]
+    )
+    return decayed_counts(
+        ds, "event_type", "ts", ref_day="2024-02-01", half_life_days=1,
+        horizon=40,
+    )
+
+
+def _q_pareto_front(sf_dir: str) -> pa.Table:
+    """Skyline query over lineitem: (quantity, price) pairs not
+    dominated by any other (higher-or-equal quantity at lower-or-equal
+    price).  Local frontier per block -> tiny union -> final scan."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        pareto_frontier,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_quantity", "l_extendedprice"],
+    )
+    out = pareto_frontier(ds, "l_quantity", "l_extendedprice")
+    return out.rename_columns(["qty", "price"])
+
+
+def _q_grouped_mad(sf_dir: str) -> pa.Table:
+    """Per-returnflag median absolute deviation of quantity (robust
+    dispersion, DuckDB mad semantics)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
+        grouped_mad,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_quantity"],
+    )
+    out = collect_tables(grouped_mad(ds, "l_returnflag", "l_quantity"))
+    return out.select(["l_returnflag", "mad"])
+
+
 def _q_doc_lengths(sf_dir: str) -> pa.Table:
     """Scalar string function parity: computed char length per doc."""
     import ray.data
@@ -2866,6 +2970,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": _q_dedup_exact,
         "token_counts": _q_token_counts,
         "pack_sequences": _q_pack_sequences,
+        "contamination": _q_contamination,
+        "retention_matrix": _q_retention_matrix,
+        "decayed_counts": _q_decayed_counts,
+        "pareto_front": _q_pareto_front,
+        "grouped_mad": _q_grouped_mad,
         "doc_lengths": _q_doc_lengths,
         "ann_top3": _q_ann_top3,
         "knn_join": _q_knn_join,
@@ -3552,6 +3661,57 @@ def oracle_sql() -> dict[str, str]:
             "THEN t.n_tok ELSE r.acc + t.n_tok END "
             "FROM rec r JOIN toks t ON t.lang = r.lang AND t.rn = r.rn + 1) "
             "SELECT doc_id, lang, n_tok, bin_id FROM rec"
+        ),
+        "contamination": (
+            # 5-grams via inclusive list slicing toks[i:i+4]
+            "WITH toks AS (SELECT doc_id, "
+            "REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+') AS t "
+            "FROM documents WHERE TRIM(text) <> ''), "
+            "grams AS (SELECT doc_id, "
+            "UNNEST([ARRAY_TO_STRING(t[i:i+4], ' ') FOR i IN RANGE(1, LEN(t) - 3)]) AS gram "
+            "FROM toks WHERE LEN(t) >= 5), "
+            "bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0), "
+            "hits AS (SELECT g.doc_id, "
+            "CAST(COUNT(DISTINCT g.gram) AS BIGINT) AS n_contam "
+            "FROM grams g JOIN bench b USING (gram) "
+            "WHERE g.doc_id % 97 <> 0 GROUP BY 1) "
+            "SELECT d.doc_id, COALESCE(h.n_contam, 0) AS n_contam "
+            "FROM documents d LEFT JOIN hits h USING (doc_id) "
+            "WHERE d.doc_id % 97 <> 0"
+        ),
+        "retention_matrix": (
+            "WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d "
+            "FROM events), "
+            "c AS (SELECT user_id, MIN(d) AS cohort FROM ud GROUP BY 1) "
+            "SELECT CAST(c.cohort AS TIMESTAMP) AS cohort_day, "
+            "CAST(ud.d - c.cohort AS BIGINT) AS day_offset, "
+            "CAST(COUNT(*) AS BIGINT) AS n_users "
+            "FROM ud JOIN c USING (user_id) GROUP BY 1, 2"
+        ),
+        "decayed_counts": (
+            # weights as int64 powers of two -> the sum is exact; the
+            # single final division is the only float op
+            "SELECT event_type, "
+            "CAST(SUM(CASE WHEN age BETWEEN 0 AND 40 "
+            "THEN CAST(1 AS BIGINT) << (40 - age) ELSE 0 END) AS DOUBLE) "
+            "/ 1099511627776.0 AS decayed_n "
+            "FROM (SELECT event_type, "
+            "DATE '2024-02-01' - CAST(ts AS DATE) AS age FROM events) "
+            "GROUP BY 1"
+        ),
+        "pareto_front": (
+            # dominance stated independently (NOT EXISTS) over the
+            # min-price-per-quantity reduction
+            "WITH pts AS (SELECT l_quantity AS qty, "
+            "MIN(l_extendedprice) AS price FROM lineitem GROUP BY 1) "
+            "SELECT qty, price FROM pts a WHERE NOT EXISTS ("
+            "SELECT 1 FROM pts b WHERE b.qty >= a.qty "
+            "AND b.price <= a.price "
+            "AND (b.qty > a.qty OR b.price < a.price))"
+        ),
+        "grouped_mad": (
+            "SELECT l_returnflag, MAD(l_quantity) AS mad "
+            "FROM lineitem GROUP BY 1"
         ),
         "doc_lengths": (
             "SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS len_chars FROM documents"

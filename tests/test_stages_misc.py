@@ -1111,3 +1111,96 @@ class TestTileSlope:
         out = tile_slope(ray.data.from_arrow(tiles)).to_pandas()
         boundary_rows = out[out["row"].isin([23, 24, 47, 48, 71, 72])]
         assert len(boundary_rows) > 100
+
+
+class TestParetoAndRobustStats:
+    def test_pareto_partition_invariant_and_bruteforce(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+            pareto_frontier,
+        )
+
+        rng = np.random.default_rng(7)
+        q = rng.integers(1, 30, 400).astype(np.float64)
+        p = rng.integers(1, 1000, 400).astype(np.float64)
+        t = pa.table({"q": pa.array(q), "p": pa.array(p)})
+
+        def brute(qs, ps):
+            pts = set(zip(qs, ps))
+            keep = []
+            for a in pts:
+                dom = any(
+                    b[0] >= a[0] and b[1] <= a[1] and b != a
+                    and (b[0] > a[0] or b[1] < a[1])
+                    for b in pts
+                )
+                # min-per-q reduction: a point with equal q but higher p
+                # is dominated too (strictness via p)
+                if not dom:
+                    keep.append(a)
+            return sorted(keep)
+
+        want = brute(q, p)
+        for parts in (1, 9):
+            ds = ray.data.from_arrow(t).repartition(parts)
+            out = pareto_frontier(ds, "q", "p").to_pandas()
+            got = sorted(zip(out["q"], out["p"]))
+            assert got == want
+
+    def test_grouped_mad_matches_duckdb(self, ray_session):
+        import duckdb
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+            collect_tables,
+        )
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
+            grouped_mad,
+        )
+
+        rng = np.random.default_rng(3)
+        k = np.array(["a", "b"])[rng.integers(0, 2, 501)]
+        v = rng.integers(0, 100, 501).astype(np.float64)
+        t = pa.table({"k": pa.array(k), "v": pa.array(v)})
+        out = (
+            collect_tables(grouped_mad(ray.data.from_arrow(t).repartition(5), "k", "v"))
+            .to_pandas().set_index("k")["mad"]
+        )
+        con = duckdb.connect()
+        con.register("t", t.to_pandas())
+        want = con.execute(
+            "SELECT k, MAD(v) AS m FROM t GROUP BY 1"
+        ).df().set_index("k")["m"]
+        for key in ("a", "b"):
+            assert out[key] == want[key]
+
+    def test_decayed_counts_horizon_and_invariance(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+            decayed_counts,
+        )
+
+        ts = np.array(
+            ["2024-01-31", "2024-01-31", "2024-01-01", "2020-01-01", "2024-02-05"],
+            dtype="datetime64[us]",
+        )
+        t = pa.table(
+            {
+                "g": pa.array(["x", "x", "x", "x", "x"]),
+                "ts": pa.array(ts, pa.timestamp("us")),
+            }
+        )
+        for parts in (1, 3):
+            out = decayed_counts(
+                ray.data.from_arrow(t).repartition(parts),
+                "g", "ts", ref_day="2024-02-01", half_life_days=1, horizon=40,
+            ).to_pandas()
+            # 2 events at age 1 (0.5 each) + 1 at age 31 (2^-31)
+            # + one beyond horizon (0) + one in the future (0)
+            want = 2 * 0.5 + 2.0 ** -31
+            assert out["decayed_n"][0] == want

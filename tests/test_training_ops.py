@@ -947,3 +947,62 @@ class TestPackSequences:
             pack_sequences(ray.data.from_arrow(t), budget=10)
         ).to_pandas().sort_values("doc_id")
         assert list(out.bin_id) == [0, 1, 2]
+
+
+class TestContamination:
+    def test_planted_overlap(self, ray_session):
+        import pyarrow as pa
+        import ray
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+            collect_tables,
+        )
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+            ContaminationTag, benchmark_ngram_set,
+        )
+
+        bench_doc = "the quick brown fox jumps over the lazy dog"
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        bench_doc,  # the benchmark doc (id % 2 == 0 pred)
+                        "totally unrelated words here with no overlap at all",
+                        "xx the quick brown fox jumps yy",  # 1 shared 5-gram
+                        "short text",
+                    ]
+                ),
+            }
+        )
+        # make only doc 0 the benchmark
+        is_b = lambda c: pa.array([v == 0 for v in c.to_pylist()])
+        not_b = lambda c: pa.array([v != 0 for v in c.to_pylist()])
+        ds = ray.data.from_arrow(t).repartition(3)
+        bench = benchmark_ngram_set(ds, n=5, pred=is_b)
+        out = collect_tables(
+            ds.map_batches(
+                ContaminationTag,
+                fn_constructor_kwargs={
+                    "bench_ref": ray.put(bench), "n": 5,
+                    "exclude_pred": not_b,
+                },
+                concurrency=2,
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+        ).to_pandas().set_index("doc_id")["n_contam"]
+        assert out[1] == 0
+        assert out[2] == 1  # exactly "the quick brown fox jumps"
+        assert out[3] == 0
+        assert 0 not in out.index  # benchmark doc excluded
+
+    def test_hand_counted(self, ray_session):
+        # verify the exact shared-gram count claim of the planted case
+        bench_doc = "the quick brown fox jumps over the lazy dog"
+        probe = "xx the quick brown fox jumps yy"
+        bgrams = {" ".join(bench_doc.split()[i:i+5])
+                  for i in range(len(bench_doc.split()) - 4)}
+        pgrams = {" ".join(probe.split()[i:i+5])
+                  for i in range(len(probe.split()) - 4)}
+        assert len(bgrams & pgrams) == 1  # keeps the test above honest

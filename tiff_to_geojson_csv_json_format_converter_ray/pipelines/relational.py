@@ -515,3 +515,136 @@ def grouped_mode(
             "n": first["_n"].cast(pa.int64()),
         }
     )
+
+
+def pareto_frontier(
+    ds: ray.data.Dataset,
+    max_col: str,
+    min_col: str,
+) -> pa.Table:
+    """Skyline query: the set of (max_col, min_col) pairs not
+    dominated by any other row (b dominates a when b.max >= a.max,
+    b.min <= a.min, one strictly).  Classic distributed shape: each
+    batch reduces to its LOCAL frontier (a local non-dominated point
+    is the only kind that can survive globally), the tiny local
+    frontiers union on the driver and one final scan refines.  Both
+    passes are the same vectorized kernel: per distinct max value
+    keep the least min, then keep values where the min strictly
+    undercuts the running min over all larger max values."""
+
+    def local_frontier(t: pa.Table) -> pa.Table:
+        q = t[max_col].to_numpy(zero_copy_only=False)
+        p = t[min_col].to_numpy(zero_copy_only=False)
+        # least p per distinct q
+        order = np.lexsort((p, -q))  # q desc, p asc
+        qs, first = np.unique(-q[order], return_index=True)
+        qd = -qs  # descending distinct q
+        pmin = p[order][first]
+        # running strict min over larger q (exclusive prefix)
+        prev = np.r_[np.inf, np.minimum.accumulate(pmin)[:-1]]
+        keep = pmin < prev
+        return pa.table(
+            {max_col: pa.array(qd[keep]), min_col: pa.array(pmin[keep])}
+        )
+
+    partials = collect_tables(
+        ds.map_batches(
+            lambda b: local_frontier(b.select([max_col, min_col])),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+    )
+    if partials is None:
+        return pa.table({max_col: [], min_col: []})
+    return local_frontier(partials)
+
+
+def cohort_retention(
+    ds: ray.data.Dataset,
+    key_col: str,
+    ts_col: str,
+) -> pa.Table:
+    """Retention matrix: for each cohort day (a key's first active
+    day) and day offset, the number of distinct keys active that many
+    days later.  One groupby shuffle co-locates each key's distinct
+    active days; the per-key kernel emits (cohort, offset) pairs;
+    a combiner count collapses them to the bounded days x offsets
+    table.  No driver-side key table at any point."""
+
+    def day_pairs(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col].to_numpy(zero_copy_only=False)
+        day = ts.astype("datetime64[D]").astype(np.int64)  # days since epoch
+        return pa.table(
+            {key_col: batch[key_col], "_day": pa.array(day)}
+        ).group_by([key_col, "_day"]).aggregate([])
+
+    pairs = ds.map_batches(day_pairs, batch_format="pyarrow", batch_size=None)
+
+    def per_key(group: pa.Table) -> pa.Table:
+        # per-batch distinct is only local -- dedupe the key's days here
+        d = np.unique(group["_day"].to_numpy(zero_copy_only=False))
+        cohort = int(d.min())
+        return pa.table(
+            {
+                "cohort_day": pa.array(
+                    np.full(len(d), cohort), pa.int64()
+                ),
+                "day_offset": pa.array(d - cohort),
+                "_one": pa.array(np.ones(len(d), np.int64)),
+            }
+        )
+
+    offsets = pairs.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+    out = hash_aggregate(
+        offsets, ["cohort_day", "day_offset"], [("_one", "sum", "n_users")]
+    )
+    return pa.table(
+        {
+            "cohort_day": pc.cast(
+                pc.multiply(out["cohort_day"], 86_400_000_000), pa.timestamp("us")
+            ),
+            "day_offset": out["day_offset"],
+            "n_users": out["n_users"],
+        }
+    )
+
+
+def decayed_counts(
+    ds: ray.data.Dataset,
+    group_col: str,
+    ts_col: str,
+    ref_day: str,
+    half_life_days: int = 1,
+    horizon: int = 40,
+) -> pa.Table:
+    """Exponentially time-decayed counts per group: each event weighs
+    2^-(age_in_half_lives), ages beyond ``horizon`` half-lives weigh
+    0.  The weight is carried as the INTEGER 2^(horizon - k), so the
+    partial/final sums are int64-exact and partitioning-invariant --
+    the float score materializes only at the very end (sum / 2^horizon).
+    SQL-reproducible via the same bit-shift."""
+    ref = np.datetime64(ref_day, "D")
+
+    def weigh(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col].to_numpy(zero_copy_only=False)
+        age = (ref - ts.astype("datetime64[D]")).astype(np.int64)
+        k = age // half_life_days
+        w = np.where(
+            (k >= 0) & (k <= horizon),
+            np.int64(1) << np.maximum(horizon - k, 0),
+            np.int64(0),
+        )
+        return pa.table({group_col: batch[group_col], "_w": pa.array(w)})
+
+    out = hash_aggregate(
+        ds.map_batches(weigh, batch_format="pyarrow", batch_size=None),
+        [group_col],
+        [("_w", "sum", "_wsum")],
+    )
+    score = out["_wsum"].to_numpy(zero_copy_only=False).astype(np.float64)
+    return pa.table(
+        {
+            group_col: out[group_col],
+            "decayed_n": pa.array(score / float(1 << horizon)),
+        }
+    )

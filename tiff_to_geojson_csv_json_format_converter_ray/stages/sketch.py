@@ -508,3 +508,40 @@ def hash_split(
         return batch.append_column(out_col, pa.array(lab, pa.string()))
 
     return ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
+def _quantile_cont(sorted_v: np.ndarray, q: float) -> float:
+    """DuckDB ``quantile_cont`` convention: linear interpolation at
+    position q*(n-1) of the sorted values."""
+    n = len(sorted_v)
+    if n == 0:
+        return float("nan")
+    pos = q * (n - 1)
+    lo = int(np.floor(pos))
+    frac = pos - lo
+    if frac == 0.0 or lo + 1 >= n:
+        return float(sorted_v[lo])
+    return float(sorted_v[lo] + (sorted_v[lo + 1] - sorted_v[lo]) * frac)
+
+
+def grouped_mad(
+    ds: ray.data.Dataset, key: str, col: str
+) -> ray.data.Dataset:
+    """Per-group median absolute deviation (robust dispersion,
+    DuckDB ``mad`` semantics: interpolated median both levels) via one
+    ``groupby(key).map_groups`` shuffle -- same partitioning contract
+    as :func:`grouped_exact_quantiles` (bounded-cardinality keys,
+    each task holds one group's column slice)."""
+
+    def kernel(group: pa.Table) -> pa.Table:
+        v = np.sort(group[col].to_numpy(zero_copy_only=False).astype(np.float64))
+        med = _quantile_cont(v, 0.5)
+        dev = np.sort(np.abs(v - med))
+        return pa.table(
+            {
+                key: pa.array([group[key][0].as_py()]),
+                "mad": pa.array([_quantile_cont(dev, 0.5)], pa.float64()),
+            }
+        )
+
+    return ds.groupby(key).map_groups(kernel, batch_format="pyarrow")

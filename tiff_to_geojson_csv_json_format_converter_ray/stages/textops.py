@@ -538,3 +538,89 @@ def pack_sequences(
         ),
         batch_format="pyarrow",
     )
+
+
+# -------------------------------------------- benchmark decontamination
+def benchmark_ngram_set(
+    ds,
+    n: int = 5,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    pred=None,
+):
+    """Collect the distinct word n-grams of the BENCHMARK slice of a
+    corpus (rows where ``pred(doc_id)`` holds) into one driver-side
+    Arrow array, ready to ``ray.put`` as the broadcast side of the
+    decontamination scan.  Benchmark/eval suites are small by
+    construction -- this is the canonical broadcast-small-side case."""
+    from ..pipelines.relational import collect_tables
+
+    def grams(batch: pa.Table) -> pa.Table:
+        if pred is not None:
+            batch = batch.filter(pred(batch[doc_col]))
+        g = _explode_ngrams(batch, n, text_col, doc_col)
+        return g.group_by("gram").aggregate([])
+
+    parts = collect_tables(
+        ds.map_batches(grams, batch_format="pyarrow", batch_size=None)
+    )
+    if parts is None:
+        return pa.array([], pa.string())
+    return parts.group_by("gram").aggregate([])["gram"].combine_chunks()
+
+
+class ContaminationTag:
+    """Benchmark decontamination scan: per document, the number of
+    DISTINCT word n-grams shared with a broadcast benchmark gram set
+    (docs with n_contam > 0 are candidates for removal before
+    training).  Actor-pool stage: the gram set is ``ray.get`` once in
+    ``__init__``; ``__call__`` explodes n-grams vectorized and counts
+    hits with one ``pc.is_in`` C call.  Benchmark docs themselves are
+    excluded from the output when ``exclude_pred`` is given."""
+
+    def __init__(
+        self,
+        bench_ref,
+        n: int = 5,
+        text_col: str = "text",
+        doc_col: str = "doc_id",
+        exclude_pred=None,
+    ):
+        import ray
+
+        bench = (
+            ray.get(bench_ref)
+            if isinstance(bench_ref, ray.ObjectRef)
+            else bench_ref
+        )
+        self.bench = bench if isinstance(bench, (pa.Array, pa.ChunkedArray)) else pa.array(list(bench), pa.string())
+        self.n = n
+        self.text_col = text_col
+        self.doc_col = doc_col
+        self.exclude_pred = exclude_pred
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if self.exclude_pred is not None:
+            batch = batch.filter(self.exclude_pred(batch[self.doc_col]))
+        g = _explode_ngrams(batch, self.n, self.text_col, self.doc_col)
+        hits = g.filter(pc.is_in(g["gram"], value_set=self.bench))
+        per = hits.group_by([self.doc_col, "gram"]).aggregate([])
+        per = per.group_by(self.doc_col).aggregate([("gram", "count")])
+        hit_ids = per[self.doc_col].to_numpy(zero_copy_only=False)
+        hit_n = per["gram_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch[self.doc_col].to_numpy(zero_copy_only=False)
+        order = np.argsort(hit_ids)
+        pos = np.searchsorted(hit_ids[order], ids)
+        pos_c = np.clip(pos, 0, max(len(hit_ids) - 1, 0))
+        n_contam = np.zeros(len(ids), np.int64)
+        if len(hit_ids):
+            found = hit_ids[order][pos_c] == ids
+            n_contam[found] = hit_n[order][pos_c[found]]
+        return pa.table(
+            {
+                self.doc_col: batch[self.doc_col],
+                "n_contam": pa.array(n_contam),
+            }
+        )
