@@ -872,3 +872,41 @@ class TestSimplifyDP:
             seg = np.hypot(dx, dy)
             d = np.abs((xs - x[a]) * dy - (ys - y[a]) * dx) / seg
             assert (d <= tol + 1e-12).all()
+
+
+class TestExtractTextBatch:
+    """Vectorized extract_text_batch must stay byte-identical to the
+    scalar extractor (the pipeline invariant depends on it)."""
+
+    CASES = [
+        "", "no paragraphs here", "<p>simple</p>", "<P CLASS='x'>upper</P>",
+        "<p>a <b>bold</b> t</p><p>two</p>", "<p>nested <p>inner</p> tail",
+        "junk</p><p>after orphan close</p>", "<p>unclosed at end",
+        "<p></p>", "<p>   </p>", "<p>&amp; &lt;tag&gt; &nbsp;x</p>",
+        "<p>multi\n  line\t\tws\xa0and em</p>",
+        "<pre>not a p</pre><p>real</p>",
+        "<p x=1>attr</p><P>two</P></p><p>three</p>",
+        "<p>a</p>text<p>b</p>tail with <p dangling", "<p>ends&</p>",
+        "<p>a&#65;b</p>", "　<p>　ideographic　</p>",
+        "<p> leading</p>", "<p>trailing </p>", "<p>dbl  space</p>",
+        "<p> thin spaces ls</p>",
+        "<p>A</p><p></p><p>B</p>",  # empty middle paragraph kept
+    ]
+
+    def test_batch_equals_scalar(self):
+        import pyarrow as pa
+        from tiff_to_geojson_csv_json_format_converter_ray.functions import (
+            text as T,
+        )
+
+        got = T.extract_text_batch(pa.array(self.CASES, pa.string())).to_pylist()
+        for case, b in zip(self.CASES, got):
+            assert b == T.extract_text(case), repr(case)
+
+    def test_whitespace_class_is_exactly_python_isspace(self):
+        from tiff_to_geojson_csv_json_format_converter_ray.functions import (
+            text as T,
+        )
+
+        pyws = {chr(cp) for cp in range(0x110000) if chr(cp).isspace()}
+        assert set(T._UNI_WS) == pyws

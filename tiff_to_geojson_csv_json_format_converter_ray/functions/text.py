@@ -76,6 +76,88 @@ def extract_text(html_bytes: bytes | str) -> str:
     return "\n".join(parts)
 
 
+# --- vectorized batch form of extract_text ---------------------------
+# RE2 patterns reproducing _P_RE finditer semantics on the fragments
+# of a case-insensitive '</p>' split: within each fragment, content
+# runs from the FIRST '<p>'/'<p ...>' opening tag to the fragment end
+# (the non-greedy leading .*? anchors the first match position, like
+# finditer's scan), and the split guarantees no '</p>' inside.
+_P_SPLIT_RE2 = r"(?i)</p>"
+_P_OPEN_RE2 = r"(?is)^.*?<p(?:\s[^>]*)?>(?P<c>.*)$"
+# every code point str.split() treats as whitespace (CPython
+# str.isspace set) -- property-checked against str.split in tests so
+# the RE2 collapse is byte-identical to " ".join(s.split())
+_UNI_WS = (
+    "\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f "
+    "\x85\xa0 "
+    "           "
+    "    　"
+)
+_WS_RUN_RE2 = "[" + _UNI_WS + "]+"
+# detects any string that whitespace collapse/trim would CHANGE: a
+# non-space whitespace char, a double space, or a leading/trailing
+# space.  Matching is ~10x cheaper than replacing, and real corpora
+# leave most paragraphs untouched -- so the replace runs on the dirty
+# subset only.
+_WS_DIRTY_RE2 = (
+    "[" + _UNI_WS.replace(" ", "") + "]|  |^ | $"
+)
+
+
+def extract_text_batch(col) -> "pa.Array":
+    """Vectorized :func:`extract_text` over an Arrow string array --
+    byte-identical per row (the pages pipeline's invariant check
+    compares every output against the stored golden text), with all
+    scans in RE2/Arrow C kernels instead of per-row Python.  Entity
+    unescape (stdlib, Python) runs only on the fragments that contain
+    '&', before whitespace collapse (entities like &nbsp; decode TO
+    whitespace)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    lists = pc.split_pattern_regex(col, pattern=_P_SPLIT_RE2)
+    flat = pc.list_flatten(lists)
+    parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+    offsets = np.r_[0, np.cumsum(lens, dtype=np.int64)]
+    # a doc's LAST fragment follows its last '</p>': never a paragraph
+    not_last = np.ones(len(flat), dtype=bool)
+    not_last[offsets[1:] - 1] = False
+    # unanchored search == leftmost-first match, same as the anchored
+    # (?s)^.*?<p... form but ~1.5x faster
+    ext = pc.extract_regex(
+        flat, pattern=r"(?is)<p(?:\s[^>]*)?>(?P<c>.*)$"
+    )
+    c = pc.struct_field(ext, "c")
+    valid = pc.is_valid(c).to_numpy(zero_copy_only=False) & not_last
+    kept = c.filter(pa.array(valid))
+    kept = pc.replace_substring_regex(kept, pattern="<[^>]+>", replacement="")
+    amp = pc.match_substring(kept, "&").to_numpy(zero_copy_only=False)
+    if amp.any():
+        vals = kept.to_pylist()
+        for i in np.flatnonzero(amp):
+            vals[i] = _html.unescape(vals[i])
+        kept = pa.array(vals, pa.string())
+    dirty = pc.match_substring_regex(kept, pattern=_WS_DIRTY_RE2)
+    if pc.any(dirty).as_py():
+        sub = kept.filter(dirty)
+        sub = pc.replace_substring_regex(
+            sub, pattern=_WS_RUN_RE2, replacement=" "
+        )
+        sub = pc.utf8_trim(sub, characters=" ")
+        kept = pc.replace_with_mask(kept, dirty, sub)
+    counts = np.bincount(parents[valid], minlength=n)
+    out_off = np.r_[0, np.cumsum(counts, dtype=np.int64)]
+    la = pa.ListArray.from_arrays(
+        pa.array(out_off, pa.int32()), kept.combine_chunks()
+        if isinstance(kept, pa.ChunkedArray) else kept
+    )
+    return pc.binary_join(la, "\n")
+
+
 def extract_geo(html_bytes: bytes | str) -> tuple[float, float] | None:
     """Parse the ``<span class="geo">lat,lon</span>`` microformat ->
     (lat, lon) or None (the geocoder input for the pages pipeline)."""

@@ -271,25 +271,24 @@ class PageExtract:
             try:
                 # C-level utf-8 validation + decode in one pass
                 html_col = pc.cast(html_col, pa.string())
-                docs = html_col.to_pylist()
             except pa.ArrowInvalid:
                 # invalid utf-8 somewhere: per-row lossy decode
-                docs = [
-                    h.decode("utf-8", errors="replace")
-                    for h in html_col.to_pylist()
-                ]
-                html_col = pa.array(docs)
-        else:
-            docs = html_col.to_pylist()
-        texts = [_text.extract_text(d) for d in docs]
-        text_arr = pa.array(texts)
+                html_col = pa.array(
+                    [
+                        h.decode("utf-8", errors="replace")
+                        for h in html_col.to_pylist()
+                    ]
+                )
+        text_arr = _text.extract_text_batch(html_col)
         if self.check_invariant and "text" in batch.column_names:
             # vectorized compare; the Python loop runs only on failure
             # to name the offending url
             eq = pc.equal(text_arr, batch["text"].combine_chunks())
             if not bool(pc.min(eq).as_py() or False) or eq.null_count:
                 golden = batch["text"].to_pylist()
-                for u, t, g in zip(batch["url"].to_pylist(), texts, golden):
+                for u, t, g in zip(
+                    batch["url"].to_pylist(), text_arr.to_pylist(), golden
+                ):
                     if t != g:
                         raise ValueError(
                             f"extract_text invariant violated for url={u!r}"
