@@ -179,6 +179,44 @@ _OG_SLOPE_GRID_SQL = f"""
 """
 
 
+def _centroid_oracle_sql() -> str:
+    """Shoelace area+centroid over the fixture polygons: per-edge
+    VALUES, each term quantized half-away to 1e-6 ticks and summed as
+    BIGINT -- the identical integers the engine accumulates
+    (functions/geometry.py::ring_centroid_quantized), so the final
+    double divisions match bit-for-bit."""
+    rows = []
+    for pid, poly in OG_POLYGONS.items():
+        pts = list(poly)
+        if pts[0] == pts[-1]:
+            pts = pts[:-1]
+        for (x1, y1), (x2, y2) in zip(pts, pts[1:] + pts[:1]):
+            rows.append(f"('{pid}', {x1!r}, {y1!r}, {x2!r}, {y2!r})")
+    values = ", ".join(rows)
+    q = (
+        "CAST(CASE WHEN {t} < 0 THEN -FLOOR(-({t}) * 1000000.0 + 0.5) "
+        "ELSE FLOOR(({t}) * 1000000.0 + 0.5) END AS BIGINT)"
+    )
+    return (
+        f"WITH e0(pid, rx1, ry1, rx2, ry2) AS (VALUES {values}), "
+        f"e AS (SELECT pid, CAST(rx1 AS DOUBLE) AS x1, "
+        f"CAST(ry1 AS DOUBLE) AS y1, CAST(rx2 AS DOUBLE) AS x2, "
+        f"CAST(ry2 AS DOUBLE) AS y2 FROM e0), "
+        f"t AS (SELECT pid, "
+        f"{q.format(t='x1 * y2 - x2 * y1')} AS qc, "
+        f"{q.format(t='(x1 + x2) * (x1 * y2 - x2 * y1)')} AS qx, "
+        f"{q.format(t='(y1 + y2) * (x1 * y2 - x2 * y1)')} AS qy "
+        f"FROM e), "
+        f"s AS (SELECT pid, SUM(qc) AS a2, SUM(qx) AS cx6, SUM(qy) AS cy6 "
+        f"FROM t GROUP BY pid) "
+        f"SELECT pid AS polygon_id, "
+        f"ROUND(CAST(a2 AS DOUBLE) / (2.0 * 1000000.0), 6) AS area, "
+        f"ROUND(CAST(cx6 AS DOUBLE) / (3.0 * CAST(a2 AS DOUBLE)), 6) AS cx, "
+        f"ROUND(CAST(cy6 AS DOUBLE) / (3.0 * CAST(a2 AS DOUBLE)), 6) AS cy "
+        f"FROM s"
+    )
+
+
 def _halfplane_sql(poly: list[tuple[float, float]]) -> str:
     """Strict-interior convex PIP as AND of half-plane tests (CCW)."""
     terms = []
@@ -1829,6 +1867,162 @@ def _q_pack_sequences(sf_dir: str) -> pa.Table:
     return out.select(["doc_id", "lang", "n_tok", "bin_id"])
 
 
+def _q_cube_pricing(sf_dir: str) -> pa.Table:
+    """GROUP BY CUBE(returnflag, linestatus): all four grouping sets
+    from ONE scan (algebraic partials re-aggregate)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        cube_aggregate,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty": pa.array(q.astype(np.int64)),
+                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+
+    prepared = ds.map_batches(to_int, batch_format="pyarrow", batch_size=None)
+    out = cube_aggregate(
+        prepared,
+        ["l_returnflag", "l_linestatus"],
+        [("qty", "sum", "sum_qty"), ("_one", "sum", "n")],
+    )
+    return out.select(["l_returnflag", "l_linestatus", "sum_qty", "n"])
+
+
+def _q_rolling_hour_sum(sf_dir: str) -> pa.Table:
+    """Trailing 1-hour VALUE-range window sum per user (RANGE frame,
+    peers included) -- exact int cents, searchsorted kernel."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.window import (
+        rolling_interval_sum,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    out = collect_tables(rolling_interval_sum(ds))
+    return out.select(["user_id", "event_id", "roll_cents"])
+
+
+def _q_postings(sf_dir: str) -> pa.Table:
+    """Inverted-index construction: per token, document frequency and
+    the ordered posting list (comma-joined doc ids).  Distinct
+    (token, doc) pairs -> one groupby(token) shuffle -> sort+join
+    kernel; posting-list state is one token's docs."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+        _explode_tokens,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        return (
+            _explode_tokens(batch, "text", "doc_id")
+            .group_by(["doc_id", "token"])
+            .aggregate([])
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        d = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
+        joined = ",".join(str(v) for v in d)
+        return pa.table(
+            {
+                "token": group["token"].slice(0, 1),
+                "df": pa.array([len(d)], pa.int64()),
+                "postings": pa.array([joined], pa.string()),
+            }
+        )
+
+    pair_ds = ds.map_batches(pairs, batch_format="pyarrow", batch_size=None)
+    out = collect_tables(
+        pair_ds.groupby("token").map_groups(kernel, batch_format="pyarrow")
+    )
+    return out.select(["token", "df", "postings"])
+
+
+def _q_haversine_radius(sf_dir: str) -> pa.Table:
+    """Great-circle distance-band join: all valid grid points within
+    3 km of each probe, exact haversine after a conservative degree-
+    space candidate pass."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables, round_like_sql,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import (
+        RadiusJoin,
+    )
+
+    ref = collect_tables(_og_points_ds(valid_only=True))
+    probes = pa.table(
+        {
+            "probe_id": pa.array(range(len(OG_KNN_PROBES)), pa.int64()),
+            "lon": pa.array([p[0] for p in OG_KNN_PROBES]),
+            "lat": pa.array([p[1] for p in OG_KNN_PROBES]),
+        }
+    )
+    out = collect_tables(
+        ray.data.from_arrow(probes).map_batches(
+            RadiusJoin(ref, radius=3.0, payload_cols=("pix",),
+                       metric="haversine"),
+            batch_format="pyarrow", batch_size=None,
+        )
+    )
+    return pa.table(
+        {
+            "probe_id": out["probe_id"],
+            "pix": out["nn_pix"],
+            "dist_km": round_like_sql(out["dist"], 6),
+        }
+    )
+
+
+def _q_polygon_centroid(sf_dir: str) -> pa.Table:
+    """Shoelace area + centroid per fixture polygon with QUANTIZED
+    int64 edge-term accumulation (order-independent, SQL-exact)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.functions.geometry import (
+        ring_centroid_quantized,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        round_like_sql,
+    )
+
+    pids, areas, cxs, cys = [], [], [], []
+    for pid, poly in OG_POLYGONS.items():
+        a2, cx6, cy6 = ring_centroid_quantized(poly)
+        pids.append(pid)
+        areas.append(float(a2) / (2.0 * 1e6))
+        cxs.append(float(cx6) / (3.0 * a2))
+        cys.append(float(cy6) / (3.0 * a2))
+    return pa.table(
+        {
+            "polygon_id": pa.array(pids),
+            "area": round_like_sql(pa.array(areas), 6),
+            "cx": round_like_sql(pa.array(cxs), 6),
+            "cy": round_like_sql(pa.array(cys), 6),
+        }
+    )
+
+
 def _q_contamination(sf_dir: str) -> pa.Table:
     """Benchmark decontamination: per non-benchmark doc, the count of
     distinct 5-grams shared with the broadcast benchmark slice
@@ -2971,6 +3165,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _q_token_counts,
         "pack_sequences": _q_pack_sequences,
         "contamination": _q_contamination,
+        "cube_pricing": _q_cube_pricing,
+        "rolling_hour_sum": _q_rolling_hour_sum,
+        "postings": _q_postings,
+        "haversine_radius": _q_haversine_radius,
+        "polygon_centroid": _q_polygon_centroid,
         "retention_matrix": _q_retention_matrix,
         "decayed_counts": _q_decayed_counts,
         "pareto_front": _q_pareto_front,
@@ -3679,6 +3878,43 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents d LEFT JOIN hits h USING (doc_id) "
             "WHERE d.doc_id % 97 <> 0"
         ),
+        "cube_pricing": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"
+        ),
+        "rolling_hour_sum": (
+            "WITH e AS (SELECT event_id, user_id, ts, "
+            "CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events) "
+            "SELECT user_id, event_id, "
+            "CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) "
+            "AS BIGINT) AS roll_cents FROM e"
+        ),
+        "postings": (
+            "WITH pairs AS (SELECT DISTINCT doc_id, token FROM ("
+            "SELECT doc_id, UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(text), "
+            "'\\s+')) AS token FROM documents WHERE TRIM(text) <> '')"
+            " WHERE token <> '') "
+            "SELECT token, CAST(COUNT(*) AS BIGINT) AS df, "
+            "STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) "
+            "AS postings FROM pairs GROUP BY token"
+        ),
+        "haversine_radius": (
+            f"WITH probes(probe_id, plon, plat) AS (VALUES {probes_values}), "
+            f"v AS ({valid}), "
+            f"d AS (SELECT p.probe_id, v.pix, "
+            f"SIN((RADIANS(v.lat) - RADIANS(p.plat)) / 2.0) AS s1, "
+            f"SIN((RADIANS(v.lon) - RADIANS(p.plon)) / 2.0) AS s2, "
+            f"COS(RADIANS(p.plat)) AS c1, COS(RADIANS(v.lat)) AS c2 "
+            f"FROM probes p, v) "
+            f"SELECT probe_id, pix, ROUND(dist_km, 6) AS dist_km FROM ("
+            f"SELECT probe_id, pix, "
+            f"12742.0 * ASIN(SQRT(s1 * s1 + c1 * c2 * (s2 * s2))) AS dist_km "
+            f"FROM d) WHERE dist_km <= 3.0"
+        ),
+        "polygon_centroid": _centroid_oracle_sql(),
         "retention_matrix": (
             "WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d "
             "FROM events), "

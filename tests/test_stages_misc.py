@@ -1204,3 +1204,89 @@ class TestParetoAndRobustStats:
             # + one beyond horizon (0) + one in the future (0)
             want = 2 * 0.5 + 2.0 ** -31
             assert out["decayed_n"][0] == want
+
+
+class TestCubeRollingHaversine:
+    def test_cube_matches_duckdb(self, ray_session):
+        import duckdb
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+            cube_aggregate,
+        )
+
+        rng = np.random.default_rng(11)
+        t = pa.table(
+            {
+                "a": pa.array(np.array(["x", "y", "z"])[rng.integers(0, 3, 300)]),
+                "b": pa.array(np.array(["p", "q"])[rng.integers(0, 2, 300)]),
+                "v": pa.array(rng.integers(0, 50, 300).astype(np.int64)),
+            }
+        )
+        out = cube_aggregate(
+            ray.data.from_arrow(t).repartition(4),
+            ["a", "b"], [("v", "sum", "sv")],
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("t", t.to_pandas())
+        want = con.execute(
+            "SELECT a, b, CAST(SUM(v) AS BIGINT) AS sv FROM t GROUP BY CUBE(a, b)"
+        ).df()
+        key = lambda df: df.fillna("~").sort_values(["a", "b"]).reset_index(drop=True)
+        a, b = key(out[["a", "b", "sv"]]), key(want)
+        assert a.equals(b)
+
+    def test_rolling_interval_sum_bruteforce(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+            collect_tables,
+        )
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.window import (
+            rolling_interval_sum,
+        )
+
+        rng = np.random.default_rng(5)
+        n = 200
+        ts = np.sort(rng.integers(0, 10_000_000_000, n)).astype("datetime64[us]")
+        t = pa.table(
+            {
+                "user_id": pa.array(rng.integers(0, 3, n).astype(np.int64)),
+                "event_id": pa.array(np.arange(n, dtype=np.int64)),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "value": pa.array(rng.normal(10, 3, n)),
+            }
+        )
+        out = collect_tables(
+            rolling_interval_sum(ray.data.from_arrow(t).repartition(5))
+        ).to_pandas().set_index("event_id")["roll_cents"]
+
+        df = t.to_pandas()
+        cents = np.where(
+            df.value < 0, -np.floor(-df.value * 100 + 0.5),
+            np.floor(df.value * 100 + 0.5),
+        ).astype(np.int64)
+        tsi = df.ts.astype("int64").to_numpy()
+        for i in range(n):
+            mask = (
+                (df.user_id == df.user_id[i])
+                & (tsi >= tsi[i] - 3_600_000_000)
+                & (tsi <= tsi[i])
+            )
+            assert out[df.event_id[i]] == cents[mask].sum()
+
+    def test_haversine_known_distance(self, ray_session):
+        import numpy as np
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import (
+            haversine_km,
+        )
+
+        # one degree of latitude ~ 111.19 km on the sphere (R=6371)
+        d = haversine_km(np.array([0.0]), np.array([0.0]),
+                         np.array([0.0]), np.array([1.0]))
+        assert abs(d[0] - 111.19) < 0.01
+        # symmetric and zero at identity
+        assert haversine_km(np.array([77.2]), np.array([28.6]),
+                            np.array([77.2]), np.array([28.6]))[0] == 0.0

@@ -177,6 +177,36 @@ def polygon_area(poly: Polygon) -> float:
     return areas[0] - sum(areas[1:]) if areas else 0.0
 
 
+def ring_centroid_quantized(
+    ring, scale: float = 1e6
+) -> tuple[int, int, int]:
+    """Shoelace centroid accumulators of one ring, QUANTIZED: each
+    per-edge term (an IEEE double, identical in any engine evaluating
+    the same literals) is rounded half-away to ``scale`` ticks and
+    summed in int64, so the totals are order-independent and an SQL
+    oracle summing the same integers matches bit-for-bit.
+
+    Returns (A2, CX6, CY6) scaled by ``scale``:
+      area     = A2  / (2 * scale)
+      centroid = (CX6 / (3 * A2), CY6 / (3 * A2))
+    """
+    pts = np.asarray(ring, dtype=np.float64).reshape(-1, 2)
+    if np.array_equal(pts[0], pts[-1]):
+        pts = pts[:-1]
+    x1, y1 = pts[:, 0], pts[:, 1]
+    x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+    cross = x1 * y2 - x2 * y1
+    cx = (x1 + x2) * cross
+    cy = (y1 + y2) * cross
+
+    def q(t: np.ndarray) -> np.ndarray:
+        return np.where(
+            t < 0, -np.floor(-t * scale + 0.5), np.floor(t * scale + 0.5)
+        ).astype(np.int64)
+
+    return int(q(cross).sum()), int(q(cx).sum()), int(q(cy).sum())
+
+
 def clip_polygon_convex(
     subject: Polygon, clip: Polygon, polygon_id: str | None = None
 ) -> Polygon | None:

@@ -648,3 +648,51 @@ def decayed_counts(
             "decayed_n": pa.array(score / float(1 << horizon)),
         }
     )
+
+
+def cube_aggregate(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    aggs: list[tuple[str, str, str]],
+    distributed_combine: bool = False,
+) -> pa.Table:
+    """GROUP BY CUBE(k1..kn): aggregates at EVERY subset of the keys
+    (2^n grouping sets), NULL-filled SQL-style.  Like
+    :func:`rollup_aggregate`, the raw input is scanned exactly once;
+    every grouping set re-aggregates the finest level's bounded table
+    (sound for algebraic sum/count/min/max partials)."""
+    from itertools import combinations
+
+    finest = hash_aggregate(
+        ds, keys, aggs, distributed_combine=distributed_combine
+    )
+    if not isinstance(finest, pa.Table):
+        finest = collect_tables(finest)
+    out_names = [name for _, _, name in aggs]
+    reops = [
+        (n, _ROLLUP_REOP[op]) for (_, op, _), n in zip(aggs, out_names)
+    ]
+    levels = [finest.select(keys + out_names)]
+    for r in range(len(keys) - 1, -1, -1):
+        for sub in combinations(keys, r):
+            sub = list(sub)
+            if sub:
+                t = finest.select(sub + out_names).group_by(sub).aggregate(reops)
+                t = t.rename_columns(sub + out_names)
+            else:
+                t = pa.table(
+                    {
+                        n: pa.array(
+                            [getattr(pc, ro)(finest[n]).as_py()],
+                            finest.schema.field(n).type,
+                        )
+                        for n, ro in reops
+                    }
+                )
+            for k in keys:
+                if k not in sub:
+                    t = t.append_column(
+                        k, pa.nulls(t.num_rows, finest.schema.field(k).type)
+                    )
+            levels.append(t.select(keys + out_names))
+    return pa.concat_tables(levels)

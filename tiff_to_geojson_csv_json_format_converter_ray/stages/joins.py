@@ -17,6 +17,19 @@ from ..functions.geometry import Polygon, STRtree, bbox_intersects
 from ..functions.knn import KNNIndex
 
 
+def haversine_km(lon1, lat1, lon2, lat2) -> np.ndarray:
+    """Great-circle distance in km, operation order pinned so the SQL
+    oracle (identical RADIANS/SIN/COS/ASIN composition) is
+    bit-reproducible: 12742 * asin(sqrt(sin^2(dlat/2) +
+    cos(lat1) cos(lat2) sin^2(dlon/2)))."""
+    rlat1 = np.radians(lat1)
+    rlat2 = np.radians(lat2)
+    s1 = np.sin((rlat2 - rlat1) / 2.0)
+    s2 = np.sin((np.radians(lon2) - np.radians(lon1)) / 2.0)
+    h = s1 * s1 + np.cos(rlat1) * np.cos(rlat2) * (s2 * s2)
+    return 12742.0 * np.arcsin(np.sqrt(h))
+
+
 def polygons_from_table(tbl: pa.Table) -> list[Polygon]:
     out = []
     for i in range(tbl.num_rows):
@@ -253,22 +266,41 @@ class RadiusJoin:
     def __init__(self, ref_points, radius: float,
                  lon_col: str = "lon", lat_col: str = "lat",
                  ref_lon: str = "lon", ref_lat: str = "lat",
-                 payload_cols: tuple[str, ...] = ("z",)):
+                 payload_cols: tuple[str, ...] = ("z",),
+                 metric: str = "euclidean"):
         tbl = _resolve(ref_points)
         lon = tbl[ref_lon].to_numpy(zero_copy_only=False)
         lat = tbl[ref_lat].to_numpy(zero_copy_only=False)
         self.index = KNNIndex(lon, lat)
+        self.ref_lon_v = lon
+        self.ref_lat_v = lat
         self.payloads = {
             c: tbl[c].to_numpy(zero_copy_only=False) for c in payload_cols
         }
-        self.radius = float(radius)
+        if metric not in ("euclidean", "haversine"):
+            raise ValueError(f"unknown metric: {metric}")
+        self.metric = metric
+        self.radius = float(radius)  # degrees (euclidean) / km (haversine)
         self.lon_col = lon_col
         self.lat_col = lat_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         lon = batch[self.lon_col].to_numpy(zero_copy_only=False)
         lat = batch[self.lat_col].to_numpy(zero_copy_only=False)
-        qi, ri, d = self.index.query_radius(lon, lat, self.radius)
+        if self.metric == "euclidean":
+            qi, ri, d = self.index.query_radius(lon, lat, self.radius)
+        else:
+            # candidate pass in degree space (conservative radius: a
+            # km is at most 1/110.574 deg of lat and widens with
+            # latitude in lon), exact great-circle filter after
+            max_lat = min(89.0, float(np.abs(lat).max(initial=0.0)) + 1.0)
+            deg_r = self.radius / (110.574 * np.cos(np.radians(max_lat)))
+            qi, ri, _ = self.index.query_radius(lon, lat, deg_r)
+            d = haversine_km(
+                lon[qi], lat[qi], self.ref_lon_v[ri], self.ref_lat_v[ri]
+            )
+            keep = d <= self.radius
+            qi, ri, d = qi[keep], ri[keep], d[keep]
         out = batch.take(pa.array(qi))
         for c, arr in self.payloads.items():
             out = out.append_column(f"nn_{c}", pa.array(arr[ri]))

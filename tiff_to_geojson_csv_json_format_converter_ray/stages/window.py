@@ -319,3 +319,58 @@ def funnel_counts(
             "n_reached": pa.array(reached[1:].astype(np.int64)),
         }
     )
+
+
+def rolling_interval_sum(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    interval_us: int = 3_600_000_000,
+):
+    """Trailing time-interval window sum per key -- the SQL
+    ``SUM(v) OVER (PARTITION BY key ORDER BY ts RANGE BETWEEN
+    INTERVAL .. PRECEDING AND CURRENT ROW)`` shape, i.e. a VALUE-range
+    frame (all peer rows with ts in [t - interval, t], duplicates
+    included) rather than a row-count frame.
+
+    Same contract as :func:`keyed_window_functions`: one groupby
+    shuffle, exact int64 cents inside the kernel (value-range sums are
+    float-order-unreproducible otherwise), and the per-group work is a
+    sort + cumsum + two ``searchsorted`` calls -- no Python loop."""
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        c = np.where(v < 0, -np.floor(-v * 100 + 0.5), np.floor(v * 100 + 0.5))
+        return pa.table(
+            {
+                key_col: batch[key_col],
+                id_col: batch[id_col],
+                ts_col: batch[ts_col],
+                "cents": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[(ts_col, "ascending"), (id_col, "ascending")]
+        )
+        g = group.take(idx)
+        ts = g[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = g["cents"].to_numpy(zero_copy_only=False)
+        cum = np.r_[0, np.cumsum(cents)]
+        # RANGE frame: include every row with ts' in [t - interval, t]
+        start = np.searchsorted(ts, ts - interval_us, side="left")
+        end = np.searchsorted(ts, ts, side="right")
+        roll = cum[end] - cum[start]
+        return pa.table(
+            {
+                key_col: g[key_col],
+                id_col: g[id_col],
+                "roll_cents": pa.array(roll.astype(np.int64)),
+            }
+        )
+
+    prepared = ds.map_batches(to_cents, batch_format="pyarrow", batch_size=None)
+    return prepared.groupby(key_col).map_groups(kernel, batch_format="pyarrow")
