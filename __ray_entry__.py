@@ -605,6 +605,23 @@ def _q_tile_slope(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_flow_direction(sf_dir: str) -> pa.Table:
+    """D8 flow direction over the slope fixture raster via the halo-
+    exchange shuffle (second consumer of stages/raster.py, proving the
+    focal machinery generalizes beyond Horn)."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
+        tile_flow_direction,
+    )
+
+    tiles = ray.data.from_arrow(_og_tiles_table(sparse_invalid=True, tile=24))
+    out = collect_tables(tile_flow_direction(tiles))
+    return out.select(["row", "col", "d8"])
+
+
 def _q_idw_probes(sf_dir: str) -> pa.Table:
     """Inverse-distance-weighted interpolation at the probe points
     (w = 1/d^2 over valid grid points within 0.025 deg)."""
@@ -2063,6 +2080,23 @@ def _q_contamination(sf_dir: str) -> pa.Table:
     return out.select(["doc_id", "n_contam"])
 
 
+def _q_edit1_pairs(sf_dir: str) -> pa.Table:
+    """Fuzzy vocabulary join: all distinct corpus-token pairs at edit
+    distance exactly 1, via deletion-neighborhood blocking + exact
+    per-bucket verify."""
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+        edit1_vocab_pairs,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
+    ).map_batches(
+        lambda b: b.rename_columns(["text"]),
+        batch_format="pyarrow", batch_size=None,
+    )
+    return edit1_vocab_pairs(ds, min_len=4)
+
+
 def _q_retention_matrix(sf_dir: str) -> pa.Table:
     """Cohort retention: distinct users active k days after their
     first-seen day, per cohort day."""
@@ -2777,6 +2811,59 @@ def _q_big_join_revenue(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_big_left_join(sf_dir: str) -> pa.Table:
+    """Big-big LEFT OUTER shuffle join (customer x orders): unmatched
+    left rows survive with nulls -- per nation, total join rows and
+    order-less customers."""
+    import pyarrow.compute as pc
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate,
+    )
+
+    cu = _read_pq(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    )
+    od = _read_pq(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderkey", "o_orderpriority"],
+    ).map_batches(
+        # restrict the right side so unmatched-left rows really exist
+        # (every customer has SOME order; not every one has an urgent)
+        lambda b: b.filter(
+            pc.equal(b["o_orderpriority"], "1-URGENT")
+        ).select(["o_custkey", "o_orderkey"]),
+        batch_format="pyarrow", batch_size=None,
+    )
+    joined = cu.join(
+        od, join_type="left_outer", num_partitions=8,
+        on=("c_custkey",), right_on=("o_custkey",),
+    )
+
+    def mark(batch: pa.Table) -> pa.Table:
+        lonely = pc.cast(pc.is_null(batch["o_orderkey"]), pa.int64())
+        return pa.table(
+            {
+                "c_nationkey": batch["c_nationkey"],
+                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
+                "_lonely": lonely,
+            }
+        )
+
+    out = hash_aggregate(
+        joined.map_batches(mark, batch_format="pyarrow", batch_size=None),
+        ["c_nationkey"],
+        [("_one", "sum", "n_rows"), ("_lonely", "sum", "n_lonely")],
+    )
+    return pa.table(
+        {
+            "c_nationkey": out["c_nationkey"].cast(pa.int64()),
+            "n_rows": out["n_rows"].cast(pa.int64()),
+            "n_lonely": out["n_lonely"].cast(pa.int64()),
+        }
+    )
+
+
 def _q_token_frequencies(sf_dir: str) -> pa.Table:
     """Global token frequencies over the documents corpus (the classic
     webtext word-count): per-batch explode via RE2 ``\\s+`` split +
@@ -3098,6 +3185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idw_probes": _q_idw_probes,
         "focal_counts": _q_focal_counts,
         "tile_slope": _q_tile_slope,
+        "flow_direction": _q_flow_direction,
         "bilinear_sample": _q_bilinear_sample,
         "stride_secondary": _q_stride_secondary,
         # spatial ops driven from the driver's tables
@@ -3155,6 +3243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_frequencies": _q_token_frequencies,
         "grouped_quantiles": _q_grouped_quantiles,
         "big_join_revenue": _q_big_join_revenue,
+        "big_left_join": _q_big_left_join,
         "tfidf_scores": _q_tfidf_scores,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "quantiles": _q_quantiles,
@@ -3170,6 +3259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "postings": _q_postings,
         "haversine_radius": _q_haversine_radius,
         "polygon_centroid": _q_polygon_centroid,
+        "edit1_pairs": _q_edit1_pairs,
         "retention_matrix": _q_retention_matrix,
         "decayed_counts": _q_decayed_counts,
         "pareto_front": _q_pareto_front,
@@ -3780,6 +3870,15 @@ def oracle_sql() -> dict[str, str]:
             "WHERE l_orderkey IN (SELECT o_orderkey FROM orders "
             "WHERE o_orderpriority = '1-URGENT')"
         ),
+        "big_left_join": (
+            "SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, "
+            "CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            "CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_lonely "
+            "FROM customer LEFT JOIN "
+            "(SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o "
+            "ON o.o_custkey = c_custkey GROUP BY 1"
+        ),
         "big_join_revenue": (
             "SELECT o_orderpriority, "
             "ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue, "
@@ -3915,6 +4014,50 @@ def oracle_sql() -> dict[str, str]:
             f"FROM d) WHERE dist_km <= 3.0"
         ),
         "polygon_centroid": _centroid_oracle_sql(),
+        "flow_direction": (
+            # D8 steepest-descent code; same window joins/validity as
+            # tile_slope, GREATEST + priority CASE for the tie-break
+            f"WITH g AS ({_OG_SLOPE_GRID_SQL}), w AS ("
+            f"SELECT e.row AS row, e.col AS col, "
+            f"n1.z AS za, n2.z AS zb, n3.z AS zc, n4.z AS zd, e.z AS ze, "
+            f"n6.z AS zf, n7.z AS zg, n8.z AS zh, n9.z AS zi "
+            f"FROM g e "
+            f"JOIN g n1 ON n1.row = e.row - 1 AND n1.col = e.col - 1 "
+            f"JOIN g n2 ON n2.row = e.row - 1 AND n2.col = e.col "
+            f"JOIN g n3 ON n3.row = e.row - 1 AND n3.col = e.col + 1 "
+            f"JOIN g n4 ON n4.row = e.row AND n4.col = e.col - 1 "
+            f"JOIN g n6 ON n6.row = e.row AND n6.col = e.col + 1 "
+            f"JOIN g n7 ON n7.row = e.row + 1 AND n7.col = e.col - 1 "
+            f"JOIN g n8 ON n8.row = e.row + 1 AND n8.col = e.col "
+            f"JOIN g n9 ON n9.row = e.row + 1 AND n9.col = e.col + 1 "
+            f"WHERE za > -1e30 AND zb > -1e30 AND zc > -1e30 "
+            f"AND zd > -1e30 AND ze > -1e30 AND zf > -1e30 "
+            f"AND zg > -1e30 AND zh > -1e30 AND zi > -1e30), "
+            f"d AS (SELECT row, col, "
+            f"(ze - zf) / 1.0 AS de, (ze - zi) / SQRT(2.0) AS dse, "
+            f"(ze - zh) / 1.0 AS ds, (ze - zg) / SQRT(2.0) AS dsw, "
+            f"(ze - zd) / 1.0 AS dw, (ze - za) / SQRT(2.0) AS dnw, "
+            f"(ze - zb) / 1.0 AS dn, (ze - zc) / SQRT(2.0) AS dne "
+            f"FROM w) "
+            f"SELECT row, col, CAST(CASE "
+            f"WHEN GREATEST(de, dse, ds, dsw, dw, dnw, dn, dne) <= 0 THEN 0 "
+            f"WHEN de = GREATEST(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 1 "
+            f"WHEN dse = GREATEST(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 2 "
+            f"WHEN ds = GREATEST(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 4 "
+            f"WHEN dsw = GREATEST(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 8 "
+            f"WHEN dw = GREATEST(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 16 "
+            f"WHEN dnw = GREATEST(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 32 "
+            f"WHEN dn = GREATEST(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 64 "
+            f"ELSE 128 END AS BIGINT) AS d8 FROM d"
+        ),
+        "edit1_pairs": (
+            "WITH v AS (SELECT DISTINCT source AS token FROM documents "
+            "WHERE LEN(source) >= 4) "
+            "SELECT a.token AS w1, b.token AS w2 FROM v a JOIN v b "
+            "ON a.token < b.token "
+            "AND ABS(LEN(a.token) - LEN(b.token)) <= 1 "
+            "AND LEVENSHTEIN(a.token, b.token) = 1"
+        ),
         "retention_matrix": (
             "WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d "
             "FROM events), "

@@ -1290,3 +1290,41 @@ class TestCubeRollingHaversine:
         # symmetric and zero at identity
         assert haversine_km(np.array([77.2]), np.array([28.6]),
                             np.array([77.2]), np.array([28.6]))[0] == 0.0
+
+
+class TestFlowDirection:
+    def test_d8_matches_whole_array(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as entry
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
+            _D8, tile_flow_direction,
+        )
+
+        tiles = entry._og_tiles_table(sparse_invalid=True, tile=24)
+        out = tile_flow_direction(ray.data.from_arrow(tiles)).to_pandas()
+        got = {(r, c): d for r, c, d in zip(out["row"], out["col"], out["d8"])}
+
+        full = np.full((96, 96), np.nan, np.float32)
+        for i in range(tiles.num_rows):
+            r0, c0 = tiles["row_off"][i].as_py(), tiles["col_off"][i].as_py()
+            hh, ww = tiles["height"][i].as_py(), tiles["width"][i].as_py()
+            full[r0:r0+hh, c0:c0+ww] = np.asarray(
+                tiles["values"][i].as_py(), np.float32).reshape(hh, ww)
+        z = full.astype(np.float64)
+
+        n_sinks = 0
+        for (r, c), d in got.items():
+            # per-pixel brute force with the documented tie-break
+            best, code = 0.0, 0
+            for dr, dc, dist, cd in _D8:
+                drop = (z[r, c] - z[r + dr, c + dc]) / dist
+                if drop > best:
+                    best, code = drop, cd
+            assert d == code, (r, c)
+            n_sinks += code == 0
+        assert len(got) == 6094
+        assert 0 < n_sinks < len(got)  # fixture has sinks AND flows

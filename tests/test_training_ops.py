@@ -1006,3 +1006,50 @@ class TestContamination:
         pgrams = {" ".join(probe.split()[i:i+5])
                   for i in range(len(probe.split()) - 4)}
         assert len(bgrams & pgrams) == 1  # keeps the test above honest
+
+
+class TestEdit1Pairs:
+    def test_planted_typo_classes(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+            edit1_vocab_pairs, _is_edit1,
+        )
+
+        # substitution, deletion, insertion, and a distance-2 decoy
+        docs = [
+            "hello helko",        # substitution pair
+            "world wrld",         # deletion pair
+            "grape grapes",       # insertion pair
+            "abcd wxyz",          # unrelated
+            "abde cdef",          # distance 2+ from abcd (decoy? verify below)
+        ]
+        t = pa.table({"text": pa.array(docs)})
+        out = edit1_vocab_pairs(
+            ray.data.from_arrow(t).repartition(3), min_len=4
+        ).to_pandas()
+        pairs = set(map(tuple, out[["w1", "w2"]].values))
+        assert ("helko", "hello") in pairs
+        assert ("world", "wrld") in pairs
+        assert ("grape", "grapes") in pairs
+        # brute-force completeness on this vocab
+        vocab = sorted({w for d in docs for w in d.split() if len(w) >= 4})
+        want = {
+            (a, b)
+            for i, a in enumerate(vocab) for b in vocab[i + 1:]
+            if _is_edit1(a, b)
+        }
+        assert pairs == want
+
+    def test_is_edit1_exactness(self):
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+            _is_edit1,
+        )
+
+        assert _is_edit1("abc", "abd")
+        assert _is_edit1("abc", "ab")
+        assert _is_edit1("abc", "xabc")
+        assert not _is_edit1("abc", "abc")
+        assert not _is_edit1("abc", "adc2x")
+        assert not _is_edit1("abcd", "cdab")
+        assert not _is_edit1("ab", "ba2")

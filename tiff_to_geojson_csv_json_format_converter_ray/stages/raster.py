@@ -114,32 +114,21 @@ def emit_halos(batch: pa.Table) -> pa.Table:
     )
 
 
-def horn_kernel(group: pa.Table) -> pa.Table:
-    """One tile + its halo strips -> per-pixel Horn slope (and aspect).
-
-    p = dz/dx = ((c + 2f + i) - (a + 2d + g)) / (8 * xres)
-    q = dz/dy = ((g + 2h + i) - (a + 2b + c)) / (8 * yres)
-    slope_pct = 100 * sqrt(p^2 + q^2); aspect = atan2(q, -p) degrees.
-
-    Arithmetic is ordered exactly like the SQL oracle (left-assoc
-    sums, division by ``8 * res``) so rounded outputs are
-    bit-identical to DuckDB.
-    """
+def _assemble_padded(group: pa.Table):
+    """Rebuild one tile + its halo strips into a NaN-padded
+    (h+2, w+2) array.  Returns None for orphan halo groups (strips
+    addressed past the raster boundary, no core tile)."""
     rel_r = group["rel_r"].to_numpy(zero_copy_only=False)
     rel_c = group["rel_c"].to_numpy(zero_copy_only=False)
     core_idx = np.flatnonzero((rel_r == 0) & (rel_c == 0))
     if len(core_idx) == 0:
-        # halo strips addressed to a tile that does not exist (raster
-        # boundary): nothing to compute
-        return _empty_slope_table()
+        return None
     ci = int(core_idx[0])
     h = int(group["h"][ci].as_py())
     w = int(group["w"][ci].as_py())
     r0 = int(group["row0"][ci].as_py())
     c0 = int(group["col0"][ci].as_py())
     transform = group["transform"][ci].as_py()  # GDAL order a,b,c,d,e,f
-    xres = abs(transform[0])
-    yres = abs(transform[4])
     core = (
         np.asarray(group["values"][ci].as_py(), np.float32)
         .reshape(h, w)
@@ -161,6 +150,26 @@ def horn_kernel(group: pa.Table) -> pa.Table:
         rows = slice(0, 1) if sr == -1 else slice(h + 1, h + 2) if sr == 1 else slice(1, h + 1)
         cols = slice(0, 1) if sc == -1 else slice(w + 1, w + 2) if sc == 1 else slice(1, w + 1)
         pad[rows, cols] = strip
+    return pad, h, w, r0, c0, transform
+
+
+def horn_kernel(group: pa.Table) -> pa.Table:
+    """One tile + its halo strips -> per-pixel Horn slope (and aspect).
+
+    p = dz/dx = ((c + 2f + i) - (a + 2d + g)) / (8 * xres)
+    q = dz/dy = ((g + 2h + i) - (a + 2b + c)) / (8 * yres)
+    slope_pct = 100 * sqrt(p^2 + q^2); aspect = atan2(q, -p) degrees.
+
+    Arithmetic is ordered exactly like the SQL oracle (left-assoc
+    sums, division by ``8 * res``) so rounded outputs are
+    bit-identical to DuckDB.
+    """
+    asm = _assemble_padded(group)
+    if asm is None:
+        return _empty_slope_table()
+    pad, h, w, r0, c0, transform = asm
+    xres = abs(transform[0])
+    yres = abs(transform[4])
     # 3x3 windows: letters per Horn (a b c / d e f / g h i), row-major
     za = pad[0:h, 0:w]
     zb = pad[0:h, 1 : w + 1]
@@ -199,6 +208,71 @@ def _empty_slope_table() -> pa.Table:
             "aspect_deg": pa.array([], pa.float64()),
         }
     )
+
+
+# ESRI D8 direction codes in tie-break priority order:
+# E, SE, S, SW, W, NW, N, NE
+_D8 = [
+    (0, 1, 1.0, 1), (1, 1, 2.0 ** 0.5, 2), (1, 0, 1.0, 4),
+    (1, -1, 2.0 ** 0.5, 8), (0, -1, 1.0, 16), (-1, -1, 2.0 ** 0.5, 32),
+    (-1, 0, 1.0, 64), (-1, 1, 2.0 ** 0.5, 128),
+]
+
+
+def d8_kernel(group: pa.Table) -> pa.Table:
+    """D8 flow direction (hydrology): per pixel, the ESRI direction
+    code of the steepest positive descent, drop = (z - z_n) / dist
+    (dist = sqrt(2) on diagonals); ties break in E,SE,S,SW,W,NW,N,NE
+    order; sinks/flats (no positive drop) code 0.  Validity contract
+    identical to :func:`horn_kernel` (full 3x3 window present and
+    above the nodata threshold)."""
+    asm = _assemble_padded(group)
+    if asm is None:
+        return pa.table(
+            {
+                "row": pa.array([], pa.int64()),
+                "col": pa.array([], pa.int64()),
+                "d8": pa.array([], pa.int64()),
+            }
+        )
+    pad, h, w, r0, c0, _ = asm
+    ze = pad[1 : h + 1, 1 : w + 1]
+    windows = [
+        pad[1 + dr : 1 + dr + h, 1 + dc : 1 + dc + w] for dr, dc, _, _ in _D8
+    ]
+    stack = np.stack([ze] + windows)
+    valid = np.all(np.isfinite(stack) & (stack > NODATA_THRESHOLD), axis=0)
+    if not valid.any():
+        return pa.table(
+            {
+                "row": pa.array([], pa.int64()),
+                "col": pa.array([], pa.int64()),
+                "d8": pa.array([], pa.int64()),
+            }
+        )
+    drops = [ (ze - zn) / dist for (_, _, dist, _), zn in zip(_D8, windows) ]
+    best = np.maximum.reduce(drops)
+    code = np.zeros((h, w), np.int64)
+    # first direction (in priority order) achieving the max positive
+    # drop wins: assign from the LAST priority backwards
+    for (_, _, _, c), d in reversed(list(zip(_D8, drops))):
+        code = np.where(d == best, c, code)
+    code = np.where(best > 0.0, code, 0)
+    rr, cc = np.nonzero(valid)
+    return pa.table(
+        {
+            "row": pa.array((rr + r0).astype(np.int64)),
+            "col": pa.array((cc + c0).astype(np.int64)),
+            "d8": pa.array(code[rr, cc]),
+        }
+    )
+
+
+def tile_flow_direction(tiles: ray.data.Dataset) -> ray.data.Dataset:
+    """D8 flow direction over a tile Dataset via the same halo-exchange
+    shuffle as :func:`tile_slope`."""
+    halos = tiles.map_batches(emit_halos, batch_format="pyarrow", batch_size=None)
+    return halos.groupby("halo_key").map_groups(d8_kernel, batch_format="pyarrow")
 
 
 def tile_slope(tiles: ray.data.Dataset) -> ray.data.Dataset:

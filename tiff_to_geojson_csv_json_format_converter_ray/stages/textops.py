@@ -624,3 +624,84 @@ class ContaminationTag:
                 "n_contam": pa.array(n_contam),
             }
         )
+
+
+# ------------------------------------------------- fuzzy vocab pairs
+def _is_edit1(a: str, b: str) -> bool:
+    """Exact test for unit edit distance (one substitution, insertion
+    or deletion) -- O(len) two-pointer, no DP table."""
+    la, lb = len(a), len(b)
+    if la == lb:
+        # exactly one substitution
+        diff = sum(1 for x, y in zip(a, b) if x != y)
+        return diff == 1
+    if abs(la - lb) != 1:
+        return False
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    # a is shorter: b must equal a with one char inserted
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def edit1_vocab_pairs(
+    ds,
+    text_col: str = "text",
+    min_len: int = 4,
+):
+    """Fuzzy-vocabulary join: every pair of DISTINCT corpus tokens at
+    edit distance exactly 1 (typo/variant detection, the string form
+    of near-dedup).  Deletion-neighborhood blocking: each token emits
+    itself plus its single-char deletions as bucket keys -- two words
+    at distance 1 ALWAYS share a key (delete-the-edit argument), so a
+    ``groupby(key)`` shuffle co-locates every true pair; the per-
+    bucket kernel verifies candidates with the exact O(len) edit-1
+    test and a final distinct pass drops pairs found under several
+    keys.  No stage holds more than a bucket; bucket size is bounded
+    by the deletion-variant collision count, not the vocab."""
+    from ..pipelines.relational import distinct, collect_tables
+    import ray.data
+
+    def batch_tokens(b: pa.Table) -> pa.Table:
+        b = b.select([text_col]).append_column(
+            "_d", pa.array(np.zeros(b.num_rows, np.int64))
+        )
+        return _explode_tokens(b, text_col, "_d").select(["token"])
+
+    toks = ds.map_batches(batch_tokens, batch_format="pyarrow", batch_size=None)
+    vocab_t = distinct(toks, ["token"])
+    vocab_t = vocab_t.filter(
+        pc.greater_equal(pc.utf8_length(vocab_t["token"]), min_len)
+    )
+
+    def variants(batch: pa.Table) -> pa.Table:
+        keys, words = [], []
+        for w in batch["token"].to_pylist():
+            keys.append(w)
+            words.append(w)
+            for i in range(len(w)):
+                keys.append(w[:i] + w[i + 1:])
+                words.append(w)
+        return pa.table({"k": pa.array(keys), "w": pa.array(words)})
+
+    var_ds = ray.data.from_arrow(vocab_t).map_batches(
+        variants, batch_format="pyarrow", batch_size=None
+    )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ws = sorted(set(group["w"].to_pylist()))
+        a_out, b_out = [], []
+        for i in range(len(ws)):
+            for j in range(i + 1, len(ws)):
+                if _is_edit1(ws[i], ws[j]):
+                    a_out.append(ws[i])
+                    b_out.append(ws[j])
+        return pa.table({"w1": pa.array(a_out, pa.string()),
+                         "w2": pa.array(b_out, pa.string())})
+
+    pair_ds = var_ds.groupby("k").map_groups(
+        bucket_pairs, batch_format="pyarrow"
+    )
+    return distinct(pair_ds, ["w1", "w2"])
