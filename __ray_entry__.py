@@ -179,6 +179,40 @@ _OG_SLOPE_GRID_SQL = f"""
 """
 
 
+def _corr_matrix_oracle_sql() -> str:
+    """Pairwise Pearson matrix from the SAME exact int64 moments the
+    engine accumulates (corr from SQL's CORR() would differ in float
+    summation order; this formulation is bit-reproducible)."""
+    cols = ["qty", "dollars", "disc_bp", "tax_bp"]
+    base = (
+        "WITH q AS (SELECT "
+        "CAST(ROUND(l_quantity, 0) AS BIGINT) AS qty, "
+        "CAST(ROUND(l_extendedprice, 0) AS BIGINT) AS dollars, "
+        "CAST(ROUND(l_discount * 10000, 0) AS BIGINT) AS disc_bp, "
+        "CAST(ROUND(l_tax * 10000, 0) AS BIGINT) AS tax_bp "
+        "FROM lineitem), m AS (SELECT "
+        "CAST(COUNT(*) AS DOUBLE) AS n, "
+    )
+    parts = []
+    for c in cols:
+        parts.append(f"CAST(SUM({c}) AS DOUBLE) AS s_{c}")
+        parts.append(f"CAST(SUM({c} * {c}) AS DOUBLE) AS ss_{c}")
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            parts.append(f"CAST(SUM({a} * {b}) AS DOUBLE) AS sp_{a}_{b}")
+    base += ", ".join(parts) + " FROM q) "
+    selects = []
+    for i, a in enumerate(cols):
+        for b in cols[i + 1:]:
+            selects.append(
+                f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+                f"ROUND((n * sp_{a}_{b} - s_{a} * s_{b}) / "
+                f"(SQRT(n * ss_{a} - s_{a} * s_{a}) * "
+                f"SQRT(n * ss_{b} - s_{b} * s_{b})), 6) AS corr FROM m"
+            )
+    return base + " UNION ALL ".join(selects)
+
+
 def _centroid_oracle_sql() -> str:
     """Shoelace area+centroid over the fixture polygons: per-edge
     VALUES, each term quantized half-away to 1e-6 ticks and summed as
@@ -2080,6 +2114,79 @@ def _q_contamination(sf_dir: str) -> pa.Table:
     return out.select(["doc_id", "n_contam"])
 
 
+def _q_label_centroids(sf_dir: str) -> pa.Table:
+    """Per-class mean embedding over the corpus: quantized int64
+    component sums combine exactly; (label x dim)-bounded output."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        round_like_sql,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.ann import (
+        label_centroids,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["label", "embedding"],
+    )
+    out = label_centroids(ds)
+    return pa.table(
+        {
+            "label": out["label"].cast(pa.int64()),
+            "dim": out["dim"],
+            "mean_v": round_like_sql(out["mean_v"], 6),
+        }
+    )
+
+
+def _q_corr_matrix(sf_dir: str) -> pa.Table:
+    """Pairwise Pearson matrix over (qty, dollars, discount-bp,
+    tax-bp) from one pass of exact int64 moments."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        corr_matrix,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        def ints(col, mult):
+            v = batch[col].to_numpy(zero_copy_only=False) * mult
+            r = np.where(v < 0, -np.floor(-v + 0.5), np.floor(v + 0.5))
+            return pa.array(r.astype(np.int64))
+
+        return pa.table(
+            {
+                "qty": ints("l_quantity", 1.0),
+                "dollars": ints("l_extendedprice", 1.0),
+                "disc_bp": ints("l_discount", 10000.0),
+                "tax_bp": ints("l_tax", 10000.0),
+            }
+        )
+
+    prepared = ds.map_batches(quantize, batch_format="pyarrow", batch_size=None)
+    return corr_matrix(prepared, ["qty", "dollars", "disc_bp", "tax_bp"])
+
+
+def _q_locf_resample(sf_dir: str) -> pa.Table:
+    """Daily-grid resample with last-observation-carried-forward per
+    user (gap filling), exact int cents; ASOF-join SQL oracle."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.window import (
+        locf_resample,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    out = collect_tables(locf_resample(ds))
+    return out.select(["user_id", "day", "cents"])
+
+
 def _q_edit1_pairs(sf_dir: str) -> pa.Table:
     """Fuzzy vocabulary join: all distinct corpus-token pairs at edit
     distance exactly 1, via deletion-neighborhood blocking + exact
@@ -3260,6 +3367,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "haversine_radius": _q_haversine_radius,
         "polygon_centroid": _q_polygon_centroid,
         "edit1_pairs": _q_edit1_pairs,
+        "label_centroids": _q_label_centroids,
+        "corr_matrix": _q_corr_matrix,
+        "locf_resample": _q_locf_resample,
         "retention_matrix": _q_retention_matrix,
         "decayed_counts": _q_decayed_counts,
         "pareto_front": _q_pareto_front,
@@ -4049,6 +4159,36 @@ def oracle_sql() -> dict[str, str]:
             f"WHEN dnw = GREATEST(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 32 "
             f"WHEN dn = GREATEST(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 64 "
             f"ELSE 128 END AS BIGINT) AS d8 FROM d"
+        ),
+        "label_centroids": (
+            "SELECT label, i AS dim, "
+            "ROUND(CAST(SUM(qv) AS DOUBLE) / (COUNT(*) * 1000000.0), 6) "
+            "AS mean_v FROM ("
+            "SELECT CAST(label AS BIGINT) AS label, i, "
+            "CAST(CASE WHEN CAST(v AS DOUBLE) < 0 "
+            "THEN -FLOOR(-CAST(v AS DOUBLE) * 1000000.0 + 0.5) "
+            "ELSE FLOOR(CAST(v AS DOUBLE) * 1000000.0 + 0.5) END AS BIGINT) "
+            "AS qv FROM (SELECT label, UNNEST(embedding) AS v, "
+            "GENERATE_SUBSCRIPTS(embedding, 1) AS i FROM embeddings)) "
+            "GROUP BY 1, 2"
+        ),
+        "corr_matrix": _corr_matrix_oracle_sql(),
+        "locf_resample": (
+            "WITH e AS (SELECT user_id, ts, event_id, "
+            "CAST(ROUND(value * 100, 0) AS BIGINT) AS cents, "
+            "CAST(ts AS DATE) AS d FROM events), "
+            "lastper AS (SELECT user_id, d, cents FROM ("
+            "SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, d "
+            "ORDER BY ts DESC, event_id DESC) AS rn FROM e) WHERE rn = 1), "
+            "bounds AS (SELECT user_id, MIN(d) AS dmin, MAX(d) AS dmax "
+            "FROM e GROUP BY 1), "
+            "grid AS (SELECT user_id, "
+            "CAST(UNNEST(GENERATE_SERIES(CAST(dmin AS TIMESTAMP), "
+            "CAST(dmax AS TIMESTAMP), INTERVAL 1 DAY)) AS TIMESTAMP) AS day "
+            "FROM bounds) "
+            "SELECT g.user_id, g.day, l.cents FROM grid g "
+            "ASOF JOIN lastper l ON g.user_id = l.user_id "
+            "AND g.day >= CAST(l.d AS TIMESTAMP)"
         ),
         "edit1_pairs": (
             "WITH v AS (SELECT DISTINCT source AS token FROM documents "

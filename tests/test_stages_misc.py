@@ -1328,3 +1328,88 @@ class TestFlowDirection:
             n_sinks += code == 0
         assert len(got) == 6094
         assert 0 < n_sinks < len(got)  # fixture has sinks AND flows
+
+
+class TestCentroidsCorrLocf:
+    def test_label_centroids_partition_invariant(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.ann import (
+            label_centroids,
+        )
+
+        rng = np.random.default_rng(9)
+        x = rng.normal(0, 1, (120, 8)).astype(np.float32)
+        labels = rng.integers(0, 3, 120).astype(np.int32)
+        t = pa.table(
+            {
+                "label": pa.array(labels, pa.int32()),
+                "embedding": pa.array(
+                    [r.tolist() for r in x], pa.list_(pa.float32())
+                ),
+            }
+        )
+
+        def run(parts):
+            return label_centroids(
+                ray.data.from_arrow(t).repartition(parts)
+            ).to_pandas().sort_values(["label", "dim"]).reset_index(drop=True)
+
+        a, b = run(1), run(6)
+        assert a.equals(b)
+        # close to the true float mean (quantization error < 1e-5)
+        want = x[labels == 0].astype(np.float64).mean(axis=0)
+        got = a[a.label == 0].mean_v.to_numpy()
+        assert np.abs(got - want).max() < 1e-5
+
+    def test_corr_matrix_close_to_numpy(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+            corr_matrix,
+        )
+
+        rng = np.random.default_rng(4)
+        a = rng.integers(0, 100, 500)
+        b = 2 * a + rng.integers(0, 30, 500)   # strongly correlated
+        c = rng.integers(0, 100, 500)          # independent
+        t = pa.table({"a": pa.array(a), "b": pa.array(b), "c": pa.array(c)})
+        out = corr_matrix(
+            ray.data.from_arrow(t).repartition(4), ["a", "b", "c"]
+        ).to_pandas().set_index(["col_a", "col_b"])["corr"]
+        assert abs(out[("a", "b")] - np.corrcoef(a, b)[0, 1]) < 1e-6  # 6dp rounding
+        assert abs(out[("a", "c")]) < 0.2
+
+    def test_locf_bruteforce(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+            collect_tables,
+        )
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.window import (
+            locf_resample,
+        )
+
+        # user 0: events on days 0, 3 (gap of 2 days), two events day 0
+        ts = np.array(
+            ["2024-01-01T05:00", "2024-01-01T09:00", "2024-01-04T01:00"],
+            dtype="datetime64[us]",
+        )
+        t = pa.table(
+            {
+                "user_id": pa.array([7, 7, 7], pa.int64()),
+                "event_id": pa.array([1, 2, 3], pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "value": pa.array([1.0, 2.0, 9.0]),
+            }
+        )
+        out = collect_tables(
+            locf_resample(ray.data.from_arrow(t).repartition(2))
+        ).to_pandas().sort_values("day")
+        assert list(out.cents) == [200, 200, 200, 900]  # day0 latest=2.0
+        assert out.day.iloc[0] == pd.Timestamp("2024-01-01")
+        assert len(out) == 4

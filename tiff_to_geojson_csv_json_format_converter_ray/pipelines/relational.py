@@ -696,3 +696,52 @@ def cube_aggregate(
                     )
             levels.append(t.select(keys + out_names))
     return pa.concat_tables(levels)
+
+
+def corr_matrix(
+    ds: ray.data.Dataset,
+    cols: list[str],
+    ndigits: int = 6,
+) -> pa.Table:
+    """Pairwise Pearson correlation matrix over INTEGER-VALUED columns
+    from ONE pass: per-batch int64 moment sums (n, sx_i, sx_i^2,
+    sx_i*x_j) combine exactly at any partitioning; the closed form
+    (n*sxy - sx*sy) / (sqrt(n*sxx - sx^2) * sqrt(n*syy - sy^2)) runs
+    once on the tiny moment table, ordered identically to the SQL
+    oracle.  Columns must already be int64 (quantize floats first --
+    cents / ticks -- exactly as the oracle does)."""
+    pairs = [(i, j) for i in range(len(cols)) for j in range(i + 1, len(cols))]
+
+    def moments(batch: pa.Table) -> pa.Table:
+        vals = {c: batch[c].to_numpy(zero_copy_only=False) for c in cols}
+        out = {"n": pa.array([np.int64(batch.num_rows)])}
+        for c in cols:
+            out[f"s_{c}"] = pa.array([vals[c].sum()])
+            out[f"ss_{c}"] = pa.array([(vals[c] * vals[c]).sum()])
+        for i, j in pairs:
+            a, b = cols[i], cols[j]
+            out[f"sp_{a}_{b}"] = pa.array([(vals[a] * vals[b]).sum()])
+        return pa.table(out)
+
+    parts = collect_tables(
+        ds.map_batches(moments, batch_format="pyarrow", batch_size=None)
+    )
+    tot = {name: int(pc.sum(parts[name]).as_py()) for name in parts.column_names}
+    n = float(tot["n"])
+    ca, cb, corr = [], [], []
+    for i, j in pairs:
+        a, b = cols[i], cols[j]
+        sx, sy = float(tot[f"s_{a}"]), float(tot[f"s_{b}"])
+        sxx, syy = float(tot[f"ss_{a}"]), float(tot[f"ss_{b}"])
+        sxy = float(tot[f"sp_{a}_{b}"])
+        denom = np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
+        ca.append(a)
+        cb.append(b)
+        corr.append((n * sxy - sx * sy) / denom if denom else float("nan"))
+    return pa.table(
+        {
+            "col_a": pa.array(ca),
+            "col_b": pa.array(cb),
+            "corr": round_like_sql(pa.array(corr), ndigits),
+        }
+    )

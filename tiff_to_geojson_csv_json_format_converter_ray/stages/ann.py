@@ -718,3 +718,55 @@ def pq_ann(
         codes, books, queries, k=k, id_col=id_col,
         rerank=rerank, vec_col=vec_col,
     )
+
+
+def label_centroids(
+    ds: ray.data.Dataset,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale: float = 1e6,
+) -> pa.Table:
+    """Per-class mean embedding (the class-centroid pass behind
+    curation / nearest-class-mean classification).  Each batch reduces
+    its vectors to per-label QUANTIZED int64 component sums (values
+    rounded half-away to ``scale`` ticks first, so the distributed sum
+    is order-independent and SQL-reproducible); the long-form
+    (label, dim) partials combine exactly.  Output: one row per
+    (label, dim) with the component mean -- labels x dims bounded, the
+    combiner contract."""
+    from ..pipelines.relational import hash_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = list_col_to_matrix(batch[vec_col])
+        labels = batch[label_col].to_numpy(zero_copy_only=False)
+        q = np.where(
+            m < 0, -np.floor(-m * scale + 0.5), np.floor(m * scale + 0.5)
+        ).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), m.shape[1]), np.int64)
+        np.add.at(sums, inv, q)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        k, d = sums.shape
+        return pa.table(
+            {
+                label_col: pa.array(np.repeat(uniq, d).astype(np.int64)),
+                "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), k)),
+                "qsum": pa.array(sums.ravel()),
+                "n": pa.array(np.repeat(counts, d)),
+            }
+        )
+
+    out = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        [label_col, "dim"],
+        [("qsum", "sum", "qsum"), ("n", "sum", "n")],
+    )
+    qs = out["qsum"].to_numpy(zero_copy_only=False).astype(np.float64)
+    ns = out["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    return pa.table(
+        {
+            label_col: out[label_col],
+            "dim": out["dim"],
+            "mean_v": pa.array(qs / (ns * scale)),
+        }
+    )

@@ -374,3 +374,58 @@ def rolling_interval_sum(
 
     prepared = ds.map_batches(to_cents, batch_format="pyarrow", batch_size=None)
     return prepared.groupby(key_col).map_groups(kernel, batch_format="pyarrow")
+
+
+def locf_resample(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+):
+    """Time-series resampling to a daily grid with last-observation-
+    carried-forward fill: for each key, one row per calendar day from
+    its first to its last event; the value is the key's most recent
+    event at-or-before that day (latest (ts, id) within the day wins),
+    in exact int cents.  One groupby shuffle; the kernel is sort +
+    searchsorted over the key's own days -- grid size is bounded by
+    the key's observed span."""
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        c = np.where(v < 0, -np.floor(-v * 100 + 0.5), np.floor(v * 100 + 0.5))
+        return pa.table(
+            {
+                key_col: batch[key_col],
+                id_col: batch[id_col],
+                ts_col: batch[ts_col],
+                "cents": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[(ts_col, "ascending"), (id_col, "ascending")]
+        )
+        g = group.take(idx)
+        ts = g[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = g["cents"].to_numpy(zero_copy_only=False)
+        day = ts // 86_400_000_000
+        grid = np.arange(day[0], day[-1] + 1, dtype=np.int64)
+        # last event with day <= grid day (sorted order breaks ties by
+        # latest (ts, id) automatically: searchsorted right - 1)
+        pos = np.searchsorted(day, grid, side="right") - 1
+        return pa.table(
+            {
+                key_col: pa.array(
+                    np.repeat(g[key_col][0].as_py(), len(grid))
+                ),
+                "day": pa.array(
+                    (grid * 86_400_000_000), pa.int64()
+                ).cast(pa.timestamp("us")),
+                "cents": pa.array(cents[pos]),
+            }
+        )
+
+    prepared = ds.map_batches(to_cents, batch_format="pyarrow", batch_size=None)
+    return prepared.groupby(key_col).map_groups(kernel, batch_format="pyarrow")
