@@ -2268,6 +2268,119 @@ def _q_grouped_mad(sf_dir: str) -> pa.Table:
     return out.select(["l_returnflag", "mad"])
 
 
+def _q_grouped_regression(sf_dir: str) -> pa.Table:
+    """Per-returnflag least-squares fit of price (cents->dollars ints)
+    on quantity: exact int64 moment combine, closed-form slope and
+    intercept (regr_slope/regr_intercept semantics)."""
+    import pyarrow.compute as pc
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        grouped_regression, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "qty": pc.cast(
+                    round_like_sql(batch["l_quantity"], 0), pa.int64()
+                ),
+                "dollars": pc.cast(
+                    round_like_sql(batch["l_extendedprice"], 0), pa.int64()
+                ),
+            }
+        )
+
+    q = ds.map_batches(quantize, batch_format="pyarrow", batch_size=None)
+    return grouped_regression(q, "l_returnflag", "qty", "dollars")
+
+
+def _q_lang_entropy(sf_dir: str) -> pa.Table:
+    """Shannon entropy (nats) of the source mix within each language --
+    a corpus-diversity signal for training-data curation."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        grouped_entropy,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "source"]
+    )
+    return grouped_entropy(ds, "lang", "source")
+
+
+def _q_geomean_price(sf_dir: str) -> pa.Table:
+    """Per-brand geometric mean of retail price: fixed-point log-sum
+    combine (exact at any partitioning), exp once per group."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        grouped_geomean,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_brand", "p_retailprice"]
+    )
+    return grouped_geomean(ds, "p_brand", "p_retailprice")
+
+
+def _q_user_streaks(sf_dir: str) -> pa.Table:
+    """Gaps-and-islands: longest run of consecutive active days per
+    user (distinct-day shrink -> per-user vectorized run-length)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables, longest_streaks,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    out = collect_tables(longest_streaks(ds, "user_id", "ts"))
+    return out.select(["user_id", "max_streak"])
+
+
+def _q_unpivot_measures(sf_dir: str) -> pa.Table:
+    """Wide->long UNPIVOT of three lineitem measures (quantized to
+    cents so sums are exact), then per (flag, measure) totals."""
+    import pyarrow.compute as pc
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql, unpivot,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        out = {"l_returnflag": batch["l_returnflag"]}
+        for src, dst in [
+            ("l_quantity", "quantity"),
+            ("l_extendedprice", "extendedprice"),
+            ("l_discount", "discount"),
+        ]:
+            scaled = pc.multiply(batch[src].cast(pa.float64()), 100.0)
+            out[dst] = pc.cast(round_like_sql(scaled, 0), pa.int64())
+        return pa.table(out)
+
+    wide = ds.map_batches(cents, batch_format="pyarrow", batch_size=None)
+    long = unpivot(
+        wide, ["l_returnflag"], ["quantity", "extendedprice", "discount"],
+        name_col="measure", value_col="cents",
+    )
+    out = hash_aggregate(
+        long, ["l_returnflag", "measure"], [("cents", "sum", "sum_cents")]
+    )
+    total = pc.divide(out["sum_cents"].cast(pa.float64()), 100.0)
+    return pa.table(
+        {
+            "l_returnflag": out["l_returnflag"],
+            "measure": out["measure"],
+            "total": round_like_sql(total, 2),
+        }
+    )
+
+
 def _q_doc_lengths(sf_dir: str) -> pa.Table:
     """Scalar string function parity: computed char length per doc."""
     import ray.data
@@ -3374,6 +3487,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decayed_counts": _q_decayed_counts,
         "pareto_front": _q_pareto_front,
         "grouped_mad": _q_grouped_mad,
+        "grouped_regression": _q_grouped_regression,
+        "lang_entropy": _q_lang_entropy,
+        "geomean_price": _q_geomean_price,
+        "user_streaks": _q_user_streaks,
+        "unpivot_measures": _q_unpivot_measures,
         "doc_lengths": _q_doc_lengths,
         "ann_top3": _q_ann_top3,
         "knn_join": _q_knn_join,
@@ -4231,6 +4349,67 @@ def oracle_sql() -> dict[str, str]:
         "grouped_mad": (
             "SELECT l_returnflag, MAD(l_quantity) AS mad "
             "FROM lineitem GROUP BY 1"
+        ),
+        "grouped_regression": (
+            # mirror of pipelines/relational.py grouped_regression:
+            # exact integer moments, closed-form slope/intercept
+            "WITH l AS (SELECT l_returnflag, "
+            "CAST(ROUND(l_quantity, 0) AS BIGINT) AS qty, "
+            "CAST(ROUND(l_extendedprice, 0) AS BIGINT) AS dollars "
+            "FROM lineitem), "
+            "m AS (SELECT l_returnflag, "
+            "CAST(COUNT(*) AS DOUBLE) AS n, "
+            "CAST(SUM(qty) AS DOUBLE) AS sx, "
+            "CAST(SUM(dollars) AS DOUBLE) AS sy, "
+            "CAST(SUM(qty * qty) AS DOUBLE) AS sxx, "
+            "CAST(SUM(qty * dollars) AS DOUBLE) AS sxy FROM l "
+            "GROUP BY l_returnflag) "
+            "SELECT l_returnflag, "
+            "ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope, "
+            "ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,"
+            " 6) AS intercept FROM m"
+        ),
+        "lang_entropy": (
+            "WITH c AS (SELECT lang, source, "
+            "CAST(COUNT(*) AS DOUBLE) AS n FROM documents "
+            "GROUP BY lang, source), "
+            "t AS (SELECT lang, SUM(n) AS tot FROM c GROUP BY lang) "
+            "SELECT c.lang, "
+            "ROUND(LN(MAX(t.tot)) - SUM(c.n * LN(c.n)) / MAX(t.tot), 6) "
+            "AS entropy FROM c JOIN t ON c.lang = t.lang GROUP BY c.lang"
+        ),
+        "geomean_price": (
+            # fixed-point log-sum mirror of grouped_geomean (exact
+            # int64 combine, exp once per group)
+            "WITH l AS (SELECT p_brand, "
+            "CAST(ROUND(LN(p_retailprice) * 1e12, 0) AS BIGINT) AS q "
+            "FROM part) "
+            "SELECT p_brand, "
+            "ROUND(EXP(CAST(SUM(q) AS DOUBLE) / (COUNT(*) * 1e12)), 6) "
+            "AS geomean FROM l GROUP BY p_brand"
+        ),
+        "user_streaks": (
+            "WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d "
+            "FROM events), "
+            "isl AS (SELECT user_id, d, ROW_NUMBER() OVER "
+            "(PARTITION BY user_id ORDER BY d) AS rn FROM days), "
+            "runs AS (SELECT user_id, COUNT(*) AS len FROM isl "
+            "GROUP BY user_id, d - CAST(rn AS INTEGER)) "
+            "SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak "
+            "FROM runs GROUP BY user_id"
+        ),
+        "unpivot_measures": (
+            "WITH w AS (SELECT l_returnflag, "
+            "CAST(ROUND(l_quantity * 100, 0) AS BIGINT) AS quantity, "
+            "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS "
+            "extendedprice, "
+            "CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS discount "
+            "FROM lineitem), "
+            "u AS (UNPIVOT w ON quantity, extendedprice, discount "
+            "INTO NAME measure VALUE cents) "
+            "SELECT l_returnflag, measure, "
+            "ROUND(CAST(SUM(cents) AS DOUBLE) / 100.0, 2) AS total "
+            "FROM u GROUP BY l_returnflag, measure"
         ),
         "doc_lengths": (
             "SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS len_chars FROM documents"

@@ -1413,3 +1413,134 @@ class TestCentroidsCorrLocf:
         assert list(out.cents) == [200, 200, 200, 900]  # day0 latest=2.0
         assert out.day.iloc[0] == pd.Timestamp("2024-01-01")
         assert len(out) == 4
+
+
+class TestRound2NewRelationalOps:
+    def test_grouped_regression_matches_polyfit_any_partitioning(
+        self, ray_session
+    ):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+            grouped_regression,
+        )
+
+        rng = np.random.default_rng(11)
+        n = 1500
+        g = rng.integers(0, 3, n).astype(np.int64)
+        x = rng.integers(1, 60, n).astype(np.int64)
+        y = (5 * x + rng.integers(-20, 200, n)).astype(np.int64)
+        tbl = pa.table({"g": pa.array(g), "x": pa.array(x), "y": pa.array(y)})
+
+        def run(parts):
+            ds = ray.data.from_arrow(tbl).repartition(parts)
+            out = grouped_regression(ds, "g", "x", "y")
+            return {
+                gv: (s, i)
+                for gv, s, i in zip(
+                    out["g"].to_pylist(),
+                    out["slope"].to_pylist(),
+                    out["intercept"].to_pylist(),
+                )
+            }
+
+        a, b = run(1), run(6)
+        assert a == b  # exact int moments -> partition-invariant
+        for gv in (0, 1, 2):
+            m = g == gv
+            slope, intercept = np.polyfit(x[m], y[m], 1)
+            assert abs(a[gv][0] - slope) < 1e-5
+            assert abs(a[gv][1] - intercept) < 1e-3
+
+    def test_grouped_entropy_uniform_and_point_mass(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+            grouped_entropy,
+        )
+
+        # g=a: 4 equally likely items -> ln(4); g=b: single item -> 0
+        t = pa.table(
+            {
+                "g": pa.array(["a"] * 8 + ["b"] * 5),
+                "item": pa.array(
+                    ["w", "x", "y", "z"] * 2 + ["only"] * 5
+                ),
+            }
+        )
+        out = grouped_entropy(
+            ray.data.from_arrow(t).repartition(3), "g", "item"
+        )
+        d = dict(zip(out["g"].to_pylist(), out["entropy"].to_pylist()))
+        assert abs(d["a"] - np.log(4.0)) < 1e-6
+        assert d["b"] == 0.0
+
+    def test_grouped_geomean_exact_small_case(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+            grouped_geomean,
+        )
+
+        t = pa.table(
+            {
+                "g": pa.array(["a", "a", "a", "b"]),
+                "v": pa.array([2.0, 4.0, 8.0, 9.0]),
+            }
+        )
+        out = grouped_geomean(ray.data.from_arrow(t).repartition(2), "g", "v")
+        d = dict(zip(out["g"].to_pylist(), out["geomean"].to_pylist()))
+        assert abs(d["a"] - 4.0) < 1e-6  # cbrt(2*4*8) = 4
+        assert abs(d["b"] - 9.0) < 1e-6
+
+    def test_longest_streaks_runs_and_gaps(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+            collect_tables, longest_streaks,
+        )
+
+        day = 86_400_000_000
+        # u1: days 0,1,2, 5,6 -> longest 3; u2: days 10 only -> 1;
+        # u3: duplicate events on one day don't inflate the streak
+        ts = [0, day, 2 * day, 5 * day, 6 * day, 10 * day, 3 * day,
+              3 * day + 5]
+        users = [1, 1, 1, 1, 1, 2, 3, 3]
+        t = pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "ts": pa.array(ts, pa.timestamp("us")),
+            }
+        )
+        out = collect_tables(
+            longest_streaks(
+                ray.data.from_arrow(t).repartition(3), "user_id", "ts"
+            )
+        )
+        d = dict(
+            zip(out["user_id"].to_pylist(), out["max_streak"].to_pylist())
+        )
+        assert d == {1: 3, 2: 1, 3: 1}
+
+    def test_unpivot_shape_and_values(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+            collect_tables, unpivot,
+        )
+
+        t = pa.table(
+            {
+                "k": pa.array(["a", "b"]),
+                "m1": pa.array([1, 2], pa.int64()),
+                "m2": pa.array([10.5, 20.5]),
+            }
+        )
+        out = collect_tables(
+            unpivot(ray.data.from_arrow(t), ["k"], ["m1", "m2"])
+        ).to_pandas().sort_values(["k", "measure"]).reset_index(drop=True)
+        assert len(out) == 4
+        assert list(out.columns) == ["k", "measure", "value"]
+        assert out.value.tolist() == [1.0, 10.5, 2.0, 20.5]

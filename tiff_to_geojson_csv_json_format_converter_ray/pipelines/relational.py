@@ -745,3 +745,210 @@ def corr_matrix(
             "corr": round_like_sql(pa.array(corr), ndigits),
         }
     )
+
+
+def grouped_regression(
+    ds: ray.data.Dataset,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    ndigits: int = 6,
+) -> pa.Table:
+    """Per-group simple linear regression (least squares y on x) from
+    EXACT int64 moments -- the same combiner discipline as
+    ``grouped_corr``: x/y must arrive integer-valued (caller quantizes
+    to cents/ticks as the oracle does), the five sufficient statistics
+    (n, Sx, Sy, Sxx, Sxy) sum exactly at any partitioning, and the
+    closed forms slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2),
+    intercept = (Sy - slope*Sx) / n run once per group in float64.
+    Matches SQL regr_slope/regr_intercept semantics without their
+    running-covariance order sensitivity."""
+
+    def moments(batch: pa.Table) -> pa.Table:
+        x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                group_col: batch[group_col],
+                "_n": pa.array(np.ones(len(x), np.int64)),
+                "_sx": pa.array(x),
+                "_sy": pa.array(y),
+                "_sxx": pa.array(x * x),
+                "_sxy": pa.array(x * y),
+            }
+        )
+
+    m = hash_aggregate(
+        ds.map_batches(moments, batch_format="pyarrow", batch_size=None),
+        [group_col],
+        [(c, "sum", c) for c in ["_n", "_sx", "_sy", "_sxx", "_sxy"]],
+    )
+    n = m["_n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    sx = m["_sx"].to_numpy(zero_copy_only=False).astype(np.float64)
+    sy = m["_sy"].to_numpy(zero_copy_only=False).astype(np.float64)
+    sxx = m["_sxx"].to_numpy(zero_copy_only=False).astype(np.float64)
+    sxy = m["_sxy"].to_numpy(zero_copy_only=False).astype(np.float64)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return pa.table(
+        {
+            group_col: m[group_col],
+            "slope": round_like_sql(slope, ndigits),
+            "intercept": round_like_sql(intercept, ndigits),
+        }
+    )
+
+
+def grouped_entropy(
+    ds: ray.data.Dataset,
+    group_col: str,
+    item_col: str,
+    ndigits: int = 6,
+) -> pa.Table:
+    """Shannon entropy (nats) of the ``item_col`` distribution within
+    each group: distributed (group, item) counts via the combiner
+    pattern, then the algebraically stable form
+    H = ln(tot) - sum(n*ln(n))/tot on the driver -- intermediate is
+    bounded by |groups| x |items|, never by rows."""
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                group_col: batch[group_col],
+                item_col: batch[item_col],
+                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+
+    counts = hash_aggregate(
+        ds.map_batches(ones, batch_format="pyarrow", batch_size=None),
+        [group_col, item_col],
+        [("_one", "sum", "n")],
+    )
+    # tiny per-(group,item) table; order the per-group reduction by
+    # item so the float sum is deterministic
+    counts = counts.sort_by([(group_col, "ascending"), (item_col, "ascending")])
+    groups = counts[group_col].to_pylist()
+    n = counts["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    out_g, out_h = [], []
+    i = 0
+    while i < len(groups):
+        j = i
+        while j < len(groups) and groups[j] == groups[i]:
+            j += 1
+        tot = n[i:j].sum()
+        h = np.log(tot) - float((n[i:j] * np.log(n[i:j])).sum()) / tot
+        out_g.append(groups[i])
+        out_h.append(h)
+        i = j
+    return pa.table(
+        {
+            group_col: pa.array(out_g, counts[group_col].type),
+            "entropy": round_like_sql(np.asarray(out_h), ndigits),
+        }
+    )
+
+
+def grouped_geomean(
+    ds: ray.data.Dataset,
+    group_col: str,
+    val_col: str,
+    ndigits: int = 6,
+    scale: float = 1e12,
+) -> pa.Table:
+    """Per-group geometric mean exp(mean(ln x)) with the log sums
+    carried as FIXED-POINT int64 (round(ln(x)*1e12), DuckDB ROUND
+    parity) so the combine is exact at any partitioning; the final
+    exp(sum / (n*scale)) runs once per group."""
+
+    def logs(batch: pa.Table) -> pa.Table:
+        v = batch[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        q = (
+            round_like_sql(np.log(v) * scale, 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                group_col: batch[group_col],
+                "_n": pa.array(np.ones(len(v), np.int64)),
+                "_slog": pa.array(q),
+            }
+        )
+
+    m = hash_aggregate(
+        ds.map_batches(logs, batch_format="pyarrow", batch_size=None),
+        [group_col],
+        [("_n", "sum", "_n"), ("_slog", "sum", "_slog")],
+    )
+    n = m["_n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    s = m["_slog"].to_numpy(zero_copy_only=False).astype(np.float64)
+    gm = np.exp(s / (n * scale))
+    return pa.table(
+        {group_col: m[group_col], "geomean": round_like_sql(gm, ndigits)}
+    )
+
+
+def longest_streaks(
+    ds: ray.data.Dataset,
+    user_col: str,
+    ts_col: str,
+) -> ray.data.Dataset:
+    """Gaps-and-islands: longest run of CONSECUTIVE active days per
+    user.  Stage 1 shrinks the stream to distinct (user, epoch_day)
+    pairs inside each batch (bounded by users x days, not rows); the
+    groupby shuffle then keys on user only, and the per-group kernel
+    sorts the day set and takes the longest diff==1 run vectorized.
+    Per-group state is bounded by the calendar span, never by events."""
+
+    def days(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = ts // 86_400_000_000
+        t = pa.table({user_col: batch[user_col], "day": pa.array(day)})
+        return t.group_by([user_col, "day"]).aggregate([])
+
+    def streak(group: pa.Table) -> pa.Table:
+        d = np.unique(group["day"].to_numpy(zero_copy_only=False))
+        if len(d) == 0:
+            return pa.table({user_col: [], "max_streak": []})
+        # positions where a new run starts (gap > 1 day)
+        breaks = np.flatnonzero(np.diff(d) != 1)
+        starts = np.concatenate(([0], breaks + 1))
+        ends = np.concatenate((breaks, [len(d) - 1]))
+        best = int((ends - starts + 1).max())
+        return pa.table(
+            {
+                user_col: group[user_col].slice(0, 1),
+                "max_streak": pa.array([best], pa.int64()),
+            }
+        )
+
+    distinct_days = ds.map_batches(days, batch_format="pyarrow", batch_size=None)
+    return distinct_days.groupby(user_col).map_groups(
+        streak, batch_format="pyarrow"
+    )
+
+
+def unpivot(
+    ds: ray.data.Dataset,
+    id_cols: list[str],
+    value_cols: list[str],
+    name_col: str = "measure",
+    value_col: str = "value",
+) -> ray.data.Dataset:
+    """Wide -> long reshape (SQL UNPIVOT): each input row yields one
+    output row per entry of ``value_cols``, all cast to float64.
+    Pure per-batch Arrow concat -- no shuffle, streams at any scale."""
+
+    def melt(batch: pa.Table) -> pa.Table:
+        pieces = []
+        for vc in value_cols:
+            t = batch.select(id_cols)
+            t = t.append_column(
+                name_col, pa.array([vc] * batch.num_rows, pa.string())
+            )
+            t = t.append_column(value_col, batch[vc].cast(pa.float64()))
+            pieces.append(t)
+        return pa.concat_tables(pieces)
+
+    return ds.map_batches(melt, batch_format="pyarrow", batch_size=None)
