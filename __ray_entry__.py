@@ -2339,6 +2339,155 @@ def _q_user_streaks(sf_dir: str) -> pa.Table:
     return out.select(["user_id", "max_streak"])
 
 
+def _q_lm_logprob(sf_dir: str) -> pa.Table:
+    """Per-document average bigram log-likelihood under the corpus's
+    own bigram LM (CCNet-style fluency filter): distributed bigram
+    counts -> big-big gram join -> broadcast first-token totals."""
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+        bigram_lm_logprob,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return bigram_lm_logprob(ds)
+
+
+def _q_full_outer_activity(sf_dir: str) -> pa.Table:
+    """Big-big FULL OUTER shuffle join: per-(user, day) click counts
+    vs purchase counts -- unmatched rows survive on BOTH sides; per
+    user, days with both / click-only / purchase-only."""
+    import pyarrow.compute as pc
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        coerce_empty_blocks, hash_aggregate,
+    )
+
+    def side(event_type: str, key: str):
+        ds = _read_pq(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_type"],
+        )
+
+        def days(batch: pa.Table) -> pa.Table:
+            batch = batch.filter(pc.equal(batch["event_type"], event_type))
+            ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    f"{key}_user": batch["user_id"],
+                    f"{key}_day": pa.array(ts // 86_400_000_000),
+                    "_one": pa.array(np.ones(batch.num_rows, np.int64)),
+                }
+            )
+
+        agg = hash_aggregate(
+            ds.map_batches(days, batch_format="pyarrow", batch_size=None),
+            [f"{key}_user", f"{key}_day"],
+            [("_one", "sum", f"{key}_n")],
+            distributed_combine=True,
+        )
+        # groupby outputs can carry schema-less empty partitions,
+        # which Arrow's hash join rejects
+        return coerce_empty_blocks(
+            agg,
+            pa.schema(
+                [(f"{key}_user", pa.int64()), (f"{key}_day", pa.int64()),
+                 (f"{key}_n", pa.int64())]
+            ),
+        )
+
+    clicks = side("click", "c")
+    purchases = side("purchase", "p")
+    joined = clicks.join(
+        purchases, join_type="full_outer", num_partitions=8,
+        on=("c_user", "c_day"), right_on=("p_user", "p_day"),
+    )
+
+    def mark(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            return pa.schema(
+                [("user_id", pa.int64()), ("_both", pa.int64()),
+                 ("_c_only", pa.int64()), ("_p_only", pa.int64())]
+            ).empty_table()
+        # Ray's full_outer coalesces the join keys into the LEFT key
+        # columns; side presence comes from the value columns
+        has_c = pc.is_valid(batch["c_n"])
+        has_p = pc.is_valid(batch["p_n"])
+        return pa.table(
+            {
+                "user_id": batch["c_user"],
+                "_both": pc.cast(pc.and_(has_c, has_p), pa.int64()),
+                "_c_only": pc.cast(
+                    pc.and_(has_c, pc.invert(has_p)), pa.int64()
+                ),
+                "_p_only": pc.cast(
+                    pc.and_(has_p, pc.invert(has_c)), pa.int64()
+                ),
+            }
+        )
+
+    out = hash_aggregate(
+        joined.map_batches(mark, batch_format="pyarrow", batch_size=None),
+        ["user_id"],
+        [
+            ("_both", "sum", "both_days"),
+            ("_c_only", "sum", "click_only"),
+            ("_p_only", "sum", "purchase_only"),
+        ],
+    )
+    return pa.table(
+        {
+            "user_id": out["user_id"].cast(pa.int64()),
+            "both_days": out["both_days"].cast(pa.int64()),
+            "click_only": out["click_only"].cast(pa.int64()),
+            "purchase_only": out["purchase_only"].cast(pa.int64()),
+        }
+    )
+
+
+def _q_morans_i(sf_dir: str) -> pa.Table:
+    """Global Moran's I (rook weights) of the event density field on
+    the deterministic 96x96 geocode lattice: distributed per-cell
+    counts (lattice-bounded), dense-shift cross products."""
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
+        partial_count,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.stats import (
+        morans_i_grid,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        round_like_sql,
+    )
+
+    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
+
+    def gridcell(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "gx": pa.array((eid % 96).astype(np.int64)),
+                "gy": pa.array(((eid // 96) % 96).astype(np.int64)),
+            }
+        )
+
+    counts = partial_count(
+        ds.map_batches(gridcell, batch_format="pyarrow", batch_size=None),
+        ["gx", "gy"],
+    ).rename_columns(["gx", "gy", "n"])
+    i = morans_i_grid(counts, 96, 96)
+    return pa.table({"morans_i": round_like_sql(np.asarray([i]), 6)})
+
+
+def _q_bpe_merges(sf_dir: str) -> pa.Table:
+    """BPE merge training: one distributed word-count pass, then the
+    deterministic vocabulary-bounded merge loop (Sennrich-style)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.functions.bpe import (
+        corpus_word_counts, train_merges,
+    )
+
+    ds = _read_pq(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+    return train_merges(corpus_word_counts(ds), num_merges=20)
+
+
 def _q_unpivot_measures(sf_dir: str) -> pa.Table:
     """Wide->long UNPIVOT of three lineitem measures (quantized to
     cents so sums are exact), then per (flag, measure) totals."""
@@ -3492,6 +3641,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geomean_price": _q_geomean_price,
         "user_streaks": _q_user_streaks,
         "unpivot_measures": _q_unpivot_measures,
+        "lm_logprob": _q_lm_logprob,
+        "full_outer_activity": _q_full_outer_activity,
+        "morans_i": _q_morans_i,
         "doc_lengths": _q_doc_lengths,
         "ann_top3": _q_ann_top3,
         "knn_join": _q_knn_join,
@@ -3510,6 +3662,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct": _q_approx_distinct,
         "media_decode": _q_media_decode,
         "jaccard_pairs": _q_jaccard_pairs,
+        "bpe_merges": _q_bpe_merges,
     }
 
 
@@ -4397,6 +4550,70 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY user_id, d - CAST(rn AS INTEGER)) "
             "SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak "
             "FROM runs GROUP BY user_id"
+        ),
+        "lm_logprob": (
+            # mirror of stages/textops.py bigram_lm_logprob: corpus
+            # bigram LM, P(w2|w1) = c2/c1 with c1 from bigram-first
+            # positions
+            "WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+            "t -> t <> '') AS ws FROM documents), "
+            "g AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM w, "
+            "LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i)), "
+            "c2 AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS n2 FROM g "
+            "GROUP BY w1, w2), "
+            "c1 AS (SELECT w1, SUM(n2) AS n1 FROM c2 GROUP BY w1) "
+            "SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, "
+            "ROUND(AVG(LN(c2.n2 / c1.n1)), 6) AS avg_logp "
+            "FROM g JOIN c2 USING (w1, w2) JOIN c1 USING (w1) "
+            "GROUP BY g.doc_id"
+        ),
+        "full_outer_activity": (
+            "WITH c AS (SELECT user_id, CAST(ts AS DATE) AS d, "
+            "COUNT(*) AS n FROM events WHERE event_type = 'click' "
+            "GROUP BY 1, 2), "
+            "p AS (SELECT user_id, CAST(ts AS DATE) AS d, "
+            "COUNT(*) AS n FROM events WHERE event_type = 'purchase' "
+            "GROUP BY 1, 2) "
+            "SELECT COALESCE(c.user_id, p.user_id) AS user_id, "
+            "CAST(SUM(CASE WHEN c.user_id IS NOT NULL AND p.user_id IS "
+            "NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS both_days, "
+            "CAST(SUM(CASE WHEN p.user_id IS NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS click_only, "
+            "CAST(SUM(CASE WHEN c.user_id IS NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS purchase_only "
+            "FROM c FULL OUTER JOIN p "
+            "ON c.user_id = p.user_id AND c.d = p.d "
+            "GROUP BY COALESCE(c.user_id, p.user_id)"
+        ),
+        "morans_i": (
+            # mirror of stages/stats.py morans_i_grid on the 96x96
+            # geocode lattice, rook contiguity, absent cells = 0
+            "WITH e AS (SELECT (event_id % 96) AS gx, "
+            "((event_id // 96) % 96) AS gy, COUNT(*) AS n FROM events "
+            "GROUP BY 1, 2), "
+            "lat AS (SELECT a.i AS gx, b.i AS gy FROM "
+            "generate_series(0, 95) a(i) CROSS JOIN "
+            "generate_series(0, 95) b(i)), "
+            "x AS (SELECT lat.gx, lat.gy, "
+            "CAST(COALESCE(e.n, 0) AS DOUBLE) AS v "
+            "FROM lat LEFT JOIN e ON lat.gx = e.gx AND lat.gy = e.gy), "
+            "s AS (SELECT AVG(v) AS mu, CAST(COUNT(*) AS DOUBLE) AS nn "
+            "FROM x), "
+            "nb AS ("
+            "SELECT a.v AS va, b.v AS vb FROM x a JOIN x b "
+            "ON a.gx = b.gx AND b.gy = a.gy + 1 "
+            "UNION ALL SELECT a.v, b.v FROM x a JOIN x b "
+            "ON a.gx = b.gx AND b.gy = a.gy - 1 "
+            "UNION ALL SELECT a.v, b.v FROM x a JOIN x b "
+            "ON a.gy = b.gy AND b.gx = a.gx + 1 "
+            "UNION ALL SELECT a.v, b.v FROM x a JOIN x b "
+            "ON a.gy = b.gy AND b.gx = a.gx - 1), "
+            "num AS (SELECT SUM((va - s.mu) * (vb - s.mu)) AS num, "
+            "CAST(COUNT(*) AS DOUBLE) AS w FROM nb, s GROUP BY ALL), "
+            "den AS (SELECT SUM((v - s.mu) * (v - s.mu)) AS den FROM x, s "
+            "GROUP BY ALL) "
+            "SELECT ROUND((s.nn / num.w) * num.num / den.den, 6) "
+            "AS morans_i FROM s, num, den"
         ),
         "unpivot_measures": (
             "WITH w AS (SELECT l_returnflag, "

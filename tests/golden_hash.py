@@ -37,6 +37,7 @@ NO_ORACLE_QUERIES = [
     "s2_cells",
     "kmeans_clusters",
     "track_simplify",
+    "bpe_merges",
 ]
 
 

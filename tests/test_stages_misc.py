@@ -1544,3 +1544,121 @@ class TestRound2NewRelationalOps:
         assert len(out) == 4
         assert list(out.columns) == ["k", "measure", "value"]
         assert out.value.tolist() == [1.0, 10.5, 2.0, 20.5]
+
+
+class TestRound2BatchB:
+    def test_bigram_lm_logprob_tiny_corpus(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+            bigram_lm_logprob,
+        )
+
+        # corpus: "a b" x3, "a c" x1 -> P(b|a)=3/4, P(c|a)=1/4
+        t = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                "text": pa.array(["a b", "a b", "a b", "a c"]),
+            }
+        )
+        out = bigram_lm_logprob(ray.data.from_arrow(t).repartition(2))
+        d = dict(zip(out["doc_id"].to_pylist(), out["avg_logp"].to_pylist()))
+        assert abs(d[0] - np.log(0.75)) < 1e-6
+        assert abs(d[3] - np.log(0.25)) < 1e-6
+        nb = dict(zip(out["doc_id"].to_pylist(), out["n_bigrams"].to_pylist()))
+        assert nb == {0: 1, 1: 1, 2: 1, 3: 1}
+
+    def test_morans_i_checkerboard_and_blocks(self):
+        import pyarrow as pa
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.stats import (
+            morans_i_grid,
+        )
+
+        h = w = 8
+        gx = [x for y in range(h) for x in range(w)]
+        gy = [y for y in range(h) for _ in range(w)]
+        checker = pa.table(
+            {"gx": gx, "gy": gy, "n": [(x + y) % 2 for y in range(h)
+                                       for x in range(w)]}
+        )
+        assert abs(morans_i_grid(checker, h, w) + 1.0) < 1e-12
+        halves = pa.table(
+            {"gx": gx, "gy": gy,
+             "n": [1 if x < w // 2 else 0 for y in range(h)
+                   for x in range(w)]}
+        )
+        assert morans_i_grid(halves, h, w) > 0.8  # smooth field
+        # sparse input: absent cells are zeros, not errors
+        sparse = pa.table({"gx": [0], "gy": [0], "n": [5]})
+        assert np.isfinite(morans_i_grid(sparse, h, w))
+
+    def test_bpe_classic_merges_and_apply(self):
+        import pyarrow as pa
+        from tiff_to_geojson_csv_json_format_converter_ray.functions.bpe import (
+            apply_merges_tokens, train_merges,
+        )
+
+        wc = pa.table(
+            {"word": ["low", "lower", "newest", "widest"],
+             "n": [5, 2, 6, 3]}
+        )
+        m = train_merges(wc, 10)
+        merges = list(zip(m["left"].to_pylist(), m["right"].to_pylist()))
+        # an unseen word segment into learned subwords
+        assert apply_merges_tokens("lowest", merges) == ["low", "est</w>"]
+        # frequency-weighted: first merge count is 9 (newest+widest -> t</w>)
+        assert m["pair_count"].to_pylist()[0] == 9
+        # determinism
+        m2 = train_merges(wc, 10)
+        assert m.equals(m2)
+
+    def test_bpe_word_counts_partition_invariant(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.functions.bpe import (
+            corpus_word_counts,
+        )
+
+        t = pa.table({"text": ["x y x", "y z", "x"]})
+
+        def run(parts):
+            out = corpus_word_counts(
+                ray.data.from_arrow(t).repartition(parts)
+            )
+            return dict(zip(out["word"].to_pylist(), out["n"].to_pylist()))
+
+        assert run(1) == run(3) == {"x": 3, "y": 2, "z": 1}
+
+    def test_bigram_lm_shuffle_tier_matches_broadcast(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+            bigram_lm_logprob,
+        )
+
+        rng = np.random.default_rng(5)
+        vocab = [f"w{i}" for i in range(40)]
+        docs = [
+            " ".join(rng.choice(vocab, size=30))
+            for _ in range(120)
+        ]
+        t = pa.table(
+            {"doc_id": pa.array(range(120), pa.int64()),
+             "text": pa.array(docs)}
+        )
+        ds = ray.data.from_arrow(t).repartition(4)
+
+        def key(out):
+            return sorted(
+                zip(
+                    out["doc_id"].to_pylist(),
+                    out["n_bigrams"].to_pylist(),
+                    out["avg_logp"].to_pylist(),
+                )
+            )
+
+        broad = bigram_lm_logprob(ds)
+        shuf = bigram_lm_logprob(ds, broadcast_threshold=0, num_partitions=4)
+        assert key(broad) == key(shuf)

@@ -952,3 +952,20 @@ def unpivot(
         return pa.concat_tables(pieces)
 
     return ds.map_batches(melt, batch_format="pyarrow", batch_size=None)
+
+
+def coerce_empty_blocks(
+    ds: ray.data.Dataset, schema: pa.Schema
+) -> ray.data.Dataset:
+    """Normalize ZERO-COLUMN empty blocks (which Ray's distributed
+    groupby/aggregate can emit for empty hash partitions) to empty
+    blocks WITH the given schema.  Arrow's hash join rejects a
+    schema-less side ("no match for FieldRef"), so any groupby output
+    that feeds ``Dataset.join`` must pass through this."""
+
+    def fix(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0:
+            return schema.empty_table()
+        return batch
+
+    return ds.map_batches(fix, batch_format="pyarrow", batch_size=None)

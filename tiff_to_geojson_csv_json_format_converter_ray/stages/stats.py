@@ -323,3 +323,41 @@ def idw_interpolate(
         idw = np.where(hn > 0, hv / np.maximum(hn, 1.0), swv / sw)
     out = agg.select(probe_keys)
     return out.append_column("idw", pa.array(idw))
+
+
+def morans_i_grid(
+    cell_counts: pa.Table,
+    height: int,
+    width: int,
+    gx_col: str = "gx",
+    gy_col: str = "gy",
+    n_col: str = "n",
+) -> float:
+    """Global Moran's I (spatial autocorrelation) of a value field over
+    a FIXED height x width lattice with rook (4-neighbor) contiguity
+    weights; absent cells count as zero.
+
+        I = (N / W) * sum_ij w_ij (x_i - mu)(x_j - mu)
+                     / sum_i (x_i - mu)^2
+
+    ``cell_counts`` is the already-aggregated per-cell table (the
+    distributed combiner's output, bounded by the lattice -- never by
+    events), so the neighbor cross-products run as four dense numpy
+    shifts, no Python loop and no pair join."""
+    grid = np.zeros((height, width), dtype=np.float64)
+    gx = cell_counts[gx_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    gy = cell_counts[gy_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = cell_counts[n_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    grid[gy, gx] = n
+
+    nn = float(height * width)
+    mu = grid.sum() / nn
+    dev = grid - mu
+    den = float((dev * dev).sum())
+    if den == 0.0:
+        return float("nan")
+    # rook pairs, both directions: horizontal + vertical shifts
+    num = 2.0 * float((dev[:, :-1] * dev[:, 1:]).sum())
+    num += 2.0 * float((dev[:-1, :] * dev[1:, :]).sum())
+    w = 2.0 * (height * (width - 1) + width * (height - 1))
+    return (nn / w) * num / den

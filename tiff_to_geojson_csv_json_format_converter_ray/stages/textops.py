@@ -705,3 +705,123 @@ def edit1_vocab_pairs(
         bucket_pairs, batch_format="pyarrow"
     )
     return distinct(pair_ds, ["w1", "w2"])
+
+
+def bigram_lm_logprob(
+    ds,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    ndigits: int = 6,
+    num_partitions: int = 8,
+    broadcast_threshold: int = 2_000_000,
+):
+    """Per-document average bigram log-likelihood under the corpus's
+    own bigram LM -- the CCNet-style fluency signal used to filter
+    web text for training data.  P(w2|w1) = c2(w1,w2) / c1(w1) with
+    c1 summed over bigram-FIRST positions, so each row's conditional
+    distribution normalizes exactly.
+
+    Scale plan: (1) bigram counts via the distributed groupby combine
+    (corpus-vocabulary sized -- never assumed small); (2) TIERED count
+    lookup: when the bigram table is under ``broadcast_threshold``
+    rows it broadcasts once via ``ray.put`` and joins per batch in
+    Arrow (also sidesteps Ray's join failing on schema-less EMPTY hash
+    partitions when rows << partitions); above it, per-doc bigram rows
+    stream into a big-big shuffle join on ``gram``; (3) first-token
+    totals are token-vocabulary bounded, so they always broadcast;
+    (4) per-doc sum/count partials combine through the standard
+    aggregate.  Returns a Dataset of (doc_id, n_bigrams, avg_logp)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from ..pipelines.relational import (
+        coerce_empty_blocks, hash_aggregate, round_like_sql,
+    )
+
+    gram_schema = pa.schema([("gram", pa.string()), ("n", pa.int64())])
+    bigrams = coerce_empty_blocks(
+        ngram_counts(
+            ds, n=2, text_col=text_col, doc_col=doc_col,
+            distributed_combine=True,
+        ),
+        gram_schema,
+    ).materialize()
+
+    # first-token totals: vocab-bounded driver table (the broadcast side)
+    def first_tok(batch: pa.Table) -> pa.Table:
+        w1 = pc.list_element(pc.split_pattern(batch["gram"], " "), 0)
+        t = pa.table({"w1": w1, "n": batch["n"]})
+        out = t.group_by("w1").aggregate([("n", "sum")])
+        return out.rename_columns(["w1", "c1"])
+
+    c1 = hash_aggregate(
+        bigrams.map_batches(first_tok, batch_format="pyarrow", batch_size=None),
+        ["w1"],
+        [("c1", "sum", "c1")],
+    )
+    c1_ref = ray.put(c1)
+
+    doc_grams = ds.map_batches(
+        lambda b: _explode_ngrams(b, 2, text_col, doc_col),
+        batch_format="pyarrow", batch_size=None,
+    )
+    if bigrams.count() <= broadcast_threshold:
+        big_tbl = pa.concat_tables(
+            bigrams.iter_batches(batch_format="pyarrow", batch_size=None)
+        )
+        big_ref = ray.put(big_tbl)
+
+        def lookup(batch: pa.Table) -> pa.Table:
+            return batch.join(ray.get(big_ref), keys="gram")
+
+        joined = doc_grams.map_batches(
+            lookup, batch_format="pyarrow", batch_size=None
+        )
+    else:
+        joined = doc_grams.join(
+            bigrams, join_type="inner", num_partitions=num_partitions,
+            on=("gram",),
+        )
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_columns == 0 or batch.num_rows == 0:
+            # empty join partitions arrive schema-less
+            return pa.schema(
+                [(doc_col, pa.int64()), ("_s", pa.float64()),
+                 ("_c", pa.int64())]
+            ).empty_table()
+        u = ray.get(c1_ref)
+        w1 = pc.list_element(pc.split_pattern(batch["gram"], " "), 0)
+        t = pa.table(
+            {
+                doc_col: batch[doc_col],
+                "n2": batch["n"],
+                "w1": w1,
+            }
+        )
+        j = t.join(u, keys="w1")
+        n2 = j["n2"].to_numpy(zero_copy_only=False).astype(np.float64)
+        cc = j["c1"].to_numpy(zero_copy_only=False).astype(np.float64)
+        logp = np.log(n2 / cc)
+        return pa.table(
+            {
+                doc_col: j[doc_col],
+                "_s": pa.array(logp),
+                "_c": pa.array(np.ones(len(logp), np.int64)),
+            }
+        )
+
+    agg = hash_aggregate(
+        joined.map_batches(score, batch_format="pyarrow", batch_size=None),
+        [doc_col],
+        [("_s", "sum", "_s"), ("_c", "sum", "n_bigrams")],
+    )
+    s = agg["_s"].to_numpy(zero_copy_only=False)
+    c = agg["n_bigrams"].to_numpy(zero_copy_only=False).astype(np.float64)
+    return pa.table(
+        {
+            doc_col: agg[doc_col],
+            "n_bigrams": agg["n_bigrams"].cast(pa.int64()),
+            "avg_logp": round_like_sql(s / c, ndigits),
+        }
+    )
