@@ -2339,6 +2339,133 @@ def _q_user_streaks(sf_dir: str) -> pa.Table:
     return out.select(["user_id", "max_streak"])
 
 
+def _q_convex_hull(sf_dir: str) -> pa.Table:
+    """Exact distributed convex hull of the jittered event point
+    cloud (per-block Akl-Toussaint prune + monotone chain, driver
+    merge of block hulls)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.stats import (
+        convex_hull,
+    )
+
+    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
+
+    def jitter(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        # deterministic sub-cell jitter so the hull is non-trivial
+        jx = ((eid * 2654435761) % 997).astype(np.float64) / 99700.0
+        jy = ((eid * 40503) % 991).astype(np.float64) / 99100.0
+        lon = 77.0 + (eid % 96).astype(np.float64) * 0.01 + jx
+        lat = 28.05 + ((eid // 96) % 96).astype(np.float64) * 0.01 + jy
+        return pa.table({"lon": pa.array(lon), "lat": pa.array(lat)})
+
+    return convex_hull(
+        ds.map_batches(jitter, batch_format="pyarrow", batch_size=None),
+        "lon", "lat",
+    )
+
+
+def _q_grouping_sets(sf_dir: str) -> pa.Table:
+    """GROUP BY GROUPING SETS ((flag), (status), ()): non-hierarchical
+    explicit sets (distinct from ROLLUP/CUBE), one raw scan."""
+    import pyarrow.compute as pc
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        grouping_sets_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        q = pc.multiply(batch["l_quantity"].cast(pa.float64()), 100.0)
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qc": pc.cast(round_like_sql(q, 0), pa.int64()),
+                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+
+    out = grouping_sets_aggregate(
+        ds.map_batches(cents, batch_format="pyarrow", batch_size=None),
+        ["l_returnflag", "l_linestatus"],
+        [["l_returnflag"], ["l_linestatus"], []],
+        [("qc", "sum", "sum_qty_cents"), ("_one", "sum", "n")],
+    )
+    return pa.table(
+        {
+            "l_returnflag": out["l_returnflag"],
+            "l_linestatus": out["l_linestatus"],
+            "sum_qty_cents": out["sum_qty_cents"].cast(pa.int64()),
+            "n": out["n"].cast(pa.int64()),
+        }
+    )
+
+
+def _q_markov_transitions(sf_dir: str) -> pa.Table:
+    """Per-user clickstream transition counts (first-order Markov
+    matrix over event types, ordered by (ts, event_id))."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        markov_transitions,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    out = markov_transitions(
+        ds, "user_id", "event_type", ["ts", "event_id"]
+    )
+    return pa.table(
+        {"src": out["src"], "dst": out["dst"], "n": out["n"].cast(pa.int64())}
+    )
+
+
+def _q_quantiles_cont(sf_dir: str) -> pa.Table:
+    """Interpolated (PERCENTILE_CONT) exact distributed quantiles --
+    two order-statistic selections per q through the same histogram
+    refinement as quantiles_exact."""
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
+        exact_quantiles,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_extendedprice"]
+    )
+    out = exact_quantiles(
+        ds, "l_extendedprice", [0.1, 0.5, 0.9, 0.99], bins=256,
+        driver_cap=4096, method="cont",
+    )
+    return pa.table(
+        {"q": out["q"], "value": round_like_sql(out["value"], 6)}
+    )
+
+
+def _q_approx_distinct_by_type(sf_dir: str) -> pa.Table:
+    """Per-event-type HyperLogLog distinct-user estimate (grouped
+    mergeable sketch; register blobs combine, never raw rows)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
+        grouped_approx_distinct,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "user_id"],
+    )
+    out = grouped_approx_distinct(ds, "event_type", "user_id")
+    return pa.table(
+        {
+            "event_type": out["event_type"],
+            "approx_n": out["approx_n"],
+        }
+    )
+
+
 def _q_lm_logprob(sf_dir: str) -> pa.Table:
     """Per-document average bigram log-likelihood under the corpus's
     own bigram LM (CCNet-style fluency filter): distributed bigram
@@ -3644,6 +3771,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_logprob": _q_lm_logprob,
         "full_outer_activity": _q_full_outer_activity,
         "morans_i": _q_morans_i,
+        "grouping_sets": _q_grouping_sets,
+        "markov_transitions": _q_markov_transitions,
+        "quantiles_cont": _q_quantiles_cont,
         "doc_lengths": _q_doc_lengths,
         "ann_top3": _q_ann_top3,
         "knn_join": _q_knn_join,
@@ -3663,6 +3793,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_decode": _q_media_decode,
         "jaccard_pairs": _q_jaccard_pairs,
         "bpe_merges": _q_bpe_merges,
+        "approx_distinct_by_type": _q_approx_distinct_by_type,
+        "convex_hull": _q_convex_hull,
     }
 
 
@@ -4550,6 +4682,29 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY user_id, d - CAST(rn AS INTEGER)) "
             "SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak "
             "FROM runs GROUP BY user_id"
+        ),
+        "grouping_sets": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) "
+            "AS BIGINT) AS sum_qty_cents, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM lineitem "
+            "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"
+        ),
+        "markov_transitions": (
+            "WITH s AS (SELECT user_id, event_type, "
+            "LEAD(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS nxt FROM events) "
+            "SELECT event_type AS src, nxt AS dst, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM s "
+            "WHERE nxt IS NOT NULL GROUP BY 1, 2"
+        ),
+        "quantiles_cont": (
+            " UNION ALL ".join(
+                f"SELECT CAST({q} AS DOUBLE) AS q, "
+                f"ROUND(CAST(quantile_cont(l_extendedprice, {q}) "
+                "AS DOUBLE), 6) AS value FROM lineitem"
+                for q in (0.1, 0.5, 0.9, 0.99)
+            )
         ),
         "lm_logprob": (
             # mirror of stages/textops.py bigram_lm_logprob: corpus

@@ -201,8 +201,16 @@ def run_headline(num_cpus: int) -> dict:
         if tiles is None:
             tiles = bench_tiles_table(g)
         # pre-split driver-side (zero-copy slices) -> one block per
-        # slice, no repartition stage at all
-        n_blocks = min(tiles.num_rows, num_cpus * 4)
+        # slice, no repartition stage at all.  Block size is CAPPED
+        # (<= ~64 tiles = 1M px per block) so per-block pivot output
+        # stays ~100 MB regardless of input size -- dividing rows by
+        # cpu count alone makes blocks grow with the input, which
+        # stalls low-parallelism legs on allocation churn
+        tiles_per_block = int(os.environ.get("GRAFT_TILES_PER_BLOCK", "64"))
+        n_blocks = min(
+            tiles.num_rows,
+            max(num_cpus * 4, tiles.num_rows // tiles_per_block),
+        )
         step = max(1, tiles.num_rows // n_blocks)
         slices = [
             tiles.slice(i, step) for i in range(0, tiles.num_rows, step)
@@ -262,6 +270,7 @@ def run_pages_leg(num_cpus: int) -> dict:
 
     sf = _sf()
     n = max(2000, int(2_000_000 * sf))  # 200k pages at sf0.1
+    n = int(os.environ.get("GRAFT_PAGES_N", n))  # scaling runs size up
     path = _pages_path(n)
     polys = gen_polygons()
 
@@ -279,6 +288,7 @@ def run_pages_leg(num_cpus: int) -> dict:
     return {
         "rows": n,
         "seconds": elapsed,
+        "all_seconds": [round(t, 3) for t in times],
         "rows_per_sec": n / elapsed,
         "cells": out["cell_counts"].num_rows,
     }
@@ -427,6 +437,12 @@ def main() -> None:
     if "--scaling" in sys.argv:
         lo = int(os.environ.get("GRAFT_SCALE_N", "1"))
         hi = 4 * lo
+        # leg choice: "headline" (pixel extract; memory-bandwidth
+        # bound once vectorized, so parallel efficiency on a shared
+        # host understates real-cluster scaling) or "pages" (regex/
+        # compute bound -- the graft's throughput-critical leg)
+        leg = os.environ.get("GRAFT_SCALING_LEG", "headline")
+        flag = "--pages-only" if leg == "pages" else "--headline-only"
         results = {}
         for cpus in (lo, hi):
             env = dict(os.environ)
@@ -435,7 +451,7 @@ def main() -> None:
             env.setdefault("GRAFT_GRID", "4096")
             env.setdefault("GRAFT_REPEATS", "2")
             proc = subprocess.run(
-                [sys.executable, __file__, "--headline-only"],
+                [sys.executable, __file__, flag],
                 capture_output=True, text=True, env=env, check=True,
             )
             line = proc.stdout.strip().splitlines()[-1]
@@ -443,10 +459,14 @@ def main() -> None:
         r_lo = results[lo]["rows_per_sec"]
         r_hi = results[hi]["rows_per_sec"]
         eff = (r_hi / r_lo) / (hi / lo)
+        name = (
+            "pages extract+geocode+PIP+counts"
+            if leg == "pages" else "pixel-extract+tile-join"
+        )
         print(
             json.dumps(
                 {
-                    "metric": f"pixel-extract+tile-join scaling {lo}->{hi} cpus",
+                    "metric": f"{name} scaling {lo}->{hi} cpus",
                     f"rows_per_sec_{lo}": round(r_lo, 1),
                     f"rows_per_sec_{hi}": round(r_hi, 1),
                     f"seconds_{lo}": round(results[lo]["seconds"], 3),
@@ -543,6 +563,13 @@ def main() -> None:
     # would measure cross-leg contamination instead of the pipelines.
     import ray
 
+    if "--pages-only" in sys.argv:
+        _init_ray(NUM_CPUS)
+        try:
+            print(json.dumps({"num_cpus": NUM_CPUS, **run_pages_leg(NUM_CPUS)}))
+        finally:
+            ray.shutdown()
+        return
     _init_ray(NUM_CPUS)
     try:
         headline = run_headline(NUM_CPUS)

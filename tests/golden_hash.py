@@ -38,6 +38,8 @@ NO_ORACLE_QUERIES = [
     "kmeans_clusters",
     "track_simplify",
     "bpe_merges",
+    "approx_distinct_by_type",
+    "convex_hull",
 ]
 
 

@@ -1662,3 +1662,143 @@ class TestRound2BatchB:
         broad = bigram_lm_logprob(ds)
         shuf = bigram_lm_logprob(ds, broadcast_threshold=0, num_partitions=4)
         assert key(broad) == key(shuf)
+
+
+class TestRound2BatchC:
+    def test_grouping_sets_matches_manual(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+            grouping_sets_aggregate,
+        )
+
+        t = pa.table(
+            {
+                "a": pa.array(["x", "x", "y", "y"]),
+                "b": pa.array(["p", "q", "p", "q"]),
+                "v": pa.array([1, 2, 3, 4], pa.int64()),
+            }
+        )
+        out = grouping_sets_aggregate(
+            ray.data.from_arrow(t).repartition(2),
+            ["a", "b"],
+            [["a"], ["b"], []],
+            [("v", "sum", "s")],
+        ).to_pandas()
+        # set (a): x->3, y->7; set (b): p->4, q->6; (): 10
+        by_a = out[out.b.isna() & out.a.notna()].set_index("a").s.to_dict()
+        by_b = out[out.a.isna() & out.b.notna()].set_index("b").s.to_dict()
+        total = out[out.a.isna() & out.b.isna()].s.tolist()
+        assert by_a == {"x": 3, "y": 7}
+        assert by_b == {"p": 4, "q": 6}
+        assert total == [10]
+        assert len(out) == 5
+
+    def test_markov_transitions_ordering_and_counts(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+            markov_transitions,
+        )
+
+        # user 1: a(t0) b(t1) a(t2); user 2: b(t0) b(t0, id tiebreak) a
+        t = pa.table(
+            {
+                "u": pa.array([1, 1, 1, 2, 2, 2], pa.int64()),
+                "ts": pa.array([0, 1, 2, 0, 0, 5], pa.int64()),
+                "eid": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+                "st": pa.array(["a", "b", "a", "b", "b", "a"]),
+            }
+        )
+        out = markov_transitions(
+            ray.data.from_arrow(t).repartition(3), "u", "st", ["ts", "eid"]
+        )
+        d = {
+            (s, x): n
+            for s, x, n in zip(
+                out["src"].to_pylist(), out["dst"].to_pylist(),
+                out["n"].to_pylist(),
+            )
+        }
+        assert d == {("a", "b"): 1, ("b", "a"): 2, ("b", "b"): 1}
+
+    def test_exact_quantiles_cont_matches_numpy(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
+            exact_quantiles,
+        )
+
+        rng = np.random.default_rng(21)
+        v = rng.normal(size=20_000) * 100
+        ds = ray.data.from_arrow(pa.table({"v": v})).repartition(6)
+        qs = [0.1, 0.5, 0.73, 0.99]
+        out = exact_quantiles(
+            ds, "v", qs, bins=64, driver_cap=512, method="cont"
+        )
+        got = out["value"].to_pylist()
+        want = np.quantile(v, qs, method="linear")
+        assert np.allclose(got, want, rtol=0, atol=1e-9)
+
+    def test_grouped_approx_distinct_error_bound(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
+            grouped_approx_distinct,
+        )
+
+        rng = np.random.default_rng(8)
+        ga = rng.integers(0, 5000, 40_000)          # 5k distinct
+        gb = rng.integers(0, 200, 40_000)           # 200 distinct
+        t = pa.table(
+            {
+                "g": pa.array(["a"] * 40_000 + ["b"] * 40_000),
+                "v": pa.array(np.concatenate([ga, gb + 1_000_000])),
+            }
+        )
+        out = grouped_approx_distinct(
+            ray.data.from_arrow(t).repartition(5), "g", "v"
+        )
+        d = dict(zip(out["g"].to_pylist(), out["approx_n"].to_pylist()))
+        true_a = len(np.unique(ga))
+        true_b = len(np.unique(gb))
+        assert abs(d["a"] - true_a) / true_a < 0.05
+        assert abs(d["b"] - true_b) / true_b < 0.05
+        # partitioning invariance: register merge is exact
+        out2 = grouped_approx_distinct(
+            ray.data.from_arrow(t).repartition(17), "g", "v"
+        )
+        d2 = dict(zip(out2["g"].to_pylist(), out2["approx_n"].to_pylist()))
+        assert d == d2
+
+    def test_convex_hull_distributed_exact(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.functions.geometry import (
+            _monotone_chain,
+        )
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.stats import (
+            convex_hull,
+        )
+
+        rng = np.random.default_rng(13)
+        x = rng.normal(size=30_000)
+        y = rng.normal(size=30_000)
+        ds = ray.data.from_arrow(
+            pa.table({"x": x, "y": y})
+        ).repartition(7)
+        hull = convex_hull(ds, "x", "y")
+        got = np.column_stack(
+            [hull["x"].to_numpy(), hull["y"].to_numpy()]
+        )
+        ref = _monotone_chain(np.column_stack([x, y]))
+        assert np.array_equal(np.sort(got, axis=0), np.sort(ref, axis=0))
+        # every input point inside (or on) the hull
+        hx, hy = got[:, 0], got[:, 1]
+        bx, by = np.roll(hx, -1), np.roll(hy, -1)
+        for i in range(len(got)):
+            cross = (bx[i] - hx[i]) * (y - hy[i]) - (by[i] - hy[i]) * (x - hx[i])
+            assert (cross >= -1e-9).all()

@@ -388,3 +388,59 @@ def simplify_dp(x: np.ndarray, y: np.ndarray, tol: float) -> np.ndarray:
             stack.append((a, m))
             stack.append((m, b))
     return keep
+
+
+def _monotone_chain(pts: "np.ndarray") -> "np.ndarray":
+    """Exact convex hull of deduplicated points (n x 2 float64) --
+    Andrew's monotone chain, CCW, no repeated first vertex.  Intended
+    for PRUNED candidate sets (see convex_hull_candidates); the stack
+    loop is O(k) on survivors, not on raw rows."""
+    pts = np.unique(pts, axis=0)  # lexsort by (x, y) + dedup
+    if len(pts) <= 2:
+        return pts
+
+    def half(p):
+        stack = []
+        for q in p:
+            while len(stack) >= 2:
+                ox, oy = stack[-2]
+                ax, ay = stack[-1]
+                if (ax - ox) * (q[1] - oy) - (ay - oy) * (q[0] - ox) <= 0:
+                    stack.pop()
+                else:
+                    break
+            stack.append((q[0], q[1]))
+        return stack
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.asarray(lower[:-1] + upper[:-1], dtype=np.float64)
+
+
+def convex_hull_candidates(x: "np.ndarray", y: "np.ndarray") -> "np.ndarray":
+    """Akl-Toussaint prune + local hull: discard points strictly
+    inside the octagon of the 8 directional extremes (one vectorized
+    pass), then run the exact monotone chain on the survivors.  The
+    returned local hull is a superset-free set of candidate vertices:
+    merging per-block hulls and hulling again yields the exact global
+    hull (hull(union) = hull(union of hulls))."""
+    pts = np.column_stack([x, y]).astype(np.float64)
+    if len(pts) <= 8:
+        return _monotone_chain(pts)
+    s = x + y
+    d = x - y
+    anchor_idx = np.unique(
+        [x.argmin(), x.argmax(), y.argmin(), y.argmax(),
+         s.argmin(), s.argmax(), d.argmin(), d.argmax()]
+    )
+    anchors = _monotone_chain(pts[anchor_idx])
+    if len(anchors) >= 3:
+        # inside-test against every octagon edge, vectorized
+        ax, ay = anchors[:, 0], anchors[:, 1]
+        bx, by = np.roll(ax, -1), np.roll(ay, -1)
+        inside = np.ones(len(pts), dtype=bool)
+        for i in range(len(anchors)):
+            cross = (bx[i] - ax[i]) * (y - ay[i]) - (by[i] - ay[i]) * (x - ax[i])
+            inside &= cross > 0
+        pts = pts[~inside]
+    return _monotone_chain(pts)

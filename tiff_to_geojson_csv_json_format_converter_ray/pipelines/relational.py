@@ -969,3 +969,86 @@ def coerce_empty_blocks(
         return batch
 
     return ds.map_batches(fix, batch_format="pyarrow", batch_size=None)
+
+
+def grouping_sets_aggregate(
+    ds: ray.data.Dataset,
+    keys: list[str],
+    sets: list[list[str]],
+    aggs: list[tuple[str, str, str]],
+    distributed_combine: bool = False,
+) -> pa.Table:
+    """GROUP BY GROUPING SETS (explicit subsets of ``keys``): like
+    :func:`cube_aggregate` but only the requested sets.  The raw input
+    is scanned ONCE at the finest level; every set re-aggregates that
+    bounded table (sound for algebraic sum/count/min/max)."""
+    finest = hash_aggregate(
+        ds, keys, aggs, distributed_combine=distributed_combine
+    )
+    if not isinstance(finest, pa.Table):
+        finest = collect_tables(finest)
+    out_names = [name for _, _, name in aggs]
+    reops = [
+        (n, _ROLLUP_REOP[op]) for (_, op, _), n in zip(aggs, out_names)
+    ]
+    levels = []
+    for sub in sets:
+        sub = list(sub)
+        if sorted(sub) == sorted(keys):
+            t = finest.select(keys + out_names)
+            levels.append(t)
+            continue
+        if sub:
+            t = finest.select(sub + out_names).group_by(sub).aggregate(reops)
+            t = t.rename_columns(sub + out_names)
+        else:
+            t = pa.table(
+                {
+                    n: pa.array(
+                        [getattr(pc, ro)(finest[n]).as_py()],
+                        finest.schema.field(n).type,
+                    )
+                    for n, ro in reops
+                }
+            )
+        for k in keys:
+            if k not in sub:
+                t = t.append_column(
+                    k, pa.nulls(t.num_rows, finest.schema.field(k).type)
+                )
+        levels.append(t.select(keys + out_names))
+    return pa.concat_tables(levels)
+
+
+def markov_transitions(
+    ds: ray.data.Dataset,
+    key_col: str,
+    state_col: str,
+    order_cols: list[str],
+) -> pa.Table:
+    """First-order transition counts of ``state_col`` sequences per
+    key (the sessionized-path / clickstream Markov matrix): groupby
+    shuffle on the key, per-group vectorized sort + shift emits each
+    group's LOCAL (src, dst) histogram (state-vocabulary bounded), and
+    the standard combiner sums them globally.  Per-group state is
+    bounded by that key's event count."""
+
+    def pairs(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            group, sort_keys=[(c, "ascending") for c in order_cols]
+        )
+        st = group[state_col].take(idx)
+        if len(st) < 2:
+            return pa.table(
+                {
+                    "src": pa.array([], pa.string()),
+                    "dst": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        t = pa.table({"src": st.slice(0, len(st) - 1), "dst": st.slice(1)})
+        out = t.group_by(["src", "dst"]).aggregate([("src", "count")])
+        return out.rename_columns(["src", "dst", "cnt"])
+
+    local = ds.groupby(key_col).map_groups(pairs, batch_format="pyarrow")
+    return hash_aggregate(local, ["src", "dst"], [("cnt", "sum", "n")])

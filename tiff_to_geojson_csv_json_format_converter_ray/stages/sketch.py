@@ -109,12 +109,18 @@ def exact_quantiles(
     bins: int = 1024,
     driver_cap: int = 65536,
     max_rounds: int = 8,
+    method: str = "disc",
 ) -> pa.Table:
-    """EXACT distributed quantiles (discrete / element-selection
-    semantics, DuckDB ``quantile_disc`` rank convention: the value at
-    0-based sorted index ``ceil(q*n) - 1``) via iterative histogram
-    refinement -- the scale tier of the approximate
-    :func:`quantile_histogram` (ROADMAP "distributed exact quantiles").
+    """EXACT distributed quantiles via iterative histogram refinement
+    -- the scale tier of the approximate :func:`quantile_histogram`
+    (ROADMAP "distributed exact quantiles").
+
+    ``method="disc"`` (default): discrete / element-selection
+    semantics, DuckDB ``quantile_disc`` rank convention (the value at
+    0-based sorted index ``ceil(q*n) - 1``).  ``method="cont"``:
+    linear interpolation between the two adjacent order statistics at
+    h = q*(n-1) -- DuckDB ``quantile_cont`` / SQL PERCENTILE_CONT
+    semantics; costs at most one extra rank selection per q.
 
     Each round is one distributed counting pass over clipped equi-width
     bin ids; a rank resolves when its bin holds <= ``driver_cap`` rows,
@@ -198,8 +204,16 @@ def exact_quantiles(
 
     out = []
     for q in qs:
-        k = int(np.ceil(q * n)) - 1
-        out.append(kth(min(max(k, 0), n - 1)))
+        if method == "cont":
+            h = q * (n - 1)
+            k_lo = int(np.floor(h))
+            k_hi = int(np.ceil(h))
+            v_lo = kth(min(max(k_lo, 0), n - 1))
+            v_hi = v_lo if k_hi == k_lo else kth(min(max(k_hi, 0), n - 1))
+            out.append(v_lo + (h - k_lo) * (v_hi - v_lo))
+        else:
+            k = int(np.ceil(q * n)) - 1
+            out.append(kth(min(max(k, 0), n - 1)))
     return pa.table(
         {"q": pa.array(qs, pa.float64()), "value": pa.array(out, pa.float64())}
     )
@@ -545,3 +559,58 @@ def grouped_mad(
         )
 
     return ds.groupby(key).map_groups(kernel, batch_format="pyarrow")
+
+
+def grouped_approx_distinct(
+    ds: ray.data.Dataset, group_col: str, col: str, p: int = 12
+) -> pa.Table:
+    """Per-group HyperLogLog distinct estimate: each batch emits one
+    register blob per group present in it (group-bounded partials),
+    blobs combine by element-wise max on the driver -- intermediate
+    is |groups| x 2^p bytes, never rows.  Returns (group, approx_n)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({group_col: batch[group_col], "_v": batch[col]})
+        groups, blobs = [], []
+        # per-batch group slice: sort then run boundaries (vectorized
+        # boundary scan; HLL update itself is numpy)
+        idx = pc.sort_indices(t, sort_keys=[(group_col, "ascending")])
+        t = t.take(idx)
+        g = t[group_col].to_pylist()
+        vals = [str(v) for v in t["_v"].to_pylist()]
+        i = 0
+        while i < len(g):
+            j = i
+            while j < len(g) and g[j] == g[i]:
+                j += 1
+            hll = HyperLogLog(p)
+            hll.add_hashes(H.fnv1a_array(vals[i:j]))
+            groups.append(g[i])
+            blobs.append(hll.registers.tobytes())
+            i = j
+        return pa.table(
+            {
+                group_col: pa.array(groups, batch[group_col].type),
+                "registers": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    merged: dict = {}
+    for t in ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        for gv, buf in zip(t[group_col].to_pylist(), t["registers"].to_pylist()):
+            regs = np.frombuffer(buf, dtype=np.uint8)
+            if gv in merged:
+                np.maximum(merged[gv], regs, out=merged[gv])
+            else:
+                merged[gv] = regs.copy()
+    groups = sorted(merged)
+    ests = []
+    for gv in groups:
+        hll = HyperLogLog(p)
+        hll.registers = merged[gv]
+        ests.append(hll.estimate())
+    return pa.table(
+        {group_col: pa.array(groups), "approx_n": pa.array(ests, pa.float64())}
+    )

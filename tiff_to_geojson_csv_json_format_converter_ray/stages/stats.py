@@ -361,3 +361,44 @@ def morans_i_grid(
     num += 2.0 * float((dev[:-1, :] * dev[1:, :]).sum())
     w = 2.0 * (height * (width - 1) + width * (height - 1))
     return (nn / w) * num / den
+
+
+def convex_hull(
+    ds,
+    x_col: str,
+    y_col: str,
+) -> pa.Table:
+    """Exact distributed convex hull: per-block Akl-Toussaint prune +
+    local monotone chain (each block reduces to its own hull vertices,
+    bounded by the block's boundary), then one final chain over the
+    concatenated per-block hulls on the driver -- sound because
+    hull(union) = hull(union of hulls).  Returns CCW vertices ordered
+    from the lexicographically smallest."""
+    from ..functions.geometry import _monotone_chain, convex_hull_candidates
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = convex_hull_candidates(
+            batch[x_col].to_numpy(zero_copy_only=False).astype(np.float64),
+            batch[y_col].to_numpy(zero_copy_only=False).astype(np.float64),
+        )
+        return pa.table({"x": pa.array(h[:, 0]), "y": pa.array(h[:, 1])})
+
+    parts = []
+    for t in ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        if t.num_rows:
+            parts.append(
+                np.column_stack(
+                    [
+                        t["x"].to_numpy(zero_copy_only=False),
+                        t["y"].to_numpy(zero_copy_only=False),
+                    ]
+                )
+            )
+    if not parts:
+        return pa.table(
+            {"x": pa.array([], pa.float64()), "y": pa.array([], pa.float64())}
+        )
+    hull = _monotone_chain(np.vstack(parts))
+    return pa.table({"x": pa.array(hull[:, 0]), "y": pa.array(hull[:, 1])})
