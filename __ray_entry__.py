@@ -2339,6 +2339,162 @@ def _q_user_streaks(sf_dir: str) -> pa.Table:
     return out.select(["user_id", "max_streak"])
 
 
+def _q_chi2_independence(sf_dir: str) -> pa.Table:
+    """Pearson chi-square test of independence between event type and
+    ISO day-of-week: distributed contingency counts (combiner), dense
+    matrix formula on the |A| x |B|-bounded table."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.stats import (
+        chi2_independence,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts"]
+    )
+
+    def cells(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        # ISO day-of-week from epoch-us (1970-01-01 was a Thursday = 4)
+        dow = ((ts // 86_400_000_000 + 3) % 7 + 1).astype(np.int64)
+        return pa.table(
+            {
+                "a": batch["event_type"],
+                "b": pa.array(dow),
+                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+
+    counts = hash_aggregate(
+        ds.map_batches(cells, batch_format="pyarrow", batch_size=None),
+        ["a", "b"],
+        [("_one", "sum", "n")],
+    )
+    chi2, dof = chi2_independence(counts, "a", "b")
+    return pa.table(
+        {
+            "chi2": round_like_sql(np.asarray([chi2]), 6),
+            "dof": pa.array([dof], pa.int64()),
+        }
+    )
+
+
+def _q_getis_ord(sf_dir: str) -> pa.Table:
+    """Getis-Ord Gi* hot-spot z-scores of the event density field on
+    the 96x96 geocode lattice (3x3 weights incl. self); top-20 hottest
+    cells by z."""
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
+        partial_count,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.stats import (
+        getis_ord_gi_star,
+    )
+    import pyarrow.compute as pc
+
+    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
+
+    def gridcell(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "gx": pa.array((eid % 96).astype(np.int64)),
+                "gy": pa.array(((eid // 96) % 96).astype(np.int64)),
+            }
+        )
+
+    counts = partial_count(
+        ds.map_batches(gridcell, batch_format="pyarrow", batch_size=None),
+        ["gx", "gy"],
+    ).rename_columns(["gx", "gy", "n"])
+    z = getis_ord_gi_star(counts, 96, 96)
+    idx = pc.sort_indices(
+        z,
+        sort_keys=[("gi_z", "descending"), ("gx", "ascending"),
+                   ("gy", "ascending")],
+    )[:20]
+    return z.take(idx)
+
+
+def _q_assoc_rules(sf_dir: str) -> pa.Table:
+    """Market-basket association rules over (user, day) baskets of
+    event types: pair co-occurrence counts + lift."""
+    import pyarrow.compute as pc
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        association_rules,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type"],
+    )
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "day": pa.array(ts // 86_400_000_000),
+                "event_type": batch["event_type"],
+            }
+        )
+
+    return association_rules(
+        ds.map_batches(keyed, batch_format="pyarrow", batch_size=None),
+        ["user_id", "day"],
+        "event_type",
+    )
+
+
+def _q_pct_change_monthly(sf_dir: str) -> pa.Table:
+    """Month-over-month revenue percent change (LAG window over the
+    exact monthly cents sums)."""
+    import pyarrow.compute as pc
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderdate", "o_totalprice"],
+    )
+
+    def monthly(batch: pa.Table) -> pa.Table:
+        ts = batch["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        days = (ts // 86_400_000_000).astype("datetime64[D]")
+        month = days.astype("datetime64[M]").astype(np.int64)  # months
+        cents = pc.cast(
+            round_like_sql(
+                pc.multiply(batch["o_totalprice"].cast(pa.float64()), 100.0),
+                0,
+            ),
+            pa.int64(),
+        )
+        return pa.table({"month": pa.array(month), "cents": cents})
+
+    out = hash_aggregate(
+        ds.map_batches(monthly, batch_format="pyarrow", batch_size=None),
+        ["month"],
+        [("cents", "sum", "cents")],
+    ).sort_by("month")
+    m = out["month"].to_numpy(zero_copy_only=False)
+    c = out["cents"].to_numpy(zero_copy_only=False).astype(np.float64)
+    pct = np.full(len(c), np.nan)
+    if len(c) > 1:
+        pct[1:] = (c[1:] - c[:-1]) / c[:-1] * 100.0
+    # month int -> first-of-month timestamp for a portable column
+    month_ts = m.astype("datetime64[M]").astype("datetime64[us]")
+    return pa.table(
+        {
+            "month": pa.array(month_ts),
+            "revenue": pa.array(c / 100.0),
+            "pct_change": round_like_sql(pct, 6),
+        }
+    )
+
+
 def _q_convex_hull(sf_dir: str) -> pa.Table:
     """Exact distributed convex hull of the jittered event point
     cloud (per-block Akl-Toussaint prune + monotone chain, driver
@@ -3774,6 +3930,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouping_sets": _q_grouping_sets,
         "markov_transitions": _q_markov_transitions,
         "quantiles_cont": _q_quantiles_cont,
+        "chi2_independence": _q_chi2_independence,
+        "getis_ord": _q_getis_ord,
+        "assoc_rules": _q_assoc_rules,
+        "pct_change_monthly": _q_pct_change_monthly,
         "doc_lengths": _q_doc_lengths,
         "ann_top3": _q_ann_top3,
         "knn_join": _q_knn_join,
@@ -4682,6 +4842,77 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY user_id, d - CAST(rn AS INTEGER)) "
             "SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak "
             "FROM runs GROUP BY user_id"
+        ),
+        "chi2_independence": (
+            # mirror of stages/stats.py chi2_independence: zero cells
+            # contribute their expected count via the ra x rb cross join
+            "WITH c AS (SELECT event_type AS a, "
+            "CAST(ISODOW(ts) AS BIGINT) AS b, "
+            "CAST(COUNT(*) AS DOUBLE) AS n FROM events GROUP BY 1, 2), "
+            "ra AS (SELECT a, SUM(n) AS na FROM c GROUP BY a), "
+            "rb AS (SELECT b, SUM(n) AS nb FROM c GROUP BY b), "
+            "t AS (SELECT SUM(n) AS tot FROM c), "
+            "f AS (SELECT ra.na, rb.nb, COALESCE(c.n, 0) AS n "
+            "FROM ra CROSS JOIN rb "
+            "LEFT JOIN c ON c.a = ra.a AND c.b = rb.b) "
+            "SELECT ROUND(SUM((n - na * nb / t.tot) * (n - na * nb / t.tot) "
+            "/ (na * nb / t.tot)), 6) AS chi2, "
+            "CAST((SELECT COUNT(*) - 1 FROM ra) * "
+            "(SELECT COUNT(*) - 1 FROM rb) AS BIGINT) AS dof "
+            "FROM f, t GROUP BY ALL"
+        ),
+        "getis_ord": (
+            # mirror of stages/stats.py getis_ord_gi_star: 3x3 weights
+            # incl. self, absent lattice cells are zeros
+            "WITH e AS (SELECT (event_id % 96) AS gx, "
+            "((event_id // 96) % 96) AS gy, COUNT(*) AS n FROM events "
+            "GROUP BY 1, 2), "
+            "lat AS (SELECT a.i AS gx, b.i AS gy FROM "
+            "generate_series(0, 95) a(i) CROSS JOIN "
+            "generate_series(0, 95) b(i)), "
+            "x AS (SELECT lat.gx, lat.gy, "
+            "CAST(COALESCE(e.n, 0) AS DOUBLE) AS v "
+            "FROM lat LEFT JOIN e ON lat.gx = e.gx AND lat.gy = e.gy), "
+            "s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn, "
+            "SUM(v) / COUNT(*) AS mu, "
+            "SQRT(SUM(v * v) / COUNT(*) - "
+            "(SUM(v) / COUNT(*)) * (SUM(v) / COUNT(*))) AS sd FROM x), "
+            "w AS (SELECT a.gx, a.gy, SUM(b.v) AS win, "
+            "CAST(COUNT(*) AS DOUBLE) AS cnt FROM x a JOIN x b "
+            "ON abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1 "
+            "GROUP BY a.gx, a.gy) "
+            "SELECT w.gx, w.gy, "
+            "ROUND((win - s.mu * cnt) / "
+            "(s.sd * SQRT((s.nn * cnt - cnt * cnt) / (s.nn - 1))), 6) "
+            "AS gi_z FROM w, s "
+            "ORDER BY gi_z DESC, gx, gy LIMIT 20"
+        ),
+        "assoc_rules": (
+            "WITH b AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, "
+            "event_type AS t FROM events), "
+            "nb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM "
+            "(SELECT DISTINCT user_id, d FROM b)), "
+            "s AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS n FROM b "
+            "GROUP BY t), "
+            "p AS (SELECT x.t AS item_a, y.t AS item_b, "
+            "CAST(COUNT(*) AS BIGINT) AS n_both FROM b x JOIN b y "
+            "ON x.user_id = y.user_id AND x.d = y.d AND x.t < y.t "
+            "GROUP BY 1, 2) "
+            "SELECT p.item_a, p.item_b, p.n_both, "
+            "ROUND(CAST(p.n_both AS DOUBLE) * nb.n / (sa.n * sb.n), 6) "
+            "AS lift FROM p CROSS JOIN nb "
+            "JOIN s sa ON sa.t = p.item_a "
+            "JOIN s sb ON sb.t = p.item_b"
+        ),
+        "pct_change_monthly": (
+            "WITH m AS (SELECT date_trunc('month', o_orderdate) AS month, "
+            "SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents "
+            "FROM orders GROUP BY 1) "
+            "SELECT month, CAST(cents AS DOUBLE) / 100.0 AS revenue, "
+            "ROUND((CAST(cents AS DOUBLE) - "
+            "CAST(LAG(cents) OVER (ORDER BY month) AS DOUBLE)) "
+            "/ CAST(LAG(cents) OVER (ORDER BY month) AS DOUBLE) * 100.0, 6) "
+            "AS pct_change FROM m ORDER BY month"
         ),
         "grouping_sets": (
             "SELECT l_returnflag, l_linestatus, "

@@ -1802,3 +1802,101 @@ class TestRound2BatchC:
         for i in range(len(got)):
             cross = (bx[i] - hx[i]) * (y - hy[i]) - (by[i] - hy[i]) * (x - hx[i])
             assert (cross >= -1e-9).all()
+
+
+class TestRound2BatchD:
+    def test_chi2_independence_uniform_is_zero(self):
+        import pyarrow as pa
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.stats import (
+            chi2_independence,
+        )
+
+        # perfectly independent 2x2 -> chi2 == 0
+        t = pa.table(
+            {
+                "a": ["x", "x", "y", "y"],
+                "b": [1, 2, 1, 2],
+                "n": [10, 20, 30, 60],
+            }
+        )
+        chi2, dof = chi2_independence(t, "a", "b")
+        assert abs(chi2) < 1e-12
+        assert dof == 1
+
+    def test_chi2_zero_cells_counted(self):
+        import pyarrow as pa
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.stats import (
+            chi2_independence,
+        )
+
+        # (y,2) never observed: expected = 5*5/20 = 1.25 contributes
+        t = pa.table(
+            {"a": ["x", "x", "y"], "b": [1, 2, 1], "n": [10, 5, 5]}
+        )
+        chi2, dof = chi2_independence(t, "a", "b")
+        # manual: rows x=15,y=5; cols 1=15,2=5; tot=20
+        # e = [[11.25,3.75],[3.75,1.25]]; o=[[10,5],[5,0]]
+        want = (
+            (10 - 11.25) ** 2 / 11.25
+            + (5 - 3.75) ** 2 / 3.75
+            + (5 - 3.75) ** 2 / 3.75
+            + (0 - 1.25) ** 2 / 1.25
+        )
+        assert abs(chi2 - want) < 1e-12
+
+    def test_getis_ord_hotspot_is_hottest(self):
+        import numpy as np
+        import pyarrow as pa
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.stats import (
+            getis_ord_gi_star,
+        )
+
+        # single hot 3x3 blob in a 10x10 field of zeros
+        gx, gy, n = [], [], []
+        for y in (4, 5, 6):
+            for x in (4, 5, 6):
+                gx.append(x); gy.append(y); n.append(10)
+        out = getis_ord_gi_star(
+            pa.table({"gx": gx, "gy": gy, "n": n}), 10, 10
+        )
+        z = np.asarray(out["gi_z"].to_pylist()).reshape(10, 10)
+        assert z[5, 5] == z.max()  # blob center maximal
+        assert z[5, 5] > 2.5       # clearly hot
+        assert z[0, 0] < 0         # far corner cold
+
+    def test_association_rules_known_lift(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+            association_rules,
+        )
+
+        # 4 baskets; a in all 4, b in 2, both in 2 -> lift(ab) =
+        # (2/4) / ((4/4)*(2/4)) = 1.0; c only with b -> lift(bc) = 2
+        rows = [
+            (1, "a"), (1, "b"), (1, "c"),
+            (2, "a"), (2, "b"), (2, "c"),
+            (3, "a"),
+            (4, "a"),
+            # duplicate item rows in a basket must not double-count
+            (1, "a"), (2, "b"),
+        ]
+        t = pa.table(
+            {
+                "bk": pa.array([r[0] for r in rows], pa.int64()),
+                "it": pa.array([r[1] for r in rows]),
+            }
+        )
+        out = association_rules(
+            ray.data.from_arrow(t).repartition(3), ["bk"], "it"
+        )
+        d = {
+            (a, b): (n, l)
+            for a, b, n, l in zip(
+                out["item_a"].to_pylist(), out["item_b"].to_pylist(),
+                out["n_both"].to_pylist(), out["lift"].to_pylist(),
+            )
+        }
+        assert d[("a", "b")] == (2, 1.0)
+        assert d[("b", "c")] == (2, 2.0)
+        assert d[("a", "c")] == (2, 1.0)

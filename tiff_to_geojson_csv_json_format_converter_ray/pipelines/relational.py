@@ -1052,3 +1052,114 @@ def markov_transitions(
 
     local = ds.groupby(key_col).map_groups(pairs, batch_format="pyarrow")
     return hash_aggregate(local, ["src", "dst"], [("cnt", "sum", "n")])
+
+
+def association_rules(
+    ds: ray.data.Dataset,
+    basket_cols: list[str],
+    item_col: str,
+    ndigits: int = 6,
+) -> pa.Table:
+    """Market-basket pair statistics: baskets are the distinct
+    ``basket_cols`` keys, items the distinct ``item_col`` values per
+    basket.  Per unordered item pair (a < b): co-occurrence count and
+    lift = P(ab) / (P(a) P(b)) = n_ab * n_baskets / (n_a * n_b).
+
+    Plan: one distributed pass shrinks the stream to distinct (basket,
+    item) rows inside each batch; the groupby shuffle keys on the
+    basket; the per-group kernel emits that basket's item pairs
+    (item-vocabulary bounded per basket); pair partials combine via the
+    standard aggregate.  All counts are exact integers, so lift is
+    bit-reproducible at any partitioning."""
+
+    def dedupe(batch: pa.Table) -> pa.Table:
+        t = batch.select(basket_cols + [item_col])
+        return t.group_by(basket_cols + [item_col]).aggregate([])
+
+    distinct_items = ds.map_batches(
+        dedupe, batch_format="pyarrow", batch_size=None
+    )
+
+    def pairs(group: pa.Table) -> pa.Table:
+        # one basket (post-shuffle, so batch-level dupes are gone);
+        # a second dedupe guards cross-batch duplicates
+        items = sorted(set(group[item_col].to_pylist()))
+        a, b = [], []
+        for i in range(len(items)):
+            for j in range(i + 1, len(items)):
+                a.append(items[i])
+                b.append(items[j])
+        return pa.table(
+            {
+                "item_a": pa.array(a, pa.string()),
+                "item_b": pa.array(b, pa.string()),
+                "_one": pa.array(np.ones(len(a), np.int64)),
+            }
+        )
+
+    pair_counts = hash_aggregate(
+        distinct_items.groupby(basket_cols).map_groups(
+            pairs, batch_format="pyarrow"
+        ),
+        ["item_a", "item_b"],
+        [("_one", "sum", "n_both")],
+    )
+
+    def singles(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_one", pa.array(np.ones(batch.num_rows, np.int64))
+        )
+
+    # dedupe is only batch-local above, so the same (basket, item) can
+    # reach here from several batches: aggregate keyed on the FULL
+    # triple first (min as a distinct-marker), then count per item
+    triples = hash_aggregate(
+        distinct_items.map_batches(
+            singles, batch_format="pyarrow", batch_size=None
+        ),
+        basket_cols + [item_col],
+        [("_one", "min", "_one")],
+    )
+    item_counts = (
+        triples.select([item_col])
+        .group_by(item_col)
+        .aggregate([(item_col, "count")])
+        .rename_columns([item_col, "n_item"])
+    )
+
+    def basket_one(batch: pa.Table) -> pa.Table:
+        t = batch.select(basket_cols)
+        out = t.group_by(basket_cols).aggregate([])
+        return out.append_column(
+            "_one", pa.array(np.ones(out.num_rows, np.int64))
+        )
+
+    baskets = hash_aggregate(
+        ds.map_batches(basket_one, batch_format="pyarrow", batch_size=None),
+        basket_cols,
+        [("_one", "min", "_one")],
+    )
+    n_baskets = baskets.num_rows
+
+    ic = dict(
+        zip(item_counts[item_col].to_pylist(),
+            item_counts["n_item"].to_numpy(zero_copy_only=False))
+    )
+    na = np.array(
+        [ic[v] for v in pair_counts["item_a"].to_pylist()], dtype=np.float64
+    )
+    nb = np.array(
+        [ic[v] for v in pair_counts["item_b"].to_pylist()], dtype=np.float64
+    )
+    n_both = pair_counts["n_both"].to_numpy(zero_copy_only=False).astype(
+        np.float64
+    )
+    lift = n_both * float(n_baskets) / (na * nb)
+    return pa.table(
+        {
+            "item_a": pair_counts["item_a"],
+            "item_b": pair_counts["item_b"],
+            "n_both": pair_counts["n_both"].cast(pa.int64()),
+            "lift": round_like_sql(lift, ndigits),
+        }
+    )

@@ -402,3 +402,85 @@ def convex_hull(
         )
     hull = _monotone_chain(np.vstack(parts))
     return pa.table({"x": pa.array(hull[:, 0]), "y": pa.array(hull[:, 1])})
+
+
+def chi2_independence(
+    counts: pa.Table,
+    a_col: str,
+    b_col: str,
+    n_col: str = "n",
+    ndigits: int = 6,
+) -> tuple[float, int]:
+    """Pearson chi-square statistic of independence from an
+    already-aggregated contingency table (the distributed combiner's
+    output, bounded by |A| x |B|).  ZERO cells (pairs never observed)
+    contribute their expected count, as the textbook statistic
+    requires.  Returns (chi2, dof)."""
+    a = counts[a_col].to_pylist()
+    b = counts[b_col].to_pylist()
+    n = counts[n_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    cats_a = sorted(set(a))
+    cats_b = sorted(set(b))
+    ia = {v: i for i, v in enumerate(cats_a)}
+    ib = {v: i for i, v in enumerate(cats_b)}
+    obs = np.zeros((len(cats_a), len(cats_b)), dtype=np.float64)
+    obs[[ia[v] for v in a], [ib[v] for v in b]] = n
+    tot = obs.sum()
+    exp = np.outer(obs.sum(axis=1), obs.sum(axis=0)) / tot
+    chi2 = float(((obs - exp) ** 2 / exp).sum())
+    dof = (len(cats_a) - 1) * (len(cats_b) - 1)
+    return chi2, dof
+
+
+def getis_ord_gi_star(
+    cell_counts: pa.Table,
+    height: int,
+    width: int,
+    gx_col: str = "gx",
+    gy_col: str = "gy",
+    n_col: str = "n",
+    ndigits: int = 6,
+) -> pa.Table:
+    """Getis-Ord Gi* hot-spot z-score per lattice cell (3x3 binary
+    weights INCLUDING self; absent cells are zeros): the classic
+    local spatial statistic.  Like :func:`morans_i_grid`, the input
+    is the aggregated lattice-bounded count table and the neighbor
+    sums run as dense numpy shifts.
+
+        Gi* = (S_i - mu * W_i) / (s * sqrt((n*W_i - W_i^2) / (n-1)))
+
+    with S_i the 3x3 window sum, W_i the in-bounds window size,
+    mu / s the global mean / population std."""
+    grid = np.zeros((height, width), dtype=np.float64)
+    gx = cell_counts[gx_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    gy = cell_counts[gy_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    v = cell_counts[n_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    grid[gy, gx] = v
+
+    nn = float(height * width)
+    mu = grid.sum() / nn
+    s = np.sqrt((grid * grid).sum() / nn - mu * mu)
+
+    padded = np.zeros((height + 2, width + 2), dtype=np.float64)
+    padded[1:-1, 1:-1] = grid
+    win = np.zeros_like(grid)
+    cnt = np.zeros_like(grid)
+    ones = np.zeros_like(padded)
+    ones[1:-1, 1:-1] = 1.0
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            win += padded[1 + dy:height + 1 + dy, 1 + dx:width + 1 + dx]
+            cnt += ones[1 + dy:height + 1 + dy, 1 + dx:width + 1 + dx]
+    denom = s * np.sqrt((nn * cnt - cnt * cnt) / (nn - 1.0))
+    z = (win - mu * cnt) / denom
+
+    yy, xx = np.mgrid[0:height, 0:width]
+    from ..pipelines.relational import round_like_sql
+
+    return pa.table(
+        {
+            gx_col: pa.array(xx.ravel().astype(np.int64)),
+            gy_col: pa.array(yy.ravel().astype(np.int64)),
+            "gi_z": round_like_sql(z.ravel(), ndigits),
+        }
+    )
