@@ -2339,6 +2339,248 @@ def _q_user_streaks(sf_dir: str) -> pa.Table:
     return out.select(["user_id", "max_streak"])
 
 
+def _q_gini_by_priority(sf_dir: str) -> pa.Table:
+    """Per-priority Gini coefficient of order value: the distributed
+    RANKED statistic -- one Ray sort, per-block int64 rank partials,
+    ordered driver combine with running rank offsets."""
+    import pyarrow.compute as pc
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        grouped_gini, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderpriority", "o_totalprice"],
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.multiply(batch["o_totalprice"].cast(pa.float64()), 100.0)
+        return pa.table(
+            {
+                "o_orderpriority": batch["o_orderpriority"],
+                "cents": pc.cast(round_like_sql(c, 0), pa.int64()),
+            }
+        )
+
+    return grouped_gini(
+        ds.map_batches(cents, batch_format="pyarrow", batch_size=None),
+        "o_orderpriority", "cents",
+    )
+
+
+def _q_bm25_search(sf_dir: str) -> pa.Table:
+    """Okapi BM25 relevance of every document to the fixed query
+    ('spark', 'join'): one tf/dl pass, corpus stats via combiner,
+    vectorized scoring; top-20 by (score desc, doc_id)."""
+    import pyarrow.compute as pc
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+        bm25_scores,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = collect_tables(bm25_scores(ds, ["spark", "join"]))
+    idx = pc.sort_indices(
+        out, sort_keys=[("score", "descending"), ("doc_id", "ascending")]
+    )[:20]
+    return out.take(idx)
+
+
+def _q_orders_above_avg(sf_dir: str) -> pa.Table:
+    """Correlated-subquery shape: per customer, how many of their
+    orders exceed their OWN average order value (exact cents moments
+    broadcast, vectorized compare)."""
+    import ray as _ray
+    import pyarrow.compute as pc
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"],
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.multiply(batch["o_totalprice"].cast(pa.float64()), 100.0)
+        return pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "cents": pc.cast(round_like_sql(c, 0), pa.int64()),
+                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+
+    cds = ds.map_batches(cents, batch_format="pyarrow", batch_size=None)
+    avg = hash_aggregate(
+        cds, ["o_custkey"],
+        [("cents", "sum", "sum_cents"), ("_one", "sum", "n")],
+    )
+    lut = _ray.put(
+        (
+            np.sort(avg["o_custkey"].to_numpy(zero_copy_only=False)),
+            avg["sum_cents"].to_numpy(zero_copy_only=False)[
+                np.argsort(avg["o_custkey"].to_numpy(zero_copy_only=False))
+            ].astype(np.float64),
+            avg["n"].to_numpy(zero_copy_only=False)[
+                np.argsort(avg["o_custkey"].to_numpy(zero_copy_only=False))
+            ].astype(np.float64),
+        )
+    )
+
+    def above(batch: pa.Table) -> pa.Table:
+        keys, sums, ns = _ray.get(lut)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        c = batch["cents"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pos = np.searchsorted(keys, ck)
+        hit = (c > sums[pos] / ns[pos]).astype(np.int64)
+        return pa.table(
+            {"o_custkey": batch["o_custkey"], "_hit": pa.array(hit)}
+        )
+
+    out = hash_aggregate(
+        cds.map_batches(above, batch_format="pyarrow", batch_size=None),
+        ["o_custkey"],
+        [("_hit", "sum", "n_above")],
+    )
+    keep = pc.greater(out["n_above"], 0)
+    out = out.filter(keep)
+    return pa.table(
+        {
+            "o_custkey": out["o_custkey"].cast(pa.int64()),
+            "n_above": out["n_above"].cast(pa.int64()),
+        }
+    )
+
+
+def _q_dbscan_clusters(sf_dir: str) -> pa.Table:
+    """Grid-tier DBSCAN over the jittered event point cloud: per-
+    cluster size + bounding box, noise bucketed as label -1."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.ann import (
+        grid_dbscan,
+    )
+
+    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
+
+    def jitter(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        # cluster structure: half the events concentrate in 4 blobs
+        blob = (eid % 4).astype(np.float64)
+        in_blob = ((eid // 4) % 2) == 0
+        jx = ((eid * 2654435761) % 997).astype(np.float64) / 997.0
+        jy = ((eid * 40503) % 991).astype(np.float64) / 991.0
+        x = np.where(in_blob, blob * 10.0 + jx * 0.5, jx * 40.0)
+        y = np.where(in_blob, blob * 5.0 + jy * 0.5, jy * 20.0)
+        return pa.table({"x": pa.array(x), "y": pa.array(y)})
+
+    pts = ds.map_batches(jitter, batch_format="pyarrow", batch_size=None)
+    labeled = grid_dbscan(pts, "x", "y", eps=0.6, min_count=8)
+
+    def mark(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "label": batch["label"],
+                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
+                "x": batch["x"],
+                "y": batch["y"],
+            }
+        )
+
+    out = hash_aggregate(
+        labeled.map_batches(mark, batch_format="pyarrow", batch_size=None),
+        ["label"],
+        [
+            ("_one", "sum", "n"),
+            ("x", "min", "x_min"),
+            ("x", "max", "x_max"),
+            ("y", "min", "y_min"),
+            ("y", "max", "y_max"),
+        ],
+    ).sort_by("label")
+    return pa.table(
+        {
+            "label": out["label"].cast(pa.int64()),
+            "n": out["n"].cast(pa.int64()),
+            "x_min": round_like_sql(out["x_min"], 6),
+            "x_max": round_like_sql(out["x_max"], 6),
+            "y_min": round_like_sql(out["y_min"], 6),
+            "y_max": round_like_sql(out["y_max"], 6),
+        }
+    )
+
+
+def _q_stay_points(sf_dir: str) -> pa.Table:
+    """Stay-point detection per user track (Li et al. 2008): ordered
+    per-user window through the groupby shuffle, O(n) kernel per
+    group; per-user stay counts + total dwell."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+
+    def geocode(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon = 77.0 + (eid % 96).astype(np.float64) * 0.01
+        lat = 28.05 + ((eid // 96) % 96).astype(np.float64) * 0.01
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts": batch["ts"],
+                "event_id": batch["event_id"],
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+            }
+        )
+
+    geo = ds.map_batches(geocode, batch_format="pyarrow", batch_size=None)
+
+    def detect(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from tiff_to_geojson_csv_json_format_converter_ray.functions.geometry import (
+            stay_points,
+        )
+
+        order = pc.sort_indices(
+            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        g = group.take(order)
+        lon = g["lon"].to_numpy(zero_copy_only=False)
+        lat = g["lat"].to_numpy(zero_copy_only=False)
+        t = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) / 1e6
+        sp = stay_points(lon, lat, t, eps=0.3, min_duration=3600.0)
+        dwell = sum(s[3] - s[2] for s in sp)
+        return pa.table(
+            {
+                "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
+                "n_stays": pa.array([len(sp)], pa.int64()),
+                "total_dwell_s": pa.array([float(dwell)]),
+            }
+        )
+
+    t = collect_tables(
+        geo.groupby("user_id").map_groups(detect, batch_format="pyarrow")
+    )
+    return pa.table(
+        {
+            "user_id": t["user_id"],
+            "n_stays": t["n_stays"],
+            "total_dwell_s": round_like_sql(t["total_dwell_s"], 6),
+        }
+    )
+
+
 def _q_chi2_independence(sf_dir: str) -> pa.Table:
     """Pearson chi-square test of independence between event type and
     ISO day-of-week: distributed contingency counts (combiner), dense
@@ -3934,6 +4176,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "getis_ord": _q_getis_ord,
         "assoc_rules": _q_assoc_rules,
         "pct_change_monthly": _q_pct_change_monthly,
+        "gini_by_priority": _q_gini_by_priority,
+        "bm25_search": _q_bm25_search,
+        "orders_above_avg": _q_orders_above_avg,
         "doc_lengths": _q_doc_lengths,
         "ann_top3": _q_ann_top3,
         "knn_join": _q_knn_join,
@@ -3955,6 +4200,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": _q_bpe_merges,
         "approx_distinct_by_type": _q_approx_distinct_by_type,
         "convex_hull": _q_convex_hull,
+        "dbscan_clusters": _q_dbscan_clusters,
+        "stay_points": _q_stay_points,
     }
 
 
@@ -4842,6 +5089,58 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY user_id, d - CAST(rn AS INTEGER)) "
             "SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak "
             "FROM runs GROUP BY user_id"
+        ),
+        "gini_by_priority": (
+            # mirror of pipelines/relational.py grouped_gini: ranked
+            # statistic, sum(i*x) is tie-permutation invariant
+            "WITH x AS (SELECT o_orderpriority AS g, "
+            "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v "
+            "FROM orders), "
+            "r AS (SELECT g, v, ROW_NUMBER() OVER "
+            "(PARTITION BY g ORDER BY v) AS i FROM x), "
+            "s AS (SELECT g, CAST(COUNT(*) AS DOUBLE) AS n, "
+            "CAST(SUM(v) AS DOUBLE) AS sx, "
+            "CAST(SUM(i * v) AS DOUBLE) AS six FROM r GROUP BY g) "
+            "SELECT g AS o_orderpriority, "
+            "ROUND(2 * six / (n * sx) - (n + 1) / n, 6) AS gini FROM s"
+        ),
+        "bm25_search": (
+            # mirror of stages/textops.py bm25_scores for the fixed
+            # query ('spark', 'join'), k1=1.2, b=0.75
+            "WITH w AS (SELECT doc_id, "
+            "list_filter(string_split(text, ' '), t -> t <> '') AS ws "
+            "FROM documents), "
+            "d AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, "
+            "CAST(len(list_filter(ws, t -> t = 'spark')) AS DOUBLE) AS tf0, "
+            "CAST(len(list_filter(ws, t -> t = 'join')) AS DOUBLE) AS tf1 "
+            "FROM w), "
+            "s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, "
+            "SUM(dl) / COUNT(*) AS avgdl, "
+            "CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) "
+            "AS df0, "
+            "CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) "
+            "AS df1 FROM d) "
+            "SELECT doc_id, ROUND("
+            "LN((n - df0 + 0.5) / (df0 + 0.5) + 1) * tf0 * (1.2 + 1) "
+            "/ (tf0 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) + "
+            "LN((n - df1 + 0.5) / (df1 + 0.5) + 1) * tf1 * (1.2 + 1) "
+            "/ (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 6) AS score "
+            "FROM d, s WHERE tf0 + tf1 > 0 "
+            "ORDER BY score DESC, doc_id LIMIT 20"
+        ),
+        "orders_above_avg": (
+            # exact-cents average so the knife-edge compare is
+            # bit-identical to the engine
+            "WITH c AS (SELECT o_custkey, "
+            "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents "
+            "FROM orders), "
+            "a AS (SELECT o_custkey, "
+            "CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS avg_cents "
+            "FROM c GROUP BY o_custkey) "
+            "SELECT c.o_custkey, CAST(COUNT(*) AS BIGINT) AS n_above "
+            "FROM c JOIN a ON c.o_custkey = a.o_custkey "
+            "WHERE CAST(c.cents AS DOUBLE) > a.avg_cents "
+            "GROUP BY c.o_custkey"
         ),
         "chi2_independence": (
             # mirror of stages/stats.py chi2_independence: zero cells

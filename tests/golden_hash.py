@@ -40,6 +40,8 @@ NO_ORACLE_QUERIES = [
     "bpe_merges",
     "approx_distinct_by_type",
     "convex_hull",
+    "dbscan_clusters",
+    "stay_points",
 ]
 
 

@@ -1900,3 +1900,77 @@ class TestRound2BatchD:
         assert d[("a", "b")] == (2, 1.0)
         assert d[("b", "c")] == (2, 2.0)
         assert d[("a", "c")] == (2, 1.0)
+
+
+class TestRound2BatchE:
+    def test_grid_dbscan_two_blobs_and_noise(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.ann import (
+            grid_dbscan,
+        )
+
+        rng = np.random.default_rng(7)
+        blob_a = rng.normal([0, 0], 0.2, size=(300, 2))
+        blob_b = rng.normal([10, 0], 0.2, size=(300, 2))
+        noise = np.array([[5.0, 5.0], [-5.0, 3.0]])
+        pts = np.vstack([blob_a, blob_b, noise])
+        ds = ray.data.from_arrow(
+            pa.table({"x": pts[:, 0], "y": pts[:, 1]})
+        ).repartition(4)
+        out = grid_dbscan(ds, "x", "y", eps=1.0, min_count=5).to_pandas()
+        assert set(out.label.unique()) == {-1, 0, 1}
+        # blob membership: every blob-a point shares one label
+        a_labels = out.iloc[:0]  # placeholder
+        merged = out.set_index(["x", "y"])  # deterministic coords
+        la = {merged.loc[(x, y)].label for x, y in blob_a}
+        lb = {merged.loc[(x, y)].label for x, y in blob_b}
+        assert len(la) == 1 and len(lb) == 1 and la != lb
+        assert {merged.loc[(5.0, 5.0)].label,
+                merged.loc[(-5.0, 3.0)].label} == {-1}
+        # partitioning invariance
+        out2 = grid_dbscan(
+            ray.data.from_arrow(pa.table({"x": pts[:, 0], "y": pts[:, 1]}))
+            .repartition(11),
+            "x", "y", eps=1.0, min_count=5,
+        ).to_pandas()
+        assert (
+            out.sort_values(["x", "y"]).label.tolist()
+            == out2.sort_values(["x", "y"]).label.tolist()
+        )
+
+    def test_stay_points_kernel(self):
+        import numpy as np
+        from tiff_to_geojson_csv_json_format_converter_ray.functions.geometry import (
+            stay_points,
+        )
+
+        x = np.array([0.0, 0.1, 0.05, 5.0, 10.0, 10.1, 10.05])
+        y = np.zeros(7)
+        t = np.array([0.0, 50, 100, 120, 200, 260, 320])
+        sp = stay_points(x, y, t, eps=0.5, min_duration=60)
+        assert len(sp) == 2
+        cx, cy, t_in, t_out, nfix = sp[0]
+        assert abs(cx - 0.05) < 1e-9 and (t_in, t_out, nfix) == (0, 100, 3)
+        # too-short dwell is not a stay
+        assert stay_points(x, y, t, eps=0.5, min_duration=1000) == []
+
+    def test_grouped_gini_extremes(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+            grouped_gini,
+        )
+
+        # equal values -> gini 0; one-holds-all (n=2) -> (n-1)/n = 0.5
+        t = pa.table(
+            {
+                "g": pa.array(["eq"] * 4 + ["uneq"] * 2),
+                "cents": pa.array([5, 5, 5, 5, 0, 100], pa.int64()),
+            }
+        )
+        out = grouped_gini(ray.data.from_arrow(t).repartition(3), "g", "cents")
+        d = dict(zip(out["g"].to_pylist(), out["gini"].to_pylist()))
+        assert d["eq"] == 0.0
+        assert abs(d["uneq"] - 0.5) < 1e-9

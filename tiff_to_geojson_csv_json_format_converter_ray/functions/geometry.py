@@ -444,3 +444,46 @@ def convex_hull_candidates(x: "np.ndarray", y: "np.ndarray") -> "np.ndarray":
             inside &= cross > 0
         pts = pts[~inside]
     return _monotone_chain(pts)
+
+
+def stay_points(
+    x: "np.ndarray",
+    y: "np.ndarray",
+    t: "np.ndarray",
+    eps: float,
+    min_duration: float,
+) -> list[tuple[float, float, float, float, int]]:
+    """Stay-point detection over ONE ordered track (Li et al. 2008
+    semantics): starting at anchor i, extend j while dist(anchor,
+    fix_j) <= eps; if the dwell time t[j_last] - t[i] >= min_duration,
+    emit the centroid of fixes i..j_last with its arrival/departure
+    times, then restart AFTER the stay.  Planar distance; inputs must
+    already be time-ordered.  Returns (cx, cy, t_arrive, t_leave,
+    n_fixes) tuples.  O(n) per track -- intended as the per-group
+    kernel behind a groupby(user) shuffle."""
+    out = []
+    n = len(x)
+    i = 0
+    while i < n:
+        j = i + 1
+        while j < n:
+            d = np.hypot(x[j] - x[i], y[j] - y[i])
+            if d > eps:
+                break
+            j += 1
+        if t[j - 1] - t[i] >= min_duration and j - 1 > i:
+            seg_x = x[i:j]
+            seg_y = y[i:j]
+            out.append(
+                (
+                    float(seg_x.mean()),
+                    float(seg_y.mean()),
+                    float(t[i]),
+                    float(t[j - 1]),
+                    int(j - i),
+                )
+            )
+            i = j
+        else:
+            i += 1
+    return out

@@ -770,3 +770,130 @@ def label_centroids(
             "mean_v": pa.array(qs / (ns * scale)),
         }
     )
+
+
+def grid_dbscan(
+    ds,
+    x_col: str,
+    y_col: str,
+    eps: float,
+    min_count: int,
+):
+    """Grid-tier density clustering (the distributed DBSCAN variant
+    used when exact eps-neighborhoods would need an all-pairs join):
+    bucket points into eps-sized cells, a cell is DENSE when it holds
+    >= min_count points, clusters are 8-connected components of dense
+    cells, and points in non-dense cells adjacent to exactly one
+    cluster join it as border points (ties/none -> noise, label -1).
+
+    Distribution: per-cell counts via the combiner (cell-bounded);
+    component labeling runs on the OCCUPIED-cell table (bounded by
+    cells, never points) with a vectorized union-find; the final pass
+    maps points to labels through a broadcast cell->label table.
+    Labels are deterministic: components numbered by their minimum
+    (cy, cx) cell.  Returns a Dataset of (x, y, label)."""
+    import ray
+
+    from ..pipelines.relational import hash_aggregate
+
+    inv = 1.0 / eps
+
+    def cellify(batch: pa.Table) -> pa.Table:
+        x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "cx": pa.array(np.floor(x * inv).astype(np.int64)),
+                "cy": pa.array(np.floor(y * inv).astype(np.int64)),
+                "_one": pa.array(np.ones(len(x), np.int64)),
+            }
+        )
+
+    cells = hash_aggregate(
+        ds.map_batches(cellify, batch_format="pyarrow", batch_size=None),
+        ["cx", "cy"],
+        [("_one", "sum", "n")],
+    )
+    cx = cells["cx"].to_numpy(zero_copy_only=False)
+    cy = cells["cy"].to_numpy(zero_copy_only=False)
+    n = cells["n"].to_numpy(zero_copy_only=False)
+    dense = n >= min_count
+    dx, dy = cx[dense], cy[dense]
+
+    # union-find over dense cells: edges to the 8 neighbors via a
+    # hash join of shifted keys (vectorized dict lookup)
+    key = {(int(a), int(b)): i for i, (a, b) in enumerate(zip(dx, dy))}
+    parent = np.arange(len(dx), dtype=np.int64)
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for ox in (-1, 0, 1):
+        for oy in (-1, 0, 1):
+            if (ox, oy) == (0, 0):
+                continue
+            for i, (a, b) in enumerate(zip(dx, dy)):
+                j = key.get((int(a) + ox, int(b) + oy))
+                if j is not None:
+                    ra, rb = find(i), find(j)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+
+    roots = np.array([find(i) for i in range(len(dx))], dtype=np.int64)
+    # deterministic labels: number components by min (cy, cx)
+    order = np.lexsort((dx, dy))
+    label_of_root: dict[int, int] = {}
+    for i in order:
+        r = int(roots[i])
+        if r not in label_of_root:
+            label_of_root[r] = len(label_of_root)
+    dense_label = {
+        (int(a), int(b)): label_of_root[int(r)]
+        for a, b, r in zip(dx, dy, roots)
+    }
+
+    # border assignment for non-dense occupied cells: unique adjacent
+    # cluster -> join it; ambiguous or none -> noise
+    border_label: dict[tuple[int, int], int] = {}
+    for a, b in zip(cx[~dense], cy[~dense]):
+        seen = set()
+        for ox in (-1, 0, 1):
+            for oy in (-1, 0, 1):
+                lab = dense_label.get((int(a) + ox, int(b) + oy))
+                if lab is not None:
+                    seen.add(lab)
+        border_label[(int(a), int(b))] = (
+            seen.pop() if len(seen) == 1 else -1
+        )
+
+    full = {**dense_label, **border_label}
+    keys_arr = np.array(
+        [k[0] * (1 << 32) + (k[1] & 0xFFFFFFFF) for k in full],
+        dtype=np.int64,
+    )
+    vals_arr = np.array(list(full.values()), dtype=np.int64)
+    sort_idx = np.argsort(keys_arr)
+    lookup = ray.put((keys_arr[sort_idx], vals_arr[sort_idx]))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ks, vs = ray.get(lookup)
+        x = batch[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = batch[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        a = np.floor(x * inv).astype(np.int64)
+        b = np.floor(y * inv).astype(np.int64)
+        k = a * (1 << 32) + (b & 0xFFFFFFFF)
+        pos = np.searchsorted(ks, k)
+        pos = np.clip(pos, 0, len(ks) - 1)
+        lab = np.where(ks[pos] == k, vs[pos], -1)
+        return pa.table(
+            {
+                x_col: batch[x_col],
+                y_col: batch[y_col],
+                "label": pa.array(lab),
+            }
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow", batch_size=None)

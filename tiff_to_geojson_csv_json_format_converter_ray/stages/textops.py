@@ -825,3 +825,106 @@ def bigram_lm_logprob(
             "avg_logp": round_like_sql(s / c, ndigits),
         }
     )
+
+
+def bm25_scores(
+    ds,
+    query_terms: list[str],
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    ndigits: int = 6,
+):
+    """Okapi BM25 relevance of every document to a fixed query -- the
+    classic retrieval scorer.  One streaming pass explodes each batch
+    to (doc, dl, tf_per_term) rows (term list is fixed and small, so
+    term frequencies are wide int columns via vectorized ``pc.equal``);
+    that narrow per-doc table materializes ONCE in the object store,
+    corpus stats (N, avgdl, df_t) come off it via the combiner, and a
+    second map scores in place.  idf = ln((N - df + .5)/(df + .5) + 1).
+
+    Returns (doc_id, score) for docs matching any term."""
+    import pyarrow.compute as pc
+
+    from ..pipelines.relational import hash_aggregate, round_like_sql
+
+    terms = list(query_terms)
+
+    def tf_row(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch[text_col], pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "")
+        # doc index per token via list parent offsets
+        sizes = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        parent = np.repeat(np.arange(len(sizes), dtype=np.int64), sizes)
+        flat_np_keep = keep.to_numpy(zero_copy_only=False)
+        parent = parent[flat_np_keep]
+        flat = flat.filter(keep)
+        cols = {
+            doc_col: batch[doc_col],
+            "dl": pa.array(
+                np.bincount(parent, minlength=batch.num_rows).astype(
+                    np.int64
+                )
+            ),
+        }
+        for i, t in enumerate(terms):
+            hit = pc.equal(flat, t).to_numpy(zero_copy_only=False)
+            cols[f"tf{i}"] = pa.array(
+                np.bincount(
+                    parent[hit], minlength=batch.num_rows
+                ).astype(np.int64)
+            )
+        return pa.table(cols)
+
+    perdoc = ds.map_batches(
+        tf_row, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    def stat_partial(batch: pa.Table) -> pa.Table:
+        cols = {
+            "_k": pa.array(np.zeros(batch.num_rows, np.int64)),
+            "n": pa.array(np.ones(batch.num_rows, np.int64)),
+            "dl": batch["dl"],
+        }
+        for i in range(len(terms)):
+            cols[f"df{i}"] = pc.cast(
+                pc.greater(batch[f"tf{i}"], 0), pa.int64()
+            )
+        return pa.table(cols)
+
+    stats = hash_aggregate(
+        perdoc.map_batches(stat_partial, batch_format="pyarrow", batch_size=None),
+        ["_k"],
+        [("n", "sum", "n"), ("dl", "sum", "sdl")]
+        + [(f"df{i}", "sum", f"df{i}") for i in range(len(terms))],
+    )
+    n = float(stats["n"][0].as_py())
+    avgdl = float(stats["sdl"][0].as_py()) / n
+    idf = [
+        np.log((n - float(stats[f"df{i}"][0].as_py()) + 0.5)
+               / (float(stats[f"df{i}"][0].as_py()) + 0.5) + 1.0)
+        for i in range(len(terms))
+    ]
+
+    def score(batch: pa.Table) -> pa.Table:
+        dl = batch["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        s = np.zeros(len(dl))
+        any_hit = np.zeros(len(dl), dtype=bool)
+        for i in range(len(terms)):
+            tf = batch[f"tf{i}"].to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            s += idf[i] * tf * (k1 + 1) / (
+                tf + k1 * (1 - b + b * dl / avgdl)
+            )
+            any_hit |= tf > 0
+        return pa.table(
+            {
+                doc_col: batch[doc_col],
+                "score": round_like_sql(s, ndigits),
+            }
+        ).filter(pa.array(any_hit))
+
+    return perdoc.map_batches(score, batch_format="pyarrow", batch_size=None)
