@@ -2481,7 +2481,11 @@ def _q_dbscan_clusters(sf_dir: str) -> pa.Table:
         return pa.table({"x": pa.array(x), "y": pa.array(y)})
 
     pts = ds.map_batches(jitter, batch_format="pyarrow", batch_size=None)
-    labeled = grid_dbscan(pts, "x", "y", eps=0.6, min_count=8)
+    # density threshold scales with corpus size so the 4-blob/noise
+    # structure is recovered at ANY sf (noise ~22 pts/cell at sf0.1
+    # would otherwise pass a fixed min_count)
+    min_count = max(8, ds.count() // 2000)
+    labeled = grid_dbscan(pts, "x", "y", eps=0.6, min_count=min_count)
 
     def mark(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -2922,8 +2926,11 @@ def _q_full_outer_activity(sf_dir: str) -> pa.Table:
 
     clicks = side("click", "c")
     purchases = side("purchase", "p")
+    # num_partitions sized to the aggregated (user x day) key space;
+    # the join cost here is JoinOperator actor spin-up (fixed, ~2 s per
+    # aggregator on this host), which amortizes on a long-running job
     joined = clicks.join(
-        purchases, join_type="full_outer", num_partitions=8,
+        purchases, join_type="full_outer", num_partitions=4,
         on=("c_user", "c_day"), right_on=("p_user", "p_day"),
     )
 

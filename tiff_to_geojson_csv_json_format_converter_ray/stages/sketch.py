@@ -150,7 +150,18 @@ def exact_quantiles(
     gmin = float(pa.compute.min(parts["lo"]).as_py())
     gmax = float(pa.compute.max(parts["hi"]).as_py())
 
+    # memoize distributed passes across rank selections: every q's
+    # first refinement round is IDENTICAL (tests=[]), and method="cont"
+    # selects two adjacent ranks that usually share every round -- the
+    # cache turns k ranks into ~log(n) total scans instead of k*log(n)
+    _count_cache: dict = {}
+    _collect_cache: dict = {}
+
     def count_pass(tests, lo, width):
+        ck = (tuple(tests), lo, width)
+        if ck in _count_cache:
+            return _count_cache[ck]
+
         def partial(batch: pa.Table) -> pa.Table:
             v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
             v = v[np.isfinite(v)]
@@ -164,9 +175,17 @@ def exact_quantiles(
             ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
         )["c"].to_pylist():
             total += np.asarray(t, dtype=np.int64)
+        _count_cache[ck] = total
         return total
 
     def collect_bin(tests) -> np.ndarray:
+        ck = tuple(tests)
+        if ck in _collect_cache:
+            return _collect_cache[ck]
+        _collect_cache[ck] = _collect_bin_impl(tests)
+        return _collect_cache[ck]
+
+    def _collect_bin_impl(tests) -> np.ndarray:
         def pick(batch: pa.Table) -> pa.Table:
             v = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
             v = v[np.isfinite(v)]
