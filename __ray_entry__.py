@@ -2339,6 +2339,215 @@ def _q_user_streaks(sf_dir: str) -> pa.Table:
     return out.select(["user_id", "max_streak"])
 
 
+def _q_latest_event_per_user(sf_dir: str) -> pa.Table:
+    """Latest row per key (SCD upsert / QUALIFY ROW_NUMBER()=1):
+    per-batch vectorized candidate reduction, bounded driver combine."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        grouped_argmax,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type", "value"],
+    )
+    out = grouped_argmax(ds, ["user_id"], ["ts", "event_id"])
+    return out.select(["user_id", "ts", "event_type", "value"]).sort_by(
+        "user_id"
+    )
+
+
+def _q_conversion_lag(sf_dir: str) -> pa.Table:
+    """Funnel latency: each purchase matched to the user's most recent
+    click at or before it (ordered per-user window, vectorized
+    searchsorted); per-user conversion count + mean lag seconds."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type"],
+    )
+
+    def lag(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts = group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        et = group["event_type"].to_numpy(zero_copy_only=False)
+        clicks = np.sort(ts[et == "click"])
+        purch = ts[et == "purchase"]
+        if len(clicks) == 0 or len(purch) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "_n": pa.array([], pa.int64()),
+                    "_s": pa.array([], pa.float64()),
+                }
+            )
+        idx = np.searchsorted(clicks, purch, side="right") - 1
+        ok = idx >= 0
+        lags_us = purch[ok] - clicks[idx[ok]]  # exact int64 microseconds
+        if not len(lags_us):
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "_n": pa.array([], pa.int64()),
+                    "_s": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    [group["user_id"][0].as_py()], pa.int64()
+                ),
+                "_n": pa.array([len(lags_us)], pa.int64()),
+                "_s": pa.array([int(lags_us.sum())], pa.int64()),
+            }
+        )
+
+    t = collect_tables(
+        ds.groupby("user_id").map_groups(lag, batch_format="pyarrow")
+    )
+    n = t["_n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    sum_us = t["_s"].to_numpy(zero_copy_only=False).astype(np.float64)
+    # division order mirrors the oracle exactly: (sum_us / n) / 1e6
+    return pa.table(
+        {
+            "user_id": t["user_id"],
+            "n_conversions": t["_n"].cast(pa.int64()),
+            "avg_lag_s": round_like_sql(sum_us / n / 1e6, 6),
+        }
+    ).sort_by("user_id")
+
+
+def _q_interevent_median(sf_dir: str) -> pa.Table:
+    """Median inter-event gap per user (quantile_disc element
+    selection over per-user ordered diffs)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id"],
+    )
+
+    def med(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        ts = group["ts"].cast(pa.int64()).take(order).to_numpy(
+            zero_copy_only=False
+        )
+        gaps = np.sort(np.diff(ts) / 1e6)
+        if len(gaps) == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_gaps": pa.array([], pa.int64()),
+                    "median_gap_s": pa.array([], pa.float64()),
+                }
+            )
+        k = int(np.ceil(0.5 * len(gaps))) - 1  # quantile_disc rank
+        return pa.table(
+            {
+                "user_id": pa.array([group["user_id"][0].as_py()], pa.int64()),
+                "n_gaps": pa.array([len(gaps)], pa.int64()),
+                "median_gap_s": pa.array([float(gaps[k])]),
+            }
+        )
+
+    t = collect_tables(
+        ds.groupby("user_id").map_groups(med, batch_format="pyarrow")
+    )
+    return pa.table(
+        {
+            "user_id": t["user_id"],
+            "n_gaps": t["n_gaps"].cast(pa.int64()),
+            "median_gap_s": round_like_sql(t["median_gap_s"], 6),
+        }
+    ).sort_by("user_id")
+
+
+def _q_time_weighted_avg(sf_dir: str) -> pa.Table:
+    """Time-weighted mean of the event value per user: each reading
+    holds until the next event (LEAD weights), last reading excluded."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "value"],
+    )
+
+    def twa(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        g = group.take(order)
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = g["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        if len(ts) < 2:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "twa_value": pa.array([], pa.float64()),
+                }
+            )
+        dt = (ts[1:] - ts[:-1]) / 1e6
+        tw = float((v[:-1] * dt).sum()) / float(dt.sum())
+        return pa.table(
+            {
+                "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
+                "twa_value": pa.array([tw]),
+            }
+        )
+
+    t = collect_tables(
+        ds.groupby("user_id").map_groups(twa, batch_format="pyarrow")
+    )
+    return pa.table(
+        {
+            "user_id": t["user_id"],
+            "twa_value": round_like_sql(t["twa_value"], 6),
+        }
+    ).sort_by("user_id")
+
+
+def _q_percent_rank_qty(sf_dir: str) -> pa.Table:
+    """PERCENT_RANK of each distinct quantity within its returnflag
+    (bounded-cardinality rank from combiner counts, no row shuffle)."""
+    import pyarrow.compute as pc
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        grouped_percent_rank, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_quantity"],
+    )
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "qty": pc.cast(
+                    round_like_sql(batch["l_quantity"], 0), pa.int64()
+                ),
+            }
+        )
+
+    return grouped_percent_rank(
+        ds.map_batches(quantize, batch_format="pyarrow", batch_size=None),
+        "l_returnflag", "qty",
+    )
+
+
 def _q_gini_by_priority(sf_dir: str) -> pa.Table:
     """Per-priority Gini coefficient of order value: the distributed
     RANKED statistic -- one Ray sort, per-block int64 rank partials,
@@ -4186,6 +4395,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gini_by_priority": _q_gini_by_priority,
         "bm25_search": _q_bm25_search,
         "orders_above_avg": _q_orders_above_avg,
+        "latest_event_per_user": _q_latest_event_per_user,
+        "conversion_lag": _q_conversion_lag,
+        "interevent_median": _q_interevent_median,
+        "time_weighted_avg": _q_time_weighted_avg,
+        "percent_rank_qty": _q_percent_rank_qty,
         "doc_lengths": _q_doc_lengths,
         "ann_top3": _q_ann_top3,
         "knn_join": _q_knn_join,
@@ -5096,6 +5310,52 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY user_id, d - CAST(rn AS INTEGER)) "
             "SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak "
             "FROM runs GROUP BY user_id"
+        ),
+        "latest_event_per_user": (
+            "SELECT user_id, ts, event_type, value FROM ("
+            "SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id "
+            "ORDER BY ts DESC, event_id DESC) AS rn FROM events) "
+            "WHERE rn = 1"
+        ),
+        "conversion_lag": (
+            "WITH p AS (SELECT user_id, event_id, ts FROM events "
+            "WHERE event_type = 'purchase'), "
+            "c AS (SELECT user_id, ts FROM events "
+            "WHERE event_type = 'click'), "
+            "m AS (SELECT p.user_id, p.event_id, p.ts, MAX(c.ts) AS cts "
+            "FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts "
+            "GROUP BY p.user_id, p.event_id, p.ts) "
+            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_conversions, "
+            "ROUND(CAST(SUM(date_diff('microsecond', cts, ts)) AS DOUBLE) "
+            "/ COUNT(*) / 1000000.0, 6) AS avg_lag_s "
+            "FROM m GROUP BY user_id"
+        ),
+        "interevent_median": (
+            "WITH s AS (SELECT user_id, ts, LEAD(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS nxt "
+            "FROM events), "
+            "g AS (SELECT user_id, EPOCH(nxt - ts) AS gap FROM s "
+            "WHERE nxt IS NOT NULL) "
+            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps, "
+            "ROUND(quantile_disc(gap, 0.5), 6) AS median_gap_s "
+            "FROM g GROUP BY user_id"
+        ),
+        "time_weighted_avg": (
+            "WITH s AS (SELECT user_id, value, ts, LEAD(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS nxt "
+            "FROM events), "
+            "g AS (SELECT user_id, value, EPOCH(nxt - ts) AS dt FROM s "
+            "WHERE nxt IS NOT NULL) "
+            "SELECT user_id, "
+            "ROUND(SUM(value * dt) / SUM(dt), 6) AS twa_value "
+            "FROM g GROUP BY user_id"
+        ),
+        "percent_rank_qty": (
+            "SELECT DISTINCT l_returnflag, "
+            "CAST(ROUND(l_quantity, 0) AS BIGINT) AS qty, "
+            "ROUND(PERCENT_RANK() OVER (PARTITION BY l_returnflag "
+            "ORDER BY CAST(ROUND(l_quantity, 0) AS BIGINT)), 6) "
+            "AS pct_rank FROM lineitem"
         ),
         "gini_by_priority": (
             # mirror of pipelines/relational.py grouped_gini: ranked

@@ -1974,3 +1974,60 @@ class TestRound2BatchE:
         d = dict(zip(out["g"].to_pylist(), out["gini"].to_pylist()))
         assert d["eq"] == 0.0
         assert abs(d["uneq"] - 0.5) < 1e-9
+
+
+class TestRound2BatchF:
+    def test_grouped_argmax_latest_row_wins(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+            grouped_argmax,
+        )
+
+        t = pa.table(
+            {
+                "k": pa.array([1, 1, 2, 2, 1], pa.int64()),
+                "ts": pa.array([5, 9, 3, 3, 9], pa.int64()),
+                "tie": pa.array([0, 1, 7, 8, 2], pa.int64()),
+                "payload": pa.array(["a", "b", "c", "d", "e"]),
+            }
+        )
+        # k=1: max (ts,tie) = (9,2) -> 'e'; k=2: (3,8) -> 'd'
+        out = grouped_argmax(
+            ray.data.from_arrow(t).repartition(3), ["k"], ["ts", "tie"]
+        ).sort_by("k")
+        assert out["payload"].to_pylist() == ["e", "d"]
+        # partitioning invariance
+        out2 = grouped_argmax(
+            ray.data.from_arrow(t).repartition(1), ["k"], ["ts", "tie"]
+        ).sort_by("k")
+        assert out.equals(out2)
+
+    def test_grouped_percent_rank_matches_definition(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+            grouped_percent_rank,
+        )
+
+        # group g: values 1,1,2,5 -> pr(1)=0, pr(2)=2/3, pr(5)=3/3
+        t = pa.table(
+            {
+                "g": pa.array(["g"] * 4 + ["h"]),
+                "v": pa.array([1, 1, 2, 5, 9], pa.int64()),
+            }
+        )
+        out = grouped_percent_rank(
+            ray.data.from_arrow(t).repartition(2), "g", "v"
+        )
+        d = {
+            (g, v): p
+            for g, v, p in zip(
+                out["g"].to_pylist(), out["v"].to_pylist(),
+                out["pct_rank"].to_pylist(),
+            )
+        }
+        assert d[("g", 1)] == 0.0
+        assert abs(d[("g", 2)] - 2 / 3) < 1e-6
+        assert d[("g", 5)] == 1.0
+        assert d[("h", 9)] == 0.0  # single-row group

@@ -1236,3 +1236,86 @@ def grouped_gini(
             "gini": round_like_sql(np.asarray(gini), ndigits),
         }
     )
+
+
+def grouped_argmax(
+    ds: ray.data.Dataset,
+    key_cols: list[str],
+    order_cols: list[str],
+) -> pa.Table:
+    """Latest/greatest ROW per key (the SCD upsert / QUALIFY
+    ROW_NUMBER()=1 shape): each batch reduces to one candidate row per
+    key present in it (vectorized sort + run-boundary take, no Python
+    loop over rows), candidates combine with the identical reduction
+    on the driver -- intermediate bounded by keys x blocks."""
+
+    def reduce_tbl(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        asc = [(c, "ascending") for c in key_cols + order_cols]
+        idx = pc.sort_indices(t, sort_keys=asc)
+        t = t.take(idx)
+        # last row of each key run wins (max order within key)
+        keys = [t[c].to_numpy(zero_copy_only=False) for c in key_cols]
+        is_last = np.ones(t.num_rows, dtype=bool)
+        for k in keys:
+            is_last[:-1] &= k[:-1] != k[1:]
+        # the final row is always a run end
+        return t.filter(pa.array(is_last))
+
+    cands = collect_tables(
+        ds.map_batches(
+            lambda b: reduce_tbl(b), batch_format="pyarrow", batch_size=None
+        )
+    )
+    if cands is None:
+        return None
+    return reduce_tbl(cands)
+
+
+def grouped_percent_rank(
+    ds: ray.data.Dataset,
+    group_col: str,
+    val_col: str,
+    ndigits: int = 6,
+) -> pa.Table:
+    """PERCENT_RANK of each DISTINCT value within its group, for
+    bounded-cardinality value columns: per-(group, value) counts via
+    the combiner, then rank = (# strictly smaller) and
+    pr = rank / (n - 1) on the tiny count table.  Matches SQL
+    PERCENT_RANK row semantics because tied rows share the rank."""
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                group_col: batch[group_col],
+                val_col: batch[val_col],
+                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+
+    counts = hash_aggregate(
+        ds.map_batches(ones, batch_format="pyarrow", batch_size=None),
+        [group_col, val_col],
+        [("_one", "sum", "n")],
+    ).sort_by([(group_col, "ascending"), (val_col, "ascending")])
+    g = counts[group_col].to_pylist()
+    n = counts["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pr = np.zeros(len(g), dtype=np.float64)
+    i = 0
+    while i < len(g):
+        j = i
+        while j < len(g) and g[j] == g[i]:
+            j += 1
+        seg = n[i:j]
+        tot = seg.sum()
+        below = np.concatenate(([0], np.cumsum(seg)[:-1]))
+        pr[i:j] = below / (tot - 1) if tot > 1 else 0.0
+        i = j
+    return pa.table(
+        {
+            group_col: counts[group_col],
+            val_col: counts[val_col],
+            "pct_rank": round_like_sql(pr, ndigits),
+        }
+    )
