@@ -2339,6 +2339,109 @@ def _q_user_streaks(sf_dir: str) -> pa.Table:
     return out.select(["user_id", "max_streak"])
 
 
+def _q_word_components(sf_dir: str) -> pa.Table:
+    """Connected components of the edit-distance-1 corpus-vocabulary
+    graph: deletion-blocked pair generation (distributed), then
+    min-label components; representative = lexicographically smallest
+    member.  The distributed tier (iterative join + groupby-min) is
+    dedup.label_propagation_clusters; the vocabulary-bounded graph
+    here runs its small tier with the identical semantics."""
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.dedup import (
+        label_propagation_clusters,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+        edit1_vocab_pairs,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
+    ).map_batches(
+        lambda b: b.rename_columns(["text"]),
+        batch_format="pyarrow", batch_size=None,
+    )
+    pairs = edit1_vocab_pairs(ds, min_len=4)
+    # words -> ids ordered lexicographically, so min-id == min-word
+    vocab = sorted(
+        set(pairs["w1"].to_pylist()) | set(pairs["w2"].to_pylist())
+    )
+    wid = {w: i for i, w in enumerate(vocab)}
+    edge_tbl = pa.table(
+        {
+            "a": pa.array([wid[w] for w in pairs["w1"].to_pylist()],
+                          pa.int64()),
+            "b": pa.array([wid[w] for w in pairs["w2"].to_pylist()],
+                          pa.int64()),
+        }
+    )
+    comp = label_propagation_clusters(edge_tbl, num_partitions=2)
+    reps = comp["cluster_rep"].to_numpy(zero_copy_only=False)
+    out = (
+        pa.table({"rep": pa.array(reps)})
+        .group_by("rep")
+        .aggregate([("rep", "count")])
+        .rename_columns(["rep", "n_words"])
+    )
+    return pa.table(
+        {
+            "rep_word": pa.array([vocab[int(r)] for r in
+                                  out["rep"].to_pylist()]),
+            "n_words": out["n_words"].cast(pa.int64()),
+        }
+    ).sort_by("rep_word")
+
+
+def _q_word_pagerank(sf_dir: str) -> pa.Table:
+    """PageRank (d=0.85, 10 fixed iterations) over the undirected
+    edit-1 word graph.  Edge construction is the distributed
+    deletion-blocked join; the iteration runs on the vocabulary-
+    bounded adjacency (small tier -- the distributed tier is the same
+    join+groupby round used by label_propagation_clusters).  Top-15
+    by (rank desc, word)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        round_like_sql,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+        edit1_vocab_pairs,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
+    ).map_batches(
+        lambda b: b.rename_columns(["text"]),
+        batch_format="pyarrow", batch_size=None,
+    )
+    pairs = edit1_vocab_pairs(ds, min_len=4)
+    vocab = sorted(
+        set(pairs["w1"].to_pylist()) | set(pairs["w2"].to_pylist())
+    )
+    wid = {w: i for i, w in enumerate(vocab)}
+    n = len(vocab)
+    a = np.array([wid[w] for w in pairs["w1"].to_pylist()], np.int64)
+    b = np.array([wid[w] for w in pairs["w2"].to_pylist()], np.int64)
+    src = np.concatenate([a, b])
+    dst = np.concatenate([b, a])
+    deg = np.bincount(src, minlength=n).astype(np.float64)
+    d = 0.85
+    rank = np.full(n, 1.0 / n)
+    for _ in range(10):
+        contrib = rank[src] / deg[src]
+        incoming = np.zeros(n)
+        np.add.at(incoming, dst, contrib)
+        rank = (1.0 - d) / n + d * incoming
+    # sort on the ROUNDED rank (word tiebreak) so ordering ties are
+    # identical to the oracle's ORDER BY ROUND(r, 6) DESC, w
+    r6 = (
+        round_like_sql(rank, 6).to_numpy(zero_copy_only=False)
+    )
+    order = np.lexsort((np.array(vocab), -r6))[:15]
+    return pa.table(
+        {
+            "word": pa.array([vocab[i] for i in order]),
+            "rank": pa.array(r6[order]),
+        }
+    )
+
+
 def _q_latest_event_per_user(sf_dir: str) -> pa.Table:
     """Latest row per key (SCD upsert / QUALIFY ROW_NUMBER()=1):
     per-batch vectorized candidate reduction, bounded driver combine."""
@@ -4396,6 +4499,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": _q_bm25_search,
         "orders_above_avg": _q_orders_above_avg,
         "latest_event_per_user": _q_latest_event_per_user,
+        "word_components": _q_word_components,
+        "word_pagerank": _q_word_pagerank,
         "conversion_lag": _q_conversion_lag,
         "interevent_median": _q_interevent_median,
         "time_weighted_avg": _q_time_weighted_avg,
@@ -4447,6 +4552,41 @@ def _bilinear_oracle_sql(grid: str) -> str:
         f"FROM (VALUES {values}) v(probe_id, vpix, w) "
         f"JOIN ({grid}) g ON g.pix = v.vpix GROUP BY v.probe_id"
     )
+
+
+def _pagerank_sql(iters: int = 10) -> str:
+    """Unrolled fixed-iteration PageRank mirror of _q_word_pagerank
+    (recursive CTEs cannot aggregate over their own reference, so the
+    10 rounds unroll as chained CTEs)."""
+    head = (
+        "WITH tok AS (SELECT DISTINCT source AS w "
+        "FROM documents WHERE LEN(source) >= 4), "
+        "e AS (SELECT a.w AS w1, b.w AS w2 FROM tok a JOIN tok b "
+        "ON a.w < b.w AND ABS(LEN(a.w) - LEN(b.w)) <= 1 "
+        "AND LEVENSHTEIN(a.w, b.w) = 1), "
+        "sym AS (SELECT w1, w2 FROM e UNION ALL SELECT w2, w1 FROM e), "
+        "deg AS (SELECT w1 AS w, CAST(COUNT(*) AS DOUBLE) AS d "
+        "FROM sym GROUP BY w1), "
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg), "
+        "pr0 AS (SELECT deg.w, 1.0 / nn.n AS r FROM deg, nn)"
+    )
+    parts = [head]
+    for k in range(1, iters + 1):
+        parts.append(
+            f", s{k} AS (SELECT sym.w2 AS w, "
+            f"SUM(pr{k-1}.r / deg.d) AS inc FROM sym "
+            f"JOIN pr{k-1} ON pr{k-1}.w = sym.w1 "
+            f"JOIN deg ON deg.w = sym.w1 GROUP BY sym.w2), "
+            f"pr{k} AS (SELECT deg.w, "
+            f"(1.0 - 0.85) / nn.n + 0.85 * COALESCE(s{k}.inc, 0.0) AS r "
+            f"FROM deg CROSS JOIN nn "
+            f"LEFT JOIN s{k} ON s{k}.w = deg.w)"
+        )
+    parts.append(
+        f" SELECT w AS word, ROUND(r, 6) AS rank FROM pr{iters} "
+        "ORDER BY ROUND(r, 6) DESC, w LIMIT 15"
+    )
+    return "".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -5311,6 +5451,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak "
             "FROM runs GROUP BY user_id"
         ),
+        "word_components": (
+            # recursive reachability closure; rep = min reachable word
+            "WITH RECURSIVE tok AS (SELECT DISTINCT source AS w "
+            "FROM documents WHERE LEN(source) >= 4), "
+            "e AS (SELECT a.w AS w1, b.w AS w2 FROM tok a JOIN tok b "
+            "ON a.w < b.w AND ABS(LEN(a.w) - LEN(b.w)) <= 1 "
+            "AND LEVENSHTEIN(a.w, b.w) = 1), "
+            "sym AS (SELECT w1, w2 FROM e "
+            "UNION ALL SELECT w2, w1 FROM e), "
+            "nodes AS (SELECT DISTINCT w1 AS w FROM sym), "
+            "walk(w, r) AS (SELECT w, w FROM nodes "
+            "UNION SELECT sym.w2, walk.r FROM walk "
+            "JOIN sym ON sym.w1 = walk.w), "
+            "lab AS (SELECT w, MIN(r) AS rep FROM walk GROUP BY w) "
+            "SELECT rep AS rep_word, CAST(COUNT(*) AS BIGINT) AS n_words "
+            "FROM lab GROUP BY rep"
+        ),
+        "word_pagerank": _pagerank_sql(),
         "latest_event_per_user": (
             "SELECT user_id, ts, event_type, value FROM ("
             "SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id "

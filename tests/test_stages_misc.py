@@ -2031,3 +2031,21 @@ class TestRound2BatchF:
         assert abs(d[("g", 2)] - 2 / 3) < 1e-6
         assert d[("g", 5)] == 1.0
         assert d[("h", 9)] == 0.0  # single-row group
+
+    def test_pagerank_kernel_center_of_path_highest(self):
+        import numpy as np
+
+        # 3-node path a-b-c: b must out-rank a and c (same kernel as
+        # _q_word_pagerank)
+        n = 3
+        src = np.array([0, 1, 1, 2])
+        dst = np.array([1, 0, 2, 1])
+        deg = np.bincount(src, minlength=n).astype(np.float64)
+        rank = np.full(n, 1.0 / n)
+        for _ in range(10):
+            contrib = rank[src] / deg[src]
+            incoming = np.zeros(n)
+            np.add.at(incoming, dst, contrib)
+            rank = 0.15 / n + 0.85 * incoming
+        assert rank[1] > rank[0] and rank[1] > rank[2]
+        assert abs(rank.sum() - 1.0) < 1e-9
