@@ -2339,6 +2339,111 @@ def _q_user_streaks(sf_dir: str) -> pa.Table:
     return out.select(["user_id", "max_streak"])
 
 
+def _q_colocation_pairs(sf_dir: str) -> pa.Table:
+    """Spatio-temporal co-location join: distinct user pairs seen in
+    the SAME geocode cell within the SAME 10-minute window.  Bucket
+    (cell, window) keys shuffle once; the per-bucket kernel emits the
+    bucket's user pairs (bucket-bounded, never corpus-bounded)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        gx = (eid % 96) // 8  # 12x12 coarse cells
+        gy = ((eid // 96) % 96) // 8
+        win = ts // 600_000_000  # 10-minute windows
+        t = pa.table(
+            {
+                "cell": pa.array((gx * 12 + gy).astype(np.int64)),
+                "win": pa.array(win),
+                "user_id": batch["user_id"],
+            }
+        )
+        return t.group_by(["cell", "win", "user_id"]).aggregate([])
+
+    buckets = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+
+    def pairs(group: pa.Table) -> pa.Table:
+        users = sorted(set(group["user_id"].to_pylist()))
+        a, b = [], []
+        for i in range(len(users)):
+            for j in range(i + 1, len(users)):
+                a.append(users[i])
+                b.append(users[j])
+        return pa.table(
+            {
+                "user_a": pa.array(a, pa.int64()),
+                "user_b": pa.array(b, pa.int64()),
+                "_one": pa.array(np.ones(len(a), np.int64)),
+            }
+        )
+
+    out = hash_aggregate(
+        buckets.groupby(["cell", "win"]).map_groups(
+            pairs, batch_format="pyarrow"
+        ),
+        ["user_a", "user_b"],
+        [("_one", "sum", "n_meetings")],
+    )
+    return pa.table(
+        {
+            "user_a": out["user_a"].cast(pa.int64()),
+            "user_b": out["user_b"].cast(pa.int64()),
+            "n_meetings": out["n_meetings"].cast(pa.int64()),
+        }
+    )
+
+
+def _q_word_triangles(sf_dir: str) -> pa.Table:
+    """Triangle count of the edit-1 word graph (per-word triangle
+    membership + global total): the classic graph-motif statistic,
+    computed on the vocabulary-bounded edge list."""
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+        edit1_vocab_pairs,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
+    ).map_batches(
+        lambda b: b.rename_columns(["text"]),
+        batch_format="pyarrow", batch_size=None,
+    )
+    pairs = edit1_vocab_pairs(ds, min_len=4)
+    w1 = pairs["w1"].to_pylist()
+    w2 = pairs["w2"].to_pylist()
+    edges = set(zip(w1, w2))
+    # oriented triangles a<b<c with all three edges present
+    by_a: dict[str, list[str]] = {}
+    for a, b in edges:
+        by_a.setdefault(a, []).append(b)
+    tri_count: dict[str, int] = {}
+    total = 0
+    for a, nbrs in by_a.items():
+        nbrs = sorted(nbrs)
+        for i in range(len(nbrs)):
+            for j in range(i + 1, len(nbrs)):
+                if (nbrs[i], nbrs[j]) in edges:
+                    total += 1
+                    for wv in (a, nbrs[i], nbrs[j]):
+                        tri_count[wv] = tri_count.get(wv, 0) + 1
+    words = sorted(tri_count)
+    return pa.table(
+        {
+            "word": pa.array(words),
+            "n_triangles": pa.array(
+                [tri_count[w] for w in words], pa.int64()
+            ),
+        }
+    )
+
+
 def _q_word_components(sf_dir: str) -> pa.Table:
     """Connected components of the edit-distance-1 corpus-vocabulary
     graph: deletion-blocked pair generation (distributed), then
@@ -4501,6 +4606,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_event_per_user": _q_latest_event_per_user,
         "word_components": _q_word_components,
         "word_pagerank": _q_word_pagerank,
+        "colocation_pairs": _q_colocation_pairs,
+        "word_triangles": _q_word_triangles,
         "conversion_lag": _q_conversion_lag,
         "interevent_median": _q_interevent_median,
         "time_weighted_avg": _q_time_weighted_avg,
@@ -5450,6 +5557,31 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY user_id, d - CAST(rn AS INTEGER)) "
             "SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak "
             "FROM runs GROUP BY user_id"
+        ),
+        "colocation_pairs": (
+            "WITH k AS (SELECT DISTINCT "
+            "((event_id % 96) // 8) * 12 + ((event_id // 96) % 96) // 8 "
+            "AS cell, "
+            "CAST(epoch_us(ts) // 600000000 AS BIGINT) AS win, user_id "
+            "FROM events) "
+            "SELECT a.user_id AS user_a, b.user_id AS user_b, "
+            "CAST(COUNT(*) AS BIGINT) AS n_meetings "
+            "FROM k a JOIN k b ON a.cell = b.cell AND a.win = b.win "
+            "AND a.user_id < b.user_id GROUP BY 1, 2"
+        ),
+        "word_triangles": (
+            "WITH tok AS (SELECT DISTINCT source AS w FROM documents "
+            "WHERE LEN(source) >= 4), "
+            "e AS (SELECT a.w AS w1, b.w AS w2 FROM tok a JOIN tok b "
+            "ON a.w < b.w AND ABS(LEN(a.w) - LEN(b.w)) <= 1 "
+            "AND LEVENSHTEIN(a.w, b.w) = 1), "
+            "tri AS (SELECT e1.w1 AS a, e1.w2 AS b, e2.w2 AS c "
+            "FROM e e1 JOIN e e2 ON e2.w1 = e1.w2 "
+            "JOIN e e3 ON e3.w1 = e1.w1 AND e3.w2 = e2.w2), "
+            "m AS (SELECT a AS word FROM tri UNION ALL "
+            "SELECT b FROM tri UNION ALL SELECT c FROM tri) "
+            "SELECT word, CAST(COUNT(*) AS BIGINT) AS n_triangles "
+            "FROM m GROUP BY word"
         ),
         "word_components": (
             # recursive reachability closure; rep = min reachable word
