@@ -2339,6 +2339,112 @@ def _q_user_streaks(sf_dir: str) -> pa.Table:
     return out.select(["user_id", "max_streak"])
 
 
+def _q_zonal_mode(sf_dir: str) -> pa.Table:
+    """Categorical zonal statistics: per-polygon MODAL pixel value
+    (deterministic tie-break: highest count, then smallest value) --
+    the zonal companion of mean/min/max for classified rasters."""
+    import pyarrow.compute as pc
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import (
+        PIPJoiner,
+    )
+
+    polys = _og_polygons_table()
+    pts = _og_points_ds(valid_only=True)
+    joined = pts.map_batches(
+        PIPJoiner(polys), batch_format="pyarrow", batch_size=None
+    )
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "polygon_id": batch["polygon_id"],
+                "z": batch["z"],
+                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+
+    counts = hash_aggregate(
+        joined.map_batches(keyed, batch_format="pyarrow", batch_size=None),
+        ["polygon_id", "z"],
+        [("_one", "sum", "n")],
+    ).sort_by(
+        [("polygon_id", "ascending"), ("n", "descending"), ("z", "ascending")]
+    )
+    pid = counts["polygon_id"].to_pylist()
+    keep = [i == 0 or pid[i] != pid[i - 1] for i in range(len(pid))]
+    out = counts.filter(pa.array(keep))
+    return pa.table(
+        {
+            "polygon_id": out["polygon_id"],
+            "mode_z": out["z"],
+            "n_mode": out["n"].cast(pa.int64()),
+        }
+    )
+
+
+def _q_hist_equalize(sf_dir: str) -> pa.Table:
+    """Raster histogram equalization: global value-CDF remap to [0,
+    255] (the classic contrast stretch).  Distinct-value counts via
+    the combiner (value-bounded here; the unbounded tier is the
+    quantile histogram sketch), CDF built once on the driver, remap
+    broadcast into a vectorized searchsorted pass over the pixel
+    stream; output is the equalized histogram."""
+    import ray as _ray
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
+        partial_count,
+    )
+
+    pts = _og_points_ds(valid_only=True)
+
+    def vals(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "z": batch["z"],
+                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+
+    counts = hash_aggregate(
+        pts.map_batches(vals, batch_format="pyarrow", batch_size=None),
+        ["z"],
+        [("_one", "sum", "n")],
+    ).sort_by("z")
+    z = counts["z"].to_numpy(zero_copy_only=False)
+    n_per = counts["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cdf = np.cumsum(n_per).astype(np.float64)
+    n = float(cdf[-1])
+    cmin = float(cdf[0])
+    eq = (
+        round_like_sql(255.0 * (cdf - cmin) / (n - cmin), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    lut = _ray.put((z, eq))
+
+    def remap(batch: pa.Table) -> pa.Table:
+        zs, eqs = _ray.get(lut)
+        v = batch["z"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(zs, v)
+        return pa.table({"eq": pa.array(eqs[pos])})
+
+    out = partial_count(
+        pts.map_batches(remap, batch_format="pyarrow", batch_size=None),
+        ["eq"],
+    ).rename_columns(["eq", "n_pixels"])
+    return pa.table(
+        {
+            "eq": out["eq"].cast(pa.int64()),
+            "n_pixels": out["n_pixels"].cast(pa.int64()),
+        }
+    ).sort_by("eq")
+
+
 def _q_colocation_pairs(sf_dir: str) -> pa.Table:
     """Spatio-temporal co-location join: distinct user pairs seen in
     the SAME geocode cell within the SAME 10-minute window.  Bucket
@@ -4607,6 +4713,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_components": _q_word_components,
         "word_pagerank": _q_word_pagerank,
         "colocation_pairs": _q_colocation_pairs,
+        "hist_equalize": _q_hist_equalize,
+        "zonal_mode": _q_zonal_mode,
         "word_triangles": _q_word_triangles,
         "conversion_lag": _q_conversion_lag,
         "interevent_median": _q_interevent_median,
@@ -5557,6 +5665,33 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY user_id, d - CAST(rn AS INTEGER)) "
             "SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak "
             "FROM runs GROUP BY user_id"
+        ),
+        "zonal_mode": (
+            "WITH p AS ("
+            + " UNION ALL ".join(
+                f"SELECT '{pid}' AS polygon_id, z FROM ({grid}) "
+                f"WHERE z > -1e30 AND {_halfplane_sql(poly)}"
+                for pid, poly in OG_POLYGONS.items()
+            )
+            + "), "
+            "c AS (SELECT polygon_id, z, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM p GROUP BY 1, 2), "
+            "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY polygon_id "
+            "ORDER BY n DESC, z) AS rn FROM c) "
+            "SELECT polygon_id, z AS mode_z, n AS n_mode FROM r "
+            "WHERE rn = 1"
+        ),
+        "hist_equalize": (
+            f"WITH g AS (SELECT z FROM ({grid}) WHERE z > -1e30), "
+            "c AS (SELECT z, CAST(COUNT(*) AS BIGINT) AS n FROM g "
+            "GROUP BY z), "
+            "d AS (SELECT z, n, CAST(SUM(n) OVER (ORDER BY z) AS DOUBLE) "
+            "AS cdf FROM c), "
+            "s AS (SELECT MIN(cdf) AS cmin, MAX(cdf) AS ntot FROM d), "
+            "m AS (SELECT z, d.n AS nv, CAST(ROUND(255.0 * (cdf - s.cmin) "
+            "/ (s.ntot - s.cmin), 0) AS BIGINT) AS eq FROM d, s) "
+            "SELECT eq, CAST(SUM(nv) AS BIGINT) AS n_pixels "
+            "FROM m GROUP BY eq"
         ),
         "colocation_pairs": (
             "WITH k AS (SELECT DISTINCT "
