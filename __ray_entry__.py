@@ -2339,6 +2339,36 @@ def _q_user_streaks(sf_dir: str) -> pa.Table:
     return out.select(["user_id", "max_streak"])
 
 
+def _q_contour_cases(sf_dir: str) -> pa.Table:
+    """Marching-squares contour extraction at level 25.0 over the
+    oracle raster: tile halo-exchange shuffle, per-tile 2x2 window
+    classification (windows owned by their top-left pixel, so tile
+    boundaries emit no duplicates); global case histogram.  The
+    interpolated contour geometry itself is covered by the
+    linear-field unit test."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
+        tile_contours,
+    )
+
+    tiles = ray.data.from_arrow(_og_tiles_table(tile=24))
+    out = hash_aggregate(
+        tile_contours(tiles, level=25.0),
+        ["case_id"],
+        [("n", "sum", "n")],
+    )
+    out = out.filter(pa.compute.greater_equal(out["case_id"], 0))
+    return pa.table(
+        {
+            "case_id": out["case_id"].cast(pa.int64()),
+            "n": out["n"].cast(pa.int64()),
+        }
+    ).sort_by("case_id")
+
+
 def _q_zonal_mode(sf_dir: str) -> pa.Table:
     """Categorical zonal statistics: per-polygon MODAL pixel value
     (deterministic tie-break: highest count, then smallest value) --
@@ -4715,6 +4745,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "colocation_pairs": _q_colocation_pairs,
         "hist_equalize": _q_hist_equalize,
         "zonal_mode": _q_zonal_mode,
+        "contour_cases": _q_contour_cases,
         "word_triangles": _q_word_triangles,
         "conversion_lag": _q_conversion_lag,
         "interevent_median": _q_interevent_median,
@@ -5665,6 +5696,22 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY user_id, d - CAST(rn AS INTEGER)) "
             "SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak "
             "FROM runs GROUP BY user_id"
+        ),
+        "contour_cases": (
+            # 2x2 windows via three shifted self-joins of the grid;
+            # window valid only when all four corners are valid
+            f"WITH g AS (SELECT row, col, z FROM ({grid})), "
+            "w AS (SELECT a.z AS tl, b.z AS tr, c.z AS bl, d.z AS br "
+            "FROM g a JOIN g b ON b.row = a.row AND b.col = a.col + 1 "
+            "JOIN g c ON c.row = a.row + 1 AND c.col = a.col "
+            "JOIN g d ON d.row = a.row + 1 AND d.col = a.col + 1 "
+            "WHERE a.z > -1e30 AND b.z > -1e30 AND c.z > -1e30 "
+            "AND d.z > -1e30) "
+            "SELECT CAST(CAST(tl > 25.0 AS INTEGER) "
+            "+ 2 * CAST(tr > 25.0 AS INTEGER) "
+            "+ 4 * CAST(br > 25.0 AS INTEGER) "
+            "+ 8 * CAST(bl > 25.0 AS INTEGER) AS BIGINT) AS case_id, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY case_id"
         ),
         "zonal_mode": (
             "WITH p AS ("

@@ -2049,3 +2049,100 @@ class TestRound2BatchF:
             rank = 0.15 / n + 0.85 * incoming
         assert rank[1] > rank[0] and rank[1] > rank[2]
         assert abs(rank.sum() - 1.0) < 1e-9
+
+
+class TestContours:
+    def _tiles_from_array(self, vals, tile):
+        import numpy as np
+        import pyarrow as pa
+
+        h, w = vals.shape
+        rows = {k: [] for k in
+                ("tile_id", "src", "band", "row_off", "col_off", "height",
+                 "width", "transform", "crs", "nodata", "values")}
+        for r0 in range(0, h, tile):
+            for c0 in range(0, w, tile):
+                block = vals[r0:r0 + tile, c0:c0 + tile]
+                rows["tile_id"].append(f"t_{r0}_{c0}")
+                rows["src"].append("t")
+                rows["band"].append(1)
+                rows["row_off"].append(r0)
+                rows["col_off"].append(c0)
+                rows["height"].append(block.shape[0])
+                rows["width"].append(block.shape[1])
+                rows["transform"].append([0.01, 0.0, 77.0, 0.0, -0.01, 29.0])
+                rows["crs"].append("EPSG:4326")
+                rows["nodata"].append(-3.4028234663852886e38)
+                rows["values"].append(
+                    block.astype(np.float32).ravel().tolist()
+                )
+        return pa.table(
+            {
+                "tile_id": pa.array(rows["tile_id"]),
+                "src": pa.array(rows["src"]),
+                "band": pa.array(rows["band"], pa.int32()),
+                "row_off": pa.array(rows["row_off"], pa.int64()),
+                "col_off": pa.array(rows["col_off"], pa.int64()),
+                "height": pa.array(rows["height"], pa.int32()),
+                "width": pa.array(rows["width"], pa.int32()),
+                "transform": pa.array(rows["transform"],
+                                      pa.list_(pa.float64())),
+                "crs": pa.array(rows["crs"]),
+                "nodata": pa.array(rows["nodata"], pa.float64()),
+                "values": pa.array(rows["values"], pa.list_(pa.float32())),
+            }
+        )
+
+    def test_vertical_contour_of_linear_field(self, ray_session):
+        """z = col on a dense grid: the level-L contour is one vertical
+        line; every window row it crosses contributes exactly one unit
+        segment, independent of the tiling."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
+            tile_contours,
+        )
+
+        h = w = 32
+        vals = np.tile(np.arange(w, dtype=np.float64), (h, 1))
+        level = 10.5  # crosses between col 10 and 11
+        for tile in (32, 8):  # whole-array vs 16 tiles: identical
+            tiles = self._tiles_from_array(vals, tile)
+            out = tile_contours(
+                ray.data.from_arrow(tiles), level
+            ).to_pandas()
+            cases = out[out.case_id >= 0]
+            # every crossing window is case tl=0,tr=1,br=1,bl=0 -> 2+4=6
+            assert set(cases.case_id) == {0, 6, 15}
+            n6 = int(cases[cases.case_id == 6].n.sum())
+            # windows anchored at rows 0..h-2 (bottom corners need row+1)
+            assert n6 == h - 1
+            total_len = float(out[out.case_id == -1].length_px.sum())
+            assert abs(total_len - (h - 1) * 1.0) < 1e-9
+
+    def test_diagonal_contour_length(self, ray_session):
+        """z = row + col: the contour is a diagonal; each crossed
+        window contributes sqrt(2)/2 (corner cut) or 1-in-1-out."""
+        import numpy as np
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
+            tile_contours,
+        )
+
+        h = w = 16
+        vals = np.add.outer(
+            np.arange(h, dtype=np.float64), np.arange(w, dtype=np.float64)
+        )
+        tiles_a = self._tiles_from_array(vals, 16)
+        tiles_b = self._tiles_from_array(vals, 4)
+        la = float(
+            tile_contours(ray.data.from_arrow(tiles_a), 7.5)
+            .to_pandas().query("case_id == -1").length_px.sum()
+        )
+        lb = float(
+            tile_contours(ray.data.from_arrow(tiles_b), 7.5)
+            .to_pandas().query("case_id == -1").length_px.sum()
+        )
+        assert abs(la - lb) < 1e-9  # tiling-independent
+        assert la > 0

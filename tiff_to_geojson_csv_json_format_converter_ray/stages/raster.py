@@ -281,3 +281,114 @@ def tile_slope(tiles: ray.data.Dataset) -> ray.data.Dataset:
     per task."""
     halos = tiles.map_batches(emit_halos, batch_format="pyarrow", batch_size=None)
     return halos.groupby("halo_key").map_groups(horn_kernel, batch_format="pyarrow")
+
+
+# marching-squares case -> crossing-edge pairs.  Corners (tl, tr, br,
+# bl) set bits (1, 2, 4, 8); edges are 0=top 1=right 2=bottom 3=left.
+# Ambiguous saddles (5, 10) use the fixed non-connected convention.
+_MS_SEGMENTS = {
+    0: [], 15: [],
+    1: [(3, 0)], 14: [(3, 0)],
+    2: [(0, 1)], 13: [(0, 1)],
+    4: [(1, 2)], 11: [(1, 2)],
+    8: [(2, 3)], 7: [(2, 3)],
+    3: [(3, 1)], 12: [(3, 1)],
+    6: [(0, 2)], 9: [(0, 2)],
+    5: [(3, 0), (1, 2)],
+    10: [(0, 1), (2, 3)],
+}
+
+
+def contour_case_kernel(level: float):
+    """Marching-squares classifier + interpolated segment length for
+    ONE tile + halo: 2x2 windows anchored at each core pixel (the
+    right/bottom corners come from the halo, so tile boundaries emit
+    no duplicate windows).  Returns per-tile case histogram plus the
+    summed euclidean contour length in pixel units."""
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "case_id": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+                "length_px": pa.array([], pa.float64()),
+            }
+        )
+        asm = _assemble_padded(group)
+        if asm is None:
+            return empty
+        pad, h, w, r0, c0, _transform = asm
+        tl = pad[1 : h + 1, 1 : w + 1]
+        tr = pad[1 : h + 1, 2 : w + 2]
+        bl = pad[2 : h + 2, 1 : w + 1]
+        br = pad[2 : h + 2, 2 : w + 2]
+        stack = np.stack([tl, tr, br, bl])
+        valid = np.all(
+            np.isfinite(stack) & (stack > NODATA_THRESHOLD), axis=0
+        )
+        if not valid.any():
+            return empty
+        case = (
+            (tl > level).astype(np.int64)
+            + 2 * (tr > level).astype(np.int64)
+            + 4 * (br > level).astype(np.int64)
+            + 8 * (bl > level).astype(np.int64)
+        )
+        case = np.where(valid, case, -1)
+        cs = case[valid]
+        hist = np.bincount(cs, minlength=16)
+
+        # interpolated crossing point per edge (unit-square coords)
+        def frac(a, b):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                return (level - a) / (b - a)
+
+        ex = {
+            0: (frac(tl, tr), np.zeros_like(tl)),        # top edge
+            1: (np.ones_like(tl), frac(tr, br)),         # right
+            2: (frac(bl, br), np.ones_like(tl)),         # bottom
+            3: (np.zeros_like(tl), frac(tl, bl)),        # left
+        }
+        total_len = 0.0
+        for c_id, segs in _MS_SEGMENTS.items():
+            if not segs:
+                continue
+            m = valid & (case == c_id)
+            if not m.any():
+                continue
+            for e1, e2 in segs:
+                x1, y1 = ex[e1][0][m], ex[e1][1][m]
+                x2, y2 = ex[e2][0][m], ex[e2][1][m]
+                total_len += float(
+                    np.hypot(x2 - x1, y2 - y1).sum()
+                )
+        nz = np.flatnonzero(hist)
+        # case rows carry counts; one sentinel row (case_id=-1) carries
+        # the tile's total interpolated length -- both sum-combinable
+        case_ids = np.concatenate([nz, [-1]]).astype(np.int64)
+        ns = np.concatenate([hist[nz], [0]]).astype(np.int64)
+        lens = np.concatenate([np.zeros(len(nz)), [total_len]])
+        return pa.table(
+            {
+                "case_id": pa.array(case_ids),
+                "n": pa.array(ns),
+                "length_px": pa.array(lens),
+            }
+        )
+
+    return kernel
+
+
+def tile_contours(tiles: ray.data.Dataset, level: float) -> ray.data.Dataset:
+    """Marching-squares contour statistics at ``level`` over a tile
+    Dataset: the same halo-exchange shuffle as :func:`tile_slope`,
+    then the per-tile classifier.  Per-tile output rows are
+    sum-combinable: case rows (case_id >= 0, n) plus one sentinel row
+    (case_id = -1) whose length_px is the tile's interpolated contour
+    length."""
+    halos = tiles.map_batches(
+        emit_halos, batch_format="pyarrow", batch_size=None
+    )
+    return halos.groupby("halo_key").map_groups(
+        contour_case_kernel(level), batch_format="pyarrow"
+    )
