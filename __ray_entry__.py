@@ -2933,20 +2933,27 @@ def _q_bm25_search(sf_dir: str) -> pa.Table:
         bm25_scores,
     )
 
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        top_k,
+    )
+
     ds = _read_pq(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
-    out = collect_tables(bm25_scores(ds, ["spark", "join"]))
-    idx = pc.sort_indices(
-        out, sort_keys=[("score", "descending"), ("doc_id", "ascending")]
-    )[:20]
-    return out.take(idx)
+    # partial top-k per batch -- the matching-doc set is corpus-scale,
+    # only k rows per block ever reach the driver
+    return top_k(
+        bm25_scores(ds, ["spark", "join"]), "score", 20, tiebreak="doc_id"
+    )
 
 
 def _q_orders_above_avg(sf_dir: str) -> pa.Table:
     """Correlated-subquery shape: per customer, how many of their
     orders exceed their OWN average order value (exact cents moments
-    broadcast, vectorized compare)."""
+    broadcast, vectorized compare).  The broadcast side is
+    customer-bounded; past driver memory, route the same partials
+    through the big-big shuffle join tier (as big_join_revenue does)
+    instead of ray.put."""
     import ray as _ray
     import pyarrow.compute as pc
     from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (

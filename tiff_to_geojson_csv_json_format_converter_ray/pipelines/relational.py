@@ -1111,20 +1111,20 @@ def association_rules(
         )
 
     # dedupe is only batch-local above, so the same (basket, item) can
-    # reach here from several batches: aggregate keyed on the FULL
-    # triple first (min as a distinct-marker), then count per item
+    # reach here from several batches: global dedupe keyed on the FULL
+    # triple runs through the DISTRIBUTED groupby (the triple space is
+    # basket-scale -- never driver-held), then the per-item marginal
+    # reduces over the item-bounded second aggregate
     triples = hash_aggregate(
         distinct_items.map_batches(
             singles, batch_format="pyarrow", batch_size=None
         ),
         basket_cols + [item_col],
         [("_one", "min", "_one")],
+        distributed_combine=True,
     )
-    item_counts = (
-        triples.select([item_col])
-        .group_by(item_col)
-        .aggregate([(item_col, "count")])
-        .rename_columns([item_col, "n_item"])
+    item_counts = hash_aggregate(
+        triples, [item_col], [("_one", "sum", "n_item")]
     )
 
     def basket_one(batch: pa.Table) -> pa.Table:
@@ -1134,12 +1134,14 @@ def association_rules(
             "_one", pa.array(np.ones(out.num_rows, np.int64))
         )
 
+    # basket count: distributed distinct, only the scalar count leaves
     baskets = hash_aggregate(
         ds.map_batches(basket_one, batch_format="pyarrow", batch_size=None),
         basket_cols,
         [("_one", "min", "_one")],
+        distributed_combine=True,
     )
-    n_baskets = baskets.num_rows
+    n_baskets = baskets.count()
 
     ic = dict(
         zip(item_counts[item_col].to_pylist(),
