@@ -307,6 +307,11 @@ EXTRA_QUERY_SUBSET = [
     "tfidf_scores", "window_funcs", "pivot_events", "rollup_pricing",
     "quantile_buckets", "weighted_sample", "heavy_hitters",
     "funnel_steps", "grouped_corr", "ngram_repetition", "cms_counts",
+    # late-round-2 session additions
+    "lm_logprob", "bm25_search", "assoc_rules", "gini_by_priority",
+    "user_streaks", "markov_transitions", "quantiles_cont",
+    "hist_equalize", "contour_cases", "getis_ord", "morans_i",
+    "colocation_pairs", "latest_event_per_user", "grouping_sets",
 ]
 
 
