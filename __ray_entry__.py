@@ -2339,6 +2339,131 @@ def _q_user_streaks(sf_dir: str) -> pa.Table:
     return out.select(["user_id", "max_streak"])
 
 
+def _q_rolling_week_users(sf_dir: str) -> pa.Table:
+    """Sliding-window DISTINCT: active users over each trailing 7-day
+    window.  The classic hard case for pre-aggregation -- solved by
+    exploding each distinct (user, day) into its 7 member windows
+    (bounded 7x blowup of the already day-deduped stream), then one
+    distinct-and-count combine per window."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        day = ts // 86_400_000_000
+        t = pa.table({"user_id": batch["user_id"], "day": pa.array(day)})
+        t = t.group_by(["user_id", "day"]).aggregate([])  # batch dedupe
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        d = t["day"].to_numpy(zero_copy_only=False)
+        wins = (d[:, None] + np.arange(7)[None, :]).ravel()
+        return pa.table(
+            {
+                "user_id": pa.array(np.repeat(u, 7)),
+                "win_end": pa.array(wins),
+                "_one": pa.array(np.ones(len(wins), np.int64)),
+            }
+        )
+
+    # global (user, window) dedupe through the distributed combine,
+    # then the window-bounded count
+    pairs = hash_aggregate(
+        ds.map_batches(explode, batch_format="pyarrow", batch_size=None),
+        ["user_id", "win_end"],
+        [("_one", "min", "_one")],
+        distributed_combine=True,
+    )
+    counts = hash_aggregate(
+        pairs, ["win_end"], [("_one", "sum", "n_users")]
+    )
+    day0 = counts["win_end"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "win_end": pa.array(
+                day0.astype("datetime64[D]").astype("datetime64[us]")
+            ),
+            "n_users": counts["n_users"].cast(pa.int64()),
+        }
+    ).sort_by("win_end")
+
+
+def _q_winsorized_mean(sf_dir: str) -> pa.Table:
+    """Per-returnflag 10%-winsorized mean of extended price: exact
+    per-group p10/p90 boundaries (distributed quantile selection)
+    broadcast into a vectorized clip + the exact-cents combine."""
+    import ray as _ray
+    import pyarrow.compute as pc
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
+        grouped_exact_quantiles,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_extendedprice"],
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.multiply(batch["l_extendedprice"].cast(pa.float64()), 100.0)
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "cents": pc.cast(round_like_sql(c, 0), pa.int64()),
+            }
+        )
+
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+
+    cds = ds.map_batches(cents, batch_format="pyarrow", batch_size=None)
+    q = collect_tables(
+        grouped_exact_quantiles(cds, "l_returnflag", "cents", [0.1, 0.9])
+    )
+    lo, hi = {}, {}
+    for g, qq, v in zip(
+        q["l_returnflag"].to_pylist(), q["q"].to_pylist(),
+        q["value"].to_pylist(),
+    ):
+        (lo if qq == 0.1 else hi)[g] = float(v)
+    bounds = _ray.put((lo, hi))
+
+    def clipped(batch: pa.Table) -> pa.Table:
+        lo_d, hi_d = _ray.get(bounds)
+        g = batch["l_returnflag"].to_pylist()
+        v = batch["cents"].to_numpy(zero_copy_only=False).astype(np.float64)
+        lo_v = np.array([lo_d[x] for x in g])
+        hi_v = np.array([hi_d[x] for x in g])
+        w = np.minimum(np.maximum(v, lo_v), hi_v).astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "_w": pa.array(w),
+                "_one": pa.array(np.ones(len(w), np.int64)),
+            }
+        )
+
+    out = hash_aggregate(
+        cds.map_batches(clipped, batch_format="pyarrow", batch_size=None),
+        ["l_returnflag"],
+        [("_w", "sum", "sum_w"), ("_one", "sum", "n")],
+    )
+    sw = out["sum_w"].to_numpy(zero_copy_only=False).astype(np.float64)
+    n = out["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    return pa.table(
+        {
+            "l_returnflag": out["l_returnflag"],
+            "winsor_mean": round_like_sql(sw / n / 100.0, 6),
+        }
+    )
+
+
 def _q_contour_cases(sf_dir: str) -> pa.Table:
     """Marching-squares contour extraction at level 25.0 over the
     oracle raster: tile halo-exchange shuffle, per-tile 2x2 window
@@ -4753,6 +4878,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hist_equalize": _q_hist_equalize,
         "zonal_mode": _q_zonal_mode,
         "contour_cases": _q_contour_cases,
+        "rolling_week_users": _q_rolling_week_users,
+        "winsorized_mean": _q_winsorized_mean,
         "word_triangles": _q_word_triangles,
         "conversion_lag": _q_conversion_lag,
         "interevent_median": _q_interevent_median,
@@ -5703,6 +5830,33 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY user_id, d - CAST(rn AS INTEGER)) "
             "SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak "
             "FROM runs GROUP BY user_id"
+        ),
+        "rolling_week_users": (
+            "WITH ud AS (SELECT DISTINCT user_id, "
+            "CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d "
+            "FROM events), "
+            "w AS (SELECT DISTINCT user_id, d + k.i AS win_end "
+            "FROM ud CROSS JOIN (SELECT unnest(generate_series(0, 6)) "
+            "AS i) k) "
+            "SELECT CAST(CAST(to_timestamp(win_end * 86400) AS DATE) "
+            "AS TIMESTAMP) AS win_end, "
+            "CAST(COUNT(*) AS BIGINT) AS n_users "
+            "FROM w GROUP BY 1"
+        ),
+        "winsorized_mean": (
+            "WITH c AS (SELECT l_returnflag, "
+            "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents "
+            "FROM lineitem), "
+            "b AS (SELECT l_returnflag, "
+            "CAST(quantile_disc(cents, 0.1) AS DOUBLE) AS lo, "
+            "CAST(quantile_disc(cents, 0.9) AS DOUBLE) AS hi "
+            "FROM c GROUP BY l_returnflag), "
+            "w AS (SELECT c.l_returnflag, CAST(LEAST(GREATEST("
+            "CAST(c.cents AS DOUBLE), b.lo), b.hi) AS BIGINT) AS wc "
+            "FROM c JOIN b ON c.l_returnflag = b.l_returnflag) "
+            "SELECT l_returnflag, "
+            "ROUND(CAST(SUM(wc) AS DOUBLE) / COUNT(*) / 100.0, 6) "
+            "AS winsor_mean FROM w GROUP BY l_returnflag"
         ),
         "contour_cases": (
             # 2x2 windows via three shifted self-joins of the grid;
