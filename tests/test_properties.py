@@ -239,3 +239,98 @@ class TestClipProperties:
         ids = np.unique(C.cell_of(lon, lat, 8))
         got = C.focal_mean(ids, np.full(len(ids), 7.25), k=1)
         np.testing.assert_allclose(got, 7.25, atol=1e-12)
+
+
+class TestLateRound2Properties:
+    @settings(max_examples=30, deadline=None)
+    @given(n=st.integers(4, 400), seed=st.integers(0, 999),
+           splits=st.integers(1, 6))
+    def test_convex_hull_merge_equals_global(self, n, seed, splits):
+        """hull(union of per-split hulls) == hull(all points), and
+        every input point lies inside (or on) the hull."""
+        from tiff_to_geojson_csv_json_format_converter_ray.functions.geometry import (
+            _monotone_chain, convex_hull_candidates,
+        )
+
+        rng = np.random.RandomState(seed)
+        x = rng.randn(n) * 10
+        y = rng.randn(n) * 10
+        ref = _monotone_chain(np.column_stack([x, y]))
+        parts = [
+            convex_hull_candidates(x[i::splits], y[i::splits])
+            for i in range(splits)
+            if len(x[i::splits])
+        ]
+        merged = _monotone_chain(np.vstack(parts))
+        assert np.array_equal(
+            np.sort(merged, axis=0), np.sort(ref, axis=0)
+        )
+        if len(ref) >= 3:
+            hx, hy = ref[:, 0], ref[:, 1]
+            bx, by = np.roll(hx, -1), np.roll(hy, -1)
+            for i in range(len(ref)):
+                cross = (bx[i] - hx[i]) * (y - hy[i]) - (by[i] - hy[i]) * (
+                    x - hx[i]
+                )
+                assert (cross >= -1e-9).all()
+
+    @settings(max_examples=20, deadline=None)
+    @given(seed=st.integers(0, 999))
+    def test_bpe_merges_independent_of_word_order(self, seed):
+        """Training on a permuted word-count table yields identical
+        merges (determinism under any distinct-word ordering)."""
+        from tiff_to_geojson_csv_json_format_converter_ray.functions.bpe import (
+            train_merges,
+        )
+
+        rng = np.random.RandomState(seed)
+        words = ["low", "lower", "lowest", "newer", "newest", "wide",
+                 "wider", "widest"]
+        counts = rng.randint(1, 50, len(words)).tolist()
+        perm = rng.permutation(len(words))
+        t1 = pa.table({"word": words, "n": counts})
+        t2 = pa.table(
+            {
+                "word": [words[i] for i in perm],
+                "n": [counts[i] for i in perm],
+            }
+        )
+        assert train_merges(t1, 12).equals(train_merges(t2, 12))
+
+    @settings(max_examples=25, deadline=None)
+    @given(n=st.integers(2, 200), seed=st.integers(0, 999))
+    def test_stay_points_cover_and_dwell(self, n, seed):
+        """Every stay has >= 2 fixes, dwell >= min_duration, and its
+        centroid lies within eps of the anchor fix."""
+        from tiff_to_geojson_csv_json_format_converter_ray.functions.geometry import (
+            stay_points,
+        )
+
+        rng = np.random.RandomState(seed)
+        x = np.cumsum(rng.randn(n) * 0.2)
+        y = np.cumsum(rng.randn(n) * 0.2)
+        t = np.cumsum(rng.rand(n) * 10)
+        eps, dur = 0.5, 20.0
+        for cx, cy, t_in, t_out, nfix in stay_points(x, y, t, eps, dur):
+            assert nfix >= 2
+            assert t_out - t_in >= dur
+            i = int(np.argmin(np.abs(t - t_in)))
+            assert np.hypot(cx - x[i], cy - y[i]) <= eps + 1e-9
+
+    @settings(max_examples=25, deadline=None)
+    @given(n=st.integers(1, 300), seed=st.integers(0, 999),
+           g=st.integers(1, 4))
+    def test_gini_bounds_and_translation(self, seed, n, g):
+        """0 <= G < 1 for non-negative values; equal values -> 0."""
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+            round_like_sql,
+        )
+
+        rng = np.random.RandomState(seed)
+        v = np.sort(rng.randint(0, 10_000, n).astype(np.int64))
+        sx = float(v.sum())
+        if sx == 0:
+            return
+        ranks = np.arange(1, n + 1, dtype=np.float64)
+        gini = 2.0 * float((ranks * v).sum()) / (n * sx) - (n + 1.0) / n
+        assert -1e-12 <= gini < 1.0
