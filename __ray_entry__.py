@@ -2339,6 +2339,45 @@ def _q_user_streaks(sf_dir: str) -> pa.Table:
     return out.select(["user_id", "max_streak"])
 
 
+def _q_pattern_match_users(sf_dir: str) -> pa.Table:
+    """Sequence-pattern mining: users whose ordered event stream
+    contains a signup followed by a purchase with NO error between
+    (funnel-with-exclusion, the regex form of sessionized path
+    analysis).  One groupby shuffle; per-group kernel builds the
+    initial-letter string and applies a compiled regex."""
+    import re as _re
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    pat = _re.compile(r"s[^e]*p")
+
+    def match(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        et = group["event_type"].take(order).to_pylist()
+        seq = "".join(t[0] for t in et)
+        return pa.table(
+            {
+                "user_id": pa.array([group["user_id"][0].as_py()], pa.int64()),
+                "matched": pa.array([bool(pat.search(seq))]),
+                "n_events": pa.array([len(seq)], pa.int64()),
+            }
+        )
+
+    t = collect_tables(
+        ds.groupby("user_id").map_groups(match, batch_format="pyarrow")
+    )
+    return t.select(["user_id", "matched", "n_events"]).sort_by("user_id")
+
+
 def _q_rolling_week_users(sf_dir: str) -> pa.Table:
     """Sliding-window DISTINCT: active users over each trailing 7-day
     window.  The classic hard case for pre-aggregation -- solved by
@@ -4879,6 +4918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonal_mode": _q_zonal_mode,
         "contour_cases": _q_contour_cases,
         "rolling_week_users": _q_rolling_week_users,
+        "pattern_match_users": _q_pattern_match_users,
         "winsorized_mean": _q_winsorized_mean,
         "word_triangles": _q_word_triangles,
         "conversion_lag": _q_conversion_lag,
@@ -5830,6 +5870,16 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY user_id, d - CAST(rn AS INTEGER)) "
             "SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak "
             "FROM runs GROUP BY user_id"
+        ),
+        "pattern_match_users": (
+            "WITH s AS (SELECT user_id, "
+            "STRING_AGG(SUBSTR(event_type, 1, 1), '' "
+            "ORDER BY ts, event_id) AS seq, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events FROM events "
+            "GROUP BY user_id) "
+            "SELECT user_id, "
+            "regexp_matches(seq, 's[^e]*p') AS matched, n_events "
+            "FROM s"
         ),
         "rolling_week_users": (
             "WITH ud AS (SELECT DISTINCT user_id, "
