@@ -2339,6 +2339,158 @@ def _q_user_streaks(sf_dir: str) -> pa.Table:
     return out.select(["user_id", "max_streak"])
 
 
+def _q_kde_density(sf_dir: str) -> pa.Table:
+    """Gaussian kernel density estimate of order value at 9 fixed
+    evaluation points: per-batch partial kernel sums per eval point
+    (a pure combiner -- the eval grid is fixed and tiny), one final
+    normalize.  The distributed form of a smoothed histogram."""
+    import pyarrow.compute as pc
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_totalprice"]
+    )
+    evals = [float(x) for x in range(50_000, 500_000, 50_000)]
+    h = 25_000.0
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["o_totalprice"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        cols = {"_k": pa.array(np.zeros(1, np.int64))}
+        cols["n"] = pa.array([np.int64(len(v))])
+        for i, x0 in enumerate(evals):
+            u = (x0 - v) / h
+            cols[f"s{i}"] = pa.array([float(np.exp(-0.5 * u * u).sum())])
+        return pa.table(cols)
+
+    agg = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["_k"],
+        [("n", "sum", "n")] + [(f"s{i}", "sum", f"s{i}")
+                               for i in range(len(evals))],
+    )
+    n = float(agg["n"][0].as_py())
+    norm = n * h * np.sqrt(2.0 * np.pi)
+    dens = np.array(
+        [float(agg[f"s{i}"][0].as_py()) for i in range(len(evals))]
+    ) / norm
+    return pa.table(
+        {
+            "x": pa.array(evals),
+            "density": round_like_sql(dens * 1e6, 6),  # per-1e6 units
+        }
+    )
+
+
+def _q_lagged_crosscorr(sf_dir: str) -> pa.Table:
+    """Lagged cross-correlation of two daily series (event count vs
+    mean value) at lags -3..3: daily aggregates via the combiner
+    (calendar-bounded), Pearson over the aligned overlap per lag."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "value"]
+    )
+
+    def daily(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "day": pa.array(ts // 86_400_000_000),
+                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
+                "_v": batch["value"],
+            }
+        )
+
+    agg = hash_aggregate(
+        ds.map_batches(daily, batch_format="pyarrow", batch_size=None),
+        ["day"],
+        [("_one", "sum", "n"), ("_v", "sum", "sv")],
+    ).sort_by("day")
+    days = agg["day"].to_numpy(zero_copy_only=False)
+    n = agg["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    mv = agg["sv"].to_numpy(zero_copy_only=False) / n
+
+    def corr(a: np.ndarray, b: np.ndarray) -> float:
+        k = float(len(a))
+        sa, sb = a.sum(), b.sum()
+        num = k * (a * b).sum() - sa * sb
+        den = np.sqrt(k * (a * a).sum() - sa * sa) * np.sqrt(
+            k * (b * b).sum() - sb * sb
+        )
+        return float(num / den)
+
+    lags, corrs = [], []
+    for lag in range(-3, 4):
+        # CALENDAR alignment (robust to missing days): pair day d's
+        # count with day d-lag's mean value when both exist
+        want = days - lag
+        pos = np.searchsorted(days, want)
+        pos = np.clip(pos, 0, len(days) - 1)
+        ok = days[pos] == want
+        a, b = n[ok], mv[pos[ok]]
+        lags.append(lag)
+        corrs.append(corr(a, b))
+    return pa.table(
+        {
+            "lag": pa.array(lags, pa.int64()),
+            "corr": round_like_sql(np.asarray(corrs), 6),
+        }
+    )
+
+
+def _q_rolling_anomaly(sf_dir: str) -> pa.Table:
+    """Rolling anomaly score: each day's event count z-scored against
+    its trailing 7-day window (excluding itself); anomalous days =
+    |z| > 2.  Daily counts via the combiner; the window pass runs on
+    the calendar-bounded series with the exact SQL frame semantics."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+
+    def daily(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "day": pa.array(ts // 86_400_000_000),
+                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+
+    agg = hash_aggregate(
+        ds.map_batches(daily, batch_format="pyarrow", batch_size=None),
+        ["day"],
+        [("_one", "sum", "n")],
+    ).sort_by("day")
+    day = agg["day"].to_numpy(zero_copy_only=False)
+    n = agg["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    zs = np.full(len(n), np.nan)
+    for i in range(len(n)):
+        w = n[max(0, i - 7):i]  # trailing frame, exclusive of today
+        if len(w) >= 2:
+            mu = w.sum() / len(w)
+            # sample stddev (SQL STDDEV), guard zero variance
+            var = ((w - mu) ** 2).sum() / (len(w) - 1)
+            if var > 0:
+                zs[i] = (n[i] - mu) / np.sqrt(var)
+    return pa.table(
+        {
+            "day": pa.array(
+                day.astype("datetime64[D]").astype("datetime64[us]")
+            ),
+            "n": pa.array(n.astype(np.int64)),
+            "z": round_like_sql(zs, 6),
+        }
+    ).sort_by("day")
+
+
 def _q_pattern_match_users(sf_dir: str) -> pa.Table:
     """Sequence-pattern mining: users whose ordered event stream
     contains a signup followed by a purchase with NO error between
@@ -4919,6 +5071,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contour_cases": _q_contour_cases,
         "rolling_week_users": _q_rolling_week_users,
         "pattern_match_users": _q_pattern_match_users,
+        "kde_density": _q_kde_density,
+        "lagged_crosscorr": _q_lagged_crosscorr,
+        "rolling_anomaly": _q_rolling_anomaly,
         "winsorized_mean": _q_winsorized_mean,
         "word_triangles": _q_word_triangles,
         "conversion_lag": _q_conversion_lag,
@@ -5870,6 +6025,48 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY user_id, d - CAST(rn AS INTEGER)) "
             "SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak "
             "FROM runs GROUP BY user_id"
+        ),
+        "kde_density": (
+            "WITH e AS (SELECT CAST(x AS DOUBLE) AS x FROM "
+            "unnest([50000, 100000, 150000, 200000, 250000, 300000, "
+            "350000, 400000, 450000]) t(x)), "
+            "s AS (SELECT e.x, SUM(EXP(-0.5 * ((e.x - o_totalprice) "
+            "/ 25000.0) * ((e.x - o_totalprice) / 25000.0))) AS sk, "
+            "CAST(COUNT(*) AS DOUBLE) AS n "
+            "FROM e CROSS JOIN orders GROUP BY e.x) "
+            "SELECT x, ROUND(sk / (n * 25000.0 * SQRT(2 * PI())) "
+            "* 1e6, 6) AS density FROM s"
+        ),
+        "lagged_crosscorr": (
+            "WITH d AS (SELECT "
+            "CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, "
+            "CAST(COUNT(*) AS DOUBLE) AS n, "
+            "SUM(value) / COUNT(*) AS mv FROM events GROUP BY 1), "
+            "l AS (SELECT lag.i AS lag, a.n AS x, b.mv AS y "
+            "FROM (SELECT unnest(generate_series(-3, 3)) AS i) lag "
+            "JOIN d a ON TRUE JOIN d b ON b.day = a.day - lag.i), "
+            "s AS (SELECT lag, CAST(COUNT(*) AS DOUBLE) AS k, "
+            "SUM(x) AS sa, SUM(y) AS sb, SUM(x * x) AS sxx, "
+            "SUM(y * y) AS syy, SUM(x * y) AS sxy FROM l GROUP BY lag) "
+            "SELECT lag, ROUND((k * sxy - sa * sb) / "
+            "(SQRT(k * sxx - sa * sa) * SQRT(k * syy - sb * sb)), 6) "
+            "AS corr FROM s"
+        ),
+        "rolling_anomaly": (
+            "WITH d AS (SELECT "
+            "CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1), "
+            "w AS (SELECT day, n, "
+            "AVG(CAST(n AS DOUBLE)) OVER (ORDER BY day "
+            "ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS mu, "
+            "STDDEV(CAST(n AS DOUBLE)) OVER (ORDER BY day "
+            "ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS sd, "
+            "COUNT(*) OVER (ORDER BY day "
+            "ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS k FROM d) "
+            "SELECT CAST(CAST(to_timestamp(day * 86400) AS DATE) "
+            "AS TIMESTAMP) AS day, n, "
+            "ROUND(CASE WHEN k >= 2 AND sd > 0 "
+            "THEN (CAST(n AS DOUBLE) - mu) / sd END, 6) AS z FROM w"
         ),
         "pattern_match_users": (
             "WITH s AS (SELECT user_id, "
