@@ -2339,6 +2339,25 @@ def _q_user_streaks(sf_dir: str) -> pa.Table:
     return out.select(["user_id", "max_streak"])
 
 
+def _q_profile_lineitem(sf_dir: str) -> pa.Table:
+    """Data-quality profile (the Deequ shape): per-column row/null/
+    exact-distinct counts + numeric min/max over lineitem."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        profile_columns,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_quantity", "l_extendedprice", "l_returnflag",
+                 "l_linestatus"],
+    )
+    return profile_columns(
+        ds,
+        numeric_cols=["l_quantity", "l_extendedprice"],
+        categorical_cols=["l_returnflag", "l_linestatus"],
+    )
+
+
 def _q_kde_density(sf_dir: str) -> pa.Table:
     """Gaussian kernel density estimate of order value at 9 fixed
     evaluation points: per-batch partial kernel sums per eval point
@@ -5072,6 +5091,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_week_users": _q_rolling_week_users,
         "pattern_match_users": _q_pattern_match_users,
         "kde_density": _q_kde_density,
+        "profile_lineitem": _q_profile_lineitem,
         "lagged_crosscorr": _q_lagged_crosscorr,
         "rolling_anomaly": _q_rolling_anomaly,
         "winsorized_mean": _q_winsorized_mean,
@@ -6025,6 +6045,25 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY user_id, d - CAST(rn AS INTEGER)) "
             "SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak "
             "FROM runs GROUP BY user_id"
+        ),
+        "profile_lineitem": (
+            " UNION ALL ".join(
+                "SELECT '" + c + "' AS \"column\", "
+                "CAST(COUNT(*) AS BIGINT) AS n, "
+                "CAST(SUM(CASE WHEN " + c + " IS NULL THEN 1 ELSE 0 END)"
+                " AS BIGINT) AS n_null, "
+                "CAST(COUNT(DISTINCT " + c + ") AS BIGINT) AS n_distinct, "
+                + (
+                    "ROUND(CAST(MIN(" + c + ") AS DOUBLE), 6) AS min_v, "
+                    "ROUND(CAST(MAX(" + c + ") AS DOUBLE), 6) AS max_v "
+                    if c in ("l_quantity", "l_extendedprice")
+                    else "CAST(NULL AS DOUBLE) AS min_v, "
+                         "CAST(NULL AS DOUBLE) AS max_v "
+                )
+                + "FROM lineitem"
+                for c in ("l_quantity", "l_extendedprice",
+                          "l_returnflag", "l_linestatus")
+            )
         ),
         "kde_density": (
             "WITH e AS (SELECT CAST(x AS DOUBLE) AS x FROM "

@@ -1321,3 +1321,93 @@ def grouped_percent_rank(
             "pct_rank": round_like_sql(pr, ndigits),
         }
     )
+
+
+def profile_columns(
+    ds: ray.data.Dataset,
+    numeric_cols: list[str],
+    categorical_cols: list[str],
+    ndigits: int = 6,
+) -> pa.Table:
+    """Data-quality profile (the Deequ/profiler shape): one row per
+    column with row count, null count, EXACT distinct count, and
+    numeric min/max.  Counts/min/max come from ONE combiner pass over
+    all columns; each distinct count routes its column through the
+    distributed groupby (value cardinality is column-scale, never
+    driver-held) and reads back only the scalar."""
+    cols = list(numeric_cols) + list(categorical_cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = {"_k": pa.array([np.int64(0)])}
+        out["_n"] = pa.array([np.int64(batch.num_rows)])
+        for c in cols:
+            out[f"null_{c}"] = pa.array(
+                [np.int64(batch[c].null_count)]
+            )
+        for c in numeric_cols:
+            v = batch[c].to_numpy(zero_copy_only=False).astype(np.float64)
+            v = v[np.isfinite(v)]
+            out[f"min_{c}"] = pa.array(
+                [float(v.min()) if len(v) else np.inf]
+            )
+            out[f"max_{c}"] = pa.array(
+                [float(v.max()) if len(v) else -np.inf]
+            )
+        return pa.table(out)
+
+    aggs = [("_n", "sum", "_n")]
+    aggs += [(f"null_{c}", "sum", f"null_{c}") for c in cols]
+    aggs += [(f"min_{c}", "min", f"min_{c}") for c in numeric_cols]
+    aggs += [(f"max_{c}", "max", f"max_{c}") for c in numeric_cols]
+    stats = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["_k"], aggs,
+    )
+
+    distinct_n = {}
+    for c in cols:
+        # exact COUNT(DISTINCT) through the distributed combine
+        dd = hash_aggregate(
+            ds.map_batches(
+                lambda b, col=c: pa.table(
+                    {
+                        col: b[col],
+                        "_one": pa.array(np.ones(b.num_rows, np.int64)),
+                    }
+                ),
+                batch_format="pyarrow", batch_size=None,
+            ),
+            [c], [("_one", "min", "_one")], distributed_combine=True,
+        )
+        distinct_n[c] = dd.count()
+
+    n = int(stats["_n"][0].as_py())
+    rows = {
+        "column": [], "n": [], "n_null": [], "n_distinct": [],
+        "min_v": [], "max_v": [],
+    }
+    for c in cols:
+        rows["column"].append(c)
+        rows["n"].append(n)
+        rows["n_null"].append(int(stats[f"null_{c}"][0].as_py()))
+        rows["n_distinct"].append(int(distinct_n[c]))
+        if c in numeric_cols:
+            rows["min_v"].append(float(stats[f"min_{c}"][0].as_py()))
+            rows["max_v"].append(float(stats[f"max_{c}"][0].as_py()))
+        else:
+            rows["min_v"].append(None)
+            rows["max_v"].append(None)
+    return pa.table(
+        {
+            "column": pa.array(rows["column"]),
+            "n": pa.array(rows["n"], pa.int64()),
+            "n_null": pa.array(rows["n_null"], pa.int64()),
+            "n_distinct": pa.array(rows["n_distinct"], pa.int64()),
+            "min_v": round_like_sql(
+                np.array(rows["min_v"], dtype=np.float64), ndigits
+            ),
+            "max_v": round_like_sql(
+                np.array(rows["max_v"], dtype=np.float64), ndigits
+            ),
+        }
+    )
