@@ -2339,6 +2339,21 @@ def _q_user_streaks(sf_dir: str) -> pa.Table:
     return out.select(["user_id", "max_streak"])
 
 
+def _q_label_scatter(sf_dir: str) -> pa.Table:
+    """Within-class embedding scatter (mean squared distance to the
+    class centroid): quantized int64 sum/sum-of-squares combiner,
+    variance identity on the (labels x dims)-bounded table."""
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.ann import (
+        label_scatter,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["label", "embedding"],
+    )
+    return label_scatter(ds)
+
+
 def _q_profile_lineitem(sf_dir: str) -> pa.Table:
     """Data-quality profile (the Deequ shape): per-column row/null/
     exact-distinct counts + numeric min/max over lineitem."""
@@ -5092,6 +5107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pattern_match_users": _q_pattern_match_users,
         "kde_density": _q_kde_density,
         "profile_lineitem": _q_profile_lineitem,
+        "label_scatter": _q_label_scatter,
         "lagged_crosscorr": _q_lagged_crosscorr,
         "rolling_anomaly": _q_rolling_anomaly,
         "winsorized_mean": _q_winsorized_mean,
@@ -5925,6 +5941,24 @@ def oracle_sql() -> dict[str, str]:
             f"WHEN dnw = GREATEST(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 32 "
             f"WHEN dn = GREATEST(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 64 "
             f"ELSE 128 END AS BIGINT) AS d8 FROM d"
+        ),
+        "label_scatter": (
+            # mirror of stages/ann.py label_scatter: same quantizer as
+            # label_centroids, variance identity per (label, dim),
+            # dims summed in order
+            "WITH q AS (SELECT CAST(label AS BIGINT) AS label, i, "
+            "CAST(CASE WHEN CAST(v AS DOUBLE) < 0 "
+            "THEN -FLOOR(-CAST(v AS DOUBLE) * 1000000.0 + 0.5) "
+            "ELSE FLOOR(CAST(v AS DOUBLE) * 1000000.0 + 0.5) END "
+            "AS BIGINT) AS qv FROM (SELECT label, UNNEST(embedding) AS v, "
+            "GENERATE_SUBSCRIPTS(embedding, 1) AS i FROM embeddings)), "
+            "m AS (SELECT label, i, CAST(COUNT(*) AS DOUBLE) AS n, "
+            "CAST(SUM(qv) AS DOUBLE) AS sq, "
+            "CAST(SUM(qv * qv) AS DOUBLE) AS sqq FROM q GROUP BY 1, 2) "
+            "SELECT label, "
+            "ROUND(SUM(sqq / n - (sq / n) * (sq / n)) "
+            "/ (1000000.0 * 1000000.0), 6) AS scatter "
+            "FROM m GROUP BY label"
         ),
         "label_centroids": (
             "SELECT label, i AS dim, "

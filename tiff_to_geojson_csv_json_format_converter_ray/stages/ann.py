@@ -897,3 +897,71 @@ def grid_dbscan(
         )
 
     return ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
+def label_scatter(
+    ds: ray.data.Dataset,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale: float = 1e6,
+    ndigits: int = 6,
+) -> pa.Table:
+    """Within-class scatter (mean squared distance to the class
+    centroid = sum over dims of the population variance) -- the
+    cluster-quality companion of :func:`label_centroids`.  Same
+    quantized-int64 combiner: per-batch (label, dim) sums of qv and
+    qv^2 combine exactly; the variance identity runs once on the
+    (labels x dims)-bounded table, summed in dim order so the float
+    reduction is deterministic."""
+    from ..pipelines.relational import hash_aggregate, round_like_sql
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = list_col_to_matrix(batch[vec_col])
+        labels = batch[label_col].to_numpy(zero_copy_only=False)
+        q = np.where(
+            m < 0, -np.floor(-m * scale + 0.5), np.floor(m * scale + 0.5)
+        ).astype(np.int64)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        s1 = np.zeros((len(uniq), m.shape[1]), np.int64)
+        s2 = np.zeros((len(uniq), m.shape[1]), np.int64)
+        np.add.at(s1, inv, q)
+        np.add.at(s2, inv, q * q)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        k, d = s1.shape
+        return pa.table(
+            {
+                label_col: pa.array(np.repeat(uniq, d).astype(np.int64)),
+                "dim": pa.array(
+                    np.tile(np.arange(1, d + 1, dtype=np.int64), k)
+                ),
+                "sq": pa.array(s1.ravel()),
+                "sqq": pa.array(s2.ravel()),
+                "n": pa.array(np.repeat(counts, d)),
+            }
+        )
+
+    out = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        [label_col, "dim"],
+        [("sq", "sum", "sq"), ("sqq", "sum", "sqq"), ("n", "sum", "n")],
+    ).sort_by([(label_col, "ascending"), ("dim", "ascending")])
+    lab = out[label_col].to_numpy(zero_copy_only=False)
+    sq = out["sq"].to_numpy(zero_copy_only=False).astype(np.float64)
+    sqq = out["sqq"].to_numpy(zero_copy_only=False).astype(np.float64)
+    n = out["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    var = sqq / n - (sq / n) * (sq / n)
+    labels_out, scat = [], []
+    i = 0
+    while i < len(lab):
+        j = i
+        while j < len(lab) and lab[j] == lab[i]:
+            j += 1
+        labels_out.append(int(lab[i]))
+        scat.append(float(var[i:j].sum()) / (scale * scale))
+        i = j
+    return pa.table(
+        {
+            label_col: pa.array(labels_out, pa.int64()),
+            "scatter": round_like_sql(np.asarray(scat), ndigits),
+        }
+    )
