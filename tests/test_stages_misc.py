@@ -2146,3 +2146,37 @@ class TestContours:
         )
         assert abs(la - lb) < 1e-9  # tiling-independent
         assert la > 0
+
+
+class TestFrameSample:
+    def test_frame_sampling_plumbing(self, ray_session):
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.multimodal import (
+            FrameSample, gen_media,
+        )
+
+        media = gen_media(30, seed=3)
+        ds = ray.data.from_arrow(media)
+        out = ds.map_batches(
+            FrameSample(stride=4), batch_format="pyarrow", batch_size=8,
+            concurrency=2,
+        ).to_pandas()
+        vids = media.to_pandas().query("media_type.str.startswith('video')")
+        # every video emits ceil(n_frames/4) rows; others exactly one
+        import math
+        want = 0
+        for _, r in media.to_pandas().iterrows():
+            if r.media_type.startswith("video/"):
+                nf = 8 + (len(r.payload) % 24)
+                want += math.ceil(nf / 4)
+            else:
+                want += 1
+        assert len(out) == want
+        assert (out[out.frame_idx >= 0].frame_idx % 4 == 0).all()
+        # deterministic across runs/partitionings
+        out2 = ray.data.from_arrow(media).repartition(5).map_batches(
+            FrameSample(stride=4), batch_format="pyarrow", batch_size=4,
+        ).to_pandas()
+        a = out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+        b = out2.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
+        assert a.equals(b)

@@ -111,3 +111,54 @@ def gen_media(n: int = 64, seed: int = 42) -> pa.Table:
         },
         schema=MEDIA_SCHEMA,
     )
+
+
+class FrameSample:
+    """Actor-pool frame-sampling stage for video payloads: emit every
+    ``stride``-th frame (deterministic), one output row per sampled
+    frame with its decoded summary stats.  The frame decode reuses the
+    stubbed kernel (``decoder='real'`` raises until a codec is plugged
+    in; the fake is seeded per (payload, frame_idx) so results are
+    stable across runs and partitionings).  Non-video rows pass
+    through with frame_idx = -1 (their own single "frame")."""
+
+    def __init__(self, stride: int = 4, decoder: str = "fake"):
+        if decoder not in ("fake", "real"):
+            raise ValueError("decoder must be 'fake' or 'real'")
+        self.stride = max(1, int(stride))
+        self.decoder = decoder
+
+    @staticmethod
+    def _n_frames(payload: bytes) -> int:
+        # deterministic stand-in for container metadata
+        return 8 + (len(payload) % 24)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, types = batch["media_id"].to_pylist(), batch["media_type"].to_pylist()
+        payloads = batch["payload"].to_pylist()
+        hs = batch["height"].to_numpy(zero_copy_only=False)
+        ws = batch["width"].to_numpy(zero_copy_only=False)
+        out_id, out_idx, out_mean = [], [], []
+        for mid, t, p, h, w in zip(ids, types, payloads, hs, ws):
+            if not t.startswith("video/"):
+                frames = [-1]
+            else:
+                frames = list(range(0, self._n_frames(p), self.stride))
+            for fi in frames:
+                if self.decoder == "real":
+                    arr = _decode_real(p, t)
+                else:
+                    arr = _decode_fake(
+                        p + fi.to_bytes(4, "little", signed=True), t,
+                        int(h), int(w),
+                    )
+                out_id.append(mid)
+                out_idx.append(fi)
+                out_mean.append(float(arr.mean()))
+        return pa.table(
+            {
+                "media_id": pa.array(out_id),
+                "frame_idx": pa.array(out_idx, pa.int64()),
+                "pixel_mean": pa.array(out_mean),
+            }
+        )
