@@ -2180,3 +2180,28 @@ class TestFrameSample:
         a = out.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
         b = out2.sort_values(["media_id", "frame_idx"]).reset_index(drop=True)
         assert a.equals(b)
+
+
+class TestProfileColumns:
+    def test_profile_matches_pandas_truth(self, ray_session):
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+            profile_columns,
+        )
+
+        df = pd.DataFrame(
+            {
+                "x": [1.0, 2.0, 2.0, 9.5],
+                "c": ["a", "a", "b", "c"],
+            }
+        )
+        out = profile_columns(
+            ray.data.from_arrow(pa.Table.from_pandas(df)).repartition(2),
+            ["x"], ["c"],
+        ).to_pandas().set_index("column")
+        assert out.loc["x"].n == 4 and out.loc["x"].n_distinct == 3
+        assert out.loc["x"].min_v == 1.0 and out.loc["x"].max_v == 9.5
+        assert out.loc["c"].n_distinct == 3
+        assert out.loc["c"].n_null == 0

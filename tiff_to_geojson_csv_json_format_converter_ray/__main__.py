@@ -64,6 +64,14 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--out", default=None,
                    help="write {doc_id, cluster_rep} parquet here")
 
+    pf_ = sub.add_parser(
+        "profile", help="data-quality profile of a parquet table"
+    )
+    pf_.add_argument("--table", required=True, help="parquet path")
+    pf_.add_argument("--numeric", default="", help="comma-separated cols")
+    pf_.add_argument("--categorical", default="",
+                     help="comma-separated cols")
+
     m = sub.add_parser("match", help="fuzzy layer-name matching")
     m.add_argument("--requested", required=True)
     m.add_argument("--available", required=True, help="comma-separated")
@@ -141,7 +149,24 @@ def main(argv: list[str] | None = None) -> int:
 
     init_local_ray(args.num_cpus)
     try:
-        if args.cmd == "convert":
+        if args.cmd == "profile":
+            from .pipelines.relational import profile_columns
+            from .sources.reader import read_parquet_auto
+
+            num = [c for c in args.numeric.split(",") if c]
+            cat = [c for c in args.categorical.split(",") if c]
+            cols = num + cat
+            ds = read_parquet_auto(args.table, columns=cols or None)
+            out = profile_columns(ds, num, cat)
+            rows = [
+                {
+                    k: (None if isinstance(v, float) and v != v else v)
+                    for k, v in r.items()
+                }
+                for r in out.to_pylist()
+            ]
+            print(json.dumps({"table": args.table, "profile": rows}))
+        elif args.cmd == "convert":
             from .pipelines.convert import convert
 
             res = convert(args.tiles, args.out, mode=args.mode)
