@@ -2339,6 +2339,21 @@ def _q_user_streaks(sf_dir: str) -> pa.Table:
     return out.select(["user_id", "max_streak"])
 
 
+def _q_centroid_confusion(sf_dir: str) -> pa.Table:
+    """Nearest-class-mean classification confusion matrix over the
+    embedding corpus (centroid pass -> broadcast -> vectorized
+    distance argmin -> per-(true, pred) combiner)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.ann import (
+        nearest_centroid_confusion,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "label", "embedding"],
+    )
+    return nearest_centroid_confusion(ds)
+
+
 def _q_label_scatter(sf_dir: str) -> pa.Table:
     """Within-class embedding scatter (mean squared distance to the
     class centroid): quantized int64 sum/sum-of-squares combiner,
@@ -5108,6 +5123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kde_density": _q_kde_density,
         "profile_lineitem": _q_profile_lineitem,
         "label_scatter": _q_label_scatter,
+        "centroid_confusion": _q_centroid_confusion,
         "lagged_crosscorr": _q_lagged_crosscorr,
         "rolling_anomaly": _q_rolling_anomaly,
         "winsorized_mean": _q_winsorized_mean,
@@ -5941,6 +5957,29 @@ def oracle_sql() -> dict[str, str]:
             f"WHEN dnw = GREATEST(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 32 "
             f"WHEN dn = GREATEST(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 64 "
             f"ELSE 128 END AS BIGINT) AS d8 FROM d"
+        ),
+        "centroid_confusion": (
+            "WITH raw AS (SELECT vec_id, CAST(label AS BIGINT) AS label, "
+            "UNNEST(embedding) AS v, "
+            "GENERATE_SUBSCRIPTS(embedding, 1) AS i FROM embeddings), "
+            "c AS (SELECT label, i, CAST(SUM(CAST(CASE WHEN "
+            "CAST(v AS DOUBLE) < 0 "
+            "THEN -FLOOR(-CAST(v AS DOUBLE) * 1000000.0 + 0.5) "
+            "ELSE FLOOR(CAST(v AS DOUBLE) * 1000000.0 + 0.5) END "
+            "AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1000000.0) AS mu "
+            "FROM raw GROUP BY 1, 2), "
+            "d AS (SELECT raw.vec_id, c.label AS cand, "
+            "SUM((CAST(raw.v AS DOUBLE) - c.mu) * "
+            "(CAST(raw.v AS DOUBLE) - c.mu)) AS d2 "
+            "FROM raw JOIN c ON c.i = raw.i GROUP BY 1, 2), "
+            "p AS (SELECT vec_id, cand AS pred FROM "
+            "(SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id "
+            "ORDER BY d2, cand) AS rn FROM d) WHERE rn = 1), "
+            "t AS (SELECT vec_id, CAST(label AS BIGINT) AS true_label "
+            "FROM embeddings) "
+            "SELECT t.true_label, p.pred AS pred_label, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM t "
+            "JOIN p USING (vec_id) GROUP BY 1, 2"
         ),
         "label_scatter": (
             # mirror of stages/ann.py label_scatter: same quantizer as

@@ -965,3 +965,61 @@ def label_scatter(
             "scatter": round_like_sql(np.asarray(scat), ndigits),
         }
     )
+
+
+def nearest_centroid_confusion(
+    ds: ray.data.Dataset,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Nearest-class-mean classification confusion matrix -- the
+    standard embedding-quality eval: class centroids from ONE
+    distributed pass (:func:`label_centroids`' combiner), broadcast
+    once, per-batch vectorized distance argmin (ties -> smallest
+    label), per-(true, pred) counts via the combiner."""
+    import ray
+
+    from ..pipelines.relational import hash_aggregate
+
+    cent = label_centroids(ds, label_col=label_col, vec_col=vec_col)
+    labels = sorted(set(cent[label_col].to_pylist()))
+    lab_idx = {l: i for i, l in enumerate(labels)}
+    dims = max(cent["dim"].to_pylist())
+    mu = np.zeros((len(labels), dims))
+    for l, d, v in zip(
+        cent[label_col].to_pylist(), cent["dim"].to_pylist(),
+        cent["mean_v"].to_pylist(),
+    ):
+        mu[lab_idx[l], d - 1] = v
+    mu_ref = ray.put((np.asarray(labels, np.int64), mu))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        labs, m = ray.get(mu_ref)
+        x = list_col_to_matrix(batch[vec_col])
+        # ||x - mu||^2 = ||x||^2 - 2 x.mu + ||mu||^2; argmin over mu
+        d2 = (
+            (x * x).sum(axis=1, keepdims=True)
+            - 2.0 * x @ m.T
+            + (m * m).sum(axis=1)[None, :]
+        )
+        pred = labs[np.argmin(d2, axis=1)]  # argmin keeps FIRST (min label)
+        return pa.table(
+            {
+                "true_label": batch[label_col].cast(pa.int64()),
+                "pred_label": pa.array(pred),
+                "_one": pa.array(np.ones(len(pred), np.int64)),
+            }
+        )
+
+    out = hash_aggregate(
+        ds.map_batches(assign, batch_format="pyarrow", batch_size=None),
+        ["true_label", "pred_label"],
+        [("_one", "sum", "n")],
+    )
+    return pa.table(
+        {
+            "true_label": out["true_label"].cast(pa.int64()),
+            "pred_label": out["pred_label"].cast(pa.int64()),
+            "n": out["n"].cast(pa.int64()),
+        }
+    ).sort_by([("true_label", "ascending"), ("pred_label", "ascending")])
