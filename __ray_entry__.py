@@ -2339,6 +2339,91 @@ def _q_user_streaks(sf_dir: str) -> pa.Table:
     return out.select(["user_id", "max_streak"])
 
 
+def _q_ks_statistic(sf_dir: str) -> pa.Table:
+    """Two-sample Kolmogorov-Smirnov D between the price distributions
+    of returnflag R vs A: exact per-(flag, value) counts via the
+    combiner (value-bounded; the unbounded tier is the quantile
+    sketch), empirical CDFs + max gap on the driver."""
+    import pyarrow.compute as pc
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_extendedprice"],
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(
+            pc.is_in(
+                batch["l_returnflag"],
+                value_set=pa.array(["R", "A"]),
+            )
+        )
+        c = pc.multiply(batch["l_extendedprice"].cast(pa.float64()), 100.0)
+        flag_r = pc.cast(
+            pc.equal(batch["l_returnflag"], "R"), pa.int64()
+        )
+        return pa.table(
+            {
+                "cents": pc.cast(round_like_sql(c, 0), pa.int64()),
+                "n_r": flag_r,
+                "n_a": pc.subtract(pa.scalar(1, pa.int64()), flag_r),
+            }
+        )
+
+    counts = hash_aggregate(
+        ds.map_batches(cents, batch_format="pyarrow", batch_size=None),
+        ["cents"],
+        [("n_r", "sum", "n_r"), ("n_a", "sum", "n_a")],
+    ).sort_by("cents")
+    nr = counts["n_r"].to_numpy(zero_copy_only=False).astype(np.float64)
+    na = counts["n_a"].to_numpy(zero_copy_only=False).astype(np.float64)
+    cdf_r = np.cumsum(nr) / nr.sum()
+    cdf_a = np.cumsum(na) / na.sum()
+    d = float(np.abs(cdf_r - cdf_a).max())
+    return pa.table({"ks_d": round_like_sql(np.asarray([d]), 6)})
+
+
+def _q_cramers_v(sf_dir: str) -> pa.Table:
+    """Cramer's V effect size for event type x ISO weekday (the
+    normalized chi-square): V = sqrt(chi2 / (n * min(r-1, c-1)))."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.stats import (
+        chi2_independence,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts"]
+    )
+
+    def cells(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dow = ((ts // 86_400_000_000 + 3) % 7 + 1).astype(np.int64)
+        return pa.table(
+            {
+                "a": batch["event_type"],
+                "b": pa.array(dow),
+                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+
+    counts = hash_aggregate(
+        ds.map_batches(cells, batch_format="pyarrow", batch_size=None),
+        ["a", "b"],
+        [("_one", "sum", "n")],
+    )
+    chi2, _dof = chi2_independence(counts, "a", "b")
+    n = float(counts["n"].to_numpy(zero_copy_only=False).sum())
+    r = len(set(counts["a"].to_pylist()))
+    c = len(set(counts["b"].to_pylist()))
+    v = np.sqrt(chi2 / (n * min(r - 1, c - 1)))
+    return pa.table({"cramers_v": round_like_sql(np.asarray([v]), 6)})
+
+
 def _q_centroid_confusion(sf_dir: str) -> pa.Table:
     """Nearest-class-mean classification confusion matrix over the
     embedding corpus (centroid pass -> broadcast -> vectorized
@@ -5124,6 +5209,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_lineitem": _q_profile_lineitem,
         "label_scatter": _q_label_scatter,
         "centroid_confusion": _q_centroid_confusion,
+        "ks_statistic": _q_ks_statistic,
+        "cramers_v": _q_cramers_v,
         "lagged_crosscorr": _q_lagged_crosscorr,
         "rolling_anomaly": _q_rolling_anomaly,
         "winsorized_mean": _q_winsorized_mean,
@@ -5957,6 +6044,37 @@ def oracle_sql() -> dict[str, str]:
             f"WHEN dnw = GREATEST(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 32 "
             f"WHEN dn = GREATEST(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 64 "
             f"ELSE 128 END AS BIGINT) AS d8 FROM d"
+        ),
+        "ks_statistic": (
+            "WITH c AS (SELECT "
+            "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents, "
+            "CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) "
+            "AS DOUBLE) AS nr, "
+            "CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) "
+            "AS DOUBLE) AS na FROM lineitem "
+            "WHERE l_returnflag IN ('R', 'A') GROUP BY cents), "
+            "t AS (SELECT SUM(nr) AS tr, SUM(na) AS ta FROM c), "
+            "w AS (SELECT SUM(nr) OVER (ORDER BY cents) / t.tr AS cr, "
+            "SUM(na) OVER (ORDER BY cents) / t.ta AS ca FROM c, t) "
+            "SELECT ROUND(MAX(ABS(cr - ca)), 6) AS ks_d FROM w"
+        ),
+        "cramers_v": (
+            "WITH c AS (SELECT event_type AS a, "
+            "CAST(ISODOW(ts) AS BIGINT) AS b, "
+            "CAST(COUNT(*) AS DOUBLE) AS n FROM events GROUP BY 1, 2), "
+            "ra AS (SELECT a, SUM(n) AS na FROM c GROUP BY a), "
+            "rb AS (SELECT b, SUM(n) AS nb FROM c GROUP BY b), "
+            "t AS (SELECT SUM(n) AS tot FROM c), "
+            "f AS (SELECT ra.na, rb.nb, COALESCE(c.n, 0) AS n "
+            "FROM ra CROSS JOIN rb "
+            "LEFT JOIN c ON c.a = ra.a AND c.b = rb.b), "
+            "x AS (SELECT SUM((n - na * nb / t.tot) * (n - na * nb "
+            "/ t.tot) / (na * nb / t.tot)) AS chi2, "
+            "MAX(t.tot) AS n, "
+            "(SELECT COUNT(*) FROM ra) AS r, "
+            "(SELECT COUNT(*) FROM rb) AS c FROM f, t) "
+            "SELECT ROUND(SQRT(chi2 / (n * LEAST(r - 1, c - 1))), 6) "
+            "AS cramers_v FROM x"
         ),
         "centroid_confusion": (
             "WITH raw AS (SELECT vec_id, CAST(label AS BIGINT) AS label, "
