@@ -2339,6 +2339,178 @@ def _q_user_streaks(sf_dir: str) -> pa.Table:
     return out.select(["user_id", "max_streak"])
 
 
+def _q_tukey_outliers(sf_dir: str) -> pa.Table:
+    """Per-returnflag Tukey fences (Q1/Q3 +- 1.5 IQR on exact
+    quantiles) and the count of rows outside them -- the standard
+    robust outlier screen, two passes (quantile selection, fence
+    count)."""
+    import ray as _ray
+    import pyarrow.compute as pc
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables, hash_aggregate, round_like_sql,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
+        grouped_exact_quantiles,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_extendedprice"],
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.multiply(batch["l_extendedprice"].cast(pa.float64()), 100.0)
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "cents": pc.cast(round_like_sql(c, 0), pa.int64()),
+            }
+        )
+
+    cds = ds.map_batches(cents, batch_format="pyarrow", batch_size=None)
+    q = collect_tables(
+        grouped_exact_quantiles(cds, "l_returnflag", "cents", [0.25, 0.75])
+    )
+    q1, q3 = {}, {}
+    for g, qq, v in zip(
+        q["l_returnflag"].to_pylist(), q["q"].to_pylist(),
+        q["value"].to_pylist(),
+    ):
+        (q1 if qq == 0.25 else q3)[g] = float(v)
+    fences = {
+        g: (q1[g] - 1.5 * (q3[g] - q1[g]), q3[g] + 1.5 * (q3[g] - q1[g]))
+        for g in q1
+    }
+    ref = _ray.put(fences)
+
+    def mark(batch: pa.Table) -> pa.Table:
+        f = _ray.get(ref)
+        g = batch["l_returnflag"].to_pylist()
+        v = batch["cents"].to_numpy(zero_copy_only=False).astype(np.float64)
+        lo = np.array([f[x][0] for x in g])
+        hi = np.array([f[x][1] for x in g])
+        out = ((v < lo) | (v > hi)).astype(np.int64)
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "_out": pa.array(out),
+                "_one": pa.array(np.ones(len(out), np.int64)),
+            }
+        )
+
+    agg = hash_aggregate(
+        cds.map_batches(mark, batch_format="pyarrow", batch_size=None),
+        ["l_returnflag"],
+        [("_out", "sum", "n_outliers"), ("_one", "sum", "n")],
+    ).sort_by("l_returnflag")
+    gs = agg["l_returnflag"].to_pylist()
+    return pa.table(
+        {
+            "l_returnflag": agg["l_returnflag"],
+            "fence_lo": round_like_sql(
+                np.array([fences[g][0] for g in gs]) / 100.0, 6
+            ),
+            "fence_hi": round_like_sql(
+                np.array([fences[g][1] for g in gs]) / 100.0, 6
+            ),
+            "n_outliers": agg["n_outliers"].cast(pa.int64()),
+            "n": agg["n"].cast(pa.int64()),
+        }
+    )
+
+
+def _q_benford_deviation(sf_dir: str) -> pa.Table:
+    """Benford's-law screen: first-digit distribution of order values
+    vs log10(1 + 1/d), per-digit observed share and absolute
+    deviation -- the classic fraud/data-quality signal, one combiner
+    pass."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_totalprice"]
+    )
+
+    def digit(batch: pa.Table) -> pa.Table:
+        v = batch["o_totalprice"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        d = np.floor(v / np.power(10.0, np.floor(np.log10(v)))).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "digit": pa.array(d),
+                "_one": pa.array(np.ones(len(d), np.int64)),
+            }
+        )
+
+    out = hash_aggregate(
+        ds.map_batches(digit, batch_format="pyarrow", batch_size=None),
+        ["digit"],
+        [("_one", "sum", "n")],
+    ).sort_by("digit")
+    n = out["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    tot = n.sum()
+    d = out["digit"].to_numpy(zero_copy_only=False).astype(np.float64)
+    share = n / tot
+    benford = np.log10(1.0 + 1.0 / d)
+    return pa.table(
+        {
+            "digit": out["digit"].cast(pa.int64()),
+            "share": round_like_sql(share, 6),
+            "abs_dev": round_like_sql(np.abs(share - benford), 6),
+        }
+    )
+
+
+def _q_hhi_concentration(sf_dir: str) -> pa.Table:
+    """Herfindahl-Hirschman concentration of sources within each
+    language: HHI = sum(share^2) over the (lang, source)-bounded count
+    table -- the market-concentration companion of lang_entropy."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "source"]
+    )
+
+    def ones(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": batch["lang"],
+                "source": batch["source"],
+                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+
+    counts = hash_aggregate(
+        ds.map_batches(ones, batch_format="pyarrow", batch_size=None),
+        ["lang", "source"],
+        [("_one", "sum", "n")],
+    ).sort_by([("lang", "ascending"), ("source", "ascending")])
+    langs = counts["lang"].to_pylist()
+    n = counts["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    out_l, out_h = [], []
+    i = 0
+    while i < len(langs):
+        j = i
+        while j < len(langs) and langs[j] == langs[i]:
+            j += 1
+        tot = n[i:j].sum()
+        out_l.append(langs[i])
+        out_h.append(float(((n[i:j] / tot) ** 2).sum()))
+        i = j
+    return pa.table(
+        {
+            "lang": pa.array(out_l),
+            "hhi": round_like_sql(np.asarray(out_h), 6),
+        }
+    )
+
+
 def _q_ks_statistic(sf_dir: str) -> pa.Table:
     """Two-sample Kolmogorov-Smirnov D between the price distributions
     of returnflag R vs A: exact per-(flag, value) counts via the
@@ -5211,6 +5383,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "centroid_confusion": _q_centroid_confusion,
         "ks_statistic": _q_ks_statistic,
         "cramers_v": _q_cramers_v,
+        "tukey_outliers": _q_tukey_outliers,
+        "benford_deviation": _q_benford_deviation,
+        "hhi_concentration": _q_hhi_concentration,
         "lagged_crosscorr": _q_lagged_crosscorr,
         "rolling_anomaly": _q_rolling_anomaly,
         "winsorized_mean": _q_winsorized_mean,
@@ -6044,6 +6219,47 @@ def oracle_sql() -> dict[str, str]:
             f"WHEN dnw = GREATEST(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 32 "
             f"WHEN dn = GREATEST(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 64 "
             f"ELSE 128 END AS BIGINT) AS d8 FROM d"
+        ),
+        "tukey_outliers": (
+            "WITH c AS (SELECT l_returnflag, "
+            "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents "
+            "FROM lineitem), "
+            "b AS (SELECT l_returnflag, "
+            "CAST(quantile_disc(cents, 0.25) AS DOUBLE) AS q1, "
+            "CAST(quantile_disc(cents, 0.75) AS DOUBLE) AS q3 "
+            "FROM c GROUP BY l_returnflag), "
+            "f AS (SELECT l_returnflag, "
+            "q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi "
+            "FROM b) "
+            "SELECT c.l_returnflag, "
+            "ROUND(MAX(f.lo) / 100.0, 6) AS fence_lo, "
+            "ROUND(MAX(f.hi) / 100.0, 6) AS fence_hi, "
+            "CAST(SUM(CASE WHEN CAST(c.cents AS DOUBLE) < f.lo "
+            "OR CAST(c.cents AS DOUBLE) > f.hi THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_outliers, "
+            "CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM c JOIN f ON c.l_returnflag = f.l_returnflag "
+            "GROUP BY c.l_returnflag"
+        ),
+        "benford_deviation": (
+            "WITH d AS (SELECT CAST(FLOOR(o_totalprice / "
+            "POWER(10.0, FLOOR(LOG10(o_totalprice)))) AS BIGINT) "
+            "AS digit FROM orders), "
+            "c AS (SELECT digit, CAST(COUNT(*) AS DOUBLE) AS n "
+            "FROM d GROUP BY digit), "
+            "t AS (SELECT SUM(n) AS tot FROM c) "
+            "SELECT digit, ROUND(n / t.tot, 6) AS share, "
+            "ROUND(ABS(n / t.tot - LOG10(1.0 + 1.0 / digit)), 6) "
+            "AS abs_dev FROM c, t"
+        ),
+        "hhi_concentration": (
+            "WITH c AS (SELECT lang, source, "
+            "CAST(COUNT(*) AS DOUBLE) AS n FROM documents "
+            "GROUP BY lang, source), "
+            "t AS (SELECT lang, SUM(n) AS tot FROM c GROUP BY lang) "
+            "SELECT c.lang, "
+            "ROUND(SUM((c.n / t.tot) * (c.n / t.tot)), 6) AS hhi "
+            "FROM c JOIN t ON c.lang = t.lang GROUP BY c.lang"
         ),
         "ks_statistic": (
             "WITH c AS (SELECT "
