@@ -3210,7 +3210,7 @@ def _q_word_components(sf_dir: str) -> pa.Table:
     dedup.label_propagation_clusters; the vocabulary-bounded graph
     here runs its small tier with the identical semantics."""
     from tiff_to_geojson_csv_json_format_converter_ray.stages.dedup import (
-        label_propagation_clusters,
+        _cluster_pairs,
     )
     from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
         edit1_vocab_pairs,
@@ -3236,7 +3236,10 @@ def _q_word_components(sf_dir: str) -> pa.Table:
                           pa.int64()),
         }
     )
-    comp = label_propagation_clusters(edge_tbl, num_partitions=2)
+    # tiered like the dedup entry paths: vocabulary-bounded edge lists
+    # take the in-process union-find, big graphs the Ray-join rounds
+    backend = "unionfind" if edge_tbl.num_rows < 100_000 else "labelprop"
+    comp = _cluster_pairs(edge_tbl, backend, num_partitions=2)
     reps = comp["cluster_rep"].to_numpy(zero_copy_only=False)
     out = (
         pa.table({"rep": pa.array(reps)})

@@ -312,6 +312,13 @@ EXTRA_QUERY_SUBSET = [
     "user_streaks", "markov_transitions", "quantiles_cont",
     "hist_equalize", "contour_cases", "getis_ord", "morans_i",
     "colocation_pairs", "latest_event_per_user", "grouping_sets",
+    "rolling_week_users", "winsorized_mean", "pattern_match_users",
+    "kde_density", "lagged_crosscorr", "rolling_anomaly",
+    "profile_lineitem", "label_scatter", "centroid_confusion",
+    "ks_statistic", "cramers_v", "tukey_outliers",
+    "benford_deviation", "hhi_concentration", "word_components",
+    "word_pagerank", "word_triangles", "conversion_lag",
+    "interevent_median", "time_weighted_avg", "percent_rank_qty",
 ]
 
 

@@ -1364,22 +1364,41 @@ def profile_columns(
         ["_k"], aggs,
     )
 
-    distinct_n = {}
-    for c in cols:
-        # exact COUNT(DISTINCT) through the distributed combine
-        dd = hash_aggregate(
-            ds.map_batches(
-                lambda b, col=c: pa.table(
-                    {
-                        col: b[col],
-                        "_one": pa.array(np.ones(b.num_rows, np.int64)),
-                    }
-                ),
-                batch_format="pyarrow", batch_size=None,
-            ),
-            [c], [("_one", "min", "_one")], distributed_combine=True,
+    # exact COUNT(DISTINCT) for ALL columns through ONE distributed
+    # groupby: each batch emits (column, value-as-string) pairs deduped
+    # locally, the shuffle dedupes globally, and a bounded second
+    # aggregate counts per column (string cast is injective per
+    # column, so distinct counts are exact)
+    def explode(batch: pa.Table) -> pa.Table:
+        pieces = []
+        for c in cols:
+            v = pc.cast(batch[c], pa.string())
+            t = pa.table(
+                {
+                    "_col": pa.array([c] * batch.num_rows, pa.string()),
+                    "_v": v,
+                }
+            )
+            pieces.append(t.group_by(["_col", "_v"]).aggregate([]))
+        out = pa.concat_tables(pieces)
+        return out.append_column(
+            "_one", pa.array(np.ones(out.num_rows, np.int64))
         )
-        distinct_n[c] = dd.count()
+
+    deduped = hash_aggregate(
+        ds.map_batches(explode, batch_format="pyarrow", batch_size=None),
+        ["_col", "_v"], [("_one", "min", "_one")],
+        distributed_combine=True,
+    )
+    dcounts = hash_aggregate(
+        deduped, ["_col"], [("_one", "sum", "n_distinct")]
+    )
+    distinct_n = dict(
+        zip(
+            dcounts["_col"].to_pylist(),
+            dcounts["n_distinct"].to_numpy(zero_copy_only=False),
+        )
+    )
 
     n = int(stats["_n"][0].as_py())
     rows = {
