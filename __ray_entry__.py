@@ -2339,6 +2339,51 @@ def _q_user_streaks(sf_dir: str) -> pa.Table:
     return out.select(["user_id", "max_streak"])
 
 
+def _q_mutual_information(sf_dir: str) -> pa.Table:
+    """Mutual information (nats) between event type and ISO weekday:
+    the information-theoretic dependence measure over the same
+    distributed contingency counts as chi2/Cramer's V.  Only observed
+    cells contribute (0 log 0 = 0)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts"]
+    )
+
+    def cells(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dow = ((ts // 86_400_000_000 + 3) % 7 + 1).astype(np.int64)
+        return pa.table(
+            {
+                "a": batch["event_type"],
+                "b": pa.array(dow),
+                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+
+    counts = hash_aggregate(
+        ds.map_batches(cells, batch_format="pyarrow", batch_size=None),
+        ["a", "b"],
+        [("_one", "sum", "n")],
+    ).sort_by([("a", "ascending"), ("b", "ascending")])
+    a = counts["a"].to_pylist()
+    b = counts["b"].to_pylist()
+    n = counts["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    tot = n.sum()
+    na: dict = {}
+    nb: dict = {}
+    for av, bv, nv in zip(a, b, n):
+        na[av] = na.get(av, 0.0) + nv
+        nb[bv] = nb.get(bv, 0.0) + nv
+    mi = 0.0
+    for av, bv, nv in zip(a, b, n):
+        p = nv / tot
+        mi += p * np.log(p / ((na[av] / tot) * (nb[bv] / tot)))
+    return pa.table({"mi_nats": round_like_sql(np.asarray([mi]), 6)})
+
+
 def _q_tukey_outliers(sf_dir: str) -> pa.Table:
     """Per-returnflag Tukey fences (Q1/Q3 +- 1.5 IQR on exact
     quantiles) and the count of rows outside them -- the standard
@@ -5387,6 +5432,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_statistic": _q_ks_statistic,
         "cramers_v": _q_cramers_v,
         "tukey_outliers": _q_tukey_outliers,
+        "mutual_information": _q_mutual_information,
         "benford_deviation": _q_benford_deviation,
         "hhi_concentration": _q_hhi_concentration,
         "lagged_crosscorr": _q_lagged_crosscorr,
@@ -6222,6 +6268,18 @@ def oracle_sql() -> dict[str, str]:
             f"WHEN dnw = GREATEST(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 32 "
             f"WHEN dn = GREATEST(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 64 "
             f"ELSE 128 END AS BIGINT) AS d8 FROM d"
+        ),
+        "mutual_information": (
+            "WITH c AS (SELECT event_type AS a, "
+            "CAST(ISODOW(ts) AS BIGINT) AS b, "
+            "CAST(COUNT(*) AS DOUBLE) AS n FROM events GROUP BY 1, 2), "
+            "t AS (SELECT SUM(n) AS tot FROM c), "
+            "ra AS (SELECT a, SUM(n) AS na FROM c GROUP BY a), "
+            "rb AS (SELECT b, SUM(n) AS nb FROM c GROUP BY b) "
+            "SELECT ROUND(SUM((c.n / t.tot) * LN((c.n / t.tot) "
+            "/ ((ra.na / t.tot) * (rb.nb / t.tot)))), 6) AS mi_nats "
+            "FROM c CROSS JOIN t "
+            "JOIN ra ON ra.a = c.a JOIN rb ON rb.b = c.b"
         ),
         "tukey_outliers": (
             "WITH c AS (SELECT l_returnflag, "
