@@ -2339,6 +2339,118 @@ def _q_user_streaks(sf_dir: str) -> pa.Table:
     return out.select(["user_id", "max_streak"])
 
 
+def _q_lorenz_deciles(sf_dir: str) -> pa.Table:
+    """Lorenz curve: cumulative revenue share by customer decile
+    (NTILE(10) ordered by revenue, custkey tiebreak) -- the Gini's
+    graphical companion.  Per-customer totals via the combiner
+    (customer-bounded; the big tier is the rank machinery of
+    grouped_gini), decile assignment mirrors SQL NTILE exactly."""
+    import pyarrow.compute as pc
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"],
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = pc.multiply(batch["o_totalprice"].cast(pa.float64()), 100.0)
+        return pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "cents": pc.cast(round_like_sql(c, 0), pa.int64()),
+            }
+        )
+
+    per_cust = hash_aggregate(
+        ds.map_batches(cents, batch_format="pyarrow", batch_size=None),
+        ["o_custkey"],
+        [("cents", "sum", "rev")],
+    ).sort_by([("rev", "ascending"), ("o_custkey", "ascending")])
+    rev = per_cust["rev"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(rev)
+    # NTILE(10): the first n % 10 tiles get ceil(n/10) rows
+    base, extra = divmod(n, 10)
+    sizes = np.array([base + (1 if i < extra else 0) for i in range(10)])
+    bounds = np.cumsum(sizes)
+    tot = float(rev.sum())
+    cum = np.cumsum(rev).astype(np.float64)
+    share = cum[bounds - 1] / tot
+    return pa.table(
+        {
+            "decile": pa.array(np.arange(1, 11, dtype=np.int64)),
+            "cum_share": round_like_sql(share, 6),
+        }
+    )
+
+
+def _q_first_touch_attribution(sf_dir: str) -> pa.Table:
+    """Marketing attribution: per (user, day) session, the FIRST event
+    type of the day vs whether a purchase happened that day --
+    conversion rate per first-touch channel.  One groupby shuffle on
+    the session key, vocabulary-bounded output."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "day": pa.array(ts // 86_400_000_000),
+                "ts": batch["ts"],
+                "event_id": batch["event_id"],
+                "event_type": batch["event_type"],
+            }
+        )
+
+    def session(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        et = group["event_type"].take(order).to_pylist()
+        return pa.table(
+            {
+                "first_touch": pa.array([et[0]], pa.string()),
+                "_conv": pa.array(
+                    [1 if "purchase" in et else 0], pa.int64()
+                ),
+                "_one": pa.array([1], pa.int64()),
+            }
+        )
+
+    sessions = (
+        ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+        .groupby(["user_id", "day"])
+        .map_groups(session, batch_format="pyarrow")
+    )
+    out = hash_aggregate(
+        sessions, ["first_touch"],
+        [("_conv", "sum", "n_converted"), ("_one", "sum", "n_sessions")],
+    ).sort_by("first_touch")
+    conv = out["n_converted"].to_numpy(zero_copy_only=False).astype(
+        np.float64
+    )
+    tot = out["n_sessions"].to_numpy(zero_copy_only=False).astype(np.float64)
+    return pa.table(
+        {
+            "first_touch": out["first_touch"],
+            "n_sessions": out["n_sessions"].cast(pa.int64()),
+            "conv_rate": round_like_sql(conv / tot, 6),
+        }
+    )
+
+
 def _q_mutual_information(sf_dir: str) -> pa.Table:
     """Mutual information (nats) between event type and ISO weekday:
     the information-theoretic dependence measure over the same
@@ -5433,6 +5545,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cramers_v": _q_cramers_v,
         "tukey_outliers": _q_tukey_outliers,
         "mutual_information": _q_mutual_information,
+        "lorenz_deciles": _q_lorenz_deciles,
+        "first_touch_attribution": _q_first_touch_attribution,
         "benford_deviation": _q_benford_deviation,
         "hhi_concentration": _q_hhi_concentration,
         "lagged_crosscorr": _q_lagged_crosscorr,
@@ -6268,6 +6382,27 @@ def oracle_sql() -> dict[str, str]:
             f"WHEN dnw = GREATEST(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 32 "
             f"WHEN dn = GREATEST(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 64 "
             f"ELSE 128 END AS BIGINT) AS d8 FROM d"
+        ),
+        "lorenz_deciles": (
+            "WITH r AS (SELECT o_custkey, "
+            "SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS rev "
+            "FROM orders GROUP BY o_custkey), "
+            "d AS (SELECT rev, NTILE(10) OVER "
+            "(ORDER BY rev, o_custkey) AS decile FROM r), "
+            "t AS (SELECT CAST(SUM(rev) AS DOUBLE) AS tot FROM d), "
+            "g AS (SELECT decile, SUM(rev) AS drev FROM d GROUP BY decile) "
+            "SELECT CAST(decile AS BIGINT) AS decile, "
+            "ROUND(CAST(SUM(drev) OVER (ORDER BY decile) AS DOUBLE) "
+            "/ t.tot, 6) AS cum_share FROM g, t ORDER BY decile"
+        ),
+        "first_touch_attribution": (
+            "WITH s AS (SELECT user_id, CAST(ts AS DATE) AS d, "
+            "FIRST(event_type ORDER BY ts, event_id) AS first_touch, "
+            "MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+            "AS conv FROM events GROUP BY user_id, CAST(ts AS DATE)) "
+            "SELECT first_touch, CAST(COUNT(*) AS BIGINT) AS n_sessions, "
+            "ROUND(CAST(SUM(conv) AS DOUBLE) / COUNT(*), 6) AS conv_rate "
+            "FROM s GROUP BY first_touch"
         ),
         "mutual_information": (
             "WITH c AS (SELECT event_type AS a, "
