@@ -319,6 +319,7 @@ EXTRA_QUERY_SUBSET = [
     "benford_deviation", "hhi_concentration", "word_components",
     "word_pagerank", "word_triangles", "conversion_lag",
     "interevent_median", "time_weighted_avg", "percent_rank_qty",
+    "mutual_information", "lorenz_deciles", "first_touch_attribution",
 ]
 
 
