@@ -2339,6 +2339,56 @@ def _q_user_streaks(sf_dir: str) -> pa.Table:
     return out.select(["user_id", "max_streak"])
 
 
+def _q_scd2_intervals(sf_dir: str) -> pa.Table:
+    """SCD2 history build: compress each user's ordered event-type
+    stream into change intervals (consecutive equal values merge;
+    valid_from = first ts of the run, valid_to = next run's start,
+    NULL for the open current row) -- the classic CDC/warehouse
+    history shape, one groupby shuffle + vectorized run-length."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    def runs(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        g = group.take(order)
+        et = np.asarray(g["event_type"].to_pylist())
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        start = np.flatnonzero(
+            np.concatenate(([True], et[1:] != et[:-1]))
+        )
+        valid_from = ts[start]
+        valid_to = np.append(valid_from[1:], -1)  # -1 = open row
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    [g["user_id"][0].as_py()] * len(start), pa.int64()
+                ),
+                "event_type": pa.array(et[start]),
+                "valid_from": pa.array(valid_from).cast(pa.timestamp("us")),
+                "valid_to": pa.array(
+                    [None if v < 0 else v for v in valid_to], pa.int64()
+                ).cast(pa.timestamp("us")),
+            }
+        )
+
+    t = collect_tables(
+        ds.groupby("user_id").map_groups(runs, batch_format="pyarrow")
+    )
+    return t.sort_by(
+        [("user_id", "ascending"), ("valid_from", "ascending")]
+    )
+
+
 def _q_lorenz_deciles(sf_dir: str) -> pa.Table:
     """Lorenz curve: cumulative revenue share by customer decile
     (NTILE(10) ordered by revenue, custkey tiebreak) -- the Gini's
@@ -5546,6 +5596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tukey_outliers": _q_tukey_outliers,
         "mutual_information": _q_mutual_information,
         "lorenz_deciles": _q_lorenz_deciles,
+        "scd2_intervals": _q_scd2_intervals,
         "first_touch_attribution": _q_first_touch_attribution,
         "benford_deviation": _q_benford_deviation,
         "hhi_concentration": _q_hhi_concentration,
@@ -6382,6 +6433,24 @@ def oracle_sql() -> dict[str, str]:
             f"WHEN dnw = GREATEST(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 32 "
             f"WHEN dn = GREATEST(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 64 "
             f"ELSE 128 END AS BIGINT) AS d8 FROM d"
+        ),
+        "scd2_intervals": (
+            # gaps-and-islands run compression: island id = cumulative
+            # count of change points, interval = island min ts, next
+            # island's start via LEAD over islands
+            "WITH s AS (SELECT user_id, ts, event_id, event_type, "
+            "CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM "
+            "event_type THEN 1 ELSE 0 END AS chg FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "i AS (SELECT *, SUM(chg) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS isl FROM s), "
+            "r AS (SELECT user_id, isl, "
+            "FIRST(event_type ORDER BY ts, event_id) AS event_type, "
+            "MIN(ts) AS valid_from FROM i GROUP BY user_id, isl) "
+            "SELECT user_id, event_type, valid_from, "
+            "LEAD(valid_from) OVER (PARTITION BY user_id "
+            "ORDER BY valid_from) AS valid_to "
+            "FROM r ORDER BY user_id, valid_from"
         ),
         "lorenz_deciles": (
             "WITH r AS (SELECT o_custkey, "
