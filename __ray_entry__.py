@@ -25,6 +25,11 @@ from typing import Any
 import numpy as np
 import pyarrow as pa
 
+from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
+    round_half_away,
+    scaled_int,
+)
+
 
 def _read_pq(path, **kwargs):
     """Size-aware read: block count derived from on-disk bytes so the
@@ -890,14 +895,11 @@ def _q_pivot_events(sf_dir: str) -> pa.Table:
     )
 
     def to_cents(batch: pa.Table) -> pa.Table:
-        v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
-        x = v * 100.0
-        c = np.where(x < 0, -np.floor(-x + 0.5), np.floor(x + 0.5))
         return pa.table(
             {
                 "user_id": batch["user_id"],
                 "event_type": batch["event_type"],
-                "cents": pa.array(c.astype(np.int64)),
+                "cents": pa.array(scaled_int(batch["value"], 100.0)),
             }
         )
 
@@ -928,14 +930,11 @@ def _q_rollup_pricing(sf_dir: str) -> pa.Table:
     )
 
     def to_cents(batch: pa.Table) -> pa.Table:
-        v = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
-        x = v.astype(np.float64) * 100.0
-        c = np.where(x < 0, -np.floor(-x + 0.5), np.floor(x + 0.5))
         return pa.table(
             {
                 "l_returnflag": batch["l_returnflag"],
                 "l_linestatus": batch["l_linestatus"],
-                "cents": pa.array(c.astype(np.int64)),
+                "cents": pa.array(scaled_int(batch["l_extendedprice"], 100.0)),
             }
         )
 
@@ -975,10 +974,11 @@ def _q_quantile_buckets(sf_dir: str) -> pa.Table:
     )
 
     def to_cents(batch: pa.Table) -> pa.Table:
-        x = batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
-        c = np.where(x < 0, -np.floor(-x + 0.5), np.floor(x + 0.5))
         return pa.table(
-            {"bucket": batch["bucket"], "cents": pa.array(c.astype(np.int64))}
+            {
+                "bucket": batch["bucket"],
+                "cents": pa.array(scaled_int(batch["l_extendedprice"], 100.0)),
+            }
         )
 
     out = hash_aggregate(
@@ -1108,15 +1108,11 @@ def _q_grouped_corr(sf_dir: str) -> pa.Table:
     )
 
     def to_ints(batch: pa.Table) -> pa.Table:
-        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
-        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
-        qi = np.where(q < 0, -np.floor(-q + 0.5), np.floor(q + 0.5))
-        pi = np.where(p < 0, -np.floor(-p + 0.5), np.floor(p + 0.5))
         return pa.table(
             {
                 "l_returnflag": batch["l_returnflag"],
-                "qty": pa.array(qi.astype(np.int64)),
-                "dollars": pa.array(pi.astype(np.int64)),
+                "qty": pa.array(scaled_int(batch["l_quantity"], 1.0)),
+                "dollars": pa.array(scaled_int(batch["l_extendedprice"], 1.0)),
             }
         )
 
@@ -2152,9 +2148,7 @@ def _q_corr_matrix(sf_dir: str) -> pa.Table:
 
     def quantize(batch: pa.Table) -> pa.Table:
         def ints(col, mult):
-            v = batch[col].to_numpy(zero_copy_only=False) * mult
-            r = np.where(v < 0, -np.floor(-v + 0.5), np.floor(v + 0.5))
-            return pa.array(r.astype(np.int64))
+            return pa.array(scaled_int(batch[col], mult))
 
         return pa.table(
             {

@@ -333,19 +333,21 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     res = qs[QUERY_SUBSET[0]](sf_dir)
     if hasattr(res, "materialize"):
         res.materialize()
-    out = {}
+    # Interleaved rounds (all queries once, then again): a transient
+    # host-load spike then degrades ONE round of each query instead of
+    # both repeats of whichever query it lands on -- min-of-rounds stays
+    # robust on a noisy shared host (the r02 driver bench pathology).
+    best: dict[str, float] = {name: float("inf") for name in QUERY_SUBSET}
     reps = int(os.environ.get("GRAFT_REPEATS", "2"))
-    for name in QUERY_SUBSET:
-        best = float("inf")
-        for _ in range(reps):
+    for _ in range(reps):
+        for name in QUERY_SUBSET:
             t0 = time.perf_counter()
             res = qs[name](sf_dir)
             # force materialization for Dataset results
             if hasattr(res, "materialize"):
                 res = res.materialize()
-            best = min(best, time.perf_counter() - t0)
-        out[name] = round(best, 4)
-    return out
+            best[name] = min(best[name], time.perf_counter() - t0)
+    return {name: round(t, 4) for name, t in best.items()}
 
 
 def run_reference_style(grid: int, out_dir: str) -> dict:

@@ -1,0 +1,376 @@
+"""GeoTIFF codec tests (sources/geotiff.py).
+
+The container has no independent TIFF decoder, so the reader is
+verified two ways: (1) against a minimal GeoTIFF assembled BYTE BY BYTE
+here with raw struct.pack -- independent of the writer, so reader and
+writer cannot share a spec misreading -- and (2) writer->reader
+round-trips across layouts, compressions, predictors and dtypes.
+Reference surface being reproduced: ``completePixleOutput.py:21-35``
+(band array, transform, crs, nodata).
+"""
+
+from __future__ import annotations
+
+import struct
+import sys
+import zlib
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from tiff_to_geojson_csv_json_format_converter_ray.sources.geotiff import (
+    GeoTIFFError,
+    parse_geotiff,
+    write_geotiff,
+)
+
+
+def _hand_built_tiff() -> tuple[bytes, np.ndarray]:
+    """3x2 float32 single-strip uncompressed GeoTIFF, little-endian,
+    assembled from the TIFF 6.0 + GeoTIFF 1.1 specs by hand."""
+    arr = np.array([[1.5, -2.0], [3.25, 4.0], [5.0, 6.5]], np.float32)
+    pixel_data = arr.astype("<f4").tobytes()  # 24 bytes
+
+    # Layout: header(8) | IFD | out-of-line data | pixel data
+    tags = []  # (tag, type, count, value_bytes)
+
+    def t(tag, ftype, count, raw):
+        tags.append((tag, ftype, count, raw))
+
+    t(256, 4, 1, struct.pack("<I", 2))  # ImageWidth = 2
+    t(257, 4, 1, struct.pack("<I", 3))  # ImageLength = 3
+    t(258, 3, 1, struct.pack("<H", 32))  # BitsPerSample
+    t(259, 3, 1, struct.pack("<H", 1))  # Compression = none
+    t(262, 3, 1, struct.pack("<H", 1))  # Photometric
+    t(273, 4, 1, None)  # StripOffsets (patched)
+    t(277, 3, 1, struct.pack("<H", 1))  # SamplesPerPixel
+    t(278, 4, 1, struct.pack("<I", 3))  # RowsPerStrip
+    t(279, 4, 1, struct.pack("<I", len(pixel_data)))  # StripByteCounts
+    t(339, 3, 1, struct.pack("<H", 3))  # SampleFormat = IEEE float
+    # ModelPixelScale (0.5, 0.25, 0) -> out of line (3 doubles)
+    scale = struct.pack("<3d", 0.5, 0.25, 0.0)
+    t(33550, 12, 3, scale)
+    # ModelTiepoint (0,0,0 -> 77.0, 29.0, 0)
+    tie = struct.pack("<6d", 0, 0, 0, 77.0, 29.0, 0.0)
+    t(33922, 12, 6, tie)
+    # GeoKeyDirectory: version 1.1.0, 2 keys: ModelType=1 (projected),
+    # ProjectedCSType=32643
+    gk = struct.pack("<12H", 1, 1, 0, 2, 1024, 0, 1, 1, 3072, 0, 1, 32643)
+    t(34735, 3, 12, gk)
+    # GDAL_NODATA "-9999\0"
+    nd = b"-9999\x00"
+    t(42113, 2, len(nd), nd)
+
+    tags.sort(key=lambda x: x[0])
+    n = len(tags)
+    ifd_size = 2 + n * 12 + 4
+    data_off = 8 + ifd_size
+    out = bytearray()
+    entries = bytearray()
+    # first pass: compute out-of-line layout
+    strip_off_pos = None
+    for tag, ftype, count, raw in tags:
+        ent = struct.pack("<HHI", tag, ftype, count)
+        if tag == 273:
+            strip_off_pos = None  # patched later; reserve inline
+            ent += struct.pack("<I", 0)
+        elif len(raw) <= 4:
+            ent += raw + b"\x00" * (4 - len(raw))
+        else:
+            ent += struct.pack("<I", data_off + len(out))
+            out += raw
+        entries += ent
+    pixel_off = data_off + len(out)
+    buf = bytearray(struct.pack("<2sHI", b"II", 42, 8))
+    buf += struct.pack("<H", n)
+    buf += entries
+    buf += struct.pack("<I", 0)
+    buf += out
+    buf += pixel_data
+    # patch StripOffsets inline value
+    for i, (tag, _, _, _) in enumerate(tags):
+        if tag == 273:
+            pos = 8 + 2 + i * 12 + 8
+            struct.pack_into("<I", buf, pos, pixel_off)
+    return bytes(buf), arr
+
+
+def test_hand_built_fixture_decodes():
+    data, arr = _hand_built_tiff()
+    g = parse_geotiff(data)
+    assert (g.width, g.height, g.count) == (2, 3, 1)
+    np.testing.assert_array_equal(g.read(1), arr)
+    assert g.transform == [0.5, 0.0, 77.0, 0.0, -0.25, 29.0]
+    assert g.crs == "EPSG:32643"
+    assert g.nodata == -9999.0
+    assert g.read(1).dtype == np.float32
+
+
+def test_hand_built_big_endian():
+    """Same content, MM byte order, assembled independently."""
+    arr = np.array([[1, 2, 3], [4, 5, 6]], ">u2")
+    pixel = arr.tobytes()
+    tags = [
+        (256, 4, 1, struct.pack(">I", 3)),
+        (257, 4, 1, struct.pack(">I", 2)),
+        (258, 3, 1, struct.pack(">H", 16)),
+        (259, 3, 1, struct.pack(">H", 1)),
+        (273, 4, 1, "PATCH"),
+        (278, 4, 1, struct.pack(">I", 2)),
+        (279, 4, 1, struct.pack(">I", len(pixel))),
+        (339, 3, 1, struct.pack(">H", 1)),
+    ]
+    n = len(tags)
+    entries = bytearray()
+    pixel_off = 8 + 2 + n * 12 + 4
+    for tag, ftype, count, raw in tags:
+        ent = struct.pack(">HHI", tag, ftype, count)
+        if raw == "PATCH":
+            ent += struct.pack(">I", pixel_off)
+        else:
+            ent += raw + b"\x00" * (4 - len(raw))
+        entries += ent
+    buf = struct.pack(">2sHI", b"MM", 42, 8) + struct.pack(">H", n)
+    buf += bytes(entries) + struct.pack(">I", 0) + pixel
+    g = parse_geotiff(buf)
+    np.testing.assert_array_equal(g.read(1), arr.astype("=u2"))
+    assert g.transform is None and g.crs is None and g.nodata is None
+
+
+@pytest.mark.parametrize("dtype", ["u1", "u2", "i2", "i4", "f4", "f8"])
+@pytest.mark.parametrize("compression", ["none", "deflate"])
+def test_roundtrip_strips(tmp_path, dtype, compression):
+    rng = np.random.default_rng(3)
+    if dtype.startswith("f"):
+        arr = rng.normal(0, 100, (37, 23)).astype(dtype)
+    else:
+        info = np.iinfo(np.dtype(dtype))
+        arr = rng.integers(info.min, info.max, (37, 23)).astype(dtype)
+    p = str(tmp_path / "t.tif")
+    write_geotiff(
+        p, arr, transform=[0.1, 0, 10.0, 0, -0.2, 55.0],
+        crs="EPSG:4326", nodata=0, compression=compression,
+        rows_per_strip=5,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.sources.geotiff import (
+        open_geotiff,
+    )
+
+    g = open_geotiff(p)
+    np.testing.assert_array_equal(g.read(1), arr)
+    assert g.transform == [0.1, 0.0, 10.0, 0.0, -0.2, 55.0]
+    assert g.crs == "EPSG:4326"
+    assert g.nodata == 0.0
+
+
+@pytest.mark.parametrize("predictor", [1, 2])
+def test_roundtrip_tiled_predictor_int(tmp_path, predictor):
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 4000, (70, 90)).astype(np.uint16)
+    p = str(tmp_path / "t.tif")
+    write_geotiff(
+        p, arr, tile=32, compression="deflate", predictor=predictor,
+        transform=[30.0, 0, 500000.0, 0, -30.0, 3200000.0],
+        crs="EPSG:32643", nodata=65535,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.sources.geotiff import (
+        open_geotiff,
+    )
+
+    g = open_geotiff(p)
+    np.testing.assert_array_equal(g.read(1), arr)
+    assert g.crs == "EPSG:32643"
+
+
+def test_roundtrip_float_predictor3(tmp_path):
+    rng = np.random.default_rng(6)
+    arr = rng.normal(500, 100, (41, 53)).astype(np.float32)
+    p = str(tmp_path / "t.tif")
+    write_geotiff(p, arr, compression="deflate", predictor=3,
+                  rows_per_strip=7)
+    from tiff_to_geojson_csv_json_format_converter_ray.sources.geotiff import (
+        open_geotiff,
+    )
+
+    np.testing.assert_array_equal(open_geotiff(p).read(1), arr)
+
+
+def test_lzw_and_packbits_decode():
+    """LZW/PackBits paths, fed by tiny independent encoders."""
+    from tiff_to_geojson_csv_json_format_converter_ray.sources.geotiff import (
+        _lzw_decode, _packbits_decode,
+    )
+
+    # PackBits: literal run + repeat run (spec examples)
+    assert _packbits_decode(bytes([2, 10, 20, 30, 257 - 3, 7])) == bytes(
+        [10, 20, 30, 7, 7, 7]
+    )
+
+    # LZW: encode with a minimal TIFF-LZW encoder written here
+    def lzw_encode(data: bytes) -> bytes:
+        CLEAR, EOI = 256, 257
+        table = {bytes([i]): i for i in range(256)}
+        next_code = 258
+        width = 9
+        out = bytearray()
+        acc = nbits = 0
+
+        def emit(code, w):
+            nonlocal acc, nbits
+            acc = (acc << w) | code
+            nbits += w
+            while nbits >= 8:
+                out.append((acc >> (nbits - 8)) & 0xFF)
+                nbits -= 8
+
+        emit(CLEAR, width)
+        prev = b""
+        for byte in data:
+            cur = prev + bytes([byte])
+            if cur in table:
+                prev = cur
+            else:
+                emit(table[prev], width)
+                table[cur] = next_code
+                next_code += 1
+                if next_code == (1 << width) - 1 and width < 12:
+                    width += 1
+                prev = bytes([byte])
+        if prev:
+            emit(table[prev], width)
+        emit(EOI, width)
+        if nbits:
+            out.append((acc << (8 - nbits)) & 0xFF)
+        return bytes(out)
+
+    rng = np.random.default_rng(9)
+    for payload in (
+        b"TOBEORNOTTOBEORTOBEORNOT" * 20,
+        rng.integers(0, 8, 5000).astype(np.uint8).tobytes(),
+        bytes(range(256)) * 10,
+    ):
+        assert _lzw_decode(lzw_encode(payload)) == payload
+
+
+def test_bigtiff_reader(tmp_path):
+    """Hand-assembled BigTIFF (magic 43, 8-byte offsets)."""
+    arr = np.arange(12, dtype="<i4").reshape(3, 4)
+    pixel = arr.tobytes()
+    tags = [
+        (256, 4, 1, struct.pack("<I", 4)),
+        (257, 4, 1, struct.pack("<I", 3)),
+        (258, 3, 1, struct.pack("<H", 32)),
+        (259, 3, 1, struct.pack("<H", 1)),
+        (273, 16, 1, "PATCH"),
+        (278, 4, 1, struct.pack("<I", 3)),
+        (279, 16, 1, struct.pack("<Q", len(pixel))),
+        (339, 3, 1, struct.pack("<H", 2)),
+    ]
+    n = len(tags)
+    pixel_off = 16 + 8 + n * 20 + 8
+    entries = bytearray()
+    for tag, ftype, count, raw in tags:
+        ent = struct.pack("<HHQ", tag, ftype, count)
+        if raw == "PATCH":
+            ent += struct.pack("<Q", pixel_off)
+        else:
+            ent += raw + b"\x00" * (8 - len(raw))
+        entries += ent
+    buf = struct.pack("<2sHHHQ", b"II", 43, 8, 0, 16)
+    buf += struct.pack("<Q", n) + bytes(entries) + struct.pack("<Q", 0)
+    buf += pixel
+    g = parse_geotiff(buf)
+    np.testing.assert_array_equal(g.read(1), arr.astype("=i4"))
+
+
+def test_multiband_chunky_and_planar(tmp_path):
+    """Hand-assembled 3-band chunky and planar variants."""
+    h, w, spp = 4, 5, 3
+    bands = [
+        (np.arange(h * w, dtype="<u1") + 10 * s).reshape(h, w)
+        for s in range(spp)
+    ]
+
+    def assemble(planar: int) -> bytes:
+        if planar == 1:
+            pix = np.stack(bands, axis=-1).astype("<u1").tobytes()
+            strips = [pix]
+        else:
+            strips = [b.astype("<u1").tobytes() for b in bands]
+        tags = [
+            (256, 4, 1, struct.pack("<I", w)),
+            (257, 4, 1, struct.pack("<I", h)),
+            (258, 3, spp, "BPS"),
+            (259, 3, 1, struct.pack("<H", 1)),
+            (273, 4, len(strips), "OFFS"),
+            (277, 3, 1, struct.pack("<H", spp)),
+            (278, 4, 1, struct.pack("<I", h)),
+            (279, 4, len(strips), "CNTS"),
+            (284, 3, 1, struct.pack("<H", planar)),
+        ]
+        n = len(tags)
+        data_off = 8 + 2 + n * 12 + 4
+        out = bytearray()
+        entries = bytearray()
+        patches = []
+        for tag, ftype, count, raw in tags:
+            ent = struct.pack("<HHI", tag, ftype, count)
+            if raw == "BPS":
+                raw = struct.pack("<3H", 8, 8, 8)
+                ent += struct.pack("<I", data_off + len(out))
+                out += raw
+            elif raw == "OFFS":
+                if len(strips) == 1:
+                    patches.append(("offs_inline", len(entries) + 8))
+                    ent += struct.pack("<I", 0)
+                else:
+                    patches.append(("offs_out", data_off + len(out)))
+                    ent += struct.pack("<I", data_off + len(out))
+                    out += b"\x00" * (4 * len(strips))
+            elif raw == "CNTS":
+                raw2 = struct.pack(
+                    "<" + "I" * len(strips), *[len(s) for s in strips]
+                )
+                if len(raw2) <= 4:
+                    ent += raw2 + b"\x00" * (4 - len(raw2))
+                else:
+                    ent += struct.pack("<I", data_off + len(out))
+                    out += raw2
+            else:
+                ent += raw + b"\x00" * (4 - len(raw))
+            entries += ent
+        strip0 = data_off + len(out)
+        buf = bytearray(struct.pack("<2sHI", b"II", 42, 8))
+        buf += struct.pack("<H", n) + entries + struct.pack("<I", 0) + out
+        offs = []
+        pos = strip0
+        for s in strips:
+            offs.append(pos)
+            buf += s
+            pos += len(s)
+        for kind, at in patches:
+            if kind == "offs_inline":
+                struct.pack_into("<I", buf, 8 + 2 + at, offs[0])
+            else:
+                struct.pack_into("<" + "I" * len(offs), buf, at, *offs)
+        return bytes(buf)
+
+    for planar in (1, 2):
+        g = parse_geotiff(assemble(planar))
+        assert g.count == 3
+        for s in range(spp):
+            np.testing.assert_array_equal(
+                g.read(s + 1), bands[s], err_msg=f"planar={planar} band={s}"
+            )
+
+
+def test_unsupported_raises():
+    with pytest.raises(GeoTIFFError):
+        parse_geotiff(b"PK\x03\x04 not a tiff at all")
+    data, _ = _hand_built_tiff()
+    bad = bytearray(data)
+    # corrupt compression tag value to JPEG (7): entries are sorted, find 259
+    g = parse_geotiff(bytes(bad))  # sanity: still parses before corruption
+    assert g.width == 2

@@ -1264,10 +1264,9 @@ class TestCubeRollingHaversine:
         ).to_pandas().set_index("event_id")["roll_cents"]
 
         df = t.to_pandas()
-        cents = np.where(
-            df.value < 0, -np.floor(-df.value * 100 + 0.5),
-            np.floor(df.value * 100 + 0.5),
-        ).astype(np.int64)
+        from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import scaled_int
+
+        cents = scaled_int(df.value.to_numpy(), 100.0)
         tsi = df.ts.astype("int64").to_numpy()
         for i in range(n):
             mask = (

@@ -33,8 +33,59 @@ from ..stages.transform import ValidityFilter
 TILE_META_COLS = ["tile_id", "src", "band", "row_off", "col_off", "height", "width"]
 
 
+def _tif_paths(path: str) -> list[str]:
+    """All GeoTIFF files under ``path`` (file, or dir globbed with the
+    reference's four extension spellings, completePixleOutput.py:175)."""
+    p = Path(path)
+    if p.is_file():
+        return [str(p)] if p.suffix.lower() in (".tif", ".tiff") else []
+    if p.is_dir():
+        return sorted(
+            str(f)
+            for pat in ("*.tif", "*.tiff", "*.TIF", "*.TIFF")
+            for f in p.glob(pat)
+        )
+    return []
+
+
+def read_geotiff_tiles(
+    paths: list[str] | str,
+    band: int | None = 1,
+    tile: int = 256,
+) -> ray.data.Dataset:
+    """GeoTIFF source (S1): real ``.tif`` bytes -> TILE_SCHEMA rows via
+    the from-scratch codec (sources/geotiff.py), replacing the
+    reference's ``rasterio.open`` (completePixleOutput.py:21-35).
+
+    One file per read task (``read_binary_files``) -- TIFF IFDs point
+    anywhere in the file, so whole-file bytes are the natural unit; the
+    emitted tile rows then stream through the same pivot stages as
+    parquet tiles.  At 100 TB the per-file decode parallelizes across
+    the cluster; oversized single files should be pre-split upstream."""
+    from ..sources.geotiff import geotiff_to_tiles
+
+    if isinstance(paths, str):
+        paths = _tif_paths(paths) or [paths]
+
+    def decode(batch: pa.Table) -> pa.Table:
+        out = []
+        for i in range(batch.num_rows):
+            src = Path(batch["path"][i].as_py()).stem
+            data = batch["bytes"][i].as_py()
+            out.append(geotiff_to_tiles(data, src, tile=tile, band=band))
+        return pa.concat_tables(out)
+
+    ds = ray.data.read_binary_files(paths, include_paths=True)
+    return ds.map_batches(decode, batch_format="pyarrow", batch_size=None)
+
+
 def read_tiles(path: str, band: int | None = 1) -> ray.data.Dataset:
-    """Tile source (S1/S2): parquet of tile rows; band pruned at read."""
+    """Tile source (S1/S2): parquet tile rows, or a directory / file of
+    real GeoTIFFs (decoded by sources/geotiff.py); band pruned at
+    read."""
+    tifs = _tif_paths(path)
+    if tifs:
+        return read_geotiff_tiles(tifs, band=band)
     if band is None:
         return ray.data.read_parquet(path)
     import pyarrow.dataset  # noqa: F401  (expression pushdown)
@@ -43,8 +94,38 @@ def read_tiles(path: str, band: int | None = 1) -> ray.data.Dataset:
     return ray.data.read_parquet(path, filter=(pc.field("band") == band))
 
 
-def tiles_metadata(path: str) -> pa.Table:
-    """Driver-side tiny read of tile geometry columns only (pruned)."""
+def tiles_metadata(path: str, tile: int = 256, band: int = 1) -> pa.Table:
+    """Driver-side tiny read of tile geometry columns only (pruned).
+    For GeoTIFF inputs this is a header-only mmap scan (a few KB per
+    file, no pixel decode) over the same tile-window grid that
+    :func:`read_geotiff_tiles` emits."""
+    tifs = _tif_paths(path)
+    if tifs:
+        from ..sources.geotiff import open_geotiff_info
+
+        ids, srcs, ro, co, hh, ww = [], [], [], [], [], []
+        for f in tifs:
+            info = open_geotiff_info(f)
+            src = Path(f).stem
+            for r0 in range(0, info.height, tile):
+                for c0 in range(0, info.width, tile):
+                    ids.append(f"{src}_b{band}_{r0}_{c0}")
+                    srcs.append(src)
+                    ro.append(r0)
+                    co.append(c0)
+                    hh.append(min(tile, info.height - r0))
+                    ww.append(min(tile, info.width - c0))
+        return pa.table(
+            {
+                "tile_id": ids,
+                "src": srcs,
+                "band": pa.array([band] * len(ids), pa.int32()),
+                "row_off": pa.array(ro, pa.int32()),
+                "col_off": pa.array(co, pa.int32()),
+                "height": pa.array(hh, pa.int32()),
+                "width": pa.array(ww, pa.int32()),
+            }
+        )
     import pyarrow.parquet as pq
 
     return pq.read_table(path, columns=TILE_META_COLS)

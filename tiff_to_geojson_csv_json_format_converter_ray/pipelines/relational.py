@@ -19,22 +19,14 @@ _PARTIAL_OP = {"sum": "sum", "count": "count", "min": "min", "max": "max"}
 _COMBINE_OP = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
 
-def round_like_sql(values, ndigits: int) -> pa.Array:
-    """Round-half-away-from-zero computed exactly like DuckDB's ROUND
-    (floor(|x| * 10^d + 0.5) / 10^d, sign restored) so rounded floats
-    are BIT-identical between the engine and its SQL oracles --
-    pyarrow's pc.round (half-to-even, different arithmetic) differs in
-    the last ulp."""
-    if isinstance(values, (pa.Array, pa.ChunkedArray)):
-        x = values.to_numpy(zero_copy_only=False).astype(np.float64)
-    else:
-        x = np.asarray(values, dtype=np.float64)
-    m = 10.0 ** ndigits
-    out = np.where(
-        x < 0, -np.floor(-x * m + 0.5) / m, np.floor(x * m + 0.5) / m
-    )
-    out = np.where(np.isnan(x), np.nan, out)
-    return pa.array(out)
+# Canonical DuckDB-ROUND kernel (re-exported for the many existing
+# importers): see functions/rounding.py for the exact-tie semantics and
+# the pivot_events post-mortem.
+from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (  # noqa: E402,F401
+    round_half_away,
+    round_like_sql,
+    scaled_int,
+)
 
 
 def collect_tables(ds: ray.data.Dataset) -> pa.Table | None:

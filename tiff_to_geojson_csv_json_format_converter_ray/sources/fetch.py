@@ -154,12 +154,23 @@ class WCSFetcher:
         return self._decode(body)
 
     def _decode(self, body) -> pa.Table:
-        # tests inject fakes whose "body" already IS a tile table;
-        # real GeoTIFF decoding needs rasterio (absent here -- same
-        # honest stub policy as stages/multimodal.py)
+        # tests may inject fakes whose "body" already IS a tile table;
+        # real GeoTIFF bytes go through the from-scratch codec
+        # (sources/geotiff.py) -- the round-2 "no codec" stub is gone.
         if isinstance(body, pa.Table):
             return body
-        raise FetchError(f"{self.name}: cannot decode GeoTIFF (no codec)")
+        if isinstance(body, (bytes, bytearray, memoryview)):
+            from .geotiff import GeoTIFFError, geotiff_to_tiles
+
+            try:
+                return geotiff_to_tiles(
+                    bytes(body), src=self.name, band=None
+                )
+            except GeoTIFFError as e:
+                raise FetchError(f"{self.name}: bad GeoTIFF body: {e}")
+        raise FetchError(
+            f"{self.name}: cannot decode body of type {type(body).__name__}"
+        )
 
 
 class WMSFetcher(WCSFetcher):

@@ -76,6 +76,39 @@ def auto_num_blocks(disk_bytes: int, expansion: float = 4.0) -> int | None:
     return max(size_blocks, min(cpus, 4 * size_blocks))
 
 
+def _stripped_schema(path, columns):
+    """Footer schema with key-value metadata removed (projected to
+    ``columns`` when given).
+
+    pandas-written parquet carries a ``pandas`` metadata blob that makes
+    ``hash(pa.Schema)`` raise ``unhashable type: 'dict'`` on pyarrow 16;
+    Ray Data hashes block schemas to dedup them in ``unify_schemas``,
+    so every such block logs a warning and skips the fast path.  Reading
+    with an explicit metadata-free schema keeps block schemas hashable
+    (and identical across files).  Returns None when the footer can't be
+    read locally (object stores) -- Ray's own inference applies then."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = path[0] if isinstance(path, (list, tuple)) else path
+    try:
+        pp = Path(p)
+        if pp.is_dir():
+            pp = next(pp.rglob("*.parquet"))
+        schema = pq.read_schema(pp)
+    except Exception:
+        return None
+    if schema.metadata is None and columns is None:
+        return None  # nothing to strip
+    schema = schema.remove_metadata()
+    if columns is not None:
+        try:
+            schema = pa.schema([schema.field(c) for c in columns])
+        except KeyError:
+            return None  # partition columns etc.: let Ray infer
+    return schema
+
+
 def read_parquet_auto(
     path,
     *,
@@ -83,12 +116,17 @@ def read_parquet_auto(
     expansion: float = 4.0,
     **kwargs,
 ) -> ray.data.Dataset:
-    """``ray.data.read_parquet`` with a size-derived block count.
+    """``ray.data.read_parquet`` with a size-derived block count and a
+    metadata-free read schema (see :func:`_stripped_schema`).
 
-    Any explicit ``override_num_blocks`` in ``kwargs`` wins; non-local
-    paths (s3:// etc.) keep Ray's default planning."""
+    Any explicit ``override_num_blocks`` / ``schema`` in ``kwargs``
+    wins; non-local paths (s3:// etc.) keep Ray's default planning."""
     if "override_num_blocks" not in kwargs:
         nb = auto_num_blocks(_disk_bytes(path), expansion)
         if nb is not None:
             kwargs["override_num_blocks"] = nb
+    if "schema" not in kwargs:
+        schema = _stripped_schema(path, columns)
+        if schema is not None:
+            kwargs["schema"] = schema
     return ray.data.read_parquet(path, columns=columns, **kwargs)

@@ -13,6 +13,8 @@ reuses as-is.
 from __future__ import annotations
 
 import numpy as np
+
+from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import scaled_int
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -242,15 +244,13 @@ def keyed_window_functions(
     PARTITION BY)."""
 
     def to_cents(batch: pa.Table) -> pa.Table:
-        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        x = v * 100.0
-        c = np.where(x < 0, -np.floor(-x + 0.5), np.floor(x + 0.5))
+        c = scaled_int(batch[value_col], 100.0)
         return pa.table(
             {
                 key_col: batch[key_col],
                 id_col: batch[id_col],
                 ts_col: batch[ts_col],
-                "cents": pa.array(c.astype(np.int64)),
+                "cents": pa.array(c),
             }
         )
 
@@ -341,14 +341,13 @@ def rolling_interval_sum(
     sort + cumsum + two ``searchsorted`` calls -- no Python loop."""
 
     def to_cents(batch: pa.Table) -> pa.Table:
-        v = batch[value_col].to_numpy(zero_copy_only=False)
-        c = np.where(v < 0, -np.floor(-v * 100 + 0.5), np.floor(v * 100 + 0.5))
+        c = scaled_int(batch[value_col], 100.0)
         return pa.table(
             {
                 key_col: batch[key_col],
                 id_col: batch[id_col],
                 ts_col: batch[ts_col],
-                "cents": pa.array(c.astype(np.int64)),
+                "cents": pa.array(c),
             }
         )
 
@@ -392,14 +391,13 @@ def locf_resample(
     the key's observed span."""
 
     def to_cents(batch: pa.Table) -> pa.Table:
-        v = batch[value_col].to_numpy(zero_copy_only=False)
-        c = np.where(v < 0, -np.floor(-v * 100 + 0.5), np.floor(v * 100 + 0.5))
+        c = scaled_int(batch[value_col], 100.0)
         return pa.table(
             {
                 key_col: batch[key_col],
                 id_col: batch[id_col],
                 ts_col: batch[ts_col],
-                "cents": pa.array(c.astype(np.int64)),
+                "cents": pa.array(c),
             }
         )
 
