@@ -374,3 +374,121 @@ def test_unsupported_raises():
     # corrupt compression tag value to JPEG (7): entries are sorted, find 259
     g = parse_geotiff(bytes(bad))  # sanity: still parses before corruption
     assert g.width == 2
+
+
+class TestGeoTIFFPipeline:
+    """Real-.tif inputs through the converter pipeline: the engine path
+    the reference user actually runs (point at a directory of TIFFs).
+    The parquet-tiles comparison table is built directly from the numpy
+    array (NOT via geotiff_to_tiles), so agreement proves the codec
+    path end-to-end."""
+
+    @pytest.fixture(scope="class")
+    def raster(self):
+        rng = np.random.default_rng(11)
+        arr = (100 + 50 * rng.random((96, 128))).astype(np.float32)
+        arr[rng.random((96, 128)) < 0.1] = np.float32(-3.4028235e38)
+        return arr
+
+    def _parquet_tiles(self, arr, path, tile=64):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from tiff_to_geojson_csv_json_format_converter_ray.schema import (
+            NODATA_F32, TILE_SCHEMA,
+        )
+
+        rows = {k: [] for k in (
+            "tile_id", "src", "band", "row_off", "col_off", "height",
+            "width", "transform", "crs", "nodata", "values")}
+        tr = [0.02, 0.0, 77.0, 0.0, -0.02, 29.0]
+        for r0 in range(0, arr.shape[0], tile):
+            for c0 in range(0, arr.shape[1], tile):
+                sub = arr[r0:r0 + tile, c0:c0 + tile]
+                rows["tile_id"].append(f"dem_b1_{r0}_{c0}")
+                rows["src"].append("dem")
+                rows["band"].append(1)
+                rows["row_off"].append(r0)
+                rows["col_off"].append(c0)
+                rows["height"].append(sub.shape[0])
+                rows["width"].append(sub.shape[1])
+                rows["transform"].append(tr)
+                rows["crs"].append("EPSG:4326")
+                rows["nodata"].append(float(NODATA_F32))
+                rows["values"].append(sub.ravel().tolist())
+        t = pa.table(
+            {
+                "tile_id": rows["tile_id"], "src": rows["src"],
+                "band": pa.array(rows["band"], pa.int32()),
+                "row_off": pa.array(rows["row_off"], pa.int32()),
+                "col_off": pa.array(rows["col_off"], pa.int32()),
+                "height": pa.array(rows["height"], pa.int32()),
+                "width": pa.array(rows["width"], pa.int32()),
+                "transform": pa.array(rows["transform"], pa.list_(pa.float64(), 6)),
+                "crs": rows["crs"],
+                "nodata": pa.array(rows["nodata"], pa.float64()),
+                "values": pa.array(rows["values"], pa.list_(pa.float32())),
+            },
+            schema=TILE_SCHEMA,
+        )
+        pq.write_table(t, path)
+
+    def test_tif_dir_matches_parquet_tiles(self, ray_session, tmp_path, raster):
+        import pandas as pd
+
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.convert import (
+            extract_points, read_tiles, tiles_metadata,
+        )
+        from tiff_to_geojson_csv_json_format_converter_ray.schema import NODATA_F32
+
+        tif_dir = tmp_path / "tifs"
+        tif_dir.mkdir()
+        write_geotiff(
+            str(tif_dir / "dem.tif"), raster,
+            transform=[0.02, 0.0, 77.0, 0.0, -0.02, 29.0],
+            crs="EPSG:4326", nodata=float(NODATA_F32),
+            tile=64, compression="deflate",
+        )
+        pq_path = str(tmp_path / "tiles.parquet")
+        self._parquet_tiles(raster, pq_path, tile=64)
+
+        outs = []
+        for path, kw in ((str(tif_dir), {"tile": 64}), (pq_path, {})):
+            meta = tiles_metadata(path, **kw)
+            pts = extract_points(read_tiles(path), meta, mode="valid")
+            df = (
+                pts.to_pandas()
+                .sort_values(["pix"])
+                .reset_index(drop=True)
+            )
+            outs.append(df)
+        pd.testing.assert_frame_equal(
+            outs[0][["lon", "lat", "z", "band", "pix"]],
+            outs[1][["lon", "lat", "z", "band", "pix"]],
+        )
+        assert len(outs[0]) > 0.8 * raster.size  # ~10% nodata filtered
+
+    def test_wcs_decode_real_geotiff_bytes(self, tmp_path, raster):
+        from tiff_to_geojson_csv_json_format_converter_ray.sources.fetch import (
+            WCSFetcher,
+        )
+
+        p = str(tmp_path / "cov.tif")
+        write_geotiff(
+            p, raster, transform=[0.02, 0.0, 77.0, 0.0, -0.02, 29.0],
+            crs="EPSG:4326", nodata=-9999.0, compression="deflate",
+        )
+        body = open(p, "rb").read()
+        f = WCSFetcher(
+            "http://example.invalid/geoserver",
+            http_get=lambda url: (200, "image/geotiff", body),
+        )
+        t = f.fetch("dem_layer", (77.0, 27.0, 79.0, 29.0))
+        assert t.num_rows > 0
+        assert set(t.column_names) >= {"tile_id", "values", "transform", "crs"}
+        got = np.concatenate([
+            np.asarray(v, np.float32) for v in t["values"].to_pylist()
+        ])
+        assert got.size == raster.size
+        assert t["nodata"][0].as_py() == -9999.0
+        assert t["crs"][0].as_py() == "EPSG:4326"
