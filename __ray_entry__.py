@@ -5651,6 +5651,108 @@ def _bilinear_oracle_sql(grid: str) -> str:
     )
 
 
+def _s2_cells_oracle_sql() -> str:
+    """Mirror of _q_s2_cells via the frozen-geometry trick: the geocode
+    lon/lat depend only on ``event_id % 9216`` (a 96x96 lattice), so the
+    Hilbert-walk S2 assignment -- not SQL-expressible directly -- is
+    precomputed driver-side for all 9216 lattice positions and shipped
+    as a VALUES mapping.  Data-independent: the table encodes geometry,
+    not the events sample."""
+    from tiff_to_geojson_csv_json_format_converter_ray.functions.s2 import (
+        s2_cell_of,
+    )
+
+    gp = np.arange(9216)
+    lon = 77.0 + (gp % 96).astype(np.float64) * 0.01
+    lat = 28.05 + ((gp // 96) % 96).astype(np.float64) * 0.01
+    cells = s2_cell_of(lon, lat, 9)
+    vals = ", ".join(
+        f"({int(g)},{int(c)})" for g, c in zip(gp, cells)
+    )
+    return (
+        f"WITH m(gp, s2_9) AS (VALUES {vals}) "
+        "SELECT m.s2_9, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM events e JOIN m ON (e.event_id % 9216) = m.gp GROUP BY 1"
+    )
+
+
+def _track_simplify_oracle_sql(tol: float = 0.02) -> str:
+    """Mirror of _q_track_simplify: Douglas-Peucker as a recursive CTE.
+
+    DP's keep-set is independent of split-processing order, so the
+    recursion is a segment work-list: each pending (a, b) finds its
+    max-perpendicular-distance interior point (same |cross|/sqrt(seg2)
+    formula as functions/geometry.py::simplify_dp, ROW_NUMBER tiebreak =
+    np.argmax first-index) and splits while dmax > tol.  Kept vertices =
+    all segment endpoints of the recursion's closure.
+
+    DuckDB 1.0 quirk: inside a WITH RECURSIVE list, a plain ``UNION``
+    between two SELECTs dedups per-branch only -- the kept CTE needs the
+    explicit outer DISTINCT over UNION ALL."""
+    return (
+        "WITH RECURSIVE g AS ("
+        "  SELECT user_id, ts, event_id,"
+        "         77.0 + CAST(event_id % 96 AS DOUBLE) * 0.01 AS lon,"
+        "         28.05 + CAST((event_id // 96) % 96 AS DOUBLE) * 0.01 AS lat"
+        "  FROM events),"
+        " p AS ("
+        "  SELECT user_id,"
+        "         ROW_NUMBER() OVER (PARTITION BY user_id"
+        "                            ORDER BY ts, event_id) - 1 AS i,"
+        "         lon, lat FROM g),"
+        " ext AS (SELECT user_id, MAX(i) AS last, COUNT(*) AS n"
+        "         FROM p GROUP BY user_id),"
+        " seg(user_id, a, b) AS ("
+        "  SELECT user_id, 0, last FROM ext"
+        "  UNION ALL"
+        "  SELECT v.user_id, v.na, v.nb FROM ("
+        "    SELECT u.user_id, u.a, u.b, u.m, u.d,"
+        "           ROW_NUMBER() OVER (PARTITION BY u.user_id, u.a, u.b"
+        "                              ORDER BY u.d DESC, u.m ASC) AS rn"
+        "    FROM ("
+        "      SELECT seg.user_id, seg.a, seg.b, q.i AS m,"
+        "             CASE WHEN (pb.lon - pa.lon)*(pb.lon - pa.lon)"
+        "                       + (pb.lat - pa.lat)*(pb.lat - pa.lat) = 0.0"
+        "                  THEN SQRT((q.lon - pa.lon)*(q.lon - pa.lon)"
+        "                            + (q.lat - pa.lat)*(q.lat - pa.lat))"
+        "                  ELSE ABS((q.lon - pa.lon)*(pb.lat - pa.lat)"
+        "                           - (q.lat - pa.lat)*(pb.lon - pa.lon))"
+        "                       / SQRT((pb.lon - pa.lon)*(pb.lon - pa.lon)"
+        "                              + (pb.lat - pa.lat)*(pb.lat - pa.lat))"
+        "             END AS d"
+        "      FROM seg"
+        "      JOIN p pa ON pa.user_id = seg.user_id AND pa.i = seg.a"
+        "      JOIN p pb ON pb.user_id = seg.user_id AND pb.i = seg.b"
+        "      JOIN p q  ON q.user_id = seg.user_id"
+        "                AND q.i > seg.a AND q.i < seg.b"
+        "    ) u"
+        "  ) t, LATERAL (VALUES (t.user_id, t.a, t.m),"
+        "                       (t.user_id, t.m, t.b)) v(user_id, na, nb)"
+        f"  WHERE t.rn = 1 AND t.d > {tol!r}"
+        " ),"
+        " kept AS ("
+        "  SELECT DISTINCT user_id, i FROM ("
+        "    SELECT user_id, a AS i FROM seg"
+        "    UNION ALL SELECT user_id, b AS i FROM seg)),"
+        " o AS ("
+        "  SELECT k.user_id, p.i, p.lon, p.lat,"
+        "         LAG(p.lon) OVER w AS plon, LAG(p.lat) OVER w AS plat"
+        "  FROM kept k JOIN p ON p.user_id = k.user_id AND p.i = k.i"
+        "  WINDOW w AS (PARTITION BY k.user_id ORDER BY p.i)),"
+        " res AS ("
+        "  SELECT user_id,"
+        "         COALESCE(SUM(SQRT((lon - plon)*(lon - plon)"
+        "                           + (lat - plat)*(lat - plat))), 0.0)"
+        "           AS len,"
+        "         COUNT(*) AS n_kept"
+        "  FROM o GROUP BY user_id)"
+        " SELECT r.user_id, CAST(e.n AS BIGINT) AS n_raw,"
+        "        CAST(r.n_kept AS BIGINT) AS n_kept,"
+        "        ROUND(r.len, 6) AS simplified_len"
+        " FROM res r JOIN ext e ON e.user_id = r.user_id"
+    )
+
+
 def _pagerank_sql(iters: int = 10) -> str:
     """Unrolled fixed-iteration PageRank mirror of _q_word_pagerank
     (recursive CTEs cannot aggregate over their own reference, so the
@@ -5801,6 +5903,8 @@ def oracle_sql() -> dict[str, str]:
             f"FROM ({valid}) GROUP BY 1"
         ),
         "bilinear_sample": _bilinear_oracle_sql(grid),
+        "s2_cells": _s2_cells_oracle_sql(),
+        "track_simplify": _track_simplify_oracle_sql(),
         "focal_counts": (
             # 3x3 focal mean over per-cell counts; ix/iy arithmetic
             # mirrors functions/cells.py (res 8: s=360/2^16)
