@@ -58,6 +58,42 @@ class TestExactDedup:
         out = exact_dedup(ds, "text", "doc_id").to_pandas()
         assert sorted(out["doc_id"]) == [1, 3, 4, 5, 6]  # doc 2 removed
 
+    def test_exact_dedup_tiers_agree_and_auto_routes(
+        self, ray_session, monkeypatch
+    ):
+        """Above max_broadcast_keys the auto tier must take the shuffle
+        path -- no driver-held winner array (the round-2 scale audit:
+        a corpus-sized broadcast at 10^12 mostly-unique rows)."""
+        from tiff_to_geojson_csv_json_format_converter_ray.stages import dedup
+
+        ds = _docs_ds(NEAR_DUP_CORPUS)
+        shuf = dedup.exact_dedup(ds, "text", "doc_id", tier="shuffle").to_pandas()
+        assert sorted(shuf["doc_id"]) == [1, 3, 4, 5, 6]
+        assert "content_hash" not in shuf.columns  # input schema preserved
+
+        # force the cardinality estimate over the threshold: the
+        # broadcast path (exact_dedup_representatives) must NOT run
+        def boom(*a, **k):
+            raise AssertionError("broadcast tier used above threshold")
+
+        monkeypatch.setattr(dedup, "exact_dedup_representatives", boom)
+        routed = dedup.exact_dedup(
+            ds, "text", "doc_id", tier="auto", max_broadcast_keys=1
+        ).to_pandas()
+        assert sorted(routed["doc_id"]) == [1, 3, 4, 5, 6]
+
+    def test_estimate_distinct_keys(self, ray_session):
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.dedup import (
+            estimate_distinct_keys,
+        )
+        import pyarrow as pa
+        import ray.data
+
+        n = 5000
+        t = pa.table({"k": [f"key_{i % 1000}" for i in range(n)]})
+        est = estimate_distinct_keys(ray.data.from_arrow(t).repartition(7), "k")
+        assert 900 <= est <= 1100  # HLL p=12: ~1.6% rel. error
+
 
 class TestShuffledVariants:
     """High-cardinality shuffle-tier alternatives to the combiner paths."""
@@ -312,6 +348,49 @@ class TestEmbeddingNearDup:
         ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
         out = embedding_neardup(ds, threshold=0.99)
         assert out.num_rows == 0
+
+    def test_matches_brute_force_exactly(self, ray_session):
+        """The int16 screen + exact re-verify must reproduce the exact
+        all-pairs answer bit-for-bit, including pairs sitting just
+        above/below threshold that straddle one hyperplane (the
+        flip-group path)."""
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.dedup import (
+            embedding_neardup,
+        )
+
+        rng = np.random.RandomState(7)
+        base = rng.normal(size=(60, 32))
+        rows = [
+            {"vec_id": i, "embedding": v.tolist()} for i, v in enumerate(base)
+        ]
+        # a ladder of perturbation scales so cosines cluster around the
+        # threshold from both sides
+        for j, eps in enumerate((0.02, 0.05, 0.08, 0.12, 0.2, 0.3, 0.45)):
+            pert = base[j] + eps * rng.normal(size=32)
+            rows.append({"vec_id": 1000 + j, "embedding": pert.tolist()})
+        t = pa.Table.from_pylist(rows)
+        thr = 0.97
+        out = embedding_neardup(
+            ray.data.from_arrow(t).repartition(5), threshold=thr,
+            n_planes=8,
+        ).to_pandas()
+
+        # brute force with the identical unit/einsum arithmetic
+        m = np.array([r["embedding"] for r in rows], np.float64)
+        u = m / np.linalg.norm(m, axis=1, keepdims=True)
+        ids = np.array([r["vec_id"] for r in rows])
+        cos = u @ u.T
+        want = set()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if cos[i, j] >= thr:
+                    want.add((min(ids[i], ids[j]), max(ids[i], ids[j])))
+        got = set(map(tuple, out[["a", "b"]].to_numpy()))
+        # LSH recall: every pair differing in <=1 plane bit must be
+        # found; with 8 planes / 32 dims and cosine >=0.97 the sign
+        # patterns differ in at most 1 bit here -- assert full recall
+        assert got == want and len(want) >= 3
 
 
 class TestANN:
