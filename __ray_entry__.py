@@ -795,60 +795,22 @@ def _q_track_lengths(sf_dir: str) -> pa.Table:
     event_id) within each user, planar distance summed over
     consecutive fixes -- an ordered per-key spatial window, routed
     through the groupby shuffle + map_groups tier (co-location is
-    required for the ordering)."""
-    import ray.data
+    required for the ordering).  Thin collect over the streaming
+    pipelines/tracks.py::track_lengths_ds (the write_parquet scale
+    path for key spaces beyond driver memory)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.tracks import (
+        track_lengths_ds,
+    )
 
     ds = _read_pq(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "user_id", "ts"],
     )
-
-    def geocode(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False)
-        lon = 77.0 + (eid % 96).astype(np.float64) * 0.01
-        lat = 28.05 + ((eid // 96) % 96).astype(np.float64) * 0.01
-        return pa.table(
-            {
-                "user_id": batch["user_id"],
-                "ts": batch["ts"],
-                "event_id": batch["event_id"],
-                "lon": pa.array(lon),
-                "lat": pa.array(lat),
-            }
-        )
-
-    geo = ds.map_batches(geocode, batch_format="pyarrow", batch_size=None)
-
-    def track(group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        order = pc.sort_indices(
-            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
-        )
-        g = group.take(order)
-        lon = g["lon"].to_numpy(zero_copy_only=False)
-        lat = g["lat"].to_numpy(zero_copy_only=False)
-        d = np.hypot(np.diff(lon), np.diff(lat))
-        return pa.table(
-            {
-                "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
-                "track_len": pa.array([float(d.sum())]),
-            }
-        )
-
-    out = geo.groupby("user_id").map_groups(
-        track, batch_format="pyarrow"
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, round_like_sql,
-    )
-
-    t = collect_tables(out)
-    return pa.table(
-        {
-            "user_id": t["user_id"],
-            "track_len": round_like_sql(t["track_len"], 6),
-        }
+    return collect_tables(track_lengths_ds(ds)).select(
+        ["user_id", "track_len"]
     )
 
 
@@ -1467,67 +1429,24 @@ def _q_lang_share(sf_dir: str) -> pa.Table:
 def _q_track_simplify(sf_dir: str) -> pa.Table:
     """Per-user GPS-track Douglas-Peucker simplification: the ordered
     per-key spatial window (groupby shuffle co-locates each user's
-    fixes, map_groups sorts and simplifies).  Recursive geometry ->
-    not SQL-expressible; pinned-golden checked.  Reference semantic
-    kin: the polyline handling in clip.js/slope.js (SURVEY S8/J6)."""
+    fixes, map_groups sorts and simplifies).  Oracled by the
+    recursive-CTE DP mirror (_track_simplify_oracle_sql).  Thin
+    collect over pipelines/tracks.py::track_simplify_ds.  Reference
+    semantic kin: the polyline handling in clip.js/slope.js (SURVEY
+    S8/J6)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.tracks import (
+        track_simplify_ds,
+    )
+
     ds = _read_pq(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "user_id", "ts"],
     )
-
-    def geocode(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False)
-        lon = 77.0 + (eid % 96).astype(np.float64) * 0.01
-        lat = 28.05 + ((eid // 96) % 96).astype(np.float64) * 0.01
-        return pa.table(
-            {
-                "user_id": batch["user_id"],
-                "ts": batch["ts"],
-                "event_id": batch["event_id"],
-                "lon": pa.array(lon),
-                "lat": pa.array(lat),
-            }
-        )
-
-    geo = ds.map_batches(geocode, batch_format="pyarrow", batch_size=None)
-
-    def simplify(group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        from tiff_to_geojson_csv_json_format_converter_ray.functions.geometry import (
-            simplify_dp,
-        )
-
-        order = pc.sort_indices(
-            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
-        )
-        g = group.take(order)
-        lon = g["lon"].to_numpy(zero_copy_only=False)
-        lat = g["lat"].to_numpy(zero_copy_only=False)
-        keep = simplify_dp(lon, lat, tol=0.02)
-        d = np.hypot(np.diff(lon[keep]), np.diff(lat[keep]))
-        return pa.table(
-            {
-                "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
-                "n_raw": pa.array([len(lon)], pa.int64()),
-                "n_kept": pa.array([int(keep.sum())], pa.int64()),
-                "simplified_len": pa.array([float(d.sum())]),
-            }
-        )
-
-    out = geo.groupby("user_id").map_groups(simplify, batch_format="pyarrow")
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, round_like_sql,
-    )
-
-    t = collect_tables(out)
-    return pa.table(
-        {
-            "user_id": t["user_id"],
-            "n_raw": t["n_raw"],
-            "n_kept": t["n_kept"],
-            "simplified_len": round_like_sql(t["simplified_len"], 6),
-        }
+    return collect_tables(track_simplify_ds(ds, tol=0.02)).select(
+        ["user_id", "n_raw", "n_kept", "simplified_len"]
     )
 
 
@@ -3192,6 +3111,26 @@ def _q_contour_cases(sf_dir: str) -> pa.Table:
     ).sort_by("case_id")
 
 
+def _q_contour_segments(sf_dir: str) -> pa.Table:
+    """Marching-squares contour GEOMETRY at level 25.0: interpolated
+    segment endpoints in global pixel coordinates, one row per (window,
+    segment) -- the polyline feed (stages/raster.py::
+    contour_segment_kernel; stitching covered by unit tests)."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
+        tile_contour_segments,
+    )
+
+    tiles = ray.data.from_arrow(_og_tiles_table(tile=24))
+    out = collect_tables(tile_contour_segments(tiles, level=25.0))
+    return out.sort_by(
+        [("row", "ascending"), ("col", "ascending"), ("seg", "ascending")]
+    )
+
+
 def _q_zonal_mode(sf_dir: str) -> pa.Table:
     """Categorical zonal statistics: per-polygon MODAL pixel value
     (deterministic tie-break: highest count, then smallest value) --
@@ -3529,64 +3468,21 @@ def _q_latest_event_per_user(sf_dir: str) -> pa.Table:
 def _q_conversion_lag(sf_dir: str) -> pa.Table:
     """Funnel latency: each purchase matched to the user's most recent
     click at or before it (ordered per-user window, vectorized
-    searchsorted); per-user conversion count + mean lag seconds."""
+    searchsorted); per-user conversion count + mean lag seconds.  Thin
+    collect over pipelines/tracks.py::conversion_lag_ds."""
     from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, round_like_sql,
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.tracks import (
+        conversion_lag_ds,
     )
 
     ds = _read_pq(
         os.path.join(sf_dir, "events.parquet"),
         columns=["user_id", "ts", "event_type"],
     )
-
-    def lag(group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        ts = group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        et = group["event_type"].to_numpy(zero_copy_only=False)
-        clicks = np.sort(ts[et == "click"])
-        purch = ts[et == "purchase"]
-        if len(clicks) == 0 or len(purch) == 0:
-            return pa.table(
-                {
-                    "user_id": pa.array([], pa.int64()),
-                    "_n": pa.array([], pa.int64()),
-                    "_s": pa.array([], pa.float64()),
-                }
-            )
-        idx = np.searchsorted(clicks, purch, side="right") - 1
-        ok = idx >= 0
-        lags_us = purch[ok] - clicks[idx[ok]]  # exact int64 microseconds
-        if not len(lags_us):
-            return pa.table(
-                {
-                    "user_id": pa.array([], pa.int64()),
-                    "_n": pa.array([], pa.int64()),
-                    "_s": pa.array([], pa.int64()),
-                }
-            )
-        return pa.table(
-            {
-                "user_id": pa.array(
-                    [group["user_id"][0].as_py()], pa.int64()
-                ),
-                "_n": pa.array([len(lags_us)], pa.int64()),
-                "_s": pa.array([int(lags_us.sum())], pa.int64()),
-            }
-        )
-
-    t = collect_tables(
-        ds.groupby("user_id").map_groups(lag, batch_format="pyarrow")
-    )
-    n = t["_n"].to_numpy(zero_copy_only=False).astype(np.float64)
-    sum_us = t["_s"].to_numpy(zero_copy_only=False).astype(np.float64)
-    # division order mirrors the oracle exactly: (sum_us / n) / 1e6
-    return pa.table(
-        {
-            "user_id": t["user_id"],
-            "n_conversions": t["_n"].cast(pa.int64()),
-            "avg_lag_s": round_like_sql(sum_us / n / 1e6, 6),
-        }
+    return collect_tables(conversion_lag_ds(ds)).select(
+        ["user_id", "n_conversions", "avg_lag_s"]
     ).sort_by("user_id")
 
 
@@ -5579,6 +5475,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hist_equalize": _q_hist_equalize,
         "zonal_mode": _q_zonal_mode,
         "contour_cases": _q_contour_cases,
+        "contour_segments": _q_contour_segments,
         "rolling_week_users": _q_rolling_week_users,
         "pattern_match_users": _q_pattern_match_users,
         "kde_density": _q_kde_density,
@@ -5673,6 +5570,52 @@ def _s2_cells_oracle_sql() -> str:
         f"WITH m(gp, s2_9) AS (VALUES {vals}) "
         "SELECT m.s2_9, CAST(COUNT(*) AS BIGINT) AS n "
         "FROM events e JOIN m ON (e.event_id % 9216) = m.gp GROUP BY 1"
+    )
+
+
+def _contour_segments_oracle_sql(grid: str, level: float = 25.0) -> str:
+    """Mirror of _q_contour_segments: 2x2 windows via shifted
+    self-joins (the contour_cases pattern) joined to the shared
+    marching-squares segment table (case_id, seg, e1, e2), endpoint
+    coordinates via the identical (level-a)/(b-a) interpolation."""
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
+        _MS_SEGMENTS,
+    )
+
+    seg_rows = ", ".join(
+        f"({c_id}, {s}, {e1}, {e2})"
+        for c_id, segs in sorted(_MS_SEGMENTS.items())
+        for s, (e1, e2) in enumerate(segs)
+    )
+    L = repr(float(level))
+    lx = (
+        "CASE {e} WHEN 0 THEN ({L} - tl)/(tr - tl) WHEN 1 THEN 1.0 "
+        "WHEN 2 THEN ({L} - bl)/(br - bl) ELSE 0.0 END"
+    )
+    ly = (
+        "CASE {e} WHEN 0 THEN 0.0 WHEN 1 THEN ({L} - tr)/(br - tr) "
+        "WHEN 2 THEN 1.0 ELSE ({L} - tl)/(bl - tl) END"
+    )
+    return (
+        f"WITH g AS (SELECT row, col, z FROM ({grid})), "
+        "w AS (SELECT a.row AS row, a.col AS col, "
+        "a.z AS tl, b.z AS tr, c.z AS bl, d.z AS br "
+        "FROM g a JOIN g b ON b.row = a.row AND b.col = a.col + 1 "
+        "JOIN g c ON c.row = a.row + 1 AND c.col = a.col "
+        "JOIN g d ON d.row = a.row + 1 AND d.col = a.col + 1 "
+        "WHERE a.z > -1e30 AND b.z > -1e30 AND c.z > -1e30 "
+        "AND d.z > -1e30), "
+        "wc AS (SELECT *, "
+        f"CAST(CAST(tl > {L} AS INTEGER) + 2 * CAST(tr > {L} AS INTEGER) "
+        f"+ 4 * CAST(br > {L} AS INTEGER) + 8 * CAST(bl > {L} AS INTEGER) "
+        "AS BIGINT) AS case_id FROM w), "
+        f"m(case_id, seg, e1, e2) AS (VALUES {seg_rows}) "
+        "SELECT wc.row, wc.col, m.seg, "
+        f"ROUND(wc.col + {lx.format(e='m.e1', L=L)}, 6) AS x1, "
+        f"ROUND(wc.row + {ly.format(e='m.e1', L=L)}, 6) AS y1, "
+        f"ROUND(wc.col + {lx.format(e='m.e2', L=L)}, 6) AS x2, "
+        f"ROUND(wc.row + {ly.format(e='m.e2', L=L)}, 6) AS y2 "
+        "FROM wc JOIN m ON m.case_id = wc.case_id"
     )
 
 
@@ -6930,6 +6873,7 @@ def oracle_sql() -> dict[str, str]:
             "+ 8 * CAST(bl > 25.0 AS INTEGER) AS BIGINT) AS case_id, "
             "CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY case_id"
         ),
+        "contour_segments": _contour_segments_oracle_sql(grid),
         "zonal_mode": (
             "WITH p AS ("
             + " UNION ALL ".join(

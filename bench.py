@@ -186,10 +186,6 @@ def run_headline(num_cpus: int) -> dict:
     from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
         partial_count,
     )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.transform import (
-        ValidityFilter,
-    )
-
     sf = _sf()
     grid = int(round(np.sqrt(10_500_000 * sf) / 128)) * 128  # ~1024 at sf0.1
     grid = max(grid, 256)
@@ -216,14 +212,17 @@ def run_headline(num_cpus: int) -> dict:
             tiles.slice(i, step) for i in range(0, tiles.num_rows, step)
         ]
         ds = ray.data.from_arrow(slices)
+        # fused pivot (round 3): validity filter applied inside the
+        # pivot flush and only the columns the join/count read are
+        # materialized -- invalid rows and pix/nodata/z/src bytes never
+        # hit the object store (the r2 headline leg was memory-bandwidth
+        # bound; equivalence is pinned by TestFusedPivot)
         pivot = TilePivot(
             round_output=True, reproject=True, with_cells=(7, 8, 9),
             master_widths=master_widths_of(tiles),
+            validity="threshold", emit=("lon", "lat"),
         )
         pts = ds.map_batches(pivot, batch_format="pyarrow", batch_size=None)
-        pts = pts.map_batches(
-            ValidityFilter("threshold"), batch_format="pyarrow", batch_size=None
-        )
         # function-style PIP: the polygon side is tiny (12 polys), so a
         # broadcast closure beats an actor pool (actor processes pay
         # import cold-start per execution; reserve pools for stages
@@ -314,6 +313,7 @@ EXTRA_QUERY_SUBSET = [
     "colocation_pairs", "latest_event_per_user", "grouping_sets",
     "rolling_week_users", "winsorized_mean", "pattern_match_users",
     "kde_density", "lagged_crosscorr", "rolling_anomaly",
+    "contour_segments",
     "profile_lineitem", "label_scatter", "centroid_confusion",
     "ks_statistic", "cramers_v", "tukey_outliers",
     "benford_deviation", "hhi_concentration", "word_components",

@@ -34,9 +34,7 @@ NO_ORACLE_QUERIES = [
     "approx_distinct",
     "media_decode",
     "jaccard_pairs",
-    "s2_cells",
     "kmeans_clusters",
-    "track_simplify",
     "bpe_merges",
     "approx_distinct_by_type",
     "convex_hull",

@@ -607,3 +607,71 @@ class TestShuffle:
         # cold keys untouched (all salt 0)
         cold = out.filter(pa.compute.not_equal(out["cell"], 0))
         assert set(cold["_salt"].to_pylist()) == {0}
+
+
+class TestKeyedParquetVariants:
+    """ROADMAP r3 item 2: per-key ordered pipelines as streaming
+    Datasets + parquet sink -- results must equal the collected driver
+    queries exactly."""
+
+    def test_track_lengths_parquet_roundtrip(self, ray_session, sf_dir, tmp_path):
+        import pandas as pd
+        import pyarrow.parquet as pq
+        import ray.data
+
+        import __ray_entry__ as entry
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.tracks import (
+            track_lengths_ds,
+        )
+        from tiff_to_geojson_csv_json_format_converter_ray.sinks import (
+            write_dataset_parquet,
+        )
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "user_id", "ts"],
+        )
+        out = str(tmp_path / "tracks")
+        manifest = write_dataset_parquet(track_lengths_ds(ds), out)
+        assert manifest.num_rows >= 1
+        got = (
+            pq.read_table(out, columns=["user_id", "track_len"])
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        want = (
+            entry.queries()["track_lengths"](sf_dir)
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)
+        assert int(manifest["row_count"].to_numpy().sum()) == len(want)
+
+    def test_conversion_lag_ds_matches_query(self, ray_session, sf_dir):
+        import pandas as pd
+        import ray.data
+
+        import __ray_entry__ as entry
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.tracks import (
+            conversion_lag_ds,
+        )
+
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["user_id", "ts", "event_type"],
+        )
+        got = (
+            conversion_lag_ds(ds)
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)[["user_id", "n_conversions", "avg_lag_s"]]
+        )
+        want = (
+            entry.queries()["conversion_lag"](sf_dir)
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want)

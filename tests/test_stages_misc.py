@@ -2146,6 +2146,56 @@ class TestContours:
         assert abs(la - lb) < 1e-9  # tiling-independent
         assert la > 0
 
+    def test_segment_geometry_and_stitching(self, ray_session):
+        """Segment endpoints (round-3 polyline output): z = col gives a
+        vertical contour whose per-tile segments stitch into ONE open
+        polyline; a radial bump gives one CLOSED loop."""
+        import numpy as np
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+            collect_tables,
+        )
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
+            stitch_segments, tile_contour_segments,
+        )
+
+        h = w = 16
+        vals = np.tile(np.arange(w, dtype=np.float64), (h, 1))
+        level = 10.5
+        for tile in (16, 8):
+            segs = collect_tables(
+                tile_contour_segments(
+                    ray.data.from_arrow(self._tiles_from_array(vals, tile)),
+                    level,
+                )
+            )
+            # one unit segment per window row, all at x = 10.5
+            assert segs.num_rows == h - 1
+            assert set(segs["x1"].to_pylist()) == {10.5}
+            assert set(segs["x2"].to_pylist()) == {10.5}
+            poly = stitch_segments(segs).to_pandas()
+            assert len(poly) == 1
+            assert int(poly.n_segments[0]) == h - 1
+            assert abs(float(poly.length[0]) - (h - 1)) < 1e-9
+            assert not bool(poly.closed[0])
+
+        # radial bump -> one closed loop
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+        r2 = (yy - 7.5) ** 2 + (xx - 7.5) ** 2
+        bump = 100.0 - r2
+        segs = collect_tables(
+            tile_contour_segments(
+                ray.data.from_arrow(self._tiles_from_array(bump, 8)), 80.0
+            )
+        )
+        poly = stitch_segments(segs).to_pandas()
+        assert len(poly) == 1
+        assert bool(poly.closed[0])
+        # loop circumference ~ 2*pi*sqrt(20) within marching-squares error
+        import math
+
+        assert abs(float(poly.length[0]) - 2 * math.pi * math.sqrt(20)) < 2.0
+
 
 class TestFrameSample:
     def test_frame_sampling_plumbing(self, ray_session):
@@ -2204,3 +2254,122 @@ class TestProfileColumns:
         assert out.loc["x"].min_v == 1.0 and out.loc["x"].max_v == 9.5
         assert out.loc["c"].n_distinct == 3
         assert out.loc["c"].n_null == 0
+
+
+class TestFusedPivot:
+    """TilePivot validity/emit fusion (round-3 headline memory-traffic
+    cut): fused output must equal pivot -> ValidityFilter -> column
+    selection exactly."""
+
+    def test_fused_equals_separate(self, ray_session):
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.sources.synthetic import (
+            gen_tiles,
+        )
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.extract import (
+            TilePivot, master_widths_of,
+        )
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.transform import (
+            ValidityFilter,
+        )
+
+        tiles = gen_tiles()
+        widths = master_widths_of(tiles)
+        ds = ray.data.from_arrow(tiles).repartition(4)
+
+        sep = (
+            ds.map_batches(
+                TilePivot(with_cells=(7, 8, 9), master_widths=widths),
+                batch_format="pyarrow", batch_size=None,
+            )
+            .map_batches(
+                ValidityFilter("threshold"),
+                batch_format="pyarrow", batch_size=None,
+            )
+            .to_pandas()
+            .sort_values(["src", "band", "pix"])
+            .reset_index(drop=True)
+        )
+        fused = (
+            ds.map_batches(
+                TilePivot(
+                    with_cells=(7, 8, 9), master_widths=widths,
+                    validity="threshold",
+                ),
+                batch_format="pyarrow", batch_size=None,
+            )
+            .to_pandas()
+            .sort_values(["src", "band", "pix"])
+            .reset_index(drop=True)
+        )
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(sep, fused)
+
+    def test_emit_pruning(self, ray_session):
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.sources.synthetic import (
+            gen_tiles,
+        )
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.extract import (
+            TilePivot, master_widths_of,
+        )
+
+        tiles = gen_tiles()
+        widths = master_widths_of(tiles)
+        ds = ray.data.from_arrow(tiles)
+        full = ds.map_batches(
+            TilePivot(with_cells=(8,), master_widths=widths),
+            batch_format="pyarrow", batch_size=None,
+        ).to_pandas()
+        pruned = ds.map_batches(
+            TilePivot(
+                with_cells=(8,), master_widths=widths,
+                emit=("lon", "lat"), validity="threshold",
+            ),
+            batch_format="pyarrow", batch_size=None,
+        ).to_pandas()
+        assert list(pruned.columns) == ["lon", "lat", "cell_8"]
+        # same valid points, order-independent
+        valid = full[full.z > -1e30]
+        assert sorted(pruned["cell_8"]) == sorted(valid["cell_8"])
+
+    def test_validity_all_filtered_keeps_schema(self, ray_session):
+        import numpy as np
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.schema import (
+            NODATA_F32, TILE_SCHEMA,
+        )
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.extract import (
+            TilePivot,
+        )
+
+        t = pa.table(
+            {
+                "tile_id": ["t0"], "src": ["s"],
+                "band": pa.array([1], pa.int32()),
+                "row_off": pa.array([0], pa.int32()),
+                "col_off": pa.array([0], pa.int32()),
+                "height": pa.array([4], pa.int32()),
+                "width": pa.array([4], pa.int32()),
+                "transform": pa.array(
+                    [[0.01, 0.0, 77.0, 0.0, -0.01, 29.0]],
+                    pa.list_(pa.float64(), 6),
+                ),
+                "crs": ["EPSG:4326"],
+                "nodata": pa.array([float(NODATA_F32)], pa.float64()),
+                "values": pa.array(
+                    [np.full(16, NODATA_F32, np.float32).tolist()],
+                    pa.list_(pa.float32()),
+                ),
+            },
+            schema=TILE_SCHEMA,
+        )
+        out = ray.data.from_arrow(t).map_batches(
+            TilePivot(validity="threshold"),
+            batch_format="pyarrow", batch_size=None,
+        )
+        assert out.count() == 0
+        assert out.schema().names == [
+            "lon", "lat", "z", "band", "src", "pix", "nodata"
+        ]

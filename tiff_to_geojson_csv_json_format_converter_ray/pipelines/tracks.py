@@ -1,0 +1,149 @@
+"""Per-key ordered pipelines as STREAMING Datasets (ROADMAP r3 item 2).
+
+The driver contract's per-key ordered queries (track lengths, track
+simplification, conversion lag) collect their results to one Arrow
+table, which is fine while the key space (users) fits on the driver.
+These are the same pipelines with the collect removed: the
+``groupby(key).map_groups`` stage already streams, the per-row
+finishing math runs in a ``map_batches``, and the result is a Dataset
+the caller can ``write_parquet`` -- one row per key at ANY key
+cardinality, no driver materialization.
+
+``__ray_entry__`` wraps each with a final collect for the oracle gate,
+so query semantics and these scale paths cannot drift.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
+    round_like_sql,
+)
+
+
+def geocode_events(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """The frozen event geocode: lon/lat as a pure function of
+    event_id on a 96x96 lattice (shared by every track query and its
+    SQL oracle)."""
+
+    def geocode(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon = 77.0 + (eid % 96).astype(np.float64) * 0.01
+        lat = 28.05 + ((eid // 96) % 96).astype(np.float64) * 0.01
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts": batch["ts"],
+                "event_id": batch["event_id"],
+                "lon": pa.array(lon),
+                "lat": pa.array(lat),
+            }
+        )
+
+    return ds.map_batches(geocode, batch_format="pyarrow", batch_size=None)
+
+
+def track_lengths_ds(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-user planar track length over (ts, event_id)-ordered fixes.
+    Input columns: event_id, user_id, ts."""
+
+    def track(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        g = group.take(order)
+        lon = g["lon"].to_numpy(zero_copy_only=False)
+        lat = g["lat"].to_numpy(zero_copy_only=False)
+        d = np.hypot(np.diff(lon), np.diff(lat))
+        return pa.table(
+            {
+                "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
+                "track_len": round_like_sql([float(d.sum())], 6),
+            }
+        )
+
+    return (
+        geocode_events(events)
+        .groupby("user_id")
+        .map_groups(track, batch_format="pyarrow")
+    )
+
+
+def track_simplify_ds(
+    events: ray.data.Dataset, tol: float = 0.02
+) -> ray.data.Dataset:
+    """Per-user Douglas-Peucker simplification summary (n_raw, n_kept,
+    simplified length).  Input columns: event_id, user_id, ts."""
+
+    def simplify(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from tiff_to_geojson_csv_json_format_converter_ray.functions.geometry import (
+            simplify_dp,
+        )
+
+        order = pc.sort_indices(
+            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        g = group.take(order)
+        lon = g["lon"].to_numpy(zero_copy_only=False)
+        lat = g["lat"].to_numpy(zero_copy_only=False)
+        keep = simplify_dp(lon, lat, tol=tol)
+        d = np.hypot(np.diff(lon[keep]), np.diff(lat[keep]))
+        return pa.table(
+            {
+                "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
+                "n_raw": pa.array([len(lon)], pa.int64()),
+                "n_kept": pa.array([int(keep.sum())], pa.int64()),
+                "simplified_len": round_like_sql([float(d.sum())], 6),
+            }
+        )
+
+    return (
+        geocode_events(events)
+        .groupby("user_id")
+        .map_groups(simplify, batch_format="pyarrow")
+    )
+
+
+def conversion_lag_ds(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-user purchase->last-click lag (n_conversions, avg_lag_s).
+    Input columns: user_id, ts, event_type.  Users with no conversion
+    emit no row."""
+
+    def lag(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "n_conversions": pa.array([], pa.int64()),
+                "avg_lag_s": pa.array([], pa.float64()),
+            }
+        )
+        ts = group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        et = group["event_type"].to_numpy(zero_copy_only=False)
+        clicks = np.sort(ts[et == "click"])
+        purch = ts[et == "purchase"]
+        if len(clicks) == 0 or len(purch) == 0:
+            return empty
+        idx = np.searchsorted(clicks, purch, side="right") - 1
+        ok = idx >= 0
+        lags_us = purch[ok] - clicks[idx[ok]]  # exact int64 microseconds
+        if not len(lags_us):
+            return empty
+        n = len(lags_us)
+        s = int(lags_us.sum())
+        # division order mirrors the SQL oracle: (sum_us / n) / 1e6
+        return pa.table(
+            {
+                "user_id": pa.array([group["user_id"][0].as_py()], pa.int64()),
+                "n_conversions": pa.array([n], pa.int64()),
+                "avg_lag_s": round_like_sql([float(s) / float(n) / 1e6], 6),
+            }
+        )
+
+    return events.groupby("user_id").map_groups(lag, batch_format="pyarrow")

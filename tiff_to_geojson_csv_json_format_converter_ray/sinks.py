@@ -356,3 +356,30 @@ def run_sink(ds, sink) -> pa.Table:
              "min_z": [], "max_z": []}
         )
     return pa.concat_tables(tables, promote_options="default")
+
+
+def write_dataset_parquet(ds, out_dir: str) -> "pa.Table":
+    """Streaming parquet sink for Dataset results whose row count (e.g.
+    one row per user) exceeds driver memory: ``Dataset.write_parquet``
+    streams blocks to one file each -- nothing is collected -- then a
+    driver-side footer scan builds the small manifest table (path,
+    row_count, bytes) for lineage/resume bookkeeping (ROADMAP r3 item
+    2: the scale path behind the collected per-key queries)."""
+    from pathlib import Path
+
+    import pyarrow.parquet as pq
+
+    Path(out_dir).mkdir(parents=True, exist_ok=True)
+    ds.write_parquet(out_dir)
+    paths, rows, sizes = [], [], []
+    for f in sorted(Path(out_dir).glob("*.parquet")):
+        paths.append(str(f))
+        rows.append(pq.read_metadata(f).num_rows)
+        sizes.append(f.stat().st_size)
+    return pa.table(
+        {
+            "path": pa.array(paths),
+            "row_count": pa.array(rows, pa.int64()),
+            "bytes": pa.array(sizes, pa.int64()),
+        }
+    )

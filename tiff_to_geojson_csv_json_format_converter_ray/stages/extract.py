@@ -48,7 +48,21 @@ class TilePivot:
                    ``pix = global_row * width + global_col``; computed
                    driver-side from tile metadata (tiny) so ``pix`` is
                    identical under any partitioning of the tiles.
+    validity     : fuse the NoData filter into the pivot (same strategy
+                   names as stages.transform.ValidityFilter, applied to
+                   the ROUNDED z exactly like the separate stage) --
+                   invalid pixels are dropped before the cell encode and
+                   never materialize, cutting the exploded table's
+                   memory traffic instead of re-reading it in a second
+                   stage.
+    emit         : subset of the base point columns ("lon","lat","z",
+                   "band","src","pix","nodata") to materialize (cells
+                   always emitted).  Skipping pix/nodata/src on
+                   pipelines that never read them halves the bytes per
+                   point row.
     """
+
+    _BASE_COLS = ("lon", "lat", "z", "band", "src", "pix", "nodata")
 
     def __init__(
         self,
@@ -57,12 +71,21 @@ class TilePivot:
         with_cells: tuple[int, ...] = (),
         chunk_rows: int = DEFAULT_CHUNK_ROWS,
         master_widths: dict[str, int] | None = None,
+        validity: str | None = None,
+        emit: tuple[str, ...] | None = None,
     ):
         self.round_output = round_output
         self.reproject = reproject
         self.with_cells = tuple(with_cells)
         self.chunk_rows = chunk_rows
         self.master_widths = master_widths or {}
+        self.validity = validity
+        if emit is not None:
+            bad = set(emit) - set(self._BASE_COLS)
+            if bad:
+                raise ValueError(f"unknown emit columns: {sorted(bad)}")
+            emit = tuple(c for c in self._BASE_COLS if c in emit)
+        self.emit = emit if emit is not None else self._BASE_COLS
         self._transformers: dict[str, _crs.Transformer] = {}
 
     def _transformer(self, crs: str) -> _crs.Transformer:
@@ -73,8 +96,11 @@ class TilePivot:
         return t
 
     def __call__(self, batch: pa.Table) -> Iterator[pa.Table]:
+        emit = self.emit
         out_cols: dict[str, list[np.ndarray]] = {
-            k: [] for k in ("lon", "lat", "z", "band", "pix", "nodata")
+            k: []
+            for k in ("lon", "lat", "z", "band", "pix", "nodata")
+            if k in emit
         }
         # src is constant per tile: accumulate (value, count) pairs and
         # build a dictionary-encoded array at flush (14x faster than
@@ -82,6 +108,7 @@ class TilePivot:
         src_runs: list[tuple[str, int]] = []
         cell_cols: dict[int, list[np.ndarray]] = {r: [] for r in self.with_cells}
         pending = 0
+        yielded = False
 
         srcs = batch["src"].to_pylist()
         bands = batch["band"].to_numpy(zero_copy_only=False)
@@ -96,25 +123,26 @@ class TilePivot:
 
         def flush() -> pa.Table:
             nonlocal pending
-            uniq: dict[str, int] = {}
-            codes = [
-                np.full(n_, uniq.setdefault(s_, len(uniq)), np.int32)
-                for s_, n_ in src_runs
-            ]
-            src_arr = pa.DictionaryArray.from_arrays(
-                pa.array(np.concatenate(codes)), pa.array(list(uniq))
-            ).cast(pa.string())
-            tbl_cols = {
-                "lon": np.concatenate(out_cols["lon"]),
-                "lat": np.concatenate(out_cols["lat"]),
-                "z": np.concatenate(out_cols["z"]),
-                "band": pa.array(
+            tbl_cols: dict = {}
+            for k in ("lon", "lat", "z"):
+                if k in out_cols:
+                    tbl_cols[k] = np.concatenate(out_cols[k])
+            if "band" in out_cols:
+                tbl_cols["band"] = pa.array(
                     np.concatenate(out_cols["band"]), type=pa.int32()
-                ),
-                "src": src_arr,
-                "pix": np.concatenate(out_cols["pix"]),
-                "nodata": np.concatenate(out_cols["nodata"]),
-            }
+                )
+            if "src" in emit:
+                uniq: dict[str, int] = {}
+                codes = [
+                    np.full(n_, uniq.setdefault(s_, len(uniq)), np.int32)
+                    for s_, n_ in src_runs
+                ]
+                tbl_cols["src"] = pa.DictionaryArray.from_arrays(
+                    pa.array(np.concatenate(codes)), pa.array(list(uniq))
+                ).cast(pa.string())
+            for k in ("pix", "nodata"):
+                if k in out_cols:
+                    tbl_cols[k] = np.concatenate(out_cols[k])
             for r in self.with_cells:
                 tbl_cols[f"cell_{r}"] = np.concatenate(cell_cols[r])
             for k in out_cols:
@@ -183,18 +211,39 @@ class TilePivot:
                     lon = np.round(lon, 2)  # thiswillcompress.py:59-60
                     lat = np.round(lat, 2)
                 zf = np.round(zf, 2)  # :68
-            # flat pixel index in the source raster (row-major flatten
-            # order, the reference's sampling key, doesSamples.py:84)
-            master_w = self.master_widths.get(srcs[i], int(col_offs[i]) + w)
-            pix = (g_rows.astype(np.int64) * master_w + g_cols.astype(np.int64))
+            if self.validity is not None:
+                # fused NoData filter: same mask, same post-rounding z,
+                # as the separate ValidityFilter stage -- but invalid
+                # rows never materialize in the output block
+                from .transform import validity_mask
 
-            out_cols["lon"].append(lon)
-            out_cols["lat"].append(lat)
-            out_cols["z"].append(zf)
-            out_cols["band"].append(np.full(h * w, bands[i], dtype=np.int32))
-            src_runs.append((srcs[i], h * w))
-            out_cols["pix"].append(pix)
-            out_cols["nodata"].append(np.full(h * w, float(nodatas[i])))
+                m = validity_mask(zf, self.validity, float(nodatas[i]))
+                if not m.all():
+                    lon, lat, zf = lon[m], lat[m], zf[m]
+                    g_rows, g_cols = g_rows[m], g_cols[m]
+            n_out = len(zf)
+            if "pix" in emit:
+                # flat pixel index in the source raster (row-major
+                # flatten order, the sampling key, doesSamples.py:84)
+                master_w = self.master_widths.get(
+                    srcs[i], int(col_offs[i]) + w
+                )
+                out_cols["pix"].append(
+                    g_rows.astype(np.int64) * master_w
+                    + g_cols.astype(np.int64)
+                )
+
+            if "lon" in out_cols:
+                out_cols["lon"].append(lon)
+            if "lat" in out_cols:
+                out_cols["lat"].append(lat)
+            if "z" in out_cols:
+                out_cols["z"].append(zf)
+            if "band" in out_cols:
+                out_cols["band"].append(np.full(n_out, bands[i], np.int32))
+            src_runs.append((srcs[i], n_out))
+            if "nodata" in out_cols:
+                out_cols["nodata"].append(np.full(n_out, float(nodatas[i])))
             if self.with_cells:
                 # one floor/clip pass at the finest resolution; coarser
                 # ids are exact bit-shift parents (floor((x)/2^k) of the
@@ -214,25 +263,24 @@ class TilePivot:
                             | ((iy >> sh) << np.int64(28))
                             | (ix >> sh)
                         )
-            pending += h * w
+            pending += n_out
             if pending >= self.chunk_rows:
+                yielded = True
                 yield flush()
         if pending:
             yield flush()
-        elif batch.num_rows == 0:
-            # keep the output schema stable even for empty input blocks
+        elif not yielded:
+            # keep the output schema stable for empty input blocks and
+            # for batches the fused validity filter emptied entirely
             yield self._empty_table()
 
     def _empty_table(self) -> pa.Table:
-        cols: dict = {
-            "lon": pa.array([], pa.float64()),
-            "lat": pa.array([], pa.float64()),
-            "z": pa.array([], pa.float64()),
-            "band": pa.array([], pa.int32()),
-            "src": pa.array([], pa.string()),
-            "pix": pa.array([], pa.int64()),
-            "nodata": pa.array([], pa.float64()),
+        types = {
+            "lon": pa.float64(), "lat": pa.float64(), "z": pa.float64(),
+            "band": pa.int32(), "src": pa.string(),
+            "pix": pa.int64(), "nodata": pa.float64(),
         }
+        cols: dict = {k: pa.array([], types[k]) for k in self.emit}
         for r in self.with_cells:
             cols[f"cell_{r}"] = pa.array([], pa.int64())
         return pa.table(cols)

@@ -392,3 +392,181 @@ def tile_contours(tiles: ray.data.Dataset, level: float) -> ray.data.Dataset:
     return halos.groupby("halo_key").map_groups(
         contour_case_kernel(level), batch_format="pyarrow"
     )
+
+
+def contour_segment_kernel(level: float):
+    """Marching squares, GEOMETRY output (VERDICT r2 item 8 / ROADMAP
+    4): per 2x2 window, emit each interpolated contour segment's two
+    endpoints in GLOBAL pixel coordinates (x = col + local, y = row +
+    local; windows anchored at their top-left core pixel so tile
+    boundaries emit no duplicates).  Saddle cases 5/10 use the fixed
+    _MS_SEGMENTS disambiguation.  Rows: (row, col, seg, x1, y1, x2,
+    y2), coordinates rounded to 6 dp -- the SQL-comparable segment set
+    the per-tile stitcher consumes."""
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "row": pa.array([], pa.int64()),
+                "col": pa.array([], pa.int64()),
+                "seg": pa.array([], pa.int64()),
+                "x1": pa.array([], pa.float64()),
+                "y1": pa.array([], pa.float64()),
+                "x2": pa.array([], pa.float64()),
+                "y2": pa.array([], pa.float64()),
+            }
+        )
+        asm = _assemble_padded(group)
+        if asm is None:
+            return empty
+        pad, h, w, r0, c0, _transform = asm
+        tl = pad[1 : h + 1, 1 : w + 1]
+        tr = pad[1 : h + 1, 2 : w + 2]
+        bl = pad[2 : h + 2, 1 : w + 1]
+        br = pad[2 : h + 2, 2 : w + 2]
+        stack = np.stack([tl, tr, br, bl])
+        valid = np.all(
+            np.isfinite(stack) & (stack > NODATA_THRESHOLD), axis=0
+        )
+        if not valid.any():
+            return empty
+        case = (
+            (tl > level).astype(np.int64)
+            + 2 * (tr > level).astype(np.int64)
+            + 4 * (br > level).astype(np.int64)
+            + 8 * (bl > level).astype(np.int64)
+        )
+        rows_g = np.broadcast_to(
+            np.arange(h, dtype=np.int64)[:, None] + r0, (h, w)
+        )
+        cols_g = np.broadcast_to(
+            np.arange(w, dtype=np.int64)[None, :] + c0, (h, w)
+        )
+
+        def frac(a, b):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                return (level - a) / (b - a)
+
+        # edge -> (local_x, local_y) of the interpolated crossing
+        ex = {
+            0: (frac(tl, tr), np.zeros_like(tl)),
+            1: (np.ones_like(tl), frac(tr, br)),
+            2: (frac(bl, br), np.ones_like(tl)),
+            3: (np.zeros_like(tl), frac(tl, bl)),
+        }
+        out_r, out_c, out_s = [], [], []
+        out = {k: [] for k in ("x1", "y1", "x2", "y2")}
+        for c_id, segs in _MS_SEGMENTS.items():
+            if not segs:
+                continue
+            m = valid & (case == c_id)
+            if not m.any():
+                continue
+            for s_idx, (e1, e2) in enumerate(segs):
+                out_r.append(rows_g[m])
+                out_c.append(cols_g[m])
+                out_s.append(np.full(int(m.sum()), s_idx, np.int64))
+                out["x1"].append(cols_g[m] + ex[e1][0][m])
+                out["y1"].append(rows_g[m] + ex[e1][1][m])
+                out["x2"].append(cols_g[m] + ex[e2][0][m])
+                out["y2"].append(rows_g[m] + ex[e2][1][m])
+        if not out_r:
+            return empty
+        from ..functions.rounding import round_like_sql
+
+        return pa.table(
+            {
+                "row": pa.array(np.concatenate(out_r)),
+                "col": pa.array(np.concatenate(out_c)),
+                "seg": pa.array(np.concatenate(out_s)),
+                "x1": round_like_sql(np.concatenate(out["x1"]), 6),
+                "y1": round_like_sql(np.concatenate(out["y1"]), 6),
+                "x2": round_like_sql(np.concatenate(out["x2"]), 6),
+                "y2": round_like_sql(np.concatenate(out["y2"]), 6),
+            }
+        )
+
+    return kernel
+
+
+def tile_contour_segments(
+    tiles: ray.data.Dataset, level: float
+) -> ray.data.Dataset:
+    """Contour segment geometry over a tile Dataset: halo-exchange
+    shuffle, then :func:`contour_segment_kernel` per tile."""
+    halos = tiles.map_batches(
+        emit_halos, batch_format="pyarrow", batch_size=None
+    )
+    return halos.groupby("halo_key").map_groups(
+        contour_segment_kernel(level), batch_format="pyarrow"
+    )
+
+
+def stitch_segments(segments: pa.Table) -> pa.Table:
+    """Chain contour segments into polylines by shared (rounded 6 dp)
+    endpoints -- union-find over the segment set (bounded: one tile's
+    or one collected level-set's segments, NOT the raster).  Returns
+    per-polyline rows (polyline_id = min segment ordinal, n_segments,
+    length, closed)."""
+    n = segments.num_rows
+    if n == 0:
+        return pa.table(
+            {
+                "polyline_id": pa.array([], pa.int64()),
+                "n_segments": pa.array([], pa.int64()),
+                "length": pa.array([], pa.float64()),
+                "closed": pa.array([], pa.bool_()),
+            }
+        )
+    x1 = segments["x1"].to_numpy(zero_copy_only=False)
+    y1 = segments["y1"].to_numpy(zero_copy_only=False)
+    x2 = segments["x2"].to_numpy(zero_copy_only=False)
+    y2 = segments["y2"].to_numpy(zero_copy_only=False)
+
+    # endpoint -> node id (exact match on the 6-dp rounded coords)
+    pts = np.concatenate(
+        [np.stack([x1, y1], 1), np.stack([x2, y2], 1)]
+    )
+    uniq, inv = np.unique(pts, axis=0, return_inverse=True)
+    a_node, b_node = inv[:n], inv[n:]
+
+    parent = np.arange(len(uniq))
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for i in range(n):
+        ra, rb = find(int(a_node[i])), find(int(b_node[i]))
+        if ra != rb:
+            parent[rb] = ra
+    comp = np.array([find(int(c)) for c in a_node])
+    length = np.hypot(x2 - x1, y2 - y1)
+
+    # node degree: closed loop <=> every node has degree 2
+    deg = np.bincount(
+        np.concatenate([a_node, b_node]), minlength=len(uniq)
+    )
+    rows = []
+    for root in np.unique(comp):
+        m = comp == root
+        nodes = np.unique(np.concatenate([a_node[m], b_node[m]]))
+        rows.append(
+            {
+                "polyline_id": int(np.flatnonzero(m)[0]),
+                "n_segments": int(m.sum()),
+                "length": float(length[m].sum()),
+                "closed": bool((deg[nodes] == 2).all()),
+            }
+        )
+    rows.sort(key=lambda r: r["polyline_id"])
+    return pa.table(
+        {
+            "polyline_id": pa.array([r["polyline_id"] for r in rows], pa.int64()),
+            "n_segments": pa.array([r["n_segments"] for r in rows], pa.int64()),
+            "length": pa.array([r["length"] for r in rows], pa.float64()),
+            "closed": pa.array([r["closed"] for r in rows], pa.bool_()),
+        }
+    )
