@@ -5619,6 +5619,100 @@ def _contour_segments_oracle_sql(grid: str, level: float = 25.0) -> str:
     )
 
 
+def _km_rint_sql(x: str) -> str:
+    """numpy np.round (banker's rounding: nearest, exact .5 ties to
+    even) as a DuckDB expression -- DuckDB ROUND is ties-away, so the
+    tie case is redone via FLOOR parity."""
+    f = f"FLOOR({x})"
+    return (
+        f"(CASE WHEN ({x}) - {f} = 0.5 "
+        f"THEN {f} + CAST(CAST({f} AS BIGINT) % 2 <> 0 AS INTEGER) "
+        f"ELSE ROUND(({x}), 0) END)"
+    )
+
+
+def _kmeans_oracle_sql(K: int = 8, ITERS: int = 4, SEED: int = 42,
+                       QUANT: int = 1_000_000) -> str:
+    """Mirror of _q_kmeans_clusters (stages/ann.py::kmeans_fit):
+    Lloyd's iterations UNROLLED as chained MATERIALIZED CTEs (DuckDB
+    inlines plain CTEs, which re-evaluates the chain exponentially --
+    220x slower without MATERIALIZED).  Init = bottom-k by mix32,
+    assignment = argmax dot with first-index tiebreak, accumulators
+    int64-quantized with numpy's banker's rounding (_km_rint_sql),
+    empty clusters keep their previous centroid.  Verified equal to
+    the engine at sf0.01 and sf0.1; float summation-order divergence
+    (numpy pairwise vs SQL sequential) is the known residual risk."""
+    from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
+        mix32_sql,
+    )
+
+    h = mix32_sql("vec_id", SEED)
+    parts = [
+        # per-(vec, dim) float64 values
+        "WITH raw AS (SELECT vec_id, GENERATE_SUBSCRIPTS(embedding, 1) AS i, "
+        "CAST(UNNEST(embedding) AS DOUBLE) AS v FROM embeddings), "
+        # unit vectors
+        "nrm AS MATERIALIZED (SELECT vec_id, SQRT(SUM(v * v)) AS n FROM raw GROUP BY 1), "
+        "u AS MATERIALIZED (SELECT raw.vec_id, raw.i, "
+        "raw.v / (CASE WHEN nrm.n = 0 THEN 1.0 ELSE nrm.n END) AS v "
+        "FROM raw JOIN nrm ON nrm.vec_id = raw.vec_id), "
+        # init: bottom-K by (mix32, vec_id), cluster ids in vec_id order
+        f"init AS MATERIALIZED (SELECT vec_id FROM (SELECT vec_id, {h} AS hh "
+        f"FROM embeddings) ORDER BY hh, vec_id LIMIT {K}), "
+        "c0 AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl, "
+        "vec_id FROM init), "
+        # initial centroids = the unit vectors of the init rows
+        "cent0 AS MATERIALIZED (SELECT c0.cl, u.i, u.v AS cv FROM c0 "
+        "JOIN u ON u.vec_id = c0.vec_id)",
+    ]
+    for t in range(1, ITERS + 1):
+        p, c = t - 1, t
+        parts.append(
+            # assignment against cent{p}: argmax dot, ties -> lowest cl
+            f", dot{c} AS MATERIALIZED (SELECT u.vec_id, cent{p}.cl, "
+            f"SUM(u.v * cent{p}.cv) AS d "
+            f"FROM u JOIN cent{p} ON cent{p}.i = u.i GROUP BY 1, 2), "
+            f"a{c} AS MATERIALIZED (SELECT vec_id, cl FROM (SELECT vec_id, cl, "
+            f"ROW_NUMBER() OVER (PARTITION BY vec_id "
+            f"ORDER BY d DESC, cl ASC) AS rn FROM dot{c}) WHERE rn = 1), "
+            # quantized accumulation (banker's rint like np.round)
+            f"s{c} AS MATERIALIZED (SELECT a{c}.cl, u.i, "
+            f"SUM(CAST({_km_rint_sql(f'u.v * {QUANT}')} AS BIGINT)) AS tot, "
+            f"CAST(COUNT(*) AS BIGINT) AS n "
+            f"FROM a{c} JOIN u ON u.vec_id = a{c}.vec_id GROUP BY 1, 2), "
+            # raw new centroid tot/(quant*n), then unit-normalize;
+            # empty clusters keep the previous centroid
+            f"r{c} AS MATERIALIZED (SELECT cl, i, "
+            f"CAST(tot AS DOUBLE) / ({QUANT}.0 * CAST(n AS DOUBLE)) AS rv "
+            f"FROM s{c}), "
+            f"rn{c} AS MATERIALIZED (SELECT cl, SQRT(SUM(rv * rv)) AS n FROM r{c} "
+            f"GROUP BY 1), "
+            f"cent{c} AS MATERIALIZED ("
+            f"SELECT r{c}.cl, r{c}.i, r{c}.rv / "
+            f"(CASE WHEN rn{c}.n = 0 THEN 1.0 ELSE rn{c}.n END) AS cv "
+            f"FROM r{c} JOIN rn{c} ON rn{c}.cl = r{c}.cl "
+            f"UNION ALL "
+            f"SELECT cent{p}.cl, cent{p}.i, cent{p}.cv FROM cent{p} "
+            f"WHERE cent{p}.cl NOT IN (SELECT cl FROM s{c}))"
+        )
+    T = ITERS
+    parts.append(
+        f", dotF AS (SELECT u.vec_id, cent{T}.cl, SUM(u.v * cent{T}.cv) AS d "
+        f"FROM u JOIN cent{T} ON cent{T}.i = u.i GROUP BY 1, 2), "
+        "aF AS (SELECT vec_id, cl FROM (SELECT vec_id, cl, "
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cl ASC) "
+        "AS rn FROM dotF) WHERE rn = 1), "
+        "cnt AS (SELECT cl, CAST(COUNT(*) AS BIGINT) AS n FROM aF "
+        "GROUP BY cl) "
+        f"SELECT r.range AS cluster_id, COALESCE(cnt.n, 0) AS n "
+        f"FROM range(0, {K}) r LEFT JOIN cnt ON cnt.cl = r.range "
+        "ORDER BY cluster_id"
+    )
+    return "".join(parts)
+
+
+
+
 def _track_simplify_oracle_sql(tol: float = 0.02) -> str:
     """Mirror of _q_track_simplify: Douglas-Peucker as a recursive CTE.
 
@@ -5848,6 +5942,7 @@ def oracle_sql() -> dict[str, str]:
         "bilinear_sample": _bilinear_oracle_sql(grid),
         "s2_cells": _s2_cells_oracle_sql(),
         "track_simplify": _track_simplify_oracle_sql(),
+        "kmeans_clusters": _kmeans_oracle_sql(),
         "focal_counts": (
             # 3x3 focal mean over per-cell counts; ix/iy arithmetic
             # mirrors functions/cells.py (res 8: s=360/2^16)

@@ -34,7 +34,6 @@ NO_ORACLE_QUERIES = [
     "approx_distinct",
     "media_decode",
     "jaccard_pairs",
-    "kmeans_clusters",
     "bpe_merges",
     "approx_distinct_by_type",
     "convex_hull",

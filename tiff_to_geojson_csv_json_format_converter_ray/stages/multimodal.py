@@ -5,12 +5,13 @@ Media payloads are opaque ``binary`` columns with typed metadata
 feature-extract / resize / frame-sample run as actor-pool
 ``map_batches`` stages with small batches (payloads are large).
 
-The decode kernels themselves are STUBBED: the image/audio libraries
-are not in this container, so ``decoder='real'`` raises
-NotImplementedError, while ``decoder='fake'`` runs a deterministic
-seeded fake (hash-derived pixels) that keeps the Ray-side plumbing --
-schema, batch sizing, actor signature, output layout -- real and
-testable.  Swapping in a real codec touches ONLY ``_decode_real``.
+Decode (round 3): ``decoder='real'`` now routes PNG / BMP / PPM images
+and PCM WAV audio through the from-scratch stdlib codecs in
+``sources/media.py`` (same policy as the GeoTIFF codec).  Formats that
+genuinely need a native library (JPEG, MP4, webm) still raise --
+honestly -- from the dispatcher; ``decoder='fake'`` keeps the
+deterministic seeded fake for plumbing tests and for payloads of any
+type.
 """
 
 from __future__ import annotations
@@ -31,10 +32,18 @@ MEDIA_SCHEMA = pa.schema(
 
 
 def _decode_real(payload: bytes, media_type: str) -> np.ndarray:
-    raise NotImplementedError(
-        "media codecs are not available in this environment; "
-        "use decoder='fake' for plumbing tests or plug a codec in here"
-    )
+    """Real decode via the from-scratch codecs (PNG/BMP/PPM/WAV);
+    raises NotImplementedError for formats that need a native codec
+    library (JPEG, MP4, ...)."""
+    from ..sources.media import MediaCodecError, decode_media
+
+    try:
+        return decode_media(payload, media_type)
+    except MediaCodecError as e:
+        raise NotImplementedError(
+            f"no from-scratch codec for this payload ({e}); "
+            "use decoder='fake' or plug a codec library in here"
+        )
 
 
 def _decode_fake(payload: bytes, media_type: str, h: int, w: int) -> np.ndarray:
@@ -101,6 +110,48 @@ def gen_media(n: int = 64, seed: int = 42) -> pa.Table:
         ws.append(int(rng.randint(8, 64)))
         hs.append(int(rng.randint(8, 64)))
         srs.append(16000 if kind.startswith("audio") else 0)
+    return pa.table(
+        {
+            "media_id": ids, "media_type": types,
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array(ws, pa.int32()),
+            "height": pa.array(hs, pa.int32()),
+            "sample_rate": pa.array(srs, pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def gen_media_real(n: int = 24, seed: int = 42) -> pa.Table:
+    """Synthetic media table whose payloads are REAL encoded files
+    (PNG / BMP / PPM images, PCM WAV audio) from the from-scratch
+    codecs -- the decoder='real' end-to-end fixture."""
+    from ..sources.media import encode_bmp, encode_png, encode_ppm, encode_wav
+
+    rng = np.random.RandomState(seed)
+    ids, types, payloads, ws, hs, srs = [], [], [], [], [], []
+    for i in range(n):
+        kind = ["image/png", "image/bmp", "image/ppm", "audio/wav"][i % 4]
+        h, w = int(rng.randint(8, 32)), int(rng.randint(8, 32))
+        if kind == "audio/wav":
+            samples = rng.randint(-3000, 3000, (256, 1)).astype(np.int16)
+            payloads.append(encode_wav(samples, 16000))
+            hs.append(256)
+            ws.append(1)
+            srs.append(16000)
+        else:
+            img = rng.randint(0, 256, (h, w, 3), np.uint8)
+            enc = {
+                "image/png": encode_png,
+                "image/bmp": encode_bmp,
+                "image/ppm": encode_ppm,
+            }[kind]
+            payloads.append(enc(img))
+            hs.append(h)
+            ws.append(w)
+            srs.append(0)
+        ids.append(f"m{i}")
+        types.append(kind)
     return pa.table(
         {
             "media_id": ids, "media_type": types,
