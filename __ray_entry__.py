@@ -4720,6 +4720,33 @@ def _q_quality(sf_dir: str) -> pa.Table:
     return out.select(["doc_id", "quality", "simhash64"])
 
 
+def _q_quality_features(sf_dir: str) -> pa.Table:
+    """Gopher/C4-style quality features per document (the oracled
+    subset of TextAnnotate: ratio features + monotone score; simhash
+    stays in the no-oracle quality_scores row)."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+        TextAnnotate,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = collect_tables(
+        ds.map_batches(
+            TextAnnotate(features=("quality",)), batch_format="pyarrow",
+            batch_size=None,
+        )
+    )
+    return out.select(
+        ["doc_id", "mean_word_len", "punct_ratio", "digit_ratio",
+         "upper_ratio", "stopword_ratio", "unique_token_ratio", "quality"]
+    )
+
+
 def _q_ivf_ann(sf_dir: str) -> pa.Table:
     import pyarrow.parquet as pq
     import ray.data
@@ -5509,6 +5536,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": _q_embedding_neardup,
         "lang_id": _q_lang_id,
         "quality_scores": _q_quality,
+        "quality_features": _q_quality_features,
         "text_cleaning": _q_text_cleaning,
         "ivf_ann": _q_ivf_ann,
         "pq_ann": _q_pq_ann,
@@ -5711,6 +5739,102 @@ def _kmeans_oracle_sql(K: int = 8, ITERS: int = 4, SEED: int = 42,
     return "".join(parts)
 
 
+
+
+_SW_EN_SQL = "['the','of','and','to','in','a','is','that','for','it','as','with','on','be','are','this','was','at','by','an']"
+_SW_DE_SQL = "['der','die','das','und','ist','von','zu','mit','den','nicht','ein','eine','auf','im','des','sich']"
+_SW_FR_SQL = "['le','la','les','de','des','et','un','une','est','dans','que','pour','sur','avec','ne','pas','au','du']"
+
+_TOKS_SQL = (
+    "CASE WHEN TRIM(text) = '' THEN CAST([] AS VARCHAR[]) "
+    "ELSE REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+') END"
+)
+
+
+def _lang_id_oracle_sql() -> str:
+    """Mirror of functions/text.py::detect_language: devanagari/letter
+    ratio gate (RE2 \\p{L} == Python [^\\W\\d_] on this corpus,
+    component-verified), then best stopword-hit count with the
+    dict-order tiebreak (en > de > fr), <5%% hits -> 'zz'."""
+    return (
+        "WITH b AS (SELECT doc_id, text, "
+        "LEN(regexp_extract_all(text, '[\u0900-\u097f]')) AS n_dev, "
+        "LEN(regexp_extract_all(text, '[\\p{L}]')) AS n_alpha, "
+        "CASE WHEN TRIM(text) = '' THEN CAST([] AS VARCHAR[]) ELSE "
+        "REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+') END AS toks "
+        "FROM documents), "
+        "s AS (SELECT doc_id, n_dev, n_alpha, ARRAY_LENGTH(toks) AS n_tok, "
+        "LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(" + _SW_EN_SQL + ", x))) AS h_en, "
+        "LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(" + _SW_DE_SQL + ", x))) AS h_de, "
+        "LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(" + _SW_FR_SQL + ", x))) AS h_fr "
+        "FROM b) "
+        "SELECT doc_id, CASE "
+        "WHEN text_empty THEN 'zz' "
+        "WHEN n_alpha > 0 AND CAST(n_dev AS DOUBLE) / n_alpha > 0.3 THEN 'hi' "
+        "WHEN n_tok IS NULL OR n_tok = 0 THEN 'zz' "
+        "WHEN best_hits * 20 < n_tok THEN 'zz' "
+        "ELSE best END AS lang_id "
+        "FROM (SELECT s.doc_id, d.text = '' AS text_empty, s.n_dev, "
+        "s.n_alpha, s.n_tok, GREATEST(h_en, h_de, h_fr) AS best_hits, "
+        "CASE WHEN h_en >= h_de AND h_en >= h_fr AND h_en > 0 THEN 'en' "
+        "WHEN h_de >= h_fr AND h_de > 0 THEN 'de' "
+        "WHEN h_fr > 0 THEN 'fr' ELSE 'zz' END AS best "
+        "FROM s JOIN documents d ON d.doc_id = s.doc_id)"
+    )
+
+
+def _text_cleaning_oracle_sql() -> str:
+    """Mirror of functions/text.py::clean_text(require_terminal_punct=
+    False): kept lines = distinct (case-folded) non-empty stripped
+    lines with >= 3 whitespace tokens; docs keeping nothing emit 0."""
+    return (
+        "WITH l AS (SELECT doc_id, "
+        "TRIM(UNNEST(STR_SPLIT(text, chr(10)))) AS s FROM documents), "
+        "q AS (SELECT doc_id, LOWER(s) AS k FROM l WHERE s <> '' "
+        "AND ARRAY_LENGTH(REGEXP_SPLIT_TO_ARRAY(s, '\\s+')) >= 3), "
+        "c AS (SELECT doc_id, CAST(COUNT(DISTINCT k) AS BIGINT) AS n "
+        "FROM q GROUP BY doc_id) "
+        "SELECT d.doc_id, COALESCE(c.n, 0) AS n_lines_kept "
+        "FROM documents d LEFT JOIN c ON c.doc_id = d.doc_id"
+    )
+
+
+def _quality_features_oracle_sql() -> str:
+    """Mirror of functions/text.py::quality_features: identical count
+    components (component-verified vs Python at sf0.01/sf0.1) and the
+    identical left-to-right float expression order for the ratios and
+    the monotone score product."""
+    return (
+        "WITH b AS (SELECT doc_id, text, LENGTH(text) AS n_chars, "
+        "LEN(regexp_extract_all(text, '[.,;:!?\"''()\\-]')) AS n_punct, "
+        "LEN(regexp_extract_all(text, '[0-9]')) AS n_digit, "
+        "LEN(regexp_extract_all(text, '[A-Z\u00c0-\u00d6\u00d8-\u00de]')) AS n_upper, "
+        + _TOKS_SQL + " AS toks FROM documents), "
+        "s AS (SELECT doc_id, n_chars, n_punct, n_digit, n_upper, "
+        "COALESCE(ARRAY_LENGTH(toks), 0) AS n_tok, "
+        "COALESCE(LIST_SUM(LIST_TRANSFORM(toks, x -> LENGTH(x))), 0) AS sum_len, "
+        "COALESCE(LEN(LIST_DISTINCT(LIST_TRANSFORM(toks, x -> LOWER(x)))), 0) AS n_uniq, "
+        "COALESCE(LEN(LIST_FILTER(LIST_TRANSFORM(toks, x -> LOWER(x)), "
+        "x -> LIST_CONTAINS(" + _SW_EN_SQL + ", x))), 0) AS n_sw FROM b), "
+        "f AS (SELECT doc_id, n_chars, "
+        "CASE WHEN n_tok = 0 THEN 0.0 ELSE CAST(sum_len AS DOUBLE) / n_tok END AS mwl, "
+        "CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / n_chars END AS punct_ratio, "
+        "CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_digit AS DOUBLE) / n_chars END AS digit_ratio, "
+        "CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_upper AS DOUBLE) / n_chars END AS upper_ratio, "
+        "CASE WHEN n_tok = 0 THEN 0.0 ELSE CAST(n_sw AS DOUBLE) / n_tok END AS stopword_ratio, "
+        "CASE WHEN n_tok = 0 THEN 0.0 ELSE CAST(n_uniq AS DOUBLE) / n_tok END AS uniq, "
+        "n_tok FROM s) "
+        "SELECT doc_id, "
+        "CASE WHEN n_chars = 0 THEN 0.0 ELSE mwl END AS mean_word_len, "
+        "punct_ratio, digit_ratio, upper_ratio, stopword_ratio, "
+        "uniq AS unique_token_ratio, "
+        "CASE WHEN n_chars = 0 THEN 0.0 ELSE "
+        "(((CASE WHEN n_tok < 5 THEN 1.0 * 0.2 ELSE 1.0 END) "
+        "* (CASE WHEN mwl < 2.0 OR mwl > 12.0 THEN 0.5 ELSE 1.0 END)) "
+        "* (1.0 - LEAST(digit_ratio * 2.0, 0.5))) "
+        "* (0.5 + 0.5 * LEAST(uniq * 1.5, 1.0)) END AS quality "
+        "FROM f"
+    )
 
 
 def _track_simplify_oracle_sql(tol: float = 0.02) -> str:
@@ -5943,6 +6067,9 @@ def oracle_sql() -> dict[str, str]:
         "s2_cells": _s2_cells_oracle_sql(),
         "track_simplify": _track_simplify_oracle_sql(),
         "kmeans_clusters": _kmeans_oracle_sql(),
+        "lang_id": _lang_id_oracle_sql(),
+        "text_cleaning": _text_cleaning_oracle_sql(),
+        "quality_features": _quality_features_oracle_sql(),
         "focal_counts": (
             # 3x3 focal mean over per-cell counts; ix/iy arithmetic
             # mirrors functions/cells.py (res 8: s=360/2^16)

@@ -313,7 +313,7 @@ EXTRA_QUERY_SUBSET = [
     "colocation_pairs", "latest_event_per_user", "grouping_sets",
     "rolling_week_users", "winsorized_mean", "pattern_match_users",
     "kde_density", "lagged_crosscorr", "rolling_anomaly",
-    "contour_segments",
+    "contour_segments", "quality_features", "lang_id",
     "profile_lineitem", "label_scatter", "centroid_confusion",
     "ks_statistic", "cramers_v", "tukey_outliers",
     "benford_deviation", "hhi_concentration", "word_components",

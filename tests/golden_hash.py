@@ -24,9 +24,7 @@ NO_ORACLE_QUERIES = [
     "minhash_dedup",
     "simhash_dedup",
     "embedding_neardup",
-    "lang_id",
     "quality_scores",
-    "text_cleaning",
     "ivf_ann",
     "pq_ann",
     "zonal_multiband",
