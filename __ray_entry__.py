@@ -5837,6 +5837,58 @@ def _quality_features_oracle_sql() -> str:
     )
 
 
+def _stay_points_oracle_sql(eps: float = 0.3, min_dur: float = 3600.0) -> str:
+    """Mirror of _q_stay_points (Li et al. 2008 kernel,
+    functions/geometry.py::stay_points): the sequential anchor scan as
+    a linear recursive CTE -- each step finds the first fix past eps of
+    the anchor (squared-distance compare, identical float ops on both
+    sides), emits a stay when the dwell reaches min_dur, and advances
+    the anchor.  Users advance independently; recursion depth = longest
+    track.  Verified bit-exact (incl. the rounded dwell sums) at
+    sf0.01 and sf0.1."""
+    eps2 = repr(eps * eps)
+    return f"""
+WITH RECURSIVE g AS (
+  SELECT user_id, ts, event_id,
+         77.0 + CAST(event_id % 96 AS DOUBLE) * 0.01 AS lon,
+         28.05 + CAST((event_id // 96) % 96 AS DOUBLE) * 0.01 AS lat
+  FROM events),
+p AS (
+  SELECT user_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS i,
+         lon, lat, epoch_us(ts) / 1000000.0 AS t FROM g),
+ext AS (SELECT user_id, COUNT(*) AS n FROM p GROUP BY user_id),
+rec(user_id, i, stays, dwell) AS (
+  SELECT user_id, 0, CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE) FROM ext
+  UNION ALL
+  SELECT s.user_id,
+         CASE WHEN s.stay THEN s.jb ELSE s.i + 1 END,
+         s.stays + CAST(s.stay AS BIGINT),
+         s.dwell + CASE WHEN s.stay THEN s.tleave - s.tarr ELSE 0.0 END
+  FROM (
+    SELECT u.user_id, u.i, u.stays, u.dwell, u.jb, u.tarr, tl.t AS tleave,
+           (tl.t - u.tarr >= {min_dur!r} AND u.jb - 1 > u.i) AS stay
+    FROM (
+      SELECT rec.user_id, rec.i, rec.stays, rec.dwell, pa.t AS tarr,
+             COALESCE(MIN(q.i), ext.n) AS jb
+      FROM rec
+      JOIN ext ON ext.user_id = rec.user_id
+      JOIN p pa ON pa.user_id = rec.user_id AND pa.i = rec.i
+      LEFT JOIN p q ON q.user_id = rec.user_id AND q.i > rec.i
+        AND (q.lon - pa.lon)*(q.lon - pa.lon)
+            + (q.lat - pa.lat)*(q.lat - pa.lat) > {eps2}
+      WHERE rec.i < ext.n
+      GROUP BY rec.user_id, rec.i, rec.stays, rec.dwell, pa.t, ext.n
+    ) u
+    JOIN p tl ON tl.user_id = u.user_id AND tl.i = u.jb - 1
+  ) s
+)
+SELECT r.user_id, r.stays AS n_stays, ROUND(r.dwell, 6) AS total_dwell_s
+FROM rec r JOIN ext e ON e.user_id = r.user_id
+WHERE r.i >= e.n
+"""
+
+
 def _track_simplify_oracle_sql(tol: float = 0.02) -> str:
     """Mirror of _q_track_simplify: Douglas-Peucker as a recursive CTE.
 
@@ -6070,6 +6122,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": _lang_id_oracle_sql(),
         "text_cleaning": _text_cleaning_oracle_sql(),
         "quality_features": _quality_features_oracle_sql(),
+        "stay_points": _stay_points_oracle_sql(),
         "focal_counts": (
             # 3x3 focal mean over per-cell counts; ix/iy arithmetic
             # mirrors functions/cells.py (res 8: s=360/2^16)

@@ -36,7 +36,6 @@ NO_ORACLE_QUERIES = [
     "approx_distinct_by_type",
     "convex_hull",
     "dbscan_clusters",
-    "stay_points",
 ]
 
 

@@ -463,12 +463,18 @@ def stay_points(
     kernel behind a groupby(user) shuffle."""
     out = []
     n = len(x)
+    eps2 = eps * eps
     i = 0
     while i < n:
         j = i + 1
         while j < n:
-            d = np.hypot(x[j] - x[i], y[j] - y[i])
-            if d > eps:
+            # squared-distance compare: no sqrt/hypot, so a SQL mirror
+            # ((dx*dx + dy*dy) > eps*eps) reproduces the branch
+            # bit-exactly (hypot vs SQRT differ in the last ulp at
+            # lattice-aligned distances exactly on the eps boundary)
+            dx = x[j] - x[i]
+            dy = y[j] - y[i]
+            if dx * dx + dy * dy > eps2:
                 break
             j += 1
         if t[j - 1] - t[i] >= min_duration and j - 1 > i:
