@@ -492,3 +492,90 @@ class TestGeoTIFFPipeline:
         assert got.size == raster.size
         assert t["nodata"][0].as_py() == -9999.0
         assert t["crs"][0].as_py() == "EPSG:4326"
+
+
+def test_regrid_geotiff_roundtrip(ray_session, tmp_path):
+    """Full circle: .tif -> extract points -> regrid -> .tif -> decode
+    equals the source raster (valid pixels)."""
+    import ray.data
+
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.convert import (
+        extract_points, read_tiles, tiles_metadata,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.schema import NODATA_F32
+    from tiff_to_geojson_csv_json_format_converter_ray.sinks import (
+        write_regrid_geotiff,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.sources.geotiff import (
+        open_geotiff, write_geotiff,
+    )
+
+    rng = np.random.default_rng(21)
+    arr = np.round(100 + 50 * rng.random((64, 80)), 2).astype(np.float32)
+    arr[rng.random((64, 80)) < 0.07] = np.float32(-3.4028235e38)
+    transform = [0.01, 0.0, 77.0, 0.0, -0.01, 29.0]
+    src = str(tmp_path / "in.tif")
+    write_geotiff(src, arr, transform=transform, crs="EPSG:4326",
+                  nodata=float(-3.4028235e38), compression="deflate")
+
+    meta = tiles_metadata(src)
+    pts = collect_tables(
+        extract_points(read_tiles(src), meta, mode="valid")
+    )
+    out = str(tmp_path / "out.tif")
+    write_regrid_geotiff(
+        pts, out, transform, 64, 80, nodata=float(NODATA_F32)
+    )
+    g = open_geotiff(out)
+    dec = g.read(1)
+    valid = arr > -1e30
+    # extraction rounds z to 2dp; source was pre-rounded, so valid
+    # pixels round-trip exactly; invalid pixels carry the sentinel
+    np.testing.assert_allclose(dec[valid], arr[valid], atol=0)
+    assert (dec[~valid] < -1e30).all()
+    assert g.transform == transform and g.crs == "EPSG:4326"
+
+
+def test_write_grid_geotiffs_distributed(ray_session, tmp_path):
+    """Per-source grid .tif output through the groupby(src) shuffle."""
+    import ray.data
+
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.convert import (
+        extract_points, read_tiles, tiles_metadata, write_grid_geotiffs,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.schema import NODATA_F32
+    from tiff_to_geojson_csv_json_format_converter_ray.sources.geotiff import (
+        open_geotiff, write_geotiff,
+    )
+
+    tif_dir = tmp_path / "in"
+    tif_dir.mkdir()
+    rng = np.random.default_rng(31)
+    arrs = {}
+    for name, (h, w, x0) in {
+        "alpha": (48, 64, 77.0), "beta": (32, 40, 78.0)
+    }.items():
+        a = np.round(rng.random((h, w)) * 100, 2).astype(np.float32)
+        arrs[name] = a
+        write_geotiff(
+            str(tif_dir / f"{name}.tif"), a,
+            transform=[0.01, 0, x0, 0, -0.01, 29.0],
+            crs="EPSG:4326", nodata=float(NODATA_F32),
+            compression="deflate",
+        )
+    meta = tiles_metadata(str(tif_dir))
+    pts = extract_points(read_tiles(str(tif_dir)), meta, mode="full")
+    specs = {
+        "alpha": {"transform": [0.01, 0, 77.0, 0, -0.01, 29.0],
+                  "height": 48, "width": 64},
+        "beta": {"transform": [0.01, 0, 78.0, 0, -0.01, 29.0],
+                 "height": 32, "width": 40},
+    }
+    manifest = write_grid_geotiffs(pts, specs, str(tmp_path / "out"))
+    assert manifest.num_rows == 2
+    for name, a in arrs.items():
+        g = open_geotiff(str(tmp_path / "out" / f"{name}.tif"))
+        np.testing.assert_array_equal(g.read(1), a)

@@ -383,3 +383,32 @@ def write_dataset_parquet(ds, out_dir: str) -> "pa.Table":
             "bytes": pa.array(sizes, pa.int64()),
         }
     )
+
+
+def write_regrid_geotiff(
+    points: pa.Table,
+    out_path: str,
+    transform: list[float],
+    height: int,
+    width: int,
+    nodata: float,
+    crs: str = "EPSG:4326",
+    compression: str = "deflate",
+) -> None:
+    """Grid writer (K7) with a real GeoTIFF container: scatter the
+    point table back to the raster via the inverse affine
+    (:func:`regrid_points`) and write it with the from-scratch codec
+    (sources/geotiff.py) -- full-circle reference parity: the engine
+    can now read AND write the reference's native format."""
+    from .sources.geotiff import write_geotiff
+
+    payload = regrid_points(
+        points, transform, height, width, nodata
+    )
+    grid = np.asarray(payload["elevation_grid"], dtype=np.float32)
+    tmp = f"{out_path}.{uuid.uuid4().hex[:8]}.tmp"
+    write_geotiff(
+        tmp, grid, transform=transform, crs=crs, nodata=nodata,
+        compression=compression,
+    )
+    os.replace(tmp, out_path)
