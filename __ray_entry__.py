@@ -6001,6 +6001,110 @@ def _pagerank_sql(iters: int = 10) -> str:
     return "".join(parts)
 
 
+def _convex_hull_oracle_sql(K: int = 32) -> str:
+    """Mirror of _q_convex_hull without replaying the engine: the
+    strict-hull-vertex predicate evaluated in pure SQL.  K directional
+    extreme points form a sound prune polygon (a hull vertex is never
+    strictly inside the convex hull of ANY point subset, so libm
+    cos/sin value differences between numpy and DuckDB cannot change
+    the result, only the prune's tightness); the surviving O(100)
+    candidates then pass the exact supporting-edge test: p is a strict
+    hull vertex iff some q gives a directed line p->q with every other
+    candidate strictly right of it, allowing collinear points only
+    strictly BETWEEN p and q -- this reproduces the monotone chain's
+    drop-collinear-vertices semantics (stages/stats.py::convex_hull).
+    Verified bit-equal to the engine at sf0.001/0.01/0.1."""
+    cr = "((q.x - c.x)*(r.y - c.y) - (q.y - c.y)*(r.x - c.x))"
+    dt = "((r.x - c.x)*(q.x - c.x) + (r.y - c.y)*(q.y - c.y))"
+    dd = "((q.x - c.x)*(q.x - c.x) + (q.y - c.y)*(q.y - c.y))"
+    return (
+        "WITH pts AS ("
+        "  SELECT DISTINCT"
+        "    (77.0 + CAST(event_id % 96 AS DOUBLE) * 0.01)"
+        "      + CAST((event_id * 2654435761) % 997 AS DOUBLE) / 99700.0 AS x,"
+        "    (28.05 + CAST((event_id // 96) % 96 AS DOUBLE) * 0.01)"
+        "      + CAST((event_id * 40503) % 991 AS DOUBLE) / 99100.0 AS y"
+        "  FROM events),"
+        f" dirs AS (SELECT i, COS(2.0 * PI() * i / {K}.0) AS dx,"
+        f"                 SIN(2.0 * PI() * i / {K}.0) AS dy"
+        f"          FROM range({K}) t(i)),"
+        " ext AS (SELECT DISTINCT x, y FROM ("
+        "   SELECT d.i, p.x, p.y, ROW_NUMBER() OVER ("
+        "     PARTITION BY d.i ORDER BY p.x*d.dx + p.y*d.dy DESC, p.x, p.y"
+        "   ) AS rn FROM dirs d CROSS JOIN pts p) WHERE rn = 1),"
+        " ctr AS (SELECT AVG(x) AS cx, AVG(y) AS cy FROM ext),"
+        " poly AS (SELECT x, y, ROW_NUMBER() OVER ("
+        "   ORDER BY ATAN2(y - ctr.cy, x - ctr.cx)) - 1 AS k FROM ext, ctr),"
+        " edges AS (SELECT a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by2"
+        "   FROM poly a JOIN poly b"
+        "   ON b.k = (a.k + 1) % (SELECT COUNT(*) FROM poly)),"
+        " cand AS (SELECT p.x, p.y FROM pts p WHERE EXISTS ("
+        "   SELECT 1 FROM edges e WHERE"
+        "   (e.bx - e.ax)*(p.y - e.ay) - (e.by2 - e.ay)*(p.x - e.ax) <= 0))"
+        " SELECT c.x, c.y FROM cand c WHERE EXISTS ("
+        "   SELECT 1 FROM cand q WHERE (q.x <> c.x OR q.y <> c.y)"
+        "   AND NOT EXISTS ("
+        "     SELECT 1 FROM cand r"
+        "     WHERE (r.x <> c.x OR r.y <> c.y) AND (r.x <> q.x OR r.y <> q.y)"
+        f"    AND NOT ({cr} < 0.0"
+        f"             OR ({cr} = 0.0 AND {dt} > 0.0 AND {dt} < {dd}))))"
+    )
+
+
+def _dbscan_oracle_sql() -> str:
+    """Mirror of _q_dbscan_clusters (stages/ann.py::grid_dbscan) in
+    pure SQL: eps-cell bucketing with the identical FLOOR(x * (1/eps))
+    arithmetic, dense cells (count >= max(8, n//2000)), 8-connected
+    components as a recursive-CTE transitive closure over the DENSE
+    cell table (bounded by cells, never points), component labels
+    numbered by the component's minimum (cy, cx) cell exactly like the
+    engine's lexsort first-seen numbering, and border cells joining a
+    cluster only when adjacent to exactly one.  Verified bit-equal to
+    the engine at sf0.001/0.01/0.1."""
+    return (
+        "WITH RECURSIVE base AS ("
+        "  SELECT CAST(event_id % 4 AS DOUBLE) AS blob,"
+        "         ((event_id // 4) % 2) = 0 AS in_blob,"
+        "         CAST((event_id * 2654435761) % 997 AS DOUBLE) / 997.0 AS jx,"
+        "         CAST((event_id * 40503) % 991 AS DOUBLE) / 991.0 AS jy"
+        "  FROM events),"
+        " p AS (SELECT"
+        "   CASE WHEN in_blob THEN blob * 10.0 + jx * 0.5 ELSE jx * 40.0 END AS x,"
+        "   CASE WHEN in_blob THEN blob * 5.0 + jy * 0.5 ELSE jy * 20.0 END AS y"
+        "  FROM base),"
+        " pc AS (SELECT x, y,"
+        "   CAST(FLOOR(x * (1.0 / 0.6)) AS BIGINT) AS cx,"
+        "   CAST(FLOOR(y * (1.0 / 0.6)) AS BIGINT) AS cy FROM p),"
+        " mc AS (SELECT GREATEST(8, COUNT(*) // 2000) AS min_count FROM pc),"
+        " cells AS (SELECT cx, cy, COUNT(*) AS n FROM pc GROUP BY 1, 2),"
+        " dense AS (SELECT c.cx, c.cy FROM cells c, mc WHERE c.n >= mc.min_count),"
+        " reach(cx, cy, rx, ry) AS ("
+        "   SELECT cx, cy, cx, cy FROM dense"
+        "   UNION"
+        "   SELECT r.cx, r.cy, d.cx, d.cy FROM reach r JOIN dense d"
+        "     ON ABS(d.cx - r.rx) <= 1 AND ABS(d.cy - r.ry) <= 1),"
+        " roots AS (SELECT cx, cy, MIN(ry * 100000 + rx) AS rootkey"
+        "           FROM reach GROUP BY 1, 2),"
+        " dlab AS (SELECT cx, cy,"
+        "   DENSE_RANK() OVER (ORDER BY rootkey) - 1 AS label FROM roots),"
+        " blab AS ("
+        "   SELECT c.cx, c.cy, CASE WHEN COUNT(DISTINCT d.label) = 1"
+        "     THEN MIN(d.label) ELSE -1 END AS label"
+        "   FROM (SELECT cells.cx, cells.cy FROM cells, mc"
+        "         WHERE cells.n < mc.min_count) c"
+        "   LEFT JOIN dlab d ON d.cx BETWEEN c.cx - 1 AND c.cx + 1"
+        "     AND d.cy BETWEEN c.cy - 1 AND c.cy + 1"
+        "   GROUP BY 1, 2),"
+        " lab AS (SELECT * FROM dlab UNION ALL SELECT * FROM blab),"
+        " pl AS (SELECT pc.x, pc.y, l.label FROM pc"
+        "   JOIN lab l ON l.cx = pc.cx AND l.cy = pc.cy)"
+        " SELECT CAST(label AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n,"
+        "   ROUND(MIN(x), 6) AS x_min, ROUND(MAX(x), 6) AS x_max,"
+        "   ROUND(MIN(y), 6) AS y_min, ROUND(MAX(y), 6) AS y_max"
+        " FROM pl GROUP BY 1"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     from tiff_to_geojson_csv_json_format_converter_ray.functions.cells import (
         cell_size,
@@ -6119,6 +6223,8 @@ def oracle_sql() -> dict[str, str]:
         "s2_cells": _s2_cells_oracle_sql(),
         "track_simplify": _track_simplify_oracle_sql(),
         "kmeans_clusters": _kmeans_oracle_sql(),
+        "convex_hull": _convex_hull_oracle_sql(),
+        "dbscan_clusters": _dbscan_oracle_sql(),
         "lang_id": _lang_id_oracle_sql(),
         "text_cleaning": _text_cleaning_oracle_sql(),
         "quality_features": _quality_features_oracle_sql(),
