@@ -4141,11 +4141,15 @@ def _q_approx_distinct_by_type(sf_dir: str) -> pa.Table:
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_type", "user_id"],
     )
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        round_like_sql,
+    )
+
     out = grouped_approx_distinct(ds, "event_type", "user_id")
     return pa.table(
         {
             "event_type": out["event_type"],
-            "approx_n": out["approx_n"],
+            "approx_n": round_like_sql(out["approx_n"], 6),
         }
     )
 
@@ -5267,12 +5271,17 @@ def _q_approx_distinct(sf_dir: str) -> pa.Table:
         approx_distinct,
     )
 
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        round_like_sql,
+    )
+
     rows = []
     for col in ("lang", "source", "text"):
         ds = _read_pq(
             os.path.join(sf_dir, "documents.parquet"), columns=[col]
         )
-        rows.append({"column": col, "estimate": round(approx_distinct(ds, col), 1)})
+        est = round_like_sql([approx_distinct(ds, col)], 1)[0].as_py()
+        rows.append({"column": col, "estimate": est})
     return pa.Table.from_pylist(rows)
 
 
@@ -6001,6 +6010,60 @@ def _pagerank_sql(iters: int = 10) -> str:
     return "".join(parts)
 
 
+def _approx_distinct_oracle_sql() -> str:
+    """Mirror of _q_approx_distinct: the HyperLogLog estimate recomputed
+    in pure SQL (functions/sqlmirror.py) -- FNV-1a over utf-8 bytes via
+    list_reduce, fmix64 in HUGEINT with 32-bit-split wraparound
+    multiplies, register max per top-12-bit index, alpha*m^2/sum(2^-reg)
+    with the linear-counting fallback.  Engine and SQL both round to
+    1 dp (ties-away), absorbing the float-sum-order ulp."""
+    from tiff_to_geojson_csv_json_format_converter_ray.functions import (
+        sqlmirror as SM,
+    )
+
+    parts = []
+    for col in ("lang", "source", "text"):
+        rel = f"(SELECT {SM.fnv1a_sql(col)} AS h FROM documents)"
+        parts.append(
+            f"SELECT '{col}' AS \"column\", "
+            f"ROUND({SM.hll_estimate_sql(rel)}, 1) AS estimate"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def _approx_distinct_by_type_oracle_sql() -> str:
+    """Mirror of _q_approx_distinct_by_type
+    (stages/sketch.py::grouped_approx_distinct): per-group register max
+    equals the engine's blob merge, so the grouped SQL estimate is the
+    same construction keyed by event_type; both sides round to 6 dp."""
+    from tiff_to_geojson_csv_json_format_converter_ray.functions import (
+        sqlmirror as SM,
+    )
+
+    rel = (
+        f"(SELECT event_type, "
+        f"{SM.fnv1a_sql('CAST(user_id AS VARCHAR)')} AS h FROM events)"
+    )
+    return SM.hll_grouped_estimate_sql(rel, "event_type")
+
+
+def _quality_scores_oracle_sql() -> str:
+    """Mirror of _q_quality: the oracled quality expression
+    (_quality_features_oracle_sql) joined to the pure-SQL SimHash
+    (functions/sqlmirror.py::simhash64_sql -- FNV-1a token hashes,
+    per-bit majority vote, int64 view)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.functions.sqlmirror import (
+        simhash64_sql,
+    )
+
+    return (
+        f"WITH qf AS ({_quality_features_oracle_sql()}), "
+        f"sh AS ({simhash64_sql('documents')}) "
+        "SELECT qf.doc_id, qf.quality, sh.simhash64 "
+        "FROM qf JOIN sh ON sh.doc_id = qf.doc_id"
+    )
+
+
 def _convex_hull_oracle_sql(K: int = 32) -> str:
     """Mirror of _q_convex_hull without replaying the engine: the
     strict-hull-vertex predicate evaluated in pure SQL.  K directional
@@ -6225,6 +6288,9 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_clusters": _kmeans_oracle_sql(),
         "convex_hull": _convex_hull_oracle_sql(),
         "dbscan_clusters": _dbscan_oracle_sql(),
+        "approx_distinct": _approx_distinct_oracle_sql(),
+        "approx_distinct_by_type": _approx_distinct_by_type_oracle_sql(),
+        "quality_scores": _quality_scores_oracle_sql(),
         "lang_id": _lang_id_oracle_sql(),
         "text_cleaning": _text_cleaning_oracle_sql(),
         "quality_features": _quality_features_oracle_sql(),

@@ -24,18 +24,13 @@ NO_ORACLE_QUERIES = [
     "minhash_dedup",
     "simhash_dedup",
     "embedding_neardup",
-    "quality_scores",
     "ivf_ann",
     "pq_ann",
     "zonal_multiband",
     "pages_flagship",
-    "approx_distinct",
     "media_decode",
     "jaccard_pairs",
     "bpe_merges",
-    "approx_distinct_by_type",
-    "convex_hull",
-    "dbscan_clusters",
 ]
 
 
