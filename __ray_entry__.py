@@ -5203,12 +5203,16 @@ def _q_quantiles(sf_dir: str) -> pa.Table:
     ds = _read_pq(
         os.path.join(sf_dir, "lineitem.parquet"), columns=["l_extendedprice"]
     )
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        round_like_sql,
+    )
+
     h = quantile_histogram(ds, "l_extendedprice", bins=512)
     return pa.table(
         {
             "q": pa.array([0.25, 0.5, 0.75, 0.95]),
-            "estimate": pa.array(
-                [round(h.quantile(q), 2) for q in (0.25, 0.5, 0.75, 0.95)]
+            "estimate": round_like_sql(
+                [h.quantile(q) for q in (0.25, 0.5, 0.75, 0.95)], 2
             ),
         }
     )
@@ -6010,6 +6014,220 @@ def _pagerank_sql(iters: int = 10) -> str:
     return "".join(parts)
 
 
+_ROLL_POWS = [1, 1099511628211, 956575116354345, 624165263380053675,
+              11527715348014283921]  # B^0..B^4 mod 2**64 (hashing.py)
+
+
+def _minhash_core_sql() -> str:
+    """Shared CTE list (no WITH keyword) recomputing the full MinHash
+    LSH pipeline (stages/dedup.py::minhash_lsh_dedup) in pure SQL:
+    documents -> char-5-shingle Rabin-Karp rolling hashes (explicit
+    5-term polynomial, the closed form of the engine's rolling update)
+    -> 64 frozen universal-hash permutations (MinHasher seed 42; the
+    (a_j, b_j) table is data-independent config, like the
+    marching-squares segment table) -> per-doc per-perm MIN -> 8-band
+    FNV band keys -> bucket-capped candidate pairs -> signature
+    similarity >= 0.8 verify.  Ends with `ver(a, b)`.  Scope: mirrors
+    the k=5 shingle path (every sf document is >= 44 bytes; the
+    engine's short-text fallback shrinks k only below 5 bytes).
+    DISTINCT shingles are value-safe (MIN ignores duplicates).  The
+    2044-position grid bounds doc length; sf maxlen is 577."""
+    from tiff_to_geojson_csv_json_format_converter_ray.functions.hashing import (
+        MinHasher,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.functions.sqlmirror import (
+        FNV_OFFSET, FNV_PRIME, M64, _hexval,
+    )
+
+    mh = MinHasher(64, 42)
+    perm_vals = ", ".join(
+        f"({j}, {int(a)}::HUGEINT, {int(b)}::HUGEINT)"
+        for j, (a, b) in enumerate(zip(mh.a, mh.b))
+    )
+
+    def byte(pos: str) -> str:
+        return (
+            f"(16 * {_hexval('db.hx', f'2*({pos})-1')} "
+            f"+ {_hexval('db.hx', f'2*({pos})')})::HUGEINT"
+        )
+
+    shingle = " + ".join(
+        f"{byte(f'i+{j}')} * {_ROLL_POWS[4-j]}::HUGEINT" for j in range(5)
+    )
+    return (
+        f"perms(j, a, b) AS (VALUES {perm_vals}), "
+        "db AS MATERIALIZED (SELECT doc_id, hex(encode(text)) AS hx, "
+        "octet_length(encode(text)) AS n FROM documents), "
+        "pos AS (SELECT i FROM range(1, 2045) t(i)), "
+        "sh AS MATERIALIZED (SELECT DISTINCT doc_id, "
+        f"(({shingle}) % {M64}) AS h "
+        "FROM db JOIN pos t ON t.i <= db.n - 4), "
+        "sig AS MATERIALIZED (SELECT doc_id, p.j, "
+        f"MIN((h * p.a + p.b) % {M64}) AS s "
+        "FROM sh, perms p GROUP BY doc_id, p.j), "
+        "sigl AS MATERIALIZED (SELECT doc_id, list(s ORDER BY j) AS sl "
+        "FROM sig GROUP BY doc_id), "
+        "bk AS MATERIALIZED (SELECT doc_id, bb.band, "
+        f"xor(list_reduce(list_prepend({FNV_OFFSET}::HUGEINT, "
+        "sl[bb.band*8+1 : bb.band*8+8]), "
+        f"(h, x) -> (xor(h, x) * {FNV_PRIME}::HUGEINT) % {M64}), "
+        "(bb.band::HUGEINT << 56)) AS key "
+        "FROM sigl, range(0, 8) bb(band)), "
+        "bsz AS MATERIALIZED (SELECT band, key, COUNT(*) AS g FROM bk "
+        "GROUP BY band, key), "
+        "cand AS (SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib "
+        "FROM bk x JOIN bk y ON y.band = x.band AND y.key = x.key "
+        "AND y.doc_id > x.doc_id "
+        "JOIN bsz ON bsz.band = x.band AND bsz.key = x.key "
+        "WHERE bsz.g BETWEEN 2 AND 1000), "
+        "ver AS MATERIALIZED (SELECT c.ia AS a, c.ib AS b "
+        "FROM cand c JOIN sig s1 ON s1.doc_id = c.ia "
+        "JOIN sig s2 ON s2.doc_id = c.ib AND s2.j = s1.j "
+        "GROUP BY c.ia, c.ib "
+        "HAVING (SUM(CASE WHEN s1.s = s2.s THEN 1 ELSE 0 END) / 64.0) "
+        ">= 0.8)"
+    )
+
+
+def _cluster_tail_sql(src: str = "ver") -> str:
+    """Recursive min-label transitive closure over a pair list
+    `src(a, b)` -> (doc_id, cluster_rep): the SQL form of the engine's
+    label propagation / union-find (identical min-id reps,
+    non-singleton components only since every node is in a pair)."""
+    return (
+        f"nodes AS (SELECT a AS n FROM {src} UNION SELECT b FROM {src}), "
+        f"edges AS (SELECT a, b FROM {src} "
+        f"UNION SELECT b AS a, a AS b FROM {src}), "
+        "reach(n, r) AS (SELECT n, n FROM nodes UNION "
+        "SELECT reach.n, e.b FROM reach JOIN edges e ON e.a = reach.r) "
+        "SELECT n AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY n"
+    )
+
+
+def _minhash_dedup_oracle_sql() -> str:
+    """Mirror of _q_minhash_dedup; verified value-equal at
+    sf0.001/0.01/0.1 (45/47/... rows)."""
+    return f"WITH RECURSIVE {_minhash_core_sql()}, {_cluster_tail_sql()}"
+
+
+def _simhash_dedup_oracle_sql() -> str:
+    """Mirror of _q_simhash_dedup (stages/dedup.py::simhash_dedup):
+    the pure-SQL SimHash (sqlmirror), four 16-bit pigeonhole band
+    buckets, exact Hamming verify via bit_count(xor), same closure."""
+    from tiff_to_geojson_csv_json_format_converter_ray.functions.sqlmirror import (
+        M64, simhash64_sql,
+    )
+
+    return (
+        f"WITH RECURSIVE shx AS ({simhash64_sql('documents')}), "
+        "shu AS MATERIALIZED (SELECT doc_id, CASE WHEN simhash64 < 0 "
+        f"THEN simhash64::HUGEINT + {M64} "
+        "ELSE simhash64::HUGEINT END AS h FROM shx), "
+        "bku AS MATERIALIZED (SELECT doc_id, h, "
+        "CAST(bb.band * 65536 + ((h >> (bb.band * 16)) % 65536) "
+        "AS BIGINT) AS gk FROM shu, range(0, 4) bb(band)), "
+        "bsz AS MATERIALIZED (SELECT gk, COUNT(*) AS g FROM bku "
+        "GROUP BY gk), "
+        "ver AS MATERIALIZED (SELECT DISTINCT x.doc_id AS a, "
+        "y.doc_id AS b "
+        "FROM bku x JOIN bku y ON y.gk = x.gk AND y.doc_id > x.doc_id "
+        "JOIN bsz ON bsz.gk = x.gk "
+        "WHERE bsz.g BETWEEN 2 AND 1000 "
+        "AND bit_count(xor(x.h, y.h)) <= 3), "
+        f"{_cluster_tail_sql()}"
+    )
+
+
+def _jaccard_pairs_oracle_sql() -> str:
+    """Mirror of _q_jaccard_pairs: the minhash pipeline's clusters ->
+    first 20 (rep, doc) pairs ordered by doc_id (the engine's
+    to_pylist order: label propagation emits rows sorted by doc_id) ->
+    exact word-3-gram Jaccard over DISTINCT grams (set Jaccard over
+    identical-fnv1a-hash grams equals set Jaccard over the gram
+    strings absent a 64-bit collision)."""
+    grams = (
+        "CASE WHEN COALESCE(ARRAY_LENGTH(toks), 0) < 3 "
+        "THEN (CASE WHEN COALESCE(ARRAY_LENGTH(toks), 0) = 0 THEN [] "
+        "ELSE [array_to_string(toks, ' ')] END) "
+        "ELSE list_transform(range(1, ARRAY_LENGTH(toks) - 1), "
+        "i -> toks[i] || chr(31) || toks[i+1] || chr(31) || toks[i+2]) "
+        "END"
+    )
+    return (
+        f"WITH RECURSIVE {_minhash_core_sql()}, "
+        "nodes AS (SELECT a AS n FROM ver UNION SELECT b FROM ver), "
+        "edges AS (SELECT a, b FROM ver "
+        "UNION SELECT b AS a, a AS b FROM ver), "
+        "reach(n, r) AS (SELECT n, n FROM nodes UNION "
+        "SELECT reach.n, e.b FROM reach JOIN edges e ON e.a = reach.r), "
+        "clus AS MATERIALIZED (SELECT n AS doc_id, MIN(r) AS rep "
+        "FROM reach GROUP BY n), "
+        "pick AS MATERIALIZED (SELECT rep AS a, doc_id AS b FROM clus "
+        "WHERE doc_id <> rep ORDER BY doc_id LIMIT 20), "
+        "tok AS MATERIALIZED (SELECT doc_id, "
+        "list_filter(string_split(text, ' '), "
+        "t -> t <> '') AS toks FROM documents "
+        "WHERE doc_id IN (SELECT a FROM pick UNION SELECT b FROM pick)), "
+        "gr AS MATERIALIZED (SELECT doc_id, "
+        f"unnest(list_distinct({grams})) AS g FROM tok), "
+        "sz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS m FROM gr "
+        "GROUP BY doc_id), "
+        "inter AS MATERIALIZED (SELECT p.a, p.b, COUNT(*) AS i "
+        "FROM pick p "
+        "JOIN gr ga ON ga.doc_id = p.a "
+        "JOIN gr gb ON gb.doc_id = p.b AND gb.g = ga.g "
+        "GROUP BY p.a, p.b) "
+        "SELECT p.a, p.b, "
+        "COALESCE(i.i, 0) / CAST(sa.m + sb.m - COALESCE(i.i, 0) "
+        "AS DOUBLE) AS jaccard, "
+        "(COALESCE(i.i, 0) / CAST(sa.m + sb.m - COALESCE(i.i, 0) "
+        "AS DOUBLE)) >= 0.8 AS is_dup "
+        "FROM pick p "
+        "JOIN sz sa ON sa.doc_id = p.a "
+        "JOIN sz sb ON sb.doc_id = p.b "
+        "LEFT JOIN inter i ON i.a = p.a AND i.b = p.b"
+    )
+
+
+def _quantiles_oracle_sql(bins: int = 512) -> str:
+    """Mirror of _q_quantiles (stages/sketch.py::quantile_histogram):
+    the equi-width histogram sketch is partitioning-invariant (counts
+    add), so the SQL recomputes the identical sketch -- one min/max
+    pass, truncating bin index with the same clip, cumulative counts
+    over ALL bins, searchsorted-left containing bin, linear
+    interpolation with the identical float expression order; both
+    sides round 2 dp with the DuckDB kernel."""
+    nb = bins
+    return (
+        "WITH mm AS (SELECT MIN(l_extendedprice) AS lo, "
+        "MAX(l_extendedprice) AS hi, COUNT(*) AS n FROM lineitem), "
+        "par AS (SELECT lo, hi, n, CASE WHEN hi > lo "
+        f"THEN (hi - lo) / {nb} ELSE 1.0 END AS width FROM mm), "
+        "binned AS (SELECT LEAST(GREATEST(CAST(TRUNC((l_extendedprice "
+        f"- p.lo) / p.width) AS BIGINT), 0), {nb - 1}) AS b "
+        "FROM lineitem, par p), "
+        "counts AS (SELECT b, COUNT(*) AS c FROM binned GROUP BY b), "
+        f"grid AS (SELECT i AS b FROM range(0, {nb}) t(i)), "
+        "cum0 AS (SELECT g.b, COALESCE(c.c, 0) AS c, "
+        "SUM(COALESCE(c.c, 0)) OVER (ORDER BY g.b) AS cs "
+        "FROM grid g LEFT JOIN counts c ON c.b = g.b), "
+        "cum AS (SELECT b, c, cs, "
+        "COALESCE(LAG(cs) OVER (ORDER BY b), 0) AS prev_cs FROM cum0), "
+        "qs AS (SELECT CAST(v.q AS DOUBLE) AS q FROM (VALUES (0.25), "
+        "(0.5), (0.75), (0.95)) v(q)), "
+        "pick AS (SELECT qs.q, qs.q * p.n AS target, "
+        "LEAST(COALESCE(MIN(CASE WHEN cum.cs >= qs.q * p.n "
+        f"THEN cum.b END), {nb - 1}), {nb - 1}) AS b "
+        "FROM qs, par p, cum GROUP BY qs.q, p.n) "
+        "SELECT pick.q, ROUND(p.lo + (pick.b + "
+        "CASE WHEN cb.c > 0 THEN (pick.target - "
+        "cb.prev_cs) / cb.c ELSE 0.0 END) * p.width, 2) "
+        "AS estimate "
+        "FROM pick CROSS JOIN par p "
+        "JOIN cum cb ON cb.b = pick.b"
+    )
+
+
 def _approx_distinct_oracle_sql() -> str:
     """Mirror of _q_approx_distinct: the HyperLogLog estimate recomputed
     in pure SQL (functions/sqlmirror.py) -- FNV-1a over utf-8 bytes via
@@ -6291,6 +6509,10 @@ def oracle_sql() -> dict[str, str]:
         "approx_distinct": _approx_distinct_oracle_sql(),
         "approx_distinct_by_type": _approx_distinct_by_type_oracle_sql(),
         "quality_scores": _quality_scores_oracle_sql(),
+        "quantiles": _quantiles_oracle_sql(),
+        "minhash_dedup": _minhash_dedup_oracle_sql(),
+        "simhash_dedup": _simhash_dedup_oracle_sql(),
+        "jaccard_pairs": _jaccard_pairs_oracle_sql(),
         "lang_id": _lang_id_oracle_sql(),
         "text_cleaning": _text_cleaning_oracle_sql(),
         "quality_features": _quality_features_oracle_sql(),

@@ -20,16 +20,12 @@ SF_DIR = "/root/testdata/sf0.001"
 
 # every queries() entry the driver can only rows-check (no oracle_sql)
 NO_ORACLE_QUERIES = [
-    "quantiles",
-    "minhash_dedup",
-    "simhash_dedup",
     "embedding_neardup",
     "ivf_ann",
     "pq_ann",
     "zonal_multiband",
     "pages_flagship",
     "media_decode",
-    "jaccard_pairs",
     "bpe_merges",
 ]
 
