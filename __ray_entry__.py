@@ -5356,6 +5356,21 @@ def _q_jaccard_pairs(sf_dir: str) -> pa.Table:
     return jaccard_verify_pairs(ds, pairs, threshold=0.8)
 
 
+def _q_winnow_dedup(sf_dir: str) -> pa.Table:
+    """Winnowing-fingerprint near-dup pairs (Schleimer et al. 2003 /
+    MOSS): min 8-byte-shingle hash per sliding 16-window -> compact
+    fingerprint sets -> postings-bounded shared-fingerprint counts ->
+    containment overlap >= 0.5 of the smaller set."""
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.dedup import (
+        winnow_dedup,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return winnow_dedup(ds)
+
+
 def _q_pages_flagship(sf_dir: str) -> pa.Table:
     """The graft flagship over the synthetic pages corpus (extract ->
     geocode -> cell -> count), scaled by sf when recognisable."""
@@ -5554,6 +5569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_ann": _q_ivf_ann,
         "pq_ann": _q_pq_ann,
         "zonal_multiband": _q_zonal_multiband,
+        "winnow_dedup": _q_winnow_dedup,
         "pages_flagship": _q_pages_flagship,
         "approx_distinct": _q_approx_distinct,
         "media_decode": _q_media_decode,
@@ -6104,6 +6120,67 @@ def _cluster_tail_sql(src: str = "ver") -> str:
     )
 
 
+def _winnow_dedup_oracle_sql() -> str:
+    """Mirror of _q_winnow_dedup (stages/dedup.py::winnow_dedup): the
+    8-term rolling-shingle polynomial, full-window sliding MIN (window
+    16; docs with <= 16 shingles collapse to their global min exactly
+    like the engine's short-text branch), DISTINCT fingerprints,
+    postings in [2, 500], shared counts, containment overlap as the
+    identical single int/int division (bit-exact, no rounding
+    needed)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.functions.sqlmirror import (
+        M64, _hexval,
+    )
+
+    pows, p = [], 1
+    for _ in range(8):
+        pows.append(p)
+        p = (p * 1099511628211) % (1 << 64)
+
+    def byte(pos: str) -> str:
+        return (
+            f"(16 * {_hexval('db.hx', f'2*({pos})-1')} "
+            f"+ {_hexval('db.hx', f'2*({pos})')})::HUGEINT"
+        )
+
+    shingle = " + ".join(
+        f"{byte(f'i+{j}')} * {pows[7-j]}::HUGEINT" for j in range(8)
+    )
+    return (
+        "WITH db AS MATERIALIZED (SELECT doc_id, hex(encode(text)) AS hx, "
+        "octet_length(encode(text)) AS n FROM documents), "
+        "pos AS (SELECT i FROM range(1, 2045) t(i)), "
+        "sh AS MATERIALIZED (SELECT doc_id, t.i AS i, "
+        f"(({shingle}) % {M64}) AS h "
+        "FROM db JOIN pos t ON t.i <= db.n - 7), "
+        "cnt AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id), "
+        "w AS (SELECT sh.doc_id, sh.i, MIN(sh.h) OVER "
+        "(PARTITION BY sh.doc_id ORDER BY sh.i "
+        "ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS wmin FROM sh), "
+        "fps AS MATERIALIZED ("
+        "SELECT DISTINCT w.doc_id, w.wmin AS fp FROM w "
+        "JOIN cnt ON cnt.doc_id = w.doc_id "
+        "WHERE cnt.ns > 16 AND w.i >= 16 "
+        "UNION "
+        "SELECT sh.doc_id, MIN(sh.h) AS fp FROM sh "
+        "JOIN cnt ON cnt.doc_id = sh.doc_id WHERE cnt.ns <= 16 "
+        "GROUP BY sh.doc_id), "
+        "post AS (SELECT fp, COUNT(*) AS g FROM fps GROUP BY fp), "
+        "pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, "
+        "CAST(COUNT(*) AS BIGINT) AS shared "
+        "FROM fps x JOIN fps y ON y.fp = x.fp AND y.doc_id > x.doc_id "
+        "JOIN post ON post.fp = x.fp "
+        "WHERE post.g BETWEEN 2 AND 500 GROUP BY x.doc_id, y.doc_id), "
+        "sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS m FROM fps "
+        "GROUP BY doc_id) "
+        "SELECT p.a, p.b, p.shared, "
+        "p.shared / CAST(LEAST(sa.m, sb.m) AS DOUBLE) AS overlap "
+        "FROM pairs p JOIN sz sa ON sa.doc_id = p.a "
+        "JOIN sz sb ON sb.doc_id = p.b "
+        "WHERE p.shared / CAST(LEAST(sa.m, sb.m) AS DOUBLE) >= 0.5"
+    )
+
+
 def _minhash_dedup_oracle_sql() -> str:
     """Mirror of _q_minhash_dedup; verified value-equal at
     sf0.001/0.01/0.1 (45/47/... rows)."""
@@ -6513,6 +6590,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": _minhash_dedup_oracle_sql(),
         "simhash_dedup": _simhash_dedup_oracle_sql(),
         "jaccard_pairs": _jaccard_pairs_oracle_sql(),
+        "winnow_dedup": _winnow_dedup_oracle_sql(),
         "lang_id": _lang_id_oracle_sql(),
         "text_cleaning": _text_cleaning_oracle_sql(),
         "quality_features": _quality_features_oracle_sql(),

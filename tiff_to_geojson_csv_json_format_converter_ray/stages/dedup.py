@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from ..functions import hashing as H
@@ -769,3 +770,130 @@ def embedding_neardup(
         pairs, sort_keys=[("a", "ascending"), ("b", "ascending")]
     )
     return pairs.take(order).cast(_COS_PAIR_SCHEMA)
+
+
+# --------------------------------------------------------------- winnowing
+_WINNOW_PAIR_SCHEMA = pa.schema(
+    [("a", pa.int64()), ("b", pa.int64()),
+     ("shared", pa.int64()), ("overlap", pa.float64())]
+)
+
+
+class WinnowStage:
+    """(id, text) -> exploded (id, fp) winnowing fingerprints
+    (Schleimer et al. 2003, MOSS): min 8-byte-shingle hash per sliding
+    16-window, deduplicated per document.  Fingerprint count is
+    ~len/window per doc, so the exploded table is ~16x smaller than the
+    shingle table -- the compact representation that makes all-shared-
+    fingerprint joins feasible at corpus scale."""
+
+    def __init__(self, text_col: str = "text", id_col: str = "doc_id",
+                 k: int = 8, window: int = 16):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.k = k
+        self.window = window
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = [t or "" for t in batch[self.text_col].to_pylist()]
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        out_ids, out_fps = [], []
+        for i, t in enumerate(texts):
+            fp = H.winnow_fingerprint(t, self.k, self.window)
+            if len(fp):
+                out_ids.append(np.full(len(fp), ids[i], dtype=np.int64))
+                out_fps.append(fp.view(np.int64))
+        if not out_ids:
+            return pa.table(
+                {self.id_col: pa.array([], pa.int64()),
+                 "fp": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {self.id_col: pa.array(np.concatenate(out_ids)),
+             "fp": pa.array(np.concatenate(out_fps))}
+        )
+
+
+def winnow_dedup(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 16,
+    overlap_threshold: float = 0.5,
+    posting_cap: int = 500,
+) -> pa.Table:
+    """Winnowing-fingerprint near-dup pairs: two documents are
+    near-duplicates when the shared-fingerprint count reaches
+    ``overlap_threshold`` of the SMALLER document's fingerprint set
+    (the MOSS containment score, robust to length asymmetry).
+
+    Distribution: fingerprints explode to (id, fp) rows; a
+    ``groupby(fp).map_groups`` emits co-occurrence pairs per posting
+    (skipping postings above ``posting_cap`` -- the boilerplate-
+    fingerprint guard, same hot-key shape as the LSH bucket cap); pair
+    counts then combine in one aggregation.  Nothing all-pairs, nothing
+    driver-sized beyond the verified pair list.
+
+    Returns (a, b, shared, overlap) sorted by (a, b), a < b."""
+    from ..pipelines.relational import hash_aggregate
+
+    fp_ds = ds.map_batches(
+        WinnowStage(text_col, id_col, k, window),
+        batch_format="pyarrow", batch_size=None,
+    )
+
+    def posting_pairs(group: pa.Table) -> pa.Table:
+        g = group.num_rows
+        if g < 2 or g > posting_cap:
+            return pa.schema(
+                [("a", pa.int64()), ("b", pa.int64())]
+            ).empty_table()
+        ids = np.sort(group[id_col].to_numpy(zero_copy_only=False))
+        ii, jj = np.triu_indices(g, 1)
+        return pa.table({"a": pa.array(ids[ii]), "b": pa.array(ids[jj])})
+
+    pair_counts = hash_aggregate(
+        fp_ds.groupby("fp").map_groups(
+            posting_pairs, batch_format="pyarrow"
+        ).map_batches(
+            lambda b: b.append_column(
+                "_one", pa.array(np.ones(b.num_rows, np.int64))
+            ),
+            batch_format="pyarrow", batch_size=None,
+        ),
+        ["a", "b"],
+        [("_one", "sum", "shared")],
+    )
+    sizes = hash_aggregate(
+        fp_ds.map_batches(
+            lambda b: pa.table(
+                {id_col: b[id_col],
+                 "_one": pa.array(np.ones(b.num_rows, np.int64))}
+            ),
+            batch_format="pyarrow", batch_size=None,
+        ),
+        [id_col],
+        [("_one", "sum", "m")],
+    )
+    size_of = dict(
+        zip(sizes[id_col].to_pylist(), sizes["m"].to_pylist())
+    )
+    a = pair_counts["a"].to_numpy(zero_copy_only=False)
+    b = pair_counts["b"].to_numpy(zero_copy_only=False)
+    shared = pair_counts["shared"].to_numpy(zero_copy_only=False)
+    m_min = np.minimum(
+        np.array([size_of[x] for x in a], dtype=np.int64),
+        np.array([size_of[x] for x in b], dtype=np.int64),
+    )
+    overlap = shared / m_min.astype(np.float64)
+    keep = overlap >= overlap_threshold
+    out = pa.table(
+        {"a": pa.array(a[keep]), "b": pa.array(b[keep]),
+         "shared": pa.array(shared[keep]),
+         "overlap": pa.array(overlap[keep])}
+    )
+    order = pc.sort_indices(
+        out, sort_keys=[("a", "ascending"), ("b", "ascending")]
+    )
+    return out.take(order).cast(_WINNOW_PAIR_SCHEMA)
