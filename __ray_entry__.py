@@ -1522,6 +1522,34 @@ def _q_s2_cells(sf_dir: str) -> pa.Table:
     ).rename_columns(["s2_9", "n"])
 
 
+def _q_geohash_cells(sf_dir: str) -> pa.Table:
+    """Standard base32 geohash (Niemeyer) cell counts at precision 6
+    over the geocoded events lattice -- the string cell scheme
+    alongside the flat grid / Z-order / S2 ids
+    (functions/cells.py::geohash_of, bisection-verified)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.functions.cells import (
+        geohash_of,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
+        partial_count,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id"]
+    )
+
+    def geocode(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon = 77.0 + (eid % 96).astype(np.float64) * 0.01
+        lat = 28.05 + ((eid // 96) % 96).astype(np.float64) * 0.01
+        return pa.table({"geohash6": pa.array(geohash_of(lon, lat, 6))})
+
+    return partial_count(
+        ds.map_batches(geocode, batch_format="pyarrow", batch_size=None),
+        ["geohash6"],
+    ).rename_columns(["geohash6", "n"])
+
+
 def _q_docs_pip(sf_dir: str) -> pa.Table:
     """PIP join of geocoded documents rows against the oracle polygons."""
     import ray.data
@@ -5429,6 +5457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # spatial ops driven from the driver's tables
         "events_geocode_cells": _q_events_geocode,
         "s2_cells": _q_s2_cells,
+        "geohash_cells": _q_geohash_cells,
         "track_lengths": _q_track_lengths,
         "window_funcs": _q_window_funcs,
         "pivot_events": _q_pivot_events,
@@ -6359,6 +6388,23 @@ def _quality_scores_oracle_sql() -> str:
     )
 
 
+
+
+def _geohash_expr_for_events() -> str:
+    """Geohash-6 of the events lattice geocode (the identical integer
+    bit-interleave + base32 substring as functions/cells.py, no
+    precomputed table)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.functions.cells import (
+        geohash_sql_expr,
+    )
+
+    return geohash_sql_expr(
+        "(77.0 + CAST(event_id % 96 AS DOUBLE) * 0.01)",
+        "(28.05 + CAST((event_id // 96) % 96 AS DOUBLE) * 0.01)",
+        6,
+    )
+
+
 def _convex_hull_oracle_sql(K: int = 32) -> str:
     """Mirror of _q_convex_hull without replaying the engine: the
     strict-hull-vertex predicate evaluated in pure SQL.  K directional
@@ -6579,6 +6625,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "bilinear_sample": _bilinear_oracle_sql(grid),
         "s2_cells": _s2_cells_oracle_sql(),
+        "geohash_cells": (
+            "SELECT " + _geohash_expr_for_events() + " AS geohash6, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1"
+        ),
         "track_simplify": _track_simplify_oracle_sql(),
         "kmeans_clusters": _kmeans_oracle_sql(),
         "convex_hull": _convex_hull_oracle_sql(),

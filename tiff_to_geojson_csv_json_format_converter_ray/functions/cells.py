@@ -172,3 +172,81 @@ def focal_mean(
             total += np.where(found, sval[pos_c], 0.0)
             cnt += found
     return total / cnt
+
+
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_of(lon: np.ndarray, lat: np.ndarray, precision: int = 6) -> list[str]:
+    """Standard geohash (Niemeyer): binary subdivision of lon then lat,
+    base32 alphabet.  The subdivision equals direct quantization --
+    ``precision`` chars carry ceil(5p/2) lon bits and floor(5p/2) lat
+    bits (lon gets the even interleave positions) -- so the vectorized
+    form is two floor-quantizations + a bit interleave, identical to
+    the reference algorithm's bisection output and expressible in SQL
+    (integer arithmetic + alphabet substring)."""
+    if not 1 <= precision <= 12:
+        raise ValueError(f"precision out of range: {precision}")
+    nbits = 5 * precision
+    nlon = (nbits + 1) // 2
+    nlat = nbits // 2
+    qlon = np.clip(
+        np.floor(
+            (np.asarray(lon, np.float64) + 180.0) / 360.0 * (1 << nlon)
+        ).astype(np.int64),
+        0, (1 << nlon) - 1,
+    )
+    qlat = np.clip(
+        np.floor(
+            (np.asarray(lat, np.float64) + 90.0) / 180.0 * (1 << nlat)
+        ).astype(np.int64),
+        0, (1 << nlat) - 1,
+    )
+    z = np.zeros(len(qlon), dtype=np.int64)
+    # bit i (0-based, MSB-first in the hash) alternates lon, lat
+    for b in range(nlon):
+        z |= ((qlon >> np.int64(nlon - 1 - b)) & np.int64(1)) << np.int64(
+            nbits - 1 - 2 * b
+        )
+    for b in range(nlat):
+        z |= ((qlat >> np.int64(nlat - 1 - b)) & np.int64(1)) << np.int64(
+            nbits - 2 - 2 * b
+        )
+    # vectorized base32 assembly: (n, precision) char-code matrix ->
+    # fixed-width byte strings (no per-row bit loop)
+    alpha = np.frombuffer(_GEOHASH32.encode(), dtype=np.uint8)
+    shifts = (5 * (precision - 1 - np.arange(precision))).astype(np.int64)
+    codes = np.ascontiguousarray(
+        alpha[(z[:, None] >> shifts[None, :]) & np.int64(31)]
+    )
+    return codes.view(f"S{precision}").ravel().astype(str).tolist()
+
+
+def geohash_sql_expr(lon_col: str, lat_col: str, precision: int = 6) -> str:
+    """DuckDB expression computing :func:`geohash_of` bit-exactly."""
+    nbits = 5 * precision
+    nlon = (nbits + 1) // 2
+    nlat = nbits // 2
+    qlon = (
+        f"LEAST(GREATEST(CAST(FLOOR((({lon_col}) + 180.0) / 360.0 "
+        f"* {1 << nlon}) AS BIGINT), 0), {(1 << nlon) - 1})"
+    )
+    qlat = (
+        f"LEAST(GREATEST(CAST(FLOOR((({lat_col}) + 90.0) / 180.0 "
+        f"* {1 << nlat}) AS BIGINT), 0), {(1 << nlat) - 1})"
+    )
+    lon_terms = " | ".join(
+        f"((({qlon} >> {nlon - 1 - b}) & 1) << {nbits - 1 - 2 * b})"
+        for b in range(nlon)
+    )
+    lat_terms = " | ".join(
+        f"((({qlat} >> {nlat - 1 - b}) & 1) << {nbits - 2 - 2 * b})"
+        for b in range(nlat)
+    )
+    z = f"({lon_terms} | {lat_terms})"
+    chars = " || ".join(
+        f"substring('{_GEOHASH32}', "
+        f"CAST((({z}) >> {5 * (precision - 1 - c)}) & 31 AS INTEGER) + 1, 1)"
+        for c in range(precision)
+    )
+    return f"({chars})"
