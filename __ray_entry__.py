@@ -5399,6 +5399,21 @@ def _q_winnow_dedup(sf_dir: str) -> pa.Table:
     return winnow_dedup(ds)
 
 
+def _q_passage_dedup(sf_dir: str) -> pa.Table:
+    """Exact passage dedup accounting (C4-style repeated-span rule over
+    disjoint 10-token spans): per-doc span totals, corpus-duplicated
+    span counts (first occurrence by (doc_id, span_idx) keeps), and the
+    duplication ratio."""
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+        passage_dedup_stats,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return passage_dedup_stats(ds)
+
+
 def _q_pages_flagship(sf_dir: str) -> pa.Table:
     """The graft flagship over the synthetic pages corpus (extract ->
     geocode -> cell -> count), scaled by sf when recognisable."""
@@ -5599,6 +5614,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_ann": _q_pq_ann,
         "zonal_multiband": _q_zonal_multiband,
         "winnow_dedup": _q_winnow_dedup,
+        "passage_dedup": _q_passage_dedup,
         "pages_flagship": _q_pages_flagship,
         "approx_distinct": _q_approx_distinct,
         "media_decode": _q_media_decode,
@@ -6210,6 +6226,31 @@ def _winnow_dedup_oracle_sql() -> str:
     )
 
 
+def _passage_dedup_oracle_sql(chunk: int = 10) -> str:
+    """Mirror of _q_passage_dedup: disjoint token spans via list
+    slicing, winner = MIN (doc_id, span_idx) per span STRING (grouping
+    by the span text equals grouping by its fnv1a hash absent a 64-bit
+    collision), exact int/int ratio."""
+    return (
+        "WITH tok AS (SELECT doc_id, "
+        "list_filter(string_split(text, ' '), t -> t <> '') AS toks "
+        "FROM documents), "
+        f"ns AS (SELECT doc_id, toks, ARRAY_LENGTH(toks) // {chunk} AS n "
+        "FROM tok), "
+        "spans AS (SELECT doc_id, j AS span_idx, "
+        f"array_to_string(toks[j*{chunk}+1 : j*{chunk}+{chunk}], ' ') AS s "
+        "FROM ns, range(0, 205) t(j) WHERE j < ns.n), "
+        "w AS (SELECT doc_id, span_idx, s, "
+        "CASE WHEN ROW_NUMBER() OVER (PARTITION BY s "
+        "ORDER BY doc_id, span_idx) = 1 THEN 0 ELSE 1 END AS dup "
+        "FROM spans) "
+        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans, "
+        "CAST(SUM(dup) AS BIGINT) AS n_dup, "
+        "SUM(dup) / CAST(COUNT(*) AS DOUBLE) AS dup_ratio "
+        "FROM w GROUP BY doc_id"
+    )
+
+
 def _minhash_dedup_oracle_sql() -> str:
     """Mirror of _q_minhash_dedup; verified value-equal at
     sf0.001/0.01/0.1 (45/47/... rows)."""
@@ -6641,6 +6682,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_dedup": _simhash_dedup_oracle_sql(),
         "jaccard_pairs": _jaccard_pairs_oracle_sql(),
         "winnow_dedup": _winnow_dedup_oracle_sql(),
+        "passage_dedup": _passage_dedup_oracle_sql(),
         "lang_id": _lang_id_oracle_sql(),
         "text_cleaning": _text_cleaning_oracle_sql(),
         "quality_features": _quality_features_oracle_sql(),

@@ -52,3 +52,42 @@ def test_winnow_partitioning_invariant(ray_session, docs_tbl):
         ray.data.from_arrow(docs_tbl).repartition(4)
     )
     assert one.equals(many)
+
+
+def test_passage_dedup_planted(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+        passage_dedup_stats,
+    )
+
+    span = "one two three four five six seven eight nine ten"
+    docs = pa.table(
+        {"doc_id": pa.array([1, 2, 3], pa.int64()),
+         "text": [span + " tail words here", span,  # doc2 dups doc1's span
+                  "totally different words " * 4]}
+    )
+    out = passage_dedup_stats(ray.data.from_arrow(docs))
+    d = {r["doc_id"]: r for r in out.to_pylist()}
+    assert d[1]["n_dup"] == 0          # first occurrence keeps
+    assert d[2]["n_dup"] == 1 and d[2]["dup_ratio"] == 1.0
+    assert d[3]["n_dup"] == 0
+
+
+def test_passage_dedup_partition_invariant(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+        passage_dedup_stats,
+    )
+
+    words = ["w%d" % (i % 30) for i in range(200)]
+    docs = pa.table(
+        {"doc_id": pa.array(list(range(8)), pa.int64()),
+         "text": [" ".join(words[i:i + 60]) for i in range(0, 160, 20)]}
+    )
+    one = passage_dedup_stats(ray.data.from_arrow(docs))
+    many = passage_dedup_stats(ray.data.from_arrow(docs).repartition(5))
+    assert one.equals(many)

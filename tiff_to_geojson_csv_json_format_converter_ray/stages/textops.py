@@ -928,3 +928,75 @@ def bm25_scores(
         ).filter(pa.array(any_hit))
 
     return perdoc.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+# ------------------------------------------------------- passage dedup (C4)
+def passage_dedup_stats(
+    ds, doc_col: str = "doc_id", text_col: str = "text", chunk: int = 10,
+) -> pa.Table:
+    """Exact passage-level dedup accounting (the C4/RefinedWeb
+    repeated-span rule adapted to unstructured text): each document
+    splits into DISJOINT ``chunk``-token spans (tail partial span
+    dropped); a span's first occurrence corpus-wide -- lexicographic
+    min (doc_id, span_idx) -- is the keeper, every other occurrence
+    (including repeats inside one document) counts as duplicated.
+
+    Distribution: spans explode to (hash, doc, idx) rows -- hashes
+    only, the corpus body never reshuffles; one groupby(hash) finds
+    each span's winner (group-bounded), one combiner aggregation
+    yields per-doc totals.
+
+    Returns (doc_id, n_spans, n_dup, dup_ratio) for docs with >= 1
+    span; dup_ratio = n_dup / n_spans (single exact int division)."""
+    from ..pipelines.relational import hash_aggregate
+
+    def spans(batch: pa.Table) -> pa.Table:
+        texts = [t or "" for t in batch[text_col].to_pylist()]
+        ids = batch[doc_col].to_numpy(zero_copy_only=False)
+        out_doc, out_idx, out_txt = [], [], []
+        for i, t in enumerate(texts):
+            toks = t.split()
+            n = len(toks) // chunk
+            for j in range(n):
+                out_doc.append(ids[i])
+                out_idx.append(j)
+                out_txt.append(" ".join(toks[j * chunk:(j + 1) * chunk]))
+        h = H.fnv1a_array(out_txt)
+        return pa.table(
+            {
+                doc_col: pa.array(np.asarray(out_doc, np.int64)),
+                "span_idx": pa.array(np.asarray(out_idx, np.int64)),
+                "h": pa.array(h.view(np.int64)),
+            }
+        )
+
+    span_ds = ds.map_batches(spans, batch_format="pyarrow", batch_size=None)
+
+    def mark_winner(group: pa.Table) -> pa.Table:
+        d = group[doc_col].to_numpy(zero_copy_only=False)
+        s = group["span_idx"].to_numpy(zero_copy_only=False)
+        w = np.lexsort((s, d))[0]
+        dup = np.ones(len(d), dtype=np.int64)
+        dup[w] = 0
+        return pa.table(
+            {doc_col: group[doc_col], "_one": pa.array(
+                np.ones(len(d), np.int64)), "dup": pa.array(dup)}
+        )
+
+    per_doc = hash_aggregate(
+        span_ds.groupby("h").map_groups(mark_winner, batch_format="pyarrow"),
+        [doc_col],
+        [("_one", "sum", "n_spans"), ("dup", "sum", "n_dup")],
+    )
+    n_spans = per_doc["n_spans"].to_numpy(zero_copy_only=False)
+    n_dup = per_doc["n_dup"].to_numpy(zero_copy_only=False)
+    out = pa.table(
+        {
+            doc_col: per_doc[doc_col],
+            "n_spans": pa.array(n_spans),
+            "n_dup": pa.array(n_dup),
+            "dup_ratio": pa.array(n_dup / n_spans.astype(np.float64)),
+        }
+    )
+    order = pc.sort_indices(out, sort_keys=[(doc_col, "ascending")])
+    return out.take(order)
