@@ -283,6 +283,67 @@ def tile_slope(tiles: ray.data.Dataset) -> ray.data.Dataset:
     return halos.groupby("halo_key").map_groups(horn_kernel, batch_format="pyarrow")
 
 
+def tri_kernel(group: pa.Table) -> pa.Table:
+    """One tile + halo -> per-pixel Terrain Ruggedness Index (Riley et
+    al. 1999): sqrt of the summed squared elevation differences to the
+    8 neighbors.  The sum is written in the exact left-associative
+    a,b,c,d,f,g,h,i order so the rounded output is bit-identical to
+    the SQL oracle (sqrt is correctly rounded IEEE on both sides)."""
+    asm = _assemble_padded(group)
+    if asm is None:
+        return _empty_tri_table()
+    pad, h, w, r0, c0, _transform = asm
+    za = pad[0:h, 0:w]
+    zb = pad[0:h, 1 : w + 1]
+    zc = pad[0:h, 2 : w + 2]
+    zd = pad[1 : h + 1, 0:w]
+    ze = pad[1 : h + 1, 1 : w + 1]
+    zf = pad[1 : h + 1, 2 : w + 2]
+    zg = pad[2 : h + 2, 0:w]
+    zh = pad[2 : h + 2, 1 : w + 1]
+    zi = pad[2 : h + 2, 2 : w + 2]
+    stack = np.stack([za, zb, zc, zd, ze, zf, zg, zh, zi])
+    valid = np.all(np.isfinite(stack) & (stack > NODATA_THRESHOLD), axis=0)
+    if not valid.any():
+        return _empty_tri_table()
+    d = (
+        (za - ze) * (za - ze)
+        + (zb - ze) * (zb - ze)
+        + (zc - ze) * (zc - ze)
+        + (zd - ze) * (zd - ze)
+        + (zf - ze) * (zf - ze)
+        + (zg - ze) * (zg - ze)
+        + (zh - ze) * (zh - ze)
+        + (zi - ze) * (zi - ze)
+    )
+    tri = np.sqrt(d)
+    rr, cc = np.nonzero(valid)
+    return pa.table(
+        {
+            "row": pa.array((rr + r0).astype(np.int64)),
+            "col": pa.array((cc + c0).astype(np.int64)),
+            "tri": pa.array(tri[rr, cc]),
+        }
+    )
+
+
+def _empty_tri_table() -> pa.Table:
+    return pa.table(
+        {
+            "row": pa.array([], pa.int64()),
+            "col": pa.array([], pa.int64()),
+            "tri": pa.array([], pa.float64()),
+        }
+    )
+
+
+def tile_ruggedness(tiles: ray.data.Dataset) -> ray.data.Dataset:
+    """Terrain Ruggedness Index over a tile Dataset: the same
+    halo-exchange shuffle as tile_slope, TRI kernel per tile."""
+    halos = tiles.map_batches(emit_halos, batch_format="pyarrow", batch_size=None)
+    return halos.groupby("halo_key").map_groups(tri_kernel, batch_format="pyarrow")
+
+
 # marching-squares case -> crossing-edge pairs.  Corners (tl, tr, br,
 # bl) set bits (1, 2, 4, 8); edges are 0=top 1=right 2=bottom 3=left.
 # Ambiguous saddles (5, 10) use the fixed non-connected convention.
