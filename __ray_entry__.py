@@ -667,6 +667,29 @@ def _q_tile_ruggedness(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_tile_hillshade(sf_dir: str) -> pa.Table:
+    """Lambertian hillshade (az 315 / alt 45) over the slope fixture
+    raster -- trig-free algebraic normal-dot-light form, fourth
+    consumer of the halo-exchange focal machinery."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables, round_like_sql,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
+        tile_hillshade,
+    )
+
+    tiles = ray.data.from_arrow(_og_tiles_table(sparse_invalid=True, tile=24))
+    out = collect_tables(tile_hillshade(tiles))
+    return pa.table(
+        {
+            "row": out["row"],
+            "col": out["col"],
+            "hillshade": round_like_sql(out["hillshade"], 6),
+        }
+    )
+
+
 def _q_flow_direction(sf_dir: str) -> pa.Table:
     """D8 flow direction over the slope fixture raster via the halo-
     exchange shuffle (second consumer of stages/raster.py, proving the
@@ -5490,6 +5513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "focal_counts": _q_focal_counts,
         "tile_slope": _q_tile_slope,
         "tile_ruggedness": _q_tile_ruggedness,
+        "tile_hillshade": _q_tile_hillshade,
         "flow_direction": _q_flow_direction,
         "bilinear_sample": _q_bilinear_sample,
         "stride_secondary": _q_stride_secondary,
@@ -6772,6 +6796,35 @@ def oracle_sql() -> dict[str, str]:
             f"FROM w WHERE za > -1e30 AND zb > -1e30 AND zc > -1e30 "
             f"AND zd > -1e30 AND ze > -1e30 AND zf > -1e30 "
             f"AND zg > -1e30 AND zh > -1e30 AND zi > -1e30"
+        ),
+        "tile_hillshade": (
+            # Lambertian hillshade: Horn p/q windows, constant
+            # light vector, one sqrt -- identical float order to
+            # hillshade_kernel
+            f"WITH g AS ({_OG_SLOPE_GRID_SQL}), w AS ("
+            f"SELECT e.row AS row, e.col AS col, "
+            f"n1.z AS za, n2.z AS zb, n3.z AS zc, n4.z AS zd, e.z AS ze, "
+            f"n6.z AS zf, n7.z AS zg, n8.z AS zh, n9.z AS zi "
+            f"FROM g e "
+            f"JOIN g n1 ON n1.row = e.row - 1 AND n1.col = e.col - 1 "
+            f"JOIN g n2 ON n2.row = e.row - 1 AND n2.col = e.col "
+            f"JOIN g n3 ON n3.row = e.row - 1 AND n3.col = e.col + 1 "
+            f"JOIN g n4 ON n4.row = e.row AND n4.col = e.col - 1 "
+            f"JOIN g n6 ON n6.row = e.row AND n6.col = e.col + 1 "
+            f"JOIN g n7 ON n7.row = e.row + 1 AND n7.col = e.col - 1 "
+            f"JOIN g n8 ON n8.row = e.row + 1 AND n8.col = e.col "
+            f"JOIN g n9 ON n9.row = e.row + 1 AND n9.col = e.col + 1) "
+            f"SELECT row, col, ROUND(255.0 * GREATEST("
+            f"(CAST(-0.5000000000000001 AS DOUBLE) * (-p) "
+            f"+ CAST(0.4999999999999999 AS DOUBLE) * (-q) "
+            f"+ CAST(0.7071067811865475 AS DOUBLE)) "
+            f"/ SQRT(1.0 + (p * p + q * q)), 0.0), 6) AS hillshade "
+            f"FROM (SELECT row, col, "
+            f"((zc + 2.0 * zf + zi) - (za + 2.0 * zd + zg)) / (8.0 * 0.01) AS p, "
+            f"((zg + 2.0 * zh + zi) - (za + 2.0 * zb + zc)) / (8.0 * 0.01) AS q "
+            f"FROM w WHERE za > -1e30 AND zb > -1e30 AND zc > -1e30 "
+            f"AND zd > -1e30 AND ze > -1e30 AND zf > -1e30 "
+            f"AND zg > -1e30 AND zh > -1e30 AND zi > -1e30)"
         ),
         "idw_probes": (
             f"SELECT probe_id, ROUND(SUM(z / dd) / SUM(1.0 / dd), 6) AS idw_z "

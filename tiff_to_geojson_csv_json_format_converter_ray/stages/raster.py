@@ -283,6 +283,75 @@ def tile_slope(tiles: ray.data.Dataset) -> ray.data.Dataset:
     return halos.groupby("halo_key").map_groups(horn_kernel, batch_format="pyarrow")
 
 
+_HS_LX = -0.5000000000000001   # cos(45 deg) * sin(315 deg)
+_HS_LY = 0.4999999999999999    # cos(45 deg) * cos(315 deg)
+_HS_LZ = 0.7071067811865475    # sin(45 deg)
+
+
+def hillshade_kernel(group: pa.Table) -> pa.Table:
+    """One tile + halo -> Lambertian hillshade (azimuth 315, altitude
+    45): the per-pixel trig-free algebraic form -- surface normal
+    (-p, -q, 1)/sqrt(1 + p^2 + q^2) dotted with the PRECOMPUTED light
+    vector constants, so engine and SQL share pure arithmetic + one
+    correctly-rounded sqrt (bit-identical after rounding).  p, q are
+    the Horn gradients (same windows as horn_kernel)."""
+    asm = _assemble_padded(group)
+    if asm is None:
+        return pa.table(
+            {
+                "row": pa.array([], pa.int64()),
+                "col": pa.array([], pa.int64()),
+                "hillshade": pa.array([], pa.float64()),
+            }
+        )
+    pad, h, w, r0, c0, transform = asm
+    xres = abs(transform[0])
+    yres = abs(transform[4])
+    za = pad[0:h, 0:w]
+    zb = pad[0:h, 1 : w + 1]
+    zc = pad[0:h, 2 : w + 2]
+    zd = pad[1 : h + 1, 0:w]
+    ze = pad[1 : h + 1, 1 : w + 1]
+    zf = pad[1 : h + 1, 2 : w + 2]
+    zg = pad[2 : h + 2, 0:w]
+    zh = pad[2 : h + 2, 1 : w + 1]
+    zi = pad[2 : h + 2, 2 : w + 2]
+    stack = np.stack([za, zb, zc, zd, ze, zf, zg, zh, zi])
+    valid = np.all(np.isfinite(stack) & (stack > NODATA_THRESHOLD), axis=0)
+    if not valid.any():
+        return pa.table(
+            {
+                "row": pa.array([], pa.int64()),
+                "col": pa.array([], pa.int64()),
+                "hillshade": pa.array([], pa.float64()),
+            }
+        )
+    p = ((zc + 2.0 * zf + zi) - (za + 2.0 * zd + zg)) / (8.0 * xres)
+    q = ((zg + 2.0 * zh + zi) - (za + 2.0 * zb + zc)) / (8.0 * yres)
+    dot = (_HS_LX * (-p) + _HS_LY * (-q) + _HS_LZ) / np.sqrt(
+        1.0 + (p * p + q * q)
+    )
+    shade = 255.0 * np.maximum(dot, 0.0)
+    rr, cc = np.nonzero(valid)
+    return pa.table(
+        {
+            "row": pa.array((rr + r0).astype(np.int64)),
+            "col": pa.array((cc + c0).astype(np.int64)),
+            "hillshade": pa.array(shade[rr, cc]),
+        }
+    )
+
+
+def tile_hillshade(tiles: ray.data.Dataset) -> ray.data.Dataset:
+    """Hillshade layer over a tile Dataset (halo-exchange shuffle +
+    per-tile Lambertian kernel) -- the engine analogue of the
+    reference's precomputed shaded-relief WMS layer."""
+    halos = tiles.map_batches(emit_halos, batch_format="pyarrow", batch_size=None)
+    return halos.groupby("halo_key").map_groups(
+        hillshade_kernel, batch_format="pyarrow"
+    )
+
+
 def tri_kernel(group: pa.Table) -> pa.Table:
     """One tile + halo -> per-pixel Terrain Ruggedness Index (Riley et
     al. 1999): sqrt of the summed squared elevation differences to the
