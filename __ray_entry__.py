@@ -707,6 +707,21 @@ def _q_flow_direction(sf_dir: str) -> pa.Table:
     return out.select(["row", "col", "d8"])
 
 
+def _q_flow_accumulation(sf_dir: str) -> pa.Table:
+    """D8 flow accumulation (drainage cells incl. self) over the slope
+    fixture raster -- the TauDEM-style two-level operator
+    (stages/raster.py::flow_accumulation): per-block sequential Kahn +
+    boundary-outflow forwarding on the perimeter-bounded entry forest
+    + route replay."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
+        flow_accumulation,
+    )
+
+    tiles = ray.data.from_arrow(_og_tiles_table(sparse_invalid=True, tile=24))
+    return flow_accumulation(tiles, block=32)
+
+
 def _q_idw_probes(sf_dir: str) -> pa.Table:
     """Inverse-distance-weighted interpolation at the probe points
     (w = 1/d^2 over valid grid points within 0.025 deg)."""
@@ -5515,6 +5530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_ruggedness": _q_tile_ruggedness,
         "tile_hillshade": _q_tile_hillshade,
         "flow_direction": _q_flow_direction,
+        "flow_accumulation": _q_flow_accumulation,
         "bilinear_sample": _q_bilinear_sample,
         "stride_secondary": _q_stride_secondary,
         # spatial ops driven from the driver's tables
@@ -6636,7 +6652,7 @@ def oracle_sql() -> dict[str, str]:
         )
         for poly in OG_POLYGONS.values()
     )
-    return {
+    out = {
         "extract_full": f"SELECT pix, lon, lat, z FROM ({grid})",
         "extract_valid": f"SELECT pix, lon, lat, z FROM ({valid})",
         "stride_sample": (
@@ -8186,3 +8202,29 @@ def oracle_sql() -> dict[str, str]:
             ") AS t(requested, matched)"
         ),
     }
+    # flow accumulation = recursive ancestor count over the D8 forest
+    # (edges restricted to node->node; paths are unique, so the UNION
+    # closure counts each (ancestor, cell) once)
+    out["flow_accumulation"] = (
+        f"WITH RECURSIVE fd AS ({out['flow_direction']}), "
+        "e AS MATERIALIZED (SELECT f.row AS r, f.col AS c, "
+        "f.row + CASE f.d8 WHEN 2 THEN 1 WHEN 4 THEN 1 WHEN 8 THEN 1 "
+        "WHEN 32 THEN -1 WHEN 64 THEN -1 WHEN 128 THEN -1 "
+        "ELSE 0 END AS nr, "
+        "f.col + CASE f.d8 WHEN 1 THEN 1 WHEN 2 THEN 1 WHEN 128 THEN 1 "
+        "WHEN 8 THEN -1 WHEN 16 THEN -1 WHEN 32 THEN -1 "
+        "ELSE 0 END AS nc "
+        "FROM fd f WHERE f.d8 <> 0), "
+        "en AS MATERIALIZED (SELECT e.r, e.c, e.nr, e.nc FROM e "
+        "JOIN fd t ON t.row = e.nr AND t.col = e.nc), "
+        "reach(sr, sc, r, c) AS ("
+        "SELECT en.r, en.c, en.nr, en.nc FROM en "
+        "UNION "
+        "SELECT reach.sr, reach.sc, en.nr, en.nc FROM reach "
+        "JOIN en ON en.r = reach.r AND en.c = reach.c), "
+        "anc AS (SELECT r, c, COUNT(*) AS n FROM reach GROUP BY r, c) "
+        "SELECT f.row, f.col, "
+        "CAST(1 + COALESCE(anc.n, 0) AS BIGINT) AS acc "
+        "FROM fd f LEFT JOIN anc ON anc.r = f.row AND anc.c = f.col"
+    )
+    return out

@@ -1,0 +1,134 @@
+"""stages/raster.py::flow_accumulation: the two-level TauDEM-style
+operator must equal the independent global sequential Kahn reference,
+under block sizes that force heavy boundary crossing and under
+repartitioning."""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+
+def _tiles_from_grid(z: np.ndarray, tile: int, nodata: float = -3.4e38):
+    """Split a (H, W) float grid into a tile table matching the engine
+    schema (single band, identity-ish transform)."""
+    h, w = z.shape
+    ids, srcs, bands, ro, co, hs, ws, tr, crs, nd, vals = (
+        [] for _ in range(11)
+    )
+    for r0 in range(0, h, tile):
+        for c0 in range(0, w, tile):
+            ids.append(f"t_{r0}_{c0}")
+            srcs.append("synthetic")
+            bands.append(1)
+            ro.append(r0)
+            co.append(c0)
+            hs.append(min(tile, h - r0))
+            ws.append(min(tile, w - c0))
+            tr.append([0.01, 0.0, 77.0, 0.0, -0.01, 29.0])
+            crs.append("EPSG:4326")
+            nd.append(nodata)
+            vals.append(
+                z[r0 : r0 + tile, c0 : c0 + tile].astype(np.float32).ravel()
+            )
+    return pa.table(
+        {
+            "tile_id": ids, "src": srcs,
+            "band": pa.array(bands, pa.int32()),
+            "row_off": pa.array(ro, pa.int32()),
+            "col_off": pa.array(co, pa.int32()),
+            "height": pa.array(hs, pa.int32()),
+            "width": pa.array(ws, pa.int32()),
+            "transform": pa.array(tr, pa.list_(pa.float64(), 6)),
+            "crs": crs,
+            "nodata": pa.array(nd, pa.float64()),
+            "values": pa.array(
+                [v.tolist() for v in vals], pa.list_(pa.float32())
+            ),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def rugged_grid():
+    # deterministic rugged surface with long drainage paths + nodata
+    rr, cc = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+    z = (
+        100.0
+        + 0.5 * rr
+        + 3.0 * np.sin(cc / 5.0)
+        + 2.0 * np.cos(rr / 7.0)
+        + ((rr * 5 + cc * 3) % 13) * 0.1
+    )
+    z = z.astype(np.float64)
+    z[(rr * 7 + cc * 11) % 97 == 0] = -3.4e38  # sparse nodata holes
+    return z
+
+
+def _run(ray_session, z, tile, block, stride=None):
+    import ray.data
+
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
+        flow_accumulation,
+    )
+
+    tiles = ray.data.from_arrow(_tiles_from_grid(z, tile))
+    out = flow_accumulation(tiles, block=block, stride=stride)
+    return {
+        (r, c): a
+        for r, c, a in zip(
+            out["row"].to_pylist(), out["col"].to_pylist(),
+            out["acc"].to_pylist(),
+        )
+    }
+
+
+def _reference(ray_session, z, tile, stride=None):
+    import ray.data
+
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
+        flow_accumulation_reference, tile_flow_direction,
+    )
+
+    fd = collect_tables(
+        tile_flow_direction(
+            ray.data.from_arrow(_tiles_from_grid(z, tile)), stride=stride
+        )
+    )
+    return flow_accumulation_reference(fd)
+
+
+def test_matches_sequential_reference(ray_session, rugged_grid):
+    want = _reference(ray_session, rugged_grid, tile=16)
+    got = _run(ray_session, rugged_grid, tile=16, block=16)
+    assert got == want
+    assert max(want.values()) > 10  # real drainage paths exist
+
+
+def test_small_blocks_heavy_crossing(ray_session, rugged_grid):
+    want = _reference(ray_session, rugged_grid, tile=16)
+    got = _run(ray_session, rugged_grid, tile=16, block=8)
+    assert got == want
+
+
+def test_block_not_aligned_with_tiles(ray_session, rugged_grid):
+    want = _reference(ray_session, rugged_grid, tile=16)
+    got = _run(ray_session, rugged_grid, tile=24, block=10, stride=24)
+    assert got == want
+
+
+def test_ragged_tiling_halo_stride(ray_session, rugged_grid):
+    """64 = 24 + 24 + 16: the ragged tiling must produce the identical
+    flow-direction node set as the uniform one when the grid stride is
+    given (the up/left halo addressing bug this parameter fixes)."""
+    want = _reference(ray_session, rugged_grid, tile=16)
+    ragged = _reference(ray_session, rugged_grid, tile=24, stride=24)
+    assert ragged == want

@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from ..schema import NODATA_THRESHOLD
@@ -48,7 +49,29 @@ def _halo_key(src: str, band: int, r0: int, c0: int) -> str:
     return f"{src}|{band}|{r0}|{c0}"
 
 
+def make_emit_halos(stride_r: int | None = None, stride_c: int | None = None):
+    """Build the halo-emit map_batches function.  ``stride_r``/``c``
+    are the tile GRID strides: a sender addressing its up/left
+    neighbor needs the NEIGHBOR's extent, which equals the sender's
+    own only on uniform tilings.  With the strides given, receiver
+    origins snap to the stride grid, so RAGGED tilings (short edge
+    tiles -- every real raster whose size is not a tile multiple) halo
+    correctly.  Default (None) keeps the uniform-tiling behavior."""
+
+    def emit(batch: pa.Table) -> pa.Table:
+        return _emit_halos_impl(batch, stride_r, stride_c)
+
+    return emit
+
+
 def emit_halos(batch: pa.Table) -> pa.Table:
+    """Uniform-tiling halo emit (see :func:`make_emit_halos`)."""
+    return _emit_halos_impl(batch, None, None)
+
+
+def _emit_halos_impl(
+    batch: pa.Table, stride_r: int | None, stride_c: int | None
+) -> pa.Table:
     """Explode a tile batch into core rows + boundary-strip rows, each
     keyed by the RECEIVING tile's origin.  ``rel_r``/``rel_c`` record
     the sender's position relative to the receiver so the receiver can
@@ -79,9 +102,14 @@ def emit_halos(batch: pa.Table) -> pa.Table:
         out_col0.append(c_off[i])
         out_transform.append(transforms[i])
         for dr, dc in _DIRS:
-            # receiver sits at sender origin + (dr*h, dc*w); skip
-            # receivers that would start before the raster origin
-            nr0, nc0 = r_off[i] + dr * h, c_off[i] + dc * w
+            # receiver origin: DOWN/RIGHT neighbors start right past
+            # this tile (origin + extent); UP/LEFT neighbors start one
+            # grid stride back (their OWN extent -- equal to the
+            # sender's only on uniform tilings, hence the strides)
+            sr = stride_r if stride_r is not None else h
+            sc = stride_c if stride_c is not None else w
+            nr0 = r_off[i] + (h if dr == 1 else -sr if dr == -1 else 0)
+            nc0 = c_off[i] + (w if dc == 1 else -sc if dc == -1 else 0)
             if nr0 < 0 or nc0 < 0:
                 continue
             rows = slice(h - 1, h) if dr == 1 else slice(0, 1) if dr == -1 else slice(0, h)
@@ -268,18 +296,24 @@ def d8_kernel(group: pa.Table) -> pa.Table:
     )
 
 
-def tile_flow_direction(tiles: ray.data.Dataset) -> ray.data.Dataset:
+def tile_flow_direction(tiles: ray.data.Dataset, stride: int | None = None) -> ray.data.Dataset:
     """D8 flow direction over a tile Dataset via the same halo-exchange
     shuffle as :func:`tile_slope`."""
-    halos = tiles.map_batches(emit_halos, batch_format="pyarrow", batch_size=None)
+    halos = tiles.map_batches(
+        make_emit_halos(stride, stride),
+        batch_format="pyarrow", batch_size=None,
+    )
     return halos.groupby("halo_key").map_groups(d8_kernel, batch_format="pyarrow")
 
 
-def tile_slope(tiles: ray.data.Dataset) -> ray.data.Dataset:
+def tile_slope(tiles: ray.data.Dataset, stride: int | None = None) -> ray.data.Dataset:
     """Horn slope/aspect over a tile Dataset: halo-exchange shuffle,
     then the per-tile kernel.  Streams -- one tile + halo in memory
     per task."""
-    halos = tiles.map_batches(emit_halos, batch_format="pyarrow", batch_size=None)
+    halos = tiles.map_batches(
+        make_emit_halos(stride, stride),
+        batch_format="pyarrow", batch_size=None,
+    )
     return halos.groupby("halo_key").map_groups(horn_kernel, batch_format="pyarrow")
 
 
@@ -342,11 +376,14 @@ def hillshade_kernel(group: pa.Table) -> pa.Table:
     )
 
 
-def tile_hillshade(tiles: ray.data.Dataset) -> ray.data.Dataset:
+def tile_hillshade(tiles: ray.data.Dataset, stride: int | None = None) -> ray.data.Dataset:
     """Hillshade layer over a tile Dataset (halo-exchange shuffle +
     per-tile Lambertian kernel) -- the engine analogue of the
     reference's precomputed shaded-relief WMS layer."""
-    halos = tiles.map_batches(emit_halos, batch_format="pyarrow", batch_size=None)
+    halos = tiles.map_batches(
+        make_emit_halos(stride, stride),
+        batch_format="pyarrow", batch_size=None,
+    )
     return halos.groupby("halo_key").map_groups(
         hillshade_kernel, batch_format="pyarrow"
     )
@@ -406,10 +443,13 @@ def _empty_tri_table() -> pa.Table:
     )
 
 
-def tile_ruggedness(tiles: ray.data.Dataset) -> ray.data.Dataset:
+def tile_ruggedness(tiles: ray.data.Dataset, stride: int | None = None) -> ray.data.Dataset:
     """Terrain Ruggedness Index over a tile Dataset: the same
     halo-exchange shuffle as tile_slope, TRI kernel per tile."""
-    halos = tiles.map_batches(emit_halos, batch_format="pyarrow", batch_size=None)
+    halos = tiles.map_batches(
+        make_emit_halos(stride, stride),
+        batch_format="pyarrow", batch_size=None,
+    )
     return halos.groupby("halo_key").map_groups(tri_kernel, batch_format="pyarrow")
 
 
@@ -509,7 +549,9 @@ def contour_case_kernel(level: float):
     return kernel
 
 
-def tile_contours(tiles: ray.data.Dataset, level: float) -> ray.data.Dataset:
+def tile_contours(
+    tiles: ray.data.Dataset, level: float, stride: int | None = None
+) -> ray.data.Dataset:
     """Marching-squares contour statistics at ``level`` over a tile
     Dataset: the same halo-exchange shuffle as :func:`tile_slope`,
     then the per-tile classifier.  Per-tile output rows are
@@ -517,7 +559,8 @@ def tile_contours(tiles: ray.data.Dataset, level: float) -> ray.data.Dataset:
     (case_id = -1) whose length_px is the tile's interpolated contour
     length."""
     halos = tiles.map_batches(
-        emit_halos, batch_format="pyarrow", batch_size=None
+        make_emit_halos(stride, stride), batch_format="pyarrow",
+        batch_size=None,
     )
     return halos.groupby("halo_key").map_groups(
         contour_case_kernel(level), batch_format="pyarrow"
@@ -620,12 +663,13 @@ def contour_segment_kernel(level: float):
 
 
 def tile_contour_segments(
-    tiles: ray.data.Dataset, level: float
+    tiles: ray.data.Dataset, level: float, stride: int | None = None
 ) -> ray.data.Dataset:
     """Contour segment geometry over a tile Dataset: halo-exchange
     shuffle, then :func:`contour_segment_kernel` per tile."""
     halos = tiles.map_batches(
-        emit_halos, batch_format="pyarrow", batch_size=None
+        make_emit_halos(stride, stride), batch_format="pyarrow",
+        batch_size=None,
     )
     return halos.groupby("halo_key").map_groups(
         contour_segment_kernel(level), batch_format="pyarrow"
@@ -700,3 +744,279 @@ def stitch_segments(segments: pa.Table) -> pa.Table:
             "closed": pa.array([r["closed"] for r in rows], pa.bool_()),
         }
     )
+
+# ------------------------------------------------------ flow accumulation
+_D8_OFFSET = {1: (0, 1), 2: (1, 1), 4: (1, 0), 8: (1, -1),
+              16: (0, -1), 32: (-1, -1), 64: (-1, 0), 128: (-1, 1)}
+_FLOW_TERM = 1 << 62  # sentinel: route terminates inside the block
+
+
+def _block_next(rows, cols, codes, br, bc, block):
+    """Per-block next-pointer map: pos -> in-block next pos, the
+    string "OUT" paired with the target cell when the flow crosses the
+    block boundary, or None for sinks / targets outside the valid node
+    set."""
+    idx = {(int(r), int(c)) for r, c in zip(rows, cols)}
+    nxt = {}
+    for r, c, code in zip(rows, cols, codes):
+        p = (int(r), int(c))
+        code = int(code)
+        if code == 0:
+            nxt[p] = None
+            continue
+        dr, dc = _D8_OFFSET[code]
+        t = (p[0] + dr, p[1] + dc)
+        if t[0] // block == br and t[1] // block == bc:
+            nxt[p] = t if t in idx else None
+        else:
+            nxt[p] = ("OUT", t)
+    return nxt
+
+
+def _local_accumulate(nxt):
+    """Kahn pass over one block's flow forest -> (acc: in-block
+    drainage incl. self, outflows: [(boundary target cell, amount)])."""
+    indeg = {p: 0 for p in nxt}
+    for p, t in nxt.items():
+        if isinstance(t, tuple) and t[0] != "OUT":
+            indeg[t] += 1
+    acc = {p: 1 for p in nxt}
+    stack = [p for p, d in indeg.items() if d == 0]
+    outflows = []
+    while stack:
+        p = stack.pop()
+        t = nxt[p]
+        if t is None:
+            continue
+        if t[0] == "OUT":
+            outflows.append((t[1], acc[p]))
+            continue
+        acc[t] += acc[p]
+        indeg[t] -= 1
+        if indeg[t] == 0:
+            stack.append(t)
+    return acc, outflows
+
+
+def _entry_route(nxt, entry):
+    """Cells an external inflow at ``entry`` visits inside the block,
+    plus the exit target cell (None when it terminates in-block)."""
+    visited = []
+    p = entry
+    while True:
+        visited.append(p)
+        t = nxt[p]
+        if t is None:
+            return visited, None
+        if t[0] == "OUT":
+            return visited, t[1]
+        p = t
+
+
+def _is_boundary(p, br, bc, block):
+    r_in = p[0] - br * block
+    c_in = p[1] - bc * block
+    return (
+        r_in == 0 or r_in == block - 1 or c_in == 0 or c_in == block - 1
+    )
+
+
+def flow_accumulation(
+    tiles: ray.data.Dataset, block: int = 32, stride: int | None = None
+) -> pa.Table:
+    """D8 flow accumulation (drainage area in cells, incl. self) --
+    the TauDEM-style two-level decomposition:
+
+      1. :func:`tile_flow_direction` (halo-exchange shuffle) -> the
+         global (row, col, d8) node table;
+      2. per-BLOCK ``groupby.map_groups`` emits (a) in-block drainage
+         per cell (sequential Kahn over <= block^2 nodes -- the
+         corpus-sized work, fully partition-parallel), (b) boundary
+         outflows carrying the accumulated count at each crossing, and
+         (c) route compression entry->exit for every boundary cell;
+      3. the inter-block inflow system lives on BOUNDARY cells only
+         (perimeter-bounded): a forest solved with one topological
+         walk -- driver tier here, a second recursion level at real
+         scale;
+      4. a final per-block pass replays each entry's route, adding its
+         solved total inflow to every visited cell.
+
+    Exactly equals the global sequential Kahn reference (tests) and
+    the recursive SQL ancestor-count (oracle)."""
+    import ray
+
+    d8 = tile_flow_direction(tiles, stride=stride)
+
+    def add_block(batch: pa.Table) -> pa.Table:
+        r = batch["row"].to_numpy(zero_copy_only=False)
+        c = batch["col"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bk", pa.array((r // block) * 100000 + (c // block))
+        )
+
+    blocked = d8.map_batches(
+        add_block, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    def block_phase(group: pa.Table) -> pa.Table:
+        rows = group["row"].to_numpy(zero_copy_only=False)
+        cols = group["col"].to_numpy(zero_copy_only=False)
+        codes = group["d8"].to_numpy(zero_copy_only=False)
+        br, bc = int(rows[0]) // block, int(cols[0]) // block
+        nxt = _block_next(rows, cols, codes, br, bc, block)
+        acc, outflows = _local_accumulate(nxt)
+        r1, c1, r2, c2, v, kind = [], [], [], [], [], []
+        for p, a in acc.items():
+            r1.append(p[0]); c1.append(p[1]); r2.append(0); c2.append(0)
+            v.append(a); kind.append(0)
+        for t, a in outflows:
+            r1.append(t[0]); c1.append(t[1]); r2.append(0); c2.append(0)
+            v.append(a); kind.append(1)
+        for p in nxt:
+            if not _is_boundary(p, br, bc, block):
+                continue
+            _, exit_t = _entry_route(nxt, p)
+            er, ec = (exit_t if exit_t is not None
+                      else (_FLOW_TERM, _FLOW_TERM))
+            r1.append(p[0]); c1.append(p[1]); r2.append(er); c2.append(ec)
+            v.append(0); kind.append(2)
+        return pa.table(
+            {
+                "r1": pa.array(np.asarray(r1, np.int64)),
+                "c1": pa.array(np.asarray(c1, np.int64)),
+                "r2": pa.array(np.asarray(r2, np.int64)),
+                "c2": pa.array(np.asarray(c2, np.int64)),
+                "v": pa.array(np.asarray(v, np.int64)),
+                "kind": pa.array(np.asarray(kind, np.int64)),
+            }
+        )
+
+    phase_b = blocked.groupby("bk").map_groups(
+        block_phase, batch_format="pyarrow"
+    )
+    parts = [
+        t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+        for t in phase_b.iter_batches(batch_format="pyarrow", batch_size=None)
+        if t.num_rows
+    ]
+    empty = pa.table(
+        {"row": pa.array([], pa.int64()), "col": pa.array([], pa.int64()),
+         "acc": pa.array([], pa.int64())}
+    )
+    if not parts:
+        return empty
+    allp = pa.concat_tables(parts)
+    k = allp["kind"].to_numpy(zero_copy_only=False)
+    r1 = allp["r1"].to_numpy(zero_copy_only=False)
+    c1 = allp["c1"].to_numpy(zero_copy_only=False)
+    r2 = allp["r2"].to_numpy(zero_copy_only=False)
+    c2 = allp["c2"].to_numpy(zero_copy_only=False)
+    v = allp["v"].to_numpy(zero_copy_only=False)
+    nodes = {(int(a), int(b)) for a, b in zip(r1[k == 0], c1[k == 0])}
+    # phase 3: boundary-entry forest (driver tier, perimeter-bounded)
+    route = {
+        (int(a), int(b)): (
+            None if int(x) == _FLOW_TERM else (int(x), int(y))
+        )
+        for a, b, x, y in zip(r1[k == 2], c1[k == 2], r2[k == 2], c2[k == 2])
+    }
+    base_in: dict = {}
+    for a, b, amt in zip(r1[k == 1], c1[k == 1], v[k == 1]):
+        p = (int(a), int(b))
+        if p in nodes:  # inflow to an invalid cell vanishes
+            base_in[p] = base_in.get(p, 0) + int(amt)
+    # next-entry pointers: an exit target is always 1 cell past a
+    # block edge, i.e. a boundary cell of its own block -> in `route`
+    nxt_e = {}
+    indeg = {e: 0 for e in route}
+    for e in route:
+        t = route[e]
+        t = t if t is not None and t in route else None
+        nxt_e[e] = t
+        if t is not None:
+            indeg[t] = indeg.get(t, 0) + 1
+    total = {e: base_in.get(e, 0) for e in route}
+    stack = [e for e, d in indeg.items() if d == 0]
+    while stack:
+        e = stack.pop()
+        t = nxt_e[e]
+        if t is None:
+            continue
+        total[t] += total[e]
+        indeg[t] -= 1
+        if indeg[t] == 0:
+            stack.append(t)
+    inflow = {e: x for e, x in total.items() if x > 0}
+    # phase 4: replay routes, add inflows
+    inflow_ref = ray.put(inflow)
+
+    def final_phase(group: pa.Table) -> pa.Table:
+        rows = group["row"].to_numpy(zero_copy_only=False)
+        cols = group["col"].to_numpy(zero_copy_only=False)
+        codes = group["d8"].to_numpy(zero_copy_only=False)
+        br, bc = int(rows[0]) // block, int(cols[0]) // block
+        nxt = _block_next(rows, cols, codes, br, bc, block)
+        acc, _ = _local_accumulate(nxt)
+        flows = ray.get(inflow_ref)
+        for p in nxt:
+            amt = flows.get(p)
+            if not amt or not _is_boundary(p, br, bc, block):
+                continue
+            visited, _ = _entry_route(nxt, p)
+            for q in visited:
+                acc[q] += amt
+        rr = np.fromiter((p[0] for p in acc), np.int64, len(acc))
+        cc = np.fromiter((p[1] for p in acc), np.int64, len(acc))
+        aa = np.fromiter((acc[p] for p in acc), np.int64, len(acc))
+        return pa.table(
+            {"row": pa.array(rr), "col": pa.array(cc), "acc": pa.array(aa)}
+        )
+
+    final = blocked.groupby("bk").map_groups(
+        final_phase, batch_format="pyarrow"
+    )
+    fparts = [
+        t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+        for t in final.iter_batches(batch_format="pyarrow", batch_size=None)
+        if t.num_rows
+    ]
+    if not fparts:
+        return empty
+    out = pa.concat_tables(fparts)
+    order = pc.sort_indices(
+        out, sort_keys=[("row", "ascending"), ("col", "ascending")]
+    )
+    return out.take(order)
+
+
+def flow_accumulation_reference(d8_table: pa.Table) -> dict:
+    """Independent GLOBAL sequential Kahn reference (test oracle for
+    :func:`flow_accumulation`): pos -> drainage count."""
+    rows = d8_table["row"].to_pylist()
+    cols = d8_table["col"].to_pylist()
+    codes = d8_table["d8"].to_pylist()
+    idx = set(zip(rows, cols))
+    nxt = {}
+    for r, c, code in zip(rows, cols, codes):
+        if code == 0:
+            nxt[(r, c)] = None
+        else:
+            dr, dc = _D8_OFFSET[code]
+            t = (r + dr, c + dc)
+            nxt[(r, c)] = t if t in idx else None
+    indeg = {p: 0 for p in nxt}
+    for p, t in nxt.items():
+        if t is not None:
+            indeg[t] += 1
+    acc = {p: 1 for p in nxt}
+    stack = [p for p, d in indeg.items() if d == 0]
+    while stack:
+        p = stack.pop()
+        t = nxt[p]
+        if t is None:
+            continue
+        acc[t] += acc[p]
+        indeg[t] -= 1
+        if indeg[t] == 0:
+            stack.append(t)
+    return acc
