@@ -722,6 +722,19 @@ def _q_flow_accumulation(sf_dir: str) -> pa.Table:
     return flow_accumulation(tiles, block=32)
 
 
+def _q_watershed_labels(sf_dir: str) -> pa.Table:
+    """Watershed labeling over the slope fixture raster: every valid
+    D8 cell labeled with its terminal sink cell (same two-level
+    decomposition as flow_accumulation)."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
+        watershed_labels,
+    )
+
+    tiles = ray.data.from_arrow(_og_tiles_table(sparse_invalid=True, tile=24))
+    return watershed_labels(tiles, block=32)
+
+
 def _q_idw_probes(sf_dir: str) -> pa.Table:
     """Inverse-distance-weighted interpolation at the probe points
     (w = 1/d^2 over valid grid points within 0.025 deg)."""
@@ -5531,6 +5544,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_hillshade": _q_tile_hillshade,
         "flow_direction": _q_flow_direction,
         "flow_accumulation": _q_flow_accumulation,
+        "watershed_labels": _q_watershed_labels,
         "bilinear_sample": _q_bilinear_sample,
         "stride_secondary": _q_stride_secondary,
         # spatial ops driven from the driver's tables
@@ -8226,5 +8240,30 @@ def oracle_sql() -> dict[str, str]:
         "SELECT f.row, f.col, "
         "CAST(1 + COALESCE(anc.n, 0) AS BIGINT) AS acc "
         "FROM fd f LEFT JOIN anc ON anc.r = f.row AND anc.c = f.col"
+    )
+    # watershed: pointer-walk closure over NODE->NODE edges; the pour
+    # point is the last valid cell (no node out-edge: a pit/flat or an
+    # exit off the valid set)
+    out["watershed_labels"] = (
+        f"WITH RECURSIVE fd AS ({out['flow_direction']}), "
+        "e AS MATERIALIZED (SELECT f.row AS r, f.col AS c, "
+        "f.row + CASE f.d8 WHEN 2 THEN 1 WHEN 4 THEN 1 WHEN 8 THEN 1 "
+        "WHEN 32 THEN -1 WHEN 64 THEN -1 WHEN 128 THEN -1 "
+        "ELSE 0 END AS nr, "
+        "f.col + CASE f.d8 WHEN 1 THEN 1 WHEN 2 THEN 1 WHEN 128 THEN 1 "
+        "WHEN 8 THEN -1 WHEN 16 THEN -1 WHEN 32 THEN -1 "
+        "ELSE 0 END AS nc "
+        "FROM fd f WHERE f.d8 <> 0), "
+        "en AS MATERIALIZED (SELECT e.r, e.c, e.nr, e.nc FROM e "
+        "JOIN fd t ON t.row = e.nr AND t.col = e.nc), "
+        "ws(sr, sc, r, c) AS ("
+        "SELECT f.row, f.col, f.row, f.col FROM fd f "
+        "UNION "
+        "SELECT w.sr, w.sc, en.nr, en.nc FROM ws w "
+        "JOIN en ON en.r = w.r AND en.c = w.c) "
+        "SELECT sr AS row, sc AS col, "
+        "r AS sink_row, c AS sink_col FROM ws "
+        "WHERE NOT EXISTS (SELECT 1 FROM en WHERE en.r = ws.r "
+        "AND en.c = ws.c)"
     )
     return out

@@ -132,3 +132,31 @@ def test_ragged_tiling_halo_stride(ray_session, rugged_grid):
     want = _reference(ray_session, rugged_grid, tile=16)
     ragged = _reference(ray_session, rugged_grid, tile=24, stride=24)
     assert ragged == want
+
+
+def test_watershed_matches_reference(ray_session, rugged_grid):
+    import ray.data
+
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
+        tile_flow_direction, watershed_labels, watershed_reference,
+    )
+
+    tiles = ray.data.from_arrow(_tiles_from_grid(rugged_grid, 16))
+    fd = collect_tables(tile_flow_direction(tiles))
+    want = watershed_reference(fd)
+    out = watershed_labels(
+        ray.data.from_arrow(_tiles_from_grid(rugged_grid, 16)), block=8
+    )
+    got = {
+        (r, c): (a, b)
+        for r, c, a, b in zip(
+            out["row"].to_pylist(), out["col"].to_pylist(),
+            out["sink_row"].to_pylist(), out["sink_col"].to_pylist(),
+        )
+    }
+    assert got == want
+    # watersheds are non-trivial: multiple distinct pour points
+    assert len(set(want.values())) > 5

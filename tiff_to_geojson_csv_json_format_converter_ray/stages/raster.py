@@ -1020,3 +1020,242 @@ def flow_accumulation_reference(d8_table: pa.Table) -> dict:
         if indeg[t] == 0:
             stack.append(t)
     return acc
+
+
+def watershed_labels(
+    tiles: ray.data.Dataset, block: int = 32, stride: int | None = None
+) -> pa.Table:
+    """Watershed labeling: every valid D8 cell gets the (row, col) of
+    the SINK its flow path terminates at (pits, flats, or exits off
+    the valid node set).  Same two-level decomposition as
+    :func:`flow_accumulation`: per-block route compression sends each
+    cell to its in-block terminal or block-exit target; the
+    perimeter-bounded entry forest resolves exit targets to global
+    sinks; one final per-block pass stamps the labels.
+
+    Returns (row, col, sink_row, sink_col) sorted by (row, col)."""
+    import ray
+
+    d8 = tile_flow_direction(tiles, stride=stride)
+
+    def add_block(batch: pa.Table) -> pa.Table:
+        r = batch["row"].to_numpy(zero_copy_only=False)
+        c = batch["col"].to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "bk", pa.array((r // block) * 100000 + (c // block))
+        )
+
+    blocked = d8.map_batches(
+        add_block, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    def block_phase(group: pa.Table) -> pa.Table:
+        """kind 0: node -> in-block terminal (r2, c2) or exit target
+        (kind 1).  kind 2: boundary entry -> exit/terminal route (same
+        encoding) for the inter-block walk."""
+        rows = group["row"].to_numpy(zero_copy_only=False)
+        cols = group["col"].to_numpy(zero_copy_only=False)
+        codes = group["d8"].to_numpy(zero_copy_only=False)
+        br, bc = int(rows[0]) // block, int(cols[0]) // block
+        nxt = _block_next(rows, cols, codes, br, bc, block)
+        # compress every node to its in-block end (memoized walk):
+        # end[p] = (terminal sink | None, exit target | None,
+        #           last in-block cell of the walk)
+        end: dict = {}
+
+        def resolve(p):
+            path = []
+            q = p
+            while q not in end:
+                path.append(q)
+                t = nxt[q]
+                if t is None:
+                    end[q] = (q, None, q)
+                    break
+                if t[0] == "OUT":
+                    end[q] = (None, t[1], q)
+                    break
+                q = t
+            for s in path:
+                end[s] = end[path[-1]] if path[-1] in end else end[q]
+            return end[p]
+
+        r1, c1, r2, c2, r3, c3, kind = [], [], [], [], [], [], []
+        for p in nxt:
+            term, exit_t, last = resolve(p)
+            is_entry = _is_boundary(p, br, bc, block)
+            for k in (0,) if not is_entry else (0, 2):
+                r1.append(p[0]); c1.append(p[1])
+                if term is not None:
+                    r2.append(term[0]); c2.append(term[1])
+                else:
+                    r2.append(exit_t[0] + (1 << 31))
+                    c2.append(exit_t[1] + (1 << 31))
+                r3.append(last[0]); c3.append(last[1])
+                kind.append(k)
+        return pa.table(
+            {
+                "r1": pa.array(np.asarray(r1, np.int64)),
+                "c1": pa.array(np.asarray(c1, np.int64)),
+                "r2": pa.array(np.asarray(r2, np.int64)),
+                "c2": pa.array(np.asarray(c2, np.int64)),
+                "r3": pa.array(np.asarray(r3, np.int64)),
+                "c3": pa.array(np.asarray(c3, np.int64)),
+                "kind": pa.array(np.asarray(kind, np.int64)),
+            }
+        )
+
+    phase_b = blocked.groupby("bk").map_groups(
+        block_phase, batch_format="pyarrow"
+    )
+    parts = [
+        t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+        for t in phase_b.iter_batches(batch_format="pyarrow", batch_size=None)
+        if t.num_rows
+    ]
+    empty = pa.table(
+        {"row": pa.array([], pa.int64()), "col": pa.array([], pa.int64()),
+         "sink_row": pa.array([], pa.int64()),
+         "sink_col": pa.array([], pa.int64())}
+    )
+    if not parts:
+        return empty
+    allp = pa.concat_tables(parts)
+    k = allp["kind"].to_numpy(zero_copy_only=False)
+    r1 = allp["r1"].to_numpy(zero_copy_only=False)
+    c1 = allp["c1"].to_numpy(zero_copy_only=False)
+    r2 = allp["r2"].to_numpy(zero_copy_only=False)
+    c2 = allp["c2"].to_numpy(zero_copy_only=False)
+    OFF = 1 << 31
+    r3 = allp["r3"].to_numpy(zero_copy_only=False)
+    c3 = allp["c3"].to_numpy(zero_copy_only=False)
+    # entry routing: entry -> ("SINK", in-block terminal) or
+    # ("OUT", next cell, last in-block cell)
+    route = {}
+    for a, b, x, y, lr, lc in zip(
+        r1[k == 2], c1[k == 2], r2[k == 2], c2[k == 2],
+        r3[k == 2], c3[k == 2],
+    ):
+        x, y = int(x), int(y)
+        if x >= OFF:
+            route[(int(a), int(b))] = (
+                "OUT", (x - OFF, y - OFF), (int(lr), int(lc))
+            )
+        else:
+            route[(int(a), int(b))] = ("SINK", (x, y), (int(lr), int(lc)))
+    # resolve every entry to its global POUR POINT: the last valid
+    # cell of its path (an exit whose target is not a valid node stops
+    # AT the crossing cell)
+    sink_of: dict = {}
+
+    def resolve_entry(e):
+        chain = []
+        q = e
+        while q not in sink_of:
+            chain.append(q)
+            tag, t, last = route[q]
+            if tag == "SINK":
+                sink_of[q] = t
+                break
+            if t not in route:
+                sink_of[q] = last
+                break
+            q = t
+        for s in chain:
+            sink_of[s] = sink_of[chain[-1]] if chain[-1] in sink_of else sink_of[q]
+        return sink_of[e]
+
+    for e in route:
+        resolve_entry(e)
+    sink_ref = ray.put(sink_of)
+
+    def final_phase(group: pa.Table) -> pa.Table:
+        rows = group["row"].to_numpy(zero_copy_only=False)
+        cols = group["col"].to_numpy(zero_copy_only=False)
+        codes = group["d8"].to_numpy(zero_copy_only=False)
+        br, bc = int(rows[0]) // block, int(cols[0]) // block
+        nxt = _block_next(rows, cols, codes, br, bc, block)
+        sinks = ray.get(sink_ref)
+        end: dict = {}
+
+        def resolve(p):
+            chain = []
+            q = p
+            while q not in end:
+                chain.append(q)
+                t = nxt[q]
+                if t is None:
+                    end[q] = q
+                    break
+                if t[0] == "OUT":
+                    end[q] = sinks.get(t[1], q)
+                    break
+                q = t
+            for s in chain:
+                end[s] = end[chain[-1]] if chain[-1] in end else end[q]
+            return end[p]
+
+        rr = np.empty(len(rows), np.int64)
+        cc = np.empty(len(rows), np.int64)
+        sr = np.empty(len(rows), np.int64)
+        sc = np.empty(len(rows), np.int64)
+        for i, (r, c) in enumerate(zip(rows, cols)):
+            s = resolve((int(r), int(c)))
+            rr[i] = r; cc[i] = c; sr[i] = s[0]; sc[i] = s[1]
+        return pa.table(
+            {"row": pa.array(rr), "col": pa.array(cc),
+             "sink_row": pa.array(sr), "sink_col": pa.array(sc)}
+        )
+
+    final = blocked.groupby("bk").map_groups(
+        final_phase, batch_format="pyarrow"
+    )
+    fparts = [
+        t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+        for t in final.iter_batches(batch_format="pyarrow", batch_size=None)
+        if t.num_rows
+    ]
+    if not fparts:
+        return empty
+    out = pa.concat_tables(fparts)
+    order = pc.sort_indices(
+        out, sort_keys=[("row", "ascending"), ("col", "ascending")]
+    )
+    return out.take(order)
+
+
+def watershed_reference(d8_table: pa.Table) -> dict:
+    """Independent sequential watershed reference: pos -> pour point
+    (the LAST VALID cell of the path -- a pit/flat cell, or the cell
+    from which flow exits the valid node set)."""
+    rows = d8_table["row"].to_pylist()
+    cols = d8_table["col"].to_pylist()
+    codes = d8_table["d8"].to_pylist()
+    idx = set(zip(rows, cols))
+    nxt = {}
+    for r, c, code in zip(rows, cols, codes):
+        if code == 0:
+            nxt[(r, c)] = None
+        else:
+            dr, dc = _D8_OFFSET[code]
+            nxt[(r, c)] = (r + dr, c + dc)
+    sink: dict = {}
+
+    def resolve(p):
+        chain = []
+        q = p
+        while q not in sink:
+            chain.append(q)
+            t = nxt[q]
+            if t is None:
+                sink[q] = q
+                break
+            if t not in idx:
+                sink[q] = q  # pour point: last VALID cell
+                break
+            q = t
+        for s in chain:
+            sink[s] = sink[chain[-1]] if chain[-1] in sink else sink[q]
+        return sink[p]
+
+    return {p: resolve(p) for p in nxt}
