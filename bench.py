@@ -320,6 +320,11 @@ EXTRA_QUERY_SUBSET = [
     "word_pagerank", "word_triangles", "conversion_lag",
     "interevent_median", "time_weighted_avg", "percent_rank_qty",
     "mutual_information", "lorenz_deciles", "first_touch_attribution",
+    # round-3 session additions
+    "convex_hull", "dbscan_clusters", "approx_distinct_by_type",
+    "quality_scores", "quantiles", "winnow_dedup", "passage_dedup",
+    "geohash_cells", "tile_ruggedness", "tile_hillshade",
+    "flow_accumulation", "watershed_labels",
 ]
 
 

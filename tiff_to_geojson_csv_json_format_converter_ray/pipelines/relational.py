@@ -69,14 +69,61 @@ def hash_aggregate(
     partials_ds = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
 
     if distributed_combine:
-        import ray.data.aggregate as agg
+        # hash-BUCKET shuffle + vectorized Arrow combine per bucket.
+        # Ray's native groupby().aggregate() pays per-GROUP overhead
+        # (measured ~2 min for 600k groups at sf0.1); bucketing the
+        # keys into n_buckets groups makes the Ray shuffle see only
+        # n_buckets groups while each map_groups call combines its
+        # whole bucket with one Arrow group_by kernel.  Bucket ids use
+        # the engine's deterministic hashes (mix32 / FNV-1a), never
+        # Python hash() (per-process seeded).
+        from ..functions import hashing as _H
+        from ..functions.sketch import mix32 as _mix32
 
-        spec = []
-        for (_, op, name), pn in zip(aggs, part_names):
-            cls = {"sum": agg.Sum, "count": agg.Sum, "min": agg.Min,
-                   "max": agg.Max}[op]
-            spec.append(cls(pn, alias_name=name))
-        return partials_ds.groupby(keys).aggregate(*spec)
+        n_buckets = 64
+
+        def bucket(batch: pa.Table) -> pa.Table:
+            h = np.zeros(batch.num_rows, dtype=np.int64)
+            for kcol in keys:
+                col = batch[kcol]
+                if pa.types.is_integer(col.type) or pa.types.is_boolean(
+                    col.type
+                ):
+                    kv = col.to_numpy(zero_copy_only=False).astype(np.int64)
+                    kv = _mix32(kv)
+                elif pa.types.is_floating(col.type):
+                    kv = _mix32(
+                        col.to_numpy(zero_copy_only=False)
+                        .astype(np.float64)
+                        .view(np.int64)
+                    )
+                else:
+                    kv = _H.fnv1a_array(
+                        [str(x) for x in col.to_pylist()]
+                    ).view(np.int64)
+                h = h * np.int64(1000003) + kv
+            return batch.append_column(
+                "_bkt", pa.array(np.abs(h) % n_buckets)
+            )
+
+        spec = [
+            (pn, _COMBINE_OP[op]) for (_, op, _), pn in zip(aggs, part_names)
+        ]
+
+        def combine_bucket(group: pa.Table) -> pa.Table:
+            t = group.drop_columns(["_bkt"])
+            out = t.group_by(keys).aggregate(spec)
+            return out.rename_columns(
+                keys + [name for _, _, name in aggs]
+            )
+
+        return (
+            partials_ds.map_batches(
+                bucket, batch_format="pyarrow", batch_size=None
+            )
+            .groupby("_bkt")
+            .map_groups(combine_bucket, batch_format="pyarrow")
+        )
 
     parts = collect_tables(partials_ds)
     if parts is None:
