@@ -329,6 +329,32 @@ class _UnionFind:
             self.parent[rb] = ra
 
 
+
+
+def _bucket_ids(*int_cols, num_buckets: int = 64) -> np.ndarray:
+    """Deterministic bucket id from int64 key columns (mix32 combine,
+    never per-process Python hash())."""
+    from ..functions.sketch import mix32
+
+    h = np.zeros(len(int_cols[0]), dtype=np.int64)
+    for col in int_cols:
+        h = h * np.int64(1000003) + mix32(col.astype(np.int64))
+    return np.abs(h) % num_buckets
+
+
+def _segment_bounds(*sorted_cols) -> np.ndarray:
+    """Boundary offsets of equal-key runs in already-sorted columns:
+    returns offsets (k+1,) such that [offsets[i], offsets[i+1]) is one
+    segment."""
+    n = len(sorted_cols[0])
+    if n == 0:
+        return np.zeros(1, dtype=np.int64)
+    change = np.zeros(n - 1, dtype=bool)
+    for col in sorted_cols:
+        change |= col[1:] != col[:-1]
+    return np.r_[0, np.flatnonzero(change) + 1, n].astype(np.int64)
+
+
 def _explode_bands(bands: int, id_col: str):
     """Wide signature rows -> long (band, key, id, sig) rows, the
     shuffle-ready form: one row per (doc, band), signatures only."""
@@ -363,6 +389,7 @@ def minhash_lsh_dedup(
     shingle_k: int = 5,
     cluster_backend: str = "labelprop",
     bucket_cap: int = BUCKET_CAP,
+    num_buckets: int = 64,
 ) -> pa.Table:
     """MinHash+LSH near-dedup: shingle -> minhash -> band-bucket
     groupby -> per-bucket signature-similarity verify -> pair edge
@@ -381,30 +408,54 @@ def minhash_lsh_dedup(
         _explode_bands(bands, id_col), batch_format="pyarrow", batch_size=None
     )
 
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bkt",
+            pa.array(_bucket_ids(
+                batch["band"].to_numpy(zero_copy_only=False),
+                batch["key"].to_numpy(zero_copy_only=False),
+                num_buckets=num_buckets,
+            )),
+        )
+
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        g = group.num_rows
-        if g < 2 or g > bucket_cap:
-            return _PAIR_SCHEMA.empty_table()
+        """ONE hash bucket of (band, key) LSH buckets: sort once,
+        segment-scan, verify each qualifying segment vectorized --
+        per-Ray-group overhead is paid num_buckets times total, not
+        once per LSH bucket (which is corpus-cardinality)."""
+        band = group["band"].to_numpy(zero_copy_only=False)
+        key = group["key"].to_numpy(zero_copy_only=False)
         ids = group[id_col].to_numpy(zero_copy_only=False)
         sigs = (
             group["sig"].combine_chunks()
             .flatten()
             .to_numpy(zero_copy_only=False)
-            .reshape(g, num_perm)
+            .reshape(len(band), num_perm)
         )
+        order = np.lexsort((key, band))
+        band, key, ids, sigs = band[order], key[order], ids[order], sigs[order]
+        bounds = _segment_bounds(band, key)
         outs_a, outs_b = [], []
-        for i_c, j_c in _triu_pairs_chunked(g):
-            sim = (sigs[i_c] == sigs[j_c]).mean(axis=1)
-            k = sim >= sim_threshold
-            outs_a.append(np.minimum(ids[i_c[k]], ids[j_c[k]]))
-            outs_b.append(np.maximum(ids[i_c[k]], ids[j_c[k]]))
+        for s, t in zip(bounds[:-1], bounds[1:]):
+            g = int(t - s)
+            if g < 2 or g > bucket_cap:
+                continue
+            sid = ids[s:t]
+            ssig = sigs[s:t]
+            for i_c, j_c in _triu_pairs_chunked(g):
+                sim = (ssig[i_c] == ssig[j_c]).mean(axis=1)
+                k = sim >= sim_threshold
+                outs_a.append(np.minimum(sid[i_c[k]], sid[j_c[k]]))
+                outs_b.append(np.maximum(sid[i_c[k]], sid[j_c[k]]))
+        if not outs_a:
+            return _PAIR_SCHEMA.empty_table()
         return pa.table(
             {"a": np.concatenate(outs_a), "b": np.concatenate(outs_b)}
         )
 
-    pair_ds = long_ds.groupby(["band", "key"]).map_groups(
-        bucket_pairs, batch_format="pyarrow"
-    )
+    pair_ds = long_ds.map_batches(
+        add_bucket, batch_format="pyarrow", batch_size=None
+    ).groupby("_bkt").map_groups(bucket_pairs, batch_format="pyarrow")
     pairs = _collect(pair_ds, _PAIR_SCHEMA)
     # the same pair can surface from several bands -- dedupe the tiny
     # edge list before clustering
@@ -436,6 +487,7 @@ def simhash_dedup(
     max_hamming: int = 3,
     cluster_backend: str = "labelprop",
     bucket_cap: int = BUCKET_CAP,
+    num_buckets: int = 64,
 ) -> pa.Table:
     """SimHash near-dup: 64-bit fingerprints bucketed by each of four
     16-bit sub-bands (any pair within hamming<=3 shares at least one
@@ -465,25 +517,46 @@ def simhash_dedup(
 
     long_ds = sig_ds.map_batches(explode, batch_format="pyarrow", batch_size=None)
 
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bkt",
+            pa.array(_bucket_ids(
+                batch["gk"].to_numpy(zero_copy_only=False),
+                num_buckets=num_buckets,
+            )),
+        )
+
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        g = group.num_rows
-        if g < 2 or g > bucket_cap:
-            return _PAIR_SCHEMA.empty_table()
+        """ONE hash bucket of gk sub-bands: sort + segment scan +
+        vectorized Hamming verify per qualifying segment (per-Ray-group
+        overhead paid num_buckets times, not per sub-band value)."""
+        gk = group["gk"].to_numpy(zero_copy_only=False)
         ids = group[id_col].to_numpy(zero_copy_only=False)
         sh = group["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        order = np.argsort(gk, kind="stable")
+        gk, ids, sh = gk[order], ids[order], sh[order]
+        bounds = _segment_bounds(gk)
         outs_a, outs_b = [], []
-        for i_c, j_c in _triu_pairs_chunked(g):
-            d = H.hamming64(sh[i_c], sh[j_c])
-            k = d <= max_hamming
-            outs_a.append(np.minimum(ids[i_c[k]], ids[j_c[k]]))
-            outs_b.append(np.maximum(ids[i_c[k]], ids[j_c[k]]))
+        for s, t in zip(bounds[:-1], bounds[1:]):
+            g = int(t - s)
+            if g < 2 or g > bucket_cap:
+                continue
+            sid = ids[s:t]
+            ssh = sh[s:t]
+            for i_c, j_c in _triu_pairs_chunked(g):
+                d = H.hamming64(ssh[i_c], ssh[j_c])
+                k = d <= max_hamming
+                outs_a.append(np.minimum(sid[i_c[k]], sid[j_c[k]]))
+                outs_b.append(np.maximum(sid[i_c[k]], sid[j_c[k]]))
+        if not outs_a:
+            return _PAIR_SCHEMA.empty_table()
         return pa.table(
             {"a": np.concatenate(outs_a), "b": np.concatenate(outs_b)}
         )
 
-    pair_ds = long_ds.groupby("gk").map_groups(
-        bucket_pairs, batch_format="pyarrow"
-    )
+    pair_ds = long_ds.map_batches(
+        add_bucket, batch_format="pyarrow", batch_size=None
+    ).groupby("_bkt").map_groups(bucket_pairs, batch_format="pyarrow")
     pairs = _collect(pair_ds, _PAIR_SCHEMA)
     pairs = pairs.group_by(["a", "b"]).aggregate([]).select(["a", "b"])
     return _cluster_pairs(pairs, cluster_backend)
@@ -822,6 +895,7 @@ def winnow_dedup(
     window: int = 16,
     overlap_threshold: float = 0.5,
     posting_cap: int = 500,
+    num_buckets: int = 64,
 ) -> pa.Table:
     """Winnowing-fingerprint near-dup pairs: two documents are
     near-duplicates when the shared-fingerprint count reaches
@@ -843,18 +917,45 @@ def winnow_dedup(
         batch_format="pyarrow", batch_size=None,
     )
 
+    def add_fp_bucket(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "_bkt",
+            pa.array(_bucket_ids(
+                batch["fp"].to_numpy(zero_copy_only=False),
+                num_buckets=num_buckets,
+            )),
+        )
+
     def posting_pairs(group: pa.Table) -> pa.Table:
-        g = group.num_rows
-        if g < 2 or g > posting_cap:
+        """ONE hash bucket of fingerprint postings: sort + segment
+        scan, pairs per qualifying posting (2 <= g <= cap)."""
+        fp = group["fp"].to_numpy(zero_copy_only=False)
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, fp))
+        fp, ids = fp[order], ids[order]
+        bounds = _segment_bounds(fp)
+        outs_a, outs_b = [], []
+        for s, t in zip(bounds[:-1], bounds[1:]):
+            g = int(t - s)
+            if g < 2 or g > posting_cap:
+                continue
+            sid = ids[s:t]
+            ii, jj = np.triu_indices(g, 1)
+            outs_a.append(sid[ii])
+            outs_b.append(sid[jj])
+        if not outs_a:
             return pa.schema(
                 [("a", pa.int64()), ("b", pa.int64())]
             ).empty_table()
-        ids = np.sort(group[id_col].to_numpy(zero_copy_only=False))
-        ii, jj = np.triu_indices(g, 1)
-        return pa.table({"a": pa.array(ids[ii]), "b": pa.array(ids[jj])})
+        return pa.table(
+            {"a": pa.array(np.concatenate(outs_a)),
+             "b": pa.array(np.concatenate(outs_b))}
+        )
 
     pair_counts = hash_aggregate(
-        fp_ds.groupby("fp").map_groups(
+        fp_ds.map_batches(
+            add_fp_bucket, batch_format="pyarrow", batch_size=None
+        ).groupby("_bkt").map_groups(
             posting_pairs, batch_format="pyarrow"
         ).map_batches(
             lambda b: b.append_column(
