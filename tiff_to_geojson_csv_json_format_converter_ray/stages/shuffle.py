@@ -109,19 +109,46 @@ def shuffled_count(ds: ray.data.Dataset, key: str) -> ray.data.Dataset:
 
 
 def shuffled_dedup_first(
-    ds: ray.data.Dataset, key: str, order_col: str
+    ds: ray.data.Dataset, key: str, order_col: str,
+    num_buckets: int = 64,
 ) -> ray.data.Dataset:
-    """High-cardinality exact dedup: hash-partition on ``key`` via
-    ``groupby`` and keep the min-``order_col`` row per group -- the
-    shuffle-tier alternative to dedup.exact_dedup's broadcast winner
-    set (which requires the distinct-key count to fit on the driver)."""
-    import pyarrow.compute as pc
+    """High-cardinality exact dedup: keep the min-``order_col`` row per
+    distinct ``key`` through a shuffle -- the scale-tier alternative to
+    dedup.exact_dedup's broadcast winner set.
 
-    def first(group: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(group, sort_keys=[(order_col, "ascending")])
-        return group.take(idx[:1])
+    Grouping directly on ``key`` would pay Ray's per-GROUP map_groups
+    overhead once per DISTINCT KEY (corpus-cardinality); instead keys
+    hash into ``num_buckets`` deterministic buckets and each bucket
+    resolves all its winners in ONE vectorized pass (sort by
+    (key, order) then keep the first row of each key run)."""
+    from ..functions import hashing as H
+    from ..functions.sketch import mix32
 
-    return ds.groupby(key).map_groups(first, batch_format="pyarrow")
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        col = batch[key]
+        if pa.types.is_integer(col.type):
+            h = mix32(col.to_numpy(zero_copy_only=False).astype(np.int64))
+        else:
+            h = H.fnv1a_array(
+                [str(x) for x in col.to_pylist()]
+            ).view(np.int64)
+        return batch.append_column(
+            "_bkt", pa.array(np.abs(h) % num_buckets)
+        )
+
+    def first_per_key(group: pa.Table) -> pa.Table:
+        k = group[key].to_numpy(zero_copy_only=False)
+        o = group[order_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((o, k))
+        ks = k[order]
+        head = np.r_[True, ks[1:] != ks[:-1]]
+        return group.take(pa.array(order[head])).drop_columns(["_bkt"])
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
+        .groupby("_bkt")
+        .map_groups(first_per_key, batch_format="pyarrow")
+    )
 
 
 def salted_groupby_count(
