@@ -2373,3 +2373,51 @@ class TestFusedPivot:
         assert out.schema().names == [
             "lon", "lat", "z", "band", "src", "pix", "nodata"
         ]
+
+
+class TestBucketedDistributedCombine:
+    def test_matches_driver_combine_high_cardinality(self, ray_session):
+        """The hash-bucket distributed tier must equal the driver-side
+        combine on a high-cardinality key (the per-group-overhead fix
+        must not change values)."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+            hash_aggregate,
+        )
+
+        rng = np.random.RandomState(3)
+        n = 20000
+        t = pa.table(
+            {
+                "k_int": pa.array(rng.randint(0, 5000, n).astype(np.int64)),
+                "k_str": pa.array(
+                    [f"s{v}" for v in rng.randint(0, 7, n)]
+                ),
+                "v": pa.array(rng.randint(0, 100, n).astype(np.int64)),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(6)
+        aggs = [("v", "sum", "v_sum"), ("v", "min", "v_min"),
+                ("v", "max", "v_max"), ("v", "count", "n")]
+        drv = hash_aggregate(ds, ["k_int", "k_str"], aggs)
+        dst = hash_aggregate(
+            ds, ["k_int", "k_str"], aggs, distributed_combine=True
+        )
+        parts = [
+            b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+            for b in dst.iter_batches(batch_format="pyarrow", batch_size=None)
+            if b.num_rows
+        ]
+        dst_t = pa.concat_tables(parts)
+
+        def norm(tbl):
+            import pandas as pd
+
+            df = tbl.to_pandas()[sorted(tbl.schema.names)]
+            return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+        got, want = norm(dst_t), norm(drv)
+        assert got.equals(want)
