@@ -223,6 +223,74 @@ def keyed_window_kernel(
     )
 
 
+def keyed_window_kernel_multi(
+    group: pa.Table,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    cents_col: str = "cents",
+    mov_n: int = 3,
+    ndigits: int = 6,
+) -> pa.Table:
+    """Segmented form of :func:`keyed_window_kernel`: processes a
+    whole HASH BUCKET of keys in one vectorized pass (sort by
+    (key, ts, id), per-key resets via segment masks) -- identical
+    values, but Ray's per-group overhead is paid per bucket instead of
+    per key (the round-3 per-group-overhead finding)."""
+    from ..pipelines.relational import round_like_sql
+
+    order = pc.sort_indices(
+        group,
+        sort_keys=[(key_col, "ascending"), (ts_col, "ascending"),
+                   (id_col, "ascending")],
+    )
+    g = group.take(order)
+    n = g.num_rows
+    if n == 0:
+        return pa.table(
+            {
+                key_col: g[key_col], id_col: g[id_col],
+                "rn": pa.array([], pa.int64()),
+                "cum_cents": pa.array([], pa.int64()),
+                "delta_us": pa.array([], pa.int64()),
+                f"mov_avg{mov_n}": pa.array([], pa.float64()),
+            }
+        )
+    keys = g[key_col].to_numpy(zero_copy_only=False)
+    cents = g[cents_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    ts = g[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    idx = np.arange(n, dtype=np.int64)
+    head = np.r_[True, keys[1:] != keys[:-1]]
+    seg_id = np.cumsum(head) - 1
+    seg_start = idx[head][seg_id]
+    rn = idx - seg_start + 1
+    gc = np.cumsum(cents)
+    base = gc[seg_start] - cents[seg_start]
+    cum = gc - base
+    delta = np.empty(n, dtype=np.int64)
+    delta[1:] = ts[1:] - ts[:-1]
+    delta[0] = 0
+    delta_arr = pa.array(delta, pa.int64(), mask=head)
+    lo_rn = np.maximum(rn - mov_n, 0)
+    prev_idx = seg_start + lo_rn - 1
+    prev = np.where(lo_rn == 0, np.int64(0), cum[np.maximum(prev_idx, 0)])
+    frame_sum = cum - prev
+    frame_len = rn - lo_rn
+    mov = (
+        frame_sum.astype(np.float64) / frame_len.astype(np.float64)
+    ) / 100.0
+    return pa.table(
+        {
+            key_col: g[key_col],
+            id_col: g[id_col],
+            "rn": pa.array(rn),
+            "cum_cents": pa.array(cum),
+            "delta_us": delta_arr,
+            f"mov_avg{mov_n}": round_like_sql(mov, ndigits),
+        }
+    )
+
+
 def keyed_window_functions(
     ds,
     key_col: str = "user_id",
@@ -255,11 +323,32 @@ def keyed_window_functions(
         )
 
     prepared = ds.map_batches(to_cents, batch_format="pyarrow", batch_size=None)
-    return prepared.groupby(key_col).map_groups(
-        lambda g: keyed_window_kernel(
-            g, key_col=key_col, ts_col=ts_col, id_col=id_col, mov_n=mov_n
-        ),
-        batch_format="pyarrow",
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        from ..functions import hashing as H
+        from ..functions.sketch import mix32
+
+        col = batch[key_col]
+        if pa.types.is_integer(col.type):
+            h = mix32(col.to_numpy(zero_copy_only=False).astype(np.int64))
+        else:
+            h = H.fnv1a_array(
+                [str(x) for x in col.to_pylist()]
+            ).view(np.int64)
+        return batch.append_column("_bkt", pa.array(np.abs(h) % 64))
+
+    return (
+        prepared.map_batches(
+            add_bucket, batch_format="pyarrow", batch_size=None
+        )
+        .groupby("_bkt")
+        .map_groups(
+            lambda g: keyed_window_kernel_multi(
+                g.drop_columns(["_bkt"]), key_col=key_col, ts_col=ts_col,
+                id_col=id_col, mov_n=mov_n,
+            ),
+            batch_format="pyarrow",
+        )
     )
 
 
