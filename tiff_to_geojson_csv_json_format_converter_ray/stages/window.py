@@ -377,6 +377,48 @@ def funnel_kernel(
     return pa.table({"depth": pa.array([depth], pa.int64())})
 
 
+def funnel_kernel_multi(
+    group: pa.Table,
+    steps: list[str],
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> pa.Table:
+    """Segmented form of :func:`funnel_kernel`: one hash bucket of
+    keys per call; the min-ts chain advances ALL keys per step with
+    one masked ``minimum.reduceat`` (identical depths, per-Ray-group
+    overhead paid per bucket instead of per key)."""
+    idx = pc.sort_indices(group, sort_keys=[(key_col, "ascending")])
+    g = group.take(idx)
+    keys = g[key_col].to_numpy(zero_copy_only=False)
+    ts = g[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    et = g[type_col].to_numpy(zero_copy_only=False)
+    n = len(keys)
+    if n == 0:
+        return pa.table({"depth": pa.array([], pa.int64())})
+    head = np.r_[True, keys[1:] != keys[:-1]]
+    seg_id = np.cumsum(head) - 1
+    offsets = np.flatnonzero(head)
+    S = len(offsets)
+    NEG = np.int64(-(1 << 62))
+    POS = np.int64((1 << 62))
+    t_prev = np.full(S, NEG, dtype=np.int64)
+    depth = np.zeros(S, dtype=np.int64)
+    alive = np.ones(S, dtype=bool)
+    for i, s in enumerate(steps):
+        cand = np.where(
+            (et == s) & (ts > t_prev[seg_id]) & alive[seg_id], ts, POS
+        )
+        m = np.minimum.reduceat(cand, offsets)
+        adv = m < POS
+        t_prev = np.where(adv, m, t_prev)
+        depth = np.where(adv, np.int64(i + 1), depth)
+        alive &= adv
+        if not alive.any():
+            break
+    return pa.table({"depth": pa.array(depth)})
+
+
 def funnel_counts(
     ds,
     steps: list[str],
@@ -391,9 +433,29 @@ def funnel_counts(
     tiny suffix-sum turns depth counts into step-reach counts."""
     from ..pipelines.relational import collect_tables
 
-    depths = ds.groupby(key_col).map_groups(
-        lambda g: funnel_kernel(g, steps, type_col=type_col, ts_col=ts_col),
-        batch_format="pyarrow",
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        from ..functions import hashing as H
+        from ..functions.sketch import mix32
+
+        col = batch[key_col]
+        if pa.types.is_integer(col.type):
+            h = mix32(col.to_numpy(zero_copy_only=False).astype(np.int64))
+        else:
+            h = H.fnv1a_array(
+                [str(x) for x in col.to_pylist()]
+            ).view(np.int64)
+        return batch.append_column("_bkt", pa.array(np.abs(h) % 64))
+
+    depths = (
+        ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
+        .groupby("_bkt")
+        .map_groups(
+            lambda g: funnel_kernel_multi(
+                g.drop_columns(["_bkt"]), steps, key_col=key_col,
+                type_col=type_col, ts_col=ts_col,
+            ),
+            batch_format="pyarrow",
+        )
     )
     t = collect_tables(depths)
     counts = np.zeros(len(steps) + 1, dtype=np.int64)
