@@ -25,6 +25,10 @@ from typing import Any
 import numpy as np
 import pyarrow as pa
 
+from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
+    grouped_by_key as _grouped_by_key,
+)
+
 from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
     round_half_away,
     scaled_int,
@@ -2023,7 +2027,7 @@ def _q_postings(sf_dir: str) -> pa.Table:
 
     pair_ds = ds.map_batches(pairs, batch_format="pyarrow", batch_size=None)
     out = collect_tables(
-        pair_ds.groupby("token").map_groups(kernel, batch_format="pyarrow")
+        _grouped_by_key(pair_ds, "token", kernel)
     )
     return out.select(["token", "df", "postings"])
 
@@ -2397,7 +2401,7 @@ def _q_scd2_intervals(sf_dir: str) -> pa.Table:
         )
 
     t = collect_tables(
-        ds.groupby("user_id").map_groups(runs, batch_format="pyarrow")
+        _grouped_by_key(ds, "user_id", runs)
     )
     return t.sort_by(
         [("user_id", "ascending"), ("valid_from", "ascending")]
@@ -3053,7 +3057,7 @@ def _q_pattern_match_users(sf_dir: str) -> pa.Table:
         )
 
     t = collect_tables(
-        ds.groupby("user_id").map_groups(match, batch_format="pyarrow")
+        _grouped_by_key(ds, "user_id", match)
     )
     return t.select(["user_id", "matched", "n_events"]).sort_by("user_id")
 
@@ -3628,7 +3632,7 @@ def _q_interevent_median(sf_dir: str) -> pa.Table:
         )
 
     t = collect_tables(
-        ds.groupby("user_id").map_groups(med, batch_format="pyarrow")
+        _grouped_by_key(ds, "user_id", med)
     )
     return pa.table(
         {
@@ -3677,7 +3681,7 @@ def _q_time_weighted_avg(sf_dir: str) -> pa.Table:
         )
 
     t = collect_tables(
-        ds.groupby("user_id").map_groups(twa, batch_format="pyarrow")
+        _grouped_by_key(ds, "user_id", twa)
     )
     return pa.table(
         {
@@ -3958,7 +3962,7 @@ def _q_stay_points(sf_dir: str) -> pa.Table:
         )
 
     t = collect_tables(
-        geo.groupby("user_id").map_groups(detect, batch_format="pyarrow")
+        _grouped_by_key(geo, "user_id", detect)
     )
     return pa.table(
         {
@@ -4609,7 +4613,7 @@ def _q_events_sessions(sf_dir: str) -> pa.Table:
             }
         )
 
-    res = ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
+    res = _grouped_by_key(ds, "user_id", sessions)
     from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
         collect_tables,
     )

@@ -67,11 +67,9 @@ def track_lengths_ds(events: ray.data.Dataset) -> ray.data.Dataset:
             }
         )
 
-    return (
-        geocode_events(events)
-        .groupby("user_id")
-        .map_groups(track, batch_format="pyarrow")
-    )
+    from ..stages.shuffle import grouped_by_key
+
+    return grouped_by_key(geocode_events(events), "user_id", track)
 
 
 def track_simplify_ds(
@@ -104,11 +102,9 @@ def track_simplify_ds(
             }
         )
 
-    return (
-        geocode_events(events)
-        .groupby("user_id")
-        .map_groups(simplify, batch_format="pyarrow")
-    )
+    from ..stages.shuffle import grouped_by_key
+
+    return grouped_by_key(geocode_events(events), "user_id", simplify)
 
 
 def conversion_lag_ds(events: ray.data.Dataset) -> ray.data.Dataset:
@@ -146,4 +142,6 @@ def conversion_lag_ds(events: ray.data.Dataset) -> ray.data.Dataset:
             }
         )
 
-    return events.groupby("user_id").map_groups(lag, batch_format="pyarrow")
+    from ..stages.shuffle import grouped_by_key
+
+    return grouped_by_key(events, "user_id", lag)

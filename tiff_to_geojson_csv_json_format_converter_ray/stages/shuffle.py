@@ -168,3 +168,59 @@ def salted_groupby_count(
     out = parts.groupby(key, as_index=False)["count()"].sum()
     out = out.rename(columns={"count()": "count"})
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def grouped_by_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    kernel,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Scale-correct replacement for ``ds.groupby(key).map_groups(f)``
+    when ``key`` has data-proportional cardinality: keys hash into
+    ``num_buckets`` deterministic buckets (mix32 / FNV-1a), each Ray
+    group is ONE bucket, and the original per-key ``kernel`` runs on
+    zero-copy slices of the bucket's equal-key runs.  Ray's ~0.2 ms
+    per-group scheduling overhead (see SCALING.md) is paid per bucket;
+    the per-key cost drops to a Python call + slice (~us).  The kernel
+    contract is unchanged: it still sees exactly one key's rows."""
+    from ..functions import hashing as H
+    from ..functions.sketch import mix32
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        col = batch[key_col]
+        if pa.types.is_integer(col.type):
+            h = mix32(col.to_numpy(zero_copy_only=False).astype(np.int64))
+        else:
+            h = H.fnv1a_array(
+                [str(x) for x in col.to_pylist()]
+            ).view(np.int64)
+        return batch.append_column(
+            "_bkt", pa.array(np.abs(h) % num_buckets)
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        g = group.drop_columns(["_bkt"])
+        import pyarrow.compute as pc
+
+        idx = pc.sort_indices(g, sort_keys=[(key_col, "ascending")])
+        g = g.take(idx)
+        keys = g[key_col].to_numpy(zero_copy_only=False)
+        n = len(keys)
+        if n == 0:
+            return kernel(g)
+        bounds = np.r_[
+            0, np.flatnonzero(keys[1:] != keys[:-1]) + 1, n
+        ].astype(np.int64)
+        outs = [
+            kernel(g.slice(int(s), int(t - s)))
+            for s, t in zip(bounds[:-1], bounds[1:])
+        ]
+        outs = [o for o in outs if o.num_rows] or outs[:1]
+        return pa.concat_tables(outs, promote_options="default")
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
+        .groupby("_bkt")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

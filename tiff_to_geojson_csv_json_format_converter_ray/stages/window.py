@@ -522,8 +522,10 @@ def rolling_interval_sum(
             }
         )
 
+    from .shuffle import grouped_by_key
+
     prepared = ds.map_batches(to_cents, batch_format="pyarrow", batch_size=None)
-    return prepared.groupby(key_col).map_groups(kernel, batch_format="pyarrow")
+    return grouped_by_key(prepared, key_col, kernel)
 
 
 def locf_resample(
@@ -576,5 +578,7 @@ def locf_resample(
             }
         )
 
+    from .shuffle import grouped_by_key
+
     prepared = ds.map_batches(to_cents, batch_format="pyarrow", batch_size=None)
-    return prepared.groupby(key_col).map_groups(kernel, batch_format="pyarrow")
+    return grouped_by_key(prepared, key_col, kernel)
