@@ -962,10 +962,10 @@ def longest_streaks(
             }
         )
 
+    from ..stages.shuffle import grouped_by_key
+
     distinct_days = ds.map_batches(days, batch_format="pyarrow", batch_size=None)
-    return distinct_days.groupby(user_col).map_groups(
-        streak, batch_format="pyarrow"
-    )
+    return grouped_by_key(distinct_days, user_col, streak)
 
 
 def unpivot(
@@ -1089,7 +1089,9 @@ def markov_transitions(
         out = t.group_by(["src", "dst"]).aggregate([("src", "count")])
         return out.rename_columns(["src", "dst", "cnt"])
 
-    local = ds.groupby(key_col).map_groups(pairs, batch_format="pyarrow")
+    from ..stages.shuffle import grouped_by_key
+
+    local = grouped_by_key(ds, key_col, pairs)
     return hash_aggregate(local, ["src", "dst"], [("cnt", "sum", "n")])
 
 

@@ -457,9 +457,9 @@ def sharded_pip_join(
             return empty_schema.empty_table()
         return pa.concat_tables(parts).cast(empty_schema)
 
-    return unioned.groupby("_cell").map_groups(
-        group_pip, batch_format="pyarrow"
-    )
+    from .shuffle import grouped_by_key
+
+    return grouped_by_key(unioned, "_cell", group_pip)
 
 
 class AsofLookup:
