@@ -2498,10 +2498,9 @@ def _q_first_touch_attribution(sf_dir: str) -> pa.Table:
             }
         )
 
-    sessions = (
-        ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
-        .groupby(["user_id", "day"])
-        .map_groups(session, batch_format="pyarrow")
+    sessions = _grouped_by_key(
+        ds.map_batches(keyed, batch_format="pyarrow", batch_size=None),
+        ["user_id", "day"], session,
     )
     out = hash_aggregate(
         sessions, ["first_touch"],
@@ -3390,9 +3389,7 @@ def _q_colocation_pairs(sf_dir: str) -> pa.Table:
         )
 
     out = hash_aggregate(
-        buckets.groupby(["cell", "win"]).map_groups(
-            pairs, batch_format="pyarrow"
-        ),
+        _grouped_by_key(buckets, ["cell", "win"], pairs),
         ["user_a", "user_b"],
         [("_one", "sum", "n_meetings")],
     )

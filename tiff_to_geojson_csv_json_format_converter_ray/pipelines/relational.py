@@ -633,7 +633,9 @@ def cohort_retention(
             }
         )
 
-    offsets = pairs.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+    from ..stages.shuffle import grouped_by_key
+
+    offsets = grouped_by_key(pairs, key_col, per_key)
     out = hash_aggregate(
         offsets, ["cohort_day", "day_offset"], [("_one", "sum", "n_users")]
     )

@@ -172,7 +172,7 @@ def salted_groupby_count(
 
 def grouped_by_key(
     ds: ray.data.Dataset,
-    key_col: str,
+    key_col: str | list[str],
     kernel,
     num_buckets: int = 64,
 ) -> ray.data.Dataset:
@@ -187,14 +187,21 @@ def grouped_by_key(
     from ..functions import hashing as H
     from ..functions.sketch import mix32
 
+    key_cols = [key_col] if isinstance(key_col, str) else list(key_col)
+
     def add_bucket(batch: pa.Table) -> pa.Table:
-        col = batch[key_col]
-        if pa.types.is_integer(col.type):
-            h = mix32(col.to_numpy(zero_copy_only=False).astype(np.int64))
-        else:
-            h = H.fnv1a_array(
-                [str(x) for x in col.to_pylist()]
-            ).view(np.int64)
+        h = np.zeros(batch.num_rows, dtype=np.int64)
+        for kc in key_cols:
+            col = batch[kc]
+            if pa.types.is_integer(col.type):
+                kv = mix32(
+                    col.to_numpy(zero_copy_only=False).astype(np.int64)
+                )
+            else:
+                kv = H.fnv1a_array(
+                    [str(x) for x in col.to_pylist()]
+                ).view(np.int64)
+            h = h * np.int64(1000003) + kv
         return batch.append_column(
             "_bkt", pa.array(np.abs(h) % num_buckets)
         )
@@ -203,15 +210,18 @@ def grouped_by_key(
         g = group.drop_columns(["_bkt"])
         import pyarrow.compute as pc
 
-        idx = pc.sort_indices(g, sort_keys=[(key_col, "ascending")])
+        idx = pc.sort_indices(
+            g, sort_keys=[(kc, "ascending") for kc in key_cols]
+        )
         g = g.take(idx)
-        keys = g[key_col].to_numpy(zero_copy_only=False)
-        n = len(keys)
+        n = g.num_rows
         if n == 0:
             return kernel(g)
-        bounds = np.r_[
-            0, np.flatnonzero(keys[1:] != keys[:-1]) + 1, n
-        ].astype(np.int64)
+        change = np.zeros(n - 1, dtype=bool)
+        for kc in key_cols:
+            keys = g[kc].to_numpy(zero_copy_only=False)
+            change |= keys[1:] != keys[:-1]
+        bounds = np.r_[0, np.flatnonzero(change) + 1, n].astype(np.int64)
         outs = [
             kernel(g.slice(int(s), int(t - s)))
             for s, t in zip(bounds[:-1], bounds[1:])

@@ -10,6 +10,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions import hashing as H
+from .shuffle import grouped_by_key
 from ..functions import text as T
 
 
@@ -701,9 +702,7 @@ def edit1_vocab_pairs(
         return pa.table({"w1": pa.array(a_out, pa.string()),
                          "w2": pa.array(b_out, pa.string())})
 
-    pair_ds = var_ds.groupby("k").map_groups(
-        bucket_pairs, batch_format="pyarrow"
-    )
+    pair_ds = grouped_by_key(var_ds, "k", bucket_pairs)
     return distinct(pair_ds, ["w1", "w2"])
 
 
@@ -984,7 +983,7 @@ def passage_dedup_stats(
         )
 
     per_doc = hash_aggregate(
-        span_ds.groupby("h").map_groups(mark_winner, batch_format="pyarrow"),
+        grouped_by_key(span_ds, "h", mark_winner),
         [doc_col],
         [("_one", "sum", "n_spans"), ("dup", "sum", "n_dup")],
     )
