@@ -5081,28 +5081,34 @@ def _q_range_join_partitioned(sf_dir: str) -> pa.Table:
 
 
 def _q_big_join_revenue(sf_dir: str) -> pa.Table:
-    """Big-big shuffle equi-join: lineitem x orders on orderkey through
-    Ray Data's hash join (both sides partition on the key -- neither is
-    broadcast), then the combiner-pattern aggregate on the joined
-    stream.  The relational complement of the broadcast star-schema
-    chain: at 100 TB this is the join shape where no side fits a task."""
+    """Big-big equi-join (lineitem x orders on orderkey) through the
+    size-aware ``equi_join`` router: above the broadcast threshold both
+    sides partition on the key via Ray Data's hash shuffle join (at
+    100 TB this is the join shape where no side fits a task); at bench
+    sf the orders side's on-disk hint routes it map-side broadcast,
+    skipping the JoinOperator actor spin-up.  A forced-shuffle test
+    pins the two tiers byte-equal.  Then the combiner-pattern aggregate
+    runs on the joined stream."""
     import pyarrow.compute as pc
     import ray.data
     from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        equi_join,
         hash_aggregate,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.sources.reader import (
+        _disk_bytes,
     )
 
     li = _read_pq(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
-    od = _read_pq(
-        os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_orderkey", "o_orderpriority"],
-    )
-    joined = li.join(
-        od, join_type="inner", num_partitions=8,
+    od_path = os.path.join(sf_dir, "orders.parquet")
+    od = _read_pq(od_path, columns=["o_orderkey", "o_orderpriority"])
+    joined = equi_join(
+        li, od, join_type="inner", num_partitions=8,
         on=("l_orderkey",), right_on=("o_orderkey",),
+        right_size_hint=_disk_bytes(od_path),
     )
 
     def revenue(batch: pa.Table) -> pa.Table:
@@ -5129,20 +5135,27 @@ def _q_big_join_revenue(sf_dir: str) -> pa.Table:
 
 
 def _q_big_left_join(sf_dir: str) -> pa.Table:
-    """Big-big LEFT OUTER shuffle join (customer x orders): unmatched
-    left rows survive with nulls -- per nation, total join rows and
-    order-less customers."""
+    """Big-big LEFT OUTER equi-join (customer x orders) through the
+    size-aware router: unmatched left rows survive with nulls -- per
+    nation, total join rows and order-less customers.  At 100 TB the
+    on-disk hint routes this through Ray's hash shuffle join; at bench
+    sf the filtered orders side broadcasts map-side."""
     import pyarrow.compute as pc
     from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        equi_join,
         hash_aggregate,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.sources.reader import (
+        _disk_bytes,
     )
 
     cu = _read_pq(
         os.path.join(sf_dir, "customer.parquet"),
         columns=["c_custkey", "c_nationkey"],
     )
+    od_path = os.path.join(sf_dir, "orders.parquet")
     od = _read_pq(
-        os.path.join(sf_dir, "orders.parquet"),
+        od_path,
         columns=["o_custkey", "o_orderkey", "o_orderpriority"],
     ).map_batches(
         # restrict the right side so unmatched-left rows really exist
@@ -5152,9 +5165,10 @@ def _q_big_left_join(sf_dir: str) -> pa.Table:
         ).select(["o_custkey", "o_orderkey"]),
         batch_format="pyarrow", batch_size=None,
     )
-    joined = cu.join(
-        od, join_type="left_outer", num_partitions=8,
+    joined = equi_join(
+        cu, od, join_type="left_outer", num_partitions=8,
         on=("c_custkey",), right_on=("o_custkey",),
+        right_size_hint=_disk_bytes(od_path),
     )
 
     def mark(batch: pa.Table) -> pa.Table:

@@ -1,0 +1,112 @@
+"""Size-aware equi-join router: broadcast tier must be byte-equal to
+Ray's hash shuffle join (inner + left_outer, incl. null keys), and the
+auto strategy must route by the right side's size hint."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+    BROADCAST_JOIN_MAX_BYTES,
+    collect_tables,
+    equi_join,
+)
+
+
+def _left(n=2000):
+    rng = np.random.RandomState(7)
+    keys = rng.randint(0, 300, n).astype(np.int64)
+    # sprinkle null keys: SQL semantics say they never match
+    k = pa.array(keys).to_pylist()
+    for i in range(0, n, 97):
+        k[i] = None
+    return pa.table(
+        {
+            "k": pa.array(k, pa.int64()),
+            "payload": pa.array(rng.rand(n)),
+        }
+    )
+
+
+def _right():
+    rng = np.random.RandomState(11)
+    rk = list(range(0, 250))
+    rk[13] = None  # null on the right side too
+    return pa.table(
+        {
+            "rk": pa.array(rk, pa.int64()),
+            "dim": pa.array(rng.rand(len(rk))),
+        }
+    )
+
+
+def _canon(tbl: pa.Table) -> list[tuple]:
+    cols = sorted(tbl.schema.names)
+    t = tbl.select(cols)
+    rows = list(zip(*(t[c].to_pylist() for c in cols)))
+    return sorted(
+        rows, key=lambda r: tuple((v is None, v) for v in r)
+    )
+
+
+@pytest.mark.parametrize("join_type", ["inner", "left_outer"])
+def test_broadcast_equals_shuffle(ray_session, join_type):
+    import ray.data
+
+    lt, rt = _left(), _right()
+    outs = {}
+    for strategy in ("broadcast", "shuffle"):
+        l = ray.data.from_arrow(lt).repartition(4)
+        r = ray.data.from_arrow(rt).repartition(2)
+        j = equi_join(
+            l, r, on=("k",), right_on=("rk",), join_type=join_type,
+            num_partitions=4, strategy=strategy,
+        )
+        outs[strategy] = collect_tables(j)
+    b, s = outs["broadcast"], outs["shuffle"]
+    assert sorted(b.schema.names) == sorted(s.schema.names)
+    assert _canon(b) == _canon(s)
+    if join_type == "left_outer":
+        # every left row survives, null keys unmatched
+        assert b.num_rows >= lt.num_rows
+
+
+def test_auto_routes_by_hint(ray_session):
+    import ray.data
+
+    lt, rt = _left(200), _right()
+    l = ray.data.from_arrow(lt)
+    r = ray.data.from_arrow(rt)
+    small = equi_join(
+        l, r, on=("k",), right_on=("rk",), right_size_hint=1024,
+    )
+    # broadcast tier is a MapBatches stage, not a JoinOperator
+    assert "Join[Join]" not in str(small._plan._logical_plan.dag)
+    big = equi_join(
+        l, r, on=("k",), right_on=("rk",),
+        right_size_hint=BROADCAST_JOIN_MAX_BYTES + 1,
+    )
+    assert "Join[Join]" in str(big._plan._logical_plan.dag)
+    # no hint -> shuffle (never materialize an unknown-size side)
+    nohint = equi_join(l, r, on=("k",), right_on=("rk",))
+    assert "Join[Join]" in str(nohint._plan._logical_plan.dag)
+    assert _canon(collect_tables(small)) == _canon(collect_tables(big))
+
+
+def test_full_outer_never_broadcasts(ray_session):
+    import ray.data
+
+    l = ray.data.from_arrow(_left(50))
+    r = ray.data.from_arrow(_right())
+    j = equi_join(
+        l, r, on=("k",), right_on=("rk",), join_type="full_outer",
+        right_size_hint=1,  # tiny hint must still not broadcast
+    )
+    assert "Join[Join]" in str(j._plan._logical_plan.dag)
+    with pytest.raises(ValueError):
+        equi_join(
+            l, r, on=("k",), right_on=("rk",), join_type="full_outer",
+            strategy="broadcast",
+        )
