@@ -4938,6 +4938,54 @@ def _q_asof_join(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_asof_lag(sf_dir: str) -> pa.Table:
+    """Big-big partitioned as-of join (the scale tier of asof_join):
+    every click event gets its user's most recent purchase at-or-before
+    the click's ts, plus the lag.  Both sides hash-bucket on user_id
+    and shuffle ONCE; a segmented cummax merges each bucket (no
+    broadcast, no per-key groups) -- stages/joins.py
+    partitioned_asof_join.  Oracle: DuckDB ASOF LEFT JOIN."""
+    import pyarrow.compute as pc
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import (
+        partitioned_asof_join,
+    )
+
+    ev = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    clicks = ev.filter(expr="event_type == 'click'").map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": b["user_id"],
+                "ts": b["ts"],
+                "event_id": b["event_id"],
+                "ts_us": b["ts"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow", batch_size=None,
+    )
+    purchases = ev.filter(expr="event_type == 'purchase'").select_columns(
+        ["user_id", "ts"]
+    )
+    joined = partitioned_asof_join(
+        clicks, purchases, "user_id", "ts",
+        left_cols=["event_id", "ts_us"], right_cols=[],
+    )
+    out = collect_tables(joined)
+    lag = pc.subtract(out["ts_us"], out["asof_ts"])
+    return pa.table(
+        {
+            "event_id": out["event_id"],
+            "asof_purchase_us": out["asof_ts"],
+            "lag_us": lag,
+        }
+    )
+
+
 _RANGE_JOIN_WINDOW_US = 45 * 60 * 1_000_000  # 45-minute windows
 
 
@@ -5080,7 +5128,7 @@ def _q_range_join_partitioned(sf_dir: str) -> pa.Table:
     )
 
 
-def _q_big_join_revenue(sf_dir: str) -> pa.Table:
+def _q_big_join_revenue(sf_dir: str, strategy: str = "auto") -> pa.Table:
     """Big-big equi-join (lineitem x orders on orderkey) through the
     size-aware ``equi_join`` router: above the broadcast threshold both
     sides partition on the key via Ray Data's hash shuffle join (at
@@ -5108,7 +5156,7 @@ def _q_big_join_revenue(sf_dir: str) -> pa.Table:
     joined = equi_join(
         li, od, join_type="inner", num_partitions=8,
         on=("l_orderkey",), right_on=("o_orderkey",),
-        right_size_hint=_disk_bytes(od_path),
+        right_size_hint=_disk_bytes(od_path), strategy=strategy,
     )
 
     def revenue(batch: pa.Table) -> pa.Table:
@@ -5503,6 +5551,179 @@ def _q_passage_dedup(sf_dir: str) -> pa.Table:
     return passage_dedup_stats(ds)
 
 
+# Deterministic URL synthesis over the documents table, mirrored
+# literally by _URL_SQL (the oracle builds the identical string in SQL).
+# Exercises every parser branch: www/bare hosts, plain and compound
+# (co.uk-style) public suffixes, optional query strings.
+_URL_SUFFIXES = (".example.com", ".site.co.uk", ".news.org")
+
+
+def _synth_urls(batch: pa.Table) -> pa.Table:
+    doc = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    src = batch["source"].to_numpy(zero_copy_only=False).astype(str)
+    www = np.where(doc % 2 == 0, "www.", "")
+    suf = np.asarray(_URL_SUFFIXES, dtype=object)[doc % 3].astype(str)
+    q = np.where(
+        doc % 5 == 0,
+        np.char.add("?q=", (doc % 7).astype(str)),
+        "",
+    )
+    url = np.char.add(
+        np.char.add(
+            np.char.add(np.char.add("https://", www), np.char.add(src, suf)),
+            np.char.add("/p/", doc.astype(str)),
+        ),
+        q,
+    )
+    out = batch.append_column("url", pa.array(url.astype(object), pa.string()))
+    return out
+
+
+_URL_SQL = (
+    "'https://' || CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END || "
+    "source || CASE doc_id % 3 WHEN 0 THEN '.example.com' "
+    "WHEN 1 THEN '.site.co.uk' ELSE '.news.org' END || "
+    "'/p/' || CAST(doc_id AS VARCHAR) || "
+    "CASE WHEN doc_id % 5 = 0 THEN '?q=' || CAST(doc_id % 7 AS VARCHAR) "
+    "ELSE '' END"
+)
+
+
+def _url_sql_field(name: str) -> str:
+    """DuckDB expression for one parsed URL component of the column
+    ``url`` (same RE2 patterns as the engine parser)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.functions.url import (
+        sql_url_exprs,
+    )
+
+    return sql_url_exprs("url")[name]
+
+
+def _url_parse_fields_oracle_sql() -> str:
+    from tiff_to_geojson_csv_json_format_converter_ray.functions.url import (
+        sql_url_exprs,
+    )
+
+    fields = ", ".join(
+        f"{expr} AS {name}" for name, expr in sql_url_exprs("url").items()
+    )
+    return (
+        f"SELECT doc_id, {fields} FROM "
+        f"(SELECT doc_id, {_URL_SQL} AS url FROM documents)"
+    )
+
+
+def _q_url_parse_fields(sf_dir: str) -> pa.Table:
+    """Per-row URL component extraction (functions/url.py): one RE2
+    pass per field over the synthesized corpus URL column; the oracle
+    runs the same patterns through DuckDB's regexp_extract (also RE2),
+    so the two agree on every row including absent components."""
+    from tiff_to_geojson_csv_json_format_converter_ray.functions.url import (
+        parse_urls,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source"],
+    )
+
+    def parse(batch: pa.Table) -> pa.Table:
+        b = _synth_urls(batch)
+        parsed = parse_urls(b["url"])
+        return parsed.add_column(0, "doc_id", b["doc_id"])
+
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+
+    return collect_tables(
+        ds.map_batches(parse, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def _q_url_domain_stats(sf_dir: str) -> pa.Table:
+    """Per-registered-domain corpus statistics (the per-domain rollup a
+    web-corpus curation pipeline runs first): page count, distinct
+    hosts, total chars.  Combiner-shaped: per-batch parse + partial
+    aggregate, tiny combine."""
+    from tiff_to_geojson_csv_json_format_converter_ray.functions.url import (
+        parse_urls,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        distinct, hash_aggregate,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source", "n_chars"],
+    )
+
+    def parse(batch: pa.Table) -> pa.Table:
+        b = _synth_urls(batch)
+        parsed = parse_urls(b["url"])
+        return pa.table(
+            {
+                "registered_domain": parsed["registered_domain"],
+                "host": parsed["host"],
+                "n_chars": b["n_chars"],
+            }
+        )
+
+    parsed = ds.map_batches(parse, batch_format="pyarrow", batch_size=None)
+    stats = hash_aggregate(
+        parsed, ["registered_domain"],
+        [("n_chars", "count", "n_pages"), ("n_chars", "sum", "sum_chars")],
+    )
+    hosts = (
+        distinct(parsed, ["registered_domain", "host"])
+        .group_by("registered_domain")
+        .aggregate([("host", "count")])
+    )
+    out = stats.join(hosts, keys="registered_domain")
+    return pa.table(
+        {
+            "registered_domain": out["registered_domain"],
+            "n_pages": out["n_pages"].cast(pa.int64()),
+            "n_hosts": out["host_count"].cast(pa.int64()),
+            "sum_chars": out["sum_chars"].cast(pa.int64()),
+        }
+    )
+
+
+def _q_domain_cap_sample(sf_dir: str) -> pa.Table:
+    """Per-host document cap (RefinedWeb-style: keep at most K=3 pages
+    per host, deterministic first-by-doc_id order): the windowed
+    ROW_NUMBER <= k shape via per-batch partial top-k, no shuffle."""
+    from tiff_to_geojson_csv_json_format_converter_ray.functions.url import (
+        parse_urls,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        grouped_top_k,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source"],
+    )
+
+    def parse(batch: pa.Table) -> pa.Table:
+        b = _synth_urls(batch)
+        parsed = parse_urls(b["url"])
+        return pa.table({"host": parsed["host"], "doc_id": b["doc_id"]})
+
+    out = grouped_top_k(
+        ds.map_batches(parse, batch_format="pyarrow", batch_size=None),
+        "host", "doc_id", 3, descending=False,
+    )
+    return pa.table(
+        {
+            "host": out["host"],
+            "doc_id": out["doc_id"],
+            "rank": out["rank"],
+        }
+    )
+
+
 def _q_pages_flagship(sf_dir: str) -> pa.Table:
     """The graft flagship over the synthetic pages corpus (extract ->
     geocode -> cell -> count), scaled by sf when recognisable."""
@@ -5612,12 +5833,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_langs": _q_distinct_langs,
         "reservoir_sample": _q_reservoir_sample,
         "asof_join": _q_asof_join,
+        "asof_lag": _q_asof_lag,
         "range_join": _q_range_join,
         "range_join_partitioned": _q_range_join_partitioned,
         "bloom_semijoin": _q_bloom_semijoin,
         "token_frequencies": _q_token_frequencies,
         "grouped_quantiles": _q_grouped_quantiles,
         "big_join_revenue": _q_big_join_revenue,
+        # forced hash-shuffle tier of the same join (driver-checkable
+        # proof the scale path stays correct as the router evolves)
+        "big_join_revenue_shuffle": (
+            lambda sf_dir: _q_big_join_revenue(sf_dir, strategy="shuffle")
+        ),
         "big_left_join": _q_big_left_join,
         "tfidf_scores": _q_tfidf_scores,
         "top_docs_per_lang": _q_top_docs_per_lang,
@@ -5708,6 +5935,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonal_multiband": _q_zonal_multiband,
         "winnow_dedup": _q_winnow_dedup,
         "passage_dedup": _q_passage_dedup,
+        "url_parse_fields": _q_url_parse_fields,
+        "url_domain_stats": _q_url_domain_stats,
+        "domain_cap_sample": _q_domain_cap_sample,
         "pages_flagship": _q_pages_flagship,
         "approx_distinct": _q_approx_distinct,
         "media_decode": _q_media_decode,
@@ -7262,6 +7492,31 @@ def oracle_sql() -> dict[str, str]:
             "WHERE epoch_us(o.o_orderdate) <= epoch_us(e.ts)) AS asof_date_us "
             "FROM events e"
         ),
+        "asof_lag": (
+            "SELECT e.event_id, epoch_us(p.ts) AS asof_purchase_us, "
+            "epoch_us(e.ts) - epoch_us(p.ts) AS lag_us "
+            "FROM (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'click') e "
+            "ASOF LEFT JOIN (SELECT user_id, ts FROM events "
+            "WHERE event_type = 'purchase') p "
+            "ON e.user_id = p.user_id AND e.ts >= p.ts"
+        ),
+        "url_parse_fields": _url_parse_fields_oracle_sql(),
+        "url_domain_stats": (
+            f"SELECT rd AS registered_domain, COUNT(*) AS n_pages, "
+            f"COUNT(DISTINCT host) AS n_hosts, SUM(n_chars) AS sum_chars "
+            f"FROM (SELECT {_url_sql_field('registered_domain')} AS rd, "
+            f"{_url_sql_field('host')} AS host, n_chars FROM "
+            f"(SELECT {_URL_SQL} AS url, n_chars FROM documents)) GROUP BY rd"
+        ),
+        "domain_cap_sample": (
+            f"SELECT host, doc_id, rn - 1 AS rank FROM ("
+            f"SELECT host, doc_id, ROW_NUMBER() OVER ("
+            f"PARTITION BY host ORDER BY doc_id) AS rn FROM "
+            f"(SELECT {_url_sql_field('host')} AS host, doc_id FROM "
+            f"(SELECT {_URL_SQL} AS url, doc_id FROM documents))"
+            f") WHERE rn <= 3"
+        ),
         "range_join": (
             "SELECT e.event_id, i.interval_id FROM events e JOIN "
             "(SELECT event_id AS interval_id, epoch_us(ts) AS s "
@@ -7291,6 +7546,13 @@ def oracle_sql() -> dict[str, str]:
             "ON o.o_custkey = c_custkey GROUP BY 1"
         ),
         "big_join_revenue": (
+            "SELECT o_orderpriority, "
+            "ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue, "
+            "CAST(COUNT(*) AS BIGINT) AS n_items "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY o_orderpriority"
+        ),
+        "big_join_revenue_shuffle": (
             "SELECT o_orderpriority, "
             "ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue, "
             "CAST(COUNT(*) AS BIGINT) AS n_items "

@@ -1,0 +1,198 @@
+"""URL parser (functions/url.py) and partitioned as-of join
+(stages/joins.py): ground truth via urllib.parse, DuckDB regexp
+mirror, and DuckDB ASOF LEFT JOIN."""
+
+from __future__ import annotations
+
+from urllib.parse import urlsplit
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tiff_to_geojson_csv_json_format_converter_ray.functions.url import (
+    parse_urls, registered_domain, sql_url_exprs,
+)
+
+ADVERSARIAL = [
+    "https://www.src7.example.com/p/123?q=4",
+    "http://a.b.co.uk/x/y#frag",
+    "ftp://user:pw@host.net:2121/file.txt",
+    "https://single/",
+    "not a url",
+    "",
+    "https://news.org",
+    "http://x.gov.in:80/?#",
+    "https://a.co",
+    "http://trailing.dot./p",
+    "scheme+x-y://h.tld/p?a=1&b=2#z",
+    "//protocol-relative.example.com/x",
+    "https://:8080/nohost",
+    "https://host:notaport/x",
+]
+
+
+class TestParseUrls:
+    def test_matches_urllib_on_wellformed(self):
+        def ok(u):
+            try:
+                s = urlsplit(u)
+                s.port  # raises on non-numeric port
+                return bool(s.hostname)
+            except ValueError:
+                return False
+
+        urls = [u for u in ADVERSARIAL if "://" in u and ok(u)]
+        t = parse_urls(pa.array(urls))
+        for i, u in enumerate(urls):
+            s = urlsplit(u)
+            assert t["scheme"][i].as_py() == s.scheme
+            assert t["host"][i].as_py() == s.hostname
+            got_port = t["port"][i].as_py()
+            assert (int(got_port) if got_port is not None else None) == s.port
+            assert t["path"][i].as_py() == (s.path or None)
+            assert t["query"][i].as_py() == (s.query or None)
+            assert t["fragment"][i].as_py() == (s.fragment or None)
+
+    @given(
+        host=st.lists(
+            st.text(
+                alphabet="abcdefghijklmnopqrstuvwxyz0123456789-",
+                min_size=1, max_size=8,
+            ).filter(lambda s: not s.startswith("-") and not s.endswith("-")),
+            min_size=1, max_size=4,
+        ),
+        path=st.text(
+            alphabet="abcdefghijklmnopqrstuvwxyz0123456789/._-",
+            max_size=20,
+        ),
+        query=st.one_of(
+            st.none(),
+            st.text(alphabet="abcdefghijklmnopqrstuvwxyz=&1", max_size=10),
+        ),
+    )
+    @settings(max_examples=150, deadline=None)
+    def test_property_vs_urllib(self, host, path, query):
+        h = ".".join(host)
+        u = f"https://{h}/{path}"
+        if query is not None:
+            u += f"?{query}"
+        s = urlsplit(u)
+        t = parse_urls(pa.array([u]))
+        assert t["scheme"][0].as_py() == "https"
+        assert t["host"][0].as_py() == s.hostname
+        assert t["query"][0].as_py() == (s.query or None)
+
+    def test_registered_domain_rules(self):
+        hosts = pa.array(
+            ["www.a.example.com", "a.b.co.uk", "x.com", "single",
+             "deep.sub.ac.jp", "plain.org"]
+        )
+        assert registered_domain(hosts).to_pylist() == [
+            "example.com", "b.co.uk", "x.com", "single", "sub.ac.jp",
+            "plain.org",
+        ]
+
+    def test_sql_mirror_bit_equal(self):
+        import duckdb
+
+        t = parse_urls(pa.array(ADVERSARIAL)).to_pandas()
+        con = duckdb.connect()
+        con.execute("CREATE TABLE u(url VARCHAR)")
+        con.executemany("INSERT INTO u VALUES (?)", [[u] for u in ADVERSARIAL])
+        sel = ", ".join(
+            f"{e} AS {n}" for n, e in sql_url_exprs("url").items()
+        )
+        df = con.execute(f"SELECT {sel} FROM u").fetchdf()
+        for c in t.columns:
+            got = t[c].tolist()
+            want = df[c].where(df[c].notna(), None).tolist()
+            assert got == want, (c, got, want)
+
+
+class TestPartitionedAsofJoin:
+    def test_matches_duckdb_asof(self, ray_session):
+        import duckdb
+        import ray
+        import ray.data
+
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import (
+            partitioned_asof_join,
+        )
+
+        rng = np.random.RandomState(3)
+        nl, nr = 4000, 2500
+        lt = pa.table(
+            {
+                "k": rng.randint(0, 80, nl).astype(np.int64),
+                "ts": rng.randint(0, 5000, nl).astype(np.int64),
+                "lid": np.arange(nl, dtype=np.int64),
+            }
+        )
+        # keys 80..99 exist only on the right; ts collisions guaranteed
+        rt = pa.table(
+            {
+                "k": rng.randint(0, 100, nr).astype(np.int64),
+                "ts": rng.randint(0, 5000, nr).astype(np.int64),
+                "rv": rng.randint(0, 10, nr).astype(np.int64),
+            }
+        )
+        out = partitioned_asof_join(
+            ray.data.from_arrow(lt).repartition(5),
+            ray.data.from_arrow(rt).repartition(3),
+            "k", "ts", left_cols=["lid"], right_cols=[], num_buckets=16,
+        )
+        got = (
+            pa.concat_tables(ray.get(out.to_arrow_refs()))
+            .sort_by("lid")
+            .to_pandas()
+        )
+        con = duckdb.connect()
+        con.register("l", lt.to_pandas())
+        con.register("r", rt.to_pandas())
+        want = con.execute(
+            "SELECT l.lid, r.ts AS asof_ts FROM l ASOF LEFT JOIN r "
+            "ON l.k = r.k AND l.ts >= r.ts ORDER BY lid"
+        ).fetchdf()
+        assert len(got) == nl
+        g = got["asof_ts"].fillna(-1).to_numpy()
+        w = want["asof_ts"].fillna(-1).to_numpy()
+        assert (g == w).all()
+        # right-only keys never appear; left-only keys all null
+        left_only = set(lt["k"].to_pylist()) - set(rt["k"].to_pylist())
+        if left_only:
+            mask = got.set_index("lid").loc[
+                [i for i, k in enumerate(lt["k"].to_pylist()) if k in left_only],
+                "asof_ts",
+            ]
+            assert mask.isna().all()
+
+    def test_empty_sides(self, ray_session):
+        import ray
+        import ray.data
+
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import (
+            partitioned_asof_join,
+        )
+
+        lt = pa.table(
+            {
+                "k": pa.array([1, 2], pa.int64()),
+                "ts": pa.array([10, 20], pa.int64()),
+                "lid": pa.array([0, 1], pa.int64()),
+            }
+        )
+        rt = lt.slice(0, 0).rename_columns(["k", "ts", "rid"])
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+            collect_tables,
+        )
+
+        out = partitioned_asof_join(
+            ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+            "k", "ts", left_cols=["lid"], right_cols=[], num_buckets=4,
+        )
+        got = collect_tables(out).sort_by("lid")
+        assert got.num_rows == 2
+        assert got["asof_ts"].null_count == 2

@@ -629,6 +629,140 @@ def partitioned_interval_join(
     return tagged.groupby("_part").map_groups(join_group, batch_format="pyarrow")
 
 
+def asof_bucket_kernel(
+    group: pa.Table,
+    key_col: str,
+    ts_col: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    out_prefix: str = "asof_",
+) -> pa.Table:
+    """Vectorized as-of merge over ONE hash bucket of keys: rows carry
+    ``_side`` (0 = right/build, 1 = left/probe) and int64 ``ts_col``.
+    Sort by (key, ts, side) puts each right row before any left row
+    with the same timestamp (at-or-before includes equality), then a
+    single segmented cummax of right-row indices gives every left row
+    its most recent matching right row -- no per-key Python loop.
+    Ties among right rows at the same (key, ts) resolve to the largest
+    original index deterministically."""
+    n = group.num_rows
+    out_schema = pa.schema(
+        [group.schema.field(c) for c in [key_col] + left_cols]
+        + [
+            pa.field(out_prefix + c, group.schema.field(c).type)
+            for c in [ts_col] + right_cols
+        ]
+    )
+    if n == 0:
+        return out_schema.empty_table()
+    order = pc.sort_indices(
+        group,
+        sort_keys=[(key_col, "ascending"), (ts_col, "ascending"),
+                   ("_side", "ascending")],
+    )
+    g = group.take(order)
+    keys = g[key_col].to_numpy(zero_copy_only=False)
+    side = g["_side"].to_numpy(zero_copy_only=False)
+    idx = np.arange(n, dtype=np.int64)
+    head = np.r_[True, keys[1:] != keys[:-1]]
+    seg_id = np.cumsum(head) - 1
+    # segmented forward-max of right-row indices: offset every segment
+    # into its own disjoint value range so the plain cummax cannot
+    # carry a match across a key boundary
+    base = seg_id * np.int64(n + 1)
+    v = base + np.where(side == 0, idx + 1, np.int64(0))
+    match = np.maximum.accumulate(v) - base - 1  # -1 = no right row yet
+    is_left = side == 1
+    lmatch = match[is_left]
+    has = lmatch >= 0
+    take_right = pa.array(
+        np.where(has, lmatch, 0), pa.int64(), mask=~has
+    )
+    left_rows = g.filter(pa.array(is_left))
+    cols = {key_col: left_rows[key_col]}
+    for c in left_cols:
+        cols[c] = left_rows[c]
+    for c in [ts_col] + right_cols:
+        cols[out_prefix + c] = g[c].take(take_right)
+    return pa.table(cols, schema=out_schema)
+
+
+def partitioned_asof_join(
+    left,
+    right,
+    key_col: str,
+    ts_col: str,
+    left_cols: list[str],
+    right_cols: list[str] | None = None,
+    out_prefix: str = "asof_",
+    num_buckets: int = 64,
+):
+    """Big-big as-of join: for every left row, the right row with the
+    same ``key_col`` and the greatest ``ts_col`` at-or-before the left
+    row's (SQL ``ASOF LEFT JOIN ... ON l.k = r.k AND l.ts >= r.ts``).
+    The scale tier of :class:`AsofLookup` for when neither side fits a
+    task: both sides hash-bucket on the key (mix32), the union shuffles
+    ONCE on the bucket, and :func:`asof_bucket_kernel` merges a whole
+    bucket per group -- per-key work is a zero-copy segment, Ray's
+    per-group overhead is paid per bucket (the grouped_by_key shape,
+    stages/shuffle.py).  Skew bound: one bucket's rows, not one key's.
+
+    ``ts_col`` is cast to int64 (us for timestamp[us]); output columns
+    are ``key_col``, ``left_cols``, and ``out_prefix + (ts | right
+    payload)`` -- null where the key has no right row at-or-before.
+    """
+    right_cols = list(right_cols or [])
+    from ..functions.sketch import mix32
+
+    key_t = pa.int64()
+    lsch, rsch = left.schema(), right.schema()
+    payload_types = dict(zip(lsch.names, lsch.types)) | {
+        c: t for c, t in zip(rsch.names, rsch.types) if c in right_cols
+    }
+    all_payload = list(left_cols) + [
+        c for c in right_cols if c not in left_cols
+    ]
+
+    def norm(side_val: int, keep: list[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = batch[key_col].cast(key_t).to_numpy(zero_copy_only=False)
+            cols: dict[str, pa.Array] = {
+                key_col: pa.array(k, key_t),
+                ts_col: batch[ts_col].cast(pa.int64()),
+                "_side": pa.array(
+                    np.full(len(k), side_val, np.int8)
+                ),
+                "_bkt": pa.array(np.abs(mix32(k)) % num_buckets),
+            }
+            for c in all_payload:
+                cols[c] = (
+                    batch[c] if c in keep
+                    else pa.nulls(len(k), payload_types[c])
+                )
+            return pa.table(cols)
+
+        return fn
+
+    tagged = left.map_batches(
+        norm(1, list(left_cols)), batch_format="pyarrow", batch_size=None
+    ).union(
+        right.map_batches(
+            norm(0, right_cols), batch_format="pyarrow", batch_size=None
+        )
+    )
+    # NOTE: Ray's groupby may pass through ZERO-COLUMN empty blocks for
+    # empty partitions (map_batches/map_groups UDFs are never invoked on
+    # them, so they cannot be coerced in-pipeline); write_parquet and
+    # collect_tables both skip such blocks, so downstream is unaffected.
+    return tagged.groupby("_bkt").map_groups(
+        lambda g: asof_bucket_kernel(
+            g.drop_columns(["_bkt"]), key_col, ts_col,
+            left_cols, right_cols, out_prefix,
+        ),
+        batch_format="pyarrow",
+    )
+
+
 class BloomFilter:
     """Plain Bloom filter over int64 keys, built for broadcast semi-join
     pushdown: at 100 TB the fact side is filtered by a few MB of bits
