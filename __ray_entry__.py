@@ -5589,6 +5589,123 @@ _URL_SQL = (
 )
 
 
+# Messy URL synthesis for the canonicalization operators: every
+# component is a function of doc_id % 100, so each canonical URL
+# recurs every 100 docs (genuine dup groups) and the variations hit
+# every canonicalization branch -- scheme/host case, default vs real
+# port, unsorted query params, fragments.  Mirrored by _MESSY_URL_SQL.
+def _synth_messy_urls(batch: pa.Table) -> pa.Table:
+    doc = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    d = doc % 100
+    scheme = np.where(d % 11 == 0, "HTTPS", "https")
+    hostc = np.where(d % 3 == 0, "WWW.H", "www.h")
+    host = np.char.add(
+        np.char.add(hostc, (d % 10).astype(str)), ".example.com"
+    )
+    port = np.select([d % 7 == 0, d % 7 == 1], [":443", ":8080"], "")
+    path = np.char.add("/a/", (d % 5).astype(str))
+    q = np.where(
+        d % 2 == 0,
+        np.char.add(
+            np.char.add("?b=", (d % 3).astype(str)),
+            np.char.add("&a=", (d % 4).astype(str)),
+        ),
+        "",
+    )
+    frag = np.where(d % 13 == 0, "#f", "")
+    url = np.char.add(
+        np.char.add(
+            np.char.add(np.char.add(scheme, "://"), np.char.add(host, port)),
+            np.char.add(path, q),
+        ),
+        frag,
+    )
+    return batch.append_column("url", pa.array(url.astype(object), pa.string()))
+
+
+_MESSY_URL_SQL = (
+    "CASE WHEN (doc_id % 100) % 11 = 0 THEN 'HTTPS' ELSE 'https' END "
+    "|| '://' || "
+    "CASE WHEN (doc_id % 100) % 3 = 0 THEN 'WWW.H' ELSE 'www.h' END "
+    "|| CAST((doc_id % 100) % 10 AS VARCHAR) || '.example.com' || "
+    "CASE WHEN (doc_id % 100) % 7 = 0 THEN ':443' "
+    "WHEN (doc_id % 100) % 7 = 1 THEN ':8080' ELSE '' END || "
+    "'/a/' || CAST((doc_id % 100) % 5 AS VARCHAR) || "
+    "CASE WHEN (doc_id % 100) % 2 = 0 THEN "
+    "'?b=' || CAST((doc_id % 100) % 3 AS VARCHAR) || "
+    "'&a=' || CAST((doc_id % 100) % 4 AS VARCHAR) ELSE '' END || "
+    "CASE WHEN (doc_id % 100) % 13 = 0 THEN '#f' ELSE '' END"
+)
+
+
+def _q_url_canonicalize(sf_dir: str) -> pa.Table:
+    """Per-row URL canonicalization (functions/url.py): lowercase
+    scheme/host, default-port strip, path default, query-param sort,
+    fragment drop -- the normalization pass that precedes URL-level
+    dedup in a web-corpus pipeline."""
+    from tiff_to_geojson_csv_json_format_converter_ray.functions.url import (
+        canonicalize_urls,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def canon(batch: pa.Table) -> pa.Table:
+        b = _synth_messy_urls(batch)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "canonical_url": canonicalize_urls(b["url"]),
+            }
+        )
+
+    return collect_tables(
+        ds.map_batches(canon, batch_format="pyarrow", batch_size=None)
+    )
+
+
+def _q_url_dedup(sf_dir: str) -> pa.Table:
+    """URL-level exact dedup over canonical URLs: per canonical form,
+    the page count and the kept doc (first by doc_id) -- combiner-
+    shaped (per-batch partial count/min, tiny combine)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.functions.url import (
+        canonicalize_urls,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def canon(batch: pa.Table) -> pa.Table:
+        b = _synth_messy_urls(batch)
+        return pa.table(
+            {
+                "canonical_url": canonicalize_urls(b["url"]),
+                "doc_id": b["doc_id"],
+            }
+        )
+
+    out = hash_aggregate(
+        ds.map_batches(canon, batch_format="pyarrow", batch_size=None),
+        ["canonical_url"],
+        [("doc_id", "count", "n_pages"), ("doc_id", "min", "keeper")],
+    )
+    return pa.table(
+        {
+            "canonical_url": out["canonical_url"],
+            "n_pages": out["n_pages"].cast(pa.int64()),
+            "keeper": out["keeper"].cast(pa.int64()),
+        }
+    )
+
+
 def _url_sql_field(name: str) -> str:
     """DuckDB expression for one parsed URL component of the column
     ``url`` (same RE2 patterns as the engine parser)."""
@@ -5597,6 +5714,14 @@ def _url_sql_field(name: str) -> str:
     )
 
     return sql_url_exprs("url")[name]
+
+
+def _canon_sql_expr() -> str:
+    from tiff_to_geojson_csv_json_format_converter_ray.functions.url import (
+        sql_canonical_expr,
+    )
+
+    return sql_canonical_expr("url")
 
 
 def _url_parse_fields_oracle_sql() -> str:
@@ -5938,6 +6063,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_parse_fields": _q_url_parse_fields,
         "url_domain_stats": _q_url_domain_stats,
         "domain_cap_sample": _q_domain_cap_sample,
+        "url_canonicalize": _q_url_canonicalize,
+        "url_dedup": _q_url_dedup,
         "pages_flagship": _q_pages_flagship,
         "approx_distinct": _q_approx_distinct,
         "media_decode": _q_media_decode,
@@ -7502,6 +7629,17 @@ def oracle_sql() -> dict[str, str]:
             "ON e.user_id = p.user_id AND e.ts >= p.ts"
         ),
         "url_parse_fields": _url_parse_fields_oracle_sql(),
+        "url_canonicalize": (
+            f"SELECT doc_id, {_canon_sql_expr()} AS canonical_url FROM "
+            f"(SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents)"
+        ),
+        "url_dedup": (
+            f"SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_pages, "
+            f"MIN(doc_id) AS keeper FROM "
+            f"(SELECT doc_id, {_canon_sql_expr()} AS canonical_url FROM "
+            f"(SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents)) "
+            f"GROUP BY canonical_url"
+        ),
         "url_domain_stats": (
             f"SELECT rd AS registered_domain, COUNT(*) AS n_pages, "
             f"COUNT(DISTINCT host) AS n_hosts, SUM(n_chars) AS sum_chars "

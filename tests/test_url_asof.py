@@ -112,6 +112,63 @@ class TestParseUrls:
             assert got == want, (c, got, want)
 
 
+CANON_CASES = [
+    ("HTTPS://WWW.Ex.COM:443/a/b?b=2&a=1#frag", "https://www.ex.com/a/b?a=1&b=2"),
+    ("http://h.org:80/x", "http://h.org/x"),
+    ("http://h.org:8080/x?z=1", "http://h.org:8080/x?z=1"),
+    ("https://h.co", "https://h.co/"),
+    ("https://h.co/?b&a&c=3", "https://h.co/?a&b&c=3"),
+    ("not a url", None),
+    ("https://CaSe.Co.Uk/P?x=1&X=2", "https://case.co.uk/P?X=2&x=1"),
+    ("", None),
+]
+
+
+class TestCanonicalizeUrls:
+    def test_known_cases(self):
+        from tiff_to_geojson_csv_json_format_converter_ray.functions.url import (
+            canonicalize_urls,
+        )
+
+        got = canonicalize_urls(
+            pa.array([u for u, _ in CANON_CASES])
+        ).to_pylist()
+        assert got == [w for _, w in CANON_CASES]
+
+    def test_sql_mirror_bit_equal(self):
+        import duckdb
+
+        from tiff_to_geojson_csv_json_format_converter_ray.functions.url import (
+            canonicalize_urls, sql_canonical_expr,
+        )
+
+        urls = [u for u, _ in CANON_CASES] + ADVERSARIAL
+        got = canonicalize_urls(pa.array(urls)).to_pylist()
+        con = duckdb.connect()
+        con.execute("CREATE TABLE u(url VARCHAR)")
+        con.executemany("INSERT INTO u VALUES (?)", [[u] for u in urls])
+        want = [
+            r[0]
+            for r in con.execute(
+                f"SELECT {sql_canonical_expr('url')} FROM u"
+            ).fetchall()
+        ]
+        assert got == want
+
+    def test_dedup_key_collapses_variants(self):
+        from tiff_to_geojson_csv_json_format_converter_ray.functions.url import (
+            canonicalize_urls,
+        )
+
+        variants = [
+            "https://A.example.com/p?b=1&a=2",
+            "HTTPS://a.EXAMPLE.com:443/p?a=2&b=1#x",
+            "https://a.example.com/p?a=2&b=1",
+        ]
+        got = set(canonicalize_urls(pa.array(variants)).to_pylist())
+        assert got == {"https://a.example.com/p?a=2&b=1"}
+
+
 class TestPartitionedAsofJoin:
     def test_matches_duckdb_asof(self, ray_session):
         import duckdb

@@ -80,6 +80,92 @@ def parse_urls(urls: pa.ChunkedArray | pa.Array) -> pa.Table:
     return pa.table(cols)
 
 
+_DEFAULT_PORTS = (("https", "443"), ("http", "80"))
+
+
+def _sorted_query(query: pa.Array) -> pa.Array:
+    """Sort '&'-separated query params lexicographically per row
+    (vectorized: one flatten, one lexsort, one rebuild -- no per-row
+    Python loop).  Null rows stay null."""
+    import numpy as np
+
+    if isinstance(query, pa.ChunkedArray):
+        query = query.combine_chunks()
+    la = pc.split_pattern(query, "&")
+    flat = pc.list_flatten(la)
+    if len(flat) == 0:
+        return query
+    parents = pc.list_parent_indices(la).to_numpy(zero_copy_only=False)
+    vals = np.asarray(flat.to_pylist(), dtype=object)
+    order = np.lexsort((vals, parents))
+    counts = pc.list_value_length(la)
+    cnp = counts.to_numpy(zero_copy_only=False)
+    cnp = np.where(np.isnan(cnp.astype(np.float64)), 0, cnp).astype(np.int64) \
+        if counts.null_count else cnp.astype(np.int64)
+    offsets = np.r_[np.int64(0), np.cumsum(cnp)]
+    lists = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()),
+        pa.array(vals[order], pa.string()),
+    )
+    joined = pc.binary_join(lists, "&")
+    return pc.if_else(pc.is_valid(query), joined, query)
+
+
+def canonicalize_urls(urls: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Canonical form for URL-level dedup: lowercase scheme and host,
+    drop default ports (https:443 / http:80), default the path to '/',
+    sort query params, drop the fragment.  Null for malformed URLs
+    (no parseable host).  Mirrored bit-for-bit by
+    :func:`sql_canonical_expr` (tests pin it)."""
+    p = parse_urls(urls)
+    scheme = pc.utf8_lower(p["scheme"])
+    host = pc.utf8_lower(p["host"])
+    port = p["port"]
+    default = pc.or_(
+        pc.and_(pc.equal(scheme, "https"), pc.equal(port, "443")),
+        pc.and_(pc.equal(scheme, "http"), pc.equal(port, "80")),
+    )
+    keep_port = pc.and_(pc.is_valid(port), pc.fill_null(pc.invert(default), True))
+    port_part = pc.if_else(
+        keep_port,
+        pc.binary_join_element_wise(":", pc.fill_null(port, ""), ""),
+        "",
+    )
+    path_part = pc.fill_null(p["path"], "/")
+    q = _sorted_query(p["query"])
+    query_part = pc.if_else(
+        pc.is_valid(q),
+        pc.binary_join_element_wise("?", pc.fill_null(q, ""), ""),
+        "",
+    )
+    canon = pc.binary_join_element_wise(
+        pc.fill_null(scheme, ""), "://", pc.fill_null(host, ""),
+        port_part, path_part, query_part, "",
+    )
+    return pc.if_else(pc.is_valid(host), canon, pa.scalar(None, pa.string()))
+
+
+def sql_canonical_expr(url_expr: str) -> str:
+    """DuckDB expression mirroring :func:`canonicalize_urls`."""
+    p = sql_url_exprs(url_expr)
+    scheme, host, port = p["scheme"], p["host"], p["port"]
+    path, query = p["path"], p["query"]
+    defaults = " OR ".join(
+        f"(lower({scheme}) = '{s}' AND {port} = '{pt}')"
+        for s, pt in _DEFAULT_PORTS
+    )
+    return (
+        f"CASE WHEN {host} IS NOT NULL THEN "
+        f"lower({scheme}) || '://' || lower({host}) || "
+        f"CASE WHEN {port} IS NOT NULL AND NOT ({defaults}) "
+        f"THEN ':' || {port} ELSE '' END || "
+        f"COALESCE({path}, '/') || "
+        f"CASE WHEN {query} IS NOT NULL THEN '?' || "
+        f"array_to_string(list_sort(string_split({query}, '&')), '&') "
+        f"ELSE '' END END"
+    )
+
+
 def sql_url_exprs(url_expr: str) -> dict[str, str]:
     """DuckDB expressions mirroring :func:`parse_urls` for a given SQL
     url expression -- the same RE2 patterns via regexp_extract (which
