@@ -5836,10 +5836,18 @@ def _q_domain_cap_sample(sf_dir: str) -> pa.Table:
         parsed = parse_urls(b["url"])
         return pa.table({"host": parsed["host"], "doc_id": b["doc_id"]})
 
-    out = grouped_top_k(
+    # host cardinality is data-proportional (grows with the corpus), so
+    # the combine is the distributed tier: the driver never holds
+    # k x n_hosts rows, only this bench-scale result collect does
+    out_ds = grouped_top_k(
         ds.map_batches(parse, batch_format="pyarrow", batch_size=None),
-        "host", "doc_id", 3, descending=False,
+        "host", "doc_id", 3, descending=False, distributed_combine=True,
     )
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+
+    out = collect_tables(out_ds)
     return pa.table(
         {
             "host": out["host"],

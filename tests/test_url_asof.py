@@ -169,6 +169,35 @@ class TestCanonicalizeUrls:
         assert got == {"https://a.example.com/p?a=2&b=1"}
 
 
+class TestGroupedTopKDistributed:
+    def test_matches_driver_tier(self, ray_session):
+        import ray.data
+
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+            collect_tables, grouped_top_k,
+        )
+
+        rng = np.random.RandomState(9)
+        t = pa.table(
+            {
+                "g": rng.randint(0, 200, 5000).astype(np.int64),
+                "v": rng.randint(0, 10_000, 5000).astype(np.int64),
+                "id": np.arange(5000, dtype=np.int64),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(6)
+        driver = grouped_top_k(ds, "g", "v", 4, tiebreak="id")
+        dist = collect_tables(
+            grouped_top_k(
+                ds, "g", "v", 4, tiebreak="id", distributed_combine=True
+            )
+        )
+        cols = ["g", "v", "id", "rank"]
+        a = driver.select(cols).sort_by([(c, "ascending") for c in cols])
+        b = dist.select(cols).sort_by([(c, "ascending") for c in cols])
+        assert a.equals(b)
+
+
 class TestPartitionedAsofJoin:
     def test_matches_duckdb_asof(self, ray_session):
         import duckdb
@@ -196,16 +225,18 @@ class TestPartitionedAsofJoin:
                 "rv": rng.randint(0, 10, nr).astype(np.int64),
             }
         )
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+            collect_tables,
+        )
+
         out = partitioned_asof_join(
             ray.data.from_arrow(lt).repartition(5),
             ray.data.from_arrow(rt).repartition(3),
             "k", "ts", left_cols=["lid"], right_cols=[], num_buckets=16,
         )
-        got = (
-            pa.concat_tables(ray.get(out.to_arrow_refs()))
-            .sort_by("lid")
-            .to_pandas()
-        )
+        # collect_tables (not raw concat of block refs): Ray's groupby
+        # may emit zero-column empty blocks for empty partitions
+        got = collect_tables(out).sort_by("lid").to_pandas()
         con = duckdb.connect()
         con.register("l", lt.to_pandas())
         con.register("r", rt.to_pandas())

@@ -265,44 +265,93 @@ def top_k(
     return allp.take(idx)
 
 
-def grouped_top_k(
-    ds: ray.data.Dataset, group_col: str, order_col: str, k: int,
-    descending: bool = True, tiebreak: str | None = None,
+def _topk_head(
+    tbl: pa.Table, group_col: str, sort_keys, k: int, with_rank: bool
 ) -> pa.Table:
-    """Per-group top-k (the windowed ROW_NUMBER <= k shape): per-batch
-    partial top-k per group, tiny driver combine -- no shuffle."""
-    keys = [(order_col, "descending" if descending else "ascending")]
-    if tiebreak:
-        keys.append((tiebreak, "ascending"))
-
-    def partial(batch: pa.Table) -> pa.Table:
-        idx = pc.sort_indices(batch, sort_keys=[(group_col, "ascending")] + keys)
-        t = batch.take(idx)
-        g = t[group_col].to_numpy(zero_copy_only=False)
-        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
-        ends = np.r_[starts[1:], len(g)]
-        keep = np.concatenate(
-            [np.arange(s, min(s + k, e)) for s, e in zip(starts, ends)]
-        ) if len(g) else np.array([], dtype=np.int64)
-        return t.take(pa.array(keep))
-
-    allp = collect_tables(ds.map_batches(partial, batch_format="pyarrow", batch_size=None))
-    if allp is None:
-        return allp
-    # final: same per-group head over the combined partials
-    idx = pc.sort_indices(allp, sort_keys=[(group_col, "ascending")] + keys)
-    t = allp.take(idx)
+    """Per-group head-k of a table (sort, segment, slice); appends the
+    0-based ``rank`` column when ``with_rank``."""
+    idx = pc.sort_indices(
+        tbl, sort_keys=[(group_col, "ascending")] + sort_keys
+    )
+    t = tbl.take(idx)
     g = t[group_col].to_numpy(zero_copy_only=False)
+    if not len(g):
+        return (
+            t.append_column("rank", pa.array([], pa.int64()))
+            if with_rank else t
+        )
     starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
     ends = np.r_[starts[1:], len(g)]
     keep = np.concatenate(
         [np.arange(s, min(s + k, e)) for s, e in zip(starts, ends)]
     )
     out = t.take(pa.array(keep))
+    if not with_rank:
+        return out
     ranks = np.concatenate(
         [np.arange(min(k, e - s)) for s, e in zip(starts, ends)]
     )
     return out.append_column("rank", pa.array(ranks.astype(np.int64)))
+
+
+def grouped_top_k(
+    ds: ray.data.Dataset, group_col: str, order_col: str, k: int,
+    descending: bool = True, tiebreak: str | None = None,
+    distributed_combine: bool = False,
+) -> pa.Table | ray.data.Dataset:
+    """Per-group top-k (the windowed ROW_NUMBER <= k shape): per-batch
+    partial top-k per group, then a combine.
+
+    Default: tiny driver combine (intermediate bounded by n_blocks x
+    n_groups x k) -- right when group cardinality is bounded.
+    ``distributed_combine=True`` hash-buckets the partials on the group
+    key and finalizes each bucket in a ``groupby.map_groups`` shuffle,
+    returning a DATASET -- the tier for data-proportional group counts
+    (e.g. per-host caps over a web corpus, where hosts scale with the
+    input and the driver must never hold k x n_hosts rows)."""
+    keys = [(order_col, "descending" if descending else "ascending")]
+    if tiebreak:
+        keys.append((tiebreak, "ascending"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return _topk_head(batch, group_col, keys, k, with_rank=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+
+    if distributed_combine:
+        from ..functions import hashing as _H
+        from ..functions.sketch import mix32 as _mix32
+
+        n_buckets = 64
+
+        def bucket(batch: pa.Table) -> pa.Table:
+            col = batch[group_col]
+            if pa.types.is_integer(col.type):
+                h = _mix32(col.to_numpy(zero_copy_only=False).astype(np.int64))
+            else:
+                h = _H.fnv1a_array(
+                    [str(x) for x in col.to_pylist()]
+                ).view(np.int64)
+            return batch.append_column(
+                "_bkt", pa.array(np.abs(h) % n_buckets)
+            )
+
+        return (
+            partials.map_batches(bucket, batch_format="pyarrow", batch_size=None)
+            .groupby("_bkt")
+            .map_groups(
+                lambda g: _topk_head(
+                    g.drop_columns(["_bkt"]), group_col, keys, k,
+                    with_rank=True,
+                ),
+                batch_format="pyarrow",
+            )
+        )
+
+    allp = collect_tables(partials)
+    if allp is None:
+        return allp
+    return _topk_head(allp, group_col, keys, k, with_rank=True)
 
 
 def distinct(ds: ray.data.Dataset, cols: list[str]) -> pa.Table:
