@@ -4986,6 +4986,53 @@ def _q_asof_lag(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_asof_next(sf_dir: str) -> pa.Table:
+    """Forward as-of (the attribution direction): every click gets its
+    user's EARLIEST purchase at-or-after the click, via the same
+    partitioned kernel with the timestamp negated internally.  Oracle:
+    DuckDB ASOF LEFT JOIN with the <= inequality."""
+    import pyarrow.compute as pc
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import (
+        partitioned_asof_join,
+    )
+
+    ev = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    clicks = ev.filter(expr="event_type == 'click'").map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": b["user_id"],
+                "ts": b["ts"],
+                "event_id": b["event_id"],
+                "ts_us": b["ts"].cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow", batch_size=None,
+    )
+    purchases = ev.filter(expr="event_type == 'purchase'").select_columns(
+        ["user_id", "ts"]
+    )
+    joined = partitioned_asof_join(
+        clicks, purchases, "user_id", "ts",
+        left_cols=["event_id", "ts_us"], right_cols=[],
+        direction="forward",
+    )
+    out = collect_tables(joined)
+    wait = pc.subtract(out["asof_ts"], out["ts_us"])
+    return pa.table(
+        {
+            "event_id": out["event_id"],
+            "next_purchase_us": out["asof_ts"],
+            "wait_us": wait,
+        }
+    )
+
+
 _RANGE_JOIN_WINDOW_US = 45 * 60 * 1_000_000  # 45-minute windows
 
 
@@ -5967,6 +6014,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reservoir_sample": _q_reservoir_sample,
         "asof_join": _q_asof_join,
         "asof_lag": _q_asof_lag,
+        "asof_next": _q_asof_next,
         "range_join": _q_range_join,
         "range_join_partitioned": _q_range_join_partitioned,
         "bloom_semijoin": _q_bloom_semijoin,
@@ -7635,6 +7683,15 @@ def oracle_sql() -> dict[str, str]:
             "ASOF LEFT JOIN (SELECT user_id, ts FROM events "
             "WHERE event_type = 'purchase') p "
             "ON e.user_id = p.user_id AND e.ts >= p.ts"
+        ),
+        "asof_next": (
+            "SELECT e.event_id, epoch_us(p.ts) AS next_purchase_us, "
+            "epoch_us(p.ts) - epoch_us(e.ts) AS wait_us "
+            "FROM (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'click') e "
+            "ASOF LEFT JOIN (SELECT user_id, ts FROM events "
+            "WHERE event_type = 'purchase') p "
+            "ON e.user_id = p.user_id AND e.ts <= p.ts"
         ),
         "url_parse_fields": _url_parse_fields_oracle_sql(),
         "url_canonicalize": (

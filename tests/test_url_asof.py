@@ -257,6 +257,50 @@ class TestPartitionedAsofJoin:
             ]
             assert mask.isna().all()
 
+    def test_forward_direction_matches_duckdb(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+            collect_tables,
+        )
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import (
+            partitioned_asof_join,
+        )
+
+        rng = np.random.RandomState(17)
+        nl, nr = 3000, 2000
+        lt = pa.table(
+            {
+                "k": rng.randint(0, 60, nl).astype(np.int64),
+                "ts": rng.randint(0, 4000, nl).astype(np.int64),
+                "lid": np.arange(nl, dtype=np.int64),
+            }
+        )
+        rt = pa.table(
+            {
+                "k": rng.randint(0, 70, nr).astype(np.int64),
+                "ts": rng.randint(0, 4000, nr).astype(np.int64),
+            }
+        )
+        out = partitioned_asof_join(
+            ray.data.from_arrow(lt).repartition(4),
+            ray.data.from_arrow(rt).repartition(3),
+            "k", "ts", left_cols=["lid"], right_cols=[],
+            num_buckets=16, direction="forward",
+        )
+        got = collect_tables(out).sort_by("lid").to_pandas()
+        con = duckdb.connect()
+        con.register("l", lt.to_pandas())
+        con.register("r", rt.to_pandas())
+        want = con.execute(
+            "SELECT l.lid, r.ts AS asof_ts FROM l ASOF LEFT JOIN r "
+            "ON l.k = r.k AND l.ts <= r.ts ORDER BY lid"
+        ).fetchdf()
+        g = got["asof_ts"].fillna(-1).to_numpy()
+        w = want["asof_ts"].fillna(-1).to_numpy()
+        assert len(got) == nl and (g == w).all()
+
     def test_empty_sides(self, ray_session):
         import ray
         import ray.data

@@ -696,10 +696,14 @@ def partitioned_asof_join(
     right_cols: list[str] | None = None,
     out_prefix: str = "asof_",
     num_buckets: int = 64,
+    direction: str = "backward",
 ):
     """Big-big as-of join: for every left row, the right row with the
     same ``key_col`` and the greatest ``ts_col`` at-or-before the left
     row's (SQL ``ASOF LEFT JOIN ... ON l.k = r.k AND l.ts >= r.ts``).
+    ``direction="forward"`` flips the inequality (earliest right row
+    at-or-after, ``l.ts <= r.ts``) by negating the sort timestamp
+    internally -- the kernel is direction-agnostic.
     The scale tier of :class:`AsofLookup` for when neither side fits a
     task: both sides hash-bucket on the key (mix32), the union shuffles
     ONCE on the bucket, and :func:`asof_bucket_kernel` merges a whole
@@ -712,6 +716,9 @@ def partitioned_asof_join(
     payload)`` -- null where the key has no right row at-or-before.
     """
     right_cols = list(right_cols or [])
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown as-of direction {direction!r}")
+    flip = direction == "forward"
     from ..functions.sketch import mix32
 
     key_t = pa.int64()
@@ -726,9 +733,12 @@ def partitioned_asof_join(
     def norm(side_val: int, keep: list[str]):
         def fn(batch: pa.Table) -> pa.Table:
             k = batch[key_col].cast(key_t).to_numpy(zero_copy_only=False)
+            ts = batch[ts_col].cast(pa.int64())
+            if flip:
+                ts = pc.negate(ts)
             cols: dict[str, pa.Array] = {
                 key_col: pa.array(k, key_t),
-                ts_col: batch[ts_col].cast(pa.int64()),
+                ts_col: ts,
                 "_side": pa.array(
                     np.full(len(k), side_val, np.int8)
                 ),
@@ -754,13 +764,23 @@ def partitioned_asof_join(
     # empty partitions (map_batches/map_groups UDFs are never invoked on
     # them, so they cannot be coerced in-pipeline); write_parquet and
     # collect_tables both skip such blocks, so downstream is unaffected.
-    return tagged.groupby("_bkt").map_groups(
+    joined = tagged.groupby("_bkt").map_groups(
         lambda g: asof_bucket_kernel(
             g.drop_columns(["_bkt"]), key_col, ts_col,
             left_cols, right_cols, out_prefix,
         ),
         batch_format="pyarrow",
     )
+    if not flip:
+        return joined
+
+    ts_out = out_prefix + ts_col
+
+    def unflip(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index(ts_out)
+        return batch.set_column(i, ts_out, pc.negate(batch[ts_out]))
+
+    return joined.map_batches(unflip, batch_format="pyarrow", batch_size=None)
 
 
 class BloomFilter:
