@@ -222,15 +222,33 @@ def run_headline(num_cpus: int) -> dict:
             master_widths=master_widths_of(tiles),
             validity="threshold", emit=("lon", "lat"),
         )
-        pts = ds.map_batches(pivot, batch_format="pyarrow", batch_size=None)
-        # function-style PIP: the polygon side is tiny (12 polys), so a
-        # broadcast closure beats an actor pool (actor processes pay
-        # import cold-start per execution; reserve pools for stages
-        # with genuinely expensive state, e.g. KNN indexes)
-        joined = pts.map_batches(
-            PIPJoiner(polys), batch_format="pyarrow", batch_size=None
+        if os.environ.get("GRAFT_UNFUSED") == "1":
+            pts = ds.map_batches(pivot, batch_format="pyarrow", batch_size=None)
+            # function-style PIP: the polygon side is tiny (12 polys),
+            # so a broadcast closure beats an actor pool (actor
+            # processes pay import cold-start per execution; reserve
+            # pools for stages with genuinely expensive state)
+            joined = pts.map_batches(
+                PIPJoiner(polys), batch_format="pyarrow", batch_size=None
+            )
+            return partial_count(joined, ["cell_8"])
+        # default (round 3): fully fused extract -> PIP -> count-by-cell
+        # in ONE stage -- each block emits only its (cell_8, count)
+        # partial, so the exploded point table never hits the object
+        # store (pushed-down aggregation; equivalence pinned by
+        # TestFusedExtractCount)
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (  # noqa: E501
+            hash_aggregate,
         )
-        return partial_count(joined, ["cell_8"])
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.extract import (
+            FusedExtractCount,
+        )
+
+        fused = ds.map_batches(
+            FusedExtractCount(pivot, [PIPJoiner(polys)], ["cell_8"]),
+            batch_format="pyarrow", batch_size=None,
+        )
+        return hash_aggregate(fused, ["cell_8"], [("count", "sum", "count")])
 
     # warmup: one full untimed pass spins up ALL worker processes +
     # imports (steady-state is the regime a 100 TB run lives in;

@@ -2421,3 +2421,61 @@ class TestBucketedDistributedCombine:
 
         got, want = norm(dst_t), norm(drv)
         assert got.equals(want)
+
+
+class TestFusedExtractCount:
+    """Fully fused extract -> PIP -> count-by-cell (the round-3 headline
+    pushdown): one-stage partials must equal the three-stage pipeline's
+    final counts exactly."""
+
+    def test_fused_equals_pipeline(self, ray_session):
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+            hash_aggregate,
+        )
+        from tiff_to_geojson_csv_json_format_converter_ray.sources.synthetic import (
+            gen_polygons, gen_tiles,
+        )
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.extract import (
+            FusedExtractCount, TilePivot, master_widths_of,
+        )
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import (
+            PIPJoiner,
+        )
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
+            partial_count,
+        )
+
+        tiles = gen_tiles()
+        widths = master_widths_of(tiles)
+        polys = gen_polygons()
+
+        def pivot():
+            return TilePivot(
+                round_output=True, reproject=True, with_cells=(7, 8, 9),
+                master_widths=widths, validity="threshold",
+                emit=("lon", "lat"),
+            )
+
+        ds = ray.data.from_arrow(tiles).repartition(4)
+        unfused = partial_count(
+            ds.map_batches(pivot(), batch_format="pyarrow", batch_size=None)
+            .map_batches(PIPJoiner(polys), batch_format="pyarrow", batch_size=None),
+            ["cell_8"],
+        )
+        ds2 = ray.data.from_arrow(tiles).repartition(4)
+        fused_partials = ds2.map_batches(
+            FusedExtractCount(pivot(), [PIPJoiner(polys)], ["cell_8"]),
+            batch_format="pyarrow", batch_size=None,
+        )
+        fused = hash_aggregate(
+            fused_partials, ["cell_8"], [("count", "sum", "count")]
+        )
+        a = unfused.sort_by("cell_8").to_pandas()
+        b = fused.select(["cell_8", "count"]).sort_by("cell_8").to_pandas()
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(
+            a.reset_index(drop=True),
+            b.astype(a.dtypes.to_dict()).reset_index(drop=True),
+        )

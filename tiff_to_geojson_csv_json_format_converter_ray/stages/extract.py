@@ -377,3 +377,57 @@ def add_cells(batch: pa.Table, resolutions: tuple[int, ...] = (7, 8, 9),
             c[ok] = fn(lon[ok], lat[ok], r)
         batch = batch.append_column(f"{prefix}_{r}", pa.array(c))
     return batch
+
+
+class FusedExtractCount:
+    """Fully fused extract -> per-point transforms -> count-by-key stage.
+
+    The headline job's unfused form runs three map_batches stages
+    (pivot, PIP join, partial count), shipping the exploded point table
+    through the object store twice (~32 bytes/pixel each way) to
+    produce a final count table of a few thousand rows.  This stage
+    consumes the pivot's chunk generator IN-CORE: each chunk flows
+    through the per-point transforms (e.g. a PIPJoiner) and collapses
+    to a (keys, count) partial immediately, so a block's output is the
+    partial count table -- object-store traffic drops from O(pixels) to
+    O(distinct keys), which is the pushed-down-aggregation shape a
+    100 TB scan wants.  Equivalence with the unfused pipeline is pinned
+    by TestFusedExtractCount.
+
+    Parameters
+    ----------
+    pivot      : a TilePivot (or any generator-of-tables callable).
+    transforms : per-chunk table->table callables applied in order.
+    keys       : count-by columns of the transformed chunks.
+    """
+
+    def __init__(self, pivot, transforms, keys: list[str]):
+        self.pivot = pivot
+        self.transforms = list(transforms)
+        self.keys = list(keys)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = self.keys
+        parts: list[pa.Table] = []
+        for chunk in self.pivot(batch):
+            for fn in self.transforms:
+                chunk = fn(chunk)
+            if chunk.num_rows == 0:
+                continue
+            part = (
+                chunk.select(keys)
+                .append_column(
+                    "_one", pa.array(np.ones(chunk.num_rows, np.int64))
+                )
+                .group_by(keys)
+                .aggregate([("_one", "sum")])
+            )
+            parts.append(part.rename_columns(keys + ["count"]))
+        if not parts:
+            sch = pa.schema(
+                [(k, pa.int64()) for k in keys] + [("count", pa.int64())]
+            )
+            return sch.empty_table()
+        allp = pa.concat_tables(parts)
+        out = allp.group_by(keys).aggregate([("count", "sum")])
+        return out.rename_columns(keys + ["count"])
