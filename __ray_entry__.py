@@ -5033,6 +5033,51 @@ def _q_asof_next(sf_dir: str) -> pa.Table:
     )
 
 
+_WINDOW_JOIN_US = 60 * 60 * 1_000_000  # 1-hour attribution window
+
+
+def _q_window_join_clicks(sf_dir: str) -> pa.Table:
+    """Per-key windowed stream-stream join (CEP/attribution shape):
+    every (click, purchase) pair of the SAME user with the purchase
+    inside [click_ts, click_ts + 1h].  Both sides hash-bucket on
+    user_id and shuffle once; the bucket kernel resolves matches with
+    per-key searchsorted windows (stages/joins.py keyed_window_join).
+    Multi-match complement of asof_lag/asof_next."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import (
+        keyed_window_join,
+    )
+
+    ev = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+    )
+    def side(etype: str, id_name: str):
+        return ev.filter(expr=f"event_type == '{etype}'").map_batches(
+            lambda b, _n=id_name: pa.table(
+                {"user_id": b["user_id"], "ts": b["ts"], _n: b["event_id"]}
+            ),
+            batch_format="pyarrow", batch_size=None,
+        )
+
+    out = collect_tables(
+        keyed_window_join(
+            side("click", "click_id"), side("purchase", "purchase_id"),
+            "user_id", "ts", _WINDOW_JOIN_US,
+            left_id="click_id", right_id="purchase_id",
+        )
+    )
+    return pa.table(
+        {
+            "user_id": out["user_id"],
+            "click_id": out["click_id"],
+            "purchase_id": out["purchase_id"],
+        }
+    )
+
+
 _RANGE_JOIN_WINDOW_US = 45 * 60 * 1_000_000  # 45-minute windows
 
 
@@ -6015,6 +6060,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": _q_asof_join,
         "asof_lag": _q_asof_lag,
         "asof_next": _q_asof_next,
+        "window_join_clicks": _q_window_join_clicks,
         "range_join": _q_range_join,
         "range_join_partitioned": _q_range_join_partitioned,
         "bloom_semijoin": _q_bloom_semijoin,
@@ -7683,6 +7729,16 @@ def oracle_sql() -> dict[str, str]:
             "ASOF LEFT JOIN (SELECT user_id, ts FROM events "
             "WHERE event_type = 'purchase') p "
             "ON e.user_id = p.user_id AND e.ts >= p.ts"
+        ),
+        "window_join_clicks": (
+            "SELECT c.user_id, c.event_id AS click_id, "
+            "p.event_id AS purchase_id "
+            "FROM (SELECT user_id, ts, event_id FROM events "
+            "WHERE event_type = 'click') c "
+            "JOIN (SELECT user_id, ts, event_id FROM events "
+            "WHERE event_type = 'purchase') p "
+            "ON c.user_id = p.user_id AND epoch_us(p.ts) "
+            f"BETWEEN epoch_us(c.ts) AND epoch_us(c.ts) + {_WINDOW_JOIN_US}"
         ),
         "asof_next": (
             "SELECT e.event_id, epoch_us(p.ts) AS next_purchase_us, "

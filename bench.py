@@ -343,7 +343,8 @@ EXTRA_QUERY_SUBSET = [
     "quality_scores", "quantiles", "winnow_dedup", "passage_dedup",
     "geohash_cells", "tile_ruggedness", "tile_hillshade",
     "flow_accumulation", "watershed_labels",
-    "asof_lag", "asof_next", "url_domain_stats", "domain_cap_sample", "url_dedup",
+    "asof_lag", "asof_next", "window_join_clicks",
+    "url_domain_stats", "domain_cap_sample", "url_dedup",
     "big_join_revenue_shuffle",
 ]
 

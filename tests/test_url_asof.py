@@ -301,6 +301,72 @@ class TestPartitionedAsofJoin:
         w = want["asof_ts"].fillna(-1).to_numpy()
         assert len(got) == nl and (g == w).all()
 
+    def test_keyed_window_join_matches_duckdb(self, ray_session):
+        import duckdb
+        import ray.data
+
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+            collect_tables,
+        )
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import (
+            keyed_window_join,
+        )
+
+        rng = np.random.RandomState(5)
+        nl, nr = 4000, 3000
+        lt = pa.table(
+            {
+                "k": rng.randint(0, 70, nl).astype(np.int64),
+                "ts": rng.randint(0, 50_000, nl).astype(np.int64),
+                "lid": np.arange(nl, dtype=np.int64),
+            }
+        )
+        rt = pa.table(
+            {
+                "k": rng.randint(0, 90, nr).astype(np.int64),
+                "ts": rng.randint(0, 50_000, nr).astype(np.int64),
+                "rid": np.arange(nr, dtype=np.int64),
+            }
+        )
+        out = keyed_window_join(
+            ray.data.from_arrow(lt).repartition(5),
+            ray.data.from_arrow(rt).repartition(3),
+            "k", "ts", window_us=500, left_id="lid", right_id="rid",
+            num_buckets=16,
+        )
+        got = collect_tables(out)
+        con = duckdb.connect()
+        con.register("l", lt.to_pandas())
+        con.register("r", rt.to_pandas())
+        want = con.execute(
+            "SELECT l.k, l.lid, r.rid FROM l JOIN r ON l.k = r.k "
+            "AND r.ts BETWEEN l.ts AND l.ts + 500"
+        ).fetchdf()
+        gs = set(
+            zip(got["k"].to_pylist(), got["lid"].to_pylist(),
+                got["rid"].to_pylist())
+        )
+        ws = set(zip(want["k"], want["lid"], want["rid"]))
+        assert got.num_rows == len(want) and gs == ws
+        # boundary inclusivity: both window edges match
+        edge_l = pa.table(
+            {"k": pa.array([1], pa.int64()), "ts": pa.array([100], pa.int64()),
+             "lid": pa.array([0], pa.int64())}
+        )
+        edge_r = pa.table(
+            {"k": pa.array([1, 1, 1, 1], pa.int64()),
+             "ts": pa.array([99, 100, 600, 601], pa.int64()),
+             "rid": pa.array([0, 1, 2, 3], pa.int64())}
+        )
+        eout = collect_tables(
+            keyed_window_join(
+                ray.data.from_arrow(edge_l), ray.data.from_arrow(edge_r),
+                "k", "ts", window_us=500, left_id="lid", right_id="rid",
+                num_buckets=4,
+            )
+        )
+        assert sorted(eout["rid"].to_pylist()) == [1, 2]
+
     def test_empty_sides(self, ray_session):
         import ray
         import ray.data

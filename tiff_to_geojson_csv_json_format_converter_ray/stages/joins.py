@@ -783,6 +783,150 @@ def partitioned_asof_join(
     return joined.map_batches(unflip, batch_format="pyarrow", batch_size=None)
 
 
+def window_join_bucket_kernel(
+    group: pa.Table,
+    key_col: str,
+    ts_col: str,
+    window_us: int,
+    left_id: str,
+    right_id: str,
+) -> pa.Table:
+    """Vectorized per-key windowed stream-stream join over ONE hash
+    bucket: every left row pairs with every right row of the same key
+    whose ts lies in ``[left_ts, left_ts + window_us]`` (inclusive).
+    Sort once by (key, side, ts); within each key the right rows form a
+    sorted run, so each left row's matches are a ``searchsorted``
+    window expanded with repeat/arange -- no per-key Python loop and no
+    per-left scan."""
+    out_schema = pa.schema(
+        [
+            pa.field(key_col, pa.int64()),
+            pa.field(left_id, pa.int64()),
+            pa.field(right_id, pa.int64()),
+        ]
+    )
+    n = group.num_rows
+    if n == 0:
+        return out_schema.empty_table()
+    order = pc.sort_indices(
+        group,
+        sort_keys=[(key_col, "ascending"), ("_side", "ascending"),
+                   (ts_col, "ascending")],
+    )
+    g = group.take(order)
+    keys = g[key_col].to_numpy(zero_copy_only=False)
+    side = g["_side"].to_numpy(zero_copy_only=False)
+    ts = g[ts_col].to_numpy(zero_copy_only=False)
+    ids = g["_id"].to_numpy(zero_copy_only=False)
+    head = np.r_[True, keys[1:] != keys[:-1]]
+    seg_id = np.cumsum(head) - 1
+    idx = np.arange(n, dtype=np.int64)
+    seg_start = idx[head][seg_id]
+    # within a segment: right rows (side 0) first, sorted by ts; then
+    # left rows (side 1) sorted by ts
+    is_left = side == 1
+    # first left index per segment = seg_start + count of right rows
+    right_counts = np.bincount(
+        seg_id[~is_left], minlength=seg_id.max() + 1
+    )
+    first_left = idx[head] + right_counts
+    l_idx = idx[is_left]
+    if not len(l_idx):
+        return out_schema.empty_table()
+    l_seg = seg_id[is_left]
+    r_lo_seg = seg_start[is_left]              # right run start
+    r_hi_seg = first_left[l_seg]               # right run end (exclusive)
+    l_ts = ts[is_left]
+    # searchsorted per segment on the global sorted ts: the right run
+    # [r_lo, r_hi) is ts-sorted, so bound each left row's window by
+    # bisecting only within its own run via offset arithmetic
+    lo = np.empty(len(l_idx), dtype=np.int64)
+    hi = np.empty(len(l_idx), dtype=np.int64)
+    # per-segment bisect: l_seg is sorted, so segments are contiguous
+    # runs -- one Python iteration per KEY (a ~us slice + two vector
+    # bisects), never per row (the grouped_by_key cost model)
+    run_starts = np.flatnonzero(np.r_[True, l_seg[1:] != l_seg[:-1]])
+    run_ends = np.r_[run_starts[1:], len(l_seg)]
+    for s0, s1 in zip(run_starts, run_ends):
+        a, b = r_lo_seg[s0], r_hi_seg[s0]
+        run = ts[a:b]
+        lo[s0:s1] = a + np.searchsorted(run, l_ts[s0:s1], side="left")
+        hi[s0:s1] = a + np.searchsorted(
+            run, l_ts[s0:s1] + window_us, side="right"
+        )
+    counts = hi - lo
+    total = int(counts.sum())
+    if total == 0:
+        return out_schema.empty_table()
+    rep = np.repeat(np.arange(len(l_idx)), counts)
+    offs = np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+    r_pos = lo[rep] + offs
+    return pa.table(
+        {
+            key_col: pa.array(keys[is_left][rep]),
+            left_id: pa.array(ids[is_left][rep]),
+            right_id: pa.array(ids[r_pos]),
+        },
+        schema=out_schema,
+    )
+
+
+def keyed_window_join(
+    left,
+    right,
+    key_col: str,
+    ts_col: str,
+    window_us: int,
+    left_id: str = "left_id",
+    right_id: str = "right_id",
+    num_buckets: int = 64,
+):
+    """Per-key windowed stream-stream join (the CEP / attribution
+    shape): emit (key, left_id, right_id) for every left/right pair
+    with the same key and ``right.ts in [left.ts, left.ts +
+    window_us]``.  Both sides hash-bucket on the key and shuffle ONCE;
+    :func:`window_join_bucket_kernel` resolves a whole bucket
+    vectorized.  The multi-match complement of
+    :func:`partitioned_asof_join` (which keeps one row); unlike
+    :func:`partitioned_interval_join` the partitioning key is the
+    JOIN key, not time, so no interval replication is needed and skew
+    is bounded by the hottest bucket.
+
+    ``left`` / ``right`` need columns (key_col, ts_col, id); the id
+    column name per side is given by ``left_id`` / ``right_id``.
+    """
+    from ..functions.sketch import mix32
+
+    def norm(side_val: int, id_col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = batch[key_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    key_col: pa.array(k),
+                    ts_col: batch[ts_col].cast(pa.int64()),
+                    "_id": batch[id_col].cast(pa.int64()),
+                    "_side": pa.array(np.full(len(k), side_val, np.int8)),
+                    "_bkt": pa.array(np.abs(mix32(k)) % num_buckets),
+                }
+            )
+
+        return fn
+
+    tagged = left.map_batches(
+        norm(1, left_id), batch_format="pyarrow", batch_size=None
+    ).union(
+        right.map_batches(norm(0, right_id), batch_format="pyarrow",
+                          batch_size=None)
+    )
+    return tagged.groupby("_bkt").map_groups(
+        lambda g: window_join_bucket_kernel(
+            g.drop_columns(["_bkt"]), key_col, ts_col, window_us,
+            left_id, right_id,
+        ),
+        batch_format="pyarrow",
+    )
+
+
 class BloomFilter:
     """Plain Bloom filter over int64 keys, built for broadcast semi-join
     pushdown: at 100 TB the fact side is filtered by a few MB of bits
