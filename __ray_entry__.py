@@ -4854,6 +4854,50 @@ def _q_quality_features(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_quality_filter_by_lang(sf_dir: str) -> pa.Table:
+    """Per-language quality-threshold filter (corpus curation): keep
+    documents whose quality score is STRICTLY above their language's
+    median.  Two passes: (1) score + per-lang exact median (one
+    bounded-cardinality groupby), (2) broadcast the tiny (lang, median)
+    table and filter map-side.  The corpus streams twice and never
+    shuffles."""
+    import pyarrow.compute as pc
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
+        grouped_exact_quantiles,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+        TextAnnotate,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    scored = ds.map_batches(
+        TextAnnotate(features=("quality",)), batch_format="pyarrow",
+        batch_size=None,
+    ).map_batches(
+        lambda b: b.select(["doc_id", "lang", "quality"]),
+        batch_format="pyarrow", batch_size=None,
+    )
+    med = collect_tables(
+        grouped_exact_quantiles(scored, "lang", "quality", [0.5])
+    ).select(["lang", "value"]).rename_columns(["lang", "_med"])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        j = batch.join(med, keys="lang")
+        j = j.filter(pc.greater(j["quality"], j["_med"]))
+        return j.select(["doc_id", "lang", "quality"])
+
+    out = collect_tables(
+        scored.map_batches(keep, batch_format="pyarrow", batch_size=None)
+    )
+    return out
+
+
 def _q_ivf_ann(sf_dir: str) -> pa.Table:
     import pyarrow.parquet as pq
     import ray.data
@@ -6155,6 +6199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": _q_embedding_neardup,
         "lang_id": _q_lang_id,
         "quality_scores": _q_quality,
+        "quality_filter_by_lang": _q_quality_filter_by_lang,
         "quality_features": _q_quality_features,
         "text_cleaning": _q_text_cleaning,
         "ivf_ann": _q_ivf_ann,
@@ -7229,6 +7274,15 @@ def oracle_sql() -> dict[str, str]:
         "approx_distinct": _approx_distinct_oracle_sql(),
         "approx_distinct_by_type": _approx_distinct_by_type_oracle_sql(),
         "quality_scores": _quality_scores_oracle_sql(),
+        "quality_filter_by_lang": (
+            f"WITH qf AS ({_quality_features_oracle_sql()}), "
+            "q AS (SELECT qf.doc_id, d.lang, qf.quality FROM qf "
+            "JOIN documents d ON d.doc_id = qf.doc_id), "
+            "m AS (SELECT lang, quantile_disc(quality, 0.5) AS med "
+            "FROM q GROUP BY lang) "
+            "SELECT q.doc_id, q.lang, q.quality FROM q "
+            "JOIN m ON q.lang = m.lang WHERE q.quality > m.med"
+        ),
         "quantiles": _quantiles_oracle_sql(),
         "minhash_dedup": _minhash_dedup_oracle_sql(),
         "simhash_dedup": _simhash_dedup_oracle_sql(),

@@ -344,7 +344,7 @@ EXTRA_QUERY_SUBSET = [
     "geohash_cells", "tile_ruggedness", "tile_hillshade",
     "flow_accumulation", "watershed_labels",
     "asof_lag", "asof_next", "window_join_clicks",
-    "url_domain_stats", "domain_cap_sample", "url_dedup",
+    "url_domain_stats", "domain_cap_sample", "url_dedup", "quality_filter_by_lang",
     "big_join_revenue_shuffle",
 ]
 
