@@ -671,6 +671,34 @@ def _q_tile_ruggedness(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_tile_curvature(sf_dir: str) -> pa.Table:
+    """Zevenbergen-Thorne general/profile/plan curvature over the
+    slope fixture raster via the halo-exchange shuffle
+    (stages/raster.py::tile_curvature) -- the remaining classic DEM
+    derivative next to slope/aspect/TRI/hillshade that GIS servers
+    precompute for map UIs (the reference serves such derived layers
+    over WMS, slope.js:56-76)."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables, round_like_sql,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
+        tile_curvature,
+    )
+
+    tiles = ray.data.from_arrow(_og_tiles_table(sparse_invalid=True, tile=24))
+    out = collect_tables(tile_curvature(tiles))
+    return pa.table(
+        {
+            "row": out["row"],
+            "col": out["col"],
+            "curv_general": round_like_sql(out["curv_general"], 6),
+            "curv_profile": round_like_sql(out["curv_profile"], 6),
+            "curv_plan": round_like_sql(out["curv_plan"], 6),
+        }
+    )
+
+
 def _q_tile_hillshade(sf_dir: str) -> pa.Table:
     """Lambertian hillshade (az 315 / alt 45) over the slope fixture
     raster -- trig-free algebraic normal-dot-light form, fourth
@@ -6046,6 +6074,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "focal_counts": _q_focal_counts,
         "tile_slope": _q_tile_slope,
         "tile_ruggedness": _q_tile_ruggedness,
+        "tile_curvature": _q_tile_curvature,
         "tile_hillshade": _q_tile_hillshade,
         "flow_direction": _q_flow_direction,
         "flow_accumulation": _q_flow_accumulation,
@@ -7354,6 +7383,43 @@ def oracle_sql() -> dict[str, str]:
             f"FROM w WHERE za > -1e30 AND zb > -1e30 AND zc > -1e30 "
             f"AND zd > -1e30 AND ze > -1e30 AND zf > -1e30 "
             f"AND zg > -1e30 AND zh > -1e30 AND zi > -1e30"
+        ),
+        "tile_curvature": (
+            # Zevenbergen-Thorne curvature: identical window joins to
+            # tile_slope; D,E,F,G,H and the three outputs written in
+            # the kernel's exact left-associative float order
+            f"WITH g AS ({_OG_SLOPE_GRID_SQL}), w AS ("
+            f"SELECT e.row AS row, e.col AS col, "
+            f"n1.z AS za, n2.z AS zb, n3.z AS zc, n4.z AS zd, e.z AS ze, "
+            f"n6.z AS zf, n7.z AS zg, n8.z AS zh, n9.z AS zi "
+            f"FROM g e "
+            f"JOIN g n1 ON n1.row = e.row - 1 AND n1.col = e.col - 1 "
+            f"JOIN g n2 ON n2.row = e.row - 1 AND n2.col = e.col "
+            f"JOIN g n3 ON n3.row = e.row - 1 AND n3.col = e.col + 1 "
+            f"JOIN g n4 ON n4.row = e.row AND n4.col = e.col - 1 "
+            f"JOIN g n6 ON n6.row = e.row AND n6.col = e.col + 1 "
+            f"JOIN g n7 ON n7.row = e.row + 1 AND n7.col = e.col - 1 "
+            f"JOIN g n8 ON n8.row = e.row + 1 AND n8.col = e.col "
+            f"JOIN g n9 ON n9.row = e.row + 1 AND n9.col = e.col + 1 "
+            f"WHERE n1.z > -1e30 AND n2.z > -1e30 AND n3.z > -1e30 "
+            f"AND n4.z > -1e30 AND e.z > -1e30 AND n6.z > -1e30 "
+            f"AND n7.z > -1e30 AND n8.z > -1e30 AND n9.z > -1e30), "
+            f"d AS (SELECT row, col, "
+            f"((zd + zf) / 2.0 - ze) / (0.01 * 0.01) AS dd, "
+            f"((zb + zh) / 2.0 - ze) / (0.01 * 0.01) AS ee, "
+            f"(-za + zc + zg - zi) / (4.0 * (0.01 * 0.01)) AS ff, "
+            f"(-zd + zf) / (2.0 * 0.01) AS gg, "
+            f"(zb - zh) / (2.0 * 0.01) AS hh FROM w), "
+            f"e2 AS (SELECT row, col, dd, ee, ff, gg, hh, "
+            f"gg * gg + hh * hh AS g2h2 FROM d) "
+            f"SELECT row, col, "
+            f"ROUND((-2.0 * (dd + ee)) * 100.0, 6) AS curv_general, "
+            f"ROUND(CASE WHEN g2h2 = 0.0 THEN 0.0 ELSE "
+            f"(-2.0 * (dd * gg * gg + ee * hh * hh + ff * gg * hh) / g2h2) * 100.0 "
+            f"END, 6) AS curv_profile, "
+            f"ROUND(CASE WHEN g2h2 = 0.0 THEN 0.0 ELSE "
+            f"(2.0 * (dd * hh * hh + ee * gg * gg - ff * gg * hh) / g2h2) * 100.0 "
+            f"END, 6) AS curv_plan FROM e2"
         ),
         "tile_hillshade": (
             # Lambertian hillshade: Horn p/q windows, constant

@@ -2479,3 +2479,74 @@ class TestFusedExtractCount:
             a.reset_index(drop=True),
             b.astype(a.dtypes.to_dict()).reset_index(drop=True),
         )
+
+
+class TestTileCurvature:
+    def test_halo_exchange_matches_whole_array(self, ray_session):
+        """Distributed tile curvature == single-array Zevenbergen-
+        Thorne evaluation, bit-exact, including pixels on interior
+        tile boundaries (i.e. the halo strips crossed the shuffle)."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as entry
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
+            tile_curvature,
+        )
+
+        tiles = entry._og_tiles_table(sparse_invalid=True, tile=24)
+        out = tile_curvature(ray.data.from_arrow(tiles)).to_pandas()
+        got = {
+            (r, c): (g, p, pl)
+            for r, c, g, p, pl in zip(
+                out["row"], out["col"], out["curv_general"],
+                out["curv_profile"], out["curv_plan"])
+        }
+
+        full = np.full((96, 96), np.nan, np.float32)
+        for i in range(tiles.num_rows):
+            r0 = tiles["row_off"][i].as_py()
+            c0 = tiles["col_off"][i].as_py()
+            hh = tiles["height"][i].as_py()
+            ww = tiles["width"][i].as_py()
+            full[r0:r0+hh, c0:c0+ww] = np.asarray(
+                tiles["values"][i].as_py(), np.float32).reshape(hh, ww)
+        z = full.astype(np.float64)
+        h, w = z.shape
+        pad = np.full((h + 2, w + 2), np.nan)
+        pad[1:h+1, 1:w+1] = z
+        za, zb, zc = pad[0:h, 0:w], pad[0:h, 1:w+1], pad[0:h, 2:w+2]
+        zd, ze, zf = pad[1:h+1, 0:w], pad[1:h+1, 1:w+1], pad[1:h+1, 2:w+2]
+        zg, zh, zi = pad[2:h+2, 0:w], pad[2:h+2, 1:w+1], pad[2:h+2, 2:w+2]
+        stack = np.stack([za, zb, zc, zd, ze, zf, zg, zh, zi])
+        valid = np.all(np.isfinite(stack) & (stack > -1e30), axis=0)
+        res = 0.01
+        l2 = res * res
+        dd = ((zd + zf) / 2.0 - ze) / l2
+        ee = ((zb + zh) / 2.0 - ze) / l2
+        ff = (-za + zc + zg - zi) / (4.0 * l2)
+        gg = (-zd + zf) / (2.0 * res)
+        hh2 = (zb - zh) / (2.0 * res)
+        g2h2 = gg * gg + hh2 * hh2
+        general = (-2.0 * (dd + ee)) * 100.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            profile = (-2.0 * (dd * gg * gg + ee * hh2 * hh2
+                               + ff * gg * hh2) / g2h2) * 100.0
+            plan = (2.0 * (dd * hh2 * hh2 + ee * gg * gg
+                           - ff * gg * hh2) / g2h2) * 100.0
+        flat = g2h2 == 0.0
+        profile = np.where(flat, 0.0, profile)
+        plan = np.where(flat, 0.0, plan)
+        rr, cc = np.nonzero(valid)
+        want = {
+            (int(r), int(c)): (general[r, c], profile[r, c], plan[r, c])
+            for r, c in zip(rr, cc)
+        }
+
+        assert set(got) == set(want)
+        boundary = [k for k in want if k[0] in (23, 24, 47, 48, 71, 72)]
+        assert len(boundary) > 100
+        for k in want:
+            assert got[k] == want[k], (k, got[k], want[k])

@@ -453,6 +453,99 @@ def tile_ruggedness(tiles: ray.data.Dataset, stride: int | None = None) -> ray.d
     return halos.groupby("halo_key").map_groups(tri_kernel, batch_format="pyarrow")
 
 
+def curvature_kernel(group: pa.Table) -> pa.Table:
+    """Zevenbergen & Thorne (1987) surface curvature on the 3x3
+    window (letters a..i as in :func:`horn_kernel`, cell size L from
+    the tile transform):
+
+        D = ((zd + zf) / 2 - ze) / L^2      (d2z/dx2 / 2)
+        E = ((zb + zh) / 2 - ze) / L^2      (d2z/dy2 / 2)
+        F = (-za + zc + zg - zi) / (4 L^2)  (d2z/dxdy)
+        G = (-zd + zf) / (2 L)              (dz/dx)
+        H = (zb - zh) / (2 L)               (dz/dy)
+
+    Outputs (x100, the ArcGIS/gdaldem-style per-100-units scale):
+    ``curv_general = (-2 (D + E)) * 100``; ``curv_profile =
+    (-2 (D G^2 + E H^2 + F G H) / (G^2 + H^2)) * 100`` and
+    ``curv_plan = (2 (D H^2 + E G^2 - F G H) / (G^2 + H^2)) * 100``,
+    both defined 0 on flats (G^2 + H^2 == 0).  Every float op is
+    written in the exact left-associative order of the SQL oracle so
+    rounded outputs are bit-identical to DuckDB.  Validity contract
+    identical to horn_kernel (full 3x3 window above the nodata
+    threshold)."""
+    asm = _assemble_padded(group)
+    if asm is None:
+        return _empty_curvature_table()
+    pad, h, w, r0, c0, transform = asm
+    res = abs(transform[0])
+    za = pad[0:h, 0:w]
+    zb = pad[0:h, 1 : w + 1]
+    zc = pad[0:h, 2 : w + 2]
+    zd = pad[1 : h + 1, 0:w]
+    ze = pad[1 : h + 1, 1 : w + 1]
+    zf = pad[1 : h + 1, 2 : w + 2]
+    zg = pad[2 : h + 2, 0:w]
+    zh = pad[2 : h + 2, 1 : w + 1]
+    zi = pad[2 : h + 2, 2 : w + 2]
+    stack = np.stack([za, zb, zc, zd, ze, zf, zg, zh, zi])
+    valid = np.all(np.isfinite(stack) & (stack > NODATA_THRESHOLD), axis=0)
+    if not valid.any():
+        return _empty_curvature_table()
+    l2 = res * res
+    dd = ((zd + zf) / 2.0 - ze) / l2
+    ee = ((zb + zh) / 2.0 - ze) / l2
+    ff = (-za + zc + zg - zi) / (4.0 * l2)
+    gg = (-zd + zf) / (2.0 * res)
+    hh2 = (zb - zh) / (2.0 * res)
+    g2h2 = gg * gg + hh2 * hh2
+    general = (-2.0 * (dd + ee)) * 100.0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        profile = (
+            -2.0 * (dd * gg * gg + ee * hh2 * hh2 + ff * gg * hh2) / g2h2
+        ) * 100.0
+        plan = (
+            2.0 * (dd * hh2 * hh2 + ee * gg * gg - ff * gg * hh2) / g2h2
+        ) * 100.0
+    flat = g2h2 == 0.0
+    profile = np.where(flat, 0.0, profile)
+    plan = np.where(flat, 0.0, plan)
+    rr, cc = np.nonzero(valid)
+    return pa.table(
+        {
+            "row": pa.array((rr + r0).astype(np.int64)),
+            "col": pa.array((cc + c0).astype(np.int64)),
+            "curv_general": pa.array(general[rr, cc]),
+            "curv_profile": pa.array(profile[rr, cc]),
+            "curv_plan": pa.array(plan[rr, cc]),
+        }
+    )
+
+
+def _empty_curvature_table() -> pa.Table:
+    return pa.table(
+        {
+            "row": pa.array([], pa.int64()),
+            "col": pa.array([], pa.int64()),
+            "curv_general": pa.array([], pa.float64()),
+            "curv_profile": pa.array([], pa.float64()),
+            "curv_plan": pa.array([], pa.float64()),
+        }
+    )
+
+
+def tile_curvature(tiles: ray.data.Dataset, stride: int | None = None) -> ray.data.Dataset:
+    """Zevenbergen-Thorne curvature over a tile Dataset via the same
+    halo-exchange shuffle as :func:`tile_slope`: O(perimeter) strip
+    shuffle, one tile + halo in memory per task."""
+    halos = tiles.map_batches(
+        make_emit_halos(stride, stride),
+        batch_format="pyarrow", batch_size=None,
+    )
+    return halos.groupby("halo_key").map_groups(
+        curvature_kernel, batch_format="pyarrow"
+    )
+
+
 # marching-squares case -> crossing-edge pairs.  Corners (tl, tr, br,
 # bl) set bits (1, 2, 4, 8); edges are 0=top 1=right 2=bottom 3=left.
 # Ambiguous saddles (5, 10) use the fixed non-connected convention.
