@@ -920,6 +920,27 @@ def _q_track_lengths(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_geofence_transitions(sf_dir: str) -> pa.Table:
+    """Geofence ENTER/EXIT detection: geocoded user tracks vs the
+    fixture polygon set (pipelines/tracks.py::geofence_transitions_ds).
+    One int64 membership bitmask per fix before the shuffle (no row
+    amplification), one keyed pass per user, a row per membership
+    flip -- the trajectory-analytics form of the reference's PIP clip
+    (test2.py:1272)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.tracks import (
+        geofence_transitions_ds,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+    return collect_tables(geofence_transitions_ds(ds, OG_POLYGONS))
+
+
 def _q_window_funcs(sf_dir: str) -> pa.Table:
     """SQL window-function family (ROW_NUMBER, running SUM, LAG delta,
     trailing moving AVG) per user ordered by (ts, event_id).  One keyed
@@ -6086,6 +6107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s2_cells": _q_s2_cells,
         "geohash_cells": _q_geohash_cells,
         "track_lengths": _q_track_lengths,
+        "geofence_transitions": _q_geofence_transitions,
         "window_funcs": _q_window_funcs,
         "pivot_events": _q_pivot_events,
         "rollup_pricing": _q_rollup_pricing,
@@ -6534,6 +6556,40 @@ def _quality_features_oracle_sql() -> str:
         "* (1.0 - LEAST(digit_ratio * 2.0, 0.5))) "
         "* (0.5 + 0.5 * LEAST(uniq * 1.5, 1.0)) END AS quality "
         "FROM f"
+    )
+
+
+def _geofence_oracle_sql() -> str:
+    """Mirror of _q_geofence_transitions: per-polygon membership via
+    the strict-interior half-plane test (equivalent to the engine's
+    even-odd ray cast for these convex CCW fixtures off the lattice),
+    LAG per user ordered by (ts, event_id), a row per flip."""
+    geocode = (
+        "SELECT user_id, ts, event_id, "
+        "77.0 + CAST(event_id % 96 AS DOUBLE) * 0.01 AS lon, "
+        "28.05 + CAST((event_id // 96) % 96 AS DOUBLE) * 0.01 AS lat "
+        "FROM events"
+    )
+    in_cols = ", ".join(
+        f"CASE WHEN {_halfplane_sql(poly)} THEN 1 ELSE 0 END AS in_{pid}"
+        for pid, poly in OG_POLYGONS.items()
+    )
+    lag_cols = ", ".join(
+        f"in_{pid}, LAG(in_{pid}) OVER "
+        f"(PARTITION BY user_id ORDER BY ts, event_id) AS p_{pid}"
+        for pid in OG_POLYGONS
+    )
+    parts = [
+        f"SELECT '{pid}' AS polygon_id, user_id, event_id, "
+        f"CASE WHEN in_{pid} = 1 THEN 'enter' ELSE 'exit' END AS transition "
+        f"FROM l WHERE p_{pid} IS NOT NULL AND in_{pid} <> p_{pid}"
+        for pid in OG_POLYGONS
+    ]
+    return (
+        f"WITH g AS ({geocode}), "
+        f"m AS (SELECT user_id, ts, event_id, {in_cols} FROM g), "
+        f"l AS (SELECT user_id, ts, event_id, {lag_cols} FROM m) "
+        + " UNION ALL ".join(parts)
     )
 
 
@@ -7724,6 +7780,7 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT user_id, ROUND(COALESCE(SUM(step), 0.0), 6) AS track_len "
             f"FROM s GROUP BY user_id"
         ),
+        "geofence_transitions": _geofence_oracle_sql(),
         "docs_pip_join": " UNION ALL ".join(
             f"SELECT '{pid}' AS polygon_id, CAST(COUNT(*) AS BIGINT) AS n FROM ("
             f"SELECT 77.0 + CAST(doc_id % 96 AS DOUBLE) * 0.01 AS lon, "

@@ -2550,3 +2550,43 @@ class TestTileCurvature:
         assert len(boundary) > 100
         for k in want:
             assert got[k] == want[k], (k, got[k], want[k])
+
+
+class TestGeofenceTransitions:
+    def test_enter_exit_semantics(self, ray_session):
+        """A hand-built track: out -> in -> in -> out -> in emits
+        enter, exit, enter at the correct fixes; a polygon never
+        touched emits nothing; the first fix never emits."""
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.tracks import (
+            geofence_transitions_ds,
+        )
+
+        # geocode lattice: lon = 77 + (eid % 96)/100, lat = 28.05 + (eid//96 % 96)/100
+        # polygon around lon in (77.30, 77.60), lat in (28.30, 28.60) (CCW)
+        poly = {
+            "box": [(77.305, 28.305), (77.595, 28.305),
+                    (77.595, 28.595), (77.305, 28.595)],
+            "far": [(85.0, 20.0), (86.0, 20.0), (86.0, 21.0), (85.0, 21.0)],
+        }
+        # eids: outside (col 10, row 10), inside (col 40, row 40),
+        # inside (col 50, row 40), outside (col 80, row 40), inside again
+        eids = [10 * 96 + 10, 40 * 96 + 40, 40 * 96 + 50,
+                40 * 96 + 80, 40 * 96 + 45]
+        ev = pa.table(
+            {
+                "event_id": pa.array(eids, pa.int64()),
+                "user_id": pa.array([7] * 5, pa.int64()),
+                "ts": pa.array(list(range(5)), pa.timestamp("us")),
+            }
+        )
+        out = geofence_transitions_ds(
+            ray.data.from_arrow(ev), poly
+        ).to_pandas()
+        assert list(out["polygon_id"]) == ["box"] * 3
+        # transitions are emitted in (ts, event_id) track order
+        assert set(zip(out["event_id"], out["transition"])) == {
+            (eids[1], "enter"), (eids[3], "exit"), (eids[4], "enter"),
+        }
+        assert (out["user_id"] == 7).all()

@@ -145,3 +145,83 @@ def conversion_lag_ds(events: ray.data.Dataset) -> ray.data.Dataset:
     from ..stages.shuffle import grouped_by_key
 
     return grouped_by_key(events, "user_id", lag)
+
+
+def geofence_transitions_ds(
+    events: ray.data.Dataset,
+    polygons: dict[str, list[tuple[float, float]]],
+) -> ray.data.Dataset:
+    """Per-user geofence ENTER/EXIT events against a small polygon set
+    (the trajectory x polygon membership-change join a fleet/telemetry
+    pipeline runs; the reference's PIP clip, test2.py:1272, applied
+    along time-ordered tracks instead of rasters).
+
+    Scale shape: a stateless ``map_batches`` computes ONE int64
+    membership bitmask per fix (bit b = inside polygons[b]; vectorized
+    even-odd PIP with bbox prefilter) -- no row amplification before
+    the shuffle -- then one ``grouped_by_key(user_id)`` pass sorts each
+    track by (ts, event_id) and emits a row per bit flip.  Polygon
+    count <= 63 per call; larger fence sets shard into bitmask words.
+    Input columns: event_id, user_id, ts.
+    """
+    from ..functions.geometry import Polygon
+
+    pids = sorted(polygons)
+    polys = [Polygon(pid, [np.asarray(polygons[pid], np.float64)]) for pid in pids]
+    if len(polys) > 63:
+        raise ValueError("geofence_transitions_ds: max 63 polygons per call")
+
+    def add_mask(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        mask = np.zeros(len(lon), dtype=np.int64)
+        for b, poly in enumerate(polys):
+            mask |= poly.contains(lon, lat).astype(np.int64) << b
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts": batch["ts"],
+                "event_id": batch["event_id"],
+                "mask": pa.array(mask),
+            }
+        )
+
+    def transitions(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        g = group.take(order)
+        mask = g["mask"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        uid = g["user_id"][0].as_py()
+        out_pid, out_eid, out_tr = [], [], []
+        changed = np.flatnonzero(mask[1:] != mask[:-1]) + 1
+        for i in changed:
+            diff = mask[i] ^ mask[i - 1]
+            b = 0
+            while diff:
+                if diff & 1:
+                    out_pid.append(pids[b])
+                    out_eid.append(int(eid[i]))
+                    out_tr.append(
+                        "enter" if (mask[i] >> b) & 1 else "exit"
+                    )
+                diff >>= 1
+                b += 1
+        return pa.table(
+            {
+                "polygon_id": pa.array(out_pid, pa.string()),
+                "user_id": pa.array([uid] * len(out_pid), pa.int64()),
+                "event_id": pa.array(out_eid, pa.int64()),
+                "transition": pa.array(out_tr, pa.string()),
+            }
+        )
+
+    from ..stages.shuffle import grouped_by_key
+
+    masked = geocode_events(events).map_batches(
+        add_mask, batch_format="pyarrow", batch_size=None
+    )
+    return grouped_by_key(masked, "user_id", transitions)
