@@ -1553,6 +1553,24 @@ def _q_lang_share(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_lang_temperature_sample(sf_dir: str) -> pa.Table:
+    """Temperature-balanced language resampling (XLM-R / mT5 corpus
+    rebalance, alpha=0.3): per-language keep rate from the share
+    flattened by the temperature exponent, deterministic mix32-hash
+    Bernoulli keep (stages/textops.py::lang_temperature_sample).
+    Returns the per-language audit (n_before, n_after, kept-id
+    checksum pinning the exact kept set)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+        lang_temperature_sample,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang"],
+    )
+    return lang_temperature_sample(ds, alpha=0.3, seed=29)
+
+
 def _q_track_simplify(sf_dir: str) -> pa.Table:
     """Per-user GPS-track Douglas-Peucker simplification: the ordered
     per-key spatial window (groupby shuffle co-locates each user's
@@ -6135,6 +6153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_bigrams": _q_pmi_bigrams,
         "dow_histogram": _q_dow_histogram,
         "lang_share": _q_lang_share,
+        "lang_temperature_sample": _q_lang_temperature_sample,
         "docs_pip_join": _q_docs_pip,
         # relational operators
         "pricing_summary": _q_pricing_summary,
@@ -7651,6 +7670,32 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, "
             "ROUND(COUNT(*) / SUM(COUNT(*)) OVER (), 6) AS share "
             "FROM documents GROUP BY lang"
+        ),
+        "lang_temperature_sample": (
+            # identical float order to the engine: rate =
+            # ROUND(min(1, pow(n,.3)/S*N/n), 6); keep iff
+            # mix32(doc_id,29)/2^32 < rate
+            "WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang), "
+            "t AS (SELECT CAST(SUM(n) AS DOUBLE) AS big_n, "
+            "SUM(POWER(CAST(n AS DOUBLE), 0.3)) AS s FROM c), "
+            "r AS (SELECT lang, n, ROUND(LEAST(1.0, "
+            "POWER(CAST(n AS DOUBLE), 0.3) / s * big_n / CAST(n AS DOUBLE)"
+            "), 6) AS rate FROM c, t), "
+            "k AS (SELECT d.lang, "
+            "SUM(CASE WHEN CAST(("
+            + __import__("tiff_to_geojson_csv_json_format_converter_ray.functions.sketch",
+                         fromlist=["mix32_sql"]).mix32_sql("d.doc_id", 29)
+            + ") AS DOUBLE) / 4294967296.0 < r.rate THEN 1 ELSE 0 END) AS n_after, "
+            "SUM(CASE WHEN CAST(("
+            + __import__("tiff_to_geojson_csv_json_format_converter_ray.functions.sketch",
+                         fromlist=["mix32_sql"]).mix32_sql("d.doc_id", 29)
+            + ") AS DOUBLE) / 4294967296.0 < r.rate THEN d.doc_id ELSE 0 END) "
+            "AS sum_kept_ids FROM documents d JOIN r ON r.lang = d.lang "
+            "GROUP BY d.lang) "
+            "SELECT r.lang, CAST(r.n AS BIGINT) AS n_before, "
+            "CAST(k.n_after AS BIGINT) AS n_after, "
+            "CAST(k.sum_kept_ids AS BIGINT) AS sum_kept_ids "
+            "FROM r JOIN k ON k.lang = r.lang"
         ),
         "ngram_repetition": (
             "WITH arr AS (SELECT doc_id, "

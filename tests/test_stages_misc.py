@@ -2590,3 +2590,40 @@ class TestGeofenceTransitions:
             (eids[1], "enter"), (eids[3], "exit"), (eids[4], "enter"),
         }
         assert (out["user_id"] == 7).all()
+
+
+class TestLangTemperatureSample:
+    def test_rebalances_head_only(self, ray_session):
+        """alpha<1 downsamples only languages above their flattened
+        target; the kept set is the deterministic mix32 Bernoulli
+        subset (checksum recomputed independently here)."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
+            mix32,
+        )
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+            lang_temperature_sample,
+        )
+
+        langs = ["en"] * 800 + ["fr"] * 150 + ["zh"] * 50
+        ids = np.arange(1000, dtype=np.int64)
+        docs = ray.data.from_arrow(pa.table(
+            {"doc_id": pa.array(ids), "lang": pa.array(langs)}
+        ))
+        out = lang_temperature_sample(docs, alpha=0.3, seed=29).to_pandas()
+        out = out.set_index("lang")
+        # rare langs keep everything; the head shrinks
+        assert out.loc["fr", "n_after"] == 150
+        assert out.loc["zh", "n_after"] == 50
+        assert out.loc["en", "n_after"] < 800
+
+        # independent recompute of the en keep set
+        n = np.array([800.0, 150.0, 50.0])
+        pw = n ** 0.3
+        rate = round(min(1.0, pw[0] / pw.sum() * 1000.0 / 800.0), 6)
+        en_ids = ids[:800]
+        keep = mix32(en_ids, 29).astype(np.float64) / 2**32 < rate
+        assert out.loc["en", "n_after"] == int(keep.sum())
+        assert out.loc["en", "sum_kept_ids"] == int(en_ids[keep].sum())

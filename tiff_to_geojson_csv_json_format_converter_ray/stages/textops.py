@@ -999,3 +999,82 @@ def passage_dedup_stats(
     )
     order = pc.sort_indices(out, sort_keys=[(doc_col, "ascending")])
     return out.take(order)
+
+
+def lang_temperature_sample(
+    docs: "ray.data.Dataset",
+    alpha: float = 0.3,
+    seed: int = 29,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Temperature-balanced language resampling (the multilingual
+    pretraining-corpus rebalance of XLM-R / mT5: sample languages with
+    probability proportional to ``share**alpha``, flattening the head
+    so low-resource languages keep coverage).
+
+    Two passes, corpus never shuffled:
+
+    1. per-batch combiner counts by language (tiny driver table);
+    2. per-language keep rate ``r_l = min(1, (n_l**alpha / S) * N /
+       n_l)`` (S = sum of ``n**alpha``; downsampling-only -- languages
+       whose target exceeds their count keep everything), ROUNDed to
+       6 dp so engine and SQL compare the hash against the identical
+       double; a stateless ``map_batches`` keeps rows where
+       ``mix32(id, seed) / 2**32 < r_l`` and emits per-batch partial
+       (lang, n, sum(id)) rows, combined driver-side.
+
+    Returns the per-language audit table: ``lang, n_before, n_after,
+    sum_kept_ids`` (the id checksum pins the exact kept set).  The
+    language dimension is bounded (ISO codes), so the driver combine
+    is scale-safe; rates broadcast in the task closure (a dict of
+    ~100 floats).
+    """
+    import ray.data  # noqa: F401  (type only)
+
+    from ..functions.rounding import round_like_sql
+    from ..functions.sketch import mix32
+    from .shuffle import partial_count
+
+    counts = partial_count(docs, [lang_col])
+    langs = counts[lang_col].to_pylist()
+    n = counts["count"].to_numpy(zero_copy_only=False).astype(np.float64)
+    big_n = float(n.sum())
+    pw = np.power(n, alpha)
+    s = float(pw.sum())
+    rate = np.minimum(1.0, pw / s * big_n / n)
+    rate = np.asarray(round_like_sql(pa.array(rate), 6))
+    rates = dict(zip(langs, rate.tolist()))
+
+    def keep_partials(batch: pa.Table) -> pa.Table:
+        lv = batch[lang_col].to_pylist()
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        r = np.fromiter((rates.get(x, 1.0) for x in lv), np.float64, len(lv))
+        keep = mix32(ids, seed).astype(np.float64) / 4294967296.0 < r
+        t = pa.table(
+            {
+                lang_col: pa.array(lv, pa.string()),
+                "_k": pa.array(keep.astype(np.int64)),
+                "_sid": pa.array(np.where(keep, ids, 0)),
+            }
+        )
+        out = t.group_by(lang_col).aggregate([("_k", "sum"), ("_sid", "sum")])
+        return out.rename_columns([lang_col, "n_after", "sum_kept_ids"])
+
+    parts = []
+    for b in docs.select_columns([id_col, lang_col]).map_batches(
+        keep_partials, batch_format="pyarrow", batch_size=None
+    ).iter_batches(batch_format="pyarrow", batch_size=None):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        if t.num_rows:
+            parts.append(t)
+    merged = (
+        pa.concat_tables(parts)
+        .group_by(lang_col)
+        .aggregate([("n_after", "sum"), ("sum_kept_ids", "sum")])
+        .rename_columns([lang_col, "n_after", "sum_kept_ids"])
+    )
+    joined = counts.rename_columns([lang_col, "n_before"]).join(
+        merged, keys=lang_col
+    )
+    return joined.sort_by(lang_col)
