@@ -3618,6 +3618,60 @@ def _q_word_pagerank(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_word_bfs_hops(sf_dir: str) -> pa.Table:
+    """Multi-source BFS (min-hop <= 4) on the edit-1 word graph from
+    the 5 lexicographically smallest vocabulary words -- the
+    distributed Bellman-Ford rounds of stages/graph.py::bfs_min_hops
+    (one grouped shuffle per hop; edges and frontier stay Datasets).
+    Completes the graph family next to components / PageRank /
+    triangles."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.graph import (
+        bfs_min_hops,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+        edit1_vocab_pairs,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
+    ).map_batches(
+        lambda b: b.rename_columns(["text"]),
+        batch_format="pyarrow", batch_size=None,
+    )
+    pairs = edit1_vocab_pairs(ds, min_len=4)
+    sym = pa.table(
+        {
+            "w1": pa.concat_arrays(
+                [pairs["w1"].combine_chunks(), pairs["w2"].combine_chunks()]
+            ),
+            "w2": pa.concat_arrays(
+                [pairs["w2"].combine_chunks(), pairs["w1"].combine_chunks()]
+            ),
+        }
+    )
+    # seeds: 5 smallest distinct vocabulary words (incl. isolated ones)
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        distinct,
+    )
+
+    vocab_ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
+    )
+    vocab = distinct(vocab_ds, ["source"])
+    words = sorted(
+        w for w in vocab["source"].to_pylist() if len(w) >= 4
+    )
+    seeds = words[:5]
+    out = collect_tables(
+        bfs_min_hops(ray.data.from_arrow(sym), seeds, max_hops=4)
+    )
+    return out
+
+
 def _q_latest_event_per_user(sf_dir: str) -> pa.Table:
     """Latest row per key (SCD upsert / QUALIFY ROW_NUMBER()=1):
     per-batch vectorized candidate reduction, bounded driver combine."""
@@ -6231,6 +6285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_event_per_user": _q_latest_event_per_user,
         "word_components": _q_word_components,
         "word_pagerank": _q_word_pagerank,
+        "word_bfs_hops": _q_word_bfs_hops,
         "colocation_pairs": _q_colocation_pairs,
         "hist_equalize": _q_hist_equalize,
         "zonal_mode": _q_zonal_mode,
@@ -8673,6 +8728,23 @@ def oracle_sql() -> dict[str, str]:
             "FROM lab GROUP BY rep"
         ),
         "word_pagerank": _pagerank_sql(),
+        "word_bfs_hops": (
+            # recursive min-hop closure bounded at 4 hops; seeds = 5
+            # smallest vocab words (isolated seeds stay at hops 0)
+            "WITH RECURSIVE tok AS (SELECT DISTINCT source AS w "
+            "FROM documents WHERE LEN(source) >= 4), "
+            "e AS (SELECT a.w AS w1, b.w AS w2 FROM tok a JOIN tok b "
+            "ON a.w < b.w AND ABS(LEN(a.w) - LEN(b.w)) <= 1 "
+            "AND LEVENSHTEIN(a.w, b.w) = 1), "
+            "sym AS (SELECT w1, w2 FROM e "
+            "UNION ALL SELECT w2, w1 FROM e), "
+            "seeds AS (SELECT w FROM tok ORDER BY w LIMIT 5), "
+            "walk(w, d) AS (SELECT w, 0 FROM seeds "
+            "UNION SELECT sym.w2, walk.d + 1 FROM walk "
+            "JOIN sym ON sym.w1 = walk.w WHERE walk.d < 4) "
+            "SELECT w AS word, CAST(MIN(d) AS BIGINT) AS hops "
+            "FROM walk GROUP BY w"
+        ),
         "latest_event_per_user": (
             "SELECT user_id, ts, event_type, value FROM ("
             "SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id "

@@ -2627,3 +2627,29 @@ class TestLangTemperatureSample:
         keep = mix32(en_ids, 29).astype(np.float64) / 2**32 < rate
         assert out.loc["en", "n_after"] == int(keep.sum())
         assert out.loc["en", "sum_kept_ids"] == int(en_ids[keep].sum())
+
+
+class TestBfsMinHops:
+    def test_path_graph_and_cap(self, ray_session):
+        """Chain a-b-c-d-e-f from seed a: hops 0..4, f beyond the cap
+        is absent; an isolated seed appears at 0; a cross edge gives
+        the MIN hop."""
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.graph import (
+            bfs_min_hops,
+        )
+
+        chain = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+                 ("e", "f"), ("a", "c")]  # cross edge: c reachable in 1
+        w1 = [x for x, _ in chain] + [y for _, y in chain]
+        w2 = [y for _, y in chain] + [x for x, _ in chain]
+        edges = ray.data.from_arrow(
+            pa.table({"w1": pa.array(w1), "w2": pa.array(w2)})
+        )
+        out = bfs_min_hops(edges, ["a", "zzz_isolated"], max_hops=4)
+        got = dict(zip(*[out.to_pandas()[c] for c in ("word", "hops")]))
+        assert got == {
+            "a": 0, "zzz_isolated": 0, "b": 1, "c": 1, "d": 2, "e": 3,
+            "f": 4,
+        }
