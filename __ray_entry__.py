@@ -699,6 +699,21 @@ def _q_tile_curvature(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_region_labels(sf_dir: str) -> pa.Table:
+    """Connected-component labeling of above-threshold raster regions
+    (blob detection, 4-connectivity) over the slope fixture: the
+    halo-exchange shuffle emits cross-tile adjacency edges once each,
+    the tiered min-label machinery resolves components
+    (stages/raster.py::tile_region_labels)."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
+        tile_region_labels,
+    )
+
+    tiles = ray.data.from_arrow(_og_tiles_table(sparse_invalid=True, tile=24))
+    return tile_region_labels(tiles, threshold=45.0)
+
+
 def _q_tile_hillshade(sf_dir: str) -> pa.Table:
     """Lambertian hillshade (az 315 / alt 45) over the slope fixture
     raster -- trig-free algebraic normal-dot-light form, fourth
@@ -6168,6 +6183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_slope": _q_tile_slope,
         "tile_ruggedness": _q_tile_ruggedness,
         "tile_curvature": _q_tile_curvature,
+        "region_labels": _q_region_labels,
         "tile_hillshade": _q_tile_hillshade,
         "flow_direction": _q_flow_direction,
         "flow_accumulation": _q_flow_accumulation,
@@ -7513,6 +7529,23 @@ def oracle_sql() -> dict[str, str]:
             f"FROM w WHERE za > -1e30 AND zb > -1e30 AND zc > -1e30 "
             f"AND zd > -1e30 AND ze > -1e30 AND zf > -1e30 "
             f"AND zg > -1e30 AND zh > -1e30 AND zi > -1e30"
+        ),
+        "region_labels": (
+            # recursive min-label closure over 4-adjacency of
+            # above-threshold pixels; key = row * 2^20 + col
+            f"WITH RECURSIVE g AS ({_OG_SLOPE_GRID_SQL}), "
+            "v AS (SELECT row * 1048576 + col AS p, row, col FROM g "
+            "WHERE z > -1e30 AND z >= 45.0), "
+            "e AS (SELECT a.p AS p1, b.p AS p2 FROM v a JOIN v b ON "
+            "(b.row = a.row AND b.col = a.col + 1) "
+            "OR (b.row = a.row + 1 AND b.col = a.col)), "
+            "sym AS (SELECT p1, p2 FROM e UNION ALL SELECT p2, p1 FROM e), "
+            "walk(p, r) AS (SELECT p, p FROM v "
+            "UNION SELECT sym.p2, walk.r FROM walk "
+            "JOIN sym ON sym.p1 = walk.p), "
+            "lab AS (SELECT p, MIN(r) AS rep FROM walk GROUP BY p) "
+            "SELECT rep, CAST(COUNT(*) AS BIGINT) AS n_pixels "
+            "FROM lab GROUP BY rep"
         ),
         "tile_curvature": (
             # Zevenbergen-Thorne curvature: identical window joins to

@@ -2653,3 +2653,69 @@ class TestBfsMinHops:
             "a": 0, "zzz_isolated": 0, "b": 1, "c": 1, "d": 2, "e": 3,
             "f": 4,
         }
+
+
+class TestRegionLabels:
+    def test_blob_spanning_four_tiles(self, ray_session):
+        """A plus-shaped blob centered on the 4-tile corner merges into
+        ONE region across tile boundaries; a second isolated blob and a
+        singleton stay separate; counts match a reference flood fill."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
+            tile_region_labels,
+        )
+
+        size, tile = 32, 16
+        z = np.zeros((size, size), np.float32)
+        # plus blob across the (16,16) corner
+        z[14:19, 15:18] = 50.0
+        z[15:18, 13:20] = 50.0
+        # isolated second blob fully inside tile 0
+        z[2:5, 2:4] = 60.0
+        # singleton
+        z[30, 30] = 70.0
+        rows = []
+        for r0 in range(0, size, tile):
+            for c0 in range(0, size, tile):
+                rows.append(
+                    {
+                        "src": "t", "band": 1, "row_off": r0, "col_off": c0,
+                        "height": tile, "width": tile,
+                        "transform": [0.01, 0.0, 77.0, 0.0, -0.01, 29.0],
+                        "values": z[r0:r0+tile, c0:c0+tile].ravel().tolist(),
+                    }
+                )
+        tiles = pa.Table.from_pylist(rows)
+        out = tile_region_labels(
+            ray.data.from_arrow(tiles), threshold=45.0
+        ).to_pandas()
+
+        # reference flood fill (4-connectivity)
+        above = z >= 45.0
+        seen = np.zeros_like(above)
+        sizes = []
+        for r in range(size):
+            for c in range(size):
+                if above[r, c] and not seen[r, c]:
+                    stack, n = [(r, c)], 0
+                    seen[r, c] = True
+                    while stack:
+                        y, x = stack.pop()
+                        n += 1
+                        for dy, dx in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+                            yy, xx = y + dy, x + dx
+                            if (0 <= yy < size and 0 <= xx < size
+                                    and above[yy, xx] and not seen[yy, xx]):
+                                seen[yy, xx] = True
+                                stack.append((yy, xx))
+                    sizes.append(n)
+        assert sorted(out["n_pixels"]) == sorted(sizes)
+        assert len(out) == 3  # plus blob, rect blob, singleton
+        # the plus blob's rep is its min (row<<20|col) member
+        plus_cells = [(r, c) for r in range(14, 19) for c in range(15, 18)]
+        plus_cells += [(r, c) for r in range(15, 18) for c in range(13, 20)]
+        want_rep = min((r << 20) | c for r, c in plus_cells)
+        big = out.loc[out["n_pixels"].idxmax()]
+        assert int(big["rep"]) == want_rep

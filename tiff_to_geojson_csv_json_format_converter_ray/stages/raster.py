@@ -1352,3 +1352,127 @@ def watershed_reference(d8_table: pa.Table) -> dict:
         return sink[p]
 
     return {p: resolve(p) for p in nxt}
+
+
+def make_region_edge_kernel(threshold: float):
+    """Connected-component labeling, stage 1: per tile (+1px halo),
+    emit 4-connectivity edges between above-threshold pixels as
+    ``(a, b)`` int64 keys (``key = row << 20 | col``; rasters wider
+    than 2^20 columns shard the key).  Right/down edges only, emitted
+    by the left/upper pixel's tile -- each cross-tile edge is emitted
+    exactly once, by the tile owning its left/top endpoint."""
+
+    def edges(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+        )
+        asm = _assemble_padded(group)
+        if asm is None:
+            return empty
+        pad, h, w, r0, c0, _transform = asm
+        above = np.zeros_like(pad, dtype=bool)
+        fin = np.isfinite(pad)
+        above[fin] = (pad[fin] > NODATA_THRESHOLD) & (pad[fin] >= threshold)
+        core = above[1 : h + 1, 1 : w + 1]
+        right = above[1 : h + 1, 2 : w + 2]
+        down = above[2 : h + 2, 1 : w + 1]
+        rows = (np.arange(h, dtype=np.int64) + r0)[:, None]
+        cols = (np.arange(w, dtype=np.int64) + c0)[None, :]
+        key = (rows << 20) | cols
+        a_parts, b_parts = [], []
+        er, ec = np.nonzero(core & right)
+        a_parts.append(key[er, ec])
+        b_parts.append(key[er, ec] + 1)
+        dr, dc = np.nonzero(core & down)
+        a_parts.append(key[dr, dc])
+        b_parts.append(key[dr, dc] + (1 << 20))
+        a = np.concatenate(a_parts)
+        if len(a) == 0:
+            return empty
+        return pa.table(
+            {"a": pa.array(a), "b": pa.array(np.concatenate(b_parts))}
+        )
+
+    return edges
+
+
+def tile_region_labels(
+    tiles: ray.data.Dataset,
+    threshold: float,
+    stride: int | None = None,
+) -> pa.Table:
+    """Distributed connected-component labeling of above-threshold
+    raster regions (blob detection, 4-connectivity): the halo-exchange
+    shuffle emits cross-tile edges, components come from the tiered
+    min-label machinery (stages/dedup.py::_cluster_pairs -- Ray-join
+    label propagation above the in-process cutoff), singletons keep
+    their own key.  Returns ``(rep, n_pixels)`` per region, rep = min
+    (row << 20 | col) member key.  The final per-rep count here is a
+    driver combine over the region list (data-proportional only in
+    the number of REGIONS, not pixels); route it through
+    ``grouped_by_key`` for region counts beyond driver memory."""
+    from .dedup import _cluster_pairs
+
+    halos = tiles.map_batches(
+        make_emit_halos(stride, stride),
+        batch_format="pyarrow", batch_size=None,
+    )
+    edge_parts = [
+        b
+        for b in halos.groupby("halo_key")
+        .map_groups(make_region_edge_kernel(threshold), batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    ]
+    edge_parts = [
+        t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+        for t in edge_parts
+    ]
+    edge_tbl = (
+        pa.concat_tables([t for t in edge_parts if t.num_rows])
+        if any(t.num_rows for t in edge_parts)
+        else pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    )
+
+    def nodes(batch: pa.Table) -> pa.Table:
+        out = []
+        for i in range(batch.num_rows):
+            h = int(batch["height"][i].as_py())
+            w = int(batch["width"][i].as_py())
+            r0 = int(batch["row_off"][i].as_py())
+            c0 = int(batch["col_off"][i].as_py())
+            z = np.asarray(batch["values"][i].as_py(), np.float32).reshape(h, w)
+            zz = z.astype(np.float64)
+            above = np.isfinite(zz) & (zz > NODATA_THRESHOLD) & (zz >= threshold)
+            rr, cc = np.nonzero(above)
+            out.append(((rr + r0).astype(np.int64) << 20) | (cc + c0))
+        flat = np.concatenate(out) if out else np.array([], np.int64)
+        return pa.table({"node": pa.array(flat)})
+
+    node_parts = [
+        b
+        for b in tiles.map_batches(nodes, batch_format="pyarrow", batch_size=None)
+        .iter_batches(batch_format="pyarrow", batch_size=None)
+    ]
+    node_parts = [
+        t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+        for t in node_parts
+    ]
+    all_nodes = np.concatenate(
+        [t["node"].to_numpy(zero_copy_only=False) for t in node_parts if t.num_rows]
+    ) if any(t.num_rows for t in node_parts) else np.array([], np.int64)
+
+    backend = "unionfind" if edge_tbl.num_rows < 100_000 else "labelprop"
+    comp = _cluster_pairs(edge_tbl, backend, num_partitions=4)
+    rep_of = dict(
+        zip(comp["doc_id"].to_pylist(), comp["cluster_rep"].to_pylist())
+    )
+    reps = np.fromiter(
+        (rep_of.get(int(n), int(n)) for n in all_nodes), np.int64, len(all_nodes)
+    )
+    out = (
+        pa.table({"rep": pa.array(reps)})
+        .group_by("rep")
+        .aggregate([("rep", "count")])
+        .rename_columns(["rep", "n_pixels"])
+    )
+    return out.sort_by("rep")
