@@ -935,6 +935,43 @@ def _q_track_lengths(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_keyed_ewma(sf_dir: str) -> pa.Table:
+    """Per-user exponentially weighted moving average of event value
+    (alpha=0.2) over (ts, event_id) order -- the streaming smoother,
+    evaluated sequentially so partitioning cannot change the float
+    result (stages/window.py::keyed_ewma)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.window import (
+        keyed_ewma,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return collect_tables(keyed_ewma(ds, alpha=0.2))
+
+
+def _q_movement_directions(sf_dir: str) -> pa.Table:
+    """Per-user movement-direction histogram (8 compass sectors, D8
+    comparison-only classification) over consecutive geocoded fixes
+    (pipelines/tracks.py::movement_directions_ds)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.tracks import (
+        movement_directions_ds,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+    return collect_tables(movement_directions_ds(ds))
+
+
 def _q_geofence_transitions(sf_dir: str) -> pa.Table:
     """Geofence ENTER/EXIT detection: geocoded user tracks vs the
     fixture polygon set (pipelines/tracks.py::geofence_transitions_ds).
@@ -6196,6 +6233,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geohash_cells": _q_geohash_cells,
         "track_lengths": _q_track_lengths,
         "geofence_transitions": _q_geofence_transitions,
+        "keyed_ewma": _q_keyed_ewma,
+        "movement_directions": _q_movement_directions,
         "window_funcs": _q_window_funcs,
         "pivot_events": _q_pivot_events,
         "rollup_pricing": _q_rollup_pricing,
@@ -7914,6 +7953,47 @@ def oracle_sql() -> dict[str, str]:
             f"FROM s GROUP BY user_id"
         ),
         "geofence_transitions": _geofence_oracle_sql(),
+        "keyed_ewma": (
+            # sequential recurrence e = 0.2*x + 0.8*e as a recursive
+            # CTE (identical float-op order to the engine kernel;
+            # 1.0 - 0.2 == 0.8 exactly in IEEE doubles)
+            "WITH RECURSIVE p AS (SELECT user_id, "
+            "ROW_NUMBER() OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) - 1 AS i, value AS x FROM events), "
+            "ext AS (SELECT user_id, COUNT(*) AS n FROM p GROUP BY user_id), "
+            "rec(user_id, i, e) AS ("
+            "SELECT user_id, 0, x FROM p WHERE i = 0 "
+            "UNION ALL "
+            "SELECT rec.user_id, rec.i + 1, 0.2 * p.x + 0.8 * rec.e "
+            "FROM rec JOIN p ON p.user_id = rec.user_id "
+            "AND p.i = rec.i + 1) "
+            "SELECT rec.user_id, CAST(ext.n AS BIGINT) AS n_points, "
+            "ROUND(rec.e, 6) AS ewma_last "
+            "FROM rec JOIN ext ON ext.user_id = rec.user_id "
+            "WHERE rec.i = ext.n - 1"
+        ),
+        "movement_directions": (
+            "WITH g AS (SELECT user_id, ts, event_id, "
+            "77.0 + CAST(event_id % 96 AS DOUBLE) * 0.01 AS lon, "
+            "28.05 + CAST((event_id // 96) % 96 AS DOUBLE) * 0.01 AS lat "
+            "FROM events), "
+            "s AS (SELECT user_id, lon - LAG(lon) OVER w AS dx, "
+            "lat - LAG(lat) OVER w AS dy FROM g "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "d AS (SELECT user_id, "
+            "CASE WHEN ABS(dx) > ABS(dy) THEN "
+            "(CASE WHEN dx > 0 THEN 'E' ELSE 'W' END) "
+            "WHEN ABS(dy) > ABS(dx) THEN "
+            "(CASE WHEN dy > 0 THEN 'N' ELSE 'S' END) "
+            "WHEN dx > 0 AND dy > 0 THEN 'NE' "
+            "WHEN dx > 0 AND dy < 0 THEN 'SE' "
+            "WHEN dx < 0 AND dy > 0 THEN 'NW' "
+            "ELSE 'SW' END AS direction "
+            "FROM s WHERE dx IS NOT NULL "
+            "AND NOT (dx = 0 AND dy = 0)) "
+            "SELECT user_id, direction, CAST(COUNT(*) AS BIGINT) AS n_steps "
+            "FROM d GROUP BY user_id, direction"
+        ),
         "docs_pip_join": " UNION ALL ".join(
             f"SELECT '{pid}' AS polygon_id, CAST(COUNT(*) AS BIGINT) AS n FROM ("
             f"SELECT 77.0 + CAST(doc_id % 96 AS DOUBLE) * 0.01 AS lon, "

@@ -2719,3 +2719,56 @@ class TestRegionLabels:
         want_rep = min((r << 20) | c for r, c in plus_cells)
         big = out.loc[out["n_pixels"].idxmax()]
         assert int(big["rep"]) == want_rep
+
+
+class TestKeyedEwmaAndDirections:
+    def test_ewma_sequential_recurrence(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.window import (
+            keyed_ewma,
+        )
+
+        rng = np.random.default_rng(3)
+        x = rng.uniform(0, 100, 40)
+        ev = pa.table(
+            {
+                "event_id": pa.array(np.arange(40, dtype=np.int64)),
+                "user_id": pa.array([1] * 40, pa.int64()),
+                "ts": pa.array(np.arange(40, dtype=np.int64), pa.timestamp("us")),
+                "value": pa.array(x),
+            }
+        )
+        out = keyed_ewma(ray.data.from_arrow(ev), alpha=0.2).to_pandas()
+        e = x[0]
+        for v in x[1:]:
+            e = 0.2 * v + 0.8 * e
+        assert out.loc[0, "n_points"] == 40
+        assert out.loc[0, "ewma_last"] == round(e, 6)
+
+    def test_direction_classification(self, ray_session):
+        """Lattice moves: E, N, NE diagonal, and a long W jump."""
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.tracks import (
+            movement_directions_ds,
+        )
+
+        # geocode: col = eid % 96, row = eid // 96.  The (0,0)->(3,3)
+        # hop is an EXACT float tie (dx == dy) on this lattice, so it
+        # exercises the diagonal branch; most row/col-equal hops are
+        # NOT exact ties (different bases 77.0 / 28.05) and classify
+        # cardinal -- by design, identically in engine and SQL.
+        path = [(0, 0), (3, 3), (3, 5), (5, 5), (5, 1)]
+        eids = [r * 96 + c for r, c in path]
+        ev = pa.table(
+            {
+                "event_id": pa.array(eids, pa.int64()),
+                "user_id": pa.array([5] * len(eids), pa.int64()),
+                "ts": pa.array(range(len(eids)), pa.timestamp("us")),
+            }
+        )
+        out = movement_directions_ds(ray.data.from_arrow(ev)).to_pandas()
+        got = dict(zip(out["direction"], out["n_steps"]))
+        assert got == {"E": 1, "N": 1, "NE": 1, "W": 1}

@@ -225,3 +225,61 @@ def geofence_transitions_ds(
         add_mask, batch_format="pyarrow", batch_size=None
     )
     return grouped_by_key(masked, "user_id", transitions)
+
+
+def movement_directions_ds(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-user movement-direction histogram over consecutive fixes
+    (ts, event_id order): each step classifies into the 8 compass
+    sectors by PURE SIGN/MAGNITUDE COMPARISONS (the D8 convention --
+    cardinal when one axis dominates, diagonal on exact ties), so
+    engine and SQL agree bit-for-bit with no trig.  Zero-displacement
+    steps are dropped.  Returns ``(user_id, direction, n_steps)``.
+    One keyed shuffle; vectorized per-group kernel."""
+
+    def kernel(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        g = group.take(order)
+        lon = g["lon"].to_numpy(zero_copy_only=False)
+        lat = g["lat"].to_numpy(zero_copy_only=False)
+        dx = lon[1:] - lon[:-1]
+        dy = lat[1:] - lat[:-1]
+        adx, ady = np.abs(dx), np.abs(dy)
+        moved = (dx != 0.0) | (dy != 0.0)
+        # D8 sectors by comparisons only
+        names = np.empty(len(dx), dtype=object)
+        east = adx > ady
+        north = ady > adx
+        diag = ~east & ~north
+        names[east & (dx > 0)] = "E"
+        names[east & (dx < 0)] = "W"
+        names[north & (dy > 0)] = "N"
+        names[north & (dy < 0)] = "S"
+        names[diag & (dx > 0) & (dy > 0)] = "NE"
+        names[diag & (dx > 0) & (dy < 0)] = "SE"
+        names[diag & (dx < 0) & (dy > 0)] = "NW"
+        names[diag & (dx < 0) & (dy < 0)] = "SW"
+        keep = moved
+        uid = g["user_id"][0].as_py()
+        t = pa.table(
+            {
+                "direction": pa.array(list(names[keep]), pa.string()),
+                "_one": pa.array(np.ones(int(keep.sum()), np.int64)),
+            }
+        )
+        agg = t.group_by("direction").aggregate([("_one", "sum")])
+        n = agg.num_rows
+        return pa.table(
+            {
+                "user_id": pa.array([uid] * n, pa.int64()),
+                "direction": agg["direction"],
+                "n_steps": agg["_one_sum"],
+            }
+        )
+
+    from ..stages.shuffle import grouped_by_key
+
+    return grouped_by_key(geocode_events(events), "user_id", kernel)

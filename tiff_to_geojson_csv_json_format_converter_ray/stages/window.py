@@ -582,3 +582,55 @@ def locf_resample(
 
     prepared = ds.map_batches(to_cents, batch_format="pyarrow", batch_size=None)
     return grouped_by_key(prepared, key_col, kernel)
+
+
+def keyed_ewma(
+    ds,
+    alpha: float = 0.2,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+):
+    """Exponentially weighted moving average per key over (ts, id)
+    order: ``e_0 = x_0; e_t = alpha * x_t + (1 - alpha) * e_{t-1}`` --
+    the streaming smoother behind anomaly baselines and rate limiters.
+    Returns one row per key: ``(key, n_points, ewma_last)``.
+
+    The recurrence is evaluated SEQUENTIALLY with exactly the float-op
+    shape above (not the closed-form power-series, whose different
+    summation order drifts in the last ulp), so results are
+    bit-identical to the SQL oracle's recursive CTE and invariant to
+    partitioning.  One keyed shuffle; per-group state is one key's
+    rows."""
+    import pyarrow.compute as pc
+
+    from ..functions.rounding import round_like_sql
+    from ..stages.shuffle import grouped_by_key
+
+    a = float(alpha)
+    b = 1.0 - a
+
+    def kernel(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group,
+            sort_keys=[(ts_col, "ascending"), (id_col, "ascending")],
+        )
+        g = group.take(order)
+        x = g[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        e = x[0]
+        for v in x[1:]:
+            e = a * v + b * e
+        return pa.table(
+            {
+                key_col: pa.array([g[key_col][0].as_py()], pa.int64()),
+                "n_points": pa.array([len(x)], pa.int64()),
+                "ewma_last": round_like_sql([float(e)], 6),
+            }
+        )
+
+    return grouped_by_key(
+        ds.select_columns([key_col, ts_col, id_col, value_col]),
+        key_col,
+        kernel,
+    )
