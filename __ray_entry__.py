@@ -935,6 +935,47 @@ def _q_track_lengths(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_tile_focal_mode(sf_dir: str) -> pa.Table:
+    """3x3 focal-mode (majority) filter over the slope fixture raster
+    via the halo-exchange shuffle -- categorical-raster cleanup
+    (stages/raster.py::focal_mode_kernel; smallest-value tie-break)."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables, round_like_sql,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
+        tile_focal_mode,
+    )
+
+    tiles = ray.data.from_arrow(_og_tiles_table(sparse_invalid=True, tile=24))
+    out = collect_tables(tile_focal_mode(tiles))
+    return pa.table(
+        {
+            "row": out["row"],
+            "col": out["col"],
+            "focal_mode": round_like_sql(out["focal_mode"], 6),
+        }
+    )
+
+
+def _q_cusum_alarms(sf_dir: str) -> pa.Table:
+    """One-sided CUSUM changepoint alarms per user (Page 1954), exact
+    int64 arithmetic (cents x n deviations -- no float accumulation),
+    partition-invariant (stages/window.py::keyed_cusum_alarms)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.window import (
+        keyed_cusum_alarms,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return collect_tables(keyed_cusum_alarms(ds, h_units=50.0))
+
+
 def _q_keyed_ewma(sf_dir: str) -> pa.Table:
     """Per-user exponentially weighted moving average of event value
     (alpha=0.2) over (ts, event_id) order -- the streaming smoother,
@@ -6234,6 +6275,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "track_lengths": _q_track_lengths,
         "geofence_transitions": _q_geofence_transitions,
         "keyed_ewma": _q_keyed_ewma,
+        "tile_focal_mode": _q_tile_focal_mode,
+        "cusum_alarms": _q_cusum_alarms,
         "movement_directions": _q_movement_directions,
         "window_funcs": _q_window_funcs,
         "pivot_events": _q_pivot_events,
@@ -7953,6 +7996,63 @@ def oracle_sql() -> dict[str, str]:
             f"FROM s GROUP BY user_id"
         ),
         "geofence_transitions": _geofence_oracle_sql(),
+        "tile_focal_mode": (
+            # 3x3 focal mode: identical window joins to tile_slope,
+            # per-pixel count-per-value, MIN over the argmax ties
+            f"WITH g AS ({_OG_SLOPE_GRID_SQL}), w AS ("
+            f"SELECT e.row AS row, e.col AS col, "
+            f"n1.z AS za, n2.z AS zb, n3.z AS zc, n4.z AS zd, e.z AS ze, "
+            f"n6.z AS zf, n7.z AS zg, n8.z AS zh, n9.z AS zi "
+            f"FROM g e "
+            f"JOIN g n1 ON n1.row = e.row - 1 AND n1.col = e.col - 1 "
+            f"JOIN g n2 ON n2.row = e.row - 1 AND n2.col = e.col "
+            f"JOIN g n3 ON n3.row = e.row - 1 AND n3.col = e.col + 1 "
+            f"JOIN g n4 ON n4.row = e.row AND n4.col = e.col - 1 "
+            f"JOIN g n6 ON n6.row = e.row AND n6.col = e.col + 1 "
+            f"JOIN g n7 ON n7.row = e.row + 1 AND n7.col = e.col - 1 "
+            f"JOIN g n8 ON n8.row = e.row + 1 AND n8.col = e.col "
+            f"JOIN g n9 ON n9.row = e.row + 1 AND n9.col = e.col + 1 "
+            f"WHERE n1.z > -1e30 AND n2.z > -1e30 AND n3.z > -1e30 "
+            f"AND n4.z > -1e30 AND e.z > -1e30 AND n6.z > -1e30 "
+            f"AND n7.z > -1e30 AND n8.z > -1e30 AND n9.z > -1e30), "
+            f"u AS (SELECT row, col, "
+            f"UNNEST([za, zb, zc, zd, ze, zf, zg, zh, zi]) AS v FROM w), "
+            f"c AS (SELECT row, col, v, COUNT(*) AS n FROM u "
+            f"GROUP BY row, col, v), "
+            f"m AS (SELECT row, col, MAX(n) AS mx FROM c GROUP BY row, col) "
+            f"SELECT c.row, c.col, ROUND(MIN(c.v), 6) AS focal_mode "
+            f"FROM c JOIN m ON m.row = c.row AND m.col = c.col "
+            f"AND c.n = m.mx GROUP BY c.row, c.col"
+        ),
+        "cusum_alarms": (
+            # exact-integer CUSUM recurrence as a recursive CTE:
+            # dev = cents * n - total, alarm/reset above 5000 * n
+            "WITH RECURSIVE p AS (SELECT user_id, "
+            "ROW_NUMBER() OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) - 1 AS i, "
+            "CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events), "
+            "ext AS (SELECT user_id, COUNT(*) AS n, SUM(cents) AS total "
+            "FROM p GROUP BY user_id), "
+            "rec(user_id, i, s, alarms) AS ("
+            "SELECT user_id, -1, CAST(0 AS BIGINT), CAST(0 AS BIGINT) "
+            "FROM ext "
+            "UNION ALL "
+            "SELECT q.user_id, q.i, "
+            "CASE WHEN q.alarm THEN CAST(0 AS BIGINT) ELSE q.s2 END, "
+            "q.alarms + CAST(q.alarm AS BIGINT) "
+            "FROM (SELECT rec.user_id, rec.i + 1 AS i, rec.alarms, "
+            "GREATEST(CAST(0 AS BIGINT), "
+            "rec.s + p.cents * ext.n - ext.total) AS s2, "
+            "GREATEST(CAST(0 AS BIGINT), "
+            "rec.s + p.cents * ext.n - ext.total) > 5000 * ext.n AS alarm "
+            "FROM rec JOIN ext ON ext.user_id = rec.user_id "
+            "JOIN p ON p.user_id = rec.user_id AND p.i = rec.i + 1 "
+            "WHERE rec.i + 1 < ext.n) q) "
+            "SELECT rec.user_id, CAST(ext.n AS BIGINT) AS n_points, "
+            "rec.alarms AS n_alarms "
+            "FROM rec JOIN ext ON ext.user_id = rec.user_id "
+            "WHERE rec.i = ext.n - 1"
+        ),
         "keyed_ewma": (
             # sequential recurrence e = 0.2*x + 0.8*e as a recursive
             # CTE (identical float-op order to the engine kernel;

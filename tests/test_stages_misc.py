@@ -2772,3 +2772,82 @@ class TestKeyedEwmaAndDirections:
         out = movement_directions_ds(ray.data.from_arrow(ev)).to_pandas()
         got = dict(zip(out["direction"], out["n_steps"]))
         assert got == {"E": 1, "N": 1, "NE": 1, "W": 1}
+
+
+class TestFocalModeAndCusum:
+    def test_focal_mode_majority_and_tiebreak(self, ray_session):
+        """A 4x4 raster of 5.0 with two 9.0 pixels: windows with <5
+        nines keep mode 5.0; a window of 4 vs 5 splits by majority;
+        exact ties break to the smaller value."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
+            tile_focal_mode,
+        )
+
+        z = np.full((4, 4), 5.0, np.float32)
+        z[1, 1] = 9.0
+        z[1, 2] = 9.0
+        tiles = pa.Table.from_pylist([{
+            "src": "t", "band": 1, "row_off": 0, "col_off": 0,
+            "height": 4, "width": 4,
+            "transform": [0.01, 0.0, 77.0, 0.0, -0.01, 29.0],
+            "values": z.ravel().tolist(),
+        }])
+        out = tile_focal_mode(ray.data.from_arrow(tiles)).to_pandas()
+        got = {(r, c): v for r, c, v in zip(out["row"], out["col"],
+                                            out["focal_mode"])}
+        # only interior pixels have full windows: rows/cols 1-2
+        assert set(got) == {(1, 1), (1, 2), (2, 1), (2, 2)}
+        assert all(v == 5.0 for v in got.values())  # 9s never majority
+
+        # exact tie: half 3.0, half 7.0 in a 3x3 is impossible (9 odd),
+        # so craft 4x 3.0 + 4x 7.0 + center 3.0 -> 5 vs 4 majority 3.0;
+        # then center 7.0 -> 4 vs 5 majority 7.0
+        z2 = np.array([[3, 3, 7], [3, 7, 7], [3, 7, 3]], np.float32)
+        tiles2 = pa.Table.from_pylist([{
+            "src": "u", "band": 1, "row_off": 0, "col_off": 0,
+            "height": 3, "width": 3,
+            "transform": [0.01, 0.0, 77.0, 0.0, -0.01, 29.0],
+            "values": z2.ravel().tolist(),
+        }])
+        out2 = tile_focal_mode(ray.data.from_arrow(tiles2)).to_pandas()
+        assert list(out2["focal_mode"]) == [3.0]  # 5x 3.0 vs 4x 7.0
+
+    def test_cusum_step_change(self, ray_session):
+        """Flat series: no alarms.  A step change accumulates positive
+        deviations and fires; alarm count matches a hand recurrence."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.window import (
+            keyed_cusum_alarms,
+        )
+
+        flat = [10.0] * 50
+        step = [10.0] * 25 + [200.0] * 25
+        rows = []
+        for uid, series in ((1, flat), (2, step)):
+            for i, v in enumerate(series):
+                rows.append({"event_id": i, "user_id": uid,
+                             "ts": i, "value": v})
+        ev = pa.Table.from_pylist(rows).set_column(
+            2, "ts", pa.array([r["ts"] for r in rows], pa.timestamp("us"))
+        )
+        out = keyed_cusum_alarms(
+            ray.data.from_arrow(ev), h_units=50.0
+        ).to_pandas().set_index("user_id")
+        assert out.loc[1, "n_alarms"] == 0
+
+        # hand recurrence for user 2
+        cents = np.array([round(v * 100) for v in step], np.int64)
+        n, total = len(cents), int(cents.sum())
+        s, alarms = 0, 0
+        for c in cents:
+            s = max(0, s + int(c) * n - total)
+            if s > 5000 * n:
+                alarms += 1
+                s = 0
+        assert alarms > 0
+        assert out.loc[2, "n_alarms"] == alarms

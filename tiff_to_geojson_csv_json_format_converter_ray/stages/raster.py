@@ -1476,3 +1476,62 @@ def tile_region_labels(
         .rename_columns(["rep", "n_pixels"])
     )
     return out.sort_by("rep")
+
+
+def focal_mode_kernel(group: pa.Table) -> pa.Table:
+    """3x3 focal MODE (majority) filter -- the classic categorical-
+    raster cleanup (salt-and-pepper removal).  Mode over the 9 window
+    values; ties break to the SMALLEST value (deterministic, matching
+    the SQL oracle's MIN-over-argmax).  Validity contract identical to
+    :func:`horn_kernel` (full window above the nodata threshold)."""
+    asm = _assemble_padded(group)
+    if asm is None:
+        return _empty_focal_mode_table()
+    pad, h, w, r0, c0, _transform = asm
+    stack = np.stack(
+        [
+            pad[r : r + h, c : c + w]
+            for r in range(3)
+            for c in range(3)
+        ]
+    )
+    valid = np.all(np.isfinite(stack) & (stack > NODATA_THRESHOLD), axis=0)
+    if not valid.any():
+        return _empty_focal_mode_table()
+    counts = np.zeros_like(stack, dtype=np.int8)
+    for i in range(9):
+        for j in range(9):
+            counts[i] += stack[i] == stack[j]
+    best = counts.max(axis=0)
+    cand = np.where(counts == best[None], stack, np.inf)
+    mode = cand.min(axis=0)
+    rr, cc = np.nonzero(valid)
+    return pa.table(
+        {
+            "row": pa.array((rr + r0).astype(np.int64)),
+            "col": pa.array((cc + c0).astype(np.int64)),
+            "focal_mode": pa.array(mode[rr, cc]),
+        }
+    )
+
+
+def _empty_focal_mode_table() -> pa.Table:
+    return pa.table(
+        {
+            "row": pa.array([], pa.int64()),
+            "col": pa.array([], pa.int64()),
+            "focal_mode": pa.array([], pa.float64()),
+        }
+    )
+
+
+def tile_focal_mode(tiles: ray.data.Dataset, stride: int | None = None) -> ray.data.Dataset:
+    """3x3 focal mode over a tile Dataset via the same halo-exchange
+    shuffle as :func:`tile_slope`."""
+    halos = tiles.map_batches(
+        make_emit_halos(stride, stride),
+        batch_format="pyarrow", batch_size=None,
+    )
+    return halos.groupby("halo_key").map_groups(
+        focal_mode_kernel, batch_format="pyarrow"
+    )

@@ -634,3 +634,57 @@ def keyed_ewma(
         key_col,
         kernel,
     )
+
+
+def keyed_cusum_alarms(
+    ds,
+    h_units: float = 50.0,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+):
+    """One-sided CUSUM changepoint alarms per key (Page 1954):
+    ``S_t = max(0, S_{t-1} + dev_t)``, alarm + reset when
+    ``S_t > h``.  Deviation is from the key's own mean, but computed in
+    EXACT int64 arithmetic so results are partition-invariant and
+    bit-identical to SQL: values quantize to cents, deviations scale
+    by the key's row count (``dev = n * cents_t - total_cents`` avoids
+    the division entirely), and the alarm threshold becomes
+    ``h_units * 100 * n``.  Returns ``(key, n_points, n_alarms)``.
+    One keyed shuffle; sequential integer recurrence per group."""
+    import pyarrow.compute as pc
+
+    from ..functions.rounding import scaled_int
+    from ..stages.shuffle import grouped_by_key
+
+    def kernel(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group,
+            sort_keys=[(ts_col, "ascending"), (id_col, "ascending")],
+        )
+        g = group.take(order)
+        cents = scaled_int(g[value_col], 100.0)
+        n = len(cents)
+        total = int(cents.sum())
+        thresh = int(round(h_units * 100.0)) * n
+        s = 0
+        alarms = 0
+        for c in cents:
+            s = max(0, s + int(c) * n - total)
+            if s > thresh:
+                alarms += 1
+                s = 0
+        return pa.table(
+            {
+                key_col: pa.array([g[key_col][0].as_py()], pa.int64()),
+                "n_points": pa.array([n], pa.int64()),
+                "n_alarms": pa.array([alarms], pa.int64()),
+            }
+        )
+
+    return grouped_by_key(
+        ds.select_columns([key_col, ts_col, id_col, value_col]),
+        key_col,
+        kernel,
+    )
