@@ -935,6 +935,43 @@ def _q_track_lengths(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_track_speed_stats(sf_dir: str) -> pa.Table:
+    """Per-user speed profile (max speed, speeding-step count above
+    0.1 units/hour) over consecutive geocoded fixes
+    (pipelines/tracks.py::track_speed_stats_ds)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.tracks import (
+        track_speed_stats_ds,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+    return collect_tables(track_speed_stats_ds(ds, speed_limit=0.1))
+
+
+def _q_debounce_events(sf_dir: str) -> pa.Table:
+    """Event debounce per (user, event_type): keep a row only >= 24 h
+    after the last KEPT row (alert suppression; the kept set is a
+    sequential recurrence, not a LAG) -- exact int64 microseconds
+    (stages/window.py::keyed_debounce)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.window import (
+        keyed_debounce,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return collect_tables(keyed_debounce(ds, window_s=86400.0))
+
+
 def _q_tile_focal_mode(sf_dir: str) -> pa.Table:
     """3x3 focal-mode (majority) filter over the slope fixture raster
     via the halo-exchange shuffle -- categorical-raster cleanup
@@ -6276,6 +6313,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geofence_transitions": _q_geofence_transitions,
         "keyed_ewma": _q_keyed_ewma,
         "tile_focal_mode": _q_tile_focal_mode,
+        "track_speed_stats": _q_track_speed_stats,
+        "debounce_events": _q_debounce_events,
         "cusum_alarms": _q_cusum_alarms,
         "movement_directions": _q_movement_directions,
         "window_funcs": _q_window_funcs,
@@ -7996,6 +8035,57 @@ def oracle_sql() -> dict[str, str]:
             f"FROM s GROUP BY user_id"
         ),
         "geofence_transitions": _geofence_oracle_sql(),
+        "track_speed_stats": (
+            "WITH g AS (SELECT user_id, ts, event_id, "
+            "77.0 + CAST(event_id % 96 AS DOUBLE) * 0.01 AS lon, "
+            "28.05 + CAST((event_id // 96) % 96 AS DOUBLE) * 0.01 AS lat "
+            "FROM events), "
+            "s AS (SELECT user_id, lon - LAG(lon) OVER w AS dx, "
+            "lat - LAG(lat) OVER w AS dy, "
+            "date_diff('microsecond', LAG(ts) OVER w, ts) AS dt_us "
+            "FROM g WINDOW w AS (PARTITION BY user_id "
+            "ORDER BY ts, event_id)), "
+            "v AS (SELECT user_id, SQRT(dx * dx + dy * dy) / "
+            "(CAST(dt_us AS DOUBLE) / 3600000000.0) AS sp "
+            "FROM s WHERE dt_us > 0) "
+            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_steps, "
+            "ROUND(MAX(sp), 6) AS max_speed, "
+            "CAST(SUM(CASE WHEN sp > 0.1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_speeding FROM v GROUP BY user_id"
+        ),
+        "debounce_events": (
+            # sequential kept-set recurrence (last KEPT ts, 24 h) as a
+            # recursive CTE in exact int64 microseconds
+            "WITH RECURSIVE p AS (SELECT user_id, event_type, "
+            "ROW_NUMBER() OVER (PARTITION BY user_id, event_type "
+            "ORDER BY ts, event_id) - 1 AS i, "
+            "epoch_us(ts) AS t, event_id FROM events), "
+            "ext AS (SELECT user_id, event_type, COUNT(*) AS n "
+            "FROM p GROUP BY user_id, event_type), "
+            "rec(user_id, event_type, i, last_t, n_kept, sum_ids) AS ("
+            "SELECT user_id, event_type, -1, CAST(NULL AS BIGINT), "
+            "CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM ext "
+            "UNION ALL "
+            "SELECT q.user_id, q.event_type, q.i, "
+            "CASE WHEN q.keep THEN q.t ELSE q.last_t END, "
+            "q.n_kept + CAST(q.keep AS BIGINT), "
+            "q.sum_ids + CASE WHEN q.keep THEN q.event_id ELSE 0 END "
+            "FROM (SELECT rec.user_id, rec.event_type, rec.i + 1 AS i, "
+            "rec.last_t, rec.n_kept, rec.sum_ids, p.t, p.event_id, "
+            "(rec.last_t IS NULL OR p.t - rec.last_t >= 86400000000) "
+            "AS keep "
+            "FROM rec JOIN ext ON ext.user_id = rec.user_id "
+            "AND ext.event_type = rec.event_type "
+            "JOIN p ON p.user_id = rec.user_id "
+            "AND p.event_type = rec.event_type AND p.i = rec.i + 1 "
+            "WHERE rec.i + 1 < ext.n) q) "
+            "SELECT rec.user_id, rec.event_type, "
+            "CAST(ext.n AS BIGINT) AS n_events, rec.n_kept AS n_kept, "
+            "rec.sum_ids AS sum_kept_ids "
+            "FROM rec JOIN ext ON ext.user_id = rec.user_id "
+            "AND ext.event_type = rec.event_type "
+            "WHERE rec.i = ext.n - 1"
+        ),
         "tile_focal_mode": (
             # 3x3 focal mode: identical window joins to tile_slope,
             # per-pixel count-per-value, MIN over the argmax ties

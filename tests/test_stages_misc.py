@@ -2851,3 +2851,69 @@ class TestFocalModeAndCusum:
                 s = 0
         assert alarms > 0
         assert out.loc[2, "n_alarms"] == alarms
+
+
+class TestSpeedAndDebounce:
+    def test_debounce_sequential_not_lag(self, ray_session):
+        """Events at t = 0, 30, 61, 100 s with a 60 s window: kept =
+        {0, 61} (the 100 s event is only 39 s after the KEPT 61 -- a
+        naive LAG-on-all-rows filter would wrongly keep it)."""
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.window import (
+            keyed_debounce,
+        )
+
+        ts = [0, 30, 61, 100]
+        ev = pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "user_id": pa.array([9] * 4, pa.int64()),
+                "event_type": pa.array(["x"] * 4),
+                "ts": pa.array([t * 1_000_000 for t in ts],
+                               pa.timestamp("us")),
+            }
+        )
+        out = keyed_debounce(
+            ray.data.from_arrow(ev), window_s=60.0
+        ).to_pandas()
+        assert out.loc[0, "n_events"] == 4
+        assert out.loc[0, "n_kept"] == 2
+        assert out.loc[0, "sum_kept_ids"] == 1 + 3
+
+    def test_speed_stats_hand_case(self, ray_session):
+        """Two fixes 0.01 units apart over 360 s = 0.1 units/hour
+        exactly -> NOT speeding (strict >); a faster step is."""
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.tracks import (
+            track_speed_stats_ds,
+        )
+
+        # geocode: col = eid % 96 -> dx = 0.01 per col step
+        eids = [10, 11, 13]  # steps: 1 col, then 2 cols
+        ev = pa.table(
+            {
+                "event_id": pa.array(eids, pa.int64()),
+                "user_id": pa.array([3] * 3, pa.int64()),
+                # 360 s then 360 s: speeds 0.1 then 0.2 units/hour
+                "ts": pa.array([0, 360_000_000, 720_000_000],
+                               pa.timestamp("us")),
+            }
+        )
+        out = track_speed_stats_ds(
+            ray.data.from_arrow(ev), speed_limit=0.1
+        ).to_pandas()
+        # independent recompute with the operator's exact float ops
+        # (lattice deltas are NOT exactly 0.01 -- 77 + 11*0.01 minus
+        # 77 + 10*0.01 carries representation error, by design shared
+        # with the SQL oracle)
+        import math
+        lons = [77.0 + (e % 96) * 0.01 for e in eids]
+        speeds = [
+            math.sqrt((lons[i+1] - lons[i]) ** 2) / (360_000_000 / 3.6e9)
+            for i in range(2)
+        ]
+        assert out.loc[0, "n_steps"] == 2
+        assert out.loc[0, "n_speeding"] == sum(s > 0.1 for s in speeds)
+        assert abs(out.loc[0, "max_speed"] - max(speeds)) < 1e-6

@@ -283,3 +283,56 @@ def movement_directions_ds(events: ray.data.Dataset) -> ray.data.Dataset:
     from ..stages.shuffle import grouped_by_key
 
     return grouped_by_key(geocode_events(events), "user_id", kernel)
+
+
+def track_speed_stats_ds(
+    events: ray.data.Dataset, speed_limit: float = 0.1
+) -> ray.data.Dataset:
+    """Per-user speed profile over consecutive geocoded fixes: speed =
+    planar step distance / hours elapsed; returns ``(user_id, n_steps,
+    max_speed, n_speeding)`` (steps above ``speed_limit`` units/hour).
+    Zero-duration steps are dropped (speed undefined).  Distance uses
+    the explicit ``sqrt(dx*dx + dy*dy)`` form (NOT ``np.hypot``, whose
+    internally rescaled rounding can differ from SQL's SQRT in the
+    last ulp).  One keyed shuffle, vectorized kernel."""
+
+    def kernel(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        g = group.take(order)
+        lon = g["lon"].to_numpy(zero_copy_only=False)
+        lat = g["lat"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dx = lon[1:] - lon[:-1]
+        dy = lat[1:] - lat[:-1]
+        dt_us = ts[1:] - ts[:-1]
+        ok = dt_us > 0
+        if not ok.any():
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_steps": pa.array([], pa.int64()),
+                    "max_speed": pa.array([], pa.float64()),
+                    "n_speeding": pa.array([], pa.int64()),
+                }
+            )
+        sp = np.sqrt(dx[ok] * dx[ok] + dy[ok] * dy[ok]) / (
+            dt_us[ok].astype(np.float64) / 3600000000.0
+        )
+        return pa.table(
+            {
+                "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
+                "n_steps": pa.array([int(ok.sum())], pa.int64()),
+                "max_speed": round_like_sql([float(sp.max())], 6),
+                "n_speeding": pa.array(
+                    [int((sp > speed_limit).sum())], pa.int64()
+                ),
+            }
+        )
+
+    from ..stages.shuffle import grouped_by_key
+
+    return grouped_by_key(geocode_events(events), "user_id", kernel)

@@ -688,3 +688,51 @@ def keyed_cusum_alarms(
         key_col,
         kernel,
     )
+
+
+def keyed_debounce(
+    ds,
+    window_s: float = 86400.0,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+):
+    """Event debounce per key: keep a row only when at least
+    ``window_s`` has passed since the last KEPT row of the same key --
+    the alert-suppression / retry-collapse primitive.  The kept set is
+    defined by a sequential recurrence over kept timestamps (a plain
+    LAG over all rows computes a DIFFERENT, wrong set), evaluated in
+    exact int64 microseconds.  Returns one audit row per key:
+    ``(keys..., n_events, n_kept, sum_kept_ids)``."""
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import grouped_by_key
+
+    keys = key_cols if key_cols is not None else ["user_id", "event_type"]
+    w_us = int(round(window_s * 1_000_000.0))
+
+    def kernel(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group,
+            sort_keys=[(ts_col, "ascending"), (id_col, "ascending")],
+        )
+        g = group.take(order)
+        ts = g[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        last = None
+        n_kept = 0
+        sum_ids = 0
+        for t, i in zip(ts, ids):
+            if last is None or t - last >= w_us:
+                n_kept += 1
+                sum_ids += int(i)
+                last = int(t)
+        cols = {k: pa.array([g[k][0].as_py()]) for k in keys}
+        cols["n_events"] = pa.array([len(ts)], pa.int64())
+        cols["n_kept"] = pa.array([n_kept], pa.int64())
+        cols["sum_kept_ids"] = pa.array([sum_ids], pa.int64())
+        return pa.table(cols)
+
+    return grouped_by_key(
+        ds.select_columns(keys + [ts_col, id_col]), keys, kernel
+    )
