@@ -935,6 +935,23 @@ def _q_track_lengths(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_media_ahash_pairs(sf_dir: str) -> pa.Table:
+    """Perceptual (average-hash) near-duplicate image pairs over REAL
+    PNG bytes: the from-scratch codec decodes each payload, a
+    stateless map_batches emits one 64-bit signature per image,
+    Hamming pairs follow (stages/multimodal.py::image_ahash_pairs).
+    The fixture's closed-form pixel rule (gen_media_grid) is what the
+    SQL oracle recomputes -- so a hash mismatch catches BOTH a decode
+    bug and a hash bug."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.multimodal import (
+        gen_media_grid, image_ahash_pairs,
+    )
+
+    media = ray.data.from_arrow(gen_media_grid(n=24, size=32, n_base=16))
+    return image_ahash_pairs(media, max_hamming=6)
+
+
 def _q_track_speed_stats(sf_dir: str) -> pa.Table:
     """Per-user speed profile (max speed, speeding-step count above
     0.1 units/hour) over consecutive geocoded fixes
@@ -6314,6 +6331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyed_ewma": _q_keyed_ewma,
         "tile_focal_mode": _q_tile_focal_mode,
         "track_speed_stats": _q_track_speed_stats,
+        "media_ahash_pairs": _q_media_ahash_pairs,
         "debounce_events": _q_debounce_events,
         "cusum_alarms": _q_cusum_alarms,
         "movement_directions": _q_movement_directions,
@@ -8035,6 +8053,29 @@ def oracle_sql() -> dict[str, str]:
             f"FROM s GROUP BY user_id"
         ),
         "geofence_transitions": _geofence_oracle_sql(),
+        "media_ahash_pairs": (
+            # recompute the decoded-pixel rule in SQL: block sums over
+            # the formula grid, division-free mean bits, Hamming pairs
+            "WITH px AS (SELECT i.range AS i, r.range AS r, c.range AS c, "
+            "(r.range * 73 + c.range * 31 + (i.range % 16) * 17 "
+            "+ CASE WHEN i.range >= 16 AND r.range < 4 AND c.range < 4 "
+            "THEN 100 ELSE 0 END) % 256 AS v "
+            "FROM range(0, 24) i, range(0, 32) r, range(0, 32) c), "
+            "blk AS (SELECT i, (r // 4) * 8 + (c // 4) AS b, "
+            "SUM(v) AS bs FROM px GROUP BY i, b), "
+            "tot AS (SELECT i, SUM(v) AS ts FROM px GROUP BY i), "
+            "bits AS (SELECT blk.i, blk.b, "
+            "CASE WHEN blk.bs * 64 > tot.ts THEN 1 ELSE 0 END AS bit "
+            "FROM blk JOIN tot ON tot.i = blk.i), "
+            "ham AS (SELECT a.i AS ia, b.i AS ib, "
+            "SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS h "
+            "FROM bits a JOIN bits b ON a.b = b.b "
+            "AND 'm' || CAST(a.i AS VARCHAR) < 'm' || CAST(b.i AS VARCHAR) "
+            "GROUP BY a.i, b.i) "
+            "SELECT 'm' || CAST(ia AS VARCHAR) AS id_a, "
+            "'m' || CAST(ib AS VARCHAR) AS id_b, "
+            "CAST(h AS BIGINT) AS hamming FROM ham WHERE h <= 6"
+        ),
         "track_speed_stats": (
             "WITH g AS (SELECT user_id, ts, event_id, "
             "77.0 + CAST(event_id % 96 AS DOUBLE) * 0.01 AS lon, "

@@ -2917,3 +2917,41 @@ class TestSpeedAndDebounce:
         assert out.loc[0, "n_steps"] == 2
         assert out.loc[0, "n_speeding"] == sum(s > 0.1 for s in speeds)
         assert abs(out.loc[0, "max_speed"] - max(speeds)) < 1e-6
+
+
+class TestImageAhash:
+    def test_decode_feeds_hash(self, ray_session):
+        """The signature really comes from DECODED PNG bytes: encoding
+        a different image under the same id changes the pair set."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.sources.media import (
+            encode_png,
+        )
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.multimodal import (
+            ahash_bits, gen_media_grid, image_ahash_pairs,
+        )
+
+        media = gen_media_grid(n=24, size=32, n_base=16)
+        base = image_ahash_pairs(ray.data.from_arrow(media), max_hamming=6)
+        assert base.num_rows == 8  # the 8 perturbed copies pair up
+
+        # replace m16's payload with an unrelated gradient image
+        grad = np.tile(
+            np.linspace(0, 255, 32, dtype=np.uint8)[None, :], (32, 1)
+        )
+        img = np.repeat(grad[:, :, None], 3, axis=2)
+        payloads = media["payload"].to_pylist()
+        payloads[16] = encode_png(img)
+        media2 = media.set_column(
+            2, "payload", pa.array(payloads, pa.binary())
+        )
+        out2 = image_ahash_pairs(ray.data.from_arrow(media2), max_hamming=6)
+        pairs2 = set(zip(out2["id_a"].to_pylist(), out2["id_b"].to_pylist()))
+        assert ("m0", "m16") not in pairs2
+        assert out2.num_rows == 7
+
+        # hash bits: integer block-mean comparison sanity
+        flat = np.full((8, 8), 7, np.uint8)
+        assert ahash_bits(flat, block=4).sum() == 0  # no block above mean

@@ -213,3 +213,112 @@ class FrameSample:
                 "pixel_mean": pa.array(out_mean),
             }
         )
+
+
+def gen_media_grid(n: int = 24, size: int = 32, n_base: int = 16) -> pa.Table:
+    """Formula-pixel PNG fixture: image ``i`` has grayscale pixels
+    ``v(r, c) = (r*73 + c*31 + (i % n_base)*17 + p*100) % 256`` with
+    ``p = 1`` on the top-left 4x4 block for the perturbed copies
+    (``i >= n_base``) -- i.e. images ``i`` and ``i - n_base`` are
+    NEAR-duplicates differing in one block.  Payloads are REAL PNG
+    bytes from the from-scratch codec; the closed-form pixel rule is
+    what makes a SQL oracle possible for ops over decoded content."""
+    from ..sources.media import encode_png
+
+    ids, payloads = [], []
+    r = np.arange(size, dtype=np.int64)[:, None]
+    c = np.arange(size, dtype=np.int64)[None, :]
+    for i in range(n):
+        k = i % n_base
+        p = np.zeros((size, size), np.int64)
+        if i >= n_base:
+            p[:4, :4] = 1
+        v = ((r * 73 + c * 31 + k * 17 + p * 100) % 256).astype(np.uint8)
+        img = np.repeat(v[:, :, None], 3, axis=2)
+        ids.append(f"m{i}")
+        payloads.append(encode_png(img))
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "media_type": pa.array(["image/png"] * n),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array([size] * n, pa.int32()),
+            "height": pa.array([size] * n, pa.int32()),
+            "sample_rate": pa.array([0] * n, pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def ahash_bits(gray: np.ndarray, block: int = 4) -> np.ndarray:
+    """Average-hash bits of one grayscale image: bit_b = 1 iff block
+    b's pixel sum x n_blocks exceeds the global sum (the integer form
+    of ``block_mean > global_mean`` -- division-free, exact)."""
+    h, w = gray.shape
+    g = gray.astype(np.int64)
+    bs = g.reshape(h // block, block, w // block, block).sum(axis=(1, 3))
+    n_blocks = bs.size
+    return (bs.ravel() * n_blocks > g.sum()).astype(np.int64)
+
+
+def image_ahash_pairs(
+    media: "ray.data.Dataset", max_hamming: int = 6, block: int = 4
+):
+    """Perceptual near-duplicate detection over IMAGE BYTES: decode
+    (from-scratch codecs) + average-hash per batch (stateless
+    ``map_batches``, one 64-bit signature per image leaves the stage),
+    then Hamming pairs over the signature table.  The pair step here
+    is the driver all-pairs tier (signature tables are tiny relative
+    to payload bytes); beyond driver memory, band the 64 bits into 4x
+    16-bit keys and reuse the LSH ``groupby`` machinery of
+    stages/dedup.py (pigeonhole: Hamming <= 6 pairs share at least one
+    exact band for 4 bands... holds for <= 3; use 7 bands of 9 bits
+    for <= 6).  Returns ``(id_a, id_b, hamming)``, id_a < id_b."""
+    import ray.data  # noqa: F401
+
+    from ..sources.media import decode_media
+
+    def sig(batch: pa.Table) -> pa.Table:
+        ids, bits = [], []
+        for i in range(batch.num_rows):
+            arr = decode_media(
+                batch["payload"][i].as_py(), batch["media_type"][i].as_py()
+            )
+            gray = arr[:, :, 0] if arr.ndim == 3 else arr
+            ids.append(batch["media_id"][i].as_py())
+            bits.append(ahash_bits(gray, block))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "bits": pa.array(
+                    [b.tolist() for b in bits], pa.list_(pa.int64())
+                ),
+            }
+        )
+
+    parts = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in media.map_batches(
+            sig, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+    ]
+    tbl = pa.concat_tables([t for t in parts if t.num_rows])
+    ids = tbl["media_id"].to_pylist()
+    mat = np.array(tbl["bits"].to_pylist(), np.int64)
+    order = np.argsort(np.asarray(ids))
+    ids = [ids[int(i)] for i in order]
+    mat = mat[order]
+    out_a, out_b, out_h = [], [], []
+    for i in range(len(ids)):
+        ham = np.abs(mat[i + 1 :] - mat[i]).sum(axis=1)
+        for j in np.flatnonzero(ham <= max_hamming):
+            out_a.append(ids[i])
+            out_b.append(ids[i + 1 + int(j)])
+            out_h.append(int(ham[int(j)]))
+    return pa.table(
+        {
+            "id_a": pa.array(out_a, pa.string()),
+            "id_b": pa.array(out_b, pa.string()),
+            "hamming": pa.array(out_h, pa.int64()),
+        }
+    )
