@@ -346,6 +346,11 @@ EXTRA_QUERY_SUBSET = [
     "asof_lag", "asof_next", "window_join_clicks",
     "url_domain_stats", "domain_cap_sample", "url_dedup", "quality_filter_by_lang",
     "big_join_revenue_shuffle",
+    # round-3 session-3 additions
+    "tile_curvature", "geofence_transitions", "lang_temperature_sample",
+    "word_bfs_hops", "region_labels", "keyed_ewma", "movement_directions",
+    "tile_focal_mode", "cusum_alarms", "track_speed_stats",
+    "debounce_events", "media_ahash_pairs",
 ]
 
 
