@@ -935,6 +935,22 @@ def _q_track_lengths(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_polygon_coverage(sf_dir: str) -> pa.Table:
+    """Polygon rasterization: res-7 cell coverage fractions via an
+    8x8 strict-halfplane supersample (the inverse of zonal stats;
+    pipelines/zonal.py::polygon_coverage_ds).  Exact integer counts --
+    engine and SQL evaluate the identical subpoint lattice and edge
+    tests."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.zonal import (
+        polygon_coverage_ds,
+    )
+
+    return collect_tables(polygon_coverage_ds(OG_POLYGONS, res=7, ss=8))
+
+
 def _q_media_ahash_pairs(sf_dir: str) -> pa.Table:
     """Perceptual (average-hash) near-duplicate image pairs over REAL
     PNG bytes: the from-scratch codec decodes each payload, a
@@ -6332,6 +6348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_focal_mode": _q_tile_focal_mode,
         "track_speed_stats": _q_track_speed_stats,
         "media_ahash_pairs": _q_media_ahash_pairs,
+        "polygon_coverage": _q_polygon_coverage,
         "debounce_events": _q_debounce_events,
         "cusum_alarms": _q_cusum_alarms,
         "movement_directions": _q_movement_directions,
@@ -6786,6 +6803,46 @@ def _quality_features_oracle_sql() -> str:
         "* (0.5 + 0.5 * LEAST(uniq * 1.5, 1.0)) END AS quality "
         "FROM f"
     )
+
+
+
+def _polygon_coverage_oracle_sql(res: int = 7, ss: int = 8) -> str:
+    """Mirror of _q_polygon_coverage: per polygon, the identical
+    subpoint lattice (cell index + (i+0.5)/ss offsets, exact cell
+    size 360/2^(res+8)) and the identical strict half-plane test."""
+    import numpy as np
+
+    from tiff_to_geojson_csv_json_format_converter_ray.functions.cells import (
+        cell_size,
+    )
+
+    s = cell_size(res)
+    parts = []
+    for pid, pts in sorted(OG_POLYGONS.items()):
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        ix0 = int(np.floor((min(xs) + 180.0) / s))
+        ix1 = int(np.floor((max(xs) + 180.0) / s))
+        iy0 = int(np.floor((min(ys) + 90.0) / s))
+        iy1 = int(np.floor((max(ys) + 90.0) / s))
+        parts.append(
+            f"SELECT '{pid}' AS polygon_id, "
+            f"(CAST({res} AS BIGINT) << 56) | (iy << 28) | ix AS cell, "
+            f"ROUND(CAST(cnt AS DOUBLE) / {float(ss * ss)!r}, 6) AS coverage "
+            f"FROM (SELECT ix, iy, SUM(hit) AS cnt FROM ("
+            f"SELECT x.range AS ix, y.range AS iy, "
+            f"CASE WHEN {{hp}} THEN 1 ELSE 0 END AS hit FROM ("
+            f"SELECT x.range, "
+            f"-180.0 + (CAST(x.range AS DOUBLE) "
+            f"+ (CAST(i.range AS DOUBLE) + 0.5) / {float(ss)!r}) * {s!r} AS lon "
+            f"FROM range({ix0}, {ix1 + 1}) x, range(0, {ss}) i) x, ("
+            f"SELECT y.range, "
+            f"-90.0 + (CAST(y.range AS DOUBLE) "
+            f"+ (CAST(j.range AS DOUBLE) + 0.5) / {float(ss)!r}) * {s!r} AS lat "
+            f"FROM range({iy0}, {iy1 + 1}) y, range(0, {ss}) j) y"
+            f") GROUP BY ix, iy) WHERE cnt > 0".format(hp=_halfplane_sql(pts))
+        )
+    return " UNION ALL ".join(parts)
 
 
 def _geofence_oracle_sql() -> str:
@@ -8053,6 +8110,7 @@ def oracle_sql() -> dict[str, str]:
             f"FROM s GROUP BY user_id"
         ),
         "geofence_transitions": _geofence_oracle_sql(),
+        "polygon_coverage": _polygon_coverage_oracle_sql(),
         "media_ahash_pairs": (
             # recompute the decoded-pixel rule in SQL: block sums over
             # the formula grid, division-free mean bits, Hamming pairs

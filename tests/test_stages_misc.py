@@ -2955,3 +2955,30 @@ class TestImageAhash:
         # hash bits: integer block-mean comparison sanity
         flat = np.full((8, 8), 7, np.uint8)
         assert ahash_bits(flat, block=4).sum() == 0  # no block above mean
+
+
+class TestPolygonCoverage:
+    def test_square_coverage_fractions(self, ray_session):
+        """A square polygon: interior cells reach coverage 1.0, edge
+        cells land strictly between 0 and 1, total covered area
+        approximates the square's area within the supersample grain."""
+        import numpy as np
+        from tiff_to_geojson_csv_json_format_converter_ray.functions.cells import (
+            cell_size,
+        )
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.zonal import (
+            polygon_coverage_ds,
+        )
+
+        s = cell_size(7)
+        # CCW square 10x10 cells wide, offset to straddle boundaries
+        x0, y0 = 77.0 + 0.3 * s, 28.0 + 0.6 * s
+        w = 10 * s
+        sq = {"sq": [(x0, y0), (x0 + w, y0), (x0 + w, y0 + w),
+                     (x0, y0 + w)]}
+        out = polygon_coverage_ds(sq, res=7, ss=8).to_pandas()
+        assert (out["coverage"] > 0).all() and (out["coverage"] <= 1).all()
+        assert (out["coverage"] == 1.0).sum() >= 81  # interior block
+        assert ((out["coverage"] > 0) & (out["coverage"] < 1)).any()
+        area_cells = out["coverage"].sum()
+        assert abs(area_cells - 100.0) < 3.0  # ~10x10 cells of area
