@@ -935,6 +935,55 @@ def _q_track_lengths(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_boundary_distance(sf_dir: str) -> pa.Table:
+    """Distance from probe points to each polygon's BOUNDARY (min
+    point-to-segment distance over edges;
+    functions/geometry.py::boundary_distance) -- the distance-to-
+    geofence primitive behind proximity alerts.  Probes = the kNN
+    fixture sets (inside ids 0-3, outside ids 100-104)."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.functions.geometry import (
+        boundary_distance,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables, round_like_sql,
+    )
+
+    probes = [(i, p) for i, p in enumerate(OG_KNN_PROBES)]
+    probes += [(100 + i, p) for i, p in enumerate(OG_KNN_OUTSIDE_PROBES)]
+    tbl = pa.table(
+        {
+            "probe_id": pa.array([i for i, _ in probes], pa.int64()),
+            "lon": pa.array([p[0] for _, p in probes]),
+            "lat": pa.array([p[1] for _, p in probes]),
+        }
+    )
+    polys = {pid: np.asarray(pts, np.float64) for pid, pts in OG_POLYGONS.items()}
+
+    def dist(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        pid_out, probe_out, d_out = [], [], []
+        for pid in sorted(polys):
+            d = boundary_distance(lon, lat, polys[pid])
+            pid_out.extend([pid] * len(d))
+            probe_out.extend(batch["probe_id"].to_pylist())
+            d_out.extend(d.tolist())
+        return pa.table(
+            {
+                "probe_id": pa.array(probe_out, pa.int64()),
+                "polygon_id": pa.array(pid_out, pa.string()),
+                "dist_boundary": round_like_sql(d_out, 6),
+            }
+        )
+
+    return collect_tables(
+        ray.data.from_arrow(tbl).map_batches(
+            dist, batch_format="pyarrow", batch_size=None
+        )
+    )
+
+
 def _q_polygon_coverage(sf_dir: str) -> pa.Table:
     """Polygon rasterization: res-7 cell coverage fractions via an
     8x8 strict-halfplane supersample (the inverse of zonal stats;
@@ -6349,6 +6398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "track_speed_stats": _q_track_speed_stats,
         "media_ahash_pairs": _q_media_ahash_pairs,
         "polygon_coverage": _q_polygon_coverage,
+        "boundary_distance": _q_boundary_distance,
         "debounce_events": _q_debounce_events,
         "cusum_alarms": _q_cusum_alarms,
         "movement_directions": _q_movement_directions,
@@ -6804,6 +6854,46 @@ def _quality_features_oracle_sql() -> str:
         "FROM f"
     )
 
+
+
+
+def _boundary_distance_oracle_sql() -> str:
+    """Mirror of _q_boundary_distance: per edge, the clamped
+    projection t and squared offset with engine-identical float
+    constants (dx, dy, denom precomputed in Python and inlined, so
+    both sides multiply the same doubles); LEAST over edges, one
+    SQRT, ROUND 6."""
+    probes = [(i, p) for i, p in enumerate(OG_KNN_PROBES)]
+    probes += [(100 + i, p) for i, p in enumerate(OG_KNN_OUTSIDE_PROBES)]
+    values = ", ".join(
+        f"(CAST({i} AS BIGINT), {p[0]!r}, {p[1]!r})" for i, p in probes
+    )
+    parts = []
+    for pid, pts in sorted(OG_POLYGONS.items()):
+        terms = []
+        n = len(pts)
+        for e in range(n):
+            ax, ay = float(pts[e][0]), float(pts[e][1])
+            bx, by = float(pts[(e + 1) % n][0]), float(pts[(e + 1) % n][1])
+            dx, dy = bx - ax, by - ay
+            denom = dx * dx + dy * dy
+            t = (
+                f"LEAST(GREATEST((((lon - {ax!r}) * {dx!r} "
+                f"+ (lat - {ay!r}) * {dy!r}) / {denom!r}), 0.0), 1.0)"
+            )
+            terms.append(
+                f"((lon - ({ax!r} + {t} * {dx!r})) "
+                f"* (lon - ({ax!r} + {t} * {dx!r})) "
+                f"+ (lat - ({ay!r} + {t} * {dy!r})) "
+                f"* (lat - ({ay!r} + {t} * {dy!r})))"
+            )
+        parts.append(
+            f"SELECT probe_id, '{pid}' AS polygon_id, "
+            f"ROUND(SQRT(LEAST({', '.join(terms)})), 6) AS dist_boundary "
+            f"FROM (SELECT * FROM (VALUES {values}) "
+            f"AS t(probe_id, lon, lat))"
+        )
+    return " UNION ALL ".join(parts)
 
 
 def _polygon_coverage_oracle_sql(res: int = 7, ss: int = 8) -> str:
@@ -8111,6 +8201,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "geofence_transitions": _geofence_oracle_sql(),
         "polygon_coverage": _polygon_coverage_oracle_sql(),
+        "boundary_distance": _boundary_distance_oracle_sql(),
         "media_ahash_pairs": (
             # recompute the decoded-pixel rule in SQL: block sums over
             # the formula grid, division-free mean bits, Hamming pairs

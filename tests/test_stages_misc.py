@@ -2982,3 +2982,22 @@ class TestPolygonCoverage:
         assert ((out["coverage"] > 0) & (out["coverage"] < 1)).any()
         area_cells = out["coverage"].sum()
         assert abs(area_cells - 100.0) < 3.0  # ~10x10 cells of area
+
+
+class TestBoundaryDistance:
+    def test_segment_clamp_cases(self, ray_session):
+        """Projection inside the segment, clamped to a vertex, and a
+        point ON the boundary (distance 0) -- against hand geometry."""
+        import numpy as np
+        from tiff_to_geojson_csv_json_format_converter_ray.functions.geometry import (
+            boundary_distance,
+        )
+
+        sq = np.array([(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0)])
+        lon = np.array([1.0, -3.0, 2.0, 1.0])
+        lat = np.array([-1.0, -4.0, 1.0, 1.0])
+        d = boundary_distance(lon, lat, sq)
+        assert d[0] == 1.0          # perpendicular to bottom edge
+        assert d[1] == 5.0          # clamped to corner (0,0): 3-4-5
+        assert d[2] == 0.0          # on the right edge
+        assert d[3] == 1.0          # interior: 1 from every edge

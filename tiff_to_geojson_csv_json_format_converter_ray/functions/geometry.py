@@ -493,3 +493,28 @@ def stay_points(
         else:
             i += 1
     return out
+
+
+def boundary_distance(
+    lon: "np.ndarray", lat: "np.ndarray", ring: "np.ndarray"
+) -> "np.ndarray":
+    """Planar distance from points to a polygon RING (closed walk of
+    its vertices): min over edges of the point-to-segment distance,
+    computed in the exact float-op order of the SQL mirror --
+    ``t = clamp(((p-a).d) / (d.d), 0, 1)``, then the squared offset
+    from ``a + t*d``, one sqrt at the end.  Vectorized over points."""
+    lon = np.asarray(lon, np.float64)
+    lat = np.asarray(lat, np.float64)
+    best = np.full(lon.shape, np.inf)
+    n = len(ring)
+    for e in range(n):
+        ax, ay = float(ring[e][0]), float(ring[e][1])
+        bx, by = float(ring[(e + 1) % n][0]), float(ring[(e + 1) % n][1])
+        dx, dy = bx - ax, by - ay
+        denom = dx * dx + dy * dy
+        t = ((lon - ax) * dx + (lat - ay) * dy) / denom
+        t = np.minimum(np.maximum(t, 0.0), 1.0)
+        ox = lon - (ax + t * dx)
+        oy = lat - (ay + t * dy)
+        best = np.minimum(best, ox * ox + oy * oy)
+    return np.sqrt(best)
