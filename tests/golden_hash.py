@@ -1,6 +1,6 @@
 """Canonical result hashing for pinned query goldens.
 
-The 13 ``no_oracle`` queries (stateful/approximate/non-SQL operators)
+The ``no_oracle`` queries (stateful/approximate/non-SQL operators)
 get a deterministic red/green via a stored content hash instead of a
 DuckDB oracle (VERDICT r1 item 7): results are pure functions of the
 seeded fixtures, so the canonical hash is stable across rounds and
@@ -25,7 +25,6 @@ NO_ORACLE_QUERIES = [
     "pq_ann",
     "zonal_multiband",
     "pages_flagship",
-    "media_decode",
     "bpe_merges",
 ]
 

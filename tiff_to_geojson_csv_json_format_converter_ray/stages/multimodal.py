@@ -81,8 +81,17 @@ class MediaDecode:
                 arr = _decode_real(p, t)
             else:
                 arr = _decode_fake(p, t, int(h), int(w))
-            means.append(float(arr.mean()))
-            stds.append(float(arr.std()))
+            # exact integer moments, ONE division each: mean = s/n and
+            # var = sq/n - mean*mean match SQL's AVG(v)/AVG(v*v) forms
+            # bit-for-bit (np.mean/np.std pairwise sums do not)
+            a = arr.astype(np.int64)
+            n = a.size
+            s = int(a.sum())
+            sq = int((a * a).sum())
+            mean = s / n
+            var = sq / n - mean * mean
+            means.append(mean)
+            stds.append(float(np.sqrt(max(var, 0.0))))
             # resize stub: block-mean thumbnail (deterministic)
             th = self.thumbnail
             ah, aw = arr.shape[0], arr.shape[1]
