@@ -935,6 +935,52 @@ def _q_track_lengths(sf_dir: str) -> pa.Table:
     )
 
 
+_INTERP_GRID_US = [
+    # 2024-01-08 / 15 / 22 / 29 00:00 UTC, microseconds since epoch
+    1704672000000000,
+    1705276800000000,
+    1705881600000000,
+    1706486400000000,
+]
+
+
+def _q_linear_interp(sf_dir: str) -> pa.Table:
+    """Per-user linear interpolation of event value at 4 weekly grid
+    timestamps (resample-to-grid; the interpolating cousin of LOCF) --
+    exact int64 microsecond arithmetic, one float division
+    (stages/window.py::keyed_linear_interp)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.window import (
+        keyed_linear_interp,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return collect_tables(keyed_linear_interp(ds, _INTERP_GRID_US))
+
+
+def _q_track_hausdorff(sf_dir: str) -> pa.Table:
+    """Symmetric discrete Hausdorff distance between the tracks of
+    users 0-19 (trajectory-similarity join;
+    pipelines/tracks.py::track_hausdorff_pairs_ds)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.tracks import (
+        track_hausdorff_pairs_ds,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+    return collect_tables(track_hausdorff_pairs_ds(ds, max_user=20))
+
+
 def _q_boundary_distance(sf_dir: str) -> pa.Table:
     """Distance from probe points to each polygon's BOUNDARY (min
     point-to-segment distance over edges;
@@ -6403,6 +6449,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_ahash_pairs": _q_media_ahash_pairs,
         "polygon_coverage": _q_polygon_coverage,
         "boundary_distance": _q_boundary_distance,
+        "linear_interp": _q_linear_interp,
+        "track_hausdorff": _q_track_hausdorff,
         "debounce_events": _q_debounce_events,
         "cusum_alarms": _q_cusum_alarms,
         "movement_directions": _q_movement_directions,
@@ -8206,6 +8254,53 @@ def oracle_sql() -> dict[str, str]:
         "geofence_transitions": _geofence_oracle_sql(),
         "polygon_coverage": _polygon_coverage_oracle_sql(),
         "boundary_distance": _boundary_distance_oracle_sql(),
+        "linear_interp": (
+            # bracketing rows via LATERAL top-1 in (ts, event_id)
+            # order; int64 microsecond deltas, one float division
+            "WITH p AS (SELECT user_id, epoch_us(ts) AS t, event_id, "
+            "value FROM events), "
+            "u AS (SELECT DISTINCT user_id FROM p), "
+            "gr(gt) AS (VALUES (1704672000000000), (1705276800000000), (1705881600000000), (1706486400000000)), "
+            "j AS (SELECT u.user_id, gr.gt, pv.t AS t0, pv.value AS v0, "
+            "nx.t AS t1, nx.value AS v1 FROM u CROSS JOIN gr "
+            "LEFT JOIN LATERAL (SELECT t, value FROM p "
+            "WHERE p.user_id = u.user_id AND p.t <= gr.gt "
+            "ORDER BY t DESC, event_id DESC LIMIT 1) pv ON TRUE "
+            "LEFT JOIN LATERAL (SELECT t, value FROM p "
+            "WHERE p.user_id = u.user_id AND p.t >= gr.gt "
+            "ORDER BY t ASC, event_id ASC LIMIT 1) nx ON TRUE) "
+            "SELECT user_id, gt AS grid_us, "
+            "ROUND(CASE WHEN t1 = t0 THEN v0 ELSE v0 + (v1 - v0) * "
+            "(CAST(gt - t0 AS DOUBLE) / CAST(t1 - t0 AS DOUBLE)) END, 6) "
+            "AS value_interp FROM j "
+            "WHERE t0 IS NOT NULL AND t1 IS NOT NULL"
+        ),
+        "track_hausdorff": (
+            # max-min squared distances both directions, sqrt at the
+            # end; point sets from the geocode lattice, users 0-19
+            "WITH g AS (SELECT user_id, event_id, "
+            "77.0 + CAST(event_id % 96 AS DOUBLE) * 0.01 AS lon, "
+            "28.05 + CAST((event_id // 96) % 96 AS DOUBLE) * 0.01 AS lat "
+            "FROM events WHERE user_id < 20), "
+            "mab AS (SELECT a.user_id AS ua, b.user_id AS ub, "
+            "a.event_id AS pid, "
+            "MIN((a.lon - b.lon) * (a.lon - b.lon) "
+            "+ (a.lat - b.lat) * (a.lat - b.lat)) AS md "
+            "FROM g a JOIN g b ON a.user_id < b.user_id "
+            "GROUP BY a.user_id, b.user_id, a.event_id), "
+            "hab AS (SELECT ua, ub, MAX(md) AS h FROM mab GROUP BY ua, ub), "
+            "mba AS (SELECT a.user_id AS ua, b.user_id AS ub, "
+            "b.event_id AS pid, "
+            "MIN((a.lon - b.lon) * (a.lon - b.lon) "
+            "+ (a.lat - b.lat) * (a.lat - b.lat)) AS md "
+            "FROM g a JOIN g b ON a.user_id < b.user_id "
+            "GROUP BY a.user_id, b.user_id, b.event_id), "
+            "hba AS (SELECT ua, ub, MAX(md) AS h FROM mba GROUP BY ua, ub) "
+            "SELECT hab.ua AS user_a, hab.ub AS user_b, "
+            "ROUND(SQRT(GREATEST(hab.h, hba.h)), 6) AS hausdorff "
+            "FROM hab JOIN hba ON hba.ua = hab.ua AND hba.ub = hab.ub"
+        ),
+
         "media_decode": (
             # recompute decoded-pixel stats from the formula grid:
             # AVG over the gray plane == AVG over 3 equal channels

@@ -336,3 +336,77 @@ def track_speed_stats_ds(
     from ..stages.shuffle import grouped_by_key
 
     return grouped_by_key(geocode_events(events), "user_id", kernel)
+
+
+def track_hausdorff_pairs_ds(
+    events: ray.data.Dataset, max_user: int = 20
+) -> ray.data.Dataset:
+    """Symmetric discrete Hausdorff distance between user tracks
+    (trajectory-similarity join): ``H(A,B) = max(h(A,B), h(B,A))``,
+    ``h(A,B) = max over a of min over b of dist`` -- point sets, order-
+    free.  Restricted to ``user_id < max_user`` (the explicit-cap
+    pattern of the reference's first-N scans, test2.py:89): all-pairs
+    trajectory distance is quadratic BOTH in users and track length;
+    the scale path blocks pairs by spatial-extent overlap first.
+    Tracks gather per user (bounded by the cap), pairs evaluate in a
+    stateless map_batches over the pair list with tracks broadcast;
+    distances compare squared forms, one sqrt at the end."""
+    import ray
+
+    filt = events.filter(
+        expr=f"user_id < {int(max_user)}"
+    )
+    pts = geocode_events(filt)
+    tracks: dict[int, np.ndarray] = {}
+    for b in pts.iter_batches(batch_format="pyarrow", batch_size=None):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        for u in np.unique(uid):
+            sel = uid == u
+            arr = np.stack([lon[sel], lat[sel]], axis=1)
+            prev = tracks.get(int(u))
+            tracks[int(u)] = arr if prev is None else np.vstack([prev, arr])
+    users = sorted(tracks)
+    ref = ray.put(tracks)
+    pairs = pa.table(
+        {
+            "user_a": pa.array(
+                [a for i, a in enumerate(users) for _ in users[i + 1 :]],
+                pa.int64(),
+            ),
+            "user_b": pa.array(
+                [b for i, _ in enumerate(users) for b in users[i + 1 :]],
+                pa.int64(),
+            ),
+        }
+    )
+
+    def hdist(batch: pa.Table) -> pa.Table:
+        tr = ray.get(ref)
+        out = []
+        for a, b in zip(
+            batch["user_a"].to_pylist(), batch["user_b"].to_pylist()
+        ):
+            pa_, pb = tr[a], tr[b]
+            dx = pa_[:, None, 0] - pb[None, :, 0]
+            dy = pa_[:, None, 1] - pb[None, :, 1]
+            d2 = dx * dx + dy * dy
+            h = max(d2.min(axis=1).max(), d2.min(axis=0).max())
+            out.append(float(np.sqrt(h)))
+        from ..functions.rounding import round_like_sql
+
+        return pa.table(
+            {
+                "user_a": batch["user_a"],
+                "user_b": batch["user_b"],
+                "hausdorff": round_like_sql(out, 6),
+            }
+        )
+
+    import ray.data as rd
+
+    return rd.from_arrow(pairs).map_batches(
+        hdist, batch_format="pyarrow", batch_size=32
+    )

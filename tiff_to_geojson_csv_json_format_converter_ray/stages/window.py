@@ -736,3 +736,71 @@ def keyed_debounce(
     return grouped_by_key(
         ds.select_columns(keys + [ts_col, id_col]), keys, kernel
     )
+
+
+def keyed_linear_interp(
+    ds,
+    grid_us: list[int],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+):
+    """Per-key linear interpolation of ``value`` at fixed grid
+    timestamps (the resample-to-grid primitive next to LOCF): for each
+    grid time inside the key's [first, last] span, interpolate between
+    the bracketing rows -- prev = LAST row with ts <= g, next = FIRST
+    row with ts >= g, both in (ts, id) order; exact-timestamp hits
+    return the prev row's value.  The interpolation
+    ``v0 + (v1 - v0) * ((g - t0) / (t1 - t0))`` runs on exact int64
+    microsecond differences, one float division -- the SQL mirror is
+    bit-identical.  Grid points outside the span emit no row."""
+    import pyarrow.compute as pc
+
+    from ..functions.rounding import round_like_sql
+    from ..stages.shuffle import grouped_by_key
+
+    grid = np.asarray(sorted(grid_us), np.int64)
+
+    def kernel(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group,
+            sort_keys=[(ts_col, "ascending"), (id_col, "ascending")],
+        )
+        g = group.take(order)
+        t = g[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = g[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        inside = (grid >= t[0]) & (grid <= t[-1])
+        gs = grid[inside]
+        if len(gs) == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.int64()),
+                    "grid_us": pa.array([], pa.int64()),
+                    "value_interp": pa.array([], pa.float64()),
+                }
+            )
+        i0 = np.searchsorted(t, gs, side="right") - 1
+        i1 = np.searchsorted(t, gs, side="left")
+        t0, t1 = t[i0], t[i1]
+        v0, v1 = v[i0], v[i1]
+        same = t1 == t0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            interp = v0 + (v1 - v0) * (
+                (gs - t0).astype(np.float64) / (t1 - t0).astype(np.float64)
+            )
+        interp = np.where(same, v0, interp)
+        key = g[key_col][0].as_py()
+        return pa.table(
+            {
+                key_col: pa.array([key] * len(gs), pa.int64()),
+                "grid_us": pa.array(gs),
+                "value_interp": round_like_sql(interp, 6),
+            }
+        )
+
+    return grouped_by_key(
+        ds.select_columns([key_col, ts_col, id_col, value_col]),
+        key_col,
+        kernel,
+    )
