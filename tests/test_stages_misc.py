@@ -3001,3 +3001,65 @@ class TestBoundaryDistance:
         assert d[1] == 5.0          # clamped to corner (0,0): 3-4-5
         assert d[2] == 0.0          # on the right edge
         assert d[3] == 1.0          # interior: 1 from every edge
+
+
+class TestInterpAndHausdorff:
+    def test_linear_interp_brackets(self, ray_session):
+        """Mid-gap interpolation, exact-timestamp hit, and grid points
+        outside the span emitting nothing."""
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.window import (
+            keyed_linear_interp,
+        )
+
+        # points at t = 100, 200, 300 with values 10, 30, 20
+        ev = pa.table(
+            {
+                "event_id": pa.array([1, 2, 3], pa.int64()),
+                "user_id": pa.array([4] * 3, pa.int64()),
+                "ts": pa.array([100, 200, 300], pa.timestamp("us")),
+                "value": pa.array([10.0, 30.0, 20.0]),
+            }
+        )
+        grid = [50, 150, 200, 250, 400]  # 50/400 out of span
+        out = keyed_linear_interp(
+            ray.data.from_arrow(ev), grid
+        ).to_pandas().set_index("grid_us")
+        assert sorted(out.index) == [150, 200, 250]
+        assert out.loc[150, "value_interp"] == 20.0   # halfway 10->30
+        assert out.loc[200, "value_interp"] == 30.0   # exact hit
+        assert out.loc[250, "value_interp"] == 25.0   # halfway 30->20
+
+    def test_hausdorff_hand_tracks(self, ray_session):
+        """Two short tracks: symmetric Hausdorff equals the hand
+        max-min; identical tracks give 0."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.tracks import (
+            track_hausdorff_pairs_ds,
+        )
+
+        # geocode lattice: user 0 on cols 0-2 of row 0; user 1 same
+        # cols of row 5 -> every a has nearest b at dy = 5 rows and
+        # vice versa; user 2 identical to user 0
+        rows = []
+        eid = 0
+        for uid, r in ((0, 0), (1, 5), (2, 0)):
+            for c in (0, 1, 2):
+                rows.append({"event_id": r * 96 + c, "user_id": uid,
+                             "ts": eid})
+                eid += 1
+        ev = pa.Table.from_pylist(rows).set_column(
+            2, "ts",
+            pa.array([r["ts"] for r in rows], pa.timestamp("us")),
+        )
+        out = track_hausdorff_pairs_ds(
+            ray.data.from_arrow(ev), max_user=3
+        ).to_pandas().set_index(["user_a", "user_b"])
+        lat = [28.05 + r * 0.01 for r in (0, 5)]
+        want = abs(lat[1] - lat[0])
+        assert abs(out.loc[(0, 1), "hausdorff"] - want) < 1e-9
+        assert out.loc[(0, 2), "hausdorff"] == 0.0
+        assert abs(out.loc[(1, 2), "hausdorff"] - want) < 1e-9
