@@ -935,6 +935,68 @@ def _q_track_lengths(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_track_straightness(sf_dir: str) -> pa.Table:
+    """Per-user straightness (tortuosity) index: net displacement /
+    gross path length (pipelines/tracks.py::track_straightness_ds)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.tracks import (
+        track_straightness_ds,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+    return collect_tables(track_straightness_ds(ds))
+
+
+def _q_hourly_profile(sf_dir: str) -> pa.Table:
+    """Seasonal hour-of-day profile per event type: count + exact-
+    cents mean value per (type, UTC hour) -- the calendar-seasonality
+    rollup, combiner-shaped (per-batch partials, one small grouped
+    combine)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
+        scaled_int,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "ts", "value"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "hour": pa.array((ts // 3_600_000_000) % 24),
+                "cents": pa.array(scaled_int(batch["value"], 100.0)),
+                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+
+    out = hash_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        ["event_type", "hour"],
+        [("_one", "sum", "n"), ("cents", "sum", "sum_cents")],
+    )
+    n = out["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    sc = out["sum_cents"].to_numpy(zero_copy_only=False).astype(np.float64)
+    return pa.table(
+        {
+            "event_type": out["event_type"],
+            "hour": out["hour"].cast(pa.int64()),
+            "n": out["n"].cast(pa.int64()),
+            "mean_value": round_like_sql(sc / n / 100.0, 6),
+        }
+    )
+
+
 _INTERP_GRID_US = [
     # 2024-01-08 / 15 / 22 / 29 00:00 UTC, microseconds since epoch
     1704672000000000,
@@ -6450,6 +6512,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "polygon_coverage": _q_polygon_coverage,
         "boundary_distance": _q_boundary_distance,
         "linear_interp": _q_linear_interp,
+        "track_straightness": _q_track_straightness,
+        "hourly_profile": _q_hourly_profile,
         "track_hausdorff": _q_track_hausdorff,
         "debounce_events": _q_debounce_events,
         "cusum_alarms": _q_cusum_alarms,
@@ -8254,6 +8318,41 @@ def oracle_sql() -> dict[str, str]:
         "geofence_transitions": _geofence_oracle_sql(),
         "polygon_coverage": _polygon_coverage_oracle_sql(),
         "boundary_distance": _boundary_distance_oracle_sql(),
+        "track_straightness": (
+            "WITH g AS (SELECT user_id, ts, event_id, "
+            "77.0 + CAST(event_id % 96 AS DOUBLE) * 0.01 AS lon, "
+            "28.05 + CAST((event_id // 96) % 96 AS DOUBLE) * 0.01 AS lat "
+            "FROM events), "
+            "s AS (SELECT user_id, lon, lat, "
+            "lon - LAG(lon) OVER w AS dx, lat - LAG(lat) OVER w AS dy, "
+            "FIRST_VALUE(lon) OVER w AS lon0, "
+            "FIRST_VALUE(lat) OVER w AS lat0, "
+            "LAST_VALUE(lon) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND UNBOUNDED FOLLOWING) AS lon1, "
+            "LAST_VALUE(lat) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING "
+            "AND UNBOUNDED FOLLOWING) AS lat1 "
+            "FROM g WINDOW w AS (PARTITION BY user_id "
+            "ORDER BY ts, event_id)), "
+            "agg AS (SELECT user_id, "
+            "SUM(SQRT(dx * dx + dy * dy)) AS gross, "
+            "MAX((lon1 - lon0) * (lon1 - lon0) "
+            "+ (lat1 - lat0) * (lat1 - lat0)) AS net2 "
+            "FROM s GROUP BY user_id) "
+            "SELECT user_id, ROUND(SQRT(net2), 6) AS net_disp, "
+            "ROUND(gross, 6) AS gross_len, "
+            "ROUND(SQRT(net2) / gross, 6) AS straightness "
+            "FROM agg WHERE gross > 0"
+        ),
+        "hourly_profile": (
+            "SELECT event_type, "
+            "(epoch_us(ts) // 3600000000) % 24 AS hour, "
+            "CAST(COUNT(*) AS BIGINT) AS n, "
+            "ROUND(CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) "
+            "AS DOUBLE) / COUNT(*) / 100.0, 6) AS mean_value "
+            "FROM events GROUP BY event_type, hour"
+        ),
         "linear_interp": (
             # bracketing rows via LATERAL top-1 in (ts, event_id)
             # order; int64 microsecond deltas, one float division

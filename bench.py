@@ -350,7 +350,9 @@ EXTRA_QUERY_SUBSET = [
     "tile_curvature", "geofence_transitions", "lang_temperature_sample",
     "word_bfs_hops", "region_labels", "keyed_ewma", "movement_directions",
     "tile_focal_mode", "cusum_alarms", "track_speed_stats",
-    "debounce_events", "media_ahash_pairs",
+    "debounce_events", "media_ahash_pairs", "media_decode",
+    "polygon_coverage", "boundary_distance", "linear_interp",
+    "track_hausdorff", "track_straightness", "hourly_profile",
 ]
 
 

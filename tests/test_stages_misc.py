@@ -3063,3 +3063,31 @@ class TestInterpAndHausdorff:
         assert abs(out.loc[(0, 1), "hausdorff"] - want) < 1e-9
         assert out.loc[(0, 2), "hausdorff"] == 0.0
         assert abs(out.loc[(1, 2), "hausdorff"] - want) < 1e-9
+
+
+class TestStraightness:
+    def test_beeline_vs_loop(self, ray_session):
+        """A straight-line track scores 1.0; an out-and-back loop
+        (return to start) scores 0."""
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.tracks import (
+            track_straightness_ds,
+        )
+
+        rows = []
+        # user 1: cols 0..4 of row 0 (straight east)
+        for i, c in enumerate(range(5)):
+            rows.append({"event_id": c, "user_id": 1, "ts": i})
+        # user 2: out to col 4 and back to col 0
+        for i, c in enumerate([0, 4, 0]):
+            rows.append({"event_id": c, "user_id": 2, "ts": 10 + i})
+        ev = pa.Table.from_pylist(rows).set_column(
+            2, "ts", pa.array([r["ts"] for r in rows], pa.timestamp("us"))
+        )
+        out = track_straightness_ds(
+            ray.data.from_arrow(ev)
+        ).to_pandas().set_index("user_id")
+        assert out.loc[1, "straightness"] == 1.0
+        assert out.loc[2, "straightness"] == 0.0
+        assert out.loc[2, "gross_len"] > 0

@@ -410,3 +410,55 @@ def track_hausdorff_pairs_ds(
     return rd.from_arrow(pairs).map_batches(
         hdist, batch_format="pyarrow", batch_size=32
     )
+
+
+def track_straightness_ds(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-user straightness index: net displacement (first fix ->
+    last fix) over gross path length -- 1.0 = beeline, ~0 = wandering
+    (movement-ecology's standard tortuosity ratio).  Users with zero
+    gross movement emit no row.  One keyed shuffle; step distances in
+    the explicit sqrt form shared with the SQL oracle."""
+
+    def kernel(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        empty = pa.table(
+            {
+                "user_id": pa.array([], pa.int64()),
+                "net_disp": pa.array([], pa.float64()),
+                "gross_len": pa.array([], pa.float64()),
+                "straightness": pa.array([], pa.float64()),
+            }
+        )
+        order = pc.sort_indices(
+            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        g = group.take(order)
+        lon = g["lon"].to_numpy(zero_copy_only=False)
+        lat = g["lat"].to_numpy(zero_copy_only=False)
+        if len(lon) < 2:
+            return empty
+        dx = lon[1:] - lon[:-1]
+        dy = lat[1:] - lat[:-1]
+        gross = float(np.sqrt(dx * dx + dy * dy).sum())
+        if gross == 0.0:
+            return empty
+        ndx = lon[-1] - lon[0]
+        ndy = lat[-1] - lat[0]
+        net = float(np.sqrt(ndx * ndx + ndy * ndy))
+        from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
+            round_like_sql as r6,
+        )
+
+        return pa.table(
+            {
+                "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
+                "net_disp": r6([net], 6),
+                "gross_len": r6([gross], 6),
+                "straightness": r6([net / gross], 6),
+            }
+        )
+
+    from ..stages.shuffle import grouped_by_key
+
+    return grouped_by_key(geocode_events(events), "user_id", kernel)
