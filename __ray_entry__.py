@@ -935,6 +935,28 @@ def _q_track_lengths(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_od_matrix(sf_dir: str) -> pa.Table:
+    """Origin-destination flow matrix over user tracks at cell res 6
+    (pipelines/tracks.py::od_matrix_ds): per-user pre-aggregated
+    (from, to) trip counts, one small grouped combine."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.tracks import (
+        od_matrix_ds,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+    out = od_matrix_ds(ds, res=6)
+    return pa.table(
+        {
+            "cell_from": out["cell_from"].cast(pa.int64()),
+            "cell_to": out["cell_to"].cast(pa.int64()),
+            "n_trips": out["n_trips"].cast(pa.int64()),
+        }
+    )
+
+
 def _q_track_straightness(sf_dir: str) -> pa.Table:
     """Per-user straightness (tortuosity) index: net displacement /
     gross path length (pipelines/tracks.py::track_straightness_ds)."""
@@ -6513,6 +6535,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boundary_distance": _q_boundary_distance,
         "linear_interp": _q_linear_interp,
         "track_straightness": _q_track_straightness,
+        "od_matrix": _q_od_matrix,
         "hourly_profile": _q_hourly_profile,
         "track_hausdorff": _q_track_hausdorff,
         "debounce_events": _q_debounce_events,
@@ -8318,6 +8341,19 @@ def oracle_sql() -> dict[str, str]:
         "geofence_transitions": _geofence_oracle_sql(),
         "polygon_coverage": _polygon_coverage_oracle_sql(),
         "boundary_distance": _boundary_distance_oracle_sql(),
+        "od_matrix": (
+            "WITH g AS (SELECT user_id, ts, event_id, "
+            "77.0 + CAST(event_id % 96 AS DOUBLE) * 0.01 AS lon, "
+            "28.05 + CAST((event_id // 96) % 96 AS DOUBLE) * 0.01 AS lat "
+            "FROM events), "
+            "s AS (SELECT user_id, lon, lat, LAG(lon) OVER w AS plon, "
+            "LAG(lat) OVER w AS plat FROM g "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+            "SELECT ((CAST(6 AS BIGINT) << 56) | (LEAST(GREATEST(CAST(FLOOR((plat + 90.0) / 0.02197265625) AS BIGINT), 0), 8191) << 28) | LEAST(GREATEST(CAST(FLOOR((plon + 180.0) / 0.02197265625) AS BIGINT), 0), 16383)) AS cell_from, "
+            "((CAST(6 AS BIGINT) << 56) | (LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / 0.02197265625) AS BIGINT), 0), 8191) << 28) | LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / 0.02197265625) AS BIGINT), 0), 16383)) AS cell_to, "
+            "CAST(COUNT(*) AS BIGINT) AS n_trips FROM s "
+            "WHERE plon IS NOT NULL GROUP BY cell_from, cell_to"
+        ),
         "track_straightness": (
             "WITH g AS (SELECT user_id, ts, event_id, "
             "77.0 + CAST(event_id % 96 AS DOUBLE) * 0.01 AS lon, "

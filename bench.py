@@ -352,7 +352,7 @@ EXTRA_QUERY_SUBSET = [
     "tile_focal_mode", "cusum_alarms", "track_speed_stats",
     "debounce_events", "media_ahash_pairs", "media_decode",
     "polygon_coverage", "boundary_distance", "linear_interp",
-    "track_hausdorff", "track_straightness", "hourly_profile",
+    "track_hausdorff", "track_straightness", "hourly_profile", "od_matrix",
 ]
 
 

@@ -462,3 +462,52 @@ def track_straightness_ds(events: ray.data.Dataset) -> ray.data.Dataset:
     from ..stages.shuffle import grouped_by_key
 
     return grouped_by_key(geocode_events(events), "user_id", kernel)
+
+
+def od_matrix_ds(events: ray.data.Dataset, res: int = 6) -> ray.data.Dataset:
+    """Origin-destination flow matrix over tracks: each consecutive
+    fix pair contributes one trip from its origin cell to its
+    destination cell at resolution ``res`` (self-loops included --
+    dwell flows are real flows).  The per-user kernel PRE-AGGREGATES
+    its own (from, to) counts (bounded by the track, not the matrix),
+    then one small grouped combine merges users -- the OD matrix
+    itself never materializes per-row."""
+
+    def kernel(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..functions.cells import cell_of
+
+        order = pc.sort_indices(
+            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        g = group.take(order)
+        lon = g["lon"].to_numpy(zero_copy_only=False)
+        lat = g["lat"].to_numpy(zero_copy_only=False)
+        if len(lon) < 2:
+            return pa.table(
+                {
+                    "cell_from": pa.array([], pa.int64()),
+                    "cell_to": pa.array([], pa.int64()),
+                    "n_trips": pa.array([], pa.int64()),
+                }
+            )
+        cells = cell_of(lon, lat, res)
+        t = pa.table(
+            {
+                "cell_from": pa.array(cells[:-1]),
+                "cell_to": pa.array(cells[1:]),
+                "_one": pa.array(np.ones(len(cells) - 1, np.int64)),
+            }
+        )
+        out = t.group_by(["cell_from", "cell_to"]).aggregate([("_one", "sum")])
+        return out.rename_columns(["cell_from", "cell_to", "n_trips"])
+
+    from ..stages.shuffle import grouped_by_key
+
+    per_user = grouped_by_key(geocode_events(events), "user_id", kernel)
+
+    from ..pipelines.relational import hash_aggregate
+
+    return hash_aggregate(per_user, ["cell_from", "cell_to"],
+                          [("n_trips", "sum", "n_trips")])
