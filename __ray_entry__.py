@@ -935,6 +935,77 @@ def _q_track_lengths(sf_dir: str) -> pa.Table:
     )
 
 
+def _og_multiband_tiles_table(bands: tuple[int, ...] = (1, 2)) -> pa.Table:
+    """Formula multiband tile fixture: band b's pixel value is
+    ``((r*73 + c*31 + b*101) % 500) / 10.0`` (float32), invalid where
+    ``(r*5 + c*3 + b) % 29 == 0`` -- per-band nodata masks, so band
+    math exercises the both-bands-valid contract."""
+    from tiff_to_geojson_csv_json_format_converter_ray.schema import TILE_SCHEMA
+
+    rr, cc = np.meshgrid(np.arange(OG_H), np.arange(OG_W), indexing="ij")
+    rows = {k: [] for k in (
+        "tile_id", "src", "band", "row_off", "col_off", "height",
+        "width", "transform", "crs", "nodata", "values",
+    )}
+    for b in bands:
+        raw = ((rr * 73 + cc * 31 + b * 101) % 500) / 10.0
+        vals = raw.astype(np.float32)
+        vals[(rr * 5 + cc * 3 + b) % 29 == 0] = np.float32(OG_NODATA)
+        for r0 in range(0, OG_H, OG_TILE):
+            for c0 in range(0, OG_W, OG_TILE):
+                rows["tile_id"].append(f"og_{r0}_{c0}_b{b}")
+                rows["src"].append("oracle")
+                rows["band"].append(b)
+                rows["row_off"].append(r0)
+                rows["col_off"].append(c0)
+                rows["height"].append(OG_TILE)
+                rows["width"].append(OG_TILE)
+                rows["transform"].append(list(OG_TRANSFORM))
+                rows["crs"].append("EPSG:4326")
+                rows["nodata"].append(OG_NODATA)
+                rows["values"].append(
+                    vals[r0 : r0 + OG_TILE, c0 : c0 + OG_TILE].ravel().tolist()
+                )
+    return pa.table(
+        {
+            "tile_id": rows["tile_id"], "src": rows["src"],
+            "band": pa.array(rows["band"], pa.int32()),
+            "row_off": pa.array(rows["row_off"], pa.int32()),
+            "col_off": pa.array(rows["col_off"], pa.int32()),
+            "height": pa.array(rows["height"], pa.int32()),
+            "width": pa.array(rows["width"], pa.int32()),
+            "transform": pa.array(rows["transform"], pa.list_(pa.float64(), 6)),
+            "crs": rows["crs"],
+            "nodata": pa.array(rows["nodata"], pa.float64()),
+            "values": pa.array(rows["values"], pa.list_(pa.float32())),
+        },
+        schema=TILE_SCHEMA,
+    )
+
+
+def _q_band_math_ndi(sf_dir: str) -> pa.Table:
+    """Normalized-difference band math over the formula multiband
+    fixture: the band-align groupby join + vectorized (a-b)/(a+b)
+    (stages/raster.py::band_math_ndi)."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables, round_like_sql,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
+        band_math_ndi,
+    )
+
+    tiles = ray.data.from_arrow(_og_multiband_tiles_table((1, 2)))
+    out = collect_tables(band_math_ndi(tiles, band_a=1, band_b=2))
+    return pa.table(
+        {
+            "row": out["row"],
+            "col": out["col"],
+            "ndi": round_like_sql(out["ndi"], 6),
+        }
+    )
+
+
 def _q_od_matrix(sf_dir: str) -> pa.Table:
     """Origin-destination flow matrix over user tracks at cell res 6
     (pipelines/tracks.py::od_matrix_ds): per-user pre-aggregated
@@ -6536,6 +6607,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linear_interp": _q_linear_interp,
         "track_straightness": _q_track_straightness,
         "od_matrix": _q_od_matrix,
+        "band_math_ndi": _q_band_math_ndi,
         "hourly_profile": _q_hourly_profile,
         "track_hausdorff": _q_track_hausdorff,
         "debounce_events": _q_debounce_events,
@@ -8341,6 +8413,27 @@ def oracle_sql() -> dict[str, str]:
         "geofence_transitions": _geofence_oracle_sql(),
         "polygon_coverage": _polygon_coverage_oracle_sql(),
         "boundary_distance": _boundary_distance_oracle_sql(),
+        "band_math_ndi": (
+            # per-band formula grids joined on (row, col); guard and
+            # expression identical to the engine kernel
+            "WITH b1 AS (SELECT r.range AS row, c.range AS col, "
+            "CASE WHEN (r.range * 5 + c.range * 3 + 1) % 29 = 0 "
+            "THEN CAST(CAST(-3.4028234663852886e+38 AS REAL) AS DOUBLE) "
+            "ELSE CAST(CAST(((r.range * 73 + c.range * 31 + 101) % 500) "
+            "/ 10.0 AS REAL) AS DOUBLE) END AS z "
+            "FROM range(0, 96) r, range(0, 96) c), "
+            "b2 AS (SELECT r.range AS row, c.range AS col, "
+            "CASE WHEN (r.range * 5 + c.range * 3 + 2) % 29 = 0 "
+            "THEN CAST(CAST(-3.4028234663852886e+38 AS REAL) AS DOUBLE) "
+            "ELSE CAST(CAST(((r.range * 73 + c.range * 31 + 202) % 500) "
+            "/ 10.0 AS REAL) AS DOUBLE) END AS z "
+            "FROM range(0, 96) r, range(0, 96) c) "
+            "SELECT a.row AS row, a.col AS col, "
+            "ROUND(CASE WHEN a.z + b.z = 0.0 THEN 0.0 "
+            "ELSE (a.z - b.z) / (a.z + b.z) END, 6) AS ndi "
+            "FROM b1 a JOIN b2 b ON b.row = a.row AND b.col = a.col "
+            "WHERE a.z > -1e30 AND b.z > -1e30"
+        ),
         "od_matrix": (
             "WITH g AS (SELECT user_id, ts, event_id, "
             "77.0 + CAST(event_id % 96 AS DOUBLE) * 0.01 AS lon, "

@@ -3091,3 +3091,38 @@ class TestStraightness:
         assert out.loc[1, "straightness"] == 1.0
         assert out.loc[2, "straightness"] == 0.0
         assert out.loc[2, "gross_len"] > 0
+
+
+class TestBandMathNdi:
+    def test_band_align_and_validity(self, ray_session):
+        """Bands arrive as separate tile rows; NDI emits only pixels
+        valid in BOTH bands, values match the direct computation."""
+        import numpy as np
+        import ray.data
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as entry
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
+            band_math_ndi,
+        )
+
+        tiles = entry._og_multiband_tiles_table((1, 2))
+        out = band_math_ndi(
+            ray.data.from_arrow(tiles), 1, 2
+        ).to_pandas()
+        rr, cc = np.meshgrid(np.arange(96), np.arange(96), indexing="ij")
+        a = (((rr * 73 + cc * 31 + 101) % 500) / 10.0).astype(
+            np.float32).astype(np.float64)
+        b = (((rr * 73 + cc * 31 + 202) % 500) / 10.0).astype(
+            np.float32).astype(np.float64)
+        va = (rr * 5 + cc * 3 + 1) % 29 != 0
+        vb = (rr * 5 + cc * 3 + 2) % 29 != 0
+        valid = va & vb
+        assert len(out) == int(valid.sum())
+        got = {(r, c): v for r, c, v in zip(out["row"], out["col"],
+                                            out["ndi"])}
+        ri, ci = np.nonzero(valid)
+        for k in range(0, len(ri), 997):
+            r, c = int(ri[k]), int(ci[k])
+            want = (a[r, c] - b[r, c]) / (a[r, c] + b[r, c])
+            assert got[(r, c)] == want

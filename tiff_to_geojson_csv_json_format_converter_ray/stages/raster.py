@@ -1535,3 +1535,78 @@ def tile_focal_mode(tiles: ray.data.Dataset, stride: int | None = None) -> ray.d
     return halos.groupby("halo_key").map_groups(
         focal_mode_kernel, batch_format="pyarrow"
     )
+
+
+def band_math_ndi(
+    tiles: ray.data.Dataset, band_a: int = 1, band_b: int = 2
+) -> ray.data.Dataset:
+    """Normalized-difference band math, ``(a - b) / (a + b)`` (the
+    NDVI/NDWI family): a ``groupby`` on the tile ORIGIN co-locates all
+    bands of one tile (the band-align join -- bands arrive as separate
+    rows in the tile table), the per-group kernel stacks the two
+    requested band planes and evaluates vectorized.  Pixels valid only
+    where BOTH bands pass the nodata threshold; zero denominators emit
+    0 (guarded identically in the SQL oracle).  Shuffle volume = the
+    tile table itself, grouped by (src, row_off, col_off)."""
+
+    def kernel(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "row": pa.array([], pa.int64()),
+                "col": pa.array([], pa.int64()),
+                "ndi": pa.array([], pa.float64()),
+            }
+        )
+        bands = group["band"].to_numpy(zero_copy_only=False)
+        ia = np.flatnonzero(bands == band_a)
+        ib = np.flatnonzero(bands == band_b)
+        if len(ia) == 0 or len(ib) == 0:
+            return empty
+        i, j = int(ia[0]), int(ib[0])
+        h = int(group["height"][i].as_py())
+        w = int(group["width"][i].as_py())
+        r0 = int(group["row_off"][i].as_py())
+        c0 = int(group["col_off"][i].as_py())
+        a = (
+            np.asarray(group["values"][i].as_py(), np.float32)
+            .reshape(h, w).astype(np.float64)
+        )
+        b = (
+            np.asarray(group["values"][j].as_py(), np.float32)
+            .reshape(h, w).astype(np.float64)
+        )
+        valid = (a > NODATA_THRESHOLD) & (b > NODATA_THRESHOLD)
+        if not valid.any():
+            return empty
+        denom = a + b
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ndi = (a - b) / denom
+        ndi = np.where(denom == 0.0, 0.0, ndi)
+        rr, cc = np.nonzero(valid)
+        return pa.table(
+            {
+                "row": pa.array((rr + r0).astype(np.int64)),
+                "col": pa.array((cc + c0).astype(np.int64)),
+                "ndi": pa.array(ndi[rr, cc]),
+            }
+        )
+
+    keyed = tiles.map_batches(
+        lambda t: t.append_column(
+            "origin_key",
+            pa.array(
+                [
+                    f"{s}|{r}|{c}"
+                    for s, r, c in zip(
+                        t["src"].to_pylist(),
+                        t["row_off"].to_pylist(),
+                        t["col_off"].to_pylist(),
+                    )
+                ]
+            ),
+        ),
+        batch_format="pyarrow", batch_size=None,
+    )
+    return keyed.groupby("origin_key").map_groups(
+        kernel, batch_format="pyarrow"
+    )
