@@ -983,6 +983,27 @@ def _og_multiband_tiles_table(bands: tuple[int, ...] = (1, 2)) -> pa.Table:
     )
 
 
+def _q_cost_distance(sf_dir: str) -> pa.Table:
+    """Cost-distance propagation (GIS cost surface) over the slope
+    fixture: 8 synchronous relaxation rounds, each one a tile halo
+    exchange (stages/raster.py::cost_distance_rounds) -- equals the
+    min path cost over <= 8 edges from any seed, which the bounded
+    recursive oracle enumerates.  All-int64 costs: exact, tiling-
+    independent."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
+        cost_distance_rounds,
+    )
+
+    tiles = ray.data.from_arrow(_og_tiles_table(sparse_invalid=True, tile=24))
+    return collect_tables(
+        cost_distance_rounds(tiles, seed_threshold=48.0, n_rounds=8)
+    )
+
+
 def _q_band_math_ndi(sf_dir: str) -> pa.Table:
     """Normalized-difference band math over the formula multiband
     fixture: the band-align groupby join + vectorized (a-b)/(a+b)
@@ -6608,6 +6629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "track_straightness": _q_track_straightness,
         "od_matrix": _q_od_matrix,
         "band_math_ndi": _q_band_math_ndi,
+        "cost_distance": _q_cost_distance,
         "hourly_profile": _q_hourly_profile,
         "track_hausdorff": _q_track_hausdorff,
         "debounce_events": _q_debounce_events,
@@ -8413,6 +8435,26 @@ def oracle_sql() -> dict[str, str]:
         "geofence_transitions": _geofence_oracle_sql(),
         "polygon_coverage": _polygon_coverage_oracle_sql(),
         "boundary_distance": _boundary_distance_oracle_sql(),
+        "cost_distance": (
+            # min path cost over <= 8 edges from any seed = 8
+            # synchronous Bellman-Ford rounds; bounded path expansion
+            # with UNION dedup, equi-join on shifted (row, col)
+            f"WITH RECURSIVE g AS ({_OG_SLOPE_GRID_SQL}), "
+            "v AS (SELECT row, col, CAST(ROUND(z * 10, 0) AS BIGINT) "
+            "AS e, z FROM g WHERE z > -1e30), "
+            "dirs(dr, dc) AS (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)), "
+            "walk(row, col, cost, d) AS ("
+            "SELECT row, col, CAST(0 AS BIGINT), 0 FROM v "
+            "WHERE z >= 48.0 "
+            "UNION "
+            "SELECT n.row, n.col, walk.cost + n.e, walk.d + 1 "
+            "FROM walk JOIN dirs ON TRUE "
+            "JOIN v n ON n.row = walk.row + dirs.dr "
+            "AND n.col = walk.col + dirs.dc "
+            "WHERE walk.d < 8) "
+            "SELECT row, col, MIN(cost) AS cost "
+            "FROM walk GROUP BY row, col"
+        ),
         "band_math_ndi": (
             # per-band formula grids joined on (row, col); guard and
             # expression identical to the engine kernel

@@ -3126,3 +3126,52 @@ class TestBandMathNdi:
             r, c = int(ri[k]), int(ci[k])
             want = (a[r, c] - b[r, c]) / (a[r, c] + b[r, c])
             assert got[(r, c)] == want
+
+
+class TestCostDistance:
+    def test_matches_whole_array_and_tiling_invariant(self, ray_session):
+        """8 iterated halo-exchange rounds equal the single-array
+        synchronous relaxation exactly, and the result is independent
+        of the tiling (24px vs 48px tiles)."""
+        import numpy as np
+        import ray.data
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as entry
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
+            cost_distance_rounds,
+        )
+
+        def run(tile):
+            tiles = entry._og_tiles_table(sparse_invalid=True, tile=tile)
+            out = cost_distance_rounds(
+                ray.data.from_arrow(tiles), seed_threshold=48.0, n_rounds=8
+            ).to_pandas()
+            return {(r, c): v for r, c, v in
+                    zip(out["row"], out["col"], out["cost"])}
+
+        got24 = run(24)
+        got48 = run(48)
+        assert got24 == got48  # tiling-invariant
+
+        rr, cc = np.meshgrid(np.arange(96), np.arange(96), indexing="ij")
+        z = (((rr * 73 + cc * 31) % 500) / 10.0).astype(
+            np.float32).astype(np.float64)
+        invalid = (rr * 5 + cc * 3) % 29 == 0
+        ent = np.where(~invalid, np.rint(z * 10.0), -1.0)
+        cost = np.where(~invalid & (z >= 48.0), 0.0, np.inf)
+        for _ in range(8):
+            pad = np.full((98, 98), np.inf)
+            pad[1:97, 1:97] = cost
+            nb = np.fmin(
+                np.fmin(pad[0:96, 1:97], pad[2:98, 1:97]),
+                np.fmin(pad[1:97, 0:96], pad[1:97, 2:98]),
+            )
+            cand = nb + ent
+            cost = np.where((ent >= 0) & (cand < cost), cand, cost)
+        ri, ci = np.nonzero(np.isfinite(cost))
+        want = {(int(r), int(c)): int(cost[r, c])
+                for r, c in zip(ri, ci)}
+        assert got24 == want
+        # barriers: invalid pixels never appear
+        assert all(not invalid[r, c] for r, c in got24)

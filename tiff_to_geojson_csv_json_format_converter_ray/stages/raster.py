@@ -1610,3 +1610,212 @@ def band_math_ndi(
     return keyed.groupby("origin_key").map_groups(
         kernel, batch_format="pyarrow"
     )
+
+
+_COST_INF = np.int64(2**62)
+
+
+def cost_distance_rounds(
+    tiles: ray.data.Dataset,
+    seed_threshold: float,
+    n_rounds: int = 8,
+    stride: int | None = None,
+) -> ray.data.Dataset:
+    """Cost-distance propagation over the raster (GIS cost surface /
+    ArcGIS CostDistance): accumulated cost of the cheapest 4-connected
+    path from any SEED pixel (``z >= seed_threshold``, cost 0), where
+    entering a pixel costs its integer value ``round(z * 10)``.
+
+    Runs as ``n_rounds`` SYNCHRONOUS relaxation rounds, each one a
+    tile halo exchange: every tile swaps its 1-pixel cost boundary
+    with its neighbors, then relaxes ``cost = min(cost, neighbor +
+    entry)`` vectorized -- the iterated-halo shape (Bellman-Ford on
+    the grid; a cost front advances <= 1 pixel per round, so
+    ``n_rounds`` bounds the propagation radius).  All arithmetic is
+    int64 -- results are exact and independent of tiling.  Invalid
+    pixels (below the nodata threshold) are barriers.
+
+    Returns ``(row, col, cost)`` for pixels reached within the round
+    budget.  Costs ride the halo machinery as float32 'values'
+    losslessly (integer costs < 2^24 at these value scales; larger
+    cost ranges would carry an int64 column instead)."""
+
+    def init_state(batch: pa.Table) -> pa.Table:
+        out = []
+        for i in range(batch.num_rows):
+            h = int(batch["height"][i].as_py())
+            w = int(batch["width"][i].as_py())
+            z = (
+                np.asarray(batch["values"][i].as_py(), np.float32)
+                .reshape(h, w).astype(np.float64)
+            )
+            valid = z > NODATA_THRESHOLD
+            entry = np.where(valid, np.rint(z * 10.0), -1.0)
+            cost = np.where(valid & (z >= seed_threshold), 0.0, np.inf)
+            t = batch.slice(i, 1)
+            for band, plane in ((1, entry), (2, cost)):
+                out.append(
+                    pa.table(
+                        {
+                            "src": t["src"],
+                            "band": pa.array([band], pa.int32()),
+                            "row_off": t["row_off"],
+                            "col_off": t["col_off"],
+                            "height": t["height"],
+                            "width": t["width"],
+                            "transform": t["transform"],
+                            "values": pa.array(
+                                [plane.astype(np.float32).ravel().tolist()],
+                                pa.list_(pa.float32()),
+                            ),
+                        }
+                    )
+                )
+        return pa.concat_tables(out)
+
+    _STATE_SCHEMA = pa.schema(
+        [
+            ("src", pa.string()),
+            ("band", pa.int32()),
+            ("row_off", pa.int32()),
+            ("col_off", pa.int32()),
+            ("height", pa.int32()),
+            ("width", pa.int32()),
+            ("transform", pa.list_(pa.float64(), 6)),
+            ("values", pa.list_(pa.float32())),
+        ]
+    )
+
+    def _empty_state() -> pa.Table:
+        return _STATE_SCHEMA.empty_table()
+
+    def relax(group: pa.Table) -> pa.Table:
+        # rows: band-1 core (entry costs, rel 0,0 only) + band-2 core
+        # and halo strips (current costs)
+        bands = group["band"].to_numpy(zero_copy_only=False)
+        rel_r = group["rel_r"].to_numpy(zero_copy_only=False)
+        rel_c = group["rel_c"].to_numpy(zero_copy_only=False)
+        entry_idx = np.flatnonzero((bands == 1) & (rel_r == 0) & (rel_c == 0))
+        if len(entry_idx) == 0:
+            return _empty_state()
+        cost_rows = np.flatnonzero(bands == 2)
+        asm = _assemble_padded(group.take(pa.array(cost_rows)))
+        if asm is None:
+            return _empty_state()
+        pad, h, w, r0, c0, transform = asm
+        ei = int(entry_idx[0])
+        entry = (
+            np.asarray(group["values"][ei].as_py(), np.float32)
+            .reshape(h, w).astype(np.float64)
+        )
+        up = pad[0:h, 1 : w + 1]
+        down = pad[2 : h + 2, 1 : w + 1]
+        left = pad[1 : h + 1, 0:w]
+        right = pad[1 : h + 1, 2 : w + 2]
+        cur = pad[1 : h + 1, 1 : w + 1].copy()
+        best_nb = np.fmin(np.fmin(up, down), np.fmin(left, right))
+        cand = best_nb + entry
+        relaxable = entry >= 0.0  # valid pixels only
+        new = np.where(relaxable & (cand < cur), cand, cur)
+        src_name = group["halo_key"][ei].as_py().split("|")[0]
+        return pa.table(
+            {
+                "src": pa.array([src_name] * 2),
+                "band": pa.array([1, 2], pa.int32()),
+                "row_off": pa.array([r0] * 2, pa.int32()),
+                "col_off": pa.array([c0] * 2, pa.int32()),
+                "height": pa.array([h] * 2, pa.int32()),
+                "width": pa.array([w] * 2, pa.int32()),
+                "transform": pa.array([transform] * 2, pa.list_(pa.float64(), 6)),
+                "values": pa.array(
+                    [
+                        entry.astype(np.float32).ravel().tolist(),
+                        new.astype(np.float32).ravel().tolist(),
+                    ],
+                    pa.list_(pa.float32()),
+                ),
+            },
+            schema=_STATE_SCHEMA,
+        )
+
+    # state columns match make_emit_halos input (minus tile_id/crs/nodata)
+    state = tiles.map_batches(init_state, batch_format="pyarrow", batch_size=None)
+    for _ in range(n_rounds):
+        halos = state.map_batches(
+            _cost_emit(stride), batch_format="pyarrow", batch_size=None
+        )
+        state = halos.groupby("halo_key").map_groups(relax, batch_format="pyarrow")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        rows, cols, costs = [], [], []
+        for i in range(batch.num_rows):
+            if batch["band"][i].as_py() != 2:
+                continue
+            h = int(batch["height"][i].as_py())
+            w = int(batch["width"][i].as_py())
+            r0 = int(batch["row_off"][i].as_py())
+            c0 = int(batch["col_off"][i].as_py())
+            cost = (
+                np.asarray(batch["values"][i].as_py(), np.float32)
+                .reshape(h, w).astype(np.float64)
+            )
+            rr, cc = np.nonzero(np.isfinite(cost))
+            rows.append((rr + r0).astype(np.int64))
+            cols.append((cc + c0).astype(np.int64))
+            costs.append(cost[rr, cc].astype(np.int64))
+        if not rows:
+            return pa.table(
+                {
+                    "row": pa.array([], pa.int64()),
+                    "col": pa.array([], pa.int64()),
+                    "cost": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "row": pa.array(np.concatenate(rows)),
+                "col": pa.array(np.concatenate(cols)),
+                "cost": pa.array(np.concatenate(costs)),
+            }
+        )
+
+    return state.map_batches(finish, batch_format="pyarrow", batch_size=None)
+
+
+def _cost_emit(stride: int | None):
+    """Halo emit for the cost rounds: band-2 (cost) rows emit core +
+    strips through make_emit_halos; band-1 (entry) rows pass through
+    as core-only rows in the same keyed layout."""
+    base = make_emit_halos(stride, stride)
+
+    def emit(batch: pa.Table) -> pa.Table:
+        bands = batch["band"].to_numpy(zero_copy_only=False)
+        cost_part = batch.filter(pa.array(bands == 2))
+        entry_part = batch.filter(pa.array(bands == 1))
+        halos = base(cost_part)
+        # band column is dropped by make_emit_halos output; re-add
+        halos = halos.append_column(
+            "band", pa.array(np.full(halos.num_rows, 2, np.int32))
+        )
+        ent = base(entry_part)
+        # entry rows: keep only their own core (rel 0,0)
+        rel_ok = (
+            (np.asarray(ent["rel_r"]) == 0) & (np.asarray(ent["rel_c"]) == 0)
+        )
+        ent = ent.filter(pa.array(rel_ok))
+        # halo_key embeds the band -- rewrite entry keys to band 2 so
+        # the entry core lands in the SAME group as its cost rows
+        keys = []
+        for k in ent["halo_key"].to_pylist():
+            parts = k.split("|")
+            parts[1] = "2"
+            keys.append("|".join(parts))
+        ent = ent.set_column(
+            ent.column_names.index("halo_key"), "halo_key", pa.array(keys)
+        )
+        ent = ent.append_column(
+            "band", pa.array(np.full(ent.num_rows, 1, np.int32))
+        )
+        return pa.concat_tables([halos, ent])
+
+    return emit
