@@ -983,6 +983,21 @@ def _og_multiband_tiles_table(bands: tuple[int, ...] = (1, 2)) -> pa.Table:
     )
 
 
+def _q_skew_report(sf_dir: str) -> pa.Table:
+    """Shuffle-key skew diagnostics over documents.lang (heavy keys,
+    size quantiles, recommended salt factor) -- the machine-readable
+    pre-flight for the explicit skew handling the north rule requires
+    (stages/shuffle.py::skew_report)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
+        skew_report,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang"]
+    )
+    return skew_report(ds, "lang", top_n=3)
+
+
 def _q_cost_distance(sf_dir: str) -> pa.Table:
     """Cost-distance propagation (GIS cost surface) over the slope
     fixture: 8 synchronous relaxation rounds, each one a tile halo
@@ -6630,6 +6645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "od_matrix": _q_od_matrix,
         "band_math_ndi": _q_band_math_ndi,
         "cost_distance": _q_cost_distance,
+        "skew_report": _q_skew_report,
         "hourly_profile": _q_hourly_profile,
         "track_hausdorff": _q_track_hausdorff,
         "debounce_events": _q_debounce_events,
@@ -8435,6 +8451,21 @@ def oracle_sql() -> dict[str, str]:
         "geofence_transitions": _geofence_oracle_sql(),
         "polygon_coverage": _polygon_coverage_oracle_sql(),
         "boundary_distance": _boundary_distance_oracle_sql(),
+        "skew_report": (
+            "WITH c AS (SELECT lang AS key, COUNT(*) AS n "
+            "FROM documents GROUP BY lang), "
+            "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS nk, "
+            "CAST(quantile_disc(n, 0.5) AS BIGINT) AS p50v, "
+            "CAST(quantile_disc(n, 0.9) AS BIGINT) AS p90v, "
+            "CAST(MAX(n) AS BIGINT) AS mx FROM c), "
+            "t AS (SELECT key, n, "
+            "ROW_NUMBER() OVER (ORDER BY n DESC, key) - 1 AS rank FROM c) "
+            "SELECT t.rank, t.key, CAST(t.n AS BIGINT) AS key_count, "
+            "s.nk AS n_keys, s.p50v AS p50, s.p90v AS p90, "
+            "s.mx AS max_count, "
+            "CAST(CEIL(CAST(s.mx AS DOUBLE) / CAST(s.p50v AS DOUBLE)) "
+            "AS BIGINT) AS salt_k FROM t, s WHERE t.rank < 3"
+        ),
         "cost_distance": (
             # min path cost over <= 8 edges from any seed = 8
             # synchronous Bellman-Ford rounds; bounded path expansion

@@ -353,7 +353,7 @@ EXTRA_QUERY_SUBSET = [
     "debounce_events", "media_ahash_pairs", "media_decode",
     "polygon_coverage", "boundary_distance", "linear_interp",
     "track_hausdorff", "track_straightness", "hourly_profile", "od_matrix",
-    "band_math_ndi", "cost_distance",
+    "band_math_ndi", "cost_distance", "skew_report",
 ]
 
 

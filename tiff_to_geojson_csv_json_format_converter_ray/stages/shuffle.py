@@ -234,3 +234,42 @@ def grouped_by_key(
         .groupby("_bkt")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def skew_report(
+    ds: ray.data.Dataset, key: str, top_n: int = 3
+) -> pa.Table:
+    """Shuffle-key skew diagnostics -- the pre-flight check the north
+    rule's explicit skew handling is built on: per-key group sizes
+    (tier-2 combiner count), their p50/p90/max (quantile_disc rank
+    convention), the ``top_n`` heaviest keys, and the salt factor
+    ``ceil(max / p50)`` a hot-cell salter would apply
+    (cf. ``salted_count``).  Output: one row per heavy key, rank
+    0 = heaviest, each carrying the global stats -- so the table is
+    both the report and a machine-readable salting config."""
+    import math
+
+    counts = partial_count(ds, [key])
+    n = counts["count"].to_numpy(zero_copy_only=False).astype(np.int64)
+    keys = counts[key].to_pylist()
+    sizes = np.sort(n)
+    nk = len(sizes)
+
+    def qdisc(q: float) -> int:
+        return int(sizes[max(0, math.ceil(q * nk) - 1)])
+
+    p50, p90, mx = qdisc(0.5), qdisc(0.9), int(sizes[-1])
+    salt_k = int(math.ceil(mx / p50)) if p50 > 0 else 1
+    order = np.lexsort((np.asarray(keys, dtype=object), -n))[:top_n]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(len(order)), pa.int64()),
+            "key": pa.array([str(keys[int(i)]) for i in order], pa.string()),
+            "key_count": pa.array(n[order]),
+            "n_keys": pa.array([nk] * len(order), pa.int64()),
+            "p50": pa.array([p50] * len(order), pa.int64()),
+            "p90": pa.array([p90] * len(order), pa.int64()),
+            "max_count": pa.array([mx] * len(order), pa.int64()),
+            "salt_k": pa.array([salt_k] * len(order), pa.int64()),
+        }
+    )
