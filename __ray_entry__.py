@@ -983,6 +983,64 @@ def _og_multiband_tiles_table(bands: tuple[int, ...] = (1, 2)) -> pa.Table:
     )
 
 
+def _q_radius_of_gyration(sf_dir: str) -> pa.Table:
+    """Radius of gyration per user (Gonzalez et al. 2008) on the exact
+    integer lattice via the one-division moment form
+    (pipelines/tracks.py::radius_of_gyration_ds)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.tracks import (
+        radius_of_gyration_ds,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id"],
+    )
+    return collect_tables(radius_of_gyration_ds(ds))
+
+
+def _q_visit_entropy(sf_dir: str) -> pa.Table:
+    """Visit-location entropy per user (Song et al. 2010
+    predictability): Shannon entropy of the res-6 cell visit
+    distribution -- the mobility instance of the grouped-entropy
+    combiner (pipelines/relational.py::grouped_entropy)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.functions.cells import (
+        cell_of,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        grouped_entropy,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.tracks import (
+        geocode_events,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+
+    def add_cell(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "cell_6": pa.array(
+                    cell_of(
+                        batch["lon"].to_numpy(zero_copy_only=False),
+                        batch["lat"].to_numpy(zero_copy_only=False),
+                        6,
+                    )
+                ),
+            }
+        )
+
+    cells = geocode_events(ds).map_batches(
+        add_cell, batch_format="pyarrow", batch_size=None
+    )
+    return grouped_entropy(cells, "user_id", "cell_6")
+
+
 def _q_skew_report(sf_dir: str) -> pa.Table:
     """Shuffle-key skew diagnostics over documents.lang (heavy keys,
     size quantiles, recommended salt factor) -- the machine-readable
@@ -6646,6 +6704,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "band_math_ndi": _q_band_math_ndi,
         "cost_distance": _q_cost_distance,
         "skew_report": _q_skew_report,
+        "radius_of_gyration": _q_radius_of_gyration,
+        "visit_entropy": _q_visit_entropy,
         "hourly_profile": _q_hourly_profile,
         "track_hausdorff": _q_track_hausdorff,
         "debounce_events": _q_debounce_events,
@@ -8451,6 +8511,30 @@ def oracle_sql() -> dict[str, str]:
         "geofence_transitions": _geofence_oracle_sql(),
         "polygon_coverage": _polygon_coverage_oracle_sql(),
         "boundary_distance": _boundary_distance_oracle_sql(),
+        "radius_of_gyration": (
+            "WITH p AS (SELECT user_id, event_id % 96 AS ix, "
+            "(event_id // 96) % 96 AS iy FROM events) "
+            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_fixes, "
+            "ROUND(0.01 * SQRT(GREATEST("
+            "(AVG(CAST(ix * ix AS DOUBLE)) "
+            "- AVG(CAST(ix AS DOUBLE)) * AVG(CAST(ix AS DOUBLE))) "
+            "+ (AVG(CAST(iy * iy AS DOUBLE)) "
+            "- AVG(CAST(iy AS DOUBLE)) * AVG(CAST(iy AS DOUBLE))), 0.0)), 6) "
+            "AS rog FROM p GROUP BY user_id"
+        ),
+        "visit_entropy": (
+            "WITH g AS (SELECT user_id, "
+            "77.0 + CAST(event_id % 96 AS DOUBLE) * 0.01 AS lon, "
+            "28.05 + CAST((event_id // 96) % 96 AS DOUBLE) * 0.01 AS lat "
+            "FROM events), "
+            "c AS (SELECT user_id, ((CAST(6 AS BIGINT) << 56) | (LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / 0.02197265625) AS BIGINT), 0), 8191) << 28) | LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / 0.02197265625) AS BIGINT), 0), 16383)) AS cell_6, "
+            "CAST(COUNT(*) AS DOUBLE) AS n FROM g GROUP BY 1, 2), "
+            "t AS (SELECT user_id, SUM(n) AS tot FROM c GROUP BY user_id) "
+            "SELECT c.user_id, "
+            "ROUND(LN(MAX(t.tot)) - SUM(c.n * LN(c.n)) / MAX(t.tot), 6) "
+            "AS entropy FROM c JOIN t ON c.user_id = t.user_id "
+            "GROUP BY c.user_id"
+        ),
         "skew_report": (
             "WITH c AS (SELECT lang AS key, COUNT(*) AS n "
             "FROM documents GROUP BY lang), "

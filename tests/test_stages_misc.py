@@ -3175,3 +3175,27 @@ class TestCostDistance:
         assert got24 == want
         # barriers: invalid pixels never appear
         assert all(not invalid[r, c] for r, c in got24)
+
+
+class TestMobilityMetrics:
+    def test_rog_hand_cases(self, ray_session):
+        """Single-location user: rog 0.  Two equidistant locations:
+        rog = half the separation."""
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.tracks import (
+            radius_of_gyration_ds,
+        )
+
+        rows = []
+        # user 1: same cell 4 times (eid constant lattice point)
+        rows += [{"event_id": 10, "user_id": 1}] * 4
+        # user 2: alternating cols 0 and 10 of row 0 -> centroid at 5,
+        # every fix 5 cols away -> rog = 5 * 0.01 = 0.05
+        rows += [{"event_id": c, "user_id": 2} for c in (0, 10, 0, 10)]
+        ev = pa.Table.from_pylist(rows)
+        out = radius_of_gyration_ds(
+            ray.data.from_arrow(ev)
+        ).to_pandas().set_index("user_id")
+        assert out.loc[1, "rog"] == 0.0
+        assert out.loc[2, "rog"] == 0.05

@@ -511,3 +511,37 @@ def od_matrix_ds(events: ray.data.Dataset, res: int = 6) -> ray.data.Dataset:
 
     return hash_aggregate(per_user, ["cell_from", "cell_to"],
                           [("n_trips", "sum", "n_trips")])
+
+
+def radius_of_gyration_ds(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Radius of gyration per user (Gonzalez et al. 2008, the standard
+    human-mobility range metric): RMS distance of a user's fixes from
+    their centroid, computed on the EXACT integer lattice indices
+    (``ix = eid % 96``, ``iy = (eid // 96) % 96``) via the one-division
+    moment form ``rog = 0.01 * sqrt((E[x^2]-E[x]^2) + (E[y^2]-E[y]^2))``
+    -- bit-identical to the SQL AVG mirror.  One keyed shuffle."""
+
+    def kernel(group: pa.Table) -> pa.Table:
+        eid = group["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ix = eid % 96
+        iy = (eid // 96) % 96
+        n = float(len(eid))
+        mx = float(ix.sum()) / n
+        my = float(iy.sum()) / n
+        sqx = float((ix * ix).sum()) / n
+        sqy = float((iy * iy).sum()) / n
+        var = (sqx - mx * mx) + (sqy - my * my)
+        rog = 0.01 * np.sqrt(max(var, 0.0))
+        return pa.table(
+            {
+                "user_id": pa.array([group["user_id"][0].as_py()], pa.int64()),
+                "n_fixes": pa.array([len(eid)], pa.int64()),
+                "rog": round_like_sql([float(rog)], 6),
+            }
+        )
+
+    from ..stages.shuffle import grouped_by_key
+
+    return grouped_by_key(
+        events.select_columns(["user_id", "event_id"]), "user_id", kernel
+    )
