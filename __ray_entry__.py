@@ -983,6 +983,22 @@ def _og_multiband_tiles_table(bands: tuple[int, ...] = (1, 2)) -> pa.Table:
     )
 
 
+def _q_theil_sen(sf_dir: str) -> pa.Table:
+    """Theil-Sen robust value-over-time slope per event type: median
+    of pairwise slopes over a deterministic hash-gated subsample --
+    element selection end to end, no float accumulation
+    (pipelines/relational.py::theil_sen_by_key)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        theil_sen_by_key,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type", "ts", "value"],
+    )
+    return theil_sen_by_key(ds, "event_type", sample_mod=7, seed=41)
+
+
 def _q_radius_of_gyration(sf_dir: str) -> pa.Table:
     """Radius of gyration per user (Gonzalez et al. 2008) on the exact
     integer lattice via the one-division moment form
@@ -6705,6 +6721,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cost_distance": _q_cost_distance,
         "skew_report": _q_skew_report,
         "radius_of_gyration": _q_radius_of_gyration,
+        "theil_sen": _q_theil_sen,
         "visit_entropy": _q_visit_entropy,
         "hourly_profile": _q_hourly_profile,
         "track_hausdorff": _q_track_hausdorff,
@@ -8511,6 +8528,20 @@ def oracle_sql() -> dict[str, str]:
         "geofence_transitions": _geofence_oracle_sql(),
         "polygon_coverage": _polygon_coverage_oracle_sql(),
         "boundary_distance": _boundary_distance_oracle_sql(),
+        "theil_sen": (
+            # identical hash gate, pairwise slopes on exact ints,
+            # quantile_disc median -- element selection, no sums
+            "WITH p AS (SELECT event_id, event_type, epoch_us(ts) AS x, "
+            "CAST(ROUND(value * 100, 0) AS BIGINT) AS y FROM events "
+            "WHERE (xor((((xor((((xor((((((((((((event_id) + 41) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((event_id) + 41) & 4294967295)) & 65535) * 2654435761))) & 4294967295), (((((((((((event_id) + 41) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((event_id) + 41) & 4294967295)) & 65535) * 2654435761))) & 4294967295) >> 16)) * 73244475) % 4294967296), (((xor((((((((((((event_id) + 41) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((event_id) + 41) & 4294967295)) & 65535) * 2654435761))) & 4294967295), (((((((((((event_id) + 41) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((event_id) + 41) & 4294967295)) & 65535) * 2654435761))) & 4294967295) >> 16)) * 73244475) % 4294967296) >> 16)) * 73244475) % 4294967296), (((xor((((xor((((((((((((event_id) + 41) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((event_id) + 41) & 4294967295)) & 65535) * 2654435761))) & 4294967295), (((((((((((event_id) + 41) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((event_id) + 41) & 4294967295)) & 65535) * 2654435761))) & 4294967295) >> 16)) * 73244475) % 4294967296), (((xor((((((((((((event_id) + 41) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((event_id) + 41) & 4294967295)) & 65535) * 2654435761))) & 4294967295), (((((((((((event_id) + 41) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((event_id) + 41) & 4294967295)) & 65535) * 2654435761))) & 4294967295) >> 16)) * 73244475) % 4294967296) >> 16)) * 73244475) % 4294967296) >> 16)) % 7 = 0), "
+            "pr AS (SELECT a.event_type, "
+            "CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS s "
+            "FROM p a JOIN p b ON a.event_type = b.event_type "
+            "AND a.event_id < b.event_id WHERE b.x - a.x <> 0) "
+            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+            "ROUND(quantile_disc(s, 0.5) * 86400000000.0, 6) AS ts_slope "
+            "FROM pr GROUP BY event_type"
+        ),
         "radius_of_gyration": (
             "WITH p AS (SELECT user_id, event_id % 96 AS ix, "
             "(event_id // 96) % 96 AS iy FROM events) "

@@ -3199,3 +3199,36 @@ class TestMobilityMetrics:
         ).to_pandas().set_index("user_id")
         assert out.loc[1, "rog"] == 0.0
         assert out.loc[2, "rog"] == 0.05
+
+
+class TestTheilSen:
+    def test_robust_to_outlier(self, ray_session):
+        """A clean linear trend with one wild outlier: Theil-Sen
+        recovers the true slope where the mean-based fit would not."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+            theil_sen_by_key,
+        )
+        from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
+            mix32,
+        )
+
+        # choose event_ids that PASS the hash gate (mod 1 = keep all)
+        n = 30
+        ts = np.arange(n, dtype=np.int64) * 86400000000  # daily
+        vals = 10.0 + 2.5 * np.arange(n)  # +2.5/day
+        vals[7] = 10000.0  # outlier
+        ev = pa.table(
+            {
+                "event_id": pa.array(np.arange(n, dtype=np.int64)),
+                "event_type": pa.array(["t"] * n),
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "value": pa.array(vals),
+            }
+        )
+        out = theil_sen_by_key(
+            ray.data.from_arrow(ev), "event_type", sample_mod=1
+        ).to_pandas()
+        assert abs(out.loc[0, "ts_slope"] - 2.5) < 1e-6

@@ -1613,3 +1613,75 @@ def profile_columns(
             ),
         }
     )
+
+
+def theil_sen_by_key(
+    ds: ray.data.Dataset,
+    key_col: str,
+    sample_mod: int = 7,
+    seed: int = 41,
+) -> pa.Table:
+    """Theil-Sen robust slope of value-cents over event time per key:
+    the median of all pairwise slopes ``(y_j - y_i) / (x_j - x_i)`` --
+    the estimator that shrugs off 29% outliers where least squares
+    breaks.  Inputs quantize exactly (x = int64 microseconds, y =
+    int64 cents) and the median is ELEMENT SELECTION (quantile_disc
+    rank convention), so no float accumulation exists anywhere --
+    parity with SQL is structural, not rounding-based.
+
+    All-pairs is quadratic, so rows enter via a deterministic mix32
+    hash gate (``mix32(event_id, seed) % sample_mod == 0`` -- the
+    same subsample on both sides); per-key work is bounded by the
+    gated group.  One keyed shuffle, vectorized pairwise kernel."""
+    import math
+
+    from ..functions.rounding import round_like_sql, scaled_int
+    from ..functions.sketch import mix32
+    from ..stages.shuffle import grouped_by_key
+
+    def gate(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = mix32(eid, seed) % sample_mod == 0
+        return pa.table(
+            {
+                key_col: batch[key_col].filter(pa.array(keep)),
+                "x": pa.array(
+                    batch["ts"].cast(pa.int64()).to_numpy(
+                        zero_copy_only=False
+                    )[keep]
+                ),
+                "y": pa.array(scaled_int(batch["value"], 100.0)[keep]),
+            }
+        )
+
+    def kernel(group: pa.Table) -> pa.Table:
+        x = group["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = group["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dx = x[None, :] - x[:, None]
+        dy = y[None, :] - y[:, None]
+        iu = np.triu_indices(len(x), k=1)
+        dxe, dye = dx[iu], dy[iu]
+        ok = dxe != 0
+        slopes = dye[ok].astype(np.float64) / dxe[ok].astype(np.float64)
+        if len(slopes) == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], group[key_col].type),
+                    "n_pairs": pa.array([], pa.int64()),
+                    "ts_slope": pa.array([], pa.float64()),
+                }
+            )
+        s = np.sort(slopes)
+        med = float(s[max(0, math.ceil(0.5 * len(s)) - 1)])
+        return pa.table(
+            {
+                key_col: pa.array([group[key_col][0].as_py()]),
+                "n_pairs": pa.array([len(s)], pa.int64()),
+                # slopes are cents per microsecond; report per day
+                "ts_slope": round_like_sql([med * 86400000000.0], 6),
+            }
+        )
+
+    gated = ds.map_batches(gate, batch_format="pyarrow", batch_size=None)
+    out = collect_tables(grouped_by_key(gated, key_col, kernel))
+    return out.sort_by(key_col)
