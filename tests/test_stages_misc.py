@@ -3231,4 +3231,5 @@ class TestTheilSen:
         out = theil_sen_by_key(
             ray.data.from_arrow(ev), "event_type", sample_mod=1
         ).to_pandas()
-        assert abs(out.loc[0, "ts_slope"] - 2.5) < 1e-6
+        # ts_slope is CENTS per day: +2.5 value/day = +250 cents/day
+        assert abs(out.loc[0, "ts_slope"] - 250.0) < 1e-6
