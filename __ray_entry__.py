@@ -983,6 +983,37 @@ def _og_multiband_tiles_table(bands: tuple[int, ...] = (1, 2)) -> pa.Table:
     )
 
 
+def _q_ab_ztest(sf_dir: str) -> pa.Table:
+    """Two-proportion z-test on user conversion between hash-split
+    A/B arms (pipelines/relational.py::ab_conversion_ztest)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        ab_conversion_ztest,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type"],
+    )
+    return ab_conversion_ztest(ds, seed=13, min_purchases=14)
+
+
+def _q_readability(sf_dir: str) -> pa.Table:
+    """Flesch reading-ease per document from regex-countable proxies
+    (stages/textops.py::readability_scores)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+        readability_scores,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+    return collect_tables(readability_scores(ds))
+
+
 def _q_theil_sen(sf_dir: str) -> pa.Table:
     """Theil-Sen robust value-over-time slope per event type: median
     of pairwise slopes over a deterministic hash-gated subsample --
@@ -6722,6 +6753,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skew_report": _q_skew_report,
         "radius_of_gyration": _q_radius_of_gyration,
         "theil_sen": _q_theil_sen,
+        "ab_ztest": _q_ab_ztest,
+        "readability": _q_readability,
         "visit_entropy": _q_visit_entropy,
         "hourly_profile": _q_hourly_profile,
         "track_hausdorff": _q_track_hausdorff,
@@ -8528,6 +8561,37 @@ def oracle_sql() -> dict[str, str]:
         "geofence_transitions": _geofence_oracle_sql(),
         "polygon_coverage": _polygon_coverage_oracle_sql(),
         "boundary_distance": _boundary_distance_oracle_sql(),
+        "ab_ztest": (
+            "WITH u AS (SELECT user_id, (xor((((xor((((xor((((((((((((user_id) + 13) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((user_id) + 13) & 4294967295)) & 65535) * 2654435761))) & 4294967295), (((((((((((user_id) + 13) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((user_id) + 13) & 4294967295)) & 65535) * 2654435761))) & 4294967295) >> 16)) * 73244475) % 4294967296), (((xor((((((((((((user_id) + 13) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((user_id) + 13) & 4294967295)) & 65535) * 2654435761))) & 4294967295), (((((((((((user_id) + 13) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((user_id) + 13) & 4294967295)) & 65535) * 2654435761))) & 4294967295) >> 16)) * 73244475) % 4294967296) >> 16)) * 73244475) % 4294967296), (((xor((((xor((((((((((((user_id) + 13) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((user_id) + 13) & 4294967295)) & 65535) * 2654435761))) & 4294967295), (((((((((((user_id) + 13) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((user_id) + 13) & 4294967295)) & 65535) * 2654435761))) & 4294967295) >> 16)) * 73244475) % 4294967296), (((xor((((((((((((user_id) + 13) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((user_id) + 13) & 4294967295)) & 65535) * 2654435761))) & 4294967295), (((((((((((user_id) + 13) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((user_id) + 13) & 4294967295)) & 65535) * 2654435761))) & 4294967295) >> 16)) * 73244475) % 4294967296) >> 16)) * 73244475) % 4294967296) >> 16)) % 2 AS arm, "
+            "CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 "
+            "ELSE 0 END) >= 14 THEN 1 ELSE 0 END "
+            "AS converted FROM events GROUP BY user_id, arm), "
+            "s AS (SELECT "
+            "CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n0, "
+            "CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1, "
+            "CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS DOUBLE) AS k0, "
+            "CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS DOUBLE) AS k1 "
+            "FROM u) "
+            "SELECT CAST(n0 AS BIGINT) AS n_a, CAST(n1 AS BIGINT) AS n_b, "
+            "CAST(k0 AS BIGINT) AS conv_a, CAST(k1 AS BIGINT) AS conv_b, "
+            "ROUND(k0 / n0, 6) AS rate_a, ROUND(k1 / n1, 6) AS rate_b, "
+            "ROUND((k0 / n0 - k1 / n1) / SQRT((k0 + k1) / (n0 + n1) "
+            "* (1.0 - (k0 + k1) / (n0 + n1)) * (1.0 / n0 + 1.0 / n1)), 6) "
+            "AS z_stat FROM s"
+        ),
+        "readability": (
+            "SELECT doc_id, "
+            "CAST(LENGTH(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words, "
+            "CAST(GREATEST(LENGTH(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences, "
+            "CAST(LENGTH(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT) AS n_vowel_groups, "
+            "ROUND(CASE WHEN LENGTH(regexp_extract_all(text, '\\S+')) = 0 "
+            "THEN 0.0 ELSE 206.835 "
+            "- 1.015 * (CAST(LENGTH(regexp_extract_all(text, '\\S+')) AS DOUBLE) "
+            "/ CAST(GREATEST(LENGTH(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE)) "
+            "- 84.6 * (CAST(LENGTH(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS DOUBLE) "
+            "/ CAST(LENGTH(regexp_extract_all(text, '\\S+')) AS DOUBLE)) END, 6) "
+            "AS flesch FROM documents"
+        ),
         "theil_sen": (
             # identical hash gate, pairwise slopes on exact ints,
             # quantile_disc median -- element selection, no sums

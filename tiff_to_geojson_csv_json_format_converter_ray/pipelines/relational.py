@@ -1685,3 +1685,62 @@ def theil_sen_by_key(
     gated = ds.map_batches(gate, batch_format="pyarrow", batch_size=None)
     out = collect_tables(grouped_by_key(gated, key_col, kernel))
     return out.sort_by(key_col)
+
+
+def ab_conversion_ztest(
+    ds: ray.data.Dataset, seed: int = 13, min_purchases: int = 14
+) -> pa.Table:
+    """Two-proportion z-test on conversion (user made at least
+    ``min_purchases`` purchases -- a threshold near the per-user
+    median so both outcomes occur) between deterministic hash-split
+    arms A/B -- the experimentation-analytics primitive.  Per-user
+    purchase counts reduce via the combiner tier; the z statistic is
+    closed-form floats over exact integer counts, identical op order
+    to the SQL oracle."""
+    from ..functions.sketch import mix32
+    from ..stages.shuffle import partial_count
+
+    def flags(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        conv = (
+            pa.compute.equal(batch["event_type"], "purchase")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(uid),
+                "arm": pa.array(mix32(uid, seed) % 2),
+                "conv": pa.array(conv),
+            }
+        )
+
+    per_user = hash_aggregate(
+        ds.map_batches(flags, batch_format="pyarrow", batch_size=None),
+        ["user_id", "arm"],
+        [("conv", "sum", "n_purchases")],
+    )
+    arm = per_user["arm"].to_numpy(zero_copy_only=False)
+    conv = (
+        per_user["n_purchases"].to_numpy(zero_copy_only=False)
+        >= min_purchases
+    ).astype(np.int64)
+    n = np.array([(arm == 0).sum(), (arm == 1).sum()], np.float64)
+    k = np.array(
+        [conv[arm == 0].sum(), conv[arm == 1].sum()], np.float64
+    )
+    p0, p1 = k[0] / n[0], k[1] / n[1]
+    pool = (k[0] + k[1]) / (n[0] + n[1])
+    se = np.sqrt(pool * (1.0 - pool) * (1.0 / n[0] + 1.0 / n[1]))
+    z = (p0 - p1) / se
+    return pa.table(
+        {
+            "n_a": pa.array([int(n[0])], pa.int64()),
+            "n_b": pa.array([int(n[1])], pa.int64()),
+            "conv_a": pa.array([int(k[0])], pa.int64()),
+            "conv_b": pa.array([int(k[1])], pa.int64()),
+            "rate_a": round_like_sql([p0], 6),
+            "rate_b": round_like_sql([p1], 6),
+            "z_stat": round_like_sql([float(z)], 6),
+        }
+    )

@@ -1078,3 +1078,50 @@ def lang_temperature_sample(
         merged, keys=lang_col
     )
     return joined.sort_by(lang_col)
+
+
+def readability_scores(docs, text_col: str = "text", id_col: str = "doc_id"):
+    """Flesch reading-ease per document from regex-countable proxies:
+    words = ``\\S+`` runs, sentences = ``[.!?]+`` runs (min 1),
+    syllables ~ vowel-group runs ``[aeiouyAEIOUY]+``; score =
+    ``206.835 - 1.015*(W/S) - 84.6*(V/W)`` -- counts are exact
+    integers, the score three float ops in SQL-identical order.
+    Stateless vectorized map_batches; module-level compiled regexes."""
+    import re as _re
+
+    import pyarrow as pa
+
+    w_re = _re.compile(r"\S+")
+    s_re = _re.compile(r"[.!?]+")
+    v_re = _re.compile(r"[aeiouyAEIOUY]+")
+
+    from ..functions.rounding import round_like_sql
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids, ws, ss, vs, scores = [], [], [], [], []
+        for i in range(batch.num_rows):
+            t = batch[text_col][i].as_py() or ""
+            w = len(w_re.findall(t))
+            s = max(len(s_re.findall(t)), 1)
+            v = len(v_re.findall(t))
+            ids.append(batch[id_col][i].as_py())
+            ws.append(w)
+            ss.append(s)
+            vs.append(v)
+            if w == 0:
+                scores.append(0.0)
+            else:
+                scores.append(
+                    206.835 - 1.015 * (w / s) - 84.6 * (v / w)
+                )
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "n_words": pa.array(ws, pa.int64()),
+                "n_sentences": pa.array(ss, pa.int64()),
+                "n_vowel_groups": pa.array(vs, pa.int64()),
+                "flesch": round_like_sql(scores, 6),
+            }
+        )
+
+    return docs.map_batches(score, batch_format="pyarrow", batch_size=None)
