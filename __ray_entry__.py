@@ -983,6 +983,76 @@ def _og_multiband_tiles_table(bands: tuple[int, ...] = (1, 2)) -> pa.Table:
     )
 
 
+def _q_aspect_classes(sf_dir: str) -> pa.Table:
+    """Slope-facing (aspect) octant histogram over the fixture DEM:
+    downhill direction = (-p, -q) from the Horn gradients, classified
+    into 8 compass octants by PURE COMPARISONS (D8 convention, no
+    atan2 -- trig octant boundaries would be the only float-parity
+    hazard); flats (p = q = 0) bucket separately.  Counts roll up via
+    the tier-2 combiner."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
+        make_emit_halos,
+    )
+
+    tiles = ray.data.from_arrow(_og_tiles_table(sparse_invalid=True, tile=24))
+
+    def pq_kernel(group: pa.Table) -> pa.Table:
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
+            _assemble_padded, NODATA_THRESHOLD,
+        )
+
+        asm = _assemble_padded(group)
+        empty = pa.table({"octant": pa.array([], pa.string())})
+        if asm is None:
+            return empty
+        pad, h, w, r0, c0, transform = asm
+        za = pad[0:h, 0:w]; zb = pad[0:h, 1:w+1]; zc = pad[0:h, 2:w+2]
+        zd = pad[1:h+1, 0:w]; ze = pad[1:h+1, 1:w+1]; zf = pad[1:h+1, 2:w+2]
+        zg = pad[2:h+2, 0:w]; zh = pad[2:h+2, 1:w+1]; zi = pad[2:h+2, 2:w+2]
+        stack = np.stack([za, zb, zc, zd, ze, zf, zg, zh, zi])
+        valid = np.all(np.isfinite(stack) & (stack > NODATA_THRESHOLD), axis=0)
+        if not valid.any():
+            return empty
+        p = ((zc + 2.0 * zf + zi) - (za + 2.0 * zd + zg)) / (8.0 * 0.01)
+        q = ((zg + 2.0 * zh + zi) - (za + 2.0 * zb + zc)) / (8.0 * 0.01)
+        dx, dy = -p, -q  # downhill
+        adx, ady = np.abs(dx), np.abs(dy)
+        east = adx > ady
+        north = ady > adx
+        diag = ~east & ~north
+        names = np.full(dx.shape, "FLAT", dtype=object)
+        names[east & (dx > 0)] = "E"
+        names[east & (dx < 0)] = "W"
+        names[north & (dy > 0)] = "N"
+        names[north & (dy < 0)] = "S"
+        names[diag & (dx > 0) & (dy > 0)] = "NE"
+        names[diag & (dx > 0) & (dy < 0)] = "SE"
+        names[diag & (dx < 0) & (dy > 0)] = "NW"
+        names[diag & (dx < 0) & (dy < 0)] = "SW"
+        return pa.table(
+            {"octant": pa.array(list(names[valid]), pa.string())}
+        )
+
+    halos = tiles.map_batches(
+        make_emit_halos(None, None), batch_format="pyarrow", batch_size=None
+    )
+    oct_ds = halos.groupby("halo_key").map_groups(
+        pq_kernel, batch_format="pyarrow"
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
+        partial_count,
+    )
+
+    out = partial_count(oct_ds, ["octant"])
+    return pa.table(
+        {
+            "octant": out["octant"],
+            "n_pixels": out["count"].cast(pa.int64()),
+        }
+    ).sort_by("octant")
+
+
 def _q_ab_ztest(sf_dir: str) -> pa.Table:
     """Two-proportion z-test on user conversion between hash-split
     A/B arms (pipelines/relational.py::ab_conversion_ztest)."""
@@ -6754,6 +6824,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "radius_of_gyration": _q_radius_of_gyration,
         "theil_sen": _q_theil_sen,
         "ab_ztest": _q_ab_ztest,
+        "aspect_classes": _q_aspect_classes,
         "readability": _q_readability,
         "visit_entropy": _q_visit_entropy,
         "hourly_profile": _q_hourly_profile,
@@ -8561,6 +8632,38 @@ def oracle_sql() -> dict[str, str]:
         "geofence_transitions": _geofence_oracle_sql(),
         "polygon_coverage": _polygon_coverage_oracle_sql(),
         "boundary_distance": _boundary_distance_oracle_sql(),
+        "aspect_classes": (
+            f"WITH g AS ({_OG_SLOPE_GRID_SQL}), w AS ("
+            f"SELECT e.row AS row, e.col AS col, "
+            f"n1.z AS za, n2.z AS zb, n3.z AS zc, n4.z AS zd, e.z AS ze, "
+            f"n6.z AS zf, n7.z AS zg, n8.z AS zh, n9.z AS zi "
+            f"FROM g e "
+            f"JOIN g n1 ON n1.row = e.row - 1 AND n1.col = e.col - 1 "
+            f"JOIN g n2 ON n2.row = e.row - 1 AND n2.col = e.col "
+            f"JOIN g n3 ON n3.row = e.row - 1 AND n3.col = e.col + 1 "
+            f"JOIN g n4 ON n4.row = e.row AND n4.col = e.col - 1 "
+            f"JOIN g n6 ON n6.row = e.row AND n6.col = e.col + 1 "
+            f"JOIN g n7 ON n7.row = e.row + 1 AND n7.col = e.col - 1 "
+            f"JOIN g n8 ON n8.row = e.row + 1 AND n8.col = e.col "
+            f"JOIN g n9 ON n9.row = e.row + 1 AND n9.col = e.col + 1 "
+            f"WHERE n1.z > -1e30 AND n2.z > -1e30 AND n3.z > -1e30 "
+            f"AND n4.z > -1e30 AND e.z > -1e30 AND n6.z > -1e30 "
+            f"AND n7.z > -1e30 AND n8.z > -1e30 AND n9.z > -1e30), "
+            f"d AS (SELECT "
+            f"-(((zc + 2.0 * zf + zi) - (za + 2.0 * zd + zg)) / (8.0 * 0.01)) AS dx, "
+            f"-(((zg + 2.0 * zh + zi) - (za + 2.0 * zb + zc)) / (8.0 * 0.01)) AS dy "
+            f"FROM w) "
+            f"SELECT CASE WHEN ABS(dx) > ABS(dy) THEN "
+            f"(CASE WHEN dx > 0 THEN 'E' ELSE 'W' END) "
+            f"WHEN ABS(dy) > ABS(dx) THEN "
+            f"(CASE WHEN dy > 0 THEN 'N' ELSE 'S' END) "
+            f"WHEN dx > 0 AND dy > 0 THEN 'NE' "
+            f"WHEN dx > 0 AND dy < 0 THEN 'SE' "
+            f"WHEN dx < 0 AND dy > 0 THEN 'NW' "
+            f"WHEN dx < 0 AND dy < 0 THEN 'SW' "
+            f"ELSE 'FLAT' END AS octant, "
+            f"CAST(COUNT(*) AS BIGINT) AS n_pixels FROM d GROUP BY octant"
+        ),
         "ab_ztest": (
             "WITH u AS (SELECT user_id, (xor((((xor((((xor((((((((((((user_id) + 13) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((user_id) + 13) & 4294967295)) & 65535) * 2654435761))) & 4294967295), (((((((((((user_id) + 13) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((user_id) + 13) & 4294967295)) & 65535) * 2654435761))) & 4294967295) >> 16)) * 73244475) % 4294967296), (((xor((((((((((((user_id) + 13) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((user_id) + 13) & 4294967295)) & 65535) * 2654435761))) & 4294967295), (((((((((((user_id) + 13) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((user_id) + 13) & 4294967295)) & 65535) * 2654435761))) & 4294967295) >> 16)) * 73244475) % 4294967296) >> 16)) * 73244475) % 4294967296), (((xor((((xor((((((((((((user_id) + 13) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((user_id) + 13) & 4294967295)) & 65535) * 2654435761))) & 4294967295), (((((((((((user_id) + 13) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((user_id) + 13) & 4294967295)) & 65535) * 2654435761))) & 4294967295) >> 16)) * 73244475) % 4294967296), (((xor((((((((((((user_id) + 13) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((user_id) + 13) & 4294967295)) & 65535) * 2654435761))) & 4294967295), (((((((((((user_id) + 13) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((user_id) + 13) & 4294967295)) & 65535) * 2654435761))) & 4294967295) >> 16)) * 73244475) % 4294967296) >> 16)) * 73244475) % 4294967296) >> 16)) % 2 AS arm, "
             "CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 "
