@@ -983,6 +983,21 @@ def _og_multiband_tiles_table(bands: tuple[int, ...] = (1, 2)) -> pa.Table:
     )
 
 
+def _q_kaplan_meier(sf_dir: str) -> pa.Table:
+    """Kaplan-Meier survival of time-to-first-error per user with
+    right-censoring at last activity
+    (pipelines/relational.py::kaplan_meier)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        kaplan_meier,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type"],
+    )
+    return kaplan_meier(ds, event_type="error")
+
+
 def _q_aspect_classes(sf_dir: str) -> pa.Table:
     """Slope-facing (aspect) octant histogram over the fixture DEM:
     downhill direction = (-p, -q) from the Horn gradients, classified
@@ -6825,6 +6840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theil_sen": _q_theil_sen,
         "ab_ztest": _q_ab_ztest,
         "aspect_classes": _q_aspect_classes,
+        "kaplan_meier": _q_kaplan_meier,
         "readability": _q_readability,
         "visit_entropy": _q_visit_entropy,
         "hourly_profile": _q_hourly_profile,
@@ -8632,6 +8648,29 @@ def oracle_sql() -> dict[str, str]:
         "geofence_transitions": _geofence_oracle_sql(),
         "polygon_coverage": _polygon_coverage_oracle_sql(),
         "boundary_distance": _boundary_distance_oracle_sql(),
+        "kaplan_meier": (
+            "WITH peru AS (SELECT user_id, MIN(epoch_us(ts)) AS t0, "
+            "MAX(epoch_us(ts)) AS tlast, "
+            "MIN(CASE WHEN event_type = 'error' THEN epoch_us(ts) END) "
+            "AS terr FROM events GROUP BY user_id), "
+            "dur AS (SELECT CASE WHEN terr IS NOT NULL THEN terr - t0 "
+            "ELSE tlast - t0 END AS d, "
+            "CASE WHEN terr IS NOT NULL THEN 1 ELSE 0 END AS obs "
+            "FROM peru), "
+            "ev AS (SELECT d AS t, CAST(COUNT(*) AS BIGINT) AS di "
+            "FROM dur WHERE obs = 1 GROUP BY d), "
+            "risk AS (SELECT ev.t, ev.di, "
+            "(SELECT CAST(COUNT(*) AS BIGINT) FROM dur "
+            "WHERE dur.d >= ev.t) AS ni FROM ev), "
+            "r2 AS (SELECT t, di, ni, "
+            "(CAST(ni AS DOUBLE) - CAST(di AS DOUBLE)) "
+            "/ CAST(ni AS DOUBLE) AS ratio FROM risk) "
+            "SELECT t AS t_us, ni AS n_at_risk, di AS n_events, "
+            "ROUND(CASE WHEN SUM(CASE WHEN ratio = 0.0 THEN 1 ELSE 0 END) "
+            "OVER (ORDER BY t) > 0 THEN 0.0 ELSE "
+            "EXP(SUM(LN(CASE WHEN ratio = 0.0 THEN 1.0 ELSE ratio END)) "
+            "OVER (ORDER BY t)) END, 6) AS survival FROM r2"
+        ),
         "aspect_classes": (
             f"WITH g AS ({_OG_SLOPE_GRID_SQL}), w AS ("
             f"SELECT e.row AS row, e.col AS col, "

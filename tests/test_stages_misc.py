@@ -3233,3 +3233,42 @@ class TestTheilSen:
         ).to_pandas()
         # ts_slope is CENTS per day: +2.5 value/day = +250 cents/day
         assert abs(out.loc[0, "ts_slope"] - 250.0) < 1e-6
+
+
+class TestKaplanMeier:
+    def test_textbook_censoring(self, ray_session):
+        """5 users: events (first 'error') at day 1, 2, 4; censoring
+        (no error, last seen) at day 3 and 5.  Classic KM:
+        S(1)=4/5, S(2)=4/5*3/4=3/5, S(4)=3/5*1/2=3/10."""
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+            kaplan_meier,
+        )
+
+        DAY = 86400000000
+        rows = []
+
+        def user(uid, error_day, last_day):
+            rows.append({"user_id": uid, "ts": 0, "event_type": "view"})
+            if error_day is not None:
+                rows.append({"user_id": uid, "ts": error_day * DAY,
+                             "event_type": "error"})
+            rows.append({"user_id": uid, "ts": last_day * DAY,
+                         "event_type": "view"})
+
+        user(1, 1, 6)
+        user(2, 2, 6)
+        user(3, None, 3)
+        user(4, 4, 6)
+        user(5, None, 5)
+        ev = pa.Table.from_pylist(rows).set_column(
+            1, "ts", pa.array([r["ts"] for r in rows], pa.timestamp("us"))
+        )
+        out = kaplan_meier(
+            ray.data.from_arrow(ev), event_type="error"
+        ).to_pandas()
+        got = dict(zip(out["t_us"] // DAY, out["survival"]))
+        assert got == {1: 0.8, 2: 0.6, 4: 0.3}
+        risk = dict(zip(out["t_us"] // DAY, out["n_at_risk"]))
+        assert risk == {1: 5, 2: 4, 4: 2}

@@ -1744,3 +1744,66 @@ def ab_conversion_ztest(
             "z_stat": round_like_sql([float(z)], 6),
         }
     )
+
+
+def kaplan_meier(ds: ray.data.Dataset, event_type: str = "error") -> pa.Table:
+    """Kaplan-Meier survival curve for time to a user's FIRST
+    ``event_type``, censored at their last observed event (standard
+    right-censoring): S(t) = prod over event times <= t of
+    (1 - d_i / n_i).  Per-user (origin, first-event, last-seen)
+    triples reduce via the combiner tier (MIN/MAX aggregates -- no
+    keyed shuffle); the curve itself is over DISTINCT event times
+    (bounded by users), evaluated with the same LN-prefix form as the
+    SQL window (``exp(cumsum(ln((n-d)/n)))``, ascending times).
+    Returns ``(t_us, n_at_risk, n_events, survival)``."""
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64())
+        is_ev = pa.compute.equal(batch["event_type"], event_type)
+        big = np.int64(2**62)
+        tnp = ts.to_numpy(zero_copy_only=False)
+        evt = np.where(
+            is_ev.to_numpy(zero_copy_only=False), tnp, big
+        )
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "t0": pa.array(tnp),
+                "tlast": pa.array(tnp),
+                "terr": pa.array(evt),
+            }
+        )
+
+    peru = hash_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        ["user_id"],
+        [("t0", "min", "t0"), ("tlast", "max", "tlast"),
+         ("terr", "min", "terr")],
+    )
+    t0 = peru["t0"].to_numpy(zero_copy_only=False)
+    tlast = peru["tlast"].to_numpy(zero_copy_only=False)
+    terr = peru["terr"].to_numpy(zero_copy_only=False)
+    big = np.int64(2**62)
+    observed = terr < big
+    dur = np.where(observed, terr - t0, tlast - t0)
+    dsort = np.sort(dur)
+    ev_times, d_counts = np.unique(dur[observed], return_counts=True)
+    n_at_risk = len(dur) - np.searchsorted(dsort, ev_times, side="left")
+    ratio = (n_at_risk.astype(np.float64) - d_counts.astype(np.float64)) / (
+        n_at_risk.astype(np.float64)
+    )
+    # a zero ratio (everyone at risk fails) pins survival at 0 from
+    # there on; SQL's LN raises on 0, so both sides route zeros
+    # through an indicator instead of the log
+    zero = ratio == 0.0
+    terms = np.log(np.where(zero, 1.0, ratio))
+    dead = np.cumsum(zero.astype(np.int64)) > 0
+    surv = np.where(dead, 0.0, np.exp(np.cumsum(terms)))
+    return pa.table(
+        {
+            "t_us": pa.array(ev_times.astype(np.int64)),
+            "n_at_risk": pa.array(n_at_risk.astype(np.int64)),
+            "n_events": pa.array(d_counts.astype(np.int64)),
+            "survival": round_like_sql(surv, 6),
+        }
+    )
