@@ -983,6 +983,23 @@ def _og_multiband_tiles_table(bands: tuple[int, ...] = (1, 2)) -> pa.Table:
     )
 
 
+def _q_interval_union(sf_dir: str) -> pa.Table:
+    """Merged-interval coverage time per user (30-min activity
+    windows; stages/window.py::keyed_interval_union)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.window import (
+        keyed_interval_union,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts"],
+    )
+    return collect_tables(keyed_interval_union(ds, window_s=1800.0))
+
+
 def _q_kaplan_meier(sf_dir: str) -> pa.Table:
     """Kaplan-Meier survival of time-to-first-error per user with
     right-censoring at last activity
@@ -6841,6 +6858,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ab_ztest": _q_ab_ztest,
         "aspect_classes": _q_aspect_classes,
         "kaplan_meier": _q_kaplan_meier,
+        "interval_union": _q_interval_union,
         "readability": _q_readability,
         "visit_entropy": _q_visit_entropy,
         "hourly_profile": _q_hourly_profile,
@@ -8648,6 +8666,23 @@ def oracle_sql() -> dict[str, str]:
         "geofence_transitions": _geofence_oracle_sql(),
         "polygon_coverage": _polygon_coverage_oracle_sql(),
         "boundary_distance": _boundary_distance_oracle_sql(),
+        "interval_union": (
+            "WITH e AS (SELECT user_id, epoch_us(ts) AS s, "
+            "epoch_us(ts) + 1800000000 AS f FROM events), "
+            "o AS (SELECT user_id, s, f, MAX(f) OVER ("
+            "PARTITION BY user_id ORDER BY s, f "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+            "AS prev_max FROM e), "
+            "isl AS (SELECT user_id, s, f, "
+            "SUM(CASE WHEN prev_max IS NULL OR s > prev_max "
+            "THEN 1 ELSE 0 END) OVER ("
+            "PARTITION BY user_id ORDER BY s, f) AS island FROM o), "
+            "g AS (SELECT user_id, island, MIN(s) AS st, MAX(f) AS en "
+            "FROM isl GROUP BY user_id, island) "
+            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands, "
+            "CAST(SUM(en - st) AS BIGINT) AS covered_us "
+            "FROM g GROUP BY user_id"
+        ),
         "kaplan_meier": (
             "WITH peru AS (SELECT user_id, MIN(epoch_us(ts)) AS t0, "
             "MAX(epoch_us(ts)) AS tlast, "

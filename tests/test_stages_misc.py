@@ -3272,3 +3272,32 @@ class TestKaplanMeier:
         assert got == {1: 0.8, 2: 0.6, 4: 0.3}
         risk = dict(zip(out["t_us"] // DAY, out["n_at_risk"]))
         assert risk == {1: 5, 2: 4, 4: 2}
+
+
+class TestIntervalUnion:
+    def test_overlap_merge(self, ray_session):
+        """Three overlapping intervals merge into one island; a
+        distant fourth stays separate; covered time never
+        double-counts the overlaps."""
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.window import (
+            keyed_interval_union,
+        )
+
+        # window 100 s: events at t=0, 50, 120 chain (0-100, 50-150,
+        # 120-220 -> one island 0-220); event at t=1000 is separate
+        ev = pa.table(
+            {
+                "user_id": pa.array([1] * 4, pa.int64()),
+                "ts": pa.array(
+                    [0, 50_000_000, 120_000_000, 1_000_000_000],
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+        out = keyed_interval_union(
+            ray.data.from_arrow(ev), window_s=100.0
+        ).to_pandas()
+        assert out.loc[0, "n_islands"] == 2
+        assert out.loc[0, "covered_us"] == 220_000_000 + 100_000_000

@@ -804,3 +804,49 @@ def keyed_linear_interp(
         key_col,
         kernel,
     )
+
+
+def keyed_interval_union(
+    ds,
+    window_s: float = 1800.0,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+):
+    """Total covered time per key after merging overlapping activity
+    intervals ``[ts, ts + window)`` -- the interval-union aggregate
+    (billing/uptime semantics: overlapping sessions never double-
+    count).  Gaps-and-islands over exact int64 microseconds: a new
+    island starts when an interval's start exceeds the running max
+    end; per-key output ``(key, n_islands, covered_us)``.  One keyed
+    shuffle, vectorized kernel; parity with the SQL window mirror is
+    exact (integer arithmetic only)."""
+    import pyarrow.compute as pc
+
+    from ..stages.shuffle import grouped_by_key
+
+    w_us = int(round(window_s * 1_000_000.0))
+
+    def kernel(group: pa.Table) -> pa.Table:
+        ts = np.sort(
+            group[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        ends = ts + w_us
+        run_max = np.maximum.accumulate(ends)
+        new_island = np.ones(len(ts), dtype=bool)
+        new_island[1:] = ts[1:] > run_max[:-1]
+        starts = ts[new_island]
+        # island end = running max at the last row of each island
+        idx = np.flatnonzero(new_island)
+        last = np.append(idx[1:] - 1, len(ts) - 1)
+        covered = int((run_max[last] - starts).sum())
+        return pa.table(
+            {
+                key_col: pa.array([group[key_col][0].as_py()], pa.int64()),
+                "n_islands": pa.array([len(starts)], pa.int64()),
+                "covered_us": pa.array([covered], pa.int64()),
+            }
+        )
+
+    return grouped_by_key(
+        ds.select_columns([key_col, ts_col]), key_col, kernel
+    )
