@@ -983,6 +983,61 @@ def _og_multiband_tiles_table(bands: tuple[int, ...] = (1, 2)) -> pa.Table:
     )
 
 
+def _q_zipf_slope(sf_dir: str) -> pa.Table:
+    """Zipf rank-frequency exponent of the corpus vocabulary: least-
+    squares slope of ln(freq) on ln(rank), both quantized to 1e-4
+    fixed point so the five regression moments sum as EXACT integers
+    (the grouped_regression discipline; int64-safe at webtext vocab
+    sizes).  Rank ties break (count desc, token).  Healthy natural
+    text sits near -1."""
+    import pyarrow.compute as pc
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
+        round_half_away, round_like_sql,
+    )
+
+    ds = _read_pq(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(batch["text"], pattern=r"\s+")
+        )
+        toks = toks.filter(pc.not_equal(toks, ""))
+        t = pa.table({"token": toks})
+        out = t.group_by(["token"]).aggregate([("token", "count")])
+        return out.rename_columns(["token", "n"])
+
+    parts = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in ds.map_batches(
+            partial, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+    ]
+    counts = (
+        pa.concat_tables([t for t in parts if t.num_rows])
+        .group_by("token")
+        .aggregate([("n", "sum")])
+        .rename_columns(["token", "n"])
+    )
+    n = counts["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    toks = np.asarray(counts["token"].to_pylist(), dtype=object)
+    order = np.lexsort((toks, -n))
+    n = n[order]
+    rank = np.arange(1, len(n) + 1, dtype=np.float64)
+    xq = round_half_away(np.log(rank) * 10000.0).astype(np.int64)
+    yq = round_half_away(np.log(n.astype(np.float64)) * 10000.0).astype(np.int64)
+    cnt = np.int64(len(xq))
+    sx, sy = int(xq.sum()), int(yq.sum())
+    sxx, sxy = int((xq * xq).sum()), int((xq * yq).sum())
+    slope = (cnt * sxy - sx * sy) / (cnt * sxx - sx * sx)
+    return pa.table(
+        {
+            "n_vocab": pa.array([int(cnt)], pa.int64()),
+            "zipf_slope": round_like_sql([float(slope)], 6),
+        }
+    )
+
+
 def _q_interval_union(sf_dir: str) -> pa.Table:
     """Merged-interval coverage time per user (30-min activity
     windows; stages/window.py::keyed_interval_union)."""
@@ -6859,6 +6914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "aspect_classes": _q_aspect_classes,
         "kaplan_meier": _q_kaplan_meier,
         "interval_union": _q_interval_union,
+        "zipf_slope": _q_zipf_slope,
         "readability": _q_readability,
         "visit_entropy": _q_visit_entropy,
         "hourly_profile": _q_hourly_profile,
@@ -8666,6 +8722,24 @@ def oracle_sql() -> dict[str, str]:
         "geofence_transitions": _geofence_oracle_sql(),
         "polygon_coverage": _polygon_coverage_oracle_sql(),
         "boundary_distance": _boundary_distance_oracle_sql(),
+        "zipf_slope": (
+            "WITH c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM (SELECT UNNEST(regexp_split_to_array(text, '\\s+')) "
+            "AS token FROM documents) WHERE token <> '' GROUP BY token), "
+            "r AS (SELECT n, ROW_NUMBER() OVER "
+            "(ORDER BY n DESC, token) AS rank FROM c), "
+            "qz AS (SELECT "
+            "CAST(ROUND(LN(CAST(rank AS DOUBLE)) * 10000.0, 0) AS BIGINT) AS xq, "
+            "CAST(ROUND(LN(CAST(n AS DOUBLE)) * 10000.0, 0) AS BIGINT) AS yq "
+            "FROM r), "
+            "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt, "
+            "CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy, "
+            "CAST(SUM(xq * xq) AS BIGINT) AS sxx, "
+            "CAST(SUM(xq * yq) AS BIGINT) AS sxy FROM qz) "
+            "SELECT cnt AS n_vocab, "
+            "ROUND(CAST(cnt * sxy - sx * sy AS DOUBLE) "
+            "/ CAST(cnt * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope FROM m"
+        ),
         "interval_union": (
             "WITH e AS (SELECT user_id, epoch_us(ts) AS s, "
             "epoch_us(ts) + 1800000000 AS f FROM events), "

@@ -3301,3 +3301,38 @@ class TestIntervalUnion:
         ).to_pandas()
         assert out.loc[0, "n_islands"] == 2
         assert out.loc[0, "covered_us"] == 220_000_000 + 100_000_000
+
+
+class TestZipfSlope:
+    def test_synthetic_zipf_corpus(self, ray_session, tmp_path):
+        """A corpus where token k appears ~C/k times fits slope ~ -1."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as entry
+
+        words = []
+        C = 2000
+        for k in range(1, 101):
+            words += [f"w{k:03d}"] * (C // k)
+        rng = np.random.default_rng(5)
+        rng.shuffle(words)
+        # spread across 20 docs
+        docs = [" ".join(words[i::20]) for i in range(20)]
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(20), pa.int64()),
+                "text": pa.array(docs),
+                "lang": pa.array(["en"] * 20),
+                "source": pa.array(["s"] * 20),
+                "n_chars": pa.array([len(d) for d in docs], pa.int64()),
+            }
+        )
+        d = tmp_path / "zipf"
+        d.mkdir()
+        pq.write_table(t, d / "documents.parquet")
+        out = entry.queries()["zipf_slope"](str(d)).to_pandas()
+        assert out.loc[0, "n_vocab"] == 100
+        assert abs(out.loc[0, "zipf_slope"] + 1.0) < 0.05
