@@ -983,6 +983,38 @@ def _og_multiband_tiles_table(bands: tuple[int, ...] = (1, 2)) -> pa.Table:
     )
 
 
+def _q_bounce_rate(sf_dir: str) -> pa.Table:
+    """Session bounce rate per user (30-min inactivity sessionization;
+    stages/window.py::keyed_bounce_rate)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.window import (
+        keyed_bounce_rate,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    return collect_tables(keyed_bounce_rate(ds, gap_s=1800.0))
+
+
+def _q_burstiness(sf_dir: str) -> pa.Table:
+    """Burstiness index per user over inter-event gaps (Goh &
+    Barabasi; stages/window.py::keyed_burstiness)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.window import (
+        keyed_burstiness,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
+    )
+    return collect_tables(keyed_burstiness(ds))
+
+
 def _q_zipf_slope(sf_dir: str) -> pa.Table:
     """Zipf rank-frequency exponent of the corpus vocabulary: least-
     squares slope of ln(freq) on ln(rank), both quantized to 1e-4
@@ -6915,6 +6947,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kaplan_meier": _q_kaplan_meier,
         "interval_union": _q_interval_union,
         "zipf_slope": _q_zipf_slope,
+        "bounce_rate": _q_bounce_rate,
+        "burstiness": _q_burstiness,
         "readability": _q_readability,
         "visit_entropy": _q_visit_entropy,
         "hourly_profile": _q_hourly_profile,
@@ -8722,6 +8756,37 @@ def oracle_sql() -> dict[str, str]:
         "geofence_transitions": _geofence_oracle_sql(),
         "polygon_coverage": _polygon_coverage_oracle_sql(),
         "boundary_distance": _boundary_distance_oracle_sql(),
+        "bounce_rate": (
+            "WITH s AS (SELECT user_id, epoch_us(ts) AS t, "
+            "LAG(epoch_us(ts)) OVER (PARTITION BY user_id "
+            "ORDER BY ts) AS prev FROM events), "
+            "m AS (SELECT user_id, "
+            "SUM(CASE WHEN prev IS NULL OR t - prev > 1800000000 "
+            "THEN 1 ELSE 0 END) OVER (PARTITION BY user_id "
+            "ORDER BY t ROWS UNBOUNDED PRECEDING) AS sess FROM s), "
+            "g AS (SELECT user_id, sess, COUNT(*) AS sz "
+            "FROM m GROUP BY user_id, sess) "
+            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions, "
+            "CAST(SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_bounces, "
+            "ROUND(CAST(SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS DOUBLE) "
+            "/ CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate "
+            "FROM g GROUP BY user_id"
+        ),
+        "burstiness": (
+            "WITH s AS (SELECT user_id, "
+            "(epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id "
+            "ORDER BY ts)) // 1000000 AS gap FROM events), "
+            "g AS (SELECT user_id, gap FROM s WHERE gap IS NOT NULL), "
+            "m AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, "
+            "AVG(CAST(gap AS DOUBLE)) AS mu, "
+            "SQRT(GREATEST(AVG(CAST(gap AS DOUBLE) * CAST(gap AS DOUBLE)) "
+            "- AVG(CAST(gap AS DOUBLE)) * AVG(CAST(gap AS DOUBLE)), 0.0)) "
+            "AS sig FROM g GROUP BY user_id) "
+            "SELECT user_id, n AS n_gaps, "
+            "ROUND(CASE WHEN sig + mu = 0.0 THEN 0.0 "
+            "ELSE (sig - mu) / (sig + mu) END, 6) AS burstiness FROM m"
+        ),
         "zipf_slope": (
             "WITH c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n "
             "FROM (SELECT UNNEST(regexp_split_to_array(text, '\\s+')) "

@@ -3336,3 +3336,56 @@ class TestZipfSlope:
         out = entry.queries()["zipf_slope"](str(d)).to_pandas()
         assert out.loc[0, "n_vocab"] == 100
         assert abs(out.loc[0, "zipf_slope"] + 1.0) < 0.05
+
+
+class TestBounceBurstiness:
+    def test_bounce_sessions(self, ray_session):
+        """Events at 0s, 10s (one session), 4000s (bounce), 9000s,
+        9010s (session): 3 sessions, 1 bounce."""
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.window import (
+            keyed_bounce_rate,
+        )
+
+        ts = [0, 10, 4000, 9000, 9010]
+        ev = pa.table(
+            {
+                "user_id": pa.array([1] * 5, pa.int64()),
+                "ts": pa.array([t * 1_000_000 for t in ts],
+                               pa.timestamp("us")),
+            }
+        )
+        out = keyed_bounce_rate(
+            ray.data.from_arrow(ev), gap_s=1800.0
+        ).to_pandas()
+        assert out.loc[0, "n_sessions"] == 3
+        assert out.loc[0, "n_bounces"] == 1
+        assert abs(out.loc[0, "bounce_rate"] - 1 / 3) < 1e-6
+
+    def test_burstiness_extremes(self, ray_session):
+        """Metronome gaps -> B = -1 (sigma 0); highly bursty gaps
+        -> B > 0."""
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.window import (
+            keyed_burstiness,
+        )
+
+        rows = []
+        for i in range(10):  # user 1: exact 60 s metronome
+            rows.append({"user_id": 1, "ts": i * 60_000_000})
+        t = 0
+        for i, g in enumerate([1, 1, 1, 1, 1, 1, 1, 1, 10000]):
+            rows.append({"user_id": 2, "ts": t})
+            t += g * 1_000_000
+        rows.append({"user_id": 2, "ts": t})
+        ev = pa.Table.from_pylist(rows).set_column(
+            1, "ts", pa.array([r["ts"] for r in rows], pa.timestamp("us"))
+        )
+        out = keyed_burstiness(
+            ray.data.from_arrow(ev)
+        ).to_pandas().set_index("user_id")
+        assert out.loc[1, "burstiness"] == -1.0
+        # finite-size max for 9 gaps is (sqrt(8)-1)/(sqrt(8)+1) ~ 0.48
+        assert out.loc[2, "burstiness"] > 0.4

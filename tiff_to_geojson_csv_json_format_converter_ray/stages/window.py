@@ -850,3 +850,86 @@ def keyed_interval_union(
     return grouped_by_key(
         ds.select_columns([key_col, ts_col]), key_col, kernel
     )
+
+
+def keyed_bounce_rate(
+    ds,
+    gap_s: float = 1800.0,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+):
+    """Session bounce rate per key: sessionize by inactivity gap,
+    count single-event sessions.  Exact int64 microsecond gaps; the
+    rate is one float division (SQL-identical).  Returns
+    ``(key, n_sessions, n_bounces, bounce_rate)``."""
+    from ..functions.rounding import round_like_sql
+    from ..stages.shuffle import grouped_by_key
+
+    w_us = int(round(gap_s * 1_000_000.0))
+
+    def kernel(group: pa.Table) -> pa.Table:
+        ts = np.sort(
+            group[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        new = np.ones(len(ts), dtype=bool)
+        new[1:] = (ts[1:] - ts[:-1]) > w_us
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(ts)))
+        n_sessions = len(starts)
+        n_bounces = int((sizes == 1).sum())
+        return pa.table(
+            {
+                key_col: pa.array([group[key_col][0].as_py()], pa.int64()),
+                "n_sessions": pa.array([n_sessions], pa.int64()),
+                "n_bounces": pa.array([n_bounces], pa.int64()),
+                "bounce_rate": round_like_sql(
+                    [n_bounces / n_sessions], 6
+                ),
+            }
+        )
+
+    return grouped_by_key(ds.select_columns([key_col, ts_col]), key_col, kernel)
+
+
+def keyed_burstiness(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+):
+    """Burstiness index per key (Goh & Barabasi 2008):
+    ``B = (sigma - mu) / (sigma + mu)`` over inter-event gaps --
+    -1 = metronome, 0 = Poisson, ->1 = extreme bursts.  Gaps quantize
+    to whole seconds (floor) so the moments sum as exact int64 (gap^2
+    in microseconds would overflow); sigma uses the one-division
+    moment form shared with the SQL mirror.  Keys with < 2 events
+    emit no row."""
+    from ..functions.rounding import round_like_sql
+    from ..stages.shuffle import grouped_by_key
+
+    def kernel(group: pa.Table) -> pa.Table:
+        ts = np.sort(
+            group[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        if len(ts) < 2:
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.int64()),
+                    "n_gaps": pa.array([], pa.int64()),
+                    "burstiness": pa.array([], pa.float64()),
+                }
+            )
+        gaps = (ts[1:] - ts[:-1]) // 1_000_000  # whole seconds, exact
+        n = float(len(gaps))
+        mu = float(gaps.sum()) / n
+        var = float((gaps * gaps).sum()) / n - mu * mu
+        sig = float(np.sqrt(max(var, 0.0)))
+        b = 0.0 if sig + mu == 0.0 else (sig - mu) / (sig + mu)
+        return pa.table(
+            {
+                key_col: pa.array([group[key_col][0].as_py()], pa.int64()),
+                "n_gaps": pa.array([len(gaps)], pa.int64()),
+                "burstiness": round_like_sql([b], 6),
+            }
+        )
+
+    return grouped_by_key(ds.select_columns([key_col, ts_col]), key_col, kernel)
