@@ -4212,6 +4212,107 @@ def _q_colocation_pairs(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_convoy_pairs(sf_dir: str) -> pa.Table:
+    """Convoy (co-travel) detection, the trajectory-mining classic:
+    user pairs co-located for >= 2 CONSECUTIVE 10-minute windows
+    (same coarse cell).  Same bucket shuffle as colocation_pairs, a
+    distinct (pair, window) pass, then gaps-and-islands per pair --
+    run lengths in exact int64 windows.  Returns (user_a, user_b,
+    max_run, n_cowindows)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables, distinct,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        gx = (eid % 96) // 8
+        gy = ((eid // 96) % 96) // 8
+        win = ts // 600_000_000
+        t = pa.table(
+            {
+                "cell": pa.array((gx * 12 + gy).astype(np.int64)),
+                "win": pa.array(win),
+                "user_id": batch["user_id"],
+            }
+        )
+        return t.group_by(["cell", "win", "user_id"]).aggregate([])
+
+    buckets = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
+
+    def pair_windows(group: pa.Table) -> pa.Table:
+        users = sorted(set(group["user_id"].to_pylist()))
+        win = group["win"][0].as_py()
+        a, b = [], []
+        for i in range(len(users)):
+            for j in range(i + 1, len(users)):
+                a.append(users[i])
+                b.append(users[j])
+        return pa.table(
+            {
+                "user_a": pa.array(a, pa.int64()),
+                "user_b": pa.array(b, pa.int64()),
+                "win": pa.array([win] * len(a), pa.int64()),
+            }
+        )
+
+    pw = distinct(
+        _grouped_by_key(buckets, ["cell", "win"], pair_windows),
+        ["user_a", "user_b", "win"],
+    )
+
+    def runs(group: pa.Table) -> pa.Table:
+        wins = np.sort(group["win"].to_numpy(zero_copy_only=False))
+        new = np.ones(len(wins), dtype=bool)
+        new[1:] = (wins[1:] - wins[:-1]) > 1
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.append(starts, len(wins)))
+        max_run = int(sizes.max())
+        if max_run < 2:
+            return pa.table(
+                {
+                    "user_a": pa.array([], pa.int64()),
+                    "user_b": pa.array([], pa.int64()),
+                    "max_run": pa.array([], pa.int64()),
+                    "n_cowindows": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "user_a": pa.array([group["user_a"][0].as_py()], pa.int64()),
+                "user_b": pa.array([group["user_b"][0].as_py()], pa.int64()),
+                "max_run": pa.array([max_run], pa.int64()),
+                "n_cowindows": pa.array([len(wins)], pa.int64()),
+            }
+        )
+
+    import ray.data
+
+    pw_ds = ray.data.from_arrow(pw) if isinstance(pw, pa.Table) else pw
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
+        grouped_by_key,
+    )
+
+    out = collect_tables(
+        grouped_by_key(pw_ds, ["user_a", "user_b"], runs)
+    )
+    if out is None:
+        out = pa.table(
+            {
+                "user_a": pa.array([], pa.int64()),
+                "user_b": pa.array([], pa.int64()),
+                "max_run": pa.array([], pa.int64()),
+                "n_cowindows": pa.array([], pa.int64()),
+            }
+        )
+    return out
+
+
 def _q_word_triangles(sf_dir: str) -> pa.Table:
     """Triangle count of the edit-1 word graph (per-word triangle
     membership + global total): the classic graph-motif statistic,
@@ -7063,6 +7164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_pagerank": _q_word_pagerank,
         "word_bfs_hops": _q_word_bfs_hops,
         "colocation_pairs": _q_colocation_pairs,
+        "convoy_pairs": _q_convoy_pairs,
         "hist_equalize": _q_hist_equalize,
         "zonal_mode": _q_zonal_mode,
         "contour_cases": _q_contour_cases,
@@ -10087,6 +10189,29 @@ def oracle_sql() -> dict[str, str]:
             "/ (s.ntot - s.cmin), 0) AS BIGINT) AS eq FROM d, s) "
             "SELECT eq, CAST(SUM(nv) AS BIGINT) AS n_pixels "
             "FROM m GROUP BY eq"
+        ),
+        "convoy_pairs": (
+            "WITH k AS (SELECT DISTINCT "
+            "((event_id % 96) // 8) * 12 + ((event_id // 96) % 96) // 8 "
+            "AS cell, "
+            "CAST(epoch_us(ts) // 600000000 AS BIGINT) AS win, user_id "
+            "FROM events), "
+            "pw AS (SELECT DISTINCT a.user_id AS ua, b.user_id AS ub, "
+            "a.win FROM k a JOIN k b ON a.cell = b.cell "
+            "AND a.win = b.win AND a.user_id < b.user_id), "
+            "l AS (SELECT ua, ub, win, win - LAG(win) OVER ("
+            "PARTITION BY ua, ub ORDER BY win) AS stp FROM pw), "
+            "isl AS (SELECT ua, ub, win, "
+            "SUM(CASE WHEN stp IS NULL OR stp > 1 THEN 1 ELSE 0 END) "
+            "OVER (PARTITION BY ua, ub ORDER BY win) AS island FROM l), "
+            "runs AS (SELECT ua, ub, island, COUNT(*) AS run "
+            "FROM isl GROUP BY ua, ub, island), "
+            "agg AS (SELECT ua, ub, MAX(run) AS max_run, "
+            "SUM(run) AS n_cowindows FROM runs GROUP BY ua, ub) "
+            "SELECT ua AS user_a, ub AS user_b, "
+            "CAST(max_run AS BIGINT) AS max_run, "
+            "CAST(n_cowindows AS BIGINT) AS n_cowindows "
+            "FROM agg WHERE max_run >= 2"
         ),
         "colocation_pairs": (
             "WITH k AS (SELECT DISTINCT "

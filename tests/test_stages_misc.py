@@ -3389,3 +3389,45 @@ class TestBounceBurstiness:
         assert out.loc[1, "burstiness"] == -1.0
         # finite-size max for 9 gaps is (sqrt(8)-1)/(sqrt(8)+1) ~ 0.48
         assert out.loc[2, "burstiness"] > 0.4
+
+
+class TestConvoyPairs:
+    def test_consecutive_run_semantics(self, ray_session, tmp_path):
+        """Two users sharing a cell in windows 5,6,7 (run 3) and 20
+        (isolated) convoy; a pair meeting only in scattered windows
+        does not."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as entry
+
+        WIN = 600_000_000
+        rows = []
+        eid = 0
+
+        def fix(uid, win, cell_col):
+            nonlocal eid
+            # geocode cell = ((eid%96)//8)*12 + ((eid//96)%96)//8
+            rows.append({"event_id": cell_col * 8, "user_id": uid,
+                         "ts": win * WIN + uid,
+                         "event_type": "view", "value": 1.0,
+                         "props": "{}"})
+
+        for w in (5, 6, 7, 20):
+            fix(1, w, 0)
+            fix(2, w, 0)
+        for w in (3, 9, 15):  # scattered meetings only
+            fix(1, w, 5)
+            fix(3, w, 5)
+        t = pa.Table.from_pylist(rows).set_column(
+            2, "ts", pa.array([r["ts"] for r in rows], pa.timestamp("us"))
+        )
+        d = tmp_path / "convoy"
+        d.mkdir()
+        pq.write_table(t, d / "events.parquet")
+        out = entry.queries()["convoy_pairs"](str(d)).to_pandas()
+        assert len(out) == 1
+        assert (out.loc[0, "user_a"], out.loc[0, "user_b"]) == (1, 2)
+        assert out.loc[0, "max_run"] == 3
+        assert out.loc[0, "n_cowindows"] == 4
