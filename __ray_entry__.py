@@ -1015,6 +1015,104 @@ def _q_burstiness(sf_dir: str) -> pa.Table:
     return collect_tables(keyed_burstiness(ds))
 
 
+def _q_hapax_ratio(sf_dir: str) -> pa.Table:
+    """Hapax legomena ratio per language: share of vocabulary
+    occurring exactly once -- the corpus-linguistics health check
+    (synthetic/templated text collapses it).  Token counts per (lang,
+    token) via per-batch combiners; the ratio is one division over
+    exact counts."""
+    import pyarrow.compute as pc
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "text"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # the SAME RE2 \\s+ tokenizer as token_frequencies / the SQL
+        # oracle (python str.split differs on Unicode whitespace)
+        lists = pc.split_pattern_regex(batch["text"], pattern=r"\s+")
+        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        toks = pc.list_flatten(lists)
+        langs = pa.array(
+            np.repeat(
+                np.asarray(batch["lang"].to_pylist(), dtype=object), lens
+            ),
+            pa.string(),
+        )
+        keep = pc.not_equal(toks, "")
+        t = pa.table({"lang": langs, "token": toks}).filter(keep)
+        t = t.append_column("_one", pa.array(np.ones(t.num_rows, np.int64)))
+        out = t.group_by(["lang", "token"]).aggregate([("_one", "sum")])
+        return out.rename_columns(["lang", "token", "n"])
+
+    counts = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["lang", "token"],
+        [("n", "sum", "n")],
+    )
+    lang = np.asarray(counts["lang"].to_pylist(), dtype=object)
+    n = counts["n"].to_numpy(zero_copy_only=False)
+    out_l, out_v, out_h, out_r = [], [], [], []
+    for lg in sorted(set(lang.tolist())):
+        sel = lang == lg
+        vocab = int(sel.sum())
+        hapax = int((n[sel] == 1).sum())
+        out_l.append(lg)
+        out_v.append(vocab)
+        out_h.append(hapax)
+        out_r.append(hapax / vocab)
+    return pa.table(
+        {
+            "lang": pa.array(out_l, pa.string()),
+            "n_vocab": pa.array(out_v, pa.int64()),
+            "n_hapax": pa.array(out_h, pa.int64()),
+            "hapax_ratio": round_like_sql(out_r, 6),
+        }
+    )
+
+
+def _q_dedup_summary(sf_dir: str) -> pa.Table:
+    """Exact-duplicate cluster-size histogram over document text (the
+    dedup audit: how much mass sits in clusters of each size).
+    Text-hash counts via per-batch combiners; histogram = counts of
+    counts."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "text": batch["text"],
+                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+        out = t.group_by(["text"]).aggregate([("_one", "sum")])
+        return out.rename_columns(["text", "n"])
+
+    counts = hash_aggregate(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["text"],
+        [("n", "sum", "n")],
+    )
+    n = counts["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sizes, freqs = np.unique(n, return_counts=True)
+    return pa.table(
+        {
+            "cluster_size": pa.array(sizes),
+            "n_clusters": pa.array(freqs.astype(np.int64)),
+            "n_docs": pa.array((sizes * freqs).astype(np.int64)),
+        }
+    )
+
+
 def _q_zipf_slope(sf_dir: str) -> pa.Table:
     """Zipf rank-frequency exponent of the corpus vocabulary: least-
     squares slope of ln(freq) on ln(rank), both quantized to 1e-4
@@ -7048,6 +7146,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kaplan_meier": _q_kaplan_meier,
         "interval_union": _q_interval_union,
         "zipf_slope": _q_zipf_slope,
+        "hapax_ratio": _q_hapax_ratio,
+        "dedup_summary": _q_dedup_summary,
         "bounce_rate": _q_bounce_rate,
         "burstiness": _q_burstiness,
         "readability": _q_readability,
@@ -8888,6 +8988,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, n AS n_gaps, "
             "ROUND(CASE WHEN sig + mu = 0.0 THEN 0.0 "
             "ELSE (sig - mu) / (sig + mu) END, 6) AS burstiness FROM m"
+        ),
+        "hapax_ratio": (
+            "WITH c AS (SELECT lang, token, COUNT(*) AS n FROM ("
+            "SELECT lang, UNNEST(regexp_split_to_array(text, '\\s+')) "
+            "AS token FROM documents) WHERE token <> '' "
+            "GROUP BY lang, token) "
+            "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_vocab, "
+            "CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_hapax, "
+            "ROUND(CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) "
+            "/ CAST(COUNT(*) AS DOUBLE), 6) AS hapax_ratio "
+            "FROM c GROUP BY lang"
+        ),
+        "dedup_summary": (
+            "WITH c AS (SELECT text, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM documents GROUP BY text) "
+            "SELECT n AS cluster_size, CAST(COUNT(*) AS BIGINT) "
+            "AS n_clusters, CAST(n * COUNT(*) AS BIGINT) AS n_docs "
+            "FROM c GROUP BY n"
         ),
         "zipf_slope": (
             "WITH c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n "
