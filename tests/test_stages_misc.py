@@ -3431,3 +3431,27 @@ class TestConvoyPairs:
         assert (out.loc[0, "user_a"], out.loc[0, "user_b"]) == (1, 2)
         assert out.loc[0, "max_run"] == 3
         assert out.loc[0, "n_cowindows"] == 4
+
+
+class TestTerrainCLI:
+    def test_terrain_subcommand(self, ray_session, tmp_path):
+        """The terrain CLI runs a halo-exchange op end-to-end from a
+        tiles parquet to a parquet output."""
+        import json
+        import pyarrow.parquet as pq
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as entry
+        from tiff_to_geojson_csv_json_format_converter_ray.__main__ import main
+
+        tiles = tmp_path / "tiles.parquet"
+        pq.write_table(
+            entry._og_tiles_table(sparse_invalid=True, tile=24), tiles
+        )
+        out = tmp_path / "slope_out"
+        rc = main(["terrain", "--tiles", str(tiles), "--out", str(out),
+                   "--op", "slope"])
+        assert rc in (0, None)
+        got = pq.read_table(out)
+        assert got.num_rows == 6094
+        assert set(got.column_names) >= {"row", "col", "slope_pct"}

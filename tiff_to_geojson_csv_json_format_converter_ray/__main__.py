@@ -72,6 +72,21 @@ def main(argv: list[str] | None = None) -> int:
     pf_.add_argument("--categorical", default="",
                      help="comma-separated cols")
 
+    t = sub.add_parser(
+        "terrain",
+        help="DEM derivatives over a tile parquet (halo-exchange ops)",
+    )
+    t.add_argument("--tiles", required=True)
+    t.add_argument("--out", required=True, help="output parquet path")
+    t.add_argument(
+        "--op",
+        default="slope",
+        choices=["slope", "curvature", "hillshade", "ruggedness",
+                 "focal_mode", "flow_direction"],
+    )
+    t.add_argument("--stride", type=int, default=None,
+                   help="tile grid stride for ragged tilings")
+
     m = sub.add_parser("match", help="fuzzy layer-name matching")
     m.add_argument("--requested", required=True)
     m.add_argument("--available", required=True, help="comma-separated")
@@ -227,6 +242,28 @@ def main(argv: list[str] | None = None) -> int:
                     )[:5]}
                 )
             )
+        elif args.cmd == "terrain":
+            import ray.data
+
+            from .sources.reader import read_parquet_auto
+            from .stages import raster as R
+
+            ops = {
+                "slope": R.tile_slope,
+                "curvature": R.tile_curvature,
+                "hillshade": R.tile_hillshade,
+                "ruggedness": R.tile_ruggedness,
+                "focal_mode": R.tile_focal_mode,
+                "flow_direction": R.tile_flow_direction,
+            }
+            ds = read_parquet_auto(args.tiles)
+            out = ops[args.op](ds, stride=args.stride)
+            out.write_parquet(args.out)
+            n = ray.data.read_parquet(args.out).count()
+            print(json.dumps(
+                {"op": args.op, "tiles": args.tiles, "out": args.out,
+                 "rows": n}
+            ))
         elif args.cmd == "dedup":
             import pyarrow.parquet as pq
             import ray.data
