@@ -3455,3 +3455,19 @@ class TestTerrainCLI:
         got = pq.read_table(out)
         assert got.num_rows == 6094
         assert set(got.column_names) >= {"row", "col", "slope_pct"}
+
+
+class TestTracksCLI:
+    def test_tracks_subcommand(self, ray_session, tmp_path):
+        import pyarrow.parquet as pq
+        from tiff_to_geojson_csv_json_format_converter_ray.__main__ import main
+
+        out = tmp_path / "speed_out"
+        rc = main(["tracks", "--events",
+                   "/root/testdata/sf0.001/events.parquet",
+                   "--out", str(out), "--op", "speed"])
+        assert rc in (0, None)
+        got = pq.read_table(out)
+        assert got.num_rows == 15
+        assert set(got.column_names) >= {"user_id", "max_speed",
+                                         "n_speeding"}

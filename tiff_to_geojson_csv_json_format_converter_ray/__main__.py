@@ -87,6 +87,19 @@ def main(argv: list[str] | None = None) -> int:
     t.add_argument("--stride", type=int, default=None,
                    help="tile grid stride for ragged tilings")
 
+    tk = sub.add_parser(
+        "tracks",
+        help="trajectory analytics over an events parquet (per-user)",
+    )
+    tk.add_argument("--events", required=True)
+    tk.add_argument("--out", required=True, help="output parquet path")
+    tk.add_argument(
+        "--op",
+        default="lengths",
+        choices=["lengths", "simplify", "speed", "straightness",
+                 "directions"],
+    )
+
     m = sub.add_parser("match", help="fuzzy layer-name matching")
     m.add_argument("--requested", required=True)
     m.add_argument("--available", required=True, help="comma-separated")
@@ -242,6 +255,32 @@ def main(argv: list[str] | None = None) -> int:
                     )[:5]}
                 )
             )
+        elif args.cmd == "tracks":
+            import ray.data
+
+            from .pipelines import tracks as T
+            from .sources.reader import read_parquet_auto
+
+            ops = {
+                "lengths": (T.track_lengths_ds,
+                            ["event_id", "user_id", "ts"]),
+                "simplify": (T.track_simplify_ds,
+                             ["event_id", "user_id", "ts"]),
+                "speed": (T.track_speed_stats_ds,
+                          ["event_id", "user_id", "ts"]),
+                "straightness": (T.track_straightness_ds,
+                                 ["event_id", "user_id", "ts"]),
+                "directions": (T.movement_directions_ds,
+                               ["event_id", "user_id", "ts"]),
+            }
+            fn, cols = ops[args.op]
+            ds = read_parquet_auto(args.events, columns=cols)
+            fn(ds).write_parquet(args.out)
+            n = ray.data.read_parquet(args.out).count()
+            print(json.dumps(
+                {"op": args.op, "events": args.events, "out": args.out,
+                 "rows": n}
+            ))
         elif args.cmd == "terrain":
             import ray.data
 
