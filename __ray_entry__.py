@@ -1456,6 +1456,23 @@ def _q_od_matrix(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_track_geodesic(sf_dir: str) -> pa.Table:
+    """Great-circle per-user track length (km) via the pinned-order
+    haversine (pipelines/tracks.py::track_geodesic_length_ds)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.tracks import (
+        track_geodesic_length_ds,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+    return collect_tables(track_geodesic_length_ds(ds))
+
+
 def _q_track_straightness(sf_dir: str) -> pa.Table:
     """Per-user straightness (tortuosity) index: net displacement /
     gross path length (pipelines/tracks.py::track_straightness_ds)."""
@@ -7135,6 +7152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boundary_distance": _q_boundary_distance,
         "linear_interp": _q_linear_interp,
         "track_straightness": _q_track_straightness,
+        "track_geodesic": _q_track_geodesic,
         "od_matrix": _q_od_matrix,
         "band_math_ndi": _q_band_math_ndi,
         "cost_distance": _q_cost_distance,
@@ -9235,6 +9253,23 @@ def oracle_sql() -> dict[str, str]:
             "((CAST(6 AS BIGINT) << 56) | (LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / 0.02197265625) AS BIGINT), 0), 8191) << 28) | LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / 0.02197265625) AS BIGINT), 0), 16383)) AS cell_to, "
             "CAST(COUNT(*) AS BIGINT) AS n_trips FROM s "
             "WHERE plon IS NOT NULL GROUP BY cell_from, cell_to"
+        ),
+        "track_geodesic": (
+            "WITH g AS (SELECT user_id, ts, event_id, "
+            "77.0 + CAST(event_id % 96 AS DOUBLE) * 0.01 AS lon, "
+            "28.05 + CAST((event_id // 96) % 96 AS DOUBLE) * 0.01 AS lat "
+            "FROM events), "
+            "s AS (SELECT user_id, lon, lat, LAG(lon) OVER w AS plon, "
+            "LAG(lat) OVER w AS plat FROM g "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "d AS (SELECT user_id, "
+            "SIN((RADIANS(lat) - RADIANS(plat)) / 2.0) AS s1, "
+            "SIN((RADIANS(lon) - RADIANS(plon)) / 2.0) AS s2, "
+            "COS(RADIANS(plat)) AS c1, COS(RADIANS(lat)) AS c2 "
+            "FROM s WHERE plon IS NOT NULL) "
+            "SELECT user_id, CAST(COUNT(*) + 1 AS BIGINT) AS n_fixes, "
+            "ROUND(SUM(12742.0 * ASIN(SQRT(s1 * s1 + c1 * c2 * (s2 * s2)))), 6) "
+            "AS geo_len_km FROM d GROUP BY user_id"
         ),
         "track_straightness": (
             "WITH g AS (SELECT user_id, ts, event_id, "

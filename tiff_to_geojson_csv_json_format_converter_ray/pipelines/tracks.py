@@ -545,3 +545,34 @@ def radius_of_gyration_ds(events: ray.data.Dataset) -> ray.data.Dataset:
     return grouped_by_key(
         events.select_columns(["user_id", "event_id"]), "user_id", kernel
     )
+
+
+def track_geodesic_length_ds(events: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-user GREAT-CIRCLE track length in km: the spherical upgrade
+    of track_lengths_ds, summing the pinned-op-order haversine
+    (stages/joins.py::haversine_km, SQL-parity proven by the radius
+    joins) over consecutive fixes."""
+
+    def kernel(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        from ..stages.joins import haversine_km
+
+        order = pc.sort_indices(
+            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        g = group.take(order)
+        lon = g["lon"].to_numpy(zero_copy_only=False)
+        lat = g["lat"].to_numpy(zero_copy_only=False)
+        d = haversine_km(lon[:-1], lat[:-1], lon[1:], lat[1:])
+        return pa.table(
+            {
+                "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
+                "n_fixes": pa.array([len(lon)], pa.int64()),
+                "geo_len_km": round_like_sql([float(d.sum())], 6),
+            }
+        )
+
+    from ..stages.shuffle import grouped_by_key
+
+    return grouped_by_key(geocode_events(events), "user_id", kernel)
