@@ -3471,3 +3471,85 @@ class TestTracksCLI:
         assert got.num_rows == 15
         assert set(got.column_names) >= {"user_id", "max_speed",
                                          "n_speeding"}
+
+
+class TestSession3Properties:
+    def test_geofence_alternates_and_interval_bounds(self, ray_session):
+        """Properties on random tracks: (1) per (user, polygon) the
+        transition sequence strictly alternates starting with enter;
+        (2) interval-union coverage is bounded by [window, n*window];
+        (3) region labels partition the above-threshold pixel set."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.tracks import (
+            geofence_transitions_ds,
+        )
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.window import (
+            keyed_interval_union,
+        )
+
+        rng = np.random.default_rng(11)
+        n = 400
+        ev = pa.table(
+            {
+                "event_id": pa.array(
+                    rng.integers(0, 96 * 96, n).astype(np.int64)
+                ),
+                "user_id": pa.array(
+                    rng.integers(1, 6, n).astype(np.int64)
+                ),
+                "ts": pa.array(
+                    np.sort(rng.integers(0, 10**12, n)).astype(np.int64),
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+        poly = {"box": [(77.2, 28.2), (77.7, 28.2), (77.7, 28.7),
+                        (77.2, 28.7)]}
+        out = geofence_transitions_ds(
+            ray.data.from_arrow(ev), poly
+        ).to_pandas()
+        # transitions arrive in track order within each group output;
+        # verify alternation per user via the engine's own ordering
+        # (a track may START inside the fence, so the first transition
+        # can be either kind -- only strict alternation is invariant)
+        for uid, grp in out.groupby("user_id"):
+            seq = list(grp["transition"])
+            for a, b in zip(seq, seq[1:]):
+                assert a != b, (uid, seq)
+
+        cov = keyed_interval_union(
+            ray.data.from_arrow(ev), window_s=3600.0
+        ).to_pandas()
+        w_us = 3600 * 1_000_000
+        counts = ev.to_pandas().groupby("user_id").size()
+        for _, row in cov.iterrows():
+            n_ev = counts[row["user_id"]]
+            assert w_us <= row["covered_us"] <= n_ev * w_us
+            assert 1 <= row["n_islands"] <= n_ev
+
+    def test_region_labels_partition(self, ray_session):
+        import numpy as np
+        import ray.data
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as entry
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
+            tile_region_labels,
+        )
+
+        tiles = entry._og_tiles_table(sparse_invalid=True, tile=24)
+        out = tile_region_labels(
+            ray.data.from_arrow(tiles), threshold=45.0
+        ).to_pandas()
+        rr, cc = np.meshgrid(np.arange(96), np.arange(96), indexing="ij")
+        z = (((rr * 73 + cc * 31) % 500) / 10.0).astype(
+            np.float32).astype(np.float64)
+        above = (z >= 45.0) & ((rr * 5 + cc * 3) % 29 != 0)
+        # the regions partition the above-threshold set exactly
+        assert out["n_pixels"].sum() == int(above.sum())
+        # reps are themselves above-threshold pixels
+        for rep in out["rep"]:
+            r, c = rep >> 20, rep & ((1 << 20) - 1)
+            assert above[r, c]
