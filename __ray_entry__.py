@@ -1270,6 +1270,65 @@ def _q_aspect_classes(sf_dir: str) -> pa.Table:
     ).sort_by("octant")
 
 
+def _q_anova_eta2(sf_dir: str) -> pa.Table:
+    """One-way ANOVA effect size (eta-squared) of hour-of-day on
+    event value, per event type -- the seasonality-strength scalar
+    behind the hourly profile: between-group variance over total
+    variance, all sufficient statistics exact int64 cents sums
+    (combiner tier), closed forms once per type."""
+    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
+        scaled_int,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "ts", "value"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        c = scaled_int(batch["value"], 100.0)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "hour": pa.array((ts // 3_600_000_000) % 24),
+                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
+                "c": pa.array(c),
+                "cc": pa.array(c * c),
+            }
+        )
+
+    out = hash_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        ["event_type", "hour"],
+        [("_one", "sum", "n"), ("c", "sum", "s"), ("cc", "sum", "sq")],
+    )
+    et = np.asarray(out["event_type"].to_pylist(), dtype=object)
+    n = out["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    s = out["s"].to_numpy(zero_copy_only=False).astype(np.float64)
+    sq = out["sq"].to_numpy(zero_copy_only=False).astype(np.float64)
+    types, e2 = [], []
+    for t in sorted(set(et.tolist())):
+        sel = et == t
+        big_n = n[sel].sum()
+        big_s = s[sel].sum()
+        big_sq = sq[sel].sum()
+        mean = big_s / big_n
+        total_var = big_sq / big_n - mean * mean
+        between = (s[sel] * s[sel] / n[sel]).sum() / big_n - mean * mean
+        types.append(t)
+        e2.append(between / total_var)
+    return pa.table(
+        {
+            "event_type": pa.array(types, pa.string()),
+            "eta_squared": round_like_sql(e2, 6),
+        }
+    )
+
+
 def _q_ab_ztest(sf_dir: str) -> pa.Table:
     """Two-proportion z-test on user conversion between hash-split
     A/B arms (pipelines/relational.py::ab_conversion_ztest)."""
@@ -7160,6 +7219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "radius_of_gyration": _q_radius_of_gyration,
         "theil_sen": _q_theil_sen,
         "ab_ztest": _q_ab_ztest,
+        "anova_eta2": _q_anova_eta2,
         "aspect_classes": _q_aspect_classes,
         "kaplan_meier": _q_kaplan_meier,
         "interval_union": _q_interval_union,
@@ -9115,6 +9175,25 @@ def oracle_sql() -> dict[str, str]:
             f"WHEN dx < 0 AND dy < 0 THEN 'SW' "
             f"ELSE 'FLAT' END AS octant, "
             f"CAST(COUNT(*) AS BIGINT) AS n_pixels FROM d GROUP BY octant"
+        ),
+        "anova_eta2": (
+            "WITH p AS (SELECT event_type, "
+            "(epoch_us(ts) // 3600000000) % 24 AS hour, "
+            "CAST(ROUND(value * 100, 0) AS BIGINT) AS c FROM events), "
+            "h AS (SELECT event_type, hour, CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(c) AS BIGINT) AS s, CAST(SUM(c * c) AS BIGINT) AS sq "
+            "FROM p GROUP BY event_type, hour), "
+            "g AS (SELECT event_type, "
+            "CAST(SUM(n) AS DOUBLE) AS big_n, "
+            "CAST(SUM(s) AS DOUBLE) AS big_s, "
+            "CAST(SUM(sq) AS DOUBLE) AS big_sq, "
+            "SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) "
+            "/ CAST(n AS DOUBLE)) AS bsum "
+            "FROM h GROUP BY event_type) "
+            "SELECT event_type, "
+            "ROUND((bsum / big_n - (big_s / big_n) * (big_s / big_n)) "
+            "/ (big_sq / big_n - (big_s / big_n) * (big_s / big_n)), 6) "
+            "AS eta_squared FROM g"
         ),
         "ab_ztest": (
             "WITH u AS (SELECT user_id, (xor((((xor((((xor((((((((((((user_id) + 13) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((user_id) + 13) & 4294967295)) & 65535) * 2654435761))) & 4294967295), (((((((((((user_id) + 13) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((user_id) + 13) & 4294967295)) & 65535) * 2654435761))) & 4294967295) >> 16)) * 73244475) % 4294967296), (((xor((((((((((((user_id) + 13) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((user_id) + 13) & 4294967295)) & 65535) * 2654435761))) & 4294967295), (((((((((((user_id) + 13) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((user_id) + 13) & 4294967295)) & 65535) * 2654435761))) & 4294967295) >> 16)) * 73244475) % 4294967296) >> 16)) * 73244475) % 4294967296), (((xor((((xor((((((((((((user_id) + 13) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((user_id) + 13) & 4294967295)) & 65535) * 2654435761))) & 4294967295), (((((((((((user_id) + 13) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((user_id) + 13) & 4294967295)) & 65535) * 2654435761))) & 4294967295) >> 16)) * 73244475) % 4294967296), (((xor((((((((((((user_id) + 13) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((user_id) + 13) & 4294967295)) & 65535) * 2654435761))) & 4294967295), (((((((((((user_id) + 13) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((user_id) + 13) & 4294967295)) & 65535) * 2654435761))) & 4294967295) >> 16)) * 73244475) % 4294967296) >> 16)) * 73244475) % 4294967296) >> 16)) % 2 AS arm, "

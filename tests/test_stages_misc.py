@@ -3553,3 +3553,40 @@ class TestSession3Properties:
         for rep in out["rep"]:
             r, c = rep >> 20, rep & ((1 << 20) - 1)
             assert above[r, c]
+
+
+class TestAnovaEta2:
+    def test_effect_size_extremes(self, ray_session, tmp_path):
+        """value = f(hour) exactly -> eta^2 = 1; value independent of
+        hour -> eta^2 ~ 0."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as entry
+
+        HOUR = 3_600_000_000
+        rows = []
+        rng = np.random.default_rng(2)
+        for i in range(2000):
+            h = int(rng.integers(0, 24))
+            ts = h * HOUR + int(rng.integers(0, 1000)) * 24 * HOUR
+            rows.append({"event_id": i, "user_id": 1, "ts": ts,
+                         "event_type": "hourly", "value": 10.0 + h,
+                         "props": "{}"})
+            rows.append({"event_id": 10_000 + i, "user_id": 1, "ts": ts,
+                         "event_type": "flat",
+                         "value": float(rng.integers(0, 100)),
+                         "props": "{}"})
+        t = pa.Table.from_pylist(rows).set_column(
+            2, "ts", pa.array([r["ts"] for r in rows], pa.timestamp("us"))
+        )
+        d = tmp_path / "anova"
+        d.mkdir()
+        pq.write_table(t, d / "events.parquet")
+        out = entry.queries()["anova_eta2"](str(d)).to_pandas().set_index(
+            "event_type"
+        )
+        assert out.loc["hourly", "eta_squared"] == 1.0
+        assert out.loc["flat", "eta_squared"] < 0.05
