@@ -1270,6 +1270,66 @@ def _q_aspect_classes(sf_dir: str) -> pa.Table:
     ).sort_by("octant")
 
 
+def _q_kruskal_wallis(sf_dir: str) -> pa.Table:
+    """Kruskal-Wallis H across the event types (k-group rank test,
+    the nonparametric one-way ANOVA): tie-averaged ranks from the
+    combiner-aggregated (cents, type) count table, per-group rank
+    sums exact multiples of 0.5, H closed-form (no tie correction,
+    documented)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
+        scaled_int,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "value"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c": pa.array(scaled_int(batch["value"], 100.0)),
+                "event_type": batch["event_type"],
+                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+
+    counts = hash_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        ["c", "event_type"],
+        [("_one", "sum", "n")],
+    ).sort_by([("c", "ascending"), ("event_type", "ascending")])
+    c = counts["c"].to_numpy(zero_copy_only=False)
+    et = np.asarray(counts["event_type"].to_pylist(), dtype=object)
+    n = counts["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    vals, inv = np.unique(c, return_inverse=True)
+    n_c = np.zeros(len(vals), np.int64)
+    np.add.at(n_c, inv, n)
+    rank_min = 1 + np.concatenate(([0], np.cumsum(n_c)[:-1]))
+    avgrank = rank_min.astype(np.float64) + (n_c - 1).astype(np.float64) / 2.0
+    big_n = float(n.sum())
+    types, rsum, ns = [], [], []
+    for t in sorted(set(et.tolist())):
+        sel = et == t
+        types.append(t)
+        rsum.append(float((n[sel] * avgrank[inv[sel]]).sum()))
+        ns.append(float(n[sel].sum()))
+    h = 0.0
+    for r, m in zip(rsum, ns):
+        h = h + r * r / m
+    h = 12.0 / (big_n * (big_n + 1.0)) * h - 3.0 * (big_n + 1.0)
+    return pa.table(
+        {
+            "n_groups": pa.array([len(types)], pa.int64()),
+            "n_total": pa.array([int(big_n)], pa.int64()),
+            "h_stat": round_like_sql([h], 6),
+        }
+    )
+
+
 def _q_mann_whitney(sf_dir: str) -> pa.Table:
     """Mann-Whitney U (rank-sum) test of event value between the
     hash-split A/B arms -- the nonparametric counterpart of ab_ztest.
@@ -7285,6 +7345,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ab_ztest": _q_ab_ztest,
         "anova_eta2": _q_anova_eta2,
         "mann_whitney": _q_mann_whitney,
+        "kruskal_wallis": _q_kruskal_wallis,
         "aspect_classes": _q_aspect_classes,
         "kaplan_meier": _q_kaplan_meier,
         "interval_union": _q_interval_union,
@@ -9240,6 +9301,24 @@ def oracle_sql() -> dict[str, str]:
             f"WHEN dx < 0 AND dy < 0 THEN 'SW' "
             f"ELSE 'FLAT' END AS octant, "
             f"CAST(COUNT(*) AS BIGINT) AS n_pixels FROM d GROUP BY octant"
+        ),
+        "kruskal_wallis": (
+            # per-group rank sums in TYPE ORDER (left-assoc H sum
+            # matches the engine loop over sorted types)
+            "WITH p AS (SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c, "
+            "event_type FROM events), "
+            "r AS (SELECT event_type, "
+            "CAST(RANK() OVER (ORDER BY c) AS DOUBLE) "
+            "+ (CAST(COUNT(*) OVER (PARTITION BY c) AS DOUBLE) - 1.0) / 2.0 "
+            "AS avgrank FROM p), "
+            "g AS (SELECT event_type, SUM(avgrank) AS r, "
+            "CAST(COUNT(*) AS DOUBLE) AS m FROM r GROUP BY event_type), "
+            "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_groups, "
+            "CAST(SUM(m) AS DOUBLE) AS big_n, "
+            "SUM(r * r / m ORDER BY event_type) AS hterm FROM g) "
+            "SELECT n_groups, CAST(big_n AS BIGINT) AS n_total, "
+            "ROUND(12.0 / (big_n * (big_n + 1.0)) * hterm "
+            "- 3.0 * (big_n + 1.0), 6) AS h_stat FROM s"
         ),
         "mann_whitney": (
             "WITH p AS (SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c, "

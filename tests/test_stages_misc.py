@@ -3633,3 +3633,31 @@ class TestMannWhitney:
         # arm A ranks far below arm B -> U_A far below mean -> very
         # negative z
         assert out.loc[0, "z_stat"] < -20
+
+
+class TestKruskalWallis:
+    def test_shifted_group_detected(self, ray_session, tmp_path):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as entry
+
+        rng = np.random.default_rng(4)
+        rows = []
+        for i in range(3000):
+            g = ["a", "b", "c"][i % 3]
+            v = rng.normal(50 if g != "c" else 70, 5)
+            rows.append({"event_id": i, "user_id": 1, "ts": i,
+                         "event_type": g, "value": round(float(v), 2),
+                         "props": "{}"})
+        t = pa.Table.from_pylist(rows).set_column(
+            2, "ts", pa.array([r["ts"] for r in rows], pa.timestamp("us"))
+        )
+        d = tmp_path / "kw"
+        d.mkdir()
+        pq.write_table(t, d / "events.parquet")
+        out = entry.queries()["kruskal_wallis"](str(d)).to_pandas()
+        assert out.loc[0, "n_groups"] == 3
+        assert out.loc[0, "h_stat"] > 500  # c is far shifted
