@@ -1270,6 +1270,49 @@ def _q_aspect_classes(sf_dir: str) -> pa.Table:
     ).sort_by("octant")
 
 
+def _q_line_of_sight(sf_dir: str) -> pa.Table:
+    """Intervisibility between all probe pairs over the slope-fixture
+    DEM (stages/raster.py::line_of_sight): fixed-fraction nearest-
+    pixel sampling along each sight line, blocked where valid terrain
+    strictly exceeds the interpolated line (+2.0 clearance at the
+    endpoints).  The distributed form is the broadcast-raster
+    map_batches of the bilinear_sample family; the fixture DEM is
+    driver-bounded here."""
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
+        line_of_sight,
+    )
+
+    tiles = _og_tiles_table(sparse_invalid=True, tile=24)
+    z = np.full((OG_H, OG_W), np.nan, np.float64)
+    for i in range(tiles.num_rows):
+        r0 = tiles["row_off"][i].as_py()
+        c0 = tiles["col_off"][i].as_py()
+        hh = tiles["height"][i].as_py()
+        ww = tiles["width"][i].as_py()
+        z[r0:r0+hh, c0:c0+ww] = np.asarray(
+            tiles["values"][i].as_py(), np.float32
+        ).reshape(hh, ww).astype(np.float64)
+    valid = z > -1e30
+    out_pid, out_vis, out_nb = [], [], []
+    probes = list(enumerate(OG_KNN_PROBES))
+    for i, (ia, pa_) in enumerate(probes):
+        for ib, pb in probes[i + 1:]:
+            vis, nb = line_of_sight(
+                z, valid, pa_[0], pa_[1], pb[0], pb[1],
+                list(OG_TRANSFORM), n_steps=64, clearance=2.0,
+            )
+            out_pid.append(ia * 10 + ib)
+            out_vis.append(1 if vis else 0)
+            out_nb.append(nb)
+    return pa.table(
+        {
+            "pair_id": pa.array(out_pid, pa.int64()),
+            "visible": pa.array(out_vis, pa.int64()),
+            "n_blocked": pa.array(out_nb, pa.int64()),
+        }
+    )
+
+
 def _q_kruskal_wallis(sf_dir: str) -> pa.Table:
     """Kruskal-Wallis H across the event types (k-group rank test,
     the nonparametric one-way ANOVA): tie-averaged ranks from the
@@ -7346,6 +7389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anova_eta2": _q_anova_eta2,
         "mann_whitney": _q_mann_whitney,
         "kruskal_wallis": _q_kruskal_wallis,
+        "line_of_sight": _q_line_of_sight,
         "aspect_classes": _q_aspect_classes,
         "kaplan_meier": _q_kaplan_meier,
         "interval_union": _q_interval_union,
@@ -7815,6 +7859,48 @@ def _quality_features_oracle_sql() -> str:
     )
 
 
+
+
+
+def _line_of_sight_oracle_sql(n_steps: int = 64, clearance: float = 2.0) -> str:
+    """Mirror of _q_line_of_sight: identical endpoint-pixel indices
+    (precomputed ints), step fractions, nearest-pixel floor lookups,
+    and strict height comparison."""
+    import numpy as np
+
+    a = 0.01
+    parts = []
+    probes = list(enumerate(OG_KNN_PROBES))
+    for i, (ia, p_a) in enumerate(probes):
+        for ib, p_b in probes[i + 1:]:
+            ca = int(np.floor((p_a[0] - 77.0) / a))
+            ra = int(np.floor((29.0 - p_a[1]) / a))
+            cb = int(np.floor((p_b[0] - 77.0) / a))
+            rb = int(np.floor((29.0 - p_b[1]) / a))
+            dlon = p_b[0] - p_a[0]
+            dlat = p_b[1] - p_a[1]
+            parts.append(
+                f"SELECT CAST({ia * 10 + ib} AS BIGINT) AS pair_id, "
+                f"CAST(CASE WHEN nb = 0 THEN 1 ELSE 0 END AS BIGINT) "
+                f"AS visible, CAST(nb AS BIGINT) AS n_blocked FROM ("
+                f"SELECT SUM(CASE WHEN gz.z IS NOT NULL "
+                f"AND gz.z > e.za + s.t * (e.zb - e.za) "
+                f"THEN 1 ELSE 0 END) AS nb "
+                f"FROM (SELECT (CAST(i.range AS DOUBLE) + 1.0) "
+                f"/ {float(n_steps + 1)!r} AS t FROM range(0, {n_steps}) i) s "
+                f"CROSS JOIN (SELECT "
+                f"COALESCE((SELECT z FROM g WHERE row = {ra} "
+                f"AND col = {ca} AND z > -1e30), 0.0) + {clearance!r} AS za, "
+                f"COALESCE((SELECT z FROM g WHERE row = {rb} "
+                f"AND col = {cb} AND z > -1e30), 0.0) + {clearance!r} AS zb) e "
+                f"LEFT JOIN g gz ON gz.row = CAST(FLOOR((29.0 - "
+                f"({p_a[1]!r} + s.t * {dlat!r})) / 0.01) AS BIGINT) "
+                f"AND gz.col = CAST(FLOOR((({p_a[0]!r} + s.t * {dlon!r}) "
+                f"- 77.0) / 0.01) AS BIGINT) AND gz.z > -1e30)"
+            )
+    return (
+        f"WITH g AS ({_OG_SLOPE_GRID_SQL}) " + " UNION ALL ".join(parts)
+    )
 
 
 def _boundary_distance_oracle_sql() -> str:
@@ -9302,6 +9388,7 @@ def oracle_sql() -> dict[str, str]:
             f"ELSE 'FLAT' END AS octant, "
             f"CAST(COUNT(*) AS BIGINT) AS n_pixels FROM d GROUP BY octant"
         ),
+        "line_of_sight": _line_of_sight_oracle_sql(),
         "kruskal_wallis": (
             # per-group rank sums in TYPE ORDER (left-assoc H sum
             # matches the engine loop over sorted types)

@@ -3661,3 +3661,37 @@ class TestKruskalWallis:
         out = entry.queries()["kruskal_wallis"](str(d)).to_pandas()
         assert out.loc[0, "n_groups"] == 3
         assert out.loc[0, "h_stat"] > 500  # c is far shifted
+
+
+class TestLineOfSight:
+    def test_flat_vs_wall(self, ray_session):
+        """Flat terrain: visible (clearance above ground).  A wall
+        between the endpoints blocks; a wall OFF the line does not."""
+        import numpy as np
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
+            line_of_sight,
+        )
+
+        tf = [0.01, 0.0, 77.0, 0.0, -0.01, 29.0]
+        z = np.full((96, 96), 10.0)
+        valid = np.ones((96, 96), bool)
+        a = (77.0 + 0.10, 29.0 - 0.50)  # col 10, row 50
+        b = (77.0 + 0.80, 29.0 - 0.50)  # col 80, row 50
+        vis, nb = line_of_sight(z, valid, *a, *b, tf)
+        assert vis and nb == 0
+
+        z2 = z.copy()
+        z2[50, 40] = 100.0  # wall on the line
+        vis2, nb2 = line_of_sight(z2, valid, *a, *b, tf)
+        assert not vis2 and nb2 >= 1
+
+        z3 = z.copy()
+        z3[20, 40] = 100.0  # wall far off the line
+        vis3, _ = line_of_sight(z3, valid, *a, *b, tf)
+        assert vis3
+
+        # invalid wall pixel does not block
+        valid4 = valid.copy()
+        valid4[50, 40] = False
+        vis4, _ = line_of_sight(z2, valid4, *a, *b, tf)
+        assert vis4

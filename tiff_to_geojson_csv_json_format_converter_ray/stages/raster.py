@@ -1819,3 +1819,49 @@ def _cost_emit(stride: int | None):
         return pa.concat_tables([halos, ent])
 
     return emit
+
+
+def line_of_sight(
+    z: np.ndarray,
+    valid: np.ndarray,
+    a_lon: float, a_lat: float, b_lon: float, b_lat: float,
+    transform: list[float],
+    n_steps: int = 64,
+    clearance: float = 2.0,
+):
+    """Intervisibility between two points over a DEM (viewshed-lite):
+    sample the terrain at ``n_steps`` fixed fractions along the sight
+    line (nearest-pixel lookup, ``t = (i+1)/(n_steps+1)``), blocked
+    where a valid sample strictly exceeds the interpolated sight-line
+    height (endpoint elevations + ``clearance``).  Invalid endpoint
+    pixels read as elevation 0 (documented fixture rule).  Pure
+    comparisons after SQL-identical arithmetic -- no ray-marching
+    state.  Returns (visible: bool, n_blocked: int)."""
+    a = float(transform[0])
+    c0 = float(transform[2])
+    f0 = float(transform[5])
+    h, w = z.shape
+
+    def zval(lon: float, lat: float) -> float:
+        col = int(np.floor((lon - c0) / a))
+        row = int(np.floor((f0 - lat) / a))
+        if 0 <= row < h and 0 <= col < w and valid[row, col]:
+            return float(z[row, col])
+        return 0.0
+
+    za = zval(a_lon, a_lat) + clearance
+    zb = zval(b_lon, b_lat) + clearance
+    i = np.arange(n_steps, dtype=np.float64)
+    t = (i + 1.0) / (n_steps + 1.0)
+    lon_t = a_lon + t * (b_lon - a_lon)
+    lat_t = a_lat + t * (b_lat - a_lat)
+    cols = np.floor((lon_t - c0) / a).astype(np.int64)
+    rows = np.floor((f0 - lat_t) / a).astype(np.int64)
+    inb = (rows >= 0) & (rows < h) & (cols >= 0) & (cols < w)
+    zs = np.zeros(n_steps)
+    ok = np.zeros(n_steps, dtype=bool)
+    zs[inb] = z[rows[inb], cols[inb]]
+    ok[inb] = valid[rows[inb], cols[inb]]
+    height = za + t * (zb - za)
+    blocked = ok & (zs > height)
+    return bool(~blocked.any()), int(blocked.sum())
