@@ -1437,6 +1437,109 @@ def _q_mann_whitney(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_spearman(sf_dir: str) -> pa.Table:
+    """Spearman rank correlation of quantity vs price per returnflag:
+    tie-averaged ranks DOUBLED to exact int64 (``2*rank_min + ties -
+    1``; Pearson is scale-invariant, so corr over 2x-ranks equals
+    corr over ranks), rank maps built from domain-bounded distinct-
+    value counts and broadcast for the per-row moment pass -- every
+    sufficient statistic an exact int64 sum, closed form once per
+    group in SQL-identical float order."""
+    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
+        round_half_away, round_like_sql,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        x = round_half_away(
+            batch["l_quantity"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        y = round_half_away(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "f": batch["l_returnflag"],
+                "x": pa.array(x),
+                "y": pa.array(y),
+                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+
+    quant = ds.map_batches(quantize, batch_format="pyarrow", batch_size=None)
+
+    def rank_map(col: str) -> dict:
+        counts = hash_aggregate(
+            quant, ["f", col], [("_one", "sum", "n")]
+        ).sort_by([("f", "ascending"), (col, "ascending")])
+        fs = np.asarray(counts["f"].to_pylist(), dtype=object)
+        vs = counts[col].to_numpy(zero_copy_only=False)
+        ns = counts["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        out = {}
+        for f in sorted(set(fs.tolist())):
+            sel = fs == f
+            v, n = vs[sel], ns[sel]
+            rank_min = 1 + np.concatenate(([0], np.cumsum(n)[:-1]))
+            s = 2 * rank_min + (n - 1)  # exact 2x tie-averaged rank
+            out[f] = dict(zip(v.tolist(), s.tolist()))
+        return out
+
+    mx, my = rank_map("x"), rank_map("y")
+
+    def moments(batch: pa.Table) -> pa.Table:
+        fs = batch["f"].to_pylist()
+        x = batch["x"].to_numpy(zero_copy_only=False)
+        y = batch["y"].to_numpy(zero_copy_only=False)
+        sx = np.fromiter(
+            (mx[f][int(v)] for f, v in zip(fs, x)), np.int64, len(x)
+        )
+        sy = np.fromiter(
+            (my[f][int(v)] for f, v in zip(fs, y)), np.int64, len(y)
+        )
+        return pa.table(
+            {
+                "f": batch["f"],
+                "_one": pa.array(np.ones(len(x), np.int64)),
+                "sx": pa.array(sx),
+                "sy": pa.array(sy),
+                "sxx": pa.array(sx * sx),
+                "syy": pa.array(sy * sy),
+                "sxy": pa.array(sx * sy),
+            }
+        )
+
+    agg = hash_aggregate(
+        quant.map_batches(moments, batch_format="pyarrow", batch_size=None),
+        ["f"],
+        [("_one", "sum", "n"), ("sx", "sum", "sx"), ("sy", "sum", "sy"),
+         ("sxx", "sum", "sxx"), ("syy", "sum", "syy"),
+         ("sxy", "sum", "sxy")],
+    ).sort_by("f")
+    n = agg["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    sx = agg["sx"].to_numpy(zero_copy_only=False).astype(np.float64)
+    sy = agg["sy"].to_numpy(zero_copy_only=False).astype(np.float64)
+    sxx = agg["sxx"].to_numpy(zero_copy_only=False).astype(np.float64)
+    syy = agg["syy"].to_numpy(zero_copy_only=False).astype(np.float64)
+    sxy = agg["sxy"].to_numpy(zero_copy_only=False).astype(np.float64)
+    rho = (n * sxy - sx * sy) / np.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    return pa.table(
+        {
+            "l_returnflag": agg["f"],
+            "n": agg["n"].cast(pa.int64()),
+            "spearman_rho": round_like_sql(rho, 6),
+        }
+    )
+
+
 def _q_anova_eta2(sf_dir: str) -> pa.Table:
     """One-way ANOVA effect size (eta-squared) of hour-of-day on
     event value, per event type -- the seasonality-strength scalar
@@ -7387,6 +7490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "theil_sen": _q_theil_sen,
         "ab_ztest": _q_ab_ztest,
         "anova_eta2": _q_anova_eta2,
+        "spearman": _q_spearman,
         "mann_whitney": _q_mann_whitney,
         "kruskal_wallis": _q_kruskal_wallis,
         "line_of_sight": _q_line_of_sight,
@@ -9424,6 +9528,27 @@ def oracle_sql() -> dict[str, str]:
             "/ SQRT(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) "
             "* (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1) / 12.0), 6) "
             "AS z_stat FROM s"
+        ),
+        "spearman": (
+            "WITH b AS (SELECT l_returnflag AS f, "
+            "CAST(ROUND(l_quantity, 0) AS BIGINT) AS x, "
+            "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS y "
+            "FROM lineitem), "
+            "r AS (SELECT f, "
+            "2 * RANK() OVER (PARTITION BY f ORDER BY x) "
+            "+ COUNT(*) OVER (PARTITION BY f, x) - 1 AS sx, "
+            "2 * RANK() OVER (PARTITION BY f ORDER BY y) "
+            "+ COUNT(*) OVER (PARTITION BY f, y) - 1 AS sy FROM b), "
+            "m AS (SELECT f, CAST(COUNT(*) AS DOUBLE) AS n, "
+            "CAST(SUM(sx) AS DOUBLE) AS sxs, "
+            "CAST(SUM(sy) AS DOUBLE) AS sys, "
+            "CAST(SUM(sx * sx) AS DOUBLE) AS sxx, "
+            "CAST(SUM(sy * sy) AS DOUBLE) AS syy, "
+            "CAST(SUM(sx * sy) AS DOUBLE) AS sxy FROM r GROUP BY f) "
+            "SELECT f AS l_returnflag, CAST(n AS BIGINT) AS n, "
+            "ROUND((n * sxy - sxs * sys) / SQRT("
+            "(n * sxx - sxs * sxs) * (n * syy - sys * sys)), 6) "
+            "AS spearman_rho FROM m"
         ),
         "anova_eta2": (
             "WITH p AS (SELECT event_type, "

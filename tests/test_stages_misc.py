@@ -3695,3 +3695,35 @@ class TestLineOfSight:
         valid4[50, 40] = False
         vis4, _ = line_of_sight(z2, valid4, *a, *b, tf)
         assert vis4
+
+
+class TestSpearman:
+    def test_monotone_vs_noise(self, ray_session, tmp_path):
+        """A perfectly monotone (nonlinear) relation scores rho = 1;
+        shuffled values score ~0."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import sys
+        sys.path.insert(0, "/root/repo")
+        import __ray_entry__ as entry
+
+        rng = np.random.default_rng(6)
+        n = 500
+        q = rng.permutation(np.arange(1, n + 1)).astype(np.float64)
+        rows = []
+        for i in range(n):
+            rows.append({"l_returnflag": "M", "l_quantity": float(q[i]),
+                         "l_extendedprice": float(q[i] ** 3) / 100.0})
+            rows.append({"l_returnflag": "Z", "l_quantity": float(q[i]),
+                         "l_extendedprice": float(rng.integers(1, 10**6))
+                         / 100.0})
+        t = pa.Table.from_pylist(rows)
+        d = tmp_path / "sp"
+        d.mkdir()
+        pq.write_table(t, d / "lineitem.parquet")
+        out = entry.queries()["spearman"](str(d)).to_pandas().set_index(
+            "l_returnflag"
+        )
+        assert out.loc["M", "spearman_rho"] == 1.0
+        assert abs(out.loc["Z", "spearman_rho"]) < 0.1
