@@ -1437,6 +1437,21 @@ def _q_mann_whitney(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_adaptive_quadtree(sf_dir: str) -> pa.Table:
+    """Adaptive quadtree tiling of the valid oracle points (split
+    cells holding > 12 points, res 5..8) -- the balanced-partition
+    builder for skewed point sets
+    (functions/cells.py::adaptive_quadtree)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.functions.cells import (
+        adaptive_quadtree,
+    )
+
+    pts = _og_points_ds(valid_only=True)
+    return adaptive_quadtree(
+        pts, res_min=5, res_max=8, max_points=12
+    )
+
+
 def _q_spearman(sf_dir: str) -> pa.Table:
     """Spearman rank correlation of quantity vs price per returnflag:
     tie-averaged ranks DOUBLED to exact int64 (``2*rank_min + ties -
@@ -7491,6 +7506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ab_ztest": _q_ab_ztest,
         "anova_eta2": _q_anova_eta2,
         "spearman": _q_spearman,
+        "adaptive_quadtree": _q_adaptive_quadtree,
         "mann_whitney": _q_mann_whitney,
         "kruskal_wallis": _q_kruskal_wallis,
         "line_of_sight": _q_line_of_sight,
@@ -9528,6 +9544,25 @@ def oracle_sql() -> dict[str, str]:
             "/ SQRT(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) "
             "* (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1) / 12.0), 6) "
             "AS z_stat FROM s"
+        ),
+        "adaptive_quadtree": (
+            # per-level floors (identical cell-size doubles), quadtree
+            # walk by integer child//2 = parent joins
+            f"WITH RECURSIVE pts AS (SELECT lon, lat FROM ({valid})), "
+            "cnt AS (SELECT l.range AS r, "
+            "CAST(FLOOR((lat + 90.0) / (360.0 / POWER(2.0, l.range + 8))) "
+            "AS BIGINT) AS iy, "
+            "CAST(FLOOR((lon + 180.0) / (360.0 / POWER(2.0, l.range + 8))) "
+            "AS BIGINT) AS ix, COUNT(*) AS n "
+            "FROM range(5, 9) l, pts GROUP BY r, iy, ix), "
+            "o(r, iy, ix, n) AS ("
+            "SELECT r, iy, ix, n FROM cnt WHERE r = 5 "
+            "UNION ALL "
+            "SELECT c.r, c.iy, c.ix, c.n FROM o JOIN cnt c "
+            "ON c.r = o.r + 1 AND c.iy // 2 = o.iy AND c.ix // 2 = o.ix "
+            "WHERE o.n > 12 AND o.r < 8) "
+            "SELECT r AS res, iy, ix, CAST(n AS BIGINT) AS n_points "
+            "FROM o WHERE n <= 12 OR r = 8"
         ),
         "spearman": (
             "WITH b AS (SELECT l_returnflag AS f, "

@@ -3727,3 +3727,39 @@ class TestSpearman:
         )
         assert out.loc["M", "spearman_rho"] == 1.0
         assert abs(out.loc["Z", "spearman_rho"]) < 0.1
+
+
+class TestAdaptiveQuadtree:
+    def test_skewed_cluster_splits_deeper(self, ray_session):
+        """A dense hot cluster splits to res_max while sparse
+        background cells stay coarse; the final cells PARTITION the
+        point set (counts sum exactly)."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+        from tiff_to_geojson_csv_json_format_converter_ray.functions.cells import (
+            adaptive_quadtree, cell_size,
+        )
+
+        rng = np.random.default_rng(9)
+        # background: 500 points spread over ~1 degree
+        lon_bg = 77.0 + rng.uniform(0, 1.0, 500)
+        lat_bg = 28.0 + rng.uniform(0, 1.0, 500)
+        # hot cluster: 2000 points inside one res-8 cell
+        s8 = cell_size(8)
+        lon_hot = 77.4 + rng.uniform(0, s8 * 0.9, 2000)
+        lat_hot = 28.4 + rng.uniform(0, s8 * 0.9, 2000)
+        pts = ray.data.from_arrow(pa.table(
+            {
+                "lon": pa.array(np.concatenate([lon_bg, lon_hot])),
+                "lat": pa.array(np.concatenate([lat_bg, lat_hot])),
+            }
+        ))
+        out = adaptive_quadtree(
+            pts, res_min=5, res_max=8, max_points=50
+        ).to_pandas()
+        assert out["n_points"].sum() == 2500  # partition
+        assert (out["n_points"][out["res"] < 8] <= 50).all()
+        deepest = out[out["res"] == 8]
+        assert len(deepest) >= 1
+        assert deepest["n_points"].max() >= 2000  # the hot cell

@@ -250,3 +250,78 @@ def geohash_sql_expr(lon_col: str, lat_col: str, precision: int = 6) -> str:
         for c in range(precision)
     )
     return f"({chars})"
+
+
+def adaptive_quadtree(
+    ds,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    res_min: int = 5,
+    res_max: int = 8,
+    max_points: int = 100,
+):
+    """Adaptive quadtree tiling: start at ``res_min`` cells and split
+    any cell holding more than ``max_points`` points into its 4
+    children, down to ``res_max`` -- the balanced-partition builder
+    for skewed point sets (each final cell is a shuffle-ready range;
+    cf. the hot-cell salting in stages/shuffle.py).  Cell indices are
+    the frozen flat-grid floors; child index = 2*parent (+0/1)
+    EXACTLY because cell sizes halve by powers of two.
+
+    Per level: one combiner count pass over the points (restricted to
+    still-open cells via a broadcast set -- open-set size is bounded
+    by split cells, not points), split decision driver-side.  Returns
+    ``(res, iy, ix, n_points)`` for the final cells (only cells that
+    contain points exist)."""
+    import pyarrow as pa
+
+    from ..stages.shuffle import partial_count
+
+    final_rows = []
+    open_set = None  # None = all cells at res_min
+    for r in range(res_min, res_max + 1):
+        s = cell_size(r)
+        rr = r
+
+        def level_ix(batch: pa.Table, _s=s, _r=rr, _open=open_set) -> pa.Table:
+            lon = batch[lon_col].to_numpy(zero_copy_only=False)
+            lat = batch[lat_col].to_numpy(zero_copy_only=False)
+            ix = np.floor((lon + 180.0) / _s).astype(np.int64)
+            iy = np.floor((lat + 90.0) / _s).astype(np.int64)
+            t = pa.table({"iy": pa.array(iy), "ix": pa.array(ix)})
+            if _open is not None:
+                keep = np.fromiter(
+                    ((int(a), int(b)) in _open for a, b in zip(iy, ix)),
+                    bool, len(ix),
+                )
+                t = t.filter(pa.array(keep))
+            return t
+
+        counts = partial_count(
+            ds.map_batches(level_ix, batch_format="pyarrow", batch_size=None),
+            ["iy", "ix"],
+        )
+        iy = counts["iy"].to_numpy(zero_copy_only=False)
+        ix = counts["ix"].to_numpy(zero_copy_only=False)
+        n = counts["count"].to_numpy(zero_copy_only=False).astype(np.int64)
+        split = (n > max_points) & (r < res_max)
+        for a, b, c in zip(iy[~split], ix[~split], n[~split]):
+            final_rows.append((r, int(a), int(b), int(c)))
+        if not split.any():
+            break
+        open_set = {
+            (2 * int(a) + dy, 2 * int(b) + dx)
+            for a, b in zip(iy[split], ix[split])
+            for dy in (0, 1)
+            for dx in (0, 1)
+        }
+    return pa.table(
+        {
+            "res": pa.array([r for r, *_ in final_rows], pa.int64()),
+            "iy": pa.array([a for _, a, _b, _c in final_rows], pa.int64()),
+            "ix": pa.array([b for _, _a, b, _c in final_rows], pa.int64()),
+            "n_points": pa.array(
+                [c for *_x, c in final_rows], pa.int64()
+            ),
+        }
+    ).sort_by([("res", "ascending"), ("iy", "ascending"), ("ix", "ascending")])
