@@ -3745,10 +3745,14 @@ class TestAdaptiveQuadtree:
         # background: 500 points spread over ~1 degree
         lon_bg = 77.0 + rng.uniform(0, 1.0, 500)
         lat_bg = 28.0 + rng.uniform(0, 1.0, 500)
-        # hot cluster: 2000 points inside one res-8 cell
+        # hot cluster: 2000 points strictly inside ONE res-8 cell
+        # (anchor at the cell origin -- an arbitrary anchor straddles
+        # a boundary and splits the cluster)
         s8 = cell_size(8)
-        lon_hot = 77.4 + rng.uniform(0, s8 * 0.9, 2000)
-        lat_hot = 28.4 + rng.uniform(0, s8 * 0.9, 2000)
+        ix0 = np.floor((77.4 + 180.0) / s8)
+        iy0 = np.floor((28.4 + 90.0) / s8)
+        lon_hot = (ix0 * s8 - 180.0) + s8 * (0.05 + 0.9 * rng.uniform(0, 1, 2000))
+        lat_hot = (iy0 * s8 - 90.0) + s8 * (0.05 + 0.9 * rng.uniform(0, 1, 2000))
         pts = ray.data.from_arrow(pa.table(
             {
                 "lon": pa.array(np.concatenate([lon_bg, lon_hot])),
