@@ -1437,6 +1437,21 @@ def _q_mann_whitney(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_cover_bbox(sf_dir: str) -> pa.Table:
+    """Covering-cell planner (RegionCoverer role) over the q0
+    polygon bbox: maximal fully-inside cells + res-8 boundary cells
+    (functions/cells.py::cover_bbox)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.functions.cells import (
+        cover_bbox,
+    )
+
+    poly = OG_POLYGONS["q0"]
+    xs = [p[0] for p in poly]
+    ys = [p[1] for p in poly]
+    return cover_bbox(min(xs), min(ys), max(xs), max(ys),
+                      res_min=5, res_max=8)
+
+
 def _q_adaptive_quadtree(sf_dir: str) -> pa.Table:
     """Adaptive quadtree tiling of the valid oracle points (split
     cells holding > 12 points, res 5..8) -- the balanced-partition
@@ -7507,6 +7522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anova_eta2": _q_anova_eta2,
         "spearman": _q_spearman,
         "adaptive_quadtree": _q_adaptive_quadtree,
+        "cover_bbox": _q_cover_bbox,
         "mann_whitney": _q_mann_whitney,
         "kruskal_wallis": _q_kruskal_wallis,
         "line_of_sight": _q_line_of_sight,
@@ -8020,6 +8036,69 @@ def _line_of_sight_oracle_sql(n_steps: int = 64, clearance: float = 2.0) -> str:
             )
     return (
         f"WITH g AS ({_OG_SLOPE_GRID_SQL}) " + " UNION ALL ".join(parts)
+    )
+
+
+
+def _cover_bbox_oracle_sql(res_min: int = 5, res_max: int = 8) -> str:
+    """Mirror of _q_cover_bbox: identical cell-size doubles and
+    bounds arithmetic, recursive quadtree walk of boundary cells."""
+    import numpy as np
+
+    poly = OG_POLYGONS["q0"]
+    minx = min(p[0] for p in poly)
+    maxx = max(p[0] for p in poly)
+    miny = min(p[1] for p in poly)
+    maxy = max(p[1] for p in poly)
+    from tiff_to_geojson_csv_json_format_converter_ray.functions.cells import (
+        cell_size,
+    )
+
+    s0 = cell_size(res_min)
+    ix0 = int(np.floor((minx + 180.0) / s0))
+    ix1 = int(np.floor((maxx + 180.0) / s0))
+    iy0 = int(np.floor((miny + 90.0) / s0))
+    iy1 = int(np.floor((maxy + 90.0) / s0))
+
+    def bounds_expr(r_expr, iy_expr, ix_expr):
+        s = f"(360.0 / POWER(2.0, {r_expr} + 8))"
+        return (
+            f"({ix_expr}) * {s} - 180.0",
+            f"({iy_expr}) * {s} - 90.0",
+            f"(({ix_expr}) + 1) * {s} - 180.0",
+            f"(({iy_expr}) + 1) * {s} - 90.0",
+        )
+
+    bx0, by0, bx1, by1 = bounds_expr(str(res_min), "iy", "ix")
+    full0 = (
+        f"CASE WHEN {bx0} >= {minx!r} AND {bx1} <= {maxx!r} "
+        f"AND {by0} >= {miny!r} AND {by1} <= {maxy!r} THEN 1 ELSE 0 END"
+    )
+    disj0 = (
+        f"({bx1} <= {minx!r} OR {bx0} >= {maxx!r} "
+        f"OR {by1} <= {miny!r} OR {by0} >= {maxy!r})"
+    )
+    cx0, cy0, cx1, cy1 = ("q.cx0", "q.cy0", "q.cx1", "q.cy1")
+    ex0, ey0, ex1, ey1 = bounds_expr("w.r + 1", "2 * w.iy + d.dy", "2 * w.ix + d.dx")
+    return (
+        f"WITH RECURSIVE roots AS (SELECT y.range AS iy, x.range AS ix "
+        f"FROM range({iy0}, {iy1 + 1}) y, range({ix0}, {ix1 + 1}) x), "
+        f"w(r, iy, ix, state) AS ("
+        f"SELECT {res_min}, iy, ix, {full0} FROM roots WHERE NOT {disj0} "
+        f"UNION ALL "
+        f"SELECT q.r, q.iy, q.ix, "
+        f"CASE WHEN {cx0} >= {minx!r} AND {cx1} <= {maxx!r} "
+        f"AND {cy0} >= {miny!r} AND {cy1} <= {maxy!r} THEN 1 ELSE 0 END "
+        f"FROM (SELECT w.r + 1 AS r, 2 * w.iy + d.dy AS iy, "
+        f"2 * w.ix + d.dx AS ix, {ex0} AS cx0, {ey0} AS cy0, "
+        f"{ex1} AS cx1, {ey1} AS cy1 "
+        f"FROM w JOIN (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) d(dy, dx) "
+        f"ON TRUE WHERE w.state = 0 AND w.r < {res_max}) q "
+        f"WHERE NOT ({cx1} <= {minx!r} OR {cx0} >= {maxx!r} "
+        f"OR {cy1} <= {miny!r} OR {cy0} >= {maxy!r})) "
+        f"SELECT CAST(r AS BIGINT) AS res, CAST(iy AS BIGINT) AS iy, "
+        f"CAST(ix AS BIGINT) AS ix, CAST(state AS BIGINT) AS full "
+        f"FROM w WHERE state = 1 OR r = {res_max}"
     )
 
 
@@ -9545,6 +9624,7 @@ def oracle_sql() -> dict[str, str]:
             "* (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1) / 12.0), 6) "
             "AS z_stat FROM s"
         ),
+        "cover_bbox": _cover_bbox_oracle_sql(),
         "adaptive_quadtree": (
             # per-level floors (identical cell-size doubles), quadtree
             # walk by integer child//2 = parent joins

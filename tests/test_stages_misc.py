@@ -3767,3 +3767,46 @@ class TestAdaptiveQuadtree:
         deepest = out[out["res"] == 8]
         assert len(deepest) >= 1
         assert deepest["n_points"].max() >= 2000  # the hot cell
+
+
+class TestCoverBbox:
+    def test_cover_is_exact_partition_of_query(self, ray_session):
+        """The cover's full cells lie inside the bbox; partial cells
+        touch the boundary; together they contain every in-bbox point
+        and no full cell sticks out."""
+        import numpy as np
+        from tiff_to_geojson_csv_json_format_converter_ray.functions.cells import (
+            cell_size, cover_bbox,
+        )
+
+        minx, miny, maxx, maxy = 10.0, 20.0, 10.5, 20.4
+        out = cover_bbox(minx, miny, maxx, maxy, 5, 8).to_pandas()
+        for _, row in out.iterrows():
+            s = cell_size(int(row["res"]))
+            cx0 = row["ix"] * s - 180.0
+            cy0 = row["iy"] * s - 90.0
+            cx1 = cx0 + s
+            cy1 = cy0 + s
+            if row["full"] == 1:
+                assert cx0 >= minx and cx1 <= maxx
+                assert cy0 >= miny and cy1 <= maxy
+            else:
+                assert int(row["res"]) == 8
+                # partial cells intersect but are not contained
+                assert cx1 > minx and cx0 < maxx
+                assert cy1 > miny and cy0 < maxy
+
+        # random in-bbox points are covered by some cell
+        rng = np.random.default_rng(3)
+        px = rng.uniform(minx, maxx, 200)
+        py = rng.uniform(miny, maxy, 200)
+        cells = set()
+        for _, row in out.iterrows():
+            cells.add((int(row["res"]), int(row["iy"]), int(row["ix"])))
+        for x, y in zip(px, py):
+            hit = any(
+                (r, int(np.floor((y + 90.0) / cell_size(r))),
+                 int(np.floor((x + 180.0) / cell_size(r)))) in cells
+                for r in range(5, 9)
+            )
+            assert hit

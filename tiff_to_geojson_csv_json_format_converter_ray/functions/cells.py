@@ -325,3 +325,59 @@ def adaptive_quadtree(
             ),
         }
     ).sort_by([("res", "ascending"), ("iy", "ascending"), ("ix", "ascending")])
+
+
+def cover_bbox(
+    minx: float, miny: float, maxx: float, maxy: float,
+    res_min: int = 5,
+    res_max: int = 8,
+):
+    """Covering-cell planner: decompose a query bbox into MAXIMAL
+    grid cells (the S2/H3 ``RegionCoverer`` role) -- cells fully
+    inside the bbox emit at their coarsest resolution, boundary cells
+    recurse, res_max boundary cells emit as partial.  This is the
+    query-side planner that turns a spatial predicate into cell-range
+    scans (prune parquet by cell id); the data-side counterpart is
+    :func:`adaptive_quadtree`.  Driver-side recursion -- output size
+    is O(perimeter / finest cell), never area.  Returns an Arrow
+    table ``(res, iy, ix, full)``, full = 1 for fully-inside cells."""
+    import pyarrow as pa
+
+    out = []
+
+    def bounds(r, iy, ix):
+        s = cell_size(r)
+        return (ix * s - 180.0, iy * s - 90.0,
+                (ix + 1) * s - 180.0, (iy + 1) * s - 90.0)
+
+    def visit(r, iy, ix):
+        cx0, cy0, cx1, cy1 = bounds(r, iy, ix)
+        if cx1 <= minx or cx0 >= maxx or cy1 <= miny or cy0 >= maxy:
+            return  # disjoint
+        if cx0 >= minx and cx1 <= maxx and cy0 >= miny and cy1 <= maxy:
+            out.append((r, iy, ix, 1))
+            return
+        if r == res_max:
+            out.append((r, iy, ix, 0))
+            return
+        for dy in (0, 1):
+            for dx in (0, 1):
+                visit(r + 1, 2 * iy + dy, 2 * ix + dx)
+
+    s0 = cell_size(res_min)
+    ix0 = int(np.floor((minx + 180.0) / s0))
+    ix1 = int(np.floor((maxx + 180.0) / s0))
+    iy0 = int(np.floor((miny + 90.0) / s0))
+    iy1 = int(np.floor((maxy + 90.0) / s0))
+    for iy in range(iy0, iy1 + 1):
+        for ix in range(ix0, ix1 + 1):
+            visit(res_min, iy, ix)
+    out.sort()
+    return pa.table(
+        {
+            "res": pa.array([r for r, *_ in out], pa.int64()),
+            "iy": pa.array([a for _, a, _b, _f in out], pa.int64()),
+            "ix": pa.array([b for _r, _a, b, _f in out], pa.int64()),
+            "full": pa.array([f for *_x, f in out], pa.int64()),
+        }
+    )
