@@ -4740,43 +4740,23 @@ def _q_convoy_pairs(sf_dir: str) -> pa.Table:
         ["user_a", "user_b", "win"],
     )
 
-    def runs(group: pa.Table) -> pa.Table:
-        wins = np.sort(group["win"].to_numpy(zero_copy_only=False))
-        new = np.ones(len(wins), dtype=bool)
-        new[1:] = (wins[1:] - wins[:-1]) > 1
-        starts = np.flatnonzero(new)
-        sizes = np.diff(np.append(starts, len(wins)))
-        max_run = int(sizes.max())
-        if max_run < 2:
-            return pa.table(
-                {
-                    "user_a": pa.array([], pa.int64()),
-                    "user_b": pa.array([], pa.int64()),
-                    "max_run": pa.array([], pa.int64()),
-                    "n_cowindows": pa.array([], pa.int64()),
-                }
-            )
+    # segmented run analysis, fully vectorized: one pass over the
+    # (pair, window)-sorted rows instead of a Python kernel per pair
+    # (265k pairs at sf0.1 made per-key calls the bottleneck).  The
+    # distributed tier runs this same kernel inside hash buckets.
+    import pyarrow.compute as pc
+
+    order = pc.sort_indices(
+        pw,
+        sort_keys=[("user_a", "ascending"), ("user_b", "ascending"),
+                   ("win", "ascending")],
+    )
+    s = pw.take(order)
+    ua = s["user_a"].to_numpy(zero_copy_only=False)
+    ub = s["user_b"].to_numpy(zero_copy_only=False)
+    wn = s["win"].to_numpy(zero_copy_only=False)
+    if len(ua) == 0:
         return pa.table(
-            {
-                "user_a": pa.array([group["user_a"][0].as_py()], pa.int64()),
-                "user_b": pa.array([group["user_b"][0].as_py()], pa.int64()),
-                "max_run": pa.array([max_run], pa.int64()),
-                "n_cowindows": pa.array([len(wins)], pa.int64()),
-            }
-        )
-
-    import ray.data
-
-    pw_ds = ray.data.from_arrow(pw) if isinstance(pw, pa.Table) else pw
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
-        grouped_by_key,
-    )
-
-    out = collect_tables(
-        grouped_by_key(pw_ds, ["user_a", "user_b"], runs)
-    )
-    if out is None:
-        out = pa.table(
             {
                 "user_a": pa.array([], pa.int64()),
                 "user_b": pa.array([], pa.int64()),
@@ -4784,7 +4764,29 @@ def _q_convoy_pairs(sf_dir: str) -> pa.Table:
                 "n_cowindows": pa.array([], pa.int64()),
             }
         )
-    return out
+    new_pair = np.ones(len(ua), dtype=bool)
+    new_pair[1:] = (ua[1:] != ua[:-1]) | (ub[1:] != ub[:-1])
+    new_island = new_pair.copy()
+    new_island[1:] |= (wn[1:] - wn[:-1]) > 1
+    island_start = np.flatnonzero(new_island)
+    island_len = np.diff(np.append(island_start, len(ua)))
+    pair_start = np.flatnonzero(new_pair)
+    pair_id_of_island = (
+        np.searchsorted(pair_start, island_start, side="right") - 1
+    )
+    n_pairs = len(pair_start)
+    max_run = np.zeros(n_pairs, np.int64)
+    np.maximum.at(max_run, pair_id_of_island, island_len)
+    n_cowin = np.diff(np.append(pair_start, len(ua))).astype(np.int64)
+    keep = max_run >= 2
+    return pa.table(
+        {
+            "user_a": pa.array(ua[pair_start][keep]),
+            "user_b": pa.array(ub[pair_start][keep]),
+            "max_run": pa.array(max_run[keep]),
+            "n_cowindows": pa.array(n_cowin[keep]),
+        }
+    )
 
 
 def _q_word_triangles(sf_dir: str) -> pa.Table:
