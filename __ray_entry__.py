@@ -1523,16 +1523,26 @@ def _q_spearman(sf_dir: str) -> pa.Table:
 
     mx, my = rank_map("x"), rank_map("y")
 
+    # per-flag sorted lookup arrays for vectorized searchsorted maps
+    lookup = {}
+    for f in set(mx) | set(my):
+        xv = np.array(sorted(mx[f]), np.int64)
+        xs = np.array([mx[f][int(v)] for v in xv], np.int64)
+        yv = np.array(sorted(my[f]), np.int64)
+        ys = np.array([my[f][int(v)] for v in yv], np.int64)
+        lookup[f] = (xv, xs, yv, ys)
+
     def moments(batch: pa.Table) -> pa.Table:
-        fs = batch["f"].to_pylist()
+        fs = np.asarray(batch["f"].to_pylist(), dtype=object)
         x = batch["x"].to_numpy(zero_copy_only=False)
         y = batch["y"].to_numpy(zero_copy_only=False)
-        sx = np.fromiter(
-            (mx[f][int(v)] for f, v in zip(fs, x)), np.int64, len(x)
-        )
-        sy = np.fromiter(
-            (my[f][int(v)] for f, v in zip(fs, y)), np.int64, len(y)
-        )
+        sx = np.zeros(len(x), np.int64)
+        sy = np.zeros(len(y), np.int64)
+        for f in set(fs.tolist()):
+            sel = fs == f
+            xv, xs, yv, ys = lookup[f]
+            sx[sel] = xs[np.searchsorted(xv, x[sel])]
+            sy[sel] = ys[np.searchsorted(yv, y[sel])]
         return pa.table(
             {
                 "f": batch["f"],
