@@ -1437,6 +1437,91 @@ def _q_mann_whitney(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_value_histogram(sf_dir: str) -> pa.Table:
+    """Equal-width value histogram per event type (20 bins over the
+    global [min, max); top bin closed) -- the profiling staple.  Bin
+    edges from exact global cents min/max, bin ids by integer
+    arithmetic, counts via the combiner tier."""
+    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
+        scaled_int,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "value"],
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "c": pa.array(scaled_int(batch["value"], 100.0)),
+                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+
+    q = ds.map_batches(cents, batch_format="pyarrow", batch_size=None)
+    mm = hash_aggregate(
+        q, [], [("c", "min", "cmin"), ("c", "max", "cmax")]
+    )
+    cmin = int(mm["cmin"][0].as_py())
+    cmax = int(mm["cmax"][0].as_py())
+    width = max((cmax - cmin + 19) // 20, 1)
+
+    def binned(batch: pa.Table) -> pa.Table:
+        c = batch["c"].to_numpy(zero_copy_only=False)
+        b = np.minimum((c - cmin) // width, 19)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "bin": pa.array(b.astype(np.int64)),
+                "_one": batch["_one"],
+            }
+        )
+
+    out = hash_aggregate(
+        q.map_batches(binned, batch_format="pyarrow", batch_size=None),
+        ["event_type", "bin"],
+        [("_one", "sum", "n")],
+    )
+    return pa.table(
+        {
+            "event_type": out["event_type"],
+            "bin": out["bin"].cast(pa.int64()),
+            "n": out["n"].cast(pa.int64()),
+        }
+    ).sort_by([("event_type", "ascending"), ("bin", "ascending")])
+
+
+def _q_word_degree_dist(sf_dir: str) -> pa.Table:
+    """Degree distribution of the edit-1 word graph (how many words
+    have k variants) -- the graph-shape profile next to components /
+    PageRank / triangles."""
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+        edit1_vocab_pairs,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
+    ).map_batches(
+        lambda b: b.rename_columns(["text"]),
+        batch_format="pyarrow", batch_size=None,
+    )
+    pairs = edit1_vocab_pairs(ds, min_len=4)
+    words = pairs["w1"].to_pylist() + pairs["w2"].to_pylist()
+    uniq, deg = np.unique(np.asarray(words, dtype=object), return_counts=True)
+    ks, nk = np.unique(deg, return_counts=True)
+    return pa.table(
+        {
+            "degree": pa.array(ks.astype(np.int64)),
+            "n_words": pa.array(nk.astype(np.int64)),
+        }
+    )
+
+
 def _q_cover_bbox(sf_dir: str) -> pa.Table:
     """Covering-cell planner (RegionCoverer role) over the q0
     polygon bbox: maximal fully-inside cells + res-8 boundary cells
@@ -7535,6 +7620,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spearman": _q_spearman,
         "adaptive_quadtree": _q_adaptive_quadtree,
         "cover_bbox": _q_cover_bbox,
+        "value_histogram": _q_value_histogram,
+        "word_degree_dist": _q_word_degree_dist,
         "mann_whitney": _q_mann_whitney,
         "kruskal_wallis": _q_kruskal_wallis,
         "line_of_sight": _q_line_of_sight,
@@ -9637,6 +9724,29 @@ def oracle_sql() -> dict[str, str]:
             "AS z_stat FROM s"
         ),
         "cover_bbox": _cover_bbox_oracle_sql(),
+        "value_histogram": (
+            "WITH p AS (SELECT event_type, "
+            "CAST(ROUND(value * 100, 0) AS BIGINT) AS c FROM events), "
+            "mm AS (SELECT MIN(c) AS cmin, MAX(c) AS cmax FROM p), "
+            "w AS (SELECT cmin, GREATEST((cmax - cmin + 19) // 20, 1) AS width FROM mm) "
+            "SELECT event_type, "
+            "LEAST((c - w.cmin) // w.width, 19) AS bin, "
+            "CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM p, w GROUP BY event_type, bin"
+        ),
+        "word_degree_dist": (
+            "WITH tok AS (SELECT DISTINCT source AS w FROM documents "
+            "WHERE LEN(source) >= 4), "
+            "e AS (SELECT a.w AS w1, b.w AS w2 FROM tok a JOIN tok b "
+            "ON a.w < b.w AND ABS(LEN(a.w) - LEN(b.w)) <= 1 "
+            "AND LEVENSHTEIN(a.w, b.w) = 1), "
+            "d AS (SELECT w, COUNT(*) AS deg FROM ("
+            "SELECT w1 AS w FROM e UNION ALL SELECT w2 FROM e) "
+            "GROUP BY w) "
+            "SELECT deg AS degree, CAST(COUNT(*) AS BIGINT) AS n_words "
+            "FROM d GROUP BY deg"
+        ),
+
         "adaptive_quadtree": (
             # per-level floors (identical cell-size doubles), quadtree
             # walk by integer child//2 = parent joins
