@@ -1437,6 +1437,87 @@ def _q_mann_whitney(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_abc_classes(sf_dir: str) -> pa.Table:
+    """ABC (Pareto) inventory classification: parts sorted by revenue
+    (exact cents), class A = cumulative share <= 0.8, B <= 0.95, C
+    rest -- cumulative shares from exact integer prefix sums, one
+    float division per part.  Per-part revenue via the combiner tier;
+    the classification pass is over the part dimension."""
+    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
+        scaled_int,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_extendedprice"],
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": batch["l_partkey"],
+                "c": pa.array(scaled_int(batch["l_extendedprice"], 100.0)),
+            }
+        )
+
+    per_part = hash_aggregate(
+        ds.map_batches(cents, batch_format="pyarrow", batch_size=None),
+        ["l_partkey"],
+        [("c", "sum", "rev")],
+    )
+    pk = per_part["l_partkey"].to_numpy(zero_copy_only=False)
+    rev = per_part["rev"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((pk, -rev))
+    rev_s = rev[order]
+    total = float(rev_s.sum())
+    cum = np.cumsum(rev_s).astype(np.float64)
+    share = cum / total
+    cls = np.where(share <= 0.8, "A", np.where(share <= 0.95, "B", "C"))
+    out_cls, out_n, out_rev = [], [], []
+    for k in ("A", "B", "C"):
+        sel = cls == k
+        out_cls.append(k)
+        out_n.append(int(sel.sum()))
+        out_rev.append(int(rev_s[sel].sum()))
+    return pa.table(
+        {
+            "abc_class": pa.array(out_cls, pa.string()),
+            "n_parts": pa.array(out_n, pa.int64()),
+            "revenue_cents": pa.array(out_rev, pa.int64()),
+        }
+    )
+
+
+def _q_peak_concurrency(sf_dir: str) -> pa.Table:
+    """Peak concurrency: the maximum number of simultaneously active
+    30-minute event windows (the max-concurrent-users sweep).
+    Half-open [start, end) intervals -- at equal timestamps ENDS
+    process before STARTS; exact int64 endpoint deltas, running sum,
+    global max."""
+    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+    parts = []
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
+        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        parts.append(t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False))
+    ts = np.concatenate(parts)
+    w = 1_800_000_000
+    times = np.concatenate([ts, ts + w])
+    delta = np.concatenate(
+        [np.ones(len(ts), np.int64), -np.ones(len(ts), np.int64)]
+    )
+    order = np.lexsort((delta, times))  # ends (-1) before starts (+1)
+    running = np.cumsum(delta[order])
+    return pa.table(
+        {
+            "n_intervals": pa.array([len(ts)], pa.int64()),
+            "peak_concurrency": pa.array([int(running.max())], pa.int64()),
+        }
+    )
+
+
 def _q_value_histogram(sf_dir: str) -> pa.Table:
     """Equal-width value histogram per event type (20 bins over the
     global [min, max); top bin closed) -- the profiling staple.  Bin
@@ -7621,6 +7702,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adaptive_quadtree": _q_adaptive_quadtree,
         "cover_bbox": _q_cover_bbox,
         "value_histogram": _q_value_histogram,
+        "abc_classes": _q_abc_classes,
+        "peak_concurrency": _q_peak_concurrency,
         "word_degree_dist": _q_word_degree_dist,
         "mann_whitney": _q_mann_whitney,
         "kruskal_wallis": _q_kruskal_wallis,
@@ -9724,6 +9807,33 @@ def oracle_sql() -> dict[str, str]:
             "AS z_stat FROM s"
         ),
         "cover_bbox": _cover_bbox_oracle_sql(),
+        "abc_classes": (
+            "WITH pp AS (SELECT l_partkey, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) "
+            "AS BIGINT) AS rev FROM lineitem GROUP BY l_partkey), "
+            "o AS (SELECT rev, SUM(rev) OVER ("
+            "ORDER BY rev DESC, l_partkey "
+            "ROWS UNBOUNDED PRECEDING) AS cum, "
+            "SUM(rev) OVER () AS total FROM pp), "
+            "c AS (SELECT rev, CASE "
+            "WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.8 "
+            "THEN 'A' "
+            "WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.95 "
+            "THEN 'B' ELSE 'C' END AS abc_class FROM o) "
+            "SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts, "
+            "CAST(SUM(rev) AS BIGINT) AS revenue_cents "
+            "FROM c GROUP BY abc_class"
+        ),
+        "peak_concurrency": (
+            "WITH e AS (SELECT epoch_us(ts) AS t, 1 AS d FROM events "
+            "UNION ALL "
+            "SELECT epoch_us(ts) + 1800000000 AS t, -1 AS d FROM events), "
+            "r AS (SELECT SUM(d) OVER (ORDER BY t, d "
+            "ROWS UNBOUNDED PRECEDING) AS running FROM e) "
+            "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM events) "
+            "AS n_intervals, "
+            "CAST(MAX(running) AS BIGINT) AS peak_concurrency FROM r"
+        ),
         "value_histogram": (
             "WITH p AS (SELECT event_type, "
             "CAST(ROUND(value * 100, 0) AS BIGINT) AS c FROM events), "
