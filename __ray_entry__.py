@@ -1437,6 +1437,66 @@ def _q_mann_whitney(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_mutual_nn(sf_dir: str) -> pa.Table:
+    """Reciprocal nearest-neighbor pairs over user activity centroids
+    (mutual-NN is the high-precision matcher used in entity
+    resolution and bitext mining): centroids from exact integer
+    lattice moments (combiner tier), NN by squared distance with
+    user-id tie-break, keep pairs where each is the other's NN."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "_one": pa.array(np.ones(len(eid), np.int64)),
+                "sx": pa.array(eid % 96),
+                "sy": pa.array((eid // 96) % 96),
+            }
+        )
+
+    agg = hash_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        ["user_id"],
+        [("_one", "sum", "n"), ("sx", "sum", "sx"), ("sy", "sum", "sy")],
+    ).sort_by("user_id")
+    uid = agg["user_id"].to_numpy(zero_copy_only=False)
+    n = agg["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    cx = agg["sx"].to_numpy(zero_copy_only=False).astype(np.float64) / n
+    cy = agg["sy"].to_numpy(zero_copy_only=False).astype(np.float64) / n
+    dx = cx[:, None] - cx[None, :]
+    dy = cy[:, None] - cy[None, :]
+    d2 = dx * dx + dy * dy
+    np.fill_diagonal(d2, np.inf)
+    # NN with user-id tie-break: argmin over (d2, uid)
+    order = np.lexsort((np.broadcast_to(uid, d2.shape), d2))
+    nn = uid[order[:, 0]]
+    nn_d2 = d2[np.arange(len(uid)), order[:, 0]]
+    nn_of = dict(zip(uid.tolist(), nn.tolist()))
+    out_a, out_b, out_d = [], [], []
+    for i, u in enumerate(uid.tolist()):
+        v = int(nn[i])
+        if u < v and nn_of[v] == u:
+            out_a.append(u)
+            out_b.append(v)
+            out_d.append(float(np.sqrt(nn_d2[i])))
+    return pa.table(
+        {
+            "user_a": pa.array(out_a, pa.int64()),
+            "user_b": pa.array(out_b, pa.int64()),
+            "dist": round_like_sql(out_d, 6),
+        }
+    )
+
+
 def _q_abc_classes(sf_dir: str) -> pa.Table:
     """ABC (Pareto) inventory classification: parts sorted by revenue
     (exact cents), class A = cumulative share <= 0.8, B <= 0.95, C
@@ -7703,6 +7763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cover_bbox": _q_cover_bbox,
         "value_histogram": _q_value_histogram,
         "abc_classes": _q_abc_classes,
+        "mutual_nn": _q_mutual_nn,
         "peak_concurrency": _q_peak_concurrency,
         "word_degree_dist": _q_word_degree_dist,
         "mann_whitney": _q_mann_whitney,
@@ -9807,6 +9868,24 @@ def oracle_sql() -> dict[str, str]:
             "AS z_stat FROM s"
         ),
         "cover_bbox": _cover_bbox_oracle_sql(),
+        "mutual_nn": (
+            "WITH c AS (SELECT user_id, "
+            "AVG(CAST(event_id % 96 AS DOUBLE)) AS cx, "
+            "AVG(CAST((event_id // 96) % 96 AS DOUBLE)) AS cy "
+            "FROM events GROUP BY user_id), "
+            "nn AS (SELECT a.user_id AS u, b.user_id AS v, "
+            "(a.cx - b.cx) * (a.cx - b.cx) "
+            "+ (a.cy - b.cy) * (a.cy - b.cy) AS d2, "
+            "ROW_NUMBER() OVER (PARTITION BY a.user_id ORDER BY "
+            "(a.cx - b.cx) * (a.cx - b.cx) "
+            "+ (a.cy - b.cy) * (a.cy - b.cy), b.user_id) AS rn "
+            "FROM c a JOIN c b ON a.user_id <> b.user_id), "
+            "best AS (SELECT u, v, d2 FROM nn WHERE rn = 1) "
+            "SELECT x.u AS user_a, x.v AS user_b, "
+            "ROUND(SQRT(x.d2), 6) AS dist "
+            "FROM best x JOIN best y ON y.u = x.v AND y.v = x.u "
+            "WHERE x.u < x.v"
+        ),
         "abc_classes": (
             "WITH pp AS (SELECT l_partkey, "
             "CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) "
