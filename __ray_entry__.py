@@ -7695,6 +7695,131 @@ def _q_pages_flagship(sf_dir: str) -> pa.Table:
     return out["cell_counts"]
 
 
+def _q_grid_variogram(sf_dir: str) -> pa.Table:
+    """Empirical semivariogram of the sparse DEM along the easting
+    axis at lags 1/2/4/8 pixels (the geostatistician's first look at
+    spatial autocorrelation, Matheron 1963): gamma(h) = sum (z_a -
+    z_b)^2 / (2 n_h) over valid within-tile pixel pairs.  Per-tile
+    vectorized shifted-diff partials in exact integer deci-units
+    (z*10 is an integer by construction, recoverable from the float32
+    exactly), one combine, one float division per lag -- the corpus
+    never shuffles, partial volume is O(tiles x lags)."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    lags = (1, 2, 4, 8)
+    tiles = ray.data.from_arrow(_og_tiles_table(sparse_invalid=True))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hs = batch["height"].to_numpy(zero_copy_only=False)
+        ws = batch["width"].to_numpy(zero_copy_only=False)
+        vals = batch["values"]
+        out_h, out_n, out_s = [], [], []
+        for i in range(batch.num_rows):
+            v = np.asarray(vals[i].as_py(), np.float32).reshape(hs[i], ws[i])
+            valid = v > -1e30
+            k = np.zeros(v.shape, np.int64)
+            k[valid] = np.round(v[valid].astype(np.float64) * 10.0).astype(
+                np.int64
+            )
+            for h in lags:
+                both = valid[:, :-h] & valid[:, h:]
+                d = k[:, :-h][both] - k[:, h:][both]
+                out_h.append(h)
+                out_n.append(int(both.sum()))
+                out_s.append(int((d * d).sum()))
+        return pa.table(
+            {
+                "lag": pa.array(out_h, pa.int64()),
+                "n_pairs": pa.array(out_n, pa.int64()),
+                "sum_d2": pa.array(out_s, pa.int64()),
+            }
+        )
+
+    agg = hash_aggregate(
+        tiles.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["lag"],
+        [("n_pairs", "sum", "n_pairs"), ("sum_d2", "sum", "sum_d2")],
+    ).sort_by("lag")
+    n = agg["n_pairs"].to_numpy(zero_copy_only=False).astype(np.float64)
+    s = agg["sum_d2"].to_numpy(zero_copy_only=False).astype(np.float64)
+    gamma = s / (2.0 * n * 100.0)
+    return pa.table(
+        {
+            "lag": agg["lag"],
+            "n_pairs": agg["n_pairs"],
+            "gamma": round_like_sql(gamma, 6),
+        }
+    )
+
+
+def _q_rfm_segments(sf_dir: str) -> pa.Table:
+    """RFM customer segmentation (recency / frequency / monetary
+    quartiles, the classic marketing-analytics operator): per-customer
+    aggregates via the combiner tier, then exact NTILE(4) assignment
+    (DuckDB semantics: first n%4 tiles get the extra row; ties pinned
+    by customer id) and counts per (r,f,m) segment."""
+    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
+        scaled_int as _si,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch["o_orderdate"].cast(pa.int64())
+        return pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "last_us": ts,
+                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
+                "cents": pa.array(_si(batch["o_totalprice"], 100.0)),
+            }
+        )
+
+    agg = hash_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        ["o_custkey"],
+        [
+            ("last_us", "max", "last_us"),
+            ("_one", "sum", "n_orders"),
+            ("cents", "sum", "cents"),
+        ],
+    )
+    cust = agg["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    m = len(cust)
+
+    def ntile4(metric: np.ndarray) -> np.ndarray:
+        order = np.lexsort((cust, metric))
+        base, extra = divmod(m, 4)
+        sizes = [base + (1 if i < extra else 0) for i in range(4)]
+        tile = np.empty(m, np.int64)
+        pos = 0
+        for i, sz in enumerate(sizes):
+            tile[order[pos : pos + sz]] = i + 1
+            pos += sz
+        return tile
+
+    r_q = ntile4(agg["last_us"].to_numpy(zero_copy_only=False).astype(np.int64))
+    f_q = ntile4(agg["n_orders"].to_numpy(zero_copy_only=False).astype(np.int64))
+    m_q = ntile4(agg["cents"].to_numpy(zero_copy_only=False).astype(np.int64))
+    seg = r_q * 100 + f_q * 10 + m_q
+    vals, counts = np.unique(seg, return_counts=True)
+    return pa.table(
+        {
+            "segment": pa.array(vals, pa.int64()),
+            "n_customers": pa.array(counts.astype(np.int64)),
+        }
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 scale: pages extract -> geocode ->
     frozen-cell encode -> per-cell counts (plus invariant check inside
@@ -7765,6 +7890,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "abc_classes": _q_abc_classes,
         "mutual_nn": _q_mutual_nn,
         "peak_concurrency": _q_peak_concurrency,
+        "grid_variogram": _q_grid_variogram,
+        "rfm_segments": _q_rfm_segments,
         "word_degree_dist": _q_word_degree_dist,
         "mann_whitney": _q_mann_whitney,
         "kruskal_wallis": _q_kruskal_wallis,
@@ -11635,6 +11762,37 @@ def oracle_sql() -> dict[str, str]:
     # watershed: pointer-walk closure over NODE->NODE edges; the pour
     # point is the last valid cell (no node out-edge: a pit/flat or an
     # exit off the valid set)
+    out["grid_variogram"] = (
+        # exact int64 deci-unit pair sums; within-tile pairs only
+        # (tile width 48), one float division per lag -- mirrors
+        # _q_grid_variogram bit-exactly
+        f"WITH g AS ({_OG_SLOPE_GRID_SQL}), "
+        "v AS (SELECT row, col, CAST(ROUND(z * 10, 0) AS BIGINT) AS k "
+        "FROM g WHERE z > -1e30), "
+        "p AS (SELECT l.h AS lag, "
+        "CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+        "CAST(SUM((a.k - b.k) * (a.k - b.k)) AS BIGINT) AS sum_d2 "
+        "FROM (VALUES (1), (2), (4), (8)) l(h) "
+        "JOIN v a ON (a.col % 48) + l.h < 48 "
+        "JOIN v b ON b.row = a.row AND b.col = a.col + l.h "
+        "GROUP BY l.h) "
+        "SELECT CAST(lag AS BIGINT) AS lag, n_pairs, "
+        "ROUND(CAST(sum_d2 AS DOUBLE) / (2.0 * CAST(n_pairs AS DOUBLE) "
+        "* 100.0), 6) AS gamma FROM p"
+    )
+    out["rfm_segments"] = (
+        "WITH c AS (SELECT o_custkey, "
+        "MAX(epoch_us(o_orderdate)) AS last_us, "
+        "CAST(COUNT(*) AS BIGINT) AS n_orders, "
+        "CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) "
+        "AS BIGINT) AS cents FROM orders GROUP BY o_custkey), "
+        "q AS (SELECT "
+        "NTILE(4) OVER (ORDER BY last_us, o_custkey) AS r_q, "
+        "NTILE(4) OVER (ORDER BY n_orders, o_custkey) AS f_q, "
+        "NTILE(4) OVER (ORDER BY cents, o_custkey) AS m_q FROM c) "
+        "SELECT CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS segment, "
+        "CAST(COUNT(*) AS BIGINT) AS n_customers FROM q GROUP BY 1"
+    )
     out["watershed_labels"] = (
         f"WITH RECURSIVE fd AS ({out['flow_direction']}), "
         "e AS MATERIALIZED (SELECT f.row AS r, f.col AS c, "
