@@ -7820,6 +7820,100 @@ def _q_rfm_segments(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_acf_lags(sf_dir: str) -> pa.Table:
+    """Autocorrelation of the hourly event-count series at lags
+    1/2/3/6/12/24 h (the seasonality detector behind traffic
+    forecasting): per-hour counts via the combiner tier; the series
+    itself is calendar-bounded (hours, not rows), so the driver-side
+    ACF over exact int64 moments is scale-safe -- every float enters
+    through the one shared expression the SQL mirror repeats."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    lags = (1, 2, 3, 6, 12, 24)
+    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "hr": pa.array(us // 3_600_000_000),
+                "_one": pa.array(np.ones(len(us), np.int64)),
+            }
+        )
+
+    agg = hash_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        ["hr"],
+        [("_one", "sum", "x")],
+    ).sort_by("hr")
+    hr = agg["hr"].to_numpy(zero_copy_only=False).astype(np.int64)
+    xs = agg["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lo, hi = int(hr[0]), int(hr[-1])
+    n = hi - lo + 1
+    x = np.zeros(n, np.int64)
+    x[hr - lo] = xs
+    s_tot = int(x.sum())
+    q_tot = int((x * x).sum())
+    mu = float(s_tot) / float(n)
+    out_l, out_a = [], []
+    for h in lags:
+        p = int((x[:-h] * x[h:]).sum())
+        sa = int(x[:-h].sum())
+        sb = int(x[h:].sum())
+        num = float(p) - mu * float(sa) - mu * float(sb) + float(n - h) * mu * mu
+        den = float(q_tot) - 2.0 * mu * float(s_tot) + float(n) * mu * mu
+        out_l.append(h)
+        out_a.append(num / den)
+    return pa.table(
+        {
+            "lag": pa.array(out_l, pa.int64()),
+            "acf": round_like_sql(out_a, 6),
+        }
+    )
+
+
+def _q_zorder_cells(sf_dir: str) -> pa.Table:
+    """Morton (z-order) locality key over the valid grid pixels,
+    summarized as a 16-way range-partition plan (count + key span per
+    bucket) -- the space-filling-curve partitioner that keeps
+    spatially-near pixels in the same block at 100 TB (bit interleave
+    is pure vectorized integer math; the plan table is O(buckets))."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate,
+    )
+
+    pts = _og_points_ds(valid_only=True)
+
+    def key(batch: pa.Table) -> pa.Table:
+        pix = batch["pix"].to_numpy(zero_copy_only=False).astype(np.int64)
+        row = pix // OG_W
+        col = pix % OG_W
+        z = np.zeros(len(pix), np.int64)
+        for b in range(7):
+            z |= ((col >> b) & 1) << (2 * b)
+            z |= ((row >> b) & 1) << (2 * b + 1)
+        return pa.table(
+            {
+                "bucket": pa.array(z // 1024),
+                "zkey": pa.array(z),
+                "_one": pa.array(np.ones(len(pix), np.int64)),
+            }
+        )
+
+    agg = hash_aggregate(
+        pts.map_batches(key, batch_format="pyarrow", batch_size=None),
+        ["bucket"],
+        [
+            ("_one", "sum", "n_pixels"),
+            ("zkey", "min", "z_min"),
+            ("zkey", "max", "z_max"),
+        ],
+    )
+    return agg.sort_by("bucket")
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 scale: pages extract -> geocode ->
     frozen-cell encode -> per-cell counts (plus invariant check inside
@@ -7892,6 +7986,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peak_concurrency": _q_peak_concurrency,
         "grid_variogram": _q_grid_variogram,
         "rfm_segments": _q_rfm_segments,
+        "acf_lags": _q_acf_lags,
+        "zorder_cells": _q_zorder_cells,
         "word_degree_dist": _q_word_degree_dist,
         "mann_whitney": _q_mann_whitney,
         "kruskal_wallis": _q_kruskal_wallis,
@@ -11792,6 +11888,52 @@ def oracle_sql() -> dict[str, str]:
         "NTILE(4) OVER (ORDER BY cents, o_custkey) AS m_q FROM c) "
         "SELECT CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS segment, "
         "CAST(COUNT(*) AS BIGINT) AS n_customers FROM q GROUP BY 1"
+    )
+    out["acf_lags"] = (
+        # zero-count hours contribute 0 to every x-sum, so only the
+        # calendar length n needs the dense extent; exact int64
+        # moments, one shared float expression (mirrors _q_acf_lags)
+        "WITH c0 AS (SELECT epoch_us(ts) // 3600000000 AS hr, "
+        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1), "
+        "mm AS (SELECT MIN(hr) AS lo, MAX(hr) AS hi, "
+        "CAST(MAX(hr) - MIN(hr) + 1 AS BIGINT) AS n FROM c0), "
+        "tot AS (SELECT CAST(SUM(x) AS BIGINT) AS s, "
+        "CAST(SUM(x * x) AS BIGINT) AS q FROM c0), "
+        "pr AS (SELECT l.h AS h, "
+        "CAST(SUM(CASE WHEN b.hr IS NOT NULL THEN a.x * b.x "
+        "ELSE 0 END) AS BIGINT) AS p, "
+        "CAST(SUM(CASE WHEN a.hr <= mm.hi - l.h THEN a.x ELSE 0 END) "
+        "AS BIGINT) AS sa, "
+        "CAST(SUM(CASE WHEN a.hr >= mm.lo + l.h THEN a.x ELSE 0 END) "
+        "AS BIGINT) AS sb "
+        "FROM (VALUES (1), (2), (3), (6), (12), (24)) l(h) "
+        "CROSS JOIN mm CROSS JOIN c0 a "
+        "LEFT JOIN c0 b ON b.hr = a.hr + l.h "
+        "GROUP BY l.h), "
+        "f AS (SELECT pr.h, pr.p, pr.sa, pr.sb, mm.n, tot.s, tot.q, "
+        "CAST(tot.s AS DOUBLE) / CAST(mm.n AS DOUBLE) AS mu "
+        "FROM pr, mm, tot) "
+        "SELECT CAST(h AS BIGINT) AS lag, "
+        "ROUND((CAST(p AS DOUBLE) - mu * CAST(sa AS DOUBLE) "
+        "- mu * CAST(sb AS DOUBLE) "
+        "+ CAST(n - h AS DOUBLE) * mu * mu) "
+        "/ (CAST(q AS DOUBLE) - 2.0 * mu * CAST(s AS DOUBLE) "
+        "+ CAST(n AS DOUBLE) * mu * mu), 6) AS acf FROM f"
+    )
+    _mt = " + ".join(
+        f"((col // {1 << b}) % 2) * {1 << (2 * b)} "
+        f"+ ((row // {1 << b}) % 2) * {1 << (2 * b + 1)}"
+        for b in range(7)
+    )
+    out["zorder_cells"] = (
+        f"WITH g AS ({_OG_GRID_SQL}), "
+        f"v AS (SELECT row, col FROM g WHERE z > -1e30), "
+        f"z AS (SELECT CAST({_mt} AS BIGINT) AS zkey FROM v) "
+        f"SELECT CAST(zkey // 1024 AS BIGINT) AS bucket, "
+        f"CAST(COUNT(*) AS BIGINT) AS n_pixels, "
+        f"CAST(MIN(zkey) AS BIGINT) AS z_min, "
+        f"CAST(MAX(zkey) AS BIGINT) AS z_max "
+        f"FROM z GROUP BY 1"
     )
     out["watershed_labels"] = (
         f"WITH RECURSIVE fd AS ({out['flow_direction']}), "
