@@ -7820,6 +7820,136 @@ def _q_rfm_segments(sf_dir: str) -> pa.Table:
     )
 
 
+# frozen road network for map matching: 6 segments inside the event
+# geocode extent (lon [77.0, 77.96], lat [28.05, 29.0]); no two
+# segments parallel, so nearest-segment ties cannot occur off a
+# measure-zero set.
+OG_SEGMENTS = [
+    (1, 77.05, 28.10, 77.90, 28.20),
+    (2, 77.10, 28.90, 77.85, 28.75),
+    (3, 77.20, 28.15, 77.30, 28.95),
+    (4, 77.60, 28.10, 77.70, 28.85),
+    (5, 77.05, 28.50, 77.95, 28.55),
+    (6, 77.40, 28.30, 77.55, 28.60),
+]
+
+
+def _q_map_match(sf_dir: str) -> pa.Table:
+    """Map matching: snap every geocoded event to the nearest segment
+    of a (broadcast-constant) road network by point-to-segment
+    projection -- vectorized per batch against all segments at once,
+    argmin with segment-id tie-break, per-segment match count + mean
+    snap offset from exact micro-unit sums.  The network is the
+    classic broadcast small side: constant per task, never shuffled."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate,
+    )
+
+    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
+
+    def match(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        px = 77.0 + (eid % 96).astype(np.float64) * 0.01
+        py = 28.05 + ((eid // 96) % 96).astype(np.float64) * 0.01
+        best_d2 = np.full(len(eid), np.inf)
+        best_seg = np.zeros(len(eid), np.int64)
+        for seg_id, ax, ay, bx, by in OG_SEGMENTS:
+            len2 = (bx - ax) * (bx - ax) + (by - ay) * (by - ay)
+            t = ((px - ax) * (bx - ax) + (py - ay) * (by - ay)) / len2
+            tc = np.clip(t, 0.0, 1.0)
+            dx = px - (ax + tc * (bx - ax))
+            dy = py - (ay + tc * (by - ay))
+            d2 = dx * dx + dy * dy
+            # first-wins on exact ties == ORDER BY d2, seg_id
+            take = d2 < best_d2
+            best_d2[take] = d2[take]
+            best_seg[take] = seg_id
+        um = round_half_away(np.sqrt(best_d2) * 1e6).astype(np.int64)
+        return pa.table(
+            {
+                "seg_id": pa.array(best_seg),
+                "_one": pa.array(np.ones(len(eid), np.int64)),
+                "um": pa.array(um),
+            }
+        )
+
+    agg = hash_aggregate(
+        ds.map_batches(match, batch_format="pyarrow", batch_size=None),
+        ["seg_id"],
+        [("_one", "sum", "n_matched"), ("um", "sum", "sum_um")],
+    ).sort_by("seg_id")
+    n = agg["n_matched"].to_numpy(zero_copy_only=False).astype(np.float64)
+    s = agg["sum_um"].to_numpy(zero_copy_only=False).astype(np.float64)
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        round_like_sql,
+    )
+
+    return pa.table(
+        {
+            "seg_id": agg["seg_id"],
+            "n_matched": agg["n_matched"],
+            "sum_um": agg["sum_um"],
+            "mean_offset": round_like_sql(s / (n * 1e6), 6),
+        }
+    )
+
+
+def _q_seasonal_mase(sf_dir: str) -> pa.Table:
+    """Seasonal-naive forecast quality per event type: daily counts
+    (combiner tier) on the shared calendar extent, then the ratio of
+    the weekly-seasonal MAE to the one-step-naive MAE (the MASE
+    denominator convention, Hyndman & Koehler 2006) -- absolute
+    errors stay exact int64, one float expression at the end."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "d": pa.array(us // 86_400_000_000),
+                "_one": pa.array(np.ones(len(us), np.int64)),
+            }
+        )
+
+    agg = hash_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        ["event_type", "d"],
+        [("_one", "sum", "x")],
+    )
+    ty = agg["event_type"].to_numpy(zero_copy_only=False)
+    d = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+    x = agg["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lo, hi = int(d.min()), int(d.max())
+    n = hi - lo + 1
+    out_t, out_s7, out_s1, out_m = [], [], [], []
+    for t in sorted(set(ty.tolist())):
+        series = np.zeros(n, np.int64)
+        sel = ty == t
+        series[d[sel] - lo] = x[sel]
+        sae7 = int(np.abs(series[7:] - series[:-7]).sum())
+        sae1 = int(np.abs(series[1:] - series[:-1]).sum())
+        mase = (float(sae7) / float(n - 7)) / (float(sae1) / float(n - 1))
+        out_t.append(t)
+        out_s7.append(sae7)
+        out_s1.append(sae1)
+        out_m.append(mase)
+    return pa.table(
+        {
+            "event_type": pa.array(out_t),
+            "sae_seasonal": pa.array(out_s7, pa.int64()),
+            "sae_naive": pa.array(out_s1, pa.int64()),
+            "mase": round_like_sql(out_m, 6),
+        }
+    )
+
+
 def _q_acf_lags(sf_dir: str) -> pa.Table:
     """Autocorrelation of the hourly event-count series at lags
     1/2/3/6/12/24 h (the seasonality detector behind traffic
@@ -7988,6 +8118,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_segments": _q_rfm_segments,
         "acf_lags": _q_acf_lags,
         "zorder_cells": _q_zorder_cells,
+        "map_match": _q_map_match,
+        "seasonal_mase": _q_seasonal_mase,
         "word_degree_dist": _q_word_degree_dist,
         "mann_whitney": _q_mann_whitney,
         "kruskal_wallis": _q_kruskal_wallis,
@@ -11934,6 +12066,72 @@ def oracle_sql() -> dict[str, str]:
         f"CAST(MIN(zkey) AS BIGINT) AS z_min, "
         f"CAST(MAX(zkey) AS BIGINT) AS z_max "
         f"FROM z GROUP BY 1"
+    )
+    _segs_values = ", ".join(
+        f"({sid}, {ax}, {ay}, {bx}, {by})"
+        for sid, ax, ay, bx, by in OG_SEGMENTS
+    )
+    out["map_match"] = (
+        # point-to-segment projection written with the identical
+        # float expression as _q_map_match; ROW_NUMBER(d2, seg_id)
+        # mirrors numpy first-wins argmin
+        f"WITH p AS (SELECT event_id, "
+        f"77.0 + CAST(event_id % 96 AS DOUBLE) * 0.01 AS px, "
+        f"28.05 + CAST((event_id // 96) % 96 AS DOUBLE) * 0.01 AS py "
+        f"FROM events), "
+        f"s(seg_id, ax, ay, bx, by) AS (SELECT * FROM (VALUES "
+        f"{_segs_values})), "
+        f"d AS (SELECT p.event_id, s.seg_id, "
+        f"(p.px - (s.ax + GREATEST(0.0, LEAST(1.0, "
+        f"((p.px - s.ax) * (s.bx - s.ax) + (p.py - s.ay) * (s.by - s.ay)) "
+        f"/ ((s.bx - s.ax) * (s.bx - s.ax) + (s.by - s.ay) * (s.by - s.ay))"
+        f")) * (s.bx - s.ax))) AS dx, "
+        f"(p.py - (s.ay + GREATEST(0.0, LEAST(1.0, "
+        f"((p.px - s.ax) * (s.bx - s.ax) + (p.py - s.ay) * (s.by - s.ay)) "
+        f"/ ((s.bx - s.ax) * (s.bx - s.ax) + (s.by - s.ay) * (s.by - s.ay))"
+        f")) * (s.by - s.ay))) AS dy "
+        f"FROM p, s), "
+        f"r AS (SELECT event_id, seg_id, dx * dx + dy * dy AS d2, "
+        f"ROW_NUMBER() OVER (PARTITION BY event_id "
+        f"ORDER BY dx * dx + dy * dy, seg_id) AS rn FROM d), "
+        f"b AS (SELECT seg_id, "
+        f"CAST(ROUND(SQRT(d2) * 1e6, 0) AS BIGINT) AS um "
+        f"FROM r WHERE rn = 1) "
+        f"SELECT CAST(seg_id AS BIGINT) AS seg_id, "
+        f"CAST(COUNT(*) AS BIGINT) AS n_matched, "
+        f"CAST(SUM(um) AS BIGINT) AS sum_um, "
+        f"ROUND(CAST(SUM(um) AS DOUBLE) "
+        f"/ (CAST(COUNT(*) AS DOUBLE) * 1e6), 6) AS mean_offset "
+        f"FROM b GROUP BY seg_id"
+    )
+    out["seasonal_mase"] = (
+        # dense per-type daily series on the shared calendar extent
+        # (constant-bounded range + filter: no subquery params in
+        # DuckDB table functions); exact int64 absolute-error sums
+        "WITH c AS (SELECT event_type, "
+        "epoch_us(ts) // 86400000000 AS d, "
+        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2), "
+        "mm AS (SELECT MIN(d) AS lo, MAX(d) AS hi, "
+        "CAST(MAX(d) - MIN(d) + 1 AS BIGINT) AS n FROM c), "
+        "days AS (SELECT mm.lo + r.range AS d FROM range(0, 4096) r, mm "
+        "WHERE r.range <= mm.hi - mm.lo), "
+        "ty AS (SELECT DISTINCT event_type FROM c), "
+        "dn AS (SELECT ty.event_type, days.d, COALESCE(c.x, 0) AS x "
+        "FROM ty CROSS JOIN days "
+        "LEFT JOIN c ON c.event_type = ty.event_type AND c.d = days.d), "
+        "e AS (SELECT event_type, x, "
+        "LAG(x, 1) OVER (PARTITION BY event_type ORDER BY d) AS x1, "
+        "LAG(x, 7) OVER (PARTITION BY event_type ORDER BY d) AS x7 "
+        "FROM dn), "
+        "a AS (SELECT event_type, "
+        "CAST(SUM(CASE WHEN x7 IS NOT NULL THEN ABS(x - x7) ELSE 0 END) "
+        "AS BIGINT) AS sae_seasonal, "
+        "CAST(SUM(CASE WHEN x1 IS NOT NULL THEN ABS(x - x1) ELSE 0 END) "
+        "AS BIGINT) AS sae_naive FROM e GROUP BY event_type) "
+        "SELECT a.event_type, a.sae_seasonal, a.sae_naive, "
+        "ROUND((CAST(a.sae_seasonal AS DOUBLE) / CAST(mm.n - 7 AS DOUBLE)) "
+        "/ (CAST(a.sae_naive AS DOUBLE) / CAST(mm.n - 1 AS DOUBLE)), 6) "
+        "AS mase FROM a, mm"
     )
     out["watershed_labels"] = (
         f"WITH RECURSIVE fd AS ({out['flow_direction']}), "
