@@ -7950,6 +7950,143 @@ def _q_seasonal_mase(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_kl_divergence(sf_dir: str) -> pa.Table:
+    """KL divergence of each source's language mix from the corpus
+    mix (the distribution-drift monitor for training-data curation):
+    (source, lang) counts via the combiner tier, per-term fixed-point
+    quantization at 1e12 (the geomean trick) so the cross-language
+    sum is an exact int64 in any order, one float division per
+    source.  Uses count ratios inside ln -- at 10^12 rows compute the
+    ln argument as (n_sl/n_s)/(n_l/n) to stay in range."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "lang"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": batch["source"],
+                "lang": batch["lang"],
+                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+
+    agg = hash_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        ["source", "lang"],
+        [("_one", "sum", "n_sl")],
+    )
+    src = agg["source"].to_numpy(zero_copy_only=False)
+    lang = agg["lang"].to_numpy(zero_copy_only=False)
+    n_sl = agg["n_sl"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = int(n_sl.sum())
+    n_s = {}
+    n_l = {}
+    for s, l, c in zip(src.tolist(), lang.tolist(), n_sl.tolist()):
+        n_s[s] = n_s.get(s, 0) + c
+        n_l[l] = n_l.get(l, 0) + c
+    acc: dict[str, int] = {}
+    for s, l, c in zip(src.tolist(), lang.tolist(), n_sl.tolist()):
+        term = (
+            float(c) / float(n_s[s])
+            * np.log(float(c * n) / float(n_s[s] * n_l[l]))
+        )
+        tq = int(round_half_away(np.float64(term * 1e12)))
+        acc[s] = acc.get(s, 0) + tq
+    srcs = sorted(acc)
+    return pa.table(
+        {
+            "source": pa.array(srcs),
+            "kl_nats": round_like_sql(
+                [float(acc[s]) / 1e12 for s in srcs], 6
+            ),
+        }
+    )
+
+
+def _q_ripley_k(sf_dir: str) -> pa.Table:
+    """Ripley's K point-pattern statistic at radii 0.02/0.05/0.10
+    over a deterministic 1-in-20 sample of the geocoded events
+    (spatial clustering vs CSR, Ripley 1977): the sample matrix is
+    the classic ray.put broadcast side, each batch counts its points'
+    neighbors against it vectorized, exact int64 pair counts combine,
+    one float K-hat expression per radius."""
+    import ray
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    radii = (0.02, 0.05, 0.10)
+    area = 0.95 * 0.95  # geocode extent span per axis
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id"]
+    )
+
+    def geocode(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        eid = eid[eid % 20 == 0]  # deterministic 1-in-20 sample
+        return pa.table(
+            {
+                "px": pa.array(77.0 + (eid % 96).astype(np.float64) * 0.01),
+                "py": pa.array(
+                    28.05 + ((eid // 96) % 96).astype(np.float64) * 0.01
+                ),
+            }
+        )
+
+    sample = ds.map_batches(
+        geocode, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    tbl = pa.concat_tables(
+        [pa.table(b) for b in sample.iter_batches(batch_format="pyarrow")]
+    )
+    qx = tbl["px"].to_numpy(zero_copy_only=False)
+    qy = tbl["py"].to_numpy(zero_copy_only=False)
+    m = len(qx)
+    ref = ray.put((qx, qy))
+
+    def count_pairs(batch: pa.Table) -> pa.Table:
+        bx, by = ray.get(ref)
+        px = batch["px"].to_numpy(zero_copy_only=False)
+        py = batch["py"].to_numpy(zero_copy_only=False)
+        d2 = (
+            (px[:, None] - bx[None, :]) ** 2
+            + (py[:, None] - by[None, :]) ** 2
+        )
+        out_r, out_c = [], []
+        for r in radii:
+            # self-pairs (d2 == 0 on the diagonal) excluded: each
+            # point sees itself exactly once in the broadcast matrix
+            out_r.append(r)
+            out_c.append(int((d2 <= r * r).sum()) - len(px))
+        return pa.table(
+            {
+                "radius": pa.array(out_r, pa.float64()),
+                "n_pairs": pa.array(out_c, pa.int64()),
+            }
+        )
+
+    agg = hash_aggregate(
+        sample.map_batches(count_pairs, batch_format="pyarrow", batch_size=None),
+        ["radius"],
+        [("n_pairs", "sum", "n_pairs")],
+    ).sort_by("radius")
+    pairs = agg["n_pairs"].to_numpy(zero_copy_only=False).astype(np.float64)
+    k_hat = area * pairs / float(m * (m - 1))
+    return pa.table(
+        {
+            "radius": agg["radius"],
+            "n_pairs": agg["n_pairs"],
+            "k_hat": round_like_sql(k_hat, 6),
+        }
+    )
+
+
 def _q_acf_lags(sf_dir: str) -> pa.Table:
     """Autocorrelation of the hourly event-count series at lags
     1/2/3/6/12/24 h (the seasonality detector behind traffic
@@ -8120,6 +8257,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_cells": _q_zorder_cells,
         "map_match": _q_map_match,
         "seasonal_mase": _q_seasonal_mase,
+        "kl_divergence": _q_kl_divergence,
+        "ripley_k": _q_ripley_k,
         "word_degree_dist": _q_word_degree_dist,
         "mann_whitney": _q_mann_whitney,
         "kruskal_wallis": _q_kruskal_wallis,
@@ -12132,6 +12271,45 @@ def oracle_sql() -> dict[str, str]:
         "ROUND((CAST(a.sae_seasonal AS DOUBLE) / CAST(mm.n - 7 AS DOUBLE)) "
         "/ (CAST(a.sae_naive AS DOUBLE) / CAST(mm.n - 1 AS DOUBLE)), 6) "
         "AS mase FROM a, mm"
+    )
+    out["kl_divergence"] = (
+        # per-(source,lang) terms quantized at 1e12 (exact int64
+        # cross-language sum in any order), mirroring _q_kl_divergence
+        "WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_sl "
+        "FROM documents GROUP BY source, lang), "
+        "s AS (SELECT source, CAST(SUM(n_sl) AS BIGINT) AS n_s "
+        "FROM c GROUP BY source), "
+        "l AS (SELECT lang, CAST(SUM(n_sl) AS BIGINT) AS n_l "
+        "FROM c GROUP BY lang), "
+        "t AS (SELECT CAST(SUM(n_sl) AS BIGINT) AS n FROM c), "
+        "q AS (SELECT c.source, "
+        "CAST(ROUND(CAST(c.n_sl AS DOUBLE) / CAST(s.n_s AS DOUBLE) "
+        "* LN(CAST(c.n_sl * t.n AS DOUBLE) "
+        "/ CAST(s.n_s * l.n_l AS DOUBLE)) * 1e12, 0) AS BIGINT) AS tq "
+        "FROM c JOIN s ON s.source = c.source "
+        "JOIN l ON l.lang = c.lang CROSS JOIN t) "
+        "SELECT source, "
+        "ROUND(CAST(SUM(tq) AS DOUBLE) / 1e12, 6) AS kl_nats "
+        "FROM q GROUP BY source"
+    )
+    out["ripley_k"] = (
+        "WITH p AS (SELECT event_id, "
+        "77.0 + CAST(event_id % 96 AS DOUBLE) * 0.01 AS px, "
+        "28.05 + CAST((event_id // 96) % 96 AS DOUBLE) * 0.01 AS py "
+        "FROM events WHERE event_id % 20 = 0), "
+        "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM p), "
+        "r AS (SELECT CAST(rad AS DOUBLE) AS rad "
+        "FROM (VALUES (0.02), (0.05), (0.10)) v(rad)), "
+        "c AS (SELECT r.rad, CAST(COUNT(*) AS BIGINT) AS n_pairs "
+        "FROM r, p a, p b "
+        "WHERE a.event_id <> b.event_id "
+        "AND (a.px - b.px) * (a.px - b.px) "
+        "+ (a.py - b.py) * (a.py - b.py) <= r.rad * r.rad "
+        "GROUP BY r.rad) "
+        "SELECT c.rad AS radius, c.n_pairs, "
+        "ROUND(0.9025 * CAST(c.n_pairs AS DOUBLE) "
+        "/ CAST(m.m * (m.m - 1) AS DOUBLE), 6) AS k_hat "
+        "FROM c, m"
     )
     out["watershed_labels"] = (
         f"WITH RECURSIVE fd AS ({out['flow_direction']}), "

@@ -357,7 +357,7 @@ EXTRA_QUERY_SUBSET = [
     "radius_of_gyration", "visit_entropy", "theil_sen", "ab_ztest", "readability", "aspect_classes", "kaplan_meier", "interval_union", "zipf_slope", "bounce_rate", "burstiness", "convoy_pairs", "hapax_ratio", "dedup_summary", "track_geodesic", "anova_eta2", "mann_whitney", "kruskal_wallis", "line_of_sight", "spearman", "adaptive_quadtree", "cover_bbox", "value_histogram", "word_degree_dist", "abc_classes", "peak_concurrency", "mutual_nn",
     # round-3 session-4 additions
     "grid_variogram", "rfm_segments", "acf_lags", "zorder_cells",
-    "map_match", "seasonal_mase",
+    "map_match", "seasonal_mase", "kl_divergence", "ripley_k",
 ]
 
 
