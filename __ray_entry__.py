@@ -7950,6 +7950,230 @@ def _q_seasonal_mase(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_gearys_c(sf_dir: str) -> pa.Table:
+    """Geary's C spatial autocorrelation (rook weights) of the event
+    density field on the 96x96 geocode lattice -- the local-contrast
+    complement to Moran's I.  Unlike Moran's cross-products, Geary's
+    numerator sum w_ij (x_i - x_j)^2 is an exact int64 over integer
+    counts, so the whole statistic is order-independent: distributed
+    per-cell counts (lattice-bounded), dense integer shifts, one
+    shared float expression at the end."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        round_like_sql,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
+        partial_count,
+    )
+
+    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
+
+    def gridcell(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "gx": pa.array((eid % 96).astype(np.int64)),
+                "gy": pa.array(((eid // 96) % 96).astype(np.int64)),
+            }
+        )
+
+    counts = partial_count(
+        ds.map_batches(gridcell, batch_format="pyarrow", batch_size=None),
+        ["gx", "gy"],
+    ).rename_columns(["gx", "gy", "n"])
+    grid = np.zeros((96, 96), np.int64)
+    gx = counts["gx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    gy = counts["gy"].to_numpy(zero_copy_only=False).astype(np.int64)
+    grid[gy, gx] = counts["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dh = grid[:, :-1] - grid[:, 1:]
+    dv = grid[:-1, :] - grid[1:, :]
+    num = 2 * int((dh * dh).sum()) + 2 * int((dv * dv).sum())
+    s_tot = int(grid.sum())
+    q_tot = int((grid.astype(np.int64) ** 2).sum())
+    nn = 9216.0
+    w = 36480.0  # 2 * (96*95 + 96*95) rook pairs, both directions
+    mu = float(s_tot) / nn
+    den = float(q_tot) - nn * mu * mu
+    c = ((nn - 1.0) * float(num)) / ((2.0 * w) * den)
+    return pa.table({"gearys_c": round_like_sql([c], 6)})
+
+
+def _q_hist_intersection(sf_dir: str) -> pa.Table:
+    """Histogram-intersection similarity between every pair of
+    sources' language distributions (sum over langs of min share) --
+    the bounded-sum cousin of KL divergence; per-lang min terms
+    quantized at 1e12 so the cross-language sum is an exact int64."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "lang"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": batch["source"],
+                "lang": batch["lang"],
+                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+
+    agg = hash_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        ["source", "lang"],
+        [("_one", "sum", "n_sl")],
+    )
+    src = agg["source"].to_numpy(zero_copy_only=False)
+    lang = agg["lang"].to_numpy(zero_copy_only=False)
+    n_sl = agg["n_sl"].to_numpy(zero_copy_only=False).astype(np.int64)
+    per: dict[str, dict[str, int]] = {}
+    tot: dict[str, int] = {}
+    for s, l, c in zip(src.tolist(), lang.tolist(), n_sl.tolist()):
+        per.setdefault(s, {})[l] = c
+        tot[s] = tot.get(s, 0) + c
+    out_a, out_b, out_v = [], [], []
+    srcs = sorted(per)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            acc = 0
+            for l in per[a]:
+                if l in per[b]:
+                    term = min(
+                        float(per[a][l]) / float(tot[a]),
+                        float(per[b][l]) / float(tot[b]),
+                    )
+                    acc += int(round_half_away(np.float64(term * 1e12)))
+            out_a.append(a)
+            out_b.append(b)
+            out_v.append(float(acc) / 1e12)
+    return pa.table(
+        {
+            "source_a": pa.array(out_a),
+            "source_b": pa.array(out_b),
+            "overlap": round_like_sql(out_v, 6),
+        }
+    )
+
+
+def _q_holt_linear(sf_dir: str) -> pa.Table:
+    """Holt double-exponential smoothing (alpha=0.3, gamma=0.1) of the
+    daily event-count series: counts via the combiner tier, the
+    calendar-bounded recursion on the driver -- level/trend updates
+    written as the exact float expressions the recursive-CTE oracle
+    repeats, so every intermediate state matches bit-for-bit."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "d": pa.array(us // 86_400_000_000),
+                "_one": pa.array(np.ones(len(us), np.int64)),
+            }
+        )
+
+    agg = hash_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        ["d"],
+        [("_one", "sum", "x")],
+    ).sort_by("d")
+    d = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+    xs = agg["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lo, hi = int(d[0]), int(d[-1])
+    n = hi - lo + 1
+    x = np.zeros(n, np.int64)
+    x[d - lo] = xs
+    level = float(x[0])
+    trend = float(x[1]) - float(x[0])
+    for t in range(1, n):
+        xt = float(x[t])
+        new_level = (0.3 * xt) + (0.7 * (level + trend))
+        trend = (0.1 * (new_level - level)) + (0.9 * trend)
+        level = new_level
+    return pa.table(
+        {
+            "level": round_like_sql([level], 6),
+            "trend": round_like_sql([trend], 6),
+            "forecast_7": round_like_sql([level + 7.0 * trend], 6),
+        }
+    )
+
+
+def _q_dispersion_ellipse(sf_dir: str) -> pa.Table:
+    """Standard deviational ellipse per user (the point-dispersion
+    summary GIS packages ship): exact int64 lattice moments via the
+    combiner tier, 2x2 covariance eigen-decomposition in closed form,
+    orientation from atan2 -- one shared float expression chain, so
+    the SQL oracle reproduces axes and angle exactly."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        gx = eid % 96
+        gy = (eid // 96) % 96
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "_one": pa.array(np.ones(len(eid), np.int64)),
+                "sx": pa.array(gx),
+                "sy": pa.array(gy),
+                "sxx": pa.array(gx * gx),
+                "syy": pa.array(gy * gy),
+                "sxy": pa.array(gx * gy),
+            }
+        )
+
+    agg = hash_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        ["user_id"],
+        [
+            ("_one", "sum", "n"),
+            ("sx", "sum", "sx"),
+            ("sy", "sum", "sy"),
+            ("sxx", "sum", "sxx"),
+            ("syy", "sum", "syy"),
+            ("sxy", "sum", "sxy"),
+        ],
+    ).sort_by("user_id")
+    n = agg["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    sx = agg["sx"].to_numpy(zero_copy_only=False).astype(np.float64)
+    sy = agg["sy"].to_numpy(zero_copy_only=False).astype(np.float64)
+    sxx = agg["sxx"].to_numpy(zero_copy_only=False).astype(np.float64)
+    syy = agg["syy"].to_numpy(zero_copy_only=False).astype(np.float64)
+    sxy = agg["sxy"].to_numpy(zero_copy_only=False).astype(np.float64)
+    mux = sx / n
+    muy = sy / n
+    cxx = sxx / n - mux * mux
+    cyy = syy / n - muy * muy
+    cxy = sxy / n - mux * muy
+    tr2 = (cxx + cyy) / 2.0
+    disc = np.sqrt(
+        ((cxx - cyy) / 2.0) * ((cxx - cyy) / 2.0) + cxy * cxy
+    )
+    semi_major = np.sqrt(tr2 + disc)
+    semi_minor = np.sqrt(tr2 - disc)
+    theta = np.arctan2(2.0 * cxy, cxx - cyy) / 2.0
+    return pa.table(
+        {
+            "user_id": agg["user_id"],
+            "semi_major": round_like_sql(semi_major, 6),
+            "semi_minor": round_like_sql(semi_minor, 6),
+            "theta": round_like_sql(theta, 6),
+        }
+    )
+
+
 def _q_kl_divergence(sf_dir: str) -> pa.Table:
     """KL divergence of each source's language mix from the corpus
     mix (the distribution-drift monitor for training-data curation):
@@ -8259,6 +8483,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seasonal_mase": _q_seasonal_mase,
         "kl_divergence": _q_kl_divergence,
         "ripley_k": _q_ripley_k,
+        "gearys_c": _q_gearys_c,
+        "hist_intersection": _q_hist_intersection,
+        "holt_linear": _q_holt_linear,
+        "dispersion_ellipse": _q_dispersion_ellipse,
         "word_degree_dist": _q_word_degree_dist,
         "mann_whitney": _q_mann_whitney,
         "kruskal_wallis": _q_kruskal_wallis,
@@ -12271,6 +12499,104 @@ def oracle_sql() -> dict[str, str]:
         "ROUND((CAST(a.sae_seasonal AS DOUBLE) / CAST(mm.n - 7 AS DOUBLE)) "
         "/ (CAST(a.sae_naive AS DOUBLE) / CAST(mm.n - 1 AS DOUBLE)), 6) "
         "AS mase FROM a, mm"
+    )
+    out["gearys_c"] = (
+        # exact int64 neighbor-diff sums (both directions via the
+        # symmetric pair join counted twice), shared float tail --
+        # mirrors _q_gearys_c
+        "WITH e AS (SELECT (event_id % 96) AS gx, "
+        "((event_id // 96) % 96) AS gy, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+        "lat AS (SELECT a.i AS gx, b.i AS gy FROM "
+        "generate_series(0, 95) a(i) CROSS JOIN "
+        "generate_series(0, 95) b(i)), "
+        "x AS (SELECT lat.gx, lat.gy, "
+        "CAST(COALESCE(e.n, 0) AS BIGINT) AS v "
+        "FROM lat LEFT JOIN e ON lat.gx = e.gx AND lat.gy = e.gy), "
+        "s AS (SELECT CAST(SUM(v) AS BIGINT) AS s_tot, "
+        "CAST(SUM(v * v) AS BIGINT) AS q_tot FROM x), "
+        "nb AS (SELECT CAST(SUM((a.v - b.v) * (a.v - b.v)) AS BIGINT) "
+        "AS h FROM x a JOIN x b ON a.gy = b.gy AND b.gx = a.gx + 1), "
+        "nv AS (SELECT CAST(SUM((a.v - b.v) * (a.v - b.v)) AS BIGINT) "
+        "AS vv FROM x a JOIN x b ON a.gx = b.gx AND b.gy = a.gy + 1), "
+        "f AS (SELECT 2 * nb.h + 2 * nv.vv AS num, "
+        "CAST(s.s_tot AS DOUBLE) / 9216.0 AS mu, s.q_tot "
+        "FROM nb, nv, s) "
+        "SELECT ROUND(((9216.0 - 1.0) * CAST(num AS DOUBLE)) "
+        "/ ((2.0 * 36480.0) * (CAST(q_tot AS DOUBLE) "
+        "- 9216.0 * mu * mu)), 6) AS gearys_c FROM f"
+    )
+    out["hist_intersection"] = (
+        "WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM documents GROUP BY source, lang), "
+        "s AS (SELECT source, CAST(SUM(n) AS BIGINT) AS tot "
+        "FROM c GROUP BY source), "
+        "q AS (SELECT x.source AS source_a, y.source AS source_b, "
+        "CAST(ROUND(LEAST("
+        "CAST(x.n AS DOUBLE) / CAST(sa.tot AS DOUBLE), "
+        "CAST(y.n AS DOUBLE) / CAST(sb.tot AS DOUBLE)) * 1e12, 0) "
+        "AS BIGINT) AS tq "
+        "FROM c x JOIN c y ON y.lang = x.lang AND x.source < y.source "
+        "JOIN s sa ON sa.source = x.source "
+        "JOIN s sb ON sb.source = y.source) "
+        "SELECT source_a, source_b, "
+        "ROUND(CAST(SUM(tq) AS DOUBLE) / 1e12, 6) AS overlap "
+        "FROM q GROUP BY source_a, source_b"
+    )
+    out["holt_linear"] = (
+        # recursive-CTE Holt smoothing over the dense daily series;
+        # level/trend expressions literally repeat _q_holt_linear's
+        "WITH RECURSIVE c AS (SELECT epoch_us(ts) // 86400000000 AS d, "
+        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1), "
+        "mm AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM c), "
+        "dd AS (SELECT r.range AS t, mm.lo + r.range AS d "
+        "FROM range(0, 4096) r, mm WHERE r.range <= mm.hi - mm.lo), "
+        "dn AS (SELECT dd.t, COALESCE(c.x, 0) AS x "
+        "FROM dd LEFT JOIN c ON c.d = dd.d), "
+        "h(t, l, b) AS ("
+        "SELECT 0, CAST(x0.x AS DOUBLE), "
+        "CAST(x1.x AS DOUBLE) - CAST(x0.x AS DOUBLE) "
+        "FROM dn x0, dn x1 WHERE x0.t = 0 AND x1.t = 1 "
+        "UNION ALL "
+        "SELECT h.t + 1, "
+        "(0.3 * d.x) + (0.7 * (h.l + h.b)), "
+        "(0.1 * (((0.3 * d.x) + (0.7 * (h.l + h.b))) - h.l)) "
+        "+ (0.9 * h.b) "
+        "FROM h JOIN dn d ON d.t = h.t + 1) "
+        "SELECT ROUND(l, 6) AS level, ROUND(b, 6) AS trend, "
+        "ROUND(l + 7.0 * b, 6) AS forecast_7 FROM h "
+        "WHERE t = (SELECT hi - lo FROM mm)"
+    )
+    out["dispersion_ellipse"] = (
+        "WITH m AS (SELECT user_id, "
+        "CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(event_id % 96) AS BIGINT) AS sx, "
+        "CAST(SUM((event_id // 96) % 96) AS BIGINT) AS sy, "
+        "CAST(SUM((event_id % 96) * (event_id % 96)) AS BIGINT) AS sxx, "
+        "CAST(SUM(((event_id // 96) % 96) * ((event_id // 96) % 96)) "
+        "AS BIGINT) AS syy, "
+        "CAST(SUM((event_id % 96) * ((event_id // 96) % 96)) AS BIGINT) "
+        "AS sxy FROM events GROUP BY user_id), "
+        "cov AS (SELECT user_id, "
+        "CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) "
+        "- (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) "
+        "* (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS cxx, "
+        "CAST(syy AS DOUBLE) / CAST(n AS DOUBLE) "
+        "- (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) "
+        "* (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS cyy, "
+        "CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE) "
+        "- (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) "
+        "* (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS cxy "
+        "FROM m), "
+        "eig AS (SELECT user_id, "
+        "(cxx + cyy) / 2.0 AS tr2, "
+        "SQRT(((cxx - cyy) / 2.0) * ((cxx - cyy) / 2.0) + cxy * cxy) "
+        "AS disc, "
+        "ATAN2(2.0 * cxy, cxx - cyy) / 2.0 AS theta FROM cov) "
+        "SELECT user_id, "
+        "ROUND(SQRT(tr2 + disc), 6) AS semi_major, "
+        "ROUND(SQRT(tr2 - disc), 6) AS semi_minor, "
+        "ROUND(theta, 6) AS theta FROM eig"
     )
     out["kl_divergence"] = (
         # per-(source,lang) terms quantized at 1e12 (exact int64

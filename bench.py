@@ -358,6 +358,7 @@ EXTRA_QUERY_SUBSET = [
     # round-3 session-4 additions
     "grid_variogram", "rfm_segments", "acf_lags", "zorder_cells",
     "map_match", "seasonal_mase", "kl_divergence", "ripley_k",
+    "gearys_c", "hist_intersection", "holt_linear", "dispersion_ellipse",
 ]
 
 
