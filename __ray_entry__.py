@@ -7950,6 +7950,175 @@ def _q_seasonal_mase(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_local_moran(sf_dir: str) -> pa.Table:
+    """Local Moran's I (LISA, Anselin 1995) per lattice cell over the
+    event density field: the hotspot/outlier detector behind every
+    cluster map.  Rewritten so every sum is an exact int64 -- the
+    neighbor VALUE sum replaces the neighbor deviation sum
+    (s_nb - k*mu algebraically), the global variance comes from
+    integer moments -- and the only floats are one shared expression
+    per cell."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        round_like_sql,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
+        partial_count,
+    )
+
+    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
+
+    def gridcell(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "gx": pa.array((eid % 96).astype(np.int64)),
+                "gy": pa.array(((eid // 96) % 96).astype(np.int64)),
+            }
+        )
+
+    counts = partial_count(
+        ds.map_batches(gridcell, batch_format="pyarrow", batch_size=None),
+        ["gx", "gy"],
+    ).rename_columns(["gx", "gy", "n"])
+    grid = np.zeros((96, 96), np.int64)
+    gx = counts["gx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    gy = counts["gy"].to_numpy(zero_copy_only=False).astype(np.int64)
+    grid[gy, gx] = counts["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    s_nb = np.zeros((96, 96), np.int64)
+    s_nb[:, 1:] += grid[:, :-1]
+    s_nb[:, :-1] += grid[:, 1:]
+    s_nb[1:, :] += grid[:-1, :]
+    s_nb[:-1, :] += grid[1:, :]
+    k = np.full((96, 96), 4, np.int64)
+    k[0, :] -= 1
+    k[-1, :] -= 1
+    k[:, 0] -= 1
+    k[:, -1] -= 1
+    nn = 9216.0
+    s_tot = int(grid.sum())
+    q_tot = int((grid * grid).sum())
+    mu = float(s_tot) / nn
+    m2 = (float(q_tot) - nn * mu * mu) / nn
+    li = (
+        (grid.astype(np.float64) - mu)
+        * (s_nb.astype(np.float64) - k.astype(np.float64) * mu)
+        / m2
+    )
+    yy, xx = np.meshgrid(np.arange(96), np.arange(96), indexing="ij")
+    return pa.table(
+        {
+            "gx": pa.array(xx.ravel().astype(np.int64)),
+            "gy": pa.array(yy.ravel().astype(np.int64)),
+            "local_i": round_like_sql(li.ravel(), 6),
+        }
+    )
+
+
+def _q_quadrat_test(sf_dir: str) -> pa.Table:
+    """Quadrat chi-square test for complete spatial randomness: event
+    counts in 16x16 lattice quadrats (6x6 cells each), chi^2 against
+    the uniform expectation from expanded integer moments
+    (Q - 2mS + 256 m^2)/m so no per-quadrat float sum exists."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
+
+    def quad(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qx = (eid % 96) // 6
+        qy = ((eid // 96) % 96) // 6
+        return pa.table(
+            {
+                "q": pa.array(qy * 16 + qx),
+                "_one": pa.array(np.ones(len(eid), np.int64)),
+            }
+        )
+
+    agg = hash_aggregate(
+        ds.map_batches(quad, batch_format="pyarrow", batch_size=None),
+        ["q"],
+        [("_one", "sum", "n")],
+    )
+    n_q = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    s = int(n_q.sum())
+    q2 = int((n_q * n_q).sum())  # absent quadrats contribute 0
+    m = float(s) / 256.0
+    chi2 = (float(q2) - 2.0 * m * float(s) + 256.0 * m * m) / m
+    return pa.table(
+        {
+            "n_events": pa.array([s], pa.int64()),
+            "chi2": round_like_sql([chi2], 6),
+            "df": pa.array([255], pa.int64()),
+        }
+    )
+
+
+def _q_clamped_balance(sf_dir: str) -> pa.Table:
+    """Clamped-at-zero running balance per user (warehouse /
+    prepaid-credit semantics: deposits +cents on even events,
+    withdrawals -cents on odd): the sequential recurrence
+    y_t = max(0, y_{t-1} + d_t) vectorizes through the prefix-min
+    identity y_t = P_t - min(0, min_{s<=t} P_s), so both the engine
+    (cummin over the ordered per-user group) and the SQL window
+    mirror stay exact int64 with NO recursion."""
+    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
+        scaled_int as _si,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
+        grouped_by_key,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = _si(batch["value"], 100.0)
+        delta = np.where(eid % 2 == 0, cents, -cents)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "ts_us": batch["ts"].cast(pa.int64()),
+                "event_id": batch["event_id"],
+                "delta": pa.array(delta),
+            }
+        )
+
+    def per_user(group: pa.Table) -> pa.Table:
+        order = np.lexsort(
+            (
+                group["event_id"].to_numpy(zero_copy_only=False),
+                group["ts_us"].to_numpy(zero_copy_only=False),
+            )
+        )
+        d = group["delta"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+        p = np.cumsum(d)
+        floor = np.minimum(np.minimum.accumulate(p), 0)
+        y = p - floor
+        uid = group["user_id"][0].as_py()
+        return pa.table(
+            {
+                "user_id": pa.array([uid], group["user_id"].type),
+                "final_balance": pa.array([int(y[-1])], pa.int64()),
+                "max_balance": pa.array([int(y.max())], pa.int64()),
+            }
+        )
+
+    out = grouped_by_key(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        "user_id",
+        per_user,
+    )
+    return collect_tables(out).sort_by("user_id")
+
+
 def _q_gearys_c(sf_dir: str) -> pa.Table:
     """Geary's C spatial autocorrelation (rook weights) of the event
     density field on the 96x96 geocode lattice -- the local-contrast
@@ -8487,6 +8656,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hist_intersection": _q_hist_intersection,
         "holt_linear": _q_holt_linear,
         "dispersion_ellipse": _q_dispersion_ellipse,
+        "local_moran": _q_local_moran,
+        "quadrat_test": _q_quadrat_test,
+        "clamped_balance": _q_clamped_balance,
         "word_degree_dist": _q_word_degree_dist,
         "mann_whitney": _q_mann_whitney,
         "kruskal_wallis": _q_kruskal_wallis,
@@ -12499,6 +12671,78 @@ def oracle_sql() -> dict[str, str]:
         "ROUND((CAST(a.sae_seasonal AS DOUBLE) / CAST(mm.n - 7 AS DOUBLE)) "
         "/ (CAST(a.sae_naive AS DOUBLE) / CAST(mm.n - 1 AS DOUBLE)), 6) "
         "AS mase FROM a, mm"
+    )
+    out["local_moran"] = (
+        # neighbor VALUE sums stay int64 (s_nb - k*mu replaces the
+        # float neighbor-deviation sum); one shared float expression
+        # per cell -- mirrors _q_local_moran
+        "WITH e AS (SELECT (event_id % 96) AS gx, "
+        "((event_id // 96) % 96) AS gy, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+        "lat AS (SELECT a.i AS gx, b.i AS gy FROM "
+        "generate_series(0, 95) a(i) CROSS JOIN "
+        "generate_series(0, 95) b(i)), "
+        "x AS (SELECT lat.gx, lat.gy, "
+        "CAST(COALESCE(e.n, 0) AS BIGINT) AS v "
+        "FROM lat LEFT JOIN e ON lat.gx = e.gx AND lat.gy = e.gy), "
+        "nb AS (SELECT a.gx, a.gy, b.v FROM x a JOIN x b "
+        "ON b.gx = a.gx + 1 AND b.gy = a.gy "
+        "UNION ALL SELECT a.gx, a.gy, b.v FROM x a JOIN x b "
+        "ON b.gx = a.gx - 1 AND b.gy = a.gy "
+        "UNION ALL SELECT a.gx, a.gy, b.v FROM x a JOIN x b "
+        "ON b.gx = a.gx AND b.gy = a.gy + 1 "
+        "UNION ALL SELECT a.gx, a.gy, b.v FROM x a JOIN x b "
+        "ON b.gx = a.gx AND b.gy = a.gy - 1), "
+        "ns AS (SELECT gx, gy, CAST(SUM(v) AS BIGINT) AS s_nb, "
+        "CAST(COUNT(*) AS BIGINT) AS k FROM nb GROUP BY gx, gy), "
+        "s AS (SELECT CAST(SUM(v) AS BIGINT) AS s_tot, "
+        "CAST(SUM(v * v) AS BIGINT) AS q_tot FROM x), "
+        "f AS (SELECT CAST(s_tot AS DOUBLE) / 9216.0 AS mu, "
+        "q_tot FROM s) "
+        "SELECT x.gx, x.gy, "
+        "ROUND((CAST(x.v AS DOUBLE) - f.mu) "
+        "* (CAST(ns.s_nb AS DOUBLE) - CAST(ns.k AS DOUBLE) * f.mu) "
+        "/ ((CAST(f.q_tot AS DOUBLE) - 9216.0 * f.mu * f.mu) / 9216.0), "
+        "6) AS local_i "
+        "FROM x JOIN ns ON ns.gx = x.gx AND ns.gy = x.gy CROSS JOIN f"
+    )
+    out["quadrat_test"] = (
+        "WITH q AS (SELECT (((event_id // 96) % 96) // 6) * 16 "
+        "+ ((event_id % 96) // 6) AS q FROM events), "
+        "c AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM q GROUP BY q), "
+        "t AS (SELECT CAST(SUM(n) AS BIGINT) AS s, "
+        "CAST(SUM(n * n) AS BIGINT) AS q2 FROM c), "
+        "f AS (SELECT s, q2, CAST(s AS DOUBLE) / 256.0 AS m FROM t) "
+        "SELECT s AS n_events, "
+        "ROUND((CAST(q2 AS DOUBLE) - 2.0 * m * CAST(s AS DOUBLE) "
+        "+ 256.0 * m * m) / m, 6) AS chi2, "
+        "CAST(255 AS BIGINT) AS df FROM f"
+    )
+    out["clamped_balance"] = (
+        # clamped running balance via the prefix-min identity
+        # y = P - LEAST(0, running_min(P)) -- exact int64, no
+        # recursion; mirrors _q_clamped_balance
+        "WITH d AS (SELECT user_id, ts, event_id, "
+        "CASE WHEN event_id % 2 = 0 "
+        "THEN CAST(ROUND(value * 100, 0) AS BIGINT) "
+        "ELSE -CAST(ROUND(value * 100, 0) AS BIGINT) END AS delta "
+        "FROM events), "
+        "p AS (SELECT user_id, ts, event_id, "
+        "SUM(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS UNBOUNDED PRECEDING) AS pre FROM d), "
+        "y AS (SELECT user_id, ts, event_id, "
+        "pre - LEAST(0, MIN(pre) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)) AS bal "
+        "FROM p), "
+        "r AS (SELECT user_id, bal, ROW_NUMBER() OVER "
+        "(PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+        "FROM y) "
+        "SELECT user_id, "
+        "CAST(MAX(CASE WHEN rn = 1 THEN bal END) AS BIGINT) "
+        "AS final_balance, "
+        "CAST(MAX(bal) AS BIGINT) AS max_balance "
+        "FROM r GROUP BY user_id"
     )
     out["gearys_c"] = (
         # exact int64 neighbor-diff sums (both directions via the

@@ -359,6 +359,7 @@ EXTRA_QUERY_SUBSET = [
     "grid_variogram", "rfm_segments", "acf_lags", "zorder_cells",
     "map_match", "seasonal_mase", "kl_divergence", "ripley_k",
     "gearys_c", "hist_intersection", "holt_linear", "dispersion_ellipse",
+    "local_moran", "quadrat_test", "clamped_balance",
 ]
 
 
