@@ -7950,6 +7950,205 @@ def _q_seasonal_mase(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_harmonic_price(sf_dir: str) -> pa.Table:
+    """Harmonic mean retail price per brand (the rate-averaging mean):
+    reciprocal terms quantized at 1e12 so the distributed sum is an
+    exact int64 in any combine order, one float division per brand."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_brand", "p_retailprice"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        price = batch["p_retailprice"].to_numpy(zero_copy_only=False)
+        tq = round_half_away((1.0 / price) * 1e12).astype(np.int64)
+        return pa.table(
+            {
+                "p_brand": batch["p_brand"],
+                "_one": pa.array(np.ones(len(price), np.int64)),
+                "tq": pa.array(tq),
+            }
+        )
+
+    agg = hash_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        ["p_brand"],
+        [("_one", "sum", "n"), ("tq", "sum", "sum_tq")],
+    ).sort_by("p_brand")
+    n = agg["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    s = agg["sum_tq"].to_numpy(zero_copy_only=False).astype(np.float64)
+    return pa.table(
+        {
+            "p_brand": agg["p_brand"],
+            "harmonic_mean": round_like_sql(n / (s / 1e12), 6),
+        }
+    )
+
+
+def _q_char_entropy(sf_dir: str) -> pa.Table:
+    """Per-document character entropy (nats) -- the gibberish /
+    low-diversity text screen: code points via a zero-copy utf-32
+    view (no Python char loop), per-char n*ln(n) terms quantized at
+    1e12 so the cross-char sum is exact, entropy = ln(N) - sum/N."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def ent(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out_e = np.empty(len(ids), np.float64)
+        for i, t in enumerate(batch["text"].to_pylist()):
+            cp = np.frombuffer(t.encode("utf-32-le"), np.uint32)
+            _, c = np.unique(cp, return_counts=True)
+            c = c.astype(np.float64)
+            acc = int(
+                round_half_away(c * np.log(c) * 1e12).astype(np.int64).sum()
+            )
+            nc = float(len(cp))
+            out_e[i] = np.log(nc) - (float(acc) / 1e12) / nc
+        return pa.table(
+            {"doc_id": pa.array(ids), "entropy": round_like_sql(out_e, 6)}
+        )
+
+    return collect_tables(
+        ds.map_batches(ent, batch_format="pyarrow", batch_size=None)
+    ).sort_by("doc_id")
+
+
+def _q_rayleigh_hours(sf_dir: str) -> pa.Table:
+    """Rayleigh test of hour-of-day uniformity per event type
+    (circular statistics: mean resultant length R and z = n R^2):
+    per-(type, hour) counts via the combiner tier, the 24 cos/sin
+    terms quantized at 1e6 so the circular sums are exact int64."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "h": pa.array((us // 3_600_000_000) % 24),
+                "_one": pa.array(np.ones(len(us), np.int64)),
+            }
+        )
+
+    agg = hash_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        ["event_type", "h"],
+        [("_one", "sum", "n")],
+    )
+    ty = agg["event_type"].to_numpy(zero_copy_only=False)
+    h = agg["h"].to_numpy(zero_copy_only=False).astype(np.float64)
+    n = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    theta = 2.0 * np.pi * h / 24.0
+    tqc = round_half_away(n.astype(np.float64) * np.cos(theta) * 1e6).astype(
+        np.int64
+    )
+    tqs = round_half_away(n.astype(np.float64) * np.sin(theta) * 1e6).astype(
+        np.int64
+    )
+    out_t, out_n, out_r, out_z = [], [], [], []
+    for t in sorted(set(ty.tolist())):
+        sel = ty == t
+        nn = int(n[sel].sum())
+        c = float(int(tqc[sel].sum())) / 1e6
+        s = float(int(tqs[sel].sum())) / 1e6
+        r = np.sqrt(c * c + s * s) / float(nn)
+        out_t.append(t)
+        out_n.append(nn)
+        out_r.append(float(r))
+        out_z.append(float(nn) * float(r) * float(r))
+    return pa.table(
+        {
+            "event_type": pa.array(out_t),
+            "n": pa.array(out_n, pa.int64()),
+            "r_bar": round_like_sql(out_r, 6),
+            "rayleigh_z": round_like_sql(out_z, 6),
+        }
+    )
+
+
+def _q_mann_kendall(sf_dir: str) -> pa.Table:
+    """Mann-Kendall trend test per 16x16 quadrat over the dense daily
+    count series (the 'emerging hotspot' detector in space-time
+    cubes): the S statistic is an exact int64 pairwise-sign sum, the
+    tie-corrected variance comes from integer tie-group moments, and
+    z is the single shared float expression.  Per-(quadrat, day)
+    counts distribute; the 256 x days matrix is calendar-bounded."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "ts"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        qx = (eid % 96) // 6
+        qy = ((eid // 96) % 96) // 6
+        return pa.table(
+            {
+                "q": pa.array(qy * 16 + qx),
+                "d": pa.array(us // 86_400_000_000),
+                "_one": pa.array(np.ones(len(eid), np.int64)),
+            }
+        )
+
+    agg = hash_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        ["q", "d"],
+        [("_one", "sum", "x")],
+    )
+    qs = agg["q"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dd = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+    xx = agg["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lo, hi = int(dd.min()), int(dd.max())
+    n = hi - lo + 1
+    mat = np.zeros((256, n), np.int64)
+    mat[qs, dd - lo] = xx
+    diff = np.sign(mat[:, None, :] - mat[:, :, None])  # (256, i, j)
+    iu = np.triu_indices(n, k=1)
+    s_stat = diff[:, iu[0], iu[1]].sum(axis=1).astype(np.int64)
+    out_q, out_s, out_z = [], [], []
+    for q in range(256):
+        _, tcounts = np.unique(mat[q], return_counts=True)
+        t_corr = int((tcounts * (tcounts - 1) * (2 * tcounts + 5)).sum())
+        var = (float(n * (n - 1) * (2 * n + 5)) - float(t_corr)) / 18.0
+        s = int(s_stat[q])
+        if s > 0:
+            z = (float(s) - 1.0) / np.sqrt(var)
+        elif s < 0:
+            z = (float(s) + 1.0) / np.sqrt(var)
+        else:
+            z = 0.0
+        out_q.append(q)
+        out_s.append(s)
+        out_z.append(float(z))
+    return pa.table(
+        {
+            "quadrat": pa.array(out_q, pa.int64()),
+            "s_stat": pa.array(out_s, pa.int64()),
+            "mk_z": round_like_sql(out_z, 6),
+        }
+    )
+
+
 def _q_local_moran(sf_dir: str) -> pa.Table:
     """Local Moran's I (LISA, Anselin 1995) per lattice cell over the
     event density field: the hotspot/outlier detector behind every
@@ -8659,6 +8858,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_moran": _q_local_moran,
         "quadrat_test": _q_quadrat_test,
         "clamped_balance": _q_clamped_balance,
+        "harmonic_price": _q_harmonic_price,
+        "char_entropy": _q_char_entropy,
+        "rayleigh_hours": _q_rayleigh_hours,
+        "mann_kendall": _q_mann_kendall,
         "word_degree_dist": _q_word_degree_dist,
         "mann_whitney": _q_mann_whitney,
         "kruskal_wallis": _q_kruskal_wallis,
@@ -12671,6 +12874,87 @@ def oracle_sql() -> dict[str, str]:
         "ROUND((CAST(a.sae_seasonal AS DOUBLE) / CAST(mm.n - 7 AS DOUBLE)) "
         "/ (CAST(a.sae_naive AS DOUBLE) / CAST(mm.n - 1 AS DOUBLE)), 6) "
         "AS mase FROM a, mm"
+    )
+    out["harmonic_price"] = (
+        "WITH l AS (SELECT p_brand, "
+        "CAST(ROUND((1.0 / p_retailprice) * 1e12, 0) AS BIGINT) AS tq "
+        "FROM part) "
+        "SELECT p_brand, "
+        "ROUND(CAST(COUNT(*) AS DOUBLE) "
+        "/ (CAST(SUM(tq) AS DOUBLE) / 1e12), 6) AS harmonic_mean "
+        "FROM l GROUP BY p_brand"
+    )
+    out["char_entropy"] = (
+        # per-(doc, char) counts via empty-separator split; n*ln(n)
+        # terms quantized at 1e12 (exact cross-char sum), mirrors
+        # _q_char_entropy
+        "WITH ch AS (SELECT doc_id, u.c AS c, "
+        "CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM documents, UNNEST(string_split(text, '')) u(c) "
+        "GROUP BY doc_id, u.c), "
+        "q AS (SELECT doc_id, "
+        "CAST(ROUND(CAST(n AS DOUBLE) * LN(CAST(n AS DOUBLE)) * 1e12, 0) "
+        "AS BIGINT) AS tq, n FROM ch) "
+        "SELECT doc_id, "
+        "ROUND(LN(CAST(SUM(n) AS DOUBLE)) "
+        "- (CAST(SUM(tq) AS DOUBLE) / 1e12) / CAST(SUM(n) AS DOUBLE), 6) "
+        "AS entropy FROM q GROUP BY doc_id"
+    )
+    out["rayleigh_hours"] = (
+        # 24 circular terms quantized at 1e6; R and z from the shared
+        # float tail (mirrors _q_rayleigh_hours)
+        "WITH c AS (SELECT event_type, "
+        "(epoch_us(ts) // 3600000000) % 24 AS h, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+        "t AS (SELECT event_type, n, "
+        "2.0 * PI() * CAST(h AS DOUBLE) / 24.0 AS theta FROM c), "
+        "qq AS (SELECT event_type, n, "
+        "CAST(ROUND(CAST(n AS DOUBLE) * COS(theta) * 1e6, 0) AS BIGINT) "
+        "AS tqc, "
+        "CAST(ROUND(CAST(n AS DOUBLE) * SIN(theta) * 1e6, 0) AS BIGINT) "
+        "AS tqs FROM t), "
+        "a AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS nn, "
+        "CAST(SUM(tqc) AS DOUBLE) / 1e6 AS cc, "
+        "CAST(SUM(tqs) AS DOUBLE) / 1e6 AS ss FROM qq "
+        "GROUP BY event_type), "
+        "r AS (SELECT event_type, nn, "
+        "SQRT(cc * cc + ss * ss) / CAST(nn AS DOUBLE) AS rb FROM a) "
+        "SELECT event_type, nn AS n, ROUND(rb, 6) AS r_bar, "
+        "ROUND(CAST(nn AS DOUBLE) * rb * rb, 6) AS rayleigh_z FROM r"
+    )
+    out["mann_kendall"] = (
+        # dense (quadrat, day) series; S = exact int pairwise-sign
+        # sum, tie-corrected variance from integer tie moments
+        "WITH c AS (SELECT (((event_id // 96) % 96) // 6) * 16 "
+        "+ ((event_id % 96) // 6) AS q, "
+        "epoch_us(ts) // 86400000000 AS d, "
+        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2), "
+        "mm AS (SELECT MIN(d) AS lo, MAX(d) AS hi, "
+        "CAST(MAX(d) - MIN(d) + 1 AS BIGINT) AS n FROM c), "
+        "dd AS (SELECT r.range AS t, mm.lo + r.range AS d "
+        "FROM range(0, 4096) r, mm WHERE r.range <= mm.hi - mm.lo), "
+        "qg AS (SELECT g.i AS q FROM generate_series(0, 255) g(i)), "
+        "dn AS (SELECT qg.q, dd.t, COALESCE(c.x, 0) AS x "
+        "FROM qg CROSS JOIN dd "
+        "LEFT JOIN c ON c.q = qg.q AND c.d = dd.d), "
+        "s AS (SELECT a.q, "
+        "CAST(SUM(SIGN(b.x - a.x)) AS BIGINT) AS s_stat "
+        "FROM dn a JOIN dn b ON b.q = a.q AND b.t > a.t GROUP BY a.q), "
+        "tg AS (SELECT q, x, CAST(COUNT(*) AS BIGINT) AS tc "
+        "FROM dn GROUP BY q, x), "
+        "tcor AS (SELECT q, "
+        "CAST(SUM(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT) AS t_corr "
+        "FROM tg GROUP BY q), "
+        "v AS (SELECT s.q, s.s_stat, "
+        "(CAST(mm.n * (mm.n - 1) * (2 * mm.n + 5) AS DOUBLE) "
+        "- CAST(tcor.t_corr AS DOUBLE)) / 18.0 AS var "
+        "FROM s JOIN tcor ON tcor.q = s.q CROSS JOIN mm) "
+        "SELECT q AS quadrat, s_stat, "
+        "ROUND(CASE WHEN s_stat > 0 "
+        "THEN (CAST(s_stat AS DOUBLE) - 1.0) / SQRT(var) "
+        "WHEN s_stat < 0 "
+        "THEN (CAST(s_stat AS DOUBLE) + 1.0) / SQRT(var) "
+        "ELSE 0.0 END, 6) AS mk_z FROM v"
     )
     out["local_moran"] = (
         # neighbor VALUE sums stay int64 (s_nb - k*mu replaces the

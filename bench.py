@@ -360,6 +360,7 @@ EXTRA_QUERY_SUBSET = [
     "map_match", "seasonal_mase", "kl_divergence", "ripley_k",
     "gearys_c", "hist_intersection", "holt_linear", "dispersion_ellipse",
     "local_moran", "quadrat_test", "clamped_balance",
+    "harmonic_price", "char_entropy", "rayleigh_hours", "mann_kendall",
 ]
 
 
