@@ -7950,6 +7950,228 @@ def _q_seasonal_mase(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_welch_ttest(sf_dir: str) -> pa.Table:
+    """Welch's unequal-variance t-test on event value cents between
+    the two mix32 experiment arms (the means counterpart of the
+    proportions ab_ztest): exact int64 moment sums per arm, the
+    t statistic and Welch-Satterthwaite df as one shared float
+    expression chain."""
+    from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
+        mix32,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "value"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = scaled_int(batch["value"], 100.0)
+        return pa.table(
+            {
+                "arm": pa.array(mix32(uid, 13) % 2),
+                "_one": pa.array(np.ones(len(uid), np.int64)),
+                "s": pa.array(c),
+                "q": pa.array(c * c),
+            }
+        )
+
+    agg = hash_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        ["arm"],
+        [("_one", "sum", "n"), ("s", "sum", "s"), ("q", "sum", "q")],
+    ).sort_by("arm")
+    n = agg["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    s = agg["s"].to_numpy(zero_copy_only=False).astype(np.float64)
+    q = agg["q"].to_numpy(zero_copy_only=False).astype(np.float64)
+    mean = s / n
+    var = (q - n * mean * mean) / (n - 1.0)
+    se2 = var[0] / n[0] + var[1] / n[1]
+    t = (mean[0] - mean[1]) / np.sqrt(se2)
+    df = (se2 * se2) / (
+        (var[0] / n[0]) * (var[0] / n[0]) / (n[0] - 1.0)
+        + (var[1] / n[1]) * (var[1] / n[1]) / (n[1] - 1.0)
+    )
+    return pa.table(
+        {
+            "n_a": pa.array([int(n[0])], pa.int64()),
+            "n_b": pa.array([int(n[1])], pa.int64()),
+            "mean_diff": round_like_sql([float(mean[0] - mean[1])], 6),
+            "t_stat": round_like_sql([float(t)], 6),
+            "welch_df": round_like_sql([float(df)], 6),
+        }
+    )
+
+
+def _q_periodogram_daily(sf_dir: str) -> pa.Table:
+    """Discrete-Fourier power of the daily event-count series at the
+    7/14/30-day candidate periods (the seasonality spectrum probe):
+    dense calendar series from the combiner tier, per-day cos/sin
+    terms quantized at 1e6 so each frequency's sums are exact int64,
+    power = (C^2 + S^2) / n."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    periods = (7, 14, 30)
+    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "d": pa.array(us // 86_400_000_000),
+                "_one": pa.array(np.ones(len(us), np.int64)),
+            }
+        )
+
+    agg = hash_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        ["d"],
+        [("_one", "sum", "x")],
+    ).sort_by("d")
+    d = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+    xs = agg["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lo, hi = int(d[0]), int(d[-1])
+    n = hi - lo + 1
+    x = np.zeros(n, np.int64)
+    x[d - lo] = xs
+    t = np.arange(n, dtype=np.float64)
+    out_p, out_w = [], []
+    for p in periods:
+        theta = 2.0 * np.pi * t / float(p)
+        cq = int(
+            round_half_away(x.astype(np.float64) * np.cos(theta) * 1e6)
+            .astype(np.int64)
+            .sum()
+        )
+        sq = int(
+            round_half_away(x.astype(np.float64) * np.sin(theta) * 1e6)
+            .astype(np.int64)
+            .sum()
+        )
+        c = float(cq) / 1e6
+        sv = float(sq) / 1e6
+        out_p.append(p)
+        out_w.append((c * c + sv * sv) / float(n))
+    return pa.table(
+        {
+            "period_days": pa.array(out_p, pa.int64()),
+            "power": round_like_sql(out_w, 6),
+        }
+    )
+
+
+def _q_nelson_aalen(sf_dir: str) -> pa.Table:
+    """Nelson-Aalen cumulative hazard for time-to-first-error (the
+    additive sibling of Kaplan-Meier, same right-censored durations):
+    per-time d_i/n_i terms quantized at 1e12 so the hazard prefix sum
+    is an exact int64 in time order, one float division per row."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].cast(pa.int64())
+        tnp = ts.to_numpy(zero_copy_only=False)
+        is_ev = pa.compute.equal(batch["event_type"], "error")
+        big = np.int64(2**62)
+        evt = np.where(is_ev.to_numpy(zero_copy_only=False), tnp, big)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "t0": pa.array(tnp),
+                "tlast": pa.array(tnp),
+                "terr": pa.array(evt),
+            }
+        )
+
+    peru = hash_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        ["user_id"],
+        [("t0", "min", "t0"), ("tlast", "max", "tlast"),
+         ("terr", "min", "terr")],
+    )
+    t0 = peru["t0"].to_numpy(zero_copy_only=False)
+    tlast = peru["tlast"].to_numpy(zero_copy_only=False)
+    terr = peru["terr"].to_numpy(zero_copy_only=False)
+    big = np.int64(2**62)
+    observed = terr < big
+    dur = np.where(observed, terr - t0, tlast - t0)
+    dsort = np.sort(dur)
+    ev_times, d_counts = np.unique(dur[observed], return_counts=True)
+    n_at_risk = len(dur) - np.searchsorted(dsort, ev_times, side="left")
+    tq = round_half_away(
+        d_counts.astype(np.float64) / n_at_risk.astype(np.float64) * 1e12
+    ).astype(np.int64)
+    cum = np.cumsum(tq).astype(np.float64) / 1e12
+    return pa.table(
+        {
+            "t_us": pa.array(ev_times.astype(np.int64)),
+            "n_at_risk": pa.array(n_at_risk.astype(np.int64)),
+            "n_events": pa.array(d_counts.astype(np.int64)),
+            "cum_hazard": round_like_sql(cum, 6),
+        }
+    )
+
+
+def _q_bootstrap_ci(sf_dir: str) -> pa.Table:
+    """Deterministic bootstrap CI for the mean events-per-user: 200
+    mix32-indexed resamples of the per-user count vector (bounded by
+    users, not events), each replicate's sum an exact int64, the 95%
+    interval read off order statistics (ranks 5 and 195 of 200) --
+    resampling inference with a bit-reproducible RNG the SQL oracle
+    replays."""
+    from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
+        mix32,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    B = 200
+    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["user_id"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+
+    agg = hash_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        ["user_id"],
+        [("_one", "sum", "cnt")],
+    ).sort_by("user_id")
+    cnt = agg["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    m = len(cnt)
+    b = np.repeat(np.arange(B, dtype=np.int64), m)
+    i = np.tile(np.arange(m, dtype=np.int64), B)
+    idx = mix32(b * m + i, 7) % m
+    sums = np.zeros(B, np.int64)
+    np.add.at(sums, b, cnt[idx])
+    order = np.argsort(sums, kind="stable")  # ties: by replicate id
+    lo_sum = int(sums[order[4]])
+    hi_sum = int(sums[order[B - 6]])
+    return pa.table(
+        {
+            "mean": round_like_sql([float(int(cnt.sum())) / float(m)], 6),
+            "boot_lo": round_like_sql([float(lo_sum) / float(m)], 6),
+            "boot_hi": round_like_sql([float(hi_sum) / float(m)], 6),
+        }
+    )
+
+
 def _q_harmonic_price(sf_dir: str) -> pa.Table:
     """Harmonic mean retail price per brand (the rate-averaging mean):
     reciprocal terms quantized at 1e12 so the distributed sum is an
@@ -8862,6 +9084,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "char_entropy": _q_char_entropy,
         "rayleigh_hours": _q_rayleigh_hours,
         "mann_kendall": _q_mann_kendall,
+        "welch_ttest": _q_welch_ttest,
+        "periodogram_daily": _q_periodogram_daily,
+        "nelson_aalen": _q_nelson_aalen,
+        "bootstrap_ci": _q_bootstrap_ci,
         "word_degree_dist": _q_word_degree_dist,
         "mann_whitney": _q_mann_whitney,
         "kruskal_wallis": _q_kruskal_wallis,
@@ -12874,6 +13100,112 @@ def oracle_sql() -> dict[str, str]:
         "ROUND((CAST(a.sae_seasonal AS DOUBLE) / CAST(mm.n - 7 AS DOUBLE)) "
         "/ (CAST(a.sae_naive AS DOUBLE) / CAST(mm.n - 1 AS DOUBLE)), 6) "
         "AS mase FROM a, mm"
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
+        mix32_sql as _mx,
+    )
+
+    out["welch_ttest"] = (
+        f"WITH e AS (SELECT {_mx('user_id', 13)} % 2 AS arm, "
+        "CAST(ROUND(value * 100, 0) AS BIGINT) AS c FROM events), "
+        "a AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(c) AS BIGINT) AS s, "
+        "CAST(SUM(c * c) AS BIGINT) AS q FROM e GROUP BY arm), "
+        "mo AS (SELECT arm, n, "
+        "CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean, "
+        "(CAST(q AS DOUBLE) - CAST(n AS DOUBLE) "
+        "* (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) "
+        "* (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) "
+        "/ (CAST(n AS DOUBLE) - 1.0) AS var FROM a), "
+        "f AS (SELECT "
+        "MAX(CASE WHEN arm = 0 THEN n END) AS n0, "
+        "MAX(CASE WHEN arm = 1 THEN n END) AS n1, "
+        "MAX(CASE WHEN arm = 0 THEN mean END) AS m0, "
+        "MAX(CASE WHEN arm = 1 THEN mean END) AS m1, "
+        "MAX(CASE WHEN arm = 0 THEN var END) AS v0, "
+        "MAX(CASE WHEN arm = 1 THEN var END) AS v1 FROM mo), "
+        "g AS (SELECT n0, n1, m0, m1, v0, v1, "
+        "v0 / CAST(n0 AS DOUBLE) + v1 / CAST(n1 AS DOUBLE) AS se2 "
+        "FROM f) "
+        "SELECT CAST(n0 AS BIGINT) AS n_a, CAST(n1 AS BIGINT) AS n_b, "
+        "ROUND(m0 - m1, 6) AS mean_diff, "
+        "ROUND((m0 - m1) / SQRT(se2), 6) AS t_stat, "
+        "ROUND((se2 * se2) / ("
+        "(v0 / CAST(n0 AS DOUBLE)) * (v0 / CAST(n0 AS DOUBLE)) "
+        "/ (CAST(n0 AS DOUBLE) - 1.0) "
+        "+ (v1 / CAST(n1 AS DOUBLE)) * (v1 / CAST(n1 AS DOUBLE)) "
+        "/ (CAST(n1 AS DOUBLE) - 1.0)), 6) AS welch_df FROM g"
+    )
+    out["periodogram_daily"] = (
+        "WITH c AS (SELECT epoch_us(ts) // 86400000000 AS d, "
+        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1), "
+        "mm AS (SELECT MIN(d) AS lo, MAX(d) AS hi, "
+        "CAST(MAX(d) - MIN(d) + 1 AS BIGINT) AS n FROM c), "
+        "dd AS (SELECT r.range AS t, mm.lo + r.range AS d "
+        "FROM range(0, 4096) r, mm WHERE r.range <= mm.hi - mm.lo), "
+        "dn AS (SELECT dd.t, COALESCE(c.x, 0) AS x "
+        "FROM dd LEFT JOIN c ON c.d = dd.d), "
+        "q AS (SELECT p.p, "
+        "CAST(ROUND(CAST(dn.x AS DOUBLE) * COS(2.0 * PI() "
+        "* CAST(dn.t AS DOUBLE) / CAST(p.p AS DOUBLE)) * 1e6, 0) "
+        "AS BIGINT) AS tqc, "
+        "CAST(ROUND(CAST(dn.x AS DOUBLE) * SIN(2.0 * PI() "
+        "* CAST(dn.t AS DOUBLE) / CAST(p.p AS DOUBLE)) * 1e6, 0) "
+        "AS BIGINT) AS tqs "
+        "FROM (VALUES (7), (14), (30)) p(p) CROSS JOIN dn), "
+        "a AS (SELECT p, CAST(SUM(tqc) AS DOUBLE) / 1e6 AS cc, "
+        "CAST(SUM(tqs) AS DOUBLE) / 1e6 AS ss FROM q GROUP BY p) "
+        "SELECT CAST(a.p AS BIGINT) AS period_days, "
+        "ROUND((a.cc * a.cc + a.ss * a.ss) / CAST(mm.n AS DOUBLE), 6) "
+        "AS power FROM a, mm"
+    )
+    out["nelson_aalen"] = (
+        # same censored durations as kaplan_meier; d/n terms quantized
+        # at 1e12, hazard prefix is an exact int64 window sum
+        "WITH peru AS (SELECT user_id, MIN(epoch_us(ts)) AS t0, "
+        "MAX(epoch_us(ts)) AS tlast, "
+        "MIN(CASE WHEN event_type = 'error' THEN epoch_us(ts) END) "
+        "AS terr FROM events GROUP BY user_id), "
+        "dur AS (SELECT CASE WHEN terr IS NOT NULL THEN terr - t0 "
+        "ELSE tlast - t0 END AS d, "
+        "CASE WHEN terr IS NOT NULL THEN 1 ELSE 0 END AS obs "
+        "FROM peru), "
+        "ev AS (SELECT d AS t, CAST(COUNT(*) AS BIGINT) AS di "
+        "FROM dur WHERE obs = 1 GROUP BY d), "
+        "risk AS (SELECT ev.t, ev.di, "
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM dur "
+        "WHERE dur.d >= ev.t) AS ni FROM ev), "
+        "q AS (SELECT t, di, ni, "
+        "CAST(ROUND(CAST(di AS DOUBLE) / CAST(ni AS DOUBLE) * 1e12, 0) "
+        "AS BIGINT) AS tq FROM risk) "
+        "SELECT t AS t_us, ni AS n_at_risk, di AS n_events, "
+        "ROUND(CAST(SUM(tq) OVER (ORDER BY t "
+        "ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1e12, 6) "
+        "AS cum_hazard FROM q"
+    )
+    out["bootstrap_ci"] = (
+        f"WITH pc AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt "
+        f"FROM events GROUP BY user_id), "
+        f"r AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY user_id) - 1 "
+        f"AS i FROM pc), "
+        f"m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m, "
+        f"CAST(SUM(cnt) AS BIGINT) AS tot FROM pc), "
+        f"g AS (SELECT b.range AS b, i.range AS i "
+        f"FROM range(0, 200) b, range(0, 8192) i, m "
+        f"WHERE i.range < m.m), "
+        f"ix AS (SELECT g.b, "
+        f"({_mx('g.b * m.m + g.i', 7)}) % m.m AS idx FROM g, m), "
+        f"s AS (SELECT ix.b, CAST(SUM(r.cnt) AS BIGINT) AS sm "
+        f"FROM ix JOIN r ON r.i = ix.idx GROUP BY ix.b), "
+        f"rk AS (SELECT sm, ROW_NUMBER() OVER (ORDER BY sm, b) AS rn "
+        f"FROM s) "
+        f"SELECT "
+        f"(SELECT ROUND(CAST(tot AS DOUBLE) / CAST(m AS DOUBLE), 6) "
+        f"FROM m) AS mean, "
+        f"ROUND((SELECT CAST(sm AS DOUBLE) FROM rk WHERE rn = 5) "
+        f"/ (SELECT CAST(m AS DOUBLE) FROM m), 6) AS boot_lo, "
+        f"ROUND((SELECT CAST(sm AS DOUBLE) FROM rk WHERE rn = 195) "
+        f"/ (SELECT CAST(m AS DOUBLE) FROM m), 6) AS boot_hi"
     )
     out["harmonic_price"] = (
         "WITH l AS (SELECT p_brand, "

@@ -361,6 +361,7 @@ EXTRA_QUERY_SUBSET = [
     "gearys_c", "hist_intersection", "holt_linear", "dispersion_ellipse",
     "local_moran", "quadrat_test", "clamped_balance",
     "harmonic_price", "char_entropy", "rayleigh_hours", "mann_kendall",
+    "welch_ttest", "periodogram_daily", "nelson_aalen", "bootstrap_ci",
 ]
 
 
