@@ -7950,6 +7950,149 @@ def _q_seasonal_mase(sf_dir: str) -> pa.Table:
     )
 
 
+VIEWSHED_OBS = (77.125, 28.875)  # observer lon/lat (clean interior pixel)
+
+
+def _q_viewshed_counts(sf_dir: str) -> pa.Table:
+    """Viewshed from a fixed observer over the sparse DEM: per-target
+    line-of-sight with the SAME fixed-step sampling rule as
+    stages/raster.py::line_of_sight, fanned out to every lattice cell
+    -- the DEM ships once via ray.put, each batch of target cells
+    runs the (targets x steps) comparison fully vectorized.  Returns
+    one row per cell (visible flag + blocked-sample count)."""
+    import ray
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+
+    n_steps = 64
+    clearance = 2.0
+    a_lon, a_lat = VIEWSHED_OBS
+    tiles = _og_tiles_table(sparse_invalid=True)
+    z = np.zeros((OG_H, OG_W), np.float64)
+    for i in range(tiles.num_rows):
+        r0 = tiles["row_off"][i].as_py()
+        c0 = tiles["col_off"][i].as_py()
+        h = tiles["height"][i].as_py()
+        w = tiles["width"][i].as_py()
+        z[r0 : r0 + h, c0 : c0 + w] = np.asarray(
+            tiles["values"][i].as_py(), np.float32
+        ).reshape(h, w)
+    valid = z > -1e30
+    ref = ray.put((z, valid))
+
+    oc = int(np.floor((a_lon - 77.0) / 0.01))
+    orow = int(np.floor((29.0 - a_lat) / 0.01))
+    za = (float(z[orow, oc]) if valid[orow, oc] else 0.0) + clearance
+
+    rr, cc = np.meshgrid(np.arange(OG_H), np.arange(OG_W), indexing="ij")
+    targets = pa.table(
+        {
+            "row": pa.array(rr.ravel().astype(np.int64)),
+            "col": pa.array(cc.ravel().astype(np.int64)),
+        }
+    )
+
+    def los(batch: pa.Table) -> pa.Table:
+        zg, vg = ray.get(ref)
+        row = batch["row"].to_numpy(zero_copy_only=False)
+        col = batch["col"].to_numpy(zero_copy_only=False)
+        b_lon = 77.0 + 0.01 * (col.astype(np.float64) + 0.5)
+        b_lat = 29.0 - 0.01 * (row.astype(np.float64) + 0.5)
+        tz = np.where(vg[row, col], zg[row, col], 0.0)
+        zb = tz + clearance
+        i = np.arange(n_steps, dtype=np.float64)
+        t = (i + 1.0) / (n_steps + 1.0)
+        lon_t = a_lon + t[None, :] * (b_lon[:, None] - a_lon)
+        lat_t = a_lat + t[None, :] * (b_lat[:, None] - a_lat)
+        cols = np.floor((lon_t - 77.0) / 0.01).astype(np.int64)
+        rows = np.floor((29.0 - lat_t) / 0.01).astype(np.int64)
+        inb = (rows >= 0) & (rows < OG_H) & (cols >= 0) & (cols < OG_W)
+        zs = np.zeros_like(lon_t)
+        ok = np.zeros(lon_t.shape, bool)
+        zs[inb] = zg[rows[inb], cols[inb]]
+        ok[inb] = vg[rows[inb], cols[inb]]
+        height = za + t[None, :] * (zb[:, None] - za)
+        blocked = ok & (zs > height)
+        nb = blocked.sum(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "row": batch["row"],
+                "col": batch["col"],
+                "visible": pa.array((nb == 0).astype(np.int64)),
+                "n_blocked": pa.array(nb),
+            }
+        )
+
+    ds = ray.data.from_arrow(targets)
+    return collect_tables(
+        ds.map_batches(los, batch_format="pyarrow", batch_size=None)
+    ).sort_by([("row", "ascending"), ("col", "ascending")])
+
+
+def _q_hist_match_lut(sf_dir: str) -> pa.Table:
+    """Histogram matching between the two multiband-fixture bands
+    (the radiometric-normalization LUT for mosaicking): per-level
+    counts via the combiner tier, the CDF comparison cross-multiplied
+    (cdf2 * n1 >= cdf1 * n2) so the whole LUT is exact integer
+    arithmetic -- no floats anywhere."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate,
+    )
+
+    tiles = ray.data.from_arrow(_og_multiband_tiles_table(bands=(1, 2)))
+
+    def levels(batch: pa.Table) -> pa.Table:
+        bands = batch["band"].to_numpy(zero_copy_only=False)
+        vals = batch["values"]
+        out_b, out_k, out_n = [], [], []
+        for i in range(batch.num_rows):
+            v = np.asarray(vals[i].as_py(), np.float32)
+            vv = v[v > -1e30].astype(np.float64)
+            k = np.round(vv * 10.0).astype(np.int64)
+            ks, cs = np.unique(k, return_counts=True)
+            out_b.extend([int(bands[i])] * len(ks))
+            out_k.extend(ks.tolist())
+            out_n.extend(cs.astype(np.int64).tolist())
+        return pa.table(
+            {
+                "band": pa.array(out_b, pa.int64()),
+                "k": pa.array(out_k, pa.int64()),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    agg = hash_aggregate(
+        tiles.map_batches(levels, batch_format="pyarrow", batch_size=None),
+        ["band", "k"],
+        [("n", "sum", "n")],
+    )
+    band = agg["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+    kk = agg["k"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nn = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def cdf_of(b: int):
+        sel = band == b
+        order = np.argsort(kk[sel])
+        ks = kk[sel][order]
+        cdf = np.cumsum(nn[sel][order])
+        return ks, cdf, int(cdf[-1])
+
+    k1, cdf1, n1 = cdf_of(1)
+    k2, cdf2, n2 = cdf_of(2)
+    # smallest band-2 level with cdf2 * n1 >= cdf1 * n2 (exact int)
+    pos = np.searchsorted(cdf2 * n1, cdf1 * n2, side="left")
+    tgt = k2[np.minimum(pos, len(k2) - 1)]
+    return pa.table(
+        {
+            "src_k": pa.array(k1),
+            "tgt_k": pa.array(tgt.astype(np.int64)),
+        }
+    )
+
+
 def _q_welch_ttest(sf_dir: str) -> pa.Table:
     """Welch's unequal-variance t-test on event value cents between
     the two mix32 experiment arms (the means counterpart of the
@@ -9088,6 +9231,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "periodogram_daily": _q_periodogram_daily,
         "nelson_aalen": _q_nelson_aalen,
         "bootstrap_ci": _q_bootstrap_ci,
+        "viewshed_counts": _q_viewshed_counts,
+        "hist_match_lut": _q_hist_match_lut,
         "word_degree_dist": _q_word_degree_dist,
         "mann_whitney": _q_mann_whitney,
         "kruskal_wallis": _q_kruskal_wallis,
@@ -13105,6 +13250,63 @@ def oracle_sql() -> dict[str, str]:
         mix32_sql as _mx,
     )
 
+    out["viewshed_counts"] = (
+        # per-target LOS with the identical fixed-step rule as
+        # stages/raster.py::line_of_sight (t=(i+1)/65, nearest-pixel
+        # FLOOR lookups, invalid/out-of-bounds samples never block)
+        f"WITH g AS ({_OG_SLOPE_GRID_SQL}), "
+        "obs AS (SELECT CASE WHEN o.z > -1e30 THEN o.z ELSE 0.0 END "
+        "+ 2.0 AS za FROM g o "
+        "WHERE o.row = CAST(FLOOR((29.0 - 28.875) / 0.01) AS BIGINT) "
+        "AND o.col = CAST(FLOOR((77.125 - 77.0) / 0.01) AS BIGINT)), "
+        "tg AS (SELECT row, col, "
+        "77.0 + 0.01 * (CAST(col AS DOUBLE) + 0.5) AS blon, "
+        "29.0 - 0.01 * (CAST(row AS DOUBLE) + 0.5) AS blat, "
+        "CASE WHEN z > -1e30 THEN z ELSE 0.0 END + 2.0 AS zb FROM g), "
+        "st AS (SELECT (CAST(i.range AS DOUBLE) + 1.0) / 65.0 AS t "
+        "FROM range(0, 64) i), "
+        "sm AS (SELECT tg.row, tg.col, "
+        "CAST(FLOOR((77.125 + st.t * (tg.blon - 77.125) - 77.0) "
+        "/ 0.01) AS BIGINT) AS scol, "
+        "CAST(FLOOR((29.0 - (28.875 + st.t * (tg.blat - 28.875))) "
+        "/ 0.01) AS BIGINT) AS srow, "
+        "obs.za + st.t * (tg.zb - obs.za) AS height "
+        "FROM tg CROSS JOIN st CROSS JOIN obs), "
+        "bl AS (SELECT sm.row, sm.col, "
+        "CASE WHEN gg.z IS NOT NULL AND gg.z > -1e30 "
+        "AND gg.z > sm.height THEN 1 ELSE 0 END AS b "
+        "FROM sm LEFT JOIN g gg "
+        "ON gg.row = sm.srow AND gg.col = sm.scol) "
+        "SELECT row, col, "
+        "CAST(CASE WHEN SUM(b) = 0 THEN 1 ELSE 0 END AS BIGINT) "
+        "AS visible, "
+        "CAST(SUM(b) AS BIGINT) AS n_blocked "
+        "FROM bl GROUP BY row, col"
+    )
+    out["hist_match_lut"] = (
+        # multiband formula grid; CDF comparison cross-multiplied so
+        # the LUT is pure integer arithmetic (mirrors _q_hist_match_lut)
+        "WITH mb AS (SELECT b.b AS band, "
+        "CASE WHEN (r.range * 5 + c.range * 3 + b.b) % 29 = 0 THEN NULL "
+        "ELSE CAST(ROUND(CAST(CAST(((r.range * 73 + c.range * 31 "
+        "+ b.b * 101) % 500) / 10.0 AS REAL) AS DOUBLE) * 10.0, 0) "
+        "AS BIGINT) END AS k "
+        "FROM range(0, 96) r, range(0, 96) c, (VALUES (1), (2)) b(b)), "
+        "c AS (SELECT band, k, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM mb WHERE k IS NOT NULL GROUP BY band, k), "
+        "t AS (SELECT band, CAST(SUM(n) AS BIGINT) AS tot "
+        "FROM c GROUP BY band), "
+        "cd AS (SELECT band, k, "
+        "CAST(SUM(n) OVER (PARTITION BY band ORDER BY k "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cdf FROM c) "
+        "SELECT a.k AS src_k, CAST(MIN(b.k) AS BIGINT) AS tgt_k "
+        "FROM (SELECT k, cdf FROM cd WHERE band = 1) a, "
+        "(SELECT k, cdf FROM cd WHERE band = 2) b, "
+        "(SELECT tot FROM t WHERE band = 1) t1, "
+        "(SELECT tot FROM t WHERE band = 2) t2 "
+        "WHERE b.cdf * t1.tot >= a.cdf * t2.tot "
+        "GROUP BY a.k"
+    )
     out["welch_ttest"] = (
         f"WITH e AS (SELECT {_mx('user_id', 13)} % 2 AS arm, "
         "CAST(ROUND(value * 100, 0) AS BIGINT) AS c FROM events), "
