@@ -7950,6 +7950,179 @@ def _q_seasonal_mase(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_home_work_od(sf_dir: str) -> pa.Table:
+    """Home / work anchor inference per user (the mobility-mining
+    primitive behind commute OD matrices): conditional night/day
+    counts per (user, cell) via the combiner tier, per-user argmax
+    with cell-id tie-break, planar commute distance as the one float
+    expression."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        h = (us // 3_600_000_000) % 24
+        night = (h < 6) | (h >= 22)
+        day = (h >= 9) & (h < 17)
+        cell = ((eid // 96) % 96) * 96 + (eid % 96)
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "cell": pa.array(cell),
+                "n_night": pa.array(night.astype(np.int64)),
+                "n_day": pa.array(day.astype(np.int64)),
+            }
+        )
+
+    agg = hash_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        ["user_id", "cell"],
+        [("n_night", "sum", "n_night"), ("n_day", "sum", "n_day")],
+    )
+    uid = agg["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cell = agg["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nn = agg["n_night"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nd = agg["n_day"].to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def argmax_per_user(score: np.ndarray) -> dict[int, int]:
+        # max score, ties to the smaller cell id; zero scores excluded
+        best: dict[int, tuple[int, int]] = {}
+        for u, c, s in zip(uid.tolist(), cell.tolist(), score.tolist()):
+            if s <= 0:
+                continue
+            cur = best.get(u)
+            if cur is None or (-s, c) < cur:
+                best[u] = (-s, c)
+        return {u: v[1] for u, v in best.items()}
+
+    home = argmax_per_user(nn)
+    work = argmax_per_user(nd)
+    users = sorted(set(home) & set(work))
+    hx = np.array([home[u] % 96 for u in users], np.float64)
+    hy = np.array([home[u] // 96 for u in users], np.float64)
+    wx = np.array([work[u] % 96 for u in users], np.float64)
+    wy = np.array([work[u] // 96 for u in users], np.float64)
+    dist = np.sqrt((hx - wx) * (hx - wx) + (hy - wy) * (hy - wy))
+    return pa.table(
+        {
+            "user_id": pa.array(users, pa.int64()),
+            "home_cell": pa.array([home[u] for u in users], pa.int64()),
+            "work_cell": pa.array([work[u] for u in users], pa.int64()),
+            "commute_dist": round_like_sql(dist, 6),
+        }
+    )
+
+
+def _q_grid_euler(sf_dir: str) -> pa.Table:
+    """Euler characteristic of the valid-cell region (4-connectivity:
+    V - E + Q counts components minus holes): per-tile partials carry
+    the interior vertex/edge/quad counts plus BIT-PACKED boundary
+    strips (tile width 48 fits one int64), the driver stitches only
+    the O(perimeter) seams -- the halo-free distributed-topology
+    pattern."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+
+    tiles = ray.data.from_arrow(_og_tiles_table(sparse_invalid=True))
+
+    def pack(bits: np.ndarray) -> int:
+        return int((bits.astype(np.int64) << np.arange(len(bits))).sum())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rows = {
+            "r0": [], "c0": [], "v": [], "e": [], "q": [],
+            "north": [], "south": [], "west": [], "east": [],
+        }
+        for i in range(batch.num_rows):
+            h = batch["height"][i].as_py()
+            w = batch["width"][i].as_py()
+            m = (
+                np.asarray(batch["values"][i].as_py(), np.float32).reshape(
+                    h, w
+                )
+                > -1e30
+            )
+            rows["r0"].append(batch["row_off"][i].as_py())
+            rows["c0"].append(batch["col_off"][i].as_py())
+            rows["v"].append(int(m.sum()))
+            rows["e"].append(
+                int((m[:, :-1] & m[:, 1:]).sum())
+                + int((m[:-1, :] & m[1:, :]).sum())
+            )
+            rows["q"].append(
+                int(
+                    (m[:-1, :-1] & m[:-1, 1:] & m[1:, :-1] & m[1:, 1:]).sum()
+                )
+            )
+            rows["north"].append(pack(m[0]))
+            rows["south"].append(pack(m[-1]))
+            rows["west"].append(pack(m[:, 0]))
+            rows["east"].append(pack(m[:, -1]))
+        return pa.table(
+            {k: pa.array(v, pa.int64()) for k, v in rows.items()}
+        )
+
+    t = collect_tables(
+        tiles.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    )
+    strips = {
+        (t["r0"][i].as_py(), t["c0"][i].as_py()): {
+            k: t[k][i].as_py()
+            for k in ("v", "e", "q", "north", "south", "west", "east")
+        }
+        for i in range(t.num_rows)
+    }
+
+    def unpack(word: int, n: int = 48) -> np.ndarray:
+        return (np.int64(word) >> np.arange(n)) & 1
+
+    v_tot = sum(s["v"] for s in strips.values())
+    e_tot = sum(s["e"] for s in strips.values())
+    q_tot = sum(s["q"] for s in strips.values())
+    for (r0, c0), s in strips.items():
+        right = strips.get((r0, c0 + OG_TILE))
+        if right is not None:  # vertical seam: east col touches west col
+            a = unpack(s["east"])
+            b = unpack(right["west"])
+            e_tot += int((a & b).sum())
+            q_tot += int((a[:-1] & a[1:] & b[:-1] & b[1:]).sum())
+        below = strips.get((r0 + OG_TILE, c0))
+        if below is not None:  # horizontal seam
+            a = unpack(s["south"])
+            b = unpack(below["north"])
+            e_tot += int((a & b).sum())
+            q_tot += int((a[:-1] & a[1:] & b[:-1] & b[1:]).sum())
+        # corner quad spanning four tiles: the 2x2 block around the
+        # shared corner -- this tile's SE cell, right's SW, below's
+        # NE, diag's NW
+        diag = strips.get((r0 + OG_TILE, c0 + OG_TILE))
+        if right is not None and below is not None and diag is not None:
+            se = unpack(s["south"])[-1]
+            sw_r = unpack(right["south"])[0]
+            ne_b = unpack(below["north"])[-1]
+            nw_d = unpack(diag["north"])[0]
+            if se and sw_r and ne_b and nw_d:
+                q_tot += 1
+    euler = v_tot - e_tot + q_tot
+    return pa.table(
+        {
+            "n_cells": pa.array([v_tot], pa.int64()),
+            "n_edges": pa.array([e_tot], pa.int64()),
+            "n_quads": pa.array([q_tot], pa.int64()),
+            "euler": pa.array([euler], pa.int64()),
+        }
+    )
+
+
 VIEWSHED_OBS = (77.125, 28.875)  # observer lon/lat (clean interior pixel)
 
 
@@ -9233,6 +9406,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bootstrap_ci": _q_bootstrap_ci,
         "viewshed_counts": _q_viewshed_counts,
         "hist_match_lut": _q_hist_match_lut,
+        "home_work_od": _q_home_work_od,
+        "grid_euler": _q_grid_euler,
         "word_degree_dist": _q_word_degree_dist,
         "mann_whitney": _q_mann_whitney,
         "kruskal_wallis": _q_kruskal_wallis,
@@ -13250,6 +13425,53 @@ def oracle_sql() -> dict[str, str]:
         mix32_sql as _mx,
     )
 
+    out["home_work_od"] = (
+        "WITH e AS (SELECT user_id, "
+        "((event_id // 96) % 96) * 96 + (event_id % 96) AS cell, "
+        "(epoch_us(ts) // 3600000000) % 24 AS h FROM events), "
+        "c AS (SELECT user_id, cell, "
+        "CAST(SUM(CASE WHEN h < 6 OR h >= 22 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_night, "
+        "CAST(SUM(CASE WHEN h >= 9 AND h < 17 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_day FROM e GROUP BY 1, 2), "
+        "hm AS (SELECT user_id, cell, ROW_NUMBER() OVER "
+        "(PARTITION BY user_id ORDER BY n_night DESC, cell) AS rn "
+        "FROM c WHERE n_night > 0), "
+        "wk AS (SELECT user_id, cell, ROW_NUMBER() OVER "
+        "(PARTITION BY user_id ORDER BY n_day DESC, cell) AS rn "
+        "FROM c WHERE n_day > 0), "
+        "j AS (SELECT h.user_id, h.cell AS home_cell, "
+        "w.cell AS work_cell FROM hm h "
+        "JOIN wk w ON w.user_id = h.user_id "
+        "WHERE h.rn = 1 AND w.rn = 1) "
+        "SELECT user_id, CAST(home_cell AS BIGINT) AS home_cell, "
+        "CAST(work_cell AS BIGINT) AS work_cell, "
+        "ROUND(SQRT((CAST(home_cell % 96 AS DOUBLE) "
+        "- CAST(work_cell % 96 AS DOUBLE)) "
+        "* (CAST(home_cell % 96 AS DOUBLE) "
+        "- CAST(work_cell % 96 AS DOUBLE)) "
+        "+ (CAST(home_cell // 96 AS DOUBLE) "
+        "- CAST(work_cell // 96 AS DOUBLE)) "
+        "* (CAST(home_cell // 96 AS DOUBLE) "
+        "- CAST(work_cell // 96 AS DOUBLE))), 6) AS commute_dist "
+        "FROM j"
+    )
+    out["grid_euler"] = (
+        f"WITH g AS ({_OG_SLOPE_GRID_SQL}), "
+        "v AS (SELECT row, col FROM g WHERE z > -1e30), "
+        "eh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v a "
+        "JOIN v b ON b.row = a.row AND b.col = a.col + 1), "
+        "ev AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v a "
+        "JOIN v b ON b.row = a.row + 1 AND b.col = a.col), "
+        "q AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v a "
+        "JOIN v b ON b.row = a.row AND b.col = a.col + 1 "
+        "JOIN v c ON c.row = a.row + 1 AND c.col = a.col "
+        "JOIN v d ON d.row = a.row + 1 AND d.col = a.col + 1), "
+        "vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v) "
+        "SELECT vv.n AS n_cells, eh.n + ev.n AS n_edges, "
+        "q.n AS n_quads, vv.n - (eh.n + ev.n) + q.n AS euler "
+        "FROM vv, eh, ev, q"
+    )
     out["viewshed_counts"] = (
         # per-target LOS with the identical fixed-step rule as
         # stages/raster.py::line_of_sight (t=(i+1)/65, nearest-pixel

@@ -362,7 +362,7 @@ EXTRA_QUERY_SUBSET = [
     "local_moran", "quadrat_test", "clamped_balance",
     "harmonic_price", "char_entropy", "rayleigh_hours", "mann_kendall",
     "welch_ttest", "periodogram_daily", "nelson_aalen", "bootstrap_ci",
-    "viewshed_counts", "hist_match_lut",
+    "viewshed_counts", "hist_match_lut", "home_work_od", "grid_euler",
 ]
 
 
