@@ -7950,6 +7950,177 @@ def _q_seasonal_mase(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_variance_ratio(sf_dir: str) -> pa.Table:
+    """Lo-MacKinlay variance-ratio statistic of the daily event-count
+    series at horizons 2/5/10 (the random-walk / mean-reversion
+    probe): q-day sums from exact integer prefix differences, both
+    variances from int64 moments, one shared float expression per
+    horizon."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    qs_ = (2, 5, 10)
+    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "d": pa.array(us // 86_400_000_000),
+                "_one": pa.array(np.ones(len(us), np.int64)),
+            }
+        )
+
+    agg = hash_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        ["d"],
+        [("_one", "sum", "x")],
+    ).sort_by("d")
+    d = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+    xs = agg["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lo, hi = int(d[0]), int(d[-1])
+    n = hi - lo + 1
+    x = np.zeros(n, np.int64)
+    x[d - lo] = xs
+    sx = int(x.sum())
+    qx = int((x * x).sum())
+    mu = float(sx) / float(n)
+    var_x = (float(qx) - float(n) * mu * mu) / (float(n) - 1.0)
+    out_q, out_v = [], []
+    for q in qs_:
+        c = np.concatenate(([0], np.cumsum(x)))  # c[t] = sum of x[:t]
+        s = c[q:] - c[:-q]  # q-day rolling sums, len n-q+1
+        m = len(s)
+        ss = int(s.sum())
+        qqs = int((s * s).sum())
+        mus = float(ss) / float(m)
+        var_s = (float(qqs) - float(m) * mus * mus) / (float(m) - 1.0)
+        out_q.append(q)
+        out_v.append(var_s / (float(q) * var_x))
+    return pa.table(
+        {
+            "horizon": pa.array(out_q, pa.int64()),
+            "variance_ratio": round_like_sql(out_v, 6),
+        }
+    )
+
+
+def _q_variogram_anisotropy(sf_dir: str) -> pa.Table:
+    """Directional semivariogram anisotropy of the sparse DEM: exact
+    deci-unit pair sums along BOTH axes at lags 1/2/4 (within-tile
+    pairs, same machinery as grid_variogram), gamma_x / gamma_y ratio
+    per lag -- the directional-structure diagnostic kriging needs."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    lags = (1, 2, 4)
+    tiles = ray.data.from_arrow(_og_tiles_table(sparse_invalid=True))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hs = batch["height"].to_numpy(zero_copy_only=False)
+        ws = batch["width"].to_numpy(zero_copy_only=False)
+        vals = batch["values"]
+        out_h, out_ax, out_n, out_s = [], [], [], []
+        for i in range(batch.num_rows):
+            v = np.asarray(vals[i].as_py(), np.float32).reshape(hs[i], ws[i])
+            valid = v > -1e30
+            k = np.zeros(v.shape, np.int64)
+            k[valid] = np.round(
+                v[valid].astype(np.float64) * 10.0
+            ).astype(np.int64)
+            for h in lags:
+                bx = valid[:, :-h] & valid[:, h:]
+                dx = k[:, :-h][bx] - k[:, h:][bx]
+                by = valid[:-h, :] & valid[h:, :]
+                dy = k[:-h, :][by] - k[h:, :][by]
+                out_h.extend([h, h])
+                out_ax.extend(["x", "y"])
+                out_n.extend([int(bx.sum()), int(by.sum())])
+                out_s.extend([int((dx * dx).sum()), int((dy * dy).sum())])
+        return pa.table(
+            {
+                "lag": pa.array(out_h, pa.int64()),
+                "axis": pa.array(out_ax),
+                "n_pairs": pa.array(out_n, pa.int64()),
+                "sum_d2": pa.array(out_s, pa.int64()),
+            }
+        )
+
+    agg = hash_aggregate(
+        tiles.map_batches(partial, batch_format="pyarrow", batch_size=None),
+        ["lag", "axis"],
+        [("n_pairs", "sum", "n_pairs"), ("sum_d2", "sum", "sum_d2")],
+    )
+    lag = agg["lag"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ax = agg["axis"].to_numpy(zero_copy_only=False)
+    nn = agg["n_pairs"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ss = agg["sum_d2"].to_numpy(zero_copy_only=False).astype(np.int64)
+    gam = {
+        (int(l), a): float(s) / (2.0 * float(c) * 100.0)
+        for l, a, c, s in zip(lag, ax.tolist(), nn, ss)
+    }
+    out_l = sorted(lags)
+    gx = [gam[(l, "x")] for l in out_l]
+    gy = [gam[(l, "y")] for l in out_l]
+    return pa.table(
+        {
+            "lag": pa.array(out_l, pa.int64()),
+            "gamma_x": round_like_sql(gx, 6),
+            "gamma_y": round_like_sql(gy, 6),
+            "anisotropy": round_like_sql(
+                [a / b for a, b in zip(gx, gy)], 6
+            ),
+        }
+    )
+
+
+def _q_k_anonymity(sf_dir: str) -> pa.Table:
+    """k-anonymity audit over the (lang, source, length-bucket)
+    quasi-identifier -- the privacy-risk counter a training-data
+    governance pipeline runs before release: QI group sizes via the
+    combiner tier, documents in groups smaller than k for k in
+    2/5/10.  Pure integer counts."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["lang", "source", "n_chars"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        nc = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "lang": batch["lang"],
+                "source": batch["source"],
+                "len_bucket": pa.array(nc // 100),
+                "_one": pa.array(np.ones(len(nc), np.int64)),
+            }
+        )
+
+    agg = hash_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        ["lang", "source", "len_bucket"],
+        [("_one", "sum", "g")],
+    )
+    g = agg["g"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ks = (2, 5, 10)
+    return pa.table(
+        {
+            "k": pa.array(ks, pa.int64()),
+            "n_groups": pa.array([len(g)] * len(ks), pa.int64()),
+            "docs_at_risk": pa.array(
+                [int(g[g < k].sum()) for k in ks], pa.int64()
+            ),
+        }
+    )
+
+
 def _q_home_work_od(sf_dir: str) -> pa.Table:
     """Home / work anchor inference per user (the mobility-mining
     primitive behind commute OD matrices): conditional night/day
@@ -9408,6 +9579,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hist_match_lut": _q_hist_match_lut,
         "home_work_od": _q_home_work_od,
         "grid_euler": _q_grid_euler,
+        "variance_ratio": _q_variance_ratio,
+        "variogram_anisotropy": _q_variogram_anisotropy,
+        "k_anonymity": _q_k_anonymity,
         "word_degree_dist": _q_word_degree_dist,
         "mann_whitney": _q_mann_whitney,
         "kruskal_wallis": _q_kruskal_wallis,
@@ -13425,6 +13599,79 @@ def oracle_sql() -> dict[str, str]:
         mix32_sql as _mx,
     )
 
+    out["variance_ratio"] = (
+        # q-day sums as exact prefix differences (c[t+q-1] - c[t-1]);
+        # sample variances from int64 moments; mirrors
+        # _q_variance_ratio
+        "WITH c0 AS (SELECT epoch_us(ts) // 86400000000 AS d, "
+        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1), "
+        "mm AS (SELECT MIN(d) AS lo, MAX(d) AS hi, "
+        "CAST(MAX(d) - MIN(d) + 1 AS BIGINT) AS n FROM c0), "
+        "dd AS (SELECT r.range AS t, mm.lo + r.range AS d "
+        "FROM range(0, 4096) r, mm WHERE r.range <= mm.hi - mm.lo), "
+        "dn AS (SELECT dd.t, COALESCE(c0.x, 0) AS x "
+        "FROM dd LEFT JOIN c0 ON c0.d = dd.d), "
+        "pf AS (SELECT t, CAST(SUM(x) OVER (ORDER BY t "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c FROM dn), "
+        "tx AS (SELECT CAST(SUM(x) AS BIGINT) AS sx, "
+        "CAST(SUM(x * x) AS BIGINT) AS qx FROM dn), "
+        "s AS (SELECT q.q, hi.c - COALESCE(lo.c, 0) AS sv "
+        "FROM (VALUES (2), (5), (10)) q(q) "
+        "CROSS JOIN mm "
+        "JOIN pf hi ON hi.t >= q.q - 1 AND hi.t <= mm.n - 1 "
+        "LEFT JOIN pf lo ON lo.t = hi.t - q.q), "
+        "ms AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS m, "
+        "CAST(SUM(sv) AS BIGINT) AS ss, "
+        "CAST(SUM(sv * sv) AS BIGINT) AS qqs FROM s GROUP BY q), "
+        "f AS (SELECT ms.q, ms.m, ms.ss, ms.qqs, mm.n, tx.sx, tx.qx, "
+        "CAST(tx.sx AS DOUBLE) / CAST(mm.n AS DOUBLE) AS mu, "
+        "CAST(ms.ss AS DOUBLE) / CAST(ms.m AS DOUBLE) AS mus "
+        "FROM ms, mm, tx) "
+        "SELECT CAST(q AS BIGINT) AS horizon, "
+        "ROUND(((CAST(qqs AS DOUBLE) - CAST(m AS DOUBLE) * mus * mus) "
+        "/ (CAST(m AS DOUBLE) - 1.0)) "
+        "/ (CAST(q AS DOUBLE) * ((CAST(qx AS DOUBLE) "
+        "- CAST(n AS DOUBLE) * mu * mu) / (CAST(n AS DOUBLE) - 1.0))), "
+        "6) AS variance_ratio FROM f"
+    )
+    out["variogram_anisotropy"] = (
+        f"WITH g AS ({_OG_SLOPE_GRID_SQL}), "
+        "v AS (SELECT row, col, CAST(ROUND(z * 10, 0) AS BIGINT) AS k "
+        "FROM g WHERE z > -1e30), "
+        "px AS (SELECT l.h AS lag, "
+        "CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+        "CAST(SUM((a.k - b.k) * (a.k - b.k)) AS BIGINT) AS sum_d2 "
+        "FROM (VALUES (1), (2), (4)) l(h) "
+        "JOIN v a ON (a.col % 48) + l.h < 48 "
+        "JOIN v b ON b.row = a.row AND b.col = a.col + l.h "
+        "GROUP BY l.h), "
+        "py AS (SELECT l.h AS lag, "
+        "CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+        "CAST(SUM((a.k - b.k) * (a.k - b.k)) AS BIGINT) AS sum_d2 "
+        "FROM (VALUES (1), (2), (4)) l(h) "
+        "JOIN v a ON (a.row % 48) + l.h < 48 "
+        "JOIN v b ON b.col = a.col AND b.row = a.row + l.h "
+        "GROUP BY l.h), "
+        "f AS (SELECT px.lag, "
+        "CAST(px.sum_d2 AS DOUBLE) / (2.0 "
+        "* CAST(px.n_pairs AS DOUBLE) * 100.0) AS gx, "
+        "CAST(py.sum_d2 AS DOUBLE) / (2.0 "
+        "* CAST(py.n_pairs AS DOUBLE) * 100.0) AS gy "
+        "FROM px JOIN py ON py.lag = px.lag) "
+        "SELECT CAST(lag AS BIGINT) AS lag, ROUND(gx, 6) AS gamma_x, "
+        "ROUND(gy, 6) AS gamma_y, ROUND(gx / gy, 6) AS anisotropy "
+        "FROM f"
+    )
+    out["k_anonymity"] = (
+        "WITH c AS (SELECT lang, source, n_chars // 100 AS len_bucket, "
+        "CAST(COUNT(*) AS BIGINT) AS g FROM documents "
+        "GROUP BY 1, 2, 3), "
+        "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_groups FROM c) "
+        "SELECT CAST(k.k AS BIGINT) AS k, t.n_groups, "
+        "CAST(COALESCE((SELECT SUM(g) FROM c WHERE c.g < k.k), 0) "
+        "AS BIGINT) AS docs_at_risk "
+        "FROM (VALUES (2), (5), (10)) k(k), t"
+    )
     out["home_work_od"] = (
         "WITH e AS (SELECT user_id, "
         "((event_id // 96) % 96) * 96 + (event_id % 96) AS cell, "
