@@ -7950,6 +7950,132 @@ def _q_seasonal_mase(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_minhash_estimate(sf_dir: str) -> pa.Table:
+    """MinHash-vs-exact Jaccard calibration over a deterministic doc
+    subset: word-3-gram shingles (the dup_passages construction),
+    shingle ids by dense rank so both sides hash the SAME integers,
+    16 mix32 permutations (seed folded into the key: mix32(gid + s)),
+    collision-rate estimate next to the exact distinct-set Jaccard --
+    the estimator-accuracy audit run before trusting LSH dedup."""
+    from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
+        mix32,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables, round_like_sql,
+    )
+
+    n_seeds = 16
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def shingle(batch: pa.Table) -> pa.Table:
+        out_d, out_g = [], []
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        for i, t in enumerate(batch["text"].to_pylist()):
+            if ids[i] % 25 != 0:
+                continue
+            ws = [w for w in t.split(" ") if w != ""]
+            grams = {
+                " ".join(ws[j : j + 3]) for j in range(len(ws) - 2)
+            }
+            out_d.extend([int(ids[i])] * len(grams))
+            out_g.extend(sorted(grams))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, pa.int64()),
+                "gram": pa.array(out_g),
+            }
+        )
+
+    pairs_t = collect_tables(
+        ds.map_batches(shingle, batch_format="pyarrow", batch_size=None)
+    )
+    doc = pairs_t["doc_id"].to_numpy(zero_copy_only=False)
+    gram = pairs_t["gram"].to_numpy(zero_copy_only=False)
+    uniq = np.unique(gram)
+    gid = np.searchsorted(uniq, gram) + 1  # dense rank, 1-based
+    docs = np.unique(doc)
+    sets = {int(u): set(gid[doc == u].tolist()) for u in docs}
+    mh = {}
+    for u in docs:
+        ids = np.array(sorted(sets[int(u)]), np.int64)
+        mh[int(u)] = [
+            int(mix32(ids + s, 0).min()) for s in range(n_seeds)
+        ]
+    out_a, out_b, out_e, out_x = [], [], [], []
+    dl = sorted(int(u) for u in docs)
+    for i, a in enumerate(dl):
+        for b in dl[i + 1 :]:
+            m = sum(1 for s in range(n_seeds) if mh[a][s] == mh[b][s])
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a]) + len(sets[b]) - inter
+            out_a.append(a)
+            out_b.append(b)
+            out_e.append(float(m) / 16.0)
+            out_x.append(float(inter) / float(union))
+    return pa.table(
+        {
+            "doc_a": pa.array(out_a, pa.int64()),
+            "doc_b": pa.array(out_b, pa.int64()),
+            "est_jaccard": round_like_sql(out_e, 6),
+            "exact_jaccard": round_like_sql(out_x, 6),
+        }
+    )
+
+
+def _q_l_diversity(sf_dir: str) -> pa.Table:
+    """l-diversity audit (companion to k_anonymity): within each
+    (source, length-bucket) quasi-identifier group, how many distinct
+    languages (the sensitive attribute) appear -- groups failing
+    l in 2/3 and the documents they expose.  Pure integer counts."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["lang", "source", "n_chars"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        nc = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "source": batch["source"],
+                "len_bucket": pa.array(nc // 100),
+                "lang": batch["lang"],
+                "_one": pa.array(np.ones(len(nc), np.int64)),
+            }
+        )
+
+    agg = hash_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        ["source", "len_bucket", "lang"],
+        [("_one", "sum", "n")],
+    )
+    src = agg["source"].to_numpy(zero_copy_only=False)
+    lb = agg["len_bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    groups: dict[tuple, list[int]] = {}
+    for s, b, c in zip(src.tolist(), lb.tolist(), n.tolist()):
+        groups.setdefault((s, b), []).append(c)
+    ls = (2, 3)
+    out_l, out_f, out_d = [], [], []
+    for l in ls:
+        fail = [v for v in groups.values() if len(v) < l]
+        out_l.append(l)
+        out_f.append(len(fail))
+        out_d.append(int(sum(sum(v) for v in fail)))
+    return pa.table(
+        {
+            "l": pa.array(out_l, pa.int64()),
+            "groups_failing": pa.array(out_f, pa.int64()),
+            "docs_exposed": pa.array(out_d, pa.int64()),
+        }
+    )
+
+
 def _q_variance_ratio(sf_dir: str) -> pa.Table:
     """Lo-MacKinlay variance-ratio statistic of the daily event-count
     series at horizons 2/5/10 (the random-walk / mean-reversion
@@ -9582,6 +9708,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "variance_ratio": _q_variance_ratio,
         "variogram_anisotropy": _q_variogram_anisotropy,
         "k_anonymity": _q_k_anonymity,
+        "minhash_estimate": _q_minhash_estimate,
+        "l_diversity": _q_l_diversity,
         "word_degree_dist": _q_word_degree_dist,
         "mann_whitney": _q_mann_whitney,
         "kruskal_wallis": _q_kruskal_wallis,
@@ -13599,6 +13727,54 @@ def oracle_sql() -> dict[str, str]:
         mix32_sql as _mx,
     )
 
+    _mh_seeds = ", ".join(f"({s})" for s in range(16))
+    out["minhash_estimate"] = (
+        f"WITH w AS (SELECT doc_id, "
+        f"list_filter(string_split(text, ' '), t -> t <> '') AS ws "
+        f"FROM documents WHERE doc_id % 25 = 0), "
+        f"g AS (SELECT DISTINCT doc_id, "
+        f"ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram FROM w, "
+        f"LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS i)), "
+        f"u AS (SELECT gram, CAST(DENSE_RANK() OVER (ORDER BY gram) "
+        f"AS BIGINT) AS gid FROM (SELECT DISTINCT gram FROM g)), "
+        f"gg AS (SELECT g.doc_id, u.gid FROM g "
+        f"JOIN u ON u.gram = g.gram), "
+        f"mh AS (SELECT doc_id, s.s, "
+        f"MIN({_mx('gg.gid + s.s', 0)}) AS mh "
+        f"FROM gg, (VALUES {_mh_seeds}) s(s) GROUP BY doc_id, s.s), "
+        f"p AS (SELECT a.doc_id AS da, b.doc_id AS db, "
+        f"CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS m FROM mh a JOIN mh b ON b.s = a.s "
+        f"AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+        f"ex AS (SELECT a.doc_id AS da, b.doc_id AS db, "
+        f"CAST(COUNT(*) AS BIGINT) AS inter FROM gg a "
+        f"JOIN gg b ON b.gid = a.gid AND a.doc_id < b.doc_id "
+        f"GROUP BY 1, 2), "
+        f"sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS s "
+        f"FROM gg GROUP BY doc_id) "
+        f"SELECT p.da AS doc_a, p.db AS doc_b, "
+        f"ROUND(CAST(p.m AS DOUBLE) / 16.0, 6) AS est_jaccard, "
+        f"ROUND(CAST(COALESCE(ex.inter, 0) AS DOUBLE) "
+        f"/ CAST(sa.s + sb.s - COALESCE(ex.inter, 0) AS DOUBLE), 6) "
+        f"AS exact_jaccard "
+        f"FROM p LEFT JOIN ex ON ex.da = p.da AND ex.db = p.db "
+        f"JOIN sz sa ON sa.doc_id = p.da "
+        f"JOIN sz sb ON sb.doc_id = p.db"
+    )
+    out["l_diversity"] = (
+        "WITH c AS (SELECT source, n_chars // 100 AS len_bucket, "
+        "lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents "
+        "GROUP BY 1, 2, 3), "
+        "gr AS (SELECT source, len_bucket, "
+        "CAST(COUNT(*) AS BIGINT) AS n_langs, "
+        "CAST(SUM(n) AS BIGINT) AS n_docs FROM c GROUP BY 1, 2) "
+        "SELECT CAST(l.l AS BIGINT) AS l, "
+        "CAST(COALESCE(SUM(CASE WHEN gr.n_langs < l.l THEN 1 "
+        "ELSE 0 END), 0) AS BIGINT) AS groups_failing, "
+        "CAST(COALESCE(SUM(CASE WHEN gr.n_langs < l.l THEN gr.n_docs "
+        "ELSE 0 END), 0) AS BIGINT) AS docs_exposed "
+        "FROM (VALUES (2), (3)) l(l) CROSS JOIN gr GROUP BY l.l"
+    )
     out["variance_ratio"] = (
         # q-day sums as exact prefix differences (c[t+q-1] - c[t-1]);
         # sample variances from int64 moments; mirrors

@@ -364,6 +364,7 @@ EXTRA_QUERY_SUBSET = [
     "welch_ttest", "periodogram_daily", "nelson_aalen", "bootstrap_ci",
     "viewshed_counts", "hist_match_lut", "home_work_od", "grid_euler",
     "variance_ratio", "variogram_anisotropy", "k_anonymity",
+    "minhash_estimate", "l_diversity",
 ]
 
 
