@@ -7950,6 +7950,240 @@ def _q_seasonal_mase(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_band_correlation(sf_dir: str) -> pa.Table:
+    """Pearson correlation between the two raster bands over
+    both-valid cells (the band-redundancy screen before index math):
+    per-tile exact int64 deci-unit cross moments via the band-aligned
+    zip, one shared float expression."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    tiles = ray.data.from_arrow(_og_multiband_tiles_table(bands=(1, 2)))
+
+    def moments(batch: pa.Table) -> pa.Table:
+        # group the batch's tiles by (row_off, col_off): band 1 and 2
+        # of the same window may arrive in any order
+        by_pos: dict[tuple[int, int], dict[int, np.ndarray]] = {}
+        for i in range(batch.num_rows):
+            key = (
+                batch["row_off"][i].as_py(),
+                batch["col_off"][i].as_py(),
+            )
+            v = np.asarray(batch["values"][i].as_py(), np.float32)
+            by_pos.setdefault(key, {})[batch["band"][i].as_py()] = v
+        n = s1 = s2 = q1 = q2 = s12 = 0
+        partial_rows = {"n": [], "s1": [], "s2": [], "q1": [], "q2": [], "s12": []}
+        for key, bands in by_pos.items():
+            if 1 not in bands or 2 not in bands:
+                continue
+            v1, v2 = bands[1], bands[2]
+            ok = (v1 > -1e30) & (v2 > -1e30)
+            k1 = np.round(v1[ok].astype(np.float64) * 10.0).astype(np.int64)
+            k2 = np.round(v2[ok].astype(np.float64) * 10.0).astype(np.int64)
+            n += int(ok.sum())
+            s1 += int(k1.sum())
+            s2 += int(k2.sum())
+            q1 += int((k1 * k1).sum())
+            q2 += int((k2 * k2).sum())
+            s12 += int((k1 * k2).sum())
+        for k, v in zip(
+            ("n", "s1", "s2", "q1", "q2", "s12"),
+            (n, s1, s2, q1, q2, s12),
+        ):
+            partial_rows[k].append(v)
+        return pa.table(
+            {k: pa.array(v, pa.int64()) for k, v in partial_rows.items()}
+        )
+
+    # one partial row per batch; tiny driver combine
+    parts = hash_aggregate(
+        tiles.map_batches(
+            moments, batch_format="pyarrow", batch_size=None
+        ).map_batches(
+            lambda b: b.append_column(
+                "_g", pa.array(np.zeros(b.num_rows, np.int64))
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        ),
+        ["_g"],
+        [(c, "sum", c) for c in ("n", "s1", "s2", "q1", "q2", "s12")],
+    )
+    n = float(parts["n"][0].as_py())
+    s1 = float(parts["s1"][0].as_py())
+    s2 = float(parts["s2"][0].as_py())
+    q1 = float(parts["q1"][0].as_py())
+    q2 = float(parts["q2"][0].as_py())
+    s12 = float(parts["s12"][0].as_py())
+    num = s12 - s1 * s2 / n
+    den = np.sqrt((q1 - s1 * s1 / n) * (q2 - s2 * s2 / n))
+    return pa.table(
+        {
+            "n_cells": pa.array([int(n)], pa.int64()),
+            "pearson_r": round_like_sql([num / den], 6),
+        }
+    )
+
+
+def _q_field_divergence(sf_dir: str) -> pa.Table:
+    """Divergence of the (band1, band2) vector field by central
+    differences at tile-interior cells (the vector-calculus raster
+    op behind flow/wind analysis): all four neighbors and both bands
+    must be valid, exact deci-unit differences, one division per
+    cell.  Within-tile stencil; the SQL mirror repeats the interior
+    predicate."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables, round_like_sql,
+    )
+
+    tiles = ray.data.from_arrow(_og_multiband_tiles_table(bands=(1, 2)))
+
+    def div(batch: pa.Table) -> pa.Table:
+        by_pos: dict[tuple[int, int], dict[int, np.ndarray]] = {}
+        hw: dict[tuple[int, int], tuple[int, int]] = {}
+        for i in range(batch.num_rows):
+            key = (
+                batch["row_off"][i].as_py(),
+                batch["col_off"][i].as_py(),
+            )
+            h = batch["height"][i].as_py()
+            w = batch["width"][i].as_py()
+            by_pos.setdefault(key, {})[batch["band"][i].as_py()] = (
+                np.asarray(batch["values"][i].as_py(), np.float32).reshape(
+                    h, w
+                )
+            )
+            hw[key] = (h, w)
+        out_r, out_c, out_d = [], [], []
+        for (r0, c0), bands in by_pos.items():
+            if 1 not in bands or 2 not in bands:
+                continue
+            u, v = bands[1], bands[2]
+            h, w = hw[(r0, c0)]
+            uk = np.zeros((h, w), np.int64)
+            vk = np.zeros((h, w), np.int64)
+            uok = u > -1e30
+            vok = v > -1e30
+            uk[uok] = np.round(u[uok].astype(np.float64) * 10.0).astype(
+                np.int64
+            )
+            vk[vok] = np.round(v[vok].astype(np.float64) * 10.0).astype(
+                np.int64
+            )
+            ok = (
+                uok[1:-1, :-2] & uok[1:-1, 2:]
+                & vok[:-2, 1:-1] & vok[2:, 1:-1]
+            )
+            # du/dx + dv/dy in deci-units per cell width (0.01 deg);
+            # y increases downward on the grid, so dv/dy uses
+            # (row+1) - (row-1)
+            dnum = (
+                (uk[1:-1, 2:] - uk[1:-1, :-2])
+                + (vk[2:, 1:-1] - vk[:-2, 1:-1])
+            )
+            rr, cc = np.nonzero(ok)
+            out_r.extend((rr + 1 + r0).tolist())
+            out_c.extend((cc + 1 + c0).tolist())
+            out_d.extend(
+                (
+                    dnum[rr, cc].astype(np.float64) / (2.0 * 10.0 * 0.01)
+                ).tolist()
+            )
+        return pa.table(
+            {
+                "row": pa.array(out_r, pa.int64()),
+                "col": pa.array(out_c, pa.int64()),
+                "divergence": round_like_sql(out_d, 6),
+            }
+        )
+
+    return collect_tables(
+        tiles.map_batches(div, batch_format="pyarrow", batch_size=None)
+    ).sort_by([("row", "ascending"), ("col", "ascending")])
+
+
+def _q_lsh_blocking_audit(sf_dir: str) -> pa.Table:
+    """LSH banding audit over the minhash_estimate subset: 4 bands x
+    4 rows of the 16 mix32 minhashes; candidate pairs share at least
+    one full band signature.  Reports reduction ratio (candidates /
+    all pairs) and recall against exact Jaccard >= 0.5 -- the
+    blocking-quality audit run before committing to a dedup design."""
+    from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
+        mix32,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def shingle(batch: pa.Table) -> pa.Table:
+        out_d, out_g = [], []
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        for i, t in enumerate(batch["text"].to_pylist()):
+            if ids[i] % 25 != 0:
+                continue
+            ws = [w for w in t.split(" ") if w != ""]
+            grams = {" ".join(ws[j : j + 3]) for j in range(len(ws) - 2)}
+            out_d.extend([int(ids[i])] * len(grams))
+            out_g.extend(sorted(grams))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, pa.int64()),
+                "gram": pa.array(out_g),
+            }
+        )
+
+    pairs_t = collect_tables(
+        ds.map_batches(shingle, batch_format="pyarrow", batch_size=None)
+    )
+    doc = pairs_t["doc_id"].to_numpy(zero_copy_only=False)
+    gram = pairs_t["gram"].to_numpy(zero_copy_only=False)
+    uniq = np.unique(gram)
+    gid = np.searchsorted(uniq, gram) + 1
+    docs = sorted(int(u) for u in np.unique(doc))
+    sets = {u: set(gid[doc == u].tolist()) for u in docs}
+    mh = {
+        u: [
+            int(mix32(np.array(sorted(sets[u]), np.int64) + s, 0).min())
+            for s in range(16)
+        ]
+        for u in docs
+    }
+    bands = {
+        u: [tuple(mh[u][b * 4 : b * 4 + 4]) for b in range(4)] for u in docs
+    }
+    n_docs = len(docs)
+    all_pairs = n_docs * (n_docs - 1) // 2
+    cand = dup = hit = 0
+    for i, a in enumerate(docs):
+        for b in docs[i + 1 :]:
+            is_cand = any(bands[a][k] == bands[b][k] for k in range(4))
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a]) + len(sets[b]) - inter
+            is_dup = inter * 2 >= union  # exact jaccard >= 0.5
+            cand += int(is_cand)
+            dup += int(is_dup)
+            hit += int(is_cand and is_dup)
+    recall = float(hit) / float(dup) if dup else float("nan")
+    return pa.table(
+        {
+            "n_pairs": pa.array([all_pairs], pa.int64()),
+            "n_candidates": pa.array([cand], pa.int64()),
+            "n_true_dups": pa.array([dup], pa.int64()),
+            "recall": round_like_sql([recall], 6),
+            "reduction_ratio": round_like_sql(
+                [float(cand) / float(all_pairs)], 6
+            ),
+        }
+    )
+
+
 def _q_minhash_estimate(sf_dir: str) -> pa.Table:
     """MinHash-vs-exact Jaccard calibration over a deterministic doc
     subset: word-3-gram shingles (the dup_passages construction),
@@ -9710,6 +9944,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymity": _q_k_anonymity,
         "minhash_estimate": _q_minhash_estimate,
         "l_diversity": _q_l_diversity,
+        "band_correlation": _q_band_correlation,
+        "field_divergence": _q_field_divergence,
+        "lsh_blocking_audit": _q_lsh_blocking_audit,
         "word_degree_dist": _q_word_degree_dist,
         "mann_whitney": _q_mann_whitney,
         "kruskal_wallis": _q_kruskal_wallis,
@@ -13727,6 +13964,54 @@ def oracle_sql() -> dict[str, str]:
         mix32_sql as _mx,
     )
 
+    _mb_grid = (
+        "SELECT b.b AS band, r.range AS row, c.range AS col, "
+        "CASE WHEN (r.range * 5 + c.range * 3 + b.b) % 29 = 0 THEN NULL "
+        "ELSE CAST(ROUND(CAST(CAST(((r.range * 73 + c.range * 31 "
+        "+ b.b * 101) % 500) / 10.0 AS REAL) AS DOUBLE) * 10.0, 0) "
+        "AS BIGINT) END AS k "
+        "FROM range(0, 96) r, range(0, 96) c, (VALUES (1), (2)) b(b)"
+    )
+    out["band_correlation"] = (
+        f"WITH mb AS ({_mb_grid}), "
+        "j AS (SELECT a.k AS k1, d.k AS k2 FROM "
+        "(SELECT row, col, k FROM mb WHERE band = 1 "
+        "AND k IS NOT NULL) a "
+        "JOIN (SELECT row, col, k FROM mb WHERE band = 2 "
+        "AND k IS NOT NULL) d ON d.row = a.row AND d.col = a.col), "
+        "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(k1) AS BIGINT) AS s1, "
+        "CAST(SUM(k2) AS BIGINT) AS s2, "
+        "CAST(SUM(k1 * k1) AS BIGINT) AS q1, "
+        "CAST(SUM(k2 * k2) AS BIGINT) AS q2, "
+        "CAST(SUM(k1 * k2) AS BIGINT) AS s12 FROM j) "
+        "SELECT n AS n_cells, "
+        "ROUND((CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) "
+        "* CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) "
+        "/ SQRT((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) "
+        "* CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) "
+        "* (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) "
+        "* CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS pearson_r "
+        "FROM m"
+    )
+    out["field_divergence"] = (
+        f"WITH mb AS ({_mb_grid}), "
+        "lat AS (SELECT row, col FROM mb WHERE band = 1), "
+        "u AS (SELECT row, col, k FROM mb WHERE band = 1 "
+        "AND k IS NOT NULL), "
+        "v AS (SELECT row, col, k FROM mb WHERE band = 2 "
+        "AND k IS NOT NULL) "
+        "SELECT e.row, e.col, "
+        "ROUND(CAST((ur.k - ul.k) + (vd.k - vu.k) AS DOUBLE) "
+        "/ (2.0 * 10.0 * 0.01), 6) AS divergence "
+        "FROM lat e "
+        "JOIN u ul ON ul.row = e.row AND ul.col = e.col - 1 "
+        "JOIN u ur ON ur.row = e.row AND ur.col = e.col + 1 "
+        "JOIN v vu ON vu.row = e.row - 1 AND vu.col = e.col "
+        "JOIN v vd ON vd.row = e.row + 1 AND vd.col = e.col "
+        "WHERE (e.row % 48) NOT IN (0, 47) "
+        "AND (e.col % 48) NOT IN (0, 47)"
+    )
     _mh_seeds = ", ".join(f"({s})" for s in range(16))
     out["minhash_estimate"] = (
         f"WITH w AS (SELECT doc_id, "
@@ -13774,6 +14059,51 @@ def oracle_sql() -> dict[str, str]:
         "CAST(COALESCE(SUM(CASE WHEN gr.n_langs < l.l THEN gr.n_docs "
         "ELSE 0 END), 0) AS BIGINT) AS docs_exposed "
         "FROM (VALUES (2), (3)) l(l) CROSS JOIN gr GROUP BY l.l"
+    )
+    out["lsh_blocking_audit"] = (
+        f"WITH w AS (SELECT doc_id, "
+        f"list_filter(string_split(text, ' '), t -> t <> '') AS ws "
+        f"FROM documents WHERE doc_id % 25 = 0), "
+        f"g AS (SELECT DISTINCT doc_id, "
+        f"ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram FROM w, "
+        f"LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS i)), "
+        f"u AS (SELECT gram, CAST(DENSE_RANK() OVER (ORDER BY gram) "
+        f"AS BIGINT) AS gid FROM (SELECT DISTINCT gram FROM g)), "
+        f"gg AS (SELECT g.doc_id, u.gid FROM g "
+        f"JOIN u ON u.gram = g.gram), "
+        f"mh AS (SELECT doc_id, s.s, "
+        f"MIN({_mx('gg.gid + s.s', 0)}) AS mh "
+        f"FROM gg, (VALUES {_mh_seeds}) s(s) GROUP BY doc_id, s.s), "
+        f"bm AS (SELECT a.doc_id AS da, b.doc_id AS db, a.s // 4 AS bd, "
+        f"CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS eq FROM mh a JOIN mh b ON b.s = a.s "
+        f"AND a.doc_id < b.doc_id GROUP BY 1, 2, 3), "
+        f"cand AS (SELECT da, db, "
+        f"MAX(CASE WHEN eq = 4 THEN 1 ELSE 0 END) AS c "
+        f"FROM bm GROUP BY 1, 2), "
+        f"ex AS (SELECT a.doc_id AS da, b.doc_id AS db, "
+        f"CAST(COUNT(*) AS BIGINT) AS inter FROM gg a "
+        f"JOIN gg b ON b.gid = a.gid AND a.doc_id < b.doc_id "
+        f"GROUP BY 1, 2), "
+        f"sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS s "
+        f"FROM gg GROUP BY doc_id), "
+        f"d AS (SELECT c.da, c.db, c.c, "
+        f"CASE WHEN COALESCE(ex.inter, 0) * 2 >= "
+        f"sa.s + sb.s - COALESCE(ex.inter, 0) THEN 1 ELSE 0 END AS dup "
+        f"FROM cand c LEFT JOIN ex ON ex.da = c.da AND ex.db = c.db "
+        f"JOIN sz sa ON sa.doc_id = c.da "
+        f"JOIN sz sb ON sb.doc_id = c.db), "
+        f"nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM sz) "
+        f"SELECT CAST(nn.nd * (nn.nd - 1) // 2 AS BIGINT) AS n_pairs, "
+        f"CAST(SUM(d.c) AS BIGINT) AS n_candidates, "
+        f"CAST(SUM(d.dup) AS BIGINT) AS n_true_dups, "
+        f"CASE WHEN SUM(d.dup) = 0 THEN CAST('nan' AS DOUBLE) "
+        f"ELSE ROUND(CAST(SUM(d.c * d.dup) AS DOUBLE) "
+        f"/ CAST(SUM(d.dup) AS DOUBLE), 6) END AS recall, "
+        f"ROUND(CAST(SUM(d.c) AS DOUBLE) "
+        f"/ CAST(nn.nd * (nn.nd - 1) // 2 AS DOUBLE), 6) "
+        f"AS reduction_ratio "
+        f"FROM d, nn GROUP BY nn.nd"
     )
     out["variance_ratio"] = (
         # q-day sums as exact prefix differences (c[t+q-1] - c[t-1]);

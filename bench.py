@@ -365,6 +365,7 @@ EXTRA_QUERY_SUBSET = [
     "viewshed_counts", "hist_match_lut", "home_work_od", "grid_euler",
     "variance_ratio", "variogram_anisotropy", "k_anonymity",
     "minhash_estimate", "l_diversity",
+    "band_correlation", "field_divergence", "lsh_blocking_audit",
 ]
 
 
