@@ -8184,6 +8184,581 @@ def _q_lsh_blocking_audit(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_join_counts(sf_dir: str) -> pa.Table:
+    """Join-count statistics (Cliff-Ord) for the binary above-mean
+    event-density surface on the 96x96 geocode lattice: BB / BW / WW
+    rook-adjacent pair counts -- the categorical-data complement to
+    Moran's I / Geary's C.  The black rule 9216*n > total is an exact
+    integer comparison (no mean division), so every reported number
+    is an order-independent int64: distributed per-cell counts
+    (lattice-bounded), dense integer shifts driver-side."""
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
+        partial_count,
+    )
+
+    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
+
+    def gridcell(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "gx": pa.array((eid % 96).astype(np.int64)),
+                "gy": pa.array(((eid // 96) % 96).astype(np.int64)),
+            }
+        )
+
+    counts = partial_count(
+        ds.map_batches(gridcell, batch_format="pyarrow", batch_size=None),
+        ["gx", "gy"],
+    ).rename_columns(["gx", "gy", "n"])
+    grid = np.zeros((96, 96), np.int64)
+    gx = counts["gx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    gy = counts["gy"].to_numpy(zero_copy_only=False).astype(np.int64)
+    grid[gy, gx] = counts["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    tot = int(grid.sum())
+    black = (grid * 9216 > tot).astype(np.int64)
+    bh_a, bh_b = black[:, :-1], black[:, 1:]
+    bv_a, bv_b = black[:-1, :], black[1:, :]
+    bb = int((bh_a & bh_b).sum()) + int((bv_a & bv_b).sum())
+    bw = int((bh_a ^ bh_b).sum()) + int((bv_a ^ bv_b).sum())
+    n_pairs = 2 * 96 * 95
+    return pa.table(
+        {
+            "n_black": pa.array([int(black.sum())], pa.int64()),
+            "bb": pa.array([bb], pa.int64()),
+            "bw": pa.array([bw], pa.int64()),
+            "ww": pa.array([n_pairs - bb - bw], pa.int64()),
+        }
+    )
+
+
+def _q_fractal_boxcount(sf_dir: str) -> pa.Table:
+    """Box-counting dimension of the low-elevation cell set (valid
+    and z < 5) on the slope-fixture raster: occupied-box counts at
+    scales 1/2/4/8/16 via a distributed distinct (per-tile box
+    emission -> global dedup; boxes straddling tile edges merge in
+    the groupby), then the log-log regression slope from quantized
+    LN terms (exact HUGEINT-safe integer moments, one float division
+    -- the zipf_slope discipline)."""
+    import math
+
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        round_like_sql,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
+        partial_count,
+    )
+
+    tiles = ray.data.from_arrow(_og_tiles_table(sparse_invalid=True, tile=24))
+    scales = (1, 2, 4, 8, 16)
+
+    def boxes(batch: pa.Table) -> pa.Table:
+        out_s, out_b = [], []
+        for i in range(batch.num_rows):
+            h = batch["height"][i].as_py()
+            w = batch["width"][i].as_py()
+            r0 = batch["row_off"][i].as_py()
+            c0 = batch["col_off"][i].as_py()
+            z = np.asarray(batch["values"][i].as_py(), np.float32).reshape(h, w)
+            rr, cc = np.nonzero((z > -1e30) & (z < 5.0))
+            rr = rr.astype(np.int64) + r0
+            cc = cc.astype(np.int64) + c0
+            for s in scales:
+                b = np.unique((rr // s) * 1024 + cc // s)
+                out_s.extend([s] * len(b))
+                out_b.extend(b.tolist())
+        return pa.table(
+            {
+                "scale": pa.array(out_s, pa.int64()),
+                "box": pa.array(out_b, pa.int64()),
+            }
+        )
+
+    occ = partial_count(
+        tiles.map_batches(boxes, batch_format="pyarrow", batch_size=None),
+        ["scale", "box"],
+    )
+    per = {s: 0 for s in scales}
+    for s in occ["scale"].to_numpy(zero_copy_only=False).tolist():
+        per[int(s)] += 1
+    # quantized log-log OLS: u = ln(1/s), v = ln N(s), both at 1e12
+    us = [int(round(math.log(1.0 / s) * 1e12)) for s in scales]
+    vs = [int(round(math.log(float(per[s])) * 1e12)) for s in scales]
+    k = len(scales)
+    su, sv = sum(us), sum(vs)
+    suv = sum(u * v for u, v in zip(us, vs))
+    suu = sum(u * u for u in us)
+    dim = float(k * suv - su * sv) / float(k * suu - su * su)
+    return pa.table(
+        {
+            "n1": pa.array([per[1]], pa.int64()),
+            "n2": pa.array([per[2]], pa.int64()),
+            "n4": pa.array([per[4]], pa.int64()),
+            "n8": pa.array([per[8]], pa.int64()),
+            "n16": pa.array([per[16]], pa.int64()),
+            "box_dim": round_like_sql([dim], 6),
+        }
+    )
+
+
+def _q_levene_bf(sf_dir: str) -> pa.Table:
+    """Brown-Forsythe (median-centered Levene) homogeneity-of-variance
+    test of the dollar price across return flags: group medians via
+    the distributed exact-quantile machinery (quantile_disc element
+    selection -- an exact integer), absolute deviations are then exact
+    int64, and W's float tail is evaluated in pinned A/N/R order on
+    both sides."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
+        exact_quantiles,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_extendedprice"],
+    )
+
+    def dollars(batch: pa.Table) -> pa.Table:
+        k = round_half_away(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        return pa.table({"flag": batch["l_returnflag"], "k": pa.array(k)})
+
+    kd = ds.map_batches(dollars, batch_format="pyarrow", batch_size=None)
+    flags = ("A", "N", "R")
+    meds = {}
+    for f in flags:
+
+        def only(batch: pa.Table, _f=f) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return batch.filter(pc.equal(batch["flag"], _f))
+
+        q = exact_quantiles(
+            kd.map_batches(only, batch_format="pyarrow", batch_size=None),
+            "k",
+            [0.5],
+            method="disc",
+        )
+        meds[f] = int(q.column(q.num_columns - 1)[0].as_py())
+
+    med_arr = meds  # broadcast via closure (3 ints)
+
+    def absdev(batch: pa.Table) -> pa.Table:
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        fl = batch["flag"].to_numpy(zero_copy_only=False)
+        med = np.zeros(len(k), np.int64)
+        for f, m in med_arr.items():
+            med[fl == f] = m
+        z = np.abs(k - med)
+        return pa.table(
+            {
+                "flag": batch["flag"],
+                "_n": pa.array(np.ones(len(z), np.int64)),
+                "s1": pa.array(z),
+                "s2": pa.array(z * z),
+            }
+        )
+
+    agg = hash_aggregate(
+        kd.map_batches(absdev, batch_format="pyarrow", batch_size=None),
+        ["flag"],
+        [(c, "sum", c) for c in ("_n", "s1", "s2")],
+    )
+    g = {}
+    for i in range(agg.num_rows):
+        g[agg["flag"][i].as_py()] = (
+            int(agg["_n"][i].as_py()),
+            int(agg["s1"][i].as_py()),
+            int(agg["s2"][i].as_py()),
+        )
+    (na, s1a, s2a) = g["A"]
+    (nn_, s1n, s2n) = g["N"]
+    (nr, s1r, s2r) = g["R"]
+    ntot = na + nn_ + nr
+    zb = float(s1a + s1n + s1r) / float(ntot)
+    za = float(s1a) / float(na)
+    zn = float(s1n) / float(nn_)
+    zr = float(s1r) / float(nr)
+    num = (
+        float(na) * (za - zb) * (za - zb)
+        + float(nn_) * (zn - zb) * (zn - zb)
+    ) + float(nr) * (zr - zb) * (zr - zb)
+    den = (
+        (float(s2a) - float(s1a) * float(s1a) / float(na))
+        + (float(s2n) - float(s1n) * float(s1n) / float(nn_))
+    ) + (float(s2r) - float(s1r) * float(s1r) / float(nr))
+    w = (float(ntot - 3) / 2.0) * num / den
+    return pa.table(
+        {
+            "n_total": pa.array([ntot], pa.int64()),
+            "med_a": pa.array([meds["A"]], pa.int64()),
+            "med_n": pa.array([meds["N"]], pa.int64()),
+            "med_r": pa.array([meds["R"]], pa.int64()),
+            "levene_w": round_like_sql([w], 6),
+        }
+    )
+
+
+def _q_twi(sf_dir: str) -> pa.Table:
+    """Topographic Wetness Index ln(a / tan beta) over the slope
+    fixture raster: specific catchment a = D8 flow accumulation x
+    cell width (the TauDEM-style two-level operator), tan beta from
+    the Horn slope kernel; defined where slope > 0 and both
+    derivatives exist.  Composes the two existing distributed raster
+    operators with a (lattice-bounded) driver join."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables, round_like_sql,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
+        flow_accumulation, tile_slope,
+    )
+
+    tiles = ray.data.from_arrow(_og_tiles_table(sparse_invalid=True, tile=24))
+    acc = flow_accumulation(tiles, block=32)  # pa.Table (lattice-bounded)
+    slope = collect_tables(tile_slope(tiles))
+    amap = {}
+    for i in range(acc.num_rows):
+        amap[
+            (acc["row"][i].as_py(), acc["col"][i].as_py())
+        ] = acc["acc"][i].as_py()
+    rows, cols, twis = [], [], []
+    sr = slope["row"].to_numpy(zero_copy_only=False)
+    sc = slope["col"].to_numpy(zero_copy_only=False)
+    sp = slope["slope_pct"].to_numpy(zero_copy_only=False)
+    for i in range(len(sr)):
+        a = amap.get((int(sr[i]), int(sc[i])))
+        if a is None or not (sp[i] > 0):
+            continue
+        rows.append(int(sr[i]))
+        cols.append(int(sc[i]))
+        twis.append(float(np.log((float(a) * 0.01) / (sp[i] / 100.0))))
+    return pa.table(
+        {
+            "row": pa.array(rows, pa.int64()),
+            "col": pa.array(cols, pa.int64()),
+            "twi": round_like_sql(twis, 6),
+        }
+    )
+
+
+def _q_clark_evans(sf_dir: str) -> pa.Table:
+    """Clark-Evans nearest-neighbor index R = mean-NN-dist / E[CSR]
+    over the geocoded event subset (id % 100): the classic
+    point-pattern dispersion screen next to Ripley's K.  The NN
+    search is the bucketed ring-expansion KNNIndex (ST5 shape: index
+    from a bounded subset, queries distributed per batch); each NN
+    distance is re-derived as SQRT(dx*dx + dy*dy) and quantized at
+    1e9 so the cross-point sum is an exact int64 in any order.  No
+    edge correction (naive R; the SQL mirror repeats it)."""
+    import ray
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.functions.knn import (
+        KNNIndex,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables, hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
+
+    def pts(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        eid = eid[eid % 100 == 0]
+        return pa.table(
+            {
+                "px": pa.array(77.0 + (eid % 96).astype(np.float64) * 0.01),
+                "py": pa.array(
+                    28.05 + ((eid // 96) % 96).astype(np.float64) * 0.01
+                ),
+            }
+        )
+
+    sub = ds.map_batches(pts, batch_format="pyarrow", batch_size=None)
+    pts_tbl = collect_tables(sub)
+    px = pts_tbl["px"].to_numpy(zero_copy_only=False)
+    py = pts_tbl["py"].to_numpy(zero_copy_only=False)
+    index_ref = ray.put(KNNIndex(px, py))
+
+    def nn_terms(batch: pa.Table) -> pa.Table:
+        idx = ray.get(index_ref)
+        qx = batch["px"].to_numpy(zero_copy_only=False)
+        qy = batch["py"].to_numpy(zero_copy_only=False)
+        ii, _dd = idx.query(qx, qy, k=2)
+        nb = ii[:, 1]
+        dx = qx - idx.lon[nb]
+        dy = qy - idx.lat[nb]
+        term = round_half_away(np.sqrt(dx * dx + dy * dy) * 1e9).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "_g": pa.array(np.zeros(len(term), np.int64)),
+                "n": pa.array(np.ones(len(term), np.int64)),
+                "s": pa.array(term),
+            }
+        )
+
+    agg = hash_aggregate(
+        ray.data.from_arrow(pts_tbl).map_batches(
+            nn_terms, batch_format="pyarrow", batch_size=None
+        ),
+        ["_g"],
+        [("n", "sum", "n"), ("s", "sum", "s")],
+    )
+    n = int(agg["n"][0].as_py())
+    s = int(agg["s"][0].as_py())
+    dbar = float(s) / 1e9 / float(n)
+    r = dbar / (0.5 * np.sqrt(0.9025 / float(n)))
+    return pa.table(
+        {
+            "n_points": pa.array([n], pa.int64()),
+            "mean_nn_dist": round_like_sql([dbar], 6),
+            "clark_evans_r": round_like_sql([r], 6),
+        }
+    )
+
+
+def _q_gravity_flows(sf_dir: str) -> pa.Table:
+    """Gravity spatial-interaction model on the coarse 12x12 lattice
+    (8x8-cell blocks of the geocode grid): T_ij = m_i * m_j / d2_ij
+    for near pairs (Chebyshev block distance <= 4), masses = exact
+    event counts, d2 in block units -- the trip-distribution screen.
+    Distributed per-block counts; the 144-cell pair cross is
+    driver-side (bounded by the lattice, not the data)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        round_like_sql,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
+        partial_count,
+    )
+
+    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
+
+    def block(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bx": pa.array(((eid % 96) // 8).astype(np.int64)),
+                "by": pa.array((((eid // 96) % 96) // 8).astype(np.int64)),
+            }
+        )
+
+    counts = partial_count(
+        ds.map_batches(block, batch_format="pyarrow", batch_size=None),
+        ["bx", "by"],
+    ).rename_columns(["bx", "by", "m"])
+    bx = counts["bx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    by = counts["by"].to_numpy(zero_copy_only=False).astype(np.int64)
+    m = counts["m"].to_numpy(zero_copy_only=False).astype(np.int64)
+    key = by * 12 + bx
+    order = np.argsort(key)
+    bx, by, m, key = bx[order], by[order], m[order], key[order]
+    oa, ob, oi = [], [], []
+    for i in range(len(m)):
+        for j in range(i + 1, len(m)):
+            dx = int(bx[j] - bx[i])
+            dy = int(by[j] - by[i])
+            if max(abs(dx), abs(dy)) > 4:
+                continue
+            d2 = dx * dx + dy * dy
+            oa.append(int(key[i]))
+            ob.append(int(key[j]))
+            oi.append(float(m[i] * m[j]) / float(d2))
+    return pa.table(
+        {
+            "cell_a": pa.array(oa, pa.int64()),
+            "cell_b": pa.array(ob, pa.int64()),
+            "interaction": round_like_sql(oi, 6),
+        }
+    )
+
+
+def _q_jarque_bera(sf_dir: str) -> pa.Table:
+    """Jarque-Bera normality screen of the hundreds-of-dollars price
+    per return flag: raw power sums are exact int64 per batch, the
+    central-moment identities A2 = n*s2 - s1^2, A3 = n^2*s3 - 3n*s2*s1
+    + 2*s1^3, A4 = n^3*s4 - 4n^2*s3*s1 + 6n*s2*s1^2 - 3*s1^4 are exact
+    Python/HUGEINT integers, and skew/kurtosis collapse to g1 =
+    A3/A2^1.5, g2 = A4/A2^2 (the n powers cancel) -- so the only float
+    steps are two divisions, a pow, and the JB combination, written
+    identically in SQL."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_extendedprice"],
+    )
+
+    def powers(batch: pa.Table) -> pa.Table:
+        k = round_half_away(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False) / 100.0
+        ).astype(np.int64)
+        k2 = k * k
+        return pa.table(
+            {
+                "flag": batch["l_returnflag"],
+                "_n": pa.array(np.ones(len(k), np.int64)),
+                "s1": pa.array(k),
+                "s2": pa.array(k2),
+                "s3": pa.array(k2 * k),
+                "s4": pa.array(k2 * k2),
+            }
+        )
+
+    agg = hash_aggregate(
+        ds.map_batches(powers, batch_format="pyarrow", batch_size=None),
+        ["flag"],
+        [(c, "sum", c) for c in ("_n", "s1", "s2", "s3", "s4")],
+    )
+    flags, ns, skews, kurts, jbs = [], [], [], [], []
+    order = np.argsort(agg["flag"].to_numpy(zero_copy_only=False))
+    for i in order.tolist():
+        n = int(agg["_n"][i].as_py())
+        s1 = int(agg["s1"][i].as_py())
+        s2 = int(agg["s2"][i].as_py())
+        s3 = int(agg["s3"][i].as_py())
+        s4 = int(agg["s4"][i].as_py())
+        a2 = n * s2 - s1 * s1
+        a3 = n * n * s3 - 3 * n * s2 * s1 + 2 * s1**3
+        a4 = (
+            n**3 * s4 - 4 * n * n * s3 * s1 + 6 * n * s2 * s1 * s1
+            - 3 * s1**4
+        )
+        g1 = float(a3) / float(a2) ** 1.5
+        g2 = float(a4) / (float(a2) * float(a2))
+        jb = float(n) / 6.0 * (g1 * g1 + (g2 - 3.0) * (g2 - 3.0) / 4.0)
+        flags.append(agg["flag"][i].as_py())
+        ns.append(n)
+        skews.append(g1)
+        kurts.append(g2)
+        jbs.append(jb)
+    return pa.table(
+        {
+            "l_returnflag": pa.array(flags),
+            "n_rows": pa.array(ns, pa.int64()),
+            "skewness": round_like_sql(skews, 6),
+            "kurtosis": round_like_sql(kurts, 6),
+            "jb_stat": round_like_sql(jbs, 6),
+        }
+    )
+
+
+def _q_cohens_d(sf_dir: str) -> pa.Table:
+    """Cohen's d effect size between returned ('R') and normal ('N')
+    line items on the hundreds-of-dollars price: exact int64 group
+    moments, pooled sample variance ((n1-1)v1 + (n2-1)v2)/(n1+n2-2)
+    with v = A2/(n(n-1)), one shared float tail."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_extendedprice"],
+    )
+
+    def powers(batch: pa.Table) -> pa.Table:
+        k = round_half_away(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False) / 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "flag": batch["l_returnflag"],
+                "_n": pa.array(np.ones(len(k), np.int64)),
+                "s1": pa.array(k),
+                "s2": pa.array(k * k),
+            }
+        )
+
+    agg = hash_aggregate(
+        ds.map_batches(powers, batch_format="pyarrow", batch_size=None),
+        ["flag"],
+        [(c, "sum", c) for c in ("_n", "s1", "s2")],
+    )
+    m = {}
+    for i in range(agg.num_rows):
+        m[agg["flag"][i].as_py()] = (
+            int(agg["_n"][i].as_py()),
+            int(agg["s1"][i].as_py()),
+            int(agg["s2"][i].as_py()),
+        )
+    (n1, a1, q1), (n2, a2_, q2) = m["R"], m["N"]
+    v1 = float(n1 * q1 - a1 * a1) / (float(n1) * float(n1 - 1))
+    v2 = float(n2 * q2 - a2_ * a2_) / (float(n2) * float(n2 - 1))
+    sp = np.sqrt(
+        ((float(n1 - 1)) * v1 + (float(n2 - 1)) * v2)
+        / float(n1 + n2 - 2)
+    )
+    d = (float(a1) / float(n1) - float(a2_) / float(n2)) / sp
+    return pa.table(
+        {
+            "n_returned": pa.array([n1], pa.int64()),
+            "n_normal": pa.array([n2], pa.int64()),
+            "cohens_d": round_like_sql([d], 6),
+        }
+    )
+
+
+def _q_durbin_watson(sf_dir: str) -> pa.Table:
+    """Durbin-Watson first-order autocorrelation statistic of the
+    daily order-revenue series: per-day cents summed distributed
+    (exact int64), residuals against the half-away-rounded integer
+    mean (DW is invariant to the constant shift), successive-diff and
+    level sums as exact Python/HUGEINT integers over the observed-day
+    series, one float division."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderdate", "o_totalprice"],
+    )
+
+    def daily(batch: pa.Table) -> pa.Table:
+        d = (
+            batch["o_orderdate"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            // 86_400_000_000
+        )
+        cents = round_half_away(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({"d": pa.array(d), "cents": pa.array(cents)})
+
+    agg = hash_aggregate(
+        ds.map_batches(daily, batch_format="pyarrow", batch_size=None),
+        ["d"],
+        [("cents", "sum", "x")],
+    )
+    order = np.argsort(agg["d"].to_numpy(zero_copy_only=False))
+    xs = (
+        agg["x"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    ).tolist()
+    n = len(xs)
+    tot = sum(xs)
+    mean_int = int(round_half_away(np.array([float(tot) / n]))[0])
+    es = [x - mean_int for x in xs]
+    num = sum(
+        (es[t] - es[t - 1]) * (es[t] - es[t - 1]) for t in range(1, n)
+    )
+    den = sum(e * e for e in es)
+    return pa.table(
+        {
+            "n_days": pa.array([n], pa.int64()),
+            "dw": round_like_sql([float(num) / float(den)], 6),
+        }
+    )
+
+
 def _q_minhash_estimate(sf_dir: str) -> pa.Table:
     """MinHash-vs-exact Jaccard calibration over a deterministic doc
     subset: word-3-gram shingles (the dup_passages construction),
@@ -9947,6 +10522,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "band_correlation": _q_band_correlation,
         "field_divergence": _q_field_divergence,
         "lsh_blocking_audit": _q_lsh_blocking_audit,
+        "join_counts": _q_join_counts,
+        "fractal_boxcount": _q_fractal_boxcount,
+        "jarque_bera": _q_jarque_bera,
+        "cohens_d": _q_cohens_d,
+        "durbin_watson": _q_durbin_watson,
+        "clark_evans": _q_clark_evans,
+        "gravity_flows": _q_gravity_flows,
+        "levene_bf": _q_levene_bf,
+        "twi": _q_twi,
         "word_degree_dist": _q_word_degree_dist,
         "mann_whitney": _q_mann_whitney,
         "kruskal_wallis": _q_kruskal_wallis,
@@ -14695,5 +15279,257 @@ def oracle_sql() -> dict[str, str]:
         "r AS sink_row, c AS sink_col FROM ws "
         "WHERE NOT EXISTS (SELECT 1 FROM en WHERE en.r = ws.r "
         "AND en.c = ws.c)"
+    )
+    out["twi"] = (
+        # ln(flow_acc * cellwidth / tan(slope)) composing the
+        # flow_accumulation recursive closure with the Horn slope
+        # window; mirrors _q_twi's shared float expression
+        f"WITH RECURSIVE fd AS ({out['flow_direction']}), "
+        "e AS MATERIALIZED (SELECT f.row AS r, f.col AS c, "
+        "f.row + CASE f.d8 WHEN 2 THEN 1 WHEN 4 THEN 1 WHEN 8 THEN 1 "
+        "WHEN 32 THEN -1 WHEN 64 THEN -1 WHEN 128 THEN -1 "
+        "ELSE 0 END AS nr, "
+        "f.col + CASE f.d8 WHEN 1 THEN 1 WHEN 2 THEN 1 WHEN 128 THEN 1 "
+        "WHEN 8 THEN -1 WHEN 16 THEN -1 WHEN 32 THEN -1 "
+        "ELSE 0 END AS nc "
+        "FROM fd f WHERE f.d8 <> 0), "
+        "en AS MATERIALIZED (SELECT e.r, e.c, e.nr, e.nc FROM e "
+        "JOIN fd t ON t.row = e.nr AND t.col = e.nc), "
+        "reach(sr, sc, r, c) AS ("
+        "SELECT en.r, en.c, en.nr, en.nc FROM en "
+        "UNION "
+        "SELECT reach.sr, reach.sc, en.nr, en.nc FROM reach "
+        "JOIN en ON en.r = reach.r AND en.c = reach.c), "
+        "anc AS (SELECT r, c, COUNT(*) AS n FROM reach GROUP BY r, c), "
+        "acc AS (SELECT f.row, f.col, "
+        "CAST(1 + COALESCE(anc.n, 0) AS BIGINT) AS acc "
+        "FROM fd f LEFT JOIN anc ON anc.r = f.row AND anc.c = f.col), "
+        f"g AS ({_OG_SLOPE_GRID_SQL}), w AS ("
+        "SELECT e.row AS row, e.col AS col, "
+        "n1.z AS za, n2.z AS zb, n3.z AS zc, n4.z AS zd, e.z AS ze, "
+        "n6.z AS zf, n7.z AS zg, n8.z AS zh, n9.z AS zi "
+        "FROM g e "
+        "JOIN g n1 ON n1.row = e.row - 1 AND n1.col = e.col - 1 "
+        "JOIN g n2 ON n2.row = e.row - 1 AND n2.col = e.col "
+        "JOIN g n3 ON n3.row = e.row - 1 AND n3.col = e.col + 1 "
+        "JOIN g n4 ON n4.row = e.row AND n4.col = e.col - 1 "
+        "JOIN g n6 ON n6.row = e.row AND n6.col = e.col + 1 "
+        "JOIN g n7 ON n7.row = e.row + 1 AND n7.col = e.col - 1 "
+        "JOIN g n8 ON n8.row = e.row + 1 AND n8.col = e.col "
+        "JOIN g n9 ON n9.row = e.row + 1 AND n9.col = e.col + 1), "
+        "s AS (SELECT row, col, 100.0 * SQRT(p * p + q * q) AS slope_pct "
+        "FROM (SELECT row, col, "
+        "((zc + 2.0 * zf + zi) - (za + 2.0 * zd + zg)) / (8.0 * 0.01) AS p, "
+        "((zg + 2.0 * zh + zi) - (za + 2.0 * zb + zc)) / (8.0 * 0.01) AS q "
+        "FROM w WHERE za > -1e30 AND zb > -1e30 AND zc > -1e30 "
+        "AND zd > -1e30 AND ze > -1e30 AND zf > -1e30 "
+        "AND zg > -1e30 AND zh > -1e30 AND zi > -1e30)) "
+        "SELECT s.row, s.col, "
+        "ROUND(LN((CAST(acc.acc AS DOUBLE) * 0.01) "
+        "/ (s.slope_pct / 100.0)), 6) AS twi "
+        "FROM s JOIN acc ON acc.row = s.row AND acc.col = s.col "
+        "WHERE s.slope_pct > 0"
+    )
+    out["join_counts"] = (
+        # exact integer black rule (9216*n > total) and pair counts;
+        # mirrors _q_join_counts' dense shifts via the two
+        # one-directional adjacency joins
+        "WITH e AS (SELECT (event_id % 96) AS gx, "
+        "((event_id // 96) % 96) AS gy, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+        "lat AS (SELECT a.i AS gx, b.i AS gy FROM "
+        "generate_series(0, 95) a(i) CROSS JOIN "
+        "generate_series(0, 95) b(i)), "
+        "t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM e), "
+        "x AS (SELECT lat.gx, lat.gy, "
+        "CASE WHEN CAST(COALESCE(e.n, 0) AS BIGINT) * 9216 > t.tot "
+        "THEN 1 ELSE 0 END AS b "
+        "FROM lat LEFT JOIN e ON lat.gx = e.gx AND lat.gy = e.gy "
+        "CROSS JOIN t), "
+        "p AS (SELECT a.b AS b1, c.b AS b2 FROM x a "
+        "JOIN x c ON c.gy = a.gy AND c.gx = a.gx + 1 "
+        "UNION ALL SELECT a.b, c.b FROM x a "
+        "JOIN x c ON c.gx = a.gx AND c.gy = a.gy + 1) "
+        "SELECT (SELECT CAST(SUM(b) AS BIGINT) FROM x) AS n_black, "
+        "CAST(SUM(CASE WHEN b1 = 1 AND b2 = 1 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS bb, "
+        "CAST(SUM(CASE WHEN b1 <> b2 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS bw, "
+        "CAST(SUM(CASE WHEN b1 = 0 AND b2 = 0 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS ww FROM p"
+    )
+    out["levene_bf"] = (
+        # Brown-Forsythe W with quantile_disc group medians (exact
+        # ints), int64/HUGEINT abs-deviation moments, float tail in
+        # pinned A/N/R order -- mirrors _q_levene_bf
+        "WITH q AS (SELECT l_returnflag AS flag, "
+        "CAST(ROUND(l_extendedprice, 0) AS BIGINT) AS k FROM lineitem), "
+        "md AS (SELECT flag, quantile_disc(k, 0.5) AS med "
+        "FROM q GROUP BY flag), "
+        "z AS (SELECT q.flag, ABS(q.k - md.med) AS z FROM q "
+        "JOIN md ON md.flag = q.flag), "
+        "m AS (SELECT flag, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(z) AS BIGINT) AS s1, "
+        "CAST(SUM(z * z) AS BIGINT) AS s2 FROM z GROUP BY flag), "
+        "f AS (SELECT "
+        "a.n AS na, a.s1 AS s1a, a.s2 AS s2a, "
+        "b.n AS nn, b.s1 AS s1n, b.s2 AS s2n, "
+        "c.n AS nr, c.s1 AS s1r, c.s2 AS s2r, "
+        "a.n + b.n + c.n AS ntot "
+        "FROM m a, m b, m c "
+        "WHERE a.flag = 'A' AND b.flag = 'N' AND c.flag = 'R'), "
+        "v AS (SELECT ntot, "
+        "CAST(s1a + s1n + s1r AS DOUBLE) / CAST(ntot AS DOUBLE) AS zb, "
+        "CAST(s1a AS DOUBLE) / CAST(na AS DOUBLE) AS za, "
+        "CAST(s1n AS DOUBLE) / CAST(nn AS DOUBLE) AS zn, "
+        "CAST(s1r AS DOUBLE) / CAST(nr AS DOUBLE) AS zr, "
+        "na, nn, nr, s1a, s1n, s1r, s2a, s2n, s2r FROM f) "
+        "SELECT ntot AS n_total, "
+        "(SELECT med FROM md WHERE flag = 'A') AS med_a, "
+        "(SELECT med FROM md WHERE flag = 'N') AS med_n, "
+        "(SELECT med FROM md WHERE flag = 'R') AS med_r, "
+        "ROUND((CAST(ntot - 3 AS DOUBLE) / 2.0) * "
+        "((CAST(na AS DOUBLE) * (za - zb) * (za - zb) "
+        "+ CAST(nn AS DOUBLE) * (zn - zb) * (zn - zb)) "
+        "+ CAST(nr AS DOUBLE) * (zr - zb) * (zr - zb)) "
+        "/ ((CAST(s2a AS DOUBLE) "
+        "- CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE) / CAST(na AS DOUBLE)) "
+        "+ (CAST(s2n AS DOUBLE) "
+        "- CAST(s1n AS DOUBLE) * CAST(s1n AS DOUBLE) / CAST(nn AS DOUBLE)) "
+        "+ (CAST(s2r AS DOUBLE) "
+        "- CAST(s1r AS DOUBLE) * CAST(s1r AS DOUBLE) / CAST(nr AS DOUBLE))"
+        "), 6) AS levene_w FROM v"
+    )
+    out["clark_evans"] = (
+        # exact-min NN d2 per point (duplicate coords -> 0), each
+        # distance quantized at 1e9 before the sum; naive R (no edge
+        # correction), area = 0.9025 like ripley_k; mirrors
+        # _q_clark_evans
+        "WITH p AS (SELECT event_id, "
+        "77.0 + CAST(event_id % 96 AS DOUBLE) * 0.01 AS px, "
+        "28.05 + CAST((event_id // 96) % 96 AS DOUBLE) * 0.01 AS py "
+        "FROM events WHERE event_id % 100 = 0), "
+        "nn AS (SELECT a.event_id, "
+        "MIN((a.px - b.px) * (a.px - b.px) "
+        "+ (a.py - b.py) * (a.py - b.py)) AS d2 "
+        "FROM p a JOIN p b ON b.event_id <> a.event_id "
+        "GROUP BY a.event_id), "
+        "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CAST(ROUND(SQRT(d2) * 1e9, 0) AS BIGINT)) AS BIGINT) "
+        "AS s FROM nn) "
+        "SELECT n AS n_points, "
+        "ROUND(CAST(s AS DOUBLE) / 1e9 / CAST(n AS DOUBLE), 6) "
+        "AS mean_nn_dist, "
+        "ROUND((CAST(s AS DOUBLE) / 1e9 / CAST(n AS DOUBLE)) "
+        "/ (0.5 * SQRT(0.9025 / CAST(n AS DOUBLE))), 6) "
+        "AS clark_evans_r FROM t"
+    )
+    out["gravity_flows"] = (
+        # block masses are exact counts; near pairs by Chebyshev
+        # block distance <= 4; one float division per pair -- mirrors
+        # _q_gravity_flows
+        "WITH b AS (SELECT ((event_id % 96) // 8) AS bx, "
+        "(((event_id // 96) % 96) // 8) AS by, "
+        "CAST(COUNT(*) AS BIGINT) AS m FROM events GROUP BY 1, 2) "
+        "SELECT a.by * 12 + a.bx AS cell_a, "
+        "c.by * 12 + c.bx AS cell_b, "
+        "ROUND(CAST(a.m * c.m AS DOUBLE) "
+        "/ CAST((c.bx - a.bx) * (c.bx - a.bx) "
+        "+ (c.by - a.by) * (c.by - a.by) AS DOUBLE), 6) AS interaction "
+        "FROM b a JOIN b c "
+        "ON (a.by * 12 + a.bx) < (c.by * 12 + c.bx) "
+        "AND GREATEST(ABS(c.bx - a.bx), ABS(c.by - a.by)) <= 4"
+    )
+    out["jarque_bera"] = (
+        # exact HUGEINT central-moment identities; the n powers cancel
+        # so g1 = A3/A2^1.5 and g2 = A4/A2^2 -- mirrors _q_jarque_bera
+        "WITH q AS (SELECT l_returnflag AS flag, "
+        "CAST(ROUND(l_extendedprice / 100.0, 0) AS BIGINT) AS k "
+        "FROM lineitem), "
+        "m AS (SELECT flag, CAST(COUNT(*) AS HUGEINT) AS n, "
+        "CAST(SUM(k) AS HUGEINT) AS s1, "
+        "CAST(SUM(k * k) AS HUGEINT) AS s2, "
+        "CAST(SUM(k * k * k) AS HUGEINT) AS s3, "
+        "SUM(CAST(k * k AS HUGEINT) * CAST(k * k AS HUGEINT)) AS s4 "
+        "FROM q GROUP BY flag), "
+        "a AS (SELECT flag, n, n * s2 - s1 * s1 AS a2, "
+        "n * n * s3 - 3 * n * s2 * s1 + 2 * s1 * s1 * s1 AS a3, "
+        "n * n * n * s4 - 4 * n * n * s3 * s1 "
+        "+ 6 * n * s2 * s1 * s1 - 3 * s1 * s1 * s1 * s1 AS a4 FROM m), "
+        "g AS (SELECT flag, n, "
+        "CAST(a3 AS DOUBLE) / POW(CAST(a2 AS DOUBLE), 1.5) AS g1, "
+        "CAST(a4 AS DOUBLE) / (CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE)) "
+        "AS g2 FROM a) "
+        "SELECT flag AS l_returnflag, CAST(n AS BIGINT) AS n_rows, "
+        "ROUND(g1, 6) AS skewness, ROUND(g2, 6) AS kurtosis, "
+        "ROUND(CAST(n AS DOUBLE) / 6.0 * (g1 * g1 "
+        "+ (g2 - 3.0) * (g2 - 3.0) / 4.0), 6) AS jb_stat FROM g"
+    )
+    out["cohens_d"] = (
+        # pooled-variance effect size from exact int64 group moments;
+        # float steps written exactly like _q_cohens_d
+        "WITH q AS (SELECT l_returnflag AS flag, "
+        "CAST(ROUND(l_extendedprice / 100.0, 0) AS BIGINT) AS k "
+        "FROM lineitem WHERE l_returnflag IN ('R', 'N')), "
+        "m AS (SELECT flag, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(k) AS BIGINT) AS s1, "
+        "CAST(SUM(k * k) AS BIGINT) AS s2 FROM q GROUP BY flag), "
+        "v AS (SELECT flag, n, s1, "
+        "CAST(n * s2 - s1 * s1 AS DOUBLE) "
+        "/ (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS var FROM m) "
+        "SELECT r.n AS n_returned, o.n AS n_normal, "
+        "ROUND((CAST(r.s1 AS DOUBLE) / CAST(r.n AS DOUBLE) "
+        "- CAST(o.s1 AS DOUBLE) / CAST(o.n AS DOUBLE)) "
+        "/ SQRT((CAST(r.n - 1 AS DOUBLE) * r.var "
+        "+ CAST(o.n - 1 AS DOUBLE) * o.var) "
+        "/ CAST(r.n + o.n - 2 AS DOUBLE)), 6) AS cohens_d "
+        "FROM v r, v o WHERE r.flag = 'R' AND o.flag = 'N'"
+    )
+    out["durbin_watson"] = (
+        # integer residuals against the half-away-rounded mean (DW is
+        # shift-invariant); HUGEINT diff/level sums; mirrors
+        # _q_durbin_watson
+        "WITH c AS (SELECT epoch_us(o_orderdate) // 86400000000 AS d, "
+        "CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) "
+        "AS BIGINT) AS x FROM orders GROUP BY 1), "
+        "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(x) AS BIGINT) AS tot FROM c), "
+        "e AS (SELECT d, x - CAST(ROUND(CAST(t.tot AS DOUBLE) "
+        "/ CAST(t.n AS DOUBLE), 0) AS BIGINT) AS e FROM c, t), "
+        "e2 AS (SELECT e, LAG(e) OVER (ORDER BY d) AS ep FROM e), "
+        "s AS (SELECT SUM(CASE WHEN ep IS NULL THEN 0 "
+        "ELSE CAST(e - ep AS HUGEINT) * CAST(e - ep AS HUGEINT) END) "
+        "AS num, SUM(CAST(e AS HUGEINT) * CAST(e AS HUGEINT)) AS den "
+        "FROM e2) "
+        "SELECT t.n AS n_days, "
+        "ROUND(CAST(s.num AS DOUBLE) / CAST(s.den AS DOUBLE), 6) AS dw "
+        "FROM s, t"
+    )
+    out["fractal_boxcount"] = (
+        # occupied-box distinct counts per scale, then the quantized
+        # log-log OLS slope (HUGEINT moment products; mirrors
+        # _q_fractal_boxcount term for term)
+        f"WITH g AS ({_OG_SLOPE_GRID_SQL}), "
+        "v AS (SELECT row, col FROM g WHERE z > -1e30 AND z < 5.0), "
+        "n AS (SELECT s.s AS s, CAST(COUNT(DISTINCT "
+        "(row // s.s) * 1024 + (col // s.s)) AS BIGINT) AS nb "
+        "FROM (VALUES (1), (2), (4), (8), (16)) s(s), v GROUP BY s.s), "
+        "q AS (SELECT s, nb, "
+        "CAST(ROUND(LN(1.0 / CAST(s AS DOUBLE)) * 1e12, 0) AS BIGINT) "
+        "AS u, "
+        "CAST(ROUND(LN(CAST(nb AS DOUBLE)) * 1e12, 0) AS BIGINT) AS v "
+        "FROM n), "
+        "m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS k, "
+        "CAST(SUM(u) AS HUGEINT) AS su, CAST(SUM(v) AS HUGEINT) AS sv, "
+        "SUM(CAST(u AS HUGEINT) * CAST(v AS HUGEINT)) AS suv, "
+        "SUM(CAST(u AS HUGEINT) * CAST(u AS HUGEINT)) AS suu FROM q) "
+        "SELECT "
+        "(SELECT nb FROM n WHERE s = 1) AS n1, "
+        "(SELECT nb FROM n WHERE s = 2) AS n2, "
+        "(SELECT nb FROM n WHERE s = 4) AS n4, "
+        "(SELECT nb FROM n WHERE s = 8) AS n8, "
+        "(SELECT nb FROM n WHERE s = 16) AS n16, "
+        "ROUND(CAST(k * suv - su * sv AS DOUBLE) "
+        "/ CAST(k * suu - su * su AS DOUBLE), 6) AS box_dim FROM m"
     )
     return out
