@@ -8302,6 +8302,315 @@ def _q_fractal_boxcount(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_heaps_law(sf_dir: str) -> pa.Table:
+    """Heaps'-law vocabulary growth over the corpus in doc_id order:
+    cumulative token and distinct-word counts at 10 equal id-range
+    checkpoints (first-occurrence bucket per word via a distributed
+    min-doc_id groupby -- the corpus never sorts), then the log-log
+    OLS exponent from 1e12-quantized LN terms (exact HUGEINT
+    moments).  Tokenization identical to token_frequencies (RE2 \\s+
+    split, empty filtered)."""
+    import math
+
+    import pyarrow.compute as pc
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables, hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    mx_t = hash_aggregate(
+        _read_pq(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "_g": pa.array(np.zeros(b.num_rows, np.int64)),
+                    "doc_id": b["doc_id"],
+                }
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        ),
+        ["_g"],
+        [("doc_id", "max", "mx")],
+    )
+    mx = int(mx_t["mx"][0].as_py())
+
+    def tok_min(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch["text"], pattern=r"\s+")
+        ids = pc.list_parent_indices(toks)
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "")
+        t = pa.table(
+            {
+                "token": flat.filter(keep),
+                "doc_id": pc.take(batch["doc_id"], ids).filter(keep),
+            }
+        )
+        out = t.group_by(["token"]).aggregate([("doc_id", "min")])
+        return out.rename_columns(["token", "fd"])
+
+    firsts = collect_tables(
+        ds.map_batches(tok_min, batch_format="pyarrow", batch_size=None)
+    )
+    firsts = (
+        firsts.group_by(["token"]).aggregate([("fd", "min")])
+        .rename_columns(["token", "fd"])
+    )
+
+    def tok_bucket(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch["text"], pattern=r"\s+")
+        ids = pc.list_parent_indices(toks)
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "")
+        d = (
+            pc.take(batch["doc_id"], ids)
+            .filter(keep)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        b = d * 10 // (mx + 1)
+        return pa.table(
+            {
+                "b": pa.array(b),
+                "_one": pa.array(np.ones(len(b), np.int64)),
+            }
+        )
+
+    nb = hash_aggregate(
+        ds.map_batches(tok_bucket, batch_format="pyarrow", batch_size=None),
+        ["b"],
+        [("_one", "sum", "n")],
+    )
+    ncur = np.zeros(10, np.int64)
+    for i in range(nb.num_rows):
+        ncur[int(nb["b"][i].as_py())] = int(nb["n"][i].as_py())
+    vcur = np.zeros(10, np.int64)
+    fb = (
+        firsts["fd"].to_numpy(zero_copy_only=False).astype(np.int64)
+        * 10
+        // (mx + 1)
+    )
+    for b in fb.tolist():
+        vcur[b] += 1
+    cum_n = np.cumsum(ncur)
+    cum_v = np.cumsum(vcur)
+    us = [int(round(math.log(float(x)) * 1e12)) for x in cum_n.tolist()]
+    vs = [int(round(math.log(float(x)) * 1e12)) for x in cum_v.tolist()]
+    k = 10
+    su, sv = sum(us), sum(vs)
+    suv = sum(u * v for u, v in zip(us, vs))
+    suu = sum(u * u for u in us)
+    beta = float(k * suv - su * sv) / float(k * suu - su * su)
+    return pa.table(
+        {
+            "bucket": pa.array(list(range(10)), pa.int64()),
+            "cum_tokens": pa.array(cum_n.tolist(), pa.int64()),
+            "cum_vocab": pa.array(cum_v.tolist(), pa.int64()),
+            "heaps_beta": round_like_sql([beta] * 10, 6),
+        }
+    )
+
+
+def _q_hurst_exponent(sf_dir: str) -> pa.Table:
+    """Hurst exponent of the daily event-count series via classic
+    rescaled-range analysis: per-window range of cumulative deviations
+    and variance both reduce to exact integers when scaled by the
+    window length (R/S = (max_j - min_j of w*cum_j - (j+1)*S) /
+    sqrt(w*Q - S^2)), each window ratio quantized at 1e9, the log-log
+    OLS slope from 1e12-quantized LN terms.  Dense day series
+    (missing days count 0, the variance_ratio convention)."""
+    import math
+
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+
+    def daily(batch: pa.Table) -> pa.Table:
+        d = (
+            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        return pa.table(
+            {
+                "d": pa.array(d),
+                "_one": pa.array(np.ones(len(d), np.int64)),
+            }
+        )
+
+    agg = hash_aggregate(
+        ds.map_batches(daily, batch_format="pyarrow", batch_size=None),
+        ["d"],
+        [("_one", "sum", "x")],
+    )
+    dd = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+    xx = agg["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lo, hi = int(dd.min()), int(dd.max())
+    n = hi - lo + 1
+    series = np.zeros(n, np.int64)
+    series[dd - lo] = xx
+    windows = (3, 5, 10, 15)  # the events table spans ~30 days
+    out_w, out_nw, out_mean = [], [], []
+    pts_u, pts_v = [], []
+    for w in windows:
+        nw = n // w
+        rqs = []
+        for wid in range(nw):
+            x = series[wid * w : (wid + 1) * w]
+            s = int(x.sum())
+            q = int((x * x).sum())
+            a2 = w * q - s * s
+            if a2 <= 0:
+                continue
+            cum = np.cumsum(x)
+            y = w * cum - (np.arange(1, w + 1, dtype=np.int64)) * s
+            rs = int(y.max()) - int(y.min())
+            rqs.append(
+                int(
+                    round_half_away(
+                        np.array([float(rs) / np.sqrt(float(a2)) * 1e9])
+                    )[0]
+                )
+            )
+        mean_rs = float(sum(rqs)) / 1e9 / float(len(rqs))
+        out_w.append(w)
+        out_nw.append(len(rqs))
+        out_mean.append(mean_rs)
+        pts_u.append(int(round(math.log(float(w)) * 1e12)))
+        pts_v.append(int(round(math.log(mean_rs) * 1e12)))
+    k = len(windows)
+    su, sv = sum(pts_u), sum(pts_v)
+    suv = sum(u * v for u, v in zip(pts_u, pts_v))
+    suu = sum(u * u for u in pts_u)
+    hurst = float(k * suv - su * sv) / float(k * suu - su * su)
+    return pa.table(
+        {
+            "window": pa.array(out_w, pa.int64()),
+            "n_windows": pa.array(out_nw, pa.int64()),
+            "mean_rs": round_like_sql(out_mean, 6),
+            "hurst": round_like_sql([hurst] * k, 6),
+        }
+    )
+
+
+def _q_markov_entropy_rate(sf_dir: str) -> pa.Table:
+    """Entropy rate of the per-user event-type Markov chain: H =
+    -(1/N) * sum over transitions of n_sd * ln(n_sd / n_s.) -- the
+    compressibility / predictability summary of the clickstream,
+    composed from the same transition counts as markov_transitions.
+    Per-transition terms quantized at 1e12 (exact int64 sum in any
+    order), one float division."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        markov_transitions, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    tr = markov_transitions(ds, "user_id", "event_type", ["ts", "event_id"])
+    src = tr["src"].to_numpy(zero_copy_only=False)
+    nn = tr["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    row_tot: dict[str, int] = {}
+    for s, c in zip(src.tolist(), nn.tolist()):
+        row_tot[s] = row_tot.get(s, 0) + c
+    ntot = int(nn.sum())
+    tq = 0
+    for s, c in zip(src.tolist(), nn.tolist()):
+        tq += int(
+            round_half_away(
+                np.array(
+                    [float(c) * np.log(float(c) / float(row_tot[s])) * 1e12]
+                )
+            )[0]
+        )
+    h = -float(tq) / 1e12 / float(ntot)
+    return pa.table(
+        {
+            "n_transitions": pa.array([ntot], pa.int64()),
+            "entropy_rate_nats": round_like_sql([h], 6),
+        }
+    )
+
+
+def _q_t_closeness(sf_dir: str) -> pa.Table:
+    """t-closeness audit completing the k-anonymity / l-diversity
+    governance trio: per (source, length-bucket) QI group, the
+    variational distance 0.5 * sum over langs |P_g(lang) - P(lang)|
+    (absent langs contribute the global share), each term quantized
+    at 1e12 so the group sum is an exact int64; groups failing t in
+    0.2/0.3/0.5 compared in integer space (sum_tq > t * 2e12)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["lang", "source", "n_chars"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        nc = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "source": batch["source"],
+                "len_bucket": pa.array(nc // 100),
+                "lang": batch["lang"],
+                "_one": pa.array(np.ones(len(nc), np.int64)),
+            }
+        )
+
+    agg = hash_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        ["source", "len_bucket", "lang"],
+        [("_one", "sum", "n")],
+    )
+    src = agg["source"].to_numpy(zero_copy_only=False)
+    lb = agg["len_bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lg = agg["lang"].to_numpy(zero_copy_only=False)
+    nn = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lang_tot: dict[str, int] = {}
+    groups: dict[tuple, dict[str, int]] = {}
+    for s, b, l, c in zip(src.tolist(), lb.tolist(), lg.tolist(), nn.tolist()):
+        lang_tot[l] = lang_tot.get(l, 0) + c
+        groups.setdefault((s, b), {})[l] = c
+    ntot = sum(lang_tot.values())
+    sums = {}
+    sizes = {}
+    for gkey, per in groups.items():
+        ng = sum(per.values())
+        sizes[gkey] = ng
+        tq = 0
+        for l, nl in lang_tot.items():
+            pg = float(per.get(l, 0)) / float(ng)
+            pt = float(nl) / float(ntot)
+            tq += int(round_half_away(np.array([abs(pg - pt) * 1e12]))[0])
+        sums[gkey] = tq
+    thresholds = ((0.2, 400_000_000_000), (0.3, 600_000_000_000),
+                  (0.5, 1_000_000_000_000))
+    out_t, out_g, out_d = [], [], []
+    for tval, tint in thresholds:
+        bad = [g for g, s in sums.items() if s > tint]
+        out_t.append(tval)
+        out_g.append(len(bad))
+        out_d.append(int(sum(sizes[g] for g in bad)))
+    max_t = max(sums.values())
+    return pa.table(
+        {
+            "t": pa.array(out_t, pa.float64()),
+            "n_groups_failing": pa.array(out_g, pa.int64()),
+            "docs_exposed": pa.array(out_d, pa.int64()),
+            "max_t": round_like_sql(
+                [float(max_t) / 2e12] * len(out_t), 6
+            ),
+        }
+    )
+
+
 def _q_levene_bf(sf_dir: str) -> pa.Table:
     """Brown-Forsythe (median-centered Levene) homogeneity-of-variance
     test of the dollar price across return flags: group medians via
@@ -10531,6 +10840,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gravity_flows": _q_gravity_flows,
         "levene_bf": _q_levene_bf,
         "twi": _q_twi,
+        "heaps_law": _q_heaps_law,
+        "hurst_exponent": _q_hurst_exponent,
+        "markov_entropy_rate": _q_markov_entropy_rate,
+        "t_closeness": _q_t_closeness,
         "word_degree_dist": _q_word_degree_dist,
         "mann_whitney": _q_mann_whitney,
         "kruskal_wallis": _q_kruskal_wallis,
@@ -15357,6 +15670,142 @@ def oracle_sql() -> dict[str, str]:
         "AS bw, "
         "CAST(SUM(CASE WHEN b1 = 0 AND b2 = 0 THEN 1 ELSE 0 END) "
         "AS BIGINT) AS ww FROM p"
+    )
+    out["heaps_law"] = (
+        # first-occurrence buckets via MIN(doc_id) per token; cumulative
+        # window sums; 1e12-quantized LN OLS -- mirrors _q_heaps_law
+        "WITH mx AS (SELECT MAX(doc_id) AS mx FROM documents), "
+        "tk AS (SELECT doc_id, "
+        "UNNEST(regexp_split_to_array(text, '\\s+')) AS token "
+        "FROM documents), "
+        "t2 AS (SELECT doc_id, token FROM tk WHERE token <> ''), "
+        "fb AS (SELECT token, MIN(doc_id) AS fd FROM t2 GROUP BY token), "
+        "vb AS (SELECT (fd * 10 // (mx.mx + 1)) AS b, "
+        "CAST(COUNT(*) AS BIGINT) AS v FROM fb, mx GROUP BY 1), "
+        "nb AS (SELECT (doc_id * 10 // (mx.mx + 1)) AS b, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM t2, mx GROUP BY 1), "
+        "bl AS (SELECT r.range AS b FROM range(0, 10) r), "
+        "c AS (SELECT bl.b, "
+        "CAST(SUM(COALESCE(nb.n, 0)) OVER (ORDER BY bl.b "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens, "
+        "CAST(SUM(COALESCE(vb.v, 0)) OVER (ORDER BY bl.b "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab "
+        "FROM bl LEFT JOIN nb ON nb.b = bl.b "
+        "LEFT JOIN vb ON vb.b = bl.b), "
+        "q AS (SELECT b, cum_tokens, cum_vocab, "
+        "CAST(ROUND(LN(CAST(cum_tokens AS DOUBLE)) * 1e12, 0) AS BIGINT) "
+        "AS u, "
+        "CAST(ROUND(LN(CAST(cum_vocab AS DOUBLE)) * 1e12, 0) AS BIGINT) "
+        "AS v FROM c), "
+        "m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS k, "
+        "CAST(SUM(u) AS HUGEINT) AS su, CAST(SUM(v) AS HUGEINT) AS sv, "
+        "SUM(CAST(u AS HUGEINT) * CAST(v AS HUGEINT)) AS suv, "
+        "SUM(CAST(u AS HUGEINT) * CAST(u AS HUGEINT)) AS suu FROM q) "
+        "SELECT q.b AS bucket, q.cum_tokens, q.cum_vocab, "
+        "ROUND(CAST(m.k * m.suv - m.su * m.sv AS DOUBLE) "
+        "/ CAST(m.k * m.suu - m.su * m.su AS DOUBLE), 6) AS heaps_beta "
+        "FROM q, m"
+    )
+    out["hurst_exponent"] = (
+        # scaled-integer R/S per window (rs = max-min of w*cum-(j+1)*S,
+        # a2 = w*Q-S^2), per-window ratios quantized at 1e9, LN OLS at
+        # 1e12 -- mirrors _q_hurst_exponent over the dense day series
+        "WITH c0 AS (SELECT epoch_us(ts) // 86400000000 AS d, "
+        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1), "
+        "mm AS (SELECT MIN(d) AS lo, MAX(d) AS hi, "
+        "CAST(MAX(d) - MIN(d) + 1 AS BIGINT) AS n FROM c0), "
+        "dd AS (SELECT r.range AS t, mm.lo + r.range AS d "
+        "FROM range(0, 4096) r, mm WHERE r.range <= mm.hi - mm.lo), "
+        "dn AS (SELECT dd.t, COALESCE(c0.x, 0) AS x "
+        "FROM dd LEFT JOIN c0 ON c0.d = dd.d), "
+        "ws AS (SELECT w.w, dn.t // w.w AS wid, dn.t, dn.x "
+        "FROM dn, (VALUES (3), (5), (10), (15)) w(w), mm "
+        "WHERE dn.t // w.w < mm.n // w.w), "
+        "st AS (SELECT w, wid, CAST(SUM(x) AS BIGINT) AS s, "
+        "CAST(SUM(x * x) AS BIGINT) AS q FROM ws GROUP BY w, wid), "
+        "cm AS (SELECT w, wid, t, "
+        "CAST(SUM(x) OVER (PARTITION BY w, wid ORDER BY t "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM ws), "
+        "yy AS (SELECT cm.w, cm.wid, "
+        "cm.w * cm.cum - ((cm.t % cm.w) + 1) * st.s AS y "
+        "FROM cm JOIN st ON st.w = cm.w AND st.wid = cm.wid), "
+        "rw AS (SELECT w, wid, MAX(y) - MIN(y) AS rs "
+        "FROM yy GROUP BY w, wid), "
+        "aa AS (SELECT w, wid, w * q - s * s AS a2 FROM st), "
+        "rr AS (SELECT rw.w, CAST(ROUND(CAST(rw.rs AS DOUBLE) "
+        "/ SQRT(CAST(aa.a2 AS DOUBLE)) * 1e9, 0) AS BIGINT) AS rq "
+        "FROM rw JOIN aa ON aa.w = rw.w AND aa.wid = rw.wid "
+        "WHERE aa.a2 > 0), "
+        "ms AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS nw, "
+        "CAST(SUM(rq) AS BIGINT) AS sq FROM rr GROUP BY w), "
+        "pts AS (SELECT w, nw, sq, "
+        "CAST(ROUND(LN(CAST(w AS DOUBLE)) * 1e12, 0) AS BIGINT) AS u, "
+        "CAST(ROUND(LN(CAST(sq AS DOUBLE) / 1e9 / CAST(nw AS DOUBLE)) "
+        "* 1e12, 0) AS BIGINT) AS v FROM ms), "
+        "m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS k, "
+        "CAST(SUM(u) AS HUGEINT) AS su, CAST(SUM(v) AS HUGEINT) AS sv, "
+        "SUM(CAST(u AS HUGEINT) * CAST(v AS HUGEINT)) AS suv, "
+        "SUM(CAST(u AS HUGEINT) * CAST(u AS HUGEINT)) AS suu FROM pts) "
+        "SELECT pts.w AS window, pts.nw AS n_windows, "
+        "ROUND(CAST(pts.sq AS DOUBLE) / 1e9 / CAST(pts.nw AS DOUBLE), 6) "
+        "AS mean_rs, "
+        "ROUND(CAST(m.k * m.suv - m.su * m.sv AS DOUBLE) "
+        "/ CAST(m.k * m.suu - m.su * m.su AS DOUBLE), 6) AS hurst "
+        "FROM pts, m"
+    )
+    out["markov_entropy_rate"] = (
+        # H = -(1/N) sum n_sd * ln(n_sd/n_s.), terms quantized at 1e12;
+        # transition counts exactly as the markov_transitions oracle
+        "WITH s AS (SELECT user_id, event_type, "
+        "LEAD(event_type) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS nxt FROM events), "
+        "tr AS (SELECT event_type AS src, nxt AS dst, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM s "
+        "WHERE nxt IS NOT NULL GROUP BY 1, 2), "
+        "rt AS (SELECT src, CAST(SUM(n) AS BIGINT) AS ns "
+        "FROM tr GROUP BY src), "
+        "tt AS (SELECT CAST(SUM(n) AS BIGINT) AS ntot FROM tr), "
+        "q AS (SELECT CAST(ROUND(CAST(tr.n AS DOUBLE) "
+        "* LN(CAST(tr.n AS DOUBLE) / CAST(rt.ns AS DOUBLE)) * 1e12, 0) "
+        "AS BIGINT) AS tq FROM tr JOIN rt ON rt.src = tr.src) "
+        "SELECT tt.ntot AS n_transitions, "
+        "ROUND(-CAST(SUM(q.tq) AS DOUBLE) / 1e12 "
+        "/ CAST(tt.ntot AS DOUBLE), 6) AS entropy_rate_nats "
+        "FROM q, tt GROUP BY tt.ntot"
+    )
+    out["t_closeness"] = (
+        # variational distance per QI group with absent langs
+        # contributing the global share; 1e12-quantized terms, integer
+        # threshold compare (sum_tq > t*2e12) -- mirrors _q_t_closeness
+        "WITH c AS (SELECT source, n_chars // 100 AS len_bucket, lang, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1, 2, 3), "
+        "lt AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS nl "
+        "FROM c GROUP BY lang), "
+        "tt AS (SELECT CAST(SUM(n) AS BIGINT) AS ntot FROM c), "
+        "gs AS (SELECT source, len_bucket, CAST(SUM(n) AS BIGINT) AS ng "
+        "FROM c GROUP BY 1, 2), "
+        "q AS (SELECT gs.source, gs.len_bucket, gs.ng, "
+        "CAST(ROUND(ABS(CAST(COALESCE(c.n, 0) AS DOUBLE) "
+        "/ CAST(gs.ng AS DOUBLE) "
+        "- CAST(lt.nl AS DOUBLE) / CAST(tt.ntot AS DOUBLE)) * 1e12, 0) "
+        "AS BIGINT) AS tq "
+        "FROM gs CROSS JOIN lt CROSS JOIN tt "
+        "LEFT JOIN c ON c.source = gs.source "
+        "AND c.len_bucket = gs.len_bucket AND c.lang = lt.lang), "
+        "g AS (SELECT source, len_bucket, MAX(ng) AS ng, "
+        "CAST(SUM(tq) AS BIGINT) AS s FROM q GROUP BY 1, 2), "
+        "th AS (SELECT * FROM (VALUES "
+        "(0.2, CAST(400000000000 AS BIGINT)), "
+        "(0.3, CAST(600000000000 AS BIGINT)), "
+        "(0.5, CAST(1000000000000 AS BIGINT))) v(t, ti)), "
+        "mx AS (SELECT MAX(s) AS ms FROM g) "
+        "SELECT th.t AS t, "
+        "CAST(SUM(CASE WHEN g.s > th.ti THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_groups_failing, "
+        "CAST(SUM(CASE WHEN g.s > th.ti THEN g.ng ELSE 0 END) AS BIGINT) "
+        "AS docs_exposed, "
+        "ROUND(CAST(mx.ms AS DOUBLE) / 2e12, 6) AS max_t "
+        "FROM th, g, mx GROUP BY th.t, mx.ms"
     )
     out["levene_bf"] = (
         # Brown-Forsythe W with quantile_disc group medians (exact

@@ -379,6 +379,7 @@ EXTRA_QUERY_SUBSET = [
     "band_correlation", "field_divergence", "lsh_blocking_audit",
     "join_counts", "fractal_boxcount", "jarque_bera", "cohens_d",
     "durbin_watson", "clark_evans", "gravity_flows", "levene_bf", "twi",
+    "heaps_law", "hurst_exponent", "markov_entropy_rate", "t_closeness",
 ]
 
 
