@@ -8302,6 +8302,179 @@ def _q_fractal_boxcount(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_terrain_openness(sf_dir: str) -> pa.Table:
+    """Positive topographic openness (Yokoyama et al. 2002) over the
+    sparse DEM: per cell, mean over the 8 principal directions of
+    (pi/2 - max elevation angle along the ray), valid ray cells only,
+    diagonal steps at true sqrt(2) spacing.  The DEM ships once via
+    ray.put (the viewshed fan-out shape); per-direction angle terms
+    are quantized at 1e12 so the 8-way sum is an exact int64.  Cells
+    lacking a valid neighbor in any direction are dropped (the SQL
+    mirror's HAVING COUNT = 8)."""
+    import ray
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables, round_like_sql,
+    )
+
+    tiles = _og_tiles_table(sparse_invalid=True)
+    z = np.full((OG_H, OG_W), np.nan)
+    for i in range(tiles.num_rows):
+        r0 = tiles["row_off"][i].as_py()
+        c0 = tiles["col_off"][i].as_py()
+        h = tiles["height"][i].as_py()
+        w = tiles["width"][i].as_py()
+        z[r0 : r0 + h, c0 : c0 + w] = np.asarray(
+            tiles["values"][i].as_py(), np.float32
+        ).reshape(h, w)
+    valid = z > -1e30
+    ref = ray.put((z, valid))
+    rr, cc = np.meshgrid(np.arange(OG_H), np.arange(OG_W), indexing="ij")
+    targets = pa.table(
+        {
+            "row": pa.array(rr.ravel().astype(np.int64)),
+            "col": pa.array(cc.ravel().astype(np.int64)),
+        }
+    )
+    dirs = [
+        (0, 1, 1.0), (0, -1, 1.0), (1, 0, 1.0), (-1, 0, 1.0),
+        (1, 1, float(np.sqrt(2.0))), (1, -1, float(np.sqrt(2.0))),
+        (-1, 1, float(np.sqrt(2.0))), (-1, -1, float(np.sqrt(2.0))),
+    ]
+
+    def openness(batch: pa.Table) -> pa.Table:
+        zg, vg = ray.get(ref)
+        row = batch["row"].to_numpy(zero_copy_only=False).astype(np.int64)
+        col = batch["col"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = vg[row, col]
+        row, col = row[keep], col[keep]
+        z0 = zg[row, col]
+        tq_sum = np.zeros(len(row), np.int64)
+        n_dirs = np.zeros(len(row), np.int64)
+        for dr, dc, f in dirs:
+            mr = np.full(len(row), -np.inf)
+            any_v = np.zeros(len(row), bool)
+            for k in range(1, 96):
+                tr = row + dr * k
+                tc = col + dc * k
+                inb = (tr >= 0) & (tr < OG_H) & (tc >= 0) & (tc < OG_W)
+                if not inb.any():
+                    break
+                trc = np.clip(tr, 0, OG_H - 1)
+                tcc = np.clip(tc, 0, OG_W - 1)
+                ok = inb & vg[trc, tcc]
+                ratio = (zg[trc, tcc] - z0) / (k * 0.01 * f)
+                mr = np.where(ok, np.maximum(mr, ratio), mr)
+                any_v |= ok
+            term = round_half_away(
+                (np.pi / 2.0 - np.arctan(mr)) * 1e12
+            ).astype(np.int64)
+            tq_sum += np.where(any_v, term, 0)
+            n_dirs += any_v
+        full = n_dirs == 8
+        return pa.table(
+            {
+                "row": pa.array(row[full]),
+                "col": pa.array(col[full]),
+                "openness": round_like_sql(
+                    (tq_sum[full].astype(np.float64) / 1e12 / 8.0), 6
+                ),
+            }
+        )
+
+    out = collect_tables(
+        ray.data.from_arrow(targets).map_batches(
+            openness, batch_format="pyarrow", batch_size=1024
+        )
+    )
+    return out.sort_by([("row", "ascending"), ("col", "ascending")])
+
+
+def _q_linear_attribution(sf_dir: str) -> pa.Table:
+    """Linear multi-touch attribution: each purchase's cents split
+    equally across the user's touches (any earlier event) in the 24 h
+    before it, summed per touch type -- the marketing-analytics
+    counterpart of first_touch_attribution.  Per-(purchase, touch)
+    terms cents/c are quantized at 1e6 so type sums are exact int64;
+    per-user ordered matching runs in the groupby map_groups tier."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type", "value"],
+    )
+
+    def per_user(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        g = group.take(order)
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        et = g["event_type"].to_numpy(zero_copy_only=False)
+        val = g["value"].to_numpy(zero_copy_only=False)
+        cents = round_half_away(val * 100.0).astype(np.int64)
+        types: dict[str, int] = {}
+        is_p = et == "purchase"
+        lo = np.searchsorted(ts, ts - 86_400_000_000, side="left")
+        for i in np.nonzero(is_p)[0].tolist():
+            j0 = int(lo[i])
+            if j0 >= i:
+                continue
+            c = i - j0
+            for j in range(j0, i):
+                t = et[j]
+                types[t] = types.get(t, 0) + int(
+                    round_half_away(
+                        np.array([float(cents[i]) / float(c) * 1e6])
+                    )[0]
+                )
+        if not types:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "tq": pa.array([], pa.int64()),
+                }
+            )
+        ks = sorted(types)
+        return pa.table(
+            {
+                "event_type": pa.array(ks),
+                "tq": pa.array([types[k] for k in ks], pa.int64()),
+            }
+        )
+
+    per = (
+        ds.groupby("user_id")
+        .map_groups(per_user, batch_format="pyarrow")
+    )
+    allp = collect_tables(per)
+    agg = allp.group_by(["event_type"]).aggregate([("tq", "sum")])
+    agg = agg.rename_columns(["event_type", "tq"])
+    import pyarrow.compute as pc
+
+    idx = pc.sort_indices(agg, sort_keys=[("event_type", "ascending")])
+    agg = agg.take(idx)
+    return pa.table(
+        {
+            "event_type": agg["event_type"],
+            "attributed_dollars": round_like_sql(
+                (
+                    agg["tq"].to_numpy(zero_copy_only=False).astype(
+                        np.float64
+                    )
+                    / 1e6
+                    / 100.0
+                ),
+                6,
+            ),
+        }
+    )
+
+
 def _q_heaps_law(sf_dir: str) -> pa.Table:
     """Heaps'-law vocabulary growth over the corpus in doc_id order:
     cumulative token and distinct-word counts at 10 equal id-range
@@ -10842,6 +11015,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "twi": _q_twi,
         "heaps_law": _q_heaps_law,
         "hurst_exponent": _q_hurst_exponent,
+        "terrain_openness": _q_terrain_openness,
+        "linear_attribution": _q_linear_attribution,
         "markov_entropy_rate": _q_markov_entropy_rate,
         "t_closeness": _q_t_closeness,
         "word_degree_dist": _q_word_degree_dist,
@@ -15670,6 +15845,55 @@ def oracle_sql() -> dict[str, str]:
         "AS bw, "
         "CAST(SUM(CASE WHEN b1 = 0 AND b2 = 0 THEN 1 ELSE 0 END) "
         "AS BIGINT) AS ww FROM p"
+    )
+    out["terrain_openness"] = (
+        # positive openness: max elevation angle per direction over
+        # valid ray cells, diagonal spacing sqrt(2), 1e12-quantized
+        # angle terms, all-8-directions cells only -- mirrors
+        # _q_terrain_openness
+        f"WITH g AS ({_OG_SLOPE_GRID_SQL}), "
+        "v AS (SELECT row, col, z FROM g WHERE z > -1e30), "
+        "rays AS (SELECT c.row, c.col, d.dr, d.dc, "
+        "MAX((t.z - c.z) / (k.k * 0.01 * d.f)) AS mr "
+        "FROM v c, (VALUES (0, 1, 1.0), (0, -1, 1.0), (1, 0, 1.0), "
+        "(-1, 0, 1.0), (1, 1, SQRT(2.0)), (1, -1, SQRT(2.0)), "
+        "(-1, 1, SQRT(2.0)), (-1, -1, SQRT(2.0))) d(dr, dc, f), "
+        "range(1, 96) k(k), v t "
+        "WHERE t.row = c.row + d.dr * k.k "
+        "AND t.col = c.col + d.dc * k.k "
+        "GROUP BY c.row, c.col, d.dr, d.dc), "
+        "terms AS (SELECT row, col, "
+        "CAST(ROUND((PI() / 2 - ATAN(mr)) * 1e12, 0) AS BIGINT) AS tq "
+        "FROM rays), "
+        "o AS (SELECT row, col, CAST(COUNT(*) AS BIGINT) AS nd, "
+        "CAST(SUM(tq) AS BIGINT) AS s FROM terms GROUP BY row, col) "
+        "SELECT row, col, "
+        "ROUND(CAST(s AS DOUBLE) / 1e12 / 8.0, 6) AS openness "
+        "FROM o WHERE nd = 8"
+    )
+    out["linear_attribution"] = (
+        # equal split of purchase cents over the user's 24h-window
+        # touches (strict (ts, event_id) order, inclusive window
+        # start); per-pair terms quantized at 1e6 -- mirrors
+        # _q_linear_attribution
+        "WITH e AS (SELECT user_id, event_id, event_type, "
+        "epoch_us(ts) AS us, "
+        "CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events), "
+        "p AS (SELECT user_id, event_id AS pid, us, cents FROM e "
+        "WHERE event_type = 'purchase'), "
+        "m AS (SELECT p.pid, p.cents, t.event_type FROM p "
+        "JOIN e t ON t.user_id = p.user_id "
+        "AND t.us >= p.us - 86400000000 "
+        "AND (t.us < p.us OR (t.us = p.us AND t.event_id < p.pid))), "
+        "cnt AS (SELECT pid, CAST(COUNT(*) AS BIGINT) AS c "
+        "FROM m GROUP BY pid), "
+        "terms AS (SELECT m.event_type, "
+        "CAST(ROUND(CAST(m.cents AS DOUBLE) / CAST(cnt.c AS DOUBLE) "
+        "* 1e6, 0) AS BIGINT) AS tq "
+        "FROM m JOIN cnt ON cnt.pid = m.pid) "
+        "SELECT event_type, "
+        "ROUND(CAST(SUM(tq) AS DOUBLE) / 1e6 / 100.0, 6) "
+        "AS attributed_dollars FROM terms GROUP BY event_type"
     )
     out["heaps_law"] = (
         # first-occurrence buckets via MIN(doc_id) per token; cumulative

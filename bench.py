@@ -380,6 +380,7 @@ EXTRA_QUERY_SUBSET = [
     "join_counts", "fractal_boxcount", "jarque_bera", "cohens_d",
     "durbin_watson", "clark_evans", "gravity_flows", "levene_bf", "twi",
     "heaps_law", "hurst_exponent", "markov_entropy_rate", "t_closeness",
+    "terrain_openness", "linear_attribution",
 ]
 
 
