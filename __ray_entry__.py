@@ -8302,6 +8302,175 @@ def _q_fractal_boxcount(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_vocab_overlap(sf_dir: str) -> pa.Table:
+    """Pairwise vocabulary Jaccard between sources: distinct (token,
+    source) pairs via the vocab-bounded combiner, then source-bitmask
+    encoding driver-side (<= 2^n_sources masks) so intersections come
+    from mask counts, not an all-pairs token loop.  Tokenization
+    identical to token_frequencies."""
+    import pyarrow.compute as pc
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+    )
+
+    def tok_src(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch["text"], pattern=r"\s+")
+        ids = pc.list_parent_indices(toks)
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "")
+        t = pa.table(
+            {
+                "token": flat.filter(keep),
+                "source": pc.take(batch["source"], ids).filter(keep),
+            }
+        )
+        out = t.group_by(["token", "source"]).aggregate([])
+        return out
+
+    pairs = collect_tables(
+        ds.map_batches(tok_src, batch_format="pyarrow", batch_size=None)
+    )
+    pairs = pairs.group_by(["token", "source"]).aggregate([])
+    srcs = sorted(set(pairs["source"].to_pylist()))
+    sidx = {s: i for i, s in enumerate(srcs)}
+    tok = pairs["token"].to_numpy(zero_copy_only=False)
+    src = pairs["source"].to_numpy(zero_copy_only=False)
+    bit = np.array([1 << sidx[s] for s in src.tolist()], np.int64)
+    order = np.argsort(tok, kind="stable")
+    tok, bit = tok[order], bit[order]
+    # per-token OR of source bits via segmented reduce
+    change = np.ones(len(tok), bool)
+    change[1:] = tok[1:] != tok[:-1]
+    seg = np.cumsum(change) - 1
+    masks = np.zeros(int(seg[-1]) + 1 if len(seg) else 0, np.int64)
+    np.bitwise_or.at(masks, seg, bit)
+    mask_counts = np.bincount(masks, minlength=1 << len(srcs))
+    out_a, out_b, out_va, out_vb, out_i, out_j = [], [], [], [], [], []
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            ba, bb = 1 << sidx[a], 1 << sidx[b]
+            va = int(
+                sum(c for m, c in enumerate(mask_counts) if m & ba)
+            )
+            vb = int(
+                sum(c for m, c in enumerate(mask_counts) if m & bb)
+            )
+            inter = int(
+                sum(
+                    c
+                    for m, c in enumerate(mask_counts)
+                    if (m & ba) and (m & bb)
+                )
+            )
+            out_a.append(a)
+            out_b.append(b)
+            out_va.append(va)
+            out_vb.append(vb)
+            out_i.append(inter)
+            out_j.append(float(inter) / float(va + vb - inter))
+    return pa.table(
+        {
+            "source_a": pa.array(out_a),
+            "source_b": pa.array(out_b),
+            "vocab_a": pa.array(out_va, pa.int64()),
+            "vocab_b": pa.array(out_vb, pa.int64()),
+            "inter": pa.array(out_i, pa.int64()),
+            "jaccard": round_like_sql(out_j, 6),
+        }
+    )
+
+
+def _q_keyness_terms(sf_dir: str) -> pa.Table:
+    """Dunning log-likelihood (G^2) keyness: tokens most
+    characteristic of the alphabetically-first source vs the rest of
+    the corpus -- the corpus-linguistics screen for domain drift.
+    Token counts are exact; each of the two G^2 terms is quantized at
+    1e6 (zero counts contribute 0 by the x*ln(x) limit, CASE'd
+    identically in SQL); deterministic top-20 by (G^2 desc, token)."""
+    import pyarrow.compute as pc
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
+    )
+
+    def tok_counts(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch["text"], pattern=r"\s+")
+        ids = pc.list_parent_indices(toks)
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "")
+        t = pa.table(
+            {
+                "token": flat.filter(keep),
+                "source": pc.take(batch["source"], ids).filter(keep),
+            }
+        )
+        out = t.group_by(["token", "source"]).aggregate([("token", "count")])
+        return out.rename_columns(["token", "source", "n"])
+
+    parts = collect_tables(
+        ds.map_batches(tok_counts, batch_format="pyarrow", batch_size=None)
+    )
+    merged = (
+        parts.group_by(["token", "source"]).aggregate([("n", "sum")])
+        .rename_columns(["token", "source", "n"])
+    )
+    src_a = min(set(merged["source"].to_pylist()))
+    tok = merged["token"].to_numpy(zero_copy_only=False)
+    src = merged["source"].to_numpy(zero_copy_only=False)
+    n = merged["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    in_a = src == src_a
+    a_cnt: dict[str, int] = {}
+    b_cnt: dict[str, int] = {}
+    for t, s, c in zip(tok.tolist(), in_a.tolist(), n.tolist()):
+        d = a_cnt if s else b_cnt
+        d[t] = d.get(t, 0) + c
+    na = sum(a_cnt.values())
+    nb = sum(b_cnt.values())
+    toks_all = sorted(set(a_cnt) | set(b_cnt))
+    rows = []
+    for t in toks_all:
+        a = a_cnt.get(t, 0)
+        b = b_cnt.get(t, 0)
+        ea = float(na) * float(a + b) / float(na + nb)
+        eb = float(nb) * float(a + b) / float(na + nb)
+        t1 = (
+            0
+            if a == 0
+            else int(
+                round_half_away(
+                    np.array([float(a) * np.log(float(a) / ea) * 1e6])
+                )[0]
+            )
+        )
+        t2 = (
+            0
+            if b == 0
+            else int(
+                round_half_away(
+                    np.array([float(b) * np.log(float(b) / eb) * 1e6])
+                )[0]
+            )
+        )
+        rows.append((t, a, b, 2 * (t1 + t2)))
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    rows = rows[:20]
+    return pa.table(
+        {
+            "token": pa.array([r[0] for r in rows]),
+            "n_a": pa.array([r[1] for r in rows], pa.int64()),
+            "n_rest": pa.array([r[2] for r in rows], pa.int64()),
+            "g2": round_like_sql([float(r[3]) / 1e6 for r in rows], 6),
+        }
+    )
+
+
 def _q_terrain_openness(sf_dir: str) -> pa.Table:
     """Positive topographic openness (Yokoyama et al. 2002) over the
     sparse DEM: per cell, mean over the 8 principal directions of
@@ -11017,6 +11186,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hurst_exponent": _q_hurst_exponent,
         "terrain_openness": _q_terrain_openness,
         "linear_attribution": _q_linear_attribution,
+        "vocab_overlap": _q_vocab_overlap,
+        "keyness_terms": _q_keyness_terms,
         "markov_entropy_rate": _q_markov_entropy_rate,
         "t_closeness": _q_t_closeness,
         "word_degree_dist": _q_word_degree_dist,
@@ -15845,6 +16016,60 @@ def oracle_sql() -> dict[str, str]:
         "AS bw, "
         "CAST(SUM(CASE WHEN b1 = 0 AND b2 = 0 THEN 1 ELSE 0 END) "
         "AS BIGINT) AS ww FROM p"
+    )
+    out["vocab_overlap"] = (
+        # distinct (token, source) -> sizes + pair intersections;
+        # zero-intersection pairs preserved via the LEFT JOIN --
+        # mirrors _q_vocab_overlap
+        "WITH tk AS (SELECT source, "
+        "UNNEST(regexp_split_to_array(text, '\\s+')) AS token "
+        "FROM documents), "
+        "d AS (SELECT DISTINCT source, token FROM tk WHERE token <> ''), "
+        "sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS v "
+        "FROM d GROUP BY source), "
+        "ix AS (SELECT a.source AS sa, b.source AS sb, "
+        "CAST(COUNT(*) AS BIGINT) AS inter FROM d a "
+        "JOIN d b ON b.token = a.token AND a.source < b.source "
+        "GROUP BY 1, 2), "
+        "pr AS (SELECT a.source AS sa, b.source AS sb, a.v AS va, "
+        "b.v AS vb FROM sz a, sz b WHERE a.source < b.source) "
+        "SELECT pr.sa AS source_a, pr.sb AS source_b, "
+        "pr.va AS vocab_a, pr.vb AS vocab_b, "
+        "COALESCE(ix.inter, 0) AS inter, "
+        "ROUND(CAST(COALESCE(ix.inter, 0) AS DOUBLE) "
+        "/ CAST(pr.va + pr.vb - COALESCE(ix.inter, 0) AS DOUBLE), 6) "
+        "AS jaccard "
+        "FROM pr LEFT JOIN ix ON ix.sa = pr.sa AND ix.sb = pr.sb"
+    )
+    out["keyness_terms"] = (
+        # Dunning G^2 vs expected counts; zero cells contribute 0;
+        # per-term 1e6 quantization and integer sort key -- mirrors
+        # _q_keyness_terms
+        "WITH tk AS (SELECT source, "
+        "UNNEST(regexp_split_to_array(text, '\\s+')) AS token "
+        "FROM documents), "
+        "t2 AS (SELECT source, token FROM tk WHERE token <> ''), "
+        "sa AS (SELECT MIN(source) AS s FROM documents), "
+        "ca AS (SELECT token, "
+        "CAST(SUM(CASE WHEN t2.source = sa.s THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS a, "
+        "CAST(SUM(CASE WHEN t2.source <> sa.s THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS b FROM t2, sa GROUP BY token), "
+        "tt AS (SELECT CAST(SUM(a) AS BIGINT) AS na, "
+        "CAST(SUM(b) AS BIGINT) AS nb FROM ca), "
+        "g AS (SELECT token, a, b, 2 * ("
+        "(CASE WHEN a = 0 THEN 0 ELSE "
+        "CAST(ROUND(CAST(a AS DOUBLE) * LN(CAST(a AS DOUBLE) "
+        "/ (CAST(na AS DOUBLE) * CAST(a + b AS DOUBLE) "
+        "/ CAST(na + nb AS DOUBLE))) * 1e6, 0) AS BIGINT) END) "
+        "+ (CASE WHEN b = 0 THEN 0 ELSE "
+        "CAST(ROUND(CAST(b AS DOUBLE) * LN(CAST(b AS DOUBLE) "
+        "/ (CAST(nb AS DOUBLE) * CAST(a + b AS DOUBLE) "
+        "/ CAST(na + nb AS DOUBLE))) * 1e6, 0) AS BIGINT) END)) AS gq "
+        "FROM ca, tt) "
+        "SELECT token, a AS n_a, b AS n_rest, "
+        "ROUND(CAST(gq AS DOUBLE) / 1e6, 6) AS g2 FROM g "
+        "ORDER BY gq DESC, token LIMIT 20"
     )
     out["terrain_openness"] = (
         # positive openness: max elevation angle per direction over

@@ -380,7 +380,8 @@ EXTRA_QUERY_SUBSET = [
     "join_counts", "fractal_boxcount", "jarque_bera", "cohens_d",
     "durbin_watson", "clark_evans", "gravity_flows", "levene_bf", "twi",
     "heaps_law", "hurst_exponent", "markov_entropy_rate", "t_closeness",
-    "terrain_openness", "linear_attribution",
+    "terrain_openness", "linear_attribution", "vocab_overlap",
+    "keyness_terms",
 ]
 
 
