@@ -8302,6 +8302,141 @@ def _q_fractal_boxcount(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_voronoi_assign(sf_dir: str) -> pa.Table:
+    """Nearest-facility (discrete Voronoi) allocation: every valid
+    grid point assigned to its closest probe facility (squared
+    planar distance, ties to the lowest facility id), per-facility
+    point counts + mean distance (each distance quantized at 1e9 so
+    the sum is an exact int64).  The facility side is broadcast
+    (4 constants); the point side streams through map_batches."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    fx = np.array([p[0] for p in OG_KNN_PROBES])
+    fy = np.array([p[1] for p in OG_KNN_PROBES])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        d2 = (lon[:, None] - fx[None, :]) ** 2 + (
+            lat[:, None] - fy[None, :]
+        ) ** 2
+        fid = np.argmin(d2, axis=1)  # first min = lowest id on ties
+        dist = np.sqrt(d2[np.arange(len(fid)), fid])
+        term = round_half_away(dist * 1e9).astype(np.int64)
+        return pa.table(
+            {
+                "facility": pa.array(fid.astype(np.int64)),
+                "_n": pa.array(np.ones(len(fid), np.int64)),
+                "s": pa.array(term),
+            }
+        )
+
+    agg = hash_aggregate(
+        _og_points_ds(valid_only=True).map_batches(
+            assign, batch_format="pyarrow", batch_size=None
+        ),
+        ["facility"],
+        [("_n", "sum", "n"), ("s", "sum", "s")],
+    )
+    order = np.argsort(agg["facility"].to_numpy(zero_copy_only=False))
+    fac, ns, means = [], [], []
+    for i in order.tolist():
+        f = int(agg["facility"][i].as_py())
+        n = int(agg["n"][i].as_py())
+        s = int(agg["s"][i].as_py())
+        fac.append(f)
+        ns.append(n)
+        means.append(float(s) / 1e9 / float(n))
+    return pa.table(
+        {
+            "facility": pa.array(fac, pa.int64()),
+            "n_points": pa.array(ns, pa.int64()),
+            "mean_dist": round_like_sql(means, 6),
+        }
+    )
+
+
+def _q_kwic_contexts(sf_dir: str) -> pa.Table:
+    """Keyword-in-context concordance: (previous word, next word)
+    pairs around the corpus's most frequent token, top-20 by count --
+    the classic corpus-linguistics context profile.  Both passes are
+    vectorized Arrow/numpy (no per-row Python in the token stream);
+    within-doc adjacency uses the empty-filtered token sequence, so
+    boundaries never pair across documents."""
+    import pyarrow.compute as pc
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+
+    ds = _read_pq(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(batch["text"], pattern=r"\s+")
+        )
+        toks = toks.filter(pc.not_equal(toks, ""))
+        t = pa.table({"token": toks})
+        out = t.group_by(["token"]).aggregate([("token", "count")])
+        return out.rename_columns(["token", "n"])
+
+    merged = collect_tables(
+        ds.map_batches(counts, batch_format="pyarrow", batch_size=None)
+    )
+    merged = (
+        merged.group_by(["token"]).aggregate([("n", "sum")])
+        .rename_columns(["token", "n"])
+    )
+    idx = pc.sort_indices(
+        merged, sort_keys=[("n", "descending"), ("token", "ascending")]
+    )[:1]
+    target = merged["token"].take(idx)[0].as_py()
+
+    def contexts(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch["text"], pattern=r"\s+")
+        parents = pc.list_parent_indices(toks).to_numpy(
+            zero_copy_only=False
+        )
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.to_numpy(zero_copy_only=False)[keep]
+        parents = parents[keep]
+        lens = np.bincount(parents, minlength=batch.num_rows)
+        first = np.searchsorted(parents, np.arange(batch.num_rows))
+        pos = np.arange(len(flat)) - first[parents]
+        hits = np.nonzero(
+            (flat == target) & (pos > 0) & (pos < lens[parents] - 1)
+        )[0]
+        t = pa.table(
+            {"prev": pa.array(flat[hits - 1]), "nxt": pa.array(flat[hits + 1])}
+        )
+        out = t.group_by(["prev", "nxt"]).aggregate([("prev", "count")])
+        return out.rename_columns(["prev", "nxt", "n"])
+
+    allp = collect_tables(
+        ds.map_batches(contexts, batch_format="pyarrow", batch_size=None)
+    )
+    allp = (
+        allp.group_by(["prev", "nxt"]).aggregate([("n", "sum")])
+        .rename_columns(["prev", "nxt", "n"])
+    )
+    idx = pc.sort_indices(
+        allp,
+        sort_keys=[
+            ("n", "descending"), ("prev", "ascending"), ("nxt", "ascending"),
+        ],
+    )[:20]
+    out = allp.take(idx)
+    return pa.table(
+        {
+            "prev": out["prev"],
+            "nxt": out["nxt"],
+            "n": out["n"].cast(pa.int64()),
+        }
+    )
+
+
 def _q_vocab_overlap(sf_dir: str) -> pa.Table:
     """Pairwise vocabulary Jaccard between sources: distinct (token,
     source) pairs via the vocab-bounded combiner, then source-bitmask
@@ -11188,6 +11323,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linear_attribution": _q_linear_attribution,
         "vocab_overlap": _q_vocab_overlap,
         "keyness_terms": _q_keyness_terms,
+        "voronoi_assign": _q_voronoi_assign,
+        "kwic_contexts": _q_kwic_contexts,
         "markov_entropy_rate": _q_markov_entropy_rate,
         "t_closeness": _q_t_closeness,
         "word_degree_dist": _q_word_degree_dist,
@@ -16016,6 +16153,50 @@ def oracle_sql() -> dict[str, str]:
         "AS bw, "
         "CAST(SUM(CASE WHEN b1 = 0 AND b2 = 0 THEN 1 ELSE 0 END) "
         "AS BIGINT) AS ww FROM p"
+    )
+    out["voronoi_assign"] = (
+        # nearest-probe allocation with (d2, fid) tie order and
+        # 1e9-quantized distance sums -- mirrors _q_voronoi_assign
+        f"WITH g AS ({_OG_GRID_SQL}), "
+        "v AS (SELECT pix, lon, lat FROM g WHERE z > -1e30), "
+        "f AS (SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, {p[0]!r}, {p[1]!r})"
+            for i, p in enumerate(OG_KNN_PROBES)
+        )
+        + ") t(fid, px, py)), "
+        "d AS (SELECT v.pix, f.fid, "
+        "(v.lon - f.px) * (v.lon - f.px) "
+        "+ (v.lat - f.py) * (v.lat - f.py) AS d2, "
+        "ROW_NUMBER() OVER (PARTITION BY v.pix "
+        "ORDER BY (v.lon - f.px) * (v.lon - f.px) "
+        "+ (v.lat - f.py) * (v.lat - f.py), f.fid) AS rn "
+        "FROM v, f), "
+        "a AS (SELECT pix, fid, "
+        "CAST(ROUND(SQRT(d2) * 1e9, 0) AS BIGINT) AS term "
+        "FROM d WHERE rn = 1) "
+        "SELECT CAST(fid AS BIGINT) AS facility, "
+        "CAST(COUNT(*) AS BIGINT) AS n_points, "
+        "ROUND(CAST(SUM(term) AS DOUBLE) / 1e9 "
+        "/ CAST(COUNT(*) AS DOUBLE), 6) AS mean_dist "
+        "FROM a GROUP BY fid"
+    )
+    out["kwic_contexts"] = (
+        # (prev, next) contexts of the global top token; adjacency on
+        # the empty-filtered per-doc token list -- mirrors
+        # _q_kwic_contexts
+        "WITH tf AS (SELECT token FROM ("
+        "SELECT UNNEST(regexp_split_to_array(text, '\\s+')) AS token "
+        "FROM documents) WHERE token <> '' "
+        "GROUP BY token ORDER BY COUNT(*) DESC, token LIMIT 1), "
+        "ws AS (SELECT list_filter("
+        "regexp_split_to_array(text, '\\s+'), t -> t <> '') AS ws "
+        "FROM documents), "
+        "k AS (SELECT ws[i - 1] AS prev, ws[i + 1] AS nxt FROM ws, "
+        "LATERAL (SELECT unnest(generate_series(2, len(ws) - 1)) AS i) "
+        "WHERE ws[i] = (SELECT token FROM tf)) "
+        "SELECT prev, nxt, CAST(COUNT(*) AS BIGINT) AS n FROM k "
+        "GROUP BY prev, nxt ORDER BY n DESC, prev, nxt LIMIT 20"
     )
     out["vocab_overlap"] = (
         # distinct (token, source) -> sizes + pair intersections;
