@@ -8302,6 +8302,140 @@ def _q_fractal_boxcount(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_ols_two_var(sf_dir: str) -> pa.Table:
+    """Two-predictor OLS (cents ~ quantity + discount_bp) via the
+    normal equations: every moment (n, sums, cross products) is an
+    exact int64/HUGEINT, the 3x3 system solves by Cramer's rule with
+    determinants expanded as exact integers, so the only float steps
+    are three divisions and the R^2 expression -- the multiple-
+    regression upgrade of grouped_regression's single predictor."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_quantity", "l_discount", "l_extendedprice"],
+    )
+
+    def moments(batch: pa.Table) -> pa.Table:
+        x1 = round_half_away(
+            batch["l_quantity"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        x2 = round_half_away(
+            batch["l_discount"].to_numpy(zero_copy_only=False) * 10000.0
+        ).astype(np.int64)
+        y = round_half_away(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "_g": pa.array(np.zeros(len(y), np.int64)),
+                "_n": pa.array(np.ones(len(y), np.int64)),
+                "s1": pa.array(x1),
+                "s2": pa.array(x2),
+                "sy": pa.array(y),
+                "s11": pa.array(x1 * x1),
+                "s22": pa.array(x2 * x2),
+                "s12": pa.array(x1 * x2),
+                "s1y": pa.array(x1 * y),
+                "s2y": pa.array(x2 * y),
+                "syy": pa.array(y * y),
+            }
+        )
+
+    cols = ("_n", "s1", "s2", "sy", "s11", "s22", "s12", "s1y", "s2y", "syy")
+    agg = hash_aggregate(
+        ds.map_batches(moments, batch_format="pyarrow", batch_size=None),
+        ["_g"],
+        [(c, "sum", c) for c in cols],
+    )
+    n, s1, s2, sy, s11, s22, s12, s1y, s2y, syy = (
+        int(agg[c][0].as_py()) for c in cols
+    )
+    # normal equations X'X b = X'y with X = [1, x1, x2]; Cramer on
+    # exact integer 3x3 determinants
+    def det3(a, b, c, d, e, f, g, h, i):
+        return a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+
+    d0 = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
+    db0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)
+    db1 = det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22)
+    db2 = det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y)
+    b0 = float(db0) / float(d0)
+    b1 = float(db1) / float(d0)
+    b2 = float(db2) / float(d0)
+    # R^2 = 1 - SSE/SST with SSE = y'y - b'X'y (floats, pinned order)
+    sse = float(syy) - (
+        b0 * float(sy) + b1 * float(s1y) + b2 * float(s2y)
+    )
+    sst = float(syy) - float(sy) * float(sy) / float(n)
+    r2 = 1.0 - sse / sst
+    return pa.table(
+        {
+            "n_rows": pa.array([n], pa.int64()),
+            "intercept": round_like_sql([b0], 6),
+            "beta_qty": round_like_sql([b1], 6),
+            "beta_disc_bp": round_like_sql([b2], 6),
+            "r2": round_like_sql([r2], 6),
+        }
+    )
+
+
+def _q_simpson_diversity(sf_dir: str) -> pa.Table:
+    """Simpson diversity of languages per source (probability two
+    random docs differ in language, the unbiased n(n-1) form) plus
+    the effective language count 1/(1-D) -- the corpus-balance
+    summary next to lang_entropy.  Pure integer counts, one float
+    expression."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source", "lang"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": batch["source"],
+                "lang": batch["lang"],
+                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+
+    agg = hash_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        ["source", "lang"],
+        [("_one", "sum", "n")],
+    )
+    per: dict[str, dict[str, int]] = {}
+    src = agg["source"].to_numpy(zero_copy_only=False)
+    lg = agg["lang"].to_numpy(zero_copy_only=False)
+    nn = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    for s, l, c in zip(src.tolist(), lg.tolist(), nn.tolist()):
+        per.setdefault(s, {})[l] = c
+    out_s, out_n, out_d, out_e = [], [], [], []
+    for s in sorted(per):
+        counts = per[s]
+        tot = sum(counts.values())
+        same = sum(c * (c - 1) for c in counts.values())
+        d = 1.0 - float(same) / (float(tot) * float(tot - 1))
+        out_s.append(s)
+        out_n.append(tot)
+        out_d.append(d)
+        out_e.append(1.0 / (1.0 - d))
+    return pa.table(
+        {
+            "source": pa.array(out_s),
+            "n_docs": pa.array(out_n, pa.int64()),
+            "simpson_d": round_like_sql(out_d, 6),
+            "effective_langs": round_like_sql(out_e, 6),
+        }
+    )
+
+
 def _q_voronoi_assign(sf_dir: str) -> pa.Table:
     """Nearest-facility (discrete Voronoi) allocation: every valid
     grid point assigned to its closest probe facility (squared
@@ -11325,6 +11459,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyness_terms": _q_keyness_terms,
         "voronoi_assign": _q_voronoi_assign,
         "kwic_contexts": _q_kwic_contexts,
+        "ols_two_var": _q_ols_two_var,
+        "simpson_diversity": _q_simpson_diversity,
         "markov_entropy_rate": _q_markov_entropy_rate,
         "t_closeness": _q_t_closeness,
         "word_degree_dist": _q_word_degree_dist,
@@ -16153,6 +16289,60 @@ def oracle_sql() -> dict[str, str]:
         "AS bw, "
         "CAST(SUM(CASE WHEN b1 = 0 AND b2 = 0 THEN 1 ELSE 0 END) "
         "AS BIGINT) AS ww FROM p"
+    )
+    out["ols_two_var"] = (
+        # exact HUGEINT normal-equation determinants (Cramer), float
+        # only in the three divisions and the R^2 tail -- mirrors
+        # _q_ols_two_var
+        "WITH q AS (SELECT "
+        "CAST(ROUND(l_quantity, 0) AS BIGINT) AS x1, "
+        "CAST(ROUND(l_discount * 10000, 0) AS BIGINT) AS x2, "
+        "CAST(ROUND(l_extendedprice, 0) AS BIGINT) AS y FROM lineitem), "
+        "m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, "
+        "CAST(SUM(x1) AS HUGEINT) AS s1, "
+        "CAST(SUM(x2) AS HUGEINT) AS s2, "
+        "CAST(SUM(y) AS HUGEINT) AS sy, "
+        "CAST(SUM(x1 * x1) AS HUGEINT) AS s11, "
+        "CAST(SUM(x2 * x2) AS HUGEINT) AS s22, "
+        "CAST(SUM(x1 * x2) AS HUGEINT) AS s12, "
+        "CAST(SUM(x1 * y) AS HUGEINT) AS s1y, "
+        "CAST(SUM(x2 * y) AS HUGEINT) AS s2y, "
+        "CAST(SUM(y * y) AS HUGEINT) AS syy FROM q), "
+        "d AS (SELECT n, sy, s1y, s2y, syy, "
+        "n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) "
+        "+ s2 * (s1 * s12 - s11 * s2) AS d0, "
+        "sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) "
+        "+ s2 * (s1y * s12 - s11 * s2y) AS db0, "
+        "n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) "
+        "+ s2 * (s1 * s2y - s1y * s2) AS db1, "
+        "n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) "
+        "+ sy * (s1 * s12 - s11 * s2) AS db2 FROM m), "
+        "b AS (SELECT n, sy, s1y, s2y, syy, "
+        "CAST(db0 AS DOUBLE) / CAST(d0 AS DOUBLE) AS b0, "
+        "CAST(db1 AS DOUBLE) / CAST(d0 AS DOUBLE) AS b1, "
+        "CAST(db2 AS DOUBLE) / CAST(d0 AS DOUBLE) AS b2 FROM d) "
+        "SELECT CAST(n AS BIGINT) AS n_rows, "
+        "ROUND(b0, 6) AS intercept, ROUND(b1, 6) AS beta_qty, "
+        "ROUND(b2, 6) AS beta_disc_bp, "
+        "ROUND(1.0 - (CAST(syy AS DOUBLE) - (b0 * CAST(sy AS DOUBLE) "
+        "+ b1 * CAST(s1y AS DOUBLE) + b2 * CAST(s2y AS DOUBLE))) "
+        "/ (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) "
+        "* CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS r2 FROM b"
+    )
+    out["simpson_diversity"] = (
+        # unbiased Simpson 1 - sum n(n-1) / N(N-1) per source --
+        # mirrors _q_simpson_diversity
+        "WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM documents GROUP BY source, lang), "
+        "s AS (SELECT source, CAST(SUM(n) AS BIGINT) AS tot, "
+        "CAST(SUM(n * (n - 1)) AS BIGINT) AS same "
+        "FROM c GROUP BY source) "
+        "SELECT source, tot AS n_docs, "
+        "ROUND(1.0 - CAST(same AS DOUBLE) / (CAST(tot AS DOUBLE) "
+        "* CAST(tot - 1 AS DOUBLE)), 6) AS simpson_d, "
+        "ROUND(1.0 / (1.0 - (1.0 - CAST(same AS DOUBLE) "
+        "/ (CAST(tot AS DOUBLE) * CAST(tot - 1 AS DOUBLE)))), 6) "
+        "AS effective_langs FROM s"
     )
     out["voronoi_assign"] = (
         # nearest-probe allocation with (d2, fid) tie order and

@@ -381,7 +381,8 @@ EXTRA_QUERY_SUBSET = [
     "durbin_watson", "clark_evans", "gravity_flows", "levene_bf", "twi",
     "heaps_law", "hurst_exponent", "markov_entropy_rate", "t_closeness",
     "terrain_openness", "linear_attribution", "vocab_overlap",
-    "keyness_terms", "voronoi_assign", "kwic_contexts",
+    "keyness_terms", "voronoi_assign", "kwic_contexts", "ols_two_var",
+    "simpson_diversity",
 ]
 
 
