@@ -8302,6 +8302,174 @@ def _q_fractal_boxcount(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_dickey_fuller(sf_dir: str) -> pa.Table:
+    """Dickey-Fuller unit-root regression on the daily event-count
+    series (delta_x ~ a + b*x_lag over the dense day series): slope
+    from exact integer moments, the t-statistic's float chain pinned
+    identically in SQL -- the stationarity screen before any
+    forecasting operator."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+
+    def daily(batch: pa.Table) -> pa.Table:
+        d = (
+            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        return pa.table(
+            {
+                "d": pa.array(d),
+                "_one": pa.array(np.ones(len(d), np.int64)),
+            }
+        )
+
+    agg = hash_aggregate(
+        ds.map_batches(daily, batch_format="pyarrow", batch_size=None),
+        ["d"],
+        [("_one", "sum", "x")],
+    )
+    dd = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+    xx = agg["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lo, hi = int(dd.min()), int(dd.max())
+    series = np.zeros(hi - lo + 1, np.int64)
+    series[dd - lo] = xx
+    xlag = series[:-1]
+    dx = series[1:] - series[:-1]
+    n = len(dx)
+    sx = int(xlag.sum())
+    sd = int(dx.sum())
+    sxx = int((xlag * xlag).sum())
+    sxd = int((xlag * dx).sum())
+    sdd = int((dx * dx).sum())
+    b = float(n * sxd - sx * sd) / float(n * sxx - sx * sx)
+    a = (float(sd) - b * float(sx)) / float(n)
+    sse = float(sdd) - a * float(sd) - b * float(sxd)
+    se = np.sqrt(
+        sse / float(n - 2)
+        / (float(sxx) - float(sx) * float(sx) / float(n))
+    )
+    return pa.table(
+        {
+            "n_obs": pa.array([n], pa.int64()),
+            "beta": round_like_sql([b], 6),
+            "t_stat": round_like_sql([b / se], 6),
+        }
+    )
+
+
+def _q_simplified_silhouette(sf_dir: str) -> pa.Table:
+    """Simplified (centroid-based) silhouette of the embeddings'
+    given labels: a = distance to own centroid, b = distance to the
+    nearest other centroid, s = (b-a)/max(a,b), averaged per label.
+    Embedding values quantized at 1e4 ticks; centroid distances
+    expand to exact integer quadratics (n^2*|v|^2 - 2n*(v.c) +
+    |c|^2, all int64 dot products), so both sides compute identical
+    doubles; per-point s quantized at 1e9 for the per-label mean.
+    Distributed: per-label per-dim integer sums (combiner tier),
+    centroids broadcast, per-point pass vectorized as int matmuls."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables, hash_aggregate, round_like_sql,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.ann import (
+        list_col_to_matrix,
+    )
+
+    ds = _read_pq(os.path.join(sf_dir, "embeddings.parquet"))
+
+    def sums(batch: pa.Table) -> pa.Table:
+        m = list_col_to_matrix(batch["embedding"])
+        vq = round_half_away(m.astype(np.float64) * 1e4).astype(np.int64)
+        lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        labs = np.unique(lab)
+        rows = []
+        for l in labs.tolist():
+            sel = vq[lab == l]
+            rows.append((l, int(sel.shape[0]), sel.sum(axis=0)))
+        return pa.table(
+            {
+                "label": pa.array([r[0] for r in rows], pa.int64()),
+                "n": pa.array([r[1] for r in rows], pa.int64()),
+                "csum": pa.array(
+                    [r[2].tolist() for r in rows],
+                    pa.list_(pa.int64()),
+                ),
+            }
+        )
+
+    parts = collect_tables(
+        ds.map_batches(sums, batch_format="pyarrow", batch_size=None)
+    )
+    lab_n: dict[int, int] = {}
+    lab_c: dict[int, np.ndarray] = {}
+    for i in range(parts.num_rows):
+        l = int(parts["label"][i].as_py())
+        lab_n[l] = lab_n.get(l, 0) + int(parts["n"][i].as_py())
+        c = np.asarray(parts["csum"][i].as_py(), np.int64)
+        lab_c[l] = lab_c.get(l, 0) + c
+    labels = sorted(lab_n)
+    nvec = np.array([lab_n[l] for l in labels], np.int64)
+    cmat = np.stack([lab_c[l] for l in labels])  # (L, dim)
+    import ray
+
+    bref = ray.put((labels, nvec, cmat))
+
+    def score(batch: pa.Table) -> pa.Table:
+        labs, nv, cm = ray.get(bref)
+        m = list_col_to_matrix(batch["embedding"])
+        vq = round_half_away(m.astype(np.float64) * 1e4).astype(np.int64)
+        lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v2 = (vq * vq).sum(axis=1)  # (N,)
+        vc = vq @ cm.T  # (N, L) int64
+        c2 = (cm * cm).sum(axis=1)  # (L,)
+        d2 = (
+            nv[None, :] ** 2 * v2[:, None]
+            - 2 * nv[None, :] * vc
+            + c2[None, :]
+        )
+        lidx = np.searchsorted(np.array(labs), lab)
+        dist = np.sqrt(d2.astype(np.float64)) / (
+            nv[None, :].astype(np.float64) * 1e4
+        )
+        a = dist[np.arange(len(lab)), lidx]
+        masked = dist.copy()
+        masked[np.arange(len(lab)), lidx] = np.inf
+        bmin = masked.min(axis=1)
+        s = (bmin - a) / np.maximum(a, bmin)
+        sq = round_half_away(s * 1e9).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(lab),
+                "_n": pa.array(np.ones(len(lab), np.int64)),
+                "sq": pa.array(sq),
+            }
+        )
+
+    agg = hash_aggregate(
+        ds.map_batches(score, batch_format="pyarrow", batch_size=None),
+        ["label"],
+        [("_n", "sum", "n"), ("sq", "sum", "s")],
+    )
+    order = np.argsort(agg["label"].to_numpy(zero_copy_only=False))
+    out_l, out_n, out_s = [], [], []
+    for i in order.tolist():
+        l = int(agg["label"][i].as_py())
+        n = int(agg["n"][i].as_py())
+        s = int(agg["s"][i].as_py())
+        out_l.append(l)
+        out_n.append(n)
+        out_s.append(float(s) / 1e9 / float(n))
+    return pa.table(
+        {
+            "label": pa.array(out_l, pa.int64()),
+            "n_points": pa.array(out_n, pa.int64()),
+            "mean_silhouette": round_like_sql(out_s, 6),
+        }
+    )
+
+
 def _q_ols_two_var(sf_dir: str) -> pa.Table:
     """Two-predictor OLS (cents ~ quantity + discount_bp) via the
     normal equations: every moment (n, sums, cross products) is an
@@ -11461,6 +11629,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kwic_contexts": _q_kwic_contexts,
         "ols_two_var": _q_ols_two_var,
         "simpson_diversity": _q_simpson_diversity,
+        "dickey_fuller": _q_dickey_fuller,
+        "simplified_silhouette": _q_simplified_silhouette,
         "markov_entropy_rate": _q_markov_entropy_rate,
         "t_closeness": _q_t_closeness,
         "word_degree_dist": _q_word_degree_dist,
@@ -16289,6 +16459,79 @@ def oracle_sql() -> dict[str, str]:
         "AS bw, "
         "CAST(SUM(CASE WHEN b1 = 0 AND b2 = 0 THEN 1 ELSE 0 END) "
         "AS BIGINT) AS ww FROM p"
+    )
+    out["dickey_fuller"] = (
+        # unit-root regression on the dense daily series; exact int
+        # moments, pinned float t-stat chain -- mirrors
+        # _q_dickey_fuller
+        "WITH c0 AS (SELECT epoch_us(ts) // 86400000000 AS d, "
+        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1), "
+        "mm AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM c0), "
+        "dd AS (SELECT r.range AS t, mm.lo + r.range AS d "
+        "FROM range(0, 4096) r, mm WHERE r.range <= mm.hi - mm.lo), "
+        "dn AS (SELECT dd.t, COALESCE(c0.x, 0) AS x "
+        "FROM dd LEFT JOIN c0 ON c0.d = dd.d), "
+        "p AS (SELECT a.x AS xlag, b.x - a.x AS dx FROM dn a "
+        "JOIN dn b ON b.t = a.t + 1), "
+        "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(xlag) AS BIGINT) AS sx, "
+        "CAST(SUM(dx) AS BIGINT) AS sd, "
+        "CAST(SUM(xlag * xlag) AS BIGINT) AS sxx, "
+        "CAST(SUM(xlag * dx) AS BIGINT) AS sxd, "
+        "CAST(SUM(dx * dx) AS BIGINT) AS sdd FROM p), "
+        "bb AS (SELECT n, sx, sd, sxd, sdd, sxx, "
+        "CAST(n * sxd - sx * sd AS DOUBLE) "
+        "/ CAST(n * sxx - sx * sx AS DOUBLE) AS b FROM m), "
+        "aa AS (SELECT n, sx, sd, sxd, sdd, sxx, b, "
+        "(CAST(sd AS DOUBLE) - b * CAST(sx AS DOUBLE)) "
+        "/ CAST(n AS DOUBLE) AS a FROM bb), "
+        "s AS (SELECT n, sxx, sx, b, "
+        "CAST(sdd AS DOUBLE) - a * CAST(sd AS DOUBLE) "
+        "- b * CAST(sxd AS DOUBLE) AS sse FROM aa) "
+        "SELECT n AS n_obs, ROUND(b, 6) AS beta, "
+        "ROUND(b / SQRT(sse / CAST(n - 2 AS DOUBLE) "
+        "/ (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) "
+        "* CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS t_stat "
+        "FROM s"
+    )
+    out["simplified_silhouette"] = (
+        # centroid-silhouette in exact integer quadratics (1e4-tick
+        # values, n^2*|v|^2 - 2n*(v.c) + |c|^2), per-point s quantized
+        # at 1e9 -- mirrors _q_simplified_silhouette
+        "WITH ev AS (SELECT vec_id, label, "
+        "generate_subscripts(embedding, 1) AS dim, "
+        "CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * 1e4, 0) "
+        "AS BIGINT) AS vq FROM embeddings), "
+        "nl AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM embeddings GROUP BY label), "
+        "cd AS (SELECT label, dim, CAST(SUM(vq) AS BIGINT) AS c "
+        "FROM ev GROUP BY label, dim), "
+        "v2 AS (SELECT vec_id, label, "
+        "CAST(SUM(vq * vq) AS BIGINT) AS v2 "
+        "FROM ev GROUP BY vec_id, label), "
+        "vc AS (SELECT ev.vec_id, cd.label AS clabel, "
+        "CAST(SUM(ev.vq * cd.c) AS BIGINT) AS vc "
+        "FROM ev JOIN cd ON cd.dim = ev.dim GROUP BY ev.vec_id, cd.label), "
+        "c2 AS (SELECT label, CAST(SUM(c * c) AS BIGINT) AS c2 "
+        "FROM cd GROUP BY label), "
+        "dist AS (SELECT v2.vec_id, v2.label AS plabel, "
+        "vc.clabel, "
+        "SQRT(CAST(nl.n * nl.n * v2.v2 - 2 * nl.n * vc.vc + c2.c2 "
+        "AS DOUBLE)) / (CAST(nl.n AS DOUBLE) * 1e4) AS d "
+        "FROM v2 JOIN vc ON vc.vec_id = v2.vec_id "
+        "JOIN nl ON nl.label = vc.clabel "
+        "JOIN c2 ON c2.label = vc.clabel), "
+        "ab AS (SELECT vec_id, plabel, "
+        "MAX(CASE WHEN clabel = plabel THEN d END) AS a, "
+        "MIN(CASE WHEN clabel <> plabel THEN d END) AS b "
+        "FROM dist GROUP BY vec_id, plabel), "
+        "sq AS (SELECT plabel, CAST(ROUND((b - a) / GREATEST(a, b) "
+        "* 1e9, 0) AS BIGINT) AS sq FROM ab) "
+        "SELECT CAST(plabel AS BIGINT) AS label, "
+        "CAST(COUNT(*) AS BIGINT) AS n_points, "
+        "ROUND(CAST(SUM(sq) AS DOUBLE) / 1e9 "
+        "/ CAST(COUNT(*) AS DOUBLE), 6) AS mean_silhouette "
+        "FROM sq GROUP BY plabel"
     )
     out["ols_two_var"] = (
         # exact HUGEINT normal-equation determinants (Cramer), float

@@ -382,7 +382,7 @@ EXTRA_QUERY_SUBSET = [
     "heaps_law", "hurst_exponent", "markov_entropy_rate", "t_closeness",
     "terrain_openness", "linear_attribution", "vocab_overlap",
     "keyness_terms", "voronoi_assign", "kwic_contexts", "ols_two_var",
-    "simpson_diversity",
+    "simpson_diversity", "dickey_fuller", "simplified_silhouette",
 ]
 
 
