@@ -8302,6 +8302,86 @@ def _q_fractal_boxcount(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_emerging_hotspots(sf_dir: str) -> pa.Table:
+    """Emerging hot-spot analysis (the space-time cube): Getis-Ord
+    Gi* per 10-day bin on the coarse 24x24 lattice, then a
+    Mann-Kendall sign trend per cell across the three bins --
+    composes the two existing spatial/trend operators into the
+    ArcGIS-style 'emerging hotspots' product.  Trend signs compare
+    the 6-dp ROUNDED z values (identical on both sides), so the
+    output is fully deterministic."""
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
+        partial_count,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.stats import (
+        getis_ord_gi_star,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "ts"]
+    )
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        day = (
+            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        return pa.table(
+            {
+                "day": pa.array(day),
+                "gx": pa.array(((eid % 96) // 4).astype(np.int64)),
+                "gy": pa.array((((eid // 96) % 96) // 4).astype(np.int64)),
+            }
+        )
+
+    counts = partial_count(
+        ds.map_batches(keyed, batch_format="pyarrow", batch_size=None),
+        ["day", "gx", "gy"],
+    ).rename_columns(["day", "gx", "gy", "n"])
+    day = counts["day"].to_numpy(zero_copy_only=False).astype(np.int64)
+    md = int(day.min())
+    bins = (day - md) // 10
+    gxs = counts["gx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    gys = counts["gy"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nns = counts["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    zs = []
+    for b in (0, 1, 2):
+        sel = bins == b
+        # counts are per (day, cell): sum the bin's days per cell
+        # before the lattice scatter (a plain assignment would keep
+        # only one day's count)
+        acc = np.zeros((24, 24), np.int64)
+        np.add.at(acc, (gys[sel], gxs[sel]), nns[sel])
+        yy0, xx0 = np.nonzero(acc)
+        sub = pa.table(
+            {
+                "gx": pa.array(xx0.astype(np.int64)),
+                "gy": pa.array(yy0.astype(np.int64)),
+                "n": pa.array(acc[yy0, xx0]),
+            }
+        )
+        z = getis_ord_gi_star(sub, 24, 24)
+        zs.append(
+            z["gi_z"].to_numpy(zero_copy_only=False).reshape(24, 24)
+        )
+    z1, z2, z3 = zs
+    mk = (
+        np.sign(z2 - z1) + np.sign(z3 - z1) + np.sign(z3 - z2)
+    ).astype(np.int64)
+    yy, xx = np.mgrid[0:24, 0:24]
+    return pa.table(
+        {
+            "gx": pa.array(xx.ravel().astype(np.int64)),
+            "gy": pa.array(yy.ravel().astype(np.int64)),
+            "z_bin0": pa.array(z1.ravel()),
+            "z_bin1": pa.array(z2.ravel()),
+            "z_bin2": pa.array(z3.ravel()),
+            "mk_s": pa.array(mk.ravel()),
+        }
+    )
+
+
 def _q_dickey_fuller(sf_dir: str) -> pa.Table:
     """Dickey-Fuller unit-root regression on the daily event-count
     series (delta_x ~ a + b*x_lag over the dense day series): slope
@@ -11631,6 +11711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simpson_diversity": _q_simpson_diversity,
         "dickey_fuller": _q_dickey_fuller,
         "simplified_silhouette": _q_simplified_silhouette,
+        "emerging_hotspots": _q_emerging_hotspots,
         "markov_entropy_rate": _q_markov_entropy_rate,
         "t_closeness": _q_t_closeness,
         "word_degree_dist": _q_word_degree_dist,
@@ -16459,6 +16540,46 @@ def oracle_sql() -> dict[str, str]:
         "AS bw, "
         "CAST(SUM(CASE WHEN b1 = 0 AND b2 = 0 THEN 1 ELSE 0 END) "
         "AS BIGINT) AS ww FROM p"
+    )
+    out["emerging_hotspots"] = (
+        # per-bin Gi* on the 24x24 lattice + Mann-Kendall sign trend
+        # over the three rounded z values -- mirrors
+        # _q_emerging_hotspots
+        "WITH e AS (SELECT ((event_id % 96) // 4) AS gx, "
+        "(((event_id // 96) % 96) // 4) AS gy, "
+        "epoch_us(ts) // 86400000000 AS day FROM events), "
+        "md AS (SELECT MIN(day) AS md FROM e), "
+        "c AS (SELECT (day - md.md) // 10 AS bin, gx, gy, "
+        "COUNT(*) AS n FROM e, md GROUP BY 1, 2, 3), "
+        "lat AS (SELECT t.b AS bin, a.i AS gx, b.i AS gy "
+        "FROM generate_series(0, 23) a(i) "
+        "CROSS JOIN generate_series(0, 23) b(i) "
+        "CROSS JOIN (VALUES (0), (1), (2)) t(b)), "
+        "x AS (SELECT lat.bin, lat.gx, lat.gy, "
+        "CAST(COALESCE(c.n, 0) AS DOUBLE) AS v FROM lat "
+        "LEFT JOIN c ON c.bin = lat.bin AND c.gx = lat.gx "
+        "AND c.gy = lat.gy), "
+        "s AS (SELECT bin, CAST(COUNT(*) AS DOUBLE) AS nn, "
+        "SUM(v) / COUNT(*) AS mu, "
+        "SQRT(SUM(v * v) / COUNT(*) - "
+        "(SUM(v) / COUNT(*)) * (SUM(v) / COUNT(*))) AS sd "
+        "FROM x GROUP BY bin), "
+        "w AS (SELECT a.bin, a.gx, a.gy, SUM(b.v) AS win, "
+        "CAST(COUNT(*) AS DOUBLE) AS cnt FROM x a JOIN x b "
+        "ON b.bin = a.bin AND abs(a.gx - b.gx) <= 1 "
+        "AND abs(a.gy - b.gy) <= 1 GROUP BY 1, 2, 3), "
+        "z AS (SELECT w.bin, w.gx, w.gy, "
+        "ROUND((win - s.mu * cnt) / (s.sd * SQRT((s.nn * cnt "
+        "- cnt * cnt) / (s.nn - 1))), 6) AS z "
+        "FROM w JOIN s ON s.bin = w.bin), "
+        "p AS (SELECT gx, gy, "
+        "MAX(CASE WHEN bin = 0 THEN z END) AS z0, "
+        "MAX(CASE WHEN bin = 1 THEN z END) AS z1, "
+        "MAX(CASE WHEN bin = 2 THEN z END) AS z2 "
+        "FROM z GROUP BY gx, gy) "
+        "SELECT gx, gy, z0 AS z_bin0, z1 AS z_bin1, z2 AS z_bin2, "
+        "CAST(SIGN(z1 - z0) + SIGN(z2 - z0) + SIGN(z2 - z1) "
+        "AS BIGINT) AS mk_s FROM p"
     )
     out["dickey_fuller"] = (
         # unit-root regression on the dense daily series; exact int
