@@ -8302,6 +8302,130 @@ def _q_fractal_boxcount(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_degree_assortativity(sf_dir: str) -> pa.Table:
+    """Degree assortativity of the edit-1 word graph (Newman r over
+    edge-endpoint degree pairs, both orientations): degrees and all
+    five moments are exact int64, so the only float steps are the
+    final correlation expression -- the graph-topology summary next
+    to components / PageRank / triangles."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        round_like_sql,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+        edit1_vocab_pairs,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
+    ).map_batches(
+        lambda b: b.rename_columns(["text"]),
+        batch_format="pyarrow", batch_size=None,
+    )
+    pairs = edit1_vocab_pairs(ds, min_len=4)
+    w1 = pairs["w1"].to_pylist()
+    w2 = pairs["w2"].to_pylist()
+    deg: dict[str, int] = {}
+    for a, b in zip(w1, w2):
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    n = 0
+    sx = sy = sxx = syy = sxy = 0
+    for a, b in zip(w1, w2):
+        for x, y in ((deg[a], deg[b]), (deg[b], deg[a])):
+            n += 1
+            sx += x
+            sy += y
+            sxx += x * x
+            syy += y * y
+            sxy += x * y
+    r = float(n * sxy - sx * sy) / (
+        np.sqrt(float(n * sxx - sx * sx)) * np.sqrt(float(n * syy - sy * sy))
+    )
+    return pa.table(
+        {
+            "n_edges": pa.array([len(w1)], pa.int64()),
+            "n_nodes": pa.array([len(deg)], pa.int64()),
+            "assortativity": round_like_sql([r], 6),
+        }
+    )
+
+
+def _q_word_burstiness(sf_dir: str) -> pa.Table:
+    """Church-Gale word burstiness: observed document frequency vs
+    the Poisson expectation N*(1-exp(-tf/N)) for the 20 most frequent
+    tokens -- ratios < 1 flag bursty (topical) words.  tf comes from
+    the vocab-bounded count combiner; df from per-batch distinct
+    (token, doc) pairs (documents never span batches, so per-batch
+    distinct is globally exact)."""
+    import pyarrow.compute as pc
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables, hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    nd_t = hash_aggregate(
+        ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "_g": pa.array(np.zeros(b.num_rows, np.int64)),
+                    "_one": pa.array(np.ones(b.num_rows, np.int64)),
+                }
+            ),
+            batch_format="pyarrow",
+            batch_size=None,
+        ),
+        ["_g"],
+        [("_one", "sum", "n")],
+    )
+    n_docs = int(nd_t["n"][0].as_py())
+
+    def tf_df(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch["text"], pattern=r"\s+")
+        ids = pc.list_parent_indices(toks)
+        flat = pc.list_flatten(toks)
+        keep = pc.not_equal(flat, "")
+        t = pa.table(
+            {
+                "token": flat.filter(keep),
+                "doc_id": pc.take(batch["doc_id"], ids).filter(keep),
+            }
+        )
+        tf = t.group_by(["token"]).aggregate([("token", "count")])
+        tf = tf.rename_columns(["token", "tf"])
+        dfp = (
+            t.group_by(["token", "doc_id"]).aggregate([])
+            .group_by(["token"]).aggregate([("doc_id", "count")])
+            .rename_columns(["token", "df"])
+        )
+        joined = tf.join(dfp, keys=["token"])
+        return joined
+
+    parts = collect_tables(
+        ds.map_batches(tf_df, batch_format="pyarrow", batch_size=None)
+    )
+    merged = (
+        parts.group_by(["token"]).aggregate([("tf", "sum"), ("df", "sum")])
+        .rename_columns(["token", "tf", "df"])
+    )
+    idx = pc.sort_indices(
+        merged, sort_keys=[("tf", "descending"), ("token", "ascending")]
+    )[:20]
+    top = merged.take(idx)
+    tf = top["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+    df = top["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+    exp_df = float(n_docs) * (1.0 - np.exp(-tf / float(n_docs)))
+    return pa.table(
+        {
+            "token": top["token"],
+            "tf": top["tf"].cast(pa.int64()),
+            "df": top["df"].cast(pa.int64()),
+            "burstiness": round_like_sql(df / exp_df, 6),
+        }
+    )
+
+
 def _q_emerging_hotspots(sf_dir: str) -> pa.Table:
     """Emerging hot-spot analysis (the space-time cube): Getis-Ord
     Gi* per 10-day bin on the coarse 24x24 lattice, then a
@@ -8866,23 +8990,20 @@ def _q_vocab_overlap(sf_dir: str) -> pa.Table:
     masks = np.zeros(int(seg[-1]) + 1 if len(seg) else 0, np.int64)
     np.bitwise_or.at(masks, seg, bit)
     mask_counts = np.bincount(masks, minlength=1 << len(srcs))
+    # compact to the occupied masks (<= distinct source subsets, far
+    # smaller than 2^n_sources) so the pair loop is numpy over a tiny
+    # vector, not a Python scan of the full mask space per pair
+    occ = np.nonzero(mask_counts)[0]
+    occ_n = mask_counts[occ]
     out_a, out_b, out_va, out_vb, out_i, out_j = [], [], [], [], [], []
     for i, a in enumerate(srcs):
         for b in srcs[i + 1 :]:
             ba, bb = 1 << sidx[a], 1 << sidx[b]
-            va = int(
-                sum(c for m, c in enumerate(mask_counts) if m & ba)
-            )
-            vb = int(
-                sum(c for m, c in enumerate(mask_counts) if m & bb)
-            )
-            inter = int(
-                sum(
-                    c
-                    for m, c in enumerate(mask_counts)
-                    if (m & ba) and (m & bb)
-                )
-            )
+            in_a = (occ & ba) != 0
+            in_b = (occ & bb) != 0
+            va = int(occ_n[in_a].sum())
+            vb = int(occ_n[in_b].sum())
+            inter = int(occ_n[in_a & in_b].sum())
             out_a.append(a)
             out_b.append(b)
             out_va.append(va)
@@ -11712,6 +11833,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dickey_fuller": _q_dickey_fuller,
         "simplified_silhouette": _q_simplified_silhouette,
         "emerging_hotspots": _q_emerging_hotspots,
+        "degree_assortativity": _q_degree_assortativity,
+        "word_burstiness": _q_word_burstiness,
         "markov_entropy_rate": _q_markov_entropy_rate,
         "t_closeness": _q_t_closeness,
         "word_degree_dist": _q_word_degree_dist,
@@ -16540,6 +16663,52 @@ def oracle_sql() -> dict[str, str]:
         "AS bw, "
         "CAST(SUM(CASE WHEN b1 = 0 AND b2 = 0 THEN 1 ELSE 0 END) "
         "AS BIGINT) AS ww FROM p"
+    )
+    out["degree_assortativity"] = (
+        # Newman r over both edge orientations; exact int64 moments
+        # -- mirrors _q_degree_assortativity on the edit1_pairs graph
+        "WITH v AS (SELECT DISTINCT source AS token FROM documents "
+        "WHERE LEN(source) >= 4), "
+        "e AS (SELECT a.token AS w1, b.token AS w2 FROM v a JOIN v b "
+        "ON a.token < b.token "
+        "AND ABS(LEN(a.token) - LEN(b.token)) <= 1 "
+        "AND LEVENSHTEIN(a.token, b.token) = 1), "
+        "d AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS deg FROM ("
+        "SELECT w1 AS token FROM e UNION ALL SELECT w2 FROM e) "
+        "GROUP BY token), "
+        "p AS (SELECT da.deg AS x, db.deg AS y FROM e "
+        "JOIN d da ON da.token = e.w1 JOIN d db ON db.token = e.w2 "
+        "UNION ALL SELECT db.deg, da.deg FROM e "
+        "JOIN d da ON da.token = e.w1 JOIN d db ON db.token = e.w2), "
+        "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, "
+        "CAST(SUM(x * x) AS BIGINT) AS sxx, "
+        "CAST(SUM(y * y) AS BIGINT) AS syy, "
+        "CAST(SUM(x * y) AS BIGINT) AS sxy FROM p) "
+        "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges, "
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_nodes, "
+        "ROUND(CAST(n * sxy - sx * sy AS DOUBLE) "
+        "/ (SQRT(CAST(n * sxx - sx * sx AS DOUBLE)) "
+        "* SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6) "
+        "AS assortativity FROM m"
+    )
+    out["word_burstiness"] = (
+        # df vs Poisson-expected df for the top-20 tf tokens --
+        # mirrors _q_word_burstiness
+        "WITH nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM documents), "
+        "tk AS (SELECT doc_id, "
+        "UNNEST(regexp_split_to_array(text, '\\s+')) AS token "
+        "FROM documents), "
+        "t2 AS (SELECT doc_id, token FROM tk WHERE token <> ''), "
+        "m AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS tf, "
+        "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df "
+        "FROM t2 GROUP BY token) "
+        "SELECT token, tf, df, "
+        "ROUND(CAST(df AS DOUBLE) / (CAST(nd.n AS DOUBLE) "
+        "* (1.0 - EXP(-CAST(tf AS DOUBLE) / CAST(nd.n AS DOUBLE)))), 6) "
+        "AS burstiness FROM m, nd "
+        "ORDER BY tf DESC, token LIMIT 20"
     )
     out["emerging_hotspots"] = (
         # per-bin Gi* on the 24x24 lattice + Mann-Kendall sign trend

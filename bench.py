@@ -383,7 +383,7 @@ EXTRA_QUERY_SUBSET = [
     "terrain_openness", "linear_attribution", "vocab_overlap",
     "keyness_terms", "voronoi_assign", "kwic_contexts", "ols_two_var",
     "simpson_diversity", "dickey_fuller", "simplified_silhouette",
-    "emerging_hotspots",
+    "emerging_hotspots", "degree_assortativity", "word_burstiness",
 ]
 
 
