@@ -9601,9 +9601,6 @@ def _q_levene_bf(sf_dir: str) -> pa.Table:
     from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
         hash_aggregate, round_like_sql,
     )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
-        exact_quantiles,
-    )
 
     ds = _read_pq(
         os.path.join(sf_dir, "lineitem.parquet"),
@@ -9617,22 +9614,22 @@ def _q_levene_bf(sf_dir: str) -> pa.Table:
         return pa.table({"flag": batch["l_returnflag"], "k": pa.array(k)})
 
     kd = ds.map_batches(dollars, batch_format="pyarrow", batch_size=None)
-    flags = ("A", "N", "R")
+    # one groupby shuffle for all three group medians (3 flags =
+    # bounded cardinality; was 3 x exact_quantiles = 6 full passes)
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
+        grouped_exact_quantiles,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+
+    med_tbl = collect_tables(
+        grouped_exact_quantiles(kd, "flag", "k", [0.5])
+    )
     meds = {}
-    for f in flags:
-
-        def only(batch: pa.Table, _f=f) -> pa.Table:
-            import pyarrow.compute as pc
-
-            return batch.filter(pc.equal(batch["flag"], _f))
-
-        q = exact_quantiles(
-            kd.map_batches(only, batch_format="pyarrow", batch_size=None),
-            "k",
-            [0.5],
-            method="disc",
-        )
-        meds[f] = int(q.column(q.num_columns - 1)[0].as_py())
+    vcol = med_tbl.column(med_tbl.num_columns - 1)
+    for i in range(med_tbl.num_rows):
+        meds[med_tbl["flag"][i].as_py()] = int(vcol[i].as_py())
 
     med_arr = meds  # broadcast via closure (3 ints)
 
