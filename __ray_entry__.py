@@ -8302,6 +8302,172 @@ def _q_fractal_boxcount(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_dasymetric_alloc(sf_dir: str) -> pa.Table:
+    """Dasymetric reallocation: each polygon's event mass (geocoded
+    PIP count) redistributed over its valid raster cells proportional
+    to elevation -- the ancillary-weighted population-downscaling
+    operator.  Membership uses the identical strict half-plane tests
+    as the zonal oracles; weights are deci-int z (exact int64 sums);
+    the per-cell allocation is one float expression."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables, hash_aggregate, round_like_sql,
+    )
+
+    polys = {k: v for k, v in OG_POLYGONS.items() if k != "q_out"}
+
+    def member(lon: np.ndarray, lat: np.ndarray, poly) -> np.ndarray:
+        ok = np.ones(len(lon), bool)
+        n = len(poly)
+        for i in range(n):
+            ax, ay = poly[i]
+            bx, by = poly[(i + 1) % n]
+            ok &= (bx - ax) * (lat - ay) - (by - ay) * (lon - ax) > 0
+        return ok
+
+    # pass 1a: per-polygon event mass (geocoded events)
+    ev = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
+
+    def ev_mass(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        lon = 77.0 + (eid % 96).astype(np.float64) * 0.01
+        lat = 28.05 + ((eid // 96) % 96).astype(np.float64) * 0.01
+        pids, ones = [], []
+        for pid, poly in polys.items():
+            m = int(member(lon, lat, poly).sum())
+            pids.append(pid)
+            ones.append(m)
+        return pa.table(
+            {"pid": pa.array(pids), "m": pa.array(ones, pa.int64())}
+        )
+
+    mass_t = hash_aggregate(
+        ev.map_batches(ev_mass, batch_format="pyarrow", batch_size=None),
+        ["pid"],
+        [("m", "sum", "mass")],
+    )
+    mass = {
+        mass_t["pid"][i].as_py(): int(mass_t["mass"][i].as_py())
+        for i in range(mass_t.num_rows)
+    }
+    # pass 1b: per-polygon weight sums over valid cells
+    pts = _og_points_ds(valid_only=True)
+
+    def zsums(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        zq = round_half_away(
+            batch["z"].to_numpy(zero_copy_only=False).astype(np.float64)
+            * 10.0
+        ).astype(np.int64)
+        pids, sz = [], []
+        for pid, poly in polys.items():
+            m = member(lon, lat, poly)
+            pids.append(pid)
+            sz.append(int(zq[m].sum()))
+        return pa.table(
+            {"pid": pa.array(pids), "s": pa.array(sz, pa.int64())}
+        )
+
+    sz_t = hash_aggregate(
+        pts.map_batches(zsums, batch_format="pyarrow", batch_size=None),
+        ["pid"],
+        [("s", "sum", "sumz")],
+    )
+    sumz = {
+        sz_t["pid"][i].as_py(): int(sz_t["sumz"][i].as_py())
+        for i in range(sz_t.num_rows)
+    }
+
+    # pass 2: per-cell allocations with the broadcast (mass, sumz)
+    def alloc(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        pix = batch["pix"].to_numpy(zero_copy_only=False).astype(np.int64)
+        zq = round_half_away(
+            batch["z"].to_numpy(zero_copy_only=False).astype(np.float64)
+            * 10.0
+        ).astype(np.int64)
+        out_p, out_x, out_a = [], [], []
+        for pid, poly in polys.items():
+            m = member(lon, lat, poly)
+            a = (
+                float(mass[pid])
+                * zq[m].astype(np.float64)
+                / float(sumz[pid])
+            )
+            out_p.extend([pid] * int(m.sum()))
+            out_x.extend(pix[m].tolist())
+            out_a.extend(a.tolist())
+        return pa.table(
+            {
+                "polygon_id": pa.array(out_p),
+                "pix": pa.array(out_x, pa.int64()),
+                "alloc": round_like_sql(out_a, 6),
+            }
+        )
+
+    out = collect_tables(
+        pts.map_batches(alloc, batch_format="pyarrow", batch_size=None)
+    )
+    return out.sort_by(
+        [("polygon_id", "ascending"), ("pix", "ascending")]
+    )
+
+
+def _q_location_quotient(sf_dir: str) -> pa.Table:
+    """Location quotient of purchase activity per 12x12 coarse block:
+    (purchases_b / events_b) / (purchases / events) -- the spatial-
+    economics concentration index.  Pure integer counts, one float
+    expression; blocks with zero purchases report LQ 0."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type"],
+    )
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        is_p = (
+            batch["event_type"].to_numpy(zero_copy_only=False) == "purchase"
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "bx": pa.array(((eid % 96) // 8).astype(np.int64)),
+                "by": pa.array((((eid // 96) % 96) // 8).astype(np.int64)),
+                "_one": pa.array(np.ones(len(eid), np.int64)),
+                "p": pa.array(is_p),
+            }
+        )
+
+    agg = hash_aggregate(
+        ds.map_batches(keyed, batch_format="pyarrow", batch_size=None),
+        ["bx", "by"],
+        [("_one", "sum", "n"), ("p", "sum", "np")],
+    )
+    bx = agg["bx"].to_numpy(zero_copy_only=False).astype(np.int64)
+    by = agg["by"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    p = agg["np"].to_numpy(zero_copy_only=False).astype(np.int64)
+    tot_n = int(n.sum())
+    tot_p = int(p.sum())
+    order = np.argsort(by * 12 + bx)
+    lq = (
+        p[order].astype(np.float64) / n[order].astype(np.float64)
+    ) / (float(tot_p) / float(tot_n))
+    return pa.table(
+        {
+            "bx": pa.array(bx[order]),
+            "by": pa.array(by[order]),
+            "n_events": pa.array(n[order]),
+            "n_purchases": pa.array(p[order]),
+            "lq": round_like_sql(lq, 6),
+        }
+    )
+
+
 def _q_degree_assortativity(sf_dir: str) -> pa.Table:
     """Degree assortativity of the edit-1 word graph (Newman r over
     edge-endpoint degree pairs, both orientations): degrees and all
@@ -11832,6 +11998,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emerging_hotspots": _q_emerging_hotspots,
         "degree_assortativity": _q_degree_assortativity,
         "word_burstiness": _q_word_burstiness,
+        "dasymetric_alloc": _q_dasymetric_alloc,
+        "location_quotient": _q_location_quotient,
         "markov_entropy_rate": _q_markov_entropy_rate,
         "t_closeness": _q_t_closeness,
         "word_degree_dist": _q_word_degree_dist,
@@ -16660,6 +16828,34 @@ def oracle_sql() -> dict[str, str]:
         "AS bw, "
         "CAST(SUM(CASE WHEN b1 = 0 AND b2 = 0 THEN 1 ELSE 0 END) "
         "AS BIGINT) AS ww FROM p"
+    )
+    out["dasymetric_alloc"] = " UNION ALL ".join(
+        f"SELECT '{pid}' AS polygon_id, pix, ROUND("
+        f"(SELECT CAST(COUNT(*) AS DOUBLE) FROM "
+        f"(SELECT 77.0 + CAST(event_id % 96 AS DOUBLE) * 0.01 AS lon, "
+        f"28.05 + CAST((event_id // 96) % 96 AS DOUBLE) * 0.01 AS lat "
+        f"FROM events) e WHERE {_halfplane_sql(poly)}) "
+        f"* CAST(CAST(ROUND(z * 10, 0) AS BIGINT) AS DOUBLE) "
+        f"/ (SELECT CAST(SUM(CAST(ROUND(z * 10, 0) AS BIGINT)) AS DOUBLE) "
+        f"FROM ({valid}) WHERE {_halfplane_sql(poly)}), 6) AS alloc "
+        f"FROM ({valid}) WHERE {_halfplane_sql(poly)}"
+        for pid, poly in OG_POLYGONS.items()
+        if pid != "q_out"
+    )
+    out["location_quotient"] = (
+        # per-block purchase concentration vs the global share --
+        # mirrors _q_location_quotient
+        "WITH b AS (SELECT ((event_id % 96) // 8) AS bx, "
+        "(((event_id // 96) % 96) // 8) AS by, "
+        "CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS np FROM events GROUP BY 1, 2), "
+        "t AS (SELECT CAST(SUM(n) AS BIGINT) AS tn, "
+        "CAST(SUM(np) AS BIGINT) AS tp FROM b) "
+        "SELECT bx, by, n AS n_events, np AS n_purchases, "
+        "ROUND((CAST(np AS DOUBLE) / CAST(n AS DOUBLE)) "
+        "/ (CAST(t.tp AS DOUBLE) / CAST(t.tn AS DOUBLE)), 6) AS lq "
+        "FROM b, t"
     )
     out["degree_assortativity"] = (
         # Newman r over both edge orientations; exact int64 moments
