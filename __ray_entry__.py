@@ -8302,6 +8302,100 @@ def _q_fractal_boxcount(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_rusle_ls(sf_dir: str) -> pa.Table:
+    """RUSLE LS (slope-length x steepness) factor: LS =
+    (acc * cellwidth / 22.13)^0.4 * (sin(atan(slope)) / 0.0896)^1.3
+    over the slope-fixture raster -- the soil-erosion map-algebra
+    composition of the D8 flow accumulation and Horn slope operators
+    (the TWI pattern with the Moore-Burch exponents)."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables, round_like_sql,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
+        flow_accumulation, tile_slope,
+    )
+
+    tiles = ray.data.from_arrow(_og_tiles_table(sparse_invalid=True, tile=24))
+    acc = flow_accumulation(tiles, block=32)  # pa.Table (lattice-bounded)
+    slope = collect_tables(tile_slope(tiles))
+    amap = {}
+    for i in range(acc.num_rows):
+        amap[
+            (acc["row"][i].as_py(), acc["col"][i].as_py())
+        ] = acc["acc"][i].as_py()
+    rows, cols, lss = [], [], []
+    sr = slope["row"].to_numpy(zero_copy_only=False)
+    sc = slope["col"].to_numpy(zero_copy_only=False)
+    sp = slope["slope_pct"].to_numpy(zero_copy_only=False)
+    for i in range(len(sr)):
+        a = amap.get((int(sr[i]), int(sc[i])))
+        if a is None or not (sp[i] > 0):
+            continue
+        ls = (float(a) * 0.01 / 22.13) ** 0.4 * (
+            np.sin(np.arctan(sp[i] / 100.0)) / 0.0896
+        ) ** 1.3
+        rows.append(int(sr[i]))
+        cols.append(int(sc[i]))
+        lss.append(float(ls))
+    return pa.table(
+        {
+            "row": pa.array(rows, pa.int64()),
+            "col": pa.array(cols, pa.int64()),
+            "ls": round_like_sql(lss, 6),
+        }
+    )
+
+
+def _q_rich_club(sf_dir: str) -> pa.Table:
+    """Rich-club coefficient of the edit-1 word graph: phi(k) =
+    2 * E_k / (N_k * (N_k - 1)) over nodes with degree > k for k in
+    2/4/8 -- do high-degree words preferentially interconnect?
+    Degrees, memberships and edge counts are all exact integers."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        round_like_sql,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+        edit1_vocab_pairs,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
+    ).map_batches(
+        lambda b: b.rename_columns(["text"]),
+        batch_format="pyarrow", batch_size=None,
+    )
+    pairs = edit1_vocab_pairs(ds, min_len=4)
+    w1 = pairs["w1"].to_pylist()
+    w2 = pairs["w2"].to_pylist()
+    deg: dict[str, int] = {}
+    for a, b in zip(w1, w2):
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    out_k, out_n, out_e, out_phi = [], [], [], []
+    for k in (2, 4, 8):
+        nodes = {w for w, d in deg.items() if d > k}
+        nk = len(nodes)
+        ek = sum(1 for a, b in zip(w1, w2) if a in nodes and b in nodes)
+        phi = (
+            float("nan")
+            if nk < 2
+            else 2.0 * float(ek) / (float(nk) * float(nk - 1))
+        )
+        out_k.append(k)
+        out_n.append(nk)
+        out_e.append(ek)
+        out_phi.append(phi)
+    return pa.table(
+        {
+            "k": pa.array(out_k, pa.int64()),
+            "n_nodes": pa.array(out_n, pa.int64()),
+            "n_edges": pa.array(out_e, pa.int64()),
+            "phi": round_like_sql(out_phi, 6),
+        }
+    )
+
+
 def _q_dasymetric_alloc(sf_dir: str) -> pa.Table:
     """Dasymetric reallocation: each polygon's event mass (geocoded
     PIP count) redistributed over its valid raster cells proportional
@@ -12000,6 +12094,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_burstiness": _q_word_burstiness,
         "dasymetric_alloc": _q_dasymetric_alloc,
         "location_quotient": _q_location_quotient,
+        "rusle_ls": _q_rusle_ls,
+        "rich_club": _q_rich_club,
         "markov_entropy_rate": _q_markov_entropy_rate,
         "t_closeness": _q_t_closeness,
         "word_degree_dist": _q_word_degree_dist,
@@ -16828,6 +16924,79 @@ def oracle_sql() -> dict[str, str]:
         "AS bw, "
         "CAST(SUM(CASE WHEN b1 = 0 AND b2 = 0 THEN 1 ELSE 0 END) "
         "AS BIGINT) AS ww FROM p"
+    )
+    out["rusle_ls"] = (
+        # Moore-Burch LS factor over the same acc/slope composition as
+        # twi -- mirrors _q_rusle_ls
+        f"WITH RECURSIVE fd AS ({out['flow_direction']}), "
+        "e AS MATERIALIZED (SELECT f.row AS r, f.col AS c, "
+        "f.row + CASE f.d8 WHEN 2 THEN 1 WHEN 4 THEN 1 WHEN 8 THEN 1 "
+        "WHEN 32 THEN -1 WHEN 64 THEN -1 WHEN 128 THEN -1 "
+        "ELSE 0 END AS nr, "
+        "f.col + CASE f.d8 WHEN 1 THEN 1 WHEN 2 THEN 1 WHEN 128 THEN 1 "
+        "WHEN 8 THEN -1 WHEN 16 THEN -1 WHEN 32 THEN -1 "
+        "ELSE 0 END AS nc "
+        "FROM fd f WHERE f.d8 <> 0), "
+        "en AS MATERIALIZED (SELECT e.r, e.c, e.nr, e.nc FROM e "
+        "JOIN fd t ON t.row = e.nr AND t.col = e.nc), "
+        "reach(sr, sc, r, c) AS ("
+        "SELECT en.r, en.c, en.nr, en.nc FROM en "
+        "UNION "
+        "SELECT reach.sr, reach.sc, en.nr, en.nc FROM reach "
+        "JOIN en ON en.r = reach.r AND en.c = reach.c), "
+        "anc AS (SELECT r, c, COUNT(*) AS n FROM reach GROUP BY r, c), "
+        "acc AS (SELECT f.row, f.col, "
+        "CAST(1 + COALESCE(anc.n, 0) AS BIGINT) AS acc "
+        "FROM fd f LEFT JOIN anc ON anc.r = f.row AND anc.c = f.col), "
+        f"g AS ({_OG_SLOPE_GRID_SQL}), w AS ("
+        "SELECT e.row AS row, e.col AS col, "
+        "n1.z AS za, n2.z AS zb, n3.z AS zc, n4.z AS zd, e.z AS ze, "
+        "n6.z AS zf, n7.z AS zg, n8.z AS zh, n9.z AS zi "
+        "FROM g e "
+        "JOIN g n1 ON n1.row = e.row - 1 AND n1.col = e.col - 1 "
+        "JOIN g n2 ON n2.row = e.row - 1 AND n2.col = e.col "
+        "JOIN g n3 ON n3.row = e.row - 1 AND n3.col = e.col + 1 "
+        "JOIN g n4 ON n4.row = e.row AND n4.col = e.col - 1 "
+        "JOIN g n6 ON n6.row = e.row AND n6.col = e.col + 1 "
+        "JOIN g n7 ON n7.row = e.row + 1 AND n7.col = e.col - 1 "
+        "JOIN g n8 ON n8.row = e.row + 1 AND n8.col = e.col "
+        "JOIN g n9 ON n9.row = e.row + 1 AND n9.col = e.col + 1), "
+        "s AS (SELECT row, col, 100.0 * SQRT(p * p + q * q) AS slope_pct "
+        "FROM (SELECT row, col, "
+        "((zc + 2.0 * zf + zi) - (za + 2.0 * zd + zg)) / (8.0 * 0.01) AS p, "
+        "((zg + 2.0 * zh + zi) - (za + 2.0 * zb + zc)) / (8.0 * 0.01) AS q "
+        "FROM w WHERE za > -1e30 AND zb > -1e30 AND zc > -1e30 "
+        "AND zd > -1e30 AND ze > -1e30 AND zf > -1e30 "
+        "AND zg > -1e30 AND zh > -1e30 AND zi > -1e30)) "
+        "SELECT s.row, s.col, "
+        "ROUND(POW(CAST(acc.acc AS DOUBLE) * 0.01 / 22.13, 0.4) "
+        "* POW(SIN(ATAN(s.slope_pct / 100.0)) / 0.0896, 1.3), 6) AS ls "
+        "FROM s JOIN acc ON acc.row = s.row AND acc.col = s.col "
+        "WHERE s.slope_pct > 0"
+    )
+    out["rich_club"] = (
+        # phi(k) over the edit-1 graph; exact counts -- mirrors
+        # _q_rich_club
+        "WITH v AS (SELECT DISTINCT source AS token FROM documents "
+        "WHERE LEN(source) >= 4), "
+        "e AS (SELECT a.token AS w1, b.token AS w2 FROM v a JOIN v b "
+        "ON a.token < b.token "
+        "AND ABS(LEN(a.token) - LEN(b.token)) <= 1 "
+        "AND LEVENSHTEIN(a.token, b.token) = 1), "
+        "d AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS deg FROM ("
+        "SELECT w1 AS token FROM e UNION ALL SELECT w2 FROM e) "
+        "GROUP BY token), "
+        "q AS (SELECT k.k AS k, "
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM d WHERE deg > k.k) AS nk, "
+        "(SELECT CAST(COUNT(*) AS BIGINT) FROM e "
+        "JOIN d da ON da.token = e.w1 JOIN d db ON db.token = e.w2 "
+        "WHERE da.deg > k.k AND db.deg > k.k) AS ek "
+        "FROM (VALUES (2), (4), (8)) k(k)) "
+        "SELECT CAST(k AS BIGINT) AS k, nk AS n_nodes, ek AS n_edges, "
+        "CASE WHEN nk < 2 THEN CAST('nan' AS DOUBLE) "
+        "ELSE ROUND(2.0 * CAST(ek AS DOUBLE) "
+        "/ (CAST(nk AS DOUBLE) * CAST(nk - 1 AS DOUBLE)), 6) END AS phi "
+        "FROM q"
     )
     out["dasymetric_alloc"] = " UNION ALL ".join(
         f"SELECT '{pid}' AS polygon_id, pix, ROUND("

@@ -384,7 +384,7 @@ EXTRA_QUERY_SUBSET = [
     "keyness_terms", "voronoi_assign", "kwic_contexts", "ols_two_var",
     "simpson_diversity", "dickey_fuller", "simplified_silhouette",
     "emerging_hotspots", "degree_assortativity", "word_burstiness",
-    "dasymetric_alloc", "location_quotient",
+    "dasymetric_alloc", "location_quotient", "rusle_ls", "rich_club",
 ]
 
 
