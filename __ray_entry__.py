@@ -8302,6 +8302,153 @@ def _q_fractal_boxcount(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_promo_revenue_share(sf_dir: str) -> pa.Table:
+    """TPC-H Q14-shaped promotion effect: per ship month, the percent
+    of discounted revenue from PROMO-type parts.  The part side routes
+    through the size-aware equi_join (broadcast at bench sf, hash
+    shuffle at scale); revenue quantized to cents so month sums are
+    exact int64."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        equi_join, hash_aggregate, round_like_sql,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.sources.reader import (
+        _disk_bytes,
+    )
+
+    li = _read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    pt_path = os.path.join(sf_dir, "part.parquet")
+    pt = _read_pq(pt_path, columns=["p_partkey", "p_type"])
+    joined = equi_join(
+        li, pt, join_type="inner", num_partitions=8,
+        on=("l_partkey",), right_on=("p_partkey",),
+        right_size_hint=_disk_bytes(pt_path),
+    )
+
+    def monthly(batch: pa.Table) -> pa.Table:
+        us = batch["l_shipdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        days = us // 86_400_000_000
+        # month key = year*100 + month via epoch day -> date math
+        d = (days.astype("datetime64[D]")).astype("datetime64[M]")
+        month = (d.astype(np.int64) + 12 * 1970).astype(np.int64)
+        cents = round_half_away(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * (
+                1.0
+                - batch["l_discount"].to_numpy(zero_copy_only=False)
+            )
+            * 100.0
+        ).astype(np.int64)
+        promo = (
+            batch["p_type"].to_numpy(zero_copy_only=False) == "PROMO"
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "month_idx": pa.array(month),
+                "rev": pa.array(cents),
+                "promo_rev": pa.array(cents * promo),
+            }
+        )
+
+    agg = hash_aggregate(
+        joined.map_batches(monthly, batch_format="pyarrow", batch_size=None),
+        ["month_idx"],
+        [("rev", "sum", "rev"), ("promo_rev", "sum", "promo_rev")],
+    )
+    order = np.argsort(agg["month_idx"].to_numpy(zero_copy_only=False))
+    mi, shares, revs = [], [], []
+    for i in order.tolist():
+        m = int(agg["month_idx"][i].as_py())
+        r = int(agg["rev"][i].as_py())
+        p = int(agg["promo_rev"][i].as_py())
+        mi.append(m)
+        revs.append(r)
+        shares.append(100.0 * float(p) / float(r))
+    return pa.table(
+        {
+            "month_idx": pa.array(mi, pa.int64()),
+            "revenue_cents": pa.array(revs, pa.int64()),
+            "promo_share_pct": round_like_sql(shares, 6),
+        }
+    )
+
+
+def _q_ship_delay_histogram(sf_dir: str) -> pa.Table:
+    """Order-to-ship latency distribution per order priority: the
+    lineitem x orders big-big join (size-aware router) feeding an
+    exact integer day-bucket histogram (0-7 / 8-30 / 31-90 / >90
+    days) -- the fulfillment-SLA profile."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        equi_join, hash_aggregate,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.sources.reader import (
+        _disk_bytes,
+    )
+
+    li = _read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate"],
+    )
+    od_path = os.path.join(sf_dir, "orders.parquet")
+    od = _read_pq(
+        od_path, columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    )
+    joined = equi_join(
+        li, od, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+        right_size_hint=_disk_bytes(od_path),
+    )
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        sd = (
+            batch["l_shipdate"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            // 86_400_000_000
+        )
+        od_ = (
+            batch["o_orderdate"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            // 86_400_000_000
+        )
+        delay = sd - od_
+        b = np.where(
+            delay <= 7, 0, np.where(delay <= 30, 1, np.where(delay <= 90, 2, 3))
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "priority": batch["o_orderpriority"],
+                "bucket": pa.array(b),
+                "_one": pa.array(np.ones(len(b), np.int64)),
+            }
+        )
+
+    agg = hash_aggregate(
+        joined.map_batches(bucket, batch_format="pyarrow", batch_size=None),
+        ["priority", "bucket"],
+        [("_one", "sum", "n")],
+    )
+    import pyarrow.compute as pc
+
+    idx = pc.sort_indices(
+        agg,
+        sort_keys=[("priority", "ascending"), ("bucket", "ascending")],
+    )
+    out = agg.take(idx)
+    return pa.table(
+        {
+            "priority": out["priority"],
+            "bucket": out["bucket"],
+            "n": out["n"].cast(pa.int64()),
+        }
+    )
+
+
 def _q_rusle_ls(sf_dir: str) -> pa.Table:
     """RUSLE LS (slope-length x steepness) factor: LS =
     (acc * cellwidth / 22.13)^0.4 * (sin(atan(slope)) / 0.0896)^1.3
@@ -12096,6 +12243,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "location_quotient": _q_location_quotient,
         "rusle_ls": _q_rusle_ls,
         "rich_club": _q_rich_club,
+        "promo_revenue_share": _q_promo_revenue_share,
+        "ship_delay_histogram": _q_ship_delay_histogram,
         "markov_entropy_rate": _q_markov_entropy_rate,
         "t_closeness": _q_t_closeness,
         "word_degree_dist": _q_word_degree_dist,
@@ -16924,6 +17073,35 @@ def oracle_sql() -> dict[str, str]:
         "AS bw, "
         "CAST(SUM(CASE WHEN b1 = 0 AND b2 = 0 THEN 1 ELSE 0 END) "
         "AS BIGINT) AS ww FROM p"
+    )
+    out["promo_revenue_share"] = (
+        # Q14-shaped monthly promo share; cents exact -- mirrors
+        # _q_promo_revenue_share (month_idx = year*12 + month - 1)
+        "WITH j AS (SELECT l.l_shipdate, "
+        "CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0) "
+        "AS BIGINT) AS cents, p.p_type FROM lineitem l "
+        "JOIN part p ON p.p_partkey = l.l_partkey), "
+        "m AS (SELECT CAST(DATE_PART('year', l_shipdate) * 12 "
+        "+ DATE_PART('month', l_shipdate) - 1 AS BIGINT) AS month_idx, "
+        "CAST(SUM(cents) AS BIGINT) AS rev, "
+        "CAST(SUM(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END) "
+        "AS BIGINT) AS pr FROM j GROUP BY 1) "
+        "SELECT month_idx, rev AS revenue_cents, "
+        "ROUND(100.0 * CAST(pr AS DOUBLE) / CAST(rev AS DOUBLE), 6) "
+        "AS promo_share_pct FROM m"
+    )
+    out["ship_delay_histogram"] = (
+        # per-priority ship-latency day buckets; pure counts --
+        # mirrors _q_ship_delay_histogram
+        "WITH j AS (SELECT "
+        "epoch_us(l.l_shipdate) // 86400000000 "
+        "- epoch_us(o.o_orderdate) // 86400000000 AS delay, "
+        "o.o_orderpriority AS priority FROM lineitem l "
+        "JOIN orders o ON o.o_orderkey = l.l_orderkey) "
+        "SELECT priority, "
+        "CAST(CASE WHEN delay <= 7 THEN 0 WHEN delay <= 30 THEN 1 "
+        "WHEN delay <= 90 THEN 2 ELSE 3 END AS BIGINT) AS bucket, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM j GROUP BY 1, 2"
     )
     out["rusle_ls"] = (
         # Moore-Burch LS factor over the same acc/slope composition as

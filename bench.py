@@ -385,6 +385,7 @@ EXTRA_QUERY_SUBSET = [
     "simpson_diversity", "dickey_fuller", "simplified_silhouette",
     "emerging_hotspots", "degree_assortativity", "word_burstiness",
     "dasymetric_alloc", "location_quotient", "rusle_ls", "rich_club",
+    "promo_revenue_share", "ship_delay_histogram",
 ]
 
 
