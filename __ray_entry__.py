@@ -8302,6 +8302,174 @@ def _q_fractal_boxcount(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_raster_entropy(sf_dir: str) -> pa.Table:
+    """Shannon entropy of the raster's deci-unit value distribution
+    (valid cells) -- the information-content summary used to pick
+    compression/stretch parameters.  Distributed per-value counts
+    (value domain is bounded: deci units of [0, 50)), per-value terms
+    quantized at 1e12 for an exact int64 sum."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    tiles = ray.data.from_arrow(_og_tiles_table(sparse_invalid=True, tile=24))
+
+    def vals(batch: pa.Table) -> pa.Table:
+        out_v, out_n = [], []
+        for i in range(batch.num_rows):
+            z = np.asarray(batch["values"][i].as_py(), np.float32)
+            z = z[z > -1e30]
+            vq = round_half_away(z.astype(np.float64) * 10.0).astype(
+                np.int64
+            )
+            uv, cn = np.unique(vq, return_counts=True)
+            out_v.extend(uv.tolist())
+            out_n.extend(cn.tolist())
+        return pa.table(
+            {
+                "v": pa.array(out_v, pa.int64()),
+                "n": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    agg = hash_aggregate(
+        tiles.map_batches(vals, batch_format="pyarrow", batch_size=None),
+        ["v"],
+        [("n", "sum", "n")],
+    )
+    n = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    tot = int(n.sum())
+    terms = round_half_away(
+        n.astype(np.float64)
+        * np.log(n.astype(np.float64) / float(tot))
+        * 1e12
+    ).astype(np.int64)
+    h = -float(int(terms.sum())) / 1e12 / float(tot)
+    return pa.table(
+        {
+            "n_cells": pa.array([tot], pa.int64()),
+            "n_distinct": pa.array([agg.num_rows], pa.int64()),
+            "entropy_nats": round_like_sql([h], 6),
+        }
+    )
+
+
+def _q_markov_top1_accuracy(sf_dir: str) -> pa.Table:
+    """Top-1 next-event predictability: if we always predict the
+    modal next event per current type, what fraction of transitions
+    do we hit?  Sum over src of max_dst(n) / total transitions --
+    pure integer counts from the markov_transitions construction
+    (deterministic ties by taking the max count, not the arg)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        markov_transitions, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    tr = markov_transitions(ds, "user_id", "event_type", ["ts", "event_id"])
+    src = tr["src"].to_numpy(zero_copy_only=False)
+    nn = tr["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    best: dict[str, int] = {}
+    tot = 0
+    for s, c in zip(src.tolist(), nn.tolist()):
+        tot += c
+        if c > best.get(s, 0):
+            best[s] = c
+    hits = sum(best.values())
+    return pa.table(
+        {
+            "n_transitions": pa.array([tot], pa.int64()),
+            "n_hits": pa.array([hits], pa.int64()),
+            "top1_accuracy": round_like_sql(
+                [float(hits) / float(tot)], 6
+            ),
+        }
+    )
+
+
+def _q_intrinsic_dim(sf_dir: str) -> pa.Table:
+    """TwoNN intrinsic-dimension estimate (Facco et al. 2017) of the
+    embedding cloud: ID = 2N / sum ln(d2_2nd / d2_1st) with squared
+    distances as exact integers over 1e4-tick quantized vectors
+    (|v_i - v_j|^2 = v2_i + v2_j - 2 v_i.v_j, int64 matmul), each
+    log-ratio term quantized at 1e12.  Points whose nearest neighbor
+    coincides exactly (d1 = 0) are excluded on both sides."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables, round_like_sql,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.ann import (
+        list_col_to_matrix,
+    )
+    import ray
+    import ray.data
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+    full = collect_tables(ds)
+    m = list_col_to_matrix(full["embedding"])
+    vq_all = round_half_away(m.astype(np.float64) * 1e4).astype(np.int64)
+    ref = ray.put(vq_all)
+
+    def terms(batch: pa.Table) -> pa.Table:
+        allv = ray.get(ref)
+        v2_all = (allv * allv).sum(axis=1)
+        vq = round_half_away(
+            list_col_to_matrix(batch["embedding"]).astype(np.float64) * 1e4
+        ).astype(np.int64)
+        v2 = (vq * vq).sum(axis=1)
+        # squared distances via float64 BLAS: every term is an exact
+        # integer < 2^53 so the doubles ARE the exact int distances
+        dots = vq.astype(np.float64) @ allv.T.astype(np.float64)
+        d2 = (
+            v2[:, None].astype(np.float64)
+            + v2_all[None, :].astype(np.float64)
+            - 2.0 * dots
+        )
+        part = np.partition(d2, 2, axis=1)[:, :3]
+        part.sort(axis=1)
+        d1 = part[:, 1]  # [:, 0] is the self-distance 0
+        d2nd = part[:, 2]
+        ok = d1 > 0
+        t = round_half_away(
+            np.log(
+                d2nd[ok].astype(np.float64) / d1[ok].astype(np.float64)
+            )
+            * 1e12
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "_g": pa.array(np.zeros(len(t), np.int64)),
+                "n": pa.array(np.ones(len(t), np.int64)),
+                "s": pa.array(t),
+            }
+        )
+
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate,
+    )
+
+    agg = hash_aggregate(
+        ds.map_batches(terms, batch_format="pyarrow", batch_size=None),
+        ["_g"],
+        [("n", "sum", "n"), ("s", "sum", "s")],
+    )
+    n = int(agg["n"][0].as_py())
+    s = int(agg["s"][0].as_py())
+    # ID = 2N / sum ln(mu^2) since ln(d2 ratio) = 2 ln(d ratio)
+    dim = 2.0 * float(n) / (float(s) / 1e12)
+    return pa.table(
+        {
+            "n_points": pa.array([n], pa.int64()),
+            "intrinsic_dim": round_like_sql([dim], 6),
+        }
+    )
+
+
 def _q_promo_revenue_share(sf_dir: str) -> pa.Table:
     """TPC-H Q14-shaped promotion effect: per ship month, the percent
     of discounted revenue from PROMO-type parts.  The part side routes
@@ -12245,6 +12413,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rich_club": _q_rich_club,
         "promo_revenue_share": _q_promo_revenue_share,
         "ship_delay_histogram": _q_ship_delay_histogram,
+        "raster_entropy": _q_raster_entropy,
+        "markov_top1_accuracy": _q_markov_top1_accuracy,
+        "intrinsic_dim": _q_intrinsic_dim,
         "markov_entropy_rate": _q_markov_entropy_rate,
         "t_closeness": _q_t_closeness,
         "word_degree_dist": _q_word_degree_dist,
@@ -17073,6 +17244,69 @@ def oracle_sql() -> dict[str, str]:
         "AS bw, "
         "CAST(SUM(CASE WHEN b1 = 0 AND b2 = 0 THEN 1 ELSE 0 END) "
         "AS BIGINT) AS ww FROM p"
+    )
+    out["raster_entropy"] = (
+        # per-value 1e12-quantized n*ln(n/N) terms -- mirrors
+        # _q_raster_entropy
+        f"WITH g AS ({_OG_SLOPE_GRID_SQL}), "
+        "v AS (SELECT CAST(ROUND(z * 10, 0) AS BIGINT) AS vq "
+        "FROM g WHERE z > -1e30), "
+        "c AS (SELECT vq, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM v GROUP BY vq), "
+        "t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot, "
+        "CAST(COUNT(*) AS BIGINT) AS nd FROM c), "
+        "q AS (SELECT CAST(ROUND(CAST(n AS DOUBLE) "
+        "* LN(CAST(n AS DOUBLE) / CAST(t.tot AS DOUBLE)) * 1e12, 0) "
+        "AS BIGINT) AS tq FROM c, t) "
+        "SELECT t.tot AS n_cells, t.nd AS n_distinct, "
+        "ROUND(-CAST(SUM(tq) AS DOUBLE) / 1e12 / CAST(t.tot AS DOUBLE), "
+        "6) AS entropy_nats FROM q, t GROUP BY t.tot, t.nd"
+    )
+    out["markov_top1_accuracy"] = (
+        # modal-next-event hit rate; integer counts -- mirrors
+        # _q_markov_top1_accuracy
+        "WITH s AS (SELECT user_id, event_type, "
+        "LEAD(event_type) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS nxt FROM events), "
+        "tr AS (SELECT event_type AS src, nxt AS dst, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM s "
+        "WHERE nxt IS NOT NULL GROUP BY 1, 2), "
+        "rt AS (SELECT src, CAST(MAX(n) AS BIGINT) AS best "
+        "FROM tr GROUP BY src) "
+        "SELECT (SELECT CAST(SUM(n) AS BIGINT) FROM tr) "
+        "AS n_transitions, "
+        "CAST(SUM(best) AS BIGINT) AS n_hits, "
+        "ROUND(CAST(SUM(best) AS DOUBLE) "
+        "/ (SELECT CAST(SUM(n) AS DOUBLE) FROM tr), 6) "
+        "AS top1_accuracy FROM rt"
+    )
+    out["intrinsic_dim"] = (
+        # TwoNN: order-statistic 1st/2nd squared NN distances over
+        # 1e4-tick integer vectors (list_inner_product is exact here:
+        # every term < 2^53); log-ratio terms quantized at 1e12 --
+        # mirrors _q_intrinsic_dim
+        "WITH q AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e4, 0) AS BIGINT)) AS vq "
+        "FROM embeddings), "
+        "v2 AS (SELECT vec_id, vq, list_inner_product(vq, vq) AS s2 "
+        "FROM q), "
+        "p AS (SELECT a.vec_id AS i, "
+        "a.s2 + b.s2 - 2 * list_inner_product(a.vq, b.vq) AS d2, "
+        "b.vec_id AS j, "
+        "ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY "
+        "a.s2 + b.s2 - 2 * list_inner_product(a.vq, b.vq), b.vec_id) "
+        "AS rn FROM v2 a JOIN v2 b ON b.vec_id <> a.vec_id), "
+        "nn AS (SELECT i, "
+        "MAX(CASE WHEN rn = 1 THEN d2 END) AS d1, "
+        "MAX(CASE WHEN rn = 2 THEN d2 END) AS d2nd "
+        "FROM p WHERE rn <= 2 GROUP BY i), "
+        "tq AS (SELECT CAST(ROUND(LN(CAST(d2nd AS DOUBLE) "
+        "/ CAST(d1 AS DOUBLE)) * 1e12, 0) AS BIGINT) AS t "
+        "FROM nn WHERE d1 > 0) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_points, "
+        "ROUND(2.0 * CAST(COUNT(*) AS DOUBLE) "
+        "/ (CAST(SUM(t) AS DOUBLE) / 1e12), 6) AS intrinsic_dim "
+        "FROM tq"
     )
     out["promo_revenue_share"] = (
         # Q14-shaped monthly promo share; cents exact -- mirrors

@@ -385,7 +385,8 @@ EXTRA_QUERY_SUBSET = [
     "simpson_diversity", "dickey_fuller", "simplified_silhouette",
     "emerging_hotspots", "degree_assortativity", "word_burstiness",
     "dasymetric_alloc", "location_quotient", "rusle_ls", "rich_club",
-    "promo_revenue_share", "ship_delay_histogram",
+    "promo_revenue_share", "ship_delay_histogram", "raster_entropy",
+    "markov_top1_accuracy", "intrinsic_dim",
 ]
 
 
