@@ -8302,6 +8302,131 @@ def _q_fractal_boxcount(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_binseg_changepoint(sf_dir: str) -> pa.Table:
+    """Single-changepoint binary segmentation on the daily event
+    series: the split minimizing SSE_left + SSE_right, every SSE from
+    exact integer prefix sums (cost quantized at 1e6 so the argmin is
+    an integer compare with lowest-day tie-break) -- the first step
+    of any changepoint ladder."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+
+    def daily(batch: pa.Table) -> pa.Table:
+        d = (
+            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        return pa.table(
+            {
+                "d": pa.array(d),
+                "_one": pa.array(np.ones(len(d), np.int64)),
+            }
+        )
+
+    agg = hash_aggregate(
+        ds.map_batches(daily, batch_format="pyarrow", batch_size=None),
+        ["d"],
+        [("_one", "sum", "x")],
+    )
+    dd = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+    xx = agg["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lo, hi = int(dd.min()), int(dd.max())
+    n = hi - lo + 1
+    series = np.zeros(n, np.int64)
+    series[dd - lo] = xx
+    ps = np.cumsum(series)
+    ps2 = np.cumsum(series * series)
+    s_tot, q_tot = int(ps[-1]), int(ps2[-1])
+    best_t, best_cq = -1, None
+    for t in range(1, n):  # left = [0, t), right = [t, n)
+        sl, ql = int(ps[t - 1]), int(ps2[t - 1])
+        sr, qr = s_tot - sl, q_tot - ql
+        cost = (
+            (float(ql) - float(sl) * float(sl) / float(t))
+            + (float(qr) - float(sr) * float(sr) / float(n - t))
+        )
+        cq = int(round_half_away(np.array([cost * 1e6]))[0])
+        if best_cq is None or cq < best_cq:
+            best_cq, best_t = cq, t
+    full_cost = float(q_tot) - float(s_tot) * float(s_tot) / float(n)
+    return pa.table(
+        {
+            "split_day_offset": pa.array([best_t], pa.int64()),
+            "cost_q": pa.array([best_cq], pa.int64()),
+            "full_sse": round_like_sql([full_cost], 6),
+        }
+    )
+
+
+def _q_qq_slope(sf_dir: str) -> pa.Table:
+    """Quantile-quantile comparison of the lineitem price vs the part
+    retail price distributions: exact decile order statistics
+    (quantile_disc selection on cents) for both columns, then the
+    through-origin OLS slope over the 9 QQ points from exact integer
+    moments -- the distribution-shape comparison next to the KS
+    statistic."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        round_like_sql,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
+        exact_quantiles,
+    )
+
+    qs = [i / 10.0 for i in range(1, 10)]
+    li = _read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_extendedprice"]
+    )
+    pt = _read_pq(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_retailprice"]
+    )
+
+    def cents(col):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = round_half_away(
+                batch[col].to_numpy(zero_copy_only=False) * 100.0
+            ).astype(np.int64)
+            return pa.table({"k": pa.array(k)})
+
+        return fn
+
+    qa = exact_quantiles(
+        li.map_batches(
+            cents("l_extendedprice"), batch_format="pyarrow", batch_size=None
+        ),
+        "k",
+        qs,
+        method="disc",
+    )
+    qb = exact_quantiles(
+        pt.map_batches(
+            cents("p_retailprice"), batch_format="pyarrow", batch_size=None
+        ),
+        "k",
+        qs,
+        method="disc",
+    )
+    va = [
+        int(qa.column(qa.num_columns - 1)[i].as_py()) for i in range(len(qs))
+    ]
+    vb = [
+        int(qb.column(qb.num_columns - 1)[i].as_py()) for i in range(len(qs))
+    ]
+    sxy = sum(a * b for a, b in zip(va, vb))
+    sxx = sum(b * b for b in vb)
+    slope = float(sxy) / float(sxx)
+    return pa.table(
+        {
+            "q": pa.array(qs, pa.float64()),
+            "lineitem_cents": pa.array(va, pa.int64()),
+            "part_cents": pa.array(vb, pa.int64()),
+            "qq_slope": round_like_sql([slope] * len(qs), 6),
+        }
+    )
+
+
 def _q_raster_entropy(sf_dir: str) -> pa.Table:
     """Shannon entropy of the raster's deci-unit value distribution
     (valid cells) -- the information-content summary used to pick
@@ -12416,6 +12541,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "raster_entropy": _q_raster_entropy,
         "markov_top1_accuracy": _q_markov_top1_accuracy,
         "intrinsic_dim": _q_intrinsic_dim,
+        "binseg_changepoint": _q_binseg_changepoint,
+        "qq_slope": _q_qq_slope,
         "markov_entropy_rate": _q_markov_entropy_rate,
         "t_closeness": _q_t_closeness,
         "word_degree_dist": _q_word_degree_dist,
@@ -17244,6 +17371,59 @@ def oracle_sql() -> dict[str, str]:
         "AS bw, "
         "CAST(SUM(CASE WHEN b1 = 0 AND b2 = 0 THEN 1 ELSE 0 END) "
         "AS BIGINT) AS ww FROM p"
+    )
+    out["binseg_changepoint"] = (
+        # split minimizing quantized SSE_left + SSE_right over the
+        # dense day series; integer argmin, lowest-day ties -- mirrors
+        # _q_binseg_changepoint
+        "WITH c0 AS (SELECT epoch_us(ts) // 86400000000 AS d, "
+        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1), "
+        "mm AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM c0), "
+        "dd AS (SELECT r.range AS t, mm.lo + r.range AS d "
+        "FROM range(0, 4096) r, mm WHERE r.range <= mm.hi - mm.lo), "
+        "dn AS (SELECT dd.t, COALESCE(c0.x, 0) AS x "
+        "FROM dd LEFT JOIN c0 ON c0.d = dd.d), "
+        "pf AS (SELECT t, CAST(SUM(x) OVER (ORDER BY t "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c, "
+        "CAST(SUM(x * x) OVER (ORDER BY t "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c2 FROM dn), "
+        "tt AS (SELECT MAX(c) AS s_tot, MAX(c2) AS q_tot, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM pf), "
+        "sp AS (SELECT pf.t + 1 AS t, pf.c AS sl, pf.c2 AS ql "
+        "FROM pf, tt WHERE pf.t + 1 <= tt.n - 1), "
+        "cost AS (SELECT sp.t, CAST(ROUND((("
+        "CAST(sp.ql AS DOUBLE) - CAST(sp.sl AS DOUBLE) "
+        "* CAST(sp.sl AS DOUBLE) / CAST(sp.t AS DOUBLE)) "
+        "+ (CAST(tt.q_tot - sp.ql AS DOUBLE) "
+        "- CAST(tt.s_tot - sp.sl AS DOUBLE) "
+        "* CAST(tt.s_tot - sp.sl AS DOUBLE) "
+        "/ CAST(tt.n - sp.t AS DOUBLE))) * 1e6, 0) AS BIGINT) AS cq "
+        "FROM sp, tt) "
+        "SELECT cost.t AS split_day_offset, cost.cq AS cost_q, "
+        "ROUND(CAST(tt.q_tot AS DOUBLE) - CAST(tt.s_tot AS DOUBLE) "
+        "* CAST(tt.s_tot AS DOUBLE) / CAST(tt.n AS DOUBLE), 6) "
+        "AS full_sse "
+        "FROM cost, tt ORDER BY cost.cq, cost.t LIMIT 1"
+    )
+    out["qq_slope"] = (
+        # exact decile order statistics of both cents columns + the
+        # through-origin OLS slope -- mirrors _q_qq_slope
+        "WITH pts AS ("
+        + " UNION ALL ".join(
+            f"SELECT CAST({q!r} AS DOUBLE) AS q, "
+            f"(SELECT quantile_disc("
+            f"CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT), {q!r}) "
+            f"FROM lineitem) AS a, "
+            f"(SELECT quantile_disc("
+            f"CAST(ROUND(p_retailprice * 100, 0) AS BIGINT), {q!r}) "
+            f"FROM part) AS b"
+            for q in [i / 10.0 for i in range(1, 10)]
+        )
+        + "), m AS (SELECT CAST(SUM(a * b) AS BIGINT) AS sxy, "
+        "CAST(SUM(b * b) AS BIGINT) AS sxx FROM pts) "
+        "SELECT pts.q, pts.a AS lineitem_cents, pts.b AS part_cents, "
+        "ROUND(CAST(m.sxy AS DOUBLE) / CAST(m.sxx AS DOUBLE), 6) "
+        "AS qq_slope FROM pts, m"
     )
     out["raster_entropy"] = (
         # per-value 1e12-quantized n*ln(n/N) terms -- mirrors

@@ -386,7 +386,8 @@ EXTRA_QUERY_SUBSET = [
     "emerging_hotspots", "degree_assortativity", "word_burstiness",
     "dasymetric_alloc", "location_quotient", "rusle_ls", "rich_club",
     "promo_revenue_share", "ship_delay_histogram", "raster_entropy",
-    "markov_top1_accuracy", "intrinsic_dim",
+    "markov_top1_accuracy", "intrinsic_dim", "binseg_changepoint",
+    "qq_slope",
 ]
 
 
