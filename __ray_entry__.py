@@ -8302,6 +8302,214 @@ def _q_fractal_boxcount(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_polygon_iou(sf_dir: str) -> pa.Table:
+    """Intersection-over-union of the two overlapping fixture
+    polygons, discretized on the grid's cell centers (the
+    segmentation-mask IoU metric): memberships via the identical
+    strict half-plane tests, pure integer counts, one division."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    q0 = OG_POLYGONS["q0"]
+    q1 = OG_POLYGONS["q1"]
+
+    def member(lon, lat, poly):
+        ok = np.ones(len(lon), bool)
+        n = len(poly)
+        for i in range(n):
+            ax, ay = poly[i]
+            bx, by = poly[(i + 1) % n]
+            ok &= (bx - ax) * (lat - ay) - (by - ay) * (lon - ax) > 0
+        return ok
+
+    def counts(batch: pa.Table) -> pa.Table:
+        lon = batch["lon"].to_numpy(zero_copy_only=False)
+        lat = batch["lat"].to_numpy(zero_copy_only=False)
+        m0 = member(lon, lat, q0)
+        m1 = member(lon, lat, q1)
+        return pa.table(
+            {
+                "_g": pa.array(np.zeros(1, np.int64)),
+                "n_a": pa.array([int(m0.sum())], pa.int64()),
+                "n_b": pa.array([int(m1.sum())], pa.int64()),
+                "inter": pa.array([int((m0 & m1).sum())], pa.int64()),
+            }
+        )
+
+    agg = hash_aggregate(
+        _og_points_ds().map_batches(
+            counts, batch_format="pyarrow", batch_size=None
+        ),
+        ["_g"],
+        [(c, "sum", c) for c in ("n_a", "n_b", "inter")],
+    )
+    na = int(agg["n_a"][0].as_py())
+    nb = int(agg["n_b"][0].as_py())
+    inter = int(agg["inter"][0].as_py())
+    union = na + nb - inter
+    return pa.table(
+        {
+            "n_a": pa.array([na], pa.int64()),
+            "n_b": pa.array([nb], pa.int64()),
+            "inter": pa.array([inter], pa.int64()),
+            "iou": round_like_sql([float(inter) / float(union)], 6),
+        }
+    )
+
+
+def _q_raster_kappa(sf_dir: str) -> pa.Table:
+    """Cohen's kappa between the two bands' high-value masks
+    (deci k > 250, i.e. z > 25) over both-valid cells -- the
+    classification-agreement metric for change-detection maps.
+    Confusion counts are exact int64; po/pe/kappa is one pinned
+    float chain."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    tiles = ray.data.from_arrow(_og_multiband_tiles_table(bands=(1, 2)))
+
+    def confusion(batch: pa.Table) -> pa.Table:
+        by_pos: dict[tuple[int, int], dict[int, np.ndarray]] = {}
+        for i in range(batch.num_rows):
+            key = (
+                batch["row_off"][i].as_py(),
+                batch["col_off"][i].as_py(),
+            )
+            v = np.asarray(batch["values"][i].as_py(), np.float32)
+            by_pos.setdefault(key, {})[batch["band"][i].as_py()] = v
+        n11 = n10 = n01 = n00 = 0
+        for key, bands in by_pos.items():
+            if 1 not in bands or 2 not in bands:
+                continue
+            v1, v2 = bands[1], bands[2]
+            ok = (v1 > -1e30) & (v2 > -1e30)
+            k1 = round_half_away(
+                v1[ok].astype(np.float64) * 10.0
+            ).astype(np.int64)
+            k2 = round_half_away(
+                v2[ok].astype(np.float64) * 10.0
+            ).astype(np.int64)
+            a = k1 > 250
+            p = k2 > 250
+            n11 += int((a & p).sum())
+            n10 += int((a & ~p).sum())
+            n01 += int((~a & p).sum())
+            n00 += int((~a & ~p).sum())
+        return pa.table(
+            {
+                "_g": pa.array(np.zeros(1, np.int64)),
+                "n11": pa.array([n11], pa.int64()),
+                "n10": pa.array([n10], pa.int64()),
+                "n01": pa.array([n01], pa.int64()),
+                "n00": pa.array([n00], pa.int64()),
+            }
+        )
+
+    agg = hash_aggregate(
+        tiles.map_batches(confusion, batch_format="pyarrow", batch_size=None),
+        ["_g"],
+        [(c, "sum", c) for c in ("n11", "n10", "n01", "n00")],
+    )
+    n11 = int(agg["n11"][0].as_py())
+    n10 = int(agg["n10"][0].as_py())
+    n01 = int(agg["n01"][0].as_py())
+    n00 = int(agg["n00"][0].as_py())
+    n = n11 + n10 + n01 + n00
+    po = float(n11 + n00) / float(n)
+    pe = float(
+        (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
+    ) / (float(n) * float(n))
+    kappa = (po - pe) / (1.0 - pe)
+    return pa.table(
+        {
+            "n11": pa.array([n11], pa.int64()),
+            "n10": pa.array([n10], pa.int64()),
+            "n01": pa.array([n01], pa.int64()),
+            "n00": pa.array([n00], pa.int64()),
+            "kappa": round_like_sql([kappa], 6),
+        }
+    )
+
+
+def _q_roc_auc(sf_dir: str) -> pa.Table:
+    """ROC AUC of band 2 as a score predicting band 1's high-value
+    mask (the Mann-Whitney identity with tie-averaged ranks): the
+    bounded deci-value domain gives exact per-value (positives,
+    total) counts distributed, and AUC = (R2_pos - n1*(n1+1)) /
+    (2*n1*n0) with R2 the integer doubled rank sum -- bit-exact."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    tiles = ray.data.from_arrow(_og_multiband_tiles_table(bands=(1, 2)))
+
+    def per_value(batch: pa.Table) -> pa.Table:
+        by_pos: dict[tuple[int, int], dict[int, np.ndarray]] = {}
+        for i in range(batch.num_rows):
+            key = (
+                batch["row_off"][i].as_py(),
+                batch["col_off"][i].as_py(),
+            )
+            v = np.asarray(batch["values"][i].as_py(), np.float32)
+            by_pos.setdefault(key, {})[batch["band"][i].as_py()] = v
+        vs, pos, tot = [], [], []
+        acc: dict[int, list[int]] = {}
+        for key, bands in by_pos.items():
+            if 1 not in bands or 2 not in bands:
+                continue
+            v1, v2 = bands[1], bands[2]
+            ok = (v1 > -1e30) & (v2 > -1e30)
+            k1 = round_half_away(
+                v1[ok].astype(np.float64) * 10.0
+            ).astype(np.int64)
+            k2 = round_half_away(
+                v2[ok].astype(np.float64) * 10.0
+            ).astype(np.int64)
+            lab = (k1 > 250).astype(np.int64)
+            for v, l_ in zip(k2.tolist(), lab.tolist()):
+                e = acc.setdefault(v, [0, 0])
+                e[0] += l_
+                e[1] += 1
+        for v, (p, t) in acc.items():
+            vs.append(v)
+            pos.append(p)
+            tot.append(t)
+        return pa.table(
+            {
+                "score": pa.array(vs, pa.int64()),
+                "pos": pa.array(pos, pa.int64()),
+                "tot": pa.array(tot, pa.int64()),
+            }
+        )
+
+    agg = hash_aggregate(
+        tiles.map_batches(per_value, batch_format="pyarrow", batch_size=None),
+        ["score"],
+        [("pos", "sum", "pos"), ("tot", "sum", "tot")],
+    )
+    order = np.argsort(agg["score"].to_numpy(zero_copy_only=False))
+    pos = agg["pos"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    tot = agg["tot"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    cum_lt = np.concatenate([[0], np.cumsum(tot)[:-1]])
+    # doubled tie-averaged rank of value v: 2*cum_lt + n_eq + 1
+    r2 = (2 * cum_lt + tot + 1).astype(np.int64)
+    r2_pos = int((r2 * pos).sum())
+    n1 = int(pos.sum())
+    n0 = int(tot.sum()) - n1
+    auc = float(r2_pos - n1 * (n1 + 1)) / float(2 * n1 * n0)
+    return pa.table(
+        {
+            "n_pos": pa.array([n1], pa.int64()),
+            "n_neg": pa.array([n0], pa.int64()),
+            "auc": round_like_sql([auc], 6),
+        }
+    )
+
+
 def _q_binseg_changepoint(sf_dir: str) -> pa.Table:
     """Single-changepoint binary segmentation on the daily event
     series: the split minimizing SSE_left + SSE_right, every SSE from
@@ -12543,6 +12751,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intrinsic_dim": _q_intrinsic_dim,
         "binseg_changepoint": _q_binseg_changepoint,
         "qq_slope": _q_qq_slope,
+        "polygon_iou": _q_polygon_iou,
+        "raster_kappa": _q_raster_kappa,
+        "roc_auc": _q_roc_auc,
         "markov_entropy_rate": _q_markov_entropy_rate,
         "t_closeness": _q_t_closeness,
         "word_degree_dist": _q_word_degree_dist,
@@ -17371,6 +17582,69 @@ def oracle_sql() -> dict[str, str]:
         "AS bw, "
         "CAST(SUM(CASE WHEN b1 = 0 AND b2 = 0 THEN 1 ELSE 0 END) "
         "AS BIGINT) AS ww FROM p"
+    )
+    out["polygon_iou"] = (
+        # cell-center IoU of q0/q1 via the strict half-plane tests --
+        # mirrors _q_polygon_iou
+        f"WITH g AS ({_OG_GRID_SQL}), "
+        f"m AS (SELECT CASE WHEN {_halfplane_sql(OG_POLYGONS['q0'])} "
+        "THEN 1 ELSE 0 END AS a, "
+        f"CASE WHEN {_halfplane_sql(OG_POLYGONS['q1'])} "
+        "THEN 1 ELSE 0 END AS b FROM g) "
+        "SELECT CAST(SUM(a) AS BIGINT) AS n_a, "
+        "CAST(SUM(b) AS BIGINT) AS n_b, "
+        "CAST(SUM(a * b) AS BIGINT) AS inter, "
+        "ROUND(CAST(SUM(a * b) AS DOUBLE) "
+        "/ CAST(SUM(a) + SUM(b) - SUM(a * b) AS DOUBLE), 6) AS iou "
+        "FROM m"
+    )
+    out["raster_kappa"] = (
+        # Cohen's kappa of the two bands' k>250 masks; exact confusion
+        # counts -- mirrors _q_raster_kappa
+        f"WITH mb AS ({_mb_grid}), "
+        "j AS (SELECT CASE WHEN a.k > 250 THEN 1 ELSE 0 END AS x, "
+        "CASE WHEN d.k > 250 THEN 1 ELSE 0 END AS y FROM "
+        "(SELECT row, col, k FROM mb WHERE band = 1 "
+        "AND k IS NOT NULL) a "
+        "JOIN (SELECT row, col, k FROM mb WHERE band = 2 "
+        "AND k IS NOT NULL) d ON d.row = a.row AND d.col = a.col), "
+        "c AS (SELECT "
+        "CAST(SUM(x * y) AS BIGINT) AS n11, "
+        "CAST(SUM(x * (1 - y)) AS BIGINT) AS n10, "
+        "CAST(SUM((1 - x) * y) AS BIGINT) AS n01, "
+        "CAST(SUM((1 - x) * (1 - y)) AS BIGINT) AS n00 FROM j), "
+        "f AS (SELECT n11, n10, n01, n00, "
+        "n11 + n10 + n01 + n00 AS n, "
+        "CAST(n11 + n00 AS DOUBLE) "
+        "/ CAST(n11 + n10 + n01 + n00 AS DOUBLE) AS po, "
+        "CAST((n11 + n10) * (n11 + n01) "
+        "+ (n01 + n00) * (n10 + n00) AS DOUBLE) "
+        "/ (CAST(n11 + n10 + n01 + n00 AS DOUBLE) "
+        "* CAST(n11 + n10 + n01 + n00 AS DOUBLE)) AS pe FROM c) "
+        "SELECT n11, n10, n01, n00, "
+        "ROUND((po - pe) / (1.0 - pe), 6) AS kappa FROM f"
+    )
+    out["roc_auc"] = (
+        # Mann-Whitney AUC with doubled tie-averaged ranks over the
+        # bounded score domain -- mirrors _q_roc_auc
+        f"WITH mb AS ({_mb_grid}), "
+        "j AS (SELECT d.k AS score, "
+        "CASE WHEN a.k > 250 THEN 1 ELSE 0 END AS lab FROM "
+        "(SELECT row, col, k FROM mb WHERE band = 1 "
+        "AND k IS NOT NULL) a "
+        "JOIN (SELECT row, col, k FROM mb WHERE band = 2 "
+        "AND k IS NOT NULL) d ON d.row = a.row AND d.col = a.col), "
+        "c AS (SELECT score, CAST(SUM(lab) AS BIGINT) AS pos, "
+        "CAST(COUNT(*) AS BIGINT) AS tot FROM j GROUP BY score), "
+        "w AS (SELECT score, pos, tot, "
+        "CAST(SUM(tot) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) "
+        "- tot AS BIGINT) AS cum_lt FROM c), "
+        "m AS (SELECT CAST(SUM((2 * cum_lt + tot + 1) * pos) AS BIGINT) "
+        "AS r2p, CAST(SUM(pos) AS BIGINT) AS n1, "
+        "CAST(SUM(tot) AS BIGINT) AS nt FROM w) "
+        "SELECT n1 AS n_pos, nt - n1 AS n_neg, "
+        "ROUND(CAST(r2p - n1 * (n1 + 1) AS DOUBLE) "
+        "/ CAST(2 * n1 * (nt - n1) AS DOUBLE), 6) AS auc FROM m"
     )
     out["binseg_changepoint"] = (
         # split minimizing quantized SSE_left + SSE_right over the

@@ -387,7 +387,7 @@ EXTRA_QUERY_SUBSET = [
     "dasymetric_alloc", "location_quotient", "rusle_ls", "rich_club",
     "promo_revenue_share", "ship_delay_histogram", "raster_entropy",
     "markov_top1_accuracy", "intrinsic_dim", "binseg_changepoint",
-    "qq_slope",
+    "qq_slope", "polygon_iou", "raster_kappa", "roc_auc",
 ]
 
 
