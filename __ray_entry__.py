@@ -8510,6 +8510,156 @@ def _q_roc_auc(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_average_precision(sf_dir: str) -> pa.Table:
+    """Average precision (step interpolation, ties grouped by
+    distinct score) of band 2 scoring band 1's high-value mask --
+    the PR-curve summary next to roc_auc.  Per-score-group precision
+    terms are exact rationals quantized at 1e12; the recall weights
+    are integer positive counts."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    tiles = ray.data.from_arrow(_og_multiband_tiles_table(bands=(1, 2)))
+
+    def per_value(batch: pa.Table) -> pa.Table:
+        by_pos: dict[tuple[int, int], dict[int, np.ndarray]] = {}
+        for i in range(batch.num_rows):
+            key = (
+                batch["row_off"][i].as_py(),
+                batch["col_off"][i].as_py(),
+            )
+            v = np.asarray(batch["values"][i].as_py(), np.float32)
+            by_pos.setdefault(key, {})[batch["band"][i].as_py()] = v
+        acc: dict[int, list[int]] = {}
+        for key, bands in by_pos.items():
+            if 1 not in bands or 2 not in bands:
+                continue
+            v1, v2 = bands[1], bands[2]
+            ok = (v1 > -1e30) & (v2 > -1e30)
+            k1 = round_half_away(
+                v1[ok].astype(np.float64) * 10.0
+            ).astype(np.int64)
+            k2 = round_half_away(
+                v2[ok].astype(np.float64) * 10.0
+            ).astype(np.int64)
+            lab = (k1 > 250).astype(np.int64)
+            for v, l_ in zip(k2.tolist(), lab.tolist()):
+                e = acc.setdefault(v, [0, 0])
+                e[0] += l_
+                e[1] += 1
+        return pa.table(
+            {
+                "score": pa.array(list(acc), pa.int64()),
+                "pos": pa.array([acc[v][0] for v in acc], pa.int64()),
+                "tot": pa.array([acc[v][1] for v in acc], pa.int64()),
+            }
+        )
+
+    agg = hash_aggregate(
+        tiles.map_batches(per_value, batch_format="pyarrow", batch_size=None),
+        ["score"],
+        [("pos", "sum", "pos"), ("tot", "sum", "tot")],
+    )
+    order = np.argsort(
+        -agg["score"].to_numpy(zero_copy_only=False)
+    )  # descending
+    pos = agg["pos"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    tot = agg["tot"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    cum_pos = np.cumsum(pos)
+    cum_tot = np.cumsum(tot)
+    n1 = int(pos.sum())
+    terms = round_half_away(
+        cum_pos.astype(np.float64) / cum_tot.astype(np.float64) * 1e12
+    ).astype(np.int64)
+    s = int((terms * pos).sum())
+    ap = float(s) / 1e12 / float(n1)
+    return pa.table(
+        {
+            "n_pos": pa.array([n1], pa.int64()),
+            "average_precision": round_like_sql([ap], 6),
+        }
+    )
+
+
+def _q_lift_at_decile(sf_dir: str) -> pa.Table:
+    """Top-decile lift: positive rate among cells whose band-2 score
+    exceeds its 90th percentile (quantile_disc -- an exact order
+    statistic), relative to the base rate.  All counts exact; two
+    float divisions."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    tiles = ray.data.from_arrow(_og_multiband_tiles_table(bands=(1, 2)))
+
+    def per_value(batch: pa.Table) -> pa.Table:
+        by_pos: dict[tuple[int, int], dict[int, np.ndarray]] = {}
+        for i in range(batch.num_rows):
+            key = (
+                batch["row_off"][i].as_py(),
+                batch["col_off"][i].as_py(),
+            )
+            v = np.asarray(batch["values"][i].as_py(), np.float32)
+            by_pos.setdefault(key, {})[batch["band"][i].as_py()] = v
+        acc: dict[int, list[int]] = {}
+        for key, bands in by_pos.items():
+            if 1 not in bands or 2 not in bands:
+                continue
+            v1, v2 = bands[1], bands[2]
+            ok = (v1 > -1e30) & (v2 > -1e30)
+            k1 = round_half_away(
+                v1[ok].astype(np.float64) * 10.0
+            ).astype(np.int64)
+            k2 = round_half_away(
+                v2[ok].astype(np.float64) * 10.0
+            ).astype(np.int64)
+            lab = (k1 > 250).astype(np.int64)
+            for v, l_ in zip(k2.tolist(), lab.tolist()):
+                e = acc.setdefault(v, [0, 0])
+                e[0] += l_
+                e[1] += 1
+        return pa.table(
+            {
+                "score": pa.array(list(acc), pa.int64()),
+                "pos": pa.array([acc[v][0] for v in acc], pa.int64()),
+                "tot": pa.array([acc[v][1] for v in acc], pa.int64()),
+            }
+        )
+
+    agg = hash_aggregate(
+        tiles.map_batches(per_value, batch_format="pyarrow", batch_size=None),
+        ["score"],
+        [("pos", "sum", "pos"), ("tot", "sum", "tot")],
+    )
+    order = np.argsort(agg["score"].to_numpy(zero_copy_only=False))
+    sc = agg["score"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    pos = agg["pos"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    tot = agg["tot"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    n = int(tot.sum())
+    n1 = int(pos.sum())
+    # quantile_disc(0.9): value at 0-based sorted index ceil(0.9*n)-1
+    import math
+
+    target = math.ceil(0.9 * n) - 1
+    cum = np.cumsum(tot)
+    thresh = int(sc[np.searchsorted(cum, target + 1)])
+    top = sc > thresh
+    n_top = int(tot[top].sum())
+    p_top = int(pos[top].sum())
+    lift = (float(p_top) / float(n_top)) / (float(n1) / float(n))
+    return pa.table(
+        {
+            "threshold_score": pa.array([thresh], pa.int64()),
+            "n_top": pa.array([n_top], pa.int64()),
+            "pos_top": pa.array([p_top], pa.int64()),
+            "lift": round_like_sql([lift], 6),
+        }
+    )
+
+
 def _q_binseg_changepoint(sf_dir: str) -> pa.Table:
     """Single-changepoint binary segmentation on the daily event
     series: the split minimizing SSE_left + SSE_right, every SSE from
@@ -12754,6 +12904,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "polygon_iou": _q_polygon_iou,
         "raster_kappa": _q_raster_kappa,
         "roc_auc": _q_roc_auc,
+        "average_precision": _q_average_precision,
+        "lift_at_decile": _q_lift_at_decile,
         "markov_entropy_rate": _q_markov_entropy_rate,
         "t_closeness": _q_t_closeness,
         "word_degree_dist": _q_word_degree_dist,
@@ -17645,6 +17797,52 @@ def oracle_sql() -> dict[str, str]:
         "SELECT n1 AS n_pos, nt - n1 AS n_neg, "
         "ROUND(CAST(r2p - n1 * (n1 + 1) AS DOUBLE) "
         "/ CAST(2 * n1 * (nt - n1) AS DOUBLE), 6) AS auc FROM m"
+    )
+    out["average_precision"] = (
+        # step AP with distinct-score tie groups, 1e12-quantized
+        # precision terms -- mirrors _q_average_precision
+        f"WITH mb AS ({_mb_grid}), "
+        "j AS (SELECT d.k AS score, "
+        "CASE WHEN a.k > 250 THEN 1 ELSE 0 END AS lab FROM "
+        "(SELECT row, col, k FROM mb WHERE band = 1 "
+        "AND k IS NOT NULL) a "
+        "JOIN (SELECT row, col, k FROM mb WHERE band = 2 "
+        "AND k IS NOT NULL) d ON d.row = a.row AND d.col = a.col), "
+        "c AS (SELECT score, CAST(SUM(lab) AS BIGINT) AS pos, "
+        "CAST(COUNT(*) AS BIGINT) AS tot FROM j GROUP BY score), "
+        "w AS (SELECT score, pos, tot, "
+        "CAST(SUM(pos) OVER (ORDER BY score DESC "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp, "
+        "CAST(SUM(tot) OVER (ORDER BY score DESC "
+        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ct FROM c), "
+        "t AS (SELECT CAST(SUM(CAST(ROUND(CAST(cp AS DOUBLE) "
+        "/ CAST(ct AS DOUBLE) * 1e12, 0) AS BIGINT) * pos) AS BIGINT) "
+        "AS s, CAST(SUM(pos) AS BIGINT) AS n1 FROM w) "
+        "SELECT n1 AS n_pos, "
+        "ROUND(CAST(s AS DOUBLE) / 1e12 / CAST(n1 AS DOUBLE), 6) "
+        "AS average_precision FROM t"
+    )
+    out["lift_at_decile"] = (
+        # positive rate above the exact P90 score vs base rate --
+        # mirrors _q_lift_at_decile
+        f"WITH mb AS ({_mb_grid}), "
+        "j AS (SELECT d.k AS score, "
+        "CASE WHEN a.k > 250 THEN 1 ELSE 0 END AS lab FROM "
+        "(SELECT row, col, k FROM mb WHERE band = 1 "
+        "AND k IS NOT NULL) a "
+        "JOIN (SELECT row, col, k FROM mb WHERE band = 2 "
+        "AND k IS NOT NULL) d ON d.row = a.row AND d.col = a.col), "
+        "q AS (SELECT quantile_disc(score, 0.9) AS th FROM j), "
+        "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(lab) AS BIGINT) AS n1 FROM j), "
+        "tp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_top, "
+        "CAST(SUM(lab) AS BIGINT) AS p_top FROM j, q "
+        "WHERE j.score > q.th) "
+        "SELECT q.th AS threshold_score, tp.n_top, "
+        "tp.p_top AS pos_top, "
+        "ROUND((CAST(tp.p_top AS DOUBLE) / CAST(tp.n_top AS DOUBLE)) "
+        "/ (CAST(t.n1 AS DOUBLE) / CAST(t.n AS DOUBLE)), 6) AS lift "
+        "FROM q, t, tp"
     )
     out["binseg_changepoint"] = (
         # split minimizing quantized SSE_left + SSE_right over the

@@ -388,6 +388,7 @@ EXTRA_QUERY_SUBSET = [
     "promo_revenue_share", "ship_delay_histogram", "raster_entropy",
     "markov_top1_accuracy", "intrinsic_dim", "binseg_changepoint",
     "qq_slope", "polygon_iou", "raster_kappa", "roc_auc",
+    "average_precision", "lift_at_decile",
 ]
 
 
