@@ -671,6 +671,29 @@ def _q_tile_ruggedness(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_tile_tpi(sf_dir: str) -> pa.Table:
+    """Topographic Position Index (Weiss 2001: center minus 8-neighbor
+    mean; ridge/valley classifier input) over the slope fixture raster
+    via the halo-exchange shuffle (stages/raster.py::tile_tpi)."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables, round_like_sql,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
+        tile_tpi,
+    )
+
+    tiles = ray.data.from_arrow(_og_tiles_table(sparse_invalid=True, tile=24))
+    out = collect_tables(tile_tpi(tiles))
+    return pa.table(
+        {
+            "row": out["row"],
+            "col": out["col"],
+            "tpi": round_like_sql(out["tpi"], 6),
+        }
+    )
+
+
 def _q_tile_curvature(sf_dir: str) -> pa.Table:
     """Zevenbergen-Thorne general/profile/plan curvature over the
     slope fixture raster via the halo-exchange shuffle
@@ -8434,6 +8457,78 @@ def _q_raster_kappa(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_mcnemar_test(sf_dir: str) -> pa.Table:
+    """McNemar paired test between the two bands' high-value masks
+    (deci k > 250) over both-valid cells -- did the classification
+    change between the two scenes beyond symmetric noise?  Uses the
+    discordant counts b = band1-only, c = band2-only: chi2 =
+    (b-c)^2/(b+c), with the Edwards continuity-corrected variant
+    (|b-c|-1)^2/(b+c).  Counts are exact int64 partials rolled up
+    via the tier-2 combiner; the statistics are one float division
+    each."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    tiles = ray.data.from_arrow(_og_multiband_tiles_table(bands=(1, 2)))
+
+    def discordant(batch: pa.Table) -> pa.Table:
+        by_pos: dict[tuple[int, int], dict[int, np.ndarray]] = {}
+        for i in range(batch.num_rows):
+            key = (
+                batch["row_off"][i].as_py(),
+                batch["col_off"][i].as_py(),
+            )
+            v = np.asarray(batch["values"][i].as_py(), np.float32)
+            by_pos.setdefault(key, {})[batch["band"][i].as_py()] = v
+        b = c = n = 0
+        for key, bands in by_pos.items():
+            if 1 not in bands or 2 not in bands:
+                continue
+            v1, v2 = bands[1], bands[2]
+            ok = (v1 > -1e30) & (v2 > -1e30)
+            k1 = round_half_away(
+                v1[ok].astype(np.float64) * 10.0
+            ).astype(np.int64)
+            k2 = round_half_away(
+                v2[ok].astype(np.float64) * 10.0
+            ).astype(np.int64)
+            a = k1 > 250
+            p = k2 > 250
+            b += int((a & ~p).sum())
+            c += int((~a & p).sum())
+            n += int(ok.sum())
+        return pa.table(
+            {
+                "_g": pa.array(np.zeros(1, np.int64)),
+                "b": pa.array([b], pa.int64()),
+                "c": pa.array([c], pa.int64()),
+                "n": pa.array([n], pa.int64()),
+            }
+        )
+
+    agg = hash_aggregate(
+        tiles.map_batches(discordant, batch_format="pyarrow", batch_size=None),
+        ["_g"],
+        [(col, "sum", col) for col in ("b", "c", "n")],
+    )
+    b = int(agg["b"][0].as_py())
+    c = int(agg["c"][0].as_py())
+    n = int(agg["n"][0].as_py())
+    chi2 = float((b - c) * (b - c)) / float(b + c)
+    chi2_cc = float((abs(b - c) - 1) * (abs(b - c) - 1)) / float(b + c)
+    return pa.table(
+        {
+            "n_pairs": pa.array([n], pa.int64()),
+            "b_only1": pa.array([b], pa.int64()),
+            "c_only2": pa.array([c], pa.int64()),
+            "chi2": round_like_sql([chi2], 6),
+            "chi2_cc": round_like_sql([chi2_cc], 6),
+        }
+    )
+
+
 def _q_roc_auc(sf_dir: str) -> pa.Table:
     """ROC AUC of band 2 as a score predicting band 1's high-value
     mask (the Mann-Whitney identity with tie-averaged ranks): the
@@ -8506,6 +8601,153 @@ def _q_roc_auc(sf_dir: str) -> pa.Table:
             "n_pos": pa.array([n1], pa.int64()),
             "n_neg": pa.array([n0], pa.int64()),
             "auc": round_like_sql([auc], 6),
+        }
+    )
+
+
+def _q_lbp_histogram(sf_dir: str) -> pa.Table:
+    """Local-binary-pattern texture histogram over the slope-fixture
+    raster: interior cells with a fully valid 3x3 window get an 8-bit
+    code (bit k set iff neighbor k's value > center, clockwise from
+    top-left), counted per code -- the classic texture descriptor.
+    Pure integer comparisons on the broadcast DEM; distributed over
+    row-chunks of target cells."""
+    import ray
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
+        partial_count,
+    )
+
+    tiles = _og_tiles_table(sparse_invalid=True)
+    z = np.full((OG_H, OG_W), np.float32(OG_NODATA), np.float32)
+    for i in range(tiles.num_rows):
+        r0 = tiles["row_off"][i].as_py()
+        c0 = tiles["col_off"][i].as_py()
+        h = tiles["height"][i].as_py()
+        w = tiles["width"][i].as_py()
+        z[r0 : r0 + h, c0 : c0 + w] = np.asarray(
+            tiles["values"][i].as_py(), np.float32
+        ).reshape(h, w)
+    ref = ray.put(z)
+    rows = pa.table(
+        {"row": pa.array(np.arange(1, OG_H - 1, dtype=np.int64))}
+    )
+    # clockwise from top-left: (dr, dc) per bit
+    offs = [
+        (-1, -1), (-1, 0), (-1, 1), (0, 1),
+        (1, 1), (1, 0), (1, -1), (0, -1),
+    ]
+
+    def codes(batch: pa.Table) -> pa.Table:
+        zg = ray.get(ref)
+        out = []
+        for r in batch["row"].to_numpy(zero_copy_only=False).tolist():
+            center = zg[r, 1:-1]
+            ok = center > -1e30
+            code = np.zeros(OG_W - 2, np.int64)
+            for k, (dr, dc) in enumerate(offs):
+                nb = zg[r + dr, 1 + dc : OG_W - 1 + dc]
+                ok &= nb > -1e30
+                code |= (nb > center).astype(np.int64) << k
+            out.append(code[ok])
+        allc = np.concatenate(out) if out else np.zeros(0, np.int64)
+        return pa.table({"code": pa.array(allc)})
+
+    counts = partial_count(
+        ray.data.from_arrow(rows).map_batches(
+            codes, batch_format="pyarrow", batch_size=8
+        ),
+        ["code"],
+    ).rename_columns(["code", "n"])
+    order = np.argsort(counts["code"].to_numpy(zero_copy_only=False))
+    return pa.table(
+        {
+            "code": counts["code"].take(pa.array(order)),
+            "n": counts["n"].take(pa.array(order)).cast(pa.int64()),
+        }
+    )
+
+
+def _q_glcm_texture(sf_dir: str) -> pa.Table:
+    """GLCM texture summary (horizontal offset 1, 8 gray levels from
+    the deci values, symmetric pairs not double-counted): contrast,
+    homogeneity and energy from exact integer co-occurrence counts
+    (homogeneity terms quantized at 1e9) -- the Haralick features a
+    remote-sensing pipeline derives per scene.  Horizontal pairs that
+    cross tile boundaries are captured via the 1-pixel halo exchange
+    (each pair counted exactly once, attributed to the LEFT pixel's
+    owning tile)."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
+        make_emit_halos,
+    )
+
+    tiles = ray.data.from_arrow(_og_tiles_table(sparse_invalid=True))
+
+    def pairs(group: pa.Table) -> pa.Table:
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
+            _assemble_padded, NODATA_THRESHOLD,
+        )
+
+        empty = pa.table(
+            {
+                "li": pa.array([], pa.int64()),
+                "lj": pa.array([], pa.int64()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        asm = _assemble_padded(group)
+        if asm is None:
+            return empty
+        pad, h, w, _r0, _c0, _transform = asm
+        left = pad[1 : h + 1, 1 : w + 1]
+        right = pad[1 : h + 1, 2 : w + 2]
+        ok = (
+            np.isfinite(left) & (left > NODATA_THRESHOLD)
+            & np.isfinite(right) & (right > NODATA_THRESHOLD)
+        )
+        if not ok.any():
+            return empty
+        ki = (round_half_away(left[ok] * 10.0).astype(np.int64) * 8) // 500
+        kj = (round_half_away(right[ok] * 10.0).astype(np.int64) * 8) // 500
+        counts = np.bincount(ki * 8 + kj, minlength=64).astype(np.int64)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {
+                "li": pa.array(nz // 8, pa.int64()),
+                "lj": pa.array(nz % 8, pa.int64()),
+                "n": pa.array(counts[nz], pa.int64()),
+            }
+        )
+
+    halos = tiles.map_batches(
+        make_emit_halos(None, None), batch_format="pyarrow", batch_size=None
+    )
+    agg = hash_aggregate(
+        halos.groupby("halo_key").map_groups(pairs, batch_format="pyarrow"),
+        ["li", "lj"],
+        [("n", "sum", "n")],
+    )
+    li = agg["li"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lj = agg["lj"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ntot = int(n.sum())
+    d2 = (li - lj) * (li - lj)
+    contrast = float(int((n * d2).sum())) / float(ntot)
+    hom_terms = round_half_away(
+        n.astype(np.float64) / (1.0 + d2.astype(np.float64)) * 1e9
+    ).astype(np.int64)
+    homogeneity = float(int(hom_terms.sum())) / 1e9 / float(ntot)
+    energy = float(int((n * n).sum())) / (float(ntot) * float(ntot))
+    return pa.table(
+        {
+            "n_pairs": pa.array([ntot], pa.int64()),
+            "contrast": round_like_sql([contrast], 6),
+            "homogeneity": round_like_sql([homogeneity], 6),
+            "energy": round_like_sql([energy], 6),
         }
     )
 
@@ -10867,6 +11109,88 @@ def _q_clark_evans(sf_dir: str) -> pa.Table:
     )
 
 
+_GFUNC_RADII_Q = (0, 10_000_000, 14_142_136, 20_000_000, 30_000_000, 50_000_000)
+
+
+def _q_nn_gfunction(sf_dir: str) -> pa.Table:
+    """Nearest-neighbor G function (empirical CDF of the NN distance
+    at fixed radii) over the same geocoded event subset as
+    clark_evans -- the finer-grained companion to the single-number
+    Clark-Evans R.  NN distances are quantized at 1e9 so the
+    per-radius counts are exact integer comparisons; per-batch
+    partial counts roll up via the tier-2 combiner."""
+    import ray
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.functions.knn import (
+        KNNIndex,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables, hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
+
+    def pts(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        eid = eid[eid % 100 == 0]
+        return pa.table(
+            {
+                "px": pa.array(77.0 + (eid % 96).astype(np.float64) * 0.01),
+                "py": pa.array(
+                    28.05 + ((eid // 96) % 96).astype(np.float64) * 0.01
+                ),
+            }
+        )
+
+    sub = ds.map_batches(pts, batch_format="pyarrow", batch_size=None)
+    pts_tbl = collect_tables(sub)
+    px = pts_tbl["px"].to_numpy(zero_copy_only=False)
+    py = pts_tbl["py"].to_numpy(zero_copy_only=False)
+    index_ref = ray.put(KNNIndex(px, py))
+    radii = np.asarray(_GFUNC_RADII_Q, np.int64)
+
+    def g_terms(batch: pa.Table) -> pa.Table:
+        idx = ray.get(index_ref)
+        qx = batch["px"].to_numpy(zero_copy_only=False)
+        qy = batch["py"].to_numpy(zero_copy_only=False)
+        ii, _dd = idx.query(qx, qy, k=2)
+        nb = ii[:, 1]
+        dx = qx - idx.lon[nb]
+        dy = qy - idx.lat[nb]
+        dq = round_half_away(np.sqrt(dx * dx + dy * dy) * 1e9).astype(
+            np.int64
+        )
+        n_le = (dq[None, :] <= radii[:, None]).sum(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "r_q": pa.array(radii),
+                "n": pa.array(np.full(len(radii), len(dq), np.int64)),
+                "n_le": pa.array(n_le),
+            }
+        )
+
+    agg = hash_aggregate(
+        ray.data.from_arrow(pts_tbl).map_batches(
+            g_terms, batch_format="pyarrow", batch_size=None
+        ),
+        ["r_q"],
+        [("n", "sum", "n"), ("n_le", "sum", "n_le")],
+    )
+    rq = agg["r_q"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(rq)
+    n = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    n_le = agg["n_le"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    return pa.table(
+        {
+            "r": round_like_sql(rq[order].astype(np.float64) / 1e9, 6),
+            "n_le": pa.array(n_le, pa.int64()),
+            "g_hat": round_like_sql(
+                n_le.astype(np.float64) / n.astype(np.float64), 6
+            ),
+        }
+    )
+
+
 def _q_gravity_flows(sf_dir: str) -> pa.Table:
     """Gravity spatial-interaction model on the coarse 12x12 lattice
     (8x8-cell blocks of the geocode grid): T_ij = m_i * m_j / d2_ij
@@ -12793,6 +13117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "focal_counts": _q_focal_counts,
         "tile_slope": _q_tile_slope,
         "tile_ruggedness": _q_tile_ruggedness,
+        "tile_tpi": _q_tile_tpi,
         "tile_curvature": _q_tile_curvature,
         "region_labels": _q_region_labels,
         "tile_hillshade": _q_tile_hillshade,
@@ -12872,6 +13197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohens_d": _q_cohens_d,
         "durbin_watson": _q_durbin_watson,
         "clark_evans": _q_clark_evans,
+        "nn_gfunction": _q_nn_gfunction,
         "gravity_flows": _q_gravity_flows,
         "levene_bf": _q_levene_bf,
         "twi": _q_twi,
@@ -12903,9 +13229,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qq_slope": _q_qq_slope,
         "polygon_iou": _q_polygon_iou,
         "raster_kappa": _q_raster_kappa,
+        "mcnemar_test": _q_mcnemar_test,
         "roc_auc": _q_roc_auc,
         "average_precision": _q_average_precision,
         "lift_at_decile": _q_lift_at_decile,
+        "lbp_histogram": _q_lbp_histogram,
+        "glcm_texture": _q_glcm_texture,
         "markov_entropy_rate": _q_markov_entropy_rate,
         "t_closeness": _q_t_closeness,
         "word_degree_dist": _q_word_degree_dist,
@@ -14443,6 +14772,29 @@ def oracle_sql() -> dict[str, str]:
             f"+ (zc - ze) * (zc - ze) + (zd - ze) * (zd - ze) "
             f"+ (zf - ze) * (zf - ze) + (zg - ze) * (zg - ze) "
             f"+ (zh - ze) * (zh - ze) + (zi - ze) * (zi - ze)), 6) AS tri "
+            f"FROM w WHERE za > -1e30 AND zb > -1e30 AND zc > -1e30 "
+            f"AND zd > -1e30 AND ze > -1e30 AND zf > -1e30 "
+            f"AND zg > -1e30 AND zh > -1e30 AND zi > -1e30"
+        ),
+        "tile_tpi": (
+            # Weiss TPI: center minus 8-neighbor mean; identical
+            # window joins and left-associative neighbor sum as
+            # tpi_kernel
+            f"WITH g AS ({_OG_SLOPE_GRID_SQL}), w AS ("
+            f"SELECT e.row AS row, e.col AS col, "
+            f"n1.z AS za, n2.z AS zb, n3.z AS zc, n4.z AS zd, e.z AS ze, "
+            f"n6.z AS zf, n7.z AS zg, n8.z AS zh, n9.z AS zi "
+            f"FROM g e "
+            f"JOIN g n1 ON n1.row = e.row - 1 AND n1.col = e.col - 1 "
+            f"JOIN g n2 ON n2.row = e.row - 1 AND n2.col = e.col "
+            f"JOIN g n3 ON n3.row = e.row - 1 AND n3.col = e.col + 1 "
+            f"JOIN g n4 ON n4.row = e.row AND n4.col = e.col - 1 "
+            f"JOIN g n6 ON n6.row = e.row AND n6.col = e.col + 1 "
+            f"JOIN g n7 ON n7.row = e.row + 1 AND n7.col = e.col - 1 "
+            f"JOIN g n8 ON n8.row = e.row + 1 AND n8.col = e.col "
+            f"JOIN g n9 ON n9.row = e.row + 1 AND n9.col = e.col + 1) "
+            f"SELECT row, col, ROUND(ze - "
+            f"(za + zb + zc + zd + zf + zg + zh + zi) / 8.0, 6) AS tpi "
             f"FROM w WHERE za > -1e30 AND zb > -1e30 AND zc > -1e30 "
             f"AND zd > -1e30 AND ze > -1e30 AND zf > -1e30 "
             f"AND zg > -1e30 AND zh > -1e30 AND zi > -1e30"
@@ -17776,6 +18128,25 @@ def oracle_sql() -> dict[str, str]:
         "SELECT n11, n10, n01, n00, "
         "ROUND((po - pe) / (1.0 - pe), 6) AS kappa FROM f"
     )
+    out["mcnemar_test"] = (
+        # McNemar discordant-pair chi2 (+ Edwards continuity) of the
+        # two bands' k>250 masks -- mirrors _q_mcnemar_test
+        f"WITH mb AS ({_mb_grid}), "
+        "j AS (SELECT CASE WHEN a.k > 250 THEN 1 ELSE 0 END AS x, "
+        "CASE WHEN d.k > 250 THEN 1 ELSE 0 END AS y FROM "
+        "(SELECT row, col, k FROM mb WHERE band = 1 "
+        "AND k IS NOT NULL) a "
+        "JOIN (SELECT row, col, k FROM mb WHERE band = 2 "
+        "AND k IS NOT NULL) d ON d.row = a.row AND d.col = a.col), "
+        "c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(x * (1 - y)) AS BIGINT) AS b, "
+        "CAST(SUM((1 - x) * y) AS BIGINT) AS c FROM j) "
+        "SELECT n AS n_pairs, b AS b_only1, c AS c_only2, "
+        "ROUND(CAST((b - c) * (b - c) AS DOUBLE) "
+        "/ CAST(b + c AS DOUBLE), 6) AS chi2, "
+        "ROUND(CAST((ABS(b - c) - 1) * (ABS(b - c) - 1) AS DOUBLE) "
+        "/ CAST(b + c AS DOUBLE), 6) AS chi2_cc FROM c"
+    )
     out["roc_auc"] = (
         # Mann-Whitney AUC with doubled tie-averaged ranks over the
         # bounded score domain -- mirrors _q_roc_auc
@@ -17843,6 +18214,66 @@ def oracle_sql() -> dict[str, str]:
         "ROUND((CAST(tp.p_top AS DOUBLE) / CAST(tp.n_top AS DOUBLE)) "
         "/ (CAST(t.n1 AS DOUBLE) / CAST(t.n AS DOUBLE)), 6) AS lift "
         "FROM q, t, tp"
+    )
+    out["lbp_histogram"] = (
+        # 8-bit local binary pattern codes over fully-valid 3x3
+        # windows, clockwise from top-left; integer counts -- mirrors
+        # _q_lbp_histogram
+        f"WITH g AS ({_OG_SLOPE_GRID_SQL}), w AS ("
+        "SELECT e.z AS ze, "
+        "n1.z AS za, n2.z AS zb, n3.z AS zc, n4.z AS zd, "
+        "n6.z AS zf, n7.z AS zg, n8.z AS zh, n9.z AS zi "
+        "FROM g e "
+        "JOIN g n1 ON n1.row = e.row - 1 AND n1.col = e.col - 1 "
+        "JOIN g n2 ON n2.row = e.row - 1 AND n2.col = e.col "
+        "JOIN g n3 ON n3.row = e.row - 1 AND n3.col = e.col + 1 "
+        "JOIN g n4 ON n4.row = e.row AND n4.col = e.col - 1 "
+        "JOIN g n6 ON n6.row = e.row AND n6.col = e.col + 1 "
+        "JOIN g n7 ON n7.row = e.row + 1 AND n7.col = e.col - 1 "
+        "JOIN g n8 ON n8.row = e.row + 1 AND n8.col = e.col "
+        "JOIN g n9 ON n9.row = e.row + 1 AND n9.col = e.col + 1 "
+        "WHERE e.z > -1e30 AND n1.z > -1e30 AND n2.z > -1e30 "
+        "AND n3.z > -1e30 AND n4.z > -1e30 AND n6.z > -1e30 "
+        "AND n7.z > -1e30 AND n8.z > -1e30 AND n9.z > -1e30), "
+        "c AS (SELECT "
+        "CAST(CASE WHEN za > ze THEN 1 ELSE 0 END "
+        "+ CASE WHEN zb > ze THEN 2 ELSE 0 END "
+        "+ CASE WHEN zc > ze THEN 4 ELSE 0 END "
+        "+ CASE WHEN zf > ze THEN 8 ELSE 0 END "
+        "+ CASE WHEN zi > ze THEN 16 ELSE 0 END "
+        "+ CASE WHEN zh > ze THEN 32 ELSE 0 END "
+        "+ CASE WHEN zg > ze THEN 64 ELSE 0 END "
+        "+ CASE WHEN zd > ze THEN 128 ELSE 0 END AS BIGINT) AS code "
+        "FROM w) "
+        "SELECT code, CAST(COUNT(*) AS BIGINT) AS n FROM c "
+        "GROUP BY code ORDER BY code"
+    )
+    out["glcm_texture"] = (
+        # horizontal-offset-1 GLCM contrast/homogeneity/energy from
+        # exact integer co-occurrence counts, homogeneity terms
+        # 1e9-quantized -- mirrors _q_glcm_texture
+        f"WITH g AS ({_OG_SLOPE_GRID_SQL}), "
+        "q AS (SELECT row, col, "
+        "(CAST(ROUND(z * 10, 0) AS BIGINT) * 8) // 500 AS k "
+        "FROM g WHERE z > -1e30), "
+        "p AS (SELECT a.k AS li, b.k AS lj FROM q a "
+        "JOIN q b ON b.row = a.row AND b.col = a.col + 1), "
+        "c AS (SELECT li, lj, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM p GROUP BY li, lj), "
+        "t AS (SELECT CAST(SUM(n) AS BIGINT) AS ntot, "
+        "CAST(SUM(n * (li - lj) * (li - lj)) AS BIGINT) AS csum, "
+        "CAST(SUM(CAST(ROUND(CAST(n AS DOUBLE) "
+        "/ (1.0 + CAST((li - lj) * (li - lj) AS DOUBLE)) * 1e9, 0) "
+        "AS BIGINT)) AS BIGINT) AS hsum, "
+        "CAST(SUM(n * n) AS BIGINT) AS esum FROM c) "
+        "SELECT ntot AS n_pairs, "
+        "ROUND(CAST(csum AS DOUBLE) / CAST(ntot AS DOUBLE), 6) "
+        "AS contrast, "
+        "ROUND(CAST(hsum AS DOUBLE) / 1e9 / CAST(ntot AS DOUBLE), 6) "
+        "AS homogeneity, "
+        "ROUND(CAST(esum AS DOUBLE) "
+        "/ (CAST(ntot AS DOUBLE) * CAST(ntot AS DOUBLE)), 6) "
+        "AS energy FROM t"
     )
     out["binseg_changepoint"] = (
         # split minimizing quantized SSE_left + SSE_right over the
@@ -18651,6 +19082,31 @@ def oracle_sql() -> dict[str, str]:
         "ROUND((CAST(s AS DOUBLE) / 1e9 / CAST(n AS DOUBLE)) "
         "/ (0.5 * SQRT(0.9025 / CAST(n AS DOUBLE))), 6) "
         "AS clark_evans_r FROM t"
+    )
+    out["nn_gfunction"] = (
+        # empirical NN-distance CDF at fixed radii, distances
+        # 1e9-quantized before the integer comparison -- mirrors
+        # _q_nn_gfunction
+        "WITH p AS (SELECT event_id, "
+        "77.0 + CAST(event_id % 96 AS DOUBLE) * 0.01 AS px, "
+        "28.05 + CAST((event_id // 96) % 96 AS DOUBLE) * 0.01 AS py "
+        "FROM events WHERE event_id % 100 = 0), "
+        "nn AS (SELECT a.event_id, "
+        "MIN((a.px - b.px) * (a.px - b.px) "
+        "+ (a.py - b.py) * (a.py - b.py)) AS d2 "
+        "FROM p a JOIN p b ON b.event_id <> a.event_id "
+        "GROUP BY a.event_id), "
+        "q AS (SELECT CAST(ROUND(SQRT(d2) * 1e9, 0) AS BIGINT) AS dq "
+        "FROM nn), "
+        "r(rq) AS (VALUES "
+        + ", ".join(f"({v})" for v in _GFUNC_RADII_Q)
+        + ") "
+        "SELECT ROUND(CAST(rq AS DOUBLE) / 1e9, 6) AS r, "
+        "CAST(SUM(CASE WHEN dq <= rq THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_le, "
+        "ROUND(CAST(SUM(CASE WHEN dq <= rq THEN 1 ELSE 0 END) "
+        "AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS g_hat "
+        "FROM r, q GROUP BY rq ORDER BY rq"
     )
     out["gravity_flows"] = (
         # block masses are exact counts; near pairs by Chebyshev

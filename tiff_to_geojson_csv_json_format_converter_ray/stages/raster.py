@@ -453,6 +453,61 @@ def tile_ruggedness(tiles: ray.data.Dataset, stride: int | None = None) -> ray.d
     return halos.groupby("halo_key").map_groups(tri_kernel, batch_format="pyarrow")
 
 
+def tpi_kernel(group: pa.Table) -> pa.Table:
+    """One tile + halo -> per-pixel Topographic Position Index (Weiss
+    2001): center elevation minus the mean of its 8 neighbors.
+    Positive = ridge/peak, negative = valley/pit, ~0 = flat or
+    constant slope.  The neighbor sum is written in the exact
+    left-associative a,b,c,d,f,g,h,i order so the rounded output is
+    bit-identical to the SQL oracle."""
+    asm = _assemble_padded(group)
+    if asm is None:
+        return _empty_tpi_table()
+    pad, h, w, r0, c0, _transform = asm
+    za = pad[0:h, 0:w]
+    zb = pad[0:h, 1 : w + 1]
+    zc = pad[0:h, 2 : w + 2]
+    zd = pad[1 : h + 1, 0:w]
+    ze = pad[1 : h + 1, 1 : w + 1]
+    zf = pad[1 : h + 1, 2 : w + 2]
+    zg = pad[2 : h + 2, 0:w]
+    zh = pad[2 : h + 2, 1 : w + 1]
+    zi = pad[2 : h + 2, 2 : w + 2]
+    stack = np.stack([za, zb, zc, zd, ze, zf, zg, zh, zi])
+    valid = np.all(np.isfinite(stack) & (stack > NODATA_THRESHOLD), axis=0)
+    if not valid.any():
+        return _empty_tpi_table()
+    tpi = ze - (za + zb + zc + zd + zf + zg + zh + zi) / 8.0
+    rr, cc = np.nonzero(valid)
+    return pa.table(
+        {
+            "row": pa.array((rr + r0).astype(np.int64)),
+            "col": pa.array((cc + c0).astype(np.int64)),
+            "tpi": pa.array(tpi[rr, cc]),
+        }
+    )
+
+
+def _empty_tpi_table() -> pa.Table:
+    return pa.table(
+        {
+            "row": pa.array([], pa.int64()),
+            "col": pa.array([], pa.int64()),
+            "tpi": pa.array([], pa.float64()),
+        }
+    )
+
+
+def tile_tpi(tiles: ray.data.Dataset, stride: int | None = None) -> ray.data.Dataset:
+    """Topographic Position Index over a tile Dataset: the same
+    halo-exchange shuffle as tile_slope, TPI kernel per tile."""
+    halos = tiles.map_batches(
+        make_emit_halos(stride, stride),
+        batch_format="pyarrow", batch_size=None,
+    )
+    return halos.groupby("halo_key").map_groups(tpi_kernel, batch_format="pyarrow")
+
+
 def curvature_kernel(group: pa.Table) -> pa.Table:
     """Zevenbergen & Thorne (1987) surface curvature on the 3x3
     window (letters a..i as in :func:`horn_kernel`, cell size L from
