@@ -8605,6 +8605,85 @@ def _q_roc_auc(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_calibration_bins(sf_dir: str) -> pa.Table:
+    """Reliability-curve bins for band 2's deci score predicting band
+    1's high-value mask: decile score bins (k // 50), per bin the
+    exact count, mean score (deci units) and positive fraction -- the
+    calibration diagnostic next to roc_auc/average_precision.  All
+    partials are exact int64 bincounts; two float divisions per bin
+    at the end."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    tiles = ray.data.from_arrow(_og_multiband_tiles_table(bands=(1, 2)))
+
+    def per_bin(batch: pa.Table) -> pa.Table:
+        by_pos: dict[tuple[int, int], dict[int, np.ndarray]] = {}
+        for i in range(batch.num_rows):
+            key = (
+                batch["row_off"][i].as_py(),
+                batch["col_off"][i].as_py(),
+            )
+            v = np.asarray(batch["values"][i].as_py(), np.float32)
+            by_pos.setdefault(key, {})[batch["band"][i].as_py()] = v
+        tot = np.zeros(10, np.int64)
+        pos = np.zeros(10, np.int64)
+        s_k = np.zeros(10, np.int64)
+        for key, bands in by_pos.items():
+            if 1 not in bands or 2 not in bands:
+                continue
+            v1, v2 = bands[1], bands[2]
+            ok = (v1 > -1e30) & (v2 > -1e30)
+            k1 = round_half_away(
+                v1[ok].astype(np.float64) * 10.0
+            ).astype(np.int64)
+            k2 = round_half_away(
+                v2[ok].astype(np.float64) * 10.0
+            ).astype(np.int64)
+            b = k2 // 50
+            tot += np.bincount(b, minlength=10).astype(np.int64)
+            pos += np.bincount(
+                b, weights=(k1 > 250).astype(np.float64), minlength=10
+            ).astype(np.int64)
+            s_k += np.bincount(
+                b, weights=k2.astype(np.float64), minlength=10
+            ).astype(np.int64)
+        nz = np.flatnonzero(tot)
+        return pa.table(
+            {
+                "bin": pa.array(nz.astype(np.int64)),
+                "tot": pa.array(tot[nz]),
+                "pos": pa.array(pos[nz]),
+                "s_k": pa.array(s_k[nz]),
+            }
+        )
+
+    agg = hash_aggregate(
+        tiles.map_batches(per_bin, batch_format="pyarrow", batch_size=None),
+        ["bin"],
+        [("tot", "sum", "tot"), ("pos", "sum", "pos"), ("s_k", "sum", "s_k")],
+    )
+    order = np.argsort(agg["bin"].to_numpy(zero_copy_only=False))
+    b = agg["bin"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    tot = agg["tot"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    pos = agg["pos"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    s_k = agg["s_k"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    return pa.table(
+        {
+            "bin": pa.array(b, pa.int64()),
+            "n": pa.array(tot, pa.int64()),
+            "mean_score_deci": round_like_sql(
+                s_k.astype(np.float64) / tot.astype(np.float64), 6
+            ),
+            "frac_pos": round_like_sql(
+                pos.astype(np.float64) / tot.astype(np.float64), 6
+            ),
+        }
+    )
+
+
 def _q_lbp_histogram(sf_dir: str) -> pa.Table:
     """Local-binary-pattern texture histogram over the slope-fixture
     raster: interior cells with a fully valid 3x3 window get an 8-bit
@@ -12784,6 +12863,63 @@ def _q_holt_linear(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_holt_winters(sf_dir: str) -> pa.Table:
+    """Holt-Winters ADDITIVE triple-exponential smoothing (alpha=0.3,
+    beta=0.1, gamma=0.2, weekly season m=7) of the daily event-count
+    series: counts via the combiner tier, the calendar-bounded
+    recursion on the driver.  Init: level = mean of season 1, trend =
+    (sum season 2 - sum season 1)/49, seasonals = first-week
+    deviations.  Every update is written as the exact float
+    expression the recursive-CTE oracle repeats (the oracle carries
+    the 7 live seasonal states as a LIST column), so all
+    intermediates match bit-for-bit."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "d": pa.array(us // 86_400_000_000),
+                "_one": pa.array(np.ones(len(us), np.int64)),
+            }
+        )
+
+    agg = hash_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        ["d"],
+        [("_one", "sum", "x")],
+    ).sort_by("d")
+    d = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+    xs = agg["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lo, hi = int(d[0]), int(d[-1])
+    n = hi - lo + 1
+    x = np.zeros(n, np.int64)
+    x[d - lo] = xs
+    sum1 = int(x[:7].sum())
+    sum2 = int(x[7:14].sum())
+    level = float(sum1) / 7.0
+    trend = (float(sum2) - float(sum1)) / 49.0
+    seas = [float(x[i]) - (float(sum1) / 7.0) for i in range(7)]
+    for t in range(7, n):
+        xt = float(x[t])
+        s_tm = seas[t - 7]
+        new_level = (0.3 * (xt - s_tm)) + (0.7 * (level + trend))
+        new_trend = (0.1 * (new_level - level)) + (0.9 * trend)
+        seas.append((0.2 * (xt - new_level)) + (0.8 * s_tm))
+        level, trend = new_level, new_trend
+    return pa.table(
+        {
+            "level": round_like_sql([level], 6),
+            "trend": round_like_sql([trend], 6),
+            "forecast_1": round_like_sql([level + trend + seas[n - 7]], 6),
+        }
+    )
+
+
 def _q_dispersion_ellipse(sf_dir: str) -> pa.Table:
     """Standard deviational ellipse per user (the point-dispersion
     summary GIS packages ship): exact int64 lattice moments via the
@@ -13167,6 +13303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gearys_c": _q_gearys_c,
         "hist_intersection": _q_hist_intersection,
         "holt_linear": _q_holt_linear,
+        "holt_winters": _q_holt_winters,
         "dispersion_ellipse": _q_dispersion_ellipse,
         "local_moran": _q_local_moran,
         "quadrat_test": _q_quadrat_test,
@@ -13230,6 +13367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "polygon_iou": _q_polygon_iou,
         "raster_kappa": _q_raster_kappa,
         "mcnemar_test": _q_mcnemar_test,
+        "calibration_bins": _q_calibration_bins,
         "roc_auc": _q_roc_auc,
         "average_precision": _q_average_precision,
         "lift_at_decile": _q_lift_at_decile,
@@ -17917,6 +18055,43 @@ def oracle_sql() -> dict[str, str]:
         "ROUND(l + 7.0 * b, 6) AS forecast_7 FROM h "
         "WHERE t = (SELECT hi - lo FROM mm)"
     )
+    out["holt_winters"] = (
+        # recursive-CTE Holt-Winters additive (m=7): the 7 live
+        # seasonal states travel as a LIST column, s[1] is the
+        # season-lagged state; expressions literally repeat
+        # _q_holt_winters's
+        "WITH RECURSIVE c AS (SELECT epoch_us(ts) // 86400000000 AS d, "
+        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1), "
+        "mm AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM c), "
+        "dd AS (SELECT r.range AS t, mm.lo + r.range AS d "
+        "FROM range(0, 4096) r, mm WHERE r.range <= mm.hi - mm.lo), "
+        "dn AS (SELECT dd.t, COALESCE(c.x, 0) AS x "
+        "FROM dd LEFT JOIN c ON c.d = dd.d), "
+        "init AS (SELECT "
+        "CAST(w1.s1 AS DOUBLE) / 7.0 AS l0, "
+        "(CAST(w2.s2 AS DOUBLE) - CAST(w1.s1 AS DOUBLE)) / 49.0 AS b0, "
+        "(SELECT LIST(CAST(dn.x AS DOUBLE) "
+        "- CAST(w1.s1 AS DOUBLE) / 7.0 ORDER BY dn.t) "
+        "FROM dn WHERE dn.t < 7) AS s0 "
+        "FROM (SELECT CAST(SUM(x) AS BIGINT) AS s1 FROM dn "
+        "WHERE t < 7) w1, "
+        "(SELECT CAST(SUM(x) AS BIGINT) AS s2 FROM dn "
+        "WHERE t >= 7 AND t < 14) w2), "
+        "h(t, l, b, s) AS ("
+        "SELECT 6, l0, b0, s0 FROM init "
+        "UNION ALL "
+        "SELECT h.t + 1, "
+        "(0.3 * (d.x - h.s[1])) + (0.7 * (h.l + h.b)), "
+        "(0.1 * (((0.3 * (d.x - h.s[1])) + (0.7 * (h.l + h.b))) - h.l)) "
+        "+ (0.9 * h.b), "
+        "list_concat(h.s[2:7], [(0.2 * (d.x "
+        "- ((0.3 * (d.x - h.s[1])) + (0.7 * (h.l + h.b))))) "
+        "+ (0.8 * h.s[1])]) "
+        "FROM h JOIN dn d ON d.t = h.t + 1) "
+        "SELECT ROUND(l, 6) AS level, ROUND(b, 6) AS trend, "
+        "ROUND(l + b + s[1], 6) AS forecast_1 FROM h "
+        "WHERE t = (SELECT hi - lo FROM mm)"
+    )
     out["dispersion_ellipse"] = (
         "WITH m AS (SELECT user_id, "
         "CAST(COUNT(*) AS BIGINT) AS n, "
@@ -18127,6 +18302,24 @@ def oracle_sql() -> dict[str, str]:
         "* CAST(n11 + n10 + n01 + n00 AS DOUBLE)) AS pe FROM c) "
         "SELECT n11, n10, n01, n00, "
         "ROUND((po - pe) / (1.0 - pe), 6) AS kappa FROM f"
+    )
+    out["calibration_bins"] = (
+        # decile reliability bins of band 2's deci score vs band 1's
+        # k>250 mask; exact integer bin sums -- mirrors
+        # _q_calibration_bins
+        f"WITH mb AS ({_mb_grid}), "
+        "j AS (SELECT d.k // 50 AS bin, d.k AS score, "
+        "CASE WHEN a.k > 250 THEN 1 ELSE 0 END AS lab FROM "
+        "(SELECT row, col, k FROM mb WHERE band = 1 "
+        "AND k IS NOT NULL) a "
+        "JOIN (SELECT row, col, k FROM mb WHERE band = 2 "
+        "AND k IS NOT NULL) d ON d.row = a.row AND d.col = a.col) "
+        "SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, "
+        "ROUND(CAST(SUM(score) AS DOUBLE) "
+        "/ CAST(COUNT(*) AS DOUBLE), 6) AS mean_score_deci, "
+        "ROUND(CAST(SUM(lab) AS DOUBLE) "
+        "/ CAST(COUNT(*) AS DOUBLE), 6) AS frac_pos "
+        "FROM j GROUP BY bin ORDER BY bin"
     )
     out["mcnemar_test"] = (
         # McNemar discordant-pair chi2 (+ Edwards continuity) of the
