@@ -13221,6 +13221,222 @@ def _q_zorder_cells(sf_dir: str) -> pa.Table:
     return agg.sort_by("bucket")
 
 
+
+def _q_phrase_search(sf_dir: str) -> pa.Table:
+    """Positional exact phrase search for "row column sort": the
+    bit-anchor positional-postings formulation (word k at position p
+    emits (doc, p-k, 1<<k); one distributed (doc, anchor) sum; a full
+    bitmask is a consecutive occurrence).  Only the three terms'
+    postings leave the scan -- see stages/textops.py::phrase_search.
+    Output: (doc_id, n_hits) for documents containing the phrase."""
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+        phrase_search,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    t = phrase_search(ds, ["row", "column", "sort"])
+    return pa.table(
+        {"doc_id": t["doc_id"], "n_hits": t["n_hits"].cast(pa.int64())}
+    )
+
+
+
+def _q_kendall_tau(sf_dir: str) -> pa.Table:
+    """Kendall tau-b per user between event time and value (the
+    rank-concordance trend test; completes the rank family next to
+    spearman / mann_whitney / kruskal_wallis).  All pair counts --
+    concordant, discordant, time ties, value ties -- are exact int64
+    computed vectorized per user group in the groupby map_groups tier
+    (pairs are user-bounded, never cross keys, so the all-pairs
+    kernel is per-group O(n^2) on ~constant n at any corpus size);
+    tau-b itself is one shared float expression over those ints."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "value"],
+    )
+
+    def per_user(group: pa.Table) -> pa.Table:
+        x = group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        y = scaled_int(group["value"], 100.0)
+        n = len(x)
+        uid = group["user_id"][0].as_py()
+        dx = np.sign(x[:, None] - x[None, :])
+        dy = np.sign(y[:, None] - y[None, :])
+        iu = np.triu_indices(n, 1)
+        s = dx[iu] * dy[iu]
+        nc = int((s > 0).sum())
+        nd = int((s < 0).sum())
+        tx = int((dx[iu] == 0).sum())
+        ty = int((dy[iu] == 0).sum())
+        return pa.table(
+            {
+                "user_id": pa.array([uid], group["user_id"].type),
+                "n": pa.array([n], pa.int64()),
+                "nc": pa.array([nc], pa.int64()),
+                "nd": pa.array([nd], pa.int64()),
+                "tx": pa.array([tx], pa.int64()),
+                "ty": pa.array([ty], pa.int64()),
+            }
+        )
+
+    per = collect_tables(
+        ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    ).sort_by("user_id")
+    n = per["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    nc = per["nc"].to_numpy(zero_copy_only=False).astype(np.float64)
+    nd = per["nd"].to_numpy(zero_copy_only=False).astype(np.float64)
+    tx = per["tx"].to_numpy(zero_copy_only=False).astype(np.float64)
+    ty = per["ty"].to_numpy(zero_copy_only=False).astype(np.float64)
+    n0 = n * (n - 1.0) / 2.0
+    denom = np.sqrt((n0 - tx) * (n0 - ty))
+    keep = denom > 0.0
+    tau = (nc - nd) / np.where(keep, denom, 1.0)
+    t = pa.table(
+        {
+            "user_id": per["user_id"],
+            "nc": per["nc"],
+            "nd": per["nd"],
+            "tau": round_like_sql(tau, 6),
+        }
+    )
+    return t.filter(pa.array(keep))
+
+
+
+def _q_theil_index(sf_dir: str) -> pa.Table:
+    """Theil T inequality of per-customer spend, decomposed BETWEEN /
+    WITHIN nations (the decomposable inequality index).  Pass 1: exact
+    per-customer cents through the distributed groupby tier with the
+    nation attached by a broadcast customer lookup; global and
+    per-nation totals are exact int64.  Pass 2: each customer's
+    x*ln(x/mu) and x*ln(x/mu_g) terms quantized at 1e9 inside
+    map_batches (mu / per-nation mu_g broadcast), partial-summed per
+    nation -- the corpus never lands on the driver.  Final index
+    values are single shared float expressions over the exact sums."""
+    import pyarrow.parquet as pq
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        BroadcastLookup, collect_tables, hash_aggregate, round_like_sql,
+    )
+
+    ords = _read_pq(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"],
+    )
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": batch["o_custkey"],
+                "cents": pa.array(scaled_int(batch["o_totalprice"], 100.0)),
+            }
+        )
+
+    lookup = BroadcastLookup(cust, "c_custkey", ["c_nationkey"])
+    per_cust = hash_aggregate(
+        ords.map_batches(to_cents, batch_format="pyarrow", batch_size=None)
+        .map_batches(lookup, batch_format="pyarrow", batch_size=None),
+        ["c_custkey", "c_nationkey"],
+        [("cents", "sum", "cents")],
+        distributed_combine=True,
+    )
+
+    def nation_partial(batch: pa.Table) -> pa.Table:
+        one = np.ones(batch.num_rows, np.int64)
+        return pa.table(
+            {
+                "c_nationkey": batch["c_nationkey"],
+                "_one": pa.array(one),
+                "cents": batch["cents"],
+            }
+        ).group_by("c_nationkey").aggregate(
+            [("_one", "sum"), ("cents", "sum")]
+        ).rename_columns(["c_nationkey", "ng", "sg"])
+
+    nat = hash_aggregate(
+        per_cust.map_batches(
+            nation_partial, batch_format="pyarrow", batch_size=None
+        ),
+        ["c_nationkey"],
+        [("ng", "sum", "ng"), ("sg", "sum", "sg")],
+    ).sort_by("c_nationkey")
+    ng = nat["ng"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sg = nat["sg"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nk = nat["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_tot = int(ng.sum())
+    s_tot = int(sg.sum())
+    mu = (float(s_tot) / 100.0) / float(n_tot)
+    mu_g = {
+        int(k): (float(s) / 100.0) / float(n)
+        for k, n, s in zip(nk, ng, sg)
+    }
+
+    def term_partial(batch: pa.Table) -> pa.Table:
+        x = batch["cents"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        ) / 100.0
+        nkb = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        mug = np.array([mu_g[int(k)] for k in np.unique(nkb)])
+        mug_row = np.empty(len(nkb), np.float64)
+        for k in np.unique(nkb):
+            mug_row[nkb == k] = mu_g[int(k)]
+        q_tot = round_half_away(x * np.log(x / mu) * 1e9).astype(np.int64)
+        q_win = round_half_away(x * np.log(x / mug_row) * 1e9).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "c_nationkey": pa.array(nkb),
+                "q_tot": pa.array(q_tot),
+                "q_win": pa.array(q_win),
+            }
+        ).group_by("c_nationkey").aggregate(
+            [("q_tot", "sum"), ("q_win", "sum")]
+        ).rename_columns(["c_nationkey", "q_tot", "q_win"])
+
+    terms = hash_aggregate(
+        per_cust.map_batches(
+            term_partial, batch_format="pyarrow", batch_size=None
+        ),
+        ["c_nationkey"],
+        [("q_tot", "sum", "q_tot"), ("q_win", "sum", "q_win")],
+    ).sort_by("c_nationkey")
+    q_tot_sum = int(
+        terms["q_tot"].to_numpy(zero_copy_only=False).astype(np.int64).sum()
+    )
+    q_win_sum = int(
+        terms["q_win"].to_numpy(zero_copy_only=False).astype(np.int64).sum()
+    )
+    qb = round_half_away(
+        (sg.astype(np.float64) / 100.0)
+        * np.log(np.array([mu_g[int(k)] for k in nk]) / mu)
+        * 1e9
+    ).astype(np.int64)
+    denom = float(n_tot) * mu
+    theil_total = (float(q_tot_sum) / 1e9) / denom
+    theil_between = (float(int(qb.sum())) / 1e9) / denom
+    theil_within = (float(q_win_sum) / 1e9) / denom
+    return pa.table(
+        {
+            "n_customers": pa.array([n_tot], pa.int64()),
+            "theil_total": round_like_sql([theil_total], 6),
+            "theil_between": round_like_sql([theil_between], 6),
+            "theil_within": round_like_sql([theil_within], 6),
+        }
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 scale: pages extract -> geocode ->
     frozen-cell encode -> per-cell counts (plus invariant check inside
@@ -13304,6 +13520,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hist_intersection": _q_hist_intersection,
         "holt_linear": _q_holt_linear,
         "holt_winters": _q_holt_winters,
+        "phrase_search": _q_phrase_search,
+        "kendall_tau": _q_kendall_tau,
+        "theil_index": _q_theil_index,
         "dispersion_ellipse": _q_dispersion_ellipse,
         "local_moran": _q_local_moran,
         "quadrat_test": _q_quadrat_test,
@@ -18054,6 +18273,86 @@ def oracle_sql() -> dict[str, str]:
         "SELECT ROUND(l, 6) AS level, ROUND(b, 6) AS trend, "
         "ROUND(l + 7.0 * b, 6) AS forecast_7 FROM h "
         "WHERE t = (SELECT hi - lo FROM mm)"
+    )
+    out["theil_index"] = (
+        # same two-pass quantized-moment construction: exact cents,
+        # exact 1e9-quantized x*ln(x/mu) term sums, shared float tail
+        "WITH pc AS (SELECT o.o_custkey, c.c_nationkey, "
+        "CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) "
+        "AS BIGINT) AS cents "
+        "FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey "
+        "GROUP BY 1, 2), "
+        "g AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS ng, "
+        "CAST(SUM(cents) AS BIGINT) AS sg FROM pc GROUP BY 1), "
+        "t AS (SELECT CAST(SUM(ng) AS BIGINT) AS n_tot, "
+        "CAST(SUM(sg) AS BIGINT) AS s_tot FROM g), "
+        "mu AS (SELECT n_tot, s_tot, "
+        "(CAST(s_tot AS DOUBLE) / 100.0) / CAST(n_tot AS DOUBLE) AS mu "
+        "FROM t), "
+        "terms AS (SELECT "
+        "CAST(SUM(CAST(ROUND((CAST(pc.cents AS DOUBLE) / 100.0) "
+        "* LN((CAST(pc.cents AS DOUBLE) / 100.0) / mu.mu) * 1e9, 0) "
+        "AS BIGINT)) AS BIGINT) AS q_tot, "
+        "CAST(SUM(CAST(ROUND((CAST(pc.cents AS DOUBLE) / 100.0) "
+        "* LN((CAST(pc.cents AS DOUBLE) / 100.0) "
+        "/ ((CAST(g.sg AS DOUBLE) / 100.0) / CAST(g.ng AS DOUBLE))) "
+        "* 1e9, 0) AS BIGINT)) AS BIGINT) AS q_win "
+        "FROM pc JOIN g ON g.c_nationkey = pc.c_nationkey, mu), "
+        "btw AS (SELECT CAST(SUM(CAST(ROUND("
+        "(CAST(g.sg AS DOUBLE) / 100.0) "
+        "* LN(((CAST(g.sg AS DOUBLE) / 100.0) / CAST(g.ng AS DOUBLE)) "
+        "/ mu.mu) * 1e9, 0) AS BIGINT)) AS BIGINT) AS q_btw "
+        "FROM g, mu) "
+        "SELECT mu.n_tot AS n_customers, "
+        "ROUND((CAST(terms.q_tot AS DOUBLE) / 1e9) "
+        "/ (CAST(mu.n_tot AS DOUBLE) * mu.mu), 6) AS theil_total, "
+        "ROUND((CAST(btw.q_btw AS DOUBLE) / 1e9) "
+        "/ (CAST(mu.n_tot AS DOUBLE) * mu.mu), 6) AS theil_between, "
+        "ROUND((CAST(terms.q_win AS DOUBLE) / 1e9) "
+        "/ (CAST(mu.n_tot AS DOUBLE) * mu.mu), 6) AS theil_within "
+        "FROM terms, btw, mu"
+    )
+    out["kendall_tau"] = (
+        # exact pair counts via the event_id-ordered self-join; tau-b
+        # repeats the engine's float expression over the same ints
+        "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS x, "
+        "CAST(ROUND(value * 100, 0) AS BIGINT) AS y FROM events), "
+        "p AS (SELECT a.user_id, "
+        "CAST(SUM(CASE WHEN (a.x < b.x AND a.y < b.y) "
+        "OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS nc, "
+        "CAST(SUM(CASE WHEN (a.x < b.x AND a.y > b.y) "
+        "OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS nd, "
+        "CAST(SUM(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS tx, "
+        "CAST(SUM(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS ty, "
+        "CAST(COUNT(*) AS BIGINT) AS n0 "
+        "FROM e a JOIN e b ON b.user_id = a.user_id "
+        "AND a.event_id < b.event_id GROUP BY a.user_id), "
+        "q AS (SELECT user_id, nc, nd, "
+        "SQRT((CAST(n0 AS DOUBLE) - CAST(tx AS DOUBLE)) "
+        "* (CAST(n0 AS DOUBLE) - CAST(ty AS DOUBLE))) AS denom "
+        "FROM p) "
+        "SELECT user_id, nc, nd, "
+        "ROUND((CAST(nc AS DOUBLE) - CAST(nd AS DOUBLE)) / denom, 6) "
+        "AS tau FROM q WHERE denom > 0.0"
+    )
+    out["phrase_search"] = (
+        # positional self-join mirror of the bit-anchor phrase count:
+        # 1-based generate_subscripts vs the engine's 0-based anchors
+        # -- only relative adjacency matters
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+        "FROM documents), "
+        "p AS (SELECT doc_id, UNNEST(toks) AS w, "
+        "generate_subscripts(toks, 1) AS i FROM t) "
+        "SELECT a.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits "
+        "FROM p a "
+        "JOIN p b ON b.doc_id = a.doc_id AND b.i = a.i + 1 "
+        "JOIN p c ON c.doc_id = a.doc_id AND c.i = a.i + 2 "
+        "WHERE a.w = 'row' AND b.w = 'column' AND c.w = 'sort' "
+        "GROUP BY 1"
     )
     out["holt_winters"] = (
         # recursive-CTE Holt-Winters additive (m=7): the 7 live

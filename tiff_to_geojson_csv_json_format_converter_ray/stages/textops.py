@@ -1125,3 +1125,89 @@ def readability_scores(docs, text_col: str = "text", id_col: str = "doc_id"):
         )
 
     return docs.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+def phrase_search(
+    ds,
+    words: list[str],
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    distributed_combine: bool = False,
+):
+    """Positional-index exact phrase search (the IR primitive behind
+    `"multi word"` queries): per-doc counts of positions where the
+    phrase words appear CONSECUTIVELY.
+
+    Shape: the map stage tokenizes with positions (Arrow split +
+    flatten; position-in-doc from list offsets, no Python loop) and
+    emits only phrase-word hits -- word ``k`` at document position
+    ``p`` becomes ``(doc, p - k, 1 << k)``, so a full match makes all
+    n bits meet at one anchor.  One distributed ``(doc, anchor)`` sum
+    then replaces the classic positional-postings self-join: an
+    anchor whose bit-sum is ``2**n - 1`` is a phrase occurrence
+    (words are required distinct, so no bit can double-fire).  Only
+    phrase tokens ever leave the scan -- at 100 TB the shuffle
+    carries the postings of n terms, not the corpus.
+
+    Returns an Arrow table (doc, n_hits) sorted by doc.
+    """
+    from ..pipelines.relational import hash_aggregate
+
+    n = len(words)
+    if n < 2 or len(set(words)) != n:
+        raise ValueError("phrase must be >=2 distinct words")
+    full = (1 << n) - 1
+
+    def emit(batch: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(batch[text_col], pattern=" ")
+        lengths = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        total = int(lengths.sum())
+        ends = np.cumsum(lengths)
+        starts = np.repeat(ends - lengths, lengths)
+        pos = np.arange(total, dtype=np.int64) - starts
+        toks = pc.list_flatten(lists)
+        parents = pc.list_parent_indices(lists)
+        did = batch[doc_col].take(parents).to_numpy(zero_copy_only=False)
+        out_doc, out_anchor, out_bit = [], [], []
+        for k, w in enumerate(words):
+            m = pc.equal(toks, w).to_numpy(zero_copy_only=False)
+            m = np.asarray(m, dtype=bool)
+            anchor = pos[m] - k
+            keep = anchor >= 0
+            out_doc.append(did[m][keep])
+            out_anchor.append(anchor[keep])
+            out_bit.append(np.full(int(keep.sum()), 1 << k, np.int64))
+        return pa.table(
+            {
+                doc_col: pa.array(np.concatenate(out_doc)),
+                "anchor": pa.array(np.concatenate(out_anchor)),
+                "bit": pa.array(np.concatenate(out_bit)),
+            }
+        )
+
+    hits = hash_aggregate(
+        ds.map_batches(emit, batch_format="pyarrow", batch_size=None),
+        [doc_col, "anchor"],
+        [("bit", "sum", "bits")],
+        distributed_combine=distributed_combine,
+    )
+    if not isinstance(hits, pa.Table):
+        def fullmask(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.equal(batch["bits"], full))
+
+        matched = hits.map_batches(
+            fullmask, batch_format="pyarrow", batch_size=None
+        )
+        agg = hash_aggregate(
+            matched, [doc_col], [("bits", "count", "n_hits")]
+        )
+    else:
+        matched = hits.filter(pc.equal(hits["bits"], full))
+        agg = (
+            matched.group_by(doc_col)
+            .aggregate([("anchor", "count")])
+            .rename_columns([doc_col, "n_hits"])
+        )
+    return agg.sort_by(doc_col).select([doc_col, "n_hits"])
