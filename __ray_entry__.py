@@ -13437,6 +13437,222 @@ def _q_theil_index(sf_dir: str) -> pa.Table:
     )
 
 
+
+def _q_track_intersections(sf_dir: str) -> pa.Table:
+    """Self-intersection count per user track (route-quality /
+    loop-detection GIS primitive): non-adjacent segment pairs of the
+    (ts, event_id)-ordered geocoded track tested with the classic
+    exact INTEGER orientation + on-segment predicate (proper and
+    improper crossings, incl. collinear touch) -- no epsilon, so the
+    SQL CASE mirror is bit-identical.  The all-pairs kernel runs
+    vectorized per user inside the groupby map_groups tier: pairs
+    never cross keys and per-key track length is ~constant at corpus
+    scale, so cost is O(n_users * seg^2 / cluster), not O(corpus^2)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+
+    def per_user(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        g = group.take(order)
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = eid % 96
+        y = (eid // 96) % 96
+        uid = g["user_id"][0].as_py()
+        m = len(eid) - 1  # segments
+        if m < 3:
+            return pa.table(
+                {
+                    "user_id": pa.array([uid], pa.int64()),
+                    "n_segments": pa.array([max(m, 0)], pa.int64()),
+                    "n_crossings": pa.array([0], pa.int64()),
+                }
+            )
+        ax, ay, bx, by = x[:-1], y[:-1], x[1:], y[1:]
+        i, j = np.triu_indices(m, 2)  # non-adjacent pairs j >= i+2
+        Ax, Ay, Bx, By = ax[i], ay[i], bx[i], by[i]
+        Cx, Cy, Dx, Dy = ax[j], ay[j], bx[j], by[j]
+
+        def orient(px, py, qx, qy, rx, ry):
+            return (qx - px) * (ry - py) - (qy - py) * (rx - px)
+
+        d1 = orient(Cx, Cy, Dx, Dy, Ax, Ay)
+        d2 = orient(Cx, Cy, Dx, Dy, Bx, By)
+        d3 = orient(Ax, Ay, Bx, By, Cx, Cy)
+        d4 = orient(Ax, Ay, Bx, By, Dx, Dy)
+        proper = (
+            ((d1 > 0) & (d2 < 0) | (d1 < 0) & (d2 > 0))
+            & ((d3 > 0) & (d4 < 0) | (d3 < 0) & (d4 > 0))
+        )
+
+        def onseg(px, py, qx, qy, rx, ry):
+            return (
+                (np.minimum(px, qx) <= rx) & (rx <= np.maximum(px, qx))
+                & (np.minimum(py, qy) <= ry) & (ry <= np.maximum(py, qy))
+            )
+
+        touch = (
+            ((d1 == 0) & onseg(Cx, Cy, Dx, Dy, Ax, Ay))
+            | ((d2 == 0) & onseg(Cx, Cy, Dx, Dy, Bx, By))
+            | ((d3 == 0) & onseg(Ax, Ay, Bx, By, Cx, Cy))
+            | ((d4 == 0) & onseg(Ax, Ay, Bx, By, Dx, Dy))
+        )
+        return pa.table(
+            {
+                "user_id": pa.array([uid], pa.int64()),
+                "n_segments": pa.array([m], pa.int64()),
+                "n_crossings": pa.array(
+                    [int((proper | touch).sum())], pa.int64()
+                ),
+            }
+        )
+
+    per = collect_tables(
+        ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    )
+    return per.sort_by("user_id")
+
+
+
+def _q_runs_test(sf_dir: str) -> pa.Table:
+    """Wald-Wolfowitz runs test for randomness of the daily event
+    volume around its median: daily counts via the combiner tier
+    (calendar-bounded series on the driver, like every
+    daily-series query); exact lower median by rank, equal-to-median
+    days dropped (standard), runs counted over the day order.  The
+    z-score normal approximation is one shared float expression over
+    the exact integer (n1, n2, runs) triple."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "d": pa.array(us // 86_400_000_000),
+                "_one": pa.array(np.ones(len(us), np.int64)),
+            }
+        )
+
+    agg = hash_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        ["d"],
+        [("_one", "sum", "x")],
+    ).sort_by("d")
+    x = agg["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(x)
+    med = int(np.sort(x)[(n - 1) // 2])  # exact lower median
+    keep = x != med
+    s = (x[keep] > med)
+    n1 = int(s.sum())
+    n2 = int((~s).sum())
+    runs = int(1 + (s[1:] != s[:-1]).sum()) if len(s) else 0
+    nn = float(n1 + n2)
+    mu = 1.0 + (2.0 * float(n1) * float(n2)) / nn
+    var = (
+        (2.0 * float(n1) * float(n2))
+        * (2.0 * float(n1) * float(n2) - float(n1) - float(n2))
+        / (nn * nn * (nn - 1.0))
+    )
+    z = (float(runs) - mu) / np.sqrt(var)
+    return pa.table(
+        {
+            "n_above": pa.array([n1], pa.int64()),
+            "n_below": pa.array([n2], pa.int64()),
+            "runs": pa.array([runs], pa.int64()),
+            "z": round_like_sql([z], 6),
+        }
+    )
+
+
+
+def _q_wilcoxon_signed(sf_dir: str) -> pa.Table:
+    """Wilcoxon signed-rank test per user on consecutive event-value
+    pairs (paired before/after deltas in cents): zero diffs dropped
+    (standard), |d| ranks tie-averaged and DOUBLED to exact int64
+    (2*rank_min + ties - 1, the repo's rank discipline), W+ kept as
+    the exact 2x integer; the normal-approximation z is one shared
+    float expression.  Runs vectorized per user in the groupby
+    map_groups tier (pairing needs per-key order co-location)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+
+    def per_user(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        g = group.take(order)
+        uid = g["user_id"][0].as_py()
+        y = scaled_int(g["value"], 100.0)
+        m = (len(y) // 2) * 2
+        d = y[1:m:2] - y[0:m:2]
+        d = d[d != 0]
+        n = len(d)
+        empty = pa.table(
+            {
+                "user_id": pa.array([uid], pa.int64()),
+                "n_pairs": pa.array([n], pa.int64()),
+                "w_plus_2x": pa.array([0], pa.int64()),
+                "z": pa.array([0.0], pa.float64()),
+            }
+        )
+        if n < 2:
+            return empty if n == 0 else empty.set_column(
+                2, "w_plus_2x",
+                pa.array([int((d > 0).sum() * 2)], pa.int64()),
+            )
+        ad = np.abs(d)
+        s = np.sort(ad)
+        rank_min = np.searchsorted(s, ad, side="left") + 1
+        ties = (
+            np.searchsorted(s, ad, side="right")
+            - np.searchsorted(s, ad, side="left")
+        )
+        r2x = 2 * rank_min + ties - 1
+        w2x = int(r2x[d > 0].sum())
+        nf = float(n)
+        mu = nf * (nf + 1.0) / 4.0
+        sig = np.sqrt(nf * (nf + 1.0) * (2.0 * nf + 1.0) / 24.0)
+        z = (float(w2x) / 2.0 - mu) / sig
+        return pa.table(
+            {
+                "user_id": pa.array([uid], pa.int64()),
+                "n_pairs": pa.array([n], pa.int64()),
+                "w_plus_2x": pa.array([w2x], pa.int64()),
+                "z": round_like_sql([z], 6),
+            }
+        )
+
+    per = collect_tables(
+        ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    )
+    import pyarrow.compute as pc
+
+    return per.filter(pc.greater_equal(per["n_pairs"], 2)).sort_by(
+        "user_id"
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 scale: pages extract -> geocode ->
     frozen-cell encode -> per-cell counts (plus invariant check inside
@@ -13523,6 +13739,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": _q_phrase_search,
         "kendall_tau": _q_kendall_tau,
         "theil_index": _q_theil_index,
+        "track_intersections": _q_track_intersections,
+        "runs_test": _q_runs_test,
+        "wilcoxon_signed": _q_wilcoxon_signed,
         "dispersion_ellipse": _q_dispersion_ellipse,
         "local_moran": _q_local_moran,
         "quadrat_test": _q_quadrat_test,
@@ -18273,6 +18492,105 @@ def oracle_sql() -> dict[str, str]:
         "SELECT ROUND(l, 6) AS level, ROUND(b, 6) AS trend, "
         "ROUND(l + 7.0 * b, 6) AS forecast_7 FROM h "
         "WHERE t = (SELECT hi - lo FROM mm)"
+    )
+    out["wilcoxon_signed"] = (
+        # consecutive (odd, even) row-number pairing; 2x tie-averaged
+        # ranks as exact ints; z repeats the engine expression
+        "WITH o AS (SELECT user_id, "
+        "CAST(ROUND(value * 100, 0) AS BIGINT) AS y, "
+        "ROW_NUMBER() OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS rn FROM events), "
+        "pr AS (SELECT user_id, (rn - 1) // 2 AS pk, "
+        "CAST(SUM(CASE WHEN rn % 2 = 0 THEN y ELSE -y END) AS BIGINT) "
+        "AS d FROM o GROUP BY 1, 2 HAVING COUNT(*) = 2), "
+        "nz AS (SELECT user_id, d, ABS(d) AS ad FROM pr WHERE d <> 0), "
+        "rk AS (SELECT user_id, d, "
+        "2 * RANK() OVER (PARTITION BY user_id ORDER BY ad) "
+        "+ COUNT(*) OVER (PARTITION BY user_id, ad) - 1 AS r2x "
+        "FROM nz), "
+        "w AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+        "CAST(COALESCE(SUM(CASE WHEN d > 0 THEN r2x END), 0) "
+        "AS BIGINT) AS w_plus_2x FROM rk GROUP BY user_id) "
+        "SELECT user_id, n_pairs, w_plus_2x, "
+        "ROUND((CAST(w_plus_2x AS DOUBLE) / 2.0 "
+        "- CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) + 1.0) "
+        "/ 4.0) "
+        "/ SQRT(CAST(n_pairs AS DOUBLE) "
+        "* (CAST(n_pairs AS DOUBLE) + 1.0) "
+        "* (2.0 * CAST(n_pairs AS DOUBLE) + 1.0) / 24.0), 6) AS z "
+        "FROM w WHERE n_pairs >= 2"
+    )
+    out["runs_test"] = (
+        # exact lower median by rank; runs via LAG over the day order
+        "WITH c AS (SELECT epoch_us(ts) // 86400000000 AS d, "
+        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1), "
+        "r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rk, "
+        "COUNT(*) OVER () AS n FROM c), "
+        "med AS (SELECT x AS m FROM r WHERE rk = (n - 1) // 2 + 1), "
+        "k AS (SELECT c.d, CASE WHEN c.x > med.m THEN 1 ELSE 0 END "
+        "AS s FROM c, med WHERE c.x <> med.m), "
+        "lagged AS (SELECT s, LAG(s) OVER (ORDER BY d) AS ps FROM k), "
+        "st AS (SELECT "
+        "CAST((SELECT SUM(s) FROM k) AS BIGINT) AS n1, "
+        "CAST((SELECT COUNT(*) - SUM(s) FROM k) AS BIGINT) AS n2, "
+        "CAST((SELECT 1 + SUM(CASE WHEN ps IS NOT NULL "
+        "AND s <> ps THEN 1 ELSE 0 END) FROM lagged) AS BIGINT) "
+        "AS runs) "
+        "SELECT n1 AS n_above, n2 AS n_below, runs, "
+        "ROUND((CAST(runs AS DOUBLE) "
+        "- (1.0 + (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) "
+        "/ (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))) "
+        "/ SQRT((2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) "
+        "* (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) "
+        "- CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE)) "
+        "/ ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) "
+        "* (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) "
+        "* (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0))), 6) AS z "
+        "FROM st"
+    )
+    out["track_intersections"] = (
+        # ordered fixes -> segments -> non-adjacent pair CASE mirror
+        # of the integer orientation/on-segment predicate
+        "WITH f AS (SELECT user_id, "
+        "ROW_NUMBER() OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS k, "
+        "CAST(event_id % 96 AS BIGINT) AS x, "
+        "CAST((event_id // 96) % 96 AS BIGINT) AS y FROM events), "
+        "s AS (SELECT a.user_id, a.k AS i, a.x AS ax, a.y AS ay, "
+        "b.x AS bx, b.y AS by FROM f a "
+        "JOIN f b ON b.user_id = a.user_id AND b.k = a.k + 1), "
+        "ns AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_segments "
+        "FROM s GROUP BY user_id), "
+        "pr AS (SELECT p.user_id, "
+        "(p.bx - p.ax) * (q.ay - p.ay) "
+        "- (p.by - p.ay) * (q.ax - p.ax) AS d3, "
+        "(p.bx - p.ax) * (q.by - p.ay) "
+        "- (p.by - p.ay) * (q.bx - p.ax) AS d4, "
+        "(q.bx - q.ax) * (p.ay - q.ay) "
+        "- (q.by - q.ay) * (p.ax - q.ax) AS d1, "
+        "(q.bx - q.ax) * (p.by - q.ay) "
+        "- (q.by - q.ay) * (p.bx - q.ax) AS d2, "
+        "p.ax, p.ay, p.bx, p.by, q.ax AS cx, q.ay AS cy, "
+        "q.bx AS dx, q.by AS dy "
+        "FROM s p JOIN s q ON q.user_id = p.user_id "
+        "AND q.i >= p.i + 2), "
+        "hit AS (SELECT user_id, "
+        "CASE WHEN ((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0)) "
+        "AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0)) THEN 1 "
+        "WHEN d1 = 0 AND ax BETWEEN LEAST(cx, dx) AND GREATEST(cx, dx) "
+        "AND ay BETWEEN LEAST(cy, dy) AND GREATEST(cy, dy) THEN 1 "
+        "WHEN d2 = 0 AND bx BETWEEN LEAST(cx, dx) AND GREATEST(cx, dx) "
+        "AND by BETWEEN LEAST(cy, dy) AND GREATEST(cy, dy) THEN 1 "
+        "WHEN d3 = 0 AND cx BETWEEN LEAST(ax, bx) AND GREATEST(ax, bx) "
+        "AND cy BETWEEN LEAST(ay, by) AND GREATEST(ay, by) THEN 1 "
+        "WHEN d4 = 0 AND dx BETWEEN LEAST(ax, bx) AND GREATEST(ax, bx) "
+        "AND dy BETWEEN LEAST(ay, by) AND GREATEST(ay, by) THEN 1 "
+        "ELSE 0 END AS c FROM pr), "
+        "hc AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_crossings "
+        "FROM hit GROUP BY user_id) "
+        "SELECT ns.user_id, ns.n_segments, "
+        "COALESCE(hc.n_crossings, 0) AS n_crossings "
+        "FROM ns LEFT JOIN hc ON hc.user_id = ns.user_id"
     )
     out["theil_index"] = (
         # same two-pass quantized-moment construction: exact cents,
