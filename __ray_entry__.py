@@ -13653,6 +13653,221 @@ def _q_wilcoxon_signed(sf_dir: str) -> pa.Table:
     )
 
 
+
+def _q_clustering_coeff(sf_dir: str) -> pa.Table:
+    """Local clustering coefficient per word of the edit-1 vocabulary
+    graph (triangle density around each node -- the standard
+    small-world statistic, completing triangles / assortativity /
+    rich-club): degree and per-node triangle membership are exact
+    integer counts on the vocabulary-bounded edge list; cc =
+    2T/(k(k-1)) is the single ROUND per row."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        round_like_sql,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+        edit1_vocab_pairs,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
+    ).map_batches(
+        lambda b: b.rename_columns(["text"]),
+        batch_format="pyarrow", batch_size=None,
+    )
+    pairs = edit1_vocab_pairs(ds, min_len=4)
+    w1 = pairs["w1"].to_pylist()
+    w2 = pairs["w2"].to_pylist()
+    edges = set(zip(w1, w2))
+    deg: dict[str, int] = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    tri: dict[str, int] = {}
+    # oriented enumeration a < b < c, matching the triangles oracle
+    by_a: dict[str, list] = {}
+    for a, b in edges:
+        by_a.setdefault(a, []).append(b)
+    for a, ns in by_a.items():
+        ns = sorted(ns)
+        for ii in range(len(ns)):
+            for jj in range(ii + 1, len(ns)):
+                if (ns[ii], ns[jj]) in edges:
+                    for wv in (a, ns[ii], ns[jj]):
+                        tri[wv] = tri.get(wv, 0) + 1
+    words = sorted(w for w, k in deg.items() if k >= 2)
+    ks = np.array([deg[w] for w in words], np.float64)
+    ts = np.array([tri.get(w, 0) for w in words], np.float64)
+    cc = (2.0 * ts) / (ks * (ks - 1.0))
+    return pa.table(
+        {
+            "word": pa.array(words),
+            "degree": pa.array([deg[w] for w in words], pa.int64()),
+            "n_triangles": pa.array(
+                [tri.get(w, 0) for w in words], pa.int64()
+            ),
+            "cc": round_like_sql(cc, 6),
+        }
+    )
+
+
+
+def _q_kcore_words(sf_dir: str) -> pa.Table:
+    """2-core of the edit-1 vocabulary graph by iterative peeling
+    (repeatedly drop degree<2 nodes until fixpoint) -- the classic
+    graph-densification primitive behind community seeding.  The
+    engine peels the vocabulary-bounded edge list to convergence; the
+    SQL mirror unrolls eight peel rounds (assert: the engine verifies
+    convergence within eight rounds, so the unroll IS the fixpoint).
+    Output: surviving words with their within-core degree."""
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+        edit1_vocab_pairs,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
+    ).map_batches(
+        lambda b: b.rename_columns(["text"]),
+        batch_format="pyarrow", batch_size=None,
+    )
+    pairs = edit1_vocab_pairs(ds, min_len=4)
+    edges = set(zip(pairs["w1"].to_pylist(), pairs["w2"].to_pylist()))
+    rounds = 0
+    while True:
+        deg: dict[str, int] = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {w for w, k in deg.items() if k >= 2}
+        new_edges = {
+            (a, b) for a, b in edges if a in keep and b in keep
+        }
+        rounds += 1
+        if new_edges == edges:
+            break
+        edges = new_edges
+        if rounds > 8:
+            raise RuntimeError(
+                "2-core peeling did not converge in 8 rounds; widen the"
+                " SQL unroll to match"
+            )
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    words = sorted(deg)
+    return pa.table(
+        {
+            "word": pa.array(words),
+            "core_degree": pa.array([deg[w] for w in words], pa.int64()),
+        }
+    )
+
+
+
+def _q_brier_decomposition(sf_dir: str) -> pa.Table:
+    """Murphy decomposition of the Brier score (reliability /
+    resolution / uncertainty) for band 2's deci score predicting band
+    1's high-value mask -- the proper-scoring-rule companion to
+    calibration_bins.  Per-bin sufficient statistics are exact int64
+    (count, positives, score sum, plus the exact integer
+    (score - 500*label)^2 sum for the raw Brier numerator); the two
+    10-term float bin sums are 1e9-quantized so engine and SQL add
+    identical integers."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    tiles = ray.data.from_arrow(_og_multiband_tiles_table(bands=(1, 2)))
+
+    def per_bin(batch: pa.Table) -> pa.Table:
+        by_pos: dict[tuple[int, int], dict[int, np.ndarray]] = {}
+        for i in range(batch.num_rows):
+            key = (
+                batch["row_off"][i].as_py(),
+                batch["col_off"][i].as_py(),
+            )
+            v = np.asarray(batch["values"][i].as_py(), np.float32)
+            by_pos.setdefault(key, {})[batch["band"][i].as_py()] = v
+        tot = np.zeros(10, np.int64)
+        pos = np.zeros(10, np.int64)
+        s_k = np.zeros(10, np.int64)
+        qsum = np.zeros(10, np.int64)
+        for key, bands in by_pos.items():
+            if 1 not in bands or 2 not in bands:
+                continue
+            v1, v2 = bands[1], bands[2]
+            ok = (v1 > -1e30) & (v2 > -1e30)
+            k1 = round_half_away(
+                v1[ok].astype(np.float64) * 10.0
+            ).astype(np.int64)
+            k2 = round_half_away(
+                v2[ok].astype(np.float64) * 10.0
+            ).astype(np.int64)
+            lab = (k1 > 250).astype(np.int64)
+            b = k2 // 50
+            tot += np.bincount(b, minlength=10).astype(np.int64)
+            pos += np.bincount(
+                b, weights=lab.astype(np.float64), minlength=10
+            ).astype(np.int64)
+            s_k += np.bincount(
+                b, weights=k2.astype(np.float64), minlength=10
+            ).astype(np.int64)
+            q = (k2 - 500 * lab) ** 2
+            qsum += np.bincount(
+                b, weights=q.astype(np.float64), minlength=10
+            ).astype(np.int64)
+        nz = np.flatnonzero(tot)
+        return pa.table(
+            {
+                "bin": pa.array(nz.astype(np.int64)),
+                "tot": pa.array(tot[nz]),
+                "pos": pa.array(pos[nz]),
+                "s_k": pa.array(s_k[nz]),
+                "qsum": pa.array(qsum[nz]),
+            }
+        )
+
+    agg = hash_aggregate(
+        tiles.map_batches(per_bin, batch_format="pyarrow", batch_size=None),
+        ["bin"],
+        [
+            ("tot", "sum", "tot"),
+            ("pos", "sum", "pos"),
+            ("s_k", "sum", "s_k"),
+            ("qsum", "sum", "qsum"),
+        ],
+    )
+    tot = agg["tot"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pos = agg["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
+    s_k = agg["s_k"].to_numpy(zero_copy_only=False).astype(np.int64)
+    qs = agg["qsum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = int(tot.sum())
+    npos = int(pos.sum())
+    obar = float(npos) / float(n)
+    pb = s_k.astype(np.float64) / (500.0 * tot.astype(np.float64))
+    ob = pos.astype(np.float64) / tot.astype(np.float64)
+    rel_q = round_half_away(
+        tot.astype(np.float64) * (pb - ob) * (pb - ob) * 1e9
+    ).astype(np.int64)
+    res_q = round_half_away(
+        tot.astype(np.float64) * (ob - obar) * (ob - obar) * 1e9
+    ).astype(np.int64)
+    brier = float(int(qs.sum())) / (250000.0 * float(n))
+    rel = (float(int(rel_q.sum())) / 1e9) / float(n)
+    res = (float(int(res_q.sum())) / 1e9) / float(n)
+    unc = obar * (1.0 - obar)
+    return pa.table(
+        {
+            "n": pa.array([n], pa.int64()),
+            "brier": round_like_sql([brier], 6),
+            "reliability": round_like_sql([rel], 6),
+            "resolution": round_like_sql([res], 6),
+            "uncertainty": round_like_sql([unc], 6),
+        }
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 scale: pages extract -> geocode ->
     frozen-cell encode -> per-cell counts (plus invariant check inside
@@ -13742,6 +13957,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "track_intersections": _q_track_intersections,
         "runs_test": _q_runs_test,
         "wilcoxon_signed": _q_wilcoxon_signed,
+        "clustering_coeff": _q_clustering_coeff,
+        "kcore_words": _q_kcore_words,
+        "brier_decomposition": _q_brier_decomposition,
         "dispersion_ellipse": _q_dispersion_ellipse,
         "local_moran": _q_local_moran,
         "quadrat_test": _q_quadrat_test,
@@ -18492,6 +18710,81 @@ def oracle_sql() -> dict[str, str]:
         "SELECT ROUND(l, 6) AS level, ROUND(b, 6) AS trend, "
         "ROUND(l + 7.0 * b, 6) AS forecast_7 FROM h "
         "WHERE t = (SELECT hi - lo FROM mm)"
+    )
+    out["brier_decomposition"] = (
+        # Murphy decomposition over the same decile bins; per-bin
+        # float terms 1e9-quantized before the SUM
+        f"WITH mb AS ({_mb_grid}), "
+        "j AS (SELECT d.k // 50 AS bin, d.k AS score, "
+        "CASE WHEN a.k > 250 THEN 1 ELSE 0 END AS lab FROM "
+        "(SELECT row, col, k FROM mb WHERE band = 1 "
+        "AND k IS NOT NULL) a "
+        "JOIN (SELECT row, col, k FROM mb WHERE band = 2 "
+        "AND k IS NOT NULL) d ON d.row = a.row AND d.col = a.col), "
+        "b AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS nb, "
+        "CAST(SUM(lab) AS BIGINT) AS pb, "
+        "CAST(SUM(score) AS BIGINT) AS sb, "
+        "CAST(SUM((score - 500 * lab) * (score - 500 * lab)) "
+        "AS BIGINT) AS qb FROM j GROUP BY bin), "
+        "t AS (SELECT CAST(SUM(nb) AS BIGINT) AS n, "
+        "CAST(SUM(pb) AS BIGINT) AS npos, "
+        "CAST(SUM(qb) AS BIGINT) AS q FROM b), "
+        "terms AS (SELECT "
+        "CAST(SUM(CAST(ROUND(CAST(b.nb AS DOUBLE) "
+        "* (CAST(b.sb AS DOUBLE) / (500.0 * CAST(b.nb AS DOUBLE)) "
+        "- CAST(b.pb AS DOUBLE) / CAST(b.nb AS DOUBLE)) "
+        "* (CAST(b.sb AS DOUBLE) / (500.0 * CAST(b.nb AS DOUBLE)) "
+        "- CAST(b.pb AS DOUBLE) / CAST(b.nb AS DOUBLE)) * 1e9, 0) "
+        "AS BIGINT)) AS BIGINT) AS rel_q, "
+        "CAST(SUM(CAST(ROUND(CAST(b.nb AS DOUBLE) "
+        "* (CAST(b.pb AS DOUBLE) / CAST(b.nb AS DOUBLE) "
+        "- CAST(t.npos AS DOUBLE) / CAST(t.n AS DOUBLE)) "
+        "* (CAST(b.pb AS DOUBLE) / CAST(b.nb AS DOUBLE) "
+        "- CAST(t.npos AS DOUBLE) / CAST(t.n AS DOUBLE)) * 1e9, 0) "
+        "AS BIGINT)) AS BIGINT) AS res_q "
+        "FROM b, t GROUP BY ALL) "
+        "SELECT t.n, "
+        "ROUND(CAST(t.q AS DOUBLE) / (250000.0 * CAST(t.n AS DOUBLE)), "
+        "6) AS brier, "
+        "ROUND((CAST(terms.rel_q AS DOUBLE) / 1e9) "
+        "/ CAST(t.n AS DOUBLE), 6) AS reliability, "
+        "ROUND((CAST(terms.res_q AS DOUBLE) / 1e9) "
+        "/ CAST(t.n AS DOUBLE), 6) AS resolution, "
+        "ROUND((CAST(t.npos AS DOUBLE) / CAST(t.n AS DOUBLE)) "
+        "* (1.0 - CAST(t.npos AS DOUBLE) / CAST(t.n AS DOUBLE)), 6) "
+        "AS uncertainty "
+        "FROM t, terms"
+    )
+    out["kcore_words"] = (
+        # eight unrolled peel rounds (engine asserts convergence <= 8);
+        # MATERIALIZED stops exponential CTE inlining
+        'WITH tok AS (SELECT DISTINCT source AS w FROM documents WHERE LEN(source) >= 4), e0 AS MATERIALIZED (SELECT a.w AS w1, b.w AS w2 FROM tok a JOIN tok b ON a.w < b.w AND ABS(LEN(a.w) - LEN(b.w)) <= 1 AND LEVENSHTEIN(a.w, b.w) = 1), s0 AS MATERIALIZED (SELECT w1, w2 FROM e0 UNION ALL SELECT w2, w1 FROM e0), k0 AS MATERIALIZED (SELECT w1 AS w FROM s0 GROUP BY w1 HAVING COUNT(*) >= 2), e1 AS MATERIALIZED (SELECT e0.w1, e0.w2 FROM e0 JOIN k0 ka ON ka.w = e0.w1 JOIN k0 kb ON kb.w = e0.w2), s1 AS MATERIALIZED (SELECT w1, w2 FROM e1 UNION ALL SELECT w2, w1 FROM e1), k1 AS MATERIALIZED (SELECT w1 AS w FROM s1 GROUP BY w1 HAVING COUNT(*) >= 2), e2 AS MATERIALIZED (SELECT e1.w1, e1.w2 FROM e1 JOIN k1 ka ON ka.w = e1.w1 JOIN k1 kb ON kb.w = e1.w2), s2 AS MATERIALIZED (SELECT w1, w2 FROM e2 UNION ALL SELECT w2, w1 FROM e2), k2 AS MATERIALIZED (SELECT w1 AS w FROM s2 GROUP BY w1 HAVING COUNT(*) >= 2), e3 AS MATERIALIZED (SELECT e2.w1, e2.w2 FROM e2 JOIN k2 ka ON ka.w = e2.w1 JOIN k2 kb ON kb.w = e2.w2), s3 AS MATERIALIZED (SELECT w1, w2 FROM e3 UNION ALL SELECT w2, w1 FROM e3), k3 AS MATERIALIZED (SELECT w1 AS w FROM s3 GROUP BY w1 HAVING COUNT(*) >= 2), e4 AS MATERIALIZED (SELECT e3.w1, e3.w2 FROM e3 JOIN k3 ka ON ka.w = e3.w1 JOIN k3 kb ON kb.w = e3.w2), s4 AS MATERIALIZED (SELECT w1, w2 FROM e4 UNION ALL SELECT w2, w1 FROM e4), k4 AS MATERIALIZED (SELECT w1 AS w FROM s4 GROUP BY w1 HAVING COUNT(*) >= 2), e5 AS MATERIALIZED (SELECT e4.w1, e4.w2 FROM e4 JOIN k4 ka ON ka.w = e4.w1 JOIN k4 kb ON kb.w = e4.w2), s5 AS MATERIALIZED (SELECT w1, w2 FROM e5 UNION ALL SELECT w2, w1 FROM e5), k5 AS MATERIALIZED (SELECT w1 AS w FROM s5 GROUP BY w1 HAVING COUNT(*) >= 2), e6 AS MATERIALIZED (SELECT e5.w1, e5.w2 FROM e5 JOIN k5 ka ON ka.w = e5.w1 JOIN k5 kb ON kb.w = e5.w2), s6 AS MATERIALIZED (SELECT w1, w2 FROM e6 UNION ALL SELECT w2, w1 FROM e6), k6 AS MATERIALIZED (SELECT w1 AS w FROM s6 GROUP BY w1 HAVING COUNT(*) >= 2), e7 AS MATERIALIZED (SELECT e6.w1, e6.w2 FROM e6 JOIN k6 ka ON ka.w = e6.w1 JOIN k6 kb ON kb.w = e6.w2), s7 AS MATERIALIZED (SELECT w1, w2 FROM e7 UNION ALL SELECT w2, w1 FROM e7), k7 AS MATERIALIZED (SELECT w1 AS w FROM s7 GROUP BY w1 HAVING COUNT(*) >= 2), e8 AS MATERIALIZED (SELECT e7.w1, e7.w2 FROM e7 JOIN k7 ka ON ka.w = e7.w1 JOIN k7 kb ON kb.w = e7.w2), fin AS (SELECT w1, w2 FROM e8 UNION ALL SELECT w2, w1 FROM e8) SELECT w1 AS word, CAST(COUNT(*) AS BIGINT) AS core_degree FROM fin GROUP BY w1'
+    )
+    out["clustering_coeff"] = (
+        # degree from symmetric edges, triangle membership from the
+        # ordered tri CTE (same graph as word_triangles)
+        "WITH tok AS (SELECT DISTINCT source AS w FROM documents "
+        "WHERE LEN(source) >= 4), "
+        "e AS (SELECT a.w AS w1, b.w AS w2 FROM tok a JOIN tok b "
+        "ON a.w < b.w AND ABS(LEN(a.w) - LEN(b.w)) <= 1 "
+        "AND LEVENSHTEIN(a.w, b.w) = 1), "
+        "sym AS (SELECT w1, w2 FROM e UNION ALL SELECT w2, w1 FROM e), "
+        "deg AS (SELECT w1 AS word, CAST(COUNT(*) AS BIGINT) AS k "
+        "FROM sym GROUP BY 1), "
+        "tri AS (SELECT e1.w1 AS a, e1.w2 AS b, e2.w2 AS c "
+        "FROM e e1 JOIN e e2 ON e2.w1 = e1.w2 "
+        "JOIN e e3 ON e3.w1 = e1.w1 AND e3.w2 = e2.w2), "
+        "m AS (SELECT a AS word FROM tri UNION ALL "
+        "SELECT b FROM tri UNION ALL SELECT c FROM tri), "
+        "tc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS t "
+        "FROM m GROUP BY word) "
+        "SELECT deg.word, deg.k AS degree, "
+        "COALESCE(tc.t, 0) AS n_triangles, "
+        "ROUND((2.0 * CAST(COALESCE(tc.t, 0) AS DOUBLE)) "
+        "/ (CAST(deg.k AS DOUBLE) * (CAST(deg.k AS DOUBLE) - 1.0)), 6) "
+        "AS cc "
+        "FROM deg LEFT JOIN tc ON tc.word = deg.word "
+        "WHERE deg.k >= 2"
     )
     out["wilcoxon_signed"] = (
         # consecutive (odd, even) row-number pairing; 2x tie-averaged
