@@ -13868,6 +13868,210 @@ def _q_brier_decomposition(sf_dir: str) -> pa.Table:
     )
 
 
+
+def _q_seasonal_decompose(sf_dir: str) -> pa.Table:
+    """Classical additive seasonal decomposition of the daily event
+    series: centered 7-day moving-average trend on the dense calendar
+    (exact int window sum / 7.0), per-weekday seasonal index as the
+    mean of 1e9-quantized detrended deviations (exact int sums, so
+    engine and SQL add identical integers).  Output: one row per
+    weekday (epoch-day mod 7) with its seasonal index."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "d": pa.array(us // 86_400_000_000),
+                "_one": pa.array(np.ones(len(us), np.int64)),
+            }
+        )
+
+    agg = hash_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        ["d"],
+        [("_one", "sum", "x")],
+    ).sort_by("d")
+    d = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+    xs = agg["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lo, hi = int(d[0]), int(d[-1])
+    n = hi - lo + 1
+    x = np.zeros(n, np.int64)
+    x[d - lo] = xs
+    if n < 7:
+        return pa.table(
+            {
+                "weekday": pa.array([], pa.int64()),
+                "n_days": pa.array([], pa.int64()),
+                "seasonal": pa.array([], pa.float64()),
+            }
+        )
+    csum = np.concatenate(([0], np.cumsum(x)))
+    win = csum[7:] - csum[:-7]  # exact 7-day sums for t in [3, n-4]
+    t_idx = np.arange(3, n - 3, dtype=np.int64)
+    trend = win.astype(np.float64) / 7.0
+    dq = round_half_away(
+        (x[t_idx].astype(np.float64) - trend) * 1e9
+    ).astype(np.int64)
+    wd = (lo + t_idx) % 7
+    sums = np.zeros(7, np.int64)
+    cnts = np.zeros(7, np.int64)
+    np.add.at(sums, wd, dq)
+    np.add.at(cnts, wd, 1)
+    keep = cnts > 0
+    seasonal = (sums[keep].astype(np.float64) / 1e9) / cnts[
+        keep
+    ].astype(np.float64)
+    return pa.table(
+        {
+            "weekday": pa.array(np.arange(7, dtype=np.int64)[keep]),
+            "n_days": pa.array(cnts[keep]),
+            "seasonal": round_like_sql(seasonal, 6),
+        }
+    )
+
+
+
+def _q_min_cost_supplier(sf_dir: str) -> pa.Table:
+    """TPC-H Q2-flavoured grouped argmin: for each part, the supplier
+    with the smallest total supply cost (sum of discounted price
+    cents over its lineitems), deterministic suppkey tie-break.  Two
+    distributed levels: per-(part, supplier) exact cents through the
+    groupby shuffle tier, then a per-part MIN over cents and suppkey
+    PACKED into one int64 (cents * 2^15 + suppkey; the pack is safe
+    while per-pair cents < 2^48 -- assert-guarded), so the argmin
+    itself is a plain combiner-tier MIN, no per-group sort."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        c = scaled_int(
+            np.asarray(p, np.float64) * (1.0 - np.asarray(disc, np.float64)),
+            100.0,
+        )
+        return pa.table(
+            {
+                "l_partkey": batch["l_partkey"],
+                "l_suppkey": batch["l_suppkey"],
+                "c": pa.array(c),
+            }
+        )
+
+    pairs = hash_aggregate(
+        ds.map_batches(cents, batch_format="pyarrow", batch_size=None),
+        ["l_partkey", "l_suppkey"],
+        [("c", "sum", "cost_cents")],
+        distributed_combine=True,
+    )
+
+    def pack(batch: pa.Table) -> pa.Table:
+        c = batch["cost_cents"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        s = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        if len(c) and (int(c.max()) >= (1 << 48) or int(s.max()) >= (1 << 15)):
+            raise AssertionError("argmin pack overflow; widen the pack")
+        return pa.table(
+            {
+                "l_partkey": batch["l_partkey"],
+                "packed": pa.array(c * (1 << 15) + s),
+            }
+        )
+
+    best = hash_aggregate(
+        pairs.map_batches(pack, batch_format="pyarrow", batch_size=None),
+        ["l_partkey"],
+        [("packed", "min", "packed")],
+    ).sort_by("l_partkey")
+    packed = best["packed"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return pa.table(
+        {
+            "l_partkey": best["l_partkey"],
+            "l_suppkey": pa.array(packed % (1 << 15)),
+            "cost_cents": pa.array(packed >> 15),
+        }
+    )
+
+
+
+def _q_chow_test(sf_dir: str) -> pa.Table:
+    """Chow structural-break F-test of the daily event-count linear
+    trend at the series midpoint: OLS of x on t over the full dense
+    calendar and each half, every SSR computed from exact int64
+    moment sums (n, St, Sx, Stt, Stx, Sxx) by the shared closed form
+    SSR = (Sxx - Sx^2/n) - (Stx - St*Sx/n)^2 / (Stt - St^2/n); the
+    F statistic is one shared float expression (k = 2 params)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "d": pa.array(us // 86_400_000_000),
+                "_one": pa.array(np.ones(len(us), np.int64)),
+            }
+        )
+
+    agg = hash_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        ["d"],
+        [("_one", "sum", "x")],
+    ).sort_by("d")
+    d = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+    xs = agg["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lo, hi = int(d[0]), int(d[-1])
+    n = hi - lo + 1
+    x = np.zeros(n, np.int64)
+    x[d - lo] = xs
+    t = np.arange(n, dtype=np.int64)
+    half = n // 2
+
+    def ssr(tt: np.ndarray, xx: np.ndarray) -> float:
+        nn = float(len(tt))
+        st = float(int(tt.sum()))
+        sx = float(int(xx.sum()))
+        stt = float(int((tt * tt).sum()))
+        stx = float(int((tt * xx).sum()))
+        sxx = float(int((xx * xx).sum()))
+        syy = sxx - sx * sx / nn
+        sxy = stx - st * sx / nn
+        sxx_c = stt - st * st / nn
+        return syy - (sxy * sxy) / sxx_c
+
+    ssr_p = ssr(t, x)
+    ssr_1 = ssr(t[:half], x[:half])
+    ssr_2 = ssr(t[half:], x[half:])
+    k = 2.0
+    f = ((ssr_p - ssr_1 - ssr_2) / k) / (
+        (ssr_1 + ssr_2) / (float(n) - 2.0 * k)
+    )
+    return pa.table(
+        {
+            "n_days": pa.array([n], pa.int64()),
+            "break_day": pa.array([lo + half], pa.int64()),
+            "f_stat": round_like_sql([f], 6),
+        }
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 scale: pages extract -> geocode ->
     frozen-cell encode -> per-cell counts (plus invariant check inside
@@ -13960,6 +14164,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coeff": _q_clustering_coeff,
         "kcore_words": _q_kcore_words,
         "brier_decomposition": _q_brier_decomposition,
+        "seasonal_decompose": _q_seasonal_decompose,
+        "min_cost_supplier": _q_min_cost_supplier,
+        "chow_test": _q_chow_test,
         "dispersion_ellipse": _q_dispersion_ellipse,
         "local_moran": _q_local_moran,
         "quadrat_test": _q_quadrat_test,
@@ -18710,6 +18917,90 @@ def oracle_sql() -> dict[str, str]:
         "SELECT ROUND(l, 6) AS level, ROUND(b, 6) AS trend, "
         "ROUND(l + 7.0 * b, 6) AS forecast_7 FROM h "
         "WHERE t = (SELECT hi - lo FROM mm)"
+    )
+    out["chow_test"] = (
+        # same exact moment sums per segment; shared SSR closed form
+        "WITH c AS (SELECT epoch_us(ts) // 86400000000 AS d, "
+        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1), "
+        "mm AS (SELECT MIN(d) AS lo, MAX(d) AS hi, "
+        "CAST(MAX(d) - MIN(d) + 1 AS BIGINT) AS n FROM c), "
+        "dd AS (SELECT r.range AS t, mm.lo + r.range AS d "
+        "FROM range(0, 4096) r, mm WHERE r.range <= mm.hi - mm.lo), "
+        "dn AS (SELECT dd.t, COALESCE(c.x, 0) AS x "
+        "FROM dd LEFT JOIN c ON c.d = dd.d), "
+        "seg AS (SELECT CASE WHEN t < (SELECT n // 2 FROM mm) "
+        "THEN 1 ELSE 2 END AS s, t, x FROM dn), "
+        "mom AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS nn, "
+        "CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(x) AS BIGINT) AS sx, "
+        "CAST(SUM(t * t) AS BIGINT) AS stt, "
+        "CAST(SUM(t * x) AS BIGINT) AS stx, "
+        "CAST(SUM(x * x) AS BIGINT) AS sxx FROM seg GROUP BY s), "
+        "momp AS (SELECT CAST(SUM(nn) AS BIGINT) AS nn, "
+        "CAST(SUM(st) AS BIGINT) AS st, CAST(SUM(sx) AS BIGINT) AS sx, "
+        "CAST(SUM(stt) AS BIGINT) AS stt, "
+        "CAST(SUM(stx) AS BIGINT) AS stx, "
+        "CAST(SUM(sxx) AS BIGINT) AS sxx FROM mom), "
+        "ss AS (SELECT s, "
+        "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) "
+        "/ CAST(nn AS DOUBLE)) "
+        "- ((CAST(stx AS DOUBLE) - CAST(st AS DOUBLE) "
+        "* CAST(sx AS DOUBLE) / CAST(nn AS DOUBLE)) "
+        "* (CAST(stx AS DOUBLE) - CAST(st AS DOUBLE) "
+        "* CAST(sx AS DOUBLE) / CAST(nn AS DOUBLE))) "
+        "/ (CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) "
+        "* CAST(st AS DOUBLE) / CAST(nn AS DOUBLE)) AS ssr FROM mom), "
+        "ssp AS (SELECT "
+        "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) "
+        "/ CAST(nn AS DOUBLE)) "
+        "- ((CAST(stx AS DOUBLE) - CAST(st AS DOUBLE) "
+        "* CAST(sx AS DOUBLE) / CAST(nn AS DOUBLE)) "
+        "* (CAST(stx AS DOUBLE) - CAST(st AS DOUBLE) "
+        "* CAST(sx AS DOUBLE) / CAST(nn AS DOUBLE))) "
+        "/ (CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) "
+        "* CAST(st AS DOUBLE) / CAST(nn AS DOUBLE)) AS ssr_p, "
+        "nn FROM momp) "
+        "SELECT CAST(ssp.nn AS BIGINT) AS n_days, "
+        "(SELECT lo + n // 2 FROM mm) AS break_day, "
+        "ROUND(((ssp.ssr_p - s1.ssr - s2.ssr) / 2.0) "
+        "/ ((s1.ssr + s2.ssr) / (CAST(ssp.nn AS DOUBLE) - 4.0)), 6) "
+        "AS f_stat "
+        "FROM ssp, (SELECT ssr FROM ss WHERE s = 1) s1, "
+        "(SELECT ssr FROM ss WHERE s = 2) s2"
+    )
+    out["min_cost_supplier"] = (
+        # two-level aggregate + (cost, suppkey) lexicographic argmin
+        "WITH ps AS (SELECT l_partkey, l_suppkey, "
+        "CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) "
+        "* 100, 0) AS BIGINT)) AS BIGINT) AS cost_cents "
+        "FROM lineitem GROUP BY 1, 2), "
+        "rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_partkey "
+        "ORDER BY cost_cents, l_suppkey) AS rn FROM ps) "
+        "SELECT l_partkey, l_suppkey, cost_cents FROM rk WHERE rn = 1"
+    )
+    out["seasonal_decompose"] = (
+        # dense calendar; 7-day centered window sum / 7.0; quantized
+        # detrended deviations summed per weekday
+        "WITH c AS (SELECT epoch_us(ts) // 86400000000 AS d, "
+        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1), "
+        "mm AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM c), "
+        "dd AS (SELECT r.range AS t, mm.lo + r.range AS d "
+        "FROM range(0, 4096) r, mm WHERE r.range <= mm.hi - mm.lo), "
+        "dn AS (SELECT dd.t, dd.d, COALESCE(c.x, 0) AS x "
+        "FROM dd LEFT JOIN c ON c.d = dd.d), "
+        "w AS (SELECT t, d, x, "
+        "CAST(SUM(x) OVER (ORDER BY t "
+        "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS s7, "
+        "CAST(COUNT(*) OVER (ORDER BY t "
+        "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS c7 "
+        "FROM dn), "
+        "dt AS (SELECT d % 7 AS weekday, "
+        "CAST(ROUND((CAST(x AS DOUBLE) "
+        "- CAST(s7 AS DOUBLE) / 7.0) * 1e9, 0) AS BIGINT) AS dq "
+        "FROM w WHERE c7 = 7) "
+        "SELECT weekday, CAST(COUNT(*) AS BIGINT) AS n_days, "
+        "ROUND((CAST(SUM(dq) AS DOUBLE) / 1e9) "
+        "/ CAST(COUNT(*) AS DOUBLE), 6) AS seasonal "
+        "FROM dt GROUP BY weekday"
     )
     out["brier_decomposition"] = (
         # Murphy decomposition over the same decile bins; per-bin
