@@ -14072,6 +14072,171 @@ def _q_chow_test(sf_dir: str) -> pa.Table:
     )
 
 
+
+def _q_symspell_pairs(sf_dir: str) -> pa.Table:
+    """Edit-distance<=2 fuzzy vocabulary self-join via SymSpell
+    deletion blocking (extends the edit-1 deletion-blocked pair
+    generation to depth 2): candidates from ONE groupby on the
+    deletion-variant key, exact-DP verification -- the oracle's
+    brute-force LEVENSHTEIN join doubles as an empirical completeness
+    check of the blocking.  See stages/textops.py::symspell_pairs."""
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+        symspell_pairs,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
+    ).map_batches(
+        lambda b: b.rename_columns(["text"]),
+        batch_format="pyarrow", batch_size=None,
+    )
+    return symspell_pairs(ds, max_dist=2, min_len=4)
+
+
+
+def _q_seq_edit_distance(sf_dir: str) -> pa.Table:
+    """Behavioral similarity: exact Levenshtein distance between the
+    event-type-initial sequences of the 20 most active users (ordered
+    per user by ts, event_id).  Sequences are built distributed in the
+    groupby map_groups tier; only the top-K strings (deterministic
+    count-desc, user-asc cut) reach the driver for the K^2 DP -- the
+    corpus itself never does.  Mirrors the SQL STRING_AGG +
+    LEVENSHTEIN construction exactly."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+        _lev,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+
+    def per_user(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        g = group.take(order)
+        seq = "".join(s[0] for s in g["event_type"].to_pylist())
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    [g["user_id"][0].as_py()], pa.int64()
+                ),
+                "n": pa.array([group.num_rows], pa.int64()),
+                "seq": pa.array([seq], pa.string()),
+            }
+        )
+
+    per = collect_tables(
+        ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    ).sort_by([("n", "descending"), ("user_id", "ascending")])
+    top = per.slice(0, 20)
+    uid = top["user_id"].to_pylist()
+    seq = top["seq"].to_pylist()
+    order = np.argsort(np.asarray(uid))
+    uid = [uid[i] for i in order]
+    seq = [seq[i] for i in order]
+    u1, u2, dist = [], [], []
+    for i in range(len(uid)):
+        for j in range(i + 1, len(uid)):
+            u1.append(uid[i])
+            u2.append(uid[j])
+            dist.append(_lev(seq[i], seq[j]))
+    return pa.table(
+        {
+            "u1": pa.array(u1, pa.int64()),
+            "u2": pa.array(u2, pa.int64()),
+            "dist": pa.array(dist, pa.int64()),
+        }
+    )
+
+
+
+def _q_did_estimator(sf_dir: str) -> pa.Table:
+    """Difference-in-differences over the event panel: treatment =
+    even user_id (deterministic assignment), post = day >= series
+    midpoint, outcome = event value cents.  The 2x2 cell sums are
+    exact int64 through the combiner tier; the four means and the DiD
+    estimate are one shared float expression."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "value"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "d": pa.array(us // 86_400_000_000),
+                "treat": pa.array((uid % 2 == 0).astype(np.int64)),
+                "c": pa.array(scaled_int(batch["value"], 100.0)),
+                "_one": pa.array(np.ones(len(us), np.int64)),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+    # pass 1: day bounds (combiner min/max)
+    mm = hash_aggregate(
+        prepped.map_batches(
+            lambda b: pa.table({"k": pa.array([0] * b.num_rows, pa.int64()),
+                                "d": b["d"]}),
+            batch_format="pyarrow", batch_size=None,
+        ),
+        ["k"],
+        [("d", "min", "lo"), ("d", "max", "hi")],
+    )
+    lo = int(mm["lo"][0].as_py())
+    hi = int(mm["hi"][0].as_py())
+    mid = lo + (hi - lo + 1) // 2
+
+    def cell(batch: pa.Table) -> pa.Table:
+        d = batch["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+        post = (d >= mid).astype(np.int64)
+        return pa.table(
+            {
+                "treat": batch["treat"],
+                "post": pa.array(post),
+                "c": batch["c"],
+                "_one": batch["_one"],
+            }
+        )
+
+    agg = hash_aggregate(
+        prepped.map_batches(cell, batch_format="pyarrow", batch_size=None),
+        ["treat", "post"],
+        [("_one", "sum", "n"), ("c", "sum", "s")],
+    ).sort_by([("treat", "ascending"), ("post", "ascending")])
+    n = agg["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    s = agg["s"].to_numpy(zero_copy_only=False).astype(np.float64)
+    tr = agg["treat"].to_numpy(zero_copy_only=False).astype(np.int64)
+    po = agg["post"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mean = {}
+    for i in range(len(tr)):
+        mean[(int(tr[i]), int(po[i]))] = (s[i] / 100.0) / n[i]
+    did = (mean[(1, 1)] - mean[(1, 0)]) - (mean[(0, 1)] - mean[(0, 0)])
+    return pa.table(
+        {
+            "mean_ctrl_pre": round_like_sql([mean[(0, 0)]], 6),
+            "mean_ctrl_post": round_like_sql([mean[(0, 1)]], 6),
+            "mean_treat_pre": round_like_sql([mean[(1, 0)]], 6),
+            "mean_treat_post": round_like_sql([mean[(1, 1)]], 6),
+            "did": round_like_sql([did], 6),
+        }
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 scale: pages extract -> geocode ->
     frozen-cell encode -> per-cell counts (plus invariant check inside
@@ -14167,6 +14332,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seasonal_decompose": _q_seasonal_decompose,
         "min_cost_supplier": _q_min_cost_supplier,
         "chow_test": _q_chow_test,
+        "symspell_pairs": _q_symspell_pairs,
+        "seq_edit_distance": _q_seq_edit_distance,
+        "did_estimator": _q_did_estimator,
         "dispersion_ellipse": _q_dispersion_ellipse,
         "local_moran": _q_local_moran,
         "quadrat_test": _q_quadrat_test,
@@ -18917,6 +19085,54 @@ def oracle_sql() -> dict[str, str]:
         "SELECT ROUND(l, 6) AS level, ROUND(b, 6) AS trend, "
         "ROUND(l + 7.0 * b, 6) AS forecast_7 FROM h "
         "WHERE t = (SELECT hi - lo FROM mm)"
+    )
+    out["seq_edit_distance"] = (
+        # STRING_AGG initial-char sequences; deterministic top-20 cut
+        "WITH s AS (SELECT user_id, COUNT(*) AS n, "
+        "STRING_AGG(SUBSTR(event_type, 1, 1), '' "
+        "ORDER BY ts, event_id) AS seq FROM events GROUP BY user_id), "
+        "top AS (SELECT user_id, seq FROM s "
+        "ORDER BY n DESC, user_id LIMIT 20) "
+        "SELECT a.user_id AS u1, b.user_id AS u2, "
+        "CAST(LEVENSHTEIN(a.seq, b.seq) AS BIGINT) AS dist "
+        "FROM top a JOIN top b ON a.user_id < b.user_id"
+    )
+    out["did_estimator"] = (
+        "WITH b AS (SELECT MIN(epoch_us(ts) // 86400000000) AS lo, "
+        "MAX(epoch_us(ts) // 86400000000) AS hi FROM events), "
+        "m AS (SELECT lo + (hi - lo + 1) // 2 AS mid FROM b), "
+        "cells AS (SELECT "
+        "CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treat, "
+        "CASE WHEN epoch_us(ts) // 86400000000 >= m.mid "
+        "THEN 1 ELSE 0 END AS post, "
+        "CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) "
+        "AS s FROM events, m GROUP BY 1, 2), "
+        "mn AS (SELECT treat, post, "
+        "(CAST(s AS DOUBLE) / 100.0) / CAST(n AS DOUBLE) AS mu "
+        "FROM cells) "
+        "SELECT "
+        "ROUND((SELECT mu FROM mn WHERE treat = 0 AND post = 0), 6) "
+        "AS mean_ctrl_pre, "
+        "ROUND((SELECT mu FROM mn WHERE treat = 0 AND post = 1), 6) "
+        "AS mean_ctrl_post, "
+        "ROUND((SELECT mu FROM mn WHERE treat = 1 AND post = 0), 6) "
+        "AS mean_treat_pre, "
+        "ROUND((SELECT mu FROM mn WHERE treat = 1 AND post = 1), 6) "
+        "AS mean_treat_post, "
+        "ROUND(((SELECT mu FROM mn WHERE treat = 1 AND post = 1) "
+        "- (SELECT mu FROM mn WHERE treat = 1 AND post = 0)) "
+        "- ((SELECT mu FROM mn WHERE treat = 0 AND post = 1) "
+        "- (SELECT mu FROM mn WHERE treat = 0 AND post = 0)), 6) "
+        "AS did"
+    )
+    out["symspell_pairs"] = (
+        "WITH tok AS (SELECT DISTINCT source AS w FROM documents "
+        "WHERE LEN(source) >= 4) "
+        "SELECT a.w AS w1, b.w AS w2, "
+        "CAST(LEVENSHTEIN(a.w, b.w) AS BIGINT) AS dist "
+        "FROM tok a JOIN tok b ON a.w < b.w "
+        "WHERE LEVENSHTEIN(a.w, b.w) BETWEEN 1 AND 2"
     )
     out["chow_test"] = (
         # same exact moment sums per segment; shared SSR closed form

@@ -1211,3 +1211,102 @@ def phrase_search(
             .rename_columns([doc_col, "n_hits"])
         )
     return agg.sort_by(doc_col).select([doc_col, "n_hits"])
+
+
+def _lev(a: str, b: str) -> int:
+    """Exact Levenshtein distance (two-row DP; vocab-bounded use)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def symspell_pairs(
+    ds,
+    max_dist: int = 2,
+    min_len: int = 4,
+    text_col: str = "text",
+):
+    """Fuzzy vocabulary self-join at edit distance <= 2 via the
+    SymSpell deletion-blocking scheme: every word emits all deletion
+    variants up to depth ``max_dist``; two words within edit distance
+    d always share a depth-d deletion variant, so candidate pairs
+    fall out of ONE groupby on the variant key -- no all-pairs scan.
+    Candidates are then verified with the exact DP.  At 100 TB the
+    variant table is vocab x O(len^2) rows, hash-partitioned by
+    variant; per-bucket candidate emission is bounded by bucket size
+    (same contract as the MinHash-LSH dedup tiers).
+
+    Returns an Arrow table (w1, w2, dist) with w1 < w2,
+    1 <= dist <= max_dist, sorted."""
+    from ..pipelines.relational import distinct, hash_aggregate
+
+    vocab = distinct(ds, [text_col])
+
+    def variants(batch: pa.Table) -> pa.Table:
+        words = [
+            w for w in batch[text_col].to_pylist()
+            if w is not None and len(w) >= min_len
+        ]
+        out_v, out_w = [], []
+        for w in words:
+            seen = {w}
+            frontier = {w}
+            for _ in range(max_dist):
+                nxt = set()
+                for v in frontier:
+                    for i in range(len(v)):
+                        nxt.add(v[:i] + v[i + 1:])
+                nxt -= seen
+                seen |= nxt
+                frontier = nxt
+            for v in seen:
+                out_v.append(v)
+                out_w.append(w)
+        return pa.table(
+            {"variant": pa.array(out_v), "word": pa.array(out_w)}
+        )
+
+    import ray.data
+
+    var_ds = ray.data.from_arrow(variants(vocab))
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ws = sorted(set(group["word"].to_pylist()))
+        w1, w2 = [], []
+        for i in range(len(ws)):
+            for j in range(i + 1, len(ws)):
+                w1.append(ws[i])
+                w2.append(ws[j])
+        return pa.table({"w1": pa.array(w1, pa.string()),
+                         "w2": pa.array(w2, pa.string())})
+
+    cand = (
+        var_ds.groupby("variant")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    pairs = distinct(cand, ["w1", "w2"])
+    a = pairs["w1"].to_pylist()
+    b = pairs["w2"].to_pylist()
+    keep_w1, keep_w2, dist = [], [], []
+    for x, y in zip(a, b):
+        d = _lev(x, y)
+        if 1 <= d <= max_dist:
+            keep_w1.append(x)
+            keep_w2.append(y)
+            dist.append(d)
+    out = pa.table(
+        {
+            "w1": pa.array(keep_w1, pa.string()),
+            "w2": pa.array(keep_w2, pa.string()),
+            "dist": pa.array(dist, pa.int64()),
+        }
+    )
+    return out.sort_by([("w1", "ascending"), ("w2", "ascending")])
