@@ -14237,6 +14237,204 @@ def _q_did_estimator(sf_dir: str) -> pa.Table:
     )
 
 
+
+def _q_mean_direction(sf_dir: str) -> pa.Table:
+    """Circular mean direction and resultant length per user track
+    (the directional-statistics summary next to rayleigh_hours):
+    steps classify into D8 sectors by comparisons only (same rule as
+    movement_directions), each sector contributes a FIXED-POINT unit
+    vector (1e9-scaled integer literals shared verbatim with the SQL
+    CASE), so the resultant components are exact int64 sums; the
+    final atan2/degrees and Rbar are one shared float expression."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "ts"],
+    )
+    UX = {
+        "E": 1000000000, "NE": 707106781, "N": 0, "NW": -707106781,
+        "W": -1000000000, "SW": -707106781, "S": 0, "SE": 707106781,
+    }
+    UY = {
+        "E": 0, "NE": 707106781, "N": 1000000000, "NW": 707106781,
+        "W": 0, "SW": -707106781, "S": -1000000000, "SE": -707106781,
+    }
+
+    def per_user(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        g = group.take(order)
+        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        x = eid % 96
+        y = (eid // 96) % 96
+        dx = x[1:] - x[:-1]
+        dy = y[1:] - y[:-1]
+        adx, ady = np.abs(dx), np.abs(dy)
+        moved = (dx != 0) | (dy != 0)
+        east = adx > ady
+        north = ady > adx
+        diag = ~east & ~north
+        uxq = np.zeros(len(dx), np.int64)
+        uyq = np.zeros(len(dx), np.int64)
+        for name, mask in (
+            ("E", east & (dx > 0)), ("W", east & (dx < 0)),
+            ("N", north & (dy > 0)), ("S", north & (dy < 0)),
+            ("NE", diag & (dx > 0) & (dy > 0)),
+            ("SE", diag & (dx > 0) & (dy < 0)),
+            ("NW", diag & (dx < 0) & (dy > 0)),
+            ("SW", diag & (dx < 0) & (dy < 0)),
+        ):
+            uxq[mask] = UX[name]
+            uyq[mask] = UY[name]
+        n = int(moved.sum())
+        return pa.table(
+            {
+                "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
+                "n_moves": pa.array([n], pa.int64()),
+                "rxq": pa.array([int(uxq[moved].sum())], pa.int64()),
+                "ryq": pa.array([int(uyq[moved].sum())], pa.int64()),
+            }
+        )
+
+    per = collect_tables(
+        ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    ).sort_by("user_id")
+    import pyarrow.compute as pc
+
+    per = per.filter(pc.greater(per["n_moves"], 0))
+    n = per["n_moves"].to_numpy(zero_copy_only=False).astype(np.float64)
+    rx = per["rxq"].to_numpy(zero_copy_only=False).astype(np.float64)
+    ry = per["ryq"].to_numpy(zero_copy_only=False).astype(np.float64)
+    mean_deg = np.degrees(np.arctan2(ry, rx))
+    rbar = np.sqrt(rx * rx + ry * ry) / (n * 1e9)
+    return pa.table(
+        {
+            "user_id": per["user_id"],
+            "n_moves": per["n_moves"],
+            "mean_dir_deg": round_like_sql(mean_deg, 6),
+            "rbar": round_like_sql(rbar, 6),
+        }
+    )
+
+
+
+def _q_hoover_index(sf_dir: str) -> pa.Table:
+    """Hoover (Robin Hood) index of event concentration across
+    occupied lattice cells -- "what share of events would have to
+    move to equalize the cells".  The numerator sum |n*x_i - N| is
+    EXACT int64 (no per-cell float shares), so the only float is the
+    final division; counts come from one combiner-tier pass over the
+    event->cell map."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "cell": pa.array(eid % 9216),
+                "_one": pa.array(np.ones(len(eid), np.int64)),
+            }
+        )
+
+    agg = hash_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        ["cell"],
+        [("_one", "sum", "x")],
+    )
+    x = agg["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_cells = len(x)
+    n_events = int(x.sum())
+    num = int(np.abs(n_cells * x - n_events).sum())
+    hoover = float(num) / (
+        2.0 * float(n_events) * float(n_cells)
+    )
+    return pa.table(
+        {
+            "n_cells": pa.array([n_cells], pa.int64()),
+            "n_events": pa.array([n_events], pa.int64()),
+            "hoover": round_like_sql([hoover], 6),
+        }
+    )
+
+
+
+def _q_cdc_chunks(sf_dir: str) -> pa.Table:
+    """Content-defined chunking statistics per document (the rolling-
+    hash boundary rule behind storage/dedup systems): an 8-char
+    window hash S = sum(code_j * P_j) with fixed integer coefficients
+    marks a boundary where S % 61 == 0; chunk count = boundaries + 1.
+    Every hash is exact int64 (codes < 2^21, coefficients < 2^9, so
+    no overflow and no modular ladder); the whole pass is one
+    vectorized map_batches -- utf-32 code-point view, per-offset
+    strided adds, doc-crossing windows masked by parent id."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+
+    P = np.array([1, 257, 193, 83, 211, 101, 47, 31], np.int64)
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        dids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        lens = np.array([len(t) for t in texts], np.int64)
+        joined = "".join(texts)
+        codes = np.frombuffer(
+            joined.encode("utf-32-le"), np.uint32
+        ).astype(np.int64)
+        total = len(codes)
+        ends = np.cumsum(lens)
+        starts = ends - lens
+        parent = np.repeat(np.arange(len(texts)), lens)
+        if total >= 8:
+            k = total - 7
+            s = np.zeros(k, np.int64)
+            for j in range(8):
+                s += codes[j:j + k] * P[j]
+            # window valid only when fully inside one document
+            same = parent[:k] == parent[7:]
+            hit = same & (s % 61 == 0)
+            nb = np.zeros(len(texts), np.int64)
+            np.add.at(nb, parent[:k][hit], 1)
+            nw = np.zeros(len(texts), np.int64)
+            np.add.at(nw, parent[:k][same], 1)
+        else:
+            nb = np.zeros(len(texts), np.int64)
+            nw = np.zeros(len(texts), np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(dids),
+                "n_windows": pa.array(nw),
+                "n_boundaries": pa.array(nb),
+                "n_chunks": pa.array(nb + 1),
+            }
+        )
+
+    return collect_tables(
+        ds.map_batches(per_doc, batch_format="pyarrow", batch_size=None)
+    ).sort_by("doc_id")
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 scale: pages extract -> geocode ->
     frozen-cell encode -> per-cell counts (plus invariant check inside
@@ -14335,6 +14533,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "symspell_pairs": _q_symspell_pairs,
         "seq_edit_distance": _q_seq_edit_distance,
         "did_estimator": _q_did_estimator,
+        "mean_direction": _q_mean_direction,
+        "hoover_index": _q_hoover_index,
+        "cdc_chunks": _q_cdc_chunks,
         "dispersion_ellipse": _q_dispersion_ellipse,
         "local_moran": _q_local_moran,
         "quadrat_test": _q_quadrat_test,
@@ -19096,6 +19297,75 @@ def oracle_sql() -> dict[str, str]:
         "SELECT a.user_id AS u1, b.user_id AS u2, "
         "CAST(LEVENSHTEIN(a.seq, b.seq) AS BIGINT) AS dist "
         "FROM top a JOIN top b ON a.user_id < b.user_id"
+    )
+    out["cdc_chunks"] = (
+        # char-position explode + 7 LEADs; same fixed coefficients
+        "WITH ch AS (SELECT doc_id, "
+        "generate_subscripts(string_split(text, ''), 1) AS i, "
+        "unicode(UNNEST(string_split(text, ''))) AS c "
+        "FROM documents), "
+        "w AS (SELECT doc_id, i, "
+        "c * 1 "
+        "+ LEAD(c, 1) OVER win * 257 "
+        "+ LEAD(c, 2) OVER win * 193 "
+        "+ LEAD(c, 3) OVER win * 83 "
+        "+ LEAD(c, 4) OVER win * 211 "
+        "+ LEAD(c, 5) OVER win * 101 "
+        "+ LEAD(c, 6) OVER win * 47 "
+        "+ LEAD(c, 7) OVER win * 31 AS s "
+        "FROM ch WINDOW win AS (PARTITION BY doc_id ORDER BY i)), "
+        "v AS (SELECT doc_id, s FROM w WHERE s IS NOT NULL) "
+        "SELECT d.doc_id, "
+        "CAST(COALESCE(v.nw, 0) AS BIGINT) AS n_windows, "
+        "CAST(COALESCE(v.nb, 0) AS BIGINT) AS n_boundaries, "
+        "CAST(COALESCE(v.nb, 0) + 1 AS BIGINT) AS n_chunks "
+        "FROM (SELECT DISTINCT doc_id FROM documents) d "
+        "LEFT JOIN (SELECT doc_id, COUNT(*) AS nw, "
+        "SUM(CASE WHEN s % 61 = 0 THEN 1 ELSE 0 END) AS nb "
+        "FROM v GROUP BY doc_id) v ON v.doc_id = d.doc_id"
+    )
+    out["hoover_index"] = (
+        "WITH c AS (SELECT event_id % 9216 AS cell, "
+        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1), "
+        "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells, "
+        "CAST(SUM(x) AS BIGINT) AS n_events FROM c), "
+        "nm AS (SELECT CAST(SUM(ABS(t.n_cells * c.x - t.n_events)) "
+        "AS BIGINT) AS num FROM c, t) "
+        "SELECT t.n_cells, t.n_events, "
+        "ROUND(CAST(nm.num AS DOUBLE) "
+        "/ (2.0 * CAST(t.n_events AS DOUBLE) "
+        "* CAST(t.n_cells AS DOUBLE)), 6) AS hoover FROM t, nm"
+    )
+    out["mean_direction"] = (
+        # same D8 comparisons; identical 1e9 fixed-point unit vectors
+        "WITH f AS (SELECT user_id, "
+        "ROW_NUMBER() OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS k, "
+        "CAST(event_id % 96 AS BIGINT) AS x, "
+        "CAST((event_id // 96) % 96 AS BIGINT) AS y FROM events), "
+        "st AS (SELECT a.user_id, b.x - a.x AS dx, b.y - a.y AS dy "
+        "FROM f a JOIN f b ON b.user_id = a.user_id "
+        "AND b.k = a.k + 1 WHERE b.x <> a.x OR b.y <> a.y), "
+        "u AS (SELECT user_id, "
+        "CASE WHEN ABS(dx) > ABS(dy) THEN "
+        "CASE WHEN dx > 0 THEN 1000000000 ELSE -1000000000 END "
+        "WHEN ABS(dy) > ABS(dx) THEN 0 "
+        "WHEN dx > 0 THEN 707106781 ELSE -707106781 END AS uxq, "
+        "CASE WHEN ABS(dy) > ABS(dx) THEN "
+        "CASE WHEN dy > 0 THEN 1000000000 ELSE -1000000000 END "
+        "WHEN ABS(dx) > ABS(dy) THEN 0 "
+        "WHEN dy > 0 THEN 707106781 ELSE -707106781 END AS uyq "
+        "FROM st), "
+        "agg AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_moves, "
+        "CAST(SUM(uxq) AS BIGINT) AS rxq, "
+        "CAST(SUM(uyq) AS BIGINT) AS ryq FROM u GROUP BY user_id) "
+        "SELECT user_id, n_moves, "
+        "ROUND(DEGREES(ATAN2(CAST(ryq AS DOUBLE), "
+        "CAST(rxq AS DOUBLE))), 6) AS mean_dir_deg, "
+        "ROUND(SQRT(CAST(rxq AS DOUBLE) * CAST(rxq AS DOUBLE) "
+        "+ CAST(ryq AS DOUBLE) * CAST(ryq AS DOUBLE)) "
+        "/ (CAST(n_moves AS DOUBLE) * 1e9), 6) AS rbar "
+        "FROM agg"
     )
     out["did_estimator"] = (
         "WITH b AS (SELECT MIN(epoch_us(ts) // 86400000000) AS lo, "
