@@ -222,6 +222,32 @@ def _corr_matrix_oracle_sql() -> str:
     return base + " UNION ALL ".join(selects)
 
 
+
+def _perimeter_oracle_sql() -> str:
+    """Edge-quantized perimeter over the fixture polygons (mirrors
+    _q_polygon_perimeter's 1e9-tick edge terms)."""
+    rows = []
+    for pid, poly in OG_POLYGONS.items():
+        pts = list(poly)
+        if pts[0] == pts[-1]:
+            pts = pts[:-1]
+        for (x1, y1), (x2, y2) in zip(pts, pts[1:] + pts[:1]):
+            rows.append(f"('{pid}', {x1!r}, {y1!r}, {x2!r}, {y2!r})")
+    values = ", ".join(rows)
+    return (
+        f"WITH e0(pid, rx1, ry1, rx2, ry2) AS (VALUES {values}), "
+        "e AS (SELECT pid, CAST(rx1 AS DOUBLE) AS x1, "
+        "CAST(ry1 AS DOUBLE) AS y1, CAST(rx2 AS DOUBLE) AS x2, "
+        "CAST(ry2 AS DOUBLE) AS y2 FROM e0), "
+        "t AS (SELECT pid, CAST(ROUND(SQRT((x2 - x1) * (x2 - x1) "
+        "+ (y2 - y1) * (y2 - y1)) * 1e9, 0) AS BIGINT) AS q FROM e) "
+        "SELECT pid AS polygon_id, "
+        "CAST(COUNT(*) AS BIGINT) AS n_edges, "
+        "ROUND(CAST(SUM(q) AS DOUBLE) / 1e9, 6) AS perimeter "
+        "FROM t GROUP BY pid"
+    )
+
+
 def _centroid_oracle_sql() -> str:
     """Shoelace area+centroid over the fixture polygons: per-edge
     VALUES, each term quantized half-away to 1e-6 ticks and summed as
@@ -14435,6 +14461,128 @@ def _q_cdc_chunks(sf_dir: str) -> pa.Table:
     ).sort_by("doc_id")
 
 
+
+def _q_route_shortest_path(sf_dir: str) -> pa.Table:
+    """Single-source shortest path over the frozen 8x8 road grid
+    (right edge weight ((r*7 + c*13) % 19) + 1, down edge weight
+    ((r*11 + c*5) % 17) + 1, undirected, seed node 0) -- distributed
+    synchronous Bellman-Ford, one grouped shuffle per relaxation
+    round (stages/graph.py::sssp_bellman_ford); 15 rounds covers the
+    14-hop diameter.  Every distance is an exact int64; the oracle is
+    the recursive min-dist walk over the same formula edges."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.graph import (
+        sssp_bellman_ford,
+    )
+
+    r, c = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+    r, c = r.ravel(), c.ravel()
+    right = c < 7
+    down = r < 7
+    e_node = np.concatenate(
+        [(r[right] * 8 + c[right]), (r[down] * 8 + c[down])]
+    )
+    e_neigh = np.concatenate(
+        [(r[right] * 8 + c[right] + 1), ((r[down] + 1) * 8 + c[down])]
+    )
+    e_w = np.concatenate(
+        [
+            (r[right] * 7 + c[right] * 13) % 19 + 1,
+            (r[down] * 11 + c[down] * 5) % 17 + 1,
+        ]
+    )
+    edges = pa.table(
+        {
+            "node": pa.array(
+                np.concatenate([e_node, e_neigh]), pa.int64()
+            ),
+            "neigh": pa.array(
+                np.concatenate([e_neigh, e_node]), pa.int64()
+            ),
+            "w": pa.array(np.concatenate([e_w, e_w]), pa.int64()),
+        }
+    )
+    out = sssp_bellman_ford(ray.data.from_arrow(edges), seed=0, rounds=15)
+    return collect_tables(out).sort_by("node")
+
+
+
+def _q_polygon_perimeter(sf_dir: str) -> pa.Table:
+    """Perimeter per fixture polygon: each edge length quantized
+    half-away at 1e9 ticks and summed as exact int64 (the
+    order-independent term-quantization discipline of
+    polygon_centroid), one ROUND at the end."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        round_like_sql,
+    )
+
+    pids, perims, nedges = [], [], []
+    for pid, poly in OG_POLYGONS.items():
+        pts = list(poly)
+        if pts[0] == pts[-1]:
+            pts = pts[:-1]
+        total = 0
+        for (x1, y1), (x2, y2) in zip(pts, pts[1:] + pts[:1]):
+            d = np.sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))
+            total += int(round_half_away(np.array([d * 1e9]))[0])
+        pids.append(pid)
+        perims.append(float(total) / 1e9)
+        nedges.append(len(pts))
+    return pa.table(
+        {
+            "polygon_id": pa.array(pids),
+            "n_edges": pa.array(nedges, pa.int64()),
+            "perimeter": round_like_sql(perims, 6),
+        }
+    )
+
+
+
+def _q_quadkey_cells(sf_dir: str) -> pa.Table:
+    """Bing-style quadkey encoding (level 7) of the event lattice --
+    the string-prefix cell scheme next to zorder/geohash/quadtree:
+    digit k = bit_k(x) + 2*bit_k(y) MSB-first, so a quadkey PREFIX is
+    a containing tile.  Pure integer bit math vectorized per batch;
+    one combiner-tier count per quadkey."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        x = eid % 96
+        y = (eid // 96) % 96
+        digits = [
+            ((x >> k) & 1) + 2 * ((y >> k) & 1) for k in range(6, -1, -1)
+        ]
+        qk = sum(
+            d * 10 ** (6 - i) for i, d in enumerate(digits)
+        )  # digits 0-3 => decimal packing is collision-free
+        s = np.char.zfill(qk.astype("U7"), 7)
+        return pa.table(
+            {
+                "quadkey": pa.array(s.tolist(), pa.string()),
+                "_one": pa.array(np.ones(len(eid), np.int64)),
+            }
+        )
+
+    agg = hash_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        ["quadkey"],
+        [("_one", "sum", "n")],
+    )
+    return agg.sort_by("quadkey")
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 scale: pages extract -> geocode ->
     frozen-cell encode -> per-cell counts (plus invariant check inside
@@ -14536,6 +14684,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mean_direction": _q_mean_direction,
         "hoover_index": _q_hoover_index,
         "cdc_chunks": _q_cdc_chunks,
+        "route_shortest_path": _q_route_shortest_path,
+        "polygon_perimeter": _q_polygon_perimeter,
+        "quadkey_cells": _q_quadkey_cells,
         "dispersion_ellipse": _q_dispersion_ellipse,
         "local_moran": _q_local_moran,
         "quadrat_test": _q_quadrat_test,
@@ -19297,6 +19448,35 @@ def oracle_sql() -> dict[str, str]:
         "SELECT a.user_id AS u1, b.user_id AS u2, "
         "CAST(LEVENSHTEIN(a.seq, b.seq) AS BIGINT) AS dist "
         "FROM top a JOIN top b ON a.user_id < b.user_id"
+    )
+    out["quadkey_cells"] = (
+        "WITH p AS (SELECT CAST(event_id % 96 AS BIGINT) AS x, "
+        "CAST((event_id // 96) % 96 AS BIGINT) AS y FROM events), "
+        "q AS (SELECT CAST(((x // 64) % 2) + 2 * ((y // 64) % 2) AS VARCHAR) || CAST(((x // 32) % 2) + 2 * ((y // 32) % 2) AS VARCHAR) || CAST(((x // 16) % 2) + 2 * ((y // 16) % 2) AS VARCHAR) || CAST(((x // 8) % 2) + 2 * ((y // 8) % 2) AS VARCHAR) || CAST(((x // 4) % 2) + 2 * ((y // 4) % 2) AS VARCHAR) || CAST(((x // 2) % 2) + 2 * ((y // 2) % 2) AS VARCHAR) || CAST(((x // 1) % 2) + 2 * ((y // 1) % 2) AS VARCHAR) AS quadkey FROM p) "
+        "SELECT quadkey, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM q GROUP BY quadkey"
+    )
+    out["polygon_perimeter"] = _perimeter_oracle_sql()
+    out["route_shortest_path"] = (
+        # recursive min-dist walk over the same formula edges; UNION
+        # dedups (node, dist) states; cap prunes dominated paths
+        "WITH RECURSIVE g AS (SELECT r.range AS r, c.range AS c "
+        "FROM range(0, 8) r, range(0, 8) c), "
+        "e0 AS (SELECT r * 8 + c AS node, r * 8 + c + 1 AS neigh, "
+        "(r * 7 + c * 13) % 19 + 1 AS w FROM g WHERE c < 7 "
+        "UNION ALL "
+        "SELECT r * 8 + c, (r + 1) * 8 + c, "
+        "(r * 11 + c * 5) % 17 + 1 FROM g WHERE r < 7), "
+        "sym AS (SELECT node, neigh, w FROM e0 "
+        "UNION ALL SELECT neigh, node, w FROM e0), "
+        "walk(node, dist) AS (SELECT CAST(0 AS BIGINT), "
+        "CAST(0 AS BIGINT) "
+        "UNION "
+        "SELECT sym.neigh, walk.dist + sym.w FROM walk "
+        "JOIN sym ON sym.node = walk.node "
+        "WHERE walk.dist + sym.w <= 300) "
+        "SELECT CAST(node AS BIGINT) AS node, "
+        "CAST(MIN(dist) AS BIGINT) AS dist FROM walk GROUP BY node"
     )
     out["cdc_chunks"] = (
         # char-position explode + 7 LEADs; same fixed coefficients

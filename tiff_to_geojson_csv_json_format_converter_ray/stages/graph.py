@@ -106,3 +106,91 @@ def bfs_min_hops(
         )
 
     return grouped_by_key(dist, "node", final_min)
+
+
+_W_EDGE = np.int64(-1)
+
+
+def sssp_bellman_ford(
+    edges: ray.data.Dataset,
+    seed: int,
+    rounds: int,
+) -> ray.data.Dataset:
+    """Single-source shortest path over a weighted edge Dataset with
+    int64 columns ``node, neigh, w`` (emit both directions upstream
+    for an undirected graph) -- synchronous Bellman-Ford: ONE
+    ``grouped_by_key`` shuffle per relaxation round, same shape as
+    ``bfs_min_hops`` but carrying edge weights.  ``rounds`` must be
+    >= the hop diameter (extra rounds are harmless: every round
+    min-folds).  Returns a Dataset of ``(node, dist)``; unreachable
+    nodes are absent."""
+
+    def tag_edges(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch["node"].cast(pa.int64()),
+                "neigh": batch["neigh"].cast(pa.int64()),
+                "w": batch["w"].cast(pa.int64()),
+                "d": pa.array(
+                    np.full(batch.num_rows, _W_EDGE), pa.int64()
+                ),
+            }
+        )
+
+    edge_rows = edges.map_batches(
+        tag_edges, batch_format="pyarrow", batch_size=None
+    )
+    dist: ray.data.Dataset = ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array([seed], pa.int64()),
+                "neigh": pa.array([-1], pa.int64()),
+                "w": pa.array([0], pa.int64()),
+                "d": pa.array([0], pa.int64()),
+            }
+        )
+    )
+
+    def relax(group: pa.Table) -> pa.Table:
+        d = group["d"].to_numpy(zero_copy_only=False)
+        incoming = d[d >= 0]
+        node = group["node"][0].as_py()
+        empty = pa.table(
+            {
+                "node": pa.array([], pa.int64()),
+                "neigh": pa.array([], pa.int64()),
+                "w": pa.array([], pa.int64()),
+                "d": pa.array([], pa.int64()),
+            }
+        )
+        if len(incoming) == 0:
+            return empty
+        dmin = int(incoming.min())
+        is_edge = d == _W_EDGE
+        neigh = group["neigh"].to_numpy(zero_copy_only=False)[is_edge]
+        w = group["w"].to_numpy(zero_copy_only=False)[is_edge]
+        out_node = np.concatenate(([node], neigh)).astype(np.int64)
+        out_d = np.concatenate(([dmin], dmin + w)).astype(np.int64)
+        k = len(out_node)
+        return pa.table(
+            {
+                "node": pa.array(out_node),
+                "neigh": pa.array(np.full(k, -1, np.int64)),
+                "w": pa.array(np.zeros(k, np.int64)),
+                "d": pa.array(out_d),
+            }
+        )
+
+    for _ in range(rounds):
+        dist = grouped_by_key(edge_rows.union(dist), "node", relax)
+
+    def final_min(group: pa.Table) -> pa.Table:
+        d = group["d"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": pa.array([group["node"][0].as_py()], pa.int64()),
+                "dist": pa.array([int(d[d >= 0].min())], pa.int64()),
+            }
+        )
+
+    return grouped_by_key(dist, "node", final_min)
