@@ -14583,6 +14583,182 @@ def _q_quadkey_cells(sf_dir: str) -> pa.Table:
     return agg.sort_by("quadkey")
 
 
+
+def _q_q3_shipping_priority(sf_dir: str) -> pa.Table:
+    """TPC-H Q3 analogue (shipping priority): BUILDING-segment
+    customers, orders placed before 1998-06-01, lineitems shipped
+    after it; revenue cents per (orderkey, orderdate, priority), top
+    10 by revenue with deterministic orderkey tie-break.  Lineitem is
+    the big side through the size-aware equi_join router; customer
+    keys and order attributes ride the broadcast tier; revenue stays
+    exact int64 cents end-to-end."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        equi_join, hash_aggregate,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.sources.reader import (
+        _disk_bytes,
+    )
+
+    CUT = np.datetime64("1998-06-01T00:00:00", "us").astype(np.int64)
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    keys = cust.filter(
+        pc.equal(cust["c_mktsegment"], "BUILDING")
+    )["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    keyset = np.sort(keys)
+
+    od_path = os.path.join(sf_dir, "orders.parquet")
+    od = _read_pq(
+        od_path,
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+
+    def od_filter(batch: pa.Table) -> pa.Table:
+        ts = batch["o_orderdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        keep = (ts < CUT) & (
+            keyset[
+                np.clip(np.searchsorted(keyset, ck), 0, len(keyset) - 1)
+            ]
+            == ck
+        )
+        return batch.filter(pa.array(keep)).select(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"]
+        )
+
+    od_f = od.map_batches(od_filter, batch_format="pyarrow", batch_size=None)
+
+    li = _read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+    )
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        ts = batch["l_shipdate"].cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        b = batch.filter(pa.array(ts > CUT))
+        p = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = b["l_discount"].to_numpy(zero_copy_only=False)
+        c = scaled_int(
+            np.asarray(p, np.float64) * (1.0 - np.asarray(d, np.float64)),
+            100.0,
+        )
+        return pa.table(
+            {"l_orderkey": b["l_orderkey"], "c": pa.array(c)}
+        )
+
+    li_f = li.map_batches(li_prep, batch_format="pyarrow", batch_size=None)
+    joined = equi_join(
+        li_f, od_f, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+        right_size_hint=_disk_bytes(od_path),
+    )
+    agg = hash_aggregate(
+        joined,
+        ["l_orderkey", "o_orderdate", "o_orderpriority"],
+        [("c", "sum", "revenue_cents")],
+    )
+    import pyarrow.compute as pc2
+
+    order = pc2.sort_indices(
+        agg,
+        sort_keys=[
+            ("revenue_cents", "descending"), ("l_orderkey", "ascending"),
+        ],
+    )
+    return agg.take(order).slice(0, 10)
+
+
+def _q_q5_local_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q5 analogue (local-supplier revenue): revenue cents per
+    nation over lineitems whose customer and supplier share the
+    nation.  Big-big lineitem x orders through the equi_join router;
+    customer->nation, supplier->nation and nation-name maps ride the
+    broadcast tier; the equality filter runs vectorized per batch --
+    the only shuffle is the big join."""
+    import pyarrow.parquet as pq
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        BroadcastLookup, equi_join, hash_aggregate,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.sources.reader import (
+        _disk_bytes,
+    )
+
+    od_path = os.path.join(sf_dir, "orders.parquet")
+    od = _read_pq(od_path, columns=["o_orderkey", "o_custkey"])
+    li = _read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = batch["l_discount"].to_numpy(zero_copy_only=False)
+        c = scaled_int(
+            np.asarray(p, np.float64) * (1.0 - np.asarray(d, np.float64)),
+            100.0,
+        )
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "l_suppkey": batch["l_suppkey"],
+                "c": pa.array(c),
+            }
+        )
+
+    li_f = li.map_batches(li_prep, batch_format="pyarrow", batch_size=None)
+    joined = equi_join(
+        li_f, od, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+        right_size_hint=_disk_bytes(od_path),
+    )
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    ).rename_columns(["o_custkey", "c_nationkey"])
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"],
+    ).rename_columns(["l_suppkey", "s_nationkey"])
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"],
+    ).rename_columns(["c_nationkey", "n_name"])
+    withc = joined.map_batches(
+        BroadcastLookup(cust, on="o_custkey", take_cols=["c_nationkey"]),
+        batch_format="pyarrow", batch_size=None,
+    ).map_batches(
+        BroadcastLookup(supp, on="l_suppkey", take_cols=["s_nationkey"]),
+        batch_format="pyarrow", batch_size=None,
+    )
+
+    def local_only(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = batch.filter(
+            pc.equal(batch["c_nationkey"], batch["s_nationkey"])
+        )
+        return pa.table({"c_nationkey": b["c_nationkey"], "c": b["c"]})
+
+    filt = withc.map_batches(
+        local_only, batch_format="pyarrow", batch_size=None
+    )
+    agg = hash_aggregate(
+        filt, ["c_nationkey"], [("c", "sum", "revenue_cents")]
+    )
+    named = agg.join(nat, keys="c_nationkey", join_type="inner")
+    return named.select(["n_name", "revenue_cents"]).sort_by("n_name")
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 scale: pages extract -> geocode ->
     frozen-cell encode -> per-cell counts (plus invariant check inside
@@ -14687,6 +14863,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "route_shortest_path": _q_route_shortest_path,
         "polygon_perimeter": _q_polygon_perimeter,
         "quadkey_cells": _q_quadkey_cells,
+        "q3_shipping_priority": _q_q3_shipping_priority,
+        "q5_local_revenue": _q_q5_local_revenue,
         "dispersion_ellipse": _q_dispersion_ellipse,
         "local_moran": _q_local_moran,
         "quadrat_test": _q_quadrat_test,
@@ -19448,6 +19626,29 @@ def oracle_sql() -> dict[str, str]:
         "SELECT a.user_id AS u1, b.user_id AS u2, "
         "CAST(LEVENSHTEIN(a.seq, b.seq) AS BIGINT) AS dist "
         "FROM top a JOIN top b ON a.user_id < b.user_id"
+    )
+    out["q3_shipping_priority"] = (
+        "SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority, "
+        "CAST(SUM(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) "
+        "* 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents "
+        "FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey "
+        "JOIN customer c ON c.c_custkey = o.o_custkey "
+        "WHERE c.c_mktsegment = 'BUILDING' "
+        "AND o.o_orderdate < TIMESTAMP '1998-06-01' "
+        "AND l.l_shipdate > TIMESTAMP '1998-06-01' "
+        "GROUP BY 1, 2, 3 "
+        "ORDER BY revenue_cents DESC, l.l_orderkey LIMIT 10"
+    )
+    out["q5_local_revenue"] = (
+        "SELECT n.n_name, "
+        "CAST(SUM(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) "
+        "* 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents "
+        "FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey "
+        "JOIN customer c ON c.c_custkey = o.o_custkey "
+        "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+        "JOIN nation n ON n.n_nationkey = c.c_nationkey "
+        "WHERE c.c_nationkey = s.s_nationkey "
+        "GROUP BY 1"
     )
     out["quadkey_cells"] = (
         "WITH p AS (SELECT CAST(event_id % 96 AS BIGINT) AS x, "
