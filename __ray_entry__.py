@@ -14759,6 +14759,207 @@ def _q_q5_local_revenue(sf_dir: str) -> pa.Table:
     return named.select(["n_name", "revenue_cents"]).sort_by("n_name")
 
 
+
+def _q_dispersion_index(sf_dir: str) -> pa.Table:
+    """Variance-to-mean ratio (index of dispersion) of per-cell event
+    counts per event type over the FULL 9216-cell lattice frame (the
+    Poisson over/under-dispersion screen next to quadrat_test): global
+    per-(type, cell) counts through the distributed groupby tier,
+    then per-type exact int64 (sum, sum-of-squares) moments -- zero
+    cells contribute nothing to either, so the fixed frame size keeps
+    them exact.  VMR and chi2 are one shared float expression."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "cell": pa.array(eid % 9216),
+                "_one": pa.array(np.ones(len(eid), np.int64)),
+            }
+        )
+
+    per_cell = hash_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        ["event_type", "cell"],
+        [("_one", "sum", "x")],
+        distributed_combine=True,
+    )
+
+    def moments(batch: pa.Table) -> pa.Table:
+        x = batch["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "s1": batch["x"],
+                "s2": pa.array(x * x),
+            }
+        ).group_by("event_type").aggregate(
+            [("s1", "sum"), ("s2", "sum")]
+        ).rename_columns(["event_type", "s1", "s2"])
+
+    agg = hash_aggregate(
+        per_cell.map_batches(moments, batch_format="pyarrow", batch_size=None),
+        ["event_type"],
+        [("s1", "sum", "s1"), ("s2", "sum", "s2")],
+    ).sort_by("event_type")
+    N = 9216.0
+    s1 = agg["s1"].to_numpy(zero_copy_only=False).astype(np.float64)
+    s2 = agg["s2"].to_numpy(zero_copy_only=False).astype(np.float64)
+    var = (s2 - s1 * s1 / N) / (N - 1.0)
+    mean = s1 / N
+    vmr = var / mean
+    return pa.table(
+        {
+            "event_type": agg["event_type"],
+            "n_events": agg["s1"],
+            "vmr": round_like_sql(vmr, 6),
+            "chi2": round_like_sql(vmr * (N - 1.0), 6),
+        }
+    )
+
+
+def _q_grubbs_test(sf_dir: str) -> pa.Table:
+    """Grubbs maximum-studentized-deviation outlier test on the daily
+    event counts: exact int64 (n, sum, sum-of-squares) moments over
+    the dense calendar, the deviation |x - mean| and sample s as
+    shared float expressions, deterministic smallest-day tie-break
+    on the argmax."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "d": pa.array(us // 86_400_000_000),
+                "_one": pa.array(np.ones(len(us), np.int64)),
+            }
+        )
+
+    agg = hash_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        ["d"],
+        [("_one", "sum", "x")],
+    ).sort_by("d")
+    d = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+    xs = agg["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lo, hi = int(d[0]), int(d[-1])
+    n = hi - lo + 1
+    x = np.zeros(n, np.int64)
+    x[d - lo] = xs
+    days = lo + np.arange(n, dtype=np.int64)
+    s1 = float(int(x.sum()))
+    s2 = float(int((x * x).sum()))
+    nf = float(n)
+    mean = s1 / nf
+    s = np.sqrt((s2 - s1 * s1 / nf) / (nf - 1.0))
+    dev = np.abs(x.astype(np.float64) - mean)
+    order = np.lexsort((days, -dev))
+    i = int(order[0])
+    return pa.table(
+        {
+            "n_days": pa.array([n], pa.int64()),
+            "day": pa.array([int(days[i])], pa.int64()),
+            "x": pa.array([int(x[i])], pa.int64()),
+            "g": round_like_sql([float(dev[i]) / s], 6),
+        }
+    )
+
+
+
+def _q_burrows_delta(sf_dir: str) -> pa.Table:
+    """Burrows' Delta authorship distance between sources over the 20
+    most frequent corpus words: per-source relative frequencies
+    quantized at 1e9 (exact int64 frame incl. zero cells), per-word
+    mean/variance from exact integer sums across the 20 sources,
+    z-scores as shared float expressions, and each pair's mean |z
+    difference| re-quantized at 1e9 before the 20-term sum -- the
+    full stylometry pipeline with zero float-accumulation drift."""
+    import pyarrow.compute as pc
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+        _explode_tokens,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "text"],
+    )
+
+    def counts(batch: pa.Table) -> pa.Table:
+        t = _explode_tokens(batch, "text", "source")
+        out = t.group_by(["source", "token"]).aggregate(
+            [("token", "count")]
+        )
+        return out.rename_columns(["source", "token", "cnt"])
+
+    sw = hash_aggregate(
+        ds.map_batches(counts, batch_format="pyarrow", batch_size=None),
+        ["source", "token"],
+        [("cnt", "sum", "cnt")],
+    )
+    src_names = sorted(set(sw["source"].to_pylist()))
+    S = len(src_names)
+    tok_tot: dict[str, int] = {}
+    src_tot: dict[str, int] = {}
+    cnt: dict[tuple, int] = {}
+    for i in range(sw.num_rows):
+        s = sw["source"][i].as_py()
+        w = sw["token"][i].as_py()
+        c = sw["cnt"][i].as_py()
+        tok_tot[w] = tok_tot.get(w, 0) + c
+        src_tot[s] = src_tot.get(s, 0) + c
+        cnt[(s, w)] = c
+    top = sorted(tok_tot, key=lambda w: (-tok_tot[w], w))[:20]
+    fq = np.zeros((S, 20), np.int64)
+    for si, s in enumerate(src_names):
+        tot = float(src_tot[s])
+        for wi, w in enumerate(top):
+            c = cnt.get((s, w), 0)
+            fq[si, wi] = int(
+                round_half_away(np.array([float(c) / tot * 1e9]))[0]
+            )
+    sum1 = fq.sum(axis=0).astype(np.float64)
+    sum2 = (fq.astype(object) * fq.astype(object)).sum(axis=0)
+    sum2 = np.array([float(v) for v in sum2])
+    mu = sum1 / float(S)
+    var = (sum2 - sum1 * sum1 / float(S)) / float(S)
+    sd = np.sqrt(var)
+    z = (fq.astype(np.float64) - mu) / sd
+    u1, u2, delta = [], [], []
+    for i in range(S):
+        for j in range(i + 1, S):
+            dq = round_half_away(np.abs(z[i] - z[j]) * 1e9).astype(
+                np.int64
+            )
+            u1.append(src_names[i])
+            u2.append(src_names[j])
+            delta.append(float(int(dq.sum())) / 1e9 / 20.0)
+    return pa.table(
+        {
+            "s1": pa.array(u1, pa.string()),
+            "s2": pa.array(u2, pa.string()),
+            "delta": round_like_sql(delta, 6),
+        }
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 scale: pages extract -> geocode ->
     frozen-cell encode -> per-cell counts (plus invariant check inside
@@ -14865,6 +15066,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quadkey_cells": _q_quadkey_cells,
         "q3_shipping_priority": _q_q3_shipping_priority,
         "q5_local_revenue": _q_q5_local_revenue,
+        "dispersion_index": _q_dispersion_index,
+        "grubbs_test": _q_grubbs_test,
+        "burrows_delta": _q_burrows_delta,
         "dispersion_ellipse": _q_dispersion_ellipse,
         "local_moran": _q_local_moran,
         "quadrat_test": _q_quadrat_test,
@@ -19626,6 +19830,78 @@ def oracle_sql() -> dict[str, str]:
         "SELECT a.user_id AS u1, b.user_id AS u2, "
         "CAST(LEVENSHTEIN(a.seq, b.seq) AS BIGINT) AS dist "
         "FROM top a JOIN top b ON a.user_id < b.user_id"
+    )
+    out["burrows_delta"] = (
+        # same frame: 20 top words x all sources, zero cells kept;
+        # 1e9-quantized frequencies and |dz| terms
+        "WITH tokens AS (SELECT source, UNNEST(string_split_regex("
+        "text, '\\s+')) AS w FROM documents), "
+        "tk AS (SELECT source, w FROM tokens WHERE w <> ''), "
+        "cnts AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c "
+        "FROM tk GROUP BY 1, 2), "
+        "tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS t "
+        "FROM cnts GROUP BY 1), "
+        "top AS (SELECT w FROM (SELECT w, SUM(c) AS g FROM cnts "
+        "GROUP BY w) ORDER BY g DESC, w LIMIT 20), "
+        "frame AS (SELECT tot.source, top.w, tot.t, "
+        "COALESCE(cnts.c, 0) AS c FROM tot CROSS JOIN top "
+        "LEFT JOIN cnts ON cnts.source = tot.source "
+        "AND cnts.w = top.w), "
+        "f AS (SELECT source, w, "
+        "CAST(ROUND(CAST(c AS DOUBLE) / CAST(t AS DOUBLE) * 1e9, 0) "
+        "AS BIGINT) AS fq FROM frame), "
+        "ns AS (SELECT CAST(COUNT(DISTINCT source) AS DOUBLE) AS s "
+        "FROM f), "
+        "wstat AS (SELECT w, CAST(SUM(fq) AS BIGINT) AS s1, "
+        "CAST(SUM(fq * fq) AS BIGINT) AS s2 FROM f GROUP BY w), "
+        "z AS (SELECT f.source, f.w, "
+        "(CAST(f.fq AS DOUBLE) - CAST(wstat.s1 AS DOUBLE) / ns.s) "
+        "/ SQRT((CAST(wstat.s2 AS DOUBLE) - CAST(wstat.s1 AS DOUBLE) "
+        "* CAST(wstat.s1 AS DOUBLE) / ns.s) / ns.s) AS z "
+        "FROM f JOIN wstat ON wstat.w = f.w, ns), "
+        "pairs AS (SELECT a.source AS s1, b.source AS s2, "
+        "CAST(SUM(CAST(ROUND(ABS(a.z - b.z) * 1e9, 0) AS BIGINT)) "
+        "AS BIGINT) AS dq "
+        "FROM z a JOIN z b ON b.w = a.w AND a.source < b.source "
+        "GROUP BY 1, 2) "
+        "SELECT s1, s2, "
+        "ROUND(CAST(dq AS DOUBLE) / 1e9 / 20.0, 6) AS delta "
+        "FROM pairs"
+    )
+    out["dispersion_index"] = (
+        "WITH c AS (SELECT event_type, event_id % 9216 AS cell, "
+        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2), "
+        "m AS (SELECT event_type, CAST(SUM(x) AS BIGINT) AS s1, "
+        "CAST(SUM(x * x) AS BIGINT) AS s2 FROM c GROUP BY 1) "
+        "SELECT event_type, s1 AS n_events, "
+        "ROUND(((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) "
+        "* CAST(s1 AS DOUBLE) / 9216.0) / 9215.0) "
+        "/ (CAST(s1 AS DOUBLE) / 9216.0), 6) AS vmr, "
+        "ROUND((((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) "
+        "* CAST(s1 AS DOUBLE) / 9216.0) / 9215.0) "
+        "/ (CAST(s1 AS DOUBLE) / 9216.0)) * 9215.0, 6) AS chi2 "
+        "FROM m"
+    )
+    out["grubbs_test"] = (
+        "WITH c AS (SELECT epoch_us(ts) // 86400000000 AS d, "
+        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1), "
+        "mm AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM c), "
+        "dd AS (SELECT mm.lo + r.range AS d FROM range(0, 4096) r, mm "
+        "WHERE r.range <= mm.hi - mm.lo), "
+        "dn AS (SELECT dd.d, COALESCE(c.x, 0) AS x "
+        "FROM dd LEFT JOIN c ON c.d = dd.d), "
+        "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(x) AS BIGINT) AS s1, "
+        "CAST(SUM(x * x) AS BIGINT) AS s2 FROM dn), "
+        "dev AS (SELECT dn.d, dn.x, "
+        "ABS(CAST(dn.x AS DOUBLE) - CAST(m.s1 AS DOUBLE) "
+        "/ CAST(m.n AS DOUBLE)) AS dv FROM dn, m) "
+        "SELECT m.n AS n_days, dev.d AS day, dev.x, "
+        "ROUND(dev.dv / SQRT((CAST(m.s2 AS DOUBLE) "
+        "- CAST(m.s1 AS DOUBLE) * CAST(m.s1 AS DOUBLE) "
+        "/ CAST(m.n AS DOUBLE)) / (CAST(m.n AS DOUBLE) - 1.0)), 6) "
+        "AS g "
+        "FROM dev, m ORDER BY dev.dv DESC, dev.d LIMIT 1"
     )
     out["q3_shipping_priority"] = (
         "SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority, "
