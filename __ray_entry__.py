@@ -14960,6 +14960,201 @@ def _q_burrows_delta(sf_dir: str) -> pa.Table:
     )
 
 
+
+def _q_pps_systematic(sf_dir: str) -> pa.Table:
+    """Madow systematic probability-proportional-to-size sample of
+    n=100 orders by price cents, via a DISTRIBUTED TWO-LEVEL PREFIX
+    SCAN: orders bucket by key range, per-bucket sums go through the
+    combiner tier, the driver holds only the bucket-offset table
+    (broadcast back), and each bucket computes its local ordered
+    cumsum in the groupby map_groups tier.  A row is selected when
+    floor(cum*n/W) - floor(cum_prev*n/W) >= 1 -- all-int64 threshold
+    arithmetic, no float boundaries, deterministic for any
+    partitioning.  The scan primitive is the same shape a 100 TB
+    global ordered quantile/rank pass needs."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables, hash_aggregate,
+    )
+
+    N_SAMPLE = 100
+    BUCKET = 1024
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        k = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(k // BUCKET),
+                "o_orderkey": batch["o_orderkey"],
+                "c": pa.array(scaled_int(batch["o_totalprice"], 100.0)),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+    bsums = hash_aggregate(
+        prepped, ["bucket"], [("c", "sum", "s")]
+    ).sort_by("bucket")
+    bk = bsums["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
+    bs = bsums["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = np.concatenate(([0], np.cumsum(bs)[:-1]))
+    W = int(bs.sum())
+    offset = {int(b): int(o) for b, o in zip(bk, offs)}
+
+    def scan(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        order = pc.sort_indices(
+            group, sort_keys=[("o_orderkey", "ascending")]
+        )
+        g = group.take(order)
+        c = g["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = offset[int(g["bucket"][0].as_py())]
+        cum = base + np.cumsum(c)
+        prev = cum - c
+        hits = (cum * N_SAMPLE) // W - (prev * N_SAMPLE) // W
+        keep = hits >= 1
+        return pa.table(
+            {
+                "o_orderkey": pa.array(
+                    g["o_orderkey"].to_numpy(zero_copy_only=False)[keep]
+                ),
+                "cum_cents": pa.array(cum[keep]),
+            }
+        )
+
+    out = collect_tables(
+        prepped.groupby("bucket").map_groups(scan, batch_format="pyarrow")
+    )
+    return out.sort_by("o_orderkey")
+
+
+
+def _q_haar_energy(sf_dir: str) -> pa.Table:
+    """Unnormalized Haar wavelet detail energy of the daily event
+    series at levels 1-3 (the multi-resolution variance screen next
+    to the periodogram): level-j smooth a_j,i = a_{j-1,2i} +
+    a_{j-1,2i+1}, detail d_j,i = a_{j-1,2i} - a_{j-1,2i+1}, energy =
+    sum d^2 -- EVERY coefficient an exact int64, zero float anywhere.
+    Uses the first 2^floor(log2(n)) days of the dense calendar."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate,
+    )
+
+    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "d": pa.array(us // 86_400_000_000),
+                "_one": pa.array(np.ones(len(us), np.int64)),
+            }
+        )
+
+    agg = hash_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        ["d"],
+        [("_one", "sum", "x")],
+    ).sort_by("d")
+    d = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+    xs = agg["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lo, hi = int(d[0]), int(d[-1])
+    n = hi - lo + 1
+    x = np.zeros(n, np.int64)
+    x[d - lo] = xs
+    L = int(np.floor(np.log2(n)))
+    m = 1 << L
+    a = x[:m]
+    levels, energies, ncoef = [], [], []
+    for j in range(1, 4):
+        if len(a) < 2:
+            break
+        e, o = a[0::2], a[1::2]
+        det = e - o
+        a = e + o
+        levels.append(j)
+        energies.append(int((det * det).sum()))
+        ncoef.append(len(det))
+    return pa.table(
+        {
+            "level": pa.array(levels, pa.int64()),
+            "n_coef": pa.array(ncoef, pa.int64()),
+            "energy": pa.array(energies, pa.int64()),
+        }
+    )
+
+
+def _q_cell_week_churn(sf_dir: str) -> pa.Table:
+    """Week-over-week cell-count churn: per lattice cell the delta
+    between the last full epoch week and the one before, top 20
+    movers by |delta| (cell tie-break) -- the spatial hot-spot churn
+    report, all exact integer counts through one combiner pass."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cell": pa.array(eid % 9216),
+                "week": pa.array(us // (7 * 86_400_000_000)),
+                "_one": pa.array(np.ones(len(eid), np.int64)),
+            }
+        )
+
+    agg = hash_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        ["cell", "week"],
+        [("_one", "sum", "n")],
+    )
+    wk = agg["week"].to_numpy(zero_copy_only=False).astype(np.int64)
+    w_last = int(wk.max())
+    cells = agg["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ns = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cur: dict[int, int] = {}
+    prv: dict[int, int] = {}
+    for c, w, nn in zip(cells, wk, ns):
+        if w == w_last:
+            cur[int(c)] = int(nn)
+        elif w == w_last - 1:
+            prv[int(c)] = int(nn)
+    allc = sorted(set(cur) | set(prv))
+    deltas = np.array(
+        [cur.get(c, 0) - prv.get(c, 0) for c in allc], np.int64
+    )
+    carr = np.array(allc, np.int64)
+    order = np.lexsort((carr, -np.abs(deltas)))[:20]
+    return pa.table(
+        {
+            "cell": pa.array(carr[order]),
+            "n_prev": pa.array(
+                np.array([prv.get(int(c), 0) for c in carr[order]],
+                         np.int64)
+            ),
+            "n_last": pa.array(
+                np.array([cur.get(int(c), 0) for c in carr[order]],
+                         np.int64)
+            ),
+            "delta": pa.array(deltas[order]),
+        }
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 scale: pages extract -> geocode ->
     frozen-cell encode -> per-cell counts (plus invariant check inside
@@ -15069,6 +15264,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dispersion_index": _q_dispersion_index,
         "grubbs_test": _q_grubbs_test,
         "burrows_delta": _q_burrows_delta,
+        "pps_systematic": _q_pps_systematic,
+        "haar_energy": _q_haar_energy,
+        "cell_week_churn": _q_cell_week_churn,
         "dispersion_ellipse": _q_dispersion_ellipse,
         "local_moran": _q_local_moran,
         "quadrat_test": _q_quadrat_test,
@@ -19830,6 +20028,61 @@ def oracle_sql() -> dict[str, str]:
         "SELECT a.user_id AS u1, b.user_id AS u2, "
         "CAST(LEVENSHTEIN(a.seq, b.seq) AS BIGINT) AS dist "
         "FROM top a JOIN top b ON a.user_id < b.user_id"
+    )
+    out["haar_energy"] = (
+        # three materialized halving levels; pure integer sums/diffs
+        "WITH c AS (SELECT epoch_us(ts) // 86400000000 AS d, "
+        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1), "
+        "mm AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM c), "
+        "dd AS (SELECT r.range AS t, mm.lo + r.range AS d "
+        "FROM range(0, 4096) r, mm WHERE r.range <= mm.hi - mm.lo), "
+        "dn AS (SELECT dd.t, COALESCE(c.x, 0) AS x "
+        "FROM dd LEFT JOIN c ON c.d = dd.d), "
+        "sz AS (SELECT CAST(POWER(2, FLOOR(LOG2(COUNT(*)))) AS BIGINT) "
+        "AS m FROM dn), "
+        "l0 AS MATERIALIZED (SELECT t AS i, x AS a FROM dn, sz "
+        "WHERE t < sz.m), "
+        "l1 AS MATERIALIZED (SELECT e.i // 2 AS i, e.a + o.a AS a, "
+        "e.a - o.a AS det FROM l0 e JOIN l0 o ON o.i = e.i + 1 "
+        "WHERE e.i % 2 = 0), "
+        "l2 AS MATERIALIZED (SELECT e.i // 2 AS i, e.a + o.a AS a, "
+        "e.a - o.a AS det FROM l1 e JOIN l1 o ON o.i = e.i + 1 "
+        "WHERE e.i % 2 = 0), "
+        "l3 AS MATERIALIZED (SELECT e.i // 2 AS i, e.a + o.a AS a, "
+        "e.a - o.a AS det FROM l2 e JOIN l2 o ON o.i = e.i + 1 "
+        "WHERE e.i % 2 = 0) "
+        "SELECT 1 AS level, CAST(COUNT(*) AS BIGINT) AS n_coef, "
+        "CAST(SUM(det * det) AS BIGINT) AS energy FROM l1 "
+        "UNION ALL SELECT 2, CAST(COUNT(*) AS BIGINT), "
+        "CAST(SUM(det * det) AS BIGINT) FROM l2 "
+        "UNION ALL SELECT 3, CAST(COUNT(*) AS BIGINT), "
+        "CAST(SUM(det * det) AS BIGINT) FROM l3"
+    )
+    out["cell_week_churn"] = (
+        "WITH cw AS (SELECT event_id % 9216 AS cell, "
+        "epoch_us(ts) // 604800000000 AS week, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+        "wl AS (SELECT MAX(week) AS w FROM cw), "
+        "cur AS (SELECT cell, n FROM cw, wl WHERE week = wl.w), "
+        "prv AS (SELECT cell, n FROM cw, wl WHERE week = wl.w - 1), "
+        "allc AS (SELECT cell FROM cur UNION SELECT cell FROM prv), "
+        "j AS (SELECT allc.cell, COALESCE(prv.n, 0) AS n_prev, "
+        "COALESCE(cur.n, 0) AS n_last "
+        "FROM allc LEFT JOIN cur ON cur.cell = allc.cell "
+        "LEFT JOIN prv ON prv.cell = allc.cell) "
+        "SELECT cell, n_prev, n_last, n_last - n_prev AS delta FROM j "
+        "ORDER BY ABS(n_last - n_prev) DESC, cell LIMIT 20"
+    )
+    out["pps_systematic"] = (
+        "WITH p AS (SELECT o_orderkey, "
+        "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS c "
+        "FROM orders), "
+        "s AS (SELECT o_orderkey, c, "
+        "CAST(SUM(c) OVER (ORDER BY o_orderkey) AS BIGINT) AS cum "
+        "FROM p), "
+        "t AS (SELECT CAST(SUM(c) AS BIGINT) AS w FROM p) "
+        "SELECT o_orderkey, cum AS cum_cents FROM s, t "
+        "WHERE (cum * 100) // t.w - ((cum - c) * 100) // t.w >= 1"
     )
     out["burrows_delta"] = (
         # same frame: 20 top words x all sources, zero cells kept;
