@@ -15155,6 +15155,140 @@ def _q_cell_week_churn(sf_dir: str) -> pa.Table:
     )
 
 
+
+def _q_bayes_rate_smoothing(sf_dir: str) -> pa.Table:
+    """Empirical-Bayes smoothed per-cell purchase rate (the
+    small-sample CTR shrinkage every ranking pipeline runs): cell
+    counts and purchase counts are exact int64 partials; the global
+    prior p0 and each cell's shrunk rate (pos + K*p0) / (n + K) with
+    prior strength K=50 are shared float expressions.  Top 20 cells
+    by smoothed rate (cell tie-break)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "event_type"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cell": pa.array(eid % 9216),
+                "_one": pa.array(np.ones(len(eid), np.int64)),
+                "pos": pa.array((et == "purchase").astype(np.int64)),
+            }
+        )
+
+    agg = hash_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        ["cell"],
+        [("_one", "sum", "n"), ("pos", "sum", "pos")],
+    )
+    n = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pos = agg["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cells = agg["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+    p0 = float(int(pos.sum())) / float(int(n.sum()))
+    K = 50.0
+    rate = (pos.astype(np.float64) + K * p0) / (
+        n.astype(np.float64) + K
+    )
+    order = np.lexsort((cells, -rate))[:20]
+    return pa.table(
+        {
+            "cell": pa.array(cells[order]),
+            "n": pa.array(n[order]),
+            "n_purchase": pa.array(pos[order]),
+            "smoothed_rate": round_like_sql(rate[order], 6),
+        }
+    )
+
+
+
+def _jaro(s1: str, s2: str) -> float:
+    """Jaro similarity, the exact arithmetic DuckDB's
+    jaro_winkler_similarity uses (verified bit-equal over adversarial
+    vocab): match window max(l1,l2)//2 - 1, greedy left-to-right
+    matching, half-transpositions."""
+    if s1 == s2:
+        return 1.0
+    l1, l2 = len(s1), len(s2)
+    if not l1 or not l2:
+        return 0.0
+    md = max(l1, l2) // 2 - 1
+    m1 = [False] * l1
+    m2 = [False] * l2
+    m = 0
+    for i, c in enumerate(s1):
+        lo, hi = max(0, i - md), min(l2, i + md + 1)
+        for j in range(lo, hi):
+            if not m2[j] and s2[j] == c:
+                m1[i] = m2[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    k = 0
+    for i in range(l1):
+        if m1[i]:
+            while not m2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                t += 1
+            k += 1
+    t //= 2
+    return (m / l1 + m / l2 + (m - t) / m) / 3.0
+
+
+def _q_jaro_winkler_pairs(sf_dir: str) -> pa.Table:
+    """Entity-resolution scoring: Jaro-Winkler similarity over all
+    source-name pairs (vocabulary-bounded like the word-graph ops),
+    keeping pairs >= 0.8.  The engine's JW replicates DuckDB's exact
+    float arithmetic (boost threshold 0.7, prefix scale 0.1, max
+    prefix 4) -- probed bit-equal before this oracle was pinned."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        distinct, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
+    )
+    vocab = sorted(
+        w for w in distinct(ds, ["source"])["source"].to_pylist()
+        if w is not None
+    )
+    w1, w2, sim = [], [], []
+    for i in range(len(vocab)):
+        for j in range(i + 1, len(vocab)):
+            a, b = vocab[i], vocab[j]
+            jv = _jaro(a, b)
+            if jv > 0.7:
+                l = 0
+                for ca, cb in zip(a[:4], b[:4]):
+                    if ca == cb:
+                        l += 1
+                    else:
+                        break
+                jv = jv + l * 0.1 * (1.0 - jv)
+            if jv >= 0.8:
+                w1.append(a)
+                w2.append(b)
+                sim.append(jv)
+    return pa.table(
+        {
+            "w1": pa.array(w1, pa.string()),
+            "w2": pa.array(w2, pa.string()),
+            "jw": round_like_sql(sim, 6),
+        }
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 scale: pages extract -> geocode ->
     frozen-cell encode -> per-cell counts (plus invariant check inside
@@ -15267,6 +15401,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pps_systematic": _q_pps_systematic,
         "haar_energy": _q_haar_energy,
         "cell_week_churn": _q_cell_week_churn,
+        "bayes_rate_smoothing": _q_bayes_rate_smoothing,
+        "jaro_winkler_pairs": _q_jaro_winkler_pairs,
         "dispersion_ellipse": _q_dispersion_ellipse,
         "local_moran": _q_local_moran,
         "quadrat_test": _q_quadrat_test,
@@ -20028,6 +20164,27 @@ def oracle_sql() -> dict[str, str]:
         "SELECT a.user_id AS u1, b.user_id AS u2, "
         "CAST(LEVENSHTEIN(a.seq, b.seq) AS BIGINT) AS dist "
         "FROM top a JOIN top b ON a.user_id < b.user_id"
+    )
+    out["jaro_winkler_pairs"] = (
+        "WITH tok AS (SELECT DISTINCT source AS w FROM documents) "
+        "SELECT a.w AS w1, b.w AS w2, "
+        "ROUND(jaro_winkler_similarity(a.w, b.w), 6) AS jw "
+        "FROM tok a JOIN tok b ON a.w < b.w "
+        "WHERE jaro_winkler_similarity(a.w, b.w) >= 0.8"
+    )
+    out["bayes_rate_smoothing"] = (
+        "WITH c AS (SELECT event_id % 9216 AS cell, "
+        "CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS pos FROM events GROUP BY 1), "
+        "g AS (SELECT CAST(SUM(pos) AS DOUBLE) "
+        "/ CAST(SUM(n) AS DOUBLE) AS p0 FROM c), "
+        "r AS (SELECT cell, n, pos, "
+        "(CAST(pos AS DOUBLE) + 50.0 * g.p0) "
+        "/ (CAST(n AS DOUBLE) + 50.0) AS rate FROM c, g) "
+        "SELECT cell, n, pos AS n_purchase, "
+        "ROUND(rate, 6) AS smoothed_rate FROM r "
+        "ORDER BY rate DESC, cell LIMIT 20"
     )
     out["haar_energy"] = (
         # three materialized halving levels; pure integer sums/diffs
