@@ -15289,6 +15289,205 @@ def _q_jaro_winkler_pairs(sf_dir: str) -> pa.Table:
     )
 
 
+
+def _q_sprt_crossing(sf_dir: str) -> pa.Table:
+    """Wald SPRT over the daily above-median indicator sequence
+    (p1=0.55 vs p0=0.45, A=B=19): each day contributes +/-q where q =
+    round(ln(11/9) * 1e9) is a shared INTEGER literal, so the
+    log-likelihood-ratio path is an exact int64 cumsum; the crossing
+    day and decision are pure integer comparisons.  Sequential
+    testing with zero float state."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate,
+    )
+
+    Q = 200670695  # round(ln(0.55/0.45) * 1e9)
+    THR = 2944438979  # round(ln(19) * 1e9)
+
+    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "d": pa.array(us // 86_400_000_000),
+                "_one": pa.array(np.ones(len(us), np.int64)),
+            }
+        )
+
+    agg = hash_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        ["d"],
+        [("_one", "sum", "x")],
+    ).sort_by("d")
+    d = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+    xs = agg["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lo, hi = int(d[0]), int(d[-1])
+    n = hi - lo + 1
+    x = np.zeros(n, np.int64)
+    x[d - lo] = xs
+    med = int(np.sort(x)[(n - 1) // 2])
+    llr = np.where(x > med, Q, -Q).astype(np.int64)
+    cum = np.cumsum(llr)
+    up = cum >= THR
+    dn = cum <= -THR
+    hit = np.flatnonzero(up | dn)
+    if len(hit):
+        i = int(hit[0])
+        day = lo + i
+        decision = "accept_p1" if up[i] else "accept_p0"
+        llr_q = int(cum[i])
+    else:
+        day, decision, llr_q = -1, "undecided", int(cum[-1])
+    return pa.table(
+        {
+            "crossing_day": pa.array([day], pa.int64()),
+            "decision": pa.array([decision], pa.string()),
+            "llr_q": pa.array([llr_q], pa.int64()),
+        }
+    )
+
+
+
+# RBO weights p^(d-1) at p=0.9, 1e15 fixed point -- shared literals
+# between the engine and the SQL VALUES list
+_RBO_P15 = [1000000000000000, 900000000000000, 810000000000000, 729000000000000, 656100000000000, 590490000000000, 531441000000000, 478296900000000, 430467210000000, 387420489000000, 348678440100000, 313810596090000, 282429536481000, 254186582832900, 228767924549610, 205891132094649, 185302018885184, 166771816996666, 150094635296999, 135085171767299]
+
+
+def _q_rbo_overlap(sf_dir: str) -> pa.Table:
+    """Rank-biased overlap (p=0.9, depth 20) between this week's and
+    last week's top-20 cell rankings -- the IR list-similarity metric
+    applied to spatial hot-spot churn.  Rankings are deterministic
+    (count desc, cell asc); per-depth overlaps are exact ints; each
+    depth term quantizes ov/d against the SHARED 1e15 fixed-point
+    p^(d-1) literals, so the 20-term sum is exact int64."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cell": pa.array(eid % 9216),
+                "week": pa.array(us // (7 * 86_400_000_000)),
+                "_one": pa.array(np.ones(len(eid), np.int64)),
+            }
+        )
+
+    agg = hash_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        ["cell", "week"],
+        [("_one", "sum", "n")],
+    )
+    wk = agg["week"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cells = agg["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ns = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    w_last = int(wk.max())
+
+    def top20(w: int) -> list:
+        sel = wk == w
+        c, x = cells[sel], ns[sel]
+        order = np.lexsort((c, -x))[:20]
+        return c[order].tolist()
+
+    a = top20(w_last)
+    b = top20(w_last - 1)
+    ra = {c: i + 1 for i, c in enumerate(a)}
+    rb = {c: i + 1 for i, c in enumerate(b)}
+    total = 0
+    for d in range(1, 21):
+        ov = len(
+            {c for c, r in ra.items() if r <= d}
+            & {c for c, r in rb.items() if r <= d}
+        )
+        total += int(
+            round_half_away(
+                np.array([float(ov) / float(d) * float(_RBO_P15[d - 1])])
+            )[0]
+        )
+    rbo = 0.1 * (float(total) / 1e15)
+    return pa.table(
+        {
+            "depth": pa.array([20], pa.int64()),
+            "rbo": round_like_sql([rbo], 6),
+        }
+    )
+
+
+
+def _q_geometric_median(sf_dir: str) -> pa.Table:
+    """Geometric median (Weiszfeld) of each user's geocoded fixes --
+    the robust home-location estimator next to the centroid/ellipse
+    family.  SIX unrolled iterations from the exact-moment centroid;
+    every per-fix term x/d, y/d, 1/d is 1e9-quantized before the
+    per-user sum (exact int64, order-independent), coincident points
+    (d == 0) excluded by rule on both sides; the iterate itself is
+    the shared ratio expression.  Runs vectorized per user in the
+    groupby map_groups tier; the oracle unrolls the same six levels
+    as materialized CTEs."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id"],
+    )
+
+    def per_user(group: pa.Table) -> pa.Table:
+        eid = group["event_id"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        x = (eid % 96).astype(np.float64)
+        y = ((eid // 96) % 96).astype(np.float64)
+        n = len(x)
+        sx = float(int((eid % 96).sum()))
+        sy = float(int(((eid // 96) % 96).sum()))
+        X = sx / float(n)
+        Y = sy / float(n)
+        for _ in range(6):
+            d = np.sqrt((x - X) * (x - X) + (y - Y) * (y - Y))
+            ok = d > 0.0
+            qw = round_half_away(
+                np.where(ok, 1e9 / np.where(ok, d, 1.0), 0.0)
+            ).astype(np.int64)
+            qx = round_half_away(
+                np.where(ok, x * 1e9 / np.where(ok, d, 1.0), 0.0)
+            ).astype(np.int64)
+            qy = round_half_away(
+                np.where(ok, y * 1e9 / np.where(ok, d, 1.0), 0.0)
+            ).astype(np.int64)
+            swq = int(qw.sum())
+            if swq == 0:
+                break
+            X = float(int(qx.sum())) / float(swq)
+            Y = float(int(qy.sum())) / float(swq)
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    [group["user_id"][0].as_py()], pa.int64()
+                ),
+                "n_fixes": pa.array([n], pa.int64()),
+                "gm_x": round_like_sql([X], 6),
+                "gm_y": round_like_sql([Y], 6),
+            }
+        )
+
+    per = collect_tables(
+        ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    )
+    return per.sort_by("user_id")
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 scale: pages extract -> geocode ->
     frozen-cell encode -> per-cell counts (plus invariant check inside
@@ -15403,6 +15602,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_week_churn": _q_cell_week_churn,
         "bayes_rate_smoothing": _q_bayes_rate_smoothing,
         "jaro_winkler_pairs": _q_jaro_winkler_pairs,
+        "sprt_crossing": _q_sprt_crossing,
+        "rbo_overlap": _q_rbo_overlap,
+        "geometric_median": _q_geometric_median,
         "dispersion_ellipse": _q_dispersion_ellipse,
         "local_moran": _q_local_moran,
         "quadrat_test": _q_quadrat_test,
@@ -20164,6 +20366,70 @@ def oracle_sql() -> dict[str, str]:
         "SELECT a.user_id AS u1, b.user_id AS u2, "
         "CAST(LEVENSHTEIN(a.seq, b.seq) AS BIGINT) AS dist "
         "FROM top a JOIN top b ON a.user_id < b.user_id"
+    )
+    out["geometric_median"] = (
+        # six unrolled Weiszfeld levels, 1e9-quantized per-fix terms
+        "WITH f AS MATERIALIZED (SELECT user_id, CAST(event_id % 96 AS DOUBLE) AS x, CAST((event_id // 96) % 96 AS DOUBLE) AS y FROM events), "
+        "e0 AS MATERIALIZED (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(CAST(x AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS gx, CAST(SUM(CAST(y AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS gy FROM f GROUP BY user_id), "
+        "e1 AS MATERIALIZED (SELECT e.user_id, e.n, CAST(SUM(CASE WHEN SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)) > 0.0 THEN CAST(ROUND(f.x * 1e9 / SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)), 0) AS BIGINT) ELSE 0 END) AS DOUBLE) / CAST(SUM(CASE WHEN SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)) > 0.0 THEN CAST(ROUND(1e9 / SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)), 0) AS BIGINT) ELSE 0 END) AS DOUBLE) AS gx, CAST(SUM(CASE WHEN SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)) > 0.0 THEN CAST(ROUND(f.y * 1e9 / SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)), 0) AS BIGINT) ELSE 0 END) AS DOUBLE) / CAST(SUM(CASE WHEN SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)) > 0.0 THEN CAST(ROUND(1e9 / SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)), 0) AS BIGINT) ELSE 0 END) AS DOUBLE) AS gy FROM f JOIN e0 e ON e.user_id = f.user_id GROUP BY e.user_id, e.n), "
+        "e2 AS MATERIALIZED (SELECT e.user_id, e.n, CAST(SUM(CASE WHEN SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)) > 0.0 THEN CAST(ROUND(f.x * 1e9 / SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)), 0) AS BIGINT) ELSE 0 END) AS DOUBLE) / CAST(SUM(CASE WHEN SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)) > 0.0 THEN CAST(ROUND(1e9 / SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)), 0) AS BIGINT) ELSE 0 END) AS DOUBLE) AS gx, CAST(SUM(CASE WHEN SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)) > 0.0 THEN CAST(ROUND(f.y * 1e9 / SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)), 0) AS BIGINT) ELSE 0 END) AS DOUBLE) / CAST(SUM(CASE WHEN SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)) > 0.0 THEN CAST(ROUND(1e9 / SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)), 0) AS BIGINT) ELSE 0 END) AS DOUBLE) AS gy FROM f JOIN e1 e ON e.user_id = f.user_id GROUP BY e.user_id, e.n), "
+        "e3 AS MATERIALIZED (SELECT e.user_id, e.n, CAST(SUM(CASE WHEN SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)) > 0.0 THEN CAST(ROUND(f.x * 1e9 / SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)), 0) AS BIGINT) ELSE 0 END) AS DOUBLE) / CAST(SUM(CASE WHEN SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)) > 0.0 THEN CAST(ROUND(1e9 / SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)), 0) AS BIGINT) ELSE 0 END) AS DOUBLE) AS gx, CAST(SUM(CASE WHEN SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)) > 0.0 THEN CAST(ROUND(f.y * 1e9 / SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)), 0) AS BIGINT) ELSE 0 END) AS DOUBLE) / CAST(SUM(CASE WHEN SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)) > 0.0 THEN CAST(ROUND(1e9 / SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)), 0) AS BIGINT) ELSE 0 END) AS DOUBLE) AS gy FROM f JOIN e2 e ON e.user_id = f.user_id GROUP BY e.user_id, e.n), "
+        "e4 AS MATERIALIZED (SELECT e.user_id, e.n, CAST(SUM(CASE WHEN SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)) > 0.0 THEN CAST(ROUND(f.x * 1e9 / SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)), 0) AS BIGINT) ELSE 0 END) AS DOUBLE) / CAST(SUM(CASE WHEN SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)) > 0.0 THEN CAST(ROUND(1e9 / SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)), 0) AS BIGINT) ELSE 0 END) AS DOUBLE) AS gx, CAST(SUM(CASE WHEN SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)) > 0.0 THEN CAST(ROUND(f.y * 1e9 / SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)), 0) AS BIGINT) ELSE 0 END) AS DOUBLE) / CAST(SUM(CASE WHEN SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)) > 0.0 THEN CAST(ROUND(1e9 / SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)), 0) AS BIGINT) ELSE 0 END) AS DOUBLE) AS gy FROM f JOIN e3 e ON e.user_id = f.user_id GROUP BY e.user_id, e.n), "
+        "e5 AS MATERIALIZED (SELECT e.user_id, e.n, CAST(SUM(CASE WHEN SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)) > 0.0 THEN CAST(ROUND(f.x * 1e9 / SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)), 0) AS BIGINT) ELSE 0 END) AS DOUBLE) / CAST(SUM(CASE WHEN SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)) > 0.0 THEN CAST(ROUND(1e9 / SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)), 0) AS BIGINT) ELSE 0 END) AS DOUBLE) AS gx, CAST(SUM(CASE WHEN SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)) > 0.0 THEN CAST(ROUND(f.y * 1e9 / SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)), 0) AS BIGINT) ELSE 0 END) AS DOUBLE) / CAST(SUM(CASE WHEN SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)) > 0.0 THEN CAST(ROUND(1e9 / SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)), 0) AS BIGINT) ELSE 0 END) AS DOUBLE) AS gy FROM f JOIN e4 e ON e.user_id = f.user_id GROUP BY e.user_id, e.n), "
+        "e6 AS MATERIALIZED (SELECT e.user_id, e.n, CAST(SUM(CASE WHEN SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)) > 0.0 THEN CAST(ROUND(f.x * 1e9 / SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)), 0) AS BIGINT) ELSE 0 END) AS DOUBLE) / CAST(SUM(CASE WHEN SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)) > 0.0 THEN CAST(ROUND(1e9 / SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)), 0) AS BIGINT) ELSE 0 END) AS DOUBLE) AS gx, CAST(SUM(CASE WHEN SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)) > 0.0 THEN CAST(ROUND(f.y * 1e9 / SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)), 0) AS BIGINT) ELSE 0 END) AS DOUBLE) / CAST(SUM(CASE WHEN SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)) > 0.0 THEN CAST(ROUND(1e9 / SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)), 0) AS BIGINT) ELSE 0 END) AS DOUBLE) AS gy FROM f JOIN e5 e ON e.user_id = f.user_id GROUP BY e.user_id, e.n) "
+        "SELECT user_id, n AS n_fixes, ROUND(gx, 6) AS gm_x, ROUND(gy, 6) AS gm_y FROM e6"
+    )
+    out["rbo_overlap"] = (
+        # same deterministic rankings; same 1e15 p^(d-1) literals
+        "WITH cw AS (SELECT event_id % 9216 AS cell, "
+        "epoch_us(ts) // 604800000000 AS week, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+        "wl AS (SELECT MAX(week) AS w FROM cw), "
+        "ta AS (SELECT cell, ROW_NUMBER() OVER "
+        "(ORDER BY n DESC, cell) AS r FROM cw, wl "
+        "WHERE week = wl.w QUALIFY r <= 20), "
+        "tb AS (SELECT cell, ROW_NUMBER() OVER "
+        "(ORDER BY n DESC, cell) AS r FROM cw, wl "
+        "WHERE week = wl.w - 1 QUALIFY r <= 20), "
+        "pw(d, p15) AS (VALUES (1, 1000000000000000), (2, 900000000000000), (3, 810000000000000), (4, 729000000000000), (5, 656100000000000), (6, 590490000000000), (7, 531441000000000), (8, 478296900000000), (9, 430467210000000), (10, 387420489000000), (11, 348678440100000), (12, 313810596090000), (13, 282429536481000), (14, 254186582832900), (15, 228767924549610), (16, 205891132094649), (17, 185302018885184), (18, 166771816996666), (19, 150094635296999), (20, 135085171767299)), "
+        "j AS (SELECT ta.cell, ta.r AS ra, tb.r AS rb FROM ta "
+        "JOIN tb ON tb.cell = ta.cell), "
+        "ov AS (SELECT pw.d, pw.p15, CAST(COUNT(j.cell) AS BIGINT) "
+        "AS ov FROM pw LEFT JOIN j "
+        "ON j.ra <= pw.d AND j.rb <= pw.d "
+        "GROUP BY 1, 2), "
+        "terms AS (SELECT CAST(SUM(CAST(ROUND(CAST(ov AS DOUBLE) "
+        "/ CAST(d AS DOUBLE) * CAST(p15 AS DOUBLE), 0) AS BIGINT)) "
+        "AS BIGINT) AS s FROM ov) "
+        "SELECT CAST(20 AS BIGINT) AS depth, "
+        "ROUND(0.1 * (CAST(s AS DOUBLE) / 1e15), 6) AS rbo FROM terms"
+    )
+    out["sprt_crossing"] = (
+        # same +-200670695 integer increments; first |cum| >= THR day
+        "WITH c AS (SELECT epoch_us(ts) // 86400000000 AS d, "
+        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1), "
+        "mm AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM c), "
+        "dd AS (SELECT r.range AS t, mm.lo + r.range AS d "
+        "FROM range(0, 4096) r, mm WHERE r.range <= mm.hi - mm.lo), "
+        "dn AS (SELECT dd.t, dd.d, COALESCE(c.x, 0) AS x "
+        "FROM dd LEFT JOIN c ON c.d = dd.d), "
+        "r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rk, "
+        "COUNT(*) OVER () AS n FROM dn), "
+        "med AS (SELECT x AS m FROM r WHERE rk = (n - 1) // 2 + 1), "
+        "p AS (SELECT dn.t, dn.d, CAST(SUM(CASE WHEN dn.x > med.m "
+        "THEN 200670695 ELSE -200670695 END) "
+        "OVER (ORDER BY dn.t) AS BIGINT) AS cum FROM dn, med), "
+        "hit AS (SELECT d, cum, "
+        "CASE WHEN cum >= 2944438979 THEN 'accept_p1' "
+        "ELSE 'accept_p0' END AS decision "
+        "FROM p WHERE ABS(cum) >= 2944438979 ORDER BY t LIMIT 1), "
+        "fallback AS (SELECT -1 AS d, cum, "
+        "'undecided' AS decision FROM p "
+        "ORDER BY t DESC LIMIT 1) "
+        "SELECT CAST(d AS BIGINT) AS crossing_day, decision, "
+        "cum AS llr_q FROM hit "
+        "UNION ALL SELECT CAST(d AS BIGINT), decision, cum "
+        "FROM fallback WHERE NOT EXISTS (SELECT 1 FROM hit)"
     )
     out["jaro_winkler_pairs"] = (
         "WITH tok AS (SELECT DISTINCT source AS w FROM documents) "
