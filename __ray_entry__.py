@@ -15488,6 +15488,108 @@ def _q_geometric_median(sf_dir: str) -> pa.Table:
     return per.sort_by("user_id")
 
 
+
+def _q_visibility_graph(sf_dir: str) -> pa.Table:
+    """Natural visibility graph of the daily event series (the
+    time-series-to-network transform): days a < b are linked when
+    every bar between them stays strictly below the sight line,
+    tested with CROSS-MULTIPLIED integer arithmetic -- x_c (b-a) <
+    x_a (b-c) + x_b (c-a) -- so there is no float slope anywhere.
+    Output: per-day visibility degree."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate,
+    )
+
+    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "d": pa.array(us // 86_400_000_000),
+                "_one": pa.array(np.ones(len(us), np.int64)),
+            }
+        )
+
+    agg = hash_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        ["d"],
+        [("_one", "sum", "x")],
+    ).sort_by("d")
+    d = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)
+    xs = agg["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lo, hi = int(d[0]), int(d[-1])
+    n = hi - lo + 1
+    x = np.zeros(n, np.int64)
+    x[d - lo] = xs
+    deg = np.zeros(n, np.int64)
+    for a in range(n):
+        for b in range(a + 1, n):
+            ok = True
+            for c in range(a + 1, b):
+                if x[c] * (b - a) >= x[a] * (b - c) + x[b] * (c - a):
+                    ok = False
+                    break
+            if ok:
+                deg[a] += 1
+                deg[b] += 1
+    return pa.table(
+        {
+            "day": pa.array(lo + np.arange(n, dtype=np.int64)),
+            "degree": pa.array(deg),
+        }
+    )
+
+
+def _q_hill_estimator(sf_dir: str) -> pa.Table:
+    """Hill tail-index estimator over per-customer spend (k = 50
+    upper order statistics): exact cents order statistics with
+    deterministic (cents, custkey) tie-break, each ln(x_i / x_(k+1))
+    term 1e9-quantized before the exact integer sum -- the
+    heavy-tail diagnostic next to zipf_slope/pareto."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    K = 50
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_totalprice"],
+    )
+
+    def cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "c": pa.array(scaled_int(batch["o_totalprice"], 100.0)),
+            }
+        )
+
+    per = hash_aggregate(
+        ds.map_batches(cents, batch_format="pyarrow", batch_size=None),
+        ["o_custkey"],
+        [("c", "sum", "spend")],
+    )
+    sp = per["spend"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ck = per["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((ck, -sp))[: K + 1]
+    top = sp[order]
+    xk1 = float(top[K])
+    terms = round_half_away(
+        np.log(top[:K].astype(np.float64) / xk1) * 1e9
+    ).astype(np.int64)
+    s = int(terms.sum())
+    alpha = float(K) / (float(s) / 1e9)
+    return pa.table(
+        {
+            "k": pa.array([K], pa.int64()),
+            "x_k1_cents": pa.array([int(top[K])], pa.int64()),
+            "hill_alpha": round_like_sql([alpha], 6),
+        }
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 scale: pages extract -> geocode ->
     frozen-cell encode -> per-cell counts (plus invariant check inside
@@ -15605,6 +15707,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sprt_crossing": _q_sprt_crossing,
         "rbo_overlap": _q_rbo_overlap,
         "geometric_median": _q_geometric_median,
+        "visibility_graph": _q_visibility_graph,
+        "hill_estimator": _q_hill_estimator,
         "dispersion_ellipse": _q_dispersion_ellipse,
         "local_moran": _q_local_moran,
         "quadrat_test": _q_quadrat_test,
@@ -20366,6 +20470,41 @@ def oracle_sql() -> dict[str, str]:
         "SELECT a.user_id AS u1, b.user_id AS u2, "
         "CAST(LEVENSHTEIN(a.seq, b.seq) AS BIGINT) AS dist "
         "FROM top a JOIN top b ON a.user_id < b.user_id"
+    )
+    out["visibility_graph"] = (
+        # NOT EXISTS blocking-bar predicate, integer cross products
+        "WITH c AS (SELECT epoch_us(ts) // 86400000000 AS d, "
+        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1), "
+        "mm AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM c), "
+        "dd AS (SELECT r.range AS t, mm.lo + r.range AS d "
+        "FROM range(0, 4096) r, mm WHERE r.range <= mm.hi - mm.lo), "
+        "dn AS MATERIALIZED (SELECT dd.t, dd.d, COALESCE(c.x, 0) AS x "
+        "FROM dd LEFT JOIN c ON c.d = dd.d), "
+        "vis AS (SELECT a.t AS ta, b.t AS tb FROM dn a "
+        "JOIN dn b ON b.t > a.t WHERE NOT EXISTS ("
+        "SELECT 1 FROM dn m WHERE m.t > a.t AND m.t < b.t "
+        "AND m.x * (b.t - a.t) >= a.x * (b.t - m.t) "
+        "+ b.x * (m.t - a.t))), "
+        "deg AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS degree FROM ("
+        "SELECT ta AS t FROM vis UNION ALL SELECT tb FROM vis) "
+        "GROUP BY t) "
+        "SELECT dn.d AS day, COALESCE(deg.degree, 0) AS degree "
+        "FROM dn LEFT JOIN deg ON deg.t = dn.t"
+    )
+    out["hill_estimator"] = (
+        "WITH per AS (SELECT o_custkey, "
+        "CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) "
+        "AS BIGINT) AS spend FROM orders GROUP BY 1), "
+        "rk AS (SELECT spend, ROW_NUMBER() OVER "
+        "(ORDER BY spend DESC, o_custkey) AS r FROM per), "
+        "xk1 AS (SELECT CAST(spend AS DOUBLE) AS v, spend AS s "
+        "FROM rk WHERE r = 51), "
+        "t AS (SELECT CAST(SUM(CAST(ROUND(LN(CAST(rk.spend AS DOUBLE) "
+        "/ xk1.v) * 1e9, 0) AS BIGINT)) AS BIGINT) AS s "
+        "FROM rk, xk1 WHERE rk.r <= 50) "
+        "SELECT CAST(50 AS BIGINT) AS k, xk1.s AS x_k1_cents, "
+        "ROUND(50.0 / (CAST(t.s AS DOUBLE) / 1e9), 6) AS hill_alpha "
+        "FROM t, xk1"
     )
     out["geometric_median"] = (
         # six unrolled Weiszfeld levels, 1e9-quantized per-fix terms
