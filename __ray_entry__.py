@@ -15590,6 +15590,155 @@ def _q_hill_estimator(sf_dir: str) -> pa.Table:
     )
 
 
+
+def _q_q17_small_qty_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q17 analogue: revenue impact of small-quantity orders --
+    lineitems with quantity below 0.2 x their part's mean quantity.
+    Two passes: per-part exact integer (sum qty, count) through the
+    distributed groupby tier, broadcast back as a per-part threshold
+    map; the filter comparison q < 0.2 * (sq/n) is the shared float
+    expression; the kept revenue stays exact int64 cents, one /7.0
+    at the end."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate, round_like_sql,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+
+    def qprep(batch: pa.Table) -> pa.Table:
+        q = round_half_away(
+            batch["l_quantity"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_partkey": batch["l_partkey"],
+                "q": pa.array(q),
+                "_one": pa.array(np.ones(len(q), np.int64)),
+            }
+        )
+
+    stats = hash_aggregate(
+        ds.map_batches(qprep, batch_format="pyarrow", batch_size=None),
+        ["l_partkey"],
+        [("q", "sum", "sq"), ("_one", "sum", "n")],
+    )
+    pk = stats["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sq = stats["sq"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nn = stats["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(pk)
+    pk_s, sq_s, n_s = pk[order], sq[order], nn[order]
+
+    def keep(batch: pa.Table) -> pa.Table:
+        p = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        q = round_half_away(
+            batch["l_quantity"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        i = np.searchsorted(pk_s, p)
+        thr = 0.2 * (
+            sq_s[i].astype(np.float64) / n_s[i].astype(np.float64)
+        )
+        m = q.astype(np.float64) < thr
+        c = scaled_int(
+            batch["l_extendedprice"].to_numpy(zero_copy_only=False)[m],
+            100.0,
+        )
+        return pa.table(
+            {
+                "k": pa.array(np.zeros(int(m.sum()), np.int64)),
+                "c": pa.array(c),
+            }
+        )
+
+    agg = hash_aggregate(
+        ds.map_batches(keep, batch_format="pyarrow", batch_size=None),
+        ["k"],
+        [("c", "sum", "s"), ("c", "count", "n")],
+    )
+    s = int(agg["s"][0].as_py())
+    n_kept = int(agg["n"][0].as_py())
+    return pa.table(
+        {
+            "n_lineitems": pa.array([n_kept], pa.int64()),
+            "avg_yearly": round_like_sql(
+                [(float(s) / 100.0) / 7.0], 6
+            ),
+        }
+    )
+
+
+def _q_q19_disjunctive_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q19 analogue: revenue under an OR-of-ANDs brand/quantity
+    predicate -- the disjunctive-pushdown stress case.  Part brands
+    ride the broadcast tier; the three (brand, quantity-range)
+    disjuncts evaluate vectorized per batch; revenue cents stay
+    exact int64."""
+    import pyarrow.parquet as pq
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        BroadcastLookup, hash_aggregate, round_like_sql,
+    )
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand"],
+    ).rename_columns(["l_partkey", "p_brand"])
+    ds = _read_pq(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(
+        BroadcastLookup(part, on="l_partkey", take_cols=["p_brand"]),
+        batch_format="pyarrow", batch_size=None,
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        b = np.asarray(batch["p_brand"].to_pylist(), dtype=object)
+        q = round_half_away(
+            batch["l_quantity"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        m = (
+            ((b == "Brand#1") & (q >= 1) & (q <= 11))
+            | ((b == "Brand#2") & (q >= 10) & (q <= 20))
+            | ((b == "Brand#3") & (q >= 20) & (q <= 30))
+        )
+        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
+        dc = batch["l_discount"].to_numpy(zero_copy_only=False)[m]
+        c = scaled_int(
+            np.asarray(p, np.float64) * (1.0 - np.asarray(dc, np.float64)),
+            100.0,
+        )
+        return pa.table(
+            {
+                "k": pa.array(np.zeros(int(m.sum()), np.int64)),
+                "c": pa.array(c),
+            }
+        )
+
+    agg = hash_aggregate(
+        ds.map_batches(keep, batch_format="pyarrow", batch_size=None),
+        ["k"],
+        [("c", "sum", "s"), ("c", "count", "n")],
+    )
+    if agg.num_rows == 0:
+        return pa.table(
+            {
+                "n_lineitems": pa.array([0], pa.int64()),
+                "revenue": round_like_sql([0.0], 6),
+            }
+        )
+    s = int(agg["s"][0].as_py())
+    n_kept = int(agg["n"][0].as_py())
+    return pa.table(
+        {
+            "n_lineitems": pa.array([n_kept], pa.int64()),
+            "revenue": round_like_sql([float(s) / 100.0], 6),
+        }
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 scale: pages extract -> geocode ->
     frozen-cell encode -> per-cell counts (plus invariant check inside
@@ -15709,6 +15858,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geometric_median": _q_geometric_median,
         "visibility_graph": _q_visibility_graph,
         "hill_estimator": _q_hill_estimator,
+        "q17_small_qty_revenue": _q_q17_small_qty_revenue,
+        "q19_disjunctive_revenue": _q_q19_disjunctive_revenue,
         "dispersion_ellipse": _q_dispersion_ellipse,
         "local_moran": _q_local_moran,
         "quadrat_test": _q_quadrat_test,
@@ -20470,6 +20621,32 @@ def oracle_sql() -> dict[str, str]:
         "SELECT a.user_id AS u1, b.user_id AS u2, "
         "CAST(LEVENSHTEIN(a.seq, b.seq) AS BIGINT) AS dist "
         "FROM top a JOIN top b ON a.user_id < b.user_id"
+    )
+    out["q17_small_qty_revenue"] = (
+        "WITH t AS (SELECT l_partkey, "
+        "CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS BIGINT) "
+        "AS sq, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM lineitem GROUP BY 1), "
+        "k AS (SELECT CAST(ROUND(l.l_extendedprice * 100, 0) "
+        "AS BIGINT) AS c FROM lineitem l JOIN t "
+        "ON t.l_partkey = l.l_partkey "
+        "WHERE CAST(CAST(ROUND(l.l_quantity, 0) AS BIGINT) AS DOUBLE) "
+        "< 0.2 * (CAST(t.sq AS DOUBLE) / CAST(t.n AS DOUBLE))) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_lineitems, "
+        "ROUND((CAST(SUM(c) AS DOUBLE) / 100.0) / 7.0, 6) "
+        "AS avg_yearly FROM k"
+    )
+    out["q19_disjunctive_revenue"] = (
+        "WITH k AS (SELECT CAST(ROUND(l.l_extendedprice "
+        "* (1.0 - l.l_discount) * 100, 0) AS BIGINT) AS c "
+        "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey, "
+        "LATERAL (SELECT CAST(ROUND(l.l_quantity, 0) AS BIGINT) "
+        "AS q) lat "
+        "WHERE (p.p_brand = 'Brand#1' AND lat.q BETWEEN 1 AND 11) "
+        "OR (p.p_brand = 'Brand#2' AND lat.q BETWEEN 10 AND 20) "
+        "OR (p.p_brand = 'Brand#3' AND lat.q BETWEEN 20 AND 30)) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_lineitems, "
+        "ROUND(CAST(SUM(c) AS DOUBLE) / 100.0, 6) AS revenue FROM k"
     )
     out["visibility_graph"] = (
         # NOT EXISTS blocking-bar predicate, integer cross products
