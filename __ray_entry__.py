@@ -15739,6 +15739,53 @@ def _q_q19_disjunctive_revenue(sf_dir: str) -> pa.Table:
     )
 
 
+
+def _q_graph_modularity(sf_dir: str) -> pa.Table:
+    """Newman modularity of the even/odd-length two-partition of the
+    edit-1 word graph: Q = sum_c e_c/m - sum_c (d_c / 2m)^2 with
+    intra-edge counts e_c and class degree sums d_c all exact int64
+    on the vocabulary-bounded edge list; Q is one shared float
+    expression."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        round_like_sql,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+        edit1_vocab_pairs,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
+    ).map_batches(
+        lambda b: b.rename_columns(["text"]),
+        batch_format="pyarrow", batch_size=None,
+    )
+    pairs = edit1_vocab_pairs(ds, min_len=4)
+    w1 = pairs["w1"].to_pylist()
+    w2 = pairs["w2"].to_pylist()
+    m = len(w1)
+    e_c = {0: 0, 1: 0}
+    d_c = {0: 0, 1: 0}
+    for a, b in zip(w1, w2):
+        ca, cb = len(a) % 2, len(b) % 2
+        d_c[ca] += 1
+        d_c[cb] += 1
+        if ca == cb:
+            e_c[ca] += 1
+    mf = float(m)
+    q = sum(
+        float(e_c[c]) / mf - (float(d_c[c]) / (2.0 * mf)) ** 2
+        for c in (0, 1)
+    )
+    return pa.table(
+        {
+            "n_edges": pa.array([m], pa.int64()),
+            "intra_even": pa.array([e_c[0]], pa.int64()),
+            "intra_odd": pa.array([e_c[1]], pa.int64()),
+            "modularity": round_like_sql([q], 6),
+        }
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 scale: pages extract -> geocode ->
     frozen-cell encode -> per-cell counts (plus invariant check inside
@@ -15860,6 +15907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hill_estimator": _q_hill_estimator,
         "q17_small_qty_revenue": _q_q17_small_qty_revenue,
         "q19_disjunctive_revenue": _q_q19_disjunctive_revenue,
+        "graph_modularity": _q_graph_modularity,
         "dispersion_ellipse": _q_dispersion_ellipse,
         "local_moran": _q_local_moran,
         "quadrat_test": _q_quadrat_test,
@@ -20621,6 +20669,36 @@ def oracle_sql() -> dict[str, str]:
         "SELECT a.user_id AS u1, b.user_id AS u2, "
         "CAST(LEVENSHTEIN(a.seq, b.seq) AS BIGINT) AS dist "
         "FROM top a JOIN top b ON a.user_id < b.user_id"
+    )
+    out["graph_modularity"] = (
+        # same graph CTE as word_triangles; classes by LEN % 2.
+        # Q = (e0/m - (d0/2m)^2) + (e1/m - (d1/2m)^2), summed in
+        # class order exactly as the engine does
+        "WITH tok AS (SELECT DISTINCT source AS w FROM documents "
+        "WHERE LEN(source) >= 4), "
+        "e AS (SELECT a.w AS w1, b.w AS w2 FROM tok a JOIN tok b "
+        "ON a.w < b.w AND ABS(LEN(a.w) - LEN(b.w)) <= 1 "
+        "AND LEVENSHTEIN(a.w, b.w) = 1), "
+        "lab AS (SELECT w1, w2, LEN(w1) % 2 AS c1, LEN(w2) % 2 AS c2 "
+        "FROM e), "
+        "st AS (SELECT CAST(COUNT(*) AS BIGINT) AS m, "
+        "CAST(SUM(CASE WHEN c1 = 0 AND c2 = 0 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS e0, "
+        "CAST(SUM(CASE WHEN c1 = 1 AND c2 = 1 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS e1, "
+        "CAST(SUM(CASE WHEN c1 = 0 THEN 1 ELSE 0 END "
+        "+ CASE WHEN c2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d0, "
+        "CAST(SUM(CASE WHEN c1 = 1 THEN 1 ELSE 0 END "
+        "+ CASE WHEN c2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1 "
+        "FROM lab) "
+        "SELECT m AS n_edges, e0 AS intra_even, e1 AS intra_odd, "
+        "ROUND((CAST(e0 AS DOUBLE) / CAST(m AS DOUBLE) "
+        "- (CAST(d0 AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))) "
+        "* (CAST(d0 AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))) "
+        "+ (CAST(e1 AS DOUBLE) / CAST(m AS DOUBLE) "
+        "- (CAST(d1 AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))) "
+        "* (CAST(d1 AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))), 6) "
+        "AS modularity FROM st"
     )
     out["q17_small_qty_revenue"] = (
         "WITH t AS (SELECT l_partkey, "
