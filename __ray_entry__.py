@@ -15786,6 +15786,367 @@ def _q_graph_modularity(sf_dir: str) -> pa.Table:
     )
 
 
+
+def _q_feature_matrix(sf_dir: str) -> pa.Table:
+    """Per-user ML feature extraction (the classic RFM-style training
+    matrix): one combiner pass emits per-type counts (wide int64
+    columns), exact total cents, and last-activity day; recency =
+    corpus max day - user's last day.  Everything integer; no second
+    shuffle -- the wide partials sum exactly."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate,
+    )
+
+    TYPES = ["click", "error", "purchase", "signup", "view"]
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_type", "value"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        cols = {
+            "user_id": batch["user_id"],
+            "d": pa.array(us // 86_400_000_000),
+            "c": pa.array(scaled_int(batch["value"], 100.0)),
+        }
+        for t in TYPES:
+            cols[f"n_{t}"] = pa.array((et == t).astype(np.int64))
+        return pa.table(cols)
+
+    aggs = [("c", "sum", "total_cents"), ("d", "max", "last_day")]
+    aggs += [(f"n_{t}", "sum", f"n_{t}") for t in TYPES]
+    agg = hash_aggregate(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        ["user_id"],
+        aggs,
+    ).sort_by("user_id")
+    dmax = int(
+        agg["last_day"].to_numpy(zero_copy_only=False).astype(np.int64).max()
+    )
+    rec = dmax - agg["last_day"].to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    out = {"user_id": agg["user_id"]}
+    for t in TYPES:
+        out[f"n_{t}"] = agg[f"n_{t}"].cast(pa.int64())
+    out["total_cents"] = agg["total_cents"].cast(pa.int64())
+    out["recency_days"] = pa.array(rec)
+    return pa.table(out)
+
+
+
+def _q_ql_retrieval(sf_dir: str) -> pa.Table:
+    """Query-likelihood retrieval with Dirichlet smoothing (mu=100)
+    for the query [hash, join, table] -- the LM-based ranker next to
+    BM25: corpus frequencies and doc lengths are exact int64 one-pass
+    partials; each doc's score is the exact int64 sum of three
+    1e9-quantized ln((tf + mu*cf/T) / (len + mu)) terms, so ranking
+    ties break identically.  Top 10 (score desc, doc asc)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables, hash_aggregate,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+        _explode_tokens,
+    )
+
+    QW = ["hash", "join", "table"]
+    MU = 100.0
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+    )
+
+    def stats(batch: pa.Table) -> pa.Table:
+        t = _explode_tokens(batch, "text", "doc_id")
+        toks = t["token"].to_numpy(zero_copy_only=False)
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {"doc_id": pa.array(did),
+                "len": pa.array(np.ones(len(did), np.int64))}
+        for w in QW:
+            cols[f"tf_{w}"] = pa.array((toks == w).astype(np.int64))
+        return pa.table(cols).group_by("doc_id").aggregate(
+            [("len", "sum")] + [(f"tf_{w}", "sum") for w in QW]
+        ).rename_columns(["doc_id", "len"] + [f"tf_{w}" for w in QW])
+
+    agg = hash_aggregate(
+        ds.map_batches(stats, batch_format="pyarrow", batch_size=None),
+        ["doc_id"],
+        [("len", "sum", "len")]
+        + [(f"tf_{w}", "sum", f"tf_{w}") for w in QW],
+    )
+    T = float(
+        int(agg["len"].to_numpy(zero_copy_only=False).astype(np.int64).sum())
+    )
+    cf = {
+        w: float(
+            int(
+                agg[f"tf_{w}"]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+                .sum()
+            )
+        )
+        for w in QW
+    }
+    ln = agg["len"].to_numpy(zero_copy_only=False).astype(np.float64)
+    score = np.zeros(agg.num_rows, np.int64)
+    for w in QW:
+        tf = agg[f"tf_{w}"].to_numpy(zero_copy_only=False).astype(
+            np.float64
+        )
+        term = np.log((tf + MU * cf[w] / T) / (ln + MU))
+        score += round_half_away(term * 1e9).astype(np.int64)
+    did = agg["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((did, -score))[:10]
+    return pa.table(
+        {
+            "doc_id": pa.array(did[order]),
+            "score_q": pa.array(score[order]),
+        }
+    )
+
+
+def _q_ljung_box(sf_dir: str) -> pa.Table:
+    """Ljung-Box portmanteau test at lags 1-5 on the daily
+    order-revenue series: residuals are exact int64 against the
+    half-away-rounded integer mean (autocovariance is shift-invariant),
+    each lag's autocovariance is an exact Python-int product sum,
+    rho_k = sk/s0 is one float division of identical integers both
+    sides, and the per-lag Q term rho_k^2/(n-k) is 1e12-quantized so
+    the cumulative statistic q_scaled = n*(n+2)*cumsum(term_q) is a
+    bit-exact BIGINT."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderdate", "o_totalprice"],
+    )
+
+    def daily(batch: pa.Table) -> pa.Table:
+        d = (
+            batch["o_orderdate"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            // 86_400_000_000
+        )
+        cents = round_half_away(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({"d": pa.array(d), "cents": pa.array(cents)})
+
+    agg = hash_aggregate(
+        ds.map_batches(daily, batch_format="pyarrow", batch_size=None),
+        ["d"],
+        [("cents", "sum", "x")],
+    )
+    order = np.argsort(agg["d"].to_numpy(zero_copy_only=False))
+    xs = (
+        agg["x"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
+    ).tolist()
+    n = len(xs)
+    tot = sum(xs)
+    mean_int = int(round_half_away(np.array([float(tot) / float(n)]))[0])
+    es = [x - mean_int for x in xs]
+    s0 = sum(e * e for e in es)
+    lags, rho_qs, q_scaleds = [], [], []
+    cum = 0
+    for k in range(1, 6):
+        sk = sum(es[t] * es[t - k] for t in range(k, n))
+        rho = float(sk) / float(s0)
+        rho_q = int(round_half_away(np.array([rho * 1e9]))[0])
+        term = rho * rho / float(n - k) * 1e12
+        cum += int(round_half_away(np.array([term]))[0])
+        lags.append(k)
+        rho_qs.append(rho_q)
+        q_scaleds.append(n * (n + 2) * cum)
+    return pa.table(
+        {
+            "lag": pa.array(lags, pa.int64()),
+            "rho_q": pa.array(rho_qs, pa.int64()),
+            "q_scaled": pa.array(q_scaleds, pa.int64()),
+        }
+    )
+
+
+def _q_bigram_novelty(sf_dir: str) -> pa.Table:
+    """Corpus n-gram novelty curve: split doc ids into 10 ordered
+    buckets and report, per bucket, the fraction of its bigram
+    OCCURRENCES whose corpus-wide first occurrence (min doc_id) falls
+    in that same bucket -- the "how much of each new data slice is
+    genuinely new text" audit run before incremental training.  One
+    gram-keyed distributed aggregate (min doc_id + 10 wide occurrence
+    counts; the gram vocabulary never lands on the driver), then a
+    10-row combine."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        hash_aggregate,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+        _explode_ngrams,
+    )
+
+    NB = 10
+    md = int(
+        _read_pq(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+        ).max("doc_id")
+    )
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def grams(batch: pa.Table) -> pa.Table:
+        t = _explode_ngrams(batch, 2, "text", "doc_id")
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bkt = did * NB // (md + 1)
+        cols = {"gram": t["gram"], "doc_id": pa.array(did)}
+        for i in range(NB):
+            cols[f"c{i}"] = pa.array((bkt == i).astype(np.int64))
+        return pa.table(cols)
+
+    agg = hash_aggregate(
+        ds.map_batches(grams, batch_format="pyarrow", batch_size=None),
+        ["gram"],
+        [("doc_id", "min", "first_doc")]
+        + [(f"c{i}", "sum", f"n{i}") for i in range(NB)],
+        distributed_combine=True,
+    )
+
+    def per_bucket(batch: pa.Table) -> pa.Table:
+        fb = (
+            batch["first_doc"].to_numpy(zero_copy_only=False).astype(np.int64)
+            * NB
+            // (md + 1)
+        )
+        novel = np.zeros(NB, np.int64)
+        total = np.zeros(NB, np.int64)
+        for i in range(NB):
+            ci = batch[f"n{i}"].to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            total[i] = ci.sum()
+            novel[i] = ci[fb == i].sum()
+        return pa.table(
+            {
+                "bucket": pa.array(np.arange(NB, dtype=np.int64)),
+                "novel": pa.array(novel),
+                "total": pa.array(total),
+            }
+        )
+
+    parts = collect_tables(
+        agg.map_batches(per_bucket, batch_format="pyarrow", batch_size=None)
+    )
+    out = (
+        parts.group_by("bucket")
+        .aggregate([("novel", "sum"), ("total", "sum")])
+        .rename_columns(["bucket", "novel", "total"])
+        .sort_by("bucket")
+    )
+    novel = out["novel"].to_numpy(zero_copy_only=False).astype(np.float64)
+    total = out["total"].to_numpy(zero_copy_only=False).astype(np.float64)
+    rate_q = round_half_away(novel / total * 1e9).astype(np.int64)
+    return pa.table(
+        {
+            "bucket": out["bucket"].cast(pa.int64()),
+            "novel": out["novel"].cast(pa.int64()),
+            "total": out["total"].cast(pa.int64()),
+            "rate_q": pa.array(rate_q),
+        }
+    )
+
+
+def _q_vocab_richness(sf_dir: str) -> pa.Table:
+    """Vocabulary-richness battery per language: Yule's K
+    (1e4 * (sum_w c_w^2 - N) / N^2), Guiraud's R (V / sqrt(N)) and
+    Sichel's S (V(2) / V).  One (lang, token)-keyed distributed count
+    (vocabulary never lands on the driver), then per-language exact
+    integer moments (N, V, V2, sum c^2) from wide partials; each
+    statistic is one float expression over identical integers both
+    sides, 1e9/1e6-quantized."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables, hash_aggregate,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
+        _explode_tokens,
+    )
+
+    ds = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "text"]
+    )
+
+    def toks(batch: pa.Table) -> pa.Table:
+        t = _explode_tokens(batch, "text", "lang")
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "token": t["token"],
+                "one": pa.array(np.ones(t.num_rows, np.int64)),
+            }
+        )
+
+    counts = hash_aggregate(
+        ds.map_batches(toks, batch_format="pyarrow", batch_size=None),
+        ["lang", "token"],
+        [("one", "sum", "c")],
+        distributed_combine=True,
+    )
+
+    def moments(batch: pa.Table) -> pa.Table:
+        c = batch["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table(
+            {
+                "lang": batch["lang"],
+                "n": pa.array(c),
+                "v": pa.array(np.ones(len(c), np.int64)),
+                "v2": pa.array((c == 2).astype(np.int64)),
+                "s2": pa.array(c * c),
+            }
+        )
+        return (
+            t.group_by("lang")
+            .aggregate(
+                [("n", "sum"), ("v", "sum"), ("v2", "sum"), ("s2", "sum")]
+            )
+            .rename_columns(["lang", "n", "v", "v2", "s2"])
+        )
+
+    parts = collect_tables(
+        counts.map_batches(moments, batch_format="pyarrow", batch_size=None)
+    )
+    out = (
+        parts.group_by("lang")
+        .aggregate([("n", "sum"), ("v", "sum"), ("v2", "sum"), ("s2", "sum")])
+        .rename_columns(["lang", "n_tokens", "vocab", "v2", "s2"])
+        .sort_by("lang")
+    )
+    n = out["n_tokens"].to_numpy(zero_copy_only=False).astype(np.float64)
+    v = out["vocab"].to_numpy(zero_copy_only=False).astype(np.float64)
+    v2 = out["v2"].to_numpy(zero_copy_only=False).astype(np.float64)
+    s2 = out["s2"].to_numpy(zero_copy_only=False).astype(np.float64)
+    yule_q = round_half_away(1e4 * (s2 - n) / (n * n) * 1e6).astype(np.int64)
+    guiraud_q = round_half_away(v / np.sqrt(n) * 1e9).astype(np.int64)
+    sichel_q = round_half_away(v2 / v * 1e9).astype(np.int64)
+    return pa.table(
+        {
+            "lang": out["lang"],
+            "n_tokens": out["n_tokens"].cast(pa.int64()),
+            "vocab": out["vocab"].cast(pa.int64()),
+            "yule_k_q": pa.array(yule_q),
+            "guiraud_q": pa.array(guiraud_q),
+            "sichel_q": pa.array(sichel_q),
+        }
+    )
+
+
 def entry() -> Any:
     """Flagship pipeline at sf0.001 scale: pages extract -> geocode ->
     frozen-cell encode -> per-cell counts (plus invariant check inside
@@ -15908,6 +16269,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q17_small_qty_revenue": _q_q17_small_qty_revenue,
         "q19_disjunctive_revenue": _q_q19_disjunctive_revenue,
         "graph_modularity": _q_graph_modularity,
+        "feature_matrix": _q_feature_matrix,
+        "ljung_box": _q_ljung_box,
+        "bigram_novelty": _q_bigram_novelty,
+        "vocab_richness": _q_vocab_richness,
+        "ql_retrieval": _q_ql_retrieval,
         "dispersion_ellipse": _q_dispersion_ellipse,
         "local_moran": _q_local_moran,
         "quadrat_test": _q_quadrat_test,
@@ -20669,6 +21035,133 @@ def oracle_sql() -> dict[str, str]:
         "SELECT a.user_id AS u1, b.user_id AS u2, "
         "CAST(LEVENSHTEIN(a.seq, b.seq) AS BIGINT) AS dist "
         "FROM top a JOIN top b ON a.user_id < b.user_id"
+    )
+    out["ql_retrieval"] = (
+        "WITH tokens AS (SELECT doc_id, "
+        "UNNEST(string_split_regex(text, '\\s+')) AS w "
+        "FROM documents), "
+        "tk AS (SELECT doc_id, w FROM tokens WHERE w <> ''), "
+        "d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len, "
+        "CAST(SUM(CASE WHEN w = 'hash' THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS tf_hash, "
+        "CAST(SUM(CASE WHEN w = 'join' THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS tf_join, "
+        "CAST(SUM(CASE WHEN w = 'table' THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS tf_table FROM tk GROUP BY doc_id), "
+        "g AS (SELECT CAST(SUM(len) AS DOUBLE) AS t, "
+        "CAST(SUM(tf_hash) AS DOUBLE) AS cf_hash, "
+        "CAST(SUM(tf_join) AS DOUBLE) AS cf_join, "
+        "CAST(SUM(tf_table) AS DOUBLE) AS cf_table FROM d), "
+        "s AS (SELECT d.doc_id, "
+        "CAST(ROUND(LN((CAST(d.tf_hash AS DOUBLE) "
+        "+ 100.0 * g.cf_hash / g.t) "
+        "/ (CAST(d.len AS DOUBLE) + 100.0)) * 1e9, 0) AS BIGINT) "
+        "+ CAST(ROUND(LN((CAST(d.tf_join AS DOUBLE) "
+        "+ 100.0 * g.cf_join / g.t) "
+        "/ (CAST(d.len AS DOUBLE) + 100.0)) * 1e9, 0) AS BIGINT) "
+        "+ CAST(ROUND(LN((CAST(d.tf_table AS DOUBLE) "
+        "+ 100.0 * g.cf_table / g.t) "
+        "/ (CAST(d.len AS DOUBLE) + 100.0)) * 1e9, 0) AS BIGINT) "
+        "AS score_q FROM d, g) "
+        "SELECT doc_id, score_q FROM s "
+        "ORDER BY score_q DESC, doc_id LIMIT 10"
+    )
+    out["vocab_richness"] = (
+        # mirrors _q_vocab_richness: (lang, token) counts, then exact
+        # HUGEINT moments; same float expression order per statistic
+        "WITH tok AS (SELECT lang, "
+        "UNNEST(string_split_regex(text, '\\s+')) AS w FROM documents), "
+        "tk AS (SELECT lang, w FROM tok WHERE w <> ''), "
+        "c AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c "
+        "FROM tk GROUP BY lang, w), "
+        "m AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n, "
+        "CAST(COUNT(*) AS BIGINT) AS v, "
+        "CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS v2, "
+        "CAST(SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS BIGINT) "
+        "AS s2 FROM c GROUP BY lang) "
+        "SELECT lang, n AS n_tokens, v AS vocab, "
+        "CAST(ROUND(1e4 * (CAST(s2 AS DOUBLE) - CAST(n AS DOUBLE)) "
+        "/ (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * 1e6, 0) AS BIGINT) "
+        "AS yule_k_q, "
+        "CAST(ROUND(CAST(v AS DOUBLE) / SQRT(CAST(n AS DOUBLE)) * 1e9, "
+        "0) AS BIGINT) AS guiraud_q, "
+        "CAST(ROUND(CAST(v2 AS DOUBLE) / CAST(v AS DOUBLE) * 1e9, 0) "
+        "AS BIGINT) AS sichel_q "
+        "FROM m ORDER BY lang"
+    )
+    out["bigram_novelty"] = (
+        # mirrors _q_bigram_novelty: bigram first-seen doc via MIN,
+        # occurrence counts per doc-id decile bucket, novelty = share
+        # of a bucket's occurrences first seen in that bucket
+        "WITH m AS (SELECT MAX(doc_id) AS md FROM documents), "
+        "w AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+        "t -> t <> '') AS ws FROM documents), "
+        "g AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS gram FROM w, "
+        "LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i)), "
+        "f AS (SELECT gram, MIN(doc_id) AS fd FROM g GROUP BY gram), "
+        "b AS (SELECT g.doc_id * 10 // (m.md + 1) AS bucket, "
+        "f.fd * 10 // (m.md + 1) AS fb FROM g, m "
+        "JOIN f ON g.gram = f.gram), "
+        "s AS (SELECT bucket, "
+        "CAST(SUM(CASE WHEN fb = bucket THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS novel, CAST(COUNT(*) AS BIGINT) AS total "
+        "FROM b GROUP BY bucket) "
+        "SELECT bucket, novel, total, "
+        "CAST(ROUND(CAST(novel AS DOUBLE) / CAST(total AS DOUBLE) "
+        "* 1e9, 0) AS BIGINT) AS rate_q FROM s ORDER BY bucket"
+    )
+    out["ljung_box"] = (
+        # daily-cents residual series against the rounded integer mean
+        # (same construction as durbin_watson); HUGEINT autocovariance
+        # sums; rho 1e9-quantized, Q terms 1e12-quantized then the
+        # exact integer n*(n+2)*cumsum; mirrors _q_ljung_box
+        "WITH c AS (SELECT epoch_us(o_orderdate) // 86400000000 AS d, "
+        "CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) "
+        "AS BIGINT) AS x FROM orders GROUP BY 1), "
+        "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(x) AS BIGINT) AS tot FROM c), "
+        "e AS (SELECT ROW_NUMBER() OVER (ORDER BY d) AS i, "
+        "x - CAST(ROUND(CAST(t.tot AS DOUBLE) "
+        "/ CAST(t.n AS DOUBLE), 0) AS BIGINT) AS e FROM c, t), "
+        "den AS (SELECT SUM(CAST(e AS HUGEINT) * CAST(e AS HUGEINT)) "
+        "AS s0 FROM e), "
+        "ks AS (SELECT k FROM (VALUES (1), (2), (3), (4), (5)) v(k)), "
+        "cov AS (SELECT ks.k AS k, "
+        "SUM(CAST(a.e AS HUGEINT) * CAST(b.e AS HUGEINT)) AS sk "
+        "FROM ks JOIN e a ON TRUE JOIN e b ON b.i = a.i - ks.k "
+        "GROUP BY ks.k), "
+        "r AS (SELECT cov.k, CAST(cov.sk AS DOUBLE) "
+        "/ CAST(den.s0 AS DOUBLE) AS rho FROM cov, den), "
+        "q AS (SELECT r.k, "
+        "CAST(ROUND(rho * 1e9, 0) AS BIGINT) AS rho_q, "
+        "CAST(ROUND(rho * rho / CAST(t.n - r.k AS DOUBLE) * 1e12, 0) "
+        "AS BIGINT) AS tq FROM r, t) "
+        "SELECT q.k AS lag, q.rho_q, "
+        "CAST(CAST(t.n AS HUGEINT) * CAST(t.n + 2 AS HUGEINT) "
+        "* SUM(q.tq) OVER (ORDER BY q.k) AS BIGINT) AS q_scaled "
+        "FROM q, t ORDER BY lag"
+    )
+    out["feature_matrix"] = (
+        "WITH u AS (SELECT user_id, "
+        "CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_click, "
+        "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 "
+        "END) AS BIGINT) AS n_purchase, "
+        "CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_error, "
+        "CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_signup, "
+        "CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_view, "
+        "CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) "
+        "AS total_cents, "
+        "CAST(MAX(epoch_us(ts) // 86400000000) AS BIGINT) AS last_day "
+        "FROM events GROUP BY user_id), "
+        "g AS (SELECT MAX(last_day) AS dmax FROM u) "
+        "SELECT user_id, n_click, n_error, n_purchase, n_signup, "
+        "n_view, total_cents, "
+        "CAST(g.dmax - u.last_day AS BIGINT) AS recency_days "
+        "FROM u, g"
     )
     out["graph_modularity"] = (
         # same graph CTE as word_triangles; classes by LEN % 2.
