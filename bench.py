@@ -389,6 +389,24 @@ EXTRA_QUERY_SUBSET = [
     "markov_top1_accuracy", "intrinsic_dim", "binseg_changepoint",
     "qq_slope", "polygon_iou", "raster_kappa", "roc_auc",
     "average_precision", "lift_at_decile",
+    # round-3 sessions 5-8 additions
+    "holt_winters", "phrase_search", "kendall_tau", "theil_index",
+    "track_intersections", "runs_test", "wilcoxon_signed", "clustering_coeff",
+    "kcore_words", "brier_decomposition", "seasonal_decompose", "min_cost_supplier",
+    "chow_test", "symspell_pairs", "seq_edit_distance", "did_estimator",
+    "mean_direction", "hoover_index", "cdc_chunks", "route_shortest_path",
+    "polygon_perimeter", "quadkey_cells", "q3_shipping_priority", "q5_local_revenue",
+    "dispersion_index", "grubbs_test", "burrows_delta", "pps_systematic",
+    "haar_energy", "cell_week_churn", "bayes_rate_smoothing", "jaro_winkler_pairs",
+    "sprt_crossing", "rbo_overlap", "geometric_median", "visibility_graph",
+    "hill_estimator", "q17_small_qty_revenue", "q19_disjunctive_revenue", "graph_modularity",
+    "nn_gfunction", "mcnemar_test", "calibration_bins", "lbp_histogram",
+    "glcm_texture", "feature_matrix", "ql_retrieval", "ljung_box",
+    "bigram_novelty", "vocab_richness", "q4_order_priority", "logrank_test",
+    "knox_test", "mask_morphology", "bh_fdr", "q7_volume",
+    "cochran_armitage", "bollinger_breakouts", "boruvka_mst", "page_hinkley",
+    "friedman_test", "western_electric", "mmr_topk", "char_bigram_entropy",
+    "dwell_time", "cross_k", "eigen_centrality",
 ]
 
 
