@@ -633,3 +633,152 @@ def grouped_approx_distinct(
     return pa.table(
         {group_col: pa.array(groups), "approx_n": pa.array(ests, pa.float64())}
     )
+
+
+def grouped_kmv_distinct(
+    ds: ray.data.Dataset,
+    group_col: str,
+    col: str,
+    k: int = 64,
+    seed: int = 31,
+) -> pa.Table:
+    """K-minimum-values distinct-count sketch per group (Bar-Yossef et
+    al. 2002).  Each block emits its bottom-``k`` DISTINCT
+    ``mix32(col, seed)`` hashes per group; bottom-k sets merge by
+    union + re-truncate (mergeable, partitioning-independent), so the
+    driver holds at most ``k x n_groups x n_blocks`` rows before the
+    final truncate.  ``mix32`` is a bijection on [0, 2^32), so for
+    sub-2^32 integer keys the k-th smallest distinct hash is exact and
+    collision-free, and the estimator ``(k-1) * 2^32 // h_(k)`` is
+    bit-reproducible in SQL (integer division, no float path).
+    Groups with fewer than ``k`` distinct keys captured the full
+    distinct set, so the estimate is the exact count."""
+    from ..functions.sketch import mix32
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = np.asarray(batch[group_col].to_numpy(zero_copy_only=False))
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        hv = mix32(v, seed)
+        order = np.lexsort((hv, g))
+        g, hv = g[order], hv[order]
+        if len(g):
+            keep = np.ones(len(g), bool)
+            keep[1:] = (g[1:] != g[:-1]) | (hv[1:] != hv[:-1])
+            g, hv = g[keep], hv[keep]
+        _, start = np.unique(g, return_index=True)
+        ends = np.append(start[1:], len(g))
+        if len(start):
+            idx = np.concatenate(
+                [np.arange(s, min(s + k, e)) for s, e in zip(start, ends)]
+            )
+        else:
+            idx = np.array([], np.int64)
+        return pa.table(
+            {
+                group_col: pa.array(g[idx], batch[group_col].type),
+                "_h": pa.array(hv[idx]),
+            }
+        )
+
+    parts = _collect_tables(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    )
+    gg = np.asarray(parts[group_col].to_numpy(zero_copy_only=False))
+    hh = parts["_h"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((hh, gg))
+    gg, hh = gg[order], hh[order]
+    keep = np.ones(len(gg), bool)
+    keep[1:] = (gg[1:] != gg[:-1]) | (hh[1:] != hh[:-1])
+    gg, hh = gg[keep], hh[keep]
+    groups, start = np.unique(gg, return_index=True)
+    ends = np.append(start[1:], len(gg))
+    kth, est = [], []
+    for s, e in zip(start, ends):
+        if e - s >= k:
+            h_k = int(hh[s + k - 1])
+            kth.append(h_k)
+            est.append((k - 1) * 4294967296 // h_k)
+        else:
+            kth.append(int(hh[e - 1]))
+            est.append(int(e - s))
+    return pa.table(
+        {
+            group_col: pa.array(groups),
+            "kth_hash": pa.array(np.array(kth, np.int64)),
+            "est_distinct": pa.array(np.array(est, np.int64)),
+        }
+    )
+
+
+def ams_f2(
+    ds: ray.data.Dataset,
+    col: str,
+    rows: int = 8,
+    seed: int = 100,
+) -> pa.Table:
+    """AMS second-frequency-moment sketch (Alon-Matias-Szegedy 1996):
+    ``rows`` independent {-1,+1} sign streams ``1 - 2*(mix32(key + r,
+    seed) & 1)``; each block contributes ``rows`` int64 partial sign
+    sums (pure addition -- the textbook mergeable sketch), the driver
+    holds ``rows`` counters, and X_r = S_r^2 estimates F2 with the
+    integer-mean ``sum(X_r) // rows``.  The exact F2 runs beside it
+    through a distributed grouped count -> per-batch sum-of-squares
+    partials (the corpus never collects).  All-integer end to end, so
+    the SQL mirror is bit-exact."""
+    from ..functions.sketch import mix32
+    from ..pipelines.relational import hash_aggregate
+
+    r_ids = np.arange(rows, dtype=np.int64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        sums = np.empty(rows, np.int64)
+        for r in range(rows):
+            bits = mix32(v + np.int64(r), seed) & np.int64(1)
+            sums[r] = len(v) - 2 * int(bits.sum())
+        return pa.table({"r": pa.array(r_ids), "s": pa.array(sums)})
+
+    parts = _collect_tables(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    )
+    rr = parts["r"].to_numpy(zero_copy_only=False)
+    ss = parts["s"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sign_sum = np.bincount(rr, weights=ss.astype(np.float64), minlength=rows
+                           ).astype(np.int64)
+    x = sign_sum * sign_sum
+    est = int(x.sum()) // rows
+
+    def one(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                col: batch[col],
+                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
+            }
+        )
+
+    counts = hash_aggregate(
+        ds.map_batches(one, batch_format="pyarrow", batch_size=None),
+        [col],
+        [("_one", "sum", "c")],
+        distributed_combine=True,
+    )
+
+    def sq_partial(batch: pa.Table) -> pa.Table:
+        c = batch["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"f2": pa.array([int((c * c).sum())], pa.int64())})
+
+    f2_parts = _collect_tables(
+        counts.map_batches(sq_partial, batch_format="pyarrow", batch_size=None)
+    )
+    exact = int(
+        f2_parts["f2"].to_numpy(zero_copy_only=False).astype(np.int64).sum()
+    )
+    return pa.table(
+        {
+            "r": pa.array(r_ids),
+            "sign_sum": pa.array(sign_sum),
+            "x": pa.array(x),
+            "est_f2": pa.array(np.full(rows, est, np.int64)),
+            "exact_f2": pa.array(np.full(rows, exact, np.int64)),
+        }
+    )
