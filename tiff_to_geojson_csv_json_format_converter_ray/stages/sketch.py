@@ -782,3 +782,63 @@ def ams_f2(
             "exact_f2": pa.array(np.full(rows, exact, np.int64)),
         }
     )
+
+
+def grouped_kmv_bottomk(
+    ds: ray.data.Dataset,
+    group_col: str,
+    col: str,
+    k: int = 64,
+    seed: int = 31,
+) -> pa.Table:
+    """Per-group bottom-``k`` DISTINCT ``mix32`` hashes as rows
+    ``(group, _h)`` -- the raw KMV sketch behind
+    :func:`grouped_kmv_distinct`, exposed so set-operation estimators
+    (union / intersection via inclusion of shared hashes in the
+    merged bottom-k) can combine per-group sketches driver-side.
+    Driver state: k x n_groups rows."""
+    from ..functions.sketch import mix32
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = np.asarray(batch[group_col].to_numpy(zero_copy_only=False))
+        v = batch[col].to_numpy(zero_copy_only=False).astype(np.int64)
+        hv = mix32(v, seed)
+        order = np.lexsort((hv, g))
+        g, hv = g[order], hv[order]
+        if len(g):
+            keep = np.ones(len(g), bool)
+            keep[1:] = (g[1:] != g[:-1]) | (hv[1:] != hv[:-1])
+            g, hv = g[keep], hv[keep]
+        _, start = np.unique(g, return_index=True)
+        ends = np.append(start[1:], len(g))
+        if len(start):
+            idx = np.concatenate(
+                [np.arange(s, min(s + k, e)) for s, e in zip(start, ends)]
+            )
+        else:
+            idx = np.array([], np.int64)
+        return pa.table(
+            {
+                group_col: pa.array(g[idx], batch[group_col].type),
+                "_h": pa.array(hv[idx]),
+            }
+        )
+
+    parts = _collect_tables(
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    )
+    gg = np.asarray(parts[group_col].to_numpy(zero_copy_only=False))
+    hh = parts["_h"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((hh, gg))
+    gg, hh = gg[order], hh[order]
+    keep = np.ones(len(gg), bool)
+    keep[1:] = (gg[1:] != gg[:-1]) | (hh[1:] != hh[:-1])
+    gg, hh = gg[keep], hh[keep]
+    groups, start = np.unique(gg, return_index=True)
+    ends = np.append(start[1:], len(gg))
+    idx = np.concatenate(
+        [np.arange(s, min(s + k, e)) for s, e in zip(start, ends)]
+    ) if len(start) else np.array([], np.int64)
+    return pa.table(
+        {group_col: pa.array(gg[idx]), "_h": pa.array(hh[idx])}
+    )
