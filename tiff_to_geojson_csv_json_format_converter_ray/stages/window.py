@@ -690,6 +690,60 @@ def keyed_cusum_alarms(
     )
 
 
+def keyed_sign_test(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+):
+    """Sign test per key over (ts, id) order: signs of consecutive
+    value differences in exact cents (ties dropped), the
+    distribution-free trend screen.  Returns one row per key with at
+    least one non-tie step: ``(key, n_plus, n_minus, z)`` where
+    ``z = (n_plus - n_minus) / sqrt(n_plus + n_minus)`` is the only
+    float step (shared verbatim with the SQL oracle)."""
+    import pyarrow.compute as pc
+
+    from ..functions.rounding import round_like_sql, scaled_int
+    from ..stages.shuffle import grouped_by_key
+
+    def kernel(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            group,
+            sort_keys=[(ts_col, "ascending"), (id_col, "ascending")],
+        )
+        g = group.take(order)
+        c = scaled_int(g[value_col], 100.0)
+        d = np.diff(c)
+        npl = int((d > 0).sum())
+        nmi = int((d < 0).sum())
+        if npl + nmi == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.int64()),
+                    "n_plus": pa.array([], pa.int64()),
+                    "n_minus": pa.array([], pa.int64()),
+                    "z": pa.array([], pa.float64()),
+                }
+            )
+        z = float(npl - nmi) / np.sqrt(float(npl + nmi))
+        return pa.table(
+            {
+                key_col: pa.array([g[key_col][0].as_py()], pa.int64()),
+                "n_plus": pa.array([npl], pa.int64()),
+                "n_minus": pa.array([nmi], pa.int64()),
+                "z": round_like_sql([z], 6),
+            }
+        )
+
+    return grouped_by_key(
+        ds.select_columns([key_col, ts_col, id_col, value_col]),
+        key_col,
+        kernel,
+    )
+
+
 def keyed_debounce(
     ds,
     window_s: float = 86400.0,
