@@ -111,7 +111,9 @@ def test_held_karp_matches_brute_force():
             if (full, j) in dp
         )
         brute = min(
-            sum(d[p[i]][p[i + 1]] for i in range(k - 1)) + d[0][p[0]] + d[p[-1]][0]
+            sum(d[p[i]][p[i + 1]] for i in range(k - 2))
+            + d[0][p[0]]
+            + d[p[-1]][0]
             for p in permutations(range(1, k))
         )
         assert hk == brute
