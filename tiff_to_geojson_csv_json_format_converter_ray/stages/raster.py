@@ -1592,6 +1592,193 @@ def tile_focal_mode(tiles: ray.data.Dataset, stride: int | None = None) -> ray.d
     )
 
 
+def retile(
+    tiles: ray.data.Dataset,
+    new_side: int,
+    grid_h: int,
+    grid_w: int,
+) -> ray.data.Dataset:
+    """Re-tile a TILE_SCHEMA Dataset onto a new tile lattice (the
+    block-storage re-layout primitive: align tiles to a different
+    partition side before a focal / join stage).
+
+    Shape: ``map_batches`` slices each source tile into the fragments
+    that intersect the target lattice (zero-copy numpy views, emitted
+    with target offsets), one ``groupby(target)`` shuffle co-locates
+    fragments, and the assemble kernel stitches the target tile --
+    nodata-filled where the source tiling left gaps, ragged edge
+    tiles sized to the grid.  Shuffle volume = the raster itself,
+    moved exactly once (each pixel appears in exactly one fragment).
+    """
+
+    def fragment(batch: pa.Table) -> pa.Table:
+        out: dict[str, list] = {
+            "tgt_key": [], "src": [], "band": [], "tgt_r0": [],
+            "tgt_c0": [], "fr_r0": [], "fr_c0": [], "fr_h": [],
+            "fr_w": [], "transform": [], "crs": [], "nodata": [],
+            "values": [],
+        }
+        for i in range(batch.num_rows):
+            h = int(batch["height"][i].as_py())
+            w = int(batch["width"][i].as_py())
+            r0 = int(batch["row_off"][i].as_py())
+            c0 = int(batch["col_off"][i].as_py())
+            vals = np.asarray(
+                batch["values"][i].as_py(), np.float32
+            ).reshape(h, w)
+            band = int(batch["band"][i].as_py())
+            src = batch["src"][i].as_py()
+            tr = batch["transform"][i].as_py()
+            crs = batch["crs"][i].as_py()
+            nod = float(batch["nodata"][i].as_py())
+            for tr0 in range(
+                (r0 // new_side) * new_side, r0 + h, new_side
+            ):
+                for tc0 in range(
+                    (c0 // new_side) * new_side, c0 + w, new_side
+                ):
+                    rr0 = max(r0, tr0)
+                    cc0 = max(c0, tc0)
+                    rr1 = min(r0 + h, tr0 + new_side, grid_h)
+                    cc1 = min(c0 + w, tc0 + new_side, grid_w)
+                    if rr1 <= rr0 or cc1 <= cc0:
+                        continue
+                    out["tgt_key"].append(
+                        f"{src}|{band}|{tr0}|{tc0}"
+                    )
+                    out["src"].append(src)
+                    out["band"].append(band)
+                    out["tgt_r0"].append(tr0)
+                    out["tgt_c0"].append(tc0)
+                    out["fr_r0"].append(rr0)
+                    out["fr_c0"].append(cc0)
+                    out["fr_h"].append(rr1 - rr0)
+                    out["fr_w"].append(cc1 - cc0)
+                    out["transform"].append(tr)
+                    out["crs"].append(crs)
+                    out["nodata"].append(nod)
+                    out["values"].append(
+                        vals[rr0 - r0 : rr1 - r0, cc0 - c0 : cc1 - c0]
+                        .ravel().tolist()
+                    )
+        return pa.table(
+            {
+                "tgt_key": pa.array(out["tgt_key"]),
+                "src": pa.array(out["src"]),
+                "band": pa.array(out["band"], pa.int32()),
+                "tgt_r0": pa.array(out["tgt_r0"], pa.int32()),
+                "tgt_c0": pa.array(out["tgt_c0"], pa.int32()),
+                "fr_r0": pa.array(out["fr_r0"], pa.int32()),
+                "fr_c0": pa.array(out["fr_c0"], pa.int32()),
+                "fr_h": pa.array(out["fr_h"], pa.int32()),
+                "fr_w": pa.array(out["fr_w"], pa.int32()),
+                "transform": pa.array(
+                    out["transform"], pa.list_(pa.float64(), 6)
+                ),
+                "crs": pa.array(out["crs"]),
+                "nodata": pa.array(out["nodata"], pa.float64()),
+                "values": pa.array(
+                    out["values"], pa.list_(pa.float32())
+                ),
+            }
+        )
+
+    def assemble(group: pa.Table) -> pa.Table:
+        tr0 = int(group["tgt_r0"][0].as_py())
+        tc0 = int(group["tgt_c0"][0].as_py())
+        nod = float(group["nodata"][0].as_py())
+        th = min(new_side, grid_h - tr0)
+        tw = min(new_side, grid_w - tc0)
+        tile = np.full((th, tw), np.float32(nod), np.float32)
+        for i in range(group.num_rows):
+            fr0 = int(group["fr_r0"][i].as_py())
+            fc0 = int(group["fr_c0"][i].as_py())
+            fh = int(group["fr_h"][i].as_py())
+            fw = int(group["fr_w"][i].as_py())
+            frag = np.asarray(
+                group["values"][i].as_py(), np.float32
+            ).reshape(fh, fw)
+            tile[fr0 - tr0 : fr0 - tr0 + fh, fc0 - tc0 : fc0 - tc0 + fw] = frag
+        src = group["src"][0].as_py()
+        return pa.table(
+            {
+                "tile_id": pa.array([f"{src}_{tr0}_{tc0}"]),
+                "src": pa.array([src]),
+                "band": pa.array(
+                    [int(group["band"][0].as_py())], pa.int32()
+                ),
+                "row_off": pa.array([tr0], pa.int32()),
+                "col_off": pa.array([tc0], pa.int32()),
+                "height": pa.array([th], pa.int32()),
+                "width": pa.array([tw], pa.int32()),
+                "transform": group["transform"].take([0]),
+                "crs": pa.array([group["crs"][0].as_py()]),
+                "nodata": pa.array([nod], pa.float64()),
+                "values": pa.array(
+                    [tile.ravel().tolist()], pa.list_(pa.float32())
+                ),
+            }
+        )
+
+    return tiles.map_batches(
+        fragment, batch_format="pyarrow", batch_size=None
+    ).groupby("tgt_key").map_groups(assemble, batch_format="pyarrow")
+
+
+def focal_median_kernel(group: pa.Table) -> pa.Table:
+    """3x3 focal MEDIAN (the despeckle / salt-and-pepper filter for
+    continuous rasters): the 5th order statistic of the 9 window
+    values -- pure element selection, so Python and SQL
+    (``quantile_disc(v, 0.5)``) agree bit-for-bit with no float
+    arithmetic.  Validity contract identical to :func:`horn_kernel`
+    (full window above the nodata threshold)."""
+    asm = _assemble_padded(group)
+    if asm is None:
+        return _empty_focal_median_table()
+    pad, h, w, r0, c0, _transform = asm
+    stack = np.stack(
+        [
+            pad[r : r + h, c : c + w]
+            for r in range(3)
+            for c in range(3)
+        ]
+    )
+    valid = np.all(np.isfinite(stack) & (stack > NODATA_THRESHOLD), axis=0)
+    if not valid.any():
+        return _empty_focal_median_table()
+    med = np.sort(stack, axis=0)[4]
+    rr, cc = np.nonzero(valid)
+    return pa.table(
+        {
+            "row": pa.array((rr + r0).astype(np.int64)),
+            "col": pa.array((cc + c0).astype(np.int64)),
+            "focal_median": pa.array(med[rr, cc]),
+        }
+    )
+
+
+def _empty_focal_median_table() -> pa.Table:
+    return pa.table(
+        {
+            "row": pa.array([], pa.int64()),
+            "col": pa.array([], pa.int64()),
+            "focal_median": pa.array([], pa.float64()),
+        }
+    )
+
+
+def tile_focal_median(tiles: ray.data.Dataset, stride: int | None = None) -> ray.data.Dataset:
+    """3x3 focal median over a tile Dataset via the same halo-exchange
+    shuffle as :func:`tile_slope`."""
+    halos = tiles.map_batches(
+        make_emit_halos(stride, stride),
+        batch_format="pyarrow", batch_size=None,
+    )
+    return halos.groupby("halo_key").map_groups(
+        focal_median_kernel, batch_format="pyarrow"
+    )
+
+
 def band_math_ndi(
     tiles: ray.data.Dataset, band_a: int = 1, band_b: int = 2
 ) -> ray.data.Dataset:
