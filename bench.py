@@ -407,6 +407,18 @@ EXTRA_QUERY_SUBSET = [
     "cochran_armitage", "bollinger_breakouts", "boruvka_mst", "page_hinkley",
     "friedman_test", "western_electric", "mmr_topk", "char_bigram_entropy",
     "dwell_time", "cross_k", "eigen_centrality",
+    # round-3 session-11 additions
+    "effective_resistance", "katz_centrality", "turning_points",
+    "sample_entropy", "perm_entropy", "ordinal_assoc", "omega_calmar",
+    "readability_panel", "morisita_index", "theils_u", "lz76_complexity",
+    "dist_distances", "cliffs_delta", "jonckheere", "dixon_q",
+    "rank_distance", "tile_focal_median", "grid_prefix_sums",
+    "kuiper_test", "page_trend", "theil_decomp", "ansari_bradley",
+    "retile_extract", "kulldorff_scan", "cox_stuart", "runs_updown",
+    "mh_odds", "textrank_keywords", "ridge_two_var", "bivariate_moran",
+    "harris_corners", "seam_dp", "kapur_threshold",
+    "distinct_substrings", "block_entropy", "radiation_model",
+    "local_geary", "general_g", "rake_keywords",
 ]
 
 
