@@ -49,28 +49,37 @@ def _halo_key(src: str, band: int, r0: int, c0: int) -> str:
     return f"{src}|{band}|{r0}|{c0}"
 
 
-def make_emit_halos(stride_r: int | None = None, stride_c: int | None = None):
+def make_emit_halos(
+    stride_r: int | None = None,
+    stride_c: int | None = None,
+    halo: int = 1,
+):
     """Build the halo-emit map_batches function.  ``stride_r``/``c``
     are the tile GRID strides: a sender addressing its up/left
     neighbor needs the NEIGHBOR's extent, which equals the sender's
     own only on uniform tilings.  With the strides given, receiver
     origins snap to the stride grid, so RAGGED tilings (short edge
     tiles -- every real raster whose size is not a tile multiple) halo
-    correctly.  Default (None) keeps the uniform-tiling behavior."""
+    correctly.  Default (None) keeps the uniform-tiling behavior.
+    ``halo`` is the strip width in pixels (1 for 3x3 kernels, 2 for
+    5x5 -- shuffle volume stays O(halo x perimeter) per tile)."""
 
     def emit(batch: pa.Table) -> pa.Table:
-        return _emit_halos_impl(batch, stride_r, stride_c)
+        return _emit_halos_impl(batch, stride_r, stride_c, halo)
 
     return emit
 
 
 def emit_halos(batch: pa.Table) -> pa.Table:
     """Uniform-tiling halo emit (see :func:`make_emit_halos`)."""
-    return _emit_halos_impl(batch, None, None)
+    return _emit_halos_impl(batch, None, None, 1)
 
 
 def _emit_halos_impl(
-    batch: pa.Table, stride_r: int | None, stride_c: int | None
+    batch: pa.Table,
+    stride_r: int | None,
+    stride_c: int | None,
+    halo: int = 1,
 ) -> pa.Table:
     """Explode a tile batch into core rows + boundary-strip rows, each
     keyed by the RECEIVING tile's origin.  ``rel_r``/``rel_c`` record
@@ -112,8 +121,9 @@ def _emit_halos_impl(
             nc0 = c_off[i] + (w if dc == 1 else -sc if dc == -1 else 0)
             if nr0 < 0 or nc0 < 0:
                 continue
-            rows = slice(h - 1, h) if dr == 1 else slice(0, 1) if dr == -1 else slice(0, h)
-            cols = slice(w - 1, w) if dc == 1 else slice(0, 1) if dc == -1 else slice(0, w)
+            k = halo
+            rows = slice(max(0, h - k), h) if dr == 1 else slice(0, min(k, h)) if dr == -1 else slice(0, h)
+            cols = slice(max(0, w - k), w) if dc == 1 else slice(0, min(k, w)) if dc == -1 else slice(0, w)
             strip = arr[rows, cols]
             out_key.append(_halo_key(src[i], band[i], nr0, nc0))
             # sender relative to receiver = -direction
@@ -142,10 +152,10 @@ def _emit_halos_impl(
     )
 
 
-def _assemble_padded(group: pa.Table):
+def _assemble_padded(group: pa.Table, halo: int = 1):
     """Rebuild one tile + its halo strips into a NaN-padded
-    (h+2, w+2) array.  Returns None for orphan halo groups (strips
-    addressed past the raster boundary, no core tile)."""
+    (h+2*halo, w+2*halo) array.  Returns None for orphan halo groups
+    (strips addressed past the raster boundary, no core tile)."""
     rel_r = group["rel_r"].to_numpy(zero_copy_only=False)
     rel_c = group["rel_c"].to_numpy(zero_copy_only=False)
     core_idx = np.flatnonzero((rel_r == 0) & (rel_c == 0))
@@ -162,8 +172,9 @@ def _assemble_padded(group: pa.Table):
         .reshape(h, w)
         .astype(np.float64)
     )
-    pad = np.full((h + 2, w + 2), np.nan)
-    pad[1 : h + 1, 1 : w + 1] = core
+    k = halo
+    pad = np.full((h + 2 * k, w + 2 * k), np.nan)
+    pad[k : h + k, k : w + k] = core
     for j in range(group.num_rows):
         if j == ci:
             continue
@@ -175,8 +186,8 @@ def _assemble_padded(group: pa.Table):
             .reshape(sh, sw)
             .astype(np.float64)
         )
-        rows = slice(0, 1) if sr == -1 else slice(h + 1, h + 2) if sr == 1 else slice(1, h + 1)
-        cols = slice(0, 1) if sc == -1 else slice(w + 1, w + 2) if sc == 1 else slice(1, w + 1)
+        rows = slice(k - sh, k) if sr == -1 else slice(h + k, h + k + sh) if sr == 1 else slice(k, k + sh)
+        cols = slice(k - sw, k) if sc == -1 else slice(w + k, w + k + sw) if sc == 1 else slice(k, k + sw)
         pad[rows, cols] = strip
     return pad, h, w, r0, c0, transform
 
@@ -2107,3 +2118,56 @@ def line_of_sight(
     height = za + t * (zb - za)
     blocked = ok & (zs > height)
     return bool(~blocked.any()), int(blocked.sum())
+
+
+def binom5_kernel(group: pa.Table) -> pa.Table:
+    """One tile + its 2-px halo strips -> 5x5 binomial (Gaussian
+    approximation) blur: b = sum [1,4,6,4,1] x [1,4,6,4,1] * z10 over
+    the window, defined only where all 25 cells are valid (equivalent
+    to two [1,2,1]^2 passes -- convolution composes).  Deci-scaled
+    input keeps the accumulation exact integer (output = value x 10 x
+    256)."""
+    asm = _assemble_padded(group, halo=2)
+    if asm is None:
+        return pa.table(
+            {
+                "row": pa.array([], pa.int64()),
+                "col": pa.array([], pa.int64()),
+                "b2560": pa.array([], pa.int64()),
+            }
+        )
+    pad, h, w, r0, c0, _transform = asm
+    valid = np.isfinite(pad) & (pad > NODATA_THRESHOLD)
+    z10 = np.zeros_like(pad, np.int64)
+    z10[valid] = np.rint(pad[valid] * 10.0).astype(np.int64)
+    wt = (1, 4, 6, 4, 1)
+    acc = np.zeros((h, w), np.int64)
+    nok = np.zeros((h, w), np.int64)
+    for du in range(5):
+        for dv in range(5):
+            win_z = z10[du : du + h, dv : dv + w]
+            win_v = valid[du : du + h, dv : dv + w]
+            acc += wt[du] * wt[dv] * win_z
+            nok += win_v
+    ok = nok == 25
+    rr, cc = np.nonzero(ok)
+    return pa.table(
+        {
+            "row": pa.array((rr + r0).astype(np.int64)),
+            "col": pa.array((cc + c0).astype(np.int64)),
+            "b2560": pa.array(acc[ok]),
+        }
+    )
+
+
+def tile_binomial_blur(
+    tiles: ray.data.Dataset, stride: int | None = None
+) -> ray.data.Dataset:
+    """Distributed 5x5 binomial blur: one 2-px halo exchange (the
+    width-2 instantiation of the focal machinery), then a per-tile
+    integer convolution kernel.  Shuffle volume = 2 x tile perimeter
+    per tile."""
+    return tiles.map_batches(
+        make_emit_halos(stride, stride, halo=2),
+        batch_format="pyarrow", batch_size=None,
+    ).groupby("halo_key").map_groups(binom5_kernel, batch_format="pyarrow")
