@@ -331,3 +331,134 @@ def image_ahash_pairs(
             "hamming": pa.array(out_h, pa.int64()),
         }
     )
+
+
+def dhash_bits(gray: np.ndarray, block: int = 4) -> np.ndarray:
+    """Difference-hash bits of one grayscale image: block-sum grid,
+    bit = left block sum > right block sum (horizontal gradient sign;
+    integer-only, exact)."""
+    h, w = gray.shape
+    g = gray.astype(np.int64)
+    bs = g.reshape(h // block, block, w // block, block).sum(axis=(1, 3))
+    return (bs[:, :-1] > bs[:, 1:]).astype(np.int64).ravel()
+
+
+def image_dhash_pairs(
+    media: "ray.data.Dataset", max_hamming: int = 6, block: int = 4
+):
+    """Gradient-based (difference-hash) perceptual near-duplicate
+    pairs over IMAGE BYTES -- the dhash companion of
+    :func:`image_ahash_pairs` (dhash is robust to global brightness
+    shifts that flip ahash bits).  Same decode -> signature ->
+    driver-pair shape; same LSH banding note for beyond-driver
+    scale.  Returns ``(id_a, id_b, hamming)``, id_a < id_b."""
+    import ray.data  # noqa: F401
+
+    from ..sources.media import decode_media
+
+    def sig(batch: pa.Table) -> pa.Table:
+        ids, bits = [], []
+        for i in range(batch.num_rows):
+            arr = decode_media(
+                batch["payload"][i].as_py(), batch["media_type"][i].as_py()
+            )
+            gray = arr[:, :, 0] if arr.ndim == 3 else arr
+            ids.append(batch["media_id"][i].as_py())
+            bits.append(dhash_bits(gray, block))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "bits": pa.array(
+                    [b.tolist() for b in bits], pa.list_(pa.int64())
+                ),
+            }
+        )
+
+    parts = [
+        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+        for b in media.map_batches(
+            sig, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+    ]
+    tbl = pa.concat_tables([t for t in parts if t.num_rows])
+    ids = tbl["media_id"].to_pylist()
+    mat = np.array(tbl["bits"].to_pylist(), np.int64)
+    order = np.argsort(np.asarray(ids))
+    ids = [ids[int(i)] for i in order]
+    mat = mat[order]
+    out_a, out_b, out_h = [], [], []
+    for i in range(len(ids)):
+        ham = np.abs(mat[i + 1 :] - mat[i]).sum(axis=1)
+        for j in np.flatnonzero(ham <= max_hamming):
+            out_a.append(ids[i])
+            out_b.append(ids[i + 1 + int(j)])
+            out_h.append(int(ham[int(j)]))
+    return pa.table(
+        {
+            "id_a": pa.array(out_a, pa.string()),
+            "id_b": pa.array(out_b, pa.string()),
+            "hamming": pa.array(out_h, pa.int64()),
+        }
+    )
+
+
+def gen_wav_grid(n: int = 12, n_samples: int = 256) -> pa.Table:
+    """Formula-sample WAV fixture: clip ``i`` has mono int16 samples
+    ``s(i, t) = ((t*73 + i*17) % 2001) - 1000`` encoded as REAL PCM
+    WAV bytes by the from-scratch codec -- the audio counterpart of
+    :func:`gen_media_grid` (closed-form samples make SQL oracles over
+    decoded audio possible)."""
+    from ..sources.media import encode_wav
+
+    t = np.arange(n_samples, dtype=np.int64)
+    ids, payloads = [], []
+    for i in range(n):
+        s = ((t * 73 + i * 17) % 2001 - 1000).astype(np.int16)
+        ids.append(f"w{i}")
+        payloads.append(encode_wav(s[:, None], 16000))
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "media_type": pa.array(["audio/wav"] * n),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array([1] * n, pa.int32()),
+            "height": pa.array([n_samples] * n, pa.int32()),
+            "sample_rate": pa.array([16000] * n, pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def wav_frame_features(
+    media: "ray.data.Dataset", frame: int = 64
+):
+    """Per-frame audio features over WAV BYTES: decode (stdlib codec)
+    then exact integer energy (sum of squared samples) and
+    zero-crossing count (strict sign flips) per fixed-length frame --
+    the standard VAD / segmentation front-end, one stateless
+    ``map_batches`` pass.  Returns ``(media_id, frame, energy,
+    zcr)``."""
+    from ..sources.media import decode_wav
+
+    def feats(batch: pa.Table) -> pa.Table:
+        ids, frs, ens, zcs = [], [], [], []
+        for i in range(batch.num_rows):
+            samples, _sr = decode_wav(batch["payload"][i].as_py())
+            s = samples[:, 0].astype(np.int64)
+            n_fr = len(s) // frame
+            for f in range(n_fr):
+                seg = s[f * frame : (f + 1) * frame]
+                ids.append(batch["media_id"][i].as_py())
+                frs.append(f)
+                ens.append(int((seg * seg).sum()))
+                zcs.append(int((seg[:-1] * seg[1:] < 0).sum()))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "frame": pa.array(frs, pa.int64()),
+                "energy": pa.array(ens, pa.int64()),
+                "zcr": pa.array(zcs, pa.int64()),
+            }
+        )
+
+    return media.map_batches(feats, batch_format="pyarrow", batch_size=None)
