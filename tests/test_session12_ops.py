@@ -39,3 +39,24 @@ def test_st_alternation_shape():
     assert _st_rank_direct(9, 10) == 3
     assert _st_rank_direct(2, 10) == 4
     assert _st_rank_direct(3, 10) == 5
+
+
+def test_registry_has_no_duplicate_keys():
+    """Duplicate dict keys silently shadow earlier operators (a
+    later same-named entry wins) -- scan the source so a collision
+    fails loudly instead."""
+    import re
+    from collections import Counter
+
+    src = open("/root/repo/__ray_entry__.py").read()
+    m = re.search(r"def queries\(\).*?return \{(.*?)\n    \}", src, re.S)
+    keys = re.findall(r'"([a-z0-9_]+)":', m.group(1))
+    dups = sorted(k for k, c in Counter(keys).items() if c > 1)
+    assert not dups, f"duplicate queries() keys: {dups}"
+
+
+def test_oracles_subset_of_queries():
+    import __ray_entry__ as e
+
+    q, o = e.queries(), e.oracle_sql()
+    assert not set(o) - set(q)
