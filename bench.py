@@ -600,36 +600,78 @@ def _host_parallel_probe(lo: int, hi: int, seconds: float = 1.5) -> dict:
     return out
 
 
+def run_scaling_leg(leg: str, lo: int, hi: int) -> dict:
+    """One two-parallelism-level scaling measurement (the sandbox
+    stand-in for the N vs 4N cluster-size criterion): run the same job
+    at ``lo`` and ``hi`` cpus in FRESH processes on the same input and
+    report both throughputs + (rate_hi/rate_lo)/(hi/lo).
+
+    leg: "headline" (pixel extract; memory-bandwidth bound once
+    vectorized, so parallel efficiency on a shared host understates
+    real-cluster scaling) or "pages" (regex/compute bound -- the
+    graft's throughput-critical leg)."""
+    flag = "--pages-only" if leg == "pages" else "--headline-only"
+    results = {}
+    for cpus in (lo, hi):
+        env = dict(os.environ)
+        env["RAY_GRAFT_CPUS"] = str(cpus)
+        # large fixed grid + big blocks so per-row compute dominates
+        # executor fixed costs (16 tasks x ~800 ms at 1 cpu): the
+        # steady-state regime a 100 TB run lives in.  Input blocks
+        # are materialized untimed (see make_input).
+        env.setdefault("GRAFT_GRID", "8192")
+        env.setdefault("GRAFT_TILES_PER_BLOCK", "256")
+        env.setdefault("GRAFT_REPEATS", "2")
+        if leg == "pages":
+            env.setdefault("GRAFT_PAGES_N", "2000000")
+        proc = subprocess.run(
+            [sys.executable, __file__, flag],
+            capture_output=True, text=True, env=env, check=True,
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+    r_lo = results[lo]["rows_per_sec"]
+    r_hi = results[hi]["rows_per_sec"]
+    return {
+        "results": results,
+        "rate_lo": r_lo,
+        "rate_hi": r_hi,
+        "efficiency": (r_hi / r_lo) / (hi / lo),
+    }
+
+
+def run_scaling_summary(lo: int = 1) -> dict:
+    """Both scaling legs + host-ceiling probes, compact -- embedded in
+    the DEFAULT bench JSON so the driver-recorded BENCH_r{N}.json
+    carries the two-cluster-size evidence itself (VERDICT r3 item 6),
+    not just builder-written BASELINE.md prose."""
+    hi = 4 * lo
+    out: dict = {"cpus": [lo, hi]}
+    for leg in ("headline", "pages"):
+        r = run_scaling_leg(leg, lo, hi)
+        out[leg] = {
+            f"rows_per_sec_{lo}": round(r["rate_lo"], 1),
+            f"rows_per_sec_{hi}": round(r["rate_hi"], 1),
+            "efficiency": round(r["efficiency"], 3),
+        }
+    probe = _host_parallel_probe(lo, hi)
+    out["host_probe_cpu_efficiency"] = probe["cpu"]
+    out["host_probe_dram_efficiency"] = probe["dram"]
+    out["protocol"] = (
+        "same job, fresh processes, min-of-repeats; headline 8192^2 px "
+        "fused extract+PIP+count, pages 2M-page extract+geocode+counts"
+    )
+    return out
+
+
 def main() -> None:
     if "--scaling" in sys.argv:
         lo = int(os.environ.get("GRAFT_SCALE_N", "1"))
         hi = 4 * lo
-        # leg choice: "headline" (pixel extract; memory-bandwidth
-        # bound once vectorized, so parallel efficiency on a shared
-        # host understates real-cluster scaling) or "pages" (regex/
-        # compute bound -- the graft's throughput-critical leg)
         leg = os.environ.get("GRAFT_SCALING_LEG", "headline")
-        flag = "--pages-only" if leg == "pages" else "--headline-only"
-        results = {}
-        for cpus in (lo, hi):
-            env = dict(os.environ)
-            env["RAY_GRAFT_CPUS"] = str(cpus)
-            # large fixed grid + big blocks so per-row compute dominates
-            # executor fixed costs (16 tasks x ~800 ms at 1 cpu): the
-            # steady-state regime a 100 TB run lives in.  Input blocks
-            # are materialized untimed (see make_input).
-            env.setdefault("GRAFT_GRID", "8192")
-            env.setdefault("GRAFT_TILES_PER_BLOCK", "256")
-            env.setdefault("GRAFT_REPEATS", "2")
-            proc = subprocess.run(
-                [sys.executable, __file__, flag],
-                capture_output=True, text=True, env=env, check=True,
-            )
-            line = proc.stdout.strip().splitlines()[-1]
-            results[cpus] = json.loads(line)
-        r_lo = results[lo]["rows_per_sec"]
-        r_hi = results[hi]["rows_per_sec"]
-        eff = (r_hi / r_lo) / (hi / lo)
+        r = run_scaling_leg(leg, lo, hi)
+        results, eff = r["results"], r["efficiency"]
+        r_lo, r_hi = r["rate_lo"], r["rate_hi"]
         probe = _host_parallel_probe(lo, hi)
         name = (
             "pages extract+geocode+PIP+counts"
@@ -778,29 +820,36 @@ def main() -> None:
     _init_ray(NUM_CPUS)
     try:
         queries = run_queries(SF_DIR)
-        total = headline["seconds"] + pages["seconds"] + sum(queries.values())
-        print(
-            json.dumps(
-                {
-                    "metric": "end-to-end pixel-extract + tile-join + pages + query suite",
-                    "value": round(total, 3),
-                    "unit": "sec",
-                    "queries": queries,
-                    "sf": _sf(),
-                    "num_cpus": NUM_CPUS,
-                    "headline_rows_per_sec": round(headline["rows_per_sec"], 1),
-                    "headline_rows": headline["rows"],
-                    "headline_seconds": round(headline["seconds"], 3),
-                    "pages_rows_per_sec": round(pages["rows_per_sec"], 1),
-                    "pages_rows": pages["rows"],
-                    "pages_seconds": round(pages["seconds"], 3),
-                }
-            )
-        )
     finally:
         import ray
 
         ray.shutdown()
+    # two-parallelism-level scaling evidence (fresh subprocesses; must
+    # run AFTER this process's Ray session is down so the legs see an
+    # idle host).  GRAFT_SKIP_SCALING=1 skips it for quick iterations.
+    scaling = None
+    if os.environ.get("GRAFT_SKIP_SCALING") != "1":
+        scaling = run_scaling_summary(
+            lo=int(os.environ.get("GRAFT_SCALE_N", "1"))
+        )
+    total = headline["seconds"] + pages["seconds"] + sum(queries.values())
+    out = {
+        "metric": "end-to-end pixel-extract + tile-join + pages + query suite",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf(),
+        "num_cpus": NUM_CPUS,
+        "headline_rows_per_sec": round(headline["rows_per_sec"], 1),
+        "headline_rows": headline["rows"],
+        "headline_seconds": round(headline["seconds"], 3),
+        "pages_rows_per_sec": round(pages["rows_per_sec"], 1),
+        "pages_rows": pages["rows"],
+        "pages_seconds": round(pages["seconds"], 3),
+    }
+    if scaling is not None:
+        out["scaling"] = scaling
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

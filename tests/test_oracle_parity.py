@@ -119,3 +119,31 @@ def test_entry_smoke(entry_mod):
     out = _to_df(entry_mod.entry())
     assert len(out) > 0
     assert set(out.columns) == {"cell_8", "count"}
+
+
+def test_registry_head_curated(entry_mod):
+    """The driver's correctness gate samples the FIRST ~50 registry
+    entries; pin that the curated head (a) exists, (b) leads the dict,
+    and (c) spans the operator families (VERDICT r3 item 2)."""
+    qs = entry_mod.queries()
+    head = entry_mod._REGISTRY_HEAD
+    assert len(head) == len(set(head))
+    assert list(qs)[: len(head)] == head
+    sqls = entry_mod.oracle_sql()
+    # every head entry except the golden-pinned flagship has a SQL oracle
+    assert [k for k in head if k not in sqls] == ["pages_flagship"]
+    families = {
+        "raster": {"extract_full", "band_stats", "zonal_stats"},
+        "joins": {"pip_join", "knn_lookup", "bbox_join"},
+        "pages": {"pages_flagship", "url_dedup"},
+        "dedup": {"dedup_exact", "minhash_dedup"},
+        "ann": {"ann_top3", "kmeans_clusters"},
+        "text": {"lang_id", "token_counts", "tfidf_scores"},
+        "relational": {"pricing_summary", "big_join_revenue"},
+        "window": {"events_windowed", "asof_join"},
+        "sketch": {"heavy_hitters"},
+        "multimodal": {"media_ahash_pairs"},
+    }
+    first50 = set(list(qs)[:50])
+    for fam, names in families.items():
+        assert names & first50, f"family {fam} missing from registry head"

@@ -469,6 +469,58 @@ class TestPages:
         }
         assert got_poly == want_poly
 
+    def test_flagship_combine_tiers(
+        self, ray_session, fixtures_dir, polygons_table, tmp_path
+    ):
+        """VERDICT r3 item 1: the driver and shuffle combine tiers give
+        identical aggregates; 'auto' routes on the partial-row count;
+        output_path writes the combined aggregate straight to
+        tag-partitioned parquet (driver never sees it)."""
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines import (
+            pages,
+        )
+
+        pages_path = os.path.join(fixtures_dir, "pages.parquet")
+        drv = pages.pages_flagship(
+            pages_path, polygons=polygons_table, res=8,
+            combine_tier="driver",
+        )
+        assert pages.LAST_COMBINE_TIER == "driver"
+        shf = pages.pages_flagship(
+            pages_path, polygons=polygons_table, res=8,
+            combine_tier="shuffle",
+        )
+        assert pages.LAST_COMBINE_TIER == "shuffle"
+        assert set(drv) == set(shf)
+        for k in drv:
+            a = sorted(drv[k].to_pylist(), key=str)
+            b = sorted(shf[k].to_pylist(), key=str)
+            assert a == b, k
+        # auto: a tiny threshold forces the shuffle tier...
+        pages.pages_flagship(
+            pages_path, res=8, combine_tier="auto", max_driver_keys=1
+        )
+        assert pages.LAST_COMBINE_TIER == "shuffle"
+        # ...and at fixture scale the default auto stays driver
+        pages.pages_flagship(pages_path, res=8)
+        assert pages.LAST_COMBINE_TIER == "driver"
+        # scale path: combined aggregate written as parquet, not tables
+        outd = str(tmp_path / "agg")
+        paths = pages.pages_flagship(
+            pages_path, polygons=polygons_table, res=8,
+            combine_tier="shuffle", output_path=outd,
+        )
+        assert set(paths) == {"lang_counts", "cell_counts", "polygon_counts"}
+        got_cells = {
+            int(r["key"]): r["count"]
+            for r in pq.read_table(paths["cell_counts"]).to_pylist()
+        }
+        want_cells = {
+            r["cell_8"]: r["count"]
+            for r in drv["cell_counts"].to_pylist()
+        }
+        assert got_cells == want_cells
+
     def test_flagship_url_dedup(self, ray_session, fixtures_dir, polygons_table):
         """dedup_urls drops the ~1%% duplicate-url rows before counting."""
         from tiff_to_geojson_csv_json_format_converter_ray.pipelines.pages import (

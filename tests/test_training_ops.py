@@ -288,6 +288,44 @@ class TestLabelPropagation:
 
         assert label_propagation_clusters([]).num_rows == 0
 
+    def test_dataset_edges_above_driver_comfort(self, ray_session):
+        """VERDICT r3 item 7: the edge list can be a Dataset and never
+        lands on the driver -- exercised at a pair count (300k edges,
+        with cross-band-style duplicates) well above the old
+        driver-collected comfort zone, against a union-find oracle."""
+        import ray.data
+
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.dedup import (
+            _UnionFind, label_propagation_clusters,
+        )
+
+        # 50k star components of size 5 (node 5k..5k+4 linked to 5k)
+        # plus duplicated edges -> 300k edge rows, singletons between
+        n_comp = 50_000
+        base = np.arange(n_comp, dtype=np.int64) * 10
+        a = np.repeat(base, 4)
+        b = a + np.tile(np.arange(1, 5, dtype=np.int64), n_comp)
+        a2 = np.concatenate([a, a[::2]])  # 100k duplicate rows
+        b2 = np.concatenate([b, b[::2]])
+        edges = ray.data.from_arrow(
+            pa.table({"a": a2, "b": b2})
+        ).repartition(16)
+        out = label_propagation_clusters(edges, num_partitions=8)
+        assert out.num_rows == n_comp * 5
+        uf = _UnionFind()
+        for x, y in zip(a.tolist(), b.tolist()):
+            uf.union(x, y)
+        got_reps = dict(
+            zip(out["doc_id"].to_pylist(), out["cluster_rep"].to_pylist())
+        )
+        # spot-check representatives on a sample (full check is O(n))
+        for n in range(0, n_comp * 10, 997):
+            if n in got_reps:
+                assert got_reps[n] == uf.find(n)
+        # every member maps to its star center
+        assert got_reps[0] == 0 and got_reps[4] == 0
+        assert got_reps[(n_comp - 1) * 10 + 3] == (n_comp - 1) * 10
+
 
 class TestSimHash:
     def test_simhash_clusters(self, ray_session):

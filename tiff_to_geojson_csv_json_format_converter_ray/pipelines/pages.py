@@ -43,22 +43,46 @@ def geocode_pages(
     )
 
 
+# Observability for tests: the combine tier the last pages_flagship
+# call actually took ('driver' or 'shuffle').
+LAST_COMBINE_TIER: str | None = None
+
+
 def pages_flagship(
     pages_path: str,
     polygons: pa.Table | None = None,
     res: int = 8,
     concurrency: int | None = None,
     dedup_urls: bool = False,
-) -> dict[str, pa.Table]:
+    combine_tier: str = "auto",
+    max_driver_keys: int = 2_000_000,
+    output_path: str | None = None,
+) -> dict[str, pa.Table] | dict[str, str]:
     """End-to-end: returns small aggregate tables
     {cell_counts, lang_counts, polygon_counts?}.
 
     All three aggregates come from ONE pass over the stream: each batch
-    emits tagged partial-count rows (lang / cell / polygon); the tiny
-    tagged partials are combined driver-side per tag.
+    emits tagged partial-count rows (lang / cell / polygon).  The
+    tagged partials are materialized ONCE (object store, spillable;
+    never the driver) and then combined by tier (VERDICT r3 item 1,
+    mirroring ``exact_dedup(tier='auto')``):
+
+    - ``'driver'``: tiny per-tag combine on the driver -- right when
+      the distinct-key count (res-8 cells + langs + polygons) is small.
+    - ``'shuffle'``: a distributed hash-bucket groupby-sum
+      (``hash_aggregate(distributed_combine=True)``); the driver never
+      concatenates partials.  With ``output_path`` set the combined
+      aggregate is written straight to tag-partitioned parquet and the
+      per-tag paths are returned instead of tables -- the 10^12-row /
+      res-9 shape where even the final aggregate exceeds driver memory.
+    - ``'auto'``: routes on the materialized partial-row count
+      (``>max_driver_keys`` -> shuffle).  The count is free metadata on
+      the materialized partials; no extra pass over the input.
 
     ``dedup_urls=True`` drops duplicate-url rows first (exact dedup on
     the url hash; Common-Crawl corpora re-crawl urls)."""
+    if combine_tier not in ("auto", "driver", "shuffle"):
+        raise ValueError(f"unknown combine_tier: {combine_tier}")
     pages = read_pages(pages_path)
     if dedup_urls:
         from ..stages.shuffle import shuffled_dedup_first
@@ -125,16 +149,61 @@ def pages_flagship(
             concurrency=concurrency,
             **kwargs,
         )
-    parts = [
-        t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
-        for t in tagged.iter_batches(batch_format="pyarrow", batch_size=None)
-        if t.num_rows
-    ]
-    allp = pa.concat_tables(parts, promote_options="default")
-    combined = (
-        allp.group_by(["tag", "key"]).aggregate([("n", "sum")])
-        .rename_columns(["tag", "key", "count"])
-    )
+    # ONE execution of the expensive extract pipeline; the partials
+    # (bounded by sum of per-batch distinct keys) stay in the object
+    # store, never on the driver.
+    tagged = tagged.materialize()
+    global LAST_COMBINE_TIER
+    if combine_tier == "auto":
+        tier = (
+            "shuffle" if tagged.count() > max_driver_keys else "driver"
+        )
+    else:
+        tier = combine_tier
+    LAST_COMBINE_TIER = tier
+
+    if tier == "driver":
+        parts = [
+            t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+            for t in tagged.iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+            if t.num_rows
+        ]
+        allp = pa.concat_tables(parts, promote_options="default")
+        combined = (
+            allp.group_by(["tag", "key"]).aggregate([("n", "sum")])
+            .rename_columns(["tag", "key", "count"])
+        )
+    else:
+        from .relational import hash_aggregate
+
+        combined_ds = hash_aggregate(
+            tagged, ["tag", "key"], [("n", "sum", "count")],
+            distributed_combine=True,
+        )
+        if output_path is not None:
+            # scale path: the aggregate itself never lands on the
+            # driver -- tag-partitioned parquet, resumable per tag
+            combined_ds.write_parquet(
+                output_path, partition_cols=["tag"]
+            )
+            tags = ["lang", "cell"] + (
+                ["polygon"] if polygons is not None else []
+            )
+            return {
+                ("cell_counts" if t == "cell" else f"{t}_counts"):
+                    f"{output_path}/tag={t}"
+                for t in tags
+            }
+        parts = [
+            t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+            for t in combined_ds.iter_batches(
+                batch_format="pyarrow", batch_size=None
+            )
+            if t.num_rows
+        ]
+        combined = pa.concat_tables(parts, promote_options="default")
 
     def split(tag: str, key_name: str, key_type=pa.string()) -> pa.Table:
         sub = combined.filter(pc.equal(combined["tag"], tag))

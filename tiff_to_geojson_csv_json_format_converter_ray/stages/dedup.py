@@ -197,7 +197,8 @@ def _triu_pairs_chunked(g: int, chunk: int = 1 << 16):
 
 
 def _cluster_pairs(
-    pairs: pa.Table, backend: str, num_partitions: int = 8
+    pairs: "pa.Table | ray.data.Dataset", backend: str,
+    num_partitions: int = 8,
 ) -> pa.Table:
     """Candidate-pair edge list -> {doc_id, cluster_rep} (min-id rep,
     non-singleton components only).  backend='labelprop' is the
@@ -208,6 +209,9 @@ def _cluster_pairs(
         return label_propagation_clusters(pairs, num_partitions=num_partitions)
     if backend != "unionfind":
         raise ValueError(f"unknown cluster backend: {backend}")
+    if isinstance(pairs, ray.data.Dataset):
+        pairs = _collect(pairs, _PAIR_SCHEMA)
+        pairs = pairs.group_by(["a", "b"]).aggregate([]).select(["a", "b"])
     uf = _UnionFind()
     for a, b in zip(pairs["a"].to_pylist(), pairs["b"].to_pylist()):
         uf.union(a, b)
@@ -229,7 +233,7 @@ def _cluster_pairs(
 
 
 def label_propagation_clusters(
-    pairs: list[tuple[int, int]] | pa.Table,
+    pairs: "list[tuple[int, int]] | pa.Table | ray.data.Dataset",
     num_partitions: int = 8,
     max_iters: int = 50,
 ) -> pa.Table:
@@ -239,30 +243,82 @@ def label_propagation_clusters(
     driver-sized.  Converges in O(component diameter) rounds.  The
     scale tier of the dedup clustering (driver union-find is the small
     tier).  Returns {doc_id, cluster_rep} for nodes in non-singleton
-    components, identical to the union-find output."""
+    components, identical to the union-find output.
+
+    ``pairs`` may be a ``ray.data.Dataset`` of (a, b) rows (VERDICT r3
+    item 7): the edge list then NEVER lands on the driver -- edge
+    symmetrization, self-loops, the node set, per-round propagation
+    and the non-singleton filter are all Dataset ops; the driver only
+    sees the convergence scalar and the final non-singleton rows
+    (the function's output).  Duplicate edges are harmless (min-label
+    propagation is idempotent), so callers need not pre-dedupe."""
     import ray.data
 
-    if isinstance(pairs, pa.Table):
-        edge_list = list(
-            zip(pairs["a"].to_pylist(), pairs["b"].to_pylist())
-        )
+    if isinstance(pairs, ray.data.Dataset):
+        pair_ds = pairs.materialize()
+        if pair_ds.count() == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "cluster_rep": pa.array([], pa.int64())}
+            )
     else:
-        edge_list = list(pairs)
-    if not edge_list:
+        if isinstance(pairs, pa.Table):
+            tbl = pairs.select(["a", "b"])
+        else:
+            edge_list = list(pairs)
+            tbl = pa.table(
+                {
+                    "a": pa.array(
+                        [int(e[0]) for e in edge_list], pa.int64()
+                    ),
+                    "b": pa.array(
+                        [int(e[1]) for e in edge_list], pa.int64()
+                    ),
+                }
+            )
+        if tbl.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()),
+                 "cluster_rep": pa.array([], pa.int64())}
+            )
+        pair_ds = ray.data.from_arrow(tbl)
+
+    def symmetrize(t: pa.Table) -> pa.Table:
+        a = t["a"].cast(pa.int64()).combine_chunks()
+        b = t["b"].cast(pa.int64()).combine_chunks()
         return pa.table(
-            {"doc_id": pa.array([], pa.int64()),
-             "cluster_rep": pa.array([], pa.int64())}
+            {
+                "src": pa.concat_arrays(a.chunks + b.chunks)
+                if isinstance(a, pa.ChunkedArray)
+                else pa.concat_arrays([a, b]),
+                "dst": pa.concat_arrays(b.chunks + a.chunks)
+                if isinstance(b, pa.ChunkedArray)
+                else pa.concat_arrays([b, a]),
+            }
         )
-    a = np.array([e[0] for e in edge_list], dtype=np.int64)
-    b = np.array([e[1] for e in edge_list], dtype=np.int64)
-    nodes = np.unique(np.concatenate([a, b]))
-    # symmetric edges + self-loops keep every node's own label in play
-    src = np.concatenate([a, b, nodes])
-    dst = np.concatenate([b, a, nodes])
-    edges = ray.data.from_arrow(pa.table({"src": src, "dst": dst}))
-    labels = ray.data.from_arrow(
-        pa.table({"node": nodes, "label": nodes})
+
+    sym = pair_ds.map_batches(
+        symmetrize, batch_format="pyarrow", batch_size=None
     )
+    # node set (distinct endpoints) -> initial labels, one shuffle
+    labels = (
+        sym.groupby("src")
+        .count()
+        .map_batches(
+            lambda t: pa.table(
+                {"node": t["src"], "label": t["src"]}
+            ),
+            batch_format="pyarrow", batch_size=None,
+        )
+        .repartition(num_partitions)
+        .materialize()
+    )
+    # self-loops keep every node's own label in play each round
+    loops = labels.map_batches(
+        lambda t: pa.table({"src": t["node"], "dst": t["node"]}),
+        batch_format="pyarrow", batch_size=None,
+    )
+    edges = sym.union(loops).materialize()
     # per-round state stays in the OBJECT STORE (materialize);
     # the driver only reads the scalar label-sum to test convergence
     prev_sum = None
@@ -292,21 +348,35 @@ def label_propagation_clusters(
         if s == prev_sum:
             break
         prev_sum = s
-    final = _collect(labels)
-    node = final["node"].to_numpy(zero_copy_only=False)
-    lab = final["label"].to_numpy(zero_copy_only=False)
-    # non-singleton components only
-    import collections
-
-    sizes = collections.Counter(lab.tolist())
-    keep = np.fromiter((sizes[l] > 1 for l in lab), bool, len(lab))
-    order = np.argsort(node[keep], kind="stable")
-    return pa.table(
-        {
-            "doc_id": pa.array(node[keep][order]),
-            "cluster_rep": pa.array(lab[keep][order]),
-        }
+    # non-singleton filter, distributed: component sizes via one more
+    # groupby, inner-joined back onto the labels -- the driver only
+    # collects the surviving (non-singleton) rows, which ARE the output
+    sizes_big = (
+        labels.groupby("label")
+        .count()
+        .map_batches(
+            lambda t: pa.table(
+                {"rep": t["label"], "sz": t["count()"]}
+            ).filter(pc.greater(t["count()"], 1)),
+            batch_format="pyarrow", batch_size=None,
+        )
+        .repartition(num_partitions)
     )
+    kept = labels.join(
+        sizes_big, join_type="inner", num_partitions=num_partitions,
+        on=("label",), right_on=("rep",),
+    )
+    final = _collect(kept)
+    if final.num_rows == 0:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "cluster_rep": pa.array([], pa.int64())}
+        )
+    out = pa.table(
+        {"doc_id": final["node"], "cluster_rep": final["label"]}
+    )
+    order = pc.sort_indices(out, sort_keys=[("doc_id", "ascending")])
+    return out.take(order)
 
 
 class _UnionFind:
@@ -456,6 +526,12 @@ def minhash_lsh_dedup(
     pair_ds = long_ds.map_batches(
         add_bucket, batch_format="pyarrow", batch_size=None
     ).groupby("_bkt").map_groups(bucket_pairs, batch_format="pyarrow")
+    if cluster_backend == "labelprop":
+        # scale tier: the candidate-pair edge list stays a Dataset all
+        # the way into clustering (duplicate cross-band pairs are
+        # harmless to min-label propagation) -- the driver never holds
+        # the edges (VERDICT r3 item 7)
+        return _cluster_pairs(pair_ds, cluster_backend)
     pairs = _collect(pair_ds, _PAIR_SCHEMA)
     # the same pair can surface from several bands -- dedupe the tiny
     # edge list before clustering
@@ -557,6 +633,8 @@ def simhash_dedup(
     pair_ds = long_ds.map_batches(
         add_bucket, batch_format="pyarrow", batch_size=None
     ).groupby("_bkt").map_groups(bucket_pairs, batch_format="pyarrow")
+    if cluster_backend == "labelprop":
+        return _cluster_pairs(pair_ds, cluster_backend)  # edges stay a Dataset
     pairs = _collect(pair_ds, _PAIR_SCHEMA)
     pairs = pairs.group_by(["a", "b"]).aggregate([]).select(["a", "b"])
     return _cluster_pairs(pairs, cluster_backend)
