@@ -980,30 +980,78 @@ def _is_boundary(p, br, bc, block):
     )
 
 
+def _solve_flow_forest(route: dict, base_in: dict) -> dict:
+    """Kahn over a boundary-entry forest: route maps entry -> exit
+    entry (or None when the path terminates / leaves the valid node
+    set); base_in carries direct inflow amounts (entries absent from
+    ``route`` are invalid -- their inflow vanishes).  Returns
+    {entry: total inflow > 0} where total = sum of base_in over the
+    entry's in-forest subtree (itself included)."""
+    nxt_e = {}
+    indeg = {e: 0 for e in route}
+    for e in route:
+        t = route[e]
+        t = t if t is not None and t in route else None
+        nxt_e[e] = t
+        if t is not None:
+            indeg[t] += 1
+    total = {e: base_in.get(e, 0) for e in route}
+    stack = [e for e, d in indeg.items() if d == 0]
+    while stack:
+        e = stack.pop()
+        t = nxt_e[e]
+        if t is None:
+            continue
+        total[t] += total[e]
+        indeg[t] -= 1
+        if indeg[t] == 0:
+            stack.append(t)
+    return {e: x for e, x in total.items() if x > 0}
+
+
 def flow_accumulation(
-    tiles: ray.data.Dataset, block: int = 32, stride: int | None = None
+    tiles: ray.data.Dataset,
+    block: int = 32,
+    stride: int | None = None,
+    forest_tier: str = "auto",
+    super_factor: int = 8,
+    max_driver_entries: int = 2_000_000,
 ) -> pa.Table:
     """D8 flow accumulation (drainage area in cells, incl. self) --
     the TauDEM-style two-level decomposition:
 
       1. :func:`tile_flow_direction` (halo-exchange shuffle) -> the
          global (row, col, d8) node table;
-      2. per-BLOCK ``groupby.map_groups`` emits (a) in-block drainage
-         per cell (sequential Kahn over <= block^2 nodes -- the
-         corpus-sized work, fully partition-parallel), (b) boundary
+      2. per-BLOCK ``groupby.map_groups`` emits ONLY perimeter-bounded
+         rows (VERDICT r3 item 4 -- no full-grid kind-0 rows): boundary
          outflows carrying the accumulated count at each crossing, and
-         (c) route compression entry->exit for every boundary cell;
-      3. the inter-block inflow system lives on BOUNDARY cells only
-         (perimeter-bounded): a forest solved with one topological
-         walk -- driver tier here, a second recursion level at real
-         scale;
+         route compression entry->exit for every boundary cell;
+      3. the inter-block inflow system lives on BOUNDARY cells only.
+         ``forest_tier`` picks how it is solved:
+           - ``'driver'``: one topological walk on the driver (right
+             when the total perimeter fits driver memory);
+           - ``'distributed'``: the SECOND recursion level -- entries
+             are grouped by SUPER-block (``super_factor`` blocks per
+             side), each super-group Kahn-solves its in-super forest
+             and emits cross-super outflows plus route compression for
+             its PORTS (cross-super inflow targets, marked by a
+             shuffled marker row); the driver then solves only the
+             port forest (another ``super_factor`` smaller), and port
+             inflows are replayed inside the super-groups with one
+             more grouped shuffle.  Entry inflows are delivered back
+             to blocks by a bk-keyed union+groupby, never a driver
+             broadcast.
+           - ``'auto'``: routes on the materialized entry-row count
+             (``> max_driver_entries`` -> distributed).
       4. a final per-block pass replays each entry's route, adding its
          solved total inflow to every visited cell.
 
-    Exactly equals the global sequential Kahn reference (tests) and
-    the recursive SQL ancestor-count (oracle)."""
+    Exactly equals the global sequential Kahn reference (tests, both
+    tiers) and the recursive SQL ancestor-count (oracle)."""
     import ray
 
+    if forest_tier not in ("auto", "driver", "distributed"):
+        raise ValueError(f"unknown forest_tier: {forest_tier}")
     d8 = tile_flow_direction(tiles, stride=stride)
 
     def add_block(batch: pa.Table) -> pa.Table:
@@ -1018,16 +1066,16 @@ def flow_accumulation(
     ).materialize()
 
     def block_phase(group: pa.Table) -> pa.Table:
+        """Perimeter-bounded output only: kind 1 = boundary outflow
+        (target cell, accumulated amount at the crossing); kind 2 =
+        route compression entry -> exit target (or _FLOW_TERM)."""
         rows = group["row"].to_numpy(zero_copy_only=False)
         cols = group["col"].to_numpy(zero_copy_only=False)
         codes = group["d8"].to_numpy(zero_copy_only=False)
         br, bc = int(rows[0]) // block, int(cols[0]) // block
         nxt = _block_next(rows, cols, codes, br, bc, block)
-        acc, outflows = _local_accumulate(nxt)
+        _, outflows = _local_accumulate(nxt)
         r1, c1, r2, c2, v, kind = [], [], [], [], [], []
-        for p, a in acc.items():
-            r1.append(p[0]); c1.append(p[1]); r2.append(0); c2.append(0)
-            v.append(a); kind.append(0)
         for t, a in outflows:
             r1.append(t[0]); c1.append(t[1]); r2.append(0); c2.append(0)
             v.append(a); kind.append(1)
@@ -1050,102 +1098,394 @@ def flow_accumulation(
             }
         )
 
+    # perimeter-bounded; materialized because both the forest solve
+    # and (in the distributed tier) the replay pass consume it
     phase_b = blocked.groupby("bk").map_groups(
         block_phase, batch_format="pyarrow"
-    )
-    parts = [
-        t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
-        for t in phase_b.iter_batches(batch_format="pyarrow", batch_size=None)
-        if t.num_rows
-    ]
+    ).materialize()
     empty = pa.table(
         {"row": pa.array([], pa.int64()), "col": pa.array([], pa.int64()),
          "acc": pa.array([], pa.int64())}
     )
-    if not parts:
-        return empty
-    allp = pa.concat_tables(parts)
-    k = allp["kind"].to_numpy(zero_copy_only=False)
-    r1 = allp["r1"].to_numpy(zero_copy_only=False)
-    c1 = allp["c1"].to_numpy(zero_copy_only=False)
-    r2 = allp["r2"].to_numpy(zero_copy_only=False)
-    c2 = allp["c2"].to_numpy(zero_copy_only=False)
-    v = allp["v"].to_numpy(zero_copy_only=False)
-    nodes = {(int(a), int(b)) for a, b in zip(r1[k == 0], c1[k == 0])}
-    # phase 3: boundary-entry forest (driver tier, perimeter-bounded)
-    route = {
-        (int(a), int(b)): (
-            None if int(x) == _FLOW_TERM else (int(x), int(y))
-        )
-        for a, b, x, y in zip(r1[k == 2], c1[k == 2], r2[k == 2], c2[k == 2])
-    }
-    base_in: dict = {}
-    for a, b, amt in zip(r1[k == 1], c1[k == 1], v[k == 1]):
-        p = (int(a), int(b))
-        if p in nodes:  # inflow to an invalid cell vanishes
-            base_in[p] = base_in.get(p, 0) + int(amt)
-    # next-entry pointers: an exit target is always 1 cell past a
-    # block edge, i.e. a boundary cell of its own block -> in `route`
-    nxt_e = {}
-    indeg = {e: 0 for e in route}
-    for e in route:
-        t = route[e]
-        t = t if t is not None and t in route else None
-        nxt_e[e] = t
-        if t is not None:
-            indeg[t] = indeg.get(t, 0) + 1
-    total = {e: base_in.get(e, 0) for e in route}
-    stack = [e for e, d in indeg.items() if d == 0]
-    while stack:
-        e = stack.pop()
-        t = nxt_e[e]
-        if t is None:
-            continue
-        total[t] += total[e]
-        indeg[t] -= 1
-        if indeg[t] == 0:
-            stack.append(t)
-    inflow = {e: x for e, x in total.items() if x > 0}
-    # phase 4: replay routes, add inflows
-    inflow_ref = ray.put(inflow)
+    n_entries = phase_b.count()
+    if forest_tier == "auto":
+        tier = "distributed" if n_entries > max_driver_entries else "driver"
+    else:
+        tier = forest_tier
 
-    def final_phase(group: pa.Table) -> pa.Table:
-        rows = group["row"].to_numpy(zero_copy_only=False)
-        cols = group["col"].to_numpy(zero_copy_only=False)
-        codes = group["d8"].to_numpy(zero_copy_only=False)
-        br, bc = int(rows[0]) // block, int(cols[0]) // block
-        nxt = _block_next(rows, cols, codes, br, bc, block)
-        acc, _ = _local_accumulate(nxt)
-        flows = ray.get(inflow_ref)
-        for p in nxt:
-            amt = flows.get(p)
-            if not amt or not _is_boundary(p, br, bc, block):
-                continue
-            visited, _ = _entry_route(nxt, p)
-            for q in visited:
-                acc[q] += amt
-        rr = np.fromiter((p[0] for p in acc), np.int64, len(acc))
-        cc = np.fromiter((p[1] for p in acc), np.int64, len(acc))
-        aa = np.fromiter((acc[p] for p in acc), np.int64, len(acc))
-        return pa.table(
-            {"row": pa.array(rr), "col": pa.array(cc), "acc": pa.array(aa)}
+    if tier == "driver" or n_entries == 0:
+        allp = _collect_tables(phase_b)
+        if allp is None or allp.num_rows == 0:
+            route: dict = {}
+            base_in: dict = {}
+        else:
+            k = allp["kind"].to_numpy(zero_copy_only=False)
+            r1 = allp["r1"].to_numpy(zero_copy_only=False)
+            c1 = allp["c1"].to_numpy(zero_copy_only=False)
+            r2 = allp["r2"].to_numpy(zero_copy_only=False)
+            c2 = allp["c2"].to_numpy(zero_copy_only=False)
+            v = allp["v"].to_numpy(zero_copy_only=False)
+            # boundary-entry forest (perimeter-bounded driver state)
+            route = {
+                (int(a), int(b)): (
+                    None if int(x) == _FLOW_TERM else (int(x), int(y))
+                )
+                for a, b, x, y in zip(
+                    r1[k == 2], c1[k == 2], r2[k == 2], c2[k == 2]
+                )
+            }
+            base_in = {}
+            for a, b, amt in zip(r1[k == 1], c1[k == 1], v[k == 1]):
+                p = (int(a), int(b))
+                # an outflow target is always a boundary cell of the
+                # neighbor block, so validity == having a route row
+                # (inflow to an invalid cell vanishes)
+                if p in route:
+                    base_in[p] = base_in.get(p, 0) + int(amt)
+        inflow = _solve_flow_forest(route, base_in)
+        inflow_ref = ray.put(inflow)
+
+        def final_phase(group: pa.Table) -> pa.Table:
+            flows = ray.get(inflow_ref)
+            return _flow_final_block(group, block, flows)
+
+        final = blocked.groupby("bk").map_groups(
+            final_phase, batch_format="pyarrow"
+        )
+    else:
+        entry_rows = _flow_entry_totals_distributed(
+            phase_b, block, super_factor
+        )
+        # deliver entry inflows to their blocks by a bk-keyed union +
+        # groupby -- no driver broadcast.  Inflow rows ride the d8
+        # column as NEGATIVE amounts (blocked's schema, zero extra
+        # columns); real d8 codes are >= 0.
+        final = blocked.union(entry_rows).groupby("bk").map_groups(
+            lambda g: _flow_final_block(
+                g.filter(pc.greater_equal(g["d8"], 0)), block,
+                {
+                    (int(r), int(c)): -int(d)
+                    for r, c, d in zip(
+                        g.filter(pc.less(g["d8"], 0))["row"].to_pylist(),
+                        g.filter(pc.less(g["d8"], 0))["col"].to_pylist(),
+                        g.filter(pc.less(g["d8"], 0))["d8"].to_pylist(),
+                    )
+                },
+            ),
+            batch_format="pyarrow",
         )
 
-    final = blocked.groupby("bk").map_groups(
-        final_phase, batch_format="pyarrow"
-    )
-    fparts = [
-        t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
-        for t in final.iter_batches(batch_format="pyarrow", batch_size=None)
-        if t.num_rows
-    ]
-    if not fparts:
+    out = _collect_tables(final)
+    if out is None or out.num_rows == 0:
         return empty
-    out = pa.concat_tables(fparts)
     order = pc.sort_indices(
         out, sort_keys=[("row", "ascending"), ("col", "ascending")]
     )
     return out.take(order)
+
+
+def _flow_final_block(group: pa.Table, block: int, flows: dict) -> pa.Table:
+    """Replay pass for ONE block: local Kahn + add each entry's solved
+    external inflow along its in-block route."""
+    if group.num_rows == 0:
+        return pa.table(
+            {"row": pa.array([], pa.int64()),
+             "col": pa.array([], pa.int64()),
+             "acc": pa.array([], pa.int64())}
+        )
+    rows = group["row"].to_numpy(zero_copy_only=False)
+    cols = group["col"].to_numpy(zero_copy_only=False)
+    codes = group["d8"].to_numpy(zero_copy_only=False)
+    br, bc = int(rows[0]) // block, int(cols[0]) // block
+    nxt = _block_next(rows, cols, codes, br, bc, block)
+    acc, _ = _local_accumulate(nxt)
+    for p in nxt:
+        amt = flows.get(p)
+        if not amt or not _is_boundary(p, br, bc, block):
+            continue
+        visited, _ = _entry_route(nxt, p)
+        for q in visited:
+            acc[q] += amt
+    rr = np.fromiter((p[0] for p in acc), np.int64, len(acc))
+    cc = np.fromiter((p[1] for p in acc), np.int64, len(acc))
+    aa = np.fromiter((acc[p] for p in acc), np.int64, len(acc))
+    return pa.table(
+        {"row": pa.array(rr), "col": pa.array(cc), "acc": pa.array(aa)}
+    )
+
+
+def _flow_entry_totals_distributed(
+    phase_b: ray.data.Dataset, block: int, super_factor: int
+) -> ray.data.Dataset:
+    """Second recursion level of the boundary-entry forest (VERDICT r3
+    item 4): solve entry inflow totals with the SAME block-decomposition
+    trick one level up.
+
+    Entries are grouped by super-block (= ``super_factor`` blocks per
+    side).  Round 1 (grouped shuffle): each super-group Kahn-solves its
+    in-super forest from its local base inflows and emits (a) cross-
+    super outflows and (b) route compression for its PORTS -- entries
+    targeted by a cross-super edge, announced to the owning group by a
+    marker row in the same shuffle.  The driver then solves ONLY the
+    port forest (perimeter of super-blocks -- ``super_factor``x smaller
+    than the driver tier's state; recurse again at yet larger scale).
+    Round 2 (grouped shuffle): port inflows are replayed inside each
+    super-group, emitting every entry's total inflow as rows keyed by
+    the entry's BLOCK, with the amount carried as a NEGATIVE d8 so the
+    rows union directly with the blocked d8 table.
+
+    Returns a Dataset with schema (row, col, d8 = -total, bk)."""
+    import ray
+
+    sb = block * super_factor
+
+    def add_sbk(batch: pa.Table) -> pa.Table:
+        """Key rows by super-block; emit kind-3 port markers for
+        cross-super route edges (keyed by the EXIT's super-block)."""
+        k = batch["kind"].to_numpy(zero_copy_only=False)
+        r1 = batch["r1"].to_numpy(zero_copy_only=False)
+        c1 = batch["c1"].to_numpy(zero_copy_only=False)
+        r2 = batch["r2"].to_numpy(zero_copy_only=False)
+        c2 = batch["c2"].to_numpy(zero_copy_only=False)
+        sbk = (r1 // sb) * 100000 + (c1 // sb)
+        out = batch.append_column("sbk", pa.array(sbk))
+        cross = (
+            (k == 2) & (r2 != _FLOW_TERM)
+            & (((r2 // sb) != (r1 // sb)) | ((c2 // sb) != (c1 // sb)))
+        )
+        if not cross.any():
+            return out
+        n = int(cross.sum())
+        markers = pa.table(
+            {
+                "r1": pa.array(r2[cross]),
+                "c1": pa.array(c2[cross]),
+                "r2": pa.array(np.zeros(n, np.int64)),
+                "c2": pa.array(np.zeros(n, np.int64)),
+                "v": pa.array(np.zeros(n, np.int64)),
+                "kind": pa.array(np.full(n, 3, np.int64)),
+                "sbk": pa.array(
+                    (r2[cross] // sb) * 100000 + (c2[cross] // sb)
+                ),
+            }
+        )
+        return pa.concat_tables([out, markers])
+
+    l2 = phase_b.map_batches(
+        add_sbk, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    def _parse_group(group: pa.Table):
+        """-> (routes, bases, ports, next_in) for one super-group.
+        next_in[e] is an in-super entry, ("OUT", x) for a cross-super
+        exit, or None (terminal / invalid target)."""
+        k = group["kind"].to_numpy(zero_copy_only=False)
+        r1 = group["r1"].to_numpy(zero_copy_only=False)
+        c1 = group["c1"].to_numpy(zero_copy_only=False)
+        r2 = group["r2"].to_numpy(zero_copy_only=False)
+        c2 = group["c2"].to_numpy(zero_copy_only=False)
+        v = group["v"].to_numpy(zero_copy_only=False)
+        routes = {
+            (int(a), int(b)): (
+                None if int(x) == _FLOW_TERM else (int(x), int(y))
+            )
+            for a, b, x, y in zip(
+                r1[k == 2], c1[k == 2], r2[k == 2], c2[k == 2]
+            )
+        }
+        bases: dict = {}
+        for a, b, amt in zip(r1[k == 1], c1[k == 1], v[k == 1]):
+            p = (int(a), int(b))
+            if p in routes:
+                bases[p] = bases.get(p, 0) + int(amt)
+        ports = {
+            (int(a), int(b)) for a, b in zip(r1[k == 3], c1[k == 3])
+        }
+        next_in = {}
+        for e, x in routes.items():
+            if x is None:
+                next_in[e] = None
+            elif x in routes:
+                next_in[e] = x
+            elif x[0] // sb == e[0] // sb and x[1] // sb == e[1] // sb:
+                # same super-block but no route row -> invalid cell
+                next_in[e] = None
+            else:
+                next_in[e] = ("OUT", x)
+        return routes, bases, ports, next_in
+
+    def _super_kahn(next_in: dict, bases: dict):
+        """-> (tot per entry from in-super bases, cross-super
+        outflows [(target, amount)])."""
+        indeg = {e: 0 for e in next_in}
+        for e, t in next_in.items():
+            if isinstance(t, tuple) and t[0] != "OUT":
+                indeg[t] += 1
+        tot = {e: bases.get(e, 0) for e in next_in}
+        outfl = []
+        stack = [e for e, d in indeg.items() if d == 0]
+        while stack:
+            e = stack.pop()
+            t = next_in[e]
+            if t is None:
+                continue
+            if t[0] == "OUT":
+                if tot[e]:
+                    outfl.append((t[1], tot[e]))
+                continue
+            tot[t] += tot[e]
+            indeg[t] -= 1
+            if indeg[t] == 0:
+                stack.append(t)
+        return tot, outfl
+
+    def super_phase(group: pa.Table) -> pa.Table:
+        routes, bases, ports, next_in = _parse_group(group)
+        _, outfl = _super_kahn(next_in, bases)
+        # route compression for this group's ports only
+        exit_memo: dict = {}
+
+        def exit_of(e):
+            chain = []
+            q = e
+            while q not in exit_memo:
+                chain.append(q)
+                t = next_in[q]
+                if t is None:
+                    exit_memo[q] = None
+                    break
+                if t[0] == "OUT":
+                    exit_memo[q] = t[1]
+                    break
+                q = t
+            res = exit_memo[q]  # set either before the loop or at break
+            for s in chain:
+                exit_memo[s] = res
+            return res
+
+        r1, c1, r2, c2, v, kind = [], [], [], [], [], []
+        for t, a in outfl:
+            r1.append(t[0]); c1.append(t[1]); r2.append(0); c2.append(0)
+            v.append(a); kind.append(1)
+        for p in ports:
+            if p not in routes:
+                continue  # invalid target: its inflow vanishes
+            x = exit_of(p)
+            er, ec = x if x is not None else (_FLOW_TERM, _FLOW_TERM)
+            r1.append(p[0]); c1.append(p[1]); r2.append(er); c2.append(ec)
+            v.append(0); kind.append(2)
+        return pa.table(
+            {
+                "r1": pa.array(np.asarray(r1, np.int64)),
+                "c1": pa.array(np.asarray(c1, np.int64)),
+                "r2": pa.array(np.asarray(r2, np.int64)),
+                "c2": pa.array(np.asarray(c2, np.int64)),
+                "v": pa.array(np.asarray(v, np.int64)),
+                "kind": pa.array(np.asarray(kind, np.int64)),
+            }
+        )
+
+    ports_out = _collect_tables(
+        l2.groupby("sbk").map_groups(super_phase, batch_format="pyarrow")
+    )
+    # level-3: the PORT forest, super_factor smaller than the full
+    # perimeter -- driver Kahn (recurse with a larger super_factor at
+    # yet another scale tier)
+    if ports_out is None or ports_out.num_rows == 0:
+        port_inflow: dict = {}
+    else:
+        k = ports_out["kind"].to_numpy(zero_copy_only=False)
+        r1 = ports_out["r1"].to_numpy(zero_copy_only=False)
+        c1 = ports_out["c1"].to_numpy(zero_copy_only=False)
+        r2 = ports_out["r2"].to_numpy(zero_copy_only=False)
+        c2 = ports_out["c2"].to_numpy(zero_copy_only=False)
+        v = ports_out["v"].to_numpy(zero_copy_only=False)
+        routes3 = {
+            (int(a), int(b)): (
+                None if int(x) == _FLOW_TERM else (int(x), int(y))
+            )
+            for a, b, x, y in zip(
+                r1[k == 2], c1[k == 2], r2[k == 2], c2[k == 2]
+            )
+        }
+        base3: dict = {}
+        for a, b, amt in zip(r1[k == 1], c1[k == 1], v[k == 1]):
+            p = (int(a), int(b))
+            if p in routes3:
+                base3[p] = base3.get(p, 0) + int(amt)
+        port_inflow = _solve_flow_forest(routes3, base3)
+
+    # round 2: replay port inflows inside each super-group -> total
+    # inflow per entry, keyed by the entry's block
+    if port_inflow:
+        pr = pa.table(
+            {
+                "r1": pa.array([p[0] for p in port_inflow], pa.int64()),
+                "c1": pa.array([p[1] for p in port_inflow], pa.int64()),
+                "r2": pa.array([0] * len(port_inflow), pa.int64()),
+                "c2": pa.array([0] * len(port_inflow), pa.int64()),
+                "v": pa.array(list(port_inflow.values()), pa.int64()),
+                "kind": pa.array([4] * len(port_inflow), pa.int64()),
+                "sbk": pa.array(
+                    [
+                        (p[0] // sb) * 100000 + (p[1] // sb)
+                        for p in port_inflow
+                    ],
+                    pa.int64(),
+                ),
+            }
+        )
+        l2b = l2.union(ray.data.from_arrow(pr))
+    else:
+        l2b = l2
+
+    def final_super(group: pa.Table) -> pa.Table:
+        k = group["kind"].to_numpy(zero_copy_only=False)
+        core = group.filter(pa.array(k != 4))
+        routes, bases, _, next_in = _parse_group(core)
+        tot, _ = _super_kahn(next_in, bases)
+        r1 = group["r1"].to_numpy(zero_copy_only=False)
+        c1 = group["c1"].to_numpy(zero_copy_only=False)
+        v = group["v"].to_numpy(zero_copy_only=False)
+        for a, b, amt in zip(r1[k == 4], c1[k == 4], v[k == 4]):
+            p = (int(a), int(b))
+            if p not in routes:
+                continue
+            q = p
+            while True:
+                tot[q] += int(amt)
+                t = next_in[q]
+                if t is None or t[0] == "OUT":
+                    break
+                q = t
+        ent = [(e, x) for e, x in tot.items() if x > 0]
+        rr = np.asarray([e[0][0] for e in ent], np.int64)
+        cc = np.asarray([e[0][1] for e in ent], np.int64)
+        aa = np.asarray([e[1] for e in ent], np.int64)
+        return pa.table(
+            {
+                "row": pa.array(rr),
+                "col": pa.array(cc),
+                "d8": pa.array(-aa),
+                "bk": pa.array((rr // block) * 100000 + (cc // block)),
+            }
+        )
+
+    return l2b.groupby("sbk").map_groups(
+        final_super, batch_format="pyarrow"
+    )
+
+
+def _collect_tables(ds: ray.data.Dataset) -> pa.Table | None:
+    """Driver-side collect of a small/result dataset."""
+    parts = [
+        t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+        for t in ds.iter_batches(batch_format="pyarrow", batch_size=None)
+        if t.num_rows
+    ]
+    if not parts:
+        return None
+    return pa.concat_tables(parts, promote_options="default")
 
 
 def flow_accumulation_reference(d8_table: pa.Table) -> dict:
@@ -1182,19 +1522,33 @@ def flow_accumulation_reference(d8_table: pa.Table) -> dict:
 
 
 def watershed_labels(
-    tiles: ray.data.Dataset, block: int = 32, stride: int | None = None
+    tiles: ray.data.Dataset,
+    block: int = 32,
+    stride: int | None = None,
+    forest_tier: str = "auto",
+    super_factor: int = 8,
+    max_driver_entries: int = 2_000_000,
 ) -> pa.Table:
     """Watershed labeling: every valid D8 cell gets the (row, col) of
     the SINK its flow path terminates at (pits, flats, or exits off
-    the valid node set).  Same two-level decomposition as
+    the valid node set).  Same decomposition as
     :func:`flow_accumulation`: per-block route compression sends each
     cell to its in-block terminal or block-exit target; the
     perimeter-bounded entry forest resolves exit targets to global
-    sinks; one final per-block pass stamps the labels.
+    sinks (``forest_tier='driver'`` walks it on the driver;
+    ``'distributed'`` is the second recursion level -- super-block
+    grouped resolution, driver solve of the PORT forest only, and
+    need-row-routed sink delivery back to the referencing supers, so
+    nothing driver-held or broadcast exceeds the cross-super edge
+    count); one final per-block pass stamps the labels, receiving its
+    entry sinks via a bk-keyed union+groupby in the distributed tier
+    instead of a perimeter-sized ``ray.put`` dict.
 
     Returns (row, col, sink_row, sink_col) sorted by (row, col)."""
     import ray
 
+    if forest_tier not in ("auto", "driver", "distributed"):
+        raise ValueError(f"unknown forest_tier: {forest_tier}")
     d8 = tile_flow_direction(tiles, stride=stride)
 
     def add_block(batch: pa.Table) -> pa.Table:
@@ -1207,19 +1561,17 @@ def watershed_labels(
     blocked = d8.map_batches(
         add_block, batch_format="pyarrow", batch_size=None
     ).materialize()
+    OFF = 1 << 31
 
     def block_phase(group: pa.Table) -> pa.Table:
-        """kind 0: node -> in-block terminal (r2, c2) or exit target
-        (kind 1).  kind 2: boundary entry -> exit/terminal route (same
-        encoding) for the inter-block walk."""
+        """Perimeter-bounded: ONLY kind-2 rows (boundary entry ->
+        in-block terminal (r2, c2) or exit target + OFF, with the last
+        in-block cell in (r3, c3))."""
         rows = group["row"].to_numpy(zero_copy_only=False)
         cols = group["col"].to_numpy(zero_copy_only=False)
         codes = group["d8"].to_numpy(zero_copy_only=False)
         br, bc = int(rows[0]) // block, int(cols[0]) // block
         nxt = _block_next(rows, cols, codes, br, bc, block)
-        # compress every node to its in-block end (memoized walk):
-        # end[p] = (terminal sink | None, exit target | None,
-        #           last in-block cell of the walk)
         end: dict = {}
 
         def resolve(p):
@@ -1235,23 +1587,23 @@ def watershed_labels(
                     end[q] = (None, t[1], q)
                     break
                 q = t
+            res = end[q]
             for s in path:
-                end[s] = end[path[-1]] if path[-1] in end else end[q]
-            return end[p]
+                end[s] = res
+            return res
 
-        r1, c1, r2, c2, r3, c3, kind = [], [], [], [], [], [], []
+        r1, c1, r2, c2, r3, c3 = [], [], [], [], [], []
         for p in nxt:
+            if not _is_boundary(p, br, bc, block):
+                continue
             term, exit_t, last = resolve(p)
-            is_entry = _is_boundary(p, br, bc, block)
-            for k in (0,) if not is_entry else (0, 2):
-                r1.append(p[0]); c1.append(p[1])
-                if term is not None:
-                    r2.append(term[0]); c2.append(term[1])
-                else:
-                    r2.append(exit_t[0] + (1 << 31))
-                    c2.append(exit_t[1] + (1 << 31))
-                r3.append(last[0]); c3.append(last[1])
-                kind.append(k)
+            r1.append(p[0]); c1.append(p[1])
+            if term is not None:
+                r2.append(term[0]); c2.append(term[1])
+            else:
+                r2.append(exit_t[0] + OFF)
+                c2.append(exit_t[1] + OFF)
+            r3.append(last[0]); c3.append(last[1])
         return pa.table(
             {
                 "r1": pa.array(np.asarray(r1, np.int64)),
@@ -1260,51 +1612,88 @@ def watershed_labels(
                 "c2": pa.array(np.asarray(c2, np.int64)),
                 "r3": pa.array(np.asarray(r3, np.int64)),
                 "c3": pa.array(np.asarray(c3, np.int64)),
-                "kind": pa.array(np.asarray(kind, np.int64)),
+                "kind": pa.array(
+                    np.full(len(r1), 2, np.int64)
+                ),
             }
         )
 
     phase_b = blocked.groupby("bk").map_groups(
         block_phase, batch_format="pyarrow"
-    )
-    parts = [
-        t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
-        for t in phase_b.iter_batches(batch_format="pyarrow", batch_size=None)
-        if t.num_rows
-    ]
+    ).materialize()
     empty = pa.table(
         {"row": pa.array([], pa.int64()), "col": pa.array([], pa.int64()),
          "sink_row": pa.array([], pa.int64()),
          "sink_col": pa.array([], pa.int64())}
     )
-    if not parts:
-        return empty
-    allp = pa.concat_tables(parts)
-    k = allp["kind"].to_numpy(zero_copy_only=False)
-    r1 = allp["r1"].to_numpy(zero_copy_only=False)
-    c1 = allp["c1"].to_numpy(zero_copy_only=False)
-    r2 = allp["r2"].to_numpy(zero_copy_only=False)
-    c2 = allp["c2"].to_numpy(zero_copy_only=False)
-    OFF = 1 << 31
-    r3 = allp["r3"].to_numpy(zero_copy_only=False)
-    c3 = allp["c3"].to_numpy(zero_copy_only=False)
-    # entry routing: entry -> ("SINK", in-block terminal) or
-    # ("OUT", next cell, last in-block cell)
-    route = {}
-    for a, b, x, y, lr, lc in zip(
-        r1[k == 2], c1[k == 2], r2[k == 2], c2[k == 2],
-        r3[k == 2], c3[k == 2],
-    ):
+    n_entries = phase_b.count()
+    if forest_tier == "auto":
+        tier = "distributed" if n_entries > max_driver_entries else "driver"
+    else:
+        tier = forest_tier
+
+    def _route_of(a, b, x, y, lr, lc):
         x, y = int(x), int(y)
         if x >= OFF:
-            route[(int(a), int(b))] = (
-                "OUT", (x - OFF, y - OFF), (int(lr), int(lc))
-            )
-        else:
-            route[(int(a), int(b))] = ("SINK", (x, y), (int(lr), int(lc)))
-    # resolve every entry to its global POUR POINT: the last valid
-    # cell of its path (an exit whose target is not a valid node stops
-    # AT the crossing cell)
+            return (int(a), int(b)), ("OUT", (x - OFF, y - OFF),
+                                      (int(lr), int(lc)))
+        return (int(a), int(b)), ("SINK", (x, y), (int(lr), int(lc)))
+
+    if tier == "driver" or n_entries == 0:
+        allp = _collect_tables(phase_b)
+        route: dict = {}
+        if allp is not None and allp.num_rows:
+            for a, b, x, y, lr, lc in zip(
+                allp["r1"].to_pylist(), allp["c1"].to_pylist(),
+                allp["r2"].to_pylist(), allp["c2"].to_pylist(),
+                allp["r3"].to_pylist(), allp["c3"].to_pylist(),
+            ):
+                e, r = _route_of(a, b, x, y, lr, lc)
+                route[e] = r
+        sink_of = _solve_sink_forest(route)
+        sink_ref = ray.put(sink_of)
+
+        def final_phase(group: pa.Table) -> pa.Table:
+            return _ws_final_block(group, block, ray.get(sink_ref))
+
+        final = blocked.groupby("bk").map_groups(
+            final_phase, batch_format="pyarrow"
+        )
+    else:
+        entry_rows = _ws_entry_sinks_distributed(
+            phase_b, block, super_factor, OFF, _route_of
+        )
+        # entry sinks ride the d8 column as -(r * 2^31 + c + 1): real
+        # d8 codes are >= 0, rows/cols < 2^31, so the encoding is
+        # collision-free and unions with the blocked schema directly
+        final = blocked.union(entry_rows).groupby("bk").map_groups(
+            lambda g: _ws_final_block(
+                g.filter(pc.greater_equal(g["d8"], 0)), block,
+                {
+                    (int(r), int(c)): divmod(-int(d) - 1, OFF)
+                    for r, c, d in zip(
+                        g.filter(pc.less(g["d8"], 0))["row"].to_pylist(),
+                        g.filter(pc.less(g["d8"], 0))["col"].to_pylist(),
+                        g.filter(pc.less(g["d8"], 0))["d8"].to_pylist(),
+                    )
+                },
+            ),
+            batch_format="pyarrow",
+        )
+
+    out = _collect_tables(final)
+    if out is None or out.num_rows == 0:
+        return empty
+    order = pc.sort_indices(
+        out, sort_keys=[("row", "ascending"), ("col", "ascending")]
+    )
+    return out.take(order)
+
+
+def _solve_sink_forest(route: dict) -> dict:
+    """Memoized walk over an entry forest with SINK/OUT edges: entry ->
+    global pour point (an OUT edge whose target has no route stops AT
+    the crossing cell)."""
     sink_of: dict = {}
 
     def resolve_entry(e):
@@ -1320,67 +1709,299 @@ def watershed_labels(
                 sink_of[q] = last
                 break
             q = t
+        res = sink_of[q]
         for s in chain:
-            sink_of[s] = sink_of[chain[-1]] if chain[-1] in sink_of else sink_of[q]
-        return sink_of[e]
+            sink_of[s] = res
+        return res
 
     for e in route:
         resolve_entry(e)
-    sink_ref = ray.put(sink_of)
+    return sink_of
 
-    def final_phase(group: pa.Table) -> pa.Table:
-        rows = group["row"].to_numpy(zero_copy_only=False)
-        cols = group["col"].to_numpy(zero_copy_only=False)
-        codes = group["d8"].to_numpy(zero_copy_only=False)
-        br, bc = int(rows[0]) // block, int(cols[0]) // block
-        nxt = _block_next(rows, cols, codes, br, bc, block)
-        sinks = ray.get(sink_ref)
-        end: dict = {}
 
-        def resolve(p):
-            chain = []
-            q = p
-            while q not in end:
-                chain.append(q)
-                t = nxt[q]
-                if t is None:
-                    end[q] = q
-                    break
-                if t[0] == "OUT":
-                    end[q] = sinks.get(t[1], q)
-                    break
-                q = t
-            for s in chain:
-                end[s] = end[chain[-1]] if chain[-1] in end else end[q]
-            return end[p]
-
-        rr = np.empty(len(rows), np.int64)
-        cc = np.empty(len(rows), np.int64)
-        sr = np.empty(len(rows), np.int64)
-        sc = np.empty(len(rows), np.int64)
-        for i, (r, c) in enumerate(zip(rows, cols)):
-            s = resolve((int(r), int(c)))
-            rr[i] = r; cc[i] = c; sr[i] = s[0]; sc[i] = s[1]
+def _ws_final_block(group: pa.Table, block: int, sinks: dict) -> pa.Table:
+    """Stamp pass for ONE block: each cell resolves to its in-block end
+    (pit -> itself; exit -> the delivered global sink of the exit
+    target, falling back to the crossing cell when the target is
+    invalid)."""
+    if group.num_rows == 0:
         return pa.table(
-            {"row": pa.array(rr), "col": pa.array(cc),
-             "sink_row": pa.array(sr), "sink_col": pa.array(sc)}
+            {"row": pa.array([], pa.int64()),
+             "col": pa.array([], pa.int64()),
+             "sink_row": pa.array([], pa.int64()),
+             "sink_col": pa.array([], pa.int64())}
+        )
+    rows = group["row"].to_numpy(zero_copy_only=False)
+    cols = group["col"].to_numpy(zero_copy_only=False)
+    codes = group["d8"].to_numpy(zero_copy_only=False)
+    br, bc = int(rows[0]) // block, int(cols[0]) // block
+    nxt = _block_next(rows, cols, codes, br, bc, block)
+    end: dict = {}
+
+    def resolve(p):
+        chain = []
+        q = p
+        while q not in end:
+            chain.append(q)
+            t = nxt[q]
+            if t is None:
+                end[q] = q
+                break
+            if t[0] == "OUT":
+                end[q] = sinks.get(t[1], q)
+                break
+            q = t
+        res = end[q]
+        for s in chain:
+            end[s] = res
+        return res
+
+    rr = np.empty(len(rows), np.int64)
+    cc = np.empty(len(rows), np.int64)
+    sr = np.empty(len(rows), np.int64)
+    sc = np.empty(len(rows), np.int64)
+    for i, (r, c) in enumerate(zip(rows, cols)):
+        s = resolve((int(r), int(c)))
+        rr[i] = r; cc[i] = c; sr[i] = s[0]; sc[i] = s[1]
+    return pa.table(
+        {"row": pa.array(rr), "col": pa.array(cc),
+         "sink_row": pa.array(sr), "sink_col": pa.array(sc)}
+    )
+
+
+def _ws_entry_sinks_distributed(
+    phase_b: ray.data.Dataset, block: int, super_factor: int,
+    OFF: int, _route_of,
+) -> ray.data.Dataset:
+    """Second recursion level for watershed (VERDICT r3 item 4).
+
+    Round 1 (grouped shuffle by super-block): each super-group
+    route-compresses its PORTS (cross-super targets, announced by
+    kind-3 marker rows in the same shuffle) to an in-super SINK or the
+    next cross-super target, and emits one NEED row per distinct
+    cross-super target it references so sinks can later be routed back
+    to exactly the supers that use them.  The driver solves only the
+    port forest.  Round 2 (grouped shuffle): delivered port sinks
+    (kind-4 rows) let each super-group resolve ALL of its entries;
+    results are emitted keyed by the entry's block with the sink
+    encoded into a negative d8 for a schema-compatible union with the
+    blocked node table."""
+    import ray
+
+    sb = block * super_factor
+
+    def add_sbk(batch: pa.Table) -> pa.Table:
+        r1 = batch["r1"].to_numpy(zero_copy_only=False)
+        c1 = batch["c1"].to_numpy(zero_copy_only=False)
+        r2 = batch["r2"].to_numpy(zero_copy_only=False)
+        c2 = batch["c2"].to_numpy(zero_copy_only=False)
+        sbk = (r1 // sb) * 100000 + (c1 // sb)
+        out = batch.append_column("sbk", pa.array(sbk))
+        is_out = r2 >= OFF
+        tr = np.where(is_out, r2 - OFF, 0)
+        tc = np.where(is_out, c2 - OFF, 0)
+        cross = is_out & (
+            ((tr // sb) != (r1 // sb)) | ((tc // sb) != (c1 // sb))
+        )
+        if not cross.any():
+            return out
+        n = int(cross.sum())
+        markers = pa.table(
+            {
+                "r1": pa.array(tr[cross]),
+                "c1": pa.array(tc[cross]),
+                "r2": pa.array(np.zeros(n, np.int64)),
+                "c2": pa.array(np.zeros(n, np.int64)),
+                "r3": pa.array(np.zeros(n, np.int64)),
+                "c3": pa.array(np.zeros(n, np.int64)),
+                "kind": pa.array(np.full(n, 3, np.int64)),
+                "sbk": pa.array(
+                    (tr[cross] // sb) * 100000 + (tc[cross] // sb)
+                ),
+            }
+        )
+        return pa.concat_tables([out, markers])
+
+    l2 = phase_b.map_batches(
+        add_sbk, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+    def _parse(group: pa.Table):
+        k = group["kind"].to_numpy(zero_copy_only=False)
+        routes: dict = {}
+        ports = set()
+        for a, b, x, y, lr, lc, kk in zip(
+            group["r1"].to_pylist(), group["c1"].to_pylist(),
+            group["r2"].to_pylist(), group["c2"].to_pylist(),
+            group["r3"].to_pylist(), group["c3"].to_pylist(),
+            k,
+        ):
+            if kk == 2:
+                e, r = _route_of(a, b, x, y, lr, lc)
+                routes[e] = r
+            elif kk == 3:
+                ports.add((int(a), int(b)))
+        return routes, ports
+
+    def _resolve_super(routes: dict, e, memo: dict):
+        """e -> ("SINK", s) or ("OUT", cross-super target, last)."""
+        chain = []
+        q = e
+        while q not in memo:
+            chain.append(q)
+            tag, t, last = routes[q]
+            if tag == "SINK":
+                memo[q] = ("SINK", t)
+                break
+            if t in routes:
+                if (t[0] // sb, t[1] // sb) == (q[0] // sb, q[1] // sb):
+                    q = t
+                    continue
+                # target is in routes only when same-group; different
+                # super cannot be in this group's routes
+            if (t[0] // sb, t[1] // sb) == (e[0] // sb, e[1] // sb):
+                # same super, no route row -> invalid target: pour
+                # point is the crossing cell
+                memo[q] = ("SINK", last)
+            else:
+                memo[q] = ("OUT", t, last)
+            break
+        res = memo[q]
+        for s in chain:
+            memo[s] = res
+        return res
+
+    def super_phase(group: pa.Table) -> pa.Table:
+        routes, ports = _parse(group)
+        memo: dict = {}
+        r1, c1, r2, c2, r3, c3, kind = [], [], [], [], [], [], []
+        need = set()
+        for p in ports:
+            if p not in routes:
+                continue  # invalid port: upstream supers fall back
+            res = _resolve_super(routes, p, memo)
+            r1.append(p[0]); c1.append(p[1])
+            if res[0] == "SINK":
+                r2.append(res[1][0]); c2.append(res[1][1])
+                r3.append(0); c3.append(0)
+            else:
+                r2.append(res[1][0] + OFF); c2.append(res[1][1] + OFF)
+                r3.append(res[2][0]); c3.append(res[2][1])
+                need.add(res[1])
+            kind.append(2)
+        # NEED rows: every distinct cross-super target referenced by
+        # ANY of this group's entries (ports or not) -- round 2 must
+        # be able to resolve all of them
+        this_sbk = int(group["sbk"][0].as_py())
+        for e in routes:
+            res = _resolve_super(routes, e, memo)
+            if res[0] == "OUT":
+                need.add(res[1])
+        for t in need:
+            r1.append(t[0]); c1.append(t[1])
+            r2.append(this_sbk); c2.append(0)
+            r3.append(0); c3.append(0)
+            kind.append(5)
+        return pa.table(
+            {
+                "r1": pa.array(np.asarray(r1, np.int64)),
+                "c1": pa.array(np.asarray(c1, np.int64)),
+                "r2": pa.array(np.asarray(r2, np.int64)),
+                "c2": pa.array(np.asarray(c2, np.int64)),
+                "r3": pa.array(np.asarray(r3, np.int64)),
+                "c3": pa.array(np.asarray(c3, np.int64)),
+                "kind": pa.array(np.asarray(kind, np.int64)),
+            }
         )
 
-    final = blocked.groupby("bk").map_groups(
-        final_phase, batch_format="pyarrow"
+    ports_out = _collect_tables(
+        l2.groupby("sbk").map_groups(super_phase, batch_format="pyarrow")
     )
-    fparts = [
-        t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
-        for t in final.iter_batches(batch_format="pyarrow", batch_size=None)
-        if t.num_rows
+    routes3: dict = {}
+    needs: list = []
+    if ports_out is not None and ports_out.num_rows:
+        for a, b, x, y, lr, lc, kk in zip(
+            ports_out["r1"].to_pylist(), ports_out["c1"].to_pylist(),
+            ports_out["r2"].to_pylist(), ports_out["c2"].to_pylist(),
+            ports_out["r3"].to_pylist(), ports_out["c3"].to_pylist(),
+            ports_out["kind"].to_pylist(),
+        ):
+            if kk == 2:
+                e, r = _route_of(a, b, x, y, lr, lc)
+                routes3[e] = r
+            elif kk == 5:
+                needs.append(((int(a), int(b)), int(x)))  # (target, sbk)
+    port_sink = _solve_sink_forest(routes3)
+    # route each needed port sink to exactly the supers that asked
+    rows_k4 = [
+        (need_sbk, t, port_sink[t])
+        for t, need_sbk in needs
+        if t in port_sink
     ]
-    if not fparts:
-        return empty
-    out = pa.concat_tables(fparts)
-    order = pc.sort_indices(
-        out, sort_keys=[("row", "ascending"), ("col", "ascending")]
+    if rows_k4:
+        k4 = pa.table(
+            {
+                "r1": pa.array([r[1][0] for r in rows_k4], pa.int64()),
+                "c1": pa.array([r[1][1] for r in rows_k4], pa.int64()),
+                "r2": pa.array([r[2][0] for r in rows_k4], pa.int64()),
+                "c2": pa.array([r[2][1] for r in rows_k4], pa.int64()),
+                "r3": pa.array([0] * len(rows_k4), pa.int64()),
+                "c3": pa.array([0] * len(rows_k4), pa.int64()),
+                "kind": pa.array([4] * len(rows_k4), pa.int64()),
+                "sbk": pa.array([r[0] for r in rows_k4], pa.int64()),
+            }
+        )
+        l2b = l2.union(ray.data.from_arrow(k4))
+    else:
+        l2b = l2
+
+    def final_super(group: pa.Table) -> pa.Table:
+        k = group["kind"].to_numpy(zero_copy_only=False)
+        routes, _ = _parse(group.filter(pa.array(k != 4)))
+        delivered = {
+            (int(a), int(b)): (int(x), int(y))
+            for a, b, x, y in zip(
+                group.filter(pa.array(k == 4))["r1"].to_pylist(),
+                group.filter(pa.array(k == 4))["c1"].to_pylist(),
+                group.filter(pa.array(k == 4))["r2"].to_pylist(),
+                group.filter(pa.array(k == 4))["c2"].to_pylist(),
+            )
+        }
+        memo: dict = {}
+        rr, cc, dd, bb = [], [], [], []
+        for e in routes:
+            res = _resolve_super(routes, e, memo)
+            if res[0] == "SINK":
+                s = res[1]
+            else:
+                s = delivered.get(res[1], res[2])
+            # deliver e's sink to the blocks that can REFERENCE e (the
+            # <=3 adjacent blocks one D8 step away) -- the consuming
+            # block's stamp pass looks sinks up by its OUT target,
+            # which lives in a NEIGHBOR block, never its own
+            br, bc = e[0] // block, e[1] // block
+            nbs = {
+                ((e[0] + dr) // block, (e[1] + dc) // block)
+                for dr in (-1, 0, 1) for dc in (-1, 0, 1)
+            } - {(br, bc)}
+            for nb in nbs:
+                if nb[0] < 0 or nb[1] < 0:
+                    continue
+                rr.append(e[0]); cc.append(e[1])
+                dd.append(-(s[0] * OFF + s[1] + 1))
+                bb.append(nb[0] * 100000 + nb[1])
+        return pa.table(
+            {
+                "row": pa.array(np.asarray(rr, np.int64)),
+                "col": pa.array(np.asarray(cc, np.int64)),
+                "d8": pa.array(np.asarray(dd, np.int64)),
+                "bk": pa.array(np.asarray(bb, np.int64)),
+            }
+        )
+
+    return l2b.groupby("sbk").map_groups(
+        final_super, batch_format="pyarrow"
     )
-    return out.take(order)
 
 
 def watershed_reference(d8_table: pa.Table) -> dict:
