@@ -223,3 +223,177 @@ class TestRealDecodeStage:
 
         with pytest.raises(NotImplementedError):
             _decode_real(b"\x00\x00\x00\x18ftypmp42", "video/mp4")
+
+
+class TestJPEG:
+    """Baseline JFIF codec (VERDICT r3 item 3): hand-assembled byte
+    fixture with an ANALYTIC expected decode (DC-only block), flat-
+    block exactness, and encoder->decoder round-trips across
+    grayscale / 4:4:4 / 4:2:0 / restart-marker paths."""
+
+    def _hand_built_dc_only(self) -> bytes:
+        """8x8 grayscale, one DC-only block: dc_q=3, q00=16 ->
+        every pixel EXACTLY round(3*16/8) + 128 = 134."""
+        from tiff_to_geojson_csv_json_format_converter_ray.sources.media import (
+            _H_AC_LUMA, _H_DC_LUMA,
+        )
+
+        out = bytearray(b"\xff\xd8")
+        q = bytes([16] + [1] * 63)  # zigzag order; only q[0] matters
+        out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + q
+        out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 8, 8, 1) \
+            + bytes([1, 0x11, 0])
+        for tc, spec in ((0, _H_DC_LUMA), (1, _H_AC_LUMA)):
+            bits, vals = spec
+            body = bytes([tc << 4]) + bytes(bits) + bytes(vals)
+            out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1) \
+            + bytes([1, 0x00, 0, 63, 0])
+        # entropy: DC cat 2 ('011') + bits '11' (=3), EOB ('1010'),
+        # padded with 1s -> 0111 1101 0111 1111
+        out += bytes([0x7D, 0x7F])
+        out += b"\xff\xd9"
+        return bytes(out)
+
+    def test_hand_built_dc_only_exact(self):
+        from tiff_to_geojson_csv_json_format_converter_ray.sources.media import (
+            decode_jpeg,
+        )
+
+        got = decode_jpeg(self._hand_built_dc_only())
+        assert got.shape == (8, 8, 3)
+        assert (got == 134).all()
+
+    def test_flat_blocks_exact(self):
+        """Flat 8x8 blocks with even gray values survive quality-50
+        Annex-K quantization EXACTLY (q00=16 divides 8*(v-128) when v
+        is even): decode == input, bit for bit."""
+        from tiff_to_geojson_csv_json_format_converter_ray.sources.media import (
+            decode_jpeg, encode_jpeg,
+        )
+
+        rng = np.random.RandomState(7)
+        blocks = rng.randint(0, 128, size=(4, 6), dtype=np.int64) * 2
+        img = np.repeat(np.repeat(blocks, 8, 0), 8, 1).astype(np.uint8)
+        got = decode_jpeg(encode_jpeg(img, quality=50))
+        assert (got[:, :, 0] == img).all()
+        assert (got[:, :, 1] == img).all()
+
+    @pytest.mark.parametrize("quality,tol", [(95, 6), (75, 14)])
+    def test_roundtrip_gray(self, quality, tol):
+        from tiff_to_geojson_csv_json_format_converter_ray.sources.media import (
+            decode_jpeg, encode_jpeg,
+        )
+
+        r, c = np.meshgrid(np.arange(40), np.arange(56), indexing="ij")
+        img = (
+            128 + 60 * np.sin(r / 9.0) + 50 * np.cos(c / 11.0)
+        ).clip(0, 255).astype(np.uint8)
+        got = decode_jpeg(encode_jpeg(img, quality=quality))
+        assert got.shape == (40, 56, 3)
+        err = np.abs(got[:, :, 0].astype(int) - img.astype(int))
+        assert err.max() <= tol, err.max()
+
+    def test_roundtrip_color_444(self):
+        from tiff_to_geojson_csv_json_format_converter_ray.sources.media import (
+            decode_jpeg, encode_jpeg,
+        )
+
+        r, c = np.meshgrid(np.arange(24), np.arange(32), indexing="ij")
+        img = np.stack(
+            [
+                (128 + 50 * np.sin(r / 7.0)).clip(0, 255),
+                (128 + 50 * np.cos(c / 9.0)).clip(0, 255),
+                (120 + (r + c) % 40).clip(0, 255),
+            ],
+            axis=2,
+        ).astype(np.uint8)
+        got = decode_jpeg(encode_jpeg(img, quality=92))
+        err = np.abs(got.astype(int) - img.astype(int))
+        assert err.max() <= 18, err.max()
+
+    def test_roundtrip_420_subsampled_and_restarts(self):
+        from tiff_to_geojson_csv_json_format_converter_ray.sources.media import (
+            decode_jpeg, encode_jpeg,
+        )
+
+        r, c = np.meshgrid(np.arange(48), np.arange(48), indexing="ij")
+        img = np.stack(
+            [
+                (100 + r).clip(0, 255),
+                (100 + c).clip(0, 255),
+                (90 + (r + c) // 2).clip(0, 255),
+            ],
+            axis=2,
+        ).astype(np.uint8)
+        for ri in (0, 2):
+            got = decode_jpeg(
+                encode_jpeg(img, quality=92, subsample=True,
+                            restart_interval=ri)
+            )
+            assert got.shape == (48, 48, 3)
+            # chroma is 2x2-averaged: luma-dominated tolerance
+            err = np.abs(got.astype(int) - img.astype(int))
+            assert err.max() <= 24, (ri, err.max())
+
+    def test_non_multiple_of_8_and_odd_sizes(self):
+        from tiff_to_geojson_csv_json_format_converter_ray.sources.media import (
+            decode_jpeg, encode_jpeg,
+        )
+
+        for shape in ((13, 21), (9, 8)):
+            img = (
+                np.arange(shape[0] * shape[1], dtype=np.int64)
+                .reshape(shape) * 7 % 256
+            ).astype(np.uint8)
+            got = decode_jpeg(encode_jpeg(img, quality=95))
+            assert got.shape == (shape[0], shape[1], 3)
+
+    def test_dispatcher_and_stage(self, ray_session):
+        """decode_media routes image/jpeg; the real-decoder actor-pool
+        stage decodes JPEG payloads end-to-end."""
+        import pyarrow as pa
+
+        from tiff_to_geojson_csv_json_format_converter_ray.sources.media import (
+            encode_jpeg,
+        )
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.multimodal import (
+            MEDIA_SCHEMA, MediaDecode,
+        )
+
+        img = np.full((16, 16), 150, np.uint8)
+        payload = encode_jpeg(img, quality=50)
+        arr = decode_media(payload, "image/jpeg")
+        assert arr.shape == (16, 16, 3)
+        assert (arr == 150).all()
+        import ray.data
+
+        tbl = pa.table(
+            {
+                "media_id": ["j0"], "media_type": ["image/jpeg"],
+                "payload": pa.array([payload], pa.binary()),
+                "width": pa.array([16], pa.int32()),
+                "height": pa.array([16], pa.int32()),
+                "sample_rate": pa.array([0], pa.int32()),
+            },
+            schema=MEDIA_SCHEMA,
+        )
+        out = (
+            ray.data.from_arrow(tbl)
+            .map_batches(
+                MediaDecode(decoder="real"), batch_format="pyarrow",
+                batch_size=None,
+            )
+            .take_all()
+        )
+        assert out[0]["pixel_mean"] == pytest.approx(150.0)
+
+    def test_progressive_rejected(self):
+        from tiff_to_geojson_csv_json_format_converter_ray.sources.media import (
+            decode_jpeg,
+        )
+
+        bad = b"\xff\xd8" + b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 8, 1) \
+            + bytes([1, 0x11, 0]) + b"\xff\xd9"
+        with pytest.raises(MediaCodecError, match="progressive"):
+            decode_jpeg(bad)

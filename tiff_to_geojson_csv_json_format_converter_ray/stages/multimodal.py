@@ -5,13 +5,13 @@ Media payloads are opaque ``binary`` columns with typed metadata
 feature-extract / resize / frame-sample run as actor-pool
 ``map_batches`` stages with small batches (payloads are large).
 
-Decode (round 3): ``decoder='real'`` now routes PNG / BMP / PPM images
-and PCM WAV audio through the from-scratch stdlib codecs in
-``sources/media.py`` (same policy as the GeoTIFF codec).  Formats that
-genuinely need a native library (JPEG, MP4, webm) still raise --
-honestly -- from the dispatcher; ``decoder='fake'`` keeps the
-deterministic seeded fake for plumbing tests and for payloads of any
-type.
+Decode: ``decoder='real'`` routes PNG / BMP / PPM / JPEG (round-4
+baseline JFIF codec) images and PCM WAV audio through the from-scratch
+stdlib codecs in ``sources/media.py`` (same policy as the GeoTIFF
+codec).  Formats that genuinely need a native library (MP4 / webm
+video) still raise -- honestly -- from the dispatcher;
+``decoder='fake'`` keeps the deterministic seeded fake for plumbing
+tests and for payloads of any type.
 """
 
 from __future__ import annotations
@@ -40,6 +40,7 @@ def _decode_real(payload: bytes, media_type: str) -> np.ndarray:
     try:
         return decode_media(payload, media_type)
     except MediaCodecError as e:
+        # round 4: only VIDEO containers (mp4/webm) remain stubbed
         raise NotImplementedError(
             f"no from-scratch codec for this payload ({e}); "
             "use decoder='fake' or plug a codec library in here"
@@ -250,6 +251,37 @@ def gen_media_grid(n: int = 24, size: int = 32, n_base: int = 16) -> pa.Table:
         {
             "media_id": pa.array(ids),
             "media_type": pa.array(["image/png"] * n),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array([size] * n, pa.int32()),
+            "height": pa.array([size] * n, pa.int32()),
+            "sample_rate": pa.array([0] * n, pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def gen_media_grid_jpeg(n: int = 18, size: int = 32) -> pa.Table:
+    """Flat-block JPEG fixture: image ``i`` is a (size/8)^2 grid of
+    flat 8x8 blocks with ``v(br, bc, i) = ((br*73 + bc*31 + i*17) %
+    128) * 2``.  Even gray values survive Annex-K quality-50
+    quantization EXACTLY (q00 = 16 divides 8*(v-128)), so the decode
+    is bit-exact and the closed-form block rule is SQL-oracleable --
+    the GeoTIFF-playbook fixture for the from-scratch JPEG codec."""
+    from ..sources.media import encode_jpeg
+
+    nb = size // 8
+    br = np.arange(nb, dtype=np.int64)[:, None]
+    bc = np.arange(nb, dtype=np.int64)[None, :]
+    ids, payloads = [], []
+    for i in range(n):
+        v = (((br * 73 + bc * 31 + i * 17) % 128) * 2).astype(np.uint8)
+        img = np.repeat(np.repeat(v, 8, 0), 8, 1)
+        ids.append(f"j{i}")
+        payloads.append(encode_jpeg(img, quality=50))
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "media_type": pa.array(["image/jpeg"] * n),
             "payload": pa.array(payloads, pa.binary()),
             "width": pa.array([size] * n, pa.int32()),
             "height": pa.array([size] * n, pa.int32()),
