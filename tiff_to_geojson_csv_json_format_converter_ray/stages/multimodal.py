@@ -345,6 +345,16 @@ def image_ahash_pairs(
     ]
     tbl = pa.concat_tables([t for t in parts if t.num_rows])
     ids = tbl["media_id"].to_pylist()
+    lens = {len(b) for b in tbl["bits"].to_pylist()}
+    if len(lens) > 1:
+        # ADVICE r3: mixed image sizes would make a ragged object
+        # array and crash cryptically below -- fail loudly (signatures
+        # are fixed-width by construction; a mismatch means the caller
+        # mixed signature schemes)
+        raise ValueError(
+            f"non-uniform signature lengths {sorted(lens)}; all images "
+            "must produce the same bit-vector width"
+        )
     mat = np.array(tbl["bits"].to_pylist(), np.int64)
     order = np.argsort(np.asarray(ids))
     ids = [ids[int(i)] for i in order]
@@ -414,6 +424,16 @@ def image_dhash_pairs(
     ]
     tbl = pa.concat_tables([t for t in parts if t.num_rows])
     ids = tbl["media_id"].to_pylist()
+    lens = {len(b) for b in tbl["bits"].to_pylist()}
+    if len(lens) > 1:
+        # ADVICE r3: mixed image sizes would make a ragged object
+        # array and crash cryptically below -- fail loudly (signatures
+        # are fixed-width by construction; a mismatch means the caller
+        # mixed signature schemes)
+        raise ValueError(
+            f"non-uniform signature lengths {sorted(lens)}; all images "
+            "must produce the same bit-vector width"
+        )
     mat = np.array(tbl["bits"].to_pylist(), np.int64)
     order = np.argsort(np.asarray(ids))
     ids = [ids[int(i)] for i in order]

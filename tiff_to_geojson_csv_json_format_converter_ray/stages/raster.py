@@ -99,6 +99,15 @@ def _emit_halos_impl(
     values = batch["values"]
     for i in range(n):
         h, w = hs[i], ws[i]
+        if h < halo or w < halo:
+            # ADVICE r3: strips only reach IMMEDIATE neighbors, so a
+            # tile smaller than the halo would silently starve its
+            # second-ring receivers (binom5's nok==25 mask would then
+            # drop valid boundary pixels) -- fail loudly instead
+            raise ValueError(
+                f"tile {h}x{w} smaller than halo={halo}: retile the "
+                "input so every tile dimension is >= the halo width"
+            )
         arr = np.asarray(values[i].as_py(), np.float32).reshape(h, w)
         # the tile itself (rel 0,0)
         out_key.append(_halo_key(src[i], band[i], r_off[i], c_off[i]))
