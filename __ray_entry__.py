@@ -16,57757 +16,9 @@ Ray is initialised by the driver BEFORE this module is imported: nothing
 here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
-from __future__ import annotations
-
-import os
-from collections.abc import Callable
-from typing import Any
-
-import numpy as np
-import pyarrow as pa
-
-from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
-    grouped_by_key as _grouped_by_key,
+from tiff_to_geojson_csv_json_format_converter_ray.queries import (  # noqa: F401
+    _REGISTRY_HEAD,
+    entry,
+    oracle_sql,
+    queries,
 )
-
-from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-    round_half_away,
-    scaled_int,
-)
-
-
-def _read_pq(path, **kwargs):
-    """Size-aware read: block count derived from on-disk bytes so the
-    small-sf query tables don't shatter into dozens of tiny read tasks
-    (sources/reader.py); identical semantics to ray.data.read_parquet."""
-    from tiff_to_geojson_csv_json_format_converter_ray.sources.reader import (
-        read_parquet_auto,
-    )
-
-    return read_parquet_auto(path, **kwargs)
-
-
-# ----------------------------------------------------------------- oracle grid
-# FROZEN spec -- mirrored literally in the SQL strings below.
-OG_H = 96
-OG_W = 96
-OG_TILE = 48
-OG_TRANSFORM = (0.01, 0.0, 77.0, 0.0, -0.01, 29.0)
-OG_NODATA = -3.4028234663852886e38  # float32 lowest
-OG_SAMPLE_RATE = OG_H * OG_W // 2000  # stride rate (doesSamples.py:74-77)
-
-# convex CCW quads inside the grid footprint (lon [77.0, 77.96],
-# lat [28.04, 29.0]): q0/q1 overlap; q_out misses the grid entirely.
-# No axis-parallel edges; vertices off the pixel-center lattice.
-OG_POLYGONS = {
-    "q0": [(77.081, 28.153), (77.552, 28.081), (77.853, 28.522), (77.351, 28.901)],
-    "q1": [(77.402, 28.303), (77.901, 28.202), (77.802, 28.751), (77.501, 28.602)],
-    "q_out": [(85.1, 20.2), (86.2, 20.3), (86.0, 21.4), (85.2, 21.3)],
-}
-
-OG_KNN_PROBES = [
-    (77.1234, 28.7567),
-    (77.9001, 28.3002),
-    (77.4567, 28.1234),
-    (77.8999, 28.9101),
-]
-
-# probes FAR OUTSIDE the grid extent in every direction -- the regime
-# where round-1's ring-expansion cap silently returned the wrong
-# neighbor (ADVICE r1, functions/knn.py); oracled so the driver gate
-# pins the fix
-OG_KNN_OUTSIDE_PROBES = [
-    (90.0, 50.0),
-    (60.0, 5.0),
-    (77.25, -40.0),
-    (95.0, 80.0),
-    (-10.0, 28.0),
-]
-
-
-def _og_tiles_table(sparse_invalid: bool = False, tile: int = OG_TILE) -> pa.Table:
-    """Engine-side construction of the oracle grid as a tile table
-    (4 tiles of 48x48) -- values identical to the SQL expressions.
-
-    ``sparse_invalid`` switches to the slope fixture's nodata rule
-    ((r*5 + c*3) % 29 == 0, ~3.4%): the default rule's residues mod 11
-    cover EVERY 3x3 window, so no window is fully valid and focal
-    derivatives would be vacuously empty."""
-    from tiff_to_geojson_csv_json_format_converter_ray.schema import TILE_SCHEMA
-
-    rr, cc = np.meshgrid(np.arange(OG_H), np.arange(OG_W), indexing="ij")
-    raw = ((rr * 73 + cc * 31) % 500) / 10.0
-    vals = raw.astype(np.float32)
-    if sparse_invalid:
-        invalid = (rr * 5 + cc * 3) % 29 == 0
-    else:
-        invalid = (rr * 7 + cc * 13) % 11 < 3
-    vals[invalid] = np.float32(OG_NODATA)
-
-    ids, srcs, bands, ro, co, hs, ws, tr, crs, nd, values = ([] for _ in range(11))
-    for r0 in range(0, OG_H, tile):
-        for c0 in range(0, OG_W, tile):
-            ids.append(f"og_{r0}_{c0}")
-            srcs.append("oracle")
-            bands.append(1)
-            ro.append(r0)
-            co.append(c0)
-            hs.append(tile)
-            ws.append(tile)
-            tr.append(list(OG_TRANSFORM))
-            crs.append("EPSG:4326")
-            nd.append(OG_NODATA)
-            values.append(
-                vals[r0 : r0 + tile, c0 : c0 + tile].ravel().tolist()
-            )
-    return pa.table(
-        {
-            "tile_id": ids, "src": srcs,
-            "band": pa.array(bands, pa.int32()),
-            "row_off": pa.array(ro, pa.int32()),
-            "col_off": pa.array(co, pa.int32()),
-            "height": pa.array(hs, pa.int32()),
-            "width": pa.array(ws, pa.int32()),
-            "transform": pa.array(tr, pa.list_(pa.float64(), 6)),
-            "crs": crs,
-            "nodata": pa.array(nd, pa.float64()),
-            "values": pa.array(values, pa.list_(pa.float32())),
-        },
-        schema=TILE_SCHEMA,
-    )
-
-
-def _og_points_ds(valid_only: bool = False, cells: tuple[int, ...] = ()):
-    """Oracle grid -> point Dataset via the real pipeline stages."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.extract import (
-        TilePivot, master_widths_of,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.transform import (
-        ValidityFilter,
-    )
-
-    tiles = _og_tiles_table()
-    ds = ray.data.from_arrow(tiles)
-    pivot = TilePivot(
-        round_output=False,
-        reproject=True,
-        with_cells=cells,
-        master_widths=master_widths_of(tiles),
-    )
-    pts = ds.map_batches(pivot, batch_format="pyarrow", batch_size=None)
-    if valid_only:
-        pts = pts.map_batches(ValidityFilter("threshold"), batch_format="pyarrow", batch_size=None)
-    return pts
-
-
-# SQL fragment generating the identical grid (lon/lat/z/pix), the
-# float32 quantization included.
-_OG_GRID_SQL = f"""
-  SELECT
-    r.range AS row, c.range AS col,
-    (r.range * {OG_W} + c.range) AS pix,
-    CAST(CAST(77.0 + 0.01 * (CAST(c.range AS DOUBLE) + 0.5) AS REAL) AS DOUBLE) AS lon,
-    CAST(CAST(29.0 + (-0.01) * (CAST(r.range AS DOUBLE) + 0.5) AS REAL) AS DOUBLE) AS lat,
-    CASE WHEN (r.range * 7 + c.range * 13) % 11 < 3
-         THEN CAST(CAST(-3.4028234663852886e+38 AS REAL) AS DOUBLE)
-         ELSE CAST(CAST(((r.range * 73 + c.range * 31) % 500) / 10.0 AS REAL) AS DOUBLE)
-    END AS z
-  FROM range(0, {OG_H}) r, range(0, {OG_W}) c
-"""
-
-# the slope fixture's grid: same values, sparse nodata rule
-# (_og_tiles_table(sparse_invalid=True))
-_OG_SLOPE_GRID_SQL = f"""
-  SELECT
-    r.range AS row, c.range AS col,
-    CASE WHEN (r.range * 5 + c.range * 3) % 29 = 0
-         THEN CAST(CAST(-3.4028234663852886e+38 AS REAL) AS DOUBLE)
-         ELSE CAST(CAST(((r.range * 73 + c.range * 31) % 500) / 10.0 AS REAL) AS DOUBLE)
-    END AS z
-  FROM range(0, {OG_H}) r, range(0, {OG_W}) c
-"""
-
-
-def _corr_matrix_oracle_sql() -> str:
-    """Pairwise Pearson matrix from the SAME exact int64 moments the
-    engine accumulates (corr from SQL's CORR() would differ in float
-    summation order; this formulation is bit-reproducible)."""
-    cols = ["qty", "dollars", "disc_bp", "tax_bp"]
-    base = (
-        "WITH q AS (SELECT "
-        "CAST(ROUND(l_quantity, 0) AS BIGINT) AS qty, "
-        "CAST(ROUND(l_extendedprice, 0) AS BIGINT) AS dollars, "
-        "CAST(ROUND(l_discount * 10000, 0) AS BIGINT) AS disc_bp, "
-        "CAST(ROUND(l_tax * 10000, 0) AS BIGINT) AS tax_bp "
-        "FROM lineitem), m AS (SELECT "
-        "CAST(COUNT(*) AS DOUBLE) AS n, "
-    )
-    parts = []
-    for c in cols:
-        parts.append(f"CAST(SUM({c}) AS DOUBLE) AS s_{c}")
-        parts.append(f"CAST(SUM({c} * {c}) AS DOUBLE) AS ss_{c}")
-    for i, a in enumerate(cols):
-        for b in cols[i + 1:]:
-            parts.append(f"CAST(SUM({a} * {b}) AS DOUBLE) AS sp_{a}_{b}")
-    base += ", ".join(parts) + " FROM q) "
-    selects = []
-    for i, a in enumerate(cols):
-        for b in cols[i + 1:]:
-            selects.append(
-                f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
-                f"ROUND((n * sp_{a}_{b} - s_{a} * s_{b}) / "
-                f"(SQRT(n * ss_{a} - s_{a} * s_{a}) * "
-                f"SQRT(n * ss_{b} - s_{b} * s_{b})), 6) AS corr FROM m"
-            )
-    return base + " UNION ALL ".join(selects)
-
-
-
-def _perimeter_oracle_sql() -> str:
-    """Edge-quantized perimeter over the fixture polygons (mirrors
-    _q_polygon_perimeter's 1e9-tick edge terms)."""
-    rows = []
-    for pid, poly in OG_POLYGONS.items():
-        pts = list(poly)
-        if pts[0] == pts[-1]:
-            pts = pts[:-1]
-        for (x1, y1), (x2, y2) in zip(pts, pts[1:] + pts[:1]):
-            rows.append(f"('{pid}', {x1!r}, {y1!r}, {x2!r}, {y2!r})")
-    values = ", ".join(rows)
-    return (
-        f"WITH e0(pid, rx1, ry1, rx2, ry2) AS (VALUES {values}), "
-        "e AS (SELECT pid, CAST(rx1 AS DOUBLE) AS x1, "
-        "CAST(ry1 AS DOUBLE) AS y1, CAST(rx2 AS DOUBLE) AS x2, "
-        "CAST(ry2 AS DOUBLE) AS y2 FROM e0), "
-        "t AS (SELECT pid, CAST(ROUND(SQRT((x2 - x1) * (x2 - x1) "
-        "+ (y2 - y1) * (y2 - y1)) * 1e9, 0) AS BIGINT) AS q FROM e) "
-        "SELECT pid AS polygon_id, "
-        "CAST(COUNT(*) AS BIGINT) AS n_edges, "
-        "ROUND(CAST(SUM(q) AS DOUBLE) / 1e9, 6) AS perimeter "
-        "FROM t GROUP BY pid"
-    )
-
-
-def _centroid_oracle_sql() -> str:
-    """Shoelace area+centroid over the fixture polygons: per-edge
-    VALUES, each term quantized half-away to 1e-6 ticks and summed as
-    BIGINT -- the identical integers the engine accumulates
-    (functions/geometry.py::ring_centroid_quantized), so the final
-    double divisions match bit-for-bit."""
-    rows = []
-    for pid, poly in OG_POLYGONS.items():
-        pts = list(poly)
-        if pts[0] == pts[-1]:
-            pts = pts[:-1]
-        for (x1, y1), (x2, y2) in zip(pts, pts[1:] + pts[:1]):
-            rows.append(f"('{pid}', {x1!r}, {y1!r}, {x2!r}, {y2!r})")
-    values = ", ".join(rows)
-    q = (
-        "CAST(CASE WHEN {t} < 0 THEN -FLOOR(-({t}) * 1000000.0 + 0.5) "
-        "ELSE FLOOR(({t}) * 1000000.0 + 0.5) END AS BIGINT)"
-    )
-    return (
-        f"WITH e0(pid, rx1, ry1, rx2, ry2) AS (VALUES {values}), "
-        f"e AS (SELECT pid, CAST(rx1 AS DOUBLE) AS x1, "
-        f"CAST(ry1 AS DOUBLE) AS y1, CAST(rx2 AS DOUBLE) AS x2, "
-        f"CAST(ry2 AS DOUBLE) AS y2 FROM e0), "
-        f"t AS (SELECT pid, "
-        f"{q.format(t='x1 * y2 - x2 * y1')} AS qc, "
-        f"{q.format(t='(x1 + x2) * (x1 * y2 - x2 * y1)')} AS qx, "
-        f"{q.format(t='(y1 + y2) * (x1 * y2 - x2 * y1)')} AS qy "
-        f"FROM e), "
-        f"s AS (SELECT pid, SUM(qc) AS a2, SUM(qx) AS cx6, SUM(qy) AS cy6 "
-        f"FROM t GROUP BY pid) "
-        f"SELECT pid AS polygon_id, "
-        f"ROUND(CAST(a2 AS DOUBLE) / (2.0 * 1000000.0), 6) AS area, "
-        f"ROUND(CAST(cx6 AS DOUBLE) / (3.0 * CAST(a2 AS DOUBLE)), 6) AS cx, "
-        f"ROUND(CAST(cy6 AS DOUBLE) / (3.0 * CAST(a2 AS DOUBLE)), 6) AS cy "
-        f"FROM s"
-    )
-
-
-def _halfplane_sql(poly: list[tuple[float, float]]) -> str:
-    """Strict-interior convex PIP as AND of half-plane tests (CCW)."""
-    terms = []
-    n = len(poly)
-    for i in range(n):
-        ax, ay = poly[i]
-        bx, by = poly[(i + 1) % n]
-        terms.append(
-            f"(({bx!r} - {ax!r}) * (lat - {ay!r}) - ({by!r} - {ay!r}) * (lon - {ax!r}) > 0)"
-        )
-    return " AND ".join(terms)
-
-
-def _cell_expr(res: int) -> str:
-    return _cell_expr_cols("lon", "lat", res)
-
-
-def _cell_expr_cols(lon_col: str, lat_col: str, res: int) -> str:
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.cells import (
-        oracle_sql_expr,
-    )
-
-    return oracle_sql_expr(lon_col, lat_col, res)
-
-
-# ------------------------------------------------------------------- queries
-def _q_extract_full(sf_dir: str) -> pa.Table:
-    """T1/T2: full pixel->point extract of the oracle grid."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-
-    pts = _og_points_ds(valid_only=False)
-    t = collect_tables(pts)
-    return t.select(["pix", "lon", "lat", "z"])
-
-
-def _q_extract_valid(sf_dir: str) -> pa.Table:
-    """T6: validity filter (z > -1e30)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-
-    return collect_tables(_og_points_ds(valid_only=True)).select(
-        ["pix", "lon", "lat", "z"]
-    )
-
-
-def _q_stride_sample(sf_dir: str) -> pa.Table:
-    """P1: deterministic stride sampling."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.sampling import (
-        StrideSampler,
-    )
-
-    pts = _og_points_ds().map_batches(
-        StrideSampler(OG_SAMPLE_RATE), batch_format="pyarrow", batch_size=None
-    )
-    return collect_tables(pts).select(["pix", "lon", "lat", "z"])
-
-
-def _q_bounds(sf_dir: str) -> pa.Table:
-    """A5/P6: global bounds over valid points."""
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.stats import (
-        grouped_minmax,
-    )
-
-    out = grouped_minmax(_og_points_ds(valid_only=True), ["src"], ["lon", "lat", "z"])
-    return out.select(
-        ["src", "min_lon", "max_lon", "min_lat", "max_lat", "min_z", "max_z"]
-    )
-
-
-def _q_band_stats(sf_dir: str) -> pa.Table:
-    """A1: per-band stats over valid pixels (mean/std rounded 6 dp)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.stats import grouped_stats
-
-    out = grouped_stats(_og_points_ds(valid_only=True), ["band"], "z")
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import round_like_sql
-
-    return pa.table(
-        {
-            "band": out["band"],
-            "count": out["count"],
-            "min": out["min"],
-            "max": out["max"],
-            "mean": round_like_sql(out["mean"], 6),
-            "std": round_like_sql(out["std"], 6),
-        }
-    )
-
-
-def _q_cell_counts(sf_dir: str) -> pa.Table:
-    """Cell encoding (frozen H3-role index) + count per res-8 cell."""
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
-        partial_count,
-    )
-
-    pts = _og_points_ds(valid_only=True, cells=(8,))
-    return partial_count(pts, ["cell_8"]).rename_columns(["cell_8", "n"])
-
-
-def _q_pip_join(sf_dir: str) -> pa.Table:
-    """J3: point-in-polygon join counts per polygon."""
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import PIPJoiner
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
-        partial_count,
-    )
-
-    polys = _og_polygons_table()
-    pts = _og_points_ds(valid_only=True)
-    joined = pts.map_batches(PIPJoiner(polys), batch_format="pyarrow", batch_size=None)
-    out = partial_count(joined, ["polygon_id"]).rename_columns(["polygon_id", "n"])
-    return _complete_zero(out, list(OG_POLYGONS))
-
-
-def _q_pip_join_sharded(sf_dir: str) -> pa.Table:
-    """J3 scale tier: cell-sharded PIP join (groupby-cell co-location,
-    NO polygon broadcast) -- must hash-match the broadcast pip_join
-    oracle exactly."""
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import (
-        sharded_pip_join,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
-        partial_count,
-    )
-
-    polys = _og_polygons_table()
-    pts = _og_points_ds(valid_only=True)
-    joined = sharded_pip_join(pts, polys, res=7)
-    out = partial_count(joined, ["polygon_id"]).rename_columns(["polygon_id", "n"])
-    return _complete_zero(out, list(OG_POLYGONS))
-
-
-def _complete_zero(counts: pa.Table, all_ids: list[str]) -> pa.Table:
-    """Add n=0 rows for polygons with no matches (join completeness)."""
-    have = set(counts["polygon_id"].to_pylist())
-    missing = [p for p in all_ids if p not in have]
-    if not missing:
-        return counts
-    extra = pa.table(
-        {
-            "polygon_id": pa.array(missing, counts.schema.field("polygon_id").type),
-            "n": pa.array([0] * len(missing), counts.schema.field("n").type),
-        }
-    )
-    return pa.concat_tables([counts, extra], promote_options="default")
-
-
-def _og_polygons_table() -> pa.Table:
-    rows = []
-    for pid, ring in OG_POLYGONS.items():
-        r = [[float(x), float(y)] for x, y in ring] + [[float(ring[0][0]), float(ring[0][1])]]
-        xs = [p[0] for p in r]
-        ys = [p[1] for p in r]
-        rows.append(
-            {
-                "polygon_id": pid, "geom_type": "Polygon", "rings": [r],
-                "minx": min(xs), "miny": min(ys), "maxx": max(xs), "maxy": max(ys),
-            }
-        )
-    return pa.Table.from_pylist(rows)
-
-
-def _q_bbox_join(sf_dir: str) -> pa.Table:
-    """J1: tile x polygon bbox semi-join -> surviving tile ids."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import BboxSemiJoin
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-
-    tiles = ray.data.from_arrow(_og_tiles_table())
-    pruned = tiles.map_batches(
-        BboxSemiJoin(_og_polygons_table(), from_transform=True),
-        batch_format="pyarrow", batch_size=None,
-    )
-    t = collect_tables(pruned)
-    if t is None:
-        return pa.table({"tile_id": pa.array([], pa.string())})
-    return t.select(["tile_id"])
-
-
-def _q_knn(sf_dir: str) -> pa.Table:
-    """J4: k=1 nearest valid grid point per probe."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import KNNLookup
-
-    ref = collect_tables(_og_points_ds(valid_only=True))
-    probes = pa.table(
-        {
-            "probe_id": pa.array(range(len(OG_KNN_PROBES)), pa.int64()),
-            "lon": pa.array([p[0] for p in OG_KNN_PROBES]),
-            "lat": pa.array([p[1] for p in OG_KNN_PROBES]),
-        }
-    )
-    out = (
-        ray.data.from_arrow(probes)
-        .map_batches(
-            KNNLookup(ref, k=1, payload_cols=("pix", "z")),
-            batch_format="pyarrow", batch_size=None,
-        )
-    )
-    t = collect_tables(out)
-    return t.select(["probe_id", "nn_pix", "nn_z"]).rename_columns(
-        ["probe_id", "pix", "z"]
-    )
-
-
-
-def _q_knn_outside(sf_dir: str) -> pa.Table:
-    """J4 with probes far outside the index extent (ADVICE r1 fix):
-    the grid index must still return the true nearest neighbor."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import KNNLookup
-
-    ref = collect_tables(_og_points_ds(valid_only=True))
-    probes = pa.table(
-        {
-            "probe_id": pa.array(range(len(OG_KNN_OUTSIDE_PROBES)), pa.int64()),
-            "lon": pa.array([p[0] for p in OG_KNN_OUTSIDE_PROBES]),
-            "lat": pa.array([p[1] for p in OG_KNN_OUTSIDE_PROBES]),
-        }
-    )
-    out = (
-        ray.data.from_arrow(probes)
-        .map_batches(
-            KNNLookup(ref, k=1, payload_cols=("pix", "z")),
-            batch_format="pyarrow", batch_size=None,
-        )
-    )
-    t = collect_tables(out)
-    return t.select(["probe_id", "nn_pix", "nn_z"]).rename_columns(
-        ["probe_id", "pix", "z"]
-    )
-
-
-def _q_within_radius(sf_dir: str) -> pa.Table:
-    """Distance-band join (range form of J4): every valid grid point
-    within 0.025 deg of each probe -- one row per (probe, point)."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import RadiusJoin
-
-    ref = collect_tables(_og_points_ds(valid_only=True))
-    probes = pa.table(
-        {
-            "probe_id": pa.array(range(len(OG_KNN_PROBES)), pa.int64()),
-            "lon": pa.array([p[0] for p in OG_KNN_PROBES]),
-            "lat": pa.array([p[1] for p in OG_KNN_PROBES]),
-        }
-    )
-    out = collect_tables(
-        ray.data.from_arrow(probes).map_batches(
-            RadiusJoin(ref, radius=0.025, payload_cols=("pix", "z")),
-            batch_format="pyarrow", batch_size=None,
-        )
-    )
-    return out.select(["probe_id", "nn_pix", "nn_z"]).rename_columns(
-        ["probe_id", "pix", "z"]
-    )
-
-
-def _q_bilinear_sample(sf_dir: str) -> pa.Table:
-    """Raster point sampling, bilinear: each probe's value is the
-    weighted mean of its 4 surrounding pixel centers.  The tiny
-    (pix -> probe, weight) stencil is built driver-side from the
-    affine transform, broadcast, and gathered from the streaming
-    point dataset by a partial-sum combine -- the raster stays
-    distributed, only the 16-row stencil moves."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.affine import (
-        bilinear_weights,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    plon = np.array([p[0] for p in OG_KNN_PROBES])
-    plat = np.array([p[1] for p in OG_KNN_PROBES])
-    rows, cols, w = bilinear_weights(OG_TRANSFORM, plon, plat)
-    stencil_pix = (rows * OG_W + cols).ravel()
-    stencil_probe = np.repeat(np.arange(len(plon), dtype=np.int64), 4)
-    stencil_w = w.ravel()
-    order = np.argsort(stencil_pix, kind="stable")
-    spix, sprobe, sw = (
-        stencil_pix[order], stencil_probe[order], stencil_w[order]
-    )
-
-    pts = _og_points_ds(valid_only=False)
-
-    def gather(batch: pa.Table) -> pa.Table:
-        pix = batch["pix"].to_numpy(zero_copy_only=False)
-        z = batch["z"].to_numpy(zero_copy_only=False)
-        # candidate rows via one sorted lookup, then emit one row per
-        # matching STENCIL entry (handles probes sharing a pixel)
-        keep = np.flatnonzero(np.isin(pix, spix))
-        probes_out: list[np.ndarray] = []
-        wz_out: list[np.ndarray] = []
-        for i in keep:
-            m = spix == pix[i]
-            probes_out.append(sprobe[m])
-            wz_out.append(sw[m] * z[i])
-        if not probes_out:
-            return pa.table(
-                {"probe_id": pa.array([], pa.int64()),
-                 "wz": pa.array([], pa.float64())}
-            )
-        return pa.table(
-            {
-                "probe_id": pa.array(np.concatenate(probes_out)),
-                "wz": pa.array(np.concatenate(wz_out)),
-            }
-        )
-
-    agg = hash_aggregate(
-        pts.map_batches(gather, batch_format="pyarrow", batch_size=None),
-        ["probe_id"], [("wz", "sum", "bilinear_z")],
-    )
-    return pa.table(
-        {
-            "probe_id": agg["probe_id"],
-            "bilinear_z": round_like_sql(agg["bilinear_z"], 6),
-        }
-    )
-
-
-def _q_focal_counts(sf_dir: str) -> pa.Table:
-    """Focal statistics: per-cell point counts smoothed by the 3x3
-    neighborhood mean (over cells present) -- count via the tier-2
-    combiner, focal window over the small aggregated table."""
-    import numpy as np
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.cells import (
-        focal_mean,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
-        partial_count,
-    )
-
-    pts = _og_points_ds(valid_only=True, cells=(8,))
-    counts = partial_count(pts, ["cell_8"]).rename_columns(["cell_8", "n"])
-    fm = focal_mean(
-        counts["cell_8"].to_numpy(zero_copy_only=False),
-        counts["n"].to_numpy(zero_copy_only=False).astype(np.float64),
-        k=1,
-    )
-    return pa.table(
-        {"cell_8": counts["cell_8"], "focal_n": round_like_sql(pa.array(fm), 6)}
-    )
-
-
-def _q_tile_slope(sf_dir: str) -> pa.Table:
-    """Horn 3x3 slope over the oracle raster via the distributed tile
-    halo-exchange operator (stages/raster.py): tiles swap 1-pixel
-    boundary strips through a groupby shuffle, the derivative runs
-    per-tile -- the engine analogue of the precomputed slope layer the
-    reference serves over WMS (slope.js:56-76)."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
-        tile_slope,
-    )
-
-    tiles = ray.data.from_arrow(_og_tiles_table(sparse_invalid=True, tile=24))
-    out = collect_tables(tile_slope(tiles))
-    return pa.table(
-        {
-            "row": out["row"],
-            "col": out["col"],
-            "slope_pct": round_like_sql(out["slope_pct"], 6),
-        }
-    )
-
-
-def _q_tile_ruggedness(sf_dir: str) -> pa.Table:
-    """Terrain Ruggedness Index (Riley et al. 1999) over the slope
-    fixture raster via the halo-exchange shuffle -- third consumer of
-    the stages/raster.py focal machinery."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
-        tile_ruggedness,
-    )
-
-    tiles = ray.data.from_arrow(_og_tiles_table(sparse_invalid=True, tile=24))
-    out = collect_tables(tile_ruggedness(tiles))
-    return pa.table(
-        {
-            "row": out["row"],
-            "col": out["col"],
-            "tri": round_like_sql(out["tri"], 6),
-        }
-    )
-
-
-def _q_tile_tpi(sf_dir: str) -> pa.Table:
-    """Topographic Position Index (Weiss 2001: center minus 8-neighbor
-    mean; ridge/valley classifier input) over the slope fixture raster
-    via the halo-exchange shuffle (stages/raster.py::tile_tpi)."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
-        tile_tpi,
-    )
-
-    tiles = ray.data.from_arrow(_og_tiles_table(sparse_invalid=True, tile=24))
-    out = collect_tables(tile_tpi(tiles))
-    return pa.table(
-        {
-            "row": out["row"],
-            "col": out["col"],
-            "tpi": round_like_sql(out["tpi"], 6),
-        }
-    )
-
-
-def _q_tile_curvature(sf_dir: str) -> pa.Table:
-    """Zevenbergen-Thorne general/profile/plan curvature over the
-    slope fixture raster via the halo-exchange shuffle
-    (stages/raster.py::tile_curvature) -- the remaining classic DEM
-    derivative next to slope/aspect/TRI/hillshade that GIS servers
-    precompute for map UIs (the reference serves such derived layers
-    over WMS, slope.js:56-76)."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
-        tile_curvature,
-    )
-
-    tiles = ray.data.from_arrow(_og_tiles_table(sparse_invalid=True, tile=24))
-    out = collect_tables(tile_curvature(tiles))
-    return pa.table(
-        {
-            "row": out["row"],
-            "col": out["col"],
-            "curv_general": round_like_sql(out["curv_general"], 6),
-            "curv_profile": round_like_sql(out["curv_profile"], 6),
-            "curv_plan": round_like_sql(out["curv_plan"], 6),
-        }
-    )
-
-
-def _q_region_labels(sf_dir: str) -> pa.Table:
-    """Connected-component labeling of above-threshold raster regions
-    (blob detection, 4-connectivity) over the slope fixture: the
-    halo-exchange shuffle emits cross-tile adjacency edges once each,
-    the tiered min-label machinery resolves components
-    (stages/raster.py::tile_region_labels)."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
-        tile_region_labels,
-    )
-
-    tiles = ray.data.from_arrow(_og_tiles_table(sparse_invalid=True, tile=24))
-    return tile_region_labels(tiles, threshold=45.0)
-
-
-def _q_tile_hillshade(sf_dir: str) -> pa.Table:
-    """Lambertian hillshade (az 315 / alt 45) over the slope fixture
-    raster -- trig-free algebraic normal-dot-light form, fourth
-    consumer of the halo-exchange focal machinery."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
-        tile_hillshade,
-    )
-
-    tiles = ray.data.from_arrow(_og_tiles_table(sparse_invalid=True, tile=24))
-    out = collect_tables(tile_hillshade(tiles))
-    return pa.table(
-        {
-            "row": out["row"],
-            "col": out["col"],
-            "hillshade": round_like_sql(out["hillshade"], 6),
-        }
-    )
-
-
-def _q_flow_direction(sf_dir: str) -> pa.Table:
-    """D8 flow direction over the slope fixture raster via the halo-
-    exchange shuffle (second consumer of stages/raster.py, proving the
-    focal machinery generalizes beyond Horn)."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
-        tile_flow_direction,
-    )
-
-    tiles = ray.data.from_arrow(_og_tiles_table(sparse_invalid=True, tile=24))
-    out = collect_tables(tile_flow_direction(tiles))
-    return out.select(["row", "col", "d8"])
-
-
-def _q_flow_accumulation(sf_dir: str) -> pa.Table:
-    """D8 flow accumulation (drainage cells incl. self) over the slope
-    fixture raster -- the TauDEM-style two-level operator
-    (stages/raster.py::flow_accumulation): per-block sequential Kahn +
-    boundary-outflow forwarding on the perimeter-bounded entry forest
-    + route replay."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
-        flow_accumulation,
-    )
-
-    tiles = ray.data.from_arrow(_og_tiles_table(sparse_invalid=True, tile=24))
-    return flow_accumulation(tiles, block=32)
-
-
-def _q_watershed_labels(sf_dir: str) -> pa.Table:
-    """Watershed labeling over the slope fixture raster: every valid
-    D8 cell labeled with its terminal sink cell (same two-level
-    decomposition as flow_accumulation)."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
-        watershed_labels,
-    )
-
-    tiles = ray.data.from_arrow(_og_tiles_table(sparse_invalid=True, tile=24))
-    return watershed_labels(tiles, block=32)
-
-
-def _q_idw_probes(sf_dir: str) -> pa.Table:
-    """Inverse-distance-weighted interpolation at the probe points
-    (w = 1/d^2 over valid grid points within 0.025 deg)."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.stats import (
-        idw_interpolate,
-    )
-
-    ref = collect_tables(_og_points_ds(valid_only=True))
-    probes = pa.table(
-        {
-            "probe_id": pa.array(range(len(OG_KNN_PROBES)), pa.int64()),
-            "lon": pa.array([p[0] for p in OG_KNN_PROBES]),
-            "lat": pa.array([p[1] for p in OG_KNN_PROBES]),
-        }
-    )
-    out = idw_interpolate(
-        ray.data.from_arrow(probes), ref, radius=0.025, value_col="z"
-    )
-    return pa.table(
-        {"probe_id": out["probe_id"], "idw_z": round_like_sql(out["idw"], 6)}
-    )
-
-
-def _q_downsample_raster(sf_dir: str) -> pa.Table:
-    """Raster pyramid step: re-aggregate the res-9 extract to res-5
-    cells (~16 points per cell on this grid; count/avg/min/max per
-    parent cell) via exact bit-shift parenthood + the
-    partial-aggregate combine."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.stats import (
-        downsample_cells,
-    )
-
-    pts = _og_points_ds(valid_only=True, cells=(9,))
-    t = downsample_cells(pts, 5, from_col="cell_9", value_col="z")
-    return pa.table(
-        {
-            "cell_5": t["cell_5"],
-            "n": t["count"],
-            "avg_z": round_like_sql(t["mean"], 6),
-            "min_z": t["min"],
-            "max_z": t["max"],
-        }
-    )
-
-
-def _q_knn_balltree(sf_dir: str) -> pa.Table:
-    """J4 via the ball-tree backend -- must equal the grid backend
-    (and the SQL oracle) exactly."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import KNNLookup
-
-    ref = collect_tables(_og_points_ds(valid_only=True))
-    probes = pa.table(
-        {
-            "probe_id": pa.array(range(len(OG_KNN_PROBES)), pa.int64()),
-            "lon": pa.array([p[0] for p in OG_KNN_PROBES]),
-            "lat": pa.array([p[1] for p in OG_KNN_PROBES]),
-        }
-    )
-    out = collect_tables(
-        ray.data.from_arrow(probes).map_batches(
-            KNNLookup(ref, k=1, payload_cols=("pix", "z"), backend="balltree"),
-            batch_format="pyarrow", batch_size=None,
-        )
-    )
-    return out.select(["probe_id", "nn_pix", "nn_z"]).rename_columns(
-        ["probe_id", "pix", "z"]
-    )
-
-
-def _q_zonal_stats(sf_dir: str) -> pa.Table:
-    """A1 x J3: per-polygon zonal stats over the oracle grid."""
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import PIPJoiner
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.stats import grouped_stats
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import round_like_sql
-
-    pts = _og_points_ds(valid_only=True)
-    joined = pts.map_batches(PIPJoiner(_og_polygons_table()), batch_format="pyarrow", batch_size=None)
-    out = grouped_stats(joined, ["polygon_id"], "z")
-    return pa.table(
-        {
-            "polygon_id": out["polygon_id"],
-            "count": out["count"],
-            "min": out["min"],
-            "max": out["max"],
-            "mean": round_like_sql(out["mean"], 6),
-            "std": round_like_sql(out["std"], 6),
-        }
-    )
-
-
-# ---------------- spatial ops driven from the driver's own tables ----------
-def _q_events_geocode(sf_dir: str) -> pa.Table:
-    """Geocode events rows (deterministic id->lon/lat), assign frozen
-    res-8 cells, count per cell -- the tiling shuffle shape of the
-    flagship pipeline, over a driver table."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.cells import cell_of
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
-        partial_count,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["event_id"]
-    )
-
-    def geocode(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False)
-        lon = 77.0 + (eid % 96).astype(np.float64) * 0.01
-        lat = 28.05 + ((eid // 96) % 96).astype(np.float64) * 0.01
-        return pa.table(
-            {"cell_8": pa.array(cell_of(lon, lat, 8))}
-        )
-
-    return partial_count(
-        ds.map_batches(geocode, batch_format="pyarrow", batch_size=None), ["cell_8"]
-    ).rename_columns(["cell_8", "n"])
-
-
-def _q_track_lengths(sf_dir: str) -> pa.Table:
-    """Per-user track length: geocoded events ordered by (ts,
-    event_id) within each user, planar distance summed over
-    consecutive fixes -- an ordered per-key spatial window, routed
-    through the groupby shuffle + map_groups tier (co-location is
-    required for the ordering).  Thin collect over the streaming
-    pipelines/tracks.py::track_lengths_ds (the write_parquet scale
-    path for key spaces beyond driver memory)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.tracks import (
-        track_lengths_ds,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "user_id", "ts"],
-    )
-    return collect_tables(track_lengths_ds(ds)).select(
-        ["user_id", "track_len"]
-    )
-
-
-def _og_multiband_tiles_table(bands: tuple[int, ...] = (1, 2)) -> pa.Table:
-    """Formula multiband tile fixture: band b's pixel value is
-    ``((r*73 + c*31 + b*101) % 500) / 10.0`` (float32), invalid where
-    ``(r*5 + c*3 + b) % 29 == 0`` -- per-band nodata masks, so band
-    math exercises the both-bands-valid contract."""
-    from tiff_to_geojson_csv_json_format_converter_ray.schema import TILE_SCHEMA
-
-    rr, cc = np.meshgrid(np.arange(OG_H), np.arange(OG_W), indexing="ij")
-    rows = {k: [] for k in (
-        "tile_id", "src", "band", "row_off", "col_off", "height",
-        "width", "transform", "crs", "nodata", "values",
-    )}
-    for b in bands:
-        raw = ((rr * 73 + cc * 31 + b * 101) % 500) / 10.0
-        vals = raw.astype(np.float32)
-        vals[(rr * 5 + cc * 3 + b) % 29 == 0] = np.float32(OG_NODATA)
-        for r0 in range(0, OG_H, OG_TILE):
-            for c0 in range(0, OG_W, OG_TILE):
-                rows["tile_id"].append(f"og_{r0}_{c0}_b{b}")
-                rows["src"].append("oracle")
-                rows["band"].append(b)
-                rows["row_off"].append(r0)
-                rows["col_off"].append(c0)
-                rows["height"].append(OG_TILE)
-                rows["width"].append(OG_TILE)
-                rows["transform"].append(list(OG_TRANSFORM))
-                rows["crs"].append("EPSG:4326")
-                rows["nodata"].append(OG_NODATA)
-                rows["values"].append(
-                    vals[r0 : r0 + OG_TILE, c0 : c0 + OG_TILE].ravel().tolist()
-                )
-    return pa.table(
-        {
-            "tile_id": rows["tile_id"], "src": rows["src"],
-            "band": pa.array(rows["band"], pa.int32()),
-            "row_off": pa.array(rows["row_off"], pa.int32()),
-            "col_off": pa.array(rows["col_off"], pa.int32()),
-            "height": pa.array(rows["height"], pa.int32()),
-            "width": pa.array(rows["width"], pa.int32()),
-            "transform": pa.array(rows["transform"], pa.list_(pa.float64(), 6)),
-            "crs": rows["crs"],
-            "nodata": pa.array(rows["nodata"], pa.float64()),
-            "values": pa.array(rows["values"], pa.list_(pa.float32())),
-        },
-        schema=TILE_SCHEMA,
-    )
-
-
-def _q_bounce_rate(sf_dir: str) -> pa.Table:
-    """Session bounce rate per user (30-min inactivity sessionization;
-    stages/window.py::keyed_bounce_rate)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.window import (
-        keyed_bounce_rate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
-    )
-    return collect_tables(keyed_bounce_rate(ds, gap_s=1800.0))
-
-
-def _q_burstiness(sf_dir: str) -> pa.Table:
-    """Burstiness index per user over inter-event gaps (Goh &
-    Barabasi; stages/window.py::keyed_burstiness)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.window import (
-        keyed_burstiness,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
-    )
-    return collect_tables(keyed_burstiness(ds))
-
-
-def _q_hapax_ratio(sf_dir: str) -> pa.Table:
-    """Hapax legomena ratio per language: share of vocabulary
-    occurring exactly once -- the corpus-linguistics health check
-    (synthetic/templated text collapses it).  Token counts per (lang,
-    token) via per-batch combiners; the ratio is one division over
-    exact counts."""
-    import pyarrow.compute as pc
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "text"]
-    )
-
-    def partial(batch: pa.Table) -> pa.Table:
-        # the SAME RE2 \\s+ tokenizer as token_frequencies / the SQL
-        # oracle (python str.split differs on Unicode whitespace)
-        lists = pc.split_pattern_regex(batch["text"], pattern=r"\s+")
-        lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
-        toks = pc.list_flatten(lists)
-        langs = pa.array(
-            np.repeat(
-                np.asarray(batch["lang"].to_pylist(), dtype=object), lens
-            ),
-            pa.string(),
-        )
-        keep = pc.not_equal(toks, "")
-        t = pa.table({"lang": langs, "token": toks}).filter(keep)
-        t = t.append_column("_one", pa.array(np.ones(t.num_rows, np.int64)))
-        out = t.group_by(["lang", "token"]).aggregate([("_one", "sum")])
-        return out.rename_columns(["lang", "token", "n"])
-
-    counts = hash_aggregate(
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
-        ["lang", "token"],
-        [("n", "sum", "n")],
-    )
-    lang = np.asarray(counts["lang"].to_pylist(), dtype=object)
-    n = counts["n"].to_numpy(zero_copy_only=False)
-    out_l, out_v, out_h, out_r = [], [], [], []
-    for lg in sorted(set(lang.tolist())):
-        sel = lang == lg
-        vocab = int(sel.sum())
-        hapax = int((n[sel] == 1).sum())
-        out_l.append(lg)
-        out_v.append(vocab)
-        out_h.append(hapax)
-        out_r.append(hapax / vocab)
-    return pa.table(
-        {
-            "lang": pa.array(out_l, pa.string()),
-            "n_vocab": pa.array(out_v, pa.int64()),
-            "n_hapax": pa.array(out_h, pa.int64()),
-            "hapax_ratio": round_like_sql(out_r, 6),
-        }
-    )
-
-
-def _q_dedup_summary(sf_dir: str) -> pa.Table:
-    """Exact-duplicate cluster-size histogram over document text (the
-    dedup audit: how much mass sits in clusters of each size).
-    Text-hash counts via per-batch combiners; histogram = counts of
-    counts."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
-    )
-
-    def partial(batch: pa.Table) -> pa.Table:
-        t = pa.table(
-            {
-                "text": batch["text"],
-                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
-            }
-        )
-        out = t.group_by(["text"]).aggregate([("_one", "sum")])
-        return out.rename_columns(["text", "n"])
-
-    counts = hash_aggregate(
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
-        ["text"],
-        [("n", "sum", "n")],
-    )
-    n = counts["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    sizes, freqs = np.unique(n, return_counts=True)
-    return pa.table(
-        {
-            "cluster_size": pa.array(sizes),
-            "n_clusters": pa.array(freqs.astype(np.int64)),
-            "n_docs": pa.array((sizes * freqs).astype(np.int64)),
-        }
-    )
-
-
-def _q_zipf_slope(sf_dir: str) -> pa.Table:
-    """Zipf rank-frequency exponent of the corpus vocabulary: least-
-    squares slope of ln(freq) on ln(rank), both quantized to 1e-4
-    fixed point so the five regression moments sum as EXACT integers
-    (the grouped_regression discipline; int64-safe at webtext vocab
-    sizes).  Rank ties break (count desc, token).  Healthy natural
-    text sits near -1."""
-    import pyarrow.compute as pc
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        round_half_away, round_like_sql,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
-
-    def partial(batch: pa.Table) -> pa.Table:
-        toks = pc.list_flatten(
-            pc.split_pattern_regex(batch["text"], pattern=r"\s+")
-        )
-        toks = toks.filter(pc.not_equal(toks, ""))
-        t = pa.table({"token": toks})
-        out = t.group_by(["token"]).aggregate([("token", "count")])
-        return out.rename_columns(["token", "n"])
-
-    parts = [
-        b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
-        for b in ds.map_batches(
-            partial, batch_format="pyarrow", batch_size=None
-        ).iter_batches(batch_format="pyarrow", batch_size=None)
-    ]
-    counts = (
-        pa.concat_tables([t for t in parts if t.num_rows])
-        .group_by("token")
-        .aggregate([("n", "sum")])
-        .rename_columns(["token", "n"])
-    )
-    n = counts["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    toks = np.asarray(counts["token"].to_pylist(), dtype=object)
-    order = np.lexsort((toks, -n))
-    n = n[order]
-    rank = np.arange(1, len(n) + 1, dtype=np.float64)
-    xq = round_half_away(np.log(rank) * 10000.0).astype(np.int64)
-    yq = round_half_away(np.log(n.astype(np.float64)) * 10000.0).astype(np.int64)
-    cnt = np.int64(len(xq))
-    sx, sy = int(xq.sum()), int(yq.sum())
-    sxx, sxy = int((xq * xq).sum()), int((xq * yq).sum())
-    slope = (cnt * sxy - sx * sy) / (cnt * sxx - sx * sx)
-    return pa.table(
-        {
-            "n_vocab": pa.array([int(cnt)], pa.int64()),
-            "zipf_slope": round_like_sql([float(slope)], 6),
-        }
-    )
-
-
-def _q_interval_union(sf_dir: str) -> pa.Table:
-    """Merged-interval coverage time per user (30-min activity
-    windows; stages/window.py::keyed_interval_union)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.window import (
-        keyed_interval_union,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "ts"],
-    )
-    return collect_tables(keyed_interval_union(ds, window_s=1800.0))
-
-
-def _q_kaplan_meier(sf_dir: str) -> pa.Table:
-    """Kaplan-Meier survival of time-to-first-error per user with
-    right-censoring at last activity
-    (pipelines/relational.py::kaplan_meier)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        kaplan_meier,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "ts", "event_type"],
-    )
-    return kaplan_meier(ds, event_type="error")
-
-
-def _q_aspect_classes(sf_dir: str) -> pa.Table:
-    """Slope-facing (aspect) octant histogram over the fixture DEM:
-    downhill direction = (-p, -q) from the Horn gradients, classified
-    into 8 compass octants by PURE COMPARISONS (D8 convention, no
-    atan2 -- trig octant boundaries would be the only float-parity
-    hazard); flats (p = q = 0) bucket separately.  Counts roll up via
-    the tier-2 combiner."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
-        make_emit_halos,
-    )
-
-    tiles = ray.data.from_arrow(_og_tiles_table(sparse_invalid=True, tile=24))
-
-    def pq_kernel(group: pa.Table) -> pa.Table:
-        from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
-            _assemble_padded, NODATA_THRESHOLD,
-        )
-
-        asm = _assemble_padded(group)
-        empty = pa.table({"octant": pa.array([], pa.string())})
-        if asm is None:
-            return empty
-        pad, h, w, r0, c0, transform = asm
-        za = pad[0:h, 0:w]; zb = pad[0:h, 1:w+1]; zc = pad[0:h, 2:w+2]
-        zd = pad[1:h+1, 0:w]; ze = pad[1:h+1, 1:w+1]; zf = pad[1:h+1, 2:w+2]
-        zg = pad[2:h+2, 0:w]; zh = pad[2:h+2, 1:w+1]; zi = pad[2:h+2, 2:w+2]
-        stack = np.stack([za, zb, zc, zd, ze, zf, zg, zh, zi])
-        valid = np.all(np.isfinite(stack) & (stack > NODATA_THRESHOLD), axis=0)
-        if not valid.any():
-            return empty
-        p = ((zc + 2.0 * zf + zi) - (za + 2.0 * zd + zg)) / (8.0 * 0.01)
-        q = ((zg + 2.0 * zh + zi) - (za + 2.0 * zb + zc)) / (8.0 * 0.01)
-        dx, dy = -p, -q  # downhill
-        adx, ady = np.abs(dx), np.abs(dy)
-        east = adx > ady
-        north = ady > adx
-        diag = ~east & ~north
-        names = np.full(dx.shape, "FLAT", dtype=object)
-        names[east & (dx > 0)] = "E"
-        names[east & (dx < 0)] = "W"
-        names[north & (dy > 0)] = "N"
-        names[north & (dy < 0)] = "S"
-        names[diag & (dx > 0) & (dy > 0)] = "NE"
-        names[diag & (dx > 0) & (dy < 0)] = "SE"
-        names[diag & (dx < 0) & (dy > 0)] = "NW"
-        names[diag & (dx < 0) & (dy < 0)] = "SW"
-        return pa.table(
-            {"octant": pa.array(list(names[valid]), pa.string())}
-        )
-
-    halos = tiles.map_batches(
-        make_emit_halos(None, None), batch_format="pyarrow", batch_size=None
-    )
-    oct_ds = halos.groupby("halo_key").map_groups(
-        pq_kernel, batch_format="pyarrow"
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
-        partial_count,
-    )
-
-    out = partial_count(oct_ds, ["octant"])
-    return pa.table(
-        {
-            "octant": out["octant"],
-            "n_pixels": out["count"].cast(pa.int64()),
-        }
-    ).sort_by("octant")
-
-
-def _q_line_of_sight(sf_dir: str) -> pa.Table:
-    """Intervisibility between all probe pairs over the slope-fixture
-    DEM (stages/raster.py::line_of_sight): fixed-fraction nearest-
-    pixel sampling along each sight line, blocked where valid terrain
-    strictly exceeds the interpolated line (+2.0 clearance at the
-    endpoints).  The distributed form is the broadcast-raster
-    map_batches of the bilinear_sample family; the fixture DEM is
-    driver-bounded here."""
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
-        line_of_sight,
-    )
-
-    tiles = _og_tiles_table(sparse_invalid=True, tile=24)
-    z = np.full((OG_H, OG_W), np.nan, np.float64)
-    for i in range(tiles.num_rows):
-        r0 = tiles["row_off"][i].as_py()
-        c0 = tiles["col_off"][i].as_py()
-        hh = tiles["height"][i].as_py()
-        ww = tiles["width"][i].as_py()
-        z[r0:r0+hh, c0:c0+ww] = np.asarray(
-            tiles["values"][i].as_py(), np.float32
-        ).reshape(hh, ww).astype(np.float64)
-    valid = z > -1e30
-    out_pid, out_vis, out_nb = [], [], []
-    probes = list(enumerate(OG_KNN_PROBES))
-    for i, (ia, pa_) in enumerate(probes):
-        for ib, pb in probes[i + 1:]:
-            vis, nb = line_of_sight(
-                z, valid, pa_[0], pa_[1], pb[0], pb[1],
-                list(OG_TRANSFORM), n_steps=64, clearance=2.0,
-            )
-            out_pid.append(ia * 10 + ib)
-            out_vis.append(1 if vis else 0)
-            out_nb.append(nb)
-    return pa.table(
-        {
-            "pair_id": pa.array(out_pid, pa.int64()),
-            "visible": pa.array(out_vis, pa.int64()),
-            "n_blocked": pa.array(out_nb, pa.int64()),
-        }
-    )
-
-
-def _q_kruskal_wallis(sf_dir: str) -> pa.Table:
-    """Kruskal-Wallis H across the event types (k-group rank test,
-    the nonparametric one-way ANOVA): tie-averaged ranks from the
-    combiner-aggregated (cents, type) count table, per-group rank
-    sums exact multiples of 0.5, H closed-form (no tie correction,
-    documented)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_type", "value"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "c": pa.array(scaled_int(batch["value"], 100.0)),
-                "event_type": batch["event_type"],
-                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
-            }
-        )
-
-    counts = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["c", "event_type"],
-        [("_one", "sum", "n")],
-    ).sort_by([("c", "ascending"), ("event_type", "ascending")])
-    c = counts["c"].to_numpy(zero_copy_only=False)
-    et = np.asarray(counts["event_type"].to_pylist(), dtype=object)
-    n = counts["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    vals, inv = np.unique(c, return_inverse=True)
-    n_c = np.zeros(len(vals), np.int64)
-    np.add.at(n_c, inv, n)
-    rank_min = 1 + np.concatenate(([0], np.cumsum(n_c)[:-1]))
-    avgrank = rank_min.astype(np.float64) + (n_c - 1).astype(np.float64) / 2.0
-    big_n = float(n.sum())
-    types, rsum, ns = [], [], []
-    for t in sorted(set(et.tolist())):
-        sel = et == t
-        types.append(t)
-        rsum.append(float((n[sel] * avgrank[inv[sel]]).sum()))
-        ns.append(float(n[sel].sum()))
-    h = 0.0
-    for r, m in zip(rsum, ns):
-        h = h + r * r / m
-    h = 12.0 / (big_n * (big_n + 1.0)) * h - 3.0 * (big_n + 1.0)
-    return pa.table(
-        {
-            "n_groups": pa.array([len(types)], pa.int64()),
-            "n_total": pa.array([int(big_n)], pa.int64()),
-            "h_stat": round_like_sql([h], 6),
-        }
-    )
-
-
-def _q_mann_whitney(sf_dir: str) -> pa.Table:
-    """Mann-Whitney U (rank-sum) test of event value between the
-    hash-split A/B arms -- the nonparametric counterpart of ab_ztest.
-    Tie-averaged ranks from a combiner-aggregated (cents, arm) count
-    table (distinct cents are domain-bounded, so ranks need no global
-    sort of rows); rank sums are exact multiples of 0.5, so parity
-    with SQL is structural.  z uses the no-tie-correction normal
-    approximation (documented)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
-        mix32,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "value"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                "c": pa.array(scaled_int(batch["value"], 100.0)),
-                "arm": pa.array(mix32(uid, 13) % 2),
-                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
-            }
-        )
-
-    counts = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["c", "arm"],
-        [("_one", "sum", "n")],
-    ).sort_by([("c", "ascending"), ("arm", "ascending")])
-    c = counts["c"].to_numpy(zero_copy_only=False)
-    arm = counts["arm"].to_numpy(zero_copy_only=False)
-    n = counts["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    vals, inv = np.unique(c, return_inverse=True)
-    n_c = np.zeros(len(vals), np.int64)
-    np.add.at(n_c, inv, n)
-    rank_min = 1 + np.concatenate(([0], np.cumsum(n_c)[:-1]))
-    avgrank = rank_min.astype(np.float64) + (n_c - 1).astype(np.float64) / 2.0
-    r_a = float((n[arm == 0] * avgrank[inv[arm == 0]]).sum())
-    n_a = int(n[arm == 0].sum())
-    n_b = int(n[arm == 1].sum())
-    u_a = r_a - n_a * (n_a + 1) / 2.0
-    mu = n_a * n_b / 2.0
-    se = np.sqrt(n_a * n_b * (n_a + n_b + 1) / 12.0)
-    z = (u_a - mu) / se
-    return pa.table(
-        {
-            "n_a": pa.array([n_a], pa.int64()),
-            "n_b": pa.array([n_b], pa.int64()),
-            "rank_sum_a": round_like_sql([r_a], 6),
-            "u_a": round_like_sql([u_a], 6),
-            "z_stat": round_like_sql([float(z)], 6),
-        }
-    )
-
-
-def _q_mutual_nn(sf_dir: str) -> pa.Table:
-    """Reciprocal nearest-neighbor pairs over user activity centroids
-    (mutual-NN is the high-precision matcher used in entity
-    resolution and bitext mining): centroids from exact integer
-    lattice moments (combiner tier), NN by squared distance with
-    user-id tie-break, keep pairs where each is the other's NN."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "user_id"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                "user_id": batch["user_id"],
-                "_one": pa.array(np.ones(len(eid), np.int64)),
-                "sx": pa.array(eid % 96),
-                "sy": pa.array((eid // 96) % 96),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["user_id"],
-        [("_one", "sum", "n"), ("sx", "sum", "sx"), ("sy", "sum", "sy")],
-    ).sort_by("user_id")
-    uid = agg["user_id"].to_numpy(zero_copy_only=False)
-    n = agg["n"].to_numpy(zero_copy_only=False).astype(np.float64)
-    cx = agg["sx"].to_numpy(zero_copy_only=False).astype(np.float64) / n
-    cy = agg["sy"].to_numpy(zero_copy_only=False).astype(np.float64) / n
-    dx = cx[:, None] - cx[None, :]
-    dy = cy[:, None] - cy[None, :]
-    d2 = dx * dx + dy * dy
-    np.fill_diagonal(d2, np.inf)
-    # NN with user-id tie-break: argmin over (d2, uid)
-    order = np.lexsort((np.broadcast_to(uid, d2.shape), d2))
-    nn = uid[order[:, 0]]
-    nn_d2 = d2[np.arange(len(uid)), order[:, 0]]
-    nn_of = dict(zip(uid.tolist(), nn.tolist()))
-    out_a, out_b, out_d = [], [], []
-    for i, u in enumerate(uid.tolist()):
-        v = int(nn[i])
-        if u < v and nn_of[v] == u:
-            out_a.append(u)
-            out_b.append(v)
-            out_d.append(float(np.sqrt(nn_d2[i])))
-    return pa.table(
-        {
-            "user_a": pa.array(out_a, pa.int64()),
-            "user_b": pa.array(out_b, pa.int64()),
-            "dist": round_like_sql(out_d, 6),
-        }
-    )
-
-
-def _q_abc_classes(sf_dir: str) -> pa.Table:
-    """ABC (Pareto) inventory classification: parts sorted by revenue
-    (exact cents), class A = cumulative share <= 0.8, B <= 0.95, C
-    rest -- cumulative shares from exact integer prefix sums, one
-    float division per part.  Per-part revenue via the combiner tier;
-    the classification pass is over the part dimension."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_partkey", "l_extendedprice"],
-    )
-
-    def cents(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "l_partkey": batch["l_partkey"],
-                "c": pa.array(scaled_int(batch["l_extendedprice"], 100.0)),
-            }
-        )
-
-    per_part = hash_aggregate(
-        ds.map_batches(cents, batch_format="pyarrow", batch_size=None),
-        ["l_partkey"],
-        [("c", "sum", "rev")],
-    )
-    pk = per_part["l_partkey"].to_numpy(zero_copy_only=False)
-    rev = per_part["rev"].to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.lexsort((pk, -rev))
-    rev_s = rev[order]
-    total = float(rev_s.sum())
-    cum = np.cumsum(rev_s).astype(np.float64)
-    share = cum / total
-    cls = np.where(share <= 0.8, "A", np.where(share <= 0.95, "B", "C"))
-    out_cls, out_n, out_rev = [], [], []
-    for k in ("A", "B", "C"):
-        sel = cls == k
-        out_cls.append(k)
-        out_n.append(int(sel.sum()))
-        out_rev.append(int(rev_s[sel].sum()))
-    return pa.table(
-        {
-            "abc_class": pa.array(out_cls, pa.string()),
-            "n_parts": pa.array(out_n, pa.int64()),
-            "revenue_cents": pa.array(out_rev, pa.int64()),
-        }
-    )
-
-
-def _q_peak_concurrency(sf_dir: str) -> pa.Table:
-    """Peak concurrency: the maximum number of simultaneously active
-    30-minute event windows (the max-concurrent-users sweep).
-    Half-open [start, end) intervals -- at equal timestamps ENDS
-    process before STARTS; exact int64 endpoint deltas, running sum,
-    global max."""
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
-    parts = []
-    for b in ds.iter_batches(batch_format="pyarrow", batch_size=None):
-        t = b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
-        parts.append(t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False))
-    ts = np.concatenate(parts)
-    w = 1_800_000_000
-    times = np.concatenate([ts, ts + w])
-    delta = np.concatenate(
-        [np.ones(len(ts), np.int64), -np.ones(len(ts), np.int64)]
-    )
-    order = np.lexsort((delta, times))  # ends (-1) before starts (+1)
-    running = np.cumsum(delta[order])
-    return pa.table(
-        {
-            "n_intervals": pa.array([len(ts)], pa.int64()),
-            "peak_concurrency": pa.array([int(running.max())], pa.int64()),
-        }
-    )
-
-
-def _q_value_histogram(sf_dir: str) -> pa.Table:
-    """Equal-width value histogram per event type (20 bins over the
-    global [min, max); top bin closed) -- the profiling staple.  Bin
-    edges from exact global cents min/max, bin ids by integer
-    arithmetic, counts via the combiner tier."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_type", "value"],
-    )
-
-    def cents(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "event_type": batch["event_type"],
-                "c": pa.array(scaled_int(batch["value"], 100.0)),
-                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
-            }
-        )
-
-    q = ds.map_batches(cents, batch_format="pyarrow", batch_size=None)
-    mm = hash_aggregate(
-        q, [], [("c", "min", "cmin"), ("c", "max", "cmax")]
-    )
-    cmin = int(mm["cmin"][0].as_py())
-    cmax = int(mm["cmax"][0].as_py())
-    width = max((cmax - cmin + 19) // 20, 1)
-
-    def binned(batch: pa.Table) -> pa.Table:
-        c = batch["c"].to_numpy(zero_copy_only=False)
-        b = np.minimum((c - cmin) // width, 19)
-        return pa.table(
-            {
-                "event_type": batch["event_type"],
-                "bin": pa.array(b.astype(np.int64)),
-                "_one": batch["_one"],
-            }
-        )
-
-    out = hash_aggregate(
-        q.map_batches(binned, batch_format="pyarrow", batch_size=None),
-        ["event_type", "bin"],
-        [("_one", "sum", "n")],
-    )
-    return pa.table(
-        {
-            "event_type": out["event_type"],
-            "bin": out["bin"].cast(pa.int64()),
-            "n": out["n"].cast(pa.int64()),
-        }
-    ).sort_by([("event_type", "ascending"), ("bin", "ascending")])
-
-
-def _q_word_degree_dist(sf_dir: str) -> pa.Table:
-    """Degree distribution of the edit-1 word graph (how many words
-    have k variants) -- the graph-shape profile next to components /
-    PageRank / triangles."""
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        edit1_vocab_pairs,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
-    ).map_batches(
-        lambda b: b.rename_columns(["text"]),
-        batch_format="pyarrow", batch_size=None,
-    )
-    pairs = edit1_vocab_pairs(ds, min_len=4)
-    words = pairs["w1"].to_pylist() + pairs["w2"].to_pylist()
-    uniq, deg = np.unique(np.asarray(words, dtype=object), return_counts=True)
-    ks, nk = np.unique(deg, return_counts=True)
-    return pa.table(
-        {
-            "degree": pa.array(ks.astype(np.int64)),
-            "n_words": pa.array(nk.astype(np.int64)),
-        }
-    )
-
-
-def _q_cover_bbox(sf_dir: str) -> pa.Table:
-    """Covering-cell planner (RegionCoverer role) over the q0
-    polygon bbox: maximal fully-inside cells + res-8 boundary cells
-    (functions/cells.py::cover_bbox)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.cells import (
-        cover_bbox,
-    )
-
-    poly = OG_POLYGONS["q0"]
-    xs = [p[0] for p in poly]
-    ys = [p[1] for p in poly]
-    return cover_bbox(min(xs), min(ys), max(xs), max(ys),
-                      res_min=5, res_max=8)
-
-
-def _q_adaptive_quadtree(sf_dir: str) -> pa.Table:
-    """Adaptive quadtree tiling of the valid oracle points (split
-    cells holding > 12 points, res 5..8) -- the balanced-partition
-    builder for skewed point sets
-    (functions/cells.py::adaptive_quadtree)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.cells import (
-        adaptive_quadtree,
-    )
-
-    pts = _og_points_ds(valid_only=True)
-    return adaptive_quadtree(
-        pts, res_min=5, res_max=8, max_points=12
-    )
-
-
-def _q_spearman(sf_dir: str) -> pa.Table:
-    """Spearman rank correlation of quantity vs price per returnflag:
-    tie-averaged ranks DOUBLED to exact int64 (``2*rank_min + ties -
-    1``; Pearson is scale-invariant, so corr over 2x-ranks equals
-    corr over ranks), rank maps built from domain-bounded distinct-
-    value counts and broadcast for the per-row moment pass -- every
-    sufficient statistic an exact int64 sum, closed form once per
-    group in SQL-identical float order."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        round_half_away, round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
-    )
-
-    def quantize(batch: pa.Table) -> pa.Table:
-        x = round_half_away(
-            batch["l_quantity"].to_numpy(zero_copy_only=False)
-        ).astype(np.int64)
-        y = round_half_away(
-            batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
-        ).astype(np.int64)
-        return pa.table(
-            {
-                "f": batch["l_returnflag"],
-                "x": pa.array(x),
-                "y": pa.array(y),
-                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
-            }
-        )
-
-    quant = ds.map_batches(quantize, batch_format="pyarrow", batch_size=None)
-
-    def rank_map(col: str) -> dict:
-        counts = hash_aggregate(
-            quant, ["f", col], [("_one", "sum", "n")]
-        ).sort_by([("f", "ascending"), (col, "ascending")])
-        fs = np.asarray(counts["f"].to_pylist(), dtype=object)
-        vs = counts[col].to_numpy(zero_copy_only=False)
-        ns = counts["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-        out = {}
-        for f in sorted(set(fs.tolist())):
-            sel = fs == f
-            v, n = vs[sel], ns[sel]
-            rank_min = 1 + np.concatenate(([0], np.cumsum(n)[:-1]))
-            s = 2 * rank_min + (n - 1)  # exact 2x tie-averaged rank
-            out[f] = dict(zip(v.tolist(), s.tolist()))
-        return out
-
-    mx, my = rank_map("x"), rank_map("y")
-
-    # per-flag sorted lookup arrays for vectorized searchsorted maps
-    lookup = {}
-    for f in set(mx) | set(my):
-        xv = np.array(sorted(mx[f]), np.int64)
-        xs = np.array([mx[f][int(v)] for v in xv], np.int64)
-        yv = np.array(sorted(my[f]), np.int64)
-        ys = np.array([my[f][int(v)] for v in yv], np.int64)
-        lookup[f] = (xv, xs, yv, ys)
-
-    def moments(batch: pa.Table) -> pa.Table:
-        fs = np.asarray(batch["f"].to_pylist(), dtype=object)
-        x = batch["x"].to_numpy(zero_copy_only=False)
-        y = batch["y"].to_numpy(zero_copy_only=False)
-        sx = np.zeros(len(x), np.int64)
-        sy = np.zeros(len(y), np.int64)
-        for f in set(fs.tolist()):
-            sel = fs == f
-            xv, xs, yv, ys = lookup[f]
-            sx[sel] = xs[np.searchsorted(xv, x[sel])]
-            sy[sel] = ys[np.searchsorted(yv, y[sel])]
-        return pa.table(
-            {
-                "f": batch["f"],
-                "_one": pa.array(np.ones(len(x), np.int64)),
-                "sx": pa.array(sx),
-                "sy": pa.array(sy),
-                "sxx": pa.array(sx * sx),
-                "syy": pa.array(sy * sy),
-                "sxy": pa.array(sx * sy),
-            }
-        )
-
-    agg = hash_aggregate(
-        quant.map_batches(moments, batch_format="pyarrow", batch_size=None),
-        ["f"],
-        [("_one", "sum", "n"), ("sx", "sum", "sx"), ("sy", "sum", "sy"),
-         ("sxx", "sum", "sxx"), ("syy", "sum", "syy"),
-         ("sxy", "sum", "sxy")],
-    ).sort_by("f")
-    n = agg["n"].to_numpy(zero_copy_only=False).astype(np.float64)
-    sx = agg["sx"].to_numpy(zero_copy_only=False).astype(np.float64)
-    sy = agg["sy"].to_numpy(zero_copy_only=False).astype(np.float64)
-    sxx = agg["sxx"].to_numpy(zero_copy_only=False).astype(np.float64)
-    syy = agg["syy"].to_numpy(zero_copy_only=False).astype(np.float64)
-    sxy = agg["sxy"].to_numpy(zero_copy_only=False).astype(np.float64)
-    rho = (n * sxy - sx * sy) / np.sqrt(
-        (n * sxx - sx * sx) * (n * syy - sy * sy)
-    )
-    return pa.table(
-        {
-            "l_returnflag": agg["f"],
-            "n": agg["n"].cast(pa.int64()),
-            "spearman_rho": round_like_sql(rho, 6),
-        }
-    )
-
-
-def _q_anova_eta2(sf_dir: str) -> pa.Table:
-    """One-way ANOVA effect size (eta-squared) of hour-of-day on
-    event value, per event type -- the seasonality-strength scalar
-    behind the hourly profile: between-group variance over total
-    variance, all sufficient statistics exact int64 cents sums
-    (combiner tier), closed forms once per type."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_type", "ts", "value"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        c = scaled_int(batch["value"], 100.0)
-        return pa.table(
-            {
-                "event_type": batch["event_type"],
-                "hour": pa.array((ts // 3_600_000_000) % 24),
-                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
-                "c": pa.array(c),
-                "cc": pa.array(c * c),
-            }
-        )
-
-    out = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["event_type", "hour"],
-        [("_one", "sum", "n"), ("c", "sum", "s"), ("cc", "sum", "sq")],
-    )
-    et = np.asarray(out["event_type"].to_pylist(), dtype=object)
-    n = out["n"].to_numpy(zero_copy_only=False).astype(np.float64)
-    s = out["s"].to_numpy(zero_copy_only=False).astype(np.float64)
-    sq = out["sq"].to_numpy(zero_copy_only=False).astype(np.float64)
-    types, e2 = [], []
-    for t in sorted(set(et.tolist())):
-        sel = et == t
-        big_n = n[sel].sum()
-        big_s = s[sel].sum()
-        big_sq = sq[sel].sum()
-        mean = big_s / big_n
-        total_var = big_sq / big_n - mean * mean
-        between = (s[sel] * s[sel] / n[sel]).sum() / big_n - mean * mean
-        types.append(t)
-        e2.append(between / total_var)
-    return pa.table(
-        {
-            "event_type": pa.array(types, pa.string()),
-            "eta_squared": round_like_sql(e2, 6),
-        }
-    )
-
-
-def _q_ab_ztest(sf_dir: str) -> pa.Table:
-    """Two-proportion z-test on user conversion between hash-split
-    A/B arms (pipelines/relational.py::ab_conversion_ztest)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        ab_conversion_ztest,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "event_type"],
-    )
-    return ab_conversion_ztest(ds, seed=13, min_purchases=14)
-
-
-def _q_readability(sf_dir: str) -> pa.Table:
-    """Flesch reading-ease per document from regex-countable proxies
-    (stages/textops.py::readability_scores)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        readability_scores,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "text"],
-    )
-    return collect_tables(readability_scores(ds))
-
-
-def _q_theil_sen(sf_dir: str) -> pa.Table:
-    """Theil-Sen robust value-over-time slope per event type: median
-    of pairwise slopes over a deterministic hash-gated subsample --
-    element selection end to end, no float accumulation
-    (pipelines/relational.py::theil_sen_by_key)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        theil_sen_by_key,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "event_type", "ts", "value"],
-    )
-    return theil_sen_by_key(ds, "event_type", sample_mod=7, seed=41)
-
-
-def _q_radius_of_gyration(sf_dir: str) -> pa.Table:
-    """Radius of gyration per user (Gonzalez et al. 2008) on the exact
-    integer lattice via the one-division moment form
-    (pipelines/tracks.py::radius_of_gyration_ds)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.tracks import (
-        radius_of_gyration_ds,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "user_id"],
-    )
-    return collect_tables(radius_of_gyration_ds(ds))
-
-
-def _q_visit_entropy(sf_dir: str) -> pa.Table:
-    """Visit-location entropy per user (Song et al. 2010
-    predictability): Shannon entropy of the res-6 cell visit
-    distribution -- the mobility instance of the grouped-entropy
-    combiner (pipelines/relational.py::grouped_entropy)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.cells import (
-        cell_of,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        grouped_entropy,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.tracks import (
-        geocode_events,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "user_id", "ts"],
-    )
-
-    def add_cell(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "user_id": batch["user_id"],
-                "cell_6": pa.array(
-                    cell_of(
-                        batch["lon"].to_numpy(zero_copy_only=False),
-                        batch["lat"].to_numpy(zero_copy_only=False),
-                        6,
-                    )
-                ),
-            }
-        )
-
-    cells = geocode_events(ds).map_batches(
-        add_cell, batch_format="pyarrow", batch_size=None
-    )
-    return grouped_entropy(cells, "user_id", "cell_6")
-
-
-def _q_skew_report(sf_dir: str) -> pa.Table:
-    """Shuffle-key skew diagnostics over documents.lang (heavy keys,
-    size quantiles, recommended salt factor) -- the machine-readable
-    pre-flight for the explicit skew handling the north rule requires
-    (stages/shuffle.py::skew_report)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
-        skew_report,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["lang"]
-    )
-    return skew_report(ds, "lang", top_n=3)
-
-
-def _q_cost_distance(sf_dir: str) -> pa.Table:
-    """Cost-distance propagation (GIS cost surface) over the slope
-    fixture: 8 synchronous relaxation rounds, each one a tile halo
-    exchange (stages/raster.py::cost_distance_rounds) -- equals the
-    min path cost over <= 8 edges from any seed, which the bounded
-    recursive oracle enumerates.  All-int64 costs: exact, tiling-
-    independent."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
-        cost_distance_rounds,
-    )
-
-    tiles = ray.data.from_arrow(_og_tiles_table(sparse_invalid=True, tile=24))
-    return collect_tables(
-        cost_distance_rounds(tiles, seed_threshold=48.0, n_rounds=8)
-    )
-
-
-def _q_band_math_ndi(sf_dir: str) -> pa.Table:
-    """Normalized-difference band math over the formula multiband
-    fixture: the band-align groupby join + vectorized (a-b)/(a+b)
-    (stages/raster.py::band_math_ndi)."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
-        band_math_ndi,
-    )
-
-    tiles = ray.data.from_arrow(_og_multiband_tiles_table((1, 2)))
-    out = collect_tables(band_math_ndi(tiles, band_a=1, band_b=2))
-    return pa.table(
-        {
-            "row": out["row"],
-            "col": out["col"],
-            "ndi": round_like_sql(out["ndi"], 6),
-        }
-    )
-
-
-def _q_od_matrix(sf_dir: str) -> pa.Table:
-    """Origin-destination flow matrix over user tracks at cell res 6
-    (pipelines/tracks.py::od_matrix_ds): per-user pre-aggregated
-    (from, to) trip counts, one small grouped combine."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.tracks import (
-        od_matrix_ds,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "user_id", "ts"],
-    )
-    out = od_matrix_ds(ds, res=6)
-    return pa.table(
-        {
-            "cell_from": out["cell_from"].cast(pa.int64()),
-            "cell_to": out["cell_to"].cast(pa.int64()),
-            "n_trips": out["n_trips"].cast(pa.int64()),
-        }
-    )
-
-
-def _q_track_geodesic(sf_dir: str) -> pa.Table:
-    """Great-circle per-user track length (km) via the pinned-order
-    haversine (pipelines/tracks.py::track_geodesic_length_ds)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.tracks import (
-        track_geodesic_length_ds,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "user_id", "ts"],
-    )
-    return collect_tables(track_geodesic_length_ds(ds))
-
-
-def _q_track_straightness(sf_dir: str) -> pa.Table:
-    """Per-user straightness (tortuosity) index: net displacement /
-    gross path length (pipelines/tracks.py::track_straightness_ds)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.tracks import (
-        track_straightness_ds,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "user_id", "ts"],
-    )
-    return collect_tables(track_straightness_ds(ds))
-
-
-def _q_hourly_profile(sf_dir: str) -> pa.Table:
-    """Seasonal hour-of-day profile per event type: count + exact-
-    cents mean value per (type, UTC hour) -- the calendar-seasonality
-    rollup, combiner-shaped (per-batch partials, one small grouped
-    combine)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_type", "ts", "value"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "event_type": batch["event_type"],
-                "hour": pa.array((ts // 3_600_000_000) % 24),
-                "cents": pa.array(scaled_int(batch["value"], 100.0)),
-                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
-            }
-        )
-
-    out = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["event_type", "hour"],
-        [("_one", "sum", "n"), ("cents", "sum", "sum_cents")],
-    )
-    n = out["n"].to_numpy(zero_copy_only=False).astype(np.float64)
-    sc = out["sum_cents"].to_numpy(zero_copy_only=False).astype(np.float64)
-    return pa.table(
-        {
-            "event_type": out["event_type"],
-            "hour": out["hour"].cast(pa.int64()),
-            "n": out["n"].cast(pa.int64()),
-            "mean_value": round_like_sql(sc / n / 100.0, 6),
-        }
-    )
-
-
-_INTERP_GRID_US = [
-    # 2024-01-08 / 15 / 22 / 29 00:00 UTC, microseconds since epoch
-    1704672000000000,
-    1705276800000000,
-    1705881600000000,
-    1706486400000000,
-]
-
-
-def _q_linear_interp(sf_dir: str) -> pa.Table:
-    """Per-user linear interpolation of event value at 4 weekly grid
-    timestamps (resample-to-grid; the interpolating cousin of LOCF) --
-    exact int64 microsecond arithmetic, one float division
-    (stages/window.py::keyed_linear_interp)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.window import (
-        keyed_linear_interp,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "user_id", "ts", "value"],
-    )
-    return collect_tables(keyed_linear_interp(ds, _INTERP_GRID_US))
-
-
-def _q_track_hausdorff(sf_dir: str) -> pa.Table:
-    """Symmetric discrete Hausdorff distance between the tracks of
-    users 0-19 (trajectory-similarity join;
-    pipelines/tracks.py::track_hausdorff_pairs_ds)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.tracks import (
-        track_hausdorff_pairs_ds,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "user_id", "ts"],
-    )
-    return collect_tables(track_hausdorff_pairs_ds(ds, max_user=20))
-
-
-def _q_boundary_distance(sf_dir: str) -> pa.Table:
-    """Distance from probe points to each polygon's BOUNDARY (min
-    point-to-segment distance over edges;
-    functions/geometry.py::boundary_distance) -- the distance-to-
-    geofence primitive behind proximity alerts.  Probes = the kNN
-    fixture sets (inside ids 0-3, outside ids 100-104)."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.geometry import (
-        boundary_distance,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, round_like_sql,
-    )
-
-    probes = [(i, p) for i, p in enumerate(OG_KNN_PROBES)]
-    probes += [(100 + i, p) for i, p in enumerate(OG_KNN_OUTSIDE_PROBES)]
-    tbl = pa.table(
-        {
-            "probe_id": pa.array([i for i, _ in probes], pa.int64()),
-            "lon": pa.array([p[0] for _, p in probes]),
-            "lat": pa.array([p[1] for _, p in probes]),
-        }
-    )
-    polys = {pid: np.asarray(pts, np.float64) for pid, pts in OG_POLYGONS.items()}
-
-    def dist(batch: pa.Table) -> pa.Table:
-        lon = batch["lon"].to_numpy(zero_copy_only=False)
-        lat = batch["lat"].to_numpy(zero_copy_only=False)
-        pid_out, probe_out, d_out = [], [], []
-        for pid in sorted(polys):
-            d = boundary_distance(lon, lat, polys[pid])
-            pid_out.extend([pid] * len(d))
-            probe_out.extend(batch["probe_id"].to_pylist())
-            d_out.extend(d.tolist())
-        return pa.table(
-            {
-                "probe_id": pa.array(probe_out, pa.int64()),
-                "polygon_id": pa.array(pid_out, pa.string()),
-                "dist_boundary": round_like_sql(d_out, 6),
-            }
-        )
-
-    return collect_tables(
-        ray.data.from_arrow(tbl).map_batches(
-            dist, batch_format="pyarrow", batch_size=None
-        )
-    )
-
-
-def _q_polygon_coverage(sf_dir: str) -> pa.Table:
-    """Polygon rasterization: res-7 cell coverage fractions via an
-    8x8 strict-halfplane supersample (the inverse of zonal stats;
-    pipelines/zonal.py::polygon_coverage_ds).  Exact integer counts --
-    engine and SQL evaluate the identical subpoint lattice and edge
-    tests."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.zonal import (
-        polygon_coverage_ds,
-    )
-
-    return collect_tables(polygon_coverage_ds(OG_POLYGONS, res=7, ss=8))
-
-
-def _q_media_ahash_pairs(sf_dir: str) -> pa.Table:
-    """Perceptual (average-hash) near-duplicate image pairs over REAL
-    PNG bytes: the from-scratch codec decodes each payload, a
-    stateless map_batches emits one 64-bit signature per image,
-    Hamming pairs follow (stages/multimodal.py::image_ahash_pairs).
-    The fixture's closed-form pixel rule (gen_media_grid) is what the
-    SQL oracle recomputes -- so a hash mismatch catches BOTH a decode
-    bug and a hash bug."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.multimodal import (
-        gen_media_grid, image_ahash_pairs,
-    )
-
-    media = ray.data.from_arrow(gen_media_grid(n=24, size=32, n_base=16))
-    return image_ahash_pairs(media, max_hamming=6)
-
-
-def _q_track_speed_stats(sf_dir: str) -> pa.Table:
-    """Per-user speed profile (max speed, speeding-step count above
-    0.1 units/hour) over consecutive geocoded fixes
-    (pipelines/tracks.py::track_speed_stats_ds)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.tracks import (
-        track_speed_stats_ds,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "user_id", "ts"],
-    )
-    return collect_tables(track_speed_stats_ds(ds, speed_limit=0.1))
-
-
-def _q_debounce_events(sf_dir: str) -> pa.Table:
-    """Event debounce per (user, event_type): keep a row only >= 24 h
-    after the last KEPT row (alert suppression; the kept set is a
-    sequential recurrence, not a LAG) -- exact int64 microseconds
-    (stages/window.py::keyed_debounce)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.window import (
-        keyed_debounce,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "user_id", "ts", "event_type"],
-    )
-    return collect_tables(keyed_debounce(ds, window_s=86400.0))
-
-
-def _q_tile_focal_mode(sf_dir: str) -> pa.Table:
-    """3x3 focal-mode (majority) filter over the slope fixture raster
-    via the halo-exchange shuffle -- categorical-raster cleanup
-    (stages/raster.py::focal_mode_kernel; smallest-value tie-break)."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
-        tile_focal_mode,
-    )
-
-    tiles = ray.data.from_arrow(_og_tiles_table(sparse_invalid=True, tile=24))
-    out = collect_tables(tile_focal_mode(tiles))
-    return pa.table(
-        {
-            "row": out["row"],
-            "col": out["col"],
-            "focal_mode": round_like_sql(out["focal_mode"], 6),
-        }
-    )
-
-
-def _q_tile_focal_median(sf_dir: str) -> pa.Table:
-    """3x3 focal-median despeckle filter over the slope fixture raster
-    via the halo-exchange shuffle -- pure element selection (5th order
-    statistic), so no rounding is needed for SQL parity
-    (stages/raster.py::focal_median_kernel)."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
-        tile_focal_median,
-    )
-
-    tiles = ray.data.from_arrow(_og_tiles_table(sparse_invalid=True, tile=24))
-    out = collect_tables(tile_focal_median(tiles))
-    return pa.table(
-        {
-            "row": out["row"],
-            "col": out["col"],
-            "focal_median": round_like_sql(out["focal_median"], 6),
-        }
-    )
-
-
-def _q_cusum_alarms(sf_dir: str) -> pa.Table:
-    """One-sided CUSUM changepoint alarms per user (Page 1954), exact
-    int64 arithmetic (cents x n deviations -- no float accumulation),
-    partition-invariant (stages/window.py::keyed_cusum_alarms)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.window import (
-        keyed_cusum_alarms,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "user_id", "ts", "value"],
-    )
-    return collect_tables(keyed_cusum_alarms(ds, h_units=50.0))
-
-
-def _q_keyed_ewma(sf_dir: str) -> pa.Table:
-    """Per-user exponentially weighted moving average of event value
-    (alpha=0.2) over (ts, event_id) order -- the streaming smoother,
-    evaluated sequentially so partitioning cannot change the float
-    result (stages/window.py::keyed_ewma)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.window import (
-        keyed_ewma,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "user_id", "ts", "value"],
-    )
-    return collect_tables(keyed_ewma(ds, alpha=0.2))
-
-
-def _q_movement_directions(sf_dir: str) -> pa.Table:
-    """Per-user movement-direction histogram (8 compass sectors, D8
-    comparison-only classification) over consecutive geocoded fixes
-    (pipelines/tracks.py::movement_directions_ds)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.tracks import (
-        movement_directions_ds,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "user_id", "ts"],
-    )
-    return collect_tables(movement_directions_ds(ds))
-
-
-def _q_geofence_transitions(sf_dir: str) -> pa.Table:
-    """Geofence ENTER/EXIT detection: geocoded user tracks vs the
-    fixture polygon set (pipelines/tracks.py::geofence_transitions_ds).
-    One int64 membership bitmask per fix before the shuffle (no row
-    amplification), one keyed pass per user, a row per membership
-    flip -- the trajectory-analytics form of the reference's PIP clip
-    (test2.py:1272)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.tracks import (
-        geofence_transitions_ds,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "user_id", "ts"],
-    )
-    return collect_tables(geofence_transitions_ds(ds, OG_POLYGONS))
-
-
-def _q_window_funcs(sf_dir: str) -> pa.Table:
-    """SQL window-function family (ROW_NUMBER, running SUM, LAG delta,
-    trailing moving AVG) per user ordered by (ts, event_id).  One keyed
-    groupby shuffle; exact-int cents arithmetic inside the per-group
-    kernel makes the running sums bit-reproducible vs DuckDB."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.window import (
-        keyed_window_functions,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "user_id", "ts", "value"],
-    )
-    out = collect_tables(keyed_window_functions(ds))
-    return pa.table(
-        {
-            "user_id": out["user_id"],
-            "event_id": out["event_id"],
-            "rn": out["rn"],
-            "cum_cents": out["cum_cents"],
-            "delta_us": out["delta_us"],
-            "mov_avg3": out["mov_avg3"],
-        }
-    )
-
-
-def _q_pivot_events(sf_dir: str) -> pa.Table:
-    """Long->wide pivot: per-user count + value-cents sum per
-    event_type (COUNT/SUM FILTER shape).  Indicator columns + grouped
-    sum -- the pivot adds no shuffle beyond the aggregate's own."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        pivot_wide,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "event_type", "value"],
-    )
-
-    def to_cents(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "user_id": batch["user_id"],
-                "event_type": batch["event_type"],
-                "cents": pa.array(scaled_int(batch["value"], 100.0)),
-            }
-        )
-
-    prepared = ds.map_batches(to_cents, batch_format="pyarrow", batch_size=None)
-    out = pivot_wide(
-        prepared, "user_id", "event_type",
-        categories=["click", "error", "purchase", "signup", "view"],
-        value_col="cents",
-    )
-    cols = {"user_id": out["user_id"]}
-    for c in ["click", "error", "purchase", "signup", "view"]:
-        cols[f"n_{c}"] = out[f"n_{c}"].cast(pa.int64())
-        cols[f"sum_{c}"] = out[f"sum_{c}"].cast(pa.int64())
-    return pa.table(cols)
-
-
-def _q_rollup_pricing(sf_dir: str) -> pa.Table:
-    """GROUP BY ROLLUP(returnflag, linestatus): all prefix aggregation
-    levels from ONE scan -- coarser levels re-aggregate the finest
-    (group-bounded) table, never the raw rows."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        rollup_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_returnflag", "l_linestatus", "l_extendedprice"],
-    )
-
-    def to_cents(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "l_returnflag": batch["l_returnflag"],
-                "l_linestatus": batch["l_linestatus"],
-                "cents": pa.array(scaled_int(batch["l_extendedprice"], 100.0)),
-            }
-        )
-
-    prepared = ds.map_batches(to_cents, batch_format="pyarrow", batch_size=None)
-    out = rollup_aggregate(
-        prepared,
-        ["l_returnflag", "l_linestatus"],
-        [("cents", "count", "n"), ("cents", "sum", "sum_cents")],
-    )
-    return pa.table(
-        {
-            "l_returnflag": out["l_returnflag"],
-            "l_linestatus": out["l_linestatus"],
-            "n": out["n"].cast(pa.int64()),
-            "sum_cents": out["sum_cents"].cast(pa.int64()),
-        }
-    )
-
-
-def _q_quantile_buckets(sf_dir: str) -> pa.Table:
-    """NTILE-by-value bucketing: exact global quartile boundaries
-    (iterative-histogram passes) broadcast into a per-row assign stage;
-    per-bucket count + cents sum.  Data never shuffles."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
-        quantile_bucket,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_extendedprice"]
-    )
-    bucketed = quantile_bucket(
-        ds, "l_extendedprice", qs=[0.25, 0.5, 0.75], bins=256,
-        driver_cap=4096,
-    )
-
-    def to_cents(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "bucket": batch["bucket"],
-                "cents": pa.array(scaled_int(batch["l_extendedprice"], 100.0)),
-            }
-        )
-
-    out = hash_aggregate(
-        bucketed.map_batches(to_cents, batch_format="pyarrow", batch_size=None),
-        ["bucket"],
-        [("cents", "count", "n"), ("cents", "sum", "sum_cents")],
-    )
-    return pa.table(
-        {
-            "bucket": out["bucket"].cast(pa.int64()),
-            "n": out["n"].cast(pa.int64()),
-            "sum_cents": out["sum_cents"].cast(pa.int64()),
-        }
-    )
-
-
-def _q_weighted_sample(sf_dir: str) -> pa.Table:
-    """Deterministic weighted sample w/o replacement (A-ES priorities
-    over the bit-reproducible mix32 hash); combiner-pattern top-k."""
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
-        weighted_bottomk,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_orderkey", "o_totalprice"],
-    )
-    out = weighted_bottomk(ds, "o_orderkey", "o_totalprice", k=25, seed=13)
-    return pa.table(
-        {"o_orderkey": out["o_orderkey"], "o_totalprice": out["o_totalprice"]}
-    )
-
-
-def _q_heavy_hitters(sf_dir: str) -> pa.Table:
-    """Misra-Gries heavy-hitter tokens over documents: per-block exact
-    count partials fold into a capacity-bounded driver summary.  At the
-    fixture's vocab the summary never decrements, so the counts are
-    exact and the SQL HAVING oracle pins them; the small-capacity
-    error bound is pytest-verified."""
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        _explode_tokens,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
-        heavy_hitters,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
-    toks = ds.map_batches(
-        lambda b: _explode_tokens(b, "text", "doc_id"),
-        batch_format="pyarrow", batch_size=None,
-    )
-    return heavy_hitters(toks, "token", capacity=4096, min_count=50)
-
-
-def _q_props_extract(sf_dir: str) -> pa.Table:
-    """JSON metadata probe (webtext fast path): one vectorized RE2
-    extract pulls the integer field from the JSON props column; counts
-    per value via the grouped-sum combiner."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.text import (
-        json_probe_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["props"])
-
-    def probe(batch: pa.Table) -> pa.Table:
-        k = json_probe_int(batch["props"], "k")
-        return pa.table({"k": k, "one": pa.nulls(len(k), pa.int64()).fill_null(1)})
-
-    out = hash_aggregate(
-        ds.map_batches(probe, batch_format="pyarrow", batch_size=None),
-        ["k"],
-        [("one", "sum", "n")],
-    )
-    return pa.table(
-        {"k": out["k"].cast(pa.int64()), "n": out["n"].cast(pa.int64())}
-    )
-
-
-def _q_funnel_steps(sf_dir: str) -> pa.Table:
-    """Ordered funnel (view -> click -> purchase): per-user deepest
-    step via one keyed shuffle; each user reduces to a single int
-    before the combine."""
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.window import (
-        funnel_counts,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "event_type", "ts"],
-    )
-    return funnel_counts(ds, ["view", "click", "purchase"])
-
-
-def _q_string_agg_nations(sf_dir: str) -> pa.Table:
-    """Per-nation ordered STRING_AGG of customer names (the
-    collect-to-list aggregate shape)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        grouped_string_agg,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "customer.parquet"),
-        columns=["c_nationkey", "c_name", "c_custkey"],
-    )
-    out = grouped_string_agg(ds, "c_nationkey", "c_name", "c_custkey")
-    return pa.table(
-        {"c_nationkey": out["c_nationkey"].cast(pa.int32()), "agg": out["agg"]}
-    )
-
-
-def _q_grouped_corr(sf_dir: str) -> pa.Table:
-    """Pearson corr(quantity, price-dollars) per returnflag from exact
-    int64 moment sums -- bit-reproducible at any partitioning, unlike
-    running-covariance corr."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        grouped_corr,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
-    )
-
-    def to_ints(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "l_returnflag": batch["l_returnflag"],
-                "qty": pa.array(scaled_int(batch["l_quantity"], 1.0)),
-                "dollars": pa.array(scaled_int(batch["l_extendedprice"], 1.0)),
-            }
-        )
-
-    prepared = ds.map_batches(to_ints, batch_format="pyarrow", batch_size=None)
-    return grouped_corr(prepared, "l_returnflag", "qty", "dollars")
-
-
-def _q_ngram_repetition(sf_dir: str) -> pa.Table:
-    """Gopher/C4 quality signal: within-doc duplicate trigram fraction,
-    vectorized entirely in Arrow kernels per batch."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        ngram_repetition,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
-    out = collect_tables(
-        ds.map_batches(ngram_repetition, batch_format="pyarrow", batch_size=None)
-    )
-    return pa.table({"doc_id": out["doc_id"], "dup3": out["dup3"]})
-
-
-def _q_cms_counts(sf_dir: str) -> pa.Table:
-    """Count-min token frequencies: O(width*depth) driver state for
-    unbounded vocab.  At the fixture vocab the sketch is collision-free
-    (deterministic per seed+data), so the exact-count oracle pins it;
-    adversarial-width error bounds are pytest-verified."""
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
-        cms_counts,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        _explode_tokens,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
-    toks = ds.map_batches(
-        lambda b: _explode_tokens(b, "text", "doc_id"),
-        batch_format="pyarrow", batch_size=None,
-    )
-    return cms_counts(toks, "token", width=4096, depth=4)
-
-
-def _q_distinct_users_by_type(sf_dir: str) -> pa.Table:
-    """Exact grouped COUNT(DISTINCT): per-batch distinct pairs combine
-    to a (types x users)-bounded intermediate, then a tiny count."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        distinct,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_type", "user_id"],
-    )
-    pairs = distinct(ds, ["event_type", "user_id"])
-    out = (
-        pairs.group_by("event_type")
-        .aggregate([("user_id", "count")])
-        .rename_columns(["event_type", "n_users"])
-    )
-    return pa.table(
-        {"event_type": out["event_type"], "n_users": out["n_users"].cast(pa.int64())}
-    )
-
-
-def _q_kmeans_clusters(sf_dir: str) -> pa.Table:
-    """Distributed Lloyd k-means over the embedding corpus (curation
-    clustering).  Iterative, so no SQL oracle; partition-invariant by
-    int64-quantized accumulation, pinned-golden checked."""
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.ann import (
-        kmeans_cluster_counts,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "embeddings.parquet"),
-        columns=["vec_id", "embedding"],
-    )
-    return kmeans_cluster_counts(ds, k=8, iters=4, seed=42)
-
-
-def _q_zscore_chars(sf_dir: str) -> pa.Table:
-    """Per-language z-score of document length: exact int64 moments ->
-    broadcast (group, mean, std) -> vectorized standardize join."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, grouped_zscore,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "lang", "n_chars"],
-    )
-    out = collect_tables(grouped_zscore(ds, "lang", "n_chars"))
-    return pa.table({"doc_id": out["doc_id"], "z": out["z"]})
-
-
-def _q_hash_split(sf_dir: str) -> pa.Table:
-    """Deterministic 80/10/10 train/val/test split by mix32(doc_id);
-    per (lang, split) counts.  Membership is append-stable, unlike a
-    random split."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
-        hash_split,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
-    )
-    tagged = hash_split(ds, "doc_id", seed=17)
-
-    def ones(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "lang": batch["lang"],
-                "split": batch["split"],
-                "one": pa.array(np.ones(batch.num_rows, np.int64)),
-            }
-        )
-
-    out = hash_aggregate(
-        tagged.map_batches(ones, batch_format="pyarrow", batch_size=None),
-        ["lang", "split"],
-        [("one", "sum", "n")],
-    )
-    return pa.table(
-        {"lang": out["lang"], "split": out["split"], "n": out["n"].cast(pa.int64())}
-    )
-
-
-def _q_intersect_users(sf_dir: str) -> pa.Table:
-    """Set INTERSECT: users who both clicked and purchased -- two
-    distinct passes, Arrow in-driver join of the (user-bounded) sets."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        distinct,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_type", "user_id"],
-    )
-    clicked = distinct(
-        ds.filter(expr="event_type == 'click'").select_columns(["user_id"]),
-        ["user_id"],
-    )
-    bought = distinct(
-        ds.filter(expr="event_type == 'purchase'").select_columns(["user_id"]),
-        ["user_id"],
-    )
-    both = clicked.join(bought, keys="user_id")
-    return pa.table({"user_id": both["user_id"].cast(pa.int64())})
-
-
-def _q_bigram_counts(sf_dir: str) -> pa.Table:
-    """Global bigram LM counts, top 50: per-batch Arrow gram histogram
-    (combiner) -> distributed groupby combine -> partial top-k.  The
-    gram vocabulary never lands on the driver."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        top_k,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        ngram_counts,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
-    counts = ngram_counts(ds, n=2)
-    t = top_k(counts, "n", 50, tiebreak="gram")
-    return pa.table({"gram": t["gram"], "n": t["n"].cast(pa.int64())})
-
-
-def _q_dup_passages(sf_dir: str) -> pa.Table:
-    """Duplicate-passage candidates: trigrams present in >= 2 distinct
-    documents (corpus boilerplate signal), top 50 by doc count.  The
-    distinct-doc counts come from per-batch distinct pairs (one row
-    per doc => exact partials) through the distributed combine."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        top_k,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        shared_ngram_docs,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
-    nd = shared_ngram_docs(ds, n=3)
-
-    def at_least_two(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        return batch.filter(pc.greater_equal(batch["nd"], 2))
-
-    shared = nd.map_batches(
-        at_least_two, batch_format="pyarrow", batch_size=None
-    )
-    t = top_k(shared, "nd", 50, tiebreak="gram")
-    return pa.table({"gram": t["gram"], "nd": t["nd"].cast(pa.int64())})
-
-
-def _q_new_users_daily(sf_dir: str) -> pa.Table:
-    """Cohort growth: first-seen day per user (distributed MIN combine)
-    -> new-users-per-day + running total over the bounded day table."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        first_seen_daily,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
-    )
-    return first_seen_daily(ds, "user_id", "ts")
-
-
-def _q_mode_source(sf_dir: str) -> pa.Table:
-    """Per-language modal source (deterministic lexicographic
-    tie-break) -- one combiner-pattern count, bounded argmax."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        grouped_mode,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "source"]
-    )
-    return grouped_mode(ds, "lang", "source")
-
-
-def _q_pmi_bigrams(sf_dir: str) -> pa.Table:
-    """Top-50 collocations by PMI (min bigram count 5): two streaming
-    corpus aggregates (unigrams broadcast, bigrams distributed) + a
-    per-batch scoring join -- see stages/textops.py::pmi_bigrams."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        top_k,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        pmi_bigrams,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
-    scored = pmi_bigrams(ds, min_count=5)
-    t = top_k(scored, "pmi", 50, tiebreak="gram")
-    return pa.table(
-        {"gram": t["gram"], "n": t["n"], "pmi": t["pmi"]}
-    )
-
-
-def _q_except_docs(sf_dir: str) -> pa.Table:
-    """Set EXCEPT: docs mentioning 'spark' but not 'vector' -- one scan
-    computes BOTH substring predicates with vectorized Arrow
-    ``match_substring`` (not two passes), then a left-anti join of the
-    (match-bounded) id sets."""
-    import pyarrow.compute as pc
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "text"],
-    )
-
-    def tag(batch: pa.Table) -> pa.Table:
-        has_a = pc.match_substring(batch["text"], "spark")
-        has_b = pc.match_substring(batch["text"], "vector")
-        t = pa.table(
-            {"doc_id": batch["doc_id"], "has_a": has_a, "has_b": has_b}
-        )
-        return t.filter(pc.or_(has_a, has_b))  # non-matches never leave
-
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-
-    t = collect_tables(
-        ds.map_batches(tag, batch_format="pyarrow", batch_size=None)
-    )
-    ids = t["doc_id"].to_numpy(zero_copy_only=False)
-    a = ids[t["has_a"].to_numpy(zero_copy_only=False)]
-    b = ids[t["has_b"].to_numpy(zero_copy_only=False)]
-    keep = np.setdiff1d(a, b)  # sorted unique difference
-    return pa.table({"doc_id": pa.array(keep, pa.int64())})
-
-
-def _q_dow_histogram(sf_dir: str) -> pa.Table:
-    """Events per ISO day-of-week (1=Mon..7=Sun): vectorized epoch-day
-    arithmetic per batch, 7-row combiner aggregate."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
-
-    def dow(batch: pa.Table) -> pa.Table:
-        days = (
-            batch["ts"].to_numpy(zero_copy_only=False)
-            .astype("datetime64[D]")
-            .view("int64")
-        )
-        isodow = (days + 3) % 7 + 1  # 1970-01-01 was a Thursday (=4)
-        return pa.table(
-            {
-                "isodow": pa.array(isodow),
-                "_one": pa.array(np.ones(len(days), np.int64)),
-            }
-        )
-
-    out = hash_aggregate(
-        ds.map_batches(dow, batch_format="pyarrow", batch_size=None),
-        ["isodow"],
-        [("_one", "sum", "n")],
-    )
-    return pa.table(
-        {"isodow": out["isodow"], "n": out["n"].cast(pa.int64())}
-    )
-
-
-def _q_lang_share(sf_dir: str) -> pa.Table:
-    """Ratio-to-report: per-language share of the corpus (grouped count
-    over a bounded key set + driver-side normalization)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["lang"]
-    )
-    out = hash_aggregate(
-        ds.map_batches(
-            lambda b: b.append_column(
-                "_one", pa.array(np.ones(b.num_rows, np.int64))
-            ),
-            batch_format="pyarrow",
-            batch_size=None,
-        ),
-        ["lang"],
-        [("_one", "sum", "n")],
-    )
-    n = out["n"].to_numpy(zero_copy_only=False).astype(np.float64)
-    return pa.table(
-        {
-            "lang": out["lang"],
-            "n": out["n"].cast(pa.int64()),
-            "share": round_like_sql(n / n.sum(), 6),
-        }
-    )
-
-
-def _q_lang_temperature_sample(sf_dir: str) -> pa.Table:
-    """Temperature-balanced language resampling (XLM-R / mT5 corpus
-    rebalance, alpha=0.3): per-language keep rate from the share
-    flattened by the temperature exponent, deterministic mix32-hash
-    Bernoulli keep (stages/textops.py::lang_temperature_sample).
-    Returns the per-language audit (n_before, n_after, kept-id
-    checksum pinning the exact kept set)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        lang_temperature_sample,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "lang"],
-    )
-    return lang_temperature_sample(ds, alpha=0.3, seed=29)
-
-
-def _q_track_simplify(sf_dir: str) -> pa.Table:
-    """Per-user GPS-track Douglas-Peucker simplification: the ordered
-    per-key spatial window (groupby shuffle co-locates each user's
-    fixes, map_groups sorts and simplifies).  Oracled by the
-    recursive-CTE DP mirror (_track_simplify_oracle_sql).  Thin
-    collect over pipelines/tracks.py::track_simplify_ds.  Reference
-    semantic kin: the polyline handling in clip.js/slope.js (SURVEY
-    S8/J6)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.tracks import (
-        track_simplify_ds,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "user_id", "ts"],
-    )
-    return collect_tables(track_simplify_ds(ds, tol=0.02)).select(
-        ["user_id", "n_raw", "n_kept", "simplified_len"]
-    )
-
-
-def _q_pii_redact(sf_dir: str) -> pa.Table:
-    """PII scrubbing with a REAL oracle: a contact string is
-    constructed as a pure function of table columns on BOTH sides
-    (engine and SQL), then emails and digit-runs are redacted --
-    Arrow RE2 kernels vs DuckDB RE2, bit-identical replacements."""
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        pii_redact,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "source", "n_chars", "text"],
-    )
-
-    def build_and_redact(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        raw = pc.binary_join_element_wise(
-            "contact user",
-            batch["doc_id"].cast(pa.string()),
-            "@",
-            batch["source"],
-            ".com or +91",
-            batch["n_chars"].cast(pa.string()),
-            " ",
-            pc.utf8_slice_codeunits(batch["text"], 0, 40),
-            "",
-        )
-        t = pa.table({"doc_id": batch["doc_id"], "raw": raw})
-        out = pii_redact(t, text_col="raw")
-        return out.select(["doc_id", "n_email", "n_number", "redacted"])
-
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-
-    return collect_tables(
-        ds.map_batches(
-            build_and_redact, batch_format="pyarrow", batch_size=None
-        )
-    )
-
-
-def _q_s2_cells(sf_dir: str) -> pa.Table:
-    """TRUE spherical S2 cell assignment (functions/s2.py: face +
-    quadratic ST + Hilbert walk) at level 9 over geocoded events --
-    the geodesic alternative to the frozen flat grid.  Not
-    SQL-expressible (Hilbert curve); pinned-golden checked."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.s2 import (
-        s2_cell_of,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
-        partial_count,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["event_id"]
-    )
-
-    def geocode(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False)
-        lon = 77.0 + (eid % 96).astype(np.float64) * 0.01
-        lat = 28.05 + ((eid // 96) % 96).astype(np.float64) * 0.01
-        return pa.table({"s2_9": pa.array(s2_cell_of(lon, lat, 9))})
-
-    return partial_count(
-        ds.map_batches(geocode, batch_format="pyarrow", batch_size=None),
-        ["s2_9"],
-    ).rename_columns(["s2_9", "n"])
-
-
-def _q_geohash_cells(sf_dir: str) -> pa.Table:
-    """Standard base32 geohash (Niemeyer) cell counts at precision 6
-    over the geocoded events lattice -- the string cell scheme
-    alongside the flat grid / Z-order / S2 ids
-    (functions/cells.py::geohash_of, bisection-verified)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.cells import (
-        geohash_of,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
-        partial_count,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["event_id"]
-    )
-
-    def geocode(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False)
-        lon = 77.0 + (eid % 96).astype(np.float64) * 0.01
-        lat = 28.05 + ((eid // 96) % 96).astype(np.float64) * 0.01
-        return pa.table({"geohash6": pa.array(geohash_of(lon, lat, 6))})
-
-    return partial_count(
-        ds.map_batches(geocode, batch_format="pyarrow", batch_size=None),
-        ["geohash6"],
-    ).rename_columns(["geohash6", "n"])
-
-
-def _q_docs_pip(sf_dir: str) -> pa.Table:
-    """PIP join of geocoded documents rows against the oracle polygons."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import PIPJoiner
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
-        partial_count,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
-    )
-
-    def geocode(batch: pa.Table) -> pa.Table:
-        did = batch["doc_id"].to_numpy(zero_copy_only=False)
-        lon = 77.0 + (did % 96).astype(np.float64) * 0.01
-        lat = 28.05 + ((did // 96) % 96).astype(np.float64) * 0.01
-        return pa.table({"doc_id": batch["doc_id"], "lon": lon, "lat": lat})
-
-    joined = ds.map_batches(geocode, batch_format="pyarrow", batch_size=None).map_batches(
-        PIPJoiner(_og_polygons_table()), batch_format="pyarrow", batch_size=None
-    )
-    out = partial_count(joined, ["polygon_id"]).rename_columns(["polygon_id", "n"])
-    return _complete_zero(out, list(OG_POLYGONS))
-
-
-# ------------------------------ relational / text / dedup over sf tables ----
-def _q_pricing_summary(sf_dir: str) -> pa.Table:
-    """A1-analogue grouped aggregation over lineitem (TPC-H Q1 shape)."""
-    import ray.data
-    import pyarrow.compute as pc
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=[
-            "l_returnflag", "l_linestatus", "l_quantity",
-            "l_extendedprice", "l_discount",
-        ],
-    )
-
-    def derive(batch: pa.Table) -> pa.Table:
-        disc = pc.multiply(
-            batch["l_extendedprice"], pc.subtract(1.0, batch["l_discount"])
-        )
-        return batch.append_column("disc_price", disc)
-
-    out = hash_aggregate(
-        ds.map_batches(derive, batch_format="pyarrow", batch_size=None),
-        ["l_returnflag", "l_linestatus"],
-        [
-            ("l_quantity", "sum", "sum_qty"),
-            ("l_extendedprice", "sum", "sum_base_price"),
-            ("disc_price", "sum", "sum_disc_price"),
-            ("l_quantity", "count", "count_order"),
-        ],
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import round_like_sql
-
-    return pa.table(
-        {
-            "l_returnflag": out["l_returnflag"],
-            "l_linestatus": out["l_linestatus"],
-            "sum_qty": round_like_sql(out["sum_qty"], 2),
-            "sum_base_price": round_like_sql(out["sum_base_price"], 2),
-            "sum_disc_price": round_like_sql(out["sum_disc_price"], 2),
-            "count_order": out["count_order"],
-        }
-    )
-
-
-def _q_top_orders(sf_dir: str) -> pa.Table:
-    """P5/P6: global top-k by price with key tiebreak."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import top_k
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_orderkey", "o_totalprice", "o_orderdate"],
-    )
-    return top_k(ds, "o_totalprice", 10, descending=True, tiebreak="o_orderkey")
-
-
-def _q_events_by_type(sf_dir: str) -> pa.Table:
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
-    )
-    return hash_aggregate(
-        ds, ["event_type"],
-        [("value", "count", "n"), ("value", "min", "min_value"),
-         ("value", "max", "max_value")],
-    )
-
-
-def _q_orders_monthly(sf_dir: str) -> pa.Table:
-    """Calendar-month bucketing (irregular window widths, unlike the
-    fixed-second tumbling windows): order count + revenue per month.
-    Month keys come from numpy datetime64[M] truncation inside
-    map_batches; tier-2 combine."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_orderdate", "o_totalprice"],
-    )
-
-    def month_key(batch: pa.Table) -> pa.Table:
-        ts = batch["o_orderdate"].to_numpy(zero_copy_only=False)
-        month = ts.astype("datetime64[M]").astype("datetime64[us]")
-        return pa.table(
-            {
-                "month": pa.array(month, pa.timestamp("us")),
-                "o_totalprice": batch["o_totalprice"],
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(month_key, batch_format="pyarrow", batch_size=None),
-        ["month"],
-        [("o_totalprice", "count", "n_orders"),
-         ("o_totalprice", "sum", "revenue")],
-    )
-    return pa.table(
-        {
-            "month": agg["month"],
-            "n_orders": agg["n_orders"],
-            "revenue": round_like_sql(agg["revenue"], 2),
-        }
-    )
-
-
-def _q_customer_nations(sf_dir: str) -> pa.Table:
-    """J5-analogue broadcast dimension join: customers per nation name."""
-    import pyarrow.parquet as pq
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        BroadcastLookup, hash_aggregate,
-    )
-
-    nation = pq.read_table(
-        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
-    ).rename_columns(["c_nationkey", "n_name"])
-    ds = _read_pq(
-        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
-    )
-    joined = ds.map_batches(
-        BroadcastLookup(nation, on="c_nationkey", take_cols=["n_name"]),
-        batch_format="pyarrow", batch_size=None,
-    )
-    return hash_aggregate(joined, ["n_name"], [("c_custkey", "count", "n_customers")])
-
-
-def _q_customer_regions(sf_dir: str) -> pa.Table:
-    """3-way broadcast join chain (customer -> nation -> region):
-    dimension tables pre-joined driver-side (tiny), one broadcast
-    lookup on the fact stream -- the star-schema shape."""
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        BroadcastLookup, hash_aggregate,
-    )
-
-    nation = pq.read_table(
-        os.path.join(sf_dir, "nation.parquet"),
-        columns=["n_nationkey", "n_regionkey"],
-    )
-    region = pq.read_table(
-        os.path.join(sf_dir, "region.parquet"),
-        columns=["r_regionkey", "r_name"],
-    )
-    # dim x dim join stays on the driver: |nation| = 25 rows
-    idx = pc.index_in(
-        nation["n_regionkey"],
-        value_set=region["r_regionkey"].combine_chunks(),
-    )
-    dim = pa.table(
-        {
-            "c_nationkey": nation["n_nationkey"],
-            "r_name": region["r_name"].take(idx),
-        }
-    )
-    ds = _read_pq(
-        os.path.join(sf_dir, "customer.parquet"),
-        columns=["c_custkey", "c_nationkey"],
-    )
-    joined = ds.map_batches(
-        BroadcastLookup(dim, on="c_nationkey", take_cols=["r_name"]),
-        batch_format="pyarrow", batch_size=None,
-    )
-    return hash_aggregate(
-        joined, ["r_name"], [("c_custkey", "count", "n_customers")]
-    )
-
-
-def _q_customers_no_orders(sf_dir: str) -> pa.Table:
-    """Anti-join (TPC-H Q22 shape): customers with NO high-value order
-    (o_totalprice > 300000), counted per nation.  The distinct
-    order-customer key set is built by the tier-2 combiner and
-    broadcast into the filter -- at a key count beyond driver capacity
-    this routes through shuffled_dedup_first instead
-    (stages/shuffle.py)."""
-    import pyarrow.compute as pc
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
-        partial_count,
-    )
-
-    orders = _read_pq(
-        os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_custkey", "o_totalprice"],
-    ).map_batches(
-        lambda b: b.filter(pc.greater(b["o_totalprice"], 300000.0)).select(
-            ["o_custkey"]
-        ),
-        batch_format="pyarrow", batch_size=None,
-    )
-    have = partial_count(orders, ["o_custkey"])["o_custkey"].combine_chunks()
-
-    cust = _read_pq(
-        os.path.join(sf_dir, "customer.parquet"),
-        columns=["c_custkey", "c_nationkey"],
-    )
-
-    def anti(batch: pa.Table) -> pa.Table:
-        keep = pc.invert(pc.is_in(batch["c_custkey"], value_set=have))
-        return batch.filter(keep)
-
-    return hash_aggregate(
-        cust.map_batches(anti, batch_format="pyarrow", batch_size=None),
-        ["c_nationkey"], [("c_custkey", "count", "n_customers")],
-    )
-
-
-def _q_distinct_langs(sf_dir: str) -> pa.Table:
-    """A8: distinct + counts."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
-        partial_count,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["lang"]
-    )
-    return partial_count(ds, ["lang"]).rename_columns(["lang", "n"])
-
-
-def _q_dedup_exact(sf_dir: str) -> pa.Table:
-    """Exact dedup representatives: min doc_id per distinct text."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.dedup import (
-        exact_dedup_representatives,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
-    reps = exact_dedup_representatives(ds, "text", "doc_id")
-    return reps.select(["doc_id"])
-
-
-def _q_token_counts(sf_dir: str) -> pa.Table:
-    """Token counting (whitespace) per doc."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        TextAnnotate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
-    out = collect_tables(
-        ds.map_batches(TextAnnotate(features=("tokens",)), batch_format="pyarrow", batch_size=None)
-    )
-    return out.select(["doc_id", "n_tokens_ws"])
-
-
-def _q_pack_sequences(sf_dir: str) -> pa.Table:
-    """Sequence packing: greedy fill of 2048-token bins per lang in
-    doc_id order (stages/textops.py::pack_sequences) -- the batch-
-    packing op a training pipeline runs before writing example
-    shards.  Oracle: DuckDB recursive CTE replaying the same greedy
-    scan."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        pack_sequences,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "lang", "text"],
-    )
-    out = collect_tables(pack_sequences(ds, budget=2048))
-    return out.select(["doc_id", "lang", "n_tok", "bin_id"])
-
-
-def _q_cube_pricing(sf_dir: str) -> pa.Table:
-    """GROUP BY CUBE(returnflag, linestatus): all four grouping sets
-    from ONE scan (algebraic partials re-aggregate)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        cube_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_returnflag", "l_linestatus", "l_quantity"],
-    )
-
-    def to_int(batch: pa.Table) -> pa.Table:
-        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "l_returnflag": batch["l_returnflag"],
-                "l_linestatus": batch["l_linestatus"],
-                "qty": pa.array(q.astype(np.int64)),
-                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
-            }
-        )
-
-    prepared = ds.map_batches(to_int, batch_format="pyarrow", batch_size=None)
-    out = cube_aggregate(
-        prepared,
-        ["l_returnflag", "l_linestatus"],
-        [("qty", "sum", "sum_qty"), ("_one", "sum", "n")],
-    )
-    return out.select(["l_returnflag", "l_linestatus", "sum_qty", "n"])
-
-
-def _q_rolling_hour_sum(sf_dir: str) -> pa.Table:
-    """Trailing 1-hour VALUE-range window sum per user (RANGE frame,
-    peers included) -- exact int cents, searchsorted kernel."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.window import (
-        rolling_interval_sum,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "user_id", "ts", "value"],
-    )
-    out = collect_tables(rolling_interval_sum(ds))
-    return out.select(["user_id", "event_id", "roll_cents"])
-
-
-def _q_postings(sf_dir: str) -> pa.Table:
-    """Inverted-index construction: per token, document frequency and
-    the ordered posting list (comma-joined doc ids).  Distinct
-    (token, doc) pairs -> one groupby(token) shuffle -> sort+join
-    kernel; posting-list state is one token's docs."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        _explode_tokens,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
-
-    def pairs(batch: pa.Table) -> pa.Table:
-        return (
-            _explode_tokens(batch, "text", "doc_id")
-            .group_by(["doc_id", "token"])
-            .aggregate([])
-        )
-
-    def kernel(group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        d = np.unique(group["doc_id"].to_numpy(zero_copy_only=False))
-        joined = ",".join(str(v) for v in d)
-        return pa.table(
-            {
-                "token": group["token"].slice(0, 1),
-                "df": pa.array([len(d)], pa.int64()),
-                "postings": pa.array([joined], pa.string()),
-            }
-        )
-
-    pair_ds = ds.map_batches(pairs, batch_format="pyarrow", batch_size=None)
-    out = collect_tables(
-        _grouped_by_key(pair_ds, "token", kernel)
-    )
-    return out.select(["token", "df", "postings"])
-
-
-def _q_haversine_radius(sf_dir: str) -> pa.Table:
-    """Great-circle distance-band join: all valid grid points within
-    3 km of each probe, exact haversine after a conservative degree-
-    space candidate pass."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import (
-        RadiusJoin,
-    )
-
-    ref = collect_tables(_og_points_ds(valid_only=True))
-    probes = pa.table(
-        {
-            "probe_id": pa.array(range(len(OG_KNN_PROBES)), pa.int64()),
-            "lon": pa.array([p[0] for p in OG_KNN_PROBES]),
-            "lat": pa.array([p[1] for p in OG_KNN_PROBES]),
-        }
-    )
-    out = collect_tables(
-        ray.data.from_arrow(probes).map_batches(
-            RadiusJoin(ref, radius=3.0, payload_cols=("pix",),
-                       metric="haversine"),
-            batch_format="pyarrow", batch_size=None,
-        )
-    )
-    return pa.table(
-        {
-            "probe_id": out["probe_id"],
-            "pix": out["nn_pix"],
-            "dist_km": round_like_sql(out["dist"], 6),
-        }
-    )
-
-
-def _q_polygon_centroid(sf_dir: str) -> pa.Table:
-    """Shoelace area + centroid per fixture polygon with QUANTIZED
-    int64 edge-term accumulation (order-independent, SQL-exact)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.geometry import (
-        ring_centroid_quantized,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    pids, areas, cxs, cys = [], [], [], []
-    for pid, poly in OG_POLYGONS.items():
-        a2, cx6, cy6 = ring_centroid_quantized(poly)
-        pids.append(pid)
-        areas.append(float(a2) / (2.0 * 1e6))
-        cxs.append(float(cx6) / (3.0 * a2))
-        cys.append(float(cy6) / (3.0 * a2))
-    return pa.table(
-        {
-            "polygon_id": pa.array(pids),
-            "area": round_like_sql(pa.array(areas), 6),
-            "cx": round_like_sql(pa.array(cxs), 6),
-            "cy": round_like_sql(pa.array(cys), 6),
-        }
-    )
-
-
-def _q_contamination(sf_dir: str) -> pa.Table:
-    """Benchmark decontamination: per non-benchmark doc, the count of
-    distinct 5-grams shared with the broadcast benchmark slice
-    (doc_id % 97 == 0 plays the eval suite).  Build-set pass +
-    actor-pool scan; oracle recomputes via list-comprehension n-grams
-    and a join."""
-    import ray
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        ContaminationTag, benchmark_ngram_set,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
-
-    def is_bench(col):
-        return pa.array(col.to_numpy(zero_copy_only=False) % 97 == 0)
-
-    def not_bench(col):
-        return pa.array(col.to_numpy(zero_copy_only=False) % 97 != 0)
-
-    bench = benchmark_ngram_set(ds, n=5, pred=is_bench)
-    ref = ray.put(bench)
-    out = collect_tables(
-        ds.map_batches(
-            ContaminationTag,
-            fn_constructor_kwargs={
-                "bench_ref": ref, "n": 5, "exclude_pred": not_bench,
-            },
-            concurrency=2,
-            batch_format="pyarrow",
-            batch_size=None,
-        )
-    )
-    return out.select(["doc_id", "n_contam"])
-
-
-def _q_label_centroids(sf_dir: str) -> pa.Table:
-    """Per-class mean embedding over the corpus: quantized int64
-    component sums combine exactly; (label x dim)-bounded output."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.ann import (
-        label_centroids,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "embeddings.parquet"),
-        columns=["label", "embedding"],
-    )
-    out = label_centroids(ds)
-    return pa.table(
-        {
-            "label": out["label"].cast(pa.int64()),
-            "dim": out["dim"],
-            "mean_v": round_like_sql(out["mean_v"], 6),
-        }
-    )
-
-
-def _q_corr_matrix(sf_dir: str) -> pa.Table:
-    """Pairwise Pearson matrix over (qty, dollars, discount-bp,
-    tax-bp) from one pass of exact int64 moments."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        corr_matrix,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
-    )
-
-    def quantize(batch: pa.Table) -> pa.Table:
-        def ints(col, mult):
-            return pa.array(scaled_int(batch[col], mult))
-
-        return pa.table(
-            {
-                "qty": ints("l_quantity", 1.0),
-                "dollars": ints("l_extendedprice", 1.0),
-                "disc_bp": ints("l_discount", 10000.0),
-                "tax_bp": ints("l_tax", 10000.0),
-            }
-        )
-
-    prepared = ds.map_batches(quantize, batch_format="pyarrow", batch_size=None)
-    return corr_matrix(prepared, ["qty", "dollars", "disc_bp", "tax_bp"])
-
-
-def _q_locf_resample(sf_dir: str) -> pa.Table:
-    """Daily-grid resample with last-observation-carried-forward per
-    user (gap filling), exact int cents; ASOF-join SQL oracle."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.window import (
-        locf_resample,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "user_id", "ts", "value"],
-    )
-    out = collect_tables(locf_resample(ds))
-    return out.select(["user_id", "day", "cents"])
-
-
-def _q_edit1_pairs(sf_dir: str) -> pa.Table:
-    """Fuzzy vocabulary join: all distinct corpus-token pairs at edit
-    distance exactly 1, via deletion-neighborhood blocking + exact
-    per-bucket verify."""
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        edit1_vocab_pairs,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
-    ).map_batches(
-        lambda b: b.rename_columns(["text"]),
-        batch_format="pyarrow", batch_size=None,
-    )
-    return edit1_vocab_pairs(ds, min_len=4)
-
-
-def _q_retention_matrix(sf_dir: str) -> pa.Table:
-    """Cohort retention: distinct users active k days after their
-    first-seen day, per cohort day."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        cohort_retention,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
-    )
-    return cohort_retention(ds, "user_id", "ts")
-
-
-def _q_decayed_counts(sf_dir: str) -> pa.Table:
-    """Exponentially time-decayed event counts per type (half-life
-    1 day, horizon 40): weights carried as int64 powers of two so the
-    distributed sum is exact and partitioning-invariant."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        decayed_counts,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts"]
-    )
-    return decayed_counts(
-        ds, "event_type", "ts", ref_day="2024-02-01", half_life_days=1,
-        horizon=40,
-    )
-
-
-def _q_pareto_front(sf_dir: str) -> pa.Table:
-    """Skyline query over lineitem: (quantity, price) pairs not
-    dominated by any other (higher-or-equal quantity at lower-or-equal
-    price).  Local frontier per block -> tiny union -> final scan."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        pareto_frontier,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_quantity", "l_extendedprice"],
-    )
-    out = pareto_frontier(ds, "l_quantity", "l_extendedprice")
-    return out.rename_columns(["qty", "price"])
-
-
-def _q_grouped_mad(sf_dir: str) -> pa.Table:
-    """Per-returnflag median absolute deviation of quantity (robust
-    dispersion, DuckDB mad semantics)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
-        grouped_mad,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_returnflag", "l_quantity"],
-    )
-    out = collect_tables(grouped_mad(ds, "l_returnflag", "l_quantity"))
-    return out.select(["l_returnflag", "mad"])
-
-
-def _q_grouped_regression(sf_dir: str) -> pa.Table:
-    """Per-returnflag least-squares fit of price (cents->dollars ints)
-    on quantity: exact int64 moment combine, closed-form slope and
-    intercept (regr_slope/regr_intercept semantics)."""
-    import pyarrow.compute as pc
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        grouped_regression, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
-    )
-
-    def quantize(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "l_returnflag": batch["l_returnflag"],
-                "qty": pc.cast(
-                    round_like_sql(batch["l_quantity"], 0), pa.int64()
-                ),
-                "dollars": pc.cast(
-                    round_like_sql(batch["l_extendedprice"], 0), pa.int64()
-                ),
-            }
-        )
-
-    q = ds.map_batches(quantize, batch_format="pyarrow", batch_size=None)
-    return grouped_regression(q, "l_returnflag", "qty", "dollars")
-
-
-def _q_lang_entropy(sf_dir: str) -> pa.Table:
-    """Shannon entropy (nats) of the source mix within each language --
-    a corpus-diversity signal for training-data curation."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        grouped_entropy,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "source"]
-    )
-    return grouped_entropy(ds, "lang", "source")
-
-
-def _q_geomean_price(sf_dir: str) -> pa.Table:
-    """Per-brand geometric mean of retail price: fixed-point log-sum
-    combine (exact at any partitioning), exp once per group."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        grouped_geomean,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "part.parquet"), columns=["p_brand", "p_retailprice"]
-    )
-    return grouped_geomean(ds, "p_brand", "p_retailprice")
-
-
-def _q_user_streaks(sf_dir: str) -> pa.Table:
-    """Gaps-and-islands: longest run of consecutive active days per
-    user (distinct-day shrink -> per-user vectorized run-length)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, longest_streaks,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
-    )
-    out = collect_tables(longest_streaks(ds, "user_id", "ts"))
-    return out.select(["user_id", "max_streak"])
-
-
-def _q_scd2_intervals(sf_dir: str) -> pa.Table:
-    """SCD2 history build: compress each user's ordered event-type
-    stream into change intervals (consecutive equal values merge;
-    valid_from = first ts of the run, valid_to = next run's start,
-    NULL for the open current row) -- the classic CDC/warehouse
-    history shape, one groupby shuffle + vectorized run-length."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "ts", "event_id", "event_type"],
-    )
-
-    def runs(group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        order = pc.sort_indices(
-            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
-        )
-        g = group.take(order)
-        et = np.asarray(g["event_type"].to_pylist())
-        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        start = np.flatnonzero(
-            np.concatenate(([True], et[1:] != et[:-1]))
-        )
-        valid_from = ts[start]
-        valid_to = np.append(valid_from[1:], -1)  # -1 = open row
-        return pa.table(
-            {
-                "user_id": pa.array(
-                    [g["user_id"][0].as_py()] * len(start), pa.int64()
-                ),
-                "event_type": pa.array(et[start]),
-                "valid_from": pa.array(valid_from).cast(pa.timestamp("us")),
-                "valid_to": pa.array(
-                    [None if v < 0 else v for v in valid_to], pa.int64()
-                ).cast(pa.timestamp("us")),
-            }
-        )
-
-    t = collect_tables(
-        _grouped_by_key(ds, "user_id", runs)
-    )
-    return t.sort_by(
-        [("user_id", "ascending"), ("valid_from", "ascending")]
-    )
-
-
-def _q_lorenz_deciles(sf_dir: str) -> pa.Table:
-    """Lorenz curve: cumulative revenue share by customer decile
-    (NTILE(10) ordered by revenue, custkey tiebreak) -- the Gini's
-    graphical companion.  Per-customer totals via the combiner
-    (customer-bounded; the big tier is the rank machinery of
-    grouped_gini), decile assignment mirrors SQL NTILE exactly."""
-    import pyarrow.compute as pc
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_custkey", "o_totalprice"],
-    )
-
-    def cents(batch: pa.Table) -> pa.Table:
-        c = pc.multiply(batch["o_totalprice"].cast(pa.float64()), 100.0)
-        return pa.table(
-            {
-                "o_custkey": batch["o_custkey"],
-                "cents": pc.cast(round_like_sql(c, 0), pa.int64()),
-            }
-        )
-
-    per_cust = hash_aggregate(
-        ds.map_batches(cents, batch_format="pyarrow", batch_size=None),
-        ["o_custkey"],
-        [("cents", "sum", "rev")],
-    ).sort_by([("rev", "ascending"), ("o_custkey", "ascending")])
-    rev = per_cust["rev"].to_numpy(zero_copy_only=False).astype(np.int64)
-    n = len(rev)
-    # NTILE(10): the first n % 10 tiles get ceil(n/10) rows
-    base, extra = divmod(n, 10)
-    sizes = np.array([base + (1 if i < extra else 0) for i in range(10)])
-    bounds = np.cumsum(sizes)
-    tot = float(rev.sum())
-    cum = np.cumsum(rev).astype(np.float64)
-    share = cum[bounds - 1] / tot
-    return pa.table(
-        {
-            "decile": pa.array(np.arange(1, 11, dtype=np.int64)),
-            "cum_share": round_like_sql(share, 6),
-        }
-    )
-
-
-def _q_first_touch_attribution(sf_dir: str) -> pa.Table:
-    """Marketing attribution: per (user, day) session, the FIRST event
-    type of the day vs whether a purchase happened that day --
-    conversion rate per first-touch channel.  One groupby shuffle on
-    the session key, vocabulary-bounded output."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "ts", "event_id", "event_type"],
-    )
-
-    def keyed(batch: pa.Table) -> pa.Table:
-        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "user_id": batch["user_id"],
-                "day": pa.array(ts // 86_400_000_000),
-                "ts": batch["ts"],
-                "event_id": batch["event_id"],
-                "event_type": batch["event_type"],
-            }
-        )
-
-    def session(group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        order = pc.sort_indices(
-            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
-        )
-        et = group["event_type"].take(order).to_pylist()
-        return pa.table(
-            {
-                "first_touch": pa.array([et[0]], pa.string()),
-                "_conv": pa.array(
-                    [1 if "purchase" in et else 0], pa.int64()
-                ),
-                "_one": pa.array([1], pa.int64()),
-            }
-        )
-
-    sessions = _grouped_by_key(
-        ds.map_batches(keyed, batch_format="pyarrow", batch_size=None),
-        ["user_id", "day"], session,
-    )
-    out = hash_aggregate(
-        sessions, ["first_touch"],
-        [("_conv", "sum", "n_converted"), ("_one", "sum", "n_sessions")],
-    ).sort_by("first_touch")
-    conv = out["n_converted"].to_numpy(zero_copy_only=False).astype(
-        np.float64
-    )
-    tot = out["n_sessions"].to_numpy(zero_copy_only=False).astype(np.float64)
-    return pa.table(
-        {
-            "first_touch": out["first_touch"],
-            "n_sessions": out["n_sessions"].cast(pa.int64()),
-            "conv_rate": round_like_sql(conv / tot, 6),
-        }
-    )
-
-
-def _q_mutual_information(sf_dir: str) -> pa.Table:
-    """Mutual information (nats) between event type and ISO weekday:
-    the information-theoretic dependence measure over the same
-    distributed contingency counts as chi2/Cramer's V.  Only observed
-    cells contribute (0 log 0 = 0)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts"]
-    )
-
-    def cells(batch: pa.Table) -> pa.Table:
-        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        dow = ((ts // 86_400_000_000 + 3) % 7 + 1).astype(np.int64)
-        return pa.table(
-            {
-                "a": batch["event_type"],
-                "b": pa.array(dow),
-                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
-            }
-        )
-
-    counts = hash_aggregate(
-        ds.map_batches(cells, batch_format="pyarrow", batch_size=None),
-        ["a", "b"],
-        [("_one", "sum", "n")],
-    ).sort_by([("a", "ascending"), ("b", "ascending")])
-    a = counts["a"].to_pylist()
-    b = counts["b"].to_pylist()
-    n = counts["n"].to_numpy(zero_copy_only=False).astype(np.float64)
-    tot = n.sum()
-    na: dict = {}
-    nb: dict = {}
-    for av, bv, nv in zip(a, b, n):
-        na[av] = na.get(av, 0.0) + nv
-        nb[bv] = nb.get(bv, 0.0) + nv
-    mi = 0.0
-    for av, bv, nv in zip(a, b, n):
-        p = nv / tot
-        mi += p * np.log(p / ((na[av] / tot) * (nb[bv] / tot)))
-    return pa.table({"mi_nats": round_like_sql(np.asarray([mi]), 6)})
-
-
-def _q_tukey_outliers(sf_dir: str) -> pa.Table:
-    """Per-returnflag Tukey fences (Q1/Q3 +- 1.5 IQR on exact
-    quantiles) and the count of rows outside them -- the standard
-    robust outlier screen, two passes (quantile selection, fence
-    count)."""
-    import ray as _ray
-    import pyarrow.compute as pc
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, hash_aggregate, round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
-        grouped_exact_quantiles,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_returnflag", "l_extendedprice"],
-    )
-
-    def cents(batch: pa.Table) -> pa.Table:
-        c = pc.multiply(batch["l_extendedprice"].cast(pa.float64()), 100.0)
-        return pa.table(
-            {
-                "l_returnflag": batch["l_returnflag"],
-                "cents": pc.cast(round_like_sql(c, 0), pa.int64()),
-            }
-        )
-
-    cds = ds.map_batches(cents, batch_format="pyarrow", batch_size=None)
-    q = collect_tables(
-        grouped_exact_quantiles(cds, "l_returnflag", "cents", [0.25, 0.75])
-    )
-    q1, q3 = {}, {}
-    for g, qq, v in zip(
-        q["l_returnflag"].to_pylist(), q["q"].to_pylist(),
-        q["value"].to_pylist(),
-    ):
-        (q1 if qq == 0.25 else q3)[g] = float(v)
-    fences = {
-        g: (q1[g] - 1.5 * (q3[g] - q1[g]), q3[g] + 1.5 * (q3[g] - q1[g]))
-        for g in q1
-    }
-    ref = _ray.put(fences)
-
-    def mark(batch: pa.Table) -> pa.Table:
-        f = _ray.get(ref)
-        g = batch["l_returnflag"].to_pylist()
-        v = batch["cents"].to_numpy(zero_copy_only=False).astype(np.float64)
-        lo = np.array([f[x][0] for x in g])
-        hi = np.array([f[x][1] for x in g])
-        out = ((v < lo) | (v > hi)).astype(np.int64)
-        return pa.table(
-            {
-                "l_returnflag": batch["l_returnflag"],
-                "_out": pa.array(out),
-                "_one": pa.array(np.ones(len(out), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        cds.map_batches(mark, batch_format="pyarrow", batch_size=None),
-        ["l_returnflag"],
-        [("_out", "sum", "n_outliers"), ("_one", "sum", "n")],
-    ).sort_by("l_returnflag")
-    gs = agg["l_returnflag"].to_pylist()
-    return pa.table(
-        {
-            "l_returnflag": agg["l_returnflag"],
-            "fence_lo": round_like_sql(
-                np.array([fences[g][0] for g in gs]) / 100.0, 6
-            ),
-            "fence_hi": round_like_sql(
-                np.array([fences[g][1] for g in gs]) / 100.0, 6
-            ),
-            "n_outliers": agg["n_outliers"].cast(pa.int64()),
-            "n": agg["n"].cast(pa.int64()),
-        }
-    )
-
-
-def _q_benford_deviation(sf_dir: str) -> pa.Table:
-    """Benford's-law screen: first-digit distribution of order values
-    vs log10(1 + 1/d), per-digit observed share and absolute
-    deviation -- the classic fraud/data-quality signal, one combiner
-    pass."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "orders.parquet"), columns=["o_totalprice"]
-    )
-
-    def digit(batch: pa.Table) -> pa.Table:
-        v = batch["o_totalprice"].to_numpy(zero_copy_only=False).astype(
-            np.float64
-        )
-        d = np.floor(v / np.power(10.0, np.floor(np.log10(v)))).astype(
-            np.int64
-        )
-        return pa.table(
-            {
-                "digit": pa.array(d),
-                "_one": pa.array(np.ones(len(d), np.int64)),
-            }
-        )
-
-    out = hash_aggregate(
-        ds.map_batches(digit, batch_format="pyarrow", batch_size=None),
-        ["digit"],
-        [("_one", "sum", "n")],
-    ).sort_by("digit")
-    n = out["n"].to_numpy(zero_copy_only=False).astype(np.float64)
-    tot = n.sum()
-    d = out["digit"].to_numpy(zero_copy_only=False).astype(np.float64)
-    share = n / tot
-    benford = np.log10(1.0 + 1.0 / d)
-    return pa.table(
-        {
-            "digit": out["digit"].cast(pa.int64()),
-            "share": round_like_sql(share, 6),
-            "abs_dev": round_like_sql(np.abs(share - benford), 6),
-        }
-    )
-
-
-def _q_hhi_concentration(sf_dir: str) -> pa.Table:
-    """Herfindahl-Hirschman concentration of sources within each
-    language: HHI = sum(share^2) over the (lang, source)-bounded count
-    table -- the market-concentration companion of lang_entropy."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "source"]
-    )
-
-    def ones(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "lang": batch["lang"],
-                "source": batch["source"],
-                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
-            }
-        )
-
-    counts = hash_aggregate(
-        ds.map_batches(ones, batch_format="pyarrow", batch_size=None),
-        ["lang", "source"],
-        [("_one", "sum", "n")],
-    ).sort_by([("lang", "ascending"), ("source", "ascending")])
-    langs = counts["lang"].to_pylist()
-    n = counts["n"].to_numpy(zero_copy_only=False).astype(np.float64)
-    out_l, out_h = [], []
-    i = 0
-    while i < len(langs):
-        j = i
-        while j < len(langs) and langs[j] == langs[i]:
-            j += 1
-        tot = n[i:j].sum()
-        out_l.append(langs[i])
-        out_h.append(float(((n[i:j] / tot) ** 2).sum()))
-        i = j
-    return pa.table(
-        {
-            "lang": pa.array(out_l),
-            "hhi": round_like_sql(np.asarray(out_h), 6),
-        }
-    )
-
-
-def _q_ks_statistic(sf_dir: str) -> pa.Table:
-    """Two-sample Kolmogorov-Smirnov D between the price distributions
-    of returnflag R vs A: exact per-(flag, value) counts via the
-    combiner (value-bounded; the unbounded tier is the quantile
-    sketch), empirical CDFs + max gap on the driver."""
-    import pyarrow.compute as pc
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_returnflag", "l_extendedprice"],
-    )
-
-    def cents(batch: pa.Table) -> pa.Table:
-        batch = batch.filter(
-            pc.is_in(
-                batch["l_returnflag"],
-                value_set=pa.array(["R", "A"]),
-            )
-        )
-        c = pc.multiply(batch["l_extendedprice"].cast(pa.float64()), 100.0)
-        flag_r = pc.cast(
-            pc.equal(batch["l_returnflag"], "R"), pa.int64()
-        )
-        return pa.table(
-            {
-                "cents": pc.cast(round_like_sql(c, 0), pa.int64()),
-                "n_r": flag_r,
-                "n_a": pc.subtract(pa.scalar(1, pa.int64()), flag_r),
-            }
-        )
-
-    counts = hash_aggregate(
-        ds.map_batches(cents, batch_format="pyarrow", batch_size=None),
-        ["cents"],
-        [("n_r", "sum", "n_r"), ("n_a", "sum", "n_a")],
-    ).sort_by("cents")
-    nr = counts["n_r"].to_numpy(zero_copy_only=False).astype(np.float64)
-    na = counts["n_a"].to_numpy(zero_copy_only=False).astype(np.float64)
-    cdf_r = np.cumsum(nr) / nr.sum()
-    cdf_a = np.cumsum(na) / na.sum()
-    d = float(np.abs(cdf_r - cdf_a).max())
-    return pa.table({"ks_d": round_like_sql(np.asarray([d]), 6)})
-
-
-def _q_cramers_v(sf_dir: str) -> pa.Table:
-    """Cramer's V effect size for event type x ISO weekday (the
-    normalized chi-square): V = sqrt(chi2 / (n * min(r-1, c-1)))."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.stats import (
-        chi2_independence,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts"]
-    )
-
-    def cells(batch: pa.Table) -> pa.Table:
-        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        dow = ((ts // 86_400_000_000 + 3) % 7 + 1).astype(np.int64)
-        return pa.table(
-            {
-                "a": batch["event_type"],
-                "b": pa.array(dow),
-                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
-            }
-        )
-
-    counts = hash_aggregate(
-        ds.map_batches(cells, batch_format="pyarrow", batch_size=None),
-        ["a", "b"],
-        [("_one", "sum", "n")],
-    )
-    chi2, _dof = chi2_independence(counts, "a", "b")
-    n = float(counts["n"].to_numpy(zero_copy_only=False).sum())
-    r = len(set(counts["a"].to_pylist()))
-    c = len(set(counts["b"].to_pylist()))
-    v = np.sqrt(chi2 / (n * min(r - 1, c - 1)))
-    return pa.table({"cramers_v": round_like_sql(np.asarray([v]), 6)})
-
-
-def _q_centroid_confusion(sf_dir: str) -> pa.Table:
-    """Nearest-class-mean classification confusion matrix over the
-    embedding corpus (centroid pass -> broadcast -> vectorized
-    distance argmin -> per-(true, pred) combiner)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.ann import (
-        nearest_centroid_confusion,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "embeddings.parquet"),
-        columns=["vec_id", "label", "embedding"],
-    )
-    return nearest_centroid_confusion(ds)
-
-
-def _q_label_scatter(sf_dir: str) -> pa.Table:
-    """Within-class embedding scatter (mean squared distance to the
-    class centroid): quantized int64 sum/sum-of-squares combiner,
-    variance identity on the (labels x dims)-bounded table."""
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.ann import (
-        label_scatter,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "embeddings.parquet"),
-        columns=["label", "embedding"],
-    )
-    return label_scatter(ds)
-
-
-def _q_profile_lineitem(sf_dir: str) -> pa.Table:
-    """Data-quality profile (the Deequ shape): per-column row/null/
-    exact-distinct counts + numeric min/max over lineitem."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        profile_columns,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_quantity", "l_extendedprice", "l_returnflag",
-                 "l_linestatus"],
-    )
-    return profile_columns(
-        ds,
-        numeric_cols=["l_quantity", "l_extendedprice"],
-        categorical_cols=["l_returnflag", "l_linestatus"],
-    )
-
-
-def _q_kde_density(sf_dir: str) -> pa.Table:
-    """Gaussian kernel density estimate of order value at 9 fixed
-    evaluation points: per-batch partial kernel sums per eval point
-    (a pure combiner -- the eval grid is fixed and tiny), one final
-    normalize.  The distributed form of a smoothed histogram."""
-    import pyarrow.compute as pc
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "orders.parquet"), columns=["o_totalprice"]
-    )
-    evals = [float(x) for x in range(50_000, 500_000, 50_000)]
-    h = 25_000.0
-
-    def partial(batch: pa.Table) -> pa.Table:
-        v = batch["o_totalprice"].to_numpy(zero_copy_only=False).astype(
-            np.float64
-        )
-        cols = {"_k": pa.array(np.zeros(1, np.int64))}
-        cols["n"] = pa.array([np.int64(len(v))])
-        for i, x0 in enumerate(evals):
-            u = (x0 - v) / h
-            cols[f"s{i}"] = pa.array([float(np.exp(-0.5 * u * u).sum())])
-        return pa.table(cols)
-
-    agg = hash_aggregate(
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=None),
-        ["_k"],
-        [("n", "sum", "n")] + [(f"s{i}", "sum", f"s{i}")
-                               for i in range(len(evals))],
-    )
-    n = float(agg["n"][0].as_py())
-    norm = n * h * np.sqrt(2.0 * np.pi)
-    dens = np.array(
-        [float(agg[f"s{i}"][0].as_py()) for i in range(len(evals))]
-    ) / norm
-    return pa.table(
-        {
-            "x": pa.array(evals),
-            "density": round_like_sql(dens * 1e6, 6),  # per-1e6 units
-        }
-    )
-
-
-def _q_lagged_crosscorr(sf_dir: str) -> pa.Table:
-    """Lagged cross-correlation of two daily series (event count vs
-    mean value) at lags -3..3: daily aggregates via the combiner
-    (calendar-bounded), Pearson over the aligned overlap per lag."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["ts", "value"]
-    )
-
-    def daily(batch: pa.Table) -> pa.Table:
-        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "day": pa.array(ts // 86_400_000_000),
-                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
-                "_v": batch["value"],
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(daily, batch_format="pyarrow", batch_size=None),
-        ["day"],
-        [("_one", "sum", "n"), ("_v", "sum", "sv")],
-    ).sort_by("day")
-    days = agg["day"].to_numpy(zero_copy_only=False)
-    n = agg["n"].to_numpy(zero_copy_only=False).astype(np.float64)
-    mv = agg["sv"].to_numpy(zero_copy_only=False) / n
-
-    def corr(a: np.ndarray, b: np.ndarray) -> float:
-        k = float(len(a))
-        sa, sb = a.sum(), b.sum()
-        num = k * (a * b).sum() - sa * sb
-        den = np.sqrt(k * (a * a).sum() - sa * sa) * np.sqrt(
-            k * (b * b).sum() - sb * sb
-        )
-        return float(num / den)
-
-    lags, corrs = [], []
-    for lag in range(-3, 4):
-        # CALENDAR alignment (robust to missing days): pair day d's
-        # count with day d-lag's mean value when both exist
-        want = days - lag
-        pos = np.searchsorted(days, want)
-        pos = np.clip(pos, 0, len(days) - 1)
-        ok = days[pos] == want
-        a, b = n[ok], mv[pos[ok]]
-        lags.append(lag)
-        corrs.append(corr(a, b))
-    return pa.table(
-        {
-            "lag": pa.array(lags, pa.int64()),
-            "corr": round_like_sql(np.asarray(corrs), 6),
-        }
-    )
-
-
-def _q_rolling_anomaly(sf_dir: str) -> pa.Table:
-    """Rolling anomaly score: each day's event count z-scored against
-    its trailing 7-day window (excluding itself); anomalous days =
-    |z| > 2.  Daily counts via the combiner; the window pass runs on
-    the calendar-bounded series with the exact SQL frame semantics."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
-
-    def daily(batch: pa.Table) -> pa.Table:
-        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "day": pa.array(ts // 86_400_000_000),
-                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(daily, batch_format="pyarrow", batch_size=None),
-        ["day"],
-        [("_one", "sum", "n")],
-    ).sort_by("day")
-    day = agg["day"].to_numpy(zero_copy_only=False)
-    n = agg["n"].to_numpy(zero_copy_only=False).astype(np.float64)
-    zs = np.full(len(n), np.nan)
-    for i in range(len(n)):
-        w = n[max(0, i - 7):i]  # trailing frame, exclusive of today
-        if len(w) >= 2:
-            mu = w.sum() / len(w)
-            # sample stddev (SQL STDDEV), guard zero variance
-            var = ((w - mu) ** 2).sum() / (len(w) - 1)
-            if var > 0:
-                zs[i] = (n[i] - mu) / np.sqrt(var)
-    return pa.table(
-        {
-            "day": pa.array(
-                day.astype("datetime64[D]").astype("datetime64[us]")
-            ),
-            "n": pa.array(n.astype(np.int64)),
-            "z": round_like_sql(zs, 6),
-        }
-    ).sort_by("day")
-
-
-def _q_pattern_match_users(sf_dir: str) -> pa.Table:
-    """Sequence-pattern mining: users whose ordered event stream
-    contains a signup followed by a purchase with NO error between
-    (funnel-with-exclusion, the regex form of sessionized path
-    analysis).  One groupby shuffle; per-group kernel builds the
-    initial-letter string and applies a compiled regex."""
-    import re as _re
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "ts", "event_id", "event_type"],
-    )
-    pat = _re.compile(r"s[^e]*p")
-
-    def match(group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        order = pc.sort_indices(
-            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
-        )
-        et = group["event_type"].take(order).to_pylist()
-        seq = "".join(t[0] for t in et)
-        return pa.table(
-            {
-                "user_id": pa.array([group["user_id"][0].as_py()], pa.int64()),
-                "matched": pa.array([bool(pat.search(seq))]),
-                "n_events": pa.array([len(seq)], pa.int64()),
-            }
-        )
-
-    t = collect_tables(
-        _grouped_by_key(ds, "user_id", match)
-    )
-    return t.select(["user_id", "matched", "n_events"]).sort_by("user_id")
-
-
-def _q_rolling_week_users(sf_dir: str) -> pa.Table:
-    """Sliding-window DISTINCT: active users over each trailing 7-day
-    window.  The classic hard case for pre-aggregation -- solved by
-    exploding each distinct (user, day) into its 7 member windows
-    (bounded 7x blowup of the already day-deduped stream), then one
-    distinct-and-count combine per window."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
-    )
-
-    def explode(batch: pa.Table) -> pa.Table:
-        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        day = ts // 86_400_000_000
-        t = pa.table({"user_id": batch["user_id"], "day": pa.array(day)})
-        t = t.group_by(["user_id", "day"]).aggregate([])  # batch dedupe
-        u = t["user_id"].to_numpy(zero_copy_only=False)
-        d = t["day"].to_numpy(zero_copy_only=False)
-        wins = (d[:, None] + np.arange(7)[None, :]).ravel()
-        return pa.table(
-            {
-                "user_id": pa.array(np.repeat(u, 7)),
-                "win_end": pa.array(wins),
-                "_one": pa.array(np.ones(len(wins), np.int64)),
-            }
-        )
-
-    # global (user, window) dedupe through the distributed combine,
-    # then the window-bounded count
-    pairs = hash_aggregate(
-        ds.map_batches(explode, batch_format="pyarrow", batch_size=None),
-        ["user_id", "win_end"],
-        [("_one", "min", "_one")],
-        distributed_combine=True,
-    )
-    counts = hash_aggregate(
-        pairs, ["win_end"], [("_one", "sum", "n_users")]
-    )
-    day0 = counts["win_end"].to_numpy(zero_copy_only=False)
-    return pa.table(
-        {
-            "win_end": pa.array(
-                day0.astype("datetime64[D]").astype("datetime64[us]")
-            ),
-            "n_users": counts["n_users"].cast(pa.int64()),
-        }
-    ).sort_by("win_end")
-
-
-def _q_winsorized_mean(sf_dir: str) -> pa.Table:
-    """Per-returnflag 10%-winsorized mean of extended price: exact
-    per-group p10/p90 boundaries (distributed quantile selection)
-    broadcast into a vectorized clip + the exact-cents combine."""
-    import ray as _ray
-    import pyarrow.compute as pc
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
-        grouped_exact_quantiles,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_returnflag", "l_extendedprice"],
-    )
-
-    def cents(batch: pa.Table) -> pa.Table:
-        c = pc.multiply(batch["l_extendedprice"].cast(pa.float64()), 100.0)
-        return pa.table(
-            {
-                "l_returnflag": batch["l_returnflag"],
-                "cents": pc.cast(round_like_sql(c, 0), pa.int64()),
-            }
-        )
-
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-
-    cds = ds.map_batches(cents, batch_format="pyarrow", batch_size=None)
-    q = collect_tables(
-        grouped_exact_quantiles(cds, "l_returnflag", "cents", [0.1, 0.9])
-    )
-    lo, hi = {}, {}
-    for g, qq, v in zip(
-        q["l_returnflag"].to_pylist(), q["q"].to_pylist(),
-        q["value"].to_pylist(),
-    ):
-        (lo if qq == 0.1 else hi)[g] = float(v)
-    bounds = _ray.put((lo, hi))
-
-    def clipped(batch: pa.Table) -> pa.Table:
-        lo_d, hi_d = _ray.get(bounds)
-        g = batch["l_returnflag"].to_pylist()
-        v = batch["cents"].to_numpy(zero_copy_only=False).astype(np.float64)
-        lo_v = np.array([lo_d[x] for x in g])
-        hi_v = np.array([hi_d[x] for x in g])
-        w = np.minimum(np.maximum(v, lo_v), hi_v).astype(np.int64)
-        return pa.table(
-            {
-                "l_returnflag": batch["l_returnflag"],
-                "_w": pa.array(w),
-                "_one": pa.array(np.ones(len(w), np.int64)),
-            }
-        )
-
-    out = hash_aggregate(
-        cds.map_batches(clipped, batch_format="pyarrow", batch_size=None),
-        ["l_returnflag"],
-        [("_w", "sum", "sum_w"), ("_one", "sum", "n")],
-    )
-    sw = out["sum_w"].to_numpy(zero_copy_only=False).astype(np.float64)
-    n = out["n"].to_numpy(zero_copy_only=False).astype(np.float64)
-    return pa.table(
-        {
-            "l_returnflag": out["l_returnflag"],
-            "winsor_mean": round_like_sql(sw / n / 100.0, 6),
-        }
-    )
-
-
-def _q_contour_cases(sf_dir: str) -> pa.Table:
-    """Marching-squares contour extraction at level 25.0 over the
-    oracle raster: tile halo-exchange shuffle, per-tile 2x2 window
-    classification (windows owned by their top-left pixel, so tile
-    boundaries emit no duplicates); global case histogram.  The
-    interpolated contour geometry itself is covered by the
-    linear-field unit test."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
-        tile_contours,
-    )
-
-    tiles = ray.data.from_arrow(_og_tiles_table(tile=24))
-    out = hash_aggregate(
-        tile_contours(tiles, level=25.0),
-        ["case_id"],
-        [("n", "sum", "n")],
-    )
-    out = out.filter(pa.compute.greater_equal(out["case_id"], 0))
-    return pa.table(
-        {
-            "case_id": out["case_id"].cast(pa.int64()),
-            "n": out["n"].cast(pa.int64()),
-        }
-    ).sort_by("case_id")
-
-
-def _q_contour_segments(sf_dir: str) -> pa.Table:
-    """Marching-squares contour GEOMETRY at level 25.0: interpolated
-    segment endpoints in global pixel coordinates, one row per (window,
-    segment) -- the polyline feed (stages/raster.py::
-    contour_segment_kernel; stitching covered by unit tests)."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
-        tile_contour_segments,
-    )
-
-    tiles = ray.data.from_arrow(_og_tiles_table(tile=24))
-    out = collect_tables(tile_contour_segments(tiles, level=25.0))
-    return out.sort_by(
-        [("row", "ascending"), ("col", "ascending"), ("seg", "ascending")]
-    )
-
-
-def _q_zonal_mode(sf_dir: str) -> pa.Table:
-    """Categorical zonal statistics: per-polygon MODAL pixel value
-    (deterministic tie-break: highest count, then smallest value) --
-    the zonal companion of mean/min/max for classified rasters."""
-    import pyarrow.compute as pc
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import (
-        PIPJoiner,
-    )
-
-    polys = _og_polygons_table()
-    pts = _og_points_ds(valid_only=True)
-    joined = pts.map_batches(
-        PIPJoiner(polys), batch_format="pyarrow", batch_size=None
-    )
-
-    def keyed(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "polygon_id": batch["polygon_id"],
-                "z": batch["z"],
-                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
-            }
-        )
-
-    counts = hash_aggregate(
-        joined.map_batches(keyed, batch_format="pyarrow", batch_size=None),
-        ["polygon_id", "z"],
-        [("_one", "sum", "n")],
-    ).sort_by(
-        [("polygon_id", "ascending"), ("n", "descending"), ("z", "ascending")]
-    )
-    pid = counts["polygon_id"].to_pylist()
-    keep = [i == 0 or pid[i] != pid[i - 1] for i in range(len(pid))]
-    out = counts.filter(pa.array(keep))
-    return pa.table(
-        {
-            "polygon_id": out["polygon_id"],
-            "mode_z": out["z"],
-            "n_mode": out["n"].cast(pa.int64()),
-        }
-    )
-
-
-def _q_hist_equalize(sf_dir: str) -> pa.Table:
-    """Raster histogram equalization: global value-CDF remap to [0,
-    255] (the classic contrast stretch).  Distinct-value counts via
-    the combiner (value-bounded here; the unbounded tier is the
-    quantile histogram sketch), CDF built once on the driver, remap
-    broadcast into a vectorized searchsorted pass over the pixel
-    stream; output is the equalized histogram."""
-    import ray as _ray
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
-        partial_count,
-    )
-
-    pts = _og_points_ds(valid_only=True)
-
-    def vals(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "z": batch["z"],
-                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
-            }
-        )
-
-    counts = hash_aggregate(
-        pts.map_batches(vals, batch_format="pyarrow", batch_size=None),
-        ["z"],
-        [("_one", "sum", "n")],
-    ).sort_by("z")
-    z = counts["z"].to_numpy(zero_copy_only=False)
-    n_per = counts["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    cdf = np.cumsum(n_per).astype(np.float64)
-    n = float(cdf[-1])
-    cmin = float(cdf[0])
-    eq = (
-        round_like_sql(255.0 * (cdf - cmin) / (n - cmin), 0)
-        .to_numpy(zero_copy_only=False)
-        .astype(np.int64)
-    )
-    lut = _ray.put((z, eq))
-
-    def remap(batch: pa.Table) -> pa.Table:
-        zs, eqs = _ray.get(lut)
-        v = batch["z"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(zs, v)
-        return pa.table({"eq": pa.array(eqs[pos])})
-
-    out = partial_count(
-        pts.map_batches(remap, batch_format="pyarrow", batch_size=None),
-        ["eq"],
-    ).rename_columns(["eq", "n_pixels"])
-    return pa.table(
-        {
-            "eq": out["eq"].cast(pa.int64()),
-            "n_pixels": out["n_pixels"].cast(pa.int64()),
-        }
-    ).sort_by("eq")
-
-
-def _q_colocation_pairs(sf_dir: str) -> pa.Table:
-    """Spatio-temporal co-location join: distinct user pairs seen in
-    the SAME geocode cell within the SAME 10-minute window.  Bucket
-    (cell, window) keys shuffle once; the per-bucket kernel emits the
-    bucket's user pairs (bucket-bounded, never corpus-bounded)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "user_id", "ts"],
-    )
-
-    def keyed(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False)
-        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        gx = (eid % 96) // 8  # 12x12 coarse cells
-        gy = ((eid // 96) % 96) // 8
-        win = ts // 600_000_000  # 10-minute windows
-        t = pa.table(
-            {
-                "cell": pa.array((gx * 12 + gy).astype(np.int64)),
-                "win": pa.array(win),
-                "user_id": batch["user_id"],
-            }
-        )
-        return t.group_by(["cell", "win", "user_id"]).aggregate([])
-
-    buckets = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
-
-    def pairs(group: pa.Table) -> pa.Table:
-        users = sorted(set(group["user_id"].to_pylist()))
-        a, b = [], []
-        for i in range(len(users)):
-            for j in range(i + 1, len(users)):
-                a.append(users[i])
-                b.append(users[j])
-        return pa.table(
-            {
-                "user_a": pa.array(a, pa.int64()),
-                "user_b": pa.array(b, pa.int64()),
-                "_one": pa.array(np.ones(len(a), np.int64)),
-            }
-        )
-
-    out = hash_aggregate(
-        _grouped_by_key(buckets, ["cell", "win"], pairs),
-        ["user_a", "user_b"],
-        [("_one", "sum", "n_meetings")],
-    )
-    return pa.table(
-        {
-            "user_a": out["user_a"].cast(pa.int64()),
-            "user_b": out["user_b"].cast(pa.int64()),
-            "n_meetings": out["n_meetings"].cast(pa.int64()),
-        }
-    )
-
-
-def _q_convoy_pairs(sf_dir: str) -> pa.Table:
-    """Convoy (co-travel) detection, the trajectory-mining classic:
-    user pairs co-located for >= 2 CONSECUTIVE 10-minute windows
-    (same coarse cell).  Same bucket shuffle as colocation_pairs, a
-    distinct (pair, window) pass, then gaps-and-islands per pair --
-    run lengths in exact int64 windows.  Returns (user_a, user_b,
-    max_run, n_cowindows)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, distinct,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "user_id", "ts"],
-    )
-
-    def keyed(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False)
-        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        gx = (eid % 96) // 8
-        gy = ((eid // 96) % 96) // 8
-        win = ts // 600_000_000
-        t = pa.table(
-            {
-                "cell": pa.array((gx * 12 + gy).astype(np.int64)),
-                "win": pa.array(win),
-                "user_id": batch["user_id"],
-            }
-        )
-        return t.group_by(["cell", "win", "user_id"]).aggregate([])
-
-    buckets = ds.map_batches(keyed, batch_format="pyarrow", batch_size=None)
-
-    def pair_windows(group: pa.Table) -> pa.Table:
-        users = sorted(set(group["user_id"].to_pylist()))
-        win = group["win"][0].as_py()
-        a, b = [], []
-        for i in range(len(users)):
-            for j in range(i + 1, len(users)):
-                a.append(users[i])
-                b.append(users[j])
-        return pa.table(
-            {
-                "user_a": pa.array(a, pa.int64()),
-                "user_b": pa.array(b, pa.int64()),
-                "win": pa.array([win] * len(a), pa.int64()),
-            }
-        )
-
-    pw = distinct(
-        _grouped_by_key(buckets, ["cell", "win"], pair_windows),
-        ["user_a", "user_b", "win"],
-    )
-
-    # segmented run analysis, fully vectorized: one pass over the
-    # (pair, window)-sorted rows instead of a Python kernel per pair
-    # (265k pairs at sf0.1 made per-key calls the bottleneck).  The
-    # distributed tier runs this same kernel inside hash buckets.
-    import pyarrow.compute as pc
-
-    order = pc.sort_indices(
-        pw,
-        sort_keys=[("user_a", "ascending"), ("user_b", "ascending"),
-                   ("win", "ascending")],
-    )
-    s = pw.take(order)
-    ua = s["user_a"].to_numpy(zero_copy_only=False)
-    ub = s["user_b"].to_numpy(zero_copy_only=False)
-    wn = s["win"].to_numpy(zero_copy_only=False)
-    if len(ua) == 0:
-        return pa.table(
-            {
-                "user_a": pa.array([], pa.int64()),
-                "user_b": pa.array([], pa.int64()),
-                "max_run": pa.array([], pa.int64()),
-                "n_cowindows": pa.array([], pa.int64()),
-            }
-        )
-    new_pair = np.ones(len(ua), dtype=bool)
-    new_pair[1:] = (ua[1:] != ua[:-1]) | (ub[1:] != ub[:-1])
-    new_island = new_pair.copy()
-    new_island[1:] |= (wn[1:] - wn[:-1]) > 1
-    island_start = np.flatnonzero(new_island)
-    island_len = np.diff(np.append(island_start, len(ua)))
-    pair_start = np.flatnonzero(new_pair)
-    pair_id_of_island = (
-        np.searchsorted(pair_start, island_start, side="right") - 1
-    )
-    n_pairs = len(pair_start)
-    max_run = np.zeros(n_pairs, np.int64)
-    np.maximum.at(max_run, pair_id_of_island, island_len)
-    n_cowin = np.diff(np.append(pair_start, len(ua))).astype(np.int64)
-    keep = max_run >= 2
-    return pa.table(
-        {
-            "user_a": pa.array(ua[pair_start][keep]),
-            "user_b": pa.array(ub[pair_start][keep]),
-            "max_run": pa.array(max_run[keep]),
-            "n_cowindows": pa.array(n_cowin[keep]),
-        }
-    )
-
-
-def _q_word_triangles(sf_dir: str) -> pa.Table:
-    """Triangle count of the edit-1 word graph (per-word triangle
-    membership + global total): the classic graph-motif statistic,
-    computed on the vocabulary-bounded edge list."""
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        edit1_vocab_pairs,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
-    ).map_batches(
-        lambda b: b.rename_columns(["text"]),
-        batch_format="pyarrow", batch_size=None,
-    )
-    pairs = edit1_vocab_pairs(ds, min_len=4)
-    w1 = pairs["w1"].to_pylist()
-    w2 = pairs["w2"].to_pylist()
-    edges = set(zip(w1, w2))
-    # oriented triangles a<b<c with all three edges present
-    by_a: dict[str, list[str]] = {}
-    for a, b in edges:
-        by_a.setdefault(a, []).append(b)
-    tri_count: dict[str, int] = {}
-    total = 0
-    for a, nbrs in by_a.items():
-        nbrs = sorted(nbrs)
-        for i in range(len(nbrs)):
-            for j in range(i + 1, len(nbrs)):
-                if (nbrs[i], nbrs[j]) in edges:
-                    total += 1
-                    for wv in (a, nbrs[i], nbrs[j]):
-                        tri_count[wv] = tri_count.get(wv, 0) + 1
-    words = sorted(tri_count)
-    return pa.table(
-        {
-            "word": pa.array(words),
-            "n_triangles": pa.array(
-                [tri_count[w] for w in words], pa.int64()
-            ),
-        }
-    )
-
-
-def _q_word_components(sf_dir: str) -> pa.Table:
-    """Connected components of the edit-distance-1 corpus-vocabulary
-    graph: deletion-blocked pair generation (distributed), then
-    min-label components; representative = lexicographically smallest
-    member.  The distributed tier (iterative join + groupby-min) is
-    dedup.label_propagation_clusters; the vocabulary-bounded graph
-    here runs its small tier with the identical semantics."""
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.dedup import (
-        _cluster_pairs,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        edit1_vocab_pairs,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
-    ).map_batches(
-        lambda b: b.rename_columns(["text"]),
-        batch_format="pyarrow", batch_size=None,
-    )
-    pairs = edit1_vocab_pairs(ds, min_len=4)
-    # words -> ids ordered lexicographically, so min-id == min-word
-    vocab = sorted(
-        set(pairs["w1"].to_pylist()) | set(pairs["w2"].to_pylist())
-    )
-    wid = {w: i for i, w in enumerate(vocab)}
-    edge_tbl = pa.table(
-        {
-            "a": pa.array([wid[w] for w in pairs["w1"].to_pylist()],
-                          pa.int64()),
-            "b": pa.array([wid[w] for w in pairs["w2"].to_pylist()],
-                          pa.int64()),
-        }
-    )
-    # tiered like the dedup entry paths: vocabulary-bounded edge lists
-    # take the in-process union-find, big graphs the Ray-join rounds
-    backend = "unionfind" if edge_tbl.num_rows < 100_000 else "labelprop"
-    comp = _cluster_pairs(edge_tbl, backend, num_partitions=2)
-    reps = comp["cluster_rep"].to_numpy(zero_copy_only=False)
-    out = (
-        pa.table({"rep": pa.array(reps)})
-        .group_by("rep")
-        .aggregate([("rep", "count")])
-        .rename_columns(["rep", "n_words"])
-    )
-    return pa.table(
-        {
-            "rep_word": pa.array([vocab[int(r)] for r in
-                                  out["rep"].to_pylist()]),
-            "n_words": out["n_words"].cast(pa.int64()),
-        }
-    ).sort_by("rep_word")
-
-
-def _q_word_pagerank(sf_dir: str) -> pa.Table:
-    """PageRank (d=0.85, 10 fixed iterations) over the undirected
-    edit-1 word graph.  Edge construction is the distributed
-    deletion-blocked join; the iteration runs on the vocabulary-
-    bounded adjacency (small tier -- the distributed tier is the same
-    join+groupby round used by label_propagation_clusters).  Top-15
-    by (rank desc, word)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        edit1_vocab_pairs,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
-    ).map_batches(
-        lambda b: b.rename_columns(["text"]),
-        batch_format="pyarrow", batch_size=None,
-    )
-    pairs = edit1_vocab_pairs(ds, min_len=4)
-    vocab = sorted(
-        set(pairs["w1"].to_pylist()) | set(pairs["w2"].to_pylist())
-    )
-    wid = {w: i for i, w in enumerate(vocab)}
-    n = len(vocab)
-    a = np.array([wid[w] for w in pairs["w1"].to_pylist()], np.int64)
-    b = np.array([wid[w] for w in pairs["w2"].to_pylist()], np.int64)
-    src = np.concatenate([a, b])
-    dst = np.concatenate([b, a])
-    deg = np.bincount(src, minlength=n).astype(np.float64)
-    d = 0.85
-    rank = np.full(n, 1.0 / n)
-    for _ in range(10):
-        contrib = rank[src] / deg[src]
-        incoming = np.zeros(n)
-        np.add.at(incoming, dst, contrib)
-        rank = (1.0 - d) / n + d * incoming
-    # sort on the ROUNDED rank (word tiebreak) so ordering ties are
-    # identical to the oracle's ORDER BY ROUND(r, 6) DESC, w
-    r6 = (
-        round_like_sql(rank, 6).to_numpy(zero_copy_only=False)
-    )
-    order = np.lexsort((np.array(vocab), -r6))[:15]
-    return pa.table(
-        {
-            "word": pa.array([vocab[i] for i in order]),
-            "rank": pa.array(r6[order]),
-        }
-    )
-
-
-def _q_word_bfs_hops(sf_dir: str) -> pa.Table:
-    """Multi-source BFS (min-hop <= 4) on the edit-1 word graph from
-    the 5 lexicographically smallest vocabulary words -- the
-    distributed Bellman-Ford rounds of stages/graph.py::bfs_min_hops
-    (one grouped shuffle per hop; edges and frontier stay Datasets).
-    Completes the graph family next to components / PageRank /
-    triangles."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.graph import (
-        bfs_min_hops,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        edit1_vocab_pairs,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
-    ).map_batches(
-        lambda b: b.rename_columns(["text"]),
-        batch_format="pyarrow", batch_size=None,
-    )
-    pairs = edit1_vocab_pairs(ds, min_len=4)
-    sym = pa.table(
-        {
-            "w1": pa.concat_arrays(
-                [pairs["w1"].combine_chunks(), pairs["w2"].combine_chunks()]
-            ),
-            "w2": pa.concat_arrays(
-                [pairs["w2"].combine_chunks(), pairs["w1"].combine_chunks()]
-            ),
-        }
-    )
-    # seeds: 5 smallest distinct vocabulary words (incl. isolated ones)
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        distinct,
-    )
-
-    vocab_ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
-    )
-    vocab = distinct(vocab_ds, ["source"])
-    words = sorted(
-        w for w in vocab["source"].to_pylist() if len(w) >= 4
-    )
-    seeds = words[:5]
-    out = collect_tables(
-        bfs_min_hops(ray.data.from_arrow(sym), seeds, max_hops=4)
-    )
-    return out
-
-
-def _q_latest_event_per_user(sf_dir: str) -> pa.Table:
-    """Latest row per key (SCD upsert / QUALIFY ROW_NUMBER()=1):
-    per-batch vectorized candidate reduction, bounded driver combine."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        grouped_argmax,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "ts", "event_id", "event_type", "value"],
-    )
-    out = grouped_argmax(ds, ["user_id"], ["ts", "event_id"])
-    return out.select(["user_id", "ts", "event_type", "value"]).sort_by(
-        "user_id"
-    )
-
-
-def _q_conversion_lag(sf_dir: str) -> pa.Table:
-    """Funnel latency: each purchase matched to the user's most recent
-    click at or before it (ordered per-user window, vectorized
-    searchsorted); per-user conversion count + mean lag seconds.  Thin
-    collect over pipelines/tracks.py::conversion_lag_ds."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.tracks import (
-        conversion_lag_ds,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "ts", "event_type"],
-    )
-    return collect_tables(conversion_lag_ds(ds)).select(
-        ["user_id", "n_conversions", "avg_lag_s"]
-    ).sort_by("user_id")
-
-
-def _q_interevent_median(sf_dir: str) -> pa.Table:
-    """Median inter-event gap per user (quantile_disc element
-    selection over per-user ordered diffs)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "ts", "event_id"],
-    )
-
-    def med(group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        order = pc.sort_indices(
-            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
-        )
-        ts = group["ts"].cast(pa.int64()).take(order).to_numpy(
-            zero_copy_only=False
-        )
-        gaps = np.sort(np.diff(ts) / 1e6)
-        if len(gaps) == 0:
-            return pa.table(
-                {
-                    "user_id": pa.array([], pa.int64()),
-                    "n_gaps": pa.array([], pa.int64()),
-                    "median_gap_s": pa.array([], pa.float64()),
-                }
-            )
-        k = int(np.ceil(0.5 * len(gaps))) - 1  # quantile_disc rank
-        return pa.table(
-            {
-                "user_id": pa.array([group["user_id"][0].as_py()], pa.int64()),
-                "n_gaps": pa.array([len(gaps)], pa.int64()),
-                "median_gap_s": pa.array([float(gaps[k])]),
-            }
-        )
-
-    t = collect_tables(
-        _grouped_by_key(ds, "user_id", med)
-    )
-    return pa.table(
-        {
-            "user_id": t["user_id"],
-            "n_gaps": t["n_gaps"].cast(pa.int64()),
-            "median_gap_s": round_like_sql(t["median_gap_s"], 6),
-        }
-    ).sort_by("user_id")
-
-
-def _q_time_weighted_avg(sf_dir: str) -> pa.Table:
-    """Time-weighted mean of the event value per user: each reading
-    holds until the next event (LEAD weights), last reading excluded."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "ts", "event_id", "value"],
-    )
-
-    def twa(group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        order = pc.sort_indices(
-            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
-        )
-        g = group.take(order)
-        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        v = g["value"].to_numpy(zero_copy_only=False).astype(np.float64)
-        if len(ts) < 2:
-            return pa.table(
-                {
-                    "user_id": pa.array([], pa.int64()),
-                    "twa_value": pa.array([], pa.float64()),
-                }
-            )
-        dt = (ts[1:] - ts[:-1]) / 1e6
-        tw = float((v[:-1] * dt).sum()) / float(dt.sum())
-        return pa.table(
-            {
-                "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
-                "twa_value": pa.array([tw]),
-            }
-        )
-
-    t = collect_tables(
-        _grouped_by_key(ds, "user_id", twa)
-    )
-    return pa.table(
-        {
-            "user_id": t["user_id"],
-            "twa_value": round_like_sql(t["twa_value"], 6),
-        }
-    ).sort_by("user_id")
-
-
-def _q_percent_rank_qty(sf_dir: str) -> pa.Table:
-    """PERCENT_RANK of each distinct quantity within its returnflag
-    (bounded-cardinality rank from combiner counts, no row shuffle)."""
-    import pyarrow.compute as pc
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        grouped_percent_rank, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_returnflag", "l_quantity"],
-    )
-
-    def quantize(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "l_returnflag": batch["l_returnflag"],
-                "qty": pc.cast(
-                    round_like_sql(batch["l_quantity"], 0), pa.int64()
-                ),
-            }
-        )
-
-    return grouped_percent_rank(
-        ds.map_batches(quantize, batch_format="pyarrow", batch_size=None),
-        "l_returnflag", "qty",
-    )
-
-
-def _q_gini_by_priority(sf_dir: str) -> pa.Table:
-    """Per-priority Gini coefficient of order value: the distributed
-    RANKED statistic -- one Ray sort, per-block int64 rank partials,
-    ordered driver combine with running rank offsets."""
-    import pyarrow.compute as pc
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        grouped_gini, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_orderpriority", "o_totalprice"],
-    )
-
-    def cents(batch: pa.Table) -> pa.Table:
-        c = pc.multiply(batch["o_totalprice"].cast(pa.float64()), 100.0)
-        return pa.table(
-            {
-                "o_orderpriority": batch["o_orderpriority"],
-                "cents": pc.cast(round_like_sql(c, 0), pa.int64()),
-            }
-        )
-
-    return grouped_gini(
-        ds.map_batches(cents, batch_format="pyarrow", batch_size=None),
-        "o_orderpriority", "cents",
-    )
-
-
-def _q_bm25_search(sf_dir: str) -> pa.Table:
-    """Okapi BM25 relevance of every document to the fixed query
-    ('spark', 'join'): one tf/dl pass, corpus stats via combiner,
-    vectorized scoring; top-20 by (score desc, doc_id)."""
-    import pyarrow.compute as pc
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        bm25_scores,
-    )
-
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        top_k,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
-    # partial top-k per batch -- the matching-doc set is corpus-scale,
-    # only k rows per block ever reach the driver
-    return top_k(
-        bm25_scores(ds, ["spark", "join"]), "score", 20, tiebreak="doc_id"
-    )
-
-
-def _q_orders_above_avg(sf_dir: str) -> pa.Table:
-    """Correlated-subquery shape: per customer, how many of their
-    orders exceed their OWN average order value (exact cents moments
-    broadcast, vectorized compare).  The broadcast side is
-    customer-bounded; past driver memory, route the same partials
-    through the big-big shuffle join tier (as big_join_revenue does)
-    instead of ray.put."""
-    import ray as _ray
-    import pyarrow.compute as pc
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_custkey", "o_totalprice"],
-    )
-
-    def cents(batch: pa.Table) -> pa.Table:
-        c = pc.multiply(batch["o_totalprice"].cast(pa.float64()), 100.0)
-        return pa.table(
-            {
-                "o_custkey": batch["o_custkey"],
-                "cents": pc.cast(round_like_sql(c, 0), pa.int64()),
-                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
-            }
-        )
-
-    cds = ds.map_batches(cents, batch_format="pyarrow", batch_size=None)
-    avg = hash_aggregate(
-        cds, ["o_custkey"],
-        [("cents", "sum", "sum_cents"), ("_one", "sum", "n")],
-    )
-    lut = _ray.put(
-        (
-            np.sort(avg["o_custkey"].to_numpy(zero_copy_only=False)),
-            avg["sum_cents"].to_numpy(zero_copy_only=False)[
-                np.argsort(avg["o_custkey"].to_numpy(zero_copy_only=False))
-            ].astype(np.float64),
-            avg["n"].to_numpy(zero_copy_only=False)[
-                np.argsort(avg["o_custkey"].to_numpy(zero_copy_only=False))
-            ].astype(np.float64),
-        )
-    )
-
-    def above(batch: pa.Table) -> pa.Table:
-        keys, sums, ns = _ray.get(lut)
-        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
-        c = batch["cents"].to_numpy(zero_copy_only=False).astype(np.float64)
-        pos = np.searchsorted(keys, ck)
-        hit = (c > sums[pos] / ns[pos]).astype(np.int64)
-        return pa.table(
-            {"o_custkey": batch["o_custkey"], "_hit": pa.array(hit)}
-        )
-
-    out = hash_aggregate(
-        cds.map_batches(above, batch_format="pyarrow", batch_size=None),
-        ["o_custkey"],
-        [("_hit", "sum", "n_above")],
-    )
-    keep = pc.greater(out["n_above"], 0)
-    out = out.filter(keep)
-    return pa.table(
-        {
-            "o_custkey": out["o_custkey"].cast(pa.int64()),
-            "n_above": out["n_above"].cast(pa.int64()),
-        }
-    )
-
-
-def _q_dbscan_clusters(sf_dir: str) -> pa.Table:
-    """Grid-tier DBSCAN over the jittered event point cloud: per-
-    cluster size + bounding box, noise bucketed as label -1."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.ann import (
-        grid_dbscan,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
-
-    def jitter(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False)
-        # cluster structure: half the events concentrate in 4 blobs
-        blob = (eid % 4).astype(np.float64)
-        in_blob = ((eid // 4) % 2) == 0
-        jx = ((eid * 2654435761) % 997).astype(np.float64) / 997.0
-        jy = ((eid * 40503) % 991).astype(np.float64) / 991.0
-        x = np.where(in_blob, blob * 10.0 + jx * 0.5, jx * 40.0)
-        y = np.where(in_blob, blob * 5.0 + jy * 0.5, jy * 20.0)
-        return pa.table({"x": pa.array(x), "y": pa.array(y)})
-
-    pts = ds.map_batches(jitter, batch_format="pyarrow", batch_size=None)
-    # density threshold scales with corpus size so the 4-blob/noise
-    # structure is recovered at ANY sf (noise ~22 pts/cell at sf0.1
-    # would otherwise pass a fixed min_count)
-    min_count = max(8, ds.count() // 2000)
-    labeled = grid_dbscan(pts, "x", "y", eps=0.6, min_count=min_count)
-
-    def mark(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "label": batch["label"],
-                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
-                "x": batch["x"],
-                "y": batch["y"],
-            }
-        )
-
-    out = hash_aggregate(
-        labeled.map_batches(mark, batch_format="pyarrow", batch_size=None),
-        ["label"],
-        [
-            ("_one", "sum", "n"),
-            ("x", "min", "x_min"),
-            ("x", "max", "x_max"),
-            ("y", "min", "y_min"),
-            ("y", "max", "y_max"),
-        ],
-    ).sort_by("label")
-    return pa.table(
-        {
-            "label": out["label"].cast(pa.int64()),
-            "n": out["n"].cast(pa.int64()),
-            "x_min": round_like_sql(out["x_min"], 6),
-            "x_max": round_like_sql(out["x_max"], 6),
-            "y_min": round_like_sql(out["y_min"], 6),
-            "y_max": round_like_sql(out["y_max"], 6),
-        }
-    )
-
-
-def _q_stay_points(sf_dir: str) -> pa.Table:
-    """Stay-point detection per user track (Li et al. 2008): ordered
-    per-user window through the groupby shuffle, O(n) kernel per
-    group; per-user stay counts + total dwell."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "user_id", "ts"],
-    )
-
-    def geocode(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False)
-        lon = 77.0 + (eid % 96).astype(np.float64) * 0.01
-        lat = 28.05 + ((eid // 96) % 96).astype(np.float64) * 0.01
-        return pa.table(
-            {
-                "user_id": batch["user_id"],
-                "ts": batch["ts"],
-                "event_id": batch["event_id"],
-                "lon": pa.array(lon),
-                "lat": pa.array(lat),
-            }
-        )
-
-    geo = ds.map_batches(geocode, batch_format="pyarrow", batch_size=None)
-
-    def detect(group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        from tiff_to_geojson_csv_json_format_converter_ray.functions.geometry import (
-            stay_points,
-        )
-
-        order = pc.sort_indices(
-            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
-        )
-        g = group.take(order)
-        lon = g["lon"].to_numpy(zero_copy_only=False)
-        lat = g["lat"].to_numpy(zero_copy_only=False)
-        t = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) / 1e6
-        sp = stay_points(lon, lat, t, eps=0.3, min_duration=3600.0)
-        dwell = sum(s[3] - s[2] for s in sp)
-        return pa.table(
-            {
-                "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
-                "n_stays": pa.array([len(sp)], pa.int64()),
-                "total_dwell_s": pa.array([float(dwell)]),
-            }
-        )
-
-    t = collect_tables(
-        _grouped_by_key(geo, "user_id", detect)
-    )
-    return pa.table(
-        {
-            "user_id": t["user_id"],
-            "n_stays": t["n_stays"],
-            "total_dwell_s": round_like_sql(t["total_dwell_s"], 6),
-        }
-    )
-
-
-def _q_chi2_independence(sf_dir: str) -> pa.Table:
-    """Pearson chi-square test of independence between event type and
-    ISO day-of-week: distributed contingency counts (combiner), dense
-    matrix formula on the |A| x |B|-bounded table."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.stats import (
-        chi2_independence,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts"]
-    )
-
-    def cells(batch: pa.Table) -> pa.Table:
-        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        # ISO day-of-week from epoch-us (1970-01-01 was a Thursday = 4)
-        dow = ((ts // 86_400_000_000 + 3) % 7 + 1).astype(np.int64)
-        return pa.table(
-            {
-                "a": batch["event_type"],
-                "b": pa.array(dow),
-                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
-            }
-        )
-
-    counts = hash_aggregate(
-        ds.map_batches(cells, batch_format="pyarrow", batch_size=None),
-        ["a", "b"],
-        [("_one", "sum", "n")],
-    )
-    chi2, dof = chi2_independence(counts, "a", "b")
-    return pa.table(
-        {
-            "chi2": round_like_sql(np.asarray([chi2]), 6),
-            "dof": pa.array([dof], pa.int64()),
-        }
-    )
-
-
-def _q_getis_ord(sf_dir: str) -> pa.Table:
-    """Getis-Ord Gi* hot-spot z-scores of the event density field on
-    the 96x96 geocode lattice (3x3 weights incl. self); top-20 hottest
-    cells by z."""
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
-        partial_count,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.stats import (
-        getis_ord_gi_star,
-    )
-    import pyarrow.compute as pc
-
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
-
-    def gridcell(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "gx": pa.array((eid % 96).astype(np.int64)),
-                "gy": pa.array(((eid // 96) % 96).astype(np.int64)),
-            }
-        )
-
-    counts = partial_count(
-        ds.map_batches(gridcell, batch_format="pyarrow", batch_size=None),
-        ["gx", "gy"],
-    ).rename_columns(["gx", "gy", "n"])
-    z = getis_ord_gi_star(counts, 96, 96)
-    idx = pc.sort_indices(
-        z,
-        sort_keys=[("gi_z", "descending"), ("gx", "ascending"),
-                   ("gy", "ascending")],
-    )[:20]
-    return z.take(idx)
-
-
-def _q_assoc_rules(sf_dir: str) -> pa.Table:
-    """Market-basket association rules over (user, day) baskets of
-    event types: pair co-occurrence counts + lift."""
-    import pyarrow.compute as pc
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        association_rules,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "ts", "event_type"],
-    )
-
-    def keyed(batch: pa.Table) -> pa.Table:
-        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "user_id": batch["user_id"],
-                "day": pa.array(ts // 86_400_000_000),
-                "event_type": batch["event_type"],
-            }
-        )
-
-    return association_rules(
-        ds.map_batches(keyed, batch_format="pyarrow", batch_size=None),
-        ["user_id", "day"],
-        "event_type",
-    )
-
-
-def _q_pct_change_monthly(sf_dir: str) -> pa.Table:
-    """Month-over-month revenue percent change (LAG window over the
-    exact monthly cents sums)."""
-    import pyarrow.compute as pc
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_orderdate", "o_totalprice"],
-    )
-
-    def monthly(batch: pa.Table) -> pa.Table:
-        ts = batch["o_orderdate"].cast(pa.int64()).to_numpy(
-            zero_copy_only=False
-        )
-        days = (ts // 86_400_000_000).astype("datetime64[D]")
-        month = days.astype("datetime64[M]").astype(np.int64)  # months
-        cents = pc.cast(
-            round_like_sql(
-                pc.multiply(batch["o_totalprice"].cast(pa.float64()), 100.0),
-                0,
-            ),
-            pa.int64(),
-        )
-        return pa.table({"month": pa.array(month), "cents": cents})
-
-    out = hash_aggregate(
-        ds.map_batches(monthly, batch_format="pyarrow", batch_size=None),
-        ["month"],
-        [("cents", "sum", "cents")],
-    ).sort_by("month")
-    m = out["month"].to_numpy(zero_copy_only=False)
-    c = out["cents"].to_numpy(zero_copy_only=False).astype(np.float64)
-    pct = np.full(len(c), np.nan)
-    if len(c) > 1:
-        pct[1:] = (c[1:] - c[:-1]) / c[:-1] * 100.0
-    # month int -> first-of-month timestamp for a portable column
-    month_ts = m.astype("datetime64[M]").astype("datetime64[us]")
-    return pa.table(
-        {
-            "month": pa.array(month_ts),
-            "revenue": pa.array(c / 100.0),
-            "pct_change": round_like_sql(pct, 6),
-        }
-    )
-
-
-def _q_convex_hull(sf_dir: str) -> pa.Table:
-    """Exact distributed convex hull of the jittered event point
-    cloud (per-block Akl-Toussaint prune + monotone chain, driver
-    merge of block hulls)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.stats import (
-        convex_hull,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
-
-    def jitter(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False)
-        # deterministic sub-cell jitter so the hull is non-trivial
-        jx = ((eid * 2654435761) % 997).astype(np.float64) / 99700.0
-        jy = ((eid * 40503) % 991).astype(np.float64) / 99100.0
-        lon = 77.0 + (eid % 96).astype(np.float64) * 0.01 + jx
-        lat = 28.05 + ((eid // 96) % 96).astype(np.float64) * 0.01 + jy
-        return pa.table({"lon": pa.array(lon), "lat": pa.array(lat)})
-
-    return convex_hull(
-        ds.map_batches(jitter, batch_format="pyarrow", batch_size=None),
-        "lon", "lat",
-    )
-
-
-def _q_grouping_sets(sf_dir: str) -> pa.Table:
-    """GROUP BY GROUPING SETS ((flag), (status), ()): non-hierarchical
-    explicit sets (distinct from ROLLUP/CUBE), one raw scan."""
-    import pyarrow.compute as pc
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        grouping_sets_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_returnflag", "l_linestatus", "l_quantity"],
-    )
-
-    def cents(batch: pa.Table) -> pa.Table:
-        q = pc.multiply(batch["l_quantity"].cast(pa.float64()), 100.0)
-        return pa.table(
-            {
-                "l_returnflag": batch["l_returnflag"],
-                "l_linestatus": batch["l_linestatus"],
-                "qc": pc.cast(round_like_sql(q, 0), pa.int64()),
-                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
-            }
-        )
-
-    out = grouping_sets_aggregate(
-        ds.map_batches(cents, batch_format="pyarrow", batch_size=None),
-        ["l_returnflag", "l_linestatus"],
-        [["l_returnflag"], ["l_linestatus"], []],
-        [("qc", "sum", "sum_qty_cents"), ("_one", "sum", "n")],
-    )
-    return pa.table(
-        {
-            "l_returnflag": out["l_returnflag"],
-            "l_linestatus": out["l_linestatus"],
-            "sum_qty_cents": out["sum_qty_cents"].cast(pa.int64()),
-            "n": out["n"].cast(pa.int64()),
-        }
-    )
-
-
-def _q_markov_transitions(sf_dir: str) -> pa.Table:
-    """Per-user clickstream transition counts (first-order Markov
-    matrix over event types, ordered by (ts, event_id))."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        markov_transitions,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "ts", "event_id", "event_type"],
-    )
-    out = markov_transitions(
-        ds, "user_id", "event_type", ["ts", "event_id"]
-    )
-    return pa.table(
-        {"src": out["src"], "dst": out["dst"], "n": out["n"].cast(pa.int64())}
-    )
-
-
-def _q_quantiles_cont(sf_dir: str) -> pa.Table:
-    """Interpolated (PERCENTILE_CONT) exact distributed quantiles --
-    two order-statistic selections per q through the same histogram
-    refinement as quantiles_exact."""
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
-        exact_quantiles,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_extendedprice"]
-    )
-    out = exact_quantiles(
-        ds, "l_extendedprice", [0.1, 0.5, 0.9, 0.99], bins=256,
-        driver_cap=4096, method="cont",
-    )
-    return pa.table(
-        {"q": out["q"], "value": round_like_sql(out["value"], 6)}
-    )
-
-
-def _q_approx_distinct_by_type(sf_dir: str) -> pa.Table:
-    """Per-event-type HyperLogLog distinct-user estimate (grouped
-    mergeable sketch; register blobs combine, never raw rows)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
-        grouped_approx_distinct,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_type", "user_id"],
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    out = grouped_approx_distinct(ds, "event_type", "user_id")
-    return pa.table(
-        {
-            "event_type": out["event_type"],
-            "approx_n": round_like_sql(out["approx_n"], 6),
-        }
-    )
-
-
-def _q_lm_logprob(sf_dir: str) -> pa.Table:
-    """Per-document average bigram log-likelihood under the corpus's
-    own bigram LM (CCNet-style fluency filter): distributed bigram
-    counts -> big-big gram join -> broadcast first-token totals."""
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        bigram_lm_logprob,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
-    return bigram_lm_logprob(ds)
-
-
-def _q_full_outer_activity(sf_dir: str) -> pa.Table:
-    """Big-big FULL OUTER shuffle join: per-(user, day) click counts
-    vs purchase counts -- unmatched rows survive on BOTH sides; per
-    user, days with both / click-only / purchase-only."""
-    import pyarrow.compute as pc
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        coerce_empty_blocks, hash_aggregate,
-    )
-
-    def side(event_type: str, key: str):
-        ds = _read_pq(
-            os.path.join(sf_dir, "events.parquet"),
-            columns=["user_id", "ts", "event_type"],
-        )
-
-        def days(batch: pa.Table) -> pa.Table:
-            batch = batch.filter(pc.equal(batch["event_type"], event_type))
-            ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            return pa.table(
-                {
-                    f"{key}_user": batch["user_id"],
-                    f"{key}_day": pa.array(ts // 86_400_000_000),
-                    "_one": pa.array(np.ones(batch.num_rows, np.int64)),
-                }
-            )
-
-        agg = hash_aggregate(
-            ds.map_batches(days, batch_format="pyarrow", batch_size=None),
-            [f"{key}_user", f"{key}_day"],
-            [("_one", "sum", f"{key}_n")],
-            distributed_combine=True,
-        )
-        # groupby outputs can carry schema-less empty partitions,
-        # which Arrow's hash join rejects
-        return coerce_empty_blocks(
-            agg,
-            pa.schema(
-                [(f"{key}_user", pa.int64()), (f"{key}_day", pa.int64()),
-                 (f"{key}_n", pa.int64())]
-            ),
-        )
-
-    clicks = side("click", "c")
-    purchases = side("purchase", "p")
-    # num_partitions sized to the aggregated (user x day) key space;
-    # the join cost here is JoinOperator actor spin-up (fixed, ~2 s per
-    # aggregator on this host), which amortizes on a long-running job
-    joined = clicks.join(
-        purchases, join_type="full_outer", num_partitions=4,
-        on=("c_user", "c_day"), right_on=("p_user", "p_day"),
-    )
-
-    def mark(batch: pa.Table) -> pa.Table:
-        if batch.num_columns == 0 or batch.num_rows == 0:
-            return pa.schema(
-                [("user_id", pa.int64()), ("_both", pa.int64()),
-                 ("_c_only", pa.int64()), ("_p_only", pa.int64())]
-            ).empty_table()
-        # Ray's full_outer coalesces the join keys into the LEFT key
-        # columns; side presence comes from the value columns
-        has_c = pc.is_valid(batch["c_n"])
-        has_p = pc.is_valid(batch["p_n"])
-        return pa.table(
-            {
-                "user_id": batch["c_user"],
-                "_both": pc.cast(pc.and_(has_c, has_p), pa.int64()),
-                "_c_only": pc.cast(
-                    pc.and_(has_c, pc.invert(has_p)), pa.int64()
-                ),
-                "_p_only": pc.cast(
-                    pc.and_(has_p, pc.invert(has_c)), pa.int64()
-                ),
-            }
-        )
-
-    out = hash_aggregate(
-        joined.map_batches(mark, batch_format="pyarrow", batch_size=None),
-        ["user_id"],
-        [
-            ("_both", "sum", "both_days"),
-            ("_c_only", "sum", "click_only"),
-            ("_p_only", "sum", "purchase_only"),
-        ],
-    )
-    return pa.table(
-        {
-            "user_id": out["user_id"].cast(pa.int64()),
-            "both_days": out["both_days"].cast(pa.int64()),
-            "click_only": out["click_only"].cast(pa.int64()),
-            "purchase_only": out["purchase_only"].cast(pa.int64()),
-        }
-    )
-
-
-def _q_morans_i(sf_dir: str) -> pa.Table:
-    """Global Moran's I (rook weights) of the event density field on
-    the deterministic 96x96 geocode lattice: distributed per-cell
-    counts (lattice-bounded), dense-shift cross products."""
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
-        partial_count,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.stats import (
-        morans_i_grid,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
-
-    def gridcell(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "gx": pa.array((eid % 96).astype(np.int64)),
-                "gy": pa.array(((eid // 96) % 96).astype(np.int64)),
-            }
-        )
-
-    counts = partial_count(
-        ds.map_batches(gridcell, batch_format="pyarrow", batch_size=None),
-        ["gx", "gy"],
-    ).rename_columns(["gx", "gy", "n"])
-    i = morans_i_grid(counts, 96, 96)
-    return pa.table({"morans_i": round_like_sql(np.asarray([i]), 6)})
-
-
-def _q_bpe_merges(sf_dir: str) -> pa.Table:
-    """BPE merge training: one distributed word-count pass, then the
-    deterministic vocabulary-bounded merge loop (Sennrich-style)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.bpe import (
-        corpus_word_counts, train_merges,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
-    return train_merges(corpus_word_counts(ds), num_merges=20)
-
-
-def _q_unpivot_measures(sf_dir: str) -> pa.Table:
-    """Wide->long UNPIVOT of three lineitem measures (quantized to
-    cents so sums are exact), then per (flag, measure) totals."""
-    import pyarrow.compute as pc
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql, unpivot,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_returnflag", "l_quantity", "l_extendedprice", "l_discount"],
-    )
-
-    def cents(batch: pa.Table) -> pa.Table:
-        out = {"l_returnflag": batch["l_returnflag"]}
-        for src, dst in [
-            ("l_quantity", "quantity"),
-            ("l_extendedprice", "extendedprice"),
-            ("l_discount", "discount"),
-        ]:
-            scaled = pc.multiply(batch[src].cast(pa.float64()), 100.0)
-            out[dst] = pc.cast(round_like_sql(scaled, 0), pa.int64())
-        return pa.table(out)
-
-    wide = ds.map_batches(cents, batch_format="pyarrow", batch_size=None)
-    long = unpivot(
-        wide, ["l_returnflag"], ["quantity", "extendedprice", "discount"],
-        name_col="measure", value_col="cents",
-    )
-    out = hash_aggregate(
-        long, ["l_returnflag", "measure"], [("cents", "sum", "sum_cents")]
-    )
-    total = pc.divide(out["sum_cents"].cast(pa.float64()), 100.0)
-    return pa.table(
-        {
-            "l_returnflag": out["l_returnflag"],
-            "measure": out["measure"],
-            "total": round_like_sql(total, 2),
-        }
-    )
-
-
-def _q_doc_lengths(sf_dir: str) -> pa.Table:
-    """Scalar string function parity: computed char length per doc."""
-    import ray.data
-    import pyarrow.compute as pc
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
-    out = collect_tables(
-        ds.map_batches(
-            lambda b: pa.table(
-                {"doc_id": b["doc_id"], "len_chars": pc.utf8_length(b["text"])}
-            ),
-            batch_format="pyarrow", batch_size=None,
-        )
-    )
-    return out
-
-
-def _q_ann_top3(sf_dir: str) -> pa.Table:
-    """ANN baseline: exact cosine top-3 for two stored query vectors."""
-    import pyarrow.parquet as pq
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.ann import brute_topk
-
-    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    ids = tbl["vec_id"].to_numpy()
-    vecs = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
-    q_ids = [3, 77]
-    queries = vecs[[int(np.nonzero(ids == q)[0][0]) for q in q_ids]]
-    ds = _read_pq(os.path.join(sf_dir, "embeddings.parquet"))
-    out = brute_topk(ds, queries, k=3)
-    qmap = {i: q_ids[i] for i in range(len(q_ids))}
-    return pa.table(
-        {
-            "query_id": pa.array(
-                [qmap[q] for q in out["query_id"].to_pylist()], pa.int64()
-            ),
-            "vec_id": out["vec_id"],
-            "rank": pa.array(out["rank"].to_pylist(), pa.int64()),
-        }
-    )
-
-
-def _q_knn_join(sf_dir: str) -> pa.Table:
-    """Exact cosine kNN SELF-join: top-3 neighbors for EVERY vector
-    (similarity search over the whole corpus, one broadcast + one
-    pass)."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.ann import (
-        knn_self_join,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "embeddings.parquet"))
-    return knn_self_join(ds, k=3)
-
-
-def _q_fuzzy_match(sf_dir: str) -> pa.Table:
-    """J5 fuzzy layer matching, golden scenarios of
-    test_dynamic_patterns.py:20-51."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.match import (
-        find_layer_by_patterns,
-    )
-
-    cases = [
-        ("delhi_elevation", ["delhi_mosaic", "mumbai_data", "bangalore_slope"]),
-        ("mumbai_satellite", ["mumbai_landsat_mosaic", "delhi_elevation", "chennai_aerial"]),
-        ("slope_analysis", ["gradient_mosaic", "elevation_dem", "aspect_data"]),
-        ("bangalore_roads", ["bengaluru_transportation_mosaic", "delhi_data", "mumbai_info"]),
-        ("unknown_layer", ["some_mosaic", "other_composite", "random_data"]),
-        ("nonexistent_layer", ["completely_different", "totally_unrelated", "nothing_matches"]),
-    ]
-    return pa.table(
-        {
-            "requested": [c[0] for c in cases],
-            "matched": [find_layer_by_patterns(c[0], c[1]) for c in cases],
-        }
-    )
-
-
-def _q_events_windowed(sf_dir: str) -> pa.Table:
-    """Tumbling-window (1 h) aggregate over the events stream."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.window import (
-        add_tumbling_window,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["ts", "value"]
-    )
-
-    def win(batch: pa.Table) -> pa.Table:
-        out = add_tumbling_window(batch, "ts", 3600)
-        return pa.table(
-            {
-                "window_start": out["window_start"].cast(pa.int64()),
-                "value": out["value"],
-            }
-        )
-
-    out = hash_aggregate(
-        ds.map_batches(win, batch_format="pyarrow", batch_size=None),
-        ["window_start"],
-        [("value", "count", "n"), ("value", "min", "min_value"),
-         ("value", "max", "max_value"), ("value", "sum", "sum_value")],
-    )
-    return pa.table(
-        {
-            "window_start": out["window_start"],
-            "n": out["n"],
-            "min_value": out["min_value"],
-            "max_value": out["max_value"],
-            "sum_value": round_like_sql(out["sum_value"], 4),
-        }
-    )
-
-
-def _q_cell_counts_salted(sf_dir: str) -> pa.Table:
-    """Same result as cell_counts, computed through the REAL shuffle
-    path with explicit hot-cell salting (groupby (cell, salt) + final
-    combine) -- the skew-handling tier of the north rule."""
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
-        salted_groupby_count,
-    )
-
-    pts = _og_points_ds(valid_only=True, cells=(8,))
-    out = salted_groupby_count(pts, "cell_8", salt_k=4, hot_factor=5.0)
-    return out.rename_columns(["cell_8", "n"])
-
-
-def _q_events_sessions(sf_dir: str) -> pa.Table:
-    """Session windows (30 min gap) per user over the events stream:
-    groupby(user) co-locates each key, the session kernel runs per
-    group (stages/window.py::add_session_key)."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.window import (
-        add_session_key,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
-    )
-
-    def sessions(group: pa.Table) -> pa.Table:
-        out = add_session_key(group, gap_s=1800)
-        n = len(set(out["session_id"].to_pylist()))
-        return pa.table(
-            {
-                "user_id": pa.array([group["user_id"][0].as_py()], pa.int64()),
-                "n_sessions": pa.array([n], pa.int64()),
-            }
-        )
-
-    res = _grouped_by_key(ds, "user_id", sessions)
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-
-    return collect_tables(res)
-
-
-
-def _q_events_hopping(sf_dir: str) -> pa.Table:
-    """Hopping windows (1 h width, 30 min hop): each event counted in
-    both covering windows."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.window import (
-        add_hopping_windows,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["ts", "value"]
-    )
-
-    def win(batch: pa.Table) -> pa.Table:
-        out = add_hopping_windows(batch, "ts", width_s=3600, hop_s=1800)
-        return pa.table(
-            {
-                "window_start": out["window_start"].cast(pa.int64()),
-                "value": out["value"],
-            }
-        )
-
-    return hash_aggregate(
-        ds.map_batches(win, batch_format="pyarrow", batch_size=None),
-        ["window_start"],
-        [("value", "count", "n"), ("value", "min", "min_value"),
-         ("value", "max", "max_value")],
-    )
-
-
-def _q_parts_by_brand(sf_dir: str) -> pa.Table:
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "part.parquet"),
-        columns=["p_brand", "p_retailprice", "p_size"],
-    )
-    return hash_aggregate(
-        ds, ["p_brand"],
-        [("p_retailprice", "count", "n"),
-         ("p_retailprice", "min", "min_price"),
-         ("p_retailprice", "max", "max_price"),
-         ("p_size", "max", "max_size")],
-    )
-
-
-def _q_supplier_by_nation(sf_dir: str) -> pa.Table:
-    import pyarrow.parquet as pq
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        BroadcastLookup, hash_aggregate,
-    )
-
-    nation = pq.read_table(
-        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
-    ).rename_columns(["s_nationkey", "n_name"])
-    ds = _read_pq(
-        os.path.join(sf_dir, "supplier.parquet"),
-        columns=["s_suppkey", "s_nationkey", "s_acctbal"],
-    )
-    joined = ds.map_batches(
-        BroadcastLookup(nation, on="s_nationkey", take_cols=["n_name"]),
-        batch_format="pyarrow", batch_size=None,
-    )
-    return hash_aggregate(
-        joined, ["n_name"],
-        [("s_suppkey", "count", "n_suppliers"),
-         ("s_acctbal", "min", "min_acctbal"),
-         ("s_acctbal", "max", "max_acctbal")],
-    )
-
-
-def _q_docs_by_source(sf_dir: str) -> pa.Table:
-    """Grouped count + exact integer sum (lineage-style union stats)."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["source", "n_chars"]
-    )
-    return hash_aggregate(
-        ds, ["source"],
-        [("n_chars", "count", "n_docs"), ("n_chars", "sum", "total_chars")],
-    )
-
-
-def _q_stride_secondary(sf_dir: str) -> pa.Table:
-    """P2: the GeoJSON second-level cap (doesSamples.py:145-150) --
-    stride over the already-sampled sequence ordered by pix."""
-    import pyarrow.compute as pc
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.sampling import (
-        secondary_stride_indices,
-    )
-
-    sampled = _q_stride_sample(sf_dir)
-    idx = pc.sort_indices(sampled, sort_keys=[("pix", "ascending")])
-    sampled = sampled.take(idx)
-    keep = secondary_stride_indices(sampled.num_rows, max_points=500)
-    return sampled.take(pa.array(keep))
-
-
-def _q_knn_top3(sf_dir: str) -> pa.Table:
-    """J4 with k=3: flattened (probe_id, rank, pix) rows."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import KNNLookup
-
-    ref = collect_tables(_og_points_ds(valid_only=True))
-    probes = pa.table(
-        {
-            "probe_id": pa.array(range(len(OG_KNN_PROBES)), pa.int64()),
-            "lon": pa.array([p[0] for p in OG_KNN_PROBES]),
-            "lat": pa.array([p[1] for p in OG_KNN_PROBES]),
-        }
-    )
-    out = collect_tables(
-        ray.data.from_arrow(probes).map_batches(
-            KNNLookup(ref, k=3, payload_cols=("pix",)),
-            batch_format="pyarrow", batch_size=None,
-        )
-    )
-    rows = []
-    for pid, pix3 in zip(out["probe_id"].to_pylist(), out["nn_pix"].to_pylist()):
-        for rank, px in enumerate(pix3):
-            rows.append({"probe_id": pid, "rank": rank, "pix": px})
-    return pa.Table.from_pylist(rows)
-
-
-# ---------------------------------------------------------- non-SQL queries
-def _q_minhash_dedup(sf_dir: str) -> pa.Table:
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.dedup import (
-        minhash_lsh_dedup,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
-    return minhash_lsh_dedup(ds, sim_threshold=0.8)
-
-
-def _q_simhash_dedup(sf_dir: str) -> pa.Table:
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.dedup import simhash_dedup
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
-    return simhash_dedup(ds, max_hamming=3)
-
-
-def _q_embedding_neardup(sf_dir: str) -> pa.Table:
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.dedup import (
-        embedding_neardup,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "embeddings.parquet"))
-    return embedding_neardup(ds, threshold=0.95)
-
-
-def _q_lang_id(sf_dir: str) -> pa.Table:
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        TextAnnotate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
-    out = collect_tables(
-        ds.map_batches(TextAnnotate(features=("lang",)), batch_format="pyarrow", batch_size=None)
-    )
-    return out.select(["doc_id", "lang_id"])
-
-
-def _q_quality(sf_dir: str) -> pa.Table:
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        TextAnnotate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
-    out = collect_tables(
-        ds.map_batches(
-            TextAnnotate(features=("quality", "fingerprint")), batch_format="pyarrow", batch_size=None
-        )
-    )
-    return out.select(["doc_id", "quality", "simhash64"])
-
-
-def _q_quality_features(sf_dir: str) -> pa.Table:
-    """Gopher/C4-style quality features per document (the oracled
-    subset of TextAnnotate: ratio features + monotone score; simhash
-    stays in the no-oracle quality_scores row)."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        TextAnnotate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
-    out = collect_tables(
-        ds.map_batches(
-            TextAnnotate(features=("quality",)), batch_format="pyarrow",
-            batch_size=None,
-        )
-    )
-    return out.select(
-        ["doc_id", "mean_word_len", "punct_ratio", "digit_ratio",
-         "upper_ratio", "stopword_ratio", "unique_token_ratio", "quality"]
-    )
-
-
-def _q_quality_filter_by_lang(sf_dir: str) -> pa.Table:
-    """Per-language quality-threshold filter (corpus curation): keep
-    documents whose quality score is STRICTLY above their language's
-    median.  Two passes: (1) score + per-lang exact median (one
-    bounded-cardinality groupby), (2) broadcast the tiny (lang, median)
-    table and filter map-side.  The corpus streams twice and never
-    shuffles."""
-    import pyarrow.compute as pc
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
-        grouped_exact_quantiles,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        TextAnnotate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "text", "lang"],
-    )
-    scored = ds.map_batches(
-        TextAnnotate(features=("quality",)), batch_format="pyarrow",
-        batch_size=None,
-    ).map_batches(
-        lambda b: b.select(["doc_id", "lang", "quality"]),
-        batch_format="pyarrow", batch_size=None,
-    )
-    med = collect_tables(
-        grouped_exact_quantiles(scored, "lang", "quality", [0.5])
-    ).select(["lang", "value"]).rename_columns(["lang", "_med"])
-
-    def keep(batch: pa.Table) -> pa.Table:
-        j = batch.join(med, keys="lang")
-        j = j.filter(pc.greater(j["quality"], j["_med"]))
-        return j.select(["doc_id", "lang", "quality"])
-
-    out = collect_tables(
-        scored.map_batches(keep, batch_format="pyarrow", batch_size=None)
-    )
-    return out
-
-
-def _q_ivf_ann(sf_dir: str) -> pa.Table:
-    import pyarrow.parquet as pq
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.ann import ivf_topk
-
-    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    ids = tbl["vec_id"].to_numpy()
-    vecs = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
-    queries = vecs[[int(np.nonzero(ids == q)[0][0]) for q in (3, 77)]]
-    ds = _read_pq(os.path.join(sf_dir, "embeddings.parquet"))
-    return ivf_topk(ds, queries, k=5, n_lists=8, nprobe=4)
-
-
-def _q_pq_ann(sf_dir: str) -> pa.Table:
-    """Product-quantization ANN (stages/ann.py::pq_ann): bottom-k-
-    seeded per-subspace Lloyd codebooks -> uint8 codes (32x smaller
-    than the vectors) -> ADC table-lookup search with exact re-rank of
-    the 8k-shortlist.  Iterative training -> not SQL-expressible;
-    pinned-golden checked (partition-invariant by int64 accumulation)."""
-    import pyarrow.parquet as pq
-    import ray.data
-
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.ann import pq_ann
-
-    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    ids = tbl["vec_id"].to_numpy()
-    vecs = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
-    queries = vecs[[int(np.nonzero(ids == q)[0][0]) for q in (3, 77)]]
-    ds = _read_pq(os.path.join(sf_dir, "embeddings.parquet"))
-    return pq_ann(ds, queries, k=5, m=8, ksub=32, iters=5, rerank=8)
-
-
-def _q_zonal_multiband(sf_dir: str) -> pa.Table:
-    """Zonal stats with the full pipeline (bbox prune + Null sentinel)
-    over the synthetic multi-band fixture raster."""
-    import tempfile
-
-    import pyarrow.parquet as pq
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.zonal import (
-        zonal_stats,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.sources.synthetic import (
-        gen_polygons, gen_tiles,
-    )
-
-    d = tempfile.mkdtemp(prefix="graft_zonal_")
-    p = os.path.join(d, "tiles.parquet")
-    pq.write_table(gen_tiles(), p)
-    out = zonal_stats(p, gen_polygons())
-    return out.select(["polygon_id", "band", "count", "min", "max", "mean", "std"])
-
-
-
-def _q_asof_join(sf_dir: str) -> pa.Table:
-    """As-of join: each event gets the latest order date <= its ts
-    (broadcast sorted side + vectorized binary search)."""
-    import pyarrow.parquet as pq
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import AsofLookup
-
-    dates = pq.read_table(
-        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderdate"]
-    )["o_orderdate"].cast(pa.int64())
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "ts"]
-    )
-    out = collect_tables(
-        ds.map_batches(
-            AsofLookup(pa.table({"k": dates}), ts_col="ts", out_col="asof_date_us"),
-            batch_format="pyarrow", batch_size=None,
-        )
-    )
-    return pa.table(
-        {
-            "event_id": out["event_id"],
-            "ts_us": out["ts"].cast(pa.int64()),
-            "asof_date_us": out["asof_date_us"],
-        }
-    )
-
-
-def _q_asof_lag(sf_dir: str) -> pa.Table:
-    """Big-big partitioned as-of join (the scale tier of asof_join):
-    every click event gets its user's most recent purchase at-or-before
-    the click's ts, plus the lag.  Both sides hash-bucket on user_id
-    and shuffle ONCE; a segmented cummax merges each bucket (no
-    broadcast, no per-key groups) -- stages/joins.py
-    partitioned_asof_join.  Oracle: DuckDB ASOF LEFT JOIN."""
-    import pyarrow.compute as pc
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import (
-        partitioned_asof_join,
-    )
-
-    ev = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "ts", "user_id", "event_type"],
-    )
-    clicks = ev.filter(expr="event_type == 'click'").map_batches(
-        lambda b: pa.table(
-            {
-                "user_id": b["user_id"],
-                "ts": b["ts"],
-                "event_id": b["event_id"],
-                "ts_us": b["ts"].cast(pa.int64()),
-            }
-        ),
-        batch_format="pyarrow", batch_size=None,
-    )
-    purchases = ev.filter(expr="event_type == 'purchase'").select_columns(
-        ["user_id", "ts"]
-    )
-    joined = partitioned_asof_join(
-        clicks, purchases, "user_id", "ts",
-        left_cols=["event_id", "ts_us"], right_cols=[],
-    )
-    out = collect_tables(joined)
-    lag = pc.subtract(out["ts_us"], out["asof_ts"])
-    return pa.table(
-        {
-            "event_id": out["event_id"],
-            "asof_purchase_us": out["asof_ts"],
-            "lag_us": lag,
-        }
-    )
-
-
-def _q_asof_next(sf_dir: str) -> pa.Table:
-    """Forward as-of (the attribution direction): every click gets its
-    user's EARLIEST purchase at-or-after the click, via the same
-    partitioned kernel with the timestamp negated internally.  Oracle:
-    DuckDB ASOF LEFT JOIN with the <= inequality."""
-    import pyarrow.compute as pc
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import (
-        partitioned_asof_join,
-    )
-
-    ev = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "ts", "user_id", "event_type"],
-    )
-    clicks = ev.filter(expr="event_type == 'click'").map_batches(
-        lambda b: pa.table(
-            {
-                "user_id": b["user_id"],
-                "ts": b["ts"],
-                "event_id": b["event_id"],
-                "ts_us": b["ts"].cast(pa.int64()),
-            }
-        ),
-        batch_format="pyarrow", batch_size=None,
-    )
-    purchases = ev.filter(expr="event_type == 'purchase'").select_columns(
-        ["user_id", "ts"]
-    )
-    joined = partitioned_asof_join(
-        clicks, purchases, "user_id", "ts",
-        left_cols=["event_id", "ts_us"], right_cols=[],
-        direction="forward",
-    )
-    out = collect_tables(joined)
-    wait = pc.subtract(out["asof_ts"], out["ts_us"])
-    return pa.table(
-        {
-            "event_id": out["event_id"],
-            "next_purchase_us": out["asof_ts"],
-            "wait_us": wait,
-        }
-    )
-
-
-_WINDOW_JOIN_US = 60 * 60 * 1_000_000  # 1-hour attribution window
-
-
-def _q_window_join_clicks(sf_dir: str) -> pa.Table:
-    """Per-key windowed stream-stream join (CEP/attribution shape):
-    every (click, purchase) pair of the SAME user with the purchase
-    inside [click_ts, click_ts + 1h].  Both sides hash-bucket on
-    user_id and shuffle once; the bucket kernel resolves matches with
-    per-key searchsorted windows (stages/joins.py keyed_window_join).
-    Multi-match complement of asof_lag/asof_next."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import (
-        keyed_window_join,
-    )
-
-    ev = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "ts", "user_id", "event_type"],
-    )
-    def side(etype: str, id_name: str):
-        return ev.filter(expr=f"event_type == '{etype}'").map_batches(
-            lambda b, _n=id_name: pa.table(
-                {"user_id": b["user_id"], "ts": b["ts"], _n: b["event_id"]}
-            ),
-            batch_format="pyarrow", batch_size=None,
-        )
-
-    out = collect_tables(
-        keyed_window_join(
-            side("click", "click_id"), side("purchase", "purchase_id"),
-            "user_id", "ts", _WINDOW_JOIN_US,
-            left_id="click_id", right_id="purchase_id",
-        )
-    )
-    return pa.table(
-        {
-            "user_id": out["user_id"],
-            "click_id": out["click_id"],
-            "purchase_id": out["purchase_id"],
-        }
-    )
-
-
-_RANGE_JOIN_WINDOW_US = 45 * 60 * 1_000_000  # 45-minute windows
-
-
-def _q_range_join(sf_dir: str) -> pa.Table:
-    """Range (interval-overlap) join: every event whose id is divisible
-    by 97 opens a 45-minute window; each event joins to ALL windows
-    containing its instant (multi-match inner join).  The window side
-    is derived by a streaming filter then broadcast (small by
-    construction); the probe side streams through IntervalJoin's
-    sorted-start + max-length candidate kernel."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import (
-        IntervalJoin,
-        broadcast_table,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "ts"]
-    )
-
-    def derive_windows(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False)
-        keep = (eid % 97) == 0
-        t = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)[keep]
-        return pa.table(
-            {
-                "interval_id": eid[keep],
-                "start_ts": t,
-                "end_ts": t + _RANGE_JOIN_WINDOW_US,
-            }
-        )
-
-    windows = collect_tables(
-        ds.map_batches(derive_windows, batch_format="pyarrow", batch_size=None)
-    )
-    out = collect_tables(
-        ds.map_batches(
-            IntervalJoin(broadcast_table(windows), ts_col="ts"),
-            batch_format="pyarrow",
-            batch_size=None,
-        )
-    )
-    return pa.table(
-        {"event_id": out["event_id"], "interval_id": out["interval_id"]}
-    )
-
-
-def _q_bloom_semijoin(sf_dir: str) -> pa.Table:
-    """Semi-join lineitem against urgent orders' keys via a broadcast
-    Bloom prefilter + exact verify (runtime-filter pushdown: the bloom
-    bits go to every read task; the exact set only sees survivors)."""
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import (
-        BloomSemiJoin,
-        broadcast_table,
-    )
-
-    orders = pq.read_table(
-        os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_orderkey", "o_orderpriority"],
-    )
-    urgent = orders.filter(
-        pc.equal(orders["o_orderpriority"], "1-URGENT")
-    ).select(["o_orderkey"])
-    ds = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_orderkey", "l_linenumber", "l_quantity"],
-    )
-    out = collect_tables(
-        ds.map_batches(
-            BloomSemiJoin(broadcast_table(urgent), on="l_orderkey"),
-            batch_format="pyarrow",
-            batch_size=None,
-        )
-    )
-    if out is None:
-        out = pa.table(
-            {
-                "l_orderkey": pa.array([], pa.int64()),
-                "l_linenumber": pa.array([], pa.int64()),
-                "l_quantity": pa.array([], pa.float64()),
-            }
-        )
-    return out
-
-
-def _q_range_join_partitioned(sf_dir: str) -> pa.Table:
-    """Same range join as _q_range_join but through the big-big tier:
-    both sides shuffle on 30-minute time partitions (intervals
-    replicated into every partition they overlap), the candidate
-    kernel runs per group -- no broadcast of the interval side."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import (
-        partitioned_interval_join,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "ts"]
-    )
-
-    def derive_windows(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False)
-        keep = (eid % 97) == 0
-        t = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)[keep]
-        return pa.table(
-            {
-                "interval_id": eid[keep],
-                "start_ts": t,
-                "end_ts": t + _RANGE_JOIN_WINDOW_US,
-            }
-        )
-
-    windows_ds = ds.map_batches(
-        derive_windows, batch_format="pyarrow", batch_size=None
-    )
-    joined = partitioned_interval_join(
-        ds, windows_ds, span_us=30 * 60 * 1_000_000, ts_col="ts"
-    )
-    out = collect_tables(joined)
-    if out is None:
-        return pa.table(
-            {
-                "event_id": pa.array([], pa.int64()),
-                "interval_id": pa.array([], pa.int64()),
-            }
-        )
-    return pa.table(
-        {"event_id": out["event_id"], "interval_id": out["interval_id"]}
-    )
-
-
-def _q_big_join_revenue(sf_dir: str, strategy: str = "auto") -> pa.Table:
-    """Big-big equi-join (lineitem x orders on orderkey) through the
-    size-aware ``equi_join`` router: above the broadcast threshold both
-    sides partition on the key via Ray Data's hash shuffle join (at
-    100 TB this is the join shape where no side fits a task); at bench
-    sf the orders side's on-disk hint routes it map-side broadcast,
-    skipping the JoinOperator actor spin-up.  A forced-shuffle test
-    pins the two tiers byte-equal.  Then the combiner-pattern aggregate
-    runs on the joined stream."""
-    import pyarrow.compute as pc
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        equi_join,
-        hash_aggregate,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.sources.reader import (
-        _disk_bytes,
-    )
-
-    li = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_orderkey", "l_extendedprice", "l_discount"],
-    )
-    od_path = os.path.join(sf_dir, "orders.parquet")
-    od = _read_pq(od_path, columns=["o_orderkey", "o_orderpriority"])
-    joined = equi_join(
-        li, od, join_type="inner", num_partitions=8,
-        on=("l_orderkey",), right_on=("o_orderkey",),
-        right_size_hint=_disk_bytes(od_path), strategy=strategy,
-    )
-
-    def revenue(batch: pa.Table) -> pa.Table:
-        rev = pc.multiply(
-            batch["l_extendedprice"],
-            pc.subtract(pa.scalar(1.0), batch["l_discount"]),
-        )
-        return pa.table(
-            {"o_orderpriority": batch["o_orderpriority"], "rev": rev}
-        )
-
-    out = hash_aggregate(
-        joined.map_batches(revenue, batch_format="pyarrow", batch_size=None),
-        ["o_orderpriority"],
-        [("rev", "sum", "revenue"), ("rev", "count", "n_items")],
-    )
-    return pa.table(
-        {
-            "o_orderpriority": out["o_orderpriority"],
-            "revenue": pc.round(out["revenue"], 2),
-            "n_items": out["n_items"].cast(pa.int64()),
-        }
-    )
-
-
-def _q_big_left_join(sf_dir: str) -> pa.Table:
-    """Big-big LEFT OUTER equi-join (customer x orders) through the
-    size-aware router: unmatched left rows survive with nulls -- per
-    nation, total join rows and order-less customers.  At 100 TB the
-    on-disk hint routes this through Ray's hash shuffle join; at bench
-    sf the filtered orders side broadcasts map-side."""
-    import pyarrow.compute as pc
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        equi_join,
-        hash_aggregate,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.sources.reader import (
-        _disk_bytes,
-    )
-
-    cu = _read_pq(
-        os.path.join(sf_dir, "customer.parquet"),
-        columns=["c_custkey", "c_nationkey"],
-    )
-    od_path = os.path.join(sf_dir, "orders.parquet")
-    od = _read_pq(
-        od_path,
-        columns=["o_custkey", "o_orderkey", "o_orderpriority"],
-    ).map_batches(
-        # restrict the right side so unmatched-left rows really exist
-        # (every customer has SOME order; not every one has an urgent)
-        lambda b: b.filter(
-            pc.equal(b["o_orderpriority"], "1-URGENT")
-        ).select(["o_custkey", "o_orderkey"]),
-        batch_format="pyarrow", batch_size=None,
-    )
-    joined = equi_join(
-        cu, od, join_type="left_outer", num_partitions=8,
-        on=("c_custkey",), right_on=("o_custkey",),
-        right_size_hint=_disk_bytes(od_path),
-    )
-
-    def mark(batch: pa.Table) -> pa.Table:
-        lonely = pc.cast(pc.is_null(batch["o_orderkey"]), pa.int64())
-        return pa.table(
-            {
-                "c_nationkey": batch["c_nationkey"],
-                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
-                "_lonely": lonely,
-            }
-        )
-
-    out = hash_aggregate(
-        joined.map_batches(mark, batch_format="pyarrow", batch_size=None),
-        ["c_nationkey"],
-        [("_one", "sum", "n_rows"), ("_lonely", "sum", "n_lonely")],
-    )
-    return pa.table(
-        {
-            "c_nationkey": out["c_nationkey"].cast(pa.int64()),
-            "n_rows": out["n_rows"].cast(pa.int64()),
-            "n_lonely": out["n_lonely"].cast(pa.int64()),
-        }
-    )
-
-
-def _q_token_frequencies(sf_dir: str) -> pa.Table:
-    """Global token frequencies over the documents corpus (the classic
-    webtext word-count): per-batch explode via RE2 ``\\s+`` split +
-    in-batch count (Arrow C kernels end-to-end), vocab-sized partials
-    combine driver-side, deterministic top-30 by (count desc, token)."""
-    import pyarrow.compute as pc
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
-
-    def partial(batch: pa.Table) -> pa.Table:
-        toks = pc.list_flatten(
-            pc.split_pattern_regex(batch["text"], pattern=r"\s+")
-        )
-        toks = toks.filter(pc.not_equal(toks, ""))
-        t = pa.table({"token": toks})
-        out = t.group_by(["token"]).aggregate([("token", "count")])
-        return out.rename_columns(["token", "n"])
-
-    parts = collect_tables(
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-    )
-    merged = (
-        parts.group_by(["token"]).aggregate([("n", "sum")])
-        .rename_columns(["token", "n"])
-    )
-    idx = pc.sort_indices(
-        merged, sort_keys=[("n", "descending"), ("token", "ascending")]
-    )[:30]
-    out = merged.take(idx)
-    return pa.table({"token": out["token"], "n": out["n"].cast(pa.int64())})
-
-
-def _q_tfidf_scores(sf_dir: str) -> pa.Table:
-    """Two-phase TF-IDF: a global document-frequency pass (vocab-
-    bounded combiner) feeds a per-doc scoring pass through a broadcast
-    idf table -- global statistics flow through the object store, the
-    corpus itself never shuffles."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import (
-        broadcast_table,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        TfIdfScore,
-        token_doc_frequencies,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
-    df_tbl = token_doc_frequencies(ds)
-    n_docs = ds.count()
-    idf = np.log(
-        n_docs / df_tbl["df"].to_numpy(zero_copy_only=False).astype(np.float64)
-    )
-    idf_tbl = pa.table({"token": df_tbl["token"], "idf": idf})
-    out = collect_tables(
-        ds.map_batches(
-            TfIdfScore(broadcast_table(idf_tbl)),
-            batch_format="pyarrow",
-            batch_size=None,
-        )
-    )
-    return pa.table(
-        {"doc_id": out["doc_id"], "tfidf": out["tfidf"]}
-    )
-
-
-def _q_grouped_quantiles(sf_dir: str) -> pa.Table:
-    """Exact per-group quantiles (p25/p50/p95 of extendedprice per
-    returnflag) through one groupby shuffle + in-group selection."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
-        grouped_exact_quantiles,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_returnflag", "l_extendedprice"],
-    )
-    out = collect_tables(
-        grouped_exact_quantiles(
-            ds, "l_returnflag", "l_extendedprice", [0.25, 0.5, 0.95]
-        )
-    )
-    return out
-
-
-
-def _q_top_docs_per_lang(sf_dir: str) -> pa.Table:
-    """Per-group top-k (windowed ROW_NUMBER shape, no shuffle)."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        grouped_top_k,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "lang", "n_chars"],
-    )
-    return grouped_top_k(
-        ds, "lang", "n_chars", k=3, descending=True, tiebreak="doc_id"
-    )
-
-
-def _q_quantiles(sf_dir: str) -> pa.Table:
-    """Approximate quantiles of l_extendedprice via the mergeable
-    histogram sketch (rows-only; accuracy asserted in pytest)."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
-        quantile_histogram,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_extendedprice"]
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    h = quantile_histogram(ds, "l_extendedprice", bins=512)
-    return pa.table(
-        {
-            "q": pa.array([0.25, 0.5, 0.75, 0.95]),
-            "estimate": round_like_sql(
-                [h.quantile(q) for q in (0.25, 0.5, 0.75, 0.95)], 2
-            ),
-        }
-    )
-
-
-def _q_stratified_sample(sf_dir: str) -> pa.Table:
-    """Deterministic per-group (per-lang) bottom-k sample -- the
-    stratified form of reservoir_sample; combiner pattern, no shuffle,
-    SQL-reproducible via ROW_NUMBER over mix32_sql."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
-        stratified_bottomk,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "doc_id"]
-    )
-    out = stratified_bottomk(ds, "lang", "doc_id", k=3, seed=11)
-    return out.select(["lang", "doc_id"])
-
-
-def _q_quantiles_exact(sf_dir: str) -> pa.Table:
-    """EXACT distributed quantiles (iterative histogram refinement;
-    DuckDB quantile_disc rank convention) -- the oracled scale tier of
-    the approximate sketch above."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
-        exact_quantiles,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_extendedprice"]
-    )
-    return exact_quantiles(
-        ds, "l_extendedprice", [0.25, 0.5, 0.75, 0.95], bins=256,
-        driver_cap=4096,
-    )
-
-
-def _q_reservoir_sample(sf_dir: str) -> pa.Table:
-    """Deterministic bottom-k uniform sample of orders (the
-    distributed reservoir-sampling stand-in; PAPERS.md motif)."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
-        bottomk_sample,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_orderkey", "o_totalprice"],
-    )
-    return bottomk_sample(ds, "o_orderkey", k=20, seed=7)
-
-
-def _q_approx_distinct(sf_dir: str) -> pa.Table:
-    """HyperLogLog distinct estimates (rows-only; accuracy asserted in
-    pytest against exact counts)."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
-        approx_distinct,
-    )
-
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    rows = []
-    for col in ("lang", "source", "text"):
-        ds = _read_pq(
-            os.path.join(sf_dir, "documents.parquet"), columns=[col]
-        )
-        est = round_like_sql([approx_distinct(ds, col)], 1)[0].as_py()
-        rows.append({"column": col, "estimate": est})
-    return pa.Table.from_pylist(rows)
-
-
-
-def _q_text_cleaning(sf_dir: str) -> pa.Table:
-    """C4-style line cleaning over documents (rows-only; determinism
-    and rules tested in pytest)."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import TextClean
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
-    out = collect_tables(
-        ds.map_batches(
-            TextClean(require_terminal_punct=False), batch_format="pyarrow",
-            batch_size=None,
-        )
-    )
-    return out.select(["doc_id", "n_lines_kept"])
-
-
-def _q_media_decode(sf_dir: str) -> pa.Table:
-    """Multimodal decode stats over REAL PNG bytes: the from-scratch
-    codec decodes each payload inside the actor-pool MediaDecode
-    stage; per-image mean/std come from exact integer moments.  The
-    formula-pixel fixture (gen_media_grid) makes this fully
-    SQL-oracled -- round 2's honest fake-decoder plumbing upgraded to
-    a verified end-to-end decode (ROADMAP 'real media codecs')."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.multimodal import (
-        MediaDecode, gen_media_grid,
-    )
-
-    ds = ray.data.from_arrow(gen_media_grid(n=24, size=32, n_base=16))
-    out = collect_tables(
-        ds.map_batches(
-            MediaDecode(decoder="real"), batch_format="pyarrow", batch_size=None
-        )
-    )
-    return pa.table(
-        {
-            "media_id": out["media_id"],
-            "pixel_mean": round_like_sql(out["pixel_mean"], 6),
-            "pixel_std": round_like_sql(out["pixel_std"], 6),
-        }
-    )
-
-
-def _q_media_decode_jpeg(sf_dir: str) -> pa.Table:
-    """Multimodal decode stats over REAL JPEG bytes: the from-scratch
-    baseline JFIF codec (sources/media.py::decode_jpeg, VERDICT r3
-    item 3) decodes each payload inside the actor-pool MediaDecode
-    stage.  The flat-block fixture (gen_media_grid_jpeg) decodes
-    bit-exactly, so the closed-form block rule IS the SQL oracle."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.multimodal import (
-        MediaDecode, gen_media_grid_jpeg,
-    )
-
-    ds = ray.data.from_arrow(gen_media_grid_jpeg(n=18, size=32))
-    out = collect_tables(
-        ds.map_batches(
-            MediaDecode(decoder="real"), batch_format="pyarrow", batch_size=None
-        )
-    )
-    return pa.table(
-        {
-            "media_id": out["media_id"],
-            "pixel_mean": round_like_sql(out["pixel_mean"], 6),
-            "pixel_std": round_like_sql(out["pixel_std"], 6),
-        }
-    )
-
-
-def _q_jaccard_pairs(sf_dir: str) -> pa.Table:
-    """Exact n-gram-Jaccard verification of MinHash candidate pairs."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.dedup import (
-        jaccard_verify_pairs, minhash_lsh_dedup,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
-    clusters = minhash_lsh_dedup(ds, sim_threshold=0.8)
-    pairs = [
-        (int(r["cluster_rep"]), int(r["doc_id"]))
-        for r in clusters.to_pylist()
-        if r["doc_id"] != r["cluster_rep"]
-    ][:20]
-    return jaccard_verify_pairs(ds, pairs, threshold=0.8)
-
-
-def _q_winnow_dedup(sf_dir: str) -> pa.Table:
-    """Winnowing-fingerprint near-dup pairs (Schleimer et al. 2003 /
-    MOSS): min 8-byte-shingle hash per sliding 16-window -> compact
-    fingerprint sets -> postings-bounded shared-fingerprint counts ->
-    containment overlap >= 0.5 of the smaller set."""
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.dedup import (
-        winnow_dedup,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
-    return winnow_dedup(ds)
-
-
-def _q_passage_dedup(sf_dir: str) -> pa.Table:
-    """Exact passage dedup accounting (C4-style repeated-span rule over
-    disjoint 10-token spans): per-doc span totals, corpus-duplicated
-    span counts (first occurrence by (doc_id, span_idx) keeps), and the
-    duplication ratio."""
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        passage_dedup_stats,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
-    return passage_dedup_stats(ds)
-
-
-# Deterministic URL synthesis over the documents table, mirrored
-# literally by _URL_SQL (the oracle builds the identical string in SQL).
-# Exercises every parser branch: www/bare hosts, plain and compound
-# (co.uk-style) public suffixes, optional query strings.
-_URL_SUFFIXES = (".example.com", ".site.co.uk", ".news.org")
-
-
-def _synth_urls(batch: pa.Table) -> pa.Table:
-    doc = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    src = batch["source"].to_numpy(zero_copy_only=False).astype(str)
-    www = np.where(doc % 2 == 0, "www.", "")
-    suf = np.asarray(_URL_SUFFIXES, dtype=object)[doc % 3].astype(str)
-    q = np.where(
-        doc % 5 == 0,
-        np.char.add("?q=", (doc % 7).astype(str)),
-        "",
-    )
-    url = np.char.add(
-        np.char.add(
-            np.char.add(np.char.add("https://", www), np.char.add(src, suf)),
-            np.char.add("/p/", doc.astype(str)),
-        ),
-        q,
-    )
-    out = batch.append_column("url", pa.array(url.astype(object), pa.string()))
-    return out
-
-
-_URL_SQL = (
-    "'https://' || CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END || "
-    "source || CASE doc_id % 3 WHEN 0 THEN '.example.com' "
-    "WHEN 1 THEN '.site.co.uk' ELSE '.news.org' END || "
-    "'/p/' || CAST(doc_id AS VARCHAR) || "
-    "CASE WHEN doc_id % 5 = 0 THEN '?q=' || CAST(doc_id % 7 AS VARCHAR) "
-    "ELSE '' END"
-)
-
-
-# Messy URL synthesis for the canonicalization operators: every
-# component is a function of doc_id % 100, so each canonical URL
-# recurs every 100 docs (genuine dup groups) and the variations hit
-# every canonicalization branch -- scheme/host case, default vs real
-# port, unsorted query params, fragments.  Mirrored by _MESSY_URL_SQL.
-def _synth_messy_urls(batch: pa.Table) -> pa.Table:
-    doc = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    d = doc % 100
-    scheme = np.where(d % 11 == 0, "HTTPS", "https")
-    hostc = np.where(d % 3 == 0, "WWW.H", "www.h")
-    host = np.char.add(
-        np.char.add(hostc, (d % 10).astype(str)), ".example.com"
-    )
-    port = np.select([d % 7 == 0, d % 7 == 1], [":443", ":8080"], "")
-    path = np.char.add("/a/", (d % 5).astype(str))
-    q = np.where(
-        d % 2 == 0,
-        np.char.add(
-            np.char.add("?b=", (d % 3).astype(str)),
-            np.char.add("&a=", (d % 4).astype(str)),
-        ),
-        "",
-    )
-    frag = np.where(d % 13 == 0, "#f", "")
-    url = np.char.add(
-        np.char.add(
-            np.char.add(np.char.add(scheme, "://"), np.char.add(host, port)),
-            np.char.add(path, q),
-        ),
-        frag,
-    )
-    return batch.append_column("url", pa.array(url.astype(object), pa.string()))
-
-
-_MESSY_URL_SQL = (
-    "CASE WHEN (doc_id % 100) % 11 = 0 THEN 'HTTPS' ELSE 'https' END "
-    "|| '://' || "
-    "CASE WHEN (doc_id % 100) % 3 = 0 THEN 'WWW.H' ELSE 'www.h' END "
-    "|| CAST((doc_id % 100) % 10 AS VARCHAR) || '.example.com' || "
-    "CASE WHEN (doc_id % 100) % 7 = 0 THEN ':443' "
-    "WHEN (doc_id % 100) % 7 = 1 THEN ':8080' ELSE '' END || "
-    "'/a/' || CAST((doc_id % 100) % 5 AS VARCHAR) || "
-    "CASE WHEN (doc_id % 100) % 2 = 0 THEN "
-    "'?b=' || CAST((doc_id % 100) % 3 AS VARCHAR) || "
-    "'&a=' || CAST((doc_id % 100) % 4 AS VARCHAR) ELSE '' END || "
-    "CASE WHEN (doc_id % 100) % 13 = 0 THEN '#f' ELSE '' END"
-)
-
-
-def _q_url_canonicalize(sf_dir: str) -> pa.Table:
-    """Per-row URL canonicalization (functions/url.py): lowercase
-    scheme/host, default-port strip, path default, query-param sort,
-    fragment drop -- the normalization pass that precedes URL-level
-    dedup in a web-corpus pipeline."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.url import (
-        canonicalize_urls,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
-    )
-
-    def canon(batch: pa.Table) -> pa.Table:
-        b = _synth_messy_urls(batch)
-        return pa.table(
-            {
-                "doc_id": b["doc_id"],
-                "canonical_url": canonicalize_urls(b["url"]),
-            }
-        )
-
-    return collect_tables(
-        ds.map_batches(canon, batch_format="pyarrow", batch_size=None)
-    )
-
-
-def _q_url_dedup(sf_dir: str) -> pa.Table:
-    """URL-level exact dedup over canonical URLs: per canonical form,
-    the page count and the kept doc (first by doc_id) -- combiner-
-    shaped (per-batch partial count/min, tiny combine)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.url import (
-        canonicalize_urls,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
-    )
-
-    def canon(batch: pa.Table) -> pa.Table:
-        b = _synth_messy_urls(batch)
-        return pa.table(
-            {
-                "canonical_url": canonicalize_urls(b["url"]),
-                "doc_id": b["doc_id"],
-            }
-        )
-
-    out = hash_aggregate(
-        ds.map_batches(canon, batch_format="pyarrow", batch_size=None),
-        ["canonical_url"],
-        [("doc_id", "count", "n_pages"), ("doc_id", "min", "keeper")],
-    )
-    return pa.table(
-        {
-            "canonical_url": out["canonical_url"],
-            "n_pages": out["n_pages"].cast(pa.int64()),
-            "keeper": out["keeper"].cast(pa.int64()),
-        }
-    )
-
-
-def _url_sql_field(name: str) -> str:
-    """DuckDB expression for one parsed URL component of the column
-    ``url`` (same RE2 patterns as the engine parser)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.url import (
-        sql_url_exprs,
-    )
-
-    return sql_url_exprs("url")[name]
-
-
-def _canon_sql_expr() -> str:
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.url import (
-        sql_canonical_expr,
-    )
-
-    return sql_canonical_expr("url")
-
-
-def _url_parse_fields_oracle_sql() -> str:
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.url import (
-        sql_url_exprs,
-    )
-
-    fields = ", ".join(
-        f"{expr} AS {name}" for name, expr in sql_url_exprs("url").items()
-    )
-    return (
-        f"SELECT doc_id, {fields} FROM "
-        f"(SELECT doc_id, {_URL_SQL} AS url FROM documents)"
-    )
-
-
-def _q_url_parse_fields(sf_dir: str) -> pa.Table:
-    """Per-row URL component extraction (functions/url.py): one RE2
-    pass per field over the synthesized corpus URL column; the oracle
-    runs the same patterns through DuckDB's regexp_extract (also RE2),
-    so the two agree on every row including absent components."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.url import (
-        parse_urls,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "source"],
-    )
-
-    def parse(batch: pa.Table) -> pa.Table:
-        b = _synth_urls(batch)
-        parsed = parse_urls(b["url"])
-        return parsed.add_column(0, "doc_id", b["doc_id"])
-
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-
-    return collect_tables(
-        ds.map_batches(parse, batch_format="pyarrow", batch_size=None)
-    )
-
-
-def _q_url_domain_stats(sf_dir: str) -> pa.Table:
-    """Per-registered-domain corpus statistics (the per-domain rollup a
-    web-corpus curation pipeline runs first): page count, distinct
-    hosts, total chars.  Combiner-shaped: per-batch parse + partial
-    aggregate, tiny combine."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.url import (
-        parse_urls,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        distinct, hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "source", "n_chars"],
-    )
-
-    def parse(batch: pa.Table) -> pa.Table:
-        b = _synth_urls(batch)
-        parsed = parse_urls(b["url"])
-        return pa.table(
-            {
-                "registered_domain": parsed["registered_domain"],
-                "host": parsed["host"],
-                "n_chars": b["n_chars"],
-            }
-        )
-
-    parsed = ds.map_batches(parse, batch_format="pyarrow", batch_size=None)
-    stats = hash_aggregate(
-        parsed, ["registered_domain"],
-        [("n_chars", "count", "n_pages"), ("n_chars", "sum", "sum_chars")],
-    )
-    hosts = (
-        distinct(parsed, ["registered_domain", "host"])
-        .group_by("registered_domain")
-        .aggregate([("host", "count")])
-    )
-    out = stats.join(hosts, keys="registered_domain")
-    return pa.table(
-        {
-            "registered_domain": out["registered_domain"],
-            "n_pages": out["n_pages"].cast(pa.int64()),
-            "n_hosts": out["host_count"].cast(pa.int64()),
-            "sum_chars": out["sum_chars"].cast(pa.int64()),
-        }
-    )
-
-
-def _q_domain_cap_sample(sf_dir: str) -> pa.Table:
-    """Per-host document cap (RefinedWeb-style: keep at most K=3 pages
-    per host, deterministic first-by-doc_id order): the windowed
-    ROW_NUMBER <= k shape via per-batch partial top-k, no shuffle."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.url import (
-        parse_urls,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        grouped_top_k,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "source"],
-    )
-
-    def parse(batch: pa.Table) -> pa.Table:
-        b = _synth_urls(batch)
-        parsed = parse_urls(b["url"])
-        return pa.table({"host": parsed["host"], "doc_id": b["doc_id"]})
-
-    # host cardinality is data-proportional (grows with the corpus), so
-    # the combine is the distributed tier: the driver never holds
-    # k x n_hosts rows, only this bench-scale result collect does
-    out_ds = grouped_top_k(
-        ds.map_batches(parse, batch_format="pyarrow", batch_size=None),
-        "host", "doc_id", 3, descending=False, distributed_combine=True,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-
-    out = collect_tables(out_ds)
-    return pa.table(
-        {
-            "host": out["host"],
-            "doc_id": out["doc_id"],
-            "rank": out["rank"],
-        }
-    )
-
-
-def _q_pages_flagship(sf_dir: str) -> pa.Table:
-    """The graft flagship over the synthetic pages corpus (extract ->
-    geocode -> cell -> count), scaled by sf when recognisable."""
-    import tempfile
-
-    import pyarrow.parquet as pq
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.pages import (
-        pages_flagship,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.sources.synthetic import (
-        gen_pages, gen_polygons,
-    )
-
-    n = 2000
-    d = tempfile.mkdtemp(prefix="graft_pages_")
-    p = os.path.join(d, "pages.parquet")
-    pq.write_table(gen_pages(n), p)
-    out = pages_flagship(p, polygons=gen_polygons(), res=8)
-    return out["cell_counts"]
-
-
-def _q_grid_variogram(sf_dir: str) -> pa.Table:
-    """Empirical semivariogram of the sparse DEM along the easting
-    axis at lags 1/2/4/8 pixels (the geostatistician's first look at
-    spatial autocorrelation, Matheron 1963): gamma(h) = sum (z_a -
-    z_b)^2 / (2 n_h) over valid within-tile pixel pairs.  Per-tile
-    vectorized shifted-diff partials in exact integer deci-units
-    (z*10 is an integer by construction, recoverable from the float32
-    exactly), one combine, one float division per lag -- the corpus
-    never shuffles, partial volume is O(tiles x lags)."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    lags = (1, 2, 4, 8)
-    tiles = ray.data.from_arrow(_og_tiles_table(sparse_invalid=True))
-
-    def partial(batch: pa.Table) -> pa.Table:
-        hs = batch["height"].to_numpy(zero_copy_only=False)
-        ws = batch["width"].to_numpy(zero_copy_only=False)
-        vals = batch["values"]
-        out_h, out_n, out_s = [], [], []
-        for i in range(batch.num_rows):
-            v = np.asarray(vals[i].as_py(), np.float32).reshape(hs[i], ws[i])
-            valid = v > -1e30
-            k = np.zeros(v.shape, np.int64)
-            k[valid] = np.round(v[valid].astype(np.float64) * 10.0).astype(
-                np.int64
-            )
-            for h in lags:
-                both = valid[:, :-h] & valid[:, h:]
-                d = k[:, :-h][both] - k[:, h:][both]
-                out_h.append(h)
-                out_n.append(int(both.sum()))
-                out_s.append(int((d * d).sum()))
-        return pa.table(
-            {
-                "lag": pa.array(out_h, pa.int64()),
-                "n_pairs": pa.array(out_n, pa.int64()),
-                "sum_d2": pa.array(out_s, pa.int64()),
-            }
-        )
-
-    agg = hash_aggregate(
-        tiles.map_batches(partial, batch_format="pyarrow", batch_size=None),
-        ["lag"],
-        [("n_pairs", "sum", "n_pairs"), ("sum_d2", "sum", "sum_d2")],
-    ).sort_by("lag")
-    n = agg["n_pairs"].to_numpy(zero_copy_only=False).astype(np.float64)
-    s = agg["sum_d2"].to_numpy(zero_copy_only=False).astype(np.float64)
-    gamma = s / (2.0 * n * 100.0)
-    return pa.table(
-        {
-            "lag": agg["lag"],
-            "n_pairs": agg["n_pairs"],
-            "gamma": round_like_sql(gamma, 6),
-        }
-    )
-
-
-def _q_rfm_segments(sf_dir: str) -> pa.Table:
-    """RFM customer segmentation (recency / frequency / monetary
-    quartiles, the classic marketing-analytics operator): per-customer
-    aggregates via the combiner tier, then exact NTILE(4) assignment
-    (DuckDB semantics: first n%4 tiles get the extra row; ties pinned
-    by customer id) and counts per (r,f,m) segment."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int as _si,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_custkey", "o_orderdate", "o_totalprice"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        ts = batch["o_orderdate"].cast(pa.int64())
-        return pa.table(
-            {
-                "o_custkey": batch["o_custkey"],
-                "last_us": ts,
-                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
-                "cents": pa.array(_si(batch["o_totalprice"], 100.0)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["o_custkey"],
-        [
-            ("last_us", "max", "last_us"),
-            ("_one", "sum", "n_orders"),
-            ("cents", "sum", "cents"),
-        ],
-    )
-    cust = agg["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-    m = len(cust)
-
-    def ntile4(metric: np.ndarray) -> np.ndarray:
-        order = np.lexsort((cust, metric))
-        base, extra = divmod(m, 4)
-        sizes = [base + (1 if i < extra else 0) for i in range(4)]
-        tile = np.empty(m, np.int64)
-        pos = 0
-        for i, sz in enumerate(sizes):
-            tile[order[pos : pos + sz]] = i + 1
-            pos += sz
-        return tile
-
-    r_q = ntile4(agg["last_us"].to_numpy(zero_copy_only=False).astype(np.int64))
-    f_q = ntile4(agg["n_orders"].to_numpy(zero_copy_only=False).astype(np.int64))
-    m_q = ntile4(agg["cents"].to_numpy(zero_copy_only=False).astype(np.int64))
-    seg = r_q * 100 + f_q * 10 + m_q
-    vals, counts = np.unique(seg, return_counts=True)
-    return pa.table(
-        {
-            "segment": pa.array(vals, pa.int64()),
-            "n_customers": pa.array(counts.astype(np.int64)),
-        }
-    )
-
-
-# frozen road network for map matching: 6 segments inside the event
-# geocode extent (lon [77.0, 77.96], lat [28.05, 29.0]); no two
-# segments parallel, so nearest-segment ties cannot occur off a
-# measure-zero set.
-OG_SEGMENTS = [
-    (1, 77.05, 28.10, 77.90, 28.20),
-    (2, 77.10, 28.90, 77.85, 28.75),
-    (3, 77.20, 28.15, 77.30, 28.95),
-    (4, 77.60, 28.10, 77.70, 28.85),
-    (5, 77.05, 28.50, 77.95, 28.55),
-    (6, 77.40, 28.30, 77.55, 28.60),
-]
-
-
-def _q_map_match(sf_dir: str) -> pa.Table:
-    """Map matching: snap every geocoded event to the nearest segment
-    of a (broadcast-constant) road network by point-to-segment
-    projection -- vectorized per batch against all segments at once,
-    argmin with segment-id tie-break, per-segment match count + mean
-    snap offset from exact micro-unit sums.  The network is the
-    classic broadcast small side: constant per task, never shuffled."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
-
-    def match(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False)
-        px = 77.0 + (eid % 96).astype(np.float64) * 0.01
-        py = 28.05 + ((eid // 96) % 96).astype(np.float64) * 0.01
-        best_d2 = np.full(len(eid), np.inf)
-        best_seg = np.zeros(len(eid), np.int64)
-        for seg_id, ax, ay, bx, by in OG_SEGMENTS:
-            len2 = (bx - ax) * (bx - ax) + (by - ay) * (by - ay)
-            t = ((px - ax) * (bx - ax) + (py - ay) * (by - ay)) / len2
-            tc = np.clip(t, 0.0, 1.0)
-            dx = px - (ax + tc * (bx - ax))
-            dy = py - (ay + tc * (by - ay))
-            d2 = dx * dx + dy * dy
-            # first-wins on exact ties == ORDER BY d2, seg_id
-            take = d2 < best_d2
-            best_d2[take] = d2[take]
-            best_seg[take] = seg_id
-        um = round_half_away(np.sqrt(best_d2) * 1e6).astype(np.int64)
-        return pa.table(
-            {
-                "seg_id": pa.array(best_seg),
-                "_one": pa.array(np.ones(len(eid), np.int64)),
-                "um": pa.array(um),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(match, batch_format="pyarrow", batch_size=None),
-        ["seg_id"],
-        [("_one", "sum", "n_matched"), ("um", "sum", "sum_um")],
-    ).sort_by("seg_id")
-    n = agg["n_matched"].to_numpy(zero_copy_only=False).astype(np.float64)
-    s = agg["sum_um"].to_numpy(zero_copy_only=False).astype(np.float64)
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    return pa.table(
-        {
-            "seg_id": agg["seg_id"],
-            "n_matched": agg["n_matched"],
-            "sum_um": agg["sum_um"],
-            "mean_offset": round_like_sql(s / (n * 1e6), 6),
-        }
-    )
-
-
-def _q_seasonal_mase(sf_dir: str) -> pa.Table:
-    """Seasonal-naive forecast quality per event type: daily counts
-    (combiner tier) on the shared calendar extent, then the ratio of
-    the weekly-seasonal MAE to the one-step-naive MAE (the MASE
-    denominator convention, Hyndman & Koehler 2006) -- absolute
-    errors stay exact int64, one float expression at the end."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"]
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "event_type": batch["event_type"],
-                "d": pa.array(us // 86_400_000_000),
-                "_one": pa.array(np.ones(len(us), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["event_type", "d"],
-        [("_one", "sum", "x")],
-    )
-    ty = agg["event_type"].to_numpy(zero_copy_only=False)
-    d = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)
-    x = agg["x"].to_numpy(zero_copy_only=False).astype(np.int64)
-    lo, hi = int(d.min()), int(d.max())
-    n = hi - lo + 1
-    out_t, out_s7, out_s1, out_m = [], [], [], []
-    for t in sorted(set(ty.tolist())):
-        series = np.zeros(n, np.int64)
-        sel = ty == t
-        series[d[sel] - lo] = x[sel]
-        sae7 = int(np.abs(series[7:] - series[:-7]).sum())
-        sae1 = int(np.abs(series[1:] - series[:-1]).sum())
-        mase = (float(sae7) / float(n - 7)) / (float(sae1) / float(n - 1))
-        out_t.append(t)
-        out_s7.append(sae7)
-        out_s1.append(sae1)
-        out_m.append(mase)
-    return pa.table(
-        {
-            "event_type": pa.array(out_t),
-            "sae_seasonal": pa.array(out_s7, pa.int64()),
-            "sae_naive": pa.array(out_s1, pa.int64()),
-            "mase": round_like_sql(out_m, 6),
-        }
-    )
-
-
-def _q_band_correlation(sf_dir: str) -> pa.Table:
-    """Pearson correlation between the two raster bands over
-    both-valid cells (the band-redundancy screen before index math):
-    per-tile exact int64 deci-unit cross moments via the band-aligned
-    zip, one shared float expression."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    tiles = ray.data.from_arrow(_og_multiband_tiles_table(bands=(1, 2)))
-
-    def moments(batch: pa.Table) -> pa.Table:
-        # group the batch's tiles by (row_off, col_off): band 1 and 2
-        # of the same window may arrive in any order
-        by_pos: dict[tuple[int, int], dict[int, np.ndarray]] = {}
-        for i in range(batch.num_rows):
-            key = (
-                batch["row_off"][i].as_py(),
-                batch["col_off"][i].as_py(),
-            )
-            v = np.asarray(batch["values"][i].as_py(), np.float32)
-            by_pos.setdefault(key, {})[batch["band"][i].as_py()] = v
-        n = s1 = s2 = q1 = q2 = s12 = 0
-        partial_rows = {"n": [], "s1": [], "s2": [], "q1": [], "q2": [], "s12": []}
-        for key, bands in by_pos.items():
-            if 1 not in bands or 2 not in bands:
-                continue
-            v1, v2 = bands[1], bands[2]
-            ok = (v1 > -1e30) & (v2 > -1e30)
-            k1 = np.round(v1[ok].astype(np.float64) * 10.0).astype(np.int64)
-            k2 = np.round(v2[ok].astype(np.float64) * 10.0).astype(np.int64)
-            n += int(ok.sum())
-            s1 += int(k1.sum())
-            s2 += int(k2.sum())
-            q1 += int((k1 * k1).sum())
-            q2 += int((k2 * k2).sum())
-            s12 += int((k1 * k2).sum())
-        for k, v in zip(
-            ("n", "s1", "s2", "q1", "q2", "s12"),
-            (n, s1, s2, q1, q2, s12),
-        ):
-            partial_rows[k].append(v)
-        return pa.table(
-            {k: pa.array(v, pa.int64()) for k, v in partial_rows.items()}
-        )
-
-    # one partial row per batch; tiny driver combine
-    parts = hash_aggregate(
-        tiles.map_batches(
-            moments, batch_format="pyarrow", batch_size=None
-        ).map_batches(
-            lambda b: b.append_column(
-                "_g", pa.array(np.zeros(b.num_rows, np.int64))
-            ),
-            batch_format="pyarrow",
-            batch_size=None,
-        ),
-        ["_g"],
-        [(c, "sum", c) for c in ("n", "s1", "s2", "q1", "q2", "s12")],
-    )
-    n = float(parts["n"][0].as_py())
-    s1 = float(parts["s1"][0].as_py())
-    s2 = float(parts["s2"][0].as_py())
-    q1 = float(parts["q1"][0].as_py())
-    q2 = float(parts["q2"][0].as_py())
-    s12 = float(parts["s12"][0].as_py())
-    num = s12 - s1 * s2 / n
-    den = np.sqrt((q1 - s1 * s1 / n) * (q2 - s2 * s2 / n))
-    return pa.table(
-        {
-            "n_cells": pa.array([int(n)], pa.int64()),
-            "pearson_r": round_like_sql([num / den], 6),
-        }
-    )
-
-
-def _q_field_divergence(sf_dir: str) -> pa.Table:
-    """Divergence of the (band1, band2) vector field by central
-    differences at tile-interior cells (the vector-calculus raster
-    op behind flow/wind analysis): all four neighbors and both bands
-    must be valid, exact deci-unit differences, one division per
-    cell.  Within-tile stencil; the SQL mirror repeats the interior
-    predicate."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, round_like_sql,
-    )
-
-    tiles = ray.data.from_arrow(_og_multiband_tiles_table(bands=(1, 2)))
-
-    def div(batch: pa.Table) -> pa.Table:
-        by_pos: dict[tuple[int, int], dict[int, np.ndarray]] = {}
-        hw: dict[tuple[int, int], tuple[int, int]] = {}
-        for i in range(batch.num_rows):
-            key = (
-                batch["row_off"][i].as_py(),
-                batch["col_off"][i].as_py(),
-            )
-            h = batch["height"][i].as_py()
-            w = batch["width"][i].as_py()
-            by_pos.setdefault(key, {})[batch["band"][i].as_py()] = (
-                np.asarray(batch["values"][i].as_py(), np.float32).reshape(
-                    h, w
-                )
-            )
-            hw[key] = (h, w)
-        out_r, out_c, out_d = [], [], []
-        for (r0, c0), bands in by_pos.items():
-            if 1 not in bands or 2 not in bands:
-                continue
-            u, v = bands[1], bands[2]
-            h, w = hw[(r0, c0)]
-            uk = np.zeros((h, w), np.int64)
-            vk = np.zeros((h, w), np.int64)
-            uok = u > -1e30
-            vok = v > -1e30
-            uk[uok] = np.round(u[uok].astype(np.float64) * 10.0).astype(
-                np.int64
-            )
-            vk[vok] = np.round(v[vok].astype(np.float64) * 10.0).astype(
-                np.int64
-            )
-            ok = (
-                uok[1:-1, :-2] & uok[1:-1, 2:]
-                & vok[:-2, 1:-1] & vok[2:, 1:-1]
-            )
-            # du/dx + dv/dy in deci-units per cell width (0.01 deg);
-            # y increases downward on the grid, so dv/dy uses
-            # (row+1) - (row-1)
-            dnum = (
-                (uk[1:-1, 2:] - uk[1:-1, :-2])
-                + (vk[2:, 1:-1] - vk[:-2, 1:-1])
-            )
-            rr, cc = np.nonzero(ok)
-            out_r.extend((rr + 1 + r0).tolist())
-            out_c.extend((cc + 1 + c0).tolist())
-            out_d.extend(
-                (
-                    dnum[rr, cc].astype(np.float64) / (2.0 * 10.0 * 0.01)
-                ).tolist()
-            )
-        return pa.table(
-            {
-                "row": pa.array(out_r, pa.int64()),
-                "col": pa.array(out_c, pa.int64()),
-                "divergence": round_like_sql(out_d, 6),
-            }
-        )
-
-    return collect_tables(
-        tiles.map_batches(div, batch_format="pyarrow", batch_size=None)
-    ).sort_by([("row", "ascending"), ("col", "ascending")])
-
-
-def _q_lsh_blocking_audit(sf_dir: str) -> pa.Table:
-    """LSH banding audit over the minhash_estimate subset: 4 bands x
-    4 rows of the 16 mix32 minhashes; candidate pairs share at least
-    one full band signature.  Reports reduction ratio (candidates /
-    all pairs) and recall against exact Jaccard >= 0.5 -- the
-    blocking-quality audit run before committing to a dedup design."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
-        mix32,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
-
-    def shingle(batch: pa.Table) -> pa.Table:
-        out_d, out_g = [], []
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        for i, t in enumerate(batch["text"].to_pylist()):
-            if ids[i] % 25 != 0:
-                continue
-            ws = [w for w in t.split(" ") if w != ""]
-            grams = {" ".join(ws[j : j + 3]) for j in range(len(ws) - 2)}
-            out_d.extend([int(ids[i])] * len(grams))
-            out_g.extend(sorted(grams))
-        return pa.table(
-            {
-                "doc_id": pa.array(out_d, pa.int64()),
-                "gram": pa.array(out_g),
-            }
-        )
-
-    pairs_t = collect_tables(
-        ds.map_batches(shingle, batch_format="pyarrow", batch_size=None)
-    )
-    doc = pairs_t["doc_id"].to_numpy(zero_copy_only=False)
-    gram = pairs_t["gram"].to_numpy(zero_copy_only=False)
-    uniq = np.unique(gram)
-    gid = np.searchsorted(uniq, gram) + 1
-    docs = sorted(int(u) for u in np.unique(doc))
-    sets = {u: set(gid[doc == u].tolist()) for u in docs}
-    mh = {
-        u: [
-            int(mix32(np.array(sorted(sets[u]), np.int64) + s, 0).min())
-            for s in range(16)
-        ]
-        for u in docs
-    }
-    bands = {
-        u: [tuple(mh[u][b * 4 : b * 4 + 4]) for b in range(4)] for u in docs
-    }
-    n_docs = len(docs)
-    all_pairs = n_docs * (n_docs - 1) // 2
-    cand = dup = hit = 0
-    for i, a in enumerate(docs):
-        for b in docs[i + 1 :]:
-            is_cand = any(bands[a][k] == bands[b][k] for k in range(4))
-            inter = len(sets[a] & sets[b])
-            union = len(sets[a]) + len(sets[b]) - inter
-            is_dup = inter * 2 >= union  # exact jaccard >= 0.5
-            cand += int(is_cand)
-            dup += int(is_dup)
-            hit += int(is_cand and is_dup)
-    recall = float(hit) / float(dup) if dup else float("nan")
-    return pa.table(
-        {
-            "n_pairs": pa.array([all_pairs], pa.int64()),
-            "n_candidates": pa.array([cand], pa.int64()),
-            "n_true_dups": pa.array([dup], pa.int64()),
-            "recall": round_like_sql([recall], 6),
-            "reduction_ratio": round_like_sql(
-                [float(cand) / float(all_pairs)], 6
-            ),
-        }
-    )
-
-
-def _q_join_counts(sf_dir: str) -> pa.Table:
-    """Join-count statistics (Cliff-Ord) for the binary above-mean
-    event-density surface on the 96x96 geocode lattice: BB / BW / WW
-    rook-adjacent pair counts -- the categorical-data complement to
-    Moran's I / Geary's C.  The black rule 9216*n > total is an exact
-    integer comparison (no mean division), so every reported number
-    is an order-independent int64: distributed per-cell counts
-    (lattice-bounded), dense integer shifts driver-side."""
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
-        partial_count,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
-
-    def gridcell(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "gx": pa.array((eid % 96).astype(np.int64)),
-                "gy": pa.array(((eid // 96) % 96).astype(np.int64)),
-            }
-        )
-
-    counts = partial_count(
-        ds.map_batches(gridcell, batch_format="pyarrow", batch_size=None),
-        ["gx", "gy"],
-    ).rename_columns(["gx", "gy", "n"])
-    grid = np.zeros((96, 96), np.int64)
-    gx = counts["gx"].to_numpy(zero_copy_only=False).astype(np.int64)
-    gy = counts["gy"].to_numpy(zero_copy_only=False).astype(np.int64)
-    grid[gy, gx] = counts["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    tot = int(grid.sum())
-    black = (grid * 9216 > tot).astype(np.int64)
-    bh_a, bh_b = black[:, :-1], black[:, 1:]
-    bv_a, bv_b = black[:-1, :], black[1:, :]
-    bb = int((bh_a & bh_b).sum()) + int((bv_a & bv_b).sum())
-    bw = int((bh_a ^ bh_b).sum()) + int((bv_a ^ bv_b).sum())
-    n_pairs = 2 * 96 * 95
-    return pa.table(
-        {
-            "n_black": pa.array([int(black.sum())], pa.int64()),
-            "bb": pa.array([bb], pa.int64()),
-            "bw": pa.array([bw], pa.int64()),
-            "ww": pa.array([n_pairs - bb - bw], pa.int64()),
-        }
-    )
-
-
-def _q_fractal_boxcount(sf_dir: str) -> pa.Table:
-    """Box-counting dimension of the low-elevation cell set (valid
-    and z < 5) on the slope-fixture raster: occupied-box counts at
-    scales 1/2/4/8/16 via a distributed distinct (per-tile box
-    emission -> global dedup; boxes straddling tile edges merge in
-    the groupby), then the log-log regression slope from quantized
-    LN terms (exact HUGEINT-safe integer moments, one float division
-    -- the zipf_slope discipline)."""
-    import math
-
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
-        partial_count,
-    )
-
-    tiles = ray.data.from_arrow(_og_tiles_table(sparse_invalid=True, tile=24))
-    scales = (1, 2, 4, 8, 16)
-
-    def boxes(batch: pa.Table) -> pa.Table:
-        out_s, out_b = [], []
-        for i in range(batch.num_rows):
-            h = batch["height"][i].as_py()
-            w = batch["width"][i].as_py()
-            r0 = batch["row_off"][i].as_py()
-            c0 = batch["col_off"][i].as_py()
-            z = np.asarray(batch["values"][i].as_py(), np.float32).reshape(h, w)
-            rr, cc = np.nonzero((z > -1e30) & (z < 5.0))
-            rr = rr.astype(np.int64) + r0
-            cc = cc.astype(np.int64) + c0
-            for s in scales:
-                b = np.unique((rr // s) * 1024 + cc // s)
-                out_s.extend([s] * len(b))
-                out_b.extend(b.tolist())
-        return pa.table(
-            {
-                "scale": pa.array(out_s, pa.int64()),
-                "box": pa.array(out_b, pa.int64()),
-            }
-        )
-
-    occ = partial_count(
-        tiles.map_batches(boxes, batch_format="pyarrow", batch_size=None),
-        ["scale", "box"],
-    )
-    per = {s: 0 for s in scales}
-    for s in occ["scale"].to_numpy(zero_copy_only=False).tolist():
-        per[int(s)] += 1
-    # quantized log-log OLS: u = ln(1/s), v = ln N(s), both at 1e12
-    us = [int(round(math.log(1.0 / s) * 1e12)) for s in scales]
-    vs = [int(round(math.log(float(per[s])) * 1e12)) for s in scales]
-    k = len(scales)
-    su, sv = sum(us), sum(vs)
-    suv = sum(u * v for u, v in zip(us, vs))
-    suu = sum(u * u for u in us)
-    dim = float(k * suv - su * sv) / float(k * suu - su * su)
-    return pa.table(
-        {
-            "n1": pa.array([per[1]], pa.int64()),
-            "n2": pa.array([per[2]], pa.int64()),
-            "n4": pa.array([per[4]], pa.int64()),
-            "n8": pa.array([per[8]], pa.int64()),
-            "n16": pa.array([per[16]], pa.int64()),
-            "box_dim": round_like_sql([dim], 6),
-        }
-    )
-
-
-def _q_polygon_iou(sf_dir: str) -> pa.Table:
-    """Intersection-over-union of the two overlapping fixture
-    polygons, discretized on the grid's cell centers (the
-    segmentation-mask IoU metric): memberships via the identical
-    strict half-plane tests, pure integer counts, one division."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    q0 = OG_POLYGONS["q0"]
-    q1 = OG_POLYGONS["q1"]
-
-    def member(lon, lat, poly):
-        ok = np.ones(len(lon), bool)
-        n = len(poly)
-        for i in range(n):
-            ax, ay = poly[i]
-            bx, by = poly[(i + 1) % n]
-            ok &= (bx - ax) * (lat - ay) - (by - ay) * (lon - ax) > 0
-        return ok
-
-    def counts(batch: pa.Table) -> pa.Table:
-        lon = batch["lon"].to_numpy(zero_copy_only=False)
-        lat = batch["lat"].to_numpy(zero_copy_only=False)
-        m0 = member(lon, lat, q0)
-        m1 = member(lon, lat, q1)
-        return pa.table(
-            {
-                "_g": pa.array(np.zeros(1, np.int64)),
-                "n_a": pa.array([int(m0.sum())], pa.int64()),
-                "n_b": pa.array([int(m1.sum())], pa.int64()),
-                "inter": pa.array([int((m0 & m1).sum())], pa.int64()),
-            }
-        )
-
-    agg = hash_aggregate(
-        _og_points_ds().map_batches(
-            counts, batch_format="pyarrow", batch_size=None
-        ),
-        ["_g"],
-        [(c, "sum", c) for c in ("n_a", "n_b", "inter")],
-    )
-    na = int(agg["n_a"][0].as_py())
-    nb = int(agg["n_b"][0].as_py())
-    inter = int(agg["inter"][0].as_py())
-    union = na + nb - inter
-    return pa.table(
-        {
-            "n_a": pa.array([na], pa.int64()),
-            "n_b": pa.array([nb], pa.int64()),
-            "inter": pa.array([inter], pa.int64()),
-            "iou": round_like_sql([float(inter) / float(union)], 6),
-        }
-    )
-
-
-def _q_raster_kappa(sf_dir: str) -> pa.Table:
-    """Cohen's kappa between the two bands' high-value masks
-    (deci k > 250, i.e. z > 25) over both-valid cells -- the
-    classification-agreement metric for change-detection maps.
-    Confusion counts are exact int64; po/pe/kappa is one pinned
-    float chain."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    tiles = ray.data.from_arrow(_og_multiband_tiles_table(bands=(1, 2)))
-
-    def confusion(batch: pa.Table) -> pa.Table:
-        by_pos: dict[tuple[int, int], dict[int, np.ndarray]] = {}
-        for i in range(batch.num_rows):
-            key = (
-                batch["row_off"][i].as_py(),
-                batch["col_off"][i].as_py(),
-            )
-            v = np.asarray(batch["values"][i].as_py(), np.float32)
-            by_pos.setdefault(key, {})[batch["band"][i].as_py()] = v
-        n11 = n10 = n01 = n00 = 0
-        for key, bands in by_pos.items():
-            if 1 not in bands or 2 not in bands:
-                continue
-            v1, v2 = bands[1], bands[2]
-            ok = (v1 > -1e30) & (v2 > -1e30)
-            k1 = round_half_away(
-                v1[ok].astype(np.float64) * 10.0
-            ).astype(np.int64)
-            k2 = round_half_away(
-                v2[ok].astype(np.float64) * 10.0
-            ).astype(np.int64)
-            a = k1 > 250
-            p = k2 > 250
-            n11 += int((a & p).sum())
-            n10 += int((a & ~p).sum())
-            n01 += int((~a & p).sum())
-            n00 += int((~a & ~p).sum())
-        return pa.table(
-            {
-                "_g": pa.array(np.zeros(1, np.int64)),
-                "n11": pa.array([n11], pa.int64()),
-                "n10": pa.array([n10], pa.int64()),
-                "n01": pa.array([n01], pa.int64()),
-                "n00": pa.array([n00], pa.int64()),
-            }
-        )
-
-    agg = hash_aggregate(
-        tiles.map_batches(confusion, batch_format="pyarrow", batch_size=None),
-        ["_g"],
-        [(c, "sum", c) for c in ("n11", "n10", "n01", "n00")],
-    )
-    n11 = int(agg["n11"][0].as_py())
-    n10 = int(agg["n10"][0].as_py())
-    n01 = int(agg["n01"][0].as_py())
-    n00 = int(agg["n00"][0].as_py())
-    n = n11 + n10 + n01 + n00
-    po = float(n11 + n00) / float(n)
-    pe = float(
-        (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)
-    ) / (float(n) * float(n))
-    kappa = (po - pe) / (1.0 - pe)
-    return pa.table(
-        {
-            "n11": pa.array([n11], pa.int64()),
-            "n10": pa.array([n10], pa.int64()),
-            "n01": pa.array([n01], pa.int64()),
-            "n00": pa.array([n00], pa.int64()),
-            "kappa": round_like_sql([kappa], 6),
-        }
-    )
-
-
-def _q_mcnemar_test(sf_dir: str) -> pa.Table:
-    """McNemar paired test between the two bands' high-value masks
-    (deci k > 250) over both-valid cells -- did the classification
-    change between the two scenes beyond symmetric noise?  Uses the
-    discordant counts b = band1-only, c = band2-only: chi2 =
-    (b-c)^2/(b+c), with the Edwards continuity-corrected variant
-    (|b-c|-1)^2/(b+c).  Counts are exact int64 partials rolled up
-    via the tier-2 combiner; the statistics are one float division
-    each."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    tiles = ray.data.from_arrow(_og_multiband_tiles_table(bands=(1, 2)))
-
-    def discordant(batch: pa.Table) -> pa.Table:
-        by_pos: dict[tuple[int, int], dict[int, np.ndarray]] = {}
-        for i in range(batch.num_rows):
-            key = (
-                batch["row_off"][i].as_py(),
-                batch["col_off"][i].as_py(),
-            )
-            v = np.asarray(batch["values"][i].as_py(), np.float32)
-            by_pos.setdefault(key, {})[batch["band"][i].as_py()] = v
-        b = c = n = 0
-        for key, bands in by_pos.items():
-            if 1 not in bands or 2 not in bands:
-                continue
-            v1, v2 = bands[1], bands[2]
-            ok = (v1 > -1e30) & (v2 > -1e30)
-            k1 = round_half_away(
-                v1[ok].astype(np.float64) * 10.0
-            ).astype(np.int64)
-            k2 = round_half_away(
-                v2[ok].astype(np.float64) * 10.0
-            ).astype(np.int64)
-            a = k1 > 250
-            p = k2 > 250
-            b += int((a & ~p).sum())
-            c += int((~a & p).sum())
-            n += int(ok.sum())
-        return pa.table(
-            {
-                "_g": pa.array(np.zeros(1, np.int64)),
-                "b": pa.array([b], pa.int64()),
-                "c": pa.array([c], pa.int64()),
-                "n": pa.array([n], pa.int64()),
-            }
-        )
-
-    agg = hash_aggregate(
-        tiles.map_batches(discordant, batch_format="pyarrow", batch_size=None),
-        ["_g"],
-        [(col, "sum", col) for col in ("b", "c", "n")],
-    )
-    b = int(agg["b"][0].as_py())
-    c = int(agg["c"][0].as_py())
-    n = int(agg["n"][0].as_py())
-    chi2 = float((b - c) * (b - c)) / float(b + c)
-    chi2_cc = float((abs(b - c) - 1) * (abs(b - c) - 1)) / float(b + c)
-    return pa.table(
-        {
-            "n_pairs": pa.array([n], pa.int64()),
-            "b_only1": pa.array([b], pa.int64()),
-            "c_only2": pa.array([c], pa.int64()),
-            "chi2": round_like_sql([chi2], 6),
-            "chi2_cc": round_like_sql([chi2_cc], 6),
-        }
-    )
-
-
-def _q_roc_auc(sf_dir: str) -> pa.Table:
-    """ROC AUC of band 2 as a score predicting band 1's high-value
-    mask (the Mann-Whitney identity with tie-averaged ranks): the
-    bounded deci-value domain gives exact per-value (positives,
-    total) counts distributed, and AUC = (R2_pos - n1*(n1+1)) /
-    (2*n1*n0) with R2 the integer doubled rank sum -- bit-exact."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    tiles = ray.data.from_arrow(_og_multiband_tiles_table(bands=(1, 2)))
-
-    def per_value(batch: pa.Table) -> pa.Table:
-        by_pos: dict[tuple[int, int], dict[int, np.ndarray]] = {}
-        for i in range(batch.num_rows):
-            key = (
-                batch["row_off"][i].as_py(),
-                batch["col_off"][i].as_py(),
-            )
-            v = np.asarray(batch["values"][i].as_py(), np.float32)
-            by_pos.setdefault(key, {})[batch["band"][i].as_py()] = v
-        vs, pos, tot = [], [], []
-        acc: dict[int, list[int]] = {}
-        for key, bands in by_pos.items():
-            if 1 not in bands or 2 not in bands:
-                continue
-            v1, v2 = bands[1], bands[2]
-            ok = (v1 > -1e30) & (v2 > -1e30)
-            k1 = round_half_away(
-                v1[ok].astype(np.float64) * 10.0
-            ).astype(np.int64)
-            k2 = round_half_away(
-                v2[ok].astype(np.float64) * 10.0
-            ).astype(np.int64)
-            lab = (k1 > 250).astype(np.int64)
-            for v, l_ in zip(k2.tolist(), lab.tolist()):
-                e = acc.setdefault(v, [0, 0])
-                e[0] += l_
-                e[1] += 1
-        for v, (p, t) in acc.items():
-            vs.append(v)
-            pos.append(p)
-            tot.append(t)
-        return pa.table(
-            {
-                "score": pa.array(vs, pa.int64()),
-                "pos": pa.array(pos, pa.int64()),
-                "tot": pa.array(tot, pa.int64()),
-            }
-        )
-
-    agg = hash_aggregate(
-        tiles.map_batches(per_value, batch_format="pyarrow", batch_size=None),
-        ["score"],
-        [("pos", "sum", "pos"), ("tot", "sum", "tot")],
-    )
-    order = np.argsort(agg["score"].to_numpy(zero_copy_only=False))
-    pos = agg["pos"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
-    tot = agg["tot"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
-    cum_lt = np.concatenate([[0], np.cumsum(tot)[:-1]])
-    # doubled tie-averaged rank of value v: 2*cum_lt + n_eq + 1
-    r2 = (2 * cum_lt + tot + 1).astype(np.int64)
-    r2_pos = int((r2 * pos).sum())
-    n1 = int(pos.sum())
-    n0 = int(tot.sum()) - n1
-    auc = float(r2_pos - n1 * (n1 + 1)) / float(2 * n1 * n0)
-    return pa.table(
-        {
-            "n_pos": pa.array([n1], pa.int64()),
-            "n_neg": pa.array([n0], pa.int64()),
-            "auc": round_like_sql([auc], 6),
-        }
-    )
-
-
-def _q_calibration_bins(sf_dir: str) -> pa.Table:
-    """Reliability-curve bins for band 2's deci score predicting band
-    1's high-value mask: decile score bins (k // 50), per bin the
-    exact count, mean score (deci units) and positive fraction -- the
-    calibration diagnostic next to roc_auc/average_precision.  All
-    partials are exact int64 bincounts; two float divisions per bin
-    at the end."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    tiles = ray.data.from_arrow(_og_multiband_tiles_table(bands=(1, 2)))
-
-    def per_bin(batch: pa.Table) -> pa.Table:
-        by_pos: dict[tuple[int, int], dict[int, np.ndarray]] = {}
-        for i in range(batch.num_rows):
-            key = (
-                batch["row_off"][i].as_py(),
-                batch["col_off"][i].as_py(),
-            )
-            v = np.asarray(batch["values"][i].as_py(), np.float32)
-            by_pos.setdefault(key, {})[batch["band"][i].as_py()] = v
-        tot = np.zeros(10, np.int64)
-        pos = np.zeros(10, np.int64)
-        s_k = np.zeros(10, np.int64)
-        for key, bands in by_pos.items():
-            if 1 not in bands or 2 not in bands:
-                continue
-            v1, v2 = bands[1], bands[2]
-            ok = (v1 > -1e30) & (v2 > -1e30)
-            k1 = round_half_away(
-                v1[ok].astype(np.float64) * 10.0
-            ).astype(np.int64)
-            k2 = round_half_away(
-                v2[ok].astype(np.float64) * 10.0
-            ).astype(np.int64)
-            b = k2 // 50
-            tot += np.bincount(b, minlength=10).astype(np.int64)
-            pos += np.bincount(
-                b, weights=(k1 > 250).astype(np.float64), minlength=10
-            ).astype(np.int64)
-            s_k += np.bincount(
-                b, weights=k2.astype(np.float64), minlength=10
-            ).astype(np.int64)
-        nz = np.flatnonzero(tot)
-        return pa.table(
-            {
-                "bin": pa.array(nz.astype(np.int64)),
-                "tot": pa.array(tot[nz]),
-                "pos": pa.array(pos[nz]),
-                "s_k": pa.array(s_k[nz]),
-            }
-        )
-
-    agg = hash_aggregate(
-        tiles.map_batches(per_bin, batch_format="pyarrow", batch_size=None),
-        ["bin"],
-        [("tot", "sum", "tot"), ("pos", "sum", "pos"), ("s_k", "sum", "s_k")],
-    )
-    order = np.argsort(agg["bin"].to_numpy(zero_copy_only=False))
-    b = agg["bin"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
-    tot = agg["tot"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
-    pos = agg["pos"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
-    s_k = agg["s_k"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
-    return pa.table(
-        {
-            "bin": pa.array(b, pa.int64()),
-            "n": pa.array(tot, pa.int64()),
-            "mean_score_deci": round_like_sql(
-                s_k.astype(np.float64) / tot.astype(np.float64), 6
-            ),
-            "frac_pos": round_like_sql(
-                pos.astype(np.float64) / tot.astype(np.float64), 6
-            ),
-        }
-    )
-
-
-def _q_lbp_histogram(sf_dir: str) -> pa.Table:
-    """Local-binary-pattern texture histogram over the slope-fixture
-    raster: interior cells with a fully valid 3x3 window get an 8-bit
-    code (bit k set iff neighbor k's value > center, clockwise from
-    top-left), counted per code -- the classic texture descriptor.
-    Pure integer comparisons on the broadcast DEM; distributed over
-    row-chunks of target cells."""
-    import ray
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
-        partial_count,
-    )
-
-    tiles = _og_tiles_table(sparse_invalid=True)
-    z = np.full((OG_H, OG_W), np.float32(OG_NODATA), np.float32)
-    for i in range(tiles.num_rows):
-        r0 = tiles["row_off"][i].as_py()
-        c0 = tiles["col_off"][i].as_py()
-        h = tiles["height"][i].as_py()
-        w = tiles["width"][i].as_py()
-        z[r0 : r0 + h, c0 : c0 + w] = np.asarray(
-            tiles["values"][i].as_py(), np.float32
-        ).reshape(h, w)
-    ref = ray.put(z)
-    rows = pa.table(
-        {"row": pa.array(np.arange(1, OG_H - 1, dtype=np.int64))}
-    )
-    # clockwise from top-left: (dr, dc) per bit
-    offs = [
-        (-1, -1), (-1, 0), (-1, 1), (0, 1),
-        (1, 1), (1, 0), (1, -1), (0, -1),
-    ]
-
-    def codes(batch: pa.Table) -> pa.Table:
-        zg = ray.get(ref)
-        out = []
-        for r in batch["row"].to_numpy(zero_copy_only=False).tolist():
-            center = zg[r, 1:-1]
-            ok = center > -1e30
-            code = np.zeros(OG_W - 2, np.int64)
-            for k, (dr, dc) in enumerate(offs):
-                nb = zg[r + dr, 1 + dc : OG_W - 1 + dc]
-                ok &= nb > -1e30
-                code |= (nb > center).astype(np.int64) << k
-            out.append(code[ok])
-        allc = np.concatenate(out) if out else np.zeros(0, np.int64)
-        return pa.table({"code": pa.array(allc)})
-
-    counts = partial_count(
-        ray.data.from_arrow(rows).map_batches(
-            codes, batch_format="pyarrow", batch_size=8
-        ),
-        ["code"],
-    ).rename_columns(["code", "n"])
-    order = np.argsort(counts["code"].to_numpy(zero_copy_only=False))
-    return pa.table(
-        {
-            "code": counts["code"].take(pa.array(order)),
-            "n": counts["n"].take(pa.array(order)).cast(pa.int64()),
-        }
-    )
-
-
-def _q_glcm_texture(sf_dir: str) -> pa.Table:
-    """GLCM texture summary (horizontal offset 1, 8 gray levels from
-    the deci values, symmetric pairs not double-counted): contrast,
-    homogeneity and energy from exact integer co-occurrence counts
-    (homogeneity terms quantized at 1e9) -- the Haralick features a
-    remote-sensing pipeline derives per scene.  Horizontal pairs that
-    cross tile boundaries are captured via the 1-pixel halo exchange
-    (each pair counted exactly once, attributed to the LEFT pixel's
-    owning tile)."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
-        make_emit_halos,
-    )
-
-    tiles = ray.data.from_arrow(_og_tiles_table(sparse_invalid=True))
-
-    def pairs(group: pa.Table) -> pa.Table:
-        from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
-            _assemble_padded, NODATA_THRESHOLD,
-        )
-
-        empty = pa.table(
-            {
-                "li": pa.array([], pa.int64()),
-                "lj": pa.array([], pa.int64()),
-                "n": pa.array([], pa.int64()),
-            }
-        )
-        asm = _assemble_padded(group)
-        if asm is None:
-            return empty
-        pad, h, w, _r0, _c0, _transform = asm
-        left = pad[1 : h + 1, 1 : w + 1]
-        right = pad[1 : h + 1, 2 : w + 2]
-        ok = (
-            np.isfinite(left) & (left > NODATA_THRESHOLD)
-            & np.isfinite(right) & (right > NODATA_THRESHOLD)
-        )
-        if not ok.any():
-            return empty
-        ki = (round_half_away(left[ok] * 10.0).astype(np.int64) * 8) // 500
-        kj = (round_half_away(right[ok] * 10.0).astype(np.int64) * 8) // 500
-        counts = np.bincount(ki * 8 + kj, minlength=64).astype(np.int64)
-        nz = np.flatnonzero(counts)
-        return pa.table(
-            {
-                "li": pa.array(nz // 8, pa.int64()),
-                "lj": pa.array(nz % 8, pa.int64()),
-                "n": pa.array(counts[nz], pa.int64()),
-            }
-        )
-
-    halos = tiles.map_batches(
-        make_emit_halos(None, None), batch_format="pyarrow", batch_size=None
-    )
-    agg = hash_aggregate(
-        halos.groupby("halo_key").map_groups(pairs, batch_format="pyarrow"),
-        ["li", "lj"],
-        [("n", "sum", "n")],
-    )
-    li = agg["li"].to_numpy(zero_copy_only=False).astype(np.int64)
-    lj = agg["lj"].to_numpy(zero_copy_only=False).astype(np.int64)
-    n = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    ntot = int(n.sum())
-    d2 = (li - lj) * (li - lj)
-    contrast = float(int((n * d2).sum())) / float(ntot)
-    hom_terms = round_half_away(
-        n.astype(np.float64) / (1.0 + d2.astype(np.float64)) * 1e9
-    ).astype(np.int64)
-    homogeneity = float(int(hom_terms.sum())) / 1e9 / float(ntot)
-    energy = float(int((n * n).sum())) / (float(ntot) * float(ntot))
-    return pa.table(
-        {
-            "n_pairs": pa.array([ntot], pa.int64()),
-            "contrast": round_like_sql([contrast], 6),
-            "homogeneity": round_like_sql([homogeneity], 6),
-            "energy": round_like_sql([energy], 6),
-        }
-    )
-
-
-def _q_average_precision(sf_dir: str) -> pa.Table:
-    """Average precision (step interpolation, ties grouped by
-    distinct score) of band 2 scoring band 1's high-value mask --
-    the PR-curve summary next to roc_auc.  Per-score-group precision
-    terms are exact rationals quantized at 1e12; the recall weights
-    are integer positive counts."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    tiles = ray.data.from_arrow(_og_multiband_tiles_table(bands=(1, 2)))
-
-    def per_value(batch: pa.Table) -> pa.Table:
-        by_pos: dict[tuple[int, int], dict[int, np.ndarray]] = {}
-        for i in range(batch.num_rows):
-            key = (
-                batch["row_off"][i].as_py(),
-                batch["col_off"][i].as_py(),
-            )
-            v = np.asarray(batch["values"][i].as_py(), np.float32)
-            by_pos.setdefault(key, {})[batch["band"][i].as_py()] = v
-        acc: dict[int, list[int]] = {}
-        for key, bands in by_pos.items():
-            if 1 not in bands or 2 not in bands:
-                continue
-            v1, v2 = bands[1], bands[2]
-            ok = (v1 > -1e30) & (v2 > -1e30)
-            k1 = round_half_away(
-                v1[ok].astype(np.float64) * 10.0
-            ).astype(np.int64)
-            k2 = round_half_away(
-                v2[ok].astype(np.float64) * 10.0
-            ).astype(np.int64)
-            lab = (k1 > 250).astype(np.int64)
-            for v, l_ in zip(k2.tolist(), lab.tolist()):
-                e = acc.setdefault(v, [0, 0])
-                e[0] += l_
-                e[1] += 1
-        return pa.table(
-            {
-                "score": pa.array(list(acc), pa.int64()),
-                "pos": pa.array([acc[v][0] for v in acc], pa.int64()),
-                "tot": pa.array([acc[v][1] for v in acc], pa.int64()),
-            }
-        )
-
-    agg = hash_aggregate(
-        tiles.map_batches(per_value, batch_format="pyarrow", batch_size=None),
-        ["score"],
-        [("pos", "sum", "pos"), ("tot", "sum", "tot")],
-    )
-    order = np.argsort(
-        -agg["score"].to_numpy(zero_copy_only=False)
-    )  # descending
-    pos = agg["pos"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
-    tot = agg["tot"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
-    cum_pos = np.cumsum(pos)
-    cum_tot = np.cumsum(tot)
-    n1 = int(pos.sum())
-    terms = round_half_away(
-        cum_pos.astype(np.float64) / cum_tot.astype(np.float64) * 1e12
-    ).astype(np.int64)
-    s = int((terms * pos).sum())
-    ap = float(s) / 1e12 / float(n1)
-    return pa.table(
-        {
-            "n_pos": pa.array([n1], pa.int64()),
-            "average_precision": round_like_sql([ap], 6),
-        }
-    )
-
-
-def _q_lift_at_decile(sf_dir: str) -> pa.Table:
-    """Top-decile lift: positive rate among cells whose band-2 score
-    exceeds its 90th percentile (quantile_disc -- an exact order
-    statistic), relative to the base rate.  All counts exact; two
-    float divisions."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    tiles = ray.data.from_arrow(_og_multiband_tiles_table(bands=(1, 2)))
-
-    def per_value(batch: pa.Table) -> pa.Table:
-        by_pos: dict[tuple[int, int], dict[int, np.ndarray]] = {}
-        for i in range(batch.num_rows):
-            key = (
-                batch["row_off"][i].as_py(),
-                batch["col_off"][i].as_py(),
-            )
-            v = np.asarray(batch["values"][i].as_py(), np.float32)
-            by_pos.setdefault(key, {})[batch["band"][i].as_py()] = v
-        acc: dict[int, list[int]] = {}
-        for key, bands in by_pos.items():
-            if 1 not in bands or 2 not in bands:
-                continue
-            v1, v2 = bands[1], bands[2]
-            ok = (v1 > -1e30) & (v2 > -1e30)
-            k1 = round_half_away(
-                v1[ok].astype(np.float64) * 10.0
-            ).astype(np.int64)
-            k2 = round_half_away(
-                v2[ok].astype(np.float64) * 10.0
-            ).astype(np.int64)
-            lab = (k1 > 250).astype(np.int64)
-            for v, l_ in zip(k2.tolist(), lab.tolist()):
-                e = acc.setdefault(v, [0, 0])
-                e[0] += l_
-                e[1] += 1
-        return pa.table(
-            {
-                "score": pa.array(list(acc), pa.int64()),
-                "pos": pa.array([acc[v][0] for v in acc], pa.int64()),
-                "tot": pa.array([acc[v][1] for v in acc], pa.int64()),
-            }
-        )
-
-    agg = hash_aggregate(
-        tiles.map_batches(per_value, batch_format="pyarrow", batch_size=None),
-        ["score"],
-        [("pos", "sum", "pos"), ("tot", "sum", "tot")],
-    )
-    order = np.argsort(agg["score"].to_numpy(zero_copy_only=False))
-    sc = agg["score"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
-    pos = agg["pos"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
-    tot = agg["tot"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
-    n = int(tot.sum())
-    n1 = int(pos.sum())
-    # quantile_disc(0.9): value at 0-based sorted index ceil(0.9*n)-1
-    import math
-
-    target = math.ceil(0.9 * n) - 1
-    cum = np.cumsum(tot)
-    thresh = int(sc[np.searchsorted(cum, target + 1)])
-    top = sc > thresh
-    n_top = int(tot[top].sum())
-    p_top = int(pos[top].sum())
-    lift = (float(p_top) / float(n_top)) / (float(n1) / float(n))
-    return pa.table(
-        {
-            "threshold_score": pa.array([thresh], pa.int64()),
-            "n_top": pa.array([n_top], pa.int64()),
-            "pos_top": pa.array([p_top], pa.int64()),
-            "lift": round_like_sql([lift], 6),
-        }
-    )
-
-
-def _q_binseg_changepoint(sf_dir: str) -> pa.Table:
-    """Single-changepoint binary segmentation on the daily event
-    series: the split minimizing SSE_left + SSE_right, every SSE from
-    exact integer prefix sums (cost quantized at 1e6 so the argmin is
-    an integer compare with lowest-day tie-break) -- the first step
-    of any changepoint ladder."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
-
-    def daily(batch: pa.Table) -> pa.Table:
-        d = (
-            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 86_400_000_000
-        )
-        return pa.table(
-            {
-                "d": pa.array(d),
-                "_one": pa.array(np.ones(len(d), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(daily, batch_format="pyarrow", batch_size=None),
-        ["d"],
-        [("_one", "sum", "x")],
-    )
-    dd = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)
-    xx = agg["x"].to_numpy(zero_copy_only=False).astype(np.int64)
-    lo, hi = int(dd.min()), int(dd.max())
-    n = hi - lo + 1
-    series = np.zeros(n, np.int64)
-    series[dd - lo] = xx
-    ps = np.cumsum(series)
-    ps2 = np.cumsum(series * series)
-    s_tot, q_tot = int(ps[-1]), int(ps2[-1])
-    best_t, best_cq = -1, None
-    for t in range(1, n):  # left = [0, t), right = [t, n)
-        sl, ql = int(ps[t - 1]), int(ps2[t - 1])
-        sr, qr = s_tot - sl, q_tot - ql
-        cost = (
-            (float(ql) - float(sl) * float(sl) / float(t))
-            + (float(qr) - float(sr) * float(sr) / float(n - t))
-        )
-        cq = int(round_half_away(np.array([cost * 1e6]))[0])
-        if best_cq is None or cq < best_cq:
-            best_cq, best_t = cq, t
-    full_cost = float(q_tot) - float(s_tot) * float(s_tot) / float(n)
-    return pa.table(
-        {
-            "split_day_offset": pa.array([best_t], pa.int64()),
-            "cost_q": pa.array([best_cq], pa.int64()),
-            "full_sse": round_like_sql([full_cost], 6),
-        }
-    )
-
-
-def _q_qq_slope(sf_dir: str) -> pa.Table:
-    """Quantile-quantile comparison of the lineitem price vs the part
-    retail price distributions: exact decile order statistics
-    (quantile_disc selection on cents) for both columns, then the
-    through-origin OLS slope over the 9 QQ points from exact integer
-    moments -- the distribution-shape comparison next to the KS
-    statistic."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
-        exact_quantiles,
-    )
-
-    qs = [i / 10.0 for i in range(1, 10)]
-    li = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_extendedprice"]
-    )
-    pt = _read_pq(
-        os.path.join(sf_dir, "part.parquet"), columns=["p_retailprice"]
-    )
-
-    def cents(col):
-        def fn(batch: pa.Table) -> pa.Table:
-            k = round_half_away(
-                batch[col].to_numpy(zero_copy_only=False) * 100.0
-            ).astype(np.int64)
-            return pa.table({"k": pa.array(k)})
-
-        return fn
-
-    qa = exact_quantiles(
-        li.map_batches(
-            cents("l_extendedprice"), batch_format="pyarrow", batch_size=None
-        ),
-        "k",
-        qs,
-        method="disc",
-    )
-    qb = exact_quantiles(
-        pt.map_batches(
-            cents("p_retailprice"), batch_format="pyarrow", batch_size=None
-        ),
-        "k",
-        qs,
-        method="disc",
-    )
-    va = [
-        int(qa.column(qa.num_columns - 1)[i].as_py()) for i in range(len(qs))
-    ]
-    vb = [
-        int(qb.column(qb.num_columns - 1)[i].as_py()) for i in range(len(qs))
-    ]
-    sxy = sum(a * b for a, b in zip(va, vb))
-    sxx = sum(b * b for b in vb)
-    slope = float(sxy) / float(sxx)
-    return pa.table(
-        {
-            "q": pa.array(qs, pa.float64()),
-            "lineitem_cents": pa.array(va, pa.int64()),
-            "part_cents": pa.array(vb, pa.int64()),
-            "qq_slope": round_like_sql([slope] * len(qs), 6),
-        }
-    )
-
-
-def _q_raster_entropy(sf_dir: str) -> pa.Table:
-    """Shannon entropy of the raster's deci-unit value distribution
-    (valid cells) -- the information-content summary used to pick
-    compression/stretch parameters.  Distributed per-value counts
-    (value domain is bounded: deci units of [0, 50)), per-value terms
-    quantized at 1e12 for an exact int64 sum."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    tiles = ray.data.from_arrow(_og_tiles_table(sparse_invalid=True, tile=24))
-
-    def vals(batch: pa.Table) -> pa.Table:
-        out_v, out_n = [], []
-        for i in range(batch.num_rows):
-            z = np.asarray(batch["values"][i].as_py(), np.float32)
-            z = z[z > -1e30]
-            vq = round_half_away(z.astype(np.float64) * 10.0).astype(
-                np.int64
-            )
-            uv, cn = np.unique(vq, return_counts=True)
-            out_v.extend(uv.tolist())
-            out_n.extend(cn.tolist())
-        return pa.table(
-            {
-                "v": pa.array(out_v, pa.int64()),
-                "n": pa.array(out_n, pa.int64()),
-            }
-        )
-
-    agg = hash_aggregate(
-        tiles.map_batches(vals, batch_format="pyarrow", batch_size=None),
-        ["v"],
-        [("n", "sum", "n")],
-    )
-    n = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    tot = int(n.sum())
-    terms = round_half_away(
-        n.astype(np.float64)
-        * np.log(n.astype(np.float64) / float(tot))
-        * 1e12
-    ).astype(np.int64)
-    h = -float(int(terms.sum())) / 1e12 / float(tot)
-    return pa.table(
-        {
-            "n_cells": pa.array([tot], pa.int64()),
-            "n_distinct": pa.array([agg.num_rows], pa.int64()),
-            "entropy_nats": round_like_sql([h], 6),
-        }
-    )
-
-
-def _q_markov_top1_accuracy(sf_dir: str) -> pa.Table:
-    """Top-1 next-event predictability: if we always predict the
-    modal next event per current type, what fraction of transitions
-    do we hit?  Sum over src of max_dst(n) / total transitions --
-    pure integer counts from the markov_transitions construction
-    (deterministic ties by taking the max count, not the arg)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        markov_transitions, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "ts", "event_id", "event_type"],
-    )
-    tr = markov_transitions(ds, "user_id", "event_type", ["ts", "event_id"])
-    src = tr["src"].to_numpy(zero_copy_only=False)
-    nn = tr["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    best: dict[str, int] = {}
-    tot = 0
-    for s, c in zip(src.tolist(), nn.tolist()):
-        tot += c
-        if c > best.get(s, 0):
-            best[s] = c
-    hits = sum(best.values())
-    return pa.table(
-        {
-            "n_transitions": pa.array([tot], pa.int64()),
-            "n_hits": pa.array([hits], pa.int64()),
-            "top1_accuracy": round_like_sql(
-                [float(hits) / float(tot)], 6
-            ),
-        }
-    )
-
-
-def _q_intrinsic_dim(sf_dir: str) -> pa.Table:
-    """TwoNN intrinsic-dimension estimate (Facco et al. 2017) of the
-    embedding cloud: ID = 2N / sum ln(d2_2nd / d2_1st) with squared
-    distances as exact integers over 1e4-tick quantized vectors
-    (|v_i - v_j|^2 = v2_i + v2_j - 2 v_i.v_j, int64 matmul), each
-    log-ratio term quantized at 1e12.  Points whose nearest neighbor
-    coincides exactly (d1 = 0) are excluded on both sides."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.ann import (
-        list_col_to_matrix,
-    )
-    import ray
-    import ray.data
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "embeddings.parquet"),
-        columns=["vec_id", "embedding"],
-    )
-    full = collect_tables(ds)
-    m = list_col_to_matrix(full["embedding"])
-    vq_all = round_half_away(m.astype(np.float64) * 1e4).astype(np.int64)
-    ref = ray.put(vq_all)
-
-    def terms(batch: pa.Table) -> pa.Table:
-        allv = ray.get(ref)
-        v2_all = (allv * allv).sum(axis=1)
-        vq = round_half_away(
-            list_col_to_matrix(batch["embedding"]).astype(np.float64) * 1e4
-        ).astype(np.int64)
-        v2 = (vq * vq).sum(axis=1)
-        # squared distances via float64 BLAS: every term is an exact
-        # integer < 2^53 so the doubles ARE the exact int distances
-        dots = vq.astype(np.float64) @ allv.T.astype(np.float64)
-        d2 = (
-            v2[:, None].astype(np.float64)
-            + v2_all[None, :].astype(np.float64)
-            - 2.0 * dots
-        )
-        part = np.partition(d2, 2, axis=1)[:, :3]
-        part.sort(axis=1)
-        d1 = part[:, 1]  # [:, 0] is the self-distance 0
-        d2nd = part[:, 2]
-        ok = d1 > 0
-        t = round_half_away(
-            np.log(
-                d2nd[ok].astype(np.float64) / d1[ok].astype(np.float64)
-            )
-            * 1e12
-        ).astype(np.int64)
-        return pa.table(
-            {
-                "_g": pa.array(np.zeros(len(t), np.int64)),
-                "n": pa.array(np.ones(len(t), np.int64)),
-                "s": pa.array(t),
-            }
-        )
-
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    agg = hash_aggregate(
-        ds.map_batches(terms, batch_format="pyarrow", batch_size=None),
-        ["_g"],
-        [("n", "sum", "n"), ("s", "sum", "s")],
-    )
-    n = int(agg["n"][0].as_py())
-    s = int(agg["s"][0].as_py())
-    # ID = 2N / sum ln(mu^2) since ln(d2 ratio) = 2 ln(d ratio)
-    dim = 2.0 * float(n) / (float(s) / 1e12)
-    return pa.table(
-        {
-            "n_points": pa.array([n], pa.int64()),
-            "intrinsic_dim": round_like_sql([dim], 6),
-        }
-    )
-
-
-def _q_promo_revenue_share(sf_dir: str) -> pa.Table:
-    """TPC-H Q14-shaped promotion effect: per ship month, the percent
-    of discounted revenue from PROMO-type parts.  The part side routes
-    through the size-aware equi_join (broadcast at bench sf, hash
-    shuffle at scale); revenue quantized to cents so month sums are
-    exact int64."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        equi_join, hash_aggregate, round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.sources.reader import (
-        _disk_bytes,
-    )
-
-    li = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
-    )
-    pt_path = os.path.join(sf_dir, "part.parquet")
-    pt = _read_pq(pt_path, columns=["p_partkey", "p_type"])
-    joined = equi_join(
-        li, pt, join_type="inner", num_partitions=8,
-        on=("l_partkey",), right_on=("p_partkey",),
-        right_size_hint=_disk_bytes(pt_path),
-    )
-
-    def monthly(batch: pa.Table) -> pa.Table:
-        us = batch["l_shipdate"].cast(pa.int64()).to_numpy(
-            zero_copy_only=False
-        )
-        days = us // 86_400_000_000
-        # month key = year*100 + month via epoch day -> date math
-        d = (days.astype("datetime64[D]")).astype("datetime64[M]")
-        month = (d.astype(np.int64) + 12 * 1970).astype(np.int64)
-        cents = round_half_away(
-            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
-            * (
-                1.0
-                - batch["l_discount"].to_numpy(zero_copy_only=False)
-            )
-            * 100.0
-        ).astype(np.int64)
-        promo = (
-            batch["p_type"].to_numpy(zero_copy_only=False) == "PROMO"
-        ).astype(np.int64)
-        return pa.table(
-            {
-                "month_idx": pa.array(month),
-                "rev": pa.array(cents),
-                "promo_rev": pa.array(cents * promo),
-            }
-        )
-
-    agg = hash_aggregate(
-        joined.map_batches(monthly, batch_format="pyarrow", batch_size=None),
-        ["month_idx"],
-        [("rev", "sum", "rev"), ("promo_rev", "sum", "promo_rev")],
-    )
-    order = np.argsort(agg["month_idx"].to_numpy(zero_copy_only=False))
-    mi, shares, revs = [], [], []
-    for i in order.tolist():
-        m = int(agg["month_idx"][i].as_py())
-        r = int(agg["rev"][i].as_py())
-        p = int(agg["promo_rev"][i].as_py())
-        mi.append(m)
-        revs.append(r)
-        shares.append(100.0 * float(p) / float(r))
-    return pa.table(
-        {
-            "month_idx": pa.array(mi, pa.int64()),
-            "revenue_cents": pa.array(revs, pa.int64()),
-            "promo_share_pct": round_like_sql(shares, 6),
-        }
-    )
-
-
-def _q_ship_delay_histogram(sf_dir: str) -> pa.Table:
-    """Order-to-ship latency distribution per order priority: the
-    lineitem x orders big-big join (size-aware router) feeding an
-    exact integer day-bucket histogram (0-7 / 8-30 / 31-90 / >90
-    days) -- the fulfillment-SLA profile."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        equi_join, hash_aggregate,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.sources.reader import (
-        _disk_bytes,
-    )
-
-    li = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_orderkey", "l_shipdate"],
-    )
-    od_path = os.path.join(sf_dir, "orders.parquet")
-    od = _read_pq(
-        od_path, columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
-    )
-    joined = equi_join(
-        li, od, join_type="inner", num_partitions=8,
-        on=("l_orderkey",), right_on=("o_orderkey",),
-        right_size_hint=_disk_bytes(od_path),
-    )
-
-    def bucket(batch: pa.Table) -> pa.Table:
-        sd = (
-            batch["l_shipdate"].cast(pa.int64()).to_numpy(
-                zero_copy_only=False
-            )
-            // 86_400_000_000
-        )
-        od_ = (
-            batch["o_orderdate"].cast(pa.int64()).to_numpy(
-                zero_copy_only=False
-            )
-            // 86_400_000_000
-        )
-        delay = sd - od_
-        b = np.where(
-            delay <= 7, 0, np.where(delay <= 30, 1, np.where(delay <= 90, 2, 3))
-        ).astype(np.int64)
-        return pa.table(
-            {
-                "priority": batch["o_orderpriority"],
-                "bucket": pa.array(b),
-                "_one": pa.array(np.ones(len(b), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        joined.map_batches(bucket, batch_format="pyarrow", batch_size=None),
-        ["priority", "bucket"],
-        [("_one", "sum", "n")],
-    )
-    import pyarrow.compute as pc
-
-    idx = pc.sort_indices(
-        agg,
-        sort_keys=[("priority", "ascending"), ("bucket", "ascending")],
-    )
-    out = agg.take(idx)
-    return pa.table(
-        {
-            "priority": out["priority"],
-            "bucket": out["bucket"],
-            "n": out["n"].cast(pa.int64()),
-        }
-    )
-
-
-def _q_rusle_ls(sf_dir: str) -> pa.Table:
-    """RUSLE LS (slope-length x steepness) factor: LS =
-    (acc * cellwidth / 22.13)^0.4 * (sin(atan(slope)) / 0.0896)^1.3
-    over the slope-fixture raster -- the soil-erosion map-algebra
-    composition of the D8 flow accumulation and Horn slope operators
-    (the TWI pattern with the Moore-Burch exponents)."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
-        flow_accumulation, tile_slope,
-    )
-
-    tiles = ray.data.from_arrow(_og_tiles_table(sparse_invalid=True, tile=24))
-    acc = flow_accumulation(tiles, block=32)  # pa.Table (lattice-bounded)
-    slope = collect_tables(tile_slope(tiles))
-    amap = {}
-    for i in range(acc.num_rows):
-        amap[
-            (acc["row"][i].as_py(), acc["col"][i].as_py())
-        ] = acc["acc"][i].as_py()
-    rows, cols, lss = [], [], []
-    sr = slope["row"].to_numpy(zero_copy_only=False)
-    sc = slope["col"].to_numpy(zero_copy_only=False)
-    sp = slope["slope_pct"].to_numpy(zero_copy_only=False)
-    for i in range(len(sr)):
-        a = amap.get((int(sr[i]), int(sc[i])))
-        if a is None or not (sp[i] > 0):
-            continue
-        ls = (float(a) * 0.01 / 22.13) ** 0.4 * (
-            np.sin(np.arctan(sp[i] / 100.0)) / 0.0896
-        ) ** 1.3
-        rows.append(int(sr[i]))
-        cols.append(int(sc[i]))
-        lss.append(float(ls))
-    return pa.table(
-        {
-            "row": pa.array(rows, pa.int64()),
-            "col": pa.array(cols, pa.int64()),
-            "ls": round_like_sql(lss, 6),
-        }
-    )
-
-
-def _q_rich_club(sf_dir: str) -> pa.Table:
-    """Rich-club coefficient of the edit-1 word graph: phi(k) =
-    2 * E_k / (N_k * (N_k - 1)) over nodes with degree > k for k in
-    2/4/8 -- do high-degree words preferentially interconnect?
-    Degrees, memberships and edge counts are all exact integers."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        edit1_vocab_pairs,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
-    ).map_batches(
-        lambda b: b.rename_columns(["text"]),
-        batch_format="pyarrow", batch_size=None,
-    )
-    pairs = edit1_vocab_pairs(ds, min_len=4)
-    w1 = pairs["w1"].to_pylist()
-    w2 = pairs["w2"].to_pylist()
-    deg: dict[str, int] = {}
-    for a, b in zip(w1, w2):
-        deg[a] = deg.get(a, 0) + 1
-        deg[b] = deg.get(b, 0) + 1
-    out_k, out_n, out_e, out_phi = [], [], [], []
-    for k in (2, 4, 8):
-        nodes = {w for w, d in deg.items() if d > k}
-        nk = len(nodes)
-        ek = sum(1 for a, b in zip(w1, w2) if a in nodes and b in nodes)
-        phi = (
-            float("nan")
-            if nk < 2
-            else 2.0 * float(ek) / (float(nk) * float(nk - 1))
-        )
-        out_k.append(k)
-        out_n.append(nk)
-        out_e.append(ek)
-        out_phi.append(phi)
-    return pa.table(
-        {
-            "k": pa.array(out_k, pa.int64()),
-            "n_nodes": pa.array(out_n, pa.int64()),
-            "n_edges": pa.array(out_e, pa.int64()),
-            "phi": round_like_sql(out_phi, 6),
-        }
-    )
-
-
-def _q_dasymetric_alloc(sf_dir: str) -> pa.Table:
-    """Dasymetric reallocation: each polygon's event mass (geocoded
-    PIP count) redistributed over its valid raster cells proportional
-    to elevation -- the ancillary-weighted population-downscaling
-    operator.  Membership uses the identical strict half-plane tests
-    as the zonal oracles; weights are deci-int z (exact int64 sums);
-    the per-cell allocation is one float expression."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, hash_aggregate, round_like_sql,
-    )
-
-    polys = {k: v for k, v in OG_POLYGONS.items() if k != "q_out"}
-
-    def member(lon: np.ndarray, lat: np.ndarray, poly) -> np.ndarray:
-        ok = np.ones(len(lon), bool)
-        n = len(poly)
-        for i in range(n):
-            ax, ay = poly[i]
-            bx, by = poly[(i + 1) % n]
-            ok &= (bx - ax) * (lat - ay) - (by - ay) * (lon - ax) > 0
-        return ok
-
-    # pass 1a: per-polygon event mass (geocoded events)
-    ev = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
-
-    def ev_mass(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False)
-        lon = 77.0 + (eid % 96).astype(np.float64) * 0.01
-        lat = 28.05 + ((eid // 96) % 96).astype(np.float64) * 0.01
-        pids, ones = [], []
-        for pid, poly in polys.items():
-            m = int(member(lon, lat, poly).sum())
-            pids.append(pid)
-            ones.append(m)
-        return pa.table(
-            {"pid": pa.array(pids), "m": pa.array(ones, pa.int64())}
-        )
-
-    mass_t = hash_aggregate(
-        ev.map_batches(ev_mass, batch_format="pyarrow", batch_size=None),
-        ["pid"],
-        [("m", "sum", "mass")],
-    )
-    mass = {
-        mass_t["pid"][i].as_py(): int(mass_t["mass"][i].as_py())
-        for i in range(mass_t.num_rows)
-    }
-    # pass 1b: per-polygon weight sums over valid cells
-    pts = _og_points_ds(valid_only=True)
-
-    def zsums(batch: pa.Table) -> pa.Table:
-        lon = batch["lon"].to_numpy(zero_copy_only=False)
-        lat = batch["lat"].to_numpy(zero_copy_only=False)
-        zq = round_half_away(
-            batch["z"].to_numpy(zero_copy_only=False).astype(np.float64)
-            * 10.0
-        ).astype(np.int64)
-        pids, sz = [], []
-        for pid, poly in polys.items():
-            m = member(lon, lat, poly)
-            pids.append(pid)
-            sz.append(int(zq[m].sum()))
-        return pa.table(
-            {"pid": pa.array(pids), "s": pa.array(sz, pa.int64())}
-        )
-
-    sz_t = hash_aggregate(
-        pts.map_batches(zsums, batch_format="pyarrow", batch_size=None),
-        ["pid"],
-        [("s", "sum", "sumz")],
-    )
-    sumz = {
-        sz_t["pid"][i].as_py(): int(sz_t["sumz"][i].as_py())
-        for i in range(sz_t.num_rows)
-    }
-
-    # pass 2: per-cell allocations with the broadcast (mass, sumz)
-    def alloc(batch: pa.Table) -> pa.Table:
-        lon = batch["lon"].to_numpy(zero_copy_only=False)
-        lat = batch["lat"].to_numpy(zero_copy_only=False)
-        pix = batch["pix"].to_numpy(zero_copy_only=False).astype(np.int64)
-        zq = round_half_away(
-            batch["z"].to_numpy(zero_copy_only=False).astype(np.float64)
-            * 10.0
-        ).astype(np.int64)
-        out_p, out_x, out_a = [], [], []
-        for pid, poly in polys.items():
-            m = member(lon, lat, poly)
-            a = (
-                float(mass[pid])
-                * zq[m].astype(np.float64)
-                / float(sumz[pid])
-            )
-            out_p.extend([pid] * int(m.sum()))
-            out_x.extend(pix[m].tolist())
-            out_a.extend(a.tolist())
-        return pa.table(
-            {
-                "polygon_id": pa.array(out_p),
-                "pix": pa.array(out_x, pa.int64()),
-                "alloc": round_like_sql(out_a, 6),
-            }
-        )
-
-    out = collect_tables(
-        pts.map_batches(alloc, batch_format="pyarrow", batch_size=None)
-    )
-    return out.sort_by(
-        [("polygon_id", "ascending"), ("pix", "ascending")]
-    )
-
-
-def _q_location_quotient(sf_dir: str) -> pa.Table:
-    """Location quotient of purchase activity per 12x12 coarse block:
-    (purchases_b / events_b) / (purchases / events) -- the spatial-
-    economics concentration index.  Pure integer counts, one float
-    expression; blocks with zero purchases report LQ 0."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "event_type"],
-    )
-
-    def keyed(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False)
-        is_p = (
-            batch["event_type"].to_numpy(zero_copy_only=False) == "purchase"
-        ).astype(np.int64)
-        return pa.table(
-            {
-                "bx": pa.array(((eid % 96) // 8).astype(np.int64)),
-                "by": pa.array((((eid // 96) % 96) // 8).astype(np.int64)),
-                "_one": pa.array(np.ones(len(eid), np.int64)),
-                "p": pa.array(is_p),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(keyed, batch_format="pyarrow", batch_size=None),
-        ["bx", "by"],
-        [("_one", "sum", "n"), ("p", "sum", "np")],
-    )
-    bx = agg["bx"].to_numpy(zero_copy_only=False).astype(np.int64)
-    by = agg["by"].to_numpy(zero_copy_only=False).astype(np.int64)
-    n = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    p = agg["np"].to_numpy(zero_copy_only=False).astype(np.int64)
-    tot_n = int(n.sum())
-    tot_p = int(p.sum())
-    order = np.argsort(by * 12 + bx)
-    lq = (
-        p[order].astype(np.float64) / n[order].astype(np.float64)
-    ) / (float(tot_p) / float(tot_n))
-    return pa.table(
-        {
-            "bx": pa.array(bx[order]),
-            "by": pa.array(by[order]),
-            "n_events": pa.array(n[order]),
-            "n_purchases": pa.array(p[order]),
-            "lq": round_like_sql(lq, 6),
-        }
-    )
-
-
-def _q_degree_assortativity(sf_dir: str) -> pa.Table:
-    """Degree assortativity of the edit-1 word graph (Newman r over
-    edge-endpoint degree pairs, both orientations): degrees and all
-    five moments are exact int64, so the only float steps are the
-    final correlation expression -- the graph-topology summary next
-    to components / PageRank / triangles."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        edit1_vocab_pairs,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
-    ).map_batches(
-        lambda b: b.rename_columns(["text"]),
-        batch_format="pyarrow", batch_size=None,
-    )
-    pairs = edit1_vocab_pairs(ds, min_len=4)
-    w1 = pairs["w1"].to_pylist()
-    w2 = pairs["w2"].to_pylist()
-    deg: dict[str, int] = {}
-    for a, b in zip(w1, w2):
-        deg[a] = deg.get(a, 0) + 1
-        deg[b] = deg.get(b, 0) + 1
-    n = 0
-    sx = sy = sxx = syy = sxy = 0
-    for a, b in zip(w1, w2):
-        for x, y in ((deg[a], deg[b]), (deg[b], deg[a])):
-            n += 1
-            sx += x
-            sy += y
-            sxx += x * x
-            syy += y * y
-            sxy += x * y
-    r = float(n * sxy - sx * sy) / (
-        np.sqrt(float(n * sxx - sx * sx)) * np.sqrt(float(n * syy - sy * sy))
-    )
-    return pa.table(
-        {
-            "n_edges": pa.array([len(w1)], pa.int64()),
-            "n_nodes": pa.array([len(deg)], pa.int64()),
-            "assortativity": round_like_sql([r], 6),
-        }
-    )
-
-
-def _q_word_burstiness(sf_dir: str) -> pa.Table:
-    """Church-Gale word burstiness: observed document frequency vs
-    the Poisson expectation N*(1-exp(-tf/N)) for the 20 most frequent
-    tokens -- ratios < 1 flag bursty (topical) words.  tf comes from
-    the vocab-bounded count combiner; df from per-batch distinct
-    (token, doc) pairs (documents never span batches, so per-batch
-    distinct is globally exact)."""
-    import pyarrow.compute as pc
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
-    nd_t = hash_aggregate(
-        ds.map_batches(
-            lambda b: pa.table(
-                {
-                    "_g": pa.array(np.zeros(b.num_rows, np.int64)),
-                    "_one": pa.array(np.ones(b.num_rows, np.int64)),
-                }
-            ),
-            batch_format="pyarrow",
-            batch_size=None,
-        ),
-        ["_g"],
-        [("_one", "sum", "n")],
-    )
-    n_docs = int(nd_t["n"][0].as_py())
-
-    def tf_df(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern_regex(batch["text"], pattern=r"\s+")
-        ids = pc.list_parent_indices(toks)
-        flat = pc.list_flatten(toks)
-        keep = pc.not_equal(flat, "")
-        t = pa.table(
-            {
-                "token": flat.filter(keep),
-                "doc_id": pc.take(batch["doc_id"], ids).filter(keep),
-            }
-        )
-        tf = t.group_by(["token"]).aggregate([("token", "count")])
-        tf = tf.rename_columns(["token", "tf"])
-        dfp = (
-            t.group_by(["token", "doc_id"]).aggregate([])
-            .group_by(["token"]).aggregate([("doc_id", "count")])
-            .rename_columns(["token", "df"])
-        )
-        joined = tf.join(dfp, keys=["token"])
-        return joined
-
-    parts = collect_tables(
-        ds.map_batches(tf_df, batch_format="pyarrow", batch_size=None)
-    )
-    merged = (
-        parts.group_by(["token"]).aggregate([("tf", "sum"), ("df", "sum")])
-        .rename_columns(["token", "tf", "df"])
-    )
-    idx = pc.sort_indices(
-        merged, sort_keys=[("tf", "descending"), ("token", "ascending")]
-    )[:20]
-    top = merged.take(idx)
-    tf = top["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
-    df = top["df"].to_numpy(zero_copy_only=False).astype(np.float64)
-    exp_df = float(n_docs) * (1.0 - np.exp(-tf / float(n_docs)))
-    return pa.table(
-        {
-            "token": top["token"],
-            "tf": top["tf"].cast(pa.int64()),
-            "df": top["df"].cast(pa.int64()),
-            "burstiness": round_like_sql(df / exp_df, 6),
-        }
-    )
-
-
-def _q_emerging_hotspots(sf_dir: str) -> pa.Table:
-    """Emerging hot-spot analysis (the space-time cube): Getis-Ord
-    Gi* per 10-day bin on the coarse 24x24 lattice, then a
-    Mann-Kendall sign trend per cell across the three bins --
-    composes the two existing spatial/trend operators into the
-    ArcGIS-style 'emerging hotspots' product.  Trend signs compare
-    the 6-dp ROUNDED z values (identical on both sides), so the
-    output is fully deterministic."""
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
-        partial_count,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.stats import (
-        getis_ord_gi_star,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "ts"]
-    )
-
-    def keyed(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False)
-        day = (
-            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 86_400_000_000
-        )
-        return pa.table(
-            {
-                "day": pa.array(day),
-                "gx": pa.array(((eid % 96) // 4).astype(np.int64)),
-                "gy": pa.array((((eid // 96) % 96) // 4).astype(np.int64)),
-            }
-        )
-
-    counts = partial_count(
-        ds.map_batches(keyed, batch_format="pyarrow", batch_size=None),
-        ["day", "gx", "gy"],
-    ).rename_columns(["day", "gx", "gy", "n"])
-    day = counts["day"].to_numpy(zero_copy_only=False).astype(np.int64)
-    md = int(day.min())
-    bins = (day - md) // 10
-    gxs = counts["gx"].to_numpy(zero_copy_only=False).astype(np.int64)
-    gys = counts["gy"].to_numpy(zero_copy_only=False).astype(np.int64)
-    nns = counts["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    zs = []
-    for b in (0, 1, 2):
-        sel = bins == b
-        # counts are per (day, cell): sum the bin's days per cell
-        # before the lattice scatter (a plain assignment would keep
-        # only one day's count)
-        acc = np.zeros((24, 24), np.int64)
-        np.add.at(acc, (gys[sel], gxs[sel]), nns[sel])
-        yy0, xx0 = np.nonzero(acc)
-        sub = pa.table(
-            {
-                "gx": pa.array(xx0.astype(np.int64)),
-                "gy": pa.array(yy0.astype(np.int64)),
-                "n": pa.array(acc[yy0, xx0]),
-            }
-        )
-        z = getis_ord_gi_star(sub, 24, 24)
-        zs.append(
-            z["gi_z"].to_numpy(zero_copy_only=False).reshape(24, 24)
-        )
-    z1, z2, z3 = zs
-    mk = (
-        np.sign(z2 - z1) + np.sign(z3 - z1) + np.sign(z3 - z2)
-    ).astype(np.int64)
-    yy, xx = np.mgrid[0:24, 0:24]
-    return pa.table(
-        {
-            "gx": pa.array(xx.ravel().astype(np.int64)),
-            "gy": pa.array(yy.ravel().astype(np.int64)),
-            "z_bin0": pa.array(z1.ravel()),
-            "z_bin1": pa.array(z2.ravel()),
-            "z_bin2": pa.array(z3.ravel()),
-            "mk_s": pa.array(mk.ravel()),
-        }
-    )
-
-
-def _q_dickey_fuller(sf_dir: str) -> pa.Table:
-    """Dickey-Fuller unit-root regression on the daily event-count
-    series (delta_x ~ a + b*x_lag over the dense day series): slope
-    from exact integer moments, the t-statistic's float chain pinned
-    identically in SQL -- the stationarity screen before any
-    forecasting operator."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
-
-    def daily(batch: pa.Table) -> pa.Table:
-        d = (
-            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 86_400_000_000
-        )
-        return pa.table(
-            {
-                "d": pa.array(d),
-                "_one": pa.array(np.ones(len(d), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(daily, batch_format="pyarrow", batch_size=None),
-        ["d"],
-        [("_one", "sum", "x")],
-    )
-    dd = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)
-    xx = agg["x"].to_numpy(zero_copy_only=False).astype(np.int64)
-    lo, hi = int(dd.min()), int(dd.max())
-    series = np.zeros(hi - lo + 1, np.int64)
-    series[dd - lo] = xx
-    xlag = series[:-1]
-    dx = series[1:] - series[:-1]
-    n = len(dx)
-    sx = int(xlag.sum())
-    sd = int(dx.sum())
-    sxx = int((xlag * xlag).sum())
-    sxd = int((xlag * dx).sum())
-    sdd = int((dx * dx).sum())
-    b = float(n * sxd - sx * sd) / float(n * sxx - sx * sx)
-    a = (float(sd) - b * float(sx)) / float(n)
-    sse = float(sdd) - a * float(sd) - b * float(sxd)
-    se = np.sqrt(
-        sse / float(n - 2)
-        / (float(sxx) - float(sx) * float(sx) / float(n))
-    )
-    return pa.table(
-        {
-            "n_obs": pa.array([n], pa.int64()),
-            "beta": round_like_sql([b], 6),
-            "t_stat": round_like_sql([b / se], 6),
-        }
-    )
-
-
-def _q_simplified_silhouette(sf_dir: str) -> pa.Table:
-    """Simplified (centroid-based) silhouette of the embeddings'
-    given labels: a = distance to own centroid, b = distance to the
-    nearest other centroid, s = (b-a)/max(a,b), averaged per label.
-    Embedding values quantized at 1e4 ticks; centroid distances
-    expand to exact integer quadratics (n^2*|v|^2 - 2n*(v.c) +
-    |c|^2, all int64 dot products), so both sides compute identical
-    doubles; per-point s quantized at 1e9 for the per-label mean.
-    Distributed: per-label per-dim integer sums (combiner tier),
-    centroids broadcast, per-point pass vectorized as int matmuls."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, hash_aggregate, round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.ann import (
-        list_col_to_matrix,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "embeddings.parquet"))
-
-    def sums(batch: pa.Table) -> pa.Table:
-        m = list_col_to_matrix(batch["embedding"])
-        vq = round_half_away(m.astype(np.float64) * 1e4).astype(np.int64)
-        lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
-        labs = np.unique(lab)
-        rows = []
-        for l in labs.tolist():
-            sel = vq[lab == l]
-            rows.append((l, int(sel.shape[0]), sel.sum(axis=0)))
-        return pa.table(
-            {
-                "label": pa.array([r[0] for r in rows], pa.int64()),
-                "n": pa.array([r[1] for r in rows], pa.int64()),
-                "csum": pa.array(
-                    [r[2].tolist() for r in rows],
-                    pa.list_(pa.int64()),
-                ),
-            }
-        )
-
-    parts = collect_tables(
-        ds.map_batches(sums, batch_format="pyarrow", batch_size=None)
-    )
-    lab_n: dict[int, int] = {}
-    lab_c: dict[int, np.ndarray] = {}
-    for i in range(parts.num_rows):
-        l = int(parts["label"][i].as_py())
-        lab_n[l] = lab_n.get(l, 0) + int(parts["n"][i].as_py())
-        c = np.asarray(parts["csum"][i].as_py(), np.int64)
-        lab_c[l] = lab_c.get(l, 0) + c
-    labels = sorted(lab_n)
-    nvec = np.array([lab_n[l] for l in labels], np.int64)
-    cmat = np.stack([lab_c[l] for l in labels])  # (L, dim)
-    import ray
-
-    bref = ray.put((labels, nvec, cmat))
-
-    def score(batch: pa.Table) -> pa.Table:
-        labs, nv, cm = ray.get(bref)
-        m = list_col_to_matrix(batch["embedding"])
-        vq = round_half_away(m.astype(np.float64) * 1e4).astype(np.int64)
-        lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
-        v2 = (vq * vq).sum(axis=1)  # (N,)
-        vc = vq @ cm.T  # (N, L) int64
-        c2 = (cm * cm).sum(axis=1)  # (L,)
-        d2 = (
-            nv[None, :] ** 2 * v2[:, None]
-            - 2 * nv[None, :] * vc
-            + c2[None, :]
-        )
-        lidx = np.searchsorted(np.array(labs), lab)
-        dist = np.sqrt(d2.astype(np.float64)) / (
-            nv[None, :].astype(np.float64) * 1e4
-        )
-        a = dist[np.arange(len(lab)), lidx]
-        masked = dist.copy()
-        masked[np.arange(len(lab)), lidx] = np.inf
-        bmin = masked.min(axis=1)
-        s = (bmin - a) / np.maximum(a, bmin)
-        sq = round_half_away(s * 1e9).astype(np.int64)
-        return pa.table(
-            {
-                "label": pa.array(lab),
-                "_n": pa.array(np.ones(len(lab), np.int64)),
-                "sq": pa.array(sq),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(score, batch_format="pyarrow", batch_size=None),
-        ["label"],
-        [("_n", "sum", "n"), ("sq", "sum", "s")],
-    )
-    order = np.argsort(agg["label"].to_numpy(zero_copy_only=False))
-    out_l, out_n, out_s = [], [], []
-    for i in order.tolist():
-        l = int(agg["label"][i].as_py())
-        n = int(agg["n"][i].as_py())
-        s = int(agg["s"][i].as_py())
-        out_l.append(l)
-        out_n.append(n)
-        out_s.append(float(s) / 1e9 / float(n))
-    return pa.table(
-        {
-            "label": pa.array(out_l, pa.int64()),
-            "n_points": pa.array(out_n, pa.int64()),
-            "mean_silhouette": round_like_sql(out_s, 6),
-        }
-    )
-
-
-def _q_ols_two_var(sf_dir: str) -> pa.Table:
-    """Two-predictor OLS (cents ~ quantity + discount_bp) via the
-    normal equations: every moment (n, sums, cross products) is an
-    exact int64/HUGEINT, the 3x3 system solves by Cramer's rule with
-    determinants expanded as exact integers, so the only float steps
-    are three divisions and the R^2 expression -- the multiple-
-    regression upgrade of grouped_regression's single predictor."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_quantity", "l_discount", "l_extendedprice"],
-    )
-
-    def moments(batch: pa.Table) -> pa.Table:
-        x1 = round_half_away(
-            batch["l_quantity"].to_numpy(zero_copy_only=False)
-        ).astype(np.int64)
-        x2 = round_half_away(
-            batch["l_discount"].to_numpy(zero_copy_only=False) * 10000.0
-        ).astype(np.int64)
-        y = round_half_away(
-            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
-        ).astype(np.int64)
-        return pa.table(
-            {
-                "_g": pa.array(np.zeros(len(y), np.int64)),
-                "_n": pa.array(np.ones(len(y), np.int64)),
-                "s1": pa.array(x1),
-                "s2": pa.array(x2),
-                "sy": pa.array(y),
-                "s11": pa.array(x1 * x1),
-                "s22": pa.array(x2 * x2),
-                "s12": pa.array(x1 * x2),
-                "s1y": pa.array(x1 * y),
-                "s2y": pa.array(x2 * y),
-                "syy": pa.array(y * y),
-            }
-        )
-
-    cols = ("_n", "s1", "s2", "sy", "s11", "s22", "s12", "s1y", "s2y", "syy")
-    agg = hash_aggregate(
-        ds.map_batches(moments, batch_format="pyarrow", batch_size=None),
-        ["_g"],
-        [(c, "sum", c) for c in cols],
-    )
-    n, s1, s2, sy, s11, s22, s12, s1y, s2y, syy = (
-        int(agg[c][0].as_py()) for c in cols
-    )
-    # normal equations X'X b = X'y with X = [1, x1, x2]; Cramer on
-    # exact integer 3x3 determinants
-    def det3(a, b, c, d, e, f, g, h, i):
-        return a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
-
-    d0 = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
-    db0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)
-    db1 = det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22)
-    db2 = det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y)
-    b0 = float(db0) / float(d0)
-    b1 = float(db1) / float(d0)
-    b2 = float(db2) / float(d0)
-    # R^2 = 1 - SSE/SST with SSE = y'y - b'X'y (floats, pinned order)
-    sse = float(syy) - (
-        b0 * float(sy) + b1 * float(s1y) + b2 * float(s2y)
-    )
-    sst = float(syy) - float(sy) * float(sy) / float(n)
-    r2 = 1.0 - sse / sst
-    return pa.table(
-        {
-            "n_rows": pa.array([n], pa.int64()),
-            "intercept": round_like_sql([b0], 6),
-            "beta_qty": round_like_sql([b1], 6),
-            "beta_disc_bp": round_like_sql([b2], 6),
-            "r2": round_like_sql([r2], 6),
-        }
-    )
-
-
-def _q_simpson_diversity(sf_dir: str) -> pa.Table:
-    """Simpson diversity of languages per source (probability two
-    random docs differ in language, the unbiased n(n-1) form) plus
-    the effective language count 1/(1-D) -- the corpus-balance
-    summary next to lang_entropy.  Pure integer counts, one float
-    expression."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["source", "lang"]
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "source": batch["source"],
-                "lang": batch["lang"],
-                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["source", "lang"],
-        [("_one", "sum", "n")],
-    )
-    per: dict[str, dict[str, int]] = {}
-    src = agg["source"].to_numpy(zero_copy_only=False)
-    lg = agg["lang"].to_numpy(zero_copy_only=False)
-    nn = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    for s, l, c in zip(src.tolist(), lg.tolist(), nn.tolist()):
-        per.setdefault(s, {})[l] = c
-    out_s, out_n, out_d, out_e = [], [], [], []
-    for s in sorted(per):
-        counts = per[s]
-        tot = sum(counts.values())
-        same = sum(c * (c - 1) for c in counts.values())
-        d = 1.0 - float(same) / (float(tot) * float(tot - 1))
-        out_s.append(s)
-        out_n.append(tot)
-        out_d.append(d)
-        out_e.append(1.0 / (1.0 - d))
-    return pa.table(
-        {
-            "source": pa.array(out_s),
-            "n_docs": pa.array(out_n, pa.int64()),
-            "simpson_d": round_like_sql(out_d, 6),
-            "effective_langs": round_like_sql(out_e, 6),
-        }
-    )
-
-
-def _q_voronoi_assign(sf_dir: str) -> pa.Table:
-    """Nearest-facility (discrete Voronoi) allocation: every valid
-    grid point assigned to its closest probe facility (squared
-    planar distance, ties to the lowest facility id), per-facility
-    point counts + mean distance (each distance quantized at 1e9 so
-    the sum is an exact int64).  The facility side is broadcast
-    (4 constants); the point side streams through map_batches."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    fx = np.array([p[0] for p in OG_KNN_PROBES])
-    fy = np.array([p[1] for p in OG_KNN_PROBES])
-
-    def assign(batch: pa.Table) -> pa.Table:
-        lon = batch["lon"].to_numpy(zero_copy_only=False)
-        lat = batch["lat"].to_numpy(zero_copy_only=False)
-        d2 = (lon[:, None] - fx[None, :]) ** 2 + (
-            lat[:, None] - fy[None, :]
-        ) ** 2
-        fid = np.argmin(d2, axis=1)  # first min = lowest id on ties
-        dist = np.sqrt(d2[np.arange(len(fid)), fid])
-        term = round_half_away(dist * 1e9).astype(np.int64)
-        return pa.table(
-            {
-                "facility": pa.array(fid.astype(np.int64)),
-                "_n": pa.array(np.ones(len(fid), np.int64)),
-                "s": pa.array(term),
-            }
-        )
-
-    agg = hash_aggregate(
-        _og_points_ds(valid_only=True).map_batches(
-            assign, batch_format="pyarrow", batch_size=None
-        ),
-        ["facility"],
-        [("_n", "sum", "n"), ("s", "sum", "s")],
-    )
-    order = np.argsort(agg["facility"].to_numpy(zero_copy_only=False))
-    fac, ns, means = [], [], []
-    for i in order.tolist():
-        f = int(agg["facility"][i].as_py())
-        n = int(agg["n"][i].as_py())
-        s = int(agg["s"][i].as_py())
-        fac.append(f)
-        ns.append(n)
-        means.append(float(s) / 1e9 / float(n))
-    return pa.table(
-        {
-            "facility": pa.array(fac, pa.int64()),
-            "n_points": pa.array(ns, pa.int64()),
-            "mean_dist": round_like_sql(means, 6),
-        }
-    )
-
-
-def _q_kwic_contexts(sf_dir: str) -> pa.Table:
-    """Keyword-in-context concordance: (previous word, next word)
-    pairs around the corpus's most frequent token, top-20 by count --
-    the classic corpus-linguistics context profile.  Both passes are
-    vectorized Arrow/numpy (no per-row Python in the token stream);
-    within-doc adjacency uses the empty-filtered token sequence, so
-    boundaries never pair across documents."""
-    import pyarrow.compute as pc
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
-
-    def counts(batch: pa.Table) -> pa.Table:
-        toks = pc.list_flatten(
-            pc.split_pattern_regex(batch["text"], pattern=r"\s+")
-        )
-        toks = toks.filter(pc.not_equal(toks, ""))
-        t = pa.table({"token": toks})
-        out = t.group_by(["token"]).aggregate([("token", "count")])
-        return out.rename_columns(["token", "n"])
-
-    merged = collect_tables(
-        ds.map_batches(counts, batch_format="pyarrow", batch_size=None)
-    )
-    merged = (
-        merged.group_by(["token"]).aggregate([("n", "sum")])
-        .rename_columns(["token", "n"])
-    )
-    idx = pc.sort_indices(
-        merged, sort_keys=[("n", "descending"), ("token", "ascending")]
-    )[:1]
-    target = merged["token"].take(idx)[0].as_py()
-
-    def contexts(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern_regex(batch["text"], pattern=r"\s+")
-        parents = pc.list_parent_indices(toks).to_numpy(
-            zero_copy_only=False
-        )
-        flat = pc.list_flatten(toks)
-        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        flat = flat.to_numpy(zero_copy_only=False)[keep]
-        parents = parents[keep]
-        lens = np.bincount(parents, minlength=batch.num_rows)
-        first = np.searchsorted(parents, np.arange(batch.num_rows))
-        pos = np.arange(len(flat)) - first[parents]
-        hits = np.nonzero(
-            (flat == target) & (pos > 0) & (pos < lens[parents] - 1)
-        )[0]
-        t = pa.table(
-            {"prev": pa.array(flat[hits - 1]), "nxt": pa.array(flat[hits + 1])}
-        )
-        out = t.group_by(["prev", "nxt"]).aggregate([("prev", "count")])
-        return out.rename_columns(["prev", "nxt", "n"])
-
-    allp = collect_tables(
-        ds.map_batches(contexts, batch_format="pyarrow", batch_size=None)
-    )
-    allp = (
-        allp.group_by(["prev", "nxt"]).aggregate([("n", "sum")])
-        .rename_columns(["prev", "nxt", "n"])
-    )
-    idx = pc.sort_indices(
-        allp,
-        sort_keys=[
-            ("n", "descending"), ("prev", "ascending"), ("nxt", "ascending"),
-        ],
-    )[:20]
-    out = allp.take(idx)
-    return pa.table(
-        {
-            "prev": out["prev"],
-            "nxt": out["nxt"],
-            "n": out["n"].cast(pa.int64()),
-        }
-    )
-
-
-def _q_vocab_overlap(sf_dir: str) -> pa.Table:
-    """Pairwise vocabulary Jaccard between sources: distinct (token,
-    source) pairs via the vocab-bounded combiner, then source-bitmask
-    encoding driver-side (<= 2^n_sources masks) so intersections come
-    from mask counts, not an all-pairs token loop.  Tokenization
-    identical to token_frequencies."""
-    import pyarrow.compute as pc
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
-    )
-
-    def tok_src(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern_regex(batch["text"], pattern=r"\s+")
-        ids = pc.list_parent_indices(toks)
-        flat = pc.list_flatten(toks)
-        keep = pc.not_equal(flat, "")
-        t = pa.table(
-            {
-                "token": flat.filter(keep),
-                "source": pc.take(batch["source"], ids).filter(keep),
-            }
-        )
-        out = t.group_by(["token", "source"]).aggregate([])
-        return out
-
-    pairs = collect_tables(
-        ds.map_batches(tok_src, batch_format="pyarrow", batch_size=None)
-    )
-    pairs = pairs.group_by(["token", "source"]).aggregate([])
-    srcs = sorted(set(pairs["source"].to_pylist()))
-    sidx = {s: i for i, s in enumerate(srcs)}
-    tok = pairs["token"].to_numpy(zero_copy_only=False)
-    src = pairs["source"].to_numpy(zero_copy_only=False)
-    bit = np.array([1 << sidx[s] for s in src.tolist()], np.int64)
-    order = np.argsort(tok, kind="stable")
-    tok, bit = tok[order], bit[order]
-    # per-token OR of source bits via segmented reduce
-    change = np.ones(len(tok), bool)
-    change[1:] = tok[1:] != tok[:-1]
-    seg = np.cumsum(change) - 1
-    masks = np.zeros(int(seg[-1]) + 1 if len(seg) else 0, np.int64)
-    np.bitwise_or.at(masks, seg, bit)
-    mask_counts = np.bincount(masks, minlength=1 << len(srcs))
-    # compact to the occupied masks (<= distinct source subsets, far
-    # smaller than 2^n_sources) so the pair loop is numpy over a tiny
-    # vector, not a Python scan of the full mask space per pair
-    occ = np.nonzero(mask_counts)[0]
-    occ_n = mask_counts[occ]
-    out_a, out_b, out_va, out_vb, out_i, out_j = [], [], [], [], [], []
-    for i, a in enumerate(srcs):
-        for b in srcs[i + 1 :]:
-            ba, bb = 1 << sidx[a], 1 << sidx[b]
-            in_a = (occ & ba) != 0
-            in_b = (occ & bb) != 0
-            va = int(occ_n[in_a].sum())
-            vb = int(occ_n[in_b].sum())
-            inter = int(occ_n[in_a & in_b].sum())
-            out_a.append(a)
-            out_b.append(b)
-            out_va.append(va)
-            out_vb.append(vb)
-            out_i.append(inter)
-            out_j.append(float(inter) / float(va + vb - inter))
-    return pa.table(
-        {
-            "source_a": pa.array(out_a),
-            "source_b": pa.array(out_b),
-            "vocab_a": pa.array(out_va, pa.int64()),
-            "vocab_b": pa.array(out_vb, pa.int64()),
-            "inter": pa.array(out_i, pa.int64()),
-            "jaccard": round_like_sql(out_j, 6),
-        }
-    )
-
-
-def _q_keyness_terms(sf_dir: str) -> pa.Table:
-    """Dunning log-likelihood (G^2) keyness: tokens most
-    characteristic of the alphabetically-first source vs the rest of
-    the corpus -- the corpus-linguistics screen for domain drift.
-    Token counts are exact; each of the two G^2 terms is quantized at
-    1e6 (zero counts contribute 0 by the x*ln(x) limit, CASE'd
-    identically in SQL); deterministic top-20 by (G^2 desc, token)."""
-    import pyarrow.compute as pc
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
-    )
-
-    def tok_counts(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern_regex(batch["text"], pattern=r"\s+")
-        ids = pc.list_parent_indices(toks)
-        flat = pc.list_flatten(toks)
-        keep = pc.not_equal(flat, "")
-        t = pa.table(
-            {
-                "token": flat.filter(keep),
-                "source": pc.take(batch["source"], ids).filter(keep),
-            }
-        )
-        out = t.group_by(["token", "source"]).aggregate([("token", "count")])
-        return out.rename_columns(["token", "source", "n"])
-
-    parts = collect_tables(
-        ds.map_batches(tok_counts, batch_format="pyarrow", batch_size=None)
-    )
-    merged = (
-        parts.group_by(["token", "source"]).aggregate([("n", "sum")])
-        .rename_columns(["token", "source", "n"])
-    )
-    src_a = min(set(merged["source"].to_pylist()))
-    tok = merged["token"].to_numpy(zero_copy_only=False)
-    src = merged["source"].to_numpy(zero_copy_only=False)
-    n = merged["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    in_a = src == src_a
-    a_cnt: dict[str, int] = {}
-    b_cnt: dict[str, int] = {}
-    for t, s, c in zip(tok.tolist(), in_a.tolist(), n.tolist()):
-        d = a_cnt if s else b_cnt
-        d[t] = d.get(t, 0) + c
-    na = sum(a_cnt.values())
-    nb = sum(b_cnt.values())
-    toks_all = sorted(set(a_cnt) | set(b_cnt))
-    rows = []
-    for t in toks_all:
-        a = a_cnt.get(t, 0)
-        b = b_cnt.get(t, 0)
-        ea = float(na) * float(a + b) / float(na + nb)
-        eb = float(nb) * float(a + b) / float(na + nb)
-        t1 = (
-            0
-            if a == 0
-            else int(
-                round_half_away(
-                    np.array([float(a) * np.log(float(a) / ea) * 1e6])
-                )[0]
-            )
-        )
-        t2 = (
-            0
-            if b == 0
-            else int(
-                round_half_away(
-                    np.array([float(b) * np.log(float(b) / eb) * 1e6])
-                )[0]
-            )
-        )
-        rows.append((t, a, b, 2 * (t1 + t2)))
-    rows.sort(key=lambda r: (-r[3], r[0]))
-    rows = rows[:20]
-    return pa.table(
-        {
-            "token": pa.array([r[0] for r in rows]),
-            "n_a": pa.array([r[1] for r in rows], pa.int64()),
-            "n_rest": pa.array([r[2] for r in rows], pa.int64()),
-            "g2": round_like_sql([float(r[3]) / 1e6 for r in rows], 6),
-        }
-    )
-
-
-def _q_terrain_openness(sf_dir: str) -> pa.Table:
-    """Positive topographic openness (Yokoyama et al. 2002) over the
-    sparse DEM: per cell, mean over the 8 principal directions of
-    (pi/2 - max elevation angle along the ray), valid ray cells only,
-    diagonal steps at true sqrt(2) spacing.  The DEM ships once via
-    ray.put (the viewshed fan-out shape); per-direction angle terms
-    are quantized at 1e12 so the 8-way sum is an exact int64.  Cells
-    lacking a valid neighbor in any direction are dropped (the SQL
-    mirror's HAVING COUNT = 8)."""
-    import ray
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, round_like_sql,
-    )
-
-    tiles = _og_tiles_table(sparse_invalid=True)
-    z = np.full((OG_H, OG_W), np.nan)
-    for i in range(tiles.num_rows):
-        r0 = tiles["row_off"][i].as_py()
-        c0 = tiles["col_off"][i].as_py()
-        h = tiles["height"][i].as_py()
-        w = tiles["width"][i].as_py()
-        z[r0 : r0 + h, c0 : c0 + w] = np.asarray(
-            tiles["values"][i].as_py(), np.float32
-        ).reshape(h, w)
-    valid = z > -1e30
-    ref = ray.put((z, valid))
-    rr, cc = np.meshgrid(np.arange(OG_H), np.arange(OG_W), indexing="ij")
-    targets = pa.table(
-        {
-            "row": pa.array(rr.ravel().astype(np.int64)),
-            "col": pa.array(cc.ravel().astype(np.int64)),
-        }
-    )
-    dirs = [
-        (0, 1, 1.0), (0, -1, 1.0), (1, 0, 1.0), (-1, 0, 1.0),
-        (1, 1, float(np.sqrt(2.0))), (1, -1, float(np.sqrt(2.0))),
-        (-1, 1, float(np.sqrt(2.0))), (-1, -1, float(np.sqrt(2.0))),
-    ]
-
-    def openness(batch: pa.Table) -> pa.Table:
-        zg, vg = ray.get(ref)
-        row = batch["row"].to_numpy(zero_copy_only=False).astype(np.int64)
-        col = batch["col"].to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = vg[row, col]
-        row, col = row[keep], col[keep]
-        z0 = zg[row, col]
-        tq_sum = np.zeros(len(row), np.int64)
-        n_dirs = np.zeros(len(row), np.int64)
-        for dr, dc, f in dirs:
-            mr = np.full(len(row), -np.inf)
-            any_v = np.zeros(len(row), bool)
-            for k in range(1, 96):
-                tr = row + dr * k
-                tc = col + dc * k
-                inb = (tr >= 0) & (tr < OG_H) & (tc >= 0) & (tc < OG_W)
-                if not inb.any():
-                    break
-                trc = np.clip(tr, 0, OG_H - 1)
-                tcc = np.clip(tc, 0, OG_W - 1)
-                ok = inb & vg[trc, tcc]
-                ratio = (zg[trc, tcc] - z0) / (k * 0.01 * f)
-                mr = np.where(ok, np.maximum(mr, ratio), mr)
-                any_v |= ok
-            term = round_half_away(
-                (np.pi / 2.0 - np.arctan(mr)) * 1e12
-            ).astype(np.int64)
-            tq_sum += np.where(any_v, term, 0)
-            n_dirs += any_v
-        full = n_dirs == 8
-        return pa.table(
-            {
-                "row": pa.array(row[full]),
-                "col": pa.array(col[full]),
-                "openness": round_like_sql(
-                    (tq_sum[full].astype(np.float64) / 1e12 / 8.0), 6
-                ),
-            }
-        )
-
-    out = collect_tables(
-        ray.data.from_arrow(targets).map_batches(
-            openness, batch_format="pyarrow", batch_size=1024
-        )
-    )
-    return out.sort_by([("row", "ascending"), ("col", "ascending")])
-
-
-def _q_linear_attribution(sf_dir: str) -> pa.Table:
-    """Linear multi-touch attribution: each purchase's cents split
-    equally across the user's touches (any earlier event) in the 24 h
-    before it, summed per touch type -- the marketing-analytics
-    counterpart of first_touch_attribution.  Per-(purchase, touch)
-    terms cents/c are quantized at 1e6 so type sums are exact int64;
-    per-user ordered matching runs in the groupby map_groups tier."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "ts", "event_id", "event_type", "value"],
-    )
-
-    def per_user(group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        order = pc.sort_indices(
-            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
-        )
-        g = group.take(order)
-        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        et = g["event_type"].to_numpy(zero_copy_only=False)
-        val = g["value"].to_numpy(zero_copy_only=False)
-        cents = round_half_away(val * 100.0).astype(np.int64)
-        types: dict[str, int] = {}
-        is_p = et == "purchase"
-        lo = np.searchsorted(ts, ts - 86_400_000_000, side="left")
-        for i in np.nonzero(is_p)[0].tolist():
-            j0 = int(lo[i])
-            if j0 >= i:
-                continue
-            c = i - j0
-            for j in range(j0, i):
-                t = et[j]
-                types[t] = types.get(t, 0) + int(
-                    round_half_away(
-                        np.array([float(cents[i]) / float(c) * 1e6])
-                    )[0]
-                )
-        if not types:
-            return pa.table(
-                {
-                    "event_type": pa.array([], pa.string()),
-                    "tq": pa.array([], pa.int64()),
-                }
-            )
-        ks = sorted(types)
-        return pa.table(
-            {
-                "event_type": pa.array(ks),
-                "tq": pa.array([types[k] for k in ks], pa.int64()),
-            }
-        )
-
-    per = (
-        ds.groupby("user_id")
-        .map_groups(per_user, batch_format="pyarrow")
-    )
-    allp = collect_tables(per)
-    agg = allp.group_by(["event_type"]).aggregate([("tq", "sum")])
-    agg = agg.rename_columns(["event_type", "tq"])
-    import pyarrow.compute as pc
-
-    idx = pc.sort_indices(agg, sort_keys=[("event_type", "ascending")])
-    agg = agg.take(idx)
-    return pa.table(
-        {
-            "event_type": agg["event_type"],
-            "attributed_dollars": round_like_sql(
-                (
-                    agg["tq"].to_numpy(zero_copy_only=False).astype(
-                        np.float64
-                    )
-                    / 1e6
-                    / 100.0
-                ),
-                6,
-            ),
-        }
-    )
-
-
-def _q_heaps_law(sf_dir: str) -> pa.Table:
-    """Heaps'-law vocabulary growth over the corpus in doc_id order:
-    cumulative token and distinct-word counts at 10 equal id-range
-    checkpoints (first-occurrence bucket per word via a distributed
-    min-doc_id groupby -- the corpus never sorts), then the log-log
-    OLS exponent from 1e12-quantized LN terms (exact HUGEINT
-    moments).  Tokenization identical to token_frequencies (RE2 \\s+
-    split, empty filtered)."""
-    import math
-
-    import pyarrow.compute as pc
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
-    mx_t = hash_aggregate(
-        _read_pq(
-            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
-        ).map_batches(
-            lambda b: pa.table(
-                {
-                    "_g": pa.array(np.zeros(b.num_rows, np.int64)),
-                    "doc_id": b["doc_id"],
-                }
-            ),
-            batch_format="pyarrow",
-            batch_size=None,
-        ),
-        ["_g"],
-        [("doc_id", "max", "mx")],
-    )
-    mx = int(mx_t["mx"][0].as_py())
-
-    def tok_min(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern_regex(batch["text"], pattern=r"\s+")
-        ids = pc.list_parent_indices(toks)
-        flat = pc.list_flatten(toks)
-        keep = pc.not_equal(flat, "")
-        t = pa.table(
-            {
-                "token": flat.filter(keep),
-                "doc_id": pc.take(batch["doc_id"], ids).filter(keep),
-            }
-        )
-        out = t.group_by(["token"]).aggregate([("doc_id", "min")])
-        return out.rename_columns(["token", "fd"])
-
-    firsts = collect_tables(
-        ds.map_batches(tok_min, batch_format="pyarrow", batch_size=None)
-    )
-    firsts = (
-        firsts.group_by(["token"]).aggregate([("fd", "min")])
-        .rename_columns(["token", "fd"])
-    )
-
-    def tok_bucket(batch: pa.Table) -> pa.Table:
-        toks = pc.split_pattern_regex(batch["text"], pattern=r"\s+")
-        ids = pc.list_parent_indices(toks)
-        flat = pc.list_flatten(toks)
-        keep = pc.not_equal(flat, "")
-        d = (
-            pc.take(batch["doc_id"], ids)
-            .filter(keep)
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
-        b = d * 10 // (mx + 1)
-        return pa.table(
-            {
-                "b": pa.array(b),
-                "_one": pa.array(np.ones(len(b), np.int64)),
-            }
-        )
-
-    nb = hash_aggregate(
-        ds.map_batches(tok_bucket, batch_format="pyarrow", batch_size=None),
-        ["b"],
-        [("_one", "sum", "n")],
-    )
-    ncur = np.zeros(10, np.int64)
-    for i in range(nb.num_rows):
-        ncur[int(nb["b"][i].as_py())] = int(nb["n"][i].as_py())
-    vcur = np.zeros(10, np.int64)
-    fb = (
-        firsts["fd"].to_numpy(zero_copy_only=False).astype(np.int64)
-        * 10
-        // (mx + 1)
-    )
-    for b in fb.tolist():
-        vcur[b] += 1
-    cum_n = np.cumsum(ncur)
-    cum_v = np.cumsum(vcur)
-    us = [int(round(math.log(float(x)) * 1e12)) for x in cum_n.tolist()]
-    vs = [int(round(math.log(float(x)) * 1e12)) for x in cum_v.tolist()]
-    k = 10
-    su, sv = sum(us), sum(vs)
-    suv = sum(u * v for u, v in zip(us, vs))
-    suu = sum(u * u for u in us)
-    beta = float(k * suv - su * sv) / float(k * suu - su * su)
-    return pa.table(
-        {
-            "bucket": pa.array(list(range(10)), pa.int64()),
-            "cum_tokens": pa.array(cum_n.tolist(), pa.int64()),
-            "cum_vocab": pa.array(cum_v.tolist(), pa.int64()),
-            "heaps_beta": round_like_sql([beta] * 10, 6),
-        }
-    )
-
-
-def _q_hurst_exponent(sf_dir: str) -> pa.Table:
-    """Hurst exponent of the daily event-count series via classic
-    rescaled-range analysis: per-window range of cumulative deviations
-    and variance both reduce to exact integers when scaled by the
-    window length (R/S = (max_j - min_j of w*cum_j - (j+1)*S) /
-    sqrt(w*Q - S^2)), each window ratio quantized at 1e9, the log-log
-    OLS slope from 1e12-quantized LN terms.  Dense day series
-    (missing days count 0, the variance_ratio convention)."""
-    import math
-
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
-
-    def daily(batch: pa.Table) -> pa.Table:
-        d = (
-            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 86_400_000_000
-        )
-        return pa.table(
-            {
-                "d": pa.array(d),
-                "_one": pa.array(np.ones(len(d), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(daily, batch_format="pyarrow", batch_size=None),
-        ["d"],
-        [("_one", "sum", "x")],
-    )
-    dd = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)
-    xx = agg["x"].to_numpy(zero_copy_only=False).astype(np.int64)
-    lo, hi = int(dd.min()), int(dd.max())
-    n = hi - lo + 1
-    series = np.zeros(n, np.int64)
-    series[dd - lo] = xx
-    windows = (3, 5, 10, 15)  # the events table spans ~30 days
-    out_w, out_nw, out_mean = [], [], []
-    pts_u, pts_v = [], []
-    for w in windows:
-        nw = n // w
-        rqs = []
-        for wid in range(nw):
-            x = series[wid * w : (wid + 1) * w]
-            s = int(x.sum())
-            q = int((x * x).sum())
-            a2 = w * q - s * s
-            if a2 <= 0:
-                continue
-            cum = np.cumsum(x)
-            y = w * cum - (np.arange(1, w + 1, dtype=np.int64)) * s
-            rs = int(y.max()) - int(y.min())
-            rqs.append(
-                int(
-                    round_half_away(
-                        np.array([float(rs) / np.sqrt(float(a2)) * 1e9])
-                    )[0]
-                )
-            )
-        mean_rs = float(sum(rqs)) / 1e9 / float(len(rqs))
-        out_w.append(w)
-        out_nw.append(len(rqs))
-        out_mean.append(mean_rs)
-        pts_u.append(int(round(math.log(float(w)) * 1e12)))
-        pts_v.append(int(round(math.log(mean_rs) * 1e12)))
-    k = len(windows)
-    su, sv = sum(pts_u), sum(pts_v)
-    suv = sum(u * v for u, v in zip(pts_u, pts_v))
-    suu = sum(u * u for u in pts_u)
-    hurst = float(k * suv - su * sv) / float(k * suu - su * su)
-    return pa.table(
-        {
-            "window": pa.array(out_w, pa.int64()),
-            "n_windows": pa.array(out_nw, pa.int64()),
-            "mean_rs": round_like_sql(out_mean, 6),
-            "hurst": round_like_sql([hurst] * k, 6),
-        }
-    )
-
-
-def _q_markov_entropy_rate(sf_dir: str) -> pa.Table:
-    """Entropy rate of the per-user event-type Markov chain: H =
-    -(1/N) * sum over transitions of n_sd * ln(n_sd / n_s.) -- the
-    compressibility / predictability summary of the clickstream,
-    composed from the same transition counts as markov_transitions.
-    Per-transition terms quantized at 1e12 (exact int64 sum in any
-    order), one float division."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        markov_transitions, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "ts", "event_id", "event_type"],
-    )
-    tr = markov_transitions(ds, "user_id", "event_type", ["ts", "event_id"])
-    src = tr["src"].to_numpy(zero_copy_only=False)
-    nn = tr["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    row_tot: dict[str, int] = {}
-    for s, c in zip(src.tolist(), nn.tolist()):
-        row_tot[s] = row_tot.get(s, 0) + c
-    ntot = int(nn.sum())
-    tq = 0
-    for s, c in zip(src.tolist(), nn.tolist()):
-        tq += int(
-            round_half_away(
-                np.array(
-                    [float(c) * np.log(float(c) / float(row_tot[s])) * 1e12]
-                )
-            )[0]
-        )
-    h = -float(tq) / 1e12 / float(ntot)
-    return pa.table(
-        {
-            "n_transitions": pa.array([ntot], pa.int64()),
-            "entropy_rate_nats": round_like_sql([h], 6),
-        }
-    )
-
-
-def _q_t_closeness(sf_dir: str) -> pa.Table:
-    """t-closeness audit completing the k-anonymity / l-diversity
-    governance trio: per (source, length-bucket) QI group, the
-    variational distance 0.5 * sum over langs |P_g(lang) - P(lang)|
-    (absent langs contribute the global share), each term quantized
-    at 1e12 so the group sum is an exact int64; groups failing t in
-    0.2/0.3/0.5 compared in integer space (sum_tq > t * 2e12)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["lang", "source", "n_chars"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        nc = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                "source": batch["source"],
-                "len_bucket": pa.array(nc // 100),
-                "lang": batch["lang"],
-                "_one": pa.array(np.ones(len(nc), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["source", "len_bucket", "lang"],
-        [("_one", "sum", "n")],
-    )
-    src = agg["source"].to_numpy(zero_copy_only=False)
-    lb = agg["len_bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
-    lg = agg["lang"].to_numpy(zero_copy_only=False)
-    nn = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    lang_tot: dict[str, int] = {}
-    groups: dict[tuple, dict[str, int]] = {}
-    for s, b, l, c in zip(src.tolist(), lb.tolist(), lg.tolist(), nn.tolist()):
-        lang_tot[l] = lang_tot.get(l, 0) + c
-        groups.setdefault((s, b), {})[l] = c
-    ntot = sum(lang_tot.values())
-    sums = {}
-    sizes = {}
-    for gkey, per in groups.items():
-        ng = sum(per.values())
-        sizes[gkey] = ng
-        tq = 0
-        for l, nl in lang_tot.items():
-            pg = float(per.get(l, 0)) / float(ng)
-            pt = float(nl) / float(ntot)
-            tq += int(round_half_away(np.array([abs(pg - pt) * 1e12]))[0])
-        sums[gkey] = tq
-    thresholds = ((0.2, 400_000_000_000), (0.3, 600_000_000_000),
-                  (0.5, 1_000_000_000_000))
-    out_t, out_g, out_d = [], [], []
-    for tval, tint in thresholds:
-        bad = [g for g, s in sums.items() if s > tint]
-        out_t.append(tval)
-        out_g.append(len(bad))
-        out_d.append(int(sum(sizes[g] for g in bad)))
-    max_t = max(sums.values())
-    return pa.table(
-        {
-            "t": pa.array(out_t, pa.float64()),
-            "n_groups_failing": pa.array(out_g, pa.int64()),
-            "docs_exposed": pa.array(out_d, pa.int64()),
-            "max_t": round_like_sql(
-                [float(max_t) / 2e12] * len(out_t), 6
-            ),
-        }
-    )
-
-
-def _q_levene_bf(sf_dir: str) -> pa.Table:
-    """Brown-Forsythe (median-centered Levene) homogeneity-of-variance
-    test of the dollar price across return flags: group medians via
-    the distributed exact-quantile machinery (quantile_disc element
-    selection -- an exact integer), absolute deviations are then exact
-    int64, and W's float tail is evaluated in pinned A/N/R order on
-    both sides."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_returnflag", "l_extendedprice"],
-    )
-
-    def dollars(batch: pa.Table) -> pa.Table:
-        k = round_half_away(
-            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
-        ).astype(np.int64)
-        return pa.table({"flag": batch["l_returnflag"], "k": pa.array(k)})
-
-    kd = ds.map_batches(dollars, batch_format="pyarrow", batch_size=None)
-    # one groupby shuffle for all three group medians (3 flags =
-    # bounded cardinality; was 3 x exact_quantiles = 6 full passes)
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
-        grouped_exact_quantiles,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-
-    med_tbl = collect_tables(
-        grouped_exact_quantiles(kd, "flag", "k", [0.5])
-    )
-    meds = {}
-    vcol = med_tbl.column(med_tbl.num_columns - 1)
-    for i in range(med_tbl.num_rows):
-        meds[med_tbl["flag"][i].as_py()] = int(vcol[i].as_py())
-
-    med_arr = meds  # broadcast via closure (3 ints)
-
-    def absdev(batch: pa.Table) -> pa.Table:
-        k = batch["k"].to_numpy(zero_copy_only=False)
-        fl = batch["flag"].to_numpy(zero_copy_only=False)
-        med = np.zeros(len(k), np.int64)
-        for f, m in med_arr.items():
-            med[fl == f] = m
-        z = np.abs(k - med)
-        return pa.table(
-            {
-                "flag": batch["flag"],
-                "_n": pa.array(np.ones(len(z), np.int64)),
-                "s1": pa.array(z),
-                "s2": pa.array(z * z),
-            }
-        )
-
-    agg = hash_aggregate(
-        kd.map_batches(absdev, batch_format="pyarrow", batch_size=None),
-        ["flag"],
-        [(c, "sum", c) for c in ("_n", "s1", "s2")],
-    )
-    g = {}
-    for i in range(agg.num_rows):
-        g[agg["flag"][i].as_py()] = (
-            int(agg["_n"][i].as_py()),
-            int(agg["s1"][i].as_py()),
-            int(agg["s2"][i].as_py()),
-        )
-    (na, s1a, s2a) = g["A"]
-    (nn_, s1n, s2n) = g["N"]
-    (nr, s1r, s2r) = g["R"]
-    ntot = na + nn_ + nr
-    zb = float(s1a + s1n + s1r) / float(ntot)
-    za = float(s1a) / float(na)
-    zn = float(s1n) / float(nn_)
-    zr = float(s1r) / float(nr)
-    num = (
-        float(na) * (za - zb) * (za - zb)
-        + float(nn_) * (zn - zb) * (zn - zb)
-    ) + float(nr) * (zr - zb) * (zr - zb)
-    den = (
-        (float(s2a) - float(s1a) * float(s1a) / float(na))
-        + (float(s2n) - float(s1n) * float(s1n) / float(nn_))
-    ) + (float(s2r) - float(s1r) * float(s1r) / float(nr))
-    w = (float(ntot - 3) / 2.0) * num / den
-    return pa.table(
-        {
-            "n_total": pa.array([ntot], pa.int64()),
-            "med_a": pa.array([meds["A"]], pa.int64()),
-            "med_n": pa.array([meds["N"]], pa.int64()),
-            "med_r": pa.array([meds["R"]], pa.int64()),
-            "levene_w": round_like_sql([w], 6),
-        }
-    )
-
-
-def _q_twi(sf_dir: str) -> pa.Table:
-    """Topographic Wetness Index ln(a / tan beta) over the slope
-    fixture raster: specific catchment a = D8 flow accumulation x
-    cell width (the TauDEM-style two-level operator), tan beta from
-    the Horn slope kernel; defined where slope > 0 and both
-    derivatives exist.  Composes the two existing distributed raster
-    operators with a (lattice-bounded) driver join."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
-        flow_accumulation, tile_slope,
-    )
-
-    tiles = ray.data.from_arrow(_og_tiles_table(sparse_invalid=True, tile=24))
-    acc = flow_accumulation(tiles, block=32)  # pa.Table (lattice-bounded)
-    slope = collect_tables(tile_slope(tiles))
-    amap = {}
-    for i in range(acc.num_rows):
-        amap[
-            (acc["row"][i].as_py(), acc["col"][i].as_py())
-        ] = acc["acc"][i].as_py()
-    rows, cols, twis = [], [], []
-    sr = slope["row"].to_numpy(zero_copy_only=False)
-    sc = slope["col"].to_numpy(zero_copy_only=False)
-    sp = slope["slope_pct"].to_numpy(zero_copy_only=False)
-    for i in range(len(sr)):
-        a = amap.get((int(sr[i]), int(sc[i])))
-        if a is None or not (sp[i] > 0):
-            continue
-        rows.append(int(sr[i]))
-        cols.append(int(sc[i]))
-        twis.append(float(np.log((float(a) * 0.01) / (sp[i] / 100.0))))
-    return pa.table(
-        {
-            "row": pa.array(rows, pa.int64()),
-            "col": pa.array(cols, pa.int64()),
-            "twi": round_like_sql(twis, 6),
-        }
-    )
-
-
-def _q_clark_evans(sf_dir: str) -> pa.Table:
-    """Clark-Evans nearest-neighbor index R = mean-NN-dist / E[CSR]
-    over the geocoded event subset (id % 100): the classic
-    point-pattern dispersion screen next to Ripley's K.  The NN
-    search is the bucketed ring-expansion KNNIndex (ST5 shape: index
-    from a bounded subset, queries distributed per batch); each NN
-    distance is re-derived as SQRT(dx*dx + dy*dy) and quantized at
-    1e9 so the cross-point sum is an exact int64 in any order.  No
-    edge correction (naive R; the SQL mirror repeats it)."""
-    import ray
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.knn import (
-        KNNIndex,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
-
-    def pts(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False)
-        eid = eid[eid % 100 == 0]
-        return pa.table(
-            {
-                "px": pa.array(77.0 + (eid % 96).astype(np.float64) * 0.01),
-                "py": pa.array(
-                    28.05 + ((eid // 96) % 96).astype(np.float64) * 0.01
-                ),
-            }
-        )
-
-    sub = ds.map_batches(pts, batch_format="pyarrow", batch_size=None)
-    pts_tbl = collect_tables(sub)
-    px = pts_tbl["px"].to_numpy(zero_copy_only=False)
-    py = pts_tbl["py"].to_numpy(zero_copy_only=False)
-    index_ref = ray.put(KNNIndex(px, py))
-
-    def nn_terms(batch: pa.Table) -> pa.Table:
-        idx = ray.get(index_ref)
-        qx = batch["px"].to_numpy(zero_copy_only=False)
-        qy = batch["py"].to_numpy(zero_copy_only=False)
-        ii, _dd = idx.query(qx, qy, k=2)
-        nb = ii[:, 1]
-        dx = qx - idx.lon[nb]
-        dy = qy - idx.lat[nb]
-        term = round_half_away(np.sqrt(dx * dx + dy * dy) * 1e9).astype(
-            np.int64
-        )
-        return pa.table(
-            {
-                "_g": pa.array(np.zeros(len(term), np.int64)),
-                "n": pa.array(np.ones(len(term), np.int64)),
-                "s": pa.array(term),
-            }
-        )
-
-    agg = hash_aggregate(
-        ray.data.from_arrow(pts_tbl).map_batches(
-            nn_terms, batch_format="pyarrow", batch_size=None
-        ),
-        ["_g"],
-        [("n", "sum", "n"), ("s", "sum", "s")],
-    )
-    n = int(agg["n"][0].as_py())
-    s = int(agg["s"][0].as_py())
-    dbar = float(s) / 1e9 / float(n)
-    r = dbar / (0.5 * np.sqrt(0.9025 / float(n)))
-    return pa.table(
-        {
-            "n_points": pa.array([n], pa.int64()),
-            "mean_nn_dist": round_like_sql([dbar], 6),
-            "clark_evans_r": round_like_sql([r], 6),
-        }
-    )
-
-
-_GFUNC_RADII_Q = (0, 10_000_000, 14_142_136, 20_000_000, 30_000_000, 50_000_000)
-
-
-def _q_nn_gfunction(sf_dir: str) -> pa.Table:
-    """Nearest-neighbor G function (empirical CDF of the NN distance
-    at fixed radii) over the same geocoded event subset as
-    clark_evans -- the finer-grained companion to the single-number
-    Clark-Evans R.  NN distances are quantized at 1e9 so the
-    per-radius counts are exact integer comparisons; per-batch
-    partial counts roll up via the tier-2 combiner."""
-    import ray
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.knn import (
-        KNNIndex,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
-
-    def pts(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False)
-        eid = eid[eid % 100 == 0]
-        return pa.table(
-            {
-                "px": pa.array(77.0 + (eid % 96).astype(np.float64) * 0.01),
-                "py": pa.array(
-                    28.05 + ((eid // 96) % 96).astype(np.float64) * 0.01
-                ),
-            }
-        )
-
-    sub = ds.map_batches(pts, batch_format="pyarrow", batch_size=None)
-    pts_tbl = collect_tables(sub)
-    px = pts_tbl["px"].to_numpy(zero_copy_only=False)
-    py = pts_tbl["py"].to_numpy(zero_copy_only=False)
-    index_ref = ray.put(KNNIndex(px, py))
-    radii = np.asarray(_GFUNC_RADII_Q, np.int64)
-
-    def g_terms(batch: pa.Table) -> pa.Table:
-        idx = ray.get(index_ref)
-        qx = batch["px"].to_numpy(zero_copy_only=False)
-        qy = batch["py"].to_numpy(zero_copy_only=False)
-        ii, _dd = idx.query(qx, qy, k=2)
-        nb = ii[:, 1]
-        dx = qx - idx.lon[nb]
-        dy = qy - idx.lat[nb]
-        dq = round_half_away(np.sqrt(dx * dx + dy * dy) * 1e9).astype(
-            np.int64
-        )
-        n_le = (dq[None, :] <= radii[:, None]).sum(axis=1).astype(np.int64)
-        return pa.table(
-            {
-                "r_q": pa.array(radii),
-                "n": pa.array(np.full(len(radii), len(dq), np.int64)),
-                "n_le": pa.array(n_le),
-            }
-        )
-
-    agg = hash_aggregate(
-        ray.data.from_arrow(pts_tbl).map_batches(
-            g_terms, batch_format="pyarrow", batch_size=None
-        ),
-        ["r_q"],
-        [("n", "sum", "n"), ("n_le", "sum", "n_le")],
-    )
-    rq = agg["r_q"].to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.argsort(rq)
-    n = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
-    n_le = agg["n_le"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
-    return pa.table(
-        {
-            "r": round_like_sql(rq[order].astype(np.float64) / 1e9, 6),
-            "n_le": pa.array(n_le, pa.int64()),
-            "g_hat": round_like_sql(
-                n_le.astype(np.float64) / n.astype(np.float64), 6
-            ),
-        }
-    )
-
-
-def _q_gravity_flows(sf_dir: str) -> pa.Table:
-    """Gravity spatial-interaction model on the coarse 12x12 lattice
-    (8x8-cell blocks of the geocode grid): T_ij = m_i * m_j / d2_ij
-    for near pairs (Chebyshev block distance <= 4), masses = exact
-    event counts, d2 in block units -- the trip-distribution screen.
-    Distributed per-block counts; the 144-cell pair cross is
-    driver-side (bounded by the lattice, not the data)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
-        partial_count,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
-
-    def block(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "bx": pa.array(((eid % 96) // 8).astype(np.int64)),
-                "by": pa.array((((eid // 96) % 96) // 8).astype(np.int64)),
-            }
-        )
-
-    counts = partial_count(
-        ds.map_batches(block, batch_format="pyarrow", batch_size=None),
-        ["bx", "by"],
-    ).rename_columns(["bx", "by", "m"])
-    bx = counts["bx"].to_numpy(zero_copy_only=False).astype(np.int64)
-    by = counts["by"].to_numpy(zero_copy_only=False).astype(np.int64)
-    m = counts["m"].to_numpy(zero_copy_only=False).astype(np.int64)
-    key = by * 12 + bx
-    order = np.argsort(key)
-    bx, by, m, key = bx[order], by[order], m[order], key[order]
-    oa, ob, oi = [], [], []
-    for i in range(len(m)):
-        for j in range(i + 1, len(m)):
-            dx = int(bx[j] - bx[i])
-            dy = int(by[j] - by[i])
-            if max(abs(dx), abs(dy)) > 4:
-                continue
-            d2 = dx * dx + dy * dy
-            oa.append(int(key[i]))
-            ob.append(int(key[j]))
-            oi.append(float(m[i] * m[j]) / float(d2))
-    return pa.table(
-        {
-            "cell_a": pa.array(oa, pa.int64()),
-            "cell_b": pa.array(ob, pa.int64()),
-            "interaction": round_like_sql(oi, 6),
-        }
-    )
-
-
-def _q_jarque_bera(sf_dir: str) -> pa.Table:
-    """Jarque-Bera normality screen of the hundreds-of-dollars price
-    per return flag: raw power sums are exact int64 per batch, the
-    central-moment identities A2 = n*s2 - s1^2, A3 = n^2*s3 - 3n*s2*s1
-    + 2*s1^3, A4 = n^3*s4 - 4n^2*s3*s1 + 6n*s2*s1^2 - 3*s1^4 are exact
-    Python/HUGEINT integers, and skew/kurtosis collapse to g1 =
-    A3/A2^1.5, g2 = A4/A2^2 (the n powers cancel) -- so the only float
-    steps are two divisions, a pow, and the JB combination, written
-    identically in SQL."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_returnflag", "l_extendedprice"],
-    )
-
-    def powers(batch: pa.Table) -> pa.Table:
-        k = round_half_away(
-            batch["l_extendedprice"].to_numpy(zero_copy_only=False) / 100.0
-        ).astype(np.int64)
-        k2 = k * k
-        return pa.table(
-            {
-                "flag": batch["l_returnflag"],
-                "_n": pa.array(np.ones(len(k), np.int64)),
-                "s1": pa.array(k),
-                "s2": pa.array(k2),
-                "s3": pa.array(k2 * k),
-                "s4": pa.array(k2 * k2),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(powers, batch_format="pyarrow", batch_size=None),
-        ["flag"],
-        [(c, "sum", c) for c in ("_n", "s1", "s2", "s3", "s4")],
-    )
-    flags, ns, skews, kurts, jbs = [], [], [], [], []
-    order = np.argsort(agg["flag"].to_numpy(zero_copy_only=False))
-    for i in order.tolist():
-        n = int(agg["_n"][i].as_py())
-        s1 = int(agg["s1"][i].as_py())
-        s2 = int(agg["s2"][i].as_py())
-        s3 = int(agg["s3"][i].as_py())
-        s4 = int(agg["s4"][i].as_py())
-        a2 = n * s2 - s1 * s1
-        a3 = n * n * s3 - 3 * n * s2 * s1 + 2 * s1**3
-        a4 = (
-            n**3 * s4 - 4 * n * n * s3 * s1 + 6 * n * s2 * s1 * s1
-            - 3 * s1**4
-        )
-        g1 = float(a3) / float(a2) ** 1.5
-        g2 = float(a4) / (float(a2) * float(a2))
-        jb = float(n) / 6.0 * (g1 * g1 + (g2 - 3.0) * (g2 - 3.0) / 4.0)
-        flags.append(agg["flag"][i].as_py())
-        ns.append(n)
-        skews.append(g1)
-        kurts.append(g2)
-        jbs.append(jb)
-    return pa.table(
-        {
-            "l_returnflag": pa.array(flags),
-            "n_rows": pa.array(ns, pa.int64()),
-            "skewness": round_like_sql(skews, 6),
-            "kurtosis": round_like_sql(kurts, 6),
-            "jb_stat": round_like_sql(jbs, 6),
-        }
-    )
-
-
-def _q_cohens_d(sf_dir: str) -> pa.Table:
-    """Cohen's d effect size between returned ('R') and normal ('N')
-    line items on the hundreds-of-dollars price: exact int64 group
-    moments, pooled sample variance ((n1-1)v1 + (n2-1)v2)/(n1+n2-2)
-    with v = A2/(n(n-1)), one shared float tail."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_returnflag", "l_extendedprice"],
-    )
-
-    def powers(batch: pa.Table) -> pa.Table:
-        k = round_half_away(
-            batch["l_extendedprice"].to_numpy(zero_copy_only=False) / 100.0
-        ).astype(np.int64)
-        return pa.table(
-            {
-                "flag": batch["l_returnflag"],
-                "_n": pa.array(np.ones(len(k), np.int64)),
-                "s1": pa.array(k),
-                "s2": pa.array(k * k),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(powers, batch_format="pyarrow", batch_size=None),
-        ["flag"],
-        [(c, "sum", c) for c in ("_n", "s1", "s2")],
-    )
-    m = {}
-    for i in range(agg.num_rows):
-        m[agg["flag"][i].as_py()] = (
-            int(agg["_n"][i].as_py()),
-            int(agg["s1"][i].as_py()),
-            int(agg["s2"][i].as_py()),
-        )
-    (n1, a1, q1), (n2, a2_, q2) = m["R"], m["N"]
-    v1 = float(n1 * q1 - a1 * a1) / (float(n1) * float(n1 - 1))
-    v2 = float(n2 * q2 - a2_ * a2_) / (float(n2) * float(n2 - 1))
-    sp = np.sqrt(
-        ((float(n1 - 1)) * v1 + (float(n2 - 1)) * v2)
-        / float(n1 + n2 - 2)
-    )
-    d = (float(a1) / float(n1) - float(a2_) / float(n2)) / sp
-    return pa.table(
-        {
-            "n_returned": pa.array([n1], pa.int64()),
-            "n_normal": pa.array([n2], pa.int64()),
-            "cohens_d": round_like_sql([d], 6),
-        }
-    )
-
-
-def _q_durbin_watson(sf_dir: str) -> pa.Table:
-    """Durbin-Watson first-order autocorrelation statistic of the
-    daily order-revenue series: per-day cents summed distributed
-    (exact int64), residuals against the half-away-rounded integer
-    mean (DW is invariant to the constant shift), successive-diff and
-    level sums as exact Python/HUGEINT integers over the observed-day
-    series, one float division."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_orderdate", "o_totalprice"],
-    )
-
-    def daily(batch: pa.Table) -> pa.Table:
-        d = (
-            batch["o_orderdate"].cast(pa.int64()).to_numpy(
-                zero_copy_only=False
-            )
-            // 86_400_000_000
-        )
-        cents = round_half_away(
-            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
-        ).astype(np.int64)
-        return pa.table({"d": pa.array(d), "cents": pa.array(cents)})
-
-    agg = hash_aggregate(
-        ds.map_batches(daily, batch_format="pyarrow", batch_size=None),
-        ["d"],
-        [("cents", "sum", "x")],
-    )
-    order = np.argsort(agg["d"].to_numpy(zero_copy_only=False))
-    xs = (
-        agg["x"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
-    ).tolist()
-    n = len(xs)
-    tot = sum(xs)
-    mean_int = int(round_half_away(np.array([float(tot) / n]))[0])
-    es = [x - mean_int for x in xs]
-    num = sum(
-        (es[t] - es[t - 1]) * (es[t] - es[t - 1]) for t in range(1, n)
-    )
-    den = sum(e * e for e in es)
-    return pa.table(
-        {
-            "n_days": pa.array([n], pa.int64()),
-            "dw": round_like_sql([float(num) / float(den)], 6),
-        }
-    )
-
-
-def _q_minhash_estimate(sf_dir: str) -> pa.Table:
-    """MinHash-vs-exact Jaccard calibration over a deterministic doc
-    subset: word-3-gram shingles (the dup_passages construction),
-    shingle ids by dense rank so both sides hash the SAME integers,
-    16 mix32 permutations (seed folded into the key: mix32(gid + s)),
-    collision-rate estimate next to the exact distinct-set Jaccard --
-    the estimator-accuracy audit run before trusting LSH dedup."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
-        mix32,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, round_like_sql,
-    )
-
-    n_seeds = 16
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
-
-    def shingle(batch: pa.Table) -> pa.Table:
-        out_d, out_g = [], []
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        for i, t in enumerate(batch["text"].to_pylist()):
-            if ids[i] % 25 != 0:
-                continue
-            ws = [w for w in t.split(" ") if w != ""]
-            grams = {
-                " ".join(ws[j : j + 3]) for j in range(len(ws) - 2)
-            }
-            out_d.extend([int(ids[i])] * len(grams))
-            out_g.extend(sorted(grams))
-        return pa.table(
-            {
-                "doc_id": pa.array(out_d, pa.int64()),
-                "gram": pa.array(out_g),
-            }
-        )
-
-    pairs_t = collect_tables(
-        ds.map_batches(shingle, batch_format="pyarrow", batch_size=None)
-    )
-    doc = pairs_t["doc_id"].to_numpy(zero_copy_only=False)
-    gram = pairs_t["gram"].to_numpy(zero_copy_only=False)
-    uniq = np.unique(gram)
-    gid = np.searchsorted(uniq, gram) + 1  # dense rank, 1-based
-    docs = np.unique(doc)
-    sets = {int(u): set(gid[doc == u].tolist()) for u in docs}
-    mh = {}
-    for u in docs:
-        ids = np.array(sorted(sets[int(u)]), np.int64)
-        mh[int(u)] = [
-            int(mix32(ids + s, 0).min()) for s in range(n_seeds)
-        ]
-    out_a, out_b, out_e, out_x = [], [], [], []
-    dl = sorted(int(u) for u in docs)
-    for i, a in enumerate(dl):
-        for b in dl[i + 1 :]:
-            m = sum(1 for s in range(n_seeds) if mh[a][s] == mh[b][s])
-            inter = len(sets[a] & sets[b])
-            union = len(sets[a]) + len(sets[b]) - inter
-            out_a.append(a)
-            out_b.append(b)
-            out_e.append(float(m) / 16.0)
-            out_x.append(float(inter) / float(union))
-    return pa.table(
-        {
-            "doc_a": pa.array(out_a, pa.int64()),
-            "doc_b": pa.array(out_b, pa.int64()),
-            "est_jaccard": round_like_sql(out_e, 6),
-            "exact_jaccard": round_like_sql(out_x, 6),
-        }
-    )
-
-
-def _q_l_diversity(sf_dir: str) -> pa.Table:
-    """l-diversity audit (companion to k_anonymity): within each
-    (source, length-bucket) quasi-identifier group, how many distinct
-    languages (the sensitive attribute) appear -- groups failing
-    l in 2/3 and the documents they expose.  Pure integer counts."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["lang", "source", "n_chars"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        nc = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                "source": batch["source"],
-                "len_bucket": pa.array(nc // 100),
-                "lang": batch["lang"],
-                "_one": pa.array(np.ones(len(nc), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["source", "len_bucket", "lang"],
-        [("_one", "sum", "n")],
-    )
-    src = agg["source"].to_numpy(zero_copy_only=False)
-    lb = agg["len_bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
-    n = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    groups: dict[tuple, list[int]] = {}
-    for s, b, c in zip(src.tolist(), lb.tolist(), n.tolist()):
-        groups.setdefault((s, b), []).append(c)
-    ls = (2, 3)
-    out_l, out_f, out_d = [], [], []
-    for l in ls:
-        fail = [v for v in groups.values() if len(v) < l]
-        out_l.append(l)
-        out_f.append(len(fail))
-        out_d.append(int(sum(sum(v) for v in fail)))
-    return pa.table(
-        {
-            "l": pa.array(out_l, pa.int64()),
-            "groups_failing": pa.array(out_f, pa.int64()),
-            "docs_exposed": pa.array(out_d, pa.int64()),
-        }
-    )
-
-
-def _q_variance_ratio(sf_dir: str) -> pa.Table:
-    """Lo-MacKinlay variance-ratio statistic of the daily event-count
-    series at horizons 2/5/10 (the random-walk / mean-reversion
-    probe): q-day sums from exact integer prefix differences, both
-    variances from int64 moments, one shared float expression per
-    horizon."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    qs_ = (2, 5, 10)
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
-
-    def prep(batch: pa.Table) -> pa.Table:
-        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "d": pa.array(us // 86_400_000_000),
-                "_one": pa.array(np.ones(len(us), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["d"],
-        [("_one", "sum", "x")],
-    ).sort_by("d")
-    d = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)
-    xs = agg["x"].to_numpy(zero_copy_only=False).astype(np.int64)
-    lo, hi = int(d[0]), int(d[-1])
-    n = hi - lo + 1
-    x = np.zeros(n, np.int64)
-    x[d - lo] = xs
-    sx = int(x.sum())
-    qx = int((x * x).sum())
-    mu = float(sx) / float(n)
-    var_x = (float(qx) - float(n) * mu * mu) / (float(n) - 1.0)
-    out_q, out_v = [], []
-    for q in qs_:
-        c = np.concatenate(([0], np.cumsum(x)))  # c[t] = sum of x[:t]
-        s = c[q:] - c[:-q]  # q-day rolling sums, len n-q+1
-        m = len(s)
-        ss = int(s.sum())
-        qqs = int((s * s).sum())
-        mus = float(ss) / float(m)
-        var_s = (float(qqs) - float(m) * mus * mus) / (float(m) - 1.0)
-        out_q.append(q)
-        out_v.append(var_s / (float(q) * var_x))
-    return pa.table(
-        {
-            "horizon": pa.array(out_q, pa.int64()),
-            "variance_ratio": round_like_sql(out_v, 6),
-        }
-    )
-
-
-def _q_variogram_anisotropy(sf_dir: str) -> pa.Table:
-    """Directional semivariogram anisotropy of the sparse DEM: exact
-    deci-unit pair sums along BOTH axes at lags 1/2/4 (within-tile
-    pairs, same machinery as grid_variogram), gamma_x / gamma_y ratio
-    per lag -- the directional-structure diagnostic kriging needs."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    lags = (1, 2, 4)
-    tiles = ray.data.from_arrow(_og_tiles_table(sparse_invalid=True))
-
-    def partial(batch: pa.Table) -> pa.Table:
-        hs = batch["height"].to_numpy(zero_copy_only=False)
-        ws = batch["width"].to_numpy(zero_copy_only=False)
-        vals = batch["values"]
-        out_h, out_ax, out_n, out_s = [], [], [], []
-        for i in range(batch.num_rows):
-            v = np.asarray(vals[i].as_py(), np.float32).reshape(hs[i], ws[i])
-            valid = v > -1e30
-            k = np.zeros(v.shape, np.int64)
-            k[valid] = np.round(
-                v[valid].astype(np.float64) * 10.0
-            ).astype(np.int64)
-            for h in lags:
-                bx = valid[:, :-h] & valid[:, h:]
-                dx = k[:, :-h][bx] - k[:, h:][bx]
-                by = valid[:-h, :] & valid[h:, :]
-                dy = k[:-h, :][by] - k[h:, :][by]
-                out_h.extend([h, h])
-                out_ax.extend(["x", "y"])
-                out_n.extend([int(bx.sum()), int(by.sum())])
-                out_s.extend([int((dx * dx).sum()), int((dy * dy).sum())])
-        return pa.table(
-            {
-                "lag": pa.array(out_h, pa.int64()),
-                "axis": pa.array(out_ax),
-                "n_pairs": pa.array(out_n, pa.int64()),
-                "sum_d2": pa.array(out_s, pa.int64()),
-            }
-        )
-
-    agg = hash_aggregate(
-        tiles.map_batches(partial, batch_format="pyarrow", batch_size=None),
-        ["lag", "axis"],
-        [("n_pairs", "sum", "n_pairs"), ("sum_d2", "sum", "sum_d2")],
-    )
-    lag = agg["lag"].to_numpy(zero_copy_only=False).astype(np.int64)
-    ax = agg["axis"].to_numpy(zero_copy_only=False)
-    nn = agg["n_pairs"].to_numpy(zero_copy_only=False).astype(np.int64)
-    ss = agg["sum_d2"].to_numpy(zero_copy_only=False).astype(np.int64)
-    gam = {
-        (int(l), a): float(s) / (2.0 * float(c) * 100.0)
-        for l, a, c, s in zip(lag, ax.tolist(), nn, ss)
-    }
-    out_l = sorted(lags)
-    gx = [gam[(l, "x")] for l in out_l]
-    gy = [gam[(l, "y")] for l in out_l]
-    return pa.table(
-        {
-            "lag": pa.array(out_l, pa.int64()),
-            "gamma_x": round_like_sql(gx, 6),
-            "gamma_y": round_like_sql(gy, 6),
-            "anisotropy": round_like_sql(
-                [a / b for a, b in zip(gx, gy)], 6
-            ),
-        }
-    )
-
-
-def _q_k_anonymity(sf_dir: str) -> pa.Table:
-    """k-anonymity audit over the (lang, source, length-bucket)
-    quasi-identifier -- the privacy-risk counter a training-data
-    governance pipeline runs before release: QI group sizes via the
-    combiner tier, documents in groups smaller than k for k in
-    2/5/10.  Pure integer counts."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["lang", "source", "n_chars"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        nc = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                "lang": batch["lang"],
-                "source": batch["source"],
-                "len_bucket": pa.array(nc // 100),
-                "_one": pa.array(np.ones(len(nc), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["lang", "source", "len_bucket"],
-        [("_one", "sum", "g")],
-    )
-    g = agg["g"].to_numpy(zero_copy_only=False).astype(np.int64)
-    ks = (2, 5, 10)
-    return pa.table(
-        {
-            "k": pa.array(ks, pa.int64()),
-            "n_groups": pa.array([len(g)] * len(ks), pa.int64()),
-            "docs_at_risk": pa.array(
-                [int(g[g < k].sum()) for k in ks], pa.int64()
-            ),
-        }
-    )
-
-
-def _q_home_work_od(sf_dir: str) -> pa.Table:
-    """Home / work anchor inference per user (the mobility-mining
-    primitive behind commute OD matrices): conditional night/day
-    counts per (user, cell) via the combiner tier, per-user argmax
-    with cell-id tie-break, planar commute distance as the one float
-    expression."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "user_id", "ts"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        h = (us // 3_600_000_000) % 24
-        night = (h < 6) | (h >= 22)
-        day = (h >= 9) & (h < 17)
-        cell = ((eid // 96) % 96) * 96 + (eid % 96)
-        return pa.table(
-            {
-                "user_id": batch["user_id"],
-                "cell": pa.array(cell),
-                "n_night": pa.array(night.astype(np.int64)),
-                "n_day": pa.array(day.astype(np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["user_id", "cell"],
-        [("n_night", "sum", "n_night"), ("n_day", "sum", "n_day")],
-    )
-    uid = agg["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    cell = agg["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
-    nn = agg["n_night"].to_numpy(zero_copy_only=False).astype(np.int64)
-    nd = agg["n_day"].to_numpy(zero_copy_only=False).astype(np.int64)
-
-    def argmax_per_user(score: np.ndarray) -> dict[int, int]:
-        # max score, ties to the smaller cell id; zero scores excluded
-        best: dict[int, tuple[int, int]] = {}
-        for u, c, s in zip(uid.tolist(), cell.tolist(), score.tolist()):
-            if s <= 0:
-                continue
-            cur = best.get(u)
-            if cur is None or (-s, c) < cur:
-                best[u] = (-s, c)
-        return {u: v[1] for u, v in best.items()}
-
-    home = argmax_per_user(nn)
-    work = argmax_per_user(nd)
-    users = sorted(set(home) & set(work))
-    hx = np.array([home[u] % 96 for u in users], np.float64)
-    hy = np.array([home[u] // 96 for u in users], np.float64)
-    wx = np.array([work[u] % 96 for u in users], np.float64)
-    wy = np.array([work[u] // 96 for u in users], np.float64)
-    dist = np.sqrt((hx - wx) * (hx - wx) + (hy - wy) * (hy - wy))
-    return pa.table(
-        {
-            "user_id": pa.array(users, pa.int64()),
-            "home_cell": pa.array([home[u] for u in users], pa.int64()),
-            "work_cell": pa.array([work[u] for u in users], pa.int64()),
-            "commute_dist": round_like_sql(dist, 6),
-        }
-    )
-
-
-def _q_grid_euler(sf_dir: str) -> pa.Table:
-    """Euler characteristic of the valid-cell region (4-connectivity:
-    V - E + Q counts components minus holes): per-tile partials carry
-    the interior vertex/edge/quad counts plus BIT-PACKED boundary
-    strips (tile width 48 fits one int64), the driver stitches only
-    the O(perimeter) seams -- the halo-free distributed-topology
-    pattern."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-
-    tiles = ray.data.from_arrow(_og_tiles_table(sparse_invalid=True))
-
-    def pack(bits: np.ndarray) -> int:
-        return int((bits.astype(np.int64) << np.arange(len(bits))).sum())
-
-    def partial(batch: pa.Table) -> pa.Table:
-        rows = {
-            "r0": [], "c0": [], "v": [], "e": [], "q": [],
-            "north": [], "south": [], "west": [], "east": [],
-        }
-        for i in range(batch.num_rows):
-            h = batch["height"][i].as_py()
-            w = batch["width"][i].as_py()
-            m = (
-                np.asarray(batch["values"][i].as_py(), np.float32).reshape(
-                    h, w
-                )
-                > -1e30
-            )
-            rows["r0"].append(batch["row_off"][i].as_py())
-            rows["c0"].append(batch["col_off"][i].as_py())
-            rows["v"].append(int(m.sum()))
-            rows["e"].append(
-                int((m[:, :-1] & m[:, 1:]).sum())
-                + int((m[:-1, :] & m[1:, :]).sum())
-            )
-            rows["q"].append(
-                int(
-                    (m[:-1, :-1] & m[:-1, 1:] & m[1:, :-1] & m[1:, 1:]).sum()
-                )
-            )
-            rows["north"].append(pack(m[0]))
-            rows["south"].append(pack(m[-1]))
-            rows["west"].append(pack(m[:, 0]))
-            rows["east"].append(pack(m[:, -1]))
-        return pa.table(
-            {k: pa.array(v, pa.int64()) for k, v in rows.items()}
-        )
-
-    t = collect_tables(
-        tiles.map_batches(partial, batch_format="pyarrow", batch_size=None)
-    )
-    strips = {
-        (t["r0"][i].as_py(), t["c0"][i].as_py()): {
-            k: t[k][i].as_py()
-            for k in ("v", "e", "q", "north", "south", "west", "east")
-        }
-        for i in range(t.num_rows)
-    }
-
-    def unpack(word: int, n: int = 48) -> np.ndarray:
-        return (np.int64(word) >> np.arange(n)) & 1
-
-    v_tot = sum(s["v"] for s in strips.values())
-    e_tot = sum(s["e"] for s in strips.values())
-    q_tot = sum(s["q"] for s in strips.values())
-    for (r0, c0), s in strips.items():
-        right = strips.get((r0, c0 + OG_TILE))
-        if right is not None:  # vertical seam: east col touches west col
-            a = unpack(s["east"])
-            b = unpack(right["west"])
-            e_tot += int((a & b).sum())
-            q_tot += int((a[:-1] & a[1:] & b[:-1] & b[1:]).sum())
-        below = strips.get((r0 + OG_TILE, c0))
-        if below is not None:  # horizontal seam
-            a = unpack(s["south"])
-            b = unpack(below["north"])
-            e_tot += int((a & b).sum())
-            q_tot += int((a[:-1] & a[1:] & b[:-1] & b[1:]).sum())
-        # corner quad spanning four tiles: the 2x2 block around the
-        # shared corner -- this tile's SE cell, right's SW, below's
-        # NE, diag's NW
-        diag = strips.get((r0 + OG_TILE, c0 + OG_TILE))
-        if right is not None and below is not None and diag is not None:
-            se = unpack(s["south"])[-1]
-            sw_r = unpack(right["south"])[0]
-            ne_b = unpack(below["north"])[-1]
-            nw_d = unpack(diag["north"])[0]
-            if se and sw_r and ne_b and nw_d:
-                q_tot += 1
-    euler = v_tot - e_tot + q_tot
-    return pa.table(
-        {
-            "n_cells": pa.array([v_tot], pa.int64()),
-            "n_edges": pa.array([e_tot], pa.int64()),
-            "n_quads": pa.array([q_tot], pa.int64()),
-            "euler": pa.array([euler], pa.int64()),
-        }
-    )
-
-
-VIEWSHED_OBS = (77.125, 28.875)  # observer lon/lat (clean interior pixel)
-
-
-def _q_viewshed_counts(sf_dir: str) -> pa.Table:
-    """Viewshed from a fixed observer over the sparse DEM: per-target
-    line-of-sight with the SAME fixed-step sampling rule as
-    stages/raster.py::line_of_sight, fanned out to every lattice cell
-    -- the DEM ships once via ray.put, each batch of target cells
-    runs the (targets x steps) comparison fully vectorized.  Returns
-    one row per cell (visible flag + blocked-sample count)."""
-    import ray
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-
-    n_steps = 64
-    clearance = 2.0
-    a_lon, a_lat = VIEWSHED_OBS
-    tiles = _og_tiles_table(sparse_invalid=True)
-    z = np.zeros((OG_H, OG_W), np.float64)
-    for i in range(tiles.num_rows):
-        r0 = tiles["row_off"][i].as_py()
-        c0 = tiles["col_off"][i].as_py()
-        h = tiles["height"][i].as_py()
-        w = tiles["width"][i].as_py()
-        z[r0 : r0 + h, c0 : c0 + w] = np.asarray(
-            tiles["values"][i].as_py(), np.float32
-        ).reshape(h, w)
-    valid = z > -1e30
-    ref = ray.put((z, valid))
-
-    oc = int(np.floor((a_lon - 77.0) / 0.01))
-    orow = int(np.floor((29.0 - a_lat) / 0.01))
-    za = (float(z[orow, oc]) if valid[orow, oc] else 0.0) + clearance
-
-    rr, cc = np.meshgrid(np.arange(OG_H), np.arange(OG_W), indexing="ij")
-    targets = pa.table(
-        {
-            "row": pa.array(rr.ravel().astype(np.int64)),
-            "col": pa.array(cc.ravel().astype(np.int64)),
-        }
-    )
-
-    def los(batch: pa.Table) -> pa.Table:
-        zg, vg = ray.get(ref)
-        row = batch["row"].to_numpy(zero_copy_only=False)
-        col = batch["col"].to_numpy(zero_copy_only=False)
-        b_lon = 77.0 + 0.01 * (col.astype(np.float64) + 0.5)
-        b_lat = 29.0 - 0.01 * (row.astype(np.float64) + 0.5)
-        tz = np.where(vg[row, col], zg[row, col], 0.0)
-        zb = tz + clearance
-        i = np.arange(n_steps, dtype=np.float64)
-        t = (i + 1.0) / (n_steps + 1.0)
-        lon_t = a_lon + t[None, :] * (b_lon[:, None] - a_lon)
-        lat_t = a_lat + t[None, :] * (b_lat[:, None] - a_lat)
-        cols = np.floor((lon_t - 77.0) / 0.01).astype(np.int64)
-        rows = np.floor((29.0 - lat_t) / 0.01).astype(np.int64)
-        inb = (rows >= 0) & (rows < OG_H) & (cols >= 0) & (cols < OG_W)
-        zs = np.zeros_like(lon_t)
-        ok = np.zeros(lon_t.shape, bool)
-        zs[inb] = zg[rows[inb], cols[inb]]
-        ok[inb] = vg[rows[inb], cols[inb]]
-        height = za + t[None, :] * (zb[:, None] - za)
-        blocked = ok & (zs > height)
-        nb = blocked.sum(axis=1).astype(np.int64)
-        return pa.table(
-            {
-                "row": batch["row"],
-                "col": batch["col"],
-                "visible": pa.array((nb == 0).astype(np.int64)),
-                "n_blocked": pa.array(nb),
-            }
-        )
-
-    ds = ray.data.from_arrow(targets)
-    return collect_tables(
-        ds.map_batches(los, batch_format="pyarrow", batch_size=None)
-    ).sort_by([("row", "ascending"), ("col", "ascending")])
-
-
-def _q_hist_match_lut(sf_dir: str) -> pa.Table:
-    """Histogram matching between the two multiband-fixture bands
-    (the radiometric-normalization LUT for mosaicking): per-level
-    counts via the combiner tier, the CDF comparison cross-multiplied
-    (cdf2 * n1 >= cdf1 * n2) so the whole LUT is exact integer
-    arithmetic -- no floats anywhere."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    tiles = ray.data.from_arrow(_og_multiband_tiles_table(bands=(1, 2)))
-
-    def levels(batch: pa.Table) -> pa.Table:
-        bands = batch["band"].to_numpy(zero_copy_only=False)
-        vals = batch["values"]
-        out_b, out_k, out_n = [], [], []
-        for i in range(batch.num_rows):
-            v = np.asarray(vals[i].as_py(), np.float32)
-            vv = v[v > -1e30].astype(np.float64)
-            k = np.round(vv * 10.0).astype(np.int64)
-            ks, cs = np.unique(k, return_counts=True)
-            out_b.extend([int(bands[i])] * len(ks))
-            out_k.extend(ks.tolist())
-            out_n.extend(cs.astype(np.int64).tolist())
-        return pa.table(
-            {
-                "band": pa.array(out_b, pa.int64()),
-                "k": pa.array(out_k, pa.int64()),
-                "n": pa.array(out_n, pa.int64()),
-            }
-        )
-
-    agg = hash_aggregate(
-        tiles.map_batches(levels, batch_format="pyarrow", batch_size=None),
-        ["band", "k"],
-        [("n", "sum", "n")],
-    )
-    band = agg["band"].to_numpy(zero_copy_only=False).astype(np.int64)
-    kk = agg["k"].to_numpy(zero_copy_only=False).astype(np.int64)
-    nn = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-
-    def cdf_of(b: int):
-        sel = band == b
-        order = np.argsort(kk[sel])
-        ks = kk[sel][order]
-        cdf = np.cumsum(nn[sel][order])
-        return ks, cdf, int(cdf[-1])
-
-    k1, cdf1, n1 = cdf_of(1)
-    k2, cdf2, n2 = cdf_of(2)
-    # smallest band-2 level with cdf2 * n1 >= cdf1 * n2 (exact int)
-    pos = np.searchsorted(cdf2 * n1, cdf1 * n2, side="left")
-    tgt = k2[np.minimum(pos, len(k2) - 1)]
-    return pa.table(
-        {
-            "src_k": pa.array(k1),
-            "tgt_k": pa.array(tgt.astype(np.int64)),
-        }
-    )
-
-
-def _q_welch_ttest(sf_dir: str) -> pa.Table:
-    """Welch's unequal-variance t-test on event value cents between
-    the two mix32 experiment arms (the means counterpart of the
-    proportions ab_ztest): exact int64 moment sums per arm, the
-    t statistic and Welch-Satterthwaite df as one shared float
-    expression chain."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
-        mix32,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "value"]
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        c = scaled_int(batch["value"], 100.0)
-        return pa.table(
-            {
-                "arm": pa.array(mix32(uid, 13) % 2),
-                "_one": pa.array(np.ones(len(uid), np.int64)),
-                "s": pa.array(c),
-                "q": pa.array(c * c),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["arm"],
-        [("_one", "sum", "n"), ("s", "sum", "s"), ("q", "sum", "q")],
-    ).sort_by("arm")
-    n = agg["n"].to_numpy(zero_copy_only=False).astype(np.float64)
-    s = agg["s"].to_numpy(zero_copy_only=False).astype(np.float64)
-    q = agg["q"].to_numpy(zero_copy_only=False).astype(np.float64)
-    mean = s / n
-    var = (q - n * mean * mean) / (n - 1.0)
-    se2 = var[0] / n[0] + var[1] / n[1]
-    t = (mean[0] - mean[1]) / np.sqrt(se2)
-    df = (se2 * se2) / (
-        (var[0] / n[0]) * (var[0] / n[0]) / (n[0] - 1.0)
-        + (var[1] / n[1]) * (var[1] / n[1]) / (n[1] - 1.0)
-    )
-    return pa.table(
-        {
-            "n_a": pa.array([int(n[0])], pa.int64()),
-            "n_b": pa.array([int(n[1])], pa.int64()),
-            "mean_diff": round_like_sql([float(mean[0] - mean[1])], 6),
-            "t_stat": round_like_sql([float(t)], 6),
-            "welch_df": round_like_sql([float(df)], 6),
-        }
-    )
-
-
-def _q_periodogram_daily(sf_dir: str) -> pa.Table:
-    """Discrete-Fourier power of the daily event-count series at the
-    7/14/30-day candidate periods (the seasonality spectrum probe):
-    dense calendar series from the combiner tier, per-day cos/sin
-    terms quantized at 1e6 so each frequency's sums are exact int64,
-    power = (C^2 + S^2) / n."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    periods = (7, 14, 30)
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
-
-    def prep(batch: pa.Table) -> pa.Table:
-        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "d": pa.array(us // 86_400_000_000),
-                "_one": pa.array(np.ones(len(us), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["d"],
-        [("_one", "sum", "x")],
-    ).sort_by("d")
-    d = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)
-    xs = agg["x"].to_numpy(zero_copy_only=False).astype(np.int64)
-    lo, hi = int(d[0]), int(d[-1])
-    n = hi - lo + 1
-    x = np.zeros(n, np.int64)
-    x[d - lo] = xs
-    t = np.arange(n, dtype=np.float64)
-    out_p, out_w = [], []
-    for p in periods:
-        theta = 2.0 * np.pi * t / float(p)
-        cq = int(
-            round_half_away(x.astype(np.float64) * np.cos(theta) * 1e6)
-            .astype(np.int64)
-            .sum()
-        )
-        sq = int(
-            round_half_away(x.astype(np.float64) * np.sin(theta) * 1e6)
-            .astype(np.int64)
-            .sum()
-        )
-        c = float(cq) / 1e6
-        sv = float(sq) / 1e6
-        out_p.append(p)
-        out_w.append((c * c + sv * sv) / float(n))
-    return pa.table(
-        {
-            "period_days": pa.array(out_p, pa.int64()),
-            "power": round_like_sql(out_w, 6),
-        }
-    )
-
-
-def _q_nelson_aalen(sf_dir: str) -> pa.Table:
-    """Nelson-Aalen cumulative hazard for time-to-first-error (the
-    additive sibling of Kaplan-Meier, same right-censored durations):
-    per-time d_i/n_i terms quantized at 1e12 so the hazard prefix sum
-    is an exact int64 in time order, one float division per row."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "ts", "event_type"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        ts = batch["ts"].cast(pa.int64())
-        tnp = ts.to_numpy(zero_copy_only=False)
-        is_ev = pa.compute.equal(batch["event_type"], "error")
-        big = np.int64(2**62)
-        evt = np.where(is_ev.to_numpy(zero_copy_only=False), tnp, big)
-        return pa.table(
-            {
-                "user_id": batch["user_id"],
-                "t0": pa.array(tnp),
-                "tlast": pa.array(tnp),
-                "terr": pa.array(evt),
-            }
-        )
-
-    peru = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["user_id"],
-        [("t0", "min", "t0"), ("tlast", "max", "tlast"),
-         ("terr", "min", "terr")],
-    )
-    t0 = peru["t0"].to_numpy(zero_copy_only=False)
-    tlast = peru["tlast"].to_numpy(zero_copy_only=False)
-    terr = peru["terr"].to_numpy(zero_copy_only=False)
-    big = np.int64(2**62)
-    observed = terr < big
-    dur = np.where(observed, terr - t0, tlast - t0)
-    dsort = np.sort(dur)
-    ev_times, d_counts = np.unique(dur[observed], return_counts=True)
-    n_at_risk = len(dur) - np.searchsorted(dsort, ev_times, side="left")
-    tq = round_half_away(
-        d_counts.astype(np.float64) / n_at_risk.astype(np.float64) * 1e12
-    ).astype(np.int64)
-    cum = np.cumsum(tq).astype(np.float64) / 1e12
-    return pa.table(
-        {
-            "t_us": pa.array(ev_times.astype(np.int64)),
-            "n_at_risk": pa.array(n_at_risk.astype(np.int64)),
-            "n_events": pa.array(d_counts.astype(np.int64)),
-            "cum_hazard": round_like_sql(cum, 6),
-        }
-    )
-
-
-def _q_bootstrap_ci(sf_dir: str) -> pa.Table:
-    """Deterministic bootstrap CI for the mean events-per-user: 200
-    mix32-indexed resamples of the per-user count vector (bounded by
-    users, not events), each replicate's sum an exact int64, the 95%
-    interval read off order statistics (ranks 5 and 195 of 200) --
-    resampling inference with a bit-reproducible RNG the SQL oracle
-    replays."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
-        mix32,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    B = 200
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["user_id"])
-
-    def prep(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "user_id": batch["user_id"],
-                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["user_id"],
-        [("_one", "sum", "cnt")],
-    ).sort_by("user_id")
-    cnt = agg["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
-    m = len(cnt)
-    b = np.repeat(np.arange(B, dtype=np.int64), m)
-    i = np.tile(np.arange(m, dtype=np.int64), B)
-    idx = mix32(b * m + i, 7) % m
-    sums = np.zeros(B, np.int64)
-    np.add.at(sums, b, cnt[idx])
-    order = np.argsort(sums, kind="stable")  # ties: by replicate id
-    lo_sum = int(sums[order[4]])
-    hi_sum = int(sums[order[B - 6]])
-    return pa.table(
-        {
-            "mean": round_like_sql([float(int(cnt.sum())) / float(m)], 6),
-            "boot_lo": round_like_sql([float(lo_sum) / float(m)], 6),
-            "boot_hi": round_like_sql([float(hi_sum) / float(m)], 6),
-        }
-    )
-
-
-def _q_harmonic_price(sf_dir: str) -> pa.Table:
-    """Harmonic mean retail price per brand (the rate-averaging mean):
-    reciprocal terms quantized at 1e12 so the distributed sum is an
-    exact int64 in any combine order, one float division per brand."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "part.parquet"),
-        columns=["p_brand", "p_retailprice"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        price = batch["p_retailprice"].to_numpy(zero_copy_only=False)
-        tq = round_half_away((1.0 / price) * 1e12).astype(np.int64)
-        return pa.table(
-            {
-                "p_brand": batch["p_brand"],
-                "_one": pa.array(np.ones(len(price), np.int64)),
-                "tq": pa.array(tq),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["p_brand"],
-        [("_one", "sum", "n"), ("tq", "sum", "sum_tq")],
-    ).sort_by("p_brand")
-    n = agg["n"].to_numpy(zero_copy_only=False).astype(np.float64)
-    s = agg["sum_tq"].to_numpy(zero_copy_only=False).astype(np.float64)
-    return pa.table(
-        {
-            "p_brand": agg["p_brand"],
-            "harmonic_mean": round_like_sql(n / (s / 1e12), 6),
-        }
-    )
-
-
-def _q_char_entropy(sf_dir: str) -> pa.Table:
-    """Per-document character entropy (nats) -- the gibberish /
-    low-diversity text screen: code points via a zero-copy utf-32
-    view (no Python char loop), per-char n*ln(n) terms quantized at
-    1e12 so the cross-char sum is exact, entropy = ln(N) - sum/N."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
-
-    def ent(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        out_e = np.empty(len(ids), np.float64)
-        for i, t in enumerate(batch["text"].to_pylist()):
-            cp = np.frombuffer(t.encode("utf-32-le"), np.uint32)
-            _, c = np.unique(cp, return_counts=True)
-            c = c.astype(np.float64)
-            acc = int(
-                round_half_away(c * np.log(c) * 1e12).astype(np.int64).sum()
-            )
-            nc = float(len(cp))
-            out_e[i] = np.log(nc) - (float(acc) / 1e12) / nc
-        return pa.table(
-            {"doc_id": pa.array(ids), "entropy": round_like_sql(out_e, 6)}
-        )
-
-    return collect_tables(
-        ds.map_batches(ent, batch_format="pyarrow", batch_size=None)
-    ).sort_by("doc_id")
-
-
-def _q_rayleigh_hours(sf_dir: str) -> pa.Table:
-    """Rayleigh test of hour-of-day uniformity per event type
-    (circular statistics: mean resultant length R and z = n R^2):
-    per-(type, hour) counts via the combiner tier, the 24 cos/sin
-    terms quantized at 1e6 so the circular sums are exact int64."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"]
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "event_type": batch["event_type"],
-                "h": pa.array((us // 3_600_000_000) % 24),
-                "_one": pa.array(np.ones(len(us), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["event_type", "h"],
-        [("_one", "sum", "n")],
-    )
-    ty = agg["event_type"].to_numpy(zero_copy_only=False)
-    h = agg["h"].to_numpy(zero_copy_only=False).astype(np.float64)
-    n = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    theta = 2.0 * np.pi * h / 24.0
-    tqc = round_half_away(n.astype(np.float64) * np.cos(theta) * 1e6).astype(
-        np.int64
-    )
-    tqs = round_half_away(n.astype(np.float64) * np.sin(theta) * 1e6).astype(
-        np.int64
-    )
-    out_t, out_n, out_r, out_z = [], [], [], []
-    for t in sorted(set(ty.tolist())):
-        sel = ty == t
-        nn = int(n[sel].sum())
-        c = float(int(tqc[sel].sum())) / 1e6
-        s = float(int(tqs[sel].sum())) / 1e6
-        r = np.sqrt(c * c + s * s) / float(nn)
-        out_t.append(t)
-        out_n.append(nn)
-        out_r.append(float(r))
-        out_z.append(float(nn) * float(r) * float(r))
-    return pa.table(
-        {
-            "event_type": pa.array(out_t),
-            "n": pa.array(out_n, pa.int64()),
-            "r_bar": round_like_sql(out_r, 6),
-            "rayleigh_z": round_like_sql(out_z, 6),
-        }
-    )
-
-
-def _q_mann_kendall(sf_dir: str) -> pa.Table:
-    """Mann-Kendall trend test per 16x16 quadrat over the dense daily
-    count series (the 'emerging hotspot' detector in space-time
-    cubes): the S statistic is an exact int64 pairwise-sign sum, the
-    tie-corrected variance comes from integer tie-group moments, and
-    z is the single shared float expression.  Per-(quadrat, day)
-    counts distribute; the 256 x days matrix is calendar-bounded."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "ts"]
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        qx = (eid % 96) // 6
-        qy = ((eid // 96) % 96) // 6
-        return pa.table(
-            {
-                "q": pa.array(qy * 16 + qx),
-                "d": pa.array(us // 86_400_000_000),
-                "_one": pa.array(np.ones(len(eid), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["q", "d"],
-        [("_one", "sum", "x")],
-    )
-    qs = agg["q"].to_numpy(zero_copy_only=False).astype(np.int64)
-    dd = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)
-    xx = agg["x"].to_numpy(zero_copy_only=False).astype(np.int64)
-    lo, hi = int(dd.min()), int(dd.max())
-    n = hi - lo + 1
-    mat = np.zeros((256, n), np.int64)
-    mat[qs, dd - lo] = xx
-    diff = np.sign(mat[:, None, :] - mat[:, :, None])  # (256, i, j)
-    iu = np.triu_indices(n, k=1)
-    s_stat = diff[:, iu[0], iu[1]].sum(axis=1).astype(np.int64)
-    out_q, out_s, out_z = [], [], []
-    for q in range(256):
-        _, tcounts = np.unique(mat[q], return_counts=True)
-        t_corr = int((tcounts * (tcounts - 1) * (2 * tcounts + 5)).sum())
-        var = (float(n * (n - 1) * (2 * n + 5)) - float(t_corr)) / 18.0
-        s = int(s_stat[q])
-        if s > 0:
-            z = (float(s) - 1.0) / np.sqrt(var)
-        elif s < 0:
-            z = (float(s) + 1.0) / np.sqrt(var)
-        else:
-            z = 0.0
-        out_q.append(q)
-        out_s.append(s)
-        out_z.append(float(z))
-    return pa.table(
-        {
-            "quadrat": pa.array(out_q, pa.int64()),
-            "s_stat": pa.array(out_s, pa.int64()),
-            "mk_z": round_like_sql(out_z, 6),
-        }
-    )
-
-
-def _q_local_moran(sf_dir: str) -> pa.Table:
-    """Local Moran's I (LISA, Anselin 1995) per lattice cell over the
-    event density field: the hotspot/outlier detector behind every
-    cluster map.  Rewritten so every sum is an exact int64 -- the
-    neighbor VALUE sum replaces the neighbor deviation sum
-    (s_nb - k*mu algebraically), the global variance comes from
-    integer moments -- and the only floats are one shared expression
-    per cell."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
-        partial_count,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
-
-    def gridcell(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "gx": pa.array((eid % 96).astype(np.int64)),
-                "gy": pa.array(((eid // 96) % 96).astype(np.int64)),
-            }
-        )
-
-    counts = partial_count(
-        ds.map_batches(gridcell, batch_format="pyarrow", batch_size=None),
-        ["gx", "gy"],
-    ).rename_columns(["gx", "gy", "n"])
-    grid = np.zeros((96, 96), np.int64)
-    gx = counts["gx"].to_numpy(zero_copy_only=False).astype(np.int64)
-    gy = counts["gy"].to_numpy(zero_copy_only=False).astype(np.int64)
-    grid[gy, gx] = counts["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    s_nb = np.zeros((96, 96), np.int64)
-    s_nb[:, 1:] += grid[:, :-1]
-    s_nb[:, :-1] += grid[:, 1:]
-    s_nb[1:, :] += grid[:-1, :]
-    s_nb[:-1, :] += grid[1:, :]
-    k = np.full((96, 96), 4, np.int64)
-    k[0, :] -= 1
-    k[-1, :] -= 1
-    k[:, 0] -= 1
-    k[:, -1] -= 1
-    nn = 9216.0
-    s_tot = int(grid.sum())
-    q_tot = int((grid * grid).sum())
-    mu = float(s_tot) / nn
-    m2 = (float(q_tot) - nn * mu * mu) / nn
-    li = (
-        (grid.astype(np.float64) - mu)
-        * (s_nb.astype(np.float64) - k.astype(np.float64) * mu)
-        / m2
-    )
-    yy, xx = np.meshgrid(np.arange(96), np.arange(96), indexing="ij")
-    return pa.table(
-        {
-            "gx": pa.array(xx.ravel().astype(np.int64)),
-            "gy": pa.array(yy.ravel().astype(np.int64)),
-            "local_i": round_like_sql(li.ravel(), 6),
-        }
-    )
-
-
-def _q_quadrat_test(sf_dir: str) -> pa.Table:
-    """Quadrat chi-square test for complete spatial randomness: event
-    counts in 16x16 lattice quadrats (6x6 cells each), chi^2 against
-    the uniform expectation from expanded integer moments
-    (Q - 2mS + 256 m^2)/m so no per-quadrat float sum exists."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
-
-    def quad(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        qx = (eid % 96) // 6
-        qy = ((eid // 96) % 96) // 6
-        return pa.table(
-            {
-                "q": pa.array(qy * 16 + qx),
-                "_one": pa.array(np.ones(len(eid), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(quad, batch_format="pyarrow", batch_size=None),
-        ["q"],
-        [("_one", "sum", "n")],
-    )
-    n_q = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    s = int(n_q.sum())
-    q2 = int((n_q * n_q).sum())  # absent quadrats contribute 0
-    m = float(s) / 256.0
-    chi2 = (float(q2) - 2.0 * m * float(s) + 256.0 * m * m) / m
-    return pa.table(
-        {
-            "n_events": pa.array([s], pa.int64()),
-            "chi2": round_like_sql([chi2], 6),
-            "df": pa.array([255], pa.int64()),
-        }
-    )
-
-
-def _q_clamped_balance(sf_dir: str) -> pa.Table:
-    """Clamped-at-zero running balance per user (warehouse /
-    prepaid-credit semantics: deposits +cents on even events,
-    withdrawals -cents on odd): the sequential recurrence
-    y_t = max(0, y_{t-1} + d_t) vectorizes through the prefix-min
-    identity y_t = P_t - min(0, min_{s<=t} P_s), so both the engine
-    (cummin over the ordered per-user group) and the SQL window
-    mirror stay exact int64 with NO recursion."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int as _si,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
-        grouped_by_key,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "user_id", "ts", "value"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        cents = _si(batch["value"], 100.0)
-        delta = np.where(eid % 2 == 0, cents, -cents)
-        return pa.table(
-            {
-                "user_id": batch["user_id"],
-                "ts_us": batch["ts"].cast(pa.int64()),
-                "event_id": batch["event_id"],
-                "delta": pa.array(delta),
-            }
-        )
-
-    def per_user(group: pa.Table) -> pa.Table:
-        order = np.lexsort(
-            (
-                group["event_id"].to_numpy(zero_copy_only=False),
-                group["ts_us"].to_numpy(zero_copy_only=False),
-            )
-        )
-        d = group["delta"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
-        p = np.cumsum(d)
-        floor = np.minimum(np.minimum.accumulate(p), 0)
-        y = p - floor
-        uid = group["user_id"][0].as_py()
-        return pa.table(
-            {
-                "user_id": pa.array([uid], group["user_id"].type),
-                "final_balance": pa.array([int(y[-1])], pa.int64()),
-                "max_balance": pa.array([int(y.max())], pa.int64()),
-            }
-        )
-
-    out = grouped_by_key(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        "user_id",
-        per_user,
-    )
-    return collect_tables(out).sort_by("user_id")
-
-
-def _q_gearys_c(sf_dir: str) -> pa.Table:
-    """Geary's C spatial autocorrelation (rook weights) of the event
-    density field on the 96x96 geocode lattice -- the local-contrast
-    complement to Moran's I.  Unlike Moran's cross-products, Geary's
-    numerator sum w_ij (x_i - x_j)^2 is an exact int64 over integer
-    counts, so the whole statistic is order-independent: distributed
-    per-cell counts (lattice-bounded), dense integer shifts, one
-    shared float expression at the end."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
-        partial_count,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
-
-    def gridcell(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "gx": pa.array((eid % 96).astype(np.int64)),
-                "gy": pa.array(((eid // 96) % 96).astype(np.int64)),
-            }
-        )
-
-    counts = partial_count(
-        ds.map_batches(gridcell, batch_format="pyarrow", batch_size=None),
-        ["gx", "gy"],
-    ).rename_columns(["gx", "gy", "n"])
-    grid = np.zeros((96, 96), np.int64)
-    gx = counts["gx"].to_numpy(zero_copy_only=False).astype(np.int64)
-    gy = counts["gy"].to_numpy(zero_copy_only=False).astype(np.int64)
-    grid[gy, gx] = counts["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    dh = grid[:, :-1] - grid[:, 1:]
-    dv = grid[:-1, :] - grid[1:, :]
-    num = 2 * int((dh * dh).sum()) + 2 * int((dv * dv).sum())
-    s_tot = int(grid.sum())
-    q_tot = int((grid.astype(np.int64) ** 2).sum())
-    nn = 9216.0
-    w = 36480.0  # 2 * (96*95 + 96*95) rook pairs, both directions
-    mu = float(s_tot) / nn
-    den = float(q_tot) - nn * mu * mu
-    c = ((nn - 1.0) * float(num)) / ((2.0 * w) * den)
-    return pa.table({"gearys_c": round_like_sql([c], 6)})
-
-
-def _q_hist_intersection(sf_dir: str) -> pa.Table:
-    """Histogram-intersection similarity between every pair of
-    sources' language distributions (sum over langs of min share) --
-    the bounded-sum cousin of KL divergence; per-lang min terms
-    quantized at 1e12 so the cross-language sum is an exact int64."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["source", "lang"]
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "source": batch["source"],
-                "lang": batch["lang"],
-                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["source", "lang"],
-        [("_one", "sum", "n_sl")],
-    )
-    src = agg["source"].to_numpy(zero_copy_only=False)
-    lang = agg["lang"].to_numpy(zero_copy_only=False)
-    n_sl = agg["n_sl"].to_numpy(zero_copy_only=False).astype(np.int64)
-    per: dict[str, dict[str, int]] = {}
-    tot: dict[str, int] = {}
-    for s, l, c in zip(src.tolist(), lang.tolist(), n_sl.tolist()):
-        per.setdefault(s, {})[l] = c
-        tot[s] = tot.get(s, 0) + c
-    out_a, out_b, out_v = [], [], []
-    srcs = sorted(per)
-    for i, a in enumerate(srcs):
-        for b in srcs[i + 1 :]:
-            acc = 0
-            for l in per[a]:
-                if l in per[b]:
-                    term = min(
-                        float(per[a][l]) / float(tot[a]),
-                        float(per[b][l]) / float(tot[b]),
-                    )
-                    acc += int(round_half_away(np.float64(term * 1e12)))
-            out_a.append(a)
-            out_b.append(b)
-            out_v.append(float(acc) / 1e12)
-    return pa.table(
-        {
-            "source_a": pa.array(out_a),
-            "source_b": pa.array(out_b),
-            "overlap": round_like_sql(out_v, 6),
-        }
-    )
-
-
-def _q_holt_linear(sf_dir: str) -> pa.Table:
-    """Holt double-exponential smoothing (alpha=0.3, gamma=0.1) of the
-    daily event-count series: counts via the combiner tier, the
-    calendar-bounded recursion on the driver -- level/trend updates
-    written as the exact float expressions the recursive-CTE oracle
-    repeats, so every intermediate state matches bit-for-bit."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
-
-    def prep(batch: pa.Table) -> pa.Table:
-        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "d": pa.array(us // 86_400_000_000),
-                "_one": pa.array(np.ones(len(us), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["d"],
-        [("_one", "sum", "x")],
-    ).sort_by("d")
-    d = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)
-    xs = agg["x"].to_numpy(zero_copy_only=False).astype(np.int64)
-    lo, hi = int(d[0]), int(d[-1])
-    n = hi - lo + 1
-    x = np.zeros(n, np.int64)
-    x[d - lo] = xs
-    level = float(x[0])
-    trend = float(x[1]) - float(x[0])
-    for t in range(1, n):
-        xt = float(x[t])
-        new_level = (0.3 * xt) + (0.7 * (level + trend))
-        trend = (0.1 * (new_level - level)) + (0.9 * trend)
-        level = new_level
-    return pa.table(
-        {
-            "level": round_like_sql([level], 6),
-            "trend": round_like_sql([trend], 6),
-            "forecast_7": round_like_sql([level + 7.0 * trend], 6),
-        }
-    )
-
-
-def _q_holt_winters(sf_dir: str) -> pa.Table:
-    """Holt-Winters ADDITIVE triple-exponential smoothing (alpha=0.3,
-    beta=0.1, gamma=0.2, weekly season m=7) of the daily event-count
-    series: counts via the combiner tier, the calendar-bounded
-    recursion on the driver.  Init: level = mean of season 1, trend =
-    (sum season 2 - sum season 1)/49, seasonals = first-week
-    deviations.  Every update is written as the exact float
-    expression the recursive-CTE oracle repeats (the oracle carries
-    the 7 live seasonal states as a LIST column), so all
-    intermediates match bit-for-bit."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
-
-    def prep(batch: pa.Table) -> pa.Table:
-        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "d": pa.array(us // 86_400_000_000),
-                "_one": pa.array(np.ones(len(us), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["d"],
-        [("_one", "sum", "x")],
-    ).sort_by("d")
-    d = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)
-    xs = agg["x"].to_numpy(zero_copy_only=False).astype(np.int64)
-    lo, hi = int(d[0]), int(d[-1])
-    n = hi - lo + 1
-    x = np.zeros(n, np.int64)
-    x[d - lo] = xs
-    sum1 = int(x[:7].sum())
-    sum2 = int(x[7:14].sum())
-    level = float(sum1) / 7.0
-    trend = (float(sum2) - float(sum1)) / 49.0
-    seas = [float(x[i]) - (float(sum1) / 7.0) for i in range(7)]
-    for t in range(7, n):
-        xt = float(x[t])
-        s_tm = seas[t - 7]
-        new_level = (0.3 * (xt - s_tm)) + (0.7 * (level + trend))
-        new_trend = (0.1 * (new_level - level)) + (0.9 * trend)
-        seas.append((0.2 * (xt - new_level)) + (0.8 * s_tm))
-        level, trend = new_level, new_trend
-    return pa.table(
-        {
-            "level": round_like_sql([level], 6),
-            "trend": round_like_sql([trend], 6),
-            "forecast_1": round_like_sql([level + trend + seas[n - 7]], 6),
-        }
-    )
-
-
-def _q_dispersion_ellipse(sf_dir: str) -> pa.Table:
-    """Standard deviational ellipse per user (the point-dispersion
-    summary GIS packages ship): exact int64 lattice moments via the
-    combiner tier, 2x2 covariance eigen-decomposition in closed form,
-    orientation from atan2 -- one shared float expression chain, so
-    the SQL oracle reproduces axes and angle exactly."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "user_id"]
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        gx = eid % 96
-        gy = (eid // 96) % 96
-        return pa.table(
-            {
-                "user_id": batch["user_id"],
-                "_one": pa.array(np.ones(len(eid), np.int64)),
-                "sx": pa.array(gx),
-                "sy": pa.array(gy),
-                "sxx": pa.array(gx * gx),
-                "syy": pa.array(gy * gy),
-                "sxy": pa.array(gx * gy),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["user_id"],
-        [
-            ("_one", "sum", "n"),
-            ("sx", "sum", "sx"),
-            ("sy", "sum", "sy"),
-            ("sxx", "sum", "sxx"),
-            ("syy", "sum", "syy"),
-            ("sxy", "sum", "sxy"),
-        ],
-    ).sort_by("user_id")
-    n = agg["n"].to_numpy(zero_copy_only=False).astype(np.float64)
-    sx = agg["sx"].to_numpy(zero_copy_only=False).astype(np.float64)
-    sy = agg["sy"].to_numpy(zero_copy_only=False).astype(np.float64)
-    sxx = agg["sxx"].to_numpy(zero_copy_only=False).astype(np.float64)
-    syy = agg["syy"].to_numpy(zero_copy_only=False).astype(np.float64)
-    sxy = agg["sxy"].to_numpy(zero_copy_only=False).astype(np.float64)
-    mux = sx / n
-    muy = sy / n
-    cxx = sxx / n - mux * mux
-    cyy = syy / n - muy * muy
-    cxy = sxy / n - mux * muy
-    tr2 = (cxx + cyy) / 2.0
-    disc = np.sqrt(
-        ((cxx - cyy) / 2.0) * ((cxx - cyy) / 2.0) + cxy * cxy
-    )
-    semi_major = np.sqrt(tr2 + disc)
-    semi_minor = np.sqrt(tr2 - disc)
-    theta = np.arctan2(2.0 * cxy, cxx - cyy) / 2.0
-    return pa.table(
-        {
-            "user_id": agg["user_id"],
-            "semi_major": round_like_sql(semi_major, 6),
-            "semi_minor": round_like_sql(semi_minor, 6),
-            "theta": round_like_sql(theta, 6),
-        }
-    )
-
-
-def _q_kl_divergence(sf_dir: str) -> pa.Table:
-    """KL divergence of each source's language mix from the corpus
-    mix (the distribution-drift monitor for training-data curation):
-    (source, lang) counts via the combiner tier, per-term fixed-point
-    quantization at 1e12 (the geomean trick) so the cross-language
-    sum is an exact int64 in any order, one float division per
-    source.  Uses count ratios inside ln -- at 10^12 rows compute the
-    ln argument as (n_sl/n_s)/(n_l/n) to stay in range."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["source", "lang"]
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "source": batch["source"],
-                "lang": batch["lang"],
-                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["source", "lang"],
-        [("_one", "sum", "n_sl")],
-    )
-    src = agg["source"].to_numpy(zero_copy_only=False)
-    lang = agg["lang"].to_numpy(zero_copy_only=False)
-    n_sl = agg["n_sl"].to_numpy(zero_copy_only=False).astype(np.int64)
-    n = int(n_sl.sum())
-    n_s = {}
-    n_l = {}
-    for s, l, c in zip(src.tolist(), lang.tolist(), n_sl.tolist()):
-        n_s[s] = n_s.get(s, 0) + c
-        n_l[l] = n_l.get(l, 0) + c
-    acc: dict[str, int] = {}
-    for s, l, c in zip(src.tolist(), lang.tolist(), n_sl.tolist()):
-        term = (
-            float(c) / float(n_s[s])
-            * np.log(float(c * n) / float(n_s[s] * n_l[l]))
-        )
-        tq = int(round_half_away(np.float64(term * 1e12)))
-        acc[s] = acc.get(s, 0) + tq
-    srcs = sorted(acc)
-    return pa.table(
-        {
-            "source": pa.array(srcs),
-            "kl_nats": round_like_sql(
-                [float(acc[s]) / 1e12 for s in srcs], 6
-            ),
-        }
-    )
-
-
-def _q_ripley_k(sf_dir: str) -> pa.Table:
-    """Ripley's K point-pattern statistic at radii 0.02/0.05/0.10
-    over a deterministic 1-in-20 sample of the geocoded events
-    (spatial clustering vs CSR, Ripley 1977): the sample matrix is
-    the classic ray.put broadcast side, each batch counts its points'
-    neighbors against it vectorized, exact int64 pair counts combine,
-    one float K-hat expression per radius."""
-    import ray
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    radii = (0.02, 0.05, 0.10)
-    area = 0.95 * 0.95  # geocode extent span per axis
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["event_id"]
-    )
-
-    def geocode(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False)
-        eid = eid[eid % 20 == 0]  # deterministic 1-in-20 sample
-        return pa.table(
-            {
-                "px": pa.array(77.0 + (eid % 96).astype(np.float64) * 0.01),
-                "py": pa.array(
-                    28.05 + ((eid // 96) % 96).astype(np.float64) * 0.01
-                ),
-            }
-        )
-
-    sample = ds.map_batches(
-        geocode, batch_format="pyarrow", batch_size=None
-    ).materialize()
-    tbl = pa.concat_tables(
-        [pa.table(b) for b in sample.iter_batches(batch_format="pyarrow")]
-    )
-    qx = tbl["px"].to_numpy(zero_copy_only=False)
-    qy = tbl["py"].to_numpy(zero_copy_only=False)
-    m = len(qx)
-    ref = ray.put((qx, qy))
-
-    def count_pairs(batch: pa.Table) -> pa.Table:
-        bx, by = ray.get(ref)
-        px = batch["px"].to_numpy(zero_copy_only=False)
-        py = batch["py"].to_numpy(zero_copy_only=False)
-        d2 = (
-            (px[:, None] - bx[None, :]) ** 2
-            + (py[:, None] - by[None, :]) ** 2
-        )
-        out_r, out_c = [], []
-        for r in radii:
-            # self-pairs (d2 == 0 on the diagonal) excluded: each
-            # point sees itself exactly once in the broadcast matrix
-            out_r.append(r)
-            out_c.append(int((d2 <= r * r).sum()) - len(px))
-        return pa.table(
-            {
-                "radius": pa.array(out_r, pa.float64()),
-                "n_pairs": pa.array(out_c, pa.int64()),
-            }
-        )
-
-    agg = hash_aggregate(
-        sample.map_batches(count_pairs, batch_format="pyarrow", batch_size=None),
-        ["radius"],
-        [("n_pairs", "sum", "n_pairs")],
-    ).sort_by("radius")
-    pairs = agg["n_pairs"].to_numpy(zero_copy_only=False).astype(np.float64)
-    k_hat = area * pairs / float(m * (m - 1))
-    return pa.table(
-        {
-            "radius": agg["radius"],
-            "n_pairs": agg["n_pairs"],
-            "k_hat": round_like_sql(k_hat, 6),
-        }
-    )
-
-
-def _q_acf_lags(sf_dir: str) -> pa.Table:
-    """Autocorrelation of the hourly event-count series at lags
-    1/2/3/6/12/24 h (the seasonality detector behind traffic
-    forecasting): per-hour counts via the combiner tier; the series
-    itself is calendar-bounded (hours, not rows), so the driver-side
-    ACF over exact int64 moments is scale-safe -- every float enters
-    through the one shared expression the SQL mirror repeats."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    lags = (1, 2, 3, 6, 12, 24)
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
-
-    def prep(batch: pa.Table) -> pa.Table:
-        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "hr": pa.array(us // 3_600_000_000),
-                "_one": pa.array(np.ones(len(us), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["hr"],
-        [("_one", "sum", "x")],
-    ).sort_by("hr")
-    hr = agg["hr"].to_numpy(zero_copy_only=False).astype(np.int64)
-    xs = agg["x"].to_numpy(zero_copy_only=False).astype(np.int64)
-    lo, hi = int(hr[0]), int(hr[-1])
-    n = hi - lo + 1
-    x = np.zeros(n, np.int64)
-    x[hr - lo] = xs
-    s_tot = int(x.sum())
-    q_tot = int((x * x).sum())
-    mu = float(s_tot) / float(n)
-    out_l, out_a = [], []
-    for h in lags:
-        p = int((x[:-h] * x[h:]).sum())
-        sa = int(x[:-h].sum())
-        sb = int(x[h:].sum())
-        num = float(p) - mu * float(sa) - mu * float(sb) + float(n - h) * mu * mu
-        den = float(q_tot) - 2.0 * mu * float(s_tot) + float(n) * mu * mu
-        out_l.append(h)
-        out_a.append(num / den)
-    return pa.table(
-        {
-            "lag": pa.array(out_l, pa.int64()),
-            "acf": round_like_sql(out_a, 6),
-        }
-    )
-
-
-def _q_zorder_cells(sf_dir: str) -> pa.Table:
-    """Morton (z-order) locality key over the valid grid pixels,
-    summarized as a 16-way range-partition plan (count + key span per
-    bucket) -- the space-filling-curve partitioner that keeps
-    spatially-near pixels in the same block at 100 TB (bit interleave
-    is pure vectorized integer math; the plan table is O(buckets))."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    pts = _og_points_ds(valid_only=True)
-
-    def key(batch: pa.Table) -> pa.Table:
-        pix = batch["pix"].to_numpy(zero_copy_only=False).astype(np.int64)
-        row = pix // OG_W
-        col = pix % OG_W
-        z = np.zeros(len(pix), np.int64)
-        for b in range(7):
-            z |= ((col >> b) & 1) << (2 * b)
-            z |= ((row >> b) & 1) << (2 * b + 1)
-        return pa.table(
-            {
-                "bucket": pa.array(z // 1024),
-                "zkey": pa.array(z),
-                "_one": pa.array(np.ones(len(pix), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        pts.map_batches(key, batch_format="pyarrow", batch_size=None),
-        ["bucket"],
-        [
-            ("_one", "sum", "n_pixels"),
-            ("zkey", "min", "z_min"),
-            ("zkey", "max", "z_max"),
-        ],
-    )
-    return agg.sort_by("bucket")
-
-
-
-def _q_phrase_search(sf_dir: str) -> pa.Table:
-    """Positional exact phrase search for "row column sort": the
-    bit-anchor positional-postings formulation (word k at position p
-    emits (doc, p-k, 1<<k); one distributed (doc, anchor) sum; a full
-    bitmask is a consecutive occurrence).  Only the three terms'
-    postings leave the scan -- see stages/textops.py::phrase_search.
-    Output: (doc_id, n_hits) for documents containing the phrase."""
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        phrase_search,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
-    t = phrase_search(ds, ["row", "column", "sort"])
-    return pa.table(
-        {"doc_id": t["doc_id"], "n_hits": t["n_hits"].cast(pa.int64())}
-    )
-
-
-
-def _q_kendall_tau(sf_dir: str) -> pa.Table:
-    """Kendall tau-b per user between event time and value (the
-    rank-concordance trend test; completes the rank family next to
-    spearman / mann_whitney / kruskal_wallis).  All pair counts --
-    concordant, discordant, time ties, value ties -- are exact int64
-    computed vectorized per user group in the groupby map_groups tier
-    (pairs are user-bounded, never cross keys, so the all-pairs
-    kernel is per-group O(n^2) on ~constant n at any corpus size);
-    tau-b itself is one shared float expression over those ints."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "ts", "value"],
-    )
-
-    def per_user(group: pa.Table) -> pa.Table:
-        x = group["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        y = scaled_int(group["value"], 100.0)
-        n = len(x)
-        uid = group["user_id"][0].as_py()
-        dx = np.sign(x[:, None] - x[None, :])
-        dy = np.sign(y[:, None] - y[None, :])
-        iu = np.triu_indices(n, 1)
-        s = dx[iu] * dy[iu]
-        nc = int((s > 0).sum())
-        nd = int((s < 0).sum())
-        tx = int((dx[iu] == 0).sum())
-        ty = int((dy[iu] == 0).sum())
-        return pa.table(
-            {
-                "user_id": pa.array([uid], group["user_id"].type),
-                "n": pa.array([n], pa.int64()),
-                "nc": pa.array([nc], pa.int64()),
-                "nd": pa.array([nd], pa.int64()),
-                "tx": pa.array([tx], pa.int64()),
-                "ty": pa.array([ty], pa.int64()),
-            }
-        )
-
-    per = collect_tables(
-        ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
-    ).sort_by("user_id")
-    n = per["n"].to_numpy(zero_copy_only=False).astype(np.float64)
-    nc = per["nc"].to_numpy(zero_copy_only=False).astype(np.float64)
-    nd = per["nd"].to_numpy(zero_copy_only=False).astype(np.float64)
-    tx = per["tx"].to_numpy(zero_copy_only=False).astype(np.float64)
-    ty = per["ty"].to_numpy(zero_copy_only=False).astype(np.float64)
-    n0 = n * (n - 1.0) / 2.0
-    denom = np.sqrt((n0 - tx) * (n0 - ty))
-    keep = denom > 0.0
-    tau = (nc - nd) / np.where(keep, denom, 1.0)
-    t = pa.table(
-        {
-            "user_id": per["user_id"],
-            "nc": per["nc"],
-            "nd": per["nd"],
-            "tau": round_like_sql(tau, 6),
-        }
-    )
-    return t.filter(pa.array(keep))
-
-
-
-def _q_theil_index(sf_dir: str) -> pa.Table:
-    """Theil T inequality of per-customer spend, decomposed BETWEEN /
-    WITHIN nations (the decomposable inequality index).  Pass 1: exact
-    per-customer cents through the distributed groupby tier with the
-    nation attached by a broadcast customer lookup; global and
-    per-nation totals are exact int64.  Pass 2: each customer's
-    x*ln(x/mu) and x*ln(x/mu_g) terms quantized at 1e9 inside
-    map_batches (mu / per-nation mu_g broadcast), partial-summed per
-    nation -- the corpus never lands on the driver.  Final index
-    values are single shared float expressions over the exact sums."""
-    import pyarrow.parquet as pq
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        BroadcastLookup, collect_tables, hash_aggregate, round_like_sql,
-    )
-
-    ords = _read_pq(
-        os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_custkey", "o_totalprice"],
-    )
-    cust = pq.read_table(
-        os.path.join(sf_dir, "customer.parquet"),
-        columns=["c_custkey", "c_nationkey"],
-    )
-
-    def to_cents(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "c_custkey": batch["o_custkey"],
-                "cents": pa.array(scaled_int(batch["o_totalprice"], 100.0)),
-            }
-        )
-
-    lookup = BroadcastLookup(cust, "c_custkey", ["c_nationkey"])
-    per_cust = hash_aggregate(
-        ords.map_batches(to_cents, batch_format="pyarrow", batch_size=None)
-        .map_batches(lookup, batch_format="pyarrow", batch_size=None),
-        ["c_custkey", "c_nationkey"],
-        [("cents", "sum", "cents")],
-        distributed_combine=True,
-    )
-
-    def nation_partial(batch: pa.Table) -> pa.Table:
-        one = np.ones(batch.num_rows, np.int64)
-        return pa.table(
-            {
-                "c_nationkey": batch["c_nationkey"],
-                "_one": pa.array(one),
-                "cents": batch["cents"],
-            }
-        ).group_by("c_nationkey").aggregate(
-            [("_one", "sum"), ("cents", "sum")]
-        ).rename_columns(["c_nationkey", "ng", "sg"])
-
-    nat = hash_aggregate(
-        per_cust.map_batches(
-            nation_partial, batch_format="pyarrow", batch_size=None
-        ),
-        ["c_nationkey"],
-        [("ng", "sum", "ng"), ("sg", "sum", "sg")],
-    ).sort_by("c_nationkey")
-    ng = nat["ng"].to_numpy(zero_copy_only=False).astype(np.int64)
-    sg = nat["sg"].to_numpy(zero_copy_only=False).astype(np.int64)
-    nk = nat["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-    n_tot = int(ng.sum())
-    s_tot = int(sg.sum())
-    mu = (float(s_tot) / 100.0) / float(n_tot)
-    mu_g = {
-        int(k): (float(s) / 100.0) / float(n)
-        for k, n, s in zip(nk, ng, sg)
-    }
-
-    def term_partial(batch: pa.Table) -> pa.Table:
-        x = batch["cents"].to_numpy(zero_copy_only=False).astype(
-            np.float64
-        ) / 100.0
-        nkb = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        mug = np.array([mu_g[int(k)] for k in np.unique(nkb)])
-        mug_row = np.empty(len(nkb), np.float64)
-        for k in np.unique(nkb):
-            mug_row[nkb == k] = mu_g[int(k)]
-        q_tot = round_half_away(x * np.log(x / mu) * 1e9).astype(np.int64)
-        q_win = round_half_away(x * np.log(x / mug_row) * 1e9).astype(
-            np.int64
-        )
-        return pa.table(
-            {
-                "c_nationkey": pa.array(nkb),
-                "q_tot": pa.array(q_tot),
-                "q_win": pa.array(q_win),
-            }
-        ).group_by("c_nationkey").aggregate(
-            [("q_tot", "sum"), ("q_win", "sum")]
-        ).rename_columns(["c_nationkey", "q_tot", "q_win"])
-
-    terms = hash_aggregate(
-        per_cust.map_batches(
-            term_partial, batch_format="pyarrow", batch_size=None
-        ),
-        ["c_nationkey"],
-        [("q_tot", "sum", "q_tot"), ("q_win", "sum", "q_win")],
-    ).sort_by("c_nationkey")
-    q_tot_sum = int(
-        terms["q_tot"].to_numpy(zero_copy_only=False).astype(np.int64).sum()
-    )
-    q_win_sum = int(
-        terms["q_win"].to_numpy(zero_copy_only=False).astype(np.int64).sum()
-    )
-    qb = round_half_away(
-        (sg.astype(np.float64) / 100.0)
-        * np.log(np.array([mu_g[int(k)] for k in nk]) / mu)
-        * 1e9
-    ).astype(np.int64)
-    denom = float(n_tot) * mu
-    theil_total = (float(q_tot_sum) / 1e9) / denom
-    theil_between = (float(int(qb.sum())) / 1e9) / denom
-    theil_within = (float(q_win_sum) / 1e9) / denom
-    return pa.table(
-        {
-            "n_customers": pa.array([n_tot], pa.int64()),
-            "theil_total": round_like_sql([theil_total], 6),
-            "theil_between": round_like_sql([theil_between], 6),
-            "theil_within": round_like_sql([theil_within], 6),
-        }
-    )
-
-
-
-def _q_track_intersections(sf_dir: str) -> pa.Table:
-    """Self-intersection count per user track (route-quality /
-    loop-detection GIS primitive): non-adjacent segment pairs of the
-    (ts, event_id)-ordered geocoded track tested with the classic
-    exact INTEGER orientation + on-segment predicate (proper and
-    improper crossings, incl. collinear touch) -- no epsilon, so the
-    SQL CASE mirror is bit-identical.  The all-pairs kernel runs
-    vectorized per user inside the groupby map_groups tier: pairs
-    never cross keys and per-key track length is ~constant at corpus
-    scale, so cost is O(n_users * seg^2 / cluster), not O(corpus^2)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "user_id", "ts"],
-    )
-
-    def per_user(group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        order = pc.sort_indices(
-            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
-        )
-        g = group.take(order)
-        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        x = eid % 96
-        y = (eid // 96) % 96
-        uid = g["user_id"][0].as_py()
-        m = len(eid) - 1  # segments
-        if m < 3:
-            return pa.table(
-                {
-                    "user_id": pa.array([uid], pa.int64()),
-                    "n_segments": pa.array([max(m, 0)], pa.int64()),
-                    "n_crossings": pa.array([0], pa.int64()),
-                }
-            )
-        ax, ay, bx, by = x[:-1], y[:-1], x[1:], y[1:]
-        i, j = np.triu_indices(m, 2)  # non-adjacent pairs j >= i+2
-        Ax, Ay, Bx, By = ax[i], ay[i], bx[i], by[i]
-        Cx, Cy, Dx, Dy = ax[j], ay[j], bx[j], by[j]
-
-        def orient(px, py, qx, qy, rx, ry):
-            return (qx - px) * (ry - py) - (qy - py) * (rx - px)
-
-        d1 = orient(Cx, Cy, Dx, Dy, Ax, Ay)
-        d2 = orient(Cx, Cy, Dx, Dy, Bx, By)
-        d3 = orient(Ax, Ay, Bx, By, Cx, Cy)
-        d4 = orient(Ax, Ay, Bx, By, Dx, Dy)
-        proper = (
-            ((d1 > 0) & (d2 < 0) | (d1 < 0) & (d2 > 0))
-            & ((d3 > 0) & (d4 < 0) | (d3 < 0) & (d4 > 0))
-        )
-
-        def onseg(px, py, qx, qy, rx, ry):
-            return (
-                (np.minimum(px, qx) <= rx) & (rx <= np.maximum(px, qx))
-                & (np.minimum(py, qy) <= ry) & (ry <= np.maximum(py, qy))
-            )
-
-        touch = (
-            ((d1 == 0) & onseg(Cx, Cy, Dx, Dy, Ax, Ay))
-            | ((d2 == 0) & onseg(Cx, Cy, Dx, Dy, Bx, By))
-            | ((d3 == 0) & onseg(Ax, Ay, Bx, By, Cx, Cy))
-            | ((d4 == 0) & onseg(Ax, Ay, Bx, By, Dx, Dy))
-        )
-        return pa.table(
-            {
-                "user_id": pa.array([uid], pa.int64()),
-                "n_segments": pa.array([m], pa.int64()),
-                "n_crossings": pa.array(
-                    [int((proper | touch).sum())], pa.int64()
-                ),
-            }
-        )
-
-    per = collect_tables(
-        ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
-    )
-    return per.sort_by("user_id")
-
-
-
-def _q_runs_test(sf_dir: str) -> pa.Table:
-    """Wald-Wolfowitz runs test for randomness of the daily event
-    volume around its median: daily counts via the combiner tier
-    (calendar-bounded series on the driver, like every
-    daily-series query); exact lower median by rank, equal-to-median
-    days dropped (standard), runs counted over the day order.  The
-    z-score normal approximation is one shared float expression over
-    the exact integer (n1, n2, runs) triple."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
-
-    def prep(batch: pa.Table) -> pa.Table:
-        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "d": pa.array(us // 86_400_000_000),
-                "_one": pa.array(np.ones(len(us), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["d"],
-        [("_one", "sum", "x")],
-    ).sort_by("d")
-    x = agg["x"].to_numpy(zero_copy_only=False).astype(np.int64)
-    n = len(x)
-    med = int(np.sort(x)[(n - 1) // 2])  # exact lower median
-    keep = x != med
-    s = (x[keep] > med)
-    n1 = int(s.sum())
-    n2 = int((~s).sum())
-    runs = int(1 + (s[1:] != s[:-1]).sum()) if len(s) else 0
-    nn = float(n1 + n2)
-    mu = 1.0 + (2.0 * float(n1) * float(n2)) / nn
-    var = (
-        (2.0 * float(n1) * float(n2))
-        * (2.0 * float(n1) * float(n2) - float(n1) - float(n2))
-        / (nn * nn * (nn - 1.0))
-    )
-    z = (float(runs) - mu) / np.sqrt(var)
-    return pa.table(
-        {
-            "n_above": pa.array([n1], pa.int64()),
-            "n_below": pa.array([n2], pa.int64()),
-            "runs": pa.array([runs], pa.int64()),
-            "z": round_like_sql([z], 6),
-        }
-    )
-
-
-
-def _q_wilcoxon_signed(sf_dir: str) -> pa.Table:
-    """Wilcoxon signed-rank test per user on consecutive event-value
-    pairs (paired before/after deltas in cents): zero diffs dropped
-    (standard), |d| ranks tie-averaged and DOUBLED to exact int64
-    (2*rank_min + ties - 1, the repo's rank discipline), W+ kept as
-    the exact 2x integer; the normal-approximation z is one shared
-    float expression.  Runs vectorized per user in the groupby
-    map_groups tier (pairing needs per-key order co-location)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "user_id", "ts", "value"],
-    )
-
-    def per_user(group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        order = pc.sort_indices(
-            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
-        )
-        g = group.take(order)
-        uid = g["user_id"][0].as_py()
-        y = scaled_int(g["value"], 100.0)
-        m = (len(y) // 2) * 2
-        d = y[1:m:2] - y[0:m:2]
-        d = d[d != 0]
-        n = len(d)
-        empty = pa.table(
-            {
-                "user_id": pa.array([uid], pa.int64()),
-                "n_pairs": pa.array([n], pa.int64()),
-                "w_plus_2x": pa.array([0], pa.int64()),
-                "z": pa.array([0.0], pa.float64()),
-            }
-        )
-        if n < 2:
-            return empty if n == 0 else empty.set_column(
-                2, "w_plus_2x",
-                pa.array([int((d > 0).sum() * 2)], pa.int64()),
-            )
-        ad = np.abs(d)
-        s = np.sort(ad)
-        rank_min = np.searchsorted(s, ad, side="left") + 1
-        ties = (
-            np.searchsorted(s, ad, side="right")
-            - np.searchsorted(s, ad, side="left")
-        )
-        r2x = 2 * rank_min + ties - 1
-        w2x = int(r2x[d > 0].sum())
-        nf = float(n)
-        mu = nf * (nf + 1.0) / 4.0
-        sig = np.sqrt(nf * (nf + 1.0) * (2.0 * nf + 1.0) / 24.0)
-        z = (float(w2x) / 2.0 - mu) / sig
-        return pa.table(
-            {
-                "user_id": pa.array([uid], pa.int64()),
-                "n_pairs": pa.array([n], pa.int64()),
-                "w_plus_2x": pa.array([w2x], pa.int64()),
-                "z": round_like_sql([z], 6),
-            }
-        )
-
-    per = collect_tables(
-        ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
-    )
-    import pyarrow.compute as pc
-
-    return per.filter(pc.greater_equal(per["n_pairs"], 2)).sort_by(
-        "user_id"
-    )
-
-
-
-def _q_clustering_coeff(sf_dir: str) -> pa.Table:
-    """Local clustering coefficient per word of the edit-1 vocabulary
-    graph (triangle density around each node -- the standard
-    small-world statistic, completing triangles / assortativity /
-    rich-club): degree and per-node triangle membership are exact
-    integer counts on the vocabulary-bounded edge list; cc =
-    2T/(k(k-1)) is the single ROUND per row."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        edit1_vocab_pairs,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
-    ).map_batches(
-        lambda b: b.rename_columns(["text"]),
-        batch_format="pyarrow", batch_size=None,
-    )
-    pairs = edit1_vocab_pairs(ds, min_len=4)
-    w1 = pairs["w1"].to_pylist()
-    w2 = pairs["w2"].to_pylist()
-    edges = set(zip(w1, w2))
-    deg: dict[str, int] = {}
-    for a, b in edges:
-        deg[a] = deg.get(a, 0) + 1
-        deg[b] = deg.get(b, 0) + 1
-    tri: dict[str, int] = {}
-    # oriented enumeration a < b < c, matching the triangles oracle
-    by_a: dict[str, list] = {}
-    for a, b in edges:
-        by_a.setdefault(a, []).append(b)
-    for a, ns in by_a.items():
-        ns = sorted(ns)
-        for ii in range(len(ns)):
-            for jj in range(ii + 1, len(ns)):
-                if (ns[ii], ns[jj]) in edges:
-                    for wv in (a, ns[ii], ns[jj]):
-                        tri[wv] = tri.get(wv, 0) + 1
-    words = sorted(w for w, k in deg.items() if k >= 2)
-    ks = np.array([deg[w] for w in words], np.float64)
-    ts = np.array([tri.get(w, 0) for w in words], np.float64)
-    cc = (2.0 * ts) / (ks * (ks - 1.0))
-    return pa.table(
-        {
-            "word": pa.array(words),
-            "degree": pa.array([deg[w] for w in words], pa.int64()),
-            "n_triangles": pa.array(
-                [tri.get(w, 0) for w in words], pa.int64()
-            ),
-            "cc": round_like_sql(cc, 6),
-        }
-    )
-
-
-
-def _q_kcore_words(sf_dir: str) -> pa.Table:
-    """2-core of the edit-1 vocabulary graph by iterative peeling
-    (repeatedly drop degree<2 nodes until fixpoint) -- the classic
-    graph-densification primitive behind community seeding.  The
-    engine peels the vocabulary-bounded edge list to convergence; the
-    SQL mirror unrolls eight peel rounds (assert: the engine verifies
-    convergence within eight rounds, so the unroll IS the fixpoint).
-    Output: surviving words with their within-core degree."""
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        edit1_vocab_pairs,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
-    ).map_batches(
-        lambda b: b.rename_columns(["text"]),
-        batch_format="pyarrow", batch_size=None,
-    )
-    pairs = edit1_vocab_pairs(ds, min_len=4)
-    edges = set(zip(pairs["w1"].to_pylist(), pairs["w2"].to_pylist()))
-    rounds = 0
-    while True:
-        deg: dict[str, int] = {}
-        for a, b in edges:
-            deg[a] = deg.get(a, 0) + 1
-            deg[b] = deg.get(b, 0) + 1
-        keep = {w for w, k in deg.items() if k >= 2}
-        new_edges = {
-            (a, b) for a, b in edges if a in keep and b in keep
-        }
-        rounds += 1
-        if new_edges == edges:
-            break
-        edges = new_edges
-        if rounds > 8:
-            raise RuntimeError(
-                "2-core peeling did not converge in 8 rounds; widen the"
-                " SQL unroll to match"
-            )
-    deg = {}
-    for a, b in edges:
-        deg[a] = deg.get(a, 0) + 1
-        deg[b] = deg.get(b, 0) + 1
-    words = sorted(deg)
-    return pa.table(
-        {
-            "word": pa.array(words),
-            "core_degree": pa.array([deg[w] for w in words], pa.int64()),
-        }
-    )
-
-
-
-def _q_brier_decomposition(sf_dir: str) -> pa.Table:
-    """Murphy decomposition of the Brier score (reliability /
-    resolution / uncertainty) for band 2's deci score predicting band
-    1's high-value mask -- the proper-scoring-rule companion to
-    calibration_bins.  Per-bin sufficient statistics are exact int64
-    (count, positives, score sum, plus the exact integer
-    (score - 500*label)^2 sum for the raw Brier numerator); the two
-    10-term float bin sums are 1e9-quantized so engine and SQL add
-    identical integers."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    tiles = ray.data.from_arrow(_og_multiband_tiles_table(bands=(1, 2)))
-
-    def per_bin(batch: pa.Table) -> pa.Table:
-        by_pos: dict[tuple[int, int], dict[int, np.ndarray]] = {}
-        for i in range(batch.num_rows):
-            key = (
-                batch["row_off"][i].as_py(),
-                batch["col_off"][i].as_py(),
-            )
-            v = np.asarray(batch["values"][i].as_py(), np.float32)
-            by_pos.setdefault(key, {})[batch["band"][i].as_py()] = v
-        tot = np.zeros(10, np.int64)
-        pos = np.zeros(10, np.int64)
-        s_k = np.zeros(10, np.int64)
-        qsum = np.zeros(10, np.int64)
-        for key, bands in by_pos.items():
-            if 1 not in bands or 2 not in bands:
-                continue
-            v1, v2 = bands[1], bands[2]
-            ok = (v1 > -1e30) & (v2 > -1e30)
-            k1 = round_half_away(
-                v1[ok].astype(np.float64) * 10.0
-            ).astype(np.int64)
-            k2 = round_half_away(
-                v2[ok].astype(np.float64) * 10.0
-            ).astype(np.int64)
-            lab = (k1 > 250).astype(np.int64)
-            b = k2 // 50
-            tot += np.bincount(b, minlength=10).astype(np.int64)
-            pos += np.bincount(
-                b, weights=lab.astype(np.float64), minlength=10
-            ).astype(np.int64)
-            s_k += np.bincount(
-                b, weights=k2.astype(np.float64), minlength=10
-            ).astype(np.int64)
-            q = (k2 - 500 * lab) ** 2
-            qsum += np.bincount(
-                b, weights=q.astype(np.float64), minlength=10
-            ).astype(np.int64)
-        nz = np.flatnonzero(tot)
-        return pa.table(
-            {
-                "bin": pa.array(nz.astype(np.int64)),
-                "tot": pa.array(tot[nz]),
-                "pos": pa.array(pos[nz]),
-                "s_k": pa.array(s_k[nz]),
-                "qsum": pa.array(qsum[nz]),
-            }
-        )
-
-    agg = hash_aggregate(
-        tiles.map_batches(per_bin, batch_format="pyarrow", batch_size=None),
-        ["bin"],
-        [
-            ("tot", "sum", "tot"),
-            ("pos", "sum", "pos"),
-            ("s_k", "sum", "s_k"),
-            ("qsum", "sum", "qsum"),
-        ],
-    )
-    tot = agg["tot"].to_numpy(zero_copy_only=False).astype(np.int64)
-    pos = agg["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
-    s_k = agg["s_k"].to_numpy(zero_copy_only=False).astype(np.int64)
-    qs = agg["qsum"].to_numpy(zero_copy_only=False).astype(np.int64)
-    n = int(tot.sum())
-    npos = int(pos.sum())
-    obar = float(npos) / float(n)
-    pb = s_k.astype(np.float64) / (500.0 * tot.astype(np.float64))
-    ob = pos.astype(np.float64) / tot.astype(np.float64)
-    rel_q = round_half_away(
-        tot.astype(np.float64) * (pb - ob) * (pb - ob) * 1e9
-    ).astype(np.int64)
-    res_q = round_half_away(
-        tot.astype(np.float64) * (ob - obar) * (ob - obar) * 1e9
-    ).astype(np.int64)
-    brier = float(int(qs.sum())) / (250000.0 * float(n))
-    rel = (float(int(rel_q.sum())) / 1e9) / float(n)
-    res = (float(int(res_q.sum())) / 1e9) / float(n)
-    unc = obar * (1.0 - obar)
-    return pa.table(
-        {
-            "n": pa.array([n], pa.int64()),
-            "brier": round_like_sql([brier], 6),
-            "reliability": round_like_sql([rel], 6),
-            "resolution": round_like_sql([res], 6),
-            "uncertainty": round_like_sql([unc], 6),
-        }
-    )
-
-
-
-def _q_seasonal_decompose(sf_dir: str) -> pa.Table:
-    """Classical additive seasonal decomposition of the daily event
-    series: centered 7-day moving-average trend on the dense calendar
-    (exact int window sum / 7.0), per-weekday seasonal index as the
-    mean of 1e9-quantized detrended deviations (exact int sums, so
-    engine and SQL add identical integers).  Output: one row per
-    weekday (epoch-day mod 7) with its seasonal index."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
-
-    def prep(batch: pa.Table) -> pa.Table:
-        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "d": pa.array(us // 86_400_000_000),
-                "_one": pa.array(np.ones(len(us), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["d"],
-        [("_one", "sum", "x")],
-    ).sort_by("d")
-    d = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)
-    xs = agg["x"].to_numpy(zero_copy_only=False).astype(np.int64)
-    lo, hi = int(d[0]), int(d[-1])
-    n = hi - lo + 1
-    x = np.zeros(n, np.int64)
-    x[d - lo] = xs
-    if n < 7:
-        return pa.table(
-            {
-                "weekday": pa.array([], pa.int64()),
-                "n_days": pa.array([], pa.int64()),
-                "seasonal": pa.array([], pa.float64()),
-            }
-        )
-    csum = np.concatenate(([0], np.cumsum(x)))
-    win = csum[7:] - csum[:-7]  # exact 7-day sums for t in [3, n-4]
-    t_idx = np.arange(3, n - 3, dtype=np.int64)
-    trend = win.astype(np.float64) / 7.0
-    dq = round_half_away(
-        (x[t_idx].astype(np.float64) - trend) * 1e9
-    ).astype(np.int64)
-    wd = (lo + t_idx) % 7
-    sums = np.zeros(7, np.int64)
-    cnts = np.zeros(7, np.int64)
-    np.add.at(sums, wd, dq)
-    np.add.at(cnts, wd, 1)
-    keep = cnts > 0
-    seasonal = (sums[keep].astype(np.float64) / 1e9) / cnts[
-        keep
-    ].astype(np.float64)
-    return pa.table(
-        {
-            "weekday": pa.array(np.arange(7, dtype=np.int64)[keep]),
-            "n_days": pa.array(cnts[keep]),
-            "seasonal": round_like_sql(seasonal, 6),
-        }
-    )
-
-
-
-def _q_min_cost_supplier(sf_dir: str) -> pa.Table:
-    """TPC-H Q2-flavoured grouped argmin: for each part, the supplier
-    with the smallest total supply cost (sum of discounted price
-    cents over its lineitems), deterministic suppkey tie-break.  Two
-    distributed levels: per-(part, supplier) exact cents through the
-    groupby shuffle tier, then a per-part MIN over cents and suppkey
-    PACKED into one int64 (cents * 2^15 + suppkey; the pack is safe
-    while per-pair cents < 2^48 -- assert-guarded), so the argmin
-    itself is a plain combiner-tier MIN, no per-group sort."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
-    )
-
-    def cents(batch: pa.Table) -> pa.Table:
-        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
-        disc = batch["l_discount"].to_numpy(zero_copy_only=False)
-        c = scaled_int(
-            np.asarray(p, np.float64) * (1.0 - np.asarray(disc, np.float64)),
-            100.0,
-        )
-        return pa.table(
-            {
-                "l_partkey": batch["l_partkey"],
-                "l_suppkey": batch["l_suppkey"],
-                "c": pa.array(c),
-            }
-        )
-
-    pairs = hash_aggregate(
-        ds.map_batches(cents, batch_format="pyarrow", batch_size=None),
-        ["l_partkey", "l_suppkey"],
-        [("c", "sum", "cost_cents")],
-        distributed_combine=True,
-    )
-
-    def pack(batch: pa.Table) -> pa.Table:
-        c = batch["cost_cents"].to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        s = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        if len(c) and (int(c.max()) >= (1 << 48) or int(s.max()) >= (1 << 15)):
-            raise AssertionError("argmin pack overflow; widen the pack")
-        return pa.table(
-            {
-                "l_partkey": batch["l_partkey"],
-                "packed": pa.array(c * (1 << 15) + s),
-            }
-        )
-
-    best = hash_aggregate(
-        pairs.map_batches(pack, batch_format="pyarrow", batch_size=None),
-        ["l_partkey"],
-        [("packed", "min", "packed")],
-    ).sort_by("l_partkey")
-    packed = best["packed"].to_numpy(zero_copy_only=False).astype(np.int64)
-    return pa.table(
-        {
-            "l_partkey": best["l_partkey"],
-            "l_suppkey": pa.array(packed % (1 << 15)),
-            "cost_cents": pa.array(packed >> 15),
-        }
-    )
-
-
-
-def _q_chow_test(sf_dir: str) -> pa.Table:
-    """Chow structural-break F-test of the daily event-count linear
-    trend at the series midpoint: OLS of x on t over the full dense
-    calendar and each half, every SSR computed from exact int64
-    moment sums (n, St, Sx, Stt, Stx, Sxx) by the shared closed form
-    SSR = (Sxx - Sx^2/n) - (Stx - St*Sx/n)^2 / (Stt - St^2/n); the
-    F statistic is one shared float expression (k = 2 params)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
-
-    def prep(batch: pa.Table) -> pa.Table:
-        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "d": pa.array(us // 86_400_000_000),
-                "_one": pa.array(np.ones(len(us), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["d"],
-        [("_one", "sum", "x")],
-    ).sort_by("d")
-    d = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)
-    xs = agg["x"].to_numpy(zero_copy_only=False).astype(np.int64)
-    lo, hi = int(d[0]), int(d[-1])
-    n = hi - lo + 1
-    x = np.zeros(n, np.int64)
-    x[d - lo] = xs
-    t = np.arange(n, dtype=np.int64)
-    half = n // 2
-
-    def ssr(tt: np.ndarray, xx: np.ndarray) -> float:
-        nn = float(len(tt))
-        st = float(int(tt.sum()))
-        sx = float(int(xx.sum()))
-        stt = float(int((tt * tt).sum()))
-        stx = float(int((tt * xx).sum()))
-        sxx = float(int((xx * xx).sum()))
-        syy = sxx - sx * sx / nn
-        sxy = stx - st * sx / nn
-        sxx_c = stt - st * st / nn
-        return syy - (sxy * sxy) / sxx_c
-
-    ssr_p = ssr(t, x)
-    ssr_1 = ssr(t[:half], x[:half])
-    ssr_2 = ssr(t[half:], x[half:])
-    k = 2.0
-    f = ((ssr_p - ssr_1 - ssr_2) / k) / (
-        (ssr_1 + ssr_2) / (float(n) - 2.0 * k)
-    )
-    return pa.table(
-        {
-            "n_days": pa.array([n], pa.int64()),
-            "break_day": pa.array([lo + half], pa.int64()),
-            "f_stat": round_like_sql([f], 6),
-        }
-    )
-
-
-
-def _q_symspell_pairs(sf_dir: str) -> pa.Table:
-    """Edit-distance<=2 fuzzy vocabulary self-join via SymSpell
-    deletion blocking (extends the edit-1 deletion-blocked pair
-    generation to depth 2): candidates from ONE groupby on the
-    deletion-variant key, exact-DP verification -- the oracle's
-    brute-force LEVENSHTEIN join doubles as an empirical completeness
-    check of the blocking.  See stages/textops.py::symspell_pairs."""
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        symspell_pairs,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
-    ).map_batches(
-        lambda b: b.rename_columns(["text"]),
-        batch_format="pyarrow", batch_size=None,
-    )
-    return symspell_pairs(ds, max_dist=2, min_len=4)
-
-
-
-def _q_seq_edit_distance(sf_dir: str) -> pa.Table:
-    """Behavioral similarity: exact Levenshtein distance between the
-    event-type-initial sequences of the 20 most active users (ordered
-    per user by ts, event_id).  Sequences are built distributed in the
-    groupby map_groups tier; only the top-K strings (deterministic
-    count-desc, user-asc cut) reach the driver for the K^2 DP -- the
-    corpus itself never does.  Mirrors the SQL STRING_AGG +
-    LEVENSHTEIN construction exactly."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        _lev,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "user_id", "ts", "event_type"],
-    )
-
-    def per_user(group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        order = pc.sort_indices(
-            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
-        )
-        g = group.take(order)
-        seq = "".join(s[0] for s in g["event_type"].to_pylist())
-        return pa.table(
-            {
-                "user_id": pa.array(
-                    [g["user_id"][0].as_py()], pa.int64()
-                ),
-                "n": pa.array([group.num_rows], pa.int64()),
-                "seq": pa.array([seq], pa.string()),
-            }
-        )
-
-    per = collect_tables(
-        ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
-    ).sort_by([("n", "descending"), ("user_id", "ascending")])
-    top = per.slice(0, 20)
-    uid = top["user_id"].to_pylist()
-    seq = top["seq"].to_pylist()
-    order = np.argsort(np.asarray(uid))
-    uid = [uid[i] for i in order]
-    seq = [seq[i] for i in order]
-    u1, u2, dist = [], [], []
-    for i in range(len(uid)):
-        for j in range(i + 1, len(uid)):
-            u1.append(uid[i])
-            u2.append(uid[j])
-            dist.append(_lev(seq[i], seq[j]))
-    return pa.table(
-        {
-            "u1": pa.array(u1, pa.int64()),
-            "u2": pa.array(u2, pa.int64()),
-            "dist": pa.array(dist, pa.int64()),
-        }
-    )
-
-
-
-def _q_did_estimator(sf_dir: str) -> pa.Table:
-    """Difference-in-differences over the event panel: treatment =
-    even user_id (deterministic assignment), post = day >= series
-    midpoint, outcome = event value cents.  The 2x2 cell sums are
-    exact int64 through the combiner tier; the four means and the DiD
-    estimate are one shared float expression."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "ts", "value"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        return pa.table(
-            {
-                "d": pa.array(us // 86_400_000_000),
-                "treat": pa.array((uid % 2 == 0).astype(np.int64)),
-                "c": pa.array(scaled_int(batch["value"], 100.0)),
-                "_one": pa.array(np.ones(len(us), np.int64)),
-            }
-        )
-
-    prepped = ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
-    # pass 1: day bounds (combiner min/max)
-    mm = hash_aggregate(
-        prepped.map_batches(
-            lambda b: pa.table({"k": pa.array([0] * b.num_rows, pa.int64()),
-                                "d": b["d"]}),
-            batch_format="pyarrow", batch_size=None,
-        ),
-        ["k"],
-        [("d", "min", "lo"), ("d", "max", "hi")],
-    )
-    lo = int(mm["lo"][0].as_py())
-    hi = int(mm["hi"][0].as_py())
-    mid = lo + (hi - lo + 1) // 2
-
-    def cell(batch: pa.Table) -> pa.Table:
-        d = batch["d"].to_numpy(zero_copy_only=False).astype(np.int64)
-        post = (d >= mid).astype(np.int64)
-        return pa.table(
-            {
-                "treat": batch["treat"],
-                "post": pa.array(post),
-                "c": batch["c"],
-                "_one": batch["_one"],
-            }
-        )
-
-    agg = hash_aggregate(
-        prepped.map_batches(cell, batch_format="pyarrow", batch_size=None),
-        ["treat", "post"],
-        [("_one", "sum", "n"), ("c", "sum", "s")],
-    ).sort_by([("treat", "ascending"), ("post", "ascending")])
-    n = agg["n"].to_numpy(zero_copy_only=False).astype(np.float64)
-    s = agg["s"].to_numpy(zero_copy_only=False).astype(np.float64)
-    tr = agg["treat"].to_numpy(zero_copy_only=False).astype(np.int64)
-    po = agg["post"].to_numpy(zero_copy_only=False).astype(np.int64)
-    mean = {}
-    for i in range(len(tr)):
-        mean[(int(tr[i]), int(po[i]))] = (s[i] / 100.0) / n[i]
-    did = (mean[(1, 1)] - mean[(1, 0)]) - (mean[(0, 1)] - mean[(0, 0)])
-    return pa.table(
-        {
-            "mean_ctrl_pre": round_like_sql([mean[(0, 0)]], 6),
-            "mean_ctrl_post": round_like_sql([mean[(0, 1)]], 6),
-            "mean_treat_pre": round_like_sql([mean[(1, 0)]], 6),
-            "mean_treat_post": round_like_sql([mean[(1, 1)]], 6),
-            "did": round_like_sql([did], 6),
-        }
-    )
-
-
-
-def _q_mean_direction(sf_dir: str) -> pa.Table:
-    """Circular mean direction and resultant length per user track
-    (the directional-statistics summary next to rayleigh_hours):
-    steps classify into D8 sectors by comparisons only (same rule as
-    movement_directions), each sector contributes a FIXED-POINT unit
-    vector (1e9-scaled integer literals shared verbatim with the SQL
-    CASE), so the resultant components are exact int64 sums; the
-    final atan2/degrees and Rbar are one shared float expression."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "user_id", "ts"],
-    )
-    UX = {
-        "E": 1000000000, "NE": 707106781, "N": 0, "NW": -707106781,
-        "W": -1000000000, "SW": -707106781, "S": 0, "SE": 707106781,
-    }
-    UY = {
-        "E": 0, "NE": 707106781, "N": 1000000000, "NW": 707106781,
-        "W": 0, "SW": -707106781, "S": -1000000000, "SE": -707106781,
-    }
-
-    def per_user(group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        order = pc.sort_indices(
-            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
-        )
-        g = group.take(order)
-        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        x = eid % 96
-        y = (eid // 96) % 96
-        dx = x[1:] - x[:-1]
-        dy = y[1:] - y[:-1]
-        adx, ady = np.abs(dx), np.abs(dy)
-        moved = (dx != 0) | (dy != 0)
-        east = adx > ady
-        north = ady > adx
-        diag = ~east & ~north
-        uxq = np.zeros(len(dx), np.int64)
-        uyq = np.zeros(len(dx), np.int64)
-        for name, mask in (
-            ("E", east & (dx > 0)), ("W", east & (dx < 0)),
-            ("N", north & (dy > 0)), ("S", north & (dy < 0)),
-            ("NE", diag & (dx > 0) & (dy > 0)),
-            ("SE", diag & (dx > 0) & (dy < 0)),
-            ("NW", diag & (dx < 0) & (dy > 0)),
-            ("SW", diag & (dx < 0) & (dy < 0)),
-        ):
-            uxq[mask] = UX[name]
-            uyq[mask] = UY[name]
-        n = int(moved.sum())
-        return pa.table(
-            {
-                "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
-                "n_moves": pa.array([n], pa.int64()),
-                "rxq": pa.array([int(uxq[moved].sum())], pa.int64()),
-                "ryq": pa.array([int(uyq[moved].sum())], pa.int64()),
-            }
-        )
-
-    per = collect_tables(
-        ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
-    ).sort_by("user_id")
-    import pyarrow.compute as pc
-
-    per = per.filter(pc.greater(per["n_moves"], 0))
-    n = per["n_moves"].to_numpy(zero_copy_only=False).astype(np.float64)
-    rx = per["rxq"].to_numpy(zero_copy_only=False).astype(np.float64)
-    ry = per["ryq"].to_numpy(zero_copy_only=False).astype(np.float64)
-    mean_deg = np.degrees(np.arctan2(ry, rx))
-    rbar = np.sqrt(rx * rx + ry * ry) / (n * 1e9)
-    return pa.table(
-        {
-            "user_id": per["user_id"],
-            "n_moves": per["n_moves"],
-            "mean_dir_deg": round_like_sql(mean_deg, 6),
-            "rbar": round_like_sql(rbar, 6),
-        }
-    )
-
-
-
-def _q_hoover_index(sf_dir: str) -> pa.Table:
-    """Hoover (Robin Hood) index of event concentration across
-    occupied lattice cells -- "what share of events would have to
-    move to equalize the cells".  The numerator sum |n*x_i - N| is
-    EXACT int64 (no per-cell float shares), so the only float is the
-    final division; counts come from one combiner-tier pass over the
-    event->cell map."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["event_id"]
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        return pa.table(
-            {
-                "cell": pa.array(eid % 9216),
-                "_one": pa.array(np.ones(len(eid), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["cell"],
-        [("_one", "sum", "x")],
-    )
-    x = agg["x"].to_numpy(zero_copy_only=False).astype(np.int64)
-    n_cells = len(x)
-    n_events = int(x.sum())
-    num = int(np.abs(n_cells * x - n_events).sum())
-    hoover = float(num) / (
-        2.0 * float(n_events) * float(n_cells)
-    )
-    return pa.table(
-        {
-            "n_cells": pa.array([n_cells], pa.int64()),
-            "n_events": pa.array([n_events], pa.int64()),
-            "hoover": round_like_sql([hoover], 6),
-        }
-    )
-
-
-
-def _q_cdc_chunks(sf_dir: str) -> pa.Table:
-    """Content-defined chunking statistics per document (the rolling-
-    hash boundary rule behind storage/dedup systems): an 8-char
-    window hash S = sum(code_j * P_j) with fixed integer coefficients
-    marks a boundary where S % 61 == 0; chunk count = boundaries + 1.
-    Every hash is exact int64 (codes < 2^21, coefficients < 2^9, so
-    no overflow and no modular ladder); the whole pass is one
-    vectorized map_batches -- utf-32 code-point view, per-offset
-    strided adds, doc-crossing windows masked by parent id."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-
-    P = np.array([1, 257, 193, 83, 211, 101, 47, 31], np.int64)
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "text"],
-    )
-
-    def per_doc(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        dids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        lens = np.array([len(t) for t in texts], np.int64)
-        joined = "".join(texts)
-        codes = np.frombuffer(
-            joined.encode("utf-32-le"), np.uint32
-        ).astype(np.int64)
-        total = len(codes)
-        ends = np.cumsum(lens)
-        starts = ends - lens
-        parent = np.repeat(np.arange(len(texts)), lens)
-        if total >= 8:
-            k = total - 7
-            s = np.zeros(k, np.int64)
-            for j in range(8):
-                s += codes[j:j + k] * P[j]
-            # window valid only when fully inside one document
-            same = parent[:k] == parent[7:]
-            hit = same & (s % 61 == 0)
-            nb = np.zeros(len(texts), np.int64)
-            np.add.at(nb, parent[:k][hit], 1)
-            nw = np.zeros(len(texts), np.int64)
-            np.add.at(nw, parent[:k][same], 1)
-        else:
-            nb = np.zeros(len(texts), np.int64)
-            nw = np.zeros(len(texts), np.int64)
-        return pa.table(
-            {
-                "doc_id": pa.array(dids),
-                "n_windows": pa.array(nw),
-                "n_boundaries": pa.array(nb),
-                "n_chunks": pa.array(nb + 1),
-            }
-        )
-
-    return collect_tables(
-        ds.map_batches(per_doc, batch_format="pyarrow", batch_size=None)
-    ).sort_by("doc_id")
-
-
-
-def _q_route_shortest_path(sf_dir: str) -> pa.Table:
-    """Single-source shortest path over the frozen 8x8 road grid
-    (right edge weight ((r*7 + c*13) % 19) + 1, down edge weight
-    ((r*11 + c*5) % 17) + 1, undirected, seed node 0) -- distributed
-    synchronous Bellman-Ford, one grouped shuffle per relaxation
-    round (stages/graph.py::sssp_bellman_ford); 15 rounds covers the
-    14-hop diameter.  Every distance is an exact int64; the oracle is
-    the recursive min-dist walk over the same formula edges."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.graph import (
-        sssp_bellman_ford,
-    )
-
-    r, c = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
-    r, c = r.ravel(), c.ravel()
-    right = c < 7
-    down = r < 7
-    e_node = np.concatenate(
-        [(r[right] * 8 + c[right]), (r[down] * 8 + c[down])]
-    )
-    e_neigh = np.concatenate(
-        [(r[right] * 8 + c[right] + 1), ((r[down] + 1) * 8 + c[down])]
-    )
-    e_w = np.concatenate(
-        [
-            (r[right] * 7 + c[right] * 13) % 19 + 1,
-            (r[down] * 11 + c[down] * 5) % 17 + 1,
-        ]
-    )
-    edges = pa.table(
-        {
-            "node": pa.array(
-                np.concatenate([e_node, e_neigh]), pa.int64()
-            ),
-            "neigh": pa.array(
-                np.concatenate([e_neigh, e_node]), pa.int64()
-            ),
-            "w": pa.array(np.concatenate([e_w, e_w]), pa.int64()),
-        }
-    )
-    out = sssp_bellman_ford(ray.data.from_arrow(edges), seed=0, rounds=15)
-    return collect_tables(out).sort_by("node")
-
-
-
-def _q_polygon_perimeter(sf_dir: str) -> pa.Table:
-    """Perimeter per fixture polygon: each edge length quantized
-    half-away at 1e9 ticks and summed as exact int64 (the
-    order-independent term-quantization discipline of
-    polygon_centroid), one ROUND at the end."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    pids, perims, nedges = [], [], []
-    for pid, poly in OG_POLYGONS.items():
-        pts = list(poly)
-        if pts[0] == pts[-1]:
-            pts = pts[:-1]
-        total = 0
-        for (x1, y1), (x2, y2) in zip(pts, pts[1:] + pts[:1]):
-            d = np.sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))
-            total += int(round_half_away(np.array([d * 1e9]))[0])
-        pids.append(pid)
-        perims.append(float(total) / 1e9)
-        nedges.append(len(pts))
-    return pa.table(
-        {
-            "polygon_id": pa.array(pids),
-            "n_edges": pa.array(nedges, pa.int64()),
-            "perimeter": round_like_sql(perims, 6),
-        }
-    )
-
-
-
-def _q_quadkey_cells(sf_dir: str) -> pa.Table:
-    """Bing-style quadkey encoding (level 7) of the event lattice --
-    the string-prefix cell scheme next to zorder/geohash/quadtree:
-    digit k = bit_k(x) + 2*bit_k(y) MSB-first, so a quadkey PREFIX is
-    a containing tile.  Pure integer bit math vectorized per batch;
-    one combiner-tier count per quadkey."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["event_id"]
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        x = eid % 96
-        y = (eid // 96) % 96
-        digits = [
-            ((x >> k) & 1) + 2 * ((y >> k) & 1) for k in range(6, -1, -1)
-        ]
-        qk = sum(
-            d * 10 ** (6 - i) for i, d in enumerate(digits)
-        )  # digits 0-3 => decimal packing is collision-free
-        s = np.char.zfill(qk.astype("U7"), 7)
-        return pa.table(
-            {
-                "quadkey": pa.array(s.tolist(), pa.string()),
-                "_one": pa.array(np.ones(len(eid), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["quadkey"],
-        [("_one", "sum", "n")],
-    )
-    return agg.sort_by("quadkey")
-
-
-
-def _q_q3_shipping_priority(sf_dir: str) -> pa.Table:
-    """TPC-H Q3 analogue (shipping priority): BUILDING-segment
-    customers, orders placed before 1998-06-01, lineitems shipped
-    after it; revenue cents per (orderkey, orderdate, priority), top
-    10 by revenue with deterministic orderkey tie-break.  Lineitem is
-    the big side through the size-aware equi_join router; customer
-    keys and order attributes ride the broadcast tier; revenue stays
-    exact int64 cents end-to-end."""
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        equi_join, hash_aggregate,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.sources.reader import (
-        _disk_bytes,
-    )
-
-    CUT = np.datetime64("1998-06-01T00:00:00", "us").astype(np.int64)
-    cust = pq.read_table(
-        os.path.join(sf_dir, "customer.parquet"),
-        columns=["c_custkey", "c_mktsegment"],
-    )
-    keys = cust.filter(
-        pc.equal(cust["c_mktsegment"], "BUILDING")
-    )["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-    keyset = np.sort(keys)
-
-    od_path = os.path.join(sf_dir, "orders.parquet")
-    od = _read_pq(
-        od_path,
-        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
-    )
-
-    def od_filter(batch: pa.Table) -> pa.Table:
-        ts = batch["o_orderdate"].cast(pa.int64()).to_numpy(
-            zero_copy_only=False
-        )
-        ck = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        keep = (ts < CUT) & (
-            keyset[
-                np.clip(np.searchsorted(keyset, ck), 0, len(keyset) - 1)
-            ]
-            == ck
-        )
-        return batch.filter(pa.array(keep)).select(
-            ["o_orderkey", "o_orderdate", "o_orderpriority"]
-        )
-
-    od_f = od.map_batches(od_filter, batch_format="pyarrow", batch_size=None)
-
-    li = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
-    )
-
-    def li_prep(batch: pa.Table) -> pa.Table:
-        ts = batch["l_shipdate"].cast(pa.int64()).to_numpy(
-            zero_copy_only=False
-        )
-        b = batch.filter(pa.array(ts > CUT))
-        p = b["l_extendedprice"].to_numpy(zero_copy_only=False)
-        d = b["l_discount"].to_numpy(zero_copy_only=False)
-        c = scaled_int(
-            np.asarray(p, np.float64) * (1.0 - np.asarray(d, np.float64)),
-            100.0,
-        )
-        return pa.table(
-            {"l_orderkey": b["l_orderkey"], "c": pa.array(c)}
-        )
-
-    li_f = li.map_batches(li_prep, batch_format="pyarrow", batch_size=None)
-    joined = equi_join(
-        li_f, od_f, join_type="inner", num_partitions=8,
-        on=("l_orderkey",), right_on=("o_orderkey",),
-        right_size_hint=_disk_bytes(od_path),
-    )
-    agg = hash_aggregate(
-        joined,
-        ["l_orderkey", "o_orderdate", "o_orderpriority"],
-        [("c", "sum", "revenue_cents")],
-    )
-    import pyarrow.compute as pc2
-
-    order = pc2.sort_indices(
-        agg,
-        sort_keys=[
-            ("revenue_cents", "descending"), ("l_orderkey", "ascending"),
-        ],
-    )
-    return agg.take(order).slice(0, 10)
-
-
-def _q_q5_local_revenue(sf_dir: str) -> pa.Table:
-    """TPC-H Q5 analogue (local-supplier revenue): revenue cents per
-    nation over lineitems whose customer and supplier share the
-    nation.  Big-big lineitem x orders through the equi_join router;
-    customer->nation, supplier->nation and nation-name maps ride the
-    broadcast tier; the equality filter runs vectorized per batch --
-    the only shuffle is the big join."""
-    import pyarrow.parquet as pq
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        BroadcastLookup, equi_join, hash_aggregate,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.sources.reader import (
-        _disk_bytes,
-    )
-
-    od_path = os.path.join(sf_dir, "orders.parquet")
-    od = _read_pq(od_path, columns=["o_orderkey", "o_custkey"])
-    li = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
-    )
-
-    def li_prep(batch: pa.Table) -> pa.Table:
-        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
-        d = batch["l_discount"].to_numpy(zero_copy_only=False)
-        c = scaled_int(
-            np.asarray(p, np.float64) * (1.0 - np.asarray(d, np.float64)),
-            100.0,
-        )
-        return pa.table(
-            {
-                "l_orderkey": batch["l_orderkey"],
-                "l_suppkey": batch["l_suppkey"],
-                "c": pa.array(c),
-            }
-        )
-
-    li_f = li.map_batches(li_prep, batch_format="pyarrow", batch_size=None)
-    joined = equi_join(
-        li_f, od, join_type="inner", num_partitions=8,
-        on=("l_orderkey",), right_on=("o_orderkey",),
-        right_size_hint=_disk_bytes(od_path),
-    )
-    cust = pq.read_table(
-        os.path.join(sf_dir, "customer.parquet"),
-        columns=["c_custkey", "c_nationkey"],
-    ).rename_columns(["o_custkey", "c_nationkey"])
-    supp = pq.read_table(
-        os.path.join(sf_dir, "supplier.parquet"),
-        columns=["s_suppkey", "s_nationkey"],
-    ).rename_columns(["l_suppkey", "s_nationkey"])
-    nat = pq.read_table(
-        os.path.join(sf_dir, "nation.parquet"),
-        columns=["n_nationkey", "n_name"],
-    ).rename_columns(["c_nationkey", "n_name"])
-    withc = joined.map_batches(
-        BroadcastLookup(cust, on="o_custkey", take_cols=["c_nationkey"]),
-        batch_format="pyarrow", batch_size=None,
-    ).map_batches(
-        BroadcastLookup(supp, on="l_suppkey", take_cols=["s_nationkey"]),
-        batch_format="pyarrow", batch_size=None,
-    )
-
-    def local_only(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        b = batch.filter(
-            pc.equal(batch["c_nationkey"], batch["s_nationkey"])
-        )
-        return pa.table({"c_nationkey": b["c_nationkey"], "c": b["c"]})
-
-    filt = withc.map_batches(
-        local_only, batch_format="pyarrow", batch_size=None
-    )
-    agg = hash_aggregate(
-        filt, ["c_nationkey"], [("c", "sum", "revenue_cents")]
-    )
-    named = agg.join(nat, keys="c_nationkey", join_type="inner")
-    return named.select(["n_name", "revenue_cents"]).sort_by("n_name")
-
-
-
-def _q_dispersion_index(sf_dir: str) -> pa.Table:
-    """Variance-to-mean ratio (index of dispersion) of per-cell event
-    counts per event type over the FULL 9216-cell lattice frame (the
-    Poisson over/under-dispersion screen next to quadrat_test): global
-    per-(type, cell) counts through the distributed groupby tier,
-    then per-type exact int64 (sum, sum-of-squares) moments -- zero
-    cells contribute nothing to either, so the fixed frame size keeps
-    them exact.  VMR and chi2 are one shared float expression."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "event_type"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        return pa.table(
-            {
-                "event_type": batch["event_type"],
-                "cell": pa.array(eid % 9216),
-                "_one": pa.array(np.ones(len(eid), np.int64)),
-            }
-        )
-
-    per_cell = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["event_type", "cell"],
-        [("_one", "sum", "x")],
-        distributed_combine=True,
-    )
-
-    def moments(batch: pa.Table) -> pa.Table:
-        x = batch["x"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                "event_type": batch["event_type"],
-                "s1": batch["x"],
-                "s2": pa.array(x * x),
-            }
-        ).group_by("event_type").aggregate(
-            [("s1", "sum"), ("s2", "sum")]
-        ).rename_columns(["event_type", "s1", "s2"])
-
-    agg = hash_aggregate(
-        per_cell.map_batches(moments, batch_format="pyarrow", batch_size=None),
-        ["event_type"],
-        [("s1", "sum", "s1"), ("s2", "sum", "s2")],
-    ).sort_by("event_type")
-    N = 9216.0
-    s1 = agg["s1"].to_numpy(zero_copy_only=False).astype(np.float64)
-    s2 = agg["s2"].to_numpy(zero_copy_only=False).astype(np.float64)
-    var = (s2 - s1 * s1 / N) / (N - 1.0)
-    mean = s1 / N
-    vmr = var / mean
-    return pa.table(
-        {
-            "event_type": agg["event_type"],
-            "n_events": agg["s1"],
-            "vmr": round_like_sql(vmr, 6),
-            "chi2": round_like_sql(vmr * (N - 1.0), 6),
-        }
-    )
-
-
-def _q_grubbs_test(sf_dir: str) -> pa.Table:
-    """Grubbs maximum-studentized-deviation outlier test on the daily
-    event counts: exact int64 (n, sum, sum-of-squares) moments over
-    the dense calendar, the deviation |x - mean| and sample s as
-    shared float expressions, deterministic smallest-day tie-break
-    on the argmax."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
-
-    def prep(batch: pa.Table) -> pa.Table:
-        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "d": pa.array(us // 86_400_000_000),
-                "_one": pa.array(np.ones(len(us), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["d"],
-        [("_one", "sum", "x")],
-    ).sort_by("d")
-    d = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)
-    xs = agg["x"].to_numpy(zero_copy_only=False).astype(np.int64)
-    lo, hi = int(d[0]), int(d[-1])
-    n = hi - lo + 1
-    x = np.zeros(n, np.int64)
-    x[d - lo] = xs
-    days = lo + np.arange(n, dtype=np.int64)
-    s1 = float(int(x.sum()))
-    s2 = float(int((x * x).sum()))
-    nf = float(n)
-    mean = s1 / nf
-    s = np.sqrt((s2 - s1 * s1 / nf) / (nf - 1.0))
-    dev = np.abs(x.astype(np.float64) - mean)
-    order = np.lexsort((days, -dev))
-    i = int(order[0])
-    return pa.table(
-        {
-            "n_days": pa.array([n], pa.int64()),
-            "day": pa.array([int(days[i])], pa.int64()),
-            "x": pa.array([int(x[i])], pa.int64()),
-            "g": round_like_sql([float(dev[i]) / s], 6),
-        }
-    )
-
-
-
-def _q_burrows_delta(sf_dir: str) -> pa.Table:
-    """Burrows' Delta authorship distance between sources over the 20
-    most frequent corpus words: per-source relative frequencies
-    quantized at 1e9 (exact int64 frame incl. zero cells), per-word
-    mean/variance from exact integer sums across the 20 sources,
-    z-scores as shared float expressions, and each pair's mean |z
-    difference| re-quantized at 1e9 before the 20-term sum -- the
-    full stylometry pipeline with zero float-accumulation drift."""
-    import pyarrow.compute as pc
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        _explode_tokens,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["source", "text"],
-    )
-
-    def counts(batch: pa.Table) -> pa.Table:
-        t = _explode_tokens(batch, "text", "source")
-        out = t.group_by(["source", "token"]).aggregate(
-            [("token", "count")]
-        )
-        return out.rename_columns(["source", "token", "cnt"])
-
-    sw = hash_aggregate(
-        ds.map_batches(counts, batch_format="pyarrow", batch_size=None),
-        ["source", "token"],
-        [("cnt", "sum", "cnt")],
-    )
-    src_names = sorted(set(sw["source"].to_pylist()))
-    S = len(src_names)
-    tok_tot: dict[str, int] = {}
-    src_tot: dict[str, int] = {}
-    cnt: dict[tuple, int] = {}
-    for i in range(sw.num_rows):
-        s = sw["source"][i].as_py()
-        w = sw["token"][i].as_py()
-        c = sw["cnt"][i].as_py()
-        tok_tot[w] = tok_tot.get(w, 0) + c
-        src_tot[s] = src_tot.get(s, 0) + c
-        cnt[(s, w)] = c
-    top = sorted(tok_tot, key=lambda w: (-tok_tot[w], w))[:20]
-    fq = np.zeros((S, 20), np.int64)
-    for si, s in enumerate(src_names):
-        tot = float(src_tot[s])
-        for wi, w in enumerate(top):
-            c = cnt.get((s, w), 0)
-            fq[si, wi] = int(
-                round_half_away(np.array([float(c) / tot * 1e9]))[0]
-            )
-    sum1 = fq.sum(axis=0).astype(np.float64)
-    sum2 = (fq.astype(object) * fq.astype(object)).sum(axis=0)
-    sum2 = np.array([float(v) for v in sum2])
-    mu = sum1 / float(S)
-    var = (sum2 - sum1 * sum1 / float(S)) / float(S)
-    sd = np.sqrt(var)
-    z = (fq.astype(np.float64) - mu) / sd
-    u1, u2, delta = [], [], []
-    for i in range(S):
-        for j in range(i + 1, S):
-            dq = round_half_away(np.abs(z[i] - z[j]) * 1e9).astype(
-                np.int64
-            )
-            u1.append(src_names[i])
-            u2.append(src_names[j])
-            delta.append(float(int(dq.sum())) / 1e9 / 20.0)
-    return pa.table(
-        {
-            "s1": pa.array(u1, pa.string()),
-            "s2": pa.array(u2, pa.string()),
-            "delta": round_like_sql(delta, 6),
-        }
-    )
-
-
-
-def _q_pps_systematic(sf_dir: str) -> pa.Table:
-    """Madow systematic probability-proportional-to-size sample of
-    n=100 orders by price cents, via a DISTRIBUTED TWO-LEVEL PREFIX
-    SCAN: orders bucket by key range, per-bucket sums go through the
-    combiner tier, the driver holds only the bucket-offset table
-    (broadcast back), and each bucket computes its local ordered
-    cumsum in the groupby map_groups tier.  A row is selected when
-    floor(cum*n/W) - floor(cum_prev*n/W) >= 1 -- all-int64 threshold
-    arithmetic, no float boundaries, deterministic for any
-    partitioning.  The scan primitive is the same shape a 100 TB
-    global ordered quantile/rank pass needs."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, hash_aggregate,
-    )
-
-    N_SAMPLE = 100
-    BUCKET = 1024
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_orderkey", "o_totalprice"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        k = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        return pa.table(
-            {
-                "bucket": pa.array(k // BUCKET),
-                "o_orderkey": batch["o_orderkey"],
-                "c": pa.array(scaled_int(batch["o_totalprice"], 100.0)),
-            }
-        )
-
-    prepped = ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
-    bsums = hash_aggregate(
-        prepped, ["bucket"], [("c", "sum", "s")]
-    ).sort_by("bucket")
-    bk = bsums["bucket"].to_numpy(zero_copy_only=False).astype(np.int64)
-    bs = bsums["s"].to_numpy(zero_copy_only=False).astype(np.int64)
-    offs = np.concatenate(([0], np.cumsum(bs)[:-1]))
-    W = int(bs.sum())
-    offset = {int(b): int(o) for b, o in zip(bk, offs)}
-
-    def scan(group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        order = pc.sort_indices(
-            group, sort_keys=[("o_orderkey", "ascending")]
-        )
-        g = group.take(order)
-        c = g["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-        base = offset[int(g["bucket"][0].as_py())]
-        cum = base + np.cumsum(c)
-        prev = cum - c
-        hits = (cum * N_SAMPLE) // W - (prev * N_SAMPLE) // W
-        keep = hits >= 1
-        return pa.table(
-            {
-                "o_orderkey": pa.array(
-                    g["o_orderkey"].to_numpy(zero_copy_only=False)[keep]
-                ),
-                "cum_cents": pa.array(cum[keep]),
-            }
-        )
-
-    out = collect_tables(
-        prepped.groupby("bucket").map_groups(scan, batch_format="pyarrow")
-    )
-    return out.sort_by("o_orderkey")
-
-
-
-def _q_haar_energy(sf_dir: str) -> pa.Table:
-    """Unnormalized Haar wavelet detail energy of the daily event
-    series at levels 1-3 (the multi-resolution variance screen next
-    to the periodogram): level-j smooth a_j,i = a_{j-1,2i} +
-    a_{j-1,2i+1}, detail d_j,i = a_{j-1,2i} - a_{j-1,2i+1}, energy =
-    sum d^2 -- EVERY coefficient an exact int64, zero float anywhere.
-    Uses the first 2^floor(log2(n)) days of the dense calendar."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
-
-    def prep(batch: pa.Table) -> pa.Table:
-        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "d": pa.array(us // 86_400_000_000),
-                "_one": pa.array(np.ones(len(us), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["d"],
-        [("_one", "sum", "x")],
-    ).sort_by("d")
-    d = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)
-    xs = agg["x"].to_numpy(zero_copy_only=False).astype(np.int64)
-    lo, hi = int(d[0]), int(d[-1])
-    n = hi - lo + 1
-    x = np.zeros(n, np.int64)
-    x[d - lo] = xs
-    L = int(np.floor(np.log2(n)))
-    m = 1 << L
-    a = x[:m]
-    levels, energies, ncoef = [], [], []
-    for j in range(1, 4):
-        if len(a) < 2:
-            break
-        e, o = a[0::2], a[1::2]
-        det = e - o
-        a = e + o
-        levels.append(j)
-        energies.append(int((det * det).sum()))
-        ncoef.append(len(det))
-    return pa.table(
-        {
-            "level": pa.array(levels, pa.int64()),
-            "n_coef": pa.array(ncoef, pa.int64()),
-            "energy": pa.array(energies, pa.int64()),
-        }
-    )
-
-
-def _q_cell_week_churn(sf_dir: str) -> pa.Table:
-    """Week-over-week cell-count churn: per lattice cell the delta
-    between the last full epoch week and the one before, top 20
-    movers by |delta| (cell tie-break) -- the spatial hot-spot churn
-    report, all exact integer counts through one combiner pass."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "ts"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "cell": pa.array(eid % 9216),
-                "week": pa.array(us // (7 * 86_400_000_000)),
-                "_one": pa.array(np.ones(len(eid), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["cell", "week"],
-        [("_one", "sum", "n")],
-    )
-    wk = agg["week"].to_numpy(zero_copy_only=False).astype(np.int64)
-    w_last = int(wk.max())
-    cells = agg["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
-    ns = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    cur: dict[int, int] = {}
-    prv: dict[int, int] = {}
-    for c, w, nn in zip(cells, wk, ns):
-        if w == w_last:
-            cur[int(c)] = int(nn)
-        elif w == w_last - 1:
-            prv[int(c)] = int(nn)
-    allc = sorted(set(cur) | set(prv))
-    deltas = np.array(
-        [cur.get(c, 0) - prv.get(c, 0) for c in allc], np.int64
-    )
-    carr = np.array(allc, np.int64)
-    order = np.lexsort((carr, -np.abs(deltas)))[:20]
-    return pa.table(
-        {
-            "cell": pa.array(carr[order]),
-            "n_prev": pa.array(
-                np.array([prv.get(int(c), 0) for c in carr[order]],
-                         np.int64)
-            ),
-            "n_last": pa.array(
-                np.array([cur.get(int(c), 0) for c in carr[order]],
-                         np.int64)
-            ),
-            "delta": pa.array(deltas[order]),
-        }
-    )
-
-
-
-def _q_bayes_rate_smoothing(sf_dir: str) -> pa.Table:
-    """Empirical-Bayes smoothed per-cell purchase rate (the
-    small-sample CTR shrinkage every ranking pipeline runs): cell
-    counts and purchase counts are exact int64 partials; the global
-    prior p0 and each cell's shrunk rate (pos + K*p0) / (n + K) with
-    prior strength K=50 are shared float expressions.  Top 20 cells
-    by smoothed rate (cell tie-break)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "event_type"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        et = batch["event_type"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "cell": pa.array(eid % 9216),
-                "_one": pa.array(np.ones(len(eid), np.int64)),
-                "pos": pa.array((et == "purchase").astype(np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["cell"],
-        [("_one", "sum", "n"), ("pos", "sum", "pos")],
-    )
-    n = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    pos = agg["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
-    cells = agg["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
-    p0 = float(int(pos.sum())) / float(int(n.sum()))
-    K = 50.0
-    rate = (pos.astype(np.float64) + K * p0) / (
-        n.astype(np.float64) + K
-    )
-    order = np.lexsort((cells, -rate))[:20]
-    return pa.table(
-        {
-            "cell": pa.array(cells[order]),
-            "n": pa.array(n[order]),
-            "n_purchase": pa.array(pos[order]),
-            "smoothed_rate": round_like_sql(rate[order], 6),
-        }
-    )
-
-
-
-def _jaro(s1: str, s2: str) -> float:
-    """Jaro similarity, the exact arithmetic DuckDB's
-    jaro_winkler_similarity uses (verified bit-equal over adversarial
-    vocab): match window max(l1,l2)//2 - 1, greedy left-to-right
-    matching, half-transpositions."""
-    if s1 == s2:
-        return 1.0
-    l1, l2 = len(s1), len(s2)
-    if not l1 or not l2:
-        return 0.0
-    md = max(l1, l2) // 2 - 1
-    m1 = [False] * l1
-    m2 = [False] * l2
-    m = 0
-    for i, c in enumerate(s1):
-        lo, hi = max(0, i - md), min(l2, i + md + 1)
-        for j in range(lo, hi):
-            if not m2[j] and s2[j] == c:
-                m1[i] = m2[j] = True
-                m += 1
-                break
-    if m == 0:
-        return 0.0
-    t = 0
-    k = 0
-    for i in range(l1):
-        if m1[i]:
-            while not m2[k]:
-                k += 1
-            if s1[i] != s2[k]:
-                t += 1
-            k += 1
-    t //= 2
-    return (m / l1 + m / l2 + (m - t) / m) / 3.0
-
-
-def _q_jaro_winkler_pairs(sf_dir: str) -> pa.Table:
-    """Entity-resolution scoring: Jaro-Winkler similarity over all
-    source-name pairs (vocabulary-bounded like the word-graph ops),
-    keeping pairs >= 0.8.  The engine's JW replicates DuckDB's exact
-    float arithmetic (boost threshold 0.7, prefix scale 0.1, max
-    prefix 4) -- probed bit-equal before this oracle was pinned."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        distinct, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
-    )
-    vocab = sorted(
-        w for w in distinct(ds, ["source"])["source"].to_pylist()
-        if w is not None
-    )
-    w1, w2, sim = [], [], []
-    for i in range(len(vocab)):
-        for j in range(i + 1, len(vocab)):
-            a, b = vocab[i], vocab[j]
-            jv = _jaro(a, b)
-            if jv > 0.7:
-                l = 0
-                for ca, cb in zip(a[:4], b[:4]):
-                    if ca == cb:
-                        l += 1
-                    else:
-                        break
-                jv = jv + l * 0.1 * (1.0 - jv)
-            if jv >= 0.8:
-                w1.append(a)
-                w2.append(b)
-                sim.append(jv)
-    return pa.table(
-        {
-            "w1": pa.array(w1, pa.string()),
-            "w2": pa.array(w2, pa.string()),
-            "jw": round_like_sql(sim, 6),
-        }
-    )
-
-
-
-def _q_sprt_crossing(sf_dir: str) -> pa.Table:
-    """Wald SPRT over the daily above-median indicator sequence
-    (p1=0.55 vs p0=0.45, A=B=19): each day contributes +/-q where q =
-    round(ln(11/9) * 1e9) is a shared INTEGER literal, so the
-    log-likelihood-ratio path is an exact int64 cumsum; the crossing
-    day and decision are pure integer comparisons.  Sequential
-    testing with zero float state."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    Q = 200670695  # round(ln(0.55/0.45) * 1e9)
-    THR = 2944438979  # round(ln(19) * 1e9)
-
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
-
-    def prep(batch: pa.Table) -> pa.Table:
-        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "d": pa.array(us // 86_400_000_000),
-                "_one": pa.array(np.ones(len(us), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["d"],
-        [("_one", "sum", "x")],
-    ).sort_by("d")
-    d = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)
-    xs = agg["x"].to_numpy(zero_copy_only=False).astype(np.int64)
-    lo, hi = int(d[0]), int(d[-1])
-    n = hi - lo + 1
-    x = np.zeros(n, np.int64)
-    x[d - lo] = xs
-    med = int(np.sort(x)[(n - 1) // 2])
-    llr = np.where(x > med, Q, -Q).astype(np.int64)
-    cum = np.cumsum(llr)
-    up = cum >= THR
-    dn = cum <= -THR
-    hit = np.flatnonzero(up | dn)
-    if len(hit):
-        i = int(hit[0])
-        day = lo + i
-        decision = "accept_p1" if up[i] else "accept_p0"
-        llr_q = int(cum[i])
-    else:
-        day, decision, llr_q = -1, "undecided", int(cum[-1])
-    return pa.table(
-        {
-            "crossing_day": pa.array([day], pa.int64()),
-            "decision": pa.array([decision], pa.string()),
-            "llr_q": pa.array([llr_q], pa.int64()),
-        }
-    )
-
-
-
-# RBO weights p^(d-1) at p=0.9, 1e15 fixed point -- shared literals
-# between the engine and the SQL VALUES list
-_RBO_P15 = [1000000000000000, 900000000000000, 810000000000000, 729000000000000, 656100000000000, 590490000000000, 531441000000000, 478296900000000, 430467210000000, 387420489000000, 348678440100000, 313810596090000, 282429536481000, 254186582832900, 228767924549610, 205891132094649, 185302018885184, 166771816996666, 150094635296999, 135085171767299]
-
-
-def _q_rbo_overlap(sf_dir: str) -> pa.Table:
-    """Rank-biased overlap (p=0.9, depth 20) between this week's and
-    last week's top-20 cell rankings -- the IR list-similarity metric
-    applied to spatial hot-spot churn.  Rankings are deterministic
-    (count desc, cell asc); per-depth overlaps are exact ints; each
-    depth term quantizes ov/d against the SHARED 1e15 fixed-point
-    p^(d-1) literals, so the 20-term sum is exact int64."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "ts"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "cell": pa.array(eid % 9216),
-                "week": pa.array(us // (7 * 86_400_000_000)),
-                "_one": pa.array(np.ones(len(eid), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["cell", "week"],
-        [("_one", "sum", "n")],
-    )
-    wk = agg["week"].to_numpy(zero_copy_only=False).astype(np.int64)
-    cells = agg["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
-    ns = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    w_last = int(wk.max())
-
-    def top20(w: int) -> list:
-        sel = wk == w
-        c, x = cells[sel], ns[sel]
-        order = np.lexsort((c, -x))[:20]
-        return c[order].tolist()
-
-    a = top20(w_last)
-    b = top20(w_last - 1)
-    ra = {c: i + 1 for i, c in enumerate(a)}
-    rb = {c: i + 1 for i, c in enumerate(b)}
-    total = 0
-    for d in range(1, 21):
-        ov = len(
-            {c for c, r in ra.items() if r <= d}
-            & {c for c, r in rb.items() if r <= d}
-        )
-        total += int(
-            round_half_away(
-                np.array([float(ov) / float(d) * float(_RBO_P15[d - 1])])
-            )[0]
-        )
-    rbo = 0.1 * (float(total) / 1e15)
-    return pa.table(
-        {
-            "depth": pa.array([20], pa.int64()),
-            "rbo": round_like_sql([rbo], 6),
-        }
-    )
-
-
-
-def _q_geometric_median(sf_dir: str) -> pa.Table:
-    """Geometric median (Weiszfeld) of each user's geocoded fixes --
-    the robust home-location estimator next to the centroid/ellipse
-    family.  SIX unrolled iterations from the exact-moment centroid;
-    every per-fix term x/d, y/d, 1/d is 1e9-quantized before the
-    per-user sum (exact int64, order-independent), coincident points
-    (d == 0) excluded by rule on both sides; the iterate itself is
-    the shared ratio expression.  Runs vectorized per user in the
-    groupby map_groups tier; the oracle unrolls the same six levels
-    as materialized CTEs."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "user_id"],
-    )
-
-    def per_user(group: pa.Table) -> pa.Table:
-        eid = group["event_id"].to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        x = (eid % 96).astype(np.float64)
-        y = ((eid // 96) % 96).astype(np.float64)
-        n = len(x)
-        sx = float(int((eid % 96).sum()))
-        sy = float(int(((eid // 96) % 96).sum()))
-        X = sx / float(n)
-        Y = sy / float(n)
-        for _ in range(6):
-            d = np.sqrt((x - X) * (x - X) + (y - Y) * (y - Y))
-            ok = d > 0.0
-            qw = round_half_away(
-                np.where(ok, 1e9 / np.where(ok, d, 1.0), 0.0)
-            ).astype(np.int64)
-            qx = round_half_away(
-                np.where(ok, x * 1e9 / np.where(ok, d, 1.0), 0.0)
-            ).astype(np.int64)
-            qy = round_half_away(
-                np.where(ok, y * 1e9 / np.where(ok, d, 1.0), 0.0)
-            ).astype(np.int64)
-            swq = int(qw.sum())
-            if swq == 0:
-                break
-            X = float(int(qx.sum())) / float(swq)
-            Y = float(int(qy.sum())) / float(swq)
-        return pa.table(
-            {
-                "user_id": pa.array(
-                    [group["user_id"][0].as_py()], pa.int64()
-                ),
-                "n_fixes": pa.array([n], pa.int64()),
-                "gm_x": round_like_sql([X], 6),
-                "gm_y": round_like_sql([Y], 6),
-            }
-        )
-
-    per = collect_tables(
-        ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
-    )
-    return per.sort_by("user_id")
-
-
-
-def _q_visibility_graph(sf_dir: str) -> pa.Table:
-    """Natural visibility graph of the daily event series (the
-    time-series-to-network transform): days a < b are linked when
-    every bar between them stays strictly below the sight line,
-    tested with CROSS-MULTIPLIED integer arithmetic -- x_c (b-a) <
-    x_a (b-c) + x_b (c-a) -- so there is no float slope anywhere.
-    Output: per-day visibility degree."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
-
-    def prep(batch: pa.Table) -> pa.Table:
-        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "d": pa.array(us // 86_400_000_000),
-                "_one": pa.array(np.ones(len(us), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["d"],
-        [("_one", "sum", "x")],
-    ).sort_by("d")
-    d = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)
-    xs = agg["x"].to_numpy(zero_copy_only=False).astype(np.int64)
-    lo, hi = int(d[0]), int(d[-1])
-    n = hi - lo + 1
-    x = np.zeros(n, np.int64)
-    x[d - lo] = xs
-    deg = np.zeros(n, np.int64)
-    for a in range(n):
-        for b in range(a + 1, n):
-            ok = True
-            for c in range(a + 1, b):
-                if x[c] * (b - a) >= x[a] * (b - c) + x[b] * (c - a):
-                    ok = False
-                    break
-            if ok:
-                deg[a] += 1
-                deg[b] += 1
-    return pa.table(
-        {
-            "day": pa.array(lo + np.arange(n, dtype=np.int64)),
-            "degree": pa.array(deg),
-        }
-    )
-
-
-def _q_hill_estimator(sf_dir: str) -> pa.Table:
-    """Hill tail-index estimator over per-customer spend (k = 50
-    upper order statistics): exact cents order statistics with
-    deterministic (cents, custkey) tie-break, each ln(x_i / x_(k+1))
-    term 1e9-quantized before the exact integer sum -- the
-    heavy-tail diagnostic next to zipf_slope/pareto."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    K = 50
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_custkey", "o_totalprice"],
-    )
-
-    def cents(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "o_custkey": batch["o_custkey"],
-                "c": pa.array(scaled_int(batch["o_totalprice"], 100.0)),
-            }
-        )
-
-    per = hash_aggregate(
-        ds.map_batches(cents, batch_format="pyarrow", batch_size=None),
-        ["o_custkey"],
-        [("c", "sum", "spend")],
-    )
-    sp = per["spend"].to_numpy(zero_copy_only=False).astype(np.int64)
-    ck = per["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.lexsort((ck, -sp))[: K + 1]
-    top = sp[order]
-    xk1 = float(top[K])
-    terms = round_half_away(
-        np.log(top[:K].astype(np.float64) / xk1) * 1e9
-    ).astype(np.int64)
-    s = int(terms.sum())
-    alpha = float(K) / (float(s) / 1e9)
-    return pa.table(
-        {
-            "k": pa.array([K], pa.int64()),
-            "x_k1_cents": pa.array([int(top[K])], pa.int64()),
-            "hill_alpha": round_like_sql([alpha], 6),
-        }
-    )
-
-
-
-def _q_q17_small_qty_revenue(sf_dir: str) -> pa.Table:
-    """TPC-H Q17 analogue: revenue impact of small-quantity orders --
-    lineitems with quantity below 0.2 x their part's mean quantity.
-    Two passes: per-part exact integer (sum qty, count) through the
-    distributed groupby tier, broadcast back as a per-part threshold
-    map; the filter comparison q < 0.2 * (sq/n) is the shared float
-    expression; the kept revenue stays exact int64 cents, one /7.0
-    at the end."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_partkey", "l_quantity", "l_extendedprice"],
-    )
-
-    def qprep(batch: pa.Table) -> pa.Table:
-        q = round_half_away(
-            batch["l_quantity"].to_numpy(zero_copy_only=False)
-        ).astype(np.int64)
-        return pa.table(
-            {
-                "l_partkey": batch["l_partkey"],
-                "q": pa.array(q),
-                "_one": pa.array(np.ones(len(q), np.int64)),
-            }
-        )
-
-    stats = hash_aggregate(
-        ds.map_batches(qprep, batch_format="pyarrow", batch_size=None),
-        ["l_partkey"],
-        [("q", "sum", "sq"), ("_one", "sum", "n")],
-    )
-    pk = stats["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-    sq = stats["sq"].to_numpy(zero_copy_only=False).astype(np.int64)
-    nn = stats["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.argsort(pk)
-    pk_s, sq_s, n_s = pk[order], sq[order], nn[order]
-
-    def keep(batch: pa.Table) -> pa.Table:
-        p = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        q = round_half_away(
-            batch["l_quantity"].to_numpy(zero_copy_only=False)
-        ).astype(np.int64)
-        i = np.searchsorted(pk_s, p)
-        thr = 0.2 * (
-            sq_s[i].astype(np.float64) / n_s[i].astype(np.float64)
-        )
-        m = q.astype(np.float64) < thr
-        c = scaled_int(
-            batch["l_extendedprice"].to_numpy(zero_copy_only=False)[m],
-            100.0,
-        )
-        return pa.table(
-            {
-                "k": pa.array(np.zeros(int(m.sum()), np.int64)),
-                "c": pa.array(c),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(keep, batch_format="pyarrow", batch_size=None),
-        ["k"],
-        [("c", "sum", "s"), ("c", "count", "n")],
-    )
-    s = int(agg["s"][0].as_py())
-    n_kept = int(agg["n"][0].as_py())
-    return pa.table(
-        {
-            "n_lineitems": pa.array([n_kept], pa.int64()),
-            "avg_yearly": round_like_sql(
-                [(float(s) / 100.0) / 7.0], 6
-            ),
-        }
-    )
-
-
-def _q_q19_disjunctive_revenue(sf_dir: str) -> pa.Table:
-    """TPC-H Q19 analogue: revenue under an OR-of-ANDs brand/quantity
-    predicate -- the disjunctive-pushdown stress case.  Part brands
-    ride the broadcast tier; the three (brand, quantity-range)
-    disjuncts evaluate vectorized per batch; revenue cents stay
-    exact int64."""
-    import pyarrow.parquet as pq
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        BroadcastLookup, hash_aggregate, round_like_sql,
-    )
-
-    part = pq.read_table(
-        os.path.join(sf_dir, "part.parquet"),
-        columns=["p_partkey", "p_brand"],
-    ).rename_columns(["l_partkey", "p_brand"])
-    ds = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
-    ).map_batches(
-        BroadcastLookup(part, on="l_partkey", take_cols=["p_brand"]),
-        batch_format="pyarrow", batch_size=None,
-    )
-
-    def keep(batch: pa.Table) -> pa.Table:
-        b = np.asarray(batch["p_brand"].to_pylist(), dtype=object)
-        q = round_half_away(
-            batch["l_quantity"].to_numpy(zero_copy_only=False)
-        ).astype(np.int64)
-        m = (
-            ((b == "Brand#1") & (q >= 1) & (q <= 11))
-            | ((b == "Brand#2") & (q >= 10) & (q <= 20))
-            | ((b == "Brand#3") & (q >= 20) & (q <= 30))
-        )
-        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)[m]
-        dc = batch["l_discount"].to_numpy(zero_copy_only=False)[m]
-        c = scaled_int(
-            np.asarray(p, np.float64) * (1.0 - np.asarray(dc, np.float64)),
-            100.0,
-        )
-        return pa.table(
-            {
-                "k": pa.array(np.zeros(int(m.sum()), np.int64)),
-                "c": pa.array(c),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(keep, batch_format="pyarrow", batch_size=None),
-        ["k"],
-        [("c", "sum", "s"), ("c", "count", "n")],
-    )
-    if agg.num_rows == 0:
-        return pa.table(
-            {
-                "n_lineitems": pa.array([0], pa.int64()),
-                "revenue": round_like_sql([0.0], 6),
-            }
-        )
-    s = int(agg["s"][0].as_py())
-    n_kept = int(agg["n"][0].as_py())
-    return pa.table(
-        {
-            "n_lineitems": pa.array([n_kept], pa.int64()),
-            "revenue": round_like_sql([float(s) / 100.0], 6),
-        }
-    )
-
-
-
-def _q_graph_modularity(sf_dir: str) -> pa.Table:
-    """Newman modularity of the even/odd-length two-partition of the
-    edit-1 word graph: Q = sum_c e_c/m - sum_c (d_c / 2m)^2 with
-    intra-edge counts e_c and class degree sums d_c all exact int64
-    on the vocabulary-bounded edge list; Q is one shared float
-    expression."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        edit1_vocab_pairs,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
-    ).map_batches(
-        lambda b: b.rename_columns(["text"]),
-        batch_format="pyarrow", batch_size=None,
-    )
-    pairs = edit1_vocab_pairs(ds, min_len=4)
-    w1 = pairs["w1"].to_pylist()
-    w2 = pairs["w2"].to_pylist()
-    m = len(w1)
-    e_c = {0: 0, 1: 0}
-    d_c = {0: 0, 1: 0}
-    for a, b in zip(w1, w2):
-        ca, cb = len(a) % 2, len(b) % 2
-        d_c[ca] += 1
-        d_c[cb] += 1
-        if ca == cb:
-            e_c[ca] += 1
-    mf = float(m)
-    q = sum(
-        float(e_c[c]) / mf - (float(d_c[c]) / (2.0 * mf)) ** 2
-        for c in (0, 1)
-    )
-    return pa.table(
-        {
-            "n_edges": pa.array([m], pa.int64()),
-            "intra_even": pa.array([e_c[0]], pa.int64()),
-            "intra_odd": pa.array([e_c[1]], pa.int64()),
-            "modularity": round_like_sql([q], 6),
-        }
-    )
-
-
-
-def _q_feature_matrix(sf_dir: str) -> pa.Table:
-    """Per-user ML feature extraction (the classic RFM-style training
-    matrix): one combiner pass emits per-type counts (wide int64
-    columns), exact total cents, and last-activity day; recency =
-    corpus max day - user's last day.  Everything integer; no second
-    shuffle -- the wide partials sum exactly."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    TYPES = ["click", "error", "purchase", "signup", "view"]
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "ts", "event_type", "value"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        et = batch["event_type"].to_numpy(zero_copy_only=False)
-        cols = {
-            "user_id": batch["user_id"],
-            "d": pa.array(us // 86_400_000_000),
-            "c": pa.array(scaled_int(batch["value"], 100.0)),
-        }
-        for t in TYPES:
-            cols[f"n_{t}"] = pa.array((et == t).astype(np.int64))
-        return pa.table(cols)
-
-    aggs = [("c", "sum", "total_cents"), ("d", "max", "last_day")]
-    aggs += [(f"n_{t}", "sum", f"n_{t}") for t in TYPES]
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["user_id"],
-        aggs,
-    ).sort_by("user_id")
-    dmax = int(
-        agg["last_day"].to_numpy(zero_copy_only=False).astype(np.int64).max()
-    )
-    rec = dmax - agg["last_day"].to_numpy(zero_copy_only=False).astype(
-        np.int64
-    )
-    out = {"user_id": agg["user_id"]}
-    for t in TYPES:
-        out[f"n_{t}"] = agg[f"n_{t}"].cast(pa.int64())
-    out["total_cents"] = agg["total_cents"].cast(pa.int64())
-    out["recency_days"] = pa.array(rec)
-    return pa.table(out)
-
-
-
-def _q_ql_retrieval(sf_dir: str) -> pa.Table:
-    """Query-likelihood retrieval with Dirichlet smoothing (mu=100)
-    for the query [hash, join, table] -- the LM-based ranker next to
-    BM25: corpus frequencies and doc lengths are exact int64 one-pass
-    partials; each doc's score is the exact int64 sum of three
-    1e9-quantized ln((tf + mu*cf/T) / (len + mu)) terms, so ranking
-    ties break identically.  Top 10 (score desc, doc asc)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, hash_aggregate,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        _explode_tokens,
-    )
-
-    QW = ["hash", "join", "table"]
-    MU = 100.0
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "text"],
-    )
-
-    def stats(batch: pa.Table) -> pa.Table:
-        t = _explode_tokens(batch, "text", "doc_id")
-        toks = t["token"].to_numpy(zero_copy_only=False)
-        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        cols = {"doc_id": pa.array(did),
-                "len": pa.array(np.ones(len(did), np.int64))}
-        for w in QW:
-            cols[f"tf_{w}"] = pa.array((toks == w).astype(np.int64))
-        return pa.table(cols).group_by("doc_id").aggregate(
-            [("len", "sum")] + [(f"tf_{w}", "sum") for w in QW]
-        ).rename_columns(["doc_id", "len"] + [f"tf_{w}" for w in QW])
-
-    agg = hash_aggregate(
-        ds.map_batches(stats, batch_format="pyarrow", batch_size=None),
-        ["doc_id"],
-        [("len", "sum", "len")]
-        + [(f"tf_{w}", "sum", f"tf_{w}") for w in QW],
-    )
-    T = float(
-        int(agg["len"].to_numpy(zero_copy_only=False).astype(np.int64).sum())
-    )
-    cf = {
-        w: float(
-            int(
-                agg[f"tf_{w}"]
-                .to_numpy(zero_copy_only=False)
-                .astype(np.int64)
-                .sum()
-            )
-        )
-        for w in QW
-    }
-    ln = agg["len"].to_numpy(zero_copy_only=False).astype(np.float64)
-    score = np.zeros(agg.num_rows, np.int64)
-    for w in QW:
-        tf = agg[f"tf_{w}"].to_numpy(zero_copy_only=False).astype(
-            np.float64
-        )
-        term = np.log((tf + MU * cf[w] / T) / (ln + MU))
-        score += round_half_away(term * 1e9).astype(np.int64)
-    did = agg["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.lexsort((did, -score))[:10]
-    return pa.table(
-        {
-            "doc_id": pa.array(did[order]),
-            "score_q": pa.array(score[order]),
-        }
-    )
-
-
-def _q_ljung_box(sf_dir: str) -> pa.Table:
-    """Ljung-Box portmanteau test at lags 1-5 on the daily
-    order-revenue series: residuals are exact int64 against the
-    half-away-rounded integer mean (autocovariance is shift-invariant),
-    each lag's autocovariance is an exact Python-int product sum,
-    rho_k = sk/s0 is one float division of identical integers both
-    sides, and the per-lag Q term rho_k^2/(n-k) is 1e12-quantized so
-    the cumulative statistic q_scaled = n*(n+2)*cumsum(term_q) is a
-    bit-exact BIGINT."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_orderdate", "o_totalprice"],
-    )
-
-    def daily(batch: pa.Table) -> pa.Table:
-        d = (
-            batch["o_orderdate"].cast(pa.int64()).to_numpy(
-                zero_copy_only=False
-            )
-            // 86_400_000_000
-        )
-        cents = round_half_away(
-            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
-        ).astype(np.int64)
-        return pa.table({"d": pa.array(d), "cents": pa.array(cents)})
-
-    agg = hash_aggregate(
-        ds.map_batches(daily, batch_format="pyarrow", batch_size=None),
-        ["d"],
-        [("cents", "sum", "x")],
-    )
-    order = np.argsort(agg["d"].to_numpy(zero_copy_only=False))
-    xs = (
-        agg["x"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
-    ).tolist()
-    n = len(xs)
-    tot = sum(xs)
-    mean_int = int(round_half_away(np.array([float(tot) / float(n)]))[0])
-    es = [x - mean_int for x in xs]
-    s0 = sum(e * e for e in es)
-    lags, rho_qs, q_scaleds = [], [], []
-    cum = 0
-    for k in range(1, 6):
-        sk = sum(es[t] * es[t - k] for t in range(k, n))
-        rho = float(sk) / float(s0)
-        rho_q = int(round_half_away(np.array([rho * 1e9]))[0])
-        term = rho * rho / float(n - k) * 1e12
-        cum += int(round_half_away(np.array([term]))[0])
-        lags.append(k)
-        rho_qs.append(rho_q)
-        q_scaleds.append(n * (n + 2) * cum)
-    return pa.table(
-        {
-            "lag": pa.array(lags, pa.int64()),
-            "rho_q": pa.array(rho_qs, pa.int64()),
-            "q_scaled": pa.array(q_scaleds, pa.int64()),
-        }
-    )
-
-
-def _q_bigram_novelty(sf_dir: str) -> pa.Table:
-    """Corpus n-gram novelty curve: split doc ids into 10 ordered
-    buckets and report, per bucket, the fraction of its bigram
-    OCCURRENCES whose corpus-wide first occurrence (min doc_id) falls
-    in that same bucket -- the "how much of each new data slice is
-    genuinely new text" audit run before incremental training.  One
-    gram-keyed distributed aggregate (min doc_id + 10 wide occurrence
-    counts; the gram vocabulary never lands on the driver), then a
-    10-row combine."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        _explode_ngrams,
-    )
-
-    NB = 10
-    md = int(
-        _read_pq(
-            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
-        ).max("doc_id")
-    )
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
-
-    def grams(batch: pa.Table) -> pa.Table:
-        t = _explode_ngrams(batch, 2, "text", "doc_id")
-        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        bkt = did * NB // (md + 1)
-        cols = {"gram": t["gram"], "doc_id": pa.array(did)}
-        for i in range(NB):
-            cols[f"c{i}"] = pa.array((bkt == i).astype(np.int64))
-        return pa.table(cols)
-
-    agg = hash_aggregate(
-        ds.map_batches(grams, batch_format="pyarrow", batch_size=None),
-        ["gram"],
-        [("doc_id", "min", "first_doc")]
-        + [(f"c{i}", "sum", f"n{i}") for i in range(NB)],
-        distributed_combine=True,
-    )
-
-    def per_bucket(batch: pa.Table) -> pa.Table:
-        fb = (
-            batch["first_doc"].to_numpy(zero_copy_only=False).astype(np.int64)
-            * NB
-            // (md + 1)
-        )
-        novel = np.zeros(NB, np.int64)
-        total = np.zeros(NB, np.int64)
-        for i in range(NB):
-            ci = batch[f"n{i}"].to_numpy(zero_copy_only=False).astype(
-                np.int64
-            )
-            total[i] = ci.sum()
-            novel[i] = ci[fb == i].sum()
-        return pa.table(
-            {
-                "bucket": pa.array(np.arange(NB, dtype=np.int64)),
-                "novel": pa.array(novel),
-                "total": pa.array(total),
-            }
-        )
-
-    parts = collect_tables(
-        agg.map_batches(per_bucket, batch_format="pyarrow", batch_size=None)
-    )
-    out = (
-        parts.group_by("bucket")
-        .aggregate([("novel", "sum"), ("total", "sum")])
-        .rename_columns(["bucket", "novel", "total"])
-        .sort_by("bucket")
-    )
-    novel = out["novel"].to_numpy(zero_copy_only=False).astype(np.float64)
-    total = out["total"].to_numpy(zero_copy_only=False).astype(np.float64)
-    rate_q = round_half_away(novel / total * 1e9).astype(np.int64)
-    return pa.table(
-        {
-            "bucket": out["bucket"].cast(pa.int64()),
-            "novel": out["novel"].cast(pa.int64()),
-            "total": out["total"].cast(pa.int64()),
-            "rate_q": pa.array(rate_q),
-        }
-    )
-
-
-def _q_vocab_richness(sf_dir: str) -> pa.Table:
-    """Vocabulary-richness battery per language: Yule's K
-    (1e4 * (sum_w c_w^2 - N) / N^2), Guiraud's R (V / sqrt(N)) and
-    Sichel's S (V(2) / V).  One (lang, token)-keyed distributed count
-    (vocabulary never lands on the driver), then per-language exact
-    integer moments (N, V, V2, sum c^2) from wide partials; each
-    statistic is one float expression over identical integers both
-    sides, 1e9/1e6-quantized."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, hash_aggregate,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        _explode_tokens,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "text"]
-    )
-
-    def toks(batch: pa.Table) -> pa.Table:
-        t = _explode_tokens(batch, "text", "lang")
-        return pa.table(
-            {
-                "lang": t["lang"],
-                "token": t["token"],
-                "one": pa.array(np.ones(t.num_rows, np.int64)),
-            }
-        )
-
-    counts = hash_aggregate(
-        ds.map_batches(toks, batch_format="pyarrow", batch_size=None),
-        ["lang", "token"],
-        [("one", "sum", "c")],
-        distributed_combine=True,
-    )
-
-    def moments(batch: pa.Table) -> pa.Table:
-        c = batch["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-        t = pa.table(
-            {
-                "lang": batch["lang"],
-                "n": pa.array(c),
-                "v": pa.array(np.ones(len(c), np.int64)),
-                "v2": pa.array((c == 2).astype(np.int64)),
-                "s2": pa.array(c * c),
-            }
-        )
-        return (
-            t.group_by("lang")
-            .aggregate(
-                [("n", "sum"), ("v", "sum"), ("v2", "sum"), ("s2", "sum")]
-            )
-            .rename_columns(["lang", "n", "v", "v2", "s2"])
-        )
-
-    parts = collect_tables(
-        counts.map_batches(moments, batch_format="pyarrow", batch_size=None)
-    )
-    out = (
-        parts.group_by("lang")
-        .aggregate([("n", "sum"), ("v", "sum"), ("v2", "sum"), ("s2", "sum")])
-        .rename_columns(["lang", "n_tokens", "vocab", "v2", "s2"])
-        .sort_by("lang")
-    )
-    n = out["n_tokens"].to_numpy(zero_copy_only=False).astype(np.float64)
-    v = out["vocab"].to_numpy(zero_copy_only=False).astype(np.float64)
-    v2 = out["v2"].to_numpy(zero_copy_only=False).astype(np.float64)
-    s2 = out["s2"].to_numpy(zero_copy_only=False).astype(np.float64)
-    yule_q = round_half_away(1e4 * (s2 - n) / (n * n) * 1e6).astype(np.int64)
-    guiraud_q = round_half_away(v / np.sqrt(n) * 1e9).astype(np.int64)
-    sichel_q = round_half_away(v2 / v * 1e9).astype(np.int64)
-    return pa.table(
-        {
-            "lang": out["lang"],
-            "n_tokens": out["n_tokens"].cast(pa.int64()),
-            "vocab": out["vocab"].cast(pa.int64()),
-            "yule_k_q": pa.array(yule_q),
-            "guiraud_q": pa.array(guiraud_q),
-            "sichel_q": pa.array(sichel_q),
-        }
-    )
-
-
-def _q_q4_order_priority(sf_dir: str) -> pa.Table:
-    """TPC-H Q4 analogue (order-priority checking): orders placed in
-    1997Q3 that have at least one lineitem shipped more than 90 days
-    after the order date, counted per priority.  The EXISTS turns into
-    a per-orderkey MAX(l_shipdate) pre-aggregate (combiner -- lineitem
-    never re-shuffles raw) pruned to shipdates that can possibly
-    qualify, joined to the date-windowed orders through the size-aware
-    router; the semi-join predicate is then one vectorized compare."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        equi_join, hash_aggregate,
-    )
-
-    DAY = 86_400_000_000
-    LO = np.datetime64("1997-07-01T00:00:00", "us").astype(np.int64)
-    HI = np.datetime64("1997-10-01T00:00:00", "us").astype(np.int64)
-
-    od = _read_pq(
-        os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
-    )
-
-    def od_filter(batch: pa.Table) -> pa.Table:
-        ts = batch["o_orderdate"].cast(pa.int64()).to_numpy(
-            zero_copy_only=False
-        )
-        b = batch.filter(pa.array((ts >= LO) & (ts < HI)))
-        return pa.table(
-            {
-                "o_orderkey": b["o_orderkey"],
-                "o_ts": b["o_orderdate"].cast(pa.int64()),
-                "o_orderpriority": b["o_orderpriority"],
-            }
-        )
-
-    od_f = od.map_batches(od_filter, batch_format="pyarrow", batch_size=None)
-
-    li = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_orderkey", "l_shipdate"],
-    )
-
-    def li_prep(batch: pa.Table) -> pa.Table:
-        ts = batch["l_shipdate"].cast(pa.int64()).to_numpy(
-            zero_copy_only=False
-        )
-        # a lineitem shipped on or before LO+90d can never satisfy
-        # ship > o_date + 90d for any order in the window
-        b = batch.filter(pa.array(ts > LO + 90 * DAY))
-        return pa.table(
-            {
-                "l_orderkey": b["l_orderkey"],
-                "s": b["l_shipdate"].cast(pa.int64()),
-            }
-        )
-
-    mx = hash_aggregate(
-        li.map_batches(li_prep, batch_format="pyarrow", batch_size=None),
-        ["l_orderkey"],
-        [("s", "max", "max_ship")],
-        distributed_combine=True,
-    )
-    joined = equi_join(
-        mx, od_f, join_type="inner", num_partitions=8,
-        on=("l_orderkey",), right_on=("o_orderkey",),
-    )
-
-    def late(batch: pa.Table) -> pa.Table:
-        ms = batch["max_ship"].to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        ot = batch["o_ts"].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = batch.filter(pa.array(ms > ot + 90 * DAY))
-        return pa.table(
-            {
-                "o_orderpriority": b["o_orderpriority"],
-                "one": pa.array(np.ones(b.num_rows, np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        joined.map_batches(late, batch_format="pyarrow", batch_size=None),
-        ["o_orderpriority"],
-        [("one", "sum", "order_count")],
-    )
-    return agg.sort_by("o_orderpriority")
-
-
-def _q_logrank_test(sf_dir: str) -> pa.Table:
-    """Two-group log-rank test (time to first error, right-censored at
-    last activity; groups = user_id parity).  Per-user survival triples
-    reduce via the combiner tier exactly like kaplan_meier; the pooled
-    event-time table is bounded by users.  Per-time expected/variance
-    terms are 1e9-quantized BEFORE summing so the totals are exact
-    integers (float-sum order independent); the chi-square statistic is
-    one float expression over those integers, 1e6-quantized."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "ts", "event_type"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        tnp = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        is_ev = pc.equal(batch["event_type"], "error").to_numpy(
-            zero_copy_only=False
-        )
-        big = np.int64(2**62)
-        evt = np.where(is_ev, tnp, big)
-        return pa.table(
-            {
-                "user_id": batch["user_id"],
-                "t0": pa.array(tnp),
-                "tlast": pa.array(tnp),
-                "terr": pa.array(evt),
-            }
-        )
-
-    peru = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["user_id"],
-        [("t0", "min", "t0"), ("tlast", "max", "tlast"),
-         ("terr", "min", "terr")],
-    )
-    uid = peru["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    t0 = peru["t0"].to_numpy(zero_copy_only=False)
-    tlast = peru["tlast"].to_numpy(zero_copy_only=False)
-    terr = peru["terr"].to_numpy(zero_copy_only=False)
-    big = np.int64(2**62)
-    obs = terr < big
-    dur = np.where(obs, terr - t0, tlast - t0)
-    grp0 = (uid % 2) == 0
-
-    ev_times = np.unique(dur[obs])
-    dall = np.sort(dur)
-    d0 = np.sort(dur[grp0])
-    n = len(dur) - np.searchsorted(dall, ev_times, side="left")
-    n1 = len(d0) - np.searchsorted(d0, ev_times, side="left")
-    obs_sorted = np.sort(dur[obs])
-    obs0_sorted = np.sort(dur[obs & grp0])
-    dd = (
-        np.searchsorted(obs_sorted, ev_times, side="right")
-        - np.searchsorted(obs_sorted, ev_times, side="left")
-    )
-    d1 = (
-        np.searchsorted(obs0_sorted, ev_times, side="right")
-        - np.searchsorted(obs0_sorted, ev_times, side="left")
-    )
-    nf = n.astype(np.float64)
-    n1f = n1.astype(np.float64)
-    ddf = dd.astype(np.float64)
-    e1q = round_half_away(ddf * n1f / nf * 1e9).astype(np.int64)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        vterm = (
-            ddf
-            * (n1f / nf)
-            * ((nf - n1f) / nf)
-            * ((nf - ddf) / (nf - 1.0))
-            * 1e9
-        )
-    vq = np.where(n > 1, round_half_away(np.where(n > 1, vterm, 0.0)), 0.0
-                  ).astype(np.int64)
-    o1 = int(d1.sum())
-    e1_q = int(e1q.sum())
-    v_q = int(vq.sum())
-    num = float(o1) - float(e1_q) / 1e9
-    chi2_q = int(
-        round_half_away(np.array([num * num / (float(v_q) / 1e9) * 1e6]))[0]
-    )
-    return pa.table(
-        {
-            "o1": pa.array([o1], pa.int64()),
-            "e1_q": pa.array([e1_q], pa.int64()),
-            "v_q": pa.array([v_q], pa.int64()),
-            "chi2_q": pa.array([chi2_q], pa.int64()),
-        }
-    )
-
-
-def _q_knox_test(sf_dir: str) -> pa.Table:
-    """Knox space-time interaction test over a deterministic event
-    subset (event_id % 20 == 0): pair counts close in space (lattice
-    dist^2 <= 25), close in time (|dt| <= 1h), and both -- WITHOUT an
-    all-pairs pass.  Space pairs count inside a 12x12 coarse-cell
-    shuffle with 8-neighbour halo rows (cell edge 8 >= radius 5, so
-    every qualifying pair lands in some anchor cell exactly once via
-    the own-row/halo true-cell ordering rule); time pairs use the same
-    anchored-halo counting over hour windows.  Everything is exact
-    integer counts; the Knox ratio observed/expected is one float
-    expression, 1e6-quantized."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-
-    HOUR = 3_600_000_000
-    R2 = 25
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "ts"],
-    )
-
-    def space_rows(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        keep = eid % 20 == 0
-        eid = eid[keep]
-        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)[
-            keep
-        ]
-        gx = eid % 96
-        gy = (eid // 96) % 96
-        cx, cy = gx // 8, gy // 8
-        outs = []
-        for dx_ in (-1, 0, 1):
-            for dy_ in (-1, 0, 1):
-                nx, ny = cx + dx_, cy + dy_
-                ok = (nx >= 0) & (nx < 12) & (ny >= 0) & (ny < 12)
-                own = np.int64(1) if (dx_ == 0 and dy_ == 0) else np.int64(0)
-                outs.append(
-                    pa.table(
-                        {
-                            "cell": pa.array(nx[ok] * 12 + ny[ok]),
-                            "own": pa.array(
-                                np.full(int(ok.sum()), own, np.int64)
-                            ),
-                            "tcell": pa.array((cx * 12 + cy)[ok]),
-                            "gx": pa.array(gx[ok]),
-                            "gy": pa.array(gy[ok]),
-                            "t": pa.array(ts[ok]),
-                            "eid": pa.array(eid[ok]),
-                        }
-                    )
-                )
-        return pa.concat_tables(outs)
-
-    def space_kernel(group: pa.Table) -> pa.Table:
-        own = group["own"].to_numpy(zero_copy_only=False).astype(bool)
-        gx = group["gx"].to_numpy(zero_copy_only=False).astype(np.int64)
-        gy = group["gy"].to_numpy(zero_copy_only=False).astype(np.int64)
-        t = group["t"].to_numpy(zero_copy_only=False).astype(np.int64)
-        eid = group["eid"].to_numpy(zero_copy_only=False).astype(np.int64)
-        tc = group["tcell"].to_numpy(zero_copy_only=False).astype(np.int64)
-        cell = int(group["cell"][0].as_py())
-        ai = np.where(own)[0]
-        if len(ai) == 0:
-            return pa.table(
-                {"ns": pa.array([0], pa.int64()),
-                 "nst": pa.array([0], pa.int64())}
-            )
-        d2 = (
-            (gx[ai][:, None] - gx[None, :]) ** 2
-            + (gy[ai][:, None] - gy[None, :]) ** 2
-        )
-        close = d2 <= R2
-        # dedup: own-own pairs need eid_j > eid_i; own-halo pairs are
-        # anchored to the smaller true cell
-        allowed = np.where(
-            own[None, :], eid[None, :] > eid[ai][:, None], tc[None, :] > cell
-        )
-        m = close & allowed
-        ns = int(m.sum())
-        tclose = np.abs(t[ai][:, None] - t[None, :]) <= HOUR
-        nst = int((m & tclose).sum())
-        return pa.table(
-            {"ns": pa.array([ns], pa.int64()),
-             "nst": pa.array([nst], pa.int64())}
-        )
-
-    sp = collect_tables(
-        _grouped_by_key(
-            ds.map_batches(
-                space_rows, batch_format="pyarrow", batch_size=None
-            ),
-            "cell",
-            space_kernel,
-        )
-    )
-    ns = int(sp["ns"].to_numpy(zero_copy_only=False).sum())
-    nst = int(sp["nst"].to_numpy(zero_copy_only=False).sum())
-
-    def time_rows(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        keep = eid % 20 == 0
-        eid = eid[keep]
-        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)[
-            keep
-        ]
-        w = ts // HOUR
-        outs = []
-        for dw in (-1, 0, 1):
-            own = np.int64(1) if dw == 0 else np.int64(0)
-            outs.append(
-                pa.table(
-                    {
-                        "w": pa.array(w + dw),
-                        "own": pa.array(np.full(len(w), own, np.int64)),
-                        "tw": pa.array(w),
-                        "t": pa.array(ts),
-                        "eid": pa.array(eid),
-                    }
-                )
-            )
-        return pa.concat_tables(outs)
-
-    def time_kernel(group: pa.Table) -> pa.Table:
-        own = group["own"].to_numpy(zero_copy_only=False).astype(bool)
-        t = group["t"].to_numpy(zero_copy_only=False).astype(np.int64)
-        eid = group["eid"].to_numpy(zero_copy_only=False).astype(np.int64)
-        tw = group["tw"].to_numpy(zero_copy_only=False).astype(np.int64)
-        w = int(group["w"][0].as_py())
-        ai = np.where(own)[0]
-        if len(ai) == 0:
-            return pa.table({"nt": pa.array([0], pa.int64()),
-                             "n_own": pa.array([0], pa.int64())})
-        tclose = np.abs(t[ai][:, None] - t[None, :]) <= HOUR
-        allowed = np.where(
-            own[None, :], eid[None, :] > eid[ai][:, None], tw[None, :] > w
-        )
-        nt = int((tclose & allowed).sum())
-        return pa.table(
-            {"nt": pa.array([nt], pa.int64()),
-             "n_own": pa.array([len(ai)], pa.int64())}
-        )
-
-    tm = collect_tables(
-        _grouped_by_key(
-            ds.map_batches(
-                time_rows, batch_format="pyarrow", batch_size=None
-            ),
-            "w",
-            time_kernel,
-        )
-    )
-    nt = int(tm["nt"].to_numpy(zero_copy_only=False).sum())
-    n = int(tm["n_own"].to_numpy(zero_copy_only=False).sum())
-    total = n * (n - 1) // 2
-    if ns == 0 or nt == 0:
-        ratio_q = 0
-    else:
-        expected = float(ns) * float(nt) / float(total)
-        ratio_q = int(
-            round_half_away(np.array([float(nst) / expected * 1e6]))[0]
-        )
-    return pa.table(
-        {
-            "n_points": pa.array([n], pa.int64()),
-            "ns": pa.array([ns], pa.int64()),
-            "nt": pa.array([nt], pa.int64()),
-            "nst": pa.array([nst], pa.int64()),
-            "knox_ratio_q": pa.array([ratio_q], pa.int64()),
-        }
-    )
-
-
-def _q_mask_morphology(sf_dir: str) -> pa.Table:
-    """Binary morphology census over the slope-fixture validity mask:
-    3x3 dilation (any valid neighbour incl. self), 3x3 erosion (all 9
-    in-grid valid; off-grid counts invalid) and the morphological
-    gradient -- the mask-cleanup sizing pass run before vectorizing
-    nodata boundaries.  Same halo-exchange shuffle as the focal
-    derivatives; per-tile exact integer counts roll up by one sum."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
-        make_emit_halos,
-    )
-
-    tiles = ray.data.from_arrow(_og_tiles_table(sparse_invalid=True, tile=24))
-
-    def morph_kernel(group: pa.Table) -> pa.Table:
-        from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
-            _assemble_padded, NODATA_THRESHOLD,
-        )
-
-        asm = _assemble_padded(group)
-        empty = pa.table(
-            {
-                "n_valid": pa.array([], pa.int64()),
-                "n_dilated": pa.array([], pa.int64()),
-                "n_eroded": pa.array([], pa.int64()),
-            }
-        )
-        if asm is None:
-            return empty
-        pad, h, w, r0, c0, transform = asm
-        vm = np.isfinite(pad) & (pad > NODATA_THRESHOLD)
-        views = [
-            vm[i:i + h, j:j + w] for i in range(3) for j in range(3)
-        ]
-        stack = np.stack(views)
-        center = views[4]
-        dil = np.any(stack, axis=0)
-        ero = np.all(stack, axis=0)
-        return pa.table(
-            {
-                "n_valid": pa.array([int(center.sum())], pa.int64()),
-                "n_dilated": pa.array([int(dil.sum())], pa.int64()),
-                "n_eroded": pa.array([int(ero.sum())], pa.int64()),
-            }
-        )
-
-    halos = tiles.map_batches(
-        make_emit_halos(None, None), batch_format="pyarrow", batch_size=None
-    )
-    parts = collect_tables(
-        halos.groupby("halo_key").map_groups(
-            morph_kernel, batch_format="pyarrow"
-        )
-    )
-    nv = int(parts["n_valid"].to_numpy(zero_copy_only=False).sum())
-    ndil = int(parts["n_dilated"].to_numpy(zero_copy_only=False).sum())
-    nero = int(parts["n_eroded"].to_numpy(zero_copy_only=False).sum())
-    return pa.table(
-        {
-            "n_valid": pa.array([nv], pa.int64()),
-            "n_dilated": pa.array([ndil], pa.int64()),
-            "n_eroded": pa.array([nero], pa.int64()),
-            "n_gradient": pa.array([ndil - nero], pa.int64()),
-        }
-    )
-
-
-def _q_bh_fdr(sf_dir: str) -> pa.Table:
-    """Benjamini-Hochberg FDR sweep over per-user mean-value z-scores
-    (the multiple-testing gate run over thousands of per-key metric
-    tests).  Per-user cents sums/counts and the global moments are
-    exact int64 combiner aggregates; z and the monotone pseudo
-    p-value exp(-z^2/2) are identical float expressions both sides
-    (documented: a pseudo-p -- BH only consumes the ordering and the
-    i/m*alpha comparisons).  Returns every user with its BH rank and
-    rejected flag (step-up rule, alpha=0.2)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ALPHA = 0.2
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "value"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        c = scaled_int(batch["value"], 100.0)
-        return pa.table(
-            {
-                "user_id": batch["user_id"],
-                "c": pa.array(c),
-                "c2": pa.array(c * c),
-                "one": pa.array(np.ones(len(c), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["user_id"],
-        [("c", "sum", "su"), ("c2", "sum", "s2u"), ("one", "sum", "nu")],
-    )
-    su = agg["su"].to_numpy(zero_copy_only=False).astype(np.int64)
-    nu = agg["nu"].to_numpy(zero_copy_only=False).astype(np.int64)
-    uid = agg["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    S = int(su.sum())
-    S2 = int(agg["s2u"].to_numpy(zero_copy_only=False).astype(np.int64).sum())
-    N = int(nu.sum())
-    mu = float(S) / float(N)
-    var = float(S2) / float(N) - mu * mu
-    sd = float(np.sqrt(var))
-    xbar = su.astype(np.float64) / nu.astype(np.float64)
-    z = (xbar - mu) / (sd / np.sqrt(nu.astype(np.float64)))
-    p = np.exp(-z * z / 2.0)
-    m = len(uid)
-    order = np.lexsort((uid, p))
-    p_s, uid_s, z_s = p[order], uid[order], z[order]
-    i = np.arange(1, m + 1, dtype=np.int64)
-    ok = p_s <= i.astype(np.float64) / float(m) * ALPHA
-    kmax = int(i[ok].max()) if ok.any() else 0
-    rejected = (i <= kmax).astype(np.int64)
-    return pa.table(
-        {
-            "user_id": pa.array(uid_s),
-            "rank_i": pa.array(i),
-            "z_q": pa.array(round_half_away(z_s * 1e6).astype(np.int64)),
-            "p_q": pa.array(round_half_away(p_s * 1e12).astype(np.int64)),
-            "rejected": pa.array(rejected),
-        }
-    )
-
-
-def _q_q7_volume(sf_dir: str) -> pa.Table:
-    """TPC-H Q7 analogue (volume shipping): revenue cents between the
-    two largest nations by key (0 and 1) in BOTH directions, per ship
-    year.  Lineitem x orders runs once through the size-aware router
-    (reference: test2.py joins are driver-side; here the only shuffle
-    is the big join); customer-> nation and supplier->nation maps ride
-    the broadcast tier; the nation-pair filter and year bucketing are
-    vectorized per batch; revenue stays exact int64 cents."""
-    import pyarrow.parquet as pq
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        BroadcastLookup, equi_join, hash_aggregate,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.sources.reader import (
-        _disk_bytes,
-    )
-
-    NA, NB = 0, 1
-    od_path = os.path.join(sf_dir, "orders.parquet")
-    od = _read_pq(od_path, columns=["o_orderkey", "o_custkey"])
-    li = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=[
-            "l_orderkey", "l_suppkey", "l_shipdate",
-            "l_extendedprice", "l_discount",
-        ],
-    )
-
-    def li_prep(batch: pa.Table) -> pa.Table:
-        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
-        d = batch["l_discount"].to_numpy(zero_copy_only=False)
-        c = scaled_int(
-            np.asarray(p, np.float64) * (1.0 - np.asarray(d, np.float64)),
-            100.0,
-        )
-        ts = batch["l_shipdate"].cast(pa.int64()).to_numpy(
-            zero_copy_only=False
-        )
-        yr = (
-            ts.astype("datetime64[us]").astype("datetime64[Y]").astype(
-                np.int64
-            )
-            + 1970
-        )
-        return pa.table(
-            {
-                "l_orderkey": batch["l_orderkey"],
-                "l_suppkey": batch["l_suppkey"],
-                "yr": pa.array(yr),
-                "c": pa.array(c),
-            }
-        )
-
-    li_f = li.map_batches(li_prep, batch_format="pyarrow", batch_size=None)
-    joined = equi_join(
-        li_f, od, join_type="inner", num_partitions=8,
-        on=("l_orderkey",), right_on=("o_orderkey",),
-        right_size_hint=_disk_bytes(od_path),
-    )
-    cust = pq.read_table(
-        os.path.join(sf_dir, "customer.parquet"),
-        columns=["c_custkey", "c_nationkey"],
-    ).rename_columns(["o_custkey", "c_nationkey"])
-    supp = pq.read_table(
-        os.path.join(sf_dir, "supplier.parquet"),
-        columns=["s_suppkey", "s_nationkey"],
-    ).rename_columns(["l_suppkey", "s_nationkey"])
-    withn = joined.map_batches(
-        BroadcastLookup(cust, on="o_custkey", take_cols=["c_nationkey"]),
-        batch_format="pyarrow", batch_size=None,
-    ).map_batches(
-        BroadcastLookup(supp, on="l_suppkey", take_cols=["s_nationkey"]),
-        batch_format="pyarrow", batch_size=None,
-    )
-
-    def pair_filter(batch: pa.Table) -> pa.Table:
-        cn = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        sn = batch["s_nationkey"].to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        keep = ((cn == NA) & (sn == NB)) | ((cn == NB) & (sn == NA))
-        b = batch.filter(pa.array(keep))
-        return pa.table(
-            {
-                "supp_nation": b["s_nationkey"],
-                "cust_nation": b["c_nationkey"],
-                "yr": b["yr"],
-                "c": b["c"],
-            }
-        )
-
-    agg = hash_aggregate(
-        withn.map_batches(pair_filter, batch_format="pyarrow",
-                          batch_size=None),
-        ["supp_nation", "cust_nation", "yr"],
-        [("c", "sum", "revenue_cents")],
-    )
-    return pa.table(
-        {
-            "supp_nation": agg["supp_nation"].cast(pa.int64()),
-            "cust_nation": agg["cust_nation"].cast(pa.int64()),
-            "yr": agg["yr"].cast(pa.int64()),
-            "revenue_cents": agg["revenue_cents"].cast(pa.int64()),
-        }
-    ).sort_by([("supp_nation", "ascending"), ("cust_nation", "ascending"),
-               ("yr", "ascending")])
-
-
-def _q_cochran_armitage(sf_dir: str) -> pa.Table:
-    """Cochran-Armitage trend test: is the purchase share monotone in
-    the (ordered) weekday?  One combiner pass yields per-weekday trial
-    and success counts; every moment (T = sum w*r, sum w*n, sum w^2*n,
-    R, N) is an exact Python integer, and the z statistic is a single
-    float expression over them, 1e6-quantized.  Weights w = weekday
-    0..6 (epoch day + 4 mod 7, the ISO convention used by DuckDB's
-    dayofweek on these timestamps)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["ts", "event_type"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        d = (
-            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 86_400_000_000
-        )
-        w = (d + 4) % 7
-        r = pc.equal(batch["event_type"], "purchase").to_numpy(
-            zero_copy_only=False
-        ).astype(np.int64)
-        return pa.table(
-            {
-                "w": pa.array(w),
-                "r": pa.array(r),
-                "one": pa.array(np.ones(len(w), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["w"],
-        [("r", "sum", "r"), ("one", "sum", "n")],
-    ).sort_by("w")
-    w = agg["w"].to_numpy(zero_copy_only=False).astype(np.int64)
-    r = agg["r"].to_numpy(zero_copy_only=False).astype(np.int64)
-    n = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    R = int(r.sum()); N = int(n.sum())
-    T = int((w * r).sum())
-    swn = int((w * n).sum())
-    sw2n = int((w * w * n).sum())
-    p = float(R) / float(N)
-    e = p * float(swn)
-    var = p * (1.0 - p) * (float(sw2n) - float(swn) * float(swn) / float(N))
-    z = (float(T) - e) / float(np.sqrt(var))
-    z_q = int(round_half_away(np.array([z * 1e6]))[0])
-    return pa.table(
-        {
-            "t_stat": pa.array([T], pa.int64()),
-            "r_total": pa.array([R], pa.int64()),
-            "n_total": pa.array([N], pa.int64()),
-            "z_q": pa.array([z_q], pa.int64()),
-        }
-    )
-
-
-def _q_bollinger_breakouts(sf_dir: str) -> pa.Table:
-    """Bollinger-band breakout screen on the daily order-revenue
-    series: trailing 7-observed-day window (full windows only), band =
-    mean +/- 2 population sd, both derived from EXACT int64 window
-    sums of cents and squared cents (windowed integer sums are
-    order-independent, so parity is structural); the breakout compare
-    runs on the same float expression both sides.  Returns breakout
-    days only."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    W = 7
-    ds = _read_pq(
-        os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_orderdate", "o_totalprice"],
-    )
-
-    def daily(batch: pa.Table) -> pa.Table:
-        d = (
-            batch["o_orderdate"].cast(pa.int64()).to_numpy(
-                zero_copy_only=False
-            )
-            // 86_400_000_000
-        )
-        cents = round_half_away(
-            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
-        ).astype(np.int64)
-        return pa.table({"d": pa.array(d), "cents": pa.array(cents)})
-
-    agg = hash_aggregate(
-        ds.map_batches(daily, batch_format="pyarrow", batch_size=None),
-        ["d"],
-        [("cents", "sum", "x")],
-    )
-    order = np.argsort(agg["d"].to_numpy(zero_copy_only=False))
-    dd = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
-    xs = agg["x"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
-    cs = np.concatenate([[0], np.cumsum(xs)])
-    # squared-cents sums overflow int64 at scale: exact Python ints
-    xl = xs.tolist()
-    cs2 = [0]
-    for v in xl:
-        cs2.append(cs2[-1] + v * v)
-    n = len(xs)
-    if n < W:
-        idx = np.array([], np.int64)
-    else:
-        idx = np.arange(W - 1, n)
-    s = cs[idx + 1] - cs[idx + 1 - W]
-    s2 = np.array(
-        [float(cs2[i + 1] - cs2[i + 1 - W]) for i in idx], np.float64
-    )
-    mean = s.astype(np.float64) / float(W)
-    var = s2 / float(W) - mean * mean
-    sd = np.sqrt(var)
-    x = xs[idx].astype(np.float64)
-    brk = np.abs(x - mean) > 2.0 * sd
-    return pa.table(
-        {
-            "d": pa.array(dd[idx][brk]),
-            "cents": pa.array(xs[idx][brk]),
-            "mean_q": pa.array(
-                round_half_away(mean[brk] * 1e6).astype(np.int64)
-            ),
-            "sd_q": pa.array(
-                round_half_away(sd[brk] * 1e6).astype(np.int64)
-            ),
-        }
-    )
-
-
-def _q_boruvka_mst(sf_dir: str) -> pa.Table:
-    """Minimum spanning tree of the coarse-cell count-difference graph
-    by BORUVKA rounds: nodes are the fixed 12x12 lattice supercells
-    (frame-bounded, data-scale-independent), node weights come from a
-    distributed event-count combiner, edge weight =
-    |count(a)-count(b)| * 2^20 + edge_id (strictly distinct, so the
-    MST is unique and the oracle's Prim must find the same total).
-    Per-round per-component min-edge selection is vectorized argmin
-    over the 264-edge frame; O(log V) rounds."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["event_id"]
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        cell = (eid % 96) // 8 * 12 + ((eid // 96) % 96) // 8
-        return pa.table(
-            {
-                "cell": pa.array(cell),
-                "one": pa.array(np.ones(len(cell), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["cell"],
-        [("one", "sum", "n")],
-    )
-    counts = np.zeros(144, np.int64)
-    counts[
-        agg["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
-    ] = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-
-    eu, ev = [], []
-    for i in range(144):
-        if i // 12 < 11:
-            eu.append(i); ev.append(i + 12)
-        if i % 12 < 11:
-            eu.append(i); ev.append(i + 1)
-    eu = np.array(eu, np.int64); ev = np.array(ev, np.int64)
-    ew = np.abs(counts[eu] - counts[ev]) * (1 << 20) + eu * 144 + ev
-
-    label = np.arange(144, dtype=np.int64)
-    total = 0
-    picked: set[int] = set()
-    while True:
-        lu, lv = label[eu], label[ev]
-        cross = lu != lv
-        if not cross.any():
-            break
-        ci = np.where(cross)[0]
-        comp = np.concatenate([lu[ci], lv[ci]])
-        wts = np.concatenate([ew[ci], ew[ci]])
-        eids = np.concatenate([ci, ci])
-        order = np.lexsort((wts, comp))
-        comp_s, eid_s = comp[order], eids[order]
-        first = np.concatenate([[True], comp_s[1:] != comp_s[:-1]])
-        for e in np.unique(eid_s[first]):
-            a, b = label[eu[e]], label[ev[e]]
-            if a != b:
-                total += int(ew[e])
-                picked.add(int(e))
-                lo, hi = (a, b) if a < b else (b, a)
-                label[label == hi] = lo
-    return pa.table(
-        {
-            "n_edges": pa.array([len(picked)], pa.int64()),
-            "total_weight": pa.array([total], pa.int64()),
-        }
-    )
-
-
-def _q_page_hinkley(sf_dir: str) -> pa.Table:
-    """Page-Hinkley drift detector on the daily order-revenue series
-    (reference-mean form): deviations x_t - mu are exact int64 cents
-    against the half-away-rounded integer mean, PH_t = cumsum -
-    running-min is two exact integer scans, alarm when PH_t exceeds
-    10 * mu.  Returns alarm days only -- everything integer, so parity
-    is structural."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_orderdate", "o_totalprice"],
-    )
-
-    def daily(batch: pa.Table) -> pa.Table:
-        d = (
-            batch["o_orderdate"].cast(pa.int64()).to_numpy(
-                zero_copy_only=False
-            )
-            // 86_400_000_000
-        )
-        cents = round_half_away(
-            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
-        ).astype(np.int64)
-        return pa.table({"d": pa.array(d), "cents": pa.array(cents)})
-
-    agg = hash_aggregate(
-        ds.map_batches(daily, batch_format="pyarrow", batch_size=None),
-        ["d"],
-        [("cents", "sum", "x")],
-    )
-    order = np.argsort(agg["d"].to_numpy(zero_copy_only=False))
-    dd = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
-    xs = agg["x"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
-    n = len(xs)
-    tot = int(xs.sum())
-    mu = int(round_half_away(np.array([float(tot) / float(n)]))[0])
-    dev = xs - mu
-    cum = np.cumsum(dev)
-    runmin = np.minimum.accumulate(cum)
-    ph = cum - runmin
-    lam = 10 * mu
-    alarm = ph > lam
-    return pa.table(
-        {
-            "d": pa.array(dd[alarm]),
-            "ph": pa.array(ph[alarm]),
-        }
-    )
-
-
-def _q_friedman_test(sf_dir: str) -> pa.Table:
-    """Friedman rank test: blocks = weekdays (7), treatments = event
-    types (5), cell metric = exact total cents.  Within-block ranks
-    use the 2x tie-averaged integer trick (2r = 2*less + eq + 1), so
-    the per-treatment rank sums R2_j are exact integers; the statistic
-    Q = 3/(n k (k+1)) * sum R2_j^2 - 3 n (k+1) (tie correction
-    omitted, documented) is one float expression, 1e6-quantized."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["ts", "event_type", "value"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        d = (
-            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 86_400_000_000
-        )
-        w = (d + 4) % 7
-        return pa.table(
-            {
-                "w": pa.array(w),
-                "event_type": batch["event_type"],
-                "c": pa.array(scaled_int(batch["value"], 100.0)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["w", "event_type"],
-        [("c", "sum", "cents")],
-    )
-    w = agg["w"].to_numpy(zero_copy_only=False).astype(np.int64)
-    et = agg["event_type"].to_numpy(zero_copy_only=False)
-    c = agg["cents"].to_numpy(zero_copy_only=False).astype(np.int64)
-    types = sorted(set(et.tolist()))
-    k = len(types)
-    n_blocks = len(set(w.tolist()))
-    r2sum = {t: 0 for t in types}
-    for blk in sorted(set(w.tolist())):
-        m = w == blk
-        cv, tv = c[m], et[m]
-        for i in range(len(cv)):
-            less = int((cv < cv[i]).sum())
-            eq = int((cv == cv[i]).sum())
-            r2sum[tv[i]] += 2 * less + eq + 1
-    s = sum(v * v for v in r2sum.values())
-    q = (
-        3.0 / (float(n_blocks) * float(k) * float(k + 1)) * float(s)
-        - 3.0 * float(n_blocks) * float(k + 1)
-    )
-    q_q = int(round_half_away(np.array([q * 1e6]))[0])
-    return pa.table(
-        {
-            "event_type": pa.array(types),
-            "r2_sum": pa.array([r2sum[t] for t in types], pa.int64()),
-            "q_q": pa.array([q_q] * k, pa.int64()),
-        }
-    )
-
-
-def _q_western_electric(sf_dir: str) -> pa.Table:
-    """Western Electric control-chart rules on the daily order-revenue
-    series: rule 1 (beyond 3 sigma), rule 2 (2 of 3 consecutive beyond
-    2 sigma, same side), rule 4 (8 consecutive strictly same side of
-    the mean).  Mean/sigma come from exact integer moments; the side /
-    zone indicators are integer, window sums of integers are exact, so
-    only the zone-boundary compares are float -- the same expression
-    both sides.  Returns (d, rule) firings."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_orderdate", "o_totalprice"],
-    )
-
-    def daily(batch: pa.Table) -> pa.Table:
-        d = (
-            batch["o_orderdate"].cast(pa.int64()).to_numpy(
-                zero_copy_only=False
-            )
-            // 86_400_000_000
-        )
-        cents = round_half_away(
-            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
-        ).astype(np.int64)
-        return pa.table({"d": pa.array(d), "cents": pa.array(cents)})
-
-    agg = hash_aggregate(
-        ds.map_batches(daily, batch_format="pyarrow", batch_size=None),
-        ["d"],
-        [("cents", "sum", "x")],
-    )
-    order = np.argsort(agg["d"].to_numpy(zero_copy_only=False))
-    dd = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
-    xs = agg["x"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
-    n = len(xs)
-    S = int(xs.sum())
-    S2 = sum(int(v) * int(v) for v in xs.tolist())  # exact big-int
-    mu = float(S) / float(n)
-    sd = float(np.sqrt(float(S2) / float(n) - mu * mu))
-    xf = xs.astype(np.float64)
-    above2 = (xf > mu + 2.0 * sd).astype(np.int64)
-    below2 = (xf < mu - 2.0 * sd).astype(np.int64)
-    above0 = (xf > mu).astype(np.int64)
-    below0 = (xf < mu).astype(np.int64)
-    r1 = (xf > mu + 3.0 * sd) | (xf < mu - 3.0 * sd)
-
-    def winsum(a: np.ndarray, w: int) -> np.ndarray:
-        cs = np.concatenate([[0], np.cumsum(a)])
-        out = np.empty(len(a), np.int64)
-        for i in range(len(a)):
-            out[i] = cs[i + 1] - cs[max(0, i + 1 - w)]
-        return out
-
-    r2 = (winsum(above2, 3) >= 2) | (winsum(below2, 3) >= 2)
-    r4 = (winsum(above0, 8) == 8) | (winsum(below0, 8) == 8)
-    ds_, rs = [], []
-    for rule, mask in ((1, r1), (2, r2), (4, r4)):
-        ds_.extend(dd[mask].tolist())
-        rs.extend([rule] * int(mask.sum()))
-    out = pa.table(
-        {"d": pa.array(ds_, pa.int64()), "rule": pa.array(rs, pa.int64())}
-    )
-    return out.sort_by([("d", "ascending"), ("rule", "ascending")])
-
-
-def _q_mmr_topk(sf_dir: str) -> pa.Table:
-    """Maximal-marginal-relevance diversified top-5 (lambda = 0.5, so
-    the argmax of rel - max_sim): query = vec 0, candidate shortlist =
-    the deterministic vec_id stride-10 subset.  Embeddings quantize to
-    1e6 int64 per element, every dot product is an exact int64 sum
-    (the BLAS-order float caveat documented for the ANN family does
-    not apply), greedy ties break by vec_id -- the oracle's recursive
-    Prim-style selection must match exactly."""
-    ds = _read_pq(
-        os.path.join(sf_dir, "embeddings.parquet"),
-        columns=["vec_id", "embedding"],
-    )
-
-    def cand(batch: pa.Table) -> pa.Table:
-        vid = batch["vec_id"].to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        keep = vid % 10 == 0
-        b = batch.filter(pa.array(keep))
-        emb = np.stack(
-            [np.asarray(x, np.float64) for x in b["embedding"].to_pylist()]
-        ) if b.num_rows else np.zeros((0, 0))
-        q = round_half_away(emb * 1e6).astype(np.int64)
-        return pa.table(
-            {
-                "vec_id": b["vec_id"],
-                "q": pa.array(list(q), pa.list_(pa.int64())),
-            }
-        )
-
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-
-    t = collect_tables(
-        ds.map_batches(cand, batch_format="pyarrow", batch_size=None)
-    )
-    vid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.argsort(vid)
-    vid = vid[order]
-    mat = np.stack(
-        [np.asarray(x, np.int64) for x in t["q"].to_pylist()]
-    )[order]
-    qi = int(np.where(vid == 0)[0][0])
-    dots = mat @ mat.T  # exact int64
-    rel = dots[qi]
-    cands = [i for i in range(len(vid)) if vid[i] != 0]
-    # first pick: max rel, tie by vec_id (cands already vec_id-sorted)
-    first = max(cands, key=lambda i: (rel[i], -vid[i]))
-    sel = [first]
-    while len(sel) < 5:
-        best = None
-        for i in cands:
-            if i in sel:
-                continue
-            msim = max(int(dots[i][j]) for j in sel)
-            sc = int(rel[i]) - msim
-            key = (sc, -int(vid[i]))
-            if best is None or key > best[0]:
-                best = (key, i)
-        sel.append(best[1])
-    return pa.table(
-        {
-            "pos": pa.array(list(range(1, 6)), pa.int64()),
-            "vec_id": pa.array([int(vid[i]) for i in sel], pa.int64()),
-        }
-    )
-
-
-def _q_char_bigram_entropy(sf_dir: str) -> pa.Table:
-    """Character-bigram entropy rate per language (the language-model
-    compressibility screen): corpus bigram counts per lang through the
-    distributed combine (bigrams keyed as code-point pairs -- a
-    bijection of the oracle's 2-char strings, so counts and distinct
-    totals agree), then per-lang n*ln(n) terms quantized at 1e12 so
-    the cross-bigram sum is exact; H = ln(T) - sum/1e12/T."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "text"]
-    )
-
-    def grams(batch: pa.Table) -> pa.Table:
-        langs = batch["lang"].to_pylist()
-        out_l, out_k = [], []
-        for i, t in enumerate(batch["text"].to_pylist()):
-            cp = np.frombuffer(t.encode("utf-32-le"), np.uint32).astype(
-                np.int64
-            )
-            if len(cp) < 2:
-                continue
-            keys = cp[:-1] * (1 << 21) + cp[1:]
-            out_l.extend([langs[i]] * len(keys))
-            out_k.append(keys)
-        if not out_k:
-            return pa.table(
-                {
-                    "lang": pa.array([], pa.string()),
-                    "key": pa.array([], pa.int64()),
-                    "one": pa.array([], pa.int64()),
-                }
-            )
-        k = np.concatenate(out_k)
-        t = pa.table(
-            {
-                "lang": pa.array(out_l),
-                "key": pa.array(k),
-                "one": pa.array(np.ones(len(k), np.int64)),
-            }
-        )
-        return (
-            t.group_by(["lang", "key"]).aggregate([("one", "sum")])
-            .rename_columns(["lang", "key", "one"])
-        )
-
-    counts = hash_aggregate(
-        ds.map_batches(grams, batch_format="pyarrow", batch_size=None),
-        ["lang", "key"],
-        [("one", "sum", "c")],
-        distributed_combine=True,
-    )
-
-    def moments(batch: pa.Table) -> pa.Table:
-        c = batch["c"].to_numpy(zero_copy_only=False).astype(np.float64)
-        tq = round_half_away(c * np.log(c) * 1e12).astype(np.int64)
-        t = pa.table(
-            {
-                "lang": batch["lang"],
-                "n": pa.array(c.astype(np.int64)),
-                "v": pa.array(np.ones(len(c), np.int64)),
-                "tq": pa.array(tq),
-            }
-        )
-        return (
-            t.group_by("lang")
-            .aggregate([("n", "sum"), ("v", "sum"), ("tq", "sum")])
-            .rename_columns(["lang", "n", "v", "tq"])
-        )
-
-    parts = collect_tables(
-        counts.map_batches(moments, batch_format="pyarrow", batch_size=None)
-    )
-    out = (
-        parts.group_by("lang")
-        .aggregate([("n", "sum"), ("v", "sum"), ("tq", "sum")])
-        .rename_columns(["lang", "n_bigrams", "vocab", "tq"])
-        .sort_by("lang")
-    )
-    T = out["n_bigrams"].to_numpy(zero_copy_only=False).astype(np.float64)
-    acc = out["tq"].to_numpy(zero_copy_only=False).astype(np.float64)
-    h = np.log(T) - (acc / 1e12) / T
-    return pa.table(
-        {
-            "lang": out["lang"],
-            "n_bigrams": out["n_bigrams"].cast(pa.int64()),
-            "vocab": out["vocab"].cast(pa.int64()),
-            "entropy": round_like_sql(h, 6),
-        }
-    )
-
-
-def _q_dwell_time(sf_dir: str) -> pa.Table:
-    """Per-cell dwell time: each user's time between consecutive fixes
-    (ts, event_id order) is attributed to the cell of the EARLIER fix
-    (the standard trajectory time-in-cell model); per-user sequential
-    diffs run inside the keyed bucket shuffle (grouped_by_key), cell
-    totals roll up via the combiner, top 10 cells by microseconds with
-    cell tie-break.  All integer."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "user_id", "ts"],
-    )
-
-    def kernel(group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        order = pc.sort_indices(
-            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
-        )
-        g = group.take(order)
-        eid = g["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        if len(eid) < 2:
-            return pa.table(
-                {
-                    "cell": pa.array([], pa.int64()),
-                    "dwell": pa.array([], pa.int64()),
-                }
-            )
-        cell = (eid % 96) // 8 * 12 + ((eid // 96) % 96) // 8
-        return pa.table(
-            {
-                "cell": pa.array(cell[:-1]),
-                "dwell": pa.array(np.diff(ts)),
-            }
-        )
-
-    parts = _grouped_by_key(ds, "user_id", kernel)
-    agg = hash_aggregate(parts, ["cell"], [("dwell", "sum", "dwell_us")])
-    import pyarrow.compute as pc
-
-    order = pc.sort_indices(
-        agg,
-        sort_keys=[("dwell_us", "descending"), ("cell", "ascending")],
-    )
-    top = agg.take(order).slice(0, 10)
-    return pa.table(
-        {
-            "cell": top["cell"].cast(pa.int64()),
-            "dwell_us": top["dwell_us"].cast(pa.int64()),
-        }
-    )
-
-
-def _q_cross_k(sf_dir: str) -> pa.Table:
-    """Bivariate (cross-type) Ripley K: for each radius r in {2,5,8}
-    lattice units, the count of ordered (purchase, error) pairs within
-    r over the deterministic event_id stride-5 subset, normalized by
-    |W| / (nA * nB).  Anchors count their neighbours inside ONE
-    coarse-cell shuffle with 8-neighbour halo rows (cell edge 8 >= max
-    radius, ordered pairs need no dedup rule) -- never all-pairs.
-    Counts exact int64; the K normalization is one float expression,
-    1e9-quantized."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-
-    R2S = [4, 25, 64]
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "event_type"],
-    )
-
-    def rows(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        et = batch["event_type"].to_numpy(zero_copy_only=False)
-        keep = (eid % 5 == 0) & ((et == "purchase") | (et == "error"))
-        eid, et = eid[keep], et[keep]
-        is_a = (et == "purchase").astype(np.int64)
-        gx = eid % 96
-        gy = (eid // 96) % 96
-        cx, cy = gx // 8, gy // 8
-        outs = []
-        for dx_ in (-1, 0, 1):
-            for dy_ in (-1, 0, 1):
-                nx, ny = cx + dx_, cy + dy_
-                ok = (nx >= 0) & (nx < 12) & (ny >= 0) & (ny < 12)
-                own = np.int64(1) if (dx_ == 0 and dy_ == 0) else np.int64(0)
-                outs.append(
-                    pa.table(
-                        {
-                            "cell": pa.array(nx[ok] * 12 + ny[ok]),
-                            "own": pa.array(
-                                np.full(int(ok.sum()), own, np.int64)
-                            ),
-                            "is_a": pa.array(is_a[ok]),
-                            "gx": pa.array(gx[ok]),
-                            "gy": pa.array(gy[ok]),
-                        }
-                    )
-                )
-        return pa.concat_tables(outs)
-
-    def kernel(group: pa.Table) -> pa.Table:
-        own = group["own"].to_numpy(zero_copy_only=False).astype(bool)
-        isa = group["is_a"].to_numpy(zero_copy_only=False).astype(bool)
-        gx = group["gx"].to_numpy(zero_copy_only=False).astype(np.int64)
-        gy = group["gy"].to_numpy(zero_copy_only=False).astype(np.int64)
-        a = own & isa          # anchors: own purchase rows
-        b = ~isa               # all error rows incl. halo
-        na = int((own & isa).sum())
-        nb_own = int((own & ~isa).sum())
-        cols = {"na": pa.array([na], pa.int64()),
-                "nb": pa.array([nb_own], pa.int64())}
-        if a.any() and b.any():
-            d2 = (
-                (gx[a][:, None] - gx[b][None, :]) ** 2
-                + (gy[a][:, None] - gy[b][None, :]) ** 2
-            )
-            for r2 in R2S:
-                cols[f"c{r2}"] = pa.array([int((d2 <= r2).sum())], pa.int64())
-        else:
-            for r2 in R2S:
-                cols[f"c{r2}"] = pa.array([0], pa.int64())
-        return pa.table(cols)
-
-    parts = collect_tables(
-        _grouped_by_key(
-            ds.map_batches(rows, batch_format="pyarrow", batch_size=None),
-            "cell",
-            kernel,
-        )
-    )
-    na = int(parts["na"].to_numpy(zero_copy_only=False).sum())
-    nb = int(parts["nb"].to_numpy(zero_copy_only=False).sum())
-    r2s, cnts, kqs = [], [], []
-    for r2 in R2S:
-        c = int(parts[f"c{r2}"].to_numpy(zero_copy_only=False).sum())
-        kq = int(
-            round_half_away(
-                np.array(
-                    [float(c) * 9216.0 / (float(na) * float(nb)) * 1e9]
-                )
-            )[0]
-        )
-        r2s.append(r2); cnts.append(c); kqs.append(kq)
-    return pa.table(
-        {
-            "r2": pa.array(r2s, pa.int64()),
-            "n_pairs": pa.array(cnts, pa.int64()),
-            "k_q": pa.array(kqs, pa.int64()),
-        }
-    )
-
-
-def _q_eigen_centrality(sf_dir: str) -> pa.Table:
-    """Eigenvector centrality by power iteration (8 fixed rounds) on
-    the undirected edit-1 word graph, max-normalized and 1e6-QUANTIZED
-    AFTER EVERY ROUND so each iteration's state is an exact integer
-    vector -- the float-summation-order hazard of iterative graph
-    scores is removed structurally (cf. word_pagerank's rounded-rank
-    ordering).  Edge construction is the distributed deletion-blocked
-    join; the iteration runs on the vocabulary-bounded adjacency.
-    Top-15 by (score desc, word)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        edit1_vocab_pairs,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
-    ).map_batches(
-        lambda b: b.rename_columns(["text"]),
-        batch_format="pyarrow", batch_size=None,
-    )
-    pairs = edit1_vocab_pairs(ds, min_len=4)
-    vocab = sorted(
-        set(pairs["w1"].to_pylist()) | set(pairs["w2"].to_pylist())
-    )
-    wid = {w: i for i, w in enumerate(vocab)}
-    n = len(vocab)
-    a = np.array([wid[w] for w in pairs["w1"].to_pylist()], np.int64)
-    b = np.array([wid[w] for w in pairs["w2"].to_pylist()], np.int64)
-    srcn = np.concatenate([a, b])
-    dstn = np.concatenate([b, a])
-    x = np.full(n, 1_000_000, np.int64)
-    for _ in range(8):
-        s = np.zeros(n, np.int64)
-        np.add.at(s, dstn, x[srcn])
-        m = int(s.max())
-        x = round_half_away(
-            s.astype(np.float64) * 1e6 / float(m)
-        ).astype(np.int64)
-    order = np.lexsort((np.array(vocab), -x))[:15]
-    return pa.table(
-        {
-            "word": pa.array([vocab[i] for i in order]),
-            "score_q": pa.array(x[order]),
-        }
-    )
-
-
-def _q_otsu_threshold(sf_dir: str) -> pa.Table:
-    """Otsu's between-class-variance threshold over the slope-fixture
-    raster: valid pixels quantize to exact decivalue integers
-    (z * 10 is integral by construction), the 500-bin histogram comes
-    from the distributed combiner, and the threshold sweep maximizes
-    f(t) = (S*c0 - N*s0)^2 / (c0*(N - c0)) -- both sides evaluate the
-    SAME double expression over identical integer moments and break
-    ties by threshold, so the argmax agrees exactly."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    tiles = ray.data.from_arrow(_og_tiles_table(sparse_invalid=True, tile=24))
-
-    def hist(batch: pa.Table) -> pa.Table:
-        out_k = []
-        for i in range(batch.num_rows):
-            v = np.asarray(batch["values"][i].as_py(), np.float32).astype(
-                np.float64
-            )
-            v = v[v > -1e30]
-            out_k.append(round_half_away(v * 10.0).astype(np.int64))
-        k = (
-            np.concatenate(out_k) if out_k
-            else np.array([], np.int64)
-        )
-        return pa.table(
-            {
-                "k": pa.array(k),
-                "one": pa.array(np.ones(len(k), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        tiles.map_batches(hist, batch_format="pyarrow", batch_size=None),
-        ["k"],
-        [("one", "sum", "n")],
-    )
-    k = agg["k"].to_numpy(zero_copy_only=False).astype(np.int64)
-    n = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.argsort(k)
-    k, n = k[order], n[order]
-    N = int(n.sum())
-    S = int((k * n).sum())
-    c0 = np.cumsum(n)
-    s0 = np.cumsum(k * n)
-    # candidate thresholds: observed bins with a nonempty upper class
-    valid_t = c0 < N
-    kk = k[valid_t].astype(np.float64)
-    c0f = c0[valid_t].astype(np.float64)
-    s0f = s0[valid_t].astype(np.float64)
-    num = (float(S) * c0f - float(N) * s0f)
-    f = num * num / (c0f * (float(N) - c0f))
-    best = np.lexsort((kk, -f))[0]
-    t = int(kk[best])
-    f_q = int(round_half_away(np.array([f[best] / 1e6]))[0])
-    c0b = int(c0f[best])
-    return pa.table(
-        {
-            "threshold_k": pa.array([t], pa.int64()),
-            "n_below": pa.array([c0b], pa.int64()),
-            "n_total": pa.array([N], pa.int64()),
-            "f_q": pa.array([f_q], pa.int64()),
-        }
-    )
-
-
-def _q_band_mutual_info(sf_dir: str) -> pa.Table:
-    """Mutual information between the two raster bands over a 10x10
-    joint histogram of deci-value bins (the nonlinear-redundancy
-    screen next to band_correlation's Pearson r): per-tile band-zip
-    joint counts through the combiner, marginals derived from the
-    joint table, every n*ln(n) term 1e12-quantized so the three sums
-    are exact integers; MI = ln N + (A - R - S)/1e12/N."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    tiles = ray.data.from_arrow(_og_multiband_tiles_table(bands=(1, 2)))
-
-    def joint(batch: pa.Table) -> pa.Table:
-        by_pos: dict[tuple[int, int], dict[int, np.ndarray]] = {}
-        for i in range(batch.num_rows):
-            key = (
-                batch["row_off"][i].as_py(),
-                batch["col_off"][i].as_py(),
-            )
-            v = np.asarray(batch["values"][i].as_py(), np.float32)
-            by_pos.setdefault(key, {})[batch["band"][i].as_py()] = v
-        b1s, b2s = [], []
-        for key, bands in by_pos.items():
-            if 1 not in bands or 2 not in bands:
-                continue
-            v1, v2 = bands[1], bands[2]
-            ok = (v1 > -1e30) & (v2 > -1e30)
-            k1 = np.round(v1[ok].astype(np.float64) * 10.0).astype(np.int64)
-            k2 = np.round(v2[ok].astype(np.float64) * 10.0).astype(np.int64)
-            b1s.append(k1 // 50)
-            b2s.append(k2 // 50)
-        if b1s:
-            b1 = np.concatenate(b1s); b2 = np.concatenate(b2s)
-        else:
-            b1 = b2 = np.array([], np.int64)
-        return pa.table(
-            {
-                "b1": pa.array(b1),
-                "b2": pa.array(b2),
-                "one": pa.array(np.ones(len(b1), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        tiles.map_batches(joint, batch_format="pyarrow", batch_size=None),
-        ["b1", "b2"],
-        [("one", "sum", "c")],
-    )
-    b1 = agg["b1"].to_numpy(zero_copy_only=False).astype(np.int64)
-    b2 = agg["b2"].to_numpy(zero_copy_only=False).astype(np.int64)
-    c = agg["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-    N = int(c.sum())
-
-    def nlogn_q(arr: np.ndarray) -> int:
-        a = arr.astype(np.float64)
-        return int(
-            round_half_away(a * np.log(a) * 1e12).astype(np.int64).sum()
-        )
-
-    A = nlogn_q(c)
-    r = np.zeros(10, np.int64); np.add.at(r, b1, c)
-    s = np.zeros(10, np.int64); np.add.at(s, b2, c)
-    R = nlogn_q(r[r > 0])
-    S = nlogn_q(s[s > 0])
-    mi = np.log(float(N)) + (
-        float(A) - float(R) - float(S)
-    ) / 1e12 / float(N)
-    return pa.table(
-        {
-            "n_cells": pa.array([N], pa.int64()),
-            "mi": round_like_sql([mi], 6),
-        }
-    )
-
-
-def _q_weibull_shape(sf_dir: str) -> pa.Table:
-    """Weibull shape parameter from the Kaplan-Meier plot: OLS slope of
-    ln(-ln S(t)) vs ln(t) over curve points with 0 < S < 1 and t > 0
-    (slope ~ 1 means exponential/memoryless failure).  Reuses the KM
-    pipeline (combiner-tier survival triples); both axes quantize at
-    1e12 from the SAME 6dp-rounded survival both sides, so the HUGEINT
-    OLS moments are exact."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        kaplan_meier, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "ts", "event_type"],
-    )
-    km = kaplan_meier(ds, event_type="error")
-    t = km["t_us"].to_numpy(zero_copy_only=False).astype(np.int64)
-    s = km["survival"].to_numpy(zero_copy_only=False).astype(np.float64)
-    m = (s > 0.0) & (s < 1.0) & (t > 0)
-    u = round_half_away(np.log(t[m].astype(np.float64)) * 1e12).astype(
-        np.int64
-    )
-    v = round_half_away(np.log(-np.log(s[m])) * 1e12).astype(np.int64)
-    k = len(u)
-    su = int(u.sum()); sv = int(v.sum())
-    suv = sum(int(a) * int(b) for a, b in zip(u, v))
-    suu = sum(int(a) * int(a) for a in u)
-    slope = float(k * suv - su * sv) / float(k * suu - su * su)
-    return pa.table(
-        {
-            "n_points": pa.array([k], pa.int64()),
-            "weibull_shape": round_like_sql([slope], 6),
-        }
-    )
-
-
-def _q_daily_peaks(sf_dir: str) -> pa.Table:
-    """Peak detection on the daily order-revenue series: strict local
-    maxima over observed-day neighbours (integer compares) that also
-    clear the global mean by 10% -- the spike-candidate screen run
-    before changepoint review.  Daily cents via the combiner; the
-    neighbour logic is position-based over the bounded day series,
-    everything int64 except the one mean compare (same float
-    expression both sides)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_orderdate", "o_totalprice"],
-    )
-
-    def daily(batch: pa.Table) -> pa.Table:
-        d = (
-            batch["o_orderdate"].cast(pa.int64()).to_numpy(
-                zero_copy_only=False
-            )
-            // 86_400_000_000
-        )
-        cents = round_half_away(
-            batch["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0
-        ).astype(np.int64)
-        return pa.table({"d": pa.array(d), "cents": pa.array(cents)})
-
-    agg = hash_aggregate(
-        ds.map_batches(daily, batch_format="pyarrow", batch_size=None),
-        ["d"],
-        [("cents", "sum", "x")],
-    )
-    order = np.argsort(agg["d"].to_numpy(zero_copy_only=False))
-    dd = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
-    xs = agg["x"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
-    n = len(xs)
-    mu = float(int(xs.sum())) / float(n)
-    xf = xs.astype(np.float64)
-    peak = np.zeros(n, bool)
-    if n >= 3:
-        peak[1:-1] = (xs[1:-1] > xs[:-2]) & (xs[1:-1] > xs[2:])
-    peak &= xf > 1.1 * mu
-    return pa.table(
-        {"d": pa.array(dd[peak]), "cents": pa.array(xs[peak])}
-    )
-
-
-def _q_edge_support(sf_dir: str) -> pa.Table:
-    """Triangle support per edge of the edit-1 word graph (the k-truss
-    building block): support(u,v) = |N(u) & N(v)|, computed on the
-    vocabulary-bounded adjacency from the distributed deletion-blocked
-    join (same tier as word_pagerank).  Top 15 edges by (support desc,
-    w1, w2); exact integer counts."""
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        edit1_vocab_pairs,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
-    ).map_batches(
-        lambda b: b.rename_columns(["text"]),
-        batch_format="pyarrow", batch_size=None,
-    )
-    pairs = edit1_vocab_pairs(ds, min_len=4)
-    w1 = pairs["w1"].to_pylist()
-    w2 = pairs["w2"].to_pylist()
-    adj: dict[str, set[str]] = {}
-    for a, b in zip(w1, w2):
-        adj.setdefault(a, set()).add(b)
-        adj.setdefault(b, set()).add(a)
-    rows = []
-    for a, b in zip(w1, w2):
-        rows.append((a, b, len(adj[a] & adj[b])))
-    rows.sort(key=lambda r: (-r[2], r[0], r[1]))
-    top = rows[:15]
-    return pa.table(
-        {
-            "w1": pa.array([r[0] for r in top]),
-            "w2": pa.array([r[1] for r in top]),
-            "support": pa.array([r[2] for r in top], pa.int64()),
-        }
-    )
-
-
-def _q_hexbin_cells(sf_dir: str) -> pa.Table:
-    """Hexagonal binning (pointy-top axial scheme, size 4 lattice
-    units) over geocoded events -- the H3-like tessellation next to
-    the square/s2/geohash/quadkey/z-order cell schemes.  Fractional
-    axial coords and the cube-rounding tie logic are the SAME double
-    expressions both sides (strict compares; generic points sit off
-    the tie boundaries), so cell ids agree exactly.  Top 20 cells by
-    count with (q, r) tie-break."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    S = 4.0
-    SQ3 = float(np.sqrt(3.0))
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["event_id"]
-    )
-
-    def hexes(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        x = (eid % 96).astype(np.float64)
-        y = ((eid // 96) % 96).astype(np.float64)
-        q = (SQ3 / 3.0 * x - 1.0 / 3.0 * y) / S
-        r = (2.0 / 3.0 * y) / S
-        xq, zq = q, r
-        yq = -xq - zq
-        rx = round_half_away(xq)
-        ry = round_half_away(yq)
-        rz = round_half_away(zq)
-        dx = np.abs(rx - xq)
-        dy = np.abs(ry - yq)
-        dz = np.abs(rz - zq)
-        fix_x = (dx > dy) & (dx > dz)
-        fix_y = ~fix_x & (dy > dz)
-        fix_z = ~fix_x & ~fix_y
-        rx = np.where(fix_x, -ry - rz, rx)
-        ry = np.where(fix_y, -rx - rz, ry)
-        rz = np.where(fix_z, -rx - ry, rz)
-        return pa.table(
-            {
-                "q": pa.array(rx.astype(np.int64)),
-                "r": pa.array(rz.astype(np.int64)),
-                "one": pa.array(np.ones(len(eid), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(hexes, batch_format="pyarrow", batch_size=None),
-        ["q", "r"],
-        [("one", "sum", "n")],
-    )
-    import pyarrow.compute as pc
-
-    order = pc.sort_indices(
-        agg,
-        sort_keys=[
-            ("n", "descending"), ("q", "ascending"), ("r", "ascending"),
-        ],
-    )
-    top = agg.take(order).slice(0, 20)
-    return pa.table(
-        {
-            "q": top["q"].cast(pa.int64()),
-            "r": top["r"].cast(pa.int64()),
-            "n": top["n"].cast(pa.int64()),
-        }
-    )
-
-
-def _q_q8_market_share(sf_dir: str) -> pa.Table:
-    """TPC-H Q8 analogue (national market share): nation 0's share of
-    region-0-customer revenue per order year.  One lineitem x orders
-    pass through the size-aware router; customer->(nation,region) and
-    supplier->nation ride the broadcast tier; numerator and
-    denominator accumulate as exact cents in the SAME combiner pass
-    (no second shuffle); the share is one float division,
-    1e9-quantized."""
-    import pyarrow.parquet as pq
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        BroadcastLookup, equi_join, hash_aggregate,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.sources.reader import (
-        _disk_bytes,
-    )
-
-    od_path = os.path.join(sf_dir, "orders.parquet")
-    od = _read_pq(
-        od_path, columns=["o_orderkey", "o_custkey", "o_orderdate"]
-    )
-    li = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
-    )
-
-    def li_prep(batch: pa.Table) -> pa.Table:
-        p = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
-        d = batch["l_discount"].to_numpy(zero_copy_only=False)
-        c = scaled_int(
-            np.asarray(p, np.float64) * (1.0 - np.asarray(d, np.float64)),
-            100.0,
-        )
-        return pa.table(
-            {
-                "l_orderkey": batch["l_orderkey"],
-                "l_suppkey": batch["l_suppkey"],
-                "c": pa.array(c),
-            }
-        )
-
-    li_f = li.map_batches(li_prep, batch_format="pyarrow", batch_size=None)
-    joined = equi_join(
-        li_f, od, join_type="inner", num_partitions=8,
-        on=("l_orderkey",), right_on=("o_orderkey",),
-        right_size_hint=_disk_bytes(od_path),
-    )
-    nat = pq.read_table(
-        os.path.join(sf_dir, "nation.parquet"),
-        columns=["n_nationkey", "n_regionkey"],
-    )
-    nk = nat["n_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-    rk = nat["n_regionkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-    n2r = np.zeros(int(nk.max()) + 1, np.int64)
-    n2r[nk] = rk
-    cust = pq.read_table(
-        os.path.join(sf_dir, "customer.parquet"),
-        columns=["c_custkey", "c_nationkey"],
-    ).rename_columns(["o_custkey", "c_nationkey"])
-    supp = pq.read_table(
-        os.path.join(sf_dir, "supplier.parquet"),
-        columns=["s_suppkey", "s_nationkey"],
-    ).rename_columns(["l_suppkey", "s_nationkey"])
-    withn = joined.map_batches(
-        BroadcastLookup(cust, on="o_custkey", take_cols=["c_nationkey"]),
-        batch_format="pyarrow", batch_size=None,
-    ).map_batches(
-        BroadcastLookup(supp, on="l_suppkey", take_cols=["s_nationkey"]),
-        batch_format="pyarrow", batch_size=None,
-    )
-
-    def tag(batch: pa.Table) -> pa.Table:
-        cn = batch["c_nationkey"].to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        keep = n2r[cn] == 0
-        b = batch.filter(pa.array(keep))
-        ts = b["o_orderdate"].cast(pa.int64()).to_numpy(
-            zero_copy_only=False
-        )
-        yr = (
-            ts.astype("datetime64[us]").astype("datetime64[Y]").astype(
-                np.int64
-            )
-            + 1970
-        )
-        sn = b["s_nationkey"].to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        c = b["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                "yr": pa.array(yr),
-                "num": pa.array(np.where(sn == 0, c, 0)),
-                "den": pa.array(c),
-            }
-        )
-
-    agg = hash_aggregate(
-        withn.map_batches(tag, batch_format="pyarrow", batch_size=None),
-        ["yr"],
-        [("num", "sum", "num_cents"), ("den", "sum", "den_cents")],
-    ).sort_by("yr")
-    num = agg["num_cents"].to_numpy(zero_copy_only=False).astype(np.float64)
-    den = agg["den_cents"].to_numpy(zero_copy_only=False).astype(np.float64)
-    share_q = round_half_away(num / den * 1e9).astype(np.int64)
-    return pa.table(
-        {
-            "yr": agg["yr"].cast(pa.int64()),
-            "num_cents": agg["num_cents"].cast(pa.int64()),
-            "den_cents": agg["den_cents"].cast(pa.int64()),
-            "share_q": pa.array(share_q),
-        }
-    )
-
-
-def _q_q6_forecast_revenue(sf_dir: str) -> pa.Table:
-    """TPC-H Q6 analogue (forecasting revenue change): one vectorized
-    predicate scan over lineitem -- shipdate in 1997, rounded discount
-    cents in [5, 7], quantity < 24 -- summing l_extendedprice *
-    l_discount as exact 1e-4-quantized int64 units in per-batch
-    partials; the combine is one tiny groupby.  No join, no shuffle of
-    row data: the classic pushed-down-filter scan shape."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    li = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_shipdate", "l_quantity", "l_extendedprice", "l_discount"],
-    )
-    LO = np.datetime64("1997-01-01T00:00:00", "us").astype(np.int64)
-    HI = np.datetime64("1998-01-01T00:00:00", "us").astype(np.int64)
-
-    def prep(batch: pa.Table) -> pa.Table:
-        ts = batch["l_shipdate"].cast(pa.int64()).to_numpy(
-            zero_copy_only=False
-        )
-        q = batch["l_quantity"].to_numpy(zero_copy_only=False)
-        d = np.asarray(
-            batch["l_discount"].to_numpy(zero_copy_only=False), np.float64
-        )
-        p = np.asarray(
-            batch["l_extendedprice"].to_numpy(zero_copy_only=False),
-            np.float64,
-        )
-        dc = round_half_away(d * 100.0).astype(np.int64)
-        keep = (ts >= LO) & (ts < HI) & (q < 24.0) & (dc >= 5) & (dc <= 7)
-        rev = scaled_int(p[keep] * d[keep], 10000.0)
-        return pa.table(
-            {
-                "g": pa.array(np.zeros(1, np.int64)),
-                "revenue_q": pa.array(
-                    np.array([int(rev.sum())], np.int64)
-                ),
-                "n_items": pa.array(
-                    np.array([int(keep.sum())], np.int64)
-                ),
-            }
-        )
-
-    agg = hash_aggregate(
-        li.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["g"],
-        [("revenue_q", "sum", "revenue_q"), ("n_items", "sum", "n_items")],
-    )
-    return agg.select(["revenue_q", "n_items"])
-
-
-def _q_q10_returned_items(sf_dir: str) -> pa.Table:
-    """TPC-H Q10 analogue (returned-item reporting): revenue cents per
-    customer over 'R'-flagged lineitems of 1997-Q3 orders; top 20 by
-    revenue with custkey tie-break.  Lineitem filters map-side before
-    the size-aware equi_join with the date-filtered orders; the
-    per-customer aggregate is combiner-shaped, and the (<= n_cust)-row
-    result joins customer/nation names driver-side."""
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        equi_join, hash_aggregate,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.sources.reader import (
-        _disk_bytes,
-    )
-
-    LO = np.datetime64("1997-07-01T00:00:00", "us").astype(np.int64)
-    HI = np.datetime64("1997-10-01T00:00:00", "us").astype(np.int64)
-    od_path = os.path.join(sf_dir, "orders.parquet")
-    od = _read_pq(
-        od_path, columns=["o_orderkey", "o_custkey", "o_orderdate"]
-    )
-
-    def od_filter(batch: pa.Table) -> pa.Table:
-        ts = batch["o_orderdate"].cast(pa.int64()).to_numpy(
-            zero_copy_only=False
-        )
-        return batch.filter(pa.array((ts >= LO) & (ts < HI))).select(
-            ["o_orderkey", "o_custkey"]
-        )
-
-    od_f = od.map_batches(od_filter, batch_format="pyarrow", batch_size=None)
-    li = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=[
-            "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount",
-        ],
-    )
-
-    def li_prep(batch: pa.Table) -> pa.Table:
-        b = batch.filter(pc.equal(batch["l_returnflag"], "R"))
-        p = np.asarray(
-            b["l_extendedprice"].to_numpy(zero_copy_only=False), np.float64
-        )
-        d = np.asarray(
-            b["l_discount"].to_numpy(zero_copy_only=False), np.float64
-        )
-        c = scaled_int(p * (1.0 - d), 100.0)
-        return pa.table({"l_orderkey": b["l_orderkey"], "c": pa.array(c)})
-
-    li_f = li.map_batches(li_prep, batch_format="pyarrow", batch_size=None)
-    joined = equi_join(
-        li_f, od_f, join_type="inner", num_partitions=8,
-        on=("l_orderkey",), right_on=("o_orderkey",),
-        right_size_hint=_disk_bytes(od_path),
-    )
-    agg = hash_aggregate(
-        joined, ["o_custkey"], [("c", "sum", "revenue_cents")]
-    )
-    cust = pq.read_table(
-        os.path.join(sf_dir, "customer.parquet"),
-        columns=["c_custkey", "c_name", "c_nationkey"],
-    )
-    nat = pq.read_table(
-        os.path.join(sf_dir, "nation.parquet"),
-        columns=["n_nationkey", "n_name"],
-    )
-    named = agg.join(
-        cust.rename_columns(["o_custkey", "c_name", "c_nationkey"]),
-        keys="o_custkey", join_type="inner",
-    )
-    named = named.join(
-        nat.rename_columns(["c_nationkey", "n_name"]),
-        keys="c_nationkey", join_type="inner",
-    )
-    order = pc.sort_indices(
-        named,
-        sort_keys=[
-            ("revenue_cents", "descending"), ("o_custkey", "ascending"),
-        ],
-    )
-    top = named.take(order).slice(0, 20)
-    return pa.table(
-        {
-            "c_custkey": top["o_custkey"].cast(pa.int64()),
-            "c_name": top["c_name"],
-            "n_name": top["n_name"],
-            "revenue_cents": top["revenue_cents"].cast(pa.int64()),
-        }
-    )
-
-
-def _q_q13_custdist(sf_dir: str) -> pa.Table:
-    """TPC-H Q13 analogue (customer order-count distribution): orders
-    not in the '5-LOW' priority class counted per customer, then the
-    histogram of those counts INCLUDING the zero bin.  No outer-join
-    shuffle: the distributed per-customer aggregate covers customers
-    with >= 1 qualifying order, and the zero bin is the exact
-    complement n_customers - n_active (customer row count read from
-    parquet metadata, no scan)."""
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    od = _read_pq(
-        os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_custkey", "o_orderpriority"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        b = batch.filter(
-            pc.invert(pc.equal(batch["o_orderpriority"], "5-LOW"))
-        )
-        return pa.table(
-            {
-                "o_custkey": b["o_custkey"],
-                "_one": pa.array(np.ones(len(b), np.int64)),
-            }
-        )
-
-    per_cust = hash_aggregate(
-        od.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["o_custkey"],
-        [("_one", "sum", "c_count")],
-    )
-    counts = per_cust["c_count"].to_numpy(zero_copy_only=False).astype(
-        np.int64
-    )
-    uniq, freq = np.unique(counts, return_counts=True)
-    n_cust = pq.ParquetFile(
-        os.path.join(sf_dir, "customer.parquet")
-    ).metadata.num_rows
-    zero = int(n_cust) - len(counts)
-    if zero > 0:
-        uniq = np.concatenate([np.zeros(1, np.int64), uniq])
-        freq = np.concatenate([np.array([zero], np.int64), freq])
-    order = np.lexsort((-uniq, -freq))
-    return pa.table(
-        {
-            "c_count": pa.array(uniq[order].astype(np.int64)),
-            "custdist": pa.array(freq[order].astype(np.int64)),
-        }
-    )
-
-
-def _q_q15_top_supplier(sf_dir: str) -> pa.Table:
-    """TPC-H Q15 analogue (top supplier): revenue cents per supplier
-    over lineitems shipped in 1997-Q1; return every supplier tied at
-    the maximum (the view + scalar-subquery shape).  One filtered scan
-    with per-batch cents partials, a supplier-keyed combine, then the
-    argmax runs over the (n_suppliers)-row aggregate driver-side."""
-    import pyarrow.parquet as pq
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    LO = np.datetime64("1997-01-01T00:00:00", "us").astype(np.int64)
-    HI = np.datetime64("1997-04-01T00:00:00", "us").astype(np.int64)
-    li = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=[
-            "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount",
-        ],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        ts = batch["l_shipdate"].cast(pa.int64()).to_numpy(
-            zero_copy_only=False
-        )
-        b = batch.filter(pa.array((ts >= LO) & (ts < HI)))
-        p = np.asarray(
-            b["l_extendedprice"].to_numpy(zero_copy_only=False), np.float64
-        )
-        d = np.asarray(
-            b["l_discount"].to_numpy(zero_copy_only=False), np.float64
-        )
-        return pa.table(
-            {
-                "l_suppkey": b["l_suppkey"],
-                "c": pa.array(scaled_int(p * (1.0 - d), 100.0)),
-            }
-        )
-
-    agg = hash_aggregate(
-        li.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["l_suppkey"],
-        [("c", "sum", "total_cents")],
-    )
-    tot = agg["total_cents"].to_numpy(zero_copy_only=False).astype(np.int64)
-    best = agg.filter(pa.array(tot == int(tot.max())))
-    supp = pq.read_table(
-        os.path.join(sf_dir, "supplier.parquet"),
-        columns=["s_suppkey", "s_name"],
-    ).rename_columns(["l_suppkey", "s_name"])
-    named = best.join(supp, keys="l_suppkey", join_type="inner").sort_by(
-        "l_suppkey"
-    )
-    return pa.table(
-        {
-            "s_suppkey": named["l_suppkey"].cast(pa.int64()),
-            "s_name": named["s_name"],
-            "total_cents": named["total_cents"].cast(pa.int64()),
-        }
-    )
-
-
-def _q_q9_product_profit(sf_dir: str) -> pa.Table:
-    """TPC-H Q9 analogue (product-type profit): for parts named
-    '*red*', profit = revenue cents - cost cents (p_retailprice *
-    l_quantity standing in for the absent partsupp supplycost),
-    grouped by supplier nation x order year.  The part filter +
-    retail-price lookup ride a sorted broadcast array map-side (no
-    part shuffle); lineitem x orders is the one big join; supplier ->
-    nation -> name are broadcast lookups.  Both cent terms round per
-    row exactly like the SQL mirror."""
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        BroadcastLookup, equi_join, hash_aggregate,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.sources.reader import (
-        _disk_bytes,
-    )
-
-    pt = pq.read_table(
-        os.path.join(sf_dir, "part.parquet"),
-        columns=["p_partkey", "p_name", "p_retailprice"],
-    )
-    red = pt.filter(pc.match_substring(pt["p_name"], "red"))
-    pk = red["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-    retail = np.asarray(
-        red["p_retailprice"].to_numpy(zero_copy_only=False), np.float64
-    )
-    o_pk = np.argsort(pk)
-    pk_sorted, retail_sorted = pk[o_pk], retail[o_pk]
-
-    od_path = os.path.join(sf_dir, "orders.parquet")
-    od = _read_pq(od_path, columns=["o_orderkey", "o_orderdate"])
-    li = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=[
-            "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
-            "l_extendedprice", "l_discount",
-        ],
-    )
-
-    def li_prep(batch: pa.Table) -> pa.Table:
-        lp = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        pos = np.clip(
-            np.searchsorted(pk_sorted, lp), 0, len(pk_sorted) - 1
-        )
-        keep = pk_sorted[pos] == lp
-        b = batch.filter(pa.array(keep))
-        pos = pos[keep]
-        p = np.asarray(
-            b["l_extendedprice"].to_numpy(zero_copy_only=False), np.float64
-        )
-        d = np.asarray(
-            b["l_discount"].to_numpy(zero_copy_only=False), np.float64
-        )
-        q = np.asarray(
-            b["l_quantity"].to_numpy(zero_copy_only=False), np.float64
-        )
-        amt = scaled_int(p * (1.0 - d), 100.0) - scaled_int(
-            retail_sorted[pos] * q, 100.0
-        )
-        return pa.table(
-            {
-                "l_orderkey": b["l_orderkey"],
-                "l_suppkey": b["l_suppkey"],
-                "amt": pa.array(amt),
-            }
-        )
-
-    li_f = li.map_batches(li_prep, batch_format="pyarrow", batch_size=None)
-    joined = equi_join(
-        li_f, od, join_type="inner", num_partitions=8,
-        on=("l_orderkey",), right_on=("o_orderkey",),
-        right_size_hint=_disk_bytes(od_path),
-    )
-    supp = pq.read_table(
-        os.path.join(sf_dir, "supplier.parquet"),
-        columns=["s_suppkey", "s_nationkey"],
-    ).rename_columns(["l_suppkey", "s_nationkey"])
-    withn = joined.map_batches(
-        BroadcastLookup(supp, on="l_suppkey", take_cols=["s_nationkey"]),
-        batch_format="pyarrow", batch_size=None,
-    )
-
-    def tag(batch: pa.Table) -> pa.Table:
-        ts = batch["o_orderdate"].cast(pa.int64()).to_numpy(
-            zero_copy_only=False
-        )
-        yr = (
-            ts.astype("datetime64[us]").astype("datetime64[Y]").astype(
-                np.int64
-            )
-            + 1970
-        )
-        return pa.table(
-            {
-                "s_nationkey": batch["s_nationkey"],
-                "yr": pa.array(yr),
-                "amt": batch["amt"],
-            }
-        )
-
-    agg = hash_aggregate(
-        withn.map_batches(tag, batch_format="pyarrow", batch_size=None),
-        ["s_nationkey", "yr"],
-        [("amt", "sum", "profit_cents")],
-    )
-    nat = pq.read_table(
-        os.path.join(sf_dir, "nation.parquet"),
-        columns=["n_nationkey", "n_name"],
-    ).rename_columns(["s_nationkey", "n_name"])
-    named = agg.join(nat, keys="s_nationkey", join_type="inner")
-    order = pc.sort_indices(
-        named,
-        sort_keys=[("n_name", "ascending"), ("yr", "descending")],
-    )
-    named = named.take(order)
-    return pa.table(
-        {
-            "n_name": named["n_name"],
-            "yr": named["yr"].cast(pa.int64()),
-            "profit_cents": named["profit_cents"].cast(pa.int64()),
-        }
-    )
-
-
-def _q_q11_important_parts(sf_dir: str) -> pa.Table:
-    """TPC-H Q11 analogue (important stock): per-part revenue cents
-    over lineitems of nation-7 suppliers, keeping parts whose value
-    exceeds 3x the mean part value (integer cross-multiplied -- no
-    float threshold, scale-invariant unlike TPC-H's fixed fraction).  Supplier filter is a sorted broadcast keyset
-    map-side; the per-part aggregate is the only shuffle; the HAVING
-    scalar runs over the aggregate driver-side."""
-    import pyarrow.parquet as pq
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    supp = pq.read_table(
-        os.path.join(sf_dir, "supplier.parquet"),
-        columns=["s_suppkey", "s_nationkey"],
-    )
-    sk = supp["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-    sn = supp["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-    keyset = np.sort(sk[sn == 7])
-
-    li = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_partkey", "l_suppkey", "l_extendedprice"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        ls = batch["l_suppkey"].to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        if len(keyset) == 0:
-            keep = np.zeros(len(ls), bool)
-        else:
-            pos = np.clip(
-                np.searchsorted(keyset, ls), 0, len(keyset) - 1
-            )
-            keep = keyset[pos] == ls
-        b = batch.filter(pa.array(keep))
-        p = np.asarray(
-            b["l_extendedprice"].to_numpy(zero_copy_only=False), np.float64
-        )
-        return pa.table(
-            {
-                "l_partkey": b["l_partkey"],
-                "c": pa.array(scaled_int(p, 100.0)),
-            }
-        )
-
-    agg = hash_aggregate(
-        li.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["l_partkey"],
-        [("c", "sum", "value_cents")],
-    )
-    v = agg["value_cents"].to_numpy(zero_copy_only=False).astype(np.int64)
-    # scale-invariant importance cut: value > 4x the mean part value
-    # (integer cross-multiplied; TPC-H's fixed fraction goes vacuous
-    # as the part count grows with sf)
-    keep = v * len(v) > 3 * int(v.sum())
-    kept = agg.filter(pa.array(keep))
-    import pyarrow.compute as pc
-
-    order = pc.sort_indices(
-        kept,
-        sort_keys=[
-            ("value_cents", "descending"), ("l_partkey", "ascending"),
-        ],
-    )
-    kept = kept.take(order)
-    return pa.table(
-        {
-            "p_partkey": kept["l_partkey"].cast(pa.int64()),
-            "value_cents": kept["value_cents"].cast(pa.int64()),
-        }
-    )
-
-
-def _q_q12_late_shipments(sf_dir: str) -> pa.Table:
-    """TPC-H Q12 analogue (shipping-mode priority screen): lineitems
-    shipped in 1997 at least 60 days after their order date, counting
-    high- vs low-priority orders per l_linestatus (standing in for the
-    absent l_shipmode).  Date arithmetic stays in integer
-    microseconds; the big join is lineitem x orders through the
-    size-aware router; the final aggregate is two int64 counters per
-    group."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        equi_join, hash_aggregate,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.sources.reader import (
-        _disk_bytes,
-    )
-
-    LO = np.datetime64("1997-01-01T00:00:00", "us").astype(np.int64)
-    HI = np.datetime64("1998-01-01T00:00:00", "us").astype(np.int64)
-    DELAY = 60 * 86_400_000_000
-    od_path = os.path.join(sf_dir, "orders.parquet")
-    od = _read_pq(
-        od_path, columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
-    )
-    li = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_orderkey", "l_linestatus", "l_shipdate"],
-    )
-
-    def li_prep(batch: pa.Table) -> pa.Table:
-        ts = batch["l_shipdate"].cast(pa.int64()).to_numpy(
-            zero_copy_only=False
-        )
-        b = batch.filter(pa.array((ts >= LO) & (ts < HI)))
-        return pa.table(
-            {
-                "l_orderkey": b["l_orderkey"],
-                "l_linestatus": b["l_linestatus"],
-                "ship_us": b["l_shipdate"].cast(pa.int64()),
-            }
-        )
-
-    li_f = li.map_batches(li_prep, batch_format="pyarrow", batch_size=None)
-    joined = equi_join(
-        li_f, od, join_type="inner", num_partitions=8,
-        on=("l_orderkey",), right_on=("o_orderkey",),
-        right_size_hint=_disk_bytes(od_path),
-    )
-
-    def tag(batch: pa.Table) -> pa.Table:
-        ship = batch["ship_us"].to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        ots = batch["o_orderdate"].cast(pa.int64()).to_numpy(
-            zero_copy_only=False
-        )
-        late = ship >= ots + DELAY
-        b = batch.filter(pa.array(late))
-        pr = b["o_orderpriority"].to_numpy(zero_copy_only=False)
-        high = ((pr == "1-URGENT") | (pr == "2-HIGH")).astype(np.int64)
-        return pa.table(
-            {
-                "l_linestatus": b["l_linestatus"],
-                "high": pa.array(high),
-                "low": pa.array(1 - high),
-            }
-        )
-
-    agg = hash_aggregate(
-        joined.map_batches(tag, batch_format="pyarrow", batch_size=None),
-        ["l_linestatus"],
-        [("high", "sum", "high_line_count"), ("low", "sum", "low_line_count")],
-    ).sort_by("l_linestatus")
-    return pa.table(
-        {
-            "l_linestatus": agg["l_linestatus"],
-            "high_line_count": agg["high_line_count"].cast(pa.int64()),
-            "low_line_count": agg["low_line_count"].cast(pa.int64()),
-        }
-    )
-
-
-def _q_q16_supplier_cnt(sf_dir: str) -> pa.Table:
-    """TPC-H Q16 analogue (parts/supplier relationship): distinct
-    supplier counts per (brand, type, size) over lineitem part-supp
-    pairs (standing in for partsupp), excluding Brand#5, restricting
-    to the classic eight sizes, and dropping low-acctbal suppliers
-    (the complaints NOT IN).  The pair dedup is the distributed
-    groupby; part/supplier attributes join against the deduped pair
-    table driver-side (part and supplier are the small dimensions)."""
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    li = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_partkey", "l_suppkey"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "l_partkey": batch["l_partkey"],
-                "l_suppkey": batch["l_suppkey"],
-                "_one": pa.array(np.ones(len(batch), np.int64)),
-            }
-        )
-
-    pairs = hash_aggregate(
-        li.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["l_partkey", "l_suppkey"],
-        [("_one", "sum", "_n")],
-    )
-    pt = pq.read_table(
-        os.path.join(sf_dir, "part.parquet"),
-        columns=["p_partkey", "p_brand", "p_type", "p_size"],
-    ).rename_columns(["l_partkey", "p_brand", "p_type", "p_size"])
-    sizes = pa.array([3, 9, 14, 19, 23, 36, 45, 49], pa.int64())
-    pt = pt.filter(
-        pc.and_(
-            pc.invert(pc.equal(pt["p_brand"], "Brand#5")),
-            pc.is_in(pt["p_size"].cast(pa.int64()), value_set=sizes),
-        )
-    )
-    supp = pq.read_table(
-        os.path.join(sf_dir, "supplier.parquet"),
-        columns=["s_suppkey", "s_acctbal"],
-    )
-    good = supp.filter(
-        pc.greater_equal(supp["s_acctbal"], 100.0)
-    )["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-    goodset = np.sort(good)
-    sk = pairs["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-    pos = np.clip(np.searchsorted(goodset, sk), 0, len(goodset) - 1)
-    pairs = pairs.filter(pa.array(goodset[pos] == sk))
-    j = pairs.join(pt, keys="l_partkey", join_type="inner")
-    import pandas as pd
-
-    df = j.select(
-        ["p_brand", "p_type", "p_size", "l_suppkey"]
-    ).to_pandas()
-    g = (
-        df.groupby(["p_brand", "p_type", "p_size"])["l_suppkey"]
-        .nunique()
-        .reset_index(name="supplier_cnt")
-    )
-    g = g.sort_values(
-        ["supplier_cnt", "p_brand", "p_type", "p_size"],
-        ascending=[False, True, True, True],
-        kind="mergesort",
-    ).head(20)
-    return pa.table(
-        {
-            "p_brand": pa.array(g["p_brand"].tolist()),
-            "p_type": pa.array(g["p_type"].tolist()),
-            "p_size": pa.array(g["p_size"].astype(np.int64).tolist()),
-            "supplier_cnt": pa.array(
-                g["supplier_cnt"].astype(np.int64).tolist()
-            ),
-        }
-    )
-
-
-def _q_q18_large_orders(sf_dir: str) -> pa.Table:
-    """TPC-H Q18 analogue (large-volume customers): orders whose
-    summed lineitem quantity exceeds 300, top 10 by total price.
-    The per-order quantity aggregate is the distributed groupby
-    (quantities are integral, summed as exact int64); the tiny
-    qualifying set then filters an orders scan map-side via a sorted
-    broadcast keyset, and customer names join driver-side."""
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    li = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_orderkey", "l_quantity"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        q = round_half_away(
-            np.asarray(
-                batch["l_quantity"].to_numpy(zero_copy_only=False),
-                np.float64,
-            )
-        ).astype(np.int64)
-        return pa.table(
-            {"l_orderkey": batch["l_orderkey"], "q": pa.array(q)}
-        )
-
-    agg = hash_aggregate(
-        li.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["l_orderkey"],
-        [("q", "sum", "total_qty")],
-    )
-    tq = agg["total_qty"].to_numpy(zero_copy_only=False).astype(np.int64)
-    big = agg.filter(pa.array(tq > 300))
-    keyset = np.sort(
-        big["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-    )
-    od = _read_pq(
-        os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
-    )
-
-    def od_filter(batch: pa.Table) -> pa.Table:
-        ok = batch["o_orderkey"].to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        if len(keyset) == 0:
-            keep = np.zeros(len(ok), bool)
-        else:
-            pos = np.clip(
-                np.searchsorted(keyset, ok), 0, len(keyset) - 1
-            )
-            keep = keyset[pos] == ok
-        b = batch.filter(pa.array(keep))
-        cents = scaled_int(
-            np.asarray(
-                b["o_totalprice"].to_numpy(zero_copy_only=False),
-                np.float64,
-            ),
-            100.0,
-        )
-        return pa.table(
-            {
-                "o_orderkey": b["o_orderkey"],
-                "o_custkey": b["o_custkey"],
-                "o_orderdate": b["o_orderdate"],
-                "price_cents": pa.array(cents),
-            }
-        )
-
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-
-    hits = collect_tables(
-        od.map_batches(od_filter, batch_format="pyarrow", batch_size=None)
-    )
-    qty = big.rename_columns(["o_orderkey", "total_qty"])
-    merged = hits.join(qty, keys="o_orderkey", join_type="inner")
-    cust = pq.read_table(
-        os.path.join(sf_dir, "customer.parquet"),
-        columns=["c_custkey", "c_name"],
-    ).rename_columns(["o_custkey", "c_name"])
-    named = merged.join(cust, keys="o_custkey", join_type="inner")
-    order = pc.sort_indices(
-        named,
-        sort_keys=[
-            ("price_cents", "descending"), ("o_orderkey", "ascending"),
-        ],
-    )
-    top = named.take(order).slice(0, 10)
-    return pa.table(
-        {
-            "c_name": top["c_name"],
-            "c_custkey": top["o_custkey"].cast(pa.int64()),
-            "o_orderkey": top["o_orderkey"].cast(pa.int64()),
-            "price_cents": top["price_cents"].cast(pa.int64()),
-            "total_qty": top["total_qty"].cast(pa.int64()),
-        }
-    )
-
-
-def _q_q20_part_promotion(sf_dir: str) -> pa.Table:
-    """TPC-H Q20 analogue (potential part promotion): suppliers who
-    shipped more than 60 units of some '*red*' part during 1997.
-    The red-part keyset broadcasts into the lineitem scan; the
-    per-(supplier, part) quantity aggregate is the distributed
-    groupby; the EXISTS collapses to a distinct-supplier pass over
-    the qualifying aggregate."""
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    pt = pq.read_table(
-        os.path.join(sf_dir, "part.parquet"),
-        columns=["p_partkey", "p_name"],
-    )
-    red = np.sort(
-        pt.filter(pc.match_substring(pt["p_name"], "red"))[
-            "p_partkey"
-        ].to_numpy(zero_copy_only=False).astype(np.int64)
-    )
-    LO = np.datetime64("1997-01-01T00:00:00", "us").astype(np.int64)
-    HI = np.datetime64("1998-01-01T00:00:00", "us").astype(np.int64)
-    li = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        ts = batch["l_shipdate"].cast(pa.int64()).to_numpy(
-            zero_copy_only=False
-        )
-        lp = batch["l_partkey"].to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        pos = np.clip(np.searchsorted(red, lp), 0, len(red) - 1)
-        keep = (ts >= LO) & (ts < HI) & (red[pos] == lp)
-        b = batch.filter(pa.array(keep))
-        q = round_half_away(
-            np.asarray(
-                b["l_quantity"].to_numpy(zero_copy_only=False), np.float64
-            )
-        ).astype(np.int64)
-        return pa.table(
-            {
-                "l_suppkey": b["l_suppkey"],
-                "l_partkey": b["l_partkey"],
-                "q": pa.array(q),
-            }
-        )
-
-    agg = hash_aggregate(
-        li.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["l_suppkey", "l_partkey"],
-        [("q", "sum", "qty")],
-    )
-    qv = agg["qty"].to_numpy(zero_copy_only=False).astype(np.int64)
-    sup = np.unique(
-        agg.filter(pa.array(qv > 60))["l_suppkey"].to_numpy(
-            zero_copy_only=False
-        ).astype(np.int64)
-    )
-    supp = pq.read_table(
-        os.path.join(sf_dir, "supplier.parquet"),
-        columns=["s_suppkey", "s_name", "s_nationkey"],
-    )
-    sk = supp["s_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-    hit = supp.filter(pa.array(np.isin(sk, sup))).sort_by("s_name")
-    return pa.table(
-        {
-            "s_name": hit["s_name"],
-            "s_nationkey": hit["s_nationkey"].cast(pa.int64()),
-        }
-    )
-
-
-def _q_q21_waiting_suppliers(sf_dir: str) -> pa.Table:
-    """TPC-H Q21 analogue (suppliers who kept orders waiting): over
-    finished ('F') orders with multiple suppliers, count per supplier
-    the orders where ONLY that supplier shipped > 60 days after the
-    order date.  lineitem x orders through the size-aware router;
-    first distributed aggregate collapses to (order, supplier,
-    any_late); the per-order exists/not-exists pair reduces over that
-    table with the (sk+1)*late - 1 argmax trick (suppkey 0 is real)."""
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        equi_join, hash_aggregate,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.sources.reader import (
-        _disk_bytes,
-    )
-
-    DELAY = 60 * 86_400_000_000
-    od_path = os.path.join(sf_dir, "orders.parquet")
-    od = _read_pq(
-        od_path, columns=["o_orderkey", "o_orderdate", "o_orderstatus"]
-    )
-
-    def od_filter(batch: pa.Table) -> pa.Table:
-        b = batch.filter(pc.equal(batch["o_orderstatus"], "F"))
-        return pa.table(
-            {
-                "o_orderkey": b["o_orderkey"],
-                "odate_us": b["o_orderdate"].cast(pa.int64()),
-            }
-        )
-
-    od_f = od.map_batches(od_filter, batch_format="pyarrow", batch_size=None)
-    li = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
-    )
-
-    def li_prep(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "l_orderkey": batch["l_orderkey"],
-                "l_suppkey": batch["l_suppkey"],
-                "ship_us": batch["l_shipdate"].cast(pa.int64()),
-            }
-        )
-
-    li_f = li.map_batches(li_prep, batch_format="pyarrow", batch_size=None)
-    joined = equi_join(
-        li_f, od_f, join_type="inner", num_partitions=8,
-        on=("l_orderkey",), right_on=("o_orderkey",),
-        right_size_hint=_disk_bytes(od_path),
-    )
-
-    def tag(batch: pa.Table) -> pa.Table:
-        ship = batch["ship_us"].to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        odt = batch["odate_us"].to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        late = (ship > odt + DELAY).astype(np.int64)
-        return pa.table(
-            {
-                "l_orderkey": batch["l_orderkey"],
-                "l_suppkey": batch["l_suppkey"],
-                "late": pa.array(late),
-            }
-        )
-
-    per_os = hash_aggregate(
-        joined.map_batches(tag, batch_format="pyarrow", batch_size=None),
-        ["l_orderkey", "l_suppkey"],
-        [("late", "sum", "n_late_lines")],
-    )
-    ok = per_os["l_orderkey"].to_numpy(zero_copy_only=False).astype(
-        np.int64
-    )
-    sk = per_os["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-    late = (
-        per_os["n_late_lines"].to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        > 0
-    ).astype(np.int64)
-    order = np.argsort(ok, kind="stable")
-    ok, sk, late = ok[order], sk[order], late[order]
-    uniq, start = np.unique(ok, return_index=True)
-    n_supp = np.diff(np.append(start, len(ok)))
-    n_late = np.add.reduceat(late, start)
-    late_sk = np.maximum.reduceat((sk + 1) * late, start) - 1
-    cred = late_sk[(n_supp > 1) & (n_late == 1)]
-    su, cnt = np.unique(cred, return_counts=True)
-    supp = pq.read_table(
-        os.path.join(sf_dir, "supplier.parquet"),
-        columns=["s_suppkey", "s_name"],
-    ).rename_columns(["sk", "s_name"])
-    res = pa.table(
-        {"sk": pa.array(su), "numwait": pa.array(cnt.astype(np.int64))}
-    ).join(supp, keys="sk", join_type="inner")
-    order2 = pc.sort_indices(
-        res,
-        sort_keys=[("numwait", "descending"), ("s_name", "ascending")],
-    )
-    top = res.take(order2).slice(0, 10)
-    return pa.table(
-        {"s_name": top["s_name"], "numwait": top["numwait"]}
-    )
-
-
-def _q_q22_global_sales_opp(sf_dir: str) -> pa.Table:
-    """TPC-H Q22 analogue (global sales opportunity): customers in
-    five nations with account balance above the positive-balance
-    average (integer cross-multiplied cents -- no float threshold)
-    and no orders on/after 1999-01-01, aggregated per nation.  The
-    orders side runs distributed (distinct recent custkeys via the
-    groupby tier); the customer dimension evaluates driver-side."""
-    import pyarrow.parquet as pq
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    NATIONS = np.array([1, 3, 5, 7, 9], np.int64)
-    CUT = np.datetime64("1999-01-01T00:00:00", "us").astype(np.int64)
-    cust = pq.read_table(
-        os.path.join(sf_dir, "customer.parquet"),
-        columns=["c_custkey", "c_nationkey", "c_acctbal"],
-    )
-    ck = cust["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-    cn = cust["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-    bal = round_half_away(
-        np.asarray(
-            cust["c_acctbal"].to_numpy(zero_copy_only=False), np.float64
-        )
-        * 100.0
-    ).astype(np.int64)
-    insel = np.isin(cn, NATIONS)
-    pos_mask = insel & (bal > 0)
-    n_pos = int(pos_mask.sum())
-    tot_pos = int(bal[pos_mask].sum())
-
-    od = _read_pq(
-        os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_custkey", "o_orderdate"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        ts = batch["o_orderdate"].cast(pa.int64()).to_numpy(
-            zero_copy_only=False
-        )
-        b = batch.filter(pa.array(ts >= CUT))
-        return pa.table(
-            {
-                "o_custkey": b["o_custkey"],
-                "_one": pa.array(np.ones(len(b), np.int64)),
-            }
-        )
-
-    recent = hash_aggregate(
-        od.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["o_custkey"],
-        [("_one", "sum", "_n")],
-    )
-    rk = np.sort(
-        recent["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-    )
-    has_recent = np.zeros(len(ck), bool)
-    if len(rk):
-        p = np.clip(np.searchsorted(rk, ck), 0, len(rk) - 1)
-        has_recent = rk[p] == ck
-    qual = insel & (bal * n_pos > tot_pos) & ~has_recent
-    nk = cn[qual]
-    bq = bal[qual]
-    uniq, inv = np.unique(nk, return_inverse=True)
-    numcust = np.bincount(inv).astype(np.int64)
-    totbal = np.bincount(inv, weights=bq.astype(np.float64)).astype(
-        np.int64
-    )
-    return pa.table(
-        {
-            "c_nationkey": pa.array(uniq),
-            "numcust": pa.array(numcust),
-            "totacctbal_cents": pa.array(totbal),
-        }
-    )
-
-
-def _q_cohort_ltv(sf_dir: str) -> pa.Table:
-    """Cohort lifetime-value curve: users cohorted by first-seen day,
-    cumulative purchase cents per (cohort_day, age-in-days).  Two
-    distributed aggregates (per-user min day; per-(user, day) purchase
-    cents), a broadcast cohort lookup, then the cumulative sum runs
-    over the bounded days x days grid driver-side."""
-    import pyarrow.compute as pc
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    EPOCH = np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
-    DAY = 86_400_000_000
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "ts", "event_type", "value"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        day = (ts - EPOCH) // DAY
-        et = batch["event_type"].to_numpy(zero_copy_only=False)
-        v = np.asarray(
-            batch["value"].to_numpy(zero_copy_only=False), np.float64
-        )
-        cents = np.where(
-            et == "purchase", round_half_away(v * 100.0), 0.0
-        ).astype(np.int64)
-        return pa.table(
-            {
-                "user_id": batch["user_id"],
-                "day": pa.array(day),
-                "cents": pa.array(cents),
-            }
-        )
-
-    pd_ds = ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
-    per_ud = hash_aggregate(
-        pd_ds,
-        ["user_id", "day"],
-        [("cents", "sum", "rev"), ("day", "min", "_d")],
-    )
-    uid = per_ud["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    day = per_ud["day"].to_numpy(zero_copy_only=False).astype(np.int64)
-    rev = per_ud["rev"].to_numpy(zero_copy_only=False).astype(np.int64)
-    # per-user cohort day = min activity day (any event type)
-    order = np.argsort(uid, kind="stable")
-    uid, day, rev = uid[order], day[order], rev[order]
-    uu, start = np.unique(uid, return_index=True)
-    cohort = np.minimum.reduceat(day, start)
-    cohort_full = np.repeat(cohort, np.diff(np.append(start, len(uid))))
-    age = day - cohort_full
-    keep = rev != 0
-    key = cohort_full[keep] * 100000 + age[keep]
-    uk, inv = np.unique(key, return_inverse=True)
-    sums = np.bincount(inv, weights=rev[keep].astype(np.float64)).astype(
-        np.int64
-    )
-    cd = uk // 100000
-    ag = uk % 100000
-    # cumulative within cohort (uk is sorted, so ages ascend per cohort)
-    cum = sums.copy()
-    for i in range(1, len(cum)):
-        if cd[i] == cd[i - 1]:
-            cum[i] += cum[i - 1]
-    return pa.table(
-        {
-            "cohort_day": pa.array(cd.astype(np.int64)),
-            "age": pa.array(ag.astype(np.int64)),
-            "cum_revenue_cents": pa.array(cum.astype(np.int64)),
-        }
-    )
-
-
-def _q_common_paths(sf_dir: str) -> pa.Table:
-    """Top user journey prefixes: each user's first three events (ts
-    then event_id tie-break) joined into a '>' path, counted across
-    users; top 15 with path tie-break.  Per-user ordering runs inside
-    the bucketed grouped_by_key tier (one shuffle, vectorized slices);
-    the path histogram is a bounded second aggregate."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "ts", "event_id", "event_type"],
-    )
-
-    def first3(group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        order = pc.sort_indices(
-            group,
-            sort_keys=[("ts", "ascending"), ("event_id", "ascending")],
-        )
-        g = group.take(order).slice(0, 3)
-        path = ">".join(g["event_type"].to_pylist())
-        return pa.table({"path": pa.array([path])})
-
-    paths = collect_tables(_grouped_by_key(ds, "user_id", first3))
-    vals, counts = np.unique(
-        np.asarray(paths["path"].to_pylist()), return_counts=True
-    )
-    order = np.lexsort((vals, -counts))[:15]
-    return pa.table(
-        {
-            "path": pa.array(vals[order]),
-            "n": pa.array(counts[order].astype(np.int64)),
-        }
-    )
-
-
-def _q_type_user_jaccard(sf_dir: str) -> pa.Table:
-    """Co-engagement matrix: Jaccard overlap of user sets between
-    every pair of event types.  The distinct (type, user) dedup is the
-    distributed aggregate; the 5x5 pair table evaluates driver-side
-    with exact integer intersection/union counts and a ROUND(...,6)
-    shared float."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_type", "user_id"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "event_type": batch["event_type"],
-                "user_id": batch["user_id"],
-                "_one": pa.array(np.ones(len(batch), np.int64)),
-            }
-        )
-
-    pairs = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["event_type", "user_id"],
-        [("_one", "sum", "_n")],
-    )
-    et = np.asarray(pairs["event_type"].to_pylist())
-    uid = pairs["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    types = np.unique(et)
-    sets = {t: set(uid[et == t].tolist()) for t in types}
-    ta, tb, inter, uni, jq = [], [], [], [], []
-    for i in range(len(types)):
-        for j in range(i + 1, len(types)):
-            a, b = sets[types[i]], sets[types[j]]
-            ii = len(a & b)
-            uu = len(a | b)
-            ta.append(types[i])
-            tb.append(types[j])
-            inter.append(ii)
-            uni.append(uu)
-            jq.append(round(ii / uu, 6) if uu else 0.0)
-    return pa.table(
-        {
-            "type_a": pa.array(ta),
-            "type_b": pa.array(tb),
-            "n_inter": pa.array(np.array(inter, np.int64)),
-            "n_union": pa.array(np.array(uni, np.int64)),
-            "jaccard": pa.array(np.array(jq, np.float64)),
-        }
-    )
-
-
-def _q_kmv_distinct(sf_dir: str) -> pa.Table:
-    """KMV (k-minimum-values) distinct-user sketch per event type:
-    per-block bottom-64 distinct mix32 hashes merge by union +
-    re-truncate; the estimator (k-1)*2^32 // h_(k) is all-integer so
-    the SQL mirror is bit-exact (mix32 is a bijection on [0,2^32), so
-    no hash collisions for int keys)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
-        grouped_kmv_distinct,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_type", "user_id"],
-    )
-    return grouped_kmv_distinct(ds, "event_type", "user_id", k=64, seed=31)
-
-
-def _q_ams_f2(sf_dir: str) -> pa.Table:
-    """AMS F2 (second frequency moment of per-user event counts):
-    8 deterministic {-1,+1} sign streams from mix32(user_id + r, 100),
-    per-block int64 partial sign sums, X_r = S_r^2, integer-mean
-    estimate, with the exact F2 computed beside it via a distributed
-    grouped count -> sum-of-squares partials."""
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
-        ams_f2,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
-    )
-    return ams_f2(ds, "user_id", rows=8, seed=100)
-
-
-def _q_max_drawdown(sf_dir: str) -> pa.Table:
-    """Maximum drawdown of the per-user signed running balance (even
-    event_id deposits +cents, odd withdraws -cents, the
-    clamped_balance convention unclamped): dd_t = runmax(P)_t - P_t,
-    all exact int64 prefix scans inside the one keyed shuffle."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int as _si,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
-        grouped_by_key,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "user_id", "ts", "value"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        cents = _si(batch["value"], 100.0)
-        delta = np.where(eid % 2 == 0, cents, -cents)
-        return pa.table(
-            {
-                "user_id": batch["user_id"],
-                "ts_us": batch["ts"].cast(pa.int64()),
-                "event_id": batch["event_id"],
-                "delta": pa.array(delta),
-            }
-        )
-
-    def per_user(group: pa.Table) -> pa.Table:
-        order = np.lexsort(
-            (
-                group["event_id"].to_numpy(zero_copy_only=False),
-                group["ts_us"].to_numpy(zero_copy_only=False),
-            )
-        )
-        d = group["delta"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
-        p = np.cumsum(d)
-        peak = np.maximum.accumulate(p)
-        uid = group["user_id"][0].as_py()
-        return pa.table(
-            {
-                "user_id": pa.array([uid], group["user_id"].type),
-                "max_drawdown": pa.array([int((peak - p).max())], pa.int64()),
-                "peak": pa.array([int(p.max())], pa.int64()),
-                "final": pa.array([int(p[-1])], pa.int64()),
-            }
-        )
-
-    out = grouped_by_key(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        "user_id",
-        per_user,
-    )
-    return collect_tables(out).sort_by("user_id")
-
-
-def _q_class_balance_sample(sf_dir: str) -> pa.Table:
-    """Balanced class downsampling: every language keeps exactly
-    min-class-count documents, chosen as the bottom-m by
-    mix32(doc_id, 77) -- deterministic, append-stable, partitioning-
-    independent.  Per-lang counts are a tiny aggregate; membership is
-    a per-block rank-free filter against the broadcast per-lang m-th
-    hash thresholds; output is the per-lang kept count + id checksum."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
-        mix32,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                "lang": batch["lang"],
-                "doc_id": batch["doc_id"],
-                "hv": pa.array(mix32(did, 77)),
-                "_one": pa.array(np.ones(len(did), np.int64)),
-            }
-        )
-
-    pd_ds = ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
-    counts = hash_aggregate(pd_ds, ["lang"], [("_one", "sum", "n")])
-    m = int(
-        counts["n"].to_numpy(zero_copy_only=False).astype(np.int64).min()
-    )
-    # per-lang m-th smallest hash = keep threshold (bottom-m partials
-    # merge by union + re-truncate, exactly the KMV shape)
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
-        grouped_kmv_bottomk,
-    )
-
-    bk = grouped_kmv_bottomk(pd_ds, "lang", "doc_id", k=m, seed=77)
-    gl = np.asarray(bk["lang"].to_numpy(zero_copy_only=False))
-    gh = bk["_h"].to_numpy(zero_copy_only=False).astype(np.int64)
-    thresh = {
-        lv: int(gh[gl == lv].max()) for lv in np.unique(gl)
-    }
-
-    def keep_partial(batch: pa.Table) -> pa.Table:
-        lang = np.asarray(batch["lang"].to_numpy(zero_copy_only=False))
-        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        hv = batch["hv"].to_numpy(zero_copy_only=False).astype(np.int64)
-        thr = np.array([thresh[lv] for lv in lang], np.int64)
-        keep = hv <= thr
-        lk, dk = lang[keep], did[keep]
-        order = np.argsort(lk, kind="stable")
-        lk, dk = lk[order], dk[order]
-        gs, start = np.unique(lk, return_index=True)
-        ends = np.append(start[1:], len(lk))
-        return pa.table(
-            {
-                "lang": pa.array(gs),
-                "n_kept": pa.array((ends - start).astype(np.int64)),
-                "id_sum": pa.array(
-                    np.add.reduceat(dk, start).astype(np.int64)
-                    if len(dk)
-                    else np.array([], np.int64)
-                ),
-            }
-        )
-
-    out = hash_aggregate(
-        pd_ds.map_batches(keep_partial, batch_format="pyarrow", batch_size=None),
-        ["lang"],
-        [("n_kept", "sum", "n_kept"), ("id_sum", "sum", "id_sum")],
-    )
-    return out.sort_by("lang")
-
-
-def _q_position_attribution(sf_dir: str) -> pa.Table:
-    """U-shaped (position-based) multi-touch attribution: each
-    purchase's cents weighted 40/20/40 across the 24 h touch window
-    (1 touch -> 100%, 2 -> 50/50, else first/last 40% and the middle
-    20% floor-divided with the remainder on the first middle), all in
-    exact millionths so type sums are int64; per-user ordered matching
-    in the groupby map_groups tier (the linear_attribution shape)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int as _si,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "ts", "event_id", "event_type", "value"],
-    )
-
-    def per_user(group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        order = pc.sort_indices(
-            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
-        )
-        g = group.take(order)
-        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        et = g["event_type"].to_numpy(zero_copy_only=False)
-        cents = _si(g["value"], 100.0)
-        types: dict[str, int] = {}
-        is_p = et == "purchase"
-        lo = np.searchsorted(ts, ts - 86_400_000_000, side="left")
-        for i in np.nonzero(is_p)[0].tolist():
-            j0 = int(lo[i])
-            m = i - j0
-            if m <= 0:
-                continue
-            c = int(cents[i])
-            if m == 1:
-                w = [1_000_000]
-            elif m == 2:
-                w = [500_000, 500_000]
-            else:
-                mid = m - 2
-                base = 200_000 // mid
-                rem = 200_000 % mid
-                w = (
-                    [400_000]
-                    + [base + (rem if j == 0 else 0) for j in range(mid)]
-                    + [400_000]
-                )
-            for j in range(j0, i):
-                t = et[j]
-                types[t] = types.get(t, 0) + c * w[j - j0]
-        if not types:
-            return pa.table(
-                {
-                    "event_type": pa.array([], pa.string()),
-                    "tq": pa.array([], pa.int64()),
-                }
-            )
-        ks = sorted(types)
-        return pa.table(
-            {
-                "event_type": pa.array(ks),
-                "tq": pa.array([types[k] for k in ks], pa.int64()),
-            }
-        )
-
-    per = ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
-    out = collect_tables(per)
-    et = np.asarray(out["event_type"].to_pylist())
-    tq = out["tq"].to_numpy(zero_copy_only=False).astype(np.int64)
-    ks = np.unique(et)
-    sums = np.array([int(tq[et == k].sum()) for k in ks], np.int64)
-    return pa.table(
-        {"event_type": pa.array(ks), "credit_q": pa.array(sums)}
-    )
-
-
-def _q_kmv_set_ops(sf_dir: str) -> pa.Table:
-    """KMV theta-sketch set operations: per-event-type bottom-64
-    user-hash sketches combine pairwise driver-side into union /
-    intersection distinct estimates (merged bottom-k + shared-hash
-    inclusion ratio, Dasgupta et al. theta-sketch estimator) -- all
-    integer, so the SQL mirror is bit-exact."""
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
-        grouped_kmv_bottomk,
-    )
-
-    K = 64
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_type", "user_id"],
-    )
-    bk = grouped_kmv_bottomk(ds, "event_type", "user_id", k=K, seed=31)
-    gl = np.asarray(bk["event_type"].to_numpy(zero_copy_only=False))
-    gh = bk["_h"].to_numpy(zero_copy_only=False).astype(np.int64)
-    types = sorted(np.unique(gl).tolist())
-    sk = {t: np.sort(gh[gl == t]) for t in types}
-    ta, tb, eu, nb, ei = [], [], [], [], []
-    for i in range(len(types)):
-        for j in range(i + 1, len(types)):
-            a, b = sk[types[i]], sk[types[j]]
-            merged = np.union1d(a, b)
-            if len(merged) >= K:
-                topk = merged[:K]
-                kth = int(topk[-1])
-                est_u = (K - 1) * 4294967296 // kth
-            else:
-                topk = merged
-                est_u = len(merged)
-            kk = len(topk)
-            n_both = int(
-                (np.isin(topk, a) & np.isin(topk, b)).sum()
-            )
-            ta.append(types[i])
-            tb.append(types[j])
-            eu.append(est_u)
-            nb.append(n_both)
-            ei.append(n_both * est_u // kk)
-    return pa.table(
-        {
-            "type_a": pa.array(ta),
-            "type_b": pa.array(tb),
-            "est_union": pa.array(np.array(eu, np.int64)),
-            "n_both": pa.array(np.array(nb, np.int64)),
-            "est_inter": pa.array(np.array(ei, np.int64)),
-        }
-    )
-
-
-def _q_granger_daily(sf_dir: str) -> pa.Table:
-    """Granger-style lag-1 test: do yesterday's clicks predict today's
-    purchases beyond yesterday's purchases?  Daily counts (dense day
-    spine), restricted y~[1,y1] vs unrestricted y~[1,y1,x1] OLS with
-    every moment an exact int64 and Cramer determinants expanded as
-    exact integers (the ols_two_var discipline); F and R^2 are pinned
-    shared-float expressions."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    EPOCH = np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
-    DAY = 86_400_000_000
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["ts", "event_type"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        t = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        et = batch["event_type"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "day": pa.array((t - EPOCH) // DAY),
-                "y": pa.array((et == "purchase").astype(np.int64)),
-                "x": pa.array((et == "click").astype(np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["day"],
-        [("y", "sum", "y"), ("x", "sum", "x")],
-    )
-    day = agg["day"].to_numpy(zero_copy_only=False).astype(np.int64)
-    yv = agg["y"].to_numpy(zero_copy_only=False).astype(np.int64)
-    xv = agg["x"].to_numpy(zero_copy_only=False).astype(np.int64)
-    spine = np.arange(day.min(), day.max() + 1)
-    yd = np.zeros(len(spine), np.int64)
-    xd = np.zeros(len(spine), np.int64)
-    yd[day - day.min()] = yv
-    xd[day - day.min()] = xv
-    y = yd[1:]
-    y1 = yd[:-1]
-    x1 = xd[:-1]
-    n = len(y)
-    s1 = int(y1.sum()); s2 = int(x1.sum()); sy = int(y.sum())
-    s11 = int((y1 * y1).sum()); s22 = int((x1 * x1).sum())
-    s12 = int((y1 * x1).sum()); s1y = int((y1 * y).sum())
-    s2y = int((x1 * y).sum()); syy = int((y * y).sum())
-
-    def det3(a, b, c, d, e, f, g, h, i):
-        return a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
-
-    d0 = det3(n, s1, s2, s1, s11, s12, s2, s12, s22)
-    db0 = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)
-    db1 = det3(n, sy, s2, s1, s1y, s12, s2, s2y, s22)
-    db2 = det3(n, s1, sy, s1, s11, s1y, s2, s12, s2y)
-    b0 = float(db0) / float(d0)
-    b1 = float(db1) / float(d0)
-    b2 = float(db2) / float(d0)
-    ssr_u = float(syy) - (b0 * float(sy) + b1 * float(s1y) + b2 * float(s2y))
-    # restricted y ~ [1, y1]
-    den_r = n * s11 - s1 * s1
-    b1r = float(n * s1y - s1 * sy) / float(den_r)
-    b0r = (float(sy) - b1r * float(s1)) / float(n)
-    ssr_r = float(syy) - (b0r * float(sy) + b1r * float(s1y))
-    f_stat = (ssr_r - ssr_u) * float(n - 3) / ssr_u
-    sst = float(syy) - float(sy) * float(sy) / float(n)
-    r2_u = 1.0 - ssr_u / sst
-    return pa.table(
-        {
-            "n_days": pa.array([n], pa.int64()),
-            "f_stat": round_like_sql([f_stat], 6),
-            "ssr_r": round_like_sql([ssr_r], 6),
-            "ssr_u": round_like_sql([ssr_u], 6),
-            "r2_u": round_like_sql([r2_u], 6),
-        }
-    )
-
-
-def _q_pacf_lags(sf_dir: str) -> pa.Table:
-    """Partial autocorrelation of the hourly event-count series at
-    lags 1-3 via the Durbin-Levinson recursion unrolled over the
-    acf_lags moments: exact int64 sums feed the shared-float rho_1..3
-    expressions, then the pinned phi chain (phi11=r1,
-    phi22=(r2-r1^2)/(1-r1^2), phi33 from the level-2 coefficients)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
-
-    def prep(batch: pa.Table) -> pa.Table:
-        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "hr": pa.array(us // 3_600_000_000),
-                "_one": pa.array(np.ones(len(us), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["hr"],
-        [("_one", "sum", "x")],
-    ).sort_by("hr")
-    hr = agg["hr"].to_numpy(zero_copy_only=False).astype(np.int64)
-    xs = agg["x"].to_numpy(zero_copy_only=False).astype(np.int64)
-    lo, hi = int(hr[0]), int(hr[-1])
-    n = hi - lo + 1
-    x = np.zeros(n, np.int64)
-    x[hr - lo] = xs
-    s_tot = int(x.sum())
-    q_tot = int((x * x).sum())
-    mu = float(s_tot) / float(n)
-    rho = {}
-    for h in (1, 2, 3):
-        p = int((x[:-h] * x[h:]).sum())
-        sa = int(x[:-h].sum())
-        sb = int(x[h:].sum())
-        num = float(p) - mu * float(sa) - mu * float(sb) + float(n - h) * mu * mu
-        den = float(q_tot) - 2.0 * mu * float(s_tot) + float(n) * mu * mu
-        rho[h] = num / den
-    r1, r2, r3 = rho[1], rho[2], rho[3]
-    p11 = r1
-    p22 = (r2 - r1 * r1) / (1.0 - r1 * r1)
-    p21 = r1 - p22 * r1
-    p33 = (r3 - p21 * r2 - p22 * r1) / (1.0 - p21 * r1 - p22 * r2)
-    return pa.table(
-        {
-            "lag": pa.array([1, 2, 3], pa.int64()),
-            "pacf": round_like_sql([p11, p22, p33], 6),
-        }
-    )
-
-
-def _q_best_split_stump(sf_dir: str) -> pa.Table:
-    """Decision-stump learning: the n_chars threshold minimizing
-    weighted Gini impurity for predicting lang='en' (maximizing
-    sum_side sumsq_class/n_side).  Candidate thresholds = distinct
-    n_chars (a bounded aggregate); cumulative class counts are exact
-    int64; the score is one shared float expression and the argmax
-    tie-breaks on the smaller threshold."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "n_chars"]
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        lang = np.asarray(batch["lang"].to_numpy(zero_copy_only=False))
-        return pa.table(
-            {
-                "t": batch["n_chars"],
-                "_one": pa.array(np.ones(len(lang), np.int64)),
-                "e": pa.array((lang == "en").astype(np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["t"],
-        [("_one", "sum", "n"), ("e", "sum", "e")],
-    ).sort_by("t")
-    t = agg["t"].to_numpy(zero_copy_only=False).astype(np.int64)
-    nn = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    ee = agg["e"].to_numpy(zero_copy_only=False).astype(np.int64)
-    nl = np.cumsum(nn)
-    el = np.cumsum(ee)
-    nt, et = int(nl[-1]), int(el[-1])
-    keep = nl < nt
-    t, nl, el = t[keep], nl[keep], el[keep]
-    nr = nt - nl
-    er = et - el
-    score = (
-        (el * el + (nl - el) * (nl - el)).astype(np.float64) / nl.astype(np.float64)
-        + (er * er + (nr - er) * (nr - er)).astype(np.float64)
-        / nr.astype(np.float64)
-    )
-    best = int(np.lexsort((t, -score))[0])
-    return pa.table(
-        {
-            "threshold": pa.array([int(t[best])], pa.int64()),
-            "n_left": pa.array([int(nl[best])], pa.int64()),
-            "n_right": pa.array([int(nr[best])], pa.int64()),
-            "score": round_like_sql([float(score[best])], 6),
-        }
-    )
-
-
-def _q_js_divergence(sf_dir: str) -> pa.Table:
-    """Jensen-Shannon divergence between per-source character
-    distributions, all source pairs: per-(source, codepoint) counts
-    via the combiner tier (utf-32 views, no char loops), per-char
-    p*ln(p/m) terms quantized at 1e12 so the cross-char sums are
-    exact int64, one shared float tail."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["source", "text"]
-    )
-
-    def chars(batch: pa.Table) -> pa.Table:
-        srcs, cps, cnts = [], [], []
-        src = np.asarray(batch["source"].to_numpy(zero_copy_only=False))
-        texts = batch["text"].to_pylist()
-        order = np.argsort(src, kind="stable")
-        i = 0
-        while i < len(order):
-            j = i
-            buf = []
-            while j < len(order) and src[order[j]] == src[order[i]]:
-                buf.append(
-                    np.frombuffer(
-                        texts[order[j]].encode("utf-32-le"), np.uint32
-                    )
-                )
-                j += 1
-            cp = np.concatenate(buf) if buf else np.array([], np.uint32)
-            u, c = np.unique(cp, return_counts=True)
-            srcs.extend([src[order[i]]] * len(u))
-            cps.append(u.astype(np.int64))
-            cnts.append(c.astype(np.int64))
-            i = j
-        return pa.table(
-            {
-                "source": pa.array(srcs, pa.string()),
-                "cp": pa.array(
-                    np.concatenate(cps) if cps else np.array([], np.int64)
-                ),
-                "n": pa.array(
-                    np.concatenate(cnts) if cnts else np.array([], np.int64)
-                ),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(chars, batch_format="pyarrow", batch_size=None),
-        ["source", "cp"],
-        [("n", "sum", "n")],
-    )
-    src = np.asarray(agg["source"].to_numpy(zero_copy_only=False))
-    cp = agg["cp"].to_numpy(zero_copy_only=False).astype(np.int64)
-    nn = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    sources = sorted(np.unique(src).tolist())
-    dist = {}
-    for s in sources:
-        m = src == s
-        dist[s] = (dict(zip(cp[m].tolist(), nn[m].tolist())), int(nn[m].sum()))
-    sa_l, sb_l, js_l = [], [], []
-    for i in range(len(sources)):
-        for j in range(i + 1, len(sources)):
-            da, ta = dist[sources[i]]
-            db, tb = dist[sources[j]]
-            qa = 0
-            qb = 0
-            for c in set(da) | set(db):
-                na = da.get(c, 0)
-                nb = db.get(c, 0)
-                p_a = float(na) / float(ta)
-                p_b = float(nb) / float(tb)
-                m = (p_a + p_b) / 2.0
-                if na > 0:
-                    qa += int(
-                        round_half_away(
-                            np.array([p_a * np.log(p_a / m) * 1e12])
-                        )[0]
-                    )
-                if nb > 0:
-                    qb += int(
-                        round_half_away(
-                            np.array([p_b * np.log(p_b / m) * 1e12])
-                        )[0]
-                    )
-            js = 0.5 * (float(qa) / 1e12) + 0.5 * (float(qb) / 1e12)
-            sa_l.append(sources[i])
-            sb_l.append(sources[j])
-            js_l.append(js)
-    return pa.table(
-        {
-            "source_a": pa.array(sa_l),
-            "source_b": pa.array(sb_l),
-            "js": round_like_sql(js_l, 6),
-        }
-    )
-
-
-def _q_pr_curve(sf_dir: str) -> pa.Table:
-    """Precision-recall sweep for the rule "score = n_chars predicts
-    lang='en'": one row per distinct threshold (predict positive when
-    n_chars >= t) with exact int64 confusion counts and
-    precision / recall / F1 / MCC as single shared float expressions
-    -- the model-eval counterpart of roc_auc's rank form."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "n_chars"]
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        lang = np.asarray(batch["lang"].to_numpy(zero_copy_only=False))
-        return pa.table(
-            {
-                "t": batch["n_chars"],
-                "_one": pa.array(np.ones(len(lang), np.int64)),
-                "pos": pa.array((lang == "en").astype(np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["t"],
-        [("_one", "sum", "n"), ("pos", "sum", "pos")],
-    ).sort_by([("t", "descending")])
-    t = agg["t"].to_numpy(zero_copy_only=False).astype(np.int64)
-    nn = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    pp_ = agg["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
-    tp = np.cumsum(pp_)
-    pp = np.cumsum(nn)
-    nt, pt = int(pp[-1]), int(tp[-1])
-    fp = pp - tp
-    fn = pt - tp
-    tn = nt - pp - fn
-    prec = tp.astype(np.float64) / pp.astype(np.float64)
-    rec = tp.astype(np.float64) / float(pt)
-    f1 = 2.0 * tp.astype(np.float64) / (2.0 * tp + fp + fn).astype(np.float64)
-    den = np.sqrt(
-        ((tp + fp) * (tp + fn)).astype(np.float64)
-        * ((tn + fp) * (tn + fn)).astype(np.float64)
-    )
-    mcc = np.where(
-        den == 0.0, 0.0, (tp * tn - fp * fn).astype(np.float64) / den
-    )
-    return pa.table(
-        {
-            "threshold": pa.array(t),
-            "tp": pa.array(tp.astype(np.int64)),
-            "fp": pa.array(fp.astype(np.int64)),
-            "fn": pa.array(fn.astype(np.int64)),
-            "tn": pa.array(tn.astype(np.int64)),
-            "prec": round_like_sql(prec, 6),
-            "rec": round_like_sql(rec, 6),
-            "f1": round_like_sql(f1, 6),
-            "mcc": round_like_sql(mcc, 6),
-        }
-    )
-
-
-_VIT_STATES = ("click", "error", "purchase", "signup", "view")
-
-
-def _q_viterbi_decode(sf_dir: str) -> pa.Table:
-    """Viterbi decoding of each user's event sequence under a fixed
-    integer-scored HMM (emission +2 match / -1 mismatch, +1 stay
-    bonus): the max-sum DP runs per user inside the one keyed shuffle
-    with an exact int64 5-state vector, so the recursive-CTE SQL
-    mirror (one GREATEST chain per state per step) is bit-exact.
-    Output: best path score + final state (alphabetical tie-break)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "ts", "event_id", "event_type"],
-    )
-    states = _VIT_STATES
-    s_idx = {s: i for i, s in enumerate(states)}
-
-    def per_user(group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        order = pc.sort_indices(
-            group, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
-        )
-        et = group.take(order)["event_type"].to_pylist()
-        em0 = np.full(len(states), -1, np.int64)
-        if et[0] in s_idx:
-            em0[s_idx[et[0]]] = 2
-        score = em0.copy()
-        for ev in et[1:]:
-            m = score.max()
-            em = np.full(len(states), -1, np.int64)
-            if ev in s_idx:
-                em[s_idx[ev]] = 2
-            score = np.maximum(score + 1, m) + em
-        best = int(np.argmax(score))
-        uid = group["user_id"][0].as_py()
-        return pa.table(
-            {
-                "user_id": pa.array([uid], group["user_id"].type),
-                "best_score": pa.array([int(score[best])], pa.int64()),
-                "best_state": pa.array([states[best]], pa.string()),
-            }
-        )
-
-    out = collect_tables(_grouped_by_key(ds, "user_id", per_user))
-    return out.sort_by("user_id")
-
-
-def _q_zonal_median(sf_dir: str) -> pa.Table:
-    """Per-polygon exact raster quartiles (0.25/0.5/0.75,
-    quantile_disc rank convention): PIP assignment via the per-actor
-    STRtree joiner, then one grouped map_groups quantile shuffle --
-    the order-statistics companion of zonal_stats' algebraic moments."""
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.joins import (
-        PIPJoiner,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
-        grouped_exact_quantiles,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-
-    pts = _og_points_ds(valid_only=True)
-    joined = pts.map_batches(
-        PIPJoiner(_og_polygons_table()), batch_format="pyarrow", batch_size=None
-    )
-    out = collect_tables(
-        grouped_exact_quantiles(joined, "polygon_id", "z", [0.25, 0.5, 0.75])
-    )
-    return out.sort_by(
-        [("polygon_id", "ascending"), ("q", "ascending")]
-    )
-
-
-def _q_huff_model(sf_dir: str) -> pa.Table:
-    """Huff retail-gravity probabilities on the 12x12 block lattice:
-    destinations = top-8 blocks by event mass (deterministic
-    tie-break), attraction m / (d2 + 1) per (origin, store) quantized
-    at 1e9 so the per-origin normalizing sum is an exact int64; the
-    probability is the one shared float division."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
-        partial_count,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
-
-    def block(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "bx": pa.array(((eid % 96) // 8).astype(np.int64)),
-                "by": pa.array((((eid // 96) % 96) // 8).astype(np.int64)),
-            }
-        )
-
-    counts = partial_count(
-        ds.map_batches(block, batch_format="pyarrow", batch_size=None),
-        ["bx", "by"],
-    ).rename_columns(["bx", "by", "m"])
-    bx = counts["bx"].to_numpy(zero_copy_only=False).astype(np.int64)
-    by = counts["by"].to_numpy(zero_copy_only=False).astype(np.int64)
-    m = counts["m"].to_numpy(zero_copy_only=False).astype(np.int64)
-    key = by * 12 + bx
-    top = np.lexsort((key, -m))[:8]
-    ocell, scell, qv = [], [], []
-    for i in range(len(key)):
-        qs = []
-        for j in top:
-            d2 = int(
-                (bx[i] - bx[j]) ** 2 + (by[i] - by[j]) ** 2
-            )
-            w = float(m[j]) / float(d2 + 1)
-            qs.append(int(round_half_away(np.array([w * 1e9]))[0]))
-        tot = sum(qs)
-        for j, q in zip(top, qs):
-            ocell.append(int(key[i]))
-            scell.append(int(key[j]))
-            qv.append(float(q) / float(tot))
-    return pa.table(
-        {
-            "origin_cell": pa.array(ocell, pa.int64()),
-            "store_cell": pa.array(scell, pa.int64()),
-            "prob": round_like_sql(qv, 6),
-        }
-    )
-
-
-def _q_mahalanobis_outliers(sf_dir: str) -> pa.Table:
-    """Top-20 Mahalanobis outliers of (value cents, hour-of-day):
-    exact int64 covariance moments in pass 1, the 2x2-inverse
-    quadratic form as one pinned shared-float expression in pass 2
-    with per-block partial top-k (no full sort) -- multivariate
-    anomaly screening in two broadcast passes."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int as _si,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "ts", "value"],
-    )
-
-    def moments(batch: pa.Table) -> pa.Table:
-        x = _si(batch["value"], 100.0)
-        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        y = (us // 3_600_000_000) % 24
-        return pa.table(
-            {
-                "_g": pa.array(np.zeros(len(x), np.int64)),
-                "_n": pa.array(np.ones(len(x), np.int64)),
-                "sx": pa.array(x),
-                "sy": pa.array(y),
-                "sxx": pa.array(x * x),
-                "syy": pa.array(y * y),
-                "sxy": pa.array(x * y),
-            }
-        )
-
-    cols = ("_n", "sx", "sy", "sxx", "syy", "sxy")
-    agg = hash_aggregate(
-        ds.map_batches(moments, batch_format="pyarrow", batch_size=None),
-        ["_g"],
-        [(c, "sum", c) for c in cols],
-    )
-    n, sx, sy, sxx, syy, sxy = (int(agg[c][0].as_py()) for c in cols)
-    mx = float(sx) / float(n)
-    my = float(sy) / float(n)
-    cxx = float(sxx) / float(n) - mx * mx
-    cyy = float(syy) / float(n) - my * my
-    cxy = float(sxy) / float(n) - mx * my
-    det = cxx * cyy - cxy * cxy
-
-    def dist(batch: pa.Table) -> pa.Table:
-        x = _si(batch["value"], 100.0).astype(np.float64)
-        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        y = ((us // 3_600_000_000) % 24).astype(np.float64)
-        dx = x - mx
-        dy = y - my
-        d2 = (cyy * dx * dx - 2.0 * cxy * dx * dy + cxx * dy * dy) / det
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        top = np.lexsort((eid, -d2))[:20]
-        return pa.table(
-            {"event_id": pa.array(eid[top]), "d2": pa.array(d2[top])}
-        )
-
-    parts = collect_tables(
-        ds.map_batches(dist, batch_format="pyarrow", batch_size=None)
-    )
-    eid = parts["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    d2 = parts["d2"].to_numpy(zero_copy_only=False)
-    top = np.lexsort((eid, -d2))[:20]
-    return pa.table(
-        {
-            "event_id": pa.array(eid[top]),
-            "d2": round_like_sql(d2[top], 6),
-        }
-    )
-
-
-def _q_rendezvous_hashing(sf_dir: str) -> pa.Table:
-    """Rendezvous (highest-random-weight) assignment of documents to
-    16 nodes: node = argmax mix32(doc_id*16 + node, 9) (bijective, so
-    tie-free and append-stable -- adding a node remaps only 1/17 of
-    keys); per-node count + id checksum via the combiner tier."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
-        mix32,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    N_NODES = 16
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
-    )
-
-    def assign(batch: pa.Table) -> pa.Table:
-        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        hv = np.stack(
-            [mix32(did * N_NODES + nn, 9) for nn in range(N_NODES)]
-        )
-        node = hv.argmax(axis=0).astype(np.int64)
-        return pa.table(
-            {
-                "node": pa.array(node),
-                "_one": pa.array(np.ones(len(did), np.int64)),
-                "doc_id": pa.array(did),
-            }
-        )
-
-    out = hash_aggregate(
-        ds.map_batches(assign, batch_format="pyarrow", batch_size=None),
-        ["node"],
-        [("_one", "sum", "n_docs"), ("doc_id", "sum", "id_sum")],
-    )
-    return out.sort_by("node")
-
-
-def _q_merkle_checksums(sf_dir: str) -> pa.Table:
-    """Merkle partition-verification tree over the document corpus:
-    16 leaf buckets (doc_id % 16) whose order-free checksums are exact
-    int64 sums of mix32(doc_id*1000003 + n_chars, 5); parents hash
-    (left*31 + right) up 4 levels to the root -- the anti-entropy /
-    replica-diff primitive for 100-TB shard verification.  All
-    integer, SQL-mirrored level by level."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
-        mix32,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "n_chars"],
-    )
-
-    def leaf(batch: pa.Table) -> pa.Table:
-        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        nc = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                "idx": pa.array(did % 16),
-                "h": pa.array(mix32(did * 1000003 + nc, 5)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(leaf, batch_format="pyarrow", batch_size=None),
-        ["idx"],
-        [("h", "sum", "h")],
-    )
-    ix = agg["idx"].to_numpy(zero_copy_only=False).astype(np.int64)
-    hv = agg["h"].to_numpy(zero_copy_only=False).astype(np.int64)
-    level = np.zeros(16, np.int64)
-    level[ix] = hv
-    out_lvl, out_idx, out_h = [], [], []
-    lv = 0
-    cur = level
-    while True:
-        for i, h in enumerate(cur):
-            out_lvl.append(lv)
-            out_idx.append(i)
-            out_h.append(int(h))
-        if len(cur) == 1:
-            break
-        nxt = mix32(cur[0::2] * 31 + cur[1::2], lv + 1)
-        cur = nxt
-        lv += 1
-    return pa.table(
-        {
-            "level": pa.array(out_lvl, pa.int64()),
-            "idx": pa.array(out_idx, pa.int64()),
-            "hash": pa.array(out_h, pa.int64()),
-        }
-    )
-
-
-def _q_anderson_darling(sf_dir: str) -> pa.Table:
-    """Anderson-Darling uniformity test of hour-of-day per event type
-    (midpoint CDF F = (h+0.5)/24 on the 24 bins): the (2i-1) rank
-    weights collapse per bin to the exact integer identities
-    b^2-(a-1)^2 / (n+1-a)^2-(n-b)^2, the two ln-CDF terms are
-    1e6-quantized, so the whole sum is int64-exact and only the final
-    A2 = -n - S/1e6/n is float."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts"]
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "event_type": batch["event_type"],
-                "h": pa.array((us // 3_600_000_000) % 24),
-                "_one": pa.array(np.ones(len(us), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["event_type", "h"],
-        [("_one", "sum", "c")],
-    ).sort_by([("event_type", "ascending"), ("h", "ascending")])
-    et = np.asarray(agg["event_type"].to_numpy(zero_copy_only=False))
-    hh = agg["h"].to_numpy(zero_copy_only=False).astype(np.int64)
-    cc = agg["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-    types = sorted(np.unique(et).tolist())
-    out_t, out_n, out_a2 = [], [], []
-    for t in types:
-        m = et == t
-        h = hh[m]
-        c = cc[m]
-        n = int(c.sum())
-        b = np.cumsum(c)
-        a = b - c + 1
-        w1 = b * b - (a - 1) * (a - 1)
-        w2 = (n + 1 - a) ** 2 - (n - b) ** 2
-        f = (h.astype(np.float64) + 0.5) / 24.0
-        q1 = round_half_away(np.log(f) * 1e6).astype(np.int64)
-        q2 = round_half_away(np.log(1.0 - f) * 1e6).astype(np.int64)
-        s = int((w1 * q1 + w2 * q2).sum())
-        a2 = -float(n) - (float(s) / 1e6) / float(n)
-        out_t.append(t)
-        out_n.append(n)
-        out_a2.append(a2)
-    return pa.table(
-        {
-            "event_type": pa.array(out_t),
-            "n": pa.array(out_n, pa.int64()),
-            "a2": round_like_sql(out_a2, 6),
-        }
-    )
-
-
-def _q_cuped_adjust(sf_dir: str) -> pa.Table:
-    """CUPED variance-reduced A/B readout: per-user pre-metric
-    x = click count, outcome y = purchase cents, arms by
-    mix32(user_id, 13) % 2; theta = cov(x,y)/var(x) from pooled exact
-    int64 moments, per-arm adjusted mean = (Sy - theta*(Sx - n*mux))/n
-    and the variance-reduction factor 1 - rho^2 -- every float a
-    pinned shared expression over integers.  The per-user rollup runs
-    through the distributed-combine shuffle tier (corpus never lands
-    on the driver); the per-arm moment pass is a second combiner."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
-        mix32,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "event_type", "value"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        et = np.asarray(batch["event_type"].to_numpy(zero_copy_only=False))
-        cents = scaled_int(batch["value"], 100.0)
-        return pa.table(
-            {
-                "user_id": batch["user_id"],
-                "x": pa.array((et == "click").astype(np.int64)),
-                "y": pa.array(
-                    np.where(et == "purchase", cents, 0).astype(np.int64)
-                ),
-            }
-        )
-
-    per_user = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["user_id"],
-        [("x", "sum", "x"), ("y", "sum", "y")],
-        distributed_combine=True,
-    )
-
-    def moments(batch: pa.Table) -> pa.Table:
-        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        x = batch["x"].to_numpy(zero_copy_only=False).astype(np.int64)
-        y = batch["y"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                "arm": pa.array(mix32(uid, 13) % 2),
-                "_n": pa.array(np.ones(len(uid), np.int64)),
-                "sx": pa.array(x),
-                "sy": pa.array(y),
-                "sxx": pa.array(x * x),
-                "syy": pa.array(y * y),
-                "sxy": pa.array(x * y),
-            }
-        )
-
-    cols = ("_n", "sx", "sy", "sxx", "syy", "sxy")
-    agg = hash_aggregate(
-        per_user.map_batches(moments, batch_format="pyarrow", batch_size=None),
-        ["arm"],
-        [(c, "sum", c) for c in cols],
-    ).sort_by("arm")
-    arm = agg["arm"].to_numpy(zero_copy_only=False).astype(np.int64)
-    vals = {c: agg[c].to_numpy(zero_copy_only=False).astype(np.int64)
-            for c in cols}
-    n = int(vals["_n"].sum())
-    sx, sy = int(vals["sx"].sum()), int(vals["sy"].sum())
-    sxx, syy = int(vals["sxx"].sum()), int(vals["syy"].sum())
-    sxy = int(vals["sxy"].sum())
-    mux = float(sx) / float(n)
-    muy = float(sy) / float(n)
-    varx = float(sxx) / float(n) - mux * mux
-    vary = float(syy) / float(n) - muy * muy
-    covxy = float(sxy) / float(n) - mux * muy
-    theta = covxy / varx
-    var_ratio = 1.0 - (covxy * covxy) / (varx * vary)
-    out_rows = []
-    for i in range(len(arm)):
-        na = int(vals["_n"][i])
-        sxa = int(vals["sx"][i])
-        sya = int(vals["sy"][i])
-        mean_y = float(sya) / float(na)
-        mean_adj = (float(sya) - theta * (float(sxa) - float(na) * mux)) / float(na)
-        out_rows.append((int(arm[i]), na, mean_y, mean_adj))
-    return pa.table(
-        {
-            "arm": pa.array([r[0] for r in out_rows], pa.int64()),
-            "n_users": pa.array([r[1] for r in out_rows], pa.int64()),
-            "mean_y": round_like_sql([r[2] for r in out_rows], 6),
-            "mean_adj": round_like_sql([r[3] for r in out_rows], 6),
-            "theta": round_like_sql([theta] * len(out_rows), 6),
-            "var_ratio": round_like_sql([var_ratio] * len(out_rows), 6),
-        }
-    )
-
-
-def _q_gumbel_daily_max(sf_dir: str) -> pa.Table:
-    """Gumbel (EV-I) fit to daily maximum purchase cents by the method
-    of moments (scale = s*sqrt(6)/pi, loc = mean - gamma*scale): the
-    daily-max table is calendar-bounded, its moments exact int64, and
-    the return-level / exceedance tail is one shared float chain."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    EPOCH = np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
-    DAY = 86_400_000_000
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["ts", "event_type", "value"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        et = np.asarray(batch["event_type"].to_numpy(zero_copy_only=False))
-        keep = et == "purchase"
-        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)[keep]
-        cents = scaled_int(batch["value"], 100.0)[keep]
-        return pa.table(
-            {
-                "day": pa.array((us - EPOCH) // DAY),
-                "c": pa.array(cents),
-            }
-        )
-
-    daily = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["day"],
-        [("c", "max", "mx")],
-    )
-    mx = daily["mx"].to_numpy(zero_copy_only=False).astype(np.int64)
-    n = len(mx)
-    s1 = int(mx.sum())
-    s2 = int((mx * mx).sum())
-    mean = float(s1) / float(n)
-    var = float(s2) / float(n) - mean * mean
-    EULER = 0.5772156649015329
-    scale = np.sqrt(var) * np.sqrt(6.0) / np.pi
-    loc = mean - EULER * scale
-    # 100-day return level: loc - scale * ln(-ln(1 - 1/100))
-    ret100 = loc - scale * np.log(-np.log(1.0 - 1.0 / 100.0))
-    return pa.table(
-        {
-            "n_days": pa.array([n], pa.int64()),
-            "loc": round_like_sql([float(loc)], 6),
-            "scale": round_like_sql([float(scale)], 6),
-            "ret100": round_like_sql([float(ret100)], 6),
-        }
-    )
-
-
-def _q_wasserstein_hours(sf_dir: str) -> pa.Table:
-    """Wasserstein-1 (earth mover) distance between the hour-of-day
-    distributions of every event-type pair: on the 24-bin discrete
-    line W1 = sum_h |CDF_a - CDF_b|, and clearing denominators makes
-    the numerator sum_h |cumA*nB - cumB*nA| an EXACT int64 -- only the
-    final division is float.  Distributed per-(type, hour) counts; the
-    pair table is lattice-bounded."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "ts"]
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "event_type": batch["event_type"],
-                "h": pa.array((us // 3_600_000_000) % 24),
-                "_one": pa.array(np.ones(len(us), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["event_type", "h"],
-        [("_one", "sum", "n")],
-    )
-    et = np.asarray(agg["event_type"].to_numpy(zero_copy_only=False))
-    hh = agg["h"].to_numpy(zero_copy_only=False).astype(np.int64)
-    nn = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    types = sorted(np.unique(et).tolist())
-    cum = {}
-    tot = {}
-    for t in types:
-        m = et == t
-        dense = np.zeros(24, np.int64)
-        dense[hh[m]] = nn[m]
-        cum[t] = np.cumsum(dense)
-        tot[t] = int(dense.sum())
-    ta, tb, num, w1 = [], [], [], []
-    for i in range(len(types)):
-        for j in range(i + 1, len(types)):
-            a, b = types[i], types[j]
-            s = int(np.abs(cum[a] * tot[b] - cum[b] * tot[a]).sum())
-            ta.append(a)
-            tb.append(b)
-            num.append(s)
-            w1.append(float(s) / (float(tot[a]) * float(tot[b])))
-    return pa.table(
-        {
-            "type_a": pa.array(ta),
-            "type_b": pa.array(tb),
-            "w1_num": pa.array(num, pa.int64()),
-            "w1": round_like_sql(w1, 6),
-        }
-    )
-
-
-def _q_ndcg_at_10(sf_dir: str) -> pa.Table:
-    """nDCG@10 per language for the ranking "n_chars DESC, doc_id"
-    against the deterministic graded relevance rel = n_chars % 3:
-    per-position gain terms (2^rel - 1)/log2(i+1) quantized at 1e9 so
-    DCG and ideal-DCG are exact int64 sums; the ranking's top-10 rows
-    come from per-block partial top-k merges, the ideal ordering only
-    needs the per-(lang, rel) counts -- a bounded aggregate."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "lang", "n_chars"],
-    )
-
-    def topk(batch: pa.Table) -> pa.Table:
-        lang = np.asarray(batch["lang"].to_numpy(zero_copy_only=False))
-        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        nc = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = []
-        for lv in np.unique(lang):
-            m = np.nonzero(lang == lv)[0]
-            order = np.lexsort((did[m], -nc[m]))[:10]
-            keep.extend(m[order].tolist())
-        keep = np.array(keep, np.int64)
-        return pa.table(
-            {
-                "lang": pa.array(lang[keep]),
-                "doc_id": pa.array(did[keep]),
-                "n_chars": pa.array(nc[keep]),
-            }
-        )
-
-    tops = collect_tables(
-        ds.map_batches(topk, batch_format="pyarrow", batch_size=None)
-    )
-    rel_counts = hash_aggregate(
-        ds.map_batches(
-            lambda b: pa.table(
-                {
-                    "lang": b["lang"],
-                    "rel": pa.array(
-                        b["n_chars"].to_numpy(zero_copy_only=False) % 3
-                    ),
-                    "_one": pa.array(np.ones(b.num_rows, np.int64)),
-                }
-            ),
-            batch_format="pyarrow",
-            batch_size=None,
-        ),
-        ["lang", "rel"],
-        [("_one", "sum", "n")],
-    )
-    lang_t = np.asarray(tops["lang"].to_numpy(zero_copy_only=False))
-    did_t = tops["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    nc_t = tops["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
-    rl = np.asarray(rel_counts["lang"].to_numpy(zero_copy_only=False))
-    rr = rel_counts["rel"].to_numpy(zero_copy_only=False).astype(np.int64)
-    rn = rel_counts["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-
-    def term(rel: int, i: int) -> int:
-        g = float(2 ** rel - 1) / (np.log(float(i + 1)) / np.log(2.0))
-        return int(round_half_away(np.array([g * 1e9]))[0])
-
-    langs = sorted(np.unique(lang_t).tolist())
-    out_l, out_d, out_i, out_n = [], [], [], []
-    for lv in langs:
-        m = np.nonzero(lang_t == lv)[0]
-        order = np.lexsort((did_t[m], -nc_t[m]))[:10]
-        rels = (nc_t[m][order] % 3).tolist()
-        dq = sum(term(int(r), i + 1) for i, r in enumerate(rels))
-        cm = rl == lv
-        ideal = []
-        for rv in (2, 1, 0):
-            cnt = int(rn[cm][rr[cm] == rv].sum()) if cm.any() else 0
-            ideal.extend([rv] * cnt)
-        ideal = ideal[:10]
-        iq = sum(term(int(r), i + 1) for i, r in enumerate(ideal))
-        out_l.append(lv)
-        out_d.append(dq)
-        out_i.append(iq)
-        out_n.append(float(dq) / float(iq))
-    return pa.table(
-        {
-            "lang": pa.array(out_l),
-            "dcg_q": pa.array(out_d, pa.int64()),
-            "idcg_q": pa.array(out_i, pa.int64()),
-            "ndcg": round_like_sql(out_n, 6),
-        }
-    )
-
-
-def _q_ktruss_peel(sf_dir: str) -> pa.Table:
-    """4-truss peeling of the edit-1 word graph, SIX pinned rounds
-    (drop edges with triangle support < 2, recompute): the
-    distributed tier is the deletion-blocked edit-1 pair join; the
-    peel iterations run on the vocabulary-bounded edge list with
-    exact integer supports, mirrored round-for-round by chained
-    MATERIALIZED CTEs in SQL.  Output: surviving edges with in-
-    subgraph support plus the converged flag (round-5 == round-6)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        edit1_vocab_pairs,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
-    ).map_batches(
-        lambda b: b.rename_columns(["text"]),
-        batch_format="pyarrow", batch_size=None,
-    )
-    pairs = edit1_vocab_pairs(ds, min_len=4)
-    edges = sorted(
-        {(a, b) for a, b in zip(pairs["w1"].to_pylist(),
-                                pairs["w2"].to_pylist())}
-    )
-    sizes = []
-    for _ in range(6):
-        sizes.append(len(edges))
-        adj: dict[str, set[str]] = {}
-        for a, b in edges:
-            adj.setdefault(a, set()).add(b)
-            adj.setdefault(b, set()).add(a)
-        edges = [
-            (a, b) for a, b in edges if len(adj[a] & adj[b]) >= 2
-        ]
-    converged = int(len(edges) == sizes[-1])
-    adj = {}
-    for a, b in edges:
-        adj.setdefault(a, set()).add(b)
-        adj.setdefault(b, set()).add(a)
-    return pa.table(
-        {
-            "w1": pa.array([a for a, _ in edges]),
-            "w2": pa.array([b for _, b in edges]),
-            "support": pa.array(
-                [len(adj[a] & adj[b]) for a, b in edges], pa.int64()
-            ),
-            "converged": pa.array([converged] * len(edges), pa.int64()),
-        }
-    )
-
-
-def _q_simpson_slopes(sf_dir: str) -> pa.Table:
-    """Simpson's-paradox screen: the discount -> extended-price OLS
-    slope overall vs within each returnflag group, every moment an
-    exact int64 and the slope-numerator SIGN compared on integers
-    (the paradox flag is float-free).  Output: one row per group plus
-    'ALL', with slope and integer sign."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_returnflag", "l_discount", "l_extendedprice"],
-    )
-
-    def moments(batch: pa.Table) -> pa.Table:
-        x = round_half_away(
-            batch["l_discount"].to_numpy(zero_copy_only=False) * 10000.0
-        ).astype(np.int64)
-        y = round_half_away(
-            batch["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0
-        ).astype(np.int64)
-        return pa.table(
-            {
-                "grp": batch["l_returnflag"],
-                "_n": pa.array(np.ones(len(x), np.int64)),
-                "sx": pa.array(x),
-                "sy": pa.array(y),
-                "sxx": pa.array(x * x),
-                "sxy": pa.array(x * y),
-            }
-        )
-
-    cols = ("_n", "sx", "sy", "sxx", "sxy")
-    agg = hash_aggregate(
-        ds.map_batches(moments, batch_format="pyarrow", batch_size=None),
-        ["grp"],
-        [(c, "sum", c) for c in cols],
-    ).sort_by("grp")
-    grp = agg["grp"].to_pylist()
-    v = {c: agg[c].to_numpy(zero_copy_only=False).astype(np.int64)
-         for c in cols}
-    rows = []
-    for i in range(len(grp)):
-        n, sx, sy, sxx, sxy = (int(v[c][i]) for c in cols)
-        rows.append((grp[i], n, sx, sy, sxx, sxy))
-    tot = ("ALL",) + tuple(
-        sum(r[k] for r in rows) for k in range(1, 6)
-    )
-    rows.append(tot)
-    out_g, out_n, out_s, out_sign = [], [], [], []
-    for g, n, sx, sy, sxx, sxy in rows:
-        num = n * sxy - sx * sy
-        den = n * sxx - sx * sx
-        out_g.append(g)
-        out_n.append(n)
-        out_s.append(float(num) / float(den))
-        out_sign.append(int(np.sign(num)))
-    return pa.table(
-        {
-            "grp": pa.array(out_g),
-            "n_rows": pa.array(out_n, pa.int64()),
-            "slope": round_like_sql(out_s, 6),
-            "sign_num": pa.array(out_sign, pa.int64()),
-        }
-    )
-
-
-def _q_bbox_pip_fpr(sf_dir: str) -> pa.Table:
-    """Join-pruning audit: for each polygon, valid grid points passing
-    the bbox prefilter vs the exact half-plane PIP test, and the
-    false-positive rate the bbox stage forwards -- the measurement
-    behind sizing the two-stage spatial join.  One vectorized partial
-    pass computes both masks per polygon; counts are exact int64."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    pts = _og_points_ds(valid_only=True)
-    polys = sorted(OG_POLYGONS.items())
-
-    def masks(batch: pa.Table) -> pa.Table:
-        lon = batch["lon"].to_numpy(zero_copy_only=False)
-        lat = batch["lat"].to_numpy(zero_copy_only=False)
-        pid_l, nb_l, np_l = [], [], []
-        for pid, poly in polys:
-            xs = [p[0] for p in poly]
-            ys = [p[1] for p in poly]
-            in_b = (
-                (lon >= min(xs)) & (lon <= max(xs))
-                & (lat >= min(ys)) & (lat <= max(ys))
-            )
-            in_p = np.ones(len(lon), bool)
-            n = len(poly)
-            for i in range(n):
-                ax, ay = poly[i]
-                bx, by = poly[(i + 1) % n]
-                in_p &= (
-                    (bx - ax) * (lat - ay) - (by - ay) * (lon - ax) > 0
-                )
-            pid_l.append(pid)
-            nb_l.append(int(in_b.sum()))
-            np_l.append(int(in_p.sum()))
-        return pa.table(
-            {
-                "polygon_id": pa.array(pid_l),
-                "n_bbox": pa.array(nb_l, pa.int64()),
-                "n_pip": pa.array(np_l, pa.int64()),
-            }
-        )
-
-    agg = hash_aggregate(
-        pts.map_batches(masks, batch_format="pyarrow", batch_size=None),
-        ["polygon_id"],
-        [("n_bbox", "sum", "n_bbox"), ("n_pip", "sum", "n_pip")],
-    ).sort_by("polygon_id")
-    nb = agg["n_bbox"].to_numpy(zero_copy_only=False).astype(np.int64)
-    npp = agg["n_pip"].to_numpy(zero_copy_only=False).astype(np.int64)
-    fpr = [
-        0.0 if b == 0 else float(b - p) / float(b)
-        for b, p in zip(nb.tolist(), npp.tolist())
-    ]
-    return pa.table(
-        {
-            "polygon_id": agg["polygon_id"],
-            "n_bbox": pa.array(nb),
-            "n_pip": pa.array(npp),
-            "fpr": round_like_sql(fpr, 6),
-        }
-    )
-
-
-def _q_psi_drift(sf_dir: str) -> pa.Table:
-    """Population stability index of purchase cents between the first
-    month (< 2024-02-01) and the rest: 10 bins from the first
-    period's exact deciles (quantile_disc convention, derived from
-    the distributed value-count table), +1 Laplace smoothing, per-bin
-    (p2-p1)ln(p2/p1) terms quantized at 1e12 -- the model-monitoring
-    drift screen.  Output: per-bin counts + the shared PSI."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    SPLIT = np.datetime64("2024-02-01T00:00:00", "us").astype(np.int64)
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["ts", "event_type", "value"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        et = np.asarray(batch["event_type"].to_numpy(zero_copy_only=False))
-        keep = et == "purchase"
-        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)[keep]
-        c = scaled_int(batch["value"], 100.0)[keep]
-        return pa.table(
-            {
-                "c": pa.array(c),
-                "p": pa.array((us >= SPLIT).astype(np.int64)),
-                "_one": pa.array(np.ones(len(c), np.int64)),
-            }
-        )
-
-    counts = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["c", "p"],
-        [("_one", "sum", "n")],
-    ).sort_by([("c", "ascending")])
-    cv = counts["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-    pv = counts["p"].to_numpy(zero_copy_only=False).astype(np.int64)
-    nv = counts["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    m0 = pv == 0
-    v0, n0 = cv[m0], nv[m0]
-    n_first = int(n0.sum())
-    cum = np.cumsum(n0)
-    edges = []
-    for q in [x / 10.0 for x in range(1, 10)]:
-        rank = int(np.ceil(q * n_first))
-        edges.append(int(v0[np.searchsorted(cum, rank)]))
-    edges_a = np.array(edges, np.int64)
-    b1 = np.zeros(10, np.int64)
-    b2 = np.zeros(10, np.int64)
-    for c, p, n in zip(cv.tolist(), pv.tolist(), nv.tolist()):
-        b = int((c > edges_a).sum())
-        if p == 0:
-            b1[b] += n
-        else:
-            b2[b] += n
-    n1, n2 = int(b1.sum()), int(b2.sum())
-    qsum = 0
-    for i in range(10):
-        p1 = (float(b1[i]) + 1.0) / (float(n1) + 10.0)
-        p2 = (float(b2[i]) + 1.0) / (float(n2) + 10.0)
-        term = (p2 - p1) * np.log(p2 / p1)
-        qsum += int(round_half_away(np.array([term * 1e12]))[0])
-    psi = float(qsum) / 1e12
-    return pa.table(
-        {
-            "bin": pa.array(list(range(10)), pa.int64()),
-            "n_first": pa.array(b1),
-            "n_second": pa.array(b2),
-            "psi": round_like_sql([psi] * 10, 6),
-        }
-    )
-
-
-def _q_elasticity_loglog(sf_dir: str) -> pa.Table:
-    """Log-log price elasticity: OLS of ln(quantity) on
-    ln(extendedprice) with both logs quantized at 1e4 so every
-    regression moment is an exact int64 (documented quantization --
-    the standard fixed-point dodge around float-sum ordering); the
-    slope/intercept chain uses arbitrary-precision integers engine-
-    side and HUGEINT in SQL."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_quantity", "l_extendedprice"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        qn = batch["l_quantity"].to_numpy(zero_copy_only=False)
-        pr = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
-        lx = round_half_away(np.log(pr) * 1e4).astype(np.int64)
-        ly = round_half_away(np.log(qn) * 1e4).astype(np.int64)
-        return pa.table(
-            {
-                "_g": pa.array(np.zeros(len(lx), np.int64)),
-                "_n": pa.array(np.ones(len(lx), np.int64)),
-                "sx": pa.array(lx),
-                "sy": pa.array(ly),
-                "sxx": pa.array(lx * lx),
-                "sxy": pa.array(lx * ly),
-            }
-        )
-
-    cols = ("_n", "sx", "sy", "sxx", "sxy")
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["_g"],
-        [(c, "sum", c) for c in cols],
-    )
-    n, sx, sy, sxx, sxy = (int(agg[c][0].as_py()) for c in cols)
-    num = n * sxy - sx * sy
-    den = n * sxx - sx * sx
-    slope = float(num) / float(den)
-    intercept = (float(sy) - slope * float(sx)) / float(n) / 1e4
-    return pa.table(
-        {
-            "n_rows": pa.array([n], pa.int64()),
-            "elasticity": round_like_sql([slope], 6),
-            "intercept": round_like_sql([intercept], 6),
-        }
-    )
-
-
-def _q_moran_correlogram(sf_dir: str) -> pa.Table:
-    """Spatial correlogram: Moran's I of the 96x96 event-count lattice
-    at Chebyshev ring distances 1-3 (distance-binned weights): the
-    pair cross-sums S_xy / S_a / S_b / W are exact int64 via offset
-    shifts over the dense zero-filled lattice, and I_d is one pinned
-    float chain -- the range-of-autocorrelation diagnostic above
-    morans_i's single lag."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
-        partial_count,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
-
-    def gridcell(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "gx": pa.array((eid % 96).astype(np.int64)),
-                "gy": pa.array(((eid // 96) % 96).astype(np.int64)),
-            }
-        )
-
-    counts = partial_count(
-        ds.map_batches(gridcell, batch_format="pyarrow", batch_size=None),
-        ["gx", "gy"],
-    ).rename_columns(["gx", "gy", "n"])
-    x = np.zeros((96, 96), np.int64)
-    gx = counts["gx"].to_numpy(zero_copy_only=False).astype(np.int64)
-    gy = counts["gy"].to_numpy(zero_copy_only=False).astype(np.int64)
-    nn = counts["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    x[gy, gx] = nn
-    n = 96 * 96
-    s = int(x.sum())
-    q = int((x * x).sum())
-    mu = float(s) / float(n)
-    out_d, out_w, out_i = [], [], []
-    for d in (1, 2, 3):
-        sxy = 0
-        sa = 0
-        sb = 0
-        w = 0
-        for di in range(-d, d + 1):
-            for dj in range(-d, d + 1):
-                if max(abs(di), abs(dj)) != d:
-                    continue
-                a = x[
-                    max(0, -di): 96 - max(0, di),
-                    max(0, -dj): 96 - max(0, dj),
-                ]
-                b = x[
-                    max(0, di): 96 - max(0, -di),
-                    max(0, dj): 96 - max(0, -dj),
-                ]
-                sxy += int((a * b).sum())
-                sa += int(a.sum())
-                sb += int(b.sum())
-                w += a.size
-        num = (
-            float(sxy) - mu * float(sa) - mu * float(sb)
-            + float(w) * mu * mu
-        )
-        den = float(q) - 2.0 * mu * float(s) + float(n) * mu * mu
-        out_d.append(d)
-        out_w.append(w)
-        out_i.append((float(n) / float(w)) * (num / den))
-    return pa.table(
-        {
-            "d": pa.array(out_d, pa.int64()),
-            "w_pairs": pa.array(out_w, pa.int64()),
-            "moran_i": round_like_sql(out_i, 6),
-        }
-    )
-
-
-def _q_percolation_screen(sf_dir: str) -> pa.Table:
-    """Percolation screen of the raster at thresholds 20/30/40: can a
-    4-connected path of cells with z >= T cross from the top row to
-    the bottom?  Seeded BFS reachability (linear in the reached set,
-    not the quadratic all-pairs closure) over the lattice-bounded
-    valid grid; output n_cells / n_reached / spans per threshold."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-
-    pts = collect_tables(_og_points_ds(valid_only=True))
-    pix = pts["pix"].to_numpy(zero_copy_only=False).astype(np.int64)
-    z = pts["z"].to_numpy(zero_copy_only=False)
-    row = pix // OG_W
-    col = pix % OG_W
-    out_t, out_c, out_r, out_s = [], [], [], []
-    for t in (20.0, 30.0, 40.0):
-        keep = z >= t
-        mask = np.zeros((96, 96), bool)
-        mask[row[keep], col[keep]] = True
-        reached = np.zeros((96, 96), bool)
-        stack = [(0, int(c)) for c in np.nonzero(mask[0])[0]]
-        for p in stack:
-            reached[p] = True
-        while stack:
-            r0, c0 = stack.pop()
-            for rr, cc in (
-                (r0 - 1, c0), (r0 + 1, c0), (r0, c0 - 1), (r0, c0 + 1)
-            ):
-                if (
-                    0 <= rr < 96 and 0 <= cc < 96
-                    and mask[rr, cc] and not reached[rr, cc]
-                ):
-                    reached[rr, cc] = True
-                    stack.append((rr, cc))
-        out_t.append(t)
-        out_c.append(int(mask.sum()))
-        out_r.append(int(reached.sum()))
-        out_s.append(int(reached[95].any()))
-    return pa.table(
-        {
-            "threshold": pa.array(out_t, pa.float64()),
-            "n_cells": pa.array(out_c, pa.int64()),
-            "n_reached": pa.array(out_r, pa.int64()),
-            "spans": pa.array(out_s, pa.int64()),
-        }
-    )
-
-
-def _q_graph_diameter(sf_dir: str) -> pa.Table:
-    """Diameter / radius / peripheral-node count of the edit-1 word
-    graph over finite-distance ordered pairs: the distributed tier is
-    the deletion-blocked pair join; BFS from every vocabulary node is
-    vocabulary-bounded.  Mirrors a bounded-depth recursive min-hop
-    closure in SQL."""
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        edit1_vocab_pairs,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
-    ).map_batches(
-        lambda b: b.rename_columns(["text"]),
-        batch_format="pyarrow", batch_size=None,
-    )
-    pairs = edit1_vocab_pairs(ds, min_len=4)
-    adj: dict[str, set[str]] = {}
-    for a, b in zip(pairs["w1"].to_pylist(), pairs["w2"].to_pylist()):
-        adj.setdefault(a, set()).add(b)
-        adj.setdefault(b, set()).add(a)
-    ecc = {}
-    n_pairs = 0
-    for src in sorted(adj):
-        dist = {src: 0}
-        frontier = [src]
-        while frontier:
-            nxt = []
-            for u in frontier:
-                for v in adj[u]:
-                    if v not in dist:
-                        dist[v] = dist[u] + 1
-                        nxt.append(v)
-            frontier = nxt
-        finite = [d for w, d in dist.items() if w != src]
-        n_pairs += len(finite)
-        if finite:
-            ecc[src] = max(finite)
-    diameter = max(ecc.values())
-    radius = min(ecc.values())
-    peripheral = sum(1 for e in ecc.values() if e == diameter)
-    return pa.table(
-        {
-            "diameter": pa.array([diameter], pa.int64()),
-            "radius": pa.array([radius], pa.int64()),
-            "n_peripheral": pa.array([peripheral], pa.int64()),
-            "n_pairs": pa.array([n_pairs], pa.int64()),
-        }
-    )
-
-
-def _distinct_day_user(sf_dir: str) -> pa.Table:
-    """Shared helper: distinct (epoch_day, user_id) activity pairs via
-    per-block Arrow dedup partials + one grouped combine (bounded by
-    days x active users, far under the raw event count)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["ts", "user_id"])
-
-    def pairs(batch: pa.Table) -> pa.Table:
-        days = (
-            batch["ts"].to_numpy(zero_copy_only=False)
-            .astype("datetime64[D]")
-            .view("int64")
-        )
-        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                "day": pa.array(days),
-                "user_id": pa.array(uid),
-                "_one": pa.array(np.ones(len(days), np.int64)),
-            }
-        )
-
-    return hash_aggregate(
-        ds.map_batches(pairs, batch_format="pyarrow", batch_size=None),
-        ["day", "user_id"],
-        [("_one", "sum", "n")],
-    )
-
-
-def _q_dau_mau_stickiness(sf_dir: str) -> pa.Table:
-    """Product-analytics stickiness per calendar month: sum of daily
-    distinct users / (active days x monthly distinct users), all three
-    operands exact int64 from the distinct (day, user) pair table --
-    one float division at the end, ROUND(..., 6) shared with SQL."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        round_like_sql,
-    )
-
-    du = _distinct_day_user(sf_dir)
-    days = du["day"].to_numpy(zero_copy_only=False).astype(np.int64)
-    uid = du["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    months = days.astype("datetime64[D]").astype("datetime64[M]").view("int64")
-    ym = (1970 + months // 12) * 100 + (months % 12 + 1)
-    out_ym, dau_sum, n_days, mau, stick = [], [], [], [], []
-    for m in np.unique(ym):
-        sel = ym == m
-        ds_ = int(sel.sum())  # distinct (day,user) pairs = sum of DAUs
-        nd = int(np.unique(days[sel]).size)
-        mu = int(np.unique(uid[sel]).size)
-        out_ym.append(int(m))
-        dau_sum.append(ds_)
-        n_days.append(nd)
-        mau.append(mu)
-        stick.append(float(ds_) / (float(nd * mu)))
-    return pa.table(
-        {
-            "ym": pa.array(out_ym, pa.int64()),
-            "dau_sum": pa.array(dau_sum, pa.int64()),
-            "n_days": pa.array(n_days, pa.int64()),
-            "mau": pa.array(mau, pa.int64()),
-            "stickiness": round_like_sql(stick, 6),
-        }
-    )
-
-
-def _q_power_user_curve(sf_dir: str) -> pa.Table:
-    """Power-user curve: histogram of distinct active days per user
-    (the engagement L-ness curve) -- exact integer counts end-to-end."""
-    du = _distinct_day_user(sf_dir)
-    uid = du["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    _, per_user = np.unique(uid, return_counts=True)
-    vals, cnts = np.unique(per_user, return_counts=True)
-    return pa.table(
-        {
-            "n_active_days": pa.array(vals.astype(np.int64)),
-            "n_users": pa.array(cnts.astype(np.int64)),
-        }
-    )
-
-
-def _q_borda_count(sf_dir: str) -> pa.Table:
-    """Borda rank aggregation over nations across three metrics
-    (customer-balance cents, customer count, supplier-balance cents):
-    each metric contributes (n_nations - row_number) points with
-    deterministic nationkey tie-break -- consensus ranking with exact
-    integer scores."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    nat = _read_pq(
-        os.path.join(sf_dir, "nation.parquet"),
-        columns=["n_nationkey", "n_name"],
-    ).take_all()
-    nkey = np.array([r["n_nationkey"] for r in nat], np.int64)
-    nname = [r["n_name"] for r in nat]
-    order_k = np.argsort(nkey)
-    nkey = nkey[order_k]
-    nname = [nname[i] for i in order_k]
-    n = len(nkey)
-
-    cust = _read_pq(
-        os.path.join(sf_dir, "customer.parquet"),
-        columns=["c_nationkey", "c_acctbal"],
-    )
-
-    def cprep(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "k": batch["c_nationkey"].cast(pa.int64()),
-                "cents": pa.array(scaled_int(batch["c_acctbal"], 100.0)),
-                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
-            }
-        )
-
-    ct = hash_aggregate(
-        cust.map_batches(cprep, batch_format="pyarrow", batch_size=None),
-        ["k"],
-        [("cents", "sum", "bal"), ("_one", "sum", "ncust")],
-    )
-    supp = _read_pq(
-        os.path.join(sf_dir, "supplier.parquet"),
-        columns=["s_nationkey", "s_acctbal"],
-    )
-    st = hash_aggregate(
-        supp.map_batches(
-            lambda b: pa.table(
-                {
-                    "k": b["s_nationkey"].cast(pa.int64()),
-                    "cents": pa.array(scaled_int(b["s_acctbal"], 100.0)),
-                }
-            ),
-            batch_format="pyarrow",
-            batch_size=None,
-        ),
-        ["k"],
-        [("cents", "sum", "bal")],
-    )
-
-    def metric_vec(tbl: pa.Table, col: str) -> np.ndarray:
-        v = np.zeros(n, np.int64)
-        kk = tbl["k"].to_numpy(zero_copy_only=False).astype(np.int64)
-        vv = tbl[col].to_numpy(zero_copy_only=False).astype(np.int64)
-        pos = np.searchsorted(nkey, kk)
-        v[pos] = vv
-        return v
-
-    metrics = [
-        metric_vec(ct, "bal"),
-        metric_vec(ct, "ncust"),
-        metric_vec(st, "bal"),
-    ]
-    score = np.zeros(n, np.int64)
-    for mv in metrics:
-        rownum = np.empty(n, np.int64)
-        order = np.lexsort((nkey, -mv))
-        rownum[order] = np.arange(1, n + 1)
-        score += np.int64(n) - rownum
-    return pa.table(
-        {
-            "n_name": pa.array(nname),
-            "borda_score": pa.array(score),
-        }
-    )
-
-
-def _q_mrr_first_relevant(sf_dir: str) -> pa.Table:
-    """Reciprocal rank of the first relevant document (rel = n_chars %
-    3 == 2) per language under the ranking n_chars DESC, doc_id ASC:
-    per-block best-relevant candidates merge on the driver, then one
-    exact counting pass ranks the winner (rank = 1 + docs strictly
-    ahead) -- no global sort."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "lang", "n_chars"],
-    )
-
-    def best_rel(batch: pa.Table) -> pa.Table:
-        lang = np.asarray(batch["lang"].to_numpy(zero_copy_only=False))
-        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        nc = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
-        rel = nc % 3 == 2
-        keep = []
-        for lv in np.unique(lang[rel]):
-            m = np.nonzero(rel & (lang == lv))[0]
-            order = np.lexsort((did[m], -nc[m]))
-            keep.append(m[order[0]])
-        keep = np.array(keep, np.int64)
-        return pa.table(
-            {
-                "lang": pa.array(lang[keep]),
-                "doc_id": pa.array(did[keep]),
-                "n_chars": pa.array(nc[keep]),
-            }
-        )
-
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-
-    cands = collect_tables(
-        ds.map_batches(best_rel, batch_format="pyarrow", batch_size=None)
-    )
-    cl = np.asarray(cands["lang"].to_numpy(zero_copy_only=False))
-    cd = cands["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    cn = cands["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
-    winners: dict[str, tuple[int, int]] = {}
-    for lv in np.unique(cl):
-        m = np.nonzero(cl == lv)[0]
-        order = np.lexsort((cd[m], -cn[m]))
-        i = m[order[0]]
-        winners[str(lv)] = (int(cn[i]), int(cd[i]))
-    win_items = sorted(winners.items())
-    wl = [k for k, _ in win_items]
-    wn = np.array([v[0] for _, v in win_items], np.int64)
-    wd = np.array([v[1] for _, v in win_items], np.int64)
-
-    def count_ahead(batch: pa.Table) -> pa.Table:
-        lang = np.asarray(batch["lang"].to_numpy(zero_copy_only=False))
-        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        nc = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
-        out_l, out_c = [], []
-        for j, lv in enumerate(wl):
-            m = lang == lv
-            ahead = (nc[m] > wn[j]) | ((nc[m] == wn[j]) & (did[m] < wd[j]))
-            out_l.append(lv)
-            out_c.append(int(ahead.sum()))
-        return pa.table(
-            {
-                "lang": pa.array(out_l),
-                "ahead": pa.array(out_c, pa.int64()),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(count_ahead, batch_format="pyarrow", batch_size=None),
-        ["lang"],
-        [("ahead", "sum", "ahead")],
-    )
-    al = np.asarray(agg["lang"].to_numpy(zero_copy_only=False))
-    av = agg["ahead"].to_numpy(zero_copy_only=False).astype(np.int64)
-    ranks = []
-    for lv in wl:
-        ranks.append(1 + int(av[al == lv][0]))
-    ranks_a = np.array(ranks, np.int64)
-    return pa.table(
-        {
-            "lang": pa.array(wl),
-            "first_rel_rank": pa.array(ranks_a),
-            "rr": round_like_sql(1.0 / ranks_a.astype(np.float64), 9),
-        }
-    )
-
-
-def _q_mood_median(sf_dir: str) -> pa.Table:
-    """Mood's median test across event types: grand median of exact
-    value cents from the distributed value-count table (quantile_disc
-    convention), 2xk above/at-or-below contingency counts, Pearson
-    chi-square with per-cell terms quantized at 1e12 (shared float
-    expression with SQL)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_type", "value"],
-    )
-
-    counts = hash_aggregate(
-        ds.map_batches(
-            lambda b: pa.table(
-                {
-                    "t": b["event_type"],
-                    "c": pa.array(scaled_int(b["value"], 100.0)),
-                    "_one": pa.array(np.ones(b.num_rows, np.int64)),
-                }
-            ),
-            batch_format="pyarrow",
-            batch_size=None,
-        ),
-        ["t", "c"],
-        [("_one", "sum", "n")],
-    ).sort_by([("c", "ascending")])
-    tv = np.asarray(counts["t"].to_numpy(zero_copy_only=False))
-    cv = counts["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-    nv = counts["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    ntot = int(nv.sum())
-    cum = np.cumsum(nv)
-    rank = int(np.ceil(0.5 * ntot))
-    med = int(cv[np.searchsorted(cum, rank)])
-    types = sorted(np.unique(tv).tolist())
-    na = np.array(
-        [int(nv[(tv == t) & (cv > med)].sum()) for t in types], np.int64
-    )
-    nb = np.array(
-        [int(nv[(tv == t) & (cv <= med)].sum()) for t in types], np.int64
-    )
-    ta, tb = int(na.sum()), int(nb.sum())
-    qsum = 0
-    for i in range(len(types)):
-        row = int(na[i] + nb[i])
-        ea = float(row * ta) / float(ta + tb)
-        eb = float(row * tb) / float(ta + tb)
-        qsum += int(
-            round_half_away(np.array([(na[i] - ea) * (na[i] - ea) / ea * 1e12]))[0]
-        )
-        qsum += int(
-            round_half_away(np.array([(nb[i] - eb) * (nb[i] - eb) / eb * 1e12]))[0]
-        )
-    chi2 = float(qsum) / 1e12
-    return pa.table(
-        {
-            "event_type": pa.array(types),
-            "n_above": pa.array(na),
-            "n_below_eq": pa.array(nb),
-            "chi2": round_like_sql([chi2] * len(types), 6),
-        }
-    )
-
-
-def _q_sign_test(sf_dir: str) -> pa.Table:
-    """Per-user sign test of consecutive value steps
-    (stages/window.py::keyed_sign_test): distribution-free trend
-    screen, exact cent diffs, one keyed shuffle."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.window import (
-        keyed_sign_test,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "user_id", "ts", "value"],
-    )
-    return collect_tables(keyed_sign_test(ds))
-
-
-def _q_bartlett_test(sf_dir: str) -> pa.Table:
-    """Bartlett variance-homogeneity test of the hundreds-of-dollars
-    price across return flags: per-group (n, s1, s2) exact int64, A2 =
-    n*s2 - s1^2 exact, per-group ln / reciprocal terms quantized at
-    1e9 / 1e15 so the cross-group sums are exact integers; the final
-    statistic is one shared float expression."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_returnflag", "l_extendedprice"],
-    )
-
-    def powers(batch: pa.Table) -> pa.Table:
-        k = round_half_away(
-            batch["l_extendedprice"].to_numpy(zero_copy_only=False) / 100.0
-        ).astype(np.int64)
-        return pa.table(
-            {
-                "flag": batch["l_returnflag"],
-                "_n": pa.array(np.ones(len(k), np.int64)),
-                "s1": pa.array(k),
-                "s2": pa.array(k * k),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(powers, batch_format="pyarrow", batch_size=None),
-        ["flag"],
-        [(c, "sum", c) for c in ("_n", "s1", "s2")],
-    )
-    order = np.argsort(agg["flag"].to_numpy(zero_copy_only=False))
-    flags, ns, s2s = [], [], []
-    sum_ln_q = 0  # sum of ROUND((n_i-1)*ln(s_i^2)*1e9) terms
-    sum_inv_q = 0  # sum of ROUND(1e15/(n_i-1)) terms
-    sum_a2n_q = 0  # sum of ROUND(a2_i/n_i*1e6) terms (pooled numerator)
-    for i in order.tolist():
-        n = int(agg["_n"][i].as_py())
-        s1 = int(agg["s1"][i].as_py())
-        s2 = int(agg["s2"][i].as_py())
-        a2 = n * s2 - s1 * s1
-        si2 = float(a2) / float(n * (n - 1))
-        sum_ln_q += int(
-            round_half_away(np.array([(n - 1) * np.log(si2) * 1e9]))[0]
-        )
-        sum_inv_q += int(round_half_away(np.array([1e15 / (n - 1)]))[0])
-        sum_a2n_q += int(
-            round_half_away(np.array([float(a2) / float(n) * 1e6]))[0]
-        )
-        flags.append(agg["flag"][i].as_py())
-        ns.append(n)
-        s2s.append(si2)
-    k = len(flags)
-    ntot = int(sum(ns))
-    sp2 = float(sum_a2n_q) / 1e6 / float(ntot - k)
-    c = 1.0 + (float(sum_inv_q) / 1e15 - 1.0 / float(ntot - k)) / (
-        3.0 * float(k - 1)
-    )
-    stat = (float(ntot - k) * np.log(sp2) - float(sum_ln_q) / 1e9) / c
-    return pa.table(
-        {
-            "flag": pa.array(flags),
-            "n": pa.array(ns, pa.int64()),
-            "group_var": round_like_sql(s2s, 6),
-            "bartlett_stat": round_like_sql([float(stat)] * k, 6),
-        }
-    )
-
-
-def _q_partial_corr(sf_dir: str) -> pa.Table:
-    """Partial correlation of (value cents, hour-of-day) controlling
-    for ISO day-of-week: all ten raw moments exact int64 per block,
-    cross products exact arbitrary-precision integers on the driver
-    (HUGEINT in SQL), three pairwise correlations and the partial-r
-    recombination as shared float expressions."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["ts", "value"]
-    )
-
-    def moments(batch: pa.Table) -> pa.Table:
-        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        x = scaled_int(batch["value"], 100.0)
-        y = us // 3600000000 % 24
-        days = us // 86400000000
-        z = (days + 3) % 7 + 1
-        return pa.table(
-            {
-                "_g": pa.array(np.zeros(len(x), np.int64)),
-                "_n": pa.array(np.ones(len(x), np.int64)),
-                "sx": pa.array(x),
-                "sy": pa.array(y),
-                "sz": pa.array(z),
-                "sxx": pa.array(x * x),
-                "syy": pa.array(y * y),
-                "szz": pa.array(z * z),
-                "sxy": pa.array(x * y),
-                "sxz": pa.array(x * z),
-                "syz": pa.array(y * z),
-            }
-        )
-
-    cols = ["_n", "sx", "sy", "sz", "sxx", "syy", "szz", "sxy", "sxz", "syz"]
-    agg = hash_aggregate(
-        ds.map_batches(moments, batch_format="pyarrow", batch_size=None),
-        ["_g"],
-        [(c, "sum", c) for c in cols],
-    )
-    m = {c: int(agg[c][0].as_py()) for c in cols}
-    n = m["_n"]
-
-    def corr(sa, sb, saa, sbb, sab) -> float:
-        num = n * sab - sa * sb
-        da = n * saa - sa * sa
-        db = n * sbb - sb * sb
-        return float(num) / (np.sqrt(float(da)) * np.sqrt(float(db)))
-
-    rxy = corr(m["sx"], m["sy"], m["sxx"], m["syy"], m["sxy"])
-    rxz = corr(m["sx"], m["sz"], m["sxx"], m["szz"], m["sxz"])
-    ryz = corr(m["sy"], m["sz"], m["syy"], m["szz"], m["syz"])
-    pr = (rxy - rxz * ryz) / (
-        np.sqrt(1.0 - rxz * rxz) * np.sqrt(1.0 - ryz * ryz)
-    )
-    return pa.table(
-        {
-            "n": pa.array([n], pa.int64()),
-            "r_xy": round_like_sql([rxy], 6),
-            "r_xz": round_like_sql([rxz], 6),
-            "r_yz": round_like_sql([ryz], 6),
-            "partial_r": round_like_sql([float(pr)], 6),
-        }
-    )
-
-
-def _label_tick_sums(sf_dir: str):
-    """Shared helper for the cluster-quality indices: per-label count,
-    per-dim integer tick sums (1e4 quantization, the
-    simplified_silhouette convention) and the per-label sum of squared
-    tick norms -- one distributed pass, combiner-shaped."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.ann import (
-        list_col_to_matrix,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "embeddings.parquet"))
-
-    def sums(batch: pa.Table) -> pa.Table:
-        m = list_col_to_matrix(batch["embedding"])
-        vq = round_half_away(m.astype(np.float64) * 1e4).astype(np.int64)
-        lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
-        rows = []
-        for l in np.unique(lab).tolist():
-            sel = vq[lab == l]
-            rows.append(
-                (l, int(sel.shape[0]), sel.sum(axis=0), int((sel * sel).sum()))
-            )
-        return pa.table(
-            {
-                "label": pa.array([r[0] for r in rows], pa.int64()),
-                "n": pa.array([r[1] for r in rows], pa.int64()),
-                "csum": pa.array(
-                    [r[2].tolist() for r in rows], pa.list_(pa.int64())
-                ),
-                "t2": pa.array([r[3] for r in rows], pa.int64()),
-            }
-        )
-
-    parts = collect_tables(
-        ds.map_batches(sums, batch_format="pyarrow", batch_size=None)
-    )
-    lab_n: dict[int, int] = {}
-    lab_c: dict[int, np.ndarray] = {}
-    lab_t: dict[int, int] = {}
-    for i in range(parts.num_rows):
-        l = int(parts["label"][i].as_py())
-        lab_n[l] = lab_n.get(l, 0) + int(parts["n"][i].as_py())
-        c = np.asarray(parts["csum"][i].as_py(), np.int64)
-        lab_c[l] = lab_c.get(l, 0) + c
-        lab_t[l] = lab_t.get(l, 0) + int(parts["t2"][i].as_py())
-    labels = sorted(lab_n)
-    nvec = np.array([lab_n[l] for l in labels], np.int64)
-    cmat = np.stack([lab_c[l] for l in labels])
-    tvec = np.array([lab_t[l] for l in labels], np.int64)
-    return ds, labels, nvec, cmat, tvec
-
-
-def _q_calinski_harabasz(sf_dir: str) -> pa.Table:
-    """Calinski-Harabasz variance-ratio index of the embeddings'
-    labels: within-scatter A_i = n_i*T_i - |S_i|^2 and between-scatter
-    |n*S_i - n_i*S|^2 are exact arbitrary-precision integers (HUGEINT
-    in SQL) from the 1e4-tick sums; per-label terms quantized to
-    integers so the cross-label sums are exact; one shared float ratio
-    at the end."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        round_like_sql,
-    )
-
-    _, labels, nvec, cmat, tvec = _label_tick_sums(sf_dir)
-    k = len(labels)
-    ntot = int(nvec.sum())
-    gsum = [int(x) for x in cmat.sum(axis=0).tolist()]
-    wq, bq = [], []
-    for i in range(k):
-        ni = int(nvec[i])
-        s = [int(x) for x in cmat[i].tolist()]
-        a2 = ni * int(tvec[i]) - sum(x * x for x in s)
-        wq.append(int(round_half_away(np.array([float(a2) / float(ni)]))[0]))
-        bn = sum(
-            (ntot * x - ni * g) ** 2 for x, g in zip(s, gsum)
-        )
-        bq.append(
-            int(
-                round_half_away(
-                    np.array(
-                        [float(bn) / float(ni) / float(ntot * ntot)]
-                    )
-                )[0]
-            )
-        )
-    sw, sb = sum(wq), sum(bq)
-    ch = (float(sb) / float(k - 1)) / (float(sw) / float(ntot - k))
-    return pa.table(
-        {
-            "label": pa.array(labels, pa.int64()),
-            "n": pa.array(nvec),
-            "within_q": pa.array(wq, pa.int64()),
-            "between_q": pa.array(bq, pa.int64()),
-            "ch_index": round_like_sql([ch] * k, 6),
-        }
-    )
-
-
-def _q_davies_bouldin(sf_dir: str) -> pa.Table:
-    """Davies-Bouldin index: per-label mean point-to-centroid distance
-    (exact integer quadratics under the sqrt, per-point terms
-    quantized at 1e9 -- the silhouette discipline), exact-integer
-    centroid separations, R_ij = (s_i+s_j)/d_ij maxed per label, DB =
-    mean of 1e9-quantized row maxima."""
-    import ray as _ray
-
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.ann import (
-        list_col_to_matrix,
-    )
-
-    ds, labels, nvec, cmat, _ = _label_tick_sums(sf_dir)
-    k = len(labels)
-    bref = _ray.put((np.array(labels, np.int64), nvec, cmat))
-
-    def scatter(batch: pa.Table) -> pa.Table:
-        labs, nv, cm = _ray.get(bref)
-        m = list_col_to_matrix(batch["embedding"])
-        vq = round_half_away(m.astype(np.float64) * 1e4).astype(np.int64)
-        lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64)
-        lidx = np.searchsorted(labs, lab)
-        ni = nv[lidx]
-        v2 = (vq * vq).sum(axis=1)
-        vc = (vq * cm[lidx]).sum(axis=1)
-        c2 = (cm * cm).sum(axis=1)[lidx]
-        d2 = ni * ni * v2 - 2 * ni * vc + c2
-        d = np.sqrt(d2.astype(np.float64)) / (ni.astype(np.float64) * 1e4)
-        return pa.table(
-            {
-                "label": pa.array(lab),
-                "dq": pa.array(
-                    round_half_away(d * 1e9).astype(np.int64)
-                ),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(scatter, batch_format="pyarrow", batch_size=None),
-        ["label"],
-        [("dq", "sum", "sq")],
-    )
-    al = agg["label"].to_numpy(zero_copy_only=False).astype(np.int64)
-    asq = agg["sq"].to_numpy(zero_copy_only=False).astype(np.int64)
-    sq = np.zeros(k, np.int64)
-    sq[np.searchsorted(np.array(labels), al)] = asq
-    s = sq.astype(np.float64) / 1e9 / nvec.astype(np.float64)
-    # exact integer centroid separations (python ints -- HUGEINT scale)
-    rmax = np.full(k, -np.inf)
-    for i in range(k):
-        ni = int(nvec[i])
-        ci = [int(x) for x in cmat[i].tolist()]
-        for j in range(k):
-            if j == i:
-                continue
-            nj = int(nvec[j])
-            cj = [int(x) for x in cmat[j].tolist()]
-            num = sum((nj * a - ni * b) ** 2 for a, b in zip(ci, cj))
-            d = np.sqrt(float(num)) / (float(ni * nj) * 1e4)
-            r = (s[i] + s[j]) / d
-            if r > rmax[i]:
-                rmax[i] = r
-    dbq = sum(int(round_half_away(np.array([r * 1e9]))[0]) for r in rmax)
-    db = float(dbq) / 1e9 / float(k)
-    return pa.table(
-        {
-            "label": pa.array(labels, pa.int64()),
-            "n": pa.array(nvec),
-            "scatter": round_like_sql(s, 6),
-            "r_max": round_like_sql(rmax, 6),
-            "db_index": round_like_sql([db] * k, 6),
-        }
-    )
-
-
-def _q_rrf_fusion(sf_dir: str) -> pa.Table:
-    """Reciprocal-rank fusion (k=60) of the BM25 top-20 and
-    query-likelihood top-10 retrieval lists: each list's ranks are
-    deterministic (rounded score desc, doc_id), per-list contributions
-    ROUND(1e12/(60+rank)) are exact integers -- the standard hybrid-
-    retrieval combiner over two already-distributed scorers."""
-    b = _q_bm25_search(sf_dir)
-    q = _q_ql_retrieval(sf_dir)
-    bd = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    bs = b["score"].to_numpy(zero_copy_only=False).astype(np.float64)
-    qd = q["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    qs = q["score_q"].to_numpy(zero_copy_only=False).astype(np.int64)
-    border = np.lexsort((bd, -bs))
-    qorder = np.lexsort((qd, -qs))
-    brank = {int(bd[i]): r + 1 for r, i in enumerate(border.tolist())}
-    qrank = {int(qd[i]): r + 1 for r, i in enumerate(qorder.tolist())}
-    docs = sorted(set(brank) | set(qrank))
-    br, qr, rrf = [], [], []
-    for d in docs:
-        rb = brank.get(d, 0)
-        rq = qrank.get(d, 0)
-        t = 0
-        if rb:
-            t += int(round_half_away(np.array([1e12 / (60 + rb)]))[0])
-        if rq:
-            t += int(round_half_away(np.array([1e12 / (60 + rq)]))[0])
-        br.append(rb)
-        qr.append(rq)
-        rrf.append(t)
-    return pa.table(
-        {
-            "doc_id": pa.array(docs, pa.int64()),
-            "bm25_rank": pa.array(br, pa.int64()),
-            "ql_rank": pa.array(qr, pa.int64()),
-            "rrf_q": pa.array(rrf, pa.int64()),
-        }
-    )
-
-
-def _q_lang_confusion(sf_dir: str) -> pa.Table:
-    """Confusion matrix of the declared lang column vs the n-gram
-    lang-ID heuristic (stages/textops.py::TextAnnotate) -- the
-    model-audit counts, grouped distributed."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        TextAnnotate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "text", "lang"],
-    )
-    ann = ds.map_batches(
-        TextAnnotate(features=("lang",)), batch_format="pyarrow",
-        batch_size=None,
-    )
-    out = hash_aggregate(
-        ann.map_batches(
-            lambda b: pa.table(
-                {
-                    "lang": b["lang"],
-                    "lang_id": b["lang_id"],
-                    "_one": pa.array(np.ones(b.num_rows, np.int64)),
-                }
-            ),
-            batch_format="pyarrow",
-            batch_size=None,
-        ),
-        ["lang", "lang_id"],
-        [("_one", "sum", "n")],
-    )
-    return pa.table(
-        {
-            "lang": out["lang"],
-            "lang_id": out["lang_id"],
-            "n": out["n"].cast(pa.int64()),
-        }
-    )
-
-
-_GOPHER_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "that")
-
-
-def _q_gopher_rules(sf_dir: str) -> pa.Table:
-    """Gopher-style hard-threshold document filter with a per-source
-    audit: R1 token count in [5, 1000], R2 mean word length in [3, 10]
-    via cross-multiplied INTEGER comparisons (3*n_tok <= sum_chars <=
-    10*n_tok -- no float ratios anywhere), R3 digit ratio < 0.2 as
-    5*n_digit < n_chars, R4 at least 2 distinct stopwords.  Output per
-    source: docs, per-rule fail counts, kept count -- pure integer
-    end-to-end."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["text", "source"],
-    )
-    sw = set(_GOPHER_STOPWORDS)
-
-    def audit(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        srcs = batch["source"].to_pylist()
-        f1 = np.zeros(len(texts), np.int64)
-        f2 = np.zeros(len(texts), np.int64)
-        f3 = np.zeros(len(texts), np.int64)
-        f4 = np.zeros(len(texts), np.int64)
-        for i, t in enumerate(texts):
-            toks = t.split()
-            nt = len(toks)
-            schars = sum(len(x) for x in toks)
-            nd = sum(c.isdigit() for c in t)
-            nsw = len(sw.intersection(x.lower() for x in toks))
-            if not (5 <= nt <= 1000):
-                f1[i] = 1
-            if not (3 * nt <= schars <= 10 * nt):
-                f2[i] = 1
-            if not (5 * nd < len(t)):
-                f3[i] = 1
-            if nsw < 2:
-                f4[i] = 1
-        kept = ((f1 + f2 + f3 + f4) == 0).astype(np.int64)
-        return pa.table(
-            {
-                "source": pa.array(srcs),
-                "_one": pa.array(np.ones(len(texts), np.int64)),
-                "f1": pa.array(f1),
-                "f2": pa.array(f2),
-                "f3": pa.array(f3),
-                "f4": pa.array(f4),
-                "kept": pa.array(kept),
-            }
-        )
-
-    out = hash_aggregate(
-        ds.map_batches(audit, batch_format="pyarrow", batch_size=None),
-        ["source"],
-        [
-            ("_one", "sum", "n_docs"),
-            ("f1", "sum", "fail_tokens"),
-            ("f2", "sum", "fail_word_len"),
-            ("f3", "sum", "fail_digits"),
-            ("f4", "sum", "fail_stopwords"),
-            ("kept", "sum", "n_kept"),
-        ],
-    )
-    return pa.table({c: out[c].cast(pa.int64()) if c != "source" else out[c]
-                     for c in out.column_names})
-
-
-def _q_badword_filter(sf_dir: str) -> pa.Table:
-    """Broadcast term-blocklist audit per source (the wordlist-filter
-    shape of C4's badwords pass): docs containing any blocked term,
-    plus total blocked-term occurrences -- integer counts only."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    blocklist = ("slow", "vector", "spark")
-    bset = set(blocklist)
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["text", "source"],
-    )
-
-    def audit(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        srcs = batch["source"].to_pylist()
-        flagged = np.zeros(len(texts), np.int64)
-        occ = np.zeros(len(texts), np.int64)
-        for i, t in enumerate(texts):
-            c = sum(1 for x in t.split() if x in bset)
-            occ[i] = c
-            flagged[i] = 1 if c > 0 else 0
-        return pa.table(
-            {
-                "source": pa.array(srcs),
-                "_one": pa.array(np.ones(len(texts), np.int64)),
-                "flagged": pa.array(flagged),
-                "occ": pa.array(occ),
-            }
-        )
-
-    out = hash_aggregate(
-        ds.map_batches(audit, batch_format="pyarrow", batch_size=None),
-        ["source"],
-        [
-            ("_one", "sum", "n_docs"),
-            ("flagged", "sum", "n_flagged"),
-            ("occ", "sum", "n_occurrences"),
-        ],
-    )
-    return pa.table({c: out[c].cast(pa.int64()) if c != "source" else out[c]
-                     for c in out.column_names})
-
-
-def _q_cronbach_alpha(sf_dir: str) -> pa.Table:
-    """Cronbach's alpha internal-consistency of four integer document
-    'items' (token count, char count, distinct tokens, stopword hits):
-    per-item and total-score raw moments exact int64, variances as
-    exact A = n*s2 - s1^2 integers (the n factors cancel in the
-    ratio), alpha = k/(k-1) * (1 - sum(A_i)/A_t) as one shared float
-    expression."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    sw = set(_GOPHER_STOPWORDS)
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["text"]
-    )
-
-    def moments(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        n = len(texts)
-        x = np.zeros((n, 4), np.int64)
-        for i, t in enumerate(texts):
-            toks = t.split()
-            x[i, 0] = len(toks)
-            x[i, 1] = len(t)
-            x[i, 2] = len(set(toks))
-            x[i, 3] = sum(1 for w in toks if w.lower() in sw)
-        tot = x.sum(axis=1)
-        cols = {"_g": pa.array(np.zeros(n, np.int64)),
-                "_n": pa.array(np.ones(n, np.int64))}
-        for j in range(4):
-            cols[f"s{j}"] = pa.array(x[:, j])
-            cols[f"q{j}"] = pa.array(x[:, j] * x[:, j])
-        cols["st"] = pa.array(tot)
-        cols["qt"] = pa.array(tot * tot)
-        return pa.table(cols)
-
-    names = (
-        ["_n"]
-        + [f"s{j}" for j in range(4)]
-        + [f"q{j}" for j in range(4)]
-        + ["st", "qt"]
-    )
-    agg = hash_aggregate(
-        ds.map_batches(moments, batch_format="pyarrow", batch_size=None),
-        ["_g"],
-        [(c, "sum", c) for c in names],
-    )
-    m = {c: int(agg[c][0].as_py()) for c in names}
-    n = m["_n"]
-    a_items = sum(
-        n * m[f"q{j}"] - m[f"s{j}"] * m[f"s{j}"] for j in range(4)
-    )
-    a_tot = n * m["qt"] - m["st"] * m["st"]
-    alpha = (4.0 / 3.0) * (1.0 - float(a_items) / float(a_tot))
-    return pa.table(
-        {
-            "n": pa.array([n], pa.int64()),
-            "k_items": pa.array([4], pa.int64()),
-            "sum_item_var_q": pa.array([a_items], pa.int64()),
-            "total_var_q": pa.array([a_tot], pa.int64()),
-            "alpha": round_like_sql([alpha], 6),
-        }
-    )
-
-
-def _q_conditional_entropy(sf_dir: str) -> pa.Table:
-    """Conditional entropy H(lang | source) in nats: per-(source,
-    lang) counts exact, per-cell terms (n_sl/N)*ln(n_s/n_sl)
-    quantized at 1e12 for an exact cross-cell sum -- the information
-    leakage of source onto language."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["lang", "source"],
-    )
-    agg = hash_aggregate(
-        ds.map_batches(
-            lambda b: pa.table(
-                {
-                    "source": b["source"],
-                    "lang": b["lang"],
-                    "_one": pa.array(np.ones(b.num_rows, np.int64)),
-                }
-            ),
-            batch_format="pyarrow",
-            batch_size=None,
-        ),
-        ["source", "lang"],
-        [("_one", "sum", "n")],
-    )
-    src = np.asarray(agg["source"].to_numpy(zero_copy_only=False))
-    nv = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    ntot = int(nv.sum())
-    ns = {s: int(nv[src == s].sum()) for s in np.unique(src)}
-    qsum = 0
-    for i in range(len(nv)):
-        nsl = int(nv[i])
-        nss = ns[str(src[i])]
-        term = (float(nsl) / float(ntot)) * np.log(
-            float(nss) / float(nsl)
-        )
-        qsum += int(round_half_away(np.array([term * 1e12]))[0])
-    h = float(qsum) / 1e12
-    order = np.argsort(src, kind="stable")
-    return pa.table(
-        {
-            "source": pa.array(src[order]),
-            "lang": agg["lang"].take(pa.array(order)),
-            "n": pa.array(nv[order]),
-            "cond_entropy": round_like_sql([h] * len(nv), 6),
-        }
-    )
-
-
-def _q_mean_center_drift(sf_dir: str) -> pa.Table:
-    """Temporal centrography: monthly mean center of the event fixes
-    (exact integer coordinate sums) and the month-over-month drift
-    distance -- the cross-month numerator |n1*s2 - n2*s1|^2 is an
-    exact arbitrary-precision integer (HUGEINT in SQL), one shared
-    sqrt/division at the end."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "ts"]
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        days = (
-            batch["ts"].to_numpy(zero_copy_only=False)
-            .astype("datetime64[D]")
-            .view("int64")
-        )
-        week = days // 7
-        return pa.table(
-            {
-                "week": pa.array(week),
-                "_one": pa.array(np.ones(len(eid), np.int64)),
-                "sx": pa.array(eid % 96),
-                "sy": pa.array(eid // 96 % 96),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["week"],
-        [("_one", "sum", "n"), ("sx", "sum", "sx"), ("sy", "sum", "sy")],
-    ).sort_by([("week", "ascending")])
-    ym = agg["week"].to_numpy(zero_copy_only=False).astype(np.int64)
-    nv = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    sx = agg["sx"].to_numpy(zero_copy_only=False).astype(np.int64)
-    sy = agg["sy"].to_numpy(zero_copy_only=False).astype(np.int64)
-    cx = [0.01 * float(int(sx[i])) / float(int(nv[i])) for i in range(len(ym))]
-    cy = [0.01 * float(int(sy[i])) / float(int(nv[i])) for i in range(len(ym))]
-    drift = [np.nan]
-    for i in range(1, len(ym)):
-        n1, n2 = int(nv[i - 1]), int(nv[i])
-        dx = n1 * int(sx[i]) - n2 * int(sx[i - 1])
-        dy = n1 * int(sy[i]) - n2 * int(sy[i - 1])
-        num = dx * dx + dy * dy
-        drift.append(0.01 * np.sqrt(float(num)) / float(n1 * n2))
-    return pa.table(
-        {
-            "week": pa.array(ym),
-            "n": pa.array(nv),
-            "cx": round_like_sql(cx, 6),
-            "cy": round_like_sql(cy, 6),
-            "drift": round_like_sql(drift, 6),
-        }
-    )
-
-
-def _q_adamic_adar(sf_dir: str) -> pa.Table:
-    """Adamic-Adar link prediction over the edit-1 word graph:
-    distance-2 non-edge pairs scored by sum over common neighbors of
-    1/ln(deg), each term ROUND(1e9/ln(deg)) so the pair score is an
-    exact integer sum.  The distributed tier is the deletion-blocked
-    edge join (stages/textops.py::edit1_vocab_pairs); the scored pair
-    set is vocabulary-bounded."""
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        edit1_vocab_pairs,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
-    ).map_batches(
-        lambda b: b.rename_columns(["text"]),
-        batch_format="pyarrow", batch_size=None,
-    )
-    pairs = edit1_vocab_pairs(ds, min_len=4)
-    adj: dict[str, set[str]] = {}
-    for a, b in zip(pairs["w1"].to_pylist(), pairs["w2"].to_pylist()):
-        adj.setdefault(a, set()).add(b)
-        adj.setdefault(b, set()).add(a)
-    scores: dict[tuple[str, str], list[int]] = {}
-    for v in sorted(adj):
-        deg = len(adj[v])
-        if deg < 2:
-            continue
-        term = int(round_half_away(np.array([1e9 / np.log(float(deg))]))[0])
-        nb = sorted(adj[v])
-        for i in range(len(nb)):
-            for j in range(i + 1, len(nb)):
-                u, w = nb[i], nb[j]
-                if w in adj.get(u, ()):  # already an edge
-                    continue
-                st = scores.setdefault((u, w), [0, 0])
-                st[0] += 1
-                st[1] += term
-    keys = sorted(scores)
-    return pa.table(
-        {
-            "w1": pa.array([k[0] for k in keys]),
-            "w2": pa.array([k[1] for k in keys]),
-            "n_common": pa.array([scores[k][0] for k in keys], pa.int64()),
-            "aa_q": pa.array([scores[k][1] for k in keys], pa.int64()),
-        }
-    )
-
-
-def _q_closeness_seeds(sf_dir: str) -> pa.Table:
-    """Closeness centrality of the five smallest vocabulary words over
-    the edit-1 word graph: BFS per seed (vocabulary-bounded), c =
-    n_reached / sum_hops with exact integer operands -- the seed-set
-    variant that stays tractable when the graph is corpus-scale."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        edit1_vocab_pairs,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
-    ).map_batches(
-        lambda b: b.rename_columns(["text"]),
-        batch_format="pyarrow", batch_size=None,
-    )
-    pairs = edit1_vocab_pairs(ds, min_len=4)
-    adj: dict[str, set[str]] = {}
-    vocab: set[str] = set()
-    for a, b in zip(pairs["w1"].to_pylist(), pairs["w2"].to_pylist()):
-        adj.setdefault(a, set()).add(b)
-        adj.setdefault(b, set()).add(a)
-        vocab.add(a)
-        vocab.add(b)
-    # seeds = 5 smallest vocab words INCLUDING isolated ones: the SQL
-    # tok CTE ranks the full distinct-source vocabulary
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    voc = hash_aggregate(
-        _read_pq(os.path.join(sf_dir, "documents.parquet"), columns=["source"])
-        .map_batches(
-            lambda b: pa.table(
-                {
-                    "w": b["source"],
-                    "_one": pa.array(np.ones(b.num_rows, np.int64)),
-                }
-            ),
-            batch_format="pyarrow",
-            batch_size=None,
-        ),
-        ["w"],
-        [("_one", "sum", "n")],
-    )
-    all_words = sorted(
-        w for w in voc["w"].to_pylist() if len(w) >= 4
-    )
-    seeds = all_words[:5]
-    out_w, out_r, out_s, out_c = [], [], [], []
-    for s in seeds:
-        dist = {s: 0}
-        frontier = [s]
-        while frontier:
-            nxt = []
-            for u in frontier:
-                for v in adj.get(u, ()):
-                    if v not in dist:
-                        dist[v] = dist[u] + 1
-                        nxt.append(v)
-            frontier = nxt
-        reached = len(dist) - 1
-        hops = sum(dist.values())
-        out_w.append(s)
-        out_r.append(reached)
-        out_s.append(hops)
-        out_c.append(
-            float(reached) / float(hops) if hops > 0 else np.nan
-        )
-    return pa.table(
-        {
-            "word": pa.array(out_w),
-            "n_reached": pa.array(out_r, pa.int64()),
-            "sum_hops": pa.array(out_s, pa.int64()),
-            "closeness": round_like_sql(out_c, 6),
-        }
-    )
-
-
-def _q_f_function(sf_dir: str) -> pa.Table:
-    """Empty-space F-function of the event point pattern: squared
-    nearest-neighbor distance from each of 100 lattice probes to the
-    distinct event cells, exact integer d^2 end-to-end (per-batch
-    partial mins, combiner min), CDF counts at integer radii -- the
-    spatial-statistics complement of the NN G-function."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    px = np.repeat(np.arange(4, 100, 10), 10).astype(np.int64)
-    py = np.tile(np.arange(4, 100, 10), 10).astype(np.int64)
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["event_id"]
-    )
-
-    def partial_min(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ix = np.unique(eid % 96 + (eid // 96 % 96) * 96)
-        x = ix % 96
-        y = ix // 96
-        dx = px[:, None] - x[None, :]
-        dy = py[:, None] - y[None, :]
-        d2 = (dx * dx + dy * dy).min(axis=1)
-        return pa.table(
-            {
-                "probe": pa.array(np.arange(100, dtype=np.int64)),
-                "d2": pa.array(d2),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(partial_min, batch_format="pyarrow", batch_size=None),
-        ["probe"],
-        [("d2", "min", "d2")],
-    )
-    d2 = agg["d2"].to_numpy(zero_copy_only=False).astype(np.int64)
-    ts = [1, 2, 4, 8, 16]
-    counts = [int((d2 <= t * t).sum()) for t in ts]
-    return pa.table(
-        {
-            "radius": pa.array(ts, pa.int64()),
-            "n_within": pa.array(counts, pa.int64()),
-            "n_probes": pa.array([100] * len(ts), pa.int64()),
-        }
-    )
-
-
-def _q_kpss_stat(sf_dir: str) -> pa.Table:
-    """KPSS level-stationarity statistic (lag-0 long-run variance) on
-    the dense daily event-count series: with P_t the prefix sum and S
-    the total, the demeaned partial sums scale to exact integers
-    n*S_t = n*P_t - t*S, so eta = A / (n^2 * (n*sxx - S^2)) with the
-    numerator A = sum_t (n*P_t - t*S)^2 an exact arbitrary-precision
-    integer (HUGEINT in SQL) -- one float division at the end.  The
-    complement of the dickey_fuller unit-root screen."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
-
-    def daily(batch: pa.Table) -> pa.Table:
-        d = (
-            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 86_400_000_000
-        )
-        return pa.table(
-            {
-                "d": pa.array(d),
-                "_one": pa.array(np.ones(len(d), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(daily, batch_format="pyarrow", batch_size=None),
-        ["d"],
-        [("_one", "sum", "x")],
-    )
-    dd = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)
-    xx = agg["x"].to_numpy(zero_copy_only=False).astype(np.int64)
-    lo, hi = int(dd.min()), int(dd.max())
-    series = np.zeros(hi - lo + 1, np.int64)
-    series[dd - lo] = xx
-    n = len(series)
-    S = int(series.sum())
-    sxx = int((series * series).sum())
-    num = 0
-    pt = 0
-    for t in range(1, n + 1):  # n is the day count -- tiny
-        pt += int(series[t - 1])
-        st = n * pt - t * S
-        num += st * st
-    den = n * n * (n * sxx - S * S)
-    return pa.table(
-        {
-            "n_obs": pa.array([n], pa.int64()),
-            "eta": round_like_sql([float(num) / float(den)], 6),
-        }
-    )
-
-
-def _q_ipw_estimate(sf_dir: str) -> pa.Table:
-    """Inverse-propensity-weighted average treatment effect on event
-    value cents: treatment = user_id % 2, stratum = hour-of-day,
-    propensity = exact stratum proportion.  Per-stratum integer sums
-    (n, n1, sum-cents per arm) make the IPW term a pinned float
-    expression per stratum, quantized at 1e6 ticks so the cross-stratum
-    sum is an exact integer; strata missing an arm are excluded on both
-    sides.  Contrast column: the naive unadjusted difference."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "ts", "value"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        hod = (
-            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 3_600_000_000
-            % 24
-        )
-        return pa.table(
-            {
-                "stratum": pa.array(hod),
-                "treat": pa.array(uid % 2),
-                "_one": pa.array(np.ones(len(uid), np.int64)),
-                "y": pa.array(scaled_int(batch["value"], 100.0)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["stratum", "treat"],
-        [("_one", "sum", "n"), ("y", "sum", "sy")],
-    )
-    st = agg["stratum"].to_numpy(zero_copy_only=False).astype(np.int64)
-    tr = agg["treat"].to_numpy(zero_copy_only=False).astype(np.int64)
-    nv = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    sy = agg["sy"].to_numpy(zero_copy_only=False).astype(np.int64)
-    arms: dict[int, dict[int, tuple[int, int]]] = {}
-    for i in range(len(st)):
-        arms.setdefault(int(st[i]), {})[int(tr[i])] = (int(nv[i]), int(sy[i]))
-    term_q = 0
-    n_tot = n1_tot = n0_tot = 0
-    sy1_tot = sy0_tot = 0
-    for s in sorted(arms):
-        a = arms[s]
-        if 0 not in a or 1 not in a:
-            continue
-        (n1, s1), (n0, s0) = a[1], a[0]
-        ns = n1 + n0
-        term = float(ns * s1) / float(n1) - float(ns * s0) / float(n0)
-        term_q += int(round_half_away(np.array([term * 1e6]))[0])
-        n_tot += ns
-        n1_tot += n1
-        n0_tot += n0
-        sy1_tot += s1
-        sy0_tot += s0
-    ate = float(term_q) / 1e6 / float(n_tot)
-    naive = float(sy1_tot) / float(n1_tot) - float(sy0_tot) / float(n0_tot)
-    return pa.table(
-        {
-            "n_treat": pa.array([n1_tot], pa.int64()),
-            "n_control": pa.array([n0_tot], pa.int64()),
-            "ate_ipw": round_like_sql([ate], 6),
-            "diff_naive": round_like_sql([naive], 6),
-        }
-    )
-
-
-def _q_transfer_entropy(sf_dir: str) -> pa.Table:
-    """Transfer entropy (bits) between the hourly click and purchase
-    count series, both directions: series binarized against their
-    exact integer mean (n*x_t > sum compare -- no float threshold),
-    lag-1 triples (dst_{t+1}, dst_t, src_t) counted, and each
-    plug-in log2 term quantized at 1e9 ticks so the weighted sum is an
-    exact integer; one float division per direction at the end.  The
-    directed counterpart of the lagged cross-correlation operator."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"]
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        et = batch["event_type"].to_numpy(zero_copy_only=False)
-        h = (
-            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 3_600_000_000
-        )
-        m = (et == "click") | (et == "purchase")
-        return pa.table(
-            {
-                "h": pa.array(h[m]),
-                "is_x": pa.array((et[m] == "click").astype(np.int64)),
-                "_one": pa.array(np.ones(int(m.sum()), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["h", "is_x"],
-        [("_one", "sum", "c")],
-    )
-    hv = agg["h"].to_numpy(zero_copy_only=False).astype(np.int64)
-    ix = agg["is_x"].to_numpy(zero_copy_only=False).astype(np.int64)
-    cv = agg["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-    lo, hi = int(hv.min()), int(hv.max())
-    n = hi - lo + 1
-    x = np.zeros(n, np.int64)
-    y = np.zeros(n, np.int64)
-    x[hv[ix == 1] - lo] = cv[ix == 1]
-    y[hv[ix == 0] - lo] = cv[ix == 0]
-    xb = (n * x > int(x.sum())).astype(np.int64)
-    yb = (n * y > int(y.sum())).astype(np.int64)
-
-    def te_q(src: np.ndarray, dst: np.ndarray) -> tuple[int, int]:
-        from collections import Counter
-
-        a = dst[1:].tolist()
-        b = dst[:-1].tolist()
-        c = src[:-1].tolist()
-        nt = len(a)
-        c3 = Counter(zip(a, b, c))
-        cab = Counter(zip(a, b))
-        cbc = Counter(zip(b, c))
-        cb = Counter(b)
-        tq = 0
-        for (ai, bi, ci), n3 in sorted(c3.items()):
-            ratio = float(n3 * cb[bi]) / float(cbc[(bi, ci)] * cab[(ai, bi)])
-            tq += n3 * int(
-                round_half_away(np.array([1e9 * np.log2(ratio)]))[0]
-            )
-        return nt, tq
-
-    nt, q_xy = te_q(xb, yb)
-    _, q_yx = te_q(yb, xb)
-    return pa.table(
-        {
-            "n_trans": pa.array([nt], pa.int64()),
-            "te_xy": round_like_sql([float(q_xy) / 1e9 / float(nt)], 6),
-            "te_yx": round_like_sql([float(q_yx) / 1e9 / float(nt)], 6),
-        }
-    )
-
-
-def _q_engle_granger(sf_dir: str) -> pa.Table:
-    """Engle-Granger two-step cointegration screen between the daily
-    order count and daily revenue-cents series: stage-1 OLS from exact
-    integer moments, residuals quantized at 1e4 ticks (pinned float
-    expression, then an exact integer series), stage-2 Dickey-Fuller
-    regression on the quantized residuals entirely in arbitrary-
-    precision integers (HUGEINT in SQL) with the same pinned t-stat
-    chain as the dickey_fuller operator."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "orders.parquet"),
-        columns=["o_orderdate", "o_totalprice"],
-    )
-
-    def daily(batch: pa.Table) -> pa.Table:
-        d = (
-            batch["o_orderdate"].cast(pa.int64())
-            .to_numpy(zero_copy_only=False)
-            // 86_400_000_000
-        )
-        return pa.table(
-            {
-                "d": pa.array(d),
-                "_one": pa.array(np.ones(len(d), np.int64)),
-                "y": pa.array(scaled_int(batch["o_totalprice"], 100.0)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(daily, batch_format="pyarrow", batch_size=None),
-        ["d"],
-        [("_one", "sum", "x"), ("y", "sum", "y")],
-    )
-    dd = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)
-    lo, hi = int(dd.min()), int(dd.max())
-    n = hi - lo + 1
-    xs = np.zeros(n, np.int64)
-    ys = np.zeros(n, np.int64)
-    xs[dd - lo] = agg["x"].to_numpy(zero_copy_only=False).astype(np.int64)
-    ys[dd - lo] = agg["y"].to_numpy(zero_copy_only=False).astype(np.int64)
-    sx = int(xs.sum())
-    sy = int(ys.sum())
-    sxx = int((xs * xs).sum())
-    sxy = sum(int(a) * int(b) for a, b in zip(xs.tolist(), ys.tolist()))
-    b = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
-    a = (float(sy) - b * float(sx)) / float(n)
-    resid = round_half_away(
-        (ys.astype(np.float64) - a - b * xs.astype(np.float64)) * 1e4
-    )
-    r = [int(v) for v in resid.tolist()]
-    rlag = r[:-1]
-    dr = [r[i + 1] - r[i] for i in range(n - 1)]
-    n2 = n - 1
-    s1 = sum(rlag)
-    s2 = sum(dr)
-    s11 = sum(v * v for v in rlag)
-    s12 = sum(u * v for u, v in zip(rlag, dr))
-    s22 = sum(v * v for v in dr)
-    b2 = float(n2 * s12 - s1 * s2) / float(n2 * s11 - s1 * s1)
-    a2 = (float(s2) - b2 * float(s1)) / float(n2)
-    sse = float(s22) - a2 * float(s2) - b2 * float(s12)
-    se = np.sqrt(
-        sse / float(n2 - 2)
-        / (float(s11) - float(s1) * float(s1) / float(n2))
-    )
-    return pa.table(
-        {
-            "n_obs": pa.array([n], pa.int64()),
-            "beta_coint": round_like_sql([b], 6),
-            "adf_t": round_like_sql([b2 / se], 6),
-        }
-    )
-
-
-def _q_l_moments(sf_dir: str) -> pa.Table:
-    """Sample L-moments (l1, l2) and L-moment ratios (L-skew t3,
-    L-kurt t4) of the event value cents: the order-statistic weighted
-    sums S_k = sum_i C(i-1,k) x_(i) collapse per distinct value by the
-    hockey-stick identity (C(hi,k+1) - C(lo,k+1) over each run), so
-    the distributed tier is a value-cardinality-bounded aggregate and
-    every numerator/denominator is an exact arbitrary-precision
-    integer; float division only at the final l/tau expressions."""
-    import math
-
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["value"])
-
-    def prep(batch: pa.Table) -> pa.Table:
-        x = scaled_int(batch["value"], 100.0)
-        return pa.table(
-            {
-                "x": pa.array(x),
-                "_one": pa.array(np.ones(len(x), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["x"],
-        [("_one", "sum", "c")],
-    ).sort_by([("x", "ascending")])
-    xv = agg["x"].to_numpy(zero_copy_only=False).astype(np.int64)
-    cv = agg["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-    s = [0, 0, 0, 0]  # S_k = sum_i C(i-1, k) * x_(i), k = 0..3
-    cum = 0
-    for x, c in zip(xv.tolist(), cv.tolist()):
-        hi = cum + c
-        for k in range(4):
-            s[k] += x * (math.comb(hi, k + 1) - math.comb(cum, k + 1))
-        cum = hi
-    n = cum
-    num2 = 2 * s[1] - (n - 1) * s[0]
-    den2 = n * (n - 1)
-    num3 = 12 * s[2] - 6 * (n - 2) * s[1] + (n - 1) * (n - 2) * s[0]
-    den3 = n * (n - 1) * (n - 2)
-    num4 = (
-        120 * s[3]
-        - 60 * (n - 3) * s[2]
-        + 12 * (n - 2) * (n - 3) * s[1]
-        - (n - 1) * (n - 2) * (n - 3) * s[0]
-    )
-    den4 = n * (n - 1) * (n - 2) * (n - 3)
-    l2 = float(num2) / float(den2)
-    return pa.table(
-        {
-            "n_obs": pa.array([n], pa.int64()),
-            "l1": round_like_sql([float(s[0]) / float(n)], 6),
-            "l2": round_like_sql([l2], 6),
-            "tau3": round_like_sql([float(num3) / float(den3) / l2], 6),
-            "tau4": round_like_sql([float(num4) / float(den4) / l2], 6),
-        }
-    )
-
-
-def _q_isotonic_fit(sf_dir: str) -> pa.Table:
-    """Isotonic (non-decreasing) regression of the daily event revenue
-    cents on time via the exact minimax characterization fit_t =
-    max_{a<=t} min_{b>=t} avg(y[a..b]) -- every block average is one
-    pinned integer-over-integer double division, so PAVA's sequential
-    pooling is replaced by an order-free O(n^2) reduction both sides
-    compute identically (n = day count)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["ts", "value"]
-    )
-
-    def daily(batch: pa.Table) -> pa.Table:
-        d = (
-            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 86_400_000_000
-        )
-        return pa.table(
-            {
-                "d": pa.array(d),
-                "y": pa.array(scaled_int(batch["value"], 100.0)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(daily, batch_format="pyarrow", batch_size=None),
-        ["d"],
-        [("y", "sum", "y")],
-    )
-    dd = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)
-    lo, hi = int(dd.min()), int(dd.max())
-    n = hi - lo + 1
-    ys = np.zeros(n, np.int64)
-    ys[dd - lo] = agg["y"].to_numpy(zero_copy_only=False).astype(np.int64)
-    cp = np.cumsum(ys)
-    # avg[a, b] = (cp[b] - cp[a] + y[a]) / (b - a + 1), a <= b
-    num = cp[None, :] - cp[:, None] + ys[:, None]
-    length = np.arange(n)[None, :] - np.arange(n)[:, None] + 1
-    avg = num.astype(np.float64) / length.astype(np.float64)
-    avg[length < 1] = np.inf  # mask a > b
-    # suffix-min over b >= t for each a, then max over a <= t
-    smin = np.minimum.accumulate(avg[:, ::-1], axis=1)[:, ::-1]
-    fit = np.array(
-        [float(np.max(smin[: t + 1, t])) for t in range(n)], np.float64
-    )
-    return pa.table(
-        {
-            "t": pa.array(np.arange(n, dtype=np.int64)),
-            "y": pa.array(ys),
-            "fit": round_like_sql(fit, 6),
-        }
-    )
-
-
-_MARKOV_STATES = ["click", "error", "purchase", "signup", "view"]
-
-
-def _q_markov_stationary(sf_dir: str) -> pa.Table:
-    """Stationary distribution of the per-user event-type Markov chain
-    via the Markov-chain tree theorem: pi_i proportional to r_i * A_i
-    where r_i is the integer out-count of state i and A_i the i-th
-    principal minor of the self-loop-free count Laplacian -- 4x4
-    integer determinants, so the whole computation is exact
-    arbitrary-precision integers (HUGEINT in SQL) with one float
-    division per state at the end.  No power iteration, no float
-    accumulation order."""
-    from itertools import permutations
-
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        markov_transitions, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "ts", "event_id", "event_type"],
-    )
-    out = markov_transitions(ds, "user_id", "event_type", ["ts", "event_id"])
-    sidx = {s: i for i, s in enumerate(_MARKOV_STATES)}
-    c = [[0] * 5 for _ in range(5)]
-    for s, d, n in zip(
-        out["src"].to_pylist(), out["dst"].to_pylist(), out["n"].to_pylist()
-    ):
-        c[sidx[s]][sidx[d]] = int(n)
-    r = [sum(c[j]) for j in range(5)]  # row sums incl. self-loops
-    # Laplacian of the self-loop-free graph: m[j][j] = sum_{k!=j} c_jk
-    m = [
-        [
-            (r[j] - c[j][j]) if j == k else -c[j][k]
-            for k in range(5)
-        ]
-        for j in range(5)
-    ]
-
-    def minor_det(i: int) -> int:
-        idx = [j for j in range(5) if j != i]
-        tot = 0
-        for perm in permutations(range(4)):
-            inv = sum(
-                1
-                for a in range(4)
-                for b in range(a + 1, 4)
-                if perm[a] > perm[b]
-            )
-            prod = 1
-            for a in range(4):
-                prod *= m[idx[a]][idx[perm[a]]]
-            tot += -prod if inv % 2 else prod
-        return tot
-
-    s_i = [r[i] * minor_det(i) for i in range(5)]
-    tot = sum(s_i)
-    return pa.table(
-        {
-            "state": pa.array(_MARKOV_STATES),
-            "n_out": pa.array(r, pa.int64()),
-            "pi": round_like_sql(
-                [float(v) / float(tot) for v in s_i], 6
-            ),
-        }
-    )
-
-
-def _q_permutation_test(sf_dir: str) -> pa.Table:
-    """Two-sample permutation test on event value cents (treatment =
-    user_id % 2): 200 deterministic label permutations via the
-    bit-reproducible mix32 hash of event_id, per-permutation integer
-    sums (a (perm, n1, s1) combiner aggregate -- the corpus streams
-    once), mean-difference statistics as pinned double chains, and the
-    add-one permutation p-value."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
-        mix32,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    n_perms = 200
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "user_id", "value"],
-    )
-
-    def partials(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        y = scaled_int(batch["value"], 100.0)
-        rows_p = []
-        rows_n1 = []
-        rows_s1 = []
-        # perm -1 = the observed labeling (user_id % 2)
-        lab = uid % 2
-        rows_p.append(-1)
-        rows_n1.append(int(lab.sum()))
-        rows_s1.append(int((lab * y).sum()))
-        for p in range(n_perms):
-            plab = mix32(eid, p) % 2
-            rows_p.append(p)
-            rows_n1.append(int(plab.sum()))
-            rows_s1.append(int((plab * y).sum()))
-        rows_p.append(-2)  # totals row
-        rows_n1.append(len(eid))
-        rows_s1.append(int(y.sum()))
-        return pa.table(
-            {
-                "p": pa.array(rows_p, pa.int64()),
-                "n1": pa.array(rows_n1, pa.int64()),
-                "s1": pa.array(rows_s1, pa.int64()),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(partials, batch_format="pyarrow", batch_size=None),
-        ["p"],
-        [("n1", "sum", "n1"), ("s1", "sum", "s1")],
-    )
-    pv = agg["p"].to_numpy(zero_copy_only=False).astype(np.int64)
-    n1v = agg["n1"].to_numpy(zero_copy_only=False).astype(np.int64)
-    s1v = agg["s1"].to_numpy(zero_copy_only=False).astype(np.int64)
-    by = {int(p): (int(a), int(b)) for p, a, b in zip(pv, n1v, s1v)}
-    n, s = by[-2]
-
-    def tstat(n1: int, s1: int) -> float:
-        return float(s1) / float(n1) - float(s - s1) / float(n - n1)
-
-    t_obs = tstat(*by[-1])
-    n_extreme = sum(
-        1
-        for p in range(n_perms)
-        if abs(tstat(*by[p])) >= abs(t_obs)
-    )
-    return pa.table(
-        {
-            "n_perms": pa.array([n_perms], pa.int64()),
-            "t_obs": round_like_sql([t_obs], 6),
-            "n_extreme": pa.array([n_extreme], pa.int64()),
-            "p_value": round_like_sql(
-                [(1.0 + float(n_extreme)) / 201.0], 6
-            ),
-        }
-    )
-
-
-_PCA_ITERS = 40
-_PCA_SCALE = 1_000_000
-
-
-def _q_pca_power(sf_dir: str) -> pa.Table:
-    """Top principal eigenpair of the embedding covariance by FULLY
-    INTEGER power iteration: values quantized at 1e4 ticks, the
-    64x64 scatter matrix C = n*Sxy - Sx*Sy built from distributed
-    int64 partial matmuls, then 40 iterations of w = C.v with
-    max-abs renormalization to 1e6 ticks via sign-split truncating
-    division (identical in Python and DuckDB //) -- every step is
-    exact arbitrary-precision integer arithmetic, so both sides
-    produce bit-identical vectors regardless of convergence; the
-    Rayleigh quotient is one float chain at the end."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.ann import (
-        list_col_to_matrix,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
-    )
-
-    def partials(batch: pa.Table) -> pa.Table:
-        m = list_col_to_matrix(batch["embedding"]).astype(np.float64)
-        vq = round_half_away(m * 1e4).astype(np.int64)
-        d = vq.shape[1]
-        spp = vq.T @ vq  # d x d int64 partial scatter
-        sv = vq.sum(axis=0)
-        keys = np.concatenate(
-            [np.arange(d * d, dtype=np.int64), d * d + np.arange(d), [d * d + d]]
-        )
-        vals = np.concatenate([spp.ravel(), sv, [np.int64(vq.shape[0])]])
-        return pa.table({"k": pa.array(keys), "v": pa.array(vals)})
-
-    agg = hash_aggregate(
-        ds.map_batches(partials, batch_format="pyarrow", batch_size=None),
-        ["k"],
-        [("v", "sum", "v")],
-    )
-    kv = dict(
-        zip(
-            agg["k"].to_numpy(zero_copy_only=False).tolist(),
-            agg["v"].to_numpy(zero_copy_only=False).tolist(),
-        )
-    )
-    d = 64
-    n = int(kv[d * d + d])
-    sv = [int(kv[d * d + i]) for i in range(d)]
-    c = [
-        [n * int(kv[i * d + j]) - sv[i] * sv[j] for j in range(d)]
-        for i in range(d)
-    ]
-    v = [_PCA_SCALE] * d
-    for _ in range(_PCA_ITERS):
-        w = [sum(c[i][j] * v[j] for j in range(d)) for i in range(d)]
-        mx = max(abs(x) for x in w)
-        v = [
-            -((-x * _PCA_SCALE) // mx) if x < 0 else (x * _PCA_SCALE) // mx
-            for x in w
-        ]
-    num = sum(v[i] * c[i][j] * v[j] for i in range(d) for j in range(d))
-    den = sum(x * x for x in v)
-    eig = (
-        float(num) / float(den)
-        / (float(n) * float(n) * 1e8)
-    )
-    return pa.table(
-        {
-            "dim": pa.array(np.arange(1, d + 1, dtype=np.int64)),
-            "vq": pa.array(v, pa.int64()),
-            "eigval": round_like_sql([eig] * d, 6),
-        }
-    )
-
-
-def _q_dtw_distance(sf_dir: str) -> pa.Table:
-    """Dynamic-time-warping distance between the hour-of-day count
-    profiles of click vs view events: |a_i - b_j| integer costs and
-    the classic 24x24 DP, so the whole alignment is exact integer
-    arithmetic end-to-end.  The SQL mirror unrolls the DP by
-    anti-diagonal (47 generated CTE levels) -- same recurrence, no
-    float anywhere."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"]
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        et = batch["event_type"].to_numpy(zero_copy_only=False)
-        hod = (
-            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 3_600_000_000
-            % 24
-        )
-        m = (et == "click") | (et == "view")
-        return pa.table(
-            {
-                "hod": pa.array(hod[m]),
-                "is_a": pa.array((et[m] == "click").astype(np.int64)),
-                "_one": pa.array(np.ones(int(m.sum()), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["hod", "is_a"],
-        [("_one", "sum", "c")],
-    )
-    a = np.zeros(24, np.int64)
-    b = np.zeros(24, np.int64)
-    for h, isa, c in zip(
-        agg["hod"].to_pylist(), agg["is_a"].to_pylist(), agg["c"].to_pylist()
-    ):
-        (a if isa else b)[int(h)] = int(c)
-    dp = [[0] * 24 for _ in range(24)]
-    for i in range(24):
-        for j in range(24):
-            cost = abs(int(a[i]) - int(b[j]))
-            if i == 0 and j == 0:
-                prev = 0
-            elif i == 0:
-                prev = dp[0][j - 1]
-            elif j == 0:
-                prev = dp[i - 1][0]
-            else:
-                prev = min(dp[i - 1][j], dp[i][j - 1], dp[i - 1][j - 1])
-            dp[i][j] = cost + prev
-    return pa.table(
-        {
-            "n_a": pa.array([int(a.sum())], pa.int64()),
-            "n_b": pa.array([int(b.sum())], pa.int64()),
-            "dtw": pa.array([dp[23][23]], pa.int64()),
-        }
-    )
-
-
-def _q_trigram_sim_pairs(sf_dir: str) -> pa.Table:
-    """Trigram-cosine string-similarity join over the distinct corpus
-    vocabulary (tokens of length >= 4): per-word trigram count
-    vectors, candidate pairs blocked by shared trigram through the
-    bucketed groupby shuffle (partial dot products per bucket, summed
-    by a combiner aggregate -- no all-pairs stage), and the exact
-    integer acceptance predicate 25*dot^2 >= |u|^2*|v|^2
-    (cosine >= 0.2) so no float enters the filter."""
-    import pyarrow.compute as pc
-    import ray.data as rd
-
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        distinct, hash_aggregate, round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
-        grouped_by_key,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        _explode_tokens,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
-
-    def batch_tokens(batch: pa.Table) -> pa.Table:
-        batch = batch.append_column(
-            "_d", pa.array(np.zeros(batch.num_rows, np.int64))
-        )
-        return _explode_tokens(batch, "text", "_d").select(["token"])
-
-    vocab = distinct(
-        ds.map_batches(batch_tokens, batch_format="pyarrow", batch_size=None),
-        ["token"],
-    )
-    vocab = vocab.filter(pc.greater_equal(pc.utf8_length(vocab["token"]), 4))
-
-    def tri_rows(batch: pa.Table) -> pa.Table:
-        ws, ts, cs = [], [], []
-        for w in batch["token"].to_pylist():
-            from collections import Counter
-
-            cnt = Counter(w[i : i + 3] for i in range(len(w) - 2))
-            for t, c in cnt.items():
-                ws.append(w)
-                ts.append(t)
-                cs.append(c)
-        return pa.table(
-            {
-                "w": pa.array(ws, pa.string()),
-                "tri": pa.array(ts, pa.string()),
-                "c": pa.array(cs, pa.int64()),
-            }
-        )
-
-    tri_ds = rd.from_arrow(vocab).map_batches(
-        tri_rows, batch_format="pyarrow", batch_size=None
-    )
-
-    def bucket_dots(group: pa.Table) -> pa.Table:
-        ws = group["w"].to_pylist()
-        cs = group["c"].to_pylist()
-        w1o, w2o, d = [], [], []
-        order = sorted(range(len(ws)), key=lambda i: ws[i])
-        for x in range(len(order)):
-            for y in range(x + 1, len(order)):
-                i, j = order[x], order[y]
-                w1o.append(ws[i])
-                w2o.append(ws[j])
-                d.append(int(cs[i]) * int(cs[j]))
-        return pa.table(
-            {
-                "w1": pa.array(w1o, pa.string()),
-                "w2": pa.array(w2o, pa.string()),
-                "dot": pa.array(d, pa.int64()),
-            }
-        )
-
-    dots = hash_aggregate(
-        grouped_by_key(tri_ds, "tri", bucket_dots),
-        ["w1", "w2"],
-        [("dot", "sum", "dot")],
-    )
-    norms_t = hash_aggregate(
-        tri_ds.map_batches(
-            lambda b: pa.table(
-                {
-                    "w": b["w"],
-                    "c2": pa.array(
-                        (
-                            b["c"].to_numpy(zero_copy_only=False) ** 2
-                        ).astype(np.int64)
-                    ),
-                }
-            ),
-            batch_format="pyarrow",
-            batch_size=None,
-        ),
-        ["w"],
-        [("c2", "sum", "n2")],
-    )
-    nrm = {
-        w: int(v)
-        for w, v in zip(norms_t["w"].to_pylist(), norms_t["n2"].to_pylist())
-    }
-    w1o, w2o, dd, sim = [], [], [], []
-    for w1, w2, dot in sorted(
-        zip(
-            dots["w1"].to_pylist(),
-            dots["w2"].to_pylist(),
-            dots["dot"].to_pylist(),
-        )
-    ):
-        dot = int(dot)
-        q = nrm[w1] * nrm[w2]
-        if 25 * dot * dot >= q:
-            w1o.append(w1)
-            w2o.append(w2)
-            dd.append(dot)
-            sim.append(float(dot) / np.sqrt(float(q)))
-    return pa.table(
-        {
-            "w1": pa.array(w1o, pa.string()),
-            "w2": pa.array(w2o, pa.string()),
-            "dot": pa.array(dd, pa.int64()),
-            "cos_sim": round_like_sql(sim, 6),
-        }
-    )
-
-
-_FIEDLER_ITERS = 30
-
-
-def _q_fiedler_value(sf_dir: str) -> pa.Table:
-    """Algebraic connectivity (Fiedler value, second-smallest Laplacian
-    eigenvalue) of the edit-1 word graph by FULLY INTEGER power
-    iteration on M = cI - L (c = 2*max_deg + 1) with exact deflation:
-    each step re-centers n*Mv - sum(Mv) so truncation drift off the
-    all-ones eigenspace is removed in integer arithmetic, then
-    renormalizes by max-abs with the same sign-split truncating
-    division as pca_power.  lambda2 = c - Rayleigh(M); the final
-    vector's sign pattern is the spectral bipartition (n_pos).  The
-    distributed tier is the deletion-blocked edge join
-    (stages/textops.py::edit1_vocab_pairs); iteration state is
-    vocabulary-bounded."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        edit1_vocab_pairs,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
-    ).map_batches(
-        lambda b: b.rename_columns(["text"]),
-        batch_format="pyarrow", batch_size=None,
-    )
-    pairs = edit1_vocab_pairs(ds, min_len=4)
-    # node set = every distinct vocab word (incl. isolated), ranked
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        distinct,
-    )
-
-    full = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
-    )
-    vt = distinct(full, ["source"])
-    vocab = sorted(
-        w for w in vt["source"].to_pylist() if len(w) >= 4
-    )
-    rank = {w: i for i, w in enumerate(vocab)}
-    n = len(vocab)
-    adj: list[list[int]] = [[] for _ in range(n)]
-    n_edges = 0
-    for w1, w2 in zip(pairs["w1"].to_pylist(), pairs["w2"].to_pylist()):
-        a, b = rank[w1], rank[w2]
-        adj[a].append(b)
-        adj[b].append(a)
-        n_edges += 1
-    deg = [len(x) for x in adj]
-    c = 2 * max(deg) + 1 if n else 1
-    sr = sum(range(n))
-    v = [n * r - sr for r in range(n)]
-    scale = 1_000_000
-
-    def matvec(vv: list[int]) -> list[int]:
-        return [
-            (c - deg[i]) * vv[i] + sum(vv[j] for j in adj[i])
-            for i in range(n)
-        ]
-
-    for _ in range(_FIEDLER_ITERS):
-        mv = matvec(v)
-        sm = sum(mv)
-        t = [n * x - sm for x in mv]
-        mx = max(abs(x) for x in t)
-        v = [
-            -((-x * scale) // mx) if x < 0 else (x * scale) // mx
-            for x in t
-        ]
-    mvf = matvec(v)
-    num = sum(a * b for a, b in zip(v, mvf))
-    den = sum(x * x for x in v)
-    lam2 = float(c) - float(num) / float(den)
-    return pa.table(
-        {
-            "n_nodes": pa.array([n], pa.int64()),
-            "n_edges": pa.array([n_edges], pa.int64()),
-            "lambda2": round_like_sql([lam2], 6),
-            "n_pos": pa.array([sum(1 for x in v if x > 0)], pa.int64()),
-        }
-    )
-
-
-def _q_tsp_cells(sf_dir: str) -> pa.Table:
-    """Exact Held-Karp TSP over the top-8 event grid cells (by count,
-    ties broken by cell id): integer Manhattan distances on the frozen
-    96x96 grid, bitmask subset DP -- every state cost is an exact
-    integer, the SQL mirror unrolls the DP by subset size (7 generated
-    CTE levels over (mask, last) rows).  Reports both the optimal
-    cycle (return to the smallest cell) and the optimal open path."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
-
-    def prep(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        cell = eid % 96 + (eid // 96 % 96) * 96
-        return pa.table(
-            {
-                "cell": pa.array(cell),
-                "_one": pa.array(np.ones(len(eid), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["cell"],
-        [("_one", "sum", "n")],
-    )
-    rows = sorted(
-        zip(
-            agg["n"].to_pylist(),
-            agg["cell"].to_pylist(),
-        ),
-        key=lambda t: (-int(t[0]), int(t[1])),
-    )[:8]
-    cells = sorted(int(c) for _, c in rows)  # node 0 = smallest cell
-    k = len(cells)
-    xs = [c % 96 for c in cells]
-    ys = [c // 96 for c in cells]
-    d = [
-        [abs(xs[i] - xs[j]) + abs(ys[i] - ys[j]) for j in range(k)]
-        for i in range(k)
-    ]
-    inf = 1 << 60
-    dp = {(1, 0): 0}
-    for mask in range(1, 1 << k):
-        if not mask & 1:
-            continue
-        for last in range(k):
-            if not (mask >> last) & 1 or (mask, last) not in dp:
-                continue
-            base = dp[(mask, last)]
-            for nxt in range(1, k):
-                if (mask >> nxt) & 1:
-                    continue
-                key = (mask | (1 << nxt), nxt)
-                cand = base + d[last][nxt]
-                if cand < dp.get(key, inf):
-                    dp[key] = cand
-    full = (1 << k) - 1
-    cycle = min(dp[(full, j)] + d[j][0] for j in range(k) if (full, j) in dp)
-    path = min(dp[(full, j)] for j in range(k) if (full, j) in dp)
-    return pa.table(
-        {
-            "n_cells": pa.array([k], pa.int64()),
-            "tsp_cycle": pa.array([cycle], pa.int64()),
-            "tsp_path": pa.array([path], pa.int64()),
-        }
-    )
-
-
-_BT_ITERS = 20
-_BT_SCALE = 1_000_000
-
-
-def _q_bradley_terry(sf_dir: str) -> pa.Table:
-    """Bradley-Terry skill ranking of the five event types from
-    pairwise (user, day) count comparisons (type i beats j in a
-    context when it has strictly more events): Hunter's MM update
-    p_i' = W_i / sum_j n_ij/(p_i+p_j) run as a FULLY INTEGER fixed-
-    point iteration -- each reciprocal term, the re-estimate, and the
-    sum-normalization are truncating divisions on 1e6-tick integers,
-    so 20 unrolled steps are bit-identical in Python and SQL.
-    Distributed tier: the (user, day, type) count combiner; the win
-    matrix is 5x5."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "ts", "event_type"],
-    )
-    tmap = {t: i for i, t in enumerate(_MARKOV_STATES)}
-
-    def prep(batch: pa.Table) -> pa.Table:
-        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        day = (
-            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 86_400_000_000
-        )
-        et = batch["event_type"].to_pylist()
-        ti = np.array([tmap[t] for t in et], np.int64)
-        return pa.table(
-            {
-                "u": pa.array(uid),
-                "d": pa.array(day),
-                "t": pa.array(ti),
-                "_one": pa.array(np.ones(len(uid), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["u", "d", "t"],
-        [("_one", "sum", "c")],
-    )
-    u = agg["u"].to_numpy(zero_copy_only=False).astype(np.int64)
-    dday = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)
-    tv = agg["t"].to_numpy(zero_copy_only=False).astype(np.int64)
-    cv = agg["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-    _, inv = np.unique(
-        np.stack([u, dday], axis=1), axis=0, return_inverse=True
-    )
-    mat = np.zeros((int(inv.max()) + 1, 5), np.int64)
-    mat[inv, tv] = cv
-    w = [[0] * 5 for _ in range(5)]
-    for i in range(5):
-        for j in range(5):
-            if i != j:
-                # both types must occur in the context (inner-join
-                # comparison semantics, mirrored in SQL)
-                w[i][j] = int(
-                    ((mat[:, i] > mat[:, j]) & (mat[:, j] > 0)).sum()
-                )
-    wins = [sum(w[i]) for i in range(5)]
-    nmat = [[w[i][j] + w[j][i] for j in range(5)] for i in range(5)]
-    sc = _BT_SCALE
-    p = [sc] * 5
-    for _ in range(_BT_ITERS):
-        praw = []
-        for i in range(5):
-            denom = sum(
-                (nmat[i][j] * sc * sc) // (p[i] + p[j])
-                for j in range(5)
-                if j != i and nmat[i][j] > 0
-            )
-            praw.append((wins[i] * sc * sc) // denom if denom else 0)
-        tot = sum(praw)
-        p = [(x * 5 * sc) // tot for x in praw]
-    return pa.table(
-        {
-            "event_type": pa.array(_MARKOV_STATES),
-            "wins": pa.array(wins, pa.int64()),
-            "pq": pa.array(p, pa.int64()),
-            "skill": round_like_sql([float(x) / 1e6 for x in p], 6),
-        }
-    )
-
-
-def _q_jenks_breaks(sf_dir: str) -> pa.Table:
-    """Jenks natural-breaks (optimal 1-D 4-class) segmentation of the
-    daily event-revenue series -- the classic choropleth classifier.
-    Segment SSD numerators N = len*Sum(y^2) - Sum(y)^2 are exact
-    integers; costs quantized as N // len (cent^2 resolution) so the
-    O(n^2 k) DP and its smallest-boundary argmin reconstruction are
-    pure integer arithmetic on both sides."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["ts", "value"]
-    )
-
-    def daily(batch: pa.Table) -> pa.Table:
-        d = (
-            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 86_400_000_000
-        )
-        return pa.table(
-            {
-                "d": pa.array(d),
-                "y": pa.array(scaled_int(batch["value"], 100.0)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(daily, batch_format="pyarrow", batch_size=None),
-        ["d"],
-        [("y", "sum", "y")],
-    )
-    dd = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)
-    lo, hi = int(dd.min()), int(dd.max())
-    n = hi - lo + 1
-    ys = [0] * n
-    for d, y in zip((dd - lo).tolist(), agg["y"].to_pylist()):
-        ys[d] = int(y)
-    p1 = [0] * (n + 1)
-    p2 = [0] * (n + 1)
-    for i in range(n):
-        p1[i + 1] = p1[i] + ys[i]
-        p2[i + 1] = p2[i] + ys[i] * ys[i]
-
-    def cq(a: int, b: int) -> int:
-        ln = b - a + 1
-        s1 = p1[b + 1] - p1[a]
-        s2 = p2[b + 1] - p2[a]
-        return (ln * s2 - s1 * s1) // ln
-
-    inf = 1 << 200
-    k_classes = 4
-    b = [[inf] * n for _ in range(k_classes + 1)]
-    for t in range(n):
-        b[1][t] = cq(0, t)
-    for k in range(2, k_classes + 1):
-        for t in range(k - 1, n):
-            b[k][t] = min(
-                b[k - 1][s] + cq(s + 1, t) for s in range(k - 2, t)
-            )
-    # reconstruct boundaries (smallest-s argmin at each level)
-    ends = [n - 1]
-    for k in range(k_classes, 1, -1):
-        t = ends[-1]
-        best = min(
-            b[k - 1][s] + cq(s + 1, t) for s in range(k - 2, t)
-        )
-        s_star = min(
-            s
-            for s in range(k - 2, t)
-            if b[k - 1][s] + cq(s + 1, t) == best
-        )
-        ends.append(s_star)
-    ends = ends[::-1]  # e1 < e2 < e3 < n-1
-    starts = [0] + [e + 1 for e in ends[:-1]]
-    return pa.table(
-        {
-            "class": pa.array(list(range(1, k_classes + 1)), pa.int64()),
-            "t_start": pa.array(starts, pa.int64()),
-            "t_end": pa.array(ends, pa.int64()),
-            "n_days": pa.array(
-                [e - s + 1 for s, e in zip(starts, ends)], pa.int64()
-            ),
-            "cost_q": pa.array(
-                [cq(s, e) for s, e in zip(starts, ends)], pa.int64()
-            ),
-        }
-    )
-
-
-_BETW_LEVELS = 6
-_BETW_SCALE = 1_000_000_000
-
-
-def _q_betweenness_seeds(sf_dir: str) -> pa.Table:
-    """Seed-set betweenness (Brandes dependency accumulation from the
-    five smallest vocabulary words) over the edit-1 word graph: exact
-    integer shortest-path counts sigma via layered BFS (6 unrolled
-    levels), and the backward pass delta(v) = sum_w sigma_v*(SC +
-    delta_w) // sigma_w with 1e9-tick truncating divisions so the
-    per-node accumulation is an exact integer both sides.  The
-    distributed tier is the deletion-blocked edge join; per-seed state
-    is vocabulary-bounded."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        distinct, round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        edit1_vocab_pairs,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
-    ).map_batches(
-        lambda b: b.rename_columns(["text"]),
-        batch_format="pyarrow", batch_size=None,
-    )
-    pairs = edit1_vocab_pairs(ds, min_len=4)
-    full = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
-    )
-    vt = distinct(full, ["source"])
-    vocab = sorted(w for w in vt["source"].to_pylist() if len(w) >= 4)
-    rank = {w: i for i, w in enumerate(vocab)}
-    n = len(vocab)
-    adj: list[list[int]] = [[] for _ in range(n)]
-    for w1, w2 in zip(pairs["w1"].to_pylist(), pairs["w2"].to_pylist()):
-        a, b = rank[w1], rank[w2]
-        adj[a].append(b)
-        adj[b].append(a)
-    sc = _BETW_SCALE
-    bc = [0] * n
-    for s in range(min(5, n)):
-        dist = {s: 0}
-        sigma = {s: 1}
-        levels: list[list[int]] = [[s]]
-        for lvl in range(1, _BETW_LEVELS + 1):
-            nxt: dict[int, int] = {}
-            for u in levels[lvl - 1]:
-                for v in adj[u]:
-                    if v in dist and dist[v] < lvl:
-                        continue
-                    dist[v] = lvl
-                    nxt[v] = nxt.get(v, 0) + sigma[u]
-            level_nodes = sorted(nxt)
-            for v in level_nodes:
-                sigma[v] = nxt[v]
-            levels.append(level_nodes)
-        dqs: dict[int, int] = {v: 0 for v in levels[_BETW_LEVELS]}
-        for lvl in range(_BETW_LEVELS - 1, 0, -1):
-            for u in levels[lvl]:
-                tot = 0
-                for w in adj[u]:
-                    if dist.get(w) == lvl + 1:
-                        tot += (sigma[u] * (sc + dqs.get(w, 0))) // sigma[w]
-                dqs[u] = tot
-        for v, dq in dqs.items():
-            bc[v] += dq
-    return pa.table(
-        {
-            "word": pa.array(vocab, pa.string()),
-            "bc_q": pa.array(bc, pa.int64()),
-            "bc": round_like_sql([float(x) / 1e9 for x in bc], 6),
-        }
-    )
-
-
-_IPF_ITERS = 10
-_IPF_SCALE = 1_000_000
-
-
-def _q_ipf_balance(sf_dir: str) -> pa.Table:
-    """Iterative proportional fitting (RAS matrix balancing): the
-    (event_type x 4h-bucket) count matrix seeded from the first seven
-    days is balanced to the full month's row/column margins.  Cells
-    live in 1e6 ticks; each row/column scaling is a truncating integer
-    division (X * target * SC // current-sum), 10 unrolled double
-    steps, so both sides produce bit-identical matrices.  The same
-    combiner aggregate feeds seed and margins in one pass."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"]
-    )
-    tmap = {t: i for i, t in enumerate(_MARKOV_STATES)}
-
-    def prep(batch: pa.Table) -> pa.Table:
-        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        day = us // 86_400_000_000
-        bkt = us // 3_600_000_000 % 24 // 4
-        ti = np.array(
-            [tmap[t] for t in batch["event_type"].to_pylist()], np.int64
-        )
-        return pa.table(
-            {
-                "i": pa.array(ti),
-                "j": pa.array(bkt),
-                "d": pa.array(day),
-                "_one": pa.array(np.ones(len(ti), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["i", "j", "d"],
-        [("_one", "sum", "c")],
-    )
-    iv = agg["i"].to_numpy(zero_copy_only=False).astype(np.int64)
-    jv = agg["j"].to_numpy(zero_copy_only=False).astype(np.int64)
-    dv = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)
-    cv = agg["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-    d0 = int(dv.min())
-    seed = [[0] * 6 for _ in range(5)]
-    rt = [0] * 5
-    ct = [0] * 6
-    for i, j, d, c in zip(
-        iv.tolist(), jv.tolist(), dv.tolist(), cv.tolist()
-    ):
-        if d - d0 < 7:
-            seed[i][j] += int(c)
-        rt[i] += int(c)
-        ct[j] += int(c)
-    sc = _IPF_SCALE
-    x = [[seed[i][j] * sc for j in range(6)] for i in range(5)]
-    for _ in range(_IPF_ITERS):
-        for i in range(5):
-            rs = sum(x[i])
-            x[i] = [
-                (v * rt[i] * sc) // rs if rs else 0 for v in x[i]
-            ]
-        for j in range(6):
-            cs = sum(x[i][j] for i in range(5))
-            for i in range(5):
-                x[i][j] = (x[i][j] * ct[j] * sc) // cs if cs else 0
-    ii, jj, xq = [], [], []
-    for i in range(5):
-        for j in range(6):
-            ii.append(_MARKOV_STATES[i])
-            jj.append(j)
-            xq.append(x[i][j])
-    return pa.table(
-        {
-            "event_type": pa.array(ii, pa.string()),
-            "bucket": pa.array(jj, pa.int64()),
-            "x_q": pa.array(xq, pa.int64()),
-            "x": round_like_sql([float(v) / 1e6 for v in xq], 6),
-        }
-    )
-
-
-def _q_nb_lang_eval(sf_dir: str) -> pa.Table:
-    """Multinomial naive-Bayes language classifier trained on per-lang
-    letter counts (a-z, Laplace +1) and evaluated on the same corpus:
-    log-probabilities quantized at 1e9 ticks so each document's score
-    is an exact integer sum; argmax with smallest-lang tie-break;
-    output is the actual-vs-predicted confusion.  Two distributed
-    passes: a (lang, letter) count combiner, then a scoring pass with
-    the 5x26 model broadcast per batch."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "text", "lang"],
-    )
-
-    def letter_counts(text: str) -> np.ndarray:
-        b = np.frombuffer(text.encode(), np.uint8).astype(np.int64)
-        b = b[(b >= 97) & (b <= 122)] - 97
-        return np.bincount(b, minlength=26)
-
-    def train_partial(batch: pa.Table) -> pa.Table:
-        langs, cs, ns = [], [], []
-        acc: dict[str, np.ndarray] = {}
-        nd: dict[str, int] = {}
-        for text, lang in zip(
-            batch["text"].to_pylist(), batch["lang"].to_pylist()
-        ):
-            acc[lang] = acc.get(lang, np.zeros(26, np.int64)) + letter_counts(
-                text
-            )
-            nd[lang] = nd.get(lang, 0) + 1
-        for lang, vec in acc.items():
-            for c in range(26):
-                langs.append(lang)
-                cs.append(c)
-                ns.append(int(vec[c]))
-            langs.append(lang)
-            cs.append(-1)  # doc-count row
-            ns.append(nd[lang])
-        return pa.table(
-            {
-                "lang": pa.array(langs, pa.string()),
-                "c": pa.array(cs, pa.int64()),
-                "n": pa.array(ns, pa.int64()),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(train_partial, batch_format="pyarrow", batch_size=None),
-        ["lang", "c"],
-        [("n", "sum", "n")],
-    )
-    counts: dict[str, np.ndarray] = {}
-    ndocs: dict[str, int] = {}
-    for lang, c, nn in zip(
-        agg["lang"].to_pylist(), agg["c"].to_pylist(), agg["n"].to_pylist()
-    ):
-        if int(c) == -1:
-            ndocs[lang] = int(nn)
-        else:
-            counts.setdefault(lang, np.zeros(26, np.int64))[int(c)] = int(nn)
-    langs = sorted(ndocs)
-    n_total = sum(ndocs.values())
-    cond = {}
-    pri = {}
-    for lang in langs:
-        vec = counts.get(lang, np.zeros(26, np.int64))
-        tot = int(vec.sum())
-        cond[lang] = np.array(
-            [
-                int(
-                    round_half_away(
-                        np.array(
-                            [1e9 * np.log(float(int(v) + 1) / float(tot + 26))]
-                        )
-                    )[0]
-                )
-                for v in vec
-            ],
-            np.int64,
-        )
-        pri[lang] = int(
-            round_half_away(
-                np.array([1e9 * np.log(float(ndocs[lang]) / float(n_total))])
-            )[0]
-        )
-
-    def score_partial(batch: pa.Table) -> pa.Table:
-        out: dict[tuple[str, str], int] = {}
-        for text, lang in zip(
-            batch["text"].to_pylist(), batch["lang"].to_pylist()
-        ):
-            vec = letter_counts(text)
-            best_lang = None
-            best = None
-            for lg in langs:
-                s = pri[lg] + int(np.dot(vec, cond[lg]))
-                if best is None or s > best:
-                    best, best_lang = s, lg
-            key = (lang, best_lang)
-            out[key] = out.get(key, 0) + 1
-        ks = sorted(out)
-        return pa.table(
-            {
-                "actual": pa.array([k[0] for k in ks], pa.string()),
-                "predicted": pa.array([k[1] for k in ks], pa.string()),
-                "n": pa.array([out[k] for k in ks], pa.int64()),
-            }
-        )
-
-    conf = hash_aggregate(
-        ds.map_batches(score_partial, batch_format="pyarrow", batch_size=None),
-        ["actual", "predicted"],
-        [("n", "sum", "n_docs")],
-    )
-    return conf.sort_by([("actual", "ascending"), ("predicted", "ascending")])
-
-
-def _q_item_cf_pairs(sf_dir: str) -> pa.Table:
-    """Item-item collaborative filtering over the user x cell visit
-    matrix: distinct (user, cell) visits, per-user co-visit pair
-    partials through the bucketed groupby shuffle (the classic
-    recsys co-occurrence fan-out -- bounded per user, never
-    all-pairs over items), combiner-summed dots, and the top-20
-    pairs by (co-visitors DESC, cell ids) with the pinned cosine."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
-        grouped_by_key,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_id"]
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                "u": batch["user_id"],
-                "cell": pa.array(eid % 96 + (eid // 96 % 96) * 96),
-                "_one": pa.array(np.ones(len(eid), np.int64)),
-            }
-        )
-
-    uc = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["u", "cell"],
-        [("_one", "sum", "_n")],
-    )
-    import ray.data as rd
-
-    uc_ds = rd.from_arrow(uc.select(["u", "cell"]))
-
-    def user_pairs(group: pa.Table) -> pa.Table:
-        cells = sorted(group["cell"].to_pylist())
-        c1, c2 = [], []
-        for i in range(len(cells)):
-            for j in range(i + 1, len(cells)):
-                c1.append(cells[i])
-                c2.append(cells[j])
-        return pa.table(
-            {
-                "c1": pa.array(c1, pa.int64()),
-                "c2": pa.array(c2, pa.int64()),
-                "_one": pa.array(np.ones(len(c1), np.int64)),
-            }
-        )
-
-    dots = hash_aggregate(
-        grouped_by_key(uc_ds, "u", user_pairs),
-        ["c1", "c2"],
-        [("_one", "sum", "dot")],
-    )
-    nv = {}
-    nt = hash_aggregate(
-        uc_ds.map_batches(
-            lambda b: pa.table(
-                {
-                    "cell": b["cell"],
-                    "_one": pa.array(np.ones(b.num_rows, np.int64)),
-                }
-            ),
-            batch_format="pyarrow",
-            batch_size=None,
-        ),
-        ["cell"],
-        [("_one", "sum", "nv")],
-    )
-    nv = dict(
-        zip(nt["cell"].to_pylist(), (int(x) for x in nt["nv"].to_pylist()))
-    )
-    c1v = dots["c1"].to_numpy(zero_copy_only=False)
-    c2v = dots["c2"].to_numpy(zero_copy_only=False)
-    dv = dots["dot"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((c2v, c1v, -dv))[:20]
-    c1o = c1v[order].tolist()
-    c2o = c2v[order].tolist()
-    do = dv[order].tolist()
-    cs = [
-        float(int(d)) / np.sqrt(float(nv[a] * nv[b]))
-        for a, b, d in zip(c1o, c2o, do)
-    ]
-    return pa.table(
-        {
-            "c1": pa.array(c1o, pa.int64()),
-            "c2": pa.array(c2o, pa.int64()),
-            "dot": pa.array([int(x) for x in do], pa.int64()),
-            "cos_sim": round_like_sql(cs, 6),
-        }
-    )
-
-
-_LPA_ROUNDS = 10
-
-
-def _q_label_prop_communities(sf_dir: str) -> pa.Table:
-    """Synchronous label-propagation communities on the edit-1 word
-    graph: every node starts with its own rank label; each of 10
-    rounds replaces it with the most frequent neighbor label
-    (smallest label on ties, isolated nodes keep theirs) -- a fully
-    deterministic integer process, so 10 unrolled rounds are
-    bit-identical in Python and SQL."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        distinct,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        edit1_vocab_pairs,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
-    ).map_batches(
-        lambda b: b.rename_columns(["text"]),
-        batch_format="pyarrow", batch_size=None,
-    )
-    pairs = edit1_vocab_pairs(ds, min_len=4)
-    full = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
-    )
-    vt = distinct(full, ["source"])
-    vocab = sorted(w for w in vt["source"].to_pylist() if len(w) >= 4)
-    rank = {w: i for i, w in enumerate(vocab)}
-    n = len(vocab)
-    adj: list[list[int]] = [[] for _ in range(n)]
-    for w1, w2 in zip(pairs["w1"].to_pylist(), pairs["w2"].to_pylist()):
-        a, b = rank[w1], rank[w2]
-        adj[a].append(b)
-        adj[b].append(a)
-    lab = list(range(n))
-    for _ in range(_LPA_ROUNDS):
-        new = list(lab)
-        for v in range(n):
-            if not adj[v]:
-                continue
-            freq: dict[int, int] = {}
-            for u in adj[v]:
-                freq[lab[u]] = freq.get(lab[u], 0) + 1
-            new[v] = min(
-                (l for l in freq), key=lambda l: (-freq[l], l)
-            )
-        lab = new
-    return pa.table(
-        {
-            "word": pa.array(vocab, pa.string()),
-            "community": pa.array(lab, pa.int64()),
-        }
-    )
-
-
-def _q_enclosing_circle(sf_dir: str) -> pa.Table:
-    """Smallest enclosing circle of the top-20 event cells: brute
-    certificate enumeration (every diameter pair and non-collinear
-    circumcircle triple) with EXACT integer containment tests --
-    |2q-(p1+p2)|^2 <= |p1-p2|^2 for pairs, |dq-u|^2 <= |da-u|^2 for
-    triples -- so validity never touches a float; the winning
-    candidate is the (float r^2, candidate id) minimum with identical
-    pinned doubles on both sides."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
-
-    def prep(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        cell = eid % 96 + (eid // 96 % 96) * 96
-        return pa.table(
-            {
-                "cell": pa.array(cell),
-                "_one": pa.array(np.ones(len(eid), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["cell"],
-        [("_one", "sum", "n")],
-    )
-    top = sorted(
-        zip(agg["n"].to_pylist(), agg["cell"].to_pylist()),
-        key=lambda t: (-int(t[0]), int(t[1])),
-    )[:20]
-    cells = sorted(int(c) for _, c in top)
-    pts = [(c % 96, c // 96) for c in cells]
-    n = len(pts)
-    best = None  # (r2f, i, j, k, num, den, cxf, cyf)
-    for i in range(n):
-        for j in range(i + 1, n):
-            (x1, y1), (x2, y2) = pts[i], pts[j]
-            num = (x1 - x2) ** 2 + (y1 - y2) ** 2
-            ok = all(
-                (2 * qx - x1 - x2) ** 2 + (2 * qy - y1 - y2) ** 2 <= num
-                for qx, qy in pts
-            )
-            if ok:
-                cand = (
-                    float(num) / 4.0,
-                    i, j, -1,
-                    float(x1 + x2) / 2.0,
-                    float(y1 + y2) / 2.0,
-                )
-                if best is None or cand < best:
-                    best = cand
-    for i in range(n):
-        for j in range(i + 1, n):
-            for k in range(j + 1, n):
-                (ax, ay), (bx, by), (cx, cy) = pts[i], pts[j], pts[k]
-                d = 2 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
-                if d == 0:
-                    continue
-                a2 = ax * ax + ay * ay
-                b2 = bx * bx + by * by
-                c2 = cx * cx + cy * cy
-                ux = a2 * (by - cy) + b2 * (cy - ay) + c2 * (ay - by)
-                uy = a2 * (cx - bx) + b2 * (ax - cx) + c2 * (bx - ax)
-                rnum = (d * ax - ux) ** 2 + (d * ay - uy) ** 2
-                ok = all(
-                    (d * qx - ux) ** 2 + (d * qy - uy) ** 2 <= rnum
-                    for qx, qy in pts
-                )
-                if ok:
-                    cand = (
-                        float(rnum) / float(d * d),
-                        i, j, k,
-                        float(ux) / float(d),
-                        float(uy) / float(d),
-                    )
-                    if best is None or cand < best:
-                        best = cand
-    r2f, _, _, _, cxf, cyf = best
-    return pa.table(
-        {
-            "n_points": pa.array([n], pa.int64()),
-            "radius": round_like_sql([np.sqrt(r2f)], 6),
-            "cx": round_like_sql([cxf], 6),
-            "cy": round_like_sql([cyf], 6),
-        }
-    )
-
-
-_PEEL_STEPS = 19
-
-
-def _q_densest_subgraph(sf_dir: str) -> pa.Table:
-    """Greedy-peel densest subgraph (Charikar 1/2-approximation) on
-    the edit-1 word graph: repeatedly remove the min-degree node
-    (smallest rank on ties) and keep the prefix maximizing
-    edges/nodes.  Degrees, removals and edge counts are integers;
-    density comparisons happen on pinned doubles whose rationals
-    (den <= |V|) cannot collide, so the 19 unrolled peel steps are
-    deterministic on both sides."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        distinct, round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        edit1_vocab_pairs,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
-    ).map_batches(
-        lambda b: b.rename_columns(["text"]),
-        batch_format="pyarrow", batch_size=None,
-    )
-    pairs = edit1_vocab_pairs(ds, min_len=4)
-    full = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
-    )
-    vt = distinct(full, ["source"])
-    vocab = sorted(w for w in vt["source"].to_pylist() if len(w) >= 4)
-    rank = {w: i for i, w in enumerate(vocab)}
-    n = len(vocab)
-    edges = sorted(
-        (min(rank[w1], rank[w2]), max(rank[w1], rank[w2]))
-        for w1, w2 in zip(pairs["w1"].to_pylist(), pairs["w2"].to_pylist())
-    )
-    alive = set(range(n))
-    cur_edges = set(edges)
-    best = (float(len(cur_edges)) / float(n), 0, n, len(cur_edges))
-    for step in range(1, min(_PEEL_STEPS, n - 1) + 1):
-        deg: dict[int, int] = {v: 0 for v in alive}
-        for a, b in cur_edges:
-            deg[a] += 1
-            deg[b] += 1
-        victim = min(alive, key=lambda v: (deg[v], v))
-        alive.discard(victim)
-        cur_edges = {
-            (a, b) for a, b in cur_edges if a != victim and b != victim
-        }
-        dens = float(len(cur_edges)) / float(len(alive))
-        # max density; earliest step on ties
-        if dens > best[0]:
-            best = (dens, -step, len(alive), len(cur_edges))
-    return pa.table(
-        {
-            "n_nodes": pa.array([best[2]], pa.int64()),
-            "n_edges": pa.array([best[3]], pa.int64()),
-            "density": round_like_sql([best[0]], 6),
-        }
-    )
-
-
-def _q_graph_bridges(sf_dir: str) -> pa.Table:
-    """Bridge edges of the edit-1 word graph by the definition itself:
-    an edge is a bridge iff removing it disconnects its endpoints --
-    checked with a 6-level BFS from the edge's smaller endpoint in the
-    graph minus that edge, run for every edge simultaneously (the
-    (edge, frontier) state is edges x nodes bounded).  Pure set/count
-    arithmetic; no DFS ordering anywhere."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        distinct,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        edit1_vocab_pairs,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
-    ).map_batches(
-        lambda b: b.rename_columns(["text"]),
-        batch_format="pyarrow", batch_size=None,
-    )
-    pairs = edit1_vocab_pairs(ds, min_len=4)
-    full = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
-    )
-    vt = distinct(full, ["source"])
-    vocab = sorted(w for w in vt["source"].to_pylist() if len(w) >= 4)
-    rank = {w: i for i, w in enumerate(vocab)}
-    n = len(vocab)
-    edges = sorted(
-        (min(rank[w1], rank[w2]), max(rank[w1], rank[w2]))
-        for w1, w2 in zip(pairs["w1"].to_pylist(), pairs["w2"].to_pylist())
-    )
-    adj: list[set[int]] = [set() for _ in range(n)]
-    for a, b in edges:
-        adj[a].add(b)
-        adj[b].add(a)
-    flags = []
-    for a, b in edges:
-        seen = {a}
-        frontier = {a}
-        for _ in range(6):
-            nxt = set()
-            for u in frontier:
-                for v in adj[u]:
-                    if (u, v) in ((a, b), (b, a)):
-                        continue
-                    if v not in seen:
-                        nxt.add(v)
-            seen |= nxt
-            frontier = nxt
-        flags.append(0 if b in seen else 1)
-    return pa.table(
-        {
-            "w1": pa.array([vocab[a] for a, _ in edges], pa.string()),
-            "w2": pa.array([vocab[b] for _, b in edges], pa.string()),
-            "is_bridge": pa.array(flags, pa.int64()),
-        }
-    )
-
-
-def _q_delaunay_triangles(sf_dir: str) -> pa.Table:
-    """Delaunay triangle candidates of the top-20 event cells by the
-    EXACT empty-circumcircle certificate: triple (i,j,k) qualifies iff
-    no other point lies strictly inside its circumcircle, tested with
-    the integer incircle inequality (d*q - u)^2 < rnum -- no floats,
-    no incremental construction, deterministic even on cocircular
-    grid degeneracies.  The point set is the top-20 cells by summed
-    value cents (count ties would pick one collinear grid row).
-    Returns the triangle list plus the implied Delaunay edge count."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "value"]
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        cell = eid % 96 + (eid // 96 % 96) * 96
-        return pa.table(
-            {
-                "cell": pa.array(cell),
-                "v": pa.array(scaled_int(batch["value"], 100.0)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["cell"],
-        [("v", "sum", "n")],
-    )
-    top = sorted(
-        zip(agg["n"].to_pylist(), agg["cell"].to_pylist()),
-        key=lambda t: (-int(t[0]), int(t[1])),
-    )[:20]
-    cells = sorted(int(c) for _, c in top)
-    pts = [(c % 96, c // 96) for c in cells]
-    n = len(pts)
-    tris = []
-    edge_set = set()
-    for i in range(n):
-        for j in range(i + 1, n):
-            for k in range(j + 1, n):
-                (ax, ay), (bx, by), (cx, cy) = pts[i], pts[j], pts[k]
-                d = 2 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
-                if d == 0:
-                    continue
-                a2 = ax * ax + ay * ay
-                b2 = bx * bx + by * by
-                c2 = cx * cx + cy * cy
-                ux = a2 * (by - cy) + b2 * (cy - ay) + c2 * (ay - by)
-                uy = a2 * (cx - bx) + b2 * (ax - cx) + c2 * (bx - ax)
-                rnum = (d * ax - ux) ** 2 + (d * ay - uy) ** 2
-                empty = all(
-                    (d * qx - ux) ** 2 + (d * qy - uy) ** 2 >= rnum
-                    for m, (qx, qy) in enumerate(pts)
-                    if m not in (i, j, k)
-                )
-                if empty:
-                    tris.append((i, j, k))
-                    edge_set |= {(i, j), (i, k), (j, k)}
-    return pa.table(
-        {
-            "i": pa.array([t[0] for t in tris], pa.int64()),
-            "j": pa.array([t[1] for t in tris], pa.int64()),
-            "k": pa.array([t[2] for t in tris], pa.int64()),
-            "n_edges": pa.array([len(edge_set)] * len(tris), pa.int64()),
-        }
-    )
-
-
-_KNAP_CAP = 600
-
-
-def _top_value_cells(sf_dir: str, k: int = 20) -> list[int]:
-    """Top-k grid cells by summed value cents (ties by cell id) --
-    the scattered point set shared by the computational-geometry
-    and combinatorial-optimization operators."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "value"]
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        cell = eid % 96 + (eid // 96 % 96) * 96
-        return pa.table(
-            {
-                "cell": pa.array(cell),
-                "v": pa.array(scaled_int(batch["value"], 100.0)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["cell"],
-        [("v", "sum", "n")],
-    )
-    top = sorted(
-        zip(agg["n"].to_pylist(), agg["cell"].to_pylist()),
-        key=lambda t: (-int(t[0]), int(t[1])),
-    )[:k]
-    return [(int(c), int(v)) for v, c in top]
-
-
-def _q_knapsack_cells(sf_dir: str) -> pa.Table:
-    """0/1 knapsack over the top-20 value cells: weight = integer
-    Manhattan distance from the grid center (doubled coordinates so
-    the 47.5 center stays integral), value = summed cents, capacity
-    600.  The classic DP over capacities is exact integer arithmetic;
-    the SQL mirror unrolls the 20 item levels over a 601-row capacity
-    table."""
-    items = _top_value_cells(sf_dir)
-    cells = sorted(c for c, _ in items)
-    vals = dict(items)
-    w = {c: abs(2 * (c % 96) - 95) + abs(2 * (c // 96) - 95) for c in cells}
-    cap = _KNAP_CAP
-    dp = [0] * (cap + 1)
-    for c in cells:
-        wi, vi = w[c], vals[c]
-        new = list(dp)
-        for cc in range(wi, cap + 1):
-            cand = dp[cc - wi] + vi
-            if cand > new[cc]:
-                new[cc] = cand
-        dp = new
-    return pa.table(
-        {
-            "capacity": pa.array([cap], pa.int64()),
-            "n_items": pa.array([len(cells)], pa.int64()),
-            "best_value": pa.array([dp[cap]], pa.int64()),
-        }
-    )
-
-
-_LAYERS = 6
-
-
-def _q_convex_layers(sf_dir: str) -> pa.Table:
-    """Convex onion-peeling of the top-20 value cells: layer 1 = the
-    extreme points of the set, layer 2 = extreme points of the rest,
-    ... 6 peels.  Extremeness uses the EXACT integer Caratheodory
-    certificate -- p is non-extreme iff it lies in some triangle of
-    remaining points (three same-sign cross products, boundary
-    allowed) or strictly within a segment -- so layer assignment
-    never touches a float."""
-    items = _top_value_cells(sf_dir)
-    cells = sorted(c for c, _ in items)
-    pts = {c: (c % 96, c // 96) for c in cells}
-
-    def non_extreme(p: int, others: list[int]) -> bool:
-        px, py = pts[p]
-        ot = [pts[q] for q in others]
-        m = len(ot)
-        for a in range(m):
-            qx, qy = ot[a]
-            for bidx in range(a + 1, m):
-                rx, ry = ot[bidx]
-                cr = (rx - qx) * (py - qy) - (ry - qy) * (px - qx)
-                if cr == 0 and (px - qx) * (px - rx) + (py - qy) * (
-                    py - ry
-                ) <= 0:
-                    return True  # on segment qr
-                for cdx in range(bidx + 1, m):
-                    sx, sy = ot[cdx]
-                    if (rx - qx) * (sy - qy) - (ry - qy) * (sx - qx) == 0:
-                        continue  # degenerate triangle: segment case
-                    d1 = (rx - qx) * (py - qy) - (ry - qy) * (px - qx)
-                    d2 = (sx - rx) * (py - ry) - (sy - ry) * (px - rx)
-                    d3 = (qx - sx) * (py - sy) - (qy - sy) * (px - sx)
-                    if (d1 >= 0 and d2 >= 0 and d3 >= 0) or (
-                        d1 <= 0 and d2 <= 0 and d3 <= 0
-                    ):
-                        return True
-        return False
-
-    layer = {c: 0 for c in cells}
-    remaining = list(cells)
-    for lv in range(1, _LAYERS + 1):
-        if not remaining:
-            break
-        ext = [
-            p
-            for p in remaining
-            if not non_extreme(p, [q for q in remaining if q != p])
-        ]
-        for p in ext:
-            layer[p] = lv
-        remaining = [p for p in remaining if p not in ext]
-    return pa.table(
-        {
-            "cell": pa.array(cells, pa.int64()),
-            "layer": pa.array([layer[c] for c in cells], pa.int64()),
-        }
-    )
-
-
-_ATTR_ITERS = 60
-_ATTR_SCALE = 1_000_000_000_000
-
-
-def _q_markov_attribution(sf_dir: str) -> pa.Table:
-    """Markov-chain removal-effect attribution: user paths (ordered by
-    ts, event_id, truncated at the first purchase) feed a first-order
-    chain with absorbing conv/null states; P(conv) is evaluated by 60
-    value-iteration steps with 1e12-tick truncating divisions (exact
-    integers both sides), once for the full chain and once per channel
-    with that channel's value pinned to zero -- removal_effect = 1 -
-    P_removed/P_full.  Distributed tier: per-user path kernels through
-    the bucketed groupby shuffle, then a (src, dst) count combiner."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
-        grouped_by_key,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "ts", "event_id", "event_type"],
-    )
-
-    def path_edges(group: pa.Table) -> pa.Table:
-        order = sorted(
-            zip(
-                group["ts"].cast(pa.int64()).to_pylist(),
-                group["event_id"].to_pylist(),
-                group["event_type"].to_pylist(),
-            )
-        )
-        seq = [t for _, _, t in order]
-        if "purchase" in seq:
-            seq = seq[: seq.index("purchase") + 1]
-        out_s, out_t = [], []
-        prev = "_start"
-        for t in seq:
-            out_s.append(prev)
-            out_t.append("_conv" if t == "purchase" else t)
-            prev = t
-        if seq[-1] != "purchase":
-            out_s.append(seq[-1])
-            out_t.append("_null")
-        return pa.table(
-            {
-                "s": pa.array(out_s, pa.string()),
-                "t": pa.array(out_t, pa.string()),
-                "_one": pa.array(np.ones(len(out_s), np.int64)),
-            }
-        )
-
-    tr = hash_aggregate(
-        grouped_by_key(ds, "user_id", path_edges),
-        ["s", "t"],
-        [("_one", "sum", "c")],
-    )
-    trans: dict[str, dict[str, int]] = {}
-    for s, t, c in zip(
-        tr["s"].to_pylist(), tr["t"].to_pylist(), tr["c"].to_pylist()
-    ):
-        trans.setdefault(s, {})[t] = int(c)
-    rs = {s: sum(d.values()) for s, d in trans.items()}
-    states = ["_start", "click", "error", "signup", "view"]
-    sc = _ATTR_SCALE
-
-    def p_conv(removed: str) -> int:
-        vq = {s: 0 for s in states}
-        for _ in range(_ATTR_ITERS):
-            new = {}
-            for s in states:
-                if s == removed:
-                    new[s] = 0
-                    continue
-                d = trans.get(s)
-                if not d:
-                    new[s] = 0
-                    continue
-                tot = 0
-                for t, c in d.items():
-                    if t == "_conv":
-                        tot += c * sc
-                    elif t == removed or t == "_null":
-                        pass
-                    else:
-                        tot += c * vq.get(t, 0)
-                new[s] = tot // rs[s]
-            vq = new
-        return vq["_start"]
-
-    p_full = p_conv("")
-    channels = ["click", "error", "signup", "view"]
-    p_rm = [p_conv(ch) for ch in channels]
-    return pa.table(
-        {
-            "channel": pa.array(channels, pa.string()),
-            "p_full": round_like_sql([float(p_full) / 1e12] * 4, 6),
-            "p_removed": round_like_sql(
-                [float(v) / 1e12 for v in p_rm], 6
-            ),
-            "removal_effect": round_like_sql(
-                [1.0 - float(v) / float(p_full) for v in p_rm], 6
-            ),
-        }
-    )
-
-
-def _daily_revenue_returns(sf_dir: str) -> list[int]:
-    """Shared helper: dense daily event-revenue cents -> day-over-day
-    returns quantized at 1e6 ticks (pinned double ratio, then exact
-    integers).  Days with zero prior revenue are skipped on both
-    sides."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["ts", "value"]
-    )
-
-    def daily(batch: pa.Table) -> pa.Table:
-        d = (
-            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 86_400_000_000
-        )
-        return pa.table(
-            {
-                "d": pa.array(d),
-                "y": pa.array(scaled_int(batch["value"], 100.0)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(daily, batch_format="pyarrow", batch_size=None),
-        ["d"],
-        [("y", "sum", "y")],
-    )
-    dd = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)
-    lo, hi = int(dd.min()), int(dd.max())
-    ys = [0] * (hi - lo + 1)
-    for d, y in zip((dd - lo).tolist(), agg["y"].to_pylist()):
-        ys[d] = int(y)
-    out = []
-    for t in range(1, len(ys)):
-        if ys[t - 1] > 0:
-            r = float(ys[t] - ys[t - 1]) / float(ys[t - 1])
-            out.append(int(round_half_away(np.array([r * 1e6]))[0]))
-    return out
-
-
-def _q_sharpe_sortino(sf_dir: str) -> pa.Table:
-    """Sharpe and Sortino ratios of the daily revenue return series:
-    returns quantized at 1e6 ticks so all moments (including the
-    downside-only second moment) are exact integers; mean / std /
-    downside-dev assembled with one pinned double chain."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    rq = _daily_revenue_returns(sf_dir)
-    n = len(rq)
-    s1 = sum(rq)
-    s2 = sum(v * v for v in rq)
-    d2 = sum(v * v for v in rq if v < 0)
-    mean = float(s1) / float(n)
-    var = float(s2) / float(n) - mean * mean
-    dvar = float(d2) / float(n)
-    return pa.table(
-        {
-            "n_ret": pa.array([n], pa.int64()),
-            "mean_ret": round_like_sql([mean / 1e6], 6),
-            "sharpe": round_like_sql([mean / np.sqrt(var)], 6),
-            "sortino": round_like_sql([mean / np.sqrt(dvar)], 6),
-        }
-    )
-
-
-def _q_var_cvar(sf_dir: str) -> pa.Table:
-    """Historical VaR / CVaR at 5% on the daily revenue returns: the
-    k = n*5//100 + 1 smallest quantized return is the VaR order
-    statistic and the exact integer mean of the k smallest is CVaR --
-    order statistics on integers, no interpolation ambiguity."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    rq = sorted(_daily_revenue_returns(sf_dir))
-    n = len(rq)
-    k = (n * 5) // 100 + 1
-    var05 = rq[k - 1]
-    tail = sum(rq[:k])
-    return pa.table(
-        {
-            "n_ret": pa.array([n], pa.int64()),
-            "k_tail": pa.array([k], pa.int64()),
-            "var05": round_like_sql([float(var05) / 1e6], 6),
-            "cvar05": round_like_sql(
-                [float(tail) / float(k) / 1e6], 6
-            ),
-        }
-    )
-
-
-def _q_reg_discontinuity(sf_dir: str) -> pa.Table:
-    """Sharp regression discontinuity at user_id % 100 = 50: separate
-    OLS of value cents on the running variable on each side (exact
-    integer moments), effect = difference of the two fitted values at
-    the cutoff -- the causal-inference sibling of the ipw_estimate
-    operator."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "value"]
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        x = uid % 100
-        y = scaled_int(batch["value"], 100.0)
-        return pa.table(
-            {
-                "side": pa.array((x >= 50).astype(np.int64)),
-                "_one": pa.array(np.ones(len(x), np.int64)),
-                "x": pa.array(x),
-                "y": pa.array(y),
-                "xx": pa.array(x * x),
-                "xy": pa.array(x * y),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["side"],
-        [
-            ("_one", "sum", "n"),
-            ("x", "sum", "sx"),
-            ("y", "sum", "sy"),
-            ("xx", "sum", "sxx"),
-            ("xy", "sum", "sxy"),
-        ],
-    )
-    fits = {}
-    ns = {}
-    for i in range(agg.num_rows):
-        side = int(agg["side"][i].as_py())
-        n = int(agg["n"][i].as_py())
-        sx = int(agg["sx"][i].as_py())
-        sy = int(agg["sy"][i].as_py())
-        sxx = int(agg["sxx"][i].as_py())
-        sxy = int(agg["sxy"][i].as_py())
-        b = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
-        a = (float(sy) - b * float(sx)) / float(n)
-        fits[side] = a + b * 50.0
-        ns[side] = n
-    return pa.table(
-        {
-            "n_left": pa.array([ns[0]], pa.int64()),
-            "n_right": pa.array([ns[1]], pa.int64()),
-            "y_left": round_like_sql([fits[0]], 6),
-            "y_right": round_like_sql([fits[1]], 6),
-            "rd_effect": round_like_sql([fits[1] - fits[0]], 6),
-        }
-    )
-
-
-def _q_chain_ladder(sf_dir: str) -> pa.Table:
-    """Chain-ladder reserving on the purchase development triangle:
-    cohort = week of a user's first event, dev = purchase week -
-    cohort week, upper triangle (i + j <= 4) observed.  Development
-    factors are 1e9-tick quantized ratios of exact cumulative sums;
-    ultimates apply them with truncating integer multiplies, so the
-    projection chain is bit-identical in SQL.  Reports predicted
-    ultimate vs the actual full-month count per cohort."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "ts", "event_type"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        day = (
-            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 86_400_000_000
-        )
-        et = batch["event_type"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "u": batch["user_id"],
-                "d": pa.array(day),
-                "is_p": pa.array((et == "purchase").astype(np.int64)),
-                "_one": pa.array(np.ones(len(day), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["u", "d"],
-        [("is_p", "sum", "np"), ("_one", "sum", "n")],
-    )
-    uv = agg["u"].to_numpy(zero_copy_only=False).astype(np.int64)
-    dv = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)
-    pv = agg["np"].to_numpy(zero_copy_only=False).astype(np.int64)
-    d0 = int(dv.min())
-    wk = (dv - d0) // 7
-    first_wk: dict[int, int] = {}
-    for u, w in zip(uv.tolist(), wk.tolist()):
-        if u not in first_wk or w < first_wk[u]:
-            first_wk[u] = w
-    inc = [[0] * 5 for _ in range(5)]  # cohort x dev purchase counts
-    for u, w, p in zip(uv.tolist(), wk.tolist(), pv.tolist()):
-        i = first_wk[u]
-        j = w - i
-        if 0 <= i <= 4 and 0 <= j <= 4:
-            inc[i][j] += int(p)
-    cum = [
-        [sum(inc[i][: j + 1]) for j in range(5)] for i in range(5)
-    ]
-    sc = 1_000_000_000
-    fq = []
-    for j in range(4):
-        num = sum(cum[i][j + 1] for i in range(5) if i + j + 1 <= 4)
-        den = sum(cum[i][j] for i in range(5) if i + j + 1 <= 4)
-        fq.append(
-            int(
-                round_half_away(
-                    np.array([1e9 * float(num) / float(den)])
-                )[0]
-            )
-        )
-    cohorts = list(range(5))
-    latest = [cum[i][4 - i] for i in cohorts]
-    ult = list(latest)
-    for j in range(4):
-        ult = [
-            (ult[i] * fq[j]) // sc if 4 - i <= j else ult[i]
-            for i in cohorts
-        ]
-    return pa.table(
-        {
-            "cohort": pa.array(cohorts, pa.int64()),
-            "latest_known": pa.array(latest, pa.int64()),
-            "ultimate": pa.array(ult, pa.int64()),
-            "actual_full": pa.array(
-                [cum[i][4] for i in cohorts], pa.int64()
-            ),
-        }
-    )
-
-
-_ITEMSET_NAMES = {
-    1 << i: t for i, t in enumerate(_MARKOV_STATES)
-}
-
-
-def _q_closed_itemsets(sf_dir: str) -> pa.Table:
-    """Frequent + closed itemset mining over (user, day) baskets of
-    event types: all 31 non-empty subsets of the 5-type alphabet,
-    exact basket-containment supports (bitmask tests), and the closed
-    flag (no strict superset with equal support).  Distributed tier:
-    the (user, day, type) distinct combiner; baskets are
-    user-day-bounded."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "ts", "event_type"],
-    )
-    tmap = {t: i for i, t in enumerate(_MARKOV_STATES)}
-
-    def prep(batch: pa.Table) -> pa.Table:
-        day = (
-            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 86_400_000_000
-        )
-        ti = np.array(
-            [tmap[t] for t in batch["event_type"].to_pylist()], np.int64
-        )
-        return pa.table(
-            {
-                "u": batch["user_id"],
-                "d": pa.array(day),
-                "t": pa.array(ti),
-                "_one": pa.array(np.ones(len(day), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["u", "d", "t"],
-        [("_one", "sum", "_n")],
-    )
-    uv = agg["u"].to_numpy(zero_copy_only=False).astype(np.int64)
-    dv = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)
-    tv = agg["t"].to_numpy(zero_copy_only=False).astype(np.int64)
-    _, inv = np.unique(np.stack([uv, dv], axis=1), axis=0, return_inverse=True)
-    masks = np.zeros(int(inv.max()) + 1, np.int64)
-    np.bitwise_or.at(masks, inv, np.int64(1) << tv)
-    sup = {
-        m: int(((masks & m) == m).sum()) for m in range(1, 32)
-    }
-    names = {
-        m: "+".join(
-            _MARKOV_STATES[i] for i in range(5) if (m >> i) & 1
-        )
-        for m in range(1, 32)
-    }
-    rows = []
-    for m in range(1, 32):
-        closed = all(
-            sup[m2] != sup[m]
-            for m2 in range(1, 32)
-            if m2 != m and (m2 & m) == m
-        )
-        rows.append((names[m], bin(m).count("1"), sup[m], 1 if closed else 0))
-    rows.sort()
-    return pa.table(
-        {
-            "itemset": pa.array([r[0] for r in rows], pa.string()),
-            "size": pa.array([r[1] for r in rows], pa.int64()),
-            "support": pa.array([r[2] for r in rows], pa.int64()),
-            "is_closed": pa.array([r[3] for r in rows], pa.int64()),
-        }
-    )
-
-
-def _hough_mask_points() -> tuple[np.ndarray, np.ndarray]:
-    """Binary mask of the oracle raster (integer formula predicate:
-    value band >= 45.0 and valid under the default nodata rule),
-    shared by the Hough and RLE operators."""
-    rr, cc = np.meshgrid(np.arange(OG_H), np.arange(OG_W), indexing="ij")
-    m = ((rr * 73 + cc * 31) % 500 >= 450) & ((rr * 7 + cc * 13) % 11 >= 3)
-    return cc[m].astype(np.int64), rr[m].astype(np.int64)
-
-
-def _q_hough_lines(sf_dir: str) -> pa.Table:
-    """Hough line detection over the oracle raster's high-value mask:
-    8 theta bins with 1e6-tick quantized cos/sin, rho binned by one
-    pinned ROUND per (point, theta) vote, exact accumulator counts,
-    top-5 peaks by (votes DESC, theta, rho).  Distributed tier: votes
-    are emitted per tile batch and summed by the combiner aggregate."""
-    import ray.data
-
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    cq = round_half_away(1e6 * np.cos(np.arange(8) * np.pi / 8)).astype(
-        np.int64
-    )
-    sq = round_half_away(1e6 * np.sin(np.arange(8) * np.pi / 8)).astype(
-        np.int64
-    )
-    tiles = ray.data.from_arrow(_og_tiles_table())
-
-    def votes(batch: pa.Table) -> pa.Table:
-        ks, rhos = [], []
-        for i in range(batch.num_rows):
-            r0 = int(batch["row_off"][i].as_py())
-            c0 = int(batch["col_off"][i].as_py())
-            h = int(batch["height"][i].as_py())
-            w = int(batch["width"][i].as_py())
-            rr, cc = np.meshgrid(
-                np.arange(r0, r0 + h), np.arange(c0, c0 + w), indexing="ij"
-            )
-            m = ((rr * 73 + cc * 31) % 500 >= 450) & (
-                (rr * 7 + cc * 13) % 11 >= 3
-            )
-            x = cc[m].astype(np.int64)
-            y = rr[m].astype(np.int64)
-            for k in range(8):
-                rho = round_half_away(
-                    (x * cq[k] + y * sq[k]).astype(np.float64) / 1e6
-                ).astype(np.int64)
-                ks.append(np.full(len(rho), k, np.int64))
-                rhos.append(rho)
-        kk = np.concatenate(ks) if ks else np.zeros(0, np.int64)
-        rr_ = np.concatenate(rhos) if rhos else np.zeros(0, np.int64)
-        return pa.table(
-            {
-                "k": pa.array(kk),
-                "rho": pa.array(rr_),
-                "_one": pa.array(np.ones(len(kk), np.int64)),
-            }
-        )
-
-    acc = hash_aggregate(
-        tiles.map_batches(votes, batch_format="pyarrow", batch_size=None),
-        ["k", "rho"],
-        [("_one", "sum", "votes")],
-    )
-    kv = acc["k"].to_numpy(zero_copy_only=False)
-    rv = acc["rho"].to_numpy(zero_copy_only=False)
-    vv = acc["votes"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((rv, kv, -vv))[:5]
-    return pa.table(
-        {
-            "theta_k": pa.array(kv[order].tolist(), pa.int64()),
-            "rho": pa.array(rv[order].tolist(), pa.int64()),
-            "votes": pa.array(vv[order].tolist(), pa.int64()),
-        }
-    )
-
-
-def _q_rle_runs(sf_dir: str) -> pa.Table:
-    """Run-length histogram of the oracle raster's high-value mask:
-    per-row maximal runs of masked pixels (gaps-and-islands), exact
-    integer lengths.  Distributed tier: per-row kernels through the
-    bucketed groupby shuffle (rows are the keys, so tile-boundary
-    runs stitch naturally)."""
-    import ray.data as rd
-
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
-        grouped_by_key,
-    )
-
-    x, y = _hough_mask_points()
-    pts = rd.from_arrow(
-        pa.table({"y": pa.array(y), "x": pa.array(x)})
-    )
-
-    def row_runs(group: pa.Table) -> pa.Table:
-        xs = sorted(group["x"].to_pylist())
-        lens = []
-        run = 1
-        for i in range(1, len(xs)):
-            if xs[i] == xs[i - 1] + 1:
-                run += 1
-            else:
-                lens.append(run)
-                run = 1
-        lens.append(run)
-        return pa.table(
-            {
-                "run_length": pa.array(lens, pa.int64()),
-                "_one": pa.array(np.ones(len(lens), np.int64)),
-            }
-        )
-
-    hist = hash_aggregate(
-        grouped_by_key(pts, "y", row_runs),
-        ["run_length"],
-        [("_one", "sum", "n_runs")],
-    )
-    return hist.sort_by([("run_length", "ascending")])
-
-
-def _q_catchment_2sfca(sf_dir: str) -> pa.Table:
-    """Two-step floating catchment area accessibility: supply = the
-    top-10 cells by value cents, demand = per-cell event counts,
-    catchment = squared Euclidean grid distance <= 100 (exact integer
-    predicate).  Step-1 provider ratios quantized at 1e9 ticks
-    (supply * 1e9 // in-range demand), step-2 accessibility is the
-    exact integer sum of in-range ratios; top-20 demand cells by
-    (accessibility DESC, cell)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "value"]
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        cell = eid % 96 + (eid // 96 % 96) * 96
-        return pa.table(
-            {
-                "cell": pa.array(cell),
-                "_one": pa.array(np.ones(len(eid), np.int64)),
-                "v": pa.array(scaled_int(batch["value"], 100.0)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["cell"],
-        [("_one", "sum", "n"), ("v", "sum", "sv")],
-    )
-    cells = agg["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
-    nv = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    sv = agg["sv"].to_numpy(zero_copy_only=False).astype(np.int64)
-    supply = sorted(
-        zip(sv.tolist(), cells.tolist()), key=lambda t: (-t[0], t[1])
-    )[:10]
-    xs = cells % 96
-    ys = cells // 96
-    ratios = []
-    for s_val, s_cell in supply:
-        sx, sy = s_cell % 96, s_cell // 96
-        inr = (xs - sx) ** 2 + (ys - sy) ** 2 <= 100
-        dem = int(nv[inr].sum())
-        ratios.append((s_cell, (int(s_val) * 1_000_000_000) // dem))
-    acc = np.zeros(len(cells), np.int64)
-    for s_cell, rq in ratios:
-        sx, sy = s_cell % 96, s_cell // 96
-        inr = (xs - sx) ** 2 + (ys - sy) ** 2 <= 100
-        acc[inr] += np.int64(rq)
-    order = sorted(
-        range(len(cells)),
-        key=lambda i: (-int(acc[i]), int(cells[i])),
-    )[:20]
-    return pa.table(
-        {
-            "cell": pa.array([int(cells[i]) for i in order], pa.int64()),
-            "access_q": pa.array([int(acc[i]) for i in order], pa.int64()),
-            "access": round_like_sql(
-                [float(int(acc[i])) / 1e9 for i in order], 6
-            ),
-        }
-    )
-
-
-def _q_mean_excess(sf_dir: str) -> pa.Table:
-    """Mean-excess function (EVT threshold diagnostics) of event value
-    cents at five doubling thresholds: exact integer exceedance sums
-    and counts per threshold via one combiner pass, one float division
-    each at the end."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    thresholds = [1000, 2000, 4000, 8000, 16000]
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["value"])
-
-    def prep(batch: pa.Table) -> pa.Table:
-        y = scaled_int(batch["value"], 100.0)
-        us, ns, ss = [], [], []
-        for u in thresholds:
-            m = y > u
-            us.append(u)
-            ns.append(int(m.sum()))
-            ss.append(int((y[m] - u).sum()))
-        return pa.table(
-            {
-                "u": pa.array(us, pa.int64()),
-                "n": pa.array(ns, pa.int64()),
-                "s": pa.array(ss, pa.int64()),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["u"],
-        [("n", "sum", "n"), ("s", "sum", "s")],
-    ).sort_by([("u", "ascending")])
-    return pa.table(
-        {
-            "threshold": agg["u"],
-            "n_exceed": agg["n"],
-            "mean_excess": round_like_sql(
-                [
-                    float(int(s)) / float(int(n))
-                    for s, n in zip(
-                        agg["s"].to_pylist(), agg["n"].to_pylist()
-                    )
-                ],
-                6,
-            ),
-        }
-    )
-
-
-def _q_epoch_folding(sf_dir: str) -> pa.Table:
-    """Epoch-folding periodicity search on the hourly event series:
-    for candidate periods P in {6, 12, 24, 168} hours the folded-bin
-    chi-square statistic has the exact integer numerator
-    sum_b (P*O_b - T)^2 over denominator P*T, so the whole scan is one
-    combiner pass plus a float division per period."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    periods = [6, 12, 24, 168]
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
-
-    def prep(batch: pa.Table) -> pa.Table:
-        h = (
-            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 3_600_000_000
-        )
-        ps, bs, ns = [], [], []
-        for p in periods:
-            b = h % p
-            ub, cb = np.unique(b, return_counts=True)
-            ps.append(np.full(len(ub), p, np.int64))
-            bs.append(ub)
-            ns.append(cb.astype(np.int64))
-        return pa.table(
-            {
-                "p": pa.array(np.concatenate(ps)),
-                "b": pa.array(np.concatenate(bs)),
-                "n": pa.array(np.concatenate(ns)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["p", "b"],
-        [("n", "sum", "n")],
-    )
-    pv = agg["p"].to_pylist()
-    nv = agg["n"].to_pylist()
-    tot: dict[int, int] = {}
-    bins: dict[int, list[int]] = {p: [] for p in periods}
-    for p, n in zip(pv, nv):
-        tot[int(p)] = tot.get(int(p), 0) + int(n)
-        bins[int(p)].append(int(n))
-    rows = []
-    for p in periods:
-        t = tot[p]
-        # empty bins contribute (0*P - T)^2 each
-        obs = bins[p] + [0] * (p - len(bins[p]))
-        num = sum((p * o - t) ** 2 for o in obs)
-        rows.append((p, t, float(num) / float(p * t)))
-    return pa.table(
-        {
-            "period_h": pa.array([r[0] for r in rows], pa.int64()),
-            "n_events": pa.array([r[1] for r in rows], pa.int64()),
-            "chi2": round_like_sql([r[2] for r in rows], 6),
-        }
-    )
-
-
-def _q_seat_apportionment(sf_dir: str) -> pa.Table:
-    """Apportion 100 seats across event types by event count under
-    two classic rules: D'Hondt (top-100 quotients c/k, float compare
-    safe -- cross products fit a double exactly -- with type
-    tie-break) and Hamilton largest remainder (floor(c*100/T) plus
-    remainders c*100 mod T ranked with type tie-break).  All integer
-    arithmetic except the collision-free quotient ordering."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["event_type"]
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "event_type": batch["event_type"],
-                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["event_type"],
-        [("_one", "sum", "c")],
-    )
-    counts = dict(
-        zip(
-            agg["event_type"].to_pylist(),
-            (int(x) for x in agg["c"].to_pylist()),
-        )
-    )
-    types = sorted(counts)
-    total = sum(counts.values())
-    seats = 100
-    # D'Hondt: top-100 quotients
-    quot = [
-        (float(counts[t]) / float(k), t, k)
-        for t in types
-        for k in range(1, seats + 1)
-    ]
-    quot.sort(key=lambda q: (-q[0], q[1], q[2]))
-    dh = {t: 0 for t in types}
-    for _, t, _ in quot[:seats]:
-        dh[t] += 1
-    # Hamilton largest remainder
-    base = {t: (counts[t] * seats) // total for t in types}
-    rem = sorted(
-        types, key=lambda t: (-((counts[t] * seats) % total), t)
-    )
-    ham = dict(base)
-    left = seats - sum(base.values())
-    for t in rem[:left]:
-        ham[t] += 1
-    return pa.table(
-        {
-            "event_type": pa.array(types, pa.string()),
-            "n_events": pa.array([counts[t] for t in types], pa.int64()),
-            "dhondt": pa.array([dh[t] for t in types], pa.int64()),
-            "hamilton": pa.array([ham[t] for t in types], pa.int64()),
-        }
-    )
-
-
-_HUFF_STEPS = 25
-
-
-def _q_huffman_code(sf_dir: str) -> pa.Table:
-    """Huffman code construction over corpus letter frequencies: the
-    greedy merge (two smallest groups by (weight, min-symbol), fully
-    deterministic) is unrolled as 25 guarded steps -- each either
-    merges or passes through when fewer than two groups remain -- and
-    per-leaf code lengths increment when their group participates.
-    All integer; the SQL mirror replays the identical merge schedule.
-    Distributed tier: the (letter) count combiner."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
-
-    def prep(batch: pa.Table) -> pa.Table:
-        acc = np.zeros(26, np.int64)
-        for text in batch["text"].to_pylist():
-            b = np.frombuffer(text.encode(), np.uint8).astype(np.int64)
-            b = b[(b >= 97) & (b <= 122)] - 97
-            acc += np.bincount(b, minlength=26)
-        return pa.table(
-            {
-                "c": pa.array(np.arange(26, dtype=np.int64)),
-                "n": pa.array(acc),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["c"],
-        [("n", "sum", "n")],
-    )
-    w0 = {}
-    for c, n in zip(agg["c"].to_pylist(), agg["n"].to_pylist()):
-        if int(n) > 0:
-            w0[int(c)] = int(n)
-    groups = {c: w for c, w in w0.items()}  # grp id = min symbol idx
-    leaf_grp = {c: c for c in w0}
-    length = {c: 0 for c in w0}
-    for _ in range(_HUFF_STEPS):
-        if len(groups) < 2:
-            continue
-        order = sorted(groups.items(), key=lambda t: (t[1], t[0]))
-        (g1, wa), (g2, wb) = order[0], order[1]
-        ng = min(g1, g2)
-        for c in w0:
-            if leaf_grp[c] in (g1, g2):
-                leaf_grp[c] = ng
-                length[c] += 1
-        del groups[g1], groups[g2]
-        groups[ng] = wa + wb
-    total_bits = sum(w0[c] * length[c] for c in w0)
-    syms = sorted(w0)
-    return pa.table(
-        {
-            "letter": pa.array([chr(97 + c) for c in syms], pa.string()),
-            "weight": pa.array([w0[c] for c in syms], pa.int64()),
-            "code_len": pa.array([length[c] for c in syms], pa.int64()),
-            "total_bits": pa.array([total_bits] * len(syms), pa.int64()),
-        }
-    )
-
-
-_LIS_LEVELS = 30
-
-
-def _q_lis_daily(sf_dir: str) -> pa.Table:
-    """Longest strictly-increasing subsequence of the daily revenue
-    series: level-set formulation (a day reaches level k iff some
-    earlier smaller day reaches k-1), 30 unrolled levels of pure
-    integer joins; reports the LIS length and how many days can end
-    such a chain."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["ts", "value"]
-    )
-
-    def daily(batch: pa.Table) -> pa.Table:
-        d = (
-            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 86_400_000_000
-        )
-        return pa.table(
-            {
-                "d": pa.array(d),
-                "y": pa.array(scaled_int(batch["value"], 100.0)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(daily, batch_format="pyarrow", batch_size=None),
-        ["d"],
-        [("y", "sum", "y")],
-    )
-    dd = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)
-    lo, hi = int(dd.min()), int(dd.max())
-    ys = [0] * (hi - lo + 1)
-    for d, y in zip((dd - lo).tolist(), agg["y"].to_pylist()):
-        ys[d] = int(y)
-    n = len(ys)
-    level = [{t for t in range(n)}]
-    for _ in range(1, _LIS_LEVELS):
-        prev = level[-1]
-        nxt = {
-            t
-            for t in range(n)
-            if any(s < t and ys[s] < ys[t] for s in prev)
-        }
-        level.append(nxt)
-        if not nxt:
-            break
-    lis = max(k + 1 for k, s in enumerate(level) if s)
-    return pa.table(
-        {
-            "n_days": pa.array([n], pa.int64()),
-            "lis_len": pa.array([lis], pa.int64()),
-            "n_endings": pa.array([len(level[lis - 1])], pa.int64()),
-        }
-    )
-
-
-_KAL_SC = 1_000_000
-_KAL_Q = _KAL_SC // 4
-_KAL_R = 4 * _KAL_SC
-
-
-def _q_kalman_1d(sf_dir: str) -> pa.Table:
-    """1-D Kalman level filter on the daily revenue cents series,
-    entirely in 1e6-tick integers: predict P+Q, gain K = P*SC //
-    (P+R), update x += K*(m - x) // SC, P = (SC-K)*P // SC -- every
-    step a truncating division, so the 29 unrolled scalar-state CTE
-    steps in SQL replay the identical filter."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["ts", "value"]
-    )
-
-    def daily(batch: pa.Table) -> pa.Table:
-        d = (
-            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 86_400_000_000
-        )
-        return pa.table(
-            {
-                "d": pa.array(d),
-                "y": pa.array(scaled_int(batch["value"], 100.0)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(daily, batch_format="pyarrow", batch_size=None),
-        ["d"],
-        [("y", "sum", "y")],
-    )
-    dd = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)
-    lo, hi = int(dd.min()), int(dd.max())
-    ys = [0] * (hi - lo + 1)
-    for d, y in zip((dd - lo).tolist(), agg["y"].to_pylist()):
-        ys[d] = int(y)
-    sc, q, r = _KAL_SC, _KAL_Q, _KAL_R
-    x = ys[0] * sc
-    p = 4 * sc
-    xs = [x]
-    for t in range(1, len(ys)):
-        pp = p + q
-        k = (pp * sc) // (pp + r)
-        d = k * (ys[t] * sc - x)
-        # sign-split truncating division (DuckDB // truncates, Python
-        # // floors -- split keeps them identical on negatives)
-        x = x + (-((-d) // sc) if d < 0 else d // sc)
-        p = ((sc - k) * pp) // sc
-        xs.append(x)
-    return pa.table(
-        {
-            "t": pa.array(list(range(len(ys))), pa.int64()),
-            "y": pa.array(ys, pa.int64()),
-            "x_filt": round_like_sql(
-                [float(v) / 1e6 for v in xs], 6
-            ),
-        }
-    )
-
-
-def _q_secretary_rule(sf_dir: str) -> pa.Table:
-    """Secretary-problem 37%-rule evaluation over 200 deterministic
-    mix32 permutations of the daily revenue series: observe the first
-    11 of 30 days, then accept the first later day strictly exceeding
-    that maximum (else take the last).  Success = the accepted day's
-    revenue equals the global maximum.  All comparisons integer; the
-    permutation keys reproduce bit-exactly in SQL."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
-        mix32,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["ts", "value"]
-    )
-
-    def daily(batch: pa.Table) -> pa.Table:
-        d = (
-            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 86_400_000_000
-        )
-        return pa.table(
-            {
-                "d": pa.array(d),
-                "y": pa.array(scaled_int(batch["value"], 100.0)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(daily, batch_format="pyarrow", batch_size=None),
-        ["d"],
-        [("y", "sum", "y")],
-    )
-    dd = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)
-    lo, hi = int(dd.min()), int(dd.max())
-    n = hi - lo + 1
-    ys = np.zeros(n, np.int64)
-    for d, y in zip((dd - lo).tolist(), agg["y"].to_pylist()):
-        ys[d] = int(y)
-    best = int(ys.max())
-    t_arr = np.arange(n, dtype=np.int64)
-    obs = 11
-    n_perms = 200
-    wins = 0
-    for p in range(n_perms):
-        keys = mix32(t_arr, p * 7919)
-        order = np.lexsort((t_arr, keys))
-        perm_y = ys[order]
-        thr = int(perm_y[:obs].max())
-        pick = None
-        for i in range(obs, n):
-            if int(perm_y[i]) > thr:
-                pick = int(perm_y[i])
-                break
-        if pick is None:
-            pick = int(perm_y[n - 1])
-        if pick == best:
-            wins += 1
-    return pa.table(
-        {
-            "n_perms": pa.array([n_perms], pa.int64()),
-            "n_success": pa.array([wins], pa.int64()),
-            "success_rate": round_like_sql(
-                [float(wins) / float(n_perms)], 6
-            ),
-        }
-    )
-
-
-def _q_dist_transform(sf_dir: str) -> pa.Table:
-    """Manhattan distance transform of the oracle raster's high-value
-    mask, capped at 16: per-pixel exact integer min distance to the
-    nearest masked pixel (brute min against the broadcast mask point
-    set -- the per-tile map_batches shape at scale), histogrammed.
-    The classic proximity-surface GIS operator."""
-    import ray.data
-
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    mx, my = _hough_mask_points()
-    tiles = ray.data.from_arrow(_og_tiles_table())
-
-    def dists(batch: pa.Table) -> pa.Table:
-        outs = []
-        for i in range(batch.num_rows):
-            r0 = int(batch["row_off"][i].as_py())
-            c0 = int(batch["col_off"][i].as_py())
-            h = int(batch["height"][i].as_py())
-            w = int(batch["width"][i].as_py())
-            rr, cc = np.meshgrid(
-                np.arange(r0, r0 + h), np.arange(c0, c0 + w), indexing="ij"
-            )
-            x = cc.ravel()[:, None]
-            y = rr.ravel()[:, None]
-            d = (
-                np.abs(x - mx[None, :]) + np.abs(y - my[None, :])
-            ).min(axis=1)
-            outs.append(np.minimum(d, 16))
-        dd = np.concatenate(outs)
-        return pa.table(
-            {
-                "dist": pa.array(dd.astype(np.int64)),
-                "_one": pa.array(np.ones(len(dd), np.int64)),
-            }
-        )
-
-    hist = hash_aggregate(
-        tiles.map_batches(dists, batch_format="pyarrow", batch_size=None),
-        ["dist"],
-        [("_one", "sum", "n_pixels")],
-    )
-    return hist.sort_by([("dist", "ascending")])
-
-
-def _q_energy_distance(sf_dir: str) -> pa.Table:
-    """Two-sample energy distance between click and purchase value
-    cents: all three pairwise |x-y| sums are computed EXACTLY from
-    one merged ordering with running opposite-label counts/sums
-    (integer identity sum_pairs |a-b| = sum_e v_e*cnt_before -
-    sum_before) -- no O(n^2) pair materialization -- then one pinned
-    float assembly of E = 2*Sab/nm - 2*Saa/n^2 - 2*Sbb/m^2."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_type", "value"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        et = batch["event_type"].to_numpy(zero_copy_only=False)
-        m = (et == "click") | (et == "purchase")
-        y = scaled_int(batch["value"], 100.0)[m]
-        return pa.table(
-            {
-                "lab": pa.array((et[m] == "click").astype(np.int64)),
-                "y": pa.array(y),
-                "_one": pa.array(np.ones(int(m.sum()), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["lab", "y"],
-        [("_one", "sum", "c")],
-    )
-    lab = agg["lab"].to_numpy(zero_copy_only=False).astype(np.int64)
-    yv = agg["y"].to_numpy(zero_copy_only=False).astype(np.int64)
-    cv = agg["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.lexsort((lab, yv))
-    lab, yv, cv = lab[order], yv[order], cv[order]
-
-    def pair_sum(sel_a, sel_b) -> int:
-        """sum over pairs (one from a-side, one from b-side, a != b
-        groups) of |ya - yb| -- exact, via running sums over the
-        value-sorted distinct rows with multiplicities."""
-        tot = 0
-        cnt_a = cnt_b = 0
-        sum_a = sum_b = 0
-        for v, c, ia, ib in zip(
-            yv.tolist(), cv.tolist(), sel_a.tolist(), sel_b.tolist()
-        ):
-            v, c = int(v), int(c)
-            if ia:
-                tot += c * (v * cnt_b - sum_b)
-            if ib:
-                tot += c * (v * cnt_a - sum_a)
-            if ia:
-                cnt_a += c
-                sum_a += c * v
-            if ib:
-                cnt_b += c
-                sum_b += c * v
-        return tot
-
-    is_a = lab == 1
-    is_b = lab == 0
-    sab = pair_sum(is_a, is_b)
-    # within-sample sums: pairs within one label
-    def within(sel) -> int:
-        tot = 0
-        cnt = 0
-        ssum = 0
-        for v, c, s in zip(yv.tolist(), cv.tolist(), sel.tolist()):
-            if not s:
-                continue
-            v, c = int(v), int(c)
-            tot += c * (v * cnt - ssum)
-            cnt += c
-            ssum += c * v
-        return tot
-
-    saa = within(is_a)
-    sbb = within(is_b)
-    n = int(cv[is_a].sum())
-    m = int(cv[is_b].sum())
-    e = (
-        2.0 * float(sab) / float(n * m)
-        - 2.0 * float(saa) / float(n * n)
-        - 2.0 * float(sbb) / float(m * m)
-    )
-    return pa.table(
-        {
-            "n_click": pa.array([n], pa.int64()),
-            "n_purchase": pa.array([m], pa.int64()),
-            "energy_cents": round_like_sql([e / 100.0], 6),
-        }
-    )
-
-
-def _q_random_projection_audit(sf_dir: str) -> pa.Table:
-    """Johnson-Lindenstrauss audit: embeddings (1e4-tick quantized)
-    projected to 8 dims by the deterministic mix32 +/-1 sign matrix;
-    for the first 100 consecutive vec_id pairs, the original and
-    projected squared distances are exact integers and the distortion
-    ratio proj/8/orig is one pinned float.  Distributed tier: the
-    projection is a per-batch int matmul against the broadcast sign
-    matrix."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
-        mix32,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.ann import (
-        list_col_to_matrix,
-    )
-
-    d_in, d_out = 64, 8
-    j = np.repeat(np.arange(d_in, dtype=np.int64), d_out)
-    k = np.tile(np.arange(d_out, dtype=np.int64), d_in)
-    signs = (
-        1 - 2 * (mix32(j * 8 + k) % 2)
-    ).reshape(d_in, d_out).astype(np.int64)
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "embeddings.parquet"),
-        columns=["vec_id", "embedding"],
-    )
-
-    def proj(batch: pa.Table) -> pa.Table:
-        m = list_col_to_matrix(batch["embedding"]).astype(np.float64)
-        vq = round_half_away(m * 1e4).astype(np.int64)
-        pj = vq @ signs
-        cols = {"vec_id": batch["vec_id"]}
-        for c in range(d_out):
-            cols[f"p{c}"] = pa.array(pj[:, c])
-        for c in range(d_in):
-            cols[f"v{c}"] = pa.array(vq[:, c])
-        return pa.table(cols)
-
-    tab = collect_tables(
-        ds.map_batches(proj, batch_format="pyarrow", batch_size=None)
-    )
-    vid = tab["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.argsort(vid)
-    vq = np.stack(
-        [
-            tab[f"v{c}"].to_numpy(zero_copy_only=False)[order]
-            for c in range(d_in)
-        ],
-        axis=1,
-    )
-    pj = np.stack(
-        [
-            tab[f"p{c}"].to_numpy(zero_copy_only=False)[order]
-            for c in range(d_out)
-        ],
-        axis=1,
-    )
-    vid = vid[order]
-    rows = []
-    for i in range(100):
-        a, b = 2 * i, 2 * i + 1
-        dv = (vq[a] - vq[b]).astype(np.int64)
-        dp = (pj[a] - pj[b]).astype(np.int64)
-        od = int((dv * dv).sum())
-        pd_ = int((dp * dp).sum())
-        rows.append(
-            (
-                int(vid[a]),
-                int(vid[b]),
-                od,
-                pd_,
-                float(pd_) / 8.0 / float(od),
-            )
-        )
-    return pa.table(
-        {
-            "id1": pa.array([r[0] for r in rows], pa.int64()),
-            "id2": pa.array([r[1] for r in rows], pa.int64()),
-            "orig_d2": pa.array([r[2] for r in rows], pa.int64()),
-            "proj_d2": pa.array([r[3] for r in rows], pa.int64()),
-            "ratio": round_like_sql([r[4] for r in rows], 6),
-        }
-    )
-
-
-def _q_neyman_allocation(sf_dir: str) -> pa.Table:
-    """Neyman optimal allocation of a 100-unit sample across event-
-    type strata: weights N_h * S_h with S_h from exact integer
-    moments (the sqrt is one pinned float, then a 1e6-tick quantized
-    weight), seats assigned by largest remainder.  The sampling-design
-    counterpart of the apportionment operator."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_type", "value"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        y = scaled_int(batch["value"], 100.0)
-        return pa.table(
-            {
-                "event_type": batch["event_type"],
-                "_one": pa.array(np.ones(len(y), np.int64)),
-                "y": pa.array(y),
-                "yy": pa.array(y * y),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["event_type"],
-        [("_one", "sum", "n"), ("y", "sum", "s1"), ("yy", "sum", "s2")],
-    )
-    types = sorted(agg["event_type"].to_pylist())
-    stats = {
-        t: (int(n), int(s1), int(s2))
-        for t, n, s1, s2 in zip(
-            agg["event_type"].to_pylist(),
-            agg["n"].to_pylist(),
-            agg["s1"].to_pylist(),
-            agg["s2"].to_pylist(),
-        )
-    }
-    wq = {}
-    for t in types:
-        n, s1, s2 = stats[t]
-        sd = np.sqrt(
-            float(n * s2 - s1 * s1) / (float(n) * float(n))
-        )
-        wq[t] = int(
-            round_half_away(np.array([float(n) * sd * 1e6]))[0]
-        )
-    tot = sum(wq.values())
-    seats = 100
-    base = {t: (wq[t] * seats) // tot for t in types}
-    rem = sorted(
-        types, key=lambda t: (-((wq[t] * seats) % tot), t)
-    )
-    alloc = dict(base)
-    for t in rem[: seats - sum(base.values())]:
-        alloc[t] += 1
-    return pa.table(
-        {
-            "event_type": pa.array(types, pa.string()),
-            "n_events": pa.array([stats[t][0] for t in types], pa.int64()),
-            "weight_q": pa.array([wq[t] for t in types], pa.int64()),
-            "n_sample": pa.array([alloc[t] for t in types], pa.int64()),
-        }
-    )
-
-
-def _q_panel_fixed_effects(sf_dir: str) -> pa.Table:
-    """Panel fixed-effects (within) estimator of value cents on
-    hour-of-day with user entities: per-user exact integer moments,
-    per-entity demeaned numerator/denominator terms quantized at 1e6
-    ticks (pinned double over the entity count), integer-summed across
-    entities, one final float ratio.  The pooled OLS slope is reported
-    for contrast -- the bias the fixed effect removes."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "ts", "value"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        x = (
-            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 3_600_000_000
-            % 24
-        )
-        y = scaled_int(batch["value"], 100.0)
-        return pa.table(
-            {
-                "u": batch["user_id"],
-                "_one": pa.array(np.ones(len(x), np.int64)),
-                "x": pa.array(x),
-                "y": pa.array(y),
-                "xx": pa.array(x * x),
-                "xy": pa.array(x * y),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["u"],
-        [
-            ("_one", "sum", "n"),
-            ("x", "sum", "sx"),
-            ("y", "sum", "sy"),
-            ("xx", "sum", "sxx"),
-            ("xy", "sum", "sxy"),
-        ],
-    )
-    num_q = den_q = 0
-    tn = tsx = tsy = tsxx = tsxy = 0
-    n_users = agg.num_rows
-    for i in range(n_users):
-        n = int(agg["n"][i].as_py())
-        sx = int(agg["sx"][i].as_py())
-        sy = int(agg["sy"][i].as_py())
-        sxx = int(agg["sxx"][i].as_py())
-        sxy = int(agg["sxy"][i].as_py())
-        num_q += int(
-            round_half_away(
-                np.array(
-                    [float(n * sxy - sx * sy) / float(n) * 1e6]
-                )
-            )[0]
-        )
-        den_q += int(
-            round_half_away(
-                np.array(
-                    [float(n * sxx - sx * sx) / float(n) * 1e6]
-                )
-            )[0]
-        )
-        tn += n
-        tsx += sx
-        tsy += sy
-        tsxx += sxx
-        tsxy += sxy
-    beta_within = float(num_q) / float(den_q)
-    beta_pooled = float(tn * tsxy - tsx * tsy) / float(
-        tn * tsxx - tsx * tsx
-    )
-    return pa.table(
-        {
-            "n_users": pa.array([n_users], pa.int64()),
-            "beta_within": round_like_sql([beta_within], 6),
-            "beta_pooled": round_like_sql([beta_pooled], 6),
-        }
-    )
-
-
-def _q_fairness_audit(sf_dir: str) -> pa.Table:
-    """Group-fairness audit of the long-document outcome (n_chars >=
-    300) across the doc_id-parity groups: exact per-group counts,
-    pinned positive rates, and the demographic-parity gap repeated on
-    both rows -- the governance sibling of the k-anonymity trio."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "n_chars"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        nc = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                "grp": pa.array(did % 2),
-                "_one": pa.array(np.ones(len(did), np.int64)),
-                "pos": pa.array((nc >= 300).astype(np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["grp"],
-        [("_one", "sum", "n"), ("pos", "sum", "n_pos")],
-    ).sort_by([("grp", "ascending")])
-    n = [int(x) for x in agg["n"].to_pylist()]
-    p = [int(x) for x in agg["n_pos"].to_pylist()]
-    rates = [float(a) / float(b) for a, b in zip(p, n)]
-    gap = rates[1] - rates[0]
-    return pa.table(
-        {
-            "grp": agg["grp"],
-            "n_docs": agg["n"],
-            "n_pos": agg["n_pos"],
-            "pos_rate": round_like_sql(rates, 6),
-            "parity_gap": round_like_sql([gap, gap], 6),
-        }
-    )
-
-
-def _q_capture_recapture(sf_dir: str) -> pa.Table:
-    """Lincoln-Petersen / Chapman capture-recapture estimate of the
-    user population from week-1 and week-2 sightings: exact integer
-    capture counts and overlap, pinned float estimators (the ecology
-    estimator pair, here auditing how fully two windows cover the
-    user base)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        d = (
-            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 86_400_000_000
-        )
-        return pa.table(
-            {
-                "u": batch["user_id"],
-                "w": pa.array(d),
-                "_one": pa.array(np.ones(len(d), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["u", "w"],
-        [("_one", "sum", "_n")],
-    )
-    uv = agg["u"].to_numpy(zero_copy_only=False).astype(np.int64)
-    dv = agg["w"].to_numpy(zero_copy_only=False).astype(np.int64)
-    d0 = int(dv.min())
-    wk = (dv - d0) // 7
-    w1 = set(uv[wk == 0].tolist())
-    w2 = set(uv[wk == 1].tolist())
-    n1, n2, m = len(w1), len(w2), len(w1 & w2)
-    lp = float(n1 * n2) / float(m)
-    chapman = float((n1 + 1) * (n2 + 1)) / float(m + 1) - 1.0
-    return pa.table(
-        {
-            "n_week1": pa.array([n1], pa.int64()),
-            "n_week2": pa.array([n2], pa.int64()),
-            "n_both": pa.array([m], pa.int64()),
-            "lincoln_petersen": round_like_sql([lp], 6),
-            "chapman": round_like_sql([chapman], 6),
-        }
-    )
-
-
-def _q_chao1_richness(sf_dir: str) -> pa.Table:
-    """Chao1 species-richness estimate over user sighting counts:
-    S_obs + f1*(f1-1)/(2*(f2+1)) (bias-corrected form, defined even
-    with no doubletons) from exact singleton/doubleton counts -- the
-    how-many-users-have-we-not-seen estimator."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["user_id"])
-
-    def prep(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "u": batch["user_id"],
-                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["u"],
-        [("_one", "sum", "c")],
-    )
-    cv = agg["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-    s_obs = len(cv)
-    f1 = int((cv == 1).sum())
-    f2 = int((cv == 2).sum())
-    chao1 = float(s_obs) + float(f1 * (f1 - 1)) / float(2 * (f2 + 1))
-    return pa.table(
-        {
-            "s_obs": pa.array([s_obs], pa.int64()),
-            "f1": pa.array([f1], pa.int64()),
-            "f2": pa.array([f2], pa.int64()),
-            "chao1": round_like_sql([chao1], 6),
-        }
-    )
-
-
-def _q_good_turing(sf_dir: str) -> pa.Table:
-    """Good-Turing frequency-of-frequency smoothing over corpus
-    tokens: for each observed count r with a successor class, the
-    adjusted count r* = (r+1)*N_{r+1}/N_r as a pinned float over exact
-    integer class sizes; rows without N_{r+1} keep r* = r (classic
-    plain-GT convention)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        _explode_tokens,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
-
-    def toks(batch: pa.Table) -> pa.Table:
-        batch = batch.append_column(
-            "_d", pa.array(np.zeros(batch.num_rows, np.int64))
-        )
-        t = _explode_tokens(batch, "text", "_d").select(["token"])
-        return pa.table(
-            {
-                "token": t["token"],
-                "_one": pa.array(np.ones(t.num_rows, np.int64)),
-            }
-        )
-
-    tc = hash_aggregate(
-        ds.map_batches(toks, batch_format="pyarrow", batch_size=None),
-        ["token"],
-        [("_one", "sum", "c")],
-    )
-    cv = tc["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-    rs, ns = np.unique(cv, return_counts=True)
-    nmap = dict(zip(rs.tolist(), ns.tolist()))
-    rows = []
-    for r, nr in zip(rs.tolist(), ns.tolist()):
-        nr1 = nmap.get(r + 1)
-        rstar = (
-            float((r + 1) * nr1) / float(nr)
-            if nr1 is not None
-            else float(r)
-        )
-        rows.append((int(r), int(nr), rstar))
-    return pa.table(
-        {
-            "r": pa.array([x[0] for x in rows], pa.int64()),
-            "n_r": pa.array([x[1] for x in rows], pa.int64()),
-            "r_star": round_like_sql([x[2] for x in rows], 6),
-        }
-    )
-
-
-def _q_p_chart(sf_dir: str) -> pa.Table:
-    """Attribute p-chart over the daily purchase proportion: pooled
-    p-bar from exact integer totals, per-day 3-sigma binomial limits
-    as pinned float chains, and out-of-control flags -- the attribute-
-    chart sibling of the western_electric rules."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"]
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        d = (
-            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 86_400_000_000
-        )
-        et = batch["event_type"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "d": pa.array(d),
-                "_one": pa.array(np.ones(len(d), np.int64)),
-                "k": pa.array((et == "purchase").astype(np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["d"],
-        [("_one", "sum", "n"), ("k", "sum", "k")],
-    ).sort_by([("d", "ascending")])
-    dv = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)
-    nv = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    kv = agg["k"].to_numpy(zero_copy_only=False).astype(np.int64)
-    d0 = int(dv.min())
-    big_n = int(nv.sum())
-    big_k = int(kv.sum())
-    pbar = float(big_k) / float(big_n)
-    rows = []
-    for d, n, k in zip(dv.tolist(), nv.tolist(), kv.tolist()):
-        rate = float(k) / float(n)
-        sig = np.sqrt(pbar * (1.0 - pbar) / float(n))
-        ucl = pbar + 3.0 * sig
-        lcl = pbar - 3.0 * sig
-        rows.append(
-            (
-                int(d) - d0,
-                int(n),
-                int(k),
-                rate,
-                1 if rate > ucl else 0,
-                1 if rate < lcl else 0,
-            )
-        )
-    return pa.table(
-        {
-            "t": pa.array([r[0] for r in rows], pa.int64()),
-            "n": pa.array([r[1] for r in rows], pa.int64()),
-            "k": pa.array([r[2] for r in rows], pa.int64()),
-            "rate": round_like_sql([r[3] for r in rows], 6),
-            "above_ucl": pa.array([r[4] for r in rows], pa.int64()),
-            "below_lcl": pa.array([r[5] for r in rows], pa.int64()),
-        }
-    )
-
-
-def _q_lof_cells(sf_dir: str) -> pa.Table:
-    """Local outlier factor (k=3, squared-distance reachability
-    variant -- documented deviation keeps every quantity an exact
-    integer) over the top-50 value cells: neighbors ranked by
-    (d^2, cell id), reach^2 = max(kdist^2(o), d^2(p,o)), lrd sums are
-    integers, and LOF = mean of 1e9-tick quantized sr_p/sr_o ratios.
-    Density-based outlier scoring over the hot-cell map."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    items = _top_value_cells(sf_dir, k=50)
-    cells = sorted(c for c, _ in items)
-    pts = [(c % 96, c // 96) for c in cells]
-    n = len(pts)
-    k = 3
-    neigh: list[list[int]] = []
-    kd2: list[int] = []
-    d2 = [
-        [
-            (pts[i][0] - pts[j][0]) ** 2 + (pts[i][1] - pts[j][1]) ** 2
-            for j in range(n)
-        ]
-        for i in range(n)
-    ]
-    for i in range(n):
-        order = sorted(
-            (j for j in range(n) if j != i),
-            key=lambda j: (d2[i][j], cells[j]),
-        )[:k]
-        neigh.append(order)
-        kd2.append(d2[i][order[-1]])
-    sr = [
-        sum(max(kd2[o], d2[i][o]) for o in neigh[i]) for i in range(n)
-    ]
-    lofq = []
-    for i in range(n):
-        tq = sum(
-            int(
-                round_half_away(
-                    np.array([1e9 * float(sr[i]) / float(sr[o])])
-                )[0]
-            )
-            for o in neigh[i]
-        )
-        lofq.append(tq)
-    return pa.table(
-        {
-            "cell": pa.array(cells, pa.int64()),
-            "sum_reach2": pa.array(sr, pa.int64()),
-            "lof": round_like_sql(
-                [float(q) / 3e9 for q in lofq], 6
-            ),
-        }
-    )
-
-
-def _q_frechet_profiles(sf_dir: str) -> pa.Table:
-    """Discrete Frechet distance between the click and view hour-of-
-    day profiles: the max-of-mins DP over |a_i - b_j| integer costs
-    (the dog-walking counterpart of dtw_distance, same anti-diagonal
-    unrolled SQL mirror)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"]
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        et = batch["event_type"].to_numpy(zero_copy_only=False)
-        hod = (
-            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 3_600_000_000
-            % 24
-        )
-        m = (et == "click") | (et == "view")
-        return pa.table(
-            {
-                "hod": pa.array(hod[m]),
-                "is_a": pa.array((et[m] == "click").astype(np.int64)),
-                "_one": pa.array(np.ones(int(m.sum()), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["hod", "is_a"],
-        [("_one", "sum", "c")],
-    )
-    a = np.zeros(24, np.int64)
-    b = np.zeros(24, np.int64)
-    for h, isa, c in zip(
-        agg["hod"].to_pylist(), agg["is_a"].to_pylist(), agg["c"].to_pylist()
-    ):
-        (a if isa else b)[int(h)] = int(c)
-    dp = [[0] * 24 for _ in range(24)]
-    for i in range(24):
-        for j in range(24):
-            cost = abs(int(a[i]) - int(b[j]))
-            if i == 0 and j == 0:
-                dp[i][j] = cost
-            elif i == 0:
-                dp[i][j] = max(cost, dp[0][j - 1])
-            elif j == 0:
-                dp[i][j] = max(cost, dp[i - 1][0])
-            else:
-                dp[i][j] = max(
-                    cost,
-                    min(dp[i - 1][j], dp[i][j - 1], dp[i - 1][j - 1]),
-                )
-    return pa.table(
-        {
-            "n_a": pa.array([int(a.sum())], pa.int64()),
-            "n_b": pa.array([int(b.sum())], pa.int64()),
-            "frechet": pa.array([dp[23][23]], pa.int64()),
-        }
-    )
-
-
-def _q_spanning_tree_count(sf_dir: str) -> pa.Table:
-    """EXACT spanning-tree count of the edit-1 word graph by the
-    matrix-tree theorem: the 19x19 Laplacian minor determinant via
-    fraction-free Bareiss elimination -- every intermediate is an
-    exact integer and every division is exact (so truncating and
-    floor division agree), 18 unrolled steps in the SQL mirror.  The
-    count is emitted as a decimal string (it can exceed int64) plus
-    its log10."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        distinct, round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        edit1_vocab_pairs,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
-    ).map_batches(
-        lambda b: b.rename_columns(["text"]),
-        batch_format="pyarrow", batch_size=None,
-    )
-    pairs = edit1_vocab_pairs(ds, min_len=4)
-    full = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
-    )
-    vt = distinct(full, ["source"])
-    vocab = sorted(w for w in vt["source"].to_pylist() if len(w) >= 4)
-    rank = {w: i for i, w in enumerate(vocab)}
-    n = len(vocab)
-    lap = [[0] * n for _ in range(n)]
-    n_edges = 0
-    for w1, w2 in zip(pairs["w1"].to_pylist(), pairs["w2"].to_pylist()):
-        i, j = rank[w1], rank[w2]
-        lap[i][j] -= 1
-        lap[j][i] -= 1
-        lap[i][i] += 1
-        lap[j][j] += 1
-        n_edges += 1
-    # minor: drop row/col 0; 1-indexed Bareiss
-    m = {
-        (i, j): lap[i][j]
-        for i in range(1, n)
-        for j in range(1, n)
-    }
-    size = n - 1
-    prev_piv = 1
-    for k in range(1, size):
-        piv = m[(k, k)]
-        new = {}
-        for i in range(k + 1, size + 1):
-            for j in range(k + 1, size + 1):
-                new[(i, j)] = (
-                    piv * m[(i, j)] - m[(i, k)] * m[(k, j)]
-                ) // prev_piv
-        m = new
-        prev_piv = piv
-    det = m[(size, size)]
-    return pa.table(
-        {
-            "n_nodes": pa.array([n], pa.int64()),
-            "n_edges": pa.array([n_edges], pa.int64()),
-            "n_trees": pa.array([str(det)], pa.string()),
-            "log10_trees": round_like_sql(
-                [np.log10(float(det))], 6
-            ),
-        }
-    )
-
-
-def _q_bipartite_matching(sf_dir: str) -> pa.Table:
-    """Maximum bipartite matching between the top-8 count cells and
-    the top-8 value cells (edge iff Manhattan distance <= 40) by the
-    exact bitmask subset DP -- 8 unrolled levels over (used-rights
-    mask, matched count); by Koenig's theorem the result is also the
-    minimum vertex cover."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["event_id", "value"]
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        cell = eid % 96 + (eid // 96 % 96) * 96
-        return pa.table(
-            {
-                "cell": pa.array(cell),
-                "_one": pa.array(np.ones(len(eid), np.int64)),
-                "v": pa.array(scaled_int(batch["value"], 100.0)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["cell"],
-        [("_one", "sum", "n"), ("v", "sum", "sv")],
-    )
-    cells = agg["cell"].to_pylist()
-    nv = agg["n"].to_pylist()
-    sv = agg["sv"].to_pylist()
-    left = sorted(
-        (int(c) for c, _ in sorted(
-            zip(cells, nv), key=lambda t: (-int(t[1]), int(t[0]))
-        )[:8])
-    )
-    right = sorted(
-        (int(c) for c, _ in sorted(
-            zip(cells, sv), key=lambda t: (-int(t[1]), int(t[0]))
-        )[:8])
-    )
-    lp = [(c % 96, c // 96) for c in left]
-    rp = [(c % 96, c // 96) for c in right]
-    edge = [
-        [
-            abs(lp[i][0] - rp[j][0]) + abs(lp[i][1] - rp[j][1]) <= 40
-            for j in range(8)
-        ]
-        for i in range(8)
-    ]
-    n_edges = sum(sum(r) for r in edge)
-    dp = {0: 0}
-    for i in range(8):
-        new = dict(dp)
-        for mask, val in dp.items():
-            for j in range(8):
-                if edge[i][j] and not (mask >> j) & 1:
-                    key = mask | (1 << j)
-                    if val + 1 > new.get(key, -1):
-                        new[key] = val + 1
-        dp = new
-    best = max(dp.values())
-    return pa.table(
-        {
-            "n_left": pa.array([8], pa.int64()),
-            "n_right": pa.array([8], pa.int64()),
-            "n_edges": pa.array([n_edges], pa.int64()),
-            "max_matching": pa.array([best], pa.int64()),
-            "min_vertex_cover": pa.array([best], pa.int64()),
-        }
-    )
-
-
-def _q_schulze_method(sf_dir: str) -> pa.Table:
-    """Schulze (beatpath) election over the five event types with
-    (user, day) ballots ranked by in-context counts: exact pairwise
-    preference matrix, widest-path strengths via the k-unrolled
-    Floyd max-min relaxation (pure integer), and the dominance
-    winner flags."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "ts", "event_type"],
-    )
-    tmap = {t: i for i, t in enumerate(_MARKOV_STATES)}
-
-    def prep(batch: pa.Table) -> pa.Table:
-        day = (
-            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 86_400_000_000
-        )
-        ti = np.array(
-            [tmap[t] for t in batch["event_type"].to_pylist()], np.int64
-        )
-        return pa.table(
-            {
-                "u": batch["user_id"],
-                "d": pa.array(day),
-                "t": pa.array(ti),
-                "_one": pa.array(np.ones(len(day), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["u", "d", "t"],
-        [("_one", "sum", "c")],
-    )
-    uv = agg["u"].to_numpy(zero_copy_only=False).astype(np.int64)
-    dv = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)
-    tv = agg["t"].to_numpy(zero_copy_only=False).astype(np.int64)
-    cv = agg["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-    _, inv = np.unique(np.stack([uv, dv], axis=1), axis=0, return_inverse=True)
-    mat = np.zeros((int(inv.max()) + 1, 5), np.int64)
-    mat[inv, tv] = cv
-    d = [[0] * 5 for _ in range(5)]
-    for i in range(5):
-        for j in range(5):
-            if i != j:
-                # zero counts participate (absent type loses)
-                d[i][j] = int((mat[:, i] > mat[:, j]).sum())
-    p = [
-        [
-            d[i][j] if i != j and d[i][j] > d[j][i] else 0
-            for j in range(5)
-        ]
-        for i in range(5)
-    ]
-    for k in range(5):
-        p = [
-            [
-                max(p[i][j], min(p[i][k], p[k][j])) if i != j else 0
-                for j in range(5)
-            ]
-            for i in range(5)
-        ]
-    wins = [sum(1 for j in range(5) if j != i and d[i][j] > d[j][i]) for i in range(5)]
-    winner = [
-        1
-        if all(p[i][j] >= p[j][i] for j in range(5) if j != i)
-        else 0
-        for i in range(5)
-    ]
-    return pa.table(
-        {
-            "event_type": pa.array(_MARKOV_STATES),
-            "pairwise_wins": pa.array(wins, pa.int64()),
-            "is_schulze_winner": pa.array(winner, pa.int64()),
-        }
-    )
-
-
-_BPERC_ROUNDS = 10
-
-
-def _q_bootstrap_percolation(sf_dir: str) -> pa.Table:
-    """Bootstrap percolation (threshold-2 cascade) on the edit-1 word
-    graph seeded by the two smallest vocabulary words: a node
-    activates when >= 2 neighbors are active, 10 synchronous integer
-    rounds; reports each word's activation round (0 = seed, -1 =
-    never)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        distinct,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        edit1_vocab_pairs,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
-    ).map_batches(
-        lambda b: b.rename_columns(["text"]),
-        batch_format="pyarrow", batch_size=None,
-    )
-    pairs = edit1_vocab_pairs(ds, min_len=4)
-    full = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
-    )
-    vt = distinct(full, ["source"])
-    vocab = sorted(w for w in vt["source"].to_pylist() if len(w) >= 4)
-    rank = {w: i for i, w in enumerate(vocab)}
-    n = len(vocab)
-    adj: list[set[int]] = [set() for _ in range(n)]
-    for w1, w2 in zip(pairs["w1"].to_pylist(), pairs["w2"].to_pylist()):
-        a, b = rank[w1], rank[w2]
-        adj[a].add(b)
-        adj[b].add(a)
-    rounds = {0: 0, 1: 0} if n >= 2 else {0: 0}
-    for r in range(1, _BPERC_ROUNDS + 1):
-        active = set(rounds)
-        newly = {
-            v
-            for v in range(n)
-            if v not in active
-            and sum(1 for u in adj[v] if u in active) >= 2
-        }
-        for v in newly:
-            rounds[v] = r
-    return pa.table(
-        {
-            "word": pa.array(vocab, pa.string()),
-            "round": pa.array(
-                [rounds.get(v, -1) for v in range(n)], pa.int64()
-            ),
-        }
-    )
-
-
-def _q_fisher_exact(sf_dir: str) -> pa.Table:
-    """EXACT Fisher 2x2 test (no lgamma, no floats until the final
-    ratio): sources split by rank parity vs the above-average-chars
-    outcome (20*sum > total, integer predicate); the hypergeometric
-    enumeration uses exact binomial coefficients, and the two-sided
-    p-value sums every table with probability <= observed via pure
-    integer comparisons.  The SQL mirror carries a generated Pascal
-    VALUES table."""
-    import math
-
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["source", "n_chars"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "source": batch["source"],
-                "nc": batch["n_chars"],
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["source"],
-        [("nc", "sum", "s")],
-    )
-    rows = sorted(
-        (w, int(s))
-        for w, s in zip(agg["source"].to_pylist(), agg["s"].to_pylist())
-        if len(w) >= 4
-    )
-    nsrc = len(rows)
-    total = sum(s for _, s in rows)
-    a_obs = 0
-    n0 = n1 = big_k = 0
-    for idx, (_, s) in enumerate(rows):
-        g = idx % 2
-        o = 1 if nsrc * s > total else 0
-        if g == 0:
-            n0 += 1
-            if o:
-                a_obs += 1
-        else:
-            n1 += 1
-        big_k += o
-    a_val = math.comb(n0, a_obs) * math.comb(n1, big_k - a_obs)
-    num = 0
-    den = math.comb(nsrc, big_k)
-    for k in range(max(0, big_k - n1), min(n0, big_k) + 1):
-        w = math.comb(n0, k) * math.comb(n1, big_k - k)
-        if w <= a_val:
-            num += w
-    return pa.table(
-        {
-            "n_sources": pa.array([nsrc], pa.int64()),
-            "a_obs": pa.array([a_obs], pa.int64()),
-            "col_total": pa.array([big_k], pa.int64()),
-            "p_value": round_like_sql(
-                [float(num) / float(den)], 6
-            ),
-        }
-    )
-
-
-def _q_conformal_interval(sf_dir: str) -> pa.Table:
-    """Split-conformal prediction interval for event value cents with
-    the per-type exact integer median as the point predictor:
-    calibration/test split by mix32(event_id), nonconformity =
-    |y - median_type| (integer), q_hat = the ceil(0.9*(n+1))-th
-    calibration order statistic, and the test-set coverage rate --
-    the distribution-free uncertainty wrapper, fully exact."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
-        mix32,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "event_type", "value"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                "t": batch["event_type"],
-                "cal": pa.array(mix32(eid, 99) % 2),
-                "y": pa.array(scaled_int(batch["value"], 100.0)),
-                "_one": pa.array(np.ones(len(eid), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["t", "cal", "y"],
-        [("_one", "sum", "c")],
-    )
-    tv = agg["t"].to_pylist()
-    calv = agg["cal"].to_pylist()
-    yv = [int(x) for x in agg["y"].to_pylist()]
-    cv = [int(x) for x in agg["c"].to_pylist()]
-    # per-type exact lower median over ALL events
-    med = {}
-    for t in sorted(set(tv)):
-        vals = sorted(
-            (y, c) for ty, y, c in zip(tv, yv, cv) if ty == t
-        )
-        n_t = sum(c for _, c in vals)
-        k = (n_t - 1) // 2  # 0-based lower median
-        cum = 0
-        for y, c in vals:
-            cum += c
-            if cum > k:
-                med[t] = y
-                break
-    # residual multisets per split
-    resid: dict[int, dict[int, int]] = {0: {}, 1: {}}
-    for t, cal, y, c in zip(tv, calv, yv, cv):
-        r = abs(y - med[t])
-        d = resid[int(cal)]
-        d[r] = d.get(r, 0) + c
-    cal_d = resid[0]  # cal = mix32 % 2 == 0
-    n_cal = sum(cal_d.values())
-    k = min(n_cal, (9 * (n_cal + 1) + 9) // 10)
-    cum = 0
-    q_hat = None
-    for r in sorted(cal_d):
-        cum += cal_d[r]
-        if cum >= k:
-            q_hat = r
-            break
-    n_test = sum(resid[1].values())
-    n_cov = sum(c for r, c in resid[1].items() if r <= q_hat)
-    return pa.table(
-        {
-            "n_cal": pa.array([n_cal], pa.int64()),
-            "n_test": pa.array([n_test], pa.int64()),
-            "q_hat": pa.array([q_hat], pa.int64()),
-            "coverage": round_like_sql(
-                [float(n_cov) / float(n_test)], 6
-            ),
-        }
-    )
-
-
-_GMM_ITERS = 10
-_GMM_RQ = 1_000_000_000
-
-
-def _q_gmm_em_1d(sf_dir: str) -> pa.Table:
-    """Two-component 1-D Gaussian-mixture EM on event value cents,
-    bit-identical in Python and SQL: the E-step responsibility is one
-    pinned float chain per distinct value (params are floats derived
-    from exact integer sums, so no accumulation-order ambiguity),
-    quantized at 1e9 ticks before the M-step integer sums; 10 unrolled
-    iterations.  Init: exact 25th/75th-percentile order statistics and
-    the exact global variance.  Reports the final params and the
-    quantized log-likelihood."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["value"])
-
-    def prep(batch: pa.Table) -> pa.Table:
-        y = scaled_int(batch["value"], 100.0)
-        return pa.table(
-            {
-                "y": pa.array(y),
-                "_one": pa.array(np.ones(len(y), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["y"],
-        [("_one", "sum", "c")],
-    ).sort_by([("y", "ascending")])
-    yv = agg["y"].to_numpy(zero_copy_only=False).astype(np.int64)
-    cv = agg["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-    n = int(cv.sum())
-    cum = np.cumsum(cv)
-    k25 = (n - 1) // 4
-    k75 = (3 * (n - 1)) // 4
-    mu1 = float(int(yv[int(np.searchsorted(cum, k25 + 1))]))
-    mu2 = float(int(yv[int(np.searchsorted(cum, k75 + 1))]))
-    sy = int((yv * cv).sum())
-    syy = sum(int(y) * int(y) * int(c) for y, c in zip(yv, cv))
-    v1 = v2 = float(n * syy - sy * sy) / float(n * n)
-    w1 = 0.5
-    yf = yv.astype(np.float64)
-    cl = [int(x) for x in cv.tolist()]
-    yl = [int(x) for x in yv.tolist()]
-    rq_s = _GMM_RQ
-    llq = 0
-    for _ in range(_GMM_ITERS):
-        d1 = yf - mu1
-        d2 = yf - mu2
-        l1 = -(d1 * d1) / (2.0 * v1) - 0.5 * np.log(v1)
-        l2 = -(d2 * d2) / (2.0 * v2) - 0.5 * np.log(v2)
-        with np.errstate(over="ignore"):
-            z = np.log(1.0 - w1) - np.log(w1) + l2 - l1
-            r1 = 1.0 / (1.0 + np.exp(z))
-        r1q = round_half_away(1e9 * r1).astype(np.int64)
-        rl = [int(x) for x in r1q.tolist()]
-        R1 = sum(c * r for c, r in zip(cl, rl))
-        R2 = sum(c * (rq_s - r) for c, r in zip(cl, rl))
-        S1 = sum(c * r * y for c, r, y in zip(cl, rl, yl))
-        S2 = sum(c * (rq_s - r) * y for c, r, y in zip(cl, rl, yl))
-        Q1 = sum(c * r * y * y for c, r, y in zip(cl, rl, yl))
-        Q2 = sum(
-            c * (rq_s - r) * y * y for c, r, y in zip(cl, rl, yl)
-        )
-        mu1 = float(S1) / float(R1)
-        mu2 = float(S2) / float(R2)
-        v1 = float(Q1) / float(R1) - mu1 * mu1
-        v2 = float(Q2) / float(R2) - mu2 * mu2
-        w1 = float(R1) / float(R1 + R2)
-    # final quantized log-likelihood under the fitted params
-    d1 = yf - mu1
-    d2 = yf - mu2
-    l1 = -(d1 * d1) / (2.0 * v1) - 0.5 * np.log(v1)
-    l2 = -(d2 * d2) / (2.0 * v2) - 0.5 * np.log(v2)
-    with np.errstate(over="ignore", under="ignore"):
-        mix = w1 * np.exp(l1) + (1.0 - w1) * np.exp(l2)
-        ll = np.log(mix)
-    tq = round_half_away(1e6 * ll).astype(np.int64)
-    llq = sum(c * int(t) for c, t in zip(cl, tq.tolist()))
-    return pa.table(
-        {
-            "mu1": round_like_sql([mu1 / 100.0], 6),
-            "mu2": round_like_sql([mu2 / 100.0], 6),
-            "sigma1": round_like_sql([np.sqrt(v1) / 100.0], 6),
-            "sigma2": round_like_sql([np.sqrt(v2) / 100.0], 6),
-            "w1": round_like_sql([w1], 6),
-            "loglik_q": pa.array([llq], pa.int64()),
-        }
-    )
-
-
-_LOGIT_ITERS = 15
-_LOGIT_LR = 0.5
-
-
-def _q_logistic_gd(sf_dir: str) -> pa.Table:
-    """Logistic regression (is-purchase ~ standardized hour-of-day +
-    standardized value cents) by batch gradient descent, bit-identical
-    in SQL: standardization constants come from exact integer moments,
-    each iteration's per-row residual sigma(z) - t is quantized at 1e9
-    ticks so the gradient sums are exact integers (features enter the
-    gradient pre-quantized at 1e6 ticks), and the coefficient update
-    is one pinned float chain; 15 unrolled iterations plus an exact
-    z>0 accuracy count."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["ts", "event_type", "value"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        hod = (
-            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 3_600_000_000
-            % 24
-        )
-        et = batch["event_type"].to_numpy(zero_copy_only=False)
-        y = scaled_int(batch["value"], 100.0)
-        return pa.table(
-            {
-                "h": pa.array(hod),
-                "y": pa.array(y),
-                "t": pa.array((et == "purchase").astype(np.int64)),
-                "_one": pa.array(np.ones(len(y), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["h", "y", "t"],
-        [("_one", "sum", "c")],
-    )
-    hv = agg["h"].to_numpy(zero_copy_only=False).astype(np.int64)
-    yv = agg["y"].to_numpy(zero_copy_only=False).astype(np.int64)
-    tv = agg["t"].to_numpy(zero_copy_only=False).astype(np.int64)
-    cv = agg["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-    n = int(cv.sum())
-    sh = int((hv * cv).sum())
-    shh = int((hv * hv * cv).sum())
-    sy = int((yv * cv).sum())
-    syy = sum(int(y) * int(y) * int(c) for y, c in zip(yv, cv))
-    mh = float(sh) / float(n)
-    sdh = np.sqrt(float(n * shh - sh * sh) / (float(n) * float(n)))
-    my = float(sy) / float(n)
-    sdy = np.sqrt(float(n * syy - sy * sy) / (float(n) * float(n)))
-    # pre-quantized standardized features (1e6 ticks) keep gradient
-    # sums exact
-    x1q = round_half_away(
-        1e6 * (hv.astype(np.float64) - mh) / sdh
-    ).astype(np.int64)
-    x2q = round_half_away(
-        1e6 * (yv.astype(np.float64) - my) / sdy
-    ).astype(np.int64)
-    x1f = x1q.astype(np.float64) / 1e6
-    x2f = x2q.astype(np.float64) / 1e6
-    b0 = b1 = b2 = 0.0
-    cl = [int(x) for x in cv.tolist()]
-    for _ in range(_LOGIT_ITERS):
-        z = b0 + b1 * x1f + b2 * x2f
-        with np.errstate(over="ignore"):
-            sig = 1.0 / (1.0 + np.exp(-z))
-        rq = round_half_away(
-            1e9 * (sig - tv.astype(np.float64))
-        ).astype(np.int64)
-        rl = [int(x) for x in rq.tolist()]
-        g0 = sum(c * r for c, r in zip(cl, rl))
-        g1 = sum(
-            c * r * int(q) for c, r, q in zip(cl, rl, x1q.tolist())
-        )
-        g2 = sum(
-            c * r * int(q) for c, r, q in zip(cl, rl, x2q.tolist())
-        )
-        b0 = b0 - _LOGIT_LR * (float(g0) / 1e9) / float(n)
-        b1 = b1 - _LOGIT_LR * (float(g1) / 1e9 / 1e6) / float(n)
-        b2 = b2 - _LOGIT_LR * (float(g2) / 1e9 / 1e6) / float(n)
-    z = b0 + b1 * x1f + b2 * x2f
-    correct = sum(
-        c
-        for c, zz, t in zip(cl, z.tolist(), tv.tolist())
-        if (1 if zz > 0.0 else 0) == int(t)
-    )
-    return pa.table(
-        {
-            "n_obs": pa.array([n], pa.int64()),
-            "b0": round_like_sql([b0], 6),
-            "b1": round_like_sql([b1], 6),
-            "b2": round_like_sql([b2], 6),
-            "accuracy": round_like_sql(
-                [float(correct) / float(n)], 6
-            ),
-        }
-    )
-
-
-def _q_knn_loo_accuracy(sf_dir: str) -> pa.Table:
-    """Leave-one-out 5-NN classifier accuracy over the first 500
-    embedding vectors (by vec_id; the subset keeps the all-pairs
-    check scale-invariant): 1e4-tick integer squared distances,
-    neighbor order (d2, vec_id), majority vote with smallest-label
-    tie-break -- every decision exact."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.ann import (
-        list_col_to_matrix,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "embeddings.parquet"))
-
-    def prep(batch: pa.Table) -> pa.Table:
-        m = list_col_to_matrix(batch["embedding"]).astype(np.float64)
-        vq = round_half_away(m * 1e4).astype(np.int64)
-        cols = {
-            "vec_id": batch["vec_id"],
-            "label": batch["label"].cast(pa.int64()),
-        }
-        for c in range(vq.shape[1]):
-            cols[f"v{c}"] = pa.array(vq[:, c])
-        return pa.table(cols)
-
-    tab = collect_tables(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
-    )
-    vid = tab["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.argsort(vid)[:500]
-    vid = vid[order]
-    lab = tab["label"].to_numpy(zero_copy_only=False).astype(np.int64)[order]
-    vq = np.stack(
-        [
-            tab[f"v{c}"].to_numpy(zero_copy_only=False)[order]
-            for c in range(64)
-        ],
-        axis=1,
-    )
-    n = len(vid)
-    nrm = (vq * vq).sum(axis=1)
-    d2 = nrm[:, None] + nrm[None, :] - 2 * (vq @ vq.T)
-    correct = 0
-    for i in range(n):
-        cand = sorted(
-            (int(d2[i, j]), int(vid[j]), int(lab[j]))
-            for j in range(n)
-            if j != i
-        )[:5]
-        votes: dict[int, int] = {}
-        for _, _, l in cand:
-            votes[l] = votes.get(l, 0) + 1
-        pred = min(votes, key=lambda l: (-votes[l], l))
-        if pred == int(lab[i]):
-            correct += 1
-    return pa.table(
-        {
-            "n_vecs": pa.array([n], pa.int64()),
-            "n_correct": pa.array([correct], pa.int64()),
-            "accuracy": round_like_sql(
-                [float(correct) / float(n)], 6
-            ),
-        }
-    )
-
-
-def _q_hopkins_stat(sf_dir: str) -> pa.Table:
-    """Hopkins clusterability statistic (squared-distance variant,
-    documented) over the event cell pattern: 50 mix32 lattice probes
-    vs 50 mix32-sampled data cells, exact integer nearest-neighbor
-    d2 sums, H = sum_u / (sum_u + sum_w) as one pinned float."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
-        mix32,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
-
-    def prep(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        cell = eid % 96 + (eid // 96 % 96) * 96
-        return pa.table(
-            {
-                "cell": pa.array(cell),
-                "_one": pa.array(np.ones(len(eid), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["cell"],
-        [("_one", "sum", "_n")],
-    )
-    cells = np.sort(
-        agg["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
-    )
-    xs = cells % 96
-    ys = cells // 96
-    idx = np.arange(50, dtype=np.int64)
-    px = mix32(idx, 41) % 96
-    py = mix32(idx, 43) % 96
-    # data sample: 50 cells by smallest mix32(cell, 47), cell tie-break
-    keys = mix32(cells, 47)
-    sel = np.lexsort((cells, keys))[:50]
-    su = 0
-    for i in range(50):
-        su += int(((xs - int(px[i])) ** 2 + (ys - int(py[i])) ** 2).min())
-    sw = 0
-    for i in sel.tolist():
-        d = (xs - int(xs[i])) ** 2 + (ys - int(ys[i])) ** 2
-        d[i] = 1 << 60
-        sw += int(d.min())
-    h = float(su) / float(su + sw)
-    return pa.table(
-        {
-            "sum_u": pa.array([su], pa.int64()),
-            "sum_w": pa.array([sw], pa.int64()),
-            "hopkins": round_like_sql([h], 6),
-        }
-    )
-
-
-def _q_cart_depth2(sf_dir: str) -> pa.Table:
-    """Depth-2 CART classifier (is-purchase ~ hour-of-day, value
-    cents): candidate thresholds are the 23 hour cuts plus 15 exact
-    value-quantile order statistics; split costs are the weighted
-    Gini 2p(n-p)/n as a pinned float with (feature, threshold)
-    tie-break; leaf predictions by exact majority (2p > n).  Output:
-    the three chosen splits and four leaves with exact counts, plus
-    training accuracy."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["ts", "event_type", "value"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        hod = (
-            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 3_600_000_000
-            % 24
-        )
-        et = batch["event_type"].to_numpy(zero_copy_only=False)
-        y = scaled_int(batch["value"], 100.0)
-        return pa.table(
-            {
-                "h": pa.array(hod),
-                "y": pa.array(y),
-                "t": pa.array((et == "purchase").astype(np.int64)),
-                "_one": pa.array(np.ones(len(y), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["h", "y", "t"],
-        [("_one", "sum", "c")],
-    )
-    hv = agg["h"].to_numpy(zero_copy_only=False).astype(np.int64)
-    yv = agg["y"].to_numpy(zero_copy_only=False).astype(np.int64)
-    tv = agg["t"].to_numpy(zero_copy_only=False).astype(np.int64)
-    cv = agg["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-    n_total = int(cv.sum())
-    # value quantile candidates: exact order statistics at i/16
-    vorder = np.lexsort((yv,))
-    ys_sorted = yv[vorder]
-    cs_sorted = cv[vorder]
-    cum = np.cumsum(cs_sorted)
-    qthr = sorted(
-        {
-            int(
-                ys_sorted[
-                    int(np.searchsorted(cum, (i * (n_total - 1)) // 16 + 1))
-                ]
-            )
-            for i in range(1, 16)
-        }
-    )
-    cands = [(0, int(t)) for t in range(23)] + [(1, t) for t in qthr]
-
-    def split_cost(mask: np.ndarray, feat: int, thr: int):
-        fv = hv if feat == 0 else yv
-        left = mask & (fv <= thr)
-        right = mask & ~(fv <= thr)
-        nl = int(cv[left].sum())
-        nr = int(cv[right].sum())
-        if nl == 0 or nr == 0:
-            return None
-        pl = int(cv[left & (tv == 1)].sum())
-        pr = int(cv[right & (tv == 1)].sum())
-        cost = 2.0 * float(pl) * float(nl - pl) / float(nl) + 2.0 * float(
-            pr
-        ) * float(nr - pr) / float(nr)
-        return cost, left, right, nl, nr, pl, pr
-
-    def best_split(mask: np.ndarray):
-        best = None
-        for feat, thr in cands:
-            r = split_cost(mask, feat, thr)
-            if r is None:
-                continue
-            key = (r[0], feat, thr)
-            if best is None or key < best[0]:
-                best = (key, r)
-        return best
-
-    root_mask = np.ones(len(cv), bool)
-    (rk, rr) = best_split(root_mask)
-    _, l_mask, r_mask, _, _, _, _ = rr
-    rows = [
-        (
-            1,
-            rk[1],
-            rk[2],
-            n_total,
-            int(cv[tv == 1].sum()),
-        )
-    ]
-    leaf_rows = []
-    correct = 0
-    for node_id, mask in ((2, l_mask), (3, r_mask)):
-        (sk, sr) = best_split(mask)
-        rows.append(
-            (
-                node_id,
-                sk[1],
-                sk[2],
-                int(cv[mask].sum()),
-                int(cv[mask & (tv == 1)].sum()),
-            )
-        )
-        for off, kmask in enumerate((sr[1], sr[2])):
-            nn = int(cv[kmask].sum())
-            pp = int(cv[kmask & (tv == 1)].sum())
-            pred = 1 if 2 * pp > nn else 0
-            leaf_rows.append((node_id * 2 + off, -1, pred, nn, pp))
-            correct += pp if pred == 1 else nn - pp
-    acc = float(correct) / float(n_total)
-    all_rows = rows + leaf_rows
-    return pa.table(
-        {
-            "node": pa.array([r[0] for r in all_rows], pa.int64()),
-            "feat": pa.array([r[1] for r in all_rows], pa.int64()),
-            "thr_or_pred": pa.array(
-                [r[2] for r in all_rows], pa.int64()
-            ),
-            "n": pa.array([r[3] for r in all_rows], pa.int64()),
-            "n_pos": pa.array([r[4] for r in all_rows], pa.int64()),
-            "accuracy": round_like_sql([acc] * len(all_rows), 6),
-        }
-    )
-
-
-def _q_adaboost_2(sf_dir: str) -> pa.Table:
-    """Two-round AdaBoost on decision stumps (is-purchase ~ hour /
-    value-quantile thresholds, both polarities): round-1 error is an
-    exact integer count; round-2 sample weights collapse to TWO values
-    exp(+-alpha1), so every weighted error is a pinned two-term float
-    with exact integer multiplicities and the argmin stays
-    deterministic under the (feat, thr, pol) tie-break.  Reports both
-    stumps, alphas, and the exact ensemble accuracy."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["ts", "event_type", "value"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        hod = (
-            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 3_600_000_000
-            % 24
-        )
-        et = batch["event_type"].to_numpy(zero_copy_only=False)
-        y = scaled_int(batch["value"], 100.0)
-        return pa.table(
-            {
-                "h": pa.array(hod),
-                "y": pa.array(y),
-                "t": pa.array((et == "purchase").astype(np.int64)),
-                "_one": pa.array(np.ones(len(y), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["h", "y", "t"],
-        [("_one", "sum", "c")],
-    )
-    hv = agg["h"].to_numpy(zero_copy_only=False).astype(np.int64)
-    yv = agg["y"].to_numpy(zero_copy_only=False).astype(np.int64)
-    tv = agg["t"].to_numpy(zero_copy_only=False).astype(np.int64)
-    cv = agg["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-    n = int(cv.sum())
-    vorder = np.lexsort((yv,))
-    cum = np.cumsum(cv[vorder])
-    qthr = sorted(
-        {
-            int(
-                yv[vorder][
-                    int(np.searchsorted(cum, (i * (n - 1)) // 16 + 1))
-                ]
-            )
-            for i in range(1, 16)
-        }
-    )
-    cands = [
-        (feat, thr, pol)
-        for feat, thr in (
-            [(0, int(t)) for t in range(23)] + [(1, t) for t in qthr]
-        )
-        for pol in (0, 1)
-    ]
-
-    def stump_pred(feat: int, thr: int, pol: int) -> np.ndarray:
-        fv = hv if feat == 0 else yv
-        p = (fv <= thr).astype(np.int64)
-        return p if pol == 0 else 1 - p
-
-    # round 1: exact integer error counts
-    best1 = None
-    for feat, thr, pol in cands:
-        p = stump_pred(feat, thr, pol)
-        err = int(cv[p != tv].sum())
-        key = (err, feat, thr, pol)
-        if best1 is None or key < best1:
-            best1 = key
-    e1n, f1, t1, p1 = best1
-    a1 = 0.5 * np.log((float(n) - float(e1n)) / float(e1n))
-    miss1 = stump_pred(f1, t1, p1) != tv
-    ww = float(np.exp(a1))
-    wc = float(np.exp(-a1))
-    best2 = None
-    for feat, thr, pol in cands:
-        p = stump_pred(feat, thr, pol)
-        miss = p != tv
-        mw = int(cv[miss & miss1].sum())
-        mc = int(cv[miss & ~miss1].sum())
-        cost = ww * float(mw) + wc * float(mc)
-        key = (cost, feat, thr, pol)
-        if best2 is None or key < best2[0]:
-            best2 = (key, mw, mc)
-    (c2, f2, t2, p2), mw2, mc2 = best2
-    nw = int(cv[miss1].sum())
-    nc = n - nw
-    e2 = (ww * float(mw2) + wc * float(mc2)) / (
-        ww * float(nw) + wc * float(nc)
-    )
-    a2 = 0.5 * np.log((1.0 - e2) / e2)
-    s1 = 2 * stump_pred(f1, t1, p1) - 1
-    s2 = 2 * stump_pred(f2, t2, p2) - 1
-    score = a1 * s1.astype(np.float64) + a2 * s2.astype(np.float64)
-    pred = (score > 0.0).astype(np.int64)
-    correct = int(cv[pred == tv].sum())
-    return pa.table(
-        {
-            "feat1": pa.array([f1], pa.int64()),
-            "thr1": pa.array([t1], pa.int64()),
-            "pol1": pa.array([p1], pa.int64()),
-            "alpha1": round_like_sql([a1], 6),
-            "feat2": pa.array([f2], pa.int64()),
-            "thr2": pa.array([t2], pa.int64()),
-            "pol2": pa.array([p2], pa.int64()),
-            "alpha2": round_like_sql([a2], 6),
-            "accuracy": round_like_sql(
-                [float(correct) / float(n)], 6
-            ),
-        }
-    )
-
-
-def _q_sax_motifs(sf_dir: str) -> pa.Table:
-    """SAX-style motif mining on the daily revenue series: days
-    discretized into 4 symbols by exact quartile order statistics
-    (breaks at ranks (i*(n-1))//4, symbol = #breaks strictly below the
-    value), all 3-gram motifs counted, top-5 by (count DESC, pattern).
-    Pure integer discretization -- no z-normalization float."""
-    ys = _daily_revenue_cents(sf_dir)
-    n = len(ys)
-    srt = sorted(ys)
-    breaks = [srt[(i * (n - 1)) // 4] for i in (1, 2, 3)]
-    sym = [sum(1 for b in breaks if y > b) for y in ys]
-    counts: dict[str, int] = {}
-    for t in range(n - 2):
-        pat = f"{sym[t]}{sym[t + 1]}{sym[t + 2]}"
-        counts[pat] = counts.get(pat, 0) + 1
-    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
-    return pa.table(
-        {
-            "motif": pa.array([k for k, _ in top], pa.string()),
-            "n_occur": pa.array([v for _, v in top], pa.int64()),
-        }
-    )
-
-
-def _daily_revenue_cents(sf_dir: str) -> list[int]:
-    """Shared dense daily event-revenue cents series."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["ts", "value"]
-    )
-
-    def daily(batch: pa.Table) -> pa.Table:
-        d = (
-            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 86_400_000_000
-        )
-        return pa.table(
-            {
-                "d": pa.array(d),
-                "y": pa.array(scaled_int(batch["value"], 100.0)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(daily, batch_format="pyarrow", batch_size=None),
-        ["d"],
-        [("y", "sum", "y")],
-    )
-    dd = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)
-    lo, hi = int(dd.min()), int(dd.max())
-    ys = [0] * (hi - lo + 1)
-    for d, y in zip((dd - lo).tolist(), agg["y"].to_pylist()):
-        ys[d] = int(y)
-    return ys
-
-
-def _q_hampel_filter(sf_dir: str) -> pa.Table:
-    """Hampel outlier filter on the daily revenue series: centered
-    5-day windows (edge-truncated), exact window median and MAD via
-    small-sort order statistics, flag |y - med| > 3 * MAD using the
-    integer inequality |y - med| * 1 > 3 * MAD -- no float anywhere
-    except none at all."""
-    ys = _daily_revenue_cents(sf_dir)
-    n = len(ys)
-    t_out, med_out, mad_out, flag = [], [], [], []
-    for t in range(n):
-        lo = max(0, t - 2)
-        hi = min(n - 1, t + 2)
-        win = sorted(ys[lo : hi + 1])
-        m = win[(len(win) - 1) // 2]
-        dev = sorted(abs(v - m) for v in win)
-        mad = dev[(len(dev) - 1) // 2]
-        t_out.append(t)
-        med_out.append(m)
-        mad_out.append(mad)
-        flag.append(1 if abs(ys[t] - m) > 3 * mad else 0)
-    return pa.table(
-        {
-            "t": pa.array(t_out, pa.int64()),
-            "y": pa.array(ys, pa.int64()),
-            "win_med": pa.array(med_out, pa.int64()),
-            "win_mad": pa.array(mad_out, pa.int64()),
-            "is_outlier": pa.array(flag, pa.int64()),
-        }
-    )
-
-
-_GWR_PROBES = [(24, 24), (24, 72), (72, 24), (72, 72)]
-_GWR_R2 = 900  # bandwidth^2 = 30^2
-
-
-def _q_gwr_local(sf_dir: str) -> pa.Table:
-    """Geographically weighted regression of event value cents on
-    hour-of-day at four probe locations, with the EXACT integer
-    triangular kernel w = max(0, R^2 - d^2) on the frozen grid: every
-    weighted moment is an exact integer sum (the combiner tier emits
-    per-probe partials), so the local slopes/intercepts are single
-    pinned float ratios -- spatial non-stationarity screening without
-    a single float in the aggregation."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "ts", "value"],
-    )
-    px = np.array([p[0] for p in _GWR_PROBES], np.int64)
-    py = np.array([p[1] for p in _GWR_PROBES], np.int64)
-
-    def partials(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        x = (
-            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 3_600_000_000
-            % 24
-        )
-        y = scaled_int(batch["value"], 100.0)
-        cx = eid % 96
-        cy = eid // 96 % 96
-        out = {
-            "probe": [], "sw": [], "swx": [], "swy": [],
-            "swxx": [], "swxy": [], "n_eff": [],
-        }
-        for p in range(len(px)):
-            d2 = (cx - px[p]) ** 2 + (cy - py[p]) ** 2
-            w = np.maximum(0, _GWR_R2 - d2)
-            out["probe"].append(p)
-            out["sw"].append(int(w.sum()))
-            out["swx"].append(int((w * x).sum()))
-            out["swy"].append(int((w * y).sum()))
-            out["swxx"].append(int((w * x * x).sum()))
-            out["swxy"].append(int((w * x * y).sum()))
-            out["n_eff"].append(int((w > 0).sum()))
-        return pa.table(
-            {k: pa.array(v, pa.int64()) for k, v in out.items()}
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(partials, batch_format="pyarrow", batch_size=None),
-        ["probe"],
-        [
-            ("sw", "sum", "sw"),
-            ("swx", "sum", "swx"),
-            ("swy", "sum", "swy"),
-            ("swxx", "sum", "swxx"),
-            ("swxy", "sum", "swxy"),
-            ("n_eff", "sum", "n_eff"),
-        ],
-    ).sort_by([("probe", "ascending")])
-    slopes, intercepts = [], []
-    for i in range(agg.num_rows):
-        sw = int(agg["sw"][i].as_py())
-        swx = int(agg["swx"][i].as_py())
-        swy = int(agg["swy"][i].as_py())
-        swxx = int(agg["swxx"][i].as_py())
-        swxy = int(agg["swxy"][i].as_py())
-        b = float(sw * swxy - swx * swy) / float(sw * swxx - swx * swx)
-        slopes.append(b)
-        intercepts.append(
-            (float(swy) - b * float(swx)) / float(sw)
-        )
-    return pa.table(
-        {
-            "probe": agg["probe"],
-            "px": pa.array(px.tolist(), pa.int64()),
-            "py": pa.array(py.tolist(), pa.int64()),
-            "n_eff": agg["n_eff"],
-            "slope": round_like_sql(slopes, 6),
-            "intercept": round_like_sql(intercepts, 6),
-        }
-    )
-
-
-_SOUNDEX_CODE = {
-    **{c: 1 for c in "bfpv"},
-    **{c: 2 for c in "cgjkqsxz"},
-    **{c: 3 for c in "dt"},
-    "l": 4,
-    **{c: 5 for c in "mn"},
-    "r": 6,
-    **{c: -1 for c in "hw"},  # transparent: do not break digit runs
-}
-
-
-def _soundex(w: str) -> str:
-    """American Soundex (NARA): retain first letter; h/w transparent
-    (same digits across them collapse), vowels break runs; first
-    letter's own code participates in the collapse (Pfister -> P236)."""
-    digits = []
-    prev = _SOUNDEX_CODE.get(w[0], 0)
-    for c in w[1:]:
-        code = _SOUNDEX_CODE.get(c, 0)
-        if code == -1:
-            continue
-        if 1 <= code <= 6 and code != prev:
-            digits.append(str(code))
-        prev = code
-    return w[0].upper() + ("".join(digits) + "000")[:3]
-
-
-def _q_soundex_blocks(sf_dir: str) -> pa.Table:
-    """Phonetic blocking over the distinct corpus vocabulary (tokens of
-    length >= 4, letters only): American Soundex code per word, then
-    block-level aggregates (count + lexicographic first/last member)
-    for every code with >= 2 members -- the classic cheap blocking key
-    for fuzzy string dedup at scale (the per-word encode is a stateless
-    map over the DISTINCT vocab, the block rollup a tiny groupby)."""
-    import pyarrow.compute as pc
-    import ray.data as rd
-
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        distinct, hash_aggregate,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        _explode_tokens,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
-
-    def batch_tokens(batch: pa.Table) -> pa.Table:
-        batch = batch.append_column(
-            "_d", pa.array(np.zeros(batch.num_rows, np.int64))
-        )
-        return _explode_tokens(batch, "text", "_d").select(["token"])
-
-    vocab = distinct(
-        ds.map_batches(batch_tokens, batch_format="pyarrow", batch_size=None),
-        ["token"],
-    )
-    vocab = vocab.filter(
-        pc.and_(
-            pc.greater_equal(pc.utf8_length(vocab["token"]), 4),
-            pc.match_substring_regex(vocab["token"], "^[a-z]+$"),
-        )
-    )
-
-    def encode(batch: pa.Table) -> pa.Table:
-        ws = batch["token"].to_pylist()
-        return pa.table(
-            {
-                "sdx": pa.array([_soundex(w) for w in ws], pa.string()),
-                "w": pa.array(ws, pa.string()),
-            }
-        )
-
-    blocks = hash_aggregate(
-        rd.from_arrow(vocab).map_batches(
-            encode, batch_format="pyarrow", batch_size=None
-        ),
-        ["sdx"],
-        [
-            ("w", "count", "n_words"),
-            ("w", "min", "first_word"),
-            ("w", "max", "last_word"),
-        ],
-    )
-    return blocks.select(
-        ["sdx", "n_words", "first_word", "last_word"]
-    ).sort_by([("sdx", "ascending")])
-
-
-def _q_cronbach_userday(sf_dir: str) -> pa.Table:
-    """Cronbach's alpha internal-consistency coefficient treating the
-    five event types as items and (user, day) as subjects, item score =
-    the subject's event count of that type (zero-filled).  All variance
-    numerators are EXACT integers (n*sum(x^2) - sum(x)^2; the n and the
-    sample/population denominator cancel in the ratio), so alpha is one
-    pinned float chain.  Distributed tier: the (user, day, type) count
-    combiner; moments reduce on the driver over subject rows."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "ts", "event_type"],
-    )
-    tmap = {t: i for i, t in enumerate(_MARKOV_STATES)}
-    k = len(_MARKOV_STATES)
-
-    def prep(batch: pa.Table) -> pa.Table:
-        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        day = (
-            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 86_400_000_000
-        )
-        ti = np.array([tmap[t] for t in batch["event_type"].to_pylist()],
-                      np.int64)
-        return pa.table(
-            {
-                "u": pa.array(uid),
-                "d": pa.array(day),
-                "t": pa.array(ti),
-                "_one": pa.array(np.ones(len(uid), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["u", "d", "t"],
-        [("_one", "sum", "c")],
-    )
-    u = agg["u"].to_numpy(zero_copy_only=False).astype(np.int64)
-    d = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)
-    t = agg["t"].to_numpy(zero_copy_only=False).astype(np.int64)
-    c = agg["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-    subj = u * 1_000_000 + d
-    uniq, inv = np.unique(subj, return_inverse=True)
-    n = len(uniq)
-    # per-item moments (zeros contribute nothing to sums/squares)
-    s_i = np.zeros(k, np.int64)
-    q_i = np.zeros(k, np.int64)
-    np.add.at(s_i, t, c)
-    np.add.at(q_i, t, c * c)
-    # per-subject totals
-    tot = np.zeros(n, np.int64)
-    np.add.at(tot, inv, c)
-    num = int((n * q_i - s_i * s_i).sum())
-    den = int(n * int((tot * tot).sum()) - int(tot.sum()) ** 2)
-    alpha = (k / (k - 1)) * (1.0 - num / den)
-    return pa.table(
-        {
-            "k_items": pa.array([k], pa.int64()),
-            "n_subjects": pa.array([n], pa.int64()),
-            "item_var_num": pa.array([num], pa.int64()),
-            "total_var_num": pa.array([den], pa.int64()),
-            "alpha": round_like_sql([alpha], 6),
-        }
-    )
-
-
-_HITS_ITERS = 12
-_HITS_SCALE = 1_000_000
-
-
-def _q_hits_scores(sf_dir: str) -> pa.Table:
-    """HITS hubs-and-authorities on the bipartite user -> event-type
-    graph (edge weight = the user's event count of that type): 12
-    unrolled mutual-reinforcement rounds, each a weighted matvec
-    followed by a truncating integer renormalization to 1e6 ticks
-    (all scores positive, so every step is bit-identical in Python
-    and the generated SQL).  Distributed tier: the (user, type) count
-    combiner; the iteration state is 5 authorities + n_users hubs."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "event_type"],
-    )
-    tmap = {t: i for i, t in enumerate(_MARKOV_STATES)}
-
-    def prep(batch: pa.Table) -> pa.Table:
-        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ti = np.array([tmap[t] for t in batch["event_type"].to_pylist()],
-                      np.int64)
-        return pa.table(
-            {
-                "u": pa.array(uid),
-                "t": pa.array(ti),
-                "_one": pa.array(np.ones(len(uid), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["u", "t"],
-        [("_one", "sum", "c")],
-    )
-    u = agg["u"].to_numpy(zero_copy_only=False).astype(np.int64)
-    t = agg["t"].to_numpy(zero_copy_only=False).astype(np.int64)
-    c = agg["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-    uniq, uidx = np.unique(u, return_inverse=True)
-    k = len(_MARKOV_STATES)
-    a = np.full(k, _HITS_SCALE, np.int64)
-    for _ in range(_HITS_ITERS):
-        h = np.zeros(len(uniq), np.int64)
-        np.add.at(h, uidx, c * a[t])
-        h = h * _HITS_SCALE // int(h.max())
-        a2 = np.zeros(k, np.int64)
-        np.add.at(a2, t, c * h[uidx])
-        a = a2 * _HITS_SCALE // int(a2.max())
-    order = sorted(range(k), key=lambda i: (-int(a[i]), _MARKOV_STATES[i]))
-    rank = [0] * k
-    for r, i in enumerate(order):
-        rank[i] = r + 1
-    return pa.table(
-        {
-            "event_type": pa.array(_MARKOV_STATES, pa.string()),
-            "auth_q": pa.array(a.tolist(), pa.int64()),
-            "auth_rank": pa.array(rank, pa.int64()),
-        }
-    )
-
-
-def _q_mst_cells(sf_dir: str) -> pa.Table:
-    """Exact Prim minimum spanning tree over the top-10 event grid
-    cells (by count, ties by cell id) with integer Manhattan edge
-    weights: at each of the 9 steps the crossing edge with the
-    smallest (d, i, j) is chosen -- a fully deterministic greedy whose
-    SQL mirror unrolls the steps as ORDER-BY-LIMIT-1 CTE pairs
-    carrying the visited bitmask.  Emits the edge schedule."""
-    cells = _top_cells(sf_dir, 10)
-    k = len(cells)
-    xs = [cc % 96 for cc in cells]
-    ys = [cc // 96 for cc in cells]
-    in_tree = {0}
-    steps, a_cells, b_cells, dist = [], [], [], []
-    for step in range(1, k):
-        best = None
-        for i in sorted(in_tree):
-            for j in range(k):
-                if j in in_tree:
-                    continue
-                d = abs(xs[i] - xs[j]) + abs(ys[i] - ys[j])
-                cand = (d, i, j)
-                if best is None or cand < best:
-                    best = cand
-        d, i, j = best
-        in_tree.add(j)
-        steps.append(step)
-        a_cells.append(cells[i])
-        b_cells.append(cells[j])
-        dist.append(d)
-    return pa.table(
-        {
-            "step": pa.array(steps, pa.int64()),
-            "a_cell": pa.array(a_cells, pa.int64()),
-            "b_cell": pa.array(b_cells, pa.int64()),
-            "d": pa.array(dist, pa.int64()),
-        }
-    )
-
-
-def _q_binseg_changepoints(sf_dir: str) -> pa.Table:
-    """Top-2 changepoints on the dense daily revenue series by binary
-    segmentation with the EXACT quantized integer segment cost
-    C(a,b) = (len*S2 - S^2) // len (the Jenks cost kernel): level 1
-    picks the split minimizing (total cost, s); level 2 the
-    (segment, split) with the largest exact cost drop, ties by
-    smaller split.  Emits the segmentation schedule."""
-    ys = _daily_revenue_cents(sf_dir)
-    n = len(ys)
-    pre1 = [0] * (n + 1)
-    pre2 = [0] * (n + 1)
-    for i, y in enumerate(ys):
-        pre1[i + 1] = pre1[i] + y
-        pre2[i + 1] = pre2[i] + y * y
-
-    def cost(a: int, b: int) -> int:
-        ln = b - a + 1
-        s = pre1[b + 1] - pre1[a]
-        q = pre2[b + 1] - pre2[a]
-        return (ln * q - s * s) // ln
-
-    cfull = cost(0, n - 1)
-    tot1, s1 = min(
-        (cost(0, s) + cost(s + 1, n - 1), s) for s in range(0, n - 1)
-    )
-    cands = []
-    for a, b in ((0, s1), (s1 + 1, n - 1)):
-        for s in range(a, b):
-            g = cost(a, b) - cost(a, s) - cost(s + 1, b)
-            cands.append((-g, s, a, b))
-    neg_g2, s2, a2, b2 = min(cands)
-    return pa.table(
-        {
-            "rk": pa.array([1, 2], pa.int64()),
-            "seg_a": pa.array([0, a2], pa.int64()),
-            "seg_b": pa.array([n - 1, b2], pa.int64()),
-            "split_t": pa.array([s1, s2], pa.int64()),
-            "cost_drop": pa.array([cfull - tot1, -neg_g2], pa.int64()),
-        }
-    )
-
-
-def _q_atkinson_index(sf_dir: str) -> pa.Table:
-    """Atkinson inequality index (epsilon = 1: one minus geometric
-    over arithmetic mean) of positive daily event revenue.  Each
-    ln(y) is quantized at 1e9 ticks (the established log-tick
-    discipline), the tick mean is a truncating integer division, so
-    the index is a single pinned exp/ratio float chain over exact
-    integer sums."""
-    import math
-
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        round_half_away,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    ys = np.array(
-        [y for y in _daily_revenue_cents(sf_dir) if y > 0], np.int64
-    )
-    n = len(ys)
-    s = int(ys.sum())
-    lt = round_half_away(np.log(ys.astype(np.float64)) * 1e9).astype(
-        np.int64
-    )
-    m = int(lt.sum()) // n
-    atk = 1.0 - math.exp(m / 1e9) * n / s
-    return pa.table(
-        {
-            "n_days": pa.array([n], pa.int64()),
-            "total_cents": pa.array([s], pa.int64()),
-            "mean_log_ticks": pa.array([m], pa.int64()),
-            "atkinson": round_like_sql([atk], 6),
-        }
-    )
-
-
-def _q_palma_ratio(sf_dir: str) -> pa.Table:
-    """Palma inequality ratio of daily event revenue: sum of the top
-    decile of days over the sum of the bottom four deciles, decile
-    cut counts by exact integer floor ((4n)//10 lowest, above
-    (9n)//10 highest) -- order-statistic sums are tie-invariant, the
-    ratio is the only float."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    ys = sorted(_daily_revenue_cents(sf_dir))
-    n = len(ys)
-    nb = (4 * n) // 10
-    bottom = sum(ys[:nb])
-    top = sum(ys[(9 * n) // 10:])
-    return pa.table(
-        {
-            "n_days": pa.array([n], pa.int64()),
-            "bottom40_cents": pa.array([bottom], pa.int64()),
-            "top10_cents": pa.array([top], pa.int64()),
-            "palma": round_like_sql([top / bottom], 6),
-        }
-    )
-
-
-def _top_cells(sf_dir: str, k: int) -> list[int]:
-    """Top-k event grid cells by (count DESC, cell), returned sorted by
-    cell id -- the shared deterministic node set for the exact
-    combinatorial queries (distributed count combiner; k rows land)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
-
-    def prep(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        cell = eid % 96 + (eid // 96 % 96) * 96
-        return pa.table(
-            {
-                "cell": pa.array(cell),
-                "_one": pa.array(np.ones(len(eid), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["cell"],
-        [("_one", "sum", "n")],
-    )
-    rows = sorted(
-        zip(agg["n"].to_pylist(), agg["cell"].to_pylist()),
-        key=lambda r: (-int(r[0]), int(r[1])),
-    )[:k]
-    return sorted(int(c) for _, c in rows)
-
-
-def _q_proximity_graphs(sf_dir: str) -> pa.Table:
-    """Gabriel and relative-neighborhood graph membership for every
-    pair of the top-12 event cells, decided by EXACT integer
-    squared-Euclidean certificates: Gabriel(a,b) iff no third point c
-    has d2(a,c)+d2(c,b) < d2(a,b) (inside the diameter circle);
-    RNG(a,b) iff no c has max(d2(a,c), d2(c,b)) < d2(a,b).  RNG is a
-    subgraph of Gabriel is a subgraph of Delaunay -- no float enters
-    any predicate."""
-    cells = _top_cells(sf_dir, 12)
-    xs = [c % 96 for c in cells]
-    ys = [c // 96 for c in cells]
-    k = len(cells)
-    ca, cb, d2o, gab, rng = [], [], [], [], []
-    for i in range(k):
-        for j in range(i + 1, k):
-            d2 = (xs[i] - xs[j]) ** 2 + (ys[i] - ys[j]) ** 2
-            is_g, is_r = 1, 1
-            for m in range(k):
-                if m in (i, j):
-                    continue
-                da = (xs[i] - xs[m]) ** 2 + (ys[i] - ys[m]) ** 2
-                db = (xs[j] - xs[m]) ** 2 + (ys[j] - ys[m]) ** 2
-                if da + db < d2:
-                    is_g = 0
-                if max(da, db) < d2:
-                    is_r = 0
-            ca.append(cells[i])
-            cb.append(cells[j])
-            d2o.append(d2)
-            gab.append(is_g)
-            rng.append(is_r)
-    return pa.table(
-        {
-            "a_cell": pa.array(ca, pa.int64()),
-            "b_cell": pa.array(cb, pa.int64()),
-            "d2": pa.array(d2o, pa.int64()),
-            "is_gabriel": pa.array(gab, pa.int64()),
-            "is_rng": pa.array(rng, pa.int64()),
-        }
-    )
-
-
-def _q_min_cut_cells(sf_dir: str) -> pa.Table:
-    """Exact minimum s-t cut over the top-14 event cells (s = smallest
-    cell id, t = largest) on the complete graph with integer
-    capacities 1000 // (1 + manhattan): all 2^12 subsets containing s
-    but not t are enumerated and the crossing-capacity sum minimized
-    (ties by smallest interior bitmask) -- an exact max-flow value by
-    duality, with the whole certificate enumerable in SQL."""
-    cells = _top_cells(sf_dir, 14)
-    k = len(cells)
-    xs = [c % 96 for c in cells]
-    ys = [c // 96 for c in cells]
-    cap = [
-        [
-            1000 // (1 + abs(xs[i] - xs[j]) + abs(ys[i] - ys[j]))
-            for j in range(k)
-        ]
-        for i in range(k)
-    ]
-    best = None
-    for m in range(1 << (k - 2)):
-        inside = [True] + [bool((m >> (i - 1)) & 1) for i in range(1, k - 1)] + [False]
-        cut = 0
-        for i in range(k):
-            for j in range(i + 1, k):
-                if inside[i] != inside[j]:
-                    cut += cap[i][j]
-        cand = (cut, m)
-        if best is None or cand < best:
-            best = cand
-    return pa.table(
-        {
-            "n_nodes": pa.array([k], pa.int64()),
-            "min_cut": pa.array([best[0]], pa.int64()),
-            "best_mask": pa.array([best[1]], pa.int64()),
-        }
-    )
-
-
-_ASSIGN_PROBES = [(16, 16), (16, 80), (48, 8), (48, 48), (80, 16), (80, 80)]
-
-
-def _q_assignment_min_cost(sf_dir: str) -> pa.Table:
-    """Exact minimum-cost perfect assignment of the top-6 event cells
-    (facilities) to six fixed probe demand sites with integer
-    Manhattan costs: subset DP over demand masks (dp[i][mask] after
-    assigning facilities 0..i), unrolled per facility in the SQL
-    mirror -- the Hungarian-algorithm optimum without any pivoting."""
-    cells = _top_cells(sf_dir, 6)
-    xs = [c % 96 for c in cells]
-    ys = [c // 96 for c in cells]
-    k = len(cells)
-    cost = [
-        [abs(xs[i] - px) + abs(ys[i] - py) for px, py in _ASSIGN_PROBES]
-        for i in range(k)
-    ]
-    inf = 1 << 60
-    dp = {0: 0}
-    for i in range(k):
-        nxt: dict[int, int] = {}
-        for mask, c0 in dp.items():
-            for j in range(len(_ASSIGN_PROBES)):
-                if (mask >> j) & 1:
-                    continue
-                nm = mask | (1 << j)
-                cand = c0 + cost[i][j]
-                if cand < nxt.get(nm, inf):
-                    nxt[nm] = cand
-        dp = nxt
-    full = (1 << len(_ASSIGN_PROBES)) - 1
-    return pa.table(
-        {
-            "n_facilities": pa.array([k], pa.int64()),
-            "min_cost": pa.array([dp[full]], pa.int64()),
-        }
-    )
-
-
-_HILBERT_N = 128  # order-7 curve covers the 96x96 grid
-
-
-def _q_hilbert_cells(sf_dir: str) -> pa.Table:
-    """Hilbert space-filling-curve bucketing of event grid cells:
-    the order-7 xy2d walk (7 unrolled reflect/swap rounds, verified
-    bijective with unit-step adjacency) runs vectorized inside
-    map_batches, events are counted per d // 128 curve bucket through
-    the distributed combiner -- the locality-preserving alternative to
-    the Z-order key (zorder_cells) for range-partitioning at scale."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
-
-    def prep(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        x = eid % 96
-        y = eid // 96 % 96
-        d = np.zeros_like(x)
-        s = _HILBERT_N // 2
-        while s > 0:
-            rx = ((x & s) > 0).astype(np.int64)
-            ry = ((y & s) > 0).astype(np.int64)
-            d += s * s * ((3 * rx) ^ ry)
-            swap = ry == 0
-            flip = swap & (rx == 1)
-            x2 = np.where(flip, _HILBERT_N - 1 - x, x)
-            y2 = np.where(flip, _HILBERT_N - 1 - y, y)
-            x, y = np.where(swap, y2, x2), np.where(swap, x2, y2)
-            s //= 2
-        return pa.table(
-            {
-                "bucket": pa.array(d // 128),
-                "_one": pa.array(np.ones(len(eid), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["bucket"],
-        [("_one", "sum", "n_events")],
-    )
-    return agg.sort_by([("bucket", "ascending")])
-
-
-def _q_randomized_response(sf_dir: str) -> pa.Table:
-    """k-ary randomized-response local-DP frequency estimation over
-    event types: each event reports its true type with p = 3/4, else a
-    uniform type -- both decisions from the deterministic mix32 stream
-    keyed by event_id -- and the debiased estimator
-    n_hat = (20*obs - n) / 15 inverts the 5-ary response matrix
-    exactly.  Per-type observed/true counts reduce through the
-    distributed combiner."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
-        mix32,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "event_type"],
-    )
-    tmap = {t: i for i, t in enumerate(_MARKOV_STATES)}
-    k = len(_MARKOV_STATES)
-
-    def prep(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ti = np.array([tmap[t] for t in batch["event_type"].to_pylist()],
-                      np.int64)
-        u = mix32(eid)
-        rep = np.where(u % 4 != 0, ti, (u // 4) % k)
-        n_true = np.zeros(k, np.int64)
-        n_obs = np.zeros(k, np.int64)
-        np.add.at(n_true, ti, 1)
-        np.add.at(n_obs, rep, 1)
-        return pa.table(
-            {
-                "t": pa.array(np.arange(k, dtype=np.int64)),
-                "n_true": pa.array(n_true),
-                "n_obs": pa.array(n_obs),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["t"],
-        [("n_true", "sum", "n_true"), ("n_obs", "sum", "n_obs")],
-    ).sort_by([("t", "ascending")])
-    n = int(sum(agg["n_true"].to_pylist()))
-    obs = agg["n_obs"].to_numpy(zero_copy_only=False).astype(np.int64)
-    n_hat = [float(20 * int(o) - n) / 15.0 for o in obs]
-    return pa.table(
-        {
-            "event_type": pa.array(_MARKOV_STATES, pa.string()),
-            "n_true": agg["n_true"],
-            "n_obs": agg["n_obs"],
-            "n_hat": round_like_sql(n_hat, 6),
-        }
-    )
-
-
-def _q_cochran_q(sf_dir: str) -> pa.Table:
-    """Cochran's Q test for equal success rates across the three
-    8-hour day bands, subjects = (user, day), success = the subject
-    has >= 1 event in the band:
-    Q = (k-1)(k*sum(C_j^2) - N^2) / (k*N - sum(R_s^2)) over exact
-    integer column/row totals of the presence matrix -- the only
-    float is the final ratio."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        distinct, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts"]
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        day = ts // 86_400_000_000
-        j = ts // 3_600_000_000 % 24 // 8
-        return pa.table(
-            {
-                "u": pa.array(uid),
-                "d": pa.array(day),
-                "j": pa.array(j),
-            }
-        )
-
-    pres = distinct(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["u", "d", "j"],
-    )
-    u = pres["u"].to_numpy(zero_copy_only=False).astype(np.int64)
-    d = pres["d"].to_numpy(zero_copy_only=False).astype(np.int64)
-    j = pres["j"].to_numpy(zero_copy_only=False).astype(np.int64)
-    c_j = np.bincount(j, minlength=3).astype(np.int64)
-    _, r_s = np.unique(u * 1_000_000 + d, return_counts=True)
-    n = int(c_j.sum())
-    sc2 = int((c_j * c_j).sum())
-    sr2 = int((r_s * r_s).sum())
-    q = 2.0 * (3 * sc2 - n * n) / (3 * n - sr2)
-    return pa.table(
-        {
-            "k_bands": pa.array([3], pa.int64()),
-            "n_subjects": pa.array([len(r_s)], pa.int64()),
-            "n_success": pa.array([n], pa.int64()),
-            "q_stat": round_like_sql([q], 6),
-        }
-    )
-
-
-def _q_icc_estimate(sf_dir: str) -> pa.Table:
-    """One-way random-effects intraclass correlation ICC(1) of event
-    value cents grouped by user, with unequal group sizes (the k0
-    correction): between/within sum-of-squares are 1e3-tick integers
-    built from exact per-group (n, S, Q) moments -- (S^2*1000)//n per
-    group, so the mean squares and the ICC are one pinned float chain.
-    Distributed tier: the per-user moment combiner."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "value"]
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        y = scaled_int(batch["value"], 100.0)
-        return pa.table(
-            {
-                "u": pa.array(uid),
-                "_one": pa.array(np.ones(len(uid), np.int64)),
-                "y": pa.array(y),
-                "y2": pa.array(y * y),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["u"],
-        [("_one", "sum", "n"), ("y", "sum", "s"), ("y2", "sum", "q")],
-    )
-    ns = [int(v) for v in agg["n"].to_pylist()]
-    ss = [int(v) for v in agg["s"].to_pylist()]
-    qs = [int(v) for v in agg["q"].to_pylist()]
-    g = len(ns)
-    nn = sum(ns)
-    st = sum((s * s * 1000) // n for s, n in zip(ss, ns))
-    s_all = sum(ss)
-    q_all = sum(qs)
-    sn2 = sum(n * n for n in ns)
-    ssbq = st - (s_all * s_all * 1000) // nn
-    sswq = q_all * 1000 - st
-    msb = ssbq / 1000.0 / (g - 1)
-    msw = sswq / 1000.0 / (nn - g)
-    k0 = (nn * nn - sn2) / (nn * (g - 1))
-    icc = (msb - msw) / (msb + (k0 - 1.0) * msw)
-    return pa.table(
-        {
-            "g_groups": pa.array([g], pa.int64()),
-            "n_obs": pa.array([nn], pa.int64()),
-            "ssb_q": pa.array([ssbq], pa.int64()),
-            "ssw_q": pa.array([sswq], pa.int64()),
-            "icc": round_like_sql([icc], 6),
-        }
-    )
-
-
-def _q_activity_selection(sf_dir: str) -> pa.Table:
-    """Classic activity-selection greedy per event type: intervals
-    [ts, ts + (60 + event_id % 3600) s], maximum non-overlapping count
-    by the earliest-finish rule (next start >= previous end).  Each
-    type's greedy runs inside ONE bucketed group kernel (the per-key
-    sequential scan is the documented partitioning assumption, as in
-    the track pipelines); the SQL mirror is a recursive-CTE chain of
-    MIN(end) jumps -- provably the same count as greedy-by-finish."""
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
-        grouped_by_key,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "ts", "event_type"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        s = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        e = s + (60 + eid % 3600) * 1_000_000
-        return pa.table(
-            {
-                "t": batch["event_type"],
-                "s": pa.array(s),
-                "e": pa.array(e),
-            }
-        )
-
-    def kernel(group: pa.Table) -> pa.Table:
-        t = group["t"][0].as_py()
-        s = group["s"].to_numpy(zero_copy_only=False)
-        e = group["e"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((s, e))
-        cnt = 0
-        cur = -(1 << 62)
-        for i in order:
-            if s[i] >= cur:
-                cnt += 1
-                cur = int(e[i])
-        return pa.table(
-            {
-                "event_type": pa.array([t], pa.string()),
-                "n_selected": pa.array([cnt], pa.int64()),
-                "n_intervals": pa.array([len(s)], pa.int64()),
-            }
-        )
-
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-
-    out = grouped_by_key(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        "t",
-        kernel,
-    )
-    return collect_tables(out).sort_by([("event_type", "ascending")])
-
-
-def _q_fleiss_kappa(sf_dir: str) -> pa.Table:
-    """Fleiss' kappa inter-rater agreement: subjects = (user, day)
-    with >= 3 events, raters = the first three events by (ts,
-    event_id), category = event_type.  P_bar and P_e come from exact
-    integer sums (per-subject sum of squared category counts; squared
-    column totals), so kappa is one pinned float chain.  The rater
-    pick runs in bucketed per-subject group kernels."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
-        grouped_by_key,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "ts", "user_id", "event_type"],
-    )
-    tmap = {t: i for i, t in enumerate(_MARKOV_STATES)}
-    k = len(_MARKOV_STATES)
-
-    def prep(batch: pa.Table) -> pa.Table:
-        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ti = np.array([tmap[t] for t in batch["event_type"].to_pylist()],
-                      np.int64)
-        return pa.table(
-            {
-                "subj": pa.array(uid * 1_000_000 + ts // 86_400_000_000),
-                "ts": pa.array(ts),
-                "eid": pa.array(eid),
-                "ti": pa.array(ti),
-            }
-        )
-
-    def kernel(group: pa.Table) -> pa.Table:
-        if group.num_rows < 3:
-            return pa.table(
-                {"a": pa.array([], pa.int64())}
-                | {f"c{j}": pa.array([], pa.int64()) for j in range(k)}
-                | {"one": pa.array([], pa.int64())}
-            )
-        ts = group["ts"].to_numpy(zero_copy_only=False)
-        eid = group["eid"].to_numpy(zero_copy_only=False)
-        ti = group["ti"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, ts))[:3]
-        n_j = np.bincount(ti[order], minlength=k).astype(np.int64)
-        row = {"a": pa.array([int((n_j * n_j).sum())], pa.int64())}
-        for j in range(k):
-            row[f"c{j}"] = pa.array([int(n_j[j])], pa.int64())
-        row["one"] = pa.array([1], pa.int64())
-        return pa.table(row)
-
-    per_subj = grouped_by_key(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        "subj",
-        kernel,
-    )
-
-    def tag(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "_k", pa.array(np.zeros(batch.num_rows, np.int64))
-        )
-
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    agg = hash_aggregate(
-        per_subj.map_batches(tag, batch_format="pyarrow", batch_size=None),
-        ["_k"],
-        [("a", "sum", "a"), ("one", "sum", "nsub")]
-        + [(f"c{j}", "sum", f"c{j}") for j in range(k)],
-    )
-    a = int(agg["a"][0].as_py())
-    nsub = int(agg["nsub"][0].as_py())
-    sc2 = sum(int(agg[f"c{j}"][0].as_py()) ** 2 for j in range(k))
-    pb = (a - 3 * nsub) / (6 * nsub)
-    pe = sc2 / (nsub * 3) / (nsub * 3)
-    kappa = (pb - pe) / (1 - pe)
-    return pa.table(
-        {
-            "n_subjects": pa.array([nsub], pa.int64()),
-            "m_raters": pa.array([3], pa.int64()),
-            "a_sum": pa.array([a], pa.int64()),
-            "c_sq_sum": pa.array([sc2], pa.int64()),
-            "p_bar": round_like_sql([pb], 6),
-            "p_e": round_like_sql([pe], 6),
-            "kappa": round_like_sql([kappa], 6),
-        }
-    )
-
-
-_SHAPLEY_CHANNELS = [("click", 1), ("view", 2), ("signup", 4)]
-
-
-def _q_shapley_attribution(sf_dir: str) -> pa.Table:
-    """Exact Shapley-value conversion attribution over the three
-    touch channels (click / view / signup), conversion = the user has
-    a purchase event: v(S) = converted users whose touched-channel
-    mask is a subset of S, phi_i enumerated over all 2^3 coalitions
-    with the exact weights x6 (2,1,1,2) -- every phi*6 is an integer.
-    Distributed tier: the per-user flag combiner."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "event_type"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        et = batch["event_type"].to_pylist()
-        return pa.table(
-            {
-                "u": pa.array(uid),
-                "c": pa.array(
-                    np.array([1 if t == "click" else 0 for t in et], np.int64)
-                ),
-                "v": pa.array(
-                    np.array([1 if t == "view" else 0 for t in et], np.int64)
-                ),
-                "s": pa.array(
-                    np.array([1 if t == "signup" else 0 for t in et], np.int64)
-                ),
-                "p": pa.array(
-                    np.array(
-                        [1 if t == "purchase" else 0 for t in et], np.int64
-                    )
-                ),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["u"],
-        [("c", "max", "c"), ("v", "max", "v"), ("s", "max", "s"),
-         ("p", "max", "p")],
-    )
-    import pyarrow.compute as pc
-
-    conv = agg.filter(pc.equal(agg["p"], 1))
-    mask = (
-        conv["c"].to_numpy(zero_copy_only=False)
-        + 2 * conv["v"].to_numpy(zero_copy_only=False)
-        + 4 * conv["s"].to_numpy(zero_copy_only=False)
-    ).astype(np.int64)
-    cnt = np.bincount(mask, minlength=8).astype(np.int64)
-    v = [
-        int(sum(cnt[m] for m in range(8) if (m & ~S & 7) == 0))
-        for S in range(8)
-    ]
-    w6 = {0: 2, 1: 1, 2: 2}
-    names, phi6s, phis = [], [], []
-    for name, bit in _SHAPLEY_CHANNELS:
-        phi6 = sum(
-            w6[bin(S).count("1")] * (v[S | bit] - v[S])
-            for S in range(8)
-            if S & bit == 0
-        )
-        names.append(name)
-        phi6s.append(phi6)
-        phis.append(phi6 / 6.0)
-    order = sorted(range(3), key=lambda i: names[i])
-    return pa.table(
-        {
-            "channel": pa.array([names[i] for i in order], pa.string()),
-            "phi_x6": pa.array([phi6s[i] for i in order], pa.int64()),
-            "phi": round_like_sql([phis[i] for i in order], 6),
-        }
-    )
-
-
-_KRIG_PROBES = [(20, 20), (20, 76), (76, 20), (50, 50)]
-
-
-def _det4(m: list[list[int]]) -> int:
-    """Exact 4x4 integer determinant by permutation expansion."""
-    from itertools import permutations
-
-    total = 0
-    for perm in permutations(range(4)):
-        sign = 1
-        for i in range(4):
-            for j in range(i + 1, 4):
-                if perm[i] > perm[j]:
-                    sign = -sign
-        prod = 1
-        for i in range(4):
-            prod *= m[i][perm[i]]
-        total += sign * prod
-    return total
-
-
-def _q_kriging_probes(sf_dir: str) -> pa.Table:
-    """Ordinary kriging of cell event counts at four probe sites with
-    the 3 nearest top-8 sample cells and the integer LINEAR variogram
-    gamma(h) = manhattan(h): the 4x4 kriging system (3 weights + the
-    Lagrange multiplier) is solved by EXACT integer Cramer
-    determinants, so the estimate is a single num/den ratio of exact
-    ints (both < 2^53) -- geostatistical interpolation with zero float
-    drift.  Neighbor ranking ties break by cell id."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
-
-    def prep(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        cell = eid % 96 + (eid // 96 % 96) * 96
-        return pa.table(
-            {
-                "cell": pa.array(cell),
-                "_one": pa.array(np.ones(len(eid), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["cell"],
-        [("_one", "sum", "n")],
-    )
-    rows = sorted(
-        zip(agg["n"].to_pylist(), agg["cell"].to_pylist()),
-        key=lambda r: (-int(r[0]), int(r[1])),
-    )[:8]
-    samples = sorted((int(c), int(n)) for n, c in rows)
-    pts = [(c % 96, c // 96, z) for c, z in samples]
-
-    def manh(ax, ay, bx, by):
-        return abs(ax - bx) + abs(ay - by)
-
-    p_out, px_out, py_out, num_out, den_out, est_out = [], [], [], [], [], []
-    for p, (px, py) in enumerate(_KRIG_PROBES):
-        nb = sorted(
-            pts, key=lambda t: (manh(t[0], t[1], px, py), t[0] + t[1] * 96)
-        )[:3]
-        g = [[manh(a[0], a[1], b[0], b[1]) for b in nb] for a in nb]
-        gp = [manh(a[0], a[1], px, py) for a in nb]
-        A = [
-            [g[0][0], g[0][1], g[0][2], 1],
-            [g[1][0], g[1][1], g[1][2], 1],
-            [g[2][0], g[2][1], g[2][2], 1],
-            [1, 1, 1, 0],
-        ]
-        b = [gp[0], gp[1], gp[2], 1]
-        den = _det4(A)
-        num = 0
-        for i in range(3):
-            Ai = [row[:] for row in A]
-            for r in range(4):
-                Ai[r][i] = b[r]
-            num += nb[i][2] * _det4(Ai)
-        p_out.append(p)
-        px_out.append(px)
-        py_out.append(py)
-        num_out.append(num)
-        den_out.append(den)
-        est_out.append(num / den)
-    return pa.table(
-        {
-            "probe": pa.array(p_out, pa.int64()),
-            "px": pa.array(px_out, pa.int64()),
-            "py": pa.array(py_out, pa.int64()),
-            "est_num": pa.array(num_out, pa.int64()),
-            "est_den": pa.array(den_out, pa.int64()),
-            "estimate": round_like_sql(est_out, 6),
-        }
-    )
-
-
-_RANSAC_CANDS = 50
-
-
-def _q_ransac_line(sf_dir: str) -> pa.Table:
-    """Deterministic RANSAC line fit on the dense daily revenue
-    series: 50 candidate lines through mix32-sampled day pairs, the
-    inlier test |(y-y1)(t2-t1) - (t-t1)(y2-y1)| <= thr * |t2-t1| with
-    thr = (max-min revenue)//20 -- an exact integer cross-
-    multiplication predicate, no float residual.  Winner by
-    (inliers DESC, candidate); the slope ratio is the only float."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
-        mix32,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    ys = _daily_revenue_cents(sf_dir)
-    n = len(ys)
-    thr = (max(ys) - min(ys)) // 20
-    cand = np.arange(_RANSAC_CANDS, dtype=np.int64)
-    i1 = mix32(cand) % n
-    i2 = mix32(cand + 1000) % n
-    best = None
-    for c in range(_RANSAC_CANDS):
-        a, b = int(i1[c]), int(i2[c])
-        if a == b:
-            continue
-        y1, y2 = ys[a], ys[b]
-        dt = b - a
-        inl = sum(
-            1
-            for t in range(n)
-            if abs((ys[t] - y1) * dt - (t - a) * (y2 - y1))
-            <= thr * abs(dt)
-        )
-        key = (-inl, c)
-        if best is None or key < best[0]:
-            best = (key, c, a, b, inl, (y2 - y1) / dt)
-    _, c, a, b, inl, slope = best
-    return pa.table(
-        {
-            "cand": pa.array([c], pa.int64()),
-            "t1": pa.array([a], pa.int64()),
-            "t2": pa.array([b], pa.int64()),
-            "n_inliers": pa.array([inl], pa.int64()),
-            "slope": round_like_sql([slope], 6),
-        }
-    )
-
-
-def _q_k_medoids_2(sf_dir: str) -> pa.Table:
-    """Exact 2-medoid clustering of the top-8 event cells under
-    Manhattan distance: all 28 medoid pairs enumerated, cost = sum of
-    each cell's distance to its nearest medoid (pure integers), the
-    argmin pair reported with ties by (cost, m1, m2)."""
-    cells = _top_cells(sf_dir, 8)
-    xs = [c % 96 for c in cells]
-    ys = [c // 96 for c in cells]
-    k = len(cells)
-    best = None
-    for i in range(k):
-        for j in range(i + 1, k):
-            cost = sum(
-                min(
-                    abs(xs[m] - xs[i]) + abs(ys[m] - ys[i]),
-                    abs(xs[m] - xs[j]) + abs(ys[m] - ys[j]),
-                )
-                for m in range(k)
-            )
-            key = (cost, cells[i], cells[j])
-            if best is None or key < best:
-                best = key
-    return pa.table(
-        {
-            "m1_cell": pa.array([best[1]], pa.int64()),
-            "m2_cell": pa.array([best[2]], pa.int64()),
-            "total_cost": pa.array([best[0]], pa.int64()),
-        }
-    )
-
-
-_BH_PERMS = 100
-
-
-def _one_vs_rest_perm_pnums(sf_dir: str) -> list[int]:
-    """Shared permutation machinery of the multiple-testing operators
-    (bh_fdr / holm_adjust): per event type the one-vs-rest mean-cents
-    permutation count p_num = 1 + #{perm : |stat| >= |observed|} over
-    100 mix32 relabelings -- the p-value stays the RATIONAL
-    p_num / 101."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
-        mix32,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "event_type", "value"],
-    )
-    tmap = {t: i for i, t in enumerate(_MARKOV_STATES)}
-    k = len(_MARKOV_STATES)
-
-    def partials(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ti = np.array([tmap[t] for t in batch["event_type"].to_pylist()],
-                      np.int64)
-        y = scaled_int(batch["value"], 100.0)
-        n = len(eid)
-        t_col, p_col, n1_col, s1_col = [], [], [], []
-        for t in range(k):
-            # p = -1 row: the observed one-vs-rest labelling
-            lab = (ti == t).astype(np.int64)
-            t_col.append(t)
-            p_col.append(-1)
-            n1_col.append(int(lab.sum()))
-            s1_col.append(int((lab * y).sum()))
-            for p in range(_BH_PERMS):
-                plab = (mix32(eid, seed=t * 1009 + p) % 5 == 0).astype(
-                    np.int64
-                )
-                t_col.append(t)
-                p_col.append(p)
-                n1_col.append(int(plab.sum()))
-                s1_col.append(int((plab * y).sum()))
-        return pa.table(
-            {
-                "t": pa.array(t_col, pa.int64()),
-                "p": pa.array(p_col, pa.int64()),
-                "n1": pa.array(n1_col, pa.int64()),
-                "s1": pa.array(s1_col, pa.int64()),
-                "n": pa.array([n] * len(t_col), pa.int64()),
-                "s": pa.array([int(y.sum())] * len(t_col), pa.int64()),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(partials, batch_format="pyarrow", batch_size=None),
-        ["t", "p"],
-        [("n1", "sum", "n1"), ("s1", "sum", "s1"), ("n", "sum", "n"),
-         ("s", "sum", "s")],
-    )
-    tv = agg["t"].to_numpy(zero_copy_only=False).astype(np.int64)
-    pv = agg["p"].to_numpy(zero_copy_only=False).astype(np.int64)
-    n1 = agg["n1"].to_numpy(zero_copy_only=False).astype(np.int64)
-    s1 = agg["s1"].to_numpy(zero_copy_only=False).astype(np.int64)
-    n = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    s = agg["s"].to_numpy(zero_copy_only=False).astype(np.int64)
-    stat = s1.astype(np.float64) / n1 - (s - s1).astype(np.float64) / (
-        n - n1
-    )
-    e = np.zeros(k, np.int64)
-    obs = np.zeros(k, np.float64)
-    for i in range(len(tv)):
-        if pv[i] == -1:
-            obs[tv[i]] = stat[i]
-    for i in range(len(tv)):
-        if pv[i] >= 0 and abs(stat[i]) >= abs(obs[tv[i]]):
-            e[tv[i]] += 1
-    return [int(1 + e[t]) for t in range(k)]
-
-
-def _q_bh_fdr_perm(sf_dir: str) -> pa.Table:
-    """Benjamini-Hochberg FDR over five one-vs-rest permutation tests
-    (each event type's mean value cents vs the rest, 100 mix32
-    binomial relabelings per type, the established permutation
-    discipline): p = (1+extreme)/101 stays a RATIONAL and the BH
-    step-up rule 100*(1+e) <= 101*k is a pure integer predicate --
-    multiple-testing control with no float in any decision."""
-    k = len(_MARKOV_STATES)
-    p_num = _one_vs_rest_perm_pnums(sf_dir)
-    order = sorted(range(k), key=lambda t: (p_num[t], _MARKOV_STATES[t]))
-    rank = [0] * k
-    for r, t in enumerate(order):
-        rank[t] = r + 1
-    k_max = 0
-    for r, t in enumerate(order):
-        if 100 * p_num[t] <= 101 * (r + 1):
-            k_max = r + 1
-    reject = [1 if rank[t] <= k_max else 0 for t in range(k)]
-    return pa.table(
-        {
-            "event_type": pa.array(_MARKOV_STATES, pa.string()),
-            "p_num": pa.array(p_num, pa.int64()),
-            "p_rank": pa.array(rank, pa.int64()),
-            "reject": pa.array(reject, pa.int64()),
-        }
-    )
-
-
-def _q_kemeny_ranking(sf_dir: str) -> pa.Table:
-    """Exact Kemeny-Young consensus ranking of the five event types
-    from daily count ballots: P[b][a] = days on which b strictly
-    out-counts a, the Kemeny cost of each of the 120 permutations is
-    an exact integer pairwise-disagreement sum, and the argmin perm
-    (ties by ranking string) is enumerated outright."""
-    from itertools import permutations
-
-    pref = _daily_pref_matrix(sf_dir)
-    k = len(_MARKOV_STATES)
-    best = None
-    for perm in permutations(range(k)):
-        cost = 0
-        for i in range(k):
-            for j in range(i + 1, k):
-                cost += int(pref[perm[j], perm[i]])
-        rstr = ">".join(_MARKOV_STATES[t] for t in perm)
-        key = (cost, rstr)
-        if best is None or key < best:
-            best = key
-    return pa.table(
-        {
-            "ranking": pa.array([best[1]], pa.string()),
-            "kemeny_cost": pa.array([best[0]], pa.int64()),
-        }
-    )
-
-
-def _q_ad_twosample(sf_dir: str) -> pa.Table:
-    """Two-sample Anderson-Darling statistic (Pettitt) between click
-    and error event value cents: pooled order by (value, sample tag,
-    event_id), every term ((N*M_k - n*k)^2 * 1e6) // (k*(N-k)) an
-    exact quantized integer, so A2 = sum / 1e6 / n / m is one pinned
-    float chain -- tail-sensitive distribution comparison with a
-    deterministic tie convention."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "event_type", "value"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        et = batch["event_type"].to_pylist()
-        keep = np.array([t in ("click", "error") for t in et], bool)
-        tag = np.array([0 if t == "click" else 1 for t in et], np.int64)[
-            keep
-        ]
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )[keep]
-        y = scaled_int(batch["value"], 100.0)[keep]
-        return pa.table(
-            {
-                "y": pa.array(y),
-                "tag": pa.array(tag),
-                "eid": pa.array(eid),
-            }
-        )
-
-    tbl = collect_tables(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
-    )
-    y = tbl["y"].to_numpy(zero_copy_only=False).astype(np.int64)
-    tag = tbl["tag"].to_numpy(zero_copy_only=False).astype(np.int64)
-    eid = tbl["eid"].to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.lexsort((eid, tag, y))
-    tag_s = tag[order]
-    big_n = len(y)
-    n = int((tag == 0).sum())
-    m = big_n - n
-    m_k = np.cumsum(tag_s == 0).astype(np.int64)
-    ad_q = 0
-    for kk in range(1, big_n):
-        num = (big_n * int(m_k[kk - 1]) - n * kk) ** 2 * 1_000_000
-        ad_q += num // (kk * (big_n - kk))
-    a2 = ad_q / 1e6 / n / m
-    return pa.table(
-        {
-            "n_click": pa.array([n], pa.int64()),
-            "n_error": pa.array([m], pa.int64()),
-            "ad_q": pa.array([ad_q], pa.int64()),
-            "a2": round_like_sql([a2], 6),
-        }
-    )
-
-
-_MP_PATTERNS = ["table", "scan", "hash", "row", "fast"]
-
-
-def _q_multi_pattern_counts(sf_dir: str) -> pa.Table:
-    """Multi-pattern substring scan over the document corpus: total
-    occurrence count and containing-document count for each fixed
-    pattern, via the vectorized Arrow count_substring kernel inside
-    map_batches (one pass, all patterns) and the distributed count
-    combiner -- the Aho-Corasick-shaped content-scan primitive."""
-    import pyarrow.compute as pc
-
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
-
-    def scan(batch: pa.Table) -> pa.Table:
-        pats, occs, docs = [], [], []
-        for p in _MP_PATTERNS:
-            c = pc.count_substring(batch["text"], p).to_numpy(
-                zero_copy_only=False
-            ).astype(np.int64)
-            pats.append(p)
-            occs.append(int(c.sum()))
-            docs.append(int((c > 0).sum()))
-        return pa.table(
-            {
-                "pattern": pa.array(pats, pa.string()),
-                "n_occur": pa.array(occs, pa.int64()),
-                "n_docs": pa.array(docs, pa.int64()),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(scan, batch_format="pyarrow", batch_size=None),
-        ["pattern"],
-        [("n_occur", "sum", "n_occur"), ("n_docs", "sum", "n_docs")],
-    )
-    return agg.sort_by([("pattern", "ascending")])
-
-
-def _q_deming_fit(sf_dir: str) -> pa.Table:
-    """Deming (errors-in-both-variables, delta = 1) regression of
-    event value cents on hour-of-day: all second moments are exact
-    integer sums (Python big ints / SQL HUGEINT -- n*syy exceeds
-    int64), the slope is the single pinned float chain
-    (Syy - Sxx + sqrt((Syy-Sxx)^2 + 4*Sxy^2)) / (2*Sxy)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["ts", "value"]
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        x = (
-            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 3_600_000_000
-            % 24
-        )
-        y = scaled_int(batch["value"], 100.0)
-        return pa.table(
-            {
-                "_k": pa.array(np.zeros(len(x), np.int64)),
-                "one": pa.array(np.ones(len(x), np.int64)),
-                "x": pa.array(x),
-                "y": pa.array(y),
-                "xx": pa.array(x * x),
-                "yy": pa.array(y * y),
-                "xy": pa.array(x * y),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["_k"],
-        [("one", "sum", "n"), ("x", "sum", "sx"), ("y", "sum", "sy"),
-         ("xx", "sum", "sxx"), ("yy", "sum", "syy"),
-         ("xy", "sum", "sxy")],
-    )
-    import math
-
-    n = int(agg["n"][0].as_py())
-    sx = int(agg["sx"][0].as_py())
-    sy = int(agg["sy"][0].as_py())
-    sxx = int(agg["sxx"][0].as_py())
-    syy = int(agg["syy"][0].as_py())
-    sxy = int(agg["sxy"][0].as_py())
-    cxx = n * sxx - sx * sx
-    cyy = n * syy - sy * sy
-    cxy = n * sxy - sx * sy
-    dd = cyy - cxx
-    disc = math.sqrt(float(dd) * float(dd) + 4.0 * float(cxy) * float(cxy))
-    slope = (float(dd) + disc) / (2.0 * float(cxy))
-    intercept = (float(sy) - slope * float(sx)) / n
-    return pa.table(
-        {
-            "n": pa.array([n], pa.int64()),
-            "slope": round_like_sql([slope], 6),
-            "intercept": round_like_sql([intercept], 6),
-        }
-    )
-
-
-_BOOT_REPS = 200
-
-
-def _q_bootstrap_ci_daily(sf_dir: str) -> pa.Table:
-    """Deterministic bootstrap 95% CI for the daily-revenue mean: 200
-    replicates resample the dense day series with mix32(b*1000 + i)
-    indices, each replicate total is an EXACT integer sum, and the CI
-    bounds are order statistics of the sorted totals at the exact
-    integer ranks (25*(B-1))//1000 and (975*(B-1))//1000 -- the only
-    floats are the two reported means."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
-        mix32,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    ys = np.array(_daily_revenue_cents(sf_dir), np.int64)
-    n = len(ys)
-    sums = []
-    for b in range(_BOOT_REPS):
-        idx = mix32(np.arange(n, dtype=np.int64) + b * 1000) % n
-        sums.append(int(ys[idx].sum()))
-    sums.sort()
-    lo_i = (25 * (_BOOT_REPS - 1)) // 1000
-    hi_i = (975 * (_BOOT_REPS - 1)) // 1000
-    lo_s, hi_s = sums[lo_i], sums[hi_i]
-    return pa.table(
-        {
-            "n_boot": pa.array([_BOOT_REPS], pa.int64()),
-            "n_days": pa.array([n], pa.int64()),
-            "lo_sum": pa.array([lo_s], pa.int64()),
-            "hi_sum": pa.array([hi_s], pa.int64()),
-            "lo_mean": round_like_sql([lo_s / n], 6),
-            "hi_mean": round_like_sql([hi_s / n], 6),
-        }
-    )
-
-
-def _q_luhn_check(sf_dir: str) -> pa.Table:
-    """Luhn checksum audit of event ids per type (the classic id-
-    integrity screen): digits at odd positions from the right are
-    doubled with the >9 fold, validity = checksum % 10 == 0.  The
-    12-term digit expansion is leading-zero safe (doubling 0 is 0),
-    fully vectorized, and reduces through the distributed combiner."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "event_type"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        total = np.zeros_like(eid)
-        for i in range(12):
-            d = eid // (10 ** i) % 10
-            if i % 2 == 1:
-                dd = 2 * d
-                dd = np.where(dd > 9, dd - 9, dd)
-                total += dd
-            else:
-                total += d
-        valid = (total % 10 == 0).astype(np.int64)
-        return pa.table(
-            {
-                "t": batch["event_type"],
-                "valid": pa.array(valid),
-                "one": pa.array(np.ones(len(eid), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["t"],
-        [("valid", "sum", "n_valid"), ("one", "sum", "n_total")],
-    ).sort_by([("t", "ascending")])
-    nv = agg["n_valid"].to_numpy(zero_copy_only=False).astype(np.int64)
-    nt = agg["n_total"].to_numpy(zero_copy_only=False).astype(np.int64)
-    return pa.table(
-        {
-            "event_type": agg["t"],
-            "n_valid": agg["n_valid"],
-            "n_total": agg["n_total"],
-            "valid_rate": round_like_sql(
-                [float(a) / float(b) for a, b in zip(nv, nt)], 6
-            ),
-        }
-    )
-
-
-def _q_tukey_hsd(sf_dir: str) -> pa.Table:
-    """Tukey-Kramer HSD table over the five event types (value
-    cents): within-group SS as 1e3-tick integers from exact per-group
-    moments, every pairwise mean difference / studentized q / Cohen's
-    d a pinned float chain over those integers -- the post-hoc
-    companion to anova_eta2."""
-    import math
-
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_type", "value"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        y = scaled_int(batch["value"], 100.0)
-        return pa.table(
-            {
-                "t": batch["event_type"],
-                "one": pa.array(np.ones(len(y), np.int64)),
-                "y": pa.array(y),
-                "y2": pa.array(y * y),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["t"],
-        [("one", "sum", "n"), ("y", "sum", "s"), ("y2", "sum", "q")],
-    ).sort_by([("t", "ascending")])
-    ts = agg["t"].to_pylist()
-    ns = [int(v) for v in agg["n"].to_pylist()]
-    ss = [int(v) for v in agg["s"].to_pylist()]
-    qs = [int(v) for v in agg["q"].to_pylist()]
-    k = len(ts)
-    nn = sum(ns)
-    swq = sum((s * s * 1000) // n for s, n in zip(ss, ns))
-    ssw_q = sum(qs) * 1000 - swq
-    mse = ssw_q / 1000.0 / (nn - k)
-    t1o, t2o, diffs, qstats, cohds = [], [], [], [], []
-    for i in range(k):
-        for j in range(i + 1, k):
-            diff = ss[i] / ns[i] - ss[j] / ns[j]
-            qst = diff / math.sqrt(
-                mse / 2.0 * (1.0 / ns[i] + 1.0 / ns[j])
-            )
-            t1o.append(ts[i])
-            t2o.append(ts[j])
-            diffs.append(diff)
-            qstats.append(qst)
-            cohds.append(diff / math.sqrt(mse))
-    return pa.table(
-        {
-            "t1": pa.array(t1o, pa.string()),
-            "t2": pa.array(t2o, pa.string()),
-            "mean_diff": round_like_sql(diffs, 6),
-            "q_stat": round_like_sql(qstats, 6),
-            "cohen_d": round_like_sql(cohds, 6),
-        }
-    )
-
-
-def _q_ohlc_daily(sf_dir: str) -> pa.Table:
-    """Daily OHLC bars of event value cents (open/close by the
-    deterministic (ts, event_id) order, exact integer high/low/total)
-    plus the record-high flag on the running maximum of daily totals
-    -- the time-bar primitive.  Per-day kernels run in bucketed
-    groups; the record scan is over the tiny day table."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
-        grouped_by_key,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "ts", "value"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        y = scaled_int(batch["value"], 100.0)
-        return pa.table(
-            {
-                "d": pa.array(ts // 86_400_000_000),
-                "ts": pa.array(ts),
-                "eid": pa.array(eid),
-                "y": pa.array(y),
-            }
-        )
-
-    def kernel(group: pa.Table) -> pa.Table:
-        d = int(group["d"][0].as_py())
-        ts = group["ts"].to_numpy(zero_copy_only=False)
-        eid = group["eid"].to_numpy(zero_copy_only=False)
-        y = group["y"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, ts))
-        return pa.table(
-            {
-                "d": pa.array([d], pa.int64()),
-                "open": pa.array([int(y[order[0]])], pa.int64()),
-                "high": pa.array([int(y.max())], pa.int64()),
-                "low": pa.array([int(y.min())], pa.int64()),
-                "close": pa.array([int(y[order[-1]])], pa.int64()),
-                "total": pa.array([int(y.sum())], pa.int64()),
-                "n_events": pa.array([len(y)], pa.int64()),
-            }
-        )
-
-    bars = collect_tables(
-        grouped_by_key(
-            ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-            "d",
-            kernel,
-        )
-    ).sort_by([("d", "ascending")])
-    totals = bars["total"].to_numpy(zero_copy_only=False).astype(np.int64)
-    rec = []
-    run_max = None
-    for t in totals.tolist():
-        rec.append(1 if run_max is None or t > run_max else 0)
-        run_max = t if run_max is None else max(run_max, t)
-    d0 = int(bars["d"][0].as_py())
-    return pa.table(
-        {
-            "t": pa.array(
-                [int(v) - d0 for v in bars["d"].to_pylist()], pa.int64()
-            ),
-            "open": bars["open"],
-            "high": bars["high"],
-            "low": bars["low"],
-            "close": bars["close"],
-            "total": bars["total"],
-            "n_events": bars["n_events"],
-            "is_record": pa.array(rec, pa.int64()),
-        }
-    )
-
-
-def _detn(m: list[list[int]]) -> int:
-    """Exact nxn integer determinant by permutation expansion."""
-    from itertools import permutations
-
-    n = len(m)
-    total = 0
-    for perm in permutations(range(n)):
-        sign = 1
-        for i in range(n):
-            for j in range(i + 1, n):
-                if perm[i] > perm[j]:
-                    sign = -sign
-        prod = 1
-        for i in range(n):
-            prod *= m[i][perm[i]]
-        total += sign * prod
-    return total
-
-
-def _daily_pref_matrix(sf_dir: str) -> np.ndarray:
-    """Pairwise daily-count preference matrix P[a][b] = days on which
-    type a strictly out-counts type b (the Kemeny/Colley ballot
-    reduction; distributed daily-count combiner)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["ts", "event_type"]
-    )
-    tmap = {t: i for i, t in enumerate(_MARKOV_STATES)}
-    k = len(_MARKOV_STATES)
-
-    def prep(batch: pa.Table) -> pa.Table:
-        day = (
-            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 86_400_000_000
-        )
-        ti = np.array([tmap[t] for t in batch["event_type"].to_pylist()],
-                      np.int64)
-        return pa.table(
-            {
-                "d": pa.array(day),
-                "t": pa.array(ti),
-                "_one": pa.array(np.ones(len(day), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["d", "t"],
-        [("_one", "sum", "c")],
-    )
-    dv = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)
-    tv = agg["t"].to_numpy(zero_copy_only=False).astype(np.int64)
-    cv = agg["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-    days = np.unique(dv)
-    didx = {int(d): i for i, d in enumerate(days)}
-    mat = np.zeros((len(days), k), np.int64)
-    for i in range(len(dv)):
-        mat[didx[int(dv[i])], tv[i]] = cv[i]
-    pref = np.zeros((k, k), np.int64)
-    for a in range(k):
-        for b in range(k):
-            if a != b:
-                pref[a, b] = int((mat[:, a] > mat[:, b]).sum())
-    return pref
-
-
-def _q_colley_rating(sf_dir: str) -> pa.Table:
-    """Colley-matrix rating of the five event types from daily
-    pairwise count comparisons (wins = days strictly out-counting):
-    the 5x5 Colley system (2I + diag(games) - G) r = 1 + (w-l)/2 is
-    solved by EXACT integer Cramer determinants (2b integerized), so
-    every rating is a pinned num/den ratio of exact ints."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    pref = _daily_pref_matrix(sf_dir)
-    k = len(_MARKOV_STATES)
-    g = pref + pref.T
-    t_i = g.sum(axis=1)
-    w_i = pref.sum(axis=1)
-    l_i = pref.sum(axis=0)
-    C = [
-        [
-            int(2 + t_i[i]) if i == j else -int(g[i, j])
-            for j in range(k)
-        ]
-        for i in range(k)
-    ]
-    bb = [int(2 + w_i[i] - l_i[i]) for i in range(k)]
-    den = 2 * _detn(C)
-    nums, ratings = [], []
-    for i in range(k):
-        Ci = [row[:] for row in C]
-        for r in range(k):
-            Ci[r][i] = bb[r]
-        num = _detn(Ci)
-        nums.append(num)
-        ratings.append(num / den)
-    return pa.table(
-        {
-            "event_type": pa.array(_MARKOV_STATES, pa.string()),
-            "wins": pa.array([int(v) for v in w_i], pa.int64()),
-            "losses": pa.array([int(v) for v in l_i], pa.int64()),
-            "r_num": pa.array(nums, pa.int64()),
-            "r_den": pa.array([den] * k, pa.int64()),
-            "rating": round_like_sql(ratings, 6),
-        }
-    )
-
-
-_HEAT_STEPS = 5
-
-
-def _q_heat_diffusion(sf_dir: str) -> pa.Table:
-    """Five steps of integer heat diffusion on the 96x96 event-count
-    grid, u' = (4u + up + down + left + right) // 8 with absorbing
-    borders -- all operands nonnegative so floor and truncation agree
-    in Python and SQL.  Emits the top-10 cells after diffusion by
-    (value DESC, cell)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
-
-    def prep(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        cell = eid % 96 + (eid // 96 % 96) * 96
-        return pa.table(
-            {
-                "cell": pa.array(cell),
-                "_one": pa.array(np.ones(len(eid), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["cell"],
-        [("_one", "sum", "n")],
-    )
-    u = np.zeros((96, 96), np.int64)
-    cells = agg["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
-    ns = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    u[cells // 96, cells % 96] = ns  # [y, x]
-    for _ in range(_HEAT_STEPS):
-        up = np.zeros_like(u)
-        dn = np.zeros_like(u)
-        lf = np.zeros_like(u)
-        rt = np.zeros_like(u)
-        up[1:, :] = u[:-1, :]
-        dn[:-1, :] = u[1:, :]
-        lf[:, 1:] = u[:, :-1]
-        rt[:, :-1] = u[:, 1:]
-        u = (4 * u + up + dn + lf + rt) // 8
-    flat = u.reshape(-1)  # index = y * 96 + x = cell
-    order = sorted(range(96 * 96), key=lambda c: (-int(flat[c]), c))[:10]
-    return pa.table(
-        {
-            "cell": pa.array(order, pa.int64()),
-            "value": pa.array([int(flat[c]) for c in order], pa.int64()),
-        }
-    )
-
-
-def _q_markov_loglik(sf_dir: str) -> pa.Table:
-    """Log-likelihood of the observed per-user event-type streams
-    under the fitted first-order Markov chain: each transition's
-    ln P(j|i) = ln(n_ij / n_i.) is quantized at 1e9 ticks, the total
-    is the exact integer sum n_ij * ticks_ij over the 25-cell
-    transition matrix, and avg NLL / perplexity are pinned float
-    chains -- the sequence-model scoring primitive."""
-    import math
-
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        round_half_away,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        markov_transitions, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "ts", "event_id", "event_type"],
-    )
-    out = markov_transitions(ds, "user_id", "event_type", ["ts", "event_id"])
-    src = out["src"].to_pylist()
-    n = out["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    row_tot: dict[str, int] = {}
-    for s, c in zip(src, n.tolist()):
-        row_tot[s] = row_tot.get(s, 0) + int(c)
-    ticks = 0
-    total = 0
-    for s, c in zip(src, n.tolist()):
-        lp = round_half_away(
-            np.array([math.log(c / row_tot[s])]) * 1e9
-        ).astype(np.int64)
-        ticks += int(c) * int(lp[0])
-        total += int(c)
-    avg_nll = -(ticks / 1e9) / total
-    return pa.table(
-        {
-            "n_transitions": pa.array([total], pa.int64()),
-            "loglik_ticks": pa.array([ticks], pa.int64()),
-            "avg_nll": round_like_sql([avg_nll], 6),
-            "perplexity": round_like_sql([math.exp(avg_nll)], 6),
-        }
-    )
-
-
-def _q_yules_k(sf_dir: str) -> pa.Table:
-    """Yule's K lexical-repetitiveness characteristic over the corpus
-    token stream: K = 1e4 * (sum(c_w^2) - N) / N^2 from the exact
-    distributed token-frequency table -- one pinned float over two
-    exact integers."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        _explode_tokens,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "documents.parquet"), columns=["text"])
-
-    def batch_tokens(batch: pa.Table) -> pa.Table:
-        batch = batch.append_column(
-            "_d", pa.array(np.zeros(batch.num_rows, np.int64))
-        )
-        t = _explode_tokens(batch, "text", "_d").select(["token"])
-        return t.append_column(
-            "one", pa.array(np.ones(t.num_rows, np.int64))
-        )
-
-    freq = hash_aggregate(
-        ds.map_batches(batch_tokens, batch_format="pyarrow",
-                       batch_size=None),
-        ["token"],
-        [("one", "sum", "c")],
-    )
-    c = freq["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-    n = int(c.sum())
-    sc2 = int((c * c).sum())
-    k_stat = 1e4 * (sc2 - n) / (float(n) * float(n))
-    return pa.table(
-        {
-            "n_tokens": pa.array([n], pa.int64()),
-            "vocab": pa.array([len(c)], pa.int64()),
-            "sum_c2": pa.array([sc2], pa.int64()),
-            "yules_k": round_like_sql([k_stat], 6),
-        }
-    )
-
-
-def _q_juilland_d(sf_dir: str) -> pa.Table:
-    """Juilland's dispersion D for the five probe tokens: per-doc
-    relative frequencies quantized at 1e9 ticks ((c*1e9)//len over
-    ALL docs), D = 1 - CV/sqrt(n-1) with CV from the exact integer
-    tick moments -- the corpus-dispersion companion to the raw
-    multi-pattern counts."""
-    import math
-
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        _explode_tokens,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "text"],
-    )
-    pats = set(_MP_PATTERNS)
-
-    def prep(batch: pa.Table) -> pa.Table:
-        t = _explode_tokens(batch, "text", "doc_id")
-        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        toks = t["token"].to_pylist()
-        rows_d, rows_p, rows_c, rows_l = [], [], [], []
-        uniq, inv = np.unique(did, return_inverse=True)
-        lens = np.bincount(inv).astype(np.int64)
-        for p in sorted(pats):
-            hit = np.array([tok == p for tok in toks], bool)
-            cs = np.bincount(inv[hit], minlength=len(uniq)).astype(
-                np.int64
-            )
-            rows_d.extend(int(u) for u in uniq)
-            rows_p.extend([p] * len(uniq))
-            rows_c.extend(int(v) for v in cs)
-            rows_l.extend(int(v) for v in lens)
-        return pa.table(
-            {
-                "doc": pa.array(rows_d, pa.int64()),
-                "p": pa.array(rows_p, pa.string()),
-                "c": pa.array(rows_c, pa.int64()),
-                "len": pa.array(rows_l, pa.int64()),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["doc", "p"],
-        [("c", "sum", "c"), ("len", "sum", "len")],
-    )
-    pv = agg["p"].to_pylist()
-    cv = agg["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-    lv = agg["len"].to_numpy(zero_copy_only=False).astype(np.int64)
-    out_p, out_nw, out_tc, out_d = [], [], [], []
-    for p in sorted(pats):
-        sel = [i for i in range(len(pv)) if pv[i] == p]
-        q = [(int(cv[i]) * 1_000_000_000) // int(lv[i]) for i in sel]
-        n = len(q)
-        s = sum(q)
-        sq2 = sum(v * v for v in q)
-        v = n * sq2 - s * s
-        d = 1.0 - math.sqrt(float(v)) / s / math.sqrt(n - 1)
-        out_p.append(p)
-        out_nw.append(sum(1 for i in sel if cv[i] > 0))
-        out_tc.append(sum(int(cv[i]) for i in sel))
-        out_d.append(d)
-    return pa.table(
-        {
-            "pattern": pa.array(out_p, pa.string()),
-            "n_docs_with": pa.array(out_nw, pa.int64()),
-            "total_count": pa.array(out_tc, pa.int64()),
-            "juilland_d": round_like_sql(out_d, 6),
-        }
-    )
-
-
-_MANTEL_PERMS = 200
-
-
-def _q_mantel_test(sf_dir: str) -> pa.Table:
-    """Mantel permutation test between the spatial distance matrix and
-    the count-difference matrix of the top-20 event cells: the cross-
-    product statistic is an exact integer, 200 deterministic label
-    permutations are built by ranking the mix32 stream (rank ties by
-    node index), and the one-sided p-value stays rational."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
-        mix32,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
-
-    def prep(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        cell = eid % 96 + (eid // 96 % 96) * 96
-        return pa.table(
-            {
-                "cell": pa.array(cell),
-                "_one": pa.array(np.ones(len(eid), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["cell"],
-        [("_one", "sum", "n")],
-    )
-    rows = sorted(
-        zip(agg["n"].to_pylist(), agg["cell"].to_pylist()),
-        key=lambda r: (-int(r[0]), int(r[1])),
-    )[:20]
-    nodes = sorted((int(cc), int(nn)) for nn, cc in rows)
-    k = len(nodes)
-    xs = np.array([c % 96 for c, _ in nodes], np.int64)
-    ys = np.array([c // 96 for c, _ in nodes], np.int64)
-    zs = np.array([n for _, n in nodes], np.int64)
-    X = np.abs(xs[:, None] - xs[None, :]) + np.abs(ys[:, None] - ys[None, :])
-    Y = np.abs(zs[:, None] - zs[None, :])
-    iu = np.triu_indices(k, 1)
-    z_obs = int((X[iu] * Y[iu]).sum())
-    extreme = 0
-    idx = np.arange(k, dtype=np.int64)
-    for p in range(_MANTEL_PERMS):
-        u = mix32(idx + p * 1000)
-        order = np.lexsort((idx, u))
-        pos = np.empty(k, np.int64)
-        pos[order] = np.arange(k)
-        Yp = Y[pos[:, None], pos[None, :]]
-        zp = int((X[iu] * Yp[iu]).sum())
-        if zp >= z_obs:
-            extreme += 1
-    return pa.table(
-        {
-            "z_obs": pa.array([z_obs], pa.int64()),
-            "n_perms": pa.array([_MANTEL_PERMS], pa.int64()),
-            "n_extreme": pa.array([extreme], pa.int64()),
-            "p_value": round_like_sql(
-                [(1 + extreme) / (_MANTEL_PERMS + 1)], 6
-            ),
-        }
-    )
-
-
-def _q_ulcer_index(sf_dir: str) -> pa.Table:
-    """Ulcer index of the daily revenue series: drawdown from the
-    running peak quantized at 1e6 ticks ((peak-y)*1e6)//peak, the
-    index = sqrt(mean(dd^2))/1e6 -- downside-risk measurement with
-    exact integer drawdowns."""
-    import math
-
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    ys = _daily_revenue_cents(sf_dir)
-    n = len(ys)
-    peak = None
-    ddq = []
-    for y in ys:
-        peak = y if peak is None else max(peak, y)
-        ddq.append(((peak - y) * 1_000_000) // peak)
-    sq = sum(v * v for v in ddq)
-    ulcer = math.sqrt(sq / n) / 1e6
-    return pa.table(
-        {
-            "n_days": pa.array([n], pa.int64()),
-            "max_ddq": pa.array([max(ddq)], pa.int64()),
-            "ulcer": round_like_sql([ulcer], 6),
-        }
-    )
-
-
-_BLOOM_BITS = 8192
-_BLOOM_PROBES = 2000
-
-
-def _q_bloom_fpr(sf_dir: str) -> pa.Table:
-    """Bloom-filter false-positive-rate audit: distinct user ids
-    hashed into 8192 bits with three mix32 hash functions, then 2000
-    guaranteed-absent probe keys (offset 10M) tested -- every bit
-    position and membership decision is exact integer arithmetic, so
-    the measured FPR is deterministic and SQL-checkable end to end
-    (the filter itself is the broadcast-set primitive the Bloom
-    semi-join pushdown uses)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
-        mix32,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        distinct, round_like_sql,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"),
-                  columns=["user_id"])
-    keys_t = distinct(ds, ["user_id"])
-    keys = keys_t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    bits = set()
-    for i in range(3):
-        bits.update(
-            (mix32(keys, seed=i * 7777) % _BLOOM_BITS).tolist()
-        )
-    probes = np.arange(_BLOOM_PROBES, dtype=np.int64) + 10_000_000
-    bits_arr = np.array(sorted(bits), np.int64)
-    hit = np.ones(_BLOOM_PROBES, bool)
-    for i in range(3):
-        pos = mix32(probes, seed=i * 7777) % _BLOOM_BITS
-        hit &= np.isin(pos, bits_arr)
-    n_fp = int(hit.sum())
-    return pa.table(
-        {
-            "n_keys": pa.array([len(keys)], pa.int64()),
-            "n_bits_set": pa.array([len(bits)], pa.int64()),
-            "n_probes": pa.array([_BLOOM_PROBES], pa.int64()),
-            "n_fp": pa.array([n_fp], pa.int64()),
-            "fpr": round_like_sql([n_fp / _BLOOM_PROBES], 6),
-        }
-    )
-
-
-def _q_str_packing(sf_dir: str) -> pa.Table:
-    """Sort-tile-recursive (STR) R-tree packing of the top-64 event
-    cells into a 4x4 leaf grid: x-rank slices then y-rank leaves with
-    the exact integer rank rule (rank*4)//n, per-leaf bounding boxes
-    and areas -- the bulk-load layout audit for spatial indexing, all
-    ties broken by cell id."""
-    cells = _top_cells(sf_dir, 64)
-    pts = sorted((c % 96, c) for c in cells)  # by (x, cell)
-    n = len(pts)
-    rows = []
-    for rank, (x, c) in enumerate(pts):
-        rows.append((rank * 4 // n, x, c // 96, c))
-    out = []
-    for s in range(4):
-        sl = sorted(
-            [(y, c, x) for (si, x, y, c) in rows if si == s]
-        )  # by (y, cell)
-        m = len(sl)
-        for rank2, (y, c, x) in enumerate(sl):
-            out.append((s, rank2 * 4 // m, x, y))
-    import collections
-
-    leaves = collections.defaultdict(list)
-    for s, le, x, y in out:
-        leaves[(s, le)].append((x, y))
-    sx, sy, minx, maxx, miny, maxy, cnt, area = [], [], [], [], [], [], [], []
-    for (s, le), ps in sorted(leaves.items()):
-        xs2 = [p[0] for p in ps]
-        ys2 = [p[1] for p in ps]
-        sx.append(s)
-        sy.append(le)
-        minx.append(min(xs2))
-        maxx.append(max(xs2))
-        miny.append(min(ys2))
-        maxy.append(max(ys2))
-        cnt.append(len(ps))
-        area.append((max(xs2) - min(xs2) + 1) * (max(ys2) - min(ys2) + 1))
-    return pa.table(
-        {
-            "slice_x": pa.array(sx, pa.int64()),
-            "leaf_y": pa.array(sy, pa.int64()),
-            "min_x": pa.array(minx, pa.int64()),
-            "max_x": pa.array(maxx, pa.int64()),
-            "min_y": pa.array(miny, pa.int64()),
-            "max_y": pa.array(maxy, pa.int64()),
-            "n_cells": pa.array(cnt, pa.int64()),
-            "area": pa.array(area, pa.int64()),
-        }
-    )
-
-
-def _q_cvm_twosample(sf_dir: str) -> pa.Table:
-    """Two-sample Cramer-von Mises statistic between click and error
-    value cents (Anderson's rank form): U = n*sum((r_i - i)^2)
-    + m*sum((s_j - j)^2) over pooled ranks with the deterministic
-    (value, tag, event_id) tie order -- U is an exact integer and
-    T = U/(n*m*N) - (4nm-1)/(6N) one pinned float chain."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "event_type", "value"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        et = batch["event_type"].to_pylist()
-        keep = np.array([t in ("click", "error") for t in et], bool)
-        tag = np.array([0 if t == "click" else 1 for t in et], np.int64)[
-            keep
-        ]
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )[keep]
-        y = scaled_int(batch["value"], 100.0)[keep]
-        return pa.table(
-            {"y": pa.array(y), "tag": pa.array(tag), "eid": pa.array(eid)}
-        )
-
-    tbl = collect_tables(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
-    )
-    y = tbl["y"].to_numpy(zero_copy_only=False).astype(np.int64)
-    tag = tbl["tag"].to_numpy(zero_copy_only=False).astype(np.int64)
-    eid = tbl["eid"].to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.lexsort((eid, tag, y))
-    tag_s = tag[order]
-    big_n = len(y)
-    n = int((tag == 0).sum())
-    m = big_n - n
-    ranks = np.arange(1, big_n + 1, dtype=np.int64)
-    rx = ranks[tag_s == 0]
-    ry = ranks[tag_s == 1]
-    ix = np.arange(1, n + 1, dtype=np.int64)
-    jy = np.arange(1, m + 1, dtype=np.int64)
-    u = n * int(((rx - ix) ** 2).sum()) + m * int(((ry - jy) ** 2).sum())
-    t_stat = u / (n * m * big_n) - (4 * n * m - 1) / (6 * big_n)
-    return pa.table(
-        {
-            "n_click": pa.array([n], pa.int64()),
-            "n_error": pa.array([m], pa.int64()),
-            "u_stat": pa.array([u], pa.int64()),
-            "t_stat": round_like_sql([t_stat], 6),
-        }
-    )
-
-
-def _bareiss_det(lap: list[list[int]], exclude: set[int]) -> int:
-    """Exact determinant of the Laplacian minor with the given
-    rows/cols removed, by fraction-free Bareiss elimination (every
-    division exact, as in _q_spanning_tree_count)."""
-    keep = [r for r in range(len(lap)) if r not in exclude]
-    size = len(keep)
-    m = {
-        (i + 1, j + 1): lap[keep[i]][keep[j]]
-        for i in range(size)
-        for j in range(size)
-    }
-    prev_piv = 1
-    for k in range(1, size):
-        piv = m[(k, k)]
-        new = {}
-        for i in range(k + 1, size + 1):
-            for j in range(k + 1, size + 1):
-                new[(i, j)] = (piv * m[(i, j)] - m[(i, k)] * m[(k, j)]) \
-                    // prev_piv
-        m = new
-        prev_piv = piv
-    return m[(size, size)]
-
-
-def _q_effective_resistance(sf_dir: str) -> pa.Table:
-    """EXACT effective resistance between the two highest-degree
-    words of the edit-1 source-word graph, by the spanning-tree
-    identity R_uv = (#2-forests separating u,v) / (#spanning trees):
-    both counts are exact Bareiss determinants of Laplacian minors
-    (drop {u,v} rows/cols vs drop {v}), so the resistance is one
-    pinned ratio -- random-walk commute distance with zero float
-    drift."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        distinct, round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        edit1_vocab_pairs,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
-    ).map_batches(
-        lambda b: b.rename_columns(["text"]),
-        batch_format="pyarrow", batch_size=None,
-    )
-    pairs = edit1_vocab_pairs(ds, min_len=4)
-    full = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
-    )
-    vt = distinct(full, ["source"])
-    vocab = sorted(w for w in vt["source"].to_pylist() if len(w) >= 4)
-    rank = {w: i for i, w in enumerate(vocab)}
-    n = len(vocab)
-    lap = [[0] * n for _ in range(n)]
-    for w1, w2 in zip(pairs["w1"].to_pylist(), pairs["w2"].to_pylist()):
-        i, j = rank[w1], rank[w2]
-        lap[i][j] -= 1
-        lap[j][i] -= 1
-        lap[i][i] += 1
-        lap[j][j] += 1
-    deg = [(lap[i][i], vocab[i], i) for i in range(n)]
-    top = sorted(deg, key=lambda t: (-t[0], t[1]))[:2]
-    u, v = top[0][2], top[1][2]
-    trees = _bareiss_det(lap, {v})
-    forests = _bareiss_det(lap, {u, v})
-    return pa.table(
-        {
-            "u_word": pa.array([vocab[u]], pa.string()),
-            "v_word": pa.array([vocab[v]], pa.string()),
-            "n_trees": pa.array([str(trees)], pa.string()),
-            "n_sep_forests": pa.array([str(forests)], pa.string()),
-            "resistance": round_like_sql(
-                [float(forests) / float(trees)], 6
-            ),
-        }
-    )
-
-
-def _daily_count_series(sf_dir: str) -> list[int]:
-    """Dense zero-filled daily event-count series (calendar frame
-    lo..hi like _q_lis_daily): the combiner tier aggregates, the
-    driver holds only the ~1-year vector."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
-
-    def daily(batch: pa.Table) -> pa.Table:
-        d = (
-            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 86_400_000_000
-        )
-        return pa.table(
-            {"d": pa.array(d), "_one": pa.array(np.ones(len(d), np.int64))}
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(daily, batch_format="pyarrow", batch_size=None),
-        ["d"],
-        [("_one", "sum", "x")],
-    )
-    dd = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)
-    lo, hi = int(dd.min()), int(dd.max())
-    xs = [0] * (hi - lo + 1)
-    for d, x in zip((dd - lo).tolist(), agg["x"].to_pylist()):
-        xs[d] = int(x)
-    return xs
-
-
-def _daily_count_cents_series(sf_dir: str) -> tuple[list[int], list[int]]:
-    """Dense zero-filled daily (event count, revenue cents) series on
-    the lo..hi calendar frame -- one combiner-tier aggregate, driver
-    holds two ~1-year vectors."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["ts", "value"]
-    )
-
-    def daily(batch: pa.Table) -> pa.Table:
-        d = (
-            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 86_400_000_000
-        )
-        return pa.table(
-            {
-                "d": pa.array(d),
-                "_one": pa.array(np.ones(len(d), np.int64)),
-                "cents": pa.array(scaled_int(batch["value"], 100.0)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(daily, batch_format="pyarrow", batch_size=None),
-        ["d"],
-        [("_one", "sum", "x"), ("cents", "sum", "y")],
-    )
-    dd = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)
-    lo, hi = int(dd.min()), int(dd.max())
-    xs = [0] * (hi - lo + 1)
-    ys = [0] * (hi - lo + 1)
-    for d, x, y in zip(
-        (dd - lo).tolist(), agg["x"].to_pylist(), agg["y"].to_pylist()
-    ):
-        xs[d] = int(x)
-        ys[d] = int(y)
-    return xs, ys
-
-
-def _q_ordinal_assoc(sf_dir: str) -> pa.Table:
-    """Goodman-Kruskal gamma and both Somers' D asymmetries between
-    daily event count (x) and daily revenue cents (y): exact integer
-    concordant / discordant / single-axis-tie pair counts over the
-    dense calendar frame, three pinned ratios."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    xs_l, ys_l = _daily_count_cents_series(sf_dir)
-    x = np.asarray(xs_l, np.int64)
-    y = np.asarray(ys_l, np.int64)
-    n = len(x)
-    sx = np.sign(x[:, None] - x[None, :])
-    sy = np.sign(y[:, None] - y[None, :])
-    up = np.triu(np.ones((n, n), bool), 1)
-    prod = sx * sy
-    c = int(((prod > 0) & up).sum())
-    d = int(((prod < 0) & up).sum())
-    tx = int(((sx == 0) & (sy != 0) & up).sum())
-    ty = int(((sy == 0) & (sx != 0) & up).sum())
-    return pa.table(
-        {
-            "n_days": pa.array([n], pa.int64()),
-            "concordant": pa.array([c], pa.int64()),
-            "discordant": pa.array([d], pa.int64()),
-            "ties_x_only": pa.array([tx], pa.int64()),
-            "ties_y_only": pa.array([ty], pa.int64()),
-            "gamma": round_like_sql(
-                [float(c - d) / float(c + d)], 6
-            ),
-            "somers_d_yx": round_like_sql(
-                [float(c - d) / float(c + d + ty)], 6
-            ),
-            "somers_d_xy": round_like_sql(
-                [float(c - d) / float(c + d + tx)], 6
-            ),
-        }
-    )
-
-
-def _q_omega_calmar(sf_dir: str) -> pa.Table:
-    """Omega ratio (threshold 0 on day-over-day revenue changes) and
-    Calmar-style ratio (mean daily change over maximum drawdown of the
-    daily revenue level): exact integer gain/loss sums and running-max
-    drawdown in cents, two pinned ratios."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    _, ys_l = _daily_count_cents_series(sf_dir)
-    y = np.asarray(ys_l, np.int64)
-    n = len(y)
-    d = y[1:] - y[:-1]
-    gains = int(d[d > 0].sum())
-    losses = int(-d[d < 0].sum())
-    run_max = np.maximum.accumulate(y)
-    maxdd = int((run_max - y).max())
-    mean_chg = float(int(y[-1]) - int(y[0])) / float(n - 1)
-    return pa.table(
-        {
-            "n_days": pa.array([n], pa.int64()),
-            "gains_cents": pa.array([gains], pa.int64()),
-            "losses_cents": pa.array([losses], pa.int64()),
-            "max_dd_cents": pa.array([maxdd], pa.int64()),
-            "omega": round_like_sql(
-                [float(gains) / float(losses)], 6
-            ),
-            "calmar": round_like_sql([mean_chg / float(maxdd)], 6),
-        }
-    )
-
-
-def _q_readability_panel(sf_dir: str) -> pa.Table:
-    """ARI, Coleman-Liau and LIX per document (the grade-level
-    complements of the Flesch query): every input an exact integer
-    regex count -- [A-Za-z] letters, [A-Za-z0-9] chars, \\S+ words,
-    [.!?]+ sentences (min 1), 7+-char long words -- and each index one
-    shared float expression."""
-    import re as _re
-
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "text"],
-    )
-
-    w_re = _re.compile(r"\S+")
-    s_re = _re.compile(r"[.!?]+")
-    alpha_re = _re.compile(r"[^A-Za-z]")
-    alnum_re = _re.compile(r"[^A-Za-z0-9]")
-
-    def score(batch: pa.Table) -> pa.Table:
-        ids, ls, cs, ws, ss, lws = [], [], [], [], [], []
-        ari, cli, lix = [], [], []
-        for i in range(batch.num_rows):
-            t = batch["text"][i].as_py() or ""
-            toks = w_re.findall(t)
-            w = len(toks)
-            s = max(len(s_re.findall(t)), 1)
-            l = len(alpha_re.sub("", t))
-            c = len(alnum_re.sub("", t))
-            lw = sum(1 for tok in toks if len(tok) >= 7)
-            ids.append(batch["doc_id"][i].as_py())
-            ls.append(l)
-            cs.append(c)
-            ws.append(w)
-            ss.append(s)
-            lws.append(lw)
-            if w == 0:
-                ari.append(0.0)
-                cli.append(0.0)
-                lix.append(0.0)
-            else:
-                ari.append(4.71 * (c / w) + 0.5 * (w / s) - 21.43)
-                cli.append(
-                    0.0588 * ((l / w) * 100.0)
-                    - 0.296 * ((s / w) * 100.0)
-                    - 15.8
-                )
-                lix.append((w / s) + 100.0 * (lw / w))
-        return pa.table(
-            {
-                "doc_id": pa.array(ids, pa.int64()),
-                "n_letters": pa.array(ls, pa.int64()),
-                "n_alnum": pa.array(cs, pa.int64()),
-                "n_long_words": pa.array(lws, pa.int64()),
-                "ari": round_like_sql(ari, 6),
-                "coleman_liau": round_like_sql(cli, 6),
-                "lix": round_like_sql(lix, 6),
-            }
-        )
-
-    return collect_tables(
-        ds.map_batches(score, batch_format="pyarrow", batch_size=None)
-    )
-
-
-_KATZ_ITERS = 15
-_KATZ_SCALE = 1_000_000
-_KATZ_DIV = 16  # 1/alpha; > spectral radius of the 20-word graph
-
-
-def _q_katz_centrality(sf_dir: str) -> pa.Table:
-    """Katz centrality of the edit-1 source-word graph by FULLY
-    INTEGER fixed-point iteration: x <- SCALE + (A.x) // 16
-    (attenuation alpha = 1/16 > spectral radius margin, truncating
-    division identical in Python and DuckDB //), 15 unrolled steps --
-    exact integers end to end, ranks deterministic."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        distinct, round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        edit1_vocab_pairs,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
-    ).map_batches(
-        lambda b: b.rename_columns(["text"]),
-        batch_format="pyarrow", batch_size=None,
-    )
-    pairs = edit1_vocab_pairs(ds, min_len=4)
-    vt = distinct(
-        _read_pq(os.path.join(sf_dir, "documents.parquet"), columns=["source"]),
-        ["source"],
-    )
-    vocab = sorted(w for w in vt["source"].to_pylist() if len(w) >= 4)
-    rank = {w: i for i, w in enumerate(vocab)}
-    n = len(vocab)
-    adj: list[list[int]] = [[] for _ in range(n)]
-    for w1, w2 in zip(pairs["w1"].to_pylist(), pairs["w2"].to_pylist()):
-        i, j = rank[w1], rank[w2]
-        adj[i].append(j)
-        adj[j].append(i)
-    x = [_KATZ_SCALE] * n
-    for _ in range(_KATZ_ITERS):
-        x = [
-            _KATZ_SCALE + sum(x[j] for j in adj[i]) // _KATZ_DIV
-            for i in range(n)
-        ]
-    order = sorted(range(n), key=lambda i: (-x[i], vocab[i]))
-    rk = [0] * n
-    for pos, i in enumerate(order):
-        rk[i] = pos + 1
-    return pa.table(
-        {
-            "word": pa.array(vocab, pa.string()),
-            "katz_q": pa.array(x, pa.int64()),
-            "katz": round_like_sql(
-                [float(v) / 1e6 for v in x], 6
-            ),
-            "rnk": pa.array(rk, pa.int64()),
-        }
-    )
-
-
-def _katz_oracle_sql() -> str:
-    """Mirror of _q_katz_centrality: 15 unrolled integer fixed-point
-    steps over the alphabetical node index."""
-    steps = []
-    for k in range(1, _KATZ_ITERS + 1):
-        steps.append(
-            f"k{k} AS MATERIALIZED (SELECT nd0.r, "
-            f"{_KATZ_SCALE} + COALESCE((SELECT SUM(p.v) FROM adj "
-            f"JOIN k{k - 1} p ON p.r = adj.b WHERE adj.a = nd0.r), 0) "
-            f"// {_KATZ_DIV} AS v FROM nd0)"
-        )
-    return (
-        "WITH tok AS (SELECT DISTINCT source AS w FROM documents "
-        "WHERE LEN(source) >= 4), "
-        "nd0 AS (SELECT w, ROW_NUMBER() OVER (ORDER BY w) - 1 AS r "
-        "FROM tok), "
-        "e AS MATERIALIZED (SELECT a.r AS r1, b.r AS r2 FROM nd0 a "
-        "JOIN nd0 b ON a.w < b.w AND ABS(LEN(a.w) - LEN(b.w)) <= 1 "
-        "AND LEVENSHTEIN(a.w, b.w) = 1), "
-        "adj AS MATERIALIZED (SELECT r1 AS a, r2 AS b FROM e "
-        "UNION ALL SELECT r2, r1 FROM e), "
-        f"k0 AS (SELECT r, CAST({_KATZ_SCALE} AS BIGINT) AS v "
-        "FROM nd0), "
-        + ", ".join(steps)
-        + f" SELECT nd0.w AS word, "
-        f"CAST(k{_KATZ_ITERS}.v AS BIGINT) AS katz_q, "
-        f"ROUND(CAST(k{_KATZ_ITERS}.v AS DOUBLE) / 1e6, 6) AS katz, "
-        f"CAST(ROW_NUMBER() OVER (ORDER BY k{_KATZ_ITERS}.v DESC, "
-        "nd0.w) AS BIGINT) AS rnk "
-        f"FROM nd0 JOIN k{_KATZ_ITERS} ON k{_KATZ_ITERS}.r = nd0.r"
-    )
-
-
-def _q_morisita_index(sf_dir: str) -> pa.Table:
-    """Morisita's index of dispersion per event type over the fixed
-    9216-cell lattice frame: I = Q * sum(x*(x-1)) / (N*(N-1)) -- the
-    quadrat clumping measure complementary to the variance-mean
-    ratio; all moments exact int64 through the distributed groupby
-    tier, one pinned ratio per type."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "event_type"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        return pa.table(
-            {
-                "event_type": batch["event_type"],
-                "cell": pa.array(eid % 9216),
-                "_one": pa.array(np.ones(len(eid), np.int64)),
-            }
-        )
-
-    per_cell = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["event_type", "cell"],
-        [("_one", "sum", "x")],
-        distributed_combine=True,
-    )
-
-    def moments(batch: pa.Table) -> pa.Table:
-        x = batch["x"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                "event_type": batch["event_type"],
-                "s1": batch["x"],
-                "sxx1": pa.array(x * (x - 1)),
-            }
-        ).group_by("event_type").aggregate(
-            [("s1", "sum"), ("sxx1", "sum")]
-        ).rename_columns(["event_type", "s1", "sxx1"])
-
-    parts = per_cell.map_batches(
-        moments, batch_format="pyarrow", batch_size=None
-    )
-    agg = hash_aggregate(
-        parts, ["event_type"], [("s1", "sum", "n"), ("sxx1", "sum", "sxx1")]
-    ).sort_by("event_type")
-    n = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    sxx1 = agg["sxx1"].to_numpy(zero_copy_only=False).astype(np.int64)
-    iq = 9216.0 * sxx1.astype(np.float64) / (
-        n.astype(np.float64) * (n - 1).astype(np.float64)
-    )
-    return pa.table(
-        {
-            "event_type": agg["event_type"],
-            "n_events": pa.array(n),
-            "sum_xx1": pa.array(sxx1),
-            "morisita": round_like_sql(iq, 6),
-        }
-    )
-
-
-def _q_theils_u(sf_dir: str) -> pa.Table:
-    """Theil's uncertainty coefficient U(lang | source) = (H(lang) -
-    H(lang|source)) / H(lang): both entropies from exact counts with
-    1e12-tick per-term quantization (the conditional_entropy kernel
-    plus its marginal), so U is a ratio of two exact int64 tick sums."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        round_half_away,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["lang", "source"],
-    )
-    agg = hash_aggregate(
-        ds.map_batches(
-            lambda b: pa.table(
-                {
-                    "source": b["source"],
-                    "lang": b["lang"],
-                    "_one": pa.array(np.ones(b.num_rows, np.int64)),
-                }
-            ),
-            batch_format="pyarrow", batch_size=None,
-        ),
-        ["source", "lang"],
-        [("_one", "sum", "n")],
-    )
-    src = agg["source"].to_pylist()
-    lg = agg["lang"].to_pylist()
-    nn = agg["n"].to_pylist()
-    n_s: dict[str, int] = {}
-    n_l: dict[str, int] = {}
-    for s, l, c in zip(src, lg, nn):
-        n_s[s] = n_s.get(s, 0) + int(c)
-        n_l[l] = n_l.get(l, 0) + int(c)
-    ntot = sum(n_s.values())
-    tq_y = 0
-    for c in n_l.values():
-        tq_y += int(
-            round_half_away(
-                np.array(
-                    [float(c) / float(ntot) * np.log(float(ntot) / float(c)) * 1e12]
-                )
-            )[0]
-        )
-    tq_yx = 0
-    for s, l, c in zip(src, lg, nn):
-        tq_yx += int(
-            round_half_away(
-                np.array(
-                    [
-                        float(c) / float(ntot)
-                        * np.log(float(n_s[s]) / float(c)) * 1e12
-                    ]
-                )
-            )[0]
-        )
-    return pa.table(
-        {
-            "n_docs": pa.array([ntot], pa.int64()),
-            "h_lang_nats": round_like_sql([float(tq_y) / 1e12], 6),
-            "h_cond_nats": round_like_sql([float(tq_yx) / 1e12], 6),
-            "theils_u": round_like_sql(
-                [float(tq_y - tq_yx) / float(tq_y)], 6
-            ),
-        }
-    )
-
-
-def _q_lz76_complexity(sf_dir: str) -> pa.Table:
-    """Lempel-Ziv (LZ76) phrase complexity of the daily up/down
-    revenue bit string: bit t = 1 iff day t's revenue cents strictly
-    exceed day t-1's; the parse takes the SHORTEST substring at each
-    position not occurring in the strictly-preceding prefix -- a
-    purely combinatorial integer count, mirrored by a recursive-CTE
-    string parse in SQL.  Normalized complexity phrases*log2(L)/L is
-    the single pinned float."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    _, ys_l = _daily_count_cents_series(sf_dir)
-    y = np.asarray(ys_l, np.int64)
-    bits = "".join("1" if b else "0" for b in (y[1:] > y[:-1]).tolist())
-    n = len(bits)
-    i = 0
-    phrases = 0
-    while i < n:
-        l = 0
-        while i + l < n and bits[i : i + l + 1] in bits[:i]:
-            l += 1
-        phrases += 1
-        i += l + 1
-    norm = float(phrases) * np.log2(float(n)) / float(n)
-    return pa.table(
-        {
-            "n_bits": pa.array([n], pa.int64()),
-            "n_phrases": pa.array([phrases], pa.int64()),
-            "lz_norm": round_like_sql([norm], 6),
-        }
-    )
-
-
-def _hour_type_counts(sf_dir: str) -> dict[tuple[str, int], int]:
-    """Exact 24-bin hour-of-day counts for click and error events
-    (empty bins 0) via the combiner tier -- shared by the
-    distribution-distance family (dist_distances, kuiper_test)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["ts", "event_type"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        keep = pc.is_in(
-            batch["event_type"], value_set=pa.array(["click", "error"])
-        )
-        batch = batch.filter(keep)
-        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "event_type": batch["event_type"],
-                "hour": pa.array((us // 3_600_000_000) % 24),
-                "_one": pa.array(np.ones(len(us), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["event_type", "hour"],
-        [("_one", "sum", "n")],
-    )
-    cnt = {("click", h): 0 for h in range(24)}
-    cnt.update({("error", h): 0 for h in range(24)})
-    for t, h, c in zip(
-        agg["event_type"].to_pylist(),
-        agg["hour"].to_pylist(),
-        agg["n"].to_pylist(),
-    ):
-        cnt[(t, int(h))] = int(c)
-    return cnt
-
-
-def _q_dist_distances(sf_dir: str) -> pa.Table:
-    """Bhattacharyya coefficient, Hellinger distance and total
-    variation distance between the hour-of-day distributions of
-    'click' vs 'error' events: exact integer 24-bin counts (empty
-    bins included), per-bin sqrt(p*q) and |p-q| terms quantized at
-    1e12 ticks, final transforms pinned."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        round_half_away,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    cnt = _hour_type_counts(sf_dir)
-    n1 = sum(cnt[("click", h)] for h in range(24))
-    n2 = sum(cnt[("error", h)] for h in range(24))
-    bc_tq = 0
-    tv_tq = 0
-    for h in range(24):
-        p = float(cnt[("click", h)]) / float(n1)
-        q = float(cnt[("error", h)]) / float(n2)
-        bc_tq += int(
-            round_half_away(np.array([np.sqrt(p * q) * 1e12]))[0]
-        )
-        tv_tq += int(round_half_away(np.array([abs(p - q) * 1e12]))[0])
-    bc = float(bc_tq) / 1e12
-    return pa.table(
-        {
-            "n_click": pa.array([n1], pa.int64()),
-            "n_error": pa.array([n2], pa.int64()),
-            "bhattacharyya": round_like_sql([bc], 6),
-            "hellinger": round_like_sql([np.sqrt(1.0 - bc)], 6),
-            "total_variation": round_like_sql(
-                [float(tv_tq) / 1e12 / 2.0], 6
-            ),
-        }
-    )
-
-
-def _type_cents_hist(sf_dir: str) -> pa.Table:
-    """Per-(event_type, cents) histogram through the distributed
-    groupby tier -- the compressed sufficient statistic for the
-    rank-order two-sample family (Cliff's delta, Jonckheere): the
-    driver sees at most n_types x distinct-cents rows, never the
-    events."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_type", "value"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "event_type": batch["event_type"],
-                "v": pa.array(scaled_int(batch["value"], 100.0)),
-                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
-            }
-        )
-
-    return collect_tables(
-        hash_aggregate(
-            ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-            ["event_type", "v"],
-            [("_one", "sum", "c")],
-            distributed_combine=True,
-        )
-    )
-
-
-def _q_cliffs_delta(sf_dir: str) -> pa.Table:
-    """Cliff's delta effect size between 'click' and 'error' event
-    values: exact greater-than / less-than pair counts from the
-    per-cents histograms (cumulative counts on the union value grid
-    -- no pair enumeration), one pinned ratio."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    hist = _type_cents_hist(sf_dir)
-    et = hist["event_type"].to_pylist()
-    vv = hist["v"].to_numpy(zero_copy_only=False).astype(np.int64)
-    cc = hist["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-    grid = np.unique(vv)
-    pos = {int(v): i for i, v in enumerate(grid.tolist())}
-    a = np.zeros(len(grid), np.int64)
-    b = np.zeros(len(grid), np.int64)
-    for t, v, c in zip(et, vv.tolist(), cc.tolist()):
-        if t == "click":
-            a[pos[v]] += c
-        elif t == "error":
-            b[pos[v]] += c
-    n1, n2 = int(a.sum()), int(b.sum())
-    b_lt = np.cumsum(b) - b  # strictly below each grid value
-    b_gt = n2 - np.cumsum(b)  # strictly above
-    gt = int((a * b_lt).sum())
-    lt = int((a * b_gt).sum())
-    return pa.table(
-        {
-            "n_click": pa.array([n1], pa.int64()),
-            "n_error": pa.array([n2], pa.int64()),
-            "n_gt": pa.array([gt], pa.int64()),
-            "n_lt": pa.array([lt], pa.int64()),
-            "cliffs_delta": round_like_sql(
-                [float(gt - lt) / (float(n1) * float(n2))], 6
-            ),
-        }
-    )
-
-
-def _q_jonckheere(sf_dir: str) -> pa.Table:
-    """Jonckheere-Terpstra ordered-alternative test across the five
-    event types in alphabetical dose order: the 2x JT statistic is an
-    exact integer assembled from cumulative per-cents histograms
-    (ties counted half, hence the doubling); the z-score uses the
-    classical tie-uncorrected moments as one shared float
-    expression."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    hist = _type_cents_hist(sf_dir)
-    et = hist["event_type"].to_pylist()
-    vv = hist["v"].to_numpy(zero_copy_only=False).astype(np.int64)
-    cc = hist["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-    types = sorted(set(et))
-    grid = np.unique(vv)
-    pos = {int(v): i for i, v in enumerate(grid.tolist())}
-    h = {t: np.zeros(len(grid), np.int64) for t in types}
-    for t, v, c in zip(et, vv.tolist(), cc.tolist()):
-        h[t][pos[v]] += c
-    jt2 = 0
-    for gi in range(len(types)):
-        g = h[types[gi]]
-        g_lt = np.cumsum(g) - g
-        for hi in range(gi + 1, len(types)):
-            b = h[types[hi]]
-            jt2 += int((b * (2 * g_lt + g)).sum())
-    sizes = [int(h[t].sum()) for t in types]
-    nn = sum(sizes)
-    sn2 = sum(x * x for x in sizes)
-    sn23 = sum(x * x * (2 * x + 3) for x in sizes)
-    z = (
-        float(jt2) / 2.0 - float(nn * nn - sn2) / 4.0
-    ) / np.sqrt(float(nn * nn * (2 * nn + 3) - sn23) / 72.0)
-    return pa.table(
-        {
-            "n_events": pa.array([nn], pa.int64()),
-            "jt2": pa.array([jt2], pa.int64()),
-            "z": round_like_sql([z], 6),
-        }
-    )
-
-
-def _q_dixon_q(sf_dir: str) -> pa.Table:
-    """Dixon's Q outlier screen on the daily revenue series: both the
-    suspect-max r10 = (y(n) - y(n-1)) / (y(n) - y(1)) and suspect-min
-    variants -- pure order statistics in exact cents, two pinned
-    ratios."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    _, ys_l = _daily_count_cents_series(sf_dir)
-    y = np.sort(np.asarray(ys_l, np.int64))
-    n = len(y)
-    rng = int(y[-1] - y[0])
-    q_max = float(int(y[-1] - y[-2])) / float(rng)
-    q_min = float(int(y[1] - y[0])) / float(rng)
-    return pa.table(
-        {
-            "n_days": pa.array([n], pa.int64()),
-            "range_cents": pa.array([rng], pa.int64()),
-            "q_max": round_like_sql([q_max], 6),
-            "q_min": round_like_sql([q_min], 6),
-        }
-    )
-
-
-def _q_rank_distance(sf_dir: str) -> pa.Table:
-    """Spearman footrule and Kendall tau distance between two
-    rankings of the sources -- by document count and by total
-    characters (both desc, source-name tie-break): exact integer
-    rank-displacement sum and discordant-pair count, footrule
-    normalized by its n^2/2 maximum."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["source", "n_chars"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "source": batch["source"],
-                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
-                "nch": batch["n_chars"].cast(pa.int64()),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["source"],
-        [("_one", "sum", "n_docs"), ("nch", "sum", "n_chars")],
-    )
-    src = agg["source"].to_pylist()
-    nd = agg["n_docs"].to_pylist()
-    nc = agg["n_chars"].to_pylist()
-    by_docs = sorted(range(len(src)), key=lambda i: (-int(nd[i]), src[i]))
-    by_chars = sorted(range(len(src)), key=lambda i: (-int(nc[i]), src[i]))
-    r1 = {src[i]: pos + 1 for pos, i in enumerate(by_docs)}
-    r2 = {src[i]: pos + 1 for pos, i in enumerate(by_chars)}
-    names = sorted(src)
-    n = len(names)
-    footrule = sum(abs(r1[s] - r2[s]) for s in names)
-    kd = 0
-    for i in range(n):
-        for j in range(i + 1, n):
-            si, sj = names[i], names[j]
-            if (r1[si] - r1[sj]) * (r2[si] - r2[sj]) < 0:
-                kd += 1
-    return pa.table(
-        {
-            "n_items": pa.array([n], pa.int64()),
-            "footrule": pa.array([footrule], pa.int64()),
-            "kendall_dist": pa.array([kd], pa.int64()),
-            "footrule_norm": round_like_sql(
-                [float(footrule) / (float(n) * float(n) / 2.0)], 6
-            ),
-        }
-    )
-
-
-_TEXTRANK_ITERS = 10
-_TEXTRANK_SCALE = 1_000_000
-_TEXTRANK_BASE = 150_000  # (1 - 0.85) * SCALE
-
-
-def _q_textrank_keywords(sf_dir: str) -> pa.Table:
-    """TextRank keyword scores over the adjacency (window-2
-    co-occurrence) graph of the 30 most frequent corpus tokens:
-    pass 1 counts tokens (distributed) and broadcasts the vocabulary;
-    pass 2 counts adjacent in-vocabulary token pairs (distributed,
-    list-offset vectorized -- no Python loop over tokens); the damped
-    walk x <- BASE + 85 * sum_j((w_ij * x_j) // W_j) // 100 runs 10
-    FULLY INTEGER unrolled steps, bit-identical in SQL."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "text"],
-    )
-
-    def tok_counts(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        toks = pc.split_pattern(batch["text"], " ")
-        flat = toks.combine_chunks().flatten() if isinstance(
-            toks, pa.ChunkedArray
-        ) else toks.flatten()
-        t = pa.table({"w": flat})
-        t = t.filter(pc.not_equal(t["w"], ""))
-        return t.append_column(
-            "_one", pa.array(np.ones(t.num_rows, np.int64))
-        )
-
-    freqs = hash_aggregate(
-        ds.map_batches(tok_counts, batch_format="pyarrow", batch_size=None),
-        ["w"],
-        [("_one", "sum", "n")],
-    )
-    top = sorted(
-        zip(freqs["n"].to_pylist(), freqs["w"].to_pylist()),
-        key=lambda t: (-t[0], t[1]),
-    )[:30]
-    vocab = sorted(w for _, w in top)
-    rank = {w: i for i, w in enumerate(vocab)}
-
-    def pair_counts(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        toks = pc.split_pattern(batch["text"], " ")
-        arr = toks.combine_chunks() if isinstance(
-            toks, pa.ChunkedArray
-        ) else toks
-        flat = np.asarray(arr.flatten().to_pylist(), object)
-        offs = np.asarray(arr.offsets.to_numpy(zero_copy_only=False))
-        if len(flat) < 2:
-            return pa.table(
-                {
-                    "w1": pa.array([], pa.string()),
-                    "w2": pa.array([], pa.string()),
-                    "_one": pa.array([], pa.int64()),
-                }
-            )
-        k = np.arange(len(flat) - 1)
-        starts = np.zeros(len(flat) + 1, bool)
-        starts[offs[1:-1]] = True
-        ok = ~starts[k + 1]
-        a, b = flat[k[ok]], flat[k[ok] + 1]
-        vlist = np.asarray(vocab, object)
-        inv = np.isin(a, vlist) & np.isin(b, vlist) & (a != b)
-        a, b = a[inv], b[inv]
-        lo = np.where(a < b, a, b)
-        hi = np.where(a < b, b, a)
-        return pa.table(
-            {
-                "w1": pa.array(lo.tolist(), pa.string()),
-                "w2": pa.array(hi.tolist(), pa.string()),
-                "_one": pa.array(np.ones(len(lo), np.int64)),
-            }
-        )
-
-    pairs = hash_aggregate(
-        ds.map_batches(pair_counts, batch_format="pyarrow", batch_size=None),
-        ["w1", "w2"],
-        [("_one", "sum", "wt")],
-    )
-    n = len(vocab)
-    wadj: dict[int, list[tuple[int, int]]] = {i: [] for i in range(n)}
-    wout = [0] * n
-    for w1, w2, wt in zip(
-        pairs["w1"].to_pylist(), pairs["w2"].to_pylist(),
-        pairs["wt"].to_pylist(),
-    ):
-        i, j, c = rank[w1], rank[w2], int(wt)
-        wadj[i].append((j, c))
-        wadj[j].append((i, c))
-        wout[i] += c
-        wout[j] += c
-    x = [_TEXTRANK_SCALE] * n
-    for _ in range(_TEXTRANK_ITERS):
-        x = [
-            _TEXTRANK_BASE
-            + 85 * sum((c * x[j]) // wout[j] for j, c in wadj[i]) // 100
-            for i in range(n)
-        ]
-    order = sorted(range(n), key=lambda i: (-x[i], vocab[i]))
-    rk = [0] * n
-    for pos, i in enumerate(order):
-        rk[i] = pos + 1
-    return pa.table(
-        {
-            "word": pa.array(vocab, pa.string()),
-            "score_q": pa.array(x, pa.int64()),
-            "score": round_like_sql([float(v) / 1e6 for v in x], 6),
-            "rnk": pa.array(rk, pa.int64()),
-        }
-    )
-
-
-def _textrank_oracle_sql() -> str:
-    """Mirror of _q_textrank_keywords: 10 unrolled integer damped-walk
-    steps over the top-30 adjacency graph."""
-    steps = []
-    for k in range(1, _TEXTRANK_ITERS + 1):
-        steps.append(
-            f"x{k} AS MATERIALIZED (SELECT nd.r, "
-            f"{_TEXTRANK_BASE} + 85 * COALESCE((SELECT "
-            f"SUM(adj.wt * p.v // wo.wsum) FROM adj "
-            f"JOIN x{k - 1} p ON p.r = adj.b "
-            f"JOIN wo ON wo.a = adj.b "
-            f"WHERE adj.a = nd.r), 0) // 100 AS v FROM nd)"
-        )
-    return (
-        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
-        "FROM documents), "
-        "p AS (SELECT doc_id, UNNEST(toks) AS w, "
-        "generate_subscripts(toks, 1) AS i FROM t), "
-        "fr AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM p "
-        "WHERE w <> '' GROUP BY 1), "
-        "tp AS (SELECT w FROM fr ORDER BY n DESC, w LIMIT 30), "
-        "nd AS (SELECT w, ROW_NUMBER() OVER (ORDER BY w) - 1 AS r "
-        "FROM tp), "
-        "e0 AS MATERIALIZED (SELECT LEAST(a.w, b.w) AS w1, "
-        "GREATEST(a.w, b.w) AS w2, CAST(COUNT(*) AS BIGINT) AS wt "
-        "FROM p a JOIN p b ON b.doc_id = a.doc_id AND b.i = a.i + 1 "
-        "WHERE a.w IN (SELECT w FROM tp) AND b.w IN (SELECT w FROM tp) "
-        "AND a.w <> b.w GROUP BY 1, 2), "
-        "adj AS MATERIALIZED (SELECT n1.r AS a, n2.r AS b, e0.wt "
-        "FROM e0 JOIN nd n1 ON n1.w = e0.w1 JOIN nd n2 ON n2.w = e0.w2 "
-        "UNION ALL SELECT n2.r, n1.r, e0.wt FROM e0 "
-        "JOIN nd n1 ON n1.w = e0.w1 JOIN nd n2 ON n2.w = e0.w2), "
-        "wo AS (SELECT a, CAST(SUM(wt) AS BIGINT) AS wsum FROM adj "
-        "GROUP BY 1), "
-        f"x0 AS (SELECT r, CAST({_TEXTRANK_SCALE} AS BIGINT) AS v "
-        "FROM nd), "
-        + ", ".join(steps)
-        + f" SELECT nd.w AS word, "
-        f"CAST(x{_TEXTRANK_ITERS}.v AS BIGINT) AS score_q, "
-        f"ROUND(CAST(x{_TEXTRANK_ITERS}.v AS DOUBLE) / 1e6, 6) "
-        "AS score, "
-        f"CAST(ROW_NUMBER() OVER (ORDER BY x{_TEXTRANK_ITERS}.v DESC, "
-        "nd.w) AS BIGINT) AS rnk "
-        f"FROM nd JOIN x{_TEXTRANK_ITERS} "
-        f"ON x{_TEXTRANK_ITERS}.r = nd.r"
-    )
-
-
-def _grid_count_cents(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
-    """Dense 96x96 (event count, revenue cents) grids on the geocode
-    lattice via the combiner tier."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "value"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(
-            np.int64
-        )
-        return pa.table(
-            {
-                "gx": pa.array(eid % 96),
-                "gy": pa.array((eid // 96) % 96),
-                "_one": pa.array(np.ones(len(eid), np.int64)),
-                "cents": pa.array(scaled_int(batch["value"], 100.0)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["gx", "gy"],
-        [("_one", "sum", "n"), ("cents", "sum", "y")],
-    )
-    cnt = np.zeros((96, 96), np.int64)
-    cen = np.zeros((96, 96), np.int64)
-    gx = agg["gx"].to_numpy(zero_copy_only=False).astype(np.int64)
-    gy = agg["gy"].to_numpy(zero_copy_only=False).astype(np.int64)
-    cnt[gx, gy] = agg["n"].to_numpy(zero_copy_only=False)
-    cen[gx, gy] = agg["y"].to_numpy(zero_copy_only=False)
-    return cnt, cen
-
-
-def _q_bivariate_moran(sf_dir: str) -> pa.Table:
-    """Bivariate Moran's I between the event-count field and the
-    revenue-cents field on the 96x96 lattice (rook weights): with
-    X_i = n*x_i - Sx (n-scaled centering) every cross product is an
-    exact integer (arbitrary-precision accumulation), so
-    I = (n/W) * S_w(X, Y) / sqrt(SXX * SYY) is one pinned float."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    cnt, cen = _grid_count_cents(sf_dir)
-    n = 96 * 96
-    sx, sy = int(cnt.sum()), int(cen.sum())
-    bx = (n * cnt - sx).astype(object)
-    by = (n * cen - sy).astype(object)
-    sxy_w = 0
-    w = 0
-    for dr, dc in ((1, 0), (-1, 0), (0, 1), (0, -1)):
-        r0, r1 = max(0, dr), 96 + min(0, dr)
-        c0, c1 = max(0, dc), 96 + min(0, dc)
-        xi = bx[r0:r1, c0:c1]
-        yj = by[r0 - dr : r1 - dr, c0 - dc : c1 - dc]
-        sxy_w += int((xi * yj).sum())
-        w += xi.size
-    sxx = int((bx * bx).sum())
-    syy = int((by * by).sum())
-    i_xy = (
-        float(n) / float(w) * float(sxy_w)
-        / np.sqrt(float(sxx) * float(syy))
-    )
-    return pa.table(
-        {
-            "n_cells": pa.array([n], pa.int64()),
-            "w_pairs": pa.array([w], pa.int64()),
-            "bivariate_i": round_like_sql([i_xy], 6),
-        }
-    )
-
-
-def _q_harris_corners(sf_dir: str) -> pa.Table:
-    """Harris corner response on the event-count grid: integer Sobel
-    gradients, 3x3 structure-tensor window sums, and the k=1/16
-    response R16 = 16*(Sxx*Syy - Sxy^2) - (Sxx+Syy)^2 -- every step
-    an exact integer, the 15 strongest corners reported."""
-    cnt, _ = _grid_count_cents(sf_dir)
-    g = cnt
-    gx = (
-        (g[:-2, 2:] + 2 * g[1:-1, 2:] + g[2:, 2:])
-        - (g[:-2, :-2] + 2 * g[1:-1, :-2] + g[2:, :-2])
-    )
-    gy = (
-        (g[2:, :-2] + 2 * g[2:, 1:-1] + g[2:, 2:])
-        - (g[:-2, :-2] + 2 * g[:-2, 1:-1] + g[:-2, 2:])
-    )
-    # window sums of the tensor over 3x3 gradient neighborhoods
-    def win(a: np.ndarray) -> np.ndarray:
-        return sum(
-            a[r : r + a.shape[0] - 2, c : c + a.shape[1] - 2]
-            for r in range(3)
-            for c in range(3)
-        )
-
-    sxx = win(gx * gx)
-    sxy = win(gx * gy)
-    syy = win(gy * gy)
-    r16 = 16 * (sxx * syy - sxy * sxy) - (sxx + syy) * (sxx + syy)
-    rows = []
-    h, w = r16.shape
-    for rr in range(h):
-        for cc in range(w):
-            rows.append((int(r16[rr, cc]), rr + 2, cc + 2))
-    rows.sort(key=lambda t: (-t[0], t[1], t[2]))
-    top = rows[:15]
-    return pa.table(
-        {
-            "r": pa.array([t[1] for t in top], pa.int64()),
-            "c": pa.array([t[2] for t in top], pa.int64()),
-            "r16": pa.array([t[0] for t in top], pa.int64()),
-            "rnk": pa.array(
-                list(range(1, len(top) + 1)), pa.int64()
-            ),
-        }
-    )
-
-
-def _q_kapur_threshold(sf_dir: str) -> pa.Table:
-    """Kapur maximum-entropy threshold over the per-cell event-count
-    histogram (the entropy-based sibling of otsu_threshold): for each
-    candidate threshold the foreground/background Shannon entropies
-    are 1e12-tick sums of exact count shares; the argmax threshold is
-    picked on integer ticks (tie -> smallest)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        round_half_away,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    cnt, _ = _grid_count_cents(sf_dir)
-    flat = cnt.ravel()
-    vals, freq = np.unique(flat, return_counts=True)
-    n = int(freq.sum())
-    best_t, best_tick = None, None
-    for ti in range(len(vals) - 1):
-        t = int(vals[ti])
-        lo = freq[: ti + 1]
-        hi = freq[ti + 1 :]
-        w0, w1 = int(lo.sum()), int(hi.sum())
-        tq = 0
-        for c in lo.tolist():
-            p = float(c) / float(w0)
-            tq += int(
-                round_half_away(np.array([-p * np.log(p) * 1e12]))[0]
-            )
-        for c in hi.tolist():
-            p = float(c) / float(w1)
-            tq += int(
-                round_half_away(np.array([-p * np.log(p) * 1e12]))[0]
-            )
-        if best_tick is None or tq > best_tick:
-            best_t, best_tick = t, tq
-    return pa.table(
-        {
-            "n_cells": pa.array([n], pa.int64()),
-            "threshold": pa.array([best_t], pa.int64()),
-            "h_sum_nats": round_like_sql([float(best_tick) / 1e12], 6),
-        }
-    )
-
-
-def _q_distinct_substrings(sf_dir: str) -> pa.Table:
-    """Distinct-substring count of the daily up/down revenue bit
-    string (the subword-complexity profile next to lz76_complexity):
-    exact enumeration over all O(n^2) windows, plus the length-
-    normalized ratio."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    _, ys_l = _daily_count_cents_series(sf_dir)
-    y = np.asarray(ys_l, np.int64)
-    bits = "".join("1" if b else "0" for b in (y[1:] > y[:-1]).tolist())
-    n = len(bits)
-    subs = {
-        bits[i : i + l]
-        for l in range(1, n + 1)
-        for i in range(n - l + 1)
-    }
-    total = n * (n + 1) // 2
-    return pa.table(
-        {
-            "n_bits": pa.array([n], pa.int64()),
-            "n_distinct": pa.array([len(subs)], pa.int64()),
-            "n_windows": pa.array([total], pa.int64()),
-            "ratio": round_like_sql(
-                [float(len(subs)) / float(total)], 6
-            ),
-        }
-    )
-
-
-def _q_block_entropy(sf_dir: str) -> pa.Table:
-    """Block (k-gram) entropies H_1..H_4 of the daily up/down bit
-    string with the entropy-rate differences H_k - H_{k-1}: exact
-    k-gram counts, 1e12-tick p*ln(p) terms -- the finite-order
-    complement of the Markov entropy rate."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        round_half_away,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    _, ys_l = _daily_count_cents_series(sf_dir)
-    y = np.asarray(ys_l, np.int64)
-    bits = "".join("1" if b else "0" for b in (y[1:] > y[:-1]).tolist())
-    ks, hs, diffs = [], [], []
-    prev_h = 0.0
-    for k in range(1, 5):
-        grams: dict[str, int] = {}
-        for i in range(len(bits) - k + 1):
-            g = bits[i : i + k]
-            grams[g] = grams.get(g, 0) + 1
-        tot = len(bits) - k + 1
-        tq = 0
-        for c in grams.values():
-            p = float(c) / float(tot)
-            tq += int(
-                round_half_away(np.array([-p * np.log(p) * 1e12]))[0]
-            )
-        h = float(tq) / 1e12
-        ks.append(k)
-        hs.append(h)
-        diffs.append(h - prev_h)
-        prev_h = h
-    return pa.table(
-        {
-            "k": pa.array(ks, pa.int64()),
-            "h_k": round_like_sql(hs, 6),
-            "h_rate": round_like_sql(diffs, 6),
-        }
-    )
-
-
-def _q_radiation_model(sf_dir: str) -> pa.Table:
-    """Radiation mobility model (Simini et al. 2012) flows between
-    the 10 hottest cells: T_ij = T_i * m_i * n_j / ((m_i + s_ij) *
-    (m_i + n_j + s_ij)) where s_ij is the total event count of cells
-    strictly inside the o->d disk (squared-distance integer
-    predicate, endpoints excluded) and T_i = m_i -- every count an
-    exact integer, the flow one shared float expression."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    cnt, _ = _grid_count_cents(sf_dir)
-    rr, cc = np.nonzero(cnt)
-    xs = cnt[rr, cc]
-    hot = sorted(
-        zip(xs.tolist(), rr.tolist(), cc.tolist()),
-        key=lambda t: (-t[0], t[1], t[2]),
-    )[:10]
-    rows = []
-    allr, allc = np.indices((96, 96))
-    for mi, oi, oj in hot:
-        for nj, di, dj in hot:
-            if (oi, oj) == (di, dj):
-                continue
-            d2 = (di - oi) ** 2 + (dj - oj) ** 2
-            ring = (allr - oi) ** 2 + (allc - oj) ** 2 < d2
-            ring[oi, oj] = False
-            ring[di, dj] = False
-            s = int(cnt[ring].sum())
-            flow = (
-                float(mi) * float(mi) * float(nj)
-                / (
-                    (float(mi) + float(s))
-                    * (float(mi) + float(nj) + float(s))
-                )
-            )
-            rows.append((oi, oj, di, dj, mi, nj, s, flow))
-    return pa.table(
-        {
-            "o_r": pa.array([r[0] for r in rows], pa.int64()),
-            "o_c": pa.array([r[1] for r in rows], pa.int64()),
-            "d_r": pa.array([r[2] for r in rows], pa.int64()),
-            "d_c": pa.array([r[3] for r in rows], pa.int64()),
-            "m_i": pa.array([r[4] for r in rows], pa.int64()),
-            "n_j": pa.array([r[5] for r in rows], pa.int64()),
-            "s_ij": pa.array([r[6] for r in rows], pa.int64()),
-            "flow": round_like_sql([r[7] for r in rows], 6),
-        }
-    )
-
-
-def _q_local_geary(sf_dir: str) -> pa.Table:
-    """Local Geary c_i at the 10 hottest cells of the count grid:
-    c_i = sum over rook neighbours of (x_i - x_j)^2 -- FULLY integer
-    (no centering, no floats anywhere except the reported mean
-    square), the local-heterogeneity complement of the local Moran
-    LISA map."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    cnt, _ = _grid_count_cents(sf_dir)
-    rr, cc = np.nonzero(cnt)
-    hot = sorted(
-        zip(cnt[rr, cc].tolist(), rr.tolist(), cc.tolist()),
-        key=lambda t: (-t[0], t[1], t[2]),
-    )[:10]
-    rows = []
-    for x, r, c in hot:
-        s = 0
-        k = 0
-        for dr, dc in ((1, 0), (-1, 0), (0, 1), (0, -1)):
-            nr, nc = r + dr, c + dc
-            if 0 <= nr < 96 and 0 <= nc < 96:
-                d = int(x) - int(cnt[nr, nc])
-                s += d * d
-                k += 1
-        rows.append((r, c, int(x), k, s))
-    return pa.table(
-        {
-            "r": pa.array([t[0] for t in rows], pa.int64()),
-            "c": pa.array([t[1] for t in rows], pa.int64()),
-            "x": pa.array([t[2] for t in rows], pa.int64()),
-            "n_nb": pa.array([t[3] for t in rows], pa.int64()),
-            "c_local": pa.array([t[4] for t in rows], pa.int64()),
-            "c_mean": round_like_sql(
-                [float(t[4]) / float(t[3]) for t in rows], 6
-            ),
-        }
-    )
-
-
-def _q_general_g(sf_dir: str) -> pa.Table:
-    """Getis-Ord General G (global clustering of HIGH values) on the
-    count grid with rook weights: G = S_w(x_i * x_j) / S_all(x_i *
-    x_j), i != j -- both sums exact integers (arbitrary precision),
-    one pinned ratio; complements the Gi* hotspot map."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    cnt, _ = _grid_count_cents(sf_dir)
-    x = cnt.astype(object)
-    num = 0
-    w = 0
-    for dr, dc in ((1, 0), (-1, 0), (0, 1), (0, -1)):
-        r0, r1 = max(0, dr), 96 + min(0, dr)
-        c0, c1 = max(0, dc), 96 + min(0, dc)
-        xi = x[r0:r1, c0:c1]
-        xj = x[r0 - dr : r1 - dr, c0 - dc : c1 - dc]
-        num += int((xi * xj).sum())
-        w += xi.size
-    s = int(cnt.sum())
-    s2 = int((cnt.astype(object) * cnt.astype(object)).sum())
-    den = s * s - s2  # sum over all i != j of x_i * x_j
-    return pa.table(
-        {
-            "w_pairs": pa.array([w], pa.int64()),
-            "num_pairsum": pa.array([num], pa.int64()),
-            "general_g": round_like_sql(
-                [float(num) / float(den)], 6
-            ),
-        }
-    )
-
-
-def _q_rake_keywords(sf_dir: str) -> pa.Table:
-    """RAKE keyword extraction over the corpus: delimiters are the 10
-    most frequent tokens (deterministic data-driven stopword set);
-    candidate phrases are the maximal runs between delimiters
-    (gaps-and-islands), word degree = sum of phrase lengths over
-    occurrences, word score = degree/frequency quantized at 1e9
-    ticks (so phrase scores are order-free integer sums); top 10
-    distinct phrases reported."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        round_half_away,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "text"],
-    )
-
-    def tok_counts(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        toks = pc.split_pattern(batch["text"], " ")
-        flat = toks.combine_chunks().flatten() if isinstance(
-            toks, pa.ChunkedArray
-        ) else toks.flatten()
-        t = pa.table({"w": flat})
-        t = t.filter(pc.not_equal(t["w"], ""))
-        return t.append_column(
-            "_one", pa.array(np.ones(t.num_rows, np.int64))
-        )
-
-    freqs = hash_aggregate(
-        ds.map_batches(tok_counts, batch_format="pyarrow", batch_size=None),
-        ["w"],
-        [("_one", "sum", "n")],
-    )
-    stop = set(
-        w
-        for _, w in sorted(
-            zip(freqs["n"].to_pylist(), freqs["w"].to_pylist()),
-            key=lambda t: (-t[0], t[1]),
-        )[:10]
-    )
-
-    def phrases(batch: pa.Table) -> pa.Table:
-        out_p: list[str] = []
-        for i in range(batch.num_rows):
-            toks = (batch["text"][i].as_py() or "").split(" ")
-            run: list[str] = []
-            for w in toks + [""]:
-                if w == "" or w in stop:
-                    if run:
-                        out_p.append(" ".join(run))
-                        run = []
-                else:
-                    run.append(w)
-        return pa.table(
-            {
-                "phrase": pa.array(out_p, pa.string()),
-                "_one": pa.array(np.ones(len(out_p), np.int64)),
-            }
-        )
-
-    ph = hash_aggregate(
-        ds.map_batches(phrases, batch_format="pyarrow", batch_size=None),
-        ["phrase"],
-        [("_one", "sum", "n")],
-    )
-    deg: dict[str, int] = {}
-    frq: dict[str, int] = {}
-    for p, c in zip(ph["phrase"].to_pylist(), ph["n"].to_pylist()):
-        ws = p.split(" ")
-        for w in ws:
-            deg[w] = deg.get(w, 0) + len(ws) * int(c)
-            frq[w] = frq.get(w, 0) + int(c)
-    score_t = {
-        w: int(
-            round_half_away(
-                np.array([float(deg[w]) / float(frq[w]) * 1e9])
-            )[0]
-        )
-        for w in deg
-    }
-    scored = []
-    for p, c in zip(ph["phrase"].to_pylist(), ph["n"].to_pylist()):
-        st = sum(score_t[w] for w in p.split(" "))
-        scored.append((st, p, int(c)))
-    scored.sort(key=lambda t: (-t[0], t[1]))
-    top = scored[:10]
-    return pa.table(
-        {
-            "phrase": pa.array([t[1] for t in top], pa.string()),
-            "n_occ": pa.array([t[2] for t in top], pa.int64()),
-            "score": round_like_sql(
-                [float(t[0]) / 1e9 for t in top], 6
-            ),
-            "rnk": pa.array(
-                list(range(1, len(top) + 1)), pa.int64()
-            ),
-        }
-    )
-
-
-def _q_brunner_munzel(sf_dir: str) -> pa.Table:
-    """Brunner-Munzel heteroscedastic rank test between click and
-    error event values: 2x placements (2*C_other(<v) + m_other(v))
-    and their squares are exact integers from the cents histograms,
-    so the relative effect p-hat and the variance-weighted W are two
-    pinned float expressions -- the unequal-variance upgrade of
-    Mann-Whitney."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    hist = _type_cents_hist(sf_dir)
-    et = hist["event_type"].to_pylist()
-    vv = hist["v"].to_numpy(zero_copy_only=False).astype(np.int64)
-    cc = hist["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-    keep = np.array([t in ("click", "error") for t in et], bool)
-    grid = np.unique(vv[keep])
-    pos = {int(v): i for i, v in enumerate(grid.tolist())}
-    a = np.zeros(len(grid), np.int64)
-    b = np.zeros(len(grid), np.int64)
-    for t, v, c in zip(et, vv.tolist(), cc.tolist()):
-        if t == "click":
-            a[pos[v]] += c
-        elif t == "error":
-            b[pos[v]] += c
-    n1, n2 = int(a.sum()), int(b.sum())
-    # 2x placements of each group's values within the OTHER group
-    p1 = 2 * (np.cumsum(b) - b) + b  # click values placed in error
-    p2 = 2 * (np.cumsum(a) - a) + a
-    s1 = int((a * p1).sum())
-    s11 = int((a * p1 * p1).sum())
-    s2 = int((b * p2).sum())
-    s22 = int((b * p2 * p2).sum())
-    phat = float(s1) / (2.0 * float(n1) * float(n2))
-    m1 = float(s1) / float(n1)
-    m2 = float(s2) / float(n2)
-    v1 = (float(s11) - float(n1) * m1 * m1) / float(n1 - 1)
-    v2 = (float(s22) - float(n2) * m2 * m2) / float(n2 - 1)
-    w = (m2 - m1) / np.sqrt(
-        4.0 * (v1 / float(n1) + v2 / float(n2))
-    )
-    return pa.table(
-        {
-            "n_click": pa.array([n1], pa.int64()),
-            "n_error": pa.array([n2], pa.int64()),
-            "p_hat": round_like_sql([phat], 6),
-            "w_stat": round_like_sql([w], 6),
-        }
-    )
-
-
-def _q_cusum_squares(sf_dir: str) -> pa.Table:
-    """CUSUM-of-squares variance-stability screen (Brown-Durbin-
-    Evans) on the daily revenue series: with integer partial sums of
-    squared cents, the deviation |S_k * n - Q * k| is exact integer
-    arithmetic (S_k = prefix sum of squares, Q = total); the maximum
-    and its argmax day are exact, the normalized statistic one
-    pinned ratio."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    _, ys_l = _daily_count_cents_series(sf_dir)
-    y = [int(v) for v in ys_l]
-    n = len(y)
-    sq = [v * v for v in y]
-    q_tot = sum(sq)
-    best_dev, best_k = -1, None
-    s = 0
-    for k in range(1, n + 1):
-        s += sq[k - 1]
-        dev = abs(s * n - q_tot * k)
-        if dev > best_dev:
-            best_dev, best_k = dev, k
-    stat = float(best_dev) / (float(q_tot) * float(n))
-    return pa.table(
-        {
-            "n_days": pa.array([n], pa.int64()),
-            "argmax_k": pa.array([best_k], pa.int64()),
-            "max_dev": pa.array([str(best_dev)], pa.string()),
-            "stat": round_like_sql([stat], 6),
-        }
-    )
-
-
-def _q_spectral_summary(sf_dir: str) -> pa.Table:
-    """Spectral entropy and spectral flatness (Wiener entropy) of the
-    daily count series over all Fourier frequencies k = 1..(n-1)//2:
-    per-day cos/sin terms quantized at 1e6 (exact C/S sums per k),
-    per-k power re-quantized at 1e6 ticks so the cross-frequency
-    sums are order-free integers; entropy terms at 1e12."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        round_half_away,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    xs = np.asarray(_daily_count_series(sf_dir), np.float64)
-    n = len(xs)
-    t = np.arange(n, dtype=np.float64)
-    kmax = (n - 1) // 2
-    pq = []
-    for k in range(1, kmax + 1):
-        theta = 2.0 * np.pi * t * float(k) / float(n)
-        cq = int(
-            round_half_away(xs * np.cos(theta) * 1e6).astype(np.int64).sum()
-        )
-        sq = int(
-            round_half_away(xs * np.sin(theta) * 1e6).astype(np.int64).sum()
-        )
-        c = float(cq) / 1e6
-        sv = float(sq) / 1e6
-        p = (c * c + sv * sv) / float(n)
-        pq.append(int(round_half_away(np.array([p * 1e6]))[0]))
-    tot = sum(pq)
-    ent_t = 0
-    log_t = 0
-    n_pos = 0
-    for p in pq:
-        if p > 0:
-            share = float(p) / float(tot)
-            ent_t += int(
-                round_half_away(
-                    np.array([-share * np.log(share) * 1e12])
-                )[0]
-            )
-            log_t += int(
-                round_half_away(np.array([np.log(float(p)) * 1e9]))[0]
-            )
-            n_pos += 1
-    h = float(ent_t) / 1e12
-    flat = np.exp(float(log_t) / 1e9 / float(n_pos)) / (
-        float(tot) / float(n_pos)
-    )
-    return pa.table(
-        {
-            "n_freqs": pa.array([kmax], pa.int64()),
-            "n_pos": pa.array([n_pos], pa.int64()),
-            "spec_entropy": round_like_sql([h], 6),
-            "spec_entropy_norm": round_like_sql(
-                [h / np.log(float(kmax))], 6
-            ),
-            "spec_flatness": round_like_sql([flat], 6),
-        }
-    )
-
-
-_VOR_SITES_SQL = (
-    "sites AS (SELECT * FROM (VALUES (0, 16, 16), (1, 16, 80), "
-    "(2, 48, 8), (3, 48, 48), (4, 80, 16), (5, 80, 80)) "
-    "AS v(i, sx, sy)), "
-    "cc AS (SELECT event_id % 96 + (event_id // 96 % 96) * 96 "
-    "AS cell, COUNT(*) AS n FROM events GROUP BY 1), "
-    "t100 AS (SELECT cell FROM cc ORDER BY n DESC, cell "
-    "LIMIT 100), "
-    "nd AS (SELECT cell, cell % 96 AS x, cell // 96 AS y "
-    "FROM t100), "
-    "asn AS MATERIALIZED (SELECT nd.cell, nd.x, nd.y, "
-    "(SELECT s.i FROM sites s ORDER BY "
-    "(nd.x - s.sx) * (nd.x - s.sx) "
-    "+ (nd.y - s.sy) * (nd.y - s.sy), s.i LIMIT 1) AS li "
-    "FROM nd)"
-)
-
-
-_SEAM_INF = 1_000_000_000_000_000
-
-
-def _q_seam_dp(sf_dir: str) -> pa.Table:
-    """Minimum-cost vertical seam (seam-carving energy DP) through
-    the 96x96 event-count grid: D[r][c] = x[r][c] +
-    min(D[r-1][c-1..c+1]) with an integer edge clamp -- 95 exact
-    integer DP steps, the full final-row cost profile emitted with
-    deterministic ranks (95 unrolled materialized steps in SQL)."""
-    cnt, _ = _grid_count_cents(sf_dir)
-    d = cnt[0].copy()
-    for r in range(1, 96):
-        left = np.concatenate([[_SEAM_INF], d[:-1]])
-        right = np.concatenate([d[1:], [_SEAM_INF]])
-        d = cnt[r] + np.minimum(np.minimum(left, d), right)
-    order = sorted(range(96), key=lambda c: (int(d[c]), c))
-    rk = [0] * 96
-    for pos, c in enumerate(order):
-        rk[c] = pos + 1
-    return pa.table(
-        {
-            "c": pa.array(list(range(96)), pa.int64()),
-            "cost": pa.array(d.astype(np.int64)),
-            "rnk": pa.array(rk, pa.int64()),
-        }
-    )
-
-
-def _seam_oracle_sql() -> str:
-    """Mirror of _q_seam_dp: 95 unrolled DP steps."""
-    steps = []
-    for r in range(1, 96):
-        prev = f"d{r - 1}"
-        steps.append(
-            f"d{r} AS MATERIALIZED (SELECT dn.c, dn.x + LEAST("
-            f"COALESCE(a.v, {_SEAM_INF}), b.v, "
-            f"COALESCE(cc.v, {_SEAM_INF})) AS v FROM dn "
-            f"LEFT JOIN {prev} a ON a.c = dn.c - 1 "
-            f"JOIN {prev} b ON b.c = dn.c "
-            f"LEFT JOIN {prev} cc ON cc.c = dn.c + 1 "
-            f"WHERE dn.r = {r})"
-        )
-    return (
-        "WITH c0 AS (SELECT event_id % 96 AS r, "
-        "(event_id // 96) % 96 AS c, CAST(COUNT(*) AS BIGINT) AS x "
-        "FROM events GROUP BY 1, 2), "
-        "fr AS (SELECT a.range AS r, b.range AS c FROM range(0, 96) a "
-        "CROSS JOIN range(0, 96) b), "
-        "dn AS (SELECT fr.r, fr.c, COALESCE(c0.x, 0) AS x FROM fr "
-        "LEFT JOIN c0 ON c0.r = fr.r AND c0.c = fr.c), "
-        "d0 AS (SELECT c, x AS v FROM dn WHERE r = 0), "
-        + ", ".join(steps)
-        + " SELECT c, CAST(v AS BIGINT) AS cost, "
-        "CAST(ROW_NUMBER() OVER (ORDER BY v, c) AS BIGINT) AS rnk "
-        "FROM d95"
-    )
-
-
-def _q_ridge_two_var(sf_dir: str) -> pa.Table:
-    """Ridge regression (cents ~ quantity + discount_bp) with a 10%
-    diagonal inflation of the centered scatter matrix (generalized
-    ridge; the intercept stays unpenalized via centering): all
-    moments exact integers, the 2x2 Cramer solve uses arbitrary-
-    precision Python ints mirrored by HUGEINT, floats only in the
-    three final divisions -- the shrunk counterpart of ols_two_var."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_quantity", "l_discount", "l_extendedprice"],
-    )
-
-    def moments(batch: pa.Table) -> pa.Table:
-        x1 = round_half_away(
-            batch["l_quantity"].to_numpy(zero_copy_only=False)
-        ).astype(np.int64)
-        x2 = round_half_away(
-            batch["l_discount"].to_numpy(zero_copy_only=False) * 10000.0
-        ).astype(np.int64)
-        y = round_half_away(
-            batch["l_extendedprice"].to_numpy(zero_copy_only=False)
-        ).astype(np.int64)
-        return pa.table(
-            {
-                "_g": pa.array(np.zeros(len(y), np.int64)),
-                "_n": pa.array(np.ones(len(y), np.int64)),
-                "s1": pa.array(x1),
-                "s2": pa.array(x2),
-                "sy": pa.array(y),
-                "s11": pa.array(x1 * x1),
-                "s22": pa.array(x2 * x2),
-                "s12": pa.array(x1 * x2),
-                "s1y": pa.array(x1 * y),
-                "s2y": pa.array(x2 * y),
-            }
-        )
-
-    cols = ("_n", "s1", "s2", "sy", "s11", "s22", "s12", "s1y", "s2y")
-    agg = hash_aggregate(
-        ds.map_batches(moments, batch_format="pyarrow", batch_size=None),
-        ["_g"],
-        [(c, "sum", c) for c in cols],
-    )
-    n, s1, s2, sy, s11, s22, s12, s1y, s2y = (
-        int(agg[c][0].as_py()) for c in cols
-    )
-    c11 = n * s11 - s1 * s1
-    c22 = n * s22 - s2 * s2
-    c12 = n * s12 - s1 * s2
-    c1y = n * s1y - s1 * sy
-    c2y = n * s2y - s2 * sy
-    a11 = c11 + c11 // 10
-    a22 = c22 + c22 // 10
-    det = a11 * a22 - c12 * c12
-    b1 = float(c1y * a22 - c12 * c2y) / float(det)
-    b2 = float(a11 * c2y - c1y * c12) / float(det)
-    b0 = (float(sy) - b1 * float(s1) - b2 * float(s2)) / float(n)
-    return pa.table(
-        {
-            "n_rows": pa.array([n], pa.int64()),
-            "intercept": round_like_sql([b0], 6),
-            "beta_qty": round_like_sql([b1], 6),
-            "beta_disc_bp": round_like_sql([b2], 6),
-        }
-    )
-
-
-def _q_cox_stuart(sf_dir: str) -> pa.Table:
-    """Cox-Stuart trend test on the daily revenue series: first-half
-    vs second-half sign pairs (middle day dropped when n is odd, tied
-    pairs dropped), exact integer S+/S-, binomial-normal z as one
-    shared float expression."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    _, ys_l = _daily_count_cents_series(sf_dir)
-    y = np.asarray(ys_l, np.int64)
-    n = len(y)
-    m = n // 2
-    off = n - m
-    d = y[off : off + m] - y[:m]
-    sp = int((d > 0).sum())
-    sm = int((d < 0).sum())
-    ne = sp + sm
-    z = float(2 * sp - ne) / np.sqrt(float(ne))
-    return pa.table(
-        {
-            "n_pairs": pa.array([ne], pa.int64()),
-            "s_plus": pa.array([sp], pa.int64()),
-            "s_minus": pa.array([sm], pa.int64()),
-            "z": round_like_sql([z], 6),
-        }
-    )
-
-
-def _q_runs_updown(sf_dir: str) -> pa.Table:
-    """Runs up-and-down test on the daily revenue series (the
-    difference-sign complement of the above/below-median runs_test):
-    tied consecutive days dropped, runs of increase/decrease counted,
-    classical (2n-1)/3 and (16n-29)/90 moments with n = kept signs
-    + 1."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    _, ys_l = _daily_count_cents_series(sf_dir)
-    y = np.asarray(ys_l, np.int64)
-    d = y[1:] - y[:-1]
-    s = np.sign(d[d != 0])
-    runs = int(1 + (s[1:] != s[:-1]).sum()) if len(s) else 0
-    n = len(s) + 1
-    z = (float(runs) - (2.0 * float(n) - 1.0) / 3.0) / np.sqrt(
-        (16.0 * float(n) - 29.0) / 90.0
-    )
-    return pa.table(
-        {
-            "n_obs": pa.array([n], pa.int64()),
-            "runs": pa.array([runs], pa.int64()),
-            "z": round_like_sql([z], 6),
-        }
-    )
-
-
-def _q_mh_odds(sf_dir: str) -> pa.Table:
-    """Mantel-Haenszel common odds ratio and the CMH chi-square
-    across day-of-week strata: exposure = click vs error, outcome =
-    event cents strictly above the pooled exact lower median; all
-    2x2 cells exact integers from the distributed groupby tier,
-    per-stratum rational terms quantized at 1e6 ticks, both
-    statistics pinned floats over exact tick sums."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        round_half_away,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["ts", "event_type", "value"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        keep = pc.is_in(
-            batch["event_type"], value_set=pa.array(["click", "error"])
-        )
-        batch = batch.filter(keep)
-        us = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "dow": pa.array((us // 86_400_000_000) % 7),
-                "event_type": batch["event_type"],
-                "v": pa.array(scaled_int(batch["value"], 100.0)),
-                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["dow", "event_type", "v"],
-        [("_one", "sum", "c")],
-    )
-    dow = agg["dow"].to_numpy(zero_copy_only=False).astype(np.int64)
-    et = agg["event_type"].to_pylist()
-    vv = agg["v"].to_numpy(zero_copy_only=False).astype(np.int64)
-    cc = agg["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-    # pooled exact lower median from the value histogram
-    order = np.argsort(vv, kind="stable")
-    tot = int(cc.sum())
-    target = (tot + 1) // 2
-    med = None
-    seen: dict[int, int] = {}
-    for i in order.tolist():
-        seen[int(vv[i])] = seen.get(int(vv[i]), 0) + int(cc[i])
-    cum = 0
-    for v in sorted(seen):
-        cum += seen[v]
-        if cum >= target:
-            med = v
-            break
-    cells = {(s, e, o): 0 for s in range(7) for e in (0, 1) for o in (0, 1)}
-    for s, t, v, c in zip(dow.tolist(), et, vv.tolist(), cc.tolist()):
-        e = 1 if t == "click" else 0
-        o = 1 if v > med else 0
-        cells[(int(s), e, o)] += int(c)
-    num_t, den_t, a_sum, e_t, var_t = 0, 0, 0, 0, 0
-    for s in range(7):
-        a = cells[(s, 1, 1)]
-        b = cells[(s, 1, 0)]
-        c2 = cells[(s, 0, 1)]
-        d = cells[(s, 0, 0)]
-        n_s = a + b + c2 + d
-        if n_s == 0:
-            continue
-        a_sum += a
-        num_t += int(
-            round_half_away(
-                np.array([float(a) * float(d) / float(n_s) * 1e6])
-            )[0]
-        )
-        den_t += int(
-            round_half_away(
-                np.array([float(b) * float(c2) / float(n_s) * 1e6])
-            )[0]
-        )
-        e_t += int(
-            round_half_away(
-                np.array(
-                    [float(a + b) * float(a + c2) / float(n_s) * 1e6]
-                )
-            )[0]
-        )
-        var_t += int(
-            round_half_away(
-                np.array(
-                    [
-                        float(a + b) * float(c2 + d) * float(a + c2)
-                        * float(b + d)
-                        / (
-                            float(n_s) * float(n_s) * float(n_s - 1)
-                        ) * 1e6
-                    ]
-                )
-            )[0]
-        )
-    mh_or = float(num_t) / float(den_t)
-    diff = (float(a_sum) * 1e6 - float(e_t)) / 1e6
-    chi2 = diff * diff / (float(var_t) / 1e6)
-    return pa.table(
-        {
-            "median_cents": pa.array([med], pa.int64()),
-            "a_sum": pa.array([a_sum], pa.int64()),
-            "mh_or": round_like_sql([mh_or], 6),
-            "cmh_chi2": round_like_sql([chi2], 6),
-        }
-    )
-
-
-def _q_kulldorff_scan(sf_dir: str) -> pa.Table:
-    """Kulldorff spatial scan statistic over square windows of the
-    96x96 event-count grid: candidate zones are Chebyshev windows
-    (radius 2/4/8/16) around the 12 hottest cells; window counts come
-    from the DISTRIBUTED summed-area table (stages/scan.py::grid_sat
-    -- four SAT lookups per zone), the Poisson log-likelihood ratio
-    is 1e9-tick quantized, candidates ranked by tick."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        round_half_away,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, hash_aggregate, round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.scan import (
-        grid_sat,
-    )
-    import ray.data
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["event_id"]
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        cell = (
-            batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            % 9216
-        )
-        return pa.table(
-            {
-                "r": pa.array(cell // 96),
-                "c": pa.array(cell % 96),
-                "_one": pa.array(np.ones(len(cell), np.int64)),
-            }
-        )
-
-    counts = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["r", "c"],
-        [("_one", "sum", "x")],
-    )
-    sat_t = collect_tables(
-        grid_sat(ray.data.from_arrow(counts), grid=96, side=16)
-    )
-    sat = np.zeros((96, 96), np.int64)
-    sat[
-        sat_t["r"].to_numpy(zero_copy_only=False),
-        sat_t["c"].to_numpy(zero_copy_only=False),
-    ] = sat_t["sat"].to_numpy(zero_copy_only=False)
-    n_tot = int(sat[-1, -1])
-
-    def box(r0: int, c0: int, r1: int, c1: int) -> int:
-        """Inclusive box sum via 4 SAT lookups."""
-        s = int(sat[r1, c1])
-        if r0 > 0:
-            s -= int(sat[r0 - 1, c1])
-        if c0 > 0:
-            s -= int(sat[r1, c0 - 1])
-        if r0 > 0 and c0 > 0:
-            s += int(sat[r0 - 1, c0 - 1])
-        return s
-
-    cr = counts["r"].to_numpy(zero_copy_only=False).astype(np.int64)
-    cc = counts["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-    cx = counts["x"].to_numpy(zero_copy_only=False).astype(np.int64)
-    hot = sorted(
-        zip(cx.tolist(), cr.tolist(), cc.tolist()),
-        key=lambda t: (-t[0], t[1], t[2]),
-    )[:12]
-    rows = []
-    for _, hr, hc in hot:
-        for rad in (2, 4, 8, 16):
-            r0, c0 = max(0, hr - rad), max(0, hc - rad)
-            r1, c1 = min(95, hr + rad), min(95, hc + rad)
-            area = (r1 - r0 + 1) * (c1 - c0 + 1)
-            c_in = box(r0, c0, r1, c1)
-            e = float(n_tot) * float(area) / 9216.0
-            if float(c_in) > e and c_in < n_tot:
-                llr = float(c_in) * np.log(float(c_in) / e) + float(
-                    n_tot - c_in
-                ) * np.log(float(n_tot - c_in) / (float(n_tot) - e))
-            else:
-                llr = 0.0
-            tick = int(round_half_away(np.array([llr * 1e9]))[0])
-            rows.append((hr, hc, rad, c_in, area, tick))
-    rows.sort(key=lambda t: (-t[5], t[0], t[1], t[2]))
-    return pa.table(
-        {
-            "center_r": pa.array([r[0] for r in rows], pa.int64()),
-            "center_c": pa.array([r[1] for r in rows], pa.int64()),
-            "radius": pa.array([r[2] for r in rows], pa.int64()),
-            "n_in": pa.array([r[3] for r in rows], pa.int64()),
-            "area": pa.array([r[4] for r in rows], pa.int64()),
-            "llr": round_like_sql(
-                [float(r[5]) / 1e9 for r in rows], 6
-            ),
-            "rnk": pa.array(
-                list(range(1, len(rows) + 1)), pa.int64()
-            ),
-        }
-    )
-
-
-def _q_retile_extract(sf_dir: str) -> pa.Table:
-    """Grid re-tiling end to end: the 48-side fixture tiles re-laid
-    onto a MISALIGNED 32-side lattice (stages/raster.py::retile, one
-    fragment shuffle, each pixel moved exactly once), then per-pixel
-    extraction -- every valid pixel must survive with its exact value
-    and absolute coordinates, which the oracle grid SQL pins."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
-        retile,
-    )
-
-    tiles = ray.data.from_arrow(_og_tiles_table())
-    out = retile(tiles, new_side=32, grid_h=OG_H, grid_w=OG_W)
-
-    def extract(batch: pa.Table) -> pa.Table:
-        rows, cols, zs = [], [], []
-        for i in range(batch.num_rows):
-            h = int(batch["height"][i].as_py())
-            w = int(batch["width"][i].as_py())
-            r0 = int(batch["row_off"][i].as_py())
-            c0 = int(batch["col_off"][i].as_py())
-            vals = np.asarray(
-                batch["values"][i].as_py(), np.float32
-            ).reshape(h, w).astype(np.float64)
-            ok = vals > -1e30
-            rr, cc = np.nonzero(ok)
-            rows.append(rr + r0)
-            cols.append(cc + c0)
-            zs.append(vals[rr, cc])
-        return pa.table(
-            {
-                "row": pa.array(np.concatenate(rows).astype(np.int64)),
-                "col": pa.array(np.concatenate(cols).astype(np.int64)),
-                "z": pa.array(np.concatenate(zs)),
-            }
-        )
-
-    t = collect_tables(
-        out.map_batches(extract, batch_format="pyarrow", batch_size=None)
-    )
-    return pa.table(
-        {
-            "row": t["row"],
-            "col": t["col"],
-            "z": round_like_sql(t["z"], 6),
-        }
-    )
-
-
-def _q_kuiper_test(sf_dir: str) -> pa.Table:
-    """Kuiper's V statistic between the hour-of-day CDFs of click vs
-    error events (the rotation-invariant KS cousin): per-bin
-    cumulative-share differences quantized at 1e12 ticks, D+ and D-
-    exact integer maxima, V their sum."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        round_half_away,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    cnts = _hour_type_counts(sf_dir)
-    a = np.array([cnts[("click", h)] for h in range(24)], np.int64)
-    b = np.array([cnts[("error", h)] for h in range(24)], np.int64)
-    n1, n2 = int(a.sum()), int(b.sum())
-    ca, cb = np.cumsum(a), np.cumsum(b)
-    dp_t, dm_t = 0, 0
-    for h in range(24):
-        p = float(ca[h]) / float(n1)
-        q = float(cb[h]) / float(n2)
-        dpt = int(round_half_away(np.array([(p - q) * 1e12]))[0])
-        dp_t = max(dp_t, dpt)
-        dm_t = max(dm_t, -dpt)
-    return pa.table(
-        {
-            "n_click": pa.array([n1], pa.int64()),
-            "n_error": pa.array([n2], pa.int64()),
-            "d_plus": round_like_sql([float(dp_t) / 1e12], 6),
-            "d_minus": round_like_sql([float(dm_t) / 1e12], 6),
-            "v_stat": round_like_sql(
-                [float(dp_t + dm_t) / 1e12], 6
-            ),
-        }
-    )
-
-
-def _q_page_trend(sf_dir: str) -> pa.Table:
-    """Page's L trend test for a monotone weekday effect: complete
-    weeks of the dense daily revenue series, within-week 2x
-    tie-averaged ranks (exact integers), L2 = sum(position * rank2);
-    the z-score uses the classical k=7 moments as one shared float
-    expression."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    _, ys_l = _daily_count_cents_series(sf_dir)
-    y = np.asarray(ys_l, np.int64)
-    n_weeks = len(y) // 7
-    l2 = 0
-    for w in range(n_weeks):
-        wk = y[w * 7 : (w + 1) * 7]
-        for j in range(7):
-            lt = int((wk < wk[j]).sum())
-            eq = int((wk == wk[j]).sum())
-            r2 = 2 * lt + eq + 1
-            l2 += (j + 1) * r2
-    e = float(n_weeks * 7 * 8 * 8) / 4.0
-    var = float(n_weeks * 49 * 8 * 48) / 144.0
-    z = (float(l2) / 2.0 - e) / np.sqrt(var)
-    return pa.table(
-        {
-            "n_weeks": pa.array([n_weeks], pa.int64()),
-            "l2": pa.array([l2], pa.int64()),
-            "z": round_like_sql([z], 6),
-        }
-    )
-
-
-def _q_theil_decomp(sf_dir: str) -> pa.Table:
-    """Theil T inequality of document lengths decomposed into
-    between-source and within-source components: pass 1 aggregates
-    per-source (count, char sum); pass 2 broadcasts the global totals
-    and computes PER-DOCUMENT 1e12-tick terms inside map_batches
-    (distributed -- the tick sum is the only thing aggregated);
-    within = total - between in exact tick space."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        round_half_away,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["source", "n_chars"],
-    )
-    per_src = hash_aggregate(
-        ds.map_batches(
-            lambda b: pa.table(
-                {
-                    "source": b["source"],
-                    "_one": pa.array(np.ones(b.num_rows, np.int64)),
-                    "nch": b["n_chars"].cast(pa.int64()),
-                }
-            ),
-            batch_format="pyarrow", batch_size=None,
-        ),
-        ["source"],
-        [("_one", "sum", "ng"), ("nch", "sum", "sg")],
-    )
-    ng = per_src["ng"].to_numpy(zero_copy_only=False).astype(np.int64)
-    sg = per_src["sg"].to_numpy(zero_copy_only=False).astype(np.int64)
-    n_tot = int(ng.sum())
-    s_tot = int(sg.sum())
-
-    def doc_terms(batch: pa.Table) -> pa.Table:
-        x = batch["n_chars"].cast(pa.int64()).to_numpy(
-            zero_copy_only=False
-        ).astype(np.float64)
-        t = (
-            x / float(s_tot)
-            * np.log(x * float(n_tot) / float(s_tot)) * 1e12
-        )
-        tq = round_half_away(t).astype(np.int64)
-        return pa.table({"tq": pa.array([int(tq.sum())], pa.int64())})
-
-    agg = hash_aggregate(
-        _read_pq(
-            os.path.join(sf_dir, "documents.parquet"), columns=["n_chars"]
-        ).map_batches(doc_terms, batch_format="pyarrow", batch_size=None)
-        .map_batches(
-            lambda b: b.append_column("_k", pa.array([0] * b.num_rows)),
-            batch_format="pyarrow", batch_size=None,
-        ),
-        ["_k"],
-        [("tq", "sum", "tq")],
-    )
-    t_ticks = int(agg["tq"][0].as_py())
-    b_ticks = 0
-    for g, s in zip(ng.tolist(), sg.tolist()):
-        term = (
-            float(s) / float(s_tot)
-            * np.log(
-                float(s) * float(n_tot) / (float(s_tot) * float(g))
-            ) * 1e12
-        )
-        b_ticks += int(round_half_away(np.array([term]))[0])
-    return pa.table(
-        {
-            "n_docs": pa.array([n_tot], pa.int64()),
-            "theil_total": round_like_sql([float(t_ticks) / 1e12], 6),
-            "theil_between": round_like_sql([float(b_ticks) / 1e12], 6),
-            "theil_within": round_like_sql(
-                [float(t_ticks - b_ticks) / 1e12], 6
-            ),
-        }
-    )
-
-
-def _q_ansari_bradley(sf_dir: str) -> pa.Table:
-    """Ansari-Bradley scale test between click and error event values:
-    2x tie-averaged pooled ranks folded to 2x AB scores (all exact
-    integers from the cents histograms), z from the classical
-    even/odd-N moments as one shared CASE float expression."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    hist = _type_cents_hist(sf_dir)
-    et = hist["event_type"].to_pylist()
-    vv = hist["v"].to_numpy(zero_copy_only=False).astype(np.int64)
-    cc = hist["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-    keep = [t in ("click", "error") for t in et]
-    grid = np.unique(vv[np.asarray(keep)])
-    pos = {int(v): i for i, v in enumerate(grid.tolist())}
-    a = np.zeros(len(grid), np.int64)
-    b = np.zeros(len(grid), np.int64)
-    for t, v, c in zip(et, vv.tolist(), cc.tolist()):
-        if t == "click":
-            a[pos[v]] += c
-        elif t == "error":
-            b[pos[v]] += c
-    m = a + b
-    n1, n2 = int(a.sum()), int(b.sum())
-    n = n1 + n2
-    c_lt = np.cumsum(m) - m
-    r2 = 2 * c_lt + m + 1  # 2x tie-averaged pooled rank
-    s2 = np.minimum(r2, 2 * (n + 1) - r2)  # 2x AB score
-    ab2 = int((a * s2).sum())
-    if n % 2 == 0:
-        e = float(n1 * (n + 2)) / 4.0
-        var = (
-            float(n1) * float(n2) * float(n + 2) * float(n - 2)
-            / (48.0 * float(n - 1))
-        )
-    else:
-        e = float(n1 * (n + 1) * (n + 1)) / (4.0 * float(n))
-        var = (
-            float(n1) * float(n2) * float(n + 1)
-            * float(3 + n * n) / (48.0 * float(n) * float(n))
-        )
-    z = (float(ab2) / 2.0 - e) / np.sqrt(var)
-    return pa.table(
-        {
-            "n_click": pa.array([n1], pa.int64()),
-            "n_error": pa.array([n2], pa.int64()),
-            "ab2": pa.array([ab2], pa.int64()),
-            "z": round_like_sql([z], 6),
-        }
-    )
-
-
-def _q_grid_prefix_sums(sf_dir: str) -> pa.Table:
-    """Distributed summed-area table (2-D prefix scan) of the 96x96
-    event-count grid: per-tile local SAT + O(side)-byte descriptor
-    exchange + broadcast offset finalize -- the two-phase distributed
-    scan primitive (stages/scan.py::grid_sat); every output an exact
-    int64.  The SQL mirror is the double windowed cumsum."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, hash_aggregate,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.scan import (
-        grid_sat,
-    )
-    import ray.data
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["event_id"]
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        cell = (
-            batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            % 9216
-        )
-        return pa.table(
-            {
-                "r": pa.array(cell // 96),
-                "c": pa.array(cell % 96),
-                "_one": pa.array(np.ones(len(cell), np.int64)),
-            }
-        )
-
-    counts = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["r", "c"],
-        [("_one", "sum", "x")],
-    )
-    out = collect_tables(
-        grid_sat(ray.data.from_arrow(counts), grid=96, side=16)
-    )
-    idx = pa.compute.sort_indices(
-        out, sort_keys=[("r", "ascending"), ("c", "ascending")]
-    )
-    return out.take(idx)
-
-
-def _q_turning_points(sf_dir: str) -> pa.Table:
-    """Turning-points test for randomness of the daily event-count
-    series: exact integer count of strict interior local extrema, the
-    classical N(2(n-2)/3, (16n-29)/90) z as one shared float
-    expression."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    xs = np.asarray(_daily_count_series(sf_dir), np.int64)
-    n = len(xs)
-    a, b, c = xs[:-2], xs[1:-1], xs[2:]
-    t = int((((a < b) & (b > c)) | ((a > b) & (b < c))).sum())
-    z = (float(t) - 2.0 * float(n - 2) / 3.0) / np.sqrt(
-        (16.0 * float(n) - 29.0) / 90.0
-    )
-    return pa.table(
-        {
-            "n_days": pa.array([n], pa.int64()),
-            "n_turning": pa.array([t], pa.int64()),
-            "z": round_like_sql([z], 6),
-        }
-    )
-
-
-def _q_sample_entropy(sf_dir: str) -> pa.Table:
-    """Sample entropy (m=2, Chebyshev) of the daily count series:
-    tolerance r = max(1, 20% of the mean daily count, exact integer
-    division), template-match counts B (length-2) and A (length-3)
-    over i<j pairs are exact integers, SampEn = ln(B/A) is the single
-    pinned float."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    xs = np.asarray(_daily_count_series(sf_dir), np.int64)
-    n = len(xs)
-    r = max(1, int(xs.sum()) // (5 * n))
-    t0, t1, t2 = xs[: n - 2], xs[1 : n - 1], xs[2:]
-    m = n - 2
-    d0 = np.abs(t0[:, None] - t0[None, :])
-    d1 = np.abs(t1[:, None] - t1[None, :])
-    d2 = np.abs(t2[:, None] - t2[None, :])
-    upper = np.triu(np.ones((m, m), bool), 1)
-    bmask = (np.maximum(d0, d1) <= r) & upper
-    amask = bmask & (d2 <= r)
-    b_cnt, a_cnt = int(bmask.sum()), int(amask.sum())
-    return pa.table(
-        {
-            "n_days": pa.array([n], pa.int64()),
-            "r_tol": pa.array([r], pa.int64()),
-            "b_count": pa.array([b_cnt], pa.int64()),
-            "a_count": pa.array([a_cnt], pa.int64()),
-            "sampen": round_like_sql(
-                [float(np.log(float(b_cnt) / float(a_cnt)))], 6
-            ),
-        }
-    )
-
-
-def _q_perm_entropy(sf_dir: str) -> pa.Table:
-    """Permutation (ordinal-pattern) entropy, order 3, of the daily
-    count series: pattern code from three <=-comparisons (earlier
-    index wins ties -- total order, two of eight codes impossible),
-    exact integer pattern counts, per-pattern p*ln(p) terms quantized
-    at 1e12 ticks (order-free int sum), H and H/ln(6) pinned."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        round_half_away,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    xs = np.asarray(_daily_count_series(sf_dir), np.int64)
-    x0, x1, x2 = xs[:-2], xs[1:-1], xs[2:]
-    code = (
-        4 * (x0 <= x1).astype(np.int64)
-        + 2 * (x0 <= x2).astype(np.int64)
-        + (x1 <= x2).astype(np.int64)
-    )
-    n_tr = len(code)
-    codes, counts = np.unique(code, return_counts=True)
-    tq = 0
-    for c in counts.tolist():
-        p = float(c) / float(n_tr)
-        tq += int(round_half_away(np.array([p * np.log(p) * 1e12]))[0])
-    h = -float(tq) / 1e12
-    top = sorted(zip(counts.tolist(), codes.tolist()), key=lambda t: (-t[0], t[1]))[0]
-    return pa.table(
-        {
-            "n_triples": pa.array([n_tr], pa.int64()),
-            "top_code": pa.array([int(top[1])], pa.int64()),
-            "top_n": pa.array([int(top[0])], pa.int64()),
-            "h_nats": round_like_sql([h], 6),
-            "h_norm": round_like_sql([h / np.log(6.0)], 6),
-        }
-    )
-
-
-def _st_run_sum(a: int, b: int, n: int) -> int:
-    """Sum of Siegel-Tukey alternating-extreme ranks over the
-    contiguous position run [a, b] (1-based, inclusive) of n pooled
-    observations -- closed form, so the engine never expands the
-    n-row position vector.  Rank law: position i gets, from the low
-    end (p = i, while 2i <= n+1), 2p-1 if p odd else 2p (clamped to n
-    at the odd-n middle); from the high end (q = n+1-i), 2q if q odd
-    else 2q-1."""
-    m = (n + 1) // 2  # last low-side position
-    tot = 0
-    lo_b = min(b, m)
-    if a <= lo_b:
-        n_odd = (lo_b + 1) // 2 - a // 2
-        tot += (a + lo_b) * (lo_b - a + 1) - n_odd
-        # odd-n middle with even m has f(m) = 2m = n+1 -> clamp to n
-        if n % 2 == 1 and m % 2 == 0 and a <= m <= lo_b:
-            tot -= 1
-    hi_a = max(a, m + 1)
-    if hi_a <= b:
-        qa, qb = n + 1 - b, n + 1 - hi_a
-        n_even = qb // 2 - (qa - 1) // 2
-        tot += (qa + qb) * (qb - qa + 1) - n_even
-    return tot
-
-
-def _q_siegel_tukey(sf_dir: str) -> pa.Table:
-    """Siegel-Tukey test of scale between the mix32 A/B arms: pooled
-    observations take alternating extreme ranks (1 to the min, 2-3 to
-    the two maxima, 4-5 to the next two minima, ...) so a scale shift
-    moves the rank sum; the z tail is the Mann-Whitney normal
-    approximation.  Positions are deterministic (ORDER BY cents, arm;
-    ties positional -- documented), and each (cents, arm) group's rank
-    sum over its contiguous position run is a closed form over the
-    combiner-aggregated count table, never an n-row expansion."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
-        mix32,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "value"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                "c": pa.array(scaled_int(batch["value"], 100.0)),
-                "arm": pa.array(mix32(uid, 37) % 2),
-                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
-            }
-        )
-
-    counts = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["c", "arm"],
-        [("_one", "sum", "n")],
-    ).sort_by([("c", "ascending"), ("arm", "ascending")])
-    arm = counts["arm"].to_numpy(zero_copy_only=False).astype(np.int64)
-    n = counts["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    big_n = int(n.sum())
-    starts = np.concatenate(([0], np.cumsum(n)[:-1]))
-    w_a = 0
-    for s, cnt, a in zip(starts.tolist(), n.tolist(), arm.tolist()):
-        if a == 0:
-            w_a += _st_run_sum(s + 1, s + cnt, big_n)
-    n_a = int(n[arm == 0].sum())
-    n_b = big_n - n_a
-    u_a = float(w_a) - float(n_a) * (float(n_a) + 1.0) / 2.0
-    z = (u_a - float(n_a) * float(n_b) / 2.0) / np.sqrt(
-        float(n_a) * float(n_b) * (float(n_a) + float(n_b) + 1.0) / 12.0
-    )
-    return pa.table(
-        {
-            "n_a": pa.array([n_a], pa.int64()),
-            "n_b": pa.array([n_b], pa.int64()),
-            "w_a": pa.array([w_a], pa.int64()),
-            "z_stat": round_like_sql([float(z)], 6),
-        }
-    )
-
-
-def _q_conover_squared_ranks(sf_dir: str) -> pa.Table:
-    """Conover squared-ranks test of variance between the mix32 A/B
-    arms (the arithmetic-only cousin of Fligner-Killeen, which needs
-    normal scores DuckDB cannot express): deviations d = |c - med_arm|
-    from the distributed exact per-arm medians, pooled tie-averaged
-    ranks doubled into exact integers Q = 2R, and the z statistic
-    assembled from exact HUGEINT/bigint moments (N*T' - n_a*S2' and
-    N*S4' - S2'^2 are integers; floats only in the final two
-    square roots)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
-        mix32,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, hash_aggregate, round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
-        grouped_exact_quantiles,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "value"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                "c": pa.array(scaled_int(batch["value"], 100.0)),
-                "arm": pa.array(mix32(uid, 29) % 2),
-            }
-        )
-
-    kd = ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
-    med_tbl = collect_tables(grouped_exact_quantiles(kd, "arm", "c", [0.5]))
-    meds = {}
-    vcol = med_tbl.column(med_tbl.num_columns - 1)
-    for i in range(med_tbl.num_rows):
-        meds[int(med_tbl["arm"][i].as_py())] = int(vcol[i].as_py())
-
-    def absdev(batch: pa.Table) -> pa.Table:
-        c = batch["c"].to_numpy(zero_copy_only=False)
-        a = batch["arm"].to_numpy(zero_copy_only=False)
-        med = np.where(a == 0, meds[0], meds[1])
-        return pa.table(
-            {
-                "d": pa.array(np.abs(c - med)),
-                "arm": batch["arm"],
-                "_one": pa.array(np.ones(len(c), np.int64)),
-            }
-        )
-
-    counts = hash_aggregate(
-        kd.map_batches(absdev, batch_format="pyarrow", batch_size=None),
-        ["d", "arm"],
-        [("_one", "sum", "n")],
-    ).sort_by([("d", "ascending"), ("arm", "ascending")])
-    d = counts["d"].to_numpy(zero_copy_only=False).astype(np.int64)
-    arm = counts["arm"].to_numpy(zero_copy_only=False).astype(np.int64)
-    n = counts["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    vals, inv = np.unique(d, return_inverse=True)
-    n_d = np.zeros(len(vals), np.int64)
-    np.add.at(n_d, inv, n)
-    rank_min = 1 + np.concatenate(([0], np.cumsum(n_d)[:-1]))
-    big_n = int(n.sum())
-    t4 = 0  # sum over arm 0 of n * (2R)^2   (exact int)
-    s2 = 0  # sum over all of n * (2R)^2
-    s4 = 0  # sum over all of n * (2R)^4     (Python int <-> HUGEINT)
-    n_a = 0
-    for gi, a, cnt in zip(inv.tolist(), arm.tolist(), n.tolist()):
-        q = 2 * int(rank_min[gi]) + int(n_d[gi]) - 1  # = 2 * avgrank
-        q2 = q * q
-        s2 += cnt * q2
-        s4 += cnt * q2 * q2
-        if a == 0:
-            t4 += cnt * q2
-            n_a += cnt
-    n_b = big_n - n_a
-    num = big_n * t4 - n_a * s2
-    # n_a*n_b*(N*S4 - S2^2) overflows INT128 at sf0.1 -- split the
-    # product into one pinned float multiply (identical in SQL)
-    den = float(n_a * n_b) * float(big_n * s4 - s2 * s2)
-    z = float(num) * np.sqrt(float(big_n - 1)) / np.sqrt(den)
-    return pa.table(
-        {
-            "n_a": pa.array([n_a], pa.int64()),
-            "n_b": pa.array([n_b], pa.int64()),
-            "t_sq4": pa.array([t4], pa.int64()),
-            "z_stat": round_like_sql([float(z)], 6),
-        }
-    )
-
-
-def _q_quade_test(sf_dir: str) -> pa.Table:
-    """Quade test (weighted rank ANOVA for complete blocks): blocks =
-    calendar days with all 5 event types, treatments = event types,
-    observation = mean value cents per cell.  Within-block treatment
-    ranks and across-block range ranks are deterministic ROW_NUMBER
-    conventions (ties by type / day -- documented); S_bt = Q_b*(r-3)
-    is integer, so A and B' are exact int64 and F = (b-1)B'/(bA - B')
-    is a single float division."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["ts", "event_type", "value"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        day = (
-            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 86_400_000_000
-        )
-        return pa.table(
-            {
-                "day": pa.array(day),
-                "t": batch["event_type"],
-                "c": pa.array(scaled_int(batch["value"], 100.0)),
-                "_one": pa.array(np.ones(len(day), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["day", "t"],
-        [("_one", "sum", "n"), ("c", "sum", "s")],
-    )
-    cells: dict[int, dict[str, float]] = {}
-    for i in range(agg.num_rows):
-        day = int(agg["day"][i].as_py())
-        cells.setdefault(day, {})[agg["t"][i].as_py()] = float(
-            int(agg["s"][i].as_py())
-        ) / float(int(agg["n"][i].as_py()))
-    days = sorted(dd for dd, m in cells.items() if len(m) == 5)
-    b = len(days)
-    k = 5
-    # within-block ranks (ORDER BY mean, type) and block ranges
-    rk: dict[tuple[int, str], int] = {}
-    rng: list[tuple[float, int]] = []
-    for day in days:
-        m = cells[day]
-        for pos, (mu, t) in enumerate(
-            sorted((mu, t) for t, mu in m.items())
-        ):
-            rk[(day, t)] = pos + 1
-        rng.append((max(m.values()) - min(m.values()), day))
-    qb = {day: pos + 1 for pos, (_, day) in enumerate(sorted(rng))}
-    a_term = 0
-    s_t: dict[str, int] = {}
-    for (day, t), r in rk.items():
-        sv = qb[day] * (r - (k + 1) // 2)
-        a_term += sv * sv
-        s_t[t] = s_t.get(t, 0) + sv
-    b_term = sum(v * v for v in s_t.values())
-    f = float((b - 1) * b_term) / float(b * a_term - b_term)
-    return pa.table(
-        {
-            "n_blocks": pa.array([b], pa.int64()),
-            "a_term": pa.array([a_term], pa.int64()),
-            "b_term": pa.array([b_term], pa.int64()),
-            "f_stat": round_like_sql([f], 6),
-        }
-    )
-
-
-def _q_pcsa_distinct(sf_dir: str) -> pa.Table:
-    """Flajolet-Martin PCSA distinct-count sketch over user_id (the
-    1983 ancestor of the HLL the engine already carries): 64 buckets
-    by mix32 low bits, per-bucket bitmap of trailing-zero counts, R =
-    index of the lowest unset bit, estimate m/phi * 2^mean(R).  The
-    distributed pass emits only (bucket, tz) pairs -- the combiner
-    output is bounded by 64 x 32 rows regardless of cardinality."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
-        mix32,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        h = mix32(uid, 51)
-        bkt = h % 64
-        rest = h // 64
-        low = rest & -rest
-        tz = np.where(
-            rest == 0,
-            np.int64(30),
-            np.minimum(_popcount64(low - 1), 30),
-        )
-        return pa.table(
-            {
-                "bkt": pa.array(bkt),
-                "tz": pa.array(tz.astype(np.int64)),
-                "_one": pa.array(np.ones(len(h), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["bkt", "tz"],
-        [("_one", "sum", "n")],
-    )
-    bits = np.zeros(64, np.int64)
-    for b, t in zip(agg["bkt"].to_pylist(), agg["tz"].to_pylist()):
-        bits[int(b)] |= 1 << int(t)
-    r_sum = 0
-    for b in range(64):
-        c = (bits[b] + 1) & ~bits[b]  # isolated lowest zero bit
-        r_sum += int(c - 1).bit_count()
-    est = 64.0 / 0.77351 * 2.0 ** (float(r_sum) / 64.0)
-    # exact distinct for calibration (one distributed distinct)
-    exact = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
-    ).unique("user_id")
-    return pa.table(
-        {
-            "r_sum": pa.array([r_sum], pa.int64()),
-            "pcsa_estimate": round_like_sql([est], 6),
-            "exact_distinct": pa.array([len(exact)], pa.int64()),
-        }
-    )
-
-
-def _popcount64(x: np.ndarray) -> np.ndarray:
-    """Vectorized population count of non-negative int64 values."""
-    v = x.astype(np.uint64)
-    out = np.zeros(len(v), np.int64)
-    while True:
-        nz = v != 0
-        if not nz.any():
-            break
-        out += (v & np.uint64(1)).astype(np.int64)
-        v = v >> np.uint64(1)
-    return out
-
-
-def _q_hodges_lehmann(sf_dir: str) -> pa.Table:
-    """Hodges-Lehmann shift estimator between the mix32 A/B arms:
-    the median of all n_a x n_b pairwise differences, computed from
-    the deci-cent value histograms (outer difference of the two
-    bounded count vectors -- never an O(n^2) row expansion).  The
-    lower/upper median selection is the explicit cumulative-weight
-    rule, identical in SQL."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
-        mix32,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "value"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                "d10": pa.array(scaled_int(batch["value"], 10.0)),
-                "arm": pa.array(mix32(uid, 41) % 2),
-                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
-            }
-        )
-
-    counts = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["d10", "arm"],
-        [("_one", "sum", "n")],
-    )
-    d10 = counts["d10"].to_numpy(zero_copy_only=False).astype(np.int64)
-    arm = counts["arm"].to_numpy(zero_copy_only=False).astype(np.int64)
-    n = counts["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    va, na = d10[arm == 0], n[arm == 0]
-    vb, nb = d10[arm == 1], n[arm == 1]
-    diff = (va[:, None] - vb[None, :]).ravel()
-    w = (na[:, None] * nb[None, :]).ravel()
-    order = np.argsort(diff, kind="stable")
-    diff, w = diff[order], w[order]
-    # merge equal diffs
-    uvals, start = np.unique(diff, return_index=True)
-    wsum = np.add.reduceat(w, start)
-    cum = np.cumsum(wsum)
-    n_pairs = int(cum[-1])
-    k1 = (n_pairs + 1) // 2
-    k2 = n_pairs // 2 + 1
-    lo = int(uvals[np.searchsorted(cum, k1)])
-    hi = int(uvals[np.searchsorted(cum, k2)])
-    hl = (float(lo) + float(hi)) / 2.0 / 10.0
-    return pa.table(
-        {
-            "n_pairs": pa.array([n_pairs], pa.int64()),
-            "lo_d10": pa.array([lo], pa.int64()),
-            "hi_d10": pa.array([hi], pa.int64()),
-            "hl_shift": round_like_sql([hl], 6),
-        }
-    )
-
-
-def _q_krippendorff_alpha(sf_dir: str) -> pa.Table:
-    """Krippendorff's alpha (nominal) with variable raters per unit:
-    units = (user, day) with >= 2 events, values = the event types of
-    the first min(3, m) events by (ts, event_id).  Coincidence-matrix
-    contributions 1/(m_u - 1) are doubled into exact integers (m_u-1
-    is 1 or 2), so D_o and D_e reduce to one float division:
-    alpha = 1 - D_o' * (n' - 2) / sum_{c != c'} n'_c n'_{c'}."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
-        grouped_by_key,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "ts", "user_id", "event_type"],
-    )
-    tmap = {t: i for i, t in enumerate(_MARKOV_STATES)}
-    k = len(_MARKOV_STATES)
-
-    def prep(batch: pa.Table) -> pa.Table:
-        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ti = np.array(
-            [tmap[t] for t in batch["event_type"].to_pylist()], np.int64
-        )
-        return pa.table(
-            {
-                "subj": pa.array(uid * 1_000_000 + ts // 86_400_000_000),
-                "ts": pa.array(ts),
-                "eid": pa.array(eid),
-                "ti": pa.array(ti),
-            }
-        )
-
-    ocols = [f"o{i}_{j}" for i in range(k) for j in range(k)]
-
-    def kernel(group: pa.Table) -> pa.Table:
-        if group.num_rows < 2:
-            return pa.table(
-                {"one": pa.array([], pa.int64())}
-                | {c: pa.array([], pa.int64()) for c in ocols}
-            )
-        ts = group["ts"].to_numpy(zero_copy_only=False)
-        eid = group["eid"].to_numpy(zero_copy_only=False)
-        ti = group["ti"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid, ts))[:3]
-        mu = len(order)
-        wgt = 2 if mu == 2 else 1  # = 2 / (m_u - 1), exact
-        n_j = np.bincount(ti[order], minlength=k).astype(np.int64)
-        row: dict[str, pa.Array] = {"one": pa.array([1], pa.int64())}
-        for i in range(k):
-            for j in range(k):
-                o = n_j[i] * n_j[j] - (n_j[i] if i == j else 0)
-                row[f"o{i}_{j}"] = pa.array([wgt * int(o)], pa.int64())
-        return pa.table(row)
-
-    per_subj = grouped_by_key(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        "subj",
-        kernel,
-    )
-
-    def tag(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "g", pa.array(np.zeros(batch.num_rows, np.int64))
-        )
-
-    agg = hash_aggregate(
-        per_subj.map_batches(tag, batch_format="pyarrow", batch_size=None),
-        ["g"],
-        [("one", "sum", "n_units")]
-        + [(c, "sum", c) for c in ocols],
-    )
-    o = np.zeros((k, k), np.int64)
-    for i in range(k):
-        for j in range(k):
-            o[i, j] = int(agg[f"o{i}_{j}"][0].as_py())
-    n_c = o.sum(axis=1)
-    ntot = int(n_c.sum())
-    d_o = int(o.sum() - np.trace(o))
-    d_e = int(n_c.sum() * n_c.sum() - (n_c * n_c).sum())
-    alpha = 1.0 - float(d_o * (ntot - 2)) / float(d_e)
-    return pa.table(
-        {
-            "n_units": pa.array(
-                [int(agg["n_units"][0].as_py())], pa.int64()
-            ),
-            "n_values2": pa.array([ntot], pa.int64()),
-            "d_o2": pa.array([d_o], pa.int64()),
-            "alpha": round_like_sql([alpha], 6),
-        }
-    )
-
-
-def _q_k_center_greedy(sf_dir: str) -> pa.Table:
-    """Greedy k-center (Gonzalez 2-approximation) over the top-20
-    value cells: seed at the max-value cell, then 4x add the point
-    maximizing the min squared distance to the chosen centers
-    (deterministic ties by cell id).  Classic facility-placement /
-    coreset-seeding primitive; exact integer distances, 4 unrolled
-    argmax steps in SQL."""
-    items = _top_value_cells(sf_dir)
-    pts = [(c, c % 96, c // 96) for c, _ in items]
-    # seed: max value = first item (ties already broken by cell)
-    chosen = [pts[0]]
-    rows = [(1, pts[0][0], 0)]
-    mind = {
-        c: (x - pts[0][1]) ** 2 + (y - pts[0][2]) ** 2
-        for c, x, y in pts
-    }
-    for step in range(2, 6):
-        nxt = max(
-            (p for p in pts if p[0] not in {c[0] for c in chosen}),
-            key=lambda p: (mind[p[0]], -p[0]),
-        )
-        rows.append((step, nxt[0], mind[nxt[0]]))
-        chosen.append(nxt)
-        for c, x, y in pts:
-            d2 = (x - nxt[1]) ** 2 + (y - nxt[2]) ** 2
-            if d2 < mind[c]:
-                mind[c] = d2
-    return pa.table(
-        {
-            "step": pa.array([r[0] for r in rows], pa.int64()),
-            "cell": pa.array([r[1] for r in rows], pa.int64()),
-            "sep_d2": pa.array([r[2] for r in rows], pa.int64()),
-        }
-    )
-
-
-def _k_center_oracle_sql() -> str:
-    """Mirror of _q_k_center_greedy: 4 unrolled farthest-point steps."""
-    steps = []
-    for s in range(2, 6):
-        prev = f"m{s - 1}"
-        steps.append(
-            f"c{s} AS (SELECT cell, x, y, md FROM {prev} "
-            f"ORDER BY md DESC, cell LIMIT 1), "
-            f"m{s} AS (SELECT m.cell, m.x, m.y, "
-            f"LEAST(m.md, (m.x - c.x) * (m.x - c.x) "
-            f"+ (m.y - c.y) * (m.y - c.y)) AS md "
-            f"FROM {prev} m, c{s} c WHERE m.cell <> c.cell)"
-        )
-    sel = ["SELECT 1 AS step, cell, 0 AS sep_d2 FROM c1"] + [
-        f"SELECT {s} AS step, cell, md AS sep_d2 FROM c{s}"
-        for s in range(2, 6)
-    ]
-    return (
-        "WITH " + _TOPVAL_CELLS_SQL + ", "
-        "nd AS (SELECT cell, cell % 96 AS x, cell // 96 AS y, v "
-        "FROM top20), "
-        "c1 AS (SELECT cell, x, y FROM nd ORDER BY v DESC, cell "
-        "LIMIT 1), "
-        "m1 AS (SELECT nd.cell, nd.x, nd.y, "
-        "(nd.x - c1.x) * (nd.x - c1.x) "
-        "+ (nd.y - c1.y) * (nd.y - c1.y) AS md "
-        "FROM nd, c1 WHERE nd.cell <> c1.cell), "
-        + ", ".join(steps)
-        + " SELECT CAST(step AS BIGINT) AS step, "
-        "CAST(cell AS BIGINT) AS cell, "
-        "CAST(sep_d2 AS BIGINT) AS sep_d2 FROM ("
-        + " UNION ALL ".join(sel)
-        + ")"
-    )
-
-
-def _q_set_cover_greedy(sf_dir: str) -> pa.Table:
-    """Greedy set cover: sets = the top-10 users by event count,
-    universe = the distinct geocode cells those users visit; 5
-    rounds, each picking the user covering the most uncovered cells
-    (ties by user_id; picked users leave the pool).  The classic
-    ln(n)-approximation, as data summarization / sensor placement.
-    The distributed pass reduces to distinct (user, cell) pairs;
-    the greedy loop touches only that bounded relation."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "user_id"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                "user_id": batch["user_id"],
-                "cell": pa.array(eid % 96 + (eid // 96 % 96) * 96),
-                "_one": pa.array(np.ones(len(eid), np.int64)),
-            }
-        )
-
-    pc = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["user_id", "cell"],
-        [("_one", "sum", "n")],
-    )
-    uid = pc["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    cell = pc["cell"].to_numpy(zero_copy_only=False).astype(np.int64)
-    nn = pc["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    tot: dict[int, int] = {}
-    sets: dict[int, set[int]] = {}
-    for u, c, cnt in zip(uid.tolist(), cell.tolist(), nn.tolist()):
-        tot[u] = tot.get(u, 0) + cnt
-        sets.setdefault(u, set()).add(c)
-    top10 = sorted(tot, key=lambda u: (-tot[u], u))[:10]
-    pool = list(top10)
-    covered: set[int] = set()
-    rows = []
-    for rnd in range(1, 6):
-        pick = max(pool, key=lambda u: (len(sets[u] - covered), -u))
-        gain = len(sets[pick] - covered)
-        covered |= sets[pick]
-        pool.remove(pick)
-        rows.append((rnd, pick, gain, len(covered)))
-    return pa.table(
-        {
-            "round": pa.array([r[0] for r in rows], pa.int64()),
-            "user_id": pa.array([r[1] for r in rows], pa.int64()),
-            "gain": pa.array([r[2] for r in rows], pa.int64()),
-            "covered": pa.array([r[3] for r in rows], pa.int64()),
-        }
-    )
-
-
-def _set_cover_oracle_sql() -> str:
-    """Mirror of _q_set_cover_greedy: 5 unrolled greedy rounds over
-    the distinct (user, cell) relation of the top-10 users."""
-    parts = [
-        "WITH uc AS (SELECT user_id, "
-        "event_id % 96 + (event_id // 96 % 96) * 96 AS cell, "
-        "COUNT(*) AS n FROM events GROUP BY 1, 2), "
-        "ut AS (SELECT user_id, CAST(SUM(n) AS BIGINT) AS tot "
-        "FROM uc GROUP BY user_id), "
-        "top10 AS (SELECT user_id FROM ut ORDER BY tot DESC, user_id "
-        "LIMIT 10), "
-        "base AS MATERIALIZED (SELECT DISTINCT uc.user_id, uc.cell "
-        "FROM uc JOIN top10 USING (user_id))"
-    ]
-    picked: list[str] = []
-    for r in range(1, 6):
-        excl = (
-            " WHERE t.user_id NOT IN ("
-            + ", ".join(f"(SELECT user_id FROM p{i})" for i in picked)
-            + ")"
-            if picked
-            else ""
-        )
-        rem = (
-            f"(SELECT user_id, COUNT(*) AS gain FROM base "
-            f"WHERE cell NOT IN (SELECT cell FROM cov{r - 1}) "
-            f"GROUP BY user_id)"
-            if r > 1
-            else "(SELECT user_id, COUNT(*) AS gain FROM base "
-            "GROUP BY user_id)"
-        )
-        parts.append(
-            f", g{r} AS MATERIALIZED (SELECT t.user_id, "
-            f"COALESCE(x.gain, 0) AS gain "
-            f"FROM top10 t LEFT JOIN {rem} x USING (user_id){excl})"
-        )
-        parts.append(
-            f", p{r} AS MATERIALIZED (SELECT user_id, gain FROM g{r} "
-            f"ORDER BY gain DESC, user_id LIMIT 1)"
-        )
-        prev_cov = f"SELECT cell FROM cov{r - 1} UNION " if r > 1 else ""
-        parts.append(
-            f", cov{r} AS MATERIALIZED ({prev_cov}SELECT cell FROM base "
-            f"JOIN p{r} USING (user_id))"
-        )
-        picked.append(str(r))
-    sel = " UNION ALL ".join(
-        f"SELECT {r} AS round, (SELECT user_id FROM p{r}) AS user_id, "
-        f"(SELECT gain FROM p{r}) AS gain, "
-        f"(SELECT COUNT(*) FROM cov{r}) AS covered"
-        for r in range(1, 6)
-    )
-    return (
-        "".join(parts)
-        + " SELECT CAST(round AS BIGINT) AS round, user_id, "
-        "CAST(gain AS BIGINT) AS gain, CAST(covered AS BIGINT) "
-        "AS covered FROM (" + sel + ")"
-    )
-
-
-_CLIQUE_T = 4  # Chebyshev adjacency threshold over the hot cells
-
-
-def _q_max_clique(sf_dir: str) -> pa.Table:
-    """Exact maximum clique of the proximity graph over the top-16
-    cells by event count (edge iff Chebyshev distance <= 4): full
-    2^16 subset enumeration with integer non-edge certificates --
-    a subset is a clique iff it contains no non-edge pair, checked
-    with one AND-mask test per pair.  Canonical answer = max
-    popcount, then smallest mask."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["event_id"]
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                "cell": pa.array(eid % 96 + (eid // 96 % 96) * 96),
-                "_one": pa.array(np.ones(len(eid), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["cell"],
-        [("_one", "sum", "n")],
-    )
-    top = sorted(
-        zip(agg["n"].to_pylist(), agg["cell"].to_pylist()),
-        key=lambda t: (-int(t[0]), int(t[1])),
-    )[:16]
-    cells = [int(c) for _, c in top]  # bit i = i-th by (n desc, cell)
-    xy = [(c % 96, c // 96) for c in cells]
-    nonedges = []
-    for i in range(16):
-        for j in range(i + 1, 16):
-            if max(
-                abs(xy[i][0] - xy[j][0]), abs(xy[i][1] - xy[j][1])
-            ) > _CLIQUE_T:
-                nonedges.append((1 << i) | (1 << j))
-    masks = np.arange(1 << 16, dtype=np.int64)
-    valid = np.ones(1 << 16, bool)
-    for p in nonedges:
-        valid &= (masks & p) != p
-    pc = _popcount64(masks)
-    size = int(pc[valid].max())
-    best = int(masks[valid & (pc == size)].min())
-    members = sorted(cells[i] for i in range(16) if best >> i & 1)
-    return pa.table(
-        {
-            "rank": pa.array(
-                list(range(1, len(members) + 1)), pa.int64()
-            ),
-            "cell": pa.array(members, pa.int64()),
-            "clique_size": pa.array([size] * len(members), pa.int64()),
-            "n_nonedges": pa.array(
-                [len(nonedges)] * len(members), pa.int64()
-            ),
-        }
-    )
-
-
-def _max_clique_oracle_sql() -> str:
-    """Mirror of _q_max_clique: the 2^16 enumeration as a range scan
-    with a NOT EXISTS non-edge probe."""
-    return (
-        "WITH cc AS (SELECT event_id % 96 + (event_id // 96 % 96) * 96 "
-        "AS cell, COUNT(*) AS n FROM events GROUP BY 1), "
-        "t16 AS (SELECT cell, "
-        "ROW_NUMBER() OVER (ORDER BY n DESC, cell) - 1 AS bi "
-        "FROM cc ORDER BY n DESC, cell LIMIT 16), "
-        "nd AS (SELECT cell, bi, cell % 96 AS x, cell // 96 AS y "
-        "FROM t16), "
-        "ne AS (SELECT (CAST(1 AS BIGINT) << a.bi) "
-        "| (CAST(1 AS BIGINT) << b.bi) AS p FROM nd a JOIN nd b "
-        "ON a.bi < b.bi AND GREATEST(ABS(a.x - b.x), ABS(a.y - b.y)) "
-        f"> {_CLIQUE_T}), "
-        "m AS (SELECT range AS mask FROM range(0, 65536)), "
-        "v AS (SELECT mask, bit_count(mask) AS pc FROM m "
-        "WHERE NOT EXISTS (SELECT 1 FROM ne "
-        "WHERE (m.mask & ne.p) = ne.p)), "
-        "best AS (SELECT mask, pc FROM v ORDER BY pc DESC, mask "
-        "LIMIT 1) "
-        "SELECT CAST(ROW_NUMBER() OVER (ORDER BY nd.cell) AS BIGINT) "
-        "AS rank, CAST(nd.cell AS BIGINT) AS cell, "
-        "CAST(best.pc AS BIGINT) AS clique_size, "
-        "(SELECT CAST(COUNT(*) AS BIGINT) FROM ne) AS n_nonedges "
-        "FROM nd, best WHERE (best.mask >> nd.bi) & 1 = 1"
-    )
-
-
-def _top_count_cells_xy(sf_dir: str, k: int) -> list[tuple[int, int, int]]:
-    """Top-k cells by event count as (cell, x, y), ordered by
-    (count desc, cell) -- the shared vertex set for the graph DPs."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["event_id"]
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                "cell": pa.array(eid % 96 + (eid // 96 % 96) * 96),
-                "_one": pa.array(np.ones(len(eid), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["cell"],
-        [("_one", "sum", "n")],
-    )
-    top = sorted(
-        zip(agg["n"].to_pylist(), agg["cell"].to_pylist()),
-        key=lambda t: (-int(t[0]), int(t[1])),
-    )[:k]
-    return [(int(c), int(c) % 96, int(c) // 96) for _, c in top]
-
-
-def _q_steiner_tree(sf_dir: str) -> pa.Table:
-    """Exact Steiner trees by Dreyfus-Wagner DP on the metric closure
-    of the top-12 count cells (Manhattan distances; the complete
-    metric graph needs no closure step): terminals = the 4 hottest
-    cells, and for every non-empty subset S of {t1,t2,t3} the output
-    row is the optimal cost of a tree connecting {t0} union S --
-    merge step g(u,S) = min-partition f(u,S')+f(u,S little S''), extend
-    step f(v,S) = min_u g(u,S) + d(u,v), all exact integers."""
-    verts = _top_count_cells_xy(sf_dir, 12)
-    nv = len(verts)
-    d = [
-        [
-            abs(verts[u][1] - verts[v][1]) + abs(verts[u][2] - verts[v][2])
-            for v in range(nv)
-        ]
-        for u in range(nv)
-    ]
-    # f[mask][v]; mask bits 0..2 = terminals t1..t3 (vertex ids 1..3)
-    f: dict[int, list[int]] = {}
-    for i in range(3):
-        f[1 << i] = [d[v][i + 1] for v in range(nv)]
-    for mask in (3, 5, 6, 7):
-        if mask == 7:
-            parts = [(1, 6), (2, 5), (4, 3)]
-        else:
-            a = mask & -mask
-            parts = [(a, mask ^ a)]
-        h = [
-            min(f[a][u] + f[b][u] for a, b in parts) for u in range(nv)
-        ]
-        f[mask] = [
-            min(h[u] + d[u][v] for u in range(nv)) for v in range(nv)
-        ]
-    return pa.table(
-        {
-            "subset_mask": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
-            "steiner_cost": pa.array(
-                [f[m][0] for m in (1, 2, 3, 4, 5, 6, 7)], pa.int64()
-            ),
-        }
-    )
-
-
-_STEINER_CELLS_SQL = (
-    "cc AS (SELECT event_id % 96 + (event_id // 96 % 96) * 96 AS cell, "
-    "COUNT(*) AS n FROM events GROUP BY 1), "
-    "t12 AS (SELECT cell, ROW_NUMBER() OVER (ORDER BY n DESC, cell) - 1 "
-    "AS bi FROM cc ORDER BY n DESC, cell LIMIT 12), "
-    "nd AS (SELECT bi, cell % 96 AS x, cell // 96 AS y FROM t12), "
-    "dd AS (SELECT a.bi AS u, b.bi AS v, "
-    "ABS(a.x - b.x) + ABS(a.y - b.y) AS w FROM nd a, nd b)"
-)
-
-
-def _steiner_oracle_sql() -> str:
-    """Mirror of _q_steiner_tree: Dreyfus-Wagner levels as CTEs."""
-    lvl2 = []
-    for mask, (p1, p2) in ((3, (1, 2)), (5, (1, 4)), (6, (2, 4))):
-        lvl2.append(
-            f"h{mask} AS MATERIALIZED (SELECT a.v AS u, a.c + b.c AS hc "
-            f"FROM f1 a JOIN f1 b ON b.v = a.v "
-            f"AND a.s = {p1} AND b.s = {p2}), "
-            f"f{mask} AS MATERIALIZED (SELECT dd.v AS v, "
-            f"MIN(h{mask}.hc + dd.w) AS c "
-            f"FROM h{mask} JOIN dd ON dd.u = h{mask}.u GROUP BY dd.v)"
-        )
-    return (
-        "WITH " + _STEINER_CELLS_SQL + ", "
-        "f1 AS MATERIALIZED (SELECT u AS v, "
-        "CASE v WHEN 1 THEN 1 WHEN 2 THEN 2 ELSE 4 END AS s, w AS c "
-        "FROM dd WHERE v IN (1, 2, 3)), "
-        + ", ".join(lvl2)
-        + ", h7 AS MATERIALIZED (SELECT u, MIN(hc) AS hc FROM ("
-        "SELECT a.v AS u, a.c + b.c AS hc FROM f1 a JOIN f6 b "
-        "ON b.v = a.v AND a.s = 1 "
-        "UNION ALL SELECT a.v, a.c + b.c FROM f1 a JOIN f5 b "
-        "ON b.v = a.v AND a.s = 2 "
-        "UNION ALL SELECT a.v, a.c + b.c FROM f1 a JOIN f3 b "
-        "ON b.v = a.v AND a.s = 4) GROUP BY u), "
-        "f7 AS (SELECT MIN(h7.hc + dd.w) AS c FROM h7 "
-        "JOIN dd ON dd.u = h7.u WHERE dd.v = 0) "
-        "SELECT CAST(subset_mask AS BIGINT) AS subset_mask, "
-        "CAST(steiner_cost AS BIGINT) AS steiner_cost FROM ("
-        "SELECT 1 AS subset_mask, "
-        "(SELECT c FROM f1 WHERE v = 0 AND s = 1) AS steiner_cost "
-        "UNION ALL SELECT 2, (SELECT c FROM f1 WHERE v = 0 AND s = 2) "
-        "UNION ALL SELECT 3, (SELECT c FROM f3 WHERE v = 0) "
-        "UNION ALL SELECT 4, (SELECT c FROM f1 WHERE v = 0 AND s = 4) "
-        "UNION ALL SELECT 5, (SELECT c FROM f5 WHERE v = 0) "
-        "UNION ALL SELECT 6, (SELECT c FROM f6 WHERE v = 0) "
-        "UNION ALL SELECT 7, (SELECT c FROM f7))"
-    )
-
-
-_GS_ROUNDS = 30  # >= n(n-1) rejections for n = 6
-
-
-def _q_stable_matching(sf_dir: str) -> pa.Table:
-    """Proposer-optimal stable matching by simultaneous deferred
-    acceptance (parallel Gale-Shapley): proposers = top-6 users by
-    event count, acceptors = ranks 7-12, preferences from mix32
-    scores.  Each round every proposer proposes to its best
-    not-yet-rejecting acceptor; each acceptor keeps the best
-    proposal and rejects the rest; the rejection set grows
-    monotonically (<= 30), so 30 unrolled rounds reach the fixpoint.
-    The engine iterates to convergence and must equal the 30-round
-    SQL unroll exactly."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
-        mix32,
-    )
-
-    users = [u for u, *_ in _top_users_by_count(sf_dir, 12)]
-    prop, acc = users[:6], users[6:12]
-    ps = {
-        (p, a): int(mix32(np.array([prop[p] * 64 + a]), 7)[0])
-        for p in range(6)
-        for a in range(6)
-    }
-    asq = {
-        (a, p): int(mix32(np.array([acc[a] * 64 + p]), 11)[0])
-        for a in range(6)
-        for p in range(6)
-    }
-    rej: set[tuple[int, int]] = set()
-    while True:
-        cand = {
-            p: min(
-                (a for a in range(6) if (p, a) not in rej),
-                key=lambda a: (-ps[(p, a)], a),
-            )
-            for p in range(6)
-        }
-        new = []
-        for a in range(6):
-            props = [p for p in range(6) if cand[p] == a]
-            if len(props) > 1:
-                best = min(props, key=lambda p: (-asq[(a, p)], p))
-                new.extend((p, a) for p in props if p != best)
-        if not new:
-            break
-        rej.update(new)
-    rows = []
-    for p in range(6):
-        a = cand[p]
-        prank = 1 + sum(
-            1
-            for a2 in range(6)
-            if (-ps[(p, a2)], a2) < (-ps[(p, a)], a)
-        )
-        arank = 1 + sum(
-            1
-            for p2 in range(6)
-            if (-asq[(a, p2)], p2) < (-asq[(a, p)], p)
-        )
-        rows.append((prop[p], acc[a], prank, arank))
-    return pa.table(
-        {
-            "p_user": pa.array([r[0] for r in rows], pa.int64()),
-            "a_user": pa.array([r[1] for r in rows], pa.int64()),
-            "p_rank": pa.array([r[2] for r in rows], pa.int64()),
-            "a_rank": pa.array([r[3] for r in rows], pa.int64()),
-        }
-    )
-
-
-def _top_users_by_count(sf_dir: str, k: int) -> list[tuple[int, int]]:
-    """Top-k users by event count, ordered by (count desc, user)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "user_id": batch["user_id"],
-                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["user_id"],
-        [("_one", "sum", "n")],
-    )
-    top = sorted(
-        zip(agg["n"].to_pylist(), agg["user_id"].to_pylist()),
-        key=lambda t: (-int(t[0]), int(t[1])),
-    )[:k]
-    return [(int(u), int(n)) for n, u in top]
-
-
-def _stable_matching_oracle_sql() -> str:
-    """Mirror of _q_stable_matching: 30 unrolled simultaneous
-    deferred-acceptance rounds over the rejection relation."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
-        mix32_sql,
-    )
-
-    rounds = []
-    for r in range(1, _GS_ROUNDS + 1):
-        prev = f"r{r - 1}"
-        rounds.append(
-            f"c{r} AS MATERIALIZED (SELECT p, a, asq FROM "
-            f"(SELECT pref.p, pref.a, pref.asq, ROW_NUMBER() OVER "
-            f"(PARTITION BY pref.p ORDER BY pref.ps DESC, pref.a) AS rn "
-            f"FROM pref ANTI JOIN {prev} USING (p, a)) WHERE rn = 1), "
-            f"w{r} AS MATERIALIZED (SELECT p, a FROM "
-            f"(SELECT c.p, c.a, ROW_NUMBER() OVER (PARTITION BY c.a "
-            f"ORDER BY c.asq DESC, c.p) AS rn FROM c{r} c) "
-            f"WHERE rn = 1), "
-            f"r{r} AS MATERIALIZED (SELECT p, a FROM {prev} UNION "
-            f"SELECT c.p, c.a FROM c{r} c ANTI JOIN w{r} USING (p, a))"
-        )
-    last = f"c{_GS_ROUNDS}"
-    return (
-        "WITH uc AS (SELECT user_id, COUNT(*) AS n FROM events "
-        "GROUP BY user_id), "
-        "t12 AS (SELECT user_id, ROW_NUMBER() OVER "
-        "(ORDER BY n DESC, user_id) - 1 AS idx FROM uc "
-        "ORDER BY n DESC, user_id LIMIT 12), "
-        "pp AS (SELECT p.idx AS p, p.user_id AS pu, "
-        "a.idx - 6 AS a, a.user_id AS au FROM t12 p, t12 a "
-        "WHERE p.idx < 6 AND a.idx >= 6), "
-        "pref AS MATERIALIZED (SELECT p, a, pu, au, "
-        f"({mix32_sql('pu * 64 + a', 7)}) AS ps, "
-        f"({mix32_sql('au * 64 + p', 11)}) AS asq FROM pp), "
-        "r0 AS MATERIALIZED (SELECT p, a FROM pref WHERE 1 = 0), "
-        + ", ".join(rounds)
-        + f", fin AS (SELECT p, a FROM {last}), "
-        "pr AS (SELECT p, a, ROW_NUMBER() OVER (PARTITION BY p "
-        "ORDER BY ps DESC, a) AS prank FROM pref), "
-        "ar AS (SELECT p, a, ROW_NUMBER() OVER (PARTITION BY a "
-        "ORDER BY asq DESC, p) AS arank FROM pref) "
-        "SELECT pref.pu AS p_user, pref.au AS a_user, "
-        "CAST(pr.prank AS BIGINT) AS p_rank, "
-        "CAST(ar.arank AS BIGINT) AS a_rank "
-        "FROM fin JOIN pref ON pref.p = fin.p AND pref.a = fin.a "
-        "JOIN pr ON pr.p = fin.p AND pr.a = fin.a "
-        "JOIN ar ON ar.p = fin.p AND ar.a = fin.a"
-    )
-
-
-def _q_bin_packing_ffd(sf_dir: str) -> pa.Table:
-    """First-fit-decreasing bin packing of the top-12 parts by total
-    quantity (capacity = sum(sizes) // 5): the classic 11/9-OPT
-    greedy, item order (size desc, partkey), first bin whose load
-    fits.  The SQL mirror carries the bin-load LIST through 12
-    unrolled steps (list_position / list-comprehension update)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_partkey", "l_quantity"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "l_partkey": batch["l_partkey"],
-                "q": pa.array(scaled_int(batch["l_quantity"], 1.0)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["l_partkey"],
-        [("q", "sum", "s")],
-    )
-    top = sorted(
-        zip(agg["s"].to_pylist(), agg["l_partkey"].to_pylist()),
-        key=lambda t: (-int(t[0]), int(t[1])),
-    )[:12]
-    sizes = [int(s) for s, _ in top]
-    cap = sum(sizes) // 5
-    loads: list[int] = []
-    for sz in sizes:
-        for i, ld in enumerate(loads):
-            if ld + sz <= cap:
-                loads[i] = ld + sz
-                break
-        else:
-            loads.append(sz)
-    return pa.table(
-        {
-            "bin": pa.array(
-                list(range(1, len(loads) + 1)), pa.int64()
-            ),
-            "load": pa.array(loads, pa.int64()),
-            "n_bins": pa.array([len(loads)] * len(loads), pa.int64()),
-            "capacity": pa.array([cap] * len(loads), pa.int64()),
-        }
-    )
-
-
-def _bin_packing_oracle_sql() -> str:
-    """Mirror of _q_bin_packing_ffd: 12 unrolled first-fit steps over
-    a LIST-typed bin-load state."""
-    steps = []
-    for k in range(1, 13):
-        prev = f"s{k - 1}"
-        steps.append(
-            f"x{k} AS (SELECT {prev}.loads, it.s AS sz, "
-            f"list_position(list_transform({prev}.loads, "
-            f"x -> x + it.s <= cap.c), true) AS idx "
-            f"FROM {prev}, (SELECT s FROM items WHERE k = {k}) it, cap), "
-            f"s{k} AS MATERIALIZED (SELECT CASE WHEN idx = 0 "
-            f"THEN list_append(loads, sz) "
-            f"ELSE [CASE WHEN i = idx THEN loads[i] + sz "
-            f"ELSE loads[i] END FOR i IN range(1, length(loads) + 1)] "
-            f"END AS loads FROM x{k})"
-        )
-    return (
-        "WITH pq AS (SELECT l_partkey, "
-        "CAST(ROUND(SUM(l_quantity), 0) AS BIGINT) AS s "
-        "FROM lineitem GROUP BY 1), "
-        "items AS MATERIALIZED (SELECT s, ROW_NUMBER() OVER "
-        "(ORDER BY s DESC, l_partkey) AS k FROM pq "
-        "ORDER BY s DESC, l_partkey LIMIT 12), "
-        "cap AS MATERIALIZED (SELECT CAST(SUM(s) // 5 AS BIGINT) AS c "
-        "FROM items), "
-        "s0 AS (SELECT CAST([] AS BIGINT[]) AS loads), "
-        + ", ".join(steps)
-        + " SELECT CAST(generate_subscripts(loads, 1) AS BIGINT) "
-        "AS bin, CAST(unnest(loads) AS BIGINT) AS load, "
-        "CAST(length(loads) AS BIGINT) AS n_bins, "
-        "(SELECT c FROM cap) AS capacity FROM s12"
-    )
-
-
-def _q_nn_fj_function(sf_dir: str) -> pa.Table:
-    """Empty-space F function (NN-distance CDF from a fixed 16x16
-    probe lattice to the geocoded point subset) and the van
-    Lieshout-Baddeley J = (1-G)/(1-F) combining it with the existing
-    G function -- the CSR diagnostic pair.  Distances quantized at
-    1e9 before the integer radius comparisons; J is NULL where F = 1
-    (both sides)."""
-    import ray
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.knn import (
-        KNNIndex,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
-
-    def pts(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False)
-        eid = eid[eid % 100 == 0]
-        return pa.table(
-            {
-                "px": pa.array(77.0 + (eid % 96).astype(np.float64) * 0.01),
-                "py": pa.array(
-                    28.05 + ((eid // 96) % 96).astype(np.float64) * 0.01
-                ),
-            }
-        )
-
-    pts_tbl = collect_tables(
-        ds.map_batches(pts, batch_format="pyarrow", batch_size=None)
-    )
-    px = pts_tbl["px"].to_numpy(zero_copy_only=False)
-    py = pts_tbl["py"].to_numpy(zero_copy_only=False)
-    index_ref = ray.put(KNNIndex(px, py))
-    radii = np.asarray(_GFUNC_RADII_Q, np.int64)
-    ii, jj = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
-    probes = pa.table(
-        {
-            "px": pa.array(77.0 + (ii.ravel() * 6).astype(np.float64) * 0.01),
-            "py": pa.array(
-                28.05 + (jj.ravel() * 6).astype(np.float64) * 0.01
-            ),
-        }
-    )
-
-    def terms(k_query: int):
-        def f(batch: pa.Table) -> pa.Table:
-            idx = ray.get(index_ref)
-            qx = batch["px"].to_numpy(zero_copy_only=False)
-            qy = batch["py"].to_numpy(zero_copy_only=False)
-            ii_, _dd = idx.query(qx, qy, k=k_query)
-            nb = ii_[:, k_query - 1]
-            dx = qx - idx.lon[nb]
-            dy = qy - idx.lat[nb]
-            dq = round_half_away(np.sqrt(dx * dx + dy * dy) * 1e9).astype(
-                np.int64
-            )
-            n_le = (dq[None, :] <= radii[:, None]).sum(axis=1).astype(
-                np.int64
-            )
-            return pa.table(
-                {
-                    "r_q": pa.array(radii),
-                    "n": pa.array(np.full(len(radii), len(dq), np.int64)),
-                    "n_le": pa.array(n_le),
-                }
-            )
-
-        return f
-
-    def cdf(src_ds, k_query: int) -> dict[int, tuple[int, int]]:
-        agg = hash_aggregate(
-            src_ds.map_batches(
-                terms(k_query), batch_format="pyarrow", batch_size=None
-            ),
-            ["r_q"],
-            [("n", "sum", "n"), ("n_le", "sum", "n_le")],
-        )
-        return {
-            int(agg["r_q"][i].as_py()): (
-                int(agg["n"][i].as_py()),
-                int(agg["n_le"][i].as_py()),
-            )
-            for i in range(agg.num_rows)
-        }
-
-    f_cdf = cdf(ray.data.from_arrow(probes), 1)
-    g_cdf = cdf(ray.data.from_arrow(pts_tbl), 2)
-    rows = []
-    for rq in sorted(f_cdf):
-        nf, f_le = f_cdf[rq]
-        ng, g_le = g_cdf[rq]
-        f_hat = float(f_le) / float(nf)
-        g_hat = float(g_le) / float(ng)
-        j_hat = (1.0 - g_hat) / (1.0 - f_hat) if f_hat < 1.0 else np.nan
-        rows.append((rq, f_hat, g_hat, j_hat))
-    return pa.table(
-        {
-            "r": round_like_sql(
-                [r[0] / 1e9 for r in rows], 6
-            ),
-            "f_hat": round_like_sql([r[1] for r in rows], 6),
-            "g_hat": round_like_sql([r[2] for r in rows], 6),
-            "j_hat": round_like_sql([r[3] for r in rows], 6),
-        }
-    )
-
-
-def _q_hypsometric(sf_dir: str) -> pa.Table:
-    """Hypsometric curve + integral of the oracle raster (the
-    geomorphology maturity diagnostic): 11 elevation thresholds at
-    integer-cent decile steps of the range, relative area >= each
-    threshold, plus HI = (mean - min)/(max - min).  Two distributed
-    passes: exact min/max/sum, then broadcast thresholds into
-    per-batch partial counts."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    pts = _og_points_ds(valid_only=True)
-
-    def cents(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "g": pa.array(np.zeros(batch.num_rows, np.int64)),
-                "c": pa.array(scaled_int(batch["z"], 100.0)),
-            }
-        )
-
-    cds = pts.map_batches(cents, batch_format="pyarrow", batch_size=None)
-    s = hash_aggregate(
-        cds,
-        ["g"],
-        [("c", "min", "mn"), ("c", "max", "mx"), ("c", "sum", "sm"),
-         ("c", "count", "n")],
-    )
-    mn = int(s["mn"][0].as_py())
-    mx = int(s["mx"][0].as_py())
-    sm = int(s["sm"][0].as_py())
-    n = int(s["n"][0].as_py())
-    thr = [mn + (k * (mx - mn)) // 10 for k in range(11)]
-    thr_arr = np.asarray(thr, np.int64)
-
-    def above(batch: pa.Table) -> pa.Table:
-        c = batch["c"].to_numpy(zero_copy_only=False)
-        na = (c[None, :] >= thr_arr[:, None]).sum(axis=1).astype(np.int64)
-        return pa.table(
-            {
-                "k": pa.array(np.arange(11, dtype=np.int64)),
-                "na": pa.array(na),
-            }
-        )
-
-    agg = hash_aggregate(
-        cds.map_batches(above, batch_format="pyarrow", batch_size=None),
-        ["k"],
-        [("na", "sum", "na")],
-    ).sort_by("k")
-    na = agg["na"].to_numpy(zero_copy_only=False).astype(np.int64)
-    hi = (float(sm) / float(n) - float(mn)) / float(mx - mn)
-    return pa.table(
-        {
-            "k": pa.array(list(range(11)), pa.int64()),
-            "threshold_c": pa.array(thr, pa.int64()),
-            "n_above": pa.array(na, pa.int64()),
-            "frac_above": round_like_sql(
-                na.astype(np.float64) / float(n), 6
-            ),
-            "hi": round_like_sql([hi] * 11, 6),
-        }
-    )
-
-
-def _q_tile_gaussian_blur(sf_dir: str) -> pa.Table:
-    """5x5 binomial (Gaussian-approximation) blur over the slope
-    fixture raster -- the first consumer of the width-2 halo
-    exchange (stages/raster.py::tile_binomial_blur): exact integer
-    [1,4,6,4,1]^2 convolution of deci-scaled elevations, defined
-    where all 25 window cells are valid; SQL mirrors it as two
-    [1,2,1]^2 passes (convolution composes)."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
-        tile_binomial_blur,
-    )
-
-    tiles = ray.data.from_arrow(_og_tiles_table(sparse_invalid=True, tile=24))
-    out = collect_tables(tile_binomial_blur(tiles))
-    return pa.table(
-        {
-            "row": out["row"],
-            "col": out["col"],
-            "b2560": out["b2560"],
-        }
-    )
-
-
-def _q_kneser_ney(sf_dir: str) -> pa.Table:
-    """Interpolated Kneser-Ney bigram probabilities with the textbook
-    discount D = 0.75 (exact rational 3/4): continuation counts from
-    the distributed bigram-type table, and every probability reduces
-    to ONE float division of exact integers --
-    p = (max(4c-3,0)*NT + 3*N1(v.)*N1(.w)) / (4*c(v.)*NT).
-    Top-20 bigrams by count.  Bigram counts come off the distributed
-    n-gram combiner; the marginal tables are vocabulary-bounded."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        ngram_counts,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "text"],
-    )
-    bc = collect_tables(ngram_counts(ds, n=2))
-    grams = bc["gram"].to_pylist()
-    cnts = [int(x) for x in bc["n"].to_pylist()]
-    cv: dict[str, int] = {}
-    n1v: dict[str, int] = {}
-    nw: dict[str, int] = {}
-    rows = []
-    for g, c in zip(grams, cnts):
-        v, w = g.split(" ", 1)
-        cv[v] = cv.get(v, 0) + c
-        n1v[v] = n1v.get(v, 0) + 1
-        nw[w] = nw.get(w, 0) + 1
-        rows.append((v, w, c))
-    nt = len(rows)
-    top = sorted(rows, key=lambda r: (-r[2], r[0], r[1]))[:20]
-    p = [
-        float(max(4 * c - 3, 0) * nt + 3 * n1v[v] * nw[w])
-        / float(4 * cv[v] * nt)
-        for v, w, c in top
-    ]
-    return pa.table(
-        {
-            "v": pa.array([t[0] for t in top]),
-            "w": pa.array([t[1] for t in top]),
-            "c_vw": pa.array([t[2] for t in top], pa.int64()),
-            "p_kn": round_like_sql(p, 6),
-        }
-    )
-
-
-def _q_bwt_transform(sf_dir: str) -> pa.Table:
-    """Burrows-Wheeler transform of the corpus signature string (the
-    top-8 tokens by frequency joined with spaces + '$' sentinel):
-    all rotations sorted bytewise, last column emitted with the
-    primary index -- the compression-transform member of the text
-    family (alongside Huffman / LZ76 / RLE).  Exactly mirrored by a
-    rotation self-join in SQL."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, top_k,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        ngram_counts,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "text"],
-    )
-    tf = collect_tables(ngram_counts(ds, n=1))
-    top = sorted(
-        zip(tf["n"].to_pylist(), tf["gram"].to_pylist()),
-        key=lambda t: (-int(t[0]), t[1]),
-    )[:8]
-    s = " ".join(w for _, w in top) + "$"
-    n = len(s)
-    rots = sorted(range(n), key=lambda i: s[i:] + s[:i])
-    last = [s[(i + n - 1) % n] for i in rots]
-    primary = rots.index(0) + 1
-    return pa.table(
-        {
-            "pos": pa.array(list(range(1, n + 1)), pa.int64()),
-            "ch": pa.array(last),
-            "primary_idx": pa.array([primary] * n, pa.int64()),
-        }
-    )
-
-
-def _q_fisher_lda(sf_dir: str) -> pa.Table:
-    """Fisher linear discriminant (two classes: purchase vs rest) on
-    (hour-of-day, value deca-dollars): within-class scatter from
-    n-scaled integer moments (A_k = n_k*Sxx_k - Sx_k Sx_k^T is exact),
-    M = n1*A0 + n0*A1 and the mean difference share the n0*n1 factor,
-    so w = M^{-1} d by exact Cramer determinants -- floats only in
-    the two final divisions."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["ts", "event_type", "value"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        hour = (ts // 3_600_000_000) % 24
-        x2 = scaled_int(batch["value"], 0.1)  # deca-dollars
-        et = batch["event_type"].to_numpy(zero_copy_only=False)
-        y = (et == "purchase").astype(np.int64)
-        return pa.table(
-            {
-                "y": pa.array(y),
-                "_n": pa.array(np.ones(len(y), np.int64)),
-                "s1": pa.array(hour),
-                "s2": pa.array(x2),
-                "s11": pa.array(hour * hour),
-                "s22": pa.array(x2 * x2),
-                "s12": pa.array(hour * x2),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["y"],
-        [(c, "sum", c) for c in ("_n", "s1", "s2", "s11", "s22", "s12")],
-    )
-    m = {}
-    for i in range(agg.num_rows):
-        m[int(agg["y"][i].as_py())] = {
-            c: int(agg[c][i].as_py())
-            for c in ("_n", "s1", "s2", "s11", "s22", "s12")
-        }
-    n0, n1 = m[0]["_n"], m[1]["_n"]
-    a = {}
-    for k in (0, 1):
-        nk = m[k]["_n"]
-        a[k] = {
-            "11": nk * m[k]["s11"] - m[k]["s1"] * m[k]["s1"],
-            "22": nk * m[k]["s22"] - m[k]["s2"] * m[k]["s2"],
-            "12": nk * m[k]["s12"] - m[k]["s1"] * m[k]["s2"],
-        }
-    m11 = n1 * a[0]["11"] + n0 * a[1]["11"]
-    m22 = n1 * a[0]["22"] + n0 * a[1]["22"]
-    m12 = n1 * a[0]["12"] + n0 * a[1]["12"]
-    d1 = n0 * m[1]["s1"] - n1 * m[0]["s1"]
-    d2 = n0 * m[1]["s2"] - n1 * m[0]["s2"]
-    det = m11 * m22 - m12 * m12
-    w1n = m22 * d1 - m12 * d2
-    w2n = m11 * d2 - m12 * d1
-    return pa.table(
-        {
-            "n0": pa.array([n0], pa.int64()),
-            "n1": pa.array([n1], pa.int64()),
-            "w1": round_like_sql([float(w1n) / float(det)], 6),
-            "w2": round_like_sql([float(w2n) / float(det)], 6),
-            "mu1_hour": round_like_sql(
-                [float(m[1]["s1"]) / float(n1)], 6
-            ),
-            "mu1_dd": round_like_sql(
-                [float(m[1]["s2"]) / float(n1)], 6
-            ),
-        }
-    )
-
-
-def _q_media_dhash_pairs(sf_dir: str) -> pa.Table:
-    """Difference-hash (gradient-sign) near-duplicate image pairs
-    over REAL PNG bytes -- the dhash companion of media_ahash_pairs,
-    robust to the global brightness shifts that flip ahash bits
-    (stages/multimodal.py::image_dhash_pairs); the SQL oracle
-    recomputes signatures from the fixture's closed-form pixel
-    rule, validating decode + hash end-to-end."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.multimodal import (
-        gen_media_grid, image_dhash_pairs,
-    )
-
-    media = ray.data.from_arrow(gen_media_grid(n=24, size=32, n_base=16))
-    return image_dhash_pairs(media, max_hamming=6)
-
-
-def _q_wav_features(sf_dir: str) -> pa.Table:
-    """Per-frame audio energy + zero-crossing counts over REAL PCM
-    WAV bytes through the from-scratch codec (the VAD front-end;
-    stages/multimodal.py::wav_frame_features) -- formula samples let
-    the SQL oracle recompute both features from first principles,
-    validating the WAV decode path end-to-end like media_decode does
-    for PNG."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.multimodal import (
-        gen_wav_grid, wav_frame_features,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-
-    media = ray.data.from_arrow(gen_wav_grid(n=12, n_samples=256))
-    return collect_tables(wav_frame_features(media, frame=64))
-
-
-def _q_matrix_profile(sf_dir: str) -> pa.Table:
-    """Matrix profile of the hourly event-count series (stride-6,
-    window-6 un-normalized squared-Euclidean variant): per window the
-    min distance to any other window and its argmin -- the motif /
-    discord primitive.  Counts are exact integers, so every distance
-    is an exact int64; the window table is series-bounded, never
-    row-bounded."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
-
-    def hourly(batch: pa.Table) -> pa.Table:
-        hr = (
-            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 3_600_000_000
-        )
-        return pa.table(
-            {"hr": pa.array(hr), "_one": pa.array(np.ones(len(hr), np.int64))}
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(hourly, batch_format="pyarrow", batch_size=None),
-        ["hr"],
-        [("_one", "sum", "n")],
-    )
-    hh = agg["hr"].to_numpy(zero_copy_only=False).astype(np.int64)
-    lo, hi = int(hh.min()), int(hh.max())
-    xs = np.zeros(hi - lo + 1, np.int64)
-    xs[hh - lo] = agg["n"].to_numpy(zero_copy_only=False)
-    m = 6
-    n_w = (len(xs) - m) // m + 1
-    win = np.stack([xs[w * m : w * m + m] for w in range(n_w)])
-    d2 = ((win[:, None, :] - win[None, :, :]) ** 2).sum(axis=2)
-    np.fill_diagonal(d2, np.iinfo(np.int64).max)
-    nn = d2.argmin(axis=1)  # smallest index on ties (argmin semantics)
-    mp = d2[np.arange(n_w), nn]
-    return pa.table(
-        {
-            "w": pa.array(np.arange(n_w, dtype=np.int64)),
-            "mp_d2": pa.array(mp.astype(np.int64)),
-            "nn_w": pa.array(nn.astype(np.int64)),
-        }
-    )
-
-
-_RSI_SC = 1_000_000  # Wilder-average tick scale
-
-
-def _q_rsi_wilder(sf_dir: str) -> pa.Table:
-    """RSI(14) with Wilder smoothing over the daily revenue-cents
-    series: the averages are a sequential rational recurrence, so the
-    state is quantized at 1e6 ticks with truncating integer division
-    (ag' = (13*ag + g*1e6) // 14) -- bit-identical to the recursive
-    CTE; RSI itself is one pinned float chain per day."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    xs = _daily_revenue_cents(sf_dir)
-    d = [xs[t] - xs[t - 1] for t in range(1, len(xs))]
-    gains = [max(v, 0) for v in d]
-    losses = [max(-v, 0) for v in d]
-    ag = sum(gains[:14]) * _RSI_SC // 14
-    al = sum(losses[:14]) * _RSI_SC // 14
-    days, rsi = [], []
-
-    def _rsi(a: int, b: int) -> float:
-        if b == 0:
-            return 100.0
-        return 100.0 - 100.0 / (1.0 + float(a) / float(b))
-
-    days.append(14)
-    rsi.append(_rsi(ag, al))
-    for t in range(14, len(d)):
-        ag = (13 * ag + gains[t] * _RSI_SC) // 14
-        al = (13 * al + losses[t] * _RSI_SC) // 14
-        days.append(t + 1)
-        rsi.append(_rsi(ag, al))
-    return pa.table(
-        {
-            "t": pa.array(days, pa.int64()),
-            "rsi": round_like_sql(rsi, 6),
-        }
-    )
-
-
-def _rsi_oracle_sql() -> str:
-    """Mirror of _q_rsi_wilder: recursive CTE over the integer-tick
-    Wilder state."""
-    sc = _RSI_SC
-    return (
-        "WITH RECURSIVE c0 AS (SELECT epoch_us(ts) // 86400000000 AS d, "
-        "CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) "
-        "AS y FROM events GROUP BY 1), "
-        "fr AS (SELECT unnest(generate_series((SELECT MIN(d) FROM c0), "
-        "(SELECT MAX(d) FROM c0))) AS d), "
-        "xs AS (SELECT fr.d - (SELECT MIN(d) FROM c0) AS t, "
-        "COALESCE(c0.y, 0) AS y FROM fr LEFT JOIN c0 USING (d)), "
-        "df AS (SELECT t, y - LAG(y) OVER (ORDER BY t) AS dv FROM xs), "
-        "gl AS (SELECT t, GREATEST(dv, 0) AS g, GREATEST(-dv, 0) AS l "
-        "FROM df WHERE t >= 1), "
-        "init AS (SELECT "
-        f"CAST(SUM(g) AS BIGINT) * {sc} // 14 AS ag, "
-        f"CAST(SUM(l) AS BIGINT) * {sc} // 14 AS al "
-        "FROM gl WHERE t <= 14), "
-        "nmax AS (SELECT MAX(t) AS tm FROM gl), "
-        "w AS (SELECT 14 AS t, init.ag, init.al FROM init "
-        "UNION ALL "
-        f"SELECT w.t + 1, (13 * w.ag + gl.g * {sc}) // 14, "
-        f"(13 * w.al + gl.l * {sc}) // 14 "
-        "FROM w JOIN gl ON gl.t = w.t + 1, nmax "
-        "WHERE w.t < nmax.tm) "
-        "SELECT CAST(t AS BIGINT) AS t, "
-        "ROUND(CASE WHEN al = 0 THEN 100.0 ELSE "
-        "100.0 - 100.0 / (1.0 + CAST(ag AS DOUBLE) "
-        "/ CAST(al AS DOUBLE)) END, 6) AS rsi FROM w"
-    )
-
-
-def _q_segregation_indices(sf_dir: str) -> pa.Table:
-    """Duncan dissimilarity D plus isolation and exposure P* indices
-    between purchase and view events over the geocode cells (the
-    demography segregation triple): D's numerator sum |a_c*B - b_c*A|
-    is exact integer; the interaction terms use the order-free
-    1e9-tick quantization (one tick term per cell, then two float
-    divisions)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "event_type"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        et = batch["event_type"].to_numpy(zero_copy_only=False)
-        keep = (et == "purchase") | (et == "view")
-        return pa.table(
-            {
-                "cell": pa.array((eid % 96 + (eid // 96 % 96) * 96)[keep]),
-                "a": pa.array((et[keep] == "purchase").astype(np.int64)),
-                "b": pa.array((et[keep] == "view").astype(np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["cell"],
-        [("a", "sum", "a"), ("b", "sum", "b")],
-    )
-    a = agg["a"].to_numpy(zero_copy_only=False).astype(np.int64)
-    b = agg["b"].to_numpy(zero_copy_only=False).astype(np.int64)
-    big_a, big_b = int(a.sum()), int(b.sum())
-    d_num = int(np.abs(a * big_b - b * big_a).sum())
-    t = a + b
-    iso_t = int(
-        round_half_away(a.astype(np.float64) ** 2 / t * 1e9)
-        .astype(np.int64)
-        .sum()
-    )
-    exp_t = int(
-        round_half_away(
-            a.astype(np.float64) * b.astype(np.float64) / t * 1e9
-        )
-        .astype(np.int64)
-        .sum()
-    )
-    return pa.table(
-        {
-            "n_cells": pa.array([len(a)], pa.int64()),
-            "d_index": round_like_sql(
-                [float(d_num) / (2.0 * float(big_a) * float(big_b))], 6
-            ),
-            "isolation_aa": round_like_sql(
-                [float(iso_t) / 1e9 / float(big_a)], 6
-            ),
-            "exposure_ab": round_like_sql(
-                [float(exp_t) / 1e9 / float(big_a)], 6
-            ),
-        }
-    )
-
-
-_SIMRANK_ITERS = 8
-_SIMRANK_SC = 1_000_000_000
-
-
-def _q_simrank(sf_dir: str) -> pa.Table:
-    """SimRank similarity (C = 4/5) on the hot-cell proximity graph
-    (top-12 cells, Chebyshev <= 4 edges): 8 unrolled iterations of
-    s'(a,b) = 4*sum_{u in N(a), v in N(b)} s(u,v) // (5*|N(a)||N(b)|)
-    in 1e9 ticks -- every step a truncating integer division,
-    bit-identical to the SQL unroll.  Top-20 pairs by final score."""
-    verts = _top_count_cells_xy(sf_dir, 12)
-    nv = len(verts)
-    nbrs = [
-        [
-            j
-            for j in range(nv)
-            if j != i
-            and max(
-                abs(verts[i][1] - verts[j][1]),
-                abs(verts[i][2] - verts[j][2]),
-            )
-            <= _CLIQUE_T
-        ]
-        for i in range(nv)
-    ]
-    s = [
-        [(_SIMRANK_SC if i == j else 0) for j in range(nv)]
-        for i in range(nv)
-    ]
-    for _ in range(_SIMRANK_ITERS):
-        ns = [[0] * nv for _ in range(nv)]
-        for i in range(nv):
-            ns[i][i] = _SIMRANK_SC
-            for j in range(nv):
-                if i == j:
-                    continue
-                na, nb = len(nbrs[i]), len(nbrs[j])
-                if na == 0 or nb == 0:
-                    continue
-                tot = sum(
-                    s[u][v] for u in nbrs[i] for v in nbrs[j]
-                )
-                ns[i][j] = (4 * tot) // (5 * na * nb)
-        s = ns
-    pairs = sorted(
-        (
-            (-s[i][j], i, j)
-            for i in range(nv)
-            for j in range(i + 1, nv)
-        )
-    )[:20]
-    return pa.table(
-        {
-            "cell_a": pa.array(
-                [verts[i][0] for _, i, _j in pairs], pa.int64()
-            ),
-            "cell_b": pa.array(
-                [verts[j][0] for _, _i, j in pairs], pa.int64()
-            ),
-            "s_ticks": pa.array([-v for v, _, _ in pairs], pa.int64()),
-        }
-    )
-
-
-def _simrank_oracle_sql() -> str:
-    """Mirror of _q_simrank: 8 unrolled tick-quantized iterations."""
-    sc = _SIMRANK_SC
-    steps = []
-    for k in range(1, _SIMRANK_ITERS + 1):
-        prev = f"s{k - 1}"
-        steps.append(
-            f"s{k} AS MATERIALIZED (SELECT p.a, p.b, "
-            f"CASE WHEN p.a = p.b THEN {sc} "
-            f"WHEN p.na = 0 OR p.nb = 0 THEN 0 "
-            f"ELSE (4 * COALESCE(t.sm, 0)) // (5 * p.na * p.nb) END "
-            f"AS s FROM prs p LEFT JOIN ("
-            f"SELECT ea.a AS a, eb.a AS b, SUM(sp.s) AS sm "
-            f"FROM e ea JOIN e eb ON 1 = 1 "
-            f"JOIN {prev} sp ON sp.a = ea.b AND sp.b = eb.b "
-            f"GROUP BY ea.a, eb.a) t ON t.a = p.a AND t.b = p.b)"
-        )
-    return (
-        "WITH " + _STEINER_CELLS_SQL.replace(
-            "dd AS (SELECT a.bi AS u, b.bi AS v, "
-            "ABS(a.x - b.x) + ABS(a.y - b.y) AS w FROM nd a, nd b)",
-            "e AS (SELECT a.bi AS a, b.bi AS b FROM nd a JOIN nd b "
-            f"ON b.bi <> a.bi AND GREATEST(ABS(a.x - b.x), "
-            f"ABS(a.y - b.y)) <= {_CLIQUE_T})"
-        )
-        + ", deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS dg "
-        "FROM e GROUP BY a), "
-        "prs AS MATERIALIZED (SELECT a.bi AS a, b.bi AS b, "
-        "COALESCE(da.dg, 0) AS na, COALESCE(db.dg, 0) AS nb "
-        "FROM nd a CROSS JOIN nd b "
-        "LEFT JOIN deg da ON da.a = a.bi "
-        "LEFT JOIN deg db ON db.a = b.bi), "
-        f"s0 AS (SELECT a, b, CASE WHEN a = b THEN {sc} ELSE 0 END "
-        "AS s FROM prs), "
-        + ", ".join(steps)
-        + f", fin AS (SELECT a, b, s FROM s{_SIMRANK_ITERS}) "
-        "SELECT t1.cell AS cell_a, t2.cell AS cell_b, "
-        "CAST(fin.s AS BIGINT) AS s_ticks "
-        "FROM fin JOIN t12 t1 ON t1.bi = fin.a "
-        "JOIN t12 t2 ON t2.bi = fin.b "
-        "WHERE fin.a < fin.b "
-        "ORDER BY fin.s DESC, fin.a, fin.b LIMIT 20"
-    )
-
-
-def _sig_string_sql() -> str:
-    """CTE fragment building the top-8-token signature string ``str``
-    (shared by the BWT / border / suffix-array operators)."""
-    return (
-        "w AS (SELECT list_filter(string_split(text, ' '), "
-        "t -> t <> '') AS ws FROM documents), "
-        "tok AS (SELECT unnest(ws) AS t FROM w), "
-        "tf AS (SELECT t, COUNT(*) AS n FROM tok GROUP BY t), "
-        "t8 AS (SELECT t, n FROM tf ORDER BY n DESC, t LIMIT 8), "
-        "s AS (SELECT string_agg(t, ' ' ORDER BY n DESC, t) || '$' "
-        "AS str FROM t8)"
-    )
-
-
-def _sig_string(sf_dir: str) -> str:
-    """Engine side of :func:`_sig_string_sql`."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        ngram_counts,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "text"],
-    )
-    tf = collect_tables(ngram_counts(ds, n=1))
-    top = sorted(
-        zip(tf["n"].to_pylist(), tf["gram"].to_pylist()),
-        key=lambda t: (-int(t[0]), t[1]),
-    )[:8]
-    return " ".join(w for _, w in top) + "$"
-
-
-def _q_string_borders(sf_dir: str) -> pa.Table:
-    """All borders (proper prefixes that are also suffixes) of the
-    corpus signature string plus the smallest period n - maxborder --
-    the KMP failure-function / string-periodicity primitive.  A
-    border is a direct equality test per length, so no DP is needed
-    in SQL."""
-    s = _sig_string(sf_dir)
-    n = len(s)
-    borders = [k for k in range(1, n) if s[:k] == s[n - k :]]
-    maxb = max(borders) if borders else 0
-    rows = borders or [0]
-    return pa.table(
-        {
-            "border_len": pa.array(rows, pa.int64()),
-            "n": pa.array([n] * len(rows), pa.int64()),
-            "period": pa.array([n - maxb] * len(rows), pa.int64()),
-        }
-    )
-
-
-def _q_suffix_array_lcp(sf_dir: str) -> pa.Table:
-    """Suffix array + LCP array of the corpus signature string (the
-    index structure under substring search / LZ factorization):
-    suffixes sorted bytewise, LCP = longest common prefix with the
-    lexicographic predecessor by direct comparison."""
-    s = _sig_string(sf_dir)
-    n = len(s)
-    sa = sorted(range(n), key=lambda i: s[i:])
-    rows = []
-    for r, i in enumerate(sa):
-        if r == 0:
-            lcp = 0
-        else:
-            a, b = s[sa[r - 1] :], s[i:]
-            lcp = 0
-            while lcp < min(len(a), len(b)) and a[lcp] == b[lcp]:
-                lcp += 1
-        rows.append((r + 1, i, lcp))
-    return pa.table(
-        {
-            "rank": pa.array([r[0] for r in rows], pa.int64()),
-            "sa": pa.array([r[1] for r in rows], pa.int64()),
-            "lcp": pa.array([r[2] for r in rows], pa.int64()),
-        }
-    )
-
-
-def _q_closest_farthest_pair(sf_dir: str) -> pa.Table:
-    """Closest and farthest (diameter) pair over the top-50 event
-    cells -- exact integer squared distances, canonical ties by
-    (cell_a, cell_b).  The farthest pair over the full set equals the
-    hull diameter (rotating-calipers answer) since the max is
-    attained at hull vertices."""
-    verts = _top_count_cells_xy(sf_dir, 50)
-    best_c = None
-    best_f = None
-    for i in range(len(verts)):
-        for j in range(i + 1, len(verts)):
-            d2 = (verts[i][1] - verts[j][1]) ** 2 + (
-                verts[i][2] - verts[j][2]
-            ) ** 2
-            ca, cb = sorted((verts[i][0], verts[j][0]))
-            key = (d2, ca, cb)
-            if best_c is None or key < best_c:
-                best_c = key
-            fkey = (-d2, ca, cb)
-            if best_f is None or fkey < best_f:
-                best_f = fkey
-    return pa.table(
-        {
-            "kind": pa.array(["closest", "farthest"]),
-            "cell_a": pa.array(
-                [best_c[1], best_f[1]], pa.int64()
-            ),
-            "cell_b": pa.array(
-                [best_c[2], best_f[2]], pa.int64()
-            ),
-            "d2": pa.array([best_c[0], -best_f[0]], pa.int64()),
-        }
-    )
-
-
-_RECT_R = 6  # half-side of the hot-cell squares
-
-
-def _q_rect_union_area(sf_dir: str) -> pa.Table:
-    """Exact area of the union of 10 axis-aligned squares (side 13)
-    centered on the top-10 event cells, clipped to the 96x96 grid --
-    the coverage-measure primitive (service areas, sensor footprints).
-    Both sides count covered lattice cells exactly; overlap =
-    sum(areas) - union."""
-    cells = [c for c, _x, _y in _top_count_cells_xy(sf_dir, 10)]
-    grid = np.zeros((96, 96), bool)
-    total = 0
-    for c in cells:
-        x, y = c % 96, c // 96
-        x0, x1 = max(0, x - _RECT_R), min(95, x + _RECT_R)
-        y0, y1 = max(0, y - _RECT_R), min(95, y + _RECT_R)
-        total += (x1 - x0 + 1) * (y1 - y0 + 1)
-        grid[x0 : x1 + 1, y0 : y1 + 1] = True
-    union = int(grid.sum())
-    return pa.table(
-        {
-            "n_rects": pa.array([len(cells)], pa.int64()),
-            "sum_areas": pa.array([total], pa.int64()),
-            "union_area": pa.array([union], pa.int64()),
-            "overlap": pa.array([total - union], pa.int64()),
-        }
-    )
-
-
-def _q_holm_adjust(sf_dir: str) -> pa.Table:
-    """Holm step-down adjustment over the same five one-vs-rest
-    permutation p-values as bh_fdr (shared machinery,
-    _one_vs_rest_perm_pnums): adjusted numerators are the running max
-    of (m - rank + 1) * p_num clamped at 101, so every adjusted
-    p-value stays the exact rational adj/101; rejection at alpha =
-    0.2 is the integer predicate adj * 5 <= 101."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    k = len(_MARKOV_STATES)
-    p_num = _one_vs_rest_perm_pnums(sf_dir)
-    order = sorted(range(k), key=lambda t: (p_num[t], _MARKOV_STATES[t]))
-    adj = {}
-    run = 0
-    for r, t in enumerate(order):
-        run = max(run, (k - r) * p_num[t])
-        adj[t] = min(101, run)
-    rank = {t: r + 1 for r, t in enumerate(order)}
-    return pa.table(
-        {
-            "event_type": pa.array(_MARKOV_STATES, pa.string()),
-            "p_num": pa.array(p_num, pa.int64()),
-            "p_rank": pa.array(
-                [rank[t] for t in range(k)], pa.int64()
-            ),
-            "adj_num": pa.array(
-                [adj[t] for t in range(k)], pa.int64()
-            ),
-            "p_adj": round_like_sql(
-                [adj[t] / 101.0 for t in range(k)], 6
-            ),
-            "reject": pa.array(
-                [1 if adj[t] * 5 <= 101 else 0 for t in range(k)],
-                pa.int64(),
-            ),
-        }
-    )
-
-
-def _holm_oracle_sql() -> str:
-    """Mirror of _q_holm_adjust: the bh_fdr permutation chain plus
-    the integer Holm running max."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
-        mix32_sql,
-    )
-
-    u = mix32_sql("e.eid", "tt.i * 1009 + pp.p")
-    return (
-        "WITH e AS (SELECT event_id AS eid, event_type AS t, "
-        "CAST(ROUND(value * 100, 0) AS BIGINT) AS y FROM events), "
-        "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(y) AS BIGINT) AS s FROM e), "
-        "tt AS (SELECT * FROM (VALUES ('click', 0), ('error', 1), "
-        "('purchase', 2), ('signup', 3), ('view', 4)) AS v(name, i)), "
-        "obs AS (SELECT tt.name, CAST(SUM(CASE WHEN e.t = tt.name "
-        "THEN 1 ELSE 0 END) AS BIGINT) AS n1, "
-        "CAST(SUM(CASE WHEN e.t = tt.name THEN e.y ELSE 0 END) "
-        "AS BIGINT) AS s1 FROM e, tt GROUP BY 1), "
-        "ot AS (SELECT name, CAST(s1 AS DOUBLE) / n1 "
-        "- CAST(tot.s - s1 AS DOUBLE) / (tot.n - n1) AS st "
-        "FROM obs, tot), "
-        f"pp AS (SELECT r.range AS p FROM range(0, {_BH_PERMS}) r), "
-        f"pl AS (SELECT tt.name, pp.p, CASE WHEN ({u}) % 5 = 0 "
-        "THEN 1 ELSE 0 END AS lab, e.y FROM e, tt, pp), "
-        "ps AS (SELECT name, p, CAST(SUM(lab) AS BIGINT) AS n1, "
-        "CAST(SUM(lab * y) AS BIGINT) AS s1 FROM pl GROUP BY 1, 2), "
-        "pt AS (SELECT name, p, CAST(s1 AS DOUBLE) / n1 "
-        "- CAST(tot.s - s1 AS DOUBLE) / (tot.n - n1) AS st "
-        "FROM ps, tot), "
-        "ex AS (SELECT pt.name, CAST(SUM(CASE WHEN ABS(pt.st) "
-        ">= ABS(ot.st) THEN 1 ELSE 0 END) AS BIGINT) AS e "
-        "FROM pt JOIN ot ON ot.name = pt.name GROUP BY 1), "
-        "pn AS (SELECT name, 1 + e AS p_num, ROW_NUMBER() OVER "
-        "(ORDER BY 1 + e, name) AS rk FROM ex), "
-        "ha AS (SELECT name, p_num, rk, "
-        "LEAST(101, MAX((5 - rk + 1) * p_num) OVER "
-        "(ORDER BY rk ROWS UNBOUNDED PRECEDING)) AS adj FROM pn) "
-        "SELECT name AS event_type, CAST(p_num AS BIGINT) AS p_num, "
-        "CAST(rk AS BIGINT) AS p_rank, CAST(adj AS BIGINT) AS adj_num, "
-        "ROUND(CAST(adj AS DOUBLE) / 101.0, 6) AS p_adj, "
-        "CAST(CASE WHEN adj * 5 <= 101 THEN 1 ELSE 0 END AS BIGINT) "
-        "AS reject FROM ha ORDER BY event_type"
-    )
-
-
-_CROSTON_SC = 1_000_000
-
-
-def _q_croston_demand(sf_dir: str) -> pa.Table:
-    """Croston's method for intermittent demand (alpha = 1/5 exact)
-    over the top user's daily event counts: separate exponential
-    smoothing of non-zero demand sizes and inter-demand intervals,
-    both quantized at 1e6 ticks with truncating division -- the
-    recurrence is bit-identical to the recursive CTE; the forecast
-    z/p is one pinned float division per demand point."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    top_user = _top_users_by_count(sf_dir, 1)[0][0]
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["ts", "user_id"],
-    )
-
-    def daily(batch: pa.Table) -> pa.Table:
-        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        day = (
-            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 86_400_000_000
-        )
-        return pa.table(
-            {
-                "day": pa.array(day),
-                "mine": pa.array((uid == top_user).astype(np.int64)),
-                "_one": pa.array(np.ones(len(day), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(daily, batch_format="pyarrow", batch_size=None),
-        ["day"],
-        [("mine", "sum", "d"), ("_one", "sum", "n")],
-    )
-    days = agg["day"].to_numpy(zero_copy_only=False).astype(np.int64)
-    dcount = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)
-    lo = int(days.min())
-    seq = sorted(
-        (int(t) - lo, int(d)) for t, d in zip(days, dcount) if d > 0
-    )
-    sc = _CROSTON_SC
-    rows = []
-    z = p = 0
-    prev_t = None
-    for i, (t, d) in enumerate(seq, start=1):
-        if i == 1:
-            z = d * sc
-            p = (t + 1) * sc
-        else:
-            z = (4 * z + d * sc) // 5
-            p = (4 * p + (t - prev_t) * sc) // 5
-        prev_t = t
-        rows.append((i, t, d, z, p, float(z) / float(p)))
-    return pa.table(
-        {
-            "i": pa.array([r[0] for r in rows], pa.int64()),
-            "t": pa.array([r[1] for r in rows], pa.int64()),
-            "demand": pa.array([r[2] for r in rows], pa.int64()),
-            "z_ticks": pa.array([r[3] for r in rows], pa.int64()),
-            "p_ticks": pa.array([r[4] for r in rows], pa.int64()),
-            "forecast": round_like_sql([r[5] for r in rows], 6),
-        }
-    )
-
-
-def _croston_oracle_sql() -> str:
-    """Mirror of _q_croston_demand: recursive CTE over the demand
-    sequence with integer-tick state."""
-    sc = _CROSTON_SC
-    return (
-        "WITH RECURSIVE uc AS (SELECT user_id, COUNT(*) AS n "
-        "FROM events GROUP BY 1), "
-        "top1 AS (SELECT user_id FROM uc ORDER BY n DESC, user_id "
-        "LIMIT 1), "
-        "lo AS (SELECT MIN(epoch_us(ts) // 86400000000) AS lo "
-        "FROM events), "
-        "dd AS (SELECT epoch_us(ts) // 86400000000 "
-        "- (SELECT lo FROM lo) AS t, CAST(COUNT(*) AS BIGINT) AS d "
-        "FROM events WHERE user_id = (SELECT user_id FROM top1) "
-        "GROUP BY 1), "
-        "seq AS (SELECT t, d, CAST(ROW_NUMBER() OVER (ORDER BY t) "
-        "AS BIGINT) AS i FROM dd WHERE d > 0), "
-        "w AS (SELECT s.i, s.t, s.d, "
-        f"s.d * {sc} AS z, (s.t + 1) * {sc} AS p FROM seq s "
-        "WHERE s.i = 1 "
-        "UNION ALL "
-        f"SELECT s.i, s.t, s.d, (4 * w.z + s.d * {sc}) // 5, "
-        f"(4 * w.p + (s.t - w.t) * {sc}) // 5 "
-        "FROM w JOIN seq s ON s.i = w.i + 1) "
-        "SELECT i, t, d AS demand, z AS z_ticks, p AS p_ticks, "
-        "ROUND(CAST(z AS DOUBLE) / CAST(p AS DOUBLE), 6) AS forecast "
-        "FROM w"
-    )
-
-
-def _q_aoristic_hours(sf_dir: str) -> pa.Table:
-    """Aoristic temporal analysis (the crime-analysis standard for
-    events known only to an interval): each event's 30-minute window
-    [ts, ts+1800s) distributes its weight across the hour-of-day bins
-    it overlaps, in exact MICROSECONDS -- an interval crosses at most
-    one hour boundary, so the split is two integer terms per event,
-    combined by the distributed aggregate."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
-    win = 1_800_000_000  # 30 min in us
-    hour_us = 3_600_000_000
-
-    def split(batch: pa.Table) -> pa.Table:
-        t = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        h = (t // hour_us) % 24
-        into = t % hour_us
-        first = np.minimum(win, hour_us - into)
-        second = win - first
-        return pa.table(
-            {
-                "hour": pa.array(np.concatenate([h, (h + 1) % 24])),
-                "w_us": pa.array(np.concatenate([first, second])),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(split, batch_format="pyarrow", batch_size=None),
-        ["hour"],
-        [("w_us", "sum", "w_us")],
-    ).sort_by("hour")
-    hh = agg["hour"].to_numpy(zero_copy_only=False).astype(np.int64)
-    w = agg["w_us"].to_numpy(zero_copy_only=False).astype(np.int64)
-    full = np.zeros(24, np.int64)
-    full[hh] = w
-    tot = int(full.sum())
-    return pa.table(
-        {
-            "hour": pa.array(list(range(24)), pa.int64()),
-            "w_us": pa.array(full, pa.int64()),
-            "share": round_like_sql(
-                full.astype(np.float64) / float(tot), 6
-            ),
-        }
-    )
-
-
-def _q_pair_correlation(sf_dir: str) -> pa.Table:
-    """Pair-correlation (radial distribution) function g(r) over the
-    1-in-20 geocoded sample -- the derivative companion of Ripley's
-    K: exact integer pair counts per annulus (0.02-wide rings,
-    coincident pairs reported separately), normalized by the CSR
-    expectation n(n-1)/A * pi(r2^2 - r1^2).  Same broadcast-matrix
-    counting shape as ripley_k."""
-    import ray
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    edges = (0.0, 0.02, 0.04, 0.06, 0.08, 0.10)
-    area = 0.95 * 0.95
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["event_id"]
-    )
-
-    def geocode(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False)
-        eid = eid[eid % 20 == 0]
-        return pa.table(
-            {
-                "px": pa.array(77.0 + (eid % 96).astype(np.float64) * 0.01),
-                "py": pa.array(
-                    28.05 + ((eid // 96) % 96).astype(np.float64) * 0.01
-                ),
-            }
-        )
-
-    sample = ds.map_batches(
-        geocode, batch_format="pyarrow", batch_size=None
-    ).materialize()
-    tbl = pa.concat_tables(
-        [pa.table(b) for b in sample.iter_batches(batch_format="pyarrow")]
-    )
-    qx = tbl["px"].to_numpy(zero_copy_only=False)
-    qy = tbl["py"].to_numpy(zero_copy_only=False)
-    m = len(qx)
-    ref = ray.put((qx, qy))
-
-    def count_pairs(batch: pa.Table) -> pa.Table:
-        bx, by = ray.get(ref)
-        px = batch["px"].to_numpy(zero_copy_only=False)
-        py = batch["py"].to_numpy(zero_copy_only=False)
-        d2 = (
-            (px[:, None] - bx[None, :]) ** 2
-            + (py[:, None] - by[None, :]) ** 2
-        )
-        ks, cs = [], []
-        ks.append(-1)  # coincident (minus self-pairs)
-        cs.append(int((d2 == 0.0).sum()) - len(px))
-        for k in range(len(edges) - 1):
-            r1, r2 = edges[k], edges[k + 1]
-            ks.append(k)
-            cs.append(
-                int(((d2 > r1 * r1) & (d2 <= r2 * r2)).sum())
-            )
-        return pa.table(
-            {
-                "k": pa.array(ks, pa.int64()),
-                "c": pa.array(cs, pa.int64()),
-            }
-        )
-
-    agg = hash_aggregate(
-        ray.data.from_arrow(tbl).map_batches(
-            count_pairs, batch_format="pyarrow", batch_size=None
-        ),
-        ["k"],
-        [("c", "sum", "c")],
-    ).sort_by("k")
-    kk = agg["k"].to_numpy(zero_copy_only=False).astype(np.int64)
-    cc = agg["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-    cmap = dict(zip(kk.tolist(), cc.tolist()))
-    rows = []
-    for k in range(len(edges) - 1):
-        r1, r2 = edges[k], edges[k + 1]
-        c = cmap[k]
-        g = (
-            float(c)
-            / (float(m) * float(m - 1))
-            * area
-            / (np.pi * (r2 * r2 - r1 * r1))
-        )
-        rows.append((k, r1, r2, c, g))
-    return pa.table(
-        {
-            "k": pa.array([r[0] for r in rows], pa.int64()),
-            "r1": round_like_sql([r[1] for r in rows], 6),
-            "r2": round_like_sql([r[2] for r in rows], 6),
-            "n_pairs": pa.array([r[3] for r in rows], pa.int64()),
-            "g_r": round_like_sql([r[4] for r in rows], 6),
-            "n_coincident": pa.array(
-                [cmap[-1]] * len(rows), pa.int64()
-            ),
-        }
-    )
-
-
-def _q_crc32_audit(sf_dir: str) -> pa.Table:
-    """CRC-32 (IEEE 802.3, zlib-compatible) checksums of each
-    document's first 64 bytes plus the corpus XOR digest -- the
-    content-integrity audit companion of the Luhn / Merkle ops.  The
-    engine uses zlib.crc32; the SQL oracle recomputes byte-by-byte
-    from a generated 256-entry table (a genuinely independent
-    implementation)."""
-    import zlib
-
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "text"],
-    )
-
-    def crc(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        texts = batch["text"].to_pylist()
-        crcs = np.array(
-            [zlib.crc32(t[:64].encode("ascii")) for t in texts],
-            np.int64,
-        )
-        return pa.table({"doc_id": pa.array(ids), "crc": pa.array(crcs)})
-
-    crcs_ds = ds.map_batches(crc, batch_format="pyarrow", batch_size=None)
-    # combiner tier: per-batch xor partials + the sampled rows only
-    parts = []
-    xor_total = 0
-    for b in crcs_ds.iter_batches(batch_format="pyarrow", batch_size=None):
-        t = pa.table(b)
-        c = t["crc"].to_numpy(zero_copy_only=False).astype(np.int64)
-        xor_total ^= int(np.bitwise_xor.reduce(c)) if len(c) else 0
-        keep = t["doc_id"].to_numpy(zero_copy_only=False) % 50 == 0
-        parts.append(t.filter(pa.array(keep)))
-    tbl = pa.concat_tables(parts).sort_by("doc_id")
-    return pa.table(
-        {
-            "doc_id": tbl["doc_id"],
-            "crc": tbl["crc"],
-            "corpus_xor": pa.array(
-                [xor_total] * tbl.num_rows, pa.int64()
-            ),
-        }
-    )
-
-
-_CRC_TABLE_SQL = None
-
-
-def _crc32_oracle_sql() -> str:
-    """Mirror of _q_crc32_audit: table-driven CRC-32 as a recursive
-    CTE over byte positions (table generated here, independently of
-    zlib)."""
-    tbl = []
-    for i in range(256):
-        c = i
-        for _ in range(8):
-            c = (c >> 1) ^ (0xEDB88320 if c & 1 else 0)
-        tbl.append(c)
-    vals = ", ".join(f"({i}, {v})" for i, v in enumerate(tbl))
-    return (
-        "WITH RECURSIVE ct(i, v) AS (SELECT * FROM (VALUES "
-        + vals
-        + ") AS t(i, v)), "
-        "d AS (SELECT doc_id, substr(text, 1, 64) AS s, "
-        "length(substr(text, 1, 64)) AS n FROM documents), "
-        "w AS (SELECT doc_id, s, n, 1 AS pos, "
-        "CAST(4294967295 AS BIGINT) AS crc FROM d "
-        "UNION ALL "
-        "SELECT w.doc_id, w.s, w.n, w.pos + 1, "
-        "xor(w.crc >> 8, ct.v) FROM w JOIN ct "
-        "ON ct.i = (xor(w.crc, ascii(substr(w.s, CAST(w.pos AS INTEGER), 1))) & 255) "
-        "WHERE w.pos <= w.n), "
-        "f AS (SELECT doc_id, xor(crc, 4294967295) AS crc FROM w "
-        "WHERE pos = n + 1), "
-        "x AS (SELECT bit_xor(crc) AS corpus_xor FROM f) "
-        "SELECT f.doc_id, CAST(f.crc AS BIGINT) AS crc, "
-        "CAST(x.corpus_xor AS BIGINT) AS corpus_xor FROM f, x "
-        "WHERE f.doc_id % 50 = 0 ORDER BY f.doc_id"
-    )
-
-
-def _q_hop_histogram(sf_dir: str) -> pa.Table:
-    """All-pairs min-hop histogram of the edit-1 word graph with the
-    exact and EFFECTIVE (90th-percentile) diameters -- the
-    small-world diagnostic.  Edge construction is the distributed
-    deletion-blocked join; the all-source BFS runs on the
-    vocabulary-bounded adjacency (ordered pairs, unreachable pairs
-    excluded); effective diameter = smallest h with 10*cum >= 9*total
-    (integer predicate)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        edit1_vocab_pairs,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
-    ).map_batches(
-        lambda b: b.rename_columns(["text"]),
-        batch_format="pyarrow", batch_size=None,
-    )
-    pairs = edit1_vocab_pairs(ds, min_len=4)
-    vocab = sorted(
-        set(pairs["w1"].to_pylist()) | set(pairs["w2"].to_pylist())
-    )
-    wid = {w: i for i, w in enumerate(vocab)}
-    n = len(vocab)
-    adj: list[set[int]] = [set() for _ in range(n)]
-    for w1, w2 in zip(pairs["w1"].to_pylist(), pairs["w2"].to_pylist()):
-        a, b = wid[w1], wid[w2]
-        adj[a].add(b)
-        adj[b].add(a)
-    hist: dict[int, int] = {}
-    for s in range(n):
-        dist = {s: 0}
-        frontier = [s]
-        d = 0
-        while frontier and d < 12:
-            d += 1
-            nxt = []
-            for u in frontier:
-                for v in adj[u]:
-                    if v not in dist:
-                        dist[v] = d
-                        nxt.append(v)
-            frontier = nxt
-        for v, h in dist.items():
-            if h >= 1:
-                hist[h] = hist.get(h, 0) + 1
-    hs = sorted(hist)
-    tot = sum(hist.values())
-    cum = 0
-    eff = None
-    for h in hs:
-        cum += hist[h]
-        if eff is None and 10 * cum >= 9 * tot:
-            eff = h
-    return pa.table(
-        {
-            "h": pa.array(hs, pa.int64()),
-            "n_pairs": pa.array([hist[h] for h in hs], pa.int64()),
-            "eff_diameter": pa.array([eff] * len(hs), pa.int64()),
-            "diameter": pa.array([hs[-1]] * len(hs), pa.int64()),
-        }
-    )
-
-
-def _q_graph_coloring_greedy(sf_dir: str) -> pa.Table:
-    """Greedy vertex coloring of the hot-cell proximity graph
-    (top-16 cells, Chebyshev <= 4 edges) in hotness order: each
-    vertex takes the smallest color unused by its earlier-ordered
-    neighbors -- the classic Delta+1 heuristic (frequency / channel
-    assignment).  16 sequential mex steps, unrolled in SQL."""
-    verts = _top_count_cells_xy(sf_dir, 16)
-    nv = len(verts)
-    colors: list[int] = []
-    for i in range(nv):
-        used = {
-            colors[j]
-            for j in range(i)
-            if max(
-                abs(verts[i][1] - verts[j][1]),
-                abs(verts[i][2] - verts[j][2]),
-            )
-            <= _CLIQUE_T
-        }
-        c = 0
-        while c in used:
-            c += 1
-        colors.append(c)
-    return pa.table(
-        {
-            "cell": pa.array([v[0] for v in verts], pa.int64()),
-            "color": pa.array(colors, pa.int64()),
-            "n_colors": pa.array(
-                [max(colors) + 1] * nv, pa.int64()
-            ),
-        }
-    )
-
-
-def _coloring_oracle_sql() -> str:
-    """Mirror of _q_graph_coloring_greedy: 16 unrolled mex steps."""
-    steps = []
-    for i in range(1, 16):
-        prev = f"a{i - 1}"
-        steps.append(
-            f"a{i} AS MATERIALIZED (SELECT * FROM {prev} UNION ALL "
-            f"SELECT {i} AS bi, (SELECT MIN(c.range) FROM range(0, 16) c "
-            f"WHERE c.range NOT IN (SELECT p.col FROM {prev} p "
-            f"JOIN sym ON sym.a = {i} AND sym.b = p.bi)) AS col)"
-        )
-    return (
-        "WITH cc AS (SELECT event_id % 96 + (event_id // 96 % 96) * 96 "
-        "AS cell, COUNT(*) AS n FROM events GROUP BY 1), "
-        "t16 AS (SELECT cell, "
-        "ROW_NUMBER() OVER (ORDER BY n DESC, cell) - 1 AS bi "
-        "FROM cc ORDER BY n DESC, cell LIMIT 16), "
-        "nd AS (SELECT cell, bi, cell % 96 AS x, cell // 96 AS y "
-        "FROM t16), "
-        "sym AS (SELECT a.bi AS a, b.bi AS b FROM nd a JOIN nd b "
-        "ON b.bi <> a.bi AND GREATEST(ABS(a.x - b.x), "
-        f"ABS(a.y - b.y)) <= {_CLIQUE_T}), "
-        "a0 AS (SELECT 0 AS bi, 0 AS col), "
-        + ", ".join(steps)
-        + " SELECT nd.cell, CAST(a15.col AS BIGINT) AS color, "
-        "(SELECT CAST(MAX(col) + 1 AS BIGINT) FROM a15) AS n_colors "
-        "FROM a15 JOIN nd ON nd.bi = a15.bi"
-    )
-
-
-def _q_ca_trend_hours(sf_dir: str) -> pa.Table:
-    """Cochran-Armitage trend test of purchase share across the 24
-    ordered hour-of-day groups (scores = hour): z assembled from
-    exact integer sums, z = (N*T - R*S1) * sqrt(N) /
-    sqrt(R*(N-R)*(N*S2 - S1^2)) -- Python-int / HUGEINT moments,
-    floats only in the two square roots."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["ts", "event_type"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        et = batch["event_type"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "h": pa.array((ts // 3_600_000_000) % 24),
-                "r": pa.array((et == "purchase").astype(np.int64)),
-                "_one": pa.array(np.ones(len(ts), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["h"],
-        [("r", "sum", "r"), ("_one", "sum", "n")],
-    )
-    h = agg["h"].to_numpy(zero_copy_only=False).astype(np.int64)
-    r = agg["r"].to_numpy(zero_copy_only=False).astype(np.int64)
-    nn = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    big_n = int(nn.sum())
-    big_r = int(r.sum())
-    t = int((h * r).sum())
-    s1 = int((h * nn).sum())
-    s2 = int((h * h * nn).sum())
-    num = big_n * t - big_r * s1
-    den = big_r * (big_n - big_r) * (big_n * s2 - s1 * s1)
-    z = float(num) * np.sqrt(float(big_n)) / np.sqrt(float(den))
-    return pa.table(
-        {
-            "n_total": pa.array([big_n], pa.int64()),
-            "n_pos": pa.array([big_r], pa.int64()),
-            "num": pa.array([num], pa.int64()),
-            "z_stat": round_like_sql([float(z)], 6),
-        }
-    )
-
-
-def _q_chow_revenue_break(sf_dir: str) -> pa.Table:
-    """Chow structural-break test of the daily revenue trend at the
-    series midpoint: pooled and per-segment OLS SSEs from exact
-    integer moments (A = nSyy - Sy^2, B = nSxy - SxSy, C = nSxx -
-    Sx^2; SSE = (A - B^2/C)/n as one pinned float chain), F =
-    ((SSEp - SSE1 - SSE2)/2) / ((SSE1 + SSE2)/(n - 4))."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    ys = _daily_revenue_cents(sf_dir)
-    n = len(ys)
-    mid = n // 2
-
-    def sse(lo: int, hi: int) -> float:
-        m = hi - lo
-        xs = list(range(lo, hi))
-        sx = sum(xs)
-        sy = sum(ys[lo:hi])
-        sxx = sum(x * x for x in xs)
-        syy = sum(y * y for y in ys[lo:hi])
-        sxy = sum(x * y for x, y in zip(xs, ys[lo:hi]))
-        a = m * syy - sy * sy
-        b = m * sxy - sx * sy
-        c = m * sxx - sx * sx
-        return (float(a) - float(b) * float(b) / float(c)) / float(m)
-
-    sse_p = sse(0, n)
-    sse_1 = sse(0, mid)
-    sse_2 = sse(mid, n)
-    f = ((sse_p - sse_1 - sse_2) / 2.0) / (
-        (sse_1 + sse_2) / float(n - 4)
-    )
-    return pa.table(
-        {
-            "n_days": pa.array([n], pa.int64()),
-            "sse_pooled": round_like_sql([sse_p], 6),
-            "sse_1": round_like_sql([sse_1], 6),
-            "sse_2": round_like_sql([sse_2], 6),
-            "f_stat": round_like_sql([f], 6),
-        }
-    )
-
-
-def _q_cvm_uniform(sf_dir: str) -> pa.Table:
-    """One-sample Cramer-von Mises W^2 and circular Watson U^2
-    goodness-of-fit of the fractional cents u = (c mod 10^4)/10^4
-    against Uniform(0,1): the order-statistic sum expands to exact
-    integers -- each tie run [a,b] of value k contributes the closed
-    form sum of ((2i-1)*10^4 - 2n*k)^2, accumulated as Python ints
-    (HUGEINT in SQL); floats only in the final assembly."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["value"]
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        c = scaled_int(batch["value"], 100.0)
-        return pa.table(
-            {
-                "k": pa.array(c % 10_000),
-                "_one": pa.array(np.ones(len(c), np.int64)),
-            }
-        )
-
-    counts = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["k"],
-        [("_one", "sum", "m")],
-    ).sort_by("k")
-    ks = counts["k"].to_numpy(zero_copy_only=False).astype(np.int64)
-    ms = counts["m"].to_numpy(zero_copy_only=False).astype(np.int64)
-    n = int(ms.sum())
-    su = int((ks * ms).sum())  # sum of u * 10^4
-    s_total = 0
-    pos = 0
-    alpha = 2 * 10_000
-    for k, m in zip(ks.tolist(), ms.tolist()):
-        a, b = pos + 1, pos + m
-        beta = -10_000 - 2 * n * int(k)
-        si = (a + b) * m // 2
-        si2 = (
-            b * (b + 1) * (2 * b + 1) // 6
-            - (a - 1) * a * (2 * a - 1) // 6
-        )
-        s_total += alpha * alpha * si2 + 2 * alpha * beta * si + m * beta * beta
-        pos += m
-    den = float(2 * n * 10_000)
-    w2 = 1.0 / (12.0 * float(n)) + float(s_total) / (den * den)
-    ub_num = 2 * su - n * 10_000
-    dev = float(ub_num) / den
-    u2 = w2 - float(n) * dev * dev
-    return pa.table(
-        {
-            "n": pa.array([n], pa.int64()),
-            "w2": round_like_sql([w2], 6),
-            "watson_u2": round_like_sql([u2], 6),
-        }
-    )
-
-
-def _q_robust_moments(sf_dir: str) -> pa.Table:
-    """Quantile-based robust shape statistics of the price cents:
-    Bowley (quartile) skewness and Moors (octile) kurtosis from the
-    distributed exact-quantile machinery (quantile_disc element
-    selection -- every octile an exact integer, two float divisions
-    total)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
-        exact_quantiles,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_extendedprice"],
-    )
-
-    def cents(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {"c": pa.array(scaled_int(batch["l_extendedprice"], 100.0))}
-        )
-
-    cds = ds.map_batches(cents, batch_format="pyarrow", batch_size=None)
-    qs = [i / 8.0 for i in range(1, 8)]
-    qt = exact_quantiles(cds, "c", qs)
-    qcol = qt["q"].to_numpy(zero_copy_only=False)
-    vcol = qt.column(qt.num_columns - 1)
-    e = [
-        int(vcol[int(np.argmin(np.abs(qcol - i / 8.0)))].as_py())
-        for i in range(1, 8)
-    ]
-    # octiles e[0..6] at 1/8..7/8; quartiles are e[1], e[3], e[5]
-    q1, q2, q3 = e[1], e[3], e[5]
-    bowley = float(q3 + q1 - 2 * q2) / float(q3 - q1)
-    moors = float((e[6] - e[4]) + (e[2] - e[0])) / float(e[5] - e[1])
-    return pa.table(
-        {
-            "q1": pa.array([q1], pa.int64()),
-            "q2": pa.array([q2], pa.int64()),
-            "q3": pa.array([q3], pa.int64()),
-            "bowley_skew": round_like_sql([bowley], 6),
-            "moors_kurt": round_like_sql([moors], 6),
-        }
-    )
-
-
-def _q_hartley_fmax(sf_dir: str) -> pa.Table:
-    """Hartley's F_max variance-ratio screen across the event types:
-    group variances as exact rationals A_t / (n_t (n_t - 1)) with
-    A = n*S2 - S1^2, the argmax / argmin chosen by exact HUGEINT
-    cross-multiplication (name ties), F_max one float division."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_type", "value"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        c = scaled_int(batch["value"], 100.0)
-        return pa.table(
-            {
-                "t": batch["event_type"],
-                "_one": pa.array(np.ones(len(c), np.int64)),
-                "s1": pa.array(c),
-                "s2": pa.array(c * c),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["t"],
-        [("_one", "sum", "n"), ("s1", "sum", "s1"), ("s2", "sum", "s2")],
-    )
-    g = {}
-    for i in range(agg.num_rows):
-        nt = int(agg["n"][i].as_py())
-        s1 = int(agg["s1"][i].as_py())
-        s2 = int(agg["s2"][i].as_py())
-        g[agg["t"][i].as_py()] = (nt * s2 - s1 * s1, nt * (nt - 1))
-    names = sorted(g)
-
-    def beats(x: str, y: str) -> bool:
-        ax, dx = g[x]
-        ay, dy = g[y]
-        return ax * dy > ay * dx or (ax * dy == ay * dx and x < y)
-
-    t_max = min(
-        (t for t in names if all(not beats(o, t) for o in names if o != t))
-    )
-    t_min = min(
-        (t for t in names if all(not beats(t, o) for o in names if o != t))
-    )
-    amax, dmax = g[t_max]
-    amin, dmin = g[t_min]
-    f = float(amax * dmin) / float(amin * dmax)
-    return pa.table(
-        {
-            "type_max": pa.array([t_max]),
-            "type_min": pa.array([t_min]),
-            "f_max": round_like_sql([f], 6),
-        }
-    )
-
-
-def _q_siegel_slopes(sf_dir: str) -> pa.Table:
-    """Siegel repeated-medians robust slope of the daily revenue
-    trend: per day the LOWER median of its pairwise slopes, then the
-    lower median across days (explicit (m+1)//2 order-statistic rule
-    on both levels -- no quantile-convention ambiguity; slopes are
-    shared float divisions)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    ys = _daily_revenue_cents(sf_dir)
-    n = len(ys)
-    per_i = []
-    for i in range(n):
-        slopes = sorted(
-            float(ys[j] - ys[i]) / float(j - i)
-            for j in range(n)
-            if j != i
-        )
-        per_i.append(slopes[(len(slopes) + 1) // 2 - 1])
-    per_i.sort()
-    slope = per_i[(n + 1) // 2 - 1]
-    return pa.table(
-        {
-            "n_days": pa.array([n], pa.int64()),
-            "siegel_slope": round_like_sql([slope], 6),
-        }
-    )
-
-
-def _q_max_subarray(sf_dir: str) -> pa.Table:
-    """Maximum-sum contiguous run of daily revenue DELTAS (Kadane's
-    problem) via the prefix-sum identity: best = max_t (S_t - min_{u<t}
-    S_u) -- exact integers, expressed with window functions in SQL
-    (the same prefix-min discipline as the clamped running balance).
-    Canonical ties by (start, end)."""
-    ys = _daily_revenue_cents(sf_dir)
-    d = [ys[t] - ys[t - 1] for t in range(1, len(ys))]
-    s = 0
-    min_s, min_i = 0, -1  # running min prefix, FIRST index (virtual -1)
-    prefixes = []
-    best = None  # (-sum, start, end)
-    for t, v in enumerate(d):
-        s += v
-        ssum = s - min_s
-        start = min_i + 1
-        key = (-ssum, start, t)
-        if best is None or key < best:
-            best = key
-        prefixes.append(s)
-        if s < min_s:
-            min_s, min_i = s, t
-    return pa.table(
-        {
-            "best_sum": pa.array([-best[0]], pa.int64()),
-            "start_t": pa.array([best[1]], pa.int64()),
-            "end_t": pa.array([best[2]], pa.int64()),
-            "n_days": pa.array([len(d)], pa.int64()),
-        }
-    )
-
-
-def _q_kendall_w(sf_dir: str) -> pa.Table:
-    """Kendall's coefficient of concordance W across daily
-    event-type-count ballots (blocks = days, objects = the 5 types,
-    within-day ranks tie-averaged): with doubled ranks everything is
-    exact integer -- W = 12 * sum(D2q) / (4 * m^2 (k^3 - k) -
-    m * sum T) with the standard tie correction, one float
-    division."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["ts", "event_type"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        day = (
-            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 86_400_000_000
-        )
-        return pa.table(
-            {
-                "day": pa.array(day),
-                "t": batch["event_type"],
-                "_one": pa.array(np.ones(len(day), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["day", "t"],
-        [("_one", "sum", "n")],
-    )
-    cells: dict[int, dict[str, int]] = {}
-    for i in range(agg.num_rows):
-        cells.setdefault(int(agg["day"][i].as_py()), {})[
-            agg["t"][i].as_py()
-        ] = int(agg["n"][i].as_py())
-    k = len(_MARKOV_STATES)
-    days = sorted(cells)
-    m = len(days)
-    rsum2 = {t: 0 for t in _MARKOV_STATES}  # doubled rank sums
-    tie_term = 0  # sum over blocks of sum(t^3 - t) over tie groups
-    for day in days:
-        counts = [cells[day].get(t, 0) for t in _MARKOV_STATES]
-        order = sorted(range(k), key=lambda j: counts[j])
-        # doubled tie-averaged ranks
-        r2 = [0] * k
-        i = 0
-        while i < k:
-            j = i
-            while j + 1 < k and counts[order[j + 1]] == counts[order[i]]:
-                j += 1
-            g = j - i + 1
-            dr2 = (i + 1) + (j + 1)  # 2 * average rank
-            for p in range(i, j + 1):
-                r2[order[p]] = dr2
-            tie_term += g * g * g - g
-            i = j + 1
-        for t, v in zip(_MARKOV_STATES, r2):
-            rsum2[t] += v
-    mean2 = m * (k + 1)  # doubled mean rank sum
-    d2q = sum((rsum2[t] - mean2) ** 2 for t in _MARKOV_STATES)
-    num = 12 * d2q
-    den = 4 * (m * m * (k * k * k - k) - m * tie_term)
-    w = float(num) / float(den)
-    return pa.table(
-        {
-            "n_days": pa.array([m], pa.int64()),
-            "d2_q": pa.array([d2q], pa.int64()),
-            "tie_term": pa.array([tie_term], pa.int64()),
-            "kendall_w": round_like_sql([w], 6),
-        }
-    )
-
-
-def _q_cronbach_daily_counts(sf_dir: str) -> pa.Table:
-    """Cronbach's alpha internal-consistency coefficient: items = the
-    5 event types, subjects = days, score = daily count per type.
-    Item and total variances from exact integer moments (biased /
-    population form, documented) -- alpha = k/(k-1) * (1 -
-    sum var_i / var_tot) reduces to one float chain over exact
-    integers."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["ts", "event_type"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        day = (
-            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 86_400_000_000
-        )
-        return pa.table(
-            {
-                "day": pa.array(day),
-                "t": batch["event_type"],
-                "_one": pa.array(np.ones(len(day), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["day", "t"],
-        [("_one", "sum", "n")],
-    )
-    cells: dict[int, dict[str, int]] = {}
-    for i in range(agg.num_rows):
-        cells.setdefault(int(agg["day"][i].as_py()), {})[
-            agg["t"][i].as_py()
-        ] = int(agg["n"][i].as_py())
-    days = sorted(cells)
-    m = len(days)
-    k = len(_MARKOV_STATES)
-    # n-scaled variances: V' = m * sum x^2 - (sum x)^2  (= m^2 * var)
-    sum_vi = 0
-    s_tot = 0
-    s2_tot = 0
-    for t in _MARKOV_STATES:
-        s = sum(cells[d].get(t, 0) for d in days)
-        s2 = sum(cells[d].get(t, 0) ** 2 for d in days)
-        sum_vi += m * s2 - s * s
-    tots = [sum(cells[d].values()) for d in days]
-    s_tot = sum(tots)
-    s2_tot = sum(x * x for x in tots)
-    v_tot = m * s2_tot - s_tot * s_tot
-    alpha = (float(k) / float(k - 1)) * (
-        1.0 - float(sum_vi) / float(v_tot)
-    )
-    return pa.table(
-        {
-            "n_days": pa.array([m], pa.int64()),
-            "sum_item_var": pa.array([sum_vi], pa.int64()),
-            "total_var": pa.array([v_tot], pa.int64()),
-            "alpha": round_like_sql([alpha], 6),
-        }
-    )
-
-
-def _q_h_index(sf_dir: str) -> pa.Table:
-    """h-index and g-index of the user-activity distribution (users
-    as "papers", event counts as "citations"): h = max rank with
-    count >= rank, g = max rank with cumulative count >= rank^2 --
-    pure integer rank predicates over the distributed per-user
-    counts."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["user_id"]
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "user_id": batch["user_id"],
-                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["user_id"],
-        [("_one", "sum", "n")],
-    )
-    counts = sorted(
-        (int(x) for x in agg["n"].to_pylist()), reverse=True
-    )
-    h = 0
-    for r, c in enumerate(counts, start=1):
-        if c >= r:
-            h = r
-    g = 0
-    cum = 0
-    for r, c in enumerate(counts, start=1):
-        cum += c
-        if cum >= r * r:
-            g = r
-    return pa.table(
-        {
-            "n_users": pa.array([len(counts)], pa.int64()),
-            "h_index": pa.array([h], pa.int64()),
-            "g_index": pa.array([g], pa.int64()),
-        }
-    )
-
-
-def _q_kleinberg_bursts(sf_dir: str) -> pa.Table:
-    """Kleinberg 2-state burst automaton over the daily purchase
-    share: state rates p0 = global share, p1 = min(2*p0, 0.999);
-    per-day binomial log-cost terms quantized at 1e9 ticks (the
-    binomial coefficient cancels between states and is dropped), one
-    ln(n_days)*1e9 transition charge into the burst state.  The DP
-    runs on exact integer ticks (recursive CTE mirror); output is
-    the per-day cost profile plus the marginal burst flag."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["ts", "event_type"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        day = (
-            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 86_400_000_000
-        )
-        et = batch["event_type"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "day": pa.array(day),
-                "k": pa.array((et == "purchase").astype(np.int64)),
-                "_one": pa.array(np.ones(len(day), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["day"],
-        [("k", "sum", "k"), ("_one", "sum", "n")],
-    ).sort_by("day")
-    kk = agg["k"].to_numpy(zero_copy_only=False).astype(np.int64)
-    nn = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    m = len(kk)
-    big_k, big_n = int(kk.sum()), int(nn.sum())
-    p0 = float(big_k) / float(big_n)
-    p1 = min(2.0 * p0, 0.999)
-
-    def cost(k: int, n: int, p: float) -> int:
-        return int(
-            round_half_away(
-                np.array(
-                    [
-                        -(
-                            float(k) * np.log(p)
-                            + float(n - k) * np.log(1.0 - p)
-                        )
-                        * 1e9
-                    ]
-                )
-            )[0]
-        )
-
-    trans = int(
-        round_half_away(np.array([np.log(float(m)) * 1e9]))[0]
-    )
-    c0, c1 = 0, 10**18  # the automaton starts in the base state
-    rows = []
-    for t in range(m):
-        k, n = int(kk[t]), int(nn[t])
-        nc0 = min(c0, c1) + cost(k, n, p0)
-        nc1 = min(c0 + trans, c1) + cost(k, n, p1)
-        c0, c1 = nc0, nc1
-        rows.append((t, c0, c1, 1 if c1 < c0 else 0))
-    return pa.table(
-        {
-            "t": pa.array([r[0] for r in rows], pa.int64()),
-            "c0_ticks": pa.array([r[1] for r in rows], pa.int64()),
-            "c1_ticks": pa.array([r[2] for r in rows], pa.int64()),
-            "in_burst": pa.array([r[3] for r in rows], pa.int64()),
-        }
-    )
-
-
-def _kleinberg_oracle_sql() -> str:
-    """Mirror of _q_kleinberg_bursts: recursive CTE over the
-    integer-tick two-state DP."""
-    return (
-        "WITH RECURSIVE e AS (SELECT epoch_us(ts) // 86400000000 "
-        "AS day, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END "
-        "AS k FROM events), "
-        "g AS (SELECT day, CAST(SUM(k) AS BIGINT) AS k, "
-        "CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY day), "
-        "sq AS (SELECT k, n, ROW_NUMBER() OVER (ORDER BY day) - 1 "
-        "AS t FROM g), "
-        "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m, "
-        "CAST(SUM(k) AS BIGINT) AS bk, CAST(SUM(n) AS BIGINT) AS bn "
-        "FROM sq), "
-        "pp AS (SELECT CAST(bk AS DOUBLE) / CAST(bn AS DOUBLE) AS p0, "
-        "LEAST(2.0 * CAST(bk AS DOUBLE) / CAST(bn AS DOUBLE), 0.999) "
-        "AS p1, CAST(ROUND(LN(CAST(m AS DOUBLE)) * 1e9, 0) AS BIGINT) "
-        "AS trans, m FROM m), "
-        "cst AS (SELECT sq.t, sq.k, sq.n, "
-        "CAST(ROUND(-(CAST(sq.k AS DOUBLE) * LN(pp.p0) "
-        "+ CAST(sq.n - sq.k AS DOUBLE) * LN(1.0 - pp.p0)) * 1e9, 0) "
-        "AS BIGINT) AS q0, "
-        "CAST(ROUND(-(CAST(sq.k AS DOUBLE) * LN(pp.p1) "
-        "+ CAST(sq.n - sq.k AS DOUBLE) * LN(1.0 - pp.p1)) * 1e9, 0) "
-        "AS BIGINT) AS q1 FROM sq, pp), "
-        "w AS (SELECT cst.t, "
-        "cst.q0 AS c0, (SELECT trans FROM pp) + cst.q1 AS c1 "
-        "FROM cst WHERE cst.t = 0 "
-        "UNION ALL "
-        "SELECT cst.t, LEAST(w.c0, w.c1) + cst.q0, "
-        "LEAST(w.c0 + (SELECT trans FROM pp), w.c1) + cst.q1 "
-        "FROM w JOIN cst ON cst.t = w.t + 1) "
-        "SELECT CAST(t AS BIGINT) AS t, c0 AS c0_ticks, "
-        "c1 AS c1_ticks, "
-        "CAST(CASE WHEN c1 < c0 THEN 1 ELSE 0 END AS BIGINT) "
-        "AS in_burst FROM w"
-    )
-
-
-def _q_map_at_10(sf_dir: str) -> pa.Table:
-    """Mean-average-precision@10 inputs per language for the ranking
-    "n_chars DESC, doc_id" with binary relevance n_chars % 3 = 2:
-    AP's rational value is held exactly as ap_num / (2520 *
-    min(R, 10)) (2520 = lcm(1..10), so every precision@i term is an
-    integer), with one float division at the end.  Top-10 via
-    per-block partial top-k; R from the bounded (lang) aggregate."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "lang", "n_chars"],
-    )
-
-    def topk(batch: pa.Table) -> pa.Table:
-        lang = np.asarray(batch["lang"].to_numpy(zero_copy_only=False))
-        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        nc = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = []
-        for lv in np.unique(lang):
-            mm = np.nonzero(lang == lv)[0]
-            order = np.lexsort((did[mm], -nc[mm]))[:10]
-            keep.extend(mm[order].tolist())
-        keep = np.array(keep, np.int64)
-        return pa.table(
-            {
-                "lang": pa.array(lang[keep]),
-                "doc_id": pa.array(did[keep]),
-                "n_chars": pa.array(nc[keep]),
-            }
-        )
-
-    tops = collect_tables(
-        ds.map_batches(topk, batch_format="pyarrow", batch_size=None)
-    )
-    rtot = hash_aggregate(
-        ds.map_batches(
-            lambda b: pa.table(
-                {
-                    "lang": b["lang"],
-                    "r": pa.array(
-                        (
-                            b["n_chars"].to_numpy(zero_copy_only=False)
-                            % 3
-                            == 2
-                        ).astype(np.int64)
-                    ),
-                }
-            ),
-            batch_format="pyarrow",
-            batch_size=None,
-        ),
-        ["lang"],
-        [("r", "sum", "r")],
-    )
-    rmap = {
-        rtot["lang"][i].as_py(): int(rtot["r"][i].as_py())
-        for i in range(rtot.num_rows)
-    }
-    lang_t = np.asarray(tops["lang"].to_numpy(zero_copy_only=False))
-    did_t = tops["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    nc_t = tops["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
-    rows = []
-    for lv in sorted(set(lang_t.tolist())):
-        mm = np.nonzero(lang_t == lv)[0]
-        order = np.lexsort((did_t[mm], -nc_t[mm]))[:10]
-        hits = 0
-        ap_num = 0
-        for i, idx in enumerate(order, start=1):
-            if nc_t[mm[idx]] % 3 == 2:
-                hits += 1
-                ap_num += (2520 // i) * hits
-        r = rmap[lv]
-        denom = 2520 * min(r, 10)
-        rows.append(
-            (lv, r, hits, ap_num, float(ap_num) / float(denom))
-        )
-    return pa.table(
-        {
-            "lang": pa.array([r[0] for r in rows]),
-            "r_total": pa.array([r[1] for r in rows], pa.int64()),
-            "hits_at_10": pa.array([r[2] for r in rows], pa.int64()),
-            "ap_num": pa.array([r[3] for r in rows], pa.int64()),
-            "ap": round_like_sql([r[4] for r in rows], 6),
-        }
-    )
-
-
-_LRU_SIZES = (1, 2, 4, 8, 16, 32, 64, 128, 256)
-
-
-def _q_lru_hit_rates(sf_dir: str) -> pa.Table:
-    """LRU cache hit-rate curve over the global user-access stream
-    (Mattson 1970 stack distances, computed EXACTLY in one pass):
-    access i with previous occurrence p hits a size-k cache iff its
-    stack distance -- the number of distinct users seen strictly
-    between p and i -- is < k.  The engine runs the offline
-    expiry-sweep (BIT over positions, j counted while its next
-    occurrence is still >= i); the SQL mirror states the same
-    identity as a windowed join (j in (p, i) with nxt_j >= i).
-    Sequential by nature -- the stream order IS the semantics -- so
-    the driver holds the (pos, user) relation (one int pair per
-    access), not the raw rows."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "ts", "user_id"],
-    )
-
-    def slim(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "ts": batch["ts"].cast(pa.int64()),
-                "event_id": batch["event_id"],
-                "user_id": batch["user_id"],
-            }
-        )
-
-    tbl = collect_tables(
-        ds.map_batches(slim, batch_format="pyarrow", batch_size=None)
-    ).sort_by([("ts", "ascending"), ("event_id", "ascending")])
-    users = tbl["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    n = len(users)
-    prev = np.full(n, -1, np.int64)
-    nxt = np.full(n, n, np.int64)
-    last: dict[int, int] = {}
-    for i, u in enumerate(users.tolist()):
-        if u in last:
-            prev[i] = last[u]
-            nxt[last[u]] = i
-        last[u] = i
-    # expiry sweep: BIT over positions; j active iff nxt_j >= i
-    bit = np.zeros(n + 1, np.int64)
-
-    def bit_add(i: int, v: int) -> None:
-        i += 1
-        while i <= n:
-            bit[i] += v
-            i += i & (-i)
-
-    def bit_sum(i: int) -> int:  # prefix sum of [0, i]
-        i += 1
-        s = 0
-        while i > 0:
-            s += bit[i]
-            i -= i & (-i)
-        return s
-
-    expire: dict[int, list[int]] = {}
-    for j in range(n):
-        expire.setdefault(int(nxt[j]), []).append(j)
-    hist: dict[int, int] = {}
-    n_reaccess = 0
-    for i in range(n):
-        for j in expire.get(i, ()):
-            bit_add(j, -1)
-        p = int(prev[i])
-        if p >= 0:
-            n_reaccess += 1
-            sd = bit_sum(i - 1) - bit_sum(p)
-            hist[sd] = hist.get(sd, 0) + 1
-        bit_add(i, 1)
-    rows = []
-    for k in _LRU_SIZES:
-        hits = sum(c for sd, c in hist.items() if sd < k)
-        rows.append((k, hits))
-    return pa.table(
-        {
-            "cache_size": pa.array([r[0] for r in rows], pa.int64()),
-            "hits": pa.array([r[1] for r in rows], pa.int64()),
-            "accesses": pa.array([n] * len(rows), pa.int64()),
-            "reaccesses": pa.array(
-                [n_reaccess] * len(rows), pa.int64()
-            ),
-            "hit_rate": round_like_sql(
-                [float(r[1]) / float(n) for r in rows], 6
-            ),
-        }
-    )
-
-
-def _lru_oracle_sql() -> str:
-    """Mirror of _q_lru_hit_rates: stack distance as the windowed
-    distinct-survivor count (j in (p, i) with nxt_j >= i)."""
-    sizes = ", ".join(f"({k})" for k in _LRU_SIZES)
-    return (
-        "WITH s AS (SELECT user_id, ROW_NUMBER() OVER "
-        "(ORDER BY ts, event_id) - 1 AS pos FROM events), "
-        "pn AS (SELECT pos, "
-        "LAG(pos) OVER (PARTITION BY user_id ORDER BY pos) AS p, "
-        "COALESCE(LEAD(pos) OVER (PARTITION BY user_id "
-        "ORDER BY pos), (SELECT COUNT(*) FROM s)) AS nxt FROM s), "
-        "sd AS (SELECT a.pos, CAST(COUNT(b.pos) AS BIGINT) AS sd "
-        "FROM pn a LEFT JOIN pn b "
-        "ON b.pos > a.p AND b.pos < a.pos AND b.nxt >= a.pos "
-        "WHERE a.p IS NOT NULL GROUP BY a.pos), "
-        f"ks AS (SELECT * FROM (VALUES {sizes}) AS v(k)) "
-        "SELECT CAST(ks.k AS BIGINT) AS cache_size, "
-        "CAST(SUM(CASE WHEN sd.sd < ks.k THEN 1 ELSE 0 END) "
-        "AS BIGINT) AS hits, "
-        "(SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS accesses, "
-        "(SELECT CAST(COUNT(*) AS BIGINT) FROM sd) AS reaccesses, "
-        "ROUND(CAST(SUM(CASE WHEN sd.sd < ks.k THEN 1 ELSE 0 END) "
-        "AS DOUBLE) / CAST((SELECT COUNT(*) FROM s) AS DOUBLE), 6) "
-        "AS hit_rate FROM ks, sd GROUP BY ks.k"
-    )
-
-
-_IFOREST_TREES = 8
-_IFOREST_DEPTH = 6
-
-
-def _q_isolation_forest_lite(sf_dir: str) -> pa.Table:
-    """Random-split density scoring (isolation-forest variant with
-    fixed depth): 8 deterministic binary trees partition the
-    (hour-sum, cents-sum) user-centroid space with mix32-derived
-    axis/threshold choices; a user's anomaly evidence is the summed
-    population of its 8 leaves (small = isolated).  Rational
-    centroids compare exactly via cross-multiplication (s < thr * n),
-    so every routing decision is integer.  Top-20 most isolated
-    users."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
-        mix32,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["ts", "user_id", "value"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-            scaled_int,
-        )
-
-        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "user_id": batch["user_id"],
-                "_one": pa.array(np.ones(len(ts), np.int64)),
-                "sh": pa.array((ts // 3_600_000_000) % 24),
-                "sc": pa.array(scaled_int(batch["value"], 100.0)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["user_id"],
-        [("_one", "sum", "n"), ("sh", "sum", "sh"), ("sc", "sum", "sc")],
-    )
-    uid = agg["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    nn = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    sh = agg["sh"].to_numpy(zero_copy_only=False).astype(np.int64)
-    sc = agg["sc"].to_numpy(zero_copy_only=False).astype(np.int64)
-    # feature ranges: hour in [0, 24), cents in [0, 56100)
-    ranges = (24, 56_100)
-    score = np.zeros(len(uid), np.int64)
-    for t in range(_IFOREST_TREES):
-        leaf = np.zeros(len(uid), np.int64)
-        for d in range(_IFOREST_DEPTH):
-            # per-(tree, depth, node) feature and threshold
-            key = t * 1_000 + d * 100 + leaf
-            feat = mix32(key, 3) % 2
-            thr = np.where(
-                feat == 0,
-                mix32(key, 5) % ranges[0],
-                mix32(key, 5) % ranges[1],
-            )
-            s = np.where(feat == 0, sh, sc)
-            go_left = s < thr * nn  # mean < thr, cross-multiplied
-            leaf = leaf * 2 + np.where(go_left, 0, 1)
-        pop = np.zeros(1 << _IFOREST_DEPTH, np.int64)
-        np.add.at(pop, leaf, 1)
-        score += pop[leaf]
-    order = np.lexsort((uid, score))[:20]
-    return pa.table(
-        {
-            "user_id": pa.array(uid[order]),
-            "leaf_pop_sum": pa.array(score[order]),
-        }
-    )
-
-
-def _iforest_oracle_sql() -> str:
-    """Mirror of _q_isolation_forest_lite: 6 unrolled routing levels
-    per tree over the mix32 node parameters."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
-        mix32_sql,
-    )
-
-    lvls = []
-    for d in range(_IFOREST_DEPTH):
-        prev = f"l{d}"
-        lvls.append(
-            f"l{d + 1} AS MATERIALIZED (SELECT u.user_id, u.t, "
-            f"u.leaf * 2 + CASE WHEN (CASE WHEN u.feat = 0 THEN u.sh "
-            f"ELSE u.sc END) < u.thr * u.n THEN 0 ELSE 1 END AS leaf, "
-            f"u.n, u.sh, u.sc FROM (SELECT p.*, "
-            f"({mix32_sql('p.t * 1000 + ' + str(d) + ' * 100 + p.leaf', 3)}) % 2 AS feat, "
-            f"CASE WHEN ({mix32_sql('p.t * 1000 + ' + str(d) + ' * 100 + p.leaf', 3)}) % 2 = 0 "
-            f"THEN ({mix32_sql('p.t * 1000 + ' + str(d) + ' * 100 + p.leaf', 5)}) % 24 "
-            f"ELSE ({mix32_sql('p.t * 1000 + ' + str(d) + ' * 100 + p.leaf', 5)}) % 56100 "
-            f"END AS thr FROM {prev} p) u)"
-        )
-    return (
-        "WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM((epoch_us(ts) // 3600000000) % 24) AS BIGINT) AS sh, "
-        "CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) "
-        "AS sc FROM events GROUP BY user_id), "
-        f"tr AS (SELECT range AS t FROM range(0, {_IFOREST_TREES})), "
-        "l0 AS (SELECT c.user_id, tr.t, CAST(0 AS BIGINT) AS leaf, "
-        "c.n, c.sh, c.sc FROM c, tr), "
-        + ", ".join(lvls)
-        + f", pop AS (SELECT t, leaf, CAST(COUNT(*) AS BIGINT) AS pp "
-        f"FROM l{_IFOREST_DEPTH} GROUP BY t, leaf), "
-        f"sc AS (SELECT l.user_id, "
-        f"CAST(SUM(pop.pp) AS BIGINT) AS leaf_pop_sum "
-        f"FROM l{_IFOREST_DEPTH} l JOIN pop "
-        "ON pop.t = l.t AND pop.leaf = l.leaf GROUP BY l.user_id) "
-        "SELECT user_id, leaf_pop_sum FROM sc "
-        "ORDER BY leaf_pop_sum, user_id LIMIT 20"
-    )
-
-
-def _q_renyi_entropy(sf_dir: str) -> pa.Table:
-    """Renyi entropy spectrum of the corpus token distribution at
-    orders 0 (Hartley / log-vocab), 2 (collision), 3 and infinity
-    (min-entropy): every power sum S_a = sum c^a is an exact integer
-    over the distributed token counts, so H_a = (log(N^a) -
-    log(S_a)) / (a - 1) is one pinned float chain per order (natural
-    log)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        ngram_counts,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "text"],
-    )
-    tf = collect_tables(ngram_counts(ds, n=1))
-    c = np.array([int(x) for x in tf["n"].to_pylist()], object)
-    n = int(sum(c))
-    v = len(c)
-    s2 = int(sum(int(x) * int(x) for x in c))
-    s3 = int(sum(int(x) ** 3 for x in c))
-    cmax = int(max(int(x) for x in c))
-    h0 = np.log(float(v))
-    h2 = -(np.log(float(s2)) - 2.0 * np.log(float(n)))
-    h3 = -(np.log(float(s3)) - 3.0 * np.log(float(n))) / 2.0
-    hinf = -(np.log(float(cmax)) - np.log(float(n)))
-    return pa.table(
-        {
-            "order_name": pa.array(["h0", "h2", "h3", "hinf"]),
-            "entropy": round_like_sql([h0, h2, h3, hinf], 6),
-            "n_tokens": pa.array([n] * 4, pa.int64()),
-            "vocab": pa.array([v] * 4, pa.int64()),
-        }
-    )
-
-
-def _q_rocchio_feedback(sf_dir: str) -> pa.Table:
-    """Rocchio relevance-feedback term weights (alpha = beta = 1):
-    relevant = English documents, non-relevant = the rest; weight =
-    c_r(t)/N_r - c_n(t)/N_n held exactly as the integer numerator
-    c_r*N_n - c_n*N_r over N_r*N_n -- ranking and ties are pure
-    integer comparisons, one float division per emitted term.
-    Top-10 expansion terms."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "text", "lang"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        toks = pc.split_pattern(batch["text"], " ")
-        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-        rel = (
-            pc.equal(batch["lang"], "en")
-            .to_numpy(zero_copy_only=False)
-            .astype(np.int64)
-        )
-        flat = pc.list_flatten(toks)
-        r = np.repeat(rel, lens)
-        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "t": flat.filter(pa.array(keep)),
-                "r": pa.array(r[keep]),
-                "_one": pa.array(
-                    np.ones(int(keep.sum()), np.int64)
-                ),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["t"],
-        [("r", "sum", "cr"), ("_one", "sum", "ct")],
-    )
-    toks = agg["t"].to_pylist()
-    cr = agg["cr"].to_numpy(zero_copy_only=False).astype(np.int64)
-    ct = agg["ct"].to_numpy(zero_copy_only=False).astype(np.int64)
-    cn = ct - cr
-    n_r = int(cr.sum())
-    n_n = int(cn.sum())
-    num = cr * n_n - cn * n_r
-    order = np.lexsort((np.asarray(toks, object), -num))[:10]
-    return pa.table(
-        {
-            "term": pa.array([toks[int(i)] for i in order]),
-            "w_num": pa.array(num[order], pa.int64()),
-            "weight": round_like_sql(
-                num[order].astype(np.float64)
-                / (float(n_r) * float(n_n)),
-                6,
-            ),
-        }
-    )
-
-
-def _voronoi_top100(sf_dir: str):
-    """Top-100 count cells labeled by nearest _ASSIGN_PROBES site
-    (exact integer d2, site-order ties) -- the shared partition of
-    the cluster-validity indices."""
-    verts = _top_count_cells_xy(sf_dir, 100)
-    sites = _ASSIGN_PROBES
-    lab = []
-    for _c, x, y in verts:
-        best = min(
-            (
-                ((x - sx) ** 2 + (y - sy) ** 2, i)
-                for i, (sx, sy) in enumerate(sites)
-            )
-        )
-        lab.append(best[1])
-    return verts, lab
-
-
-def _q_dunn_index(sf_dir: str) -> pa.Table:
-    """Dunn cluster-validity index of the Voronoi partition of the
-    top-100 event cells around the 6 probe sites: min inter-cluster
-    squared distance over max intra-cluster squared diameter -- all
-    exact integers, one float division (on the squared form,
-    documented)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    verts, lab = _voronoi_top100(sf_dir)
-    n = len(verts)
-    min_inter = None
-    max_intra = 0
-    for i in range(n):
-        for j in range(i + 1, n):
-            d2 = (verts[i][1] - verts[j][1]) ** 2 + (
-                verts[i][2] - verts[j][2]
-            ) ** 2
-            if lab[i] == lab[j]:
-                max_intra = max(max_intra, d2)
-            elif min_inter is None or d2 < min_inter:
-                min_inter = d2
-    return pa.table(
-        {
-            "n_points": pa.array([n], pa.int64()),
-            "min_inter_d2": pa.array([min_inter], pa.int64()),
-            "max_intra_d2": pa.array([max_intra], pa.int64()),
-            "dunn_sq": round_like_sql(
-                [float(min_inter) / float(max_intra)], 6
-            ),
-        }
-    )
-
-
-def _q_davies_bouldin_voronoi(sf_dir: str) -> pa.Table:
-    """Davies-Bouldin index of the same Voronoi partition with the
-    probe sites as centers: scatter s_i = (sum of distances to the
-    site) / n_i held as exact rationals, R_ij = (s_i + s_j)/d_ij,
-    the per-cluster max chosen on the float value (pinned chain) and
-    DB = mean.  Distances are sqrt of exact integers."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    verts, lab = _voronoi_top100(sf_dir)
-    sites = _ASSIGN_PROBES
-    k = len(sites)
-    sums = [0] * k  # 1e9-tick quantized distance sums (order-free)
-    ns = [0] * k
-    for (_c, x, y), li in zip(verts, lab):
-        d2 = (x - sites[li][0]) ** 2 + (y - sites[li][1]) ** 2
-        sums[li] += int(
-            round_half_away(np.array([np.sqrt(float(d2)) * 1e9]))[0]
-        )
-        ns[li] += 1
-    s = [
-        float(sums[i]) / 1e9 / float(ns[i]) if ns[i] else 0.0
-        for i in range(k)
-    ]
-    term_ticks = 0
-    n_cl = 0
-    for i in range(k):
-        if ns[i] == 0:
-            continue
-        best = 0.0
-        for j in range(k):
-            if j == i or ns[j] == 0:
-                continue
-            dij = np.sqrt(
-                float(
-                    (sites[i][0] - sites[j][0]) ** 2
-                    + (sites[i][1] - sites[j][1]) ** 2
-                )
-            )
-            r = (s[i] + s[j]) / dij
-            if r > best:
-                best = r
-        term_ticks += int(round_half_away(np.array([best * 1e9]))[0])
-        n_cl += 1
-    db = float(term_ticks) / 1e9 / float(n_cl)
-    return pa.table(
-        {
-            "n_clusters": pa.array([n_cl], pa.int64()),
-            "db_index": round_like_sql([db], 6),
-        }
-    )
-
-
-def _q_banzhaf_power(sf_dir: str) -> pa.Table:
-    """Banzhaf and Shapley-Shubik voting-power indices of the top-6
-    users weighted by event counts (quota = majority of the total):
-    Banzhaf swings by full 2^6 coalition enumeration, Shapley-Shubik
-    pivots by full 6! permutation enumeration -- both exact integer
-    counts, mirrored by range/VALUES enumerations in SQL."""
-    from itertools import permutations
-
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    top = _top_users_by_count(sf_dir, 6)
-    uids = [u for u, _ in top]
-    w = [c for _, c in top]
-    total = sum(w)
-    q = total // 2 + 1
-    swings = [0] * 6
-    for m in range(64):
-        s = sum(w[i] for i in range(6) if m >> i & 1)
-        for i in range(6):
-            if not m >> i & 1 and s < q <= s + w[i]:
-                swings[i] += 1
-    pivots = [0] * 6
-    for perm in permutations(range(6)):
-        s = 0
-        for i in perm:
-            s += w[i]
-            if s >= q:
-                pivots[i] += 1
-                break
-    return pa.table(
-        {
-            "user_id": pa.array(uids, pa.int64()),
-            "weight": pa.array(w, pa.int64()),
-            "banzhaf_swings": pa.array(swings, pa.int64()),
-            "ss_pivots": pa.array(pivots, pa.int64()),
-            "banzhaf_norm": round_like_sql(
-                [float(s) / float(sum(swings)) for s in swings], 6
-            ),
-            "ss_index": round_like_sql(
-                [float(p) / 720.0 for p in pivots], 6
-            ),
-        }
-    )
-
-
-def _banzhaf_oracle_sql() -> str:
-    """Mirror of _q_banzhaf_power: 2^6 coalition and 6! permutation
-    enumerations."""
-    from itertools import permutations
-
-    pm_rows = ", ".join(
-        f"({pid}, {pos}, {i})"
-        for pid, perm in enumerate(permutations(range(6)))
-        for pos, i in enumerate(perm)
-    )
-    return (
-        "WITH uc AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n "
-        "FROM events GROUP BY user_id), "
-        "t6 AS (SELECT user_id, n, ROW_NUMBER() OVER "
-        "(ORDER BY n DESC, user_id) - 1 AS i FROM uc "
-        "ORDER BY n DESC, user_id LIMIT 6), "
-        "qq AS (SELECT CAST(SUM(n) // 2 + 1 AS BIGINT) AS q FROM t6), "
-        "ms AS (SELECT range AS m FROM range(0, 64)), "
-        "csum AS (SELECT ms.m, CAST(COALESCE(SUM(t6.n), 0) AS BIGINT) "
-        "AS s FROM ms LEFT JOIN t6 ON (ms.m >> t6.i) & 1 = 1 "
-        "GROUP BY ms.m), "
-        "sw AS (SELECT t6.i, CAST(COUNT(*) AS BIGINT) AS swings "
-        "FROM t6 JOIN csum ON (csum.m >> t6.i) & 1 = 0 "
-        "JOIN qq ON csum.s < qq.q AND csum.s + t6.n >= qq.q "
-        "GROUP BY t6.i), "
-        f"pm AS (SELECT * FROM (VALUES {pm_rows}) AS v(pid, pos, i)), "
-        "pc AS (SELECT pm.pid, pm.pos, pm.i, "
-        "SUM(t6.n) OVER (PARTITION BY pm.pid ORDER BY pm.pos "
-        "ROWS UNBOUNDED PRECEDING) AS cum FROM pm "
-        "JOIN t6 ON t6.i = pm.i), "
-        "pv AS (SELECT pid, MIN(pos) AS piv_pos FROM pc, qq "
-        "WHERE cum >= qq.q GROUP BY pid), "
-        "pivn AS (SELECT pc.i, CAST(COUNT(*) AS BIGINT) AS pivots "
-        "FROM pv JOIN pc ON pc.pid = pv.pid "
-        "AND pc.pos = pv.piv_pos GROUP BY pc.i), "
-        "tot AS (SELECT CAST(SUM(swings) AS BIGINT) AS ts FROM sw) "
-        "SELECT t6.user_id, t6.n AS weight, "
-        "COALESCE(sw.swings, 0) AS banzhaf_swings, "
-        "COALESCE(pivn.pivots, 0) AS ss_pivots, "
-        "ROUND(CAST(COALESCE(sw.swings, 0) AS DOUBLE) "
-        "/ CAST(tot.ts AS DOUBLE), 6) AS banzhaf_norm, "
-        "ROUND(CAST(COALESCE(pivn.pivots, 0) AS DOUBLE) / 720.0, 6) "
-        "AS ss_index "
-        "FROM t6 LEFT JOIN sw ON sw.i = t6.i "
-        "LEFT JOIN pivn ON pivn.i = t6.i, tot"
-    )
-
-
-def _q_irv_election(sf_dir: str) -> pa.Table:
-    """Instant-runoff (ranked-choice) election among the 5 event
-    types with days as ballots (ranking = daily counts desc, type
-    ties alphabetical): 4 elimination rounds, each tallying first
-    preferences among surviving candidates and eliminating the
-    minimum (ties alphabetical).  Pure integer tallies; the SQL
-    mirror unrolls the rounds."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["ts", "event_type"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        day = (
-            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 86_400_000_000
-        )
-        return pa.table(
-            {
-                "day": pa.array(day),
-                "t": batch["event_type"],
-                "_one": pa.array(np.ones(len(day), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["day", "t"],
-        [("_one", "sum", "n")],
-    )
-    cells: dict[int, dict[str, int]] = {}
-    for i in range(agg.num_rows):
-        cells.setdefault(int(agg["day"][i].as_py()), {})[
-            agg["t"][i].as_py()
-        ] = int(agg["n"][i].as_py())
-    active = sorted(_MARKOV_STATES)
-    rows = []
-    for rnd in range(1, 5):
-        tally = {t: 0 for t in active}
-        for day in cells:
-            fp = min(
-                active,
-                key=lambda t: (-cells[day].get(t, 0), t),
-            )
-            tally[fp] += 1
-        worst = min(active, key=lambda t: (tally[t], t))
-        rows.append((rnd, worst, tally[worst], 0))
-        active.remove(worst)
-    # final round: the winner's tally
-    tally = {t: 0 for t in active}
-    for day in cells:
-        fp = min(active, key=lambda t: (-cells[day].get(t, 0), t))
-        tally[fp] += 1
-    rows.append((5, active[0], tally[active[0]], 1))
-    return pa.table(
-        {
-            "round": pa.array([r[0] for r in rows], pa.int64()),
-            "event_type": pa.array([r[1] for r in rows]),
-            "tally": pa.array([r[2] for r in rows], pa.int64()),
-            "is_winner": pa.array([r[3] for r in rows], pa.int64()),
-        }
-    )
-
-
-def _irv_oracle_sql() -> str:
-    """Mirror of _q_irv_election: 4 unrolled elimination rounds."""
-    base = (
-        "WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, "
-        "event_type AS t FROM events), "
-        "g AS (SELECT day, t, CAST(COUNT(*) AS BIGINT) AS c "
-        "FROM e GROUP BY day, t), "
-        "dd AS (SELECT DISTINCT day FROM g), "
-        "tt AS (SELECT * FROM (VALUES ('click'), ('error'), "
-        "('purchase'), ('signup'), ('view')) AS v(t)), "
-        "dn AS MATERIALIZED (SELECT dd.day, tt.t, COALESCE(g.c, 0) "
-        "AS c FROM dd CROSS JOIN tt "
-        "LEFT JOIN g ON g.day = dd.day AND g.t = tt.t)"
-    )
-    parts = [base]
-    elim: list[int] = []
-    for r in range(1, 5):
-        excl = (
-            " WHERE t NOT IN ("
-            + ", ".join(f"(SELECT t FROM e{i})" for i in elim)
-            + ")"
-            if elim
-            else ""
-        )
-        parts.append(
-            f", fp{r} AS (SELECT day, t FROM (SELECT day, t, "
-            f"ROW_NUMBER() OVER (PARTITION BY day "
-            f"ORDER BY c DESC, t) AS rn FROM dn{excl}) WHERE rn = 1)"
-        )
-        active_excl = (
-            " WHERE tt.t NOT IN ("
-            + ", ".join(f"(SELECT t FROM e{i})" for i in elim)
-            + ")"
-            if elim
-            else ""
-        )
-        parts.append(
-            f", tl{r} AS (SELECT tt.t, CAST(COALESCE(x.n, 0) "
-            f"AS BIGINT) AS n FROM tt LEFT JOIN (SELECT t, COUNT(*) "
-            f"AS n FROM fp{r} GROUP BY t) x USING (t){active_excl})"
-        )
-        parts.append(
-            f", e{r} AS MATERIALIZED (SELECT t, n FROM tl{r} "
-            f"ORDER BY n, t LIMIT 1)"
-        )
-        elim.append(r)
-    parts.append(
-        ", fp5 AS (SELECT day, t FROM (SELECT day, t, "
-        "ROW_NUMBER() OVER (PARTITION BY day ORDER BY c DESC, t) "
-        "AS rn FROM dn WHERE t NOT IN ("
-        + ", ".join(f"(SELECT t FROM e{i})" for i in elim)
-        + ")) WHERE rn = 1), "
-        "w5 AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n "
-        "FROM fp5 GROUP BY t)"
-    )
-    sel = " UNION ALL ".join(
-        f"SELECT {r} AS round, (SELECT t FROM e{r}) AS event_type, "
-        f"(SELECT n FROM e{r}) AS tally, 0 AS is_winner"
-        for r in range(1, 5)
-    )
-    return (
-        "".join(parts)
-        + " SELECT CAST(round AS BIGINT) AS round, event_type, "
-        "tally, CAST(is_winner AS BIGINT) AS is_winner FROM ("
-        + sel
-        + " UNION ALL SELECT 5, (SELECT t FROM w5), "
-        "(SELECT n FROM w5), 1)"
-    )
-
-
-def _q_price_indices(sf_dir: str) -> pa.Table:
-    """Laspeyres, Paasche and Fisher price indices between the first
-    and second half of the observation window (goods = event types,
-    price = mean value cents, quantity = event count): the p*q cross
-    terms with mismatched denominators are 1e6-tick quantized per
-    type (order-free integer sums); same-period terms are exact
-    integers (p*q = cents sum)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["ts", "event_type", "value"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        day = (
-            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 86_400_000_000
-        )
-        return pa.table(
-            {
-                "day": pa.array(day),
-                "t": batch["event_type"],
-                "c": pa.array(scaled_int(batch["value"], 100.0)),
-                "_one": pa.array(np.ones(len(day), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["day", "t"],
-        [("c", "sum", "s"), ("_one", "sum", "n")],
-    )
-    days = sorted(set(int(x) for x in agg["day"].to_pylist()))
-    mid = days[len(days) // 2]
-    per: dict[tuple[int, str], tuple[int, int]] = {}
-    for i in range(agg.num_rows):
-        d = int(agg["day"][i].as_py())
-        t = agg["t"][i].as_py()
-        p = 0 if d < mid else 1
-        s0, n0 = per.get((p, t), (0, 0))
-        per[(p, t)] = (
-            s0 + int(agg["s"][i].as_py()),
-            n0 + int(agg["n"][i].as_py()),
-        )
-    l_num = 0  # ticks of sum p1 * q0
-    p_den = 0  # ticks of sum p0 * q1
-    s0_tot = 0
-    s1_tot = 0
-    for t in sorted(_MARKOV_STATES):
-        s0, n0 = per[(0, t)]
-        s1, n1 = per[(1, t)]
-        s0_tot += s0
-        s1_tot += s1
-        l_num += int(
-            round_half_away(
-                np.array([float(s1) / float(n1) * float(n0) * 1e6])
-            )[0]
-        )
-        p_den += int(
-            round_half_away(
-                np.array([float(s0) / float(n0) * float(n1) * 1e6])
-            )[0]
-        )
-    lasp = float(l_num) / 1e6 / float(s0_tot)
-    paas = float(s1_tot) / (float(p_den) / 1e6)
-    fish = np.sqrt(lasp * paas)
-    return pa.table(
-        {
-            "laspeyres": round_like_sql([lasp], 6),
-            "paasche": round_like_sql([paas], 6),
-            "fisher": round_like_sql([float(fish)], 6),
-        }
-    )
-
-
-_DFA_SCALES = (4, 8, 16)
-
-
-def _q_dfa_alpha(sf_dir: str) -> pa.Table:
-    """Detrended fluctuation analysis of the daily revenue series:
-    the n-scaled integer profile Y_t = n*cumsum(y) - (t+1)*sum(y) is
-    exact, per-segment linear-detrend residual SSE comes from exact
-    A/B/C moments (one pinned float chain each, 1e3-tick quantized
-    before the cross-segment sum), and alpha is the log-log slope
-    over the evenly spaced scales 4/8/16: (lf_16 - lf_4)/(2 ln 2)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    ys = _daily_revenue_cents(sf_dir)
-    n = len(ys)
-    sy = sum(ys)
-    cum = 0
-    prof = []
-    for t, y in enumerate(ys):
-        cum += y
-        prof.append(n * cum - (t + 1) * sy)
-    rows = []
-    lf = {}
-    for s in _DFA_SCALES:
-        nseg = n // s
-        ticks = 0
-        for g in range(nseg):
-            seg = prof[g * s : (g + 1) * s]
-            m = s
-            sx = m * (m - 1) // 2
-            sxx = (m - 1) * m * (2 * m - 1) // 6
-            syv = sum(seg)
-            syy = sum(v * v for v in seg)
-            sxy = sum(i * v for i, v in enumerate(seg))
-            a = m * syy - syv * syv
-            b = m * sxy - sx * syv
-            c = m * sxx - sx * sx
-            rss = (float(a) - float(b) * float(b) / float(c)) / float(m)
-            ticks += int(
-                round_half_away(np.array([rss / float(n * n) * 1e3]))[
-                    0
-                ]
-            )
-        f2 = float(ticks) / 1e3 / float(nseg) / float(s)
-        logf = 0.5 * np.log(f2)
-        lf[s] = float(logf)
-        rows.append((s, nseg, ticks, float(logf)))
-    alpha = (lf[16] - lf[4]) / (2.0 * np.log(2.0))
-    return pa.table(
-        {
-            "s": pa.array([r[0] for r in rows], pa.int64()),
-            "n_segments": pa.array([r[1] for r in rows], pa.int64()),
-            "rss_ticks": pa.array([r[2] for r in rows], pa.int64()),
-            "log_f": round_like_sql([r[3] for r in rows], 6),
-            "alpha": round_like_sql([float(alpha)] * len(rows), 6),
-        }
-    )
-
-
-def _q_brier_hour_forecast(sf_dir: str) -> pa.Table:
-    """Probabilistic-forecast evaluation with a real train/eval
-    split: per-hour Laplace-smoothed purchase rates p_h = (r+1)/(n+2)
-    learned on the first half of days score the second half.  Brier
-    score with the Murphy reliability/resolution/uncertainty
-    decomposition, ECE and log loss -- every per-hour term is a
-    pinned float of exact integers, 1e9-tick quantized before the
-    order-free cross-hour sum."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["ts", "event_type"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        t = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        et = batch["event_type"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "day": pa.array(t // 86_400_000_000),
-                "h": pa.array((t // 3_600_000_000) % 24),
-                "r": pa.array((et == "purchase").astype(np.int64)),
-                "_one": pa.array(np.ones(len(t), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["day", "h"],
-        [("r", "sum", "r"), ("_one", "sum", "n")],
-    )
-    days = sorted(set(int(x) for x in agg["day"].to_pylist()))
-    mid = days[len(days) // 2]
-    tr = {h: [0, 0] for h in range(24)}
-    ev = {h: [0, 0] for h in range(24)}
-    for i in range(agg.num_rows):
-        d = int(agg["day"][i].as_py())
-        h = int(agg["h"][i].as_py())
-        tgt = tr if d < mid else ev
-        tgt[h][0] += int(agg["r"][i].as_py())
-        tgt[h][1] += int(agg["n"][i].as_py())
-    o_r = sum(v[0] for v in ev.values())
-    o_n = sum(v[1] for v in ev.values())
-    pbar = float(o_r) / float(o_n)
-    bs_t = rel_t = res_t = ece_t = ll_t = 0
-    for h in range(24):
-        r, n = tr[h]
-        er, en = ev[h]
-        if en == 0:
-            continue
-        p = float(r + 1) / float(n + 2)
-        oh = float(er) / float(en)
-        bs = (
-            float(er) * (1.0 - p) * (1.0 - p)
-            + float(en - er) * p * p
-        )
-        rel = float(en) * (p - oh) * (p - oh)
-        res = float(en) * (oh - pbar) * (oh - pbar)
-        ece = float(en) * abs(p - oh)
-        ll = -(
-            float(er) * np.log(p) + float(en - er) * np.log(1.0 - p)
-        )
-        for acc, v in (
-            ("bs", bs), ("rel", rel), ("res", res), ("ece", ece),
-            ("ll", ll),
-        ):
-            t = int(round_half_away(np.array([v * 1e9]))[0])
-            if acc == "bs":
-                bs_t += t
-            elif acc == "rel":
-                rel_t += t
-            elif acc == "res":
-                res_t += t
-            elif acc == "ece":
-                ece_t += t
-            else:
-                ll_t += t
-    unc = pbar * (1.0 - pbar)
-    return pa.table(
-        {
-            "n_eval": pa.array([o_n], pa.int64()),
-            "brier": round_like_sql(
-                [float(bs_t) / 1e9 / float(o_n)], 6
-            ),
-            "reliability": round_like_sql(
-                [float(rel_t) / 1e9 / float(o_n)], 6
-            ),
-            "resolution": round_like_sql(
-                [float(res_t) / 1e9 / float(o_n)], 6
-            ),
-            "uncertainty": round_like_sql([unc], 6),
-            "ece": round_like_sql(
-                [float(ece_t) / 1e9 / float(o_n)], 6
-            ),
-            "log_loss": round_like_sql(
-                [float(ll_t) / 1e9 / float(o_n)], 6
-            ),
-        }
-    )
-
-
-def _q_youden_threshold(sf_dir: str) -> pa.Table:
-    """Optimal classification threshold by Youden's J over the
-    deci-cent value histogram (positives = purchases, predict
-    positive iff value >= theta): J's argmax uses the exact integer
-    numerator tp*N_neg - fp*N_pos (ties = smallest theta), suffix
-    counts come off the bounded histogram -- never a row sort."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_type", "value"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        et = batch["event_type"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "d10": pa.array(scaled_int(batch["value"], 10.0)),
-                "pos": pa.array(
-                    (et == "purchase").astype(np.int64)
-                ),
-                "_one": pa.array(np.ones(len(et), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["d10"],
-        [("pos", "sum", "p"), ("_one", "sum", "n")],
-    ).sort_by([("d10", "descending")])
-    d10 = agg["d10"].to_numpy(zero_copy_only=False).astype(np.int64)
-    p = agg["p"].to_numpy(zero_copy_only=False).astype(np.int64)
-    n = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    n_pos = int(p.sum())
-    n_neg = int(n.sum()) - n_pos
-    tp = np.cumsum(p)
-    fp = np.cumsum(n - p)
-    num = tp * n_neg - fp * n_pos
-    # argmax, ties by smallest theta (= last index in desc order)
-    best = int(num.max())
-    idx = int(np.flatnonzero(num == best).max())
-    theta = int(d10[idx])
-    j = float(best) / (float(n_pos) * float(n_neg))
-    return pa.table(
-        {
-            "theta_d10": pa.array([theta], pa.int64()),
-            "tp": pa.array([int(tp[idx])], pa.int64()),
-            "fp": pa.array([int(fp[idx])], pa.int64()),
-            "j_num": pa.array([best], pa.int64()),
-            "youden_j": round_like_sql([j], 6),
-        }
-    )
-
-
-def _q_overdispersion_panel(sf_dir: str) -> pa.Table:
-    """Count-model diagnostics of the (user, day) activity panel
-    (zero-filled over users x dense days): method-of-moments
-    negative-binomial fit (r = m^2/(v - m), p = m/v) and van den
-    Broek's zero-inflation score z against Poisson(m) -- all moments
-    exact integers (T, sum k^2, N = U*D, observed zeros), floats only
-    in the closed-form tails (one shared exp)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["ts", "user_id"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        day = (
-            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 86_400_000_000
-        )
-        return pa.table(
-            {
-                "user_id": batch["user_id"],
-                "day": pa.array(day),
-                "_one": pa.array(np.ones(len(day), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["user_id", "day"],
-        [("_one", "sum", "k")],
-    )
-    days = [int(x) for x in agg["day"].to_pylist()]
-    users = set(int(x) for x in agg["user_id"].to_pylist())
-    d_lo, d_hi = min(days), max(days)
-    n_days = d_hi - d_lo + 1
-    n_cells = len(users) * n_days
-    ks = agg["k"].to_numpy(zero_copy_only=False).astype(np.int64)
-    t = int(ks.sum())
-    s2 = int((ks * ks).sum())
-    n_nonzero = len(ks)
-    n0 = n_cells - n_nonzero
-    m = float(t) / float(n_cells)
-    v = float(s2) / float(n_cells) - m * m
-    nb_r = m * m / (v - m)
-    nb_p = m / v
-    p0 = np.exp(-m)
-    z = (float(n0) - float(n_cells) * p0) / np.sqrt(
-        float(n_cells) * p0 * (1.0 - p0)
-        - float(n_cells) * m * p0 * p0
-    )
-    return pa.table(
-        {
-            "n_cells": pa.array([n_cells], pa.int64()),
-            "n_zero": pa.array([n0], pa.int64()),
-            "mean": round_like_sql([m], 6),
-            "variance": round_like_sql([v], 6),
-            "nb_r": round_like_sql([nb_r], 6),
-            "nb_p": round_like_sql([nb_p], 6),
-            "zip_z": round_like_sql([float(z)], 6),
-        }
-    )
-
-
-def _q_taylors_law(sf_dir: str) -> pa.Table:
-    """Taylor's power law (variance ~ a * mean^b) across the top-50
-    users' daily count series: per-user mean and population variance
-    from exact integer day sums, both logged and 1e9-tick quantized,
-    slope b from the exact integer tick regression (one float
-    division)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "ts"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        day = (
-            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 86_400_000_000
-        )
-        return pa.table(
-            {
-                "cell": batch["user_id"],
-                "day": pa.array(day),
-                "_one": pa.array(np.ones(len(day), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["cell", "day"],
-        [("_one", "sum", "k")],
-    )
-    days = [int(x) for x in agg["day"].to_pylist()]
-    d = max(days) - min(days) + 1
-    per: dict[int, tuple[int, int]] = {}
-    for i in range(agg.num_rows):
-        c = int(agg["cell"][i].as_py())
-        k = int(agg["k"][i].as_py())
-        s, q = per.get(c, (0, 0))
-        per[c] = (s + k, q + k * k)
-    top = sorted(per.items(), key=lambda t: (-t[1][0], t[0]))[:50]
-    xs, ys = [], []
-    for c, (s, q) in top:
-        # mean = s/d ; population variance = (d*q - s^2)/d^2
-        vn = d * q - s * s
-        if s <= 0 or vn <= 0:
-            continue
-        lx = np.log(float(s) / float(d))
-        ly = np.log(float(vn) / (float(d) * float(d)))
-        xs.append(int(round_half_away(np.array([lx * 1e9]))[0]))
-        ys.append(int(round_half_away(np.array([ly * 1e9]))[0]))
-    n = len(xs)
-    sx, sy = sum(xs), sum(ys)
-    sxx = sum(x * x for x in xs)
-    sxy = sum(x * y for x, y in zip(xs, ys))
-    b_num = n * sxy - sx * sy
-    b_den = n * sxx - sx * sx
-    b = float(b_num) / float(b_den)
-    return pa.table(
-        {
-            "n_users": pa.array([n], pa.int64()),
-            "slope_b": round_like_sql([b], 6),
-        }
-    )
-
-
-_ALLAN_TAUS = (1, 2, 4)
-
-
-def _q_allan_variance(sf_dir: str) -> pa.Table:
-    """Allan variance of the daily event-count series at tau = 1, 2,
-    4 days (the clock-stability statistic; non-overlapping bins):
-    sigma^2(tau) = sum (B_{i+1} - B_i)^2 / (2 (M-1) tau^2) with bin
-    SUMS B_i -- the numerator is an exact integer, one float division
-    per tau."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    xs = _daily_count_series(sf_dir)
-    rows = []
-    for tau in _ALLAN_TAUS:
-        m = len(xs) // tau
-        bins = [
-            sum(xs[i * tau : (i + 1) * tau]) for i in range(m)
-        ]
-        num = sum(
-            (bins[i + 1] - bins[i]) ** 2 for i in range(m - 1)
-        )
-        av = float(num) / (
-            2.0 * float(m - 1) * float(tau) * float(tau)
-        )
-        rows.append((tau, m, num, av))
-    return pa.table(
-        {
-            "tau": pa.array([r[0] for r in rows], pa.int64()),
-            "n_bins": pa.array([r[1] for r in rows], pa.int64()),
-            "diff2_sum": pa.array([r[2] for r in rows], pa.int64()),
-            "allan_var": round_like_sql([r[3] for r in rows], 6),
-        }
-    )
-
-
-_MATTR_W = 50
-_MATTR_STRIDE = 25
-
-
-def _q_mattr(sf_dir: str) -> pa.Table:
-    """Moving-average type-token ratio per language (the standard
-    length-independent lexical-diversity measure; window 50, stride
-    25): a token is NEW in window [s, s+50) iff its previous
-    occurrence in the document is before s, so every window's
-    distinct count is a windowed integer sum of LAG indicators -- no
-    per-window sets anywhere.  MATTR = sum(distinct) / (50 *
-    n_windows), one float division per language."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "text", "lang"],
-    )
-    w, st = _MATTR_W, _MATTR_STRIDE
-
-    def prep(batch: pa.Table) -> pa.Table:
-        langs, news, wins = [], [], []
-        for i in range(batch.num_rows):
-            toks = [t for t in batch["text"][i].as_py().split(" ") if t]
-            lang = batch["lang"][i].as_py()
-            n = len(toks)
-            n_win = (n - w) // st + 1 if n >= w else 0
-            prev: dict[str, int] = {}
-            new_sum = 0
-            pv = np.empty(n, np.int64)
-            for j, t in enumerate(toks):
-                pv[j] = prev.get(t, -1)
-                prev[t] = j
-            for j in range(n):
-                for k in (j // st, j // st - 1):
-                    if (
-                        k >= 0
-                        and k < n_win
-                        and st * k <= j < st * k + w
-                        and pv[j] < st * k
-                    ):
-                        new_sum += 1
-            langs.append(lang)
-            news.append(new_sum)
-            wins.append(n_win)
-        return pa.table(
-            {
-                "lang": pa.array(langs),
-                "nd": pa.array(news, pa.int64()),
-                "nw": pa.array(wins, pa.int64()),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["lang"],
-        [("nd", "sum", "nd"), ("nw", "sum", "nw")],
-    ).sort_by("lang")
-    nd = agg["nd"].to_numpy(zero_copy_only=False).astype(np.int64)
-    nw = agg["nw"].to_numpy(zero_copy_only=False).astype(np.int64)
-    return pa.table(
-        {
-            "lang": agg["lang"],
-            "n_windows": pa.array(nw, pa.int64()),
-            "sum_distinct": pa.array(nd, pa.int64()),
-            "mattr": round_like_sql(
-                nd.astype(np.float64) / (float(w) * nw.astype(np.float64)),
-                6,
-            ),
-        }
-    )
-
-
-def _mattr_oracle_sql() -> str:
-    """Mirror of _q_mattr: LAG previous-occurrence indicators summed
-    over the two windows containing each position."""
-    w, st = _MATTR_W, _MATTR_STRIDE
-    return (
-        "WITH d AS (SELECT doc_id, lang, "
-        "list_filter(string_split(text, ' '), t -> t <> '') AS ws "
-        "FROM documents), "
-        "tp AS (SELECT doc_id, lang, len(ws) AS n, unnest(ws) AS t, "
-        "generate_subscripts(ws, 1) - 1 AS i FROM d), "
-        "pv AS (SELECT doc_id, lang, n, t, i, "
-        "COALESCE(LAG(i) OVER (PARTITION BY doc_id, t ORDER BY i), "
-        "-1) AS prev FROM tp), "
-        "ks AS (SELECT * FROM (VALUES (0), (1)) AS v(o)), "
-        f"wins AS (SELECT pv.lang, pv.i // {st} - ks.o AS k, pv.n, "
-        "pv.i, pv.prev FROM pv, ks), "
-        f"ok AS (SELECT lang, CASE WHEN prev < {st} * k THEN 1 "
-        "ELSE 0 END AS nd FROM wins WHERE k >= 0 "
-        f"AND k <= (n - {w}) // {st} AND n >= {w} "
-        f"AND i >= {st} * k AND i < {st} * k + {w}), "
-        "agg AS (SELECT lang, CAST(SUM(nd) AS BIGINT) AS nd "
-        "FROM ok GROUP BY lang), "
-        f"nwn AS (SELECT lang, CAST(SUM(CASE WHEN n >= {w} THEN "
-        f"(n - {w}) // {st} + 1 ELSE 0 END) AS BIGINT) AS nw "
-        "FROM (SELECT DISTINCT doc_id, lang, n FROM tp) "
-        "GROUP BY lang) "
-        "SELECT agg.lang, nwn.nw AS n_windows, "
-        "agg.nd AS sum_distinct, "
-        "ROUND(CAST(agg.nd AS DOUBLE) "
-        f"/ ({w}.0 * CAST(nwn.nw AS DOUBLE)), 6) AS mattr "
-        "FROM agg JOIN nwn USING (lang) ORDER BY agg.lang"
-    )
-
-
-def _q_rmst(sf_dir: str) -> pa.Table:
-    """Restricted mean survival time (area under the Kaplan-Meier
-    curve up to the last event time) for time-to-first-error: each
-    rectangle S(t_{i-1}) * (t_i - t_{i-1}) is quantized at 1
-    microsecond (integer tick sum -- order-free), one division to
-    days.  Composes the existing KM operator."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        kaplan_meier, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "ts", "event_type"],
-    )
-    km = kaplan_meier(ds, event_type="error")
-    t = km["t_us"].to_numpy(zero_copy_only=False).astype(np.int64)
-    s = km["survival"].to_numpy(zero_copy_only=False)
-    ticks = 0
-    prev_t = 0
-    prev_s = 1.0
-    for i in range(len(t)):
-        ticks += int(
-            round_half_away(
-                np.array([prev_s * float(t[i] - prev_t)])
-            )[0]
-        )
-        prev_t, prev_s = int(t[i]), float(s[i])
-    rmst_days = float(ticks) / 86_400_000_000.0
-    return pa.table(
-        {
-            "tau_us": pa.array([int(t[-1])], pa.int64()),
-            "rmst_ticks": pa.array([ticks], pa.int64()),
-            "rmst_days": round_like_sql([rmst_days], 6),
-        }
-    )
-
-
-def _q_competing_risks(sf_dir: str) -> pa.Table:
-    """Aalen-Johansen cumulative incidence of first PURCHASE with
-    first ERROR as the competing risk (censoring at last activity):
-    overall survival uses the KM LN-prefix discipline over combined
-    event times, CIF_purchase(t) = running sum of S(t-) * d_p/n --
-    both cumulations are ordered window sums, identical in SQL.
-    Rows at purchase event times."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "ts", "event_type"],
-    )
-    big = np.int64(2**62)
-
-    def prep(batch: pa.Table) -> pa.Table:
-        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        et = batch["event_type"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "user_id": batch["user_id"],
-                "t0": pa.array(ts),
-                "tlast": pa.array(ts),
-                "tp": pa.array(np.where(et == "purchase", ts, big)),
-                "te": pa.array(np.where(et == "error", ts, big)),
-            }
-        )
-
-    peru = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["user_id"],
-        [("t0", "min", "t0"), ("tlast", "max", "tlast"),
-         ("tp", "min", "tp"), ("te", "min", "te")],
-    )
-    t0 = peru["t0"].to_numpy(zero_copy_only=False)
-    tlast = peru["tlast"].to_numpy(zero_copy_only=False)
-    tp = peru["tp"].to_numpy(zero_copy_only=False)
-    te = peru["te"].to_numpy(zero_copy_only=False)
-    tev = np.minimum(tp, te)
-    observed = tev < big
-    cause_p = observed & (tp <= te)
-    dur = np.where(observed, tev - t0, tlast - t0)
-    dsort = np.sort(dur)
-    ev_times = np.unique(dur[observed])
-    n_i = len(dur) - np.searchsorted(dsort, ev_times, side="left")
-    d_all = np.searchsorted(
-        np.sort(dur[observed]), ev_times, side="right"
-    ) - np.searchsorted(np.sort(dur[observed]), ev_times, side="left")
-    dp_sorted = np.sort(dur[cause_p])
-    d_p = np.searchsorted(dp_sorted, ev_times, side="right") - (
-        np.searchsorted(dp_sorted, ev_times, side="left")
-    )
-    ratio = (n_i.astype(np.float64) - d_all.astype(np.float64)) / (
-        n_i.astype(np.float64)
-    )
-    zero = ratio == 0.0
-    terms = np.log(np.where(zero, 1.0, ratio))
-    dead = np.cumsum(zero.astype(np.int64)) > 0
-    surv = np.where(dead, 0.0, np.exp(np.cumsum(terms)))
-    s_prev = np.concatenate(([1.0], surv[:-1]))
-    cif_terms = s_prev * d_p.astype(np.float64) / n_i.astype(
-        np.float64
-    )
-    cif = np.cumsum(cif_terms)
-    keep = d_p > 0
-    return pa.table(
-        {
-            "t_us": pa.array(ev_times[keep].astype(np.int64)),
-            "n_at_risk": pa.array(n_i[keep].astype(np.int64)),
-            "d_purchase": pa.array(d_p[keep].astype(np.int64)),
-            "cif": round_like_sql(cif[keep], 6),
-        }
-    )
-
-
-def _competing_risks_oracle_sql() -> str:
-    """Mirror of _q_competing_risks: the KM LN-prefix form plus an
-    ordered running CIF sum."""
-    return (
-        "WITH peru AS (SELECT user_id, MIN(epoch_us(ts)) AS t0, "
-        "MAX(epoch_us(ts)) AS tlast, "
-        "MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) "
-        "AS tp, "
-        "MIN(CASE WHEN event_type = 'error' THEN epoch_us(ts) END) "
-        "AS te FROM events GROUP BY user_id), "
-        "dur AS (SELECT CASE WHEN tp IS NOT NULL OR te IS NOT NULL "
-        "THEN LEAST(COALESCE(tp, tlast + 1), COALESCE(te, tlast + 1)) "
-        "- t0 ELSE tlast - t0 END AS d, "
-        "CASE WHEN tp IS NOT NULL OR te IS NOT NULL THEN 1 ELSE 0 "
-        "END AS obs, "
-        "CASE WHEN tp IS NOT NULL AND (te IS NULL OR tp <= te) "
-        "THEN 1 ELSE 0 END AS isp FROM peru), "
-        "ev AS (SELECT d AS t, CAST(COUNT(*) AS BIGINT) AS di, "
-        "CAST(SUM(isp) AS BIGINT) AS dp FROM dur WHERE obs = 1 "
-        "GROUP BY d), "
-        "risk AS (SELECT ev.t, ev.di, ev.dp, "
-        "(SELECT CAST(COUNT(*) AS BIGINT) FROM dur "
-        "WHERE dur.d >= ev.t) AS ni FROM ev), "
-        "r2 AS (SELECT t, di, dp, ni, "
-        "(CAST(ni AS DOUBLE) - CAST(di AS DOUBLE)) "
-        "/ CAST(ni AS DOUBLE) AS ratio FROM risk), "
-        "s AS (SELECT t, dp, ni, "
-        "CASE WHEN SUM(CASE WHEN ratio = 0.0 THEN 1 ELSE 0 END) "
-        "OVER (ORDER BY t) > 0 THEN 0.0 ELSE "
-        "EXP(SUM(LN(CASE WHEN ratio = 0.0 THEN 1.0 ELSE ratio END)) "
-        "OVER (ORDER BY t)) END AS surv FROM r2), "
-        "sp AS (SELECT t, dp, ni, "
-        "COALESCE(LAG(surv) OVER (ORDER BY t), 1.0) AS s_prev "
-        "FROM s), "
-        "c AS (SELECT t, dp, ni, SUM(s_prev * CAST(dp AS DOUBLE) "
-        "/ CAST(ni AS DOUBLE)) OVER (ORDER BY t "
-        "ROWS UNBOUNDED PRECEDING) AS cif FROM sp) "
-        "SELECT t AS t_us, ni AS n_at_risk, dp AS d_purchase, "
-        "ROUND(cif, 6) AS cif FROM c WHERE dp > 0"
-    )
-
-
-def _q_ks_uniform(sf_dir: str) -> pa.Table:
-    """One-sample Kolmogorov-Smirnov distance of the fractional
-    cents u = (c mod 10^4)/10^4 from Uniform(0,1): D's argmax uses
-    the exact integer numerators |cum * 10^4 - n * k| and
-    |cum_prev * 10^4 - n * k| over the value count table -- no float
-    in any comparison, one division at the end."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["value"]
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        c = scaled_int(batch["value"], 100.0)
-        return pa.table(
-            {
-                "k": pa.array(c % 10_000),
-                "_one": pa.array(np.ones(len(c), np.int64)),
-            }
-        )
-
-    counts = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["k"],
-        [("_one", "sum", "m")],
-    ).sort_by("k")
-    ks = counts["k"].to_numpy(zero_copy_only=False).astype(np.int64)
-    ms = counts["m"].to_numpy(zero_copy_only=False).astype(np.int64)
-    n = int(ms.sum())
-    cum = np.cumsum(ms)
-    prev = cum - ms
-    num = np.maximum(
-        np.abs(cum * 10_000 - n * ks), np.abs(prev * 10_000 - n * ks)
-    )
-    d_num = int(num.max())
-    d = float(d_num) / (float(n) * 10_000.0)
-    return pa.table(
-        {
-            "n": pa.array([n], pa.int64()),
-            "d_num": pa.array([d_num], pa.int64()),
-            "ks_d": round_like_sql([d], 6),
-            "ks_stat": round_like_sql(
-                [d * np.sqrt(float(n))], 6
-            ),
-        }
-    )
-
-
-def _q_ad_uniform(sf_dir: str) -> pa.Table:
-    """One-sample Anderson-Darling statistic of the fractional cents
-    against Uniform(0,1): A^2 = -n - (1/n) sum (2i-1)(ln u_(i) +
-    ln(1 - u_(n+1-i))).  Per distinct value the (2i-1) run sum is
-    the exact closed form (b^2 - (a-1)^2), each multiplied by a
-    1e9-tick quantized log pair -- order-free integer accumulation,
-    two divisions at the end.  Zero/one u values are clamped to
-    half-ulp ticks (documented)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["value"]
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        c = scaled_int(batch["value"], 100.0)
-        return pa.table(
-            {
-                "k": pa.array(c % 10_000),
-                "_one": pa.array(np.ones(len(c), np.int64)),
-            }
-        )
-
-    counts = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["k"],
-        [("_one", "sum", "m")],
-    ).sort_by("k")
-    kk = counts["k"].to_numpy(zero_copy_only=False).astype(np.int64)
-    mm = counts["m"].to_numpy(zero_copy_only=False).astype(np.int64)
-    n = int(mm.sum())
-    cum = np.cumsum(mm)
-    prev = cum - mm
-    total = 0
-    for k, a0, b0 in zip(kk.tolist(), (prev + 1).tolist(), cum.tolist()):
-        run = b0 * b0 - (a0 - 1) * (a0 - 1)  # sum of (2i-1) over run
-        u = max(float(k), 0.5) / 10_000.0
-        u1 = max(float(10_000 - k), 0.5) / 10_000.0
-        lt = int(
-            round_half_away(np.array([np.log(u) * 1e9]))[0]
-        )
-        # the (n+1-i) reversal pairs run [a,b] of u with the SAME
-        # positions of 1-u in the reversed order; accumulate both
-        # halves per value
-        l1 = int(
-            round_half_away(np.array([np.log(u1) * 1e9]))[0]
-        )
-        total += run * lt
-        # reversed positions: i' = n+1-i for i in [a,b] -> the
-        # (2i'-1) sum over the mirrored run
-        ra, rb = n + 1 - b0, n + 1 - a0
-        run_r = rb * rb - (ra - 1) * (ra - 1)
-        total += run_r * l1
-    a2 = -float(n) - float(total) / 1e9 / float(n)
-    # the raw tick total exceeds int64 at sf >= 0.1 -- report only
-    # the float statistic (the HUGEINT/Python-int sum stays exact)
-    return pa.table(
-        {
-            "n": pa.array([n], pa.int64()),
-            "a2": round_like_sql([a2], 6),
-        }
-    )
-
-
-def _q_partition_conductance(sf_dir: str) -> pa.Table:
-    """Conductance phi(S) = cut(S) / min(vol(S), vol(rest)) of each
-    Voronoi cluster of the top-100 cells over the Chebyshev <= 8
-    proximity graph -- the partition-quality metric behind balanced
-    graph cuts.  Cut and volume counts are exact integers; one float
-    division per cluster."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    verts, lab = _voronoi_top100(sf_dir)
-    n = len(verts)
-    edges = []
-    for i in range(n):
-        for j in range(i + 1, n):
-            if (
-                max(
-                    abs(verts[i][1] - verts[j][1]),
-                    abs(verts[i][2] - verts[j][2]),
-                )
-                <= 8
-            ):
-                edges.append((i, j))
-    deg = [0] * n
-    for i, j in edges:
-        deg[i] += 1
-        deg[j] += 1
-    vol_tot = sum(deg)
-    k = len(_ASSIGN_PROBES)
-    rows = []
-    for li in range(k):
-        members = [i for i in range(n) if lab[i] == li]
-        if not members:
-            continue
-        mset = set(members)
-        cut = sum(
-            1 for i, j in edges if (i in mset) != (j in mset)
-        )
-        vol = sum(deg[i] for i in members)
-        den = min(vol, vol_tot - vol)
-        phi = float(cut) / float(den) if den > 0 else np.nan
-        rows.append((li, len(members), cut, vol, phi))
-    return pa.table(
-        {
-            "site": pa.array([r[0] for r in rows], pa.int64()),
-            "n_members": pa.array([r[1] for r in rows], pa.int64()),
-            "cut": pa.array([r[2] for r in rows], pa.int64()),
-            "volume": pa.array([r[3] for r in rows], pa.int64()),
-            "conductance": round_like_sql(
-                [r[4] for r in rows], 6
-            ),
-        }
-    )
-
-
-def _q_global_transitivity(sf_dir: str) -> pa.Table:
-    """Global transitivity (3 x triangles / connected triples) of the
-    edit-1 word graph: triangles by the ordered-triple join, triples
-    = sum deg(deg-1)/2 -- both exact integers, one float division."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        edit1_vocab_pairs,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
-    ).map_batches(
-        lambda b: b.rename_columns(["text"]),
-        batch_format="pyarrow", batch_size=None,
-    )
-    pairs = edit1_vocab_pairs(ds, min_len=4)
-    vocab = sorted(
-        set(pairs["w1"].to_pylist()) | set(pairs["w2"].to_pylist())
-    )
-    wid = {w: i for i, w in enumerate(vocab)}
-    nv = len(vocab)
-    adj = [set() for _ in range(nv)]
-    for w1, w2 in zip(pairs["w1"].to_pylist(), pairs["w2"].to_pylist()):
-        a, b = wid[w1], wid[w2]
-        adj[a].add(b)
-        adj[b].add(a)
-    tri = 0
-    for a in range(nv):
-        for b in adj[a]:
-            if b <= a:
-                continue
-            for c in adj[b]:
-                if c > b and c in adj[a]:
-                    tri += 1
-    triples = sum(len(s) * (len(s) - 1) // 2 for s in adj)
-    t = 3.0 * float(tri) / float(triples) if triples else np.nan
-    return pa.table(
-        {
-            "n_nodes": pa.array([nv], pa.int64()),
-            "n_triangles": pa.array([tri], pa.int64()),
-            "n_triples": pa.array([triples], pa.int64()),
-            "transitivity": round_like_sql([t], 6),
-        }
-    )
-
-
-def _q_neighbor_degree_profile(sf_dir: str) -> pa.Table:
-    """Average neighbor degree per degree class k_nn(k) of the edit-1
-    word graph (the assortativity profile behind the single Newman
-    r): exact integer numerators (sum over degree-k nodes of their
-    neighbors' degrees), one float division per class."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        edit1_vocab_pairs,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
-    ).map_batches(
-        lambda b: b.rename_columns(["text"]),
-        batch_format="pyarrow", batch_size=None,
-    )
-    pairs = edit1_vocab_pairs(ds, min_len=4)
-    vocab = sorted(
-        set(pairs["w1"].to_pylist()) | set(pairs["w2"].to_pylist())
-    )
-    wid = {w: i for i, w in enumerate(vocab)}
-    nv = len(vocab)
-    adj = [set() for _ in range(nv)]
-    for w1, w2 in zip(pairs["w1"].to_pylist(), pairs["w2"].to_pylist()):
-        a, b = wid[w1], wid[w2]
-        adj[a].add(b)
-        adj[b].add(a)
-    per_k: dict[int, tuple[int, int]] = {}
-    for v in range(nv):
-        k = len(adj[v])
-        if k == 0:
-            continue
-        s = sum(len(adj[u]) for u in adj[v])
-        cnt, tot = per_k.get(k, (0, 0))
-        per_k[k] = (cnt + k, tot + s)  # cnt = sum of k (denominator)
-    rows = sorted(per_k.items())
-    return pa.table(
-        {
-            "degree": pa.array([k for k, _ in rows], pa.int64()),
-            "nbr_deg_sum": pa.array(
-                [v[1] for _, v in rows], pa.int64()
-            ),
-            "knn_k": round_like_sql(
-                [float(v[1]) / float(v[0]) for _, v in rows], 6
-            ),
-        }
-    )
-
-
-def _q_randic_index(sf_dir: str) -> pa.Table:
-    """Randic connectivity index R = sum over edges of
-    1/sqrt(d_u d_v) and the sum-connectivity variant
-    1/sqrt(d_u + d_v) of the edit-1 word graph -- per-edge terms
-    1e9-tick quantized (order-free), exact integer degrees."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        edit1_vocab_pairs,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"), columns=["source"]
-    ).map_batches(
-        lambda b: b.rename_columns(["text"]),
-        batch_format="pyarrow", batch_size=None,
-    )
-    pairs = edit1_vocab_pairs(ds, min_len=4)
-    vocab = sorted(
-        set(pairs["w1"].to_pylist()) | set(pairs["w2"].to_pylist())
-    )
-    wid = {w: i for i, w in enumerate(vocab)}
-    deg = [0] * len(vocab)
-    el = []
-    for w1, w2 in zip(pairs["w1"].to_pylist(), pairs["w2"].to_pylist()):
-        a, b = wid[w1], wid[w2]
-        deg[a] += 1
-        deg[b] += 1
-        el.append((a, b))
-    r_t = 0
-    s_t = 0
-    for a, b in el:
-        r_t += int(
-            round_half_away(
-                np.array([1.0 / np.sqrt(float(deg[a] * deg[b])) * 1e9])
-            )[0]
-        )
-        s_t += int(
-            round_half_away(
-                np.array([1.0 / np.sqrt(float(deg[a] + deg[b])) * 1e9])
-            )[0]
-        )
-    return pa.table(
-        {
-            "n_edges": pa.array([len(el)], pa.int64()),
-            "randic": round_like_sql([float(r_t) / 1e9], 6),
-            "sum_connectivity": round_like_sql(
-                [float(s_t) / 1e9], 6
-            ),
-        }
-    )
-
-
-def _q_forecast_error_panel(sf_dir: str) -> pa.Table:
-    """Forecast-accuracy panel for the naive-1 forecast of daily
-    revenue cents: MAE and RMSE from exact integer error sums, MAPE
-    and sMAPE from 1e9-tick per-day rationals, pinball loss at
-    q = 9/10 held exactly as integer tenths (max(9e, -e)/10), and
-    Theil's U2 -- one row, every float chain pinned."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    ys = _daily_revenue_cents(sf_dir)
-    n = len(ys) - 1
-    abs_sum = sq_sum = pin10 = 0
-    mape_t = smape_t = 0
-    denom_sq = 0
-    for t in range(1, len(ys)):
-        e = ys[t] - ys[t - 1]
-        abs_sum += abs(e)
-        sq_sum += e * e
-        pin10 += max(9 * e, -e)
-        denom_sq += ys[t - 1] * ys[t - 1]
-        if ys[t] > 0:
-            mape_t += int(
-                round_half_away(
-                    np.array([abs(e) / float(ys[t]) * 1e9])
-                )[0]
-            )
-        if ys[t] + ys[t - 1] > 0:
-            smape_t += int(
-                round_half_away(
-                    np.array(
-                        [
-                            2.0
-                            * abs(e)
-                            / float(ys[t] + ys[t - 1])
-                            * 1e9
-                        ]
-                    )
-                )[0]
-            )
-    mae = float(abs_sum) / float(n)
-    rmse = np.sqrt(float(sq_sum) / float(n))
-    mape = float(mape_t) / 1e9 / float(n)
-    smape = float(smape_t) / 1e9 / float(n)
-    pinball = float(pin10) / 10.0 / float(n)
-    u2 = np.sqrt(float(sq_sum) / float(denom_sq))
-    return pa.table(
-        {
-            "n_forecasts": pa.array([n], pa.int64()),
-            "mae": round_like_sql([mae], 6),
-            "rmse": round_like_sql([float(rmse)], 6),
-            "mape": round_like_sql([mape], 6),
-            "smape": round_like_sql([smape], 6),
-            "pinball_q90": round_like_sql([pinball], 6),
-            "theil_u2": round_like_sql([float(u2)], 6),
-        }
-    )
-
-
-def _q_winkler_interval(sf_dir: str) -> pa.Table:
-    """Winkler interval score for the static 80% interval [q10, q90]
-    of the first-half daily revenues evaluated on the second half:
-    width + (2/alpha) x exceedance with alpha = 1/5, so every per-day
-    score is an exact integer (cents x 1; penalties are 10x integer
-    distances) -- coverage and mean score from integer sums."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    ys = _daily_revenue_cents(sf_dir)
-    mid = len(ys) // 2
-    train = sorted(ys[:mid])
-    m = len(train)
-    lo = train[max(0, -(-m // 10) - 1)]  # ceil(0.1*m)-th order stat
-    hi = train[max(0, -(-(9 * m) // 10) - 1)]
-    width = hi - lo
-    total10 = 0
-    n_cover = 0
-    n_eval = len(ys) - mid
-    for y in ys[mid:]:
-        s10 = 10 * width
-        if y < lo:
-            s10 += 100 * (lo - y)
-        elif y > hi:
-            s10 += 100 * (y - hi)
-        else:
-            n_cover += 1
-        total10 += s10
-    return pa.table(
-        {
-            "q10_c": pa.array([lo], pa.int64()),
-            "q90_c": pa.array([hi], pa.int64()),
-            "n_eval": pa.array([n_eval], pa.int64()),
-            "n_covered": pa.array([n_cover], pa.int64()),
-            "mean_score": round_like_sql(
-                [float(total10) / 10.0 / float(n_eval)], 6
-            ),
-        }
-    )
-
-
-def _q_multi_otsu(sf_dir: str) -> pa.Table:
-    """Three-class (two-threshold) Otsu segmentation of the oracle
-    raster's deci-value histogram: exhaustive search over ordered
-    threshold pairs maximizing the between-class criterion
-    V = s1^2/n1 + s2^2/n2 + s3^2/n3 (the mean^2 term is constant) --
-    prefix sums are exact integers, V is one pinned float chain per
-    candidate, ties by (t1, t2)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    pts = _og_points_ds(valid_only=True)
-
-    def decis(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "v": pa.array(scaled_int(batch["z"], 10.0)),
-                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        pts.map_batches(decis, batch_format="pyarrow", batch_size=None),
-        ["v"],
-        [("_one", "sum", "n")],
-    ).sort_by("v")
-    vals = agg["v"].to_numpy(zero_copy_only=False).astype(np.int64)
-    cnt = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    cn = np.cumsum(cnt)
-    cs = np.cumsum(vals * cnt)
-    n_tot, s_tot = int(cn[-1]), int(cs[-1])
-    k = len(vals)
-    best = None
-    for i in range(k - 2):  # class 1 = values <= vals[i]
-        n1, s1 = int(cn[i]), int(cs[i])
-        for j in range(i + 1, k - 1):
-            n2 = int(cn[j]) - n1
-            s2 = int(cs[j]) - s1
-            n3 = n_tot - n1 - n2
-            s3 = s_tot - s1 - s2
-            v = (
-                float(s1) * float(s1) / float(n1)
-                + float(s2) * float(s2) / float(n2)
-                + float(s3) * float(s3) / float(n3)
-            )
-            key = (-v, int(vals[i]), int(vals[j]))
-            if best is None or key < best:
-                best = key
-    return pa.table(
-        {
-            "t1_deci": pa.array([best[1]], pa.int64()),
-            "t2_deci": pa.array([best[2]], pa.int64()),
-            "criterion": round_like_sql([-best[0]], 6),
-        }
-    )
-
-
-def _q_hu_moments(sf_dir: str) -> pa.Table:
-    """Hu's seven rotation-invariant moments of each base image in
-    the REAL-PNG fixture (decoded by the from-scratch codec): raw
-    moments are exact integers, normalized central moments and the
-    Hu combinations are pinned float chains per image -- the SQL
-    oracle recomputes everything from the closed-form pixel rule,
-    validating decode + moment pipeline end-to-end.  eta-scaled,
-    first three invariants reported."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.sources.media import (
-        decode_media,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.multimodal import (
-        gen_media_grid,
-    )
-
-    media = ray.data.from_arrow(gen_media_grid(n=8, size=32, n_base=16))
-
-    def moments(batch: pa.Table) -> pa.Table:
-        ids, h1s, h2s, h3s = [], [], [], []
-        for i in range(batch.num_rows):
-            arr = decode_media(
-                batch["payload"][i].as_py(),
-                batch["media_type"][i].as_py(),
-            )
-            g = arr[:, :, 0].astype(np.int64)
-            r = np.arange(32, dtype=np.int64)[:, None]
-            c = np.arange(32, dtype=np.int64)[None, :]
-            m00 = int(g.sum())
-            m10 = int((r * g).sum())
-            m01 = int((c * g).sum())
-            m20 = int((r * r * g).sum())
-            m02 = int((c * c * g).sum())
-            m11 = int((r * c * g).sum())
-            # n-scaled central moments (exact integers)
-            mu20 = m00 * m20 - m10 * m10
-            mu02 = m00 * m02 - m01 * m01
-            mu11 = m00 * m11 - m10 * m01
-            # eta = mu / m00^2 (order-2), all pinned floats
-            den = float(m00) * float(m00) * float(m00)
-            e20 = float(mu20) / den
-            e02 = float(mu02) / den
-            e11 = float(mu11) / den
-            h1 = e20 + e02
-            h2 = (e20 - e02) * (e20 - e02) + 4.0 * e11 * e11
-            h3 = e20 * e02 - e11 * e11  # determinant invariant
-            ids.append(batch["media_id"][i].as_py())
-            h1s.append(h1)
-            h2s.append(h2)
-            h3s.append(h3)
-        return pa.table(
-            {
-                "media_id": pa.array(ids, pa.string()),
-                "h1": pa.array(h1s, pa.float64()),
-                "h2": pa.array(h2s, pa.float64()),
-                "h3": pa.array(h3s, pa.float64()),
-            }
-        )
-
-    out = collect_tables(
-        media.map_batches(moments, batch_format="pyarrow", batch_size=None)
-    ).sort_by("media_id")
-    return pa.table(
-        {
-            "media_id": out["media_id"],
-            "h1": round_like_sql(out["h1"], 6),
-            "h2": round_like_sql(out["h2"], 6),
-            "h3": round_like_sql(out["h3"], 6),
-        }
-    )
-
-
-def _q_radon_projections(sf_dir: str) -> pa.Table:
-    """Discrete Radon projections of the event-count grid at the four
-    exact lattice angles (0, 45, 90, 135 degrees -- index sums, no
-    interpolation): per angle the argmax bin, its mass and the total
-    -- all exact integers; the sinogram summary behind tomographic /
-    line-detection screens (complements hough_lines)."""
-    cnt, _ = _grid_count_cents(sf_dir)
-    rows = []
-    projs = {
-        0: cnt.sum(axis=1),        # over columns -> per row
-        90: cnt.sum(axis=0),       # per column
-    }
-    n = cnt.shape[0]
-    p45 = np.zeros(2 * n - 1, np.int64)
-    p135 = np.zeros(2 * n - 1, np.int64)
-    r = np.arange(n)[:, None]
-    c = np.arange(n)[None, :]
-    np.add.at(p45, (r + c).ravel(), cnt.ravel())
-    np.add.at(p135, (r - c + n - 1).ravel(), cnt.ravel())
-    projs[45] = p45
-    projs[135] = p135
-    for ang in (0, 45, 90, 135):
-        p = projs[ang]
-        arg = int(p.argmax())  # smallest index on ties
-        rows.append((ang, arg, int(p[arg]), int(p.sum())))
-    return pa.table(
-        {
-            "angle": pa.array([r[0] for r in rows], pa.int64()),
-            "argmax_bin": pa.array([r[1] for r in rows], pa.int64()),
-            "max_mass": pa.array([r[2] for r in rows], pa.int64()),
-            "total": pa.array([r[3] for r in rows], pa.int64()),
-        }
-    )
-
-
-_GOERTZEL_BINS = (8, 16)
-
-
-def _q_goertzel_tones(sf_dir: str) -> pa.Table:
-    """Goertzel single-bin DFT power at bins k = 8 and 16 over the
-    REAL-WAV fixture clips (the tone-detection primitive behind DTMF
-    / pilot-tone screens): the s-state float recursion runs in
-    identical order on both sides (like the Kalman/EWMA family), so
-    parity is structural; decode comes through the from-scratch PCM
-    codec."""
-    import ray.data
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.sources.media import (
-        decode_wav,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.multimodal import (
-        gen_wav_grid,
-    )
-
-    media = ray.data.from_arrow(gen_wav_grid(n=12, n_samples=256))
-
-    def powers(batch: pa.Table) -> pa.Table:
-        ids, ks, ps = [], [], []
-        n = 256
-        for i in range(batch.num_rows):
-            samples, _sr = decode_wav(batch["payload"][i].as_py())
-            x = samples[:, 0].astype(np.float64)
-            for k in _GOERTZEL_BINS:
-                w = 2.0 * np.pi * float(k) / float(n)
-                coef = 2.0 * np.cos(w)
-                s1 = s2 = 0.0
-                for v in x:
-                    s0 = v + coef * s1 - s2
-                    s2 = s1
-                    s1 = s0
-                p = s1 * s1 + s2 * s2 - coef * s1 * s2
-                ids.append(batch["media_id"][i].as_py())
-                ks.append(k)
-                ps.append(p)
-        return pa.table(
-            {
-                "media_id": pa.array(ids, pa.string()),
-                "k": pa.array(ks, pa.int64()),
-                "power": pa.array(ps, pa.float64()),
-            }
-        )
-
-    out = collect_tables(
-        media.map_batches(powers, batch_format="pyarrow", batch_size=None)
-    ).sort_by([("media_id", "ascending"), ("k", "ascending")])
-    return pa.table(
-        {
-            "media_id": out["media_id"],
-            "k": out["k"],
-            "log_power": round_like_sql(
-                np.log(
-                    np.maximum(
-                        out["power"].to_numpy(zero_copy_only=False),
-                        1.0,
-                    )
-                ),
-                6,
-            ),
-        }
-    )
-
-
-def _goertzel_oracle_sql() -> str:
-    """Mirror of _q_goertzel_tones: the s-recursion as a recursive
-    CTE over the formula samples."""
-    return (
-        "WITH RECURSIVE px AS (SELECT i.range AS i, t.range AS t, "
-        "CAST((t.range * 73 + i.range * 17) % 2001 - 1000 AS DOUBLE) "
-        "AS v FROM range(0, 12) i, range(0, 256) t), "
-        "kb AS (SELECT * FROM (VALUES (8), (16)) AS vv(k)), "
-        "co AS (SELECT k, 2.0 * COS(2.0 * pi() * CAST(k AS DOUBLE) "
-        "/ 256.0) AS coef FROM kb), "
-        "w AS (SELECT px.i, co.k, co.coef, px.t, "
-        "px.v + co.coef * CAST(0 AS DOUBLE) - CAST(0 AS DOUBLE) "
-        "AS s1, CAST(0 AS DOUBLE) AS s2 "
-        "FROM px, co WHERE px.t = 0 "
-        "UNION ALL "
-        "SELECT w.i, w.k, w.coef, px.t, "
-        "px.v + w.coef * w.s1 - w.s2, w.s1 "
-        "FROM w JOIN px ON px.i = w.i AND px.t = w.t + 1), "
-        "f AS (SELECT i, k, s1 * s1 + s2 * s2 - coef * s1 * s2 "
-        "AS p FROM w WHERE t = 255) "
-        "SELECT 'w' || CAST(i AS VARCHAR) AS media_id, "
-        "CAST(k AS BIGINT) AS k, "
-        "ROUND(LN(GREATEST(p, 1.0)), 6) AS log_power FROM f "
-        "ORDER BY media_id, k"
-    )
-
-
-_MONDRIAN_DEPTH = 3
-
-
-def _q_mondrian_partition(sf_dir: str) -> pa.Table:
-    """Mondrian-style k-anonymity partitioning of the (hour-of-day,
-    value-cents) quasi-identifier space: 3 median-split levels
-    alternating dimensions (exact quantile_disc medians per node,
-    left = value <= median), reporting each leaf's population -- the
-    greedy multidimensional generalization behind k-anon release
-    planning.  All splits are exact integer comparisons."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, hash_aggregate,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.sketch import (
-        grouped_exact_quantiles,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["ts", "value"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "h": pa.array((ts // 3_600_000_000) % 24),
-                "c": pa.array(scaled_int(batch["value"], 100.0)),
-                "node": pa.array(np.zeros(len(ts), np.int64)),
-            }
-        )
-
-    cur = ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
-    meds_per_level = []
-    for d in range(_MONDRIAN_DEPTH):
-        col = "h" if d % 2 == 0 else "c"
-        med_tbl = collect_tables(
-            grouped_exact_quantiles(cur, "node", col, [0.5])
-        )
-        vcol = med_tbl.column(med_tbl.num_columns - 1)
-        meds = {
-            int(med_tbl["node"][i].as_py()): int(vcol[i].as_py())
-            for i in range(med_tbl.num_rows)
-        }
-        meds_per_level.append(meds)
-
-        def split(batch: pa.Table, meds=meds, col=col) -> pa.Table:
-            node = batch["node"].to_numpy(zero_copy_only=False).astype(
-                np.int64
-            )
-            v = batch[col].to_numpy(zero_copy_only=False)
-            mv = np.array(
-                [meds[int(x)] for x in node], np.int64
-            )
-            return pa.table(
-                {
-                    "h": batch["h"],
-                    "c": batch["c"],
-                    "node": pa.array(
-                        node * 2 + (v > mv).astype(np.int64)
-                    ),
-                }
-            )
-
-        cur = cur.map_batches(
-            split, batch_format="pyarrow", batch_size=None
-        )
-
-    def ones(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "node": batch["node"],
-                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        cur.map_batches(ones, batch_format="pyarrow", batch_size=None),
-        ["node"],
-        [("_one", "sum", "n")],
-    ).sort_by("node")
-    return pa.table(
-        {
-            "leaf": agg["node"],
-            "n": agg["n"].cast(pa.int64()),
-        }
-    )
-
-
-def _mondrian_oracle_sql() -> str:
-    """Mirror of _q_mondrian_partition: 3 unrolled median-split
-    levels with quantile_disc per node."""
-    parts = [
-        "WITH p0 AS (SELECT (epoch_us(ts) // 3600000000) % 24 AS h, "
-        "CAST(ROUND(value * 100, 0) AS BIGINT) AS c, "
-        "CAST(0 AS BIGINT) AS node FROM events)"
-    ]
-    for d in range(_MONDRIAN_DEPTH):
-        col = "h" if d % 2 == 0 else "c"
-        parts.append(
-            f", m{d} AS (SELECT node, quantile_disc({col}, 0.5) "
-            f"AS med FROM p{d} GROUP BY node)"
-        )
-        parts.append(
-            f", p{d + 1} AS (SELECT p.h, p.c, p.node * 2 + "
-            f"CASE WHEN p.{col} > m.med THEN 1 ELSE 0 END AS node "
-            f"FROM p{d} p JOIN m{d} m ON m.node = p.node)"
-        )
-    parts.append(
-        f" SELECT node AS leaf, CAST(COUNT(*) AS BIGINT) AS n "
-        f"FROM p{_MONDRIAN_DEPTH} GROUP BY node ORDER BY node"
-    )
-    return "".join(parts)
-
-
-def _q_diff_in_diff(sf_dir: str) -> pa.Table:
-    """Difference-in-differences estimate of the mix32 A/B arm's
-    effect on mean value cents across the mid-point period split:
-    DiD = (treat_post - treat_pre) - (ctrl_post - ctrl_pre), all four
-    cell means exact rationals (one float chain), plus the
-    interaction-SE-free per-cell sums for audit -- the canonical
-    quasi-experimental panel estimator."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
-        mix32,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["ts", "user_id", "value"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        day = (
-            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 86_400_000_000
-        )
-        return pa.table(
-            {
-                "arm": pa.array(mix32(uid, 61) % 2),
-                "day": pa.array(day),
-                "c": pa.array(scaled_int(batch["value"], 100.0)),
-                "_one": pa.array(np.ones(len(uid), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["arm", "day"],
-        [("c", "sum", "s"), ("_one", "sum", "n")],
-    )
-    days = sorted(set(int(x) for x in agg["day"].to_pylist()))
-    mid = days[len(days) // 2]
-    cell = {(a, p): [0, 0] for a in (0, 1) for p in (0, 1)}
-    for i in range(agg.num_rows):
-        a = int(agg["arm"][i].as_py())
-        p = 0 if int(agg["day"][i].as_py()) < mid else 1
-        cell[(a, p)][0] += int(agg["s"][i].as_py())
-        cell[(a, p)][1] += int(agg["n"][i].as_py())
-    mu = {
-        k: float(v[0]) / float(v[1]) for k, v in cell.items()
-    }
-    did = (mu[(1, 1)] - mu[(1, 0)]) - (mu[(0, 1)] - mu[(0, 0)])
-    return pa.table(
-        {
-            "mu_ctrl_pre": round_like_sql([mu[(0, 0)]], 6),
-            "mu_ctrl_post": round_like_sql([mu[(0, 1)]], 6),
-            "mu_treat_pre": round_like_sql([mu[(1, 0)]], 6),
-            "mu_treat_post": round_like_sql([mu[(1, 1)]], 6),
-            "did_cents": round_like_sql([did], 6),
-        }
-    )
-
-
-def _q_cuped_adjustment(sf_dir: str) -> pa.Table:
-    """CUPED variance reduction for the per-user post-period mean
-    (pre-period value sums as the covariate): theta =
-    Cov(pre, post)/Var(pre) from n-scaled exact integer moments, and
-    the variance-reduction factor 1 - rho^2 as one pinned float chain
-    -- the industry-standard experiment sensitivity booster."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["ts", "user_id", "value"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        day = (
-            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 86_400_000_000
-        )
-        return pa.table(
-            {
-                "user_id": batch["user_id"],
-                "day": pa.array(day),
-                "c": pa.array(scaled_int(batch["value"], 100.0)),
-            }
-        )
-
-    pd_ds = ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
-    agg = hash_aggregate(
-        pd_ds, ["user_id", "day"], [("c", "sum", "s")]
-    )
-    days = sorted(set(int(x) for x in agg["day"].to_pylist()))
-    mid = days[len(days) // 2]
-    per: dict[int, list[int]] = {}
-    for i in range(agg.num_rows):
-        u = int(agg["user_id"][i].as_py())
-        p = 0 if int(agg["day"][i].as_py()) < mid else 1
-        per.setdefault(u, [0, 0])[p] += int(agg["s"][i].as_py())
-    n = len(per)
-    sx = sum(v[0] for v in per.values())
-    sy = sum(v[1] for v in per.values())
-    sxx = sum(v[0] * v[0] for v in per.values())
-    syy = sum(v[1] * v[1] for v in per.values())
-    sxy = sum(v[0] * v[1] for v in per.values())
-    vx = n * sxx - sx * sx
-    vy = n * syy - sy * sy
-    cv = n * sxy - sx * sy
-    theta = float(cv) / float(vx)
-    rho2 = float(cv) * float(cv) / (float(vx) * float(vy))
-    return pa.table(
-        {
-            "n_users": pa.array([n], pa.int64()),
-            "theta": round_like_sql([theta], 6),
-            "rho2": round_like_sql([rho2], 6),
-            "var_reduction": round_like_sql([1.0 - rho2], 6),
-        }
-    )
-
-
-_VGRAM_LAGS = (1, 2, 4)
-
-
-def _q_cross_variogram(sf_dir: str) -> pa.Table:
-    """Cross-variogram between the event-count and revenue-cents
-    fields on the 96x96 lattice at lags 1/2/4 (both axes pooled):
-    gamma_xy(h) = sum (dx * dy) / (2 N_h) with EXACT integer
-    cross-product sums -- the geostatistical co-dependence of the
-    two surfaces (companion of bivariate Moran)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    cnt, cen = _grid_count_cents(sf_dir)
-    rows = []
-    for h in _VGRAM_LAGS:
-        s = 0
-        npairs = 0
-        for (a, b) in (
-            (cnt[:, h:] - cnt[:, :-h], cen[:, h:] - cen[:, :-h]),
-            (cnt[h:, :] - cnt[:-h, :], cen[h:, :] - cen[:-h, :]),
-        ):
-            s += int((a.astype(object) * b.astype(object)).sum())
-            npairs += a.size
-        rows.append(
-            (h, npairs, s, float(s) / (2.0 * float(npairs)))
-        )
-    return pa.table(
-        {
-            "lag": pa.array([r[0] for r in rows], pa.int64()),
-            "n_pairs": pa.array([r[1] for r in rows], pa.int64()),
-            "cross_sum": pa.array([r[2] for r in rows], pa.int64()),
-            "gamma_xy": round_like_sql([r[3] for r in rows], 6),
-        }
-    )
-
-
-def _q_madogram_lags(sf_dir: str) -> pa.Table:
-    """Madogram (first-order / robust variogram) of the revenue-cents
-    field at lags 1/2/4: gamma_1(h) = sum |dz| / (2 N_h) with exact
-    integer absolute-difference sums -- outlier-resistant spatial
-    continuity, the |.|^1 member of the variogram family."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    _cnt, cen = _grid_count_cents(sf_dir)
-    rows = []
-    for h in _VGRAM_LAGS:
-        s = 0
-        npairs = 0
-        for d in (
-            cen[:, h:] - cen[:, :-h],
-            cen[h:, :] - cen[:-h, :],
-        ):
-            s += int(np.abs(d).sum())
-            npairs += d.size
-        rows.append(
-            (h, npairs, s, float(s) / (2.0 * float(npairs)))
-        )
-    return pa.table(
-        {
-            "lag": pa.array([r[0] for r in rows], pa.int64()),
-            "n_pairs": pa.array([r[1] for r in rows], pa.int64()),
-            "abs_sum": pa.array([r[2] for r in rows], pa.int64()),
-            "gamma1": round_like_sql([r[3] for r in rows], 6),
-        }
-    )
-
-
-def _q_fellegi_sunter_weights(sf_dir: str) -> pa.Table:
-    """Fellegi-Sunter record-linkage agreement weights for two
-    comparison fields (lang, n_chars decile) with same-source pairs
-    as ground-truth matches: every pair count comes from CLOSED FORMS
-    over group sizes (C(c,2) sums -- no pair enumeration anywhere),
-    m = P(agree|match), u = P(agree|non-match) are exact rationals,
-    and the log2 agreement weight is one pinned float per field."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "source", "lang", "n_chars"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        nc = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                "source": batch["source"],
-                "lang": batch["lang"],
-                "dec": pa.array(nc // 200),
-                "_one": pa.array(np.ones(len(nc), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["source", "lang", "dec"],
-        [("_one", "sum", "n")],
-    )
-    cells: dict[tuple[str, str, int], int] = {}
-    for i in range(agg.num_rows):
-        cells[
-            (
-                agg["source"][i].as_py(),
-                agg["lang"][i].as_py(),
-                int(agg["dec"][i].as_py()),
-            )
-        ] = int(agg["n"][i].as_py())
-
-    def c2(x: int) -> int:
-        return x * (x - 1) // 2
-
-    n_tot = sum(cells.values())
-    src_tot: dict[str, int] = {}
-    lang_tot: dict[str, int] = {}
-    dec_tot: dict[int, int] = {}
-    sl: dict[tuple[str, str], int] = {}
-    sd: dict[tuple[str, int], int] = {}
-    for (s, lg, d), c in cells.items():
-        src_tot[s] = src_tot.get(s, 0) + c
-        lang_tot[lg] = lang_tot.get(lg, 0) + c
-        dec_tot[d] = dec_tot.get(d, 0) + c
-        sl[(s, lg)] = sl.get((s, lg), 0) + c
-        sd[(s, d)] = sd.get((s, d), 0) + c
-    total_pairs = c2(n_tot)
-    match_pairs = sum(c2(c) for c in src_tot.values())
-    nonmatch_pairs = total_pairs - match_pairs
-    rows = []
-    for field, ftot, fjoint in (
-        ("lang", lang_tot, sl),
-        ("len_decile", dec_tot, sd),
-    ):
-        agree_match = sum(c2(c) for c in fjoint.values())
-        agree_all = sum(c2(c) for c in ftot.values())
-        agree_non = agree_all - agree_match
-        m = float(agree_match) / float(match_pairs)
-        u = float(agree_non) / float(nonmatch_pairs)
-        w = np.log2(m / u)
-        rows.append((field, agree_match, agree_non, m, u, float(w)))
-    return pa.table(
-        {
-            "field": pa.array([r[0] for r in rows]),
-            "agree_match": pa.array(
-                [r[1] for r in rows], pa.int64()
-            ),
-            "agree_nonmatch": pa.array(
-                [r[2] for r in rows], pa.int64()
-            ),
-            "m_prob": round_like_sql([r[3] for r in rows], 6),
-            "u_prob": round_like_sql([r[4] for r in rows], 6),
-            "log2_weight": round_like_sql([r[5] for r in rows], 6),
-        }
-    )
-
-
-def _q_blocking_quality(sf_dir: str) -> pa.Table:
-    """Blocking-scheme evaluation for record linkage (blocks =
-    (lang, n_chars-decile) composite key): reduction ratio
-    1 - cand/total and pair completeness (share of true same-source
-    pairs landing in the same block) -- all pair counts by C(c,2)
-    closed forms over group sizes, two float divisions."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "source", "lang", "n_chars"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        nc = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
-        langs = batch["lang"].to_pylist()
-        return pa.table(
-            {
-                "source": batch["source"],
-                "blk": pa.array(
-                    [
-                        f"{lg}-{int(d)}"
-                        for lg, d in zip(langs, nc // 200)
-                    ]
-                ),
-                "_one": pa.array(np.ones(len(nc), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["source", "blk"],
-        [("_one", "sum", "n")],
-    )
-
-    def c2(x: int) -> int:
-        return x * (x - 1) // 2
-
-    src_tot: dict[str, int] = {}
-    blk_tot: dict[str, int] = {}
-    joint: dict[tuple[str, str], int] = {}
-    for i in range(agg.num_rows):
-        s = agg["source"][i].as_py()
-        b = agg["blk"][i].as_py()
-        c = int(agg["n"][i].as_py())
-        src_tot[s] = src_tot.get(s, 0) + c
-        blk_tot[b] = blk_tot.get(b, 0) + c
-        joint[(s, b)] = joint.get((s, b), 0) + c
-    n_tot = sum(src_tot.values())
-    total_pairs = c2(n_tot)
-    cand_pairs = sum(c2(c) for c in blk_tot.values())
-    match_pairs = sum(c2(c) for c in src_tot.values())
-    match_in_block = sum(c2(c) for c in joint.values())
-    rr = 1.0 - float(cand_pairs) / float(total_pairs)
-    pc = float(match_in_block) / float(match_pairs)
-    return pa.table(
-        {
-            "n_blocks": pa.array([len(blk_tot)], pa.int64()),
-            "cand_pairs": pa.array([cand_pairs], pa.int64()),
-            "match_pairs": pa.array([match_pairs], pa.int64()),
-            "reduction_ratio": round_like_sql([rr], 6),
-            "pair_completeness": round_like_sql([pc], 6),
-        }
-    )
-
-
-def _spell_probes(vocab: list[str]) -> list[str]:
-    """Deterministic misspellings: the 5 longest vocab words with the
-    middle character replaced by 'q' (a letter absent from the slot)."""
-    longest = sorted(vocab, key=lambda w: (-len(w), w))[:5]
-    out = []
-    for w in longest:
-        mid = len(w) // 2
-        ch = "q" if w[mid] != "q" else "z"
-        out.append(w[:mid] + ch + w[mid + 1 :])
-    return out
-
-
-def _q_spell_correct(sf_dir: str) -> pa.Table:
-    """Noisy-channel spelling correction: 5 deterministic
-    misspellings of vocabulary words, candidates = vocabulary within
-    edit distance 1, scored by unigram frequency (the unsmoothed
-    channel x LM argmax) -- ties by candidate string.  The vocabulary
-    and counts come off the distributed token combiner; candidate
-    generation is vocabulary-bounded."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        ngram_counts,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "text"],
-    )
-    tf = collect_tables(ngram_counts(ds, n=1))
-    vocab = tf["gram"].to_pylist()
-    cnt = {
-        w: int(c) for w, c in zip(vocab, tf["n"].to_pylist())
-    }
-
-    def ed1(a: str, b: str) -> bool:
-        if abs(len(a) - len(b)) > 1:
-            return False
-        # classic two-pointer edit-distance-1 check
-        if len(a) > len(b):
-            a, b = b, a
-        i = j = diff = 0
-        while i < len(a) and j < len(b):
-            if a[i] == b[j]:
-                i += 1
-                j += 1
-            else:
-                diff += 1
-                if diff > 1:
-                    return False
-                if len(a) == len(b):
-                    i += 1
-                j += 1
-        diff += len(b) - j
-        return diff == 1
-
-    probes = _spell_probes(sorted(vocab))
-    rows = []
-    for p in probes:
-        cands = sorted(
-            (w for w in vocab if ed1(p, w)),
-            key=lambda w: (-cnt[w], w),
-        )
-        best = cands[0] if cands else None
-        rows.append(
-            (p, best, cnt.get(best, 0) if best else 0, len(cands))
-        )
-    return pa.table(
-        {
-            "probe": pa.array([r[0] for r in rows]),
-            "correction": pa.array([r[1] for r in rows]),
-            "freq": pa.array([r[2] for r in rows], pa.int64()),
-            "n_candidates": pa.array(
-                [r[3] for r in rows], pa.int64()
-            ),
-        }
-    )
-
-
-_TDECAY_HL_US = 6 * 3_600_000_000  # 6-hour half-life
-
-
-def _q_time_decay_attribution(sf_dir: str) -> pa.Table:
-    """Time-decay multi-touch attribution: each purchase distributes
-    one unit of credit over the user's preceding click/view/signup
-    touches with weight 2^(-dt / 6h); per-touch shares are the exact
-    rational w_i / sum w (held as 1e9-tick quantized floats -- the
-    2^x chain is identical in SQL), summed per channel."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, hash_aggregate, round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.shuffle import (
-        grouped_by_key,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "ts", "user_id", "event_type"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "user_id": batch["user_id"],
-                "ts": batch["ts"].cast(pa.int64()),
-                "eid": batch["event_id"],
-                "t": batch["event_type"],
-            }
-        )
-
-    def kernel(group: pa.Table) -> pa.Table:
-        ts = group["ts"].to_numpy(zero_copy_only=False)
-        eid = group["eid"].to_numpy(zero_copy_only=False)
-        tt = np.asarray(group["t"].to_pylist(), object)
-        order = np.lexsort((eid, ts))
-        ts, tt = ts[order], tt[order]
-        credits: dict[str, int] = {}
-        ln2 = np.log(2.0)
-        for i in range(len(ts)):
-            if tt[i] != "purchase":
-                continue
-            w = []
-            for j in range(i):
-                if tt[j] in ("click", "view", "signup"):
-                    v = np.exp(
-                        -float(ts[i] - ts[j])
-                        / float(_TDECAY_HL_US)
-                        * ln2
-                    )
-                    # quantize BEFORE summing: integer weights make
-                    # the normalization order-free (SQL SUM order)
-                    w.append(
-                        (
-                            tt[j],
-                            int(
-                                round_half_away(
-                                    np.array([v * 1e9])
-                                )[0]
-                            ),
-                        )
-                    )
-            tot = sum(v for _c, v in w)
-            if tot == 0:
-                continue
-            for c, v in w:
-                t9 = int(
-                    round_half_away(
-                        np.array([float(v) / float(tot) * 1e9])
-                    )[0]
-                )
-                credits[c] = credits.get(c, 0) + t9
-        rows = sorted(credits.items())
-        return pa.table(
-            {
-                "channel": pa.array(
-                    [r[0] for r in rows], pa.string()
-                ),
-                "t9": pa.array([r[1] for r in rows], pa.int64()),
-            }
-        )
-
-    per_user = grouped_by_key(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        "user_id",
-        kernel,
-    )
-    agg = hash_aggregate(per_user, ["channel"], [("t9", "sum", "t9")])
-    agg = agg.sort_by("channel")
-    t9 = agg["t9"].to_numpy(zero_copy_only=False).astype(np.int64)
-    return pa.table(
-        {
-            "channel": agg["channel"],
-            "credit": round_like_sql(
-                t9.astype(np.float64) / 1e9, 6
-            ),
-        }
-    )
-
-
-def _q_chaikin_smooth(sf_dir: str) -> pa.Table:
-    """Chaikin corner-cutting (2 iterations) of the top user's first
-    12 geocoded fixes: each pass replaces every segment with its 1/4
-    and 3/4 points, so after two passes all coordinates are EXACT
-    multiples of 1/16 -- emitted as integer sixteenths, endpoints
-    preserved."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables,
-    )
-
-    top_user = _top_users_by_count(sf_dir, 1)[0][0]
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "ts", "user_id"],
-    )
-
-    def fixes(batch: pa.Table) -> pa.Table:
-        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = uid == top_user
-        eid = batch["event_id"].to_numpy(zero_copy_only=False)[keep]
-        return pa.table(
-            {
-                "ts": batch["ts"].cast(pa.int64()).to_numpy(
-                    zero_copy_only=False
-                )[keep],
-                "eid": pa.array(eid),
-                "gx": pa.array((eid % 96).astype(np.int64)),
-                "gy": pa.array(((eid // 96) % 96).astype(np.int64)),
-            }
-        )
-
-    tbl = collect_tables(
-        ds.map_batches(fixes, batch_format="pyarrow", batch_size=None)
-    ).sort_by([("ts", "ascending"), ("eid", "ascending")])
-    gx = tbl["gx"].to_numpy(zero_copy_only=False)[:12]
-    gy = tbl["gy"].to_numpy(zero_copy_only=False)[:12]
-    # work in quarters then sixteenths (exact integers throughout)
-    px = [int(x) * 16 for x in gx]
-    py = [int(y) * 16 for y in gy]
-    for _ in range(2):
-        nx = [px[0]]
-        ny = [py[0]]
-        for i in range(len(px) - 1):
-            nx.append((3 * px[i] + px[i + 1]) // 4)
-            ny.append((3 * py[i] + py[i + 1]) // 4)
-            nx.append((px[i] + 3 * px[i + 1]) // 4)
-            ny.append((py[i] + 3 * py[i + 1]) // 4)
-        nx.append(px[-1])
-        ny.append(py[-1])
-        px, py = nx, ny
-    return pa.table(
-        {
-            "i": pa.array(list(range(len(px))), pa.int64()),
-            "x16": pa.array(px, pa.int64()),
-            "y16": pa.array(py, pa.int64()),
-        }
-    )
-
-
-_SINKHORN_ITERS = 10
-_SINKHORN_SC = 1_000_000_000
-
-
-def _q_sinkhorn_ot(sf_dir: str) -> pa.Table:
-    """Entropic optimal transport (Sinkhorn) between the purchase and
-    view hour-of-day distributions: kernel K = exp(-|i-j|_circ / 4)
-    quantized once at 1e9 ticks, then 10 unrolled integer scaling
-    iterations (u = a * SC^2 // (K v), v = b * SC^2 // (K u) --
-    truncating divisions, the IPF discipline on an OT kernel);
-    output = the per-hour scaled marginals and the tick transport
-    cost estimate."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["ts", "event_type"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        et = batch["event_type"].to_numpy(zero_copy_only=False)
-        keep = (et == "purchase") | (et == "view")
-        return pa.table(
-            {
-                "h": pa.array(((ts // 3_600_000_000) % 24)[keep]),
-                "isp": pa.array(
-                    (et[keep] == "purchase").astype(np.int64)
-                ),
-                "_one": pa.array(np.ones(int(keep.sum()), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["h"],
-        [("isp", "sum", "a"), ("_one", "sum", "n")],
-    )
-    a = np.zeros(24, np.int64)
-    b = np.zeros(24, np.int64)
-    for i in range(agg.num_rows):
-        h = int(agg["h"][i].as_py())
-        ap = int(agg["a"][i].as_py())
-        a[h] = ap
-        b[h] = int(agg["n"][i].as_py()) - ap
-    sc = _SINKHORN_SC
-    k = np.zeros((24, 24), np.int64)
-    for i in range(24):
-        for j in range(24):
-            d = min(abs(i - j), 24 - abs(i - j))
-            k[i, j] = int(
-                round_half_away(
-                    np.array([np.exp(-float(d) / 4.0) * sc])
-                )[0]
-            )
-    u = [sc] * 24
-    v = [sc] * 24
-    for _ in range(_SINKHORN_ITERS):
-        for i in range(24):
-            kv = sum(int(k[i, j]) * v[j] for j in range(24))
-            u[i] = int(a[i]) * sc * sc // kv if kv else 0
-        for j in range(24):
-            ku = sum(int(k[i, j]) * u[i] for i in range(24))
-            v[j] = int(b[j]) * sc * sc // ku if ku else 0
-    cost_t = 0
-    for i in range(24):
-        for j in range(24):
-            d = min(abs(i - j), 24 - abs(i - j))
-            # transport plan tick: u_i K_ij v_j / SC^3 -> ticks of SC
-            p = u[i] * int(k[i, j]) * v[j] // (sc * sc)
-            cost_t += d * p
-    return pa.table(
-        {
-            "hour": pa.array(list(range(24)), pa.int64()),
-            "u_ticks": pa.array(u, pa.int64()),
-            "v_ticks": pa.array(v, pa.int64()),
-            "cost_ticks": pa.array([cost_t] * 24, pa.int64()),
-        }
-    )
-
-
-def _sinkhorn_oracle_sql() -> str:
-    """Mirror of _q_sinkhorn_ot: 10 unrolled integer scaling rounds
-    over the quantized kernel."""
-    sc = _SINKHORN_SC
-    steps = []
-    for r in range(1, _SINKHORN_ITERS + 1):
-        pu, pv = f"u{r - 1}", f"v{r - 1}"
-        steps.append(
-            f"u{r} AS MATERIALIZED (SELECT m.i, CASE WHEN s.kv > 0 "
-            f"THEN ab.a * {sc} * {sc} // s.kv ELSE 0 END AS u "
-            f"FROM (SELECT DISTINCT i FROM kk) m "
-            f"JOIN (SELECT kk.i, CAST(SUM(kk.k * {pv}.v) AS HUGEINT) "
-            f"AS kv FROM kk JOIN {pv} ON {pv}.j = kk.j GROUP BY kk.i) "
-            f"s ON s.i = m.i JOIN ab ON ab.h = m.i), "
-            f"v{r} AS MATERIALIZED (SELECT m.j, CASE WHEN s.ku > 0 "
-            f"THEN ab.b * {sc} * {sc} // s.ku ELSE 0 END AS v "
-            f"FROM (SELECT DISTINCT j FROM kk) m "
-            f"JOIN (SELECT kk.j, CAST(SUM(kk.k * u{r}.u) AS HUGEINT) "
-            f"AS ku FROM kk JOIN u{r} ON u{r}.i = kk.i GROUP BY kk.j) "
-            f"s ON s.j = m.j JOIN ab ON ab.h = m.j)"
-        )
-    last = _SINKHORN_ITERS
-    return (
-        "WITH e AS (SELECT (epoch_us(ts) // 3600000000) % 24 AS h, "
-        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS isp "
-        "FROM events WHERE event_type IN ('purchase', 'view')), "
-        "hr AS (SELECT range AS h FROM range(0, 24)), "
-        "ab AS MATERIALIZED (SELECT hr.h, "
-        "CAST(COALESCE(SUM(e.isp), 0) AS HUGEINT) AS a, "
-        "CAST(COALESCE(SUM(1 - e.isp), 0) AS HUGEINT) AS b "
-        "FROM hr LEFT JOIN e ON e.h = hr.h GROUP BY hr.h), "
-        "kk AS MATERIALIZED (SELECT a.range AS i, b.range AS j, "
-        "CAST(ROUND(EXP(-CAST(LEAST(ABS(a.range - b.range), "
-        "24 - ABS(a.range - b.range)) AS DOUBLE) / 4.0) "
-        f"* {sc}, 0) AS HUGEINT) AS k "
-        "FROM range(0, 24) a, range(0, 24) b), "
-        f"u0 AS (SELECT h AS i, CAST({sc} AS HUGEINT) AS u FROM ab), "
-        f"v0 AS (SELECT h AS j, CAST({sc} AS HUGEINT) AS v FROM ab), "
-        + ", ".join(steps)
-        + f", plan AS (SELECT kk.i, kk.j, "
-        "CAST(LEAST(ABS(kk.i - kk.j), 24 - ABS(kk.i - kk.j)) "
-        f"AS HUGEINT) * (u{last}.u * kk.k * v{last}.v "
-        f"// (CAST({sc} AS HUGEINT) * {sc})) AS dc "
-        f"FROM kk JOIN u{last} ON u{last}.i = kk.i "
-        f"JOIN v{last} ON v{last}.j = kk.j), "
-        "ct AS (SELECT CAST(SUM(dc) AS BIGINT) AS c FROM plan) "
-        f"SELECT CAST(ab.h AS BIGINT) AS hour, "
-        f"CAST(u{last}.u AS BIGINT) AS u_ticks, "
-        f"CAST(v{last}.v AS BIGINT) AS v_ticks, "
-        "ct.c AS cost_ticks "
-        f"FROM ab JOIN u{last} ON u{last}.i = ab.h "
-        f"JOIN v{last} ON v{last}.j = ab.h, ct ORDER BY ab.h"
-    )
-
-
-def _q_procrustes_2d(sf_dir: str) -> pa.Table:
-    """Procrustes congruence (rotation + scale, closed form -- no
-    SVD) between the first 12 centered fixes of the two most active
-    users: R^2 = ((Sxx'+Syy')^2 + (Sxy'-Syx')^2) / (S1 * S2) over
-    n-scaled exact integer cross-moments; one float chain."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, round_like_sql,
-    )
-
-    users = [u for u, _ in _top_users_by_count(sf_dir, 2)]
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_id", "ts", "user_id"],
-    )
-
-    def fixes(batch: pa.Table) -> pa.Table:
-        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        keep = (uid == users[0]) | (uid == users[1])
-        eid = batch["event_id"].to_numpy(zero_copy_only=False)[keep]
-        return pa.table(
-            {
-                "u": pa.array(uid[keep]),
-                "ts": batch["ts"].cast(pa.int64()).to_numpy(
-                    zero_copy_only=False
-                )[keep],
-                "eid": pa.array(eid),
-                "x": pa.array((eid % 96).astype(np.int64)),
-                "y": pa.array(((eid // 96) % 96).astype(np.int64)),
-            }
-        )
-
-    tbl = collect_tables(
-        ds.map_batches(fixes, batch_format="pyarrow", batch_size=None)
-    ).sort_by([("ts", "ascending"), ("eid", "ascending")])
-    uu = tbl["u"].to_numpy(zero_copy_only=False)
-    pts = {}
-    for u in users:
-        sel = uu == u
-        pts[u] = (
-            tbl["x"].to_numpy(zero_copy_only=False)[sel][:12],
-            tbl["y"].to_numpy(zero_copy_only=False)[sel][:12],
-        )
-    n = 12
-    (x1, y1), (x2, y2) = pts[users[0]], pts[users[1]]
-    # n-scaled centering: X = n*x - sum(x)  (exact integers)
-    cx1 = n * x1 - int(x1.sum())
-    cy1 = n * y1 - int(y1.sum())
-    cx2 = n * x2 - int(x2.sum())
-    cy2 = n * y2 - int(y2.sum())
-    sxx = int((cx1 * cx2).sum())
-    syy = int((cy1 * cy2).sum())
-    sxy = int((cx1 * cy2).sum())
-    syx = int((cy1 * cx2).sum())
-    s1 = int((cx1 * cx1 + cy1 * cy1).sum())
-    s2 = int((cx2 * cx2 + cy2 * cy2).sum())
-    num = float(sxx + syy) * float(sxx + syy) + float(
-        sxy - syx
-    ) * float(sxy - syx)
-    r2 = num / (float(s1) * float(s2))
-    return pa.table(
-        {
-            "n_points": pa.array([n], pa.int64()),
-            "trace_sum": pa.array([sxx + syy], pa.int64()),
-            "skew_diff": pa.array([sxy - syx], pa.int64()),
-            "congruence_r2": round_like_sql([r2], 6),
-        }
-    )
-
-
-def _q_largest_empty_circle(sf_dir: str) -> pa.Table:
-    """Largest empty circle (obnoxious-facility / maximin placement)
-    with centers on the 96x96 lattice and sites = the top-20 count
-    cells: argmax over cells of the min squared distance to any site
-    -- exact integers, ties by cell id."""
-    verts = _top_count_cells_xy(sf_dir, 20)
-    sx = np.array([v[1] for v in verts], np.int64)
-    sy = np.array([v[2] for v in verts], np.int64)
-    gx = np.arange(96, dtype=np.int64)[:, None, None]
-    gy = np.arange(96, dtype=np.int64)[None, :, None]
-    d2 = (gx - sx[None, None, :]) ** 2 + (gy - sy[None, None, :]) ** 2
-    mind = d2.min(axis=2)
-    best = int(mind.max())
-    xs, ys = np.nonzero(mind == best)
-    cells = xs * 1 + ys * 96  # cell id = x + y * 96
-    order = np.argsort(cells)
-    bx, by = int(xs[order[0]]), int(ys[order[0]])
-    return pa.table(
-        {
-            "center_x": pa.array([bx], pa.int64()),
-            "center_y": pa.array([by], pa.int64()),
-            "min_d2": pa.array([best], pa.int64()),
-        }
-    )
-
-
-_BOXCOX_LAMBDAS = (-10, -5, 0, 5, 10)  # lambda * 10
-
-
-def _q_box_cox_scan(sf_dir: str) -> pa.Table:
-    """Box-Cox profile log-likelihood scan over lambda in
-    {-1, -0.5, 0, 0.5, 1} for the positive price cents: per DISTINCT
-    value the transform z = (y^l - 1)/l (or ln y at 0) is quantized
-    at 1e6 ticks, variance comes from exact integer tick moments, and
-    LL = -n/2 ln(var) + (l - 1) sum ln y (the log-Jacobian uses
-    1e6-tick ln sums) -- argmax lambda row flagged."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_extendedprice"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "c": pa.array(
-                    scaled_int(batch["l_extendedprice"], 100.0)
-                ),
-                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["c"],
-        [("_one", "sum", "m")],
-    )
-    c = agg["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-    m = agg["m"].to_numpy(zero_copy_only=False).astype(np.int64)
-    n = int(m.sum())
-    lny_t = int(
-        (
-            round_half_away(np.log(c.astype(np.float64)) * 1e6)
-        ).astype(np.int64).__mul__(m).sum()
-    )
-    rows = []
-    for l10 in _BOXCOX_LAMBDAS:
-        lam = float(l10) / 10.0
-        y = c.astype(np.float64)
-        if l10 == 0:
-            z = np.log(y)
-        else:
-            z = (np.power(y, lam) - 1.0) / lam
-        zt = round_half_away(z * 1e6).astype(np.int64)
-        s1 = int((zt * m).sum())
-        # zt^2 exceeds int64 at lambda = 1 -- exact object arithmetic
-        s2 = int(
-            (zt.astype(object) * zt.astype(object) * m.astype(object))
-            .sum()
-        )
-        mean = float(s1) / float(n)
-        var = (float(s2) / float(n) - mean * mean) / 1e12
-        ll = -float(n) / 2.0 * np.log(var) + (lam - 1.0) * (
-            float(lny_t) / 1e6
-        )
-        rows.append((l10, ll))
-    best = max(range(len(rows)), key=lambda i: (rows[i][1], -i))
-    return pa.table(
-        {
-            "lambda_x10": pa.array(
-                [r[0] for r in rows], pa.int64()
-            ),
-            "log_lik": round_like_sql([r[1] for r in rows], 6),
-            "is_best": pa.array(
-                [1 if i == best else 0 for i in range(len(rows))],
-                pa.int64(),
-            ),
-        }
-    )
-
-
-def _q_quantile_mapping(sf_dir: str) -> pa.Table:
-    """Quantile mapping (empirical CDF matching -- the downscaling /
-    bias-correction standard) from the mix32 B arm onto the A arm's
-    value distribution: each distinct B cent maps to the A value at
-    the same quantile (quantile_disc rank convention, exact element
-    selection).  Top-10 most frequent B values reported."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
-        mix32,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "value"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                "c": pa.array(scaled_int(batch["value"], 100.0)),
-                "arm": pa.array(mix32(uid, 41) % 2),
-                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
-            }
-        )
-
-    counts = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["c", "arm"],
-        [("_one", "sum", "n")],
-    ).sort_by([("c", "ascending"), ("arm", "ascending")])
-    cc = counts["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-    aa = counts["arm"].to_numpy(zero_copy_only=False).astype(np.int64)
-    nn = counts["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    av, an = cc[aa == 0], nn[aa == 0]
-    bv, bn = cc[aa == 1], nn[aa == 1]
-    a_cum = np.cumsum(an)
-    b_cum = np.cumsum(bn)
-    n_a, n_b = int(a_cum[-1]), int(b_cum[-1])
-    rows = []
-    for i in np.argsort(-bn, kind="stable")[:10]:
-        # quantile of b value = cum_b / n_b; target = A value at
-        # 0-based index ceil(q * n_a) - 1  (quantile_disc rule)
-        q_num = int(b_cum[i])  # q = q_num / n_b
-        idx = -(-q_num * n_a // n_b) - 1  # ceil(q*n_a) - 1
-        idx = max(0, min(idx, n_a - 1))
-        tgt = int(av[np.searchsorted(a_cum, idx + 1)])
-        rows.append((int(bv[i]), int(bn[i]), tgt))
-    rows.sort(key=lambda r: (-r[1], r[0]))
-    return pa.table(
-        {
-            "b_cents": pa.array([r[0] for r in rows], pa.int64()),
-            "b_count": pa.array([r[1] for r in rows], pa.int64()),
-            "mapped_a_cents": pa.array(
-                [r[2] for r in rows], pa.int64()
-            ),
-        }
-    )
-
-
-def _q_trimmed_mean(sf_dir: str) -> pa.Table:
-    """10% symmetric trimmed mean of the price cents: exact trim
-    bounds by element selection (drop floor(n/10) from each tail),
-    interior sum adjusted at the boundary values with exact partial
-    counts -- one float division."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_extendedprice"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "c": pa.array(
-                    scaled_int(batch["l_extendedprice"], 100.0)
-                ),
-                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["c"],
-        [("_one", "sum", "m")],
-    ).sort_by("c")
-    c = agg["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-    m = agg["m"].to_numpy(zero_copy_only=False).astype(np.int64)
-    cum = np.cumsum(m)
-    n = int(cum[-1])
-    k = n // 10
-    # ranks kept: [k+1, n-k] (1-based)
-    lo_i = int(np.searchsorted(cum, k + 1))
-    hi_i = int(np.searchsorted(cum, n - k))
-    total = int((c * m).sum())
-    # subtract full tails then add back boundary partials
-    below = int((c[:lo_i] * m[:lo_i]).sum())
-    above = int((c[hi_i + 1 :] * m[hi_i + 1 :]).sum())
-    # part of the lo boundary value still trimmed
-    lo_trim = k - (int(cum[lo_i - 1]) if lo_i > 0 else 0)
-    hi_trim = int(cum[hi_i]) - (n - k)
-    kept = (
-        total
-        - below
-        - above
-        - lo_trim * int(c[lo_i])
-        - hi_trim * int(c[hi_i])
-    )
-    tm = float(kept) / float(n - 2 * k)
-    return pa.table(
-        {
-            "n": pa.array([n], pa.int64()),
-            "k_trim": pa.array([k], pa.int64()),
-            "kept_sum": pa.array([kept], pa.int64()),
-            "trimmed_mean": round_like_sql([tm], 6),
-        }
-    )
-
-
-def _huber_oracle_sql() -> str:
-    """Mirror of _q_huber_location: 5 unrolled integer IRLS steps."""
-    sc = 1_000_000
-    steps = []
-    for r in range(1, 6):
-        prev = f"s{r - 1}"
-        steps.append(
-            f"s{r} AS MATERIALIZED (SELECT "
-            f"CAST(SUM(w.w * w.m * w.c) AS HUGEINT) * {sc} "
-            f"// CAST(SUM(w.w * w.m) AS HUGEINT) AS mu FROM ("
-            f"SELECT h.c, h.m, CASE WHEN ABS(CAST(h.c AS HUGEINT) "
-            f"* {sc} - {prev}.mu) <= th.thr * {sc} THEN {sc} "
-            f"ELSE CAST(th.thr AS HUGEINT) * {sc} * {sc} "
-            f"// GREATEST(ABS(CAST(h.c AS HUGEINT) * {sc} "
-            f"- {prev}.mu), 1) END AS w "
-            f"FROM h, {prev}, th) w)"
-        )
-    return (
-        "WITH h AS (SELECT CAST(ROUND(l_extendedprice * 100, 0) "
-        "AS BIGINT) AS c, CAST(COUNT(*) AS BIGINT) AS m "
-        "FROM lineitem GROUP BY 1), "
-        "me AS (SELECT quantile_disc(CAST(ROUND(l_extendedprice "
-        "* 100, 0) AS BIGINT), 0.5) AS med FROM lineitem), "
-        "ma AS (SELECT quantile_disc(ABS(CAST(ROUND(l_extendedprice "
-        "* 100, 0) AS BIGINT) - me.med), 0.5) AS mad "
-        "FROM lineitem, me), "
-        "th AS (SELECT CAST(1345 * ma.mad // 1000 AS HUGEINT) "
-        "AS thr FROM ma), "
-        f"s0 AS (SELECT CAST(me.med AS HUGEINT) * {sc} AS mu "
-        "FROM me), "
-        + ", ".join(steps)
-        + " SELECT me.med AS median_c, CAST(ma.mad AS BIGINT) "
-        "AS mad_c, CAST(s5.mu AS BIGINT) AS huber_ticks, "
-        f"ROUND(CAST(s5.mu AS DOUBLE) / {sc}.0, 6) AS huber_c "
-        "FROM me, ma, s5"
-    )
-
-
-_HUBER_ITERS = 5
-_HUBER_SC = 1_000_000
-
-
-def _q_huber_location(sf_dir: str) -> pa.Table:
-    """Huber M-estimator of location for the price cents (c = 1.345
-    x MAD-scale, IRLS): the scale is frozen from exact median /
-    MAD element selections, then 5 unrolled reweighting steps with
-    the center held in 1e6 ticks and weights w = min(1, c_thr/|r|)
-    quantized at 1e6 per DISTINCT value -- truncating-division
-    recursion, bit-identical in SQL."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_extendedprice"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "c": pa.array(
-                    scaled_int(batch["l_extendedprice"], 100.0)
-                ),
-                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["c"],
-        [("_one", "sum", "m")],
-    ).sort_by("c")
-    c = agg["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-    m = agg["m"].to_numpy(zero_copy_only=False).astype(np.int64)
-    cum = np.cumsum(m)
-    n = int(cum[-1])
-
-    def order_stat(k: int) -> int:  # 1-based rank
-        return int(c[np.searchsorted(cum, k)])
-
-    med = order_stat(-(-n // 2))  # ceil(n/2) = quantile_disc 0.5
-    absdev = np.abs(c - med)
-    order = np.argsort(absdev, kind="stable")
-    adcum = np.cumsum(m[order])
-    mad = int(absdev[order][np.searchsorted(adcum, -(-n // 2))])
-    thr = 1345 * mad // 1000  # 1.345 * MAD, integer thousandths
-    sc = _HUBER_SC
-    mu_t = med * sc  # center in 1e6 ticks of a cent
-    for _ in range(_HUBER_ITERS):
-        r = np.abs(c * sc - mu_t)  # |residual| in ticks
-        w = np.where(
-            r <= thr * sc,
-            sc,
-            (np.int64(thr) * sc * sc // np.maximum(r, 1)),
-        ).astype(np.int64)
-        num = int((w * m * c).sum())
-        den = int((w * m).sum())
-        mu_t = num * sc // den
-    return pa.table(
-        {
-            "median_c": pa.array([med], pa.int64()),
-            "mad_c": pa.array([mad], pa.int64()),
-            "huber_ticks": pa.array([mu_t], pa.int64()),
-            "huber_c": round_like_sql([float(mu_t) / float(sc)], 6),
-        }
-    )
-
-
-def _q_rosner_esd(sf_dir: str) -> pa.Table:
-    """Generalized ESD (Rosner) outlier screen, 3 rounds over the
-    price cents: each round removes ONE most-extreme observation
-    (argmax |n*x - S| -- an exact integer comparison, ties to the
-    larger value) and reports its studentized R = |x - mean| / sd
-    from the pre-removal exact moments; the 3-step state recursion
-    is unrolled in SQL."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "lineitem.parquet"),
-        columns=["l_extendedprice"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "c": pa.array(
-                    scaled_int(batch["l_extendedprice"], 100.0)
-                ),
-                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["c"],
-        [("_one", "sum", "m")],
-    ).sort_by("c")
-    c = [int(x) for x in agg["c"].to_pylist()]
-    m = [int(x) for x in agg["m"].to_pylist()]
-    n = sum(m)
-    s1 = sum(v * k for v, k in zip(c, m))
-    s2 = sum(v * v * k for v, k in zip(c, m))
-    rows = []
-    for rnd in range(1, 4):
-        # argmax |n*x - S| ; ties -> larger value (documented)
-        best = max(
-            range(len(c)),
-            key=lambda i: (abs(n * c[i] - s1), c[i]),
-        )
-        x = c[best]
-        mean = float(s1) / float(n)
-        var = (float(s2) - float(s1) * float(s1) / float(n)) / float(
-            n - 1
-        )
-        r = abs(float(x) - mean) / np.sqrt(var)
-        rows.append((rnd, x, float(r)))
-        m[best] -= 1
-        n -= 1
-        s1 -= x
-        s2 -= x * x
-        if m[best] == 0:
-            del c[best], m[best]
-    return pa.table(
-        {
-            "round": pa.array([r[0] for r in rows], pa.int64()),
-            "value_c": pa.array([r[1] for r in rows], pa.int64()),
-            "r_stat": round_like_sql([r[2] for r in rows], 6),
-        }
-    )
-
-
-def _rosner_oracle_sql() -> str:
-    """Mirror of _q_rosner_esd: 3 unrolled remove-the-extreme
-    rounds over the value histogram (argmax via ORDER BY ... LIMIT 1
-    on the exact integer key)."""
-    steps = []
-    for r in range(1, 4):
-        prev = f"st{r - 1}"
-        steps.append(
-            f"hr{r} AS MATERIALIZED (SELECT h.c, "
-            f"h.m - COALESCE(rc.k, 0) AS rem FROM h "
-            f"LEFT JOIN (SELECT c, COUNT(*) AS k FROM removed{r - 1} "
-            f"GROUP BY c) rc ON rc.c = h.c), "
-            f"x{r} AS MATERIALIZED (SELECT hr.c FROM hr{r} hr, {prev} "
-            f"WHERE hr.rem > 0 "
-            f"ORDER BY ABS({prev}.n * hr.c - {prev}.s1) DESC, hr.c "
-            f"DESC LIMIT 1), "
-            f"st{r} AS MATERIALIZED (SELECT {prev}.n - 1 AS n, "
-            f"{prev}.s1 - x{r}.c AS s1, "
-            f"{prev}.s2 - CAST(x{r}.c AS HUGEINT) * x{r}.c AS s2 "
-            f"FROM {prev}, x{r}), "
-            f"removed{r} AS (SELECT c FROM removed{r - 1} "
-            f"UNION ALL SELECT c FROM x{r})"
-        )
-    sel = " UNION ALL ".join(
-        f"SELECT {r} AS round, x{r}.c AS value_c, "
-        f"ROUND(ABS(CAST(x{r}.c AS DOUBLE) "
-        f"- CAST(st{r - 1}.s1 AS DOUBLE) / CAST(st{r - 1}.n "
-        f"AS DOUBLE)) / SQRT((CAST(st{r - 1}.s2 AS DOUBLE) "
-        f"- CAST(st{r - 1}.s1 AS DOUBLE) "
-        f"* CAST(st{r - 1}.s1 AS DOUBLE) "
-        f"/ CAST(st{r - 1}.n AS DOUBLE)) "
-        f"/ CAST(st{r - 1}.n - 1 AS DOUBLE)), 6) AS r_stat "
-        f"FROM x{r}, st{r - 1}"
-        for r in range(1, 4)
-    )
-    return (
-        "WITH h AS (SELECT CAST(ROUND(l_extendedprice * 100, 0) "
-        "AS BIGINT) AS c, CAST(COUNT(*) AS BIGINT) AS m "
-        "FROM lineitem GROUP BY 1), "
-        "st0 AS (SELECT CAST(SUM(m) AS BIGINT) AS n, "
-        "CAST(SUM(c * m) AS BIGINT) AS s1, "
-        "SUM(CAST(c AS HUGEINT) * c * m) AS s2 FROM h), "
-        "removed0 AS (SELECT CAST(NULL AS BIGINT) AS c WHERE 1 = 0), "
-        + ", ".join(steps)
-        + " SELECT CAST(round AS BIGINT) AS round, value_c, r_stat "
-        "FROM (" + sel + ") ORDER BY round"
-    )
-
-
-def _q_cooks_distance(sf_dir: str) -> pa.Table:
-    """Cook's distance and leverage for the daily revenue-vs-time OLS
-    (the regression influence diagnostic): residuals and hat values
-    from exact n-scaled integer moments (e_i = (C*y_i - (C*b0' +
-    B*t_i')) rationals held as pinned floats, h_ii = 1/n + (t_i -
-    tbar)^2/Stt), D_i = e^2 h / (2 s^2 (1-h)^2).  Top-5 days by
-    (D desc, day)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    ys = _daily_revenue_cents(sf_dir)
-    n = len(ys)
-    sx = n * (n - 1) // 2
-    sy = sum(ys)
-    sxx = (n - 1) * n * (2 * n - 1) // 6
-    sxy = sum(i * y for i, y in enumerate(ys))
-    cc = n * sxx - sx * sx  # n-scaled Stt
-    bb = n * sxy - sx * sy
-    # slope = bb/cc ; intercept = (sy - slope*sx)/n
-    rows = []
-    sse_t = 0  # 1e3-tick quantized e^2 sums (order-free)
-    hs = []
-    es = []
-    for t, y in enumerate(ys):
-        pred = (
-            float(sy) / float(n)
-            + float(bb) / float(cc) * (float(t) - float(sx) / float(n))
-        )
-        e = float(y) - pred
-        d = float(t) - float(sx) / float(n)
-        h = 1.0 / float(n) + d * d * float(n) / float(cc)
-        es.append(e)
-        hs.append(h)
-        sse_t += int(round_half_away(np.array([e * e * 1e3]))[0])
-    s2 = float(sse_t) / 1e3 / float(n - 2)
-    for t in range(n):
-        d = (
-            es[t] * es[t]
-            * hs[t]
-            / (2.0 * s2 * (1.0 - hs[t]) * (1.0 - hs[t]))
-        )
-        rows.append((t, d, hs[t]))
-    rows.sort(key=lambda r: (-r[1], r[0]))
-    top = rows[:5]
-    return pa.table(
-        {
-            "t": pa.array([r[0] for r in top], pa.int64()),
-            "cooks_d": round_like_sql([r[1] for r in top], 6),
-            "leverage": round_like_sql([r[2] for r in top], 6),
-        }
-    )
-
-
-def _q_gev_lmoments(sf_dir: str) -> pa.Table:
-    """GEV parameters for the daily MAXIMUM event value (cents) by
-    the standard L-moment estimators (Hosking): l1, l2, t3 from
-    exact order-statistic sums (the hockey-stick identities --
-    integer numerators over n, n(n-1), n(n-1)(n-2)), then the
-    closed-form c -> k -> sigma -> mu chain with its published
-    constants as one pinned float sequence (gamma(1+k) via
-    lgamma-free Weierstrass 8-term product, documented)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["ts", "value"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        day = (
-            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 86_400_000_000
-        )
-        return pa.table(
-            {
-                "day": pa.array(day),
-                "c": pa.array(scaled_int(batch["value"], 100.0)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["day"],
-        [("c", "max", "mx")],
-    ).sort_by("day")
-    xs = sorted(int(v) for v in agg["mx"].to_pylist())
-    n = len(xs)
-    b0 = sum(xs)
-    b1 = sum(i * x for i, x in enumerate(xs))  # i = 0-based rank
-    b2 = sum(i * (i - 1) * x for i, x in enumerate(xs))
-    l1 = float(b0) / float(n)
-    l2 = 2.0 * float(b1) / float(n * (n - 1)) - l1
-    l3 = (
-        6.0 * float(b2) / float(n * (n - 1) * (n - 2))
-        - 6.0 * float(b1) / float(n * (n - 1))
-        + l1
-    )
-    t3 = l3 / l2
-    cz = 2.0 / (3.0 + t3) - np.log(2.0) / np.log(3.0)
-    k = 7.8590 * cz + 2.9554 * cz * cz
-    # gamma(1 + k) via the Weierstrass-free Taylor of ln(Gamma):
-    # use the Lanczos-free Stirling-free small-k series is overkill;
-    # both sides share the SAME 8-term product approximation
-    g = 1.0
-    for i in range(1, 9):
-        g = g * (float(i) / (float(i) + k)) * np.exp(k / float(i))
-    g = g * np.exp(-0.5772156649015329 * k)
-    sigma = l2 * k / ((1.0 - 2.0 ** (-k)) * g)
-    mu = l1 - sigma * (g - 1.0) / k
-    return pa.table(
-        {
-            "n_days": pa.array([n], pa.int64()),
-            "l1": round_like_sql([l1], 6),
-            "l2": round_like_sql([l2], 6),
-            "t3": round_like_sql([t3], 6),
-            "gev_k": round_like_sql([float(k)], 6),
-            "gev_sigma": round_like_sql([float(sigma)], 6),
-            "gev_mu": round_like_sql([float(mu)], 6),
-        }
-    )
-
-
-_REPAIR_ROUNDS = 5
-
-
-def _q_repair_compress(sf_dir: str) -> pa.Table:
-    """Re-Pair grammar compression (5 rounds) of the corpus signature
-    string: each round replaces every non-overlapping occurrence of
-    the most frequent adjacent pair (count via the length-difference
-    identity, ties lexicographic) with a fresh symbol '0'..'4' --
-    both sides share Python/SQL REPLACE's left-to-right
-    non-overlapping semantics.  Output: per-round rule and resulting
-    length."""
-    s = _sig_string(sf_dir)
-    rows = []
-    for rnd in range(_REPAIR_ROUNDS):
-        pairs = {}
-        for i in range(len(s) - 1):
-            p = s[i : i + 2]
-            n = (len(s) - len(s.replace(p, ""))) // 2
-            pairs[p] = n
-        best = min(pairs, key=lambda p: (-pairs[p], p))
-        sym = str(rnd)
-        s = s.replace(best, sym)
-        rows.append((rnd + 1, best, pairs[best], len(s)))
-    return pa.table(
-        {
-            "round": pa.array([r[0] for r in rows], pa.int64()),
-            "pair": pa.array([r[1] for r in rows]),
-            "n_occ": pa.array([r[2] for r in rows], pa.int64()),
-            "new_len": pa.array([r[3] for r in rows], pa.int64()),
-        }
-    )
-
-
-def _repair_oracle_sql() -> str:
-    """Mirror of _q_repair_compress: 5 unrolled REPLACE rounds."""
-    steps = []
-    for r in range(_REPAIR_ROUNDS):
-        prev = f"s{r}"
-        steps.append(
-            f"p{r} AS MATERIALIZED (SELECT pr.p, "
-            f"(LEN({prev}.str) - LEN(REPLACE({prev}.str, pr.p, ''))) "
-            f"// 2 AS n FROM {prev}, (SELECT DISTINCT "
-            f"substr({prev}.str, CAST(i.range AS INTEGER) + 1, 2) "
-            f"AS p FROM {prev}, range(0, 4096) i "
-            f"WHERE i.range < LEN({prev}.str) - 1) pr), "
-            f"b{r} AS MATERIALIZED (SELECT p, n FROM p{r} "
-            f"ORDER BY n DESC, p LIMIT 1), "
-            f"s{r + 1} AS MATERIALIZED (SELECT "
-            f"REPLACE({prev}.str, b{r}.p, '{r}') AS str "
-            f"FROM {prev}, b{r})"
-        )
-    sel = " UNION ALL ".join(
-        f"SELECT {r + 1} AS round, (SELECT p FROM b{r}) AS pair, "
-        f"(SELECT n FROM b{r}) AS n_occ, "
-        f"(SELECT LEN(str) FROM s{r + 1}) AS new_len"
-        for r in range(_REPAIR_ROUNDS)
-    )
-    return (
-        "WITH " + _sig_string_sql().replace(
-            "s AS (SELECT", "s0 AS (SELECT"
-        )
-        + ", " + ", ".join(steps)
-        + " SELECT CAST(round AS BIGINT) AS round, pair, "
-        "CAST(n_occ AS BIGINT) AS n_occ, "
-        "CAST(new_len AS BIGINT) AS new_len FROM ("
-        + sel
-        + ") ORDER BY round"
-    )
-
-
-def _q_mtf_transform(sf_dir: str) -> pa.Table:
-    """Move-to-front transform of the signature string's BWT (the
-    bzip2 pipeline stage between BWT and RLE): the alphabet list
-    state updates sequentially per position; reported as the zero
-    count, total code sum and the first-16 output codes -- the
-    recursion is a LIST-state recursive CTE in SQL."""
-    s = _sig_string(sf_dir)
-    n = len(s)
-    rots = sorted(range(n), key=lambda i: s[i:] + s[:i])
-    bwt = "".join(s[(i + n - 1) % n] for i in rots)
-    alpha = sorted(set(bwt))
-    codes = []
-    for ch in bwt:
-        idx = alpha.index(ch)
-        codes.append(idx)
-        alpha.insert(0, alpha.pop(idx))
-    n_zero = sum(1 for c in codes if c == 0)
-    return pa.table(
-        {
-            "pos": pa.array(list(range(16)), pa.int64()),
-            "code": pa.array(codes[:16], pa.int64()),
-            "n_zero": pa.array([n_zero] * 16, pa.int64()),
-            "code_sum": pa.array([sum(codes)] * 16, pa.int64()),
-        }
-    )
-
-
-def _mtf_oracle_sql() -> str:
-    """Mirror of _q_mtf_transform: recursive CTE carrying the
-    alphabet LIST state over BWT positions."""
-    return (
-        "WITH RECURSIVE " + _sig_string_sql() + ", "
-        "n AS (SELECT LEN(str) AS n FROM s), "
-        "r AS (SELECT unnest(range(0, (SELECT CAST(n AS BIGINT) "
-        "FROM n))) AS i), "
-        "rot AS (SELECT r.i, substr(s.str, CAST(r.i AS INTEGER) + 1) "
-        "|| substr(s.str, 1, CAST(r.i AS INTEGER)) AS rstr "
-        "FROM r, s), "
-        "o AS (SELECT i, rstr, ROW_NUMBER() OVER (ORDER BY rstr) "
-        "AS pos FROM rot), "
-        "bwt AS (SELECT string_agg(substr(rstr, LEN(rstr), 1), '' "
-        "ORDER BY pos) AS b FROM o), "
-        "al AS (SELECT list_sort(list_distinct(list_transform("
-        "range(1, LEN(b) + 1), i -> substr(b, CAST(i AS INTEGER), "
-        "1)))) AS a FROM bwt), "
-        "mt AS (SELECT 0 AS pos, CAST(NULL AS BIGINT) AS code, "
-        "al.a AS alpha FROM al "
-        "UNION ALL "
-        "SELECT mt.pos + 1, "
-        "CAST(list_position(mt.alpha, substr(bwt.b, mt.pos + 1, 1)) "
-        "- 1 AS BIGINT), "
-        "list_prepend(substr(bwt.b, mt.pos + 1, 1), "
-        "list_filter(mt.alpha, x -> x <> substr(bwt.b, mt.pos + 1, "
-        "1))) FROM mt, bwt, n WHERE mt.pos < n.n), "
-        "c AS (SELECT pos - 1 AS pos, code FROM mt WHERE pos >= 1), "
-        "agg AS (SELECT CAST(SUM(CASE WHEN code = 0 THEN 1 ELSE 0 "
-        "END) AS BIGINT) AS nz, CAST(SUM(code) AS BIGINT) AS cs "
-        "FROM c) "
-        "SELECT CAST(c.pos AS BIGINT) AS pos, c.code, agg.nz "
-        "AS n_zero, agg.cs AS code_sum FROM c, agg "
-        "WHERE c.pos < 16 ORDER BY c.pos"
-    )
-
-
-def _q_code_length_audit(sf_dir: str) -> pa.Table:
-    """Universal-code size audit of the daily event counts (+1 so
-    zeros encode): total bits under Elias gamma (2 floor(log2 x) +
-    1), Elias delta, Golomb-Rice k = 2 (x >> 2 + 1 + 2) and plain
-    fixed 32-bit -- all exact integer closed forms via bit lengths."""
-    xs = [x + 1 for x in _daily_count_series(sf_dir)]
-    gamma = sum(2 * (x.bit_length() - 1) + 1 for x in xs)
-    delta = sum(
-        (x.bit_length() - 1)
-        + 2 * ((x.bit_length()).bit_length() - 1)
-        + 1
-        for x in xs
-    )
-    rice = sum((x >> 2) + 1 + 2 for x in xs)
-    fixed = 32 * len(xs)
-    return pa.table(
-        {
-            "scheme": pa.array(
-                ["elias_gamma", "elias_delta", "rice_k2", "fixed32"]
-            ),
-            "total_bits": pa.array(
-                [gamma, delta, rice, fixed], pa.int64()
-            ),
-            "n_values": pa.array([len(xs)] * 4, pa.int64()),
-        }
-    )
-
-
-def _hour_profiles_top(sf_dir: str, k: int):
-    """Top-k users by count with their 24-dim hour count vectors."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["ts", "user_id"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "user_id": batch["user_id"],
-                "h": pa.array((ts // 3_600_000_000) % 24),
-                "_one": pa.array(np.ones(len(ts), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["user_id", "h"],
-        [("_one", "sum", "n")],
-    )
-    per: dict[int, np.ndarray] = {}
-    tot: dict[int, int] = {}
-    for i in range(agg.num_rows):
-        u = int(agg["user_id"][i].as_py())
-        per.setdefault(u, np.zeros(24, np.int64))[
-            int(agg["h"][i].as_py())
-        ] += int(agg["n"][i].as_py())
-        tot[u] = tot.get(u, 0) + int(agg["n"][i].as_py())
-    top = sorted(tot, key=lambda u: (-tot[u], u))[:k]
-    return top, per
-
-
-def _q_dpp_map_greedy(sf_dir: str) -> pa.Table:
-    """Greedy MAP inference for a determinantal point process over
-    the top-8 users' hour profiles (diverse-subset selection, the
-    DPP alternative to MMR): kernel L_ij = round(cosine * 1000)
-    ticks with L_ii = 1000, greedy det-gain argmax for 3 rounds --
-    every determinant (1x1/2x2/3x3) is an exact integer, ties by
-    user id."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    users, per = _hour_profiles_top(sf_dir, 8)
-    k = len(users)
-    ll = np.zeros((k, k), np.int64)
-    for i in range(k):
-        for j in range(k):
-            if i == j:
-                ll[i, j] = 1000
-            else:
-                a, b = per[users[i]], per[users[j]]
-                dot = int((a * b).sum())
-                na = int((a * a).sum())
-                nb = int((b * b).sum())
-                ll[i, j] = int(
-                    round_half_away(
-                        np.array(
-                            [
-                                float(dot)
-                                / np.sqrt(float(na))
-                                / np.sqrt(float(nb))
-                                * 1000.0
-                            ]
-                        )
-                    )[0]
-                )
-    chosen: list[int] = []
-
-    def det(idx: list[int]) -> int:
-        m = [[int(ll[a, b]) for b in idx] for a in idx]
-        if len(m) == 1:
-            return m[0][0]
-        if len(m) == 2:
-            return m[0][0] * m[1][1] - m[0][1] * m[1][0]
-        return (
-            m[0][0] * (m[1][1] * m[2][2] - m[1][2] * m[2][1])
-            - m[0][1] * (m[1][0] * m[2][2] - m[1][2] * m[2][0])
-            + m[0][2] * (m[1][0] * m[2][1] - m[1][1] * m[2][0])
-        )
-
-    rows = []
-    for rnd in range(1, 4):
-        best = None
-        for i in range(k):
-            if i in chosen:
-                continue
-            d = det(chosen + [i])
-            key = (-d, users[i])
-            if best is None or key < best:
-                best = key
-        d, u = -best[0], best[1]
-        chosen.append(users.index(u))
-        rows.append((rnd, u, d))
-    return pa.table(
-        {
-            "round": pa.array([r[0] for r in rows], pa.int64()),
-            "user_id": pa.array([r[1] for r in rows], pa.int64()),
-            "det_ticks": pa.array([r[2] for r in rows], pa.int64()),
-        }
-    )
-
-
-def _q_top_trading_cycles(sf_dir: str) -> pa.Table:
-    """Top-trading-cycles house allocation (the strategy-proof core
-    mechanism) among the top-6 users, each initially owning house
-    i = their activity rank: preferences from mix32(uid * 16 + h,
-    23) descending; each round every remaining agent points at the
-    owner of its favorite remaining house, all agents on cycles
-    trade and leave.  Deterministic integer rounds; the SQL unrolls
-    pointer compositions for cycle detection."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
-        mix32,
-    )
-
-    users = [u for u, _ in _top_users_by_count(sf_dir, 6)]
-    n = 6
-    pref = {
-        (a, h): int(mix32(np.array([users[a] * 16 + h]), 23)[0])
-        for a in range(n)
-        for h in range(n)
-    }
-    owner = {h: h for h in range(n)}  # house -> agent (rank id)
-    remaining = set(range(n))
-    assign = {}
-    rnd = 0
-    rows = []
-    while remaining:
-        rnd += 1
-        fav = {
-            a: max(
-                (h for h in owner),
-                key=lambda h: (pref[(a, h)], -h),
-            )
-            for a in remaining
-        }
-        ptr = {a: owner[fav[a]] for a in remaining}
-        on_cycle = set()
-        for a in remaining:
-            x = a
-            for _ in range(n):
-                x = ptr[x]
-                if x == a:
-                    on_cycle.add(a)
-                    break
-        for a in on_cycle:
-            assign[a] = fav[a]
-            rows.append((rnd, users[a], fav[a]))
-        for a in on_cycle:
-            del owner[assign[a]]
-        remaining -= on_cycle
-    rows.sort(key=lambda r: (r[0], r[1]))
-    return pa.table(
-        {
-            "round": pa.array([r[0] for r in rows], pa.int64()),
-            "user_id": pa.array([r[1] for r in rows], pa.int64()),
-            "house": pa.array([r[2] for r in rows], pa.int64()),
-        }
-    )
-
-
-def _q_newsvendor(sf_dir: str) -> pa.Table:
-    """Newsvendor optimal stocking quantity for daily purchases with
-    underage cost 3 and overage cost 1 (critical ratio 3/4): Q* is
-    the exact 0.75 order statistic of daily demand, expected
-    underage/overage are exact integer histogram sums, expected cost
-    one float division."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["ts", "event_type"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        day = (
-            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 86_400_000_000
-        )
-        et = batch["event_type"].to_numpy(zero_copy_only=False)
-        keep = et == "purchase"
-        return pa.table(
-            {
-                "day": pa.array(day[keep]),
-                "_one": pa.array(np.ones(int(keep.sum()), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["day"],
-        [("_one", "sum", "d")],
-    )
-    days = agg["day"].to_numpy(zero_copy_only=False).astype(np.int64)
-    dd = agg["d"].to_numpy(zero_copy_only=False).astype(np.int64)
-    lo, hi = int(days.min()), int(days.max())
-    demand = np.zeros(hi - lo + 1, np.int64)
-    demand[days - lo] = dd
-    xs = np.sort(demand)
-    n = len(xs)
-    q = int(xs[-(-3 * n // 4) - 1])  # quantile_disc 0.75
-    under = int(np.maximum(demand - q, 0).sum())
-    over = int(np.maximum(q - demand, 0).sum())
-    cost = (3.0 * float(under) + 1.0 * float(over)) / float(n)
-    return pa.table(
-        {
-            "q_star": pa.array([q], pa.int64()),
-            "sum_underage": pa.array([under], pa.int64()),
-            "sum_overage": pa.array([over], pa.int64()),
-            "exp_cost": round_like_sql([cost], 6),
-        }
-    )
-
-
-def _ttc_oracle_sql() -> str:
-    """Mirror of _q_top_trading_cycles: 6 unrolled rounds, each with
-    favorite selection, pointer composition (6 deep) for cycle
-    detection, and state shrink."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
-        mix32_sql,
-    )
-
-    pref = mix32_sql("t6a.uid * 16 + hh.h", 23)
-    rounds = []
-    for r in range(1, 7):
-        prev_rem = f"rem{r - 1}"
-        prev_own = f"own{r - 1}"
-        comp = [
-            f"p1_{r} AS (SELECT a, b FROM ptr{r})"
-        ]
-        for k in range(2, 7):
-            comp.append(
-                f"p{k}_{r} AS (SELECT p.a, q.b FROM p{k - 1}_{r} p "
-                f"JOIN ptr{r} q ON q.a = p.b)"
-            )
-        cyc_sel = " UNION ".join(
-            f"SELECT a FROM p{k}_{r} WHERE a = b" for k in range(1, 7)
-        )
-        rounds.append(
-            f"fav{r} AS MATERIALIZED (SELECT a, h FROM ("
-            f"SELECT pr.a, pr.h, ROW_NUMBER() OVER (PARTITION BY pr.a "
-            f"ORDER BY pr.s DESC, pr.h) AS rn FROM prefs pr "
-            f"JOIN {prev_rem} ra ON ra.a = pr.a "
-            f"JOIN {prev_own} oh ON oh.h = pr.h) WHERE rn = 1), "
-            f"ptr{r} AS MATERIALIZED (SELECT fav{r}.a, "
-            f"{prev_own}.own AS b FROM fav{r} "
-            f"JOIN {prev_own} ON {prev_own}.h = fav{r}.h), "
-            + ", ".join(comp)
-            + f", cyc{r} AS MATERIALIZED ({cyc_sel}), "
-            f"asg{r} AS MATERIALIZED (SELECT fav{r}.a, fav{r}.h "
-            f"FROM fav{r} JOIN cyc{r} ON cyc{r}.a = fav{r}.a), "
-            f"own{r} AS MATERIALIZED (SELECT h, own FROM {prev_own} "
-            f"WHERE h NOT IN (SELECT h FROM asg{r})), "
-            f"rem{r} AS MATERIALIZED (SELECT a FROM {prev_rem} "
-            f"WHERE a NOT IN (SELECT a FROM asg{r}))"
-        )
-    sel = " UNION ALL ".join(
-        f"SELECT {r} AS round, t6.uid AS user_id, asg{r}.h AS house "
-        f"FROM asg{r} JOIN t6 ON t6.a = asg{r}.a"
-        for r in range(1, 7)
-    )
-    return (
-        "WITH uc AS (SELECT user_id, COUNT(*) AS n FROM events "
-        "GROUP BY user_id), "
-        "t6 AS (SELECT user_id AS uid, ROW_NUMBER() OVER "
-        "(ORDER BY n DESC, user_id) - 1 AS a FROM uc "
-        "ORDER BY n DESC, user_id LIMIT 6), "
-        "hh AS (SELECT range AS h FROM range(0, 6)), "
-        "prefs AS MATERIALIZED (SELECT t6a.a, hh.h, "
-        f"({pref}) AS s FROM t6 t6a, hh), "
-        "own0 AS (SELECT range AS h, range AS own FROM range(0, 6)), "
-        "rem0 AS (SELECT range AS a FROM range(0, 6)), "
-        + ", ".join(rounds)
-        + " SELECT CAST(round AS BIGINT) AS round, user_id, "
-        "CAST(house AS BIGINT) AS house FROM (" + sel + ") "
-        "ORDER BY round, user_id"
-    )
-
-
-def _dpp_oracle_sql() -> str:
-    """Mirror of _q_dpp_map_greedy: quantized cosine kernel + 3
-    unrolled exact-determinant greedy rounds."""
-    return (
-        "WITH e AS (SELECT user_id, "
-        "(epoch_us(ts) // 3600000000) % 24 AS h FROM events), "
-        "uc AS (SELECT user_id, COUNT(*) AS n FROM e "
-        "GROUP BY user_id), "
-        "t8 AS (SELECT user_id FROM uc ORDER BY n DESC, user_id "
-        "LIMIT 8), "
-        "hp AS MATERIALIZED (SELECT e.user_id, e.h, "
-        "CAST(COUNT(*) AS BIGINT) AS n FROM e "
-        "JOIN t8 USING (user_id) GROUP BY e.user_id, e.h), "
-        "nr AS (SELECT user_id, CAST(SUM(n * n) AS BIGINT) AS nn "
-        "FROM hp GROUP BY user_id), "
-        "ll AS MATERIALIZED (SELECT a.user_id AS u, b.user_id AS v, "
-        "CASE WHEN a.user_id = b.user_id THEN 1000 ELSE "
-        "CAST(ROUND(CAST(COALESCE((SELECT SUM(x.n * y.n) FROM hp x "
-        "JOIN hp y ON y.h = x.h AND y.user_id = b.user_id "
-        "WHERE x.user_id = a.user_id), 0) AS DOUBLE) "
-        "/ SQRT(CAST(a.nn AS DOUBLE)) / SQRT(CAST(b.nn AS DOUBLE)) "
-        "* 1000.0, 0) AS BIGINT) END AS l "
-        "FROM nr a, nr b), "
-        "c1 AS MATERIALIZED (SELECT u, l AS d FROM ll "
-        "WHERE u = v ORDER BY l DESC, u LIMIT 1), "
-        "g2 AS (SELECT ll.u AS cand, "
-        "1000 * 1000 - x.l * x.l AS d FROM ll "
-        "JOIN c1 ON 1 = 1 JOIN ll x ON x.u = c1.u "
-        "AND x.v = ll.u WHERE ll.u = ll.v AND ll.u <> c1.u), "
-        "c2 AS MATERIALIZED (SELECT cand AS u, d FROM g2 "
-        "ORDER BY d DESC, cand LIMIT 1), "
-        "g3 AS (SELECT dd.cand, "
-        "1000 * (1000 * 1000 - l23.l * l23.l) "
-        "- l12.l * (l12.l * 1000 - l23.l * l13.l) "
-        "+ l13.l * (l12.l * l23.l - 1000 * l13.l) AS d "
-        "FROM (SELECT u AS cand FROM ll WHERE u = v "
-        "AND u NOT IN (SELECT u FROM c1) "
-        "AND u NOT IN (SELECT u FROM c2)) dd, c1, c2 "
-        "JOIN ll l12 ON l12.u = c1.u AND l12.v = c2.u "
-        "JOIN ll l13 ON l13.u = c1.u, ll l23 "
-        "WHERE l13.v = dd.cand AND l23.u = c2.u "
-        "AND l23.v = dd.cand), "
-        "c3 AS MATERIALIZED (SELECT cand AS u, d FROM g3 "
-        "ORDER BY d DESC, cand LIMIT 1) "
-        "SELECT CAST(round AS BIGINT) AS round, u AS user_id, "
-        "CAST(d AS BIGINT) AS det_ticks FROM ("
-        "SELECT 1 AS round, u, d FROM c1 "
-        "UNION ALL SELECT 2, u, d FROM c2 "
-        "UNION ALL SELECT 3, u, d FROM c3) ORDER BY round"
-    )
-
-
-def _q_mdlp_split(sf_dir: str) -> pa.Table:
-    """Fayyad-Irani MDLP discretization (one split) of value
-    deci-cents against the purchase label: the best threshold
-    maximizes information gain (1e9-tick entropy terms over exact
-    integer counts, argmax on the tick gain with smallest-threshold
-    ties) and the MDL acceptance criterion gain > (log2(n-1) +
-    log2(3^k - 2) - k*E terms)/n is evaluated on the same ticks."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_type", "value"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        et = batch["event_type"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "d10": pa.array(scaled_int(batch["value"], 10.0)),
-                "pos": pa.array(
-                    (et == "purchase").astype(np.int64)
-                ),
-                "_one": pa.array(np.ones(len(et), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["d10"],
-        [("pos", "sum", "p"), ("_one", "sum", "n")],
-    ).sort_by("d10")
-    v = agg["d10"].to_numpy(zero_copy_only=False).astype(np.int64)
-    p = agg["p"].to_numpy(zero_copy_only=False).astype(np.int64)
-    n = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    cp = np.cumsum(p)
-    cn = np.cumsum(n)
-    big_p, big_n = int(cp[-1]), int(cn[-1])
-
-    def ent_t(pos: int, tot: int) -> int:
-        """1e9-tick binary entropy * tot (the n*H form)."""
-        t = 0
-        for c in (pos, tot - pos):
-            if c > 0:
-                sh = float(c) / float(tot)
-                t += int(
-                    round_half_away(
-                        np.array([-float(c) * np.log2(sh) * 1e9])
-                    )[0]
-                )
-        return t
-
-    h_all = ent_t(big_p, big_n)
-    best = None
-    for i in range(len(v) - 1):  # split AFTER value v[i]
-        nl, pl = int(cn[i]), int(cp[i])
-        nr, pr = big_n - nl, big_p - pl
-        gain = h_all - ent_t(pl, nl) - ent_t(pr, nr)
-        key = (-gain, int(v[i]))
-        if best is None or key < best:
-            best = key
-    gain_t, thr = -best[0], best[1]
-    # MDL criterion ticks: delta = log2(3^k - 2) with k = 2 classes
-    # both sides -> log2(7); threshold = (log2(n-1) + log2(7)) * 1e9
-    crit = int(
-        round_half_away(
-            np.array(
-                [
-                    (np.log2(float(big_n - 1)) + np.log2(7.0)) * 1e9
-                ]
-            )
-        )[0]
-    )
-    accepted = 1 if gain_t > crit else 0
-    return pa.table(
-        {
-            "threshold_d10": pa.array([thr], pa.int64()),
-            "gain_ticks": pa.array([gain_t], pa.int64()),
-            "crit_ticks": pa.array([crit], pa.int64()),
-            "accepted": pa.array([accepted], pa.int64()),
-        }
-    )
-
-
-def _q_woe_iv(sf_dir: str) -> pa.Table:
-    """Weight of evidence and information value (the credit-scoring
-    predictive-power screen) of the value quintile bins against the
-    purchase label: bin edges by exact quantile_disc selection, WoE =
-    ln((g_i/G)/(b_i/B)) and the IV terms as pinned floats over exact
-    integer counts (1e9-tick IV accumulation)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["event_type", "value"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        et = batch["event_type"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "c": pa.array(scaled_int(batch["value"], 100.0)),
-                "pos": pa.array(
-                    (et == "purchase").astype(np.int64)
-                ),
-                "_one": pa.array(np.ones(len(et), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["c"],
-        [("pos", "sum", "p"), ("_one", "sum", "n")],
-    ).sort_by("c")
-    v = agg["c"].to_numpy(zero_copy_only=False).astype(np.int64)
-    p = agg["p"].to_numpy(zero_copy_only=False).astype(np.int64)
-    n = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    cum = np.cumsum(n)
-    big_n = int(cum[-1])
-    edges = [
-        int(v[np.searchsorted(cum, -(-k * big_n // 5))])
-        for k in range(1, 5)
-    ]
-    bounds = [-(2**62)] + edges + [2**62]
-    big_g = int(p.sum())
-    big_b = big_n - big_g
-    rows = []
-    iv_t = 0
-    for b in range(5):
-        sel = (v > bounds[b]) & (v <= bounds[b + 1])
-        g = int(p[sel].sum())
-        bb = int(n[sel].sum()) - g
-        gs = float(g) / float(big_g)
-        bs = float(bb) / float(big_b)
-        woe = np.log(gs / bs)
-        term = (gs - bs) * woe
-        iv_t += int(round_half_away(np.array([term * 1e9]))[0])
-        rows.append((b + 1, g, bb, float(woe)))
-    return pa.table(
-        {
-            "bin": pa.array([r[0] for r in rows], pa.int64()),
-            "n_good": pa.array([r[1] for r in rows], pa.int64()),
-            "n_bad": pa.array([r[2] for r in rows], pa.int64()),
-            "woe": round_like_sql([r[3] for r in rows], 6),
-            "iv": round_like_sql([float(iv_t) / 1e9] * 5, 6),
-        }
-    )
-
-
-def _q_target_encoding(sf_dir: str) -> pa.Table:
-    """Smoothed target (mean) encoding of hour-of-day against the
-    purchase label with prior strength m = 100: enc = (k + m * prior)
-    / (n + m) held as the exact rational (k*N + 100*K) / (N*(n+100))
-    -- integer numerators, one float division per hour."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["ts", "event_type"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        et = batch["event_type"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "h": pa.array((ts // 3_600_000_000) % 24),
-                "pos": pa.array(
-                    (et == "purchase").astype(np.int64)
-                ),
-                "_one": pa.array(np.ones(len(ts), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["h"],
-        [("pos", "sum", "k"), ("_one", "sum", "n")],
-    ).sort_by("h")
-    hh = agg["h"].to_numpy(zero_copy_only=False).astype(np.int64)
-    kk = agg["k"].to_numpy(zero_copy_only=False).astype(np.int64)
-    nn = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    big_k, big_n = int(kk.sum()), int(nn.sum())
-    num = kk * big_n + 100 * big_k
-    den = big_n * (nn + 100)
-    return pa.table(
-        {
-            "hour": pa.array(hh, pa.int64()),
-            "n": pa.array(nn, pa.int64()),
-            "k_pos": pa.array(kk, pa.int64()),
-            "encoding": round_like_sql(
-                num.astype(np.float64) / den.astype(np.float64), 6
-            ),
-        }
-    )
-
-
-_MRMR_FEATURES = ("hour6", "dow", "vdec", "ubkt")
-
-
-def _q_mrmr_select(sf_dir: str) -> pa.Table:
-    """mRMR feature selection (2 greedy rounds) for predicting the
-    purchase label from four discrete features (hour sextile,
-    day-of-week, value decile, mix32 user bucket): every mutual
-    information is the exact-count tick sum sum n_xy * log2(N n_xy /
-    (n_x n_y)) / N held as 1e12 ticks; round 2 maximizes relevance -
-    mean redundancy on integer tick arithmetic."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
-        mix32,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["ts", "user_id", "event_type", "value"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        et = batch["event_type"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "hour6": pa.array(((ts // 3_600_000_000) % 24) // 4),
-                "dow": pa.array((ts // 86_400_000_000 + 4) % 7),
-                "vdec": pa.array(
-                    np.minimum(
-                        scaled_int(batch["value"], 100.0) // 5_000, 9
-                    )
-                ),
-                "ubkt": pa.array(mix32(uid, 71) % 8),
-                "y": pa.array((et == "purchase").astype(np.int64)),
-                "_one": pa.array(np.ones(len(ts), np.int64)),
-            }
-        )
-
-    pd_ds = ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
-    # one grouped pass over the full cross cells; marginals derive
-    agg = hash_aggregate(
-        pd_ds,
-        list(_MRMR_FEATURES) + ["y"],
-        [("_one", "sum", "n")],
-    )
-    cells = []
-    for i in range(agg.num_rows):
-        cells.append(
-            (
-                tuple(
-                    int(agg[f][i].as_py()) for f in _MRMR_FEATURES
-                ),
-                int(agg["y"][i].as_py()),
-                int(agg["n"][i].as_py()),
-            )
-        )
-    big_n = sum(c[2] for c in cells)
-
-    def mi_ticks(ai: int, bi: int | None) -> int:
-        """MI between feature ai and (feature bi | the label)."""
-        joint: dict[tuple[int, int], int] = {}
-        ma: dict[int, int] = {}
-        mb: dict[int, int] = {}
-        for fv, y, n in cells:
-            a = fv[ai]
-            b = y if bi is None else fv[bi]
-            joint[(a, b)] = joint.get((a, b), 0) + n
-            ma[a] = ma.get(a, 0) + n
-            mb[b] = mb.get(b, 0) + n
-        t = 0
-        for (a, b), nxy in sorted(joint.items()):
-            val = (
-                float(nxy)
-                * np.log2(
-                    float(big_n)
-                    * float(nxy)
-                    / (float(ma[a]) * float(mb[b]))
-                )
-                / float(big_n)
-            )
-            t += int(round_half_away(np.array([val * 1e12]))[0])
-        return t
-
-    rel = [mi_ticks(i, None) for i in range(4)]
-    first = max(range(4), key=lambda i: (rel[i], -i))
-    best2 = None
-    for i in range(4):
-        if i == first:
-            continue
-        red = mi_ticks(min(i, first), max(i, first))
-        score = rel[i] - red
-        key = (-score, i)
-        if best2 is None or key < best2:
-            best2 = key
-    rows = [
-        (1, _MRMR_FEATURES[first], rel[first]),
-        (2, _MRMR_FEATURES[best2[1]], -best2[0]),
-    ]
-    return pa.table(
-        {
-            "round": pa.array([r[0] for r in rows], pa.int64()),
-            "feature": pa.array([r[1] for r in rows]),
-            "score_ticks": pa.array(
-                [r[2] for r in rows], pa.int64()
-            ),
-        }
-    )
-
-
-def _mrmr_oracle_sql() -> str:
-    """Mirror of _q_mrmr_select: 4 relevance + 6 redundancy tick-MI
-    scalars, argmax selection with the same tie rules."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
-        mix32_sql,
-    )
-
-    cols = {
-        0: "hour6",
-        1: "dow",
-        2: "vdec",
-        3: "ubkt",
-    }
-
-    def mi(a: str, b: str) -> str:
-        return (
-            "(SELECT CAST(SUM(CAST(ROUND(CAST(j.nxy AS DOUBLE) "
-            "* LOG2(CAST(nn.n AS DOUBLE) * CAST(j.nxy AS DOUBLE) "
-            "/ (CAST(ma.na AS DOUBLE) * CAST(mb.nb AS DOUBLE))) "
-            "/ CAST(nn.n AS DOUBLE) * 1e12, 0) AS BIGINT)) AS BIGINT) "
-            f"FROM (SELECT {a} AS av, {b} AS bv, "
-            "CAST(COUNT(*) AS BIGINT) AS nxy FROM base GROUP BY 1, 2) j "
-            f"JOIN (SELECT {a} AS av, CAST(COUNT(*) AS BIGINT) AS na "
-            "FROM base GROUP BY 1) ma ON ma.av = j.av "
-            f"JOIN (SELECT {b} AS bv, CAST(COUNT(*) AS BIGINT) AS nb "
-            "FROM base GROUP BY 1) mb ON mb.bv = j.bv, nn)"
-        )
-
-    rel_rows = ", ".join(
-        f"({i}, '{cols[i]}', {mi(cols[i], 'y')})" for i in range(4)
-    )
-    red_rows = ", ".join(
-        f"({i}, {j}, {mi(cols[i], cols[j])})"
-        for i in range(4)
-        for j in range(i + 1, 4)
-    )
-    return (
-        "WITH base AS (SELECT "
-        "((epoch_us(ts) // 3600000000) % 24) // 4 AS hour6, "
-        "(epoch_us(ts) // 86400000000 + 4) % 7 AS dow, "
-        "LEAST(CAST(ROUND(value * 100, 0) AS BIGINT) // 5000, 9) "
-        "AS vdec, "
-        f"({mix32_sql('user_id', 71)}) % 8 AS ubkt, "
-        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y "
-        "FROM events), "
-        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM base), "
-        f"rels AS MATERIALIZED (SELECT * FROM (VALUES {rel_rows}) "
-        "AS v(fid, fname, rel)), "
-        f"reds AS MATERIALIZED (SELECT * FROM (VALUES {red_rows}) "
-        "AS v(a, b, red)), "
-        "first AS (SELECT fid, fname, rel FROM rels "
-        "ORDER BY rel DESC, fid LIMIT 1), "
-        "cand AS (SELECT r.fid, r.fname, r.rel - rd.red AS score "
-        "FROM rels r, first f "
-        "JOIN reds rd ON rd.a = LEAST(r.fid, f.fid) "
-        "AND rd.b = GREATEST(r.fid, f.fid) "
-        "WHERE r.fid <> f.fid), "
-        "second AS (SELECT fid, fname, score FROM cand "
-        "ORDER BY score DESC, fid LIMIT 1) "
-        "SELECT CAST(round AS BIGINT) AS round, feature, "
-        "CAST(score_ticks AS BIGINT) AS score_ticks FROM ("
-        "SELECT 1 AS round, fname AS feature, rel AS score_ticks "
-        "FROM first UNION ALL "
-        "SELECT 2, fname, score FROM second) ORDER BY round"
-    )
-
-
-def _q_adwin_check(sf_dir: str) -> pa.Table:
-    """ADWIN-style change check over the daily revenue series: for
-    every cut, compare the two window means against the Hoeffding
-    bound eps = sqrt(R^2 ln(2/delta) / 2 * (1/nl + 1/nr)) with R =
-    the exact series range and delta = 0.05 -- the mean difference
-    uses exact integers (|nl*Sr - nr*Sl|), the bound one pinned
-    float; reports the most significant cut and whether it fires."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    ys = _daily_revenue_cents(sf_dir)
-    n = len(ys)
-    rng = max(ys) - min(ys)
-    total = sum(ys)
-    cum = 0
-    best = None
-    for t in range(1, n):
-        cum += ys[t - 1]
-        nl, nr = t, n - t
-        sl, sr = cum, total - cum
-        diff = abs(nl * sr - nr * sl)  # |mean diff| * nl * nr
-        md = float(diff) / (float(nl) * float(nr))
-        eps = np.sqrt(
-            float(rng)
-            * float(rng)
-            * np.log(2.0 / 0.05)
-            / 2.0
-            * (1.0 / float(nl) + 1.0 / float(nr))
-        )
-        ratio = md / eps
-        key = (-ratio, t)
-        if best is None or key < best:
-            best = key
-    ratio, t = -best[0], best[1]
-    return pa.table(
-        {
-            "cut_t": pa.array([t], pa.int64()),
-            "ratio": round_like_sql([ratio], 6),
-            "fires": pa.array(
-                [1 if ratio > 1.0 else 0], pa.int64()
-            ),
-        }
-    )
-
-
-def _q_james_stein(sf_dir: str) -> pa.Table:
-    """James-Stein empirical-Bayes shrinkage of the 24 hourly
-    purchase rates toward the grand rate: shrink factor 1 - (k-3) *
-    sigma2 / S with sigma2 = pbar(1-pbar) * mean(1/n_h) and S =
-    sum (p_h - pbar)^2 (per-hour terms 1e12-tick quantized,
-    order-free), shrunk rates as pinned floats."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["ts", "event_type"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        et = batch["event_type"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "h": pa.array((ts // 3_600_000_000) % 24),
-                "k": pa.array((et == "purchase").astype(np.int64)),
-                "_one": pa.array(np.ones(len(ts), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["h"],
-        [("k", "sum", "k"), ("_one", "sum", "n")],
-    ).sort_by("h")
-    kk = agg["k"].to_numpy(zero_copy_only=False).astype(np.int64)
-    nn = agg["n"].to_numpy(zero_copy_only=False).astype(np.int64)
-    big_k, big_n = int(kk.sum()), int(nn.sum())
-    pbar = float(big_k) / float(big_n)
-    m = len(kk)
-    s_t = 0
-    inv_t = 0
-    for k, n in zip(kk.tolist(), nn.tolist()):
-        ph = float(k) / float(n)
-        s_t += int(
-            round_half_away(
-                np.array([(ph - pbar) * (ph - pbar) * 1e12])
-            )[0]
-        )
-        inv_t += int(
-            round_half_away(np.array([1.0 / float(n) * 1e12]))[0]
-        )
-    s = float(s_t) / 1e12
-    sigma2 = pbar * (1.0 - pbar) * (float(inv_t) / 1e12 / float(m))
-    shrink = max(0.0, 1.0 - float(m - 3) * sigma2 / s)
-    shrunk = [
-        pbar + shrink * (float(k) / float(n) - pbar)
-        for k, n in zip(kk.tolist(), nn.tolist())
-    ]
-    return pa.table(
-        {
-            "hour": pa.array(
-                agg["h"].to_numpy(zero_copy_only=False), pa.int64()
-            ),
-            "raw_rate": round_like_sql(
-                [
-                    float(k) / float(n)
-                    for k, n in zip(kk.tolist(), nn.tolist())
-                ],
-                6,
-            ),
-            "shrunk_rate": round_like_sql(shrunk, 6),
-            "shrink_factor": round_like_sql([shrink] * m, 6),
-        }
-    )
-
-
-def _q_iv_2sls(sf_dir: str) -> pa.Table:
-    """Instrumental-variables (2SLS, one instrument) estimate of the
-    hour-of-day effect on value cents, instrumented by day-of-week:
-    beta_IV = (N sum zy - sum z sum y) / (N sum zx - sum z sum x)
-    with every moment an exact integer -- one float division, plus
-    the first-stage strength (z-x covariance numerator).  Completes
-    the causal panel alongside DiD / RDD / IPW / fixed effects."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["ts", "value"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "_n": pa.array(np.ones(len(ts), np.int64)),
-                "z": pa.array((ts // 86_400_000_000 + 4) % 7),
-                "x": pa.array((ts // 3_600_000_000) % 24),
-                "y": pa.array(scaled_int(batch["value"], 100.0)),
-                "zy": pa.array(
-                    ((ts // 86_400_000_000 + 4) % 7)
-                    * scaled_int(batch["value"], 100.0)
-                ),
-                "zx": pa.array(
-                    ((ts // 86_400_000_000 + 4) % 7)
-                    * ((ts // 3_600_000_000) % 24)
-                ),
-                "g": pa.array(np.zeros(len(ts), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["g"],
-        [(c, "sum", c) for c in ("_n", "z", "x", "y", "zy", "zx")],
-    )
-    g = {c: int(agg[c][0].as_py()) for c in
-         ("_n", "z", "x", "y", "zy", "zx")}
-    n = g["_n"]
-    num = n * g["zy"] - g["z"] * g["y"]
-    den = n * g["zx"] - g["z"] * g["x"]
-    beta = float(num) / float(den)
-    return pa.table(
-        {
-            "n": pa.array([n], pa.int64()),
-            "cov_zy_num": pa.array([num], pa.int64()),
-            "cov_zx_num": pa.array([den], pa.int64()),
-            "beta_iv": round_like_sql([beta], 6),
-        }
-    )
-
-
-def _q_harrell_c(sf_dir: str) -> pa.Table:
-    """Harrell's concordance index for time-to-first-error with the
-    user's total value cents as the risk score: over comparable pairs
-    (the earlier time is an observed event), concordant = higher
-    score fails earlier, ties in score count 1/2 -- doubled exact
-    integer counts, one float division.  The per-user reduction is
-    distributed; the pair count runs on the users-bounded table."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "ts", "event_type", "value"],
-    )
-    big = np.int64(2**62)
-
-    def prep(batch: pa.Table) -> pa.Table:
-        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        et = batch["event_type"].to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "user_id": batch["user_id"],
-                "t0": pa.array(ts),
-                "tlast": pa.array(ts),
-                "terr": pa.array(np.where(et == "error", ts, big)),
-                "sc": pa.array(scaled_int(batch["value"], 100.0)),
-            }
-        )
-
-    peru = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["user_id"],
-        [("t0", "min", "t0"), ("tlast", "max", "tlast"),
-         ("terr", "min", "terr"), ("sc", "sum", "sc")],
-    )
-    t0 = peru["t0"].to_numpy(zero_copy_only=False)
-    tlast = peru["tlast"].to_numpy(zero_copy_only=False)
-    terr = peru["terr"].to_numpy(zero_copy_only=False)
-    sc = peru["sc"].to_numpy(zero_copy_only=False).astype(np.int64)
-    obs = terr < big
-    dur = np.where(obs, terr - t0, tlast - t0)
-    n = len(dur)
-    conc2 = 0  # doubled concordant count (score ties -> 1)
-    comp = 0
-    for i in range(n):
-        if not obs[i]:
-            continue
-        # pairs where i is the (strictly) earlier observed event
-        later = (dur > dur[i]) | ((dur == dur[i]) & ~obs)
-        comp += int(later.sum())
-        conc2 += 2 * int((sc[later] < sc[i]).sum())
-        conc2 += int((sc[later] == sc[i]).sum())
-    c = float(conc2) / (2.0 * float(comp))
-    return pa.table(
-        {
-            "n_users": pa.array([n], pa.int64()),
-            "n_comparable": pa.array([comp], pa.int64()),
-            "conc2": pa.array([conc2], pa.int64()),
-            "c_index": round_like_sql([c], 6),
-        }
-    )
-
-
-def _clique16(sf_dir: str):
-    """Shared top-16 proximity-graph machinery: cells (bit order by
-    count desc, cell), per-vertex OPEN adjacency bitmasks."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"), columns=["event_id"]
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        eid = batch["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
-            {
-                "cell": pa.array(eid % 96 + (eid // 96 % 96) * 96),
-                "_one": pa.array(np.ones(len(eid), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["cell"],
-        [("_one", "sum", "n")],
-    )
-    top = sorted(
-        zip(agg["n"].to_pylist(), agg["cell"].to_pylist()),
-        key=lambda t: (-int(t[0]), int(t[1])),
-    )[:16]
-    cells = [int(c) for _, c in top]
-    xy = [(c % 96, c // 96) for c in cells]
-    adjm = [0] * 16
-    for i in range(16):
-        for j in range(16):
-            if i != j and max(
-                abs(xy[i][0] - xy[j][0]), abs(xy[i][1] - xy[j][1])
-            ) <= _CLIQUE_T:
-                adjm[i] |= 1 << j
-    return cells, adjm
-
-
-def _q_maximal_cliques(sf_dir: str) -> pa.Table:
-    """EVERY maximal clique of the hot-cell proximity graph by full
-    2^16 enumeration: clique = no non-edge pair inside; maximal = no
-    outside vertex adjacent to all members (m subset-of adj[w]) --
-    pure bitmask certificates.  Output: count per clique size plus
-    the total (the Moon-Moser-style census behind community
-    enumeration)."""
-    _cells, adjm = _clique16(sf_dir)
-    masks = np.arange(1 << 16, dtype=np.int64)
-    is_clique = np.ones(1 << 16, bool)
-    for i in range(16):
-        for j in range(i + 1, 16):
-            if not adjm[i] >> j & 1:
-                p = (1 << i) | (1 << j)
-                is_clique &= (masks & p) != p
-    is_clique[0] = False  # the empty set is not a clique here
-    extendable = np.zeros(1 << 16, bool)
-    for w in range(16):
-        not_in = (masks >> w & 1) == 0
-        fits = (masks & ~np.int64(adjm[w])) == 0
-        extendable |= not_in & fits & is_clique
-    maximal = is_clique & ~extendable
-    pc = _popcount64(masks)
-    sizes, counts = np.unique(pc[maximal], return_counts=True)
-    total = int(maximal.sum())
-    return pa.table(
-        {
-            "size": pa.array(sizes.astype(np.int64)),
-            "n_cliques": pa.array(counts.astype(np.int64)),
-            "total_maximal": pa.array(
-                [total] * len(sizes), pa.int64()
-            ),
-        }
-    )
-
-
-def _q_max_independent_set(sf_dir: str) -> pa.Table:
-    """Exact maximum independent set of the same proximity graph
-    (complement-clique by 2^16 enumeration, edges as excluders) --
-    with the exact minimum vertex cover size n - alpha via Gallai's
-    identity.  Canonical ties by smallest mask."""
-    cells, adjm = _clique16(sf_dir)
-    masks = np.arange(1 << 16, dtype=np.int64)
-    ok = np.ones(1 << 16, bool)
-    for i in range(16):
-        for j in range(i + 1, 16):
-            if adjm[i] >> j & 1:  # EDGE pairs are forbidden
-                p = (1 << i) | (1 << j)
-                ok &= (masks & p) != p
-    pc = _popcount64(masks)
-    alpha = int(pc[ok].max())
-    best = int(masks[ok & (pc == alpha)].min())
-    members = sorted(cells[i] for i in range(16) if best >> i & 1)
-    return pa.table(
-        {
-            "rank": pa.array(
-                list(range(1, len(members) + 1)), pa.int64()
-            ),
-            "cell": pa.array(members, pa.int64()),
-            "alpha": pa.array([alpha] * len(members), pa.int64()),
-            "vertex_cover": pa.array(
-                [16 - alpha] * len(members), pa.int64()
-            ),
-        }
-    )
-
-
-def _q_min_dominating_set(sf_dir: str) -> pa.Table:
-    """Exact minimum dominating set of the proximity graph by 2^16
-    enumeration: a mask dominates iff the union of its members'
-    CLOSED neighborhoods covers all 16 vertices -- integer bitmask
-    OR certificates, argmin popcount with smallest-mask ties."""
-    cells, adjm = _clique16(sf_dir)
-    closed = [adjm[i] | (1 << i) for i in range(16)]
-    full = (1 << 16) - 1
-    masks = np.arange(1 << 16, dtype=np.int64)
-    cover = np.zeros(1 << 16, np.int64)
-    for w in range(16):
-        inm = (masks >> w & 1) == 1
-        cover[inm] |= np.int64(closed[w])
-    ok = cover == full
-    pc = _popcount64(masks)
-    gamma = int(pc[ok].min())
-    best = int(masks[ok & (pc == gamma)].min())
-    members = sorted(cells[i] for i in range(16) if best >> i & 1)
-    return pa.table(
-        {
-            "rank": pa.array(
-                list(range(1, len(members) + 1)), pa.int64()
-            ),
-            "cell": pa.array(members, pa.int64()),
-            "gamma": pa.array([gamma] * len(members), pa.int64()),
-        }
-    )
-
-
-def _q_pmi_similarity(sf_dir: str) -> pa.Table:
-    """Distributional similarity from PPMI vectors (count-based
-    word embeddings): adjacent-token co-occurrence counts build each
-    vocab word's PPMI row (1e6-tick quantized max(0, log2(N n_xy /
-    (n_x n_y)))), similarity = cosine over the integer tick vectors
-    (pinned float), top-5 pairs by (sim desc, w1, w2)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        collect_tables, round_like_sql,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.textops import (
-        ngram_counts,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "text"],
-    )
-    bc = collect_tables(ngram_counts(ds, n=2))
-    co: dict[tuple[str, str], int] = {}
-    left: dict[str, int] = {}
-    right: dict[str, int] = {}
-    big_n = 0
-    for g, c in zip(bc["gram"].to_pylist(), bc["n"].to_pylist()):
-        a, b = g.split(" ", 1)
-        c = int(c)
-        co[(a, b)] = co.get((a, b), 0) + c
-        left[a] = left.get(a, 0) + c
-        right[b] = right.get(b, 0) + c
-        big_n += c
-    vocab = sorted(set(left) | set(right))
-    ctx = {w: i for i, w in enumerate(vocab)}
-    vecs = {w: np.zeros(len(vocab), np.int64) for w in left}
-    for (a, b), c in co.items():
-        val = np.log2(
-            float(big_n)
-            * float(c)
-            / (float(left[a]) * float(right[b]))
-        )
-        if val > 0:
-            vecs[a][ctx[b]] = int(
-                round_half_away(np.array([val * 1e6]))[0]
-            )
-    words = sorted(vecs)
-    rows = []
-    for i in range(len(words)):
-        for j in range(i + 1, len(words)):
-            a, b = vecs[words[i]], vecs[words[j]]
-            dot = int((a * b).sum())
-            na = int((a * a).sum())
-            nb = int((b * b).sum())
-            if na == 0 or nb == 0:
-                continue
-            sim = float(dot) / np.sqrt(float(na)) / np.sqrt(float(nb))
-            rows.append((words[i], words[j], sim))
-    rows.sort(key=lambda r: (-r[2], r[0], r[1]))
-    top = rows[:5]
-    return pa.table(
-        {
-            "w1": pa.array([r[0] for r in top]),
-            "w2": pa.array([r[1] for r in top]),
-            "cosine": round_like_sql([r[2] for r in top], 6),
-        }
-    )
-
-
-def _q_hawkes_branching(sf_dir: str) -> pa.Table:
-    """Self-excitation (Hawkes branching-ratio) screen over hourly
-    event counts: for a cluster process the index of dispersion D =
-    var/mean exceeds 1, and the moment estimate eta = 1 -
-    sqrt(mean/var) (valid when D > 1).  Exact integer moments, two
-    pinned float steps."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(os.path.join(sf_dir, "events.parquet"), columns=["ts"])
-
-    def prep(batch: pa.Table) -> pa.Table:
-        hr = (
-            batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-            // 3_600_000_000
-        )
-        return pa.table(
-            {"hr": pa.array(hr), "_one": pa.array(np.ones(len(hr), np.int64))}
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["hr"],
-        [("_one", "sum", "n")],
-    )
-    hh = agg["hr"].to_numpy(zero_copy_only=False).astype(np.int64)
-    lo, hi = int(hh.min()), int(hh.max())
-    xs = np.zeros(hi - lo + 1, np.int64)
-    xs[hh - lo] = agg["n"].to_numpy(zero_copy_only=False)
-    n = len(xs)
-    s1 = int(xs.sum())
-    s2 = int((xs * xs).sum())
-    mean = float(s1) / float(n)
-    var = float(s2) / float(n) - mean * mean
-    d = var / mean
-    eta = 1.0 - np.sqrt(mean / var) if d > 1.0 else 0.0
-    return pa.table(
-        {
-            "n_hours": pa.array([n], pa.int64()),
-            "dispersion": round_like_sql([d], 6),
-            "eta_hat": round_like_sql([float(eta)], 6),
-        }
-    )
-
-
-_LIFE_STEPS = 2
-
-
-def _q_game_of_life_steps(sf_dir: str) -> pa.Table:
-    """Conway's Game of Life, 2 steps, seeded by the event-occupancy
-    mask of the 96x96 grid (the non-monotone cellular-automaton
-    member of the grid-iteration family, alongside heat diffusion
-    and bootstrap percolation): pure integer neighbor counts, dead
-    boundary.  Output: alive count after each step plus the exact
-    alive-cell-id sum checksum."""
-    cnt, _ = _grid_count_cents(sf_dir)
-    alive = (cnt > 0).astype(np.int64)
-    rows = [(0, int(alive.sum()), int((np.flatnonzero(alive.T.ravel())).sum()))]
-    for step in range(1, _LIFE_STEPS + 1):
-        nb = np.zeros_like(alive)
-        for dr in (-1, 0, 1):
-            for dc in (-1, 0, 1):
-                if dr == 0 and dc == 0:
-                    continue
-                r0, r1 = max(0, dr), 96 + min(0, dr)
-                c0, c1 = max(0, dc), 96 + min(0, dc)
-                nb[r0:r1, c0:c1] += alive[
-                    r0 - dr : r1 - dr, c0 - dc : c1 - dc
-                ]
-        alive = (
-            ((alive == 1) & ((nb == 2) | (nb == 3)))
-            | ((alive == 0) & (nb == 3))
-        ).astype(np.int64)
-        # checksum: sum of cell ids (x + y * 96) with x = first axis
-        ids = np.flatnonzero(alive.T.ravel())
-        rows.append((step, int(alive.sum()), int(ids.sum())))
-    return pa.table(
-        {
-            "step": pa.array([r[0] for r in rows], pa.int64()),
-            "n_alive": pa.array([r[1] for r in rows], pa.int64()),
-            "id_sum": pa.array([r[2] for r in rows], pa.int64()),
-        }
-    )
-
-
-def _q_rv_coefficient(sf_dir: str) -> pa.Table:
-    """Escoufier's RV coefficient (matrix correlation) between the
-    hour x event-type count structures of the first and second half
-    of days: with X, Y the 24x5 count matrices, RV =
-    <X'X, Y'Y> / (||X'X|| ||Y'Y||) -- every Gram entry and inner
-    product is an exact integer (Python-int accumulation), floats
-    only in the two final square roots."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["ts", "event_type"],
-    )
-    tmap = {t: i for i, t in enumerate(_MARKOV_STATES)}
-
-    def prep(batch: pa.Table) -> pa.Table:
-        ts = batch["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        ti = np.array(
-            [tmap[t] for t in batch["event_type"].to_pylist()],
-            np.int64,
-        )
-        return pa.table(
-            {
-                "day": pa.array(ts // 86_400_000_000),
-                "h": pa.array((ts // 3_600_000_000) % 24),
-                "t": pa.array(ti),
-                "_one": pa.array(np.ones(len(ts), np.int64)),
-            }
-        )
-
-    agg = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["day", "h", "t"],
-        [("_one", "sum", "n")],
-    )
-    days = sorted(set(int(x) for x in agg["day"].to_pylist()))
-    mid = days[len(days) // 2]
-    x = np.zeros((24, 5), object)
-    y = np.zeros((24, 5), object)
-    for i in range(agg.num_rows):
-        d = int(agg["day"][i].as_py())
-        h = int(agg["h"][i].as_py())
-        t = int(agg["t"][i].as_py())
-        n = int(agg["n"][i].as_py())
-        if d < mid:
-            x[h, t] += n
-        else:
-            y[h, t] += n
-    gx = x.T @ x  # 5x5 exact integer Grams
-    gy = y.T @ y
-    num = int((gx * gy).sum())
-    nx = int((gx * gx).sum())
-    ny = int((gy * gy).sum())
-    rv = float(num) / np.sqrt(float(nx)) / np.sqrt(float(ny))
-    return pa.table(
-        {
-            "inner": pa.array([num], pa.int64()),
-            "rv": round_like_sql([float(rv)], 6),
-        }
-    )
-
-
-def _q_distance_correlation(sf_dir: str) -> pa.Table:
-    """Distance correlation (Szekely) between the daily revenue and
-    daily event-count series -- the dependence measure that is zero
-    ONLY under independence: pairwise distances double-centered in
-    the n^2-scaled integer form (A~ = n^2 a - n(row+col) + tot, all
-    exact), dCor^2 = <A~,B~>/sqrt(<A~,A~><B~,B~>) with the n powers
-    cancelling; Python-int accumulation, floats only at the end."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    ys = _daily_revenue_cents(sf_dir)
-    cs = _daily_count_series(sf_dir)
-    n = len(ys)
-
-    def centered(v: list[int]) -> list[list[int]]:
-        a = [[abs(v[i] - v[j]) for j in range(n)] for i in range(n)]
-        row = [sum(a[i]) for i in range(n)]
-        tot = sum(row)
-        return [
-            [
-                n * n * a[i][j] - n * (row[i] + row[j]) + tot
-                for j in range(n)
-            ]
-            for i in range(n)
-        ]
-
-    at = centered(ys)
-    bt = centered(cs)
-    num = sum(
-        at[i][j] * bt[i][j] for i in range(n) for j in range(n)
-    )
-    na = sum(at[i][j] ** 2 for i in range(n) for j in range(n))
-    nb = sum(bt[i][j] ** 2 for i in range(n) for j in range(n))
-    dcor2 = float(num) / np.sqrt(float(na)) / np.sqrt(float(nb))
-    return pa.table(
-        {
-            "n_days": pa.array([n], pa.int64()),
-            "dcor2": round_like_sql([float(dcor2)], 6),
-        }
-    )
-
-
-def _q_chatterjee_xi(sf_dir: str) -> pa.Table:
-    """Chatterjee's xi rank correlation (2020) of daily event count
-    against daily revenue: order days by (revenue, day), rank the
-    counts with the deterministic ROW_NUMBER convention (count, day),
-    xi = 1 - 3 sum |r_{i+1} - r_i| / (n^2 - 1) -- exact integers,
-    one float division."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    ys = _daily_revenue_cents(sf_dir)
-    cs = _daily_count_series(sf_dir)
-    n = len(ys)
-    order = sorted(range(n), key=lambda t: (ys[t], t))
-    rank_of = sorted(range(n), key=lambda t: (cs[t], t))
-    rk = [0] * n
-    for r, t in enumerate(rank_of):
-        rk[t] = r + 1
-    seq = [rk[t] for t in order]
-    s = sum(abs(seq[i + 1] - seq[i]) for i in range(n - 1))
-    xi = 1.0 - 3.0 * float(s) / float(n * n - 1)
-    return pa.table(
-        {
-            "n_days": pa.array([n], pa.int64()),
-            "abs_rank_steps": pa.array([s], pa.int64()),
-            "xi": round_like_sql([xi], 6),
-        }
-    )
-
-
-def _q_tail_dependence(sf_dir: str) -> pa.Table:
-    """Empirical copula tail-dependence coefficients between daily
-    revenue and daily count at q = 0.9: lambda_U = P(both above
-    their 0.9 quantile)/(1 - 0.9), lambda_L the mirrored lower
-    version at 0.1 -- exact quantile_disc thresholds and integer
-    joint counts, two float divisions."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    ys = _daily_revenue_cents(sf_dir)
-    cs = _daily_count_series(sf_dir)
-    n = len(ys)
-
-    def qdisc(v: list[int], q_num: int, q_den: int) -> int:
-        xs = sorted(v)
-        return xs[-(-q_num * n // q_den) - 1]
-
-    yu, cu = qdisc(ys, 9, 10), qdisc(cs, 9, 10)
-    yl, cl = qdisc(ys, 1, 10), qdisc(cs, 1, 10)
-    both_u = sum(
-        1 for y, c in zip(ys, cs) if y > yu and c > cu
-    )
-    both_l = sum(
-        1 for y, c in zip(ys, cs) if y <= yl and c <= cl
-    )
-    lam_u = float(both_u) / (0.1 * float(n))
-    lam_l = float(both_l) / (0.1 * float(n))
-    return pa.table(
-        {
-            "n_days": pa.array([n], pa.int64()),
-            "n_upper": pa.array([both_u], pa.int64()),
-            "n_lower": pa.array([both_l], pa.int64()),
-            "lambda_u": round_like_sql([lam_u], 6),
-            "lambda_l": round_like_sql([lam_l], 6),
-        }
-    )
-
-
-def _q_blomqvist_beta(sf_dir: str) -> pa.Table:
-    """Blomqvist's beta (medial correlation) between daily revenue
-    and daily count: quadrant concordance around the two exact
-    medians, beta = (n_conc - n_disc) / (n_conc + n_disc) with
-    on-median points excluded -- pure integer counting."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        round_like_sql,
-    )
-
-    ys = _daily_revenue_cents(sf_dir)
-    cs = _daily_count_series(sf_dir)
-    n = len(ys)
-    my = sorted(ys)[-(-n // 2) - 1]
-    mc = sorted(cs)[-(-n // 2) - 1]
-    conc = disc = 0
-    for y, c in zip(ys, cs):
-        if y == my or c == mc:
-            continue
-        if (y > my) == (c > mc):
-            conc += 1
-        else:
-            disc += 1
-    beta = float(conc - disc) / float(conc + disc)
-    return pa.table(
-        {
-            "n_conc": pa.array([conc], pa.int64()),
-            "n_disc": pa.array([disc], pa.int64()),
-            "beta": round_like_sql([beta], 6),
-        }
-    )
-
-
-def _q_survey_estimators(sf_dir: str) -> pa.Table:
-    """Survey-sampling estimator panel for total user revenue from a
-    deterministic 1-in-5 mix32 user sample with event count as the
-    auxiliary: Horvitz-Thompson (exact integer, pi = 1/5), ratio
-    estimator X_tot * (sum y_s / sum x_s), regression estimator
-    y_HT + b (X_tot - x_HT), and the Kish design effect of the HT
-    weights -- exact moments, pinned float chains, true total
-    reported for audit."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.rounding import (
-        scaled_int,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
-        mix32,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "value"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "user_id": batch["user_id"],
-                "y": pa.array(scaled_int(batch["value"], 100.0)),
-                "_one": pa.array(np.ones(batch.num_rows, np.int64)),
-            }
-        )
-
-    peru = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["user_id"],
-        [("y", "sum", "y"), ("_one", "sum", "x")],
-    )
-    uid = peru["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    y = peru["y"].to_numpy(zero_copy_only=False).astype(np.int64)
-    x = peru["x"].to_numpy(zero_copy_only=False).astype(np.int64)
-    samp = mix32(uid, 83) % 5 == 0
-    y_true = int(y.sum())
-    x_tot = int(x.sum())
-    ys_, xs_ = y[samp], x[samp]
-    n_s = int(samp.sum())
-    sy, sx = int(ys_.sum()), int(xs_.sum())
-    ht = 5 * sy
-    ratio = float(x_tot) * (float(sy) / float(sx))
-    # regression estimator with the sample OLS slope of y on x
-    sxy = int((ys_ * xs_).sum())
-    sxx = int((xs_ * xs_).sum())
-    b = float(n_s * sxy - sx * sy) / float(n_s * sxx - sx * sx)
-    reg = float(ht) + b * (float(x_tot) - 5.0 * float(sx))
-    # all HT weights are 5 -> deff = 1 by construction; report it
-    deff = (
-        float(n_s)
-        * float(n_s * 25)
-        / (float(5 * n_s) * float(5 * n_s))
-    )
-    return pa.table(
-        {
-            "n_sample": pa.array([n_s], pa.int64()),
-            "true_total": pa.array([y_true], pa.int64()),
-            "ht_total": pa.array([ht], pa.int64()),
-            "ratio_total": round_like_sql([ratio], 6),
-            "reg_total": round_like_sql([reg], 6),
-            "kish_deff": round_like_sql([deff], 6),
-        }
-    )
-
-
-def _q_lexis_apc(sf_dir: str) -> pa.Table:
-    """Lexis-surface age-period-cohort aggregation of user activity:
-    age = whole weeks since the user's first event, period = whole
-    weeks since the corpus start, cohort = period - age (the exact
-    APC identity, asserted per cell).  Integer counts per (age,
-    period) cell; output = per-age totals with the modal period."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "ts"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "user_id": batch["user_id"],
-                "ts": batch["ts"].cast(pa.int64()),
-                "t0": batch["ts"].cast(pa.int64()),
-            }
-        )
-
-    peru = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["user_id"],
-        [("t0", "min", "t0")],
-    )
-    t0map = {
-        int(peru["user_id"][i].as_py()): int(peru["t0"][i].as_py())
-        for i in range(peru.num_rows)
-    }
-    start = min(t0map.values())
-    t0_items = sorted(t0map.items())
-    uid_arr = np.array([u for u, _ in t0_items], np.int64)
-    t0_arr = np.array([t for _, t in t0_items], np.int64)
-
-    def cells(batch: pa.Table) -> pa.Table:
-        uid = batch["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ts = batch["ts"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(uid_arr, uid)
-        t0 = t0_arr[pos]
-        wk = 7 * 86_400_000_000
-        age = (ts - t0) // wk
-        per = (ts - start) // wk
-        return pa.table(
-            {
-                "age": pa.array(age),
-                "per": pa.array(per),
-                "_one": pa.array(np.ones(len(ts), np.int64)),
-            }
-        )
-
-    prepped = ds.map_batches(
-        prep, batch_format="pyarrow", batch_size=None
-    )
-    agg = hash_aggregate(
-        prepped.map_batches(cells, batch_format="pyarrow", batch_size=None),
-        ["age", "per"],
-        [("_one", "sum", "n")],
-    )
-    per_age: dict[int, dict[int, int]] = {}
-    for i in range(agg.num_rows):
-        a = int(agg["age"][i].as_py())
-        p = int(agg["per"][i].as_py())
-        per_age.setdefault(a, {})[p] = int(agg["n"][i].as_py())
-    rows = []
-    for a in sorted(per_age):
-        tot = sum(per_age[a].values())
-        modal = min(
-            per_age[a], key=lambda p: (-per_age[a][p], p)
-        )
-        rows.append((a, tot, modal, modal - a))
-    return pa.table(
-        {
-            "age_weeks": pa.array([r[0] for r in rows], pa.int64()),
-            "n_events": pa.array([r[1] for r in rows], pa.int64()),
-            "modal_period": pa.array(
-                [r[2] for r in rows], pa.int64()
-            ),
-            "modal_cohort": pa.array(
-                [r[3] for r in rows], pa.int64()
-            ),
-        }
-    )
-
-
-def _q_gompertz_hazard(sf_dir: str) -> pa.Table:
-    """Gompertz mortality-law fit to user churn: discrete hazard per
-    tenure HOUR h_w = (users whose LAST activity falls in hour w) /
-    (users with tenure >= w), log-hazard 1e9-tick quantized, the
-    Gompertz log-linear slope from the exact integer tick regression
-    over hours with 0 < d < r -- the actuarial companion of the
-    Weibull shape fit."""
-    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
-        hash_aggregate, round_like_sql,
-    )
-
-    ds = _read_pq(
-        os.path.join(sf_dir, "events.parquet"),
-        columns=["user_id", "ts"],
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        ts = batch["ts"].cast(pa.int64())
-        return pa.table(
-            {
-                "user_id": batch["user_id"],
-                "t0": ts,
-                "t1": ts,
-            }
-        )
-
-    peru = hash_aggregate(
-        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
-        ["user_id"],
-        [("t0", "min", "t0"), ("t1", "max", "t1")],
-    )
-    hour = 3_600_000_000
-    ten = (
-        (
-            peru["t1"].to_numpy(zero_copy_only=False)
-            - peru["t0"].to_numpy(zero_copy_only=False)
-        )
-        // hour
-    ).astype(np.int64)
-    wmax = int(ten.max())
-    deaths = np.bincount(ten, minlength=wmax + 1).astype(np.int64)
-    at_risk = np.cumsum(deaths[::-1])[::-1]
-    xs, ys = [], []
-    for w in range(wmax + 1):
-        d, r = int(deaths[w]), int(at_risk[w])
-        if d > 0 and d < r:
-            lh = np.log(float(d) / float(r))
-            xs.append(w)
-            ys.append(
-                int(round_half_away(np.array([lh * 1e9]))[0])
-            )
-    n = len(xs)
-    sx, sy = sum(xs), sum(ys)
-    sxx = sum(x * x for x in xs)
-    sxy = sum(x * y for x, y in zip(xs, ys))
-    num = n * sxy - sx * sy
-    den = n * sxx - sx * sx
-    slope = float(num) / float(den) / 1e9
-    return pa.table(
-        {
-            "n_hazard_hours": pa.array([n], pa.int64()),
-            "gompertz_slope": round_like_sql([slope], 6),
-        }
-    )
-
-
-def entry() -> Any:
-    """Flagship pipeline at sf0.001 scale: pages extract -> geocode ->
-    frozen-cell encode -> per-cell counts (plus invariant check inside
-    the extract stage).  Returns a stable (cell_8:int64, count:int64)
-    Arrow table."""
-    return _q_pages_flagship("/root/testdata/sf0.001")
-
-
-# Curated registry head (VERDICT r3 item 2): the driver's correctness
-# gate samples the FIRST ~50 entries of queries(); keep them a
-# cross-family representative set (raster core, spatial joins, flagship
-# pages/url, dedup, ANN/clustering, text/LLM ops, relational, windows,
-# sketches, multimodal) instead of whatever family happened to register
-# first.  The tail keeps its historical order; every head name must
-# exist in the literal dict (asserted in tests/test_oracle_parity.py).
-_REGISTRY_HEAD = [
-    # raster / spatial core
-    "extract_full", "extract_valid", "stride_sample", "bounds",
-    "band_stats", "cell_counts", "cell_counts_salted", "zonal_stats",
-    "tile_slope", "flow_accumulation",
-    # spatial joins + cell encodes
-    "bbox_join", "pip_join", "pip_join_sharded", "knn_lookup",
-    "knn_top3", "within_radius", "events_geocode_cells",
-    # flagship + url family
-    "pages_flagship", "url_parse_fields", "url_domain_stats",
-    "url_dedup", "domain_cap_sample",
-    # dedup family
-    "dedup_exact", "minhash_dedup", "simhash_dedup", "winnow_dedup",
-    "passage_dedup",
-    # ANN / clustering
-    "ann_top3", "knn_join", "kmeans_clusters", "dbscan_clusters",
-    # text / LLM-data ops
-    "lang_id", "token_counts", "quality_scores", "tfidf_scores",
-    "bm25_search", "lang_temperature_sample", "contamination",
-    "pack_sequences",
-    # relational
-    "pricing_summary", "top_orders", "big_join_revenue",
-    "customer_nations", "grouped_quantiles",
-    # windows / streams / asof
-    "events_windowed", "events_sessions", "asof_join", "range_join",
-    # sketches + multimodal
-    "heavy_hitters", "media_ahash_pairs",
-]
-
-
-def queries() -> dict[str, Callable[[str], Any]]:
-    q = {
-        # spatial operators over the frozen oracle grid
-        "extract_full": _q_extract_full,
-        "extract_valid": _q_extract_valid,
-        "stride_sample": _q_stride_sample,
-        "bounds": _q_bounds,
-        "band_stats": _q_band_stats,
-        "cell_counts": _q_cell_counts,
-        "cell_counts_salted": _q_cell_counts_salted,
-        "bbox_join": _q_bbox_join,
-        "pip_join": _q_pip_join,
-        "pip_join_sharded": _q_pip_join_sharded,
-        "zonal_stats": _q_zonal_stats,
-        "knn_lookup": _q_knn,
-        "knn_top3": _q_knn_top3,
-        "knn_balltree": _q_knn_balltree,
-        "knn_outside": _q_knn_outside,
-        "within_radius": _q_within_radius,
-        "downsample_raster": _q_downsample_raster,
-        "idw_probes": _q_idw_probes,
-        "focal_counts": _q_focal_counts,
-        "tile_slope": _q_tile_slope,
-        "tile_ruggedness": _q_tile_ruggedness,
-        "tile_tpi": _q_tile_tpi,
-        "tile_curvature": _q_tile_curvature,
-        "region_labels": _q_region_labels,
-        "tile_hillshade": _q_tile_hillshade,
-        "flow_direction": _q_flow_direction,
-        "flow_accumulation": _q_flow_accumulation,
-        "watershed_labels": _q_watershed_labels,
-        "bilinear_sample": _q_bilinear_sample,
-        "stride_secondary": _q_stride_secondary,
-        # spatial ops driven from the driver's tables
-        "events_geocode_cells": _q_events_geocode,
-        "s2_cells": _q_s2_cells,
-        "geohash_cells": _q_geohash_cells,
-        "track_lengths": _q_track_lengths,
-        "geofence_transitions": _q_geofence_transitions,
-        "keyed_ewma": _q_keyed_ewma,
-        "tile_focal_mode": _q_tile_focal_mode,
-        "tile_focal_median": _q_tile_focal_median,
-        "track_speed_stats": _q_track_speed_stats,
-        "media_ahash_pairs": _q_media_ahash_pairs,
-        "polygon_coverage": _q_polygon_coverage,
-        "boundary_distance": _q_boundary_distance,
-        "linear_interp": _q_linear_interp,
-        "track_straightness": _q_track_straightness,
-        "track_geodesic": _q_track_geodesic,
-        "od_matrix": _q_od_matrix,
-        "band_math_ndi": _q_band_math_ndi,
-        "cost_distance": _q_cost_distance,
-        "skew_report": _q_skew_report,
-        "radius_of_gyration": _q_radius_of_gyration,
-        "theil_sen": _q_theil_sen,
-        "ab_ztest": _q_ab_ztest,
-        "anova_eta2": _q_anova_eta2,
-        "spearman": _q_spearman,
-        "adaptive_quadtree": _q_adaptive_quadtree,
-        "cover_bbox": _q_cover_bbox,
-        "value_histogram": _q_value_histogram,
-        "abc_classes": _q_abc_classes,
-        "mutual_nn": _q_mutual_nn,
-        "peak_concurrency": _q_peak_concurrency,
-        "grid_variogram": _q_grid_variogram,
-        "rfm_segments": _q_rfm_segments,
-        "acf_lags": _q_acf_lags,
-        "zorder_cells": _q_zorder_cells,
-        "map_match": _q_map_match,
-        "seasonal_mase": _q_seasonal_mase,
-        "kl_divergence": _q_kl_divergence,
-        "ripley_k": _q_ripley_k,
-        "gearys_c": _q_gearys_c,
-        "hist_intersection": _q_hist_intersection,
-        "holt_linear": _q_holt_linear,
-        "holt_winters": _q_holt_winters,
-        "phrase_search": _q_phrase_search,
-        "kendall_tau": _q_kendall_tau,
-        "theil_index": _q_theil_index,
-        "track_intersections": _q_track_intersections,
-        "runs_test": _q_runs_test,
-        "turning_points": _q_turning_points,
-        "sample_entropy": _q_sample_entropy,
-        "perm_entropy": _q_perm_entropy,
-        "ordinal_assoc": _q_ordinal_assoc,
-        "omega_calmar": _q_omega_calmar,
-        "readability_panel": _q_readability_panel,
-        "morisita_index": _q_morisita_index,
-        "theils_u": _q_theils_u,
-        "lz76_complexity": _q_lz76_complexity,
-        "dist_distances": _q_dist_distances,
-        "cliffs_delta": _q_cliffs_delta,
-        "grid_prefix_sums": _q_grid_prefix_sums,
-        "kuiper_test": _q_kuiper_test,
-        "retile_extract": _q_retile_extract,
-        "kulldorff_scan": _q_kulldorff_scan,
-        "cox_stuart": _q_cox_stuart,
-        "textrank_keywords": _q_textrank_keywords,
-        "ridge_two_var": _q_ridge_two_var,
-        "bivariate_moran": _q_bivariate_moran,
-        "harris_corners": _q_harris_corners,
-        "seam_dp": _q_seam_dp,
-        "kapur_threshold": _q_kapur_threshold,
-        "local_geary": _q_local_geary,
-        "general_g": _q_general_g,
-        "rake_keywords": _q_rake_keywords,
-        "brunner_munzel": _q_brunner_munzel,
-        "cusum_squares": _q_cusum_squares,
-        "spectral_summary": _q_spectral_summary,
-        "distinct_substrings": _q_distinct_substrings,
-        "block_entropy": _q_block_entropy,
-        "radiation_model": _q_radiation_model,
-        "runs_updown": _q_runs_updown,
-        "mh_odds": _q_mh_odds,
-        "page_trend": _q_page_trend,
-        "theil_decomp": _q_theil_decomp,
-        "ansari_bradley": _q_ansari_bradley,
-        "jonckheere": _q_jonckheere,
-        "dixon_q": _q_dixon_q,
-        "rank_distance": _q_rank_distance,
-        "wilcoxon_signed": _q_wilcoxon_signed,
-        "clustering_coeff": _q_clustering_coeff,
-        "kcore_words": _q_kcore_words,
-        "brier_decomposition": _q_brier_decomposition,
-        "seasonal_decompose": _q_seasonal_decompose,
-        "min_cost_supplier": _q_min_cost_supplier,
-        "chow_test": _q_chow_test,
-        "symspell_pairs": _q_symspell_pairs,
-        "seq_edit_distance": _q_seq_edit_distance,
-        "did_estimator": _q_did_estimator,
-        "mean_direction": _q_mean_direction,
-        "hoover_index": _q_hoover_index,
-        "cdc_chunks": _q_cdc_chunks,
-        "route_shortest_path": _q_route_shortest_path,
-        "polygon_perimeter": _q_polygon_perimeter,
-        "quadkey_cells": _q_quadkey_cells,
-        "q3_shipping_priority": _q_q3_shipping_priority,
-        "q5_local_revenue": _q_q5_local_revenue,
-        "dispersion_index": _q_dispersion_index,
-        "grubbs_test": _q_grubbs_test,
-        "burrows_delta": _q_burrows_delta,
-        "pps_systematic": _q_pps_systematic,
-        "haar_energy": _q_haar_energy,
-        "cell_week_churn": _q_cell_week_churn,
-        "bayes_rate_smoothing": _q_bayes_rate_smoothing,
-        "jaro_winkler_pairs": _q_jaro_winkler_pairs,
-        "sprt_crossing": _q_sprt_crossing,
-        "rbo_overlap": _q_rbo_overlap,
-        "geometric_median": _q_geometric_median,
-        "visibility_graph": _q_visibility_graph,
-        "hill_estimator": _q_hill_estimator,
-        "q17_small_qty_revenue": _q_q17_small_qty_revenue,
-        "q19_disjunctive_revenue": _q_q19_disjunctive_revenue,
-        "graph_modularity": _q_graph_modularity,
-        "feature_matrix": _q_feature_matrix,
-        "ljung_box": _q_ljung_box,
-        "bigram_novelty": _q_bigram_novelty,
-        "vocab_richness": _q_vocab_richness,
-        "q4_order_priority": _q_q4_order_priority,
-        "logrank_test": _q_logrank_test,
-        "knox_test": _q_knox_test,
-        "mask_morphology": _q_mask_morphology,
-        "bh_fdr": _q_bh_fdr,
-        "q7_volume": _q_q7_volume,
-        "cochran_armitage": _q_cochran_armitage,
-        "bollinger_breakouts": _q_bollinger_breakouts,
-        "boruvka_mst": _q_boruvka_mst,
-        "page_hinkley": _q_page_hinkley,
-        "friedman_test": _q_friedman_test,
-        "western_electric": _q_western_electric,
-        "mmr_topk": _q_mmr_topk,
-        "char_bigram_entropy": _q_char_bigram_entropy,
-        "dwell_time": _q_dwell_time,
-        "cross_k": _q_cross_k,
-        "eigen_centrality": _q_eigen_centrality,
-        "otsu_threshold": _q_otsu_threshold,
-        "band_mutual_info": _q_band_mutual_info,
-        "weibull_shape": _q_weibull_shape,
-        "daily_peaks": _q_daily_peaks,
-        "edge_support": _q_edge_support,
-        "hexbin_cells": _q_hexbin_cells,
-        "q8_market_share": _q_q8_market_share,
-        "ql_retrieval": _q_ql_retrieval,
-        "dispersion_ellipse": _q_dispersion_ellipse,
-        "local_moran": _q_local_moran,
-        "quadrat_test": _q_quadrat_test,
-        "clamped_balance": _q_clamped_balance,
-        "harmonic_price": _q_harmonic_price,
-        "char_entropy": _q_char_entropy,
-        "rayleigh_hours": _q_rayleigh_hours,
-        "mann_kendall": _q_mann_kendall,
-        "welch_ttest": _q_welch_ttest,
-        "periodogram_daily": _q_periodogram_daily,
-        "nelson_aalen": _q_nelson_aalen,
-        "bootstrap_ci": _q_bootstrap_ci,
-        "viewshed_counts": _q_viewshed_counts,
-        "hist_match_lut": _q_hist_match_lut,
-        "home_work_od": _q_home_work_od,
-        "grid_euler": _q_grid_euler,
-        "variance_ratio": _q_variance_ratio,
-        "variogram_anisotropy": _q_variogram_anisotropy,
-        "k_anonymity": _q_k_anonymity,
-        "minhash_estimate": _q_minhash_estimate,
-        "l_diversity": _q_l_diversity,
-        "band_correlation": _q_band_correlation,
-        "field_divergence": _q_field_divergence,
-        "lsh_blocking_audit": _q_lsh_blocking_audit,
-        "join_counts": _q_join_counts,
-        "fractal_boxcount": _q_fractal_boxcount,
-        "jarque_bera": _q_jarque_bera,
-        "cohens_d": _q_cohens_d,
-        "durbin_watson": _q_durbin_watson,
-        "clark_evans": _q_clark_evans,
-        "nn_gfunction": _q_nn_gfunction,
-        "gravity_flows": _q_gravity_flows,
-        "levene_bf": _q_levene_bf,
-        "twi": _q_twi,
-        "heaps_law": _q_heaps_law,
-        "hurst_exponent": _q_hurst_exponent,
-        "terrain_openness": _q_terrain_openness,
-        "linear_attribution": _q_linear_attribution,
-        "vocab_overlap": _q_vocab_overlap,
-        "keyness_terms": _q_keyness_terms,
-        "voronoi_assign": _q_voronoi_assign,
-        "kwic_contexts": _q_kwic_contexts,
-        "ols_two_var": _q_ols_two_var,
-        "simpson_diversity": _q_simpson_diversity,
-        "dickey_fuller": _q_dickey_fuller,
-        "simplified_silhouette": _q_simplified_silhouette,
-        "emerging_hotspots": _q_emerging_hotspots,
-        "degree_assortativity": _q_degree_assortativity,
-        "word_burstiness": _q_word_burstiness,
-        "dasymetric_alloc": _q_dasymetric_alloc,
-        "location_quotient": _q_location_quotient,
-        "rusle_ls": _q_rusle_ls,
-        "rich_club": _q_rich_club,
-        "promo_revenue_share": _q_promo_revenue_share,
-        "ship_delay_histogram": _q_ship_delay_histogram,
-        "raster_entropy": _q_raster_entropy,
-        "markov_top1_accuracy": _q_markov_top1_accuracy,
-        "intrinsic_dim": _q_intrinsic_dim,
-        "binseg_changepoint": _q_binseg_changepoint,
-        "qq_slope": _q_qq_slope,
-        "polygon_iou": _q_polygon_iou,
-        "raster_kappa": _q_raster_kappa,
-        "mcnemar_test": _q_mcnemar_test,
-        "calibration_bins": _q_calibration_bins,
-        "roc_auc": _q_roc_auc,
-        "average_precision": _q_average_precision,
-        "lift_at_decile": _q_lift_at_decile,
-        "lbp_histogram": _q_lbp_histogram,
-        "glcm_texture": _q_glcm_texture,
-        "markov_entropy_rate": _q_markov_entropy_rate,
-        "t_closeness": _q_t_closeness,
-        "word_degree_dist": _q_word_degree_dist,
-        "mann_whitney": _q_mann_whitney,
-        "kruskal_wallis": _q_kruskal_wallis,
-        "line_of_sight": _q_line_of_sight,
-        "aspect_classes": _q_aspect_classes,
-        "kaplan_meier": _q_kaplan_meier,
-        "interval_union": _q_interval_union,
-        "zipf_slope": _q_zipf_slope,
-        "hapax_ratio": _q_hapax_ratio,
-        "dedup_summary": _q_dedup_summary,
-        "bounce_rate": _q_bounce_rate,
-        "burstiness": _q_burstiness,
-        "readability": _q_readability,
-        "visit_entropy": _q_visit_entropy,
-        "hourly_profile": _q_hourly_profile,
-        "track_hausdorff": _q_track_hausdorff,
-        "debounce_events": _q_debounce_events,
-        "cusum_alarms": _q_cusum_alarms,
-        "movement_directions": _q_movement_directions,
-        "window_funcs": _q_window_funcs,
-        "pivot_events": _q_pivot_events,
-        "rollup_pricing": _q_rollup_pricing,
-        "quantile_buckets": _q_quantile_buckets,
-        "weighted_sample": _q_weighted_sample,
-        "heavy_hitters": _q_heavy_hitters,
-        "props_extract": _q_props_extract,
-        "funnel_steps": _q_funnel_steps,
-        "string_agg_nations": _q_string_agg_nations,
-        "grouped_corr": _q_grouped_corr,
-        "ngram_repetition": _q_ngram_repetition,
-        "cms_counts": _q_cms_counts,
-        "distinct_users_by_type": _q_distinct_users_by_type,
-        "kmeans_clusters": _q_kmeans_clusters,
-        "zscore_chars": _q_zscore_chars,
-        "hash_split": _q_hash_split,
-        "intersect_users": _q_intersect_users,
-        "bigram_counts": _q_bigram_counts,
-        "dup_passages": _q_dup_passages,
-        "new_users_daily": _q_new_users_daily,
-        "mode_source": _q_mode_source,
-        "pii_redact": _q_pii_redact,
-        "track_simplify": _q_track_simplify,
-        "except_docs": _q_except_docs,
-        "pmi_bigrams": _q_pmi_bigrams,
-        "dow_histogram": _q_dow_histogram,
-        "lang_share": _q_lang_share,
-        "lang_temperature_sample": _q_lang_temperature_sample,
-        "docs_pip_join": _q_docs_pip,
-        # relational operators
-        "pricing_summary": _q_pricing_summary,
-        "top_orders": _q_top_orders,
-        "events_by_type": _q_events_by_type,
-        "events_windowed": _q_events_windowed,
-        "events_hopping": _q_events_hopping,
-        "events_sessions": _q_events_sessions,
-        "customer_nations": _q_customer_nations,
-        "customer_regions": _q_customer_regions,
-        "orders_monthly": _q_orders_monthly,
-        "customers_no_orders": _q_customers_no_orders,
-        "supplier_by_nation": _q_supplier_by_nation,
-        "parts_by_brand": _q_parts_by_brand,
-        "docs_by_source": _q_docs_by_source,
-        "distinct_langs": _q_distinct_langs,
-        "reservoir_sample": _q_reservoir_sample,
-        "asof_join": _q_asof_join,
-        "asof_lag": _q_asof_lag,
-        "asof_next": _q_asof_next,
-        "window_join_clicks": _q_window_join_clicks,
-        "range_join": _q_range_join,
-        "range_join_partitioned": _q_range_join_partitioned,
-        "bloom_semijoin": _q_bloom_semijoin,
-        "token_frequencies": _q_token_frequencies,
-        "grouped_quantiles": _q_grouped_quantiles,
-        "big_join_revenue": _q_big_join_revenue,
-        # forced hash-shuffle tier of the same join (driver-checkable
-        # proof the scale path stays correct as the router evolves)
-        "big_join_revenue_shuffle": (
-            lambda sf_dir: _q_big_join_revenue(sf_dir, strategy="shuffle")
-        ),
-        "big_left_join": _q_big_left_join,
-        "tfidf_scores": _q_tfidf_scores,
-        "top_docs_per_lang": _q_top_docs_per_lang,
-        "quantiles": _q_quantiles,
-        "quantiles_exact": _q_quantiles_exact,
-        "stratified_sample": _q_stratified_sample,
-        # text / dedup / ANN
-        "dedup_exact": _q_dedup_exact,
-        "token_counts": _q_token_counts,
-        "pack_sequences": _q_pack_sequences,
-        "contamination": _q_contamination,
-        "cube_pricing": _q_cube_pricing,
-        "rolling_hour_sum": _q_rolling_hour_sum,
-        "postings": _q_postings,
-        "haversine_radius": _q_haversine_radius,
-        "polygon_centroid": _q_polygon_centroid,
-        "edit1_pairs": _q_edit1_pairs,
-        "label_centroids": _q_label_centroids,
-        "corr_matrix": _q_corr_matrix,
-        "locf_resample": _q_locf_resample,
-        "retention_matrix": _q_retention_matrix,
-        "decayed_counts": _q_decayed_counts,
-        "pareto_front": _q_pareto_front,
-        "grouped_mad": _q_grouped_mad,
-        "grouped_regression": _q_grouped_regression,
-        "lang_entropy": _q_lang_entropy,
-        "geomean_price": _q_geomean_price,
-        "user_streaks": _q_user_streaks,
-        "unpivot_measures": _q_unpivot_measures,
-        "lm_logprob": _q_lm_logprob,
-        "full_outer_activity": _q_full_outer_activity,
-        "morans_i": _q_morans_i,
-        "grouping_sets": _q_grouping_sets,
-        "markov_transitions": _q_markov_transitions,
-        "quantiles_cont": _q_quantiles_cont,
-        "chi2_independence": _q_chi2_independence,
-        "getis_ord": _q_getis_ord,
-        "assoc_rules": _q_assoc_rules,
-        "pct_change_monthly": _q_pct_change_monthly,
-        "gini_by_priority": _q_gini_by_priority,
-        "bm25_search": _q_bm25_search,
-        "orders_above_avg": _q_orders_above_avg,
-        "latest_event_per_user": _q_latest_event_per_user,
-        "word_components": _q_word_components,
-        "word_pagerank": _q_word_pagerank,
-        "word_bfs_hops": _q_word_bfs_hops,
-        "colocation_pairs": _q_colocation_pairs,
-        "convoy_pairs": _q_convoy_pairs,
-        "hist_equalize": _q_hist_equalize,
-        "zonal_mode": _q_zonal_mode,
-        "contour_cases": _q_contour_cases,
-        "contour_segments": _q_contour_segments,
-        "rolling_week_users": _q_rolling_week_users,
-        "pattern_match_users": _q_pattern_match_users,
-        "kde_density": _q_kde_density,
-        "profile_lineitem": _q_profile_lineitem,
-        "label_scatter": _q_label_scatter,
-        "centroid_confusion": _q_centroid_confusion,
-        "ks_statistic": _q_ks_statistic,
-        "cramers_v": _q_cramers_v,
-        "tukey_outliers": _q_tukey_outliers,
-        "mutual_information": _q_mutual_information,
-        "lorenz_deciles": _q_lorenz_deciles,
-        "scd2_intervals": _q_scd2_intervals,
-        "first_touch_attribution": _q_first_touch_attribution,
-        "benford_deviation": _q_benford_deviation,
-        "hhi_concentration": _q_hhi_concentration,
-        "lagged_crosscorr": _q_lagged_crosscorr,
-        "rolling_anomaly": _q_rolling_anomaly,
-        "winsorized_mean": _q_winsorized_mean,
-        "word_triangles": _q_word_triangles,
-        "conversion_lag": _q_conversion_lag,
-        "interevent_median": _q_interevent_median,
-        "time_weighted_avg": _q_time_weighted_avg,
-        "percent_rank_qty": _q_percent_rank_qty,
-        "doc_lengths": _q_doc_lengths,
-        "ann_top3": _q_ann_top3,
-        "knn_join": _q_knn_join,
-        "fuzzy_match": _q_fuzzy_match,
-        # non-SQL-expressible (rows-only checks)
-        "minhash_dedup": _q_minhash_dedup,
-        "simhash_dedup": _q_simhash_dedup,
-        "embedding_neardup": _q_embedding_neardup,
-        "lang_id": _q_lang_id,
-        "quality_scores": _q_quality,
-        "quality_filter_by_lang": _q_quality_filter_by_lang,
-        "quality_features": _q_quality_features,
-        "text_cleaning": _q_text_cleaning,
-        "ivf_ann": _q_ivf_ann,
-        "pq_ann": _q_pq_ann,
-        "zonal_multiband": _q_zonal_multiband,
-        "winnow_dedup": _q_winnow_dedup,
-        "passage_dedup": _q_passage_dedup,
-        "url_parse_fields": _q_url_parse_fields,
-        "url_domain_stats": _q_url_domain_stats,
-        "domain_cap_sample": _q_domain_cap_sample,
-        "url_canonicalize": _q_url_canonicalize,
-        "url_dedup": _q_url_dedup,
-        "pages_flagship": _q_pages_flagship,
-        "approx_distinct": _q_approx_distinct,
-        "media_decode": _q_media_decode,
-        "media_decode_jpeg": _q_media_decode_jpeg,
-        "jaccard_pairs": _q_jaccard_pairs,
-        "bpe_merges": _q_bpe_merges,
-        "approx_distinct_by_type": _q_approx_distinct_by_type,
-        "convex_hull": _q_convex_hull,
-        "dbscan_clusters": _q_dbscan_clusters,
-        "stay_points": _q_stay_points,
-        "q6_forecast_revenue": _q_q6_forecast_revenue,
-        "q10_returned_items": _q_q10_returned_items,
-        "q13_custdist": _q_q13_custdist,
-        "q15_top_supplier": _q_q15_top_supplier,
-        "q9_product_profit": _q_q9_product_profit,
-        "q11_important_parts": _q_q11_important_parts,
-        "q12_late_shipments": _q_q12_late_shipments,
-        "q16_supplier_cnt": _q_q16_supplier_cnt,
-        "q18_large_orders": _q_q18_large_orders,
-        "q20_part_promotion": _q_q20_part_promotion,
-        "q21_waiting_suppliers": _q_q21_waiting_suppliers,
-        "q22_global_sales_opp": _q_q22_global_sales_opp,
-        "cohort_ltv": _q_cohort_ltv,
-        "common_paths": _q_common_paths,
-        "type_user_jaccard": _q_type_user_jaccard,
-        "kmv_distinct": _q_kmv_distinct,
-        "ams_f2": _q_ams_f2,
-        "max_drawdown": _q_max_drawdown,
-        "class_balance_sample": _q_class_balance_sample,
-        "position_attribution": _q_position_attribution,
-        "kmv_set_ops": _q_kmv_set_ops,
-        "granger_daily": _q_granger_daily,
-        "pacf_lags": _q_pacf_lags,
-        "best_split_stump": _q_best_split_stump,
-        "js_divergence": _q_js_divergence,
-        "pr_curve": _q_pr_curve,
-        "viterbi_decode": _q_viterbi_decode,
-        "zonal_median": _q_zonal_median,
-        "huff_model": _q_huff_model,
-        "mahalanobis_outliers": _q_mahalanobis_outliers,
-        "rendezvous_hashing": _q_rendezvous_hashing,
-        "merkle_checksums": _q_merkle_checksums,
-        "anderson_darling": _q_anderson_darling,
-        "cuped_adjust": _q_cuped_adjust,
-        "gumbel_daily_max": _q_gumbel_daily_max,
-        "wasserstein_hours": _q_wasserstein_hours,
-        "ndcg_at_10": _q_ndcg_at_10,
-        "ktruss_peel": _q_ktruss_peel,
-        "simpson_slopes": _q_simpson_slopes,
-        "bbox_pip_fpr": _q_bbox_pip_fpr,
-        "psi_drift": _q_psi_drift,
-        "elasticity_loglog": _q_elasticity_loglog,
-        "moran_correlogram": _q_moran_correlogram,
-        "percolation_screen": _q_percolation_screen,
-        "graph_diameter": _q_graph_diameter,
-        "dau_mau_stickiness": _q_dau_mau_stickiness,
-        "power_user_curve": _q_power_user_curve,
-        "borda_count": _q_borda_count,
-        "mrr_first_relevant": _q_mrr_first_relevant,
-        "mood_median": _q_mood_median,
-        "sign_test": _q_sign_test,
-        "bartlett_test": _q_bartlett_test,
-        "partial_corr": _q_partial_corr,
-        "calinski_harabasz": _q_calinski_harabasz,
-        "davies_bouldin": _q_davies_bouldin,
-        "rrf_fusion": _q_rrf_fusion,
-        "lang_confusion": _q_lang_confusion,
-        "gopher_rules": _q_gopher_rules,
-        "badword_filter": _q_badword_filter,
-        "cronbach_alpha": _q_cronbach_alpha,
-        "conditional_entropy": _q_conditional_entropy,
-        "mean_center_drift": _q_mean_center_drift,
-        "adamic_adar": _q_adamic_adar,
-        "closeness_seeds": _q_closeness_seeds,
-        "f_function": _q_f_function,
-        "kpss_stat": _q_kpss_stat,
-        "ipw_estimate": _q_ipw_estimate,
-        "transfer_entropy": _q_transfer_entropy,
-        "engle_granger": _q_engle_granger,
-        "l_moments": _q_l_moments,
-        "isotonic_fit": _q_isotonic_fit,
-        "markov_stationary": _q_markov_stationary,
-        "permutation_test": _q_permutation_test,
-        "pca_power": _q_pca_power,
-        "dtw_distance": _q_dtw_distance,
-        "trigram_sim_pairs": _q_trigram_sim_pairs,
-        "fiedler_value": _q_fiedler_value,
-        "tsp_cells": _q_tsp_cells,
-        "bradley_terry": _q_bradley_terry,
-        "jenks_breaks": _q_jenks_breaks,
-        "betweenness_seeds": _q_betweenness_seeds,
-        "ipf_balance": _q_ipf_balance,
-        "nb_lang_eval": _q_nb_lang_eval,
-        "item_cf_pairs": _q_item_cf_pairs,
-        "label_prop_communities": _q_label_prop_communities,
-        "enclosing_circle": _q_enclosing_circle,
-        "densest_subgraph": _q_densest_subgraph,
-        "graph_bridges": _q_graph_bridges,
-        "delaunay_triangles": _q_delaunay_triangles,
-        "knapsack_cells": _q_knapsack_cells,
-        "convex_layers": _q_convex_layers,
-        "markov_attribution": _q_markov_attribution,
-        "sharpe_sortino": _q_sharpe_sortino,
-        "var_cvar": _q_var_cvar,
-        "reg_discontinuity": _q_reg_discontinuity,
-        "chain_ladder": _q_chain_ladder,
-        "closed_itemsets": _q_closed_itemsets,
-        "hough_lines": _q_hough_lines,
-        "rle_runs": _q_rle_runs,
-        "catchment_2sfca": _q_catchment_2sfca,
-        "mean_excess": _q_mean_excess,
-        "epoch_folding": _q_epoch_folding,
-        "seat_apportionment": _q_seat_apportionment,
-        "huffman_code": _q_huffman_code,
-        "lis_daily": _q_lis_daily,
-        "kalman_1d": _q_kalman_1d,
-        "secretary_rule": _q_secretary_rule,
-        "dist_transform": _q_dist_transform,
-        "energy_distance": _q_energy_distance,
-        "random_projection_audit": _q_random_projection_audit,
-        "neyman_allocation": _q_neyman_allocation,
-        "panel_fixed_effects": _q_panel_fixed_effects,
-        "fairness_audit": _q_fairness_audit,
-        "capture_recapture": _q_capture_recapture,
-        "chao1_richness": _q_chao1_richness,
-        "good_turing": _q_good_turing,
-        "p_chart": _q_p_chart,
-        "lof_cells": _q_lof_cells,
-        "frechet_profiles": _q_frechet_profiles,
-        "spanning_tree_count": _q_spanning_tree_count,
-        "effective_resistance": _q_effective_resistance,
-        "katz_centrality": _q_katz_centrality,
-        "bipartite_matching": _q_bipartite_matching,
-        "schulze_method": _q_schulze_method,
-        "bootstrap_percolation": _q_bootstrap_percolation,
-        "fisher_exact": _q_fisher_exact,
-        "conformal_interval": _q_conformal_interval,
-        "gmm_em_1d": _q_gmm_em_1d,
-        "logistic_gd": _q_logistic_gd,
-        "knn_loo_accuracy": _q_knn_loo_accuracy,
-        "hopkins_stat": _q_hopkins_stat,
-        "cart_depth2": _q_cart_depth2,
-        "adaboost_2": _q_adaboost_2,
-        "sax_motifs": _q_sax_motifs,
-        "hampel_filter": _q_hampel_filter,
-        "gwr_local": _q_gwr_local,
-        "soundex_blocks": _q_soundex_blocks,
-        "cronbach_userday": _q_cronbach_userday,
-        "hits_scores": _q_hits_scores,
-        "mst_cells": _q_mst_cells,
-        "binseg_changepoints": _q_binseg_changepoints,
-        "atkinson_index": _q_atkinson_index,
-        "palma_ratio": _q_palma_ratio,
-        "proximity_graphs": _q_proximity_graphs,
-        "min_cut_cells": _q_min_cut_cells,
-        "assignment_min_cost": _q_assignment_min_cost,
-        "hilbert_cells": _q_hilbert_cells,
-        "randomized_response": _q_randomized_response,
-        "cochran_q": _q_cochran_q,
-        "icc_estimate": _q_icc_estimate,
-        "activity_selection": _q_activity_selection,
-        "fleiss_kappa": _q_fleiss_kappa,
-        "shapley_attribution": _q_shapley_attribution,
-        "kriging_probes": _q_kriging_probes,
-        "ransac_line": _q_ransac_line,
-        "k_medoids_2": _q_k_medoids_2,
-        "bh_fdr_perm": _q_bh_fdr_perm,
-        "kemeny_ranking": _q_kemeny_ranking,
-        "ad_twosample": _q_ad_twosample,
-        "multi_pattern_counts": _q_multi_pattern_counts,
-        "deming_fit": _q_deming_fit,
-        "bootstrap_ci_daily": _q_bootstrap_ci_daily,
-        "luhn_check": _q_luhn_check,
-        "tukey_hsd": _q_tukey_hsd,
-        "ohlc_daily": _q_ohlc_daily,
-        "colley_rating": _q_colley_rating,
-        "heat_diffusion": _q_heat_diffusion,
-        "markov_loglik": _q_markov_loglik,
-        "yules_k": _q_yules_k,
-        "juilland_d": _q_juilland_d,
-        "mantel_test": _q_mantel_test,
-        "ulcer_index": _q_ulcer_index,
-        "bloom_fpr": _q_bloom_fpr,
-        "str_packing": _q_str_packing,
-        "cvm_twosample": _q_cvm_twosample,
-        "siegel_tukey": _q_siegel_tukey,
-        "conover_squared_ranks": _q_conover_squared_ranks,
-        "quade_test": _q_quade_test,
-        "pcsa_distinct": _q_pcsa_distinct,
-        "hodges_lehmann": _q_hodges_lehmann,
-        "krippendorff_alpha": _q_krippendorff_alpha,
-        "k_center_greedy": _q_k_center_greedy,
-        "set_cover_greedy": _q_set_cover_greedy,
-        "max_clique": _q_max_clique,
-        "steiner_tree": _q_steiner_tree,
-        "stable_matching": _q_stable_matching,
-        "bin_packing_ffd": _q_bin_packing_ffd,
-        "nn_fj_function": _q_nn_fj_function,
-        "hypsometric": _q_hypsometric,
-        "tile_gaussian_blur": _q_tile_gaussian_blur,
-        "kneser_ney": _q_kneser_ney,
-        "bwt_transform": _q_bwt_transform,
-        "fisher_lda": _q_fisher_lda,
-        "media_dhash_pairs": _q_media_dhash_pairs,
-        "wav_features": _q_wav_features,
-        "matrix_profile": _q_matrix_profile,
-        "rsi_wilder": _q_rsi_wilder,
-        "segregation_indices": _q_segregation_indices,
-        "simrank": _q_simrank,
-        "string_borders": _q_string_borders,
-        "suffix_array_lcp": _q_suffix_array_lcp,
-        "closest_farthest_pair": _q_closest_farthest_pair,
-        "rect_union_area": _q_rect_union_area,
-        "holm_adjust": _q_holm_adjust,
-        "croston_demand": _q_croston_demand,
-        "aoristic_hours": _q_aoristic_hours,
-        "pair_correlation": _q_pair_correlation,
-        "crc32_audit": _q_crc32_audit,
-        "hop_histogram": _q_hop_histogram,
-        "graph_coloring_greedy": _q_graph_coloring_greedy,
-        "ca_trend_hours": _q_ca_trend_hours,
-        "chow_revenue_break": _q_chow_revenue_break,
-        "cvm_uniform": _q_cvm_uniform,
-        "robust_moments": _q_robust_moments,
-        "hartley_fmax": _q_hartley_fmax,
-        "siegel_slopes": _q_siegel_slopes,
-        "max_subarray": _q_max_subarray,
-        "kendall_w": _q_kendall_w,
-        "cronbach_daily_counts": _q_cronbach_daily_counts,
-        "h_index": _q_h_index,
-        "kleinberg_bursts": _q_kleinberg_bursts,
-        "map_at_10": _q_map_at_10,
-        "lru_hit_rates": _q_lru_hit_rates,
-        "isolation_forest_lite": _q_isolation_forest_lite,
-        "renyi_entropy": _q_renyi_entropy,
-        "rocchio_feedback": _q_rocchio_feedback,
-        "dunn_index": _q_dunn_index,
-        "davies_bouldin_voronoi": _q_davies_bouldin_voronoi,
-        "banzhaf_power": _q_banzhaf_power,
-        "irv_election": _q_irv_election,
-        "price_indices": _q_price_indices,
-        "dfa_alpha": _q_dfa_alpha,
-        "brier_hour_forecast": _q_brier_hour_forecast,
-        "youden_threshold": _q_youden_threshold,
-        "overdispersion_panel": _q_overdispersion_panel,
-        "taylors_law": _q_taylors_law,
-        "allan_variance": _q_allan_variance,
-        "mattr": _q_mattr,
-        "rmst": _q_rmst,
-        "competing_risks": _q_competing_risks,
-        "ks_uniform": _q_ks_uniform,
-        "ad_uniform": _q_ad_uniform,
-        "partition_conductance": _q_partition_conductance,
-        "global_transitivity": _q_global_transitivity,
-        "neighbor_degree_profile": _q_neighbor_degree_profile,
-        "randic_index": _q_randic_index,
-        "forecast_error_panel": _q_forecast_error_panel,
-        "winkler_interval": _q_winkler_interval,
-        "multi_otsu": _q_multi_otsu,
-        "hu_moments": _q_hu_moments,
-        "radon_projections": _q_radon_projections,
-        "goertzel_tones": _q_goertzel_tones,
-        "mondrian_partition": _q_mondrian_partition,
-        "diff_in_diff": _q_diff_in_diff,
-        "cuped_adjustment": _q_cuped_adjustment,
-        "cross_variogram": _q_cross_variogram,
-        "madogram_lags": _q_madogram_lags,
-        "fellegi_sunter_weights": _q_fellegi_sunter_weights,
-        "blocking_quality": _q_blocking_quality,
-        "spell_correct": _q_spell_correct,
-        "time_decay_attribution": _q_time_decay_attribution,
-        "chaikin_smooth": _q_chaikin_smooth,
-        "sinkhorn_ot": _q_sinkhorn_ot,
-        "procrustes_2d": _q_procrustes_2d,
-        "largest_empty_circle": _q_largest_empty_circle,
-        "box_cox_scan": _q_box_cox_scan,
-        "quantile_mapping": _q_quantile_mapping,
-        "trimmed_mean": _q_trimmed_mean,
-        "huber_location": _q_huber_location,
-        "rosner_esd": _q_rosner_esd,
-        "cooks_distance": _q_cooks_distance,
-        "gev_lmoments": _q_gev_lmoments,
-        "repair_compress": _q_repair_compress,
-        "mtf_transform": _q_mtf_transform,
-        "code_length_audit": _q_code_length_audit,
-        "dpp_map_greedy": _q_dpp_map_greedy,
-        "top_trading_cycles": _q_top_trading_cycles,
-        "newsvendor": _q_newsvendor,
-        "mdlp_split": _q_mdlp_split,
-        "woe_iv": _q_woe_iv,
-        "target_encoding": _q_target_encoding,
-        "mrmr_select": _q_mrmr_select,
-        "adwin_check": _q_adwin_check,
-        "james_stein": _q_james_stein,
-        "iv_2sls": _q_iv_2sls,
-        "harrell_c": _q_harrell_c,
-        "maximal_cliques": _q_maximal_cliques,
-        "max_independent_set": _q_max_independent_set,
-        "min_dominating_set": _q_min_dominating_set,
-        "pmi_similarity": _q_pmi_similarity,
-        "hawkes_branching": _q_hawkes_branching,
-        "game_of_life_steps": _q_game_of_life_steps,
-        "rv_coefficient": _q_rv_coefficient,
-        "distance_correlation": _q_distance_correlation,
-        "chatterjee_xi": _q_chatterjee_xi,
-        "tail_dependence": _q_tail_dependence,
-        "blomqvist_beta": _q_blomqvist_beta,
-        "survey_estimators": _q_survey_estimators,
-        "lexis_apc": _q_lexis_apc,
-        "gompertz_hazard": _q_gompertz_hazard,
-    }
-    head = [k for k in _REGISTRY_HEAD if k in q]
-    return {
-        **{k: q[k] for k in head},
-        **{k: v for k, v in q.items() if k not in head},
-    }
-
-
-def _pca_power_oracle_sql() -> str:
-    """Mirror of _q_pca_power: the 40 integer power-iteration steps
-    unrolled as generated CTE triples (matvec, max-abs, sign-split
-    truncating renorm), all HUGEINT."""
-    steps = []
-    for i in range(1, _PCA_ITERS + 1):
-        prev = "v0" if i == 1 else f"v{i - 1}"
-        steps.append(
-            f"w{i} AS MATERIALIZED (SELECT cc.d1 AS dim, "
-            f"CAST(SUM(cc.c * {prev}.v) AS HUGEINT) AS w "
-            f"FROM cc JOIN {prev} ON {prev}.dim = cc.d2 GROUP BY 1), "
-            f"m{i} AS MATERIALIZED (SELECT MAX(ABS(w)) AS mx FROM w{i}), "
-            f"v{i} AS MATERIALIZED (SELECT dim, CASE WHEN w < 0 "
-            f"THEN -((-w * {_PCA_SCALE}) // mx) "
-            f"ELSE (w * {_PCA_SCALE}) // mx END AS v FROM w{i}, m{i})"
-        )
-        last = f"v{_PCA_ITERS}"
-    return (
-        "WITH ev AS MATERIALIZED (SELECT vec_id, "
-        "generate_subscripts(embedding, 1) AS dim, "
-        "CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * 1e4, 0) "
-        "AS BIGINT) AS vq FROM embeddings), "
-        "nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM embeddings), "
-        "sv AS (SELECT dim, CAST(SUM(vq) AS HUGEINT) AS s FROM ev "
-        "GROUP BY dim), "
-        "spp AS (SELECT a.dim AS d1, b.dim AS d2, "
-        "CAST(SUM(CAST(a.vq AS HUGEINT) * b.vq) AS HUGEINT) AS sp "
-        "FROM ev a JOIN ev b ON b.vec_id = a.vec_id GROUP BY 1, 2), "
-        "cc AS MATERIALIZED (SELECT spp.d1, spp.d2, nn.n * spp.sp - s1.s * s2.s AS c "
-        "FROM spp JOIN sv s1 ON s1.dim = spp.d1 "
-        "JOIN sv s2 ON s2.dim = spp.d2, nn), "
-        "v0 AS (SELECT DISTINCT dim, "
-        f"CAST({_PCA_SCALE} AS HUGEINT) AS v FROM ev), "
-        + ", ".join(steps)
-        + ", num AS (SELECT CAST(SUM(va.v * cc.c * vb.v) AS HUGEINT) "
-        f"AS x FROM cc JOIN {last} va ON va.dim = cc.d1 "
-        f"JOIN {last} vb ON vb.dim = cc.d2), "
-        f"den AS (SELECT CAST(SUM(v * v) AS HUGEINT) AS x FROM {last}) "
-        f"SELECT CAST({last}.dim AS BIGINT) AS dim, "
-        f"CAST({last}.v AS BIGINT) AS vq, "
-        "ROUND(CAST(num.x AS DOUBLE) / CAST(den.x AS DOUBLE) "
-        "/ (CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE) * 1e8), 6) "
-        f"AS eigval FROM {last}, num, den, nn ORDER BY dim"
-    )
-
-
-def _dtw_oracle_sql() -> str:
-    """Mirror of _q_dtw_distance: the 24x24 integer DTW DP unrolled by
-    anti-diagonal as generated materialized CTEs."""
-    steps = []
-    for d in range(1, 47):
-        dg = (
-            f"LEFT JOIN g{d - 2} dg ON dg.i = c.i - 1 AND dg.j = c.j - 1 "
-            if d >= 2
-            else ""
-        )
-        case = (
-            "CASE WHEN c.i = 0 THEN l.v WHEN c.j = 0 THEN u.v "
-            "ELSE LEAST(u.v, l.v, dg.v) END"
-            if d >= 2
-            else "CASE WHEN c.i = 0 THEN l.v ELSE u.v END"
-        )
-        steps.append(
-            f"g{d} AS MATERIALIZED (SELECT c.i, c.j, c.cost + {case} AS v "
-            "FROM cost c "
-            f"LEFT JOIN g{d - 1} u ON u.i = c.i - 1 AND u.j = c.j "
-            f"LEFT JOIN g{d - 1} l ON l.i = c.i AND l.j = c.j - 1 "
-            f"{dg}WHERE c.i + c.j = {d})"
-        )
-    return (
-        "WITH e2 AS (SELECT epoch_us(ts) // 3600000000 % 24 AS h, "
-        "event_type FROM events "
-        "WHERE event_type IN ('click', 'view')), "
-        "hh AS (SELECT r.range AS h FROM range(0, 24) r), "
-        "pa AS MATERIALIZED (SELECT hh.h, COALESCE(x.c, 0) AS c FROM hh "
-        "LEFT JOIN (SELECT h, CAST(COUNT(*) AS BIGINT) AS c FROM e2 "
-        "WHERE event_type = 'click' GROUP BY h) x ON x.h = hh.h), "
-        "pb AS MATERIALIZED (SELECT hh.h, COALESCE(x.c, 0) AS c FROM hh "
-        "LEFT JOIN (SELECT h, CAST(COUNT(*) AS BIGINT) AS c FROM e2 "
-        "WHERE event_type = 'view' GROUP BY h) x ON x.h = hh.h), "
-        "cost AS MATERIALIZED (SELECT ai.h AS i, bj.h AS j, "
-        "ABS(ai.c - bj.c) AS cost FROM pa ai, pb bj), "
-        "g0 AS MATERIALIZED (SELECT 0 AS i, 0 AS j, cost AS v "
-        "FROM cost WHERE i = 0 AND j = 0), "
-        + ", ".join(steps)
-        + " SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM pa) AS n_a, "
-        "(SELECT CAST(SUM(c) AS BIGINT) FROM pb) AS n_b, "
-        "CAST(g46.v AS BIGINT) AS dtw FROM g46 "
-        "WHERE g46.i = 23 AND g46.j = 23"
-    )
-
-
-_TOPVAL_CELLS_SQL = (
-    "cc AS (SELECT event_id % 96 + (event_id // 96 % 96) * 96 AS cell, "
-    "CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS v "
-    "FROM events GROUP BY 1), "
-    "top20 AS (SELECT cell, v FROM cc ORDER BY v DESC, cell LIMIT 20)"
-)
-
-
-def _kalman_oracle_sql() -> str:
-    """Mirror of _q_kalman_1d: 29 unrolled scalar-state filter steps
-    (sign-split truncating update)."""
-    sc, q, r = _KAL_SC, _KAL_Q, _KAL_R
-    steps = []
-    for t in range(1, 30):
-        prev = f"s{t - 1}"
-        steps.append(
-            f"k{t} AS (SELECT s.x, s.p + {q} AS pp, "
-            f"((s.p + {q}) * {sc}) // (s.p + {q} + {r}) AS k "
-            f"FROM {prev} s), "
-            f"s{t} AS (SELECT z.x + (CASE WHEN z.d < 0 "
-            f"THEN -((-z.d) // {sc}) ELSE z.d // {sc} END) AS x, "
-            f"(({sc} - z.k) * z.pp) // {sc} AS p FROM "
-            f"(SELECT k.x, k.pp, k.k, k.k * (CAST((SELECT y FROM dn "
-            f"WHERE t = {t}) AS HUGEINT) * {sc} - k.x) AS d "
-            f"FROM k{t} k) z)"
-        )
-    outs = " UNION ALL ".join(
-        f"SELECT {t} AS t, x FROM s{t}" for t in range(30)
-    )
-    return (
-        "WITH c0 AS (SELECT epoch_us(ts) // 86400000000 AS d, "
-        "CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) "
-        "AS y FROM events GROUP BY 1), "
-        "mm AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM c0), "
-        "dd AS (SELECT r.range AS t, mm.lo + r.range AS d "
-        "FROM range(0, 4096) r, mm WHERE r.range <= mm.hi - mm.lo), "
-        "dn AS (SELECT dd.t, COALESCE(c0.y, 0) AS y "
-        "FROM dd LEFT JOIN c0 ON c0.d = dd.d), "
-        "s0 AS (SELECT CAST((SELECT y FROM dn WHERE t = 0) AS HUGEINT) "
-        f"* {sc} AS x, CAST({4 * sc} AS HUGEINT) AS p), "
-        + ", ".join(steps)
-        + f", fx AS ({outs}) "
-        "SELECT CAST(fx.t AS BIGINT) AS t, dn.y, "
-        "ROUND(CAST(fx.x AS DOUBLE) / 1e6, 6) AS x_filt "
-        "FROM fx JOIN dn ON dn.t = fx.t ORDER BY 1"
-    )
-
-
-def _adaboost_oracle_sql() -> str:
-    """Mirror of _q_adaboost_2: two deterministic stump picks with
-    two-valued round-2 weights."""
-    fv = "(CASE WHEN cand.feat = 0 THEN v.h ELSE v.y END)"
-    fvm = "(CASE WHEN cand.feat = 0 THEN vm.h ELSE vm.y END)"
-    pb = f"(({fv} <= cand.thr) = (cand.pol = 0))"
-    pbm = f"(({fvm} <= cand.thr) = (cand.pol = 0))"
-    return (
-        "WITH v AS MATERIALIZED (SELECT "
-        "epoch_us(ts) // 3600000000 % 24 AS h, "
-        "CAST(ROUND(value * 100, 0) AS BIGINT) AS y, "
-        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS t, "
-        "CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2, 3), "
-        "nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM v), "
-        "rw AS (SELECT y, ROW_NUMBER() OVER (ORDER BY y) AS rn FROM "
-        "(SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS y "
-        "FROM events)), "
-        "qt AS (SELECT DISTINCT rw.y AS thr FROM rw CROSS JOIN nt "
-        "JOIN range(1, 16) i ON rw.rn = (i.range * (nt.n - 1)) // 16 "
-        "+ 1), "
-        "cand AS (SELECT feat, thr, pol.range AS pol FROM "
-        "(SELECT 0 AS feat, i.range AS thr FROM range(0, 23) i "
-        "UNION ALL SELECT 1, thr FROM qt) b, range(0, 2) pol), "
-        f"c1 AS (SELECT cand.feat, cand.thr, cand.pol, "
-        f"CAST(SUM(CASE WHEN {pb} <> (v.t = 1) THEN v.c ELSE 0 END) "
-        "AS BIGINT) AS err FROM cand, v GROUP BY 1, 2, 3), "
-        "s1 AS (SELECT * FROM c1 "
-        "ORDER BY err, feat, thr, pol LIMIT 1), "
-        "a1 AS (SELECT s1.feat, s1.thr, s1.pol, s1.err, "
-        "0.5 * LN((CAST(nt.n AS DOUBLE) - CAST(s1.err AS DOUBLE)) "
-        "/ CAST(s1.err AS DOUBLE)) AS a FROM s1, nt), "
-        "vm AS MATERIALIZED (SELECT v.h, v.y, v.t, v.c, "
-        "CASE WHEN ((CASE WHEN a1.feat = 0 THEN v.h ELSE v.y END) "
-        "<= a1.thr) = (a1.pol = 0) THEN 1 ELSE 0 END AS p1 "
-        "FROM v, a1), "
-        f"c2 AS (SELECT cand.feat, cand.thr, cand.pol, "
-        f"CAST(SUM(CASE WHEN {pbm} <> (vm.t = 1) AND vm.p1 <> vm.t "
-        "THEN vm.c ELSE 0 END) AS BIGINT) AS mw, "
-        f"CAST(SUM(CASE WHEN {pbm} <> (vm.t = 1) AND vm.p1 = vm.t "
-        "THEN vm.c ELSE 0 END) AS BIGINT) AS mc "
-        "FROM cand, vm GROUP BY 1, 2, 3), "
-        "s2 AS (SELECT c2.*, EXP(a1.a) * CAST(c2.mw AS DOUBLE) "
-        "+ EXP(-a1.a) * CAST(c2.mc AS DOUBLE) AS cost FROM c2, a1 "
-        "ORDER BY cost, c2.feat, c2.thr, c2.pol LIMIT 1), "
-        "nn2 AS (SELECT CAST(SUM(CASE WHEN p1 <> t THEN c ELSE 0 END) "
-        "AS BIGINT) AS nw, CAST(SUM(CASE WHEN p1 = t THEN c ELSE 0 "
-        "END) AS BIGINT) AS nc FROM vm), "
-        "a2 AS (SELECT 0.5 * LN((1.0 - e) / e) AS a FROM (SELECT "
-        "(EXP(a1.a) * CAST(s2.mw AS DOUBLE) + EXP(-a1.a) "
-        "* CAST(s2.mc AS DOUBLE)) / (EXP(a1.a) "
-        "* CAST(nn2.nw AS DOUBLE) + EXP(-a1.a) "
-        "* CAST(nn2.nc AS DOUBLE)) AS e FROM s2, a1, nn2) q), "
-        "fin AS (SELECT CAST(SUM(CASE WHEN ((a1.a "
-        "* CAST(2 * q.p1 - 1 AS DOUBLE) + a2.a * q.s2v) > 0.0) "
-        "= (q.t = 1) THEN q.c ELSE 0 END) AS BIGINT) AS correct "
-        "FROM (SELECT vm.t, vm.c, vm.p1, "
-        "CASE WHEN ((CASE WHEN s2.feat = 0 THEN vm.h ELSE vm.y END) "
-        "<= s2.thr) = (s2.pol = 0) THEN 1.0 ELSE -1.0 END AS s2v "
-        "FROM vm, s2) q, a1, a2) "
-        "SELECT a1.feat AS feat1, a1.thr AS thr1, "
-        "CAST(a1.pol AS BIGINT) AS pol1, ROUND(a1.a, 6) AS alpha1, "
-        "s2.feat AS feat2, s2.thr AS thr2, CAST(s2.pol AS BIGINT) "
-        "AS pol2, ROUND(a2.a, 6) AS alpha2, "
-        "ROUND(CAST(fin.correct AS DOUBLE) / CAST(nt.n AS DOUBLE), 6) "
-        "AS accuracy FROM a1, s2, a2, fin, nt"
-    )
-
-
-def _cart_oracle_sql() -> str:
-    """Mirror of _q_cart_depth2: three deterministic best-split picks
-    (float Gini cost with (feat, thr) tie-break) and four leaves."""
-    fsel = "(CASE WHEN cand.feat = 0 THEN v.h ELSE v.y END)"
-    gini = (
-        "2.0 * CAST(pl AS DOUBLE) * CAST(nl - pl AS DOUBLE) "
-        "/ CAST(nl AS DOUBLE) + 2.0 * CAST(pr AS DOUBLE) "
-        "* CAST(nr - pr AS DOUBLE) / CAST(nr AS DOUBLE)"
-    )
-
-    def cost_cte(name: str, where: str) -> str:
-        return (
-            f"{name} AS (SELECT cand.feat, cand.thr, "
-            f"CAST(SUM(CASE WHEN {fsel} <= cand.thr THEN v.c ELSE 0 "
-            "END) AS BIGINT) AS nl, "
-            f"CAST(SUM(CASE WHEN {fsel} <= cand.thr AND v.t = 1 "
-            "THEN v.c ELSE 0 END) AS BIGINT) AS pl, "
-            f"CAST(SUM(CASE WHEN {fsel} > cand.thr THEN v.c ELSE 0 "
-            "END) AS BIGINT) AS nr, "
-            f"CAST(SUM(CASE WHEN {fsel} > cand.thr AND v.t = 1 "
-            "THEN v.c ELSE 0 END) AS BIGINT) AS pr "
-            f"FROM cand, v{where} GROUP BY 1, 2)"
-        )
-
-    def pick(name: str, src: str) -> str:
-        return (
-            f"{name} AS (SELECT feat, thr, nl, nr, pl, pr FROM {src} "
-            f"WHERE nl > 0 AND nr > 0 ORDER BY {gini}, feat, thr "
-            "LIMIT 1)"
-        )
-
-    lcond = (
-        " , n1 WHERE (CASE WHEN n1.feat = 0 THEN v.h ELSE v.y END) "
-        "<= n1.thr"
-    )
-    rcond = (
-        " , n1 WHERE (CASE WHEN n1.feat = 0 THEN v.h ELSE v.y END) "
-        "> n1.thr"
-    )
-    return (
-        "WITH v AS MATERIALIZED (SELECT "
-        "epoch_us(ts) // 3600000000 % 24 AS h, "
-        "CAST(ROUND(value * 100, 0) AS BIGINT) AS y, "
-        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS t, "
-        "CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2, 3), "
-        "nt AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM v), "
-        "rw AS (SELECT y, ROW_NUMBER() OVER (ORDER BY y) AS rn FROM "
-        "(SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS y "
-        "FROM events)), "
-        "qt AS (SELECT DISTINCT rw.y AS thr FROM rw CROSS JOIN nt "
-        "JOIN range(1, 16) i ON rw.rn = (i.range * (nt.n - 1)) // 16 "
-        "+ 1), "
-        "cand AS (SELECT 0 AS feat, i.range AS thr FROM range(0, 23) i "
-        "UNION ALL SELECT 1, thr FROM qt), "
-        + cost_cte("c1", "")
-        + ", "
-        + pick("n1", "c1")
-        + ", "
-        + cost_cte("c2", lcond)
-        + ", "
-        + pick("n2", "c2")
-        + ", "
-        + cost_cte("c3", rcond)
-        + ", "
-        + pick("n3", "c3")
-        + ", "
-        "lf AS (SELECT CASE WHEN inl THEN (CASE WHEN sub THEN 4 "
-        "ELSE 5 END) ELSE (CASE WHEN sub2 THEN 6 ELSE 7 END) END "
-        "AS node, CAST(SUM(c) AS BIGINT) AS n, "
-        "CAST(SUM(CASE WHEN t = 1 THEN c ELSE 0 END) AS BIGINT) "
-        "AS n_pos FROM (SELECT v.c, v.t, "
-        "(CASE WHEN n1.feat = 0 THEN v.h ELSE v.y END) <= n1.thr "
-        "AS inl, "
-        "(CASE WHEN n2.feat = 0 THEN v.h ELSE v.y END) <= n2.thr "
-        "AS sub, "
-        "(CASE WHEN n3.feat = 0 THEN v.h ELSE v.y END) <= n3.thr "
-        "AS sub2 FROM v, n1, n2, n3) GROUP BY 1), "
-        "acc AS (SELECT ROUND(CAST(SUM(GREATEST(n_pos, n - n_pos)) "
-        "AS DOUBLE) / CAST((SELECT n FROM nt) AS DOUBLE), 6) AS a "
-        "FROM lf) "
-        "SELECT 1 AS node, n1.feat, n1.thr AS thr_or_pred, "
-        "n1.nl + n1.nr AS n, n1.pl + n1.pr AS n_pos, acc.a AS accuracy "
-        "FROM n1, acc "
-        "UNION ALL SELECT 2, n2.feat, n2.thr, n2.nl + n2.nr, "
-        "n2.pl + n2.pr, acc.a FROM n2, acc "
-        "UNION ALL SELECT 3, n3.feat, n3.thr, n3.nl + n3.nr, "
-        "n3.pl + n3.pr, acc.a FROM n3, acc "
-        "UNION ALL SELECT lf.node, -1, "
-        "CASE WHEN 2 * lf.n_pos > lf.n THEN 1 ELSE 0 END, lf.n, "
-        "lf.n_pos, acc.a FROM lf, acc ORDER BY 1"
-    )
-
-
-def _logit_oracle_sql() -> str:
-    """Mirror of _q_logistic_gd: 15 unrolled GD iterations with
-    quantized residuals and pre-quantized standardized features."""
-    lr = _LOGIT_LR
-
-    def z_expr(b: str) -> str:
-        return (
-            f"({b}.b0 + {b}.b1 * (CAST(vx.x1q AS DOUBLE) / 1e6) "
-            f"+ {b}.b2 * (CAST(vx.x2q AS DOUBLE) / 1e6))"
-        )
-
-    steps = []
-    for k in range(1, _LOGIT_ITERS + 1):
-        prev = f"b{k - 1}"
-        z = z_expr("b")
-        steps.append(
-            f"g{k} AS (SELECT "
-            "CAST(SUM(CAST(c AS HUGEINT) * rq) AS HUGEINT) AS g0, "
-            "CAST(SUM(CAST(c AS HUGEINT) * rq * x1q) AS HUGEINT) "
-            "AS g1, "
-            "CAST(SUM(CAST(c AS HUGEINT) * rq * x2q) AS HUGEINT) "
-            "AS g2 FROM (SELECT vx.c, vx.x1q, vx.x2q, "
-            f"CAST(ROUND(1e9 * (1.0 / (1.0 + EXP(-{z})) "
-            "- CAST(vx.t AS DOUBLE)), 0) AS BIGINT) AS rq "
-            f"FROM vx, {prev} b) q), "
-            f"b{k} AS MATERIALIZED (SELECT "
-            f"b.b0 - {lr} * (CAST(g.g0 AS DOUBLE) / 1e9) / ms.nf "
-            "AS b0, "
-            f"b.b1 - {lr} * (CAST(g.g1 AS DOUBLE) / 1e9 / 1e6) "
-            "/ ms.nf AS b1, "
-            f"b.b2 - {lr} * (CAST(g.g2 AS DOUBLE) / 1e9 / 1e6) "
-            f"/ ms.nf AS b2 FROM {prev} b, g{k} g, ms)"
-        )
-    last = f"b{_LOGIT_ITERS}"
-    zf = z_expr("b")
-    return (
-        "WITH v AS MATERIALIZED (SELECT "
-        "epoch_us(ts) // 3600000000 % 24 AS h, "
-        "CAST(ROUND(value * 100, 0) AS BIGINT) AS y, "
-        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS t, "
-        "CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2, 3), "
-        "st AS (SELECT CAST(SUM(c) AS HUGEINT) AS n, "
-        "CAST(SUM(h * c) AS HUGEINT) AS sh, "
-        "CAST(SUM(h * h * c) AS HUGEINT) AS shh, "
-        "CAST(SUM(y * c) AS HUGEINT) AS sy, "
-        "CAST(SUM(CAST(y AS HUGEINT) * y * c) AS HUGEINT) AS syy "
-        "FROM v), "
-        "ms AS (SELECT CAST(sh AS DOUBLE) / CAST(n AS DOUBLE) AS mh, "
-        "SQRT(CAST(n * shh - sh * sh AS DOUBLE) "
-        "/ (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS sdh, "
-        "CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my, "
-        "SQRT(CAST(n * syy - sy * sy AS DOUBLE) "
-        "/ (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS sdy, "
-        "CAST(n AS DOUBLE) AS nf, CAST(n AS BIGINT) AS nn FROM st), "
-        "vx AS MATERIALIZED (SELECT v.t, v.c, "
-        "CAST(ROUND(1e6 * (CAST(v.h AS DOUBLE) - ms.mh) / ms.sdh, 0) "
-        "AS BIGINT) AS x1q, "
-        "CAST(ROUND(1e6 * (CAST(v.y AS DOUBLE) - ms.my) / ms.sdy, 0) "
-        "AS BIGINT) AS x2q FROM v, ms), "
-        "b0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2), "
-        + ", ".join(steps)
-        + f", acc AS (SELECT CAST(SUM(CASE WHEN ({zf} > 0.0) "
-        "= (vx.t = 1) THEN vx.c ELSE 0 END) AS BIGINT) AS correct "
-        f"FROM vx, {last} b) "
-        "SELECT ms.nn AS n_obs, ROUND(b.b0, 6) AS b0, "
-        "ROUND(b.b1, 6) AS b1, ROUND(b.b2, 6) AS b2, "
-        "ROUND(CAST(acc.correct AS DOUBLE) / ms.nf, 6) AS accuracy "
-        f"FROM {last} b, acc, ms"
-    )
-
-
-def _gmm_oracle_sql() -> str:
-    """Mirror of _q_gmm_em_1d: 10 unrolled EM iterations, every float
-    expression pinned to the engine's numpy chain."""
-
-    def l_expr(p: str, mu: str, vv: str) -> str:
-        d = f"(CAST(v.y AS DOUBLE) - {p}.{mu})"
-        return (
-            f"(-({d} * {d}) / (2.0 * {p}.{vv}) - 0.5 * LN({p}.{vv}))"
-        )
-
-    steps = []
-    for k in range(1, _GMM_ITERS + 1):
-        p = f"p{k - 1}"
-        l1 = l_expr("p", "mu1", "v1")
-        l2 = l_expr("p", "mu2", "v2")
-        z = f"(LN(1.0 - p.w1) - LN(p.w1) + {l2} - {l1})"
-        steps.append(
-            f"r{k} AS MATERIALIZED (SELECT v.y, v.c, "
-            f"CAST(ROUND(1e9 * (1.0 / (1.0 + EXP({z}))), 0) AS BIGINT) "
-            f"AS rq FROM v, {p} p), "
-            f"m{k} AS (SELECT "
-            "CAST(SUM(CAST(c AS HUGEINT) * rq) AS HUGEINT) AS r1s, "
-            f"CAST(SUM(CAST(c AS HUGEINT) * ({_GMM_RQ} - rq)) "
-            "AS HUGEINT) AS r2s, "
-            "CAST(SUM(CAST(c AS HUGEINT) * rq * y) AS HUGEINT) AS s1, "
-            f"CAST(SUM(CAST(c AS HUGEINT) * ({_GMM_RQ} - rq) * y) "
-            "AS HUGEINT) AS s2, "
-            "CAST(SUM(CAST(c AS HUGEINT) * rq * y * y) AS HUGEINT) "
-            "AS q1, "
-            f"CAST(SUM(CAST(c AS HUGEINT) * ({_GMM_RQ} - rq) * y * y) "
-            f"AS HUGEINT) AS q2 FROM r{k}), "
-            f"p{k} AS MATERIALIZED (SELECT mu1, mu2, "
-            "CAST(q1 AS DOUBLE) / CAST(r1s AS DOUBLE) - mu1 * mu1 "
-            "AS v1, CAST(q2 AS DOUBLE) / CAST(r2s AS DOUBLE) "
-            "- mu2 * mu2 AS v2, "
-            "CAST(r1s AS DOUBLE) / CAST(r1s + r2s AS DOUBLE) AS w1 "
-            "FROM (SELECT *, CAST(s1 AS DOUBLE) / CAST(r1s AS DOUBLE) "
-            "AS mu1, CAST(s2 AS DOUBLE) / CAST(r2s AS DOUBLE) AS mu2 "
-            f"FROM m{k}) x)"
-        )
-    last = f"p{_GMM_ITERS}"
-    lf1 = l_expr("p", "mu1", "v1")
-    lf2 = l_expr("p", "mu2", "v2")
-    return (
-        "WITH v AS MATERIALIZED (SELECT y, CAST(COUNT(*) AS BIGINT) "
-        "AS c FROM (SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS y "
-        "FROM events) GROUP BY 1), "
-        "st AS (SELECT CAST(SUM(c) AS HUGEINT) AS n, "
-        "CAST(SUM(c * y) AS HUGEINT) AS sy, "
-        "CAST(SUM(CAST(c AS HUGEINT) * y * y) AS HUGEINT) AS syy "
-        "FROM v), "
-        "rw AS (SELECT y, ROW_NUMBER() OVER (ORDER BY y) AS rn FROM "
-        "(SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS y "
-        "FROM events)), "
-        "p0 AS MATERIALIZED (SELECT "
-        "CAST((SELECT y FROM rw, st WHERE rn = (st.n - 1) // 4 + 1) "
-        "AS DOUBLE) AS mu1, "
-        "CAST((SELECT y FROM rw, st WHERE rn = (3 * (st.n - 1)) // 4 "
-        "+ 1) AS DOUBLE) AS mu2, "
-        "CAST(st.n * st.syy - st.sy * st.sy AS DOUBLE) "
-        "/ CAST(st.n * st.n AS DOUBLE) AS v1, "
-        "CAST(st.n * st.syy - st.sy * st.sy AS DOUBLE) "
-        "/ CAST(st.n * st.n AS DOUBLE) AS v2, 0.5 AS w1 FROM st), "
-        + ", ".join(steps)
-        + f", fl AS (SELECT v.c, CAST(ROUND(1e6 * LN(p.w1 "
-        f"* EXP({lf1}) + (1.0 - p.w1) * EXP({lf2})), 0) AS BIGINT) "
-        f"AS tq FROM v, {last} p), "
-        "llq AS (SELECT CAST(SUM(CAST(c AS HUGEINT) * tq) AS BIGINT) "
-        "AS x FROM fl) "
-        f"SELECT ROUND(p.mu1 / 100.0, 6) AS mu1, "
-        "ROUND(p.mu2 / 100.0, 6) AS mu2, "
-        "ROUND(SQRT(p.v1) / 100.0, 6) AS sigma1, "
-        "ROUND(SQRT(p.v2) / 100.0, 6) AS sigma2, "
-        "ROUND(p.w1, 6) AS w1, llq.x AS loglik_q "
-        f"FROM {last} p, llq"
-    )
-
-
-def _bipartite_matching_oracle_sql() -> str:
-    """Mirror of _q_bipartite_matching: 8 unrolled subset-DP levels."""
-    steps = []
-    for i in range(1, 9):
-        prev = f"dp{i - 1}"
-        steps.append(
-            f"dp{i} AS MATERIALIZED (SELECT mask, MAX(val) AS val FROM ("
-            f"SELECT mask, val FROM {prev} "
-            f"UNION ALL SELECT p.mask | (1 << ed.j) AS mask, "
-            f"p.val + 1 AS val FROM {prev} p "
-            f"JOIN ed ON ed.i = {i - 1} "
-            "AND ((p.mask >> ed.j) & 1) = 0) GROUP BY mask)"
-        )
-    return (
-        "WITH cc AS (SELECT event_id % 96 + (event_id // 96 % 96) * 96 "
-        "AS cell, CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) "
-        "AS sv FROM events GROUP BY 1), "
-        "lt AS (SELECT cell FROM cc ORDER BY n DESC, cell LIMIT 8), "
-        "rt AS (SELECT cell FROM cc ORDER BY sv DESC, cell LIMIT 8), "
-        "li AS (SELECT ROW_NUMBER() OVER (ORDER BY cell) - 1 AS i, "
-        "cell % 96 AS x, cell // 96 AS y FROM lt), "
-        "ri AS (SELECT ROW_NUMBER() OVER (ORDER BY cell) - 1 AS j, "
-        "cell % 96 AS x, cell // 96 AS y FROM rt), "
-        "ed AS MATERIALIZED (SELECT li.i, ri.j FROM li, ri "
-        "WHERE ABS(li.x - ri.x) + ABS(li.y - ri.y) <= 40), "
-        "dp0 AS (SELECT 0 AS mask, CAST(0 AS BIGINT) AS val), "
-        + ", ".join(steps)
-        + " SELECT CAST(8 AS BIGINT) AS n_left, CAST(8 AS BIGINT) "
-        "AS n_right, (SELECT CAST(COUNT(*) AS BIGINT) FROM ed) "
-        "AS n_edges, (SELECT MAX(val) FROM dp8) AS max_matching, "
-        "(SELECT MAX(val) FROM dp8) AS min_vertex_cover"
-    )
-
-
-def _schulze_oracle_sql() -> str:
-    """Mirror of _q_schulze_method: dense-context pairwise matrix and
-    5 unrolled Floyd max-min relaxations."""
-    idx_vals = ", ".join(
-        f"('{t}', {i})" for i, t in enumerate(_MARKOV_STATES)
-    )
-    steps = []
-    for k in range(5):
-        prev = f"p{k}"
-        steps.append(
-            f"p{k + 1} AS MATERIALIZED (SELECT a.i, a.j, "
-            "GREATEST(a.p, COALESCE(LEAST(ik.p, kj.p), 0)) AS p "
-            f"FROM {prev} a "
-            f"LEFT JOIN {prev} ik ON ik.i = a.i AND ik.j = {k} "
-            f"LEFT JOIN {prev} kj ON kj.i = {k} AND kj.j = a.j)"
-        )
-    return (
-        "WITH ctx AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d, "
-        "event_type, CAST(COUNT(*) AS BIGINT) AS c FROM events "
-        "GROUP BY 1, 2, 3), "
-        "ctxs AS (SELECT DISTINCT user_id, d FROM ctx), "
-        f"idx(t, i) AS (VALUES {idx_vals}), "
-        "dense AS MATERIALIZED (SELECT ctxs.user_id, ctxs.d, idx.i, "
-        "COALESCE(ctx.c, 0) AS c FROM ctxs CROSS JOIN idx "
-        "LEFT JOIN ctx ON ctx.user_id = ctxs.user_id "
-        "AND ctx.d = ctxs.d AND ctx.event_type = idx.t), "
-        "dmat AS MATERIALIZED (SELECT a.i AS i, b.i AS j, "
-        "CAST(COUNT(*) FILTER (WHERE a.c > b.c) AS BIGINT) AS d "
-        "FROM dense a JOIN dense b ON b.user_id = a.user_id "
-        "AND b.d = a.d AND b.i <> a.i GROUP BY 1, 2), "
-        "p0 AS MATERIALIZED (SELECT a.i, a.j, "
-        "CASE WHEN a.d > b.d THEN a.d ELSE 0 END AS p FROM dmat a "
-        "JOIN dmat b ON b.i = a.j AND b.j = a.i), "
-        + ", ".join(steps)
-        + " SELECT idx.t AS event_type, "
-        "(SELECT CAST(COUNT(*) AS BIGINT) FROM dmat a "
-        "JOIN dmat b ON b.i = a.j AND b.j = a.i "
-        "WHERE a.i = idx.i AND a.d > b.d) AS pairwise_wins, "
-        "CAST(CASE WHEN NOT EXISTS (SELECT 1 FROM p5 x JOIN p5 y "
-        "ON y.i = x.j AND y.j = x.i WHERE x.j = idx.i "
-        "AND x.p > y.p) THEN 1 ELSE 0 END AS BIGINT) "
-        "AS is_schulze_winner FROM idx ORDER BY 1"
-    )
-
-
-def _bperc_oracle_sql() -> str:
-    """Mirror of _q_bootstrap_percolation: 10 unrolled threshold-2
-    cascade rounds."""
-    steps = []
-    for k in range(1, _BPERC_ROUNDS + 1):
-        prev = f"a{k - 1}"
-        steps.append(
-            f"a{k} AS MATERIALIZED (SELECT r, rnd FROM {prev} "
-            f"UNION ALL SELECT cand.r, {k} AS rnd FROM "
-            f"(SELECT adj.b AS r, CAST(COUNT(*) AS BIGINT) AS c "
-            f"FROM adj JOIN {prev} x ON x.r = adj.a GROUP BY 1) cand "
-            f"WHERE cand.c >= 2 AND cand.r NOT IN "
-            f"(SELECT r FROM {prev}))"
-        )
-    return (
-        "WITH tok AS (SELECT DISTINCT source AS w FROM documents "
-        "WHERE LEN(source) >= 4), "
-        "nd0 AS (SELECT w, ROW_NUMBER() OVER (ORDER BY w) - 1 AS r "
-        "FROM tok), "
-        "e AS MATERIALIZED (SELECT a.r AS r1, b.r AS r2 FROM nd0 a "
-        "JOIN nd0 b ON a.w < b.w AND ABS(LEN(a.w) - LEN(b.w)) <= 1 "
-        "AND LEVENSHTEIN(a.w, b.w) = 1), "
-        "adj AS MATERIALIZED (SELECT r1 AS a, r2 AS b FROM e "
-        "UNION ALL SELECT r2, r1 FROM e), "
-        "a0 AS (SELECT r, CAST(0 AS BIGINT) AS rnd FROM nd0 "
-        "WHERE r < 2), "
-        + ", ".join(steps)
-        + f" SELECT nd0.w AS word, "
-        f"CAST(COALESCE(a{_BPERC_ROUNDS}.rnd, -1) AS BIGINT) AS round "
-        f"FROM nd0 LEFT JOIN a{_BPERC_ROUNDS} "
-        f"ON a{_BPERC_ROUNDS}.r = nd0.r"
-    )
-
-
-def _frechet_oracle_sql() -> str:
-    """Mirror of _q_frechet_profiles: the DTW diagonal unroll with the
-    max-of-mins recurrence."""
-    steps = []
-    for d in range(1, 47):
-        dg = (
-            f"LEFT JOIN g{d - 2} dg ON dg.i = c.i - 1 AND dg.j = c.j - 1 "
-            if d >= 2
-            else ""
-        )
-        case = (
-            "CASE WHEN c.i = 0 THEN GREATEST(c.cost, l.v) "
-            "WHEN c.j = 0 THEN GREATEST(c.cost, u.v) "
-            "ELSE GREATEST(c.cost, LEAST(u.v, l.v, dg.v)) END"
-            if d >= 2
-            else "CASE WHEN c.i = 0 THEN GREATEST(c.cost, l.v) "
-            "ELSE GREATEST(c.cost, u.v) END"
-        )
-        steps.append(
-            f"g{d} AS MATERIALIZED (SELECT c.i, c.j, {case} AS v "
-            "FROM cost c "
-            f"LEFT JOIN g{d - 1} u ON u.i = c.i - 1 AND u.j = c.j "
-            f"LEFT JOIN g{d - 1} l ON l.i = c.i AND l.j = c.j - 1 "
-            f"{dg}WHERE c.i + c.j = {d})"
-        )
-    return (
-        "WITH e2 AS (SELECT epoch_us(ts) // 3600000000 % 24 AS h, "
-        "event_type FROM events "
-        "WHERE event_type IN ('click', 'view')), "
-        "hh AS (SELECT r.range AS h FROM range(0, 24) r), "
-        "pa AS MATERIALIZED (SELECT hh.h, COALESCE(x.c, 0) AS c FROM hh "
-        "LEFT JOIN (SELECT h, CAST(COUNT(*) AS BIGINT) AS c FROM e2 "
-        "WHERE event_type = 'click' GROUP BY h) x ON x.h = hh.h), "
-        "pb AS MATERIALIZED (SELECT hh.h, COALESCE(x.c, 0) AS c FROM hh "
-        "LEFT JOIN (SELECT h, CAST(COUNT(*) AS BIGINT) AS c FROM e2 "
-        "WHERE event_type = 'view' GROUP BY h) x ON x.h = hh.h), "
-        "cost AS MATERIALIZED (SELECT ai.h AS i, bj.h AS j, "
-        "ABS(ai.c - bj.c) AS cost FROM pa ai, pb bj), "
-        "g0 AS MATERIALIZED (SELECT 0 AS i, 0 AS j, cost AS v "
-        "FROM cost WHERE i = 0 AND j = 0), "
-        + ", ".join(steps)
-        + " SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM pa) AS n_a, "
-        "(SELECT CAST(SUM(c) AS BIGINT) FROM pb) AS n_b, "
-        "CAST(g46.v AS BIGINT) AS frechet FROM g46 "
-        "WHERE g46.i = 23 AND g46.j = 23"
-    )
-
-
-def _spanning_tree_oracle_sql() -> str:
-    """Mirror of _q_spanning_tree_count: 18 unrolled fraction-free
-    Bareiss elimination steps on the 19x19 Laplacian minor (the 20-
-    word source vocabulary is fixed across scale factors)."""
-    steps = []
-    for k in range(1, 19):
-        prev = f"m{k - 1}"
-        prevpiv = (
-            "1"
-            if k == 1
-            else f"(SELECT v FROM m{k - 2} WHERE i = {k - 1} "
-            f"AND j = {k - 1})"
-        )
-        steps.append(
-            f"m{k} AS MATERIALIZED (SELECT a.i, a.j, "
-            f"(pv.v * a.v - ri.v * cj.v) // {prevpiv} AS v "
-            f"FROM {prev} a "
-            f"JOIN {prev} pv ON pv.i = {k} AND pv.j = {k} "
-            f"JOIN {prev} ri ON ri.i = a.i AND ri.j = {k} "
-            f"JOIN {prev} cj ON cj.i = {k} AND cj.j = a.j "
-            f"WHERE a.i > {k} AND a.j > {k})"
-        )
-    return (
-        "WITH tok AS (SELECT DISTINCT source AS w FROM documents "
-        "WHERE LEN(source) >= 4), "
-        "nd0 AS (SELECT w, ROW_NUMBER() OVER (ORDER BY w) - 1 AS r "
-        "FROM tok), "
-        "e AS MATERIALIZED (SELECT a.r AS r1, b.r AS r2 FROM nd0 a "
-        "JOIN nd0 b ON a.w < b.w AND ABS(LEN(a.w) - LEN(b.w)) <= 1 "
-        "AND LEVENSHTEIN(a.w, b.w) = 1), "
-        "adj AS MATERIALIZED (SELECT r1 AS a, r2 AS b FROM e "
-        "UNION ALL SELECT r2, r1 FROM e), "
-        "dg AS (SELECT a AS r, CAST(COUNT(*) AS BIGINT) AS d FROM adj "
-        "GROUP BY 1), "
-        "m0 AS MATERIALIZED (SELECT a.r AS i, b.r AS j, "
-        "CAST(CASE WHEN a.r = b.r THEN COALESCE("
-        "(SELECT d FROM dg WHERE dg.r = a.r), 0) "
-        "WHEN EXISTS (SELECT 1 FROM adj WHERE adj.a = a.r "
-        "AND adj.b = b.r) THEN -1 ELSE 0 END AS HUGEINT) AS v "
-        "FROM nd0 a, nd0 b WHERE a.r >= 1 AND b.r >= 1), "
-        + ", ".join(steps)
-        + ", det AS (SELECT v FROM m18 WHERE i = 19 AND j = 19) "
-        "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nd0) AS n_nodes, "
-        "(SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges, "
-        "CAST(det.v AS VARCHAR) AS n_trees, "
-        "ROUND(LOG10(CAST(det.v AS DOUBLE)), 6) AS log10_trees "
-        "FROM det"
-    )
-
-
-def _bareiss_chain_sql(prefix: str, size: int) -> str:
-    """Unrolled fraction-free Bareiss elimination CTEs
-    ``{prefix}1 .. {prefix}{size-1}`` over the 1-indexed ``{prefix}0``
-    matrix of HUGEINT cells (i, j, v); the determinant is the single
-    surviving cell ``({size},{size})`` of the last CTE.  Shared by the
-    spanning-tree and effective-resistance oracles."""
-    steps = []
-    for k in range(1, size):
-        prev = f"{prefix}{k - 1}"
-        prevpiv = (
-            "1"
-            if k == 1
-            else f"(SELECT v FROM {prefix}{k - 2} WHERE i = {k - 1} "
-            f"AND j = {k - 1})"
-        )
-        steps.append(
-            f"{prefix}{k} AS MATERIALIZED (SELECT a.i, a.j, "
-            f"(pv.v * a.v - ri.v * cj.v) // {prevpiv} AS v "
-            f"FROM {prev} a "
-            f"JOIN {prev} pv ON pv.i = {k} AND pv.j = {k} "
-            f"JOIN {prev} ri ON ri.i = a.i AND ri.j = {k} "
-            f"JOIN {prev} cj ON cj.i = {k} AND cj.j = a.j "
-            f"WHERE a.i > {k} AND a.j > {k})"
-        )
-    return ", ".join(steps)
-
-
-def _eff_resistance_oracle_sql() -> str:
-    """Mirror of _q_effective_resistance: nodes reordered so the two
-    highest-degree words land at q=0 (u) and q=1 (v) -- a symmetric
-    permutation leaves every Laplacian-minor determinant unchanged --
-    then two Bareiss chains: drop {v} (19x19, spanning trees) and drop
-    {u, v} (18x18, separating 2-forests).  R_uv = forests / trees."""
-    lap_cell = (
-        "CAST(CASE WHEN a.q = b.q THEN COALESCE((SELECT CAST(COUNT(*) "
-        "AS BIGINT) FROM adjq WHERE adjq.a = a.q), 0) "
-        "WHEN EXISTS (SELECT 1 FROM adjq WHERE adjq.a = a.q "
-        "AND adjq.b = b.q) THEN -1 ELSE 0 END AS HUGEINT) AS v"
-    )
-    return (
-        "WITH tok AS (SELECT DISTINCT source AS w FROM documents "
-        "WHERE LEN(source) >= 4), "
-        "nd0 AS (SELECT w, ROW_NUMBER() OVER (ORDER BY w) - 1 AS r "
-        "FROM tok), "
-        "e AS MATERIALIZED (SELECT a.r AS r1, b.r AS r2 FROM nd0 a "
-        "JOIN nd0 b ON a.w < b.w AND ABS(LEN(a.w) - LEN(b.w)) <= 1 "
-        "AND LEVENSHTEIN(a.w, b.w) = 1), "
-        "adj AS MATERIALIZED (SELECT r1 AS a, r2 AS b FROM e "
-        "UNION ALL SELECT r2, r1 FROM e), "
-        "dg AS (SELECT a AS r, CAST(COUNT(*) AS BIGINT) AS d FROM adj "
-        "GROUP BY 1), "
-        "ordn AS MATERIALIZED (SELECT nd0.w, nd0.r, "
-        "ROW_NUMBER() OVER (ORDER BY COALESCE(dg.d, 0) DESC, nd0.w) - 1 "
-        "AS q FROM nd0 LEFT JOIN dg ON dg.r = nd0.r), "
-        "eq AS MATERIALIZED (SELECT o1.q AS a, o2.q AS b FROM e "
-        "JOIN ordn o1 ON o1.r = e.r1 JOIN ordn o2 ON o2.r = e.r2), "
-        "adjq AS MATERIALIZED (SELECT a, b FROM eq "
-        "UNION ALL SELECT b, a FROM eq), "
-        "t0 AS MATERIALIZED (SELECT "
-        "CASE WHEN a.q = 0 THEN 1 ELSE a.q END AS i, "
-        "CASE WHEN b.q = 0 THEN 1 ELSE b.q END AS j, "
-        f"{lap_cell} FROM ordn a, ordn b "
-        "WHERE a.q <> 1 AND b.q <> 1), "
-        + _bareiss_chain_sql("t", 19)
-        + ", f0 AS MATERIALIZED (SELECT a.q - 1 AS i, b.q - 1 AS j, "
-        f"{lap_cell} FROM ordn a, ordn b "
-        "WHERE a.q >= 2 AND b.q >= 2), "
-        + _bareiss_chain_sql("f", 18)
-        + " SELECT (SELECT w FROM ordn WHERE q = 0) AS u_word, "
-        "(SELECT w FROM ordn WHERE q = 1) AS v_word, "
-        "CAST(dt.v AS VARCHAR) AS n_trees, "
-        "CAST(df.v AS VARCHAR) AS n_sep_forests, "
-        "ROUND(CAST(df.v AS DOUBLE) / CAST(dt.v AS DOUBLE), 6) "
-        "AS resistance "
-        "FROM (SELECT v FROM t18 WHERE i = 19 AND j = 19) dt, "
-        "(SELECT v FROM f17 WHERE i = 18 AND j = 18) df"
-    )
-
-
-def _huffman_oracle_sql() -> str:
-    """Mirror of _q_huffman_code: 25 guarded merge steps unrolled."""
-    steps = []
-    for k in range(1, _HUFF_STEPS + 1):
-        gp, lp = f"g{k - 1}", f"l{k - 1}"
-        pick = f"(SELECT grp FROM p{k} WHERE rn <= 2)"
-        guard = f"(SELECT ng FROM c{k}) >= 2"
-        steps.append(
-            f"p{k} AS MATERIALIZED (SELECT grp, w, ROW_NUMBER() OVER "
-            f"(ORDER BY w, grp) AS rn FROM {gp}), "
-            f"c{k} AS (SELECT CAST(COUNT(*) AS BIGINT) AS ng FROM {gp}), "
-            f"g{k} AS MATERIALIZED (SELECT grp, w FROM p{k} "
-            f"WHERE rn > 2 OR NOT {guard} "
-            f"UNION ALL SELECT MIN(grp) AS grp, CAST(SUM(w) AS BIGINT) "
-            f"AS w FROM p{k} WHERE rn <= 2 AND {guard} "
-            "HAVING COUNT(*) = 2), "
-            f"l{k} AS MATERIALIZED (SELECT l.sym, l.w, "
-            f"CASE WHEN {guard} AND l.grp IN {pick} "
-            f"THEN (SELECT MIN(grp) FROM p{k} WHERE rn <= 2) "
-            "ELSE l.grp END AS grp, "
-            f"l.len + CASE WHEN {guard} AND l.grp IN {pick} "
-            f"THEN 1 ELSE 0 END AS len FROM {lp} l)"
-        )
-    last = f"l{_HUFF_STEPS}"
-    return (
-        "WITH ch AS (SELECT u.c AS ch FROM documents, "
-        "UNNEST(string_split(text, '')) u(c) "
-        "WHERE u.c BETWEEN 'a' AND 'z'), "
-        "l0 AS MATERIALIZED (SELECT unicode(ch) - 97 AS sym, "
-        "CAST(COUNT(*) AS BIGINT) AS w, unicode(ch) - 97 AS grp, "
-        "CAST(0 AS BIGINT) AS len FROM ch GROUP BY 1), "
-        "g0 AS MATERIALIZED (SELECT grp, w FROM l0), "
-        + ", ".join(steps)
-        + f" SELECT chr(97 + CAST(sym AS INT)) AS letter, w AS weight, "
-        f"len AS code_len, (SELECT CAST(SUM(w * len) AS BIGINT) "
-        f"FROM {last}) AS total_bits FROM {last} ORDER BY 1"
-    )
-
-
-def _lis_oracle_sql() -> str:
-    """Mirror of _q_lis_daily: 30 unrolled reachability levels."""
-    steps = []
-    for k in range(2, _LIS_LEVELS + 1):
-        steps.append(
-            f"v{k} AS MATERIALIZED (SELECT DISTINCT b.t, b.y "
-            f"FROM v{k - 1} a JOIN dn b ON b.t > a.t AND b.y > a.y)"
-        )
-    counts = " UNION ALL ".join(
-        f"SELECT {k} AS k, CAST(COUNT(*) AS BIGINT) AS c FROM v{k}"
-        for k in range(1, _LIS_LEVELS + 1)
-    )
-    return (
-        "WITH c0 AS (SELECT epoch_us(ts) // 86400000000 AS d, "
-        "CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) "
-        "AS y FROM events GROUP BY 1), "
-        "mm AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM c0), "
-        "dd AS (SELECT r.range AS t, mm.lo + r.range AS d "
-        "FROM range(0, 4096) r, mm WHERE r.range <= mm.hi - mm.lo), "
-        "dn AS (SELECT dd.t, COALESCE(c0.y, 0) AS y "
-        "FROM dd LEFT JOIN c0 ON c0.d = dd.d), "
-        "v1 AS MATERIALIZED (SELECT t, y FROM dn), "
-        + ", ".join(steps)
-        + f", un AS ({counts}) "
-        "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM dn) AS n_days, "
-        "(SELECT CAST(MAX(k) AS BIGINT) FROM un WHERE c > 0) "
-        "AS lis_len, (SELECT c FROM un WHERE k = "
-        "(SELECT MAX(k) FROM un WHERE c > 0)) AS n_endings"
-    )
-
-
-def _chain_ladder_oracle_sql() -> str:
-    """Mirror of _q_chain_ladder: quantized development factors and 4
-    unrolled truncating projection steps."""
-    steps = []
-    for k in range(1, 5):
-        j = k - 1
-        steps.append(
-            f"u{k} AS (SELECT u.i, CASE WHEN 4 - u.i <= {j} "
-            "THEN (u.v * fq.f) // 1000000000 ELSE u.v END AS v "
-            f"FROM u{k - 1} u JOIN fq ON fq.j = {j})"
-        )
-    return (
-        "WITH ev AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d, "
-        "event_type FROM events), "
-        "d0 AS (SELECT MIN(d) AS d0 FROM ev), "
-        "ew AS (SELECT user_id, CAST((d - d0.d0) // 7 AS BIGINT) AS w, "
-        "event_type FROM ev, d0), "
-        "fw AS (SELECT user_id, MIN(w) AS cohort FROM ew GROUP BY 1), "
-        "pc AS MATERIALIZED (SELECT fw.cohort AS i, ew.w - fw.cohort "
-        "AS j, CAST(COUNT(*) AS BIGINT) AS c FROM ew "
-        "JOIN fw ON fw.user_id = ew.user_id "
-        "WHERE ew.event_type = 'purchase' GROUP BY 1, 2), "
-        "frame AS (SELECT a.range AS i, b.range AS j "
-        "FROM range(0, 5) a, range(0, 5) b), "
-        "cum AS MATERIALIZED (SELECT f.i, f.j, CAST(COALESCE("
-        "(SELECT SUM(pc.c) FROM pc WHERE pc.i = f.i AND pc.j <= f.j), "
-        "0) AS HUGEINT) AS c FROM frame f), "
-        "fq AS MATERIALIZED (SELECT jr.range AS j, CAST(ROUND(1e9 * "
-        "CAST((SELECT SUM(c) FROM cum WHERE cum.j = jr.range + 1 "
-        "AND cum.i + cum.j <= 4) AS DOUBLE) "
-        "/ CAST((SELECT SUM(c) FROM cum WHERE cum.j = jr.range "
-        "AND cum.i + jr.range + 1 <= 4) AS DOUBLE), 0) AS HUGEINT) "
-        "AS f FROM range(0, 4) jr), "
-        "u0 AS (SELECT ir.range AS i, (SELECT c FROM cum "
-        "WHERE cum.i = ir.range AND cum.j = 4 - ir.range) AS v "
-        "FROM range(0, 5) ir), "
-        + ", ".join(steps)
-        + " SELECT CAST(u0.i AS BIGINT) AS cohort, "
-        "CAST(u0.v AS BIGINT) AS latest_known, "
-        "CAST(u4.v AS BIGINT) AS ultimate, "
-        "CAST((SELECT c FROM cum WHERE cum.i = u0.i AND cum.j = 4) "
-        "AS BIGINT) AS actual_full FROM u0 "
-        "JOIN u4 ON u4.i = u0.i ORDER BY 1"
-    )
-
-
-def _closed_itemsets_oracle_sql() -> str:
-    """Mirror of _q_closed_itemsets: all 31 subsets as a VALUES list,
-    bitmask containment supports, closedness by superset scan."""
-    vals = ", ".join(
-        "('"
-        + "+".join(_MARKOV_STATES[i] for i in range(5) if (m >> i) & 1)
-        + f"', {m}, {bin(m).count('1')})"
-        for m in range(1, 32)
-    )
-    case = " ".join(
-        f"WHEN '{t}' THEN {1 << i}"
-        for i, t in enumerate(_MARKOV_STATES)
-    )
-    return (
-        "WITH b AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d, "
-        f"BIT_OR(CASE event_type {case} END) AS mask "
-        "FROM events GROUP BY 1, 2), "
-        f"its(name, m, sz) AS (VALUES {vals}), "
-        "sup AS MATERIALIZED (SELECT its.name, its.m, its.sz, "
-        "CAST((SELECT COUNT(*) FROM b WHERE (b.mask & its.m) = its.m) "
-        "AS BIGINT) AS support FROM its) "
-        "SELECT s.name AS itemset, CAST(s.sz AS BIGINT) AS size, "
-        "s.support, CAST(CASE WHEN NOT EXISTS (SELECT 1 FROM sup s2 "
-        "WHERE s2.m <> s.m AND (s2.m & s.m) = s.m "
-        "AND s2.support = s.support) THEN 1 ELSE 0 END AS BIGINT) "
-        "AS is_closed FROM sup s ORDER BY 1"
-    )
-
-
-def _markov_attribution_oracle_sql() -> str:
-    """Mirror of _q_markov_attribution: 60 unrolled value-iteration
-    steps over (scenario, state), 1e12-tick truncating divisions."""
-    sc = _ATTR_SCALE
-    steps = []
-    for k in range(1, _ATTR_ITERS + 1):
-        prev = f"v{k - 1}"
-        steps.append(
-            f"v{k} AS MATERIALIZED (SELECT s2.sc, s2.s, "
-            "CASE WHEN s2.s = s2.rm THEN CAST(0 AS HUGEINT) "
-            "ELSE COALESCE(x.q, 0) END AS vq "
-            "FROM (SELECT scen.sc, scen.rm, st.s FROM scen, states st) s2 "
-            "LEFT JOIN (SELECT scen.sc, tr.s, "
-            f"SUM(tr.c * (CASE WHEN tr.t = '_conv' THEN {sc} "
-            "WHEN tr.t = scen.rm THEN 0 "
-            f"ELSE COALESCE(vp.vq, 0) END)) // MIN(rs.r) AS q "
-            "FROM scen CROSS JOIN tr JOIN rs ON rs.s = tr.s "
-            f"LEFT JOIN {prev} vp ON vp.sc = scen.sc AND vp.s = tr.t "
-            "GROUP BY 1, 2) x ON x.sc = s2.sc AND x.s = s2.s)"
-        )
-    last = f"v{_ATTR_ITERS}"
-    return (
-        "WITH seq AS (SELECT user_id, event_type, ROW_NUMBER() OVER "
-        "(PARTITION BY user_id ORDER BY ts, event_id) AS rn "
-        "FROM events), "
-        "fp AS (SELECT user_id, MIN(rn) AS fp FROM seq "
-        "WHERE event_type = 'purchase' GROUP BY 1), "
-        "kept AS (SELECT seq.user_id, seq.event_type, seq.rn FROM seq "
-        "LEFT JOIN fp ON fp.user_id = seq.user_id "
-        "WHERE seq.rn <= COALESCE(fp.fp, 1000000000)), "
-        "mx AS (SELECT user_id, MAX(rn) AS mr FROM kept GROUP BY 1), "
-        "ed AS (SELECT '_start' AS s, CASE WHEN k.event_type = "
-        "'purchase' THEN '_conv' ELSE k.event_type END AS t "
-        "FROM kept k WHERE k.rn = 1 "
-        "UNION ALL SELECT a.event_type, CASE WHEN b.event_type = "
-        "'purchase' THEN '_conv' ELSE b.event_type END FROM kept a "
-        "JOIN kept b ON b.user_id = a.user_id AND b.rn = a.rn + 1 "
-        "UNION ALL SELECT k.event_type, '_null' FROM kept k "
-        "JOIN mx ON mx.user_id = k.user_id AND mx.mr = k.rn "
-        "WHERE k.event_type <> 'purchase'), "
-        "tr AS MATERIALIZED (SELECT s, t, CAST(COUNT(*) AS HUGEINT) "
-        "AS c FROM ed GROUP BY 1, 2), "
-        "rs AS MATERIALIZED (SELECT s, CAST(SUM(c) AS HUGEINT) AS r "
-        "FROM tr GROUP BY 1), "
-        "states AS (SELECT UNNEST(['_start', 'click', 'error', "
-        "'signup', 'view']) AS s), "
-        "scen(sc, rm) AS (VALUES ('none', ''), ('click', 'click'), "
-        "('error', 'error'), ('signup', 'signup'), ('view', 'view')), "
-        "v0 AS MATERIALIZED (SELECT scen.sc, st.s, "
-        "CAST(0 AS HUGEINT) AS vq FROM scen, states st), "
-        + ", ".join(steps)
-        + f", pf AS (SELECT vq AS v FROM {last} "
-        "WHERE sc = 'none' AND s = '_start') "
-        "SELECT scen.sc AS channel, "
-        "ROUND(CAST(pf.v AS DOUBLE) / 1e12, 6) AS p_full, "
-        f"ROUND(CAST(vr.vq AS DOUBLE) / 1e12, 6) AS p_removed, "
-        "ROUND(1.0 - CAST(vr.vq AS DOUBLE) / CAST(pf.v AS DOUBLE), 6) "
-        f"AS removal_effect FROM scen JOIN {last} vr "
-        "ON vr.sc = scen.sc AND vr.s = '_start' CROSS JOIN pf "
-        "WHERE scen.sc <> 'none'"
-    )
-
-
-def _knapsack_oracle_sql() -> str:
-    """Mirror of _q_knapsack_cells: 20 unrolled 0/1 item levels over
-    the 601-row capacity table."""
-    steps = []
-    for i in range(1, 21):
-        prev = f"dp{i - 1}"
-        steps.append(
-            f"dp{i} AS MATERIALIZED (SELECT d.c, "
-            "GREATEST(d.val, COALESCE(p.val + ii.v, d.val)) AS val "
-            f"FROM {prev} d CROSS JOIN "
-            f"(SELECT w, v FROM it WHERE i = {i}) ii "
-            f"LEFT JOIN {prev} p ON p.c = d.c - ii.w)"
-        )
-    return (
-        f"WITH {_TOPVAL_CELLS_SQL}, "
-        "it AS MATERIALIZED (SELECT cell, v, "
-        "ABS(2 * (cell % 96) - 95) + ABS(2 * (cell // 96) - 95) AS w, "
-        "ROW_NUMBER() OVER (ORDER BY cell) AS i FROM top20), "
-        f"cp AS (SELECT r.range AS c FROM range(0, {_KNAP_CAP + 1}) r), "
-        "dp0 AS MATERIALIZED (SELECT c, CAST(0 AS BIGINT) AS val FROM cp), "
-        + ", ".join(steps)
-        + f" SELECT CAST({_KNAP_CAP} AS BIGINT) AS capacity, "
-        "(SELECT CAST(COUNT(*) AS BIGINT) FROM it) AS n_items, "
-        f"CAST(val AS BIGINT) AS best_value FROM dp20 "
-        f"WHERE c = {_KNAP_CAP}"
-    )
-
-
-def _convex_layers_oracle_sql() -> str:
-    """Mirror of _q_convex_layers: 6 unrolled peels, each removing the
-    exact-certificate extreme points of the remaining set."""
-    d1 = "(r.x - q.x) * (p.y - q.y) - (r.y - q.y) * (p.x - q.x)"
-    d2 = "(s.x - r.x) * (p.y - r.y) - (s.y - r.y) * (p.x - r.x)"
-    d3 = "(q.x - s.x) * (p.y - s.y) - (q.y - s.y) * (p.x - s.x)"
-    steps = []
-    for lv in range(1, _LAYERS + 1):
-        prev = f"rem{lv - 1}"
-        steps.append(
-            f"ex{lv} AS MATERIALIZED (SELECT p.cell FROM {prev} p "
-            "WHERE NOT (EXISTS ("
-            f"SELECT 1 FROM {prev} q, {prev} r "
-            "WHERE q.cell < r.cell AND q.cell <> p.cell "
-            "AND r.cell <> p.cell "
-            "AND (r.x - q.x) * (p.y - q.y) "
-            "- (r.y - q.y) * (p.x - q.x) = 0 "
-            "AND (p.x - q.x) * (p.x - r.x) "
-            "+ (p.y - q.y) * (p.y - r.y) <= 0) "
-            "OR EXISTS ("
-            f"SELECT 1 FROM {prev} q, {prev} r, {prev} s "
-            "WHERE q.cell < r.cell AND r.cell < s.cell "
-            "AND q.cell <> p.cell AND r.cell <> p.cell "
-            "AND s.cell <> p.cell "
-            "AND (r.x - q.x) * (s.y - q.y) "
-            "- (r.y - q.y) * (s.x - q.x) <> 0 "
-            f"AND (({d1} >= 0 AND {d2} >= 0 AND {d3} >= 0) "
-            f"OR ({d1} <= 0 AND {d2} <= 0 AND {d3} <= 0))))), "
-            f"rem{lv} AS MATERIALIZED (SELECT * FROM {prev} "
-            f"WHERE cell NOT IN (SELECT cell FROM ex{lv}))"
-        )
-    lay = " UNION ALL ".join(
-        f"SELECT cell, {lv} AS layer FROM ex{lv}"
-        for lv in range(1, _LAYERS + 1)
-    )
-    return (
-        f"WITH {_TOPVAL_CELLS_SQL}, "
-        "rem0 AS MATERIALIZED (SELECT cell, cell % 96 AS x, "
-        "cell // 96 AS y FROM top20), "
-        + ", ".join(steps)
-        + f", lay AS ({lay}) "
-        "SELECT t.cell, CAST(COALESCE(lay.layer, 0) AS BIGINT) AS layer "
-        "FROM top20 t LEFT JOIN lay ON lay.cell = t.cell"
-    )
-
-
-def _bridges_oracle_sql() -> str:
-    """Mirror of _q_graph_bridges: per-edge 6-level reachability
-    expansion in the graph minus that edge, unrolled."""
-    steps = []
-    for lvl in range(1, 7):
-        prev = f"sn{lvl - 1}"
-        steps.append(
-            f"sn{lvl} AS MATERIALIZED (SELECT DISTINCT eid, v FROM ("
-            f"SELECT eid, v FROM {prev} "
-            f"UNION ALL SELECT s.eid, adj.b AS v FROM {prev} s "
-            "JOIN adj ON adj.a = s.v JOIN el ON el.eid = s.eid "
-            "WHERE NOT ((adj.a = el.r1 AND adj.b = el.r2) "
-            "OR (adj.a = el.r2 AND adj.b = el.r1))))"
-        )
-    return (
-        "WITH tok AS (SELECT DISTINCT source AS w FROM documents "
-        "WHERE LEN(source) >= 4), "
-        "nd0 AS (SELECT w, ROW_NUMBER() OVER (ORDER BY w) - 1 AS r "
-        "FROM tok), "
-        "e AS MATERIALIZED (SELECT a.r AS r1, b.r AS r2 FROM nd0 a "
-        "JOIN nd0 b ON a.w < b.w AND ABS(LEN(a.w) - LEN(b.w)) <= 1 "
-        "AND LEVENSHTEIN(a.w, b.w) = 1), "
-        "adj AS MATERIALIZED (SELECT r1 AS a, r2 AS b FROM e "
-        "UNION ALL SELECT r2, r1 FROM e), "
-        "el AS MATERIALIZED (SELECT ROW_NUMBER() OVER "
-        "(ORDER BY r1, r2) - 1 AS eid, r1, r2 FROM e), "
-        "sn0 AS MATERIALIZED (SELECT eid, r1 AS v FROM el), "
-        + ", ".join(steps)
-        + " SELECT a.w AS w1, b.w AS w2, "
-        "CAST(CASE WHEN s.v IS NULL THEN 1 ELSE 0 END AS BIGINT) "
-        "AS is_bridge FROM el JOIN nd0 a ON a.r = el.r1 "
-        "JOIN nd0 b ON b.r = el.r2 "
-        "LEFT JOIN sn6 s ON s.eid = el.eid AND s.v = el.r2"
-    )
-
-
-def _peel_oracle_sql() -> str:
-    """Mirror of _q_densest_subgraph: 19 unrolled min-degree peel
-    steps with density tracking."""
-    steps = []
-    msel = [
-        "SELECT 0 AS step, (SELECT CAST(COUNT(*) AS BIGINT) FROM s0) "
-        "AS nn, (SELECT CAST(COUNT(*) AS BIGINT) FROM e "
-        "JOIN s0 x ON x.r = e.r1 JOIN s0 y ON y.r = e.r2) AS ne"
-    ]
-    for k in range(1, _PEEL_STEPS + 1):
-        prev = f"s{k - 1}"
-        steps.append(
-            f"dg{k} AS MATERIALIZED (SELECT s.r, "
-            "CAST(COALESCE(cnt.c, 0) AS BIGINT) AS deg "
-            f"FROM {prev} s LEFT JOIN (SELECT adj.a AS r, "
-            f"CAST(COUNT(*) AS BIGINT) AS c FROM adj "
-            f"JOIN {prev} x ON x.r = adj.a "
-            f"JOIN {prev} y ON y.r = adj.b GROUP BY 1) cnt "
-            "ON cnt.r = s.r), "
-            f"rm{k} AS MATERIALIZED (SELECT r FROM dg{k} "
-            "ORDER BY deg, r LIMIT 1), "
-            f"s{k} AS MATERIALIZED (SELECT r FROM {prev} "
-            f"WHERE r NOT IN (SELECT r FROM rm{k}))"
-        )
-        msel.append(
-            f"SELECT {k} AS step, (SELECT CAST(COUNT(*) AS BIGINT) "
-            f"FROM s{k}) AS nn, (SELECT CAST(COUNT(*) AS BIGINT) FROM e "
-            f"JOIN s{k} x ON x.r = e.r1 JOIN s{k} y ON y.r = e.r2) AS ne"
-        )
-    return (
-        "WITH tok AS (SELECT DISTINCT source AS w FROM documents "
-        "WHERE LEN(source) >= 4), "
-        "nd0 AS (SELECT w, ROW_NUMBER() OVER (ORDER BY w) - 1 AS r "
-        "FROM tok), "
-        "e AS MATERIALIZED (SELECT a.r AS r1, b.r AS r2 FROM nd0 a "
-        "JOIN nd0 b ON a.w < b.w AND ABS(LEN(a.w) - LEN(b.w)) <= 1 "
-        "AND LEVENSHTEIN(a.w, b.w) = 1), "
-        "adj AS MATERIALIZED (SELECT r1 AS a, r2 AS b FROM e "
-        "UNION ALL SELECT r2, r1 FROM e), "
-        "s0 AS MATERIALIZED (SELECT r FROM nd0), "
-        + ", ".join(steps)
-        + ", m AS (" + " UNION ALL ".join(msel) + ") "
-        "SELECT nn AS n_nodes, ne AS n_edges, "
-        "ROUND(CAST(ne AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS density "
-        "FROM m ORDER BY CAST(ne AS DOUBLE) / CAST(nn AS DOUBLE) DESC, "
-        "step LIMIT 1"
-    )
-
-
-def _lpa_oracle_sql() -> str:
-    """Mirror of _q_label_prop_communities: 10 unrolled synchronous
-    label-propagation rounds (mode of neighbor labels, smallest on
-    ties)."""
-    steps = []
-    for k in range(1, _LPA_ROUNDS + 1):
-        prev = f"l{k - 1}"
-        steps.append(
-            f"nf{k} AS MATERIALIZED (SELECT adj.a AS r, {prev}.l AS l, "
-            f"CAST(COUNT(*) AS BIGINT) AS c FROM adj "
-            f"JOIN {prev} ON {prev}.r = adj.b GROUP BY 1, 2), "
-            f"l{k} AS MATERIALIZED (SELECT nd0.r, COALESCE(b.l, p.l) "
-            f"AS l FROM nd0 JOIN {prev} p ON p.r = nd0.r "
-            "LEFT JOIN (SELECT r, l FROM (SELECT r, l, ROW_NUMBER() "
-            f"OVER (PARTITION BY r ORDER BY c DESC, l) AS rn FROM nf{k}) "
-            "WHERE rn = 1) b ON b.r = nd0.r)"
-        )
-    last = f"l{_LPA_ROUNDS}"
-    return (
-        "WITH tok AS (SELECT DISTINCT source AS w FROM documents "
-        "WHERE LEN(source) >= 4), "
-        "nd0 AS (SELECT w, ROW_NUMBER() OVER (ORDER BY w) - 1 AS r "
-        "FROM tok), "
-        "e AS MATERIALIZED (SELECT a.r AS r1, b.r AS r2 FROM nd0 a "
-        "JOIN nd0 b ON a.w < b.w AND ABS(LEN(a.w) - LEN(b.w)) <= 1 "
-        "AND LEVENSHTEIN(a.w, b.w) = 1), "
-        "adj AS MATERIALIZED (SELECT r1 AS a, r2 AS b FROM e "
-        "UNION ALL SELECT r2, r1 FROM e), "
-        "l0 AS (SELECT r, CAST(r AS BIGINT) AS l FROM nd0), "
-        + ", ".join(steps)
-        + f" SELECT nd0.w AS word, {last}.l AS community "
-        f"FROM nd0 JOIN {last} ON {last}.r = nd0.r"
-    )
-
-
-def _ipf_oracle_sql() -> str:
-    """Mirror of _q_ipf_balance: 10 unrolled RAS double steps (row
-    scale then column scale, truncating HUGEINT divisions)."""
-    sc = _IPF_SCALE
-    idx_vals = ", ".join(
-        f"('{t}', {i})" for i, t in enumerate(_MARKOV_STATES)
-    )
-    steps = []
-    for k in range(1, _IPF_ITERS + 1):
-        prev = f"x{k - 1}"
-        steps.append(
-            f"r{k} AS MATERIALIZED (SELECT x.i, x.j, "
-            f"CASE WHEN rs.s = 0 THEN 0 "
-            f"ELSE (x.x * rt.c * {sc}) // rs.s END AS x "
-            f"FROM {prev} x JOIN (SELECT i, CAST(SUM(x) AS HUGEINT) "
-            f"AS s FROM {prev} GROUP BY 1) rs ON rs.i = x.i "
-            "JOIN rt ON rt.i = x.i), "
-            f"x{k} AS MATERIALIZED (SELECT r.i, r.j, "
-            f"CASE WHEN cs.s = 0 THEN 0 "
-            f"ELSE (r.x * ct.c * {sc}) // cs.s END AS x "
-            f"FROM r{k} r JOIN (SELECT j, CAST(SUM(x) AS HUGEINT) "
-            f"AS s FROM r{k} GROUP BY 1) cs ON cs.j = r.j "
-            "JOIN ct ON ct.j = r.j)"
-        )
-    last = f"x{_IPF_ITERS}"
-    return (
-        "WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS d, "
-        "epoch_us(ts) // 3600000000 % 24 // 4 AS j, event_type "
-        "FROM events), "
-        f"idx(t, i) AS (VALUES {idx_vals}), "
-        "d0 AS (SELECT MIN(d) AS d0 FROM ev), "
-        "frame AS (SELECT idx.i, r.range AS j FROM idx, range(0, 6) r), "
-        "sd AS (SELECT idx.i, ev.j, CAST(COUNT(*) AS HUGEINT) AS c "
-        "FROM ev JOIN idx ON idx.t = ev.event_type CROSS JOIN d0 "
-        "WHERE ev.d - d0.d0 < 7 GROUP BY 1, 2), "
-        "rt AS (SELECT idx.i, CAST(COUNT(*) AS HUGEINT) AS c FROM ev "
-        "JOIN idx ON idx.t = ev.event_type GROUP BY 1), "
-        "ct AS (SELECT j, CAST(COUNT(*) AS HUGEINT) AS c FROM ev "
-        "GROUP BY 1), "
-        "x0 AS MATERIALIZED (SELECT f.i, f.j, "
-        f"COALESCE(sd.c, 0) * {sc} AS x FROM frame f "
-        "LEFT JOIN sd ON sd.i = f.i AND sd.j = f.j), "
-        + ", ".join(steps)
-        + f" SELECT idx.t AS event_type, CAST(x.j AS BIGINT) AS bucket, "
-        f"CAST(x.x AS BIGINT) AS x_q, "
-        "ROUND(CAST(x.x AS DOUBLE) / 1e6, 6) AS x "
-        f"FROM {last} x JOIN idx ON idx.i = x.i"
-    )
-
-
-def _betweenness_oracle_sql() -> str:
-    """Mirror of _q_betweenness_seeds: layered BFS (6 unrolled levels)
-    with exact sigma path counts, then the quantized Brandes backward
-    pass, all as generated materialized CTEs."""
-    sc = _BETW_SCALE
-    fwd = []
-    for lvl in range(1, _BETW_LEVELS + 1):
-        fwd.append(
-            f"f{lvl} AS MATERIALIZED (SELECT p.seed, adj.b AS v, "
-            "CAST(SUM(p.sigma) AS HUGEINT) AS sigma "
-            f"FROM f{lvl - 1} p JOIN adj ON adj.a = p.v "
-            f"LEFT JOIN vis{lvl - 1} vx ON vx.seed = p.seed "
-            "AND vx.v = adj.b WHERE vx.v IS NULL GROUP BY 1, 2), "
-            f"vis{lvl} AS MATERIALIZED (SELECT seed, v FROM vis{lvl - 1} "
-            f"UNION ALL SELECT seed, v FROM f{lvl})"
-        )
-    bwd = [
-        f"dl{_BETW_LEVELS} AS MATERIALIZED (SELECT seed, v, sigma, "
-        f"CAST(0 AS HUGEINT) AS dq FROM f{_BETW_LEVELS})"
-    ]
-    for lvl in range(_BETW_LEVELS - 1, 0, -1):
-        bwd.append(
-            f"dl{lvl} AS MATERIALIZED (SELECT u.seed, u.v, u.sigma, "
-            "COALESCE(s.x, CAST(0 AS HUGEINT)) AS dq "
-            f"FROM f{lvl} u LEFT JOIN (SELECT u2.seed, u2.v, "
-            f"CAST(SUM((u2.sigma * ({sc} + w.dq)) // w.sigma) "
-            f"AS HUGEINT) AS x FROM f{lvl} u2 "
-            "JOIN adj ON adj.a = u2.v "
-            f"JOIN dl{lvl + 1} w ON w.seed = u2.seed AND w.v = adj.b "
-            "GROUP BY 1, 2) s ON s.seed = u.seed AND s.v = u.v)"
-        )
-    allu = " UNION ALL ".join(
-        f"SELECT seed, v, dq FROM dl{lvl}"
-        for lvl in range(1, _BETW_LEVELS + 1)
-    )
-    return (
-        "WITH tok AS (SELECT DISTINCT source AS w FROM documents "
-        "WHERE LEN(source) >= 4), "
-        "nd0 AS (SELECT w, ROW_NUMBER() OVER (ORDER BY w) - 1 AS r "
-        "FROM tok), "
-        "e AS MATERIALIZED (SELECT a.r AS r1, b.r AS r2 FROM nd0 a "
-        "JOIN nd0 b ON a.w < b.w AND ABS(LEN(a.w) - LEN(b.w)) <= 1 "
-        "AND LEVENSHTEIN(a.w, b.w) = 1), "
-        "adj AS MATERIALIZED (SELECT r1 AS a, r2 AS b FROM e "
-        "UNION ALL SELECT r2, r1 FROM e), "
-        "seeds AS (SELECT r FROM nd0 WHERE r < 5), "
-        "f0 AS MATERIALIZED (SELECT r AS seed, r AS v, "
-        "CAST(1 AS HUGEINT) AS sigma FROM seeds), "
-        "vis0 AS MATERIALIZED (SELECT seed, v FROM f0), "
-        + ", ".join(fwd)
-        + ", "
-        + ", ".join(bwd)
-        + f", alld AS ({allu}) "
-        "SELECT nd0.w AS word, "
-        "CAST(COALESCE(SUM(alld.dq), 0) AS BIGINT) AS bc_q, "
-        "ROUND(CAST(COALESCE(SUM(alld.dq), 0) AS DOUBLE) / 1e9, 6) "
-        "AS bc FROM nd0 LEFT JOIN alld ON alld.v = nd0.r GROUP BY 1"
-    )
-
-
-def _bradley_terry_oracle_sql() -> str:
-    """Mirror of _q_bradley_terry: 20 integer MM steps unrolled as
-    generated materialized CTEs over the 5-row skill table."""
-    sc = _BT_SCALE
-    idx_vals = ", ".join(
-        f"('{t}', {i})" for i, t in enumerate(_MARKOV_STATES)
-    )
-    steps = []
-    for i in range(1, _BT_ITERS + 1):
-        prev = f"p{i - 1}"
-        steps.append(
-            f"t{i} AS MATERIALIZED (SELECT nm.i, "
-            f"CAST(SUM((nm.n * {sc} * {sc}) // (pi.p + pj.p)) "
-            "AS HUGEINT) AS denom "
-            f"FROM nm JOIN {prev} pi ON pi.i = nm.i "
-            f"JOIN {prev} pj ON pj.i = nm.j GROUP BY 1), "
-            f"r{i} AS MATERIALIZED (SELECT w.i, "
-            "CASE WHEN t.denom IS NULL OR t.denom = 0 THEN 0 "
-            f"ELSE (w.wins * {sc} * {sc}) // t.denom END AS praw "
-            f"FROM wins w LEFT JOIN t{i} t ON t.i = w.i), "
-            f"p{i} AS MATERIALIZED (SELECT r.i, (r.praw * 5 * {sc}) "
-            f"// (SELECT SUM(praw) FROM r{i}) AS p FROM r{i} r)"
-        )
-    last = f"p{_BT_ITERS}"
-    return (
-        "WITH ctx AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d, "
-        "event_type, CAST(COUNT(*) AS BIGINT) AS c FROM events "
-        "GROUP BY 1, 2, 3), "
-        "wm AS MATERIALIZED (SELECT a.event_type AS si, "
-        "b.event_type AS sj, CAST(COUNT(*) AS BIGINT) AS wij "
-        "FROM ctx a JOIN ctx b ON b.user_id = a.user_id AND b.d = a.d "
-        "AND a.event_type <> b.event_type AND a.c > b.c GROUP BY 1, 2), "
-        f"idx(t, i) AS (VALUES {idx_vals}), "
-        "wins AS MATERIALIZED (SELECT idx.i, "
-        "CAST(COALESCE(SUM(wm.wij), 0) AS HUGEINT) AS wins FROM idx "
-        "LEFT JOIN wm ON wm.si = idx.t GROUP BY 1), "
-        "nm0 AS (SELECT si, sj, wij FROM wm "
-        "UNION ALL SELECT sj, si, wij FROM wm), "
-        "nm AS MATERIALIZED (SELECT i1.i AS i, i2.i AS j, "
-        "CAST(SUM(wij) AS HUGEINT) AS n FROM nm0 "
-        "JOIN idx i1 ON i1.t = nm0.si JOIN idx i2 ON i2.t = nm0.sj "
-        "GROUP BY 1, 2), "
-        f"p0 AS (SELECT i, CAST({sc} AS HUGEINT) AS p FROM idx), "
-        + ", ".join(steps)
-        + " SELECT idx.t AS event_type, CAST(w.wins AS BIGINT) AS wins, "
-        f"CAST({last}.p AS BIGINT) AS pq, "
-        f"ROUND(CAST({last}.p AS DOUBLE) / 1e6, 6) AS skill "
-        f"FROM idx JOIN wins w ON w.i = idx.i "
-        f"JOIN {last} ON {last}.i = idx.i"
-    )
-
-
-def _tsp_oracle_sql() -> str:
-    """Mirror of _q_tsp_cells: Held-Karp bitmask DP unrolled by subset
-    size as generated materialized CTEs over (mask, last, cost)."""
-    steps = []
-    for k in range(2, 9):
-        prev = "l1" if k == 2 else f"l{k - 1}"
-        steps.append(
-            f"l{k} AS MATERIALIZED (SELECT "
-            "p.mask | (1 << dd.j) AS mask, dd.j AS last, "
-            "MIN(p.cost + dd.d) AS cost "
-            f"FROM {prev} p JOIN dist dd ON dd.i = p.last "
-            "AND ((p.mask >> dd.j) & 1) = 0 AND dd.j <> 0 "
-            "GROUP BY 1, 2)"
-        )
-    return (
-        "WITH cc AS (SELECT event_id % 96 + (event_id // 96 % 96) * 96 "
-        "AS cell, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1), "
-        "top8 AS (SELECT cell FROM cc ORDER BY n DESC, cell LIMIT 8), "
-        "nd AS MATERIALIZED (SELECT cell, "
-        "CAST(ROW_NUMBER() OVER (ORDER BY cell) - 1 AS BIGINT) AS j, "
-        "cell % 96 AS x, cell // 96 AS y FROM top8), "
-        "dist AS MATERIALIZED (SELECT a.j AS i, b.j AS j, "
-        "CAST(ABS(a.x - b.x) + ABS(a.y - b.y) AS BIGINT) AS d "
-        "FROM nd a, nd b), "
-        "l1 AS (SELECT 1 AS mask, CAST(0 AS BIGINT) AS last, "
-        "CAST(0 AS BIGINT) AS cost), "
-        + ", ".join(steps)
-        + " SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nd) AS n_cells, "
-        "(SELECT MIN(l8.cost + db.d) FROM l8 JOIN dist db "
-        "ON db.i = l8.last AND db.j = 0) AS tsp_cycle, "
-        "(SELECT MIN(cost) FROM l8) AS tsp_path"
-    )
-
-
-def _fiedler_oracle_sql() -> str:
-    """Mirror of _q_fiedler_value: 30 integer deflated power-iteration
-    steps on M = cI - L, unrolled as generated materialized CTEs."""
-    steps = []
-    for i in range(1, _FIEDLER_ITERS + 1):
-        prev = f"v{i - 1}"
-        steps.append(
-            f"s{i} AS MATERIALIZED (SELECT adj.a AS r, "
-            f"CAST(SUM(vp.v) AS HUGEINT) AS x FROM adj "
-            f"JOIN {prev} vp ON vp.r = adj.b GROUP BY 1), "
-            f"mv{i} AS MATERIALIZED (SELECT nd.r, "
-            f"(cs.c - nd.deg) * vv.v + COALESCE(s{i}.x, 0) AS mv "
-            f"FROM nd JOIN {prev} vv ON vv.r = nd.r "
-            f"LEFT JOIN s{i} ON s{i}.r = nd.r CROSS JOIN cs), "
-            f"t{i} AS MATERIALIZED (SELECT r, nn.n * mv - sm.s AS t "
-            f"FROM mv{i} CROSS JOIN nn CROSS JOIN "
-            f"(SELECT CAST(SUM(mv) AS HUGEINT) AS s FROM mv{i}) sm), "
-            f"m{i} AS MATERIALIZED (SELECT MAX(ABS(t)) AS mx FROM t{i}), "
-            f"v{i} AS MATERIALIZED (SELECT r, CASE WHEN t < 0 "
-            f"THEN -((-t * 1000000) // mx) "
-            f"ELSE (t * 1000000) // mx END AS v FROM t{i}, m{i})"
-        )
-    last = f"v{_FIEDLER_ITERS}"
-    return (
-        "WITH tok AS (SELECT DISTINCT source AS w FROM documents "
-        "WHERE LEN(source) >= 4), "
-        "nd0 AS (SELECT w, ROW_NUMBER() OVER (ORDER BY w) - 1 AS r "
-        "FROM tok), "
-        "e AS MATERIALIZED (SELECT a.r AS r1, b.r AS r2 FROM nd0 a "
-        "JOIN nd0 b ON a.w < b.w AND ABS(LEN(a.w) - LEN(b.w)) <= 1 "
-        "AND LEVENSHTEIN(a.w, b.w) = 1), "
-        "adj AS MATERIALIZED (SELECT r1 AS a, r2 AS b FROM e "
-        "UNION ALL SELECT r2, r1 FROM e), "
-        "nd AS MATERIALIZED (SELECT nd0.r, "
-        "CAST(COALESCE(d.deg, 0) AS HUGEINT) AS deg FROM nd0 "
-        "LEFT JOIN (SELECT a AS r, CAST(COUNT(*) AS BIGINT) AS deg "
-        "FROM adj GROUP BY 1) d ON d.r = nd0.r), "
-        "nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM nd), "
-        "cs AS (SELECT 2 * MAX(deg) + 1 AS c FROM nd), "
-        "sr AS (SELECT CAST(SUM(r) AS HUGEINT) AS s FROM nd), "
-        "v0 AS MATERIALIZED (SELECT nd.r, "
-        "nn.n * CAST(nd.r AS HUGEINT) - sr.s AS v FROM nd, nn, sr), "
-        + ", ".join(steps)
-        + f", sf AS (SELECT adj.a AS r, CAST(SUM(vp.v) AS HUGEINT) AS x "
-        f"FROM adj JOIN {last} vp ON vp.r = adj.b GROUP BY 1), "
-        "mvf AS (SELECT nd.r, (cs.c - nd.deg) * vv.v "
-        f"+ COALESCE(sf.x, 0) AS mv FROM nd JOIN {last} vv "
-        "ON vv.r = nd.r LEFT JOIN sf ON sf.r = nd.r CROSS JOIN cs), "
-        "num AS (SELECT CAST(SUM(vv.v * mvf.mv) AS HUGEINT) AS x "
-        f"FROM {last} vv JOIN mvf ON mvf.r = vv.r), "
-        f"den AS (SELECT CAST(SUM(v * v) AS HUGEINT) AS x FROM {last}) "
-        "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nd) AS n_nodes, "
-        "(SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges, "
-        "ROUND(CAST(cs.c AS DOUBLE) "
-        "- CAST(num.x AS DOUBLE) / CAST(den.x AS DOUBLE), 6) AS lambda2, "
-        f"(SELECT CAST(COUNT(*) AS BIGINT) FROM {last} WHERE v > 0) "
-        "AS n_pos FROM cs, num, den"
-    )
-
-
-def _markov_stationary_oracle_sql() -> str:
-    """Mirror of _q_markov_stationary: the 5 principal-minor 4x4
-    determinants of the self-loop-free count Laplacian written out as
-    HUGEINT permutation expansions (24 signed 4-products each)."""
-    from itertools import permutations
-
-    n_states = len(_MARKOV_STATES)
-    pivot = ", ".join(
-        f"COALESCE(MAX(CASE WHEN src = '{s}' AND dst = '{d}' "
-        f"THEN n END), 0) AS c{j}{k}"
-        for j, s in enumerate(_MARKOV_STATES)
-        for k, d in enumerate(_MARKOV_STATES)
-    )
-    rows = ", ".join(
-        f"CAST({' + '.join(f'c{j}{k}' for k in range(n_states))} "
-        f"AS HUGEINT) AS r{j}"
-        for j in range(n_states)
-    )
-    lap = ", ".join(
-        (
-            f"CAST({' + '.join(f'c{j}{k}' for k in range(n_states) if k != j)} "
-            f"AS HUGEINT) AS m{j}{j}"
-            if j == k
-            else f"CAST(-c{j}{k} AS HUGEINT) AS m{j}{k}"
-        )
-        for j in range(n_states)
-        for k in range(n_states)
-    )
-
-    def det(i: int) -> str:
-        idx = [j for j in range(n_states) if j != i]
-        terms = []
-        for perm in permutations(range(4)):
-            inv = sum(
-                1
-                for a in range(4)
-                for b in range(a + 1, 4)
-                if perm[a] > perm[b]
-            )
-            prod = " * ".join(f"m{idx[a]}{idx[perm[a]]}" for a in range(4))
-            terms.append(("- " if inv % 2 else "+ ") + prod)
-        return "(" + " ".join(terms).lstrip("+ ") + ")"
-
-    dets = ", ".join(f"{det(i)} AS a{i}" for i in range(n_states))
-    svals = ", ".join(f"r{i} * a{i} AS s{i}" for i in range(n_states))
-    tot = " + ".join(f"s{i}" for i in range(n_states))
-    finals = " UNION ALL ".join(
-        f"SELECT '{s}' AS state, CAST(r{i} AS BIGINT) AS n_out, "
-        f"ROUND(CAST(s{i} AS DOUBLE) / CAST({tot} AS DOUBLE), 6) AS pi "
-        "FROM z"
-        for i, s in enumerate(_MARKOV_STATES)
-    )
-    return (
-        "WITH s AS (SELECT user_id, event_type AS src, "
-        "LEAD(event_type) OVER (PARTITION BY user_id "
-        "ORDER BY ts, event_id) AS dst FROM events), "
-        "c AS (SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n FROM s "
-        "WHERE dst IS NOT NULL GROUP BY 1, 2), "
-        f"p AS (SELECT {pivot} FROM c), "
-        f"q AS (SELECT *, {rows}, {lap} FROM p), "
-        f"d AS (SELECT *, {dets} FROM q), "
-        f"z AS (SELECT *, {svals} FROM d) "
-        f"{finals}"
-    )
-
-
-def _bilinear_oracle_sql(grid: str) -> str:
-    """Mirror of _q_bilinear_sample: the identical driver-side stencil
-    (pix, weight per probe) joined against the full grid."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.affine import (
-        bilinear_weights,
-    )
-
-    plon = np.array([p[0] for p in OG_KNN_PROBES])
-    plat = np.array([p[1] for p in OG_KNN_PROBES])
-    rows, cols, w = bilinear_weights(OG_TRANSFORM, plon, plat)
-    pix = rows * OG_W + cols
-    values = ", ".join(
-        f"(CAST({q} AS BIGINT), CAST({int(pix[q, j])} AS BIGINT), {w[q, j]!r})"
-        for q in range(len(plon))
-        for j in range(4)
-    )
-    return (
-        f"SELECT v.probe_id, ROUND(SUM(v.w * g.z), 6) AS bilinear_z "
-        f"FROM (VALUES {values}) v(probe_id, vpix, w) "
-        f"JOIN ({grid}) g ON g.pix = v.vpix GROUP BY v.probe_id"
-    )
-
-
-def _s2_cells_oracle_sql() -> str:
-    """Mirror of _q_s2_cells via the frozen-geometry trick: the geocode
-    lon/lat depend only on ``event_id % 9216`` (a 96x96 lattice), so the
-    Hilbert-walk S2 assignment -- not SQL-expressible directly -- is
-    precomputed driver-side for all 9216 lattice positions and shipped
-    as a VALUES mapping.  Data-independent: the table encodes geometry,
-    not the events sample."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.s2 import (
-        s2_cell_of,
-    )
-
-    gp = np.arange(9216)
-    lon = 77.0 + (gp % 96).astype(np.float64) * 0.01
-    lat = 28.05 + ((gp // 96) % 96).astype(np.float64) * 0.01
-    cells = s2_cell_of(lon, lat, 9)
-    vals = ", ".join(
-        f"({int(g)},{int(c)})" for g, c in zip(gp, cells)
-    )
-    return (
-        f"WITH m(gp, s2_9) AS (VALUES {vals}) "
-        "SELECT m.s2_9, CAST(COUNT(*) AS BIGINT) AS n "
-        "FROM events e JOIN m ON (e.event_id % 9216) = m.gp GROUP BY 1"
-    )
-
-
-def _contour_segments_oracle_sql(grid: str, level: float = 25.0) -> str:
-    """Mirror of _q_contour_segments: 2x2 windows via shifted
-    self-joins (the contour_cases pattern) joined to the shared
-    marching-squares segment table (case_id, seg, e1, e2), endpoint
-    coordinates via the identical (level-a)/(b-a) interpolation."""
-    from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
-        _MS_SEGMENTS,
-    )
-
-    seg_rows = ", ".join(
-        f"({c_id}, {s}, {e1}, {e2})"
-        for c_id, segs in sorted(_MS_SEGMENTS.items())
-        for s, (e1, e2) in enumerate(segs)
-    )
-    L = repr(float(level))
-    lx = (
-        "CASE {e} WHEN 0 THEN ({L} - tl)/(tr - tl) WHEN 1 THEN 1.0 "
-        "WHEN 2 THEN ({L} - bl)/(br - bl) ELSE 0.0 END"
-    )
-    ly = (
-        "CASE {e} WHEN 0 THEN 0.0 WHEN 1 THEN ({L} - tr)/(br - tr) "
-        "WHEN 2 THEN 1.0 ELSE ({L} - tl)/(bl - tl) END"
-    )
-    return (
-        f"WITH g AS (SELECT row, col, z FROM ({grid})), "
-        "w AS (SELECT a.row AS row, a.col AS col, "
-        "a.z AS tl, b.z AS tr, c.z AS bl, d.z AS br "
-        "FROM g a JOIN g b ON b.row = a.row AND b.col = a.col + 1 "
-        "JOIN g c ON c.row = a.row + 1 AND c.col = a.col "
-        "JOIN g d ON d.row = a.row + 1 AND d.col = a.col + 1 "
-        "WHERE a.z > -1e30 AND b.z > -1e30 AND c.z > -1e30 "
-        "AND d.z > -1e30), "
-        "wc AS (SELECT *, "
-        f"CAST(CAST(tl > {L} AS INTEGER) + 2 * CAST(tr > {L} AS INTEGER) "
-        f"+ 4 * CAST(br > {L} AS INTEGER) + 8 * CAST(bl > {L} AS INTEGER) "
-        "AS BIGINT) AS case_id FROM w), "
-        f"m(case_id, seg, e1, e2) AS (VALUES {seg_rows}) "
-        "SELECT wc.row, wc.col, m.seg, "
-        f"ROUND(wc.col + {lx.format(e='m.e1', L=L)}, 6) AS x1, "
-        f"ROUND(wc.row + {ly.format(e='m.e1', L=L)}, 6) AS y1, "
-        f"ROUND(wc.col + {lx.format(e='m.e2', L=L)}, 6) AS x2, "
-        f"ROUND(wc.row + {ly.format(e='m.e2', L=L)}, 6) AS y2 "
-        "FROM wc JOIN m ON m.case_id = wc.case_id"
-    )
-
-
-def _km_rint_sql(x: str) -> str:
-    """numpy np.round (banker's rounding: nearest, exact .5 ties to
-    even) as a DuckDB expression -- DuckDB ROUND is ties-away, so the
-    tie case is redone via FLOOR parity."""
-    f = f"FLOOR({x})"
-    return (
-        f"(CASE WHEN ({x}) - {f} = 0.5 "
-        f"THEN {f} + CAST(CAST({f} AS BIGINT) % 2 <> 0 AS INTEGER) "
-        f"ELSE ROUND(({x}), 0) END)"
-    )
-
-
-def _kmeans_oracle_sql(K: int = 8, ITERS: int = 4, SEED: int = 42,
-                       QUANT: int = 1_000_000) -> str:
-    """Mirror of _q_kmeans_clusters (stages/ann.py::kmeans_fit):
-    Lloyd's iterations UNROLLED as chained MATERIALIZED CTEs (DuckDB
-    inlines plain CTEs, which re-evaluates the chain exponentially --
-    220x slower without MATERIALIZED).  Init = bottom-k by mix32,
-    assignment = argmax dot with first-index tiebreak, accumulators
-    int64-quantized with numpy's banker's rounding (_km_rint_sql),
-    empty clusters keep their previous centroid.  Verified equal to
-    the engine at sf0.01 and sf0.1; float summation-order divergence
-    (numpy pairwise vs SQL sequential) is the known residual risk."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
-        mix32_sql,
-    )
-
-    h = mix32_sql("vec_id", SEED)
-    parts = [
-        # per-(vec, dim) float64 values
-        "WITH raw AS (SELECT vec_id, GENERATE_SUBSCRIPTS(embedding, 1) AS i, "
-        "CAST(UNNEST(embedding) AS DOUBLE) AS v FROM embeddings), "
-        # unit vectors
-        "nrm AS MATERIALIZED (SELECT vec_id, SQRT(SUM(v * v)) AS n FROM raw GROUP BY 1), "
-        "u AS MATERIALIZED (SELECT raw.vec_id, raw.i, "
-        "raw.v / (CASE WHEN nrm.n = 0 THEN 1.0 ELSE nrm.n END) AS v "
-        "FROM raw JOIN nrm ON nrm.vec_id = raw.vec_id), "
-        # init: bottom-K by (mix32, vec_id), cluster ids in vec_id order
-        f"init AS MATERIALIZED (SELECT vec_id FROM (SELECT vec_id, {h} AS hh "
-        f"FROM embeddings) ORDER BY hh, vec_id LIMIT {K}), "
-        "c0 AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cl, "
-        "vec_id FROM init), "
-        # initial centroids = the unit vectors of the init rows
-        "cent0 AS MATERIALIZED (SELECT c0.cl, u.i, u.v AS cv FROM c0 "
-        "JOIN u ON u.vec_id = c0.vec_id)",
-    ]
-    for t in range(1, ITERS + 1):
-        p, c = t - 1, t
-        parts.append(
-            # assignment against cent{p}: argmax dot, ties -> lowest cl
-            f", dot{c} AS MATERIALIZED (SELECT u.vec_id, cent{p}.cl, "
-            f"SUM(u.v * cent{p}.cv) AS d "
-            f"FROM u JOIN cent{p} ON cent{p}.i = u.i GROUP BY 1, 2), "
-            f"a{c} AS MATERIALIZED (SELECT vec_id, cl FROM (SELECT vec_id, cl, "
-            f"ROW_NUMBER() OVER (PARTITION BY vec_id "
-            f"ORDER BY d DESC, cl ASC) AS rn FROM dot{c}) WHERE rn = 1), "
-            # quantized accumulation (banker's rint like np.round)
-            f"s{c} AS MATERIALIZED (SELECT a{c}.cl, u.i, "
-            f"SUM(CAST({_km_rint_sql(f'u.v * {QUANT}')} AS BIGINT)) AS tot, "
-            f"CAST(COUNT(*) AS BIGINT) AS n "
-            f"FROM a{c} JOIN u ON u.vec_id = a{c}.vec_id GROUP BY 1, 2), "
-            # raw new centroid tot/(quant*n), then unit-normalize;
-            # empty clusters keep the previous centroid
-            f"r{c} AS MATERIALIZED (SELECT cl, i, "
-            f"CAST(tot AS DOUBLE) / ({QUANT}.0 * CAST(n AS DOUBLE)) AS rv "
-            f"FROM s{c}), "
-            f"rn{c} AS MATERIALIZED (SELECT cl, SQRT(SUM(rv * rv)) AS n FROM r{c} "
-            f"GROUP BY 1), "
-            f"cent{c} AS MATERIALIZED ("
-            f"SELECT r{c}.cl, r{c}.i, r{c}.rv / "
-            f"(CASE WHEN rn{c}.n = 0 THEN 1.0 ELSE rn{c}.n END) AS cv "
-            f"FROM r{c} JOIN rn{c} ON rn{c}.cl = r{c}.cl "
-            f"UNION ALL "
-            f"SELECT cent{p}.cl, cent{p}.i, cent{p}.cv FROM cent{p} "
-            f"WHERE cent{p}.cl NOT IN (SELECT cl FROM s{c}))"
-        )
-    T = ITERS
-    parts.append(
-        f", dotF AS (SELECT u.vec_id, cent{T}.cl, SUM(u.v * cent{T}.cv) AS d "
-        f"FROM u JOIN cent{T} ON cent{T}.i = u.i GROUP BY 1, 2), "
-        "aF AS (SELECT vec_id, cl FROM (SELECT vec_id, cl, "
-        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d DESC, cl ASC) "
-        "AS rn FROM dotF) WHERE rn = 1), "
-        "cnt AS (SELECT cl, CAST(COUNT(*) AS BIGINT) AS n FROM aF "
-        "GROUP BY cl) "
-        f"SELECT r.range AS cluster_id, COALESCE(cnt.n, 0) AS n "
-        f"FROM range(0, {K}) r LEFT JOIN cnt ON cnt.cl = r.range "
-        "ORDER BY cluster_id"
-    )
-    return "".join(parts)
-
-
-
-
-_SW_EN_SQL = "['the','of','and','to','in','a','is','that','for','it','as','with','on','be','are','this','was','at','by','an']"
-_SW_DE_SQL = "['der','die','das','und','ist','von','zu','mit','den','nicht','ein','eine','auf','im','des','sich']"
-_SW_FR_SQL = "['le','la','les','de','des','et','un','une','est','dans','que','pour','sur','avec','ne','pas','au','du']"
-
-_TOKS_SQL = (
-    "CASE WHEN TRIM(text) = '' THEN CAST([] AS VARCHAR[]) "
-    "ELSE REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+') END"
-)
-
-
-def _lang_id_oracle_sql() -> str:
-    """Mirror of functions/text.py::detect_language: devanagari/letter
-    ratio gate (RE2 \\p{L} == Python [^\\W\\d_] on this corpus,
-    component-verified), then best stopword-hit count with the
-    dict-order tiebreak (en > de > fr), <5%% hits -> 'zz'."""
-    return (
-        "WITH b AS (SELECT doc_id, text, "
-        "LEN(regexp_extract_all(text, '[\u0900-\u097f]')) AS n_dev, "
-        "LEN(regexp_extract_all(text, '[\\p{L}]')) AS n_alpha, "
-        "CASE WHEN TRIM(text) = '' THEN CAST([] AS VARCHAR[]) ELSE "
-        "REGEXP_SPLIT_TO_ARRAY(TRIM(LOWER(text)), '\\s+') END AS toks "
-        "FROM documents), "
-        "s AS (SELECT doc_id, n_dev, n_alpha, ARRAY_LENGTH(toks) AS n_tok, "
-        "LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(" + _SW_EN_SQL + ", x))) AS h_en, "
-        "LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(" + _SW_DE_SQL + ", x))) AS h_de, "
-        "LEN(LIST_FILTER(toks, x -> LIST_CONTAINS(" + _SW_FR_SQL + ", x))) AS h_fr "
-        "FROM b) "
-        "SELECT doc_id, CASE "
-        "WHEN text_empty THEN 'zz' "
-        "WHEN n_alpha > 0 AND CAST(n_dev AS DOUBLE) / n_alpha > 0.3 THEN 'hi' "
-        "WHEN n_tok IS NULL OR n_tok = 0 THEN 'zz' "
-        "WHEN best_hits * 20 < n_tok THEN 'zz' "
-        "ELSE best END AS lang_id "
-        "FROM (SELECT s.doc_id, d.text = '' AS text_empty, s.n_dev, "
-        "s.n_alpha, s.n_tok, GREATEST(h_en, h_de, h_fr) AS best_hits, "
-        "CASE WHEN h_en >= h_de AND h_en >= h_fr AND h_en > 0 THEN 'en' "
-        "WHEN h_de >= h_fr AND h_de > 0 THEN 'de' "
-        "WHEN h_fr > 0 THEN 'fr' ELSE 'zz' END AS best "
-        "FROM s JOIN documents d ON d.doc_id = s.doc_id)"
-    )
-
-
-def _text_cleaning_oracle_sql() -> str:
-    """Mirror of functions/text.py::clean_text(require_terminal_punct=
-    False): kept lines = distinct (case-folded) non-empty stripped
-    lines with >= 3 whitespace tokens; docs keeping nothing emit 0."""
-    return (
-        "WITH l AS (SELECT doc_id, "
-        "TRIM(UNNEST(STR_SPLIT(text, chr(10)))) AS s FROM documents), "
-        "q AS (SELECT doc_id, LOWER(s) AS k FROM l WHERE s <> '' "
-        "AND ARRAY_LENGTH(REGEXP_SPLIT_TO_ARRAY(s, '\\s+')) >= 3), "
-        "c AS (SELECT doc_id, CAST(COUNT(DISTINCT k) AS BIGINT) AS n "
-        "FROM q GROUP BY doc_id) "
-        "SELECT d.doc_id, COALESCE(c.n, 0) AS n_lines_kept "
-        "FROM documents d LEFT JOIN c ON c.doc_id = d.doc_id"
-    )
-
-
-def _quality_features_oracle_sql() -> str:
-    """Mirror of functions/text.py::quality_features: identical count
-    components (component-verified vs Python at sf0.01/sf0.1) and the
-    identical left-to-right float expression order for the ratios and
-    the monotone score product."""
-    return (
-        "WITH b AS (SELECT doc_id, text, LENGTH(text) AS n_chars, "
-        "LEN(regexp_extract_all(text, '[.,;:!?\"''()\\-]')) AS n_punct, "
-        "LEN(regexp_extract_all(text, '[0-9]')) AS n_digit, "
-        "LEN(regexp_extract_all(text, '[A-Z\u00c0-\u00d6\u00d8-\u00de]')) AS n_upper, "
-        + _TOKS_SQL + " AS toks FROM documents), "
-        "s AS (SELECT doc_id, n_chars, n_punct, n_digit, n_upper, "
-        "COALESCE(ARRAY_LENGTH(toks), 0) AS n_tok, "
-        "COALESCE(LIST_SUM(LIST_TRANSFORM(toks, x -> LENGTH(x))), 0) AS sum_len, "
-        "COALESCE(LEN(LIST_DISTINCT(LIST_TRANSFORM(toks, x -> LOWER(x)))), 0) AS n_uniq, "
-        "COALESCE(LEN(LIST_FILTER(LIST_TRANSFORM(toks, x -> LOWER(x)), "
-        "x -> LIST_CONTAINS(" + _SW_EN_SQL + ", x))), 0) AS n_sw FROM b), "
-        "f AS (SELECT doc_id, n_chars, "
-        "CASE WHEN n_tok = 0 THEN 0.0 ELSE CAST(sum_len AS DOUBLE) / n_tok END AS mwl, "
-        "CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_punct AS DOUBLE) / n_chars END AS punct_ratio, "
-        "CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_digit AS DOUBLE) / n_chars END AS digit_ratio, "
-        "CASE WHEN n_chars = 0 THEN 0.0 ELSE CAST(n_upper AS DOUBLE) / n_chars END AS upper_ratio, "
-        "CASE WHEN n_tok = 0 THEN 0.0 ELSE CAST(n_sw AS DOUBLE) / n_tok END AS stopword_ratio, "
-        "CASE WHEN n_tok = 0 THEN 0.0 ELSE CAST(n_uniq AS DOUBLE) / n_tok END AS uniq, "
-        "n_tok FROM s) "
-        "SELECT doc_id, "
-        "CASE WHEN n_chars = 0 THEN 0.0 ELSE mwl END AS mean_word_len, "
-        "punct_ratio, digit_ratio, upper_ratio, stopword_ratio, "
-        "uniq AS unique_token_ratio, "
-        "CASE WHEN n_chars = 0 THEN 0.0 ELSE "
-        "(((CASE WHEN n_tok < 5 THEN 1.0 * 0.2 ELSE 1.0 END) "
-        "* (CASE WHEN mwl < 2.0 OR mwl > 12.0 THEN 0.5 ELSE 1.0 END)) "
-        "* (1.0 - LEAST(digit_ratio * 2.0, 0.5))) "
-        "* (0.5 + 0.5 * LEAST(uniq * 1.5, 1.0)) END AS quality "
-        "FROM f"
-    )
-
-
-
-
-
-def _line_of_sight_oracle_sql(n_steps: int = 64, clearance: float = 2.0) -> str:
-    """Mirror of _q_line_of_sight: identical endpoint-pixel indices
-    (precomputed ints), step fractions, nearest-pixel floor lookups,
-    and strict height comparison."""
-    import numpy as np
-
-    a = 0.01
-    parts = []
-    probes = list(enumerate(OG_KNN_PROBES))
-    for i, (ia, p_a) in enumerate(probes):
-        for ib, p_b in probes[i + 1:]:
-            ca = int(np.floor((p_a[0] - 77.0) / a))
-            ra = int(np.floor((29.0 - p_a[1]) / a))
-            cb = int(np.floor((p_b[0] - 77.0) / a))
-            rb = int(np.floor((29.0 - p_b[1]) / a))
-            dlon = p_b[0] - p_a[0]
-            dlat = p_b[1] - p_a[1]
-            parts.append(
-                f"SELECT CAST({ia * 10 + ib} AS BIGINT) AS pair_id, "
-                f"CAST(CASE WHEN nb = 0 THEN 1 ELSE 0 END AS BIGINT) "
-                f"AS visible, CAST(nb AS BIGINT) AS n_blocked FROM ("
-                f"SELECT SUM(CASE WHEN gz.z IS NOT NULL "
-                f"AND gz.z > e.za + s.t * (e.zb - e.za) "
-                f"THEN 1 ELSE 0 END) AS nb "
-                f"FROM (SELECT (CAST(i.range AS DOUBLE) + 1.0) "
-                f"/ {float(n_steps + 1)!r} AS t FROM range(0, {n_steps}) i) s "
-                f"CROSS JOIN (SELECT "
-                f"COALESCE((SELECT z FROM g WHERE row = {ra} "
-                f"AND col = {ca} AND z > -1e30), 0.0) + {clearance!r} AS za, "
-                f"COALESCE((SELECT z FROM g WHERE row = {rb} "
-                f"AND col = {cb} AND z > -1e30), 0.0) + {clearance!r} AS zb) e "
-                f"LEFT JOIN g gz ON gz.row = CAST(FLOOR((29.0 - "
-                f"({p_a[1]!r} + s.t * {dlat!r})) / 0.01) AS BIGINT) "
-                f"AND gz.col = CAST(FLOOR((({p_a[0]!r} + s.t * {dlon!r}) "
-                f"- 77.0) / 0.01) AS BIGINT) AND gz.z > -1e30)"
-            )
-    return (
-        f"WITH g AS ({_OG_SLOPE_GRID_SQL}) " + " UNION ALL ".join(parts)
-    )
-
-
-
-def _cover_bbox_oracle_sql(res_min: int = 5, res_max: int = 8) -> str:
-    """Mirror of _q_cover_bbox: identical cell-size doubles and
-    bounds arithmetic, recursive quadtree walk of boundary cells."""
-    import numpy as np
-
-    poly = OG_POLYGONS["q0"]
-    minx = min(p[0] for p in poly)
-    maxx = max(p[0] for p in poly)
-    miny = min(p[1] for p in poly)
-    maxy = max(p[1] for p in poly)
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.cells import (
-        cell_size,
-    )
-
-    s0 = cell_size(res_min)
-    ix0 = int(np.floor((minx + 180.0) / s0))
-    ix1 = int(np.floor((maxx + 180.0) / s0))
-    iy0 = int(np.floor((miny + 90.0) / s0))
-    iy1 = int(np.floor((maxy + 90.0) / s0))
-
-    def bounds_expr(r_expr, iy_expr, ix_expr):
-        s = f"(360.0 / POWER(2.0, {r_expr} + 8))"
-        return (
-            f"({ix_expr}) * {s} - 180.0",
-            f"({iy_expr}) * {s} - 90.0",
-            f"(({ix_expr}) + 1) * {s} - 180.0",
-            f"(({iy_expr}) + 1) * {s} - 90.0",
-        )
-
-    bx0, by0, bx1, by1 = bounds_expr(str(res_min), "iy", "ix")
-    full0 = (
-        f"CASE WHEN {bx0} >= {minx!r} AND {bx1} <= {maxx!r} "
-        f"AND {by0} >= {miny!r} AND {by1} <= {maxy!r} THEN 1 ELSE 0 END"
-    )
-    disj0 = (
-        f"({bx1} <= {minx!r} OR {bx0} >= {maxx!r} "
-        f"OR {by1} <= {miny!r} OR {by0} >= {maxy!r})"
-    )
-    cx0, cy0, cx1, cy1 = ("q.cx0", "q.cy0", "q.cx1", "q.cy1")
-    ex0, ey0, ex1, ey1 = bounds_expr("w.r + 1", "2 * w.iy + d.dy", "2 * w.ix + d.dx")
-    return (
-        f"WITH RECURSIVE roots AS (SELECT y.range AS iy, x.range AS ix "
-        f"FROM range({iy0}, {iy1 + 1}) y, range({ix0}, {ix1 + 1}) x), "
-        f"w(r, iy, ix, state) AS ("
-        f"SELECT {res_min}, iy, ix, {full0} FROM roots WHERE NOT {disj0} "
-        f"UNION ALL "
-        f"SELECT q.r, q.iy, q.ix, "
-        f"CASE WHEN {cx0} >= {minx!r} AND {cx1} <= {maxx!r} "
-        f"AND {cy0} >= {miny!r} AND {cy1} <= {maxy!r} THEN 1 ELSE 0 END "
-        f"FROM (SELECT w.r + 1 AS r, 2 * w.iy + d.dy AS iy, "
-        f"2 * w.ix + d.dx AS ix, {ex0} AS cx0, {ey0} AS cy0, "
-        f"{ex1} AS cx1, {ey1} AS cy1 "
-        f"FROM w JOIN (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) d(dy, dx) "
-        f"ON TRUE WHERE w.state = 0 AND w.r < {res_max}) q "
-        f"WHERE NOT ({cx1} <= {minx!r} OR {cx0} >= {maxx!r} "
-        f"OR {cy1} <= {miny!r} OR {cy0} >= {maxy!r})) "
-        f"SELECT CAST(r AS BIGINT) AS res, CAST(iy AS BIGINT) AS iy, "
-        f"CAST(ix AS BIGINT) AS ix, CAST(state AS BIGINT) AS full "
-        f"FROM w WHERE state = 1 OR r = {res_max}"
-    )
-
-
-def _boundary_distance_oracle_sql() -> str:
-    """Mirror of _q_boundary_distance: per edge, the clamped
-    projection t and squared offset with engine-identical float
-    constants (dx, dy, denom precomputed in Python and inlined, so
-    both sides multiply the same doubles); LEAST over edges, one
-    SQRT, ROUND 6."""
-    probes = [(i, p) for i, p in enumerate(OG_KNN_PROBES)]
-    probes += [(100 + i, p) for i, p in enumerate(OG_KNN_OUTSIDE_PROBES)]
-    values = ", ".join(
-        f"(CAST({i} AS BIGINT), {p[0]!r}, {p[1]!r})" for i, p in probes
-    )
-    parts = []
-    for pid, pts in sorted(OG_POLYGONS.items()):
-        terms = []
-        n = len(pts)
-        for e in range(n):
-            ax, ay = float(pts[e][0]), float(pts[e][1])
-            bx, by = float(pts[(e + 1) % n][0]), float(pts[(e + 1) % n][1])
-            dx, dy = bx - ax, by - ay
-            denom = dx * dx + dy * dy
-            t = (
-                f"LEAST(GREATEST((((lon - {ax!r}) * {dx!r} "
-                f"+ (lat - {ay!r}) * {dy!r}) / {denom!r}), 0.0), 1.0)"
-            )
-            terms.append(
-                f"((lon - ({ax!r} + {t} * {dx!r})) "
-                f"* (lon - ({ax!r} + {t} * {dx!r})) "
-                f"+ (lat - ({ay!r} + {t} * {dy!r})) "
-                f"* (lat - ({ay!r} + {t} * {dy!r})))"
-            )
-        parts.append(
-            f"SELECT probe_id, '{pid}' AS polygon_id, "
-            f"ROUND(SQRT(LEAST({', '.join(terms)})), 6) AS dist_boundary "
-            f"FROM (SELECT * FROM (VALUES {values}) "
-            f"AS t(probe_id, lon, lat))"
-        )
-    return " UNION ALL ".join(parts)
-
-
-def _polygon_coverage_oracle_sql(res: int = 7, ss: int = 8) -> str:
-    """Mirror of _q_polygon_coverage: per polygon, the identical
-    subpoint lattice (cell index + (i+0.5)/ss offsets, exact cell
-    size 360/2^(res+8)) and the identical strict half-plane test."""
-    import numpy as np
-
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.cells import (
-        cell_size,
-    )
-
-    s = cell_size(res)
-    parts = []
-    for pid, pts in sorted(OG_POLYGONS.items()):
-        xs = [p[0] for p in pts]
-        ys = [p[1] for p in pts]
-        ix0 = int(np.floor((min(xs) + 180.0) / s))
-        ix1 = int(np.floor((max(xs) + 180.0) / s))
-        iy0 = int(np.floor((min(ys) + 90.0) / s))
-        iy1 = int(np.floor((max(ys) + 90.0) / s))
-        parts.append(
-            f"SELECT '{pid}' AS polygon_id, "
-            f"(CAST({res} AS BIGINT) << 56) | (iy << 28) | ix AS cell, "
-            f"ROUND(CAST(cnt AS DOUBLE) / {float(ss * ss)!r}, 6) AS coverage "
-            f"FROM (SELECT ix, iy, SUM(hit) AS cnt FROM ("
-            f"SELECT x.range AS ix, y.range AS iy, "
-            f"CASE WHEN {{hp}} THEN 1 ELSE 0 END AS hit FROM ("
-            f"SELECT x.range, "
-            f"-180.0 + (CAST(x.range AS DOUBLE) "
-            f"+ (CAST(i.range AS DOUBLE) + 0.5) / {float(ss)!r}) * {s!r} AS lon "
-            f"FROM range({ix0}, {ix1 + 1}) x, range(0, {ss}) i) x, ("
-            f"SELECT y.range, "
-            f"-90.0 + (CAST(y.range AS DOUBLE) "
-            f"+ (CAST(j.range AS DOUBLE) + 0.5) / {float(ss)!r}) * {s!r} AS lat "
-            f"FROM range({iy0}, {iy1 + 1}) y, range(0, {ss}) j) y"
-            f") GROUP BY ix, iy) WHERE cnt > 0".format(hp=_halfplane_sql(pts))
-        )
-    return " UNION ALL ".join(parts)
-
-
-def _geofence_oracle_sql() -> str:
-    """Mirror of _q_geofence_transitions: per-polygon membership via
-    the strict-interior half-plane test (equivalent to the engine's
-    even-odd ray cast for these convex CCW fixtures off the lattice),
-    LAG per user ordered by (ts, event_id), a row per flip."""
-    geocode = (
-        "SELECT user_id, ts, event_id, "
-        "77.0 + CAST(event_id % 96 AS DOUBLE) * 0.01 AS lon, "
-        "28.05 + CAST((event_id // 96) % 96 AS DOUBLE) * 0.01 AS lat "
-        "FROM events"
-    )
-    in_cols = ", ".join(
-        f"CASE WHEN {_halfplane_sql(poly)} THEN 1 ELSE 0 END AS in_{pid}"
-        for pid, poly in OG_POLYGONS.items()
-    )
-    lag_cols = ", ".join(
-        f"in_{pid}, LAG(in_{pid}) OVER "
-        f"(PARTITION BY user_id ORDER BY ts, event_id) AS p_{pid}"
-        for pid in OG_POLYGONS
-    )
-    parts = [
-        f"SELECT '{pid}' AS polygon_id, user_id, event_id, "
-        f"CASE WHEN in_{pid} = 1 THEN 'enter' ELSE 'exit' END AS transition "
-        f"FROM l WHERE p_{pid} IS NOT NULL AND in_{pid} <> p_{pid}"
-        for pid in OG_POLYGONS
-    ]
-    return (
-        f"WITH g AS ({geocode}), "
-        f"m AS (SELECT user_id, ts, event_id, {in_cols} FROM g), "
-        f"l AS (SELECT user_id, ts, event_id, {lag_cols} FROM m) "
-        + " UNION ALL ".join(parts)
-    )
-
-
-def _stay_points_oracle_sql(eps: float = 0.3, min_dur: float = 3600.0) -> str:
-    """Mirror of _q_stay_points (Li et al. 2008 kernel,
-    functions/geometry.py::stay_points): the sequential anchor scan as
-    a linear recursive CTE -- each step finds the first fix past eps of
-    the anchor (squared-distance compare, identical float ops on both
-    sides), emits a stay when the dwell reaches min_dur, and advances
-    the anchor.  Users advance independently; recursion depth = longest
-    track.  Verified bit-exact (incl. the rounded dwell sums) at
-    sf0.01 and sf0.1."""
-    eps2 = repr(eps * eps)
-    return f"""
-WITH RECURSIVE g AS (
-  SELECT user_id, ts, event_id,
-         77.0 + CAST(event_id % 96 AS DOUBLE) * 0.01 AS lon,
-         28.05 + CAST((event_id // 96) % 96 AS DOUBLE) * 0.01 AS lat
-  FROM events),
-p AS (
-  SELECT user_id,
-         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS i,
-         lon, lat, epoch_us(ts) / 1000000.0 AS t FROM g),
-ext AS (SELECT user_id, COUNT(*) AS n FROM p GROUP BY user_id),
-rec(user_id, i, stays, dwell) AS (
-  SELECT user_id, 0, CAST(0 AS BIGINT), CAST(0.0 AS DOUBLE) FROM ext
-  UNION ALL
-  SELECT s.user_id,
-         CASE WHEN s.stay THEN s.jb ELSE s.i + 1 END,
-         s.stays + CAST(s.stay AS BIGINT),
-         s.dwell + CASE WHEN s.stay THEN s.tleave - s.tarr ELSE 0.0 END
-  FROM (
-    SELECT u.user_id, u.i, u.stays, u.dwell, u.jb, u.tarr, tl.t AS tleave,
-           (tl.t - u.tarr >= {min_dur!r} AND u.jb - 1 > u.i) AS stay
-    FROM (
-      SELECT rec.user_id, rec.i, rec.stays, rec.dwell, pa.t AS tarr,
-             COALESCE(MIN(q.i), ext.n) AS jb
-      FROM rec
-      JOIN ext ON ext.user_id = rec.user_id
-      JOIN p pa ON pa.user_id = rec.user_id AND pa.i = rec.i
-      LEFT JOIN p q ON q.user_id = rec.user_id AND q.i > rec.i
-        AND (q.lon - pa.lon)*(q.lon - pa.lon)
-            + (q.lat - pa.lat)*(q.lat - pa.lat) > {eps2}
-      WHERE rec.i < ext.n
-      GROUP BY rec.user_id, rec.i, rec.stays, rec.dwell, pa.t, ext.n
-    ) u
-    JOIN p tl ON tl.user_id = u.user_id AND tl.i = u.jb - 1
-  ) s
-)
-SELECT r.user_id, r.stays AS n_stays, ROUND(r.dwell, 6) AS total_dwell_s
-FROM rec r JOIN ext e ON e.user_id = r.user_id
-WHERE r.i >= e.n
-"""
-
-
-def _track_simplify_oracle_sql(tol: float = 0.02) -> str:
-    """Mirror of _q_track_simplify: Douglas-Peucker as a recursive CTE.
-
-    DP's keep-set is independent of split-processing order, so the
-    recursion is a segment work-list: each pending (a, b) finds its
-    max-perpendicular-distance interior point (same |cross|/sqrt(seg2)
-    formula as functions/geometry.py::simplify_dp, ROW_NUMBER tiebreak =
-    np.argmax first-index) and splits while dmax > tol.  Kept vertices =
-    all segment endpoints of the recursion's closure.
-
-    DuckDB 1.0 quirk: inside a WITH RECURSIVE list, a plain ``UNION``
-    between two SELECTs dedups per-branch only -- the kept CTE needs the
-    explicit outer DISTINCT over UNION ALL."""
-    return (
-        "WITH RECURSIVE g AS ("
-        "  SELECT user_id, ts, event_id,"
-        "         77.0 + CAST(event_id % 96 AS DOUBLE) * 0.01 AS lon,"
-        "         28.05 + CAST((event_id // 96) % 96 AS DOUBLE) * 0.01 AS lat"
-        "  FROM events),"
-        " p AS ("
-        "  SELECT user_id,"
-        "         ROW_NUMBER() OVER (PARTITION BY user_id"
-        "                            ORDER BY ts, event_id) - 1 AS i,"
-        "         lon, lat FROM g),"
-        " ext AS (SELECT user_id, MAX(i) AS last, COUNT(*) AS n"
-        "         FROM p GROUP BY user_id),"
-        " seg(user_id, a, b) AS ("
-        "  SELECT user_id, 0, last FROM ext"
-        "  UNION ALL"
-        "  SELECT v.user_id, v.na, v.nb FROM ("
-        "    SELECT u.user_id, u.a, u.b, u.m, u.d,"
-        "           ROW_NUMBER() OVER (PARTITION BY u.user_id, u.a, u.b"
-        "                              ORDER BY u.d DESC, u.m ASC) AS rn"
-        "    FROM ("
-        "      SELECT seg.user_id, seg.a, seg.b, q.i AS m,"
-        "             CASE WHEN (pb.lon - pa.lon)*(pb.lon - pa.lon)"
-        "                       + (pb.lat - pa.lat)*(pb.lat - pa.lat) = 0.0"
-        "                  THEN SQRT((q.lon - pa.lon)*(q.lon - pa.lon)"
-        "                            + (q.lat - pa.lat)*(q.lat - pa.lat))"
-        "                  ELSE ABS((q.lon - pa.lon)*(pb.lat - pa.lat)"
-        "                           - (q.lat - pa.lat)*(pb.lon - pa.lon))"
-        "                       / SQRT((pb.lon - pa.lon)*(pb.lon - pa.lon)"
-        "                              + (pb.lat - pa.lat)*(pb.lat - pa.lat))"
-        "             END AS d"
-        "      FROM seg"
-        "      JOIN p pa ON pa.user_id = seg.user_id AND pa.i = seg.a"
-        "      JOIN p pb ON pb.user_id = seg.user_id AND pb.i = seg.b"
-        "      JOIN p q  ON q.user_id = seg.user_id"
-        "                AND q.i > seg.a AND q.i < seg.b"
-        "    ) u"
-        "  ) t, LATERAL (VALUES (t.user_id, t.a, t.m),"
-        "                       (t.user_id, t.m, t.b)) v(user_id, na, nb)"
-        f"  WHERE t.rn = 1 AND t.d > {tol!r}"
-        " ),"
-        " kept AS ("
-        "  SELECT DISTINCT user_id, i FROM ("
-        "    SELECT user_id, a AS i FROM seg"
-        "    UNION ALL SELECT user_id, b AS i FROM seg)),"
-        " o AS ("
-        "  SELECT k.user_id, p.i, p.lon, p.lat,"
-        "         LAG(p.lon) OVER w AS plon, LAG(p.lat) OVER w AS plat"
-        "  FROM kept k JOIN p ON p.user_id = k.user_id AND p.i = k.i"
-        "  WINDOW w AS (PARTITION BY k.user_id ORDER BY p.i)),"
-        " res AS ("
-        "  SELECT user_id,"
-        "         COALESCE(SUM(SQRT((lon - plon)*(lon - plon)"
-        "                           + (lat - plat)*(lat - plat))), 0.0)"
-        "           AS len,"
-        "         COUNT(*) AS n_kept"
-        "  FROM o GROUP BY user_id)"
-        " SELECT r.user_id, CAST(e.n AS BIGINT) AS n_raw,"
-        "        CAST(r.n_kept AS BIGINT) AS n_kept,"
-        "        ROUND(r.len, 6) AS simplified_len"
-        " FROM res r JOIN ext e ON e.user_id = r.user_id"
-    )
-
-
-def _pagerank_sql(iters: int = 10) -> str:
-    """Unrolled fixed-iteration PageRank mirror of _q_word_pagerank
-    (recursive CTEs cannot aggregate over their own reference, so the
-    10 rounds unroll as chained CTEs)."""
-    head = (
-        "WITH tok AS (SELECT DISTINCT source AS w "
-        "FROM documents WHERE LEN(source) >= 4), "
-        "e AS (SELECT a.w AS w1, b.w AS w2 FROM tok a JOIN tok b "
-        "ON a.w < b.w AND ABS(LEN(a.w) - LEN(b.w)) <= 1 "
-        "AND LEVENSHTEIN(a.w, b.w) = 1), "
-        "sym AS (SELECT w1, w2 FROM e UNION ALL SELECT w2, w1 FROM e), "
-        "deg AS (SELECT w1 AS w, CAST(COUNT(*) AS DOUBLE) AS d "
-        "FROM sym GROUP BY w1), "
-        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM deg), "
-        "pr0 AS (SELECT deg.w, 1.0 / nn.n AS r FROM deg, nn)"
-    )
-    parts = [head]
-    for k in range(1, iters + 1):
-        parts.append(
-            f", s{k} AS (SELECT sym.w2 AS w, "
-            f"SUM(pr{k-1}.r / deg.d) AS inc FROM sym "
-            f"JOIN pr{k-1} ON pr{k-1}.w = sym.w1 "
-            f"JOIN deg ON deg.w = sym.w1 GROUP BY sym.w2), "
-            f"pr{k} AS (SELECT deg.w, "
-            f"(1.0 - 0.85) / nn.n + 0.85 * COALESCE(s{k}.inc, 0.0) AS r "
-            f"FROM deg CROSS JOIN nn "
-            f"LEFT JOIN s{k} ON s{k}.w = deg.w)"
-        )
-    parts.append(
-        f" SELECT w AS word, ROUND(r, 6) AS rank FROM pr{iters} "
-        "ORDER BY ROUND(r, 6) DESC, w LIMIT 15"
-    )
-    return "".join(parts)
-
-
-_ROLL_POWS = [1, 1099511628211, 956575116354345, 624165263380053675,
-              11527715348014283921]  # B^0..B^4 mod 2**64 (hashing.py)
-
-
-def _minhash_core_sql() -> str:
-    """Shared CTE list (no WITH keyword) recomputing the full MinHash
-    LSH pipeline (stages/dedup.py::minhash_lsh_dedup) in pure SQL:
-    documents -> char-5-shingle Rabin-Karp rolling hashes (explicit
-    5-term polynomial, the closed form of the engine's rolling update)
-    -> 64 frozen universal-hash permutations (MinHasher seed 42; the
-    (a_j, b_j) table is data-independent config, like the
-    marching-squares segment table) -> per-doc per-perm MIN -> 8-band
-    FNV band keys -> bucket-capped candidate pairs -> signature
-    similarity >= 0.8 verify.  Ends with `ver(a, b)`.  Scope: mirrors
-    the k=5 shingle path (every sf document is >= 44 bytes; the
-    engine's short-text fallback shrinks k only below 5 bytes).
-    DISTINCT shingles are value-safe (MIN ignores duplicates).  The
-    2044-position grid bounds doc length; sf maxlen is 577."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.hashing import (
-        MinHasher,
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.sqlmirror import (
-        FNV_OFFSET, FNV_PRIME, M64, _hexval,
-    )
-
-    mh = MinHasher(64, 42)
-    perm_vals = ", ".join(
-        f"({j}, {int(a)}::HUGEINT, {int(b)}::HUGEINT)"
-        for j, (a, b) in enumerate(zip(mh.a, mh.b))
-    )
-
-    def byte(pos: str) -> str:
-        return (
-            f"(16 * {_hexval('db.hx', f'2*({pos})-1')} "
-            f"+ {_hexval('db.hx', f'2*({pos})')})::HUGEINT"
-        )
-
-    shingle = " + ".join(
-        f"{byte(f'i+{j}')} * {_ROLL_POWS[4-j]}::HUGEINT" for j in range(5)
-    )
-    return (
-        f"perms(j, a, b) AS (VALUES {perm_vals}), "
-        "db AS MATERIALIZED (SELECT doc_id, hex(encode(text)) AS hx, "
-        "octet_length(encode(text)) AS n FROM documents), "
-        "pos AS (SELECT i FROM range(1, 2045) t(i)), "
-        "sh AS MATERIALIZED (SELECT DISTINCT doc_id, "
-        f"(({shingle}) % {M64}) AS h "
-        "FROM db JOIN pos t ON t.i <= db.n - 4), "
-        "sig AS MATERIALIZED (SELECT doc_id, p.j, "
-        f"MIN((h * p.a + p.b) % {M64}) AS s "
-        "FROM sh, perms p GROUP BY doc_id, p.j), "
-        "sigl AS MATERIALIZED (SELECT doc_id, list(s ORDER BY j) AS sl "
-        "FROM sig GROUP BY doc_id), "
-        "bk AS MATERIALIZED (SELECT doc_id, bb.band, "
-        f"xor(list_reduce(list_prepend({FNV_OFFSET}::HUGEINT, "
-        "sl[bb.band*8+1 : bb.band*8+8]), "
-        f"(h, x) -> (xor(h, x) * {FNV_PRIME}::HUGEINT) % {M64}), "
-        "(bb.band::HUGEINT << 56)) AS key "
-        "FROM sigl, range(0, 8) bb(band)), "
-        "bsz AS MATERIALIZED (SELECT band, key, COUNT(*) AS g FROM bk "
-        "GROUP BY band, key), "
-        "cand AS (SELECT DISTINCT x.doc_id AS ia, y.doc_id AS ib "
-        "FROM bk x JOIN bk y ON y.band = x.band AND y.key = x.key "
-        "AND y.doc_id > x.doc_id "
-        "JOIN bsz ON bsz.band = x.band AND bsz.key = x.key "
-        "WHERE bsz.g BETWEEN 2 AND 1000), "
-        "ver AS MATERIALIZED (SELECT c.ia AS a, c.ib AS b "
-        "FROM cand c JOIN sig s1 ON s1.doc_id = c.ia "
-        "JOIN sig s2 ON s2.doc_id = c.ib AND s2.j = s1.j "
-        "GROUP BY c.ia, c.ib "
-        "HAVING (SUM(CASE WHEN s1.s = s2.s THEN 1 ELSE 0 END) / 64.0) "
-        ">= 0.8)"
-    )
-
-
-def _cluster_tail_sql(src: str = "ver") -> str:
-    """Recursive min-label transitive closure over a pair list
-    `src(a, b)` -> (doc_id, cluster_rep): the SQL form of the engine's
-    label propagation / union-find (identical min-id reps,
-    non-singleton components only since every node is in a pair)."""
-    return (
-        f"nodes AS (SELECT a AS n FROM {src} UNION SELECT b FROM {src}), "
-        f"edges AS (SELECT a, b FROM {src} "
-        f"UNION SELECT b AS a, a AS b FROM {src}), "
-        "reach(n, r) AS (SELECT n, n FROM nodes UNION "
-        "SELECT reach.n, e.b FROM reach JOIN edges e ON e.a = reach.r) "
-        "SELECT n AS doc_id, MIN(r) AS cluster_rep FROM reach GROUP BY n"
-    )
-
-
-def _winnow_dedup_oracle_sql() -> str:
-    """Mirror of _q_winnow_dedup (stages/dedup.py::winnow_dedup): the
-    8-term rolling-shingle polynomial, full-window sliding MIN (window
-    16; docs with <= 16 shingles collapse to their global min exactly
-    like the engine's short-text branch), DISTINCT fingerprints,
-    postings in [2, 500], shared counts, containment overlap as the
-    identical single int/int division (bit-exact, no rounding
-    needed)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.sqlmirror import (
-        M64, _hexval,
-    )
-
-    pows, p = [], 1
-    for _ in range(8):
-        pows.append(p)
-        p = (p * 1099511628211) % (1 << 64)
-
-    def byte(pos: str) -> str:
-        return (
-            f"(16 * {_hexval('db.hx', f'2*({pos})-1')} "
-            f"+ {_hexval('db.hx', f'2*({pos})')})::HUGEINT"
-        )
-
-    shingle = " + ".join(
-        f"{byte(f'i+{j}')} * {pows[7-j]}::HUGEINT" for j in range(8)
-    )
-    return (
-        "WITH db AS MATERIALIZED (SELECT doc_id, hex(encode(text)) AS hx, "
-        "octet_length(encode(text)) AS n FROM documents), "
-        "pos AS (SELECT i FROM range(1, 2045) t(i)), "
-        "sh AS MATERIALIZED (SELECT doc_id, t.i AS i, "
-        f"(({shingle}) % {M64}) AS h "
-        "FROM db JOIN pos t ON t.i <= db.n - 7), "
-        "cnt AS (SELECT doc_id, COUNT(*) AS ns FROM sh GROUP BY doc_id), "
-        "w AS (SELECT sh.doc_id, sh.i, MIN(sh.h) OVER "
-        "(PARTITION BY sh.doc_id ORDER BY sh.i "
-        "ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS wmin FROM sh), "
-        "fps AS MATERIALIZED ("
-        "SELECT DISTINCT w.doc_id, w.wmin AS fp FROM w "
-        "JOIN cnt ON cnt.doc_id = w.doc_id "
-        "WHERE cnt.ns > 16 AND w.i >= 16 "
-        "UNION "
-        "SELECT sh.doc_id, MIN(sh.h) AS fp FROM sh "
-        "JOIN cnt ON cnt.doc_id = sh.doc_id WHERE cnt.ns <= 16 "
-        "GROUP BY sh.doc_id), "
-        "post AS (SELECT fp, COUNT(*) AS g FROM fps GROUP BY fp), "
-        "pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, "
-        "CAST(COUNT(*) AS BIGINT) AS shared "
-        "FROM fps x JOIN fps y ON y.fp = x.fp AND y.doc_id > x.doc_id "
-        "JOIN post ON post.fp = x.fp "
-        "WHERE post.g BETWEEN 2 AND 500 GROUP BY x.doc_id, y.doc_id), "
-        "sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS m FROM fps "
-        "GROUP BY doc_id) "
-        "SELECT p.a, p.b, p.shared, "
-        "p.shared / CAST(LEAST(sa.m, sb.m) AS DOUBLE) AS overlap "
-        "FROM pairs p JOIN sz sa ON sa.doc_id = p.a "
-        "JOIN sz sb ON sb.doc_id = p.b "
-        "WHERE p.shared / CAST(LEAST(sa.m, sb.m) AS DOUBLE) >= 0.5"
-    )
-
-
-def _passage_dedup_oracle_sql(chunk: int = 10) -> str:
-    """Mirror of _q_passage_dedup: disjoint token spans via list
-    slicing, winner = MIN (doc_id, span_idx) per span STRING (grouping
-    by the span text equals grouping by its fnv1a hash absent a 64-bit
-    collision), exact int/int ratio."""
-    return (
-        "WITH tok AS (SELECT doc_id, "
-        "list_filter(string_split(text, ' '), t -> t <> '') AS toks "
-        "FROM documents), "
-        f"ns AS (SELECT doc_id, toks, ARRAY_LENGTH(toks) // {chunk} AS n "
-        "FROM tok), "
-        "spans AS (SELECT doc_id, j AS span_idx, "
-        f"array_to_string(toks[j*{chunk}+1 : j*{chunk}+{chunk}], ' ') AS s "
-        "FROM ns, range(0, 205) t(j) WHERE j < ns.n), "
-        "w AS (SELECT doc_id, span_idx, s, "
-        "CASE WHEN ROW_NUMBER() OVER (PARTITION BY s "
-        "ORDER BY doc_id, span_idx) = 1 THEN 0 ELSE 1 END AS dup "
-        "FROM spans) "
-        "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans, "
-        "CAST(SUM(dup) AS BIGINT) AS n_dup, "
-        "SUM(dup) / CAST(COUNT(*) AS DOUBLE) AS dup_ratio "
-        "FROM w GROUP BY doc_id"
-    )
-
-
-def _minhash_dedup_oracle_sql() -> str:
-    """Mirror of _q_minhash_dedup; verified value-equal at
-    sf0.001/0.01/0.1 (45/47/... rows)."""
-    return f"WITH RECURSIVE {_minhash_core_sql()}, {_cluster_tail_sql()}"
-
-
-def _simhash_dedup_oracle_sql() -> str:
-    """Mirror of _q_simhash_dedup (stages/dedup.py::simhash_dedup):
-    the pure-SQL SimHash (sqlmirror), four 16-bit pigeonhole band
-    buckets, exact Hamming verify via bit_count(xor), same closure."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.sqlmirror import (
-        M64, simhash64_sql,
-    )
-
-    return (
-        f"WITH RECURSIVE shx AS ({simhash64_sql('documents')}), "
-        "shu AS MATERIALIZED (SELECT doc_id, CASE WHEN simhash64 < 0 "
-        f"THEN simhash64::HUGEINT + {M64} "
-        "ELSE simhash64::HUGEINT END AS h FROM shx), "
-        "bku AS MATERIALIZED (SELECT doc_id, h, "
-        "CAST(bb.band * 65536 + ((h >> (bb.band * 16)) % 65536) "
-        "AS BIGINT) AS gk FROM shu, range(0, 4) bb(band)), "
-        "bsz AS MATERIALIZED (SELECT gk, COUNT(*) AS g FROM bku "
-        "GROUP BY gk), "
-        "ver AS MATERIALIZED (SELECT DISTINCT x.doc_id AS a, "
-        "y.doc_id AS b "
-        "FROM bku x JOIN bku y ON y.gk = x.gk AND y.doc_id > x.doc_id "
-        "JOIN bsz ON bsz.gk = x.gk "
-        "WHERE bsz.g BETWEEN 2 AND 1000 "
-        "AND bit_count(xor(x.h, y.h)) <= 3), "
-        f"{_cluster_tail_sql()}"
-    )
-
-
-def _jaccard_pairs_oracle_sql() -> str:
-    """Mirror of _q_jaccard_pairs: the minhash pipeline's clusters ->
-    first 20 (rep, doc) pairs ordered by doc_id (the engine's
-    to_pylist order: label propagation emits rows sorted by doc_id) ->
-    exact word-3-gram Jaccard over DISTINCT grams (set Jaccard over
-    identical-fnv1a-hash grams equals set Jaccard over the gram
-    strings absent a 64-bit collision)."""
-    grams = (
-        "CASE WHEN COALESCE(ARRAY_LENGTH(toks), 0) < 3 "
-        "THEN (CASE WHEN COALESCE(ARRAY_LENGTH(toks), 0) = 0 THEN [] "
-        "ELSE [array_to_string(toks, ' ')] END) "
-        "ELSE list_transform(range(1, ARRAY_LENGTH(toks) - 1), "
-        "i -> toks[i] || chr(31) || toks[i+1] || chr(31) || toks[i+2]) "
-        "END"
-    )
-    return (
-        f"WITH RECURSIVE {_minhash_core_sql()}, "
-        "nodes AS (SELECT a AS n FROM ver UNION SELECT b FROM ver), "
-        "edges AS (SELECT a, b FROM ver "
-        "UNION SELECT b AS a, a AS b FROM ver), "
-        "reach(n, r) AS (SELECT n, n FROM nodes UNION "
-        "SELECT reach.n, e.b FROM reach JOIN edges e ON e.a = reach.r), "
-        "clus AS MATERIALIZED (SELECT n AS doc_id, MIN(r) AS rep "
-        "FROM reach GROUP BY n), "
-        "pick AS MATERIALIZED (SELECT rep AS a, doc_id AS b FROM clus "
-        "WHERE doc_id <> rep ORDER BY doc_id LIMIT 20), "
-        "tok AS MATERIALIZED (SELECT doc_id, "
-        "list_filter(string_split(text, ' '), "
-        "t -> t <> '') AS toks FROM documents "
-        "WHERE doc_id IN (SELECT a FROM pick UNION SELECT b FROM pick)), "
-        "gr AS MATERIALIZED (SELECT doc_id, "
-        f"unnest(list_distinct({grams})) AS g FROM tok), "
-        "sz AS MATERIALIZED (SELECT doc_id, COUNT(*) AS m FROM gr "
-        "GROUP BY doc_id), "
-        "inter AS MATERIALIZED (SELECT p.a, p.b, COUNT(*) AS i "
-        "FROM pick p "
-        "JOIN gr ga ON ga.doc_id = p.a "
-        "JOIN gr gb ON gb.doc_id = p.b AND gb.g = ga.g "
-        "GROUP BY p.a, p.b) "
-        "SELECT p.a, p.b, "
-        "COALESCE(i.i, 0) / CAST(sa.m + sb.m - COALESCE(i.i, 0) "
-        "AS DOUBLE) AS jaccard, "
-        "(COALESCE(i.i, 0) / CAST(sa.m + sb.m - COALESCE(i.i, 0) "
-        "AS DOUBLE)) >= 0.8 AS is_dup "
-        "FROM pick p "
-        "JOIN sz sa ON sa.doc_id = p.a "
-        "JOIN sz sb ON sb.doc_id = p.b "
-        "LEFT JOIN inter i ON i.a = p.a AND i.b = p.b"
-    )
-
-
-def _quantiles_oracle_sql(bins: int = 512) -> str:
-    """Mirror of _q_quantiles (stages/sketch.py::quantile_histogram):
-    the equi-width histogram sketch is partitioning-invariant (counts
-    add), so the SQL recomputes the identical sketch -- one min/max
-    pass, truncating bin index with the same clip, cumulative counts
-    over ALL bins, searchsorted-left containing bin, linear
-    interpolation with the identical float expression order; both
-    sides round 2 dp with the DuckDB kernel."""
-    nb = bins
-    return (
-        "WITH mm AS (SELECT MIN(l_extendedprice) AS lo, "
-        "MAX(l_extendedprice) AS hi, COUNT(*) AS n FROM lineitem), "
-        "par AS (SELECT lo, hi, n, CASE WHEN hi > lo "
-        f"THEN (hi - lo) / {nb} ELSE 1.0 END AS width FROM mm), "
-        "binned AS (SELECT LEAST(GREATEST(CAST(TRUNC((l_extendedprice "
-        f"- p.lo) / p.width) AS BIGINT), 0), {nb - 1}) AS b "
-        "FROM lineitem, par p), "
-        "counts AS (SELECT b, COUNT(*) AS c FROM binned GROUP BY b), "
-        f"grid AS (SELECT i AS b FROM range(0, {nb}) t(i)), "
-        "cum0 AS (SELECT g.b, COALESCE(c.c, 0) AS c, "
-        "SUM(COALESCE(c.c, 0)) OVER (ORDER BY g.b) AS cs "
-        "FROM grid g LEFT JOIN counts c ON c.b = g.b), "
-        "cum AS (SELECT b, c, cs, "
-        "COALESCE(LAG(cs) OVER (ORDER BY b), 0) AS prev_cs FROM cum0), "
-        "qs AS (SELECT CAST(v.q AS DOUBLE) AS q FROM (VALUES (0.25), "
-        "(0.5), (0.75), (0.95)) v(q)), "
-        "pick AS (SELECT qs.q, qs.q * p.n AS target, "
-        "LEAST(COALESCE(MIN(CASE WHEN cum.cs >= qs.q * p.n "
-        f"THEN cum.b END), {nb - 1}), {nb - 1}) AS b "
-        "FROM qs, par p, cum GROUP BY qs.q, p.n) "
-        "SELECT pick.q, ROUND(p.lo + (pick.b + "
-        "CASE WHEN cb.c > 0 THEN (pick.target - "
-        "cb.prev_cs) / cb.c ELSE 0.0 END) * p.width, 2) "
-        "AS estimate "
-        "FROM pick CROSS JOIN par p "
-        "JOIN cum cb ON cb.b = pick.b"
-    )
-
-
-def _approx_distinct_oracle_sql() -> str:
-    """Mirror of _q_approx_distinct: the HyperLogLog estimate recomputed
-    in pure SQL (functions/sqlmirror.py) -- FNV-1a over utf-8 bytes via
-    list_reduce, fmix64 in HUGEINT with 32-bit-split wraparound
-    multiplies, register max per top-12-bit index, alpha*m^2/sum(2^-reg)
-    with the linear-counting fallback.  Engine and SQL both round to
-    1 dp (ties-away), absorbing the float-sum-order ulp."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions import (
-        sqlmirror as SM,
-    )
-
-    parts = []
-    for col in ("lang", "source", "text"):
-        rel = f"(SELECT {SM.fnv1a_sql(col)} AS h FROM documents)"
-        parts.append(
-            f"SELECT '{col}' AS \"column\", "
-            f"ROUND({SM.hll_estimate_sql(rel)}, 1) AS estimate"
-        )
-    return " UNION ALL ".join(parts)
-
-
-def _approx_distinct_by_type_oracle_sql() -> str:
-    """Mirror of _q_approx_distinct_by_type
-    (stages/sketch.py::grouped_approx_distinct): per-group register max
-    equals the engine's blob merge, so the grouped SQL estimate is the
-    same construction keyed by event_type; both sides round to 6 dp."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions import (
-        sqlmirror as SM,
-    )
-
-    rel = (
-        f"(SELECT event_type, "
-        f"{SM.fnv1a_sql('CAST(user_id AS VARCHAR)')} AS h FROM events)"
-    )
-    return SM.hll_grouped_estimate_sql(rel, "event_type")
-
-
-def _quality_scores_oracle_sql() -> str:
-    """Mirror of _q_quality: the oracled quality expression
-    (_quality_features_oracle_sql) joined to the pure-SQL SimHash
-    (functions/sqlmirror.py::simhash64_sql -- FNV-1a token hashes,
-    per-bit majority vote, int64 view)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.sqlmirror import (
-        simhash64_sql,
-    )
-
-    return (
-        f"WITH qf AS ({_quality_features_oracle_sql()}), "
-        f"sh AS ({simhash64_sql('documents')}) "
-        "SELECT qf.doc_id, qf.quality, sh.simhash64 "
-        "FROM qf JOIN sh ON sh.doc_id = qf.doc_id"
-    )
-
-
-
-
-def _geohash_expr_for_events() -> str:
-    """Geohash-6 of the events lattice geocode (the identical integer
-    bit-interleave + base32 substring as functions/cells.py, no
-    precomputed table)."""
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.cells import (
-        geohash_sql_expr,
-    )
-
-    return geohash_sql_expr(
-        "(77.0 + CAST(event_id % 96 AS DOUBLE) * 0.01)",
-        "(28.05 + CAST((event_id // 96) % 96 AS DOUBLE) * 0.01)",
-        6,
-    )
-
-
-def _convex_hull_oracle_sql(K: int = 32) -> str:
-    """Mirror of _q_convex_hull without replaying the engine: the
-    strict-hull-vertex predicate evaluated in pure SQL.  K directional
-    extreme points form a sound prune polygon (a hull vertex is never
-    strictly inside the convex hull of ANY point subset, so libm
-    cos/sin value differences between numpy and DuckDB cannot change
-    the result, only the prune's tightness); the surviving O(100)
-    candidates then pass the exact supporting-edge test: p is a strict
-    hull vertex iff some q gives a directed line p->q with every other
-    candidate strictly right of it, allowing collinear points only
-    strictly BETWEEN p and q -- this reproduces the monotone chain's
-    drop-collinear-vertices semantics (stages/stats.py::convex_hull).
-    Verified bit-equal to the engine at sf0.001/0.01/0.1."""
-    cr = "((q.x - c.x)*(r.y - c.y) - (q.y - c.y)*(r.x - c.x))"
-    dt = "((r.x - c.x)*(q.x - c.x) + (r.y - c.y)*(q.y - c.y))"
-    dd = "((q.x - c.x)*(q.x - c.x) + (q.y - c.y)*(q.y - c.y))"
-    return (
-        "WITH pts AS ("
-        "  SELECT DISTINCT"
-        "    (77.0 + CAST(event_id % 96 AS DOUBLE) * 0.01)"
-        "      + CAST((event_id * 2654435761) % 997 AS DOUBLE) / 99700.0 AS x,"
-        "    (28.05 + CAST((event_id // 96) % 96 AS DOUBLE) * 0.01)"
-        "      + CAST((event_id * 40503) % 991 AS DOUBLE) / 99100.0 AS y"
-        "  FROM events),"
-        f" dirs AS (SELECT i, COS(2.0 * PI() * i / {K}.0) AS dx,"
-        f"                 SIN(2.0 * PI() * i / {K}.0) AS dy"
-        f"          FROM range({K}) t(i)),"
-        " ext AS (SELECT DISTINCT x, y FROM ("
-        "   SELECT d.i, p.x, p.y, ROW_NUMBER() OVER ("
-        "     PARTITION BY d.i ORDER BY p.x*d.dx + p.y*d.dy DESC, p.x, p.y"
-        "   ) AS rn FROM dirs d CROSS JOIN pts p) WHERE rn = 1),"
-        " ctr AS (SELECT AVG(x) AS cx, AVG(y) AS cy FROM ext),"
-        " poly AS (SELECT x, y, ROW_NUMBER() OVER ("
-        "   ORDER BY ATAN2(y - ctr.cy, x - ctr.cx)) - 1 AS k FROM ext, ctr),"
-        " edges AS (SELECT a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by2"
-        "   FROM poly a JOIN poly b"
-        "   ON b.k = (a.k + 1) % (SELECT COUNT(*) FROM poly)),"
-        " cand AS (SELECT p.x, p.y FROM pts p WHERE EXISTS ("
-        "   SELECT 1 FROM edges e WHERE"
-        "   (e.bx - e.ax)*(p.y - e.ay) - (e.by2 - e.ay)*(p.x - e.ax) <= 0))"
-        " SELECT c.x, c.y FROM cand c WHERE EXISTS ("
-        "   SELECT 1 FROM cand q WHERE (q.x <> c.x OR q.y <> c.y)"
-        "   AND NOT EXISTS ("
-        "     SELECT 1 FROM cand r"
-        "     WHERE (r.x <> c.x OR r.y <> c.y) AND (r.x <> q.x OR r.y <> q.y)"
-        f"    AND NOT ({cr} < 0.0"
-        f"             OR ({cr} = 0.0 AND {dt} > 0.0 AND {dt} < {dd}))))"
-    )
-
-
-def _dbscan_oracle_sql() -> str:
-    """Mirror of _q_dbscan_clusters (stages/ann.py::grid_dbscan) in
-    pure SQL: eps-cell bucketing with the identical FLOOR(x * (1/eps))
-    arithmetic, dense cells (count >= max(8, n//2000)), 8-connected
-    components as a recursive-CTE transitive closure over the DENSE
-    cell table (bounded by cells, never points), component labels
-    numbered by the component's minimum (cy, cx) cell exactly like the
-    engine's lexsort first-seen numbering, and border cells joining a
-    cluster only when adjacent to exactly one.  Verified bit-equal to
-    the engine at sf0.001/0.01/0.1."""
-    return (
-        "WITH RECURSIVE base AS ("
-        "  SELECT CAST(event_id % 4 AS DOUBLE) AS blob,"
-        "         ((event_id // 4) % 2) = 0 AS in_blob,"
-        "         CAST((event_id * 2654435761) % 997 AS DOUBLE) / 997.0 AS jx,"
-        "         CAST((event_id * 40503) % 991 AS DOUBLE) / 991.0 AS jy"
-        "  FROM events),"
-        " p AS (SELECT"
-        "   CASE WHEN in_blob THEN blob * 10.0 + jx * 0.5 ELSE jx * 40.0 END AS x,"
-        "   CASE WHEN in_blob THEN blob * 5.0 + jy * 0.5 ELSE jy * 20.0 END AS y"
-        "  FROM base),"
-        " pc AS (SELECT x, y,"
-        "   CAST(FLOOR(x * (1.0 / 0.6)) AS BIGINT) AS cx,"
-        "   CAST(FLOOR(y * (1.0 / 0.6)) AS BIGINT) AS cy FROM p),"
-        " mc AS (SELECT GREATEST(8, COUNT(*) // 2000) AS min_count FROM pc),"
-        " cells AS (SELECT cx, cy, COUNT(*) AS n FROM pc GROUP BY 1, 2),"
-        " dense AS (SELECT c.cx, c.cy FROM cells c, mc WHERE c.n >= mc.min_count),"
-        " reach(cx, cy, rx, ry) AS ("
-        "   SELECT cx, cy, cx, cy FROM dense"
-        "   UNION"
-        "   SELECT r.cx, r.cy, d.cx, d.cy FROM reach r JOIN dense d"
-        "     ON ABS(d.cx - r.rx) <= 1 AND ABS(d.cy - r.ry) <= 1),"
-        " roots AS (SELECT cx, cy, MIN(ry * 100000 + rx) AS rootkey"
-        "           FROM reach GROUP BY 1, 2),"
-        " dlab AS (SELECT cx, cy,"
-        "   DENSE_RANK() OVER (ORDER BY rootkey) - 1 AS label FROM roots),"
-        " blab AS ("
-        "   SELECT c.cx, c.cy, CASE WHEN COUNT(DISTINCT d.label) = 1"
-        "     THEN MIN(d.label) ELSE -1 END AS label"
-        "   FROM (SELECT cells.cx, cells.cy FROM cells, mc"
-        "         WHERE cells.n < mc.min_count) c"
-        "   LEFT JOIN dlab d ON d.cx BETWEEN c.cx - 1 AND c.cx + 1"
-        "     AND d.cy BETWEEN c.cy - 1 AND c.cy + 1"
-        "   GROUP BY 1, 2),"
-        " lab AS (SELECT * FROM dlab UNION ALL SELECT * FROM blab),"
-        " pl AS (SELECT pc.x, pc.y, l.label FROM pc"
-        "   JOIN lab l ON l.cx = pc.cx AND l.cy = pc.cy)"
-        " SELECT CAST(label AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n,"
-        "   ROUND(MIN(x), 6) AS x_min, ROUND(MAX(x), 6) AS x_max,"
-        "   ROUND(MIN(y), 6) AS y_min, ROUND(MAX(y), 6) AS y_max"
-        " FROM pl GROUP BY 1"
-    )
-
-
-def _det4_sql(m: list[list[str]]) -> str:
-    """4x4 determinant of SQL expressions by permutation expansion
-    (24 signed product terms) -- mirrors _det4 exactly."""
-    from itertools import permutations
-
-    terms = []
-    for perm in permutations(range(4)):
-        sign = 1
-        for i in range(4):
-            for j in range(i + 1, 4):
-                if perm[i] > perm[j]:
-                    sign = -sign
-        prod = " * ".join(f"({m[i][perm[i]]})" for i in range(4))
-        terms.append(("+ " if sign > 0 else "- ") + prod)
-    return "(0 " + " ".join(terms) + ")"
-
-
-def _kriging_oracle_sql() -> str:
-    """Mirror of _q_kriging_probes: 3-nearest pivot per probe, linear
-    Manhattan variogram, generated Cramer 4x4 determinant strings."""
-    probes = ", ".join(
-        f"({p}, {px}, {py})" for p, (px, py) in enumerate(_KRIG_PROBES)
-    )
-    A = [
-        ["0", "g12", "g13", "1"],
-        ["g12", "0", "g23", "1"],
-        ["g13", "g23", "0", "1"],
-        ["1", "1", "1", "0"],
-    ]
-    b = ["gp1", "gp2", "gp3", "1"]
-    den = _det4_sql(A)
-    nums = []
-    for i in range(3):
-        Ai = [row[:] for row in A]
-        for r in range(4):
-            Ai[r][i] = b[r]
-        nums.append(f"z{i + 1} * {_det4_sql(Ai)}")
-    num = "(" + " + ".join(nums) + ")"
-    piv = ", ".join(
-        f"MAX(CASE WHEN rn = {r} THEN {c} END) AS {c}{r}"
-        for r in (1, 2, 3)
-        for c in ("x", "y", "z")
-    )
-    return (
-        "WITH cc AS (SELECT event_id % 96 + (event_id // 96 % 96) * 96 "
-        "AS cell, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1), "
-        "top8 AS (SELECT cell, n FROM cc ORDER BY n DESC, cell LIMIT 8), "
-        "nd AS (SELECT cell, n AS z, cell % 96 AS x, cell // 96 AS y "
-        "FROM top8), "
-        f"pr AS (SELECT * FROM (VALUES {probes}) AS v(p, px, py)), "
-        "rk AS (SELECT pr.p, pr.px, pr.py, nd.x, nd.y, nd.z, "
-        "ROW_NUMBER() OVER (PARTITION BY pr.p "
-        "ORDER BY ABS(nd.x - pr.px) + ABS(nd.y - pr.py), nd.cell) "
-        "AS rn FROM pr, nd), "
-        "nb AS (SELECT p, MIN(px) AS px, MIN(py) AS py, "
-        + piv
-        + " FROM rk WHERE rn <= 3 GROUP BY p), "
-        "g AS (SELECT p, px, py, z1, z2, z3, "
-        "ABS(x1 - x2) + ABS(y1 - y2) AS g12, "
-        "ABS(x1 - x3) + ABS(y1 - y3) AS g13, "
-        "ABS(x2 - x3) + ABS(y2 - y3) AS g23, "
-        "ABS(x1 - px) + ABS(y1 - py) AS gp1, "
-        "ABS(x2 - px) + ABS(y2 - py) AS gp2, "
-        "ABS(x3 - px) + ABS(y3 - py) AS gp3 FROM nb), "
-        f"d AS (SELECT p, px, py, CAST({num} AS BIGINT) AS est_num, "
-        f"CAST({den} AS BIGINT) AS est_den FROM g) "
-        "SELECT CAST(p AS BIGINT) AS probe, CAST(px AS BIGINT) AS px, "
-        "CAST(py AS BIGINT) AS py, est_num, est_den, "
-        "ROUND(CAST(est_num AS DOUBLE) / CAST(est_den AS DOUBLE), 6) "
-        "AS estimate FROM d ORDER BY 1"
-    )
-
-
-def _detn_sql(m: list[list[str]]) -> str:
-    """nxn determinant of SQL expressions by permutation expansion --
-    mirrors _detn exactly (120 signed terms for n=5)."""
-    from itertools import permutations
-
-    n = len(m)
-    terms = []
-    for perm in permutations(range(n)):
-        sign = 1
-        for i in range(n):
-            for j in range(i + 1, n):
-                if perm[i] > perm[j]:
-                    sign = -sign
-        prod = " * ".join(f"({m[i][perm[i]]})" for i in range(n))
-        terms.append(("+ " if sign > 0 else "- ") + prod)
-    return "(0 " + " ".join(terms) + ")"
-
-
-def _colley_oracle_sql() -> str:
-    """Mirror of _q_colley_rating: pairwise daily-count preference
-    counts, the 5x5 Colley matrix pivoted into one row, generated
-    Cramer determinant strings."""
-    k = len(_MARKOV_STATES)
-    tvals = ", ".join(
-        f"('{t}', {i})" for i, t in enumerate(_MARKOV_STATES)
-    )
-    cpiv = ", ".join(
-        f"MAX(CASE WHEN i = {i} AND j = {j} THEN v END) AS c{i}{j}"
-        for i in range(k)
-        for j in range(k)
-    )
-    bpiv = ", ".join(
-        f"MAX(CASE WHEN i = {i} THEN b END) AS b{i}" for i in range(k)
-    )
-    C = [[f"c{i}{j}" for j in range(k)] for i in range(k)]
-    dc = _detn_sql(C)
-    numsel = []
-    for i in range(k):
-        Ci = [row[:] for row in C]
-        for r in range(k):
-            Ci[r][i] = f"b{r}"
-        numsel.append(f"CAST({_detn_sql(Ci)} AS BIGINT) AS n{i}")
-    finals = " UNION ALL ".join(
-        f"SELECT '{t}' AS event_type, "
-        f"(SELECT w FROM wl WHERE i = {i}) AS wins, "
-        f"(SELECT l FROM ll WHERE i = {i}) AS losses, "
-        f"det.n{i} AS r_num, 2 * det.dc AS r_den, "
-        f"ROUND(CAST(det.n{i} AS DOUBLE) "
-        "/ CAST(2 * det.dc AS DOUBLE), 6) AS rating FROM det"
-        for i, t in enumerate(_MARKOV_STATES)
-    )
-    return (
-        "WITH c0 AS (SELECT epoch_us(ts) // 86400000000 AS d, "
-        "event_type AS t, CAST(COUNT(*) AS BIGINT) AS c FROM events "
-        "GROUP BY 1, 2), "
-        "dd AS (SELECT DISTINCT d FROM c0), "
-        f"tn AS (SELECT * FROM (VALUES {tvals}) AS v(t, idx)), "
-        "dn AS (SELECT dd.d, tn.t, tn.idx, COALESCE(c0.c, 0) AS c "
-        "FROM dd CROSS JOIN tn LEFT JOIN c0 ON c0.d = dd.d "
-        "AND c0.t = tn.t), "
-        "pidx AS (SELECT a.idx AS i, b.idx AS j, "
-        "CAST(SUM(CASE WHEN a.c > b.c THEN 1 ELSE 0 END) AS BIGINT) "
-        "AS n FROM dn a JOIN dn b ON b.d = a.d AND a.idx <> b.idx "
-        "GROUP BY 1, 2), "
-        "gm AS (SELECT a.i, a.j, a.n + b.n AS g FROM pidx a "
-        "JOIN pidx b ON b.i = a.j AND b.j = a.i), "
-        "tt2 AS (SELECT i, CAST(SUM(g) AS BIGINT) AS t FROM gm "
-        "GROUP BY 1), "
-        "wl AS (SELECT i, CAST(SUM(n) AS BIGINT) AS w FROM pidx "
-        "GROUP BY 1), "
-        "ll AS (SELECT j AS i, CAST(SUM(n) AS BIGINT) AS l FROM pidx "
-        "GROUP BY 1), "
-        "ce AS (SELECT gm.i, gm.j, -gm.g AS v FROM gm "
-        "UNION ALL SELECT tt2.i, tt2.i, 2 + tt2.t FROM tt2), "
-        "bb AS (SELECT wl.i, 2 + wl.w - ll.l AS b FROM wl "
-        "JOIN ll ON ll.i = wl.i), "
-        f"cm AS (SELECT {cpiv} FROM ce), "
-        f"bv AS (SELECT {bpiv} FROM bb), "
-        f"det AS (SELECT CAST({dc} AS BIGINT) AS dc, "
-        + ", ".join(numsel)
-        + " FROM cm, bv) "
-        + finals
-        + " ORDER BY 1"
-    )
-
-
-def _hits_oracle_sql() -> str:
-    """Mirror of _q_hits_scores: 12 unrolled HITS rounds, each a
-    weighted matvec + truncating 1e6-tick renorm (all-positive, so no
-    sign split is needed), generated as materialized CTE chains."""
-    steps = []
-    for i in range(1, _HITS_ITERS + 1):
-        prev = f"a{i - 1}"
-        steps.append(
-            f"h{i} AS MATERIALIZED (SELECT cnt.u, "
-            f"CAST(SUM(cnt.c * {prev}.a) AS HUGEINT) AS h "
-            f"FROM cnt JOIN {prev} ON {prev}.t = cnt.t GROUP BY 1), "
-            f"hm{i} AS (SELECT MAX(h) AS m FROM h{i}), "
-            f"hn{i} AS MATERIALIZED (SELECT u, "
-            f"(h * {_HITS_SCALE}) // m AS h FROM h{i}, hm{i}), "
-            f"aa{i} AS MATERIALIZED (SELECT cnt.t, "
-            f"CAST(SUM(cnt.c * hn{i}.h) AS HUGEINT) AS a "
-            f"FROM cnt JOIN hn{i} ON hn{i}.u = cnt.u GROUP BY 1), "
-            f"am{i} AS (SELECT MAX(a) AS m FROM aa{i}), "
-            f"a{i} AS MATERIALIZED (SELECT t, "
-            f"(a * {_HITS_SCALE}) // m AS a FROM aa{i}, am{i})"
-        )
-    last = f"a{_HITS_ITERS}"
-    return (
-        "WITH cnt AS MATERIALIZED (SELECT user_id AS u, "
-        "event_type AS t, CAST(COUNT(*) AS HUGEINT) AS c FROM events "
-        "GROUP BY 1, 2), "
-        "a0 AS (SELECT DISTINCT event_type AS t, "
-        f"CAST({_HITS_SCALE} AS HUGEINT) AS a FROM events), "
-        + ", ".join(steps)
-        + f" SELECT t AS event_type, CAST(a AS BIGINT) AS auth_q, "
-        "CAST(ROW_NUMBER() OVER (ORDER BY a DESC, t) AS BIGINT) "
-        f"AS auth_rank FROM {last} ORDER BY event_type"
-    )
-
-
-def _mst_oracle_sql() -> str:
-    """Mirror of _q_mst_cells: 9 unrolled Prim steps, each an
-    ORDER-BY-(d,i,j)-LIMIT-1 crossing-edge pick plus a visited-bitmask
-    update, over integer Manhattan distances on the top-10 cells."""
-    steps = []
-    for s in range(1, 10):
-        prev = f"st{s - 1}"
-        steps.append(
-            f"pk{s} AS MATERIALIZED (SELECT d.d, d.i, d.j "
-            f"FROM dist d, {prev} "
-            f"WHERE (({prev}.mask >> d.i) & 1) = 1 "
-            f"AND (({prev}.mask >> d.j) & 1) = 0 "
-            "ORDER BY d.d, d.i, d.j LIMIT 1), "
-            f"st{s} AS (SELECT {prev}.mask | (1 << pk{s}.j) AS mask "
-            f"FROM {prev}, pk{s})"
-        )
-    sel = " UNION ALL ".join(
-        f"SELECT {s} AS step, pk{s}.i, pk{s}.j, pk{s}.d FROM pk{s}"
-        for s in range(1, 10)
-    )
-    return (
-        "WITH cc AS (SELECT event_id % 96 + (event_id // 96 % 96) * 96 "
-        "AS cell, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1), "
-        "top10 AS (SELECT cell FROM cc ORDER BY n DESC, cell LIMIT 10), "
-        "nd AS MATERIALIZED (SELECT cell, "
-        "CAST(ROW_NUMBER() OVER (ORDER BY cell) - 1 AS BIGINT) AS j, "
-        "cell % 96 AS x, cell // 96 AS y FROM top10), "
-        "dist AS MATERIALIZED (SELECT a.j AS i, b.j AS j, "
-        "CAST(ABS(a.x - b.x) + ABS(a.y - b.y) AS BIGINT) AS d "
-        "FROM nd a, nd b WHERE a.j <> b.j), "
-        "st0 AS (SELECT CAST(1 AS BIGINT) AS mask), "
-        + ", ".join(steps)
-        + f", edges AS ({sel}) "
-        "SELECT CAST(edges.step AS BIGINT) AS step, "
-        "na.cell AS a_cell, nb.cell AS b_cell, edges.d FROM edges "
-        "JOIN nd na ON na.j = edges.i JOIN nd nb ON nb.j = edges.j "
-        "ORDER BY 1"
-    )
-
-
-def _assignment_oracle_sql() -> str:
-    """Mirror of _q_assignment_min_cost: the per-facility subset-DP
-    levels unrolled as generated grouped-min CTEs over demand masks."""
-    probes = ", ".join(
-        f"({j}, {px}, {py})" for j, (px, py) in enumerate(_ASSIGN_PROBES)
-    )
-    steps = []
-    for i in range(6):
-        prev = f"d{i}"
-        steps.append(
-            f"d{i + 1} AS MATERIALIZED (SELECT "
-            f"p.mask | (1 << cst.j) AS mask, "
-            f"MIN(p.cost + cst.c) AS cost FROM {prev} p "
-            f"JOIN cst ON cst.i = {i} "
-            "AND ((p.mask >> cst.j) & 1) = 0 GROUP BY 1)"
-        )
-    return (
-        "WITH cc AS (SELECT event_id % 96 + (event_id // 96 % 96) * 96 "
-        "AS cell, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1), "
-        "top6 AS (SELECT cell FROM cc ORDER BY n DESC, cell LIMIT 6), "
-        "nd AS (SELECT cell, "
-        "CAST(ROW_NUMBER() OVER (ORDER BY cell) - 1 AS BIGINT) AS i, "
-        "cell % 96 AS x, cell // 96 AS y FROM top6), "
-        f"pb AS (SELECT * FROM (VALUES {probes}) AS v(j, px, py)), "
-        "cst AS MATERIALIZED (SELECT nd.i, pb.j, "
-        "CAST(ABS(nd.x - pb.px) + ABS(nd.y - pb.py) AS BIGINT) AS c "
-        "FROM nd, pb), "
-        "d0 AS (SELECT 0 AS mask, CAST(0 AS BIGINT) AS cost), "
-        + ", ".join(steps)
-        + " SELECT CAST(6 AS BIGINT) AS n_facilities, "
-        "(SELECT cost FROM d6 WHERE mask = 63) AS min_cost"
-    )
-
-
-def oracle_sql() -> dict[str, str]:
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.cells import (
-        cell_size,
-    )
-
-    grid = _OG_GRID_SQL
-    valid = f"SELECT * FROM ({grid}) WHERE z > -1e30"
-    cell8 = _cell_expr(8)
-    probes_values = ", ".join(
-        f"(CAST({i} AS BIGINT), {p[0]!r}, {p[1]!r})"
-        for i, p in enumerate(OG_KNN_PROBES)
-    )
-    outside_values = ", ".join(
-        f"(CAST({i} AS BIGINT), {p[0]!r}, {p[1]!r})"
-        for i, p in enumerate(OG_KNN_OUTSIDE_PROBES)
-    )
-    pip_parts = []
-    for pid, poly in OG_POLYGONS.items():
-        pip_parts.append(
-            f"SELECT '{pid}' AS polygon_id, COUNT(*) AS n FROM ({valid}) "
-            f"WHERE {_halfplane_sql(poly)}"
-        )
-    tiles_sql = f"""
-      SELECT 'og_' || CAST(tr.range * {OG_TILE} AS VARCHAR) || '_' ||
-             CAST(tc.range * {OG_TILE} AS VARCHAR) AS tile_id,
-             77.0 + 0.01 * (tc.range * {OG_TILE}) AS tminx,
-             29.0 - 0.01 * (tr.range * {OG_TILE} + {OG_TILE}) AS tminy,
-             77.0 + 0.01 * (tc.range * {OG_TILE} + {OG_TILE}) AS tmaxx,
-             29.0 - 0.01 * (tr.range * {OG_TILE}) AS tmaxy
-      FROM range(0, {OG_H // OG_TILE}) tr, range(0, {OG_W // OG_TILE}) tc
-    """
-    poly_boxes = " UNION ALL ".join(
-        "SELECT {} AS pminx, {} AS pminy, {} AS pmaxx, {} AS pmaxy".format(
-            repr(min(x for x, _ in poly)), repr(min(y for _, y in poly)),
-            repr(max(x for x, _ in poly)), repr(max(y for _, y in poly)),
-        )
-        for poly in OG_POLYGONS.values()
-    )
-    out = {
-        "extract_full": f"SELECT pix, lon, lat, z FROM ({grid})",
-        "extract_valid": f"SELECT pix, lon, lat, z FROM ({valid})",
-        "stride_sample": (
-            f"SELECT pix, lon, lat, z FROM ({grid}) WHERE pix % {OG_SAMPLE_RATE} = 0"
-        ),
-        "bounds": (
-            f"SELECT 'oracle' AS src, MIN(lon) AS min_lon, MAX(lon) AS max_lon, "
-            f"MIN(lat) AS min_lat, MAX(lat) AS max_lat, "
-            f"MIN(z) AS min_z, MAX(z) AS max_z FROM ({valid})"
-        ),
-        "band_stats": (
-            f"SELECT 1 AS band, COUNT(*) AS count, MIN(z) AS min, MAX(z) AS max, "
-            f"ROUND(AVG(z), 6) AS mean, "
-            f"ROUND(SQRT(GREATEST(AVG(z*z) - AVG(z)*AVG(z), 0.0)), 6) AS std "
-            f"FROM ({valid})"
-        ),
-        "cell_counts": (
-            f"SELECT {cell8} AS cell_8, COUNT(*) AS n FROM ({valid}) GROUP BY 1"
-        ),
-        "cell_counts_salted": (
-            f"SELECT {cell8} AS cell_8, COUNT(*) AS n FROM ({valid}) GROUP BY 1"
-        ),
-        "bbox_join": (
-            f"SELECT t.tile_id FROM ({tiles_sql}) t WHERE EXISTS ("
-            f"SELECT 1 FROM ({poly_boxes}) p WHERE NOT (t.tmaxx < p.pminx OR "
-            f"t.tminx > p.pmaxx OR t.tmaxy < p.pminy OR t.tminy > p.pmaxy))"
-        ),
-        "pip_join": " UNION ALL ".join(pip_parts),
-        # the sharded tier must produce the IDENTICAL result
-        "pip_join_sharded": " UNION ALL ".join(pip_parts),
-        "zonal_stats": " UNION ALL ".join(
-            f"SELECT '{pid}' AS polygon_id, COUNT(*) AS count, MIN(z) AS min, "
-            f"MAX(z) AS max, ROUND(AVG(z), 6) AS mean, "
-            f"ROUND(SQRT(GREATEST(AVG(z*z) - AVG(z)*AVG(z), 0.0)), 6) AS std "
-            f"FROM ({valid}) WHERE {_halfplane_sql(poly)}"
-            for pid, poly in OG_POLYGONS.items()
-            if pid != "q_out"
-        ),
-        "knn_lookup": (
-            f"SELECT probe_id, pix, z FROM ("
-            f"SELECT p.probe_id, g.pix, g.z, ROW_NUMBER() OVER ("
-            f"PARTITION BY p.probe_id ORDER BY "
-            f"(g.lon - p.plon) * (g.lon - p.plon) + (g.lat - p.plat) * (g.lat - p.plat), g.pix"
-            f") AS rn FROM (VALUES {probes_values}) p(probe_id, plon, plat), ({valid}) g"
-            f") WHERE rn = 1"
-        ),
-        "knn_balltree": (
-            f"SELECT probe_id, pix, z FROM ("
-            f"SELECT p.probe_id, g.pix, g.z, ROW_NUMBER() OVER ("
-            f"PARTITION BY p.probe_id ORDER BY "
-            f"(g.lon - p.plon) * (g.lon - p.plon) + (g.lat - p.plat) * (g.lat - p.plat), g.pix"
-            f") AS rn FROM (VALUES {probes_values}) p(probe_id, plon, plat), ({valid}) g"
-            f") WHERE rn = 1"
-        ),
-        "knn_outside": (
-            f"SELECT probe_id, pix, z FROM ("
-            f"SELECT p.probe_id, g.pix, g.z, ROW_NUMBER() OVER ("
-            f"PARTITION BY p.probe_id ORDER BY "
-            f"(g.lon - p.plon) * (g.lon - p.plon) + (g.lat - p.plat) * (g.lat - p.plat), g.pix"
-            f") AS rn FROM (VALUES {outside_values}) p(probe_id, plon, plat), ({valid}) g"
-            f") WHERE rn = 1"
-        ),
-        # distance-band join: 0.025 deg window, margins to the radius
-        # boundary are ~4e-4 on this grid, so <= on d vs d^2 agree
-        "within_radius": (
-            f"SELECT p.probe_id, g.pix, g.z "
-            f"FROM (VALUES {probes_values}) p(probe_id, plon, plat), ({valid}) g "
-            f"WHERE (g.lon - p.plon) * (g.lon - p.plon) "
-            f"+ (g.lat - p.plat) * (g.lat - p.plat) <= 0.025 * 0.025"
-        ),
-        "downsample_raster": (
-            f"SELECT {_cell_expr(5)} AS cell_5, COUNT(*) AS n, "
-            f"ROUND(AVG(z), 6) AS avg_z, MIN(z) AS min_z, MAX(z) AS max_z "
-            f"FROM ({valid}) GROUP BY 1"
-        ),
-        "bilinear_sample": _bilinear_oracle_sql(grid),
-        "s2_cells": _s2_cells_oracle_sql(),
-        "geohash_cells": (
-            "SELECT " + _geohash_expr_for_events() + " AS geohash6, "
-            "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1"
-        ),
-        "track_simplify": _track_simplify_oracle_sql(),
-        "kmeans_clusters": _kmeans_oracle_sql(),
-        "convex_hull": _convex_hull_oracle_sql(),
-        "dbscan_clusters": _dbscan_oracle_sql(),
-        "approx_distinct": _approx_distinct_oracle_sql(),
-        "approx_distinct_by_type": _approx_distinct_by_type_oracle_sql(),
-        "quality_scores": _quality_scores_oracle_sql(),
-        "quality_filter_by_lang": (
-            f"WITH qf AS ({_quality_features_oracle_sql()}), "
-            "q AS (SELECT qf.doc_id, d.lang, qf.quality FROM qf "
-            "JOIN documents d ON d.doc_id = qf.doc_id), "
-            "m AS (SELECT lang, quantile_disc(quality, 0.5) AS med "
-            "FROM q GROUP BY lang) "
-            "SELECT q.doc_id, q.lang, q.quality FROM q "
-            "JOIN m ON q.lang = m.lang WHERE q.quality > m.med"
-        ),
-        "quantiles": _quantiles_oracle_sql(),
-        "minhash_dedup": _minhash_dedup_oracle_sql(),
-        "simhash_dedup": _simhash_dedup_oracle_sql(),
-        "jaccard_pairs": _jaccard_pairs_oracle_sql(),
-        "winnow_dedup": _winnow_dedup_oracle_sql(),
-        "passage_dedup": _passage_dedup_oracle_sql(),
-        "lang_id": _lang_id_oracle_sql(),
-        "text_cleaning": _text_cleaning_oracle_sql(),
-        "quality_features": _quality_features_oracle_sql(),
-        "stay_points": _stay_points_oracle_sql(),
-        "focal_counts": (
-            # 3x3 focal mean over per-cell counts; ix/iy arithmetic
-            # mirrors functions/cells.py (res 8: s=360/2^16)
-            f"WITH c AS (SELECT "
-            f"LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / {cell_size(8)!r}) AS BIGINT), 0), {2**16 - 1}) AS ix, "
-            f"LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / {cell_size(8)!r}) AS BIGINT), 0), {2**15 - 1}) AS iy, "
-            f"COUNT(*) AS n FROM ({valid}) GROUP BY 1, 2) "
-            f"SELECT (CAST(8 AS BIGINT) << 56) | (a.iy << 28) | a.ix AS cell_8, "
-            f"ROUND(AVG(CAST(b.n AS DOUBLE)), 6) AS focal_n "
-            f"FROM c a JOIN c b ON b.ix BETWEEN a.ix - 1 AND a.ix + 1 "
-            f"AND b.iy BETWEEN a.iy - 1 AND a.iy + 1 GROUP BY 1"
-        ),
-        "tile_slope": (
-            # Horn 3x3 slope; every window value must exist (inner
-            # joins drop raster-edge pixels) and pass the validity
-            # threshold; arithmetic ordered exactly like horn_kernel
-            f"WITH g AS ({_OG_SLOPE_GRID_SQL}), w AS ("
-            f"SELECT e.row AS row, e.col AS col, "
-            f"n1.z AS za, n2.z AS zb, n3.z AS zc, n4.z AS zd, e.z AS ze, "
-            f"n6.z AS zf, n7.z AS zg, n8.z AS zh, n9.z AS zi "
-            f"FROM g e "
-            f"JOIN g n1 ON n1.row = e.row - 1 AND n1.col = e.col - 1 "
-            f"JOIN g n2 ON n2.row = e.row - 1 AND n2.col = e.col "
-            f"JOIN g n3 ON n3.row = e.row - 1 AND n3.col = e.col + 1 "
-            f"JOIN g n4 ON n4.row = e.row AND n4.col = e.col - 1 "
-            f"JOIN g n6 ON n6.row = e.row AND n6.col = e.col + 1 "
-            f"JOIN g n7 ON n7.row = e.row + 1 AND n7.col = e.col - 1 "
-            f"JOIN g n8 ON n8.row = e.row + 1 AND n8.col = e.col "
-            f"JOIN g n9 ON n9.row = e.row + 1 AND n9.col = e.col + 1) "
-            f"SELECT row, col, ROUND(100.0 * SQRT(p * p + q * q), 6) AS slope_pct "
-            f"FROM (SELECT row, col, "
-            f"((zc + 2.0 * zf + zi) - (za + 2.0 * zd + zg)) / (8.0 * 0.01) AS p, "
-            f"((zg + 2.0 * zh + zi) - (za + 2.0 * zb + zc)) / (8.0 * 0.01) AS q "
-            f"FROM w WHERE za > -1e30 AND zb > -1e30 AND zc > -1e30 "
-            f"AND zd > -1e30 AND ze > -1e30 AND zf > -1e30 "
-            f"AND zg > -1e30 AND zh > -1e30 AND zi > -1e30)"
-        ),
-        "tile_ruggedness": (
-            # Riley et al. 1999 TRI; identical window joins and
-            # left-associative squared-diff sum as tri_kernel
-            f"WITH g AS ({_OG_SLOPE_GRID_SQL}), w AS ("
-            f"SELECT e.row AS row, e.col AS col, "
-            f"n1.z AS za, n2.z AS zb, n3.z AS zc, n4.z AS zd, e.z AS ze, "
-            f"n6.z AS zf, n7.z AS zg, n8.z AS zh, n9.z AS zi "
-            f"FROM g e "
-            f"JOIN g n1 ON n1.row = e.row - 1 AND n1.col = e.col - 1 "
-            f"JOIN g n2 ON n2.row = e.row - 1 AND n2.col = e.col "
-            f"JOIN g n3 ON n3.row = e.row - 1 AND n3.col = e.col + 1 "
-            f"JOIN g n4 ON n4.row = e.row AND n4.col = e.col - 1 "
-            f"JOIN g n6 ON n6.row = e.row AND n6.col = e.col + 1 "
-            f"JOIN g n7 ON n7.row = e.row + 1 AND n7.col = e.col - 1 "
-            f"JOIN g n8 ON n8.row = e.row + 1 AND n8.col = e.col "
-            f"JOIN g n9 ON n9.row = e.row + 1 AND n9.col = e.col + 1) "
-            f"SELECT row, col, ROUND(SQRT("
-            f"(za - ze) * (za - ze) + (zb - ze) * (zb - ze) "
-            f"+ (zc - ze) * (zc - ze) + (zd - ze) * (zd - ze) "
-            f"+ (zf - ze) * (zf - ze) + (zg - ze) * (zg - ze) "
-            f"+ (zh - ze) * (zh - ze) + (zi - ze) * (zi - ze)), 6) AS tri "
-            f"FROM w WHERE za > -1e30 AND zb > -1e30 AND zc > -1e30 "
-            f"AND zd > -1e30 AND ze > -1e30 AND zf > -1e30 "
-            f"AND zg > -1e30 AND zh > -1e30 AND zi > -1e30"
-        ),
-        "tile_tpi": (
-            # Weiss TPI: center minus 8-neighbor mean; identical
-            # window joins and left-associative neighbor sum as
-            # tpi_kernel
-            f"WITH g AS ({_OG_SLOPE_GRID_SQL}), w AS ("
-            f"SELECT e.row AS row, e.col AS col, "
-            f"n1.z AS za, n2.z AS zb, n3.z AS zc, n4.z AS zd, e.z AS ze, "
-            f"n6.z AS zf, n7.z AS zg, n8.z AS zh, n9.z AS zi "
-            f"FROM g e "
-            f"JOIN g n1 ON n1.row = e.row - 1 AND n1.col = e.col - 1 "
-            f"JOIN g n2 ON n2.row = e.row - 1 AND n2.col = e.col "
-            f"JOIN g n3 ON n3.row = e.row - 1 AND n3.col = e.col + 1 "
-            f"JOIN g n4 ON n4.row = e.row AND n4.col = e.col - 1 "
-            f"JOIN g n6 ON n6.row = e.row AND n6.col = e.col + 1 "
-            f"JOIN g n7 ON n7.row = e.row + 1 AND n7.col = e.col - 1 "
-            f"JOIN g n8 ON n8.row = e.row + 1 AND n8.col = e.col "
-            f"JOIN g n9 ON n9.row = e.row + 1 AND n9.col = e.col + 1) "
-            f"SELECT row, col, ROUND(ze - "
-            f"(za + zb + zc + zd + zf + zg + zh + zi) / 8.0, 6) AS tpi "
-            f"FROM w WHERE za > -1e30 AND zb > -1e30 AND zc > -1e30 "
-            f"AND zd > -1e30 AND ze > -1e30 AND zf > -1e30 "
-            f"AND zg > -1e30 AND zh > -1e30 AND zi > -1e30"
-        ),
-        "region_labels": (
-            # recursive min-label closure over 4-adjacency of
-            # above-threshold pixels; key = row * 2^20 + col
-            f"WITH RECURSIVE g AS ({_OG_SLOPE_GRID_SQL}), "
-            "v AS (SELECT row * 1048576 + col AS p, row, col FROM g "
-            "WHERE z > -1e30 AND z >= 45.0), "
-            "e AS (SELECT a.p AS p1, b.p AS p2 FROM v a JOIN v b ON "
-            "(b.row = a.row AND b.col = a.col + 1) "
-            "OR (b.row = a.row + 1 AND b.col = a.col)), "
-            "sym AS (SELECT p1, p2 FROM e UNION ALL SELECT p2, p1 FROM e), "
-            "walk(p, r) AS (SELECT p, p FROM v "
-            "UNION SELECT sym.p2, walk.r FROM walk "
-            "JOIN sym ON sym.p1 = walk.p), "
-            "lab AS (SELECT p, MIN(r) AS rep FROM walk GROUP BY p) "
-            "SELECT rep, CAST(COUNT(*) AS BIGINT) AS n_pixels "
-            "FROM lab GROUP BY rep"
-        ),
-        "tile_curvature": (
-            # Zevenbergen-Thorne curvature: identical window joins to
-            # tile_slope; D,E,F,G,H and the three outputs written in
-            # the kernel's exact left-associative float order
-            f"WITH g AS ({_OG_SLOPE_GRID_SQL}), w AS ("
-            f"SELECT e.row AS row, e.col AS col, "
-            f"n1.z AS za, n2.z AS zb, n3.z AS zc, n4.z AS zd, e.z AS ze, "
-            f"n6.z AS zf, n7.z AS zg, n8.z AS zh, n9.z AS zi "
-            f"FROM g e "
-            f"JOIN g n1 ON n1.row = e.row - 1 AND n1.col = e.col - 1 "
-            f"JOIN g n2 ON n2.row = e.row - 1 AND n2.col = e.col "
-            f"JOIN g n3 ON n3.row = e.row - 1 AND n3.col = e.col + 1 "
-            f"JOIN g n4 ON n4.row = e.row AND n4.col = e.col - 1 "
-            f"JOIN g n6 ON n6.row = e.row AND n6.col = e.col + 1 "
-            f"JOIN g n7 ON n7.row = e.row + 1 AND n7.col = e.col - 1 "
-            f"JOIN g n8 ON n8.row = e.row + 1 AND n8.col = e.col "
-            f"JOIN g n9 ON n9.row = e.row + 1 AND n9.col = e.col + 1 "
-            f"WHERE n1.z > -1e30 AND n2.z > -1e30 AND n3.z > -1e30 "
-            f"AND n4.z > -1e30 AND e.z > -1e30 AND n6.z > -1e30 "
-            f"AND n7.z > -1e30 AND n8.z > -1e30 AND n9.z > -1e30), "
-            f"d AS (SELECT row, col, "
-            f"((zd + zf) / 2.0 - ze) / (0.01 * 0.01) AS dd, "
-            f"((zb + zh) / 2.0 - ze) / (0.01 * 0.01) AS ee, "
-            f"(-za + zc + zg - zi) / (4.0 * (0.01 * 0.01)) AS ff, "
-            f"(-zd + zf) / (2.0 * 0.01) AS gg, "
-            f"(zb - zh) / (2.0 * 0.01) AS hh FROM w), "
-            f"e2 AS (SELECT row, col, dd, ee, ff, gg, hh, "
-            f"gg * gg + hh * hh AS g2h2 FROM d) "
-            f"SELECT row, col, "
-            f"ROUND((-2.0 * (dd + ee)) * 100.0, 6) AS curv_general, "
-            f"ROUND(CASE WHEN g2h2 = 0.0 THEN 0.0 ELSE "
-            f"(-2.0 * (dd * gg * gg + ee * hh * hh + ff * gg * hh) / g2h2) * 100.0 "
-            f"END, 6) AS curv_profile, "
-            f"ROUND(CASE WHEN g2h2 = 0.0 THEN 0.0 ELSE "
-            f"(2.0 * (dd * hh * hh + ee * gg * gg - ff * gg * hh) / g2h2) * 100.0 "
-            f"END, 6) AS curv_plan FROM e2"
-        ),
-        "tile_hillshade": (
-            # Lambertian hillshade: Horn p/q windows, constant
-            # light vector, one sqrt -- identical float order to
-            # hillshade_kernel
-            f"WITH g AS ({_OG_SLOPE_GRID_SQL}), w AS ("
-            f"SELECT e.row AS row, e.col AS col, "
-            f"n1.z AS za, n2.z AS zb, n3.z AS zc, n4.z AS zd, e.z AS ze, "
-            f"n6.z AS zf, n7.z AS zg, n8.z AS zh, n9.z AS zi "
-            f"FROM g e "
-            f"JOIN g n1 ON n1.row = e.row - 1 AND n1.col = e.col - 1 "
-            f"JOIN g n2 ON n2.row = e.row - 1 AND n2.col = e.col "
-            f"JOIN g n3 ON n3.row = e.row - 1 AND n3.col = e.col + 1 "
-            f"JOIN g n4 ON n4.row = e.row AND n4.col = e.col - 1 "
-            f"JOIN g n6 ON n6.row = e.row AND n6.col = e.col + 1 "
-            f"JOIN g n7 ON n7.row = e.row + 1 AND n7.col = e.col - 1 "
-            f"JOIN g n8 ON n8.row = e.row + 1 AND n8.col = e.col "
-            f"JOIN g n9 ON n9.row = e.row + 1 AND n9.col = e.col + 1) "
-            f"SELECT row, col, ROUND(255.0 * GREATEST("
-            f"(CAST(-0.5000000000000001 AS DOUBLE) * (-p) "
-            f"+ CAST(0.4999999999999999 AS DOUBLE) * (-q) "
-            f"+ CAST(0.7071067811865475 AS DOUBLE)) "
-            f"/ SQRT(1.0 + (p * p + q * q)), 0.0), 6) AS hillshade "
-            f"FROM (SELECT row, col, "
-            f"((zc + 2.0 * zf + zi) - (za + 2.0 * zd + zg)) / (8.0 * 0.01) AS p, "
-            f"((zg + 2.0 * zh + zi) - (za + 2.0 * zb + zc)) / (8.0 * 0.01) AS q "
-            f"FROM w WHERE za > -1e30 AND zb > -1e30 AND zc > -1e30 "
-            f"AND zd > -1e30 AND ze > -1e30 AND zf > -1e30 "
-            f"AND zg > -1e30 AND zh > -1e30 AND zi > -1e30)"
-        ),
-        "idw_probes": (
-            f"SELECT probe_id, ROUND(SUM(z / dd) / SUM(1.0 / dd), 6) AS idw_z "
-            f"FROM (SELECT p.probe_id, g.z, "
-            f"(g.lon - p.plon) * (g.lon - p.plon) "
-            f"+ (g.lat - p.plat) * (g.lat - p.plat) AS dd "
-            f"FROM (VALUES {probes_values}) p(probe_id, plon, plat), ({valid}) g "
-            f"WHERE (g.lon - p.plon) * (g.lon - p.plon) "
-            f"+ (g.lat - p.plat) * (g.lat - p.plat) <= 0.025 * 0.025"
-            f") GROUP BY probe_id"
-        ),
-        "events_geocode_cells": (
-            f"SELECT {_cell_expr_cols('glon', 'glat', 8)} AS cell_8, "
-            f"COUNT(*) AS n FROM ("
-            f"SELECT 77.0 + CAST(event_id % 96 AS DOUBLE) * 0.01 AS glon, "
-            f"28.05 + CAST((event_id // 96) % 96 AS DOUBLE) * 0.01 AS glat "
-            f"FROM events) GROUP BY 1"
-        ),
-        "window_funcs": (
-            "WITH e AS (SELECT event_id, user_id, ts, "
-            "CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events) "
-            "SELECT user_id, event_id, "
-            "CAST(ROW_NUMBER() OVER "
-            "(PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS rn, "
-            "CAST(SUM(cents) OVER (PARTITION BY user_id "
-            "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
-            "CURRENT ROW) AS BIGINT) AS cum_cents, "
-            "CAST(epoch_us(ts) - lag(epoch_us(ts)) OVER "
-            "(PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) "
-            "AS delta_us, "
-            "ROUND(AVG(cents) OVER (PARTITION BY user_id "
-            "ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND "
-            "CURRENT ROW) / 100.0, 6) AS mov_avg3 "
-            "FROM e"
-        ),
-        "zscore_chars": (
-            "WITH m AS (SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n, "
-            "CAST(SUM(n_chars) AS DOUBLE) AS sx, "
-            "CAST(SUM(n_chars * n_chars) AS DOUBLE) AS sxx "
-            "FROM documents GROUP BY lang) "
-            "SELECT doc_id, "
-            "ROUND((n_chars - sx / n) / "
-            "sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS z "
-            "FROM documents JOIN m USING (lang)"
-        ),
-        "hash_split": (
-            "SELECT lang, CASE WHEN b < 80 THEN 'train' "
-            "WHEN b < 90 THEN 'val' ELSE 'test' END AS split, "
-            "CAST(COUNT(*) AS BIGINT) AS n FROM "
-            "(SELECT lang, ("
-            + __import__("tiff_to_geojson_csv_json_format_converter_ray.functions.sketch",
-                         fromlist=["mix32_sql"]).mix32_sql("doc_id", 17)
-            + ") % 100 AS b FROM documents) GROUP BY lang, split"
-        ),
-        "intersect_users": (
-            "SELECT DISTINCT user_id FROM events WHERE event_type = 'click' "
-            "INTERSECT "
-            "SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'"
-        ),
-        "bigram_counts": (
-            "WITH w AS (SELECT list_filter(string_split(text, ' '), "
-            "t -> t <> '') AS ws FROM documents), "
-            "g AS (SELECT ws[i] || ' ' || ws[i+1] AS gram FROM w, "
-            "LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i)) "
-            "SELECT gram, CAST(COUNT(*) AS BIGINT) AS n FROM g "
-            "GROUP BY gram ORDER BY n DESC, gram LIMIT 50"
-        ),
-        "dup_passages": (
-            "WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), "
-            "t -> t <> '') AS ws FROM documents), "
-            "g AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] "
-            "AS gram FROM w, "
-            "LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS i)), "
-            "d AS (SELECT gram, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd "
-            "FROM g GROUP BY gram) "
-            "SELECT gram, nd FROM d WHERE nd >= 2 "
-            "ORDER BY nd DESC, gram LIMIT 50"
-        ),
-        "new_users_daily": (
-            "WITH f AS (SELECT user_id, MIN(ts) AS fts FROM events "
-            "GROUP BY user_id), "
-            "d AS (SELECT date_trunc('day', fts) AS day, "
-            "CAST(COUNT(*) AS BIGINT) AS new_keys FROM f GROUP BY day) "
-            "SELECT day, new_keys, "
-            "CAST(SUM(new_keys) OVER (ORDER BY day) AS BIGINT) AS cum_keys "
-            "FROM d"
-        ),
-        "pii_redact": (
-            lambda _ep=__import__(
-                "tiff_to_geojson_csv_json_format_converter_ray.stages.textops",
-                fromlist=["PII_PATTERNS"],
-            ).PII_PATTERNS: (
-                "WITH s AS (SELECT doc_id, 'contact user' || "
-                "CAST(doc_id AS VARCHAR) || '@' || source || '.com or +91' "
-                "|| CAST(n_chars AS VARCHAR) || ' ' || substr(text, 1, 40) "
-                "AS raw FROM documents) "
-                "SELECT doc_id, "
-                f"CAST(len(regexp_extract_all(raw, '{_ep[0][1]}')) AS BIGINT)"
-                " AS n_email, "
-                "CAST(len(regexp_extract_all(regexp_replace(raw, "
-                f"'{_ep[0][1]}', '{_ep[0][2]}', 'g'), '{_ep[1][1]}')) "
-                "AS BIGINT) AS n_number, "
-                f"regexp_replace(regexp_replace(raw, '{_ep[0][1]}', "
-                f"'{_ep[0][2]}', 'g'), '{_ep[1][1]}', '{_ep[1][2]}', 'g') "
-                "AS redacted FROM s"
-            )
-        )(),
-        "mode_source": (
-            "SELECT lang, source AS mode, n FROM ("
-            "SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n, "
-            "ROW_NUMBER() OVER (PARTITION BY lang "
-            "ORDER BY COUNT(*) DESC, source) AS rn "
-            "FROM documents GROUP BY lang, source) WHERE rn = 1"
-        ),
-        "pmi_bigrams": (
-            "WITH w AS (SELECT list_filter(string_split(text, ' '), "
-            "t -> t <> '') AS ws FROM documents), "
-            "uni AS (SELECT unnest(ws) AS tok FROM w), "
-            "u AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c "
-            "FROM uni GROUP BY tok), "
-            "nu AS (SELECT SUM(c) AS n1 FROM u), "
-            "big AS (SELECT ws[i] AS w1, ws[i+1] AS w2, "
-            "ws[i] || ' ' || ws[i+1] AS gram FROM w, "
-            "LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i)), "
-            "b AS (SELECT w1, w2, gram, CAST(COUNT(*) AS DOUBLE) AS cb "
-            "FROM big GROUP BY w1, w2, gram), "
-            "nb AS (SELECT SUM(cb) AS n2 FROM b) "
-            "SELECT gram, CAST(cb AS BIGINT) AS n, "
-            "ROUND(ln((cb / n2) / ((u1.c / n1) * (u2.c / n1))), 6) AS pmi "
-            "FROM b JOIN u u1 ON b.w1 = u1.tok "
-            "JOIN u u2 ON b.w2 = u2.tok, nb, nu "
-            "WHERE cb >= 5 ORDER BY pmi DESC, gram LIMIT 50"
-        ),
-        "except_docs": (
-            "SELECT doc_id FROM documents WHERE contains(text, 'spark') "
-            "EXCEPT "
-            "SELECT doc_id FROM documents WHERE contains(text, 'vector')"
-        ),
-        "dow_histogram": (
-            "SELECT CAST(isodow(ts) AS BIGINT) AS isodow, "
-            "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY isodow"
-        ),
-        "lang_share": (
-            "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, "
-            "ROUND(COUNT(*) / SUM(COUNT(*)) OVER (), 6) AS share "
-            "FROM documents GROUP BY lang"
-        ),
-        "lang_temperature_sample": (
-            # identical float order to the engine: rate =
-            # ROUND(min(1, pow(n,.3)/S*N/n), 6); keep iff
-            # mix32(doc_id,29)/2^32 < rate
-            "WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang), "
-            "t AS (SELECT CAST(SUM(n) AS DOUBLE) AS big_n, "
-            "SUM(POWER(CAST(n AS DOUBLE), 0.3)) AS s FROM c), "
-            "r AS (SELECT lang, n, ROUND(LEAST(1.0, "
-            "POWER(CAST(n AS DOUBLE), 0.3) / s * big_n / CAST(n AS DOUBLE)"
-            "), 6) AS rate FROM c, t), "
-            "k AS (SELECT d.lang, "
-            "SUM(CASE WHEN CAST(("
-            + __import__("tiff_to_geojson_csv_json_format_converter_ray.functions.sketch",
-                         fromlist=["mix32_sql"]).mix32_sql("d.doc_id", 29)
-            + ") AS DOUBLE) / 4294967296.0 < r.rate THEN 1 ELSE 0 END) AS n_after, "
-            "SUM(CASE WHEN CAST(("
-            + __import__("tiff_to_geojson_csv_json_format_converter_ray.functions.sketch",
-                         fromlist=["mix32_sql"]).mix32_sql("d.doc_id", 29)
-            + ") AS DOUBLE) / 4294967296.0 < r.rate THEN d.doc_id ELSE 0 END) "
-            "AS sum_kept_ids FROM documents d JOIN r ON r.lang = d.lang "
-            "GROUP BY d.lang) "
-            "SELECT r.lang, CAST(r.n AS BIGINT) AS n_before, "
-            "CAST(k.n_after AS BIGINT) AS n_after, "
-            "CAST(k.sum_kept_ids AS BIGINT) AS sum_kept_ids "
-            "FROM r JOIN k ON k.lang = r.lang"
-        ),
-        "ngram_repetition": (
-            "WITH arr AS (SELECT doc_id, "
-            "list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') "
-            "AS a FROM documents), "
-            "tri AS (SELECT doc_id, UNNEST(list_transform("
-            "range(1, len(a) - 1), "
-            "i -> a[i] || ' ' || a[i+1] || ' ' || a[i+2])) AS g "
-            "FROM arr WHERE len(a) >= 3) "
-            "SELECT doc_id, "
-            "ROUND(1.0 - CAST(COUNT(DISTINCT g) AS DOUBLE) / COUNT(*), 6) "
-            "AS dup3 FROM tri GROUP BY doc_id"
-        ),
-        "cms_counts": (
-            "SELECT token, CAST(COUNT(*) AS BIGINT) AS est_n FROM "
-            "(SELECT UNNEST(regexp_split_to_array(text, '\\s+')) AS token "
-            "FROM documents) WHERE token <> '' GROUP BY token"
-        ),
-        "distinct_users_by_type": (
-            "SELECT event_type, "
-            "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users "
-            "FROM events GROUP BY event_type"
-        ),
-        "props_extract": (
-            "SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS k, "
-            "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY k"
-        ),
-        "funnel_steps": (
-            "WITH v AS (SELECT user_id, MIN(ts) AS t FROM events "
-            "WHERE event_type = 'view' GROUP BY user_id), "
-            "c AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e "
-            "JOIN v ON e.user_id = v.user_id AND e.ts > v.t "
-            "WHERE e.event_type = 'click' GROUP BY e.user_id), "
-            "p AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e "
-            "JOIN c ON e.user_id = c.user_id AND e.ts > c.t "
-            "WHERE e.event_type = 'purchase' GROUP BY e.user_id) "
-            "SELECT 'view' AS step, CAST((SELECT COUNT(*) FROM v) AS BIGINT) "
-            "AS n_reached "
-            "UNION ALL SELECT 'click', CAST((SELECT COUNT(*) FROM c) AS "
-            "BIGINT) "
-            "UNION ALL SELECT 'purchase', CAST((SELECT COUNT(*) FROM p) AS "
-            "BIGINT)"
-        ),
-        "string_agg_nations": (
-            "SELECT c_nationkey, "
-            "STRING_AGG(c_name, ',' ORDER BY c_custkey) AS agg "
-            "FROM customer GROUP BY c_nationkey"
-        ),
-        "grouped_corr": (
-            "WITH l AS (SELECT l_returnflag, "
-            "CAST(ROUND(l_quantity, 0) AS BIGINT) AS qty, "
-            "CAST(ROUND(l_extendedprice, 0) AS BIGINT) AS dollars "
-            "FROM lineitem), "
-            "m AS (SELECT l_returnflag, "
-            "CAST(COUNT(*) AS DOUBLE) AS n, "
-            "CAST(SUM(qty) AS DOUBLE) AS sx, "
-            "CAST(SUM(dollars) AS DOUBLE) AS sy, "
-            "CAST(SUM(qty * qty) AS DOUBLE) AS sxx, "
-            "CAST(SUM(dollars * dollars) AS DOUBLE) AS syy, "
-            "CAST(SUM(qty * dollars) AS DOUBLE) AS sxy FROM l "
-            "GROUP BY l_returnflag) "
-            "SELECT l_returnflag, "
-            "ROUND((n * sxy - sx * sy) / "
-            "(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) "
-            "AS corr FROM m"
-        ),
-        "quantile_buckets": (
-            "WITH b AS (SELECT "
-            "quantile_disc(l_extendedprice, 0.25) AS q1, "
-            "quantile_disc(l_extendedprice, 0.50) AS q2, "
-            "quantile_disc(l_extendedprice, 0.75) AS q3 FROM lineitem), "
-            "l AS (SELECT l_extendedprice AS v, "
-            "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents "
-            "FROM lineitem) "
-            "SELECT CAST(1 + CAST(v > b.q1 AS INTEGER) "
-            "+ CAST(v > b.q2 AS INTEGER) + CAST(v > b.q3 AS INTEGER) "
-            "AS BIGINT) AS bucket, "
-            "CAST(COUNT(*) AS BIGINT) AS n, "
-            "CAST(SUM(cents) AS BIGINT) AS sum_cents "
-            "FROM l CROSS JOIN b GROUP BY bucket"
-        ),
-        "weighted_sample": (
-            "SELECT o_orderkey, o_totalprice FROM ("
-            "SELECT o_orderkey, o_totalprice, "
-            "POWER((CAST("
-            + __import__("tiff_to_geojson_csv_json_format_converter_ray.functions.sketch",
-                         fromlist=["mix32_sql"]).mix32_sql("o_orderkey", 13)
-            + " AS DOUBLE) + 1.0) / 4294967296.0, 1.0 / o_totalprice) "
-            "AS pri FROM orders) ORDER BY pri DESC, o_orderkey LIMIT 25"
-        ),
-        "heavy_hitters": (
-            "SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM "
-            "(SELECT UNNEST(regexp_split_to_array(text, '\\s+')) AS token "
-            "FROM documents) WHERE token <> '' "
-            "GROUP BY token HAVING COUNT(*) >= 50"
-        ),
-        "rollup_pricing": (
-            "WITH l AS (SELECT l_returnflag, l_linestatus, "
-            "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents "
-            "FROM lineitem) "
-            "SELECT l_returnflag, l_linestatus, "
-            "CAST(COUNT(*) AS BIGINT) AS n, "
-            "CAST(SUM(cents) AS BIGINT) AS sum_cents "
-            "FROM l GROUP BY ROLLUP(l_returnflag, l_linestatus)"
-        ),
-        "pivot_events": (
-            "WITH e AS (SELECT user_id, event_type, "
-            "CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events) "
-            "SELECT user_id, "
-            + ", ".join(
-                f"COUNT(*) FILTER (WHERE event_type = '{c}') AS n_{c}, "
-                f"COALESCE(SUM(cents) FILTER (WHERE event_type = '{c}'), 0) "
-                f"AS sum_{c}"
-                for c in ["click", "error", "purchase", "signup", "view"]
-            )
-            + " FROM e GROUP BY user_id"
-        ),
-        "track_lengths": (
-            f"WITH g AS (SELECT user_id, ts, event_id, "
-            f"77.0 + CAST(event_id % 96 AS DOUBLE) * 0.01 AS lon, "
-            f"28.05 + CAST((event_id // 96) % 96 AS DOUBLE) * 0.01 AS lat "
-            f"FROM events), "
-            f"s AS (SELECT user_id, "
-            f"SQRT((lon - LAG(lon) OVER w) * (lon - LAG(lon) OVER w) "
-            f"+ (lat - LAG(lat) OVER w) * (lat - LAG(lat) OVER w)) AS step "
-            f"FROM g WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
-            f"SELECT user_id, ROUND(COALESCE(SUM(step), 0.0), 6) AS track_len "
-            f"FROM s GROUP BY user_id"
-        ),
-        "geofence_transitions": _geofence_oracle_sql(),
-        "polygon_coverage": _polygon_coverage_oracle_sql(),
-        "boundary_distance": _boundary_distance_oracle_sql(),
-        "bounce_rate": (
-            "WITH s AS (SELECT user_id, epoch_us(ts) AS t, "
-            "LAG(epoch_us(ts)) OVER (PARTITION BY user_id "
-            "ORDER BY ts) AS prev FROM events), "
-            "m AS (SELECT user_id, "
-            "SUM(CASE WHEN prev IS NULL OR t - prev > 1800000000 "
-            "THEN 1 ELSE 0 END) OVER (PARTITION BY user_id "
-            "ORDER BY t ROWS UNBOUNDED PRECEDING) AS sess FROM s), "
-            "g AS (SELECT user_id, sess, COUNT(*) AS sz "
-            "FROM m GROUP BY user_id, sess) "
-            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions, "
-            "CAST(SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT) "
-            "AS n_bounces, "
-            "ROUND(CAST(SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS DOUBLE) "
-            "/ CAST(COUNT(*) AS DOUBLE), 6) AS bounce_rate "
-            "FROM g GROUP BY user_id"
-        ),
-        "burstiness": (
-            "WITH s AS (SELECT user_id, "
-            "(epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id "
-            "ORDER BY ts)) // 1000000 AS gap FROM events), "
-            "g AS (SELECT user_id, gap FROM s WHERE gap IS NOT NULL), "
-            "m AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, "
-            "AVG(CAST(gap AS DOUBLE)) AS mu, "
-            "SQRT(GREATEST(AVG(CAST(gap AS DOUBLE) * CAST(gap AS DOUBLE)) "
-            "- AVG(CAST(gap AS DOUBLE)) * AVG(CAST(gap AS DOUBLE)), 0.0)) "
-            "AS sig FROM g GROUP BY user_id) "
-            "SELECT user_id, n AS n_gaps, "
-            "ROUND(CASE WHEN sig + mu = 0.0 THEN 0.0 "
-            "ELSE (sig - mu) / (sig + mu) END, 6) AS burstiness FROM m"
-        ),
-        "hapax_ratio": (
-            "WITH c AS (SELECT lang, token, COUNT(*) AS n FROM ("
-            "SELECT lang, UNNEST(regexp_split_to_array(text, '\\s+')) "
-            "AS token FROM documents) WHERE token <> '' "
-            "GROUP BY lang, token) "
-            "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_vocab, "
-            "CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) "
-            "AS n_hapax, "
-            "ROUND(CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) "
-            "/ CAST(COUNT(*) AS DOUBLE), 6) AS hapax_ratio "
-            "FROM c GROUP BY lang"
-        ),
-        "dedup_summary": (
-            "WITH c AS (SELECT text, CAST(COUNT(*) AS BIGINT) AS n "
-            "FROM documents GROUP BY text) "
-            "SELECT n AS cluster_size, CAST(COUNT(*) AS BIGINT) "
-            "AS n_clusters, CAST(n * COUNT(*) AS BIGINT) AS n_docs "
-            "FROM c GROUP BY n"
-        ),
-        "zipf_slope": (
-            "WITH c AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS n "
-            "FROM (SELECT UNNEST(regexp_split_to_array(text, '\\s+')) "
-            "AS token FROM documents) WHERE token <> '' GROUP BY token), "
-            "r AS (SELECT n, ROW_NUMBER() OVER "
-            "(ORDER BY n DESC, token) AS rank FROM c), "
-            "qz AS (SELECT "
-            "CAST(ROUND(LN(CAST(rank AS DOUBLE)) * 10000.0, 0) AS BIGINT) AS xq, "
-            "CAST(ROUND(LN(CAST(n AS DOUBLE)) * 10000.0, 0) AS BIGINT) AS yq "
-            "FROM r), "
-            "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS cnt, "
-            "CAST(SUM(xq) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy, "
-            "CAST(SUM(xq * xq) AS BIGINT) AS sxx, "
-            "CAST(SUM(xq * yq) AS BIGINT) AS sxy FROM qz) "
-            "SELECT cnt AS n_vocab, "
-            "ROUND(CAST(cnt * sxy - sx * sy AS DOUBLE) "
-            "/ CAST(cnt * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope FROM m"
-        ),
-        "interval_union": (
-            "WITH e AS (SELECT user_id, epoch_us(ts) AS s, "
-            "epoch_us(ts) + 1800000000 AS f FROM events), "
-            "o AS (SELECT user_id, s, f, MAX(f) OVER ("
-            "PARTITION BY user_id ORDER BY s, f "
-            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
-            "AS prev_max FROM e), "
-            "isl AS (SELECT user_id, s, f, "
-            "SUM(CASE WHEN prev_max IS NULL OR s > prev_max "
-            "THEN 1 ELSE 0 END) OVER ("
-            "PARTITION BY user_id ORDER BY s, f) AS island FROM o), "
-            "g AS (SELECT user_id, island, MIN(s) AS st, MAX(f) AS en "
-            "FROM isl GROUP BY user_id, island) "
-            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_islands, "
-            "CAST(SUM(en - st) AS BIGINT) AS covered_us "
-            "FROM g GROUP BY user_id"
-        ),
-        "kaplan_meier": (
-            "WITH peru AS (SELECT user_id, MIN(epoch_us(ts)) AS t0, "
-            "MAX(epoch_us(ts)) AS tlast, "
-            "MIN(CASE WHEN event_type = 'error' THEN epoch_us(ts) END) "
-            "AS terr FROM events GROUP BY user_id), "
-            "dur AS (SELECT CASE WHEN terr IS NOT NULL THEN terr - t0 "
-            "ELSE tlast - t0 END AS d, "
-            "CASE WHEN terr IS NOT NULL THEN 1 ELSE 0 END AS obs "
-            "FROM peru), "
-            "ev AS (SELECT d AS t, CAST(COUNT(*) AS BIGINT) AS di "
-            "FROM dur WHERE obs = 1 GROUP BY d), "
-            "risk AS (SELECT ev.t, ev.di, "
-            "(SELECT CAST(COUNT(*) AS BIGINT) FROM dur "
-            "WHERE dur.d >= ev.t) AS ni FROM ev), "
-            "r2 AS (SELECT t, di, ni, "
-            "(CAST(ni AS DOUBLE) - CAST(di AS DOUBLE)) "
-            "/ CAST(ni AS DOUBLE) AS ratio FROM risk) "
-            "SELECT t AS t_us, ni AS n_at_risk, di AS n_events, "
-            "ROUND(CASE WHEN SUM(CASE WHEN ratio = 0.0 THEN 1 ELSE 0 END) "
-            "OVER (ORDER BY t) > 0 THEN 0.0 ELSE "
-            "EXP(SUM(LN(CASE WHEN ratio = 0.0 THEN 1.0 ELSE ratio END)) "
-            "OVER (ORDER BY t)) END, 6) AS survival FROM r2"
-        ),
-        "aspect_classes": (
-            f"WITH g AS ({_OG_SLOPE_GRID_SQL}), w AS ("
-            f"SELECT e.row AS row, e.col AS col, "
-            f"n1.z AS za, n2.z AS zb, n3.z AS zc, n4.z AS zd, e.z AS ze, "
-            f"n6.z AS zf, n7.z AS zg, n8.z AS zh, n9.z AS zi "
-            f"FROM g e "
-            f"JOIN g n1 ON n1.row = e.row - 1 AND n1.col = e.col - 1 "
-            f"JOIN g n2 ON n2.row = e.row - 1 AND n2.col = e.col "
-            f"JOIN g n3 ON n3.row = e.row - 1 AND n3.col = e.col + 1 "
-            f"JOIN g n4 ON n4.row = e.row AND n4.col = e.col - 1 "
-            f"JOIN g n6 ON n6.row = e.row AND n6.col = e.col + 1 "
-            f"JOIN g n7 ON n7.row = e.row + 1 AND n7.col = e.col - 1 "
-            f"JOIN g n8 ON n8.row = e.row + 1 AND n8.col = e.col "
-            f"JOIN g n9 ON n9.row = e.row + 1 AND n9.col = e.col + 1 "
-            f"WHERE n1.z > -1e30 AND n2.z > -1e30 AND n3.z > -1e30 "
-            f"AND n4.z > -1e30 AND e.z > -1e30 AND n6.z > -1e30 "
-            f"AND n7.z > -1e30 AND n8.z > -1e30 AND n9.z > -1e30), "
-            f"d AS (SELECT "
-            f"-(((zc + 2.0 * zf + zi) - (za + 2.0 * zd + zg)) / (8.0 * 0.01)) AS dx, "
-            f"-(((zg + 2.0 * zh + zi) - (za + 2.0 * zb + zc)) / (8.0 * 0.01)) AS dy "
-            f"FROM w) "
-            f"SELECT CASE WHEN ABS(dx) > ABS(dy) THEN "
-            f"(CASE WHEN dx > 0 THEN 'E' ELSE 'W' END) "
-            f"WHEN ABS(dy) > ABS(dx) THEN "
-            f"(CASE WHEN dy > 0 THEN 'N' ELSE 'S' END) "
-            f"WHEN dx > 0 AND dy > 0 THEN 'NE' "
-            f"WHEN dx > 0 AND dy < 0 THEN 'SE' "
-            f"WHEN dx < 0 AND dy > 0 THEN 'NW' "
-            f"WHEN dx < 0 AND dy < 0 THEN 'SW' "
-            f"ELSE 'FLAT' END AS octant, "
-            f"CAST(COUNT(*) AS BIGINT) AS n_pixels FROM d GROUP BY octant"
-        ),
-        "line_of_sight": _line_of_sight_oracle_sql(),
-        "kruskal_wallis": (
-            # per-group rank sums in TYPE ORDER (left-assoc H sum
-            # matches the engine loop over sorted types)
-            "WITH p AS (SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c, "
-            "event_type FROM events), "
-            "r AS (SELECT event_type, "
-            "CAST(RANK() OVER (ORDER BY c) AS DOUBLE) "
-            "+ (CAST(COUNT(*) OVER (PARTITION BY c) AS DOUBLE) - 1.0) / 2.0 "
-            "AS avgrank FROM p), "
-            "g AS (SELECT event_type, SUM(avgrank) AS r, "
-            "CAST(COUNT(*) AS DOUBLE) AS m FROM r GROUP BY event_type), "
-            "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_groups, "
-            "CAST(SUM(m) AS DOUBLE) AS big_n, "
-            "SUM(r * r / m ORDER BY event_type) AS hterm FROM g) "
-            "SELECT n_groups, CAST(big_n AS BIGINT) AS n_total, "
-            "ROUND(12.0 / (big_n * (big_n + 1.0)) * hterm "
-            "- 3.0 * (big_n + 1.0), 6) AS h_stat FROM s"
-        ),
-        "mann_whitney": (
-            "WITH p AS (SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c, "
-            "(xor((((xor((((xor((((((((((((user_id) + 13) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((user_id) + 13) & 4294967295)) & 65535) * 2654435761))) & 4294967295), (((((((((((user_id) + 13) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((user_id) + 13) & 4294967295)) & 65535) * 2654435761))) & 4294967295) >> 16)) * 73244475) % 4294967296), (((xor((((((((((((user_id) + 13) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((user_id) + 13) & 4294967295)) & 65535) * 2654435761))) & 4294967295), (((((((((((user_id) + 13) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((user_id) + 13) & 4294967295)) & 65535) * 2654435761))) & 4294967295) >> 16)) * 73244475) % 4294967296) >> 16)) * 73244475) % 4294967296), (((xor((((xor((((((((((((user_id) + 13) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((user_id) + 13) & 4294967295)) & 65535) * 2654435761))) & 4294967295), (((((((((((user_id) + 13) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((user_id) + 13) & 4294967295)) & 65535) * 2654435761))) & 4294967295) >> 16)) * 73244475) % 4294967296), (((xor((((((((((((user_id) + 13) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((user_id) + 13) & 4294967295)) & 65535) * 2654435761))) & 4294967295), (((((((((((user_id) + 13) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((user_id) + 13) & 4294967295)) & 65535) * 2654435761))) & 4294967295) >> 16)) * 73244475) % 4294967296) >> 16)) * 73244475) % 4294967296) >> 16)) % 2 AS arm FROM events), "
-            "r AS (SELECT arm, CAST(RANK() OVER (ORDER BY c) AS DOUBLE) "
-            "+ (CAST(COUNT(*) OVER (PARTITION BY c) AS DOUBLE) - 1.0) / 2.0 "
-            "AS avgrank FROM p), "
-            "s AS (SELECT "
-            "CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a, "
-            "CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b, "
-            "SUM(CASE WHEN arm = 0 THEN avgrank ELSE 0.0 END) AS ra FROM r) "
-            "SELECT n_a, n_b, ROUND(ra, 6) AS rank_sum_a, "
-            "ROUND(ra - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1) / 2.0, 6) AS u_a, "
-            "ROUND((ra - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1) / 2.0 "
-            "- CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0) "
-            "/ SQRT(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) "
-            "* (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1) / 12.0), 6) "
-            "AS z_stat FROM s"
-        ),
-        "cover_bbox": _cover_bbox_oracle_sql(),
-        "mutual_nn": (
-            "WITH c AS (SELECT user_id, "
-            "AVG(CAST(event_id % 96 AS DOUBLE)) AS cx, "
-            "AVG(CAST((event_id // 96) % 96 AS DOUBLE)) AS cy "
-            "FROM events GROUP BY user_id), "
-            "nn AS (SELECT a.user_id AS u, b.user_id AS v, "
-            "(a.cx - b.cx) * (a.cx - b.cx) "
-            "+ (a.cy - b.cy) * (a.cy - b.cy) AS d2, "
-            "ROW_NUMBER() OVER (PARTITION BY a.user_id ORDER BY "
-            "(a.cx - b.cx) * (a.cx - b.cx) "
-            "+ (a.cy - b.cy) * (a.cy - b.cy), b.user_id) AS rn "
-            "FROM c a JOIN c b ON a.user_id <> b.user_id), "
-            "best AS (SELECT u, v, d2 FROM nn WHERE rn = 1) "
-            "SELECT x.u AS user_a, x.v AS user_b, "
-            "ROUND(SQRT(x.d2), 6) AS dist "
-            "FROM best x JOIN best y ON y.u = x.v AND y.v = x.u "
-            "WHERE x.u < x.v"
-        ),
-        "abc_classes": (
-            "WITH pp AS (SELECT l_partkey, "
-            "CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) "
-            "AS BIGINT) AS rev FROM lineitem GROUP BY l_partkey), "
-            "o AS (SELECT rev, SUM(rev) OVER ("
-            "ORDER BY rev DESC, l_partkey "
-            "ROWS UNBOUNDED PRECEDING) AS cum, "
-            "SUM(rev) OVER () AS total FROM pp), "
-            "c AS (SELECT rev, CASE "
-            "WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.8 "
-            "THEN 'A' "
-            "WHEN CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) <= 0.95 "
-            "THEN 'B' ELSE 'C' END AS abc_class FROM o) "
-            "SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts, "
-            "CAST(SUM(rev) AS BIGINT) AS revenue_cents "
-            "FROM c GROUP BY abc_class"
-        ),
-        "peak_concurrency": (
-            "WITH e AS (SELECT epoch_us(ts) AS t, 1 AS d FROM events "
-            "UNION ALL "
-            "SELECT epoch_us(ts) + 1800000000 AS t, -1 AS d FROM events), "
-            "r AS (SELECT SUM(d) OVER (ORDER BY t, d "
-            "ROWS UNBOUNDED PRECEDING) AS running FROM e) "
-            "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM events) "
-            "AS n_intervals, "
-            "CAST(MAX(running) AS BIGINT) AS peak_concurrency FROM r"
-        ),
-        "value_histogram": (
-            "WITH p AS (SELECT event_type, "
-            "CAST(ROUND(value * 100, 0) AS BIGINT) AS c FROM events), "
-            "mm AS (SELECT MIN(c) AS cmin, MAX(c) AS cmax FROM p), "
-            "w AS (SELECT cmin, GREATEST((cmax - cmin + 19) // 20, 1) AS width FROM mm) "
-            "SELECT event_type, "
-            "LEAST((c - w.cmin) // w.width, 19) AS bin, "
-            "CAST(COUNT(*) AS BIGINT) AS n "
-            "FROM p, w GROUP BY event_type, bin"
-        ),
-        "word_degree_dist": (
-            "WITH tok AS (SELECT DISTINCT source AS w FROM documents "
-            "WHERE LEN(source) >= 4), "
-            "e AS (SELECT a.w AS w1, b.w AS w2 FROM tok a JOIN tok b "
-            "ON a.w < b.w AND ABS(LEN(a.w) - LEN(b.w)) <= 1 "
-            "AND LEVENSHTEIN(a.w, b.w) = 1), "
-            "d AS (SELECT w, COUNT(*) AS deg FROM ("
-            "SELECT w1 AS w FROM e UNION ALL SELECT w2 FROM e) "
-            "GROUP BY w) "
-            "SELECT deg AS degree, CAST(COUNT(*) AS BIGINT) AS n_words "
-            "FROM d GROUP BY deg"
-        ),
-
-        "adaptive_quadtree": (
-            # per-level floors (identical cell-size doubles), quadtree
-            # walk by integer child//2 = parent joins
-            f"WITH RECURSIVE pts AS (SELECT lon, lat FROM ({valid})), "
-            "cnt AS (SELECT l.range AS r, "
-            "CAST(FLOOR((lat + 90.0) / (360.0 / POWER(2.0, l.range + 8))) "
-            "AS BIGINT) AS iy, "
-            "CAST(FLOOR((lon + 180.0) / (360.0 / POWER(2.0, l.range + 8))) "
-            "AS BIGINT) AS ix, COUNT(*) AS n "
-            "FROM range(5, 9) l, pts GROUP BY r, iy, ix), "
-            "o(r, iy, ix, n) AS ("
-            "SELECT r, iy, ix, n FROM cnt WHERE r = 5 "
-            "UNION ALL "
-            "SELECT c.r, c.iy, c.ix, c.n FROM o JOIN cnt c "
-            "ON c.r = o.r + 1 AND c.iy // 2 = o.iy AND c.ix // 2 = o.ix "
-            "WHERE o.n > 12 AND o.r < 8) "
-            "SELECT r AS res, iy, ix, CAST(n AS BIGINT) AS n_points "
-            "FROM o WHERE n <= 12 OR r = 8"
-        ),
-        "spearman": (
-            "WITH b AS (SELECT l_returnflag AS f, "
-            "CAST(ROUND(l_quantity, 0) AS BIGINT) AS x, "
-            "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS y "
-            "FROM lineitem), "
-            "r AS (SELECT f, "
-            "2 * RANK() OVER (PARTITION BY f ORDER BY x) "
-            "+ COUNT(*) OVER (PARTITION BY f, x) - 1 AS sx, "
-            "2 * RANK() OVER (PARTITION BY f ORDER BY y) "
-            "+ COUNT(*) OVER (PARTITION BY f, y) - 1 AS sy FROM b), "
-            "m AS (SELECT f, CAST(COUNT(*) AS DOUBLE) AS n, "
-            "CAST(SUM(sx) AS DOUBLE) AS sxs, "
-            "CAST(SUM(sy) AS DOUBLE) AS sys, "
-            "CAST(SUM(sx * sx) AS DOUBLE) AS sxx, "
-            "CAST(SUM(sy * sy) AS DOUBLE) AS syy, "
-            "CAST(SUM(sx * sy) AS DOUBLE) AS sxy FROM r GROUP BY f) "
-            "SELECT f AS l_returnflag, CAST(n AS BIGINT) AS n, "
-            "ROUND((n * sxy - sxs * sys) / SQRT("
-            "(n * sxx - sxs * sxs) * (n * syy - sys * sys)), 6) "
-            "AS spearman_rho FROM m"
-        ),
-        "anova_eta2": (
-            "WITH p AS (SELECT event_type, "
-            "(epoch_us(ts) // 3600000000) % 24 AS hour, "
-            "CAST(ROUND(value * 100, 0) AS BIGINT) AS c FROM events), "
-            "h AS (SELECT event_type, hour, CAST(COUNT(*) AS BIGINT) AS n, "
-            "CAST(SUM(c) AS BIGINT) AS s, CAST(SUM(c * c) AS BIGINT) AS sq "
-            "FROM p GROUP BY event_type, hour), "
-            "g AS (SELECT event_type, "
-            "CAST(SUM(n) AS DOUBLE) AS big_n, "
-            "CAST(SUM(s) AS DOUBLE) AS big_s, "
-            "CAST(SUM(sq) AS DOUBLE) AS big_sq, "
-            "SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) "
-            "/ CAST(n AS DOUBLE)) AS bsum "
-            "FROM h GROUP BY event_type) "
-            "SELECT event_type, "
-            "ROUND((bsum / big_n - (big_s / big_n) * (big_s / big_n)) "
-            "/ (big_sq / big_n - (big_s / big_n) * (big_s / big_n)), 6) "
-            "AS eta_squared FROM g"
-        ),
-        "ab_ztest": (
-            "WITH u AS (SELECT user_id, (xor((((xor((((xor((((((((((((user_id) + 13) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((user_id) + 13) & 4294967295)) & 65535) * 2654435761))) & 4294967295), (((((((((((user_id) + 13) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((user_id) + 13) & 4294967295)) & 65535) * 2654435761))) & 4294967295) >> 16)) * 73244475) % 4294967296), (((xor((((((((((((user_id) + 13) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((user_id) + 13) & 4294967295)) & 65535) * 2654435761))) & 4294967295), (((((((((((user_id) + 13) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((user_id) + 13) & 4294967295)) & 65535) * 2654435761))) & 4294967295) >> 16)) * 73244475) % 4294967296) >> 16)) * 73244475) % 4294967296), (((xor((((xor((((((((((((user_id) + 13) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((user_id) + 13) & 4294967295)) & 65535) * 2654435761))) & 4294967295), (((((((((((user_id) + 13) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((user_id) + 13) & 4294967295)) & 65535) * 2654435761))) & 4294967295) >> 16)) * 73244475) % 4294967296), (((xor((((((((((((user_id) + 13) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((user_id) + 13) & 4294967295)) & 65535) * 2654435761))) & 4294967295), (((((((((((user_id) + 13) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((user_id) + 13) & 4294967295)) & 65535) * 2654435761))) & 4294967295) >> 16)) * 73244475) % 4294967296) >> 16)) * 73244475) % 4294967296) >> 16)) % 2 AS arm, "
-            "CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 "
-            "ELSE 0 END) >= 14 THEN 1 ELSE 0 END "
-            "AS converted FROM events GROUP BY user_id, arm), "
-            "s AS (SELECT "
-            "CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n0, "
-            "CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1, "
-            "CAST(SUM(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS DOUBLE) AS k0, "
-            "CAST(SUM(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS DOUBLE) AS k1 "
-            "FROM u) "
-            "SELECT CAST(n0 AS BIGINT) AS n_a, CAST(n1 AS BIGINT) AS n_b, "
-            "CAST(k0 AS BIGINT) AS conv_a, CAST(k1 AS BIGINT) AS conv_b, "
-            "ROUND(k0 / n0, 6) AS rate_a, ROUND(k1 / n1, 6) AS rate_b, "
-            "ROUND((k0 / n0 - k1 / n1) / SQRT((k0 + k1) / (n0 + n1) "
-            "* (1.0 - (k0 + k1) / (n0 + n1)) * (1.0 / n0 + 1.0 / n1)), 6) "
-            "AS z_stat FROM s"
-        ),
-        "readability": (
-            "SELECT doc_id, "
-            "CAST(LENGTH(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_words, "
-            "CAST(GREATEST(LENGTH(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences, "
-            "CAST(LENGTH(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS BIGINT) AS n_vowel_groups, "
-            "ROUND(CASE WHEN LENGTH(regexp_extract_all(text, '\\S+')) = 0 "
-            "THEN 0.0 ELSE 206.835 "
-            "- 1.015 * (CAST(LENGTH(regexp_extract_all(text, '\\S+')) AS DOUBLE) "
-            "/ CAST(GREATEST(LENGTH(regexp_extract_all(text, '[.!?]+')), 1) AS DOUBLE)) "
-            "- 84.6 * (CAST(LENGTH(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS DOUBLE) "
-            "/ CAST(LENGTH(regexp_extract_all(text, '\\S+')) AS DOUBLE)) END, 6) "
-            "AS flesch FROM documents"
-        ),
-        "theil_sen": (
-            # identical hash gate, pairwise slopes on exact ints,
-            # quantile_disc median -- element selection, no sums
-            "WITH p AS (SELECT event_id, event_type, epoch_us(ts) AS x, "
-            "CAST(ROUND(value * 100, 0) AS BIGINT) AS y FROM events "
-            "WHERE (xor((((xor((((xor((((((((((((event_id) + 41) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((event_id) + 41) & 4294967295)) & 65535) * 2654435761))) & 4294967295), (((((((((((event_id) + 41) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((event_id) + 41) & 4294967295)) & 65535) * 2654435761))) & 4294967295) >> 16)) * 73244475) % 4294967296), (((xor((((((((((((event_id) + 41) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((event_id) + 41) & 4294967295)) & 65535) * 2654435761))) & 4294967295), (((((((((((event_id) + 41) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((event_id) + 41) & 4294967295)) & 65535) * 2654435761))) & 4294967295) >> 16)) * 73244475) % 4294967296) >> 16)) * 73244475) % 4294967296), (((xor((((xor((((((((((((event_id) + 41) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((event_id) + 41) & 4294967295)) & 65535) * 2654435761))) & 4294967295), (((((((((((event_id) + 41) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((event_id) + 41) & 4294967295)) & 65535) * 2654435761))) & 4294967295) >> 16)) * 73244475) % 4294967296), (((xor((((((((((((event_id) + 41) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((event_id) + 41) & 4294967295)) & 65535) * 2654435761))) & 4294967295), (((((((((((event_id) + 41) & 4294967295)) >> 16) * 2654435761) & 65535) << 16) + ((((((event_id) + 41) & 4294967295)) & 65535) * 2654435761))) & 4294967295) >> 16)) * 73244475) % 4294967296) >> 16)) * 73244475) % 4294967296) >> 16)) % 7 = 0), "
-            "pr AS (SELECT a.event_type, "
-            "CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS s "
-            "FROM p a JOIN p b ON a.event_type = b.event_type "
-            "AND a.event_id < b.event_id WHERE b.x - a.x <> 0) "
-            "SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs, "
-            "ROUND(quantile_disc(s, 0.5) * 86400000000.0, 6) AS ts_slope "
-            "FROM pr GROUP BY event_type"
-        ),
-        "radius_of_gyration": (
-            "WITH p AS (SELECT user_id, event_id % 96 AS ix, "
-            "(event_id // 96) % 96 AS iy FROM events) "
-            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_fixes, "
-            "ROUND(0.01 * SQRT(GREATEST("
-            "(AVG(CAST(ix * ix AS DOUBLE)) "
-            "- AVG(CAST(ix AS DOUBLE)) * AVG(CAST(ix AS DOUBLE))) "
-            "+ (AVG(CAST(iy * iy AS DOUBLE)) "
-            "- AVG(CAST(iy AS DOUBLE)) * AVG(CAST(iy AS DOUBLE))), 0.0)), 6) "
-            "AS rog FROM p GROUP BY user_id"
-        ),
-        "visit_entropy": (
-            "WITH g AS (SELECT user_id, "
-            "77.0 + CAST(event_id % 96 AS DOUBLE) * 0.01 AS lon, "
-            "28.05 + CAST((event_id // 96) % 96 AS DOUBLE) * 0.01 AS lat "
-            "FROM events), "
-            "c AS (SELECT user_id, ((CAST(6 AS BIGINT) << 56) | (LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / 0.02197265625) AS BIGINT), 0), 8191) << 28) | LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / 0.02197265625) AS BIGINT), 0), 16383)) AS cell_6, "
-            "CAST(COUNT(*) AS DOUBLE) AS n FROM g GROUP BY 1, 2), "
-            "t AS (SELECT user_id, SUM(n) AS tot FROM c GROUP BY user_id) "
-            "SELECT c.user_id, "
-            "ROUND(LN(MAX(t.tot)) - SUM(c.n * LN(c.n)) / MAX(t.tot), 6) "
-            "AS entropy FROM c JOIN t ON c.user_id = t.user_id "
-            "GROUP BY c.user_id"
-        ),
-        "skew_report": (
-            "WITH c AS (SELECT lang AS key, COUNT(*) AS n "
-            "FROM documents GROUP BY lang), "
-            "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS nk, "
-            "CAST(quantile_disc(n, 0.5) AS BIGINT) AS p50v, "
-            "CAST(quantile_disc(n, 0.9) AS BIGINT) AS p90v, "
-            "CAST(MAX(n) AS BIGINT) AS mx FROM c), "
-            "t AS (SELECT key, n, "
-            "ROW_NUMBER() OVER (ORDER BY n DESC, key) - 1 AS rank FROM c) "
-            "SELECT t.rank, t.key, CAST(t.n AS BIGINT) AS key_count, "
-            "s.nk AS n_keys, s.p50v AS p50, s.p90v AS p90, "
-            "s.mx AS max_count, "
-            "CAST(CEIL(CAST(s.mx AS DOUBLE) / CAST(s.p50v AS DOUBLE)) "
-            "AS BIGINT) AS salt_k FROM t, s WHERE t.rank < 3"
-        ),
-        "cost_distance": (
-            # min path cost over <= 8 edges from any seed = 8
-            # synchronous Bellman-Ford rounds; bounded path expansion
-            # with UNION dedup, equi-join on shifted (row, col)
-            f"WITH RECURSIVE g AS ({_OG_SLOPE_GRID_SQL}), "
-            "v AS (SELECT row, col, CAST(ROUND(z * 10, 0) AS BIGINT) "
-            "AS e, z FROM g WHERE z > -1e30), "
-            "dirs(dr, dc) AS (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)), "
-            "walk(row, col, cost, d) AS ("
-            "SELECT row, col, CAST(0 AS BIGINT), 0 FROM v "
-            "WHERE z >= 48.0 "
-            "UNION "
-            "SELECT n.row, n.col, walk.cost + n.e, walk.d + 1 "
-            "FROM walk JOIN dirs ON TRUE "
-            "JOIN v n ON n.row = walk.row + dirs.dr "
-            "AND n.col = walk.col + dirs.dc "
-            "WHERE walk.d < 8) "
-            "SELECT row, col, MIN(cost) AS cost "
-            "FROM walk GROUP BY row, col"
-        ),
-        "band_math_ndi": (
-            # per-band formula grids joined on (row, col); guard and
-            # expression identical to the engine kernel
-            "WITH b1 AS (SELECT r.range AS row, c.range AS col, "
-            "CASE WHEN (r.range * 5 + c.range * 3 + 1) % 29 = 0 "
-            "THEN CAST(CAST(-3.4028234663852886e+38 AS REAL) AS DOUBLE) "
-            "ELSE CAST(CAST(((r.range * 73 + c.range * 31 + 101) % 500) "
-            "/ 10.0 AS REAL) AS DOUBLE) END AS z "
-            "FROM range(0, 96) r, range(0, 96) c), "
-            "b2 AS (SELECT r.range AS row, c.range AS col, "
-            "CASE WHEN (r.range * 5 + c.range * 3 + 2) % 29 = 0 "
-            "THEN CAST(CAST(-3.4028234663852886e+38 AS REAL) AS DOUBLE) "
-            "ELSE CAST(CAST(((r.range * 73 + c.range * 31 + 202) % 500) "
-            "/ 10.0 AS REAL) AS DOUBLE) END AS z "
-            "FROM range(0, 96) r, range(0, 96) c) "
-            "SELECT a.row AS row, a.col AS col, "
-            "ROUND(CASE WHEN a.z + b.z = 0.0 THEN 0.0 "
-            "ELSE (a.z - b.z) / (a.z + b.z) END, 6) AS ndi "
-            "FROM b1 a JOIN b2 b ON b.row = a.row AND b.col = a.col "
-            "WHERE a.z > -1e30 AND b.z > -1e30"
-        ),
-        "od_matrix": (
-            "WITH g AS (SELECT user_id, ts, event_id, "
-            "77.0 + CAST(event_id % 96 AS DOUBLE) * 0.01 AS lon, "
-            "28.05 + CAST((event_id // 96) % 96 AS DOUBLE) * 0.01 AS lat "
-            "FROM events), "
-            "s AS (SELECT user_id, lon, lat, LAG(lon) OVER w AS plon, "
-            "LAG(lat) OVER w AS plat FROM g "
-            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
-            "SELECT ((CAST(6 AS BIGINT) << 56) | (LEAST(GREATEST(CAST(FLOOR((plat + 90.0) / 0.02197265625) AS BIGINT), 0), 8191) << 28) | LEAST(GREATEST(CAST(FLOOR((plon + 180.0) / 0.02197265625) AS BIGINT), 0), 16383)) AS cell_from, "
-            "((CAST(6 AS BIGINT) << 56) | (LEAST(GREATEST(CAST(FLOOR((lat + 90.0) / 0.02197265625) AS BIGINT), 0), 8191) << 28) | LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / 0.02197265625) AS BIGINT), 0), 16383)) AS cell_to, "
-            "CAST(COUNT(*) AS BIGINT) AS n_trips FROM s "
-            "WHERE plon IS NOT NULL GROUP BY cell_from, cell_to"
-        ),
-        "track_geodesic": (
-            "WITH g AS (SELECT user_id, ts, event_id, "
-            "77.0 + CAST(event_id % 96 AS DOUBLE) * 0.01 AS lon, "
-            "28.05 + CAST((event_id // 96) % 96 AS DOUBLE) * 0.01 AS lat "
-            "FROM events), "
-            "s AS (SELECT user_id, lon, lat, LAG(lon) OVER w AS plon, "
-            "LAG(lat) OVER w AS plat FROM g "
-            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
-            "d AS (SELECT user_id, "
-            "SIN((RADIANS(lat) - RADIANS(plat)) / 2.0) AS s1, "
-            "SIN((RADIANS(lon) - RADIANS(plon)) / 2.0) AS s2, "
-            "COS(RADIANS(plat)) AS c1, COS(RADIANS(lat)) AS c2 "
-            "FROM s WHERE plon IS NOT NULL) "
-            "SELECT user_id, CAST(COUNT(*) + 1 AS BIGINT) AS n_fixes, "
-            "ROUND(SUM(12742.0 * ASIN(SQRT(s1 * s1 + c1 * c2 * (s2 * s2)))), 6) "
-            "AS geo_len_km FROM d GROUP BY user_id"
-        ),
-        "track_straightness": (
-            "WITH g AS (SELECT user_id, ts, event_id, "
-            "77.0 + CAST(event_id % 96 AS DOUBLE) * 0.01 AS lon, "
-            "28.05 + CAST((event_id // 96) % 96 AS DOUBLE) * 0.01 AS lat "
-            "FROM events), "
-            "s AS (SELECT user_id, lon, lat, "
-            "lon - LAG(lon) OVER w AS dx, lat - LAG(lat) OVER w AS dy, "
-            "FIRST_VALUE(lon) OVER w AS lon0, "
-            "FIRST_VALUE(lat) OVER w AS lat0, "
-            "LAST_VALUE(lon) OVER (PARTITION BY user_id "
-            "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING "
-            "AND UNBOUNDED FOLLOWING) AS lon1, "
-            "LAST_VALUE(lat) OVER (PARTITION BY user_id "
-            "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING "
-            "AND UNBOUNDED FOLLOWING) AS lat1 "
-            "FROM g WINDOW w AS (PARTITION BY user_id "
-            "ORDER BY ts, event_id)), "
-            "agg AS (SELECT user_id, "
-            "SUM(SQRT(dx * dx + dy * dy)) AS gross, "
-            "MAX((lon1 - lon0) * (lon1 - lon0) "
-            "+ (lat1 - lat0) * (lat1 - lat0)) AS net2 "
-            "FROM s GROUP BY user_id) "
-            "SELECT user_id, ROUND(SQRT(net2), 6) AS net_disp, "
-            "ROUND(gross, 6) AS gross_len, "
-            "ROUND(SQRT(net2) / gross, 6) AS straightness "
-            "FROM agg WHERE gross > 0"
-        ),
-        "hourly_profile": (
-            "SELECT event_type, "
-            "(epoch_us(ts) // 3600000000) % 24 AS hour, "
-            "CAST(COUNT(*) AS BIGINT) AS n, "
-            "ROUND(CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) "
-            "AS DOUBLE) / COUNT(*) / 100.0, 6) AS mean_value "
-            "FROM events GROUP BY event_type, hour"
-        ),
-        "linear_interp": (
-            # bracketing rows via LATERAL top-1 in (ts, event_id)
-            # order; int64 microsecond deltas, one float division
-            "WITH p AS (SELECT user_id, epoch_us(ts) AS t, event_id, "
-            "value FROM events), "
-            "u AS (SELECT DISTINCT user_id FROM p), "
-            "gr(gt) AS (VALUES (1704672000000000), (1705276800000000), (1705881600000000), (1706486400000000)), "
-            "j AS (SELECT u.user_id, gr.gt, pv.t AS t0, pv.value AS v0, "
-            "nx.t AS t1, nx.value AS v1 FROM u CROSS JOIN gr "
-            "LEFT JOIN LATERAL (SELECT t, value FROM p "
-            "WHERE p.user_id = u.user_id AND p.t <= gr.gt "
-            "ORDER BY t DESC, event_id DESC LIMIT 1) pv ON TRUE "
-            "LEFT JOIN LATERAL (SELECT t, value FROM p "
-            "WHERE p.user_id = u.user_id AND p.t >= gr.gt "
-            "ORDER BY t ASC, event_id ASC LIMIT 1) nx ON TRUE) "
-            "SELECT user_id, gt AS grid_us, "
-            "ROUND(CASE WHEN t1 = t0 THEN v0 ELSE v0 + (v1 - v0) * "
-            "(CAST(gt - t0 AS DOUBLE) / CAST(t1 - t0 AS DOUBLE)) END, 6) "
-            "AS value_interp FROM j "
-            "WHERE t0 IS NOT NULL AND t1 IS NOT NULL"
-        ),
-        "track_hausdorff": (
-            # max-min squared distances both directions, sqrt at the
-            # end; point sets from the geocode lattice, users 0-19
-            "WITH g AS (SELECT user_id, event_id, "
-            "77.0 + CAST(event_id % 96 AS DOUBLE) * 0.01 AS lon, "
-            "28.05 + CAST((event_id // 96) % 96 AS DOUBLE) * 0.01 AS lat "
-            "FROM events WHERE user_id < 20), "
-            "mab AS (SELECT a.user_id AS ua, b.user_id AS ub, "
-            "a.event_id AS pid, "
-            "MIN((a.lon - b.lon) * (a.lon - b.lon) "
-            "+ (a.lat - b.lat) * (a.lat - b.lat)) AS md "
-            "FROM g a JOIN g b ON a.user_id < b.user_id "
-            "GROUP BY a.user_id, b.user_id, a.event_id), "
-            "hab AS (SELECT ua, ub, MAX(md) AS h FROM mab GROUP BY ua, ub), "
-            "mba AS (SELECT a.user_id AS ua, b.user_id AS ub, "
-            "b.event_id AS pid, "
-            "MIN((a.lon - b.lon) * (a.lon - b.lon) "
-            "+ (a.lat - b.lat) * (a.lat - b.lat)) AS md "
-            "FROM g a JOIN g b ON a.user_id < b.user_id "
-            "GROUP BY a.user_id, b.user_id, b.event_id), "
-            "hba AS (SELECT ua, ub, MAX(md) AS h FROM mba GROUP BY ua, ub) "
-            "SELECT hab.ua AS user_a, hab.ub AS user_b, "
-            "ROUND(SQRT(GREATEST(hab.h, hba.h)), 6) AS hausdorff "
-            "FROM hab JOIN hba ON hba.ua = hab.ua AND hba.ub = hab.ub"
-        ),
-
-        "media_decode": (
-            # recompute decoded-pixel stats from the formula grid:
-            # AVG over the gray plane == AVG over 3 equal channels
-            # (identical correctly-rounded quotients of exact sums)
-            "WITH px AS (SELECT i.range AS i, "
-            "(r.range * 73 + c.range * 31 + (i.range % 16) * 17 "
-            "+ CASE WHEN i.range >= 16 AND r.range < 4 AND c.range < 4 "
-            "THEN 100 ELSE 0 END) % 256 AS v "
-            "FROM range(0, 24) i, range(0, 32) r, range(0, 32) c) "
-            "SELECT 'm' || CAST(i AS VARCHAR) AS media_id, "
-            "ROUND(AVG(CAST(v AS DOUBLE)), 6) AS pixel_mean, "
-            "ROUND(SQRT(GREATEST(AVG(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) "
-            "- AVG(CAST(v AS DOUBLE)) * AVG(CAST(v AS DOUBLE)), 0.0)), 6) "
-            "AS pixel_std FROM px GROUP BY i"
-        ),
-        "media_decode_jpeg": (
-            # the flat-block JPEG fixture decodes BIT-EXACTLY (even
-            # values, q00=16), so the SQL just recomputes the block
-            # rule: one row per 8x8 block == uniform pixel weights
-            "WITH blk AS (SELECT i.range AS i, "
-            "((br.range * 73 + bc.range * 31 + i.range * 17) % 128) * 2 "
-            "AS v FROM range(0, 18) i, range(0, 4) br, range(0, 4) bc) "
-            "SELECT 'j' || CAST(i AS VARCHAR) AS media_id, "
-            "ROUND(AVG(CAST(v AS DOUBLE)), 6) AS pixel_mean, "
-            "ROUND(SQRT(GREATEST(AVG(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) "
-            "- AVG(CAST(v AS DOUBLE)) * AVG(CAST(v AS DOUBLE)), 0.0)), 6) "
-            "AS pixel_std FROM blk GROUP BY i"
-        ),
-        "media_ahash_pairs": (
-            # recompute the decoded-pixel rule in SQL: block sums over
-            # the formula grid, division-free mean bits, Hamming pairs
-            "WITH px AS (SELECT i.range AS i, r.range AS r, c.range AS c, "
-            "(r.range * 73 + c.range * 31 + (i.range % 16) * 17 "
-            "+ CASE WHEN i.range >= 16 AND r.range < 4 AND c.range < 4 "
-            "THEN 100 ELSE 0 END) % 256 AS v "
-            "FROM range(0, 24) i, range(0, 32) r, range(0, 32) c), "
-            "blk AS (SELECT i, (r // 4) * 8 + (c // 4) AS b, "
-            "SUM(v) AS bs FROM px GROUP BY i, b), "
-            "tot AS (SELECT i, SUM(v) AS ts FROM px GROUP BY i), "
-            "bits AS (SELECT blk.i, blk.b, "
-            "CASE WHEN blk.bs * 64 > tot.ts THEN 1 ELSE 0 END AS bit "
-            "FROM blk JOIN tot ON tot.i = blk.i), "
-            "ham AS (SELECT a.i AS ia, b.i AS ib, "
-            "SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS h "
-            "FROM bits a JOIN bits b ON a.b = b.b "
-            "AND 'm' || CAST(a.i AS VARCHAR) < 'm' || CAST(b.i AS VARCHAR) "
-            "GROUP BY a.i, b.i) "
-            "SELECT 'm' || CAST(ia AS VARCHAR) AS id_a, "
-            "'m' || CAST(ib AS VARCHAR) AS id_b, "
-            "CAST(h AS BIGINT) AS hamming FROM ham WHERE h <= 6"
-        ),
-        "track_speed_stats": (
-            "WITH g AS (SELECT user_id, ts, event_id, "
-            "77.0 + CAST(event_id % 96 AS DOUBLE) * 0.01 AS lon, "
-            "28.05 + CAST((event_id // 96) % 96 AS DOUBLE) * 0.01 AS lat "
-            "FROM events), "
-            "s AS (SELECT user_id, lon - LAG(lon) OVER w AS dx, "
-            "lat - LAG(lat) OVER w AS dy, "
-            "date_diff('microsecond', LAG(ts) OVER w, ts) AS dt_us "
-            "FROM g WINDOW w AS (PARTITION BY user_id "
-            "ORDER BY ts, event_id)), "
-            "v AS (SELECT user_id, SQRT(dx * dx + dy * dy) / "
-            "(CAST(dt_us AS DOUBLE) / 3600000000.0) AS sp "
-            "FROM s WHERE dt_us > 0) "
-            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_steps, "
-            "ROUND(MAX(sp), 6) AS max_speed, "
-            "CAST(SUM(CASE WHEN sp > 0.1 THEN 1 ELSE 0 END) AS BIGINT) "
-            "AS n_speeding FROM v GROUP BY user_id"
-        ),
-        "debounce_events": (
-            # sequential kept-set recurrence (last KEPT ts, 24 h) as a
-            # recursive CTE in exact int64 microseconds
-            "WITH RECURSIVE p AS (SELECT user_id, event_type, "
-            "ROW_NUMBER() OVER (PARTITION BY user_id, event_type "
-            "ORDER BY ts, event_id) - 1 AS i, "
-            "epoch_us(ts) AS t, event_id FROM events), "
-            "ext AS (SELECT user_id, event_type, COUNT(*) AS n "
-            "FROM p GROUP BY user_id, event_type), "
-            "rec(user_id, event_type, i, last_t, n_kept, sum_ids) AS ("
-            "SELECT user_id, event_type, -1, CAST(NULL AS BIGINT), "
-            "CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM ext "
-            "UNION ALL "
-            "SELECT q.user_id, q.event_type, q.i, "
-            "CASE WHEN q.keep THEN q.t ELSE q.last_t END, "
-            "q.n_kept + CAST(q.keep AS BIGINT), "
-            "q.sum_ids + CASE WHEN q.keep THEN q.event_id ELSE 0 END "
-            "FROM (SELECT rec.user_id, rec.event_type, rec.i + 1 AS i, "
-            "rec.last_t, rec.n_kept, rec.sum_ids, p.t, p.event_id, "
-            "(rec.last_t IS NULL OR p.t - rec.last_t >= 86400000000) "
-            "AS keep "
-            "FROM rec JOIN ext ON ext.user_id = rec.user_id "
-            "AND ext.event_type = rec.event_type "
-            "JOIN p ON p.user_id = rec.user_id "
-            "AND p.event_type = rec.event_type AND p.i = rec.i + 1 "
-            "WHERE rec.i + 1 < ext.n) q) "
-            "SELECT rec.user_id, rec.event_type, "
-            "CAST(ext.n AS BIGINT) AS n_events, rec.n_kept AS n_kept, "
-            "rec.sum_ids AS sum_kept_ids "
-            "FROM rec JOIN ext ON ext.user_id = rec.user_id "
-            "AND ext.event_type = rec.event_type "
-            "WHERE rec.i = ext.n - 1"
-        ),
-        "tile_focal_mode": (
-            # 3x3 focal mode: identical window joins to tile_slope,
-            # per-pixel count-per-value, MIN over the argmax ties
-            f"WITH g AS ({_OG_SLOPE_GRID_SQL}), w AS ("
-            f"SELECT e.row AS row, e.col AS col, "
-            f"n1.z AS za, n2.z AS zb, n3.z AS zc, n4.z AS zd, e.z AS ze, "
-            f"n6.z AS zf, n7.z AS zg, n8.z AS zh, n9.z AS zi "
-            f"FROM g e "
-            f"JOIN g n1 ON n1.row = e.row - 1 AND n1.col = e.col - 1 "
-            f"JOIN g n2 ON n2.row = e.row - 1 AND n2.col = e.col "
-            f"JOIN g n3 ON n3.row = e.row - 1 AND n3.col = e.col + 1 "
-            f"JOIN g n4 ON n4.row = e.row AND n4.col = e.col - 1 "
-            f"JOIN g n6 ON n6.row = e.row AND n6.col = e.col + 1 "
-            f"JOIN g n7 ON n7.row = e.row + 1 AND n7.col = e.col - 1 "
-            f"JOIN g n8 ON n8.row = e.row + 1 AND n8.col = e.col "
-            f"JOIN g n9 ON n9.row = e.row + 1 AND n9.col = e.col + 1 "
-            f"WHERE n1.z > -1e30 AND n2.z > -1e30 AND n3.z > -1e30 "
-            f"AND n4.z > -1e30 AND e.z > -1e30 AND n6.z > -1e30 "
-            f"AND n7.z > -1e30 AND n8.z > -1e30 AND n9.z > -1e30), "
-            f"u AS (SELECT row, col, "
-            f"UNNEST([za, zb, zc, zd, ze, zf, zg, zh, zi]) AS v FROM w), "
-            f"c AS (SELECT row, col, v, COUNT(*) AS n FROM u "
-            f"GROUP BY row, col, v), "
-            f"m AS (SELECT row, col, MAX(n) AS mx FROM c GROUP BY row, col) "
-            f"SELECT c.row, c.col, ROUND(MIN(c.v), 6) AS focal_mode "
-            f"FROM c JOIN m ON m.row = c.row AND m.col = c.col "
-            f"AND c.n = m.mx GROUP BY c.row, c.col"
-        ),
-        "tile_focal_median": (
-            # 3x3 focal median: same window joins; lower-median
-            # element selection via quantile_disc
-            f"WITH g AS ({_OG_SLOPE_GRID_SQL}), w AS ("
-            f"SELECT e.row AS row, e.col AS col, "
-            f"n1.z AS za, n2.z AS zb, n3.z AS zc, n4.z AS zd, e.z AS ze, "
-            f"n6.z AS zf, n7.z AS zg, n8.z AS zh, n9.z AS zi "
-            f"FROM g e "
-            f"JOIN g n1 ON n1.row = e.row - 1 AND n1.col = e.col - 1 "
-            f"JOIN g n2 ON n2.row = e.row - 1 AND n2.col = e.col "
-            f"JOIN g n3 ON n3.row = e.row - 1 AND n3.col = e.col + 1 "
-            f"JOIN g n4 ON n4.row = e.row AND n4.col = e.col - 1 "
-            f"JOIN g n6 ON n6.row = e.row AND n6.col = e.col + 1 "
-            f"JOIN g n7 ON n7.row = e.row + 1 AND n7.col = e.col - 1 "
-            f"JOIN g n8 ON n8.row = e.row + 1 AND n8.col = e.col "
-            f"JOIN g n9 ON n9.row = e.row + 1 AND n9.col = e.col + 1 "
-            f"WHERE n1.z > -1e30 AND n2.z > -1e30 AND n3.z > -1e30 "
-            f"AND n4.z > -1e30 AND e.z > -1e30 AND n6.z > -1e30 "
-            f"AND n7.z > -1e30 AND n8.z > -1e30 AND n9.z > -1e30), "
-            f"u AS (SELECT row, col, "
-            f"UNNEST([za, zb, zc, zd, ze, zf, zg, zh, zi]) AS v FROM w) "
-            f"SELECT row, col, ROUND(quantile_disc(v, 0.5), 6) "
-            f"AS focal_median FROM u GROUP BY row, col"
-        ),
-        "cusum_alarms": (
-            # exact-integer CUSUM recurrence as a recursive CTE:
-            # dev = cents * n - total, alarm/reset above 5000 * n
-            "WITH RECURSIVE p AS (SELECT user_id, "
-            "ROW_NUMBER() OVER (PARTITION BY user_id "
-            "ORDER BY ts, event_id) - 1 AS i, "
-            "CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events), "
-            "ext AS (SELECT user_id, COUNT(*) AS n, SUM(cents) AS total "
-            "FROM p GROUP BY user_id), "
-            "rec(user_id, i, s, alarms) AS ("
-            "SELECT user_id, -1, CAST(0 AS BIGINT), CAST(0 AS BIGINT) "
-            "FROM ext "
-            "UNION ALL "
-            "SELECT q.user_id, q.i, "
-            "CASE WHEN q.alarm THEN CAST(0 AS BIGINT) ELSE q.s2 END, "
-            "q.alarms + CAST(q.alarm AS BIGINT) "
-            "FROM (SELECT rec.user_id, rec.i + 1 AS i, rec.alarms, "
-            "GREATEST(CAST(0 AS BIGINT), "
-            "rec.s + p.cents * ext.n - ext.total) AS s2, "
-            "GREATEST(CAST(0 AS BIGINT), "
-            "rec.s + p.cents * ext.n - ext.total) > 5000 * ext.n AS alarm "
-            "FROM rec JOIN ext ON ext.user_id = rec.user_id "
-            "JOIN p ON p.user_id = rec.user_id AND p.i = rec.i + 1 "
-            "WHERE rec.i + 1 < ext.n) q) "
-            "SELECT rec.user_id, CAST(ext.n AS BIGINT) AS n_points, "
-            "rec.alarms AS n_alarms "
-            "FROM rec JOIN ext ON ext.user_id = rec.user_id "
-            "WHERE rec.i = ext.n - 1"
-        ),
-        "keyed_ewma": (
-            # sequential recurrence e = 0.2*x + 0.8*e as a recursive
-            # CTE (identical float-op order to the engine kernel;
-            # 1.0 - 0.2 == 0.8 exactly in IEEE doubles)
-            "WITH RECURSIVE p AS (SELECT user_id, "
-            "ROW_NUMBER() OVER (PARTITION BY user_id "
-            "ORDER BY ts, event_id) - 1 AS i, value AS x FROM events), "
-            "ext AS (SELECT user_id, COUNT(*) AS n FROM p GROUP BY user_id), "
-            "rec(user_id, i, e) AS ("
-            "SELECT user_id, 0, x FROM p WHERE i = 0 "
-            "UNION ALL "
-            "SELECT rec.user_id, rec.i + 1, 0.2 * p.x + 0.8 * rec.e "
-            "FROM rec JOIN p ON p.user_id = rec.user_id "
-            "AND p.i = rec.i + 1) "
-            "SELECT rec.user_id, CAST(ext.n AS BIGINT) AS n_points, "
-            "ROUND(rec.e, 6) AS ewma_last "
-            "FROM rec JOIN ext ON ext.user_id = rec.user_id "
-            "WHERE rec.i = ext.n - 1"
-        ),
-        "movement_directions": (
-            "WITH g AS (SELECT user_id, ts, event_id, "
-            "77.0 + CAST(event_id % 96 AS DOUBLE) * 0.01 AS lon, "
-            "28.05 + CAST((event_id // 96) % 96 AS DOUBLE) * 0.01 AS lat "
-            "FROM events), "
-            "s AS (SELECT user_id, lon - LAG(lon) OVER w AS dx, "
-            "lat - LAG(lat) OVER w AS dy FROM g "
-            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
-            "d AS (SELECT user_id, "
-            "CASE WHEN ABS(dx) > ABS(dy) THEN "
-            "(CASE WHEN dx > 0 THEN 'E' ELSE 'W' END) "
-            "WHEN ABS(dy) > ABS(dx) THEN "
-            "(CASE WHEN dy > 0 THEN 'N' ELSE 'S' END) "
-            "WHEN dx > 0 AND dy > 0 THEN 'NE' "
-            "WHEN dx > 0 AND dy < 0 THEN 'SE' "
-            "WHEN dx < 0 AND dy > 0 THEN 'NW' "
-            "ELSE 'SW' END AS direction "
-            "FROM s WHERE dx IS NOT NULL "
-            "AND NOT (dx = 0 AND dy = 0)) "
-            "SELECT user_id, direction, CAST(COUNT(*) AS BIGINT) AS n_steps "
-            "FROM d GROUP BY user_id, direction"
-        ),
-        "docs_pip_join": " UNION ALL ".join(
-            f"SELECT '{pid}' AS polygon_id, CAST(COUNT(*) AS BIGINT) AS n FROM ("
-            f"SELECT 77.0 + CAST(doc_id % 96 AS DOUBLE) * 0.01 AS lon, "
-            f"28.05 + CAST((doc_id // 96) % 96 AS DOUBLE) * 0.01 AS lat "
-            f"FROM documents) WHERE {_halfplane_sql(poly)}"
-            for pid, poly in OG_POLYGONS.items()
-        ),
-        "pricing_summary": (
-            "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty, "
-            "ROUND(SUM(l_extendedprice), 2) AS sum_base_price, "
-            "ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price, "
-            "COUNT(*) AS count_order FROM lineitem GROUP BY l_returnflag, l_linestatus"
-        ),
-        "top_orders": (
-            "SELECT o_orderkey, o_totalprice, o_orderdate FROM orders "
-            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
-        ),
-        "events_by_type": (
-            "SELECT event_type, COUNT(value) AS n, MIN(value) AS min_value, "
-            "MAX(value) AS max_value FROM events GROUP BY event_type"
-        ),
-        "events_windowed": (
-            "SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start, "
-            "COUNT(value) AS n, MIN(value) AS min_value, MAX(value) AS max_value, "
-            "ROUND(SUM(value), 4) AS sum_value FROM events GROUP BY 1"
-        ),
-        "events_hopping": (
-            "SELECT window_start, COUNT(value) AS n, MIN(value) AS min_value, "
-            "MAX(value) AS max_value FROM ("
-            "SELECT (epoch_us(ts) // 1800000000) * 1800000000 AS window_start, value FROM events "
-            "UNION ALL "
-            "SELECT (epoch_us(ts) // 1800000000) * 1800000000 - 1800000000 AS window_start, value "
-            "FROM events WHERE epoch_us(ts) < (epoch_us(ts) // 1800000000) * 1800000000 + 1800000000"
-            ") GROUP BY window_start"
-        ),
-        "events_sessions": (
-            "SELECT user_id, CAST(SUM(CASE WHEN prev IS NULL OR "
-            "epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) "
-            "AS n_sessions FROM (SELECT user_id, ts, "
-            "LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events) "
-            "GROUP BY user_id"
-        ),
-        "supplier_by_nation": (
-            "SELECT n.n_name, COUNT(s.s_suppkey) AS n_suppliers, "
-            "MIN(s.s_acctbal) AS min_acctbal, MAX(s.s_acctbal) AS max_acctbal "
-            "FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey "
-            "GROUP BY n.n_name"
-        ),
-        "parts_by_brand": (
-            "SELECT p_brand, COUNT(p_retailprice) AS n, "
-            "MIN(p_retailprice) AS min_price, MAX(p_retailprice) AS max_price, "
-            "MAX(p_size) AS max_size FROM part GROUP BY p_brand"
-        ),
-        "docs_by_source": (
-            "SELECT source, COUNT(n_chars) AS n_docs, "
-            "CAST(SUM(n_chars) AS BIGINT) AS total_chars "
-            "FROM documents GROUP BY source"
-        ),
-        "quantiles_exact": (
-            " UNION ALL ".join(
-                f"SELECT CAST({q} AS DOUBLE) AS q, "
-                f"CAST(quantile_disc(l_extendedprice, {q}) AS DOUBLE) AS value "
-                "FROM lineitem"
-                for q in (0.25, 0.5, 0.75, 0.95)
-            )
-        ),
-        "stride_secondary": (
-            f"SELECT pix, lon, lat, z FROM ("
-            f"SELECT *, ROW_NUMBER() OVER (ORDER BY pix) - 1 AS i FROM ("
-            f"SELECT pix, lon, lat, z FROM ({grid}) "
-            f"WHERE pix % {OG_SAMPLE_RATE} = 0)) "
-            f"WHERE i % ((SELECT COUNT(*) FROM ({grid}) "
-            f"WHERE pix % {OG_SAMPLE_RATE} = 0) // 500) = 0"
-        ),
-        "knn_top3": (
-            f"SELECT probe_id, rn - 1 AS rank, pix FROM ("
-            f"SELECT p.probe_id, g.pix, ROW_NUMBER() OVER ("
-            f"PARTITION BY p.probe_id ORDER BY "
-            f"(g.lon - p.plon) * (g.lon - p.plon) + (g.lat - p.plat) * (g.lat - p.plat), g.pix"
-            f") AS rn FROM (VALUES {probes_values}) p(probe_id, plon, plat), ({valid}) g"
-            f") WHERE rn <= 3"
-        ),
-        "customer_nations": (
-            "SELECT n.n_name, COUNT(c.c_custkey) AS n_customers FROM customer c "
-            "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name"
-        ),
-        "orders_monthly": (
-            "SELECT date_trunc('month', o_orderdate) AS month, "
-            "COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS revenue "
-            "FROM orders GROUP BY 1"
-        ),
-        "customer_regions": (
-            "SELECT r.r_name, COUNT(c.c_custkey) AS n_customers "
-            "FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey "
-            "JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name"
-        ),
-        "customers_no_orders": (
-            "SELECT c_nationkey, COUNT(c_custkey) AS n_customers "
-            "FROM customer WHERE c_custkey NOT IN ("
-            "SELECT o_custkey FROM orders WHERE o_totalprice > 300000.0) "
-            "GROUP BY c_nationkey"
-        ),
-        "distinct_langs": (
-            "SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang"
-        ),
-        "top_docs_per_lang": (
-            "SELECT doc_id, lang, n_chars, CAST(rn - 1 AS BIGINT) AS rank FROM ("
-            "SELECT doc_id, lang, n_chars, ROW_NUMBER() OVER ("
-            "PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn "
-            "FROM documents) WHERE rn <= 3"
-        ),
-        "asof_join": (
-            "SELECT e.event_id, epoch_us(e.ts) AS ts_us, "
-            "(SELECT MAX(epoch_us(o.o_orderdate)) FROM orders o "
-            "WHERE epoch_us(o.o_orderdate) <= epoch_us(e.ts)) AS asof_date_us "
-            "FROM events e"
-        ),
-        "asof_lag": (
-            "SELECT e.event_id, epoch_us(p.ts) AS asof_purchase_us, "
-            "epoch_us(e.ts) - epoch_us(p.ts) AS lag_us "
-            "FROM (SELECT event_id, user_id, ts FROM events "
-            "WHERE event_type = 'click') e "
-            "ASOF LEFT JOIN (SELECT user_id, ts FROM events "
-            "WHERE event_type = 'purchase') p "
-            "ON e.user_id = p.user_id AND e.ts >= p.ts"
-        ),
-        "window_join_clicks": (
-            "SELECT c.user_id, c.event_id AS click_id, "
-            "p.event_id AS purchase_id "
-            "FROM (SELECT user_id, ts, event_id FROM events "
-            "WHERE event_type = 'click') c "
-            "JOIN (SELECT user_id, ts, event_id FROM events "
-            "WHERE event_type = 'purchase') p "
-            "ON c.user_id = p.user_id AND epoch_us(p.ts) "
-            f"BETWEEN epoch_us(c.ts) AND epoch_us(c.ts) + {_WINDOW_JOIN_US}"
-        ),
-        "asof_next": (
-            "SELECT e.event_id, epoch_us(p.ts) AS next_purchase_us, "
-            "epoch_us(p.ts) - epoch_us(e.ts) AS wait_us "
-            "FROM (SELECT event_id, user_id, ts FROM events "
-            "WHERE event_type = 'click') e "
-            "ASOF LEFT JOIN (SELECT user_id, ts FROM events "
-            "WHERE event_type = 'purchase') p "
-            "ON e.user_id = p.user_id AND e.ts <= p.ts"
-        ),
-        "url_parse_fields": _url_parse_fields_oracle_sql(),
-        "url_canonicalize": (
-            f"SELECT doc_id, {_canon_sql_expr()} AS canonical_url FROM "
-            f"(SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents)"
-        ),
-        "url_dedup": (
-            f"SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_pages, "
-            f"MIN(doc_id) AS keeper FROM "
-            f"(SELECT doc_id, {_canon_sql_expr()} AS canonical_url FROM "
-            f"(SELECT doc_id, {_MESSY_URL_SQL} AS url FROM documents)) "
-            f"GROUP BY canonical_url"
-        ),
-        "url_domain_stats": (
-            f"SELECT rd AS registered_domain, COUNT(*) AS n_pages, "
-            f"COUNT(DISTINCT host) AS n_hosts, SUM(n_chars) AS sum_chars "
-            f"FROM (SELECT {_url_sql_field('registered_domain')} AS rd, "
-            f"{_url_sql_field('host')} AS host, n_chars FROM "
-            f"(SELECT {_URL_SQL} AS url, n_chars FROM documents)) GROUP BY rd"
-        ),
-        "domain_cap_sample": (
-            f"SELECT host, doc_id, rn - 1 AS rank FROM ("
-            f"SELECT host, doc_id, ROW_NUMBER() OVER ("
-            f"PARTITION BY host ORDER BY doc_id) AS rn FROM "
-            f"(SELECT {_url_sql_field('host')} AS host, doc_id FROM "
-            f"(SELECT {_URL_SQL} AS url, doc_id FROM documents))"
-            f") WHERE rn <= 3"
-        ),
-        "range_join": (
-            "SELECT e.event_id, i.interval_id FROM events e JOIN "
-            "(SELECT event_id AS interval_id, epoch_us(ts) AS s "
-            "FROM events WHERE event_id % 97 = 0) i "
-            "ON epoch_us(e.ts) >= i.s "
-            f"AND epoch_us(e.ts) < i.s + {_RANGE_JOIN_WINDOW_US}"
-        ),
-        "range_join_partitioned": (
-            "SELECT e.event_id, i.interval_id FROM events e JOIN "
-            "(SELECT event_id AS interval_id, epoch_us(ts) AS s "
-            "FROM events WHERE event_id % 97 = 0) i "
-            "ON epoch_us(e.ts) >= i.s "
-            f"AND epoch_us(e.ts) < i.s + {_RANGE_JOIN_WINDOW_US}"
-        ),
-        "bloom_semijoin": (
-            "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
-            "WHERE l_orderkey IN (SELECT o_orderkey FROM orders "
-            "WHERE o_orderpriority = '1-URGENT')"
-        ),
-        "big_left_join": (
-            "SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, "
-            "CAST(COUNT(*) AS BIGINT) AS n_rows, "
-            "CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) "
-            "AS BIGINT) AS n_lonely "
-            "FROM customer LEFT JOIN "
-            "(SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o "
-            "ON o.o_custkey = c_custkey GROUP BY 1"
-        ),
-        "big_join_revenue": (
-            "SELECT o_orderpriority, "
-            "ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue, "
-            "CAST(COUNT(*) AS BIGINT) AS n_items "
-            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
-            "GROUP BY o_orderpriority"
-        ),
-        "big_join_revenue_shuffle": (
-            "SELECT o_orderpriority, "
-            "ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue, "
-            "CAST(COUNT(*) AS BIGINT) AS n_items "
-            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
-            "GROUP BY o_orderpriority"
-        ),
-        "token_frequencies": (
-            "SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM ("
-            "SELECT UNNEST(regexp_split_to_array(text, '\\s+')) AS token "
-            "FROM documents) WHERE token <> '' "
-            "GROUP BY token ORDER BY n DESC, token LIMIT 30"
-        ),
-        "tfidf_scores": (
-            "WITH toks AS (SELECT doc_id, "
-            "UNNEST(regexp_split_to_array(text, '\\s+')) AS token "
-            "FROM documents), "
-            "tk AS (SELECT * FROM toks WHERE token <> ''), "
-            "df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tk "
-            "GROUP BY token), "
-            "n AS (SELECT COUNT(*) AS n_docs FROM documents), "
-            "tf AS (SELECT doc_id, token, COUNT(*) AS cnt FROM tk "
-            "GROUP BY doc_id, token), "
-            "len AS (SELECT doc_id, COUNT(*) AS n_toks FROM tk "
-            "GROUP BY doc_id) "
-            "SELECT tf.doc_id, "
-            "ROUND(SUM((tf.cnt / len.n_toks) * ln(n.n_docs / df.df)), 6) "
-            "AS tfidf "
-            "FROM tf JOIN df USING (token) JOIN len USING (doc_id) "
-            "CROSS JOIN n GROUP BY tf.doc_id"
-        ),
-        "grouped_quantiles": (
-            " UNION ALL ".join(
-                f"SELECT l_returnflag, CAST({q} AS DOUBLE) AS q, "
-                f"CAST(quantile_disc(l_extendedprice, {q}) AS DOUBLE) AS value "
-                "FROM lineitem GROUP BY l_returnflag"
-                for q in (0.25, 0.5, 0.95)
-            )
-        ),
-        "reservoir_sample": (
-            "SELECT o_orderkey, o_totalprice FROM orders ORDER BY "
-            + __import__("tiff_to_geojson_csv_json_format_converter_ray.functions.sketch",
-                         fromlist=["mix32_sql"]).mix32_sql("o_orderkey", 7)
-            + ", o_orderkey LIMIT 20"
-        ),
-        "stratified_sample": (
-            "SELECT lang, doc_id FROM ("
-            "SELECT lang, doc_id, ROW_NUMBER() OVER ("
-            "PARTITION BY lang ORDER BY "
-            + __import__("tiff_to_geojson_csv_json_format_converter_ray.functions.sketch",
-                         fromlist=["mix32_sql"]).mix32_sql("doc_id", 11)
-            + ", doc_id) AS rn FROM documents) WHERE rn <= 3"
-        ),
-        "dedup_exact": (
-            "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
-        ),
-        "token_counts": (
-            "SELECT doc_id, CASE WHEN TRIM(text) = '' THEN 0 ELSE "
-            "ARRAY_LENGTH(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) END AS n_tokens_ws "
-            "FROM documents"
-        ),
-        "pack_sequences": (
-            # greedy per-lang packing replayed as a linear recursion:
-            # row rn joins to rn+1, carrying (bin, acc)
-            "WITH RECURSIVE toks AS ("
-            "SELECT doc_id, lang, CASE WHEN TRIM(text) = '' THEN 0 ELSE "
-            "ARRAY_LENGTH(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) END AS n_tok, "
-            "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn "
-            "FROM documents), "
-            "rec AS ("
-            "SELECT lang, rn, doc_id, n_tok, CAST(0 AS BIGINT) AS bin_id, n_tok AS acc "
-            "FROM toks WHERE rn = 1 "
-            "UNION ALL "
-            "SELECT t.lang, t.rn, t.doc_id, t.n_tok, "
-            "CASE WHEN r.acc > 0 AND r.acc + t.n_tok > 2048 "
-            "THEN r.bin_id + 1 ELSE r.bin_id END, "
-            "CASE WHEN r.acc > 0 AND r.acc + t.n_tok > 2048 "
-            "THEN t.n_tok ELSE r.acc + t.n_tok END "
-            "FROM rec r JOIN toks t ON t.lang = r.lang AND t.rn = r.rn + 1) "
-            "SELECT doc_id, lang, n_tok, bin_id FROM rec"
-        ),
-        "contamination": (
-            # 5-grams via inclusive list slicing toks[i:i+4]
-            "WITH toks AS (SELECT doc_id, "
-            "REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+') AS t "
-            "FROM documents WHERE TRIM(text) <> ''), "
-            "grams AS (SELECT doc_id, "
-            "UNNEST([ARRAY_TO_STRING(t[i:i+4], ' ') FOR i IN RANGE(1, LEN(t) - 3)]) AS gram "
-            "FROM toks WHERE LEN(t) >= 5), "
-            "bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0), "
-            "hits AS (SELECT g.doc_id, "
-            "CAST(COUNT(DISTINCT g.gram) AS BIGINT) AS n_contam "
-            "FROM grams g JOIN bench b USING (gram) "
-            "WHERE g.doc_id % 97 <> 0 GROUP BY 1) "
-            "SELECT d.doc_id, COALESCE(h.n_contam, 0) AS n_contam "
-            "FROM documents d LEFT JOIN hits h USING (doc_id) "
-            "WHERE d.doc_id % 97 <> 0"
-        ),
-        "cube_pricing": (
-            "SELECT l_returnflag, l_linestatus, "
-            "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
-            "CAST(COUNT(*) AS BIGINT) AS n "
-            "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"
-        ),
-        "rolling_hour_sum": (
-            "WITH e AS (SELECT event_id, user_id, ts, "
-            "CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events) "
-            "SELECT user_id, event_id, "
-            "CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts "
-            "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) "
-            "AS BIGINT) AS roll_cents FROM e"
-        ),
-        "postings": (
-            "WITH pairs AS (SELECT DISTINCT doc_id, token FROM ("
-            "SELECT doc_id, UNNEST(REGEXP_SPLIT_TO_ARRAY(TRIM(text), "
-            "'\\s+')) AS token FROM documents WHERE TRIM(text) <> '')"
-            " WHERE token <> '') "
-            "SELECT token, CAST(COUNT(*) AS BIGINT) AS df, "
-            "STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) "
-            "AS postings FROM pairs GROUP BY token"
-        ),
-        "haversine_radius": (
-            f"WITH probes(probe_id, plon, plat) AS (VALUES {probes_values}), "
-            f"v AS ({valid}), "
-            f"d AS (SELECT p.probe_id, v.pix, "
-            f"SIN((RADIANS(v.lat) - RADIANS(p.plat)) / 2.0) AS s1, "
-            f"SIN((RADIANS(v.lon) - RADIANS(p.plon)) / 2.0) AS s2, "
-            f"COS(RADIANS(p.plat)) AS c1, COS(RADIANS(v.lat)) AS c2 "
-            f"FROM probes p, v) "
-            f"SELECT probe_id, pix, ROUND(dist_km, 6) AS dist_km FROM ("
-            f"SELECT probe_id, pix, "
-            f"12742.0 * ASIN(SQRT(s1 * s1 + c1 * c2 * (s2 * s2))) AS dist_km "
-            f"FROM d) WHERE dist_km <= 3.0"
-        ),
-        "polygon_centroid": _centroid_oracle_sql(),
-        "flow_direction": (
-            # D8 steepest-descent code; same window joins/validity as
-            # tile_slope, GREATEST + priority CASE for the tie-break
-            f"WITH g AS ({_OG_SLOPE_GRID_SQL}), w AS ("
-            f"SELECT e.row AS row, e.col AS col, "
-            f"n1.z AS za, n2.z AS zb, n3.z AS zc, n4.z AS zd, e.z AS ze, "
-            f"n6.z AS zf, n7.z AS zg, n8.z AS zh, n9.z AS zi "
-            f"FROM g e "
-            f"JOIN g n1 ON n1.row = e.row - 1 AND n1.col = e.col - 1 "
-            f"JOIN g n2 ON n2.row = e.row - 1 AND n2.col = e.col "
-            f"JOIN g n3 ON n3.row = e.row - 1 AND n3.col = e.col + 1 "
-            f"JOIN g n4 ON n4.row = e.row AND n4.col = e.col - 1 "
-            f"JOIN g n6 ON n6.row = e.row AND n6.col = e.col + 1 "
-            f"JOIN g n7 ON n7.row = e.row + 1 AND n7.col = e.col - 1 "
-            f"JOIN g n8 ON n8.row = e.row + 1 AND n8.col = e.col "
-            f"JOIN g n9 ON n9.row = e.row + 1 AND n9.col = e.col + 1 "
-            f"WHERE za > -1e30 AND zb > -1e30 AND zc > -1e30 "
-            f"AND zd > -1e30 AND ze > -1e30 AND zf > -1e30 "
-            f"AND zg > -1e30 AND zh > -1e30 AND zi > -1e30), "
-            f"d AS (SELECT row, col, "
-            f"(ze - zf) / 1.0 AS de, (ze - zi) / SQRT(2.0) AS dse, "
-            f"(ze - zh) / 1.0 AS ds, (ze - zg) / SQRT(2.0) AS dsw, "
-            f"(ze - zd) / 1.0 AS dw, (ze - za) / SQRT(2.0) AS dnw, "
-            f"(ze - zb) / 1.0 AS dn, (ze - zc) / SQRT(2.0) AS dne "
-            f"FROM w) "
-            f"SELECT row, col, CAST(CASE "
-            f"WHEN GREATEST(de, dse, ds, dsw, dw, dnw, dn, dne) <= 0 THEN 0 "
-            f"WHEN de = GREATEST(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 1 "
-            f"WHEN dse = GREATEST(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 2 "
-            f"WHEN ds = GREATEST(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 4 "
-            f"WHEN dsw = GREATEST(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 8 "
-            f"WHEN dw = GREATEST(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 16 "
-            f"WHEN dnw = GREATEST(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 32 "
-            f"WHEN dn = GREATEST(de, dse, ds, dsw, dw, dnw, dn, dne) THEN 64 "
-            f"ELSE 128 END AS BIGINT) AS d8 FROM d"
-        ),
-        "scd2_intervals": (
-            # gaps-and-islands run compression: island id = cumulative
-            # count of change points, interval = island min ts, next
-            # island's start via LEAD over islands
-            "WITH s AS (SELECT user_id, ts, event_id, event_type, "
-            "CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM "
-            "event_type THEN 1 ELSE 0 END AS chg FROM events "
-            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
-            "i AS (SELECT *, SUM(chg) OVER "
-            "(PARTITION BY user_id ORDER BY ts, event_id) AS isl FROM s), "
-            "r AS (SELECT user_id, isl, "
-            "FIRST(event_type ORDER BY ts, event_id) AS event_type, "
-            "MIN(ts) AS valid_from FROM i GROUP BY user_id, isl) "
-            "SELECT user_id, event_type, valid_from, "
-            "LEAD(valid_from) OVER (PARTITION BY user_id "
-            "ORDER BY valid_from) AS valid_to "
-            "FROM r ORDER BY user_id, valid_from"
-        ),
-        "lorenz_deciles": (
-            "WITH r AS (SELECT o_custkey, "
-            "SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS rev "
-            "FROM orders GROUP BY o_custkey), "
-            "d AS (SELECT rev, NTILE(10) OVER "
-            "(ORDER BY rev, o_custkey) AS decile FROM r), "
-            "t AS (SELECT CAST(SUM(rev) AS DOUBLE) AS tot FROM d), "
-            "g AS (SELECT decile, SUM(rev) AS drev FROM d GROUP BY decile) "
-            "SELECT CAST(decile AS BIGINT) AS decile, "
-            "ROUND(CAST(SUM(drev) OVER (ORDER BY decile) AS DOUBLE) "
-            "/ t.tot, 6) AS cum_share FROM g, t ORDER BY decile"
-        ),
-        "first_touch_attribution": (
-            "WITH s AS (SELECT user_id, CAST(ts AS DATE) AS d, "
-            "FIRST(event_type ORDER BY ts, event_id) AS first_touch, "
-            "MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
-            "AS conv FROM events GROUP BY user_id, CAST(ts AS DATE)) "
-            "SELECT first_touch, CAST(COUNT(*) AS BIGINT) AS n_sessions, "
-            "ROUND(CAST(SUM(conv) AS DOUBLE) / COUNT(*), 6) AS conv_rate "
-            "FROM s GROUP BY first_touch"
-        ),
-        "mutual_information": (
-            "WITH c AS (SELECT event_type AS a, "
-            "CAST(ISODOW(ts) AS BIGINT) AS b, "
-            "CAST(COUNT(*) AS DOUBLE) AS n FROM events GROUP BY 1, 2), "
-            "t AS (SELECT SUM(n) AS tot FROM c), "
-            "ra AS (SELECT a, SUM(n) AS na FROM c GROUP BY a), "
-            "rb AS (SELECT b, SUM(n) AS nb FROM c GROUP BY b) "
-            "SELECT ROUND(SUM((c.n / t.tot) * LN((c.n / t.tot) "
-            "/ ((ra.na / t.tot) * (rb.nb / t.tot)))), 6) AS mi_nats "
-            "FROM c CROSS JOIN t "
-            "JOIN ra ON ra.a = c.a JOIN rb ON rb.b = c.b"
-        ),
-        "tukey_outliers": (
-            "WITH c AS (SELECT l_returnflag, "
-            "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents "
-            "FROM lineitem), "
-            "b AS (SELECT l_returnflag, "
-            "CAST(quantile_disc(cents, 0.25) AS DOUBLE) AS q1, "
-            "CAST(quantile_disc(cents, 0.75) AS DOUBLE) AS q3 "
-            "FROM c GROUP BY l_returnflag), "
-            "f AS (SELECT l_returnflag, "
-            "q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi "
-            "FROM b) "
-            "SELECT c.l_returnflag, "
-            "ROUND(MAX(f.lo) / 100.0, 6) AS fence_lo, "
-            "ROUND(MAX(f.hi) / 100.0, 6) AS fence_hi, "
-            "CAST(SUM(CASE WHEN CAST(c.cents AS DOUBLE) < f.lo "
-            "OR CAST(c.cents AS DOUBLE) > f.hi THEN 1 ELSE 0 END) "
-            "AS BIGINT) AS n_outliers, "
-            "CAST(COUNT(*) AS BIGINT) AS n "
-            "FROM c JOIN f ON c.l_returnflag = f.l_returnflag "
-            "GROUP BY c.l_returnflag"
-        ),
-        "benford_deviation": (
-            "WITH d AS (SELECT CAST(FLOOR(o_totalprice / "
-            "POWER(10.0, FLOOR(LOG10(o_totalprice)))) AS BIGINT) "
-            "AS digit FROM orders), "
-            "c AS (SELECT digit, CAST(COUNT(*) AS DOUBLE) AS n "
-            "FROM d GROUP BY digit), "
-            "t AS (SELECT SUM(n) AS tot FROM c) "
-            "SELECT digit, ROUND(n / t.tot, 6) AS share, "
-            "ROUND(ABS(n / t.tot - LOG10(1.0 + 1.0 / digit)), 6) "
-            "AS abs_dev FROM c, t"
-        ),
-        "hhi_concentration": (
-            "WITH c AS (SELECT lang, source, "
-            "CAST(COUNT(*) AS DOUBLE) AS n FROM documents "
-            "GROUP BY lang, source), "
-            "t AS (SELECT lang, SUM(n) AS tot FROM c GROUP BY lang) "
-            "SELECT c.lang, "
-            "ROUND(SUM((c.n / t.tot) * (c.n / t.tot)), 6) AS hhi "
-            "FROM c JOIN t ON c.lang = t.lang GROUP BY c.lang"
-        ),
-        "ks_statistic": (
-            "WITH c AS (SELECT "
-            "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents, "
-            "CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) "
-            "AS DOUBLE) AS nr, "
-            "CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) "
-            "AS DOUBLE) AS na FROM lineitem "
-            "WHERE l_returnflag IN ('R', 'A') GROUP BY cents), "
-            "t AS (SELECT SUM(nr) AS tr, SUM(na) AS ta FROM c), "
-            "w AS (SELECT SUM(nr) OVER (ORDER BY cents) / t.tr AS cr, "
-            "SUM(na) OVER (ORDER BY cents) / t.ta AS ca FROM c, t) "
-            "SELECT ROUND(MAX(ABS(cr - ca)), 6) AS ks_d FROM w"
-        ),
-        "cramers_v": (
-            "WITH c AS (SELECT event_type AS a, "
-            "CAST(ISODOW(ts) AS BIGINT) AS b, "
-            "CAST(COUNT(*) AS DOUBLE) AS n FROM events GROUP BY 1, 2), "
-            "ra AS (SELECT a, SUM(n) AS na FROM c GROUP BY a), "
-            "rb AS (SELECT b, SUM(n) AS nb FROM c GROUP BY b), "
-            "t AS (SELECT SUM(n) AS tot FROM c), "
-            "f AS (SELECT ra.na, rb.nb, COALESCE(c.n, 0) AS n "
-            "FROM ra CROSS JOIN rb "
-            "LEFT JOIN c ON c.a = ra.a AND c.b = rb.b), "
-            "x AS (SELECT SUM((n - na * nb / t.tot) * (n - na * nb "
-            "/ t.tot) / (na * nb / t.tot)) AS chi2, "
-            "MAX(t.tot) AS n, "
-            "(SELECT COUNT(*) FROM ra) AS r, "
-            "(SELECT COUNT(*) FROM rb) AS c FROM f, t) "
-            "SELECT ROUND(SQRT(chi2 / (n * LEAST(r - 1, c - 1))), 6) "
-            "AS cramers_v FROM x"
-        ),
-        "centroid_confusion": (
-            "WITH raw AS (SELECT vec_id, CAST(label AS BIGINT) AS label, "
-            "UNNEST(embedding) AS v, "
-            "GENERATE_SUBSCRIPTS(embedding, 1) AS i FROM embeddings), "
-            "c AS (SELECT label, i, CAST(SUM(CAST(CASE WHEN "
-            "CAST(v AS DOUBLE) < 0 "
-            "THEN -FLOOR(-CAST(v AS DOUBLE) * 1000000.0 + 0.5) "
-            "ELSE FLOOR(CAST(v AS DOUBLE) * 1000000.0 + 0.5) END "
-            "AS BIGINT)) AS DOUBLE) / (COUNT(*) * 1000000.0) AS mu "
-            "FROM raw GROUP BY 1, 2), "
-            "d AS (SELECT raw.vec_id, c.label AS cand, "
-            "SUM((CAST(raw.v AS DOUBLE) - c.mu) * "
-            "(CAST(raw.v AS DOUBLE) - c.mu)) AS d2 "
-            "FROM raw JOIN c ON c.i = raw.i GROUP BY 1, 2), "
-            "p AS (SELECT vec_id, cand AS pred FROM "
-            "(SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id "
-            "ORDER BY d2, cand) AS rn FROM d) WHERE rn = 1), "
-            "t AS (SELECT vec_id, CAST(label AS BIGINT) AS true_label "
-            "FROM embeddings) "
-            "SELECT t.true_label, p.pred AS pred_label, "
-            "CAST(COUNT(*) AS BIGINT) AS n FROM t "
-            "JOIN p USING (vec_id) GROUP BY 1, 2"
-        ),
-        "label_scatter": (
-            # mirror of stages/ann.py label_scatter: same quantizer as
-            # label_centroids, variance identity per (label, dim),
-            # dims summed in order
-            "WITH q AS (SELECT CAST(label AS BIGINT) AS label, i, "
-            "CAST(CASE WHEN CAST(v AS DOUBLE) < 0 "
-            "THEN -FLOOR(-CAST(v AS DOUBLE) * 1000000.0 + 0.5) "
-            "ELSE FLOOR(CAST(v AS DOUBLE) * 1000000.0 + 0.5) END "
-            "AS BIGINT) AS qv FROM (SELECT label, UNNEST(embedding) AS v, "
-            "GENERATE_SUBSCRIPTS(embedding, 1) AS i FROM embeddings)), "
-            "m AS (SELECT label, i, CAST(COUNT(*) AS DOUBLE) AS n, "
-            "CAST(SUM(qv) AS DOUBLE) AS sq, "
-            "CAST(SUM(qv * qv) AS DOUBLE) AS sqq FROM q GROUP BY 1, 2) "
-            "SELECT label, "
-            "ROUND(SUM(sqq / n - (sq / n) * (sq / n)) "
-            "/ (1000000.0 * 1000000.0), 6) AS scatter "
-            "FROM m GROUP BY label"
-        ),
-        "label_centroids": (
-            "SELECT label, i AS dim, "
-            "ROUND(CAST(SUM(qv) AS DOUBLE) / (COUNT(*) * 1000000.0), 6) "
-            "AS mean_v FROM ("
-            "SELECT CAST(label AS BIGINT) AS label, i, "
-            "CAST(CASE WHEN CAST(v AS DOUBLE) < 0 "
-            "THEN -FLOOR(-CAST(v AS DOUBLE) * 1000000.0 + 0.5) "
-            "ELSE FLOOR(CAST(v AS DOUBLE) * 1000000.0 + 0.5) END AS BIGINT) "
-            "AS qv FROM (SELECT label, UNNEST(embedding) AS v, "
-            "GENERATE_SUBSCRIPTS(embedding, 1) AS i FROM embeddings)) "
-            "GROUP BY 1, 2"
-        ),
-        "corr_matrix": _corr_matrix_oracle_sql(),
-        "locf_resample": (
-            "WITH e AS (SELECT user_id, ts, event_id, "
-            "CAST(ROUND(value * 100, 0) AS BIGINT) AS cents, "
-            "CAST(ts AS DATE) AS d FROM events), "
-            "lastper AS (SELECT user_id, d, cents FROM ("
-            "SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, d "
-            "ORDER BY ts DESC, event_id DESC) AS rn FROM e) WHERE rn = 1), "
-            "bounds AS (SELECT user_id, MIN(d) AS dmin, MAX(d) AS dmax "
-            "FROM e GROUP BY 1), "
-            "grid AS (SELECT user_id, "
-            "CAST(UNNEST(GENERATE_SERIES(CAST(dmin AS TIMESTAMP), "
-            "CAST(dmax AS TIMESTAMP), INTERVAL 1 DAY)) AS TIMESTAMP) AS day "
-            "FROM bounds) "
-            "SELECT g.user_id, g.day, l.cents FROM grid g "
-            "ASOF JOIN lastper l ON g.user_id = l.user_id "
-            "AND g.day >= CAST(l.d AS TIMESTAMP)"
-        ),
-        "edit1_pairs": (
-            "WITH v AS (SELECT DISTINCT source AS token FROM documents "
-            "WHERE LEN(source) >= 4) "
-            "SELECT a.token AS w1, b.token AS w2 FROM v a JOIN v b "
-            "ON a.token < b.token "
-            "AND ABS(LEN(a.token) - LEN(b.token)) <= 1 "
-            "AND LEVENSHTEIN(a.token, b.token) = 1"
-        ),
-        "retention_matrix": (
-            "WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d "
-            "FROM events), "
-            "c AS (SELECT user_id, MIN(d) AS cohort FROM ud GROUP BY 1) "
-            "SELECT CAST(c.cohort AS TIMESTAMP) AS cohort_day, "
-            "CAST(ud.d - c.cohort AS BIGINT) AS day_offset, "
-            "CAST(COUNT(*) AS BIGINT) AS n_users "
-            "FROM ud JOIN c USING (user_id) GROUP BY 1, 2"
-        ),
-        "decayed_counts": (
-            # weights as int64 powers of two -> the sum is exact; the
-            # single final division is the only float op
-            "SELECT event_type, "
-            "CAST(SUM(CASE WHEN age BETWEEN 0 AND 40 "
-            "THEN CAST(1 AS BIGINT) << (40 - age) ELSE 0 END) AS DOUBLE) "
-            "/ 1099511627776.0 AS decayed_n "
-            "FROM (SELECT event_type, "
-            "DATE '2024-02-01' - CAST(ts AS DATE) AS age FROM events) "
-            "GROUP BY 1"
-        ),
-        "pareto_front": (
-            # dominance stated independently (NOT EXISTS) over the
-            # min-price-per-quantity reduction
-            "WITH pts AS (SELECT l_quantity AS qty, "
-            "MIN(l_extendedprice) AS price FROM lineitem GROUP BY 1) "
-            "SELECT qty, price FROM pts a WHERE NOT EXISTS ("
-            "SELECT 1 FROM pts b WHERE b.qty >= a.qty "
-            "AND b.price <= a.price "
-            "AND (b.qty > a.qty OR b.price < a.price))"
-        ),
-        "grouped_mad": (
-            "SELECT l_returnflag, MAD(l_quantity) AS mad "
-            "FROM lineitem GROUP BY 1"
-        ),
-        "grouped_regression": (
-            # mirror of pipelines/relational.py grouped_regression:
-            # exact integer moments, closed-form slope/intercept
-            "WITH l AS (SELECT l_returnflag, "
-            "CAST(ROUND(l_quantity, 0) AS BIGINT) AS qty, "
-            "CAST(ROUND(l_extendedprice, 0) AS BIGINT) AS dollars "
-            "FROM lineitem), "
-            "m AS (SELECT l_returnflag, "
-            "CAST(COUNT(*) AS DOUBLE) AS n, "
-            "CAST(SUM(qty) AS DOUBLE) AS sx, "
-            "CAST(SUM(dollars) AS DOUBLE) AS sy, "
-            "CAST(SUM(qty * qty) AS DOUBLE) AS sxx, "
-            "CAST(SUM(qty * dollars) AS DOUBLE) AS sxy FROM l "
-            "GROUP BY l_returnflag) "
-            "SELECT l_returnflag, "
-            "ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope, "
-            "ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,"
-            " 6) AS intercept FROM m"
-        ),
-        "lang_entropy": (
-            "WITH c AS (SELECT lang, source, "
-            "CAST(COUNT(*) AS DOUBLE) AS n FROM documents "
-            "GROUP BY lang, source), "
-            "t AS (SELECT lang, SUM(n) AS tot FROM c GROUP BY lang) "
-            "SELECT c.lang, "
-            "ROUND(LN(MAX(t.tot)) - SUM(c.n * LN(c.n)) / MAX(t.tot), 6) "
-            "AS entropy FROM c JOIN t ON c.lang = t.lang GROUP BY c.lang"
-        ),
-        "geomean_price": (
-            # fixed-point log-sum mirror of grouped_geomean (exact
-            # int64 combine, exp once per group)
-            "WITH l AS (SELECT p_brand, "
-            "CAST(ROUND(LN(p_retailprice) * 1e12, 0) AS BIGINT) AS q "
-            "FROM part) "
-            "SELECT p_brand, "
-            "ROUND(EXP(CAST(SUM(q) AS DOUBLE) / (COUNT(*) * 1e12)), 6) "
-            "AS geomean FROM l GROUP BY p_brand"
-        ),
-        "user_streaks": (
-            "WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d "
-            "FROM events), "
-            "isl AS (SELECT user_id, d, ROW_NUMBER() OVER "
-            "(PARTITION BY user_id ORDER BY d) AS rn FROM days), "
-            "runs AS (SELECT user_id, COUNT(*) AS len FROM isl "
-            "GROUP BY user_id, d - CAST(rn AS INTEGER)) "
-            "SELECT user_id, CAST(MAX(len) AS BIGINT) AS max_streak "
-            "FROM runs GROUP BY user_id"
-        ),
-        "profile_lineitem": (
-            " UNION ALL ".join(
-                "SELECT '" + c + "' AS \"column\", "
-                "CAST(COUNT(*) AS BIGINT) AS n, "
-                "CAST(SUM(CASE WHEN " + c + " IS NULL THEN 1 ELSE 0 END)"
-                " AS BIGINT) AS n_null, "
-                "CAST(COUNT(DISTINCT " + c + ") AS BIGINT) AS n_distinct, "
-                + (
-                    "ROUND(CAST(MIN(" + c + ") AS DOUBLE), 6) AS min_v, "
-                    "ROUND(CAST(MAX(" + c + ") AS DOUBLE), 6) AS max_v "
-                    if c in ("l_quantity", "l_extendedprice")
-                    else "CAST(NULL AS DOUBLE) AS min_v, "
-                         "CAST(NULL AS DOUBLE) AS max_v "
-                )
-                + "FROM lineitem"
-                for c in ("l_quantity", "l_extendedprice",
-                          "l_returnflag", "l_linestatus")
-            )
-        ),
-        "kde_density": (
-            "WITH e AS (SELECT CAST(x AS DOUBLE) AS x FROM "
-            "unnest([50000, 100000, 150000, 200000, 250000, 300000, "
-            "350000, 400000, 450000]) t(x)), "
-            "s AS (SELECT e.x, SUM(EXP(-0.5 * ((e.x - o_totalprice) "
-            "/ 25000.0) * ((e.x - o_totalprice) / 25000.0))) AS sk, "
-            "CAST(COUNT(*) AS DOUBLE) AS n "
-            "FROM e CROSS JOIN orders GROUP BY e.x) "
-            "SELECT x, ROUND(sk / (n * 25000.0 * SQRT(2 * PI())) "
-            "* 1e6, 6) AS density FROM s"
-        ),
-        "lagged_crosscorr": (
-            "WITH d AS (SELECT "
-            "CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, "
-            "CAST(COUNT(*) AS DOUBLE) AS n, "
-            "SUM(value) / COUNT(*) AS mv FROM events GROUP BY 1), "
-            "l AS (SELECT lag.i AS lag, a.n AS x, b.mv AS y "
-            "FROM (SELECT unnest(generate_series(-3, 3)) AS i) lag "
-            "JOIN d a ON TRUE JOIN d b ON b.day = a.day - lag.i), "
-            "s AS (SELECT lag, CAST(COUNT(*) AS DOUBLE) AS k, "
-            "SUM(x) AS sa, SUM(y) AS sb, SUM(x * x) AS sxx, "
-            "SUM(y * y) AS syy, SUM(x * y) AS sxy FROM l GROUP BY lag) "
-            "SELECT lag, ROUND((k * sxy - sa * sb) / "
-            "(SQRT(k * sxx - sa * sa) * SQRT(k * syy - sb * sb)), 6) "
-            "AS corr FROM s"
-        ),
-        "rolling_anomaly": (
-            "WITH d AS (SELECT "
-            "CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, "
-            "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1), "
-            "w AS (SELECT day, n, "
-            "AVG(CAST(n AS DOUBLE)) OVER (ORDER BY day "
-            "ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS mu, "
-            "STDDEV(CAST(n AS DOUBLE)) OVER (ORDER BY day "
-            "ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS sd, "
-            "COUNT(*) OVER (ORDER BY day "
-            "ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS k FROM d) "
-            "SELECT CAST(CAST(to_timestamp(day * 86400) AS DATE) "
-            "AS TIMESTAMP) AS day, n, "
-            "ROUND(CASE WHEN k >= 2 AND sd > 0 "
-            "THEN (CAST(n AS DOUBLE) - mu) / sd END, 6) AS z FROM w"
-        ),
-        "pattern_match_users": (
-            "WITH s AS (SELECT user_id, "
-            "STRING_AGG(SUBSTR(event_type, 1, 1), '' "
-            "ORDER BY ts, event_id) AS seq, "
-            "CAST(COUNT(*) AS BIGINT) AS n_events FROM events "
-            "GROUP BY user_id) "
-            "SELECT user_id, "
-            "regexp_matches(seq, 's[^e]*p') AS matched, n_events "
-            "FROM s"
-        ),
-        "rolling_week_users": (
-            "WITH ud AS (SELECT DISTINCT user_id, "
-            "CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d "
-            "FROM events), "
-            "w AS (SELECT DISTINCT user_id, d + k.i AS win_end "
-            "FROM ud CROSS JOIN (SELECT unnest(generate_series(0, 6)) "
-            "AS i) k) "
-            "SELECT CAST(CAST(to_timestamp(win_end * 86400) AS DATE) "
-            "AS TIMESTAMP) AS win_end, "
-            "CAST(COUNT(*) AS BIGINT) AS n_users "
-            "FROM w GROUP BY 1"
-        ),
-        "winsorized_mean": (
-            "WITH c AS (SELECT l_returnflag, "
-            "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS cents "
-            "FROM lineitem), "
-            "b AS (SELECT l_returnflag, "
-            "CAST(quantile_disc(cents, 0.1) AS DOUBLE) AS lo, "
-            "CAST(quantile_disc(cents, 0.9) AS DOUBLE) AS hi "
-            "FROM c GROUP BY l_returnflag), "
-            "w AS (SELECT c.l_returnflag, CAST(LEAST(GREATEST("
-            "CAST(c.cents AS DOUBLE), b.lo), b.hi) AS BIGINT) AS wc "
-            "FROM c JOIN b ON c.l_returnflag = b.l_returnflag) "
-            "SELECT l_returnflag, "
-            "ROUND(CAST(SUM(wc) AS DOUBLE) / COUNT(*) / 100.0, 6) "
-            "AS winsor_mean FROM w GROUP BY l_returnflag"
-        ),
-        "contour_cases": (
-            # 2x2 windows via three shifted self-joins of the grid;
-            # window valid only when all four corners are valid
-            f"WITH g AS (SELECT row, col, z FROM ({grid})), "
-            "w AS (SELECT a.z AS tl, b.z AS tr, c.z AS bl, d.z AS br "
-            "FROM g a JOIN g b ON b.row = a.row AND b.col = a.col + 1 "
-            "JOIN g c ON c.row = a.row + 1 AND c.col = a.col "
-            "JOIN g d ON d.row = a.row + 1 AND d.col = a.col + 1 "
-            "WHERE a.z > -1e30 AND b.z > -1e30 AND c.z > -1e30 "
-            "AND d.z > -1e30) "
-            "SELECT CAST(CAST(tl > 25.0 AS INTEGER) "
-            "+ 2 * CAST(tr > 25.0 AS INTEGER) "
-            "+ 4 * CAST(br > 25.0 AS INTEGER) "
-            "+ 8 * CAST(bl > 25.0 AS INTEGER) AS BIGINT) AS case_id, "
-            "CAST(COUNT(*) AS BIGINT) AS n FROM w GROUP BY case_id"
-        ),
-        "contour_segments": _contour_segments_oracle_sql(grid),
-        "zonal_mode": (
-            "WITH p AS ("
-            + " UNION ALL ".join(
-                f"SELECT '{pid}' AS polygon_id, z FROM ({grid}) "
-                f"WHERE z > -1e30 AND {_halfplane_sql(poly)}"
-                for pid, poly in OG_POLYGONS.items()
-            )
-            + "), "
-            "c AS (SELECT polygon_id, z, CAST(COUNT(*) AS BIGINT) AS n "
-            "FROM p GROUP BY 1, 2), "
-            "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY polygon_id "
-            "ORDER BY n DESC, z) AS rn FROM c) "
-            "SELECT polygon_id, z AS mode_z, n AS n_mode FROM r "
-            "WHERE rn = 1"
-        ),
-        "hist_equalize": (
-            f"WITH g AS (SELECT z FROM ({grid}) WHERE z > -1e30), "
-            "c AS (SELECT z, CAST(COUNT(*) AS BIGINT) AS n FROM g "
-            "GROUP BY z), "
-            "d AS (SELECT z, n, CAST(SUM(n) OVER (ORDER BY z) AS DOUBLE) "
-            "AS cdf FROM c), "
-            "s AS (SELECT MIN(cdf) AS cmin, MAX(cdf) AS ntot FROM d), "
-            "m AS (SELECT z, d.n AS nv, CAST(ROUND(255.0 * (cdf - s.cmin) "
-            "/ (s.ntot - s.cmin), 0) AS BIGINT) AS eq FROM d, s) "
-            "SELECT eq, CAST(SUM(nv) AS BIGINT) AS n_pixels "
-            "FROM m GROUP BY eq"
-        ),
-        "convoy_pairs": (
-            "WITH k AS (SELECT DISTINCT "
-            "((event_id % 96) // 8) * 12 + ((event_id // 96) % 96) // 8 "
-            "AS cell, "
-            "CAST(epoch_us(ts) // 600000000 AS BIGINT) AS win, user_id "
-            "FROM events), "
-            "pw AS (SELECT DISTINCT a.user_id AS ua, b.user_id AS ub, "
-            "a.win FROM k a JOIN k b ON a.cell = b.cell "
-            "AND a.win = b.win AND a.user_id < b.user_id), "
-            "l AS (SELECT ua, ub, win, win - LAG(win) OVER ("
-            "PARTITION BY ua, ub ORDER BY win) AS stp FROM pw), "
-            "isl AS (SELECT ua, ub, win, "
-            "SUM(CASE WHEN stp IS NULL OR stp > 1 THEN 1 ELSE 0 END) "
-            "OVER (PARTITION BY ua, ub ORDER BY win) AS island FROM l), "
-            "runs AS (SELECT ua, ub, island, COUNT(*) AS run "
-            "FROM isl GROUP BY ua, ub, island), "
-            "agg AS (SELECT ua, ub, MAX(run) AS max_run, "
-            "SUM(run) AS n_cowindows FROM runs GROUP BY ua, ub) "
-            "SELECT ua AS user_a, ub AS user_b, "
-            "CAST(max_run AS BIGINT) AS max_run, "
-            "CAST(n_cowindows AS BIGINT) AS n_cowindows "
-            "FROM agg WHERE max_run >= 2"
-        ),
-        "colocation_pairs": (
-            "WITH k AS (SELECT DISTINCT "
-            "((event_id % 96) // 8) * 12 + ((event_id // 96) % 96) // 8 "
-            "AS cell, "
-            "CAST(epoch_us(ts) // 600000000 AS BIGINT) AS win, user_id "
-            "FROM events) "
-            "SELECT a.user_id AS user_a, b.user_id AS user_b, "
-            "CAST(COUNT(*) AS BIGINT) AS n_meetings "
-            "FROM k a JOIN k b ON a.cell = b.cell AND a.win = b.win "
-            "AND a.user_id < b.user_id GROUP BY 1, 2"
-        ),
-        "word_triangles": (
-            "WITH tok AS (SELECT DISTINCT source AS w FROM documents "
-            "WHERE LEN(source) >= 4), "
-            "e AS (SELECT a.w AS w1, b.w AS w2 FROM tok a JOIN tok b "
-            "ON a.w < b.w AND ABS(LEN(a.w) - LEN(b.w)) <= 1 "
-            "AND LEVENSHTEIN(a.w, b.w) = 1), "
-            "tri AS (SELECT e1.w1 AS a, e1.w2 AS b, e2.w2 AS c "
-            "FROM e e1 JOIN e e2 ON e2.w1 = e1.w2 "
-            "JOIN e e3 ON e3.w1 = e1.w1 AND e3.w2 = e2.w2), "
-            "m AS (SELECT a AS word FROM tri UNION ALL "
-            "SELECT b FROM tri UNION ALL SELECT c FROM tri) "
-            "SELECT word, CAST(COUNT(*) AS BIGINT) AS n_triangles "
-            "FROM m GROUP BY word"
-        ),
-        "word_components": (
-            # recursive reachability closure; rep = min reachable word
-            "WITH RECURSIVE tok AS (SELECT DISTINCT source AS w "
-            "FROM documents WHERE LEN(source) >= 4), "
-            "e AS (SELECT a.w AS w1, b.w AS w2 FROM tok a JOIN tok b "
-            "ON a.w < b.w AND ABS(LEN(a.w) - LEN(b.w)) <= 1 "
-            "AND LEVENSHTEIN(a.w, b.w) = 1), "
-            "sym AS (SELECT w1, w2 FROM e "
-            "UNION ALL SELECT w2, w1 FROM e), "
-            "nodes AS (SELECT DISTINCT w1 AS w FROM sym), "
-            "walk(w, r) AS (SELECT w, w FROM nodes "
-            "UNION SELECT sym.w2, walk.r FROM walk "
-            "JOIN sym ON sym.w1 = walk.w), "
-            "lab AS (SELECT w, MIN(r) AS rep FROM walk GROUP BY w) "
-            "SELECT rep AS rep_word, CAST(COUNT(*) AS BIGINT) AS n_words "
-            "FROM lab GROUP BY rep"
-        ),
-        "word_pagerank": _pagerank_sql(),
-        "word_bfs_hops": (
-            # recursive min-hop closure bounded at 4 hops; seeds = 5
-            # smallest vocab words (isolated seeds stay at hops 0)
-            "WITH RECURSIVE tok AS (SELECT DISTINCT source AS w "
-            "FROM documents WHERE LEN(source) >= 4), "
-            "e AS (SELECT a.w AS w1, b.w AS w2 FROM tok a JOIN tok b "
-            "ON a.w < b.w AND ABS(LEN(a.w) - LEN(b.w)) <= 1 "
-            "AND LEVENSHTEIN(a.w, b.w) = 1), "
-            "sym AS (SELECT w1, w2 FROM e "
-            "UNION ALL SELECT w2, w1 FROM e), "
-            "seeds AS (SELECT w FROM tok ORDER BY w LIMIT 5), "
-            "walk(w, d) AS (SELECT w, 0 FROM seeds "
-            "UNION SELECT sym.w2, walk.d + 1 FROM walk "
-            "JOIN sym ON sym.w1 = walk.w WHERE walk.d < 4) "
-            "SELECT w AS word, CAST(MIN(d) AS BIGINT) AS hops "
-            "FROM walk GROUP BY w"
-        ),
-        "latest_event_per_user": (
-            "SELECT user_id, ts, event_type, value FROM ("
-            "SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id "
-            "ORDER BY ts DESC, event_id DESC) AS rn FROM events) "
-            "WHERE rn = 1"
-        ),
-        "conversion_lag": (
-            "WITH p AS (SELECT user_id, event_id, ts FROM events "
-            "WHERE event_type = 'purchase'), "
-            "c AS (SELECT user_id, ts FROM events "
-            "WHERE event_type = 'click'), "
-            "m AS (SELECT p.user_id, p.event_id, p.ts, MAX(c.ts) AS cts "
-            "FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts "
-            "GROUP BY p.user_id, p.event_id, p.ts) "
-            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_conversions, "
-            "ROUND(CAST(SUM(date_diff('microsecond', cts, ts)) AS DOUBLE) "
-            "/ COUNT(*) / 1000000.0, 6) AS avg_lag_s "
-            "FROM m GROUP BY user_id"
-        ),
-        "interevent_median": (
-            "WITH s AS (SELECT user_id, ts, LEAD(ts) OVER "
-            "(PARTITION BY user_id ORDER BY ts, event_id) AS nxt "
-            "FROM events), "
-            "g AS (SELECT user_id, EPOCH(nxt - ts) AS gap FROM s "
-            "WHERE nxt IS NOT NULL) "
-            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps, "
-            "ROUND(quantile_disc(gap, 0.5), 6) AS median_gap_s "
-            "FROM g GROUP BY user_id"
-        ),
-        "time_weighted_avg": (
-            "WITH s AS (SELECT user_id, value, ts, LEAD(ts) OVER "
-            "(PARTITION BY user_id ORDER BY ts, event_id) AS nxt "
-            "FROM events), "
-            "g AS (SELECT user_id, value, EPOCH(nxt - ts) AS dt FROM s "
-            "WHERE nxt IS NOT NULL) "
-            "SELECT user_id, "
-            "ROUND(SUM(value * dt) / SUM(dt), 6) AS twa_value "
-            "FROM g GROUP BY user_id"
-        ),
-        "percent_rank_qty": (
-            "SELECT DISTINCT l_returnflag, "
-            "CAST(ROUND(l_quantity, 0) AS BIGINT) AS qty, "
-            "ROUND(PERCENT_RANK() OVER (PARTITION BY l_returnflag "
-            "ORDER BY CAST(ROUND(l_quantity, 0) AS BIGINT)), 6) "
-            "AS pct_rank FROM lineitem"
-        ),
-        "gini_by_priority": (
-            # mirror of pipelines/relational.py grouped_gini: ranked
-            # statistic, sum(i*x) is tie-permutation invariant
-            "WITH x AS (SELECT o_orderpriority AS g, "
-            "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS v "
-            "FROM orders), "
-            "r AS (SELECT g, v, ROW_NUMBER() OVER "
-            "(PARTITION BY g ORDER BY v) AS i FROM x), "
-            "s AS (SELECT g, CAST(COUNT(*) AS DOUBLE) AS n, "
-            "CAST(SUM(v) AS DOUBLE) AS sx, "
-            "CAST(SUM(i * v) AS DOUBLE) AS six FROM r GROUP BY g) "
-            "SELECT g AS o_orderpriority, "
-            "ROUND(2 * six / (n * sx) - (n + 1) / n, 6) AS gini FROM s"
-        ),
-        "bm25_search": (
-            # mirror of stages/textops.py bm25_scores for the fixed
-            # query ('spark', 'join'), k1=1.2, b=0.75
-            "WITH w AS (SELECT doc_id, "
-            "list_filter(string_split(text, ' '), t -> t <> '') AS ws "
-            "FROM documents), "
-            "d AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, "
-            "CAST(len(list_filter(ws, t -> t = 'spark')) AS DOUBLE) AS tf0, "
-            "CAST(len(list_filter(ws, t -> t = 'join')) AS DOUBLE) AS tf1 "
-            "FROM w), "
-            "s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, "
-            "SUM(dl) / COUNT(*) AS avgdl, "
-            "CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) "
-            "AS df0, "
-            "CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) "
-            "AS df1 FROM d) "
-            "SELECT doc_id, ROUND("
-            "LN((n - df0 + 0.5) / (df0 + 0.5) + 1) * tf0 * (1.2 + 1) "
-            "/ (tf0 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) + "
-            "LN((n - df1 + 0.5) / (df1 + 0.5) + 1) * tf1 * (1.2 + 1) "
-            "/ (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 6) AS score "
-            "FROM d, s WHERE tf0 + tf1 > 0 "
-            "ORDER BY score DESC, doc_id LIMIT 20"
-        ),
-        "orders_above_avg": (
-            # exact-cents average so the knife-edge compare is
-            # bit-identical to the engine
-            "WITH c AS (SELECT o_custkey, "
-            "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents "
-            "FROM orders), "
-            "a AS (SELECT o_custkey, "
-            "CAST(SUM(cents) AS DOUBLE) / COUNT(*) AS avg_cents "
-            "FROM c GROUP BY o_custkey) "
-            "SELECT c.o_custkey, CAST(COUNT(*) AS BIGINT) AS n_above "
-            "FROM c JOIN a ON c.o_custkey = a.o_custkey "
-            "WHERE CAST(c.cents AS DOUBLE) > a.avg_cents "
-            "GROUP BY c.o_custkey"
-        ),
-        "chi2_independence": (
-            # mirror of stages/stats.py chi2_independence: zero cells
-            # contribute their expected count via the ra x rb cross join
-            "WITH c AS (SELECT event_type AS a, "
-            "CAST(ISODOW(ts) AS BIGINT) AS b, "
-            "CAST(COUNT(*) AS DOUBLE) AS n FROM events GROUP BY 1, 2), "
-            "ra AS (SELECT a, SUM(n) AS na FROM c GROUP BY a), "
-            "rb AS (SELECT b, SUM(n) AS nb FROM c GROUP BY b), "
-            "t AS (SELECT SUM(n) AS tot FROM c), "
-            "f AS (SELECT ra.na, rb.nb, COALESCE(c.n, 0) AS n "
-            "FROM ra CROSS JOIN rb "
-            "LEFT JOIN c ON c.a = ra.a AND c.b = rb.b) "
-            "SELECT ROUND(SUM((n - na * nb / t.tot) * (n - na * nb / t.tot) "
-            "/ (na * nb / t.tot)), 6) AS chi2, "
-            "CAST((SELECT COUNT(*) - 1 FROM ra) * "
-            "(SELECT COUNT(*) - 1 FROM rb) AS BIGINT) AS dof "
-            "FROM f, t GROUP BY ALL"
-        ),
-        "getis_ord": (
-            # mirror of stages/stats.py getis_ord_gi_star: 3x3 weights
-            # incl. self, absent lattice cells are zeros
-            "WITH e AS (SELECT (event_id % 96) AS gx, "
-            "((event_id // 96) % 96) AS gy, COUNT(*) AS n FROM events "
-            "GROUP BY 1, 2), "
-            "lat AS (SELECT a.i AS gx, b.i AS gy FROM "
-            "generate_series(0, 95) a(i) CROSS JOIN "
-            "generate_series(0, 95) b(i)), "
-            "x AS (SELECT lat.gx, lat.gy, "
-            "CAST(COALESCE(e.n, 0) AS DOUBLE) AS v "
-            "FROM lat LEFT JOIN e ON lat.gx = e.gx AND lat.gy = e.gy), "
-            "s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn, "
-            "SUM(v) / COUNT(*) AS mu, "
-            "SQRT(SUM(v * v) / COUNT(*) - "
-            "(SUM(v) / COUNT(*)) * (SUM(v) / COUNT(*))) AS sd FROM x), "
-            "w AS (SELECT a.gx, a.gy, SUM(b.v) AS win, "
-            "CAST(COUNT(*) AS DOUBLE) AS cnt FROM x a JOIN x b "
-            "ON abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1 "
-            "GROUP BY a.gx, a.gy) "
-            "SELECT w.gx, w.gy, "
-            "ROUND((win - s.mu * cnt) / "
-            "(s.sd * SQRT((s.nn * cnt - cnt * cnt) / (s.nn - 1))), 6) "
-            "AS gi_z FROM w, s "
-            "ORDER BY gi_z DESC, gx, gy LIMIT 20"
-        ),
-        "assoc_rules": (
-            "WITH b AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, "
-            "event_type AS t FROM events), "
-            "nb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM "
-            "(SELECT DISTINCT user_id, d FROM b)), "
-            "s AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS n FROM b "
-            "GROUP BY t), "
-            "p AS (SELECT x.t AS item_a, y.t AS item_b, "
-            "CAST(COUNT(*) AS BIGINT) AS n_both FROM b x JOIN b y "
-            "ON x.user_id = y.user_id AND x.d = y.d AND x.t < y.t "
-            "GROUP BY 1, 2) "
-            "SELECT p.item_a, p.item_b, p.n_both, "
-            "ROUND(CAST(p.n_both AS DOUBLE) * nb.n / (sa.n * sb.n), 6) "
-            "AS lift FROM p CROSS JOIN nb "
-            "JOIN s sa ON sa.t = p.item_a "
-            "JOIN s sb ON sb.t = p.item_b"
-        ),
-        "pct_change_monthly": (
-            "WITH m AS (SELECT date_trunc('month', o_orderdate) AS month, "
-            "SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS cents "
-            "FROM orders GROUP BY 1) "
-            "SELECT month, CAST(cents AS DOUBLE) / 100.0 AS revenue, "
-            "ROUND((CAST(cents AS DOUBLE) - "
-            "CAST(LAG(cents) OVER (ORDER BY month) AS DOUBLE)) "
-            "/ CAST(LAG(cents) OVER (ORDER BY month) AS DOUBLE) * 100.0, 6) "
-            "AS pct_change FROM m ORDER BY month"
-        ),
-        "grouping_sets": (
-            "SELECT l_returnflag, l_linestatus, "
-            "CAST(SUM(CAST(ROUND(l_quantity * 100, 0) AS BIGINT)) "
-            "AS BIGINT) AS sum_qty_cents, "
-            "CAST(COUNT(*) AS BIGINT) AS n FROM lineitem "
-            "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())"
-        ),
-        "markov_transitions": (
-            "WITH s AS (SELECT user_id, event_type, "
-            "LEAD(event_type) OVER (PARTITION BY user_id "
-            "ORDER BY ts, event_id) AS nxt FROM events) "
-            "SELECT event_type AS src, nxt AS dst, "
-            "CAST(COUNT(*) AS BIGINT) AS n FROM s "
-            "WHERE nxt IS NOT NULL GROUP BY 1, 2"
-        ),
-        "quantiles_cont": (
-            " UNION ALL ".join(
-                f"SELECT CAST({q} AS DOUBLE) AS q, "
-                f"ROUND(CAST(quantile_cont(l_extendedprice, {q}) "
-                "AS DOUBLE), 6) AS value FROM lineitem"
-                for q in (0.1, 0.5, 0.9, 0.99)
-            )
-        ),
-        "lm_logprob": (
-            # mirror of stages/textops.py bigram_lm_logprob: corpus
-            # bigram LM, P(w2|w1) = c2/c1 with c1 from bigram-first
-            # positions
-            "WITH w AS (SELECT doc_id, list_filter(string_split(text, ' '), "
-            "t -> t <> '') AS ws FROM documents), "
-            "g AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM w, "
-            "LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i)), "
-            "c2 AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS n2 FROM g "
-            "GROUP BY w1, w2), "
-            "c1 AS (SELECT w1, SUM(n2) AS n1 FROM c2 GROUP BY w1) "
-            "SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, "
-            "ROUND(AVG(LN(c2.n2 / c1.n1)), 6) AS avg_logp "
-            "FROM g JOIN c2 USING (w1, w2) JOIN c1 USING (w1) "
-            "GROUP BY g.doc_id"
-        ),
-        "full_outer_activity": (
-            "WITH c AS (SELECT user_id, CAST(ts AS DATE) AS d, "
-            "COUNT(*) AS n FROM events WHERE event_type = 'click' "
-            "GROUP BY 1, 2), "
-            "p AS (SELECT user_id, CAST(ts AS DATE) AS d, "
-            "COUNT(*) AS n FROM events WHERE event_type = 'purchase' "
-            "GROUP BY 1, 2) "
-            "SELECT COALESCE(c.user_id, p.user_id) AS user_id, "
-            "CAST(SUM(CASE WHEN c.user_id IS NOT NULL AND p.user_id IS "
-            "NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS both_days, "
-            "CAST(SUM(CASE WHEN p.user_id IS NULL THEN 1 ELSE 0 END) "
-            "AS BIGINT) AS click_only, "
-            "CAST(SUM(CASE WHEN c.user_id IS NULL THEN 1 ELSE 0 END) "
-            "AS BIGINT) AS purchase_only "
-            "FROM c FULL OUTER JOIN p "
-            "ON c.user_id = p.user_id AND c.d = p.d "
-            "GROUP BY COALESCE(c.user_id, p.user_id)"
-        ),
-        "morans_i": (
-            # mirror of stages/stats.py morans_i_grid on the 96x96
-            # geocode lattice, rook contiguity, absent cells = 0
-            "WITH e AS (SELECT (event_id % 96) AS gx, "
-            "((event_id // 96) % 96) AS gy, COUNT(*) AS n FROM events "
-            "GROUP BY 1, 2), "
-            "lat AS (SELECT a.i AS gx, b.i AS gy FROM "
-            "generate_series(0, 95) a(i) CROSS JOIN "
-            "generate_series(0, 95) b(i)), "
-            "x AS (SELECT lat.gx, lat.gy, "
-            "CAST(COALESCE(e.n, 0) AS DOUBLE) AS v "
-            "FROM lat LEFT JOIN e ON lat.gx = e.gx AND lat.gy = e.gy), "
-            "s AS (SELECT AVG(v) AS mu, CAST(COUNT(*) AS DOUBLE) AS nn "
-            "FROM x), "
-            "nb AS ("
-            "SELECT a.v AS va, b.v AS vb FROM x a JOIN x b "
-            "ON a.gx = b.gx AND b.gy = a.gy + 1 "
-            "UNION ALL SELECT a.v, b.v FROM x a JOIN x b "
-            "ON a.gx = b.gx AND b.gy = a.gy - 1 "
-            "UNION ALL SELECT a.v, b.v FROM x a JOIN x b "
-            "ON a.gy = b.gy AND b.gx = a.gx + 1 "
-            "UNION ALL SELECT a.v, b.v FROM x a JOIN x b "
-            "ON a.gy = b.gy AND b.gx = a.gx - 1), "
-            "num AS (SELECT SUM((va - s.mu) * (vb - s.mu)) AS num, "
-            "CAST(COUNT(*) AS DOUBLE) AS w FROM nb, s GROUP BY ALL), "
-            "den AS (SELECT SUM((v - s.mu) * (v - s.mu)) AS den FROM x, s "
-            "GROUP BY ALL) "
-            "SELECT ROUND((s.nn / num.w) * num.num / den.den, 6) "
-            "AS morans_i FROM s, num, den"
-        ),
-        "unpivot_measures": (
-            "WITH w AS (SELECT l_returnflag, "
-            "CAST(ROUND(l_quantity * 100, 0) AS BIGINT) AS quantity, "
-            "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS "
-            "extendedprice, "
-            "CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS discount "
-            "FROM lineitem), "
-            "u AS (UNPIVOT w ON quantity, extendedprice, discount "
-            "INTO NAME measure VALUE cents) "
-            "SELECT l_returnflag, measure, "
-            "ROUND(CAST(SUM(cents) AS DOUBLE) / 100.0, 2) AS total "
-            "FROM u GROUP BY l_returnflag, measure"
-        ),
-        "doc_lengths": (
-            "SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS len_chars FROM documents"
-        ),
-        "ann_top3": (
-            "SELECT q.qid AS query_id, r.vec_id, r.rank FROM "
-            "(SELECT CAST(3 AS BIGINT) AS qid UNION ALL SELECT CAST(77 AS BIGINT)) q, "
-            "LATERAL ("
-            "SELECT e.vec_id, CAST(ROW_NUMBER() OVER (ORDER BY "
-            "list_cosine_similarity(e.embedding, qe.embedding) DESC, e.vec_id) - 1 AS BIGINT) AS rank "
-            "FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = q.qid) qe "
-            ") r WHERE r.rank < 3"
-        ),
-        "knn_join": (
-            "SELECT a, b, rank FROM ("
-            "SELECT x.vec_id AS a, y.vec_id AS b, "
-            "CAST(ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY "
-            "list_cosine_similarity(x.embedding, y.embedding) DESC, "
-            "y.vec_id) - 1 AS BIGINT) AS rank "
-            "FROM embeddings x, embeddings y WHERE x.vec_id <> y.vec_id"
-            ") WHERE rank < 3"
-        ),
-        "fuzzy_match": (
-            "SELECT * FROM (VALUES "
-            "('delhi_elevation', 'delhi_mosaic'), "
-            "('mumbai_satellite', 'mumbai_landsat_mosaic'), "
-            "('slope_analysis', 'gradient_mosaic'), "
-            "('bangalore_roads', 'bengaluru_transportation_mosaic'), "
-            "('unknown_layer', 'some_mosaic'), "
-            "('nonexistent_layer', NULL)"
-            ") AS t(requested, matched)"
-        ),
-    }
-    # flow accumulation = recursive ancestor count over the D8 forest
-    # (edges restricted to node->node; paths are unique, so the UNION
-    # closure counts each (ancestor, cell) once)
-    out["flow_accumulation"] = (
-        f"WITH RECURSIVE fd AS ({out['flow_direction']}), "
-        "e AS MATERIALIZED (SELECT f.row AS r, f.col AS c, "
-        "f.row + CASE f.d8 WHEN 2 THEN 1 WHEN 4 THEN 1 WHEN 8 THEN 1 "
-        "WHEN 32 THEN -1 WHEN 64 THEN -1 WHEN 128 THEN -1 "
-        "ELSE 0 END AS nr, "
-        "f.col + CASE f.d8 WHEN 1 THEN 1 WHEN 2 THEN 1 WHEN 128 THEN 1 "
-        "WHEN 8 THEN -1 WHEN 16 THEN -1 WHEN 32 THEN -1 "
-        "ELSE 0 END AS nc "
-        "FROM fd f WHERE f.d8 <> 0), "
-        "en AS MATERIALIZED (SELECT e.r, e.c, e.nr, e.nc FROM e "
-        "JOIN fd t ON t.row = e.nr AND t.col = e.nc), "
-        "reach(sr, sc, r, c) AS ("
-        "SELECT en.r, en.c, en.nr, en.nc FROM en "
-        "UNION "
-        "SELECT reach.sr, reach.sc, en.nr, en.nc FROM reach "
-        "JOIN en ON en.r = reach.r AND en.c = reach.c), "
-        "anc AS (SELECT r, c, COUNT(*) AS n FROM reach GROUP BY r, c) "
-        "SELECT f.row, f.col, "
-        "CAST(1 + COALESCE(anc.n, 0) AS BIGINT) AS acc "
-        "FROM fd f LEFT JOIN anc ON anc.r = f.row AND anc.c = f.col"
-    )
-    # watershed: pointer-walk closure over NODE->NODE edges; the pour
-    # point is the last valid cell (no node out-edge: a pit/flat or an
-    # exit off the valid set)
-    out["grid_variogram"] = (
-        # exact int64 deci-unit pair sums; within-tile pairs only
-        # (tile width 48), one float division per lag -- mirrors
-        # _q_grid_variogram bit-exactly
-        f"WITH g AS ({_OG_SLOPE_GRID_SQL}), "
-        "v AS (SELECT row, col, CAST(ROUND(z * 10, 0) AS BIGINT) AS k "
-        "FROM g WHERE z > -1e30), "
-        "p AS (SELECT l.h AS lag, "
-        "CAST(COUNT(*) AS BIGINT) AS n_pairs, "
-        "CAST(SUM((a.k - b.k) * (a.k - b.k)) AS BIGINT) AS sum_d2 "
-        "FROM (VALUES (1), (2), (4), (8)) l(h) "
-        "JOIN v a ON (a.col % 48) + l.h < 48 "
-        "JOIN v b ON b.row = a.row AND b.col = a.col + l.h "
-        "GROUP BY l.h) "
-        "SELECT CAST(lag AS BIGINT) AS lag, n_pairs, "
-        "ROUND(CAST(sum_d2 AS DOUBLE) / (2.0 * CAST(n_pairs AS DOUBLE) "
-        "* 100.0), 6) AS gamma FROM p"
-    )
-    out["rfm_segments"] = (
-        "WITH c AS (SELECT o_custkey, "
-        "MAX(epoch_us(o_orderdate)) AS last_us, "
-        "CAST(COUNT(*) AS BIGINT) AS n_orders, "
-        "CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) "
-        "AS BIGINT) AS cents FROM orders GROUP BY o_custkey), "
-        "q AS (SELECT "
-        "NTILE(4) OVER (ORDER BY last_us, o_custkey) AS r_q, "
-        "NTILE(4) OVER (ORDER BY n_orders, o_custkey) AS f_q, "
-        "NTILE(4) OVER (ORDER BY cents, o_custkey) AS m_q FROM c) "
-        "SELECT CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS segment, "
-        "CAST(COUNT(*) AS BIGINT) AS n_customers FROM q GROUP BY 1"
-    )
-    out["acf_lags"] = (
-        # zero-count hours contribute 0 to every x-sum, so only the
-        # calendar length n needs the dense extent; exact int64
-        # moments, one shared float expression (mirrors _q_acf_lags)
-        "WITH c0 AS (SELECT epoch_us(ts) // 3600000000 AS hr, "
-        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1), "
-        "mm AS (SELECT MIN(hr) AS lo, MAX(hr) AS hi, "
-        "CAST(MAX(hr) - MIN(hr) + 1 AS BIGINT) AS n FROM c0), "
-        "tot AS (SELECT CAST(SUM(x) AS BIGINT) AS s, "
-        "CAST(SUM(x * x) AS BIGINT) AS q FROM c0), "
-        "pr AS (SELECT l.h AS h, "
-        "CAST(SUM(CASE WHEN b.hr IS NOT NULL THEN a.x * b.x "
-        "ELSE 0 END) AS BIGINT) AS p, "
-        "CAST(SUM(CASE WHEN a.hr <= mm.hi - l.h THEN a.x ELSE 0 END) "
-        "AS BIGINT) AS sa, "
-        "CAST(SUM(CASE WHEN a.hr >= mm.lo + l.h THEN a.x ELSE 0 END) "
-        "AS BIGINT) AS sb "
-        "FROM (VALUES (1), (2), (3), (6), (12), (24)) l(h) "
-        "CROSS JOIN mm CROSS JOIN c0 a "
-        "LEFT JOIN c0 b ON b.hr = a.hr + l.h "
-        "GROUP BY l.h), "
-        "f AS (SELECT pr.h, pr.p, pr.sa, pr.sb, mm.n, tot.s, tot.q, "
-        "CAST(tot.s AS DOUBLE) / CAST(mm.n AS DOUBLE) AS mu "
-        "FROM pr, mm, tot) "
-        "SELECT CAST(h AS BIGINT) AS lag, "
-        "ROUND((CAST(p AS DOUBLE) - mu * CAST(sa AS DOUBLE) "
-        "- mu * CAST(sb AS DOUBLE) "
-        "+ CAST(n - h AS DOUBLE) * mu * mu) "
-        "/ (CAST(q AS DOUBLE) - 2.0 * mu * CAST(s AS DOUBLE) "
-        "+ CAST(n AS DOUBLE) * mu * mu), 6) AS acf FROM f"
-    )
-    _mt = " + ".join(
-        f"((col // {1 << b}) % 2) * {1 << (2 * b)} "
-        f"+ ((row // {1 << b}) % 2) * {1 << (2 * b + 1)}"
-        for b in range(7)
-    )
-    out["zorder_cells"] = (
-        f"WITH g AS ({_OG_GRID_SQL}), "
-        f"v AS (SELECT row, col FROM g WHERE z > -1e30), "
-        f"z AS (SELECT CAST({_mt} AS BIGINT) AS zkey FROM v) "
-        f"SELECT CAST(zkey // 1024 AS BIGINT) AS bucket, "
-        f"CAST(COUNT(*) AS BIGINT) AS n_pixels, "
-        f"CAST(MIN(zkey) AS BIGINT) AS z_min, "
-        f"CAST(MAX(zkey) AS BIGINT) AS z_max "
-        f"FROM z GROUP BY 1"
-    )
-    _segs_values = ", ".join(
-        f"({sid}, {ax}, {ay}, {bx}, {by})"
-        for sid, ax, ay, bx, by in OG_SEGMENTS
-    )
-    out["map_match"] = (
-        # point-to-segment projection written with the identical
-        # float expression as _q_map_match; ROW_NUMBER(d2, seg_id)
-        # mirrors numpy first-wins argmin
-        f"WITH p AS (SELECT event_id, "
-        f"77.0 + CAST(event_id % 96 AS DOUBLE) * 0.01 AS px, "
-        f"28.05 + CAST((event_id // 96) % 96 AS DOUBLE) * 0.01 AS py "
-        f"FROM events), "
-        f"s(seg_id, ax, ay, bx, by) AS (SELECT * FROM (VALUES "
-        f"{_segs_values})), "
-        f"d AS (SELECT p.event_id, s.seg_id, "
-        f"(p.px - (s.ax + GREATEST(0.0, LEAST(1.0, "
-        f"((p.px - s.ax) * (s.bx - s.ax) + (p.py - s.ay) * (s.by - s.ay)) "
-        f"/ ((s.bx - s.ax) * (s.bx - s.ax) + (s.by - s.ay) * (s.by - s.ay))"
-        f")) * (s.bx - s.ax))) AS dx, "
-        f"(p.py - (s.ay + GREATEST(0.0, LEAST(1.0, "
-        f"((p.px - s.ax) * (s.bx - s.ax) + (p.py - s.ay) * (s.by - s.ay)) "
-        f"/ ((s.bx - s.ax) * (s.bx - s.ax) + (s.by - s.ay) * (s.by - s.ay))"
-        f")) * (s.by - s.ay))) AS dy "
-        f"FROM p, s), "
-        f"r AS (SELECT event_id, seg_id, dx * dx + dy * dy AS d2, "
-        f"ROW_NUMBER() OVER (PARTITION BY event_id "
-        f"ORDER BY dx * dx + dy * dy, seg_id) AS rn FROM d), "
-        f"b AS (SELECT seg_id, "
-        f"CAST(ROUND(SQRT(d2) * 1e6, 0) AS BIGINT) AS um "
-        f"FROM r WHERE rn = 1) "
-        f"SELECT CAST(seg_id AS BIGINT) AS seg_id, "
-        f"CAST(COUNT(*) AS BIGINT) AS n_matched, "
-        f"CAST(SUM(um) AS BIGINT) AS sum_um, "
-        f"ROUND(CAST(SUM(um) AS DOUBLE) "
-        f"/ (CAST(COUNT(*) AS DOUBLE) * 1e6), 6) AS mean_offset "
-        f"FROM b GROUP BY seg_id"
-    )
-    out["seasonal_mase"] = (
-        # dense per-type daily series on the shared calendar extent
-        # (constant-bounded range + filter: no subquery params in
-        # DuckDB table functions); exact int64 absolute-error sums
-        "WITH c AS (SELECT event_type, "
-        "epoch_us(ts) // 86400000000 AS d, "
-        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2), "
-        "mm AS (SELECT MIN(d) AS lo, MAX(d) AS hi, "
-        "CAST(MAX(d) - MIN(d) + 1 AS BIGINT) AS n FROM c), "
-        "days AS (SELECT mm.lo + r.range AS d FROM range(0, 4096) r, mm "
-        "WHERE r.range <= mm.hi - mm.lo), "
-        "ty AS (SELECT DISTINCT event_type FROM c), "
-        "dn AS (SELECT ty.event_type, days.d, COALESCE(c.x, 0) AS x "
-        "FROM ty CROSS JOIN days "
-        "LEFT JOIN c ON c.event_type = ty.event_type AND c.d = days.d), "
-        "e AS (SELECT event_type, x, "
-        "LAG(x, 1) OVER (PARTITION BY event_type ORDER BY d) AS x1, "
-        "LAG(x, 7) OVER (PARTITION BY event_type ORDER BY d) AS x7 "
-        "FROM dn), "
-        "a AS (SELECT event_type, "
-        "CAST(SUM(CASE WHEN x7 IS NOT NULL THEN ABS(x - x7) ELSE 0 END) "
-        "AS BIGINT) AS sae_seasonal, "
-        "CAST(SUM(CASE WHEN x1 IS NOT NULL THEN ABS(x - x1) ELSE 0 END) "
-        "AS BIGINT) AS sae_naive FROM e GROUP BY event_type) "
-        "SELECT a.event_type, a.sae_seasonal, a.sae_naive, "
-        "ROUND((CAST(a.sae_seasonal AS DOUBLE) / CAST(mm.n - 7 AS DOUBLE)) "
-        "/ (CAST(a.sae_naive AS DOUBLE) / CAST(mm.n - 1 AS DOUBLE)), 6) "
-        "AS mase FROM a, mm"
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
-        mix32_sql as _mx,
-    )
-
-    _mb_grid = (
-        "SELECT b.b AS band, r.range AS row, c.range AS col, "
-        "CASE WHEN (r.range * 5 + c.range * 3 + b.b) % 29 = 0 THEN NULL "
-        "ELSE CAST(ROUND(CAST(CAST(((r.range * 73 + c.range * 31 "
-        "+ b.b * 101) % 500) / 10.0 AS REAL) AS DOUBLE) * 10.0, 0) "
-        "AS BIGINT) END AS k "
-        "FROM range(0, 96) r, range(0, 96) c, (VALUES (1), (2)) b(b)"
-    )
-    out["band_correlation"] = (
-        f"WITH mb AS ({_mb_grid}), "
-        "j AS (SELECT a.k AS k1, d.k AS k2 FROM "
-        "(SELECT row, col, k FROM mb WHERE band = 1 "
-        "AND k IS NOT NULL) a "
-        "JOIN (SELECT row, col, k FROM mb WHERE band = 2 "
-        "AND k IS NOT NULL) d ON d.row = a.row AND d.col = a.col), "
-        "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(k1) AS BIGINT) AS s1, "
-        "CAST(SUM(k2) AS BIGINT) AS s2, "
-        "CAST(SUM(k1 * k1) AS BIGINT) AS q1, "
-        "CAST(SUM(k2 * k2) AS BIGINT) AS q2, "
-        "CAST(SUM(k1 * k2) AS BIGINT) AS s12 FROM j) "
-        "SELECT n AS n_cells, "
-        "ROUND((CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) "
-        "* CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) "
-        "/ SQRT((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) "
-        "* CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) "
-        "* (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) "
-        "* CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS pearson_r "
-        "FROM m"
-    )
-    out["field_divergence"] = (
-        f"WITH mb AS ({_mb_grid}), "
-        "lat AS (SELECT row, col FROM mb WHERE band = 1), "
-        "u AS (SELECT row, col, k FROM mb WHERE band = 1 "
-        "AND k IS NOT NULL), "
-        "v AS (SELECT row, col, k FROM mb WHERE band = 2 "
-        "AND k IS NOT NULL) "
-        "SELECT e.row, e.col, "
-        "ROUND(CAST((ur.k - ul.k) + (vd.k - vu.k) AS DOUBLE) "
-        "/ (2.0 * 10.0 * 0.01), 6) AS divergence "
-        "FROM lat e "
-        "JOIN u ul ON ul.row = e.row AND ul.col = e.col - 1 "
-        "JOIN u ur ON ur.row = e.row AND ur.col = e.col + 1 "
-        "JOIN v vu ON vu.row = e.row - 1 AND vu.col = e.col "
-        "JOIN v vd ON vd.row = e.row + 1 AND vd.col = e.col "
-        "WHERE (e.row % 48) NOT IN (0, 47) "
-        "AND (e.col % 48) NOT IN (0, 47)"
-    )
-    _mh_seeds = ", ".join(f"({s})" for s in range(16))
-    out["minhash_estimate"] = (
-        f"WITH w AS (SELECT doc_id, "
-        f"list_filter(string_split(text, ' '), t -> t <> '') AS ws "
-        f"FROM documents WHERE doc_id % 25 = 0), "
-        f"g AS (SELECT DISTINCT doc_id, "
-        f"ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram FROM w, "
-        f"LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS i)), "
-        f"u AS (SELECT gram, CAST(DENSE_RANK() OVER (ORDER BY gram) "
-        f"AS BIGINT) AS gid FROM (SELECT DISTINCT gram FROM g)), "
-        f"gg AS (SELECT g.doc_id, u.gid FROM g "
-        f"JOIN u ON u.gram = g.gram), "
-        f"mh AS (SELECT doc_id, s.s, "
-        f"MIN({_mx('gg.gid + s.s', 0)}) AS mh "
-        f"FROM gg, (VALUES {_mh_seeds}) s(s) GROUP BY doc_id, s.s), "
-        f"p AS (SELECT a.doc_id AS da, b.doc_id AS db, "
-        f"CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT) "
-        f"AS m FROM mh a JOIN mh b ON b.s = a.s "
-        f"AND a.doc_id < b.doc_id GROUP BY 1, 2), "
-        f"ex AS (SELECT a.doc_id AS da, b.doc_id AS db, "
-        f"CAST(COUNT(*) AS BIGINT) AS inter FROM gg a "
-        f"JOIN gg b ON b.gid = a.gid AND a.doc_id < b.doc_id "
-        f"GROUP BY 1, 2), "
-        f"sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS s "
-        f"FROM gg GROUP BY doc_id) "
-        f"SELECT p.da AS doc_a, p.db AS doc_b, "
-        f"ROUND(CAST(p.m AS DOUBLE) / 16.0, 6) AS est_jaccard, "
-        f"ROUND(CAST(COALESCE(ex.inter, 0) AS DOUBLE) "
-        f"/ CAST(sa.s + sb.s - COALESCE(ex.inter, 0) AS DOUBLE), 6) "
-        f"AS exact_jaccard "
-        f"FROM p LEFT JOIN ex ON ex.da = p.da AND ex.db = p.db "
-        f"JOIN sz sa ON sa.doc_id = p.da "
-        f"JOIN sz sb ON sb.doc_id = p.db"
-    )
-    out["l_diversity"] = (
-        "WITH c AS (SELECT source, n_chars // 100 AS len_bucket, "
-        "lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents "
-        "GROUP BY 1, 2, 3), "
-        "gr AS (SELECT source, len_bucket, "
-        "CAST(COUNT(*) AS BIGINT) AS n_langs, "
-        "CAST(SUM(n) AS BIGINT) AS n_docs FROM c GROUP BY 1, 2) "
-        "SELECT CAST(l.l AS BIGINT) AS l, "
-        "CAST(COALESCE(SUM(CASE WHEN gr.n_langs < l.l THEN 1 "
-        "ELSE 0 END), 0) AS BIGINT) AS groups_failing, "
-        "CAST(COALESCE(SUM(CASE WHEN gr.n_langs < l.l THEN gr.n_docs "
-        "ELSE 0 END), 0) AS BIGINT) AS docs_exposed "
-        "FROM (VALUES (2), (3)) l(l) CROSS JOIN gr GROUP BY l.l"
-    )
-    out["lsh_blocking_audit"] = (
-        f"WITH w AS (SELECT doc_id, "
-        f"list_filter(string_split(text, ' '), t -> t <> '') AS ws "
-        f"FROM documents WHERE doc_id % 25 = 0), "
-        f"g AS (SELECT DISTINCT doc_id, "
-        f"ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram FROM w, "
-        f"LATERAL (SELECT unnest(generate_series(1, len(ws)-2)) AS i)), "
-        f"u AS (SELECT gram, CAST(DENSE_RANK() OVER (ORDER BY gram) "
-        f"AS BIGINT) AS gid FROM (SELECT DISTINCT gram FROM g)), "
-        f"gg AS (SELECT g.doc_id, u.gid FROM g "
-        f"JOIN u ON u.gram = g.gram), "
-        f"mh AS (SELECT doc_id, s.s, "
-        f"MIN({_mx('gg.gid + s.s', 0)}) AS mh "
-        f"FROM gg, (VALUES {_mh_seeds}) s(s) GROUP BY doc_id, s.s), "
-        f"bm AS (SELECT a.doc_id AS da, b.doc_id AS db, a.s // 4 AS bd, "
-        f"CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT) "
-        f"AS eq FROM mh a JOIN mh b ON b.s = a.s "
-        f"AND a.doc_id < b.doc_id GROUP BY 1, 2, 3), "
-        f"cand AS (SELECT da, db, "
-        f"MAX(CASE WHEN eq = 4 THEN 1 ELSE 0 END) AS c "
-        f"FROM bm GROUP BY 1, 2), "
-        f"ex AS (SELECT a.doc_id AS da, b.doc_id AS db, "
-        f"CAST(COUNT(*) AS BIGINT) AS inter FROM gg a "
-        f"JOIN gg b ON b.gid = a.gid AND a.doc_id < b.doc_id "
-        f"GROUP BY 1, 2), "
-        f"sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS s "
-        f"FROM gg GROUP BY doc_id), "
-        f"d AS (SELECT c.da, c.db, c.c, "
-        f"CASE WHEN COALESCE(ex.inter, 0) * 2 >= "
-        f"sa.s + sb.s - COALESCE(ex.inter, 0) THEN 1 ELSE 0 END AS dup "
-        f"FROM cand c LEFT JOIN ex ON ex.da = c.da AND ex.db = c.db "
-        f"JOIN sz sa ON sa.doc_id = c.da "
-        f"JOIN sz sb ON sb.doc_id = c.db), "
-        f"nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM sz) "
-        f"SELECT CAST(nn.nd * (nn.nd - 1) // 2 AS BIGINT) AS n_pairs, "
-        f"CAST(SUM(d.c) AS BIGINT) AS n_candidates, "
-        f"CAST(SUM(d.dup) AS BIGINT) AS n_true_dups, "
-        f"CASE WHEN SUM(d.dup) = 0 THEN CAST('nan' AS DOUBLE) "
-        f"ELSE ROUND(CAST(SUM(d.c * d.dup) AS DOUBLE) "
-        f"/ CAST(SUM(d.dup) AS DOUBLE), 6) END AS recall, "
-        f"ROUND(CAST(SUM(d.c) AS DOUBLE) "
-        f"/ CAST(nn.nd * (nn.nd - 1) // 2 AS DOUBLE), 6) "
-        f"AS reduction_ratio "
-        f"FROM d, nn GROUP BY nn.nd"
-    )
-    out["variance_ratio"] = (
-        # q-day sums as exact prefix differences (c[t+q-1] - c[t-1]);
-        # sample variances from int64 moments; mirrors
-        # _q_variance_ratio
-        "WITH c0 AS (SELECT epoch_us(ts) // 86400000000 AS d, "
-        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1), "
-        "mm AS (SELECT MIN(d) AS lo, MAX(d) AS hi, "
-        "CAST(MAX(d) - MIN(d) + 1 AS BIGINT) AS n FROM c0), "
-        "dd AS (SELECT r.range AS t, mm.lo + r.range AS d "
-        "FROM range(0, 4096) r, mm WHERE r.range <= mm.hi - mm.lo), "
-        "dn AS (SELECT dd.t, COALESCE(c0.x, 0) AS x "
-        "FROM dd LEFT JOIN c0 ON c0.d = dd.d), "
-        "pf AS (SELECT t, CAST(SUM(x) OVER (ORDER BY t "
-        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c FROM dn), "
-        "tx AS (SELECT CAST(SUM(x) AS BIGINT) AS sx, "
-        "CAST(SUM(x * x) AS BIGINT) AS qx FROM dn), "
-        "s AS (SELECT q.q, hi.c - COALESCE(lo.c, 0) AS sv "
-        "FROM (VALUES (2), (5), (10)) q(q) "
-        "CROSS JOIN mm "
-        "JOIN pf hi ON hi.t >= q.q - 1 AND hi.t <= mm.n - 1 "
-        "LEFT JOIN pf lo ON lo.t = hi.t - q.q), "
-        "ms AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS m, "
-        "CAST(SUM(sv) AS BIGINT) AS ss, "
-        "CAST(SUM(sv * sv) AS BIGINT) AS qqs FROM s GROUP BY q), "
-        "f AS (SELECT ms.q, ms.m, ms.ss, ms.qqs, mm.n, tx.sx, tx.qx, "
-        "CAST(tx.sx AS DOUBLE) / CAST(mm.n AS DOUBLE) AS mu, "
-        "CAST(ms.ss AS DOUBLE) / CAST(ms.m AS DOUBLE) AS mus "
-        "FROM ms, mm, tx) "
-        "SELECT CAST(q AS BIGINT) AS horizon, "
-        "ROUND(((CAST(qqs AS DOUBLE) - CAST(m AS DOUBLE) * mus * mus) "
-        "/ (CAST(m AS DOUBLE) - 1.0)) "
-        "/ (CAST(q AS DOUBLE) * ((CAST(qx AS DOUBLE) "
-        "- CAST(n AS DOUBLE) * mu * mu) / (CAST(n AS DOUBLE) - 1.0))), "
-        "6) AS variance_ratio FROM f"
-    )
-    out["variogram_anisotropy"] = (
-        f"WITH g AS ({_OG_SLOPE_GRID_SQL}), "
-        "v AS (SELECT row, col, CAST(ROUND(z * 10, 0) AS BIGINT) AS k "
-        "FROM g WHERE z > -1e30), "
-        "px AS (SELECT l.h AS lag, "
-        "CAST(COUNT(*) AS BIGINT) AS n_pairs, "
-        "CAST(SUM((a.k - b.k) * (a.k - b.k)) AS BIGINT) AS sum_d2 "
-        "FROM (VALUES (1), (2), (4)) l(h) "
-        "JOIN v a ON (a.col % 48) + l.h < 48 "
-        "JOIN v b ON b.row = a.row AND b.col = a.col + l.h "
-        "GROUP BY l.h), "
-        "py AS (SELECT l.h AS lag, "
-        "CAST(COUNT(*) AS BIGINT) AS n_pairs, "
-        "CAST(SUM((a.k - b.k) * (a.k - b.k)) AS BIGINT) AS sum_d2 "
-        "FROM (VALUES (1), (2), (4)) l(h) "
-        "JOIN v a ON (a.row % 48) + l.h < 48 "
-        "JOIN v b ON b.col = a.col AND b.row = a.row + l.h "
-        "GROUP BY l.h), "
-        "f AS (SELECT px.lag, "
-        "CAST(px.sum_d2 AS DOUBLE) / (2.0 "
-        "* CAST(px.n_pairs AS DOUBLE) * 100.0) AS gx, "
-        "CAST(py.sum_d2 AS DOUBLE) / (2.0 "
-        "* CAST(py.n_pairs AS DOUBLE) * 100.0) AS gy "
-        "FROM px JOIN py ON py.lag = px.lag) "
-        "SELECT CAST(lag AS BIGINT) AS lag, ROUND(gx, 6) AS gamma_x, "
-        "ROUND(gy, 6) AS gamma_y, ROUND(gx / gy, 6) AS anisotropy "
-        "FROM f"
-    )
-    out["k_anonymity"] = (
-        "WITH c AS (SELECT lang, source, n_chars // 100 AS len_bucket, "
-        "CAST(COUNT(*) AS BIGINT) AS g FROM documents "
-        "GROUP BY 1, 2, 3), "
-        "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_groups FROM c) "
-        "SELECT CAST(k.k AS BIGINT) AS k, t.n_groups, "
-        "CAST(COALESCE((SELECT SUM(g) FROM c WHERE c.g < k.k), 0) "
-        "AS BIGINT) AS docs_at_risk "
-        "FROM (VALUES (2), (5), (10)) k(k), t"
-    )
-    out["home_work_od"] = (
-        "WITH e AS (SELECT user_id, "
-        "((event_id // 96) % 96) * 96 + (event_id % 96) AS cell, "
-        "(epoch_us(ts) // 3600000000) % 24 AS h FROM events), "
-        "c AS (SELECT user_id, cell, "
-        "CAST(SUM(CASE WHEN h < 6 OR h >= 22 THEN 1 ELSE 0 END) "
-        "AS BIGINT) AS n_night, "
-        "CAST(SUM(CASE WHEN h >= 9 AND h < 17 THEN 1 ELSE 0 END) "
-        "AS BIGINT) AS n_day FROM e GROUP BY 1, 2), "
-        "hm AS (SELECT user_id, cell, ROW_NUMBER() OVER "
-        "(PARTITION BY user_id ORDER BY n_night DESC, cell) AS rn "
-        "FROM c WHERE n_night > 0), "
-        "wk AS (SELECT user_id, cell, ROW_NUMBER() OVER "
-        "(PARTITION BY user_id ORDER BY n_day DESC, cell) AS rn "
-        "FROM c WHERE n_day > 0), "
-        "j AS (SELECT h.user_id, h.cell AS home_cell, "
-        "w.cell AS work_cell FROM hm h "
-        "JOIN wk w ON w.user_id = h.user_id "
-        "WHERE h.rn = 1 AND w.rn = 1) "
-        "SELECT user_id, CAST(home_cell AS BIGINT) AS home_cell, "
-        "CAST(work_cell AS BIGINT) AS work_cell, "
-        "ROUND(SQRT((CAST(home_cell % 96 AS DOUBLE) "
-        "- CAST(work_cell % 96 AS DOUBLE)) "
-        "* (CAST(home_cell % 96 AS DOUBLE) "
-        "- CAST(work_cell % 96 AS DOUBLE)) "
-        "+ (CAST(home_cell // 96 AS DOUBLE) "
-        "- CAST(work_cell // 96 AS DOUBLE)) "
-        "* (CAST(home_cell // 96 AS DOUBLE) "
-        "- CAST(work_cell // 96 AS DOUBLE))), 6) AS commute_dist "
-        "FROM j"
-    )
-    out["grid_euler"] = (
-        f"WITH g AS ({_OG_SLOPE_GRID_SQL}), "
-        "v AS (SELECT row, col FROM g WHERE z > -1e30), "
-        "eh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v a "
-        "JOIN v b ON b.row = a.row AND b.col = a.col + 1), "
-        "ev AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v a "
-        "JOIN v b ON b.row = a.row + 1 AND b.col = a.col), "
-        "q AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v a "
-        "JOIN v b ON b.row = a.row AND b.col = a.col + 1 "
-        "JOIN v c ON c.row = a.row + 1 AND c.col = a.col "
-        "JOIN v d ON d.row = a.row + 1 AND d.col = a.col + 1), "
-        "vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v) "
-        "SELECT vv.n AS n_cells, eh.n + ev.n AS n_edges, "
-        "q.n AS n_quads, vv.n - (eh.n + ev.n) + q.n AS euler "
-        "FROM vv, eh, ev, q"
-    )
-    out["viewshed_counts"] = (
-        # per-target LOS with the identical fixed-step rule as
-        # stages/raster.py::line_of_sight (t=(i+1)/65, nearest-pixel
-        # FLOOR lookups, invalid/out-of-bounds samples never block)
-        f"WITH g AS ({_OG_SLOPE_GRID_SQL}), "
-        "obs AS (SELECT CASE WHEN o.z > -1e30 THEN o.z ELSE 0.0 END "
-        "+ 2.0 AS za FROM g o "
-        "WHERE o.row = CAST(FLOOR((29.0 - 28.875) / 0.01) AS BIGINT) "
-        "AND o.col = CAST(FLOOR((77.125 - 77.0) / 0.01) AS BIGINT)), "
-        "tg AS (SELECT row, col, "
-        "77.0 + 0.01 * (CAST(col AS DOUBLE) + 0.5) AS blon, "
-        "29.0 - 0.01 * (CAST(row AS DOUBLE) + 0.5) AS blat, "
-        "CASE WHEN z > -1e30 THEN z ELSE 0.0 END + 2.0 AS zb FROM g), "
-        "st AS (SELECT (CAST(i.range AS DOUBLE) + 1.0) / 65.0 AS t "
-        "FROM range(0, 64) i), "
-        "sm AS (SELECT tg.row, tg.col, "
-        "CAST(FLOOR((77.125 + st.t * (tg.blon - 77.125) - 77.0) "
-        "/ 0.01) AS BIGINT) AS scol, "
-        "CAST(FLOOR((29.0 - (28.875 + st.t * (tg.blat - 28.875))) "
-        "/ 0.01) AS BIGINT) AS srow, "
-        "obs.za + st.t * (tg.zb - obs.za) AS height "
-        "FROM tg CROSS JOIN st CROSS JOIN obs), "
-        "bl AS (SELECT sm.row, sm.col, "
-        "CASE WHEN gg.z IS NOT NULL AND gg.z > -1e30 "
-        "AND gg.z > sm.height THEN 1 ELSE 0 END AS b "
-        "FROM sm LEFT JOIN g gg "
-        "ON gg.row = sm.srow AND gg.col = sm.scol) "
-        "SELECT row, col, "
-        "CAST(CASE WHEN SUM(b) = 0 THEN 1 ELSE 0 END AS BIGINT) "
-        "AS visible, "
-        "CAST(SUM(b) AS BIGINT) AS n_blocked "
-        "FROM bl GROUP BY row, col"
-    )
-    out["hist_match_lut"] = (
-        # multiband formula grid; CDF comparison cross-multiplied so
-        # the LUT is pure integer arithmetic (mirrors _q_hist_match_lut)
-        "WITH mb AS (SELECT b.b AS band, "
-        "CASE WHEN (r.range * 5 + c.range * 3 + b.b) % 29 = 0 THEN NULL "
-        "ELSE CAST(ROUND(CAST(CAST(((r.range * 73 + c.range * 31 "
-        "+ b.b * 101) % 500) / 10.0 AS REAL) AS DOUBLE) * 10.0, 0) "
-        "AS BIGINT) END AS k "
-        "FROM range(0, 96) r, range(0, 96) c, (VALUES (1), (2)) b(b)), "
-        "c AS (SELECT band, k, CAST(COUNT(*) AS BIGINT) AS n "
-        "FROM mb WHERE k IS NOT NULL GROUP BY band, k), "
-        "t AS (SELECT band, CAST(SUM(n) AS BIGINT) AS tot "
-        "FROM c GROUP BY band), "
-        "cd AS (SELECT band, k, "
-        "CAST(SUM(n) OVER (PARTITION BY band ORDER BY k "
-        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cdf FROM c) "
-        "SELECT a.k AS src_k, CAST(MIN(b.k) AS BIGINT) AS tgt_k "
-        "FROM (SELECT k, cdf FROM cd WHERE band = 1) a, "
-        "(SELECT k, cdf FROM cd WHERE band = 2) b, "
-        "(SELECT tot FROM t WHERE band = 1) t1, "
-        "(SELECT tot FROM t WHERE band = 2) t2 "
-        "WHERE b.cdf * t1.tot >= a.cdf * t2.tot "
-        "GROUP BY a.k"
-    )
-    out["welch_ttest"] = (
-        f"WITH e AS (SELECT {_mx('user_id', 13)} % 2 AS arm, "
-        "CAST(ROUND(value * 100, 0) AS BIGINT) AS c FROM events), "
-        "a AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(c) AS BIGINT) AS s, "
-        "CAST(SUM(c * c) AS BIGINT) AS q FROM e GROUP BY arm), "
-        "mo AS (SELECT arm, n, "
-        "CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean, "
-        "(CAST(q AS DOUBLE) - CAST(n AS DOUBLE) "
-        "* (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) "
-        "* (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) "
-        "/ (CAST(n AS DOUBLE) - 1.0) AS var FROM a), "
-        "f AS (SELECT "
-        "MAX(CASE WHEN arm = 0 THEN n END) AS n0, "
-        "MAX(CASE WHEN arm = 1 THEN n END) AS n1, "
-        "MAX(CASE WHEN arm = 0 THEN mean END) AS m0, "
-        "MAX(CASE WHEN arm = 1 THEN mean END) AS m1, "
-        "MAX(CASE WHEN arm = 0 THEN var END) AS v0, "
-        "MAX(CASE WHEN arm = 1 THEN var END) AS v1 FROM mo), "
-        "g AS (SELECT n0, n1, m0, m1, v0, v1, "
-        "v0 / CAST(n0 AS DOUBLE) + v1 / CAST(n1 AS DOUBLE) AS se2 "
-        "FROM f) "
-        "SELECT CAST(n0 AS BIGINT) AS n_a, CAST(n1 AS BIGINT) AS n_b, "
-        "ROUND(m0 - m1, 6) AS mean_diff, "
-        "ROUND((m0 - m1) / SQRT(se2), 6) AS t_stat, "
-        "ROUND((se2 * se2) / ("
-        "(v0 / CAST(n0 AS DOUBLE)) * (v0 / CAST(n0 AS DOUBLE)) "
-        "/ (CAST(n0 AS DOUBLE) - 1.0) "
-        "+ (v1 / CAST(n1 AS DOUBLE)) * (v1 / CAST(n1 AS DOUBLE)) "
-        "/ (CAST(n1 AS DOUBLE) - 1.0)), 6) AS welch_df FROM g"
-    )
-    out["periodogram_daily"] = (
-        "WITH c AS (SELECT epoch_us(ts) // 86400000000 AS d, "
-        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1), "
-        "mm AS (SELECT MIN(d) AS lo, MAX(d) AS hi, "
-        "CAST(MAX(d) - MIN(d) + 1 AS BIGINT) AS n FROM c), "
-        "dd AS (SELECT r.range AS t, mm.lo + r.range AS d "
-        "FROM range(0, 4096) r, mm WHERE r.range <= mm.hi - mm.lo), "
-        "dn AS (SELECT dd.t, COALESCE(c.x, 0) AS x "
-        "FROM dd LEFT JOIN c ON c.d = dd.d), "
-        "q AS (SELECT p.p, "
-        "CAST(ROUND(CAST(dn.x AS DOUBLE) * COS(2.0 * PI() "
-        "* CAST(dn.t AS DOUBLE) / CAST(p.p AS DOUBLE)) * 1e6, 0) "
-        "AS BIGINT) AS tqc, "
-        "CAST(ROUND(CAST(dn.x AS DOUBLE) * SIN(2.0 * PI() "
-        "* CAST(dn.t AS DOUBLE) / CAST(p.p AS DOUBLE)) * 1e6, 0) "
-        "AS BIGINT) AS tqs "
-        "FROM (VALUES (7), (14), (30)) p(p) CROSS JOIN dn), "
-        "a AS (SELECT p, CAST(SUM(tqc) AS DOUBLE) / 1e6 AS cc, "
-        "CAST(SUM(tqs) AS DOUBLE) / 1e6 AS ss FROM q GROUP BY p) "
-        "SELECT CAST(a.p AS BIGINT) AS period_days, "
-        "ROUND((a.cc * a.cc + a.ss * a.ss) / CAST(mm.n AS DOUBLE), 6) "
-        "AS power FROM a, mm"
-    )
-    out["nelson_aalen"] = (
-        # same censored durations as kaplan_meier; d/n terms quantized
-        # at 1e12, hazard prefix is an exact int64 window sum
-        "WITH peru AS (SELECT user_id, MIN(epoch_us(ts)) AS t0, "
-        "MAX(epoch_us(ts)) AS tlast, "
-        "MIN(CASE WHEN event_type = 'error' THEN epoch_us(ts) END) "
-        "AS terr FROM events GROUP BY user_id), "
-        "dur AS (SELECT CASE WHEN terr IS NOT NULL THEN terr - t0 "
-        "ELSE tlast - t0 END AS d, "
-        "CASE WHEN terr IS NOT NULL THEN 1 ELSE 0 END AS obs "
-        "FROM peru), "
-        "ev AS (SELECT d AS t, CAST(COUNT(*) AS BIGINT) AS di "
-        "FROM dur WHERE obs = 1 GROUP BY d), "
-        "risk AS (SELECT ev.t, ev.di, "
-        "(SELECT CAST(COUNT(*) AS BIGINT) FROM dur "
-        "WHERE dur.d >= ev.t) AS ni FROM ev), "
-        "q AS (SELECT t, di, ni, "
-        "CAST(ROUND(CAST(di AS DOUBLE) / CAST(ni AS DOUBLE) * 1e12, 0) "
-        "AS BIGINT) AS tq FROM risk) "
-        "SELECT t AS t_us, ni AS n_at_risk, di AS n_events, "
-        "ROUND(CAST(SUM(tq) OVER (ORDER BY t "
-        "ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1e12, 6) "
-        "AS cum_hazard FROM q"
-    )
-    out["bootstrap_ci"] = (
-        f"WITH pc AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt "
-        f"FROM events GROUP BY user_id), "
-        f"r AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY user_id) - 1 "
-        f"AS i FROM pc), "
-        f"m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m, "
-        f"CAST(SUM(cnt) AS BIGINT) AS tot FROM pc), "
-        f"g AS (SELECT b.range AS b, i.range AS i "
-        f"FROM range(0, 200) b, range(0, 8192) i, m "
-        f"WHERE i.range < m.m), "
-        f"ix AS (SELECT g.b, "
-        f"({_mx('g.b * m.m + g.i', 7)}) % m.m AS idx FROM g, m), "
-        f"s AS (SELECT ix.b, CAST(SUM(r.cnt) AS BIGINT) AS sm "
-        f"FROM ix JOIN r ON r.i = ix.idx GROUP BY ix.b), "
-        f"rk AS (SELECT sm, ROW_NUMBER() OVER (ORDER BY sm, b) AS rn "
-        f"FROM s) "
-        f"SELECT "
-        f"(SELECT ROUND(CAST(tot AS DOUBLE) / CAST(m AS DOUBLE), 6) "
-        f"FROM m) AS mean, "
-        f"ROUND((SELECT CAST(sm AS DOUBLE) FROM rk WHERE rn = 5) "
-        f"/ (SELECT CAST(m AS DOUBLE) FROM m), 6) AS boot_lo, "
-        f"ROUND((SELECT CAST(sm AS DOUBLE) FROM rk WHERE rn = 195) "
-        f"/ (SELECT CAST(m AS DOUBLE) FROM m), 6) AS boot_hi"
-    )
-    out["harmonic_price"] = (
-        "WITH l AS (SELECT p_brand, "
-        "CAST(ROUND((1.0 / p_retailprice) * 1e12, 0) AS BIGINT) AS tq "
-        "FROM part) "
-        "SELECT p_brand, "
-        "ROUND(CAST(COUNT(*) AS DOUBLE) "
-        "/ (CAST(SUM(tq) AS DOUBLE) / 1e12), 6) AS harmonic_mean "
-        "FROM l GROUP BY p_brand"
-    )
-    out["char_entropy"] = (
-        # per-(doc, char) counts via empty-separator split; n*ln(n)
-        # terms quantized at 1e12 (exact cross-char sum), mirrors
-        # _q_char_entropy
-        "WITH ch AS (SELECT doc_id, u.c AS c, "
-        "CAST(COUNT(*) AS BIGINT) AS n "
-        "FROM documents, UNNEST(string_split(text, '')) u(c) "
-        "GROUP BY doc_id, u.c), "
-        "q AS (SELECT doc_id, "
-        "CAST(ROUND(CAST(n AS DOUBLE) * LN(CAST(n AS DOUBLE)) * 1e12, 0) "
-        "AS BIGINT) AS tq, n FROM ch) "
-        "SELECT doc_id, "
-        "ROUND(LN(CAST(SUM(n) AS DOUBLE)) "
-        "- (CAST(SUM(tq) AS DOUBLE) / 1e12) / CAST(SUM(n) AS DOUBLE), 6) "
-        "AS entropy FROM q GROUP BY doc_id"
-    )
-    out["rayleigh_hours"] = (
-        # 24 circular terms quantized at 1e6; R and z from the shared
-        # float tail (mirrors _q_rayleigh_hours)
-        "WITH c AS (SELECT event_type, "
-        "(epoch_us(ts) // 3600000000) % 24 AS h, "
-        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
-        "t AS (SELECT event_type, n, "
-        "2.0 * PI() * CAST(h AS DOUBLE) / 24.0 AS theta FROM c), "
-        "qq AS (SELECT event_type, n, "
-        "CAST(ROUND(CAST(n AS DOUBLE) * COS(theta) * 1e6, 0) AS BIGINT) "
-        "AS tqc, "
-        "CAST(ROUND(CAST(n AS DOUBLE) * SIN(theta) * 1e6, 0) AS BIGINT) "
-        "AS tqs FROM t), "
-        "a AS (SELECT event_type, CAST(SUM(n) AS BIGINT) AS nn, "
-        "CAST(SUM(tqc) AS DOUBLE) / 1e6 AS cc, "
-        "CAST(SUM(tqs) AS DOUBLE) / 1e6 AS ss FROM qq "
-        "GROUP BY event_type), "
-        "r AS (SELECT event_type, nn, "
-        "SQRT(cc * cc + ss * ss) / CAST(nn AS DOUBLE) AS rb FROM a) "
-        "SELECT event_type, nn AS n, ROUND(rb, 6) AS r_bar, "
-        "ROUND(CAST(nn AS DOUBLE) * rb * rb, 6) AS rayleigh_z FROM r"
-    )
-    out["mann_kendall"] = (
-        # dense (quadrat, day) series; S = exact int pairwise-sign
-        # sum, tie-corrected variance from integer tie moments
-        "WITH c AS (SELECT (((event_id // 96) % 96) // 6) * 16 "
-        "+ ((event_id % 96) // 6) AS q, "
-        "epoch_us(ts) // 86400000000 AS d, "
-        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2), "
-        "mm AS (SELECT MIN(d) AS lo, MAX(d) AS hi, "
-        "CAST(MAX(d) - MIN(d) + 1 AS BIGINT) AS n FROM c), "
-        "dd AS (SELECT r.range AS t, mm.lo + r.range AS d "
-        "FROM range(0, 4096) r, mm WHERE r.range <= mm.hi - mm.lo), "
-        "qg AS (SELECT g.i AS q FROM generate_series(0, 255) g(i)), "
-        "dn AS (SELECT qg.q, dd.t, COALESCE(c.x, 0) AS x "
-        "FROM qg CROSS JOIN dd "
-        "LEFT JOIN c ON c.q = qg.q AND c.d = dd.d), "
-        "s AS (SELECT a.q, "
-        "CAST(SUM(SIGN(b.x - a.x)) AS BIGINT) AS s_stat "
-        "FROM dn a JOIN dn b ON b.q = a.q AND b.t > a.t GROUP BY a.q), "
-        "tg AS (SELECT q, x, CAST(COUNT(*) AS BIGINT) AS tc "
-        "FROM dn GROUP BY q, x), "
-        "tcor AS (SELECT q, "
-        "CAST(SUM(tc * (tc - 1) * (2 * tc + 5)) AS BIGINT) AS t_corr "
-        "FROM tg GROUP BY q), "
-        "v AS (SELECT s.q, s.s_stat, "
-        "(CAST(mm.n * (mm.n - 1) * (2 * mm.n + 5) AS DOUBLE) "
-        "- CAST(tcor.t_corr AS DOUBLE)) / 18.0 AS var "
-        "FROM s JOIN tcor ON tcor.q = s.q CROSS JOIN mm) "
-        "SELECT q AS quadrat, s_stat, "
-        "ROUND(CASE WHEN s_stat > 0 "
-        "THEN (CAST(s_stat AS DOUBLE) - 1.0) / SQRT(var) "
-        "WHEN s_stat < 0 "
-        "THEN (CAST(s_stat AS DOUBLE) + 1.0) / SQRT(var) "
-        "ELSE 0.0 END, 6) AS mk_z FROM v"
-    )
-    out["local_moran"] = (
-        # neighbor VALUE sums stay int64 (s_nb - k*mu replaces the
-        # float neighbor-deviation sum); one shared float expression
-        # per cell -- mirrors _q_local_moran
-        "WITH e AS (SELECT (event_id % 96) AS gx, "
-        "((event_id // 96) % 96) AS gy, "
-        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
-        "lat AS (SELECT a.i AS gx, b.i AS gy FROM "
-        "generate_series(0, 95) a(i) CROSS JOIN "
-        "generate_series(0, 95) b(i)), "
-        "x AS (SELECT lat.gx, lat.gy, "
-        "CAST(COALESCE(e.n, 0) AS BIGINT) AS v "
-        "FROM lat LEFT JOIN e ON lat.gx = e.gx AND lat.gy = e.gy), "
-        "nb AS (SELECT a.gx, a.gy, b.v FROM x a JOIN x b "
-        "ON b.gx = a.gx + 1 AND b.gy = a.gy "
-        "UNION ALL SELECT a.gx, a.gy, b.v FROM x a JOIN x b "
-        "ON b.gx = a.gx - 1 AND b.gy = a.gy "
-        "UNION ALL SELECT a.gx, a.gy, b.v FROM x a JOIN x b "
-        "ON b.gx = a.gx AND b.gy = a.gy + 1 "
-        "UNION ALL SELECT a.gx, a.gy, b.v FROM x a JOIN x b "
-        "ON b.gx = a.gx AND b.gy = a.gy - 1), "
-        "ns AS (SELECT gx, gy, CAST(SUM(v) AS BIGINT) AS s_nb, "
-        "CAST(COUNT(*) AS BIGINT) AS k FROM nb GROUP BY gx, gy), "
-        "s AS (SELECT CAST(SUM(v) AS BIGINT) AS s_tot, "
-        "CAST(SUM(v * v) AS BIGINT) AS q_tot FROM x), "
-        "f AS (SELECT CAST(s_tot AS DOUBLE) / 9216.0 AS mu, "
-        "q_tot FROM s) "
-        "SELECT x.gx, x.gy, "
-        "ROUND((CAST(x.v AS DOUBLE) - f.mu) "
-        "* (CAST(ns.s_nb AS DOUBLE) - CAST(ns.k AS DOUBLE) * f.mu) "
-        "/ ((CAST(f.q_tot AS DOUBLE) - 9216.0 * f.mu * f.mu) / 9216.0), "
-        "6) AS local_i "
-        "FROM x JOIN ns ON ns.gx = x.gx AND ns.gy = x.gy CROSS JOIN f"
-    )
-    out["quadrat_test"] = (
-        "WITH q AS (SELECT (((event_id // 96) % 96) // 6) * 16 "
-        "+ ((event_id % 96) // 6) AS q FROM events), "
-        "c AS (SELECT q, CAST(COUNT(*) AS BIGINT) AS n "
-        "FROM q GROUP BY q), "
-        "t AS (SELECT CAST(SUM(n) AS BIGINT) AS s, "
-        "CAST(SUM(n * n) AS BIGINT) AS q2 FROM c), "
-        "f AS (SELECT s, q2, CAST(s AS DOUBLE) / 256.0 AS m FROM t) "
-        "SELECT s AS n_events, "
-        "ROUND((CAST(q2 AS DOUBLE) - 2.0 * m * CAST(s AS DOUBLE) "
-        "+ 256.0 * m * m) / m, 6) AS chi2, "
-        "CAST(255 AS BIGINT) AS df FROM f"
-    )
-    out["clamped_balance"] = (
-        # clamped running balance via the prefix-min identity
-        # y = P - LEAST(0, running_min(P)) -- exact int64, no
-        # recursion; mirrors _q_clamped_balance
-        "WITH d AS (SELECT user_id, ts, event_id, "
-        "CASE WHEN event_id % 2 = 0 "
-        "THEN CAST(ROUND(value * 100, 0) AS BIGINT) "
-        "ELSE -CAST(ROUND(value * 100, 0) AS BIGINT) END AS delta "
-        "FROM events), "
-        "p AS (SELECT user_id, ts, event_id, "
-        "SUM(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id "
-        "ROWS UNBOUNDED PRECEDING) AS pre FROM d), "
-        "y AS (SELECT user_id, ts, event_id, "
-        "pre - LEAST(0, MIN(pre) OVER (PARTITION BY user_id "
-        "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)) AS bal "
-        "FROM p), "
-        "r AS (SELECT user_id, bal, ROW_NUMBER() OVER "
-        "(PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
-        "FROM y) "
-        "SELECT user_id, "
-        "CAST(MAX(CASE WHEN rn = 1 THEN bal END) AS BIGINT) "
-        "AS final_balance, "
-        "CAST(MAX(bal) AS BIGINT) AS max_balance "
-        "FROM r GROUP BY user_id"
-    )
-    out["gearys_c"] = (
-        # exact int64 neighbor-diff sums (both directions via the
-        # symmetric pair join counted twice), shared float tail --
-        # mirrors _q_gearys_c
-        "WITH e AS (SELECT (event_id % 96) AS gx, "
-        "((event_id // 96) % 96) AS gy, "
-        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
-        "lat AS (SELECT a.i AS gx, b.i AS gy FROM "
-        "generate_series(0, 95) a(i) CROSS JOIN "
-        "generate_series(0, 95) b(i)), "
-        "x AS (SELECT lat.gx, lat.gy, "
-        "CAST(COALESCE(e.n, 0) AS BIGINT) AS v "
-        "FROM lat LEFT JOIN e ON lat.gx = e.gx AND lat.gy = e.gy), "
-        "s AS (SELECT CAST(SUM(v) AS BIGINT) AS s_tot, "
-        "CAST(SUM(v * v) AS BIGINT) AS q_tot FROM x), "
-        "nb AS (SELECT CAST(SUM((a.v - b.v) * (a.v - b.v)) AS BIGINT) "
-        "AS h FROM x a JOIN x b ON a.gy = b.gy AND b.gx = a.gx + 1), "
-        "nv AS (SELECT CAST(SUM((a.v - b.v) * (a.v - b.v)) AS BIGINT) "
-        "AS vv FROM x a JOIN x b ON a.gx = b.gx AND b.gy = a.gy + 1), "
-        "f AS (SELECT 2 * nb.h + 2 * nv.vv AS num, "
-        "CAST(s.s_tot AS DOUBLE) / 9216.0 AS mu, s.q_tot "
-        "FROM nb, nv, s) "
-        "SELECT ROUND(((9216.0 - 1.0) * CAST(num AS DOUBLE)) "
-        "/ ((2.0 * 36480.0) * (CAST(q_tot AS DOUBLE) "
-        "- 9216.0 * mu * mu)), 6) AS gearys_c FROM f"
-    )
-    out["hist_intersection"] = (
-        "WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n "
-        "FROM documents GROUP BY source, lang), "
-        "s AS (SELECT source, CAST(SUM(n) AS BIGINT) AS tot "
-        "FROM c GROUP BY source), "
-        "q AS (SELECT x.source AS source_a, y.source AS source_b, "
-        "CAST(ROUND(LEAST("
-        "CAST(x.n AS DOUBLE) / CAST(sa.tot AS DOUBLE), "
-        "CAST(y.n AS DOUBLE) / CAST(sb.tot AS DOUBLE)) * 1e12, 0) "
-        "AS BIGINT) AS tq "
-        "FROM c x JOIN c y ON y.lang = x.lang AND x.source < y.source "
-        "JOIN s sa ON sa.source = x.source "
-        "JOIN s sb ON sb.source = y.source) "
-        "SELECT source_a, source_b, "
-        "ROUND(CAST(SUM(tq) AS DOUBLE) / 1e12, 6) AS overlap "
-        "FROM q GROUP BY source_a, source_b"
-    )
-    out["holt_linear"] = (
-        # recursive-CTE Holt smoothing over the dense daily series;
-        # level/trend expressions literally repeat _q_holt_linear's
-        "WITH RECURSIVE c AS (SELECT epoch_us(ts) // 86400000000 AS d, "
-        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1), "
-        "mm AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM c), "
-        "dd AS (SELECT r.range AS t, mm.lo + r.range AS d "
-        "FROM range(0, 4096) r, mm WHERE r.range <= mm.hi - mm.lo), "
-        "dn AS (SELECT dd.t, COALESCE(c.x, 0) AS x "
-        "FROM dd LEFT JOIN c ON c.d = dd.d), "
-        "h(t, l, b) AS ("
-        "SELECT 0, CAST(x0.x AS DOUBLE), "
-        "CAST(x1.x AS DOUBLE) - CAST(x0.x AS DOUBLE) "
-        "FROM dn x0, dn x1 WHERE x0.t = 0 AND x1.t = 1 "
-        "UNION ALL "
-        "SELECT h.t + 1, "
-        "(0.3 * d.x) + (0.7 * (h.l + h.b)), "
-        "(0.1 * (((0.3 * d.x) + (0.7 * (h.l + h.b))) - h.l)) "
-        "+ (0.9 * h.b) "
-        "FROM h JOIN dn d ON d.t = h.t + 1) "
-        "SELECT ROUND(l, 6) AS level, ROUND(b, 6) AS trend, "
-        "ROUND(l + 7.0 * b, 6) AS forecast_7 FROM h "
-        "WHERE t = (SELECT hi - lo FROM mm)"
-    )
-    out["seq_edit_distance"] = (
-        # STRING_AGG initial-char sequences; deterministic top-20 cut
-        "WITH s AS (SELECT user_id, COUNT(*) AS n, "
-        "STRING_AGG(SUBSTR(event_type, 1, 1), '' "
-        "ORDER BY ts, event_id) AS seq FROM events GROUP BY user_id), "
-        "top AS (SELECT user_id, seq FROM s "
-        "ORDER BY n DESC, user_id LIMIT 20) "
-        "SELECT a.user_id AS u1, b.user_id AS u2, "
-        "CAST(LEVENSHTEIN(a.seq, b.seq) AS BIGINT) AS dist "
-        "FROM top a JOIN top b ON a.user_id < b.user_id"
-    )
-    out["ql_retrieval"] = (
-        "WITH tokens AS (SELECT doc_id, "
-        "UNNEST(string_split_regex(text, '\\s+')) AS w "
-        "FROM documents), "
-        "tk AS (SELECT doc_id, w FROM tokens WHERE w <> ''), "
-        "d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len, "
-        "CAST(SUM(CASE WHEN w = 'hash' THEN 1 ELSE 0 END) AS BIGINT) "
-        "AS tf_hash, "
-        "CAST(SUM(CASE WHEN w = 'join' THEN 1 ELSE 0 END) AS BIGINT) "
-        "AS tf_join, "
-        "CAST(SUM(CASE WHEN w = 'table' THEN 1 ELSE 0 END) AS BIGINT) "
-        "AS tf_table FROM tk GROUP BY doc_id), "
-        "g AS (SELECT CAST(SUM(len) AS DOUBLE) AS t, "
-        "CAST(SUM(tf_hash) AS DOUBLE) AS cf_hash, "
-        "CAST(SUM(tf_join) AS DOUBLE) AS cf_join, "
-        "CAST(SUM(tf_table) AS DOUBLE) AS cf_table FROM d), "
-        "s AS (SELECT d.doc_id, "
-        "CAST(ROUND(LN((CAST(d.tf_hash AS DOUBLE) "
-        "+ 100.0 * g.cf_hash / g.t) "
-        "/ (CAST(d.len AS DOUBLE) + 100.0)) * 1e9, 0) AS BIGINT) "
-        "+ CAST(ROUND(LN((CAST(d.tf_join AS DOUBLE) "
-        "+ 100.0 * g.cf_join / g.t) "
-        "/ (CAST(d.len AS DOUBLE) + 100.0)) * 1e9, 0) AS BIGINT) "
-        "+ CAST(ROUND(LN((CAST(d.tf_table AS DOUBLE) "
-        "+ 100.0 * g.cf_table / g.t) "
-        "/ (CAST(d.len AS DOUBLE) + 100.0)) * 1e9, 0) AS BIGINT) "
-        "AS score_q FROM d, g) "
-        "SELECT doc_id, score_q FROM s "
-        "ORDER BY score_q DESC, doc_id LIMIT 10"
-    )
-    out["cochran_armitage"] = (
-        # mirrors _q_cochran_armitage: exact integer moments, one
-        # float expression in the same operation order
-        "WITH e AS (SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS w, "
-        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS r "
-        "FROM events), "
-        "a AS (SELECT w, CAST(SUM(r) AS BIGINT) AS r, "
-        "CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY w), "
-        "m AS (SELECT CAST(SUM(w * r) AS BIGINT) AS t, "
-        "CAST(SUM(r) AS BIGINT) AS rr, CAST(SUM(n) AS BIGINT) AS nn, "
-        "CAST(SUM(w * n) AS BIGINT) AS swn, "
-        "CAST(SUM(w * w * n) AS BIGINT) AS sw2n FROM a) "
-        "SELECT t AS t_stat, rr AS r_total, nn AS n_total, "
-        "CAST(ROUND((CAST(t AS DOUBLE) - CAST(rr AS DOUBLE) "
-        "/ CAST(nn AS DOUBLE) * CAST(swn AS DOUBLE)) "
-        "/ SQRT(CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE) "
-        "* (1.0 - CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE)) "
-        "* (CAST(sw2n AS DOUBLE) - CAST(swn AS DOUBLE) "
-        "* CAST(swn AS DOUBLE) / CAST(nn AS DOUBLE))) * 1e6, 0) "
-        "AS BIGINT) AS z_q FROM m"
-    )
-    out["q8_market_share"] = (
-        # mirrors _q_q8_market_share (region 0 customers, nation 0
-        # suppliers)
-        "WITH j AS (SELECT YEAR(o.o_orderdate) AS yr, "
-        "s.s_nationkey AS sn, "
-        "CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) * 100, 0) "
-        "AS BIGINT) AS c "
-        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
-        "JOIN customer cu ON o.o_custkey = cu.c_custkey "
-        "JOIN nation n ON cu.c_nationkey = n.n_nationkey "
-        "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
-        "WHERE n.n_regionkey = 0) "
-        "SELECT CAST(yr AS BIGINT) AS yr, "
-        "CAST(SUM(CASE WHEN sn = 0 THEN c ELSE 0 END) AS BIGINT) "
-        "AS num_cents, CAST(SUM(c) AS BIGINT) AS den_cents, "
-        "CAST(ROUND(CAST(SUM(CASE WHEN sn = 0 THEN c ELSE 0 END) "
-        "AS DOUBLE) / CAST(SUM(c) AS DOUBLE) * 1e9, 0) AS BIGINT) "
-        "AS share_q FROM j GROUP BY yr ORDER BY yr"
-    )
-    out["hexbin_cells"] = (
-        # mirrors _q_hexbin_cells: same axial + cube-round doubles
-        "WITH p AS (SELECT CAST(event_id % 96 AS DOUBLE) AS x, "
-        "CAST((event_id // 96) % 96 AS DOUBLE) AS y FROM events), "
-        "f AS (SELECT (SQRT(3.0) / 3.0 * x - 1.0 / 3.0 * y) / 4.0 "
-        "AS xq, (2.0 / 3.0 * y) / 4.0 AS zq FROM p), "
-        "g AS (SELECT xq, zq, -xq - zq AS yq, "
-        "ROUND(xq, 0) AS rx, ROUND(-xq - zq, 0) AS ry, "
-        "ROUND(zq, 0) AS rz FROM f), "
-        "d AS (SELECT xq, yq, zq, rx, ry, rz, "
-        "ABS(rx - xq) AS dx, ABS(ry - yq) AS dy, ABS(rz - zq) AS dz "
-        "FROM g), "
-        "h AS (SELECT CASE WHEN dx > dy AND dx > dz THEN -ry - rz "
-        "ELSE rx END AS fx, "
-        "CASE WHEN NOT (dx > dy AND dx > dz) AND dy > dz "
-        "THEN -rx - rz ELSE ry END AS fy, rx, ry, rz, dx, dy, dz "
-        "FROM d), "
-        "k AS (SELECT CAST(fx AS BIGINT) AS q, "
-        "CAST(CASE WHEN NOT (dx > dy AND dx > dz) "
-        "AND NOT (NOT (dx > dy AND dx > dz) AND dy > dz) "
-        "THEN -fx - fy ELSE rz END AS BIGINT) AS r FROM h) "
-        "SELECT q, r, CAST(COUNT(*) AS BIGINT) AS n FROM k "
-        "GROUP BY q, r ORDER BY n DESC, q, r LIMIT 20"
-    )
-    out["edge_support"] = (
-        # mirrors _q_edge_support on the same LEVENSHTEIN=1 graph
-        "WITH v AS (SELECT DISTINCT source AS w FROM documents "
-        "WHERE LEN(source) >= 4), "
-        "e1 AS (SELECT a.w AS w1, b.w AS w2 FROM v a JOIN v b "
-        "ON a.w < b.w AND ABS(LEN(a.w) - LEN(b.w)) <= 1 "
-        "AND LEVENSHTEIN(a.w, b.w) = 1), "
-        "ed AS (SELECT w1, w2 FROM e1 "
-        "UNION ALL SELECT w2 AS w1, w1 AS w2 FROM e1) "
-        "SELECT e.w1, e.w2, "
-        "(SELECT CAST(COUNT(*) AS BIGINT) FROM ed x JOIN ed y "
-        "ON x.w2 = y.w2 WHERE x.w1 = e.w1 AND y.w1 = e.w2) AS support "
-        "FROM e1 e ORDER BY support DESC, e.w1, e.w2 LIMIT 15"
-    )
-    out["daily_peaks"] = (
-        # mirrors _q_daily_peaks via LAG/LEAD (series ends excluded)
-        "WITH c AS (SELECT epoch_us(o_orderdate) // 86400000000 AS d, "
-        "CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) "
-        "AS BIGINT) AS x FROM orders GROUP BY 1), "
-        "m AS (SELECT CAST(SUM(x) AS DOUBLE) "
-        "/ CAST(COUNT(*) AS DOUBLE) AS mu FROM c), "
-        "w AS (SELECT d, x, LAG(x) OVER (ORDER BY d) AS xp, "
-        "LEAD(x) OVER (ORDER BY d) AS xn FROM c) "
-        "SELECT d, x AS cents FROM w, m "
-        "WHERE xp IS NOT NULL AND xn IS NOT NULL "
-        "AND x > xp AND x > xn AND CAST(x AS DOUBLE) > 1.1 * m.mu "
-        "ORDER BY d"
-    )
-    out["weibull_shape"] = (
-        # KM construction identical to the kaplan_meier oracle, then
-        # the quantized log-log OLS tail (fractal_boxcount pattern)
-        "WITH peru AS (SELECT user_id, MIN(epoch_us(ts)) AS t0, "
-        "MAX(epoch_us(ts)) AS tlast, "
-        "MIN(CASE WHEN event_type = 'error' THEN epoch_us(ts) END) "
-        "AS terr FROM events GROUP BY user_id), "
-        "dur AS (SELECT CASE WHEN terr IS NOT NULL THEN terr - t0 "
-        "ELSE tlast - t0 END AS d, "
-        "CASE WHEN terr IS NOT NULL THEN 1 ELSE 0 END AS obs "
-        "FROM peru), "
-        "ev AS (SELECT d AS t, CAST(COUNT(*) AS BIGINT) AS di "
-        "FROM dur WHERE obs = 1 GROUP BY d), "
-        "risk AS (SELECT ev.t, ev.di, "
-        "(SELECT CAST(COUNT(*) AS BIGINT) FROM dur "
-        "WHERE dur.d >= ev.t) AS ni FROM ev), "
-        "r2 AS (SELECT t, di, ni, "
-        "(CAST(ni AS DOUBLE) - CAST(di AS DOUBLE)) "
-        "/ CAST(ni AS DOUBLE) AS ratio FROM risk), "
-        "km AS (SELECT t, "
-        "ROUND(CASE WHEN SUM(CASE WHEN ratio = 0.0 THEN 1 ELSE 0 END) "
-        "OVER (ORDER BY t) > 0 THEN 0.0 ELSE "
-        "EXP(SUM(LN(CASE WHEN ratio = 0.0 THEN 1.0 ELSE ratio END)) "
-        "OVER (ORDER BY t)) END, 6) AS s FROM r2), "
-        "q AS (SELECT "
-        "CAST(ROUND(LN(CAST(t AS DOUBLE)) * 1e12, 0) AS BIGINT) AS u, "
-        "CAST(ROUND(LN(-LN(s)) * 1e12, 0) AS BIGINT) AS v "
-        "FROM km WHERE s > 0.0 AND s < 1.0 AND t > 0), "
-        "m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS k, "
-        "CAST(SUM(u) AS HUGEINT) AS su, CAST(SUM(v) AS HUGEINT) AS sv, "
-        "SUM(CAST(u AS HUGEINT) * CAST(v AS HUGEINT)) AS suv, "
-        "SUM(CAST(u AS HUGEINT) * CAST(u AS HUGEINT)) AS suu FROM q) "
-        "SELECT CAST(k AS BIGINT) AS n_points, "
-        "ROUND(CAST(k * suv - su * sv AS DOUBLE) "
-        "/ CAST(k * suu - su * su AS DOUBLE), 6) AS weibull_shape "
-        "FROM m"
-    )
-    out["band_mutual_info"] = (
-        # mirrors _q_band_mutual_info (same two-band formula grid as
-        # band_correlation; joint 10x10 deci-bin histogram)
-        "WITH mb AS (" + "SELECT b.b AS band, r.range AS row, c.range AS col, "
-        "CASE WHEN (r.range * 5 + c.range * 3 + b.b) % 29 = 0 THEN NULL "
-        "ELSE CAST(ROUND(CAST(CAST(((r.range * 73 + c.range * 31 "
-        "+ b.b * 101) % 500) / 10.0 AS REAL) AS DOUBLE) * 10.0, 0) "
-        "AS BIGINT) END AS k "
-        "FROM range(0, 96) r, range(0, 96) c, (VALUES (1), (2)) b(b)" + "), "
-        "j AS (SELECT a.k // 50 AS b1, d.k // 50 AS b2 FROM "
-        "(SELECT row, col, k FROM mb WHERE band = 1 "
-        "AND k IS NOT NULL) a "
-        "JOIN (SELECT row, col, k FROM mb WHERE band = 2 "
-        "AND k IS NOT NULL) d ON d.row = a.row AND d.col = a.col), "
-        "cj AS (SELECT b1, b2, CAST(COUNT(*) AS BIGINT) AS c "
-        "FROM j GROUP BY 1, 2), "
-        "a AS (SELECT CAST(SUM(CAST(ROUND(CAST(c AS DOUBLE) "
-        "* LN(CAST(c AS DOUBLE)) * 1e12, 0) AS BIGINT)) AS BIGINT) "
-        "AS aa, CAST(SUM(c) AS BIGINT) AS n FROM cj), "
-        "r AS (SELECT CAST(SUM(CAST(ROUND(CAST(rc AS DOUBLE) "
-        "* LN(CAST(rc AS DOUBLE)) * 1e12, 0) AS BIGINT)) AS BIGINT) "
-        "AS rr FROM (SELECT CAST(SUM(c) AS BIGINT) AS rc FROM cj "
-        "GROUP BY b1)), "
-        "s AS (SELECT CAST(SUM(CAST(ROUND(CAST(sc AS DOUBLE) "
-        "* LN(CAST(sc AS DOUBLE)) * 1e12, 0) AS BIGINT)) AS BIGINT) "
-        "AS ss FROM (SELECT CAST(SUM(c) AS BIGINT) AS sc FROM cj "
-        "GROUP BY b2)) "
-        "SELECT a.n AS n_cells, "
-        "ROUND(LN(CAST(a.n AS DOUBLE)) + (CAST(a.aa AS DOUBLE) "
-        "- CAST(r.rr AS DOUBLE) - CAST(s.ss AS DOUBLE)) / 1e12 "
-        "/ CAST(a.n AS DOUBLE), 6) AS mi FROM a, r, s"
-    )
-    out["otsu_threshold"] = (
-        # mirrors _q_otsu_threshold over the same frozen grid
-        f"WITH g AS ({_OG_SLOPE_GRID_SQL}), "
-        "h AS (SELECT CAST(ROUND(z * 10, 0) AS BIGINT) AS k, "
-        "CAST(COUNT(*) AS BIGINT) AS n FROM g WHERE z > -1e30 "
-        "GROUP BY 1), "
-        "m AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, "
-        "CAST(SUM(k * n) AS BIGINT) AS s FROM h), "
-        "c AS (SELECT k, "
-        "CAST(SUM(n) OVER (ORDER BY k) AS BIGINT) AS c0, "
-        "CAST(SUM(k * n) OVER (ORDER BY k) AS BIGINT) AS s0 FROM h), "
-        "f AS (SELECT c.k, c.c0, "
-        "(CAST(m.s AS DOUBLE) * CAST(c.c0 AS DOUBLE) "
-        "- CAST(m.nn AS DOUBLE) * CAST(c.s0 AS DOUBLE)) "
-        "* (CAST(m.s AS DOUBLE) * CAST(c.c0 AS DOUBLE) "
-        "- CAST(m.nn AS DOUBLE) * CAST(c.s0 AS DOUBLE)) "
-        "/ (CAST(c.c0 AS DOUBLE) "
-        "* (CAST(m.nn AS DOUBLE) - CAST(c.c0 AS DOUBLE))) AS f, "
-        "m.nn AS nn FROM c, m WHERE c.c0 < m.nn) "
-        "SELECT k AS threshold_k, c0 AS n_below, nn AS n_total, "
-        "CAST(ROUND(f / 1e6, 0) AS BIGINT) AS f_q "
-        "FROM f ORDER BY f DESC, k LIMIT 1"
-    )
-    out["eigen_centrality"] = (
-        # mirrors _q_eigen_centrality: 8 unrolled max-normalized
-        # integer power iterations (no recursion needed for a fixed
-        # iteration count)
-        "WITH v AS (SELECT DISTINCT source AS w FROM documents "
-        "WHERE LEN(source) >= 4), "
-        "e1 AS (SELECT a.w AS w1, b.w AS w2 FROM v a JOIN v b "
-        "ON a.w < b.w AND ABS(LEN(a.w) - LEN(b.w)) <= 1 "
-        "AND LEVENSHTEIN(a.w, b.w) = 1), "
-        "ed AS (SELECT w1, w2 FROM e1 "
-        "UNION ALL SELECT w2 AS w1, w1 AS w2 FROM e1), "
-        "vv AS (SELECT DISTINCT w1 AS w FROM ed), "
-        "x0 AS (SELECT w, CAST(1000000 AS BIGINT) AS x FROM vv), "
-        "s1 AS (SELECT e.w2 AS w, CAST(SUM(x.x) AS BIGINT) AS s FROM ed e JOIN x0 x ON x.w = e.w1 GROUP BY e.w2), "
-        "m1 AS (SELECT MAX(s) AS m FROM s1), "
-        "x1 AS (SELECT s1.w, CAST(ROUND(CAST(s1.s AS DOUBLE) * 1e6 / CAST(m1.m AS DOUBLE), 0) AS BIGINT) AS x FROM s1, m1), "
-        "s2 AS (SELECT e.w2 AS w, CAST(SUM(x.x) AS BIGINT) AS s FROM ed e JOIN x1 x ON x.w = e.w1 GROUP BY e.w2), "
-        "m2 AS (SELECT MAX(s) AS m FROM s2), "
-        "x2 AS (SELECT s2.w, CAST(ROUND(CAST(s2.s AS DOUBLE) * 1e6 / CAST(m2.m AS DOUBLE), 0) AS BIGINT) AS x FROM s2, m2), "
-        "s3 AS (SELECT e.w2 AS w, CAST(SUM(x.x) AS BIGINT) AS s FROM ed e JOIN x2 x ON x.w = e.w1 GROUP BY e.w2), "
-        "m3 AS (SELECT MAX(s) AS m FROM s3), "
-        "x3 AS (SELECT s3.w, CAST(ROUND(CAST(s3.s AS DOUBLE) * 1e6 / CAST(m3.m AS DOUBLE), 0) AS BIGINT) AS x FROM s3, m3), "
-        "s4 AS (SELECT e.w2 AS w, CAST(SUM(x.x) AS BIGINT) AS s FROM ed e JOIN x3 x ON x.w = e.w1 GROUP BY e.w2), "
-        "m4 AS (SELECT MAX(s) AS m FROM s4), "
-        "x4 AS (SELECT s4.w, CAST(ROUND(CAST(s4.s AS DOUBLE) * 1e6 / CAST(m4.m AS DOUBLE), 0) AS BIGINT) AS x FROM s4, m4), "
-        "s5 AS (SELECT e.w2 AS w, CAST(SUM(x.x) AS BIGINT) AS s FROM ed e JOIN x4 x ON x.w = e.w1 GROUP BY e.w2), "
-        "m5 AS (SELECT MAX(s) AS m FROM s5), "
-        "x5 AS (SELECT s5.w, CAST(ROUND(CAST(s5.s AS DOUBLE) * 1e6 / CAST(m5.m AS DOUBLE), 0) AS BIGINT) AS x FROM s5, m5), "
-        "s6 AS (SELECT e.w2 AS w, CAST(SUM(x.x) AS BIGINT) AS s FROM ed e JOIN x5 x ON x.w = e.w1 GROUP BY e.w2), "
-        "m6 AS (SELECT MAX(s) AS m FROM s6), "
-        "x6 AS (SELECT s6.w, CAST(ROUND(CAST(s6.s AS DOUBLE) * 1e6 / CAST(m6.m AS DOUBLE), 0) AS BIGINT) AS x FROM s6, m6), "
-        "s7 AS (SELECT e.w2 AS w, CAST(SUM(x.x) AS BIGINT) AS s FROM ed e JOIN x6 x ON x.w = e.w1 GROUP BY e.w2), "
-        "m7 AS (SELECT MAX(s) AS m FROM s7), "
-        "x7 AS (SELECT s7.w, CAST(ROUND(CAST(s7.s AS DOUBLE) * 1e6 / CAST(m7.m AS DOUBLE), 0) AS BIGINT) AS x FROM s7, m7), "
-        "s8 AS (SELECT e.w2 AS w, CAST(SUM(x.x) AS BIGINT) AS s FROM ed e JOIN x7 x ON x.w = e.w1 GROUP BY e.w2), "
-        "m8 AS (SELECT MAX(s) AS m FROM s8), "
-        "x8 AS (SELECT s8.w, CAST(ROUND(CAST(s8.s AS DOUBLE) * 1e6 / CAST(m8.m AS DOUBLE), 0) AS BIGINT) AS x FROM s8, m8), "
-        "f AS (SELECT w AS word, x AS score_q FROM x8) "
-        "SELECT word, score_q FROM f "
-        "ORDER BY score_q DESC, word LIMIT 15"
-    )
-    out["cross_k"] = (
-        # brute ordered-pair mirror of _q_cross_k on the same subset
-        "WITH p AS (SELECT event_id AS eid, event_type AS et, "
-        "event_id % 96 AS gx, (event_id // 96) % 96 AS gy FROM events "
-        "WHERE event_id % 5 = 0 "
-        "AND event_type IN ('purchase', 'error')), "
-        "a AS (SELECT * FROM p WHERE et = 'purchase'), "
-        "b AS (SELECT * FROM p WHERE et = 'error'), "
-        "d AS (SELECT (a.gx - b.gx) * (a.gx - b.gx) "
-        "+ (a.gy - b.gy) * (a.gy - b.gy) AS d2 FROM a, b), "
-        "n AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS na, "
-        "(SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS nb), "
-        "c AS (SELECT r.r2 AS r2, CAST(SUM(CASE WHEN d.d2 <= r.r2 "
-        "THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs "
-        "FROM (VALUES (4), (25), (64)) r(r2), d GROUP BY r.r2) "
-        "SELECT CAST(c.r2 AS BIGINT) AS r2, c.n_pairs, "
-        "CAST(ROUND(CAST(c.n_pairs AS DOUBLE) * 9216.0 "
-        "/ (CAST(n.na AS DOUBLE) * CAST(n.nb AS DOUBLE)) * 1e9, 0) "
-        "AS BIGINT) AS k_q FROM c, n ORDER BY r2"
-    )
-    out["dwell_time"] = (
-        # mirrors _q_dwell_time via LEAD over (user, ts, event_id)
-        "WITH f AS (SELECT user_id, "
-        "(event_id % 96) // 8 * 12 + ((event_id // 96) % 96) // 8 "
-        "AS cell, epoch_us(ts) AS t, "
-        "LEAD(epoch_us(ts)) OVER (PARTITION BY user_id "
-        "ORDER BY ts, event_id) AS tn FROM events) "
-        "SELECT cell, CAST(SUM(tn - t) AS BIGINT) AS dwell_us "
-        "FROM f WHERE tn IS NOT NULL GROUP BY cell "
-        "ORDER BY dwell_us DESC, cell LIMIT 10"
-    )
-    out["char_bigram_entropy"] = (
-        # mirrors _q_char_bigram_entropy: 2-char strings group exactly
-        # like the engine's code-point pair keys
-        "WITH cs AS (SELECT lang, string_split(text, '') AS s "
-        "FROM documents), "
-        "bg AS (SELECT lang, s[i] || s[i+1] AS g FROM cs, "
-        "LATERAL (SELECT UNNEST(generate_series(1, len(s)-1)) AS i) "
-        "WHERE len(s) >= 2), "
-        "c AS (SELECT lang, g, CAST(COUNT(*) AS BIGINT) AS n "
-        "FROM bg GROUP BY lang, g), "
-        "q AS (SELECT lang, n, "
-        "CAST(ROUND(CAST(n AS DOUBLE) * LN(CAST(n AS DOUBLE)) * 1e12, "
-        "0) AS BIGINT) AS tq FROM c) "
-        "SELECT lang, CAST(SUM(n) AS BIGINT) AS n_bigrams, "
-        "CAST(COUNT(*) AS BIGINT) AS vocab, "
-        "ROUND(LN(CAST(SUM(n) AS DOUBLE)) "
-        "- (CAST(SUM(tq) AS DOUBLE) / 1e12) / CAST(SUM(n) AS DOUBLE), "
-        "6) AS entropy FROM q GROUP BY lang ORDER BY lang"
-    )
-    out["mmr_topk"] = (
-        # recursive greedy MMR over the same 1e6-quantized int dots
-        "WITH RECURSIVE c AS (SELECT vec_id, embedding FROM embeddings "
-        "WHERE vec_id % 10 = 0), "
-        "el AS (SELECT vec_id, "
-        "UNNEST(generate_series(1, len(embedding))) AS i, "
-        "CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * 1e6, 0) "
-        "AS BIGINT) AS q FROM c), "
-        "dots AS (SELECT a.vec_id AS va, b.vec_id AS vb, "
-        "CAST(SUM(a.q * b.q) AS BIGINT) AS dot "
-        "FROM el a JOIN el b ON a.i = b.i GROUP BY 1, 2), "
-        "relv AS (SELECT vb AS v, dot AS rel FROM dots "
-        "WHERE va = 0 AND vb <> 0), "
-        "p(k, sel) AS ("
-        "SELECT 1, [(SELECT v FROM relv ORDER BY rel DESC, v LIMIT 1)] "
-        "UNION ALL "
-        "SELECT p.k + 1, list_append(p.sel, t.v) FROM p, LATERAL ("
-        "SELECT r.v FROM relv r JOIN dots d ON d.vb = r.v "
-        "AND list_contains(p.sel, d.va) "
-        "WHERE NOT list_contains(p.sel, r.v) "
-        "GROUP BY r.v, r.rel ORDER BY r.rel - MAX(d.dot) DESC, r.v "
-        "LIMIT 1) t WHERE p.k < 5), "
-        "f AS (SELECT sel FROM p ORDER BY k DESC LIMIT 1) "
-        "SELECT CAST(UNNEST(generate_series(1, len(sel))) AS BIGINT) "
-        "AS pos, CAST(UNNEST(sel) AS BIGINT) AS vec_id FROM f"
-    )
-    out["western_electric"] = (
-        # mirrors _q_western_electric: integer zone indicators +
-        # exact window sums; trailing windows clip at the series start
-        "WITH c AS (SELECT epoch_us(o_orderdate) // 86400000000 AS d, "
-        "CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) "
-        "AS BIGINT) AS x FROM orders GROUP BY 1), "
-        "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(x) AS BIGINT) AS s, "
-        "SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) "
-        "AS s2 FROM c), "
-        "g AS (SELECT CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mu, "
-        "SQRT(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) "
-        "- (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) "
-        "* (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))) AS sd FROM m), "
-        "z AS (SELECT d, CAST(x AS DOUBLE) AS xf FROM c), "
-        "ind AS (SELECT d, xf, "
-        "CASE WHEN xf > g.mu + 2.0 * g.sd THEN 1 ELSE 0 END AS a2, "
-        "CASE WHEN xf < g.mu - 2.0 * g.sd THEN 1 ELSE 0 END AS b2, "
-        "CASE WHEN xf > g.mu THEN 1 ELSE 0 END AS a0, "
-        "CASE WHEN xf < g.mu THEN 1 ELSE 0 END AS b0, "
-        "CASE WHEN xf > g.mu + 3.0 * g.sd "
-        "OR xf < g.mu - 3.0 * g.sd THEN 1 ELSE 0 END AS r1 "
-        "FROM z, g), "
-        "w AS (SELECT d, r1, "
-        "SUM(a2) OVER (ORDER BY d ROWS BETWEEN 2 PRECEDING AND "
-        "CURRENT ROW) AS wa2, "
-        "SUM(b2) OVER (ORDER BY d ROWS BETWEEN 2 PRECEDING AND "
-        "CURRENT ROW) AS wb2, "
-        "SUM(a0) OVER (ORDER BY d ROWS BETWEEN 7 PRECEDING AND "
-        "CURRENT ROW) AS wa0, "
-        "SUM(b0) OVER (ORDER BY d ROWS BETWEEN 7 PRECEDING AND "
-        "CURRENT ROW) AS wb0 FROM ind) "
-        "SELECT d, CAST(1 AS BIGINT) AS rule FROM w WHERE r1 = 1 "
-        "UNION ALL "
-        "SELECT d, CAST(2 AS BIGINT) FROM w WHERE wa2 >= 2 OR wb2 >= 2 "
-        "UNION ALL "
-        "SELECT d, CAST(4 AS BIGINT) FROM w WHERE wa0 = 8 OR wb0 = 8 "
-        "ORDER BY d, rule"
-    )
-    out["friedman_test"] = (
-        # mirrors _q_friedman_test: 2x tie-averaged integer ranks
-        # within weekday blocks, exact rank sums, one float Q
-        "WITH e AS (SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS w, "
-        "event_type, "
-        "CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) "
-        "AS c FROM events GROUP BY 1, 2), "
-        "r AS (SELECT a.event_type, "
-        "CAST(2 * SUM(CASE WHEN b.c < a.c THEN 1 ELSE 0 END) "
-        "+ SUM(CASE WHEN b.c = a.c THEN 1 ELSE 0 END) + 1 AS BIGINT) "
-        "AS r2 FROM e a JOIN e b ON a.w = b.w "
-        "GROUP BY a.w, a.event_type, a.c), "
-        "j AS (SELECT event_type, CAST(SUM(r2) AS BIGINT) AS r2_sum "
-        "FROM r GROUP BY event_type), "
-        "m AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS n, "
-        "CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k FROM e), "
-        "s AS (SELECT CAST(SUM(CAST(r2_sum AS HUGEINT) "
-        "* CAST(r2_sum AS HUGEINT)) AS BIGINT) AS s2 FROM j) "
-        "SELECT j.event_type, j.r2_sum, "
-        "CAST(ROUND((3.0 / (CAST(m.n AS DOUBLE) * CAST(m.k AS DOUBLE) "
-        "* CAST(m.k + 1 AS DOUBLE)) * CAST(s.s2 AS DOUBLE) "
-        "- 3.0 * CAST(m.n AS DOUBLE) * CAST(m.k + 1 AS DOUBLE)) "
-        "* 1e6, 0) AS BIGINT) AS q_q "
-        "FROM j, m, s ORDER BY j.event_type"
-    )
-    out["page_hinkley"] = (
-        # mirrors _q_page_hinkley: integer cumsum minus running MIN
-        "WITH c AS (SELECT epoch_us(o_orderdate) // 86400000000 AS d, "
-        "CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) "
-        "AS BIGINT) AS x FROM orders GROUP BY 1), "
-        "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(x) AS BIGINT) AS tot FROM c), "
-        "mu AS (SELECT CAST(ROUND(CAST(t.tot AS DOUBLE) "
-        "/ CAST(t.n AS DOUBLE), 0) AS BIGINT) AS mu FROM t), "
-        "s AS (SELECT d, CAST(SUM(x - mu.mu) OVER (ORDER BY d) "
-        "AS BIGINT) AS cum FROM c, mu), "
-        "p AS (SELECT d, cum - CAST(MIN(cum) OVER (ORDER BY d) "
-        "AS BIGINT) AS ph FROM s) "
-        "SELECT p.d, p.ph FROM p, mu WHERE p.ph > 10 * mu.mu "
-        "ORDER BY p.d"
-    )
-    out["boruvka_mst"] = (
-        # recursive-CTE Prim over the same distinct-weight graph; a
-        # unique MST makes Boruvka total == Prim total exactly
-        "WITH RECURSIVE cnt AS (SELECT (event_id % 96) // 8 * 12 "
-        "+ ((event_id // 96) % 96) // 8 AS cell, "
-        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1), "
-        "frame AS (SELECT x.range * 12 + y.range AS id "
-        "FROM range(0,12) x, range(0,12) y), "
-        "nodes AS (SELECT f.id AS id, COALESCE(c.n, 0) AS n "
-        "FROM frame f LEFT JOIN cnt c ON c.cell = f.id), "
-        "e1 AS (SELECT a.id AS u, b.id AS v, "
-        "ABS(a.n - b.n) * 1048576 + a.id * 144 + b.id AS w "
-        "FROM nodes a JOIN nodes b ON "
-        "(b.id = a.id + 12 AND a.id // 12 < 11) "
-        "OR (b.id = a.id + 1 AND a.id % 12 < 11)), "
-        "ed AS (SELECT u, v, w FROM e1 "
-        "UNION ALL SELECT v AS u, u AS v, w FROM e1), "
-        "p(k, visited, total) AS ("
-        "SELECT 0, [0], CAST(0 AS BIGINT) "
-        "UNION ALL "
-        "SELECT p.k + 1, list_append(p.visited, e.v), p.total + e.w "
-        "FROM p JOIN ed e ON list_contains(p.visited, e.u) "
-        "AND NOT list_contains(p.visited, e.v) "
-        "WHERE p.k < 143 "
-        "QUALIFY ROW_NUMBER() OVER (ORDER BY e.w) = 1) "
-        "SELECT CAST(k AS BIGINT) AS n_edges, total AS total_weight "
-        "FROM p ORDER BY k DESC LIMIT 1"
-    )
-    out["bollinger_breakouts"] = (
-        # mirrors _q_bollinger_breakouts: exact integer window sums
-        "WITH c AS (SELECT epoch_us(o_orderdate) // 86400000000 AS d, "
-        "CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) "
-        "AS BIGINT) AS x FROM orders GROUP BY 1), "
-        "w AS (SELECT d, x, "
-        "CAST(SUM(x) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND "
-        "CURRENT ROW) AS BIGINT) AS s, "
-        "SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) OVER "
-        "(ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) "
-        "AS s2, "
-        "ROW_NUMBER() OVER (ORDER BY d) AS i FROM c), "
-        "f AS (SELECT d, x, "
-        "CAST(s AS DOUBLE) / 7.0 AS mean, "
-        "SQRT(CAST(s2 AS DOUBLE) / 7.0 - (CAST(s AS DOUBLE) / 7.0) "
-        "* (CAST(s AS DOUBLE) / 7.0)) AS sd FROM w WHERE i >= 7) "
-        "SELECT d, x AS cents, "
-        "CAST(ROUND(mean * 1e6, 0) AS BIGINT) AS mean_q, "
-        "CAST(ROUND(sd * 1e6, 0) AS BIGINT) AS sd_q "
-        "FROM f WHERE ABS(CAST(x AS DOUBLE) - mean) > 2.0 * sd "
-        "ORDER BY d"
-    )
-    out["q7_volume"] = (
-        # mirrors _q_q7_volume (nation keys 0/1 both directions)
-        "SELECT s.s_nationkey AS supp_nation, "
-        "c.c_nationkey AS cust_nation, "
-        "CAST(YEAR(l.l_shipdate) AS BIGINT) AS yr, "
-        "CAST(SUM(CAST(ROUND(l.l_extendedprice "
-        "* (1.0 - l.l_discount) * 100, 0) AS BIGINT)) AS BIGINT) "
-        "AS revenue_cents "
-        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
-        "JOIN customer c ON o.o_custkey = c.c_custkey "
-        "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
-        "WHERE (c.c_nationkey = 0 AND s.s_nationkey = 1) "
-        "OR (c.c_nationkey = 1 AND s.s_nationkey = 0) "
-        "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
-    )
-    out["bh_fdr"] = (
-        # mirrors _q_bh_fdr: exact integer moments, identical float
-        # z / pseudo-p expressions, BH step-up with MAX(rank) rule
-        "WITH u AS (SELECT user_id, "
-        "CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) "
-        "AS su, "
-        "SUM(CAST(ROUND(value * 100, 0) AS BIGINT) "
-        "* CAST(ROUND(value * 100, 0) AS BIGINT)) AS s2u, "
-        "CAST(COUNT(*) AS BIGINT) AS nu FROM events GROUP BY user_id), "
-        "g AS (SELECT CAST(SUM(su) AS BIGINT) AS s, "
-        "CAST(SUM(s2u) AS BIGINT) AS s2, CAST(SUM(nu) AS BIGINT) AS n, "
-        "CAST(COUNT(*) AS BIGINT) AS m FROM u), "
-        "z AS (SELECT u.user_id, "
-        "(CAST(u.su AS DOUBLE) / CAST(u.nu AS DOUBLE) "
-        "- CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE)) "
-        "/ (SQRT(CAST(g.s2 AS DOUBLE) / CAST(g.n AS DOUBLE) "
-        "- (CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE)) "
-        "* (CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE))) "
-        "/ SQRT(CAST(u.nu AS DOUBLE))) AS z FROM u, g), "
-        "pr AS (SELECT user_id, z, EXP(-z * z / 2.0) AS p FROM z), "
-        "r AS (SELECT user_id, z, p, "
-        "ROW_NUMBER() OVER (ORDER BY p, user_id) AS i FROM pr), "
-        "k AS (SELECT COALESCE(MAX(CASE WHEN r.p <= "
-        "CAST(r.i AS DOUBLE) / CAST(g.m AS DOUBLE) * 0.2 "
-        "THEN r.i END), 0) AS kmax FROM r, g) "
-        "SELECT r.user_id, r.i AS rank_i, "
-        "CAST(ROUND(r.z * 1e6, 0) AS BIGINT) AS z_q, "
-        "CAST(ROUND(r.p * 1e12, 0) AS BIGINT) AS p_q, "
-        "CAST(CASE WHEN r.i <= k.kmax THEN 1 ELSE 0 END AS BIGINT) "
-        "AS rejected FROM r, k ORDER BY rank_i"
-    )
-    out["mask_morphology"] = (
-        # mirrors _q_mask_morphology over the same frozen grid: window
-        # EXISTS for dilation, 9-valid-neighbour HAVING for erosion
-        f"WITH g AS ({_OG_SLOPE_GRID_SQL}), "
-        "v AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_valid FROM g "
-        "WHERE z > -1e30), "
-        "d AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_dilated FROM g e "
-        "WHERE EXISTS (SELECT 1 FROM g n "
-        "WHERE n.row BETWEEN e.row - 1 AND e.row + 1 "
-        "AND n.col BETWEEN e.col - 1 AND e.col + 1 AND n.z > -1e30)), "
-        "er AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_eroded FROM ("
-        "SELECT e.row, e.col FROM g e JOIN g n "
-        "ON n.row BETWEEN e.row - 1 AND e.row + 1 "
-        "AND n.col BETWEEN e.col - 1 AND e.col + 1 AND n.z > -1e30 "
-        "GROUP BY e.row, e.col HAVING COUNT(*) = 9)) "
-        "SELECT v.n_valid, d.n_dilated, er.n_eroded, "
-        "d.n_dilated - er.n_eroded AS n_gradient FROM v, d, er"
-    )
-    out["knox_test"] = (
-        # mirrors _q_knox_test: brute-force pairs over the same subset
-        # (the engine's halo-anchored counts must equal this exactly)
-        "WITH p AS (SELECT event_id AS eid, epoch_us(ts) AS t, "
-        "event_id % 96 AS gx, (event_id // 96) % 96 AS gy "
-        "FROM events WHERE event_id % 20 = 0), "
-        "pr AS (SELECT a.eid, "
-        "CASE WHEN (a.gx-b.gx)*(a.gx-b.gx) + (a.gy-b.gy)*(a.gy-b.gy) "
-        "<= 25 THEN 1 ELSE 0 END AS sc, "
-        "CASE WHEN ABS(a.t - b.t) <= 3600000000 THEN 1 ELSE 0 END AS tc "
-        "FROM p a JOIN p b ON a.eid < b.eid), "
-        "s AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n, "
-        "CAST(SUM(sc) AS BIGINT) AS ns, CAST(SUM(tc) AS BIGINT) AS nt, "
-        "CAST(SUM(sc * tc) AS BIGINT) AS nst, "
-        "CAST(COUNT(*) AS BIGINT) AS total FROM pr) "
-        "SELECT n AS n_points, ns, nt, nst, "
-        "CASE WHEN ns = 0 OR nt = 0 THEN CAST(0 AS BIGINT) ELSE "
-        "CAST(ROUND(CAST(nst AS DOUBLE) / (CAST(ns AS DOUBLE) "
-        "* CAST(nt AS DOUBLE) / CAST(total AS DOUBLE)) * 1e6, 0) "
-        "AS BIGINT) END AS knox_ratio_q FROM s"
-    )
-    out["logrank_test"] = (
-        # mirrors _q_logrank_test term for term (1e9-quantized per-time
-        # terms, integer totals, one final float expression)
-        "WITH per AS (SELECT user_id, user_id % 2 AS grp, MIN(ts) AS t0, "
-        "MAX(ts) AS tl, MIN(CASE WHEN event_type = 'error' THEN ts END) "
-        "AS te FROM events GROUP BY user_id), "
-        "d AS (SELECT grp, CASE WHEN te IS NOT NULL THEN "
-        "epoch_us(te) - epoch_us(t0) ELSE epoch_us(tl) - epoch_us(t0) "
-        "END AS dur, CASE WHEN te IS NOT NULL THEN 1 ELSE 0 END AS obs "
-        "FROM per), "
-        "t AS (SELECT DISTINCT dur AS t FROM d WHERE obs = 1), "
-        "a AS (SELECT t.t, "
-        "CAST(SUM(CASE WHEN d.dur >= t.t THEN 1 ELSE 0 END) AS BIGINT) "
-        "AS n, "
-        "CAST(SUM(CASE WHEN d.dur >= t.t AND d.grp = 0 THEN 1 ELSE 0 "
-        "END) AS BIGINT) AS n1, "
-        "CAST(SUM(CASE WHEN d.dur = t.t AND d.obs = 1 THEN 1 ELSE 0 "
-        "END) AS BIGINT) AS dd, "
-        "CAST(SUM(CASE WHEN d.dur = t.t AND d.obs = 1 AND d.grp = 0 "
-        "THEN 1 ELSE 0 END) AS BIGINT) AS d1 "
-        "FROM t, d GROUP BY t.t), "
-        "q AS (SELECT d1, "
-        "CAST(ROUND(CAST(dd AS DOUBLE) * CAST(n1 AS DOUBLE) "
-        "/ CAST(n AS DOUBLE) * 1e9, 0) AS BIGINT) AS e1q, "
-        "CASE WHEN n > 1 THEN CAST(ROUND(CAST(dd AS DOUBLE) "
-        "* (CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)) "
-        "* ((CAST(n AS DOUBLE) - CAST(n1 AS DOUBLE)) / CAST(n AS DOUBLE)) "
-        "* ((CAST(n AS DOUBLE) - CAST(dd AS DOUBLE)) "
-        "/ (CAST(n AS DOUBLE) - 1.0)) * 1e9, 0) AS BIGINT) "
-        "ELSE 0 END AS vq FROM a), "
-        "s AS (SELECT CAST(SUM(d1) AS BIGINT) AS o1, "
-        "CAST(SUM(e1q) AS BIGINT) AS e1_q, "
-        "CAST(SUM(vq) AS BIGINT) AS v_q FROM q) "
-        "SELECT o1, e1_q, v_q, "
-        "CAST(ROUND((CAST(o1 AS DOUBLE) - CAST(e1_q AS DOUBLE) / 1e9) "
-        "* (CAST(o1 AS DOUBLE) - CAST(e1_q AS DOUBLE) / 1e9) "
-        "/ (CAST(v_q AS DOUBLE) / 1e9) * 1e6, 0) AS BIGINT) AS chi2_q "
-        "FROM s"
-    )
-    out["q4_order_priority"] = (
-        # mirrors _q_q4_order_priority (Q4 with a ship-lag EXISTS,
-        # this schema has no commit/receipt dates)
-        "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) "
-        "AS order_count FROM orders o "
-        "WHERE o.o_orderdate >= TIMESTAMP '1997-07-01' "
-        "AND o.o_orderdate < TIMESTAMP '1997-10-01' "
-        "AND EXISTS (SELECT 1 FROM lineitem l "
-        "WHERE l.l_orderkey = o.o_orderkey "
-        "AND epoch_us(l.l_shipdate) > epoch_us(o.o_orderdate) "
-        "+ 90 * 86400000000) "
-        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
-    )
-    out["vocab_richness"] = (
-        # mirrors _q_vocab_richness: (lang, token) counts, then exact
-        # HUGEINT moments; same float expression order per statistic
-        "WITH tok AS (SELECT lang, "
-        "UNNEST(string_split_regex(text, '\\s+')) AS w FROM documents), "
-        "tk AS (SELECT lang, w FROM tok WHERE w <> ''), "
-        "c AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c "
-        "FROM tk GROUP BY lang, w), "
-        "m AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n, "
-        "CAST(COUNT(*) AS BIGINT) AS v, "
-        "CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS v2, "
-        "CAST(SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS BIGINT) "
-        "AS s2 FROM c GROUP BY lang) "
-        "SELECT lang, n AS n_tokens, v AS vocab, "
-        "CAST(ROUND(1e4 * (CAST(s2 AS DOUBLE) - CAST(n AS DOUBLE)) "
-        "/ (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) * 1e6, 0) AS BIGINT) "
-        "AS yule_k_q, "
-        "CAST(ROUND(CAST(v AS DOUBLE) / SQRT(CAST(n AS DOUBLE)) * 1e9, "
-        "0) AS BIGINT) AS guiraud_q, "
-        "CAST(ROUND(CAST(v2 AS DOUBLE) / CAST(v AS DOUBLE) * 1e9, 0) "
-        "AS BIGINT) AS sichel_q "
-        "FROM m ORDER BY lang"
-    )
-    out["bigram_novelty"] = (
-        # mirrors _q_bigram_novelty: bigram first-seen doc via MIN,
-        # occurrence counts per doc-id decile bucket, novelty = share
-        # of a bucket's occurrences first seen in that bucket
-        "WITH m AS (SELECT MAX(doc_id) AS md FROM documents), "
-        "w AS (SELECT doc_id, list_filter(string_split(text, ' '), "
-        "t -> t <> '') AS ws FROM documents), "
-        "g AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS gram FROM w, "
-        "LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i)), "
-        "f AS (SELECT gram, MIN(doc_id) AS fd FROM g GROUP BY gram), "
-        "b AS (SELECT g.doc_id * 10 // (m.md + 1) AS bucket, "
-        "f.fd * 10 // (m.md + 1) AS fb FROM g, m "
-        "JOIN f ON g.gram = f.gram), "
-        "s AS (SELECT bucket, "
-        "CAST(SUM(CASE WHEN fb = bucket THEN 1 ELSE 0 END) AS BIGINT) "
-        "AS novel, CAST(COUNT(*) AS BIGINT) AS total "
-        "FROM b GROUP BY bucket) "
-        "SELECT bucket, novel, total, "
-        "CAST(ROUND(CAST(novel AS DOUBLE) / CAST(total AS DOUBLE) "
-        "* 1e9, 0) AS BIGINT) AS rate_q FROM s ORDER BY bucket"
-    )
-    out["ljung_box"] = (
-        # daily-cents residual series against the rounded integer mean
-        # (same construction as durbin_watson); HUGEINT autocovariance
-        # sums; rho 1e9-quantized, Q terms 1e12-quantized then the
-        # exact integer n*(n+2)*cumsum; mirrors _q_ljung_box
-        "WITH c AS (SELECT epoch_us(o_orderdate) // 86400000000 AS d, "
-        "CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) "
-        "AS BIGINT) AS x FROM orders GROUP BY 1), "
-        "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(x) AS BIGINT) AS tot FROM c), "
-        "e AS (SELECT ROW_NUMBER() OVER (ORDER BY d) AS i, "
-        "x - CAST(ROUND(CAST(t.tot AS DOUBLE) "
-        "/ CAST(t.n AS DOUBLE), 0) AS BIGINT) AS e FROM c, t), "
-        "den AS (SELECT SUM(CAST(e AS HUGEINT) * CAST(e AS HUGEINT)) "
-        "AS s0 FROM e), "
-        "ks AS (SELECT k FROM (VALUES (1), (2), (3), (4), (5)) v(k)), "
-        "cov AS (SELECT ks.k AS k, "
-        "SUM(CAST(a.e AS HUGEINT) * CAST(b.e AS HUGEINT)) AS sk "
-        "FROM ks JOIN e a ON TRUE JOIN e b ON b.i = a.i - ks.k "
-        "GROUP BY ks.k), "
-        "r AS (SELECT cov.k, CAST(cov.sk AS DOUBLE) "
-        "/ CAST(den.s0 AS DOUBLE) AS rho FROM cov, den), "
-        "q AS (SELECT r.k, "
-        "CAST(ROUND(rho * 1e9, 0) AS BIGINT) AS rho_q, "
-        "CAST(ROUND(rho * rho / CAST(t.n - r.k AS DOUBLE) * 1e12, 0) "
-        "AS BIGINT) AS tq FROM r, t) "
-        "SELECT q.k AS lag, q.rho_q, "
-        "CAST(CAST(t.n AS HUGEINT) * CAST(t.n + 2 AS HUGEINT) "
-        "* SUM(q.tq) OVER (ORDER BY q.k) AS BIGINT) AS q_scaled "
-        "FROM q, t ORDER BY lag"
-    )
-    out["feature_matrix"] = (
-        "WITH u AS (SELECT user_id, "
-        "CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) "
-        "AS BIGINT) AS n_click, "
-        "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 "
-        "END) AS BIGINT) AS n_purchase, "
-        "CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) "
-        "AS BIGINT) AS n_error, "
-        "CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) "
-        "AS BIGINT) AS n_signup, "
-        "CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) "
-        "AS BIGINT) AS n_view, "
-        "CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) "
-        "AS total_cents, "
-        "CAST(MAX(epoch_us(ts) // 86400000000) AS BIGINT) AS last_day "
-        "FROM events GROUP BY user_id), "
-        "g AS (SELECT MAX(last_day) AS dmax FROM u) "
-        "SELECT user_id, n_click, n_error, n_purchase, n_signup, "
-        "n_view, total_cents, "
-        "CAST(g.dmax - u.last_day AS BIGINT) AS recency_days "
-        "FROM u, g"
-    )
-    out["graph_modularity"] = (
-        # same graph CTE as word_triangles; classes by LEN % 2.
-        # Q = (e0/m - (d0/2m)^2) + (e1/m - (d1/2m)^2), summed in
-        # class order exactly as the engine does
-        "WITH tok AS (SELECT DISTINCT source AS w FROM documents "
-        "WHERE LEN(source) >= 4), "
-        "e AS (SELECT a.w AS w1, b.w AS w2 FROM tok a JOIN tok b "
-        "ON a.w < b.w AND ABS(LEN(a.w) - LEN(b.w)) <= 1 "
-        "AND LEVENSHTEIN(a.w, b.w) = 1), "
-        "lab AS (SELECT w1, w2, LEN(w1) % 2 AS c1, LEN(w2) % 2 AS c2 "
-        "FROM e), "
-        "st AS (SELECT CAST(COUNT(*) AS BIGINT) AS m, "
-        "CAST(SUM(CASE WHEN c1 = 0 AND c2 = 0 THEN 1 ELSE 0 END) "
-        "AS BIGINT) AS e0, "
-        "CAST(SUM(CASE WHEN c1 = 1 AND c2 = 1 THEN 1 ELSE 0 END) "
-        "AS BIGINT) AS e1, "
-        "CAST(SUM(CASE WHEN c1 = 0 THEN 1 ELSE 0 END "
-        "+ CASE WHEN c2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS d0, "
-        "CAST(SUM(CASE WHEN c1 = 1 THEN 1 ELSE 0 END "
-        "+ CASE WHEN c2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1 "
-        "FROM lab) "
-        "SELECT m AS n_edges, e0 AS intra_even, e1 AS intra_odd, "
-        "ROUND((CAST(e0 AS DOUBLE) / CAST(m AS DOUBLE) "
-        "- (CAST(d0 AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))) "
-        "* (CAST(d0 AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))) "
-        "+ (CAST(e1 AS DOUBLE) / CAST(m AS DOUBLE) "
-        "- (CAST(d1 AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))) "
-        "* (CAST(d1 AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))), 6) "
-        "AS modularity FROM st"
-    )
-    out["q17_small_qty_revenue"] = (
-        "WITH t AS (SELECT l_partkey, "
-        "CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS BIGINT) "
-        "AS sq, CAST(COUNT(*) AS BIGINT) AS n "
-        "FROM lineitem GROUP BY 1), "
-        "k AS (SELECT CAST(ROUND(l.l_extendedprice * 100, 0) "
-        "AS BIGINT) AS c FROM lineitem l JOIN t "
-        "ON t.l_partkey = l.l_partkey "
-        "WHERE CAST(CAST(ROUND(l.l_quantity, 0) AS BIGINT) AS DOUBLE) "
-        "< 0.2 * (CAST(t.sq AS DOUBLE) / CAST(t.n AS DOUBLE))) "
-        "SELECT CAST(COUNT(*) AS BIGINT) AS n_lineitems, "
-        "ROUND((CAST(SUM(c) AS DOUBLE) / 100.0) / 7.0, 6) "
-        "AS avg_yearly FROM k"
-    )
-    out["q19_disjunctive_revenue"] = (
-        "WITH k AS (SELECT CAST(ROUND(l.l_extendedprice "
-        "* (1.0 - l.l_discount) * 100, 0) AS BIGINT) AS c "
-        "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey, "
-        "LATERAL (SELECT CAST(ROUND(l.l_quantity, 0) AS BIGINT) "
-        "AS q) lat "
-        "WHERE (p.p_brand = 'Brand#1' AND lat.q BETWEEN 1 AND 11) "
-        "OR (p.p_brand = 'Brand#2' AND lat.q BETWEEN 10 AND 20) "
-        "OR (p.p_brand = 'Brand#3' AND lat.q BETWEEN 20 AND 30)) "
-        "SELECT CAST(COUNT(*) AS BIGINT) AS n_lineitems, "
-        "ROUND(CAST(SUM(c) AS DOUBLE) / 100.0, 6) AS revenue FROM k"
-    )
-    out["visibility_graph"] = (
-        # NOT EXISTS blocking-bar predicate, integer cross products
-        "WITH c AS (SELECT epoch_us(ts) // 86400000000 AS d, "
-        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1), "
-        "mm AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM c), "
-        "dd AS (SELECT r.range AS t, mm.lo + r.range AS d "
-        "FROM range(0, 4096) r, mm WHERE r.range <= mm.hi - mm.lo), "
-        "dn AS MATERIALIZED (SELECT dd.t, dd.d, COALESCE(c.x, 0) AS x "
-        "FROM dd LEFT JOIN c ON c.d = dd.d), "
-        "vis AS (SELECT a.t AS ta, b.t AS tb FROM dn a "
-        "JOIN dn b ON b.t > a.t WHERE NOT EXISTS ("
-        "SELECT 1 FROM dn m WHERE m.t > a.t AND m.t < b.t "
-        "AND m.x * (b.t - a.t) >= a.x * (b.t - m.t) "
-        "+ b.x * (m.t - a.t))), "
-        "deg AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS degree FROM ("
-        "SELECT ta AS t FROM vis UNION ALL SELECT tb FROM vis) "
-        "GROUP BY t) "
-        "SELECT dn.d AS day, COALESCE(deg.degree, 0) AS degree "
-        "FROM dn LEFT JOIN deg ON deg.t = dn.t"
-    )
-    out["hill_estimator"] = (
-        "WITH per AS (SELECT o_custkey, "
-        "CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) "
-        "AS BIGINT) AS spend FROM orders GROUP BY 1), "
-        "rk AS (SELECT spend, ROW_NUMBER() OVER "
-        "(ORDER BY spend DESC, o_custkey) AS r FROM per), "
-        "xk1 AS (SELECT CAST(spend AS DOUBLE) AS v, spend AS s "
-        "FROM rk WHERE r = 51), "
-        "t AS (SELECT CAST(SUM(CAST(ROUND(LN(CAST(rk.spend AS DOUBLE) "
-        "/ xk1.v) * 1e9, 0) AS BIGINT)) AS BIGINT) AS s "
-        "FROM rk, xk1 WHERE rk.r <= 50) "
-        "SELECT CAST(50 AS BIGINT) AS k, xk1.s AS x_k1_cents, "
-        "ROUND(50.0 / (CAST(t.s AS DOUBLE) / 1e9), 6) AS hill_alpha "
-        "FROM t, xk1"
-    )
-    out["geometric_median"] = (
-        # six unrolled Weiszfeld levels, 1e9-quantized per-fix terms
-        "WITH f AS MATERIALIZED (SELECT user_id, CAST(event_id % 96 AS DOUBLE) AS x, CAST((event_id // 96) % 96 AS DOUBLE) AS y FROM events), "
-        "e0 AS MATERIALIZED (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(CAST(x AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS gx, CAST(SUM(CAST(y AS BIGINT)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS gy FROM f GROUP BY user_id), "
-        "e1 AS MATERIALIZED (SELECT e.user_id, e.n, CAST(SUM(CASE WHEN SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)) > 0.0 THEN CAST(ROUND(f.x * 1e9 / SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)), 0) AS BIGINT) ELSE 0 END) AS DOUBLE) / CAST(SUM(CASE WHEN SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)) > 0.0 THEN CAST(ROUND(1e9 / SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)), 0) AS BIGINT) ELSE 0 END) AS DOUBLE) AS gx, CAST(SUM(CASE WHEN SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)) > 0.0 THEN CAST(ROUND(f.y * 1e9 / SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)), 0) AS BIGINT) ELSE 0 END) AS DOUBLE) / CAST(SUM(CASE WHEN SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)) > 0.0 THEN CAST(ROUND(1e9 / SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)), 0) AS BIGINT) ELSE 0 END) AS DOUBLE) AS gy FROM f JOIN e0 e ON e.user_id = f.user_id GROUP BY e.user_id, e.n), "
-        "e2 AS MATERIALIZED (SELECT e.user_id, e.n, CAST(SUM(CASE WHEN SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)) > 0.0 THEN CAST(ROUND(f.x * 1e9 / SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)), 0) AS BIGINT) ELSE 0 END) AS DOUBLE) / CAST(SUM(CASE WHEN SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)) > 0.0 THEN CAST(ROUND(1e9 / SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)), 0) AS BIGINT) ELSE 0 END) AS DOUBLE) AS gx, CAST(SUM(CASE WHEN SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)) > 0.0 THEN CAST(ROUND(f.y * 1e9 / SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)), 0) AS BIGINT) ELSE 0 END) AS DOUBLE) / CAST(SUM(CASE WHEN SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)) > 0.0 THEN CAST(ROUND(1e9 / SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)), 0) AS BIGINT) ELSE 0 END) AS DOUBLE) AS gy FROM f JOIN e1 e ON e.user_id = f.user_id GROUP BY e.user_id, e.n), "
-        "e3 AS MATERIALIZED (SELECT e.user_id, e.n, CAST(SUM(CASE WHEN SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)) > 0.0 THEN CAST(ROUND(f.x * 1e9 / SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)), 0) AS BIGINT) ELSE 0 END) AS DOUBLE) / CAST(SUM(CASE WHEN SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)) > 0.0 THEN CAST(ROUND(1e9 / SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)), 0) AS BIGINT) ELSE 0 END) AS DOUBLE) AS gx, CAST(SUM(CASE WHEN SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)) > 0.0 THEN CAST(ROUND(f.y * 1e9 / SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)), 0) AS BIGINT) ELSE 0 END) AS DOUBLE) / CAST(SUM(CASE WHEN SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)) > 0.0 THEN CAST(ROUND(1e9 / SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)), 0) AS BIGINT) ELSE 0 END) AS DOUBLE) AS gy FROM f JOIN e2 e ON e.user_id = f.user_id GROUP BY e.user_id, e.n), "
-        "e4 AS MATERIALIZED (SELECT e.user_id, e.n, CAST(SUM(CASE WHEN SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)) > 0.0 THEN CAST(ROUND(f.x * 1e9 / SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)), 0) AS BIGINT) ELSE 0 END) AS DOUBLE) / CAST(SUM(CASE WHEN SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)) > 0.0 THEN CAST(ROUND(1e9 / SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)), 0) AS BIGINT) ELSE 0 END) AS DOUBLE) AS gx, CAST(SUM(CASE WHEN SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)) > 0.0 THEN CAST(ROUND(f.y * 1e9 / SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)), 0) AS BIGINT) ELSE 0 END) AS DOUBLE) / CAST(SUM(CASE WHEN SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)) > 0.0 THEN CAST(ROUND(1e9 / SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)), 0) AS BIGINT) ELSE 0 END) AS DOUBLE) AS gy FROM f JOIN e3 e ON e.user_id = f.user_id GROUP BY e.user_id, e.n), "
-        "e5 AS MATERIALIZED (SELECT e.user_id, e.n, CAST(SUM(CASE WHEN SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)) > 0.0 THEN CAST(ROUND(f.x * 1e9 / SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)), 0) AS BIGINT) ELSE 0 END) AS DOUBLE) / CAST(SUM(CASE WHEN SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)) > 0.0 THEN CAST(ROUND(1e9 / SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)), 0) AS BIGINT) ELSE 0 END) AS DOUBLE) AS gx, CAST(SUM(CASE WHEN SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)) > 0.0 THEN CAST(ROUND(f.y * 1e9 / SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)), 0) AS BIGINT) ELSE 0 END) AS DOUBLE) / CAST(SUM(CASE WHEN SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)) > 0.0 THEN CAST(ROUND(1e9 / SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)), 0) AS BIGINT) ELSE 0 END) AS DOUBLE) AS gy FROM f JOIN e4 e ON e.user_id = f.user_id GROUP BY e.user_id, e.n), "
-        "e6 AS MATERIALIZED (SELECT e.user_id, e.n, CAST(SUM(CASE WHEN SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)) > 0.0 THEN CAST(ROUND(f.x * 1e9 / SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)), 0) AS BIGINT) ELSE 0 END) AS DOUBLE) / CAST(SUM(CASE WHEN SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)) > 0.0 THEN CAST(ROUND(1e9 / SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)), 0) AS BIGINT) ELSE 0 END) AS DOUBLE) AS gx, CAST(SUM(CASE WHEN SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)) > 0.0 THEN CAST(ROUND(f.y * 1e9 / SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)), 0) AS BIGINT) ELSE 0 END) AS DOUBLE) / CAST(SUM(CASE WHEN SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)) > 0.0 THEN CAST(ROUND(1e9 / SQRT((f.x - e.gx) * (f.x - e.gx) + (f.y - e.gy) * (f.y - e.gy)), 0) AS BIGINT) ELSE 0 END) AS DOUBLE) AS gy FROM f JOIN e5 e ON e.user_id = f.user_id GROUP BY e.user_id, e.n) "
-        "SELECT user_id, n AS n_fixes, ROUND(gx, 6) AS gm_x, ROUND(gy, 6) AS gm_y FROM e6"
-    )
-    out["rbo_overlap"] = (
-        # same deterministic rankings; same 1e15 p^(d-1) literals
-        "WITH cw AS (SELECT event_id % 9216 AS cell, "
-        "epoch_us(ts) // 604800000000 AS week, "
-        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
-        "wl AS (SELECT MAX(week) AS w FROM cw), "
-        "ta AS (SELECT cell, ROW_NUMBER() OVER "
-        "(ORDER BY n DESC, cell) AS r FROM cw, wl "
-        "WHERE week = wl.w QUALIFY r <= 20), "
-        "tb AS (SELECT cell, ROW_NUMBER() OVER "
-        "(ORDER BY n DESC, cell) AS r FROM cw, wl "
-        "WHERE week = wl.w - 1 QUALIFY r <= 20), "
-        "pw(d, p15) AS (VALUES (1, 1000000000000000), (2, 900000000000000), (3, 810000000000000), (4, 729000000000000), (5, 656100000000000), (6, 590490000000000), (7, 531441000000000), (8, 478296900000000), (9, 430467210000000), (10, 387420489000000), (11, 348678440100000), (12, 313810596090000), (13, 282429536481000), (14, 254186582832900), (15, 228767924549610), (16, 205891132094649), (17, 185302018885184), (18, 166771816996666), (19, 150094635296999), (20, 135085171767299)), "
-        "j AS (SELECT ta.cell, ta.r AS ra, tb.r AS rb FROM ta "
-        "JOIN tb ON tb.cell = ta.cell), "
-        "ov AS (SELECT pw.d, pw.p15, CAST(COUNT(j.cell) AS BIGINT) "
-        "AS ov FROM pw LEFT JOIN j "
-        "ON j.ra <= pw.d AND j.rb <= pw.d "
-        "GROUP BY 1, 2), "
-        "terms AS (SELECT CAST(SUM(CAST(ROUND(CAST(ov AS DOUBLE) "
-        "/ CAST(d AS DOUBLE) * CAST(p15 AS DOUBLE), 0) AS BIGINT)) "
-        "AS BIGINT) AS s FROM ov) "
-        "SELECT CAST(20 AS BIGINT) AS depth, "
-        "ROUND(0.1 * (CAST(s AS DOUBLE) / 1e15), 6) AS rbo FROM terms"
-    )
-    out["sprt_crossing"] = (
-        # same +-200670695 integer increments; first |cum| >= THR day
-        "WITH c AS (SELECT epoch_us(ts) // 86400000000 AS d, "
-        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1), "
-        "mm AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM c), "
-        "dd AS (SELECT r.range AS t, mm.lo + r.range AS d "
-        "FROM range(0, 4096) r, mm WHERE r.range <= mm.hi - mm.lo), "
-        "dn AS (SELECT dd.t, dd.d, COALESCE(c.x, 0) AS x "
-        "FROM dd LEFT JOIN c ON c.d = dd.d), "
-        "r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rk, "
-        "COUNT(*) OVER () AS n FROM dn), "
-        "med AS (SELECT x AS m FROM r WHERE rk = (n - 1) // 2 + 1), "
-        "p AS (SELECT dn.t, dn.d, CAST(SUM(CASE WHEN dn.x > med.m "
-        "THEN 200670695 ELSE -200670695 END) "
-        "OVER (ORDER BY dn.t) AS BIGINT) AS cum FROM dn, med), "
-        "hit AS (SELECT d, cum, "
-        "CASE WHEN cum >= 2944438979 THEN 'accept_p1' "
-        "ELSE 'accept_p0' END AS decision "
-        "FROM p WHERE ABS(cum) >= 2944438979 ORDER BY t LIMIT 1), "
-        "fallback AS (SELECT -1 AS d, cum, "
-        "'undecided' AS decision FROM p "
-        "ORDER BY t DESC LIMIT 1) "
-        "SELECT CAST(d AS BIGINT) AS crossing_day, decision, "
-        "cum AS llr_q FROM hit "
-        "UNION ALL SELECT CAST(d AS BIGINT), decision, cum "
-        "FROM fallback WHERE NOT EXISTS (SELECT 1 FROM hit)"
-    )
-    out["jaro_winkler_pairs"] = (
-        "WITH tok AS (SELECT DISTINCT source AS w FROM documents) "
-        "SELECT a.w AS w1, b.w AS w2, "
-        "ROUND(jaro_winkler_similarity(a.w, b.w), 6) AS jw "
-        "FROM tok a JOIN tok b ON a.w < b.w "
-        "WHERE jaro_winkler_similarity(a.w, b.w) >= 0.8"
-    )
-    out["bayes_rate_smoothing"] = (
-        "WITH c AS (SELECT event_id % 9216 AS cell, "
-        "CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
-        "AS BIGINT) AS pos FROM events GROUP BY 1), "
-        "g AS (SELECT CAST(SUM(pos) AS DOUBLE) "
-        "/ CAST(SUM(n) AS DOUBLE) AS p0 FROM c), "
-        "r AS (SELECT cell, n, pos, "
-        "(CAST(pos AS DOUBLE) + 50.0 * g.p0) "
-        "/ (CAST(n AS DOUBLE) + 50.0) AS rate FROM c, g) "
-        "SELECT cell, n, pos AS n_purchase, "
-        "ROUND(rate, 6) AS smoothed_rate FROM r "
-        "ORDER BY rate DESC, cell LIMIT 20"
-    )
-    out["haar_energy"] = (
-        # three materialized halving levels; pure integer sums/diffs
-        "WITH c AS (SELECT epoch_us(ts) // 86400000000 AS d, "
-        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1), "
-        "mm AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM c), "
-        "dd AS (SELECT r.range AS t, mm.lo + r.range AS d "
-        "FROM range(0, 4096) r, mm WHERE r.range <= mm.hi - mm.lo), "
-        "dn AS (SELECT dd.t, COALESCE(c.x, 0) AS x "
-        "FROM dd LEFT JOIN c ON c.d = dd.d), "
-        "sz AS (SELECT CAST(POWER(2, FLOOR(LOG2(COUNT(*)))) AS BIGINT) "
-        "AS m FROM dn), "
-        "l0 AS MATERIALIZED (SELECT t AS i, x AS a FROM dn, sz "
-        "WHERE t < sz.m), "
-        "l1 AS MATERIALIZED (SELECT e.i // 2 AS i, e.a + o.a AS a, "
-        "e.a - o.a AS det FROM l0 e JOIN l0 o ON o.i = e.i + 1 "
-        "WHERE e.i % 2 = 0), "
-        "l2 AS MATERIALIZED (SELECT e.i // 2 AS i, e.a + o.a AS a, "
-        "e.a - o.a AS det FROM l1 e JOIN l1 o ON o.i = e.i + 1 "
-        "WHERE e.i % 2 = 0), "
-        "l3 AS MATERIALIZED (SELECT e.i // 2 AS i, e.a + o.a AS a, "
-        "e.a - o.a AS det FROM l2 e JOIN l2 o ON o.i = e.i + 1 "
-        "WHERE e.i % 2 = 0) "
-        "SELECT 1 AS level, CAST(COUNT(*) AS BIGINT) AS n_coef, "
-        "CAST(SUM(det * det) AS BIGINT) AS energy FROM l1 "
-        "UNION ALL SELECT 2, CAST(COUNT(*) AS BIGINT), "
-        "CAST(SUM(det * det) AS BIGINT) FROM l2 "
-        "UNION ALL SELECT 3, CAST(COUNT(*) AS BIGINT), "
-        "CAST(SUM(det * det) AS BIGINT) FROM l3"
-    )
-    out["cell_week_churn"] = (
-        "WITH cw AS (SELECT event_id % 9216 AS cell, "
-        "epoch_us(ts) // 604800000000 AS week, "
-        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
-        "wl AS (SELECT MAX(week) AS w FROM cw), "
-        "cur AS (SELECT cell, n FROM cw, wl WHERE week = wl.w), "
-        "prv AS (SELECT cell, n FROM cw, wl WHERE week = wl.w - 1), "
-        "allc AS (SELECT cell FROM cur UNION SELECT cell FROM prv), "
-        "j AS (SELECT allc.cell, COALESCE(prv.n, 0) AS n_prev, "
-        "COALESCE(cur.n, 0) AS n_last "
-        "FROM allc LEFT JOIN cur ON cur.cell = allc.cell "
-        "LEFT JOIN prv ON prv.cell = allc.cell) "
-        "SELECT cell, n_prev, n_last, n_last - n_prev AS delta FROM j "
-        "ORDER BY ABS(n_last - n_prev) DESC, cell LIMIT 20"
-    )
-    out["pps_systematic"] = (
-        "WITH p AS (SELECT o_orderkey, "
-        "CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS c "
-        "FROM orders), "
-        "s AS (SELECT o_orderkey, c, "
-        "CAST(SUM(c) OVER (ORDER BY o_orderkey) AS BIGINT) AS cum "
-        "FROM p), "
-        "t AS (SELECT CAST(SUM(c) AS BIGINT) AS w FROM p) "
-        "SELECT o_orderkey, cum AS cum_cents FROM s, t "
-        "WHERE (cum * 100) // t.w - ((cum - c) * 100) // t.w >= 1"
-    )
-    out["burrows_delta"] = (
-        # same frame: 20 top words x all sources, zero cells kept;
-        # 1e9-quantized frequencies and |dz| terms
-        "WITH tokens AS (SELECT source, UNNEST(string_split_regex("
-        "text, '\\s+')) AS w FROM documents), "
-        "tk AS (SELECT source, w FROM tokens WHERE w <> ''), "
-        "cnts AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c "
-        "FROM tk GROUP BY 1, 2), "
-        "tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS t "
-        "FROM cnts GROUP BY 1), "
-        "top AS (SELECT w FROM (SELECT w, SUM(c) AS g FROM cnts "
-        "GROUP BY w) ORDER BY g DESC, w LIMIT 20), "
-        "frame AS (SELECT tot.source, top.w, tot.t, "
-        "COALESCE(cnts.c, 0) AS c FROM tot CROSS JOIN top "
-        "LEFT JOIN cnts ON cnts.source = tot.source "
-        "AND cnts.w = top.w), "
-        "f AS (SELECT source, w, "
-        "CAST(ROUND(CAST(c AS DOUBLE) / CAST(t AS DOUBLE) * 1e9, 0) "
-        "AS BIGINT) AS fq FROM frame), "
-        "ns AS (SELECT CAST(COUNT(DISTINCT source) AS DOUBLE) AS s "
-        "FROM f), "
-        "wstat AS (SELECT w, CAST(SUM(fq) AS BIGINT) AS s1, "
-        "CAST(SUM(fq * fq) AS BIGINT) AS s2 FROM f GROUP BY w), "
-        "z AS (SELECT f.source, f.w, "
-        "(CAST(f.fq AS DOUBLE) - CAST(wstat.s1 AS DOUBLE) / ns.s) "
-        "/ SQRT((CAST(wstat.s2 AS DOUBLE) - CAST(wstat.s1 AS DOUBLE) "
-        "* CAST(wstat.s1 AS DOUBLE) / ns.s) / ns.s) AS z "
-        "FROM f JOIN wstat ON wstat.w = f.w, ns), "
-        "pairs AS (SELECT a.source AS s1, b.source AS s2, "
-        "CAST(SUM(CAST(ROUND(ABS(a.z - b.z) * 1e9, 0) AS BIGINT)) "
-        "AS BIGINT) AS dq "
-        "FROM z a JOIN z b ON b.w = a.w AND a.source < b.source "
-        "GROUP BY 1, 2) "
-        "SELECT s1, s2, "
-        "ROUND(CAST(dq AS DOUBLE) / 1e9 / 20.0, 6) AS delta "
-        "FROM pairs"
-    )
-    out["dispersion_index"] = (
-        "WITH c AS (SELECT event_type, event_id % 9216 AS cell, "
-        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2), "
-        "m AS (SELECT event_type, CAST(SUM(x) AS BIGINT) AS s1, "
-        "CAST(SUM(x * x) AS BIGINT) AS s2 FROM c GROUP BY 1) "
-        "SELECT event_type, s1 AS n_events, "
-        "ROUND(((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) "
-        "* CAST(s1 AS DOUBLE) / 9216.0) / 9215.0) "
-        "/ (CAST(s1 AS DOUBLE) / 9216.0), 6) AS vmr, "
-        "ROUND((((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) "
-        "* CAST(s1 AS DOUBLE) / 9216.0) / 9215.0) "
-        "/ (CAST(s1 AS DOUBLE) / 9216.0)) * 9215.0, 6) AS chi2 "
-        "FROM m"
-    )
-    out["grubbs_test"] = (
-        "WITH c AS (SELECT epoch_us(ts) // 86400000000 AS d, "
-        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1), "
-        "mm AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM c), "
-        "dd AS (SELECT mm.lo + r.range AS d FROM range(0, 4096) r, mm "
-        "WHERE r.range <= mm.hi - mm.lo), "
-        "dn AS (SELECT dd.d, COALESCE(c.x, 0) AS x "
-        "FROM dd LEFT JOIN c ON c.d = dd.d), "
-        "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(x) AS BIGINT) AS s1, "
-        "CAST(SUM(x * x) AS BIGINT) AS s2 FROM dn), "
-        "dev AS (SELECT dn.d, dn.x, "
-        "ABS(CAST(dn.x AS DOUBLE) - CAST(m.s1 AS DOUBLE) "
-        "/ CAST(m.n AS DOUBLE)) AS dv FROM dn, m) "
-        "SELECT m.n AS n_days, dev.d AS day, dev.x, "
-        "ROUND(dev.dv / SQRT((CAST(m.s2 AS DOUBLE) "
-        "- CAST(m.s1 AS DOUBLE) * CAST(m.s1 AS DOUBLE) "
-        "/ CAST(m.n AS DOUBLE)) / (CAST(m.n AS DOUBLE) - 1.0)), 6) "
-        "AS g "
-        "FROM dev, m ORDER BY dev.dv DESC, dev.d LIMIT 1"
-    )
-    out["q3_shipping_priority"] = (
-        "SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority, "
-        "CAST(SUM(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) "
-        "* 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents "
-        "FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey "
-        "JOIN customer c ON c.c_custkey = o.o_custkey "
-        "WHERE c.c_mktsegment = 'BUILDING' "
-        "AND o.o_orderdate < TIMESTAMP '1998-06-01' "
-        "AND l.l_shipdate > TIMESTAMP '1998-06-01' "
-        "GROUP BY 1, 2, 3 "
-        "ORDER BY revenue_cents DESC, l.l_orderkey LIMIT 10"
-    )
-    out["q5_local_revenue"] = (
-        "SELECT n.n_name, "
-        "CAST(SUM(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) "
-        "* 100, 0) AS BIGINT)) AS BIGINT) AS revenue_cents "
-        "FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey "
-        "JOIN customer c ON c.c_custkey = o.o_custkey "
-        "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
-        "JOIN nation n ON n.n_nationkey = c.c_nationkey "
-        "WHERE c.c_nationkey = s.s_nationkey "
-        "GROUP BY 1"
-    )
-    out["quadkey_cells"] = (
-        "WITH p AS (SELECT CAST(event_id % 96 AS BIGINT) AS x, "
-        "CAST((event_id // 96) % 96 AS BIGINT) AS y FROM events), "
-        "q AS (SELECT CAST(((x // 64) % 2) + 2 * ((y // 64) % 2) AS VARCHAR) || CAST(((x // 32) % 2) + 2 * ((y // 32) % 2) AS VARCHAR) || CAST(((x // 16) % 2) + 2 * ((y // 16) % 2) AS VARCHAR) || CAST(((x // 8) % 2) + 2 * ((y // 8) % 2) AS VARCHAR) || CAST(((x // 4) % 2) + 2 * ((y // 4) % 2) AS VARCHAR) || CAST(((x // 2) % 2) + 2 * ((y // 2) % 2) AS VARCHAR) || CAST(((x // 1) % 2) + 2 * ((y // 1) % 2) AS VARCHAR) AS quadkey FROM p) "
-        "SELECT quadkey, CAST(COUNT(*) AS BIGINT) AS n "
-        "FROM q GROUP BY quadkey"
-    )
-    out["polygon_perimeter"] = _perimeter_oracle_sql()
-    out["route_shortest_path"] = (
-        # recursive min-dist walk over the same formula edges; UNION
-        # dedups (node, dist) states; cap prunes dominated paths
-        "WITH RECURSIVE g AS (SELECT r.range AS r, c.range AS c "
-        "FROM range(0, 8) r, range(0, 8) c), "
-        "e0 AS (SELECT r * 8 + c AS node, r * 8 + c + 1 AS neigh, "
-        "(r * 7 + c * 13) % 19 + 1 AS w FROM g WHERE c < 7 "
-        "UNION ALL "
-        "SELECT r * 8 + c, (r + 1) * 8 + c, "
-        "(r * 11 + c * 5) % 17 + 1 FROM g WHERE r < 7), "
-        "sym AS (SELECT node, neigh, w FROM e0 "
-        "UNION ALL SELECT neigh, node, w FROM e0), "
-        "walk(node, dist) AS (SELECT CAST(0 AS BIGINT), "
-        "CAST(0 AS BIGINT) "
-        "UNION "
-        "SELECT sym.neigh, walk.dist + sym.w FROM walk "
-        "JOIN sym ON sym.node = walk.node "
-        "WHERE walk.dist + sym.w <= 300) "
-        "SELECT CAST(node AS BIGINT) AS node, "
-        "CAST(MIN(dist) AS BIGINT) AS dist FROM walk GROUP BY node"
-    )
-    out["cdc_chunks"] = (
-        # char-position explode + 7 LEADs; same fixed coefficients
-        "WITH ch AS (SELECT doc_id, "
-        "generate_subscripts(string_split(text, ''), 1) AS i, "
-        "unicode(UNNEST(string_split(text, ''))) AS c "
-        "FROM documents), "
-        "w AS (SELECT doc_id, i, "
-        "c * 1 "
-        "+ LEAD(c, 1) OVER win * 257 "
-        "+ LEAD(c, 2) OVER win * 193 "
-        "+ LEAD(c, 3) OVER win * 83 "
-        "+ LEAD(c, 4) OVER win * 211 "
-        "+ LEAD(c, 5) OVER win * 101 "
-        "+ LEAD(c, 6) OVER win * 47 "
-        "+ LEAD(c, 7) OVER win * 31 AS s "
-        "FROM ch WINDOW win AS (PARTITION BY doc_id ORDER BY i)), "
-        "v AS (SELECT doc_id, s FROM w WHERE s IS NOT NULL) "
-        "SELECT d.doc_id, "
-        "CAST(COALESCE(v.nw, 0) AS BIGINT) AS n_windows, "
-        "CAST(COALESCE(v.nb, 0) AS BIGINT) AS n_boundaries, "
-        "CAST(COALESCE(v.nb, 0) + 1 AS BIGINT) AS n_chunks "
-        "FROM (SELECT DISTINCT doc_id FROM documents) d "
-        "LEFT JOIN (SELECT doc_id, COUNT(*) AS nw, "
-        "SUM(CASE WHEN s % 61 = 0 THEN 1 ELSE 0 END) AS nb "
-        "FROM v GROUP BY doc_id) v ON v.doc_id = d.doc_id"
-    )
-    out["hoover_index"] = (
-        "WITH c AS (SELECT event_id % 9216 AS cell, "
-        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1), "
-        "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells, "
-        "CAST(SUM(x) AS BIGINT) AS n_events FROM c), "
-        "nm AS (SELECT CAST(SUM(ABS(t.n_cells * c.x - t.n_events)) "
-        "AS BIGINT) AS num FROM c, t) "
-        "SELECT t.n_cells, t.n_events, "
-        "ROUND(CAST(nm.num AS DOUBLE) "
-        "/ (2.0 * CAST(t.n_events AS DOUBLE) "
-        "* CAST(t.n_cells AS DOUBLE)), 6) AS hoover FROM t, nm"
-    )
-    out["mean_direction"] = (
-        # same D8 comparisons; identical 1e9 fixed-point unit vectors
-        "WITH f AS (SELECT user_id, "
-        "ROW_NUMBER() OVER (PARTITION BY user_id "
-        "ORDER BY ts, event_id) AS k, "
-        "CAST(event_id % 96 AS BIGINT) AS x, "
-        "CAST((event_id // 96) % 96 AS BIGINT) AS y FROM events), "
-        "st AS (SELECT a.user_id, b.x - a.x AS dx, b.y - a.y AS dy "
-        "FROM f a JOIN f b ON b.user_id = a.user_id "
-        "AND b.k = a.k + 1 WHERE b.x <> a.x OR b.y <> a.y), "
-        "u AS (SELECT user_id, "
-        "CASE WHEN ABS(dx) > ABS(dy) THEN "
-        "CASE WHEN dx > 0 THEN 1000000000 ELSE -1000000000 END "
-        "WHEN ABS(dy) > ABS(dx) THEN 0 "
-        "WHEN dx > 0 THEN 707106781 ELSE -707106781 END AS uxq, "
-        "CASE WHEN ABS(dy) > ABS(dx) THEN "
-        "CASE WHEN dy > 0 THEN 1000000000 ELSE -1000000000 END "
-        "WHEN ABS(dx) > ABS(dy) THEN 0 "
-        "WHEN dy > 0 THEN 707106781 ELSE -707106781 END AS uyq "
-        "FROM st), "
-        "agg AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_moves, "
-        "CAST(SUM(uxq) AS BIGINT) AS rxq, "
-        "CAST(SUM(uyq) AS BIGINT) AS ryq FROM u GROUP BY user_id) "
-        "SELECT user_id, n_moves, "
-        "ROUND(DEGREES(ATAN2(CAST(ryq AS DOUBLE), "
-        "CAST(rxq AS DOUBLE))), 6) AS mean_dir_deg, "
-        "ROUND(SQRT(CAST(rxq AS DOUBLE) * CAST(rxq AS DOUBLE) "
-        "+ CAST(ryq AS DOUBLE) * CAST(ryq AS DOUBLE)) "
-        "/ (CAST(n_moves AS DOUBLE) * 1e9), 6) AS rbar "
-        "FROM agg"
-    )
-    out["did_estimator"] = (
-        "WITH b AS (SELECT MIN(epoch_us(ts) // 86400000000) AS lo, "
-        "MAX(epoch_us(ts) // 86400000000) AS hi FROM events), "
-        "m AS (SELECT lo + (hi - lo + 1) // 2 AS mid FROM b), "
-        "cells AS (SELECT "
-        "CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treat, "
-        "CASE WHEN epoch_us(ts) // 86400000000 >= m.mid "
-        "THEN 1 ELSE 0 END AS post, "
-        "CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) "
-        "AS s FROM events, m GROUP BY 1, 2), "
-        "mn AS (SELECT treat, post, "
-        "(CAST(s AS DOUBLE) / 100.0) / CAST(n AS DOUBLE) AS mu "
-        "FROM cells) "
-        "SELECT "
-        "ROUND((SELECT mu FROM mn WHERE treat = 0 AND post = 0), 6) "
-        "AS mean_ctrl_pre, "
-        "ROUND((SELECT mu FROM mn WHERE treat = 0 AND post = 1), 6) "
-        "AS mean_ctrl_post, "
-        "ROUND((SELECT mu FROM mn WHERE treat = 1 AND post = 0), 6) "
-        "AS mean_treat_pre, "
-        "ROUND((SELECT mu FROM mn WHERE treat = 1 AND post = 1), 6) "
-        "AS mean_treat_post, "
-        "ROUND(((SELECT mu FROM mn WHERE treat = 1 AND post = 1) "
-        "- (SELECT mu FROM mn WHERE treat = 1 AND post = 0)) "
-        "- ((SELECT mu FROM mn WHERE treat = 0 AND post = 1) "
-        "- (SELECT mu FROM mn WHERE treat = 0 AND post = 0)), 6) "
-        "AS did"
-    )
-    out["symspell_pairs"] = (
-        "WITH tok AS (SELECT DISTINCT source AS w FROM documents "
-        "WHERE LEN(source) >= 4) "
-        "SELECT a.w AS w1, b.w AS w2, "
-        "CAST(LEVENSHTEIN(a.w, b.w) AS BIGINT) AS dist "
-        "FROM tok a JOIN tok b ON a.w < b.w "
-        "WHERE LEVENSHTEIN(a.w, b.w) BETWEEN 1 AND 2"
-    )
-    out["chow_test"] = (
-        # same exact moment sums per segment; shared SSR closed form
-        "WITH c AS (SELECT epoch_us(ts) // 86400000000 AS d, "
-        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1), "
-        "mm AS (SELECT MIN(d) AS lo, MAX(d) AS hi, "
-        "CAST(MAX(d) - MIN(d) + 1 AS BIGINT) AS n FROM c), "
-        "dd AS (SELECT r.range AS t, mm.lo + r.range AS d "
-        "FROM range(0, 4096) r, mm WHERE r.range <= mm.hi - mm.lo), "
-        "dn AS (SELECT dd.t, COALESCE(c.x, 0) AS x "
-        "FROM dd LEFT JOIN c ON c.d = dd.d), "
-        "seg AS (SELECT CASE WHEN t < (SELECT n // 2 FROM mm) "
-        "THEN 1 ELSE 2 END AS s, t, x FROM dn), "
-        "mom AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS nn, "
-        "CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(x) AS BIGINT) AS sx, "
-        "CAST(SUM(t * t) AS BIGINT) AS stt, "
-        "CAST(SUM(t * x) AS BIGINT) AS stx, "
-        "CAST(SUM(x * x) AS BIGINT) AS sxx FROM seg GROUP BY s), "
-        "momp AS (SELECT CAST(SUM(nn) AS BIGINT) AS nn, "
-        "CAST(SUM(st) AS BIGINT) AS st, CAST(SUM(sx) AS BIGINT) AS sx, "
-        "CAST(SUM(stt) AS BIGINT) AS stt, "
-        "CAST(SUM(stx) AS BIGINT) AS stx, "
-        "CAST(SUM(sxx) AS BIGINT) AS sxx FROM mom), "
-        "ss AS (SELECT s, "
-        "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) "
-        "/ CAST(nn AS DOUBLE)) "
-        "- ((CAST(stx AS DOUBLE) - CAST(st AS DOUBLE) "
-        "* CAST(sx AS DOUBLE) / CAST(nn AS DOUBLE)) "
-        "* (CAST(stx AS DOUBLE) - CAST(st AS DOUBLE) "
-        "* CAST(sx AS DOUBLE) / CAST(nn AS DOUBLE))) "
-        "/ (CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) "
-        "* CAST(st AS DOUBLE) / CAST(nn AS DOUBLE)) AS ssr FROM mom), "
-        "ssp AS (SELECT "
-        "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) "
-        "/ CAST(nn AS DOUBLE)) "
-        "- ((CAST(stx AS DOUBLE) - CAST(st AS DOUBLE) "
-        "* CAST(sx AS DOUBLE) / CAST(nn AS DOUBLE)) "
-        "* (CAST(stx AS DOUBLE) - CAST(st AS DOUBLE) "
-        "* CAST(sx AS DOUBLE) / CAST(nn AS DOUBLE))) "
-        "/ (CAST(stt AS DOUBLE) - CAST(st AS DOUBLE) "
-        "* CAST(st AS DOUBLE) / CAST(nn AS DOUBLE)) AS ssr_p, "
-        "nn FROM momp) "
-        "SELECT CAST(ssp.nn AS BIGINT) AS n_days, "
-        "(SELECT lo + n // 2 FROM mm) AS break_day, "
-        "ROUND(((ssp.ssr_p - s1.ssr - s2.ssr) / 2.0) "
-        "/ ((s1.ssr + s2.ssr) / (CAST(ssp.nn AS DOUBLE) - 4.0)), 6) "
-        "AS f_stat "
-        "FROM ssp, (SELECT ssr FROM ss WHERE s = 1) s1, "
-        "(SELECT ssr FROM ss WHERE s = 2) s2"
-    )
-    out["min_cost_supplier"] = (
-        # two-level aggregate + (cost, suppkey) lexicographic argmin
-        "WITH ps AS (SELECT l_partkey, l_suppkey, "
-        "CAST(SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) "
-        "* 100, 0) AS BIGINT)) AS BIGINT) AS cost_cents "
-        "FROM lineitem GROUP BY 1, 2), "
-        "rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_partkey "
-        "ORDER BY cost_cents, l_suppkey) AS rn FROM ps) "
-        "SELECT l_partkey, l_suppkey, cost_cents FROM rk WHERE rn = 1"
-    )
-    out["seasonal_decompose"] = (
-        # dense calendar; 7-day centered window sum / 7.0; quantized
-        # detrended deviations summed per weekday
-        "WITH c AS (SELECT epoch_us(ts) // 86400000000 AS d, "
-        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1), "
-        "mm AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM c), "
-        "dd AS (SELECT r.range AS t, mm.lo + r.range AS d "
-        "FROM range(0, 4096) r, mm WHERE r.range <= mm.hi - mm.lo), "
-        "dn AS (SELECT dd.t, dd.d, COALESCE(c.x, 0) AS x "
-        "FROM dd LEFT JOIN c ON c.d = dd.d), "
-        "w AS (SELECT t, d, x, "
-        "CAST(SUM(x) OVER (ORDER BY t "
-        "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS s7, "
-        "CAST(COUNT(*) OVER (ORDER BY t "
-        "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS c7 "
-        "FROM dn), "
-        "dt AS (SELECT d % 7 AS weekday, "
-        "CAST(ROUND((CAST(x AS DOUBLE) "
-        "- CAST(s7 AS DOUBLE) / 7.0) * 1e9, 0) AS BIGINT) AS dq "
-        "FROM w WHERE c7 = 7) "
-        "SELECT weekday, CAST(COUNT(*) AS BIGINT) AS n_days, "
-        "ROUND((CAST(SUM(dq) AS DOUBLE) / 1e9) "
-        "/ CAST(COUNT(*) AS DOUBLE), 6) AS seasonal "
-        "FROM dt GROUP BY weekday"
-    )
-    out["brier_decomposition"] = (
-        # Murphy decomposition over the same decile bins; per-bin
-        # float terms 1e9-quantized before the SUM
-        f"WITH mb AS ({_mb_grid}), "
-        "j AS (SELECT d.k // 50 AS bin, d.k AS score, "
-        "CASE WHEN a.k > 250 THEN 1 ELSE 0 END AS lab FROM "
-        "(SELECT row, col, k FROM mb WHERE band = 1 "
-        "AND k IS NOT NULL) a "
-        "JOIN (SELECT row, col, k FROM mb WHERE band = 2 "
-        "AND k IS NOT NULL) d ON d.row = a.row AND d.col = a.col), "
-        "b AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS nb, "
-        "CAST(SUM(lab) AS BIGINT) AS pb, "
-        "CAST(SUM(score) AS BIGINT) AS sb, "
-        "CAST(SUM((score - 500 * lab) * (score - 500 * lab)) "
-        "AS BIGINT) AS qb FROM j GROUP BY bin), "
-        "t AS (SELECT CAST(SUM(nb) AS BIGINT) AS n, "
-        "CAST(SUM(pb) AS BIGINT) AS npos, "
-        "CAST(SUM(qb) AS BIGINT) AS q FROM b), "
-        "terms AS (SELECT "
-        "CAST(SUM(CAST(ROUND(CAST(b.nb AS DOUBLE) "
-        "* (CAST(b.sb AS DOUBLE) / (500.0 * CAST(b.nb AS DOUBLE)) "
-        "- CAST(b.pb AS DOUBLE) / CAST(b.nb AS DOUBLE)) "
-        "* (CAST(b.sb AS DOUBLE) / (500.0 * CAST(b.nb AS DOUBLE)) "
-        "- CAST(b.pb AS DOUBLE) / CAST(b.nb AS DOUBLE)) * 1e9, 0) "
-        "AS BIGINT)) AS BIGINT) AS rel_q, "
-        "CAST(SUM(CAST(ROUND(CAST(b.nb AS DOUBLE) "
-        "* (CAST(b.pb AS DOUBLE) / CAST(b.nb AS DOUBLE) "
-        "- CAST(t.npos AS DOUBLE) / CAST(t.n AS DOUBLE)) "
-        "* (CAST(b.pb AS DOUBLE) / CAST(b.nb AS DOUBLE) "
-        "- CAST(t.npos AS DOUBLE) / CAST(t.n AS DOUBLE)) * 1e9, 0) "
-        "AS BIGINT)) AS BIGINT) AS res_q "
-        "FROM b, t GROUP BY ALL) "
-        "SELECT t.n, "
-        "ROUND(CAST(t.q AS DOUBLE) / (250000.0 * CAST(t.n AS DOUBLE)), "
-        "6) AS brier, "
-        "ROUND((CAST(terms.rel_q AS DOUBLE) / 1e9) "
-        "/ CAST(t.n AS DOUBLE), 6) AS reliability, "
-        "ROUND((CAST(terms.res_q AS DOUBLE) / 1e9) "
-        "/ CAST(t.n AS DOUBLE), 6) AS resolution, "
-        "ROUND((CAST(t.npos AS DOUBLE) / CAST(t.n AS DOUBLE)) "
-        "* (1.0 - CAST(t.npos AS DOUBLE) / CAST(t.n AS DOUBLE)), 6) "
-        "AS uncertainty "
-        "FROM t, terms"
-    )
-    out["kcore_words"] = (
-        # eight unrolled peel rounds (engine asserts convergence <= 8);
-        # MATERIALIZED stops exponential CTE inlining
-        'WITH tok AS (SELECT DISTINCT source AS w FROM documents WHERE LEN(source) >= 4), e0 AS MATERIALIZED (SELECT a.w AS w1, b.w AS w2 FROM tok a JOIN tok b ON a.w < b.w AND ABS(LEN(a.w) - LEN(b.w)) <= 1 AND LEVENSHTEIN(a.w, b.w) = 1), s0 AS MATERIALIZED (SELECT w1, w2 FROM e0 UNION ALL SELECT w2, w1 FROM e0), k0 AS MATERIALIZED (SELECT w1 AS w FROM s0 GROUP BY w1 HAVING COUNT(*) >= 2), e1 AS MATERIALIZED (SELECT e0.w1, e0.w2 FROM e0 JOIN k0 ka ON ka.w = e0.w1 JOIN k0 kb ON kb.w = e0.w2), s1 AS MATERIALIZED (SELECT w1, w2 FROM e1 UNION ALL SELECT w2, w1 FROM e1), k1 AS MATERIALIZED (SELECT w1 AS w FROM s1 GROUP BY w1 HAVING COUNT(*) >= 2), e2 AS MATERIALIZED (SELECT e1.w1, e1.w2 FROM e1 JOIN k1 ka ON ka.w = e1.w1 JOIN k1 kb ON kb.w = e1.w2), s2 AS MATERIALIZED (SELECT w1, w2 FROM e2 UNION ALL SELECT w2, w1 FROM e2), k2 AS MATERIALIZED (SELECT w1 AS w FROM s2 GROUP BY w1 HAVING COUNT(*) >= 2), e3 AS MATERIALIZED (SELECT e2.w1, e2.w2 FROM e2 JOIN k2 ka ON ka.w = e2.w1 JOIN k2 kb ON kb.w = e2.w2), s3 AS MATERIALIZED (SELECT w1, w2 FROM e3 UNION ALL SELECT w2, w1 FROM e3), k3 AS MATERIALIZED (SELECT w1 AS w FROM s3 GROUP BY w1 HAVING COUNT(*) >= 2), e4 AS MATERIALIZED (SELECT e3.w1, e3.w2 FROM e3 JOIN k3 ka ON ka.w = e3.w1 JOIN k3 kb ON kb.w = e3.w2), s4 AS MATERIALIZED (SELECT w1, w2 FROM e4 UNION ALL SELECT w2, w1 FROM e4), k4 AS MATERIALIZED (SELECT w1 AS w FROM s4 GROUP BY w1 HAVING COUNT(*) >= 2), e5 AS MATERIALIZED (SELECT e4.w1, e4.w2 FROM e4 JOIN k4 ka ON ka.w = e4.w1 JOIN k4 kb ON kb.w = e4.w2), s5 AS MATERIALIZED (SELECT w1, w2 FROM e5 UNION ALL SELECT w2, w1 FROM e5), k5 AS MATERIALIZED (SELECT w1 AS w FROM s5 GROUP BY w1 HAVING COUNT(*) >= 2), e6 AS MATERIALIZED (SELECT e5.w1, e5.w2 FROM e5 JOIN k5 ka ON ka.w = e5.w1 JOIN k5 kb ON kb.w = e5.w2), s6 AS MATERIALIZED (SELECT w1, w2 FROM e6 UNION ALL SELECT w2, w1 FROM e6), k6 AS MATERIALIZED (SELECT w1 AS w FROM s6 GROUP BY w1 HAVING COUNT(*) >= 2), e7 AS MATERIALIZED (SELECT e6.w1, e6.w2 FROM e6 JOIN k6 ka ON ka.w = e6.w1 JOIN k6 kb ON kb.w = e6.w2), s7 AS MATERIALIZED (SELECT w1, w2 FROM e7 UNION ALL SELECT w2, w1 FROM e7), k7 AS MATERIALIZED (SELECT w1 AS w FROM s7 GROUP BY w1 HAVING COUNT(*) >= 2), e8 AS MATERIALIZED (SELECT e7.w1, e7.w2 FROM e7 JOIN k7 ka ON ka.w = e7.w1 JOIN k7 kb ON kb.w = e7.w2), fin AS (SELECT w1, w2 FROM e8 UNION ALL SELECT w2, w1 FROM e8) SELECT w1 AS word, CAST(COUNT(*) AS BIGINT) AS core_degree FROM fin GROUP BY w1'
-    )
-    out["clustering_coeff"] = (
-        # degree from symmetric edges, triangle membership from the
-        # ordered tri CTE (same graph as word_triangles)
-        "WITH tok AS (SELECT DISTINCT source AS w FROM documents "
-        "WHERE LEN(source) >= 4), "
-        "e AS (SELECT a.w AS w1, b.w AS w2 FROM tok a JOIN tok b "
-        "ON a.w < b.w AND ABS(LEN(a.w) - LEN(b.w)) <= 1 "
-        "AND LEVENSHTEIN(a.w, b.w) = 1), "
-        "sym AS (SELECT w1, w2 FROM e UNION ALL SELECT w2, w1 FROM e), "
-        "deg AS (SELECT w1 AS word, CAST(COUNT(*) AS BIGINT) AS k "
-        "FROM sym GROUP BY 1), "
-        "tri AS (SELECT e1.w1 AS a, e1.w2 AS b, e2.w2 AS c "
-        "FROM e e1 JOIN e e2 ON e2.w1 = e1.w2 "
-        "JOIN e e3 ON e3.w1 = e1.w1 AND e3.w2 = e2.w2), "
-        "m AS (SELECT a AS word FROM tri UNION ALL "
-        "SELECT b FROM tri UNION ALL SELECT c FROM tri), "
-        "tc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS t "
-        "FROM m GROUP BY word) "
-        "SELECT deg.word, deg.k AS degree, "
-        "COALESCE(tc.t, 0) AS n_triangles, "
-        "ROUND((2.0 * CAST(COALESCE(tc.t, 0) AS DOUBLE)) "
-        "/ (CAST(deg.k AS DOUBLE) * (CAST(deg.k AS DOUBLE) - 1.0)), 6) "
-        "AS cc "
-        "FROM deg LEFT JOIN tc ON tc.word = deg.word "
-        "WHERE deg.k >= 2"
-    )
-    out["wilcoxon_signed"] = (
-        # consecutive (odd, even) row-number pairing; 2x tie-averaged
-        # ranks as exact ints; z repeats the engine expression
-        "WITH o AS (SELECT user_id, "
-        "CAST(ROUND(value * 100, 0) AS BIGINT) AS y, "
-        "ROW_NUMBER() OVER (PARTITION BY user_id "
-        "ORDER BY ts, event_id) AS rn FROM events), "
-        "pr AS (SELECT user_id, (rn - 1) // 2 AS pk, "
-        "CAST(SUM(CASE WHEN rn % 2 = 0 THEN y ELSE -y END) AS BIGINT) "
-        "AS d FROM o GROUP BY 1, 2 HAVING COUNT(*) = 2), "
-        "nz AS (SELECT user_id, d, ABS(d) AS ad FROM pr WHERE d <> 0), "
-        "rk AS (SELECT user_id, d, "
-        "2 * RANK() OVER (PARTITION BY user_id ORDER BY ad) "
-        "+ COUNT(*) OVER (PARTITION BY user_id, ad) - 1 AS r2x "
-        "FROM nz), "
-        "w AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs, "
-        "CAST(COALESCE(SUM(CASE WHEN d > 0 THEN r2x END), 0) "
-        "AS BIGINT) AS w_plus_2x FROM rk GROUP BY user_id) "
-        "SELECT user_id, n_pairs, w_plus_2x, "
-        "ROUND((CAST(w_plus_2x AS DOUBLE) / 2.0 "
-        "- CAST(n_pairs AS DOUBLE) * (CAST(n_pairs AS DOUBLE) + 1.0) "
-        "/ 4.0) "
-        "/ SQRT(CAST(n_pairs AS DOUBLE) "
-        "* (CAST(n_pairs AS DOUBLE) + 1.0) "
-        "* (2.0 * CAST(n_pairs AS DOUBLE) + 1.0) / 24.0), 6) AS z "
-        "FROM w WHERE n_pairs >= 2"
-    )
-    out["runs_test"] = (
-        # exact lower median by rank; runs via LAG over the day order
-        "WITH c AS (SELECT epoch_us(ts) // 86400000000 AS d, "
-        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1), "
-        "r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) AS rk, "
-        "COUNT(*) OVER () AS n FROM c), "
-        "med AS (SELECT x AS m FROM r WHERE rk = (n - 1) // 2 + 1), "
-        "k AS (SELECT c.d, CASE WHEN c.x > med.m THEN 1 ELSE 0 END "
-        "AS s FROM c, med WHERE c.x <> med.m), "
-        "lagged AS (SELECT s, LAG(s) OVER (ORDER BY d) AS ps FROM k), "
-        "st AS (SELECT "
-        "CAST((SELECT SUM(s) FROM k) AS BIGINT) AS n1, "
-        "CAST((SELECT COUNT(*) - SUM(s) FROM k) AS BIGINT) AS n2, "
-        "CAST((SELECT 1 + SUM(CASE WHEN ps IS NOT NULL "
-        "AND s <> ps THEN 1 ELSE 0 END) FROM lagged) AS BIGINT) "
-        "AS runs) "
-        "SELECT n1 AS n_above, n2 AS n_below, runs, "
-        "ROUND((CAST(runs AS DOUBLE) "
-        "- (1.0 + (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) "
-        "/ (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))) "
-        "/ SQRT((2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) "
-        "* (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) "
-        "- CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE)) "
-        "/ ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) "
-        "* (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) "
-        "* (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0))), 6) AS z "
-        "FROM st"
-    )
-    _daily_frame = (
-        "WITH c0 AS (SELECT epoch_us(ts) // 86400000000 AS d, "
-        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1), "
-        "mm AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM c0), "
-        "dd AS (SELECT r.range AS t, mm.lo + r.range AS d "
-        "FROM range(0, 4096) r, mm WHERE r.range <= mm.hi - mm.lo), "
-        "dn AS (SELECT dd.t, COALESCE(c0.x, 0) AS x "
-        "FROM dd LEFT JOIN c0 ON c0.d = dd.d), "
-        "trp AS (SELECT d0.t, d0.x AS x0, d1.x AS x1, d2.x AS x2 "
-        "FROM dn d0 JOIN dn d1 ON d1.t = d0.t + 1 "
-        "JOIN dn d2 ON d2.t = d0.t + 2)"
-    )
-    out["turning_points"] = (
-        # mirrors _q_turning_points (strict interior extrema of the
-        # dense daily count series; classical normal approx)
-        _daily_frame
-        + ", st AS (SELECT CAST((SELECT COUNT(*) FROM dn) AS BIGINT) "
-        "AS n, CAST(SUM(CASE WHEN (x0 < x1 AND x1 > x2) "
-        "OR (x0 > x1 AND x1 < x2) THEN 1 ELSE 0 END) AS BIGINT) AS tp "
-        "FROM trp) "
-        "SELECT n AS n_days, tp AS n_turning, "
-        "ROUND((CAST(tp AS DOUBLE) - 2.0 * CAST(n - 2 AS DOUBLE) / 3.0) "
-        "/ SQRT((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0), 6) AS z "
-        "FROM st"
-    )
-    out["sample_entropy"] = (
-        # mirrors _q_sample_entropy (Chebyshev template matches at
-        # integer tolerance r = max(1, mean/5); SampEn = ln(B/A))
-        _daily_frame
-        + ", nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(x) AS BIGINT) AS s1 FROM dn), "
-        "rr AS (SELECT GREATEST(1, s1 // (5 * n)) AS r FROM nn), "
-        "pc AS (SELECT CAST(SUM(CASE WHEN GREATEST(ABS(a.x0 - b.x0), "
-        "ABS(a.x1 - b.x1)) <= rr.r THEN 1 ELSE 0 END) AS BIGINT) "
-        "AS b_count, CAST(SUM(CASE WHEN GREATEST(ABS(a.x0 - b.x0), "
-        "ABS(a.x1 - b.x1)) <= rr.r AND ABS(a.x2 - b.x2) <= rr.r "
-        "THEN 1 ELSE 0 END) AS BIGINT) AS a_count "
-        "FROM trp a JOIN trp b ON b.t > a.t, rr) "
-        "SELECT nn.n AS n_days, rr.r AS r_tol, pc.b_count, pc.a_count, "
-        "ROUND(LN(CAST(pc.b_count AS DOUBLE) "
-        "/ CAST(pc.a_count AS DOUBLE)), 6) AS sampen FROM nn, rr, pc"
-    )
-    out["perm_entropy"] = (
-        # mirrors _q_perm_entropy (order-3 ordinal patterns, <= with
-        # earlier-index tie rule; 1e12-tick p*ln(p) terms)
-        _daily_frame
-        + ", cd AS (SELECT 4 * CASE WHEN x0 <= x1 THEN 1 ELSE 0 END "
-        "+ 2 * CASE WHEN x0 <= x2 THEN 1 ELSE 0 END "
-        "+ CASE WHEN x1 <= x2 THEN 1 ELSE 0 END AS code FROM trp), "
-        "g AS (SELECT code, CAST(COUNT(*) AS BIGINT) AS n FROM cd "
-        "GROUP BY 1), "
-        "nt AS (SELECT CAST(SUM(n) AS BIGINT) AS n_tr FROM g), "
-        "tk AS (SELECT CAST(SUM(CAST(ROUND(CAST(n AS DOUBLE) "
-        "/ CAST(nt.n_tr AS DOUBLE) * LN(CAST(n AS DOUBLE) "
-        "/ CAST(nt.n_tr AS DOUBLE)) * 1e12, 0) AS BIGINT)) AS BIGINT) "
-        "AS tq FROM g, nt), "
-        "tp AS (SELECT code, n FROM g ORDER BY n DESC, code LIMIT 1) "
-        "SELECT nt.n_tr AS n_triples, tp.code AS top_code, "
-        "tp.n AS top_n, ROUND(-CAST(tk.tq AS DOUBLE) / 1e12, 6) "
-        "AS h_nats, ROUND((-CAST(tk.tq AS DOUBLE) / 1e12) / LN(6.0), 6) "
-        "AS h_norm FROM nt, tk, tp"
-    )
-    _daily_xy_frame = (
-        "WITH c0 AS (SELECT epoch_us(ts) // 86400000000 AS d, "
-        "CAST(COUNT(*) AS BIGINT) AS x, "
-        "CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) "
-        "AS y FROM events GROUP BY 1), "
-        "mm AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM c0), "
-        "dd AS (SELECT r.range AS t, mm.lo + r.range AS d "
-        "FROM range(0, 4096) r, mm WHERE r.range <= mm.hi - mm.lo), "
-        "dn AS (SELECT dd.t, COALESCE(c0.x, 0) AS x, "
-        "COALESCE(c0.y, 0) AS y FROM dd LEFT JOIN c0 ON c0.d = dd.d)"
-    )
-    out["ordinal_assoc"] = (
-        # mirrors _q_ordinal_assoc (daily count vs cents pair signs)
-        _daily_xy_frame
-        + ", pr AS (SELECT SIGN(a.x - b.x) AS sx, SIGN(a.y - b.y) "
-        "AS sy FROM dn a JOIN dn b ON b.t > a.t), "
-        "st AS (SELECT "
-        "CAST(SUM(CASE WHEN sx * sy > 0 THEN 1 ELSE 0 END) AS BIGINT) "
-        "AS c, "
-        "CAST(SUM(CASE WHEN sx * sy < 0 THEN 1 ELSE 0 END) AS BIGINT) "
-        "AS d, "
-        "CAST(SUM(CASE WHEN sx = 0 AND sy <> 0 THEN 1 ELSE 0 END) "
-        "AS BIGINT) AS tx, "
-        "CAST(SUM(CASE WHEN sy = 0 AND sx <> 0 THEN 1 ELSE 0 END) "
-        "AS BIGINT) AS ty FROM pr) "
-        "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM dn) AS n_days, "
-        "c AS concordant, d AS discordant, tx AS ties_x_only, "
-        "ty AS ties_y_only, "
-        "ROUND(CAST(c - d AS DOUBLE) / CAST(c + d AS DOUBLE), 6) "
-        "AS gamma, "
-        "ROUND(CAST(c - d AS DOUBLE) / CAST(c + d + ty AS DOUBLE), 6) "
-        "AS somers_d_yx, "
-        "ROUND(CAST(c - d AS DOUBLE) / CAST(c + d + tx AS DOUBLE), 6) "
-        "AS somers_d_xy FROM st"
-    )
-    out["omega_calmar"] = (
-        # mirrors _q_omega_calmar (day-over-day gains/losses +
-        # running-max drawdown of the daily revenue level)
-        _daily_xy_frame
-        + ", df AS (SELECT b.y - a.y AS ch FROM dn a "
-        "JOIN dn b ON b.t = a.t + 1), "
-        "gl AS (SELECT CAST(SUM(CASE WHEN ch > 0 THEN ch ELSE 0 END) "
-        "AS BIGINT) AS gains, "
-        "CAST(SUM(CASE WHEN ch < 0 THEN -ch ELSE 0 END) AS BIGINT) "
-        "AS losses FROM df), "
-        "rm AS (SELECT t, y, MAX(y) OVER (ORDER BY t "
-        "ROWS UNBOUNDED PRECEDING) AS p FROM dn), "
-        "mdd AS (SELECT CAST(MAX(p - y) AS BIGINT) AS maxdd FROM rm), "
-        "ends AS (SELECT "
-        "CAST((SELECT y FROM dn ORDER BY t DESC LIMIT 1) AS BIGINT) "
-        "AS ylast, "
-        "CAST((SELECT y FROM dn ORDER BY t LIMIT 1) AS BIGINT) "
-        "AS yfirst, "
-        "CAST((SELECT COUNT(*) FROM dn) AS BIGINT) AS n) "
-        "SELECT ends.n AS n_days, gl.gains AS gains_cents, "
-        "gl.losses AS losses_cents, mdd.maxdd AS max_dd_cents, "
-        "ROUND(CAST(gl.gains AS DOUBLE) / CAST(gl.losses AS DOUBLE), 6) "
-        "AS omega, "
-        "ROUND((CAST(ends.ylast - ends.yfirst AS DOUBLE) "
-        "/ CAST(ends.n - 1 AS DOUBLE)) / CAST(mdd.maxdd AS DOUBLE), 6) "
-        "AS calmar FROM ends, gl, mdd"
-    )
-    out["morisita_index"] = (
-        # mirrors _q_morisita_index (Q=9216 lattice quadrats)
-        "WITH pc AS (SELECT event_type, event_id % 9216 AS cell, "
-        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2), "
-        "m AS (SELECT event_type, CAST(SUM(x) AS BIGINT) AS n, "
-        "CAST(SUM(x * (x - 1)) AS BIGINT) AS sxx1 FROM pc GROUP BY 1) "
-        "SELECT event_type, n AS n_events, sxx1 AS sum_xx1, "
-        "ROUND(9216.0 * CAST(sxx1 AS DOUBLE) / (CAST(n AS DOUBLE) "
-        "* CAST(n - 1 AS DOUBLE)), 6) AS morisita FROM m"
-    )
-    out["theils_u"] = (
-        # mirrors _q_theils_u (1e12-tick marginal + conditional
-        # entropy terms, exact tick-sum ratio)
-        "WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n "
-        "FROM documents GROUP BY 1, 2), "
-        "ns AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_s FROM c "
-        "GROUP BY 1), "
-        "nl AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_l FROM c "
-        "GROUP BY 1), "
-        "nt AS (SELECT CAST(SUM(n) AS BIGINT) AS n FROM c), "
-        "ty AS (SELECT CAST(SUM(CAST(ROUND(CAST(n_l AS DOUBLE) "
-        "/ CAST(nt.n AS DOUBLE) * LN(CAST(nt.n AS DOUBLE) "
-        "/ CAST(n_l AS DOUBLE)) * 1e12, 0) AS BIGINT)) AS BIGINT) "
-        "AS tq FROM nl, nt), "
-        "tyx AS (SELECT CAST(SUM(CAST(ROUND(CAST(c.n AS DOUBLE) "
-        "/ CAST(nt.n AS DOUBLE) * LN(CAST(ns.n_s AS DOUBLE) "
-        "/ CAST(c.n AS DOUBLE)) * 1e12, 0) AS BIGINT)) AS BIGINT) "
-        "AS tq FROM c JOIN ns ON ns.source = c.source, nt) "
-        "SELECT nt.n AS n_docs, "
-        "ROUND(CAST(ty.tq AS DOUBLE) / 1e12, 6) AS h_lang_nats, "
-        "ROUND(CAST(tyx.tq AS DOUBLE) / 1e12, 6) AS h_cond_nats, "
-        "ROUND(CAST(ty.tq - tyx.tq AS DOUBLE) / CAST(ty.tq AS DOUBLE), "
-        "6) AS theils_u FROM nt, ty, tyx"
-    )
-    out["lz76_complexity"] = (
-        # mirrors _q_lz76_complexity (recursive-CTE shortest-new-
-        # phrase parse over the up/down bit string)
-        _daily_xy_frame.replace("WITH ", "WITH RECURSIVE ")
-        + ", bt AS (SELECT a.t AS i, CASE WHEN b.y > a.y THEN '1' "
-        "ELSE '0' END AS b FROM dn a JOIN dn b ON b.t = a.t + 1), "
-        "s AS (SELECT STRING_AGG(b, '' ORDER BY i) AS str, "
-        "CAST(COUNT(*) AS BIGINT) AS n FROM bt), "
-        "rec(i, ph) AS ("
-        "SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT) "
-        "UNION ALL "
-        "SELECT rec.i + (SELECT COALESCE(MAX(r.range), 0) "
-        "FROM range(1, 4096) r "
-        "WHERE r.range <= s.n - rec.i + 1 "
-        "AND strpos(substr(s.str, 1, CAST(rec.i - 1 AS INT)), "
-        "substr(s.str, CAST(rec.i AS INT), CAST(r.range AS INT))) > 0"
-        ") + 1, rec.ph + 1 FROM rec, s WHERE rec.i <= s.n) "
-        "SELECT s.n AS n_bits, "
-        "CAST((SELECT MAX(ph) FROM rec) AS BIGINT) AS n_phrases, "
-        "ROUND(CAST((SELECT MAX(ph) FROM rec) AS DOUBLE) "
-        "* LOG2(CAST(s.n AS DOUBLE)) / CAST(s.n AS DOUBLE), 6) "
-        "AS lz_norm FROM s"
-    )
-    out["dist_distances"] = (
-        # mirrors _q_dist_distances (24-bin hour histograms of click
-        # vs error; 1e12-tick sqrt(pq) and |p-q| terms)
-        "WITH h AS (SELECT r.range AS hour FROM range(0, 24) r), "
-        "c AS (SELECT event_type, (epoch_us(ts) // 3600000000) % 24 "
-        "AS hour, CAST(COUNT(*) AS BIGINT) AS n FROM events "
-        "WHERE event_type IN ('click', 'error') GROUP BY 1, 2), "
-        "f AS (SELECT h.hour, COALESCE(ck.n, 0) AS c1, "
-        "COALESCE(er.n, 0) AS c2 FROM h "
-        "LEFT JOIN c ck ON ck.hour = h.hour "
-        "AND ck.event_type = 'click' "
-        "LEFT JOIN c er ON er.hour = h.hour "
-        "AND er.event_type = 'error'), "
-        "nn AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, "
-        "CAST(SUM(c2) AS BIGINT) AS n2 FROM f), "
-        "tk AS (SELECT CAST(SUM(CAST(ROUND(SQRT((CAST(c1 AS DOUBLE) "
-        "/ CAST(nn.n1 AS DOUBLE)) * (CAST(c2 AS DOUBLE) "
-        "/ CAST(nn.n2 AS DOUBLE))) * 1e12, 0) AS BIGINT)) AS BIGINT) "
-        "AS bc, CAST(SUM(CAST(ROUND(ABS(CAST(c1 AS DOUBLE) "
-        "/ CAST(nn.n1 AS DOUBLE) - CAST(c2 AS DOUBLE) "
-        "/ CAST(nn.n2 AS DOUBLE)) * 1e12, 0) AS BIGINT)) AS BIGINT) "
-        "AS tv FROM f, nn) "
-        "SELECT nn.n1 AS n_click, nn.n2 AS n_error, "
-        "ROUND(CAST(tk.bc AS DOUBLE) / 1e12, 6) AS bhattacharyya, "
-        "ROUND(SQRT(1.0 - CAST(tk.bc AS DOUBLE) / 1e12), 6) "
-        "AS hellinger, "
-        "ROUND(CAST(tk.tv AS DOUBLE) / 1e12 / 2.0, 6) "
-        "AS total_variation FROM nn, tk"
-    )
-    out["textrank_keywords"] = _textrank_oracle_sql()
-    out["brunner_munzel"] = (
-        # mirrors _q_brunner_munzel (2x cross-placements from the
-        # cents histograms)
-        "WITH h AS (SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS v, "
-        "CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) "
-        "AS BIGINT) AS c1, "
-        "CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) "
-        "AS BIGINT) AS c2 FROM events "
-        "WHERE event_type IN ('click', 'error') GROUP BY 1), "
-        "cm AS (SELECT v, c1, c2, "
-        "2 * (SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c2) "
-        "+ c2 AS p1, "
-        "2 * (SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c1) "
-        "+ c1 AS p2 FROM h), "
-        "st AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, "
-        "CAST(SUM(c2) AS BIGINT) AS n2, "
-        "CAST(SUM(c1 * p1) AS BIGINT) AS s1, "
-        "CAST(SUM(c1 * p1 * p1) AS BIGINT) AS s11, "
-        "CAST(SUM(c2 * p2) AS BIGINT) AS s2, "
-        "CAST(SUM(c2 * p2 * p2) AS BIGINT) AS s22 FROM cm), "
-        "mm AS (SELECT *, CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) "
-        "AS m1, CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2 "
-        "FROM st), "
-        "vv AS (SELECT *, (CAST(s11 AS DOUBLE) - CAST(n1 AS DOUBLE) "
-        "* m1 * m1) / CAST(n1 - 1 AS DOUBLE) AS v1, "
-        "(CAST(s22 AS DOUBLE) - CAST(n2 AS DOUBLE) * m2 * m2) "
-        "/ CAST(n2 - 1 AS DOUBLE) AS v2 FROM mm) "
-        "SELECT n1 AS n_click, n2 AS n_error, "
-        "ROUND(CAST(s1 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) "
-        "* CAST(n2 AS DOUBLE)), 6) AS p_hat, "
-        "ROUND((m2 - m1) / SQRT(4.0 * (v1 / CAST(n1 AS DOUBLE) "
-        "+ v2 / CAST(n2 AS DOUBLE))), 6) AS w_stat FROM vv"
-    )
-    out["cusum_squares"] = (
-        # mirrors _q_cusum_squares (HUGEINT prefix-of-squares
-        # deviations)
-        _daily_xy_frame
-        + ", sq AS (SELECT t, CAST(y AS HUGEINT) * y AS s FROM dn), "
-        "tot AS (SELECT CAST(SUM(s) AS HUGEINT) AS q, "
-        "CAST(COUNT(*) AS BIGINT) AS n FROM sq), "
-        "pf AS (SELECT t, SUM(s) OVER (ORDER BY t "
-        "ROWS UNBOUNDED PRECEDING) AS sk, "
-        "ROW_NUMBER() OVER (ORDER BY t) AS k FROM sq), "
-        "dv AS (SELECT k, ABS(sk * tot.n - tot.q * k) AS dev "
-        "FROM pf, tot), "
-        "best AS (SELECT k, dev FROM dv ORDER BY dev DESC, k LIMIT 1) "
-        "SELECT tot.n AS n_days, CAST(best.k AS BIGINT) AS argmax_k, "
-        "CAST(best.dev AS VARCHAR) AS max_dev, "
-        "ROUND(CAST(best.dev AS DOUBLE) / (CAST(tot.q AS DOUBLE) "
-        "* CAST(tot.n AS DOUBLE)), 6) AS stat FROM best, tot"
-    )
-    out["spectral_summary"] = (
-        # mirrors _q_spectral_summary (1e6-tick cos/sin sums, 1e6-tick
-        # powers, 1e12/1e9-tick entropy and log-mean terms)
-        _daily_xy_frame
-        + ", nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dn), "
-        "ks AS (SELECT k.range AS k FROM range(1, 2048) k, nn "
-        "WHERE k.range <= (nn.n - 1) // 2), "
-        "cs AS (SELECT ks.k, CAST(SUM(CAST(ROUND(CAST(dn.x AS DOUBLE) "
-        "* COS(2.0 * PI() * CAST(dn.t AS DOUBLE) * CAST(ks.k "
-        "AS DOUBLE) / CAST(nn.n AS DOUBLE)) * 1e6, 0) AS BIGINT)) "
-        "AS BIGINT) AS cq, CAST(SUM(CAST(ROUND(CAST(dn.x AS DOUBLE) "
-        "* SIN(2.0 * PI() * CAST(dn.t AS DOUBLE) * CAST(ks.k "
-        "AS DOUBLE) / CAST(nn.n AS DOUBLE)) * 1e6, 0) AS BIGINT)) "
-        "AS BIGINT) AS sq FROM ks, dn, nn GROUP BY 1), "
-        "pw AS (SELECT k, CAST(ROUND(((CAST(cq AS DOUBLE) / 1e6) "
-        "* (CAST(cq AS DOUBLE) / 1e6) + (CAST(sq AS DOUBLE) / 1e6) "
-        "* (CAST(sq AS DOUBLE) / 1e6)) / CAST(nn.n AS DOUBLE) * 1e6, "
-        "0) AS BIGINT) AS p FROM cs, nn), "
-        "tt AS (SELECT CAST(SUM(p) AS BIGINT) AS tot, "
-        "CAST(SUM(CASE WHEN p > 0 THEN 1 ELSE 0 END) AS BIGINT) "
-        "AS n_pos, CAST(COUNT(*) AS BIGINT) AS kmax FROM pw), "
-        "tk AS (SELECT CAST(SUM(CASE WHEN p > 0 THEN "
-        "CAST(ROUND(-(CAST(p AS DOUBLE) / CAST(tt.tot AS DOUBLE)) "
-        "* LN(CAST(p AS DOUBLE) / CAST(tt.tot AS DOUBLE)) * 1e12, 0) "
-        "AS BIGINT) ELSE 0 END) AS BIGINT) AS ent, "
-        "CAST(SUM(CASE WHEN p > 0 THEN "
-        "CAST(ROUND(LN(CAST(p AS DOUBLE)) * 1e9, 0) AS BIGINT) "
-        "ELSE 0 END) AS BIGINT) AS lgt FROM pw, tt) "
-        "SELECT tt.kmax AS n_freqs, tt.n_pos, "
-        "ROUND(CAST(tk.ent AS DOUBLE) / 1e12, 6) AS spec_entropy, "
-        "ROUND(CAST(tk.ent AS DOUBLE) / 1e12 "
-        "/ LN(CAST(tt.kmax AS DOUBLE)), 6) AS spec_entropy_norm, "
-        "ROUND(EXP(CAST(tk.lgt AS DOUBLE) / 1e9 "
-        "/ CAST(tt.n_pos AS DOUBLE)) / (CAST(tt.tot AS DOUBLE) "
-        "/ CAST(tt.n_pos AS DOUBLE)), 6) AS spec_flatness FROM tt, tk"
-    )
-    out["local_geary"] = (
-        # mirrors _q_local_geary (integer squared neighbour diffs)
-        "WITH c0 AS (SELECT event_id % 96 AS gx, "
-        "(event_id // 96) % 96 AS gy, CAST(COUNT(*) AS BIGINT) AS n "
-        "FROM events GROUP BY 1, 2), "
-        "fr AS (SELECT a.range AS gx, b.range AS gy FROM range(0, 96) "
-        "a CROSS JOIN range(0, 96) b), "
-        "dn AS (SELECT fr.gx AS r, fr.gy AS c, COALESCE(c0.n, 0) AS x "
-        "FROM fr LEFT JOIN c0 ON c0.gx = fr.gx AND c0.gy = fr.gy), "
-        "hot AS (SELECT r, c, x FROM dn WHERE x > 0 "
-        "ORDER BY x DESC, r, c LIMIT 10), "
-        "nb AS (SELECT h.r, h.c, h.x, CAST(COUNT(*) AS BIGINT) "
-        "AS n_nb, CAST(SUM((h.x - d.x) * (h.x - d.x)) AS BIGINT) "
-        "AS c_local FROM hot h JOIN dn d ON "
-        "(d.r = h.r + 1 AND d.c = h.c) OR "
-        "(d.r = h.r - 1 AND d.c = h.c) OR "
-        "(d.r = h.r AND d.c = h.c + 1) OR "
-        "(d.r = h.r AND d.c = h.c - 1) GROUP BY 1, 2, 3) "
-        "SELECT r, c, x, n_nb, c_local, "
-        "ROUND(CAST(c_local AS DOUBLE) / CAST(n_nb AS DOUBLE), 6) "
-        "AS c_mean FROM nb"
-    )
-    out["general_g"] = (
-        # mirrors _q_general_g (rook pair sum over all-pair sum)
-        "WITH c0 AS (SELECT event_id % 96 AS gx, "
-        "(event_id // 96) % 96 AS gy, CAST(COUNT(*) AS BIGINT) AS n "
-        "FROM events GROUP BY 1, 2), "
-        "fr AS (SELECT a.range AS gx, b.range AS gy FROM range(0, 96) "
-        "a CROSS JOIN range(0, 96) b), "
-        "dn AS (SELECT fr.gx AS r, fr.gy AS c, COALESCE(c0.n, 0) AS x "
-        "FROM fr LEFT JOIN c0 ON c0.gx = fr.gx AND c0.gy = fr.gy), "
-        "pr AS (SELECT CAST(SUM(s) AS HUGEINT) AS num, "
-        "CAST(COUNT(*) AS BIGINT) AS w FROM ("
-        "SELECT a.x * b.x AS s FROM dn a JOIN dn b "
-        "ON b.r = a.r + 1 AND b.c = a.c "
-        "UNION ALL SELECT a.x * b.x FROM dn a JOIN dn b "
-        "ON b.r = a.r - 1 AND b.c = a.c "
-        "UNION ALL SELECT a.x * b.x FROM dn a JOIN dn b "
-        "ON b.r = a.r AND b.c = a.c + 1 "
-        "UNION ALL SELECT a.x * b.x FROM dn a JOIN dn b "
-        "ON b.r = a.r AND b.c = a.c - 1)), "
-        "tt AS (SELECT CAST(SUM(x) AS HUGEINT) AS s, "
-        "CAST(SUM(x * x) AS HUGEINT) AS s2 FROM dn) "
-        "SELECT pr.w AS w_pairs, CAST(pr.num AS BIGINT) "
-        "AS num_pairsum, ROUND(CAST(pr.num AS DOUBLE) "
-        "/ CAST(tt.s * tt.s - tt.s2 AS DOUBLE), 6) AS general_g "
-        "FROM pr, tt"
-    )
-    out["rake_keywords"] = (
-        # mirrors _q_rake_keywords (gaps-and-islands phrases, 1e9-tick
-        # word scores)
-        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
-        "FROM documents), "
-        "p AS (SELECT doc_id, UNNEST(toks) AS w, "
-        "generate_subscripts(toks, 1) AS i FROM t), "
-        "frq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM p "
-        "WHERE w <> '' GROUP BY 1), "
-        "stp AS (SELECT w FROM frq ORDER BY n DESC, w LIMIT 10), "
-        "q AS (SELECT doc_id, i, w, CASE WHEN w = '' "
-        "OR w IN (SELECT w FROM stp) THEN 1 ELSE 0 END AS is_del "
-        "FROM p), "
-        "isl AS (SELECT doc_id, i, w, is_del, SUM(is_del) OVER "
-        "(PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) "
-        "AS grp FROM q), "
-        "ph0 AS (SELECT doc_id, grp, STRING_AGG(w, ' ' ORDER BY i) "
-        "AS phrase FROM isl WHERE is_del = 0 GROUP BY 1, 2), "
-        "ph AS (SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n FROM ph0 "
-        "GROUP BY 1), "
-        "wd AS (SELECT UNNEST(string_split(phrase, ' ')) AS w, "
-        "LENGTH(string_split(phrase, ' ')) AS plen, n FROM ph), "
-        "ws AS (SELECT w, CAST(SUM(plen * n) AS BIGINT) AS deg, "
-        "CAST(SUM(n) AS BIGINT) AS f FROM wd GROUP BY 1), "
-        "st AS (SELECT w, CAST(ROUND(CAST(deg AS DOUBLE) "
-        "/ CAST(f AS DOUBLE) * 1e9, 0) AS BIGINT) AS tick FROM ws), "
-        "ps AS (SELECT ph.phrase, ph.n, CAST(SUM(st.tick) AS BIGINT) "
-        "AS stt FROM ph, UNNEST(string_split(ph.phrase, ' ')) AS u(w) "
-        "JOIN st ON st.w = u.w GROUP BY 1, 2) "
-        "SELECT phrase, n AS n_occ, "
-        "ROUND(CAST(stt AS DOUBLE) / 1e9, 6) AS score, "
-        "CAST(ROW_NUMBER() OVER (ORDER BY stt DESC, phrase) AS BIGINT) "
-        "AS rnk FROM ps ORDER BY stt DESC, phrase LIMIT 10"
-    )
-    out["kapur_threshold"] = (
-        # mirrors _q_kapur_threshold (per-cell count histogram incl.
-        # zero cells; 1e12-tick entropy sums per candidate)
-        "WITH c0 AS (SELECT event_id % 96 AS gx, "
-        "(event_id // 96) % 96 AS gy, CAST(COUNT(*) AS BIGINT) AS n "
-        "FROM events GROUP BY 1, 2), "
-        "fr AS (SELECT a.range AS gx, b.range AS gy FROM range(0, 96) "
-        "a CROSS JOIN range(0, 96) b), "
-        "dn AS (SELECT COALESCE(c0.n, 0) AS x FROM fr LEFT JOIN c0 "
-        "ON c0.gx = fr.gx AND c0.gy = fr.gy), "
-        "h AS (SELECT x AS v, CAST(COUNT(*) AS BIGINT) AS f FROM dn "
-        "GROUP BY 1), "
-        "cands AS (SELECT v AS t FROM h "
-        "WHERE v < (SELECT MAX(v) FROM h)), "
-        "w AS (SELECT c.t, CAST(SUM(CASE WHEN h.v <= c.t THEN h.f "
-        "ELSE 0 END) AS BIGINT) AS w0, "
-        "CAST(SUM(CASE WHEN h.v > c.t THEN h.f ELSE 0 END) AS BIGINT) "
-        "AS w1 FROM cands c, h GROUP BY 1), "
-        "tk AS (SELECT w.t, CAST(SUM(CAST(ROUND("
-        "-(CAST(h.f AS DOUBLE) / CAST(CASE WHEN h.v <= w.t THEN w.w0 "
-        "ELSE w.w1 END AS DOUBLE)) * LN(CAST(h.f AS DOUBLE) "
-        "/ CAST(CASE WHEN h.v <= w.t THEN w.w0 ELSE w.w1 END "
-        "AS DOUBLE)) * 1e12, 0) AS BIGINT)) AS BIGINT) AS tq "
-        "FROM w JOIN h ON TRUE GROUP BY 1), "
-        "best AS (SELECT t, tq FROM tk ORDER BY tq DESC, t LIMIT 1) "
-        "SELECT (SELECT CAST(SUM(f) AS BIGINT) FROM h) AS n_cells, "
-        "best.t AS threshold, "
-        "ROUND(CAST(best.tq AS DOUBLE) / 1e12, 6) AS h_sum_nats "
-        "FROM best"
-    )
-    out["distinct_substrings"] = (
-        # mirrors _q_distinct_substrings (subword complexity of the
-        # up/down bit string)
-        _daily_xy_frame
-        + ", bt AS (SELECT a.t AS i, CASE WHEN b.y > a.y THEN '1' "
-        "ELSE '0' END AS b FROM dn a JOIN dn b ON b.t = a.t + 1), "
-        "s AS (SELECT STRING_AGG(b, '' ORDER BY i) AS str, "
-        "CAST(COUNT(*) AS BIGINT) AS n FROM bt), "
-        "u AS (SELECT DISTINCT substr(s.str, CAST(i.range AS INT), "
-        "CAST(l.range AS INT)) AS w FROM s, range(1, 4096) i, "
-        "range(1, 4096) l WHERE i.range <= s.n "
-        "AND l.range <= s.n - i.range + 1) "
-        "SELECT s.n AS n_bits, "
-        "CAST((SELECT COUNT(*) FROM u) AS BIGINT) AS n_distinct, "
-        "s.n * (s.n + 1) // 2 AS n_windows, "
-        "ROUND(CAST((SELECT COUNT(*) FROM u) AS DOUBLE) "
-        "/ CAST(s.n * (s.n + 1) // 2 AS DOUBLE), 6) AS ratio FROM s"
-    )
-    out["block_entropy"] = (
-        # mirrors _q_block_entropy (k-gram entropies, k = 1..4)
-        _daily_xy_frame
-        + ", bt AS (SELECT a.t AS i, CASE WHEN b.y > a.y THEN '1' "
-        "ELSE '0' END AS b FROM dn a JOIN dn b ON b.t = a.t + 1), "
-        "s AS (SELECT STRING_AGG(b, '' ORDER BY i) AS str, "
-        "CAST(COUNT(*) AS BIGINT) AS n FROM bt), "
-        "g AS (SELECT k.range AS k, substr(s.str, "
-        "CAST(i.range AS INT), CAST(k.range AS INT)) AS w "
-        "FROM s, range(1, 5) k, range(1, 4096) i "
-        "WHERE i.range <= s.n - k.range + 1), "
-        "cnt AS (SELECT k, w, CAST(COUNT(*) AS BIGINT) AS c FROM g "
-        "GROUP BY 1, 2), "
-        "tot AS (SELECT k, CAST(SUM(c) AS BIGINT) AS t FROM cnt "
-        "GROUP BY 1), "
-        "tk AS (SELECT cnt.k, CAST(SUM(CAST(ROUND("
-        "-(CAST(c AS DOUBLE) / CAST(tot.t AS DOUBLE)) "
-        "* LN(CAST(c AS DOUBLE) / CAST(tot.t AS DOUBLE)) * 1e12, 0) "
-        "AS BIGINT)) AS BIGINT) AS tq FROM cnt "
-        "JOIN tot ON tot.k = cnt.k GROUP BY 1) "
-        "SELECT k, ROUND(CAST(tq AS DOUBLE) / 1e12, 6) AS h_k, "
-        "ROUND(CAST(tq AS DOUBLE) / 1e12 "
-        "- COALESCE(CAST(LAG(tq) OVER (ORDER BY k) AS DOUBLE) / 1e12, "
-        "0.0), 6) AS h_rate FROM tk ORDER BY k"
-    )
-    out["radiation_model"] = (
-        # mirrors _q_radiation_model (strict-disk s_ij, endpoints
-        # excluded; zero cells contribute nothing)
-        "WITH c0 AS (SELECT event_id % 96 AS gx, "
-        "(event_id // 96) % 96 AS gy, CAST(COUNT(*) AS BIGINT) AS n "
-        "FROM events GROUP BY 1, 2), "
-        "hot AS (SELECT gx, gy, n FROM c0 ORDER BY n DESC, gx, gy "
-        "LIMIT 10), "
-        "pr AS (SELECT o.gx AS o_r, o.gy AS o_c, d.gx AS d_r, "
-        "d.gy AS d_c, o.n AS m_i, d.n AS n_j, "
-        "(d.gx - o.gx) * (d.gx - o.gx) + (d.gy - o.gy) * (d.gy - o.gy) "
-        "AS d2 FROM hot o JOIN hot d "
-        "ON NOT (o.gx = d.gx AND o.gy = d.gy)), "
-        "sij AS (SELECT pr.o_r, pr.o_c, pr.d_r, pr.d_c, pr.m_i, "
-        "pr.n_j, CAST(COALESCE(SUM(CASE WHEN "
-        "(c0.gx - pr.o_r) * (c0.gx - pr.o_r) "
-        "+ (c0.gy - pr.o_c) * (c0.gy - pr.o_c) < pr.d2 "
-        "AND NOT (c0.gx = pr.o_r AND c0.gy = pr.o_c) "
-        "AND NOT (c0.gx = pr.d_r AND c0.gy = pr.d_c) THEN c0.n END), "
-        "0) AS BIGINT) AS s_ij FROM pr LEFT JOIN c0 ON TRUE "
-        "GROUP BY 1, 2, 3, 4, 5, 6) "
-        "SELECT o_r, o_c, d_r, d_c, m_i, n_j, s_ij, "
-        "ROUND(CAST(m_i AS DOUBLE) * CAST(m_i AS DOUBLE) "
-        "* CAST(n_j AS DOUBLE) / ((CAST(m_i AS DOUBLE) "
-        "+ CAST(s_ij AS DOUBLE)) * (CAST(m_i AS DOUBLE) "
-        "+ CAST(n_j AS DOUBLE) + CAST(s_ij AS DOUBLE))), 6) AS flow "
-        "FROM sij"
-    )
-    out["seam_dp"] = _seam_oracle_sql()
-    out["bivariate_moran"] = (
-        # mirrors _q_bivariate_moran (rook shifts as 4 equi-joins,
-        # HUGEINT n-scaled centering)
-        "WITH c0 AS (SELECT event_id % 96 AS gx, "
-        "(event_id // 96) % 96 AS gy, CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) "
-        "AS y FROM events GROUP BY 1, 2), "
-        "fr AS (SELECT a.range AS gx, b.range AS gy FROM range(0, 96) "
-        "a CROSS JOIN range(0, 96) b), "
-        "dn AS (SELECT fr.gx, fr.gy, COALESCE(c0.n, 0) AS x, "
-        "COALESCE(c0.y, 0) AS y FROM fr LEFT JOIN c0 "
-        "ON c0.gx = fr.gx AND c0.gy = fr.gy), "
-        "tt AS (SELECT CAST(SUM(x) AS HUGEINT) AS sx, "
-        "CAST(SUM(y) AS HUGEINT) AS sy FROM dn), "
-        "cx AS (SELECT gx, gy, CAST(9216 AS HUGEINT) * x - tt.sx "
-        "AS bx, CAST(9216 AS HUGEINT) * y - tt.sy AS byy "
-        "FROM dn, tt), "
-        "pr AS (SELECT CAST(SUM(s) AS HUGEINT) AS sxyw, "
-        "CAST(COUNT(*) AS BIGINT) AS w FROM ("
-        "SELECT a.bx * b.byy AS s FROM cx a JOIN cx b "
-        "ON b.gx = a.gx + 1 AND b.gy = a.gy "
-        "UNION ALL SELECT a.bx * b.byy FROM cx a JOIN cx b "
-        "ON b.gx = a.gx - 1 AND b.gy = a.gy "
-        "UNION ALL SELECT a.bx * b.byy FROM cx a JOIN cx b "
-        "ON b.gx = a.gx AND b.gy = a.gy + 1 "
-        "UNION ALL SELECT a.bx * b.byy FROM cx a JOIN cx b "
-        "ON b.gx = a.gx AND b.gy = a.gy - 1)), "
-        "ss AS (SELECT CAST(SUM(bx * bx) AS HUGEINT) AS sxx, "
-        "CAST(SUM(byy * byy) AS HUGEINT) AS syy FROM cx) "
-        "SELECT CAST(9216 AS BIGINT) AS n_cells, pr.w AS w_pairs, "
-        "ROUND(CAST(9216 AS DOUBLE) / CAST(pr.w AS DOUBLE) "
-        "* CAST(pr.sxyw AS DOUBLE) / SQRT(CAST(ss.sxx AS DOUBLE) "
-        "* CAST(ss.syy AS DOUBLE)), 6) AS bivariate_i FROM pr, ss"
-    )
-    out["harris_corners"] = (
-        # mirrors _q_harris_corners (integer Sobel + 3x3 tensor
-        # window, k=1/16 response, full-window HAVING guard)
-        "WITH c0 AS (SELECT event_id % 96 AS gx, "
-        "(event_id // 96) % 96 AS gy, CAST(COUNT(*) AS BIGINT) AS n "
-        "FROM events GROUP BY 1, 2), "
-        "fr AS (SELECT a.range AS gx, b.range AS gy FROM range(0, 96) "
-        "a CROSS JOIN range(0, 96) b), "
-        "dn AS (SELECT fr.gx AS r, fr.gy AS c, COALESCE(c0.n, 0) AS x "
-        "FROM fr LEFT JOIN c0 ON c0.gx = fr.gx AND c0.gy = fr.gy), "
-        "gr AS (SELECT e.r, e.c, "
-        "(n3.x + 2 * n6.x + n9.x) - (n1.x + 2 * n4.x + n7.x) AS gxv, "
-        "(n7.x + 2 * n8.x + n9.x) - (n1.x + 2 * n2.x + n3.x) AS gyv "
-        "FROM dn e "
-        "JOIN dn n1 ON n1.r = e.r - 1 AND n1.c = e.c - 1 "
-        "JOIN dn n2 ON n2.r = e.r - 1 AND n2.c = e.c "
-        "JOIN dn n3 ON n3.r = e.r - 1 AND n3.c = e.c + 1 "
-        "JOIN dn n4 ON n4.r = e.r AND n4.c = e.c - 1 "
-        "JOIN dn n6 ON n6.r = e.r AND n6.c = e.c + 1 "
-        "JOIN dn n7 ON n7.r = e.r + 1 AND n7.c = e.c - 1 "
-        "JOIN dn n8 ON n8.r = e.r + 1 AND n8.c = e.c "
-        "JOIN dn n9 ON n9.r = e.r + 1 AND n9.c = e.c + 1), "
-        "tw AS (SELECT e.r, e.c, "
-        "CAST(SUM(w.gxv * w.gxv) AS HUGEINT) AS sxx, "
-        "CAST(SUM(w.gxv * w.gyv) AS HUGEINT) AS sxy, "
-        "CAST(SUM(w.gyv * w.gyv) AS HUGEINT) AS syy "
-        "FROM gr e JOIN gr w ON w.r BETWEEN e.r - 1 AND e.r + 1 "
-        "AND w.c BETWEEN e.c - 1 AND e.c + 1 "
-        "GROUP BY e.r, e.c HAVING COUNT(*) = 9), "
-        "rr AS (SELECT r, c, 16 * (sxx * syy - sxy * sxy) "
-        "- (sxx + syy) * (sxx + syy) AS r16 FROM tw) "
-        "SELECT r, c, CAST(r16 AS BIGINT) AS r16, "
-        "CAST(ROW_NUMBER() OVER (ORDER BY r16 DESC, r, c) AS BIGINT) "
-        "AS rnk FROM rr ORDER BY r16 DESC, r, c LIMIT 15"
-    )
-    out["ridge_two_var"] = (
-        # mirrors _q_ridge_two_var (centered HUGEINT scatter, 10%
-        # diagonal inflation, exact 2x2 Cramer)
-        "WITH q AS (SELECT "
-        "CAST(ROUND(l_quantity, 0) AS BIGINT) AS x1, "
-        "CAST(ROUND(l_discount * 10000, 0) AS BIGINT) AS x2, "
-        "CAST(ROUND(l_extendedprice, 0) AS BIGINT) AS y FROM lineitem), "
-        "m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, "
-        "CAST(SUM(x1) AS HUGEINT) AS s1, "
-        "CAST(SUM(x2) AS HUGEINT) AS s2, "
-        "CAST(SUM(y) AS HUGEINT) AS sy, "
-        "CAST(SUM(x1 * x1) AS HUGEINT) AS s11, "
-        "CAST(SUM(x2 * x2) AS HUGEINT) AS s22, "
-        "CAST(SUM(x1 * x2) AS HUGEINT) AS s12, "
-        "CAST(SUM(x1 * y) AS HUGEINT) AS s1y, "
-        "CAST(SUM(x2 * y) AS HUGEINT) AS s2y FROM q), "
-        "c AS (SELECT n, s1, s2, sy, "
-        "n * s11 - s1 * s1 AS c11, n * s22 - s2 * s2 AS c22, "
-        "n * s12 - s1 * s2 AS c12, n * s1y - s1 * sy AS c1y, "
-        "n * s2y - s2 * sy AS c2y FROM m), "
-        "a AS (SELECT *, c11 + c11 // 10 AS a11, "
-        "c22 + c22 // 10 AS a22 FROM c), "
-        "b AS (SELECT n, s1, s2, sy, "
-        "CAST(c1y * a22 - c12 * c2y AS DOUBLE) "
-        "/ CAST(a11 * a22 - c12 * c12 AS DOUBLE) AS b1, "
-        "CAST(a11 * c2y - c1y * c12 AS DOUBLE) "
-        "/ CAST(a11 * a22 - c12 * c12 AS DOUBLE) AS b2 FROM a) "
-        "SELECT CAST(n AS BIGINT) AS n_rows, "
-        "ROUND((CAST(sy AS DOUBLE) - b1 * CAST(s1 AS DOUBLE) "
-        "- b2 * CAST(s2 AS DOUBLE)) / CAST(n AS DOUBLE), 6) "
-        "AS intercept, ROUND(b1, 6) AS beta_qty, "
-        "ROUND(b2, 6) AS beta_disc_bp FROM b"
-    )
-    out["cox_stuart"] = (
-        # mirrors _q_cox_stuart (first/second half sign pairs)
-        _daily_xy_frame
-        + ", st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dn), "
-        "pr AS (SELECT b.y - a.y AS d FROM dn a JOIN dn b "
-        "ON b.t = a.t + (SELECT n - n // 2 FROM st) "
-        "WHERE a.t < (SELECT n // 2 FROM st)), "
-        "ct AS (SELECT CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) "
-        "AS BIGINT) AS sp, CAST(SUM(CASE WHEN d < 0 THEN 1 ELSE 0 END) "
-        "AS BIGINT) AS sm FROM pr) "
-        "SELECT sp + sm AS n_pairs, sp AS s_plus, sm AS s_minus, "
-        "ROUND(CAST(2 * sp - (sp + sm) AS DOUBLE) "
-        "/ SQRT(CAST(sp + sm AS DOUBLE)), 6) AS z FROM ct"
-    )
-    out["runs_updown"] = (
-        # mirrors _q_runs_updown (difference-sign runs, ties dropped)
-        _daily_xy_frame
-        + ", df AS (SELECT a.t, SIGN(b.y - a.y) AS s FROM dn a "
-        "JOIN dn b ON b.t = a.t + 1 WHERE b.y <> a.y), "
-        "lg AS (SELECT s, LAG(s) OVER (ORDER BY t) AS ps FROM df), "
-        "st AS (SELECT CAST(1 + SUM(CASE WHEN ps IS NOT NULL "
-        "AND s <> ps THEN 1 ELSE 0 END) AS BIGINT) AS runs, "
-        "CAST(COUNT(*) + 1 AS BIGINT) AS n FROM lg) "
-        "SELECT n AS n_obs, runs, "
-        "ROUND((CAST(runs AS DOUBLE) - (2.0 * CAST(n AS DOUBLE) - 1.0) "
-        "/ 3.0) / SQRT((16.0 * CAST(n AS DOUBLE) - 29.0) / 90.0), 6) "
-        "AS z FROM st"
-    )
-    out["mh_odds"] = (
-        # mirrors _q_mh_odds (day-of-week strata, 1e6-tick rational
-        # terms, explicit diff*diff to avoid POWER)
-        "WITH e AS (SELECT (epoch_us(ts) // 86400000000) % 7 AS dow, "
-        "CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ex, "
-        "CAST(ROUND(value * 100, 0) AS BIGINT) AS v FROM events "
-        "WHERE event_type IN ('click', 'error')), "
-        "md AS (SELECT quantile_disc(v, 0.5) AS m FROM e), "
-        "cl AS (SELECT dow, ex, CASE WHEN v > md.m THEN 1 ELSE 0 END "
-        "AS o, CAST(COUNT(*) AS BIGINT) AS c FROM e, md "
-        "GROUP BY 1, 2, 3), "
-        "sl AS (SELECT dow, "
-        "CAST(COALESCE(SUM(CASE WHEN ex = 1 AND o = 1 THEN c END), 0) "
-        "AS BIGINT) AS a, "
-        "CAST(COALESCE(SUM(CASE WHEN ex = 1 AND o = 0 THEN c END), 0) "
-        "AS BIGINT) AS b, "
-        "CAST(COALESCE(SUM(CASE WHEN ex = 0 AND o = 1 THEN c END), 0) "
-        "AS BIGINT) AS cc, "
-        "CAST(COALESCE(SUM(CASE WHEN ex = 0 AND o = 0 THEN c END), 0) "
-        "AS BIGINT) AS d FROM cl GROUP BY 1), "
-        "tk AS (SELECT CAST(SUM(a) AS BIGINT) AS a_sum, "
-        "CAST(SUM(CAST(ROUND(CAST(a AS DOUBLE) * CAST(d AS DOUBLE) "
-        "/ CAST(a + b + cc + d AS DOUBLE) * 1e6, 0) AS BIGINT)) "
-        "AS BIGINT) AS num, "
-        "CAST(SUM(CAST(ROUND(CAST(b AS DOUBLE) * CAST(cc AS DOUBLE) "
-        "/ CAST(a + b + cc + d AS DOUBLE) * 1e6, 0) AS BIGINT)) "
-        "AS BIGINT) AS den, "
-        "CAST(SUM(CAST(ROUND(CAST(a + b AS DOUBLE) "
-        "* CAST(a + cc AS DOUBLE) / CAST(a + b + cc + d AS DOUBLE) "
-        "* 1e6, 0) AS BIGINT)) AS BIGINT) AS e_t, "
-        "CAST(SUM(CAST(ROUND(CAST(a + b AS DOUBLE) "
-        "* CAST(cc + d AS DOUBLE) * CAST(a + cc AS DOUBLE) "
-        "* CAST(b + d AS DOUBLE) / (CAST(a + b + cc + d AS DOUBLE) "
-        "* CAST(a + b + cc + d AS DOUBLE) "
-        "* CAST(a + b + cc + d - 1 AS DOUBLE)) * 1e6, 0) AS BIGINT)) "
-        "AS BIGINT) AS var_t FROM sl WHERE a + b + cc + d > 0), "
-        "dd AS (SELECT (CAST(a_sum AS DOUBLE) * 1e6 "
-        "- CAST(e_t AS DOUBLE)) / 1e6 AS diff FROM tk) "
-        "SELECT (SELECT CAST(m AS BIGINT) FROM md) AS median_cents, "
-        "tk.a_sum, "
-        "ROUND(CAST(tk.num AS DOUBLE) / CAST(tk.den AS DOUBLE), 6) "
-        "AS mh_or, "
-        "ROUND(dd.diff * dd.diff / (CAST(tk.var_t AS DOUBLE) / 1e6), "
-        "6) AS cmh_chi2 FROM tk, dd"
-    )
-    out["kulldorff_scan"] = (
-        # mirrors _q_kulldorff_scan (square scan windows around the
-        # 12 hottest cells, Poisson LLR at 1e9 ticks)
-        "WITH c0 AS (SELECT (event_id % 9216) // 96 AS r, "
-        "(event_id % 9216) % 96 AS c, CAST(COUNT(*) AS BIGINT) AS x "
-        "FROM events GROUP BY 1, 2), "
-        "nt AS (SELECT CAST(SUM(x) AS BIGINT) AS n FROM c0), "
-        "hot AS (SELECT r, c FROM c0 ORDER BY x DESC, r, c LIMIT 12), "
-        "rad AS (SELECT UNNEST([2, 4, 8, 16]) AS radius), "
-        "z AS (SELECT hot.r AS hr, hot.c AS hc, rad.radius, "
-        "GREATEST(0, hot.r - rad.radius) AS r0, "
-        "GREATEST(0, hot.c - rad.radius) AS cl0, "
-        "LEAST(95, hot.r + rad.radius) AS r1, "
-        "LEAST(95, hot.c + rad.radius) AS cl1 "
-        "FROM hot CROSS JOIN rad), "
-        "agg AS (SELECT z.hr, z.hc, z.radius, "
-        "(z.r1 - z.r0 + 1) * (z.cl1 - z.cl0 + 1) AS area, "
-        "CAST(COALESCE(SUM(c0.x), 0) AS BIGINT) AS n_in FROM z "
-        "LEFT JOIN c0 ON c0.r BETWEEN z.r0 AND z.r1 "
-        "AND c0.c BETWEEN z.cl0 AND z.cl1 "
-        "GROUP BY z.hr, z.hc, z.radius, "
-        "(z.r1 - z.r0 + 1) * (z.cl1 - z.cl0 + 1)), "
-        "lr AS (SELECT hr, hc, radius, n_in, area, "
-        "CAST(ROUND(CASE WHEN CAST(n_in AS DOUBLE) > "
-        "CAST(nt.n AS DOUBLE) * CAST(area AS DOUBLE) / 9216.0 "
-        "AND n_in < nt.n THEN (CAST(n_in AS DOUBLE) "
-        "* LN(CAST(n_in AS DOUBLE) / (CAST(nt.n AS DOUBLE) "
-        "* CAST(area AS DOUBLE) / 9216.0)) "
-        "+ CAST(nt.n - n_in AS DOUBLE) "
-        "* LN(CAST(nt.n - n_in AS DOUBLE) / (CAST(nt.n AS DOUBLE) "
-        "- CAST(nt.n AS DOUBLE) * CAST(area AS DOUBLE) / 9216.0))) "
-        "* 1e9 ELSE 0.0 END, 0) AS BIGINT) AS tick FROM agg, nt) "
-        "SELECT hr AS center_r, hc AS center_c, "
-        "CAST(radius AS BIGINT) AS radius, n_in, "
-        "CAST(area AS BIGINT) AS area, "
-        "ROUND(CAST(tick AS DOUBLE) / 1e9, 6) AS llr, "
-        "CAST(ROW_NUMBER() OVER (ORDER BY tick DESC, hr, hc, radius) "
-        "AS BIGINT) AS rnk FROM lr"
-    )
-    out["retile_extract"] = (
-        # mirrors _q_retile_extract (re-tiling must be value- and
-        # coordinate-preserving; the oracle is the grid itself)
-        f"SELECT row, col, ROUND(z, 6) AS z FROM ({_OG_GRID_SQL}) g "
-        "WHERE z > -1e30"
-    )
-    out["kuiper_test"] = (
-        # mirrors _q_kuiper_test (1e12-tick cumulative-share diffs,
-        # integer maxima)
-        "WITH h AS (SELECT r.range AS hour FROM range(0, 24) r), "
-        "c AS (SELECT event_type, (epoch_us(ts) // 3600000000) % 24 "
-        "AS hour, CAST(COUNT(*) AS BIGINT) AS n FROM events "
-        "WHERE event_type IN ('click', 'error') GROUP BY 1, 2), "
-        "f AS (SELECT h.hour, COALESCE(ck.n, 0) AS c1, "
-        "COALESCE(er.n, 0) AS c2 FROM h "
-        "LEFT JOIN c ck ON ck.hour = h.hour "
-        "AND ck.event_type = 'click' "
-        "LEFT JOIN c er ON er.hour = h.hour "
-        "AND er.event_type = 'error'), "
-        "nn AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, "
-        "CAST(SUM(c2) AS BIGINT) AS n2 FROM f), "
-        "cm AS (SELECT hour, SUM(c1) OVER (ORDER BY hour "
-        "ROWS UNBOUNDED PRECEDING) AS ca, SUM(c2) OVER (ORDER BY hour "
-        "ROWS UNBOUNDED PRECEDING) AS cb FROM f), "
-        "tk AS (SELECT CAST(GREATEST(MAX(CAST(ROUND((CAST(cm.ca "
-        "AS DOUBLE) / CAST(nn.n1 AS DOUBLE) - CAST(cm.cb AS DOUBLE) "
-        "/ CAST(nn.n2 AS DOUBLE)) * 1e12, 0) AS BIGINT)), 0) "
-        "AS BIGINT) AS dp, CAST(GREATEST(MAX(-CAST(ROUND((CAST(cm.ca "
-        "AS DOUBLE) / CAST(nn.n1 AS DOUBLE) - CAST(cm.cb AS DOUBLE) "
-        "/ CAST(nn.n2 AS DOUBLE)) * 1e12, 0) AS BIGINT)), 0) "
-        "AS BIGINT) AS dm FROM cm, nn) "
-        "SELECT nn.n1 AS n_click, nn.n2 AS n_error, "
-        "ROUND(CAST(tk.dp AS DOUBLE) / 1e12, 6) AS d_plus, "
-        "ROUND(CAST(tk.dm AS DOUBLE) / 1e12, 6) AS d_minus, "
-        "ROUND(CAST(tk.dp + tk.dm AS DOUBLE) / 1e12, 6) AS v_stat "
-        "FROM nn, tk"
-    )
-    out["page_trend"] = (
-        # mirrors _q_page_trend (complete weeks, within-week 2x
-        # tie-averaged ranks, classical k=7 moments)
-        _daily_xy_frame
-        + ", wd AS (SELECT t // 7 AS w, t % 7 + 1 AS j, y FROM dn "
-        "WHERE t // 7 < (SELECT COUNT(*) FROM dn) // 7), "
-        "rk AS (SELECT a.w, a.j, CAST(2 * SUM(CASE WHEN b.y < a.y "
-        "THEN 1 ELSE 0 END) + SUM(CASE WHEN b.y = a.y THEN 1 ELSE 0 "
-        "END) + 1 AS BIGINT) AS r2 FROM wd a JOIN wd b ON b.w = a.w "
-        "GROUP BY a.w, a.j), "
-        "st AS (SELECT CAST(SUM(j * r2) AS BIGINT) AS l2, "
-        "CAST((SELECT COUNT(*) FROM dn) // 7 AS BIGINT) AS b FROM rk) "
-        "SELECT b AS n_weeks, l2, "
-        "ROUND((CAST(l2 AS DOUBLE) / 2.0 "
-        "- CAST(b * 7 * 8 * 8 AS DOUBLE) / 4.0) "
-        "/ SQRT(CAST(b * 49 * 8 * 48 AS DOUBLE) / 144.0), 6) AS z "
-        "FROM st"
-    )
-    out["theil_decomp"] = (
-        # mirrors _q_theil_decomp (per-doc and per-source 1e12-tick
-        # terms, within = total - between in tick space)
-        "WITH tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(n_chars) AS BIGINT) AS s FROM documents), "
-        "tt AS (SELECT CAST(SUM(CAST(ROUND(CAST(n_chars AS DOUBLE) "
-        "/ CAST(tot.s AS DOUBLE) * LN(CAST(n_chars AS DOUBLE) "
-        "* CAST(tot.n AS DOUBLE) / CAST(tot.s AS DOUBLE)) * 1e12, 0) "
-        "AS BIGINT)) AS BIGINT) AS tq FROM documents, tot), "
-        "g AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS ng, "
-        "CAST(SUM(n_chars) AS BIGINT) AS sg FROM documents GROUP BY 1), "
-        "bt AS (SELECT CAST(SUM(CAST(ROUND(CAST(sg AS DOUBLE) "
-        "/ CAST(tot.s AS DOUBLE) * LN(CAST(sg AS DOUBLE) "
-        "* CAST(tot.n AS DOUBLE) / (CAST(tot.s AS DOUBLE) "
-        "* CAST(ng AS DOUBLE))) * 1e12, 0) AS BIGINT)) AS BIGINT) "
-        "AS bq FROM g, tot) "
-        "SELECT tot.n AS n_docs, "
-        "ROUND(CAST(tt.tq AS DOUBLE) / 1e12, 6) AS theil_total, "
-        "ROUND(CAST(bt.bq AS DOUBLE) / 1e12, 6) AS theil_between, "
-        "ROUND(CAST(tt.tq - bt.bq AS DOUBLE) / 1e12, 6) "
-        "AS theil_within FROM tot, tt, bt"
-    )
-    out["ansari_bradley"] = (
-        # mirrors _q_ansari_bradley (folded 2x pooled ranks from the
-        # cents histograms, even/odd-N classical moments)
-        "WITH h AS (SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS v, "
-        "CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) "
-        "AS BIGINT) AS c1, "
-        "CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) "
-        "AS BIGINT) AS c2 FROM events "
-        "WHERE event_type IN ('click', 'error') GROUP BY 1), "
-        "cm AS (SELECT v, c1, c1 + c2 AS m, "
-        "SUM(c1 + c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) "
-        "- (c1 + c2) AS clt FROM h), "
-        "nn AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, "
-        "CAST(SUM(c2) AS BIGINT) AS n2, "
-        "CAST(SUM(c1 + c2) AS BIGINT) AS n FROM h), "
-        "ab AS (SELECT CAST(SUM(cm.c1 * LEAST(2 * cm.clt + cm.m + 1, "
-        "2 * (nn.n + 1) - (2 * cm.clt + cm.m + 1))) AS BIGINT) AS ab2 "
-        "FROM cm, nn) "
-        "SELECT nn.n1 AS n_click, nn.n2 AS n_error, ab.ab2, "
-        "ROUND((CAST(ab.ab2 AS DOUBLE) / 2.0 - CASE WHEN nn.n % 2 = 0 "
-        "THEN CAST(nn.n1 * (nn.n + 2) AS DOUBLE) / 4.0 "
-        "ELSE CAST(nn.n1 * (nn.n + 1) * (nn.n + 1) AS DOUBLE) "
-        "/ (4.0 * CAST(nn.n AS DOUBLE)) END) "
-        "/ SQRT(CASE WHEN nn.n % 2 = 0 "
-        "THEN CAST(nn.n1 AS DOUBLE) * CAST(nn.n2 AS DOUBLE) "
-        "* CAST(nn.n + 2 AS DOUBLE) * CAST(nn.n - 2 AS DOUBLE) "
-        "/ (48.0 * CAST(nn.n - 1 AS DOUBLE)) "
-        "ELSE CAST(nn.n1 AS DOUBLE) * CAST(nn.n2 AS DOUBLE) "
-        "* CAST(nn.n + 1 AS DOUBLE) * CAST(3 + nn.n * nn.n AS DOUBLE) "
-        "/ (48.0 * CAST(nn.n AS DOUBLE) * CAST(nn.n AS DOUBLE)) END), "
-        "6) AS z FROM nn, ab"
-    )
-    out["grid_prefix_sums"] = (
-        # mirrors _q_grid_prefix_sums (dense 96x96 frame, row-major
-        # cumsum then column-major cumsum of the row cumsums)
-        "WITH c0 AS (SELECT (event_id % 9216) // 96 AS r, "
-        "(event_id % 9216) % 96 AS c, CAST(COUNT(*) AS BIGINT) AS x "
-        "FROM events GROUP BY 1, 2), "
-        "fr AS (SELECT a.range AS r, b.range AS c FROM range(0, 96) a "
-        "CROSS JOIN range(0, 96) b), "
-        "dn AS (SELECT fr.r, fr.c, COALESCE(c0.x, 0) AS x FROM fr "
-        "LEFT JOIN c0 ON c0.r = fr.r AND c0.c = fr.c), "
-        "rc AS (SELECT r, c, SUM(x) OVER (PARTITION BY r ORDER BY c "
-        "ROWS UNBOUNDED PRECEDING) AS rx FROM dn) "
-        "SELECT r, c, CAST(SUM(rx) OVER (PARTITION BY c ORDER BY r "
-        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sat FROM rc "
-        "ORDER BY r, c"
-    )
-    out["cliffs_delta"] = (
-        # mirrors _q_cliffs_delta (cumulative-histogram pair counts)
-        "WITH h AS (SELECT event_type, "
-        "CAST(ROUND(value * 100, 0) AS BIGINT) AS v, "
-        "CAST(COUNT(*) AS BIGINT) AS c FROM events "
-        "WHERE event_type IN ('click', 'error') GROUP BY 1, 2), "
-        "u AS (SELECT DISTINCT v FROM h), "
-        "a0 AS (SELECT u.v, COALESCE(h.c, 0) AS c FROM u "
-        "LEFT JOIN h ON h.v = u.v AND h.event_type = 'click'), "
-        "b0 AS (SELECT u.v, COALESCE(h.c, 0) AS c FROM u "
-        "LEFT JOIN h ON h.v = u.v AND h.event_type = 'error'), "
-        "bc AS (SELECT v, c, SUM(c) OVER (ORDER BY v "
-        "ROWS UNBOUNDED PRECEDING) - c AS clt, "
-        "(SELECT SUM(c) FROM b0) - SUM(c) OVER (ORDER BY v "
-        "ROWS UNBOUNDED PRECEDING) AS cgt FROM b0), "
-        "st AS (SELECT CAST(SUM(a0.c * bc.clt) AS BIGINT) AS gt, "
-        "CAST(SUM(a0.c * bc.cgt) AS BIGINT) AS lt "
-        "FROM a0 JOIN bc ON bc.v = a0.v), "
-        "nn AS (SELECT CAST((SELECT SUM(c) FROM a0) AS BIGINT) AS n1, "
-        "CAST((SELECT SUM(c) FROM b0) AS BIGINT) AS n2) "
-        "SELECT nn.n1 AS n_click, nn.n2 AS n_error, st.gt AS n_gt, "
-        "st.lt AS n_lt, ROUND(CAST(st.gt - st.lt AS DOUBLE) "
-        "/ (CAST(nn.n1 AS DOUBLE) * CAST(nn.n2 AS DOUBLE)), 6) "
-        "AS cliffs_delta FROM nn, st"
-    )
-    out["jonckheere"] = (
-        # mirrors _q_jonckheere (alphabetical dose order, 2x JT from
-        # per-type cumulative histograms, tie-uncorrected moments)
-        "WITH h AS (SELECT event_type, "
-        "CAST(ROUND(value * 100, 0) AS BIGINT) AS v, "
-        "CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), "
-        "u AS (SELECT DISTINCT v FROM h), "
-        "tt AS (SELECT DISTINCT event_type FROM h), "
-        "g AS (SELECT tt.event_type, u.v, COALESCE(h.c, 0) AS c "
-        "FROM tt CROSS JOIN u LEFT JOIN h "
-        "ON h.event_type = tt.event_type AND h.v = u.v), "
-        "cg AS (SELECT event_type, v, c, SUM(c) OVER "
-        "(PARTITION BY event_type ORDER BY v "
-        "ROWS UNBOUNDED PRECEDING) - c AS clt FROM g), "
-        "jt AS (SELECT CAST(SUM(b.c * (2 * a.clt + a.c)) AS BIGINT) "
-        "AS jt2 FROM cg a JOIN cg b ON b.v = a.v "
-        "AND a.event_type < b.event_type), "
-        "sz AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n FROM h "
-        "GROUP BY 1), "
-        "tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, "
-        "CAST(SUM(n * n) AS BIGINT) AS sn2, "
-        "CAST(SUM(n * n * (2 * n + 3)) AS BIGINT) AS sn23 FROM sz) "
-        "SELECT tot.nn AS n_events, jt.jt2, "
-        "ROUND((CAST(jt.jt2 AS DOUBLE) / 2.0 "
-        "- CAST(tot.nn * tot.nn - tot.sn2 AS DOUBLE) / 4.0) "
-        "/ SQRT(CAST(tot.nn * tot.nn * (2 * tot.nn + 3) "
-        "- tot.sn23 AS DOUBLE) / 72.0), 6) AS z FROM tot, jt"
-    )
-    out["dixon_q"] = (
-        # mirrors _q_dixon_q (order statistics of daily cents)
-        _daily_xy_frame
-        + ", o AS (SELECT y, ROW_NUMBER() OVER (ORDER BY y) AS k "
-        "FROM dn), "
-        "cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dn), "
-        "st AS (SELECT "
-        "CAST((SELECT y FROM o, cnt WHERE o.k = cnt.n) AS BIGINT) "
-        "AS ymax, "
-        "CAST((SELECT y FROM o, cnt WHERE o.k = cnt.n - 1) AS BIGINT) "
-        "AS y2max, "
-        "CAST((SELECT y FROM o WHERE k = 1) AS BIGINT) AS ymin, "
-        "CAST((SELECT y FROM o WHERE k = 2) AS BIGINT) AS y2min, "
-        "(SELECT n FROM cnt) AS n) "
-        "SELECT n AS n_days, ymax - ymin AS range_cents, "
-        "ROUND(CAST(ymax - y2max AS DOUBLE) "
-        "/ CAST(ymax - ymin AS DOUBLE), 6) AS q_max, "
-        "ROUND(CAST(y2min - ymin AS DOUBLE) "
-        "/ CAST(ymax - ymin AS DOUBLE), 6) AS q_min FROM st"
-    )
-    out["rank_distance"] = (
-        # mirrors _q_rank_distance (doc-count vs char-count rankings)
-        "WITH a AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
-        "CAST(SUM(n_chars) AS BIGINT) AS n_chars FROM documents "
-        "GROUP BY 1), "
-        "r AS (SELECT source, ROW_NUMBER() OVER (ORDER BY n_docs DESC, "
-        "source) AS r1, ROW_NUMBER() OVER (ORDER BY n_chars DESC, "
-        "source) AS r2 FROM a), "
-        "f AS (SELECT CAST(SUM(ABS(r1 - r2)) AS BIGINT) AS footrule, "
-        "CAST(COUNT(*) AS BIGINT) AS n FROM r), "
-        "k AS (SELECT CAST(SUM(CASE WHEN (x.r1 - y.r1) "
-        "* (x.r2 - y.r2) < 0 THEN 1 ELSE 0 END) AS BIGINT) AS kd "
-        "FROM r x JOIN r y ON x.source < y.source) "
-        "SELECT f.n AS n_items, f.footrule, k.kd AS kendall_dist, "
-        "ROUND(CAST(f.footrule AS DOUBLE) / (CAST(f.n AS DOUBLE) "
-        "* CAST(f.n AS DOUBLE) / 2.0), 6) AS footrule_norm FROM f, k"
-    )
-    out["readability_panel"] = (
-        # mirrors _q_readability_panel (ARI / Coleman-Liau / LIX from
-        # exact regex counts; same CASE w=0 guard as flesch)
-        "WITH b AS (SELECT doc_id, "
-        "LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS l, "
-        "LENGTH(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS c, "
-        "LENGTH(regexp_extract_all(text, '\\S+')) AS w, "
-        "GREATEST(LENGTH(regexp_extract_all(text, '[.!?]+')), 1) AS s, "
-        "LENGTH(list_filter(regexp_extract_all(text, '\\S+'), "
-        "x -> LENGTH(x) >= 7)) AS lw FROM documents) "
-        "SELECT doc_id, CAST(l AS BIGINT) AS n_letters, "
-        "CAST(c AS BIGINT) AS n_alnum, CAST(lw AS BIGINT) "
-        "AS n_long_words, "
-        "ROUND(CASE WHEN w = 0 THEN 0.0 ELSE 4.71 * (CAST(c AS DOUBLE) "
-        "/ CAST(w AS DOUBLE)) + 0.5 * (CAST(w AS DOUBLE) "
-        "/ CAST(s AS DOUBLE)) - 21.43 END, 6) AS ari, "
-        "ROUND(CASE WHEN w = 0 THEN 0.0 ELSE 0.0588 * "
-        "((CAST(l AS DOUBLE) / CAST(w AS DOUBLE)) * 100.0) - 0.296 * "
-        "((CAST(s AS DOUBLE) / CAST(w AS DOUBLE)) * 100.0) - 15.8 "
-        "END, 6) AS coleman_liau, "
-        "ROUND(CASE WHEN w = 0 THEN 0.0 ELSE (CAST(w AS DOUBLE) "
-        "/ CAST(s AS DOUBLE)) + 100.0 * (CAST(lw AS DOUBLE) "
-        "/ CAST(w AS DOUBLE)) END, 6) AS lix FROM b"
-    )
-    out["track_intersections"] = (
-        # ordered fixes -> segments -> non-adjacent pair CASE mirror
-        # of the integer orientation/on-segment predicate
-        "WITH f AS (SELECT user_id, "
-        "ROW_NUMBER() OVER (PARTITION BY user_id "
-        "ORDER BY ts, event_id) AS k, "
-        "CAST(event_id % 96 AS BIGINT) AS x, "
-        "CAST((event_id // 96) % 96 AS BIGINT) AS y FROM events), "
-        "s AS (SELECT a.user_id, a.k AS i, a.x AS ax, a.y AS ay, "
-        "b.x AS bx, b.y AS by FROM f a "
-        "JOIN f b ON b.user_id = a.user_id AND b.k = a.k + 1), "
-        "ns AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_segments "
-        "FROM s GROUP BY user_id), "
-        "pr AS (SELECT p.user_id, "
-        "(p.bx - p.ax) * (q.ay - p.ay) "
-        "- (p.by - p.ay) * (q.ax - p.ax) AS d3, "
-        "(p.bx - p.ax) * (q.by - p.ay) "
-        "- (p.by - p.ay) * (q.bx - p.ax) AS d4, "
-        "(q.bx - q.ax) * (p.ay - q.ay) "
-        "- (q.by - q.ay) * (p.ax - q.ax) AS d1, "
-        "(q.bx - q.ax) * (p.by - q.ay) "
-        "- (q.by - q.ay) * (p.bx - q.ax) AS d2, "
-        "p.ax, p.ay, p.bx, p.by, q.ax AS cx, q.ay AS cy, "
-        "q.bx AS dx, q.by AS dy "
-        "FROM s p JOIN s q ON q.user_id = p.user_id "
-        "AND q.i >= p.i + 2), "
-        "hit AS (SELECT user_id, "
-        "CASE WHEN ((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0)) "
-        "AND ((d3 > 0 AND d4 < 0) OR (d3 < 0 AND d4 > 0)) THEN 1 "
-        "WHEN d1 = 0 AND ax BETWEEN LEAST(cx, dx) AND GREATEST(cx, dx) "
-        "AND ay BETWEEN LEAST(cy, dy) AND GREATEST(cy, dy) THEN 1 "
-        "WHEN d2 = 0 AND bx BETWEEN LEAST(cx, dx) AND GREATEST(cx, dx) "
-        "AND by BETWEEN LEAST(cy, dy) AND GREATEST(cy, dy) THEN 1 "
-        "WHEN d3 = 0 AND cx BETWEEN LEAST(ax, bx) AND GREATEST(ax, bx) "
-        "AND cy BETWEEN LEAST(ay, by) AND GREATEST(ay, by) THEN 1 "
-        "WHEN d4 = 0 AND dx BETWEEN LEAST(ax, bx) AND GREATEST(ax, bx) "
-        "AND dy BETWEEN LEAST(ay, by) AND GREATEST(ay, by) THEN 1 "
-        "ELSE 0 END AS c FROM pr), "
-        "hc AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_crossings "
-        "FROM hit GROUP BY user_id) "
-        "SELECT ns.user_id, ns.n_segments, "
-        "COALESCE(hc.n_crossings, 0) AS n_crossings "
-        "FROM ns LEFT JOIN hc ON hc.user_id = ns.user_id"
-    )
-    out["theil_index"] = (
-        # same two-pass quantized-moment construction: exact cents,
-        # exact 1e9-quantized x*ln(x/mu) term sums, shared float tail
-        "WITH pc AS (SELECT o.o_custkey, c.c_nationkey, "
-        "CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) "
-        "AS BIGINT) AS cents "
-        "FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey "
-        "GROUP BY 1, 2), "
-        "g AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS ng, "
-        "CAST(SUM(cents) AS BIGINT) AS sg FROM pc GROUP BY 1), "
-        "t AS (SELECT CAST(SUM(ng) AS BIGINT) AS n_tot, "
-        "CAST(SUM(sg) AS BIGINT) AS s_tot FROM g), "
-        "mu AS (SELECT n_tot, s_tot, "
-        "(CAST(s_tot AS DOUBLE) / 100.0) / CAST(n_tot AS DOUBLE) AS mu "
-        "FROM t), "
-        "terms AS (SELECT "
-        "CAST(SUM(CAST(ROUND((CAST(pc.cents AS DOUBLE) / 100.0) "
-        "* LN((CAST(pc.cents AS DOUBLE) / 100.0) / mu.mu) * 1e9, 0) "
-        "AS BIGINT)) AS BIGINT) AS q_tot, "
-        "CAST(SUM(CAST(ROUND((CAST(pc.cents AS DOUBLE) / 100.0) "
-        "* LN((CAST(pc.cents AS DOUBLE) / 100.0) "
-        "/ ((CAST(g.sg AS DOUBLE) / 100.0) / CAST(g.ng AS DOUBLE))) "
-        "* 1e9, 0) AS BIGINT)) AS BIGINT) AS q_win "
-        "FROM pc JOIN g ON g.c_nationkey = pc.c_nationkey, mu), "
-        "btw AS (SELECT CAST(SUM(CAST(ROUND("
-        "(CAST(g.sg AS DOUBLE) / 100.0) "
-        "* LN(((CAST(g.sg AS DOUBLE) / 100.0) / CAST(g.ng AS DOUBLE)) "
-        "/ mu.mu) * 1e9, 0) AS BIGINT)) AS BIGINT) AS q_btw "
-        "FROM g, mu) "
-        "SELECT mu.n_tot AS n_customers, "
-        "ROUND((CAST(terms.q_tot AS DOUBLE) / 1e9) "
-        "/ (CAST(mu.n_tot AS DOUBLE) * mu.mu), 6) AS theil_total, "
-        "ROUND((CAST(btw.q_btw AS DOUBLE) / 1e9) "
-        "/ (CAST(mu.n_tot AS DOUBLE) * mu.mu), 6) AS theil_between, "
-        "ROUND((CAST(terms.q_win AS DOUBLE) / 1e9) "
-        "/ (CAST(mu.n_tot AS DOUBLE) * mu.mu), 6) AS theil_within "
-        "FROM terms, btw, mu"
-    )
-    out["kendall_tau"] = (
-        # exact pair counts via the event_id-ordered self-join; tau-b
-        # repeats the engine's float expression over the same ints
-        "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS x, "
-        "CAST(ROUND(value * 100, 0) AS BIGINT) AS y FROM events), "
-        "p AS (SELECT a.user_id, "
-        "CAST(SUM(CASE WHEN (a.x < b.x AND a.y < b.y) "
-        "OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END) AS BIGINT) "
-        "AS nc, "
-        "CAST(SUM(CASE WHEN (a.x < b.x AND a.y > b.y) "
-        "OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END) AS BIGINT) "
-        "AS nd, "
-        "CAST(SUM(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT) "
-        "AS tx, "
-        "CAST(SUM(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT) "
-        "AS ty, "
-        "CAST(COUNT(*) AS BIGINT) AS n0 "
-        "FROM e a JOIN e b ON b.user_id = a.user_id "
-        "AND a.event_id < b.event_id GROUP BY a.user_id), "
-        "q AS (SELECT user_id, nc, nd, "
-        "SQRT((CAST(n0 AS DOUBLE) - CAST(tx AS DOUBLE)) "
-        "* (CAST(n0 AS DOUBLE) - CAST(ty AS DOUBLE))) AS denom "
-        "FROM p) "
-        "SELECT user_id, nc, nd, "
-        "ROUND((CAST(nc AS DOUBLE) - CAST(nd AS DOUBLE)) / denom, 6) "
-        "AS tau FROM q WHERE denom > 0.0"
-    )
-    out["phrase_search"] = (
-        # positional self-join mirror of the bit-anchor phrase count:
-        # 1-based generate_subscripts vs the engine's 0-based anchors
-        # -- only relative adjacency matters
-        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
-        "FROM documents), "
-        "p AS (SELECT doc_id, UNNEST(toks) AS w, "
-        "generate_subscripts(toks, 1) AS i FROM t) "
-        "SELECT a.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits "
-        "FROM p a "
-        "JOIN p b ON b.doc_id = a.doc_id AND b.i = a.i + 1 "
-        "JOIN p c ON c.doc_id = a.doc_id AND c.i = a.i + 2 "
-        "WHERE a.w = 'row' AND b.w = 'column' AND c.w = 'sort' "
-        "GROUP BY 1"
-    )
-    out["holt_winters"] = (
-        # recursive-CTE Holt-Winters additive (m=7): the 7 live
-        # seasonal states travel as a LIST column, s[1] is the
-        # season-lagged state; expressions literally repeat
-        # _q_holt_winters's
-        "WITH RECURSIVE c AS (SELECT epoch_us(ts) // 86400000000 AS d, "
-        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1), "
-        "mm AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM c), "
-        "dd AS (SELECT r.range AS t, mm.lo + r.range AS d "
-        "FROM range(0, 4096) r, mm WHERE r.range <= mm.hi - mm.lo), "
-        "dn AS (SELECT dd.t, COALESCE(c.x, 0) AS x "
-        "FROM dd LEFT JOIN c ON c.d = dd.d), "
-        "init AS (SELECT "
-        "CAST(w1.s1 AS DOUBLE) / 7.0 AS l0, "
-        "(CAST(w2.s2 AS DOUBLE) - CAST(w1.s1 AS DOUBLE)) / 49.0 AS b0, "
-        "(SELECT LIST(CAST(dn.x AS DOUBLE) "
-        "- CAST(w1.s1 AS DOUBLE) / 7.0 ORDER BY dn.t) "
-        "FROM dn WHERE dn.t < 7) AS s0 "
-        "FROM (SELECT CAST(SUM(x) AS BIGINT) AS s1 FROM dn "
-        "WHERE t < 7) w1, "
-        "(SELECT CAST(SUM(x) AS BIGINT) AS s2 FROM dn "
-        "WHERE t >= 7 AND t < 14) w2), "
-        "h(t, l, b, s) AS ("
-        "SELECT 6, l0, b0, s0 FROM init "
-        "UNION ALL "
-        "SELECT h.t + 1, "
-        "(0.3 * (d.x - h.s[1])) + (0.7 * (h.l + h.b)), "
-        "(0.1 * (((0.3 * (d.x - h.s[1])) + (0.7 * (h.l + h.b))) - h.l)) "
-        "+ (0.9 * h.b), "
-        "list_concat(h.s[2:7], [(0.2 * (d.x "
-        "- ((0.3 * (d.x - h.s[1])) + (0.7 * (h.l + h.b))))) "
-        "+ (0.8 * h.s[1])]) "
-        "FROM h JOIN dn d ON d.t = h.t + 1) "
-        "SELECT ROUND(l, 6) AS level, ROUND(b, 6) AS trend, "
-        "ROUND(l + b + s[1], 6) AS forecast_1 FROM h "
-        "WHERE t = (SELECT hi - lo FROM mm)"
-    )
-    out["dispersion_ellipse"] = (
-        "WITH m AS (SELECT user_id, "
-        "CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(event_id % 96) AS BIGINT) AS sx, "
-        "CAST(SUM((event_id // 96) % 96) AS BIGINT) AS sy, "
-        "CAST(SUM((event_id % 96) * (event_id % 96)) AS BIGINT) AS sxx, "
-        "CAST(SUM(((event_id // 96) % 96) * ((event_id // 96) % 96)) "
-        "AS BIGINT) AS syy, "
-        "CAST(SUM((event_id % 96) * ((event_id // 96) % 96)) AS BIGINT) "
-        "AS sxy FROM events GROUP BY user_id), "
-        "cov AS (SELECT user_id, "
-        "CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) "
-        "- (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) "
-        "* (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS cxx, "
-        "CAST(syy AS DOUBLE) / CAST(n AS DOUBLE) "
-        "- (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) "
-        "* (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS cyy, "
-        "CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE) "
-        "- (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) "
-        "* (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS cxy "
-        "FROM m), "
-        "eig AS (SELECT user_id, "
-        "(cxx + cyy) / 2.0 AS tr2, "
-        "SQRT(((cxx - cyy) / 2.0) * ((cxx - cyy) / 2.0) + cxy * cxy) "
-        "AS disc, "
-        "ATAN2(2.0 * cxy, cxx - cyy) / 2.0 AS theta FROM cov) "
-        "SELECT user_id, "
-        "ROUND(SQRT(tr2 + disc), 6) AS semi_major, "
-        "ROUND(SQRT(tr2 - disc), 6) AS semi_minor, "
-        "ROUND(theta, 6) AS theta FROM eig"
-    )
-    out["kl_divergence"] = (
-        # per-(source,lang) terms quantized at 1e12 (exact int64
-        # cross-language sum in any order), mirroring _q_kl_divergence
-        "WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_sl "
-        "FROM documents GROUP BY source, lang), "
-        "s AS (SELECT source, CAST(SUM(n_sl) AS BIGINT) AS n_s "
-        "FROM c GROUP BY source), "
-        "l AS (SELECT lang, CAST(SUM(n_sl) AS BIGINT) AS n_l "
-        "FROM c GROUP BY lang), "
-        "t AS (SELECT CAST(SUM(n_sl) AS BIGINT) AS n FROM c), "
-        "q AS (SELECT c.source, "
-        "CAST(ROUND(CAST(c.n_sl AS DOUBLE) / CAST(s.n_s AS DOUBLE) "
-        "* LN(CAST(c.n_sl * t.n AS DOUBLE) "
-        "/ CAST(s.n_s * l.n_l AS DOUBLE)) * 1e12, 0) AS BIGINT) AS tq "
-        "FROM c JOIN s ON s.source = c.source "
-        "JOIN l ON l.lang = c.lang CROSS JOIN t) "
-        "SELECT source, "
-        "ROUND(CAST(SUM(tq) AS DOUBLE) / 1e12, 6) AS kl_nats "
-        "FROM q GROUP BY source"
-    )
-    out["ripley_k"] = (
-        "WITH p AS (SELECT event_id, "
-        "77.0 + CAST(event_id % 96 AS DOUBLE) * 0.01 AS px, "
-        "28.05 + CAST((event_id // 96) % 96 AS DOUBLE) * 0.01 AS py "
-        "FROM events WHERE event_id % 20 = 0), "
-        "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM p), "
-        "r AS (SELECT CAST(rad AS DOUBLE) AS rad "
-        "FROM (VALUES (0.02), (0.05), (0.10)) v(rad)), "
-        "c AS (SELECT r.rad, CAST(COUNT(*) AS BIGINT) AS n_pairs "
-        "FROM r, p a, p b "
-        "WHERE a.event_id <> b.event_id "
-        "AND (a.px - b.px) * (a.px - b.px) "
-        "+ (a.py - b.py) * (a.py - b.py) <= r.rad * r.rad "
-        "GROUP BY r.rad) "
-        "SELECT c.rad AS radius, c.n_pairs, "
-        "ROUND(0.9025 * CAST(c.n_pairs AS DOUBLE) "
-        "/ CAST(m.m * (m.m - 1) AS DOUBLE), 6) AS k_hat "
-        "FROM c, m"
-    )
-    out["watershed_labels"] = (
-        f"WITH RECURSIVE fd AS ({out['flow_direction']}), "
-        "e AS MATERIALIZED (SELECT f.row AS r, f.col AS c, "
-        "f.row + CASE f.d8 WHEN 2 THEN 1 WHEN 4 THEN 1 WHEN 8 THEN 1 "
-        "WHEN 32 THEN -1 WHEN 64 THEN -1 WHEN 128 THEN -1 "
-        "ELSE 0 END AS nr, "
-        "f.col + CASE f.d8 WHEN 1 THEN 1 WHEN 2 THEN 1 WHEN 128 THEN 1 "
-        "WHEN 8 THEN -1 WHEN 16 THEN -1 WHEN 32 THEN -1 "
-        "ELSE 0 END AS nc "
-        "FROM fd f WHERE f.d8 <> 0), "
-        "en AS MATERIALIZED (SELECT e.r, e.c, e.nr, e.nc FROM e "
-        "JOIN fd t ON t.row = e.nr AND t.col = e.nc), "
-        "ws(sr, sc, r, c) AS ("
-        "SELECT f.row, f.col, f.row, f.col FROM fd f "
-        "UNION "
-        "SELECT w.sr, w.sc, en.nr, en.nc FROM ws w "
-        "JOIN en ON en.r = w.r AND en.c = w.c) "
-        "SELECT sr AS row, sc AS col, "
-        "r AS sink_row, c AS sink_col FROM ws "
-        "WHERE NOT EXISTS (SELECT 1 FROM en WHERE en.r = ws.r "
-        "AND en.c = ws.c)"
-    )
-    out["twi"] = (
-        # ln(flow_acc * cellwidth / tan(slope)) composing the
-        # flow_accumulation recursive closure with the Horn slope
-        # window; mirrors _q_twi's shared float expression
-        f"WITH RECURSIVE fd AS ({out['flow_direction']}), "
-        "e AS MATERIALIZED (SELECT f.row AS r, f.col AS c, "
-        "f.row + CASE f.d8 WHEN 2 THEN 1 WHEN 4 THEN 1 WHEN 8 THEN 1 "
-        "WHEN 32 THEN -1 WHEN 64 THEN -1 WHEN 128 THEN -1 "
-        "ELSE 0 END AS nr, "
-        "f.col + CASE f.d8 WHEN 1 THEN 1 WHEN 2 THEN 1 WHEN 128 THEN 1 "
-        "WHEN 8 THEN -1 WHEN 16 THEN -1 WHEN 32 THEN -1 "
-        "ELSE 0 END AS nc "
-        "FROM fd f WHERE f.d8 <> 0), "
-        "en AS MATERIALIZED (SELECT e.r, e.c, e.nr, e.nc FROM e "
-        "JOIN fd t ON t.row = e.nr AND t.col = e.nc), "
-        "reach(sr, sc, r, c) AS ("
-        "SELECT en.r, en.c, en.nr, en.nc FROM en "
-        "UNION "
-        "SELECT reach.sr, reach.sc, en.nr, en.nc FROM reach "
-        "JOIN en ON en.r = reach.r AND en.c = reach.c), "
-        "anc AS (SELECT r, c, COUNT(*) AS n FROM reach GROUP BY r, c), "
-        "acc AS (SELECT f.row, f.col, "
-        "CAST(1 + COALESCE(anc.n, 0) AS BIGINT) AS acc "
-        "FROM fd f LEFT JOIN anc ON anc.r = f.row AND anc.c = f.col), "
-        f"g AS ({_OG_SLOPE_GRID_SQL}), w AS ("
-        "SELECT e.row AS row, e.col AS col, "
-        "n1.z AS za, n2.z AS zb, n3.z AS zc, n4.z AS zd, e.z AS ze, "
-        "n6.z AS zf, n7.z AS zg, n8.z AS zh, n9.z AS zi "
-        "FROM g e "
-        "JOIN g n1 ON n1.row = e.row - 1 AND n1.col = e.col - 1 "
-        "JOIN g n2 ON n2.row = e.row - 1 AND n2.col = e.col "
-        "JOIN g n3 ON n3.row = e.row - 1 AND n3.col = e.col + 1 "
-        "JOIN g n4 ON n4.row = e.row AND n4.col = e.col - 1 "
-        "JOIN g n6 ON n6.row = e.row AND n6.col = e.col + 1 "
-        "JOIN g n7 ON n7.row = e.row + 1 AND n7.col = e.col - 1 "
-        "JOIN g n8 ON n8.row = e.row + 1 AND n8.col = e.col "
-        "JOIN g n9 ON n9.row = e.row + 1 AND n9.col = e.col + 1), "
-        "s AS (SELECT row, col, 100.0 * SQRT(p * p + q * q) AS slope_pct "
-        "FROM (SELECT row, col, "
-        "((zc + 2.0 * zf + zi) - (za + 2.0 * zd + zg)) / (8.0 * 0.01) AS p, "
-        "((zg + 2.0 * zh + zi) - (za + 2.0 * zb + zc)) / (8.0 * 0.01) AS q "
-        "FROM w WHERE za > -1e30 AND zb > -1e30 AND zc > -1e30 "
-        "AND zd > -1e30 AND ze > -1e30 AND zf > -1e30 "
-        "AND zg > -1e30 AND zh > -1e30 AND zi > -1e30)) "
-        "SELECT s.row, s.col, "
-        "ROUND(LN((CAST(acc.acc AS DOUBLE) * 0.01) "
-        "/ (s.slope_pct / 100.0)), 6) AS twi "
-        "FROM s JOIN acc ON acc.row = s.row AND acc.col = s.col "
-        "WHERE s.slope_pct > 0"
-    )
-    out["join_counts"] = (
-        # exact integer black rule (9216*n > total) and pair counts;
-        # mirrors _q_join_counts' dense shifts via the two
-        # one-directional adjacency joins
-        "WITH e AS (SELECT (event_id % 96) AS gx, "
-        "((event_id // 96) % 96) AS gy, "
-        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
-        "lat AS (SELECT a.i AS gx, b.i AS gy FROM "
-        "generate_series(0, 95) a(i) CROSS JOIN "
-        "generate_series(0, 95) b(i)), "
-        "t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM e), "
-        "x AS (SELECT lat.gx, lat.gy, "
-        "CASE WHEN CAST(COALESCE(e.n, 0) AS BIGINT) * 9216 > t.tot "
-        "THEN 1 ELSE 0 END AS b "
-        "FROM lat LEFT JOIN e ON lat.gx = e.gx AND lat.gy = e.gy "
-        "CROSS JOIN t), "
-        "p AS (SELECT a.b AS b1, c.b AS b2 FROM x a "
-        "JOIN x c ON c.gy = a.gy AND c.gx = a.gx + 1 "
-        "UNION ALL SELECT a.b, c.b FROM x a "
-        "JOIN x c ON c.gx = a.gx AND c.gy = a.gy + 1) "
-        "SELECT (SELECT CAST(SUM(b) AS BIGINT) FROM x) AS n_black, "
-        "CAST(SUM(CASE WHEN b1 = 1 AND b2 = 1 THEN 1 ELSE 0 END) "
-        "AS BIGINT) AS bb, "
-        "CAST(SUM(CASE WHEN b1 <> b2 THEN 1 ELSE 0 END) AS BIGINT) "
-        "AS bw, "
-        "CAST(SUM(CASE WHEN b1 = 0 AND b2 = 0 THEN 1 ELSE 0 END) "
-        "AS BIGINT) AS ww FROM p"
-    )
-    out["polygon_iou"] = (
-        # cell-center IoU of q0/q1 via the strict half-plane tests --
-        # mirrors _q_polygon_iou
-        f"WITH g AS ({_OG_GRID_SQL}), "
-        f"m AS (SELECT CASE WHEN {_halfplane_sql(OG_POLYGONS['q0'])} "
-        "THEN 1 ELSE 0 END AS a, "
-        f"CASE WHEN {_halfplane_sql(OG_POLYGONS['q1'])} "
-        "THEN 1 ELSE 0 END AS b FROM g) "
-        "SELECT CAST(SUM(a) AS BIGINT) AS n_a, "
-        "CAST(SUM(b) AS BIGINT) AS n_b, "
-        "CAST(SUM(a * b) AS BIGINT) AS inter, "
-        "ROUND(CAST(SUM(a * b) AS DOUBLE) "
-        "/ CAST(SUM(a) + SUM(b) - SUM(a * b) AS DOUBLE), 6) AS iou "
-        "FROM m"
-    )
-    out["raster_kappa"] = (
-        # Cohen's kappa of the two bands' k>250 masks; exact confusion
-        # counts -- mirrors _q_raster_kappa
-        f"WITH mb AS ({_mb_grid}), "
-        "j AS (SELECT CASE WHEN a.k > 250 THEN 1 ELSE 0 END AS x, "
-        "CASE WHEN d.k > 250 THEN 1 ELSE 0 END AS y FROM "
-        "(SELECT row, col, k FROM mb WHERE band = 1 "
-        "AND k IS NOT NULL) a "
-        "JOIN (SELECT row, col, k FROM mb WHERE band = 2 "
-        "AND k IS NOT NULL) d ON d.row = a.row AND d.col = a.col), "
-        "c AS (SELECT "
-        "CAST(SUM(x * y) AS BIGINT) AS n11, "
-        "CAST(SUM(x * (1 - y)) AS BIGINT) AS n10, "
-        "CAST(SUM((1 - x) * y) AS BIGINT) AS n01, "
-        "CAST(SUM((1 - x) * (1 - y)) AS BIGINT) AS n00 FROM j), "
-        "f AS (SELECT n11, n10, n01, n00, "
-        "n11 + n10 + n01 + n00 AS n, "
-        "CAST(n11 + n00 AS DOUBLE) "
-        "/ CAST(n11 + n10 + n01 + n00 AS DOUBLE) AS po, "
-        "CAST((n11 + n10) * (n11 + n01) "
-        "+ (n01 + n00) * (n10 + n00) AS DOUBLE) "
-        "/ (CAST(n11 + n10 + n01 + n00 AS DOUBLE) "
-        "* CAST(n11 + n10 + n01 + n00 AS DOUBLE)) AS pe FROM c) "
-        "SELECT n11, n10, n01, n00, "
-        "ROUND((po - pe) / (1.0 - pe), 6) AS kappa FROM f"
-    )
-    out["calibration_bins"] = (
-        # decile reliability bins of band 2's deci score vs band 1's
-        # k>250 mask; exact integer bin sums -- mirrors
-        # _q_calibration_bins
-        f"WITH mb AS ({_mb_grid}), "
-        "j AS (SELECT d.k // 50 AS bin, d.k AS score, "
-        "CASE WHEN a.k > 250 THEN 1 ELSE 0 END AS lab FROM "
-        "(SELECT row, col, k FROM mb WHERE band = 1 "
-        "AND k IS NOT NULL) a "
-        "JOIN (SELECT row, col, k FROM mb WHERE band = 2 "
-        "AND k IS NOT NULL) d ON d.row = a.row AND d.col = a.col) "
-        "SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, "
-        "ROUND(CAST(SUM(score) AS DOUBLE) "
-        "/ CAST(COUNT(*) AS DOUBLE), 6) AS mean_score_deci, "
-        "ROUND(CAST(SUM(lab) AS DOUBLE) "
-        "/ CAST(COUNT(*) AS DOUBLE), 6) AS frac_pos "
-        "FROM j GROUP BY bin ORDER BY bin"
-    )
-    out["mcnemar_test"] = (
-        # McNemar discordant-pair chi2 (+ Edwards continuity) of the
-        # two bands' k>250 masks -- mirrors _q_mcnemar_test
-        f"WITH mb AS ({_mb_grid}), "
-        "j AS (SELECT CASE WHEN a.k > 250 THEN 1 ELSE 0 END AS x, "
-        "CASE WHEN d.k > 250 THEN 1 ELSE 0 END AS y FROM "
-        "(SELECT row, col, k FROM mb WHERE band = 1 "
-        "AND k IS NOT NULL) a "
-        "JOIN (SELECT row, col, k FROM mb WHERE band = 2 "
-        "AND k IS NOT NULL) d ON d.row = a.row AND d.col = a.col), "
-        "c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(x * (1 - y)) AS BIGINT) AS b, "
-        "CAST(SUM((1 - x) * y) AS BIGINT) AS c FROM j) "
-        "SELECT n AS n_pairs, b AS b_only1, c AS c_only2, "
-        "ROUND(CAST((b - c) * (b - c) AS DOUBLE) "
-        "/ CAST(b + c AS DOUBLE), 6) AS chi2, "
-        "ROUND(CAST((ABS(b - c) - 1) * (ABS(b - c) - 1) AS DOUBLE) "
-        "/ CAST(b + c AS DOUBLE), 6) AS chi2_cc FROM c"
-    )
-    out["roc_auc"] = (
-        # Mann-Whitney AUC with doubled tie-averaged ranks over the
-        # bounded score domain -- mirrors _q_roc_auc
-        f"WITH mb AS ({_mb_grid}), "
-        "j AS (SELECT d.k AS score, "
-        "CASE WHEN a.k > 250 THEN 1 ELSE 0 END AS lab FROM "
-        "(SELECT row, col, k FROM mb WHERE band = 1 "
-        "AND k IS NOT NULL) a "
-        "JOIN (SELECT row, col, k FROM mb WHERE band = 2 "
-        "AND k IS NOT NULL) d ON d.row = a.row AND d.col = a.col), "
-        "c AS (SELECT score, CAST(SUM(lab) AS BIGINT) AS pos, "
-        "CAST(COUNT(*) AS BIGINT) AS tot FROM j GROUP BY score), "
-        "w AS (SELECT score, pos, tot, "
-        "CAST(SUM(tot) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) "
-        "- tot AS BIGINT) AS cum_lt FROM c), "
-        "m AS (SELECT CAST(SUM((2 * cum_lt + tot + 1) * pos) AS BIGINT) "
-        "AS r2p, CAST(SUM(pos) AS BIGINT) AS n1, "
-        "CAST(SUM(tot) AS BIGINT) AS nt FROM w) "
-        "SELECT n1 AS n_pos, nt - n1 AS n_neg, "
-        "ROUND(CAST(r2p - n1 * (n1 + 1) AS DOUBLE) "
-        "/ CAST(2 * n1 * (nt - n1) AS DOUBLE), 6) AS auc FROM m"
-    )
-    out["average_precision"] = (
-        # step AP with distinct-score tie groups, 1e12-quantized
-        # precision terms -- mirrors _q_average_precision
-        f"WITH mb AS ({_mb_grid}), "
-        "j AS (SELECT d.k AS score, "
-        "CASE WHEN a.k > 250 THEN 1 ELSE 0 END AS lab FROM "
-        "(SELECT row, col, k FROM mb WHERE band = 1 "
-        "AND k IS NOT NULL) a "
-        "JOIN (SELECT row, col, k FROM mb WHERE band = 2 "
-        "AND k IS NOT NULL) d ON d.row = a.row AND d.col = a.col), "
-        "c AS (SELECT score, CAST(SUM(lab) AS BIGINT) AS pos, "
-        "CAST(COUNT(*) AS BIGINT) AS tot FROM j GROUP BY score), "
-        "w AS (SELECT score, pos, tot, "
-        "CAST(SUM(pos) OVER (ORDER BY score DESC "
-        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp, "
-        "CAST(SUM(tot) OVER (ORDER BY score DESC "
-        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ct FROM c), "
-        "t AS (SELECT CAST(SUM(CAST(ROUND(CAST(cp AS DOUBLE) "
-        "/ CAST(ct AS DOUBLE) * 1e12, 0) AS BIGINT) * pos) AS BIGINT) "
-        "AS s, CAST(SUM(pos) AS BIGINT) AS n1 FROM w) "
-        "SELECT n1 AS n_pos, "
-        "ROUND(CAST(s AS DOUBLE) / 1e12 / CAST(n1 AS DOUBLE), 6) "
-        "AS average_precision FROM t"
-    )
-    out["lift_at_decile"] = (
-        # positive rate above the exact P90 score vs base rate --
-        # mirrors _q_lift_at_decile
-        f"WITH mb AS ({_mb_grid}), "
-        "j AS (SELECT d.k AS score, "
-        "CASE WHEN a.k > 250 THEN 1 ELSE 0 END AS lab FROM "
-        "(SELECT row, col, k FROM mb WHERE band = 1 "
-        "AND k IS NOT NULL) a "
-        "JOIN (SELECT row, col, k FROM mb WHERE band = 2 "
-        "AND k IS NOT NULL) d ON d.row = a.row AND d.col = a.col), "
-        "q AS (SELECT quantile_disc(score, 0.9) AS th FROM j), "
-        "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(lab) AS BIGINT) AS n1 FROM j), "
-        "tp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_top, "
-        "CAST(SUM(lab) AS BIGINT) AS p_top FROM j, q "
-        "WHERE j.score > q.th) "
-        "SELECT q.th AS threshold_score, tp.n_top, "
-        "tp.p_top AS pos_top, "
-        "ROUND((CAST(tp.p_top AS DOUBLE) / CAST(tp.n_top AS DOUBLE)) "
-        "/ (CAST(t.n1 AS DOUBLE) / CAST(t.n AS DOUBLE)), 6) AS lift "
-        "FROM q, t, tp"
-    )
-    out["lbp_histogram"] = (
-        # 8-bit local binary pattern codes over fully-valid 3x3
-        # windows, clockwise from top-left; integer counts -- mirrors
-        # _q_lbp_histogram
-        f"WITH g AS ({_OG_SLOPE_GRID_SQL}), w AS ("
-        "SELECT e.z AS ze, "
-        "n1.z AS za, n2.z AS zb, n3.z AS zc, n4.z AS zd, "
-        "n6.z AS zf, n7.z AS zg, n8.z AS zh, n9.z AS zi "
-        "FROM g e "
-        "JOIN g n1 ON n1.row = e.row - 1 AND n1.col = e.col - 1 "
-        "JOIN g n2 ON n2.row = e.row - 1 AND n2.col = e.col "
-        "JOIN g n3 ON n3.row = e.row - 1 AND n3.col = e.col + 1 "
-        "JOIN g n4 ON n4.row = e.row AND n4.col = e.col - 1 "
-        "JOIN g n6 ON n6.row = e.row AND n6.col = e.col + 1 "
-        "JOIN g n7 ON n7.row = e.row + 1 AND n7.col = e.col - 1 "
-        "JOIN g n8 ON n8.row = e.row + 1 AND n8.col = e.col "
-        "JOIN g n9 ON n9.row = e.row + 1 AND n9.col = e.col + 1 "
-        "WHERE e.z > -1e30 AND n1.z > -1e30 AND n2.z > -1e30 "
-        "AND n3.z > -1e30 AND n4.z > -1e30 AND n6.z > -1e30 "
-        "AND n7.z > -1e30 AND n8.z > -1e30 AND n9.z > -1e30), "
-        "c AS (SELECT "
-        "CAST(CASE WHEN za > ze THEN 1 ELSE 0 END "
-        "+ CASE WHEN zb > ze THEN 2 ELSE 0 END "
-        "+ CASE WHEN zc > ze THEN 4 ELSE 0 END "
-        "+ CASE WHEN zf > ze THEN 8 ELSE 0 END "
-        "+ CASE WHEN zi > ze THEN 16 ELSE 0 END "
-        "+ CASE WHEN zh > ze THEN 32 ELSE 0 END "
-        "+ CASE WHEN zg > ze THEN 64 ELSE 0 END "
-        "+ CASE WHEN zd > ze THEN 128 ELSE 0 END AS BIGINT) AS code "
-        "FROM w) "
-        "SELECT code, CAST(COUNT(*) AS BIGINT) AS n FROM c "
-        "GROUP BY code ORDER BY code"
-    )
-    out["glcm_texture"] = (
-        # horizontal-offset-1 GLCM contrast/homogeneity/energy from
-        # exact integer co-occurrence counts, homogeneity terms
-        # 1e9-quantized -- mirrors _q_glcm_texture
-        f"WITH g AS ({_OG_SLOPE_GRID_SQL}), "
-        "q AS (SELECT row, col, "
-        "(CAST(ROUND(z * 10, 0) AS BIGINT) * 8) // 500 AS k "
-        "FROM g WHERE z > -1e30), "
-        "p AS (SELECT a.k AS li, b.k AS lj FROM q a "
-        "JOIN q b ON b.row = a.row AND b.col = a.col + 1), "
-        "c AS (SELECT li, lj, CAST(COUNT(*) AS BIGINT) AS n "
-        "FROM p GROUP BY li, lj), "
-        "t AS (SELECT CAST(SUM(n) AS BIGINT) AS ntot, "
-        "CAST(SUM(n * (li - lj) * (li - lj)) AS BIGINT) AS csum, "
-        "CAST(SUM(CAST(ROUND(CAST(n AS DOUBLE) "
-        "/ (1.0 + CAST((li - lj) * (li - lj) AS DOUBLE)) * 1e9, 0) "
-        "AS BIGINT)) AS BIGINT) AS hsum, "
-        "CAST(SUM(n * n) AS BIGINT) AS esum FROM c) "
-        "SELECT ntot AS n_pairs, "
-        "ROUND(CAST(csum AS DOUBLE) / CAST(ntot AS DOUBLE), 6) "
-        "AS contrast, "
-        "ROUND(CAST(hsum AS DOUBLE) / 1e9 / CAST(ntot AS DOUBLE), 6) "
-        "AS homogeneity, "
-        "ROUND(CAST(esum AS DOUBLE) "
-        "/ (CAST(ntot AS DOUBLE) * CAST(ntot AS DOUBLE)), 6) "
-        "AS energy FROM t"
-    )
-    out["binseg_changepoint"] = (
-        # split minimizing quantized SSE_left + SSE_right over the
-        # dense day series; integer argmin, lowest-day ties -- mirrors
-        # _q_binseg_changepoint
-        "WITH c0 AS (SELECT epoch_us(ts) // 86400000000 AS d, "
-        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1), "
-        "mm AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM c0), "
-        "dd AS (SELECT r.range AS t, mm.lo + r.range AS d "
-        "FROM range(0, 4096) r, mm WHERE r.range <= mm.hi - mm.lo), "
-        "dn AS (SELECT dd.t, COALESCE(c0.x, 0) AS x "
-        "FROM dd LEFT JOIN c0 ON c0.d = dd.d), "
-        "pf AS (SELECT t, CAST(SUM(x) OVER (ORDER BY t "
-        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c, "
-        "CAST(SUM(x * x) OVER (ORDER BY t "
-        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS c2 FROM dn), "
-        "tt AS (SELECT MAX(c) AS s_tot, MAX(c2) AS q_tot, "
-        "CAST(COUNT(*) AS BIGINT) AS n FROM pf), "
-        "sp AS (SELECT pf.t + 1 AS t, pf.c AS sl, pf.c2 AS ql "
-        "FROM pf, tt WHERE pf.t + 1 <= tt.n - 1), "
-        "cost AS (SELECT sp.t, CAST(ROUND((("
-        "CAST(sp.ql AS DOUBLE) - CAST(sp.sl AS DOUBLE) "
-        "* CAST(sp.sl AS DOUBLE) / CAST(sp.t AS DOUBLE)) "
-        "+ (CAST(tt.q_tot - sp.ql AS DOUBLE) "
-        "- CAST(tt.s_tot - sp.sl AS DOUBLE) "
-        "* CAST(tt.s_tot - sp.sl AS DOUBLE) "
-        "/ CAST(tt.n - sp.t AS DOUBLE))) * 1e6, 0) AS BIGINT) AS cq "
-        "FROM sp, tt) "
-        "SELECT cost.t AS split_day_offset, cost.cq AS cost_q, "
-        "ROUND(CAST(tt.q_tot AS DOUBLE) - CAST(tt.s_tot AS DOUBLE) "
-        "* CAST(tt.s_tot AS DOUBLE) / CAST(tt.n AS DOUBLE), 6) "
-        "AS full_sse "
-        "FROM cost, tt ORDER BY cost.cq, cost.t LIMIT 1"
-    )
-    out["qq_slope"] = (
-        # exact decile order statistics of both cents columns + the
-        # through-origin OLS slope -- mirrors _q_qq_slope
-        "WITH pts AS ("
-        + " UNION ALL ".join(
-            f"SELECT CAST({q!r} AS DOUBLE) AS q, "
-            f"(SELECT quantile_disc("
-            f"CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT), {q!r}) "
-            f"FROM lineitem) AS a, "
-            f"(SELECT quantile_disc("
-            f"CAST(ROUND(p_retailprice * 100, 0) AS BIGINT), {q!r}) "
-            f"FROM part) AS b"
-            for q in [i / 10.0 for i in range(1, 10)]
-        )
-        + "), m AS (SELECT CAST(SUM(a * b) AS BIGINT) AS sxy, "
-        "CAST(SUM(b * b) AS BIGINT) AS sxx FROM pts) "
-        "SELECT pts.q, pts.a AS lineitem_cents, pts.b AS part_cents, "
-        "ROUND(CAST(m.sxy AS DOUBLE) / CAST(m.sxx AS DOUBLE), 6) "
-        "AS qq_slope FROM pts, m"
-    )
-    out["raster_entropy"] = (
-        # per-value 1e12-quantized n*ln(n/N) terms -- mirrors
-        # _q_raster_entropy
-        f"WITH g AS ({_OG_SLOPE_GRID_SQL}), "
-        "v AS (SELECT CAST(ROUND(z * 10, 0) AS BIGINT) AS vq "
-        "FROM g WHERE z > -1e30), "
-        "c AS (SELECT vq, CAST(COUNT(*) AS BIGINT) AS n "
-        "FROM v GROUP BY vq), "
-        "t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot, "
-        "CAST(COUNT(*) AS BIGINT) AS nd FROM c), "
-        "q AS (SELECT CAST(ROUND(CAST(n AS DOUBLE) "
-        "* LN(CAST(n AS DOUBLE) / CAST(t.tot AS DOUBLE)) * 1e12, 0) "
-        "AS BIGINT) AS tq FROM c, t) "
-        "SELECT t.tot AS n_cells, t.nd AS n_distinct, "
-        "ROUND(-CAST(SUM(tq) AS DOUBLE) / 1e12 / CAST(t.tot AS DOUBLE), "
-        "6) AS entropy_nats FROM q, t GROUP BY t.tot, t.nd"
-    )
-    out["markov_top1_accuracy"] = (
-        # modal-next-event hit rate; integer counts -- mirrors
-        # _q_markov_top1_accuracy
-        "WITH s AS (SELECT user_id, event_type, "
-        "LEAD(event_type) OVER (PARTITION BY user_id "
-        "ORDER BY ts, event_id) AS nxt FROM events), "
-        "tr AS (SELECT event_type AS src, nxt AS dst, "
-        "CAST(COUNT(*) AS BIGINT) AS n FROM s "
-        "WHERE nxt IS NOT NULL GROUP BY 1, 2), "
-        "rt AS (SELECT src, CAST(MAX(n) AS BIGINT) AS best "
-        "FROM tr GROUP BY src) "
-        "SELECT (SELECT CAST(SUM(n) AS BIGINT) FROM tr) "
-        "AS n_transitions, "
-        "CAST(SUM(best) AS BIGINT) AS n_hits, "
-        "ROUND(CAST(SUM(best) AS DOUBLE) "
-        "/ (SELECT CAST(SUM(n) AS DOUBLE) FROM tr), 6) "
-        "AS top1_accuracy FROM rt"
-    )
-    out["intrinsic_dim"] = (
-        # TwoNN: order-statistic 1st/2nd squared NN distances over
-        # 1e4-tick integer vectors (list_inner_product is exact here:
-        # every term < 2^53); log-ratio terms quantized at 1e12 --
-        # mirrors _q_intrinsic_dim
-        "WITH q AS (SELECT vec_id, list_transform(embedding, "
-        "x -> CAST(ROUND(CAST(x AS DOUBLE) * 1e4, 0) AS BIGINT)) AS vq "
-        "FROM embeddings), "
-        "v2 AS (SELECT vec_id, vq, list_inner_product(vq, vq) AS s2 "
-        "FROM q), "
-        "p AS (SELECT a.vec_id AS i, "
-        "a.s2 + b.s2 - 2 * list_inner_product(a.vq, b.vq) AS d2, "
-        "b.vec_id AS j, "
-        "ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY "
-        "a.s2 + b.s2 - 2 * list_inner_product(a.vq, b.vq), b.vec_id) "
-        "AS rn FROM v2 a JOIN v2 b ON b.vec_id <> a.vec_id), "
-        "nn AS (SELECT i, "
-        "MAX(CASE WHEN rn = 1 THEN d2 END) AS d1, "
-        "MAX(CASE WHEN rn = 2 THEN d2 END) AS d2nd "
-        "FROM p WHERE rn <= 2 GROUP BY i), "
-        "tq AS (SELECT CAST(ROUND(LN(CAST(d2nd AS DOUBLE) "
-        "/ CAST(d1 AS DOUBLE)) * 1e12, 0) AS BIGINT) AS t "
-        "FROM nn WHERE d1 > 0) "
-        "SELECT CAST(COUNT(*) AS BIGINT) AS n_points, "
-        "ROUND(2.0 * CAST(COUNT(*) AS DOUBLE) "
-        "/ (CAST(SUM(t) AS DOUBLE) / 1e12), 6) AS intrinsic_dim "
-        "FROM tq"
-    )
-    out["promo_revenue_share"] = (
-        # Q14-shaped monthly promo share; cents exact -- mirrors
-        # _q_promo_revenue_share (month_idx = year*12 + month - 1)
-        "WITH j AS (SELECT l.l_shipdate, "
-        "CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100, 0) "
-        "AS BIGINT) AS cents, p.p_type FROM lineitem l "
-        "JOIN part p ON p.p_partkey = l.l_partkey), "
-        "m AS (SELECT CAST(DATE_PART('year', l_shipdate) * 12 "
-        "+ DATE_PART('month', l_shipdate) - 1 AS BIGINT) AS month_idx, "
-        "CAST(SUM(cents) AS BIGINT) AS rev, "
-        "CAST(SUM(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END) "
-        "AS BIGINT) AS pr FROM j GROUP BY 1) "
-        "SELECT month_idx, rev AS revenue_cents, "
-        "ROUND(100.0 * CAST(pr AS DOUBLE) / CAST(rev AS DOUBLE), 6) "
-        "AS promo_share_pct FROM m"
-    )
-    out["ship_delay_histogram"] = (
-        # per-priority ship-latency day buckets; pure counts --
-        # mirrors _q_ship_delay_histogram
-        "WITH j AS (SELECT "
-        "epoch_us(l.l_shipdate) // 86400000000 "
-        "- epoch_us(o.o_orderdate) // 86400000000 AS delay, "
-        "o.o_orderpriority AS priority FROM lineitem l "
-        "JOIN orders o ON o.o_orderkey = l.l_orderkey) "
-        "SELECT priority, "
-        "CAST(CASE WHEN delay <= 7 THEN 0 WHEN delay <= 30 THEN 1 "
-        "WHEN delay <= 90 THEN 2 ELSE 3 END AS BIGINT) AS bucket, "
-        "CAST(COUNT(*) AS BIGINT) AS n FROM j GROUP BY 1, 2"
-    )
-    out["rusle_ls"] = (
-        # Moore-Burch LS factor over the same acc/slope composition as
-        # twi -- mirrors _q_rusle_ls
-        f"WITH RECURSIVE fd AS ({out['flow_direction']}), "
-        "e AS MATERIALIZED (SELECT f.row AS r, f.col AS c, "
-        "f.row + CASE f.d8 WHEN 2 THEN 1 WHEN 4 THEN 1 WHEN 8 THEN 1 "
-        "WHEN 32 THEN -1 WHEN 64 THEN -1 WHEN 128 THEN -1 "
-        "ELSE 0 END AS nr, "
-        "f.col + CASE f.d8 WHEN 1 THEN 1 WHEN 2 THEN 1 WHEN 128 THEN 1 "
-        "WHEN 8 THEN -1 WHEN 16 THEN -1 WHEN 32 THEN -1 "
-        "ELSE 0 END AS nc "
-        "FROM fd f WHERE f.d8 <> 0), "
-        "en AS MATERIALIZED (SELECT e.r, e.c, e.nr, e.nc FROM e "
-        "JOIN fd t ON t.row = e.nr AND t.col = e.nc), "
-        "reach(sr, sc, r, c) AS ("
-        "SELECT en.r, en.c, en.nr, en.nc FROM en "
-        "UNION "
-        "SELECT reach.sr, reach.sc, en.nr, en.nc FROM reach "
-        "JOIN en ON en.r = reach.r AND en.c = reach.c), "
-        "anc AS (SELECT r, c, COUNT(*) AS n FROM reach GROUP BY r, c), "
-        "acc AS (SELECT f.row, f.col, "
-        "CAST(1 + COALESCE(anc.n, 0) AS BIGINT) AS acc "
-        "FROM fd f LEFT JOIN anc ON anc.r = f.row AND anc.c = f.col), "
-        f"g AS ({_OG_SLOPE_GRID_SQL}), w AS ("
-        "SELECT e.row AS row, e.col AS col, "
-        "n1.z AS za, n2.z AS zb, n3.z AS zc, n4.z AS zd, e.z AS ze, "
-        "n6.z AS zf, n7.z AS zg, n8.z AS zh, n9.z AS zi "
-        "FROM g e "
-        "JOIN g n1 ON n1.row = e.row - 1 AND n1.col = e.col - 1 "
-        "JOIN g n2 ON n2.row = e.row - 1 AND n2.col = e.col "
-        "JOIN g n3 ON n3.row = e.row - 1 AND n3.col = e.col + 1 "
-        "JOIN g n4 ON n4.row = e.row AND n4.col = e.col - 1 "
-        "JOIN g n6 ON n6.row = e.row AND n6.col = e.col + 1 "
-        "JOIN g n7 ON n7.row = e.row + 1 AND n7.col = e.col - 1 "
-        "JOIN g n8 ON n8.row = e.row + 1 AND n8.col = e.col "
-        "JOIN g n9 ON n9.row = e.row + 1 AND n9.col = e.col + 1), "
-        "s AS (SELECT row, col, 100.0 * SQRT(p * p + q * q) AS slope_pct "
-        "FROM (SELECT row, col, "
-        "((zc + 2.0 * zf + zi) - (za + 2.0 * zd + zg)) / (8.0 * 0.01) AS p, "
-        "((zg + 2.0 * zh + zi) - (za + 2.0 * zb + zc)) / (8.0 * 0.01) AS q "
-        "FROM w WHERE za > -1e30 AND zb > -1e30 AND zc > -1e30 "
-        "AND zd > -1e30 AND ze > -1e30 AND zf > -1e30 "
-        "AND zg > -1e30 AND zh > -1e30 AND zi > -1e30)) "
-        "SELECT s.row, s.col, "
-        "ROUND(POW(CAST(acc.acc AS DOUBLE) * 0.01 / 22.13, 0.4) "
-        "* POW(SIN(ATAN(s.slope_pct / 100.0)) / 0.0896, 1.3), 6) AS ls "
-        "FROM s JOIN acc ON acc.row = s.row AND acc.col = s.col "
-        "WHERE s.slope_pct > 0"
-    )
-    out["rich_club"] = (
-        # phi(k) over the edit-1 graph; exact counts -- mirrors
-        # _q_rich_club
-        "WITH v AS (SELECT DISTINCT source AS token FROM documents "
-        "WHERE LEN(source) >= 4), "
-        "e AS (SELECT a.token AS w1, b.token AS w2 FROM v a JOIN v b "
-        "ON a.token < b.token "
-        "AND ABS(LEN(a.token) - LEN(b.token)) <= 1 "
-        "AND LEVENSHTEIN(a.token, b.token) = 1), "
-        "d AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS deg FROM ("
-        "SELECT w1 AS token FROM e UNION ALL SELECT w2 FROM e) "
-        "GROUP BY token), "
-        "q AS (SELECT k.k AS k, "
-        "(SELECT CAST(COUNT(*) AS BIGINT) FROM d WHERE deg > k.k) AS nk, "
-        "(SELECT CAST(COUNT(*) AS BIGINT) FROM e "
-        "JOIN d da ON da.token = e.w1 JOIN d db ON db.token = e.w2 "
-        "WHERE da.deg > k.k AND db.deg > k.k) AS ek "
-        "FROM (VALUES (2), (4), (8)) k(k)) "
-        "SELECT CAST(k AS BIGINT) AS k, nk AS n_nodes, ek AS n_edges, "
-        "CASE WHEN nk < 2 THEN CAST('nan' AS DOUBLE) "
-        "ELSE ROUND(2.0 * CAST(ek AS DOUBLE) "
-        "/ (CAST(nk AS DOUBLE) * CAST(nk - 1 AS DOUBLE)), 6) END AS phi "
-        "FROM q"
-    )
-    out["dasymetric_alloc"] = " UNION ALL ".join(
-        f"SELECT '{pid}' AS polygon_id, pix, ROUND("
-        f"(SELECT CAST(COUNT(*) AS DOUBLE) FROM "
-        f"(SELECT 77.0 + CAST(event_id % 96 AS DOUBLE) * 0.01 AS lon, "
-        f"28.05 + CAST((event_id // 96) % 96 AS DOUBLE) * 0.01 AS lat "
-        f"FROM events) e WHERE {_halfplane_sql(poly)}) "
-        f"* CAST(CAST(ROUND(z * 10, 0) AS BIGINT) AS DOUBLE) "
-        f"/ (SELECT CAST(SUM(CAST(ROUND(z * 10, 0) AS BIGINT)) AS DOUBLE) "
-        f"FROM ({valid}) WHERE {_halfplane_sql(poly)}), 6) AS alloc "
-        f"FROM ({valid}) WHERE {_halfplane_sql(poly)}"
-        for pid, poly in OG_POLYGONS.items()
-        if pid != "q_out"
-    )
-    out["location_quotient"] = (
-        # per-block purchase concentration vs the global share --
-        # mirrors _q_location_quotient
-        "WITH b AS (SELECT ((event_id % 96) // 8) AS bx, "
-        "(((event_id // 96) % 96) // 8) AS by, "
-        "CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
-        "AS BIGINT) AS np FROM events GROUP BY 1, 2), "
-        "t AS (SELECT CAST(SUM(n) AS BIGINT) AS tn, "
-        "CAST(SUM(np) AS BIGINT) AS tp FROM b) "
-        "SELECT bx, by, n AS n_events, np AS n_purchases, "
-        "ROUND((CAST(np AS DOUBLE) / CAST(n AS DOUBLE)) "
-        "/ (CAST(t.tp AS DOUBLE) / CAST(t.tn AS DOUBLE)), 6) AS lq "
-        "FROM b, t"
-    )
-    out["degree_assortativity"] = (
-        # Newman r over both edge orientations; exact int64 moments
-        # -- mirrors _q_degree_assortativity on the edit1_pairs graph
-        "WITH v AS (SELECT DISTINCT source AS token FROM documents "
-        "WHERE LEN(source) >= 4), "
-        "e AS (SELECT a.token AS w1, b.token AS w2 FROM v a JOIN v b "
-        "ON a.token < b.token "
-        "AND ABS(LEN(a.token) - LEN(b.token)) <= 1 "
-        "AND LEVENSHTEIN(a.token, b.token) = 1), "
-        "d AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS deg FROM ("
-        "SELECT w1 AS token FROM e UNION ALL SELECT w2 FROM e) "
-        "GROUP BY token), "
-        "p AS (SELECT da.deg AS x, db.deg AS y FROM e "
-        "JOIN d da ON da.token = e.w1 JOIN d db ON db.token = e.w2 "
-        "UNION ALL SELECT db.deg, da.deg FROM e "
-        "JOIN d da ON da.token = e.w1 JOIN d db ON db.token = e.w2), "
-        "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, "
-        "CAST(SUM(x * x) AS BIGINT) AS sxx, "
-        "CAST(SUM(y * y) AS BIGINT) AS syy, "
-        "CAST(SUM(x * y) AS BIGINT) AS sxy FROM p) "
-        "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges, "
-        "(SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_nodes, "
-        "ROUND(CAST(n * sxy - sx * sy AS DOUBLE) "
-        "/ (SQRT(CAST(n * sxx - sx * sx AS DOUBLE)) "
-        "* SQRT(CAST(n * syy - sy * sy AS DOUBLE))), 6) "
-        "AS assortativity FROM m"
-    )
-    out["word_burstiness"] = (
-        # df vs Poisson-expected df for the top-20 tf tokens --
-        # mirrors _q_word_burstiness
-        "WITH nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n "
-        "FROM documents), "
-        "tk AS (SELECT doc_id, "
-        "UNNEST(regexp_split_to_array(text, '\\s+')) AS token "
-        "FROM documents), "
-        "t2 AS (SELECT doc_id, token FROM tk WHERE token <> ''), "
-        "m AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS tf, "
-        "CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df "
-        "FROM t2 GROUP BY token) "
-        "SELECT token, tf, df, "
-        "ROUND(CAST(df AS DOUBLE) / (CAST(nd.n AS DOUBLE) "
-        "* (1.0 - EXP(-CAST(tf AS DOUBLE) / CAST(nd.n AS DOUBLE)))), 6) "
-        "AS burstiness FROM m, nd "
-        "ORDER BY tf DESC, token LIMIT 20"
-    )
-    out["emerging_hotspots"] = (
-        # per-bin Gi* on the 24x24 lattice + Mann-Kendall sign trend
-        # over the three rounded z values -- mirrors
-        # _q_emerging_hotspots
-        "WITH e AS (SELECT ((event_id % 96) // 4) AS gx, "
-        "(((event_id // 96) % 96) // 4) AS gy, "
-        "epoch_us(ts) // 86400000000 AS day FROM events), "
-        "md AS (SELECT MIN(day) AS md FROM e), "
-        "c AS (SELECT (day - md.md) // 10 AS bin, gx, gy, "
-        "COUNT(*) AS n FROM e, md GROUP BY 1, 2, 3), "
-        "lat AS (SELECT t.b AS bin, a.i AS gx, b.i AS gy "
-        "FROM generate_series(0, 23) a(i) "
-        "CROSS JOIN generate_series(0, 23) b(i) "
-        "CROSS JOIN (VALUES (0), (1), (2)) t(b)), "
-        "x AS (SELECT lat.bin, lat.gx, lat.gy, "
-        "CAST(COALESCE(c.n, 0) AS DOUBLE) AS v FROM lat "
-        "LEFT JOIN c ON c.bin = lat.bin AND c.gx = lat.gx "
-        "AND c.gy = lat.gy), "
-        "s AS (SELECT bin, CAST(COUNT(*) AS DOUBLE) AS nn, "
-        "SUM(v) / COUNT(*) AS mu, "
-        "SQRT(SUM(v * v) / COUNT(*) - "
-        "(SUM(v) / COUNT(*)) * (SUM(v) / COUNT(*))) AS sd "
-        "FROM x GROUP BY bin), "
-        "w AS (SELECT a.bin, a.gx, a.gy, SUM(b.v) AS win, "
-        "CAST(COUNT(*) AS DOUBLE) AS cnt FROM x a JOIN x b "
-        "ON b.bin = a.bin AND abs(a.gx - b.gx) <= 1 "
-        "AND abs(a.gy - b.gy) <= 1 GROUP BY 1, 2, 3), "
-        "z AS (SELECT w.bin, w.gx, w.gy, "
-        "ROUND((win - s.mu * cnt) / (s.sd * SQRT((s.nn * cnt "
-        "- cnt * cnt) / (s.nn - 1))), 6) AS z "
-        "FROM w JOIN s ON s.bin = w.bin), "
-        "p AS (SELECT gx, gy, "
-        "MAX(CASE WHEN bin = 0 THEN z END) AS z0, "
-        "MAX(CASE WHEN bin = 1 THEN z END) AS z1, "
-        "MAX(CASE WHEN bin = 2 THEN z END) AS z2 "
-        "FROM z GROUP BY gx, gy) "
-        "SELECT gx, gy, z0 AS z_bin0, z1 AS z_bin1, z2 AS z_bin2, "
-        "CAST(SIGN(z1 - z0) + SIGN(z2 - z0) + SIGN(z2 - z1) "
-        "AS BIGINT) AS mk_s FROM p"
-    )
-    out["dickey_fuller"] = (
-        # unit-root regression on the dense daily series; exact int
-        # moments, pinned float t-stat chain -- mirrors
-        # _q_dickey_fuller
-        "WITH c0 AS (SELECT epoch_us(ts) // 86400000000 AS d, "
-        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1), "
-        "mm AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM c0), "
-        "dd AS (SELECT r.range AS t, mm.lo + r.range AS d "
-        "FROM range(0, 4096) r, mm WHERE r.range <= mm.hi - mm.lo), "
-        "dn AS (SELECT dd.t, COALESCE(c0.x, 0) AS x "
-        "FROM dd LEFT JOIN c0 ON c0.d = dd.d), "
-        "p AS (SELECT a.x AS xlag, b.x - a.x AS dx FROM dn a "
-        "JOIN dn b ON b.t = a.t + 1), "
-        "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(xlag) AS BIGINT) AS sx, "
-        "CAST(SUM(dx) AS BIGINT) AS sd, "
-        "CAST(SUM(xlag * xlag) AS BIGINT) AS sxx, "
-        "CAST(SUM(xlag * dx) AS BIGINT) AS sxd, "
-        "CAST(SUM(dx * dx) AS BIGINT) AS sdd FROM p), "
-        "bb AS (SELECT n, sx, sd, sxd, sdd, sxx, "
-        "CAST(n * sxd - sx * sd AS DOUBLE) "
-        "/ CAST(n * sxx - sx * sx AS DOUBLE) AS b FROM m), "
-        "aa AS (SELECT n, sx, sd, sxd, sdd, sxx, b, "
-        "(CAST(sd AS DOUBLE) - b * CAST(sx AS DOUBLE)) "
-        "/ CAST(n AS DOUBLE) AS a FROM bb), "
-        "s AS (SELECT n, sxx, sx, b, "
-        "CAST(sdd AS DOUBLE) - a * CAST(sd AS DOUBLE) "
-        "- b * CAST(sxd AS DOUBLE) AS sse FROM aa) "
-        "SELECT n AS n_obs, ROUND(b, 6) AS beta, "
-        "ROUND(b / SQRT(sse / CAST(n - 2 AS DOUBLE) "
-        "/ (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) "
-        "* CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS t_stat "
-        "FROM s"
-    )
-    out["simplified_silhouette"] = (
-        # centroid-silhouette in exact integer quadratics (1e4-tick
-        # values, n^2*|v|^2 - 2n*(v.c) + |c|^2), per-point s quantized
-        # at 1e9 -- mirrors _q_simplified_silhouette
-        "WITH ev AS (SELECT vec_id, label, "
-        "generate_subscripts(embedding, 1) AS dim, "
-        "CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * 1e4, 0) "
-        "AS BIGINT) AS vq FROM embeddings), "
-        "nl AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n "
-        "FROM embeddings GROUP BY label), "
-        "cd AS (SELECT label, dim, CAST(SUM(vq) AS BIGINT) AS c "
-        "FROM ev GROUP BY label, dim), "
-        "v2 AS (SELECT vec_id, label, "
-        "CAST(SUM(vq * vq) AS BIGINT) AS v2 "
-        "FROM ev GROUP BY vec_id, label), "
-        "vc AS (SELECT ev.vec_id, cd.label AS clabel, "
-        "CAST(SUM(ev.vq * cd.c) AS BIGINT) AS vc "
-        "FROM ev JOIN cd ON cd.dim = ev.dim GROUP BY ev.vec_id, cd.label), "
-        "c2 AS (SELECT label, CAST(SUM(c * c) AS BIGINT) AS c2 "
-        "FROM cd GROUP BY label), "
-        "dist AS (SELECT v2.vec_id, v2.label AS plabel, "
-        "vc.clabel, "
-        "SQRT(CAST(nl.n * nl.n * v2.v2 - 2 * nl.n * vc.vc + c2.c2 "
-        "AS DOUBLE)) / (CAST(nl.n AS DOUBLE) * 1e4) AS d "
-        "FROM v2 JOIN vc ON vc.vec_id = v2.vec_id "
-        "JOIN nl ON nl.label = vc.clabel "
-        "JOIN c2 ON c2.label = vc.clabel), "
-        "ab AS (SELECT vec_id, plabel, "
-        "MAX(CASE WHEN clabel = plabel THEN d END) AS a, "
-        "MIN(CASE WHEN clabel <> plabel THEN d END) AS b "
-        "FROM dist GROUP BY vec_id, plabel), "
-        "sq AS (SELECT plabel, CAST(ROUND((b - a) / GREATEST(a, b) "
-        "* 1e9, 0) AS BIGINT) AS sq FROM ab) "
-        "SELECT CAST(plabel AS BIGINT) AS label, "
-        "CAST(COUNT(*) AS BIGINT) AS n_points, "
-        "ROUND(CAST(SUM(sq) AS DOUBLE) / 1e9 "
-        "/ CAST(COUNT(*) AS DOUBLE), 6) AS mean_silhouette "
-        "FROM sq GROUP BY plabel"
-    )
-    out["ols_two_var"] = (
-        # exact HUGEINT normal-equation determinants (Cramer), float
-        # only in the three divisions and the R^2 tail -- mirrors
-        # _q_ols_two_var
-        "WITH q AS (SELECT "
-        "CAST(ROUND(l_quantity, 0) AS BIGINT) AS x1, "
-        "CAST(ROUND(l_discount * 10000, 0) AS BIGINT) AS x2, "
-        "CAST(ROUND(l_extendedprice, 0) AS BIGINT) AS y FROM lineitem), "
-        "m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, "
-        "CAST(SUM(x1) AS HUGEINT) AS s1, "
-        "CAST(SUM(x2) AS HUGEINT) AS s2, "
-        "CAST(SUM(y) AS HUGEINT) AS sy, "
-        "CAST(SUM(x1 * x1) AS HUGEINT) AS s11, "
-        "CAST(SUM(x2 * x2) AS HUGEINT) AS s22, "
-        "CAST(SUM(x1 * x2) AS HUGEINT) AS s12, "
-        "CAST(SUM(x1 * y) AS HUGEINT) AS s1y, "
-        "CAST(SUM(x2 * y) AS HUGEINT) AS s2y, "
-        "CAST(SUM(y * y) AS HUGEINT) AS syy FROM q), "
-        "d AS (SELECT n, sy, s1y, s2y, syy, "
-        "n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) "
-        "+ s2 * (s1 * s12 - s11 * s2) AS d0, "
-        "sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) "
-        "+ s2 * (s1y * s12 - s11 * s2y) AS db0, "
-        "n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) "
-        "+ s2 * (s1 * s2y - s1y * s2) AS db1, "
-        "n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) "
-        "+ sy * (s1 * s12 - s11 * s2) AS db2 FROM m), "
-        "b AS (SELECT n, sy, s1y, s2y, syy, "
-        "CAST(db0 AS DOUBLE) / CAST(d0 AS DOUBLE) AS b0, "
-        "CAST(db1 AS DOUBLE) / CAST(d0 AS DOUBLE) AS b1, "
-        "CAST(db2 AS DOUBLE) / CAST(d0 AS DOUBLE) AS b2 FROM d) "
-        "SELECT CAST(n AS BIGINT) AS n_rows, "
-        "ROUND(b0, 6) AS intercept, ROUND(b1, 6) AS beta_qty, "
-        "ROUND(b2, 6) AS beta_disc_bp, "
-        "ROUND(1.0 - (CAST(syy AS DOUBLE) - (b0 * CAST(sy AS DOUBLE) "
-        "+ b1 * CAST(s1y AS DOUBLE) + b2 * CAST(s2y AS DOUBLE))) "
-        "/ (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) "
-        "* CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS r2 FROM b"
-    )
-    out["simpson_diversity"] = (
-        # unbiased Simpson 1 - sum n(n-1) / N(N-1) per source --
-        # mirrors _q_simpson_diversity
-        "WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n "
-        "FROM documents GROUP BY source, lang), "
-        "s AS (SELECT source, CAST(SUM(n) AS BIGINT) AS tot, "
-        "CAST(SUM(n * (n - 1)) AS BIGINT) AS same "
-        "FROM c GROUP BY source) "
-        "SELECT source, tot AS n_docs, "
-        "ROUND(1.0 - CAST(same AS DOUBLE) / (CAST(tot AS DOUBLE) "
-        "* CAST(tot - 1 AS DOUBLE)), 6) AS simpson_d, "
-        "ROUND(1.0 / (1.0 - (1.0 - CAST(same AS DOUBLE) "
-        "/ (CAST(tot AS DOUBLE) * CAST(tot - 1 AS DOUBLE)))), 6) "
-        "AS effective_langs FROM s"
-    )
-    out["voronoi_assign"] = (
-        # nearest-probe allocation with (d2, fid) tie order and
-        # 1e9-quantized distance sums -- mirrors _q_voronoi_assign
-        f"WITH g AS ({_OG_GRID_SQL}), "
-        "v AS (SELECT pix, lon, lat FROM g WHERE z > -1e30), "
-        "f AS (SELECT * FROM (VALUES "
-        + ", ".join(
-            f"({i}, {p[0]!r}, {p[1]!r})"
-            for i, p in enumerate(OG_KNN_PROBES)
-        )
-        + ") t(fid, px, py)), "
-        "d AS (SELECT v.pix, f.fid, "
-        "(v.lon - f.px) * (v.lon - f.px) "
-        "+ (v.lat - f.py) * (v.lat - f.py) AS d2, "
-        "ROW_NUMBER() OVER (PARTITION BY v.pix "
-        "ORDER BY (v.lon - f.px) * (v.lon - f.px) "
-        "+ (v.lat - f.py) * (v.lat - f.py), f.fid) AS rn "
-        "FROM v, f), "
-        "a AS (SELECT pix, fid, "
-        "CAST(ROUND(SQRT(d2) * 1e9, 0) AS BIGINT) AS term "
-        "FROM d WHERE rn = 1) "
-        "SELECT CAST(fid AS BIGINT) AS facility, "
-        "CAST(COUNT(*) AS BIGINT) AS n_points, "
-        "ROUND(CAST(SUM(term) AS DOUBLE) / 1e9 "
-        "/ CAST(COUNT(*) AS DOUBLE), 6) AS mean_dist "
-        "FROM a GROUP BY fid"
-    )
-    out["kwic_contexts"] = (
-        # (prev, next) contexts of the global top token; adjacency on
-        # the empty-filtered per-doc token list -- mirrors
-        # _q_kwic_contexts
-        "WITH tf AS (SELECT token FROM ("
-        "SELECT UNNEST(regexp_split_to_array(text, '\\s+')) AS token "
-        "FROM documents) WHERE token <> '' "
-        "GROUP BY token ORDER BY COUNT(*) DESC, token LIMIT 1), "
-        "ws AS (SELECT list_filter("
-        "regexp_split_to_array(text, '\\s+'), t -> t <> '') AS ws "
-        "FROM documents), "
-        "k AS (SELECT ws[i - 1] AS prev, ws[i + 1] AS nxt FROM ws, "
-        "LATERAL (SELECT unnest(generate_series(2, len(ws) - 1)) AS i) "
-        "WHERE ws[i] = (SELECT token FROM tf)) "
-        "SELECT prev, nxt, CAST(COUNT(*) AS BIGINT) AS n FROM k "
-        "GROUP BY prev, nxt ORDER BY n DESC, prev, nxt LIMIT 20"
-    )
-    out["vocab_overlap"] = (
-        # distinct (token, source) -> sizes + pair intersections;
-        # zero-intersection pairs preserved via the LEFT JOIN --
-        # mirrors _q_vocab_overlap
-        "WITH tk AS (SELECT source, "
-        "UNNEST(regexp_split_to_array(text, '\\s+')) AS token "
-        "FROM documents), "
-        "d AS (SELECT DISTINCT source, token FROM tk WHERE token <> ''), "
-        "sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS v "
-        "FROM d GROUP BY source), "
-        "ix AS (SELECT a.source AS sa, b.source AS sb, "
-        "CAST(COUNT(*) AS BIGINT) AS inter FROM d a "
-        "JOIN d b ON b.token = a.token AND a.source < b.source "
-        "GROUP BY 1, 2), "
-        "pr AS (SELECT a.source AS sa, b.source AS sb, a.v AS va, "
-        "b.v AS vb FROM sz a, sz b WHERE a.source < b.source) "
-        "SELECT pr.sa AS source_a, pr.sb AS source_b, "
-        "pr.va AS vocab_a, pr.vb AS vocab_b, "
-        "COALESCE(ix.inter, 0) AS inter, "
-        "ROUND(CAST(COALESCE(ix.inter, 0) AS DOUBLE) "
-        "/ CAST(pr.va + pr.vb - COALESCE(ix.inter, 0) AS DOUBLE), 6) "
-        "AS jaccard "
-        "FROM pr LEFT JOIN ix ON ix.sa = pr.sa AND ix.sb = pr.sb"
-    )
-    out["keyness_terms"] = (
-        # Dunning G^2 vs expected counts; zero cells contribute 0;
-        # per-term 1e6 quantization and integer sort key -- mirrors
-        # _q_keyness_terms
-        "WITH tk AS (SELECT source, "
-        "UNNEST(regexp_split_to_array(text, '\\s+')) AS token "
-        "FROM documents), "
-        "t2 AS (SELECT source, token FROM tk WHERE token <> ''), "
-        "sa AS (SELECT MIN(source) AS s FROM documents), "
-        "ca AS (SELECT token, "
-        "CAST(SUM(CASE WHEN t2.source = sa.s THEN 1 ELSE 0 END) "
-        "AS BIGINT) AS a, "
-        "CAST(SUM(CASE WHEN t2.source <> sa.s THEN 1 ELSE 0 END) "
-        "AS BIGINT) AS b FROM t2, sa GROUP BY token), "
-        "tt AS (SELECT CAST(SUM(a) AS BIGINT) AS na, "
-        "CAST(SUM(b) AS BIGINT) AS nb FROM ca), "
-        "g AS (SELECT token, a, b, 2 * ("
-        "(CASE WHEN a = 0 THEN 0 ELSE "
-        "CAST(ROUND(CAST(a AS DOUBLE) * LN(CAST(a AS DOUBLE) "
-        "/ (CAST(na AS DOUBLE) * CAST(a + b AS DOUBLE) "
-        "/ CAST(na + nb AS DOUBLE))) * 1e6, 0) AS BIGINT) END) "
-        "+ (CASE WHEN b = 0 THEN 0 ELSE "
-        "CAST(ROUND(CAST(b AS DOUBLE) * LN(CAST(b AS DOUBLE) "
-        "/ (CAST(nb AS DOUBLE) * CAST(a + b AS DOUBLE) "
-        "/ CAST(na + nb AS DOUBLE))) * 1e6, 0) AS BIGINT) END)) AS gq "
-        "FROM ca, tt) "
-        "SELECT token, a AS n_a, b AS n_rest, "
-        "ROUND(CAST(gq AS DOUBLE) / 1e6, 6) AS g2 FROM g "
-        "ORDER BY gq DESC, token LIMIT 20"
-    )
-    out["terrain_openness"] = (
-        # positive openness: max elevation angle per direction over
-        # valid ray cells, diagonal spacing sqrt(2), 1e12-quantized
-        # angle terms, all-8-directions cells only -- mirrors
-        # _q_terrain_openness
-        f"WITH g AS ({_OG_SLOPE_GRID_SQL}), "
-        "v AS (SELECT row, col, z FROM g WHERE z > -1e30), "
-        "rays AS (SELECT c.row, c.col, d.dr, d.dc, "
-        "MAX((t.z - c.z) / (k.k * 0.01 * d.f)) AS mr "
-        "FROM v c, (VALUES (0, 1, 1.0), (0, -1, 1.0), (1, 0, 1.0), "
-        "(-1, 0, 1.0), (1, 1, SQRT(2.0)), (1, -1, SQRT(2.0)), "
-        "(-1, 1, SQRT(2.0)), (-1, -1, SQRT(2.0))) d(dr, dc, f), "
-        "range(1, 96) k(k), v t "
-        "WHERE t.row = c.row + d.dr * k.k "
-        "AND t.col = c.col + d.dc * k.k "
-        "GROUP BY c.row, c.col, d.dr, d.dc), "
-        "terms AS (SELECT row, col, "
-        "CAST(ROUND((PI() / 2 - ATAN(mr)) * 1e12, 0) AS BIGINT) AS tq "
-        "FROM rays), "
-        "o AS (SELECT row, col, CAST(COUNT(*) AS BIGINT) AS nd, "
-        "CAST(SUM(tq) AS BIGINT) AS s FROM terms GROUP BY row, col) "
-        "SELECT row, col, "
-        "ROUND(CAST(s AS DOUBLE) / 1e12 / 8.0, 6) AS openness "
-        "FROM o WHERE nd = 8"
-    )
-    out["linear_attribution"] = (
-        # equal split of purchase cents over the user's 24h-window
-        # touches (strict (ts, event_id) order, inclusive window
-        # start); per-pair terms quantized at 1e6 -- mirrors
-        # _q_linear_attribution
-        "WITH e AS (SELECT user_id, event_id, event_type, "
-        "epoch_us(ts) AS us, "
-        "CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events), "
-        "p AS (SELECT user_id, event_id AS pid, us, cents FROM e "
-        "WHERE event_type = 'purchase'), "
-        "m AS (SELECT p.pid, p.cents, t.event_type FROM p "
-        "JOIN e t ON t.user_id = p.user_id "
-        "AND t.us >= p.us - 86400000000 "
-        "AND (t.us < p.us OR (t.us = p.us AND t.event_id < p.pid))), "
-        "cnt AS (SELECT pid, CAST(COUNT(*) AS BIGINT) AS c "
-        "FROM m GROUP BY pid), "
-        "terms AS (SELECT m.event_type, "
-        "CAST(ROUND(CAST(m.cents AS DOUBLE) / CAST(cnt.c AS DOUBLE) "
-        "* 1e6, 0) AS BIGINT) AS tq "
-        "FROM m JOIN cnt ON cnt.pid = m.pid) "
-        "SELECT event_type, "
-        "ROUND(CAST(SUM(tq) AS DOUBLE) / 1e6 / 100.0, 6) "
-        "AS attributed_dollars FROM terms GROUP BY event_type"
-    )
-    out["heaps_law"] = (
-        # first-occurrence buckets via MIN(doc_id) per token; cumulative
-        # window sums; 1e12-quantized LN OLS -- mirrors _q_heaps_law
-        "WITH mx AS (SELECT MAX(doc_id) AS mx FROM documents), "
-        "tk AS (SELECT doc_id, "
-        "UNNEST(regexp_split_to_array(text, '\\s+')) AS token "
-        "FROM documents), "
-        "t2 AS (SELECT doc_id, token FROM tk WHERE token <> ''), "
-        "fb AS (SELECT token, MIN(doc_id) AS fd FROM t2 GROUP BY token), "
-        "vb AS (SELECT (fd * 10 // (mx.mx + 1)) AS b, "
-        "CAST(COUNT(*) AS BIGINT) AS v FROM fb, mx GROUP BY 1), "
-        "nb AS (SELECT (doc_id * 10 // (mx.mx + 1)) AS b, "
-        "CAST(COUNT(*) AS BIGINT) AS n FROM t2, mx GROUP BY 1), "
-        "bl AS (SELECT r.range AS b FROM range(0, 10) r), "
-        "c AS (SELECT bl.b, "
-        "CAST(SUM(COALESCE(nb.n, 0)) OVER (ORDER BY bl.b "
-        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens, "
-        "CAST(SUM(COALESCE(vb.v, 0)) OVER (ORDER BY bl.b "
-        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab "
-        "FROM bl LEFT JOIN nb ON nb.b = bl.b "
-        "LEFT JOIN vb ON vb.b = bl.b), "
-        "q AS (SELECT b, cum_tokens, cum_vocab, "
-        "CAST(ROUND(LN(CAST(cum_tokens AS DOUBLE)) * 1e12, 0) AS BIGINT) "
-        "AS u, "
-        "CAST(ROUND(LN(CAST(cum_vocab AS DOUBLE)) * 1e12, 0) AS BIGINT) "
-        "AS v FROM c), "
-        "m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS k, "
-        "CAST(SUM(u) AS HUGEINT) AS su, CAST(SUM(v) AS HUGEINT) AS sv, "
-        "SUM(CAST(u AS HUGEINT) * CAST(v AS HUGEINT)) AS suv, "
-        "SUM(CAST(u AS HUGEINT) * CAST(u AS HUGEINT)) AS suu FROM q) "
-        "SELECT q.b AS bucket, q.cum_tokens, q.cum_vocab, "
-        "ROUND(CAST(m.k * m.suv - m.su * m.sv AS DOUBLE) "
-        "/ CAST(m.k * m.suu - m.su * m.su AS DOUBLE), 6) AS heaps_beta "
-        "FROM q, m"
-    )
-    out["hurst_exponent"] = (
-        # scaled-integer R/S per window (rs = max-min of w*cum-(j+1)*S,
-        # a2 = w*Q-S^2), per-window ratios quantized at 1e9, LN OLS at
-        # 1e12 -- mirrors _q_hurst_exponent over the dense day series
-        "WITH c0 AS (SELECT epoch_us(ts) // 86400000000 AS d, "
-        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1), "
-        "mm AS (SELECT MIN(d) AS lo, MAX(d) AS hi, "
-        "CAST(MAX(d) - MIN(d) + 1 AS BIGINT) AS n FROM c0), "
-        "dd AS (SELECT r.range AS t, mm.lo + r.range AS d "
-        "FROM range(0, 4096) r, mm WHERE r.range <= mm.hi - mm.lo), "
-        "dn AS (SELECT dd.t, COALESCE(c0.x, 0) AS x "
-        "FROM dd LEFT JOIN c0 ON c0.d = dd.d), "
-        "ws AS (SELECT w.w, dn.t // w.w AS wid, dn.t, dn.x "
-        "FROM dn, (VALUES (3), (5), (10), (15)) w(w), mm "
-        "WHERE dn.t // w.w < mm.n // w.w), "
-        "st AS (SELECT w, wid, CAST(SUM(x) AS BIGINT) AS s, "
-        "CAST(SUM(x * x) AS BIGINT) AS q FROM ws GROUP BY w, wid), "
-        "cm AS (SELECT w, wid, t, "
-        "CAST(SUM(x) OVER (PARTITION BY w, wid ORDER BY t "
-        "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM ws), "
-        "yy AS (SELECT cm.w, cm.wid, "
-        "cm.w * cm.cum - ((cm.t % cm.w) + 1) * st.s AS y "
-        "FROM cm JOIN st ON st.w = cm.w AND st.wid = cm.wid), "
-        "rw AS (SELECT w, wid, MAX(y) - MIN(y) AS rs "
-        "FROM yy GROUP BY w, wid), "
-        "aa AS (SELECT w, wid, w * q - s * s AS a2 FROM st), "
-        "rr AS (SELECT rw.w, CAST(ROUND(CAST(rw.rs AS DOUBLE) "
-        "/ SQRT(CAST(aa.a2 AS DOUBLE)) * 1e9, 0) AS BIGINT) AS rq "
-        "FROM rw JOIN aa ON aa.w = rw.w AND aa.wid = rw.wid "
-        "WHERE aa.a2 > 0), "
-        "ms AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS nw, "
-        "CAST(SUM(rq) AS BIGINT) AS sq FROM rr GROUP BY w), "
-        "pts AS (SELECT w, nw, sq, "
-        "CAST(ROUND(LN(CAST(w AS DOUBLE)) * 1e12, 0) AS BIGINT) AS u, "
-        "CAST(ROUND(LN(CAST(sq AS DOUBLE) / 1e9 / CAST(nw AS DOUBLE)) "
-        "* 1e12, 0) AS BIGINT) AS v FROM ms), "
-        "m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS k, "
-        "CAST(SUM(u) AS HUGEINT) AS su, CAST(SUM(v) AS HUGEINT) AS sv, "
-        "SUM(CAST(u AS HUGEINT) * CAST(v AS HUGEINT)) AS suv, "
-        "SUM(CAST(u AS HUGEINT) * CAST(u AS HUGEINT)) AS suu FROM pts) "
-        "SELECT pts.w AS window, pts.nw AS n_windows, "
-        "ROUND(CAST(pts.sq AS DOUBLE) / 1e9 / CAST(pts.nw AS DOUBLE), 6) "
-        "AS mean_rs, "
-        "ROUND(CAST(m.k * m.suv - m.su * m.sv AS DOUBLE) "
-        "/ CAST(m.k * m.suu - m.su * m.su AS DOUBLE), 6) AS hurst "
-        "FROM pts, m"
-    )
-    out["markov_entropy_rate"] = (
-        # H = -(1/N) sum n_sd * ln(n_sd/n_s.), terms quantized at 1e12;
-        # transition counts exactly as the markov_transitions oracle
-        "WITH s AS (SELECT user_id, event_type, "
-        "LEAD(event_type) OVER (PARTITION BY user_id "
-        "ORDER BY ts, event_id) AS nxt FROM events), "
-        "tr AS (SELECT event_type AS src, nxt AS dst, "
-        "CAST(COUNT(*) AS BIGINT) AS n FROM s "
-        "WHERE nxt IS NOT NULL GROUP BY 1, 2), "
-        "rt AS (SELECT src, CAST(SUM(n) AS BIGINT) AS ns "
-        "FROM tr GROUP BY src), "
-        "tt AS (SELECT CAST(SUM(n) AS BIGINT) AS ntot FROM tr), "
-        "q AS (SELECT CAST(ROUND(CAST(tr.n AS DOUBLE) "
-        "* LN(CAST(tr.n AS DOUBLE) / CAST(rt.ns AS DOUBLE)) * 1e12, 0) "
-        "AS BIGINT) AS tq FROM tr JOIN rt ON rt.src = tr.src) "
-        "SELECT tt.ntot AS n_transitions, "
-        "ROUND(-CAST(SUM(q.tq) AS DOUBLE) / 1e12 "
-        "/ CAST(tt.ntot AS DOUBLE), 6) AS entropy_rate_nats "
-        "FROM q, tt GROUP BY tt.ntot"
-    )
-    out["t_closeness"] = (
-        # variational distance per QI group with absent langs
-        # contributing the global share; 1e12-quantized terms, integer
-        # threshold compare (sum_tq > t*2e12) -- mirrors _q_t_closeness
-        "WITH c AS (SELECT source, n_chars // 100 AS len_bucket, lang, "
-        "CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY 1, 2, 3), "
-        "lt AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS nl "
-        "FROM c GROUP BY lang), "
-        "tt AS (SELECT CAST(SUM(n) AS BIGINT) AS ntot FROM c), "
-        "gs AS (SELECT source, len_bucket, CAST(SUM(n) AS BIGINT) AS ng "
-        "FROM c GROUP BY 1, 2), "
-        "q AS (SELECT gs.source, gs.len_bucket, gs.ng, "
-        "CAST(ROUND(ABS(CAST(COALESCE(c.n, 0) AS DOUBLE) "
-        "/ CAST(gs.ng AS DOUBLE) "
-        "- CAST(lt.nl AS DOUBLE) / CAST(tt.ntot AS DOUBLE)) * 1e12, 0) "
-        "AS BIGINT) AS tq "
-        "FROM gs CROSS JOIN lt CROSS JOIN tt "
-        "LEFT JOIN c ON c.source = gs.source "
-        "AND c.len_bucket = gs.len_bucket AND c.lang = lt.lang), "
-        "g AS (SELECT source, len_bucket, MAX(ng) AS ng, "
-        "CAST(SUM(tq) AS BIGINT) AS s FROM q GROUP BY 1, 2), "
-        "th AS (SELECT * FROM (VALUES "
-        "(0.2, CAST(400000000000 AS BIGINT)), "
-        "(0.3, CAST(600000000000 AS BIGINT)), "
-        "(0.5, CAST(1000000000000 AS BIGINT))) v(t, ti)), "
-        "mx AS (SELECT MAX(s) AS ms FROM g) "
-        "SELECT th.t AS t, "
-        "CAST(SUM(CASE WHEN g.s > th.ti THEN 1 ELSE 0 END) AS BIGINT) "
-        "AS n_groups_failing, "
-        "CAST(SUM(CASE WHEN g.s > th.ti THEN g.ng ELSE 0 END) AS BIGINT) "
-        "AS docs_exposed, "
-        "ROUND(CAST(mx.ms AS DOUBLE) / 2e12, 6) AS max_t "
-        "FROM th, g, mx GROUP BY th.t, mx.ms"
-    )
-    out["levene_bf"] = (
-        # Brown-Forsythe W with quantile_disc group medians (exact
-        # ints), int64/HUGEINT abs-deviation moments, float tail in
-        # pinned A/N/R order -- mirrors _q_levene_bf
-        "WITH q AS (SELECT l_returnflag AS flag, "
-        "CAST(ROUND(l_extendedprice, 0) AS BIGINT) AS k FROM lineitem), "
-        "md AS (SELECT flag, quantile_disc(k, 0.5) AS med "
-        "FROM q GROUP BY flag), "
-        "z AS (SELECT q.flag, ABS(q.k - md.med) AS z FROM q "
-        "JOIN md ON md.flag = q.flag), "
-        "m AS (SELECT flag, CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(z) AS BIGINT) AS s1, "
-        "CAST(SUM(z * z) AS BIGINT) AS s2 FROM z GROUP BY flag), "
-        "f AS (SELECT "
-        "a.n AS na, a.s1 AS s1a, a.s2 AS s2a, "
-        "b.n AS nn, b.s1 AS s1n, b.s2 AS s2n, "
-        "c.n AS nr, c.s1 AS s1r, c.s2 AS s2r, "
-        "a.n + b.n + c.n AS ntot "
-        "FROM m a, m b, m c "
-        "WHERE a.flag = 'A' AND b.flag = 'N' AND c.flag = 'R'), "
-        "v AS (SELECT ntot, "
-        "CAST(s1a + s1n + s1r AS DOUBLE) / CAST(ntot AS DOUBLE) AS zb, "
-        "CAST(s1a AS DOUBLE) / CAST(na AS DOUBLE) AS za, "
-        "CAST(s1n AS DOUBLE) / CAST(nn AS DOUBLE) AS zn, "
-        "CAST(s1r AS DOUBLE) / CAST(nr AS DOUBLE) AS zr, "
-        "na, nn, nr, s1a, s1n, s1r, s2a, s2n, s2r FROM f) "
-        "SELECT ntot AS n_total, "
-        "(SELECT med FROM md WHERE flag = 'A') AS med_a, "
-        "(SELECT med FROM md WHERE flag = 'N') AS med_n, "
-        "(SELECT med FROM md WHERE flag = 'R') AS med_r, "
-        "ROUND((CAST(ntot - 3 AS DOUBLE) / 2.0) * "
-        "((CAST(na AS DOUBLE) * (za - zb) * (za - zb) "
-        "+ CAST(nn AS DOUBLE) * (zn - zb) * (zn - zb)) "
-        "+ CAST(nr AS DOUBLE) * (zr - zb) * (zr - zb)) "
-        "/ ((CAST(s2a AS DOUBLE) "
-        "- CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE) / CAST(na AS DOUBLE)) "
-        "+ (CAST(s2n AS DOUBLE) "
-        "- CAST(s1n AS DOUBLE) * CAST(s1n AS DOUBLE) / CAST(nn AS DOUBLE)) "
-        "+ (CAST(s2r AS DOUBLE) "
-        "- CAST(s1r AS DOUBLE) * CAST(s1r AS DOUBLE) / CAST(nr AS DOUBLE))"
-        "), 6) AS levene_w FROM v"
-    )
-    out["clark_evans"] = (
-        # exact-min NN d2 per point (duplicate coords -> 0), each
-        # distance quantized at 1e9 before the sum; naive R (no edge
-        # correction), area = 0.9025 like ripley_k; mirrors
-        # _q_clark_evans
-        "WITH p AS (SELECT event_id, "
-        "77.0 + CAST(event_id % 96 AS DOUBLE) * 0.01 AS px, "
-        "28.05 + CAST((event_id // 96) % 96 AS DOUBLE) * 0.01 AS py "
-        "FROM events WHERE event_id % 100 = 0), "
-        "nn AS (SELECT a.event_id, "
-        "MIN((a.px - b.px) * (a.px - b.px) "
-        "+ (a.py - b.py) * (a.py - b.py)) AS d2 "
-        "FROM p a JOIN p b ON b.event_id <> a.event_id "
-        "GROUP BY a.event_id), "
-        "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(CAST(ROUND(SQRT(d2) * 1e9, 0) AS BIGINT)) AS BIGINT) "
-        "AS s FROM nn) "
-        "SELECT n AS n_points, "
-        "ROUND(CAST(s AS DOUBLE) / 1e9 / CAST(n AS DOUBLE), 6) "
-        "AS mean_nn_dist, "
-        "ROUND((CAST(s AS DOUBLE) / 1e9 / CAST(n AS DOUBLE)) "
-        "/ (0.5 * SQRT(0.9025 / CAST(n AS DOUBLE))), 6) "
-        "AS clark_evans_r FROM t"
-    )
-    out["nn_gfunction"] = (
-        # empirical NN-distance CDF at fixed radii, distances
-        # 1e9-quantized before the integer comparison -- mirrors
-        # _q_nn_gfunction
-        "WITH p AS (SELECT event_id, "
-        "77.0 + CAST(event_id % 96 AS DOUBLE) * 0.01 AS px, "
-        "28.05 + CAST((event_id // 96) % 96 AS DOUBLE) * 0.01 AS py "
-        "FROM events WHERE event_id % 100 = 0), "
-        "nn AS (SELECT a.event_id, "
-        "MIN((a.px - b.px) * (a.px - b.px) "
-        "+ (a.py - b.py) * (a.py - b.py)) AS d2 "
-        "FROM p a JOIN p b ON b.event_id <> a.event_id "
-        "GROUP BY a.event_id), "
-        "q AS (SELECT CAST(ROUND(SQRT(d2) * 1e9, 0) AS BIGINT) AS dq "
-        "FROM nn), "
-        "r(rq) AS (VALUES "
-        + ", ".join(f"({v})" for v in _GFUNC_RADII_Q)
-        + ") "
-        "SELECT ROUND(CAST(rq AS DOUBLE) / 1e9, 6) AS r, "
-        "CAST(SUM(CASE WHEN dq <= rq THEN 1 ELSE 0 END) AS BIGINT) "
-        "AS n_le, "
-        "ROUND(CAST(SUM(CASE WHEN dq <= rq THEN 1 ELSE 0 END) "
-        "AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS g_hat "
-        "FROM r, q GROUP BY rq ORDER BY rq"
-    )
-    out["gravity_flows"] = (
-        # block masses are exact counts; near pairs by Chebyshev
-        # block distance <= 4; one float division per pair -- mirrors
-        # _q_gravity_flows
-        "WITH b AS (SELECT ((event_id % 96) // 8) AS bx, "
-        "(((event_id // 96) % 96) // 8) AS by, "
-        "CAST(COUNT(*) AS BIGINT) AS m FROM events GROUP BY 1, 2) "
-        "SELECT a.by * 12 + a.bx AS cell_a, "
-        "c.by * 12 + c.bx AS cell_b, "
-        "ROUND(CAST(a.m * c.m AS DOUBLE) "
-        "/ CAST((c.bx - a.bx) * (c.bx - a.bx) "
-        "+ (c.by - a.by) * (c.by - a.by) AS DOUBLE), 6) AS interaction "
-        "FROM b a JOIN b c "
-        "ON (a.by * 12 + a.bx) < (c.by * 12 + c.bx) "
-        "AND GREATEST(ABS(c.bx - a.bx), ABS(c.by - a.by)) <= 4"
-    )
-    out["jarque_bera"] = (
-        # exact HUGEINT central-moment identities; the n powers cancel
-        # so g1 = A3/A2^1.5 and g2 = A4/A2^2 -- mirrors _q_jarque_bera
-        "WITH q AS (SELECT l_returnflag AS flag, "
-        "CAST(ROUND(l_extendedprice / 100.0, 0) AS BIGINT) AS k "
-        "FROM lineitem), "
-        "m AS (SELECT flag, CAST(COUNT(*) AS HUGEINT) AS n, "
-        "CAST(SUM(k) AS HUGEINT) AS s1, "
-        "CAST(SUM(k * k) AS HUGEINT) AS s2, "
-        "CAST(SUM(k * k * k) AS HUGEINT) AS s3, "
-        "SUM(CAST(k * k AS HUGEINT) * CAST(k * k AS HUGEINT)) AS s4 "
-        "FROM q GROUP BY flag), "
-        "a AS (SELECT flag, n, n * s2 - s1 * s1 AS a2, "
-        "n * n * s3 - 3 * n * s2 * s1 + 2 * s1 * s1 * s1 AS a3, "
-        "n * n * n * s4 - 4 * n * n * s3 * s1 "
-        "+ 6 * n * s2 * s1 * s1 - 3 * s1 * s1 * s1 * s1 AS a4 FROM m), "
-        "g AS (SELECT flag, n, "
-        "CAST(a3 AS DOUBLE) / POW(CAST(a2 AS DOUBLE), 1.5) AS g1, "
-        "CAST(a4 AS DOUBLE) / (CAST(a2 AS DOUBLE) * CAST(a2 AS DOUBLE)) "
-        "AS g2 FROM a) "
-        "SELECT flag AS l_returnflag, CAST(n AS BIGINT) AS n_rows, "
-        "ROUND(g1, 6) AS skewness, ROUND(g2, 6) AS kurtosis, "
-        "ROUND(CAST(n AS DOUBLE) / 6.0 * (g1 * g1 "
-        "+ (g2 - 3.0) * (g2 - 3.0) / 4.0), 6) AS jb_stat FROM g"
-    )
-    out["cohens_d"] = (
-        # pooled-variance effect size from exact int64 group moments;
-        # float steps written exactly like _q_cohens_d
-        "WITH q AS (SELECT l_returnflag AS flag, "
-        "CAST(ROUND(l_extendedprice / 100.0, 0) AS BIGINT) AS k "
-        "FROM lineitem WHERE l_returnflag IN ('R', 'N')), "
-        "m AS (SELECT flag, CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(k) AS BIGINT) AS s1, "
-        "CAST(SUM(k * k) AS BIGINT) AS s2 FROM q GROUP BY flag), "
-        "v AS (SELECT flag, n, s1, "
-        "CAST(n * s2 - s1 * s1 AS DOUBLE) "
-        "/ (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)) AS var FROM m) "
-        "SELECT r.n AS n_returned, o.n AS n_normal, "
-        "ROUND((CAST(r.s1 AS DOUBLE) / CAST(r.n AS DOUBLE) "
-        "- CAST(o.s1 AS DOUBLE) / CAST(o.n AS DOUBLE)) "
-        "/ SQRT((CAST(r.n - 1 AS DOUBLE) * r.var "
-        "+ CAST(o.n - 1 AS DOUBLE) * o.var) "
-        "/ CAST(r.n + o.n - 2 AS DOUBLE)), 6) AS cohens_d "
-        "FROM v r, v o WHERE r.flag = 'R' AND o.flag = 'N'"
-    )
-    out["durbin_watson"] = (
-        # integer residuals against the half-away-rounded mean (DW is
-        # shift-invariant); HUGEINT diff/level sums; mirrors
-        # _q_durbin_watson
-        "WITH c AS (SELECT epoch_us(o_orderdate) // 86400000000 AS d, "
-        "CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) "
-        "AS BIGINT) AS x FROM orders GROUP BY 1), "
-        "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(x) AS BIGINT) AS tot FROM c), "
-        "e AS (SELECT d, x - CAST(ROUND(CAST(t.tot AS DOUBLE) "
-        "/ CAST(t.n AS DOUBLE), 0) AS BIGINT) AS e FROM c, t), "
-        "e2 AS (SELECT e, LAG(e) OVER (ORDER BY d) AS ep FROM e), "
-        "s AS (SELECT SUM(CASE WHEN ep IS NULL THEN 0 "
-        "ELSE CAST(e - ep AS HUGEINT) * CAST(e - ep AS HUGEINT) END) "
-        "AS num, SUM(CAST(e AS HUGEINT) * CAST(e AS HUGEINT)) AS den "
-        "FROM e2) "
-        "SELECT t.n AS n_days, "
-        "ROUND(CAST(s.num AS DOUBLE) / CAST(s.den AS DOUBLE), 6) AS dw "
-        "FROM s, t"
-    )
-    out["fractal_boxcount"] = (
-        # occupied-box distinct counts per scale, then the quantized
-        # log-log OLS slope (HUGEINT moment products; mirrors
-        # _q_fractal_boxcount term for term)
-        f"WITH g AS ({_OG_SLOPE_GRID_SQL}), "
-        "v AS (SELECT row, col FROM g WHERE z > -1e30 AND z < 5.0), "
-        "n AS (SELECT s.s AS s, CAST(COUNT(DISTINCT "
-        "(row // s.s) * 1024 + (col // s.s)) AS BIGINT) AS nb "
-        "FROM (VALUES (1), (2), (4), (8), (16)) s(s), v GROUP BY s.s), "
-        "q AS (SELECT s, nb, "
-        "CAST(ROUND(LN(1.0 / CAST(s AS DOUBLE)) * 1e12, 0) AS BIGINT) "
-        "AS u, "
-        "CAST(ROUND(LN(CAST(nb AS DOUBLE)) * 1e12, 0) AS BIGINT) AS v "
-        "FROM n), "
-        "m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS k, "
-        "CAST(SUM(u) AS HUGEINT) AS su, CAST(SUM(v) AS HUGEINT) AS sv, "
-        "SUM(CAST(u AS HUGEINT) * CAST(v AS HUGEINT)) AS suv, "
-        "SUM(CAST(u AS HUGEINT) * CAST(u AS HUGEINT)) AS suu FROM q) "
-        "SELECT "
-        "(SELECT nb FROM n WHERE s = 1) AS n1, "
-        "(SELECT nb FROM n WHERE s = 2) AS n2, "
-        "(SELECT nb FROM n WHERE s = 4) AS n4, "
-        "(SELECT nb FROM n WHERE s = 8) AS n8, "
-        "(SELECT nb FROM n WHERE s = 16) AS n16, "
-        "ROUND(CAST(k * suv - su * sv AS DOUBLE) "
-        "/ CAST(k * suu - su * su AS DOUBLE), 6) AS box_dim FROM m"
-    )
-    out["q6_forecast_revenue"] = (
-        # mirrors _q_q6_forecast_revenue: same rounded-cents discount
-        # band, same 1e-4 revenue quantization per row
-        "SELECT CAST(SUM(CAST(ROUND(l_extendedprice * l_discount "
-        "* 10000, 0) AS BIGINT)) AS BIGINT) AS revenue_q, "
-        "CAST(COUNT(*) AS BIGINT) AS n_items FROM lineitem "
-        "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
-        "AND l_shipdate < TIMESTAMP '1998-01-01' "
-        "AND CAST(ROUND(l_discount * 100, 0) AS BIGINT) BETWEEN 5 AND 7 "
-        "AND l_quantity < 24"
-    )
-    out["q10_returned_items"] = (
-        # mirrors _q_q10_returned_items (1997-Q3 orders, 'R' lineitems)
-        "WITH r AS (SELECT o.o_custkey, "
-        "SUM(CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) * 100, "
-        "0) AS BIGINT)) AS revenue_cents "
-        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
-        "WHERE l.l_returnflag = 'R' "
-        "AND o.o_orderdate >= TIMESTAMP '1997-07-01' "
-        "AND o.o_orderdate < TIMESTAMP '1997-10-01' "
-        "GROUP BY o.o_custkey) "
-        "SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey, c.c_name, "
-        "n.n_name, CAST(r.revenue_cents AS BIGINT) AS revenue_cents "
-        "FROM r JOIN customer c ON r.o_custkey = c.c_custkey "
-        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
-        "ORDER BY r.revenue_cents DESC, c.c_custkey LIMIT 20"
-    )
-    out["q13_custdist"] = (
-        # mirrors _q_q13_custdist (priority-class exclusion, zero bin
-        # via left join)
-        "WITH o AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt "
-        "FROM orders WHERE o_orderpriority <> '5-LOW' "
-        "GROUP BY o_custkey), "
-        "j AS (SELECT c.c_custkey, COALESCE(o.cnt, 0) AS c_count "
-        "FROM customer c LEFT JOIN o ON c.c_custkey = o.o_custkey) "
-        "SELECT CAST(c_count AS BIGINT) AS c_count, "
-        "CAST(COUNT(*) AS BIGINT) AS custdist FROM j GROUP BY c_count "
-        "ORDER BY custdist DESC, c_count DESC"
-    )
-    out["q15_top_supplier"] = (
-        # mirrors _q_q15_top_supplier (1997-Q1 revenue view + max
-        # scalar subquery, ties kept)
-        "WITH r AS (SELECT l_suppkey, "
-        "SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 100, 0) "
-        "AS BIGINT)) AS total_cents FROM lineitem "
-        "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
-        "AND l_shipdate < TIMESTAMP '1997-04-01' GROUP BY l_suppkey) "
-        "SELECT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name, "
-        "CAST(r.total_cents AS BIGINT) AS total_cents "
-        "FROM r JOIN supplier s ON r.l_suppkey = s.s_suppkey "
-        "WHERE r.total_cents = (SELECT MAX(total_cents) FROM r) "
-        "ORDER BY s.s_suppkey"
-    )
-    out["q9_product_profit"] = (
-        # mirrors _q_q9_product_profit ('red' parts, retail*qty cost
-        # proxy, per-row cent rounding on both terms)
-        "WITH j AS (SELECT s.s_nationkey, "
-        "YEAR(o.o_orderdate) AS yr, "
-        "CAST(ROUND(l.l_extendedprice * (1.0 - l.l_discount) * 100, 0) "
-        "AS BIGINT) - CAST(ROUND(p.p_retailprice * l.l_quantity * 100, "
-        "0) AS BIGINT) AS amt "
-        "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
-        "JOIN orders o ON l.l_orderkey = o.o_orderkey "
-        "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
-        "WHERE p.p_name LIKE '%red%') "
-        "SELECT n.n_name, CAST(j.yr AS BIGINT) AS yr, "
-        "CAST(SUM(j.amt) AS BIGINT) AS profit_cents "
-        "FROM j JOIN nation n ON j.s_nationkey = n.n_nationkey "
-        "GROUP BY n.n_name, j.yr ORDER BY n.n_name, j.yr DESC"
-    )
-    out["q11_important_parts"] = (
-        # mirrors _q_q11_important_parts (nation-7 suppliers, 1/1000
-        # integer cross-multiplied threshold)
-        "WITH v AS (SELECT l.l_partkey, "
-        "SUM(CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT)) "
-        "AS value_cents FROM lineitem l "
-        "JOIN supplier s ON l.l_suppkey = s.s_suppkey "
-        "WHERE s.s_nationkey = 7 GROUP BY l.l_partkey) "
-        "SELECT CAST(l_partkey AS BIGINT) AS p_partkey, "
-        "CAST(value_cents AS BIGINT) AS value_cents FROM v "
-        "WHERE value_cents * (SELECT COUNT(*) FROM v) "
-        "> 3 * (SELECT SUM(value_cents) FROM v) "
-        "ORDER BY value_cents DESC, l_partkey"
-    )
-    out["q12_late_shipments"] = (
-        # mirrors _q_q12_late_shipments (>= 60-day ship delay, 1997,
-        # linestatus standing in for shipmode)
-        "SELECT l.l_linestatus, "
-        "CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') "
-        "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
-        "CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') "
-        "THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
-        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
-        "WHERE l.l_shipdate >= TIMESTAMP '1997-01-01' "
-        "AND l.l_shipdate < TIMESTAMP '1998-01-01' "
-        "AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY "
-        "GROUP BY l.l_linestatus ORDER BY l.l_linestatus"
-    )
-    out["q16_supplier_cnt"] = (
-        # mirrors _q_q16_supplier_cnt (lineitem pairs as partsupp,
-        # Brand#5 exclusion, eight sizes, acctbal complaints filter)
-        "WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey "
-        "FROM lineitem), "
-        "f AS (SELECT p.p_brand, p.p_type, p.p_size, pr.l_suppkey "
-        "FROM pairs pr JOIN part p ON pr.l_partkey = p.p_partkey "
-        "JOIN supplier s ON pr.l_suppkey = s.s_suppkey "
-        "WHERE p.p_brand <> 'Brand#5' "
-        "AND p.p_size IN (3, 9, 14, 19, 23, 36, 45, 49) "
-        "AND s.s_acctbal >= 100.0) "
-        "SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size, "
-        "CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt "
-        "FROM f GROUP BY p_brand, p_type, p_size "
-        "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 20"
-    )
-    out["q18_large_orders"] = (
-        # mirrors _q_q18_large_orders (sum(qty) > 300, top 10 by
-        # totalprice cents)
-        "WITH s AS (SELECT l_orderkey, "
-        "CAST(SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) AS BIGINT) "
-        "AS total_qty FROM lineitem GROUP BY l_orderkey "
-        "HAVING SUM(CAST(ROUND(l_quantity, 0) AS BIGINT)) > 300) "
-        "SELECT c.c_name, CAST(c.c_custkey AS BIGINT) AS c_custkey, "
-        "CAST(o.o_orderkey AS BIGINT) AS o_orderkey, "
-        "CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) AS price_cents, "
-        "s.total_qty "
-        "FROM s JOIN orders o ON s.l_orderkey = o.o_orderkey "
-        "JOIN customer c ON o.o_custkey = c.c_custkey "
-        "ORDER BY price_cents DESC, o.o_orderkey LIMIT 10"
-    )
-    out["q20_part_promotion"] = (
-        # mirrors _q_q20_part_promotion ('red' parts, 1997, > 60 units
-        # of some part)
-        "WITH red AS (SELECT p_partkey FROM part "
-        "WHERE p_name LIKE '%red%'), "
-        "sq AS (SELECT l.l_suppkey, l.l_partkey, "
-        "SUM(CAST(ROUND(l.l_quantity, 0) AS BIGINT)) AS q "
-        "FROM lineitem l JOIN red r ON l.l_partkey = r.p_partkey "
-        "WHERE l.l_shipdate >= TIMESTAMP '1997-01-01' "
-        "AND l.l_shipdate < TIMESTAMP '1998-01-01' "
-        "GROUP BY l.l_suppkey, l.l_partkey) "
-        "SELECT s.s_name, CAST(s.s_nationkey AS BIGINT) AS s_nationkey "
-        "FROM supplier s WHERE EXISTS (SELECT 1 FROM sq "
-        "WHERE sq.l_suppkey = s.s_suppkey AND sq.q > 60) "
-        "ORDER BY s.s_name"
-    )
-    out["q21_waiting_suppliers"] = (
-        # mirrors _q_q21_waiting_suppliers ((sk+1)*late - 1 argmax,
-        # suppkey 0 is real)
-        "WITH ls AS (SELECT l.l_orderkey AS ok, l.l_suppkey AS sk, "
-        "MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY "
-        "THEN 1 ELSE 0 END) AS late "
-        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
-        "WHERE o.o_orderstatus = 'F' GROUP BY 1, 2), "
-        "pero AS (SELECT ok, COUNT(*) AS n_supp, SUM(late) AS n_late, "
-        "MAX((sk + 1) * late) - 1 AS late_sk FROM ls GROUP BY ok) "
-        "SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait "
-        "FROM pero p JOIN supplier s ON p.late_sk = s.s_suppkey "
-        "WHERE p.n_supp > 1 AND p.n_late = 1 "
-        "GROUP BY s.s_name ORDER BY numwait DESC, s.s_name LIMIT 10"
-    )
-    out["q22_global_sales_opp"] = (
-        # mirrors _q_q22_global_sales_opp (integer cross-multiplied
-        # positive-balance average, no-recent-orders anti-join)
-        "WITH sel AS (SELECT c_custkey, c_nationkey, "
-        "CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bal_c "
-        "FROM customer WHERE c_nationkey IN (1, 3, 5, 7, 9)), "
-        "pos AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(bal_c) AS BIGINT) AS tot FROM sel WHERE bal_c > 0), "
-        "q AS (SELECT sel.c_nationkey, sel.bal_c FROM sel, pos "
-        "WHERE sel.bal_c * pos.n > pos.tot AND NOT EXISTS "
-        "(SELECT 1 FROM orders o WHERE o.o_custkey = sel.c_custkey "
-        "AND o.o_orderdate >= TIMESTAMP '1999-01-01')) "
-        "SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, "
-        "CAST(COUNT(*) AS BIGINT) AS numcust, "
-        "CAST(SUM(bal_c) AS BIGINT) AS totacctbal_cents FROM q "
-        "GROUP BY c_nationkey ORDER BY c_nationkey"
-    )
-    out["cohort_ltv"] = (
-        # mirrors _q_cohort_ltv (first-seen-day cohorts, purchase
-        # cents, cumulative by age)
-        "WITH d AS (SELECT user_id, "
-        "DATEDIFF('day', TIMESTAMP '2024-01-01', ts) AS day, "
-        "CASE WHEN event_type = 'purchase' "
-        "THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END AS c "
-        "FROM events), "
-        "f AS (SELECT user_id, MIN(day) AS cd FROM d GROUP BY user_id), "
-        "a AS (SELECT f.cd AS cohort_day, d.day - f.cd AS age, "
-        "SUM(d.c) AS rev FROM d JOIN f ON d.user_id = f.user_id "
-        "GROUP BY 1, 2 HAVING SUM(d.c) <> 0) "
-        "SELECT CAST(cohort_day AS BIGINT) AS cohort_day, "
-        "CAST(age AS BIGINT) AS age, "
-        "CAST(SUM(rev) OVER (PARTITION BY cohort_day ORDER BY age) "
-        "AS BIGINT) AS cum_revenue_cents "
-        "FROM a ORDER BY cohort_day, age"
-    )
-    out["common_paths"] = (
-        # mirrors _q_common_paths (first three events per user)
-        "WITH r AS (SELECT user_id, event_type, "
-        "ROW_NUMBER() OVER (PARTITION BY user_id "
-        "ORDER BY ts, event_id) AS rn FROM events), "
-        "p AS (SELECT user_id, "
-        "STRING_AGG(event_type, '>' ORDER BY rn) AS path "
-        "FROM r WHERE rn <= 3 GROUP BY user_id) "
-        "SELECT path, CAST(COUNT(*) AS BIGINT) AS n FROM p "
-        "GROUP BY path ORDER BY n DESC, path LIMIT 15"
-    )
-    out["type_user_jaccard"] = (
-        # mirrors _q_type_user_jaccard (distinct-pair dedup, exact
-        # integer intersection/union)
-        "WITH p AS (SELECT DISTINCT event_type, user_id FROM events), "
-        "t AS (SELECT event_type, "
-        "CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY event_type), "
-        "i AS (SELECT a.event_type AS type_a, b.event_type AS type_b, "
-        "CAST(COUNT(*) AS BIGINT) AS n_inter "
-        "FROM p a JOIN p b ON a.user_id = b.user_id "
-        "AND a.event_type < b.event_type GROUP BY 1, 2) "
-        "SELECT i.type_a, i.type_b, i.n_inter, "
-        "ta.n + tb.n - i.n_inter AS n_union, "
-        "ROUND(CAST(i.n_inter AS DOUBLE) "
-        "/ CAST(ta.n + tb.n - i.n_inter AS DOUBLE), 6) AS jaccard "
-        "FROM i JOIN t ta ON i.type_a = ta.event_type "
-        "JOIN t tb ON i.type_b = tb.event_type "
-        "ORDER BY i.type_a, i.type_b"
-    )
-    from tiff_to_geojson_csv_json_format_converter_ray.functions.sketch import (
-        mix32_sql as _m32,
-    )
-
-    out["kmv_distinct"] = (
-        # mirrors _q_kmv_distinct (bottom-64 distinct mix32 hashes,
-        # all-integer estimator; groups under 64 distinct fall back to
-        # their exact captured count)
-        "WITH h AS (SELECT DISTINCT event_type, "
-        f"{_m32('user_id', 31)} AS hv FROM events), "
-        "r AS (SELECT event_type, hv, ROW_NUMBER() OVER "
-        "(PARTITION BY event_type ORDER BY hv) AS rn FROM h), "
-        "k AS (SELECT event_type, hv AS kth FROM r WHERE rn = 64), "
-        "t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(MAX(hv) AS BIGINT) AS maxh FROM h GROUP BY event_type) "
-        "SELECT t.event_type, "
-        "CAST(COALESCE(k.kth, t.maxh) AS BIGINT) AS kth_hash, "
-        "CAST(CASE WHEN k.kth IS NULL THEN t.n "
-        "ELSE (63 * 4294967296) // k.kth END AS BIGINT) AS est_distinct "
-        "FROM t LEFT JOIN k ON k.event_type = t.event_type "
-        "ORDER BY t.event_type"
-    )
-    out["ams_f2"] = (
-        # mirrors _q_ams_f2 (8 sign streams mix32(user_id + r, 100),
-        # integer-exact throughout)
-        "WITH s AS (SELECT t.r, CAST(COUNT(*) "
-        f"- 2 * SUM({_m32('user_id + t.r', 100)} & 1) AS BIGINT) "
-        "AS sign_sum FROM events CROSS JOIN range(8) t(r) GROUP BY t.r), "
-        "x AS (SELECT r, sign_sum, sign_sum * sign_sum AS x FROM s), "
-        "e AS (SELECT CAST(SUM(x) // 8 AS BIGINT) AS est_f2 FROM x), "
-        "f AS (SELECT CAST(SUM(c * c) AS BIGINT) AS exact_f2 FROM "
-        "(SELECT COUNT(*) AS c FROM events GROUP BY user_id)) "
-        "SELECT CAST(x.r AS BIGINT) AS r, x.sign_sum, "
-        "CAST(x.x AS BIGINT) AS x, e.est_f2, f.exact_f2 "
-        "FROM x, e, f ORDER BY x.r"
-    )
-    out["max_drawdown"] = (
-        # mirrors _q_max_drawdown (runmax(P) - P over the signed
-        # balance, exact int64 window scans)
-        "WITH d AS (SELECT user_id, ts, event_id, "
-        "CASE WHEN event_id % 2 = 0 "
-        "THEN CAST(ROUND(value * 100, 0) AS BIGINT) "
-        "ELSE -CAST(ROUND(value * 100, 0) AS BIGINT) END AS delta "
-        "FROM events) "
-        "SELECT user_id, "
-        "CAST(MAX(pk - pre) AS BIGINT) AS max_drawdown, "
-        "CAST(MAX(pre) AS BIGINT) AS peak, "
-        "CAST(SUM(delta) AS BIGINT) AS final "
-        "FROM (SELECT user_id, delta, pre, "
-        "MAX(pre) OVER (PARTITION BY user_id ORDER BY ts, event_id "
-        "ROWS UNBOUNDED PRECEDING) AS pk FROM "
-        "(SELECT user_id, ts, event_id, delta, "
-        "SUM(delta) OVER (PARTITION BY user_id ORDER BY ts, event_id "
-        "ROWS UNBOUNDED PRECEDING) AS pre FROM d)) "
-        "GROUP BY user_id ORDER BY user_id"
-    )
-    out["class_balance_sample"] = (
-        # mirrors _q_class_balance_sample (bottom-min-class-count per
-        # lang by mix32(doc_id, 77))
-        "WITH h AS (SELECT lang, doc_id, "
-        f"{_m32('doc_id', 77)} AS hv FROM documents), "
-        "m AS (SELECT MIN(n) AS mn FROM "
-        "(SELECT COUNT(*) AS n FROM documents GROUP BY lang)), "
-        "r AS (SELECT lang, doc_id, "
-        "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hv) AS rn FROM h) "
-        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept, "
-        "CAST(SUM(doc_id) AS BIGINT) AS id_sum "
-        "FROM r, m WHERE r.rn <= m.mn GROUP BY lang ORDER BY lang"
-    )
-    out["position_attribution"] = (
-        # mirrors _q_position_attribution (U-shaped 40/20/40 in exact
-        # millionths, remainder on the first middle touch)
-        "WITH e AS (SELECT user_id, ts, event_id, event_type, "
-        "CAST(ROUND(value * 100, 0) AS BIGINT) AS c FROM events), "
-        "tp AS (SELECT p.user_id, p.event_id AS pid, p.c, "
-        "t.event_type AS tt, "
-        "ROW_NUMBER() OVER (PARTITION BY p.user_id, p.event_id "
-        "ORDER BY t.ts, t.event_id) AS rn, "
-        "COUNT(*) OVER (PARTITION BY p.user_id, p.event_id) AS m "
-        "FROM e p JOIN e t ON t.user_id = p.user_id "
-        "AND t.ts >= p.ts - INTERVAL 24 HOUR "
-        "AND (t.ts < p.ts OR (t.ts = p.ts AND t.event_id < p.event_id)) "
-        "WHERE p.event_type = 'purchase'), "
-        "wt AS (SELECT tt, c, CASE "
-        "WHEN m = 1 THEN 1000000 "
-        "WHEN m = 2 THEN 500000 "
-        "WHEN rn = 1 OR rn = m THEN 400000 "
-        "WHEN rn = 2 THEN 200000 // (m - 2) + 200000 % (m - 2) "
-        "ELSE 200000 // (m - 2) END AS w FROM tp) "
-        "SELECT tt AS event_type, "
-        "CAST(SUM(c * w) AS BIGINT) AS credit_q "
-        "FROM wt GROUP BY tt ORDER BY tt"
-    )
-    out["kmv_set_ops"] = (
-        # mirrors _q_kmv_set_ops (merged bottom-64 union sketch +
-        # shared-hash inclusion, all-integer estimators)
-        "WITH ty AS (SELECT DISTINCT event_type FROM events), "
-        "p AS (SELECT a.event_type AS ta, b.event_type AS tb "
-        "FROM ty a JOIN ty b ON a.event_type < b.event_type), "
-        "h AS (SELECT DISTINCT event_type, user_id, "
-        f"{_m32('user_id', 31)} AS hv FROM events), "
-        "u AS (SELECT p.ta, p.tb, h.user_id, MAX(h.hv) AS hv, "
-        "MAX(CASE WHEN h.event_type = p.ta THEN 1 ELSE 0 END) AS ina, "
-        "MAX(CASE WHEN h.event_type = p.tb THEN 1 ELSE 0 END) AS inb "
-        "FROM p JOIN h ON h.event_type IN (p.ta, p.tb) "
-        "GROUP BY p.ta, p.tb, h.user_id), "
-        "r AS (SELECT ta, tb, hv, ina, inb, "
-        "ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY hv) AS rn, "
-        "COUNT(*) OVER (PARTITION BY ta, tb) AS cnt FROM u), "
-        "t AS (SELECT ta, tb, MAX(cnt) AS cnt, "
-        "LEAST(MAX(cnt), 64) AS kk, "
-        "MAX(CASE WHEN rn = LEAST(64, cnt) THEN hv END) AS kth, "
-        "SUM(CASE WHEN rn <= 64 AND ina = 1 AND inb = 1 "
-        "THEN 1 ELSE 0 END) AS nboth FROM r GROUP BY ta, tb) "
-        "SELECT ta AS type_a, tb AS type_b, "
-        "CAST(CASE WHEN cnt >= 64 THEN (63 * 4294967296) // kth "
-        "ELSE cnt END AS BIGINT) AS est_union, "
-        "CAST(nboth AS BIGINT) AS n_both, "
-        "CAST((nboth * (CASE WHEN cnt >= 64 "
-        "THEN (63 * 4294967296) // kth ELSE cnt END)) // kk "
-        "AS BIGINT) AS est_inter "
-        "FROM t ORDER BY ta, tb"
-    )
-    out["granger_daily"] = (
-        # mirrors _q_granger_daily (exact int64 moments, Cramer
-        # determinants as BIGINT, pinned shared-float F / R^2)
-        "WITH d AS (SELECT DATEDIFF('day', TIMESTAMP '2024-01-01', ts) "
-        "AS day, SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 "
-        "END) AS y, SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 "
-        "END) AS x FROM events GROUP BY 1), "
-        "sp AS (SELECT UNNEST(RANGE((SELECT MIN(day) FROM d), "
-        "(SELECT MAX(day) FROM d) + 1)) AS day), "
-        "f AS (SELECT sp.day, COALESCE(d.y, 0) AS y, "
-        "COALESCE(d.x, 0) AS x FROM sp LEFT JOIN d USING (day)), "
-        "l AS (SELECT y, LAG(y) OVER (ORDER BY day) AS y1, "
-        "LAG(x) OVER (ORDER BY day) AS x1 FROM f), "
-        "mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(y1) AS BIGINT) AS s1, CAST(SUM(x1) AS BIGINT) AS s2, "
-        "CAST(SUM(y) AS BIGINT) AS sy, "
-        "CAST(SUM(y1 * y1) AS BIGINT) AS s11, "
-        "CAST(SUM(x1 * x1) AS BIGINT) AS s22, "
-        "CAST(SUM(y1 * x1) AS BIGINT) AS s12, "
-        "CAST(SUM(y1 * y) AS BIGINT) AS s1y, "
-        "CAST(SUM(x1 * y) AS BIGINT) AS s2y, "
-        "CAST(SUM(y * y) AS BIGINT) AS syy "
-        "FROM l WHERE y1 IS NOT NULL), "
-        "dets AS (SELECT n, sy, s1y, s2y, syy, s1, s11, "
-        "n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) "
-        "+ s2 * (s1 * s12 - s11 * s2) AS d0, "
-        "sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) "
-        "+ s2 * (s1y * s12 - s11 * s2y) AS db0, "
-        "n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) "
-        "+ s2 * (s1 * s2y - s1y * s2) AS db1, "
-        "n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) "
-        "+ sy * (s1 * s12 - s11 * s2) AS db2 FROM mm), "
-        "fl AS (SELECT n, "
-        "CAST(syy AS DOUBLE) - ("
-        "(CAST(db0 AS DOUBLE) / CAST(d0 AS DOUBLE)) * CAST(sy AS DOUBLE) "
-        "+ (CAST(db1 AS DOUBLE) / CAST(d0 AS DOUBLE)) * CAST(s1y AS DOUBLE) "
-        "+ (CAST(db2 AS DOUBLE) / CAST(d0 AS DOUBLE)) * CAST(s2y AS DOUBLE)"
-        ") AS ssr_u, "
-        "CAST(syy AS DOUBLE) - ("
-        "((CAST(sy AS DOUBLE) - (CAST(n * s1y - s1 * sy AS DOUBLE) "
-        "/ CAST(n * s11 - s1 * s1 AS DOUBLE)) * CAST(s1 AS DOUBLE)) "
-        "/ CAST(n AS DOUBLE)) * CAST(sy AS DOUBLE) "
-        "+ (CAST(n * s1y - s1 * sy AS DOUBLE) "
-        "/ CAST(n * s11 - s1 * s1 AS DOUBLE)) * CAST(s1y AS DOUBLE)"
-        ") AS ssr_r, "
-        "CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) "
-        "/ CAST(n AS DOUBLE) AS sst FROM dets) "
-        "SELECT CAST(n AS BIGINT) AS n_days, "
-        "ROUND((ssr_r - ssr_u) * CAST(n - 3 AS DOUBLE) / ssr_u, 6) "
-        "AS f_stat, ROUND(ssr_r, 6) AS ssr_r, ROUND(ssr_u, 6) AS ssr_u, "
-        "ROUND(1.0 - ssr_u / sst, 6) AS r2_u FROM fl"
-    )
-    _rho = (
-        "(CAST(p AS DOUBLE) - mu * CAST(sa AS DOUBLE) "
-        "- mu * CAST(sb AS DOUBLE) + CAST(n - h AS DOUBLE) * mu * mu) "
-        "/ (CAST(q AS DOUBLE) - 2.0 * mu * CAST(s AS DOUBLE) "
-        "+ CAST(n AS DOUBLE) * mu * mu)"
-    )
-    out["pacf_lags"] = (
-        # mirrors _q_pacf_lags (acf_lags moments + unrolled
-        # Durbin-Levinson chain, pinned float order)
-        "WITH c0 AS (SELECT epoch_us(ts) // 3600000000 AS hr, "
-        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1), "
-        "mm AS (SELECT MIN(hr) AS lo, MAX(hr) AS hi, "
-        "CAST(MAX(hr) - MIN(hr) + 1 AS BIGINT) AS n FROM c0), "
-        "tot AS (SELECT CAST(SUM(x) AS BIGINT) AS s, "
-        "CAST(SUM(x * x) AS BIGINT) AS q FROM c0), "
-        "pr AS (SELECT l.h AS h, "
-        "CAST(SUM(CASE WHEN b.hr IS NOT NULL THEN a.x * b.x "
-        "ELSE 0 END) AS BIGINT) AS p, "
-        "CAST(SUM(CASE WHEN a.hr <= mm.hi - l.h THEN a.x ELSE 0 END) "
-        "AS BIGINT) AS sa, "
-        "CAST(SUM(CASE WHEN a.hr >= mm.lo + l.h THEN a.x ELSE 0 END) "
-        "AS BIGINT) AS sb "
-        "FROM (VALUES (1), (2), (3)) l(h) "
-        "CROSS JOIN mm CROSS JOIN c0 a "
-        "LEFT JOIN c0 b ON b.hr = a.hr + l.h GROUP BY l.h), "
-        "f AS (SELECT pr.h, pr.p, pr.sa, pr.sb, mm.n, tot.s, tot.q, "
-        "CAST(tot.s AS DOUBLE) / CAST(mm.n AS DOUBLE) AS mu "
-        "FROM pr, mm, tot), "
-        f"rr AS (SELECT h, {_rho} AS rho FROM f), "
-        "pv AS (SELECT MAX(CASE WHEN h = 1 THEN rho END) AS r1, "
-        "MAX(CASE WHEN h = 2 THEN rho END) AS r2, "
-        "MAX(CASE WHEN h = 3 THEN rho END) AS r3 FROM rr), "
-        "dl AS (SELECT r1 AS p11, "
-        "(r2 - r1 * r1) / (1.0 - r1 * r1) AS p22, "
-        "r1 - ((r2 - r1 * r1) / (1.0 - r1 * r1)) * r1 AS p21, "
-        "r1, r2, r3 FROM pv), "
-        "dl2 AS (SELECT p11, p22, "
-        "(r3 - p21 * r2 - p22 * r1) / (1.0 - p21 * r1 - p22 * r2) "
-        "AS p33 FROM dl) "
-        "SELECT CAST(1 AS BIGINT) AS lag, ROUND(p11, 6) AS pacf FROM dl2 "
-        "UNION ALL SELECT CAST(2 AS BIGINT), ROUND(p22, 6) FROM dl2 "
-        "UNION ALL SELECT CAST(3 AS BIGINT), ROUND(p33, 6) FROM dl2 "
-        "ORDER BY lag"
-    )
-    out["best_split_stump"] = (
-        # mirrors _q_best_split_stump (cumulative class counts, one
-        # shared float score, smaller-threshold tie-break)
-        "WITH c AS (SELECT n_chars AS t, CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) "
-        "AS e FROM documents GROUP BY 1), "
-        "tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, "
-        "CAST(SUM(e) AS BIGINT) AS et FROM c), "
-        "w AS (SELECT t, SUM(n) OVER (ORDER BY t) AS nl, "
-        "SUM(e) OVER (ORDER BY t) AS el FROM c), "
-        "sc AS (SELECT t, nl, nt - nl AS nr, el, et - el AS er "
-        "FROM w, tot WHERE nl < nt) "
-        "SELECT CAST(t AS BIGINT) AS threshold, "
-        "CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right, "
-        "ROUND(CAST(el * el + (nl - el) * (nl - el) AS DOUBLE) "
-        "/ CAST(nl AS DOUBLE) "
-        "+ CAST(er * er + (nr - er) * (nr - er) AS DOUBLE) "
-        "/ CAST(nr AS DOUBLE), 6) AS score "
-        "FROM sc ORDER BY CAST(el * el + (nl - el) * (nl - el) AS DOUBLE) "
-        "/ CAST(nl AS DOUBLE) "
-        "+ CAST(er * er + (nr - er) * (nr - er) AS DOUBLE) "
-        "/ CAST(nr AS DOUBLE) DESC, t LIMIT 1"
-    )
-    _pa_expr = "(CAST(na AS DOUBLE) / CAST(tta AS DOUBLE))"
-    _pb_expr = "(CAST(nb AS DOUBLE) / CAST(ttb AS DOUBLE))"
-    _m_expr = f"(({_pa_expr} + {_pb_expr}) / 2.0)"
-    out["js_divergence"] = (
-        # mirrors _q_js_divergence (per-char terms quantized at 1e12,
-        # exact cross-char sums)
-        "WITH ch AS (SELECT source, u.c AS c, "
-        "CAST(COUNT(*) AS BIGINT) AS n "
-        "FROM documents, UNNEST(string_split(text, '')) u(c) "
-        "GROUP BY 1, 2), "
-        "t AS (SELECT source, CAST(SUM(n) AS BIGINT) AS tot "
-        "FROM ch GROUP BY 1), "
-        "p AS (SELECT a.source AS sa, b.source AS sb FROM t a "
-        "JOIN t b ON a.source < b.source), "
-        "cc AS (SELECT DISTINCT c FROM ch), "
-        "j AS (SELECT p.sa, p.sb, cc.c, "
-        "COALESCE(ca.n, 0) AS na, COALESCE(cb.n, 0) AS nb "
-        "FROM p CROSS JOIN cc "
-        "LEFT JOIN ch ca ON ca.source = p.sa AND ca.c = cc.c "
-        "LEFT JOIN ch cb ON cb.source = p.sb AND cb.c = cc.c "
-        "WHERE COALESCE(ca.n, 0) + COALESCE(cb.n, 0) > 0), "
-        "f AS (SELECT j.sa, j.sb, j.na, j.nb, ta.tot AS tta, "
-        "tb.tot AS ttb FROM j JOIN t ta ON ta.source = j.sa "
-        "JOIN t tb ON tb.source = j.sb), "
-        "terms AS (SELECT sa, sb, "
-        f"CASE WHEN na > 0 THEN CAST(ROUND({_pa_expr} "
-        f"* LN({_pa_expr} / {_m_expr}) * 1e12, 0) AS BIGINT) "
-        "ELSE 0 END AS qa, "
-        f"CASE WHEN nb > 0 THEN CAST(ROUND({_pb_expr} "
-        f"* LN({_pb_expr} / {_m_expr}) * 1e12, 0) AS BIGINT) "
-        "ELSE 0 END AS qb FROM f) "
-        "SELECT sa AS source_a, sb AS source_b, "
-        "ROUND(0.5 * (CAST(SUM(qa) AS DOUBLE) / 1e12) "
-        "+ 0.5 * (CAST(SUM(qb) AS DOUBLE) / 1e12), 6) AS js "
-        "FROM terms GROUP BY 1, 2 ORDER BY 1, 2"
-    )
-    out["pr_curve"] = (
-        # mirrors _q_pr_curve (descending-threshold cumulative
-        # confusion counts, shared float metric expressions)
-        "WITH c AS (SELECT n_chars AS t, CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) "
-        "AS pos FROM documents GROUP BY 1), "
-        "tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, "
-        "CAST(SUM(pos) AS BIGINT) AS pt FROM c), "
-        "w AS (SELECT t, SUM(pos) OVER (ORDER BY t DESC) AS tp, "
-        "SUM(n) OVER (ORDER BY t DESC) AS pp FROM c), "
-        "k AS (SELECT t, tp, pp - tp AS fp, pt - tp AS fn, "
-        "nt - pp - (pt - tp) AS tn, pp, pt FROM w, tot) "
-        "SELECT CAST(t AS BIGINT) AS threshold, "
-        "CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp, "
-        "CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn, "
-        "ROUND(CAST(tp AS DOUBLE) / CAST(pp AS DOUBLE), 6) AS prec, "
-        "ROUND(CAST(tp AS DOUBLE) / CAST(pt AS DOUBLE), 6) AS rec, "
-        "ROUND(2.0 * CAST(tp AS DOUBLE) "
-        "/ CAST(2 * tp + fp + fn AS DOUBLE), 6) AS f1, "
-        "ROUND(CASE WHEN SQRT(CAST((tp + fp) * (tp + fn) AS DOUBLE) "
-        "* CAST((tn + fp) * (tn + fn) AS DOUBLE)) = 0.0 THEN 0.0 "
-        "ELSE CAST(tp * tn - fp * fn AS DOUBLE) "
-        "/ SQRT(CAST((tp + fp) * (tp + fn) AS DOUBLE) "
-        "* CAST((tn + fp) * (tn + fn) AS DOUBLE)) END, 6) AS mcc "
-        "FROM k ORDER BY threshold DESC"
-    )
-    _vs = list(_VIT_STATES)
-    _vcols = [f"s{i}" for i in range(len(_vs))]
-    _vbase = ", ".join(
-        f"CASE WHEN event_type = '{s}' THEN 2 ELSE -1 END AS s{i}"
-        for i, s in enumerate(_vs)
-    )
-    _vstep = ", ".join(
-        "GREATEST("
-        + ", ".join(
-            f"dp.s{j} + 1" if j == i else f"dp.s{j}"
-            for j in range(len(_vs))
-        )
-        + f") + CASE WHEN e.event_type = '{s}' THEN 2 ELSE -1 END AS s{i}"
-        for i, s in enumerate(_vs)
-    )
-    _vbest = "GREATEST(" + ", ".join(_vcols) + ")"
-    _vcase = (
-        "CASE "
-        + " ".join(
-            f"WHEN s{i} = {_vbest} THEN '{s}'" for i, s in enumerate(_vs)
-        )
-        + " END"
-    )
-    out["viterbi_decode"] = (
-        # mirrors _q_viterbi_decode (integer max-sum DP, one GREATEST
-        # chain per state per step)
-        "WITH RECURSIVE e AS (SELECT user_id, event_type, "
-        "ROW_NUMBER() OVER (PARTITION BY user_id "
-        "ORDER BY ts, event_id) AS rn FROM events), "
-        "mx AS (SELECT user_id, MAX(rn) AS n FROM e GROUP BY 1), "
-        f"dp AS (SELECT user_id, rn, {_vbase} FROM e WHERE rn = 1 "
-        "UNION ALL "
-        f"SELECT e.user_id, e.rn, {_vstep} "
-        "FROM dp JOIN e ON e.user_id = dp.user_id AND e.rn = dp.rn + 1) "
-        f"SELECT dp.user_id, CAST({_vbest} AS BIGINT) AS best_score, "
-        f"{_vcase} AS best_state "
-        "FROM dp JOIN mx ON mx.user_id = dp.user_id AND mx.n = dp.rn "
-        "ORDER BY dp.user_id"
-    )
-    out["zonal_median"] = (
-        # mirrors _q_zonal_median (quantile_disc rank convention)
-        "WITH p AS ("
-        + " UNION ALL ".join(
-            f"SELECT '{pid}' AS polygon_id, z FROM ({grid}) "
-            f"WHERE z > -1e30 AND {_halfplane_sql(poly)}"
-            for pid, poly in OG_POLYGONS.items()
-        )
-        + ") "
-        + " UNION ALL ".join(
-            f"SELECT polygon_id, {q} AS q, "
-            f"QUANTILE_DISC(z, {q}) AS value FROM p GROUP BY polygon_id"
-            for q in (0.25, 0.5, 0.75)
-        )
-        + " ORDER BY polygon_id, q"
-    )
-    out["huff_model"] = (
-        # mirrors _q_huff_model (top-8 stores, 1e9-quantized
-        # attraction terms, exact per-origin sums)
-        "WITH b AS (SELECT ((event_id % 96) // 8) AS bx, "
-        "(((event_id // 96) % 96) // 8) AS by, "
-        "CAST(COUNT(*) AS BIGINT) AS m FROM events GROUP BY 1, 2), "
-        "k AS (SELECT by * 12 + bx AS key, bx, by, m FROM b), "
-        "s AS (SELECT key AS skey, bx AS sbx, by AS sby, m AS sm "
-        "FROM k ORDER BY m DESC, key LIMIT 8), "
-        "x AS (SELECT k.key AS origin_cell, s.skey AS store_cell, "
-        "CAST(ROUND(CAST(s.sm AS DOUBLE) "
-        "/ CAST((k.bx - s.sbx) * (k.bx - s.sbx) "
-        "+ (k.by - s.sby) * (k.by - s.sby) + 1 AS DOUBLE) "
-        "* 1e9, 0) AS BIGINT) AS q FROM k CROSS JOIN s) "
-        "SELECT CAST(origin_cell AS BIGINT) AS origin_cell, "
-        "CAST(store_cell AS BIGINT) AS store_cell, "
-        "ROUND(CAST(q AS DOUBLE) / CAST(SUM(q) OVER "
-        "(PARTITION BY origin_cell) AS DOUBLE), 6) AS prob "
-        "FROM x ORDER BY origin_cell, store_cell"
-    )
-    out["mahalanobis_outliers"] = (
-        # mirrors _q_mahalanobis_outliers (exact int64 moments, pinned
-        # shared-float quadratic form)
-        "WITH e AS (SELECT event_id, "
-        "CAST(ROUND(value * 100, 0) AS BIGINT) AS x, "
-        "(epoch_us(ts) // 3600000000) % 24 AS y FROM events), "
-        "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, "
-        "CAST(SUM(x * x) AS BIGINT) AS sxx, "
-        "CAST(SUM(y * y) AS BIGINT) AS syy, "
-        "CAST(SUM(x * y) AS BIGINT) AS sxy FROM e), "
-        "f0 AS (SELECT n, sxx, syy, sxy, "
-        "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx, "
-        "CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my FROM m), "
-        "f AS (SELECT mx, my, "
-        "CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) - mx * mx AS cxx, "
-        "CAST(syy AS DOUBLE) / CAST(n AS DOUBLE) - my * my AS cyy, "
-        "CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE) - mx * my AS cxy "
-        "FROM f0), "
-        "g AS (SELECT mx, my, cxx, cyy, cxy, "
-        "cxx * cyy - cxy * cxy AS det FROM f), "
-        "d AS (SELECT e.event_id, "
-        "(g.cyy * (CAST(e.x AS DOUBLE) - g.mx) "
-        "* (CAST(e.x AS DOUBLE) - g.mx) "
-        "- 2.0 * g.cxy * (CAST(e.x AS DOUBLE) - g.mx) "
-        "* (CAST(e.y AS DOUBLE) - g.my) "
-        "+ g.cxx * (CAST(e.y AS DOUBLE) - g.my) "
-        "* (CAST(e.y AS DOUBLE) - g.my)) / g.det AS d2 FROM e, g) "
-        "SELECT event_id, ROUND(d2, 6) AS d2 FROM d "
-        "ORDER BY d2 DESC, event_id LIMIT 20"
-    )
-    out["rendezvous_hashing"] = (
-        # mirrors _q_rendezvous_hashing (argmax of 16 bijective
-        # mix32 weights per doc)
-        "WITH a AS (SELECT doc_id, t.n AS node, "
-        f"{_m32('doc_id * 16 + t.n', 9)} AS hv "
-        "FROM documents CROSS JOIN range(16) t(n)), "
-        "r AS (SELECT doc_id, node, ROW_NUMBER() OVER "
-        "(PARTITION BY doc_id ORDER BY hv DESC, node) AS rn FROM a) "
-        "SELECT CAST(node AS BIGINT) AS node, "
-        "CAST(COUNT(*) AS BIGINT) AS n_docs, "
-        "CAST(SUM(doc_id) AS BIGINT) AS id_sum "
-        "FROM r WHERE rn = 1 GROUP BY node ORDER BY node"
-    )
-    _mk_levels = []
-    _mk_levels.append(
-        "l0 AS (SELECT sp.idx, COALESCE(l.h, 0) AS h FROM "
-        "(SELECT UNNEST(RANGE(16)) AS idx) sp LEFT JOIN "
-        "(SELECT doc_id % 16 AS idx, "
-        f"CAST(SUM({_m32('doc_id * 1000003 + n_chars', 5)}) AS BIGINT) "
-        "AS h FROM documents GROUP BY 1) l USING (idx))"
-    )
-    for _lv in range(1, 5):
-        _pair = (
-            f"(SELECT idx // 2 AS idx, "
-            f"MAX(CASE WHEN idx % 2 = 0 THEN h END) * 31 "
-            f"+ MAX(CASE WHEN idx % 2 = 1 THEN h END) AS v "
-            f"FROM l{_lv - 1} GROUP BY idx // 2)"
-        )
-        _mk_levels.append(
-            f"l{_lv} AS (SELECT idx, "
-            f"CAST({_m32('v', _lv)} AS BIGINT) AS h FROM {_pair})"
-        )
-    out["merkle_checksums"] = (
-        # mirrors _q_merkle_checksums (order-free leaf sums, mix32
-        # parent chain seeded by level)
-        "WITH "
-        + ", ".join(_mk_levels)
-        + " "
-        + " UNION ALL ".join(
-            f"SELECT CAST({lv} AS BIGINT) AS level, "
-            f"CAST(idx AS BIGINT) AS idx, h AS hash FROM l{lv}"
-            for lv in range(5)
-        )
-        + " ORDER BY level, idx"
-    )
-    out["anderson_darling"] = (
-        # mirrors _q_anderson_darling (per-bin rank-weight identities,
-        # 1e6-quantized ln-CDF terms)
-        "WITH c AS (SELECT event_type, "
-        "(epoch_us(ts) // 3600000000) % 24 AS h, "
-        "CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), "
-        "w AS (SELECT event_type, h, c, "
-        "SUM(c) OVER (PARTITION BY event_type ORDER BY h) AS b, "
-        "SUM(c) OVER (PARTITION BY event_type) AS n FROM c), "
-        "t AS (SELECT event_type, n, "
-        "b * b - (b - c) * (b - c) AS w1, "
-        "(n - b + c) * (n - b + c) - (n - b) * (n - b) AS w2, "
-        "CAST(ROUND(LN((CAST(h AS DOUBLE) + 0.5) / 24.0) * 1e6, 0) "
-        "AS BIGINT) AS q1, "
-        "CAST(ROUND(LN(1.0 - (CAST(h AS DOUBLE) + 0.5) / 24.0) * 1e6, 0) "
-        "AS BIGINT) AS q2 FROM w) "
-        "SELECT event_type, CAST(MAX(n) AS BIGINT) AS n, "
-        "ROUND(-CAST(MAX(n) AS DOUBLE) "
-        "- (CAST(SUM(w1 * q1 + w2 * q2) AS DOUBLE) / 1e6) "
-        "/ CAST(MAX(n) AS DOUBLE), 6) AS a2 "
-        "FROM t GROUP BY event_type ORDER BY event_type"
-    )
-    out["cuped_adjust"] = (
-        # mirrors _q_cuped_adjust (pooled exact moments, pinned theta
-        # / adjusted-mean float chain)
-        "WITH pu AS (SELECT user_id, "
-        "CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) "
-        "AS BIGINT) AS x, "
-        "CAST(SUM(CASE WHEN event_type = 'purchase' "
-        "THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END) "
-        "AS BIGINT) AS y FROM events GROUP BY user_id), "
-        "a AS (SELECT "
-        f"({_m32('user_id', 13)}) % 2 AS arm, "
-        "CAST(COUNT(*) AS BIGINT) AS na, CAST(SUM(x) AS BIGINT) AS sxa, "
-        "CAST(SUM(y) AS BIGINT) AS sya FROM pu GROUP BY 1), "
-        "g0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, "
-        "CAST(SUM(x * x) AS BIGINT) AS sxx, "
-        "CAST(SUM(y * y) AS BIGINT) AS syy, "
-        "CAST(SUM(x * y) AS BIGINT) AS sxy FROM pu), "
-        "g1 AS (SELECT n, sxx, syy, sxy, "
-        "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mux, "
-        "CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS muy FROM g0), "
-        "g2 AS (SELECT mux, muy, "
-        "CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) - mux * mux AS varx, "
-        "CAST(syy AS DOUBLE) / CAST(n AS DOUBLE) - muy * muy AS vary, "
-        "CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE) - mux * muy AS covxy "
-        "FROM g1), "
-        "g AS (SELECT mux, covxy / varx AS theta, "
-        "1.0 - (covxy * covxy) / (varx * vary) AS var_ratio FROM g2) "
-        "SELECT CAST(a.arm AS BIGINT) AS arm, a.na AS n_users, "
-        "ROUND(CAST(a.sya AS DOUBLE) / CAST(a.na AS DOUBLE), 6) "
-        "AS mean_y, "
-        "ROUND((CAST(a.sya AS DOUBLE) - g.theta "
-        "* (CAST(a.sxa AS DOUBLE) - CAST(a.na AS DOUBLE) * g.mux)) "
-        "/ CAST(a.na AS DOUBLE), 6) AS mean_adj, "
-        "ROUND(g.theta, 6) AS theta, ROUND(g.var_ratio, 6) AS var_ratio "
-        "FROM a, g ORDER BY a.arm"
-    )
-    out["gumbel_daily_max"] = (
-        # mirrors _q_gumbel_daily_max (method of moments on exact
-        # daily-max cents)
-        "WITH d AS (SELECT DATEDIFF('day', TIMESTAMP '2024-01-01', ts) "
-        "AS day, MAX(CAST(ROUND(value * 100, 0) AS BIGINT)) AS mx "
-        "FROM events WHERE event_type = 'purchase' GROUP BY 1), "
-        "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(mx) AS BIGINT) AS s1, "
-        "CAST(SUM(mx * mx) AS BIGINT) AS s2 FROM d), "
-        "f0 AS (SELECT n, s2, "
-        "CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean FROM m), "
-        "f1 AS (SELECT n, mean, "
-        "CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - mean * mean AS var "
-        "FROM f0), "
-        "f2 AS (SELECT n, mean, "
-        "SQRT(var) * SQRT(6.0) / PI() AS scale FROM f1), "
-        "f3 AS (SELECT n, scale, "
-        "mean - 0.5772156649015329 * scale AS loc FROM f2) "
-        "SELECT CAST(n AS BIGINT) AS n_days, ROUND(loc, 6) AS loc, "
-        "ROUND(scale, 6) AS scale, "
-        "ROUND(loc - scale * LN(-LN(1.0 - 1.0 / 100.0)), 6) AS ret100 "
-        "FROM f3"
-    )
-    out["wasserstein_hours"] = (
-        # mirrors _q_wasserstein_hours (cleared-denominator exact
-        # int64 CDF-gap numerator)
-        "WITH c AS (SELECT event_type, "
-        "(epoch_us(ts) // 3600000000) % 24 AS h, "
-        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
-        "sp AS (SELECT t.event_type, g.h FROM "
-        "(SELECT DISTINCT event_type FROM events) t "
-        "CROSS JOIN range(24) g(h)), "
-        "f AS (SELECT sp.event_type, sp.h, COALESCE(c.n, 0) AS n "
-        "FROM sp LEFT JOIN c ON c.event_type = sp.event_type "
-        "AND c.h = sp.h), "
-        "w AS (SELECT event_type, h, "
-        "SUM(n) OVER (PARTITION BY event_type ORDER BY h) AS cum, "
-        "SUM(n) OVER (PARTITION BY event_type) AS tot FROM f), "
-        "p AS (SELECT a.event_type AS ta, b.event_type AS tb, "
-        "ABS(a.cum * b.tot - b.cum * a.tot) AS term, "
-        "a.tot AS na, b.tot AS nb FROM w a JOIN w b "
-        "ON a.h = b.h AND a.event_type < b.event_type) "
-        "SELECT ta AS type_a, tb AS type_b, "
-        "CAST(SUM(term) AS BIGINT) AS w1_num, "
-        "ROUND(CAST(SUM(term) AS DOUBLE) "
-        "/ (CAST(MAX(na) AS DOUBLE) * CAST(MAX(nb) AS DOUBLE)), 6) "
-        "AS w1 FROM p GROUP BY 1, 2 ORDER BY 1, 2"
-    )
-    _gain = (
-        "CAST(ROUND(CAST(POW(2, rel) - 1 AS DOUBLE) "
-        "/ (LN(CAST(i + 1 AS DOUBLE)) / LN(2.0)) * 1e9, 0) AS BIGINT)"
-    )
-    out["ndcg_at_10"] = (
-        # mirrors _q_ndcg_at_10 (1e9-quantized per-position gains,
-        # exact int64 DCG / ideal-DCG)
-        "WITH d AS (SELECT lang, doc_id, n_chars, n_chars % 3 AS rel "
-        "FROM documents), "
-        "r AS (SELECT lang, rel, ROW_NUMBER() OVER (PARTITION BY lang "
-        "ORDER BY n_chars DESC, doc_id) AS i FROM d), "
-        f"dcg AS (SELECT lang, CAST(SUM({_gain}) AS BIGINT) AS dq "
-        "FROM r WHERE i <= 10 GROUP BY 1), "
-        "ri AS (SELECT lang, rel, ROW_NUMBER() OVER (PARTITION BY lang "
-        "ORDER BY rel DESC, doc_id) AS i FROM d), "
-        f"idcg AS (SELECT lang, CAST(SUM({_gain}) AS BIGINT) AS iq "
-        "FROM ri WHERE i <= 10 GROUP BY 1) "
-        "SELECT dcg.lang, dcg.dq AS dcg_q, idcg.iq AS idcg_q, "
-        "ROUND(CAST(dcg.dq AS DOUBLE) / CAST(idcg.iq AS DOUBLE), 6) "
-        "AS ndcg FROM dcg JOIN idcg ON idcg.lang = dcg.lang "
-        "ORDER BY dcg.lang"
-    )
-    _kt = [
-        "WITH v AS (SELECT DISTINCT source AS w FROM documents "
-        "WHERE LEN(source) >= 4), "
-        "e0 AS MATERIALIZED (SELECT a.w AS w1, b.w AS w2 FROM v a "
-        "JOIN v b ON a.w < b.w AND ABS(LEN(a.w) - LEN(b.w)) <= 1 "
-        "AND LEVENSHTEIN(a.w, b.w) = 1)"
-    ]
-    for _r in range(6):
-        _kt.append(
-            f", ed{_r} AS MATERIALIZED (SELECT w1, w2 FROM e{_r} "
-            f"UNION ALL SELECT w2 AS w1, w1 AS w2 FROM e{_r}), "
-            f"s{_r} AS MATERIALIZED (SELECT e.w1, e.w2, "
-            f"(SELECT COUNT(*) FROM ed{_r} x JOIN ed{_r} y "
-            f"ON x.w2 = y.w2 WHERE x.w1 = e.w1 AND y.w1 = e.w2) AS s "
-            f"FROM e{_r} e), "
-            f"e{_r + 1} AS MATERIALIZED (SELECT w1, w2 FROM s{_r} "
-            f"WHERE s >= 2)"
-        )
-    out["ktruss_peel"] = (
-        # mirrors _q_ktruss_peel (six pinned peel rounds, final
-        # in-subgraph support, converged = |e6| == |e5|)
-        "".join(_kt)
-        + ", ed6 AS MATERIALIZED (SELECT w1, w2 FROM e6 "
-        "UNION ALL SELECT w2 AS w1, w1 AS w2 FROM e6), "
-        "s6 AS (SELECT e.w1, e.w2, "
-        "(SELECT COUNT(*) FROM ed6 x JOIN ed6 y ON x.w2 = y.w2 "
-        "WHERE x.w1 = e.w1 AND y.w1 = e.w2) AS s FROM e6 e), "
-        "cv AS (SELECT CASE WHEN (SELECT COUNT(*) FROM e6) "
-        "= (SELECT COUNT(*) FROM e5) THEN 1 ELSE 0 END AS conv) "
-        "SELECT s6.w1, s6.w2, CAST(s6.s AS BIGINT) AS support, "
-        "CAST(cv.conv AS BIGINT) AS converged FROM s6, cv "
-        "ORDER BY s6.w1, s6.w2"
-    )
-    _sm = (
-        "SELECT l_returnflag AS grp, "
-        "CAST(ROUND(l_discount * 10000, 0) AS BIGINT) AS x, "
-        "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS y "
-        "FROM lineitem"
-    )
-    out["simpson_slopes"] = (
-        # mirrors _q_simpson_slopes (HUGEINT Cramer numerator, integer
-        # sign compare)
-        f"WITH b AS ({_sm}), "
-        "m AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, "
-        "CAST(SUM(x * x) AS BIGINT) AS sxx, "
-        "CAST(SUM(x * y) AS BIGINT) AS sxy FROM b GROUP BY grp "
-        "UNION ALL SELECT 'ALL', CAST(COUNT(*) AS BIGINT), "
-        "CAST(SUM(x) AS BIGINT), CAST(SUM(y) AS BIGINT), "
-        "CAST(SUM(x * x) AS BIGINT), CAST(SUM(x * y) AS BIGINT) FROM b), "
-        "d AS (SELECT grp, n, "
-        "CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num, "
-        "CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den "
-        "FROM m) "
-        "SELECT grp, n AS n_rows, "
-        "ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) AS slope, "
-        "CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END "
-        "AS BIGINT) AS sign_num FROM d ORDER BY grp"
-    )
-    _fpr_parts = []
-    for pid, poly in sorted(OG_POLYGONS.items()):
-        xs = [p[0] for p in poly]
-        ys = [p[1] for p in poly]
-        _fpr_parts.append(
-            f"SELECT '{pid}' AS polygon_id, "
-            f"CAST(SUM(CASE WHEN lon >= {min(xs)!r} AND lon <= {max(xs)!r} "
-            f"AND lat >= {min(ys)!r} AND lat <= {max(ys)!r} "
-            "THEN 1 ELSE 0 END) AS BIGINT) AS n_bbox, "
-            f"CAST(SUM(CASE WHEN {_halfplane_sql(poly)} THEN 1 ELSE 0 END) "
-            f"AS BIGINT) AS n_pip FROM ({valid})"
-        )
-    out["bbox_pip_fpr"] = (
-        # mirrors _q_bbox_pip_fpr (bbox prefilter vs exact PIP counts)
-        "WITH c AS ("
-        + " UNION ALL ".join(_fpr_parts)
-        + ") SELECT polygon_id, n_bbox, n_pip, "
-        "ROUND(CASE WHEN n_bbox = 0 THEN 0.0 "
-        "ELSE CAST(n_bbox - n_pip AS DOUBLE) / CAST(n_bbox AS DOUBLE) "
-        "END, 6) AS fpr FROM c ORDER BY polygon_id"
-    )
-    _p1 = "((CAST(f.n1 AS DOUBLE) + 1.0) / (CAST(t.tn1 AS DOUBLE) + 10.0))"
-    _p2 = "((CAST(f.n2 AS DOUBLE) + 1.0) / (CAST(t.tn2 AS DOUBLE) + 10.0))"
-    _binx = " + ".join(
-        f"(CASE WHEN c > ed.e{i} THEN 1 ELSE 0 END)" for i in range(1, 10)
-    )
-    out["psi_drift"] = (
-        # mirrors _q_psi_drift (first-period deciles, Laplace +1,
-        # 1e12-quantized terms)
-        "WITH e AS (SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c, "
-        "CASE WHEN ts >= TIMESTAMP '2024-02-01' THEN 1 ELSE 0 END AS p "
-        "FROM events WHERE event_type = 'purchase'), "
-        "ed AS (SELECT "
-        + ", ".join(
-            f"QUANTILE_DISC(c, {i / 10.0}) AS e{i}" for i in range(1, 10)
-        )
-        + " FROM e WHERE p = 0), "
-        f"b AS (SELECT ({_binx}) AS bin, p FROM e, ed), "
-        "g AS (SELECT bin, "
-        "CAST(SUM(CASE WHEN p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n1, "
-        "CAST(SUM(p) AS BIGINT) AS n2 FROM b GROUP BY bin), "
-        "sp AS (SELECT UNNEST(RANGE(10)) AS bin), "
-        "f AS (SELECT sp.bin, COALESCE(g.n1, 0) AS n1, "
-        "COALESCE(g.n2, 0) AS n2 FROM sp LEFT JOIN g USING (bin)), "
-        "t AS (SELECT CAST(SUM(n1) AS BIGINT) AS tn1, "
-        "CAST(SUM(n2) AS BIGINT) AS tn2 FROM f), "
-        "terms AS (SELECT f.bin, f.n1, f.n2, "
-        f"CAST(ROUND(({_p2} - {_p1}) * LN({_p2} / {_p1}) * 1e12, 0) "
-        "AS BIGINT) AS tq FROM f, t) "
-        "SELECT CAST(bin AS BIGINT) AS bin, n1 AS n_first, "
-        "n2 AS n_second, "
-        "(SELECT ROUND(CAST(SUM(tq) AS DOUBLE) / 1e12, 6) FROM terms) "
-        "AS psi FROM terms ORDER BY bin"
-    )
-    out["elasticity_loglog"] = (
-        # mirrors _q_elasticity_loglog (1e4-quantized logs, HUGEINT
-        # Cramer)
-        "WITH b AS (SELECT "
-        "CAST(ROUND(LN(l_extendedprice) * 1e4, 0) AS BIGINT) AS x, "
-        "CAST(ROUND(LN(l_quantity) * 1e4, 0) AS BIGINT) AS y "
-        "FROM lineitem), "
-        "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, "
-        "CAST(SUM(x * x) AS BIGINT) AS sxx, "
-        "CAST(SUM(x * y) AS BIGINT) AS sxy FROM b), "
-        "d AS (SELECT n, sx, sy, "
-        "CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS num, "
-        "CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS den "
-        "FROM m), "
-        "f AS (SELECT n, sx, sy, "
-        "CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS slope FROM d) "
-        "SELECT n AS n_rows, ROUND(slope, 6) AS elasticity, "
-        "ROUND((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) "
-        "/ CAST(n AS DOUBLE) / 1e4, 6) AS intercept FROM f"
-    )
-    _offs = []
-    for _d in (1, 2, 3):
-        for _di in range(-_d, _d + 1):
-            for _dj in range(-_d, _d + 1):
-                if max(abs(_di), abs(_dj)) == _d:
-                    _offs.append(f"({_d}, {_di}, {_dj})")
-    out["moran_correlogram"] = (
-        # mirrors _q_moran_correlogram (dense lattice, exact offset
-        # cross-sums, pinned float chain)
-        "WITH cgrid AS (SELECT gx.range AS i, gy.range AS j "
-        "FROM range(96) gx, range(96) gy), "
-        "cnt AS (SELECT event_id % 96 AS i, (event_id // 96) % 96 AS j, "
-        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1, 2), "
-        "c AS (SELECT g.i, g.j, COALESCE(cnt.x, 0) AS x FROM cgrid g "
-        "LEFT JOIN cnt ON cnt.i = g.i AND cnt.j = g.j), "
-        "offs(d, di, dj) AS (VALUES " + ", ".join(_offs) + "), "
-        "tot AS (SELECT CAST(SUM(x) AS BIGINT) AS s, "
-        "CAST(SUM(x * x) AS BIGINT) AS q FROM c), "
-        "ao AS (SELECT o.d, a.i + o.di AS bi, a.j + o.dj AS bj, "
-        "a.x AS ax FROM c a, offs o), "
-        "p AS (SELECT ao.d, CAST(SUM(ao.ax * b.x) AS BIGINT) AS sxy, "
-        "CAST(SUM(ao.ax) AS BIGINT) AS sa, "
-        "CAST(SUM(b.x) AS BIGINT) AS sb, "
-        "CAST(COUNT(*) AS BIGINT) AS w "
-        "FROM ao JOIN c b ON b.i = ao.bi AND b.j = ao.bj "
-        "GROUP BY ao.d), "
-        "f AS (SELECT p.d, p.w, p.sxy, p.sa, p.sb, tot.q, tot.s, "
-        "CAST(tot.s AS DOUBLE) / CAST(9216 AS DOUBLE) AS mu "
-        "FROM p, tot) "
-        "SELECT CAST(d AS BIGINT) AS d, w AS w_pairs, "
-        "ROUND((CAST(9216 AS DOUBLE) / CAST(w AS DOUBLE)) "
-        "* ((CAST(sxy AS DOUBLE) - mu * CAST(sa AS DOUBLE) "
-        "- mu * CAST(sb AS DOUBLE) + CAST(w AS DOUBLE) * mu * mu) "
-        "/ (CAST(q AS DOUBLE) - 2.0 * mu * CAST(s AS DOUBLE) "
-        "+ CAST(9216 AS DOUBLE) * mu * mu)), 6) AS moran_i "
-        "FROM f ORDER BY d"
-    )
-    _pc_parts = []
-    _pc_ctes = []
-    for _t in (20, 30, 40):
-        _pc_ctes.append(
-            f"v{_t} AS (SELECT row, col, row * 1048576 + col AS p "
-            f"FROM ({valid}) WHERE z >= {_t}.0), "
-            f"e{_t} AS (SELECT a.p AS p1, b.p AS p2 FROM v{_t} a "
-            f"JOIN v{_t} b ON (b.row = a.row AND b.col = a.col + 1) "
-            f"OR (b.row = a.row + 1 AND b.col = a.col)), "
-            f"sym{_t} AS (SELECT p1, p2 FROM e{_t} "
-            f"UNION ALL SELECT p2 AS p1, p1 AS p2 FROM e{_t}), "
-            f"walk{_t}(p) AS (SELECT p FROM v{_t} WHERE row = 0 "
-            f"UNION SELECT sym{_t}.p2 FROM walk{_t} "
-            f"JOIN sym{_t} ON sym{_t}.p1 = walk{_t}.p)"
-        )
-        _pc_parts.append(
-            f"SELECT CAST({_t} AS DOUBLE) AS threshold, "
-            f"(SELECT CAST(COUNT(*) AS BIGINT) FROM v{_t}) AS n_cells, "
-            f"(SELECT CAST(COUNT(*) AS BIGINT) FROM walk{_t}) "
-            "AS n_reached, "
-            f"CAST(CASE WHEN EXISTS (SELECT 1 FROM walk{_t} w "
-            f"JOIN v{_t} vv ON vv.p = w.p WHERE vv.row = 95) "
-            "THEN 1 ELSE 0 END AS BIGINT) AS spans"
-        )
-    out["percolation_screen"] = (
-        # mirrors _q_percolation_screen (top-row seeded reachability)
-        "WITH RECURSIVE "
-        + ", ".join(_pc_ctes)
-        + " "
-        + " UNION ALL ".join(_pc_parts)
-        + " ORDER BY threshold"
-    )
-    out["graph_diameter"] = (
-        # mirrors _q_graph_diameter (bounded-depth min-hop closure
-        # over finite ordered pairs)
-        "WITH RECURSIVE tok AS (SELECT DISTINCT source AS w "
-        "FROM documents WHERE LEN(source) >= 4), "
-        "e AS (SELECT a.w AS w1, b.w AS w2 FROM tok a JOIN tok b "
-        "ON a.w < b.w AND ABS(LEN(a.w) - LEN(b.w)) <= 1 "
-        "AND LEVENSHTEIN(a.w, b.w) = 1), "
-        "sym AS (SELECT w1, w2 FROM e UNION ALL "
-        "SELECT w2 AS w1, w1 AS w2 FROM e), "
-        "walk(src, w, d) AS (SELECT w, w, 0 FROM tok "
-        "UNION SELECT walk.src, sym.w2, walk.d + 1 FROM walk "
-        "JOIN sym ON sym.w1 = walk.w WHERE walk.d < 30), "
-        "dist AS (SELECT src, w, MIN(d) AS d FROM walk "
-        "WHERE w <> src GROUP BY 1, 2), "
-        "ec AS (SELECT src, MAX(d) AS ecc FROM dist GROUP BY 1) "
-        "SELECT CAST((SELECT MAX(ecc) FROM ec) AS BIGINT) AS diameter, "
-        "CAST((SELECT MIN(ecc) FROM ec) AS BIGINT) AS radius, "
-        "CAST((SELECT COUNT(*) FROM ec WHERE ecc = "
-        "(SELECT MAX(ecc) FROM ec)) AS BIGINT) AS n_peripheral, "
-        "CAST((SELECT COUNT(*) FROM dist) AS BIGINT) AS n_pairs"
-    )
-    out["dau_mau_stickiness"] = (
-        # mirrors _q_dau_mau_stickiness: exact int operands, one
-        # double division, ROUND 6
-        "WITH du AS (SELECT DISTINCT CAST(epoch_us(ts) // 86400000000 "
-        "AS BIGINT) AS day, user_id FROM events), "
-        "g AS (SELECT CAST(YEAR(ts_d) * 100 + MONTH(ts_d) AS BIGINT) "
-        "AS ym, day, user_id FROM (SELECT day, user_id, "
-        "TO_TIMESTAMP(day * 86400) AS ts_d FROM du)), "
-        "a AS (SELECT ym, CAST(COUNT(*) AS BIGINT) AS dau_sum, "
-        "CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days, "
-        "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau "
-        "FROM g GROUP BY ym) "
-        "SELECT ym, dau_sum, n_days, mau, "
-        "ROUND(CAST(dau_sum AS DOUBLE) / "
-        "CAST(n_days * mau AS DOUBLE), 6) AS stickiness FROM a"
-    )
-    out["power_user_curve"] = (
-        "WITH du AS (SELECT DISTINCT CAST(epoch_us(ts) // 86400000000 "
-        "AS BIGINT) AS day, user_id FROM events), "
-        "p AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS nd "
-        "FROM du GROUP BY user_id) "
-        "SELECT nd AS n_active_days, CAST(COUNT(*) AS BIGINT) "
-        "AS n_users FROM p GROUP BY nd"
-    )
-    out["borda_count"] = (
-        # mirrors _q_borda_count: 3 metrics, ROW_NUMBER with nationkey
-        # tie-break, points = n_nations - rownum
-        "WITH cb AS (SELECT c_nationkey AS k, "
-        "CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT) "
-        "AS bal, CAST(COUNT(*) AS BIGINT) AS ncust "
-        "FROM customer GROUP BY c_nationkey), "
-        "sb AS (SELECT s_nationkey AS k, "
-        "CAST(SUM(CAST(ROUND(s_acctbal * 100, 0) AS BIGINT)) AS BIGINT) "
-        "AS bal FROM supplier GROUP BY s_nationkey), "
-        "base AS (SELECT n_nationkey, n_name, "
-        "COALESCE(cb.bal, 0) AS m1, COALESCE(cb.ncust, 0) AS m2, "
-        "COALESCE(sb.bal, 0) AS m3 FROM nation "
-        "LEFT JOIN cb ON cb.k = n_nationkey "
-        "LEFT JOIN sb ON sb.k = n_nationkey), "
-        "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM base), "
-        "r AS (SELECT n_name, "
-        "ROW_NUMBER() OVER (ORDER BY m1 DESC, n_nationkey) AS r1, "
-        "ROW_NUMBER() OVER (ORDER BY m2 DESC, n_nationkey) AS r2, "
-        "ROW_NUMBER() OVER (ORDER BY m3 DESC, n_nationkey) AS r3 "
-        "FROM base) "
-        "SELECT n_name, CAST(3 * n.nn - r1 - r2 - r3 AS BIGINT) "
-        "AS borda_score FROM r, n"
-    )
-    out["mrr_first_relevant"] = (
-        "WITH r AS (SELECT lang, doc_id, n_chars, ROW_NUMBER() OVER ("
-        "PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rnk "
-        "FROM documents), "
-        "f AS (SELECT lang, CAST(MIN(rnk) AS BIGINT) AS first_rel_rank "
-        "FROM r WHERE n_chars % 3 = 2 GROUP BY lang) "
-        "SELECT lang, first_rel_rank, "
-        "ROUND(1.0 / first_rel_rank, 9) AS rr FROM f"
-    )
-    out["mood_median"] = (
-        # mirrors _q_mood_median (quantile_disc grand median, 1e12
-        # quantized chi-square terms)
-        "WITH c AS (SELECT event_type AS t, "
-        "CAST(ROUND(value * 100, 0) AS BIGINT) AS v FROM events), "
-        "med AS (SELECT QUANTILE_DISC(v, 0.5) AS m FROM c), "
-        "g AS (SELECT t, "
-        "CAST(SUM(CASE WHEN v > m THEN 1 ELSE 0 END) AS BIGINT) AS na, "
-        "CAST(SUM(CASE WHEN v <= m THEN 1 ELSE 0 END) AS BIGINT) AS nb "
-        "FROM c, med GROUP BY t), "
-        "tot AS (SELECT CAST(SUM(na) AS BIGINT) AS ta, "
-        "CAST(SUM(nb) AS BIGINT) AS tb FROM g), "
-        "terms AS (SELECT t, na, nb, "
-        "CAST(ROUND((na - CAST((na + nb) * ta AS DOUBLE) / (ta + tb)) "
-        "* (na - CAST((na + nb) * ta AS DOUBLE) / (ta + tb)) "
-        "/ (CAST((na + nb) * ta AS DOUBLE) / (ta + tb)) * 1e12, 0) "
-        "AS BIGINT) + "
-        "CAST(ROUND((nb - CAST((na + nb) * tb AS DOUBLE) / (ta + tb)) "
-        "* (nb - CAST((na + nb) * tb AS DOUBLE) / (ta + tb)) "
-        "/ (CAST((na + nb) * tb AS DOUBLE) / (ta + tb)) * 1e12, 0) "
-        "AS BIGINT) AS tq FROM g, tot) "
-        "SELECT t AS event_type, na AS n_above, nb AS n_below_eq, "
-        "(SELECT ROUND(CAST(SUM(tq) AS DOUBLE) / 1e12, 6) FROM terms) "
-        "AS chi2 FROM terms"
-    )
-    out["sign_test"] = (
-        # mirrors stages/window.py::keyed_sign_test (ties dropped)
-        "WITH o AS (SELECT user_id, "
-        "CAST(ROUND(value * 100, 0) AS BIGINT) AS c, "
-        "LAG(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER ("
-        "PARTITION BY user_id ORDER BY ts, event_id) AS prev "
-        "FROM events), "
-        "d AS (SELECT user_id, c - prev AS dv FROM o "
-        "WHERE prev IS NOT NULL AND c <> prev), "
-        "g AS (SELECT user_id, "
-        "CAST(SUM(CASE WHEN dv > 0 THEN 1 ELSE 0 END) AS BIGINT) AS np, "
-        "CAST(SUM(CASE WHEN dv < 0 THEN 1 ELSE 0 END) AS BIGINT) AS nm "
-        "FROM d GROUP BY user_id) "
-        "SELECT user_id, np AS n_plus, nm AS n_minus, "
-        "ROUND(CAST(np - nm AS DOUBLE) / SQRT(CAST(np + nm AS DOUBLE)), 6) "
-        "AS z FROM g"
-    )
-    out["bartlett_test"] = (
-        # mirrors _q_bartlett_test (hundreds-of-dollars units, exact
-        # A2, 1e9/1e15/1e6-quantized per-group terms)
-        "WITH b AS (SELECT l_returnflag AS flag, "
-        "CAST(ROUND(l_extendedprice / 100, 0) AS BIGINT) AS k "
-        "FROM lineitem), "
-        "g AS (SELECT flag, CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(k) AS BIGINT) AS s1, "
-        "CAST(SUM(k * k) AS BIGINT) AS s2 FROM b GROUP BY flag), "
-        "a AS (SELECT flag, n, "
-        "CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS a2 "
-        "FROM g), "
-        "v AS (SELECT flag, n, "
-        "CAST(a2 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) AS si2, "
-        "CAST(ROUND((n - 1) * LN(CAST(a2 AS DOUBLE) / "
-        "CAST(n * (n - 1) AS DOUBLE)) * 1e9, 0) AS BIGINT) AS lnq, "
-        "CAST(ROUND(1e15 / (n - 1), 0) AS BIGINT) AS invq, "
-        "CAST(ROUND(CAST(a2 AS DOUBLE) / CAST(n AS DOUBLE) * 1e6, 0) "
-        "AS BIGINT) AS a2nq FROM a), "
-        "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, "
-        "CAST(SUM(n) AS BIGINT) AS ntot, "
-        "CAST(SUM(lnq) AS BIGINT) AS slnq, "
-        "CAST(SUM(invq) AS BIGINT) AS sinvq, "
-        "CAST(SUM(a2nq) AS BIGINT) AS sa2nq FROM v), "
-        "f AS (SELECT (CAST(ntot - k AS DOUBLE) * "
-        "LN(CAST(sa2nq AS DOUBLE) / 1e6 / CAST(ntot - k AS DOUBLE)) "
-        "- CAST(slnq AS DOUBLE) / 1e9) / "
-        "(1.0 + (CAST(sinvq AS DOUBLE) / 1e15 - "
-        "1.0 / CAST(ntot - k AS DOUBLE)) / (3.0 * CAST(k - 1 AS DOUBLE))) "
-        "AS stat FROM s) "
-        "SELECT v.flag, v.n, ROUND(v.si2, 6) AS group_var, "
-        "(SELECT ROUND(stat, 6) FROM f) AS bartlett_stat FROM v"
-    )
-    out["partial_corr"] = (
-        # mirrors _q_partial_corr (exact HUGEINT moment products)
-        "WITH b AS (SELECT "
-        "CAST(ROUND(value * 100, 0) AS BIGINT) AS x, "
-        "CAST(epoch_us(ts) // 3600000000 % 24 AS BIGINT) AS y, "
-        "CAST(isodow(ts) AS BIGINT) AS z FROM events), "
-        "m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, "
-        "CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy, "
-        "CAST(SUM(z) AS HUGEINT) AS sz, "
-        "CAST(SUM(x * x) AS HUGEINT) AS sxx, "
-        "CAST(SUM(y * y) AS HUGEINT) AS syy, "
-        "CAST(SUM(z * z) AS HUGEINT) AS szz, "
-        "CAST(SUM(x * y) AS HUGEINT) AS sxy, "
-        "CAST(SUM(x * z) AS HUGEINT) AS sxz, "
-        "CAST(SUM(y * z) AS HUGEINT) AS syz FROM b), "
-        "r AS (SELECT CAST(n AS BIGINT) AS n, "
-        "CAST(n * sxy - sx * sy AS DOUBLE) / "
-        "(SQRT(CAST(n * sxx - sx * sx AS DOUBLE)) * "
-        "SQRT(CAST(n * syy - sy * sy AS DOUBLE))) AS rxy, "
-        "CAST(n * sxz - sx * sz AS DOUBLE) / "
-        "(SQRT(CAST(n * sxx - sx * sx AS DOUBLE)) * "
-        "SQRT(CAST(n * szz - sz * sz AS DOUBLE))) AS rxz, "
-        "CAST(n * syz - sy * sz AS DOUBLE) / "
-        "(SQRT(CAST(n * syy - sy * sy AS DOUBLE)) * "
-        "SQRT(CAST(n * szz - sz * sz AS DOUBLE))) AS ryz FROM m) "
-        "SELECT n, ROUND(rxy, 6) AS r_xy, ROUND(rxz, 6) AS r_xz, "
-        "ROUND(ryz, 6) AS r_yz, "
-        "ROUND((rxy - rxz * ryz) / (SQRT(1.0 - rxz * rxz) * "
-        "SQRT(1.0 - ryz * ryz)), 6) AS partial_r FROM r"
-    )
-    _EV = (
-        "SELECT vec_id, label, generate_subscripts(embedding, 1) AS dim, "
-        "CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * 1e4, 0) AS BIGINT) "
-        "AS vq FROM embeddings"
-    )
-    out["calinski_harabasz"] = (
-        # mirrors _q_calinski_harabasz (exact HUGEINT scatters,
-        # integer-quantized per-label terms, shared ratio)
-        f"WITH ev AS ({_EV}), "
-        "nl AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n "
-        "FROM embeddings GROUP BY label), "
-        "nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(COUNT(DISTINCT label) AS BIGINT) AS k FROM embeddings), "
-        "cd AS (SELECT label, dim, CAST(SUM(vq) AS BIGINT) AS c "
-        "FROM ev GROUP BY label, dim), "
-        "gd AS (SELECT dim, CAST(SUM(vq) AS BIGINT) AS gc "
-        "FROM ev GROUP BY dim), "
-        "t2 AS (SELECT label, CAST(SUM(vq * vq) AS BIGINT) AS t "
-        "FROM ev GROUP BY label), "
-        "c2 AS (SELECT label, SUM(CAST(c AS HUGEINT) * c) AS c2 "
-        "FROM cd GROUP BY label), "
-        "bn AS (SELECT cd.label, "
-        "SUM(CAST(nt.n * cd.c - nl.n * gd.gc AS HUGEINT) * "
-        "(nt.n * cd.c - nl.n * gd.gc)) AS bnum "
-        "FROM cd JOIN gd ON gd.dim = cd.dim "
-        "JOIN nl ON nl.label = cd.label, nt GROUP BY cd.label), "
-        "q AS (SELECT nl.label, nl.n, "
-        "CAST(ROUND(CAST(CAST(nl.n AS HUGEINT) * t2.t - c2.c2 AS DOUBLE) "
-        "/ CAST(nl.n AS DOUBLE), 0) AS BIGINT) AS within_q, "
-        "CAST(ROUND(CAST(bn.bnum AS DOUBLE) / CAST(nl.n AS DOUBLE) "
-        "/ CAST(nt.n * nt.n AS DOUBLE), 0) AS BIGINT) AS between_q "
-        "FROM nl JOIN t2 ON t2.label = nl.label "
-        "JOIN c2 ON c2.label = nl.label "
-        "JOIN bn ON bn.label = nl.label, nt), "
-        "f AS (SELECT (CAST(SUM(between_q) AS DOUBLE) / "
-        "CAST(nt.k - 1 AS DOUBLE)) / (CAST(SUM(within_q) AS DOUBLE) / "
-        "CAST(nt.n - nt.k AS DOUBLE)) AS ch FROM q, nt "
-        "GROUP BY nt.k, nt.n) "
-        "SELECT q.label, q.n, q.within_q, q.between_q, "
-        "(SELECT ROUND(ch, 6) FROM f) AS ch_index FROM q"
-    )
-    out["davies_bouldin"] = (
-        # mirrors _q_davies_bouldin (silhouette-style per-point
-        # quantized scatter, exact centroid separations)
-        f"WITH ev AS ({_EV}), "
-        "nl AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n "
-        "FROM embeddings GROUP BY label), "
-        "nt AS (SELECT CAST(COUNT(DISTINCT label) AS BIGINT) AS k "
-        "FROM embeddings), "
-        "cd AS (SELECT label, dim, CAST(SUM(vq) AS BIGINT) AS c "
-        "FROM ev GROUP BY label, dim), "
-        "v2 AS (SELECT vec_id, label, CAST(SUM(vq * vq) AS BIGINT) AS v2 "
-        "FROM ev GROUP BY vec_id, label), "
-        "vc AS (SELECT ev.vec_id, CAST(SUM(ev.vq * cd.c) AS BIGINT) AS vc "
-        "FROM ev JOIN cd ON cd.dim = ev.dim AND cd.label = ev.label "
-        "GROUP BY ev.vec_id), "
-        "c2 AS (SELECT label, CAST(SUM(c * c) AS BIGINT) AS c2 "
-        "FROM cd GROUP BY label), "
-        "dist AS (SELECT v2.vec_id, v2.label, "
-        "SQRT(CAST(nl.n * nl.n * v2.v2 - 2 * nl.n * vc.vc + c2.c2 "
-        "AS DOUBLE)) / (CAST(nl.n AS DOUBLE) * 1e4) AS d "
-        "FROM v2 JOIN vc ON vc.vec_id = v2.vec_id "
-        "JOIN nl ON nl.label = v2.label "
-        "JOIN c2 ON c2.label = v2.label), "
-        "sc AS (SELECT dist.label, nl.n, "
-        "CAST(SUM(CAST(ROUND(d * 1e9, 0) AS BIGINT)) AS DOUBLE) / 1e9 "
-        "/ CAST(nl.n AS DOUBLE) AS s FROM dist "
-        "JOIN nl ON nl.label = dist.label GROUP BY dist.label, nl.n), "
-        "pd AS (SELECT i.label AS li, j.label AS lj, "
-        "SQRT(CAST(SUM(CAST(b.n * i.c - a.n * j.c AS HUGEINT) * "
-        "(b.n * i.c - a.n * j.c)) AS DOUBLE)) / "
-        "(CAST(a.n * b.n AS DOUBLE) * 1e4) AS d "
-        "FROM cd i JOIN cd j ON j.dim = i.dim AND j.label <> i.label "
-        "JOIN nl a ON a.label = i.label JOIN nl b ON b.label = j.label "
-        "GROUP BY i.label, j.label, a.n, b.n), "
-        "r AS (SELECT pd.li AS label, "
-        "MAX((si.s + sj.s) / pd.d) AS rmax FROM pd "
-        "JOIN sc si ON si.label = pd.li "
-        "JOIN sc sj ON sj.label = pd.lj GROUP BY pd.li), "
-        "f AS (SELECT ROUND(CAST(SUM(CAST(ROUND(rmax * 1e9, 0) "
-        "AS BIGINT)) AS DOUBLE) / 1e9 / CAST(nt.k AS DOUBLE), 6) AS db "
-        "FROM r, nt GROUP BY nt.k) "
-        "SELECT sc.label, sc.n, ROUND(sc.s, 6) AS scatter, "
-        "ROUND(r.rmax, 6) AS r_max, (SELECT db FROM f) AS db_index "
-        "FROM sc JOIN r ON r.label = sc.label"
-    )
-    out["rrf_fusion"] = (
-        # mirrors _q_rrf_fusion (fuse the bm25_search and ql_retrieval
-        # oracle lists verbatim)
-        f"WITH b AS ({out['bm25_search']}), q AS ({out['ql_retrieval']}), "
-        "rb AS (SELECT doc_id, CAST(ROW_NUMBER() OVER ("
-        "ORDER BY score DESC, doc_id) AS BIGINT) AS r FROM b), "
-        "rq AS (SELECT doc_id, CAST(ROW_NUMBER() OVER ("
-        "ORDER BY score_q DESC, doc_id) AS BIGINT) AS r FROM q), "
-        "u AS (SELECT COALESCE(rb.doc_id, rq.doc_id) AS doc_id, "
-        "COALESCE(rb.r, 0) AS bm25_rank, COALESCE(rq.r, 0) AS ql_rank "
-        "FROM rb FULL OUTER JOIN rq ON rq.doc_id = rb.doc_id) "
-        "SELECT doc_id, bm25_rank, ql_rank, "
-        "(CASE WHEN bm25_rank > 0 THEN "
-        "CAST(ROUND(1e12 / (60 + bm25_rank), 0) AS BIGINT) ELSE 0 END) "
-        "+ (CASE WHEN ql_rank > 0 THEN "
-        "CAST(ROUND(1e12 / (60 + ql_rank), 0) AS BIGINT) ELSE 0 END) "
-        "AS rrf_q FROM u"
-    )
-    out["lang_confusion"] = (
-        f"WITH p AS ({out['lang_id']}) "
-        "SELECT d.lang, p.lang_id, CAST(COUNT(*) AS BIGINT) AS n "
-        "FROM p JOIN documents d ON d.doc_id = p.doc_id "
-        "GROUP BY d.lang, p.lang_id"
-    )
-    _sw_in = ", ".join(f"'{w}'" for w in _GOPHER_STOPWORDS)
-    out["gopher_rules"] = (
-        # mirrors _q_gopher_rules (integer cross-multiplied thresholds)
-        "WITH b AS (SELECT source, text, "
-        "CASE WHEN TRIM(text) = '' THEN CAST([] AS VARCHAR[]) "
-        "ELSE REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+') END AS toks "
-        "FROM documents), "
-        "d AS (SELECT source, "
-        "CAST(ARRAY_LENGTH(toks) AS BIGINT) AS nt, "
-        "CAST(LEN(REGEXP_REPLACE(text, '\\s', '', 'g')) AS BIGINT) "
-        "AS schars, "
-        "CAST(LEN(text) AS BIGINT) AS nc, "
-        "CAST(LEN(REGEXP_EXTRACT_ALL(text, '[0-9]')) AS BIGINT) AS nd, "
-        f"CAST(LEN(LIST_FILTER([{_sw_in}], "
-        "s -> LIST_CONTAINS(LIST_TRANSFORM(toks, x -> LOWER(x)), s))) "
-        "AS BIGINT) AS nsw FROM b), "
-        "f AS (SELECT source, "
-        "CASE WHEN nt BETWEEN 5 AND 1000 THEN 0 ELSE 1 END AS f1, "
-        "CASE WHEN 3 * nt <= schars AND schars <= 10 * nt "
-        "THEN 0 ELSE 1 END AS f2, "
-        "CASE WHEN 5 * nd < nc THEN 0 ELSE 1 END AS f3, "
-        "CASE WHEN nsw >= 2 THEN 0 ELSE 1 END AS f4 FROM d) "
-        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
-        "CAST(SUM(f1) AS BIGINT) AS fail_tokens, "
-        "CAST(SUM(f2) AS BIGINT) AS fail_word_len, "
-        "CAST(SUM(f3) AS BIGINT) AS fail_digits, "
-        "CAST(SUM(f4) AS BIGINT) AS fail_stopwords, "
-        "CAST(SUM(CASE WHEN f1 + f2 + f3 + f4 = 0 THEN 1 ELSE 0 END) "
-        "AS BIGINT) AS n_kept FROM f GROUP BY source"
-    )
-    out["badword_filter"] = (
-        "WITH d AS (SELECT source, "
-        "CAST(LEN(LIST_FILTER(string_split(text, ' '), "
-        "x -> x IN ('slow', 'vector', 'spark'))) AS BIGINT) AS occ "
-        "FROM documents) "
-        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
-        "CAST(SUM(CASE WHEN occ > 0 THEN 1 ELSE 0 END) AS BIGINT) "
-        "AS n_flagged, CAST(SUM(occ) AS BIGINT) AS n_occurrences "
-        "FROM d GROUP BY source"
-    )
-    out["cronbach_alpha"] = (
-        # mirrors _q_cronbach_alpha (exact integer variances, n
-        # factors cancel)
-        "WITH b AS (SELECT text, "
-        "CASE WHEN TRIM(text) = '' THEN CAST([] AS VARCHAR[]) "
-        "ELSE REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+') END AS toks "
-        "FROM documents), "
-        "i AS (SELECT CAST(ARRAY_LENGTH(toks) AS BIGINT) AS x0, "
-        "CAST(LEN(text) AS BIGINT) AS x1, "
-        "CAST(LEN(LIST_DISTINCT(toks)) AS BIGINT) AS x2, "
-        "CAST(LEN(LIST_FILTER(LIST_TRANSFORM(toks, y -> LOWER(y)), "
-        f"y -> y IN ({_sw_in}))) AS BIGINT) AS x3 FROM b), "
-        "w AS (SELECT x0, x1, x2, x3, x0 + x1 + x2 + x3 AS xt FROM i), "
-        "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(x0) AS BIGINT) AS s0, CAST(SUM(x1) AS BIGINT) AS s1, "
-        "CAST(SUM(x2) AS BIGINT) AS s2, CAST(SUM(x3) AS BIGINT) AS s3, "
-        "CAST(SUM(x0 * x0) AS BIGINT) AS q0, "
-        "CAST(SUM(x1 * x1) AS BIGINT) AS q1, "
-        "CAST(SUM(x2 * x2) AS BIGINT) AS q2, "
-        "CAST(SUM(x3 * x3) AS BIGINT) AS q3, "
-        "CAST(SUM(xt) AS BIGINT) AS st, "
-        "CAST(SUM(xt * xt) AS BIGINT) AS qt FROM w), "
-        "v AS (SELECT n, "
-        "(n * q0 - s0 * s0) + (n * q1 - s1 * s1) + "
-        "(n * q2 - s2 * s2) + (n * q3 - s3 * s3) AS ai, "
-        "n * qt - st * st AS at FROM m) "
-        "SELECT n, CAST(4 AS BIGINT) AS k_items, "
-        "CAST(ai AS BIGINT) AS sum_item_var_q, "
-        "CAST(at AS BIGINT) AS total_var_q, "
-        "ROUND((4.0 / 3.0) * (1.0 - CAST(ai AS DOUBLE) / "
-        "CAST(at AS DOUBLE)), 6) AS alpha FROM v"
-    )
-    out["conditional_entropy"] = (
-        # mirrors _q_conditional_entropy (1e12-quantized terms)
-        "WITH g AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n "
-        "FROM documents GROUP BY source, lang), "
-        "s AS (SELECT source, CAST(SUM(n) AS BIGINT) AS ns "
-        "FROM g GROUP BY source), "
-        "t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM g), "
-        "q AS (SELECT g.source, g.lang, g.n, "
-        "CAST(ROUND((CAST(g.n AS DOUBLE) / CAST(t.nt AS DOUBLE)) * "
-        "LN(CAST(s.ns AS DOUBLE) / CAST(g.n AS DOUBLE)) * 1e12, 0) "
-        "AS BIGINT) AS tq FROM g JOIN s USING (source), t) "
-        "SELECT source, lang, n, "
-        "(SELECT ROUND(CAST(SUM(tq) AS DOUBLE) / 1e12, 6) FROM q) "
-        "AS cond_entropy FROM q"
-    )
-    out["mean_center_drift"] = (
-        # mirrors _q_mean_center_drift (exact HUGEINT drift numerator)
-        "WITH p AS (SELECT CAST(epoch_us(ts) // 86400000000 // 7 "
-        "AS BIGINT) AS ym, event_id % 96 AS x, "
-        "(event_id // 96) % 96 AS y FROM events), "
-        "g AS (SELECT ym, CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy "
-        "FROM p GROUP BY ym), "
-        "l AS (SELECT ym, n, sx, sy, "
-        "LAG(n) OVER (ORDER BY ym) AS pn, "
-        "LAG(sx) OVER (ORDER BY ym) AS psx, "
-        "LAG(sy) OVER (ORDER BY ym) AS psy FROM g) "
-        "SELECT ym AS week, n, "
-        "ROUND(0.01 * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS cx, "
-        "ROUND(0.01 * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS cy, "
-        "CASE WHEN pn IS NULL THEN NULL ELSE "
-        "ROUND(0.01 * SQRT(CAST("
-        "CAST(pn * sx - n * psx AS HUGEINT) * (pn * sx - n * psx) + "
-        "CAST(pn * sy - n * psy AS HUGEINT) * (pn * sy - n * psy) "
-        "AS DOUBLE)) / CAST(pn * n AS DOUBLE), 6) END AS drift FROM l"
-    )
-    out["adamic_adar"] = (
-        # mirrors _q_adamic_adar (1e9-quantized 1/ln(deg) terms)
-        "WITH tok AS (SELECT DISTINCT source AS w FROM documents "
-        "WHERE LEN(source) >= 4), "
-        "e AS (SELECT a.w AS w1, b.w AS w2 FROM tok a JOIN tok b "
-        "ON a.w < b.w AND ABS(LEN(a.w) - LEN(b.w)) <= 1 "
-        "AND LEVENSHTEIN(a.w, b.w) = 1), "
-        "sym AS (SELECT w1, w2 FROM e "
-        "UNION ALL SELECT w2, w1 FROM e), "
-        "deg AS (SELECT w1 AS v, CAST(COUNT(*) AS BIGINT) AS d "
-        "FROM sym GROUP BY w1), "
-        "cand AS (SELECT a.w2 AS u, b.w2 AS w, a.w1 AS v "
-        "FROM sym a JOIN sym b ON b.w1 = a.w1 AND a.w2 < b.w2), "
-        "ne AS (SELECT u, w, v FROM cand WHERE NOT EXISTS ("
-        "SELECT 1 FROM e WHERE e.w1 = cand.u AND e.w2 = cand.w)) "
-        "SELECT u AS w1, w AS w2, CAST(COUNT(*) AS BIGINT) AS n_common, "
-        "CAST(SUM(CAST(ROUND(1e9 / LN(CAST(deg.d AS DOUBLE)), 0) "
-        "AS BIGINT)) AS BIGINT) AS aa_q "
-        "FROM ne JOIN deg ON deg.v = ne.v GROUP BY u, w"
-    )
-    out["closeness_seeds"] = (
-        "WITH RECURSIVE tok AS (SELECT DISTINCT source AS w "
-        "FROM documents WHERE LEN(source) >= 4), "
-        "e AS (SELECT a.w AS w1, b.w AS w2 FROM tok a JOIN tok b "
-        "ON a.w < b.w AND ABS(LEN(a.w) - LEN(b.w)) <= 1 "
-        "AND LEVENSHTEIN(a.w, b.w) = 1), "
-        "sym AS (SELECT w1, w2 FROM e "
-        "UNION ALL SELECT w2, w1 FROM e), "
-        "seeds AS (SELECT w FROM tok ORDER BY w LIMIT 5), "
-        "walk(s, w, d) AS (SELECT w, w, 0 FROM seeds "
-        "UNION SELECT walk.s, sym.w2, walk.d + 1 FROM walk "
-        "JOIN sym ON sym.w1 = walk.w WHERE walk.d < 30), "
-        "dist AS (SELECT s, w, MIN(d) AS d FROM walk GROUP BY s, w), "
-        "g AS (SELECT s, CAST(COUNT(*) - 1 AS BIGINT) AS n_reached, "
-        "CAST(SUM(d) AS BIGINT) AS sum_hops FROM dist GROUP BY s) "
-        "SELECT s AS word, n_reached, sum_hops, "
-        "CASE WHEN sum_hops > 0 THEN ROUND(CAST(n_reached AS DOUBLE) / "
-        "CAST(sum_hops AS DOUBLE), 6) ELSE NULL END AS closeness FROM g"
-    )
-    out["f_function"] = (
-        # mirrors _q_f_function (exact integer d^2, lattice probes)
-        "WITH pts AS (SELECT DISTINCT event_id % 96 AS x, "
-        "(event_id // 96) % 96 AS y FROM events), "
-        "probes AS (SELECT a.i * 10 + b.i AS pid, "
-        "a.i * 10 + 4 AS px, b.i * 10 + 4 AS py "
-        "FROM (SELECT UNNEST(RANGE(10)) AS i) a, "
-        "(SELECT UNNEST(RANGE(10)) AS i) b), "
-        "nn AS (SELECT pid, MIN((px - x) * (px - x) + "
-        "(py - y) * (py - y)) AS d2 FROM probes, pts GROUP BY pid), "
-        "r AS (SELECT UNNEST([1, 2, 4, 8, 16]) AS radius) "
-        "SELECT CAST(radius AS BIGINT) AS radius, "
-        "CAST((SELECT COUNT(*) FROM nn WHERE d2 <= radius * radius) "
-        "AS BIGINT) AS n_within, CAST(100 AS BIGINT) AS n_probes FROM r"
-    )
-    out["kpss_stat"] = (
-        # mirrors _q_kpss_stat (exact HUGEINT partial-sum numerator,
-        # lag-0 long-run variance, one float division)
-        "WITH c0 AS (SELECT epoch_us(ts) // 86400000000 AS d, "
-        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY 1), "
-        "mm AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM c0), "
-        "dd AS (SELECT r.range AS t, mm.lo + r.range AS d "
-        "FROM range(0, 4096) r, mm WHERE r.range <= mm.hi - mm.lo), "
-        "dn AS (SELECT dd.t, COALESCE(c0.x, 0) AS x "
-        "FROM dd LEFT JOIN c0 ON c0.d = dd.d), "
-        "m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, "
-        "CAST(SUM(x) AS HUGEINT) AS s, "
-        "CAST(SUM(x * x) AS HUGEINT) AS sxx FROM dn), "
-        "p AS (SELECT CAST(t + 1 AS HUGEINT) AS t1, "
-        "CAST(SUM(x) OVER (ORDER BY t) AS HUGEINT) AS pt FROM dn), "
-        "a AS (SELECT CAST(SUM((m.n * p.pt - p.t1 * m.s) "
-        "* (m.n * p.pt - p.t1 * m.s)) AS HUGEINT) AS num "
-        "FROM p, m GROUP BY ALL) "
-        "SELECT CAST(m.n AS BIGINT) AS n_obs, "
-        "ROUND(CAST(a.num AS DOUBLE) "
-        "/ CAST(m.n * m.n * (m.n * m.sxx - m.s * m.s) AS DOUBLE), 6) "
-        "AS eta FROM a, m"
-    )
-    out["ipw_estimate"] = (
-        # mirrors _q_ipw_estimate (hour-of-day strata, user_id%2
-        # treatment, per-stratum 1e6-tick quantized IPW terms)
-        "WITH e AS (SELECT epoch_us(ts) // 3600000000 % 24 AS stratum, "
-        "user_id % 2 AS treat, "
-        "CAST(ROUND(value * 100, 0) AS BIGINT) AS y FROM events), "
-        "g AS (SELECT stratum, treat, CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(y) AS BIGINT) AS sy FROM e GROUP BY 1, 2), "
-        "s AS (SELECT g1.stratum, g1.n AS n1, g1.sy AS s1, "
-        "g0.n AS n0, g0.sy AS s0, g1.n + g0.n AS ns "
-        "FROM g g1 JOIN g g0 ON g0.stratum = g1.stratum "
-        "AND g1.treat = 1 AND g0.treat = 0), "
-        "t AS (SELECT ns, n1, n0, s1, s0, "
-        "CAST(ROUND((CAST(ns * s1 AS DOUBLE) / CAST(n1 AS DOUBLE) "
-        "- CAST(ns * s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) * 1e6, 0) "
-        "AS BIGINT) AS tq FROM s), "
-        "f AS (SELECT CAST(SUM(ns) AS BIGINT) AS n_tot, "
-        "CAST(SUM(n1) AS BIGINT) AS n1_tot, "
-        "CAST(SUM(n0) AS BIGINT) AS n0_tot, "
-        "CAST(SUM(s1) AS BIGINT) AS s1_tot, "
-        "CAST(SUM(s0) AS BIGINT) AS s0_tot, "
-        "CAST(SUM(tq) AS BIGINT) AS tq_tot FROM t) "
-        "SELECT n1_tot AS n_treat, n0_tot AS n_control, "
-        "ROUND(CAST(tq_tot AS DOUBLE) / 1e6 / CAST(n_tot AS DOUBLE), 6) "
-        "AS ate_ipw, "
-        "ROUND(CAST(s1_tot AS DOUBLE) / CAST(n1_tot AS DOUBLE) "
-        "- CAST(s0_tot AS DOUBLE) / CAST(n0_tot AS DOUBLE), 6) "
-        "AS diff_naive FROM f"
-    )
-    out["transfer_entropy"] = (
-        # mirrors _q_transfer_entropy (integer-mean binarization,
-        # 1e9-tick quantized plug-in log2 terms, both directions)
-        "WITH e2 AS (SELECT epoch_us(ts) // 3600000000 AS h, event_type "
-        "FROM events WHERE event_type IN ('click', 'purchase')), "
-        "mm AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM e2), "
-        "hh AS (SELECT r.range AS t, mm.lo + r.range AS h "
-        "FROM range(0, 8192) r, mm WHERE r.range <= mm.hi - mm.lo), "
-        "cx AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS c FROM e2 "
-        "WHERE event_type = 'click' GROUP BY h), "
-        "cy AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS c FROM e2 "
-        "WHERE event_type = 'purchase' GROUP BY h), "
-        "sr AS (SELECT hh.t, COALESCE(cx.c, 0) AS x, "
-        "COALESCE(cy.c, 0) AS y FROM hh "
-        "LEFT JOIN cx ON cx.h = hh.h LEFT JOIN cy ON cy.h = hh.h), "
-        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(x) AS BIGINT) AS sx, "
-        "CAST(SUM(y) AS BIGINT) AS sy FROM sr), "
-        "b AS (SELECT sr.t, "
-        "CASE WHEN nn.n * sr.x > nn.sx THEN 1 ELSE 0 END AS xb, "
-        "CASE WHEN nn.n * sr.y > nn.sy THEN 1 ELSE 0 END AS yb "
-        "FROM sr, nn), "
-        "tr AS (SELECT 0 AS dir, b2.yb AS a, b1.yb AS bb, b1.xb AS cc "
-        "FROM b b1 JOIN b b2 ON b2.t = b1.t + 1 "
-        "UNION ALL "
-        "SELECT 1 AS dir, b2.xb AS a, b1.xb AS bb, b1.yb AS cc "
-        "FROM b b1 JOIN b b2 ON b2.t = b1.t + 1), "
-        "c3 AS (SELECT dir, a, bb, cc, CAST(COUNT(*) AS BIGINT) AS n3 "
-        "FROM tr GROUP BY 1, 2, 3, 4), "
-        "cab AS (SELECT dir, a, bb, CAST(COUNT(*) AS BIGINT) AS nab "
-        "FROM tr GROUP BY 1, 2, 3), "
-        "cbc AS (SELECT dir, bb, cc, CAST(COUNT(*) AS BIGINT) AS nbc "
-        "FROM tr GROUP BY 1, 2, 3), "
-        "cb AS (SELECT dir, bb, CAST(COUNT(*) AS BIGINT) AS nb "
-        "FROM tr GROUP BY 1, 2), "
-        "nt AS (SELECT dir, CAST(COUNT(*) AS BIGINT) AS n FROM tr "
-        "GROUP BY 1), "
-        "terms AS (SELECT c3.dir, c3.n3 * CAST(ROUND(1e9 * LOG2("
-        "CAST(c3.n3 * cb.nb AS DOUBLE) "
-        "/ CAST(cbc.nbc * cab.nab AS DOUBLE)), 0) AS BIGINT) AS tq "
-        "FROM c3 "
-        "JOIN cab ON cab.dir = c3.dir AND cab.a = c3.a AND cab.bb = c3.bb "
-        "JOIN cbc ON cbc.dir = c3.dir AND cbc.bb = c3.bb AND cbc.cc = c3.cc "
-        "JOIN cb ON cb.dir = c3.dir AND cb.bb = c3.bb), "
-        "f AS (SELECT dir, CAST(SUM(tq) AS BIGINT) AS s FROM terms "
-        "GROUP BY 1) "
-        "SELECT (SELECT n FROM nt WHERE dir = 0) AS n_trans, "
-        "ROUND(CAST((SELECT s FROM f WHERE dir = 0) AS DOUBLE) / 1e9 "
-        "/ CAST((SELECT n FROM nt WHERE dir = 0) AS DOUBLE), 6) AS te_xy, "
-        "ROUND(CAST((SELECT s FROM f WHERE dir = 1) AS DOUBLE) / 1e9 "
-        "/ CAST((SELECT n FROM nt WHERE dir = 1) AS DOUBLE), 6) AS te_yx"
-    )
-    out["engle_granger"] = (
-        # mirrors _q_engle_granger (stage-1 OLS exact moments, 1e4-tick
-        # quantized residuals, HUGEINT Dickey-Fuller stage 2)
-        "WITH c0 AS (SELECT epoch_us(o_orderdate) // 86400000000 AS d, "
-        "CAST(COUNT(*) AS BIGINT) AS x, "
-        "CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) "
-        "AS BIGINT) AS y FROM orders GROUP BY 1), "
-        "mm AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM c0), "
-        "dd AS (SELECT r.range AS t, mm.lo + r.range AS d "
-        "FROM range(0, 4096) r, mm WHERE r.range <= mm.hi - mm.lo), "
-        "dn AS (SELECT dd.t, COALESCE(c0.x, 0) AS x, "
-        "COALESCE(c0.y, 0) AS y FROM dd LEFT JOIN c0 ON c0.d = dd.d), "
-        "m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, "
-        "CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy, "
-        "CAST(SUM(x * x) AS HUGEINT) AS sxx, "
-        "CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy FROM dn), "
-        "ab AS (SELECT n, sx, sy, "
-        "CAST(n * sxy - sx * sy AS DOUBLE) "
-        "/ CAST(n * sxx - sx * sx AS DOUBLE) AS b FROM m), "
-        "ab2 AS (SELECT n, b, (CAST(sy AS DOUBLE) "
-        "- b * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS a FROM ab), "
-        "rr AS (SELECT dn.t, CAST(ROUND((CAST(dn.y AS DOUBLE) - ab2.a "
-        "- ab2.b * CAST(dn.x AS DOUBLE)) * 1e4, 0) AS HUGEINT) AS r "
-        "FROM dn, ab2), "
-        "p2 AS (SELECT a1.r AS rlag, a2.r - a1.r AS dr FROM rr a1 "
-        "JOIN rr a2 ON a2.t = a1.t + 1), "
-        "m2 AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n2, "
-        "SUM(rlag) AS s1, SUM(dr) AS s2, SUM(rlag * rlag) AS s11, "
-        "SUM(rlag * dr) AS s12, SUM(dr * dr) AS s22 FROM p2), "
-        "bb AS (SELECT n2, s1, s2, s11, s12, s22, "
-        "CAST(n2 * s12 - s1 * s2 AS DOUBLE) "
-        "/ CAST(n2 * s11 - s1 * s1 AS DOUBLE) AS b2 FROM m2), "
-        "aa AS (SELECT n2, s1, s2, s11, s12, s22, b2, "
-        "(CAST(s2 AS DOUBLE) - b2 * CAST(s1 AS DOUBLE)) "
-        "/ CAST(n2 AS DOUBLE) AS a2 FROM bb), "
-        "ss AS (SELECT n2, s1, s11, b2, "
-        "CAST(s22 AS DOUBLE) - a2 * CAST(s2 AS DOUBLE) "
-        "- b2 * CAST(s12 AS DOUBLE) AS sse FROM aa) "
-        "SELECT CAST(ab.n AS BIGINT) AS n_obs, ROUND(ab.b, 6) "
-        "AS beta_coint, ROUND(ss.b2 / SQRT(ss.sse "
-        "/ CAST(ss.n2 - 2 AS DOUBLE) / (CAST(ss.s11 AS DOUBLE) "
-        "- CAST(ss.s1 AS DOUBLE) * CAST(ss.s1 AS DOUBLE) "
-        "/ CAST(ss.n2 AS DOUBLE))), 6) AS adf_t FROM ss, ab"
-    )
-    out["l_moments"] = (
-        # mirrors _q_l_moments (hockey-stick order-statistic sums,
-        # HUGEINT numerators, final float ratios)
-        "WITH v AS (SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS x "
-        "FROM events), "
-        "r AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) - 1 AS j FROM v), "
-        "m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, "
-        "CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS s0, "
-        "CAST(SUM(CAST(j AS HUGEINT) * x) AS HUGEINT) AS s1, "
-        "CAST(SUM(CAST((j * (j - 1)) // 2 AS HUGEINT) * x) AS HUGEINT) "
-        "AS s2, "
-        "CAST(SUM(CAST((j * (j - 1) * (j - 2)) // 6 AS HUGEINT) * x) "
-        "AS HUGEINT) AS s3 FROM r), "
-        "f AS (SELECT n, s0, s1, s2, s3, "
-        "2 * s1 - (n - 1) * s0 AS num2, n * (n - 1) AS den2, "
-        "12 * s2 - 6 * (n - 2) * s1 + (n - 1) * (n - 2) * s0 AS num3, "
-        "n * (n - 1) * (n - 2) AS den3, "
-        "120 * s3 - 60 * (n - 3) * s2 + 12 * (n - 2) * (n - 3) * s1 "
-        "- (n - 1) * (n - 2) * (n - 3) * s0 AS num4, "
-        "n * (n - 1) * (n - 2) * (n - 3) AS den4 FROM m) "
-        "SELECT CAST(n AS BIGINT) AS n_obs, "
-        "ROUND(CAST(s0 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS l1, "
-        "ROUND(CAST(num2 AS DOUBLE) / CAST(den2 AS DOUBLE), 6) AS l2, "
-        "ROUND(CAST(num3 AS DOUBLE) / CAST(den3 AS DOUBLE) "
-        "/ (CAST(num2 AS DOUBLE) / CAST(den2 AS DOUBLE)), 6) AS tau3, "
-        "ROUND(CAST(num4 AS DOUBLE) / CAST(den4 AS DOUBLE) "
-        "/ (CAST(num2 AS DOUBLE) / CAST(den2 AS DOUBLE)), 6) AS tau4 "
-        "FROM f"
-    )
-    out["isotonic_fit"] = (
-        # mirrors _q_isotonic_fit (minimax block-average formulation,
-        # pinned integer-over-integer double divisions)
-        "WITH c0 AS (SELECT epoch_us(ts) // 86400000000 AS d, "
-        "CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) "
-        "AS y FROM events GROUP BY 1), "
-        "mm AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM c0), "
-        "dd AS (SELECT r.range AS t, mm.lo + r.range AS d "
-        "FROM range(0, 4096) r, mm WHERE r.range <= mm.hi - mm.lo), "
-        "dn AS (SELECT dd.t, COALESCE(c0.y, 0) AS y "
-        "FROM dd LEFT JOIN c0 ON c0.d = dd.d), "
-        "p AS (SELECT t, y, SUM(y) OVER (ORDER BY t) AS cp FROM dn), "
-        "pr AS (SELECT a.t AS a, b.t AS b, "
-        "CAST(b.cp - a.cp + a.y AS DOUBLE) "
-        "/ CAST(b.t - a.t + 1 AS DOUBLE) AS avg FROM p a "
-        "JOIN p b ON b.t >= a.t), "
-        "m1 AS (SELECT pr.a, dn2.t, MIN(pr.avg) AS mn FROM pr "
-        "JOIN dn dn2 ON pr.b >= dn2.t AND pr.a <= dn2.t GROUP BY 1, 2) "
-        "SELECT dn.t, dn.y, ROUND(f.fit, 6) AS fit FROM dn JOIN "
-        "(SELECT t, MAX(mn) AS fit FROM m1 GROUP BY t) f ON f.t = dn.t "
-        "ORDER BY dn.t"
-    )
-    out["markov_stationary"] = _markov_stationary_oracle_sql()
-    out["pca_power"] = _pca_power_oracle_sql()
-    out["dtw_distance"] = _dtw_oracle_sql()
-    out["fiedler_value"] = _fiedler_oracle_sql()
-    out["tsp_cells"] = _tsp_oracle_sql()
-    out["bradley_terry"] = _bradley_terry_oracle_sql()
-    out["betweenness_seeds"] = _betweenness_oracle_sql()
-    out["ipf_balance"] = _ipf_oracle_sql()
-    out["label_prop_communities"] = _lpa_oracle_sql()
-    out["densest_subgraph"] = _peel_oracle_sql()
-    out["graph_bridges"] = _bridges_oracle_sql()
-    out["knapsack_cells"] = _knapsack_oracle_sql()
-    out["markov_attribution"] = _markov_attribution_oracle_sql()
-    out["chain_ladder"] = _chain_ladder_oracle_sql()
-    out["closed_itemsets"] = _closed_itemsets_oracle_sql()
-    out["huffman_code"] = _huffman_oracle_sql()
-    out["lis_daily"] = _lis_oracle_sql()
-    _MASK_SQL = (
-        "pts AS (SELECT c.range AS x, r.range AS y "
-        "FROM range(0, 96) r, range(0, 96) c "
-        "WHERE (r.range * 73 + c.range * 31) % 500 >= 450 "
-        "AND (r.range * 7 + c.range * 13) % 11 >= 3)"
-    )
-    out["kalman_1d"] = _kalman_oracle_sql()
-    out["dist_transform"] = (
-        # mirrors _q_dist_transform (exact Manhattan min, capped 16)
-        f"WITH {_MASK_SQL}, "
-        "px AS (SELECT c.range AS x, r.range AS y "
-        "FROM range(0, 96) r, range(0, 96) c), "
-        "d AS (SELECT px.x, px.y, LEAST(CAST(16 AS BIGINT), "
-        "(SELECT MIN(ABS(px.x - pts.x) + ABS(px.y - pts.y)) FROM pts)) "
-        "AS dist FROM px) "
-        "SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_pixels FROM d "
-        "GROUP BY 1 ORDER BY 1"
-    )
-    _m32j = __import__(
-        "tiff_to_geojson_csv_json_format_converter_ray.functions.sketch",
-        fromlist=["mix32_sql"],
-    ).mix32_sql("(j.range * 8 + k.range)", 0)
-    out["random_projection_audit"] = (
-        # mirrors _q_random_projection_audit (mix32 sign matrix,
-        # exact integer squared distances, pinned ratio)
-        "WITH rs AS MATERIALIZED (SELECT j.range AS j, k.range AS k, "
-        f"1 - 2 * (({_m32j}) % 2) AS s "
-        "FROM range(0, 64) j, range(0, 8) k), "
-        "ev AS MATERIALIZED (SELECT vec_id, "
-        "generate_subscripts(embedding, 1) AS dim, "
-        "CAST(ROUND(CAST(UNNEST(embedding) AS DOUBLE) * 1e4, 0) "
-        "AS BIGINT) AS vq FROM embeddings), "
-        "pj AS MATERIALIZED (SELECT ev.vec_id, rs.k, "
-        "CAST(SUM(ev.vq * rs.s) AS BIGINT) AS p FROM ev "
-        "JOIN rs ON rs.j = ev.dim - 1 GROUP BY 1, 2), "
-        "rkv AS (SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 "
-        "AS rn FROM (SELECT DISTINCT vec_id FROM embeddings)), "
-        "prs AS MATERIALIZED (SELECT r.range AS i, va.vec_id AS ida, "
-        "vb.vec_id AS idb FROM range(0, 100) r "
-        "JOIN rkv va ON va.rn = 2 * r.range "
-        "JOIN rkv vb ON vb.rn = 2 * r.range + 1), "
-        "od AS (SELECT prs.i, CAST(SUM((a.vq - b.vq) * (a.vq - b.vq)) "
-        "AS BIGINT) AS d FROM prs JOIN ev a ON a.vec_id = prs.ida "
-        "JOIN ev b ON b.vec_id = prs.idb AND b.dim = a.dim GROUP BY 1), "
-        "pd AS (SELECT prs.i, CAST(SUM((pa.p - pb.p) * (pa.p - pb.p)) "
-        "AS BIGINT) AS d FROM prs JOIN pj pa ON pa.vec_id = prs.ida "
-        "JOIN pj pb ON pb.vec_id = prs.idb AND pb.k = pa.k GROUP BY 1) "
-        "SELECT prs.ida AS id1, prs.idb AS id2, od.d AS orig_d2, "
-        "pd.d AS proj_d2, ROUND(CAST(pd.d AS DOUBLE) / 8.0 "
-        "/ CAST(od.d AS DOUBLE), 6) AS ratio FROM prs "
-        "JOIN od ON od.i = prs.i JOIN pd ON pd.i = prs.i"
-    )
-    out["neyman_allocation"] = (
-        # mirrors _q_neyman_allocation (quantized N_h*S_h weights,
-        # largest-remainder assignment)
-        "WITH e AS (SELECT event_type, "
-        "CAST(ROUND(value * 100, 0) AS BIGINT) AS y FROM events), "
-        "m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(y) AS HUGEINT) AS s1, "
-        "CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS s2 FROM e "
-        "GROUP BY 1), "
-        "w AS (SELECT event_type, n, CAST(ROUND(CAST(n AS DOUBLE) "
-        "* SQRT(CAST(n * s2 - s1 * s1 AS DOUBLE) "
-        "/ (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) * 1e6, 0) "
-        "AS BIGINT) AS wq FROM m), "
-        "tot AS (SELECT CAST(SUM(wq) AS BIGINT) AS t FROM w), "
-        "base AS (SELECT w.event_type, w.n, w.wq, "
-        "(w.wq * 100) // tot.t AS b, (w.wq * 100) % tot.t AS r "
-        "FROM w, tot), "
-        "lf AS (SELECT 100 - CAST(SUM(b) AS BIGINT) AS lft FROM base), "
-        "rk AS (SELECT event_type, ROW_NUMBER() OVER "
-        "(ORDER BY r DESC, event_type) AS rn FROM base) "
-        "SELECT base.event_type, base.n AS n_events, "
-        "base.wq AS weight_q, CAST(base.b + CASE WHEN rk.rn <= lf.lft "
-        "THEN 1 ELSE 0 END AS BIGINT) AS n_sample FROM base "
-        "JOIN rk USING (event_type) CROSS JOIN lf ORDER BY 1"
-    )
-    out["panel_fixed_effects"] = (
-        # mirrors _q_panel_fixed_effects (1e6-tick per-entity demeaned
-        # terms, pooled contrast)
-        "WITH e AS (SELECT user_id AS u, "
-        "epoch_us(ts) // 3600000000 % 24 AS x, "
-        "CAST(ROUND(value * 100, 0) AS BIGINT) AS y FROM events), "
-        "m AS (SELECT u, CAST(COUNT(*) AS HUGEINT) AS n, "
-        "CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy, "
-        "CAST(SUM(x * x) AS HUGEINT) AS sxx, "
-        "CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy "
-        "FROM e GROUP BY 1), "
-        "q AS (SELECT CAST(ROUND(CAST(n * sxy - sx * sy AS DOUBLE) "
-        "/ CAST(n AS DOUBLE) * 1e6, 0) AS BIGINT) AS nq, "
-        "CAST(ROUND(CAST(n * sxx - sx * sx AS DOUBLE) "
-        "/ CAST(n AS DOUBLE) * 1e6, 0) AS BIGINT) AS dq, "
-        "n, sx, sy, sxx, sxy FROM m), "
-        "f AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users, "
-        "CAST(SUM(nq) AS HUGEINT) AS num_q, "
-        "CAST(SUM(dq) AS HUGEINT) AS den_q, "
-        "CAST(SUM(n) AS HUGEINT) AS tn, CAST(SUM(sx) AS HUGEINT) "
-        "AS tsx, CAST(SUM(sy) AS HUGEINT) AS tsy, "
-        "CAST(SUM(sxx) AS HUGEINT) AS tsxx, "
-        "CAST(SUM(sxy) AS HUGEINT) AS tsxy FROM q) "
-        "SELECT n_users, ROUND(CAST(num_q AS DOUBLE) "
-        "/ CAST(den_q AS DOUBLE), 6) AS beta_within, "
-        "ROUND(CAST(tn * tsxy - tsx * tsy AS DOUBLE) "
-        "/ CAST(tn * tsxx - tsx * tsx AS DOUBLE), 6) AS beta_pooled "
-        "FROM f"
-    )
-    out["frechet_profiles"] = _frechet_oracle_sql()
-    out["spanning_tree_count"] = _spanning_tree_oracle_sql()
-    out["effective_resistance"] = _eff_resistance_oracle_sql()
-    out["katz_centrality"] = _katz_oracle_sql()
-    import math as _math
-
-    _pascal = ", ".join(
-        f"({n}, {k}, {_math.comb(n, k)})"
-        for n in range(21)
-        for k in range(n + 1)
-    )
-    out["fisher_exact"] = (
-        # mirrors _q_fisher_exact (generated Pascal table, exact
-        # hypergeometric enumeration, integer two-sided rule)
-        f"WITH pas(n, k, c) AS (VALUES {_pascal}), "
-        "src AS (SELECT source AS w, CAST(SUM(n_chars) AS BIGINT) AS s "
-        "FROM documents WHERE LEN(source) >= 4 GROUP BY 1), "
-        "rk AS (SELECT w, s, ROW_NUMBER() OVER (ORDER BY w) - 1 AS idx "
-        "FROM src), "
-        "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nsrc, "
-        "CAST(SUM(s) AS BIGINT) AS total FROM rk), "
-        "fl AS (SELECT idx % 2 AS g, CASE WHEN tot.nsrc * s > tot.total "
-        "THEN 1 ELSE 0 END AS o FROM rk, tot), "
-        "mg AS (SELECT CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) "
-        "AS BIGINT) AS n0, CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) "
-        "AS BIGINT) AS n1, CAST(SUM(o) AS BIGINT) AS kk, "
-        "CAST(SUM(CASE WHEN g = 0 AND o = 1 THEN 1 ELSE 0 END) "
-        "AS BIGINT) AS a FROM fl), "
-        "aw AS (SELECT (SELECT c FROM pas, mg WHERE pas.n = mg.n0 "
-        "AND pas.k = mg.a) * (SELECT c FROM pas, mg WHERE "
-        "pas.n = mg.n1 AND pas.k = mg.kk - mg.a) AS aval), "
-        "ks AS (SELECT r.range AS k FROM range(0, 21) r, mg "
-        "WHERE r.range >= GREATEST(0, mg.kk - mg.n1) "
-        "AND r.range <= LEAST(mg.n0, mg.kk)), "
-        "ws AS (SELECT ks.k, p1.c * p2.c AS w FROM ks, mg "
-        "JOIN pas p1 ON p1.n = mg.n0 AND p1.k = ks.k "
-        "JOIN pas p2 ON p2.n = mg.n1 AND p2.k = mg.kk - ks.k), "
-        "nm AS (SELECT CAST(SUM(ws.w) AS BIGINT) AS x FROM ws, aw "
-        "WHERE ws.w <= aw.aval), "
-        "dn2 AS (SELECT c FROM pas, mg, tot WHERE pas.n = tot.nsrc "
-        "AND pas.k = mg.kk) "
-        "SELECT tot.nsrc AS n_sources, mg.a AS a_obs, "
-        "mg.kk AS col_total, ROUND(CAST(nm.x AS DOUBLE) "
-        "/ CAST(dn2.c AS DOUBLE), 6) AS p_value "
-        "FROM tot, mg, nm, dn2"
-    )
-    _m32c = __import__(
-        "tiff_to_geojson_csv_json_format_converter_ray.functions.sketch",
-        fromlist=["mix32_sql"],
-    ).mix32_sql("event_id", 99)
-    out["conformal_interval"] = (
-        # mirrors _q_conformal_interval (per-type lower median, split
-        # conformal order statistic, exact coverage)
-        "WITH e AS (SELECT event_type AS t, "
-        f"({_m32c}) % 2 AS cal, "
-        "CAST(ROUND(value * 100, 0) AS BIGINT) AS y FROM events), "
-        "med AS (SELECT t, y AS med FROM (SELECT t, y, ROW_NUMBER() "
-        "OVER (PARTITION BY t ORDER BY y) AS rn, COUNT(*) OVER "
-        "(PARTITION BY t) AS n FROM e) WHERE rn = (n - 1) // 2 + 1), "
-        "r AS (SELECT e.cal, ABS(e.y - med.med) AS r FROM e "
-        "JOIN med ON med.t = e.t), "
-        "calr AS (SELECT r, ROW_NUMBER() OVER (ORDER BY r) AS rn "
-        "FROM r WHERE cal = 0), "
-        "nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM calr), "
-        "kk AS (SELECT LEAST(nc.n, (9 * (nc.n + 1) + 9) // 10) AS k "
-        "FROM nc), "
-        "q AS (SELECT r AS q FROM calr, kk WHERE rn = kk.k), "
-        "tst AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_test, "
-        "CAST(COUNT(*) FILTER (WHERE r.r <= q.q) AS BIGINT) AS n_cov "
-        "FROM r, q WHERE cal = 1) "
-        "SELECT nc.n AS n_cal, tst.n_test, CAST(q.q AS BIGINT) "
-        "AS q_hat, ROUND(CAST(tst.n_cov AS DOUBLE) "
-        "/ CAST(tst.n_test AS DOUBLE), 6) AS coverage "
-        "FROM nc, q, tst"
-    )
-    out["bipartite_matching"] = _bipartite_matching_oracle_sql()
-    out["gmm_em_1d"] = _gmm_oracle_sql()
-    out["logistic_gd"] = _logit_oracle_sql()
-    out["cart_depth2"] = _cart_oracle_sql()
-    out["adaboost_2"] = _adaboost_oracle_sql()
-    _DAILY_SQL = (
-        "c0 AS (SELECT epoch_us(ts) // 86400000000 AS d, "
-        "CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) "
-        "AS y FROM events GROUP BY 1), "
-        "mm AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM c0), "
-        "dd AS (SELECT r.range AS t, mm.lo + r.range AS d "
-        "FROM range(0, 4096) r, mm WHERE r.range <= mm.hi - mm.lo), "
-        "dn AS (SELECT dd.t, COALESCE(c0.y, 0) AS y "
-        "FROM dd LEFT JOIN c0 ON c0.d = dd.d)"
-    )
-    _probe_vals = ", ".join(
-        f"({i}, {x}, {y})" for i, (x, y) in enumerate(_GWR_PROBES)
-    )
-    out["gwr_local"] = (
-        # mirrors _q_gwr_local (integer triangular kernel, exact
-        # weighted moments, pinned local OLS)
-        f"WITH pr(p, px, py) AS (VALUES {_probe_vals}), "
-        "e AS (SELECT event_id % 96 AS cx, (event_id // 96) % 96 "
-        "AS cy, epoch_us(ts) // 3600000000 % 24 AS x, "
-        "CAST(ROUND(value * 100, 0) AS BIGINT) AS y FROM events), "
-        f"w AS (SELECT pr.p, pr.px, pr.py, GREATEST(0, {_GWR_R2} "
-        "- ((e.cx - pr.px) * (e.cx - pr.px) "
-        "+ (e.cy - pr.py) * (e.cy - pr.py))) AS w, e.x, e.y "
-        "FROM e, pr), "
-        "m AS (SELECT p, px, py, CAST(SUM(w) AS HUGEINT) AS sw, "
-        "CAST(SUM(w * x) AS HUGEINT) AS swx, "
-        "CAST(SUM(CAST(w AS HUGEINT) * y) AS HUGEINT) AS swy, "
-        "CAST(SUM(w * x * x) AS HUGEINT) AS swxx, "
-        "CAST(SUM(CAST(w AS HUGEINT) * x * y) AS HUGEINT) AS swxy, "
-        "CAST(COUNT(*) FILTER (WHERE w > 0) AS BIGINT) AS n_eff "
-        "FROM w GROUP BY 1, 2, 3), "
-        "b AS (SELECT *, CAST(sw * swxy - swx * swy AS DOUBLE) "
-        "/ CAST(sw * swxx - swx * swx AS DOUBLE) AS slope FROM m) "
-        "SELECT CAST(p AS BIGINT) AS probe, CAST(px AS BIGINT) AS px, "
-        "CAST(py AS BIGINT) AS py, n_eff, ROUND(slope, 6) AS slope, "
-        "ROUND((CAST(swy AS DOUBLE) - slope * CAST(swx AS DOUBLE)) "
-        "/ CAST(sw AS DOUBLE), 6) AS intercept FROM b ORDER BY 1"
-    )
-    out["sax_motifs"] = (
-        # mirrors _q_sax_motifs (quartile order-stat breaks, 3-gram
-        # motif counts)
-        f"WITH {_DAILY_SQL}, "
-        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dn), "
-        "rw AS (SELECT y, ROW_NUMBER() OVER (ORDER BY y) AS rn "
-        "FROM dn), "
-        "brk AS (SELECT "
-        "(SELECT y FROM rw, nn WHERE rn = (1 * (nn.n - 1)) // 4 + 1) "
-        "AS b1, "
-        "(SELECT y FROM rw, nn WHERE rn = (2 * (nn.n - 1)) // 4 + 1) "
-        "AS b2, "
-        "(SELECT y FROM rw, nn WHERE rn = (3 * (nn.n - 1)) // 4 + 1) "
-        "AS b3), "
-        "sym AS (SELECT t, (CASE WHEN y > brk.b1 THEN 1 ELSE 0 END "
-        "+ CASE WHEN y > brk.b2 THEN 1 ELSE 0 END "
-        "+ CASE WHEN y > brk.b3 THEN 1 ELSE 0 END) AS s "
-        "FROM dn, brk), "
-        "tri AS (SELECT CAST(a.s AS VARCHAR) || CAST(b.s AS VARCHAR) "
-        "|| CAST(c.s AS VARCHAR) AS motif FROM sym a "
-        "JOIN sym b ON b.t = a.t + 1 JOIN sym c ON c.t = a.t + 2) "
-        "SELECT motif, CAST(COUNT(*) AS BIGINT) AS n_occur FROM tri "
-        "GROUP BY 1 ORDER BY n_occur DESC, motif LIMIT 5"
-    )
-    out["hampel_filter"] = (
-        # mirrors _q_hampel_filter (5-day window median/MAD, integer
-        # 3-MAD flag)
-        f"WITH {_DAILY_SQL}, "
-        "win AS (SELECT a.t, b.y AS wy FROM dn a "
-        "JOIN dn b ON b.t BETWEEN a.t - 2 AND a.t + 2), "
-        "med AS (SELECT t, wy AS m FROM (SELECT t, wy, ROW_NUMBER() "
-        "OVER (PARTITION BY t ORDER BY wy) AS rn, COUNT(*) OVER "
-        "(PARTITION BY t) AS cnt FROM win) "
-        "WHERE rn = (cnt - 1) // 2 + 1), "
-        "dev AS (SELECT win.t, ABS(win.wy - med.m) AS d FROM win "
-        "JOIN med ON med.t = win.t), "
-        "mad AS (SELECT t, d AS mad FROM (SELECT t, d, ROW_NUMBER() "
-        "OVER (PARTITION BY t ORDER BY d) AS rn, COUNT(*) OVER "
-        "(PARTITION BY t) AS cnt FROM dev) "
-        "WHERE rn = (cnt - 1) // 2 + 1) "
-        "SELECT dn.t, dn.y, med.m AS win_med, mad.mad AS win_mad, "
-        "CAST(CASE WHEN ABS(dn.y - med.m) > 3 * mad.mad THEN 1 "
-        "ELSE 0 END AS BIGINT) AS is_outlier FROM dn "
-        "JOIN med ON med.t = dn.t JOIN mad ON mad.t = dn.t "
-        "ORDER BY dn.t"
-    )
-    out["knn_loo_accuracy"] = (
-        # mirrors _q_knn_loo_accuracy (first-500 subset, exact d2
-        # neighbor order, majority vote with label tie-break)
-        "WITH rkv AS (SELECT vec_id, ROW_NUMBER() OVER "
-        "(ORDER BY vec_id) AS rn FROM (SELECT DISTINCT vec_id "
-        "FROM embeddings)), "
-        "sub AS (SELECT vec_id FROM rkv WHERE rn <= 500), "
-        "e2 AS MATERIALIZED (SELECT e.vec_id, "
-        "generate_subscripts(e.embedding, 1) AS dim, "
-        "CAST(ROUND(CAST(UNNEST(e.embedding) AS DOUBLE) * 1e4, 0) "
-        "AS BIGINT) AS vq FROM embeddings e JOIN sub "
-        "ON sub.vec_id = e.vec_id), "
-        "lb AS (SELECT e.vec_id, CAST(e.label AS BIGINT) AS label "
-        "FROM embeddings e JOIN sub ON sub.vec_id = e.vec_id), "
-        "nr AS (SELECT vec_id, CAST(SUM(vq * vq) AS BIGINT) AS n2 "
-        "FROM e2 GROUP BY 1), "
-        "dot AS (SELECT a.vec_id AS ia, b.vec_id AS ib, "
-        "CAST(SUM(a.vq * b.vq) AS BIGINT) AS dp FROM e2 a "
-        "JOIN e2 b ON b.dim = a.dim AND b.vec_id <> a.vec_id "
-        "GROUP BY 1, 2), "
-        "dd AS (SELECT dot.ia, dot.ib, na.n2 + nb.n2 - 2 * dot.dp "
-        "AS d2 FROM dot JOIN nr na ON na.vec_id = dot.ia "
-        "JOIN nr nb ON nb.vec_id = dot.ib), "
-        "nb5 AS (SELECT ia, ib FROM (SELECT ia, ib, ROW_NUMBER() "
-        "OVER (PARTITION BY ia ORDER BY d2, ib) AS rn FROM dd) "
-        "WHERE rn <= 5), "
-        "votes AS (SELECT nb5.ia, lb.label, CAST(COUNT(*) AS BIGINT) "
-        "AS c FROM nb5 JOIN lb ON lb.vec_id = nb5.ib GROUP BY 1, 2), "
-        "pred AS (SELECT ia, label FROM (SELECT ia, label, "
-        "ROW_NUMBER() OVER (PARTITION BY ia ORDER BY c DESC, label) "
-        "AS rn FROM votes) WHERE rn = 1), "
-        "acc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(CASE WHEN pred.label = lb.label THEN 1 ELSE 0 END) "
-        "AS BIGINT) AS correct FROM pred "
-        "JOIN lb ON lb.vec_id = pred.ia) "
-        "SELECT n AS n_vecs, correct AS n_correct, "
-        "ROUND(CAST(correct AS DOUBLE) / CAST(n AS DOUBLE), 6) "
-        "AS accuracy FROM acc"
-    )
-    _m41 = __import__(
-        "tiff_to_geojson_csv_json_format_converter_ray.functions.sketch",
-        fromlist=["mix32_sql"],
-    ).mix32_sql("i.range", 41)
-    _m43 = __import__(
-        "tiff_to_geojson_csv_json_format_converter_ray.functions.sketch",
-        fromlist=["mix32_sql"],
-    ).mix32_sql("i.range", 43)
-    _m47 = __import__(
-        "tiff_to_geojson_csv_json_format_converter_ray.functions.sketch",
-        fromlist=["mix32_sql"],
-    ).mix32_sql("cell", 47)
-    out["hopkins_stat"] = (
-        # mirrors _q_hopkins_stat (mix32 probes and sample, exact d2
-        # NN sums)
-        "WITH c AS MATERIALIZED (SELECT DISTINCT "
-        "event_id % 96 + (event_id // 96 % 96) * 96 AS cell, "
-        "event_id % 96 AS x, (event_id // 96) % 96 AS y FROM events), "
-        f"pi AS (SELECT i.range AS i, ({_m41}) % 96 AS px, "
-        f"({_m43}) % 96 AS py FROM range(0, 50) i), "
-        "su AS (SELECT CAST(SUM((SELECT MIN((c.x - pi.px) "
-        "* (c.x - pi.px) + (c.y - pi.py) * (c.y - pi.py)) FROM c)) "
-        "AS BIGINT) AS v FROM pi), "
-        "smp AS (SELECT cell, x, y FROM (SELECT cell, x, y, "
-        "ROW_NUMBER() OVER (ORDER BY key, cell) AS rn FROM "
-        f"(SELECT cell, x, y, ({_m47}) AS key FROM c)) "
-        "WHERE rn <= 50), "
-        "sw AS (SELECT CAST(SUM((SELECT MIN((c.x - s.x) * (c.x - s.x) "
-        "+ (c.y - s.y) * (c.y - s.y)) FROM c "
-        "WHERE c.cell <> s.cell)) AS BIGINT) AS v FROM smp s) "
-        "SELECT su.v AS sum_u, sw.v AS sum_w, "
-        "ROUND(CAST(su.v AS DOUBLE) / CAST(su.v + sw.v AS DOUBLE), 6) "
-        "AS hopkins FROM su, sw"
-    )
-    out["schulze_method"] = _schulze_oracle_sql()
-    out["bootstrap_percolation"] = _bperc_oracle_sql()
-    out["p_chart"] = (
-        # mirrors _q_p_chart (pooled p-bar, 3-sigma binomial limits)
-        "WITH c0 AS (SELECT epoch_us(ts) // 86400000000 AS d, "
-        "CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
-        "AS BIGINT) AS k FROM events GROUP BY 1), "
-        "t0 AS (SELECT MIN(d) AS d0 FROM c0), "
-        "tot AS (SELECT CAST(SUM(n) AS BIGINT) AS bn, "
-        "CAST(SUM(k) AS BIGINT) AS bk FROM c0), "
-        "r AS (SELECT c0.d - t0.d0 AS t, c0.n, c0.k, "
-        "CAST(c0.k AS DOUBLE) / CAST(c0.n AS DOUBLE) AS rate, "
-        "CAST(tot.bk AS DOUBLE) / CAST(tot.bn AS DOUBLE) AS pbar "
-        "FROM c0, t0, tot), "
-        "f AS (SELECT t, n, k, rate, pbar, "
-        "SQRT(pbar * (1.0 - pbar) / CAST(n AS DOUBLE)) AS sig FROM r) "
-        "SELECT CAST(t AS BIGINT) AS t, n, k, ROUND(rate, 6) AS rate, "
-        "CAST(CASE WHEN rate > pbar + 3.0 * sig THEN 1 ELSE 0 END "
-        "AS BIGINT) AS above_ucl, "
-        "CAST(CASE WHEN rate < pbar - 3.0 * sig THEN 1 ELSE 0 END "
-        "AS BIGINT) AS below_lcl FROM f ORDER BY t"
-    )
-    out["lof_cells"] = (
-        # mirrors _q_lof_cells (k=3 squared-distance LOF, 1e9-tick
-        # ratio terms)
-        "WITH cc AS (SELECT event_id % 96 + (event_id // 96 % 96) * 96 "
-        "AS cell, CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) "
-        "AS BIGINT) AS v FROM events GROUP BY 1), "
-        "top50 AS (SELECT cell FROM cc ORDER BY v DESC, cell LIMIT 50), "
-        "p AS MATERIALIZED (SELECT cell, cell % 96 AS x, "
-        "cell // 96 AS y FROM top50), "
-        "dm AS (SELECT a.cell AS ca, b.cell AS cb, "
-        "(a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2 "
-        "FROM p a JOIN p b ON b.cell <> a.cell), "
-        "rk AS MATERIALIZED (SELECT ca, cb, d2, ROW_NUMBER() OVER "
-        "(PARTITION BY ca ORDER BY d2, cb) AS rn FROM dm), "
-        "nb AS (SELECT ca, cb, d2 FROM rk WHERE rn <= 3), "
-        "kd AS (SELECT ca, d2 AS kd2 FROM rk WHERE rn = 3), "
-        "sr AS MATERIALIZED (SELECT nb.ca, "
-        "CAST(SUM(GREATEST(kd.kd2, nb.d2)) AS BIGINT) AS sr FROM nb "
-        "JOIN kd ON kd.ca = nb.cb GROUP BY 1), "
-        "lf AS (SELECT nb.ca, CAST(SUM(CAST(ROUND(1e9 "
-        "* CAST(sa.sr AS DOUBLE) / CAST(so.sr AS DOUBLE), 0) "
-        "AS BIGINT)) AS BIGINT) AS q FROM nb "
-        "JOIN sr sa ON sa.ca = nb.ca JOIN sr so ON so.ca = nb.cb "
-        "GROUP BY 1) "
-        "SELECT p.cell, sr.sr AS sum_reach2, "
-        "ROUND(CAST(lf.q AS DOUBLE) / 3e9, 6) AS lof FROM p "
-        "JOIN sr ON sr.ca = p.cell JOIN lf ON lf.ca = p.cell "
-        "ORDER BY 1"
-    )
-    out["capture_recapture"] = (
-        # mirrors _q_capture_recapture (exact week sightings, pinned
-        # LP / Chapman estimators)
-        "WITH s AS (SELECT user_id, (epoch_us(ts) // 86400000000 "
-        "- (SELECT MIN(epoch_us(ts) // 86400000000) FROM events)) // 7 "
-        "AS w FROM events), "
-        "w1 AS (SELECT DISTINCT user_id FROM s WHERE w = 0), "
-        "w2 AS (SELECT DISTINCT user_id FROM s WHERE w = 1), "
-        "m AS (SELECT CAST((SELECT COUNT(*) FROM w1) AS BIGINT) AS n1, "
-        "CAST((SELECT COUNT(*) FROM w2) AS BIGINT) AS n2, "
-        "CAST((SELECT COUNT(*) FROM w1 JOIN w2 USING (user_id)) "
-        "AS BIGINT) AS m) "
-        "SELECT n1 AS n_week1, n2 AS n_week2, m AS n_both, "
-        "ROUND(CAST(n1 * n2 AS DOUBLE) / CAST(m AS DOUBLE), 6) "
-        "AS lincoln_petersen, "
-        "ROUND(CAST((n1 + 1) * (n2 + 1) AS DOUBLE) "
-        "/ CAST(m + 1 AS DOUBLE) - 1.0, 6) AS chapman FROM m"
-    )
-    out["chao1_richness"] = (
-        # mirrors _q_chao1_richness (bias-corrected Chao1)
-        "WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c "
-        "FROM events GROUP BY 1), "
-        "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS s_obs, "
-        "CAST(COUNT(*) FILTER (WHERE c = 1) AS BIGINT) AS f1, "
-        "CAST(COUNT(*) FILTER (WHERE c = 2) AS BIGINT) AS f2 FROM c) "
-        "SELECT s_obs, f1, f2, ROUND(CAST(s_obs AS DOUBLE) "
-        "+ CAST(f1 * (f1 - 1) AS DOUBLE) "
-        "/ CAST(2 * (f2 + 1) AS DOUBLE), 6) AS chao1 FROM m"
-    )
-    out["good_turing"] = (
-        # mirrors _q_good_turing (frequency-of-frequency smoothing)
-        "WITH tk AS (SELECT UNNEST(regexp_split_to_array(text, '\\s+')) "
-        "AS token FROM documents), "
-        "tc AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM tk "
-        "WHERE token <> '' GROUP BY 1), "
-        "ff AS (SELECT c AS r, CAST(COUNT(*) AS BIGINT) AS n_r FROM tc "
-        "GROUP BY 1) "
-        "SELECT a.r, a.n_r, ROUND(CASE WHEN b.n_r IS NULL "
-        "THEN CAST(a.r AS DOUBLE) "
-        "ELSE CAST((a.r + 1) * b.n_r AS DOUBLE) "
-        "/ CAST(a.n_r AS DOUBLE) END, 6) AS r_star "
-        "FROM ff a LEFT JOIN ff b ON b.r = a.r + 1 ORDER BY a.r"
-    )
-    out["fairness_audit"] = (
-        # mirrors _q_fairness_audit (demographic-parity gap)
-        "WITH g AS (SELECT doc_id % 2 AS grp, "
-        "CAST(COUNT(*) AS BIGINT) AS n_docs, "
-        "CAST(SUM(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) "
-        "AS BIGINT) AS n_pos FROM documents GROUP BY 1), "
-        "r AS (SELECT grp, n_docs, n_pos, "
-        "CAST(n_pos AS DOUBLE) / CAST(n_docs AS DOUBLE) AS rate FROM g) "
-        "SELECT r.grp, r.n_docs, r.n_pos, ROUND(r.rate, 6) AS pos_rate, "
-        "ROUND((SELECT rate FROM r WHERE grp = 1) "
-        "- (SELECT rate FROM r WHERE grp = 0), 6) AS parity_gap "
-        "FROM r ORDER BY 1"
-    )
-    out["energy_distance"] = (
-        # mirrors _q_energy_distance (merged-order running sums, one
-        # pinned float assembly)
-        "WITH e AS (SELECT CASE WHEN event_type = 'click' THEN 1 "
-        "ELSE 0 END AS lab, CAST(ROUND(value * 100, 0) AS BIGINT) AS y "
-        "FROM events WHERE event_type IN ('click', 'purchase')), "
-        "g AS (SELECT lab, y, CAST(COUNT(*) AS BIGINT) AS c FROM e "
-        "GROUP BY 1, 2), "
-        "w AS (SELECT lab, y, c, "
-        "COALESCE(SUM(CASE WHEN lab = 1 THEN c END) OVER pre, 0) "
-        "AS cnt_a, "
-        "COALESCE(SUM(CASE WHEN lab = 1 THEN c * y END) OVER pre, 0) "
-        "AS sum_a, "
-        "COALESCE(SUM(CASE WHEN lab = 0 THEN c END) OVER pre, 0) "
-        "AS cnt_b, "
-        "COALESCE(SUM(CASE WHEN lab = 0 THEN c * y END) OVER pre, 0) "
-        "AS sum_b FROM g WINDOW pre AS (ORDER BY y, lab "
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), "
-        "s AS (SELECT CAST(SUM(CASE WHEN lab = 1 "
-        "THEN c * (y * cnt_b - sum_b) "
-        "ELSE c * (y * cnt_a - sum_a) END) AS HUGEINT) AS sab, "
-        "CAST(SUM(CASE WHEN lab = 1 THEN c * (y * cnt_a - sum_a) "
-        "ELSE 0 END) AS HUGEINT) AS saa, "
-        "CAST(SUM(CASE WHEN lab = 0 THEN c * (y * cnt_b - sum_b) "
-        "ELSE 0 END) AS HUGEINT) AS sbb, "
-        "CAST(SUM(CASE WHEN lab = 1 THEN c ELSE 0 END) AS BIGINT) AS n, "
-        "CAST(SUM(CASE WHEN lab = 0 THEN c ELSE 0 END) AS BIGINT) AS m "
-        "FROM w) "
-        "SELECT n AS n_click, m AS n_purchase, "
-        "ROUND((2.0 * CAST(sab AS DOUBLE) / CAST(n * m AS DOUBLE) "
-        "- 2.0 * CAST(saa AS DOUBLE) / CAST(n * n AS DOUBLE) "
-        "- 2.0 * CAST(sbb AS DOUBLE) / CAST(m * m AS DOUBLE)) / 100.0, "
-        "6) AS energy_cents FROM s"
-    )
-    _m32s = __import__(
-        "tiff_to_geojson_csv_json_format_converter_ray.functions.sketch",
-        fromlist=["mix32_sql"],
-    ).mix32_sql("dn.t", "pp.p * 7919")
-    out["secretary_rule"] = (
-        # mirrors _q_secretary_rule (mix32 permutations, 37% rule)
-        "WITH c0 AS (SELECT epoch_us(ts) // 86400000000 AS d, "
-        "CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) "
-        "AS y FROM events GROUP BY 1), "
-        "mm AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM c0), "
-        "dd AS (SELECT r.range AS t, mm.lo + r.range AS d "
-        "FROM range(0, 4096) r, mm WHERE r.range <= mm.hi - mm.lo), "
-        "dn AS (SELECT dd.t, COALESCE(c0.y, 0) AS y "
-        "FROM dd LEFT JOIN c0 ON c0.d = dd.d), "
-        "pp AS (SELECT r.range AS p FROM range(0, 200) r), "
-        f"ky AS (SELECT pp.p, dn.t, dn.y, ({_m32s}) AS k FROM dn, pp), "
-        "rk AS MATERIALIZED (SELECT p, y, ROW_NUMBER() OVER "
-        "(PARTITION BY p ORDER BY k, t) AS rn FROM ky), "
-        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dn), "
-        "mx AS (SELECT MAX(y) AS best FROM dn), "
-        "thr AS (SELECT p, MAX(y) AS thr FROM rk WHERE rn <= 11 "
-        "GROUP BY 1), "
-        "pick1 AS (SELECT rk.p, MIN(rk.rn) AS rn FROM rk "
-        "JOIN thr ON thr.p = rk.p WHERE rk.rn > 11 AND rk.y > thr.thr "
-        "GROUP BY 1), "
-        "pick AS (SELECT rk.p, rk.y FROM rk "
-        "JOIN pick1 ON pick1.p = rk.p AND pick1.rn = rk.rn "
-        "UNION ALL SELECT rk.p, rk.y FROM rk, nn WHERE rk.rn = nn.n "
-        "AND rk.p NOT IN (SELECT p FROM pick1)), "
-        "wins AS (SELECT CAST(COUNT(*) AS BIGINT) AS w FROM pick, mx "
-        "WHERE pick.y = mx.best) "
-        "SELECT CAST(200 AS BIGINT) AS n_perms, wins.w AS n_success, "
-        "ROUND(CAST(wins.w AS DOUBLE) / 200.0, 6) AS success_rate "
-        "FROM wins"
-    )
-    out["hough_lines"] = (
-        # mirrors _q_hough_lines (1e6-tick quantized trig, pinned rho
-        # binning, top-5 accumulator peaks)
-        f"WITH {_MASK_SQL}, "
-        "th AS (SELECT k.range AS k, "
-        "CAST(ROUND(1e6 * COS(k.range * PI() / 8), 0) AS BIGINT) AS cq, "
-        "CAST(ROUND(1e6 * SIN(k.range * PI() / 8), 0) AS BIGINT) AS sq "
-        "FROM range(0, 8) k), "
-        "v AS (SELECT th.k, CAST(ROUND(CAST(pts.x * th.cq "
-        "+ pts.y * th.sq AS DOUBLE) / 1e6, 0) AS BIGINT) AS rho "
-        "FROM pts, th), "
-        "acc AS (SELECT k, rho, CAST(COUNT(*) AS BIGINT) AS votes "
-        "FROM v GROUP BY 1, 2) "
-        "SELECT CAST(k AS BIGINT) AS theta_k, rho, votes FROM acc "
-        "ORDER BY votes DESC, k, rho LIMIT 5"
-    )
-    out["catchment_2sfca"] = (
-        # mirrors _q_catchment_2sfca (1e9-tick provider ratios, exact
-        # integer accessibility sums, top-20)
-        "WITH cc AS (SELECT event_id % 96 + (event_id // 96 % 96) * 96 "
-        "AS cell, CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) "
-        "AS sv FROM events GROUP BY 1), "
-        "sup AS (SELECT cell, sv FROM cc ORDER BY sv DESC, cell "
-        "LIMIT 10), "
-        "rq AS MATERIALIZED (SELECT s.cell, (s.sv * 1000000000) // "
-        "(SELECT SUM(d.n) FROM cc d WHERE "
-        "(d.cell % 96 - s.cell % 96) * (d.cell % 96 - s.cell % 96) "
-        "+ (d.cell // 96 - s.cell // 96) * (d.cell // 96 - s.cell // 96) "
-        "<= 100) AS r FROM sup s), "
-        "ac AS (SELECT d.cell, CAST(SUM(rq.r) AS BIGINT) AS a FROM cc d "
-        "JOIN rq ON (d.cell % 96 - rq.cell % 96) "
-        "* (d.cell % 96 - rq.cell % 96) "
-        "+ (d.cell // 96 - rq.cell // 96) "
-        "* (d.cell // 96 - rq.cell // 96) <= 100 GROUP BY 1) "
-        "SELECT cc.cell, COALESCE(ac.a, 0) AS access_q, "
-        "ROUND(CAST(COALESCE(ac.a, 0) AS DOUBLE) / 1e9, 6) AS access "
-        "FROM cc LEFT JOIN ac ON ac.cell = cc.cell "
-        "ORDER BY access_q DESC, cc.cell LIMIT 20"
-    )
-    out["mean_excess"] = (
-        # mirrors _q_mean_excess (exact exceedance sums per threshold)
-        "WITH th AS (SELECT UNNEST([1000, 2000, 4000, 8000, 16000]) "
-        "AS u), "
-        "e AS (SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS y "
-        "FROM events), "
-        "m AS (SELECT th.u, CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(e.y - th.u) AS BIGINT) AS s FROM th "
-        "JOIN e ON e.y > th.u GROUP BY 1) "
-        "SELECT CAST(u AS BIGINT) AS threshold, n AS n_exceed, "
-        "ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) "
-        "AS mean_excess FROM m ORDER BY 1"
-    )
-    out["epoch_folding"] = (
-        # mirrors _q_epoch_folding (exact integer folded-bin chi2)
-        "WITH e AS (SELECT epoch_us(ts) // 3600000000 AS h FROM events), "
-        "pr AS (SELECT UNNEST([6, 12, 24, 168]) AS p), "
-        "ob AS (SELECT pr.p, e.h % pr.p AS b, "
-        "CAST(COUNT(*) AS BIGINT) AS o FROM e, pr GROUP BY 1, 2), "
-        "tt AS (SELECT p, CAST(SUM(o) AS BIGINT) AS t FROM ob "
-        "GROUP BY 1), "
-        "fr AS (SELECT pr.p, r.range AS b FROM pr, range(0, 168) r "
-        "WHERE r.range < pr.p), "
-        "nm AS (SELECT fr.p, CAST(SUM((fr.p * COALESCE(ob.o, 0) - tt.t) "
-        "* (fr.p * COALESCE(ob.o, 0) - tt.t)) AS HUGEINT) AS num "
-        "FROM fr JOIN tt ON tt.p = fr.p "
-        "LEFT JOIN ob ON ob.p = fr.p AND ob.b = fr.b GROUP BY 1) "
-        "SELECT CAST(nm.p AS BIGINT) AS period_h, tt.t AS n_events, "
-        "ROUND(CAST(nm.num AS DOUBLE) / CAST(nm.p * tt.t AS DOUBLE), 6) "
-        "AS chi2 FROM nm JOIN tt ON tt.p = nm.p ORDER BY 1"
-    )
-    out["seat_apportionment"] = (
-        # mirrors _q_seat_apportionment (D'Hondt top-100 quotients,
-        # Hamilton largest remainders, type tie-breaks)
-        "WITH c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c "
-        "FROM events GROUP BY 1), "
-        "tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM c), "
-        "q AS (SELECT c.event_type, k.range + 1 AS k, "
-        "CAST(c.c AS DOUBLE) / CAST(k.range + 1 AS DOUBLE) AS q "
-        "FROM c, range(0, 100) k), "
-        "topq AS (SELECT event_type FROM q "
-        "ORDER BY q DESC, event_type, k LIMIT 100), "
-        "dh AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS s "
-        "FROM topq GROUP BY 1), "
-        "base AS (SELECT c.event_type, c.c, (c.c * 100) // tot.t AS b, "
-        "(c.c * 100) % tot.t AS r FROM c, tot), "
-        "lf AS (SELECT 100 - CAST(SUM(b) AS BIGINT) AS lft FROM base), "
-        "rk AS (SELECT event_type, ROW_NUMBER() OVER "
-        "(ORDER BY r DESC, event_type) AS rn FROM base) "
-        "SELECT c.event_type, c.c AS n_events, "
-        "CAST(COALESCE(dh.s, 0) AS BIGINT) AS dhondt, "
-        "CAST(base.b + CASE WHEN rk.rn <= lf.lft THEN 1 ELSE 0 END "
-        "AS BIGINT) AS hamilton FROM c "
-        "JOIN base ON base.event_type = c.event_type "
-        "JOIN rk ON rk.event_type = c.event_type "
-        "LEFT JOIN dh ON dh.event_type = c.event_type "
-        "CROSS JOIN lf ORDER BY 1"
-    )
-    out["rle_runs"] = (
-        # mirrors _q_rle_runs (gaps-and-islands run lengths per row)
-        f"WITH {_MASK_SQL}, "
-        "isl AS (SELECT y, x, x - ROW_NUMBER() OVER (PARTITION BY y "
-        "ORDER BY x) AS grp FROM pts), "
-        "runs AS (SELECT y, grp, CAST(COUNT(*) AS BIGINT) AS len "
-        "FROM isl GROUP BY 1, 2) "
-        "SELECT len AS run_length, CAST(COUNT(*) AS BIGINT) AS n_runs "
-        "FROM runs GROUP BY 1 ORDER BY 1"
-    )
-    _RET_SQL = (
-        "c0 AS (SELECT epoch_us(ts) // 86400000000 AS d, "
-        "CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) "
-        "AS y FROM events GROUP BY 1), "
-        "mm AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM c0), "
-        "dd AS (SELECT r.range AS t, mm.lo + r.range AS d "
-        "FROM range(0, 4096) r, mm WHERE r.range <= mm.hi - mm.lo), "
-        "dn AS (SELECT dd.t, COALESCE(c0.y, 0) AS y "
-        "FROM dd LEFT JOIN c0 ON c0.d = dd.d), "
-        "pp AS (SELECT a.y AS y0, b.y AS y1 FROM dn a "
-        "JOIN dn b ON b.t = a.t + 1 WHERE a.y > 0), "
-        "rq AS (SELECT CAST(ROUND(CAST(y1 - y0 AS DOUBLE) "
-        "/ CAST(y0 AS DOUBLE) * 1e6, 0) AS BIGINT) AS r FROM pp)"
-    )
-    out["sharpe_sortino"] = (
-        # mirrors _q_sharpe_sortino (1e6-tick returns, exact moments)
-        f"WITH {_RET_SQL}, "
-        "m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, "
-        "CAST(SUM(r) AS HUGEINT) AS s1, "
-        "CAST(SUM(CAST(r AS HUGEINT) * r) AS HUGEINT) AS s2, "
-        "CAST(SUM(CASE WHEN r < 0 THEN CAST(r AS HUGEINT) * r "
-        "ELSE 0 END) AS HUGEINT) AS d2 FROM rq), "
-        "f AS (SELECT n, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean, "
-        "CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS m2, "
-        "CAST(d2 AS DOUBLE) / CAST(n AS DOUBLE) AS dvar FROM m) "
-        "SELECT CAST(n AS BIGINT) AS n_ret, ROUND(mean / 1e6, 6) "
-        "AS mean_ret, ROUND(mean / SQRT(m2 - mean * mean), 6) AS sharpe, "
-        "ROUND(mean / SQRT(dvar), 6) AS sortino FROM f"
-    )
-    out["var_cvar"] = (
-        # mirrors _q_var_cvar (k-th order statistic + exact tail mean)
-        f"WITH {_RET_SQL}, "
-        "rr AS (SELECT r, ROW_NUMBER() OVER (ORDER BY r) AS rn FROM rq), "
-        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(COUNT(*) AS BIGINT) * 5 // 100 + 1 AS k FROM rq) "
-        "SELECT nn.n AS n_ret, nn.k AS k_tail, "
-        "ROUND(CAST((SELECT r FROM rr, nn WHERE rn = nn.k) AS DOUBLE) "
-        "/ 1e6, 6) AS var05, "
-        "ROUND(CAST((SELECT SUM(r) FROM rr, nn WHERE rn <= nn.k) "
-        "AS DOUBLE) / CAST(nn.k AS DOUBLE) / 1e6, 6) AS cvar05 FROM nn"
-    )
-    out["reg_discontinuity"] = (
-        # mirrors _q_reg_discontinuity (per-side exact OLS moments,
-        # fitted-value difference at the cutoff)
-        "WITH e AS (SELECT CASE WHEN user_id % 100 >= 50 THEN 1 ELSE 0 "
-        "END AS side, user_id % 100 AS x, "
-        "CAST(ROUND(value * 100, 0) AS BIGINT) AS y FROM events), "
-        "m AS (SELECT side, CAST(COUNT(*) AS HUGEINT) AS n, "
-        "CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy, "
-        "CAST(SUM(x * x) AS HUGEINT) AS sxx, "
-        "CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy "
-        "FROM e GROUP BY 1), "
-        "b AS (SELECT side, n, sx, sy, sxy, "
-        "CAST(n * sxy - sx * sy AS DOUBLE) "
-        "/ CAST(n * sxx - sx * sx AS DOUBLE) AS b FROM m), "
-        "f AS (SELECT side, n, (CAST(sy AS DOUBLE) "
-        "- b * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) + b * 50.0 "
-        "AS fit FROM b) "
-        "SELECT (SELECT CAST(n AS BIGINT) FROM f WHERE side = 0) "
-        "AS n_left, (SELECT CAST(n AS BIGINT) FROM f WHERE side = 1) "
-        "AS n_right, "
-        "ROUND((SELECT fit FROM f WHERE side = 0), 6) AS y_left, "
-        "ROUND((SELECT fit FROM f WHERE side = 1), 6) AS y_right, "
-        "ROUND((SELECT fit FROM f WHERE side = 1) "
-        "- (SELECT fit FROM f WHERE side = 0), 6) AS rd_effect"
-    )
-    out["convex_layers"] = _convex_layers_oracle_sql()
-    out["delaunay_triangles"] = (
-        # mirrors _q_delaunay_triangles (exact integer empty-
-        # circumcircle certificates over top-20 cells by value cents)
-        "WITH cc AS (SELECT event_id % 96 + (event_id // 96 % 96) * 96 "
-        "AS cell, CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) "
-        "AS BIGINT) AS n FROM events GROUP BY 1), "
-        "top20 AS (SELECT cell FROM cc ORDER BY n DESC, cell LIMIT 20), "
-        "p AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY cell) - 1 "
-        "AS i, cell % 96 AS x, cell // 96 AS y FROM top20), "
-        "tri0 AS (SELECT a.i AS i, b.i AS j, c.i AS k, "
-        "a.x AS ax, a.y AS ay, "
-        "2 * (a.x * (b.y - c.y) + b.x * (c.y - a.y) "
-        "+ c.x * (a.y - b.y)) AS d, "
-        "(a.x * a.x + a.y * a.y) * (b.y - c.y) "
-        "+ (b.x * b.x + b.y * b.y) * (c.y - a.y) "
-        "+ (c.x * c.x + c.y * c.y) * (a.y - b.y) AS ux, "
-        "(a.x * a.x + a.y * a.y) * (c.x - b.x) "
-        "+ (b.x * b.x + b.y * b.y) * (a.x - c.x) "
-        "+ (c.x * c.x + c.y * c.y) * (b.x - a.x) AS uy "
-        "FROM p a JOIN p b ON b.i > a.i JOIN p c ON c.i > b.i), "
-        "tri1 AS (SELECT *, (d * ax - ux) * (d * ax - ux) "
-        "+ (d * ay - uy) * (d * ay - uy) AS rnum FROM tri0 "
-        "WHERE d <> 0), "
-        "tris AS MATERIALIZED (SELECT i, j, k FROM tri1 t "
-        "WHERE NOT EXISTS (SELECT 1 FROM p q "
-        "WHERE q.i <> t.i AND q.i <> t.j AND q.i <> t.k AND "
-        "(t.d * q.x - t.ux) * (t.d * q.x - t.ux) "
-        "+ (t.d * q.y - t.uy) * (t.d * q.y - t.uy) < t.rnum)), "
-        "de AS (SELECT DISTINCT a, b FROM (SELECT i AS a, j AS b "
-        "FROM tris UNION ALL SELECT i, k FROM tris "
-        "UNION ALL SELECT j, k FROM tris)) "
-        "SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, "
-        "CAST(k AS BIGINT) AS k, "
-        "(SELECT CAST(COUNT(*) AS BIGINT) FROM de) AS n_edges FROM tris"
-    )
-    out["enclosing_circle"] = (
-        # mirrors _q_enclosing_circle (integer containment certificates
-        # on pairs + circumcircle triples, pinned-double winner pick)
-        "WITH cc AS (SELECT event_id % 96 + (event_id // 96 % 96) * 96 "
-        "AS cell, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1), "
-        "top20 AS (SELECT cell FROM cc ORDER BY n DESC, cell LIMIT 20), "
-        "p AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY cell) - 1 "
-        "AS i, cell % 96 AS x, cell // 96 AS y FROM top20), "
-        "pair AS (SELECT a.i AS i, b.i AS j, -1 AS k, "
-        "CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) "
-        "AS DOUBLE) / 4.0 AS r2f, "
-        "CAST(a.x + b.x AS DOUBLE) / 2.0 AS cxf, "
-        "CAST(a.y + b.y AS DOUBLE) / 2.0 AS cyf "
-        "FROM p a JOIN p b ON b.i > a.i WHERE NOT EXISTS ("
-        "SELECT 1 FROM p q WHERE "
-        "(2 * q.x - a.x - b.x) * (2 * q.x - a.x - b.x) "
-        "+ (2 * q.y - a.y - b.y) * (2 * q.y - a.y - b.y) "
-        "> (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y))), "
-        "tri0 AS (SELECT a.i AS i, b.i AS j, c.i AS k, "
-        "a.x AS ax, a.y AS ay, "
-        "2 * (a.x * (b.y - c.y) + b.x * (c.y - a.y) "
-        "+ c.x * (a.y - b.y)) AS d, "
-        "(a.x * a.x + a.y * a.y) * (b.y - c.y) "
-        "+ (b.x * b.x + b.y * b.y) * (c.y - a.y) "
-        "+ (c.x * c.x + c.y * c.y) * (a.y - b.y) AS ux, "
-        "(a.x * a.x + a.y * a.y) * (c.x - b.x) "
-        "+ (b.x * b.x + b.y * b.y) * (a.x - c.x) "
-        "+ (c.x * c.x + c.y * c.y) * (b.x - a.x) AS uy "
-        "FROM p a JOIN p b ON b.i > a.i JOIN p c ON c.i > b.i), "
-        "tri1 AS (SELECT *, (d * ax - ux) * (d * ax - ux) "
-        "+ (d * ay - uy) * (d * ay - uy) AS rnum FROM tri0 "
-        "WHERE d <> 0), "
-        "tri AS (SELECT i, j, k, "
-        "CAST(rnum AS DOUBLE) / CAST(d * d AS DOUBLE) AS r2f, "
-        "CAST(ux AS DOUBLE) / CAST(d AS DOUBLE) AS cxf, "
-        "CAST(uy AS DOUBLE) / CAST(d AS DOUBLE) AS cyf FROM tri1 t "
-        "WHERE NOT EXISTS (SELECT 1 FROM p q WHERE "
-        "(t.d * q.x - t.ux) * (t.d * q.x - t.ux) "
-        "+ (t.d * q.y - t.uy) * (t.d * q.y - t.uy) > t.rnum)), "
-        "cand AS (SELECT * FROM pair UNION ALL SELECT * FROM tri) "
-        "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_points, "
-        "ROUND(SQRT(r2f), 6) AS radius, ROUND(cxf, 6) AS cx, "
-        "ROUND(cyf, 6) AS cy FROM cand ORDER BY r2f, i, j, k LIMIT 1"
-    )
-    out["item_cf_pairs"] = (
-        # mirrors _q_item_cf_pairs (distinct user-cell visits, co-visit
-        # dots, top-20 by dot with cell-id tie-break, pinned cosine)
-        "WITH uc AS (SELECT DISTINCT user_id AS u, "
-        "event_id % 96 + (event_id // 96 % 96) * 96 AS cell "
-        "FROM events), "
-        "n AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS nv FROM uc "
-        "GROUP BY 1), "
-        "d AS (SELECT a.cell AS c1, b.cell AS c2, "
-        "CAST(COUNT(*) AS BIGINT) AS dot FROM uc a "
-        "JOIN uc b ON b.u = a.u AND a.cell < b.cell GROUP BY 1, 2) "
-        "SELECT d.c1, d.c2, d.dot, "
-        "ROUND(CAST(d.dot AS DOUBLE) "
-        "/ SQRT(CAST(n1.nv * n2.nv AS DOUBLE)), 6) AS cos_sim "
-        "FROM d JOIN n n1 ON n1.cell = d.c1 "
-        "JOIN n n2 ON n2.cell = d.c2 "
-        "ORDER BY d.dot DESC, d.c1, d.c2 LIMIT 20"
-    )
-    out["nb_lang_eval"] = (
-        # mirrors _q_nb_lang_eval (Laplace-smoothed letter NB, 1e9-tick
-        # quantized log-probs, smallest-lang argmax tie-break)
-        "WITH ch AS (SELECT doc_id, lang, u.c AS c FROM documents, "
-        "UNNEST(string_split(text, '')) u(c) "
-        "WHERE u.c BETWEEN 'a' AND 'z'), "
-        "letters AS (SELECT chr(97 + CAST(r.range AS INT)) AS c "
-        "FROM range(0, 26) r), "
-        "lg AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nd "
-        "FROM documents GROUP BY 1), "
-        "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents), "
-        "tc AS (SELECT lang, c, CAST(COUNT(*) AS BIGINT) AS n FROM ch "
-        "GROUP BY 1, 2), "
-        "tl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM ch "
-        "GROUP BY 1), "
-        "cond AS (SELECT lg.lang, lt.c, CAST(ROUND(1e9 * LN("
-        "CAST(COALESCE(tc.n, 0) + 1 AS DOUBLE) "
-        "/ CAST(tl.n + 26 AS DOUBLE)), 0) AS BIGINT) AS lq "
-        "FROM lg CROSS JOIN letters lt "
-        "JOIN tl ON tl.lang = lg.lang "
-        "LEFT JOIN tc ON tc.lang = lg.lang AND tc.c = lt.c), "
-        "pri AS (SELECT lg.lang, CAST(ROUND(1e9 * LN("
-        "CAST(lg.nd AS DOUBLE) / CAST(tot.n AS DOUBLE)), 0) AS BIGINT) "
-        "AS pq FROM lg, tot), "
-        "dc AS (SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS n FROM ch "
-        "GROUP BY 1, 2), "
-        "ds0 AS (SELECT dc.doc_id, cond.lang, "
-        "CAST(SUM(dc.n * cond.lq) AS BIGINT) AS s FROM dc "
-        "JOIN cond ON cond.c = dc.c GROUP BY 1, 2), "
-        "sco AS (SELECT d.doc_id, pri.lang, "
-        "COALESCE(ds0.s, 0) + pri.pq AS s FROM documents d "
-        "CROSS JOIN pri LEFT JOIN ds0 ON ds0.doc_id = d.doc_id "
-        "AND ds0.lang = pri.lang), "
-        "pred AS (SELECT doc_id, lang AS predicted FROM "
-        "(SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY doc_id "
-        "ORDER BY s DESC, lang) AS rn FROM sco) WHERE rn = 1) "
-        "SELECT d.lang AS actual, pred.predicted, "
-        "CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents d "
-        "JOIN pred ON pred.doc_id = d.doc_id GROUP BY 1, 2 "
-        "ORDER BY 1, 2"
-    )
-    out["jenks_breaks"] = (
-        # mirrors _q_jenks_breaks (integer N // len segment costs,
-        # 4-class DP, smallest-boundary argmin reconstruction)
-        "WITH c0 AS (SELECT epoch_us(ts) // 86400000000 AS d, "
-        "CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) "
-        "AS y FROM events GROUP BY 1), "
-        "mm AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM c0), "
-        "dd AS (SELECT r.range AS t, mm.lo + r.range AS d "
-        "FROM range(0, 4096) r, mm WHERE r.range <= mm.hi - mm.lo), "
-        "dn AS (SELECT dd.t, COALESCE(c0.y, 0) AS y "
-        "FROM dd LEFT JOIN c0 ON c0.d = dd.d), "
-        "p AS (SELECT t, CAST(y AS HUGEINT) AS y, "
-        "CAST(SUM(y) OVER (ORDER BY t) AS HUGEINT) AS cp1, "
-        "CAST(SUM(CAST(y AS HUGEINT) * y) OVER (ORDER BY t) AS HUGEINT) "
-        "AS cp2 FROM dn), "
-        "cst AS MATERIALIZED (SELECT a.t AS a, b.t AS b, "
-        "((b.t - a.t + 1) * (b.cp2 - a.cp2 + a.y * a.y) "
-        "- (b.cp1 - a.cp1 + a.y) * (b.cp1 - a.cp1 + a.y)) "
-        "// (b.t - a.t + 1) AS c FROM p a JOIN p b ON b.t >= a.t), "
-        "b1 AS MATERIALIZED (SELECT b AS t, c FROM cst WHERE a = 0), "
-        "b2 AS MATERIALIZED (SELECT cst.b AS t, MIN(b1.c + cst.c) AS c "
-        "FROM b1 JOIN cst ON cst.a = b1.t + 1 GROUP BY 1), "
-        "b3 AS MATERIALIZED (SELECT cst.b AS t, MIN(b2.c + cst.c) AS c "
-        "FROM b2 JOIN cst ON cst.a = b2.t + 1 GROUP BY 1), "
-        "nm AS (SELECT MAX(t) AS t FROM dn), "
-        "e3 AS (SELECT s FROM (SELECT b3.t AS s, b3.c + cst.c AS cost "
-        "FROM b3 JOIN cst ON cst.a = b3.t + 1 CROSS JOIN nm "
-        "WHERE cst.b = nm.t) ORDER BY cost, s LIMIT 1), "
-        "e2 AS (SELECT s FROM (SELECT b2.t AS s, b2.c + cst.c AS cost "
-        "FROM b2 JOIN cst ON cst.a = b2.t + 1 CROSS JOIN e3 ee "
-        "WHERE cst.b = ee.s) ORDER BY cost, s LIMIT 1), "
-        "e1 AS (SELECT s FROM (SELECT b1.t AS s, b1.c + cst.c AS cost "
-        "FROM b1 JOIN cst ON cst.a = b1.t + 1 CROSS JOIN e2 ee "
-        "WHERE cst.b = ee.s) ORDER BY cost, s LIMIT 1), "
-        "seg AS (SELECT 1 AS class, CAST(0 AS BIGINT) AS a, "
-        "CAST(e1.s AS BIGINT) AS b FROM e1 "
-        "UNION ALL SELECT 2, CAST(e1.s + 1 AS BIGINT), "
-        "CAST(e2.s AS BIGINT) FROM e1, e2 "
-        "UNION ALL SELECT 3, CAST(e2.s + 1 AS BIGINT), "
-        "CAST(e3.s AS BIGINT) FROM e2, e3 "
-        "UNION ALL SELECT 4, CAST(e3.s + 1 AS BIGINT), "
-        "CAST(nm.t AS BIGINT) FROM e3, nm) "
-        "SELECT CAST(seg.class AS BIGINT) AS class, seg.a AS t_start, "
-        "seg.b AS t_end, seg.b - seg.a + 1 AS n_days, "
-        "CAST(cst.c AS BIGINT) AS cost_q FROM seg "
-        "JOIN cst ON cst.a = seg.a AND cst.b = seg.b ORDER BY 1"
-    )
-    out["trigram_sim_pairs"] = (
-        # mirrors _q_trigram_sim_pairs (trigram-blocked cosine join,
-        # exact integer 25*dot^2 >= n1*n2 acceptance)
-        "WITH tk AS (SELECT DISTINCT "
-        "UNNEST(regexp_split_to_array(text, '\\s+')) AS w "
-        "FROM documents), "
-        "v AS (SELECT w FROM tk WHERE w <> '' AND LEN(w) >= 4), "
-        "g AS (SELECT w, SUBSTR(w, r.range + 1, 3) AS tri FROM v, "
-        "range(0, 64) r WHERE r.range <= LEN(w) - 3), "
-        "gc AS (SELECT w, tri, CAST(COUNT(*) AS BIGINT) AS c FROM g "
-        "GROUP BY 1, 2), "
-        "nm AS (SELECT w, CAST(SUM(c * c) AS BIGINT) AS n2 FROM gc "
-        "GROUP BY 1), "
-        "dt AS (SELECT a.w AS w1, b.w AS w2, "
-        "CAST(SUM(a.c * b.c) AS BIGINT) AS dot FROM gc a "
-        "JOIN gc b ON b.tri = a.tri AND a.w < b.w GROUP BY 1, 2) "
-        "SELECT dt.w1, dt.w2, dt.dot, "
-        "ROUND(CAST(dt.dot AS DOUBLE) "
-        "/ SQRT(CAST(n1.n2 * n2t.n2 AS DOUBLE)), 6) AS cos_sim "
-        "FROM dt JOIN nm n1 ON n1.w = dt.w1 "
-        "JOIN nm n2t ON n2t.w = dt.w2 "
-        "WHERE 25 * dt.dot * dt.dot >= n1.n2 * n2t.n2"
-    )
-    _m32p = __import__(
-        "tiff_to_geojson_csv_json_format_converter_ray.functions.sketch",
-        fromlist=["mix32_sql"],
-    ).mix32_sql("e.event_id", "pp.p")
-    out["permutation_test"] = (
-        # mirrors _q_permutation_test (mix32 label permutations,
-        # per-perm integer sums, pinned mean-difference chain)
-        "WITH e AS (SELECT event_id, user_id % 2 AS lab, "
-        "CAST(ROUND(value * 100, 0) AS BIGINT) AS y FROM events), "
-        "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(y) AS BIGINT) AS s, CAST(SUM(lab * y) AS BIGINT) "
-        "AS s1, CAST(SUM(lab) AS BIGINT) AS n1 FROM e), "
-        "obs AS (SELECT CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) "
-        "- CAST(s - s1 AS DOUBLE) / CAST(n - n1 AS DOUBLE) AS t "
-        "FROM tot), "
-        "pp AS (SELECT r.range AS p FROM range(0, 200) r), "
-        f"pl AS (SELECT pp.p, ({_m32p}) % 2 AS plab, e.y "
-        "FROM e, pp), "
-        "ps AS (SELECT p, CAST(SUM(plab) AS BIGINT) AS n1, "
-        "CAST(SUM(plab * y) AS BIGINT) AS s1 FROM pl GROUP BY p), "
-        "pt AS (SELECT p, CAST(ps.s1 AS DOUBLE) / CAST(ps.n1 AS DOUBLE) "
-        "- CAST(tot.s - ps.s1 AS DOUBLE) "
-        "/ CAST(tot.n - ps.n1 AS DOUBLE) AS t FROM ps, tot), "
-        "ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_extreme FROM pt, "
-        "obs WHERE ABS(pt.t) >= ABS(obs.t)) "
-        "SELECT CAST(200 AS BIGINT) AS n_perms, ROUND(obs.t, 6) "
-        "AS t_obs, ex.n_extreme, "
-        "ROUND((1.0 + CAST(ex.n_extreme AS DOUBLE)) / 201.0, 6) "
-        "AS p_value FROM obs, ex"
-    )
-    out["soundex_blocks"] = (
-        # mirrors _q_soundex_blocks (American Soundex: h/w transparent
-        # via row removal, vowel rows break LAG runs, first letter's
-        # code participates in the collapse)
-        "WITH tok AS (SELECT DISTINCT "
-        "UNNEST(regexp_split_to_array(text, '\\s+')) AS w "
-        "FROM documents), "
-        "v AS (SELECT w FROM tok WHERE LEN(w) >= 4 "
-        "AND regexp_matches(w, '^[a-z]+$')), "
-        "ch AS (SELECT w, r.range AS pos, SUBSTR(w, r.range + 1, 1) "
-        "AS c FROM v, range(0, 64) r WHERE r.range < LEN(w)), "
-        "cd AS (SELECT w, pos, CASE "
-        "WHEN c IN ('b','f','p','v') THEN 1 "
-        "WHEN c IN ('c','g','j','k','q','s','x','z') THEN 2 "
-        "WHEN c IN ('d','t') THEN 3 WHEN c = 'l' THEN 4 "
-        "WHEN c IN ('m','n') THEN 5 WHEN c = 'r' THEN 6 "
-        "WHEN c IN ('h','w') THEN -1 ELSE 0 END AS code FROM ch), "
-        "kept AS (SELECT w, pos, code, LAG(code) OVER "
-        "(PARTITION BY w ORDER BY pos) AS prev FROM cd "
-        "WHERE pos = 0 OR code <> -1), "
-        "dig AS (SELECT w, pos, code, ROW_NUMBER() OVER "
-        "(PARTITION BY w ORDER BY pos) AS rn FROM kept "
-        "WHERE pos > 0 AND code BETWEEN 1 AND 6 "
-        "AND code <> COALESCE(prev, -9)), "
-        "agg AS (SELECT v.w, COALESCE(STRING_AGG("
-        "CAST(dig.code AS VARCHAR), '' ORDER BY dig.pos) "
-        "FILTER (WHERE dig.rn <= 3), '') AS ds "
-        "FROM v LEFT JOIN dig ON dig.w = v.w GROUP BY v.w), "
-        "sx AS (SELECT w, UPPER(SUBSTR(w, 1, 1)) "
-        "|| SUBSTR(ds || '000', 1, 3) AS sdx FROM agg) "
-        "SELECT sdx, CAST(COUNT(*) AS BIGINT) AS n_words, "
-        "MIN(w) AS first_word, MAX(w) AS last_word FROM sx "
-        "GROUP BY 1 ORDER BY 1"
-    )
-    out["cronbach_userday"] = (
-        # mirrors _q_cronbach_alpha (items = 5 event types, subjects =
-        # (user, day), exact integer variance numerators)
-        "WITH c0 AS (SELECT user_id AS u, "
-        "epoch_us(ts) // 86400000000 AS d, event_type AS t, "
-        "CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1, 2, 3), "
-        "nsub AS (SELECT CAST(COUNT(DISTINCT (u, d)) AS BIGINT) AS n "
-        "FROM c0), "
-        "itm AS (SELECT t, CAST(SUM(c) AS BIGINT) AS s, "
-        "CAST(SUM(c * c) AS BIGINT) AS q FROM c0 GROUP BY 1), "
-        "num AS (SELECT CAST(SUM(nsub.n * itm.q - itm.s * itm.s) "
-        "AS BIGINT) AS x FROM itm, nsub), "
-        "st AS (SELECT u, d, CAST(SUM(c) AS BIGINT) AS tot FROM c0 "
-        "GROUP BY 1, 2), "
-        "den AS (SELECT nsub.n * CAST(SUM(st.tot * st.tot) AS BIGINT) "
-        "- CAST(SUM(st.tot) AS BIGINT) * CAST(SUM(st.tot) AS BIGINT) "
-        "AS x FROM st, nsub GROUP BY nsub.n) "
-        "SELECT CAST(5 AS BIGINT) AS k_items, nsub.n AS n_subjects, "
-        "num.x AS item_var_num, den.x AS total_var_num, "
-        "ROUND(1.25 * (1.0 - CAST(num.x AS DOUBLE) "
-        "/ CAST(den.x AS DOUBLE)), 6) AS alpha "
-        "FROM nsub, num, den"
-    )
-    out["hits_scores"] = _hits_oracle_sql()
-    out["mst_cells"] = _mst_oracle_sql()
-    _dense_daily = (
-        "c0 AS (SELECT epoch_us(ts) // 86400000000 AS d, "
-        "CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) "
-        "AS y FROM events GROUP BY 1), "
-        "mm AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM c0), "
-        "dd AS (SELECT r.range AS t, mm.lo + r.range AS d "
-        "FROM range(0, 4096) r, mm WHERE r.range <= mm.hi - mm.lo), "
-        "dn AS (SELECT dd.t, COALESCE(c0.y, 0) AS y "
-        "FROM dd LEFT JOIN c0 ON c0.d = dd.d), "
-    )
-    out["binseg_changepoints"] = (
-        # mirrors _q_binseg_changepoints (Jenks integer cost kernel,
-        # level-1 argmin by (total, s), level-2 max exact cost drop)
-        "WITH " + _dense_daily +
-        "p AS (SELECT t, CAST(y AS HUGEINT) AS y, "
-        "CAST(SUM(y) OVER (ORDER BY t) AS HUGEINT) AS cp1, "
-        "CAST(SUM(CAST(y AS HUGEINT) * y) OVER (ORDER BY t) AS HUGEINT) "
-        "AS cp2 FROM dn), "
-        "cst AS MATERIALIZED (SELECT a.t AS a, b.t AS b, "
-        "((b.t - a.t + 1) * (b.cp2 - a.cp2 + a.y * a.y) "
-        "- (b.cp1 - a.cp1 + a.y) * (b.cp1 - a.cp1 + a.y)) "
-        "// (b.t - a.t + 1) AS c FROM p a JOIN p b ON b.t >= a.t), "
-        "nm AS (SELECT MAX(t) AS t FROM dn), "
-        "cf AS (SELECT c FROM cst, nm WHERE a = 0 AND b = nm.t), "
-        "l1 AS (SELECT c1.b AS s, c1.c + c2.c AS tot FROM cst c1 "
-        "JOIN cst c2 ON c2.a = c1.b + 1 CROSS JOIN nm "
-        "WHERE c1.a = 0 AND c2.b = nm.t), "
-        "e1 AS (SELECT s, tot FROM l1 ORDER BY tot, s LIMIT 1), "
-        "segs AS (SELECT CAST(0 AS BIGINT) AS a, e1.s AS b FROM e1 "
-        "UNION ALL SELECT e1.s + 1, nm.t FROM e1, nm), "
-        "cand AS (SELECT segs.a, segs.b, c1.b AS s, "
-        "cs.c - c1.c - c2.c AS g FROM segs "
-        "JOIN cst cs ON cs.a = segs.a AND cs.b = segs.b "
-        "JOIN cst c1 ON c1.a = segs.a AND c1.b < segs.b "
-        "JOIN cst c2 ON c2.a = c1.b + 1 AND c2.b = segs.b), "
-        "e2 AS (SELECT * FROM cand ORDER BY g DESC, s LIMIT 1) "
-        "SELECT CAST(1 AS BIGINT) AS rk, CAST(0 AS BIGINT) AS seg_a, "
-        "CAST(nm.t AS BIGINT) AS seg_b, CAST(e1.s AS BIGINT) "
-        "AS split_t, CAST(cf.c - e1.tot AS BIGINT) AS cost_drop "
-        "FROM nm, cf, e1 UNION ALL "
-        "SELECT 2, CAST(e2.a AS BIGINT), CAST(e2.b AS BIGINT), "
-        "CAST(e2.s AS BIGINT), CAST(e2.g AS BIGINT) FROM e2"
-    )
-    out["atkinson_index"] = (
-        # mirrors _q_atkinson_index (1e9 log ticks, truncating tick
-        # mean, pinned exp/ratio chain)
-        "WITH " + _dense_daily +
-        "pos AS (SELECT y FROM dn WHERE y > 0), "
-        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(y) AS BIGINT) AS s FROM pos), "
-        "lt AS (SELECT CAST(ROUND(LN(CAST(y AS DOUBLE)) * 1e9, 0) "
-        "AS BIGINT) AS l FROM pos), "
-        "mq AS (SELECT CAST(SUM(l) AS BIGINT) // nn.n AS m FROM lt, nn "
-        "GROUP BY nn.n) "
-        "SELECT nn.n AS n_days, nn.s AS total_cents, "
-        "mq.m AS mean_log_ticks, "
-        "ROUND(1.0 - EXP(CAST(mq.m AS DOUBLE) / 1e9) * nn.n / nn.s, 6) "
-        "AS atkinson FROM nn, mq"
-    )
-    out["palma_ratio"] = (
-        # mirrors _q_palma_ratio (exact decile cut counts, order-
-        # statistic sums over the dense series, single ratio float)
-        "WITH " + _dense_daily +
-        "r AS (SELECT y, ROW_NUMBER() OVER (ORDER BY y, t) AS rn "
-        "FROM dn), "
-        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dn), "
-        "bt AS (SELECT CAST(SUM(y) AS BIGINT) AS s FROM r, nn "
-        "WHERE rn <= (4 * nn.n) // 10), "
-        "tp AS (SELECT CAST(SUM(y) AS BIGINT) AS s FROM r, nn "
-        "WHERE rn > (9 * nn.n) // 10) "
-        "SELECT nn.n AS n_days, bt.s AS bottom40_cents, "
-        "tp.s AS top10_cents, ROUND(CAST(tp.s AS DOUBLE) "
-        "/ CAST(bt.s AS DOUBLE), 6) AS palma FROM nn, bt, tp"
-    )
-    _hsteps = []
-    _hs = _HILBERT_N // 2
-    _hi = 0
-    while _hs > 0:
-        _hi += 1
-        _hsteps.append(
-            f"h{_hi} AS MATERIALIZED (SELECT cx, cy, n, "
-            f"CASE WHEN ((y // {_hs}) & 1) = 0 THEN "
-            f"(CASE WHEN ((x // {_hs}) & 1) = 1 "
-            f"THEN {_HILBERT_N - 1} - y ELSE y END) ELSE x END AS x, "
-            f"CASE WHEN ((y // {_hs}) & 1) = 0 THEN "
-            f"(CASE WHEN ((x // {_hs}) & 1) = 1 "
-            f"THEN {_HILBERT_N - 1} - x ELSE x END) ELSE y END AS y, "
-            f"d + {_hs * _hs} * xor(3 * ((x // {_hs}) & 1), "
-            f"(y // {_hs}) & 1) AS d FROM h{_hi - 1})"
-        )
-        _hs //= 2
-    out["hilbert_cells"] = (
-        # mirrors _q_hilbert_cells (order-7 xy2d: 7 unrolled
-        # reflect/swap rounds over distinct cells, counts per bucket)
-        "WITH cc AS (SELECT event_id % 96 AS cx, "
-        "event_id // 96 % 96 AS cy, CAST(COUNT(*) AS BIGINT) AS n "
-        "FROM events GROUP BY 1, 2), "
-        "h0 AS (SELECT cx, cy, n, cx AS x, cy AS y, "
-        "CAST(0 AS BIGINT) AS d FROM cc), "
-        + ", ".join(_hsteps)
-        + f" SELECT d // 128 AS bucket, "
-        f"CAST(SUM(n) AS BIGINT) AS n_events FROM h{_hi} "
-        "GROUP BY 1 ORDER BY 1"
-    )
-    _rr_u = __import__(
-        "tiff_to_geojson_csv_json_format_converter_ray.functions.sketch",
-        fromlist=["mix32_sql"],
-    ).mix32_sql("event_id")
-    out["randomized_response"] = (
-        # mirrors _q_randomized_response (mix32 keep/replace stream,
-        # exact 5-ary debias (20*obs - n) / 15)
-        f"WITH e AS (SELECT event_type AS t, ({_rr_u}) AS u "
-        "FROM events), "
-        "obs AS (SELECT CASE WHEN (u % 4) <> 0 THEN t ELSE "
-        "CASE ((u // 4) % 5) WHEN 0 THEN 'click' WHEN 1 THEN 'error' "
-        "WHEN 2 THEN 'purchase' WHEN 3 THEN 'signup' "
-        "ELSE 'view' END END AS rt FROM e), "
-        "oc AS (SELECT rt, CAST(COUNT(*) AS BIGINT) AS c FROM obs "
-        "GROUP BY 1), "
-        "tc AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM e "
-        "GROUP BY 1), "
-        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e) "
-        "SELECT tc.t AS event_type, tc.c AS n_true, oc.c AS n_obs, "
-        "ROUND(CAST(20 * oc.c - nn.n AS DOUBLE) / 15.0, 6) AS n_hat "
-        "FROM tc JOIN oc ON oc.rt = tc.t, nn ORDER BY 1"
-    )
-    out["cochran_q"] = (
-        # mirrors _q_cochran_q (presence matrix over 8-hour bands,
-        # exact integer row/column totals)
-        "WITH p AS (SELECT DISTINCT user_id AS u, "
-        "epoch_us(ts) // 86400000000 AS d, "
-        "epoch_us(ts) // 3600000000 % 24 // 8 AS j FROM events), "
-        "cj AS (SELECT j, CAST(COUNT(*) AS BIGINT) AS c FROM p "
-        "GROUP BY 1), "
-        "rs AS (SELECT u, d, CAST(COUNT(*) AS BIGINT) AS r FROM p "
-        "GROUP BY 1, 2), "
-        "tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n, "
-        "CAST(SUM(c * c) AS BIGINT) AS sc2 FROM cj), "
-        "rr AS (SELECT CAST(SUM(r * r) AS BIGINT) AS sr2 FROM rs), "
-        "ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS g FROM rs) "
-        "SELECT CAST(3 AS BIGINT) AS k_bands, ns.g AS n_subjects, "
-        "tot.n AS n_success, "
-        "ROUND(2.0 * (3 * tot.sc2 - tot.n * tot.n) "
-        "/ (3 * tot.n - rr.sr2), 6) AS q_stat FROM tot, rr, ns"
-    )
-    out["icc_estimate"] = (
-        # mirrors _q_icc_estimate (1e3-tick between/within SS from
-        # exact per-user moments, k0 unequal-size correction)
-        "WITH g AS (SELECT user_id AS u, "
-        "CAST(COUNT(*) AS HUGEINT) AS n, "
-        "CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS HUGEINT) "
-        "AS s, CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT) "
-        "* CAST(ROUND(value * 100, 0) AS BIGINT)) AS HUGEINT) AS q "
-        "FROM events GROUP BY 1), "
-        "tq AS (SELECT u, n, s, q, (s * s * 1000) // n AS t FROM g), "
-        "agg AS (SELECT CAST(COUNT(*) AS HUGEINT) AS gg, "
-        "CAST(SUM(n) AS HUGEINT) AS nn, CAST(SUM(s) AS HUGEINT) AS ss, "
-        "CAST(SUM(q) AS HUGEINT) AS qq, CAST(SUM(t) AS HUGEINT) AS st, "
-        "CAST(SUM(n * n) AS HUGEINT) AS sn2 FROM tq), "
-        "v AS (SELECT gg, nn, st - (ss * ss * 1000) // nn AS ssbq, "
-        "qq * 1000 - st AS sswq, sn2 FROM agg), "
-        "m AS (SELECT gg, nn, ssbq, sswq, "
-        "CAST(ssbq AS DOUBLE) / 1000.0 / CAST(gg - 1 AS DOUBLE) AS msb, "
-        "CAST(sswq AS DOUBLE) / 1000.0 / CAST(nn - gg AS DOUBLE) AS msw, "
-        "CAST(nn * nn - sn2 AS DOUBLE) "
-        "/ CAST(nn * (gg - 1) AS DOUBLE) AS k0 FROM v) "
-        "SELECT CAST(gg AS BIGINT) AS g_groups, CAST(nn AS BIGINT) "
-        "AS n_obs, CAST(ssbq AS BIGINT) AS ssb_q, CAST(sswq AS BIGINT) "
-        "AS ssw_q, ROUND((msb - msw) / (msb + (k0 - 1.0) * msw), 6) "
-        "AS icc FROM m"
-    )
-    out["proximity_graphs"] = (
-        # mirrors _q_proximity_graphs (integer squared-Euclidean
-        # Gabriel / RNG certificates over the top-12 cells)
-        "WITH cc AS (SELECT event_id % 96 + (event_id // 96 % 96) * 96 "
-        "AS cell, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1), "
-        "top12 AS (SELECT cell FROM cc ORDER BY n DESC, cell LIMIT 12), "
-        "nd AS MATERIALIZED (SELECT cell, cell % 96 AS x, "
-        "cell // 96 AS y FROM top12), "
-        "pr AS (SELECT a.cell AS a_cell, a.x AS ax, a.y AS ay, "
-        "b.cell AS b_cell, b.x AS bx, b.y AS by_, "
-        "CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) "
-        "AS BIGINT) AS d2 FROM nd a JOIN nd b ON a.cell < b.cell) "
-        "SELECT a_cell, b_cell, d2, "
-        "CAST(CASE WHEN EXISTS (SELECT 1 FROM nd c "
-        "WHERE c.cell <> pr.a_cell AND c.cell <> pr.b_cell "
-        "AND (c.x - pr.ax) * (c.x - pr.ax) "
-        "+ (c.y - pr.ay) * (c.y - pr.ay) "
-        "+ (c.x - pr.bx) * (c.x - pr.bx) "
-        "+ (c.y - pr.by_) * (c.y - pr.by_) < pr.d2) "
-        "THEN 0 ELSE 1 END AS BIGINT) AS is_gabriel, "
-        "CAST(CASE WHEN EXISTS (SELECT 1 FROM nd c "
-        "WHERE c.cell <> pr.a_cell AND c.cell <> pr.b_cell "
-        "AND GREATEST((c.x - pr.ax) * (c.x - pr.ax) "
-        "+ (c.y - pr.ay) * (c.y - pr.ay), "
-        "(c.x - pr.bx) * (c.x - pr.bx) "
-        "+ (c.y - pr.by_) * (c.y - pr.by_)) < pr.d2) "
-        "THEN 0 ELSE 1 END AS BIGINT) AS is_rng "
-        "FROM pr ORDER BY 1, 2"
-    )
-    out["min_cut_cells"] = (
-        # mirrors _q_min_cut_cells (2^12 subset enumeration, crossing-
-        # capacity sums, ties by smallest interior mask)
-        "WITH cc AS (SELECT event_id % 96 + (event_id // 96 % 96) * 96 "
-        "AS cell, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1), "
-        "top14 AS (SELECT cell FROM cc ORDER BY n DESC, cell LIMIT 14), "
-        "nd AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY cell) - 1 "
-        "AS BIGINT) AS i, cell % 96 AS x, cell // 96 AS y FROM top14), "
-        "cp AS MATERIALIZED (SELECT a.i AS i, b.i AS j, "
-        "1000 // (1 + ABS(a.x - b.x) + ABS(a.y - b.y)) AS cap "
-        "FROM nd a JOIN nd b ON a.i < b.i), "
-        "mk AS (SELECT r.range AS m FROM range(0, 4096) r), "
-        "cut AS (SELECT mk.m, CAST(SUM(cp.cap) AS BIGINT) AS cut "
-        "FROM mk JOIN cp ON "
-        "(CASE WHEN cp.i = 0 THEN 1 WHEN cp.i <= 12 "
-        "THEN (mk.m >> (cp.i - 1)) & 1 ELSE 0 END) <> "
-        "(CASE WHEN cp.j = 0 THEN 1 WHEN cp.j <= 12 "
-        "THEN (mk.m >> (cp.j - 1)) & 1 ELSE 0 END) GROUP BY 1) "
-        "SELECT CAST(14 AS BIGINT) AS n_nodes, cut AS min_cut, "
-        "CAST(m AS BIGINT) AS best_mask FROM cut "
-        "ORDER BY cut, m LIMIT 1"
-    )
-    out["assignment_min_cost"] = _assignment_oracle_sql()
-    out["activity_selection"] = (
-        # mirrors _q_activity_selection (recursive chain of MIN(end)
-        # jumps per type == greedy-by-earliest-finish count)
-        "WITH RECURSIVE iv AS (SELECT event_type AS t, epoch_us(ts) "
-        "AS s, epoch_us(ts) + (60 + event_id % 3600) * 1000000 AS e "
-        "FROM events), "
-        "chain AS (SELECT t, MIN(e) AS e FROM iv GROUP BY t "
-        "UNION ALL SELECT chain.t, (SELECT MIN(iv.e) FROM iv "
-        "WHERE iv.t = chain.t AND iv.s >= chain.e) FROM chain "
-        "WHERE EXISTS (SELECT 1 FROM iv WHERE iv.t = chain.t "
-        "AND iv.s >= chain.e)), "
-        "cnt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM iv "
-        "GROUP BY 1) "
-        "SELECT chain.t AS event_type, CAST(COUNT(*) AS BIGINT) "
-        "AS n_selected, MIN(cnt.c) AS n_intervals FROM chain "
-        "JOIN cnt ON cnt.t = chain.t GROUP BY 1 ORDER BY 1"
-    )
-    out["fleiss_kappa"] = (
-        # mirrors _q_fleiss_kappa (first-3-raters pick by (ts,
-        # event_id), exact integer agreement sums)
-        "WITH r AS (SELECT user_id AS u, "
-        "epoch_us(ts) // 86400000000 AS d, event_type AS t, "
-        "ROW_NUMBER() OVER (PARTITION BY user_id, "
-        "epoch_us(ts) // 86400000000 ORDER BY ts, event_id) AS rn, "
-        "COUNT(*) OVER (PARTITION BY user_id, "
-        "epoch_us(ts) // 86400000000) AS cnt FROM events), "
-        "sel AS (SELECT u, d, t FROM r WHERE cnt >= 3 AND rn <= 3), "
-        "nij AS (SELECT u, d, t, CAST(COUNT(*) AS BIGINT) AS n "
-        "FROM sel GROUP BY 1, 2, 3), "
-        "subj AS (SELECT u, d, CAST(SUM(n * n) AS BIGINT) AS a "
-        "FROM nij GROUP BY 1, 2), "
-        "cj AS (SELECT t, CAST(SUM(n) AS BIGINT) AS c FROM nij "
-        "GROUP BY 1), "
-        "agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS nsub, "
-        "CAST(SUM(a) AS BIGINT) AS a FROM subj), "
-        "sc AS (SELECT CAST(SUM(c * c) AS BIGINT) AS sc2 FROM cj), "
-        "m AS (SELECT agg.nsub, agg.a, sc.sc2, "
-        "CAST(agg.a - 3 * agg.nsub AS DOUBLE) / (6 * agg.nsub) AS pb, "
-        "CAST(sc.sc2 AS DOUBLE) / (agg.nsub * 3) / (agg.nsub * 3) "
-        "AS pe FROM agg, sc) "
-        "SELECT nsub AS n_subjects, CAST(3 AS BIGINT) AS m_raters, "
-        "a AS a_sum, sc2 AS c_sq_sum, ROUND(pb, 6) AS p_bar, "
-        "ROUND(pe, 6) AS p_e, "
-        "ROUND((pb - pe) / (1 - pe), 6) AS kappa FROM m"
-    )
-    out["shapley_attribution"] = (
-        # mirrors _q_shapley_attribution (2^3 coalition enumeration,
-        # exact x6 Shapley weights over subset-closure counts)
-        "WITH f AS (SELECT user_id AS u, "
-        "MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c, "
-        "MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v, "
-        "MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS s, "
-        "MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p "
-        "FROM events GROUP BY 1), "
-        "mk AS (SELECT c + 2 * v + 4 * s AS mask FROM f WHERE p = 1), "
-        "subs AS (SELECT r.range AS m, (r.range & 1) "
-        "+ ((r.range >> 1) & 1) + ((r.range >> 2) & 1) AS pc "
-        "FROM range(0, 8) r), "
-        "vs AS (SELECT subs.m AS sm, CAST(COUNT(mk.mask) AS BIGINT) "
-        "AS v FROM subs LEFT JOIN mk "
-        "ON (mk.mask & (7 - subs.m)) = 0 GROUP BY 1), "
-        "ch AS (SELECT * FROM (VALUES ('click', 1), ('view', 2), "
-        "('signup', 4)) AS t(name, bit)), "
-        "phi AS (SELECT ch.name, CAST(SUM((CASE subs.pc WHEN 0 THEN 2 "
-        "WHEN 1 THEN 1 ELSE 2 END) * (va.v - vb.v)) AS BIGINT) "
-        "AS phi6 FROM ch JOIN subs ON (subs.m & ch.bit) = 0 "
-        "JOIN vs va ON va.sm = (subs.m | ch.bit) "
-        "JOIN vs vb ON vb.sm = subs.m GROUP BY 1) "
-        "SELECT name AS channel, phi6 AS phi_x6, "
-        "ROUND(CAST(phi6 AS DOUBLE) / 6.0, 6) AS phi FROM phi "
-        "ORDER BY 1"
-    )
-    _bh_u = __import__(
-        "tiff_to_geojson_csv_json_format_converter_ray.functions.sketch",
-        fromlist=["mix32_sql"],
-    ).mix32_sql("e.eid", "tt.i * 1009 + pp.p")
-    out["bh_fdr_perm"] = (
-        # mirrors _q_bh_fdr (5 one-vs-rest mix32 permutation tests,
-        # integer BH step-up 100*(1+e) <= 101*k)
-        "WITH e AS (SELECT event_id AS eid, event_type AS t, "
-        "CAST(ROUND(value * 100, 0) AS BIGINT) AS y FROM events), "
-        "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(y) AS BIGINT) AS s FROM e), "
-        "tt AS (SELECT * FROM (VALUES ('click', 0), ('error', 1), "
-        "('purchase', 2), ('signup', 3), ('view', 4)) AS v(name, i)), "
-        "obs AS (SELECT tt.name, CAST(SUM(CASE WHEN e.t = tt.name "
-        "THEN 1 ELSE 0 END) AS BIGINT) AS n1, "
-        "CAST(SUM(CASE WHEN e.t = tt.name THEN e.y ELSE 0 END) "
-        "AS BIGINT) AS s1 FROM e, tt GROUP BY 1), "
-        "ot AS (SELECT name, CAST(s1 AS DOUBLE) / n1 "
-        "- CAST(tot.s - s1 AS DOUBLE) / (tot.n - n1) AS st "
-        "FROM obs, tot), "
-        f"pp AS (SELECT r.range AS p FROM range(0, {_BH_PERMS}) r), "
-        f"pl AS (SELECT tt.name, pp.p, CASE WHEN ({_bh_u}) % 5 = 0 "
-        "THEN 1 ELSE 0 END AS lab, e.y FROM e, tt, pp), "
-        "ps AS (SELECT name, p, CAST(SUM(lab) AS BIGINT) AS n1, "
-        "CAST(SUM(lab * y) AS BIGINT) AS s1 FROM pl GROUP BY 1, 2), "
-        "pt AS (SELECT name, p, CAST(s1 AS DOUBLE) / n1 "
-        "- CAST(tot.s - s1 AS DOUBLE) / (tot.n - n1) AS st "
-        "FROM ps, tot), "
-        "ex AS (SELECT pt.name, CAST(SUM(CASE WHEN ABS(pt.st) "
-        ">= ABS(ot.st) THEN 1 ELSE 0 END) AS BIGINT) AS e "
-        "FROM pt JOIN ot ON ot.name = pt.name GROUP BY 1), "
-        "pn AS (SELECT name, 1 + e AS p_num, ROW_NUMBER() OVER "
-        "(ORDER BY 1 + e, name) AS rk FROM ex), "
-        "km AS (SELECT COALESCE(MAX(rk), 0) AS kmax FROM pn "
-        "WHERE 100 * p_num <= 101 * rk) "
-        "SELECT pn.name AS event_type, pn.p_num, "
-        "CAST(pn.rk AS BIGINT) AS p_rank, "
-        "CAST(CASE WHEN pn.rk <= km.kmax THEN 1 ELSE 0 END AS BIGINT) "
-        "AS reject FROM pn, km ORDER BY 1"
-    )
-    from itertools import permutations as _perms
-
-    _pm_rows = ", ".join(
-        f"({pid}, {pos}, '{_MARKOV_STATES[t]}')"
-        for pid, perm in enumerate(_perms(range(5)))
-        for pos, t in enumerate(perm)
-    )
-    out["kemeny_ranking"] = (
-        # mirrors _q_kemeny_ranking (daily count ballots, exact
-        # pairwise-disagreement costs over all 120 permutations)
-        "WITH c0 AS (SELECT epoch_us(ts) // 86400000000 AS d, "
-        "event_type AS t, CAST(COUNT(*) AS BIGINT) AS c FROM events "
-        "GROUP BY 1, 2), "
-        "dd AS (SELECT DISTINCT d FROM c0), "
-        "tt AS (SELECT * FROM (VALUES ('click'), ('error'), "
-        "('purchase'), ('signup'), ('view')) AS v(t)), "
-        "dn AS (SELECT dd.d, tt.t, COALESCE(c0.c, 0) AS c FROM dd "
-        "CROSS JOIN tt LEFT JOIN c0 ON c0.d = dd.d AND c0.t = tt.t), "
-        "pref AS (SELECT a.t AS w, b.t AS l, "
-        "CAST(SUM(CASE WHEN a.c > b.c THEN 1 ELSE 0 END) AS BIGINT) "
-        "AS n FROM dn a JOIN dn b ON b.d = a.d AND a.t <> b.t "
-        "GROUP BY 1, 2), "
-        f"pm AS (SELECT * FROM (VALUES {_pm_rows}) AS v(pid, pos, t)), "
-        "cost AS (SELECT a.pid, CAST(SUM(pref.n) AS BIGINT) AS cost "
-        "FROM pm a JOIN pm b ON b.pid = a.pid AND b.pos > a.pos "
-        "JOIN pref ON pref.w = b.t AND pref.l = a.t GROUP BY 1), "
-        "rs AS (SELECT pid, STRING_AGG(t, '>' ORDER BY pos) "
-        "AS ranking FROM pm GROUP BY 1) "
-        "SELECT rs.ranking, cost.cost AS kemeny_cost FROM cost "
-        "JOIN rs ON rs.pid = cost.pid "
-        "ORDER BY cost.cost, rs.ranking LIMIT 1"
-    )
-    out["ad_twosample"] = (
-        # mirrors _q_ad_twosample (pooled (y, tag, eid) order, 1e6-
-        # tick quantized Pettitt terms, pinned A2 chain)
-        "WITH e AS (SELECT event_id AS eid, CASE WHEN event_type "
-        "= 'click' THEN 0 ELSE 1 END AS tag, "
-        "CAST(ROUND(value * 100, 0) AS BIGINT) AS y FROM events "
-        "WHERE event_type IN ('click', 'error')), "
-        "o AS (SELECT tag, ROW_NUMBER() OVER (ORDER BY y, tag, eid) "
-        "AS k, SUM(CASE WHEN tag = 0 THEN 1 ELSE 0 END) OVER "
-        "(ORDER BY y, tag, eid ROWS UNBOUNDED PRECEDING) AS mk "
-        "FROM e), "
-        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all, "
-        "CAST(SUM(CASE WHEN tag = 0 THEN 1 ELSE 0 END) AS BIGINT) "
-        "AS n0 FROM e), "
-        "t1 AS (SELECT CAST(nn.n_all * o.mk - nn.n0 * o.k AS HUGEINT) "
-        "AS dk, o.k AS k, nn.n_all AS na FROM o, nn "
-        "WHERE o.k < nn.n_all), "
-        "tq AS (SELECT CAST(SUM((dk * dk * 1000000) "
-        "// (k * (na - k))) AS HUGEINT) AS adq FROM t1) "
-        "SELECT nn.n0 AS n_click, nn.n_all - nn.n0 AS n_error, "
-        "CAST(tq.adq AS BIGINT) AS ad_q, "
-        "ROUND(CAST(tq.adq AS DOUBLE) / 1e6 / nn.n0 "
-        "/ (nn.n_all - nn.n0), 6) AS a2 FROM nn, tq"
-    )
-    _mp_vals = ", ".join(f"('{p}')" for p in _MP_PATTERNS)
-    out["multi_pattern_counts"] = (
-        # mirrors _q_multi_pattern_counts (substring occurrence and
-        # containing-doc counts per fixed pattern)
-        f"WITH pats AS (SELECT * FROM (VALUES {_mp_vals}) AS v(p)), "
-        "cnt AS (SELECT pats.p, (LEN(d.text) "
-        "- LEN(REPLACE(d.text, pats.p, ''))) // LEN(pats.p) AS c "
-        "FROM documents d, pats) "
-        "SELECT p AS pattern, CAST(SUM(c) AS BIGINT) AS n_occur, "
-        "CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) "
-        "AS n_docs FROM cnt GROUP BY 1 ORDER BY 1"
-    )
-    out["deming_fit"] = (
-        # mirrors _q_deming_fit (HUGEINT centered moments, pinned
-        # sqrt slope chain)
-        "WITH e AS (SELECT epoch_us(ts) // 3600000000 % 24 AS x, "
-        "CAST(ROUND(value * 100, 0) AS BIGINT) AS y FROM events), "
-        "mo AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, "
-        "CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy, "
-        "CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx, "
-        "CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy, "
-        "CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy FROM e), "
-        "c AS (SELECT n, sx, sy, n * sxx - sx * sx AS cxx, "
-        "n * syy - sy * sy AS cyy, n * sxy - sx * sy AS cxy FROM mo), "
-        "s AS (SELECT n, sx, sy, (CAST(cyy - cxx AS DOUBLE) "
-        "+ SQRT(CAST(cyy - cxx AS DOUBLE) * CAST(cyy - cxx AS DOUBLE) "
-        "+ 4.0 * CAST(cxy AS DOUBLE) * CAST(cxy AS DOUBLE))) "
-        "/ (2.0 * CAST(cxy AS DOUBLE)) AS slope FROM c) "
-        "SELECT CAST(n AS BIGINT) AS n, ROUND(slope, 6) AS slope, "
-        "ROUND((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) "
-        "/ CAST(n AS DOUBLE), 6) AS intercept FROM s"
-    )
-    _bt_u = __import__(
-        "tiff_to_geojson_csv_json_format_converter_ray.functions.sketch",
-        fromlist=["mix32_sql"],
-    ).mix32_sql("bb.b * 1000 + ii.t")
-    out["bootstrap_ci_daily"] = (
-        # mirrors _q_bootstrap_ci (mix32 resample indices, exact
-        # replicate totals, integer-rank order statistics)
-        "WITH " + _dense_daily +
-        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dn), "
-        f"bb AS (SELECT r.range AS b FROM range(0, {_BOOT_REPS}) r), "
-        "ii AS (SELECT t FROM dn), "
-        f"pick AS (SELECT bb.b, ({_bt_u}) % nn.n AS idx "
-        "FROM bb, ii, nn), "
-        "reps AS (SELECT pick.b, CAST(SUM(dn.y) AS BIGINT) AS s "
-        "FROM pick JOIN dn ON dn.t = pick.idx GROUP BY 1), "
-        f"lo AS (SELECT s FROM reps ORDER BY s "
-        f"LIMIT 1 OFFSET {(25 * (_BOOT_REPS - 1)) // 1000}), "
-        f"hi AS (SELECT s FROM reps ORDER BY s "
-        f"LIMIT 1 OFFSET {(975 * (_BOOT_REPS - 1)) // 1000}) "
-        f"SELECT CAST({_BOOT_REPS} AS BIGINT) AS n_boot, "
-        "nn.n AS n_days, lo.s AS lo_sum, hi.s AS hi_sum, "
-        "ROUND(CAST(lo.s AS DOUBLE) / nn.n, 6) AS lo_mean, "
-        "ROUND(CAST(hi.s AS DOUBLE) / nn.n, 6) AS hi_mean "
-        "FROM nn, lo, hi"
-    )
-    _luhn_terms = " + ".join(
-        (
-            f"(CASE WHEN (event_id // {10 ** i} % 10) > 4 "
-            f"THEN 2 * (event_id // {10 ** i} % 10) - 9 "
-            f"ELSE 2 * (event_id // {10 ** i} % 10) END)"
-            if i % 2 == 1
-            else f"(event_id // {10 ** i} % 10)"
-        )
-        for i in range(12)
-    )
-    out["luhn_check"] = (
-        # mirrors _q_luhn_check (12-term leading-zero-safe digit
-        # expansion, checksum % 10 validity)
-        f"WITH e AS (SELECT event_type AS t, ({_luhn_terms}) % 10 "
-        "AS chk FROM events) "
-        "SELECT t AS event_type, CAST(SUM(CASE WHEN chk = 0 THEN 1 "
-        "ELSE 0 END) AS BIGINT) AS n_valid, "
-        "CAST(COUNT(*) AS BIGINT) AS n_total, "
-        "ROUND(CAST(SUM(CASE WHEN chk = 0 THEN 1 ELSE 0 END) "
-        "AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS valid_rate "
-        "FROM e GROUP BY 1 ORDER BY 1"
-    )
-    out["tukey_hsd"] = (
-        # mirrors _q_tukey_hsd (1e3-tick within-SS, pinned pairwise
-        # diff / q / Cohen's d chains)
-        "WITH g AS (SELECT event_type AS t, "
-        "CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) "
-        "AS s, CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT) "
-        "* CAST(ROUND(value * 100, 0) AS BIGINT)) AS HUGEINT) AS q "
-        "FROM events GROUP BY 1), "
-        "tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, "
-        "CAST(COUNT(*) AS BIGINT) AS k, "
-        "CAST(SUM(q) AS HUGEINT) * 1000 "
-        "- CAST(SUM((CAST(s AS HUGEINT) * s * 1000) // n) AS HUGEINT) "
-        "AS ssw_q FROM g), "
-        "m AS (SELECT CAST(ssw_q AS DOUBLE) / 1000.0 / (nn - k) "
-        "AS mse FROM tot), "
-        "pr AS (SELECT a.t AS t1, b.t AS t2, "
-        "CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n "
-        "AS diff, a.n AS na, b.n AS nb FROM g a "
-        "JOIN g b ON a.t < b.t) "
-        "SELECT t1, t2, ROUND(diff, 6) AS mean_diff, "
-        "ROUND(diff / SQRT(m.mse / 2.0 * (1.0 / na + 1.0 / nb)), 6) "
-        "AS q_stat, ROUND(diff / SQRT(m.mse), 6) AS cohen_d "
-        "FROM pr, m ORDER BY 1, 2"
-    )
-    out["ohlc_daily"] = (
-        # mirrors _q_ohlc_daily (first/last by (ts, event_id), exact
-        # integer extremes, record flag on running max of totals)
-        "WITH e AS (SELECT epoch_us(ts) // 86400000000 AS d, ts, "
-        "event_id AS eid, CAST(ROUND(value * 100, 0) AS BIGINT) AS y "
-        "FROM events), "
-        "w AS (SELECT d, FIRST_VALUE(y) OVER "
-        "(PARTITION BY d ORDER BY ts, eid ROWS BETWEEN UNBOUNDED "
-        "PRECEDING AND UNBOUNDED FOLLOWING) AS open, "
-        "LAST_VALUE(y) OVER (PARTITION BY d ORDER BY ts, eid "
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) "
-        "AS close, y FROM e), "
-        "bars AS (SELECT d, MIN(open) AS open, "
-        "CAST(MAX(y) AS BIGINT) AS high, CAST(MIN(y) AS BIGINT) "
-        "AS low, MIN(close) AS close, CAST(SUM(y) AS BIGINT) "
-        "AS total, CAST(COUNT(*) AS BIGINT) AS n_events FROM w "
-        "GROUP BY 1), "
-        "mm AS (SELECT MIN(d) AS d0 FROM bars), "
-        "rc AS (SELECT bars.*, MAX(total) OVER (ORDER BY d "
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm "
-        "FROM bars) "
-        "SELECT CAST(rc.d - mm.d0 AS BIGINT) AS t, rc.open, rc.high, "
-        "rc.low, rc.close, rc.total, rc.n_events, "
-        "CAST(CASE WHEN rc.pm IS NULL OR rc.total > rc.pm THEN 1 "
-        "ELSE 0 END AS BIGINT) AS is_record FROM rc, mm ORDER BY 1"
-    )
-    _mix = __import__(
-        "tiff_to_geojson_csv_json_format_converter_ray.functions.sketch",
-        fromlist=["mix32_sql"],
-    ).mix32_sql
-    _bk = [_mix("u", i * 7777) for i in range(3)]
-    _bp = [_mix("p", i * 7777) for i in range(3)]
-    out["bloom_fpr"] = (
-        # mirrors _q_bloom_fpr (3 mix32 hashes into 8192 bits,
-        # absent-key probes, exact membership joins)
-        "WITH keys AS (SELECT DISTINCT user_id AS u FROM events), "
-        "bits AS (SELECT DISTINCT b FROM ("
-        f"SELECT ({_bk[0]}) % {_BLOOM_BITS} AS b FROM keys "
-        f"UNION ALL SELECT ({_bk[1]}) % {_BLOOM_BITS} FROM keys "
-        f"UNION ALL SELECT ({_bk[2]}) % {_BLOOM_BITS} FROM keys)), "
-        f"pr AS (SELECT r.range + 10000000 AS p "
-        f"FROM range(0, {_BLOOM_PROBES}) r), "
-        f"ph AS (SELECT p, ({_bp[0]}) % {_BLOOM_BITS} AS h0, "
-        f"({_bp[1]}) % {_BLOOM_BITS} AS h1, "
-        f"({_bp[2]}) % {_BLOOM_BITS} AS h2 FROM pr), "
-        "fp AS (SELECT CAST(COUNT(*) AS BIGINT) AS nfp FROM ph "
-        "WHERE EXISTS (SELECT 1 FROM bits WHERE bits.b = ph.h0) "
-        "AND EXISTS (SELECT 1 FROM bits WHERE bits.b = ph.h1) "
-        "AND EXISTS (SELECT 1 FROM bits WHERE bits.b = ph.h2)) "
-        "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM keys) AS n_keys, "
-        "(SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS n_bits_set, "
-        f"CAST({_BLOOM_PROBES} AS BIGINT) AS n_probes, fp.nfp AS n_fp, "
-        f"ROUND(CAST(fp.nfp AS DOUBLE) / {_BLOOM_PROBES}, 6) AS fpr "
-        "FROM fp"
-    )
-    out["str_packing"] = (
-        # mirrors _q_str_packing (x-rank slices, y-rank leaves, exact
-        # (rank*4)//n rule, ties by cell)
-        "WITH cc AS (SELECT event_id % 96 + (event_id // 96 % 96) * 96 "
-        "AS cell, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1), "
-        "top64 AS (SELECT cell FROM cc ORDER BY n DESC, cell LIMIT 64), "
-        "nd AS (SELECT cell, cell % 96 AS x, cell // 96 AS y "
-        "FROM top64), "
-        "r1 AS (SELECT cell, x, y, "
-        "ROW_NUMBER() OVER (ORDER BY x, cell) - 1 AS rn FROM nd), "
-        "s1 AS (SELECT cell, x, y, "
-        "(rn * 4) // (SELECT COUNT(*) FROM nd) AS s FROM r1), "
-        "r2 AS (SELECT s, x, y, ROW_NUMBER() OVER (PARTITION BY s "
-        "ORDER BY y, cell) - 1 AS rn2, "
-        "COUNT(*) OVER (PARTITION BY s) AS m FROM s1), "
-        "l2 AS (SELECT s, (rn2 * 4) // m AS le, x, y FROM r2) "
-        "SELECT CAST(s AS BIGINT) AS slice_x, CAST(le AS BIGINT) "
-        "AS leaf_y, CAST(MIN(x) AS BIGINT) AS min_x, "
-        "CAST(MAX(x) AS BIGINT) AS max_x, CAST(MIN(y) AS BIGINT) "
-        "AS min_y, CAST(MAX(y) AS BIGINT) AS max_y, "
-        "CAST(COUNT(*) AS BIGINT) AS n_cells, "
-        "CAST((MAX(x) - MIN(x) + 1) * (MAX(y) - MIN(y) + 1) "
-        "AS BIGINT) AS area FROM l2 GROUP BY 1, 2 ORDER BY 1, 2"
-    )
-    out["cvm_twosample"] = (
-        # mirrors _q_cvm_twosample (pooled + within-sample ranks,
-        # exact integer U, pinned T chain)
-        "WITH e AS (SELECT event_id AS eid, CASE WHEN event_type "
-        "= 'click' THEN 0 ELSE 1 END AS tag, "
-        "CAST(ROUND(value * 100, 0) AS BIGINT) AS y FROM events "
-        "WHERE event_type IN ('click', 'error')), "
-        "o AS (SELECT tag, ROW_NUMBER() OVER (ORDER BY y, tag, eid) "
-        "AS k, ROW_NUMBER() OVER (PARTITION BY tag "
-        "ORDER BY y, tag, eid) AS i FROM e), "
-        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all, "
-        "CAST(SUM(CASE WHEN tag = 0 THEN 1 ELSE 0 END) AS BIGINT) "
-        "AS n0 FROM e), "
-        "ux AS (SELECT CAST(SUM((k - i) * (k - i)) AS BIGINT) AS sx "
-        "FROM o WHERE tag = 0), "
-        "uy AS (SELECT CAST(SUM((k - i) * (k - i)) AS BIGINT) AS sy "
-        "FROM o WHERE tag = 1), "
-        "uu AS (SELECT nn.n0 * ux.sx + (nn.n_all - nn.n0) * uy.sy "
-        "AS u FROM nn, ux, uy) "
-        "SELECT nn.n0 AS n_click, nn.n_all - nn.n0 AS n_error, "
-        "uu.u AS u_stat, ROUND(CAST(uu.u AS DOUBLE) "
-        "/ (nn.n0 * (nn.n_all - nn.n0) * nn.n_all) "
-        "- CAST(4 * nn.n0 * (nn.n_all - nn.n0) - 1 AS DOUBLE) "
-        "/ (6 * nn.n_all), 6) AS t_stat FROM nn, uu"
-    )
-    out["yules_k"] = (
-        # mirrors _q_yules_k (token-frequency second moment)
-        "WITH tk AS (SELECT UNNEST(regexp_split_to_array(text, "
-        "'\\s+')) AS token FROM documents), "
-        "fr AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM tk "
-        "WHERE token <> '' GROUP BY 1), "
-        "ag AS (SELECT CAST(SUM(c) AS BIGINT) AS n, "
-        "CAST(COUNT(*) AS BIGINT) AS vocab, "
-        "CAST(SUM(c * c) AS BIGINT) AS sc2 FROM fr) "
-        "SELECT n AS n_tokens, vocab, sc2 AS sum_c2, "
-        "ROUND(1e4 * (sc2 - n) / (CAST(n AS DOUBLE) "
-        "* CAST(n AS DOUBLE)), 6) AS yules_k FROM ag"
-    )
-    out["juilland_d"] = (
-        # mirrors _q_juilland_d (1e9-tick per-doc relative freqs over
-        # ALL docs, pinned CV chain)
-        f"WITH pats AS (SELECT * FROM (VALUES {_mp_vals}) AS v(p)), "
-        "tk AS (SELECT doc_id, UNNEST(regexp_split_to_array(text, "
-        "'\\s+')) AS token FROM documents), "
-        "tk2 AS (SELECT * FROM tk WHERE token <> ''), "
-        "dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len "
-        "FROM tk2 GROUP BY 1), "
-        "m AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c "
-        "FROM tk2 GROUP BY 1, 2), "
-        "pc0 AS (SELECT dl.doc_id, pats.p, dl.len, "
-        "COALESCE(m.c, 0) AS c FROM dl CROSS JOIN pats "
-        "LEFT JOIN m ON m.doc_id = dl.doc_id AND m.token = pats.p), "
-        "rq AS (SELECT p, (c * 1000000000) // len AS q, c FROM pc0), "
-        "ag AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(CAST(q AS HUGEINT) * q) AS HUGEINT) AS sq2, "
-        "CAST(SUM(q) AS BIGINT) AS s, "
-        "CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) "
-        "AS nw, CAST(SUM(c) AS BIGINT) AS tc FROM rq GROUP BY 1) "
-        "SELECT p AS pattern, nw AS n_docs_with, tc AS total_count, "
-        "ROUND(1.0 - SQRT(CAST(n * sq2 - CAST(s AS HUGEINT) * s "
-        "AS DOUBLE)) / s / SQRT(CAST(n - 1 AS DOUBLE)), 6) "
-        "AS juilland_d FROM ag ORDER BY 1"
-    )
-    _mt_u = __import__(
-        "tiff_to_geojson_csv_json_format_converter_ray.functions.sketch",
-        fromlist=["mix32_sql"],
-    ).mix32_sql("nd.idx + pp.p * 1000")
-    out["mantel_test"] = (
-        # mirrors _q_mantel_test (rank-of-mix32 label permutations,
-        # exact integer cross-product statistic)
-        "WITH cc AS (SELECT event_id % 96 + (event_id // 96 % 96) * 96 "
-        "AS cell, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1), "
-        "top20 AS (SELECT cell, n FROM cc ORDER BY n DESC, cell "
-        "LIMIT 20), "
-        "nd AS MATERIALIZED (SELECT "
-        "CAST(ROW_NUMBER() OVER (ORDER BY cell) - 1 AS BIGINT) AS idx, "
-        "cell % 96 AS x, cell // 96 AS y, n FROM top20), "
-        "xp AS (SELECT a.idx AS i, b.idx AS j, "
-        "CAST(ABS(a.x - b.x) + ABS(a.y - b.y) AS BIGINT) AS x "
-        "FROM nd a JOIN nd b ON a.idx < b.idx), "
-        "yd AS (SELECT a.idx AS a, b.idx AS b, "
-        "CAST(ABS(a.n - b.n) AS BIGINT) AS y FROM nd a, nd b), "
-        "obs AS (SELECT CAST(SUM(xp.x * yd.y) AS BIGINT) AS z "
-        "FROM xp JOIN yd ON yd.a = xp.i AND yd.b = xp.j), "
-        f"pp AS (SELECT r.range AS p FROM range(0, {_MANTEL_PERMS}) "
-        "r), "
-        f"pm AS MATERIALIZED (SELECT pp.p, nd.idx, "
-        f"CAST(ROW_NUMBER() OVER (PARTITION BY pp.p "
-        f"ORDER BY ({_mt_u}), nd.idx) - 1 AS BIGINT) AS pos "
-        "FROM pp, nd), "
-        "zp AS (SELECT pm1.p, CAST(SUM(xp.x * yd.y) AS BIGINT) AS z "
-        "FROM xp JOIN pm pm1 ON pm1.idx = xp.i "
-        "JOIN pm pm2 ON pm2.p = pm1.p AND pm2.idx = xp.j "
-        "JOIN yd ON yd.a = pm1.pos AND yd.b = pm2.pos GROUP BY 1), "
-        "ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS e FROM zp, obs "
-        "WHERE zp.z >= obs.z) "
-        "SELECT obs.z AS z_obs, "
-        f"CAST({_MANTEL_PERMS} AS BIGINT) AS n_perms, ex.e "
-        "AS n_extreme, ROUND((1.0 + ex.e) "
-        f"/ {_MANTEL_PERMS + 1}.0, 6) AS p_value FROM obs, ex"
-    )
-    out["ulcer_index"] = (
-        # mirrors _q_ulcer_index (running-peak drawdown ticks)
-        "WITH " + _dense_daily +
-        "pk AS (SELECT t, y, MAX(y) OVER (ORDER BY t "
-        "ROWS UNBOUNDED PRECEDING) AS peak FROM dn), "
-        "dw AS (SELECT ((peak - y) * 1000000) // peak AS q FROM pk), "
-        "ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(MAX(q) AS BIGINT) AS mq, "
-        "CAST(SUM(q * q) AS BIGINT) AS sq FROM dw) "
-        "SELECT n AS n_days, mq AS max_ddq, "
-        "ROUND(SQRT(CAST(sq AS DOUBLE) / n) / 1e6, 6) AS ulcer "
-        "FROM ag"
-    )
-    out["colley_rating"] = _colley_oracle_sql()
-    _heat_steps_sql = []
-    for _hk in range(1, _HEAT_STEPS + 1):
-        _p = f"g{_hk - 1}"
-        _heat_steps_sql.append(
-            f"g{_hk} AS MATERIALIZED (SELECT g.x, g.y, "
-            "(4 * g.v + COALESCE(u.v, 0) + COALESCE(d.v, 0) "
-            "+ COALESCE(l.v, 0) + COALESCE(r.v, 0)) // 8 AS v "
-            f"FROM {_p} g "
-            f"LEFT JOIN {_p} u ON u.x = g.x AND u.y = g.y - 1 "
-            f"LEFT JOIN {_p} d ON d.x = g.x AND d.y = g.y + 1 "
-            f"LEFT JOIN {_p} l ON l.x = g.x - 1 AND l.y = g.y "
-            f"LEFT JOIN {_p} r ON r.x = g.x + 1 AND r.y = g.y)"
-        )
-    out["heat_diffusion"] = (
-        # mirrors _q_heat_diffusion (5 unrolled diffusion steps with
-        # absorbing borders, all-nonnegative integer floor division)
-        "WITH cc AS (SELECT event_id % 96 AS cx, "
-        "event_id // 96 % 96 AS cy, CAST(COUNT(*) AS BIGINT) AS n "
-        "FROM events GROUP BY 1, 2), "
-        "g0 AS (SELECT gx.range AS x, gy.range AS y, "
-        "COALESCE(cc.n, 0) AS v FROM range(0, 96) gx "
-        "CROSS JOIN range(0, 96) gy LEFT JOIN cc "
-        "ON cc.cx = gx.range AND cc.cy = gy.range), "
-        + ", ".join(_heat_steps_sql)
-        + f" SELECT CAST(y * 96 + x AS BIGINT) AS cell, "
-        f"CAST(v AS BIGINT) AS value FROM g{_HEAT_STEPS} "
-        "ORDER BY v DESC, cell LIMIT 10"
-    )
-    out["markov_loglik"] = (
-        # mirrors _q_markov_loglik (1e9-tick transition log-probs,
-        # exact integer tick total, pinned NLL/perplexity chain)
-        "WITH s AS (SELECT user_id, event_type, "
-        "LEAD(event_type) OVER (PARTITION BY user_id "
-        "ORDER BY ts, event_id) AS nxt FROM events), "
-        "tr AS (SELECT event_type AS src, nxt AS dst, "
-        "CAST(COUNT(*) AS BIGINT) AS n FROM s WHERE nxt IS NOT NULL "
-        "GROUP BY 1, 2), "
-        "rt AS (SELECT src, CAST(SUM(n) AS BIGINT) AS t FROM tr "
-        "GROUP BY 1), "
-        "tk AS (SELECT tr.n, CAST(ROUND(LN(CAST(tr.n AS DOUBLE) "
-        "/ rt.t) * 1e9, 0) AS BIGINT) AS lp FROM tr "
-        "JOIN rt ON rt.src = tr.src), "
-        "ag AS (SELECT CAST(SUM(n) AS BIGINT) AS total, "
-        "CAST(SUM(n * lp) AS BIGINT) AS ticks FROM tk) "
-        "SELECT total AS n_transitions, ticks AS loglik_ticks, "
-        "ROUND(-(CAST(ticks AS DOUBLE) / 1e9) / total, 6) AS avg_nll, "
-        "ROUND(EXP(-(CAST(ticks AS DOUBLE) / 1e9) / total), 6) "
-        "AS perplexity FROM ag"
-    )
-    out["kriging_probes"] = _kriging_oracle_sql()
-    _rx1 = __import__(
-        "tiff_to_geojson_csv_json_format_converter_ray.functions.sketch",
-        fromlist=["mix32_sql"],
-    ).mix32_sql("r.range")
-    _rx2 = __import__(
-        "tiff_to_geojson_csv_json_format_converter_ray.functions.sketch",
-        fromlist=["mix32_sql"],
-    ).mix32_sql("r.range + 1000")
-    out["ransac_line"] = (
-        # mirrors _q_ransac_line (mix32 candidate pairs, integer
-        # cross-multiplication inlier predicate, argmax by (ni, c))
-        "WITH " + _dense_daily +
-        f"cands AS (SELECT r.range AS c, ({_rx1}) AS u1, "
-        f"({_rx2}) AS u2 FROM range(0, {_RANSAC_CANDS}) r), "
-        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dn), "
-        "th AS (SELECT (MAX(y) - MIN(y)) // 20 AS thr FROM dn), "
-        "cp AS (SELECT c, u1 % nn.n AS a, u2 % nn.n AS b FROM cands, "
-        "nn WHERE u1 % nn.n <> u2 % nn.n), "
-        "ln AS (SELECT cp.c, cp.a, cp.b, p1.y AS y1, p2.y AS y2 "
-        "FROM cp JOIN dn p1 ON p1.t = cp.a "
-        "JOIN dn p2 ON p2.t = cp.b), "
-        "inl AS (SELECT ln.c, ln.a, ln.b, ln.y1, ln.y2, "
-        "CAST(SUM(CASE WHEN ABS((q.y - ln.y1) * (ln.b - ln.a) "
-        "- (q.t - ln.a) * (ln.y2 - ln.y1)) "
-        "<= th.thr * ABS(ln.b - ln.a) THEN 1 ELSE 0 END) AS BIGINT) "
-        "AS ni FROM ln, dn q, th GROUP BY 1, 2, 3, 4, 5), "
-        "w AS (SELECT * FROM inl ORDER BY ni DESC, c LIMIT 1) "
-        "SELECT CAST(c AS BIGINT) AS cand, CAST(a AS BIGINT) AS t1, "
-        "CAST(b AS BIGINT) AS t2, ni AS n_inliers, "
-        "ROUND(CAST(y2 - y1 AS DOUBLE) / CAST(b - a AS DOUBLE), 6) "
-        "AS slope FROM w"
-    )
-    out["k_medoids_2"] = (
-        # mirrors _q_k_medoids_2 (28-pair enumeration, nearest-medoid
-        # Manhattan cost, argmin by (cost, m1, m2))
-        "WITH cc AS (SELECT event_id % 96 + (event_id // 96 % 96) * 96 "
-        "AS cell, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1), "
-        "top8 AS (SELECT cell FROM cc ORDER BY n DESC, cell LIMIT 8), "
-        "nd AS (SELECT cell, cell % 96 AS x, cell // 96 AS y "
-        "FROM top8), "
-        "prs AS (SELECT a.cell AS m1, a.x AS ax, a.y AS ay, "
-        "b.cell AS m2, b.x AS bx, b.y AS by_ FROM nd a "
-        "JOIN nd b ON a.cell < b.cell), "
-        "cost AS (SELECT prs.m1, prs.m2, "
-        "CAST(SUM(LEAST(ABS(nd.x - prs.ax) + ABS(nd.y - prs.ay), "
-        "ABS(nd.x - prs.bx) + ABS(nd.y - prs.by_))) AS BIGINT) AS c "
-        "FROM prs, nd GROUP BY 1, 2) "
-        "SELECT m1 AS m1_cell, m2 AS m2_cell, c AS total_cost "
-        "FROM cost ORDER BY c, m1, m2 LIMIT 1"
-    )
-    _mx = __import__(
-        "tiff_to_geojson_csv_json_format_converter_ray.functions.sketch",
-        fromlist=["mix32_sql"],
-    ).mix32_sql
-    out["siegel_tukey"] = (
-        # alternating-extreme ranks from deterministic positions
-        # (ORDER BY c, arm), Mann-Whitney z tail -- mirrors
-        # _q_siegel_tukey (closed-form run sums in the engine)
-        "WITH p AS (SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c, "
-        f"({_mx('user_id', 37)}) % 2 AS arm FROM events), "
-        "pos AS (SELECT arm, "
-        "CAST(ROW_NUMBER() OVER (ORDER BY c, arm) AS BIGINT) AS i, "
-        "CAST(COUNT(*) OVER () AS BIGINT) AS n FROM p), "
-        "st AS (SELECT arm, CASE WHEN 2 * i <= n + 1 THEN "
-        "LEAST(CASE WHEN i % 2 = 1 THEN 2 * i - 1 ELSE 2 * i END, n) "
-        "ELSE CASE WHEN (n + 1 - i) % 2 = 1 THEN 2 * (n + 1 - i) "
-        "ELSE 2 * (n + 1 - i) - 1 END END AS r FROM pos), "
-        "s AS (SELECT "
-        "CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na, "
-        "CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb, "
-        "CAST(SUM(CASE WHEN arm = 0 THEN r ELSE 0 END) AS BIGINT) AS w "
-        "FROM st) "
-        "SELECT na AS n_a, nb AS n_b, w AS w_a, "
-        "ROUND((CAST(w AS DOUBLE) "
-        "- CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1.0) / 2.0 "
-        "- CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0) "
-        "/ SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) "
-        "* (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1.0) / 12.0), 6) "
-        "AS z_stat FROM s"
-    )
-    out["conover_squared_ranks"] = (
-        # |c - med_arm| deviations (quantile_disc exact medians),
-        # doubled tie-averaged ranks Q = 2R as exact ints, HUGEINT
-        # moment identities, floats only in the two final square
-        # roots -- mirrors _q_conover_squared_ranks
-        "WITH p AS (SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c, "
-        f"({_mx('user_id', 29)}) % 2 AS arm FROM events), "
-        "md AS (SELECT arm, quantile_disc(c, 0.5) AS med "
-        "FROM p GROUP BY arm), "
-        "z AS (SELECT p.arm, ABS(p.c - md.med) AS d FROM p "
-        "JOIN md ON md.arm = p.arm), "
-        "r AS (SELECT arm, CAST(2 * RANK() OVER (ORDER BY d) "
-        "+ COUNT(*) OVER (PARTITION BY d) - 1 AS HUGEINT) AS q FROM z), "
-        "s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, "
-        "CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS na, "
-        "CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS nb, "
-        "SUM(CASE WHEN arm = 0 THEN q * q ELSE 0 END) AS t4, "
-        "SUM(q * q) AS s2, SUM(q * q * q * q) AS s4 FROM r) "
-        "SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, "
-        "CAST(t4 AS BIGINT) AS t_sq4, "
-        "ROUND(CAST(n * t4 - na * s2 AS DOUBLE) "
-        "* SQRT(CAST(n - 1 AS DOUBLE)) "
-        "/ SQRT(CAST(na * nb AS DOUBLE) "
-        "* CAST(n * s4 - s2 * s2 AS DOUBLE)), 6) "
-        "AS z_stat FROM s"
-    )
-    out["quade_test"] = (
-        # complete day-blocks x 5 treatments, deterministic ROW_NUMBER
-        # rank conventions, integer S_bt = Q_b * (r - 3) -- mirrors
-        # _q_quade_test
-        "WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, "
-        "event_type AS t, "
-        "CAST(ROUND(value * 100, 0) AS BIGINT) AS c FROM events), "
-        "g AS (SELECT day, t, CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(c) AS BIGINT) AS s FROM e GROUP BY day, t), "
-        "fd AS (SELECT day FROM g GROUP BY day HAVING COUNT(*) = 5), "
-        "m AS (SELECT g.day, g.t, "
-        "CAST(g.s AS DOUBLE) / CAST(g.n AS DOUBLE) AS mu "
-        "FROM g JOIN fd USING (day)), "
-        "r AS (SELECT day, t, CAST(ROW_NUMBER() OVER "
-        "(PARTITION BY day ORDER BY mu, t) AS BIGINT) AS rk FROM m), "
-        "rg AS (SELECT day, MAX(mu) - MIN(mu) AS rng "
-        "FROM m GROUP BY day), "
-        "qb AS (SELECT day, CAST(ROW_NUMBER() OVER "
-        "(ORDER BY rng, day) AS BIGINT) AS q FROM rg), "
-        "sbt AS (SELECT r.t, qb.q * (r.rk - 3) AS sv "
-        "FROM r JOIN qb USING (day)), "
-        "agg AS (SELECT CAST((SELECT COUNT(*) FROM fd) AS BIGINT) AS b, "
-        "CAST(SUM(sv * sv) AS BIGINT) AS a FROM sbt), "
-        "bt AS (SELECT t, CAST(SUM(sv) AS BIGINT) AS st "
-        "FROM sbt GROUP BY t), "
-        "bb AS (SELECT CAST(SUM(st * st) AS BIGINT) AS bp FROM bt) "
-        "SELECT agg.b AS n_blocks, agg.a AS a_term, bb.bp AS b_term, "
-        "ROUND(CAST((agg.b - 1) * bb.bp AS DOUBLE) "
-        "/ CAST(agg.b * agg.a - bb.bp AS DOUBLE), 6) AS f_stat "
-        "FROM agg, bb"
-    )
-    out["pcsa_distinct"] = (
-        # 64-bucket Flajolet-Martin bitmaps; tz via (x & -x) - 1
-        # popcount, lowest unset bit via ((b+1) & ~b) - 1 popcount --
-        # mirrors _q_pcsa_distinct
-        "WITH h AS (SELECT "
-        f"({_mx('user_id', 51)}) AS hv FROM events), "
-        "b AS (SELECT hv % 64 AS bkt, hv // 64 AS rest FROM h), "
-        "t AS (SELECT bkt, CASE WHEN rest = 0 THEN 30 ELSE "
-        "LEAST(bit_count((rest & -rest) - 1), 30) END AS tz FROM b), "
-        "bm AS (SELECT bkt, bit_or(1 << tz) AS bits "
-        "FROM t GROUP BY bkt), "
-        "ab AS (SELECT range AS bkt FROM range(0, 64)), "
-        "r AS (SELECT ab.bkt, COALESCE(bm.bits, 0) AS bits "
-        "FROM ab LEFT JOIN bm USING (bkt)), "
-        "rr AS (SELECT bit_count(((bits + 1) & ~bits) - 1) AS rv "
-        "FROM r), "
-        "s AS (SELECT CAST(SUM(rv) AS BIGINT) AS r_sum FROM rr) "
-        "SELECT r_sum, "
-        "ROUND(64.0 / 0.77351 "
-        "* POW(2.0, CAST(r_sum AS DOUBLE) / 64.0), 6) AS pcsa_estimate, "
-        "(SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events) "
-        "AS exact_distinct FROM s"
-    )
-    out["hodges_lehmann"] = (
-        # outer difference of the two deci-cent histograms, explicit
-        # lower/upper weighted-median selection -- mirrors
-        # _q_hodges_lehmann
-        "WITH p AS (SELECT CAST(ROUND(value * 10, 0) AS BIGINT) AS d10, "
-        f"({_mx('user_id', 41)}) % 2 AS arm FROM events), "
-        "ha AS (SELECT d10, CAST(COUNT(*) AS BIGINT) AS n FROM p "
-        "WHERE arm = 0 GROUP BY d10), "
-        "hb AS (SELECT d10, CAST(COUNT(*) AS BIGINT) AS n FROM p "
-        "WHERE arm = 1 GROUP BY d10), "
-        "j AS (SELECT a.d10 - b.d10 AS diff, "
-        "CAST(SUM(a.n * b.n) AS BIGINT) AS w "
-        "FROM ha a CROSS JOIN hb b GROUP BY 1), "
-        "c AS (SELECT diff, SUM(w) OVER (ORDER BY diff "
-        "ROWS UNBOUNDED PRECEDING) AS cum, SUM(w) OVER () AS np_ "
-        "FROM j), "
-        "lo AS (SELECT MIN(diff) AS v FROM c "
-        "WHERE cum >= (np_ + 1) // 2), "
-        "hi AS (SELECT MIN(diff) AS v FROM c "
-        "WHERE cum >= np_ // 2 + 1) "
-        "SELECT (SELECT CAST(MAX(np_) AS BIGINT) FROM c) AS n_pairs, "
-        "lo.v AS lo_d10, hi.v AS hi_d10, "
-        "ROUND((CAST(lo.v AS DOUBLE) + CAST(hi.v AS DOUBLE)) "
-        "/ 2.0 / 10.0, 6) AS hl_shift FROM lo, hi"
-    )
-    out["krippendorff_alpha"] = (
-        # doubled coincidence-matrix contributions (2/(m_u-1) is an
-        # integer for m_u in {2,3}); alpha = 1 - D_o'(n'-2)/sum n'c
-        # n'c' -- mirrors _q_krippendorff_alpha
-        "WITH e AS (SELECT user_id * 1000000 "
-        "+ epoch_us(ts) // 86400000000 AS subj, ts, event_id, "
-        "event_type AS t FROM events), "
-        "f AS (SELECT subj, t, ROW_NUMBER() OVER (PARTITION BY subj "
-        "ORDER BY ts, event_id) AS rn, "
-        "COUNT(*) OVER (PARTITION BY subj) AS m FROM e), "
-        "g AS (SELECT subj, t, rn FROM f WHERE rn <= 3 AND m >= 2), "
-        "u AS (SELECT subj, CAST(COUNT(*) AS BIGINT) AS mu "
-        "FROM g GROUP BY subj), "
-        "prs AS (SELECT a.t AS c1, b.t AS c2, "
-        "CASE WHEN u.mu = 2 THEN 2 ELSE 1 END AS w "
-        "FROM g a JOIN g b ON b.subj = a.subj AND b.rn <> a.rn "
-        "JOIN u ON u.subj = a.subj), "
-        "o AS (SELECT c1, c2, CAST(SUM(w) AS BIGINT) AS o2 "
-        "FROM prs GROUP BY c1, c2), "
-        "mc AS (SELECT c1, CAST(SUM(o2) AS BIGINT) AS nc "
-        "FROM o GROUP BY c1), "
-        "s AS (SELECT "
-        "(SELECT CAST(COUNT(*) AS BIGINT) FROM u) AS n_units, "
-        "(SELECT CAST(SUM(nc) AS BIGINT) FROM mc) AS ntot, "
-        "(SELECT CAST(SUM(CASE WHEN c1 <> c2 THEN o2 ELSE 0 END) "
-        "AS BIGINT) FROM o) AS do2, "
-        "(SELECT CAST(SUM(a.nc * b.nc) AS BIGINT) FROM mc a "
-        "JOIN mc b ON b.c1 <> a.c1) AS de2) "
-        "SELECT n_units, ntot AS n_values2, do2 AS d_o2, "
-        "ROUND(1.0 - CAST(do2 * (ntot - 2) AS DOUBLE) "
-        "/ CAST(de2 AS DOUBLE), 6) AS alpha FROM s"
-    )
-    out["k_center_greedy"] = _k_center_oracle_sql()
-    out["set_cover_greedy"] = _set_cover_oracle_sql()
-    out["max_clique"] = _max_clique_oracle_sql()
-    out["steiner_tree"] = _steiner_oracle_sql()
-    out["stable_matching"] = _stable_matching_oracle_sql()
-    out["bin_packing_ffd"] = _bin_packing_oracle_sql()
-    out["nn_fj_function"] = (
-        # probe-lattice empty-space F + point G + J = (1-G)/(1-F),
-        # distances 1e9-quantized, J NULL where F = 1 -- mirrors
-        # _q_nn_fj_function
-        "WITH p AS (SELECT event_id, "
-        "77.0 + CAST(event_id % 96 AS DOUBLE) * 0.01 AS px, "
-        "28.05 + CAST((event_id // 96) % 96 AS DOUBLE) * 0.01 AS py "
-        "FROM events WHERE event_id % 100 = 0), "
-        "pr AS (SELECT i.range AS i, j.range AS j, "
-        "77.0 + CAST(i.range * 6 AS DOUBLE) * 0.01 AS px, "
-        "28.05 + CAST(j.range * 6 AS DOUBLE) * 0.01 AS py "
-        "FROM range(0, 16) i, range(0, 16) j), "
-        "fn AS (SELECT pr.i, pr.j, "
-        "MIN((pr.px - p.px) * (pr.px - p.px) "
-        "+ (pr.py - p.py) * (pr.py - p.py)) AS d2 "
-        "FROM pr, p GROUP BY pr.i, pr.j), "
-        "fq AS (SELECT CAST(ROUND(SQRT(d2) * 1e9, 0) AS BIGINT) AS dq "
-        "FROM fn), "
-        "gn AS (SELECT a.event_id, "
-        "MIN((a.px - b.px) * (a.px - b.px) "
-        "+ (a.py - b.py) * (a.py - b.py)) AS d2 "
-        "FROM p a JOIN p b ON b.event_id <> a.event_id "
-        "GROUP BY a.event_id), "
-        "gq AS (SELECT CAST(ROUND(SQRT(d2) * 1e9, 0) AS BIGINT) AS dq "
-        "FROM gn), "
-        "r(rq) AS (VALUES "
-        + ", ".join(f"({v})" for v in _GFUNC_RADII_Q)
-        + "), "
-        "ff AS (SELECT rq, CAST(SUM(CASE WHEN dq <= rq THEN 1 ELSE 0 "
-        "END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS f_hat "
-        "FROM r, fq GROUP BY rq), "
-        "gg AS (SELECT rq, CAST(SUM(CASE WHEN dq <= rq THEN 1 ELSE 0 "
-        "END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS g_hat "
-        "FROM r, gq GROUP BY rq) "
-        "SELECT ROUND(CAST(ff.rq AS DOUBLE) / 1e9, 6) AS r, "
-        "ROUND(ff.f_hat, 6) AS f_hat, ROUND(gg.g_hat, 6) AS g_hat, "
-        "CASE WHEN ff.f_hat < 1.0 THEN "
-        "ROUND((1.0 - gg.g_hat) / (1.0 - ff.f_hat), 6) "
-        "ELSE NULL END AS j_hat "
-        "FROM ff JOIN gg USING (rq) ORDER BY ff.rq"
-    )
-    out["hypsometric"] = (
-        # exact integer-cent thresholds at decile steps of the range;
-        # HI from exact sum/min/max -- mirrors _q_hypsometric
-        f"WITH g AS ({_OG_GRID_SQL}), "
-        "v AS (SELECT CAST(ROUND(z * 100, 0) AS BIGINT) AS c FROM g "
-        "WHERE z > -1e30), "
-        "s AS (SELECT CAST(MIN(c) AS BIGINT) AS mn, "
-        "CAST(MAX(c) AS BIGINT) AS mx, CAST(SUM(c) AS BIGINT) AS sm, "
-        "CAST(COUNT(*) AS BIGINT) AS n FROM v), "
-        "kk AS (SELECT range AS k FROM range(0, 11)), "
-        "t AS (SELECT kk.k, s.mn + (kk.k * (s.mx - s.mn)) // 10 "
-        "AS thr FROM kk, s), "
-        "a AS (SELECT t.k, t.thr, CAST(SUM(CASE WHEN v.c >= t.thr "
-        "THEN 1 ELSE 0 END) AS BIGINT) AS na FROM t, v "
-        "GROUP BY t.k, t.thr) "
-        "SELECT CAST(a.k AS BIGINT) AS k, a.thr AS threshold_c, "
-        "a.na AS n_above, "
-        "ROUND(CAST(a.na AS DOUBLE) / CAST(s.n AS DOUBLE), 6) "
-        "AS frac_above, "
-        "ROUND((CAST(s.sm AS DOUBLE) / CAST(s.n AS DOUBLE) "
-        "- CAST(s.mn AS DOUBLE)) / CAST(s.mx - s.mn AS DOUBLE), 6) "
-        "AS hi FROM a, s ORDER BY a.k"
-    )
-    out["tile_gaussian_blur"] = (
-        # two [1,2,1]^2 integer passes == the engine's one 5x5
-        # binomial kernel (convolution composes); defined where all
-        # 25 cells valid -- mirrors _q_tile_gaussian_blur
-        f"WITH g AS ({_OG_SLOPE_GRID_SQL}), "
-        "v AS (SELECT row, col, CAST(ROUND(z * 10, 0) AS BIGINT) "
-        "AS z10 FROM g WHERE z > -1e30), "
-        "y AS (SELECT a.row, a.col, "
-        "CAST(SUM((2 - ABS(b.row - a.row)) * (2 - ABS(b.col - a.col)) "
-        "* b.z10) AS BIGINT) AS y, COUNT(*) AS k FROM v a JOIN v b "
-        "ON ABS(b.row - a.row) <= 1 AND ABS(b.col - a.col) <= 1 "
-        "GROUP BY a.row, a.col), "
-        "y9 AS (SELECT row, col, y FROM y WHERE k = 9), "
-        "b AS (SELECT a.row, a.col, "
-        "CAST(SUM((2 - ABS(b.row - a.row)) * (2 - ABS(b.col - a.col)) "
-        "* b.y) AS BIGINT) AS b2560, COUNT(*) AS k FROM y9 a "
-        "JOIN y9 b ON ABS(b.row - a.row) <= 1 "
-        "AND ABS(b.col - a.col) <= 1 GROUP BY a.row, a.col) "
-        "SELECT CAST(row AS BIGINT) AS row, CAST(col AS BIGINT) "
-        "AS col, b2560 FROM b WHERE k = 9"
-    )
-    out["kneser_ney"] = (
-        # D = 3/4 exact rational; continuation counts from the bigram
-        # TYPE table; one float division per bigram -- mirrors
-        # _q_kneser_ney
-        "WITH w AS (SELECT list_filter(string_split(text, ' '), "
-        "t -> t <> '') AS ws FROM documents), "
-        "g AS (SELECT ws[i] AS v, ws[i+1] AS w2 FROM w, "
-        "LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i)), "
-        "bc AS (SELECT v, w2, CAST(COUNT(*) AS BIGINT) AS c "
-        "FROM g GROUP BY 1, 2), "
-        "cv AS (SELECT v, CAST(SUM(c) AS BIGINT) AS cv, "
-        "CAST(COUNT(*) AS BIGINT) AS n1v FROM bc GROUP BY v), "
-        "cw AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS nw "
-        "FROM bc GROUP BY w2), "
-        "nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM bc), "
-        "top AS (SELECT v, w2, c FROM bc "
-        "ORDER BY c DESC, v, w2 LIMIT 20) "
-        "SELECT top.v, top.w2 AS w, top.c AS c_vw, "
-        "ROUND(CAST(GREATEST(4 * top.c - 3, 0) * nt.nt "
-        "+ 3 * cv.n1v * cw.nw AS DOUBLE) "
-        "/ CAST(4 * cv.cv * nt.nt AS DOUBLE), 6) AS p_kn "
-        "FROM top JOIN cv USING (v) JOIN cw USING (w2), nt"
-    )
-    out["bwt_transform"] = (
-        # all rotations of the top-8-token signature string sorted
-        # bytewise -- mirrors _q_bwt_transform
-        "WITH w AS (SELECT list_filter(string_split(text, ' '), "
-        "t -> t <> '') AS ws FROM documents), "
-        "tok AS (SELECT unnest(ws) AS t FROM w), "
-        "tf AS (SELECT t, COUNT(*) AS n FROM tok GROUP BY t), "
-        "t8 AS (SELECT t, n FROM tf ORDER BY n DESC, t LIMIT 8), "
-        "s AS (SELECT string_agg(t, ' ' ORDER BY n DESC, t) || '$' "
-        "AS str FROM t8), "
-        "r AS (SELECT unnest(range(0, length(str))) AS i FROM s), "
-        "rot AS (SELECT r.i, substr(s.str, CAST(r.i AS INTEGER) + 1) "
-        "|| substr(s.str, 1, CAST(r.i AS INTEGER)) AS rstr "
-        "FROM r, s), "
-        "o AS (SELECT i, rstr, CAST(ROW_NUMBER() OVER "
-        "(ORDER BY rstr) AS BIGINT) AS pos FROM rot) "
-        "SELECT pos, substr(rstr, length(rstr), 1) AS ch, "
-        "(SELECT pos FROM o WHERE i = 0) AS primary_idx "
-        "FROM o ORDER BY pos"
-    )
-    out["fisher_lda"] = (
-        # n-scaled integer scatter, HUGEINT Cramer solve, floats only
-        # in the final divisions -- mirrors _q_fisher_lda
-        "WITH p AS (SELECT CASE WHEN event_type = 'purchase' THEN 1 "
-        "ELSE 0 END AS y, "
-        "(epoch_us(ts) // 3600000000) % 24 AS h, "
-        "CAST(ROUND(value * 0.1, 0) AS BIGINT) AS x2 FROM events), "
-        "m AS (SELECT y, CAST(COUNT(*) AS HUGEINT) AS n, "
-        "CAST(SUM(h) AS HUGEINT) AS s1, "
-        "CAST(SUM(x2) AS HUGEINT) AS s2, "
-        "CAST(SUM(h * h) AS HUGEINT) AS s11, "
-        "CAST(SUM(x2 * x2) AS HUGEINT) AS s22, "
-        "CAST(SUM(h * x2) AS HUGEINT) AS s12 FROM p GROUP BY y), "
-        "ab AS (SELECT "
-        "a.n AS n0, b.n AS n1, "
-        "a.n * a.s11 - a.s1 * a.s1 AS a11_0, "
-        "a.n * a.s22 - a.s2 * a.s2 AS a22_0, "
-        "a.n * a.s12 - a.s1 * a.s2 AS a12_0, "
-        "b.n * b.s11 - b.s1 * b.s1 AS a11_1, "
-        "b.n * b.s22 - b.s2 * b.s2 AS a22_1, "
-        "b.n * b.s12 - b.s1 * b.s2 AS a12_1, "
-        "a.n * b.s1 - b.n * a.s1 AS d1, "
-        "a.n * b.s2 - b.n * a.s2 AS d2, "
-        "a.s1 AS s1_0, b.s1 AS s1_1, b.s2 AS s2_1 "
-        "FROM m a, m b WHERE a.y = 0 AND b.y = 1), "
-        "mm AS (SELECT n0, n1, d1, d2, s1_1, s2_1, "
-        "n1 * a11_0 + n0 * a11_1 AS m11, "
-        "n1 * a22_0 + n0 * a22_1 AS m22, "
-        "n1 * a12_0 + n0 * a12_1 AS m12 FROM ab) "
-        "SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1, "
-        "ROUND(CAST(m22 * d1 - m12 * d2 AS DOUBLE) "
-        "/ CAST(m11 * m22 - m12 * m12 AS DOUBLE), 6) AS w1, "
-        "ROUND(CAST(m11 * d2 - m12 * d1 AS DOUBLE) "
-        "/ CAST(m11 * m22 - m12 * m12 AS DOUBLE), 6) AS w2, "
-        "ROUND(CAST(s1_1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) "
-        "AS mu1_hour, "
-        "ROUND(CAST(s2_1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) "
-        "AS mu1_dd FROM mm"
-    )
-    out["media_dhash_pairs"] = (
-        # block-sum grid from the formula pixels, horizontal
-        # gradient-sign bits, Hamming pairs -- mirrors
-        # _q_media_dhash_pairs
-        "WITH px AS (SELECT i.range AS i, r.range AS r, c.range AS c, "
-        "(r.range * 73 + c.range * 31 + (i.range % 16) * 17 "
-        "+ CASE WHEN i.range >= 16 AND r.range < 4 AND c.range < 4 "
-        "THEN 100 ELSE 0 END) % 256 AS v "
-        "FROM range(0, 24) i, range(0, 32) r, range(0, 32) c), "
-        "blk AS (SELECT i, r // 4 AS br, c // 4 AS bc, "
-        "SUM(v) AS bs FROM px GROUP BY i, br, bc), "
-        "bits AS (SELECT a.i, a.br * 7 + a.bc AS b, "
-        "CASE WHEN a.bs > x.bs THEN 1 ELSE 0 END AS bit "
-        "FROM blk a JOIN blk x ON x.i = a.i AND x.br = a.br "
-        "AND x.bc = a.bc + 1), "
-        "ham AS (SELECT a.i AS ia, b.i AS ib, "
-        "SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS h "
-        "FROM bits a JOIN bits b ON a.b = b.b "
-        "AND 'm' || CAST(a.i AS VARCHAR) < 'm' || CAST(b.i AS VARCHAR) "
-        "GROUP BY a.i, b.i) "
-        "SELECT 'm' || CAST(ia AS VARCHAR) AS id_a, "
-        "'m' || CAST(ib AS VARCHAR) AS id_b, "
-        "CAST(h AS BIGINT) AS hamming FROM ham WHERE h <= 6"
-    )
-    out["wav_features"] = (
-        # recompute the formula samples; exact integer energy and
-        # strict-sign-flip counts per 64-sample frame -- mirrors
-        # _q_wav_features
-        "WITH s AS (SELECT i.range AS i, t.range AS t, "
-        "(t.range * 73 + i.range * 17) % 2001 - 1000 AS v "
-        "FROM range(0, 12) i, range(0, 256) t), "
-        "f AS (SELECT i, t // 64 AS fr, v, "
-        "LAG(v) OVER (PARTITION BY i, t // 64 ORDER BY t) AS pv "
-        "FROM s) "
-        "SELECT 'w' || CAST(i AS VARCHAR) AS media_id, "
-        "CAST(fr AS BIGINT) AS frame, "
-        "CAST(SUM(v * v) AS BIGINT) AS energy, "
-        "CAST(SUM(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END) AS BIGINT) "
-        "AS zcr FROM f GROUP BY i, fr"
-    )
-    out["matrix_profile"] = (
-        # dense hourly frame, stride-6 window-6 windows, exact int
-        # squared distances, argmin with smallest-index ties --
-        # mirrors _q_matrix_profile
-        "WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hr, "
-        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1), "
-        "fr AS (SELECT unnest(generate_series("
-        "(SELECT MIN(hr) FROM h), (SELECT MAX(hr) FROM h))) AS hr), "
-        "x AS (SELECT fr.hr - (SELECT MIN(hr) FROM h) AS idx, "
-        "COALESCE(h.n, 0) AS v FROM fr LEFT JOIN h USING (hr)), "
-        "nw AS (SELECT ((SELECT COUNT(*) FROM x) - 6) // 6 + 1 AS n_w), "
-        "win AS (SELECT x.idx // 6 AS w, x.idx % 6 AS k, x.v "
-        "FROM x, nw WHERE x.idx < nw.n_w * 6), "
-        "d AS (SELECT a.w AS i, b.w AS j, "
-        "CAST(SUM((a.v - b.v) * (a.v - b.v)) AS BIGINT) AS d2 "
-        "FROM win a JOIN win b ON b.k = a.k AND b.w <> a.w "
-        "GROUP BY a.w, b.w), "
-        "p AS (SELECT i, d2, j, ROW_NUMBER() OVER (PARTITION BY i "
-        "ORDER BY d2, j) AS rn FROM d) "
-        "SELECT CAST(i AS BIGINT) AS w, d2 AS mp_d2, "
-        "CAST(j AS BIGINT) AS nn_w FROM p WHERE rn = 1"
-    )
-    out["rsi_wilder"] = _rsi_oracle_sql()
-    out["segregation_indices"] = (
-        # exact |a*B - b*A| numerator; 1e9-tick interaction terms --
-        # mirrors _q_segregation_indices
-        "WITH p AS (SELECT event_id % 96 + (event_id // 96 % 96) * 96 "
-        "AS cell, "
-        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS a, "
-        "CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS b "
-        "FROM events WHERE event_type IN ('purchase', 'view')), "
-        "c AS (SELECT cell, CAST(SUM(a) AS BIGINT) AS a, "
-        "CAST(SUM(b) AS BIGINT) AS b FROM p GROUP BY cell), "
-        "tt AS (SELECT CAST(SUM(a) AS BIGINT) AS ba, "
-        "CAST(SUM(b) AS BIGINT) AS bb, "
-        "CAST(COUNT(*) AS BIGINT) AS nc FROM c), "
-        "terms AS (SELECT "
-        "CAST(SUM(ABS(c.a * tt.bb - c.b * tt.ba)) AS BIGINT) AS dn, "
-        "CAST(SUM(CAST(ROUND(CAST(c.a AS DOUBLE) * CAST(c.a AS DOUBLE) "
-        "/ CAST(c.a + c.b AS DOUBLE) * 1e9, 0) AS BIGINT)) AS BIGINT) "
-        "AS iso, "
-        "CAST(SUM(CAST(ROUND(CAST(c.a AS DOUBLE) * CAST(c.b AS DOUBLE) "
-        "/ CAST(c.a + c.b AS DOUBLE) * 1e9, 0) AS BIGINT)) AS BIGINT) "
-        "AS expo FROM c, tt) "
-        "SELECT tt.nc AS n_cells, "
-        "ROUND(CAST(terms.dn AS DOUBLE) "
-        "/ (2.0 * CAST(tt.ba AS DOUBLE) * CAST(tt.bb AS DOUBLE)), 6) "
-        "AS d_index, "
-        "ROUND(CAST(terms.iso AS DOUBLE) / 1e9 "
-        "/ CAST(tt.ba AS DOUBLE), 6) AS isolation_aa, "
-        "ROUND(CAST(terms.expo AS DOUBLE) / 1e9 "
-        "/ CAST(tt.ba AS DOUBLE), 6) AS exposure_ab "
-        "FROM terms, tt"
-    )
-    out["simrank"] = _simrank_oracle_sql()
-    out["string_borders"] = (
-        # border = direct prefix/suffix equality per length; period =
-        # n - maxborder -- mirrors _q_string_borders
-        "WITH " + _sig_string_sql() + ", "
-        "nn AS (SELECT CAST(length(str) AS BIGINT) AS n FROM s), "
-        "k AS (SELECT unnest(generate_series(1, "
-        "(SELECT n FROM nn) - 1)) AS k), "
-        "b AS (SELECT k.k FROM k, s WHERE "
-        "substr(s.str, 1, CAST(k.k AS INTEGER)) = "
-        "substr(s.str, CAST(length(s.str) - k.k AS INTEGER) + 1)), "
-        "mb AS (SELECT COALESCE(MAX(k), 0) AS m FROM b), "
-        "rows_ AS (SELECT k FROM b UNION ALL "
-        "SELECT 0 WHERE NOT EXISTS (SELECT 1 FROM b)) "
-        "SELECT CAST(rows_.k AS BIGINT) AS border_len, nn.n, "
-        "CAST(nn.n - mb.m AS BIGINT) AS period "
-        "FROM rows_, nn, mb"
-    )
-    out["suffix_array_lcp"] = (
-        # suffixes sorted bytewise; LCP with the predecessor via a
-        # bounded-k equality probe -- mirrors _q_suffix_array_lcp
-        "WITH " + _sig_string_sql() + ", "
-        "idx AS (SELECT unnest(generate_series(0, "
-        "(SELECT CAST(length(str) AS BIGINT) FROM s) - 1)) AS i), "
-        "suf AS (SELECT idx.i, substr(s.str, "
-        "CAST(idx.i AS INTEGER) + 1) AS sfx FROM idx, s), "
-        "o AS (SELECT i, sfx, CAST(ROW_NUMBER() OVER (ORDER BY sfx) "
-        "AS BIGINT) AS rnk FROM suf), "
-        "p AS (SELECT a.rnk, a.i, a.sfx AS cur, b.sfx AS prev "
-        "FROM o a LEFT JOIN o b ON b.rnk = a.rnk - 1), "
-        "ks AS (SELECT unnest(generate_series(1, "
-        "(SELECT CAST(length(str) AS BIGINT) FROM s))) AS k), "
-        "lc AS (SELECT p.rnk, MAX(ks.k) AS lcp FROM p JOIN ks "
-        "ON ks.k <= LEAST(length(p.cur), length(p.prev)) "
-        "AND substr(p.cur, 1, CAST(ks.k AS INTEGER)) = "
-        "substr(p.prev, 1, CAST(ks.k AS INTEGER)) GROUP BY p.rnk) "
-        "SELECT p.rnk AS rank, CAST(p.i AS BIGINT) AS sa, "
-        "CAST(COALESCE(lc.lcp, 0) AS BIGINT) AS lcp "
-        "FROM p LEFT JOIN lc ON lc.rnk = p.rnk"
-    )
-    out["closest_farthest_pair"] = (
-        # exact integer d2 extremes over the top-50 cells, canonical
-        # (cell_a < cell_b) ties -- mirrors _q_closest_farthest_pair
-        "WITH cc AS (SELECT event_id % 96 + (event_id // 96 % 96) * 96 "
-        "AS cell, COUNT(*) AS n FROM events GROUP BY 1), "
-        "t50 AS (SELECT cell FROM cc ORDER BY n DESC, cell LIMIT 50), "
-        "nd AS (SELECT cell, cell % 96 AS x, cell // 96 AS y "
-        "FROM t50), "
-        "prs AS (SELECT a.cell AS ca, b.cell AS cb, "
-        "(a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2 "
-        "FROM nd a JOIN nd b ON a.cell < b.cell) "
-        "SELECT kind, CAST(ca AS BIGINT) AS cell_a, "
-        "CAST(cb AS BIGINT) AS cell_b, CAST(d2 AS BIGINT) AS d2 FROM ("
-        "(SELECT 'closest' AS kind, ca, cb, d2 FROM prs "
-        "ORDER BY d2, ca, cb LIMIT 1) "
-        "UNION ALL "
-        "(SELECT 'farthest', ca, cb, d2 FROM prs "
-        "ORDER BY d2 DESC, ca, cb LIMIT 1))"
-    )
-    out["rect_union_area"] = (
-        # covered-lattice-cell count = exact union area -- mirrors
-        # _q_rect_union_area
-        "WITH cc AS (SELECT event_id % 96 + (event_id // 96 % 96) * 96 "
-        "AS cell, COUNT(*) AS n FROM events GROUP BY 1), "
-        "t10 AS (SELECT cell FROM cc ORDER BY n DESC, cell LIMIT 10), "
-        "b AS (SELECT GREATEST(0, cell % 96 - 6) AS x0, "
-        "LEAST(95, cell % 96 + 6) AS x1, "
-        "GREATEST(0, cell // 96 - 6) AS y0, "
-        "LEAST(95, cell // 96 + 6) AS y1 FROM t10), "
-        "sa AS (SELECT CAST(SUM((x1 - x0 + 1) * (y1 - y0 + 1)) "
-        "AS BIGINT) AS s FROM b), "
-        "g AS (SELECT gx.range AS x, gy.range AS y "
-        "FROM range(0, 96) gx, range(0, 96) gy), "
-        "u AS (SELECT CAST(COUNT(*) AS BIGINT) AS u FROM g "
-        "WHERE EXISTS (SELECT 1 FROM b WHERE g.x BETWEEN b.x0 AND b.x1 "
-        "AND g.y BETWEEN b.y0 AND b.y1)) "
-        "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM t10) AS n_rects, "
-        "sa.s AS sum_areas, u.u AS union_area, "
-        "CAST(sa.s - u.u AS BIGINT) AS overlap FROM sa, u"
-    )
-    out["holm_adjust"] = _holm_oracle_sql()
-    out["croston_demand"] = _croston_oracle_sql()
-    out["aoristic_hours"] = (
-        # 30-min windows split across hour bins in exact microseconds
-        # -- mirrors _q_aoristic_hours
-        "WITH e AS (SELECT epoch_us(ts) AS t FROM events), "
-        "sp AS (SELECT (t // 3600000000) % 24 AS hour, "
-        "LEAST(1800000000, 3600000000 - t % 3600000000) AS w FROM e "
-        "UNION ALL "
-        "SELECT ((t // 3600000000) + 1) % 24, "
-        "1800000000 - LEAST(1800000000, 3600000000 - t % 3600000000) "
-        "FROM e), "
-        "a AS (SELECT hour, CAST(SUM(w) AS BIGINT) AS w_us FROM sp "
-        "GROUP BY hour), "
-        "fr AS (SELECT range AS hour FROM range(0, 24)), "
-        "f AS (SELECT fr.hour, COALESCE(a.w_us, 0) AS w_us "
-        "FROM fr LEFT JOIN a USING (hour)), "
-        "t AS (SELECT SUM(w_us) AS tot FROM f) "
-        "SELECT CAST(f.hour AS BIGINT) AS hour, f.w_us, "
-        "ROUND(CAST(f.w_us AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) "
-        "AS share FROM f, t ORDER BY f.hour"
-    )
-    out["pair_correlation"] = (
-        # ordered-pair annulus counts (coincident separate), CSR
-        # normalization with area = 0.95*0.95 -- mirrors
-        # _q_pair_correlation
-        "WITH p AS (SELECT event_id, "
-        "77.0 + CAST(event_id % 96 AS DOUBLE) * 0.01 AS px, "
-        "28.05 + CAST((event_id // 96) % 96 AS DOUBLE) * 0.01 AS py "
-        "FROM events WHERE event_id % 20 = 0), "
-        "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM p), "
-        "ed AS (SELECT * FROM (VALUES (0, 0.0, 0.02), "
-        "(1, 0.02, 0.04), (2, 0.04, 0.06), (3, 0.06, 0.08), "
-        "(4, 0.08, 0.10)) AS v(k, r1, r2)), "
-        "pr AS MATERIALIZED (SELECT "
-        "(a.px - b.px) * (a.px - b.px) "
-        "+ (a.py - b.py) * (a.py - b.py) AS d2 FROM p a, p b), "
-        "cnt AS (SELECT ed.k, ed.r1, ed.r2, "
-        "CAST(SUM(CASE WHEN pr.d2 > ed.r1 * ed.r1 "
-        "AND pr.d2 <= ed.r2 * ed.r2 THEN 1 ELSE 0 END) AS BIGINT) "
-        "AS c FROM ed, pr GROUP BY ed.k, ed.r1, ed.r2), "
-        "co AS (SELECT CAST(SUM(CASE WHEN d2 = 0.0 THEN 1 ELSE 0 END) "
-        "AS BIGINT) - (SELECT m FROM n) AS nco FROM pr) "
-        "SELECT CAST(cnt.k AS BIGINT) AS k, ROUND(cnt.r1, 6) AS r1, "
-        "ROUND(cnt.r2, 6) AS r2, cnt.c AS n_pairs, "
-        "ROUND(CAST(cnt.c AS DOUBLE) "
-        "/ (CAST(n.m AS DOUBLE) * CAST(n.m - 1 AS DOUBLE)) "
-        "* (0.95 * 0.95) / (pi() * (cnt.r2 * cnt.r2 "
-        "- cnt.r1 * cnt.r1)), 6) AS g_r, "
-        "co.nco AS n_coincident "
-        "FROM cnt, n, co ORDER BY cnt.k"
-    )
-    out["crc32_audit"] = _crc32_oracle_sql()
-    out["hop_histogram"] = (
-        # all-source bounded recursive closure, ordered reachable
-        # pairs; effective diameter by integer 10c >= 9t -- mirrors
-        # _q_hop_histogram
-        "WITH RECURSIVE tok AS (SELECT DISTINCT source AS w "
-        "FROM documents WHERE LEN(source) >= 4), "
-        "e AS (SELECT a.w AS w1, b.w AS w2 FROM tok a JOIN tok b "
-        "ON a.w < b.w AND ABS(LEN(a.w) - LEN(b.w)) <= 1 "
-        "AND LEVENSHTEIN(a.w, b.w) = 1), "
-        "sym AS (SELECT w1, w2 FROM e "
-        "UNION ALL SELECT w2, w1 FROM e), "
-        "nodes AS (SELECT DISTINCT w1 AS w FROM sym), "
-        "walk(s, w, d) AS (SELECT w, w, 0 FROM nodes "
-        "UNION SELECT walk.s, sym.w2, walk.d + 1 FROM walk "
-        "JOIN sym ON sym.w1 = walk.w WHERE walk.d < 12), "
-        "mh AS (SELECT s, w, MIN(d) AS h FROM walk GROUP BY s, w), "
-        "hp AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS n FROM mh "
-        "WHERE h >= 1 GROUP BY h), "
-        "tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM hp), "
-        "cum AS (SELECT h, n, SUM(n) OVER (ORDER BY h) AS c FROM hp), "
-        "eff AS (SELECT CAST(MIN(h) AS BIGINT) AS ed FROM cum, tot "
-        "WHERE 10 * c >= 9 * t), "
-        "dm AS (SELECT CAST(MAX(h) AS BIGINT) AS dm FROM hp) "
-        "SELECT CAST(hp.h AS BIGINT) AS h, hp.n AS n_pairs, "
-        "eff.ed AS eff_diameter, dm.dm AS diameter "
-        "FROM hp, eff, dm ORDER BY hp.h"
-    )
-    out["graph_coloring_greedy"] = _coloring_oracle_sql()
-    out["ca_trend_hours"] = (
-        # exact HUGEINT trend moments, floats only in the two square
-        # roots -- mirrors _q_cochran_armitage
-        "WITH p AS (SELECT (epoch_us(ts) // 3600000000) % 24 AS h, "
-        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS r "
-        "FROM events), "
-        "g AS (SELECT h, CAST(SUM(r) AS HUGEINT) AS r, "
-        "CAST(COUNT(*) AS HUGEINT) AS n FROM p GROUP BY h), "
-        "s AS (SELECT CAST(SUM(n) AS HUGEINT) AS n, "
-        "CAST(SUM(r) AS HUGEINT) AS r, "
-        "CAST(SUM(h * r) AS HUGEINT) AS t, "
-        "CAST(SUM(h * n) AS HUGEINT) AS s1, "
-        "CAST(SUM(h * h * n) AS HUGEINT) AS s2 FROM g) "
-        "SELECT CAST(n AS BIGINT) AS n_total, "
-        "CAST(r AS BIGINT) AS n_pos, "
-        "CAST(n * t - r * s1 AS BIGINT) AS num, "
-        "ROUND(CAST(n * t - r * s1 AS DOUBLE) "
-        "* SQRT(CAST(n AS DOUBLE)) "
-        "/ SQRT(CAST(r * (n - r) * (n * s2 - s1 * s1) AS DOUBLE)), 6) "
-        "AS z_stat FROM s"
-    )
-    out["chow_revenue_break"] = (
-        # pooled + two-segment OLS SSEs from exact integer moments,
-        # one pinned float chain each -- mirrors _q_chow_test
-        "WITH c0 AS (SELECT epoch_us(ts) // 86400000000 AS d, "
-        "CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) "
-        "AS y FROM events GROUP BY 1), "
-        "fr AS (SELECT unnest(generate_series((SELECT MIN(d) FROM c0), "
-        "(SELECT MAX(d) FROM c0))) AS d), "
-        "xs AS (SELECT fr.d - (SELECT MIN(d) FROM c0) AS t, "
-        "COALESCE(c0.y, 0) AS y FROM fr LEFT JOIN c0 USING (d)), "
-        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(COUNT(*) // 2 AS BIGINT) AS mid FROM xs), "
-        "m AS (SELECT 0 AS s, CAST(COUNT(*) AS BIGINT) AS m, "
-        "CAST(SUM(t) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, "
-        "CAST(SUM(t * t) AS BIGINT) AS sxx, "
-        "CAST(SUM(y * y) AS BIGINT) AS syy, "
-        "CAST(SUM(t * y) AS BIGINT) AS sxy FROM xs "
-        "UNION ALL SELECT 1, CAST(COUNT(*) AS BIGINT), "
-        "CAST(SUM(t) AS BIGINT), CAST(SUM(y) AS BIGINT), "
-        "CAST(SUM(t * t) AS BIGINT), CAST(SUM(y * y) AS BIGINT), "
-        "CAST(SUM(t * y) AS BIGINT) FROM xs, nn WHERE t < nn.mid "
-        "UNION ALL SELECT 2, CAST(COUNT(*) AS BIGINT), "
-        "CAST(SUM(t) AS BIGINT), CAST(SUM(y) AS BIGINT), "
-        "CAST(SUM(t * t) AS BIGINT), CAST(SUM(y * y) AS BIGINT), "
-        "CAST(SUM(t * y) AS BIGINT) FROM xs, nn WHERE t >= nn.mid), "
-        "e AS (SELECT s, (CAST(m * syy - sy * sy AS DOUBLE) "
-        "- CAST(m * sxy - sx * sy AS DOUBLE) "
-        "* CAST(m * sxy - sx * sy AS DOUBLE) "
-        "/ CAST(m * sxx - sx * sx AS DOUBLE)) / CAST(m AS DOUBLE) "
-        "AS sse FROM m) "
-        "SELECT nn.n AS n_days, "
-        "ROUND((SELECT sse FROM e WHERE s = 0), 6) AS sse_pooled, "
-        "ROUND((SELECT sse FROM e WHERE s = 1), 6) AS sse_1, "
-        "ROUND((SELECT sse FROM e WHERE s = 2), 6) AS sse_2, "
-        "ROUND((((SELECT sse FROM e WHERE s = 0) "
-        "- (SELECT sse FROM e WHERE s = 1) "
-        "- (SELECT sse FROM e WHERE s = 2)) / 2.0) "
-        "/ (((SELECT sse FROM e WHERE s = 1) "
-        "+ (SELECT sse FROM e WHERE s = 2)) "
-        "/ CAST(nn.n - 4 AS DOUBLE)), 6) AS f_stat FROM nn"
-    )
-    out["cvm_uniform"] = (
-        # exact HUGEINT order-statistic sum; floats only in the
-        # final assembly -- mirrors _q_cvm_uniform
-        "WITH u AS (SELECT CAST(ROUND(value * 100, 0) AS BIGINT) "
-        "% 10000 AS k FROM events), "
-        "r AS (SELECT k, ROW_NUMBER() OVER (ORDER BY k) AS i, "
-        "COUNT(*) OVER () AS n FROM u), "
-        "t AS (SELECT SUM(CAST((2 * i - 1) * 10000 - 2 * n * k "
-        "AS HUGEINT) * CAST((2 * i - 1) * 10000 - 2 * n * k "
-        "AS HUGEINT)) AS s, CAST(MAX(n) AS BIGINT) AS n, "
-        "CAST(SUM(k) AS BIGINT) AS su FROM r) "
-        "SELECT n, "
-        "ROUND(1.0 / (12.0 * CAST(n AS DOUBLE)) "
-        "+ CAST(s AS DOUBLE) / (CAST(2 * n * 10000 AS DOUBLE) "
-        "* CAST(2 * n * 10000 AS DOUBLE)), 6) AS w2, "
-        "ROUND(1.0 / (12.0 * CAST(n AS DOUBLE)) "
-        "+ CAST(s AS DOUBLE) / (CAST(2 * n * 10000 AS DOUBLE) "
-        "* CAST(2 * n * 10000 AS DOUBLE)) "
-        "- CAST(n AS DOUBLE) "
-        "* (CAST(2 * su - n * 10000 AS DOUBLE) "
-        "/ CAST(2 * n * 10000 AS DOUBLE)) "
-        "* (CAST(2 * su - n * 10000 AS DOUBLE) "
-        "/ CAST(2 * n * 10000 AS DOUBLE)), 6) AS watson_u2 FROM t"
-    )
-    out["robust_moments"] = (
-        # quantile_disc octiles (exact ints), two float divisions --
-        # mirrors _q_robust_moments
-        "WITH c AS (SELECT CAST(ROUND(l_extendedprice * 100, 0) "
-        "AS BIGINT) AS c FROM lineitem), "
-        "q AS (SELECT quantile_disc(c, 0.125) AS e1, "
-        "quantile_disc(c, 0.25) AS e2, quantile_disc(c, 0.375) AS e3, "
-        "quantile_disc(c, 0.5) AS e4, quantile_disc(c, 0.625) AS e5, "
-        "quantile_disc(c, 0.75) AS e6, quantile_disc(c, 0.875) AS e7 "
-        "FROM c) "
-        "SELECT CAST(e2 AS BIGINT) AS q1, CAST(e4 AS BIGINT) AS q2, "
-        "CAST(e6 AS BIGINT) AS q3, "
-        "ROUND(CAST(e6 + e2 - 2 * e4 AS DOUBLE) "
-        "/ CAST(e6 - e2 AS DOUBLE), 6) AS bowley_skew, "
-        "ROUND(CAST((e7 - e5) + (e3 - e1) AS DOUBLE) "
-        "/ CAST(e6 - e2 AS DOUBLE), 6) AS moors_kurt FROM q"
-    )
-    out["hartley_fmax"] = (
-        # argmax/argmin variance by exact HUGEINT cross-compare --
-        # mirrors _q_hartley_fmax
-        "WITH p AS (SELECT event_type AS t, "
-        "CAST(ROUND(value * 100, 0) AS BIGINT) AS c FROM events), "
-        "m AS (SELECT t, CAST(COUNT(*) AS HUGEINT) AS n, "
-        "CAST(SUM(c) AS HUGEINT) AS s1, "
-        "CAST(SUM(c * c) AS HUGEINT) AS s2 FROM p GROUP BY t), "
-        "v AS (SELECT t, n * s2 - s1 * s1 AS a, n * (n - 1) AS d "
-        "FROM m), "
-        "mx AS (SELECT t, a, d FROM v x WHERE NOT EXISTS ("
-        "SELECT 1 FROM v y WHERE y.t <> x.t AND (y.a * x.d > "
-        "x.a * y.d OR (y.a * x.d = x.a * y.d AND y.t < x.t)))), "
-        "mn AS (SELECT t, a, d FROM v x WHERE NOT EXISTS ("
-        "SELECT 1 FROM v y WHERE y.t <> x.t AND (x.a * y.d > "
-        "y.a * x.d OR (x.a * y.d = y.a * x.d AND x.t < y.t)))) "
-        "SELECT mx.t AS type_max, mn.t AS type_min, "
-        "ROUND(CAST(mx.a * mn.d AS DOUBLE) "
-        "/ CAST(mn.a * mx.d AS DOUBLE), 6) AS f_max FROM mx, mn"
-    )
-    out["siegel_slopes"] = (
-        # two-level explicit lower-median selection over pairwise
-        # slopes -- mirrors _q_siegel_slopes
-        "WITH c0 AS (SELECT epoch_us(ts) // 86400000000 AS d, "
-        "CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) "
-        "AS y FROM events GROUP BY 1), "
-        "fr AS (SELECT unnest(generate_series((SELECT MIN(d) FROM c0), "
-        "(SELECT MAX(d) FROM c0))) AS d), "
-        "xs AS (SELECT fr.d - (SELECT MIN(d) FROM c0) AS t, "
-        "COALESCE(c0.y, 0) AS y FROM fr LEFT JOIN c0 USING (d)), "
-        "sl AS (SELECT a.t AS i, CAST(b.y - a.y AS DOUBLE) "
-        "/ CAST(b.t - a.t AS DOUBLE) AS s FROM xs a "
-        "JOIN xs b ON b.t <> a.t), "
-        "pm AS (SELECT i, s, ROW_NUMBER() OVER (PARTITION BY i "
-        "ORDER BY s) AS rn, COUNT(*) OVER (PARTITION BY i) AS m "
-        "FROM sl), "
-        "med AS (SELECT i, s FROM pm WHERE rn = (m + 1) // 2), "
-        "om AS (SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS rn, "
-        "CAST(COUNT(*) OVER () AS BIGINT) AS m FROM med) "
-        "SELECT (SELECT m FROM om LIMIT 1) AS n_days, "
-        "ROUND((SELECT s FROM om WHERE rn = (m + 1) // 2), 6) "
-        "AS siegel_slope"
-    )
-    out["max_subarray"] = (
-        # prefix-sum identity with first-occurrence argmin prefix,
-        # ties by (start, end) -- mirrors _q_max_subarray
-        "WITH c0 AS (SELECT epoch_us(ts) // 86400000000 AS d, "
-        "CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) "
-        "AS y FROM events GROUP BY 1), "
-        "fr AS (SELECT unnest(generate_series((SELECT MIN(d) FROM c0), "
-        "(SELECT MAX(d) FROM c0))) AS d), "
-        "xs AS (SELECT fr.d - (SELECT MIN(d) FROM c0) AS t, "
-        "COALESCE(c0.y, 0) AS y FROM fr LEFT JOIN c0 USING (d)), "
-        "dif AS (SELECT t - 1 AS t, dv FROM (SELECT t, "
-        "y - LAG(y) OVER (ORDER BY t) AS dv FROM xs) WHERE t >= 1), "
-        "p AS (SELECT t, SUM(dv) OVER (ORDER BY t "
-        "ROWS UNBOUNDED PRECEDING) AS s FROM dif), "
-        "mn AS (SELECT t, s, LEAST(0, COALESCE(MIN(s) OVER "
-        "(ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND "
-        "1 PRECEDING), 0)) AS mp FROM p), "
-        "st AS (SELECT mn.t, mn.s - mn.mp AS ssum, "
-        "CASE WHEN mn.mp = 0 THEN -1 ELSE "
-        "(SELECT MIN(u.t) FROM p u WHERE u.t < mn.t AND u.s = mn.mp) "
-        "END AS pu FROM mn) "
-        "SELECT CAST(ssum AS BIGINT) AS best_sum, "
-        "CAST(pu + 1 AS BIGINT) AS start_t, CAST(t AS BIGINT) "
-        "AS end_t, (SELECT CAST(COUNT(*) AS BIGINT) FROM dif) "
-        "AS n_days FROM st ORDER BY ssum DESC, pu + 1, t LIMIT 1"
-    )
-    out["kendall_w"] = (
-        # doubled tie-averaged ranks (exact ints), standard tie
-        # correction -- mirrors _q_kendall_w
-        "WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, "
-        "event_type AS t FROM events), "
-        "g AS (SELECT day, t, CAST(COUNT(*) AS BIGINT) AS c "
-        "FROM e GROUP BY day, t), "
-        "dd AS (SELECT DISTINCT day FROM g), "
-        "tt AS (SELECT * FROM (VALUES ('click'), ('error'), "
-        "('purchase'), ('signup'), ('view')) AS v(t)), "
-        "dn AS (SELECT dd.day, tt.t, COALESCE(g.c, 0) AS c "
-        "FROM dd CROSS JOIN tt "
-        "LEFT JOIN g ON g.day = dd.day AND g.t = tt.t), "
-        "r2 AS (SELECT day, t, CAST(2 * RANK() OVER "
-        "(PARTITION BY day ORDER BY c) "
-        "+ COUNT(*) OVER (PARTITION BY day, c) - 1 AS BIGINT) AS r2 "
-        "FROM dn), "
-        "tie AS (SELECT CAST(SUM(g * g * g - g) AS BIGINT) AS tt_ "
-        "FROM (SELECT day, c, COUNT(*) AS g FROM dn "
-        "GROUP BY day, c)), "
-        "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM dd), "
-        "rs AS (SELECT t, CAST(SUM(r2) AS BIGINT) AS rsum2 "
-        "FROM r2 GROUP BY t), "
-        "dq AS (SELECT CAST(SUM((rsum2 - m.m * 6) "
-        "* (rsum2 - m.m * 6)) AS BIGINT) AS d2q FROM rs, m) "
-        "SELECT m.m AS n_days, dq.d2q AS d2_q, tie.tt_ AS tie_term, "
-        "ROUND(CAST(12 * dq.d2q AS DOUBLE) "
-        "/ CAST(4 * (m.m * m.m * 120 - m.m * tie.tt_) AS DOUBLE), 6) "
-        "AS kendall_w FROM m, dq, tie"
-    )
-    out["cronbach_daily_counts"] = (
-        # n-scaled integer item/total variances, one float chain --
-        # mirrors _q_cronbach_alpha
-        "WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, "
-        "event_type AS t FROM events), "
-        "g AS (SELECT day, t, CAST(COUNT(*) AS BIGINT) AS c "
-        "FROM e GROUP BY day, t), "
-        "dd AS (SELECT DISTINCT day FROM g), "
-        "tt AS (SELECT * FROM (VALUES ('click'), ('error'), "
-        "('purchase'), ('signup'), ('view')) AS v(t)), "
-        "dn AS (SELECT dd.day, tt.t, COALESCE(g.c, 0) AS c "
-        "FROM dd CROSS JOIN tt "
-        "LEFT JOIN g ON g.day = dd.day AND g.t = tt.t), "
-        "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM dd), "
-        "iv AS (SELECT CAST(SUM(vi) AS BIGINT) AS sum_vi FROM ("
-        "SELECT t, m.m * SUM(c * c) - SUM(c) * SUM(c) AS vi "
-        "FROM dn, m GROUP BY t, m.m)), "
-        "tot AS (SELECT day, SUM(c) AS x FROM dn GROUP BY day), "
-        "tv AS (SELECT CAST(m.m * SUM(x * x) - SUM(x) * SUM(x) "
-        "AS BIGINT) AS v_tot FROM tot, m GROUP BY m.m) "
-        "SELECT m.m AS n_days, iv.sum_vi AS sum_item_var, "
-        "tv.v_tot AS total_var, "
-        "ROUND((CAST(5 AS DOUBLE) / CAST(4 AS DOUBLE)) "
-        "* (1.0 - CAST(iv.sum_vi AS DOUBLE) "
-        "/ CAST(tv.v_tot AS DOUBLE)), 6) AS alpha FROM m, iv, tv"
-    )
-    out["h_index"] = (
-        # pure integer rank predicates over per-user counts --
-        # mirrors _q_h_index
-        "WITH uc AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n "
-        "FROM events GROUP BY user_id), "
-        "r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC) AS rk, "
-        "SUM(n) OVER (ORDER BY n DESC ROWS UNBOUNDED PRECEDING) "
-        "AS cum FROM uc) "
-        "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM uc) AS n_users, "
-        "(SELECT CAST(MAX(rk) AS BIGINT) FROM r WHERE n >= rk) "
-        "AS h_index, "
-        "(SELECT CAST(MAX(rk) AS BIGINT) FROM r WHERE cum >= rk * rk) "
-        "AS g_index"
-    )
-    out["lru_hit_rates"] = _lru_oracle_sql()
-    out["isolation_forest_lite"] = _iforest_oracle_sql()
-    out["banzhaf_power"] = _banzhaf_oracle_sql()
-    out["irv_election"] = _irv_oracle_sql()
-    out["price_indices"] = (
-        # 1e6-tick cross-period p*q terms; same-period terms exact
-        # (p*q = cents sum) -- mirrors _q_price_indices
-        "WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, "
-        "event_type AS t, CAST(ROUND(value * 100, 0) AS BIGINT) AS c "
-        "FROM events), "
-        "g AS (SELECT day, t, CAST(SUM(c) AS BIGINT) AS s, "
-        "CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY day, t), "
-        "md AS (SELECT day AS mid FROM (SELECT day, "
-        "ROW_NUMBER() OVER (ORDER BY day) - 1 AS r FROM "
-        "(SELECT DISTINCT day FROM g)) WHERE r = "
-        "(SELECT COUNT(DISTINCT day) FROM g) // 2), "
-        "per AS (SELECT CASE WHEN g.day < md.mid THEN 0 ELSE 1 END "
-        "AS p, g.t, CAST(SUM(g.s) AS BIGINT) AS s, "
-        "CAST(SUM(g.n) AS BIGINT) AS n FROM g, md GROUP BY 1, 2), "
-        "j AS (SELECT a.t, a.s AS s0, a.n AS n0, b.s AS s1, "
-        "b.n AS n1 FROM per a JOIN per b ON b.t = a.t "
-        "AND a.p = 0 AND b.p = 1), "
-        "terms AS (SELECT "
-        "CAST(SUM(CAST(ROUND(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) "
-        "* CAST(n0 AS DOUBLE) * 1e6, 0) AS BIGINT)) AS BIGINT) "
-        "AS l_num, "
-        "CAST(SUM(CAST(ROUND(CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE) "
-        "* CAST(n1 AS DOUBLE) * 1e6, 0) AS BIGINT)) AS BIGINT) "
-        "AS p_den, "
-        "CAST(SUM(s0) AS BIGINT) AS s0t, "
-        "CAST(SUM(s1) AS BIGINT) AS s1t FROM j) "
-        "SELECT "
-        "ROUND(CAST(l_num AS DOUBLE) / 1e6 / CAST(s0t AS DOUBLE), 6) "
-        "AS laspeyres, "
-        "ROUND(CAST(s1t AS DOUBLE) / (CAST(p_den AS DOUBLE) / 1e6), 6) "
-        "AS paasche, "
-        "ROUND(SQRT((CAST(l_num AS DOUBLE) / 1e6 "
-        "/ CAST(s0t AS DOUBLE)) * (CAST(s1t AS DOUBLE) "
-        "/ (CAST(p_den AS DOUBLE) / 1e6))), 6) AS fisher FROM terms"
-    )
-    out["dfa_alpha"] = (
-        # n-scaled integer profile, exact per-segment detrend
-        # moments, 1e3-tick rss sums, evenly spaced log-log slope --
-        # mirrors _q_dfa_alpha
-        "WITH c0 AS (SELECT epoch_us(ts) // 86400000000 AS d, "
-        "CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) "
-        "AS y FROM events GROUP BY 1), "
-        "fr AS (SELECT unnest(generate_series((SELECT MIN(d) FROM c0), "
-        "(SELECT MAX(d) FROM c0))) AS d), "
-        "xs AS (SELECT fr.d - (SELECT MIN(d) FROM c0) AS t, "
-        "COALESCE(c0.y, 0) AS y FROM fr LEFT JOIN c0 USING (d)), "
-        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(y) AS BIGINT) AS sy FROM xs), "
-        "prof AS (SELECT xs.t, nn.n * SUM(xs.y) OVER (ORDER BY xs.t "
-        "ROWS UNBOUNDED PRECEDING) - (xs.t + 1) * nn.sy AS p "
-        "FROM xs, nn), "
-        "scl AS (SELECT * FROM (VALUES (4), (8), (16)) AS v(s)), "
-        "seg AS (SELECT scl.s, prof.t // scl.s AS g, "
-        "prof.t % scl.s AS i, prof.p FROM scl, prof, nn "
-        "WHERE prof.t < (nn.n // scl.s) * scl.s), "
-        "mom AS (SELECT s, g, CAST(COUNT(*) AS HUGEINT) AS m, "
-        "CAST(SUM(i) AS HUGEINT) AS sx, "
-        "CAST(SUM(i * i) AS HUGEINT) AS sxx, "
-        "CAST(SUM(p) AS HUGEINT) AS syv, "
-        "SUM(CAST(p AS HUGEINT) * CAST(p AS HUGEINT)) AS syy, "
-        "CAST(SUM(i * p) AS HUGEINT) AS sxy FROM seg GROUP BY s, g), "
-        "rss AS (SELECT s, g, (CAST(m * syy - syv * syv AS DOUBLE) "
-        "- CAST(m * sxy - sx * syv AS DOUBLE) "
-        "* CAST(m * sxy - sx * syv AS DOUBLE) "
-        "/ CAST(m * sxx - sx * sx AS DOUBLE)) / CAST(m AS DOUBLE) "
-        "AS rss FROM mom), "
-        "tk AS (SELECT s, CAST(SUM(CAST(ROUND(rss "
-        "/ CAST(nn.n * nn.n AS DOUBLE) * 1e3, 0) AS BIGINT)) "
-        "AS BIGINT) AS ticks, CAST(COUNT(*) AS BIGINT) AS nseg "
-        "FROM rss, nn GROUP BY s), "
-        "lf AS (SELECT s, nseg, ticks, "
-        "0.5 * LN(CAST(ticks AS DOUBLE) / 1e3 / CAST(nseg AS DOUBLE) "
-        "/ CAST(s AS DOUBLE)) AS logf FROM tk) "
-        "SELECT CAST(s AS BIGINT) AS s, nseg AS n_segments, "
-        "ticks AS rss_ticks, ROUND(logf, 6) AS log_f, "
-        "ROUND(((SELECT logf FROM lf WHERE s = 16) "
-        "- (SELECT logf FROM lf WHERE s = 4)) / (2.0 * LN(2.0)), 6) "
-        "AS alpha FROM lf ORDER BY s"
-    )
-    out["brier_hour_forecast"] = (
-        # train/eval day split, Laplace-smoothed per-hour rates,
-        # 1e9-tick per-hour terms -- mirrors _q_brier_decomposition
-        "WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, "
-        "(epoch_us(ts) // 3600000000) % 24 AS h, "
-        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS r "
-        "FROM events), "
-        "md AS (SELECT day AS mid FROM (SELECT day, "
-        "ROW_NUMBER() OVER (ORDER BY day) - 1 AS rr FROM "
-        "(SELECT DISTINCT day FROM e)) WHERE rr = "
-        "(SELECT COUNT(DISTINCT day) FROM e) // 2), "
-        "tr AS (SELECT h, CAST(SUM(r) AS BIGINT) AS r, "
-        "CAST(COUNT(*) AS BIGINT) AS n FROM e, md "
-        "WHERE day < mid GROUP BY h), "
-        "ev AS (SELECT h, CAST(SUM(r) AS BIGINT) AS er, "
-        "CAST(COUNT(*) AS BIGINT) AS en FROM e, md "
-        "WHERE day >= mid GROUP BY h), "
-        "tot AS (SELECT CAST(SUM(er) AS BIGINT) AS o_r, "
-        "CAST(SUM(en) AS BIGINT) AS o_n, "
-        "CAST(SUM(er) AS DOUBLE) / CAST(SUM(en) AS DOUBLE) AS pbar "
-        "FROM ev), "
-        "ph AS (SELECT ev.h, ev.er, ev.en, "
-        "CAST(COALESCE(tr.r, 0) + 1 AS DOUBLE) "
-        "/ CAST(COALESCE(tr.n, 0) + 2 AS DOUBLE) AS p, "
-        "CAST(ev.er AS DOUBLE) / CAST(ev.en AS DOUBLE) AS oh "
-        "FROM ev LEFT JOIN tr USING (h)), "
-        "tk AS (SELECT "
-        "CAST(SUM(CAST(ROUND((CAST(er AS DOUBLE) * (1.0 - p) "
-        "* (1.0 - p) + CAST(en - er AS DOUBLE) * p * p) * 1e9, 0) "
-        "AS BIGINT)) AS BIGINT) AS bs, "
-        "CAST(SUM(CAST(ROUND(CAST(en AS DOUBLE) * (p - oh) "
-        "* (p - oh) * 1e9, 0) AS BIGINT)) AS BIGINT) AS rel, "
-        "CAST(SUM(CAST(ROUND(CAST(en AS DOUBLE) * (oh - tot.pbar) "
-        "* (oh - tot.pbar) * 1e9, 0) AS BIGINT)) AS BIGINT) AS res, "
-        "CAST(SUM(CAST(ROUND(CAST(en AS DOUBLE) * ABS(p - oh) "
-        "* 1e9, 0) AS BIGINT)) AS BIGINT) AS ece, "
-        "CAST(SUM(CAST(ROUND(-(CAST(er AS DOUBLE) * LN(p) "
-        "+ CAST(en - er AS DOUBLE) * LN(1.0 - p)) * 1e9, 0) "
-        "AS BIGINT)) AS BIGINT) AS ll FROM ph, tot) "
-        "SELECT tot.o_n AS n_eval, "
-        "ROUND(CAST(tk.bs AS DOUBLE) / 1e9 "
-        "/ CAST(tot.o_n AS DOUBLE), 6) AS brier, "
-        "ROUND(CAST(tk.rel AS DOUBLE) / 1e9 "
-        "/ CAST(tot.o_n AS DOUBLE), 6) AS reliability, "
-        "ROUND(CAST(tk.res AS DOUBLE) / 1e9 "
-        "/ CAST(tot.o_n AS DOUBLE), 6) AS resolution, "
-        "ROUND(tot.pbar * (1.0 - tot.pbar), 6) AS uncertainty, "
-        "ROUND(CAST(tk.ece AS DOUBLE) / 1e9 "
-        "/ CAST(tot.o_n AS DOUBLE), 6) AS ece, "
-        "ROUND(CAST(tk.ll AS DOUBLE) / 1e9 "
-        "/ CAST(tot.o_n AS DOUBLE), 6) AS log_loss FROM tk, tot"
-    )
-    out["youden_threshold"] = (
-        # exact integer J numerator over suffix counts of the
-        # deci-cent histogram, smallest-theta ties -- mirrors
-        # _q_youden_threshold
-        "WITH p AS (SELECT CAST(ROUND(value * 10, 0) AS BIGINT) "
-        "AS d10, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END "
-        "AS pos FROM events), "
-        "h AS (SELECT d10, CAST(SUM(pos) AS BIGINT) AS p, "
-        "CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY d10), "
-        "tt AS (SELECT CAST(SUM(p) AS BIGINT) AS n_pos, "
-        "CAST(SUM(n - p) AS BIGINT) AS n_neg FROM h), "
-        "c AS (SELECT d10, "
-        "SUM(p) OVER (ORDER BY d10 DESC ROWS UNBOUNDED PRECEDING) "
-        "AS tp, SUM(n - p) OVER (ORDER BY d10 DESC "
-        "ROWS UNBOUNDED PRECEDING) AS fp FROM h), "
-        "j AS (SELECT d10, tp, fp, "
-        "tp * tt.n_neg - fp * tt.n_pos AS num FROM c, tt) "
-        "SELECT d10 AS theta_d10, CAST(tp AS BIGINT) AS tp, "
-        "CAST(fp AS BIGINT) AS fp, CAST(num AS BIGINT) AS j_num, "
-        "ROUND(CAST(num AS DOUBLE) / (CAST(tt.n_pos AS DOUBLE) "
-        "* CAST(tt.n_neg AS DOUBLE)), 6) AS youden_j "
-        "FROM j, tt ORDER BY num DESC, d10 LIMIT 1"
-    )
-    out["overdispersion_panel"] = (
-        # exact panel moments, one shared exp -- mirrors
-        # _q_overdispersion_panel
-        "WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 "
-        "AS day FROM events), "
-        "g AS (SELECT user_id, day, CAST(COUNT(*) AS BIGINT) AS k "
-        "FROM e GROUP BY user_id, day), "
-        "b AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS u, "
-        "CAST(MAX(day) - MIN(day) + 1 AS BIGINT) AS nd FROM e), "
-        "s AS (SELECT CAST(SUM(k) AS BIGINT) AS t, "
-        "CAST(SUM(k * k) AS BIGINT) AS s2, "
-        "CAST(COUNT(*) AS BIGINT) AS nz FROM g), "
-        "c AS (SELECT b.u * b.nd AS n_cells, "
-        "b.u * b.nd - s.nz AS n0, "
-        "CAST(s.t AS DOUBLE) / CAST(b.u * b.nd AS DOUBLE) AS m, "
-        "CAST(s.s2 AS DOUBLE) / CAST(b.u * b.nd AS DOUBLE) AS m2 "
-        "FROM b, s), "
-        "v AS (SELECT n_cells, n0, m, m2 - m * m AS var, "
-        "EXP(-m) AS p0 FROM c) "
-        "SELECT n_cells, n0 AS n_zero, ROUND(m, 6) AS mean, "
-        "ROUND(var, 6) AS variance, "
-        "ROUND(m * m / (var - m), 6) AS nb_r, "
-        "ROUND(m / var, 6) AS nb_p, "
-        "ROUND((CAST(n0 AS DOUBLE) - CAST(n_cells AS DOUBLE) * p0) "
-        "/ SQRT(CAST(n_cells AS DOUBLE) * p0 * (1.0 - p0) "
-        "- CAST(n_cells AS DOUBLE) * m * p0 * p0), 6) AS zip_z "
-        "FROM v"
-    )
-    out["taylors_law"] = (
-        # 1e9-tick log mean/variance pairs, exact integer tick
-        # regression -- mirrors _q_taylors_law
-        "WITH e AS (SELECT user_id AS cell, "
-        "epoch_us(ts) // 86400000000 AS day FROM events), "
-        "g AS (SELECT cell, day, CAST(COUNT(*) AS BIGINT) AS k "
-        "FROM e GROUP BY cell, day), "
-        "dd AS (SELECT CAST(MAX(day) - MIN(day) + 1 AS BIGINT) AS d "
-        "FROM e), "
-        "per AS (SELECT cell, CAST(SUM(k) AS BIGINT) AS s, "
-        "CAST(SUM(k * k) AS BIGINT) AS q FROM g GROUP BY cell), "
-        "top AS (SELECT cell, s, q FROM per ORDER BY s DESC, cell "
-        "LIMIT 50), "
-        "lg AS (SELECT CAST(ROUND(LN(CAST(s AS DOUBLE) "
-        "/ CAST(dd.d AS DOUBLE)) * 1e9, 0) AS BIGINT) AS x, "
-        "CAST(ROUND(LN(CAST(dd.d * q - s * s AS DOUBLE) "
-        "/ (CAST(dd.d AS DOUBLE) * CAST(dd.d AS DOUBLE))) * 1e9, 0) "
-        "AS BIGINT) AS y FROM top, dd "
-        "WHERE s > 0 AND dd.d * q - s * s > 0), "
-        "m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, "
-        "CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy, "
-        "SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx, "
-        "SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy FROM lg) "
-        "SELECT CAST(n AS BIGINT) AS n_users, "
-        "ROUND(CAST(n * sxy - sx * sy AS DOUBLE) "
-        "/ CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_b FROM m"
-    )
-    out["allan_variance"] = (
-        # exact integer bin-difference sums -- mirrors
-        # _q_allan_variance
-        "WITH c0 AS (SELECT epoch_us(ts) // 86400000000 AS d, "
-        "CAST(COUNT(*) AS BIGINT) AS y FROM events GROUP BY 1), "
-        "fr AS (SELECT unnest(generate_series((SELECT MIN(d) FROM c0), "
-        "(SELECT MAX(d) FROM c0))) AS d), "
-        "xs AS (SELECT fr.d - (SELECT MIN(d) FROM c0) AS t, "
-        "COALESCE(c0.y, 0) AS y FROM fr LEFT JOIN c0 USING (d)), "
-        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM xs), "
-        "taus AS (SELECT * FROM (VALUES (1), (2), (4)) AS v(tau)), "
-        "bins AS (SELECT taus.tau, xs.t // taus.tau AS b, "
-        "CAST(SUM(xs.y) AS BIGINT) AS bs FROM xs, taus, nn "
-        "WHERE xs.t < (nn.n // taus.tau) * taus.tau "
-        "GROUP BY taus.tau, b), "
-        "df AS (SELECT tau, bs - LAG(bs) OVER (PARTITION BY tau "
-        "ORDER BY b) AS dv FROM bins), "
-        "a AS (SELECT tau, CAST(SUM(dv * dv) AS BIGINT) AS num, "
-        "CAST(COUNT(*) + 1 AS BIGINT) AS m FROM df "
-        "WHERE dv IS NOT NULL GROUP BY tau) "
-        "SELECT CAST(tau AS BIGINT) AS tau, m AS n_bins, "
-        "num AS diff2_sum, "
-        "ROUND(CAST(num AS DOUBLE) / (2.0 * CAST(m - 1 AS DOUBLE) "
-        "* CAST(tau AS DOUBLE) * CAST(tau AS DOUBLE)), 6) "
-        "AS allan_var FROM a ORDER BY tau"
-    )
-    out["mattr"] = _mattr_oracle_sql()
-    out["rmst"] = (
-        # area under the KM curve, 1-microsecond rectangle ticks --
-        # mirrors _q_rmst (wraps the kaplan_meier oracle verbatim)
-        "WITH km AS (SELECT * FROM (" + out["kaplan_meier"] + ")), "
-        "seg AS (SELECT t_us, survival, "
-        "COALESCE(LAG(t_us) OVER (ORDER BY t_us), 0) AS pt, "
-        "COALESCE(LAG(survival) OVER (ORDER BY t_us), 1.0) AS ps "
-        "FROM km), "
-        "tk AS (SELECT CAST(SUM(CAST(ROUND(ps "
-        "* CAST(t_us - pt AS DOUBLE), 0) AS BIGINT)) AS BIGINT) "
-        "AS ticks FROM seg) "
-        "SELECT (SELECT CAST(MAX(t_us) AS BIGINT) FROM km) AS tau_us, "
-        "tk.ticks AS rmst_ticks, "
-        "ROUND(CAST(tk.ticks AS DOUBLE) / 86400000000.0, 6) "
-        "AS rmst_days FROM tk"
-    )
-    out["competing_risks"] = _competing_risks_oracle_sql()
-    out["ks_uniform"] = (
-        # exact integer CDF-deviation numerators -- mirrors
-        # _q_ks_uniform
-        "WITH p AS (SELECT CAST(ROUND(value * 100, 0) AS BIGINT) "
-        "% 10000 AS k FROM events), "
-        "c AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS m FROM p "
-        "GROUP BY k), "
-        "w AS (SELECT k, m, SUM(m) OVER (ORDER BY k) AS cum, "
-        "SUM(m) OVER () AS n FROM c), "
-        "d AS (SELECT GREATEST(ABS(cum * 10000 - n * k), "
-        "ABS((cum - m) * 10000 - n * k)) AS num, n FROM w), "
-        "mx AS (SELECT CAST(MAX(num) AS BIGINT) AS d_num, "
-        "CAST(MAX(n) AS BIGINT) AS n FROM d) "
-        "SELECT n, d_num, "
-        "ROUND(CAST(d_num AS DOUBLE) / (CAST(n AS DOUBLE) "
-        "* 10000.0), 6) AS ks_d, "
-        "ROUND((CAST(d_num AS DOUBLE) / (CAST(n AS DOUBLE) "
-        "* 10000.0)) * SQRT(CAST(n AS DOUBLE)), 6) AS ks_stat "
-        "FROM mx"
-    )
-    out["ad_uniform"] = (
-        # closed-form (2i-1) run sums x 1e9-tick logs (HUGEINT
-        # accumulation) -- mirrors _q_ad_uniform
-        "WITH p AS (SELECT CAST(ROUND(value * 100, 0) AS BIGINT) "
-        "% 10000 AS k FROM events), "
-        "c AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS m FROM p "
-        "GROUP BY k), "
-        "w AS (SELECT k, m, SUM(m) OVER (ORDER BY k) AS cum, "
-        "SUM(m) OVER () AS n FROM c), "
-        "t AS (SELECT "
-        "CAST(cum * cum - (cum - m) * (cum - m) AS HUGEINT) "
-        "* CAST(ROUND(LN(GREATEST(CAST(k AS DOUBLE), 0.5) "
-        "/ 10000.0) * 1e9, 0) AS BIGINT) "
-        "+ CAST((n - (cum - m)) * (n - (cum - m)) "
-        "- (n - cum) * (n - cum) AS HUGEINT) "
-        "* CAST(ROUND(LN(GREATEST(CAST(10000 - k AS DOUBLE), 0.5) "
-        "/ 10000.0) * 1e9, 0) AS BIGINT) AS term, n FROM w), "
-        "s AS (SELECT CAST(SUM(term) AS HUGEINT) AS total, "
-        "CAST(MAX(n) AS BIGINT) AS n FROM t) "
-        "SELECT n, "
-        "ROUND(-CAST(n AS DOUBLE) - CAST(total AS DOUBLE) / 1e9 "
-        "/ CAST(n AS DOUBLE), 6) AS a2 FROM s"
-    )
-    _WG_SQL = (
-        "tok AS (SELECT DISTINCT source AS w FROM documents "
-        "WHERE LEN(source) >= 4), "
-        "e AS (SELECT a.w AS w1, b.w AS w2 FROM tok a JOIN tok b "
-        "ON a.w < b.w AND ABS(LEN(a.w) - LEN(b.w)) <= 1 "
-        "AND LEVENSHTEIN(a.w, b.w) = 1), "
-        "sym AS (SELECT w1, w2 FROM e "
-        "UNION ALL SELECT w2, w1 FROM e), "
-        "deg AS (SELECT w1 AS w, CAST(COUNT(*) AS BIGINT) AS d "
-        "FROM sym GROUP BY w1)"
-    )
-    out["partition_conductance"] = (
-        # exact integer cut/volume per Voronoi cluster over the
-        # Chebyshev <= 8 proximity graph -- mirrors
-        # _q_partition_conductance
-        "WITH " + _VOR_SITES_SQL + ", "
-        "ed AS MATERIALIZED (SELECT a.cell AS ca, a.li AS la, "
-        "b.cell AS cb, b.li AS lb FROM asn a JOIN asn b "
-        "ON a.cell < b.cell "
-        "AND GREATEST(ABS(a.x - b.x), ABS(a.y - b.y)) <= 8), "
-        "sym8 AS (SELECT ca AS c, la AS l FROM ed "
-        "UNION ALL SELECT cb, lb FROM ed), "
-        "dg AS (SELECT l, c, CAST(COUNT(*) AS BIGINT) AS d "
-        "FROM sym8 GROUP BY l, c), "
-        "nm AS (SELECT li AS site, CAST(COUNT(*) AS BIGINT) AS nmem "
-        "FROM asn GROUP BY li), "
-        "vol AS (SELECT nm.site, nm.nmem, "
-        "CAST(COALESCE((SELECT SUM(d) FROM dg WHERE dg.l = nm.site), "
-        "0) AS BIGINT) AS volume FROM nm), "
-        "vt AS (SELECT CAST(COALESCE(SUM(d), 0) AS BIGINT) AS v "
-        "FROM dg), "
-        "ct AS (SELECT vol.site, vol.nmem, vol.volume, "
-        "CAST((SELECT COUNT(*) FROM ed WHERE (ed.la = vol.site) <> "
-        "(ed.lb = vol.site)) AS BIGINT) AS cut FROM vol) "
-        "SELECT CAST(site AS BIGINT) AS site, nmem AS n_members, "
-        "cut, volume, "
-        "CASE WHEN LEAST(volume, vt.v - volume) > 0 THEN "
-        "ROUND(CAST(cut AS DOUBLE) "
-        "/ CAST(LEAST(volume, vt.v - volume) AS DOUBLE), 6) "
-        "ELSE NULL END AS conductance FROM ct, vt ORDER BY site"
-    )
-    out["global_transitivity"] = (
-        # 3 x ordered-triple triangles over sum deg(deg-1)/2 --
-        # mirrors _q_global_transitivity
-        "WITH " + _WG_SQL + ", "
-        "tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM e e1 "
-        "JOIN e e2 ON e2.w1 = e1.w2 "
-        "JOIN e e3 ON e3.w1 = e1.w1 AND e3.w2 = e2.w2), "
-        "tp AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS tr, "
-        "CAST(COUNT(*) AS BIGINT) AS nv FROM deg) "
-        "SELECT tp.nv AS n_nodes, tri.t AS n_triangles, "
-        "tp.tr AS n_triples, "
-        "ROUND(3.0 * CAST(tri.t AS DOUBLE) "
-        "/ CAST(tp.tr AS DOUBLE), 6) AS transitivity FROM tri, tp"
-    )
-    out["neighbor_degree_profile"] = (
-        # exact neighbor-degree sums per degree class -- mirrors
-        # _q_neighbor_degree_profile
-        "WITH " + _WG_SQL + ", "
-        "nb AS (SELECT sym.w1 AS v, d2.d AS nd FROM sym "
-        "JOIN deg d2 ON d2.w = sym.w2), "
-        "pv AS (SELECT nb.v, MAX(dv.d) AS k, "
-        "CAST(SUM(nb.nd) AS BIGINT) AS s FROM nb "
-        "JOIN deg dv ON dv.w = nb.v GROUP BY nb.v) "
-        "SELECT CAST(k AS BIGINT) AS degree, "
-        "CAST(SUM(s) AS BIGINT) AS nbr_deg_sum, "
-        "ROUND(CAST(SUM(s) AS DOUBLE) / CAST(SUM(k) AS DOUBLE), 6) "
-        "AS knn_k FROM pv GROUP BY k ORDER BY k"
-    )
-    out["randic_index"] = (
-        # 1e9-tick per-edge connectivity terms -- mirrors
-        # _q_randic_index
-        "WITH " + _WG_SQL + ", "
-        "et AS (SELECT CAST(ROUND(1.0 / SQRT(CAST(da.d * db.d "
-        "AS DOUBLE)) * 1e9, 0) AS BIGINT) AS rt, "
-        "CAST(ROUND(1.0 / SQRT(CAST(da.d + db.d AS DOUBLE)) "
-        "* 1e9, 0) AS BIGINT) AS st FROM e "
-        "JOIN deg da ON da.w = e.w1 JOIN deg db ON db.w = e.w2) "
-        "SELECT CAST(COUNT(*) AS BIGINT) AS n_edges, "
-        "ROUND(CAST(SUM(rt) AS DOUBLE) / 1e9, 6) AS randic, "
-        "ROUND(CAST(SUM(st) AS DOUBLE) / 1e9, 6) "
-        "AS sum_connectivity FROM et"
-    )
-    out["forecast_error_panel"] = (
-        # exact integer error sums; 1e9-tick MAPE/sMAPE; pinball as
-        # integer tenths -- mirrors _q_forecast_error_panel
-        "WITH c0 AS (SELECT epoch_us(ts) // 86400000000 AS d, "
-        "CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) "
-        "AS y FROM events GROUP BY 1), "
-        "fr AS (SELECT unnest(generate_series((SELECT MIN(d) FROM c0), "
-        "(SELECT MAX(d) FROM c0))) AS d), "
-        "xs AS (SELECT fr.d - (SELECT MIN(d) FROM c0) AS t, "
-        "COALESCE(c0.y, 0) AS y FROM fr LEFT JOIN c0 USING (d)), "
-        "df AS (SELECT y, py FROM (SELECT y, "
-        "LAG(y) OVER (ORDER BY t) AS py FROM xs) WHERE py IS NOT "
-        "NULL), "
-        "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(ABS(y - py)) AS BIGINT) AS a, "
-        "CAST(SUM((y - py) * (y - py)) AS BIGINT) AS sq, "
-        "CAST(SUM(GREATEST(9 * (y - py), -(y - py))) AS BIGINT) "
-        "AS pin10, CAST(SUM(py * py) AS BIGINT) AS dsq, "
-        "CAST(SUM(CASE WHEN y > 0 THEN CAST(ROUND(ABS(y - py) "
-        "/ CAST(y AS DOUBLE) * 1e9, 0) AS BIGINT) ELSE 0 END) "
-        "AS BIGINT) AS mp, "
-        "CAST(SUM(CASE WHEN y + py > 0 THEN CAST(ROUND(2.0 "
-        "* ABS(y - py) / CAST(y + py AS DOUBLE) * 1e9, 0) "
-        "AS BIGINT) ELSE 0 END) AS BIGINT) AS smp FROM df) "
-        "SELECT n AS n_forecasts, "
-        "ROUND(CAST(a AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mae, "
-        "ROUND(SQRT(CAST(sq AS DOUBLE) / CAST(n AS DOUBLE)), 6) "
-        "AS rmse, "
-        "ROUND(CAST(mp AS DOUBLE) / 1e9 / CAST(n AS DOUBLE), 6) "
-        "AS mape, "
-        "ROUND(CAST(smp AS DOUBLE) / 1e9 / CAST(n AS DOUBLE), 6) "
-        "AS smape, "
-        "ROUND(CAST(pin10 AS DOUBLE) / 10.0 / CAST(n AS DOUBLE), 6) "
-        "AS pinball_q90, "
-        "ROUND(SQRT(CAST(sq AS DOUBLE) / CAST(dsq AS DOUBLE)), 6) "
-        "AS theil_u2 FROM s"
-    )
-    out["winkler_interval"] = (
-        # exact order-statistic interval from the train half, integer
-        # tenths scores on the eval half -- mirrors
-        "-- _q_winkler_interval\n"
-        "WITH c0 AS (SELECT epoch_us(ts) // 86400000000 AS d, "
-        "CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) "
-        "AS y FROM events GROUP BY 1), "
-        "fr AS (SELECT unnest(generate_series((SELECT MIN(d) FROM c0), "
-        "(SELECT MAX(d) FROM c0))) AS d), "
-        "xs AS (SELECT fr.d - (SELECT MIN(d) FROM c0) AS t, "
-        "COALESCE(c0.y, 0) AS y FROM fr LEFT JOIN c0 USING (d)), "
-        "nn AS (SELECT CAST(COUNT(*) // 2 AS BIGINT) AS mid FROM xs), "
-        "tr AS (SELECT y, ROW_NUMBER() OVER (ORDER BY y) AS rn, "
-        "COUNT(*) OVER () AS m FROM xs, nn WHERE t < nn.mid), "
-        "w AS (SELECT "
-        "(SELECT y FROM tr WHERE rn = (m + 9) // 10 LIMIT 1) AS lo, "
-        "(SELECT y FROM tr WHERE rn = (9 * m + 9) // 10 LIMIT 1) "
-        "AS hi FROM (SELECT DISTINCT m FROM tr)), "
-        "ev AS (SELECT y FROM xs, nn WHERE t >= nn.mid), "
-        "sc AS (SELECT CAST(SUM(10 * (w.hi - w.lo) "
-        "+ CASE WHEN y < w.lo THEN 100 * (w.lo - y) "
-        "WHEN y > w.hi THEN 100 * (y - w.hi) ELSE 0 END) AS BIGINT) "
-        "AS total10, "
-        "CAST(SUM(CASE WHEN y >= w.lo AND y <= w.hi THEN 1 ELSE 0 "
-        "END) AS BIGINT) AS ncov, CAST(COUNT(*) AS BIGINT) AS ne "
-        "FROM ev, w) "
-        "SELECT w.lo AS q10_c, w.hi AS q90_c, sc.ne AS n_eval, "
-        "sc.ncov AS n_covered, "
-        "ROUND(CAST(sc.total10 AS DOUBLE) / 10.0 "
-        "/ CAST(sc.ne AS DOUBLE), 6) AS mean_score FROM sc, w"
-    )
-    out["multi_otsu"] = (
-        # exhaustive two-threshold search, exact integer prefix
-        # moments, pinned float criterion -- mirrors _q_multi_otsu
-        f"WITH g AS ({_OG_GRID_SQL}), "
-        "vv AS (SELECT CAST(ROUND(z * 10, 0) AS BIGINT) AS v FROM g "
-        "WHERE z > -1e30), "
-        "h AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS n FROM vv "
-        "GROUP BY v), "
-        "p AS (SELECT v, SUM(n) OVER (ORDER BY v) AS cn, "
-        "SUM(v * n) OVER (ORDER BY v) AS cs FROM h), "
-        "t AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, "
-        "CAST(SUM(v * n) AS BIGINT) AS st FROM h), "
-        "cand AS (SELECT a.v AS t1, b.v AS t2, "
-        "CAST(a.cs AS DOUBLE) * CAST(a.cs AS DOUBLE) "
-        "/ CAST(a.cn AS DOUBLE) "
-        "+ CAST(b.cs - a.cs AS DOUBLE) * CAST(b.cs - a.cs AS DOUBLE) "
-        "/ CAST(b.cn - a.cn AS DOUBLE) "
-        "+ CAST(t.st - b.cs AS DOUBLE) * CAST(t.st - b.cs AS DOUBLE) "
-        "/ CAST(t.nt - b.cn AS DOUBLE) AS crit "
-        "FROM p a JOIN p b ON b.v > a.v, t WHERE b.cn < t.nt) "
-        "SELECT t1 AS t1_deci, t2 AS t2_deci, "
-        "ROUND(crit, 6) AS criterion FROM cand "
-        "ORDER BY crit DESC, t1, t2 LIMIT 1"
-    )
-    out["hu_moments"] = (
-        # exact raw moments from the formula pixels, n-scaled central
-        # moments, pinned eta chains -- mirrors _q_hu_moments
-        "WITH px AS (SELECT i.range AS i, r.range AS r, c.range AS c, "
-        "(r.range * 73 + c.range * 31 + i.range * 17) % 256 AS v "
-        "FROM range(0, 8) i, range(0, 32) r, range(0, 32) c), "
-        "m AS (SELECT i, CAST(SUM(v) AS BIGINT) AS m00, "
-        "CAST(SUM(r * v) AS BIGINT) AS m10, "
-        "CAST(SUM(c * v) AS BIGINT) AS m01, "
-        "CAST(SUM(r * r * v) AS BIGINT) AS m20, "
-        "CAST(SUM(c * c * v) AS BIGINT) AS m02, "
-        "CAST(SUM(r * c * v) AS BIGINT) AS m11 FROM px GROUP BY i), "
-        "mu AS (SELECT i, m00 * m20 - m10 * m10 AS mu20, "
-        "m00 * m02 - m01 * m01 AS mu02, "
-        "m00 * m11 - m10 * m01 AS mu11, "
-        "CAST(m00 AS DOUBLE) * CAST(m00 AS DOUBLE) "
-        "* CAST(m00 AS DOUBLE) AS den FROM m), "
-        "e AS (SELECT i, CAST(mu20 AS DOUBLE) / den AS e20, "
-        "CAST(mu02 AS DOUBLE) / den AS e02, "
-        "CAST(mu11 AS DOUBLE) / den AS e11 FROM mu) "
-        "SELECT 'm' || CAST(i AS VARCHAR) AS media_id, "
-        "ROUND(e20 + e02, 6) AS h1, "
-        "ROUND((e20 - e02) * (e20 - e02) + 4.0 * e11 * e11, 6) AS h2, "
-        "ROUND(e20 * e02 - e11 * e11, 6) AS h3 "
-        "FROM e ORDER BY media_id"
-    )
-    out["radon_projections"] = (
-        # exact lattice-angle index sums, smallest-bin argmax ties --
-        # mirrors _q_radon_projections
-        "WITH e AS (SELECT event_id % 96 AS gx, "
-        "(event_id // 96) % 96 AS gy FROM events), "
-        "b AS (SELECT 0 AS angle, gx AS bin FROM e "
-        "UNION ALL SELECT 90, gy FROM e "
-        "UNION ALL SELECT 45, gx + gy FROM e "
-        "UNION ALL SELECT 135, gx - gy + 95 FROM e), "
-        "a AS (SELECT angle, bin, CAST(COUNT(*) AS BIGINT) AS mass "
-        "FROM b GROUP BY angle, bin), "
-        "best AS (SELECT angle, bin, mass, ROW_NUMBER() OVER "
-        "(PARTITION BY angle ORDER BY mass DESC, bin) AS rn FROM a) "
-        "SELECT CAST(angle AS BIGINT) AS angle, "
-        "CAST(bin AS BIGINT) AS argmax_bin, mass AS max_mass, "
-        "(SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS total "
-        "FROM best WHERE rn = 1 ORDER BY angle"
-    )
-    out["goertzel_tones"] = _goertzel_oracle_sql()
-    out["mondrian_partition"] = _mondrian_oracle_sql()
-    out["diff_in_diff"] = (
-        # four exact cell means, one float chain -- mirrors
-        # _q_diff_in_diff
-        "WITH e AS (SELECT "
-        f"({_mx('user_id', 61)}) % 2 AS arm, "
-        "epoch_us(ts) // 86400000000 AS day, "
-        "CAST(ROUND(value * 100, 0) AS BIGINT) AS c FROM events), "
-        "md AS (SELECT day AS mid FROM (SELECT day, "
-        "ROW_NUMBER() OVER (ORDER BY day) - 1 AS r FROM "
-        "(SELECT DISTINCT day FROM e)) WHERE r = "
-        "(SELECT COUNT(DISTINCT day) FROM e) // 2), "
-        "cells AS (SELECT arm, CASE WHEN e.day < md.mid THEN 0 "
-        "ELSE 1 END AS p, CAST(SUM(c) AS BIGINT) AS s, "
-        "CAST(COUNT(*) AS BIGINT) AS n FROM e, md GROUP BY 1, 2), "
-        "mu AS (SELECT arm, p, CAST(s AS DOUBLE) / CAST(n AS DOUBLE) "
-        "AS m FROM cells) "
-        "SELECT "
-        "ROUND((SELECT m FROM mu WHERE arm = 0 AND p = 0), 6) "
-        "AS mu_ctrl_pre, "
-        "ROUND((SELECT m FROM mu WHERE arm = 0 AND p = 1), 6) "
-        "AS mu_ctrl_post, "
-        "ROUND((SELECT m FROM mu WHERE arm = 1 AND p = 0), 6) "
-        "AS mu_treat_pre, "
-        "ROUND((SELECT m FROM mu WHERE arm = 1 AND p = 1), 6) "
-        "AS mu_treat_post, "
-        "ROUND(((SELECT m FROM mu WHERE arm = 1 AND p = 1) "
-        "- (SELECT m FROM mu WHERE arm = 1 AND p = 0)) "
-        "- ((SELECT m FROM mu WHERE arm = 0 AND p = 1) "
-        "- (SELECT m FROM mu WHERE arm = 0 AND p = 0)), 6) "
-        "AS did_cents"
-    )
-    out["cuped_adjustment"] = (
-        # n-scaled exact covariance moments -- mirrors
-        # _q_cuped_adjustment
-        "WITH e AS (SELECT user_id, "
-        "epoch_us(ts) // 86400000000 AS day, "
-        "CAST(ROUND(value * 100, 0) AS BIGINT) AS c FROM events), "
-        "g AS (SELECT user_id, day, CAST(SUM(c) AS BIGINT) AS s "
-        "FROM e GROUP BY user_id, day), "
-        "md AS (SELECT day AS mid FROM (SELECT day, "
-        "ROW_NUMBER() OVER (ORDER BY day) - 1 AS r FROM "
-        "(SELECT DISTINCT day FROM g)) WHERE r = "
-        "(SELECT COUNT(DISTINCT day) FROM g) // 2), "
-        "per AS (SELECT user_id, "
-        "CAST(SUM(CASE WHEN g.day < md.mid THEN s ELSE 0 END) "
-        "AS BIGINT) AS x, "
-        "CAST(SUM(CASE WHEN g.day >= md.mid THEN s ELSE 0 END) "
-        "AS BIGINT) AS y FROM g, md GROUP BY user_id), "
-        "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, "
-        "CAST(SUM(x * x) AS HUGEINT) AS sxx, "
-        "CAST(SUM(y * y) AS HUGEINT) AS syy, "
-        "CAST(SUM(x * y) AS HUGEINT) AS sxy FROM per) "
-        "SELECT n AS n_users, "
-        "ROUND(CAST(n * sxy - sx * sy AS DOUBLE) "
-        "/ CAST(n * sxx - sx * sx AS DOUBLE), 6) AS theta, "
-        "ROUND(CAST(n * sxy - sx * sy AS DOUBLE) "
-        "* CAST(n * sxy - sx * sy AS DOUBLE) "
-        "/ (CAST(n * sxx - sx * sx AS DOUBLE) "
-        "* CAST(n * syy - sy * sy AS DOUBLE)), 6) AS rho2, "
-        "ROUND(1.0 - CAST(n * sxy - sx * sy AS DOUBLE) "
-        "* CAST(n * sxy - sx * sy AS DOUBLE) "
-        "/ (CAST(n * sxx - sx * sx AS DOUBLE) "
-        "* CAST(n * syy - sy * sy AS DOUBLE)), 6) "
-        "AS var_reduction FROM m"
-    )
-    _GRID2_SQL = (
-        "g0 AS (SELECT event_id % 96 AS gx, "
-        "(event_id // 96) % 96 AS gy, "
-        "CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) "
-        "AS y FROM events GROUP BY 1, 2), "
-        "fr AS (SELECT a.range AS gx, b.range AS gy "
-        "FROM range(0, 96) a, range(0, 96) b), "
-        "dn AS MATERIALIZED (SELECT fr.gx, fr.gy, "
-        "COALESCE(g0.n, 0) AS n, COALESCE(g0.y, 0) AS y "
-        "FROM fr LEFT JOIN g0 USING (gx, gy)), "
-        "lg AS (SELECT * FROM (VALUES (1), (2), (4)) AS v(h))"
-    )
-    out["cross_variogram"] = (
-        # exact integer cross-product sums over both axes -- mirrors
-        # _q_cross_variogram
-        "WITH " + _GRID2_SQL + ", "
-        "pr AS (SELECT lg.h, (b.n - a.n) * (b.y - a.y) AS xy "
-        "FROM lg, dn a JOIN dn b ON b.gx = a.gx "
-        "AND b.gy = a.gy + lg.h "
-        "UNION ALL SELECT lg.h, (b.n - a.n) * (b.y - a.y) "
-        "FROM lg, dn a JOIN dn b ON b.gy = a.gy "
-        "AND b.gx = a.gx + lg.h) "
-        "SELECT CAST(h AS BIGINT) AS lag, "
-        "CAST(COUNT(*) AS BIGINT) AS n_pairs, "
-        "CAST(SUM(xy) AS BIGINT) AS cross_sum, "
-        "ROUND(CAST(SUM(xy) AS DOUBLE) "
-        "/ (2.0 * CAST(COUNT(*) AS DOUBLE)), 6) AS gamma_xy "
-        "FROM pr GROUP BY h ORDER BY h"
-    )
-    out["madogram_lags"] = (
-        # exact integer absolute-difference sums -- mirrors
-        # _q_madogram_lags
-        "WITH " + _GRID2_SQL + ", "
-        "pr AS (SELECT lg.h, ABS(b.y - a.y) AS ad "
-        "FROM lg, dn a JOIN dn b ON b.gx = a.gx "
-        "AND b.gy = a.gy + lg.h "
-        "UNION ALL SELECT lg.h, ABS(b.y - a.y) "
-        "FROM lg, dn a JOIN dn b ON b.gy = a.gy "
-        "AND b.gx = a.gx + lg.h) "
-        "SELECT CAST(h AS BIGINT) AS lag, "
-        "CAST(COUNT(*) AS BIGINT) AS n_pairs, "
-        "CAST(SUM(ad) AS BIGINT) AS abs_sum, "
-        "ROUND(CAST(SUM(ad) AS DOUBLE) "
-        "/ (2.0 * CAST(COUNT(*) AS DOUBLE)), 6) AS gamma1 "
-        "FROM pr GROUP BY h ORDER BY h"
-    )
-    out["fellegi_sunter_weights"] = (
-        # C(c,2) closed-form pair counts per field, exact m/u
-        # rationals, one pinned log2 per field -- mirrors
-        # _q_fellegi_sunter_weights
-        "WITH d AS (SELECT source, lang, n_chars // 200 AS dec "
-        "FROM documents), "
-        "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d), "
-        "mp AS (SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS m "
-        "FROM (SELECT COUNT(*) AS c FROM d GROUP BY source)), "
-        "tp AS (SELECT CAST(n * (n - 1) // 2 AS BIGINT) AS t FROM n), "
-        "am AS (SELECT 'lang' AS field, "
-        "CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS a FROM "
-        "(SELECT COUNT(*) AS c FROM d GROUP BY source, lang) "
-        "UNION ALL SELECT 'len_decile', "
-        "CAST(SUM(c * (c - 1) // 2) AS BIGINT) FROM "
-        "(SELECT COUNT(*) AS c FROM d GROUP BY source, dec)), "
-        "aa AS (SELECT 'lang' AS field, "
-        "CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS a FROM "
-        "(SELECT COUNT(*) AS c FROM d GROUP BY lang) "
-        "UNION ALL SELECT 'len_decile', "
-        "CAST(SUM(c * (c - 1) // 2) AS BIGINT) FROM "
-        "(SELECT COUNT(*) AS c FROM d GROUP BY dec)) "
-        "SELECT am.field, am.a AS agree_match, "
-        "CAST(aa.a - am.a AS BIGINT) AS agree_nonmatch, "
-        "ROUND(CAST(am.a AS DOUBLE) / CAST(mp.m AS DOUBLE), 6) "
-        "AS m_prob, "
-        "ROUND(CAST(aa.a - am.a AS DOUBLE) "
-        "/ CAST(tp.t - mp.m AS DOUBLE), 6) AS u_prob, "
-        "ROUND(LOG2((CAST(am.a AS DOUBLE) / CAST(mp.m AS DOUBLE)) "
-        "/ (CAST(aa.a - am.a AS DOUBLE) "
-        "/ CAST(tp.t - mp.m AS DOUBLE))), 6) AS log2_weight "
-        "FROM am JOIN aa USING (field), mp, tp, n ORDER BY am.field"
-    )
-    out["blocking_quality"] = (
-        # (lang, decile) blocking; closed-form pair counts --
-        # mirrors _q_blocking_quality
-        "WITH d AS (SELECT source, lang || '-' || "
-        "CAST(n_chars // 200 AS VARCHAR) AS blk FROM documents), "
-        "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d), "
-        "bt AS (SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS cp, "
-        "CAST(COUNT(*) AS BIGINT) AS nb FROM "
-        "(SELECT COUNT(*) AS c FROM d GROUP BY blk)), "
-        "mt AS (SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS m "
-        "FROM (SELECT COUNT(*) AS c FROM d GROUP BY source)), "
-        "jt AS (SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS mib "
-        "FROM (SELECT COUNT(*) AS c FROM d GROUP BY source, blk)) "
-        "SELECT bt.nb AS n_blocks, bt.cp AS cand_pairs, "
-        "mt.m AS match_pairs, "
-        "ROUND(1.0 - CAST(bt.cp AS DOUBLE) "
-        "/ CAST(n.n * (n.n - 1) // 2 AS DOUBLE), 6) "
-        "AS reduction_ratio, "
-        "ROUND(CAST(jt.mib AS DOUBLE) / CAST(mt.m AS DOUBLE), 6) "
-        "AS pair_completeness FROM bt, mt, jt, n"
-    )
-    out["spell_correct"] = (
-        # deterministic misspellings, LEVENSHTEIN = 1 candidates
-        # scored by unigram frequency -- mirrors _q_spell_correct
-        "WITH w AS (SELECT list_filter(string_split(text, ' '), "
-        "t -> t <> '') AS ws FROM documents), "
-        "tok AS (SELECT unnest(ws) AS t FROM w), "
-        "tf AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c "
-        "FROM tok GROUP BY t), "
-        "lw AS (SELECT t AS w, ROW_NUMBER() OVER "
-        "(ORDER BY LEN(t) DESC, t) AS rn FROM tf), "
-        "pr AS (SELECT substr(w, 1, CAST(LEN(w) // 2 AS INTEGER)) "
-        "|| (CASE WHEN substr(w, CAST(LEN(w) // 2 AS INTEGER) + 1, 1) "
-        "<> 'q' THEN 'q' ELSE 'z' END) "
-        "|| substr(w, CAST(LEN(w) // 2 AS INTEGER) + 2) AS probe "
-        "FROM lw WHERE rn <= 5), "
-        "cand AS (SELECT pr.probe, tf.t AS w, tf.c FROM pr "
-        "JOIN tf ON LEVENSHTEIN(pr.probe, tf.t) = 1), "
-        "best AS (SELECT probe, w, c, ROW_NUMBER() OVER "
-        "(PARTITION BY probe ORDER BY c DESC, w) AS rn, "
-        "COUNT(*) OVER (PARTITION BY probe) AS nc FROM cand) "
-        "SELECT probe, w AS correction, c AS freq, "
-        "CAST(nc AS BIGINT) AS n_candidates FROM best WHERE rn = 1"
-    )
-    out["time_decay_attribution"] = (
-        # per-pair 1e9-tick decayed weights quantized BEFORE the
-        # per-conversion normalization (order-free) -- mirrors
-        # _q_time_decay_attribution
-        "WITH e AS (SELECT user_id, epoch_us(ts) AS ts, "
-        "event_id AS eid, event_type AS t FROM events), "
-        "p AS (SELECT user_id, ts, eid FROM e "
-        "WHERE t = 'purchase'), "
-        "tc AS (SELECT user_id, ts, eid, t FROM e "
-        "WHERE t IN ('click', 'view', 'signup')), "
-        "pairs AS (SELECT p.user_id, p.eid AS peid, tc.t AS c, "
-        "CAST(ROUND(EXP(-CAST(p.ts - tc.ts AS DOUBLE) "
-        f"/ {float(_TDECAY_HL_US)} * LN(2.0)) * 1e9, 0) AS BIGINT) "
-        "AS w9 FROM p JOIN tc ON tc.user_id = p.user_id "
-        "AND (tc.ts < p.ts OR (tc.ts = p.ts AND tc.eid < p.eid))), "
-        "tot AS (SELECT user_id, peid, CAST(SUM(w9) AS BIGINT) "
-        "AS tw FROM pairs GROUP BY user_id, peid), "
-        "sh AS (SELECT pairs.c, CAST(ROUND(CAST(pairs.w9 AS DOUBLE) "
-        "/ CAST(tot.tw AS DOUBLE) * 1e9, 0) AS BIGINT) AS t9 "
-        "FROM pairs JOIN tot USING (user_id, peid) "
-        "WHERE tot.tw > 0) "
-        "SELECT c AS channel, "
-        "ROUND(CAST(SUM(t9) AS DOUBLE) / 1e9, 6) AS credit "
-        "FROM sh GROUP BY c ORDER BY c"
-    )
-    out["chaikin_smooth"] = (
-        # exact integer sixteenths through two unrolled corner-cut
-        # passes -- mirrors _q_chaikin_smooth
-        "WITH uc AS (SELECT user_id, COUNT(*) AS n FROM events "
-        "GROUP BY user_id), "
-        "top1 AS (SELECT user_id FROM uc ORDER BY n DESC, user_id "
-        "LIMIT 1), "
-        "fx AS (SELECT ROW_NUMBER() OVER (ORDER BY ts, event_id) - 1 "
-        "AS i, (event_id % 96) * 16 AS x, "
-        "((event_id // 96) % 96) * 16 AS y FROM events "
-        "WHERE user_id = (SELECT user_id FROM top1)), "
-        "s0 AS MATERIALIZED (SELECT i, x, y FROM fx WHERE i < 12), "
-        "s1 AS MATERIALIZED ("
-        "SELECT 0 AS i, x, y FROM s0 WHERE i = 0 "
-        "UNION ALL SELECT 1 + 2 * a.i, (3 * a.x + b.x) // 4, "
-        "(3 * a.y + b.y) // 4 FROM s0 a JOIN s0 b ON b.i = a.i + 1 "
-        "UNION ALL SELECT 2 + 2 * a.i, (a.x + 3 * b.x) // 4, "
-        "(a.y + 3 * b.y) // 4 FROM s0 a JOIN s0 b ON b.i = a.i + 1 "
-        "UNION ALL SELECT (SELECT 2 * MAX(i) + 1 FROM s0), x, y "
-        "FROM s0 WHERE i = (SELECT MAX(i) FROM s0)), "
-        "s2 AS ("
-        "SELECT 0 AS i, x, y FROM s1 WHERE i = 0 "
-        "UNION ALL SELECT 1 + 2 * a.i, (3 * a.x + b.x) // 4, "
-        "(3 * a.y + b.y) // 4 FROM s1 a JOIN s1 b ON b.i = a.i + 1 "
-        "UNION ALL SELECT 2 + 2 * a.i, (a.x + 3 * b.x) // 4, "
-        "(a.y + 3 * b.y) // 4 FROM s1 a JOIN s1 b ON b.i = a.i + 1 "
-        "UNION ALL SELECT (SELECT 2 * MAX(i) + 1 FROM s1), x, y "
-        "FROM s1 WHERE i = (SELECT MAX(i) FROM s1)) "
-        "SELECT CAST(i AS BIGINT) AS i, CAST(x AS BIGINT) AS x16, "
-        "CAST(y AS BIGINT) AS y16 FROM s2 ORDER BY i"
-    )
-    out["sinkhorn_ot"] = _sinkhorn_oracle_sql()
-    out["procrustes_2d"] = (
-        # rank-paired n-scaled centered cross moments, one float
-        # chain -- mirrors _q_procrustes_2d
-        "WITH uc AS (SELECT user_id, COUNT(*) AS n FROM events "
-        "GROUP BY user_id), "
-        "t2 AS (SELECT user_id, ROW_NUMBER() OVER "
-        "(ORDER BY n DESC, user_id) AS rk FROM uc "
-        "ORDER BY n DESC, user_id LIMIT 2), "
-        "fx AS (SELECT t2.rk, ROW_NUMBER() OVER (PARTITION BY t2.rk "
-        "ORDER BY e.ts, e.event_id) AS rn, "
-        "(e.event_id % 96) AS x, ((e.event_id // 96) % 96) AS y "
-        "FROM events e JOIN t2 ON t2.user_id = e.user_id), "
-        "f1 AS (SELECT rn, x, y FROM fx WHERE rk = 1 AND rn <= 12), "
-        "f2 AS (SELECT rn, x, y FROM fx WHERE rk = 2 AND rn <= 12), "
-        "m1 AS (SELECT CAST(SUM(x) AS BIGINT) AS sx, "
-        "CAST(SUM(y) AS BIGINT) AS sy FROM f1), "
-        "m2 AS (SELECT CAST(SUM(x) AS BIGINT) AS sx, "
-        "CAST(SUM(y) AS BIGINT) AS sy FROM f2), "
-        "cm AS (SELECT 12 * a.x - m1.sx AS x1, "
-        "12 * a.y - m1.sy AS y1, 12 * b.x - m2.sx AS x2, "
-        "12 * b.y - m2.sy AS y2 FROM f1 a JOIN f2 b ON b.rn = a.rn, "
-        "m1, m2), "
-        "s AS (SELECT CAST(SUM(x1 * x2) AS BIGINT) AS sxx, "
-        "CAST(SUM(y1 * y2) AS BIGINT) AS syy, "
-        "CAST(SUM(x1 * y2) AS BIGINT) AS sxy, "
-        "CAST(SUM(y1 * x2) AS BIGINT) AS syx, "
-        "CAST(SUM(x1 * x1 + y1 * y1) AS BIGINT) AS s1, "
-        "CAST(SUM(x2 * x2 + y2 * y2) AS BIGINT) AS s2 FROM cm) "
-        "SELECT CAST(12 AS BIGINT) AS n_points, "
-        "CAST(sxx + syy AS BIGINT) AS trace_sum, "
-        "CAST(sxy - syx AS BIGINT) AS skew_diff, "
-        "ROUND((CAST(sxx + syy AS DOUBLE) * CAST(sxx + syy AS DOUBLE) "
-        "+ CAST(sxy - syx AS DOUBLE) * CAST(sxy - syx AS DOUBLE)) "
-        "/ (CAST(s1 AS DOUBLE) * CAST(s2 AS DOUBLE)), 6) "
-        "AS congruence_r2 FROM s"
-    )
-    out["largest_empty_circle"] = (
-        # exact integer maximin distance on the lattice -- mirrors
-        # _q_largest_empty_circle
-        "WITH cc AS (SELECT event_id % 96 + (event_id // 96 % 96) * 96 "
-        "AS cell, COUNT(*) AS n FROM events GROUP BY 1), "
-        "t20 AS (SELECT cell, cell % 96 AS x, cell // 96 AS y "
-        "FROM cc ORDER BY n DESC, cell LIMIT 20), "
-        "g AS (SELECT a.range AS x, b.range AS y "
-        "FROM range(0, 96) a, range(0, 96) b), "
-        "md AS (SELECT g.x, g.y, MIN((g.x - t20.x) * (g.x - t20.x) "
-        "+ (g.y - t20.y) * (g.y - t20.y)) AS d2 FROM g, t20 "
-        "GROUP BY g.x, g.y) "
-        "SELECT CAST(x AS BIGINT) AS center_x, "
-        "CAST(y AS BIGINT) AS center_y, CAST(d2 AS BIGINT) AS min_d2 "
-        "FROM md ORDER BY d2 DESC, x + y * 96 LIMIT 1"
-    )
-    out["box_cox_scan"] = (
-        # per-distinct 1e6-tick transforms, HUGEINT tick moments,
-        # pinned LL chain -- mirrors _q_box_cox_scan
-        "WITH h AS (SELECT CAST(ROUND(l_extendedprice * 100, 0) "
-        "AS BIGINT) AS c, CAST(COUNT(*) AS BIGINT) AS m "
-        "FROM lineitem GROUP BY 1), "
-        "nn AS (SELECT CAST(SUM(m) AS BIGINT) AS n, "
-        "CAST(SUM(m * CAST(ROUND(LN(CAST(c AS DOUBLE)) * 1e6, 0) "
-        "AS BIGINT)) AS BIGINT) AS lnt FROM h), "
-        "lam AS (SELECT * FROM (VALUES (-10), (-5), (0), (5), (10)) "
-        "AS v(l10)), "
-        "zt AS (SELECT lam.l10, h.m, CASE WHEN lam.l10 = 0 THEN "
-        "CAST(ROUND(LN(CAST(h.c AS DOUBLE)) * 1e6, 0) AS BIGINT) "
-        "ELSE CAST(ROUND((POWER(CAST(h.c AS DOUBLE), "
-        "CAST(lam.l10 AS DOUBLE) / 10.0) - 1.0) "
-        "/ (CAST(lam.l10 AS DOUBLE) / 10.0) * 1e6, 0) AS BIGINT) "
-        "END AS z FROM lam, h), "
-        "mo AS (SELECT l10, CAST(SUM(z * m) AS HUGEINT) AS s1, "
-        "SUM(CAST(z AS HUGEINT) * CAST(z AS HUGEINT) "
-        "* CAST(m AS HUGEINT)) AS s2 FROM zt GROUP BY l10), "
-        "ll AS (SELECT l10, -CAST(nn.n AS DOUBLE) / 2.0 "
-        "* LN((CAST(s2 AS DOUBLE) / CAST(nn.n AS DOUBLE) "
-        "- (CAST(s1 AS DOUBLE) / CAST(nn.n AS DOUBLE)) "
-        "* (CAST(s1 AS DOUBLE) / CAST(nn.n AS DOUBLE))) / 1e12) "
-        "+ (CAST(l10 AS DOUBLE) / 10.0 - 1.0) "
-        "* (CAST(nn.lnt AS DOUBLE) / 1e6) AS ll FROM mo, nn), "
-        "bk AS (SELECT l10 FROM ll ORDER BY ll DESC, l10 LIMIT 1) "
-        "SELECT CAST(ll.l10 AS BIGINT) AS lambda_x10, "
-        "ROUND(ll.ll, 6) AS log_lik, "
-        "CAST(CASE WHEN ll.l10 = bk.l10 THEN 1 ELSE 0 END AS BIGINT) "
-        "AS is_best FROM ll, bk ORDER BY ll.l10"
-    )
-    out["quantile_mapping"] = (
-        # quantile_disc-rule empirical CDF matching -- mirrors
-        "-- _q_quantile_mapping\n"
-        "WITH p AS (SELECT CAST(ROUND(value * 100, 0) AS BIGINT) "
-        f"AS c, ({_mx('user_id', 41)}) % 2 AS arm FROM events), "
-        "ha AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS n FROM p "
-        "WHERE arm = 0 GROUP BY c), "
-        "hb AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS n FROM p "
-        "WHERE arm = 1 GROUP BY c), "
-        "ca AS (SELECT c, n, SUM(n) OVER (ORDER BY c) AS cum "
-        "FROM ha), "
-        "cb AS (SELECT c, n, SUM(n) OVER (ORDER BY c) AS cum "
-        "FROM hb), "
-        "tt AS (SELECT (SELECT SUM(n) FROM ha) AS na, "
-        "(SELECT SUM(n) FROM hb) AS nb), "
-        "t10 AS (SELECT c, n, cum FROM cb ORDER BY n DESC, c "
-        "LIMIT 10), "
-        "mp AS (SELECT t10.c AS b_cents, t10.n AS b_count, "
-        "(SELECT MIN(ca.c) FROM ca WHERE ca.cum >= "
-        "LEAST(GREATEST((t10.cum * tt.na + tt.nb - 1) // tt.nb, 1), "
-        "tt.na)) "
-        "AS mapped FROM t10, tt) "
-        "SELECT b_cents, b_count, "
-        "CAST(mapped AS BIGINT) AS mapped_a_cents FROM mp "
-        "ORDER BY b_count DESC, b_cents"
-    )
-    out["trimmed_mean"] = (
-        # exact element-selection trim bounds with boundary partial
-        # counts -- mirrors _q_trimmed_mean
-        "WITH h AS (SELECT CAST(ROUND(l_extendedprice * 100, 0) "
-        "AS BIGINT) AS c, CAST(COUNT(*) AS BIGINT) AS m "
-        "FROM lineitem GROUP BY 1), "
-        "w AS (SELECT c, m, SUM(m) OVER (ORDER BY c) AS cum FROM h), "
-        "nn AS (SELECT CAST(SUM(m) AS BIGINT) AS n, "
-        "CAST(SUM(c * m) AS BIGINT) AS tot FROM h), "
-        "kk AS (SELECT n // 10 AS k FROM nn), "
-        "lo AS (SELECT MIN(c) AS v FROM w, kk WHERE cum >= kk.k + 1), "
-        "hi AS (SELECT MIN(c) AS v FROM w, nn, kk "
-        "WHERE cum >= nn.n - kk.k), "
-        "parts AS (SELECT "
-        "(SELECT CAST(COALESCE(SUM(c * m), 0) AS BIGINT) FROM h, lo "
-        "WHERE c < lo.v) AS below, "
-        "(SELECT CAST(COALESCE(SUM(c * m), 0) AS BIGINT) FROM h, hi "
-        "WHERE c > hi.v) AS above, "
-        "(SELECT CAST(COALESCE(SUM(m), 0) AS BIGINT) FROM h, lo "
-        "WHERE c < lo.v) AS nbelow, "
-        "(SELECT CAST(COALESCE(SUM(m), 0) AS BIGINT) FROM h, hi "
-        "WHERE c <= hi.v) AS nthru) "
-        "SELECT nn.n, kk.k AS k_trim, "
-        "CAST(nn.tot - parts.below - parts.above "
-        "- (kk.k - parts.nbelow) * lo.v "
-        "- (parts.nthru - (nn.n - kk.k)) * hi.v AS BIGINT) "
-        "AS kept_sum, "
-        "ROUND(CAST(nn.tot - parts.below - parts.above "
-        "- (kk.k - parts.nbelow) * lo.v "
-        "- (parts.nthru - (nn.n - kk.k)) * hi.v AS DOUBLE) "
-        "/ CAST(nn.n - 2 * kk.k AS DOUBLE), 6) AS trimmed_mean "
-        "FROM nn, kk, parts, lo, hi"
-    )
-    out["huber_location"] = _huber_oracle_sql()
-    out["rosner_esd"] = _rosner_oracle_sql()
-    out["cooks_distance"] = (
-        # exact moment-based residuals/leverage, 1e3-tick SSE,
-        # pinned D chain -- mirrors _q_cooks_distance
-        "WITH c0 AS (SELECT epoch_us(ts) // 86400000000 AS d, "
-        "CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) "
-        "AS y FROM events GROUP BY 1), "
-        "fr AS (SELECT unnest(generate_series((SELECT MIN(d) FROM c0), "
-        "(SELECT MAX(d) FROM c0))) AS d), "
-        "xs AS (SELECT fr.d - (SELECT MIN(d) FROM c0) AS t, "
-        "COALESCE(c0.y, 0) AS y FROM fr LEFT JOIN c0 USING (d)), "
-        "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(t) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, "
-        "CAST(SUM(t * t) AS BIGINT) AS sxx, "
-        "CAST(SUM(t * y) AS BIGINT) AS sxy FROM xs), "
-        "mm AS (SELECT n, sx, sy, n * sxx - sx * sx AS cc, "
-        "n * sxy - sx * sy AS bb FROM m), "
-        "eh AS (SELECT xs.t, "
-        "CAST(xs.y AS DOUBLE) - (CAST(mm.sy AS DOUBLE) "
-        "/ CAST(mm.n AS DOUBLE) + CAST(mm.bb AS DOUBLE) "
-        "/ CAST(mm.cc AS DOUBLE) * (CAST(xs.t AS DOUBLE) "
-        "- CAST(mm.sx AS DOUBLE) / CAST(mm.n AS DOUBLE))) AS e, "
-        "1.0 / CAST(mm.n AS DOUBLE) "
-        "+ (CAST(xs.t AS DOUBLE) - CAST(mm.sx AS DOUBLE) "
-        "/ CAST(mm.n AS DOUBLE)) * (CAST(xs.t AS DOUBLE) "
-        "- CAST(mm.sx AS DOUBLE) / CAST(mm.n AS DOUBLE)) "
-        "* CAST(mm.n AS DOUBLE) / CAST(mm.cc AS DOUBLE) AS h "
-        "FROM xs, mm), "
-        "ss AS (SELECT CAST(SUM(CAST(ROUND(e * e * 1e3, 0) "
-        "AS BIGINT)) AS BIGINT) AS sset FROM eh), "
-        "s2 AS (SELECT CAST(sset AS DOUBLE) / 1e3 "
-        "/ CAST((SELECT n - 2 FROM mm) AS DOUBLE) AS s2 FROM ss), "
-        "dd AS (SELECT eh.t, eh.e * eh.e * eh.h "
-        "/ (2.0 * s2.s2 * (1.0 - eh.h) * (1.0 - eh.h)) AS d, "
-        "eh.h FROM eh, s2) "
-        "SELECT CAST(t AS BIGINT) AS t, ROUND(d, 6) AS cooks_d, "
-        "ROUND(h, 6) AS leverage FROM dd "
-        "ORDER BY d DESC, t LIMIT 5"
-    )
-    out["gev_lmoments"] = (
-        # hockey-stick L-moment sums, shared 8-term gamma product,
-        # pinned Hosking chain -- mirrors _q_gev_lmoments
-        "WITH mx AS (SELECT epoch_us(ts) // 86400000000 AS day, "
-        "CAST(MAX(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) "
-        "AS x FROM events GROUP BY 1), "
-        "rk AS (SELECT x, ROW_NUMBER() OVER (ORDER BY x) - 1 AS i "
-        "FROM mx), "
-        "b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(x) AS BIGINT) AS b0, "
-        "CAST(SUM(i * x) AS BIGINT) AS b1, "
-        "CAST(SUM(i * (i - 1) * x) AS BIGINT) AS b2 FROM rk), "
-        "lm AS (SELECT n, "
-        "CAST(b0 AS DOUBLE) / CAST(n AS DOUBLE) AS l1, "
-        "2.0 * CAST(b1 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) "
-        "- CAST(b0 AS DOUBLE) / CAST(n AS DOUBLE) AS l2, "
-        "6.0 * CAST(b2 AS DOUBLE) "
-        "/ CAST(n * (n - 1) * (n - 2) AS DOUBLE) "
-        "- 6.0 * CAST(b1 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) "
-        "+ CAST(b0 AS DOUBLE) / CAST(n AS DOUBLE) AS l3 FROM b), "
-        "kk AS (SELECT n, l1, l2, l3 / l2 AS t3, "
-        "7.8590 * (2.0 / (3.0 + l3 / l2) - LN(2.0) / LN(3.0)) "
-        "+ 2.9554 * (2.0 / (3.0 + l3 / l2) - LN(2.0) / LN(3.0)) "
-        "* (2.0 / (3.0 + l3 / l2) - LN(2.0) / LN(3.0)) AS k "
-        "FROM lm), "
-        "gg AS (SELECT kk.*, "
-        "1.0 * (1.0 / (1.0 + k)) * EXP(k / 1.0) "
-        "* (2.0 / (2.0 + k)) * EXP(k / 2.0) "
-        "* (3.0 / (3.0 + k)) * EXP(k / 3.0) "
-        "* (4.0 / (4.0 + k)) * EXP(k / 4.0) "
-        "* (5.0 / (5.0 + k)) * EXP(k / 5.0) "
-        "* (6.0 / (6.0 + k)) * EXP(k / 6.0) "
-        "* (7.0 / (7.0 + k)) * EXP(k / 7.0) "
-        "* (8.0 / (8.0 + k)) * EXP(k / 8.0) "
-        "* EXP(-0.5772156649015329 * k) AS g FROM kk), "
-        "sg AS (SELECT gg.*, l2 * k "
-        "/ ((1.0 - POWER(2.0, -k)) * g) AS sigma FROM gg) "
-        "SELECT CAST(n AS BIGINT) AS n_days, ROUND(l1, 6) AS l1, "
-        "ROUND(l2, 6) AS l2, ROUND(t3, 6) AS t3, "
-        "ROUND(k, 6) AS gev_k, ROUND(sigma, 6) AS gev_sigma, "
-        "ROUND(l1 - sigma * (g - 1.0) / k, 6) AS gev_mu FROM sg"
-    )
-    out["repair_compress"] = _repair_oracle_sql()
-    out["mtf_transform"] = _mtf_oracle_sql()
-    out["dpp_map_greedy"] = _dpp_oracle_sql()
-    out["top_trading_cycles"] = _ttc_oracle_sql()
-    out["newsvendor"] = (
-        # exact 0.75 order statistic + integer histogram sums --
-        "-- mirrors _q_newsvendor\n"
-        "WITH p AS (SELECT epoch_us(ts) // 86400000000 AS d "
-        "FROM events WHERE event_type = 'purchase'), "
-        "c0 AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS y FROM p "
-        "GROUP BY d), "
-        "fr AS (SELECT unnest(generate_series((SELECT MIN(d) FROM c0), "
-        "(SELECT MAX(d) FROM c0))) AS d), "
-        "xs AS (SELECT COALESCE(c0.y, 0) AS y "
-        "FROM fr LEFT JOIN c0 USING (d)), "
-        "r AS (SELECT y, ROW_NUMBER() OVER (ORDER BY y) AS rn, "
-        "COUNT(*) OVER () AS n FROM xs), "
-        "qq AS (SELECT y AS q, n FROM r "
-        "WHERE rn = (3 * n + 3) // 4 LIMIT 1), "
-        "s AS (SELECT CAST(SUM(GREATEST(xs.y - qq.q, 0)) AS BIGINT) "
-        "AS und, CAST(SUM(GREATEST(qq.q - xs.y, 0)) AS BIGINT) "
-        "AS ovr, MAX(qq.q) AS q, MAX(qq.n) AS n FROM xs, qq) "
-        "SELECT CAST(q AS BIGINT) AS q_star, und AS sum_underage, "
-        "ovr AS sum_overage, "
-        "ROUND((3.0 * CAST(und AS DOUBLE) + 1.0 * CAST(ovr "
-        "AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS exp_cost FROM s"
-    )
-    _ENT = (
-        "(CASE WHEN {c} > 0 THEN CAST(ROUND(-CAST({c} AS DOUBLE) "
-        "* LOG2(CAST({c} AS DOUBLE) / CAST({t} AS DOUBLE)) * 1e9, 0) "
-        "AS BIGINT) ELSE 0 END)"
-    )
-    out["mdlp_split"] = (
-        # 1e9-tick entropy gains over exact counts, MDL acceptance --
-        "-- mirrors _q_mdlp_split\n"
-        "WITH p AS (SELECT CAST(ROUND(value * 10, 0) AS BIGINT) "
-        "AS d10, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END "
-        "AS pos FROM events), "
-        "h AS (SELECT d10, CAST(SUM(pos) AS BIGINT) AS p, "
-        "CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY d10), "
-        "w AS (SELECT d10, SUM(p) OVER (ORDER BY d10) AS cp, "
-        "SUM(n) OVER (ORDER BY d10) AS cn, "
-        "SUM(p) OVER () AS bp, SUM(n) OVER () AS bn, "
-        "ROW_NUMBER() OVER (ORDER BY d10) AS rn, "
-        "COUNT(*) OVER () AS nv FROM h), "
-        "ha AS (SELECT " + _ENT.format(c="bp", t="bn") + " + "
-        + _ENT.format(c="bn - bp", t="bn")
-        + " AS h_all, bn FROM w LIMIT 1), "
-        "g AS (SELECT w.d10 AS thr, ha.h_all - ("
-        + _ENT.format(c="w.cp", t="w.cn") + " + "
-        + _ENT.format(c="w.cn - w.cp", t="w.cn") + " + "
-        + _ENT.format(c="w.bp - w.cp", t="w.bn - w.cn") + " + "
-        + _ENT.format(c="(w.bn - w.cn) - (w.bp - w.cp)",
-                      t="w.bn - w.cn")
-        + ") AS gain FROM w, ha WHERE w.rn < w.nv), "
-        "best AS (SELECT thr, gain FROM g ORDER BY gain DESC, thr "
-        "LIMIT 1), "
-        "crit AS (SELECT CAST(ROUND((LOG2(CAST(bn - 1 AS DOUBLE)) "
-        "+ LOG2(7.0)) * 1e9, 0) AS BIGINT) AS c FROM ha) "
-        "SELECT best.thr AS threshold_d10, "
-        "CAST(best.gain AS BIGINT) AS gain_ticks, crit.c "
-        "AS crit_ticks, CAST(CASE WHEN best.gain > crit.c THEN 1 "
-        "ELSE 0 END AS BIGINT) AS accepted FROM best, crit"
-    )
-    out["woe_iv"] = (
-        # quantile_disc-rule quintile edges, pinned WoE chains,
-        # 1e9-tick IV -- mirrors _q_woe_iv
-        "WITH p AS (SELECT CAST(ROUND(value * 100, 0) AS BIGINT) "
-        "AS c, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END "
-        "AS pos FROM events), "
-        "h AS (SELECT c, CAST(SUM(pos) AS BIGINT) AS p, "
-        "CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY c), "
-        "w AS (SELECT c, p, n, SUM(n) OVER (ORDER BY c) AS cum, "
-        "SUM(n) OVER () AS bn FROM h), "
-        "ed AS (SELECT "
-        "(SELECT MIN(c) FROM w WHERE cum >= (1 * bn + 4) // 5) AS e1, "
-        "(SELECT MIN(c) FROM w WHERE cum >= (2 * bn + 4) // 5) AS e2, "
-        "(SELECT MIN(c) FROM w WHERE cum >= (3 * bn + 4) // 5) AS e3, "
-        "(SELECT MIN(c) FROM w WHERE cum >= (4 * bn + 4) // 5) AS e4 "
-        "FROM (SELECT DISTINCT bn FROM w)), "
-        "bb AS (SELECT CASE WHEN h.c <= ed.e1 THEN 1 "
-        "WHEN h.c <= ed.e2 THEN 2 WHEN h.c <= ed.e3 THEN 3 "
-        "WHEN h.c <= ed.e4 THEN 4 ELSE 5 END AS bin, "
-        "CAST(SUM(h.p) AS BIGINT) AS g, "
-        "CAST(SUM(h.n - h.p) AS BIGINT) AS b FROM h, ed "
-        "GROUP BY 1), "
-        "tt AS (SELECT CAST(SUM(g) AS BIGINT) AS gg, "
-        "CAST(SUM(b) AS BIGINT) AS bt FROM bb), "
-        "wv AS (SELECT bb.bin, bb.g, bb.b, "
-        "LN((CAST(bb.g AS DOUBLE) / CAST(tt.gg AS DOUBLE)) "
-        "/ (CAST(bb.b AS DOUBLE) / CAST(tt.bt AS DOUBLE))) AS woe, "
-        "CAST(ROUND((CAST(bb.g AS DOUBLE) / CAST(tt.gg AS DOUBLE) "
-        "- CAST(bb.b AS DOUBLE) / CAST(tt.bt AS DOUBLE)) "
-        "* LN((CAST(bb.g AS DOUBLE) / CAST(tt.gg AS DOUBLE)) "
-        "/ (CAST(bb.b AS DOUBLE) / CAST(tt.bt AS DOUBLE))) * 1e9, 0) "
-        "AS BIGINT) AS ivt FROM bb, tt), "
-        "iv AS (SELECT CAST(SUM(ivt) AS BIGINT) AS t FROM wv) "
-        "SELECT CAST(wv.bin AS BIGINT) AS bin, wv.g AS n_good, "
-        "wv.b AS n_bad, ROUND(wv.woe, 6) AS woe, "
-        "ROUND(CAST(iv.t AS DOUBLE) / 1e9, 6) AS iv "
-        "FROM wv, iv ORDER BY wv.bin"
-    )
-    out["target_encoding"] = (
-        # exact rational smoothed encodings -- mirrors
-        "-- _q_target_encoding\n"
-        "WITH e AS (SELECT (epoch_us(ts) // 3600000000) % 24 AS h, "
-        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos "
-        "FROM events), "
-        "g AS (SELECT h, CAST(SUM(pos) AS BIGINT) AS k, "
-        "CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY h), "
-        "t AS (SELECT CAST(SUM(k) AS BIGINT) AS bk, "
-        "CAST(SUM(n) AS BIGINT) AS bn FROM g) "
-        "SELECT CAST(g.h AS BIGINT) AS hour, g.n, g.k AS k_pos, "
-        "ROUND(CAST(g.k * t.bn + 100 * t.bk AS DOUBLE) "
-        "/ CAST(t.bn * (g.n + 100) AS DOUBLE), 6) AS encoding "
-        "FROM g, t ORDER BY g.h"
-    )
-    out["mrmr_select"] = _mrmr_oracle_sql()
-    out["adwin_check"] = (
-        # exact integer mean-difference numerators vs the pinned
-        # Hoeffding bound -- mirrors _q_adwin_check
-        "WITH c0 AS (SELECT epoch_us(ts) // 86400000000 AS d, "
-        "CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) "
-        "AS y FROM events GROUP BY 1), "
-        "fr AS (SELECT unnest(generate_series((SELECT MIN(d) FROM c0), "
-        "(SELECT MAX(d) FROM c0))) AS d), "
-        "xs AS (SELECT fr.d - (SELECT MIN(d) FROM c0) AS t, "
-        "COALESCE(c0.y, 0) AS y FROM fr LEFT JOIN c0 USING (d)), "
-        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(y) AS BIGINT) AS tot, "
-        "CAST(MAX(y) - MIN(y) AS BIGINT) AS rng FROM xs), "
-        "cu AS (SELECT t + 1 AS cut, SUM(y) OVER (ORDER BY t "
-        "ROWS UNBOUNDED PRECEDING) AS sl FROM xs), "
-        "rt AS (SELECT cu.cut AS t, "
-        "(CAST(ABS(cu.cut * (nn.tot - cu.sl) "
-        "- (nn.n - cu.cut) * cu.sl) AS DOUBLE) "
-        "/ (CAST(cu.cut AS DOUBLE) * CAST(nn.n - cu.cut AS DOUBLE))) "
-        "/ SQRT(CAST(nn.rng AS DOUBLE) * CAST(nn.rng AS DOUBLE) "
-        "* LN(2.0 / 0.05) / 2.0 * (1.0 / CAST(cu.cut AS DOUBLE) "
-        "+ 1.0 / CAST(nn.n - cu.cut AS DOUBLE))) AS ratio "
-        "FROM cu, nn WHERE cu.cut < nn.n) "
-        "SELECT CAST(t AS BIGINT) AS cut_t, ROUND(ratio, 6) "
-        "AS ratio, CAST(CASE WHEN ratio > 1.0 THEN 1 ELSE 0 END "
-        "AS BIGINT) AS fires FROM rt ORDER BY ratio DESC, t LIMIT 1"
-    )
-    out["james_stein"] = (
-        # 1e12-tick per-hour terms, pinned shrink chain -- mirrors
-        "-- _q_james_stein\n"
-        "WITH e AS (SELECT (epoch_us(ts) // 3600000000) % 24 AS h, "
-        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS k "
-        "FROM events), "
-        "g AS (SELECT h, CAST(SUM(k) AS BIGINT) AS k, "
-        "CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY h), "
-        "t AS (SELECT CAST(SUM(k) AS BIGINT) AS bk, "
-        "CAST(SUM(n) AS BIGINT) AS bn, "
-        "CAST(COUNT(*) AS BIGINT) AS m FROM g), "
-        "pb AS (SELECT CAST(bk AS DOUBLE) / CAST(bn AS DOUBLE) "
-        "AS pbar, m FROM t), "
-        "tk AS (SELECT "
-        "CAST(SUM(CAST(ROUND((CAST(g.k AS DOUBLE) "
-        "/ CAST(g.n AS DOUBLE) - pb.pbar) * (CAST(g.k AS DOUBLE) "
-        "/ CAST(g.n AS DOUBLE) - pb.pbar) * 1e12, 0) AS BIGINT)) "
-        "AS BIGINT) AS st, "
-        "CAST(SUM(CAST(ROUND(1.0 / CAST(g.n AS DOUBLE) * 1e12, 0) "
-        "AS BIGINT)) AS BIGINT) AS invt FROM g, pb), "
-        "sh AS (SELECT GREATEST(0.0, 1.0 "
-        "- CAST(pb.m - 3 AS DOUBLE) * (pb.pbar * (1.0 - pb.pbar) "
-        "* (CAST(tk.invt AS DOUBLE) / 1e12 / CAST(pb.m AS DOUBLE))) "
-        "/ (CAST(tk.st AS DOUBLE) / 1e12)) AS f, pb.pbar "
-        "FROM tk, pb) "
-        "SELECT CAST(g.h AS BIGINT) AS hour, "
-        "ROUND(CAST(g.k AS DOUBLE) / CAST(g.n AS DOUBLE), 6) "
-        "AS raw_rate, "
-        "ROUND(sh.pbar + sh.f * (CAST(g.k AS DOUBLE) "
-        "/ CAST(g.n AS DOUBLE) - sh.pbar), 6) AS shrunk_rate, "
-        "ROUND(sh.f, 6) AS shrink_factor FROM g, sh ORDER BY g.h"
-    )
-    out["iv_2sls"] = (
-        # exact integer IV moments -- mirrors _q_iv_2sls
-        "WITH e AS (SELECT (epoch_us(ts) // 86400000000 + 4) % 7 "
-        "AS z, (epoch_us(ts) // 3600000000) % 24 AS x, "
-        "CAST(ROUND(value * 100, 0) AS BIGINT) AS y FROM events), "
-        "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(z) AS BIGINT) AS sz, CAST(SUM(x) AS BIGINT) AS sx, "
-        "CAST(SUM(y) AS BIGINT) AS sy, "
-        "CAST(SUM(z * y) AS BIGINT) AS szy, "
-        "CAST(SUM(z * x) AS BIGINT) AS szx FROM e) "
-        "SELECT n, CAST(n * szy - sz * sy AS BIGINT) AS cov_zy_num, "
-        "CAST(n * szx - sz * sx AS BIGINT) AS cov_zx_num, "
-        "ROUND(CAST(n * szy - sz * sy AS DOUBLE) "
-        "/ CAST(n * szx - sz * sx AS DOUBLE), 6) AS beta_iv FROM s"
-    )
-    out["harrell_c"] = (
-        # doubled concordance counts over comparable pairs -- mirrors
-        "-- _q_harrell_c\n"
-        "WITH peru AS (SELECT user_id, MIN(epoch_us(ts)) AS t0, "
-        "MAX(epoch_us(ts)) AS tlast, "
-        "MIN(CASE WHEN event_type = 'error' THEN epoch_us(ts) END) "
-        "AS terr, "
-        "CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) "
-        "AS sc FROM events GROUP BY user_id), "
-        "d AS (SELECT user_id, CASE WHEN terr IS NOT NULL "
-        "THEN terr - t0 ELSE tlast - t0 END AS dur, "
-        "CASE WHEN terr IS NOT NULL THEN 1 ELSE 0 END AS obs, sc "
-        "FROM peru), "
-        "prs AS (SELECT i.sc AS si, j.sc AS sj FROM d i JOIN d j "
-        "ON i.obs = 1 AND (j.dur > i.dur "
-        "OR (j.dur = i.dur AND j.obs = 0))), "
-        "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS comp, "
-        "CAST(SUM(CASE WHEN sj < si THEN 2 "
-        "WHEN sj = si THEN 1 ELSE 0 END) AS BIGINT) AS conc2 "
-        "FROM prs) "
-        "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_users, "
-        "comp AS n_comparable, conc2, "
-        "ROUND(CAST(conc2 AS DOUBLE) / (2.0 * CAST(comp AS DOUBLE)), "
-        "6) AS c_index FROM s"
-    )
-    _G16_SQL = (
-        "cc AS (SELECT event_id % 96 + (event_id // 96 % 96) * 96 "
-        "AS cell, COUNT(*) AS n FROM events GROUP BY 1), "
-        "t16 AS (SELECT cell, "
-        "ROW_NUMBER() OVER (ORDER BY n DESC, cell) - 1 AS bi "
-        "FROM cc ORDER BY n DESC, cell LIMIT 16), "
-        "nd AS (SELECT cell, bi, cell % 96 AS x, cell // 96 AS y "
-        "FROM t16), "
-        "am AS MATERIALIZED (SELECT a.bi, "
-        "CAST(COALESCE(bit_or(CAST(1 AS BIGINT) << b.bi), 0) "
-        "AS BIGINT) AS adj FROM nd a LEFT JOIN nd b "
-        "ON b.bi <> a.bi AND GREATEST(ABS(a.x - b.x), "
-        f"ABS(a.y - b.y)) <= {_CLIQUE_T} GROUP BY a.bi), "
-        "mk AS (SELECT range AS mask FROM range(1, 65536))"
-    )
-    out["maximal_cliques"] = (
-        # bitmask clique + extendability certificates -- mirrors
-        "-- _q_maximal_cliques\n"
-        "WITH " + _G16_SQL + ", "
-        "ne AS MATERIALIZED (SELECT (CAST(1 AS BIGINT) << a.bi) "
-        "| (CAST(1 AS BIGINT) << b.bi) AS p FROM nd a JOIN nd b "
-        "ON a.bi < b.bi AND GREATEST(ABS(a.x - b.x), "
-        f"ABS(a.y - b.y)) > {_CLIQUE_T}), "
-        "cq AS MATERIALIZED (SELECT mask FROM mk "
-        "WHERE NOT EXISTS (SELECT 1 FROM ne "
-        "WHERE (mk.mask & ne.p) = ne.p)), "
-        "mxl AS (SELECT mask FROM cq WHERE NOT EXISTS ("
-        "SELECT 1 FROM am WHERE (cq.mask >> am.bi) & 1 = 0 "
-        "AND (cq.mask & xor(CAST(65535 AS BIGINT), am.adj)) = 0)) "
-        "SELECT CAST(bit_count(mask) AS BIGINT) AS size, "
-        "CAST(COUNT(*) AS BIGINT) AS n_cliques, "
-        "(SELECT CAST(COUNT(*) AS BIGINT) FROM mxl) AS total_maximal "
-        "FROM mxl GROUP BY 1 ORDER BY 1"
-    )
-    out["max_independent_set"] = (
-        # complement-clique enumeration; Gallai vertex cover --
-        "-- mirrors _q_max_independent_set\n"
-        "WITH " + _G16_SQL + ", "
-        "ee AS MATERIALIZED (SELECT (CAST(1 AS BIGINT) << a.bi) "
-        "| (CAST(1 AS BIGINT) << b.bi) AS p FROM nd a JOIN nd b "
-        "ON a.bi < b.bi AND GREATEST(ABS(a.x - b.x), "
-        f"ABS(a.y - b.y)) <= {_CLIQUE_T}), "
-        "ok AS (SELECT mask, bit_count(mask) AS pc FROM ("
-        "SELECT 0 AS mask UNION ALL SELECT mask FROM mk) "
-        "WHERE NOT EXISTS (SELECT 1 FROM ee "
-        "WHERE (mask & ee.p) = ee.p)), "
-        "best AS (SELECT mask, pc FROM ok ORDER BY pc DESC, mask "
-        "LIMIT 1) "
-        "SELECT CAST(ROW_NUMBER() OVER (ORDER BY nd.cell) AS BIGINT) "
-        "AS rank, CAST(nd.cell AS BIGINT) AS cell, "
-        "CAST(best.pc AS BIGINT) AS alpha, "
-        "CAST(16 - best.pc AS BIGINT) AS vertex_cover "
-        "FROM nd, best WHERE (best.mask >> nd.bi) & 1 = 1"
-    )
-    out["min_dominating_set"] = (
-        # closed-neighborhood OR coverage -- mirrors
-        "-- _q_min_dominating_set\n"
-        "WITH " + _G16_SQL + ", "
-        "cm AS (SELECT bi, CAST(adj | (CAST(1 AS BIGINT) << bi) "
-        "AS BIGINT) AS cl FROM am), "
-        "cov AS (SELECT mk.mask, "
-        "CAST(bit_or(cm.cl) AS BIGINT) AS cover "
-        "FROM mk JOIN cm ON (mk.mask >> cm.bi) & 1 = 1 "
-        "GROUP BY mk.mask), "
-        "ok AS (SELECT mask, bit_count(mask) AS pc FROM cov "
-        "WHERE cover = 65535), "
-        "best AS (SELECT mask, pc FROM ok ORDER BY pc, mask LIMIT 1) "
-        "SELECT CAST(ROW_NUMBER() OVER (ORDER BY nd.cell) AS BIGINT) "
-        "AS rank, CAST(nd.cell AS BIGINT) AS cell, "
-        "CAST(best.pc AS BIGINT) AS gamma "
-        "FROM nd, best WHERE (best.mask >> nd.bi) & 1 = 1"
-    )
-    out["pmi_similarity"] = (
-        # 1e6-tick PPMI vectors from exact bigram counts, pinned
-        "-- cosines -- mirrors _q_pmi_similarity\n"
-        "WITH w AS (SELECT list_filter(string_split(text, ' '), "
-        "t -> t <> '') AS ws FROM documents), "
-        "g AS (SELECT ws[i] AS a, ws[i+1] AS b FROM w, "
-        "LATERAL (SELECT unnest(generate_series(1, len(ws)-1)) AS i)), "
-        "bc AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c "
-        "FROM g GROUP BY a, b), "
-        "lm AS (SELECT a, CAST(SUM(c) AS BIGINT) AS la "
-        "FROM bc GROUP BY a), "
-        "rm AS (SELECT b, CAST(SUM(c) AS BIGINT) AS rb "
-        "FROM bc GROUP BY b), "
-        "nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM bc), "
-        "pp AS MATERIALIZED (SELECT bc.a, bc.b, "
-        "CAST(ROUND(LOG2(CAST(nn.n AS DOUBLE) * CAST(bc.c AS DOUBLE) "
-        "/ (CAST(lm.la AS DOUBLE) * CAST(rm.rb AS DOUBLE))) * 1e6, "
-        "0) AS BIGINT) AS v FROM bc "
-        "JOIN lm USING (a) JOIN rm USING (b), nn "
-        "WHERE LOG2(CAST(nn.n AS DOUBLE) * CAST(bc.c AS DOUBLE) "
-        "/ (CAST(lm.la AS DOUBLE) * CAST(rm.rb AS DOUBLE))) > 0), "
-        "nrm AS (SELECT a, CAST(SUM(v * v) AS BIGINT) AS nv "
-        "FROM pp GROUP BY a), "
-        "dots AS (SELECT p1.a AS w1, p2.a AS w2, "
-        "CAST(SUM(p1.v * p2.v) AS BIGINT) AS dot FROM pp p1 "
-        "JOIN pp p2 ON p2.b = p1.b AND p1.a < p2.a "
-        "GROUP BY p1.a, p2.a), "
-        "sims AS (SELECT lm1.a AS w1, lm2.a AS w2, "
-        "CAST(COALESCE(d.dot, 0) AS DOUBLE) "
-        "/ SQRT(CAST(n1.nv AS DOUBLE)) / SQRT(CAST(n2.nv AS DOUBLE)) "
-        "AS sim FROM lm lm1 JOIN lm lm2 ON lm1.a < lm2.a "
-        "JOIN nrm n1 ON n1.a = lm1.a JOIN nrm n2 ON n2.a = lm2.a "
-        "LEFT JOIN dots d ON d.w1 = lm1.a AND d.w2 = lm2.a) "
-        "SELECT w1, w2, ROUND(sim, 6) AS cosine FROM sims "
-        "ORDER BY sim DESC, w1, w2 LIMIT 5"
-    )
-    out["hawkes_branching"] = (
-        # exact hourly moments, D and eta -- mirrors
-        "-- _q_hawkes_branching\n"
-        "WITH h AS (SELECT epoch_us(ts) // 3600000000 AS hr, "
-        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1), "
-        "fr AS (SELECT unnest(generate_series((SELECT MIN(hr) FROM h), "
-        "(SELECT MAX(hr) FROM h))) AS hr), "
-        "xs AS (SELECT COALESCE(h.n, 0) AS y FROM fr "
-        "LEFT JOIN h USING (hr)), "
-        "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(y) AS BIGINT) AS s1, "
-        "CAST(SUM(y * y) AS BIGINT) AS s2 FROM xs), "
-        "v AS (SELECT n, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) "
-        "AS mean, CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) "
-        "- (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) "
-        "* (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)) AS var FROM m) "
-        "SELECT n AS n_hours, ROUND(var / mean, 6) AS dispersion, "
-        "ROUND(CASE WHEN var / mean > 1.0 "
-        "THEN 1.0 - SQRT(mean / var) ELSE 0.0 END, 6) AS eta_hat "
-        "FROM v"
-    )
-    out["game_of_life_steps"] = (
-        # 2 unrolled B3/S23 steps with dead boundary; exact id-sum
-        "-- checksums -- mirrors _q_game_of_life_steps\n"
-        "WITH g0 AS (SELECT event_id % 96 AS gx, "
-        "(event_id // 96) % 96 AS gy FROM events GROUP BY 1, 2), "
-        "fr AS (SELECT a.range AS gx, b.range AS gy "
-        "FROM range(0, 96) a, range(0, 96) b), "
-        "a0 AS MATERIALIZED (SELECT fr.gx, fr.gy, "
-        "CASE WHEN g0.gx IS NOT NULL THEN 1 ELSE 0 END AS a "
-        "FROM fr LEFT JOIN g0 USING (gx, gy)), "
-        "n1 AS (SELECT a.gx, a.gy, a.a, "
-        "CAST(SUM(b.a) AS BIGINT) AS nb FROM a0 a JOIN a0 b "
-        "ON ABS(b.gx - a.gx) <= 1 AND ABS(b.gy - a.gy) <= 1 "
-        "AND NOT (b.gx = a.gx AND b.gy = a.gy) GROUP BY 1, 2, 3), "
-        "a1 AS MATERIALIZED (SELECT gx, gy, CASE WHEN (a = 1 AND "
-        "(nb = 2 OR nb = 3)) OR (a = 0 AND nb = 3) THEN 1 ELSE 0 "
-        "END AS a FROM n1), "
-        "n2 AS (SELECT a.gx, a.gy, a.a, "
-        "CAST(SUM(b.a) AS BIGINT) AS nb FROM a1 a JOIN a1 b "
-        "ON ABS(b.gx - a.gx) <= 1 AND ABS(b.gy - a.gy) <= 1 "
-        "AND NOT (b.gx = a.gx AND b.gy = a.gy) GROUP BY 1, 2, 3), "
-        "a2 AS MATERIALIZED (SELECT gx, gy, CASE WHEN (a = 1 AND "
-        "(nb = 2 OR nb = 3)) OR (a = 0 AND nb = 3) THEN 1 ELSE 0 "
-        "END AS a FROM n2) "
-        "SELECT CAST(step AS BIGINT) AS step, "
-        "CAST(n_alive AS BIGINT) AS n_alive, "
-        "CAST(id_sum AS BIGINT) AS id_sum FROM ("
-        "SELECT 0 AS step, SUM(a) AS n_alive, "
-        "SUM(a * (gx + gy * 96)) AS id_sum FROM a0 "
-        "UNION ALL SELECT 1, SUM(a), SUM(a * (gx + gy * 96)) FROM a1 "
-        "UNION ALL SELECT 2, SUM(a), SUM(a * (gx + gy * 96)) FROM a2) "
-        "ORDER BY step"
-    )
-    out["rv_coefficient"] = (
-        # exact integer Gram matrices and inner products -- mirrors
-        "-- _q_rv_coefficient\n"
-        "WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, "
-        "(epoch_us(ts) // 3600000000) % 24 AS h, event_type AS t "
-        "FROM events), "
-        "md AS (SELECT day AS mid FROM (SELECT day, "
-        "ROW_NUMBER() OVER (ORDER BY day) - 1 AS r FROM "
-        "(SELECT DISTINCT day FROM e)) WHERE r = "
-        "(SELECT COUNT(DISTINCT day) FROM e) // 2), "
-        "m AS MATERIALIZED (SELECT CASE WHEN e.day < md.mid THEN 0 "
-        "ELSE 1 END AS p, e.h, e.t, CAST(COUNT(*) AS BIGINT) AS n "
-        "FROM e, md GROUP BY 1, 2, 3), "
-        "gx AS (SELECT a.t AS t1, b.t AS t2, "
-        "CAST(SUM(a.n * b.n) AS BIGINT) AS g FROM m a JOIN m b "
-        "ON b.p = 0 AND b.h = a.h AND a.p = 0 GROUP BY 1, 2), "
-        "gy AS (SELECT a.t AS t1, b.t AS t2, "
-        "CAST(SUM(a.n * b.n) AS BIGINT) AS g FROM m a JOIN m b "
-        "ON b.p = 1 AND b.h = a.h AND a.p = 1 GROUP BY 1, 2), "
-        "s AS (SELECT "
-        "(SELECT CAST(SUM(gx.g * gy.g) AS BIGINT) FROM gx JOIN gy "
-        "ON gy.t1 = gx.t1 AND gy.t2 = gx.t2) AS num, "
-        "(SELECT SUM(CAST(g AS HUGEINT) * g) FROM gx) AS nx, "
-        "(SELECT SUM(CAST(g AS HUGEINT) * g) FROM gy) AS ny) "
-        "SELECT num AS inner, "
-        "ROUND(CAST(num AS DOUBLE) / SQRT(CAST(nx AS DOUBLE)) "
-        "/ SQRT(CAST(ny AS DOUBLE)), 6) AS rv FROM s"
-    )
-    out["distance_correlation"] = (
-        # n^2-scaled integer double-centering, HUGEINT inner
-        "-- products -- mirrors _q_distance_correlation\n"
-        "WITH c0 AS (SELECT epoch_us(ts) // 86400000000 AS d, "
-        "CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) "
-        "AS y, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1), "
-        "fr AS (SELECT unnest(generate_series((SELECT MIN(d) FROM c0), "
-        "(SELECT MAX(d) FROM c0))) AS d), "
-        "xs AS MATERIALIZED (SELECT fr.d - (SELECT MIN(d) FROM c0) "
-        "AS t, COALESCE(c0.y, 0) AS y, COALESCE(c0.c, 0) AS c "
-        "FROM fr LEFT JOIN c0 USING (d)), "
-        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM xs), "
-        "pa AS MATERIALIZED (SELECT a.t AS i, b.t AS j, "
-        "ABS(a.y - b.y) AS ay, ABS(a.c - b.c) AS ac "
-        "FROM xs a, xs b), "
-        "rw AS (SELECT i, CAST(SUM(ay) AS BIGINT) AS ry, "
-        "CAST(SUM(ac) AS BIGINT) AS rc FROM pa GROUP BY i), "
-        "tt AS (SELECT CAST(SUM(ay) AS BIGINT) AS ty, "
-        "CAST(SUM(ac) AS BIGINT) AS tc FROM pa), "
-        "ct AS (SELECT pa.i, pa.j, "
-        "CAST(nn.n * nn.n * pa.ay - nn.n * (ri.ry + rj.ry) + tt.ty "
-        "AS HUGEINT) AS at, "
-        "CAST(nn.n * nn.n * pa.ac - nn.n * (ri.rc + rj.rc) + tt.tc "
-        "AS HUGEINT) AS bt FROM pa "
-        "JOIN rw ri ON ri.i = pa.i JOIN rw rj ON rj.i = pa.j, "
-        "nn, tt), "
-        "s AS (SELECT SUM(at * bt) AS num, SUM(at * at) AS na, "
-        "SUM(bt * bt) AS nb FROM ct) "
-        "SELECT (SELECT n FROM nn) AS n_days, "
-        "ROUND(CAST(num AS DOUBLE) / SQRT(CAST(na AS DOUBLE)) "
-        "/ SQRT(CAST(nb AS DOUBLE)), 6) AS dcor2 FROM s"
-    )
-    _DAILY2_SQL = (
-        "c0 AS (SELECT epoch_us(ts) // 86400000000 AS d, "
-        "CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) "
-        "AS y, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1), "
-        "fr AS (SELECT unnest(generate_series((SELECT MIN(d) FROM c0), "
-        "(SELECT MAX(d) FROM c0))) AS d), "
-        "xs AS (SELECT fr.d - (SELECT MIN(d) FROM c0) AS t, "
-        "COALESCE(c0.y, 0) AS y, COALESCE(c0.c, 0) AS c "
-        "FROM fr LEFT JOIN c0 USING (d))"
-    )
-    out["chatterjee_xi"] = (
-        # deterministic ROW_NUMBER rank conventions, exact step sum
-        "-- mirrors _q_chatterjee_xi\n"
-        "WITH " + _DAILY2_SQL + ", "
-        "rk AS (SELECT t, ROW_NUMBER() OVER (ORDER BY c, t) AS r "
-        "FROM xs), "
-        "sq AS (SELECT rk.r, ROW_NUMBER() OVER "
-        "(ORDER BY xs.y, xs.t) AS pos FROM xs "
-        "JOIN rk ON rk.t = xs.t), "
-        "dfs AS (SELECT r - LAG(r) OVER (ORDER BY pos) AS dr "
-        "FROM sq), "
-        "st AS (SELECT CAST(SUM(ABS(dr)) AS BIGINT) AS s, "
-        "CAST(COUNT(*) AS BIGINT) AS n FROM dfs) "
-        "SELECT n AS n_days, s AS abs_rank_steps, "
-        "ROUND(1.0 - 3.0 * CAST(s AS DOUBLE) "
-        "/ CAST(n * n - 1 AS DOUBLE), 6) AS xi FROM st"
-    )
-    out["tail_dependence"] = (
-        # exact decile thresholds (quantile_disc rule) + integer
-        "-- joint counts -- mirrors _q_tail_dependence\n"
-        "WITH " + _DAILY2_SQL + ", "
-        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM xs), "
-        "ry AS (SELECT y, ROW_NUMBER() OVER (ORDER BY y) AS rn "
-        "FROM xs), "
-        "rc AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn "
-        "FROM xs), "
-        "th AS (SELECT "
-        "(SELECT y FROM ry, nn WHERE rn = (9 * n + 9) // 10 LIMIT 1) "
-        "AS yu, "
-        "(SELECT c FROM rc, nn WHERE rn = (9 * n + 9) // 10 LIMIT 1) "
-        "AS cu, "
-        "(SELECT y FROM ry, nn WHERE rn = (n + 9) // 10 LIMIT 1) "
-        "AS yl, "
-        "(SELECT c FROM rc, nn WHERE rn = (n + 9) // 10 LIMIT 1) "
-        "AS cl), "
-        "ct AS (SELECT "
-        "CAST(SUM(CASE WHEN xs.y > th.yu AND xs.c > th.cu THEN 1 "
-        "ELSE 0 END) AS BIGINT) AS bu, "
-        "CAST(SUM(CASE WHEN xs.y <= th.yl AND xs.c <= th.cl THEN 1 "
-        "ELSE 0 END) AS BIGINT) AS bl FROM xs, th) "
-        "SELECT nn.n AS n_days, ct.bu AS n_upper, ct.bl AS n_lower, "
-        "ROUND(CAST(ct.bu AS DOUBLE) / (0.1 * CAST(nn.n AS DOUBLE)), "
-        "6) AS lambda_u, "
-        "ROUND(CAST(ct.bl AS DOUBLE) / (0.1 * CAST(nn.n AS DOUBLE)), "
-        "6) AS lambda_l FROM ct, nn"
-    )
-    out["blomqvist_beta"] = (
-        # quadrant counts around the exact medians -- mirrors
-        "-- _q_blomqvist_beta\n"
-        "WITH " + _DAILY2_SQL + ", "
-        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM xs), "
-        "ry AS (SELECT y, ROW_NUMBER() OVER (ORDER BY y) AS rn "
-        "FROM xs), "
-        "rc AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rn "
-        "FROM xs), "
-        "md AS (SELECT "
-        "(SELECT y FROM ry, nn WHERE rn = (n + 1) // 2 LIMIT 1) "
-        "AS my, "
-        "(SELECT c FROM rc, nn WHERE rn = (n + 1) // 2 LIMIT 1) "
-        "AS mc), "
-        "ct AS (SELECT "
-        "CAST(SUM(CASE WHEN xs.y <> md.my AND xs.c <> md.mc "
-        "AND ((xs.y > md.my) = (xs.c > md.mc)) THEN 1 ELSE 0 END) "
-        "AS BIGINT) AS conc, "
-        "CAST(SUM(CASE WHEN xs.y <> md.my AND xs.c <> md.mc "
-        "AND ((xs.y > md.my) <> (xs.c > md.mc)) THEN 1 ELSE 0 END) "
-        "AS BIGINT) AS disc FROM xs, md) "
-        "SELECT conc AS n_conc, disc AS n_disc, "
-        "ROUND(CAST(conc - disc AS DOUBLE) "
-        "/ CAST(conc + disc AS DOUBLE), 6) AS beta FROM ct"
-    )
-    out["survey_estimators"] = (
-        # deterministic 1-in-5 sample, HT/ratio/regression panel --
-        "-- mirrors _q_survey_estimators\n"
-        "WITH peru AS (SELECT user_id, "
-        "CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) "
-        "AS y, CAST(COUNT(*) AS BIGINT) AS x FROM events "
-        "GROUP BY user_id), "
-        "s AS (SELECT *, "
-        f"CASE WHEN ({_mx('user_id', 83)}) % 5 = 0 THEN 1 ELSE 0 END "
-        "AS samp FROM peru), "
-        "m AS (SELECT CAST(SUM(samp) AS BIGINT) AS ns, "
-        "CAST(SUM(y) AS BIGINT) AS ytrue, "
-        "CAST(SUM(x) AS BIGINT) AS xtot, "
-        "CAST(SUM(CASE WHEN samp = 1 THEN y ELSE 0 END) AS BIGINT) "
-        "AS sy, "
-        "CAST(SUM(CASE WHEN samp = 1 THEN x ELSE 0 END) AS BIGINT) "
-        "AS sx, "
-        "CAST(SUM(CASE WHEN samp = 1 THEN y * x ELSE 0 END) "
-        "AS BIGINT) AS sxy, "
-        "CAST(SUM(CASE WHEN samp = 1 THEN x * x ELSE 0 END) "
-        "AS BIGINT) AS sxx FROM s) "
-        "SELECT ns AS n_sample, ytrue AS true_total, "
-        "CAST(5 * sy AS BIGINT) AS ht_total, "
-        "ROUND(CAST(xtot AS DOUBLE) * (CAST(sy AS DOUBLE) "
-        "/ CAST(sx AS DOUBLE)), 6) AS ratio_total, "
-        "ROUND(CAST(5 * sy AS DOUBLE) "
-        "+ (CAST(ns * sxy - sx * sy AS DOUBLE) "
-        "/ CAST(ns * sxx - sx * sx AS DOUBLE)) "
-        "* (CAST(xtot AS DOUBLE) - 5.0 * CAST(sx AS DOUBLE)), 6) "
-        "AS reg_total, "
-        "ROUND(CAST(ns AS DOUBLE) * CAST(ns * 25 AS DOUBLE) "
-        "/ (CAST(5 * ns AS DOUBLE) * CAST(5 * ns AS DOUBLE)), 6) "
-        "AS kish_deff FROM m"
-    )
-    out["lexis_apc"] = (
-        # exact week cells, APC identity via modal period -- mirrors
-        "-- _q_lexis_apc\n"
-        "WITH t0 AS (SELECT user_id, MIN(epoch_us(ts)) AS t0 "
-        "FROM events GROUP BY user_id), "
-        "st AS (SELECT MIN(t0) AS s FROM t0), "
-        "cells AS (SELECT "
-        "(epoch_us(e.ts) - t0.t0) // 604800000000 AS age, "
-        "(epoch_us(e.ts) - st.s) // 604800000000 AS per, "
-        "CAST(COUNT(*) AS BIGINT) AS n FROM events e "
-        "JOIN t0 USING (user_id), st GROUP BY 1, 2), "
-        "pa AS (SELECT age, CAST(SUM(n) AS BIGINT) AS tot "
-        "FROM cells GROUP BY age), "
-        "modal AS (SELECT age, per FROM (SELECT age, per, "
-        "ROW_NUMBER() OVER (PARTITION BY age ORDER BY n DESC, per) "
-        "AS rn FROM cells) WHERE rn = 1) "
-        "SELECT CAST(pa.age AS BIGINT) AS age_weeks, "
-        "pa.tot AS n_events, "
-        "CAST(modal.per AS BIGINT) AS modal_period, "
-        "CAST(modal.per - pa.age AS BIGINT) AS modal_cohort "
-        "FROM pa JOIN modal USING (age) ORDER BY pa.age"
-    )
-    out["gompertz_hazard"] = (
-        # discrete hazards, 1e9-tick logs, exact tick regression --
-        "-- mirrors _q_gompertz_hazard\n"
-        "WITH peru AS (SELECT user_id, "
-        "(MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 3600000000 "
-        "AS ten FROM events GROUP BY user_id), "
-        "d AS (SELECT ten, CAST(COUNT(*) AS BIGINT) AS dd "
-        "FROM peru GROUP BY ten), "
-        "r AS (SELECT d.ten, d.dd, "
-        "(SELECT CAST(SUM(d2.dd) AS BIGINT) FROM d d2 "
-        "WHERE d2.ten >= d.ten) AS rr FROM d), "
-        "v AS (SELECT ten AS w, CAST(ROUND(LN(CAST(dd AS DOUBLE) "
-        "/ CAST(rr AS DOUBLE)) * 1e9, 0) AS BIGINT) AS lh FROM r "
-        "WHERE dd > 0 AND dd < rr), "
-        "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(w) AS BIGINT) AS sx, CAST(SUM(lh) AS BIGINT) AS sy, "
-        "CAST(SUM(w * w) AS BIGINT) AS sxx, "
-        "SUM(CAST(w AS HUGEINT) * lh) AS sxy FROM v) "
-        "SELECT n AS n_hazard_hours, "
-        "ROUND(CAST(n * sxy - sx * sy AS DOUBLE) "
-        "/ CAST(n * sxx - sx * sx AS DOUBLE) / 1e9, 6) "
-        "AS gompertz_slope FROM m"
-    )
-    out["code_length_audit"] = (
-        # exact bit-length closed forms via bin() -- mirrors
-        "-- _q_code_length_audit\n"
-        "WITH c0 AS (SELECT epoch_us(ts) // 86400000000 AS d, "
-        "CAST(COUNT(*) AS BIGINT) AS y FROM events GROUP BY 1), "
-        "fr AS (SELECT unnest(generate_series((SELECT MIN(d) FROM c0), "
-        "(SELECT MAX(d) FROM c0))) AS d), "
-        "xs AS (SELECT COALESCE(c0.y, 0) + 1 AS x "
-        "FROM fr LEFT JOIN c0 USING (d)), "
-        "bl AS (SELECT x, CAST(LEN(bin(x)) AS BIGINT) AS b FROM xs), "
-        "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
-        "CAST(SUM(2 * (b - 1) + 1) AS BIGINT) AS gamma, "
-        "CAST(SUM((b - 1) + 2 * (CAST(LEN(bin(b)) AS BIGINT) - 1) "
-        "+ 1) AS BIGINT) AS delta, "
-        "CAST(SUM((x >> 2) + 3) AS BIGINT) AS rice FROM bl) "
-        "SELECT scheme, total_bits, n AS n_values FROM ("
-        "SELECT 'elias_gamma' AS scheme, gamma AS total_bits, n "
-        "FROM s UNION ALL SELECT 'elias_delta', delta, n FROM s "
-        "UNION ALL SELECT 'rice_k2', rice, n FROM s "
-        "UNION ALL SELECT 'fixed32', 32 * n, n FROM s)"
-    )
-    out["renyi_entropy"] = (
-        # exact integer power sums, one pinned log chain per order --
-        # mirrors _q_renyi_entropy
-        "WITH w AS (SELECT list_filter(string_split(text, ' '), "
-        "t -> t <> '') AS ws FROM documents), "
-        "tok AS (SELECT unnest(ws) AS t FROM w), "
-        "tf AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c "
-        "FROM tok GROUP BY t), "
-        "s AS (SELECT CAST(SUM(c) AS BIGINT) AS n, "
-        "CAST(COUNT(*) AS BIGINT) AS v, "
-        "CAST(SUM(c * c) AS BIGINT) AS s2, "
-        "CAST(SUM(c * c * c) AS BIGINT) AS s3, "
-        "CAST(MAX(c) AS BIGINT) AS cm FROM tf) "
-        "SELECT o.order_name, "
-        "ROUND(CASE o.order_name "
-        "WHEN 'h0' THEN LN(CAST(s.v AS DOUBLE)) "
-        "WHEN 'h2' THEN -(LN(CAST(s.s2 AS DOUBLE)) "
-        "- 2.0 * LN(CAST(s.n AS DOUBLE))) "
-        "WHEN 'h3' THEN -(LN(CAST(s.s3 AS DOUBLE)) "
-        "- 3.0 * LN(CAST(s.n AS DOUBLE))) / 2.0 "
-        "ELSE -(LN(CAST(s.cm AS DOUBLE)) - LN(CAST(s.n AS DOUBLE))) "
-        "END, 6) AS entropy, s.n AS n_tokens, s.v AS vocab "
-        "FROM (SELECT * FROM (VALUES ('h0'), ('h2'), ('h3'), "
-        "('hinf')) AS vv(order_name)) o, s"
-    )
-    out["rocchio_feedback"] = (
-        # exact integer weight numerators c_r*N_n - c_n*N_r --
-        # mirrors _q_rocchio_feedback
-        "WITH d AS (SELECT lang, list_filter(string_split(text, ' '), "
-        "t -> t <> '') AS ws FROM documents), "
-        "tok AS (SELECT unnest(ws) AS t, "
-        "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS r FROM d), "
-        "a AS (SELECT t, CAST(SUM(r) AS BIGINT) AS cr, "
-        "CAST(COUNT(*) AS BIGINT) AS ct FROM tok GROUP BY t), "
-        "tt AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr, "
-        "CAST(SUM(ct - cr) AS BIGINT) AS nn FROM a), "
-        "ww AS (SELECT t, CAST(cr * tt.nn - (ct - cr) * tt.nr "
-        "AS BIGINT) AS num FROM a, tt) "
-        "SELECT ww.t AS term, ww.num AS w_num, "
-        "ROUND(CAST(ww.num AS DOUBLE) / (CAST(tt.nr AS DOUBLE) "
-        "* CAST(tt.nn AS DOUBLE)), 6) AS weight FROM ww, tt "
-        "ORDER BY ww.num DESC, ww.t LIMIT 10"
-    )
-    out["dunn_index"] = (
-        # exact integer inter/intra extremes over the shared Voronoi
-        # partition -- mirrors _q_dunn_index
-        "WITH " + _VOR_SITES_SQL + ", "
-        "prs AS (SELECT a.li AS la, b.li AS lb, "
-        "(a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS d2 "
-        "FROM asn a JOIN asn b ON a.cell < b.cell) "
-        "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM asn) "
-        "AS n_points, "
-        "CAST(MIN(d2) FILTER (WHERE la <> lb) AS BIGINT) "
-        "AS min_inter_d2, "
-        "CAST(MAX(d2) FILTER (WHERE la = lb) AS BIGINT) "
-        "AS max_intra_d2, "
-        "ROUND(CAST(MIN(d2) FILTER (WHERE la <> lb) AS DOUBLE) "
-        "/ CAST(MAX(d2) FILTER (WHERE la = lb) AS DOUBLE), 6) "
-        "AS dunn_sq FROM prs"
-    )
-    out["davies_bouldin_voronoi"] = (
-        # 1e9-tick quantized scatter sums and R-term accumulation --
-        # mirrors _q_davies_bouldin
-        "WITH " + _VOR_SITES_SQL + ", "
-        "sc AS (SELECT asn.li, CAST(SUM(CAST(ROUND(SQRT(CAST("
-        "(asn.x - s.sx) * (asn.x - s.sx) "
-        "+ (asn.y - s.sy) * (asn.y - s.sy) AS DOUBLE)) * 1e9, 0) "
-        "AS BIGINT)) AS BIGINT) AS ticks, "
-        "CAST(COUNT(*) AS BIGINT) AS n FROM asn "
-        "JOIN sites s ON s.i = asn.li GROUP BY asn.li), "
-        "sv AS (SELECT li, CAST(ticks AS DOUBLE) / 1e9 "
-        "/ CAST(n AS DOUBLE) AS s FROM sc), "
-        "r AS (SELECT a.li, MAX((a.s + b.s) / SQRT(CAST("
-        "(sa.sx - sb.sx) * (sa.sx - sb.sx) "
-        "+ (sa.sy - sb.sy) * (sa.sy - sb.sy) AS DOUBLE))) AS best "
-        "FROM sv a JOIN sv b ON b.li <> a.li "
-        "JOIN sites sa ON sa.i = a.li JOIN sites sb ON sb.i = b.li "
-        "GROUP BY a.li), "
-        "t2 AS (SELECT CAST(SUM(CAST(ROUND(best * 1e9, 0) "
-        "AS BIGINT)) AS BIGINT) AS tt, "
-        "CAST(COUNT(*) AS BIGINT) AS nc FROM r) "
-        "SELECT nc AS n_clusters, "
-        "ROUND(CAST(tt AS DOUBLE) / 1e9 / CAST(nc AS DOUBLE), 6) "
-        "AS db_index FROM t2"
-    )
-    out["kleinberg_bursts"] = _kleinberg_oracle_sql()
-    out["map_at_10"] = (
-        # AP as exact integer numerator over 2520 * min(R, 10) --
-        # mirrors _q_map_at_10
-        "WITH r AS (SELECT lang, doc_id, n_chars, "
-        "CASE WHEN n_chars % 3 = 2 THEN 1 ELSE 0 END AS rel, "
-        "ROW_NUMBER() OVER (PARTITION BY lang "
-        "ORDER BY n_chars DESC, doc_id) AS rn FROM documents), "
-        "rt AS (SELECT lang, CAST(SUM(rel) AS BIGINT) AS r_total "
-        "FROM r GROUP BY lang), "
-        "t10 AS (SELECT lang, rel, rn, "
-        "SUM(rel) OVER (PARTITION BY lang ORDER BY rn "
-        "ROWS UNBOUNDED PRECEDING) AS hits FROM r WHERE rn <= 10), "
-        "ap AS (SELECT lang, CAST(MAX(hits) AS BIGINT) AS hits_at_10, "
-        "CAST(SUM(CASE WHEN rel = 1 THEN (2520 // rn) * hits "
-        "ELSE 0 END) AS BIGINT) AS ap_num FROM t10 GROUP BY lang) "
-        "SELECT ap.lang, rt.r_total, ap.hits_at_10, ap.ap_num, "
-        "ROUND(CAST(ap.ap_num AS DOUBLE) "
-        "/ CAST(2520 * LEAST(rt.r_total, 10) AS DOUBLE), 6) AS ap "
-        "FROM ap JOIN rt USING (lang)"
-    )
-    return out

@@ -419,6 +419,8 @@ EXTRA_QUERY_SUBSET = [
     "harris_corners", "seam_dp", "kapur_threshold",
     "distinct_substrings", "block_entropy", "radiation_model",
     "local_geary", "general_g", "rake_keywords",
+    # round-4 additions
+    "media_decode_jpeg",
 ]
 
 

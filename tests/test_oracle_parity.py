@@ -147,3 +147,17 @@ def test_registry_head_curated(entry_mod):
     first50 = set(list(qs)[:50])
     for fam, names in families.items():
         assert names & first50, f"family {fam} missing from registry head"
+
+
+def test_catalog_counts(entry_mod):
+    """Single source of truth for the catalog size quoted in docs
+    (ROADMAP/COVERAGE point here instead of hand-counting)."""
+    qs = entry_mod.queries()
+    sqls = entry_mod.oracle_sql()
+    assert len(qs) == 730
+    assert len(sqls) == 724
+    assert set(sqls) <= set(qs)
+    assert sorted(set(qs) - set(sqls)) == [
+        "bpe_merges", "embedding_neardup", "ivf_ann",
+        "pages_flagship", "pq_ann", "zonal_multiband",
+    ]
