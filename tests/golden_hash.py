@@ -25,6 +25,7 @@ NO_ORACLE_QUERIES = [
     "pq_ann",
     "zonal_multiband",
     "pages_flagship",
+    "pages_flagship_shuffle",
     "bpe_merges",
 ]
 

@@ -154,10 +154,11 @@ def test_catalog_counts(entry_mod):
     (ROADMAP/COVERAGE point here instead of hand-counting)."""
     qs = entry_mod.queries()
     sqls = entry_mod.oracle_sql()
-    assert len(qs) == 730
+    assert len(qs) == 731
     assert len(sqls) == 724
     assert set(sqls) <= set(qs)
     assert sorted(set(qs) - set(sqls)) == [
         "bpe_merges", "embedding_neardup", "ivf_ann",
-        "pages_flagship", "pq_ann", "zonal_multiband",
+        "pages_flagship", "pages_flagship_shuffle", "pq_ann",
+        "zonal_multiband",
     ]

@@ -3504,6 +3504,32 @@ def _q_pages_flagship(sf_dir: str) -> pa.Table:
     return out["cell_counts"]
 
 
+def _q_pages_flagship_shuffle(sf_dir: str) -> pa.Table:
+    """The flagship with the SCALE-tier combine forced
+    (combine_tier='shuffle': distributed hash-bucket groupby-sum, no
+    driver concat of partials) -- pinned to the SAME canonical golden
+    as pages_flagship, the pip_join/pip_join_sharded pattern applied
+    to the metric pipeline (VERDICT r3 item 1)."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.pages import (
+        pages_flagship,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.sources.synthetic import (
+        gen_pages, gen_polygons,
+    )
+
+    n = 2000
+    d = tempfile.mkdtemp(prefix="graft_pages_")
+    p = os.path.join(d, "pages.parquet")
+    pq.write_table(gen_pages(n), p)
+    out = pages_flagship(
+        p, polygons=gen_polygons(), res=8, combine_tier="shuffle"
+    )
+    return out["cell_counts"]
+
+
 def _q_grid_variogram(sf_dir: str) -> pa.Table:
     """Empirical semivariogram of the sparse DEM along the easting
     axis at lags 1/2/4/8 pixels (the geostatistician's first look at
