@@ -3810,3 +3810,39 @@ class TestCoverBbox:
                 for r in range(5, 9)
             )
             assert hit
+
+
+class TestHashAggregateAutoTier:
+    def test_auto_routes_and_matches(self, ray_session):
+        """combine_tier='auto' routes on the materialized partial-row
+        count; both routes give identical aggregates (round-4 tier,
+        the exact_dedup/pages_flagship routing pattern)."""
+        import ray.data
+
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+            hash_aggregate,
+        )
+
+        rng = np.random.RandomState(3)
+        t = pa.table(
+            {
+                "k": pa.array(rng.randint(0, 500, 20_000)),
+                "v": pa.array(rng.randint(0, 1000, 20_000).astype(np.int64)),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(8)
+        aggs = [("v", "sum", "sv"), ("v", "min", "mn"),
+                ("v", "max", "mx"), ("v", "count", "n")]
+        drv = hash_aggregate(ds, ["k"], aggs)
+        # tiny threshold forces the shuffle route inside auto
+        shf = hash_aggregate(
+            ds, ["k"], aggs, combine_tier="auto", max_driver_rows=1
+        )
+        # and a huge threshold keeps auto on the driver route
+        auto_drv = hash_aggregate(
+            ds, ["k"], aggs, combine_tier="auto",
+            max_driver_rows=10_000_000,
+        )
+        want = sorted(drv.to_pylist(), key=lambda r: r["k"])
+        assert sorted(shf.to_pylist(), key=lambda r: r["k"]) == want
+        assert sorted(auto_drv.to_pylist(), key=lambda r: r["k"]) == want

@@ -46,6 +46,8 @@ def hash_aggregate(
     keys: list[str],
     aggs: list[tuple[str, str, str]],
     distributed_combine: bool = False,
+    combine_tier: str = "driver",
+    max_driver_rows: int = 2_000_000,
 ) -> pa.Table | ray.data.Dataset:
     """Partial/final grouped aggregation.
 
@@ -54,6 +56,15 @@ def hash_aggregate(
     n_groups).  ``distributed_combine=True`` routes the partials
     through a ``ds.groupby`` shuffle instead and returns a DATASET --
     the tree-reduce tier for group counts that exceed driver memory.
+
+    ``combine_tier='auto'`` (round 4, the exact_dedup/pages_flagship
+    routing pattern): materialize the partials once (object store,
+    spillable) and route on their ROW COUNT -- above
+    ``max_driver_rows`` the combine goes through the distributed
+    bucket shuffle and only the FINAL aggregate (<= distinct groups)
+    is collected; below, the driver combine as usual.  Still returns a
+    Table; callers whose final aggregate itself exceeds driver memory
+    should pass ``distributed_combine=True`` and keep the Dataset.
     """
     part_names = [f"_p{i}" for i in range(len(aggs))]
 
@@ -125,6 +136,26 @@ def hash_aggregate(
             .map_groups(combine_bucket, batch_format="pyarrow")
         )
 
+    if combine_tier == "auto":
+        partials_ds = partials_ds.materialize()
+        if partials_ds.count() > max_driver_rows:
+            final = hash_aggregate(
+                partials_ds.map_batches(
+                    lambda t: t.rename_columns(
+                        keys + [c for _, _, c in aggs]
+                    ),
+                    batch_format="pyarrow", batch_size=None,
+                ),
+                keys,
+                [(c, _SECOND_LEVEL_OP[op], c) for _, op, c in aggs],
+                distributed_combine=True,
+            )
+            out = collect_tables(final)
+            return out if out is not None else pa.table(
+                {k: [] for k in keys}
+            )
+    elif combine_tier != "driver":
+        raise ValueError(f"unknown combine_tier: {combine_tier}")
     parts = collect_tables(partials_ds)
     if parts is None:
         return pa.table({k: [] for k in keys})
@@ -133,6 +164,11 @@ def hash_aggregate(
     ]
     out = parts.group_by(keys).aggregate(spec)
     return out.rename_columns(keys + [name for _, _, name in aggs])
+
+
+# combining partials of `op` uses this op at the second level
+# (count partials combine by SUM; the rest are idempotent)
+_SECOND_LEVEL_OP = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
 
 
 def pivot_wide(
