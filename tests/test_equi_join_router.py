@@ -110,3 +110,57 @@ def test_full_outer_never_broadcasts(ray_session):
             l, r, on=("k",), right_on=("rk",), join_type="full_outer",
             strategy="broadcast",
         )
+
+
+class TestSkewJoin:
+    def test_skew_strategy_matches_shuffle(self, ray_session):
+        """strategy='skew' (hot-key split: broadcast the right's hot
+        subset, shuffle the cold remainder) equals the plain shuffle
+        join on a fixture where one key carries ~50% of all rows."""
+        import ray.data
+
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+            collect_tables, equi_join,
+        )
+
+        rng = np.random.RandomState(11)
+        n = 40_000
+        # key 7 is hot (half the rows); keys 0..199 are cold; some
+        # left keys (900+) have no right match and vice versa
+        k = np.where(rng.rand(n) < 0.5, 7, rng.randint(0, 200, n))
+        k[:50] = 900 + np.arange(50)  # unmatched-left block
+        left = ray.data.from_arrow(
+            pa.table({"k": k, "lv": np.arange(n, dtype=np.int64)})
+        ).repartition(8)
+        rk = np.concatenate(
+            [np.arange(0, 150), np.array([7] * 5), np.arange(1000, 1020)]
+        ).astype(np.int64)
+        right = ray.data.from_arrow(
+            pa.table({"rk": rk, "rv": rk * 10})
+        ).repartition(4)
+
+        def norm(ds):
+            t = collect_tables(ds)
+            rows = sorted(
+                (
+                    tuple(
+                        (None if r.get(c) is None else r.get(c))
+                        for c in ("k", "lv", "rk", "rv")
+                    )
+                    for r in t.to_pylist()
+                ),
+                key=str,
+            )
+            return rows
+
+        for jt in ("inner", "left_outer"):
+            want = norm(
+                equi_join(left, right, on=("k",), right_on=("rk",),
+                          join_type=jt, strategy="shuffle")
+            )
+            got = norm(
+                equi_join(left, right, on=("k",), right_on=("rk",),
+                          join_type=jt, strategy="skew")
+            )
+            assert got == want, jt
+            assert len(want) > n / 2  # the hot key actually multiplied

@@ -501,12 +501,88 @@ def equi_join(
             batch_format="pyarrow",
             batch_size=None,
         )
+    if strategy == "skew":
+        return _skew_equi_join(
+            left, right, on=tuple(on), right_on=right_on,
+            join_type=join_type, num_partitions=num_partitions,
+        )
     if strategy != "shuffle":
         raise ValueError(f"unknown join strategy {strategy!r}")
     return left.join(
         right, join_type=join_type, num_partitions=num_partitions,
         on=tuple(on), right_on=right_on,
     )
+
+
+def _skew_equi_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    on: tuple[str, ...],
+    right_on: tuple[str, ...],
+    join_type: str,
+    num_partitions: int,
+    hot_factor: float = 10.0,
+) -> ray.data.Dataset:
+    """Hot-key split join for SKEWED big-big joins (urban-cell skew:
+    a handful of keys carry 100x the median row count and would
+    hotspot one partition of a hash-shuffle join).
+
+    Plan: a combiner-tier ``partial_count`` over the LEFT key finds
+    hot keys (>= ``hot_factor`` x median -- the hot KEY LIST is tiny
+    even when hot ROWS dominate); the right side's hot-key subset is
+    collected + broadcast and hot left rows join map-side (no
+    shuffle, no hotspot); the cold remainders take the normal hash
+    shuffle; results union.  Only ``inner`` / ``left_outer`` (the
+    broadcast-expressible types).  Both inputs are materialized once
+    first: each side is consumed twice (hot/cold filters), and lazy
+    lineage would otherwise re-execute the upstream per consumer."""
+    import ray
+
+    from ..stages.shuffle import detect_hot_keys, partial_count
+
+    if join_type not in _BCAST_JOIN_TYPES:
+        raise ValueError(f"skew equi-join cannot express {join_type!r}")
+    if len(on) != 1 or len(right_on) != 1:
+        raise ValueError("skew equi-join supports single-key joins")
+    key, rkey = on[0], right_on[0]
+    left = left.materialize()
+    hot = detect_hot_keys(
+        partial_count(left, [key]), key, factor=hot_factor
+    )
+    if not hot:
+        return left.join(
+            right, join_type=join_type, num_partitions=num_partitions,
+            on=on, right_on=right_on,
+        )
+    right = right.materialize()
+    hot_arr = pa.array(sorted(hot))
+
+    def keep(col: str, is_hot: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            m = pc.is_in(t[col], value_set=hot_arr)
+            return t.filter(m if is_hot else pc.invert(m))
+
+        return fn
+
+    kwargs = {"batch_format": "pyarrow", "batch_size": None}
+    right_hot = collect_tables(right.map_batches(keep(rkey, True), **kwargs))
+    if right_hot is None:
+        right_hot = right.schema().base_schema.empty_table()
+    hot_joined = left.map_batches(keep(key, True), **kwargs).map_batches(
+        _broadcast_join_batch,
+        fn_kwargs=dict(
+            right_ref=ray.put(right_hot), on=on,
+            right_on=right_on, join_type=join_type,
+        ),
+        **kwargs,
+    )
+    cold_joined = left.map_batches(keep(key, False), **kwargs).join(
+        right.map_batches(keep(rkey, False), **kwargs),
+        join_type=join_type, num_partitions=num_partitions,
+        on=on, right_on=right_on,
+    )
+    return hot_joined.union(cold_joined)
 
 
 def grouped_string_agg(

@@ -2174,6 +2174,13 @@ def oracle_entries(out: dict) -> dict:
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "GROUP BY o_orderpriority"
         ),
+        "big_join_revenue_skew": (
+            "SELECT o_orderpriority, "
+            "ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS revenue, "
+            "CAST(COUNT(*) AS BIGINT) AS n_items "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY o_orderpriority"
+        ),
         "token_frequencies": (
             "SELECT token, CAST(COUNT(*) AS BIGINT) AS n FROM ("
             "SELECT UNNEST(regexp_split_to_array(text, '\\s+')) AS token "
