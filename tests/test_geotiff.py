@@ -579,3 +579,102 @@ def test_write_grid_geotiffs_distributed(ray_session, tmp_path):
     for name, a in arrs.items():
         g = open_geotiff(str(tmp_path / "out" / f"{name}.tif"))
         np.testing.assert_array_equal(g.read(1), a)
+
+
+class TestJPEGInTIFF:
+    """Compression 7 (JPEG-in-TIFF): the two from-scratch codecs
+    composed -- abbreviated per-block streams + the JPEGTables tag."""
+
+    def test_flat_block_roundtrip_exact_tiled_and_strips(self, tmp_path):
+        from tiff_to_geojson_csv_json_format_converter_ray.sources.geotiff import (
+            open_geotiff, write_geotiff,
+        )
+
+        rng = np.random.RandomState(5)
+        blocks = rng.randint(0, 128, size=(6, 8), dtype=np.int64) * 2
+        img = np.repeat(np.repeat(blocks, 8, 0), 8, 1).astype(np.uint8)
+        for kw in ({"tile": 16}, {"rows_per_strip": 8}):
+            p = str(tmp_path / f"jp_{list(kw)[0]}.tif")
+            write_geotiff(
+                p, img, transform=[0.01, 0, 77.0, 0, -0.01, 29.0],
+                crs="EPSG:4326", compression="jpeg", jpeg_quality=50, **kw
+            )
+            g = open_geotiff(p)
+            # flat even-valued 8x8 blocks survive q50 EXACTLY
+            assert (g.read(1) == img).all(), kw
+            assert g.crs == "EPSG:4326"
+
+    def test_gradient_roundtrip_tolerance_and_tables_tag(self, tmp_path):
+        import struct as _struct
+
+        from tiff_to_geojson_csv_json_format_converter_ray.sources.geotiff import (
+            open_geotiff, write_geotiff,
+        )
+
+        r, c = np.meshgrid(np.arange(40), np.arange(56), indexing="ij")
+        img = (
+            120 + 60 * np.sin(r / 9.0) + 40 * np.cos(c / 7.0)
+        ).clip(0, 255).astype(np.uint8)
+        p = str(tmp_path / "grad.tif")
+        write_geotiff(p, img, compression="jpeg", jpeg_quality=95, tile=16)
+        g = open_geotiff(p)
+        err = np.abs(g.read(1).astype(int) - img.astype(int))
+        assert err.max() <= 8, err.max()
+        data = open(p, "rb").read()
+        # JPEGTables written once; per-tile streams are ABBREVIATED
+        # (no DQT marker FFDB outside the tables tag)
+        assert data.count(b"\xff\xdb") == 1
+
+    def test_rgb_jpeg_tiff_hand_built(self):
+        """3-sample chunky JPEG-compressed TIFF (full per-strip JFIF
+        streams, no JPEGTables) assembled by hand with struct."""
+        import struct as _struct
+
+        from tiff_to_geojson_csv_json_format_converter_ray.sources.geotiff import (
+            parse_geotiff,
+        )
+        from tiff_to_geojson_csv_json_format_converter_ray.sources.media import (
+            encode_jpeg,
+        )
+
+        blocks = (np.arange(4 * 6).reshape(4, 6) % 120) * 2
+        gray = np.repeat(np.repeat(blocks, 8, 0), 8, 1).astype(np.uint8)
+        img = np.stack([gray, gray, gray], axis=2)  # equal channels
+        payload = encode_jpeg(img, quality=50)  # full stream, 4:4:4
+        h, w = gray.shape
+
+        entries = []  # (tag, type, count, values)
+        def ent(tag, ftype, vals):
+            entries.append((tag, ftype, vals))
+
+        ent(256, 4, [w]); ent(257, 4, [h]); ent(258, 3, [8, 8, 8])
+        ent(259, 3, [7]); ent(262, 3, [2]); ent(277, 3, [3])
+        ent(278, 4, [h])  # one strip
+        ent(273, 4, [0]); ent(279, 4, [len(payload)])  # patched below
+        entries.sort()
+        n = len(entries)
+        ifd_off = 8
+        data_off = ifd_off + 2 + n * 12 + 4
+        out = bytearray(_struct.pack("<2sHI", b"II", 42, ifd_off))
+        out += _struct.pack("<H", n)
+        extra = bytearray()
+        fmt_of = {3: "H", 4: "I"}
+        for tag, ftype, vals in entries:
+            if tag == 273:
+                vals = [data_off]
+            raw = _struct.pack("<" + fmt_of[ftype] * len(vals), *vals)
+            if len(raw) <= 4:
+                out += _struct.pack("<HHI", tag, ftype, len(vals))
+                out += raw.ljust(4, b"\0")
+            else:
+                out += _struct.pack(
+                    "<HHII", tag, ftype, len(vals),
+                    data_off + len(payload) + len(extra),
+                )
+                extra += raw
+        out += _struct.pack("<I", 0)  # next IFD
+        out += payload + extra
+        g = parse_geotiff(bytes(out))
+        assert g.count == 3
+        for b in (1, 2, 3):
+            assert (g.read(b) == gray).all(), b

@@ -7,7 +7,9 @@ with no native deps:
 
 - classic TIFF and BigTIFF, both byte orders;
 - strip and tile layouts, chunky and planar multi-band;
-- compressions: none (1), LZW (5), Deflate (8 / 32946, stdlib zlib),
+- compressions: none (1), LZW (5), JPEG (7, via the from-scratch
+  baseline codec in sources/media.py + the JPEGTables tag), Deflate
+  (8 / 32946, stdlib zlib),
   PackBits (32773);
 - predictors: none (1), horizontal differencing (2), floating-point
   byte differencing (3);
@@ -43,6 +45,7 @@ TAG_IMAGE_WIDTH = 256
 TAG_IMAGE_LENGTH = 257
 TAG_BITS_PER_SAMPLE = 258
 TAG_COMPRESSION = 259
+TAG_JPEG_TABLES = 347
 TAG_PHOTOMETRIC = 262
 TAG_STRIP_OFFSETS = 273
 TAG_SAMPLES_PER_PIXEL = 277
@@ -399,7 +402,6 @@ def parse_geotiff(data: bytes) -> GeoTIFF:
         for idx in range(per_plane):
             k = p * per_plane + idx
             raw = data[offsets[k] : offsets[k] + counts[k]]
-            payload = _decompress(raw, compression)
             if tiled:
                 ty, tx = divmod(idx, tiles_across)
                 rows_here, cols_here = th, tw
@@ -407,6 +409,41 @@ def parse_geotiff(data: bytes) -> GeoTIFF:
                 rows_here = min(rps, height - idx * rps)
                 cols_here = width
             row_samples = cols_here * samples_per_px
+            if compression == 7:
+                # JPEG-in-TIFF: per-block abbreviated (or full) JFIF
+                # streams, shared tables in the JPEGTables tag -- both
+                # ends of the from-scratch codecs meet here
+                if bits != 8 or fmt != 1 or planar == 2:
+                    raise GeoTIFFError(
+                        "JPEG compression requires 8-bit unsigned "
+                        "chunky samples"
+                    )
+                from .media import decode_jpeg
+
+                jt = tags.get(TAG_JPEG_TABLES)
+                rgb = decode_jpeg(
+                    raw, tables=bytes(jt) if jt else None
+                )
+                if spp == 1:
+                    block = rgb[:, :, 0]
+                elif spp == 3:
+                    block = rgb.reshape(rgb.shape[0], -1)
+                else:
+                    raise GeoTIFFError(
+                        f"JPEG compression with {spp} samples"
+                    )
+                block = block[:rows_here, :row_samples].astype(
+                    dtype, copy=False
+                )
+                if tiled:
+                    r0, c0 = ty * th, tx * tw * samples_per_px
+                    rr = min(th, height - r0)
+                    cc = min(tw, width - tx * tw) * samples_per_px
+                    img[r0 : r0 + rr, c0 : c0 + cc] = block[:rr, :cc]
+                else:
+                    img[idx * rps : idx * rps + rows_here, :] = block
+                continue
+            payload = _decompress(raw, compression)
             if predictor == 3:
                 block = np.frombuffer(
                     payload, np.uint8,
@@ -493,9 +530,10 @@ def write_geotiff(
     nodata: float | None = None,
     *,
     tile: int | None = None,
-    compression: str = "none",  # none | deflate
+    compression: str = "none",  # none | deflate | jpeg
     predictor: int = 1,
     rows_per_strip: int | None = None,
+    jpeg_quality: int = 90,
 ) -> None:
     """Write a single-band classic little-endian GeoTIFF.
 
@@ -512,9 +550,23 @@ def write_geotiff(
     fmt = _NP_TO_FMT.get(dt.kind)
     if fmt is None:
         raise GeoTIFFError(f"unsupported dtype {arr.dtype}")
-    comp_code = {"none": 1, "deflate": 8}[compression]
+    comp_code = {"none": 1, "deflate": 8, "jpeg": 7}[compression]
+    if comp_code == 7 and (arr.dtype != np.uint8):
+        raise GeoTIFFError("jpeg compression requires uint8 arrays")
 
     # ---- payload blocks
+    if comp_code == 7:
+        from .media import encode_jpeg
+
+        def enc(block: np.ndarray) -> bytes:
+            # abbreviated stream; shared tables go in JPEGTables (347)
+            return encode_jpeg(
+                block, quality=jpeg_quality, abbreviated=True
+            )
+    else:
+        def enc(block: np.ndarray) -> bytes:
+            return _predictor_encode(block, predictor)
+
     blocks: list[bytes] = []
     if tile:
         for r0 in range(0, h, tile):
@@ -522,12 +574,12 @@ def write_geotiff(
                 block = np.zeros((tile, tile), dt)
                 sub = arr[r0 : r0 + tile, c0 : c0 + tile]
                 block[: sub.shape[0], : sub.shape[1]] = sub
-                blocks.append(_predictor_encode(block, predictor))
+                blocks.append(enc(block))
     else:
         rps = rows_per_strip or max(1, (1 << 16) // max(1, w * dt.itemsize))
         rps = min(rps, h)
         for r0 in range(0, h, rps):
-            blocks.append(_predictor_encode(arr[r0 : r0 + rps], predictor))
+            blocks.append(enc(arr[r0 : r0 + rps]))
     if comp_code == 8:
         blocks = [zlib.compress(b, 6) for b in blocks]
 
@@ -554,6 +606,11 @@ def write_geotiff(
     add(TAG_SAMPLES_PER_PIXEL, 3, 1)
     if predictor != 1:
         add(TAG_PREDICTOR, 3, predictor)
+    if comp_code == 7:
+        from .media import jpeg_tables_stream
+
+        add(TAG_JPEG_TABLES, 7,
+            list(jpeg_tables_stream(jpeg_quality, gray=True)))
     add(TAG_SAMPLE_FORMAT, 3, fmt)
     if tile:
         add(TAG_TILE_WIDTH, 3, tile)

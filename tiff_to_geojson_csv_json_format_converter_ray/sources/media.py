@@ -506,8 +506,63 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
-def decode_jpeg(data: bytes) -> np.ndarray:
+def _parse_dqt(body: bytes, qt: dict) -> None:
+    i = 0
+    while i < len(body):
+        pq, tq = body[i] >> 4, body[i] & 0xF
+        i += 1
+        if pq:
+            qt[tq] = np.frombuffer(
+                body[i : i + 128], dtype=">u2"
+            ).astype(np.int64)
+            i += 128
+        else:
+            qt[tq] = np.frombuffer(
+                body[i : i + 64], dtype=np.uint8
+            ).astype(np.int64)
+            i += 64
+
+
+def _parse_dht(body: bytes, hufftabs: dict) -> None:
+    i = 0
+    while i < len(body):
+        tc, th = body[i] >> 4, body[i] & 0xF
+        bits = list(body[i + 1 : i + 17])
+        n = sum(bits)
+        hufftabs[(tc, th)] = _HuffDecodeTable(
+            bits, list(body[i + 17 : i + 17 + n])
+        )
+        i += 17 + n
+
+
+def _scan_jpeg_tables(data: bytes, qt: dict, hufftabs: dict) -> None:
+    """Collect DQT/DHT from a tables-only stream (TIFF JPEGTables tag
+    347: SOI + tables + EOI, ITU-T T.81 abbreviated format)."""
+    if data[:2] != b"\xff\xd8":
+        raise MediaCodecError("JPEGTables: no SOI")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise MediaCodecError("JPEGTables: marker expected")
+        m = data[pos + 1]
+        pos += 2
+        if m == 0xD9:
+            return
+        (seglen,) = struct.unpack_from(">H", data, pos)
+        body = data[pos + 2 : pos + seglen]
+        if m == 0xDB:
+            _parse_dqt(body, qt)
+        elif m == 0xC4:
+            _parse_dht(body, hufftabs)
+        pos += seglen
+
+
+def decode_jpeg(data: bytes, tables: bytes | None = None) -> np.ndarray:
     """Baseline JFIF -> (h, w, 3) uint8 (grayscale replicated).
+
+    ``tables`` is an optional abbreviated tables-only stream (the TIFF
+    JPEGTables tag) whose DQT/DHT seed the decode of an abbreviated
+    image stream -- the JPEG-in-TIFF (compression 7) form.
 
     Closes the r3 'JPEG real decode' gap (VERDICT r3 item 3) the same
     way the GeoTIFF codec closed S1: spec-built, fixture-verified."""
@@ -516,6 +571,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     pos = 2
     qt: dict = {}
     hufftabs: dict = {}
+    if tables is not None:
+        _scan_jpeg_tables(tables, qt, hufftabs)
     frame = None
     ri = 0
     scan = None
@@ -532,31 +589,10 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             continue
         (seglen,) = struct.unpack_from(">H", data, pos)
         body = data[pos + 2 : pos + seglen]
-        if m == 0xDB:  # DQT
-            i = 0
-            while i < len(body):
-                pq, tq = body[i] >> 4, body[i] & 0xF
-                i += 1
-                if pq:
-                    q = np.frombuffer(
-                        body[i : i + 128], dtype=">u2"
-                    ).astype(np.int64)
-                    i += 128
-                else:
-                    q = np.frombuffer(
-                        body[i : i + 64], dtype=np.uint8
-                    ).astype(np.int64)
-                    i += 64
-                qt[tq] = q  # zigzag order
+        if m == 0xDB:  # DQT (zigzag order)
+            _parse_dqt(body, qt)
         elif m == 0xC4:  # DHT
-            i = 0
-            while i < len(body):
-                tc, th = body[i] >> 4, body[i] & 0xF
-                bits = list(body[i + 1 : i + 17])
-                n = sum(bits)
-                vals = list(body[i + 17 : i + 17 + n])
-                hufftabs[(tc, th)] = _HuffDecodeTable(bits, vals)
-                i += 17 + n
+            _parse_dht(body, hufftabs)
         elif m in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext sequential
             prec = body[0]
             if prec != 8:
@@ -790,14 +826,44 @@ def _encode_scan(comps: list, ri: int = 0) -> bytes:
     return bytes(bw_.out)
 
 
+def jpeg_tables_stream(quality: int = 90, gray: bool = True) -> bytes:
+    """Abbreviated tables-only stream (SOI + DQT + DHT + EOI) -- the
+    TIFF JPEGTables (347) payload matching :func:`encode_jpeg`'s
+    tables at the same quality."""
+    ql, qc = _quality_tables(quality)
+    zz = _zigzag()
+    out = bytearray(b"\xff\xd8")
+
+    def dqt(tid: int, q: np.ndarray) -> bytes:
+        return (
+            b"\xff\xdb" + struct.pack(">HB", 67, tid)
+            + bytes(int(x) for x in q[zz])
+        )
+
+    def dht(tc: int, th: int, spec: tuple) -> bytes:
+        bits, vals = spec
+        body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    out += dqt(0, ql)
+    out += dht(0, 0, _H_DC_LUMA) + dht(1, 0, _H_AC_LUMA)
+    if not gray:
+        out += dqt(1, qc)
+        out += dht(0, 1, _H_DC_CHROMA) + dht(1, 1, _H_AC_CHROMA)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def encode_jpeg(
     arr: np.ndarray, quality: int = 90, subsample: bool = False,
-    restart_interval: int = 0,
+    restart_interval: int = 0, abbreviated: bool = False,
 ) -> bytes:
     """(h, w, 3) or (h, w) uint8 -> baseline JFIF bytes.  Grayscale
     input emits a 1-component frame; ``subsample=True`` uses 4:2:0
     chroma, else 4:4:4.  Annex K tables quality-scaled (IJG rule),
-    typical Huffman tables, optional restart markers."""
+    typical Huffman tables, optional restart markers.
+    ``abbreviated=True`` omits DQT/DHT (the JPEG-in-TIFF per-block
+    form; pair with :func:`jpeg_tables_stream`)."""
     gray = arr.ndim == 2
     h, w = arr.shape[:2]
     ql, qc = _quality_tables(quality)
@@ -863,9 +929,10 @@ def encode_jpeg(
             + bytes(int(x) for x in q[zz])
         )
 
-    out += dqt(0, ql)
-    if not gray:
-        out += dqt(1, qc)
+    if not abbreviated:
+        out += dqt(0, ql)
+        if not gray:
+            out += dqt(1, qc)
     nc = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for i in range(nc):
@@ -878,9 +945,10 @@ def encode_jpeg(
         body = bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals)
         return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
 
-    out += dht(0, 0, _H_DC_LUMA) + dht(1, 0, _H_AC_LUMA)
-    if not gray:
-        out += dht(0, 1, _H_DC_CHROMA) + dht(1, 1, _H_AC_CHROMA)
+    if not abbreviated:
+        out += dht(0, 0, _H_DC_LUMA) + dht(1, 0, _H_AC_LUMA)
+        if not gray:
+            out += dht(0, 1, _H_DC_CHROMA) + dht(1, 1, _H_AC_CHROMA)
     if restart_interval:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     sos = bytes([nc])
