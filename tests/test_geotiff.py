@@ -678,3 +678,50 @@ class TestJPEGInTIFF:
         assert g.count == 3
         for b in (1, 2, 3):
             assert (g.read(b) == gray).all(), b
+
+
+def test_jpeg_tif_through_pipeline(ray_session, tmp_path):
+    """A JPEG-compressed flat-block uint8 GeoTIFF flows through
+    read_geotiff_tiles -> TilePivot identically to its uncompressed
+    twin (compression 7 decode is bit-exact on this fixture, so the
+    whole spatial pipeline is too)."""
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.convert import (
+        read_geotiff_tiles,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.sources.geotiff import (
+        write_geotiff,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.extract import (
+        TilePivot,
+    )
+
+    rng = np.random.RandomState(9)
+    blocks = rng.randint(1, 128, size=(8, 12), dtype=np.int64) * 2
+    img = np.repeat(np.repeat(blocks, 8, 0), 8, 1).astype(np.uint8)
+    tr = [0.01, 0, 77.0, 0, -0.01, 29.0]
+    p_jpg = str(tmp_path / "a_jpeg.tif")
+    p_raw = str(tmp_path / "a_none.tif")
+    write_geotiff(p_jpg, img, transform=tr, crs="EPSG:4326",
+                  compression="jpeg", jpeg_quality=50, tile=32)
+    write_geotiff(p_raw, img, transform=tr, crs="EPSG:4326", tile=32)
+
+    def run(path):
+        pts = read_geotiff_tiles(path, tile=32).map_batches(
+            TilePivot(round_output=True), batch_format="pyarrow",
+            batch_size=None,
+        )
+        t = collect_tables(pts)
+        df = (
+            t.to_pandas()
+            .drop(columns=["src"])  # filename-derived, differs by design
+            .sort_values(["lat", "lon"])
+            .reset_index(drop=True)
+        )
+        return df
+
+    a, b = run(p_jpg), run(p_raw)
+    assert len(a) == img.size
+    assert a.equals(b)
