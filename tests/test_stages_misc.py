@@ -3846,3 +3846,22 @@ class TestHashAggregateAutoTier:
         want = sorted(drv.to_pylist(), key=lambda r: r["k"])
         assert sorted(shf.to_pylist(), key=lambda r: r["k"]) == want
         assert sorted(auto_drv.to_pylist(), key=lambda r: r["k"]) == want
+
+    def test_distinct_auto_tier(self, ray_session):
+        import ray.data
+
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+            distinct,
+        )
+
+        rng = np.random.RandomState(5)
+        t = pa.table({"a": rng.randint(0, 300, 10_000),
+                      "b": rng.randint(0, 3, 10_000)})
+        ds = ray.data.from_arrow(t).repartition(6)
+        want = sorted(distinct(ds, ["a", "b"]).to_pylist(), key=str)
+        got = sorted(
+            distinct(ds, ["a", "b"], combine_tier="auto",
+                     max_driver_rows=1).to_pylist(),
+            key=str,
+        )
+        assert got == want and len(want) > 500

@@ -390,13 +390,50 @@ def grouped_top_k(
     return _topk_head(allp, group_col, keys, k, with_rank=True)
 
 
-def distinct(ds: ray.data.Dataset, cols: list[str]) -> pa.Table:
-    """Distinct tuples via per-batch unique + final unique."""
+def distinct(
+    ds: ray.data.Dataset,
+    cols: list[str],
+    combine_tier: str = "driver",
+    max_driver_rows: int = 2_000_000,
+) -> pa.Table:
+    """Distinct tuples via per-batch unique + final unique.
+
+    ``combine_tier='auto'`` (round-4 routing pattern): materialize the
+    per-batch uniques once and route on their row count -- above
+    ``max_driver_rows`` the final unique goes through the distributed
+    bucket shuffle (``hash_aggregate`` with an empty agg list is a
+    grouped-keys pass) and only the final distinct set is collected."""
 
     def partial(batch: pa.Table) -> pa.Table:
         return batch.select(cols).group_by(cols).aggregate([])
 
-    allp = collect_tables(ds.map_batches(partial, batch_format="pyarrow", batch_size=None))
+    partials_ds = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    )
+    if combine_tier == "auto":
+        partials_ds = partials_ds.materialize()
+        if partials_ds.count() > max_driver_rows:
+            out = collect_tables(
+                hash_aggregate(
+                    partials_ds.map_batches(
+                        lambda t: t.append_column(
+                            "_one",
+                            pa.array(
+                                np.ones(t.num_rows, np.int64)
+                            ),
+                        ),
+                        batch_format="pyarrow", batch_size=None,
+                    ),
+                    cols, [("_one", "min", "_one")],
+                    distributed_combine=True,
+                )
+            )
+            if out is None:
+                return pa.table({c: [] for c in cols})
+            return out.select(cols)
+    elif combine_tier != "driver":
+        raise ValueError(f"unknown combine_tier: {combine_tier}")
+    allp = collect_tables(partials_ds)
     if allp is None:
         return pa.table({c: [] for c in cols})
     return allp.group_by(cols).aggregate([])
