@@ -22,3 +22,12 @@ from tiff_to_geojson_csv_json_format_converter_ray.queries import (  # noqa: F40
     oracle_sql,
     queries,
 )
+
+# fixture helpers the test suite reaches through this module
+from tiff_to_geojson_csv_json_format_converter_ray.queries.part01 import (  # noqa: F401,E402
+    _og_multiband_tiles_table,
+    _og_tiles_table,
+)
+from tiff_to_geojson_csv_json_format_converter_ray.queries.part08 import (  # noqa: F401,E402
+    _st_run_sum,
+)

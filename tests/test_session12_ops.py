@@ -48,8 +48,11 @@ def test_registry_has_no_duplicate_keys():
     import re
     from collections import Counter
 
-    src = open("/root/repo/__ray_entry__.py").read()
-    m = re.search(r"def queries\(\).*?return \{(.*?)\n    \}", src, re.S)
+    src = open(
+        "/root/repo/tiff_to_geojson_csv_json_format_converter_ray/"
+        "queries/registry.py"
+    ).read()
+    m = re.search(r"def queries\(\).*?q = \{(.*?)\n    \}", src, re.S)
     keys = re.findall(r'"([a-z0-9_]+)":', m.group(1))
     dups = sorted(k for k, c in Counter(keys).items() if c > 1)
     assert not dups, f"duplicate queries() keys: {dups}"
