@@ -831,9 +831,13 @@ def main() -> None:
     # idle host).  GRAFT_SKIP_SCALING=1 skips it for quick iterations.
     scaling = None
     if os.environ.get("GRAFT_SKIP_SCALING") != "1":
-        scaling = run_scaling_summary(
-            lo=int(os.environ.get("GRAFT_SCALE_N", "1"))
-        )
+        try:
+            scaling = run_scaling_summary(
+                lo=int(os.environ.get("GRAFT_SCALE_N", "1"))
+            )
+        except Exception as exc:  # noqa: BLE001 -- never lose the
+            # main bench line to a scaling-leg hiccup
+            scaling = {"error": f"{type(exc).__name__}: {exc}"[:300]}
     total = headline["seconds"] + pages["seconds"] + sum(queries.values())
     out = {
         "metric": "end-to-end pixel-extract + tile-join + pages + query suite",
