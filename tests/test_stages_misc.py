@@ -3865,3 +3865,31 @@ class TestHashAggregateAutoTier:
             key=str,
         )
         assert got == want and len(want) > 500
+
+
+class TestBandedHashPairs:
+    def test_banded_tier_matches_driver(self, ray_session):
+        """The banded-LSH scale tier (signatures stay a Dataset, band
+        groupby + exact popcount verify, distributed) returns the
+        exact same pair set as the driver all-pairs tier for both
+        perceptual hashes, across partitionings."""
+        import ray.data
+
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.multimodal import (
+            gen_media_grid, image_ahash_pairs, image_dhash_pairs,
+        )
+
+        media_tbl = gen_media_grid(n=24, size=32, n_base=16)
+
+        def norm(t):
+            return sorted(
+                (r["id_a"], r["id_b"], r["hamming"]) for r in t.to_pylist()
+            )
+
+        for fn in (image_ahash_pairs, image_dhash_pairs):
+            drv = norm(fn(ray.data.from_arrow(media_tbl)))
+            assert drv, fn.__name__  # fixture plants near-dups
+            for parts in (1, 5):
+                ds = ray.data.from_arrow(media_tbl).repartition(parts)
+                got = norm(fn(ds, tier="banded"))
+                assert got == drv, (fn.__name__, parts)

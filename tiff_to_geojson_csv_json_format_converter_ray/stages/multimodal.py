@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -302,8 +303,136 @@ def ahash_bits(gray: np.ndarray, block: int = 4) -> np.ndarray:
     return (bs.ravel() * n_blocks > g.sum()).astype(np.int64)
 
 
+def _banded_hamming_pairs(
+    sig_ds: "ray.data.Dataset", max_hamming: int, num_buckets: int = 32
+) -> pa.Table:
+    """Distributed Hamming-pair tier over a (media_id, bits) signature
+    Dataset: band each signature into ``max_hamming + 1`` bit bands
+    (pigeonhole: any pair within ``max_hamming`` shares at least one
+    EXACT band), groupby the hash-bucketed (band, key), verify each
+    band-bucket's candidates with exact popcount Hamming, then dedupe
+    the (output-sized) pair list.  The signature itself rides the
+    shuffle as ONE packed int64 per row -- never the payload bytes.
+    Same bucketed shape as stages/dedup.py's MinHash-LSH tier."""
+    import ray.data  # noqa: F401
+
+    from .dedup import _bucket_ids, _segment_bounds
+
+    nbands = max_hamming + 1
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t["media_id"].to_pylist()
+        rows = t["bits"].to_pylist()
+        lens = {len(b) for b in rows}
+        if len(lens) > 1:
+            raise ValueError(
+                f"non-uniform signature lengths {sorted(lens)}"
+            )
+        mat = np.asarray(rows, np.int64)
+        n, nbits = mat.shape
+        if nbits > 63:
+            # keep the packed value positive (bucketing uses abs/mod)
+            packed = np.zeros(n, np.uint64)
+            for j in range(nbits):
+                packed |= mat[:, j].astype(np.uint64) << np.uint64(j)
+            sig = packed.view(np.int64)
+        else:
+            sig = (mat << np.arange(nbits, dtype=np.int64)).sum(axis=1)
+        edges = np.linspace(0, nbits, nbands + 1).astype(int)
+        parts = []
+        for b in range(nbands):
+            seg = mat[:, edges[b]:edges[b + 1]]
+            key = (
+                seg << np.arange(seg.shape[1], dtype=np.int64)
+            ).sum(axis=1)
+            parts.append(
+                pa.table(
+                    {
+                        "band": pa.array(np.full(n, b, np.int32)),
+                        "key": pa.array(key),
+                        "media_id": pa.array(ids, pa.string()),
+                        "sig": pa.array(sig),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_bkt",
+            pa.array(_bucket_ids(
+                t["band"].to_numpy(zero_copy_only=False).astype(np.int64),
+                t["key"].to_numpy(zero_copy_only=False),
+                num_buckets=num_buckets,
+            )),
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        band = group["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = group["key"].to_numpy(zero_copy_only=False)
+        ids = np.asarray(group["media_id"].to_pylist())
+        sigs = group["sig"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((key, band))
+        band, key, ids, sigs = band[order], key[order], ids[order], sigs[order]
+        bounds = _segment_bounds(band, key)
+        out_a, out_b, out_h = [], [], []
+        for s, t_ in zip(bounds[:-1], bounds[1:]):
+            g = int(t_ - s)
+            if g < 2:
+                continue
+            sid, ssig = ids[s:t_], sigs[s:t_]
+            ii, jj = np.triu_indices(g, 1)
+            x = np.bitwise_xor(ssig[ii], ssig[jj])
+            ham = np.unpackbits(
+                x.view(np.uint8).reshape(len(x), 8), axis=1
+            ).sum(axis=1)
+            k = ham <= max_hamming
+            a, b = sid[ii[k]], sid[jj[k]]
+            swap = a > b  # np.minimum has no unicode loop
+            lo = np.where(swap, b, a)
+            hi = np.where(swap, a, b)
+            out_a.extend(lo.tolist())
+            out_b.extend(hi.tolist())
+            out_h.extend(ham[k].astype(np.int64).tolist())
+        return pa.table(
+            {
+                "id_a": pa.array(out_a, pa.string()),
+                "id_b": pa.array(out_b, pa.string()),
+                "hamming": pa.array(out_h, pa.int64()),
+            }
+        )
+
+    pair_ds = (
+        sig_ds.map_batches(explode, batch_format="pyarrow", batch_size=None)
+        .map_batches(add_bucket, batch_format="pyarrow", batch_size=None)
+        .groupby("_bkt")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    parts = [
+        t if isinstance(t, pa.Table) else pa.Table.from_batches([t])
+        for t in pair_ds.iter_batches(batch_format="pyarrow", batch_size=None)
+        if t.num_rows
+    ]
+    if not parts:
+        return pa.table(
+            {"id_a": pa.array([], pa.string()),
+             "id_b": pa.array([], pa.string()),
+             "hamming": pa.array([], pa.int64())}
+        )
+    # the same pair surfaces once per shared band -- dedupe the
+    # OUTPUT-sized list
+    allp = pa.concat_tables(parts)
+    out = allp.group_by(["id_a", "id_b"]).aggregate([("hamming", "min")])
+    out = out.rename_columns(["id_a", "id_b", "hamming"])
+    order = pc.sort_indices(
+        out, sort_keys=[("id_a", "ascending"), ("id_b", "ascending")]
+    )
+    return out.take(order)
+
+
 def image_ahash_pairs(
-    media: "ray.data.Dataset", max_hamming: int = 6, block: int = 4
+    media: "ray.data.Dataset", max_hamming: int = 6, block: int = 4,
+    tier: str = "driver",
 ):
     """Perceptual near-duplicate detection over IMAGE BYTES: decode
     (from-scratch codecs) + average-hash per batch (stateless
@@ -337,11 +466,16 @@ def image_ahash_pairs(
             }
         )
 
+    sig_ds = media.map_batches(sig, batch_format="pyarrow", batch_size=None)
+    if tier == "banded":
+        # scale tier: signatures stay a Dataset; banded LSH groupby +
+        # exact verify (see _banded_hamming_pairs)
+        return _banded_hamming_pairs(sig_ds, max_hamming)
+    if tier != "driver":
+        raise ValueError(f"unknown tier: {tier}")
     parts = [
         b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
-        for b in media.map_batches(
-            sig, batch_format="pyarrow", batch_size=None
-        ).iter_batches(batch_format="pyarrow", batch_size=None)
+        for b in sig_ds.iter_batches(batch_format="pyarrow", batch_size=None)
     ]
     tbl = pa.concat_tables([t for t in parts if t.num_rows])
     ids = tbl["media_id"].to_pylist()
@@ -386,7 +520,8 @@ def dhash_bits(gray: np.ndarray, block: int = 4) -> np.ndarray:
 
 
 def image_dhash_pairs(
-    media: "ray.data.Dataset", max_hamming: int = 6, block: int = 4
+    media: "ray.data.Dataset", max_hamming: int = 6, block: int = 4,
+    tier: str = "driver",
 ):
     """Gradient-based (difference-hash) perceptual near-duplicate
     pairs over IMAGE BYTES -- the dhash companion of
@@ -416,11 +551,16 @@ def image_dhash_pairs(
             }
         )
 
+    sig_ds = media.map_batches(sig, batch_format="pyarrow", batch_size=None)
+    if tier == "banded":
+        # scale tier: signatures stay a Dataset; banded LSH groupby +
+        # exact verify (see _banded_hamming_pairs)
+        return _banded_hamming_pairs(sig_ds, max_hamming)
+    if tier != "driver":
+        raise ValueError(f"unknown tier: {tier}")
     parts = [
         b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
-        for b in media.map_batches(
-            sig, batch_format="pyarrow", batch_size=None
-        ).iter_batches(batch_format="pyarrow", batch_size=None)
+        for b in sig_ds.iter_batches(batch_format="pyarrow", batch_size=None)
     ]
     tbl = pa.concat_tables([t for t in parts if t.num_rows])
     ids = tbl["media_id"].to_pylist()
