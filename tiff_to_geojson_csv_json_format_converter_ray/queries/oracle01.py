@@ -1787,6 +1787,29 @@ def oracle_entries(out: dict) -> dict:
             "'m' || CAST(ib AS VARCHAR) AS id_b, "
             "CAST(h AS BIGINT) AS hamming FROM ham WHERE h <= 6"
         ),
+        "media_ahash_pairs_banded": (
+            # recompute the decoded-pixel rule in SQL: block sums over
+            # the formula grid, division-free mean bits, Hamming pairs
+            "WITH px AS (SELECT i.range AS i, r.range AS r, c.range AS c, "
+            "(r.range * 73 + c.range * 31 + (i.range % 16) * 17 "
+            "+ CASE WHEN i.range >= 16 AND r.range < 4 AND c.range < 4 "
+            "THEN 100 ELSE 0 END) % 256 AS v "
+            "FROM range(0, 24) i, range(0, 32) r, range(0, 32) c), "
+            "blk AS (SELECT i, (r // 4) * 8 + (c // 4) AS b, "
+            "SUM(v) AS bs FROM px GROUP BY i, b), "
+            "tot AS (SELECT i, SUM(v) AS ts FROM px GROUP BY i), "
+            "bits AS (SELECT blk.i, blk.b, "
+            "CASE WHEN blk.bs * 64 > tot.ts THEN 1 ELSE 0 END AS bit "
+            "FROM blk JOIN tot ON tot.i = blk.i), "
+            "ham AS (SELECT a.i AS ia, b.i AS ib, "
+            "SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS h "
+            "FROM bits a JOIN bits b ON a.b = b.b "
+            "AND 'm' || CAST(a.i AS VARCHAR) < 'm' || CAST(b.i AS VARCHAR) "
+            "GROUP BY a.i, b.i) "
+            "SELECT 'm' || CAST(ia AS VARCHAR) AS id_a, "
+            "'m' || CAST(ib AS VARCHAR) AS id_b, "
+            "CAST(h AS BIGINT) AS hamming FROM ham WHERE h <= 6"
+        ),
         "track_speed_stats": (
             "WITH g AS (SELECT user_id, ts, event_id, "
             "77.0 + CAST(event_id % 96 AS DOUBLE) * 0.01 AS lon, "

@@ -2298,6 +2298,20 @@ def _q_media_ahash_pairs(sf_dir: str) -> pa.Table:
     return image_ahash_pairs(media, max_hamming=6)
 
 
+def _q_media_ahash_pairs_banded(sf_dir: str) -> pa.Table:
+    """The banded-LSH scale tier of the perceptual-pair op (signatures
+    stay a Dataset; band groupby + exact popcount verify) against the
+    SAME SQL oracle as media_ahash_pairs -- the pip_join_sharded
+    pattern, round 4."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.multimodal import (
+        gen_media_grid, image_ahash_pairs,
+    )
+
+    media = ray.data.from_arrow(gen_media_grid(n=24, size=32, n_base=16))
+    return image_ahash_pairs(media, max_hamming=6, tier="banded")
+
+
 def _q_track_speed_stats(sf_dir: str) -> pa.Table:
     """Per-user speed profile (max speed, speeding-step count above
     0.1 units/hour) over consecutive geocoded fixes
