@@ -287,3 +287,103 @@ class TestFlagshipJobKillResume:
         ]
         for a, b in zip(killed_files, clean_files):
             assert a.read_bytes() == b.read_bytes(), a.name
+
+
+class TestZonalJob:
+    """jobs/zonal_job.py: checkpointed zonal stats over a directory of
+    real .tif files (from-scratch codec end-to-end), numpy oracle,
+    rerun-noop resume."""
+
+    def test_zonal_job_against_numpy_oracle(self, tmp_path):
+        import json as _json
+        import subprocess
+        import sys as _sys
+
+        import numpy as np
+
+        from tiff_to_geojson_csv_json_format_converter_ray.functions.geometry import (
+            Polygon,
+        )
+        from tiff_to_geojson_csv_json_format_converter_ray.sources.geotiff import (
+            write_geotiff,
+        )
+        from tiff_to_geojson_csv_json_format_converter_ray.sources.synthetic import (
+            gen_polygons,
+        )
+
+        nodata = -3.4028234663852886e38
+        tif_dir = tmp_path / "tifs"
+        tif_dir.mkdir()
+        rng = np.random.RandomState(4)
+        rasters = {}
+        # three 64x64 rasters tiling lon [77..78.92], lat band at 28-29
+        for i in range(3):
+            z = (100 + 50 * rng.rand(64, 64)).astype(np.float32)
+            z[rng.rand(64, 64) < 0.08] = np.float32(nodata)
+            x0 = 77.0 + 0.64 * i
+            tr = [0.01, 0, x0, 0, -0.01, 29.0]
+            p = str(tif_dir / f"r{i}.tif")
+            write_geotiff(p, z, transform=tr, crs="EPSG:4326",
+                          nodata=nodata, tile=32)
+            rasters[p] = (z, tr)
+        polys = gen_polygons()
+        import pyarrow.parquet as pq
+
+        poly_path = str(tmp_path / "polys.parquet")
+        pq.write_table(polys, poly_path)
+
+        def run():
+            proc = subprocess.run(
+                [_sys.executable, "jobs/zonal_job.py",
+                 "--input", str(tif_dir), "--polygons", poly_path,
+                 "--out", str(tmp_path / "out"),
+                 "--manifest", str(tmp_path / "mani"),
+                 "--num-cpus", "2"],
+                capture_output=True, text=True, timeout=300,
+                cwd="/root/repo",
+            )
+            assert proc.returncode == 0, proc.stderr[-2000:]
+            return _json.loads(proc.stdout.strip().splitlines()[-1])
+
+        res = run()
+        assert res["total_shards"] == 3
+        assert res["processed_now"] == 3
+        final = pq.read_table(res["final"]).to_pandas()
+
+        # numpy oracle: per polygon over all rasters' valid pixels
+        want = {}
+        for pid_i in range(polys.num_rows):
+            pid = polys["polygon_id"][pid_i].as_py()
+            rings = [np.asarray(r) for r in polys["rings"][pid_i].as_py()]
+            pg = Polygon(pid, rings)
+            vals = []
+            for _, (z, tr) in rasters.items():
+                rr, cc = np.meshgrid(np.arange(64), np.arange(64),
+                                     indexing="ij")
+                lon = tr[2] + tr[0] * (cc + 0.5)
+                lat = tr[5] + tr[4] * (rr + 0.5)
+                inside = pg.contains(lon.ravel(), lat.ravel()).reshape(64, 64)
+                m = inside & (z != np.float32(nodata))
+                vals.append(z[m].astype(np.float64))
+            v = np.concatenate(vals) if vals else np.array([])
+            if len(v):
+                want[pid] = (len(v), v.min(), v.max(), v.mean())
+        got = {
+            r["polygon_id"]: (r["count"], r["min"], r["max"], r["mean"])
+            for _, r in final.iterrows()
+            if r["count"] and r["count"] > 0
+        }
+        assert set(got) == set(want)
+        for pid, (n, mn, mx, mean) in want.items():
+            gn, gmn, gmx, gmean = got[pid]
+            assert gn == n, pid
+            assert gmn == pytest.approx(mn, rel=1e-12)
+            assert gmx == pytest.approx(mx, rel=1e-12)
+            assert gmean == pytest.approx(mean, rel=1e-9)
+
+        # rerun resumes: zero recomputation, identical final
+        res2 = run()
+        assert res2["completed_before"] == 3
+        assert res2["processed_now"] == 0
+        final2 = pq.read_table(res2["final"]).to_pandas()
+        assert final2.equals(final)

@@ -112,7 +112,8 @@ class ShardProcessor:
     def __init__(self, stages: list, out_dir: str, manifest_dir: str,
                  columns: list[str] | None = None, cell_col: str = "cell_8",
                  fail_on: set[str] | None = None,
-                 commit_mode: str = "rename"):
+                 commit_mode: str = "rename",
+                 reader=None):
         self.stages = stages
         self.out_dir = Path(out_dir)
         self.store = ManifestStore(manifest_dir, commit_mode=commit_mode)
@@ -120,6 +121,9 @@ class ShardProcessor:
         self.cell_col = cell_col
         self.fail_on = fail_on or set()  # test hook: simulate a crash
         self.commit_mode = commit_mode
+        # shard reader: path -> pa.Table.  Default parquet; a GeoTIFF
+        # job passes a .tif-bytes -> TILE_SCHEMA reader instead.
+        self.reader = reader
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         self.out_dir.mkdir(parents=True, exist_ok=True)
@@ -129,7 +133,10 @@ class ShardProcessor:
             path = batch["path"][i].as_py()
             if shard_id in self.fail_on:
                 raise RuntimeError(f"injected failure on shard {shard_id}")
-            table = pq.read_table(path, columns=self.columns)
+            if self.reader is not None:
+                table = self.reader(path)
+            else:
+                table = pq.read_table(path, columns=self.columns)
             rows_in = table.num_rows
             for stage in self.stages:
                 table = stage(table)
@@ -159,8 +166,10 @@ class ShardProcessor:
         )
 
 
-def enumerate_shards(input_path: str) -> list[dict]:
-    """Shard descriptors for a parquet file or directory of files.
+def enumerate_shards(input_path: str, pattern: str = "*.parquet") -> list[dict]:
+    """Shard descriptors for a file or directory of files (``pattern``
+    selects the extension -- parquet by default, ``*.tif`` for raster
+    jobs).
 
     shard_id derives from the file path ALONE (stem + short hash of the
     name), never from enumeration order: if files are added to or
@@ -170,7 +179,7 @@ def enumerate_shards(input_path: str) -> list[dict]:
     import hashlib
 
     p = Path(input_path)
-    files = sorted(p.glob("*.parquet")) if p.is_dir() else [p]
+    files = sorted(p.glob(pattern)) if p.is_dir() else [p]
     return [
         {
             "shard_id": (
@@ -191,6 +200,8 @@ def run_resumable(
     fail_on: set[str] | None = None,
     concurrency: int | None = None,
     commit_mode: str = "rename",
+    reader=None,
+    pattern: str = "*.parquet",
 ) -> dict:
     """Execute (or resume) a checkpointed run.  Returns
     {completed_before, processed_now, manifest} -- completed shards
@@ -201,7 +212,7 @@ def run_resumable(
 
     store = ManifestStore(manifest_dir, commit_mode=commit_mode)
     done = store.completed()
-    shards = enumerate_shards(input_path)
+    shards = enumerate_shards(input_path, pattern=pattern)
     remaining = [s for s in shards if s["shard_id"] not in done]
     result = {
         "completed_before": sorted(done),
@@ -212,7 +223,7 @@ def run_resumable(
         ds = ray.data.from_items(remaining)
         proc = ShardProcessor(
             stages, out_dir, manifest_dir, columns=columns, fail_on=fail_on,
-            commit_mode=commit_mode,
+            commit_mode=commit_mode, reader=reader,
         )
         kwargs: dict = {"batch_format": "pyarrow", "batch_size": 1}
         out = ds.map_batches(proc, **kwargs)
