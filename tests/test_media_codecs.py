@@ -397,3 +397,83 @@ class TestJPEG:
             + bytes([1, 0x11, 0]) + b"\xff\xd9"
         with pytest.raises(MediaCodecError, match="progressive"):
             decode_jpeg(bad)
+
+
+class TestMP4Demux:
+    """From-scratch ISO-BMFF box parser (metadata-only demux; sample
+    decode stays the documented stub)."""
+
+    def test_hand_built_boxes(self):
+        """Fixture assembled with raw struct (independent of
+        encode_mp4_stub): ftyp + moov/mvhd v0 + one trak."""
+        from tiff_to_geojson_csv_json_format_converter_ray.sources.media import (
+            parse_mp4,
+        )
+
+        def box(fourcc, body):
+            return struct.pack(">I", 8 + len(body)) + fourcc + body
+
+        mvhd = box(b"mvhd", b"\0\0\0\0" + b"\0" * 8
+                   + struct.pack(">II", 600, 3000) + b"\0" * 80)
+        tkhd = box(b"tkhd", b"\0\0\0\x07" + b"\0" * 8
+                   + struct.pack(">I", 9) + b"\0" * 68)
+        hdlr = box(b"hdlr", b"\0\0\0\0" + b"\0" * 4 + b"soun"
+                   + b"\0" * 13)
+        entry = box(b"mp4a", b"\0" * 78)
+        stsd = box(b"stsd", b"\0\0\0\0" + struct.pack(">I", 1) + entry)
+        mdia = box(b"mdia", hdlr + box(b"minf", box(b"stbl", stsd)))
+        moov = box(b"moov", mvhd + box(b"trak", tkhd + mdia))
+        data = box(b"ftyp", b"mp42" + b"\0\0\0\0" + b"isom") + moov
+        m = parse_mp4(data)
+        assert m["brand"] == "mp42"
+        assert m["timescale"] == 600
+        assert m["duration_seconds"] == pytest.approx(5.0)
+        assert m["n_tracks"] == 1
+        assert m["tracks"][0] == {
+            "track_id": 9, "handler": "soun", "codec": "mp4a",
+        }
+
+    def test_largesize_and_v1_mvhd(self):
+        from tiff_to_geojson_csv_json_format_converter_ray.sources.media import (
+            parse_mp4,
+        )
+
+        def box64(fourcc, body):
+            return (struct.pack(">I", 1) + fourcc
+                    + struct.pack(">Q", 16 + len(body)) + body)
+
+        mvhd = (struct.pack(">I", 8 + 1 + 3 + 16 + 80) + b"mvhd"
+                + b"\x01\0\0\0" + b"\0" * 16
+                + struct.pack(">IQ", 90000, 90000 * 7) + b"\0" * 76)
+        moov = box64(b"moov", mvhd)
+        ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\0" * 4
+        m = parse_mp4(ftyp + moov)
+        assert m["duration_seconds"] == pytest.approx(7.0)
+        assert m["n_tracks"] == 0
+
+    def test_roundtrip_stub_and_stage(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.multimodal import (
+            MediaMetadata, gen_media_mp4,
+        )
+
+        out = (
+            ray.data.from_arrow(gen_media_mp4(n=6))
+            .map_batches(MediaMetadata(), batch_format="pyarrow",
+                         batch_size=None)
+            .take_all()
+        )
+        assert len(out) == 6
+        assert out[0]["duration_seconds"] == 1.0
+        assert out[0]["n_tracks"] == 2 and out[1]["n_tracks"] == 1
+        assert out[1]["codec0"] == "vp09"
+
+    def test_rejects_non_mp4(self):
+        from tiff_to_geojson_csv_json_format_converter_ray.sources.media import (
+            parse_mp4,
+        )
+
+        with pytest.raises(MediaCodecError):
+            parse_mp4(b"\x89PNG\r\n\x1a\n junk")

@@ -1764,6 +1764,17 @@ def oracle_entries(out: dict) -> dict:
             "- AVG(CAST(v AS DOUBLE)) * AVG(CAST(v AS DOUBLE)), 0.0)), 6) "
             "AS pixel_std FROM blk GROUP BY i"
         ),
+        "media_mp4_metadata": (
+            # the fixture's closed-form container fields; durations in
+            # 0.25 s steps are exact in binary floats AND 1000-tick
+            # integers, so equality is bit-exact
+            "SELECT 'v' || CAST(i.range AS VARCHAR) AS media_id, "
+            "1.0 + (i.range * 7 % 50) * 0.25 AS duration_seconds, "
+            "CAST(CASE WHEN i.range % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) "
+            "AS n_tracks, "
+            "CASE WHEN i.range % 2 = 0 THEN 'avc1' ELSE 'vp09' END "
+            "AS codec0 FROM range(0, 12) i"
+        ),
         "media_ahash_pairs": (
             # recompute the decoded-pixel rule in SQL: block sums over
             # the formula grid, division-free mean bits, Hamming pairs

@@ -3099,6 +3099,32 @@ def _q_media_decode(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_media_mp4_metadata(sf_dir: str) -> pa.Table:
+    """Video-container demux metadata over REAL ISO-BMFF bytes: the
+    from-scratch MP4 box parser extracts duration/timescale/tracks/
+    codec inside the MediaMetadata stage; the fixture's closed-form
+    fields are what the SQL oracle recomputes.  Sample decode remains
+    the documented stub -- this is the metadata level curation
+    pipelines filter on (round 4)."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.multimodal import (
+        MediaMetadata, gen_media_mp4,
+    )
+
+    ds = ray.data.from_arrow(gen_media_mp4(n=12))
+    out = collect_tables(
+        ds.map_batches(
+            MediaMetadata(), batch_format="pyarrow", batch_size=None
+        )
+    )
+    return out.select(
+        ["media_id", "duration_seconds", "n_tracks", "codec0"]
+    )
+
+
 def _q_media_decode_jpeg(sf_dir: str) -> pa.Table:
     """Multimodal decode stats over REAL JPEG bytes: the from-scratch
     baseline JFIF codec (sources/media.py::decode_jpeg, VERDICT r3

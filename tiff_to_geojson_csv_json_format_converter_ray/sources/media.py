@@ -962,6 +962,150 @@ def encode_jpeg(
 
 
 
+# ------------------------------------------------------------ MP4 demux
+# ISO BMFF (MP4) box-structure parser -- METADATA ONLY, from the public
+# ISO/IEC 14496-12 spec: box tree walk, movie header (duration /
+# timescale), per-track handler + sample-entry fourcc.  Sample DECODE
+# (H.264 etc.) genuinely needs a native codec and stays honestly
+# stubbed; this closes the demux level the way JPEG closed images.
+
+_MP4_CONTAINERS = {
+    b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts", b"mvex",
+    b"udta",
+}
+
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Yield (fourcc, body_start, body_end) for the boxes in a span."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack_from(">I", data, pos)
+        fourcc = data[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:  # 64-bit largesize
+            (size,) = struct.unpack_from(">Q", data, pos + 8)
+            body = pos + 16
+        elif size == 0:  # to end of file
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise MediaCodecError(f"bad MP4 box size at {pos}")
+        yield fourcc, body, pos + size
+        pos += size
+
+
+def parse_mp4(data: bytes) -> dict:
+    """MP4/ISO-BMFF metadata: {brand, duration_seconds, timescale,
+    n_tracks, tracks: [{handler, codec, track_id}]}.
+
+    Walks ftyp + moov/mvhd + per-trak tkhd/mdia/hdlr/stsd.  No sample
+    decode -- that is the documented remaining stub."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise MediaCodecError("not an MP4 (no ftyp)")
+    out: dict = {"brand": data[8:12].decode("ascii", "replace"),
+                 "timescale": None, "duration_seconds": None,
+                 "n_tracks": 0, "tracks": []}
+    moov = None
+    for fourcc, b, e in _mp4_boxes(data, 0, len(data)):
+        if fourcc == b"moov":
+            moov = (b, e)
+            break
+    if moov is None:
+        raise MediaCodecError("no moov box")
+
+    def walk_trak(b: int, e: int) -> dict:
+        tr = {"track_id": None, "handler": None, "codec": None}
+        for fc, bb, ee in _mp4_boxes(data, b, e):
+            if fc == b"tkhd":
+                ver = data[bb]
+                tr["track_id"] = struct.unpack_from(
+                    ">I", data, bb + (20 if ver == 1 else 12)
+                )[0]
+            elif fc == b"mdia":
+                for fc2, b2, e2 in _mp4_boxes(data, bb, ee):
+                    if fc2 == b"hdlr":
+                        tr["handler"] = data[b2 + 8 : b2 + 12].decode(
+                            "ascii", "replace"
+                        )
+                    elif fc2 == b"minf":
+                        for fc3, b3, e3 in _mp4_boxes(data, b2, e2):
+                            if fc3 != b"stbl":
+                                continue
+                            for fc4, b4, e4 in _mp4_boxes(data, b3, e3):
+                                if fc4 == b"stsd":
+                                    # full box header + entry_count,
+                                    # then the first sample entry
+                                    (n_ent,) = struct.unpack_from(
+                                        ">I", data, b4 + 4
+                                    )
+                                    if n_ent >= 1:
+                                        tr["codec"] = data[
+                                            b4 + 12 : b4 + 16
+                                        ].decode("ascii", "replace")
+        return tr
+
+    for fourcc, b, e in _mp4_boxes(data, *moov):
+        if fourcc == b"mvhd":
+            ver = data[b]
+            if ver == 1:
+                ts, dur = struct.unpack_from(">IQ", data, b + 20)
+            else:
+                ts, dur = struct.unpack_from(">II", data, b + 12)
+            out["timescale"] = int(ts)
+            out["duration_seconds"] = (dur / ts) if ts else None
+        elif fourcc == b"trak":
+            out["tracks"].append(walk_trak(b, e))
+    out["n_tracks"] = len(out["tracks"])
+    return out
+
+
+def encode_mp4_stub(
+    duration_seconds: float, timescale: int = 1000,
+    tracks: "list[tuple[str, str]] | None" = None,
+    brand: str = "isom",
+) -> bytes:
+    """Minimal VALID ISO-BMFF metadata container (ftyp + moov with
+    mvhd and per-track tkhd/mdia/hdlr/minf/stbl/stsd) -- the fixture
+    generator for :func:`parse_mp4`.  Carries no media samples."""
+    tracks = tracks if tracks is not None else [("vide", "avc1")]
+
+    def box(fourcc: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + fourcc + body
+
+    dur = int(round(duration_seconds * timescale))
+    mvhd = box(
+        b"mvhd",
+        b"\0\0\0\0" + b"\0" * 8 + struct.pack(">II", timescale, dur)
+        + b"\0" * 80,
+    )
+    traks = b""
+    for i, (handler, codec) in enumerate(tracks):
+        tkhd = box(
+            b"tkhd",
+            b"\0\0\0\x07" + b"\0" * 8 + struct.pack(">I", i + 1)
+            + b"\0" * 4 + struct.pack(">I", dur) + b"\0" * 60,
+        )
+        hdlr = box(
+            b"hdlr",
+            b"\0\0\0\0" + b"\0" * 4 + handler.encode("ascii")
+            + b"\0" * 12 + b"\0",
+        )
+        sample_entry = box(codec.encode("ascii"), b"\0" * 78)
+        stsd = box(b"stsd", b"\0\0\0\0" + struct.pack(">I", 1) + sample_entry)
+        stbl = box(b"stbl", stsd)
+        minf = box(b"minf", stbl)
+        mdhd = box(
+            b"mdhd",
+            b"\0\0\0\0" + b"\0" * 8 + struct.pack(">II", timescale, dur)
+            + b"\0" * 4,
+        )
+        mdia = box(b"mdia", mdhd + hdlr + minf)
+        traks += box(b"trak", tkhd + mdia)
+    moov = box(b"moov", mvhd + traks)
+    ftyp = box(b"ftyp", brand.encode("ascii") + struct.pack(">I", 0)
+               + b"isom")
+    return ftyp + moov
+
+
 def decode_media(payload: bytes, media_type: str) -> np.ndarray:
     """media_type-driven decode to the pipeline's canonical layouts:
     images -> (h, w, 3) uint8; audio -> (n, ch, 1) int (so the summary

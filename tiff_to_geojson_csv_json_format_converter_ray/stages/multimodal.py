@@ -292,6 +292,72 @@ def gen_media_grid_jpeg(n: int = 18, size: int = 32) -> pa.Table:
     )
 
 
+class MediaMetadata:
+    """Actor-pool DEMUX-metadata stage for video/container columns:
+    payload bytes -> (brand, duration_seconds, timescale, n_tracks,
+    codec0) via the from-scratch MP4 box parser (sources/media.py::
+    parse_mp4).  Sample DECODE stays honestly stubbed -- this stage
+    covers the metadata level a curation pipeline filters on
+    (duration caps, codec allowlists, track sanity)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..sources.media import MediaCodecError, parse_mp4
+
+        brands, durs, tss, nts, c0s = [], [], [], [], []
+        for p in batch["payload"].to_pylist():
+            try:
+                m = parse_mp4(p)
+            except MediaCodecError:
+                m = {"brand": None, "duration_seconds": None,
+                     "timescale": None, "n_tracks": 0, "tracks": []}
+            brands.append(m["brand"])
+            durs.append(m["duration_seconds"])
+            tss.append(m["timescale"])
+            nts.append(m["n_tracks"])
+            c0s.append(m["tracks"][0]["codec"] if m["tracks"] else None)
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("brand", pa.array(brands, pa.string()))
+        out = out.append_column(
+            "duration_seconds", pa.array(durs, pa.float64())
+        )
+        out = out.append_column("timescale", pa.array(tss, pa.int64()))
+        out = out.append_column("n_tracks", pa.array(nts, pa.int64()))
+        out = out.append_column("codec0", pa.array(c0s, pa.string()))
+        return out
+
+
+def gen_media_mp4(n: int = 12) -> pa.Table:
+    """Formula-field MP4 fixture: clip ``i`` has duration
+    ``1 + (i*7 % 50) * 0.25`` seconds (exact in the 1000-tick
+    timescale AND in binary floating point), two tracks (avc1 video +
+    mp4a audio) for even ``i`` and one vp09 video track for odd --
+    REAL ISO-BMFF bytes from encode_mp4_stub, closed-form metadata
+    for the SQL oracle."""
+    from ..sources.media import encode_mp4_stub
+
+    ids, payloads = [], []
+    for i in range(n):
+        dur = 1.0 + (i * 7 % 50) * 0.25
+        tracks = (
+            [("vide", "avc1"), ("soun", "mp4a")]
+            if i % 2 == 0
+            else [("vide", "vp09")]
+        )
+        ids.append(f"v{i}")
+        payloads.append(encode_mp4_stub(dur, 1000, tracks))
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "media_type": pa.array(["video/mp4"] * n),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array([0] * n, pa.int32()),
+            "height": pa.array([0] * n, pa.int32()),
+            "sample_rate": pa.array([0] * n, pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
 def ahash_bits(gray: np.ndarray, block: int = 4) -> np.ndarray:
     """Average-hash bits of one grayscale image: bit_b = 1 iff block
     b's pixel sum x n_blocks exceeds the global sum (the integer form
