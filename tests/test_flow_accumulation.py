@@ -261,3 +261,31 @@ def test_uncached_d8_lineage(ray_session, rugged_grid):
         cache_d8=False,
     )
     assert a.equals(b)
+
+
+def test_watershed_distributed_large_grid(ray_session):
+    """Watershed distributed tier on the 256x256 long-drainage grid
+    (cross-super chains well above the toy driver walk), two
+    (block, super_factor) tilings vs the driver tier."""
+    import ray.data
+
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
+        watershed_labels,
+    )
+
+    rr, cc = np.meshgrid(np.arange(256), np.arange(256), indexing="ij")
+    z = (
+        200.0 + 0.3 * rr + 4.0 * np.sin(cc / 9.0)
+        + 2.0 * np.cos(rr / 11.0) + ((rr * 3 + cc * 7) % 17) * 0.05
+    )
+    z[(rr * 13 + cc * 5) % 211 == 0] = -3.4e38
+
+    def run(**kw):
+        return watershed_labels(
+            ray.data.from_arrow(_tiles_from_grid(z, 32)), **kw
+        )
+
+    base = run(block=16, forest_tier="driver")
+    for blk, sf in ((16, 4), (32, 2)):
+        got = run(block=blk, forest_tier="distributed", super_factor=sf)
+        assert got.equals(base), (blk, sf)
