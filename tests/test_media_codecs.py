@@ -477,3 +477,64 @@ class TestMP4Demux:
 
         with pytest.raises(MediaCodecError):
             parse_mp4(b"\x89PNG\r\n\x1a\n junk")
+
+
+class TestWebMDemux:
+    def test_hand_built_ebml(self):
+        """Fixture assembled with raw bytes, independent of
+        encode_webm_stub: 2-byte size vints, float32 duration,
+        explicit TimestampScale."""
+        from tiff_to_geojson_csv_json_format_converter_ray.sources.media import (
+            parse_webm,
+        )
+
+        def elem(eid, body):
+            # 2-byte size vint (marker 0x40 in first byte)
+            assert len(body) < 0x3FFF
+            return eid + bytes([0x40 | (len(body) >> 8), len(body) & 0xFF]) + body
+
+        header = elem(b"\x1aE\xdf\xa3", elem(b"\x42\x82", b"matroska"))
+        info = elem(
+            b"\x15\x49\xa9\x66",
+            elem(b"\x2a\xd7\xb1", (500_000).to_bytes(3, "big"))
+            + elem(b"\x44\x89", struct.pack(">f", 8000.0)),
+        )
+        trk = elem(
+            b"\x16\x54\xae\x6b",
+            elem(b"\xae", elem(b"\x83", b"\x02")
+                 + elem(b"\x86", b"A_VORBIS")),
+        )
+        seg = elem(b"\x18\x53\x80\x67", info + trk)
+        m = parse_webm(header + seg)
+        assert m["doctype"] == "matroska"
+        assert m["timestamp_scale_ns"] == 500_000
+        # 8000 ticks x 0.5 ms = 4 s
+        assert m["duration_seconds"] == pytest.approx(4.0)
+        assert m["tracks"] == [{"type": "audio", "codec": "A_VORBIS"}]
+
+    def test_stage_dispatches_both_containers(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.multimodal import (
+            MediaMetadata, gen_media_mp4, gen_media_webm,
+        )
+
+        both = pa.concat_tables([gen_media_mp4(n=2), gen_media_webm(n=2)])
+        out = (
+            ray.data.from_arrow(both)
+            .map_batches(MediaMetadata(), batch_format="pyarrow",
+                         batch_size=None)
+            .take_all()
+        )
+        got = {r["media_id"]: (r["brand"], r["codec0"]) for r in out}
+        assert got["v0"] == ("isom", "avc1")
+        assert got["w0"] == ("webm", "V_VP9")
+
+    def test_rejects_garbage(self):
+        from tiff_to_geojson_csv_json_format_converter_ray.sources.media import (
+            parse_webm,
+        )
+
+        with pytest.raises(MediaCodecError):
+            parse_webm(b"RIFFnotebml")

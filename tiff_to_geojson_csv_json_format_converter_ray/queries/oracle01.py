@@ -1775,6 +1775,13 @@ def oracle_entries(out: dict) -> dict:
             "CASE WHEN i.range % 2 = 0 THEN 'avc1' ELSE 'vp09' END "
             "AS codec0 FROM range(0, 12) i"
         ),
+        "media_webm_metadata": (
+            "SELECT 'w' || CAST(i.range AS VARCHAR) AS media_id, "
+            "'webm' AS brand, "
+            "2.0 + (i.range * 11 % 40) * 0.25 AS duration_seconds, "
+            "CAST(CASE WHEN i.range % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) "
+            "AS n_tracks, 'V_VP9' AS codec0 FROM range(0, 10) i"
+        ),
         "media_ahash_pairs": (
             # recompute the decoded-pixel rule in SQL: block sums over
             # the formula grid, division-free mean bits, Hamming pairs

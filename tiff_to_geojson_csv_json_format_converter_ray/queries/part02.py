@@ -3099,6 +3099,29 @@ def _q_media_decode(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_media_webm_metadata(sf_dir: str) -> pa.Table:
+    """WebM/EBML demux metadata over REAL Matroska bytes (from-scratch
+    RFC-8794 parser): doctype, float-element duration, track count,
+    first codec -- the container sibling of media_mp4_metadata."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.multimodal import (
+        MediaMetadata, gen_media_webm,
+    )
+
+    ds = ray.data.from_arrow(gen_media_webm(n=10))
+    out = collect_tables(
+        ds.map_batches(
+            MediaMetadata(), batch_format="pyarrow", batch_size=None
+        )
+    )
+    return out.select(
+        ["media_id", "brand", "duration_seconds", "n_tracks", "codec0"]
+    )
+
+
 def _q_media_mp4_metadata(sf_dir: str) -> pa.Table:
     """Video-container demux metadata over REAL ISO-BMFF bytes: the
     from-scratch MP4 box parser extracts duration/timescale/tracks/

@@ -1106,6 +1106,148 @@ def encode_mp4_stub(
     return ftyp + moov
 
 
+# ------------------------------------------------------- WebM / EBML
+# Matroska/WebM EBML parser -- METADATA ONLY, from the public RFC 8794
+# (EBML) + Matroska specs: DocType, Segment>Info (TimestampScale,
+# Duration), Tracks (type + CodecID).  Like MP4, sample decode (VP9 /
+# Opus) genuinely needs a native codec and stays honestly stubbed.
+
+_EBML_MAGIC = b"\x1aE\xdf\xa3"
+
+
+def _ebml_vint(data: bytes, pos: int, keep_marker: bool):
+    """-> (value, next_pos).  Element IDs keep the marker bit
+    (conventional); sizes strip it.  An all-ones size means UNKNOWN
+    (streamed) -- returned as None."""
+    if pos >= len(data):
+        raise MediaCodecError("EBML: truncated vint")
+    first = data[pos]
+    if first == 0:
+        raise MediaCodecError("EBML: invalid vint")
+    length = 8 - first.bit_length() + 1
+    if pos + length > len(data):
+        raise MediaCodecError("EBML: truncated vint body")
+    v = first if keep_marker else first & ((1 << (8 - length)) - 1)
+    for i in range(1, length):
+        v = (v << 8) | data[pos + i]
+    if not keep_marker:
+        all_ones = (1 << (7 * length)) - 1
+        if v == all_ones:
+            return None, pos + length
+    return v, pos + length
+
+
+def _ebml_children(data: bytes, start: int, end: int):
+    """Yield (element_id, body_start, body_end) within a span."""
+    pos = start
+    while pos < end:
+        eid, pos = _ebml_vint(data, pos, keep_marker=True)
+        size, pos = _ebml_vint(data, pos, keep_marker=False)
+        body_end = end if size is None else pos + size
+        if body_end > end:
+            raise MediaCodecError("EBML: element overruns parent")
+        yield eid, pos, body_end
+        pos = body_end
+
+
+def parse_webm(data: bytes) -> dict:
+    """WebM/Matroska metadata: {doctype, duration_seconds,
+    timestamp_scale_ns, n_tracks, tracks: [{type, codec}]}."""
+    if data[:4] != _EBML_MAGIC:
+        raise MediaCodecError("not EBML (no magic)")
+    doctype = None
+    ts_scale = 1_000_000  # Matroska default: 1 ms in ns
+    duration_ticks = None
+    tracks: list = []
+    for eid, b, e in _ebml_children(data, 0, len(data)):
+        if eid == 0x1A45DFA3:  # EBML header
+            for cid, cb, ce in _ebml_children(data, b, e):
+                if cid == 0x4282:  # DocType
+                    doctype = data[cb:ce].split(b"\0")[0].decode(
+                        "ascii", "replace"
+                    )
+        elif eid == 0x18538067:  # Segment
+            for cid, cb, ce in _ebml_children(data, b, e):
+                if cid == 0x1549A966:  # Info
+                    for iid, ib, ie in _ebml_children(data, cb, ce):
+                        if iid == 0x2AD7B1:
+                            ts_scale = int.from_bytes(
+                                data[ib:ie], "big"
+                            )
+                        elif iid == 0x4489:  # Duration (float32/64)
+                            w = ie - ib
+                            duration_ticks = struct.unpack(
+                                ">f" if w == 4 else ">d", data[ib:ie]
+                            )[0]
+                elif cid == 0x1654AE6B:  # Tracks
+                    for tid, tb, te in _ebml_children(data, cb, ce):
+                        if tid != 0xAE:  # TrackEntry
+                            continue
+                        tr = {"type": None, "codec": None}
+                        for fid, fb, fe in _ebml_children(data, tb, te):
+                            if fid == 0x83:
+                                tr["type"] = {1: "video", 2: "audio"}.get(
+                                    int.from_bytes(data[fb:fe], "big"),
+                                    "other",
+                                )
+                            elif fid == 0x86:
+                                tr["codec"] = data[fb:fe].split(b"\0")[
+                                    0
+                                ].decode("ascii", "replace")
+                        tracks.append(tr)
+    dur_s = (
+        duration_ticks * ts_scale / 1e9
+        if duration_ticks is not None
+        else None
+    )
+    return {
+        "doctype": doctype,
+        "duration_seconds": dur_s,
+        "timestamp_scale_ns": ts_scale,
+        "n_tracks": len(tracks),
+        "tracks": tracks,
+    }
+
+
+def encode_webm_stub(
+    duration_seconds: float,
+    tracks: "list[tuple[str, int]] | None" = None,
+    doctype: str = "webm",
+) -> bytes:
+    """Minimal valid EBML/WebM metadata container (fixture generator
+    for :func:`parse_webm`; carries no media samples).  ``tracks`` is
+    a list of (codec_id, track_type)."""
+    tracks = tracks if tracks is not None else [("V_VP9", 1)]
+
+    def size_vint(n: int) -> bytes:
+        # 4-byte size vint: marker 0x10 in the top byte
+        return struct.pack(">I", (0x10 << 24) | n)
+
+    def elem(eid_bytes: bytes, body: bytes) -> bytes:
+        return eid_bytes + size_vint(len(body)) + body
+
+    header = elem(
+        _EBML_MAGIC,
+        elem(b"\x42\x82", doctype.encode("ascii")),
+    )
+    info = elem(
+        b"\x15\x49\xa9\x66",
+        elem(b"\x2a\xd7\xb1", (1_000_000).to_bytes(3, "big"))
+        + elem(b"\x44\x89",
+               struct.pack(">d", duration_seconds * 1000.0)),
+    )
+    entries = b""
+    for codec, ttype in tracks:
+        entries += elem(
+            b"\xae",
+            elem(b"\x83", bytes([ttype]))
+            + elem(b"\x86", codec.encode("ascii")),
+        )
+    trks = elem(b"\x16\x54\xae\x6b", entries)
+    segment = elem(b"\x18\x53\x80\x67", info + trks)
+    return header + segment
+
+
 def decode_media(payload: bytes, media_type: str) -> np.ndarray:
     """media_type-driven decode to the pipeline's canonical layouts:
     images -> (h, w, 3) uint8; audio -> (n, ch, 1) int (so the summary

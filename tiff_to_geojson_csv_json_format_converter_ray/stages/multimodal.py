@@ -295,18 +295,33 @@ def gen_media_grid_jpeg(n: int = 18, size: int = 32) -> pa.Table:
 class MediaMetadata:
     """Actor-pool DEMUX-metadata stage for video/container columns:
     payload bytes -> (brand, duration_seconds, timescale, n_tracks,
-    codec0) via the from-scratch MP4 box parser (sources/media.py::
-    parse_mp4).  Sample DECODE stays honestly stubbed -- this stage
-    covers the metadata level a curation pipeline filters on
-    (duration caps, codec allowlists, track sanity)."""
+    codec0) via the from-scratch container parsers (sources/media.py::
+    parse_mp4 for ISO-BMFF, parse_webm for EBML/Matroska -- sniffed
+    from the leading bytes).  Sample DECODE stays honestly stubbed --
+    this stage covers the metadata level a curation pipeline filters
+    on (duration caps, codec allowlists, track sanity)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..sources.media import MediaCodecError, parse_mp4
+        from ..sources.media import (
+            MediaCodecError, parse_mp4, parse_webm,
+        )
 
         brands, durs, tss, nts, c0s = [], [], [], [], []
         for p in batch["payload"].to_pylist():
             try:
-                m = parse_mp4(p)
+                if p[:4] == b"\x1aE\xdf\xa3":
+                    w = parse_webm(p)
+                    m = {
+                        "brand": w["doctype"],
+                        "duration_seconds": w["duration_seconds"],
+                        "timescale": w["timestamp_scale_ns"],
+                        "n_tracks": w["n_tracks"],
+                        "tracks": [
+                            {"codec": t["codec"]} for t in w["tracks"]
+                        ],
+                    }
+                else:
+                    m = parse_mp4(p)
             except MediaCodecError:
                 m = {"brand": None, "duration_seconds": None,
                      "timescale": None, "n_tracks": 0, "tracks": []}
@@ -324,6 +339,34 @@ class MediaMetadata:
         out = out.append_column("n_tracks", pa.array(nts, pa.int64()))
         out = out.append_column("codec0", pa.array(c0s, pa.string()))
         return out
+
+
+def gen_media_webm(n: int = 10) -> pa.Table:
+    """Formula-field WebM fixture: clip ``i`` has duration
+    ``2 + (i*11 % 40) * 0.25`` seconds, a V_VP9 video track, and an
+    A_OPUS audio track for every third clip -- REAL EBML bytes from
+    encode_webm_stub, closed-form metadata for the SQL oracle."""
+    from ..sources.media import encode_webm_stub
+
+    ids, payloads = [], []
+    for i in range(n):
+        dur = 2.0 + (i * 11 % 40) * 0.25
+        tracks = [("V_VP9", 1)] + (
+            [("A_OPUS", 2)] if i % 3 == 0 else []
+        )
+        ids.append(f"w{i}")
+        payloads.append(encode_webm_stub(dur, tracks))
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "media_type": pa.array(["video/webm"] * n),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array([0] * n, pa.int32()),
+            "height": pa.array([0] * n, pa.int32()),
+            "sample_rate": pa.array([0] * n, pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
 
 
 def gen_media_mp4(n: int = 12) -> pa.Table:
