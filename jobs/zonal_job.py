@@ -63,7 +63,7 @@ def main() -> int:
         PIPJoiner, broadcast_table,
     )
     from tiff_to_geojson_csv_json_format_converter_ray.stages.stats import (
-        combine_partials, finalize_stats, partial_stats_batch,
+        finalize_stats, partial_stats_batch,
     )
     from tiff_to_geojson_csv_json_format_converter_ray.stages.transform import (
         ValidityFilter,
@@ -101,20 +101,31 @@ def main() -> int:
         reader=tif_reader, pattern="*.tif",
     )
 
-    # final combine: tiny partial parquets -> exact stats
-    parts = [
-        pq.read_table(f)
-        for f in sorted(Path(args.out).glob("*.parquet"))
-        if not f.name.startswith("_")  # skip the final from a rerun
+    # final combine: DISTRIBUTED parquet read over the partial files
+    # (pyarrow dataset discovery skips the underscore-prefixed final
+    # from a rerun) + one grouped aggregate -- the driver only ever
+    # holds the (polygons x bands)-bounded result, not shards x groups
+    import ray.data
+
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables, hash_aggregate,
+    )
+
+    part_files = [
+        str(f) for f in sorted(Path(args.out).glob("*.parquet"))
+        if not f.name.startswith("_")
     ]
-    parts = [t for t in parts if t.num_rows]
-    if parts:
-        combined = combine_partials(
-            pa.concat_tables(parts), ["polygon_id", "band"]
+    final = pa.table({"polygon_id": [], "band": []})
+    if part_files:
+        pds = ray.data.read_parquet(part_files)
+        combined = hash_aggregate(
+            pds, ["polygon_id", "band"],
+            [("n", "sum", "count"), ("s", "sum", "sum"),
+             ("s2", "sum", "sumsq"), ("mn", "min", "min"),
+             ("mx", "max", "max")],
         )
-        final = finalize_stats(combined)
-    else:
-        final = pa.table({"polygon_id": [], "band": []})
+        if combined.num_rows:
+            final = finalize_stats(combined)
     final_path = str(Path(args.out) / "_zonal_stats_final.parquet")
     pq.write_table(final, final_path)
     print(json.dumps({
