@@ -538,3 +538,62 @@ class TestWebMDemux:
 
         with pytest.raises(MediaCodecError):
             parse_webm(b"RIFFnotebml")
+
+
+class TestAudioMetadata:
+    def test_hand_built_flac_streaminfo(self):
+        """STREAMINFO fields packed by hand (independent of
+        encode_flac_stub's packing)."""
+        from tiff_to_geojson_csv_json_format_converter_ray.sources.media import (
+            parse_flac_streaminfo,
+        )
+
+        sr, ch, bps, total = 44100, 2, 24, 44100 * 3 + 50
+        bits = ((sr << 44) | ((ch - 1) << 41) | ((bps - 1) << 36) | total)
+        body = (b"\x10\x00\x10\x00" + b"\0" * 6
+                + bits.to_bytes(8, "big") + b"\1" * 16)
+        data = b"fLaC" + bytes([0x80, 0, 0, len(body)]) + body
+        m = parse_flac_streaminfo(data)
+        assert m["sample_rate"] == sr and m["channels"] == ch
+        assert m["bits_per_sample"] == bps
+        assert m["total_samples"] == total
+        assert m["duration_seconds"] == pytest.approx(total / sr)
+
+    def test_mp3_header_variants(self):
+        from tiff_to_geojson_csv_json_format_converter_ray.sources.media import (
+            encode_mp3_stub, parse_mp3_header,
+        )
+
+        for kbps, rate, stereo in ((320, 48000, True), (64, 32000, False)):
+            m = parse_mp3_header(encode_mp3_stub(kbps, rate, stereo))
+            assert m == {
+                "bitrate_kbps": kbps, "sample_rate": rate,
+                "channels": 2 if stereo else 1,
+            }
+
+    def test_rejects_garbage(self):
+        from tiff_to_geojson_csv_json_format_converter_ray.sources.media import (
+            parse_flac_streaminfo, parse_mp3_header,
+        )
+
+        with pytest.raises(MediaCodecError):
+            parse_flac_streaminfo(b"OggS junk")
+        with pytest.raises(MediaCodecError):
+            parse_mp3_header(b"\x00\x00\x00\x00")
+
+    def test_stage_mixed_formats(self, ray_session):
+        import ray.data
+
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.multimodal import (
+            AudioMetadata, gen_media_audio,
+        )
+
+        out = (
+            ray.data.from_arrow(gen_media_audio(n=4))
+            .map_batches(AudioMetadata(), batch_format="pyarrow",
+                         batch_size=None)
+            .take_all()
+        )
+        got = {r["media_id"]: (r["fmt"], r["rate"]) for r in out}
+        assert got["a0"] == ("flac", 48000)
+        assert got["a1"] == ("mp3", 44100)

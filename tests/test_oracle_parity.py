@@ -154,8 +154,8 @@ def test_catalog_counts(entry_mod):
     (ROADMAP/COVERAGE point here instead of hand-counting)."""
     qs = entry_mod.queries()
     sqls = entry_mod.oracle_sql()
-    assert len(qs) == 735
-    assert len(sqls) == 728
+    assert len(qs) == 736
+    assert len(sqls) == 729
     assert set(sqls) <= set(qs)
     assert sorted(set(qs) - set(sqls)) == [
         "bpe_merges", "embedding_neardup", "ivf_ann",

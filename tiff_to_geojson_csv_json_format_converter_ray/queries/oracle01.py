@@ -1782,6 +1782,20 @@ def oracle_entries(out: dict) -> dict:
             "CAST(CASE WHEN i.range % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) "
             "AS n_tracks, 'V_VP9' AS codec0 FROM range(0, 10) i"
         ),
+        "media_audio_metadata": (
+            "SELECT 'a' || CAST(i.range AS VARCHAR) AS media_id, "
+            "CASE WHEN i.range % 2 = 0 THEN 'flac' ELSE 'mp3' END AS fmt, "
+            "CAST(CASE WHEN i.range % 2 = 0 THEN 48000 ELSE 44100 END "
+            "AS BIGINT) AS rate, "
+            "CAST(CASE WHEN i.range % 2 = 0 THEN 1 + (i.range // 2) % 2 "
+            "ELSE 2 END AS BIGINT) AS channels, "
+            "CASE WHEN i.range % 2 = 0 "
+            "THEN (i.range + 1) * 12000 / 48000.0 ELSE NULL END "
+            "AS duration_seconds, "
+            "CAST(CASE WHEN i.range % 2 = 1 THEN "
+            "[128, 192, 256][(i.range // 2) % 3 + 1] ELSE NULL END "
+            "AS BIGINT) AS bitrate_kbps FROM range(0, 12) i"
+        ),
         "media_ahash_pairs": (
             # recompute the decoded-pixel rule in SQL: block sums over
             # the formula grid, division-free mean bits, Hamming pairs

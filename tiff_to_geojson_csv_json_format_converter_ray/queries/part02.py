@@ -3099,6 +3099,31 @@ def _q_media_decode(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_media_audio_metadata(sf_dir: str) -> pa.Table:
+    """Compressed-audio header metadata over REAL FLAC/MP3 bytes
+    (from-scratch STREAMINFO + MPEG-1 Layer III header parsers,
+    byte-sniffed in the AudioMetadata stage); the fixture's
+    closed-form fields are the SQL oracle."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.multimodal import (
+        AudioMetadata, gen_media_audio,
+    )
+
+    ds = ray.data.from_arrow(gen_media_audio(n=12))
+    out = collect_tables(
+        ds.map_batches(
+            AudioMetadata(), batch_format="pyarrow", batch_size=None
+        )
+    )
+    return out.select(
+        ["media_id", "fmt", "rate", "channels", "duration_seconds",
+         "bitrate_kbps"]
+    )
+
+
 def _q_media_webm_metadata(sf_dir: str) -> pa.Table:
     """WebM/EBML demux metadata over REAL Matroska bytes (from-scratch
     RFC-8794 parser): doctype, float-element duration, track count,

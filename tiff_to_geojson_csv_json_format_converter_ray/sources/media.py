@@ -1248,6 +1248,118 @@ def encode_webm_stub(
     return header + segment
 
 
+# ----------------------------------------------------- audio metadata
+# Compressed-audio METADATA parsers from the public specs -- FLAC
+# STREAMINFO (xiph spec) and the MPEG-1 Layer III frame header; sample
+# decode for both genuinely needs a native codec and stays honestly
+# stubbed, mirroring the video-container demux story.
+
+_MP3_BITRATES_V1L3 = [
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+]
+_MP3_RATES_V1 = [44100, 48000, 32000]
+
+
+def parse_flac_streaminfo(data: bytes) -> dict:
+    """FLAC 'fLaC' + STREAMINFO -> {sample_rate, channels,
+    bits_per_sample, total_samples, duration_seconds}."""
+    if data[:4] != b"fLaC":
+        raise MediaCodecError("not FLAC (no magic)")
+    pos = 4
+    while pos + 4 <= len(data):
+        hdr = data[pos]
+        btype = hdr & 0x7F
+        (length,) = struct.unpack(">I", b"\0" + data[pos + 1 : pos + 4])
+        body = data[pos + 4 : pos + 4 + length]
+        if btype == 0:  # STREAMINFO
+            if length < 34:
+                raise MediaCodecError("short STREAMINFO")
+            bits = int.from_bytes(body[10:18], "big")
+            # 64 bits: 20 sample-rate, 3 channels-1, 5 bps-1, 36 samples
+            sample_rate = bits >> 44
+            channels = ((bits >> 41) & 0x7) + 1
+            bps = ((bits >> 36) & 0x1F) + 1
+            total = bits & ((1 << 36) - 1)
+            return {
+                "sample_rate": int(sample_rate),
+                "channels": int(channels),
+                "bits_per_sample": int(bps),
+                "total_samples": int(total),
+                "duration_seconds": (
+                    total / sample_rate if sample_rate else None
+                ),
+            }
+        if hdr & 0x80:  # last-metadata-block and no STREAMINFO yet
+            break
+        pos += 4 + length
+    raise MediaCodecError("no STREAMINFO block")
+
+
+def parse_mp3_header(data: bytes) -> dict:
+    """First MPEG-1 Layer III frame header (ID3v2 tags skipped) ->
+    {bitrate_kbps, sample_rate, channels}.  Duration needs a full
+    frame walk (or a Xing header) -- out of metadata scope."""
+    pos = 0
+    if data[:3] == b"ID3":
+        size = (
+            (data[6] << 21) | (data[7] << 14) | (data[8] << 7) | data[9]
+        )
+        pos = 10 + size
+    if pos + 4 > len(data):
+        raise MediaCodecError("truncated MP3")
+    b0, b1, b2, b3 = data[pos : pos + 4]
+    if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+        raise MediaCodecError("no MP3 frame sync")
+    version = (b1 >> 3) & 0x3
+    layer = (b1 >> 1) & 0x3
+    if version != 3 or layer != 1:
+        raise MediaCodecError("only MPEG-1 Layer III supported")
+    br_idx = (b2 >> 4) & 0xF
+    sr_idx = (b2 >> 2) & 0x3
+    if br_idx in (0, 15) or sr_idx == 3:
+        raise MediaCodecError("free-form/invalid bitrate or rate")
+    mode = (b3 >> 6) & 0x3
+    return {
+        "bitrate_kbps": _MP3_BITRATES_V1L3[br_idx],
+        "sample_rate": _MP3_RATES_V1[sr_idx],
+        "channels": 1 if mode == 3 else 2,
+    }
+
+
+def encode_flac_stub(
+    sample_rate: int, channels: int, total_samples: int,
+    bits_per_sample: int = 16,
+) -> bytes:
+    """Minimal valid FLAC metadata stream (fLaC + last STREAMINFO
+    block; no audio frames) -- fixture generator."""
+    bits = (
+        (sample_rate << 44)
+        | ((channels - 1) << 41)
+        | ((bits_per_sample - 1) << 36)
+        | total_samples
+    )
+    body = (
+        struct.pack(">HH", 4096, 4096)  # block sizes
+        + b"\0\0\0" * 2                  # frame sizes (unknown)
+        + bits.to_bytes(8, "big")
+        + b"\0" * 16                     # MD5
+    )
+    return b"fLaC" + bytes([0x80]) + struct.pack(">I", len(body))[1:] + body
+
+
+def encode_mp3_stub(
+    bitrate_kbps: int, sample_rate: int, stereo: bool = True,
+) -> bytes:
+    """One MPEG-1 Layer III frame header (+ padding bytes) -- fixture
+    generator for :func:`parse_mp3_header`."""
+    br_idx = _MP3_BITRATES_V1L3.index(bitrate_kbps)
+    sr_idx = _MP3_RATES_V1.index(sample_rate)
+    b1 = 0xE0 | (3 << 3) | (1 << 1) | 1
+    b2 = (br_idx << 4) | (sr_idx << 2)
+    b3 = (0 if stereo else 3) << 6
+    return bytes([0xFF, b1, b2, b3]) + b"\0" * 64
+
+
 def decode_media(payload: bytes, media_type: str) -> np.ndarray:
     """media_type-driven decode to the pipeline's canonical layouts:
     images -> (h, w, 3) uint8; audio -> (n, ch, 1) int (so the summary

@@ -341,6 +341,86 @@ class MediaMetadata:
         return out
 
 
+class AudioMetadata:
+    """Header-level metadata for compressed-audio columns: FLAC
+    STREAMINFO and MP3 frame headers (sources/media.py), sniffed from
+    the leading bytes; WAV falls back to the real PCM decoder's rate.
+    Sample decode for FLAC/MP3 stays honestly stubbed."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..sources.media import (
+            MediaCodecError, parse_flac_streaminfo, parse_mp3_header,
+        )
+
+        fmts, rates, chans, durs, brs = [], [], [], [], []
+        for p in batch["payload"].to_pylist():
+            fmt = rate = ch = dur = br = None
+            try:
+                if p[:4] == b"fLaC":
+                    m = parse_flac_streaminfo(p)
+                    fmt = "flac"
+                    rate, ch = m["sample_rate"], m["channels"]
+                    dur = m["duration_seconds"]
+                else:
+                    m = parse_mp3_header(p)
+                    fmt = "mp3"
+                    rate, ch = m["sample_rate"], m["channels"]
+                    br = m["bitrate_kbps"]
+            except MediaCodecError:
+                pass
+            fmts.append(fmt)
+            rates.append(rate)
+            chans.append(ch)
+            durs.append(dur)
+            brs.append(br)
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("fmt", pa.array(fmts, pa.string()))
+        out = out.append_column("rate", pa.array(rates, pa.int64()))
+        out = out.append_column("channels", pa.array(chans, pa.int64()))
+        out = out.append_column(
+            "duration_seconds", pa.array(durs, pa.float64())
+        )
+        out = out.append_column(
+            "bitrate_kbps", pa.array(brs, pa.int64())
+        )
+        return out
+
+
+def gen_media_audio(n: int = 12) -> pa.Table:
+    """Formula-field compressed-audio fixture: even ``i`` -> FLAC
+    (rate 48000/44100 alternating by i//2 parity, 1 + i%2... kept
+    simple: rate 48000, channels 1 + i%2, total samples
+    (i+1) * 12000 -> exact durations), odd ``i`` -> MP3 (bitrate
+    cycling 128/192/256, 44100 Hz stereo)."""
+    from ..sources.media import encode_flac_stub, encode_mp3_stub
+
+    ids, payloads = [], []
+    for i in range(n):
+        ids.append(f"a{i}")
+        if i % 2 == 0:
+            payloads.append(
+                encode_flac_stub(48000, 1 + (i // 2) % 2, (i + 1) * 12000)
+            )
+        else:
+            payloads.append(
+                encode_mp3_stub([128, 192, 256][(i // 2) % 3], 44100)
+            )
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "media_type": pa.array(
+                ["audio/flac" if i % 2 == 0 else "audio/mpeg"
+                 for i in range(n)]
+            ),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array([0] * n, pa.int32()),
+            "height": pa.array([0] * n, pa.int32()),
+            "sample_rate": pa.array([0] * n, pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
 def gen_media_webm(n: int = 10) -> pa.Table:
     """Formula-field WebM fixture: clip ``i`` has duration
     ``2 + (i*11 % 40) * 0.25`` seconds, a V_VP9 video track, and an
