@@ -334,3 +334,68 @@ class TestLateRound2Properties:
         ranks = np.arange(1, n + 1, dtype=np.float64)
         gini = 2.0 * float((ranks * v).sum()) / (n * sx) - (n + 1.0) / n
         assert -1e-12 <= gini < 1.0
+
+
+class TestJPEGProperties:
+    """Codec invariants under ANY parameter draw (round 4)."""
+
+    @given(
+        bh=st.integers(1, 5),
+        bw=st.integers(1, 5),
+        seed=st.integers(0, 10_000),
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_flat_even_blocks_roundtrip_exact(self, bh, bw, seed):
+        """ANY grid of flat 8x8 blocks with even gray values survives
+        quality-50 JPEG bit-exactly (q00=16 divides 8*(v-128))."""
+        from tiff_to_geojson_csv_json_format_converter_ray.sources.media import (
+            decode_jpeg, encode_jpeg,
+        )
+
+        rng = np.random.RandomState(seed)
+        blocks = rng.randint(0, 128, size=(bh, bw), dtype=np.int64) * 2
+        img = np.repeat(np.repeat(blocks, 8, 0), 8, 1).astype(np.uint8)
+        got = decode_jpeg(encode_jpeg(img, quality=50))
+        assert (got[:, :, 0] == img).all()
+
+    @given(
+        h=st.integers(1, 40),
+        w=st.integers(1, 40),
+        quality=st.sampled_from([75, 90, 95]),
+        seed=st.integers(0, 10_000),
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_any_shape_roundtrips_with_correct_dims(self, h, w, quality, seed):
+        """Arbitrary (h, w) uint8 images -- including sizes far from
+        multiples of 8 -- decode back with exact dimensions and
+        bounded error."""
+        from tiff_to_geojson_csv_json_format_converter_ray.sources.media import (
+            decode_jpeg, encode_jpeg,
+        )
+
+        rng = np.random.RandomState(seed)
+        # smooth-ish field keeps quantization error interpretable
+        r, c = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        img = (
+            128 + 60 * np.sin(r / 7.0 + seed % 5) + 40 * np.cos(c / 9.0)
+        ).clip(0, 255).astype(np.uint8)
+        got = decode_jpeg(encode_jpeg(img, quality=quality))
+        assert got.shape == (h, w, 3)
+        err = np.abs(got[:, :, 0].astype(int) - img.astype(int))
+        assert err.max() <= 25, (h, w, quality, err.max())
+
+    @given(
+        dur_q=st.integers(0, 4000),
+        n_tracks=st.integers(1, 4),
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_mp4_metadata_roundtrip(self, dur_q, n_tracks):
+        from tiff_to_geojson_csv_json_format_converter_ray.sources.media import (
+            encode_mp4_stub, parse_mp4,
+        )
+
+        dur = dur_q * 0.25
+        tracks = [("vide", "avc1")] * n_tracks
+        m = parse_mp4(encode_mp4_stub(dur, 1000, tracks))
+        assert m["duration_seconds"] == dur
+        assert m["n_tracks"] == n_tracks
