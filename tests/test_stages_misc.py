@@ -3893,3 +3893,33 @@ class TestBandedHashPairs:
                 ds = ray.data.from_arrow(media_tbl).repartition(parts)
                 got = norm(fn(ds, tier="banded"))
                 assert got == drv, (fn.__name__, parts)
+
+
+class TestMediaCLI:
+    def test_media_subcommand(self, ray_session, tmp_path):
+        """The media CLI runs container-metadata / decode stages from
+        a payload parquet to parquet or JSON."""
+        import json
+        import pyarrow.parquet as pq
+
+        from tiff_to_geojson_csv_json_format_converter_ray.__main__ import main
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.multimodal import (
+            gen_media_audio, gen_media_mp4,
+        )
+
+        vids = tmp_path / "vids.parquet"
+        pq.write_table(gen_media_mp4(n=4), vids)
+        out = tmp_path / "meta_out"
+        rc = main(["media", "--table", str(vids), "--out", str(out)])
+        assert rc in (0, None)
+        got = pq.read_table(out)
+        assert got.num_rows == 4
+        assert set(got.column_names) >= {
+            "media_id", "duration_seconds", "n_tracks", "codec0",
+        }
+
+        auds = tmp_path / "auds.parquet"
+        pq.write_table(gen_media_audio(n=4), auds)
+        rc = main(["media", "--table", str(auds),
+                   "--mode", "audio-metadata"])
+        assert rc in (0, None)

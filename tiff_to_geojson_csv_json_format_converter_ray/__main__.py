@@ -100,6 +100,19 @@ def main(argv: list[str] | None = None) -> int:
                  "directions"],
     )
 
+    me = sub.add_parser(
+        "media",
+        help="media metadata / decode stats over a parquet of payloads",
+    )
+    me.add_argument("--table", required=True)
+    me.add_argument(
+        "--mode",
+        choices=["decode", "video-metadata", "audio-metadata"],
+        default="video-metadata",
+    )
+    me.add_argument("--decoder", choices=["real", "fake"], default="real")
+    me.add_argument("--out", default=None, help="optional parquet output")
+
     m = sub.add_parser("match", help="fuzzy layer-name matching")
     m.add_argument("--requested", required=True)
     m.add_argument("--available", required=True, help="comma-separated")
@@ -194,6 +207,32 @@ def main(argv: list[str] | None = None) -> int:
                 for r in out.to_pylist()
             ]
             print(json.dumps({"table": args.table, "profile": rows}))
+        elif args.cmd == "media":
+            from .pipelines.relational import collect_tables
+            from .sources.reader import read_parquet_auto
+            from .stages.multimodal import (
+                AudioMetadata, MediaDecode, MediaMetadata,
+            )
+
+            stage = {
+                "decode": MediaDecode(decoder=args.decoder),
+                "video-metadata": MediaMetadata(),
+                "audio-metadata": AudioMetadata(),
+            }[args.mode]
+            ds = read_parquet_auto(args.table)
+            out_ds = ds.map_batches(
+                stage, batch_format="pyarrow", batch_size=None
+            )
+            if args.out:
+                out_ds.write_parquet(args.out)
+                print(json.dumps({"mode": args.mode, "out": args.out}))
+            else:
+                tbl = collect_tables(out_ds)
+                rows = tbl.to_pylist() if tbl is not None else []
+                print(json.dumps(
+                    {"mode": args.mode, "rows": len(rows),
+                     "sample": rows[:3]}, default=str,
+                ))
         elif args.cmd == "convert":
             from .pipelines.convert import convert
 
