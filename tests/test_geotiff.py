@@ -725,3 +725,25 @@ def test_jpeg_tif_through_pipeline(ray_session, tmp_path):
     a, b = run(p_jpg), run(p_raw)
     assert len(a) == img.size
     assert a.equals(b)
+
+
+def test_lzma_compression_roundtrip(tmp_path):
+    """Compression 34925 (GDAL COMPRESS=LZMA, stdlib lzma): lossless
+    roundtrip with horizontal-difference predictor, tiled and
+    stripped."""
+    from tiff_to_geojson_csv_json_format_converter_ray.sources.geotiff import (
+        open_geotiff, write_geotiff,
+    )
+
+    rng = np.random.RandomState(3)
+    arr = (1000 + 500 * rng.rand(70, 90)).astype(np.float32)
+    for kw in ({"tile": 32}, {"rows_per_strip": 16, "predictor": 2}):
+        p = str(tmp_path / f"lz_{list(kw)[0]}.tif")
+        if "predictor" in kw:
+            a = rng.randint(0, 30000, size=(70, 90)).astype(np.int32)
+        else:
+            a = arr
+        write_geotiff(p, a, transform=[0.01, 0, 77.0, 0, -0.01, 29.0],
+                      crs="EPSG:4326", compression="lzma", **kw)
+        g = open_geotiff(p)
+        assert (g.read(1) == a).all(), kw

@@ -9,7 +9,7 @@ with no native deps:
 - strip and tile layouts, chunky and planar multi-band;
 - compressions: none (1), LZW (5), JPEG (7, via the from-scratch
   baseline codec in sources/media.py + the JPEGTables tag), Deflate
-  (8 / 32946, stdlib zlib),
+  (8 / 32946, stdlib zlib), LZMA (34925, stdlib lzma),
   PackBits (32773);
 - predictors: none (1), horizontal differencing (2), floating-point
   byte differencing (3);
@@ -222,6 +222,10 @@ def _packbits_decode(data: bytes) -> bytes:
 
 
 def _decompress(raw: bytes, compression: int) -> bytes:
+    if compression == 34925:  # LZMA (GDAL COMPRESS=LZMA)
+        import lzma
+
+        return lzma.decompress(raw)
     if compression == 1:
         return raw
     if compression in (8, 32946):
@@ -550,7 +554,9 @@ def write_geotiff(
     fmt = _NP_TO_FMT.get(dt.kind)
     if fmt is None:
         raise GeoTIFFError(f"unsupported dtype {arr.dtype}")
-    comp_code = {"none": 1, "deflate": 8, "jpeg": 7}[compression]
+    comp_code = {
+        "none": 1, "deflate": 8, "jpeg": 7, "lzma": 34925,
+    }[compression]
     if comp_code == 7 and (arr.dtype != np.uint8):
         raise GeoTIFFError("jpeg compression requires uint8 arrays")
 
@@ -582,6 +588,10 @@ def write_geotiff(
             blocks.append(enc(arr[r0 : r0 + rps]))
     if comp_code == 8:
         blocks = [zlib.compress(b, 6) for b in blocks]
+    elif comp_code == 34925:
+        import lzma
+
+        blocks = [lzma.compress(b, preset=1) for b in blocks]
 
     # ---- tag assembly
     entries: list[tuple[int, int, int, bytes | int]] = []
