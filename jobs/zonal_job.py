@@ -125,7 +125,16 @@ def main() -> int:
              ("mx", "max", "max")],
         )
         if combined.num_rows:
+            import pyarrow.compute as pc
+
             final = finalize_stats(combined)
+            # deterministic output order: a resumed rerun must be
+            # byte-identical to the unkilled run
+            final = final.take(pc.sort_indices(
+                final,
+                sort_keys=[("polygon_id", "ascending"),
+                           ("band", "ascending")],
+            ))
     final_path = str(Path(args.out) / "_zonal_stats_final.parquet")
     pq.write_table(final, final_path)
     print(json.dumps({

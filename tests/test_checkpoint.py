@@ -214,17 +214,23 @@ class TestFlagshipJobKillResume:
         import subprocess
         import sys as _sys
 
+        import os as _os
+
         proc = subprocess.run(
             [_sys.executable, "jobs/flagship_job.py",
              "--input", str(inp), "--out", str(out),
              "--manifest", str(mani), "--num-cpus", "2"],
             capture_output=True, text=True, timeout=timeout,
             cwd="/root/repo",
+            # attach to the pytest session's cluster: two concurrent
+            # local Ray clusters on one host race on shm/ports (the
+            # round-4 suite-truncation gotcha)
+            env={**_os.environ, "RAY_ADDRESS": "auto"},
         )
         assert proc.returncode == 0, proc.stderr[-2000:]
         return _json.loads(proc.stdout.strip().splitlines()[-1])
 
-    def test_kill_resume_byte_identical(self, tmp_path):
+    def test_kill_resume_byte_identical(self, ray_session, tmp_path):
         import os as _os
         import signal
         import subprocess
@@ -244,6 +250,9 @@ class TestFlagshipJobKillResume:
              "--manifest", str(mani_k), "--num-cpus", "2"],
             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
             start_new_session=True, cwd="/root/repo",
+            # attached driver: SIGKILLing it is the realistic
+            # `ray job` failure mode (cluster survives the driver)
+            env={**_os.environ, "RAY_ADDRESS": "auto"},
         )
         try:
             deadline = _time.time() + 120
@@ -294,7 +303,7 @@ class TestZonalJob:
     real .tif files (from-scratch codec end-to-end), numpy oracle,
     rerun-noop resume."""
 
-    def test_zonal_job_against_numpy_oracle(self, tmp_path):
+    def test_zonal_job_against_numpy_oracle(self, ray_session, tmp_path):
         import json as _json
         import subprocess
         import sys as _sys
@@ -333,6 +342,8 @@ class TestZonalJob:
         pq.write_table(polys, poly_path)
 
         def run():
+            import os as _os
+
             proc = subprocess.run(
                 [_sys.executable, "jobs/zonal_job.py",
                  "--input", str(tif_dir), "--polygons", poly_path,
@@ -341,6 +352,7 @@ class TestZonalJob:
                  "--num-cpus", "2"],
                 capture_output=True, text=True, timeout=300,
                 cwd="/root/repo",
+                env={**_os.environ, "RAY_ADDRESS": "auto"},
             )
             assert proc.returncode == 0, proc.stderr[-2000:]
             return _json.loads(proc.stdout.strip().splitlines()[-1])
