@@ -164,3 +164,53 @@ class TestSkewJoin:
             )
             assert got == want, jt
             assert len(want) > n / 2  # the hot key actually multiplied
+
+    def test_skew_strategy_random_distributions(self, ray_session):
+        """Property sweep: random key distributions (Zipf-ish skew,
+        uniform, disjoint keys) -- strategy='skew' equals 'shuffle' on
+        every draw, both join types."""
+        import ray.data
+
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+            collect_tables, equi_join,
+        )
+
+        rng = np.random.RandomState(21)
+        for trial in range(3):
+            n = 8_000
+            shape = trial % 3
+            if shape == 0:  # zipf-ish: heavy head
+                k = (rng.zipf(1.3, n) % 97).astype(np.int64)
+            elif shape == 1:  # uniform: no hot keys at all
+                k = rng.randint(0, 400, n).astype(np.int64)
+            else:  # one mega key + singletons
+                k = np.where(rng.rand(n) < 0.7, 5,
+                             rng.randint(100, 4000, n)).astype(np.int64)
+            left = ray.data.from_arrow(
+                pa.table({"k": k, "lv": np.arange(n, dtype=np.int64)})
+            ).repartition(6)
+            rk = np.unique(
+                rng.randint(0, 300, 180).astype(np.int64)
+            )
+            right = ray.data.from_arrow(
+                pa.table({"rk": rk, "rv": rk * 3})
+            ).repartition(3)
+
+            def norm(ds):
+                t = collect_tables(ds)
+                if t is None:
+                    return []
+                return sorted(
+                    (str(r.get("k")), str(r.get("lv")),
+                     str(r.get("rk")), str(r.get("rv")))
+                    for r in t.to_pylist()
+                )
+
+            for jt in ("inner", "left_outer"):
+                want = norm(equi_join(
+                    left, right, on=("k",), right_on=("rk",),
+                    join_type=jt, strategy="shuffle"))
+                got = norm(equi_join(
+                    left, right, on=("k",), right_on=("rk",),
+                    join_type=jt, strategy="skew"))
+                assert got == want, (trial, shape, jt)

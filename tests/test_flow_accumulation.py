@@ -289,3 +289,31 @@ def test_watershed_distributed_large_grid(ray_session):
     for blk, sf in ((16, 4), (32, 2)):
         got = run(block=blk, forest_tier="distributed", super_factor=sf)
         assert got.equals(base), (blk, sf)
+
+
+def test_distributed_tier_random_terrains(ray_session):
+    """Property sweep: random rugged terrains (varying nodata density,
+    block/super_factor draws) -- the distributed forest tier must
+    equal the global sequential Kahn on every draw."""
+    rng = np.random.RandomState(123)
+    for trial in range(4):
+        h = w = int(rng.choice([40, 48, 64]))
+        rr, cc = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        z = (
+            100.0
+            + rng.uniform(0.1, 0.8) * rr
+            + rng.uniform(1, 5) * np.sin(cc / rng.uniform(3, 12))
+            + rng.uniform(1, 4) * np.cos(rr / rng.uniform(3, 12))
+            + ((rr * rng.randint(2, 9) + cc * rng.randint(2, 9)) % 13)
+            * 0.1
+        )
+        z[rng.rand(h, w) < rng.uniform(0.0, 0.15)] = -3.4e38
+        tile = int(rng.choice([16, 24]))
+        blk = int(rng.choice([8, 16]))
+        sf = int(rng.choice([2, 4]))
+        want = _reference(ray_session, z, tile=tile, stride=tile)
+        got = _run(
+            ray_session, z, tile=tile, block=blk, stride=tile,
+            forest_tier="distributed", super_factor=sf,
+        )
+        assert got == want, (trial, h, tile, blk, sf)
