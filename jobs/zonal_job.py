@@ -103,8 +103,9 @@ def main() -> int:
 
     # final combine: DISTRIBUTED parquet read over the partial files
     # (pyarrow dataset discovery skips the underscore-prefixed final
-    # from a rerun) + one grouped aggregate -- the driver only ever
-    # holds the (polygons x bands)-bounded result, not shards x groups
+    # from a rerun) + one grouped aggregate with combine_tier='auto':
+    # above the partial-row threshold the combine shuffles and the
+    # driver only ever holds the (polygons x bands)-bounded result
     import ray.data
 
     from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
@@ -123,6 +124,7 @@ def main() -> int:
             [("n", "sum", "count"), ("s", "sum", "sum"),
              ("s2", "sum", "sumsq"), ("mn", "min", "min"),
              ("mx", "max", "max")],
+            combine_tier="auto",
         )
         if combined.num_rows:
             import pyarrow.compute as pc

@@ -24,8 +24,6 @@ NO_ORACLE_QUERIES = [
     "ivf_ann",
     "pq_ann",
     "zonal_multiband",
-    "pages_flagship",
-    "pages_flagship_shuffle",
     "bpe_merges",
 ]
 

@@ -237,6 +237,66 @@ def test_watershed_distributed_tier(ray_session, rugged_grid):
     assert got == want
 
 
+def test_flow_deep_recursion_tier(ray_session):
+    """VERDICT r4 item 4: with the driver threshold far below the
+    super-forest size, the port forest recurses through
+    _forest_totals_tiered (sb -> sb*factor -> ...) until one group
+    spans the grid -- results bit-identical to the driver walk on a
+    256x256 grid whose super-forest far exceeds the threshold."""
+    rr, cc = np.meshgrid(np.arange(256), np.arange(256), indexing="ij")
+    z = (
+        200.0 + 0.3 * rr + 4.0 * np.sin(cc / 9.0)
+        + 2.0 * np.cos(rr / 11.0) + ((rr * 3 + cc * 7) % 17) * 0.05
+    )
+    z[(rr * 13 + cc * 5) % 211 == 0] = -3.4e38
+    base = _run(ray_session, z, tile=32, block=16, forest_tier="driver")
+    for blk, sf in ((8, 2), (16, 2)):
+        got = _run(
+            ray_session, z, tile=32, block=blk,
+            forest_tier="distributed", super_factor=sf,
+            max_driver_entries=10,
+        )
+        assert got == base, (blk, sf)
+
+
+def test_watershed_deep_recursion_tier(ray_session):
+    """Watershed mirror of the deep-recursion test: the port SINK
+    forest recurses (resolve_needs_tiered) until it fits the tiny
+    threshold; labels equal the driver tier."""
+    import ray.data
+
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
+        watershed_labels,
+    )
+
+    rr, cc = np.meshgrid(np.arange(128), np.arange(128), indexing="ij")
+    z = (
+        150.0 + 0.4 * rr + 3.0 * np.sin(cc / 8.0)
+        + 1.5 * np.cos(rr / 10.0) + ((rr * 5 + cc * 11) % 19) * 0.07
+    )
+    z[(rr * 17 + cc * 3) % 157 == 0] = -3.4e38
+
+    def run(**kw):
+        out = watershed_labels(
+            ray.data.from_arrow(_tiles_from_grid(z, 32)), **kw
+        )
+        return {
+            (r, c): (a, b)
+            for r, c, a, b in zip(
+                out["row"].to_pylist(), out["col"].to_pylist(),
+                out["sink_row"].to_pylist(), out["sink_col"].to_pylist(),
+            )
+        }
+
+    base = run(block=16, forest_tier="driver")
+    for blk, sf in ((8, 2), (16, 2)):
+        got = run(
+            block=blk, forest_tier="distributed", super_factor=sf,
+            max_driver_entries=10,
+        )
+        assert got == base, (blk, sf)
+
+
 def test_uncached_d8_lineage(ray_session, rugged_grid):
     """cache_d8=False (no mid-pipeline materialize of the node table;
     consumers re-execute the halo-exchange lineage) is result-identical

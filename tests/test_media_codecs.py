@@ -264,6 +264,26 @@ class TestJPEG:
         assert got.shape == (8, 8, 3)
         assert (got == 134).all()
 
+    def test_truncated_entropy_segment_honest_error(self):
+        """ADVICE r4: a payload whose entropy-coded segment is cut
+        short (the bit reader runs into EOI / off the end) must fail
+        with MediaCodecError, not leak the internal _MarkerHit class
+        or an opaque IndexError out of a Ray task."""
+        from tiff_to_geojson_csv_json_format_converter_ray.sources.media import (
+            MediaCodecError, decode_jpeg, encode_jpeg,
+        )
+
+        rng = np.random.RandomState(11)
+        img = rng.randint(0, 256, (24, 24), np.uint8)
+        full = encode_jpeg(img, quality=75)
+        # chop most of the entropy data, keep the trailing EOI marker
+        sos = full.find(b"\xff\xda")
+        assert sos > 0
+        for cut in (sos + 20, sos + 40):
+            bad = full[:cut] + b"\xff\xd9"
+            with pytest.raises(MediaCodecError):
+                decode_jpeg(bad)
+
     def test_flat_blocks_exact(self):
         """Flat 8x8 blocks with even gray values survive quality-50
         Annex-K quantization EXACTLY (q00=16 divides 8*(v-128) when v
@@ -597,3 +617,215 @@ class TestAudioMetadata:
         got = {r["media_id"]: (r["fmt"], r["rate"]) for r in out}
         assert got["a0"] == ("flac", 48000)
         assert got["a1"] == ("mp3", 44100)
+
+
+class TestFLAC:
+    """From-scratch FLAC sample codec (RFC 9639; VERDICT r4 item 3).
+
+    Round-trips pin the encoder+decoder pair; the hand-built frames
+    pin the DECODER alone on subframe/stereo paths our encoder never
+    emits (verbatim, LPC, left/side, mid/side), with analytic
+    expected samples -- the JPEG playbook."""
+
+    def _roundtrip(self, s, rate, **kw):
+        from tiff_to_geojson_csv_json_format_converter_ray.sources.media import (
+            decode_flac, encode_flac,
+        )
+
+        dec, r = decode_flac(encode_flac(s, rate, **kw))
+        assert r == rate
+        want = s if s.ndim == 2 else s[:, None]
+        assert dec.shape == want.shape
+        assert (dec == want).all()
+        return dec
+
+    def test_roundtrip_stereo_tonal(self):
+        rng = np.random.RandomState(5)
+        t = np.arange(9000)
+        l = (2500 * np.sin(t / 40.0) + rng.randint(-150, 150, len(t)))
+        r = (1500 * np.cos(t / 55.0) + rng.randint(-80, 80, len(t)))
+        self._roundtrip(
+            np.stack([l, r], 1).astype(np.int32), 44100
+        )
+
+    def test_roundtrip_edges(self):
+        rng = np.random.RandomState(6)
+        # constant, full-scale noise (escape path), odd tail block,
+        # 8-bit, tiny
+        self._roundtrip(np.full(5000, -32768, np.int32), 48000)
+        self._roundtrip(
+            rng.randint(-32768, 32768, (2049, 1)).astype(np.int32), 32000
+        )
+        self._roundtrip(
+            rng.randint(-128, 128, 700).astype(np.int32), 8000,
+            bits_per_sample=8, block_size=192,
+        )
+        self._roundtrip(np.array([1], np.int32), 16000)
+
+    def test_compresses_tonal(self):
+        from tiff_to_geojson_csv_json_format_converter_ray.sources.media import (
+            encode_flac,
+        )
+
+        t = np.arange(20000)
+        s = (3000 * np.sin(t / 60.0)).astype(np.int32)
+        enc = encode_flac(s, 44100)
+        assert len(enc) < 0.7 * s.size * 2  # fixed predictors bite
+
+    # --- hand-built decoder fixtures --------------------------------
+    def _frame(self, meta_rate, meta_ch, meta_n, build_body):
+        """Assemble fLaC + STREAMINFO + ONE hand-built frame whose
+        subframe bits come from ``build_body(bw)``."""
+        from tiff_to_geojson_csv_json_format_converter_ray.sources.media import (
+            _crc8_flac, _crc16_flac, _PlainBitWriter, encode_flac_stub,
+        )
+
+        stream = bytearray(encode_flac_stub(meta_rate, meta_ch, meta_n))
+        bw = _PlainBitWriter()
+        bw.u(0b11111111111110, 14)
+        bw.u(0, 2)  # reserved + fixed blocking
+        bw.u(7, 4)  # 16-bit block size follows
+        bw.u(0, 4)  # rate from STREAMINFO
+        yield bw  # caller writes ch/ss codes
+        bw.u(0, 8)  # coded frame number 0
+        bw.u(meta_n - 1, 16)
+        bw.align()
+        bw.u(_crc8_flac(bytes(bw.out)), 8)
+        build_body(bw)
+        bw.align()
+        bw.u(_crc16_flac(bytes(bw.out)), 16)
+        stream += bw.out
+        self.stream = bytes(stream)
+
+    def _build(self, meta_rate, meta_ch, meta_n, ch_code, ss_code, body):
+        gen = self._frame(meta_rate, meta_ch, meta_n, body)
+        bw = next(gen)
+        bw.u(ch_code, 4)
+        bw.u(ss_code, 3)
+        bw.u(0, 1)
+        for _ in gen:
+            pass
+        return self.stream
+
+    def test_hand_built_constant_and_verbatim(self):
+        from tiff_to_geojson_csv_json_format_converter_ray.sources.media import (
+            decode_flac,
+        )
+
+        def body(bw):
+            bw.u(0, 1)
+            bw.u(0, 6)  # CONSTANT
+            bw.u(0, 1)
+            bw.s(-42, 16)
+
+        dec, rate = decode_flac(self._build(16000, 1, 8, 0, 4, body))
+        assert rate == 16000
+        assert (dec[:, 0] == -42).all() and len(dec) == 8
+
+        vals = [5, -7, 100, -100, 0, 32767, -32768, 1]
+
+        def body_v(bw):
+            bw.u(0, 1)
+            bw.u(1, 6)  # VERBATIM
+            bw.u(0, 1)
+            for v in vals:
+                bw.s(v, 16)
+
+        dec, _ = decode_flac(self._build(16000, 1, 8, 0, 4, body_v))
+        assert dec[:, 0].tolist() == vals
+
+    def test_hand_built_lpc(self):
+        """LPC order 2, coefs [3, -1], shift 1: pred_i = (3*s[i-1] -
+        s[i-2]) >> 1; warmup [10, 12], residuals all 1 -> analytic
+        expansion checked in plain Python."""
+        from tiff_to_geojson_csv_json_format_converter_ray.sources.media import (
+            decode_flac,
+        )
+
+        n, order, shift, coefs, warm = 12, 2, 1, [3, -1], [10, 12]
+
+        def body(bw):
+            bw.u(0, 1)
+            bw.u(32 + (order - 1), 6)  # LPC order 2
+            bw.u(0, 1)
+            for w in warm:
+                bw.s(w, 16)
+            bw.u(4 - 1, 4)  # precision 4 bits
+            bw.s(shift, 5)
+            for c in coefs:
+                bw.s(c, 4)
+            bw.u(0, 2)  # rice method 0
+            bw.u(0, 4)  # partition order 0
+            bw.u(0, 4)  # rice param 0
+            for _ in range(n - order):
+                bw.u(1, 3)  # unary '001' = folded 2 -> residual +1
+
+        dec, _ = decode_flac(self._build(16000, 1, n, 0, 4, body))
+        want = list(warm)
+        for _ in range(n - order):
+            want.append(((3 * want[-1] - want[-2]) >> shift) + 1)
+        assert dec[:, 0].tolist() == want
+
+    @pytest.mark.parametrize(
+        "ch_code", [8, 9, 10], ids=["left-side", "side-right", "mid-side"]
+    )
+    def test_hand_built_stereo_decorrelation(self, ch_code):
+        """All three stereo modes reconstruct the same analytic L/R
+        from constant subframes (side channel carries bps+1 bits)."""
+        from tiff_to_geojson_csv_json_format_converter_ray.sources.media import (
+            decode_flac,
+        )
+
+        L, R = 1000, -250
+        side = L - R
+        mid = (L + R) >> 1
+        n = 16
+
+        def body(bw):
+            def const(v, bits):
+                bw.u(0, 1)
+                bw.u(0, 6)
+                bw.u(0, 1)
+                bw.s(v, bits)
+
+            if ch_code == 8:
+                const(L, 16)
+                const(side, 17)
+            elif ch_code == 9:
+                const(side, 17)
+                const(R, 16)
+            else:
+                const(mid, 16)
+                const(side, 17)
+
+        dec, _ = decode_flac(self._build(16000, 2, n, ch_code, 4, body))
+        assert (dec[:, 0] == L).all() and (dec[:, 1] == R).all()
+
+    def test_crc_detects_corruption(self):
+        from tiff_to_geojson_csv_json_format_converter_ray.sources.media import (
+            MediaCodecError, decode_flac, encode_flac,
+        )
+
+        s = (np.arange(2000) % 97).astype(np.int32)
+        enc = bytearray(encode_flac(s, 16000))
+        enc[-30] ^= 0x10  # flip a bit inside the last frame
+        with pytest.raises(MediaCodecError):
+            decode_flac(bytes(enc))
+
+    def test_metadata_only_stream_raises(self):
+        from tiff_to_geojson_csv_json_format_converter_ray.sources.media import (
+            MediaCodecError, decode_flac, encode_flac_stub,
+        )
+
+        with pytest.raises(MediaCodecError):
+            decode_flac(encode_flac_stub(48000, 1, 48000))
+
+    def test_decode_media_flac_layout(self):
+        from tiff_to_geojson_csv_json_format_converter_ray.sources.media import (
+            decode_media, encode_flac,
+        )
+
+        s = ((np.arange(500) * 7) % 200 - 100).astype(np.int32)
+        arr = decode_media(encode_flac(s, 16000), "audio/flac")
+        assert arr.shape == (500, 1, 1)
+        assert (arr[:, 0, 0] == s).all()

@@ -130,8 +130,9 @@ def test_registry_head_curated(entry_mod):
     assert len(head) == len(set(head))
     assert list(qs)[: len(head)] == head
     sqls = entry_mod.oracle_sql()
-    # every head entry except the golden-pinned flagship has a SQL oracle
-    assert [k for k in head if k not in sqls] == ["pages_flagship"]
+    # every head entry has a SQL oracle (VERDICT r4 item 2: zero
+    # no_oracle rows in the driver gate)
+    assert [k for k in head if k not in sqls] == []
     families = {
         "raster": {"extract_full", "band_stats", "zonal_stats"},
         "joins": {"pip_join", "knn_lookup", "bbox_join"},
@@ -154,11 +155,10 @@ def test_catalog_counts(entry_mod):
     (ROADMAP/COVERAGE point here instead of hand-counting)."""
     qs = entry_mod.queries()
     sqls = entry_mod.oracle_sql()
-    assert len(qs) == 736
-    assert len(sqls) == 729
+    assert len(qs) == 737
+    assert len(sqls) == 732
     assert set(sqls) <= set(qs)
     assert sorted(set(qs) - set(sqls)) == [
         "bpe_merges", "embedding_neardup", "ivf_ann",
-        "pages_flagship", "pages_flagship_shuffle", "pq_ann",
-        "zonal_multiband",
+        "pq_ann", "zonal_multiband",
     ]

@@ -11,6 +11,7 @@ import json
 import os
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -289,6 +290,43 @@ class TestZonal:
                 assert row["max"] == pytest.approx(z[m].max())
                 assert row["mean"] == pytest.approx(z[m].mean())
                 assert row["std"] == pytest.approx(z[m].std())  # ddof=0
+
+    def test_zonal_combine_tier_equivalence(
+        self, ray_session, tiles_path, polygons_table
+    ):
+        """VERDICT r4 item 5: the shuffle-tier final combine (partials
+        routed through a distributed groupby; the driver holds only
+        polygons x bands) returns the exact same table as the driver
+        combine, and 'auto' with a tiny threshold takes the shuffle
+        route."""
+        from tiff_to_geojson_csv_json_format_converter_ray.pipelines.zonal import (
+            zonal_stats,
+        )
+        from tiff_to_geojson_csv_json_format_converter_ray.stages import stats as st
+
+        drv = zonal_stats(
+            tiles_path, polygons_table, combine_tier="driver"
+        ).to_pandas()
+        shf = zonal_stats(
+            tiles_path, polygons_table, combine_tier="shuffle"
+        ).to_pandas()
+        pd.testing.assert_frame_equal(drv, shf)
+        # grouped_stats 'auto' routes to shuffle when partials exceed
+        # the threshold -- force it with max_driver_rows=1
+        import ray.data
+
+        t = pa.table(
+            {"k": ["a", "b"] * 500, "z": np.arange(1000, dtype=np.float64)}
+        )
+        ds = ray.data.from_arrow(t).repartition(8)
+        a = st.grouped_stats(ds, ["k"], "z", combine_tier="driver")
+        b = st.grouped_stats(
+            ds, ["k"], "z", combine_tier="auto", max_driver_rows=1
+        )
+        pd.testing.assert_frame_equal(
+            a.to_pandas().sort_values("k").reset_index(drop=True),
+            b.to_pandas().sort_values("k").reset_index(drop=True),
+        )
 
     def test_center_fallback_rescues_sliver_polygon(self, ray_session, tiles_path):
         """test2.py:1335-1357 + 1392: the center-window fallback abandons

@@ -3894,6 +3894,32 @@ class TestBandedHashPairs:
                 got = norm(fn(ds, tier="banded"))
                 assert got == drv, (fn.__name__, parts)
 
+    def test_banded_tier_wide_signatures(self, ray_session):
+        """ADVICE r4 regression: 64x64 images produce 256-bit ahash
+        signatures; the banded tier must carry them as multi-word
+        packed binary (a single int64 wraps shifts mod 64 and the
+        exact-Hamming verify silently corrupts -- the r4 advisor
+        reproduced 0 driver pairs vs 58 spurious banded pairs)."""
+        import ray.data
+
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.multimodal import (
+            gen_media_grid, image_ahash_pairs,
+        )
+
+        media_tbl = gen_media_grid(n=24, size=64, n_base=16)
+
+        def norm(t):
+            return sorted(
+                (r["id_a"], r["id_b"], r["hamming"]) for r in t.to_pylist()
+            )
+
+        drv = norm(image_ahash_pairs(
+            ray.data.from_arrow(media_tbl), max_hamming=40))
+        for parts in (1, 5):
+            ds = ray.data.from_arrow(media_tbl).repartition(parts)
+            got = norm(image_ahash_pairs(ds, max_hamming=40, tier="banded"))
+            assert got == drv, parts
+
 
 class TestMediaCLI:
     def test_media_subcommand(self, ray_session, tmp_path):

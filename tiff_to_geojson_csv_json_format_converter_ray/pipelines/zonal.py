@@ -57,11 +57,19 @@ def zonal_stats(
     rescale: tuple[float, float] | None = None,
     concurrency: int | None = None,
     center_fallback: bool = False,
+    combine_tier: str = "auto",
 ) -> pa.Table:
     """-> one row per (polygon_id, band): min/max/mean/std/count (+nulls
     when a polygon clips no valid pixels -- including polygons whose
     bbox misses the raster entirely, the no-overlap path of
     test2.py:1237-1260).
+
+    ``combine_tier`` routes the stats combine (VERDICT r4 item 5):
+    ``'auto'`` (default) shuffles the partials when their row count
+    exceeds the driver threshold, so polygon x band cardinalities
+    beyond driver memory stream through a distributed groupby and the
+    driver only ever holds the final (polygons x bands)-bounded table
+    -- the in-process mirror of jobs/zonal_job.py's final combine.
 
     ``center_fallback`` replays the reference's last-resort ladder rung
     (test2.py:1335-1357): for polygons with a Null record, compute
@@ -110,7 +118,9 @@ def zonal_stats(
         valid = valid.map_batches(
             Uint8Rescale(rescale[0], rescale[1]), batch_format="pyarrow", batch_size=None
         )
-    stats = grouped_stats(valid, ["polygon_id", "band"], "z")
+    stats = grouped_stats(
+        valid, ["polygon_id", "band"], "z", combine_tier=combine_tier
+    )
     canonical = pa.schema(
         [("polygon_id", pa.string()), ("band", pa.int32()),
          ("count", pa.int64()), ("sum", pa.float64()),

@@ -183,6 +183,22 @@ from .part11 import (  # noqa: F401
     _track_simplify_oracle_sql,
     _winnow_dedup_oracle_sql,
 )
+# Flagship oracle: replay of synthesize_pages_from_documents' integer
+# doc_id formulas + the '%.6f' geo-span round-trip + frozen cell encode
+# (events_geocode_cells playbook; VERDICT r4 item 2).  Rows with
+# doc_id % 19 == 0 carry no geo span and never reach cell_counts.
+_PAGES_FLAGSHIP_SQL = (
+    f"SELECT {_cell_expr_cols('glon', 'glat', 8)} AS cell_8, "
+    "CAST(COUNT(*) AS BIGINT) AS \"count\" "
+    "FROM (SELECT "
+    "CAST(printf('%.6f', 77.0 + CAST((doc_id * 37) % 256 AS DOUBLE) "
+    "* 0.01) AS DOUBLE) AS glon, "
+    "CAST(printf('%.6f', 26.5 + CAST((doc_id * 53) % 256 AS DOUBLE) "
+    "* 0.01) AS DOUBLE) AS glat "
+    "FROM documents WHERE doc_id % 19 <> 0) GROUP BY 1"
+)
+
+
 def oracle_entries(out: dict) -> dict:
     from tiff_to_geojson_csv_json_format_converter_ray.functions.cells import (
         cell_size,
@@ -908,6 +924,14 @@ def oracle_entries(out: dict) -> dict:
             f"28.05 + CAST((event_id // 96) % 96 AS DOUBLE) * 0.01 AS glat "
             f"FROM events) GROUP BY 1"
         ),
+        # The flagship's pages corpus is synthesized from the documents
+        # view by integer doc_id formulas (pipelines/pages.py::
+        # synthesize_pages_from_documents); the engine extracts the geo
+        # span from REAL html ('%.6f' lat,lon) while this SQL replays
+        # the same printf round-trip -- identical bytes, identical
+        # parsed float64, identical frozen cell (VERDICT r4 item 2).
+        "pages_flagship": _PAGES_FLAGSHIP_SQL,
+        "pages_flagship_shuffle": _PAGES_FLAGSHIP_SQL,
         "window_funcs": (
             "WITH e AS (SELECT event_id, user_id, ts, "
             "CAST(ROUND(value * 100, 0) AS BIGINT) AS cents FROM events) "
@@ -1764,6 +1788,21 @@ def oracle_entries(out: dict) -> dict:
             "- AVG(CAST(v AS DOUBLE)) * AVG(CAST(v AS DOUBLE)), 0.0)), 6) "
             "AS pixel_std FROM blk GROUP BY i"
         ),
+        "media_decode_flac": (
+            # FLAC is lossless and the fixture is an integer formula
+            # (s[t] = ((t*(i+3)) % 200) - 100, n_i = 600 + i*37), so
+            # the SQL recomputes the exact moments the RFC 9639
+            # decoder must reproduce sample-for-sample
+            "WITH smp AS (SELECT i.range AS i, "
+            "((t.range * (i.range + 3)) % 200) - 100 AS v "
+            "FROM range(0, 10) i, range(0, 600 + 9 * 37) t "
+            "WHERE t.range < 600 + i.range * 37) "
+            "SELECT 'f' || CAST(i AS VARCHAR) AS media_id, "
+            "ROUND(AVG(CAST(v AS DOUBLE)), 6) AS pixel_mean, "
+            "ROUND(SQRT(GREATEST(AVG(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) "
+            "- AVG(CAST(v AS DOUBLE)) * AVG(CAST(v AS DOUBLE)), 0.0)), 6) "
+            "AS pixel_std FROM smp GROUP BY i"
+        ),
         "media_mp4_metadata": (
             # the fixture's closed-form container fields; durations in
             # 0.25 s steps are exact in binary floats AND 1000-tick
@@ -2173,8 +2212,9 @@ def oracle_entries(out: dict) -> dict:
             f"GROUP BY canonical_url"
         ),
         "url_domain_stats": (
-            f"SELECT rd AS registered_domain, COUNT(*) AS n_pages, "
-            f"COUNT(DISTINCT host) AS n_hosts, SUM(n_chars) AS sum_chars "
+            f"SELECT rd AS registered_domain, CAST(COUNT(*) AS BIGINT) AS n_pages, "
+            f"CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts, "
+            f"CAST(SUM(n_chars) AS BIGINT) AS sum_chars "
             f"FROM (SELECT {_url_sql_field('registered_domain')} AS rd, "
             f"{_url_sql_field('host')} AS host, n_chars FROM "
             f"(SELECT {_URL_SQL} AS url, n_chars FROM documents)) GROUP BY rd"

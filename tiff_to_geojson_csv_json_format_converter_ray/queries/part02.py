@@ -3202,6 +3202,35 @@ def _q_media_decode_jpeg(sf_dir: str) -> pa.Table:
     )
 
 
+def _q_media_decode_flac(sf_dir: str) -> pa.Table:
+    """Audio sample decode over REAL FLAC bytes: the from-scratch RFC
+    9639 codec (sources/media.py::decode_flac, VERDICT r4 item 3)
+    decodes each payload inside the actor-pool MediaDecode stage.
+    FLAC is lossless and the fixture samples are an integer formula,
+    so the closed-form moments ARE the SQL oracle."""
+    import ray.data
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.relational import (
+        collect_tables, round_like_sql,
+    )
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.multimodal import (
+        MediaDecode, gen_media_flac,
+    )
+
+    ds = ray.data.from_arrow(gen_media_flac(n=10))
+    out = collect_tables(
+        ds.map_batches(
+            MediaDecode(decoder="real"), batch_format="pyarrow", batch_size=None
+        )
+    )
+    return pa.table(
+        {
+            "media_id": out["media_id"],
+            "pixel_mean": round_like_sql(out["pixel_mean"], 6),
+            "pixel_std": round_like_sql(out["pixel_std"], 6),
+        }
+    )
+
+
 def _q_jaccard_pairs(sf_dir: str) -> pa.Table:
     """Exact n-gram-Jaccard verification of MinHash candidate pairs."""
     import ray.data
@@ -3557,23 +3586,41 @@ def _q_domain_cap_sample(sf_dir: str) -> pa.Table:
     )
 
 
-def _q_pages_flagship(sf_dir: str) -> pa.Table:
-    """The graft flagship over the synthetic pages corpus (extract ->
-    geocode -> cell -> count), scaled by sf when recognisable."""
+def _pages_docs_fixture(sf_dir: str) -> str:
+    """Write the documents-derived pages corpus (deterministic doc_id
+    formulas; see pipelines/pages.py::synthesize_pages_from_documents)
+    to a temp parquet directory and return its path."""
     import tempfile
 
-    import pyarrow.parquet as pq
+    from tiff_to_geojson_csv_json_format_converter_ray.pipelines.pages import (
+        synthesize_pages_from_documents,
+    )
+
+    docs = _read_pq(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    d = tempfile.mkdtemp(prefix="graft_pages_docs_")
+    synthesize_pages_from_documents(docs).write_parquet(d)
+    return d
+
+
+def _q_pages_flagship(sf_dir: str) -> pa.Table:
+    """The graft flagship (extract -> geocode -> cell -> PIP ->
+    tagged-partial count) over a DOCUMENTS-derived pages corpus whose
+    geo fields are integer formulas of doc_id -- so the DuckDB oracle
+    replays geocode -> cell -> count independently over the driver's
+    ``documents`` view while the engine runs the REAL html extraction
+    with the per-row invariant check (VERDICT r4 item 2: the flagship
+    row is driver-verifiable, no more ``no_oracle``)."""
     from tiff_to_geojson_csv_json_format_converter_ray.pipelines.pages import (
         pages_flagship,
     )
     from tiff_to_geojson_csv_json_format_converter_ray.sources.synthetic import (
-        gen_pages, gen_polygons,
+        gen_polygons,
     )
 
-    n = 2000
-    d = tempfile.mkdtemp(prefix="graft_pages_")
-    p = os.path.join(d, "pages.parquet")
-    pq.write_table(gen_pages(n), p)
+    p = _pages_docs_fixture(sf_dir)
     out = pages_flagship(p, polygons=gen_polygons(), res=8)
     return out["cell_counts"]
 
@@ -3581,23 +3628,17 @@ def _q_pages_flagship(sf_dir: str) -> pa.Table:
 def _q_pages_flagship_shuffle(sf_dir: str) -> pa.Table:
     """The flagship with the SCALE-tier combine forced
     (combine_tier='shuffle': distributed hash-bucket groupby-sum, no
-    driver concat of partials) -- pinned to the SAME canonical golden
-    as pages_flagship, the pip_join/pip_join_sharded pattern applied
-    to the metric pipeline (VERDICT r3 item 1)."""
-    import tempfile
-
-    import pyarrow.parquet as pq
+    driver concat of partials) -- same documents-derived corpus and
+    same oracle as pages_flagship, the pip_join/pip_join_sharded
+    pattern applied to the metric pipeline (VERDICT r3 item 1)."""
     from tiff_to_geojson_csv_json_format_converter_ray.pipelines.pages import (
         pages_flagship,
     )
     from tiff_to_geojson_csv_json_format_converter_ray.sources.synthetic import (
-        gen_pages, gen_polygons,
+        gen_polygons,
     )
 
-    n = 2000
-    d = tempfile.mkdtemp(prefix="graft_pages_")
-    p = os.path.join(d, "pages.parquet")
-    pq.write_table(gen_pages(n), p)
+    p = _pages_docs_fixture(sf_dir)
     out = pages_flagship(
         p, polygons=gen_polygons(), res=8, combine_tier="shuffle"
     )

@@ -2732,8 +2732,9 @@ def _q_pr_curve(sf_dir: str) -> pa.Table:
         ((tp + fp) * (tp + fn)).astype(np.float64)
         * ((tn + fp) * (tn + fn)).astype(np.float64)
     )
+    den_safe = np.where(den == 0.0, 1.0, den)
     mcc = np.where(
-        den == 0.0, 0.0, (tp * tn - fp * fn).astype(np.float64) / den
+        den == 0.0, 0.0, (tp * tn - fp * fn).astype(np.float64) / den_safe
     )
     return pa.table(
         {

@@ -33,15 +33,16 @@ MEDIA_SCHEMA = pa.schema(
 
 
 def _decode_real(payload: bytes, media_type: str) -> np.ndarray:
-    """Real decode via the from-scratch codecs (PNG/BMP/PPM/WAV);
-    raises NotImplementedError for formats that need a native codec
-    library (JPEG, MP4, ...)."""
+    """Real decode via the from-scratch codecs (PNG/BMP/PPM/JPEG
+    images, WAV/FLAC audio); raises NotImplementedError for formats
+    whose SAMPLE decode needs a native codec library (H.264/VP9 video,
+    Opus/MP3 audio -- container/metadata level is real, see
+    sources/media.py parse_mp4/parse_webm/parse_mp3_header)."""
     from ..sources.media import MediaCodecError, decode_media
 
     try:
         return decode_media(payload, media_type)
     except MediaCodecError as e:
-        # round 4: only VIDEO containers (mp4/webm) remain stubbed
         raise NotImplementedError(
             f"no from-scratch codec for this payload ({e}); "
             "use decoder='fake' or plug a codec library in here"
@@ -345,7 +346,8 @@ class AudioMetadata:
     """Header-level metadata for compressed-audio columns: FLAC
     STREAMINFO and MP3 frame headers (sources/media.py), sniffed from
     the leading bytes; WAV falls back to the real PCM decoder's rate.
-    Sample decode for FLAC/MP3 stays honestly stubbed."""
+    FLAC sample decode is real (sources/media.py::decode_flac, RFC
+    9639); MP3 sample decode stays honestly stubbed."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..sources.media import (
@@ -416,6 +418,33 @@ def gen_media_audio(n: int = 12) -> pa.Table:
             "width": pa.array([0] * n, pa.int32()),
             "height": pa.array([0] * n, pa.int32()),
             "sample_rate": pa.array([0] * n, pa.int32()),
+        },
+        schema=MEDIA_SCHEMA,
+    )
+
+
+def gen_media_flac(n: int = 10) -> pa.Table:
+    """Formula-sample FLAC fixture: clip ``i`` is mono 16-bit with
+    ``600 + i*37`` samples and ``s[t] = ((t * (i + 3)) % 200) - 100``
+    -- REAL FLAC bytes from the RFC 9639 encoder (fixed predictors +
+    Rice residuals), closed-form samples for the SQL oracle.  FLAC is
+    lossless, so decode stats are EXACT integer moments."""
+    from ..sources.media import encode_flac
+
+    ids, payloads = [], []
+    for i in range(n):
+        t = np.arange(600 + i * 37, dtype=np.int64)
+        s = ((t * (i + 3)) % 200) - 100
+        ids.append(f"f{i}")
+        payloads.append(encode_flac(s.astype(np.int32), 16000, block_size=256))
+    return pa.table(
+        {
+            "media_id": pa.array(ids),
+            "media_type": pa.array(["audio/flac"] * n),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array([0] * n, pa.int32()),
+            "height": pa.array([0] * n, pa.int32()),
+            "sample_rate": pa.array([16000] * n, pa.int32()),
         },
         schema=MEDIA_SCHEMA,
     )
@@ -501,7 +530,10 @@ def _banded_hamming_pairs(
     EXACT band), groupby the hash-bucketed (band, key), verify each
     band-bucket's candidates with exact popcount Hamming, then dedupe
     the (output-sized) pair list.  The signature itself rides the
-    shuffle as ONE packed int64 per row -- never the payload bytes.
+    shuffle as ceil(nbits/64) packed little-endian words in one
+    fixed-width binary cell per row -- never the payload bytes (and
+    never a single int64, whose mod-64 shifts corrupt signatures
+    wider than 64 bits; ADVICE r4).
     Same bucketed shape as stages/dedup.py's MinHash-LSH tier."""
     import ray.data  # noqa: F401
 
@@ -519,14 +551,23 @@ def _banded_hamming_pairs(
             )
         mat = np.asarray(rows, np.int64)
         n, nbits = mat.shape
-        if nbits > 63:
-            # keep the packed value positive (bucketing uses abs/mod)
-            packed = np.zeros(n, np.uint64)
-            for j in range(nbits):
-                packed |= mat[:, j].astype(np.uint64) << np.uint64(j)
-            sig = packed.view(np.int64)
-        else:
-            sig = (mat << np.arange(nbits, dtype=np.int64)).sum(axis=1)
+        # ADVICE r4: pack into ceil(nbits/64) LITTLE-ENDIAN words and
+        # carry the signature as fixed-width binary -- a single int64
+        # wraps shifts mod 64 for signatures wider than 64 bits and
+        # silently corrupts the exact-Hamming verify
+        nwords = (nbits + 63) // 64
+        packed = np.zeros((n, nwords), np.uint64)
+        for j in range(nbits):
+            packed[:, j >> 6] |= mat[:, j].astype(np.uint64) << np.uint64(
+                j & 63
+            )
+        sig_bytes = np.ascontiguousarray(
+            packed.astype("<u8")
+        ).view(np.uint8).reshape(n, nwords * 8)
+        sig = pa.Array.from_buffers(
+            pa.binary(nwords * 8), n,
+            [None, pa.py_buffer(sig_bytes.tobytes())],
+        )
         edges = np.linspace(0, nbits, nbands + 1).astype(int)
         parts = []
         for b in range(nbands):
@@ -540,7 +581,7 @@ def _banded_hamming_pairs(
                         "band": pa.array(np.full(n, b, np.int32)),
                         "key": pa.array(key),
                         "media_id": pa.array(ids, pa.string()),
-                        "sig": pa.array(sig),
+                        "sig": sig,
                     }
                 )
             )
@@ -560,21 +601,23 @@ def _banded_hamming_pairs(
         band = group["band"].to_numpy(zero_copy_only=False).astype(np.int64)
         key = group["key"].to_numpy(zero_copy_only=False)
         ids = np.asarray(group["media_id"].to_pylist())
-        sigs = group["sig"].to_numpy(zero_copy_only=False)
+        col = group["sig"].combine_chunks()
+        w = col.type.byte_width
+        smat = np.frombuffer(col.buffers()[1], np.uint8)[
+            col.offset * w : (col.offset + len(col)) * w
+        ].reshape(len(col), w)
         order = np.lexsort((key, band))
-        band, key, ids, sigs = band[order], key[order], ids[order], sigs[order]
+        band, key, ids, smat = band[order], key[order], ids[order], smat[order]
         bounds = _segment_bounds(band, key)
         out_a, out_b, out_h = [], [], []
         for s, t_ in zip(bounds[:-1], bounds[1:]):
             g = int(t_ - s)
             if g < 2:
                 continue
-            sid, ssig = ids[s:t_], sigs[s:t_]
+            sid, ssig = ids[s:t_], smat[s:t_]
             ii, jj = np.triu_indices(g, 1)
             x = np.bitwise_xor(ssig[ii], ssig[jj])
-            ham = np.unpackbits(
-                x.view(np.uint8).reshape(len(x), 8), axis=1
-            ).sum(axis=1)
+            ham = np.unpackbits(x, axis=1).sum(axis=1)
             k = ham <= max_hamming
             a, b = sid[ii[k]], sid[jj[k]]
             swap = a > b  # np.minimum has no unicode loop

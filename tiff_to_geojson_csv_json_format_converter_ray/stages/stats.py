@@ -78,36 +78,77 @@ def finalize_stats(combined: pa.Table) -> pa.Table:
 
 
 def grouped_stats(
-    ds, keys: list[str], value_col: str = "z"
+    ds, keys: list[str], value_col: str = "z",
+    combine_tier: str = "driver", max_driver_rows: int = 2_000_000,
 ) -> pa.Table:
     """Distributed partial aggregation over a Dataset -> small final
     Arrow table on the driver.
 
-    The materialized intermediate is the PARTIALS (bounded by
-    n_blocks x n_groups rows), never the input -- safe at 100 TB as
-    long as group cardinality is bounded; for high-cardinality keys
-    use ``ds.groupby`` instead.
+    ``combine_tier='driver'`` (default) collects the PARTIALS (bounded
+    by n_blocks x n_groups rows) -- right when group cardinality is
+    small.  ``'shuffle'`` routes the partials through a distributed
+    hash-bucket groupby instead and collects only the FINAL combined
+    aggregate (<= distinct groups rows) -- the tier for key spaces
+    (e.g. polygons x bands at continental zonal scale) whose
+    shards-x-groups partial volume exceeds driver memory (VERDICT r4
+    item 5, mirroring jobs/zonal_job.py's distributed final combine).
+    ``'auto'`` materializes the partials once and routes on their row
+    count (``> max_driver_rows`` -> shuffle).
     """
+    if combine_tier not in ("driver", "shuffle", "auto"):
+        raise ValueError(f"unknown combine_tier: {combine_tier}")
     partial = ds.map_batches(
         lambda b: partial_stats_batch(b, keys, value_col),
         batch_format="pyarrow", batch_size=None,
     )
+    if combine_tier != "driver":
+        partial = partial.materialize()
+        tier = (
+            "shuffle"
+            if combine_tier == "shuffle"
+            or partial.count() > max_driver_rows
+            else "driver"
+        )
+    else:
+        tier = "driver"
+    if tier == "shuffle":
+        from ..pipelines.relational import hash_aggregate
+
+        combined = hash_aggregate(
+            partial, keys,
+            [("n", "sum", "n"), ("s", "sum", "s"), ("s2", "sum", "s2"),
+             ("mn", "min", "mn"), ("mx", "max", "mx")],
+            distributed_combine=True,
+        )
+        tables, schema = _collect_with_schema(combined)
+        if not tables:
+            return finalize_stats(
+                _empty_partials_schema(keys, schema).empty_table()
+            )
+        parts = pa.concat_tables(tables, promote_options="default")
+        # per-key rows are already combined; combine_partials is a
+        # cheap idempotent re-group that also merges table chunks
+        return finalize_stats(combine_partials(parts, keys))
     tables, schema = _collect_with_schema(partial)
     if not tables:
         # every input row filtered out: empty result with the partial
         # schema (string-typed keys if Ray elided all empty blocks --
         # callers needing exact key types should handle num_rows == 0)
-        if schema is None:
-            schema = pa.schema(
-                [(k, pa.string()) for k in keys]
-                + [("n", pa.int64()), ("s", pa.float64()),
-                   ("s2", pa.float64()), ("mn", pa.float64()),
-                   ("mx", pa.float64())]
-            )
-        parts = schema.empty_table()
+        parts = _empty_partials_schema(keys, schema).empty_table()
     else:
         parts = pa.concat_tables(tables, promote_options="default")
     return finalize_stats(combine_partials(parts, keys))
+
+
+def _empty_partials_schema(keys: list[str], schema) -> pa.Schema:
+    if schema is not None:
+        return schema
+    return pa.schema(
+        [(k, pa.string()) for k in keys]
+        + [("n", pa.int64()), ("s", pa.float64()),
+           ("s2", pa.float64()), ("mn", pa.float64()),
+           ("mx", pa.float64())]
+    )
 
 
 def _collect_with_schema(ds):
