@@ -377,3 +377,13 @@ def test_distributed_tier_random_terrains(ray_session):
             forest_tier="distributed", super_factor=sf,
         )
         assert got == want, (trial, h, tile, blk, sf)
+        # every other draw: force the recursive port-forest tier too
+        # (VERDICT r4 item 4) -- the tiny threshold sends the port
+        # forest through _forest_totals_tiered on the same terrain
+        if trial % 2 == 0:
+            deep = _run(
+                ray_session, z, tile=tile, block=blk, stride=tile,
+                forest_tier="distributed", super_factor=sf,
+                max_driver_entries=5,
+            )
+            assert deep == want, ("deep", trial, h, tile, blk, sf)

@@ -399,3 +399,50 @@ class TestJPEGProperties:
         m = parse_mp4(encode_mp4_stub(dur, 1000, tracks))
         assert m["duration_seconds"] == dur
         assert m["n_tracks"] == n_tracks
+
+
+class TestFLACProperties:
+    """RFC 9639 codec invariants under ANY parameter draw (round 5):
+    FLAC is lossless, so EVERY signal must round-trip bit-exactly
+    through encode_flac -> decode_flac, across channel counts, bit
+    depths, block sizes, signal shapes (tonal / noise / constant runs)
+    and non-multiple tail blocks."""
+
+    @given(
+        n=st.integers(1, 3000),
+        nch=st.integers(1, 3),
+        bps=st.sampled_from([8, 16]),
+        block=st.sampled_from([192, 256, 1024, 4096]),
+        shape=st.sampled_from(["tonal", "noise", "steps", "constant"]),
+        seed=st.integers(0, 10_000),
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_any_signal_roundtrips_lossless(
+        self, n, nch, bps, block, shape, seed
+    ):
+        from tiff_to_geojson_csv_json_format_converter_ray.sources.media import (
+            decode_flac, encode_flac,
+        )
+
+        rng = np.random.RandomState(seed)
+        lim = 1 << (bps - 1)
+        t = np.arange(n)
+        if shape == "tonal":
+            s = (
+                (lim // 2) * np.sin(t[:, None] / rng.uniform(5, 60))
+                + rng.randint(-lim // 8, lim // 8, (n, nch))
+            )
+        elif shape == "noise":
+            s = rng.randint(-lim, lim, (n, nch))
+        elif shape == "steps":
+            s = rng.randint(-lim, lim, (max(1, n // 50) + 1, nch)).repeat(
+                50, axis=0
+            )[:n]
+        else:
+            s = np.full((n, nch), rng.randint(-lim, lim))
+        s = np.clip(s, -lim, lim - 1).astype(np.int32)
+        enc = encode_flac(s, 16000, bits_per_sample=bps, block_size=block)
+        dec, rate = decode_flac(enc)
+        assert rate == 16000
+        assert dec.shape == s.shape
+        assert (dec == s).all()

@@ -1789,8 +1789,8 @@ def encode_flac(
             bw.u(0, 1)
             for w in x[:order].tolist():
                 bw.s(int(w), bits_per_sample)
-            _flac_write_residual(bw, resid if order == 0 else resid)
-            # NOTE: np.diff of order o already drops the o warmups
+            # np.diff of order o already drops the o warmup samples
+            _flac_write_residual(bw, resid)
         bw.align()
         frame_wo_crc = bytes(bw.out)
         bw.u(_crc16_flac(frame_wo_crc), 16)
