@@ -3949,3 +3949,29 @@ class TestMediaCLI:
         rc = main(["media", "--table", str(auds),
                    "--mode", "audio-metadata"])
         assert rc in (0, None)
+
+    def test_media_decode_flac_via_cli(self, ray_session, tmp_path):
+        """--mode decode with the real decoder runs the RFC 9639 FLAC
+        sample codec end-to-end from a payload parquet (round 5)."""
+        import pyarrow.parquet as pq
+
+        from tiff_to_geojson_csv_json_format_converter_ray.__main__ import main
+        from tiff_to_geojson_csv_json_format_converter_ray.stages.multimodal import (
+            gen_media_flac,
+        )
+
+        flacs = tmp_path / "flacs.parquet"
+        pq.write_table(gen_media_flac(n=4), flacs)
+        out = tmp_path / "decode_out"
+        rc = main(["media", "--table", str(flacs), "--mode", "decode",
+                   "--decoder", "real", "--out", str(out)])
+        assert rc in (0, None)
+        got = pq.read_table(out)
+        assert got.num_rows == 4
+        assert set(got.column_names) >= {"media_id", "pixel_mean", "pixel_std"}
+        # lossless decode of the formula fixture: mean of clip f0 is
+        # exactly -0.5 (s[t] = ((t*3) % 200) - 100 over 600 samples)
+        m = {
+            r["media_id"]: r["pixel_mean"] for r in got.to_pylist()
+        }
+        assert m["f0"] == -0.5
