@@ -74,6 +74,18 @@ def _compare(name, got_df, want_df):
         if np.issubdtype(g[c].dtype, np.floating) or np.issubdtype(
             w[c].dtype, np.floating
         ):
+            # the DRIVER's value hash is dtype-sensitive (a CSV of
+            # 46220 vs 46220.0 hashes differently), so an int64 engine
+            # column against a float64 oracle column (un-cast HUGEINT
+            # SUM/COUNT) is a latent driver-gate red even when values
+            # are bit-equal -- the r4 url_domain_stats / r5
+            # pivot_events failure class.  Require float-ness to AGREE.
+            assert np.issubdtype(g[c].dtype, np.floating) == np.issubdtype(
+                w[c].dtype, np.floating
+            ), (
+                f"{name}.{c}: dtype class mismatch {g[c].dtype} vs "
+                f"{w[c].dtype} -- CAST the oracle aggregate to BIGINT"
+            )
             gv = g[c].to_numpy(dtype=np.float64)
             wv = w[c].to_numpy(dtype=np.float64)
             both_nan = np.isnan(gv) & np.isnan(wv)

@@ -1197,8 +1197,8 @@ def oracle_entries(out: dict) -> dict:
             "SELECT user_id, "
             + ", ".join(
                 f"COUNT(*) FILTER (WHERE event_type = '{c}') AS n_{c}, "
-                f"COALESCE(SUM(cents) FILTER (WHERE event_type = '{c}'), 0) "
-                f"AS sum_{c}"
+                f"CAST(COALESCE(SUM(cents) FILTER "
+                f"(WHERE event_type = '{c}'), 0) AS BIGINT) AS sum_{c}"
                 for c in ["click", "error", "purchase", "signup", "view"]
             )
             + " FROM e GROUP BY user_id"
