@@ -387,3 +387,50 @@ def test_distributed_tier_random_terrains(ray_session):
                 max_driver_entries=5,
             )
             assert deep == want, ("deep", trial, h, tile, blk, sf)
+
+
+def test_watershed_deep_tier_random_terrains(ray_session):
+    """Watershed mirror of the random-terrain sweep with the RECURSIVE
+    port-sink tier forced (resolve_needs_tiered, tiny threshold): the
+    deep tier must equal the driver tier on every drawn terrain."""
+    import ray.data
+
+    from tiff_to_geojson_csv_json_format_converter_ray.stages.raster import (
+        watershed_labels,
+    )
+
+    rng = np.random.RandomState(321)
+    for trial in range(3):
+        h = w = int(rng.choice([48, 64]))
+        rr, cc = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+        z = (
+            100.0
+            + rng.uniform(0.1, 0.8) * rr
+            + rng.uniform(1, 5) * np.sin(cc / rng.uniform(3, 12))
+            + rng.uniform(1, 4) * np.cos(rr / rng.uniform(3, 12))
+        )
+        z[rng.rand(h, w) < rng.uniform(0.0, 0.12)] = -3.4e38
+        tile = int(rng.choice([16, 24]))
+        blk = int(rng.choice([8, 16]))
+        sf = int(rng.choice([2, 4]))
+
+        def run(**kw):
+            out = watershed_labels(
+                ray.data.from_arrow(_tiles_from_grid(z, tile)),
+                stride=tile, **kw,
+            )
+            return {
+                (r, c): (a, b)
+                for r, c, a, b in zip(
+                    out["row"].to_pylist(), out["col"].to_pylist(),
+                    out["sink_row"].to_pylist(),
+                    out["sink_col"].to_pylist(),
+                )
+            }
+
+        base = run(block=blk, forest_tier="driver")
+        deep = run(
+            block=blk, forest_tier="distributed", super_factor=sf,
+            max_driver_entries=5,
+        )
+        assert deep == base, (trial, h, tile, blk, sf)

@@ -662,6 +662,16 @@ class TestFLAC:
         )
         self._roundtrip(np.array([1], np.int32), 16000)
 
+    def test_many_frames_multibyte_coded_numbers(self):
+        """157 frames of 192 samples: frame indices >= 128 exercise the
+        multi-byte UTF-8-style coded-number encode AND decode paths."""
+        rng = np.random.RandomState(9)
+        s = (
+            1000 * np.sin(np.arange(30000) / 33.0)
+            + rng.randint(-50, 50, 30000)
+        ).astype(np.int32)
+        self._roundtrip(s, 16000, block_size=192)
+
     def test_compresses_tonal(self):
         from tiff_to_geojson_csv_json_format_converter_ray.sources.media import (
             encode_flac,
