@@ -188,7 +188,7 @@ def main(argv: list[str] | None = None) -> int:
 
     from .context import init_local_ray
 
-    init_local_ray(args.num_cpus)
+    owns_session = init_local_ray(args.num_cpus)
     try:
         if args.cmd == "profile":
             from .pipelines.relational import profile_columns
@@ -385,9 +385,13 @@ def main(argv: list[str] | None = None) -> int:
             res.pop("manifest", None)
             print(json.dumps(res))
     finally:
-        import ray
+        # only tear down a session THIS invocation started: killing a
+        # caller-owned cluster (pytest's session fixture, a driver)
+        # forces a racy mid-process re-init (context.init_local_ray)
+        if owns_session:
+            import ray
 
-        ray.shutdown()
+            ray.shutdown()
     return 0
 
 

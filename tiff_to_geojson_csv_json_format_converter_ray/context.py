@@ -21,14 +21,21 @@ def tune_data_context(target_max_block_size_mb: int = 128) -> None:
     logging.getLogger("ray.data").setLevel(logging.ERROR)
 
 
-def init_local_ray(num_cpus: int | None = None) -> None:
+def init_local_ray(num_cpus: int | None = None) -> bool:
     """Session owner helper for CLI entry points ONLY (the driver and
-    tests own their sessions; library code never calls this)."""
+    tests own their sessions; library code never calls this).
+
+    Returns True when THIS call started the session -- callers must
+    only ``ray.shutdown()`` if so: tearing down a session someone else
+    owns (e.g. the pytest session cluster when a test drives ``main()``
+    in-process) forces a mid-suite re-init whose teardown race can
+    hard-kill the host process (the round-4 'second local cluster'
+    gotcha, reproduced in-suite round 5)."""
     import ray
 
     if ray.is_initialized():
         tune_data_context()
-        return
+        return False
     ray.init(
         address="local",
         num_cpus=num_cpus or int(os.environ.get("RAY_GRAFT_CPUS", "32")),
@@ -37,3 +44,4 @@ def init_local_ray(num_cpus: int | None = None) -> None:
         logging_level="ERROR",
     )
     tune_data_context()
+    return True
