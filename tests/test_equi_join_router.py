@@ -164,6 +164,15 @@ class TestSkewJoin:
             )
             assert got == want, jt
             assert len(want) > n / 2  # the hot key actually multiplied
+            # round 5: force the SALTED tier (hot right subset 'too
+            # big to broadcast') -- each hot left row takes one salt,
+            # hot right rows replicate per salt, no driver collect
+            salted = norm(
+                equi_join(left, right, on=("k",), right_on=("rk",),
+                          join_type=jt, strategy="skew",
+                          skew_broadcast_cap=0, skew_salt_buckets=4)
+            )
+            assert salted == want, ("salted", jt)
 
     def test_skew_strategy_random_distributions(self, ray_session):
         """Property sweep: random key distributions (Zipf-ish skew,
@@ -214,3 +223,8 @@ class TestSkewJoin:
                     left, right, on=("k",), right_on=("rk",),
                     join_type=jt, strategy="skew"))
                 assert got == want, (trial, shape, jt)
+                salted = norm(equi_join(
+                    left, right, on=("k",), right_on=("rk",),
+                    join_type=jt, strategy="skew",
+                    skew_broadcast_cap=0, skew_salt_buckets=3))
+                assert salted == want, ("salted", trial, shape, jt)

@@ -493,6 +493,8 @@ def equi_join(
     num_partitions: int = 8,
     strategy: str = "auto",
     right_size_hint: int | None = None,
+    skew_broadcast_cap: int = 2_000_000,
+    skew_salt_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Size-aware equi-join router.
 
@@ -542,6 +544,8 @@ def equi_join(
         return _skew_equi_join(
             left, right, on=tuple(on), right_on=right_on,
             join_type=join_type, num_partitions=num_partitions,
+            broadcast_cap=skew_broadcast_cap,
+            salt_buckets=skew_salt_buckets,
         )
     if strategy != "shuffle":
         raise ValueError(f"unknown join strategy {strategy!r}")
@@ -560,6 +564,8 @@ def _skew_equi_join(
     join_type: str,
     num_partitions: int,
     hot_factor: float = 10.0,
+    broadcast_cap: int = 2_000_000,
+    salt_buckets: int | None = None,
 ) -> ray.data.Dataset:
     """Hot-key split join for SKEWED big-big joins (urban-cell skew:
     a handful of keys carry 100x the median row count and would
@@ -568,12 +574,24 @@ def _skew_equi_join(
     Plan: a combiner-tier ``partial_count`` over the LEFT key finds
     hot keys (>= ``hot_factor`` x median -- the hot KEY LIST is tiny
     even when hot ROWS dominate); the right side's hot-key subset is
-    collected + broadcast and hot left rows join map-side (no
-    shuffle, no hotspot); the cold remainders take the normal hash
-    shuffle; results union.  Only ``inner`` / ``left_outer`` (the
-    broadcast-expressible types).  Both inputs are materialized once
-    first: each side is consumed twice (hot/cold filters), and lazy
-    lineage would otherwise re-execute the upstream per consumer."""
+    materialized and routed by ROW COUNT (round 5, closing the r4
+    audit note that the broadcast assumed it fits):
+
+    - ``<= broadcast_cap`` rows: collect + ``ray.put`` once, hot left
+      rows join map-side (no shuffle, no hotspot);
+    - above the cap: SALTED shuffle -- each hot LEFT row gets one salt
+      in ``[0, salt_buckets)``, hot RIGHT rows are replicated once per
+      salt, and the hot join runs as a normal (key, salt) hash shuffle
+      whose per-partition load is the hot key's rows / salt_buckets.
+      Nothing is driver-collected or broadcast on this path.
+
+    The cold remainders take the normal hash shuffle; results union.
+    Only ``inner`` / ``left_outer`` (each left row lives in exactly
+    one salt bucket, so unmatched-left detection survives salting;
+    unmatched-RIGHT semantics would see every replica and do not).
+    Both inputs are materialized once first: each side is consumed
+    twice (hot/cold filters), and lazy lineage would otherwise
+    re-execute the upstream per consumer."""
     import ray
 
     from ..stages.shuffle import detect_hot_keys, partial_count
@@ -603,17 +621,53 @@ def _skew_equi_join(
         return fn
 
     kwargs = {"batch_format": "pyarrow", "batch_size": None}
-    right_hot = collect_tables(right.map_batches(keep(rkey, True), **kwargs))
-    if right_hot is None:
-        right_hot = right.schema().base_schema.empty_table()
-    hot_joined = left.map_batches(keep(key, True), **kwargs).map_batches(
-        _broadcast_join_batch,
-        fn_kwargs=dict(
-            right_ref=ray.put(right_hot), on=on,
-            right_on=right_on, join_type=join_type,
-        ),
-        **kwargs,
-    )
+    right_hot_ds = right.map_batches(keep(rkey, True), **kwargs).materialize()
+    if right_hot_ds.count() <= broadcast_cap:
+        right_hot = collect_tables(right_hot_ds)
+        if right_hot is None:
+            right_hot = right.schema().base_schema.empty_table()
+        hot_joined = left.map_batches(keep(key, True), **kwargs).map_batches(
+            _broadcast_join_batch,
+            fn_kwargs=dict(
+                right_ref=ray.put(right_hot), on=on,
+                right_on=right_on, join_type=join_type,
+            ),
+            **kwargs,
+        )
+    else:
+        nsalt = salt_buckets or max(2, num_partitions)
+        salt_l, salt_r = "_skew_salt_l", "_skew_salt_r"
+
+        def add_salt(t: pa.Table) -> pa.Table:
+            # cheap deterministic spread: row position within the
+            # batch mod nsalt (batches are large relative to nsalt, so
+            # every bucket fills; no RNG -- reruns are identical)
+            s = np.arange(t.num_rows, dtype=np.int64) % nsalt
+            return t.append_column(salt_l, pa.array(s))
+
+        def replicate(t: pa.Table) -> pa.Table:
+            idx = np.repeat(np.arange(t.num_rows, dtype=np.int64), nsalt)
+            rep = t.take(pa.array(idx))
+            s = np.tile(np.arange(nsalt, dtype=np.int64), t.num_rows)
+            return rep.append_column(salt_r, pa.array(s))
+
+        hot_joined = (
+            left.map_batches(keep(key, True), **kwargs)
+            .map_batches(add_salt, **kwargs)
+            .join(
+                right_hot_ds.map_batches(replicate, **kwargs),
+                join_type=join_type,
+                num_partitions=num_partitions,
+                on=(key, salt_l),
+                right_on=(rkey, salt_r),
+            )
+            .map_batches(
+                lambda t: t.drop_columns(
+                    [c for c in (salt_l, salt_r) if c in t.column_names]
+                ),
+                **kwargs,
+            )
+        )
     cold_joined = left.map_batches(keep(key, False), **kwargs).join(
         right.map_batches(keep(rkey, False), **kwargs),
         join_type=join_type, num_partitions=num_partitions,
