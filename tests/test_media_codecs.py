@@ -811,6 +811,52 @@ class TestFLAC:
         dec, _ = decode_flac(self._build(16000, 2, n, ch_code, 4, body))
         assert (dec[:, 0] == L).all() and (dec[:, 1] == R).all()
 
+    def test_32bit_noise_roundtrips_lossless(self):
+        """Review r5: the Rice-escape raw width caps at 31 bits, so
+        32-bit residuals wider than that must take the (always
+        lossless) Rice path -- a clamped raw width silently masked
+        high bits and corrupted full-scale 32-bit audio."""
+        rng = np.random.RandomState(13)
+        s = rng.randint(-(2 ** 31), 2 ** 31, 500, dtype=np.int64)
+        self._roundtrip(s.astype(np.int64), 48000, bits_per_sample=32)
+
+    def test_truncated_between_frames_raises(self):
+        """Review r5: a stream cut at a frame boundary decodes fewer
+        samples than STREAMINFO promises -- must raise, not silently
+        return short audio into downstream stats."""
+        from tiff_to_geojson_csv_json_format_converter_ray.sources.media import (
+            MediaCodecError, decode_flac, encode_flac,
+        )
+
+        s = (np.arange(5000) % 211).astype(np.int32)
+        enc = encode_flac(s, 16000, block_size=1024)
+        # find the start of the second frame (sync bytes after header)
+        first = enc.index(b"\xff\xf8")
+        second = enc.index(b"\xff\xf8", first + 2)
+        with pytest.raises(MediaCodecError, match="truncated"):
+            decode_flac(enc[:second])
+
+    def test_order_exceeds_block_size_raises(self):
+        """Review r5: a malformed frame declaring a FIXED order larger
+        than its block size must fail as MediaCodecError, not emit
+        extra samples or crash with a raw numpy error."""
+        from tiff_to_geojson_csv_json_format_converter_ray.sources.media import (
+            MediaCodecError, decode_flac,
+        )
+
+        def body(bw):
+            bw.u(0, 1)
+            bw.u(8 + 4, 6)  # FIXED order 4 on a 2-sample block
+            bw.u(0, 1)
+            for _ in range(4):
+                bw.s(1, 16)
+            bw.u(0, 2)
+            bw.u(0, 4)
+            bw.u(0, 4)
+
+        with pytest.raises(MediaCodecError, match="order"):
+            decode_flac(self._build(16000, 1, 2, 0, 4, body))
+
     def test_crc_detects_corruption(self):
         from tiff_to_geojson_csv_json_format_converter_ray.sources.media import (
             MediaCodecError, decode_flac, encode_flac,

@@ -1493,6 +1493,8 @@ def _flac_subframe(
         out = [br.s(eff) for _ in range(block_size)]
     elif 8 <= ftype <= 12:  # FIXED order 0-4
         order = ftype - 8
+        if order > block_size:
+            raise MediaCodecError("FLAC predictor order exceeds block size")
         out = [br.s(eff) for _ in range(order)]
         resid = _flac_residual(br, block_size, order)
         coefs = _FLAC_FIXED_COEFS[order]
@@ -1501,6 +1503,8 @@ def _flac_subframe(
             out.append(pred + r)
     elif ftype >= 32:  # LPC order 1-32
         order = (ftype & 0x1F) + 1
+        if order > block_size:
+            raise MediaCodecError("FLAC predictor order exceeds block size")
         out = [br.s(eff) for _ in range(order)]
         prec = br.u(4) + 1
         if prec == 16:
@@ -1615,6 +1619,13 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, int]:
         pos = br.byte
     if not out_blocks:
         raise MediaCodecError("FLAC stream has no audio frames")
+    if total and got < total:
+        # a payload cut between frames must fail honestly, not flow
+        # short samples into downstream stats (the JPEG truncated-
+        # entropy-segment contract)
+        raise MediaCodecError(
+            f"truncated FLAC stream: {got} of {total} samples present"
+        )
     arr = np.concatenate(out_blocks, axis=0)
     if total:
         arr = arr[:total]
@@ -1667,31 +1678,37 @@ def _rice_cost(folded: np.ndarray, param: int) -> int:
 
 
 def _flac_write_residual(bw: _PlainBitWriter, resid: np.ndarray) -> None:
-    """Single-partition method-0 Rice residual (escape when raw coding
-    is cheaper, e.g. pathological high-variance blocks)."""
+    """Single-partition Rice residual: method 0 (4-bit params, 0-14)
+    when a small parameter wins, method 1 (5-bit params, 0-30) for
+    wide residuals (24/32-bit audio -- a 14-capped parameter would
+    explode the unary quotients), escape when raw coding is cheaper."""
     folded = np.where(resid >= 0, resid.astype(np.int64) << 1,
                       ((-resid.astype(np.int64)) << 1) - 1).astype(np.int64)
     best_p, best_c = 0, None
-    for p in range(15):
+    for p in range(31):
         c = _rice_cost(folded, p)
         if best_c is None or c < best_c:
             best_p, best_c = p, c
         if folded.size and (folded >> p).max() == 0:
             break
-    bw.u(0, 2)  # method 0
+    method, pbits = (0, 4) if best_p < 15 else (1, 5)
+    bw.u(method, 2)
     bw.u(0, 4)  # partition order 0
     raw_bits = int(
         max(int(resid.max() + 1).bit_length(), int(-resid.min()).bit_length())
         + 1
     ) if resid.size else 1
-    raw_bits = min(raw_bits, 31)
-    if resid.size and raw_bits * len(resid) + 5 < best_c:
-        bw.u(15, 4)  # escape
+    # the escape's 5-bit width field caps raw samples at 31 bits; wider
+    # residuals (32-bit audio) must take the Rice path (always
+    # lossless -- the unary quotient grows without bound), NEVER a
+    # clamped raw width that silently masks high bits
+    if resid.size and raw_bits <= 31 and raw_bits * len(resid) + 5 < best_c:
+        bw.u((1 << pbits) - 1, pbits)  # escape code (15 or 31)
         bw.u(raw_bits, 5)
         for v in resid.tolist():
             bw.s(int(v), raw_bits)
         return
-    bw.u(best_p, 4)
+    bw.u(best_p, pbits)
     for f in folded.tolist():
         q = f >> best_p
         bw.u(0, q) if q else None
@@ -1717,20 +1734,10 @@ def encode_flac(
     lo, hi = -(1 << (bits_per_sample - 1)), (1 << (bits_per_sample - 1)) - 1
     if s.size and (s.min() < lo or s.max() > hi):
         raise MediaCodecError("samples exceed bits_per_sample range")
-    header = bytearray(b"fLaC")
-    info_bits = (
-        (sample_rate << 44)
-        | ((nch - 1) << 41)
-        | ((bits_per_sample - 1) << 36)
-        | n
+    header = encode_flac_stub(
+        sample_rate, nch, n, bits_per_sample=bits_per_sample,
+        block_size=block_size,
     )
-    body = (
-        struct.pack(">HH", block_size, block_size)
-        + b"\0\0\0" * 2
-        + info_bits.to_bytes(8, "big")
-        + b"\0" * 16
-    )
-    header += bytes([0x80]) + struct.pack(">I", len(body))[1:] + body
     ss_code = {8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}.get(bits_per_sample)
     if ss_code is None:
         raise MediaCodecError("unsupported bits_per_sample")
@@ -1780,9 +1787,7 @@ def encode_flac(
                 cands[1] = np.diff(x)
             if bs > 2:
                 cands[2] = np.diff(x, 2)
-            order = min(
-                cands, key=lambda o: np.abs(cands[o][o and 0:]).sum()
-            )
+            order = min(cands, key=lambda o: np.abs(cands[o]).sum())
             resid = cands[order]
             bw.u(0, 1)
             bw.u(8 + order, 6)  # FIXED
@@ -1800,10 +1805,11 @@ def encode_flac(
 
 def encode_flac_stub(
     sample_rate: int, channels: int, total_samples: int,
-    bits_per_sample: int = 16,
+    bits_per_sample: int = 16, block_size: int = 4096,
 ) -> bytes:
     """Minimal valid FLAC metadata stream (fLaC + last STREAMINFO
-    block; no audio frames) -- fixture generator."""
+    block; no audio frames) -- fixture generator, and the header
+    builder :func:`encode_flac` prepends to its frames."""
     bits = (
         (sample_rate << 44)
         | ((channels - 1) << 41)
@@ -1811,7 +1817,7 @@ def encode_flac_stub(
         | total_samples
     )
     body = (
-        struct.pack(">HH", 4096, 4096)  # block sizes
+        struct.pack(">HH", block_size, block_size)
         + b"\0\0\0" * 2                  # frame sizes (unknown)
         + bits.to_bytes(8, "big")
         + b"\0" * 16                     # MD5

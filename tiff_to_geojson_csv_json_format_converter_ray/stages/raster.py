@@ -1462,6 +1462,59 @@ def _flow_replay_group(group: pa.Table, sb: int) -> list:
     return [(e, x) for e, x in tot.items() if x > 0]
 
 
+def _flow_to_kind4(sb: int):
+    """Factory: (r1, c1, v) port totals -> kind-4 delivery rows keyed
+    by the super-block of size ``sb``."""
+
+    def to_kind4(batch: pa.Table) -> pa.Table:
+        r1 = batch["r1"].to_numpy(zero_copy_only=False)
+        c1 = batch["c1"].to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        return pa.table(
+            {
+                "r1": batch["r1"],
+                "c1": batch["c1"],
+                "r2": pa.array(np.zeros(n, np.int64)),
+                "c2": pa.array(np.zeros(n, np.int64)),
+                "v": batch["v"],
+                "kind": pa.array(np.full(n, 4, np.int64)),
+                "sbk": pa.array((r1 // sb) * 100000 + (c1 // sb)),
+            }
+        )
+
+    return to_kind4
+
+
+def _flow_union_port_totals(
+    l2: ray.data.Dataset, ports_ds: ray.data.Dataset, sb: int,
+    super_factor: int, max_driver_entries: int,
+    depth: int = 0, max_depth: int = 16,
+) -> ray.data.Dataset:
+    """Shared port-forest routing: driver Kahn when the port forest
+    fits ``max_driver_entries`` (or the recursion-depth backstop
+    fires), else recurse :func:`_forest_totals_tiered`; returns ``l2``
+    with the solved kind-4 delivery rows unioned in."""
+    import ray
+
+    n_ports = ports_ds.count()
+    if n_ports <= max_driver_entries or depth >= max_depth:
+        port_inflow = _flow_solve_ports_driver(_collect_tables(ports_ds))
+        if not port_inflow:
+            return l2
+        return l2.union(
+            ray.data.from_arrow(_flow_kind4_table(port_inflow, sb))
+        )
+    totals = _forest_totals_tiered(
+        ports_ds, sb, super_factor, max_driver_entries, depth + 1,
+        max_depth,
+    )
+    return l2.union(
+        totals.map_batches(
+            _flow_to_kind4(sb), batch_format="pyarrow", batch_size=None
+        )
+    )
+
+
 def _forest_totals_tiered(
     forest: ray.data.Dataset, cell: int, super_factor: int,
     max_driver_entries: int, depth: int = 1, _max_depth: int = 16,
@@ -1482,41 +1535,10 @@ def _forest_totals_tiered(
     ports_ds = l2.groupby("sbk").map_groups(
         _flow_super_phase(sb), batch_format="pyarrow"
     ).materialize()
-    n_ports = ports_ds.count()
-    if n_ports <= max_driver_entries or depth >= _max_depth:
-        port_inflow = _flow_solve_ports_driver(_collect_tables(ports_ds))
-        l2b = (
-            l2.union(ray.data.from_arrow(_flow_kind4_table(port_inflow, sb)))
-            if port_inflow
-            else l2
-        )
-    else:
-        totals = _forest_totals_tiered(
-            ports_ds, sb, super_factor, max_driver_entries, depth + 1,
-            _max_depth,
-        )
-
-        def to_kind4(batch: pa.Table) -> pa.Table:
-            r1 = batch["r1"].to_numpy(zero_copy_only=False)
-            c1 = batch["c1"].to_numpy(zero_copy_only=False)
-            n = batch.num_rows
-            return pa.table(
-                {
-                    "r1": batch["r1"],
-                    "c1": batch["c1"],
-                    "r2": pa.array(np.zeros(n, np.int64)),
-                    "c2": pa.array(np.zeros(n, np.int64)),
-                    "v": batch["v"],
-                    "kind": pa.array(np.full(n, 4, np.int64)),
-                    "sbk": pa.array((r1 // sb) * 100000 + (c1 // sb)),
-                }
-            )
-
-        l2b = l2.union(
-            totals.map_batches(
-                to_kind4, batch_format="pyarrow", batch_size=None
-            )
-        )
+    l2b = _flow_union_port_totals(
+        l2, ports_ds, sb, super_factor, max_driver_entries,
+        depth=depth, max_depth=_max_depth,
+    )
 
     def final_totals(group: pa.Table) -> pa.Table:
         ent = _flow_replay_group(group, sb)
@@ -1571,40 +1593,9 @@ def _flow_entry_totals_distributed(
     ports_ds = l2.groupby("sbk").map_groups(
         _flow_super_phase(sb), batch_format="pyarrow"
     ).materialize()
-    n_ports = ports_ds.count()
-    if n_ports <= max_driver_entries:
-        port_inflow = _flow_solve_ports_driver(_collect_tables(ports_ds))
-        l2b = (
-            l2.union(ray.data.from_arrow(_flow_kind4_table(port_inflow, sb)))
-            if port_inflow
-            else l2
-        )
-    else:
-        totals = _forest_totals_tiered(
-            ports_ds, sb, super_factor, max_driver_entries
-        )
-
-        def to_kind4(batch: pa.Table) -> pa.Table:
-            r1 = batch["r1"].to_numpy(zero_copy_only=False)
-            c1 = batch["c1"].to_numpy(zero_copy_only=False)
-            n = batch.num_rows
-            return pa.table(
-                {
-                    "r1": batch["r1"],
-                    "c1": batch["c1"],
-                    "r2": pa.array(np.zeros(n, np.int64)),
-                    "c2": pa.array(np.zeros(n, np.int64)),
-                    "v": batch["v"],
-                    "kind": pa.array(np.full(n, 4, np.int64)),
-                    "sbk": pa.array((r1 // sb) * 100000 + (c1 // sb)),
-                }
-            )
-
-        l2b = l2.union(
-            totals.map_batches(
-                to_kind4, batch_format="pyarrow", batch_size=None
-            )
-        )
+    l2b = _flow_union_port_totals(
+        l2, ports_ds, sb, super_factor, max_driver_entries
+    )
 
     def final_super(group: pa.Table) -> pa.Table:
         ent = _flow_replay_group(group, sb)
@@ -2158,13 +2149,12 @@ def _ws_entry_sinks_distributed(
         def answer_phase(group: pa.Table) -> pa.Table:
             k = group["kind"].to_numpy(zero_copy_only=False)
             routes, _ = _parse(group.filter(pa.array(k != 4)))
+            d4 = group.filter(pa.array(k == 4))
             delivered = {
                 (int(a), int(b)): (int(x), int(y))
                 for a, b, x, y in zip(
-                    group.filter(pa.array(k == 4))["r1"].to_pylist(),
-                    group.filter(pa.array(k == 4))["c1"].to_pylist(),
-                    group.filter(pa.array(k == 4))["r2"].to_pylist(),
-                    group.filter(pa.array(k == 4))["c2"].to_pylist(),
+                    d4["r1"].to_pylist(), d4["c1"].to_pylist(),
+                    d4["r2"].to_pylist(), d4["c2"].to_pylist(),
                 )
             }
             memo: dict = {}
@@ -2206,13 +2196,12 @@ def _ws_entry_sinks_distributed(
     def final_super(group: pa.Table) -> pa.Table:
         k = group["kind"].to_numpy(zero_copy_only=False)
         routes, _ = _parse(group.filter(pa.array(k != 4)))
+        d4 = group.filter(pa.array(k == 4))
         delivered = {
             (int(a), int(b)): (int(x), int(y))
             for a, b, x, y in zip(
-                group.filter(pa.array(k == 4))["r1"].to_pylist(),
-                group.filter(pa.array(k == 4))["c1"].to_pylist(),
-                group.filter(pa.array(k == 4))["r2"].to_pylist(),
-                group.filter(pa.array(k == 4))["c2"].to_pylist(),
+                d4["r1"].to_pylist(), d4["c1"].to_pylist(),
+                d4["r2"].to_pylist(), d4["c2"].to_pylist(),
             )
         }
         memo: dict = {}
