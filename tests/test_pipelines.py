@@ -327,6 +327,17 @@ class TestZonal:
             a.to_pandas().sort_values("k").reset_index(drop=True),
             b.to_pandas().sort_values("k").reset_index(drop=True),
         )
+        # empty input through the shuffle tier must still produce the
+        # finalized schema (review r5: it crashed on the un-renamed
+        # partial columns)
+        empty = pa.table(
+            {"k": pa.array([], pa.string()), "z": pa.array([], pa.float64())}
+        )
+        out = st.grouped_stats(
+            ray.data.from_arrow(empty), ["k"], "z", combine_tier="shuffle"
+        )
+        assert out.num_rows == 0
+        assert set(out.schema.names) >= {"k", "count", "mean", "std"}
 
     def test_center_fallback_rescues_sliver_polygon(self, ray_session, tiles_path):
         """test2.py:1335-1357 + 1392: the center-window fallback abandons

@@ -122,9 +122,8 @@ def grouped_stats(
         )
         tables, schema = _collect_with_schema(combined)
         if not tables:
-            return finalize_stats(
-                _empty_partials_schema(keys, schema).empty_table()
-            )
+            parts = _empty_partials_schema(keys, schema).empty_table()
+            return finalize_stats(combine_partials(parts, keys))
         parts = pa.concat_tables(tables, promote_options="default")
         # per-key rows are already combined; combine_partials is a
         # cheap idempotent re-group that also merges table chunks
