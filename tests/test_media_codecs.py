@@ -885,3 +885,46 @@ class TestFLAC:
         arr = decode_media(encode_flac(s, 16000), "audio/flac")
         assert arr.shape == (500, 1, 1)
         assert (arr[:, 0, 0] == s).all()
+
+
+class TestMP3FrameWalk:
+    """walk_mp3_frames (round 5): the duration path parse_mp3_header
+    declares out of header scope -- a real frame-by-frame walk using
+    each header's own bitrate/padding, 1152 samples per frame."""
+
+    def test_cbr_duration(self):
+        from tiff_to_geojson_csv_json_format_converter_ray.sources.media import (
+            encode_mp3_stub, walk_mp3_frames,
+        )
+
+        m = walk_mp3_frames(encode_mp3_stub(192, 44100, n_frames=77))
+        assert m["n_frames"] == 77
+        assert m["sample_rate"] == 44100
+        assert m["duration_seconds"] == 77 * 1152 / 44100
+
+    def test_vbr_walk_steps_per_frame(self):
+        """Frames of different bitrates have different lengths; the
+        walk must use EACH header's bitrate, not the first one."""
+        from tiff_to_geojson_csv_json_format_converter_ray.sources.media import (
+            encode_mp3_stub, walk_mp3_frames,
+        )
+
+        vbr = (
+            encode_mp3_stub(128, 44100, n_frames=3)
+            + encode_mp3_stub(320, 44100, n_frames=4)
+            + encode_mp3_stub(96, 44100, n_frames=2)
+        )
+        m = walk_mp3_frames(vbr)
+        assert m["n_frames"] == 9
+        assert m["duration_seconds"] == 9 * 1152 / 44100
+
+    def test_id3_skip_and_errors(self):
+        from tiff_to_geojson_csv_json_format_converter_ray.sources.media import (
+            MediaCodecError, encode_mp3_stub, walk_mp3_frames,
+        )
+
+        body = encode_mp3_stub(128, 44100, n_frames=2)
+        tag = b"ID3\x03\x00\x00" + bytes([0, 0, 0, 10]) + b"\x00" * 10
+        assert walk_mp3_frames(tag + body)["n_frames"] == 2
+        with pytest.raises(MediaCodecError):
+            walk_mp3_frames(b"\x00\x01\x02\x03")

@@ -1829,7 +1829,8 @@ def oracle_entries(out: dict) -> dict:
             "CAST(CASE WHEN i.range % 2 = 0 THEN 1 + (i.range // 2) % 2 "
             "ELSE 2 END AS BIGINT) AS channels, "
             "CASE WHEN i.range % 2 = 0 "
-            "THEN (i.range + 1) * 12000 / 48000.0 ELSE NULL END "
+            "THEN (i.range + 1) * 12000 / 48000.0 "
+            "ELSE (30 + i.range * 9) * 1152 / 44100.0 END "
             "AS duration_seconds, "
             "CAST(CASE WHEN i.range % 2 = 1 THEN "
             "[128, 192, 256][(i.range // 2) % 3 + 1] ELSE NULL END "

@@ -1825,17 +1825,62 @@ def encode_flac_stub(
     return b"fLaC" + bytes([0x80]) + struct.pack(">I", len(body))[1:] + body
 
 
+def walk_mp3_frames(data: bytes) -> dict:
+    """Full MPEG-1 Layer III frame walk (the duration path
+    :func:`parse_mp3_header` declares out of metadata scope): step
+    frame-by-frame using each header's own bitrate/padding (so VBR
+    streams count correctly), 1152 samples per frame ->
+    {n_frames, sample_rate, duration_seconds}."""
+    pos = 0
+    if data[:3] == b"ID3":
+        size = (
+            (data[6] << 21) | (data[7] << 14) | (data[8] << 7) | data[9]
+        )
+        pos = 10 + size
+    n = 0
+    rate = None
+    while pos + 4 <= len(data):
+        b0, b1, b2 = data[pos], data[pos + 1], data[pos + 2]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            break
+        version = (b1 >> 3) & 0x3
+        layer = (b1 >> 1) & 0x3
+        if version != 3 or layer != 1:
+            raise MediaCodecError("only MPEG-1 Layer III supported")
+        br_idx = (b2 >> 4) & 0xF
+        sr_idx = (b2 >> 2) & 0x3
+        pad = (b2 >> 1) & 0x1
+        if br_idx in (0, 15) or sr_idx == 3:
+            raise MediaCodecError("free-form/invalid bitrate or rate")
+        r = _MP3_RATES_V1[sr_idx]
+        rate = rate or r
+        pos += 144 * _MP3_BITRATES_V1L3[br_idx] * 1000 // r + pad
+        n += 1
+    if n == 0:
+        raise MediaCodecError("no MP3 frames")
+    return {
+        "n_frames": n,
+        "sample_rate": int(rate),
+        "duration_seconds": n * 1152 / rate,
+    }
+
+
 def encode_mp3_stub(
     bitrate_kbps: int, sample_rate: int, stereo: bool = True,
+    n_frames: int = 1,
 ) -> bytes:
-    """One MPEG-1 Layer III frame header (+ padding bytes) -- fixture
-    generator for :func:`parse_mp3_header`."""
+    """``n_frames`` MPEG-1 Layer III frames (real headers, zeroed
+    payload at the exact CBR frame length 144 * bitrate / rate) --
+    fixture generator for :func:`parse_mp3_header` and
+    :func:`walk_mp3_frames`."""
     br_idx = _MP3_BITRATES_V1L3.index(bitrate_kbps)
     sr_idx = _MP3_RATES_V1.index(sample_rate)
     b1 = 0xE0 | (3 << 3) | (1 << 1) | 1
     b2 = (br_idx << 4) | (sr_idx << 2)
     b3 = (0 if stereo else 3) << 6
-    return bytes([0xFF, b1, b2, b3]) + b"\0" * 64
+    flen = 144 * bitrate_kbps * 1000 // sample_rate
+    frame = bytes([0xFF, b1, b2, b3]) + b"\0" * (flen - 4)
+    return frame * n_frames
 
 
 def decode_media(payload: bytes, media_type: str) -> np.ndarray:

@@ -352,6 +352,7 @@ class AudioMetadata:
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..sources.media import (
             MediaCodecError, parse_flac_streaminfo, parse_mp3_header,
+            walk_mp3_frames,
         )
 
         fmts, rates, chans, durs, brs = [], [], [], [], []
@@ -368,6 +369,9 @@ class AudioMetadata:
                     fmt = "mp3"
                     rate, ch = m["sample_rate"], m["channels"]
                     br = m["bitrate_kbps"]
+                    # round 5: duration via the real frame walk (VBR-
+                    # safe: each header's own bitrate steps the walk)
+                    dur = walk_mp3_frames(p)["duration_seconds"]
             except MediaCodecError:
                 pass
             fmts.append(fmt)
@@ -393,7 +397,8 @@ def gen_media_audio(n: int = 12) -> pa.Table:
     (rate 48000/44100 alternating by i//2 parity, 1 + i%2... kept
     simple: rate 48000, channels 1 + i%2, total samples
     (i+1) * 12000 -> exact durations), odd ``i`` -> MP3 (bitrate
-    cycling 128/192/256, 44100 Hz stereo)."""
+    cycling 128/192/256, 44100 Hz stereo, ``30 + i*9`` frames so the
+    frame-walk duration is oracle-exact)."""
     from ..sources.media import encode_flac_stub, encode_mp3_stub
 
     ids, payloads = [], []
@@ -405,7 +410,10 @@ def gen_media_audio(n: int = 12) -> pa.Table:
             )
         else:
             payloads.append(
-                encode_mp3_stub([128, 192, 256][(i // 2) % 3], 44100)
+                encode_mp3_stub(
+                    [128, 192, 256][(i // 2) % 3], 44100,
+                    n_frames=30 + i * 9,
+                )
             )
     return pa.table(
         {
